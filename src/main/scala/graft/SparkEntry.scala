@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2 expressed
+  * Spark-first; [[oracleSql]] holds its ANSI-SQL twin for the driver's
+  * DuckDB parity check (column names aliased identically on both sides).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the exposition snapshot (`Prometheus.Exposer` serving view,
+    * SURVEY.md §2.1 A1) over the sf0.001 event stream — the current value
+    * of every counter/gauge/histogram series.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Metrics.exposition(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tier A — the reference's literal operator semantics (SURVEY.md §2.1)
+    "a1_exposition" -> ((s, d) => Metrics.exposition(s, d)),
+    "a2_counter_snapshot" -> ((s, d) => Metrics.counterSnapshot(s, d)),
+    "a3_gauge_snapshot" -> ((s, d) => Metrics.gaugeSnapshot(s, d)),
+    "a4_histogram_snapshot" -> ((s, d) => Metrics.histogramSnapshot(s, d)),
+    // Relational surface (SURVEY.md §2.3: scans/joins/agg/sort/limit)
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
+    "q5_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_exposition" -> Metrics.ExpositionSql,
+    "a2_counter_snapshot" -> Metrics.CounterSnapshotSql,
+    "a3_gauge_snapshot" -> Metrics.GaugeSnapshotSql,
+    "a4_histogram_snapshot" -> Metrics.HistogramSnapshotSql,
+    "q1_pricing_summary" -> Relational.PricingSummarySql,
+    "q3_shipping_priority" -> Relational.ShippingPrioritySql,
+    "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,
+  )
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.model.MetricEvent
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Tier-A operators: the reference's literal metric semantics re-expressed
+  * as Spark aggregations (SURVEY.md §2.1).
+  *
+  * The reference accumulates three sample kinds in registry-held families
+  * (`/root/reference/prometheus.cpp:34-45`):
+  * counter = monotone sum with negative-increment rejection
+  * (`prometheus.cpp:210-212`), gauge = last-write-wins set
+  * (`prometheus.cpp:249`), histogram = explicit-boundary bucket counts +
+  * `_sum`/`_count` (`prometheus.cpp:277-278,303`). The exposition endpoint
+  * (`prometheus.cpp:73,80`) serves the current snapshot of every series.
+  *
+  * Spark-first design: the "registry" is not an object — series state IS
+  * the groupBy key space `(name, label_k)`, so accumulation is a single
+  * partial+final hash aggregate (map-side combine for free), shuffling
+  * only one row per series per partition. That holds at 100 TB: the
+  * shuffle volume is O(#series × #partitions), not O(#events).
+  *
+  * Numeric parity note: monetary/sample values are summed as
+  * DECIMAL(18,2) and cast to DOUBLE at the end. Double summation order
+  * differs between engines (and between Spark partitions run-to-run);
+  * decimal summation is exact and associative, so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  */
+object Metrics {
+
+  /** Adapter: driver `events` table → the normative MetricEvent view
+    * (SURVEY.md §1.3). `event_type`→name, `props.$.k`→the single label
+    * value (the reference supports 0..1 label pairs,
+    * `prometheus.cpp:189-192`), kind assigned per family.
+    */
+  def metricEvents(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).select(
+      col("ts"),
+      col("event_type").as("name"),
+      get_json_object(col("props"), "$.k").as("label_k"),
+      when(col("event_type").isin(MetricEvent.CounterNames: _*), "counter")
+        .when(col("event_type").isin(MetricEvent.GaugeNames: _*), "gauge")
+        .otherwise("histogram").as("kind"),
+      col("value"),
+      col("event_id"))
+  }
+
+  /** SQL twin of [[metricEvents]] for the DuckDB oracle (shared prefix of
+    * every Tier-A/B oracle query).
+    */
+  val MetricEventsSql: String =
+    """SELECT ts, event_type AS name,
+      |  json_extract_string(props, '$.k') AS label_k,
+      |  CASE WHEN event_type IN ('click','view','purchase') THEN 'counter'
+      |       WHEN event_type IN ('signup') THEN 'gauge'
+      |       ELSE 'histogram' END AS kind,
+      |  value, event_id
+      |FROM events""".stripMargin
+
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private[graft] def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** A2 `Prometheus.Increment` snapshot: current value of every counter
+    * series = sum of non-negative increments
+    * (`prometheus.cpp:183-199,210-212`). The negative-increment guard
+    * (`ActivationError`, `prometheus.cpp:210-211`) maps to a validation
+    * filter; [[validatedCounterEvents]] offers the hard-fail variant.
+    */
+  def counterSnapshot(spark: SparkSession, dir: String): DataFrame =
+    metricEvents(spark, dir)
+      .filter(col("kind") === "counter" && col("value") >= 0)
+      .groupBy(col("name"), col("label_k"))
+      .agg(decSum(col("value")).as("value"), count(lit(1)).as("n_increments"))
+      .orderBy(col("name"), col("label_k"))
+
+  val CounterSnapshotSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT name, label_k,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value,
+       |  COUNT(*) AS n_increments
+       |FROM m WHERE kind = 'counter' AND value >= 0
+       |GROUP BY name, label_k
+       |ORDER BY name, label_k""".stripMargin
+
+  /** Hard-fail analog of the reference's negative-increment
+    * `ActivationError` (`prometheus.cpp:210-211`): raises at execution
+    * time if any counter increment is negative.
+    */
+  def validatedCounterEvents(spark: SparkSession, dir: String): DataFrame =
+    metricEvents(spark, dir)
+      .filter(col("kind") === "counter")
+      .withColumn("value",
+        when(col("value") < 0,
+          raise_error(concat(lit("counter increment must be >= 0, got "), col("value"))))
+          .otherwise(col("value")))
+
+  /** A3 `Prometheus.Gauge` snapshot: last-write-wins per series
+    * (`Set`, `prometheus.cpp:249`). Event-time ties broken by event_id so
+    * the result is deterministic under any partitioning (SURVEY.md §7
+    * hard-part #4).
+    */
+  def gaugeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("name"), col("label_k"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("label_k"), col("value"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  val GaugeSnapshotSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |r AS (SELECT name, label_k, value,
+       |        ROW_NUMBER() OVER (PARTITION BY name, label_k
+       |                           ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM m WHERE kind = 'gauge')
+       |SELECT name, label_k, value FROM r WHERE rn = 1
+       |ORDER BY name, label_k""".stripMargin
+
+  /** The explicit bucket boundaries (`Buckets` param,
+    * `prometheus.cpp:111-113,264-269`) as a 7-row DataFrame. Always on
+    * the broadcast side of joins.
+    */
+  private def bucketBounds(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    MetricEvent.Buckets.toDF("le")
+  }
+
+  private val BucketBoundsSql: String =
+    "SELECT * FROM (VALUES (1.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0)) b(le)"
+
+  /** A4 `Prometheus.Histogram` snapshot: cumulative `le`-bucket counts
+    * plus `_sum`/`_count` per series (`Observe`, `prometheus.cpp:303`;
+    * bucket build `:264-269`; exposition semantics: bucket(le) = #obs with
+    * value <= le, cumulative by construction).
+    *
+    * Declarative cumulative form: broadcast-cross-join each observation
+    * with the 7 boundaries and count `value <= le` per (series, le) — a
+    * single hash aggregate, no window, no sort. Constant 7× fan-out
+    * beats a per-series sort at 100 TB; the +Inf bucket equals `count`
+    * and is carried as its own column rather than a non-finite le row.
+    */
+  def histogramSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val obs = metricEvents(spark, dir).filter(col("kind") === "histogram")
+    obs.crossJoin(broadcast(bucketBounds(obs.sparkSession)))
+      .groupBy(col("name"), col("label_k"), col("le"))
+      .agg(
+        sum(when(col("value") <= col("le"), 1L).otherwise(0L)).as("cum_count"),
+        count(lit(1)).as("count"),
+        decSum(col("value")).as("sum"))
+      .orderBy(col("name"), col("label_k"), col("le"))
+  }
+
+  val HistogramSnapshotSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT name, label_k, le,
+       |  SUM(CASE WHEN value <= le THEN 1 ELSE 0 END) AS cum_count,
+       |  COUNT(*) AS count,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum
+       |FROM m CROSS JOIN ($BucketBoundsSql)
+       |WHERE kind = 'histogram'
+       |GROUP BY name, label_k, le
+       |ORDER BY name, label_k, le""".stripMargin
+
+  /** A1 `Prometheus.Exposer` snapshot (`prometheus.cpp:27-93`): the
+    * serving view a scraper would read — one row per series with its
+    * current value. Histogram families expose their `_sum` and `_count`
+    * derived series (B11; prometheus-cpp accumulates both on `Observe`,
+    * `prometheus.cpp:303`). The HTTP pull endpoint inverts to
+    * query-on-demand: materializing this DataFrame IS the scrape.
+    */
+  def exposition(spark: SparkSession, dir: String): DataFrame = {
+    val counters = counterSnapshot(spark, dir)
+      .select(col("name"), col("label_k"), lit("counter").as("kind"), col("value"))
+    val gauges = gaugeSnapshot(spark, dir)
+      .select(col("name"), col("label_k"), lit("gauge").as("kind"), col("value"))
+    val hist = metricEvents(spark, dir).filter(col("kind") === "histogram")
+      .groupBy(col("name"), col("label_k"))
+      .agg(decSum(col("value")).as("hsum"), count(lit(1)).cast("double").as("hcount"))
+    val histSum = hist.select(concat(col("name"), lit("_sum")).as("name"),
+      col("label_k"), lit("histogram").as("kind"), col("hsum").as("value"))
+    val histCount = hist.select(concat(col("name"), lit("_count")).as("name"),
+      col("label_k"), lit("histogram").as("kind"), col("hcount").as("value"))
+    counters.unionAll(gauges).unionAll(histSum).unionAll(histCount)
+      .orderBy(col("name"), col("label_k"), col("kind"))
+  }
+
+  val ExpositionSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |c AS (SELECT name, label_k, 'counter' AS kind,
+       |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |      FROM m WHERE kind = 'counter' AND value >= 0 GROUP BY name, label_k),
+       |g AS (SELECT name, label_k, 'gauge' AS kind, value FROM (
+       |        SELECT name, label_k, value,
+       |          ROW_NUMBER() OVER (PARTITION BY name, label_k
+       |                             ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM m WHERE kind = 'gauge') WHERE rn = 1),
+       |h AS (SELECT name, label_k,
+       |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hsum,
+       |        CAST(COUNT(*) AS DOUBLE) AS hcount
+       |      FROM m WHERE kind = 'histogram' GROUP BY name, label_k)
+       |SELECT * FROM (
+       |  SELECT name, label_k, kind, value FROM c
+       |  UNION ALL SELECT name, label_k, kind, value FROM g
+       |  UNION ALL SELECT name || '_sum', label_k, 'histogram', hsum FROM h
+       |  UNION ALL SELECT name || '_count', label_k, 'histogram', hcount FROM h)
+       |ORDER BY name, label_k, kind""".stripMargin
+}
