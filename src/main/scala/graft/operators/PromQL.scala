@@ -1,0 +1,364 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier-B operators: the TSDB query surface the reference exists to feed
+  * (SURVEY.md §2.2) — selectors, range windows, reset-aware `rate`,
+  * label-dimension aggregation, `topk`, cross-series quantiles,
+  * `histogram_quantile`, vector binary ops, `offset`, and as-of staleness
+  * — each as a declarative Spark plan over the MetricEvent view.
+  *
+  * Scale design notes:
+  *  - Every per-series computation partitions by `(name, label_k)` — the
+  *    natural shard key; window operators sort only within a series, so
+  *    skew is bounded by the hottest single series, and there is exactly
+  *    one exchange per query.
+  *  - Counter arithmetic runs in integer cents (`round(value*100)` as
+  *    BIGINT): cumulative sums/lags/mod-wraps are exact and
+  *    partition-order independent, so results are deterministic on any
+  *    cluster layout (and bit-equal to the DuckDB oracle). Division back
+  *    to doubles happens once, at the end.
+  *  - The as-of query keeps the (tiny) time grid on the broadcast side of
+  *    a range join; the fact side never shuffles.
+  */
+object PromQL {
+
+  import Metrics.MetricEventsSql
+
+  private def series: Seq[Column] = Seq(col("name"), col("label_k"))
+
+  /** Counter events in integer cents. */
+  private def counterCents(spark: SparkSession, dir: String): DataFrame =
+    Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "counter" && col("value") >= 0)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+
+  private val CounterCentsSql: String =
+    s"""SELECT *, CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |FROM ($MetricEventsSql) WHERE kind = 'counter' AND value >= 0""".stripMargin
+
+  /** B1 instant-vector selector with label matchers:
+    * `purchase{k=~"^1[0-9]$"}` — equality on the metric name + regex on
+    * the label value (PromQL `=~`). Both predicates are plain column
+    * filters → pushed into the parquet scan.
+    */
+  def selector(spark: SparkSession, dir: String): DataFrame =
+    Metrics.metricEvents(spark, dir)
+      .filter(col("name") === "purchase" && col("label_k").rlike("^1[0-9]$"))
+      .select(col("event_id"), col("name"), col("label_k"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+
+  val SelectorSql: String =
+    s"""SELECT event_id, name, label_k, value, epoch_us(ts) AS ts_us
+       |FROM ($MetricEventsSql)
+       |WHERE name = 'purchase' AND regexp_matches(label_k, '^1[0-9]${"$"}')
+       |ORDER BY event_id""".stripMargin
+
+  /** B2 range selector + per-series windowed aggregation: hourly tumbling
+    * windows per counter series (`sum_over_time(m[1h])`). One hash
+    * aggregate keyed by (series, hour) — no sort, no window function.
+    */
+  def rangeAgg(spark: SparkSession, dir: String): DataFrame =
+    counterCents(spark, dir)
+      .groupBy(series :+ unix_micros(date_trunc("hour", col("ts"))).as("hour_us"): _*)
+      .agg((sum(col("cents")).cast("double") / 100.0).as("value"),
+        count(lit(1)).as("n_samples"))
+      .orderBy(col("name"), col("label_k"), col("hour_us"))
+
+  val RangeAggSql: String =
+    s"""SELECT name, label_k, epoch_us(date_trunc('hour', ts)) AS hour_us,
+       |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS value,
+       |  COUNT(*) AS n_samples
+       |FROM ($CounterCentsSql)
+       |GROUP BY name, label_k, date_trunc('hour', ts)
+       |ORDER BY name, label_k, hour_us""".stripMargin
+
+  /** B3 counter-reset-aware `rate()` (SURVEY.md §7 hard-part #1).
+    *
+    * The event stream carries increments; a scraped TSDB sees cumulative
+    * samples. We reconstruct the cumulative series (running sum per
+    * series), wrap it at 1000.00 to synthesize deterministic counter
+    * resets, then recover per-sample increase with the published
+    * Prometheus reset rule — `curr < prev ⇒ increase = curr` (the counter
+    * restarted from 0) — and aggregate to a per-hour per-second rate.
+    * Two window passes over one per-series sort; Spark executes both in
+    * a single Window stage because they share partitioning and ordering.
+    */
+  def rate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(series: _*).orderBy(col("ts"), col("event_id"))
+    counterCents(spark, dir)
+      .withColumn("wrapped",
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)) % 100000L)
+      .withColumn("prev", lag(col("wrapped"), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, col("wrapped"))
+          .when(col("wrapped") >= col("prev"), col("wrapped") - col("prev"))
+          .otherwise(col("wrapped")))
+      .groupBy(series :+ unix_micros(date_trunc("hour", col("ts"))).as("hour_us"): _*)
+      .agg((sum(col("delta")).cast("double") / 100.0 / 3600.0).as("rate"))
+      .orderBy(col("name"), col("label_k"), col("hour_us"))
+  }
+
+  val RateSql: String =
+    s"""WITH c AS ($CounterCentsSql),
+       |w AS (SELECT *,
+       |  SUM(cents) OVER (PARTITION BY name, label_k ORDER BY ts, event_id
+       |                   ROWS UNBOUNDED PRECEDING) % 100000 AS wrapped
+       |  FROM c),
+       |d AS (SELECT *,
+       |  LAG(wrapped) OVER (PARTITION BY name, label_k
+       |                     ORDER BY ts, event_id) AS prev
+       |  FROM w)
+       |SELECT name, label_k, epoch_us(date_trunc('hour', ts)) AS hour_us,
+       |  CAST(SUM(CASE WHEN prev IS NULL THEN wrapped
+       |                WHEN wrapped >= prev THEN wrapped - prev
+       |                ELSE wrapped END) AS DOUBLE) / 100.0 / 3600.0 AS rate
+       |FROM d
+       |GROUP BY name, label_k, date_trunc('hour', ts)
+       |ORDER BY name, label_k, hour_us""".stripMargin
+
+  /** B4 label-dimension aggregation: `sum by (k)` and `sum without (k)`
+    * in one pass via grouping sets (placeholder `<agg>` marks the
+    * collapsed dimension). Partial aggregation happens map-side for both
+    * grouping sets before the single shuffle.
+    */
+  def aggByLabel(spark: SparkSession, dir: String): DataFrame =
+    counterCents(spark, dir)
+      .groupingSets(Seq(Seq(col("name")), Seq(col("label_k"))),
+        col("name"), col("label_k"))
+      .agg((sum(col("cents")).cast("double") / 100.0).as("value"))
+      .select(coalesce(col("name"), lit("<agg>")).as("name"),
+        coalesce(col("label_k"), lit("<agg>")).as("label_k"), col("value"))
+      .orderBy(col("name"), col("label_k"))
+
+  val AggByLabelSql: String =
+    s"""SELECT COALESCE(name, '<agg>') AS name,
+       |  COALESCE(label_k, '<agg>') AS label_k,
+       |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS value
+       |FROM ($CounterCentsSql)
+       |GROUP BY GROUPING SETS ((name), (label_k))
+       |ORDER BY name, label_k""".stripMargin
+
+  /** B5 `topk(2, …)` — top series per metric family by snapshot value.
+    * Rank inside each family partition; integer cents ⇒ no float-tie
+    * nondeterminism, label_k breaks exact ties.
+    */
+  def topk(spark: SparkSession, dir: String): DataFrame = {
+    val snap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("name"))
+      .orderBy(col("cents").desc, col("label_k"))
+    snap.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("name"), col("label_k"),
+        (col("cents").cast("double") / 100.0).as("value"), col("rank"))
+      .orderBy(col("name"), col("rank"))
+  }
+
+  val TopkSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY name
+       |        ORDER BY cents DESC, label_k) AS rank FROM snap)
+       |SELECT name, label_k, CAST(cents AS DOUBLE) / 100.0 AS value, rank
+       |FROM r WHERE rank <= 2
+       |ORDER BY name, rank""".stripMargin
+
+  /** B6 cross-series `quantile(0.5, …)`: median of per-series snapshot
+    * values within each family. Interpolation is spelled out (1-based
+    * rank r = (n−1)·φ, linear between floor/ceil neighbours) instead of
+    * calling an engine-specific percentile, so Spark and the oracle
+    * compute the identical IEEE expression.
+    */
+  def quantileAcross(spark: SparkSession, dir: String): DataFrame = {
+    val snap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("name")).orderBy(col("cents"), col("label_k"))
+    snap
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("name"))))
+      .withColumn("pos", (col("n") - 1).cast("double") * 0.5)
+      .groupBy(col("name"))
+      .agg(
+        (max(when(col("rn") === floor(col("pos")).cast("long") + 1, col("cents"))).cast("double")
+          + (max(when(col("rn") === ceil(col("pos")).cast("long") + 1, col("cents"))).cast("double")
+            - max(when(col("rn") === floor(col("pos")).cast("long") + 1, col("cents"))).cast("double"))
+          * (max(col("pos")) - floor(max(col("pos"))))).as("median_cents"))
+      .select(col("name"), (col("median_cents") / 100.0).as("median"))
+      .orderBy(col("name"))
+  }
+
+  val QuantileAcrossSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name ORDER BY cents, label_k) AS rn,
+       |  COUNT(*) OVER (PARTITION BY name) AS n FROM snap),
+       |p AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.5 AS pos FROM r)
+       |SELECT name,
+       |  (MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE
+       |   + (MAX(CASE WHEN rn = CAST(CEIL(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE
+       |      - MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE)
+       |     * (MAX(pos) - FLOOR(MAX(pos)))) / 100.0 AS median
+       |FROM p GROUP BY name
+       |ORDER BY name""".stripMargin
+
+  /** B7 `histogram_quantile(0.9, …)` over the cumulative bucket snapshot
+    * (SURVEY.md §7 hard-part #2). Published Prometheus semantics:
+    * rank = φ·count; the target bucket is the smallest `le` whose
+    * cumulative count reaches the rank; linear interpolation inside it
+    * (lower bound 0 for the first bucket); a rank beyond the last finite
+    * bucket returns the highest finite boundary.
+    */
+  def histogramQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val phi = 0.9
+    val snap = Metrics.histogramSnapshot(spark, dir)
+      .select(col("name"), col("label_k"), col("le"), col("cum_count"), col("count"))
+    val w = Window.partitionBy(series: _*).orderBy(col("le"))
+    val ranked = snap
+      .withColumn("rank", lit(phi) * col("count").cast("double"))
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
+      .withColumn("prev_cum", coalesce(lag(col("cum_count"), 1).over(w), lit(0L)))
+      .withColumn("max_le", max(col("le")).over(Window.partitionBy(series: _*)))
+      .withColumn("max_cum", max(col("cum_count")).over(Window.partitionBy(series: _*)))
+    val inBucket = ranked
+      .filter(col("cum_count") >= col("rank") && col("prev_cum") < col("rank"))
+      .select(col("name"), col("label_k"),
+        (col("prev_le") + (col("le") - col("prev_le"))
+          * (col("rank") - col("prev_cum").cast("double"))
+          / (col("cum_count") - col("prev_cum")).cast("double")).as("q"))
+    val overflow = ranked
+      .filter(col("le") === col("max_le") && col("rank") > col("max_cum").cast("double"))
+      .select(col("name"), col("label_k"), col("max_le").as("q"))
+    inBucket.unionAll(overflow).orderBy(col("name"), col("label_k"))
+  }
+
+  val HistogramQuantileSql: String =
+    s"""WITH snap AS (${Metrics.HistogramSnapshotSql.replace("ORDER BY name, label_k, le", "")}),
+       |r AS (SELECT name, label_k, le, cum_count,
+       |  0.9 * CAST(count AS DOUBLE) AS rank,
+       |  COALESCE(LAG(le) OVER (PARTITION BY name, label_k ORDER BY le), 0.0) AS prev_le,
+       |  COALESCE(LAG(cum_count) OVER (PARTITION BY name, label_k ORDER BY le), 0) AS prev_cum,
+       |  MAX(le) OVER (PARTITION BY name, label_k) AS max_le,
+       |  MAX(cum_count) OVER (PARTITION BY name, label_k) AS max_cum
+       |  FROM snap)
+       |SELECT name, label_k,
+       |  prev_le + (le - prev_le) * (rank - CAST(prev_cum AS DOUBLE))
+       |    / CAST(cum_count - prev_cum AS DOUBLE) AS q
+       |FROM r WHERE cum_count >= rank AND prev_cum < rank
+       |UNION ALL
+       |SELECT name, label_k, max_le AS q
+       |FROM r WHERE le = max_le AND rank > CAST(max_cum AS DOUBLE)
+       |ORDER BY name, label_k""".stripMargin
+
+  /** B8 vector binary op with label matching: `purchase / click` joined
+    * `on (k)` — an equi-join of two snapshot vectors on the label set,
+    * then column arithmetic. Both sides aggregate before joining, so the
+    * join input is one row per series (tiny at any scale).
+    */
+  def binaryOp(spark: SparkSession, dir: String): DataFrame = {
+    val snap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+    val p = snap.filter(col("name") === "purchase")
+      .select(col("label_k"), col("cents").as("purchase_cents"))
+    val c = snap.filter(col("name") === "click")
+      .select(col("label_k"), col("cents").as("click_cents"))
+    p.join(c, Seq("label_k"))
+      .select(col("label_k"),
+        (col("purchase_cents").cast("double") / 100.0).as("purchase_value"),
+        (col("click_cents").cast("double") / 100.0).as("click_value"),
+        (col("purchase_cents").cast("double") / col("click_cents").cast("double")).as("ratio"))
+      .orderBy(col("label_k"))
+  }
+
+  val BinaryOpSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k)
+       |SELECT p.label_k,
+       |  CAST(p.cents AS DOUBLE) / 100.0 AS purchase_value,
+       |  CAST(c.cents AS DOUBLE) / 100.0 AS click_value,
+       |  CAST(p.cents AS DOUBLE) / CAST(c.cents AS DOUBLE) AS ratio
+       |FROM (SELECT * FROM snap WHERE name = 'purchase') p
+       |JOIN (SELECT * FROM snap WHERE name = 'click') c USING (label_k)
+       |ORDER BY label_k""".stripMargin
+
+  /** B9 `offset` time shift: last-day counter volume per series vs the
+    * same series one week earlier — two conditional aggregations over a
+    * single scan (no self-join, no second pass).
+    */
+  def offsetCompare(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = lit("2024-01-30 00:00:00").cast("timestamp")
+    val t0 = lit("2024-01-29 00:00:00").cast("timestamp")
+    val o1 = lit("2024-01-23 00:00:00").cast("timestamp")
+    val o0 = lit("2024-01-22 00:00:00").cast("timestamp")
+    counterCents(spark, dir)
+      .groupBy(series: _*)
+      .agg(
+        (sum(when(col("ts") >= t0 && col("ts") < t1, col("cents")).otherwise(0L))
+          .cast("double") / 100.0).as("current_value"),
+        (sum(when(col("ts") >= o0 && col("ts") < o1, col("cents")).otherwise(0L))
+          .cast("double") / 100.0).as("offset_value"))
+      .withColumn("delta", col("current_value") - col("offset_value"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  val OffsetCompareSql: String =
+    s"""SELECT name, label_k,
+       |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-29 00:00:00'
+       |                 AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+       |                THEN cents ELSE 0 END) AS DOUBLE) / 100.0 AS current_value,
+       |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+       |                 AND ts <  TIMESTAMP '2024-01-23 00:00:00'
+       |                THEN cents ELSE 0 END) AS DOUBLE) / 100.0 AS offset_value,
+       |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-29 00:00:00'
+       |                 AND ts <  TIMESTAMP '2024-01-30 00:00:00'
+       |                THEN cents ELSE 0 END) AS DOUBLE) / 100.0
+       |  - CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+       |                   AND ts <  TIMESTAMP '2024-01-23 00:00:00'
+       |                  THEN cents ELSE 0 END) AS DOUBLE) / 100.0 AS delta
+       |FROM ($CounterCentsSql)
+       |GROUP BY name, label_k
+       |ORDER BY name, label_k""".stripMargin
+
+  /** B10 as-of staleness (SURVEY.md §7 hard-part #3): for each daily
+    * instant t, the most recent gauge sample ≤ t within a 5-day lookback.
+    * The instant grid is constant-size and broadcast; the gauge stream is
+    * range-joined against it without shuffling, then one row_number pass
+    * per (series, t) picks the freshest sample with a deterministic
+    * event_id tiebreak. At 100 TB the same plan holds because the grid
+    * side stays tiny; a grid of comparable size to the facts would switch
+    * to the union-merge-sort formulation instead.
+    */
+  def asOf(spark: SparkSession, dir: String): DataFrame = {
+    val grid = spark.range(2, 31).select(
+      expr("TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL 1 DAY").as("t"))
+    val g = Metrics.metricEvents(spark, dir).filter(col("kind") === "gauge")
+    val joined = g.join(broadcast(grid),
+      col("ts") <= col("t") && col("ts") > col("t") - expr("INTERVAL 5 DAYS"))
+    val w = Window.partitionBy(col("name"), col("label_k"), col("t"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("label_k"), unix_micros(col("t")).as("t_us"), col("value"))
+      .orderBy(col("name"), col("label_k"), col("t_us"))
+  }
+
+  val AsOfSql: String =
+    s"""WITH grid AS (
+       |  SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (d) DAY AS t
+       |  FROM generate_series(2, 30) s(d)),
+       |g AS (SELECT * FROM ($MetricEventsSql) WHERE kind = 'gauge'),
+       |j AS (SELECT g.*, grid.t,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, t
+       |                     ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM g JOIN grid ON g.ts <= grid.t AND g.ts > grid.t - INTERVAL 5 DAY)
+       |SELECT name, label_k, epoch_us(t) AS t_us, value
+       |FROM j WHERE rn = 1
+       |ORDER BY name, label_k, t_us""".stripMargin
+}
