@@ -39,6 +39,21 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
     "q5_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    // Extension tier — training-data pipeline ops (SURVEY.md §2.3)
+    "x1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "x2_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "x3_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "x4_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "x5_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "x6_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "x7_lsh_ann" -> ((s, d) => Similarity.lshAnn(s, d)),
+    "x8_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "x9_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "x10_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "x11_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "x12_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "x13_multimodal_decode" -> ((s, d) => Multimodal.decodeMetadata(s, d)),
+    "x14_multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -59,5 +74,19 @@ object SparkEntry {
     "q1_pricing_summary" -> Relational.PricingSummarySql,
     "q3_shipping_priority" -> Relational.ShippingPrioritySql,
     "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,
+    "x1_dedup_exact" -> Dedup.ExactSql,
+    "x2_minhash_signatures" -> Dedup.MinhashSignaturesSql,
+    "x3_minhash_lsh" -> Dedup.MinhashLshSql,
+    "x4_simhash" -> Dedup.SimhashSql,
+    "x5_ngram_jaccard" -> Dedup.NgramJaccardSql,
+    "x6_cosine_topk" -> Similarity.CosineTopKSql,
+    "x7_lsh_ann" -> Similarity.LshAnnSql,
+    "x8_embedding_neardup" -> Similarity.EmbeddingNearDupSql,
+    "x9_langid" -> TextAnalysis.LangIdSql,
+    "x10_quality_score" -> TextAnalysis.QualityScoreSql,
+    "x11_token_count" -> TextAnalysis.TokenCountSql,
+    "x12_fingerprint" -> TextAnalysis.FingerprintSql,
+    "x13_multimodal_decode" -> Multimodal.DecodeMetadataSql,
+    "x14_multimodal_frames" -> Multimodal.FrameSampleSql,
   )
 }

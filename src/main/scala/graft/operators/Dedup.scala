@@ -1,0 +1,248 @@
+package graft.operators
+
+import graft.functions.TextOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over `documents`
+  * (the driver-mandated extension tier, SURVEY.md §2.3).
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-groupBy on a 32-byte digest — shuffles digests,
+  *    never full texts.
+  *  - minhash LSH: shingle→minhash→band→bucket-join. Candidate
+  *    generation is a self-join on band buckets, so cost is
+  *    O(Σ bucket²) not O(n²); at 100 TB the band hash is the shuffle
+  *    key and skewed buckets are capped by AQE skew-join splitting.
+  *  - simhash: near-dup clustering by identical 32-bit signature —
+  *    signature computation is a single explode+groupBy (map-side
+  *    combinable); no pairwise work at all.
+  *  - n-gram Jaccard: *exact* verification run only on LSH candidate
+  *    pairs (composition: cheap recall stage → exact precision stage).
+  *
+  * Determinism: every hash is md5 (identical lowercase hex in Spark and
+  * DuckDB); min/max over hex strings is binary-collation string order in
+  * both engines, so signatures — and therefore buckets, pairs, and
+  * Jaccard counts — are reproducible bit-for-bit from any partitioning.
+  */
+object Dedup {
+
+  private val DocsSql = "SELECT doc_id, text FROM documents"
+
+  /** Exact dedup: duplicate clusters keyed by md5 of the normalized
+    * text; the surviving row of each cluster is the smallest doc_id.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(trim(lower(col("text")))).as("text_hash"))
+    val w = Window.partitionBy(col("text_hash"))
+    docs
+      .withColumn("cluster_id", min(col("doc_id")).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ExactSql: String =
+    s"""WITH h AS (SELECT doc_id, md5(trim(lower(text))) AS text_hash FROM documents)
+       |SELECT doc_id,
+       |  MIN(doc_id) OVER (PARTITION BY text_hash) AS cluster_id,
+       |  COUNT(*) OVER (PARTITION BY text_hash) AS cluster_size,
+       |  doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS keep
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+
+  val NumPerms = 8
+  val NumBands = 4 // 2 rows per band
+
+  /** Per-document minhash signature: one row per doc with `NumPerms`
+    * hex-string minima over word-3-gram shingles. A single
+    * explode+groupBy — the signature aggregation is map-side
+    * combinable, so shuffle volume is one row per document.
+    */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+    val aggs = (0 until NumPerms).map(i =>
+      min(TextOps.minhashPerm(col("shingle"), i)).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val SignaturesSql: String = {
+    val perms = (0 until NumPerms)
+      .map(i => s"MIN(md5('$i|' || shingle)) AS mh$i").mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $perms
+       |FROM (${TextOps.shinglesSql("documents", 3)})
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** MinHash signatures as a query in their own right. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir).orderBy(col("doc_id"))
+
+  val MinhashSignaturesSql: String =
+    s"""$SignaturesSql
+       |ORDER BY doc_id""".stripMargin
+
+  /** MinHash + LSH near-dup candidate pairs: documents sharing any of
+    * `NumBands` band buckets (band hash = md5 of its 2 signature rows),
+    * scored by the fraction of matching signature components. The
+    * band-bucket self-join is the scale path: candidates ∝ Σ bucket², and
+    * the estimated-Jaccard filter (≥ 0.5) runs before output.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val bands = sig.select(col("doc_id") +: (0 until NumBands).map(b =>
+      md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as(s"band$b")): _*)
+    val buckets = bands.select(col("doc_id"),
+      explode(array((0 until NumBands).map(b =>
+        concat(lit(s"$b:"), col(s"band$b"))): _*)).as("bucket"))
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    val pairs = l.join(r, col("l.bucket") === col("r.bucket") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumPerms).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumPerms).map(i => col(s"mh$i").as(s"b$i")): _*)
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        ((0 until NumPerms).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / NumPerms).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val MinhashLshSql: String = {
+    val bandCols = (0 until NumBands)
+      .map(b => s"md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band$b").mkString(", ")
+    val bucketRows = (0 until NumBands)
+      .map(b => s"SELECT doc_id, '$b:' || band$b AS bucket FROM bands").mkString("\n  UNION ALL ")
+    val eqSum = (0 until NumPerms)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sig AS ($SignaturesSql),
+       |bands AS (SELECT doc_id, $bandCols FROM sig),
+       |buckets AS ($bucketRows),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM buckets l JOIN buckets r
+       |    ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST($eqSum AS DOUBLE) / $NumPerms AS est_jaccard
+       |FROM pairs
+       |JOIN sig sa ON sa.doc_id = doc_a
+       |JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE CAST($eqSum AS DOUBLE) / $NumPerms >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val SimhashBits = 32
+
+  /** SimHash near-dup clustering: a 32-bit signature per document
+    * (bit j = sign of Σ_tokens ±1 weighted by bit j of the token's md5),
+    * clusters = identical signatures. Bit extraction is pure integer
+    * arithmetic on hex nibbles — engine-independent. One explode (tokens
+    * × 32 bits) + two map-side-combinable aggregations; no pairwise
+    * stage. At 100 TB the 32×fan-out would move into a custom codegen'd
+    * Expression computing the signature per row; the aggregation shape
+    * is unchanged.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bits = toks
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substr(h, cast(j div 4 as int) + 1, 1)) - 1"))
+      .withColumn("bit", expr("(nib div cast(pow(2, j % 4) as int)) % 2"))
+    val sig = bits
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("weight"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("weight") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L)).as("simhash"))
+    val w = Window.partitionBy(col("simhash"))
+    sig.withColumn("cluster_id", min(col("doc_id")).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("simhash"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val SimhashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(string_split(trim(lower(text)), ' '))) AS h
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, h, j,
+       |    strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1 AS nib
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)),
+       |wts AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (nib // CAST(pow(2, j % 4) AS INT)) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS weight
+       |  FROM bits GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+       |             ELSE 0 END) AS simhash
+       |  FROM wts GROUP BY doc_id)
+       |SELECT doc_id, simhash,
+       |  MIN(doc_id) OVER (PARTITION BY simhash) AS cluster_id,
+       |  COUNT(*) OVER (PARTITION BY simhash) AS cluster_size
+       |FROM sig
+       |ORDER BY doc_id""".stripMargin
+
+  /** Exact n-gram Jaccard verification of the LSH candidate pairs:
+    * |A∩B| / |A∪B| over distinct word-3-gram sets. Runs only on pairs
+    * that shared a band bucket — the two-stage recall→precision
+    * composition that makes exact similarity affordable at scale.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val candidates = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val interCount = candidates.join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    candidates
+      .join(interCount, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val NgramJaccardSql: String =
+    s"""WITH cand AS (SELECT doc_a, doc_b FROM ($MinhashLshSql)),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (${TextOps.shinglesSql("documents", 3)})),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.doc_a
+       |  JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+       |  GROUP BY cand.doc_a, cand.doc_b)
+       |SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b,
+       |  CAST(COALESCE(n_inter, 0) AS DOUBLE)
+       |    / CAST(ca.n + cb.n - COALESCE(n_inter, 0) AS DOUBLE) AS jaccard
+       |FROM cand
+       |LEFT JOIN inter ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
+       |JOIN cnt ca ON ca.doc_id = cand.doc_a
+       |JOIN cnt cb ON cb.doc_id = cand.doc_b
+       |ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors)
+  * — brute-force cosine top-k as the exactness baseline, sign-LSH
+  * bucketing as the scale path, and cosine near-dup pairs with label
+  * blocking (extension tier, SURVEY.md §2.3).
+  *
+  * Determinism: vectors are quantized to integer ten-thousandths
+  * (`round(x·10⁴)` per element, the integer analog of int8 quantization
+  * used in production ANN systems). Dot products and squared norms are
+  * then *exact integer sums* — associative, partition-order independent,
+  * and bit-identical in the DuckDB oracle; the only floating-point step
+  * is the final `dot/√(na·nb)`, an identical IEEE expression in both
+  * engines. Ranking ties break on vec_id.
+  *
+  * Scale: brute-force is O(Q·N) with the Q query vectors broadcast — the
+  * right plan when Q is small; the LSH variant buckets both sides by an
+  * 8-bit hyperplane-sign signature, turning the join into a bucket-local
+  * one (candidates ∝ Σ bucket², ~N²/256 for balanced buckets). IVF with
+  * learned centroids would slot into the same shape (bucket = nearest
+  * centroid id).
+  */
+object Similarity {
+
+  /** Quantized embeddings: vec_id, q (array<long>), n2 (‖q‖², exact). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(round(x * 10000, 0) as bigint))").as("q"))
+      .withColumn("n2", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+
+  private val QuantizedSql: String =
+    """SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(x * 10000, 0) AS BIGINT)) AS q,
+      |  list_sum(list_transform(embedding,
+      |    x -> CAST(round(x * 10000, 0) AS BIGINT)
+      |         * CAST(round(x * 10000, 0) AS BIGINT))) AS n2
+      |FROM embeddings""".stripMargin
+
+  /** Exact cosine between two quantized vectors (columns `qa`,`qb` with
+    * norms `na2`,`nb2`).
+    */
+  private val cosineCol: Column =
+    col("dp").cast("double") /
+      sqrt(col("na2").cast("double")) / sqrt(col("nb2").cast("double"))
+
+  /** Brute-force cosine top-5 neighbours for the query set vec_id < 10.
+    * The 10 query vectors are broadcast; the corpus is scanned once, and
+    * per-query ranking is one window over (query, cosine desc).
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val queries = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("n2").as("na2"))
+    val corpus = q.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("n2").as("nb2"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dp",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("cosine", cosineCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val CosineTopKSql: String =
+    s"""WITH qz AS ($QuantizedSql),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |           i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cosine
+       |  FROM qz a JOIN qz b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  val NumPlanes = 4
+
+  /** Deterministic pseudo-random hyperplanes: weight(p, d) = (first md5
+    * nibble of "p_d") − 8 ∈ [−8, 7]. Integer weights ⇒ exact integer
+    * projections ⇒ reproducible bucket bits in both engines.
+    */
+  private def planes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until NumPlanes).flatMap(p => (0 until 64).map(d => (p, d)))
+      .toDF("p", "d")
+      .withColumn("w",
+        expr("instr('0123456789abcdef', substr(md5(concat(p, '_', d)), 1, 1)) - 9"))
+  }
+
+  private val PlanesSql: String =
+    s"""SELECT p, d,
+       |  strpos('0123456789abcdef', substr(md5(p || '_' || d), 1, 1)) - 9 AS w
+       |FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS p),
+       |     (SELECT unnest(generate_series(0, 63)) AS d)""".stripMargin
+
+  /** Sign-LSH bucketed approximate nearest neighbours: bucket =
+    * 8-plane sign signature; top-3 cosine neighbours *within the query's
+    * bucket*. The bucket signature aggregation is one explode+groupBy;
+    * the candidate join is bucket-equi (shuffle key = bucket), never
+    * all-pairs.
+    */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val proj = q.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "x")))
+      .join(broadcast(planes(q.sparkSession)), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("x") * col("w")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(p as int))")).otherwise(0L)).as("bucket"))
+    val qb = q.join(proj, "vec_id")
+    val queries = qb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("n2").as("na2"), col("bucket"))
+    val corpus = qb.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+      col("n2").as("nb2"), col("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dp",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("cosine", cosineCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val LshAnnSql: String =
+    s"""WITH qz AS ($QuantizedSql),
+       |planes AS ($PlanesSql),
+       |proj AS (
+       |  SELECT vec_id, p, SUM(q[d + 1] * w) AS proj
+       |  FROM qz, planes
+       |  GROUP BY vec_id, p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+       |             ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |qb AS (SELECT qz.*, buckets.bucket FROM qz JOIN buckets USING (vec_id)),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |           i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cosine
+       |  FROM qb a JOIN qb b ON a.bucket = b.bucket
+       |    AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, bucket, neighbor_id, cosine, rank
+       |FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-duplicate detection with label blocking:
+    * exact cosine computed only within a blocking key (the cluster
+    * label) — the standard way to keep near-dup detection sub-quadratic;
+    * the block key is the shuffle key, so each executor sees one block's
+    * pairs. Reported as the top-3 most-similar pairs per block (a
+    * threshold filter like `cosine ≥ 0.99` composes on top).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val a = q.select(col("label"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("n2").as("na2"))
+    val b = q.select(col("label"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("n2").as("nb2"))
+    val scored = a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dp",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("cosine", cosineCol)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"), col("rank"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  val EmbeddingNearDupSql: String =
+    s"""WITH qz AS ($QuantizedSql),
+       |scored AS (
+       |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |           i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cosine
+       |  FROM qz a JOIN qz b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+       |        ORDER BY cosine DESC, vec_a, vec_b) AS rank FROM scored)
+       |SELECT label, vec_a, vec_b, cosine, rank
+       |FROM r WHERE rank <= 3
+       |ORDER BY label, rank""".stripMargin
+}
