@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Extension-tier unit semantics on hand-built fixtures: dedup finds the
+  * planted duplicates, cosine ranks the constructed neighbours, text
+  * stats match hand counts, multimodal plumbing round-trips bytes.
+  */
+class ExtensionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  private def doc(id: Long, text: String, lang: String = "en") =
+    (id, text, lang, "src", text.length.toLong)
+
+  test("exact dedup clusters identical normalized texts") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "alpha beta gamma"),
+      doc(1, "ALPHA beta GAMMA"), // same after normalization
+      doc(2, "something else entirely")).toDF(docCols: _*))
+    val rows = Dedup.exact(spark, dir)
+      .select($"doc_id", $"cluster_id", $"keep").as[(Long, Long, Boolean)]
+      .collect().toSet
+    assert(rows === Set((0L, 0L, true), (1L, 0L, false), (2L, 2L, true)))
+  }
+
+  test("minhash LSH surfaces a near-duplicate pair, jaccard confirms it") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // only the last token differs → 27 of each doc's 28 shingles shared
+    val nearDup = (1 to 30).map(i => if (i == 30) "changed" else s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"z$i").mkString(" ")
+    val dir = fixture("documents" -> Seq(
+      doc(0, base), doc(1, nearDup), doc(2, other)).toDF(docCols: _*))
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+    val j = Dedup.ngramJaccard(spark, dir).select("jaccard").as[Double].head()
+    assert(math.abs(j - 27.0 / 29.0) < 1e-9)
+  }
+
+  test("simhash clusters identical token multisets") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "red green blue"),
+      doc(1, "red green blue"),
+      doc(2, "purple orange teal white black cyan")).toDF(docCols: _*))
+    val rows = Dedup.simhash(spark, dir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    assert(rows === Set((0L, 0L), (1L, 0L), (2L, 2L)))
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val v = Array.tabulate(64)(i => 0.1f + (i % 7) * 0.05f)
+    val near = v.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val dir = fixture("embeddings" -> Seq(
+      (0L, v, 1), (10L, v.clone(), 1), (11L, near, 1), (12L, far, 2)
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.cosineTopK(spark, dir)
+      .select($"neighbor_id", $"rank", $"cosine").as[(Long, Int, Double)].collect()
+    assert(rows.head._1 === 10L && math.abs(rows.head._3 - 1.0) < 1e-9)
+    assert(rows(1)._1 === 11L && rows(1)._3 > 0.999)
+    assert(rows.last._1 === 12L && rows.last._3 < 0.5)
+  }
+
+  test("quality score counts words, stopwords and distinct types") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "the cat sat on the mat")).toDF(docCols: _*))
+    val r = TextAnalysis.qualityScore(spark, dir)
+      .select("n_words", "stopword_ratio", "type_token_ratio")
+      .as[(Long, Double, Double)].head()
+    assert(r._1 === 6L)
+    assert(math.abs(r._2 - 3.0 / 6.0) < 1e-9) // the, on, the
+    assert(math.abs(r._3 - 5.0 / 6.0) < 1e-9) // "the" repeats
+  }
+
+  test("token count: regex tokens split punctuation, whitespace does not") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "hello, world! x2")).toDF(docCols: _*))
+    val r = TextAnalysis.tokenCount(spark, dir)
+      .select("ws_tokens", "bpe_tokens").as[(Long, Long)].head()
+    assert(r._1 === 3L) // hello, | world! | x2
+    assert(r._2 === 6L) // hello , world ! x 2
+  }
+
+  test("fingerprint is stable under duplication and distinct across texts") {
+    val t1 = (1 to 20).map(i => s"a$i").mkString(" ")
+    val t2 = (1 to 20).map(i => s"b$i").mkString(" ")
+    val dir = fixture("documents" -> Seq(
+      doc(0, t1), doc(1, t1), doc(2, t2)).toDF(docCols: _*))
+    val fps = TextAnalysis.fingerprint(spark, dir)
+      .select($"doc_id", $"fingerprint").as[(Long, String)].collect().toMap
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) !== fps(2L))
+  }
+
+  test("multimodal frame sampling round-trips payload bytes per partition batch") {
+    val text = "x" * 200 // 200 ascii bytes → frames at offsets 0, 64, 128, 192
+    val dir = fixture("documents" -> Seq(doc(0, text)).toDF(docCols: _*))
+    val r = Multimodal.frameSample(spark, dir)
+      .select("n_bytes", "n_frames", "frame_first", "frame_sum")
+      .as[(Long, Int, Long, Long)].head()
+    assert(r._1 === 200L)
+    assert(r._2 === 4)
+    assert(r._3 === 'x'.toLong)
+    assert(r._4 === 4 * 'x'.toLong)
+  }
+}

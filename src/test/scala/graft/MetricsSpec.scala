@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{Metrics, PromQL}
+
+/** Tier-A semantics against the reference-scenario fixture
+  * (FIXTURES.md §1): replay `test.edn`'s workload — 3 series of one
+  * counter family, +1/+2/+4 per 0.2 s tick — and assert the documented
+  * snapshot/rate outcomes, plus gauge and histogram unit semantics.
+  */
+class MetricsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Ticks = 50
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  private def ev(id: Long, tsMs: Long, etype: String, value: Double, label: String) =
+    (id, new java.sql.Timestamp(t0.getTime + tsMs), 1L, etype, value, s"""{"k": "$label"}""")
+
+  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** test.edn replay: tick i at t0+0.2s*i; Value1 +1, Value2 +2 (two +1
+    * events), Value3 +4 (four +1 events); 'click' → counter kind.
+    */
+  private lazy val tickFixture: String = {
+    val rows = (0 until Ticks).flatMap { i =>
+      val ms = i * 200L
+      val base = i * 7L
+      Seq(ev(base, ms, "click", 1.0, "Value1")) ++
+        (0 until 2).map(j => ev(base + 1 + j, ms, "click", 1.0, "Value2")) ++
+        (0 until 4).map(j => ev(base + 3 + j, ms, "click", 1.0, "Value3"))
+    }
+    fixture("events" -> rows.toDF(eventCols: _*))
+  }
+
+  test("counter snapshot accumulates 1:2:4 like the reference workload") {
+    val snap = Metrics.counterSnapshot(spark, tickFixture)
+      .filter($"name" === "click")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(snap === Map("Value1" -> Ticks.toDouble,
+      "Value2" -> 2.0 * Ticks, "Value3" -> 4.0 * Ticks))
+  }
+
+  test("negative counter increments are rejected by the validation filter") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "click", 5.0, "a"),
+      ev(1, 0, "click", -3.0, "a")).toDF(eventCols: _*))
+    val snap = Metrics.counterSnapshot(spark, dir)
+    assert(snap.select("value").as[Double].collect().toSeq === Seq(5.0))
+    // hard-fail variant mirrors ActivationError (prometheus.cpp:210-211)
+    val ex = intercept[Exception] {
+      Metrics.validatedCounterEvents(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains("counter increment must be >= 0"))
+  }
+
+  test("gauge snapshot is last-write-wins with event_id tiebreak") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 10.0, "a"),
+      ev(1, 60000, "signup", 20.0, "a"),
+      ev(2, 60000, "signup", 30.0, "a") // same ts, higher id wins
+    ).toDF(eventCols: _*))
+    val v = Metrics.gaugeSnapshot(spark, dir).select("value").as[Double].collect()
+    assert(v.toSeq === Seq(30.0))
+  }
+
+  test("histogram buckets are cumulative and bounded by count") {
+    // 'error' → histogram kind; boundaries 1,5,10,25,50,100,150
+    val obs = Seq(0.5, 3.0, 7.0, 20.0, 40.0, 80.0, 120.0, 200.0)
+    val dir = fixture("events" -> obs.zipWithIndex.map { case (v, i) =>
+      ev(i.toLong, 0, "error", v, "h")
+    }.toDF(eventCols: _*))
+    val rows = Metrics.histogramSnapshot(spark, dir)
+      .orderBy("le").select("le", "cum_count", "count")
+      .as[(Double, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(1.0, 5.0, 10.0, 25.0, 50.0, 100.0, 150.0))
+    assert(rows.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)) // 200.0 overflows
+    assert(rows.forall(r => r._2 <= r._3 && r._3 == obs.size))
+  }
+
+  test("exposition serves counter, gauge and histogram _sum/_count series") {
+    val dir = fixture("events" -> (Seq(
+      ev(0, 0, "click", 2.0, "a"),
+      ev(1, 0, "signup", 7.0, "a")) ++
+      Seq(ev(2, 0, "error", 3.0, "h"), ev(3, 0, "error", 9.0, "h"))
+    ).toDF(eventCols: _*))
+    val rows = Metrics.exposition(spark, dir)
+      .select($"name", $"value").as[(String, Double)].collect().toMap
+    assert(rows("click") === 2.0)
+    assert(rows("signup") === 7.0)
+    assert(rows("error_sum") === 12.0)
+    assert(rows("error_count") === 2.0)
+  }
+
+  test("rate over the tick fixture recovers the accumulated totals") {
+    // All increments fall inside one hour; the first sample's delta is
+    // its own value, so sum(delta) = final accumulated value.
+    val r = PromQL.rate(spark, tickFixture)
+      .select($"label_k", $"rate").as[(String, Double)].collect().toMap
+    assert(math.abs(r("Value1") - Ticks / 3600.0) < 1e-9)
+    assert(math.abs(r("Value2") - 2.0 * Ticks / 3600.0) < 1e-9)
+    assert(math.abs(r("Value3") - 4.0 * Ticks / 3600.0) < 1e-9)
+  }
+
+  test("rate compensates counter resets (decrease => counter restarted)") {
+    // One series crossing the 1000.00 wrap: increments of 600 then 600
+    // produce cumulative 600, 1200→wrapped 200 (reset). Reset rule says
+    // increase = 600 + 200 = 800 (the wrap loses 1000 by construction —
+    // what matters is the rule: delta after reset = current value).
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "click", 600.0, "w"),
+      ev(1, 1000, "click", 600.0, "w")).toDF(eventCols: _*))
+    val r = PromQL.rate(spark, dir).select("rate").as[Double].collect()
+    assert(math.abs(r.head - 800.0 / 3600.0) < 1e-9)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.PromQL
+
+/** Tier-B unit semantics: hand-computed histogram_quantile interpolation,
+  * topk ranking, as-of staleness lookback.
+  */
+class PromQLSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def ev(id: Long, tsMs: Long, etype: String, value: Double, label: String) =
+    (id, new java.sql.Timestamp(t0.getTime + tsMs), 1L, etype, value, s"""{"k": "$label"}""")
+  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("histogram_quantile interpolates linearly inside the target bucket") {
+    // 10 observations uniform in (0,1]: all in the first bucket (le=1.0).
+    // rank = 0.9*10 = 9; first bucket cum=10, prev_cum=0, prev_le=0
+    // → q = 0 + (1-0) * (9-0)/(10-0) = 0.9  (hand-computed)
+    val dir = fixture("events" -> (1 to 10).map(i =>
+      ev(i.toLong, 0, "error", i / 10.0, "u")).toDF(eventCols: _*))
+    val q = PromQL.histogramQuantile(spark, dir).select("q").as[Double].collect()
+    assert(q.toSeq === Seq(0.9))
+  }
+
+  test("histogram_quantile returns the top finite boundary when rank overflows") {
+    // 10 observations of 999.0: all beyond le=150 → rank 9 > max_cum 0
+    // → q = 150.0 (highest finite boundary), per Prometheus semantics.
+    val dir = fixture("events" -> (1 to 10).map(i =>
+      ev(i.toLong, 0, "error", 999.0, "o")).toDF(eventCols: _*))
+    val q = PromQL.histogramQuantile(spark, dir).select("q").as[Double].collect()
+    assert(q.toSeq === Seq(150.0))
+  }
+
+  test("topk keeps exactly the 2 highest series per family, ranked") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "click", 1.0, "a"), ev(1, 0, "click", 5.0, "b"),
+      ev(2, 0, "click", 3.0, "c"), ev(3, 0, "view", 9.0, "z")
+    ).toDF(eventCols: _*))
+    val rows = PromQL.topk(spark, dir)
+      .select($"name", $"label_k", $"rank").as[(String, String, Int)].collect().toSet
+    assert(rows === Set(("click", "b", 1), ("click", "c", 2), ("view", "z", 1)))
+  }
+
+  test("as-of picks the freshest sample within lookback, none beyond it") {
+    // gauge samples on Jan 3 and Jan 20; grid instants Jan 2..30.
+    // Jan 2: no sample yet. Jan 3..7: sees the Jan-3 sample (5-day
+    // lookback); Jan 8: Jan-3 sample is stale (>5 days) → absent.
+    val day = 86400000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 2 * day, "signup", 11.0, "s"),   // Jan 3 00:00
+      ev(1, 19 * day, "signup", 22.0, "s")   // Jan 20 00:00
+    ).toDF(eventCols: _*))
+    val rows = PromQL.asOf(spark, dir)
+      .select($"t_us", $"value").as[(Long, Double)].collect().toMap
+    def us(d: Int) = (java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00").getTime) * 1000L
+    assert(rows(us(3)) === 11.0)
+    assert(rows(us(7)) === 11.0)
+    assert(!rows.contains(us(2)))
+    assert(!rows.contains(us(8)))  // staleness: sample older than lookback
+    assert(rows(us(20)) === 22.0)
+    assert(rows(us(24)) === 22.0)
+    assert(!rows.contains(us(25)))
+  }
+
+  test("binary op joins series on label and divides") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"), ev(1, 0, "click", 4.0, "a"),
+      ev(2, 0, "purchase", 9.0, "b") // no click{b} → excluded by inner join
+    ).toDF(eventCols: _*))
+    val rows = PromQL.binaryOp(spark, dir)
+      .select($"label_k", $"ratio").as[(String, Double)].collect().toMap
+    assert(rows === Map("a" -> 2.5))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Metrics
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.3) driven by raw ScalaCheck
+  * generators with fixed seeds (the scalatest/scalacheck bridge is not on
+  * the offline classpath): counter permutation independence, histogram
+  * bucket laws, gauge order independence.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def ev(id: Long, tsMs: Long, etype: String, value: Double, label: String) =
+    (id, new java.sql.Timestamp(t0.getTime + tsMs), 1L, etype, value, s"""{"k": "$label"}""")
+  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private val increments: Gen[List[Double]] =
+    Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, Gen.choose(0, 5000).map(_ / 100.0)))
+
+  /** 5 deterministic generated cases per property (each runs Spark jobs). */
+  private def cases(): Seq[List[Double]] =
+    (1 to 5).flatMap(i => increments.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("counter snapshot is independent of event permutation") {
+    for (vals <- cases()) {
+      val perm = new scala.util.Random(7).shuffle(vals)
+      def snap(vs: List[Double]): Double = {
+        val dir = fixture("events" -> vs.zipWithIndex.map { case (v, i) =>
+          ev(i.toLong, i * 1000L, "click", v, "p")
+        }.toDF(eventCols: _*))
+        Metrics.counterSnapshot(spark, dir).select("value").as[Double].head()
+      }
+      assert(snap(vals) === snap(perm), s"case $vals")
+    }
+  }
+
+  test("histogram: cumulative buckets non-decreasing, bounded by _count, sum exact") {
+    for (vals <- cases()) {
+      val dir = fixture("events" -> vals.zipWithIndex.map { case (v, i) =>
+        ev(i.toLong, 0, "error", v, "h")
+      }.toDF(eventCols: _*))
+      val rows = Metrics.histogramSnapshot(spark, dir)
+        .orderBy("le").select("cum_count", "count", "sum")
+        .as[(Long, Long, Double)].collect()
+      val cums = rows.map(_._1)
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, s"case $vals")
+      assert(cums.forall(_ <= vals.size), s"case $vals")
+      val expected = vals.map(BigDecimal(_)).sum.toDouble
+      assert(rows.forall(r => math.abs(r._3 - expected) < 1e-9), s"case $vals")
+    }
+  }
+
+  test("gauge: order-independent given distinct timestamps") {
+    for (vals <- cases()) {
+      val stamped = vals.zipWithIndex
+      val shuffled = new scala.util.Random(11).shuffle(stamped)
+      def last(vs: List[(Double, Int)]): Double = {
+        val dir = fixture("events" -> vs.zipWithIndex.map { case ((v, t), i) =>
+          ev(i.toLong, t * 1000L, "signup", v, "g")
+        }.toDF(eventCols: _*))
+        Metrics.gaugeSnapshot(spark, dir).select("value").as[Double].head()
+      }
+      assert(last(stamped) === last(shuffled), s"case $vals")
+    }
+  }
+}
