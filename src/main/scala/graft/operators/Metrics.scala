@@ -37,8 +37,14 @@ object Metrics {
     * value (the reference supports 0..1 label pairs,
     * `prometheus.cpp:189-192`), kind assigned per family.
     */
-  def metricEvents(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir).select(
+  def metricEvents(spark: SparkSession, dir: String): DataFrame =
+    metricEventsOf(Tables.events(spark, dir))
+
+  /** Same adapter over any relation with the `events` schema — works for
+    * both batch and streaming inputs (pure per-row projection).
+    */
+  def metricEventsOf(events: DataFrame): DataFrame =
+    events.select(
       col("ts"),
       col("event_type").as("name"),
       get_json_object(col("props"), "$.k").as("label_k"),
@@ -47,7 +53,6 @@ object Metrics {
         .otherwise("histogram").as("kind"),
       col("value"),
       col("event_id"))
-  }
 
   /** SQL twin of [[metricEvents]] for the DuckDB oracle (shared prefix of
     * every Tier-A/B oracle query).

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.operators.Metrics
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming ingest — the streaming half of the engine
+  * (SURVEY.md §3 E3). The reference's cooperative tick loop
+  * (`run main 0.2`, `/root/reference/test.edn:8`) maps to micro-batch
+  * triggers; per-block member state held across ticks
+  * (`prometheus.cpp:178,218,257`) maps to watermarked windowed
+  * aggregation state and `flatMapGroupsWithState` keyed state; the
+  * HTTP pull exposition (`prometheus.cpp:73,80`) maps to a
+  * `foreachBatch` serving sink that scrapers read concurrently.
+  *
+  * Scale: all operators key state by series `(name, label_k)` — state
+  * store shards distribute with the shuffle; watermarks bound state
+  * growth (windows older than the watermark are evicted); the reference
+  * has no late-data concept (scrapes are wall-clock), so the watermark
+  * policy is ours to declare.
+  */
+object MetricStream {
+
+  /** One accumulated counter series row emitted by the running-total op. */
+  case class SeriesTotal(name: String, label_k: String, total: Double, n: Long)
+
+  case class SeriesKey(name: String, label_k: String)
+  case class Obs(name: String, label_k: String, value: Double)
+
+  /** Tumbling-window counter totals with a watermark: the streaming
+    * analog of [[Metrics.counterSnapshot]] per window. Late samples
+    * beyond the watermark are dropped (state for closed windows is
+    * evicted — bounded state at any ingest rate).
+    */
+  def windowedCounterTotals(
+      events: DataFrame,
+      window: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    Metrics.metricEventsOf(events)
+      .filter(col("kind") === "counter" && col("value") >= 0)
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("name"), col("label_k"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("name"),
+        col("label_k"), col("total"), col("n"))
+
+  /** Running all-time counter totals per series via keyed state — the
+    * direct analog of the registry's accumulating counter cells
+    * (`prometheus.cpp:34-36,212`): state never resets, one row per
+    * series is (re-)emitted on every update.
+    */
+  def runningCounterTotals(events: DataFrame): Dataset[SeriesTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    Metrics.metricEventsOf(events)
+      .filter(col("kind") === "counter" && col("value") >= 0)
+      .select(col("name"), col("label_k"), col("value")).as[Obs]
+      .groupByKey(o => SeriesKey(o.name, o.label_k))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: SeriesKey, rows: Iterator[Obs], state: GroupState[SeriesTotal]) => {
+          val prev = state.getOption.getOrElse(SeriesTotal(key.name, key.label_k, 0.0, 0L))
+          var total = prev.total
+          var n = prev.n
+          rows.foreach { o => total += o.value; n += 1 }
+          val updated = SeriesTotal(key.name, key.label_k, total, n)
+          state.update(updated)
+          Iterator.single(updated)
+        })
+  }
+
+  /** The Exposer analog (`prometheus.cpp:27-93`): a `foreachBatch` sink
+    * maintaining the latest snapshot in [[ExpositionRegistry]], which
+    * concurrent "scrapers" read without blocking ingest — the pull model
+    * inverted to read-on-demand, like the reference's HTTP endpoint
+    * serving from atomics while the wire keeps ticking.
+    */
+  def startServingSink(totals: Dataset[SeriesTotal], queryName: String): StreamingQuery =
+    totals.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.ProcessingTime("200 milliseconds")) // the 0.2 s tick
+      .foreachBatch { (batch: Dataset[SeriesTotal], _: Long) =>
+        batch.collect().foreach(ExpositionRegistry.publish)
+      }
+      .start()
+}
+
+/** Driver-side serving registry: series → latest accumulated value.
+  * Concurrent map ⇒ scrape reads never block the streaming query, the
+  * same hand-off the reference gets from prometheus-cpp's atomics
+  * (`prometheus.cpp:80`).
+  */
+object ExpositionRegistry {
+  private val state =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), MetricStream.SeriesTotal]()
+
+  def publish(t: MetricStream.SeriesTotal): Unit = state.put((t.name, t.label_k), t)
+
+  /** The scrape: current snapshot of every series as a DataFrame. */
+  def snapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    state.values().asScala.toSeq.toDS().toDF()
+  }
+
+  def clear(): Unit = state.clear()
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.{ExpositionRegistry, MetricStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics (SURVEY.md §5.5): watermark drops late samples,
+  * running keyed state matches the batch snapshot, the serving sink
+  * exposes the current snapshot to concurrent readers.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Raw events-schema rows fed through the same adapter as batch.
+  private case class RawEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+
+  private def raw(id: Long, minute: Int, value: Double, label: String = "s") =
+    RawEvent(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+      1L, "click", value, s"""{"k": "$label"}""")
+
+  test("windowed totals aggregate per tumbling window; late data beyond watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = MetricStream.windowedCounterTotals(mem.toDF(), "1 minute", "2 minutes")
+    val q = out.writeStream.format("memory").queryName("win_totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(raw(0, 10, 1.0), raw(1, 10, 2.0))
+      q.processAllAvailable()
+      // advance event time far past the 10:10 window + 2min watermark
+      mem.addData(raw(2, 30, 5.0))
+      q.processAllAvailable()
+      // late sample for the long-closed 10:10 window: must be dropped
+      mem.addData(raw(3, 10, 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_totals")
+        .groupBy("window_start").sum("total")
+        .as[(java.sql.Timestamp, Double)].collect().toMap
+      val w10 = java.sql.Timestamp.valueOf("2024-01-01 10:10:00")
+      val w30 = java.sql.Timestamp.valueOf("2024-01-01 10:30:00")
+      assert(rows(w10) === 3.0) // 1+2, the late 100.0 never lands
+      assert(rows(w30) === 5.0)
+    } finally q.stop()
+  }
+
+  test("running keyed state accumulates across batches like the batch snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = MetricStream.runningCounterTotals(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("run_totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(raw(0, 1, 1.5, "a"), raw(1, 2, 2.5, "a"), raw(2, 3, 4.0, "b"))
+      q.processAllAvailable()
+      mem.addData(raw(3, 4, 6.0, "a"))
+      q.processAllAvailable()
+      // the latest emitted row per series carries the all-time total
+      val latest = spark.table("run_totals")
+        .groupBy($"label_k").agg(org.apache.spark.sql.functions.max($"total"))
+        .as[(String, Double)].collect().toMap
+      assert(latest === Map("a" -> 10.0, "b" -> 4.0))
+    } finally q.stop()
+  }
+
+  test("serving sink exposes the scrape snapshot while the query runs") {
+    implicit val sqlCtx = spark.sqlContext
+    ExpositionRegistry.clear()
+    val mem = MemoryStream[RawEvent]
+    val q = MetricStream.startServingSink(
+      MetricStream.runningCounterTotals(mem.toDF()), "serving_test")
+    try {
+      mem.addData(raw(0, 1, 3.0, "x"), raw(1, 2, 4.0, "x"), raw(2, 3, 9.0, "y"))
+      q.processAllAvailable()
+      val snap = ExpositionRegistry.snapshot(spark)
+        .select($"label_k", $"total").as[(String, Double)].collect().toMap
+      assert(snap === Map("x" -> 7.0, "y" -> 9.0))
+    } finally {
+      q.stop()
+      ExpositionRegistry.clear()
+    }
+  }
+}
