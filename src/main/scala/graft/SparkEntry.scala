@@ -24,6 +24,8 @@ object SparkEntry {
     "a2_counter_snapshot" -> ((s, d) => Metrics.counterSnapshot(s, d)),
     "a3_gauge_snapshot" -> ((s, d) => Metrics.gaugeSnapshot(s, d)),
     "a4_histogram_snapshot" -> ((s, d) => Metrics.histogramSnapshot(s, d)),
+    "a4b_histogram_aggregator" -> ((s, d) => Metrics.histogramSnapshotAgg(s, d)),
+    "b7b_histogram_quantile_native" -> ((s, d) => Metrics.histogramQuantileNative(s, d)),
     // Tier B — PromQL-class TSDB query surface (SURVEY.md §2.2)
     "b1_selector" -> ((s, d) => PromQL.selector(s, d)),
     "b2_range_agg" -> ((s, d) => PromQL.rangeAgg(s, d)),
@@ -35,6 +37,11 @@ object SparkEntry {
     "b8_binary_op" -> ((s, d) => PromQL.binaryOp(s, d)),
     "b9_offset_compare" -> ((s, d) => PromQL.offsetCompare(s, d)),
     "b10_asof" -> ((s, d) => PromQL.asOf(s, d)),
+    "b11_increase" -> ((s, d) => PromQL.increase(s, d)),
+    "b12_delta_gauge" -> ((s, d) => PromQL.deltaGauge(s, d)),
+    "b13_vector_set_ops" -> ((s, d) => PromQL.vectorSetOps(s, d)),
+    "b14_over_time" -> ((s, d) => PromQL.overTime(s, d)),
+    "b15_bottomk" -> ((s, d) => PromQL.bottomk(s, d)),
     // Relational surface (SURVEY.md §2.3: scans/joins/agg/sort/limit)
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -61,6 +68,8 @@ object SparkEntry {
     "a2_counter_snapshot" -> Metrics.CounterSnapshotSql,
     "a3_gauge_snapshot" -> Metrics.GaugeSnapshotSql,
     "a4_histogram_snapshot" -> Metrics.HistogramSnapshotSql,
+    "a4b_histogram_aggregator" -> Metrics.HistogramSnapshotSql,
+    "b7b_histogram_quantile_native" -> PromQL.HistogramQuantileSql,
     "b1_selector" -> PromQL.SelectorSql,
     "b2_range_agg" -> PromQL.RangeAggSql,
     "b3_rate" -> PromQL.RateSql,
@@ -71,6 +80,11 @@ object SparkEntry {
     "b8_binary_op" -> PromQL.BinaryOpSql,
     "b9_offset_compare" -> PromQL.OffsetCompareSql,
     "b10_asof" -> PromQL.AsOfSql,
+    "b11_increase" -> PromQL.IncreaseSql,
+    "b12_delta_gauge" -> PromQL.DeltaGaugeSql,
+    "b13_vector_set_ops" -> PromQL.VectorSetOpsSql,
+    "b14_over_time" -> PromQL.OverTimeSql,
+    "b15_bottomk" -> PromQL.BottomkSql,
     "q1_pricing_summary" -> Relational.PricingSummarySql,
     "q3_shipping_priority" -> Relational.ShippingPrioritySql,
     "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,

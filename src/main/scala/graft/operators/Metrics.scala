@@ -174,6 +174,44 @@ object Metrics {
        |GROUP BY name, label_k, le
        |ORDER BY name, label_k, le""".stripMargin
 
+  /** A4 alternate physical strategy: the same histogram snapshot through
+    * the single-pass custom [[graft.functions.HistogramAggregator]]
+    * (mergeable bucket buffers, SURVEY.md §4) instead of the
+    * crossJoin+groupBy form — one buffer row per series crosses the
+    * shuffle instead of 7 pre-aggregated rows. Checked against the SAME
+    * oracle as [[histogramSnapshot]].
+    */
+  def histogramSnapshotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val h = udaf(graft.functions.HistogramAggregator(MetricEvent.Buckets))
+    metricEvents(spark, dir).filter(col("kind") === "histogram")
+      .groupBy(col("name"), col("label_k"))
+      .agg(h(col("value")).as("h"))
+      .select(col("name"), col("label_k"), col("h"),
+        posexplode(col("h.les")).as(Seq("pos", "le")))
+      .select(col("name"), col("label_k"), col("le"),
+        element_at(col("h.cums"), col("pos") + 1).as("cum_count"),
+        col("h.count").as("count"), col("h.sum").as("sum"))
+      .orderBy(col("name"), col("label_k"), col("le"))
+  }
+
+  /** B7 alternate physical strategy: `histogram_quantile` through the
+    * native codegen'd [[graft.plans.HistogramQuantileExpr]] over
+    * per-series bucket arrays — no window pass, no per-bucket rows at the
+    * quantile stage. Checked against the SAME oracle as the
+    * compositional [[PromQL.histogramQuantile]].
+    */
+  def histogramQuantileNative(spark: SparkSession, dir: String): DataFrame = {
+    val snap = histogramSnapshot(spark, dir)
+    snap.groupBy(col("name"), col("label_k"))
+      .agg(sort_array(collect_list(struct(col("le"), col("cum_count")))).as("arr"),
+        max(col("count")).as("n"))
+      .select(col("name"), col("label_k"),
+        graft.plans.HistogramQuantileExpr.histogramQuantile(spark,
+          "0.9d", "transform(arr, x -> x.le)",
+          "transform(arr, x -> x.cum_count)", "n").as("q"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
   /** A1 `Prometheus.Exposer` snapshot (`prometheus.cpp:27-93`): the
     * serving view a scraper would read — one row per series with its
     * current value. Histogram families expose their `_sum` and `_count`

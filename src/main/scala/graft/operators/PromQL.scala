@@ -326,6 +326,187 @@ object PromQL {
        |GROUP BY name, label_k
        |ORDER BY name, label_k""".stripMargin
 
+  /** B3b `increase()`: whole-range reset-aware increase per series — the
+    * same wrapped-cumulative reconstruction as [[rate]], aggregated over
+    * the full range instead of per hour (rate = increase / seconds).
+    */
+  def increase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(series: _*).orderBy(col("ts"), col("event_id"))
+    counterCents(spark, dir)
+      .withColumn("wrapped",
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)) % 100000L)
+      .withColumn("prev", lag(col("wrapped"), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, col("wrapped"))
+          .when(col("wrapped") >= col("prev"), col("wrapped") - col("prev"))
+          .otherwise(col("wrapped")))
+      .groupBy(series: _*)
+      .agg((sum(col("delta")).cast("double") / 100.0).as("increase"),
+        count(lit(1)).as("n_samples"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  val IncreaseSql: String =
+    s"""WITH c AS ($CounterCentsSql),
+       |w AS (SELECT *,
+       |  SUM(cents) OVER (PARTITION BY name, label_k ORDER BY ts, event_id
+       |                   ROWS UNBOUNDED PRECEDING) % 100000 AS wrapped
+       |  FROM c),
+       |d AS (SELECT *,
+       |  LAG(wrapped) OVER (PARTITION BY name, label_k
+       |                     ORDER BY ts, event_id) AS prev
+       |  FROM w)
+       |SELECT name, label_k,
+       |  CAST(SUM(CASE WHEN prev IS NULL THEN wrapped
+       |                WHEN wrapped >= prev THEN wrapped - prev
+       |                ELSE wrapped END) AS DOUBLE) / 100.0 AS increase,
+       |  COUNT(*) AS n_samples
+       |FROM d
+       |GROUP BY name, label_k
+       |ORDER BY name, label_k""".stripMargin
+
+  /** B3c `delta()`: gauge change over each daily window = last − first
+    * sample by event time (gauges are not reset-compensated, per PromQL).
+    * first/last are picked by deterministic (ts, event_id) ranking in one
+    * window pass.
+    */
+  def deltaGauge(spark: SparkSession, dir: String): DataFrame = {
+    val day = unix_micros(date_trunc("day", col("ts"))).as("day_us")
+    val base = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("day_us", day)
+    val w = Window.partitionBy(col("name"), col("label_k"), col("day_us"))
+      .orderBy(col("ts"), col("event_id"))
+    base
+      .withColumn("rn_first", row_number().over(w))
+      .withColumn("rn_last",
+        row_number().over(Window.partitionBy(col("name"), col("label_k"), col("day_us"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy(col("name"), col("label_k"), col("day_us"))
+      .agg(((max(when(col("rn_last") === 1, col("cents")))
+        - max(when(col("rn_first") === 1, col("cents")))).cast("double") / 100.0).as("delta"))
+      .orderBy(col("name"), col("label_k"), col("day_us"))
+  }
+
+  val DeltaGaugeSql: String =
+    s"""WITH g AS (
+       |  SELECT *, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    epoch_us(date_trunc('day', ts)) AS day_us
+       |  FROM ($MetricEventsSql) WHERE kind = 'gauge'),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, day_us
+       |                     ORDER BY ts, event_id) AS rn_first,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, day_us
+       |                     ORDER BY ts DESC, event_id DESC) AS rn_last
+       |  FROM g)
+       |SELECT name, label_k, day_us,
+       |  CAST(MAX(CASE WHEN rn_last = 1 THEN cents END)
+       |       - MAX(CASE WHEN rn_first = 1 THEN cents END) AS DOUBLE) / 100.0 AS delta
+       |FROM r
+       |GROUP BY name, label_k, day_us
+       |ORDER BY name, label_k, day_us""".stripMargin
+
+  /** B-set vector set operations: `purchase and click` (series whose
+    * label set exists in both vectors → left-semi join) and
+    * `purchase unless click` (→ left-anti join), PromQL's `and`/`unless`
+    * mapped to Spark's dedicated semi/anti join types (SURVEY.md §2.3).
+    * Labels 0..99 exist for both families at any real sf, so the fixture
+    * exercise happens on restricted sub-vectors (click's even labels).
+    */
+  def vectorSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val snap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+    val p = snap.filter(col("name") === "purchase")
+    val c = snap.filter(col("name") === "click" && col("label_k").cast("int") % 2 === 0)
+      .select(col("label_k"))
+    val and = p.join(c, Seq("label_k"), "left_semi")
+      .select(lit("and").as("op"), col("label_k"),
+        (col("cents").cast("double") / 100.0).as("value"))
+    val unless = p.join(c, Seq("label_k"), "left_anti")
+      .select(lit("unless").as("op"), col("label_k"),
+        (col("cents").cast("double") / 100.0).as("value"))
+    and.unionAll(unless).orderBy(col("op"), col("label_k"))
+  }
+
+  val VectorSetOpsSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k),
+       |p AS (SELECT * FROM snap WHERE name = 'purchase'),
+       |c AS (SELECT label_k FROM snap
+       |      WHERE name = 'click' AND CAST(label_k AS INT) % 2 = 0)
+       |SELECT 'and' AS op, label_k, CAST(cents AS DOUBLE) / 100.0 AS value
+       |FROM p WHERE label_k IN (SELECT label_k FROM c)
+       |UNION ALL
+       |SELECT 'unless' AS op, label_k, CAST(cents AS DOUBLE) / 100.0 AS value
+       |FROM p WHERE label_k NOT IN (SELECT label_k FROM c)
+       |ORDER BY op, label_k""".stripMargin
+
+  /** B-range `avg/min/max/last_over_time` for gauge series per day — one
+    * hash aggregate computes all four range functions (last via the
+    * deterministic rank trick, avg via exact cents).
+    */
+  def overTime(spark: SparkSession, dir: String): DataFrame = {
+    val base = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+    val wLast = Window.partitionBy(col("name"), col("label_k"), col("day_us"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base.withColumn("rn_last", row_number().over(wLast))
+      .groupBy(col("name"), col("label_k"), col("day_us"))
+      .agg(
+        (sum(col("cents")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_ot"),
+        (min(col("cents")).cast("double") / 100.0).as("min_ot"),
+        (max(col("cents")).cast("double") / 100.0).as("max_ot"),
+        (max(when(col("rn_last") === 1, col("cents"))).cast("double") / 100.0).as("last_ot"))
+      .orderBy(col("name"), col("label_k"), col("day_us"))
+  }
+
+  val OverTimeSql: String =
+    s"""WITH g AS (
+       |  SELECT *, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    epoch_us(date_trunc('day', ts)) AS day_us
+       |  FROM ($MetricEventsSql) WHERE kind = 'gauge'),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, day_us
+       |                     ORDER BY ts DESC, event_id DESC) AS rn_last
+       |  FROM g)
+       |SELECT name, label_k, day_us,
+       |  CAST(SUM(cents) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_ot,
+       |  CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_ot,
+       |  CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_ot,
+       |  CAST(MAX(CASE WHEN rn_last = 1 THEN cents END) AS DOUBLE) / 100.0 AS last_ot
+       |FROM r
+       |GROUP BY name, label_k, day_us
+       |ORDER BY name, label_k, day_us""".stripMargin
+
+  /** B5b `bottomk(2, …)` — the mirror of [[topk]]; kept separate because
+    * PromQL exposes both and the tie-break direction differs.
+    */
+  def bottomk(spark: SparkSession, dir: String): DataFrame = {
+    val snap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("name"))
+      .orderBy(col("cents").asc, col("label_k"))
+    snap.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("name"), col("label_k"),
+        (col("cents").cast("double") / 100.0).as("value"), col("rank"))
+      .orderBy(col("name"), col("rank"))
+  }
+
+  val BottomkSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY name
+       |        ORDER BY cents ASC, label_k) AS rank FROM snap)
+       |SELECT name, label_k, CAST(cents AS DOUBLE) / 100.0 AS value, rank
+       |FROM r WHERE rank <= 2
+       |ORDER BY name, rank""".stripMargin
+
   /** B10 as-of staleness (SURVEY.md §7 hard-part #3): for each daily
     * instant t, the most recent gauge sample ≤ t within a 5-day lookback.
     * The instant grid is constant-size and broadcast; the gauge stream is

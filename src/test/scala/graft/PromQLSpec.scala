@@ -32,6 +32,30 @@ class PromQLSpec extends SparkTestBase {
     assert(q.toSeq === Seq(150.0))
   }
 
+  test("native histogram_quantile expression matches the compositional form") {
+    val dir = fixture("events" -> ((1 to 10).map(i =>
+      ev(i.toLong, 0, "error", i / 10.0, "u")) ++ (1 to 10).map(i =>
+      ev(100 + i.toLong, 0, "error", 999.0, "o"))).toDF(eventCols: _*))
+    val compositional = graft.operators.PromQL.histogramQuantile(spark, dir)
+      .select("name", "label_k", "q").as[(String, String, Double)].collect().toSet
+    val native = graft.operators.Metrics.histogramQuantileNative(spark, dir)
+      .select("name", "label_k", "q").as[(String, String, Double)].collect().toSet
+    assert(native === compositional)
+    assert(native.map(r => r._2 -> r._3).toMap === Map("u" -> 0.9, "o" -> 150.0))
+  }
+
+  test("custom histogram Aggregator matches the crossJoin snapshot form") {
+    val dir = fixture("events" -> (1 to 20).map(i =>
+      ev(i.toLong, 0, "error", i * 11.0, "h")).toDF(eventCols: _*))
+    val a = graft.operators.Metrics.histogramSnapshot(spark, dir)
+      .select("le", "cum_count", "count", "sum")
+      .as[(Double, Long, Long, Double)].collect().toSet
+    val b = graft.operators.Metrics.histogramSnapshotAgg(spark, dir)
+      .select("le", "cum_count", "count", "sum")
+      .as[(Double, Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
+
   test("topk keeps exactly the 2 highest series per family, ranked") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "click", 1.0, "a"), ev(1, 0, "click", 5.0, "b"),
