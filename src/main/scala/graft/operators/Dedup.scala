@@ -96,26 +96,25 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatures(spark, dir)
-    val bands = sig.select(col("doc_id") +: (0 until NumBands).map(b =>
-      md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as(s"band$b")): _*)
-    val buckets = bands.select(col("doc_id"),
-      explode(array((0 until NumBands).map(b =>
-        concat(lit(s"$b:"), col(s"band$b"))): _*)).as("bucket"))
-    val l = buckets.as("l")
-    val r = buckets.as("r")
-    val pairs = l.join(r, col("l.bucket") === col("r.bucket") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sig.select(col("doc_id").as("doc_a") +:
-      (0 until NumPerms).map(i => col(s"mh$i").as(s"a$i")): _*)
-    val sb = sig.select(col("doc_id").as("doc_b") +:
-      (0 until NumPerms).map(i => col(s"mh$i").as(s"b$i")): _*)
-    pairs.join(sa, "doc_a").join(sb, "doc_b")
+    // Carry the full signature array through the bucket explode so the
+    // pair join needs no re-join against the signature relation — the
+    // signature subtree is computed once per join side (and the two
+    // sides are identical subplans, so ReuseExchange shares the shuffle).
+    val buckets = sig
+      .withColumn("sig", array((0 until NumPerms).map(i => col(s"mh$i")): _*))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until NumBands).map(b =>
+          concat(lit(s"$b:"),
+            md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))): _*))
+          .as("bucket"))
+    val l = buckets.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("bucket"))
+    val r = buckets.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        ((0 until NumPerms).map(i =>
-          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-          .reduce(_ + _).cast("double") / NumPerms).as("est_jaccard"))
+        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / NumPerms).as("est_jaccard"))
+      .distinct()
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -207,7 +206,10 @@ object Dedup {
     * composition that makes exact similarity affordable at scale.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val candidates = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    // The candidate set is referenced twice below (intersection build +
+    // final left join); persist it so the LSH stage runs once. It is
+    // tiny by construction (pairs surviving the band join + 0.5 filter).
+    val candidates = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).persist()
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
       .distinct()

@@ -37,8 +37,17 @@ object Metrics {
     * value (the reference supports 0..1 label pairs,
     * `prometheus.cpp:189-192`), kind assigned per family.
     */
+  /** Session-scoped cache of the adapter view: ~20 queries share this
+    * input, so the scan + JSON parse runs once per (session, sf) instead
+    * of per query. In-memory columnar at test scale; at 100 TB the
+    * analog is a materialized silver table, not a cache.
+    */
+  private val eventsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def metricEvents(spark: SparkSession, dir: String): DataFrame =
-    metricEventsOf(Tables.events(spark, dir))
+    eventsCache.computeIfAbsent((spark, dir),
+      _ => metricEventsOf(Tables.events(spark, dir)).persist())
 
   /** Same adapter over any relation with the `events` schema — works for
     * both batch and streaming inputs (pure per-row projection).

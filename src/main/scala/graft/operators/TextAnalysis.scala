@@ -27,9 +27,13 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val grams = docs.select(col("doc_id"), col("lang"),
+    // lower(text) is hoisted OUT of the per-trigram lambda — inside it,
+    // it re-lowercases the whole document per extracted gram (O(len²)).
+    val grams = docs
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), col("lang"),
         explode(expr(
-          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(lower(text), i, 3))"))
+          "transform(sequence(1, greatest(length(lt) - 2, 0)), i -> substr(lt, i, 3))"))
           .as("g"))
     val profile = grams.groupBy(col("lang").as("profile_lang"), col("g"))
       .agg(count(lit(1)).as("freq"))
