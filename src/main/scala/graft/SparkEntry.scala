@@ -42,6 +42,7 @@ object SparkEntry {
     "b13_vector_set_ops" -> ((s, d) => PromQL.vectorSetOps(s, d)),
     "b14_over_time" -> ((s, d) => PromQL.overTime(s, d)),
     "b15_bottomk" -> ((s, d) => PromQL.bottomk(s, d)),
+    "b16_sessionize" -> ((s, d) => PromQL.sessionize(s, d)),
     // Relational surface (SURVEY.md §2.3: scans/joins/agg/sort/limit)
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "b13_vector_set_ops" -> PromQL.VectorSetOpsSql,
     "b14_over_time" -> PromQL.OverTimeSql,
     "b15_bottomk" -> PromQL.BottomkSql,
+    "b16_sessionize" -> PromQL.SessionizeSql,
     "q1_pricing_summary" -> Relational.PricingSummarySql,
     "q3_shipping_priority" -> Relational.ShippingPrioritySql,
     "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,

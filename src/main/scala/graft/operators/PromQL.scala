@@ -507,6 +507,45 @@ object PromQL {
        |FROM r WHERE rank <= 2
        |ORDER BY name, rank""".stripMargin
 
+  /** B-session: gap-based sessionization of the event stream per user —
+    * Spark's native `session_window` (30-minute inactivity gap), the
+    * batch twin of the streaming session-window operator (SURVEY.md §2.3
+    * "session windows"). The oracle reproduces the same boundaries with
+    * the classic gaps-and-islands formulation (lag + cumulative flag
+    * sum), proving the two definitions agree: a new session starts when
+    * the gap since the previous event is ≥ the gap duration.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Metrics.metricEvents(spark, dir)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .groupBy(col("name"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")).cast("double") / 100.0).as("total_value"))
+      .select(col("name"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("name"), col("session_start_us"))
+
+  val SessionizeSql: String =
+    s"""WITH m AS (
+       |  SELECT name, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM ($MetricEventsSql)),
+       |flagged AS (
+       |  SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY name ORDER BY ts)
+       |                      < INTERVAL 30 MINUTE
+       |                 THEN 0 ELSE 1 END AS new_session
+       |  FROM m),
+       |islands AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY name ORDER BY ts
+       |              ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged)
+       |SELECT name, epoch_us(MIN(ts)) AS session_start_us,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+       |FROM islands
+       |GROUP BY name, session_id
+       |ORDER BY name, session_start_us""".stripMargin
+
   /** B10 as-of staleness (SURVEY.md §7 hard-part #3): for each daily
     * instant t, the most recent gauge sample ≤ t within a 5-day lookback.
     * The instant grid is constant-size and broadcast; the gauge stream is
