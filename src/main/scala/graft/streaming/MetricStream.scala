@@ -70,6 +70,84 @@ object MetricStream {
         })
   }
 
+  /** One gauge series row: the latest value by event time. */
+  case class SeriesLatest(name: String, label_k: String, value: Double,
+      tsUs: Long, eventId: Long)
+
+  case class TsObs(name: String, label_k: String, value: Double,
+      tsUs: Long, eventId: Long)
+
+  /** Streaming gauge: last-write-wins per series with the same
+    * deterministic (event-time, event_id) ordering as the batch snapshot
+    * — keyed state holds one row per series (`Set`,
+    * `prometheus.cpp:249`). Late samples older than the held one are
+    * ignored, so out-of-order delivery converges to the batch answer.
+    */
+  def runningGaugeLatest(events: DataFrame): Dataset[SeriesLatest] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    Metrics.metricEventsOf(events)
+      .filter(col("kind") === "gauge")
+      .select(col("name"), col("label_k"), col("value"),
+        unix_micros(col("ts")).as("tsUs"), col("event_id").as("eventId")).as[TsObs]
+      .groupByKey(o => SeriesKey(o.name, o.label_k))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: SeriesKey, rows: Iterator[TsObs], state: GroupState[SeriesLatest]) => {
+          var cur = state.getOption.orNull
+          rows.foreach { o =>
+            if (cur == null || o.tsUs > cur.tsUs ||
+                (o.tsUs == cur.tsUs && o.eventId > cur.eventId))
+              cur = SeriesLatest(key.name, key.label_k, o.value, o.tsUs, o.eventId)
+          }
+          state.update(cur)
+          Iterator.single(cur)
+        })
+  }
+
+  /** One histogram series row: bucket counts + _sum/_count, maintained
+    * incrementally.
+    */
+  case class SeriesHist(name: String, label_k: String, counts: Array[Long],
+      sumCents: Long, n: Long)
+
+  /** Streaming histogram: per-series bucket buffers in keyed state — the
+    * streaming twin of [[graft.functions.HistogramAggregator]]
+    * (`Observe`, `prometheus.cpp:303`). State size is fixed per series
+    * (one long per boundary), so total state is O(series), independent
+    * of ingest volume.
+    */
+  def runningHistogram(events: DataFrame,
+      boundaries: Seq[Double] = graft.model.MetricEvent.Buckets): Dataset[SeriesHist] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bs = boundaries.toArray
+    Metrics.metricEventsOf(events)
+      .filter(col("kind") === "histogram")
+      .select(col("name"), col("label_k"), col("value")).as[Obs]
+      .groupByKey(o => SeriesKey(o.name, o.label_k))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: SeriesKey, rows: Iterator[Obs], state: GroupState[SeriesHist]) => {
+          val cur = state.getOption.getOrElse(
+            SeriesHist(key.name, key.label_k, new Array[Long](bs.length), 0L, 0L))
+          var sumCents = cur.sumCents
+          var n = cur.n
+          rows.foreach { o =>
+            var i = 0
+            var idx = -1
+            while (i < bs.length && idx < 0) {
+              if (o.value <= bs(i)) idx = i
+              i += 1
+            }
+            if (idx >= 0) cur.counts(idx) += 1
+            sumCents += math.round(o.value * 100)
+            n += 1
+          }
+          val updated = SeriesHist(key.name, key.label_k, cur.counts, sumCents, n)
+          state.update(updated)
+          Iterator.single(updated)
+        })
+  }
+
   /** The Exposer analog (`prometheus.cpp:27-93`): a `foreachBatch` sink
     * maintaining the latest snapshot in [[ExpositionRegistry]], which
     * concurrent "scrapers" read without blocking ingest — the pull model

@@ -35,11 +35,18 @@ object StreamingDemo {
     val raw = spark.readStream.schema(schema).parquet(landing.toString)
 
     ExpositionRegistry.clear()
+    val t0 = System.nanoTime()
     val query = MetricStream.startServingSink(
       MetricStream.runningCounterTotals(raw), "demo_serving")
     query.processAllAvailable()
+    val elapsed = (System.nanoTime() - t0) / 1e9
 
     val snap = ExpositionRegistry.snapshot(spark)
+    val nEvents = graft.operators.Metrics.metricEvents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("kind") === "counter").count()
+    println(f"[streaming-demo] ingested $nEvents counter events in $elapsed%.2f s " +
+      f"= ${nEvents / elapsed}%.0f increments/s " +
+      "(reference workload: 35 increments/s, /root/reference/test.edn:4-8)")
     val n = snap.count()
     println(s"[streaming-demo] scrape snapshot: $n series")
     snap.orderBy("name", "label_k").show(10, truncate = false)

@@ -63,6 +63,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming gauge converges to last-write-wins under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = MetricStream.runningGaugeLatest(mem.toDF()
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("signup")))
+    val q = out.writeStream.format("memory").queryName("gauge_latest")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(raw(0, 10, 5.0), raw(1, 20, 9.0))
+      q.processAllAvailable()
+      mem.addData(raw(2, 15, 100.0)) // out-of-order: older than the held ts
+      q.processAllAvailable()
+      val latest = spark.table("gauge_latest")
+        .orderBy($"tsUs".desc).select($"value").as[Double].collect()
+      assert(latest.head === 9.0) // the stale 100.0 never wins
+    } finally q.stop()
+  }
+
+  test("streaming histogram buckets match the batch aggregator semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = MetricStream.runningHistogram(mem.toDF()
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("error")))
+    val q = out.writeStream.format("memory").queryName("hist_state")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(raw(0, 1, 0.5), raw(1, 2, 3.0))
+      q.processAllAvailable()
+      mem.addData(raw(2, 3, 200.0)) // overflow: beyond last boundary
+      q.processAllAvailable()
+      val last = spark.table("hist_state").orderBy($"n".desc).limit(1)
+        .select($"counts", $"sumCents", $"n")
+        .as[(Seq[Long], Long, Long)].head()
+      assert(last._1 === Seq(1L, 1L, 0L, 0L, 0L, 0L, 0L)) // 0.5→le1, 3.0→le5, 200 overflow
+      assert(last._2 === 20350L)
+      assert(last._3 === 3L)
+    } finally q.stop()
+  }
+
   test("serving sink exposes the scrape snapshot while the query runs") {
     implicit val sqlCtx = spark.sqlContext
     ExpositionRegistry.clear()
