@@ -62,6 +62,10 @@ object SparkEntry {
     "x12_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "x13_multimodal_decode" -> ((s, d) => Multimodal.decodeMetadata(s, d)),
     "x14_multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "x15_ivf_ann" -> ((s, d) => Similarity.ivfAnn(s, d)),
+    "b17_resets" -> ((s, d) => PromQL.resets(s, d)),
+    "b18_rollup" -> ((s, d) => PromQL.rollupSummary(s, d)),
+    "a1c_exposition_text" -> ((s, d) => PromQL.expositionText(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -104,5 +108,9 @@ object SparkEntry {
     "x12_fingerprint" -> TextAnalysis.FingerprintSql,
     "x13_multimodal_decode" -> Multimodal.DecodeMetadataSql,
     "x14_multimodal_frames" -> Multimodal.FrameSampleSql,
+    "x15_ivf_ann" -> Similarity.IvfAnnSql,
+    "b17_resets" -> PromQL.ResetsSql,
+    "b18_rollup" -> PromQL.RollupSummarySql,
+    "a1c_exposition_text" -> PromQL.ExpositionTextSql,
   )
 }

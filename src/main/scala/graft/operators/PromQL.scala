@@ -507,6 +507,92 @@ object PromQL {
        |FROM r WHERE rank <= 2
        |ORDER BY name, rank""".stripMargin
 
+  /** B-resets `resets()`: number of counter resets per series over the
+    * range — the companion diagnostic of [[rate]], sharing the wrapped
+    * cumulative reconstruction (a reset = the wrapped value decreasing).
+    */
+  def resets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(series: _*).orderBy(col("ts"), col("event_id"))
+    counterCents(spark, dir)
+      .withColumn("wrapped",
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)) % 100000L)
+      .withColumn("prev", lag(col("wrapped"), 1).over(w))
+      .groupBy(series: _*)
+      .agg(sum(when(col("wrapped") < col("prev"), 1L).otherwise(0L)).as("resets"),
+        count(lit(1)).as("n_samples"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  val ResetsSql: String =
+    s"""WITH c AS ($CounterCentsSql),
+       |w AS (SELECT *,
+       |  SUM(cents) OVER (PARTITION BY name, label_k ORDER BY ts, event_id
+       |                   ROWS UNBOUNDED PRECEDING) % 100000 AS wrapped
+       |  FROM c),
+       |d AS (SELECT *,
+       |  LAG(wrapped) OVER (PARTITION BY name, label_k
+       |                     ORDER BY ts, event_id) AS prev
+       |  FROM w)
+       |SELECT name, label_k,
+       |  SUM(CASE WHEN wrapped < prev THEN 1 ELSE 0 END) AS resets,
+       |  COUNT(*) AS n_samples
+       |FROM d
+       |GROUP BY name, label_k
+       |ORDER BY name, label_k""".stripMargin
+
+  /** B-rollup: multi-granularity label summaries via `rollup(name,
+    * label)` — totals per series, per family, and grand total in ONE
+    * aggregation pass (SURVEY.md §2.3: "cube/rollup available free if a
+    * query needs multi-granularity label summaries").
+    */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    counterCents(spark, dir)
+      .rollup(col("name"), col("label_k"))
+      .agg((sum(col("cents")).cast("double") / 100.0).as("value"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("name"), lit("<all>")).as("name"),
+        coalesce(col("label_k"), lit("<all>")).as("label_k"),
+        col("value"), col("n"))
+      .orderBy(col("name"), col("label_k"))
+
+  val RollupSummarySql: String =
+    s"""SELECT COALESCE(name, '<all>') AS name,
+       |  COALESCE(label_k, '<all>') AS label_k,
+       |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS value,
+       |  COUNT(*) AS n
+       |FROM ($CounterCentsSql)
+       |GROUP BY ROLLUP (name, label_k)
+       |ORDER BY name, label_k""".stripMargin
+
+  /** A1-text: the scrape payload itself — Prometheus text exposition
+    * format (`name{Label1="v"} value`), the exact bytes a scraper reads
+    * from the reference's endpoint (`/root/reference/prometheus.cpp:73`;
+    * series shape per `test.edn:4-6`). The value string is rendered from
+    * integer cents (`intpart.fraction2`) — pure integer/string ops that
+    * print identically in both engines (double/decimal formatting does
+    * not).
+    */
+  def expositionText(spark: SparkSession, dir: String): DataFrame = {
+    val snap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+    snap.select(concat(
+        col("name"), lit("{k=\""), col("label_k"), lit("\"} "),
+        (col("cents") / 100).cast("long").cast("string"), lit("."),
+        lpad((col("cents") % 100).cast("string"), 2, "0"))
+      .as("line"))
+      .orderBy(col("line"))
+  }
+
+  val ExpositionTextSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k)
+       |SELECT name || '{k="' || label_k || '"} '
+       |  || CAST(cents // 100 AS VARCHAR) || '.'
+       |  || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS line
+       |FROM snap
+       |ORDER BY line""".stripMargin
+
   /** B-session: gap-based sessionization of the event stream per user —
     * Spark's native `session_window` (30-minute inactivity gap), the
     * batch twin of the streaming session-window operator (SURVEY.md §2.3

@@ -164,6 +164,73 @@ object Similarity {
        |FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-style ANN: cells are the Voronoi regions of a fixed centroid
+    * set (vec_id 100–107 standing in for k-means-trained centroids —
+    * training is orthogonal to the serving plan); every vector is
+    * assigned to its max-cosine centroid, and queries search only their
+    * own cell. Same bucket-equi-join shape as [[lshAnn]] — swap the
+    * bucketing function, keep the plan — which is exactly how IVF slots
+    * into the LSH scale path. Assignment is one broadcast-join pass;
+    * integer dots keep cell ids deterministic (ties → centroid id).
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val centroids = q.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val assigned = q.crossJoin(broadcast(centroids))
+      .withColumn("cdp",
+        expr("aggregate(zip_with(q, cq, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("cscore",
+        col("cdp").cast("double") / sqrt(col("n2").cast("double")) / sqrt(col("cn2").cast("double")))
+      .withColumn("crn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cscore").desc, col("cid"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("q"), col("n2"), col("cid").as("cell"))
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("n2").as("na2"), col("cell"))
+    val corpus = assigned.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+      col("n2").as("nb2"), col("cell"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dp",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("cosine", cosineCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val IvfAnnSql: String =
+    s"""WITH qz AS ($QuantizedSql),
+       |cent AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qz
+       |         WHERE vec_id BETWEEN 100 AND 107),
+       |assigned AS (
+       |  SELECT vec_id, q, n2, cid AS cell FROM (
+       |    SELECT qz.vec_id, qz.q, qz.n2, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qz.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(generate_series(1, len(qz.q)),
+       |               i -> qz.q[i] * cent.cq[i])) AS DOUBLE)
+       |          / sqrt(CAST(qz.n2 AS DOUBLE)) / sqrt(CAST(cent.cn2 AS DOUBLE)) DESC,
+       |        cent.cid) AS crn
+       |    FROM qz CROSS JOIN cent)
+       |  WHERE crn = 1),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, a.cell, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |           i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cosine
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell
+       |    AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, cell, neighbor_id, cosine, rank
+       |FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Embedding-cosine near-duplicate detection with label blocking:
     * exact cosine computed only within a blocking key (the cluster
     * label) — the standard way to keep near-dup detection sub-quadratic;
