@@ -66,6 +66,9 @@ object SparkEntry {
     "b17_resets" -> ((s, d) => PromQL.resets(s, d)),
     "b18_rollup" -> ((s, d) => PromQL.rollupSummary(s, d)),
     "a1c_exposition_text" -> ((s, d) => PromQL.expositionText(s, d)),
+    "a2b_counter_salted" -> ((s, d) => PromQL.counterSnapshotSalted(s, d)),
+    "b1b_selector_negative" -> ((s, d) => PromQL.selectorNegative(s, d)),
+    "b19_absent" -> ((s, d) => PromQL.absentSeries(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,5 +115,8 @@ object SparkEntry {
     "b17_resets" -> PromQL.ResetsSql,
     "b18_rollup" -> PromQL.RollupSummarySql,
     "a1c_exposition_text" -> PromQL.ExpositionTextSql,
+    "a2b_counter_salted" -> Metrics.CounterSnapshotSql,
+    "b1b_selector_negative" -> PromQL.SelectorNegativeSql,
+    "b19_absent" -> PromQL.AbsentSeriesSql,
   )
 }

@@ -57,6 +57,76 @@ object PromQL {
        |WHERE name = 'purchase' AND regexp_matches(label_k, '^1[0-9]${"$"}')
        |ORDER BY event_id""".stripMargin
 
+  /** B1b negative matchers: `{name!="purchase", k!~"^[0-4]"}` — the
+    * complement selectors (`!=`, `!~`) of [[selector]], still plain
+    * pushed-down column predicates.
+    */
+  def selectorNegative(spark: SparkSession, dir: String): DataFrame =
+    Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "counter" &&
+        col("name") =!= "purchase" && !col("label_k").rlike("^[0-4]"))
+      .groupBy(series: _*)
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("name"), col("label_k"))
+
+  val SelectorNegativeSql: String =
+    s"""SELECT name, label_k, COUNT(*) AS n
+       |FROM ($MetricEventsSql)
+       |WHERE kind = 'counter' AND name <> 'purchase'
+       |  AND NOT regexp_matches(label_k, '^[0-4]')
+       |GROUP BY name, label_k
+       |ORDER BY name, label_k""".stripMargin
+
+  /** B-absent `absent()`-style missing-series detection: the expected
+    * series universe (families × labels seen anywhere) anti-joined
+    * against the series actually present for one family — the PromQL
+    * alerting primitive "this series stopped reporting". Anti join =
+    * Spark's dedicated LeftAnti, broadcast on the present side.
+    */
+  def absentSeries(spark: SparkSession, dir: String): DataFrame = {
+    val m = Metrics.metricEvents(spark, dir).filter(col("kind") === "counter")
+    val universe = m.select(col("label_k")).distinct()
+    val present = m.filter(col("name") === "purchase" &&
+        col("label_k").cast("int") < 90)
+      .select(col("label_k")).distinct()
+    universe.join(present, Seq("label_k"), "left_anti")
+      .select(lit("purchase").as("name"), col("label_k"), lit(true).as("absent"))
+      .orderBy(col("label_k"))
+  }
+
+  val AbsentSeriesSql: String =
+    s"""WITH m AS (SELECT * FROM ($MetricEventsSql) WHERE kind = 'counter'),
+       |universe AS (SELECT DISTINCT label_k FROM m),
+       |present AS (SELECT DISTINCT label_k FROM m
+       |            WHERE name = 'purchase' AND CAST(label_k AS INT) < 90)
+       |SELECT 'purchase' AS name, label_k, TRUE AS absent
+       |FROM universe
+       |WHERE label_k NOT IN (SELECT label_k FROM present)
+       |ORDER BY label_k""".stripMargin
+
+  /** A2-salted: the counter snapshot through an explicit two-phase
+    * salted aggregation — phase 1 aggregates on (series, salt = hash
+    * mod 8) spreading a hot series over 8 reducers, phase 2 collapses
+    * the salts. Bit-identical to [[Metrics.counterSnapshot]] (same
+    * oracle) because decimal sums are associative; this is the
+    * documented skew-mitigation path for a series receiving a
+    * disproportionate share of events at 100 TB (AQE skew handling
+    * covers joins; salting covers aggregations).
+    */
+  def counterSnapshotSalted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "counter" && col("value") >= 0)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("name"), col("label_k"), col("salt"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("partial"),
+        count(lit(1)).as("pn"))
+      .groupBy(col("name"), col("label_k"))
+      .agg(sum(col("partial")).cast("double").as("value"),
+        sum(col("pn")).as("n_increments"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
   /** B2 range selector + per-series windowed aggregation: hourly tumbling
     * windows per counter series (`sum_over_time(m[1h])`). One hash
     * aggregate keyed by (series, hour) — no sort, no window function.

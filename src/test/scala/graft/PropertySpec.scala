@@ -53,6 +53,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("histogram_quantile stays within [0, max finite boundary] on any input") {
+    for (vals <- cases()) {
+      val dir = fixture("events" -> vals.zipWithIndex.map { case (v, i) =>
+        ev(i.toLong, 0, "error", v, "q")
+      }.toDF(eventCols: _*))
+      for (q <- graft.operators.PromQL.histogramQuantile(spark, dir)
+          .select("q").as[Double].collect()) {
+        assert(q >= 0.0 && q <= graft.model.MetricEvent.Buckets.max, s"case $vals -> $q")
+      }
+      // native expression agrees on every generated case, not just fixtures
+      val native = graft.operators.Metrics.histogramQuantileNative(spark, dir)
+        .select("q").as[Double].collect().toSeq
+      val comp = graft.operators.PromQL.histogramQuantile(spark, dir)
+        .select("q").as[Double].collect().toSeq
+      assert(native === comp, s"case $vals")
+    }
+  }
+
+  test("salted counter aggregation equals the unsalted snapshot exactly") {
+    for (vals <- cases()) {
+      val dir = fixture("events" -> vals.zipWithIndex.map { case (v, i) =>
+        ev(i.toLong, i * 1000L, "click", v, s"s${i % 3}")
+      }.toDF(eventCols: _*))
+      val plain = Metrics.counterSnapshot(spark, dir)
+        .select("label_k", "value").as[(String, Double)].collect().toMap
+      val salted = graft.operators.PromQL.counterSnapshotSalted(spark, dir)
+        .select("label_k", "value").as[(String, Double)].collect().toMap
+      assert(plain === salted, s"case $vals")
+    }
+  }
+
   test("gauge: order-independent given distinct timestamps") {
     for (vals <- cases()) {
       val stamped = vals.zipWithIndex
