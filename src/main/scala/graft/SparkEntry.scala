@@ -69,6 +69,7 @@ object SparkEntry {
     "a2b_counter_salted" -> ((s, d) => PromQL.counterSnapshotSalted(s, d)),
     "b1b_selector_negative" -> ((s, d) => PromQL.selectorNegative(s, d)),
     "b19_absent" -> ((s, d) => PromQL.absentSeries(s, d)),
+    "b20_sliding_window" -> ((s, d) => PromQL.slidingWindowAgg(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -118,5 +119,6 @@ object SparkEntry {
     "a2b_counter_salted" -> Metrics.CounterSnapshotSql,
     "b1b_selector_negative" -> PromQL.SelectorNegativeSql,
     "b19_absent" -> PromQL.AbsentSeriesSql,
+    "b20_sliding_window" -> PromQL.SlidingWindowAggSql,
   )
 }

@@ -146,6 +146,34 @@ object PromQL {
        |GROUP BY name, label_k, date_trunc('hour', ts)
        |ORDER BY name, label_k, hour_us""".stripMargin
 
+  /** B2b sliding windows: 2-hour windows sliding by 1 hour (each sample
+    * lands in 2 overlapping windows) via Spark's native `window(ts,
+    * size, slide)`. The oracle reproduces the assignment rule exactly:
+    * window starts are `date_trunc(hour, ts) − k·slide` for k ∈ {0, 1}.
+    */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    counterCents(spark, dir)
+      .groupBy(col("name"),
+        window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg((sum(col("cents")).cast("double") / 100.0).as("value"),
+        count(lit(1)).as("n"))
+      .select(col("name"), unix_micros(col("w.start")).as("window_start_us"),
+        col("value"), col("n"))
+      .orderBy(col("name"), col("window_start_us"))
+
+  val SlidingWindowAggSql: String =
+    s"""WITH c AS ($CounterCentsSql),
+       |assigned AS (
+       |  SELECT name, cents,
+       |    date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start
+       |  FROM c, (SELECT unnest([0, 1]) AS k))
+       |SELECT name, epoch_us(window_start) AS window_start_us,
+       |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS value,
+       |  COUNT(*) AS n
+       |FROM assigned
+       |GROUP BY name, window_start
+       |ORDER BY name, window_start_us""".stripMargin
+
   /** B3 counter-reset-aware `rate()` (SURVEY.md §7 hard-part #1).
     *
     * The event stream carries increments; a scraped TSDB sees cumulative
