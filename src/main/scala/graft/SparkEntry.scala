@@ -47,6 +47,7 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
     "q5_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    "q17_small_quantity_revenue" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
     // Extension tier — training-data pipeline ops (SURVEY.md §2.3)
     "x1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "x2_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q1_pricing_summary" -> Relational.PricingSummarySql,
     "q3_shipping_priority" -> Relational.ShippingPrioritySql,
     "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,
+    "q17_small_quantity_revenue" -> Relational.SmallQuantityRevenueSql,
     "x1_dedup_exact" -> Dedup.ExactSql,
     "x2_minhash_signatures" -> Dedup.MinhashSignaturesSql,
     "x3_minhash_lsh" -> Dedup.MinhashLshSql,

@@ -98,6 +98,34 @@ object Relational {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q17-shaped small-quantity revenue: average yearly revenue lost
+    * if small orders (below 20% of the part's average quantity) were not
+    * filled. Exercises a correlated scalar subquery — Catalyst
+    * decorrelates it into an aggregate + join; the per-part average is
+    * tiny and broadcast. Threshold arithmetic is the identical double
+    * expression in both engines, so row selection matches exactly.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((dec2(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg((dec2(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  val SmallQuantityRevenueSql: String =
+    """WITH a AS (
+      |  SELECT l_partkey AS p_key,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM lineitem JOIN a ON l_partkey = p_key
+      |WHERE l_quantity < avg_qty * 0.2""".stripMargin
+
   /** TPC-H Q5-shaped local-supplier volume: revenue per nation where the
     * customer and supplier share a nation. All dimensions broadcast; the
     * fact tables join once on orderkey.
