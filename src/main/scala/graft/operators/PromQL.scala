@@ -697,7 +697,9 @@ object PromQL {
     * "session windows"). The oracle reproduces the same boundaries with
     * the classic gaps-and-islands formulation (lag + cumulative flag
     * sum), proving the two definitions agree: a new session starts when
-    * the gap since the previous event is ≥ the gap duration.
+    * the gap since the previous event EXCEEDS the gap duration — Spark's
+    * session end (`ts + gap`) is merge-inclusive, so a gap of exactly
+    * the duration still merges (boundary pinned by PromQLSpec).
     */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     Metrics.metricEvents(spark, dir)
@@ -716,7 +718,7 @@ object PromQL {
        |  FROM ($MetricEventsSql)),
        |flagged AS (
        |  SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY name ORDER BY ts)
-       |                      < INTERVAL 30 MINUTE
+       |                      <= INTERVAL 30 MINUTE
        |                 THEN 0 ELSE 1 END AS new_session
        |  FROM m),
        |islands AS (

@@ -87,6 +87,31 @@ class PromQLSpec extends SparkTestBase {
     assert(!rows.contains(us(25)))
   }
 
+  test("sessionize boundary: gap == duration merges, gap just over splits") {
+    // Spark session_window is merge-inclusive at exactly the gap
+    // duration: t, t+30:00 merge; a further event +30:00.001 splits.
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "click", 1.0, "s"),
+      ev(1, 30 * 60000L, "click", 1.0, "s"),          // exactly 30 min → merges
+      ev(2, 60 * 60000L + 1L, "click", 1.0, "s")      // 30:00.001 gap → splits
+    ).toDF(eventCols: _*))
+    val sizes = graft.operators.PromQL.sessionize(spark, dir)
+      .select("n_events").as[Long].collect().sorted.toSeq
+    assert(sizes === Seq(1L, 2L))
+  }
+
+  test("negative matchers exclude the named family and matching labels") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "7"), // excluded: name
+      ev(1, 0, "click", 1.0, "3"),    // excluded: label ~ ^[0-4]
+      ev(2, 0, "click", 1.0, "9"),    // kept
+      ev(3, 0, "signup", 1.0, "9")    // excluded: not a counter kind
+    ).toDF(eventCols: _*))
+    val rows = graft.operators.PromQL.selectorNegative(spark, dir)
+      .select("name", "label_k").as[(String, String)].collect().toSet
+    assert(rows === Set(("click", "9")))
+  }
+
   test("binary op joins series on label and divides") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"), ev(1, 0, "click", 4.0, "a"),
