@@ -210,9 +210,12 @@ object Dedup {
     // final left join); persist it so the LSH stage runs once. It is
     // tiny by construction (pairs surviving the band join + 0.5 filter).
     val candidates = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    // the distinct shingle relation feeds three consumers (per-doc counts
+    // + both sides of the intersection join) — persist to shingle once
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
       .distinct()
+      .persist()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
