@@ -38,6 +38,20 @@ class ExtensionSpec extends SparkTestBase {
     assert(math.abs(j - 27.0 / 29.0) < 1e-9)
   }
 
+  test("documents shorter than the shingle width are skipped, not crashed") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "ab"),                 // 1 token: no 3-gram shingles
+      doc(1, "one two"),            // 2 tokens: still none
+      doc(2, (1 to 10).map(i => s"t$i").mkString(" "))).toDF(docCols: _*))
+    val sigs = Dedup.minhashSignatures(spark, dir)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(sigs === Seq(2L)) // only the shingle-able doc has a signature
+    assert(Dedup.minhashLsh(spark, dir).count() === 0)
+    val fps = TextAnalysis.fingerprint(spark, dir)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(fps === Seq(2L))
+  }
+
   test("simhash clusters identical token multisets") {
     val dir = fixture("documents" -> Seq(
       doc(0, "red green blue"),
