@@ -49,6 +49,15 @@ object Similarity {
     col("dp").cast("double") /
       sqrt(col("na2").cast("double")) / sqrt(col("nb2").cast("double"))
 
+  /** The DuckDB-side exact-cosine fragment between relations `a` and `b`
+    * (each exposing q, n2) — kept identical everywhere so every oracle
+    * computes the same IEEE expression.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, len($a.q)),
+       |           i -> $a.q[i] * $b.q[i])) AS DOUBLE)
+       |      / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))""".stripMargin
+
   /** Brute-force cosine top-5 neighbours for the query set vec_id < 10.
     * The 10 query vectors are broadcast; the corpus is scanned once, and
     * per-query ranking is one window over (query, cosine desc).
@@ -74,9 +83,7 @@ object Similarity {
     s"""WITH qz AS ($QuantizedSql),
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-       |           i -> a.q[i] * b.q[i])) AS DOUBLE)
-       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cosine
+       |    ${cosSql("a", "b")} AS cosine
        |  FROM qz a JOIN qz b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
@@ -153,9 +160,7 @@ object Similarity {
        |qb AS (SELECT qz.*, buckets.bucket FROM qz JOIN buckets USING (vec_id)),
        |scored AS (
        |  SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
-       |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-       |           i -> a.q[i] * b.q[i])) AS DOUBLE)
-       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cosine
+       |    ${cosSql("a", "b")} AS cosine
        |  FROM qb a JOIN qb b ON a.bucket = b.bucket
        |    AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -220,9 +225,7 @@ object Similarity {
        |  WHERE crn = 1),
        |scored AS (
        |  SELECT a.vec_id AS query_id, a.cell, b.vec_id AS neighbor_id,
-       |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-       |           i -> a.q[i] * b.q[i])) AS DOUBLE)
-       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cosine
+       |    ${cosSql("a", "b")} AS cosine
        |  FROM assigned a JOIN assigned b ON a.cell = b.cell
        |    AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -261,9 +264,7 @@ object Similarity {
     s"""WITH qz AS ($QuantizedSql),
        |scored AS (
        |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-       |           i -> a.q[i] * b.q[i])) AS DOUBLE)
-       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cosine
+       |    ${cosSql("a", "b")} AS cosine
        |  FROM qz a JOIN qz b ON a.label = b.label AND a.vec_id < b.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
        |        ORDER BY cosine DESC, vec_a, vec_b) AS rank FROM scored)

@@ -11,12 +11,8 @@ class MetricsSpec extends SparkTestBase {
   import spark.implicits._
 
   private val Ticks = 50
-  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
 
-  private def ev(id: Long, tsMs: Long, etype: String, value: Double, label: String) =
-    (id, new java.sql.Timestamp(t0.getTime + tsMs), 1L, etype, value, s"""{"k": "$label"}""")
 
-  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
   /** test.edn replay: tick i at t0+0.2s*i; Value1 +1, Value2 +2 (two +1
     * events), Value3 +4 (four +1 events); 'click' → counter kind.

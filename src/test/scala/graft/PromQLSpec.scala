@@ -8,10 +8,6 @@ import graft.operators.PromQL
 class PromQLSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-  private def ev(id: Long, tsMs: Long, etype: String, value: Double, label: String) =
-    (id, new java.sql.Timestamp(t0.getTime + tsMs), 1L, etype, value, s"""{"k": "$label"}""")
-  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
   test("histogram_quantile interpolates linearly inside the target bucket") {
     // 10 observations uniform in (0,1]: all in the first bucket (le=1.0).

@@ -12,10 +12,6 @@ import org.scalacheck.rng.Seed
 class PropertySpec extends SparkTestBase {
   import spark.implicits._
 
-  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-  private def ev(id: Long, tsMs: Long, etype: String, value: Double, label: String) =
-    (id, new java.sql.Timestamp(t0.getTime + tsMs), 1L, etype, value, s"""{"k": "$label"}""")
-  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
   private val increments: Gen[List[Double]] =
     Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, Gen.choose(0, 5000).map(_ / 100.0)))

@@ -18,6 +18,15 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     }
     dir
   }
+
+  /** events-table fixture row: (event_id, t0+tsMs, user, type, value,
+    * props with single label k). Shared by the metric-operator specs.
+    */
+  protected val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  protected def ev(id: Long, tsMs: Long, etype: String, value: Double, label: String)
+      : (Long, java.sql.Timestamp, Long, String, Double, String) =
+    (id, new java.sql.Timestamp(t0.getTime + tsMs), 1L, etype, value, s"""{"k": "$label"}""")
 }
 
 object SparkTestBase {
