@@ -71,6 +71,7 @@ object SparkEntry {
     "b1b_selector_negative" -> ((s, d) => PromQL.selectorNegative(s, d)),
     "b19_absent" -> ((s, d) => PromQL.absentSeries(s, d)),
     "b20_sliding_window" -> ((s, d) => PromQL.slidingWindowAgg(s, d)),
+    "b21_quantile_over_time" -> ((s, d) => PromQL.quantileOverTime(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -122,5 +123,6 @@ object SparkEntry {
     "b1b_selector_negative" -> PromQL.SelectorNegativeSql,
     "b19_absent" -> PromQL.AbsentSeriesSql,
     "b20_sliding_window" -> PromQL.SlidingWindowAggSql,
+    "b21_quantile_over_time" -> PromQL.QuantileOverTimeSql,
   )
 }

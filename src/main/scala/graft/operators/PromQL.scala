@@ -580,6 +580,50 @@ object PromQL {
        |GROUP BY name, label_k, day_us
        |ORDER BY name, label_k, day_us""".stripMargin
 
+  /** B-range `quantile_over_time(0.5, …)`: per-series daily median of
+    * gauge samples, with the same spelled-out linear interpolation as
+    * [[quantileAcross]] (rank r = (n−1)·φ over the day's sorted samples)
+    * so both engines compute the identical IEEE expression.
+    */
+  def quantileOverTime(spark: SparkSession, dir: String): DataFrame = {
+    val base = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+    val grp = Seq(col("name"), col("label_k"), col("day_us"))
+    val w = Window.partitionBy(grp: _*).orderBy(col("cents"), col("event_id"))
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+      .withColumn("pos", (col("n") - 1).cast("double") * 0.5)
+      .groupBy(grp: _*)
+      .agg(
+        ((max(when(col("rn") === floor(col("pos")).cast("long") + 1, col("cents"))).cast("double")
+          + (max(when(col("rn") === ceil(col("pos")).cast("long") + 1, col("cents"))).cast("double")
+            - max(when(col("rn") === floor(col("pos")).cast("long") + 1, col("cents"))).cast("double"))
+          * (max(col("pos")) - floor(max(col("pos"))))) / 100.0).as("median_ot"))
+      .orderBy(col("name"), col("label_k"), col("day_us"))
+  }
+
+  val QuantileOverTimeSql: String =
+    s"""WITH g AS (
+       |  SELECT *, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    epoch_us(date_trunc('day', ts)) AS day_us
+       |  FROM ($MetricEventsSql) WHERE kind = 'gauge'),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, day_us
+       |                     ORDER BY cents, event_id) AS rn,
+       |  COUNT(*) OVER (PARTITION BY name, label_k, day_us) AS n
+       |  FROM g),
+       |p AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.5 AS pos FROM r)
+       |SELECT name, label_k, day_us,
+       |  (MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE
+       |   + (MAX(CASE WHEN rn = CAST(CEIL(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE
+       |      - MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE)
+       |     * (MAX(pos) - FLOOR(MAX(pos)))) / 100.0 AS median_ot
+       |FROM p GROUP BY name, label_k, day_us
+       |ORDER BY name, label_k, day_us""".stripMargin
+
   /** B5b `bottomk(2, …)` — the mirror of [[topk]]; kept separate because
     * PromQL exposes both and the tie-break direction differs.
     */
