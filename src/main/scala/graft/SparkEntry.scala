@@ -72,6 +72,7 @@ object SparkEntry {
     "b19_absent" -> ((s, d) => PromQL.absentSeries(s, d)),
     "b20_sliding_window" -> ((s, d) => PromQL.slidingWindowAgg(s, d)),
     "b21_quantile_over_time" -> ((s, d) => PromQL.quantileOverTime(s, d)),
+    "b22_stddev_over_time" -> ((s, d) => PromQL.stddevOverTime(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -124,5 +125,6 @@ object SparkEntry {
     "b19_absent" -> PromQL.AbsentSeriesSql,
     "b20_sliding_window" -> PromQL.SlidingWindowAggSql,
     "b21_quantile_over_time" -> PromQL.QuantileOverTimeSql,
+    "b22_stddev_over_time" -> PromQL.StddevOverTimeSql,
   )
 }

@@ -580,6 +580,47 @@ object PromQL {
        |GROUP BY name, label_k, day_us
        |ORDER BY name, label_k, day_us""".stripMargin
 
+  /** B-range `stddev_over_time` / `count_over_time`: per-series daily
+    * population standard deviation and sample count for gauges. Moments
+    * are accumulated as exact integers (Σcents, Σcents²) — associative
+    * and engine-identical — with one final IEEE expression
+    * `sqrt(Σx²/n − (Σx/n)²)/100`.
+    */
+  def stddevOverTime(spark: SparkSession, dir: String): DataFrame =
+    Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+      .groupBy(col("name"), col("label_k"), col("day_us"))
+      .agg(sum(col("cents")).as("s1"), sum(col("cents") * col("cents")).as("s2"),
+        count(lit(1)).as("count_ot"))
+      .select(col("name"), col("label_k"), col("day_us"),
+        (sqrt(col("s2").cast("double") / col("count_ot").cast("double")
+          - (col("s1").cast("double") / col("count_ot").cast("double"))
+            * (col("s1").cast("double") / col("count_ot").cast("double"))) / 100.0)
+          .as("stddev_ot"),
+        col("count_ot"))
+      .orderBy(col("name"), col("label_k"), col("day_us"))
+
+  val StddevOverTimeSql: String =
+    s"""WITH g AS (
+       |  SELECT *, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    epoch_us(date_trunc('day', ts)) AS day_us
+       |  FROM ($MetricEventsSql) WHERE kind = 'gauge'),
+       |m AS (
+       |  SELECT name, label_k, day_us,
+       |    CAST(SUM(cents) AS BIGINT) AS s1,
+       |    CAST(SUM(cents * cents) AS BIGINT) AS s2,
+       |    COUNT(*) AS count_ot
+       |  FROM g GROUP BY name, label_k, day_us)
+       |SELECT name, label_k, day_us,
+       |  sqrt(CAST(s2 AS DOUBLE) / CAST(count_ot AS DOUBLE)
+       |    - (CAST(s1 AS DOUBLE) / CAST(count_ot AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(count_ot AS DOUBLE))) / 100.0 AS stddev_ot,
+       |  count_ot
+       |FROM m
+       |ORDER BY name, label_k, day_us""".stripMargin
+
   /** B-range `quantile_over_time(0.5, …)`: per-series daily median of
     * gauge samples, with the same spelled-out linear interpolation as
     * [[quantileAcross]] (rank r = (n−1)·φ over the day's sorted samples)
