@@ -191,8 +191,8 @@ object Dedup {
        |  FROM bits GROUP BY doc_id, j),
        |sig AS (
        |  SELECT doc_id,
-       |    SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-       |             ELSE 0 END) AS simhash
+       |    CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+       |             ELSE 0 END) AS BIGINT) AS simhash
        |  FROM wts GROUP BY doc_id)
        |SELECT doc_id, simhash,
        |  MIN(doc_id) OVER (PARTITION BY simhash) AS cluster_id,

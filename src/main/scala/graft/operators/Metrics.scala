@@ -175,7 +175,7 @@ object Metrics {
   val HistogramSnapshotSql: String =
     s"""WITH m AS ($MetricEventsSql)
        |SELECT name, label_k, le,
-       |  SUM(CASE WHEN value <= le THEN 1 ELSE 0 END) AS cum_count,
+       |  CAST(SUM(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT) AS cum_count,
        |  COUNT(*) AS count,
        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum
        |FROM m CROSS JOIN ($BucketBoundsSql)

@@ -717,7 +717,7 @@ object PromQL {
        |                     ORDER BY ts, event_id) AS prev
        |  FROM w)
        |SELECT name, label_k,
-       |  SUM(CASE WHEN wrapped < prev THEN 1 ELSE 0 END) AS resets,
+       |  CAST(SUM(CASE WHEN wrapped < prev THEN 1 ELSE 0 END) AS BIGINT) AS resets,
        |  COUNT(*) AS n_samples
        |FROM d
        |GROUP BY name, label_k

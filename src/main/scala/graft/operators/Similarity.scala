@@ -154,8 +154,8 @@ object Similarity {
        |  GROUP BY vec_id, p),
        |buckets AS (
        |  SELECT vec_id,
-       |    SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
-       |             ELSE 0 END) AS bucket
+       |    CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+       |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id),
        |qb AS (SELECT qz.*, buckets.bucket FROM qz JOIN buckets USING (vec_id)),
        |scored AS (

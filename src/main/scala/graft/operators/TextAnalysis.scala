@@ -156,8 +156,8 @@ object TextAnalysis {
 
   val TokenCountSql: String =
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)) AS ws_tokens,
-      |  SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS bpe_tokens
+      |  CAST(SUM(len(string_split(trim(lower(text)), ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin

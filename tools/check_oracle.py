@@ -36,14 +36,18 @@ def main(out_dir, sf_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            odf = con.sql(sql).df()
+            orel = con.sql(sql)
+            otypes = dict(zip(orel.columns, (str(t) for t in orel.types)))
+            odf = orel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         try:
-            sdf = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            srel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            stypes = dict(zip(srel.columns, (str(t) for t in srel.types)))
+            sdf = srel.df()
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
             n_fail += 1
@@ -51,6 +55,25 @@ def main(out_dir, sf_dir):
         ocols, scols = sorted(odf.columns), sorted(sdf.columns)
         if ocols != scols:
             print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        # Type-class check: the driver's value hash is representation-
+        # sensitive. DuckDB SUM(int) -> HUGEINT lands in pandas as
+        # float64 while Spark emits BIGINT (int64) -> hash mismatch,
+        # but Python's 1000.0 == 1000 made the old value loop blind to
+        # it. Integer *widths* (int32 vs int64) hash the same driver-
+        # side, so compare pandas dtype KIND (i/u/f/b/O/M), not the raw
+        # DuckDB type. Report the DuckDB types for diagnosis.
+        def kind(df, c):
+            k = df[c].dtype.kind
+            return "i" if k == "u" else k
+        tdiff = [c for c in ocols if kind(odf, c) != kind(sdf, c)]
+        if tdiff:
+            c = tdiff[0]
+            print(f"FAIL {name}: type class differs col {c}: "
+                  f"oracle={otypes[c]}({odf[c].dtype}) "
+                  f"spark={stypes[c]}({sdf[c].dtype}) "
+                  f"({len(tdiff)} col(s) total)")
             n_fail += 1
             continue
         if len(odf) != len(sdf):
