@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextOps
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -162,21 +162,25 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** Document fingerprinting (winnowing-lite): the 4 smallest md5 hashes
-    * of the document's word-3-gram shingles, concatenated and re-hashed
-    * into one 128-bit fingerprint. Robust to local edits (a changed
-    * shingle rarely displaces all 4 minima); one explode + one
-    * aggregation, shuffle = one row per doc.
+  /** Document fingerprinting (winnowing-lite): the 4 smallest distinct
+    * md5 hashes of the document's word-3-gram shingles, concatenated and
+    * re-hashed into one 128-bit fingerprint. Robust to local edits (a
+    * changed shingle rarely displaces all 4 minima).
+    *
+    * Physical plan: one explode + ONE hash aggregate through the bounded
+    * [[graft.functions.TopKMinAggregator]] — the ≤4-element buffer
+    * combines map-side, so one tiny row per doc crosses the shuffle and
+    * there is no distinct pass, no per-doc window, and no sort of the
+    * exploded shingle set (round-1 plan was a global shuffle+sort; at
+    * 100 TB that sort is the engine's worst bottleneck).
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val top4 = udaf(graft.functions.TopKMinAggregator(4), Encoders.STRING)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
       .select(col("doc_id"), md5(col("shingle")).as("h"))
-      .distinct()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
-    sh.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
       .groupBy(col("doc_id"))
-      .agg(md5(concat_ws("|", array_sort(collect_list(col("h"))))).as("fingerprint"))
+      .agg(md5(top4(col("h"))).as("fingerprint"))
       .orderBy(col("doc_id"))
   }
 
