@@ -111,22 +111,43 @@ object Similarity {
        |FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS p),
        |     (SELECT unnest(generate_series(0, 63)) AS d)""".stripMargin
 
-  /** Sign-LSH bucketed approximate nearest neighbours: bucket =
-    * 8-plane sign signature; top-3 cosine neighbours *within the query's
-    * bucket*. The bucket signature aggregation is one explode+groupBy;
-    * the candidate join is bucket-equi (shuffle key = bucket), never
-    * all-pairs.
+  /** Sign-LSH bucket signature per vector: one explode+groupBy over the
+    * (vec_id, dim) fan-out, integer projections, bucket = sign bitmask.
+    * Shared by [[lshAnn]] and [[embeddingNearDup]].
     */
-  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
-    val q = quantized(spark, dir)
-    val proj = q.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "x")))
+  private def signBuckets(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "x")))
       .join(broadcast(planes(q.sparkSession)), "d")
       .groupBy(col("vec_id"), col("p"))
       .agg(sum(col("x") * col("w")).as("proj"))
       .groupBy(col("vec_id"))
       .agg(sum(when(col("proj") > 0,
         expr("shiftleft(cast(1 as bigint), cast(p as int))")).otherwise(0L)).as("bucket"))
-    val qb = q.join(proj, "vec_id")
+
+  /** Oracle twin of [[signBuckets]]: CTE chain `planes`/`proj`/`buckets`
+    * (expects a `qz` CTE in scope); `buckets` yields (vec_id, bucket).
+    */
+  private val BucketCtesSql: String =
+    s"""planes AS ($PlanesSql),
+       |proj AS (
+       |  SELECT vec_id, p, SUM(q[d + 1] * w) AS proj
+       |  FROM qz, planes
+       |  GROUP BY vec_id, p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  /** Sign-LSH bucketed approximate nearest neighbours: bucket =
+    * hyperplane sign signature; top-3 cosine neighbours *within the
+    * query's bucket*. The bucket signature aggregation is one
+    * explode+groupBy; the candidate join is bucket-equi (shuffle key =
+    * bucket), never all-pairs.
+    */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val qb = q.join(signBuckets(q), "vec_id")
     val queries = qb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qa"),
         col("n2").as("na2"), col("bucket"))
@@ -147,16 +168,7 @@ object Similarity {
 
   val LshAnnSql: String =
     s"""WITH qz AS ($QuantizedSql),
-       |planes AS ($PlanesSql),
-       |proj AS (
-       |  SELECT vec_id, p, SUM(q[d + 1] * w) AS proj
-       |  FROM qz, planes
-       |  GROUP BY vec_id, p),
-       |buckets AS (
-       |  SELECT vec_id,
-       |    CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
-       |             ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM proj GROUP BY vec_id),
+       |$BucketCtesSql,
        |qb AS (SELECT qz.*, buckets.bucket FROM qz JOIN buckets USING (vec_id)),
        |scored AS (
        |  SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
@@ -234,20 +246,25 @@ object Similarity {
        |FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Embedding-cosine near-duplicate detection with label blocking:
-    * exact cosine computed only within a blocking key (the cluster
-    * label) — the standard way to keep near-dup detection sub-quadratic;
-    * the block key is the shuffle key, so each executor sees one block's
-    * pairs. Reported as the top-3 most-similar pairs per block (a
-    * threshold filter like `cosine ≥ 0.99` composes on top).
+  /** Embedding-cosine near-duplicate detection, label-blocked AND
+    * LSH-bucketed: exact cosine is computed only for pairs that share
+    * BOTH the blocking label and the sign-LSH bucket, i.e. the blocking
+    * key is (label, bucket). Round-1 ran all-pairs within each label
+    * block — O(Σ block²), quadratic as blocks grow with the corpus; the
+    * composed key keeps candidates ∝ Σ (label×bucket cell)², the same
+    * sub-quadratic shape as [[lshAnn]], while true near-duplicates
+    * (cosine → 1) almost always share the sign signature. Reported as
+    * the top-3 most-similar candidate pairs per label block (a
+    * `cosine ≥ τ` threshold composes on top).
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val q = quantized(spark, dir)
-    val a = q.select(col("label"), col("vec_id").as("vec_a"),
+    val qb = q.join(signBuckets(q), "vec_id")
+    val a = qb.select(col("label"), col("bucket"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("n2").as("na2"))
-    val b = q.select(col("label"), col("vec_id").as("vec_b"),
+    val b = qb.select(col("label"), col("bucket"), col("vec_id").as("vec_b"),
       col("q").as("qb"), col("n2").as("nb2"))
-    val scored = a.join(b, Seq("label"))
+    val scored = a.join(b, Seq("label", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("dp",
         expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
@@ -256,19 +273,24 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"), col("rank"))
+      .select(col("label"), col("bucket"), col("vec_a"), col("vec_b"),
+        col("cosine"), col("rank"))
       .orderBy(col("label"), col("rank"))
   }
 
   val EmbeddingNearDupSql: String =
     s"""WITH qz AS ($QuantizedSql),
+       |$BucketCtesSql,
+       |qb AS (SELECT qz.*, buckets.bucket FROM qz JOIN buckets USING (vec_id)),
        |scored AS (
-       |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  SELECT a.label AS label, a.bucket AS bucket,
+       |    a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    ${cosSql("a", "b")} AS cosine
-       |  FROM qz a JOIN qz b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |  FROM qb a JOIN qb b ON a.label = b.label AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
        |        ORDER BY cosine DESC, vec_a, vec_b) AS rank FROM scored)
-       |SELECT label, vec_a, vec_b, cosine, rank
+       |SELECT label, bucket, vec_a, vec_b, cosine, rank
        |FROM r WHERE rank <= 3
        |ORDER BY label, rank""".stripMargin
 }
