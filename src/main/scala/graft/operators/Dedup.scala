@@ -58,18 +58,30 @@ object Dedup {
   val NumPerms = 8
   val NumBands = 4 // 2 rows per band
 
+  /** Session-scoped cache of the signature relation: x2, x3 (both join
+    * sides), and x5 (via its embedded LSH stage) all consume it, so the
+    * shingle explode + 8-way md5 minimum — the linear-cost hot spot of
+    * the dedup tier — runs once per (session, sf) instead of once per
+    * consumer. One row per doc, ~9 short strings wide: comfortably
+    * memory-resident at any realistic doc count; at 100 TB the analog
+    * is a materialized signatures table written once per corpus snapshot.
+    */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Per-document minhash signature: one row per doc with `NumPerms`
     * hex-string minima over word-3-gram shingles. A single
     * explode+groupBy — the signature aggregation is map-side
     * combinable, so shuffle volume is one row per document.
     */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
-    val aggs = (0 until NumPerms).map(i =>
-      min(TextOps.minhashPerm(col("shingle"), i)).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    sigCache.computeIfAbsent((spark, dir), _ => {
+      val sh = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+      val aggs = (0 until NumPerms).map(i =>
+        min(TextOps.minhashPerm(col("shingle"), i)).as(s"mh$i"))
+      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).persist()
+    })
 
   private val SignaturesSql: String = {
     val perms = (0 until NumPerms)
@@ -97,9 +109,9 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatures(spark, dir)
     // Carry the full signature array through the bucket explode so the
-    // pair join needs no re-join against the signature relation — the
-    // signature subtree is computed once per join side (and the two
-    // sides are identical subplans, so ReuseExchange shares the shuffle).
+    // pair join needs no re-join against the signature relation; both
+    // join sides read the persisted signature cache, so the expensive
+    // shingle+md5 subtree is computed exactly once per (session, sf).
     val buckets = sig
       .withColumn("sig", array((0 until NumPerms).map(i => col(s"mh$i")): _*))
       .select(col("doc_id"), col("sig"),
