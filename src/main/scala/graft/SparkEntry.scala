@@ -73,6 +73,10 @@ object SparkEntry {
     "b20_sliding_window" -> ((s, d) => PromQL.slidingWindowAgg(s, d)),
     "b21_quantile_over_time" -> ((s, d) => PromQL.quantileOverTime(s, d)),
     "b22_stddev_over_time" -> ((s, d) => PromQL.stddevOverTime(s, d)),
+    "b2b_trailing_lookback" -> ((s, d) => PromQL.trailingLookback(s, d)),
+    "b4b_agg_family" -> ((s, d) => PromQL.aggFamily(s, d)),
+    "b8b_group_left" -> ((s, d) => PromQL.groupLeftJoin(s, d)),
+    "b13b_vector_or" -> ((s, d) => PromQL.vectorOr(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -126,5 +130,9 @@ object SparkEntry {
     "b20_sliding_window" -> PromQL.SlidingWindowAggSql,
     "b21_quantile_over_time" -> PromQL.QuantileOverTimeSql,
     "b22_stddev_over_time" -> PromQL.StddevOverTimeSql,
+    "b2b_trailing_lookback" -> PromQL.TrailingLookbackSql,
+    "b4b_agg_family" -> PromQL.AggFamilySql,
+    "b8b_group_left" -> PromQL.GroupLeftJoinSql,
+    "b13b_vector_or" -> PromQL.VectorOrSql,
   )
 }

@@ -240,6 +240,80 @@ object PromQL {
        |GROUP BY GROUPING SETS ((name), (label_k))
        |ORDER BY name, label_k""".stripMargin
 
+  /** B2c TRUE trailing-lookback range window — PromQL
+    * `sum_over_time(purchase[2h])` / `count_over_time` evaluated AT
+    * every sample instant, not on aligned buckets: each row's window is
+    * `[t−2h, t]` of ITS OWN series via `rangeBetween` on the
+    * microsecond axis. Per-series sort only (partition = series key,
+    * one exchange); RANGE frames include order-value ties identically
+    * in both engines, and the summand is integer cents, so the frame
+    * sum is deterministic without a row tiebreak.
+    */
+  def trailingLookback(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(series: _*).orderBy(col("ts_us"))
+      .rangeBetween(-7200000000L, 0L) // 2h in micros, inclusive
+    counterCents(spark, dir)
+      .filter(col("name") === "purchase")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("name"), col("label_k"), col("event_id"), col("ts_us"),
+        (sum(col("cents")).over(w).cast("double") / 100.0).as("sum_ot"),
+        count(lit(1)).over(w).as("count_ot"))
+      .orderBy(col("name"), col("label_k"), col("ts_us"), col("event_id"))
+  }
+
+  val TrailingLookbackSql: String =
+    s"""SELECT name, label_k, event_id, ts_us,
+       |  CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS sum_ot,
+       |  COUNT(*) OVER w AS count_ot
+       |FROM (SELECT *, epoch_us(ts) AS ts_us FROM ($CounterCentsSql)
+       |      WHERE name = 'purchase')
+       |WINDOW w AS (PARTITION BY name, label_k ORDER BY ts_us
+       |             RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY name, label_k, ts_us, event_id""".stripMargin
+
+  /** The label universe of the series key space — the reference's data
+    * model is (metric name, single label pair), `prometheus.cpp:189-192`.
+    */
+  private val LabelUniverse = Seq("name", "label_k")
+
+  /** PromQL `without (drop…)` as a grouping key: every label dimension
+    * of the series universe EXCEPT the dropped ones. Complement-label
+    * grouping composes with any aggregate; `by (ks…)` is just the
+    * positive selection `ks.map(col)`.
+    */
+  def without(drop: String*): Seq[Column] =
+    LabelUniverse.filterNot(drop.contains).map(col)
+
+  /** B4 complete aggregation family: `count/min/max/avg without (k)`
+    * across per-series snapshot values — one partial-aggregating
+    * shuffle for the snapshot, one for the family rollup. `avg` is the
+    * exact integer-cent sum divided once, so it bit-matches the oracle.
+    */
+  def aggFamily(spark: SparkSession, dir: String): DataFrame = {
+    val snap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+    snap.groupBy(without("label_k"): _*)
+      .agg(
+        count(lit(1)).as("n_series"),
+        (min(col("cents")).cast("double") / 100.0).as("min_value"),
+        (max(col("cents")).cast("double") / 100.0).as("max_value"),
+        (sum(col("cents")).cast("double") / 100.0 / count(lit(1))).as("avg_value"))
+      .orderBy(col("name"))
+  }
+
+  val AggFamilySql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k)
+       |SELECT name,
+       |  COUNT(*) AS n_series,
+       |  CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_value,
+       |  CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_value,
+       |  CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*) AS avg_value
+       |FROM snap
+       |GROUP BY name
+       |ORDER BY name""".stripMargin
+
   /** B5 `topk(2, …)` — top series per metric family by snapshot value.
     * Rank inside each family partition; integer cents ⇒ no float-tie
     * nondeterminism, label_k breaks exact ties.
@@ -385,6 +459,49 @@ object PromQL {
        |FROM (SELECT * FROM snap WHERE name = 'purchase') p
        |JOIN (SELECT * FROM snap WHERE name = 'click') c USING (label_k)
        |ORDER BY label_k""".stripMargin
+
+  /** B8b many-to-one vector matching:
+    * `purchase_hourly / ignoring(ts) group_left(tier) click_info` —
+    * the classic "join a metric to its info-metric" pattern. The left
+    * side keeps its full dimensionality (one row per label × hour); the
+    * right side is ONE row per label (`ignoring` collapses everything
+    * but the match key), and `group_left` carries the info label
+    * (`tier`) onto every matched left row. The info vector is one row
+    * per series — broadcast, so the fact side never shuffles for the
+    * join regardless of corpus size.
+    */
+  def groupLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = counterCents(spark, dir)
+    val hourly = c.filter(col("name") === "purchase")
+      .groupBy(col("label_k"), unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(sum(col("cents")).as("pcents"))
+    val info = c.filter(col("name") === "click")
+      .groupBy(col("label_k"))
+      .agg(sum(col("cents")).as("ccents"))
+      .withColumn("tier",
+        when(col("label_k").cast("int") % 2 === 0, "even").otherwise("odd"))
+    hourly.join(broadcast(info), Seq("label_k"))
+      .select(col("label_k"), col("hour_us"), col("tier"),
+        (col("pcents").cast("double") / 100.0).as("purchase_value"),
+        (col("pcents").cast("double") / col("ccents").cast("double")).as("ratio"))
+      .orderBy(col("label_k"), col("hour_us"))
+  }
+
+  val GroupLeftJoinSql: String =
+    s"""WITH c AS ($CounterCentsSql),
+       |hourly AS (
+       |  SELECT label_k, epoch_us(date_trunc('hour', ts)) AS hour_us,
+       |    SUM(cents) AS pcents
+       |  FROM c WHERE name = 'purchase' GROUP BY 1, 2),
+       |info AS (
+       |  SELECT label_k, SUM(cents) AS ccents,
+       |    CASE WHEN CAST(label_k AS INT) % 2 = 0 THEN 'even' ELSE 'odd' END AS tier
+       |  FROM c WHERE name = 'click' GROUP BY label_k)
+       |SELECT label_k, hour_us, tier,
+       |  CAST(pcents AS DOUBLE) / 100.0 AS purchase_value,
+       |  CAST(pcents AS DOUBLE) / CAST(ccents AS DOUBLE) AS ratio
+       |FROM hourly JOIN info USING (label_k)
+       |ORDER BY label_k, hour_us""".stripMargin
 
   /** B9 `offset` time shift: last-day counter volume per series vs the
     * same series one week earlier — two conditional aggregations over a
@@ -540,6 +657,41 @@ object PromQL {
        |SELECT 'unless' AS op, label_k, CAST(cents AS DOUBLE) / 100.0 AS value
        |FROM p WHERE label_k NOT IN (SELECT label_k FROM c)
        |ORDER BY op, label_k""".stripMargin
+
+  /** B13b PromQL `or`: union with left priority — every series of the
+    * left vector, plus the right-vector series whose label set does not
+    * already appear on the left. The dedup is a left-anti join on the
+    * label key (broadcast-able: the key sets are per-series, tiny), then
+    * a shuffle-free unionAll. Completes the and/unless/or set-op family.
+    */
+  def vectorOr(spark: SparkSession, dir: String): DataFrame = {
+    val snap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+    val p = snap.filter(col("name") === "purchase" && col("label_k").cast("int") < 50)
+    val c = snap.filter(col("name") === "click" && col("label_k").cast("int") % 2 === 0)
+    // the equi-key anti join reorders columns (key first) — realign
+    // before the positional unionAll
+    val fromC = c.join(p.select(col("label_k")), Seq("label_k"), "left_anti")
+      .select(col("name"), col("label_k"), col("cents"))
+    p.select(col("name"), col("label_k"), col("cents")).unionAll(fromC)
+      .select(col("name"), col("label_k"),
+        (col("cents").cast("double") / 100.0).as("value"))
+      .orderBy(col("label_k"), col("name"))
+  }
+
+  val VectorOrSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k),
+       |p AS (SELECT * FROM snap
+       |      WHERE name = 'purchase' AND CAST(label_k AS INT) < 50),
+       |c AS (SELECT * FROM snap
+       |      WHERE name = 'click' AND CAST(label_k AS INT) % 2 = 0)
+       |SELECT name, label_k, CAST(cents AS DOUBLE) / 100.0 AS value FROM p
+       |UNION ALL
+       |SELECT name, label_k, CAST(cents AS DOUBLE) / 100.0 AS value FROM c
+       |WHERE label_k NOT IN (SELECT label_k FROM p)
+       |ORDER BY label_k, name""".stripMargin
 
   /** B-range `avg/min/max/last_over_time` for gauge series per day — one
     * hash aggregate computes all four range functions (last via the

@@ -117,4 +117,61 @@ class PromQLSpec extends SparkTestBase {
       .select($"label_k", $"ratio").as[(String, Double)].collect().toMap
     assert(rows === Map("a" -> 2.5))
   }
+
+  test("agg family computes count/min/max/avg without (k)") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "click", 1.0, "a"), ev(1, 0, "click", 5.0, "b"),
+      ev(2, 0, "click", 3.0, "c"), ev(3, 0, "view", 9.0, "z")
+    ).toDF(eventCols: _*))
+    val rows = PromQL.aggFamily(spark, dir)
+      .select($"name", $"n_series", $"min_value", $"max_value", $"avg_value")
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(rows === Set(("click", 3L, 1.0, 5.0, 3.0), ("view", 1L, 9.0, 9.0, 9.0)))
+  }
+
+  test("group_left carries the info label onto every matched left row") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "2"),
+      ev(1, 60 * 60000L, "purchase", 20.0, "2"), // second hour, same series
+      ev(2, 0, "click", 4.0, "2"),               // info vector: one row
+      ev(3, 0, "purchase", 7.0, "3")             // no click{3} → dropped
+    ).toDF(eventCols: _*))
+    val rows = PromQL.groupLeftJoin(spark, dir)
+      .select($"label_k", $"tier", $"purchase_value", $"ratio")
+      .as[(String, String, Double, Double)].collect().toSet
+    // both hourly rows of label 2 carry tier=even and divide by the same
+    // click total
+    assert(rows === Set(("2", "even", 10.0, 2.5), ("2", "even", 20.0, 5.0)))
+  }
+
+  test("vector or keeps all left series and only unmatched right series") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "4"), // left (label < 50)
+      ev(1, 0, "click", 3.0, "4"),     // right, label in left → dropped
+      ev(2, 0, "click", 5.0, "8")      // right, label not in left → kept
+    ).toDF(eventCols: _*))
+    val rows = PromQL.vectorOr(spark, dir)
+      .select($"name", $"label_k", $"value")
+      .as[(String, String, Double)].collect().toSet
+    assert(rows === Set(("purchase", "4", 10.0), ("click", "8", 5.0)))
+  }
+
+  test("trailing lookback window sums exactly [t-2h, t] of its own series") {
+    val h = 60 * 60000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),
+      ev(1, 1 * h, "purchase", 2.0, "a"),
+      ev(2, 2 * h, "purchase", 4.0, "a"),  // exactly 2h back → includes ev0
+      ev(3, 4 * h, "purchase", 8.0, "a"),  // 2h window → includes only ev2
+      ev(4, 0, "purchase", 100.0, "b")     // other series, never mixed in
+    ).toDF(eventCols: _*))
+    val rows = PromQL.trailingLookback(spark, dir)
+      .select($"event_id", $"sum_ot", $"count_ot")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(0L) === ((1.0, 1L)))
+    assert(rows(1L) === ((3.0, 2L)))
+    assert(rows(2L) === ((7.0, 3L)))   // inclusive lower bound at t-2h
+    assert(rows(3L) === ((12.0, 2L)))  // ev2 + itself
+    assert(rows(4L) === ((100.0, 1L)))
+  }
 }
