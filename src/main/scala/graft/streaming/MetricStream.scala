@@ -148,6 +148,26 @@ object MetricStream {
         })
   }
 
+  /** Streaming sessionization: watermarked `session_window` per series —
+    * the streaming twin of the batch `b16` sessionize. Events of a
+    * series gapped ≤ `gap` merge into one session; in Append mode a
+    * session row is emitted exactly once, when the watermark passes its
+    * end (so its state is also evicted then — state is bounded by the
+    * number of OPEN sessions, not by history). The same function runs
+    * unchanged on a static DataFrame, which is what the batch-parity
+    * test asserts.
+    */
+  def sessionizedCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    Metrics.metricEventsOf(events)
+      .filter(col("kind") === "counter" && col("value") >= 0)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("name"), col("label_k"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("name"), col("label_k"), col("n_events"), col("total"))
+
   /** The Exposer analog (`prometheus.cpp:27-93`): a `foreachBatch` sink
     * maintaining the latest snapshot in [[ExpositionRegistry]], which
     * concurrent "scrapers" read without blocking ingest — the pull model

@@ -8,12 +8,15 @@ import org.apache.spark.sql.streaming.OutputMode
   * running keyed state matches the batch snapshot, the serving sink
   * exposes the current snapshot to concurrent readers.
   */
+// Raw events-schema row fed through the same adapter as batch.
+// Top-level and public: encoder case classes must not be private (generated
+// SafeProjection code can't access them) nor inner (no outer scope at
+// deserialization time).
+case class RawEvent(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double, props: String)
+
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
-
-  // Raw events-schema rows fed through the same adapter as batch.
-  private case class RawEvent(event_id: Long, ts: java.sql.Timestamp,
-      user_id: Long, event_type: String, value: Double, props: String)
 
   private def raw(id: Long, minute: Int, value: Double, label: String = "s") =
     RawEvent(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
@@ -99,6 +102,45 @@ class StreamingSpec extends SparkTestBase {
       assert(last._1 === Seq(1L, 1L, 0L, 0L, 0L, 0L, 0L)) // 0.5→le1, 3.0→le5, 200 overflow
       assert(last._2 === 20350L)
       assert(last._3 === 3L)
+    } finally q.stop()
+  }
+
+  test("streaming session windows emit closed sessions that match batch output") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    // gap 30 min: 10:00+10:10 merge, 11:30 opens a second session
+    val sessionRows = Seq(raw(0, 0, 1.0), raw(1, 10, 2.0))
+    val laterRows = Seq(RawEvent(2, java.sql.Timestamp.valueOf("2024-01-01 11:30:00"),
+      1L, "click", 4.0, """{"k": "s"}"""))
+    // sentinel far in the future advances the watermark (2h) past both
+    // sessions' ends so Append emits them; its own session stays open
+    val sentinel = Seq(RawEvent(9, java.sql.Timestamp.valueOf("2024-01-01 20:00:00"),
+      1L, "click", 0.0, """{"k": "t"}"""))
+    val out = MetricStream.sessionizedCounts(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(sessionRows: _*)
+      q.processAllAvailable()
+      mem.addData(laterRows: _*)
+      q.processAllAvailable()
+      mem.addData(sentinel: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win")
+        .select($"session_start", $"session_end", $"label_k", $"n_events", $"total")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long, Double)]
+        .collect().toSet
+      // batch parity: the SAME function over the same rows as a static DF,
+      // restricted to sessions the watermark had closed
+      val static = (sessionRows ++ laterRows ++ sentinel).toDF()
+      val batch = MetricStream.sessionizedCounts(static)
+        .filter($"session_end" <= java.sql.Timestamp.valueOf("2024-01-01 18:00:00"))
+        .select($"session_start", $"session_end", $"label_k", $"n_events", $"total")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long, Double)]
+        .collect().toSet
+      assert(streamed === batch)
+      assert(streamed.map(r => (r._3, r._4, r._5)) ===
+        Set(("s", 2L, 3.0), ("s", 1L, 4.0)))
     } finally q.stop()
   }
 
