@@ -87,7 +87,10 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val frames = fakeFrames(bytes)
-          Row(id, bytes.length.toLong, frames.length,
+          // empty payload → 0 frames with null first/last/sum, matching
+          // the oracle's frame_bytes[1] / list_sum([]) NULL semantics
+          if (frames.isEmpty) Row(id, bytes.length.toLong, 0, null, null, null)
+          else Row(id, bytes.length.toLong, frames.length,
             frames.head, frames.last, frames.sum)
         }
       }(enc)
@@ -96,6 +99,13 @@ object Multimodal {
 
   /** STUB decode: deterministic fake "frames" = byte values sampled every
     * 64 positions. A real implementation would hand `bytes` to a codec.
+    *
+    * Shared assumption with [[FrameSampleSql]]: the oracle samples every
+    * 64th CHARACTER (`ascii(substr(text, i, 1))`) while this side samples
+    * every 64th BYTE — identical iff the corpus is ASCII (true for all
+    * driver testdata, verified: octet_length == length at every sf). A
+    * real codec consumes bytes, so the byte-side semantics are the ones
+    * that survive the stub's replacement.
     */
   private def fakeFrames(bytes: Array[Byte]): Array[Long] =
     bytes.indices.by(64).map(i => (bytes(i) & 0xffL)).toArray

@@ -32,8 +32,14 @@ object TextAnalysis {
     val grams = docs
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
       .select(col("doc_id"), col("lang"),
+        // guard like TextOps.shingles: sequence(1, 0) DESCENDS in Spark
+        // (step −1), so a <3-char text would emit spurious short "grams"
+        // where the oracle's generate_series(1, 0) yields none — clamp
+        // the stop to 1 and null-gate each index instead
         explode(expr(
-          "transform(sequence(1, greatest(length(lt) - 2, 0)), i -> substr(lt, i, 3))"))
+          "filter(transform(sequence(1, greatest(length(lt) - 2, 1)), " +
+            "i -> if(i + 2 <= length(lt), substr(lt, i, 3), null)), " +
+            "g -> g is not null)"))
           .as("g"))
     val profile = grams.groupBy(col("lang").as("profile_lang"), col("g"))
       .agg(count(lit(1)).as("freq"))

@@ -118,4 +118,27 @@ class ExtensionSpec extends SparkTestBase {
     assert(r._3 === 'x'.toLong)
     assert(r._4 === 4 * 'x'.toLong)
   }
+
+  test("multimodal frame sampling yields 0 frames with null stats on empty payload") {
+    val dir = fixture("documents" -> Seq(doc(0, "")).toDF(docCols: _*))
+    val r = Multimodal.frameSample(spark, dir)
+      .select("n_bytes", "n_frames", "frame_first", "frame_last", "frame_sum")
+      .collect().head
+    assert(r.getLong(0) === 0L)
+    assert(r.getInt(1) === 0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("langid emits no trigrams for sub-3-char texts (oracle parity guard)") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "ab"),                        // <3 chars: zero trigrams
+      doc(1, "plenty of regular text here")).toDF(docCols: _*))
+    val rows = TextAnalysis.langId(spark, dir)
+      .select($"doc_id", $"score")
+      .as[(Long, Long)].collect().toMap
+    // doc 0 contributes no grams → unmatched → score 0 ("unknown");
+    // doc 1 matches its own language profile
+    assert(rows === Map(0L -> 0L, 1L -> rows(1L)))
+    assert(rows(1L) > 0L)
+  }
 }
