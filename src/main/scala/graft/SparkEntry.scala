@@ -73,6 +73,7 @@ object SparkEntry {
     "b20_sliding_window" -> ((s, d) => PromQL.slidingWindowAgg(s, d)),
     "b21_quantile_over_time" -> ((s, d) => PromQL.quantileOverTime(s, d)),
     "b22_stddev_over_time" -> ((s, d) => PromQL.stddevOverTime(s, d)),
+    "a5_passthrough" -> ((s, d) => Metrics.passthroughView(s, d)),
     "b2b_trailing_lookback" -> ((s, d) => PromQL.trailingLookback(s, d)),
     "b4b_agg_family" -> ((s, d) => PromQL.aggFamily(s, d)),
     "b8b_group_left" -> ((s, d) => PromQL.groupLeftJoin(s, d)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "b20_sliding_window" -> PromQL.SlidingWindowAggSql,
     "b21_quantile_over_time" -> PromQL.QuantileOverTimeSql,
     "b22_stddev_over_time" -> PromQL.StddevOverTimeSql,
+    "a5_passthrough" -> Metrics.PassthroughViewSql,
     "b2b_trailing_lookback" -> PromQL.TrailingLookbackSql,
     "b4b_agg_family" -> PromQL.AggFamilySql,
     "b8b_group_left" -> PromQL.GroupLeftJoinSql,

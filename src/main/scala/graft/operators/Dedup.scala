@@ -159,28 +159,30 @@ object Dedup {
   /** SimHash near-dup clustering: a 32-bit signature per document
     * (bit j = sign of Σ_tokens ±1 weighted by bit j of the token's md5),
     * clusters = identical signatures. Bit extraction is pure integer
-    * arithmetic on hex nibbles — engine-independent. One explode (tokens
-    * × 32 bits) + two map-side-combinable aggregations; no pairwise
-    * stage. At 100 TB the 32×fan-out would move into a custom codegen'd
-    * Expression computing the signature per row; the aggregation shape
-    * is unchanged.
+    * arithmetic on hex nibbles — engine-independent.
+    *
+    * Physical plan: ONE token explode + ONE hash aggregate computing all
+    * 32 bit-weights as parallel codegen'd sum columns (per-j substr
+    * index and divisor are compile-time constants), then a scalar
+    * sign-combine into the bigint signature. No 32× row fan-out and no
+    * second shuffle — the round-1 form exploded tokens × 32 bits; this
+    * shape ships one 32-column row per doc per partition map-side.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bits = toks
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substr(h, cast(j div 4 as int) + 1, 1)) - 1"))
-      .withColumn("bit", expr("(nib div cast(pow(2, j % 4) as int)) % 2"))
-    val sig = bits
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("weight"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("weight") > 0,
-        expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L)).as("simhash"))
+    val weightAggs = (0 until SimhashBits).map { j =>
+      sum(expr(
+        s"CASE WHEN ((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)" +
+          s" div ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"w$j")
+    }
+    val sig = toks.groupBy(col("doc_id"))
+      .agg(weightAggs.head, weightAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(j =>
+          when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
     val w = Window.partitionBy(col("simhash"))
     sig.withColumn("cluster_id", min(col("doc_id")).over(w))
       .withColumn("cluster_size", count(lit(1)).over(w))

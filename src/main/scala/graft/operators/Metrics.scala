@@ -49,10 +49,45 @@ object Metrics {
     eventsCache.computeIfAbsent((spark, dir),
       _ => metricEventsOf(Tables.events(spark, dir)).persist())
 
+  /** A7 compose-time type/dependency check: the reference hard-fails at
+    * compose time when a block's declared input type or required context
+    * variable doesn't resolve (`prometheus.cpp:28-29,98-99,117-119,
+    * 160-167`). The Spark analog is schema validation at operator
+    * CONSTRUCTION — before any job runs — on top of Catalyst's own
+    * attribute/type resolution: a missing or mistyped column raises
+    * immediately with the expected/actual pair, not at executor time.
+    */
+  private val RequiredEventCols = Seq(
+    "ts" -> "timestamp", "event_type" -> "string", "value" -> "double",
+    "props" -> "string", "event_id" -> "bigint")
+
+  def requireEventsSchema(events: DataFrame): Unit = {
+    val actual = events.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    RequiredEventCols.foreach { case (n, t) =>
+      require(actual.get(n).contains(t),
+        s"events input: column `$n` expected $t, got " +
+          s"${actual.getOrElse(n, "<absent>")} (compose-time check, SURVEY §2.1 A7)")
+    }
+  }
+
+  /** A5 identity passthrough: every reference block's `activate` returns
+    * its input unchanged while side-effecting on the registry
+    * (`prometheus.cpp:92,213,250,304`). The Spark-native analog is
+    * `observe()` — a metrics tap that accumulates aggregates as rows
+    * flow through and adds NOTHING to the physical plan: rows, schema,
+    * ordering, and partitioning are untouched, so it chains anywhere in
+    * a pipeline exactly like the reference's pass-through blocks.
+    */
+  def passthrough(df: DataFrame, tapName: String): DataFrame =
+    df.observe(tapName, count(lit(1)).as("n_rows"),
+      sum(col("value")).as("sum_value"))
+
   /** Same adapter over any relation with the `events` schema — works for
     * both batch and streaming inputs (pure per-row projection).
+    * Validates the input schema up front (A7).
     */
-  def metricEventsOf(events: DataFrame): DataFrame =
+  def metricEventsOf(events: DataFrame): DataFrame = {
+    requireEventsSchema(events)
     events.select(
       col("ts"),
       col("event_type").as("name"),
@@ -62,6 +97,16 @@ object Metrics {
         .otherwise("histogram").as("kind"),
       col("value"),
       col("event_id"))
+  }
+
+  /** A5 as an oracle-checked query: the event stream THROUGH the
+    * [[passthrough]] tap — byte-identical to the untapped adapter view.
+    */
+  def passthroughView(spark: SparkSession, dir: String): DataFrame =
+    passthrough(metricEvents(spark, dir), s"a5_tap_$dir")
+      .select(col("event_id"), col("name"), col("label_k"), col("kind"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
 
   /** SQL twin of [[metricEvents]] for the DuckDB oracle (shared prefix of
     * every Tier-A/B oracle query).
@@ -74,6 +119,15 @@ object Metrics {
       |       ELSE 'histogram' END AS kind,
       |  value, event_id
       |FROM events""".stripMargin
+
+  /** Oracle twin of [[passthroughView]] — declared AFTER MetricEventsSql
+    * (plain vals initialize in declaration order; a forward reference
+    * would interpolate null).
+    */
+  val PassthroughViewSql: String =
+    s"""SELECT event_id, name, label_k, kind, value, epoch_us(ts) AS ts_us
+       |FROM ($MetricEventsSql)
+       |ORDER BY event_id""".stripMargin
 
   /** Exact decimal sum of a double column, surfaced as double. */
   private[graft] def decSum(c: Column): Column =

@@ -108,4 +108,30 @@ class MetricsSpec extends SparkTestBase {
     val r = PromQL.rate(spark, dir).select("rate").as[Double].collect()
     assert(math.abs(r.head - 800.0 / 3600.0) < 1e-9)
   }
+
+  test("passthrough tap leaves rows untouched and captures metrics (A5)") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "click", 5.0, "a"), ev(1, 0, "click", 7.0, "b")).toDF(eventCols: _*))
+    val base = Metrics.metricEvents(spark, dir)
+    val obs = new org.apache.spark.sql.Observation("a5_spec_tap")
+    val tapped = base.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+    // identity: same rows, same schema, nothing added to the plan
+    assert(tapped.schema === base.schema)
+    assert(tapped.collect().toSeq === base.collect().toSeq)
+    assert(obs.get("n_rows") === 2L)
+    // the named-tap variant used by the a5 query is also an identity
+    val named = Metrics.passthrough(base, "a5_spec_named")
+    assert(named.collect().toSeq === base.collect().toSeq)
+  }
+
+  test("mistyped events input fails at compose time with the A7 check") {
+    import spark.implicits._
+    val bad = Seq((1L, "click")).toDF("event_id", "event_type") // no ts/value/props
+    val e = intercept[IllegalArgumentException] {
+      Metrics.metricEventsOf(bad)
+    }
+    assert(e.getMessage.contains("expected timestamp"))
+    assert(e.getMessage.contains("<absent>"))
+  }
 }
