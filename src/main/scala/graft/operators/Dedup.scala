@@ -224,9 +224,17 @@ object Dedup {
     // final left join); persist it so the LSH stage runs once. It is
     // tiny by construction (pairs surviving the band join + 0.5 filter).
     val candidates = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    // Only documents that appear in a candidate pair matter downstream
+    // (counts are consumed per-pair) — semi-join the corpus down to them
+    // BEFORE the shingle explode, so the exact-verification stage costs
+    // O(candidate docs), not O(corpus). The pair set is tiny by
+    // construction → broadcast semi-join, no shuffle of the corpus.
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
     // the distinct shingle relation feeds three consumers (per-doc counts
     // + both sides of the intersection join) — persist to shingle once
     val sh = Tables.documents(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
       .distinct()
       .persist()

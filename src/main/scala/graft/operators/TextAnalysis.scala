@@ -29,7 +29,12 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     // lower(text) is hoisted OUT of the per-trigram lambda — inside it,
     // it re-lowercases the whole document per extracted gram (O(len²)).
-    val grams = docs
+    // One explode + ONE aggregation to per-(doc, gram) counts, persisted:
+    // both downstream consumers (corpus profile + per-doc distinct grams)
+    // read the aggregate instead of re-running the trigram explode over
+    // the full corpus — the explode is the linear hot spot, everything
+    // after it is ~distinct-grams-sized.
+    val docGramCounts = docs
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
       .select(col("doc_id"), col("lang"),
         // guard like TextOps.shingles: sequence(1, 0) DESCENDS in Spark
@@ -41,13 +46,16 @@ object TextAnalysis {
             "i -> if(i + 2 <= length(lt), substr(lt, i, 3), null)), " +
             "g -> g is not null)"))
           .as("g"))
-    val profile = grams.groupBy(col("lang").as("profile_lang"), col("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("freq"))
+      .persist()
+    val profile = docGramCounts.groupBy(col("lang").as("profile_lang"), col("g"))
+      .agg(sum(col("freq")).as("freq"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("profile_lang"))
         .orderBy(col("freq").desc, col("g"))))
       .filter(col("rn") <= 20)
       .select(col("profile_lang"), col("g"))
-    val docGrams = grams.select(col("doc_id"), col("g")).distinct()
+    val docGrams = docGramCounts.select(col("doc_id"), col("g"))
     val scores = docGrams.join(broadcast(profile), Seq("g"))
       .groupBy(col("doc_id"), col("profile_lang"))
       .agg(count(lit(1)).as("score"))
