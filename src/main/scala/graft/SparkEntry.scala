@@ -48,6 +48,7 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
     "q5_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q17_small_quantity_revenue" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
     // Extension tier — training-data pipeline ops (SURVEY.md §2.3)
     "x1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "x2_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.ShippingPrioritySql,
     "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,
     "q17_small_quantity_revenue" -> Relational.SmallQuantityRevenueSql,
+    "q6_forecast_revenue" -> Relational.ForecastRevenueSql,
     "x1_dedup_exact" -> Dedup.ExactSql,
     "x2_minhash_signatures" -> Dedup.MinhashSignaturesSql,
     "x3_minhash_lsh" -> Dedup.MinhashLshSql,

@@ -126,6 +126,33 @@ object Relational {
       |FROM lineitem JOIN a ON l_partkey = p_key
       |WHERE l_quantity < avg_qty * 0.2""".stripMargin
 
+  /** TPC-H Q6-shaped forecast revenue: the pure scan-side query — every
+    * predicate is a plain column comparison pushed into the parquet scan
+    * (`PushedFilters`), only the 4 referenced columns are read
+    * (`ReadSchema`), and the rest is one partial+final hash aggregate to
+    * a single row: zero joins, zero wide shuffle. The canonical
+    * "the scan does the work" plan — at 100 TB this query's cost is
+    * I/O-bound and embarrassingly parallel.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dec6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val ForecastRevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** TPC-H Q5-shaped local-supplier volume: revenue per nation where the
     * customer and supplier share a nation. All dimensions broadcast; the
     * fact tables join once on orderkey.
