@@ -49,6 +49,18 @@ object Metrics {
     eventsCache.computeIfAbsent((spark, dir),
       _ => metricEventsOf(Tables.events(spark, dir)).persist())
 
+  /** Release every cached adapter view of `spark` (long-lived sessions
+    * that cycle through many sf dirs — notebooks, services — call this
+    * between corpora; the short-lived Verify/Bench mains just stop the
+    * session, which drops the blocks with the executor).
+    */
+  def unpersistEvents(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    eventsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(eventsCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
   /** A7 compose-time type/dependency check: the reference hard-fails at
     * compose time when a block's declared input type or required context
     * variable doesn't resolve (`prometheus.cpp:28-29,98-99,117-119,

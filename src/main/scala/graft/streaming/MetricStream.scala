@@ -189,6 +189,13 @@ object MetricStream {
   * Concurrent map ⇒ scrape reads never block the streaming query, the
   * same hand-off the reference gets from prometheus-cpp's atomics
   * (`prometheus.cpp:80`).
+  *
+  * Memory bound: the `foreachBatch` collect and this map are O(#series)
+  * — the SERIES key space, not the sample volume — which is exactly the
+  * bound the reference's in-process registry carries
+  * (`prometheus.cpp:34-45`). A deployment whose series cardinality
+  * outgrows driver memory swaps the registry for a keyed external store
+  * (the `ServingSink` parquet layout) without touching the query.
   */
 object ExpositionRegistry {
   private val state =
