@@ -37,10 +37,19 @@ object TextOps {
        |FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM $rel),
        |     LATERAL (SELECT unnest(generate_series(1, len(toks) - ${n - 1})) AS i)""".stripMargin
 
-  /** The `i`-th minhash "permutation": min over shingles of
-    * `md5(i || '|' || shingle)` — hex-string min, identical in both
-    * engines (lowercase hex, binary collation).
+  /** The `i`-th minhash "permutation", chunked (one-permutation-hashing
+    * style): two salted md5s per shingle, each split into four 8-hex-char
+    * (32-bit) chunks → 8 permutation values from 2 hash calls instead
+    * of 8. Hex-string min over fixed-width lowercase chunks is binary
+    * collation in both engines, so signatures stay oracle-exact.
+    * `hashes` must be the pre-projected `Seq(md5('0|'||s), md5('1|'||s))`
+    * columns (projected ONCE per row — don't inline the md5 into each
+    * aggregate or it evaluates per permutation).
     */
-  def minhashPerm(shingle: Column, i: Int): Column =
-    md5(concat(lit(s"$i|"), shingle))
+  def minhashPermChunk(hashes: Seq[Column], i: Int): Column =
+    substring(hashes(i / 4), (i % 4) * 8 + 1, 8)
+
+  /** The two salted per-shingle hashes feeding [[minhashPermChunk]]. */
+  def minhashHashes(shingle: Column): Seq[Column] =
+    Seq(md5(concat(lit("0|"), shingle)), md5(concat(lit("1|"), shingle)))
 }

@@ -72,23 +72,30 @@ object Dedup {
   /** Per-document minhash signature: one row per doc with `NumPerms`
     * hex-string minima over word-3-gram shingles. A single
     * explode+groupBy — the signature aggregation is map-side
-    * combinable, so shuffle volume is one row per document.
+    * combinable, so shuffle volume is one row per document. The 8
+    * permutations are 32-bit chunks of TWO salted md5s (projected once
+    * per shingle row), not 8 independent md5 calls — a 4× cut of the
+    * hash work that dominates the dedup tier's linear cost.
     */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
     sigCache.computeIfAbsent((spark, dir), _ => {
+      val hs = TextOps.minhashHashes(col("shingle"))
       val sh = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+        .select(col("doc_id"), hs.head.as("h0"), hs(1).as("h1"))
       val aggs = (0 until NumPerms).map(i =>
-        min(TextOps.minhashPerm(col("shingle"), i)).as(s"mh$i"))
+        min(TextOps.minhashPermChunk(Seq(col("h0"), col("h1")), i)).as(s"mh$i"))
       sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).persist()
     })
 
   private val SignaturesSql: String = {
     val perms = (0 until NumPerms)
-      .map(i => s"MIN(md5('$i|' || shingle)) AS mh$i").mkString(",\n  ")
+      .map(i => s"MIN(substr(h${i / 4}, ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+      .mkString(",\n  ")
     s"""SELECT doc_id,
        |  $perms
-       |FROM (${TextOps.shinglesSql("documents", 3)})
+       |FROM (SELECT doc_id, md5('0|' || shingle) AS h0, md5('1|' || shingle) AS h1
+       |      FROM (${TextOps.shinglesSql("documents", 3)}))
        |GROUP BY doc_id""".stripMargin
   }
 
