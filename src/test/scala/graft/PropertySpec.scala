@@ -80,6 +80,25 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("TopKMinAggregator: any reduce/merge tree equals brute-force k smallest distinct") {
+    val agg = graft.functions.TopKMinAggregator(4)
+    val strs: Gen[List[String]] = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 15).map(i => f"v$i%02d")))
+    for (i <- 1 to 20) {
+      val vals = strs.apply(Gen.Parameters.default, Seed(100L + i)).get
+      val expected = vals.distinct.sorted.take(4).mkString("|")
+      // sequential reduce
+      val seq = agg.finish(vals.foldLeft(agg.zero)(agg.reduce))
+      assert(seq === expected, s"seq case $vals")
+      // arbitrary split + merge (both orders) — partial aggregation law
+      val (l, r) = vals.splitAt(vals.length / 2)
+      val bl = l.foldLeft(agg.zero)(agg.reduce)
+      val br = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(bl, br)) === expected, s"merge case $vals")
+      assert(agg.finish(agg.merge(br, bl)) === expected, s"merge-swap case $vals")
+    }
+  }
+
   test("gauge: order-independent given distinct timestamps") {
     for (vals <- cases()) {
       val stamped = vals.zipWithIndex
