@@ -79,6 +79,7 @@ object SparkEntry {
     "b4b_agg_family" -> ((s, d) => PromQL.aggFamily(s, d)),
     "b8b_group_left" -> ((s, d) => PromQL.groupLeftJoin(s, d)),
     "b13b_vector_or" -> ((s, d) => PromQL.vectorOr(s, d)),
+    "b23_label_functions" -> ((s, d) => PromQL.labelFunctions(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,5 +139,6 @@ object SparkEntry {
     "b4b_agg_family" -> PromQL.AggFamilySql,
     "b8b_group_left" -> PromQL.GroupLeftJoinSql,
     "b13b_vector_or" -> PromQL.VectorOrSql,
+    "b23_label_functions" -> PromQL.LabelFunctionsSql,
   )
 }

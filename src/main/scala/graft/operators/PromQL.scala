@@ -693,6 +693,41 @@ object PromQL {
        |WHERE label_k NOT IN (SELECT label_k FROM p)
        |ORDER BY label_k, name""".stripMargin
 
+  /** B-scalar PromQL label/value functions in one pass:
+    * `label_replace(v, "bucket", "$1", "k", "([0-9]).*")` (regex capture
+    * into a new label) and `clamp(v, 200, 1200)` with its `clamp_min`/
+    * `clamp_max` halves. Pure per-row projections — no shuffle beyond
+    * the snapshot's own aggregate; at any scale these are free riders on
+    * whatever pipeline they decorate.
+    */
+  def labelFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val snap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+      .withColumn("value", col("cents").cast("double") / 100.0)
+    snap.select(
+      col("name"), col("label_k"),
+      regexp_replace(col("label_k"), "([0-9]).*", "$1").as("decade"),
+      col("value"),
+      least(greatest(col("value"), lit(200.0)), lit(1200.0)).as("clamped"),
+      greatest(col("value"), lit(200.0)).as("clamp_min"),
+      least(col("value"), lit(1200.0)).as("clamp_max"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  val LabelFunctionsSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k,
+       |    CAST(SUM(cents) AS DOUBLE) / 100.0 AS value
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k)
+       |SELECT name, label_k,
+       |  regexp_replace(label_k, '([0-9]).*', '\\1') AS decade,
+       |  value,
+       |  least(greatest(value, 200.0), 1200.0) AS clamped,
+       |  greatest(value, 200.0) AS clamp_min,
+       |  least(value, 1200.0) AS clamp_max
+       |FROM snap
+       |ORDER BY name, label_k""".stripMargin
+
   /** B-range `avg/min/max/last_over_time` for gauge series per day — one
     * hash aggregate computes all four range functions (last via the
     * deterministic rank trick, avg via exact cents).

@@ -27,19 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantized embeddings: vec_id, q (array<long>), n2 (‖q‖², exact). */
+  /** Quantized embeddings: vec_id, q (array<long>), n2 (‖q‖², exact).
+    * The FLOAT element is promoted to DOUBLE explicitly before the
+    * `× 10⁴` scaling on BOTH sides: Spark promotes float×int to double
+    * implicitly, while DuckDB's float path rounds in float precision —
+    * near-half values then quantize ±1 apart and every downstream
+    * cosine drifts (caught at sf0.1: one near-dup pair off by 4e-6).
+    */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),
-      expr("transform(embedding, x -> cast(round(x * 10000, 0) as bigint))").as("q"))
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 10000, 0) as bigint))").as("q"))
       .withColumn("n2", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)"))
 
   private val QuantizedSql: String =
     """SELECT vec_id, label,
-      |  list_transform(embedding, x -> CAST(round(x * 10000, 0) AS BIGINT)) AS q,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS q,
       |  list_sum(list_transform(embedding,
-      |    x -> CAST(round(x * 10000, 0) AS BIGINT)
-      |         * CAST(round(x * 10000, 0) AS BIGINT))) AS n2
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
+      |         * CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))) AS n2
       |FROM embeddings""".stripMargin
 
   /** Exact cosine between two quantized vectors (columns `qa`,`qb` with
