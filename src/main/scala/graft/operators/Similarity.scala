@@ -38,7 +38,7 @@ object Similarity {
     Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 10000, 0) as bigint))").as("q"))
-      .withColumn("n2", expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+      .withColumn("n2", graft.plans.IntDotExpr.intDot(spark, "q", "q"))
 
   private val QuantizedSql: String =
     """SELECT vec_id, label,
@@ -74,8 +74,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("n2").as("na2"))
     val corpus = q.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("n2").as("nb2"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("dp",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qa", "qb"))
       .withColumn("cosine", cosineCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -161,8 +160,7 @@ object Similarity {
       col("n2").as("nb2"), col("bucket"))
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dp",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qa", "qb"))
       .withColumn("cosine", cosineCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -201,8 +199,7 @@ object Similarity {
     val centroids = q.filter(col("vec_id").between(100, 107))
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     val assigned = q.crossJoin(broadcast(centroids))
-      .withColumn("cdp",
-        expr("aggregate(zip_with(q, cq, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("cdp", graft.plans.IntDotExpr.intDot(spark, "q", "cq"))
       .withColumn("cscore",
         col("cdp").cast("double") / sqrt(col("n2").cast("double")) / sqrt(col("cn2").cast("double")))
       .withColumn("crn", row_number().over(Window.partitionBy(col("vec_id"))
@@ -216,8 +213,7 @@ object Similarity {
       col("n2").as("nb2"), col("cell"))
     val scored = corpus.join(broadcast(queries), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dp",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qa", "qb"))
       .withColumn("cosine", cosineCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -272,8 +268,7 @@ object Similarity {
       col("q").as("qb"), col("n2").as("nb2"))
     val scored = a.join(b, Seq("label", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("dp",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qa", "qb"))
       .withColumn("cosine", cosineCol)
     val w = Window.partitionBy(col("label"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))

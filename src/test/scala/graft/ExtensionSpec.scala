@@ -129,6 +129,23 @@ class ExtensionSpec extends SparkTestBase {
     assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("int_dot expression computes exact integer dot products in codegen") {
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),       // 4+10+18 = 32
+      (Array(-2L, 7L), Array(3L, -1L)),             // -6-7 = -13
+      (Array.empty[Long], Array.empty[Long])        // 0
+    ).toDF("a", "b")
+    graft.plans.IntDotExpr.register(spark)
+    val out = df.select(org.apache.spark.sql.functions.expr("int_dot(a, b)").as("d"))
+      .as[Long].collect().toSeq
+    assert(out === Seq(32L, -13L, 0L))
+    // compose-time type contract: non-long arrays are rejected at analysis
+    val bad = Seq((Array(1.0, 2.0), Array(1L))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(org.apache.spark.sql.functions.expr("int_dot(a, b)")).collect()
+    }
+  }
+
   test("langid emits no trigrams for sub-3-char texts (oracle parity guard)") {
     val dir = fixture("documents" -> Seq(
       doc(0, "ab"),                        // <3 chars: zero trigrams
