@@ -39,21 +39,19 @@ object TextAnalysis {
     // aggregate instead of re-running the trigram explode over the full
     // corpus — the explode is the linear hot spot, everything after it
     // is ~distinct-grams-sized — and repeated calls don't re-persist.
-    val docGramCounts = gramCache.computeIfAbsent((spark, dir), _ => docs
-      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
-      .select(col("doc_id"), col("lang"),
-        // guard like TextOps.shingles: sequence(1, 0) DESCENDS in Spark
-        // (step −1), so a <3-char text would emit spurious short "grams"
-        // where the oracle's generate_series(1, 0) yields none — clamp
-        // the stop to 1 and null-gate each index instead
-        explode(expr(
-          "filter(transform(sequence(1, greatest(length(lt) - 2, 1)), " +
-            "i -> if(i + 2 <= length(lt), substr(lt, i, 3), null)), " +
-            "g -> g is not null)"))
-          .as("g"))
-      .groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("freq"))
-      .persist())
+    val docGramCounts = gramCache.computeIfAbsent((spark, dir), _ => {
+      // one-pass native trigram generator: the substr-per-position form
+      // is O(len²)/doc (each substr re-seeks the UTF-8 string); the
+      // generator emits byte slices in O(len), and yields nothing for
+      // <3-char texts exactly like the oracle's generate_series(1, len-2)
+      graft.plans.CharTrigramsExpr.register(spark)
+      docs
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+        .select(col("doc_id"), col("lang"), expr("char_trigrams(lt)").as("g"))
+        .groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(count(lit(1)).as("freq"))
+        .persist()
+    })
     val profile = docGramCounts.groupBy(col("lang").as("profile_lang"), col("g"))
       .agg(sum(col("freq")).as("freq"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("profile_lang"))

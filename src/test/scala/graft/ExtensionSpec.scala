@@ -146,6 +146,17 @@ class ExtensionSpec extends SparkTestBase {
     }
   }
 
+  test("char_trigrams generator matches substr semantics incl. multi-byte UTF-8") {
+    graft.plans.CharTrigramsExpr.register(spark)
+    val df = Seq("abcd", "héllo", "ab", "").toDF("s")
+    val out = df.select($"s", org.apache.spark.sql.functions.expr("char_trigrams(s)").as("g"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out.filter(_._1 == "abcd").map(_._2) === Seq("abc", "bcd"))
+    // é is 2 bytes — slices must respect char boundaries
+    assert(out.filter(_._1 == "héllo").map(_._2) === Seq("hél", "éll", "llo"))
+    assert(!out.exists(r => r._1 == "ab" || r._1 == ""))
+  }
+
   test("langid emits no trigrams for sub-3-char texts (oracle parity guard)") {
     val dir = fixture("documents" -> Seq(
       doc(0, "ab"),                        // <3 chars: zero trigrams
