@@ -80,6 +80,9 @@ object SparkEntry {
     "b8b_group_left" -> ((s, d) => PromQL.groupLeftJoin(s, d)),
     "b13b_vector_or" -> ((s, d) => PromQL.vectorOr(s, d)),
     "b23_label_functions" -> ((s, d) => PromQL.labelFunctions(s, d)),
+    // sketch tier: engine-specific HLL values → no oracle entry (the
+    // driver records a rows-only check); error bound is spec-asserted
+    "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -69,6 +69,16 @@ object Dedup {
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Release the session's cached signature relations (see
+    * [[Metrics.unpersistEvents]] for when to call).
+    */
+  def unpersistSignatures(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    sigCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(sigCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
   /** Per-document minhash signature: one row per doc with `NumPerms`
     * hex-string minima over word-3-gram shingles. A single
     * explode+groupBy — the signature aggregation is map-side

@@ -29,6 +29,16 @@ object TextAnalysis {
   private val gramCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Release the session's cached gram relations (see
+    * [[Metrics.unpersistEvents]] for when to call).
+    */
+  def unpersistGrams(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    gramCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(gramCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // lower(text) is hoisted OUT of the per-trigram lambda — inside it,
@@ -178,6 +188,31 @@ object TextAnalysis {
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  /** Approximate-distinct sketch tier: HyperLogLog++ cardinalities per
+    * language — distinct documents, sources, and word-shingle estimate —
+    * alongside the exact distinct-doc count for error inspection.
+    *
+    * This is the sketch path a 100 TB profile pass runs INSTEAD of exact
+    * distincts: `approx_count_distinct` is a fixed-size mergeable buffer
+    * (map-side combined, one sketch per group crossing the shuffle),
+    * where exact distinct on a high-cardinality column shuffles every
+    * distinct value. Sketch values are engine-specific, so this query
+    * has no DuckDB oracle (driver records a rows-only check); the spec
+    * asserts the estimate lands within HLL++'s documented error of the
+    * exact count.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs_exact"),
+        approx_count_distinct(col("doc_id")).as("n_docs_approx"),
+        approx_count_distinct(col("source")).as("n_sources_approx"),
+        approx_count_distinct(col("shingle")).as("n_shingles_approx"))
+      .orderBy(col("lang"))
 
   /** Document fingerprinting (winnowing-lite): the 4 smallest distinct
     * md5 hashes of the document's word-3-gram shingles, concatenated and

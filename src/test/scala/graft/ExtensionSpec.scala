@@ -146,6 +146,16 @@ class ExtensionSpec extends SparkTestBase {
     }
   }
 
+  test("approx distinct sketch lands within HLL++ error of the exact count") {
+    val dir = fixture("documents" -> (0 until 200).map(i =>
+      doc(i.toLong, s"unique document number $i with shared filler words")).toDF(docCols: _*))
+    val r = TextAnalysis.approxDistinct(spark, dir)
+      .select("n_docs_exact", "n_docs_approx").as[(Long, Long)].head()
+    assert(r._1 === 200L)
+    // default rsd 5%: allow 3 sigma
+    assert(math.abs(r._2 - 200L) <= 30, s"approx ${r._2} too far from 200")
+  }
+
   test("char_trigrams generator matches substr semantics incl. multi-byte UTF-8") {
     graft.plans.CharTrigramsExpr.register(spark)
     val df = Seq("abcd", "héllo", "ab", "").toDF("s")
