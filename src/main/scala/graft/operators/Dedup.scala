@@ -88,7 +88,8 @@ object Dedup {
     * hash work that dominates the dedup tier's linear cost.
     */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent((spark, dir), _ => {
+    sigCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => sigCache.remove(k))
       val hs = TextOps.minhashHashes(col("shingle"))
       val sh = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))

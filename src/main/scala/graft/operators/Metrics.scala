@@ -46,8 +46,10 @@ object Metrics {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def metricEvents(spark: SparkSession, dir: String): DataFrame =
-    eventsCache.computeIfAbsent((spark, dir),
-      _ => metricEventsOf(Tables.events(spark, dir)).persist())
+    eventsCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => eventsCache.remove(k))
+      metricEventsOf(Tables.events(spark, dir)).persist()
+    })
 
   /** Release every cached adapter view of `spark` (long-lived sessions
     * that cycle through many sf dirs — notebooks, services — call this

@@ -98,10 +98,10 @@ object PromQL {
     s"""WITH m AS (SELECT * FROM ($MetricEventsSql) WHERE kind = 'counter'),
        |universe AS (SELECT DISTINCT label_k FROM m),
        |present AS (SELECT DISTINCT label_k FROM m
-       |            WHERE name = 'purchase' AND CAST(label_k AS INT) < 90)
+       |            WHERE name = 'purchase' AND TRY_CAST(label_k AS INT) < 90)
        |SELECT 'purchase' AS name, label_k, TRUE AS absent
        |FROM universe
-       |WHERE label_k NOT IN (SELECT label_k FROM present)
+       |WHERE NOT EXISTS (SELECT 1 FROM present WHERE present.label_k = universe.label_k)
        |ORDER BY label_k""".stripMargin
 
   /** A2-salted: the counter snapshot through an explicit two-phase
@@ -495,7 +495,7 @@ object PromQL {
        |  FROM c WHERE name = 'purchase' GROUP BY 1, 2),
        |info AS (
        |  SELECT label_k, SUM(cents) AS ccents,
-       |    CASE WHEN CAST(label_k AS INT) % 2 = 0 THEN 'even' ELSE 'odd' END AS tier
+       |    CASE WHEN TRY_CAST(label_k AS INT) % 2 = 0 THEN 'even' ELSE 'odd' END AS tier
        |  FROM c WHERE name = 'click' GROUP BY label_k)
        |SELECT label_k, hour_us, tier,
        |  CAST(pcents AS DOUBLE) / 100.0 AS purchase_value,
@@ -650,12 +650,12 @@ object PromQL {
        |  FROM ($CounterCentsSql) GROUP BY name, label_k),
        |p AS (SELECT * FROM snap WHERE name = 'purchase'),
        |c AS (SELECT label_k FROM snap
-       |      WHERE name = 'click' AND CAST(label_k AS INT) % 2 = 0)
+       |      WHERE name = 'click' AND TRY_CAST(label_k AS INT) % 2 = 0)
        |SELECT 'and' AS op, label_k, CAST(cents AS DOUBLE) / 100.0 AS value
        |FROM p WHERE label_k IN (SELECT label_k FROM c)
        |UNION ALL
        |SELECT 'unless' AS op, label_k, CAST(cents AS DOUBLE) / 100.0 AS value
-       |FROM p WHERE label_k NOT IN (SELECT label_k FROM c)
+       |FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.label_k = p.label_k)
        |ORDER BY op, label_k""".stripMargin
 
   /** B13b PromQL `or`: union with left priority — every series of the
@@ -684,13 +684,13 @@ object PromQL {
        |  SELECT name, label_k, SUM(cents) AS cents
        |  FROM ($CounterCentsSql) GROUP BY name, label_k),
        |p AS (SELECT * FROM snap
-       |      WHERE name = 'purchase' AND CAST(label_k AS INT) < 50),
+       |      WHERE name = 'purchase' AND TRY_CAST(label_k AS INT) < 50),
        |c AS (SELECT * FROM snap
-       |      WHERE name = 'click' AND CAST(label_k AS INT) % 2 = 0)
+       |      WHERE name = 'click' AND TRY_CAST(label_k AS INT) % 2 = 0)
        |SELECT name, label_k, CAST(cents AS DOUBLE) / 100.0 AS value FROM p
        |UNION ALL
        |SELECT name, label_k, CAST(cents AS DOUBLE) / 100.0 AS value FROM c
-       |WHERE label_k NOT IN (SELECT label_k FROM p)
+       |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.label_k = c.label_k)
        |ORDER BY label_k, name""".stripMargin
 
   /** B-scalar PromQL label/value functions in one pass:

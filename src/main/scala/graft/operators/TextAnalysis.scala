@@ -49,7 +49,8 @@ object TextAnalysis {
     // aggregate instead of re-running the trigram explode over the full
     // corpus — the explode is the linear hot spot, everything after it
     // is ~distinct-grams-sized — and repeated calls don't re-persist.
-    val docGramCounts = gramCache.computeIfAbsent((spark, dir), _ => {
+    val docGramCounts = gramCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => gramCache.remove(k))
       // one-pass native trigram generator: the substr-per-position form
       // is O(len²)/doc (each substr re-seeks the UTF-8 string); the
       // generator emits byte slices in O(len), and yields nothing for

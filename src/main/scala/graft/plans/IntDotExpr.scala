@@ -50,12 +50,28 @@ case class IntDotExpr(left: Expression, right: Expression)
 
 object IntDotExpr {
 
-  /** Static + primitive so generated code calls it directly. */
+  /** Static + primitive so generated code calls it directly.
+    *
+    * Contract (enforced, not assumed — the function is registered
+    * session-wide as `int_dot`, so arbitrary callers reach it): both
+    * arrays must have equal length and no null elements. Violations
+    * raise rather than silently returning a min-length or
+    * null-slots-as-zero dot product.
+    */
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"int_dot: array length mismatch ($n vs ${b.numElements()})")
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"int_dot: null array element at index $i")
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     s
   }
 
