@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.functions.TextOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session-scoped cache of the exploded word-3-gram shingle relation
+  * `(doc_id, lang, source, shingle)` — the single most repeated subtree
+  * of the text tier. Minhash signatures (x2/x3), fingerprinting (x12),
+  * the approximate-distinct profile (x16), and the Jaccard verifier
+  * (x5) all start from this explode; without sharing, each pays the
+  * full corpus scan + tokenize + explode again.
+  *
+  * At 100 TB the analog is a materialized silver table (doc → shingle)
+  * written once per corpus snapshot and read by every downstream dedup/
+  * profile job — exactly how large-scale pipelines amortize shingling.
+  * Here it is an in-memory columnar cache per (session, sf); entries
+  * are dropped at application end via [[SessionCaches]].
+  */
+object Corpus {
+
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Release the session's cached shingle relations (see
+    * [[Metrics.unpersistEvents]] for when to call).
+    */
+  def unpersistShingles(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    shingleCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(shingleCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
+  /** One row per (document, shingle occurrence); duplicate shingles are
+    * kept — consumers that need the distinct set apply their own
+    * `.distinct()` (column pruning on the cached relation makes the
+    * unused lang/source columns free for consumers that don't read
+    * them).
+    */
+  def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => shingleCache.remove(k))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+        .persist()
+    })
+}

@@ -91,8 +91,7 @@ object Dedup {
     sigCache.computeIfAbsent((spark, dir), k => {
       SessionCaches.onApplicationEnd(spark)(() => sigCache.remove(k))
       val hs = TextOps.minhashHashes(col("shingle"))
-      val sh = Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+      val sh = Corpus.shingleRows(spark, dir)
         .select(col("doc_id"), hs.head.as("h0"), hs(1).as("h1"))
       val aggs = (0 until NumPerms).map(i =>
         min(TextOps.minhashPermChunk(Seq(col("h0"), col("h1")), i)).as(s"mh$i"))
@@ -250,10 +249,11 @@ object Dedup {
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
     // the distinct shingle relation feeds three consumers (per-doc counts
-    // + both sides of the intersection join) — persist to shingle once
-    val sh = Tables.documents(spark, dir)
+    // + both sides of the intersection join) — persist the tiny
+    // candidate-only slice of the shared shingle cache once
+    val sh = Corpus.shingleRows(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), col("shingle"))
       .distinct()
       .persist()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -204,9 +204,7 @@ object TextAnalysis {
     * exact count.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+    Corpus.shingleRows(spark, dir)
       .groupBy(col("lang"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs_exact"),
@@ -229,8 +227,7 @@ object TextAnalysis {
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val top4 = udaf(graft.functions.TopKMinAggregator(4), Encoders.STRING)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+    Corpus.shingleRows(spark, dir)
       .select(col("doc_id"), md5(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
       .agg(md5(top4(col("h"))).as("fingerprint"))
