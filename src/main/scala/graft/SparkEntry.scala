@@ -80,6 +80,12 @@ object SparkEntry {
     "b8b_group_left" -> ((s, d) => PromQL.groupLeftJoin(s, d)),
     "b13b_vector_or" -> ((s, d) => PromQL.vectorOr(s, d)),
     "b23_label_functions" -> ((s, d) => PromQL.labelFunctions(s, d)),
+    "a1d_exposition_parse" -> ((s, d) => PromQL.expositionParse(s, d)),
+    "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
+    "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
+    "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
+    "b27_math_functions" -> ((s, d) => PromQL.mathFunctions(s, d)),
+    "b28_time_functions" -> ((s, d) => PromQL.timeFunctions(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -143,5 +149,11 @@ object SparkEntry {
     "b8b_group_left" -> PromQL.GroupLeftJoinSql,
     "b13b_vector_or" -> PromQL.VectorOrSql,
     "b23_label_functions" -> PromQL.LabelFunctionsSql,
+    "a1d_exposition_parse" -> PromQL.ExpositionParseSql,
+    "b24_instant_rate" -> PromQL.InstantRateSql,
+    "b25_linear_regression" -> PromQL.LinearRegressionSql,
+    "b26_count_values" -> PromQL.CountValuesSql,
+    "b27_math_functions" -> PromQL.MathFunctionsSql,
+    "b28_time_functions" -> PromQL.TimeFunctionsSql,
   )
 }

@@ -963,6 +963,39 @@ object PromQL {
        |FROM snap
        |ORDER BY line""".stripMargin
 
+  /** A1-parse: the scrape-INGEST side of the exposition contract — parse
+    * the Prometheus text format (`name{k="v"} value`, the exact payload
+    * [[expositionText]] renders and the reference serves at
+    * `/root/reference/prometheus.cpp:73`) back into typed series rows.
+    * This is what a Prometheus server does with the reference's endpoint
+    * bytes; here it is three `regexp_extract` projections — fully
+    * codegen'd, no shuffle beyond the snapshot the text came from — and
+    * the decimal string parses to double identically in both engines
+    * (correctly-rounded decimal→binary conversion), so the round-trip
+    * is bit-exact.
+    */
+  def expositionParse(spark: SparkSession, dir: String): DataFrame = {
+    val re = "^(\\w+)\\{k=\"([^\"]*)\"\\} (.+)$"
+    expositionText(spark, dir).select(
+        regexp_extract(col("line"), re, 1).as("name"),
+        regexp_extract(col("line"), re, 2).as("label_k"),
+        regexp_extract(col("line"), re, 3).cast("double").as("value"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  val ExpositionParseSql: String = {
+    // stripMargin BEFORE splicing ExpositionTextSql — its rendered body
+    // contains lines that begin with `||` (string concat), which an
+    // outer stripMargin would truncate to `|`
+    val body =
+      """SELECT regexp_extract(line, '^(\w+)\{k="([^"]*)"\} (.+)$', 1) AS name,
+        |  regexp_extract(line, '^(\w+)\{k="([^"]*)"\} (.+)$', 2) AS label_k,
+        |  CAST(regexp_extract(line, '^(\w+)\{k="([^"]*)"\} (.+)$', 3) AS DOUBLE) AS value
+        |FROM lines
+        |ORDER BY name, label_k""".stripMargin
+    s"WITH lines AS ($ExpositionTextSql)\n$body"
+  }
+
   /** B-session: gap-based sessionization of the event stream per user —
     * Spark's native `session_window` (30-minute inactivity gap), the
     * batch twin of the streaming session-window operator (SURVEY.md §2.3
@@ -1039,4 +1072,227 @@ object PromQL {
        |SELECT name, label_k, epoch_us(t) AS t_us, value
        |FROM j WHERE rn = 1
        |ORDER BY name, label_k, t_us""".stripMargin
+
+  /** B3-instant `irate`/`idelta`: the rate/delta of the LAST two samples
+    * of each (series, day) — PromQL's spike-sensitive counterparts of
+    * the averaged `rate`/`delta`. Reuses the wrapped-counter + reset
+    * compensation construction of [[rate]] (same single window stage,
+    * same partitioning), then one row_number pass picks the freshest
+    * sample per day. Division happens on exact integers (cents, micros)
+    * so the doubles are bit-reproducible on any partitioning.
+    */
+  def instantRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(series: _*).orderBy(col("ts"), col("event_id"))
+    val prepped = counterCents(spark, dir)
+      .withColumn("wrapped",
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)) % 100000L)
+      .withColumn("prev", lag(col("wrapped"), 1).over(w))
+      .withColumn("prev_ts_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+    val wd = Window.partitionBy(col("name"), col("label_k"), col("day_us"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    prepped
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1 && col("prev").isNotNull &&
+        unix_micros(col("ts")) > col("prev_ts_us"))
+      .withColumn("delta",
+        when(col("wrapped") >= col("prev"), col("wrapped") - col("prev"))
+          .otherwise(col("wrapped")))
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - col("prev_ts_us")).cast("double") / 1000000.0)
+      .select(col("name"), col("label_k"), col("day_us"),
+        ((col("delta").cast("double") / 100.0) / col("gap_s")).as("irate"),
+        ((col("wrapped") - col("prev")).cast("double") / 100.0).as("idelta"))
+      .orderBy(col("name"), col("label_k"), col("day_us"))
+  }
+
+  val InstantRateSql: String =
+    s"""WITH c AS ($CounterCentsSql),
+       |w AS (SELECT *,
+       |  SUM(cents) OVER (PARTITION BY name, label_k ORDER BY ts, event_id
+       |                   ROWS UNBOUNDED PRECEDING) % 100000 AS wrapped
+       |  FROM c),
+       |d AS (SELECT *, epoch_us(date_trunc('day', ts)) AS day_us,
+       |  LAG(wrapped) OVER (PARTITION BY name, label_k
+       |                     ORDER BY ts, event_id) AS prev,
+       |  LAG(epoch_us(ts)) OVER (PARTITION BY name, label_k
+       |                          ORDER BY ts, event_id) AS prev_ts_us
+       |  FROM w),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, day_us
+       |                     ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM d)
+       |SELECT name, label_k, day_us,
+       |  (CAST(CASE WHEN wrapped >= prev THEN wrapped - prev
+       |             ELSE wrapped END AS DOUBLE) / 100.0)
+       |    / (CAST(epoch_us(ts) - prev_ts_us AS DOUBLE) / 1000000.0) AS irate,
+       |  CAST(wrapped - prev AS DOUBLE) / 100.0 AS idelta
+       |FROM r
+       |WHERE rn = 1 AND prev IS NOT NULL AND epoch_us(ts) > prev_ts_us
+       |ORDER BY name, label_k, day_us""".stripMargin
+
+  /** B3-regression `deriv`/`predict_linear`: per (gauge series, day)
+    * least-squares slope and the 1-hour-past-day-end extrapolation.
+    * All five regression sums accumulate as exact BIGINTs (x = seconds
+    * since day start, y = cents) in ONE map-side-combinable hash
+    * aggregate — no window, no second pass — and the closed-form slope/
+    * intercept divisions run on those exact integers in an identical
+    * order in both engines, so the output doubles bit-match. Groups
+    * with fewer than two distinct sample times carry no slope and are
+    * filtered, mirroring PromQL's no-result on single-sample ranges.
+    */
+  def linearRegression(spark: SparkSession, dir: String): DataFrame = {
+    val base = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+      .withColumn("x", expr("(unix_micros(ts) - day_us) div 1000000"))
+    val agg = base.groupBy(col("name"), col("label_k"), col("day_us"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("cents")).as("sy"),
+        sum(col("x") * col("cents")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0L)
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    agg
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .select(col("name"), col("label_k"), col("day_us"),
+        (col("slope") / 100.0).as("deriv"),
+        ((col("intercept") + col("slope") * lit(90000.0)) / 100.0).as("predict_1h"))
+      .orderBy(col("name"), col("label_k"), col("day_us"))
+  }
+
+  val LinearRegressionSql: String =
+    s"""WITH g AS (
+       |  SELECT *, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    epoch_us(date_trunc('day', ts)) AS day_us
+       |  FROM ($MetricEventsSql) WHERE kind = 'gauge'),
+       |x AS (SELECT *, (epoch_us(ts) - day_us) // 1000000 AS x FROM g),
+       |a AS (
+       |  SELECT name, label_k, day_us, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(cents) AS BIGINT) AS sy,
+       |    CAST(SUM(x * cents) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM x GROUP BY name, label_k, day_us),
+       |s AS (
+       |  SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+       |              / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+       |  FROM a WHERE n * sxx - sx * sx <> 0)
+       |SELECT name, label_k, day_us,
+       |  slope / 100.0 AS deriv,
+       |  ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+       |    + slope * 90000.0) / 100.0 AS predict_1h
+       |FROM s
+       |ORDER BY name, label_k, day_us""".stripMargin
+
+  /** B4-dual `count_values` + `group`: histogram of the counter snapshot
+    * VALUES (how many series sit at each accumulated total — PromQL
+    * `count_values("v", m)`), with the degenerate `group` aggregator (a
+    * constant 1 per populated group). Two chained hash aggregates, both
+    * map-side combinable; grouping happens on exact cents, never on a
+    * formatted double.
+    */
+  def countValues(spark: SparkSession, dir: String): DataFrame =
+    counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+      .groupBy(col("name"), col("cents"))
+      .agg(count(lit(1)).as("n_series"))
+      .select(col("name"), (col("cents").cast("double") / 100.0).as("value"),
+        col("n_series"), lit(1L).as("grp"))
+      .orderBy(col("name"), col("value"))
+
+  val CountValuesSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k)
+       |SELECT name, CAST(cents AS DOUBLE) / 100.0 AS value,
+       |  COUNT(*) AS n_series, CAST(1 AS BIGINT) AS grp
+       |FROM snap
+       |GROUP BY name, cents
+       |ORDER BY name, value""".stripMargin
+
+  /** B-scalar math function family over the gauge snapshot: `abs`,
+    * `ceil`, `floor`, `round`, `sqrt`, `sgn`, and modular bucketing —
+    * the PromQL scalar library restricted to operations with exact
+    * IEEE semantics (correctly-rounded sqrt, away-from-zero round on
+    * halves) so results are bit-identical across engines; `exp`/`ln`
+    * are deliberately excluded because libm last-ulp differences break
+    * cross-engine reproducibility. Pure per-row projections on top of
+    * one snapshot aggregate.
+    */
+  def mathFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(series: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val snap = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    snap.select(col("name"), col("label_k"),
+        (col("cents").cast("double") / 100.0).as("value"),
+        (abs(col("cents") - 50000L).cast("double") / 100.0).as("abs_dev"),
+        ceil(col("cents").cast("double") / 100.0).cast("double").as("ceil_v"),
+        floor(col("cents").cast("double") / 100.0).cast("double").as("floor_v"),
+        round(col("cents").cast("double") / 100.0).cast("double").as("round_v"),
+        sqrt(col("cents").cast("double") / 100.0).as("sqrt_v"),
+        signum(col("cents") - 50000L).cast("double").as("sign_dev"),
+        (col("cents") % 7L).as("mod7"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  val MathFunctionsSql: String =
+    s"""WITH g AS (
+       |  SELECT *, CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM ($MetricEventsSql) WHERE kind = 'gauge'),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k
+       |                     ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM g),
+       |snap AS (SELECT name, label_k, cents FROM r WHERE rn = 1)
+       |SELECT name, label_k,
+       |  CAST(cents AS DOUBLE) / 100.0 AS value,
+       |  CAST(abs(cents - 50000) AS DOUBLE) / 100.0 AS abs_dev,
+       |  CAST(ceil(CAST(cents AS DOUBLE) / 100.0) AS DOUBLE) AS ceil_v,
+       |  CAST(floor(CAST(cents AS DOUBLE) / 100.0) AS DOUBLE) AS floor_v,
+       |  CAST(round(CAST(cents AS DOUBLE) / 100.0) AS DOUBLE) AS round_v,
+       |  sqrt(CAST(cents AS DOUBLE) / 100.0) AS sqrt_v,
+       |  CAST(sign(cents - 50000) AS DOUBLE) AS sign_dev,
+       |  cents % 7 AS mod7
+       |FROM snap
+       |ORDER BY name, label_k""".stripMargin
+
+  /** B-time function family: PromQL `minute`/`hour`/`day_of_week`/
+    * `day_of_month`/`days_in_month`/`month`/`year` over the event
+    * timestamps, aggregated to one row per UTC day (calendar parts are
+    * constant within the day, so the group collapses losslessly).
+    * `day_of_week` uses PromQL/DuckDB numbering (Sunday = 0); Spark's
+    * 1-based `dayofweek` is shifted to match.
+    */
+  def timeFunctions(spark: SparkSession, dir: String): DataFrame =
+    Metrics.metricEvents(spark, dir)
+      .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+      .groupBy(col("day_us"),
+        year(col("ts")).cast("long").as("year"),
+        month(col("ts")).cast("long").as("month"),
+        dayofmonth(col("ts")).cast("long").as("day_of_month"),
+        (dayofweek(col("ts")) - 1).cast("long").as("day_of_week"),
+        dayofmonth(last_day(col("ts"))).cast("long").as("days_in_month"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("day_us"))
+
+  val TimeFunctionsSql: String =
+    s"""SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       |  CAST(year(ts) AS BIGINT) AS year,
+       |  CAST(month(ts) AS BIGINT) AS month,
+       |  CAST(day(ts) AS BIGINT) AS day_of_month,
+       |  CAST(dayofweek(ts) AS BIGINT) AS day_of_week,
+       |  CAST(day(last_day(ts)) AS BIGINT) AS days_in_month,
+       |  COUNT(*) AS n_events
+       |FROM ($MetricEventsSql)
+       |GROUP BY 1, 2, 3, 4, 5, 6
+       |ORDER BY day_us""".stripMargin
 }

@@ -174,4 +174,77 @@ class PromQLSpec extends SparkTestBase {
     assert(rows(3L) === ((12.0, 2L)))  // ev2 + itself
     assert(rows(4L) === ((100.0, 1L)))
   }
+
+  test("irate/idelta use exactly the last two samples of the day") {
+    // increments 1, 2, 3 at t = 0s, 10s, 30s → cumulative 1.00/3.00/6.00;
+    // last pair: delta 3.00 over 20 s → irate 0.15/s, idelta 3.00
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),
+      ev(1, 10000, "purchase", 2.0, "a"),
+      ev(2, 30000, "purchase", 3.0, "a")
+    ).toDF(eventCols: _*))
+    val rows = PromQL.instantRate(spark, dir)
+      .select($"irate", $"idelta").as[(Double, Double)].collect()
+    assert(rows.toSeq === Seq((0.15, 3.0)))
+  }
+
+  test("deriv is the least-squares slope; predict_linear extrapolates it") {
+    // gauge 1.00 @ 0s, 2.00 @ 100s, 3.00 @ 200s: slope = 1 cent/s →
+    // deriv 0.01 value/s; ŷ(90000 s) = (100 + 1*90000)/100 = 901.0
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 1.0, "a"),
+      ev(1, 100000, "signup", 2.0, "a"),
+      ev(2, 200000, "signup", 3.0, "a")
+    ).toDF(eventCols: _*))
+    val rows = PromQL.linearRegression(spark, dir)
+      .select($"deriv", $"predict_1h").as[(Double, Double)].collect()
+    assert(rows.toSeq === Seq((0.01, 901.0)))
+  }
+
+  test("count_values buckets series by identical snapshot value") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 5.0, "a"), // series a totals 5.00
+      ev(1, 0, "purchase", 2.0, "b"), // series b totals 5.00 too
+      ev(2, 1000, "purchase", 3.0, "b"),
+      ev(3, 0, "purchase", 9.0, "c")  // series c alone at 9.00
+    ).toDF(eventCols: _*))
+    val rows = PromQL.countValues(spark, dir)
+      .select($"value", $"n_series").as[(Double, Long)].collect().toSet
+    assert(rows === Set((5.0, 2L), (9.0, 1L)))
+  }
+
+  test("math functions apply exact scalar semantics to the gauge snapshot") {
+    // last-write-wins snapshot = 16.81 (12.25 earlier is superseded)
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 12.25, "a"),
+      ev(1, 1000, "signup", 16.81, "a")
+    ).toDF(eventCols: _*))
+    val r = PromQL.mathFunctions(spark, dir)
+      .select($"value", $"ceil_v", $"floor_v", $"round_v", $"sign_dev", $"mod7")
+      .as[(Double, Double, Double, Double, Double, Long)].collect()
+    assert(r.toSeq === Seq((16.81, 17.0, 16.0, 17.0, -1.0, 1681L % 7)))
+  }
+
+  test("time functions use PromQL day_of_week numbering and leap-year days_in_month") {
+    val day = 86400000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 6 * day, "purchase", 1.0, "a"),  // 2024-01-07, a Sunday
+      ev(1, 40 * day, "purchase", 1.0, "a")  // 2024-02-10, leap February
+    ).toDF(eventCols: _*))
+    val rows = PromQL.timeFunctions(spark, dir)
+      .select($"day_of_month", $"day_of_week", $"days_in_month", $"month")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows === Set((7L, 0L, 31L, 1L), (10L, 6L, 29L, 2L)))
+  }
+
+  test("exposition text round-trips through the parser bit-exactly") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),
+      ev(1, 1000, "purchase", 2.5, "a"),
+      ev(2, 0, "click", 0.07, "b")
+    ).toDF(eventCols: _*))
+    val rows = PromQL.expositionParse(spark, dir)
+      .as[(String, String, Double)].collect().toSet
+    assert(rows === Set(("purchase", "a", 3.5), ("click", "b", 0.07)))
+  }
 }
