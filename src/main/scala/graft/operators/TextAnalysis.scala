@@ -249,4 +249,162 @@ object TextAnalysis {
        |FROM mins
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** Repetition signals (Gopher-style quality filters): per document,
+    * the duplicate-token fraction, the most-frequent-token fraction, and
+    * the duplicate-word-3-gram fraction. Two independent map-side-
+    * combinable aggregation chains (token counts; shingle counts off the
+    * shared [[Corpus.shingleRows]] cache) joined on doc_id — no windows,
+    * no per-doc sorts, every fraction an exact-integer ratio divided
+    * once at the end.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val ta = tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"))
+    val sc = Corpus.shingleRows(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_sh_distinct"))
+    ta.join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double")).as("dup_token_frac"),
+        (col("max_c").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        coalesce((col("n_sh") - col("n_sh_distinct")).cast("double") /
+          col("n_sh").cast("double"), lit(0.0)).as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val RepetitionSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+       |  FROM documents),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+       |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         COUNT(*) AS n_distinct, MAX(c) AS max_c
+       |       FROM tc GROUP BY doc_id),
+       |sc AS (SELECT doc_id, COUNT(*) AS n_sh,
+       |         COUNT(DISTINCT shingle) AS n_sh_distinct
+       |       FROM (${TextOps.shinglesSql("documents", 3)}) GROUP BY doc_id)
+       |SELECT ta.doc_id AS doc_id, n_tokens,
+       |  CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    AS dup_token_frac,
+       |  CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+       |  COALESCE(CAST(n_sh - n_sh_distinct AS DOUBLE) / CAST(n_sh AS DOUBLE),
+       |    0.0) AS dup_3gram_frac
+       |FROM ta LEFT JOIN sc ON sc.doc_id = ta.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF keyword extraction: top-3 tokens per document scored by
+    * tf/df (document frequency weighting WITHOUT the logarithm — `ln`
+    * is libm-dependent and breaks bit-reproducibility across engines;
+    * the ranking it induces per document is identical since ln is
+    * monotone and N is constant). Plan: one token-count aggregate, a
+    * vocabulary-sized df relation joined back (broadcast-scale: df is
+    * |vocabulary| rows, orders of magnitude below the corpus), one
+    * ranking window partitioned by doc_id.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tc.join(df, Seq("tok"))
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))))
+      .filter(col("rn") <= 3)
+    scored.select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val TfidfKeywordsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok),
+      |scored AS (
+      |  SELECT doc_id, tok, tf, df.df AS df,
+      |    CAST(tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tok) AS rn
+      |  FROM tc JOIN df USING (tok))
+      |SELECT doc_id, rn, tok, tf, df, score
+      |FROM scored WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
+  /** Corpus-level heavy hitters: the 20 most frequent word-2-grams.
+    * One explode + one map-side-combinable hash aggregate + a 20-row
+    * ordered limit (TakeOrderedAndProject — no global sort of the gram
+    * space). At 100 TB the same query swaps the exact aggregate for a
+    * count-min/approx-top-k sketch; the exact form here doubles as its
+    * accuracy oracle.
+    */
+  def corpusNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+
+  val CorpusNgramsSql: String =
+    s"""SELECT shingle AS gram, COUNT(*) AS n
+       |FROM (${TextOps.shinglesSql("documents", 2)})
+       |GROUP BY shingle
+       |ORDER BY n DESC, gram
+       |LIMIT 20""".stripMargin
+
+  /** Benchmark-contamination check: for every corpus document, the
+    * fraction of its distinct word-3-grams that appear anywhere in the
+    * "benchmark" set (here: the `src0` slice stands in for a held-out
+    * eval suite). The benchmark n-gram set is small by nature (eval
+    * suites are finite) → broadcast left-semi join against it; per-doc
+    * counts are map-side combinable; no pairwise doc×doc work anywhere.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Corpus.shingleRows(spark, dir)
+      .select(col("doc_id"), col("source"), col("shingle")).distinct()
+    val bench = sh.filter(col("source") === "src0").select(col("shingle")).distinct()
+    val corpus = sh.filter(col("source") =!= "src0")
+    val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"),
+        (col("n_contaminated").cast("double") / col("n_shingles").cast("double")
+          >= 0.5).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ContaminationSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |  FROM (SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS toks
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+      |corpus AS (SELECT * FROM sh WHERE source <> 'src0'),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n_contaminated
+      |  FROM corpus WHERE shingle IN (SELECT shingle FROM bench)
+      |  GROUP BY doc_id)
+      |SELECT tot.doc_id AS doc_id, n_shingles,
+      |  COALESCE(n_contaminated, 0) AS n_contaminated,
+      |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+      |    / CAST(n_shingles AS DOUBLE) AS contamination,
+      |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+      |    / CAST(n_shingles AS DOUBLE) >= 0.5 AS flagged
+      |FROM tot LEFT JOIN hits ON hits.doc_id = tot.doc_id
+      |ORDER BY doc_id""".stripMargin
 }

@@ -167,6 +167,57 @@ class ExtensionSpec extends SparkTestBase {
     assert(!out.exists(r => r._1 == "ab" || r._1 == ""))
   }
 
+  test("repetition: dup-token and top-token fractions match hand counts") {
+    // "a a a b" → 4 tokens, 2 distinct → dup 0.5; top token a: 3/4
+    val dir = fixture("documents" -> Seq(
+      doc(0, "a a a b")).toDF(docCols: _*))
+    val r = TextAnalysis.repetition(spark, dir)
+      .select($"n_tokens", $"dup_token_frac", $"top_token_frac", $"dup_3gram_frac")
+      .as[(Long, Double, Double, Double)].collect()
+    // shingles: "a a a","a a b" distinct → dup_3gram 0.0
+    assert(r.toSeq === Seq((4L, 0.5, 0.75, 0.0)))
+  }
+
+  test("tfidf ranks doc-exclusive tokens above corpus-wide ones") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "shared rareword rareword"),
+      doc(1, "shared other tokens here")).toDF(docCols: _*))
+    val top = TextAnalysis.tfidfKeywords(spark, dir)
+      .filter($"doc_id" === 0 && $"rn" === 1)
+      .select($"tok", $"tf", $"df", $"score")
+      .as[(String, Long, Long, Double)].collect()
+    // rareword: tf=2, df=1 → score 2.0 beats shared (tf=1, df=2 → 0.5)
+    assert(top.toSeq === Seq(("rareword", 2L, 1L, 2.0)))
+  }
+
+  test("corpus ngrams: the planted frequent bigram tops the ranking") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "hot pair hot pair hot pair"),
+      doc(1, "cold gram")).toDF(docCols: _*))
+    val top = TextAnalysis.corpusNgrams(spark, dir)
+      .select($"gram", $"n").as[(String, Long)].collect()
+    assert(top.head === (("hot pair", 3L)))
+  }
+
+  test("contamination flags docs sharing shingles with the benchmark slice") {
+    val bench = (1 to 10).map(i => s"b$i").mkString(" ")
+    val half = ((1 to 6).map(i => s"b$i") ++ (1 to 6).map(i => s"c$i")).mkString(" ")
+    val clean = (1 to 10).map(i => s"z$i").mkString(" ")
+    val dir = fixture("documents" -> Seq(
+      (0L, bench, "en", "src0", bench.length.toLong),
+      (1L, half, "en", "src1", half.length.toLong),
+      (2L, clean, "en", "src2", clean.length.toLong)).toDF(docCols: _*))
+    val rows = TextAnalysis.contamination(spark, dir)
+      .select($"doc_id", $"n_contaminated", $"flagged")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc1: shingles b1..b6 region overlaps benchmark ("b1 b2 b3".. "b4 b5 b6");
+    // 4 of its 10 shingles are benchmark shingles → not flagged at 0.5
+    assert(!rows.contains(0L))          // benchmark slice itself excluded
+    assert(rows(1L)._1 === 4L && !rows(1L)._2)
+    assert(rows(2L) === ((0L, false)))
+  }
+
   test("langid emits no trigrams for sub-3-char texts (oracle parity guard)") {
     val dir = fixture("documents" -> Seq(
       doc(0, "ab"),                        // <3 chars: zero trigrams
