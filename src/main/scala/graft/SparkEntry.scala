@@ -86,6 +86,16 @@ object SparkEntry {
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
     "b27_math_functions" -> ((s, d) => PromQL.mathFunctions(s, d)),
     "b28_time_functions" -> ((s, d) => PromQL.timeFunctions(s, d)),
+    // PromQL string front-end (parser → compiler → Catalyst): the same
+    // query text a user of the reference's Prometheus stack would run
+    "p1_promql_topk" ->
+      ((s, d) => promql.Engine.eval(s, d, "topk(3, sum by (k) (purchase))")),
+    "p2_promql_binop" ->
+      ((s, d) => promql.Engine.eval(s, d, """purchase{k=~"1.*"} / on(k) click""")),
+    "p3_promql_histogram_quantile" ->
+      ((s, d) => promql.Engine.eval(s, d, "histogram_quantile(0.9, error)")),
+    "p4_promql_increase" ->
+      ((s, d) => promql.Engine.eval(s, d, "sum by (k) (increase(purchase[2d]))")),
     "x17_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "x18_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "x19_corpus_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
@@ -159,6 +169,10 @@ object SparkEntry {
     "b26_count_values" -> PromQL.CountValuesSql,
     "b27_math_functions" -> PromQL.MathFunctionsSql,
     "b28_time_functions" -> PromQL.TimeFunctionsSql,
+    "p1_promql_topk" -> promql.Oracle.TopkSumSql,
+    "p2_promql_binop" -> promql.Oracle.BinOpSql,
+    "p3_promql_histogram_quantile" -> promql.Oracle.HistogramQuantileSql,
+    "p4_promql_increase" -> promql.Oracle.IncreaseSumSql,
     "x17_repetition" -> TextAnalysis.RepetitionSql,
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,

@@ -1,0 +1,50 @@
+package graft.promql
+
+/** AST for the PromQL subset the engine's query front-end accepts.
+  *
+  * The reference repo is the INGEST half of a Prometheus deployment
+  * (`/root/reference/prometheus.cpp:27-93` exposes the registry for a
+  * scraping server to query); the query language a user of that stack
+  * runs is PromQL. This front-end lets such a user submit the same
+  * query strings against the Spark engine: selectors with all four
+  * matcher operators, range + offset modifiers, the aggregation
+  * operators with `by`/`without` clauses, `rate`/`increase`/`delta`,
+  * `histogram_quantile`, `topk`/`bottomk`/`quantile`, the exact-scalar
+  * math functions, and binary arithmetic/comparison with `on(...)`
+  * label matching.
+  */
+sealed trait Ast
+
+/** `=`, `!=`, `=~`, `!~` label matcher. */
+final case class Matcher(label: String, op: String, value: String)
+
+/** `name{matchers}[range] offset o` — `range`/`offset` in seconds. */
+final case class Selector(
+    name: String,
+    matchers: Seq[Matcher] = Nil,
+    rangeS: Option[Long] = None,
+    offsetS: Option[Long] = None) extends Ast
+
+/** `sum/avg/min/max/count [by|without (labels)] (expr)` and the
+  * parameterized `topk/bottomk/quantile(param, expr)`.
+  */
+final case class Agg(
+    op: String,
+    grouping: Option[(String, Seq[String])], // ("by"|"without", labels)
+    param: Option[Double],
+    arg: Ast) extends Ast
+
+/** `rate/increase/delta(sel[d])`, `histogram_quantile(φ, sel)`,
+  * `abs/ceil/floor/round/sqrt(expr)`, `clamp_min/clamp_max(expr, s)`.
+  */
+final case class Func(name: String, param: Option[Double], arg: Ast) extends Ast
+
+/** `l op r` with optional `on(labels)`; comparison ops filter. */
+final case class BinOp(op: String, on: Option[Seq[String]], left: Ast, right: Ast)
+  extends Ast
+
+/** Scalar literal operand of an arithmetic/comparison binary op. */
+final case class NumLit(v: Double) extends Ast
+
+final class PromQLParseException(msg: String) extends IllegalArgumentException(msg)
+final class PromQLCompileException(msg: String) extends IllegalArgumentException(msg)

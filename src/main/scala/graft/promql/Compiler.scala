@@ -1,0 +1,300 @@
+package graft.promql
+
+import graft.model.MetricEvent
+import graft.operators.Metrics
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Compiles a parsed PromQL [[Ast]] into a declarative Spark plan over
+  * the MetricEvent view — the whole front-end is a LogicalPlan builder;
+  * Catalyst plans and optimizes the result like any hand-written
+  * DataFrame query (filters push into the parquet scan, aggregations
+  * combine map-side, the per-series window partitions on the series
+  * key).
+  *
+  * Batch evaluation semantics (documented, deterministic):
+  *  - The evaluation instant T is the corpus' max event timestamp; a
+  *    selector `offset o` evaluates at T − o.
+  *  - A counter instant vector is the accumulated sum of its increments
+  *    up to the instant (the reference's `Increment` semantics,
+  *    `/root/reference/prometheus.cpp:212`); a gauge vector is
+  *    last-write-wins at the instant (`:249`).
+  *  - `increase(m[d])` sums the increments inside `(T−d, T]`; `rate` is
+  *    `increase/d`; `delta(g[d])` is last−first of a gauge window. The
+  *    event model stores increments, so no reset reconstruction is
+  *    needed here (resets exist only for scraped cumulative samples —
+  *    covered by the b3/b17 queries).
+  *  - Counter sums accumulate in DECIMAL(18,2) (exact, order-safe);
+  *    doubles appear only after a division/scalar function, so results
+  *    are bit-reproducible under any partitioning.
+  *
+  * Compose-time checking (the A7 analog, `prometheus.cpp:28-29,98-99,
+  * 160-167`): unknown metric names, unknown labels, kind mismatches
+  * (`rate` on a gauge, `histogram_quantile` on a counter, a histogram
+  * family used as a plain vector), and missing/spurious range selectors
+  * all raise [[PromQLCompileException]] BEFORE any job runs.
+  */
+object Compiler {
+
+  /** An instant vector: `labels` (⊆ name, label_k) + a `value` column
+    * (DECIMAL while exact, DOUBLE after division).
+    */
+  private final case class Vec(df: DataFrame, labels: Seq[String])
+
+  private def fail(msg: String): Nothing = throw new PromQLCompileException(msg)
+
+  private def kindOf(name: String): String =
+    if (MetricEvent.CounterNames.contains(name)) "counter"
+    else if (MetricEvent.GaugeNames.contains(name)) "gauge"
+    else if (MetricEvent.HistogramNames.contains(name)) "histogram"
+    else fail(s"unknown metric family '$name' (compose-time check)")
+
+  /** PromQL label name → event-view column. The reference's series carry
+    * at most one label pair (`prometheus.cpp:189-192`), stored as
+    * `label_k`; users address it by its PromQL name `k`.
+    */
+  private def labelCol(l: String): String =
+    if (l == "k") "label_k" else fail(s"unknown label '$l' (series carry the single label 'k')")
+
+  private def matcherFilter(ms: Seq[Matcher]): Column =
+    ms.foldLeft(lit(true)) { (acc, m) =>
+      val c = col(labelCol(m.label))
+      val one = m.op match {
+        case "=" => c === m.value
+        case "!=" => c =!= m.value
+        case "=~" => c.rlike(s"^(?:${m.value})$$") // PromQL fully anchors
+        case "!~" => !c.rlike(s"^(?:${m.value})$$")
+      }
+      acc && one
+    }
+
+  /** Events with the evaluation instant `_t_us` (max ts) broadcast onto
+    * every row — the scalar is one tiny aggregate on the persisted
+    * adapter view, never a driver round-trip.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Metrics.metricEvents(spark, dir)
+    ev.crossJoin(broadcast(ev.select(max(unix_micros(col("ts"))).as("_t_us"))))
+  }
+
+  private def instantVector(spark: SparkSession, dir: String, sel: Selector): Vec = {
+    if (sel.rangeS.isDefined)
+      fail(s"range selector ${sel.name}[..] is not an instant vector; wrap it in rate/increase/delta")
+    val kind = kindOf(sel.name)
+    if (kind == "histogram")
+      fail(s"histogram family '${sel.name}' has no scalar instant value; use histogram_quantile")
+    val bound = col("_t_us") - lit(sel.offsetS.getOrElse(0L) * 1000000L)
+    val base = events(spark, dir)
+      .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+        unix_micros(col("ts")) <= bound)
+    kind match {
+      case "counter" =>
+        Vec(base.filter(col("value") >= 0)
+          .groupBy(col("name"), col("label_k"))
+          .agg(Metrics.decSum(col("value")).as("value")),
+          Seq("name", "label_k"))
+      case "gauge" =>
+        val w = Window.partitionBy(col("name"), col("label_k"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Vec(base.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select(col("name"), col("label_k"), col("value")),
+          Seq("name", "label_k"))
+    }
+  }
+
+  private def rangeFunc(spark: SparkSession, dir: String, fn: String, sel: Selector): Vec = {
+    val d = sel.rangeS.getOrElse(
+      fail(s"$fn requires a range selector, e.g. $fn(${sel.name}[5m])"))
+    val off = sel.offsetS.getOrElse(0L)
+    val kind = kindOf(sel.name)
+    val hi = col("_t_us") - lit(off * 1000000L)
+    val lo = hi - lit(d * 1000000L)
+    val base = events(spark, dir)
+      .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+        unix_micros(col("ts")) > lo && unix_micros(col("ts")) <= hi)
+    fn match {
+      case "rate" | "increase" =>
+        if (kind != "counter") fail(s"$fn expects a counter family, '${sel.name}' is a $kind")
+        val inc = base.filter(col("value") >= 0)
+          .groupBy(col("name"), col("label_k"))
+          .agg(Metrics.decSum(col("value")).as("value"))
+        if (fn == "increase") Vec(inc, Seq("name", "label_k"))
+        else Vec(inc.withColumn("value",
+          col("value").cast("double") / lit(d.toDouble)), Seq("name", "label_k"))
+      case "delta" =>
+        if (kind != "gauge") fail(s"delta expects a gauge family, '${sel.name}' is a $kind")
+        val wAsc = Window.partitionBy(col("name"), col("label_k"))
+          .orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy(col("name"), col("label_k"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Vec(base
+          .withColumn("_rf", row_number().over(wAsc))
+          .withColumn("_rl", row_number().over(wDesc))
+          .groupBy(col("name"), col("label_k"))
+          .agg((max(when(col("_rl") === 1, col("value")))
+            - max(when(col("_rf") === 1, col("value")))).as("value")),
+          Seq("name", "label_k"))
+    }
+  }
+
+  private def histogramQuantile(spark: SparkSession, dir: String,
+      phi: Double, sel: Selector): Vec = {
+    if (kindOf(sel.name) != "histogram")
+      fail(s"histogram_quantile expects a histogram family, '${sel.name}' is a ${kindOf(sel.name)}")
+    if (sel.rangeS.isDefined) fail("histogram_quantile takes an instant selector")
+    val snap = Metrics.histogramSnapshot(spark, dir)
+      .filter(col("name") === sel.name && matcherFilter(sel.matchers))
+      .select(col("name"), col("label_k"), col("le"), col("cum_count"), col("count"))
+    val series = Seq(col("name"), col("label_k"))
+    val w = Window.partitionBy(series: _*).orderBy(col("le"))
+    val ranked = snap
+      .withColumn("rank", lit(phi) * col("count").cast("double"))
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
+      .withColumn("prev_cum", coalesce(lag(col("cum_count"), 1).over(w), lit(0L)))
+      .withColumn("max_le", max(col("le")).over(Window.partitionBy(series: _*)))
+      .withColumn("max_cum", max(col("cum_count")).over(Window.partitionBy(series: _*)))
+    val inBucket = ranked
+      .filter(col("cum_count") >= col("rank") && col("prev_cum") < col("rank"))
+      .select(col("name"), col("label_k"),
+        (col("prev_le") + (col("le") - col("prev_le"))
+          * (col("rank") - col("prev_cum").cast("double"))
+          / (col("cum_count") - col("prev_cum")).cast("double")).as("value"))
+    val overflow = ranked
+      .filter(col("le") === col("max_le") && col("rank") > col("max_cum").cast("double"))
+      .select(col("name"), col("label_k"), col("max_le").as("value"))
+    Vec(inBucket.unionAll(overflow), Seq("name", "label_k"))
+  }
+
+  private def aggregate(a: Agg, v: Vec): Vec = {
+    val groupCols: Seq[String] = a.grouping match {
+      case Some(("by", ls)) => ls.map(labelCol)
+      case Some(("without", ls)) =>
+        val dropped = ls.map(labelCol).toSet
+        v.labels.filterNot(l => l == "name" || dropped.contains(l))
+      case None => Nil
+      case Some((kw, _)) => fail(s"unknown grouping '$kw'")
+    }
+    groupCols.foreach(g => if (!v.labels.contains(g))
+      fail(s"grouping label '$g' is not present in the vector (${v.labels.mkString(", ")})"))
+    val grouped = v.df.groupBy(groupCols.map(col): _*)
+    a.op match {
+      case "sum" => Vec(grouped.agg(sum(col("value")).as("value")), groupCols)
+      case "min" => Vec(grouped.agg(min(col("value")).as("value")), groupCols)
+      case "max" => Vec(grouped.agg(max(col("value")).as("value")), groupCols)
+      case "count" =>
+        Vec(grouped.agg(count(lit(1)).cast("double").as("value")), groupCols)
+      case "avg" => Vec(grouped.agg(
+        (sum(col("value")).cast("double") / count(lit(1)).cast("double"))
+          .as("value")), groupCols)
+      case "quantile" =>
+        val phi = a.param.getOrElse(fail("quantile needs a parameter"))
+        Vec(grouped.agg(expr(s"percentile(cast(value as double), $phi)")
+          .as("value")), groupCols)
+      case "topk" | "bottomk" =>
+        val n = a.param.getOrElse(fail(s"${a.op} needs a parameter"))
+        if (n != n.floor || n < 1) fail(s"${a.op} parameter must be a positive integer, got $n")
+        val ord =
+          if (a.op == "topk") col("value").desc +: v.labels.map(col)
+          else col("value").asc +: v.labels.map(col)
+        Vec(v.df.orderBy(ord: _*).limit(n.toInt), v.labels)
+      case other => fail(s"unsupported aggregation '$other'")
+    }
+  }
+
+  private def scalarFunc(name: String, param: Option[Double], v: Vec): Vec = {
+    val x = col("value").cast("double")
+    val out = name match {
+      case "abs" => abs(x)
+      case "ceil" => ceil(x).cast("double")
+      case "floor" => floor(x).cast("double")
+      case "round" => round(x).cast("double")
+      case "sqrt" => sqrt(x)
+      case "clamp_min" => greatest(x, lit(param.get))
+      case "clamp_max" => least(x, lit(param.get))
+    }
+    Vec(v.df.withColumn("value", out), v.labels)
+  }
+
+  private def binOp(spark: SparkSession, dir: String, b: BinOp): Vec = {
+    def arith(op: String, l: Column, r: Column): Column = op match {
+      case "+" => l.cast("double") + r.cast("double")
+      case "-" => l.cast("double") - r.cast("double")
+      case "*" => l.cast("double") * r.cast("double")
+      case "/" => l.cast("double") / r.cast("double")
+    }
+    def cmp(op: String, l: Column, r: Column): Column = op match {
+      case ">" => l > r
+      case "<" => l < r
+      case ">=" => l >= r
+      case "<=" => l <= r
+      case "==" => l === r
+      case "!=" => l =!= r
+    }
+    val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(b.op)
+    (b.left, b.right) match {
+      case (NumLit(_), NumLit(_)) => fail("scalar-only expressions are not vectors")
+      case (l, NumLit(s)) =>
+        val v = compileVec(spark, dir, l)
+        if (isCmp) Vec(v.df.filter(cmp(b.op, col("value").cast("double"), lit(s))), v.labels)
+        else Vec(v.df.withColumn("value", arith(b.op, col("value"), lit(s))), v.labels)
+      case (NumLit(s), r) =>
+        val v = compileVec(spark, dir, r)
+        if (isCmp) Vec(v.df.filter(cmp(b.op, lit(s), col("value").cast("double"))), v.labels)
+        else Vec(v.df.withColumn("value", arith(b.op, lit(s), col("value"))), v.labels)
+      case (l, r) =>
+        val lv = compileVec(spark, dir, l)
+        val rv = compileVec(spark, dir, r)
+        // default vector matching: all shared labels except the metric
+        // name (PromQL drops __name__ on binary ops)
+        val joinLabels = b.on.map(_.map(labelCol))
+          .getOrElse(lv.labels.intersect(rv.labels).filterNot(_ == "name"))
+        joinLabels.foreach { jl =>
+          if (!lv.labels.contains(jl) || !rv.labels.contains(jl))
+            fail(s"matching label '$jl' missing from one side " +
+              s"(left: ${lv.labels.mkString(",")}; right: ${rv.labels.mkString(",")})")
+        }
+        if (joinLabels.isEmpty) fail("binary op has no labels to match on")
+        val lt = lv.df.select(joinLabels.map(col) :+ col("value").as("_lv"): _*)
+        val rt = rv.df.select(joinLabels.map(col) :+ col("value").as("_rv"): _*)
+        val joined = lt.join(rt, joinLabels)
+        if (isCmp)
+          Vec(joined.filter(cmp(b.op, col("_lv").cast("double"), col("_rv").cast("double")))
+            .select(joinLabels.map(col) :+ col("_lv").as("value"): _*), joinLabels)
+        else
+          Vec(joined.select(joinLabels.map(col) :+
+            arith(b.op, col("_lv"), col("_rv")).as("value"): _*), joinLabels)
+    }
+  }
+
+  private def compileVec(spark: SparkSession, dir: String, ast: Ast): Vec = ast match {
+    case sel: Selector => instantVector(spark, dir, sel)
+    case Func(fn, _, sel: Selector) if Set("rate", "increase", "delta").contains(fn) =>
+      rangeFunc(spark, dir, fn, sel)
+    case Func("histogram_quantile", Some(phi), sel: Selector) =>
+      histogramQuantile(spark, dir, phi, sel)
+    case Func(fn, param, arg)
+        if Set("abs", "ceil", "floor", "round", "sqrt", "clamp_min", "clamp_max")
+          .contains(fn) =>
+      scalarFunc(fn, param, compileVec(spark, dir, arg))
+    case a: Agg => aggregate(a, compileVec(spark, dir, a.arg))
+    case b: BinOp => binOp(spark, dir, b)
+    case NumLit(_) => fail("a bare scalar is not a vector expression")
+    case other => fail(s"unsupported expression $other")
+  }
+
+  /** Compile to a DataFrame: label columns (in vector order) + `value`
+    * as DOUBLE, deterministically ordered.
+    */
+  def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame = {
+    val v = compileVec(spark, dir, ast)
+    val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
+    v.df.select(cols: _*).orderBy(v.labels.map(col) :+ col("value"): _*)
+  }
+}
+
+/** One-call front door: `Engine.eval(spark, dir, "sum by (k) (rate(purchase[1h])))")`. */
+object Engine {
+  def eval(spark: SparkSession, dir: String, query: String): DataFrame =
+    Compiler.compile(spark, dir, Parser.parse(query))
+}

@@ -1,0 +1,60 @@
+package graft.promql
+
+import graft.operators.{Metrics, PromQL}
+
+/** DuckDB twins for the parser-routed driver queries (p1–p4): each SQL
+  * mirrors what [[Compiler]] emits for the given PromQL string, so the
+  * driver's oracle check covers the WHOLE front-end path — tokenizer →
+  * parser → compiler → Catalyst — not just the hand-built operators.
+  */
+object Oracle {
+
+  import Metrics.MetricEventsSql
+
+  /** `topk(3, sum by (k) (purchase))` */
+  val TopkSumSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |snap AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY label_k),
+       |top AS (SELECT label_k, dv FROM snap ORDER BY dv DESC, label_k LIMIT 3)
+       |SELECT label_k, CAST(dv AS DOUBLE) AS value
+       |FROM top ORDER BY label_k, value""".stripMargin
+
+  /** `purchase{k=~"1.*"} / on(k) click` */
+  val BinOpSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |p AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS pv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |    AND regexp_matches(label_k, '^(?:1.*)$$')
+       |  GROUP BY label_k),
+       |c AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS cv
+       |  FROM m WHERE name = 'click' AND value >= 0
+       |  GROUP BY label_k)
+       |SELECT p.label_k AS label_k, CAST(pv AS DOUBLE) / CAST(cv AS DOUBLE) AS value
+       |FROM p JOIN c USING (label_k)
+       |ORDER BY label_k, value""".stripMargin
+
+  /** `histogram_quantile(0.9, error)` — the operator-level SQL with the
+    * front-end's output shape (`value`, deterministic order).
+    */
+  val HistogramQuantileSql: String =
+    "SELECT name, label_k, q AS value FROM (" + PromQL.HistogramQuantileSql +
+      ") ORDER BY name, label_k, value"
+
+  /** `sum by (k) (increase(purchase[2d]))` */
+  val IncreaseSumSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT label_k, value FROM m, t
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) > t_us - 172800000000
+       |    AND epoch_us(ts) <= t_us)
+       |SELECT label_k, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM w GROUP BY label_k
+       |ORDER BY label_k, value""".stripMargin
+}

@@ -1,0 +1,239 @@
+package graft.promql
+
+/** Hand-rolled tokenizer + recursive-descent parser for the PromQL
+  * subset in [[Ast]]. No dependencies, no reflection — parse errors
+  * raise [[PromQLParseException]] with position context (the analog of
+  * the Shards script parse stage, SURVEY.md §3 phase 1).
+  *
+  * Precedence (low → high): comparison (`> < >= <= == !=`) →
+  * additive (`+ -`) → multiplicative (`* /`) → unary operand.
+  */
+object Parser {
+
+  private val AggOps = Set("sum", "avg", "min", "max", "count")
+  private val ParamAggOps = Set("topk", "bottomk", "quantile")
+  private val RangeFuncs = Set("rate", "increase", "delta")
+  private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt")
+  private val ClampFuncs = Set("clamp_min", "clamp_max")
+
+  private final case class Tok(kind: String, text: String, pos: Int)
+
+  private def tokenize(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    def err(msg: String) = throw new PromQLParseException(s"$msg at position $i in: $q")
+    while (i < q.length) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += Tok("ident", q.substring(start, i), start)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < q.length && (q(i).isDigit || q(i) == '.')) i += 1
+        if (i < q.length && "smhdw".contains(q(i)) &&
+            !q.substring(start, i).contains('.')) {
+          val unit = q(i); i += 1
+          out += Tok("duration", q.substring(start, i - 1) + unit, start)
+        } else out += Tok("number", q.substring(start, i), start)
+      } else if (c == '"') {
+        val start = i; i += 1
+        while (i < q.length && q(i) != '"') i += 1
+        if (i >= q.length) err("unterminated string")
+        i += 1
+        out += Tok("string", q.substring(start + 1, i - 1), start)
+      } else {
+        val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
+        if (Set("=~", "!~", "!=", "<=", ">=", "==").contains(two)) {
+          out += Tok("op", two, i); i += 2
+        } else if ("(){}[],=+-*/<>".contains(c)) {
+          out += Tok("op", c.toString, i); i += 1
+        } else err(s"unexpected character '$c'")
+      }
+    }
+    out.result()
+  }
+
+  private def durationSeconds(d: String): Long = {
+    val n = d.dropRight(1).toLong
+    d.last match {
+      case 's' => n
+      case 'm' => n * 60
+      case 'h' => n * 3600
+      case 'd' => n * 86400
+      case 'w' => n * 604800
+    }
+  }
+
+  def parse(query: String): Ast = {
+    val toks = tokenize(query)
+    var p = 0
+    def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
+    def fail(msg: String): Nothing = {
+      val at = peek.map(t => s"'${t.text}' at ${t.pos}").getOrElse("end of input")
+      throw new PromQLParseException(s"$msg (found $at) in: $query")
+    }
+    def take(): Tok = { val t = peek.getOrElse(fail("unexpected end")); p += 1; t }
+    def expect(text: String): Unit =
+      if (peek.exists(_.text == text)) p += 1 else fail(s"expected '$text'")
+    def at(text: String): Boolean = peek.exists(_.text == text)
+
+    def labelList(): Seq[String] = {
+      expect("(")
+      val out = Seq.newBuilder[String]
+      while (!at(")")) {
+        val t = take()
+        if (t.kind != "ident") fail("expected label name")
+        out += t.text
+        if (at(",")) p += 1
+      }
+      expect(")")
+      out.result()
+    }
+
+    def number(): Double = {
+      val t = take()
+      if (t.kind != "number") fail("expected number")
+      t.text.toDouble
+    }
+
+    def matchers(): Seq[Matcher] = {
+      expect("{")
+      val out = Seq.newBuilder[Matcher]
+      while (!at("}")) {
+        val l = take()
+        if (l.kind != "ident") fail("expected label name in matcher")
+        val op = take()
+        if (!(op.kind == "op" && Set("=", "!=", "=~", "!~").contains(op.text)))
+          fail("expected matcher operator")
+        val v = take()
+        if (v.kind != "string") fail("expected quoted matcher value")
+        out += Matcher(l.text, op.text, v.text)
+        if (at(",")) p += 1
+      }
+      expect("}")
+      out.result()
+    }
+
+    def selectorTail(name: String): Selector = {
+      val ms = if (at("{")) matchers() else Nil
+      val range = if (at("[")) {
+        p += 1
+        val d = take()
+        if (d.kind != "duration") fail("expected duration in range selector")
+        expect("]")
+        Some(durationSeconds(d.text))
+      } else None
+      val offset = if (peek.exists(t => t.kind == "ident" && t.text == "offset")) {
+        p += 1
+        val d = take()
+        if (d.kind != "duration") fail("expected duration after offset")
+        Some(durationSeconds(d.text))
+      } else None
+      Selector(name, ms, range, offset)
+    }
+
+    def grouping(): Option[(String, Seq[String])] =
+      if (peek.exists(t => t.kind == "ident" && (t.text == "by" || t.text == "without"))) {
+        val kw = take().text
+        Some(kw -> labelList())
+      } else None
+
+    def operand(): Ast = {
+      val t = peek.getOrElse(fail("unexpected end"))
+      if (t.kind == "number") NumLit(number())
+      else if (t.text == "(") { p += 1; val e = expr(); expect(")"); e }
+      else if (t.kind == "ident") {
+        val name = take().text
+        if (AggOps.contains(name)) {
+          val g1 = grouping()
+          expect("(")
+          val arg = expr()
+          expect(")")
+          val g2 = if (g1.isEmpty) grouping() else None
+          Agg(name, g1.orElse(g2), None, arg)
+        } else if (ParamAggOps.contains(name)) {
+          expect("(")
+          val param = number()
+          expect(",")
+          val arg = expr()
+          expect(")")
+          Agg(name, None, Some(param), arg)
+        } else if (RangeFuncs.contains(name)) {
+          expect("(")
+          val sel = {
+            val t2 = take()
+            if (t2.kind != "ident") fail(s"$name expects a range selector")
+            selectorTail(t2.text)
+          }
+          expect(")")
+          Func(name, None, sel)
+        } else if (name == "histogram_quantile") {
+          expect("(")
+          val phi = number()
+          expect(",")
+          val sel = {
+            val t2 = take()
+            if (t2.kind != "ident") fail("histogram_quantile expects a selector")
+            selectorTail(t2.text)
+          }
+          expect(")")
+          Func(name, Some(phi), sel)
+        } else if (ScalarFuncs.contains(name)) {
+          expect("(")
+          val arg = expr()
+          expect(")")
+          Func(name, None, arg)
+        } else if (ClampFuncs.contains(name)) {
+          expect("(")
+          val arg = expr()
+          expect(",")
+          val s = number()
+          expect(")")
+          Func(name, Some(s), arg)
+        } else selectorTail(name)
+      } else fail("expected expression")
+    }
+
+    def maybeOn(): Option[Seq[String]] =
+      if (peek.exists(t => t.kind == "ident" && t.text == "on")) {
+        p += 1; Some(labelList())
+      } else None
+
+    def mulExpr(): Ast = {
+      var l = operand()
+      while (peek.exists(t => t.kind == "op" && (t.text == "*" || t.text == "/"))) {
+        val op = take().text
+        val on = maybeOn()
+        l = BinOp(op, on, l, operand())
+      }
+      l
+    }
+
+    def addExpr(): Ast = {
+      var l = mulExpr()
+      while (peek.exists(t => t.kind == "op" && (t.text == "+" || t.text == "-"))) {
+        val op = take().text
+        val on = maybeOn()
+        l = BinOp(op, on, l, mulExpr())
+      }
+      l
+    }
+
+    def expr(): Ast = {
+      var l = addExpr()
+      while (peek.exists(t => t.kind == "op" &&
+          Set(">", "<", ">=", "<=", "==", "!=").contains(t.text))) {
+        val op = take().text
+        val on = maybeOn()
+        l = BinOp(op, on, l, addExpr())
+      }
+      l
+    }
+
+    val result = expr()
+    if (p != toks.length) fail("trailing input")
+    result
+  }
+}

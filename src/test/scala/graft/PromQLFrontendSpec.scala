@@ -1,0 +1,141 @@
+package graft
+
+import graft.promql.{Engine, Parser, PromQLCompileException, PromQLParseException}
+import graft.promql.{Agg, BinOp, Func, Matcher, NumLit, Selector}
+
+/** The PromQL string front-end: parse shapes, evaluation semantics vs
+  * hand-built operators, and the compose-time (A7) type checks.
+  */
+class PromQLFrontendSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parser builds the expected AST for a nested aggregation") {
+    val ast = Parser.parse("""sum by (k) (rate(purchase{k=~"1.*"}[5m]))""")
+    assert(ast === Agg("sum", Some("by" -> Seq("k")), None,
+      Func("rate", None,
+        Selector("purchase", Seq(Matcher("k", "=~", "1.*")), Some(300L), None))))
+  }
+
+  test("parser handles offsets, trailing by-clause, and binary ops with on") {
+    assert(Parser.parse("sum(click offset 1d) by (k)") ===
+      Agg("sum", Some("by" -> Seq("k")), None,
+        Selector("click", Nil, None, Some(86400L))))
+    assert(Parser.parse("purchase / on(k) click > 2") ===
+      BinOp(">", None,
+        BinOp("/", Some(Seq("k")), Selector("purchase"), Selector("click")),
+        NumLit(2.0)))
+  }
+
+  test("parse errors carry position context") {
+    intercept[PromQLParseException](Parser.parse("sum by (k) (purchase"))
+    intercept[PromQLParseException](Parser.parse("purchase{k=1}"))
+    intercept[PromQLParseException](Parser.parse("purchase[5]"))
+    intercept[PromQLParseException](Parser.parse("rate(purchase[5m]) trailing"))
+  }
+
+  test("counter selector evaluates to the accumulated snapshot") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.5, "a"),
+      ev(1, 1000, "purchase", 2.0, "a"),
+      ev(2, 0, "purchase", 7.0, "b"),
+      ev(3, 0, "click", 9.0, "a") // other family, excluded
+    ).toDF(eventCols: _*))
+    val rows = Engine.eval(spark, dir, "purchase")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(rows === Set(("a", 3.5), ("b", 7.0)))
+  }
+
+  test("matchers, scalar arithmetic, and comparison filters compose") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a1"),
+      ev(1, 0, "purchase", 20.0, "a2"),
+      ev(2, 0, "purchase", 30.0, "b1")
+    ).toDF(eventCols: _*))
+    val rows = Engine.eval(spark, dir, """purchase{k=~"a."} * 2 > 25""")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(rows === Set(("a2", 40.0))) // a1: 20 fails filter; b1: no match
+  }
+
+  test("rate and increase use exactly the trailing window; offset shifts it") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),      // T-2h: outside [T-1h, T]
+      ev(1, 1 * h, "purchase", 2.0, "a"),  // T-1h: boundary — excluded (open lower)
+      ev(2, 2 * h, "purchase", 4.0, "a")   // T: included
+    ).toDF(eventCols: _*))
+    val inc = Engine.eval(spark, dir, "increase(purchase[1h])")
+      .select($"value").as[Double].collect()
+    assert(inc.toSeq === Seq(4.0))
+    val r = Engine.eval(spark, dir, "rate(purchase[2h])")
+      .select($"value").as[Double].collect()
+    assert(r.toSeq === Seq((2.0 + 4.0) / 7200.0))
+    val off = Engine.eval(spark, dir, "increase(purchase[1h] offset 1h)")
+      .select($"value").as[Double].collect()
+    assert(off.toSeq === Seq(2.0)) // window (T-2h, T-1h]
+  }
+
+  test("sum by / avg / topk match hand-computed values") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),
+      ev(1, 0, "purchase", 3.0, "a"),
+      ev(2, 0, "purchase", 10.0, "b"),
+      ev(3, 0, "purchase", 2.0, "c")
+    ).toDF(eventCols: _*))
+    val sums = Engine.eval(spark, dir, "sum by (k) (purchase)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(sums === Set(("a", 4.0), ("b", 10.0), ("c", 2.0)))
+    val avg = Engine.eval(spark, dir, "avg(purchase)")
+      .select($"value").as[Double].collect()
+    assert(avg.toSeq === Seq((4.0 + 10.0 + 2.0) / 3))
+    val top = Engine.eval(spark, dir, "topk(2, sum by (k) (purchase))")
+      .select($"label_k").as[String].collect().toSet
+    assert(top === Set("b", "a"))
+  }
+
+  test("vector binary op joins on the shared label and drops the name") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 0, "click", 4.0, "a"),
+      ev(2, 0, "purchase", 9.0, "lonely") // no click side → dropped
+    ).toDF(eventCols: _*))
+    val rows = Engine.eval(spark, dir, "purchase / on(k) click")
+      .as[(String, Double)].collect().toSet
+    assert(rows === Set(("a", 2.5)))
+  }
+
+  test("histogram_quantile through the front-end matches the operator") {
+    val dir = fixture("events" -> (1 to 10).map(i =>
+      ev(i.toLong, 0, "error", i / 10.0, "u")).toDF(eventCols: _*))
+    val q = Engine.eval(spark, dir, "histogram_quantile(0.9, error)")
+      .select($"value").as[Double].collect()
+    assert(q.toSeq === Seq(0.9)) // same fixture as the PromQLSpec hand-check
+  }
+
+  test("gauge selector is last-write-wins; delta spans the window") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 5.0, "a"),
+      ev(1, 1000, "signup", 9.0, "a")
+    ).toDF(eventCols: _*))
+    assert(Engine.eval(spark, dir, "signup").select($"value")
+      .as[Double].collect().toSeq === Seq(9.0))
+    assert(Engine.eval(spark, dir, "delta(signup[1h])").select($"value")
+      .as[Double].collect().toSeq === Seq(4.0))
+  }
+
+  test("compose-time checks reject kind and shape errors before any job") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    // A7 analog: each of these fails at compile, not at executor time
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "rate(signup[5m])"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "rate(purchase)"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "purchase[5m]"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "nosuchmetric"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "error"))
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, "histogram_quantile(0.9, purchase)"))
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, """purchase{badlabel="x"}"""))
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, "topk(2.5, purchase)"))
+  }
+}
