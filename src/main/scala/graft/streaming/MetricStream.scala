@@ -168,6 +168,45 @@ object MetricStream {
         col("session_window.end").as("session_end"),
         col("name"), col("label_k"), col("n_events"), col("total"))
 
+  /** Streaming exact dedup: drop replayed samples by `event_id` with
+    * state bounded by the watermark — the ingest guard for at-least-once
+    * transports (a scraper retry delivers the same observation twice;
+    * the reference never sees this because its wire is in-process, but
+    * any distributed deployment of the same semantics must). State is
+    * evicted as event time passes `watermark`, so memory is bounded by
+    * the duplicate-arrival horizon, not by history — the property that
+    * makes the operator run forever at ingest scale.
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    Metrics.metricEventsOf(events)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join (attribution): each purchase matched to
+    * the same-label click events in the 10 minutes before it. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so each side's buffered state is evicted once the other side's
+    * watermark passes the interval — bounded state, shuffle keyed on the
+    * label (AQE/skew handling applies at scale like any equi-join).
+    */
+  def clickAttribution(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val m = Metrics.metricEventsOf(events)
+    val clicks = m.filter(col("name") === "click")
+      .select(col("label_k").as("c_label"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val purchases = m.filter(col("name") === "purchase")
+      .select(col("label_k").as("label_k"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      expr("""c_label = label_k AND
+              click_ts >= purchase_ts - INTERVAL 10 MINUTES AND
+              click_ts <= purchase_ts"""))
+      .select(col("purchase_id"), col("label_k"), col("purchase_ts"),
+        col("purchase_value"), col("click_ts"), col("click_value"))
+  }
+
   /** The Exposer analog (`prometheus.cpp:27-93`): a `foreachBatch` sink
     * maintaining the latest snapshot in [[ExpositionRegistry]], which
     * concurrent "scrapers" read without blocking ingest — the pull model

@@ -161,4 +161,49 @@ class StreamingSpec extends SparkTestBase {
       ExpositionRegistry.clear()
     }
   }
+
+  test("streaming dedup drops replayed event_ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = MetricStream.dedupedEvents(mem.toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(raw(0, 1, 1.0), raw(1, 2, 2.0))
+      q.processAllAvailable()
+      // a retry redelivers event 1 in a later batch (within watermark),
+      // plus one genuinely new event
+      mem.addData(raw(1, 2, 2.0), raw(2, 3, 4.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select($"event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = MetricStream.clickAttribution(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("attrib_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def at(id: Long, minute: Int, etype: String, value: Double, label: String) =
+        RawEvent(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+          1L, etype, value, s"""{"k": "$label"}""")
+      mem.addData(
+        at(0, 0, "click", 1.0, "a"),     // 5 min before the purchase → joins
+        at(1, 20, "click", 1.0, "a"),    // 15 min after → outside interval
+        at(2, 0, "click", 1.0, "b"),     // other label → no match
+        at(3, 5, "purchase", 10.0, "a"))
+      q.processAllAvailable()
+      // advance both watermarks so joined results are finalized
+      mem.addData(at(9, 59, "click", 0.0, "z"), at(10, 59, "purchase", 0.0, "z"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_test")
+        .select($"purchase_id", $"label_k", $"click_value")
+        .as[(Long, String, Double)].collect().filter(_._1 == 3L)
+      assert(rows.toSeq === Seq((3L, "a", 1.0)))
+    } finally q.stop()
+  }
 }
