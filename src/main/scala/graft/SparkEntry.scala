@@ -103,6 +103,9 @@ object SparkEntry {
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
+    // order-sensitive float recurrence → rows-only check like x16;
+    // spec pins it against an independent Scala reference
+    "b29_holt_winters" -> ((s, d) => PromQL.holtWinters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

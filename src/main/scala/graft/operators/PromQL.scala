@@ -1265,6 +1265,44 @@ object PromQL {
        |FROM snap
        |ORDER BY name, label_k""".stripMargin
 
+  /** B3-smoothing `holt_winters(v[d], 0.5, 0.3)`: double exponential
+    * smoothing of each gauge series (level + trend recurrences, exactly
+    * the published PromQL formulation: s₀=y₀, b₀=y₁−y₀, then
+    * sᵢ = sf·yᵢ + (1−sf)(sᵢ₋₁+bᵢ₋₁), bᵢ = tf(sᵢ−sᵢ₋₁) + (1−tf)bᵢ₋₁).
+    *
+    * A sequential recurrence has no mergeable partial state, so it
+    * CANNOT be a combiner-friendly aggregate — the scalable shape is
+    * one ordered array per series (`sort_array(collect_list(...))`,
+    * bounded by samples-per-series-per-window, not corpus size) folded
+    * by a single `aggregate` HOF with a (level, trend) struct
+    * accumulator. Series with fewer than two samples yield no result,
+    * per PromQL. The smoothed value is an order-sensitive float
+    * recurrence — engine-specific like the HLL sketch (x16) — so this
+    * query has a rows-only driver check; the spec pins it against an
+    * independent Scala reference implementation.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .groupBy(series: _*)
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+        x => x("value")).as("vals"))
+      .filter(size(col("vals")) >= 2)
+      .withColumn("smoothed", expr(
+        // vals[i] is 0-based, slice() is 1-based: init from (y0, y1−y0),
+        // fold over y1..yn−1 (positions 2..n)
+        """aggregate(
+          |  slice(vals, 2, greatest(size(vals) - 1, 0)),
+          |  named_struct('s', vals[0], 'b', vals[1] - vals[0]),
+          |  (acc, y) -> named_struct(
+          |    's', 0.5D * y + 0.5D * (acc.s + acc.b),
+          |    'b', 0.3D * ((0.5D * y + 0.5D * (acc.s + acc.b)) - acc.s)
+          |         + 0.7D * acc.b),
+          |  acc -> acc.s)""".stripMargin))
+      .select(col("name"), col("label_k"), col("smoothed"))
+      .orderBy(col("name"), col("label_k"))
+
   /** B-time function family: PromQL `minute`/`hour`/`day_of_week`/
     * `day_of_month`/`days_in_month`/`month`/`year` over the event
     * timestamps, aggregated to one row per UTC day (calendar parts are

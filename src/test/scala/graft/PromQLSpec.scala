@@ -237,6 +237,27 @@ class PromQLSpec extends SparkTestBase {
     assert(rows === Set((7L, 0L, 31L, 1L), (10L, 6L, 29L, 2L)))
   }
 
+  test("holt_winters matches an independent Scala recurrence, skips 1-sample series") {
+    def reference(ys: Seq[Double], sf: Double = 0.5, tf: Double = 0.3): Double = {
+      var s = ys.head
+      var b = ys(1) - ys.head
+      ys.drop(1).foreach { y =>
+        val sNew = sf * y + (1 - sf) * (s + b)
+        b = tf * (sNew - s) + (1 - tf) * b
+        s = sNew
+      }
+      s
+    }
+    val ys = Seq(1.0, 4.0, 2.0, 8.0, 5.0)
+    val dir = fixture("events" -> (ys.zipWithIndex.map { case (v, i) =>
+      ev(i.toLong, i * 1000L, "signup", v, "a")
+    } :+ ev(99, 0, "signup", 7.0, "solo")).toDF(eventCols: _*))
+    val rows = PromQL.holtWinters(spark, dir)
+      .select($"label_k", $"smoothed").as[(String, Double)].collect().toMap
+    assert(rows.keySet === Set("a"))   // 1-sample series yields nothing
+    assert(rows("a") === reference(ys))
+  }
+
   test("exposition text round-trips through the parser bit-exactly") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a"),
