@@ -96,6 +96,7 @@ object SparkEntry {
       ((s, d) => promql.Engine.eval(s, d, "histogram_quantile(0.9, error)")),
     "p4_promql_increase" ->
       ((s, d) => promql.Engine.eval(s, d, "sum by (k) (increase(purchase[2d]))")),
+    "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "x17_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "x18_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "x19_corpus_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
@@ -176,6 +177,7 @@ object SparkEntry {
     "p2_promql_binop" -> promql.Oracle.BinOpSql,
     "p3_promql_histogram_quantile" -> promql.Oracle.HistogramQuantileSql,
     "p4_promql_increase" -> promql.Oracle.IncreaseSumSql,
+    "b30_changes" -> PromQL.ChangesSql,
     "x17_repetition" -> TextAnalysis.RepetitionSql,
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,

@@ -1265,6 +1265,46 @@ object PromQL {
        |FROM snap
        |ORDER BY name, label_k""".stripMargin
 
+  /** B3-counting `changes(v[1d])`: how many times each gauge series
+    * changed value within the day — one `lag` per series (same single
+    * window stage as every per-series operator, partitioned on the
+    * series key) and an integer conditional sum. Exact integers end to
+    * end. The companion `resets` (b17) counts only DECREASES of a
+    * counter; `changes` counts any value movement of a gauge.
+    */
+  def changes(spark: SparkSession, dir: String): DataFrame = {
+    // the window partitions on (series, day): PromQL's changes(v[1d])
+    // compares only samples INSIDE the range, so a day's first sample
+    // has no predecessor
+    val w = Window.partitionBy(col("name"), col("label_k"), col("day_us"))
+      .orderBy(col("ts"), col("event_id"))
+    Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .groupBy(col("name"), col("label_k"), col("day_us"))
+      .agg(sum(when(col("prev").isNotNull && col("cents") =!= col("prev"), 1L)
+        .otherwise(0L)).as("changes"))
+      .orderBy(col("name"), col("label_k"), col("day_us"))
+  }
+
+  val ChangesSql: String =
+    s"""WITH g AS (
+       |  SELECT *, CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM ($MetricEventsSql) WHERE kind = 'gauge'),
+       |d AS (SELECT *, epoch_us(date_trunc('day', ts)) AS day_us FROM g),
+       |l AS (SELECT *,
+       |  LAG(cents) OVER (PARTITION BY name, label_k, day_us
+       |                   ORDER BY ts, event_id) AS prev
+       |  FROM d)
+       |SELECT name, label_k, day_us,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL AND cents <> prev
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS changes
+       |FROM l
+       |GROUP BY name, label_k, day_us
+       |ORDER BY name, label_k, day_us""".stripMargin
+
   /** B3-smoothing `holt_winters(v[d], 0.5, 0.3)`: double exponential
     * smoothing of each gauge series (level + trend recurrences, exactly
     * the published PromQL formulation: s₀=y₀, b₀=y₁−y₀, then

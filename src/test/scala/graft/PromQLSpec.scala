@@ -237,6 +237,21 @@ class PromQLSpec extends SparkTestBase {
     assert(rows === Set((7L, 0L, 31L, 1L), (10L, 6L, 29L, 2L)))
   }
 
+  test("changes counts value movements within the day only") {
+    val day = 86400000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 1.0, "a"),
+      ev(1, 1000, "signup", 2.0, "a"),      // change
+      ev(2, 2000, "signup", 2.0, "a"),      // no change
+      ev(3, 3000, "signup", 5.0, "a"),      // change
+      ev(4, day, "signup", 9.0, "a"),       // next day: no predecessor in window
+      ev(5, day + 1000, "signup", 1.0, "a") // change
+    ).toDF(eventCols: _*))
+    val rows = PromQL.changes(spark, dir)
+      .select($"day_us", $"changes").as[(Long, Long)].collect().toMap
+    assert(rows.values.toSeq.sorted === Seq(1L, 2L))
+  }
+
   test("holt_winters matches an independent Scala recurrence, skips 1-sample series") {
     def reference(ys: Seq[Double], sf: Double = 0.5, tf: Double = 0.3): Double = {
       var s = ys.head
