@@ -96,6 +96,10 @@ object SparkEntry {
       ((s, d) => promql.Engine.eval(s, d, "histogram_quantile(0.9, error)")),
     "p4_promql_increase" ->
       ((s, d) => promql.Engine.eval(s, d, "sum by (k) (increase(purchase[2d]))")),
+    "p5_promql_or" -> ((s, d) => promql.Engine.eval(s, d,
+      """sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})""")),
+    "p6_promql_over_time" ->
+      ((s, d) => promql.Engine.eval(s, d, "max_over_time(signup[10d] offset 2d)")),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "x17_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "x18_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
@@ -177,6 +181,8 @@ object SparkEntry {
     "p2_promql_binop" -> promql.Oracle.BinOpSql,
     "p3_promql_histogram_quantile" -> promql.Oracle.HistogramQuantileSql,
     "p4_promql_increase" -> promql.Oracle.IncreaseSumSql,
+    "p5_promql_or" -> promql.Oracle.OrSql,
+    "p6_promql_over_time" -> promql.Oracle.MaxOverTimeSql,
     "b30_changes" -> PromQL.ChangesSql,
     "x17_repetition" -> TextAnalysis.RepetitionSql,
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,

@@ -5,6 +5,7 @@ import graft.operators.Metrics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Compiles a parsed PromQL [[Ast]] into a declarative Spark plan over
   * the MetricEvent view — the whole front-end is a LogicalPlan builder;
@@ -43,6 +44,15 @@ object Compiler {
   private final case class Vec(df: DataFrame, labels: Seq[String])
 
   private def fail(msg: String): Nothing = throw new PromQLCompileException(msg)
+
+  /** Order-safe exact sum: doubles enter DECIMAL(18,2) once (the
+    * engine-wide 2-decimal sample convention), already-decimal values
+    * sum with Spark's automatic precision widening — never a raw
+    * double sum, so results are identical on any partitioning.
+    */
+  private def exactSum(df: DataFrame): Column =
+    if (df.schema("value").dataType.isInstanceOf[DecimalType]) sum(col("value"))
+    else sum(col("value").cast(DecimalType(18, 2)))
 
   private def kindOf(name: String): String =
     if (MetricEvent.CounterNames.contains(name)) "counter"
@@ -90,9 +100,9 @@ object Compiler {
         unix_micros(col("ts")) <= bound)
     kind match {
       case "counter" =>
-        Vec(base.filter(col("value") >= 0)
-          .groupBy(col("name"), col("label_k"))
-          .agg(Metrics.decSum(col("value")).as("value")),
+        val f = base.filter(col("value") >= 0)
+        Vec(f.groupBy(col("name"), col("label_k"))
+          .agg(exactSum(f).as("value")),
           Seq("name", "label_k"))
       case "gauge" =>
         val w = Window.partitionBy(col("name"), col("label_k"))
@@ -116,12 +126,28 @@ object Compiler {
     fn match {
       case "rate" | "increase" =>
         if (kind != "counter") fail(s"$fn expects a counter family, '${sel.name}' is a $kind")
-        val inc = base.filter(col("value") >= 0)
-          .groupBy(col("name"), col("label_k"))
-          .agg(Metrics.decSum(col("value")).as("value"))
+        val f = base.filter(col("value") >= 0)
+        val inc = f.groupBy(col("name"), col("label_k"))
+          .agg(exactSum(f).as("value"))
         if (fn == "increase") Vec(inc, Seq("name", "label_k"))
         else Vec(inc.withColumn("value",
           col("value").cast("double") / lit(d.toDouble)), Seq("name", "label_k"))
+      case "sum_over_time" | "avg_over_time" | "min_over_time" |
+           "max_over_time" | "count_over_time" =>
+        // *_over_time aggregates the raw samples in the window — valid
+        // for counters (increment events) and gauges alike
+        val g = base.groupBy(col("name"), col("label_k"))
+        val agg = fn match {
+          case "sum_over_time" => g.agg(exactSum(base).as("value"))
+          case "avg_over_time" => g.agg(
+            (exactSum(base).cast("double") /
+              count(lit(1)).cast("double")).as("value"))
+          case "min_over_time" => g.agg(min(col("value")).as("value"))
+          case "max_over_time" => g.agg(max(col("value")).as("value"))
+          case "count_over_time" =>
+            g.agg(count(lit(1)).cast("double").as("value"))
+        }
+        Vec(agg, Seq("name", "label_k"))
       case "delta" =>
         if (kind != "gauge") fail(s"delta expects a gauge family, '${sel.name}' is a $kind")
         val wAsc = Window.partitionBy(col("name"), col("label_k"))
@@ -179,13 +205,13 @@ object Compiler {
       fail(s"grouping label '$g' is not present in the vector (${v.labels.mkString(", ")})"))
     val grouped = v.df.groupBy(groupCols.map(col): _*)
     a.op match {
-      case "sum" => Vec(grouped.agg(sum(col("value")).as("value")), groupCols)
+      case "sum" => Vec(grouped.agg(exactSum(v.df).as("value")), groupCols)
       case "min" => Vec(grouped.agg(min(col("value")).as("value")), groupCols)
       case "max" => Vec(grouped.agg(max(col("value")).as("value")), groupCols)
       case "count" =>
         Vec(grouped.agg(count(lit(1)).cast("double").as("value")), groupCols)
       case "avg" => Vec(grouped.agg(
-        (sum(col("value")).cast("double") / count(lit(1)).cast("double"))
+        (exactSum(v.df).cast("double") / count(lit(1)).cast("double"))
           .as("value")), groupCols)
       case "quantile" =>
         val phi = a.param.getOrElse(fail("quantile needs a parameter"))
@@ -232,6 +258,30 @@ object Compiler {
       case "!=" => l =!= r
     }
     val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(b.op)
+    if (Set("and", "unless", "or").contains(b.op)) {
+      // vector set ops: left-semi / left-anti / left-priority union —
+      // the dedicated join types, never a distinct over a concatenation
+      val lv = compileVec(spark, dir, b.left)
+      val rv = compileVec(spark, dir, b.right)
+      val joinLabels = b.on.map(_.map(labelCol))
+        .getOrElse(lv.labels.intersect(rv.labels).filterNot(_ == "name"))
+      if (joinLabels.isEmpty) fail(s"'${b.op}' has no labels to match on")
+      val rightKeys = rv.df.select(joinLabels.map(col): _*)
+      return b.op match {
+        case "and" => Vec(lv.df.join(rightKeys, joinLabels, "left_semi"), lv.labels)
+        case "unless" => Vec(lv.df.join(rightKeys, joinLabels, "left_anti"), lv.labels)
+        case "or" =>
+          if (lv.labels != rv.labels)
+            fail(s"'or' requires identical label sets " +
+              s"(left: ${lv.labels.mkString(",")}; right: ${rv.labels.mkString(",")})")
+          val cols = lv.labels.map(col) :+ col("value").cast("double").as("value")
+          val leftOut = lv.df.select(cols: _*)
+          val fromRight = rv.df
+            .join(lv.df.select(joinLabels.map(col): _*), joinLabels, "left_anti")
+            .select(cols: _*)
+          Vec(leftOut.unionAll(fromRight), lv.labels)
+      }
+    }
     (b.left, b.right) match {
       case (NumLit(_), NumLit(_)) => fail("scalar-only expressions are not vectors")
       case (l, NumLit(s)) =>
@@ -269,7 +319,9 @@ object Compiler {
 
   private def compileVec(spark: SparkSession, dir: String, ast: Ast): Vec = ast match {
     case sel: Selector => instantVector(spark, dir, sel)
-    case Func(fn, _, sel: Selector) if Set("rate", "increase", "delta").contains(fn) =>
+    case Func(fn, _, sel: Selector)
+        if Set("rate", "increase", "delta", "sum_over_time", "avg_over_time",
+          "min_over_time", "max_over_time", "count_over_time").contains(fn) =>
       rangeFunc(spark, dir, fn, sel)
     case Func("histogram_quantile", Some(phi), sel: Selector) =>
       histogramQuantile(spark, dir, phi, sel)

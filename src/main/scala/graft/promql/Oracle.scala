@@ -45,6 +45,37 @@ object Oracle {
     "SELECT name, label_k, q AS value FROM (" + PromQL.HistogramQuantileSql +
       ") ORDER BY name, label_k, value"
 
+  /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
+  val OrSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |p AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |    AND regexp_matches(label_k, '^(?:[0-4].*)$$')
+       |  GROUP BY label_k),
+       |c AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m WHERE name = 'click' AND value >= 0
+       |    AND regexp_matches(label_k, '^(?:[3-6].*)$$')
+       |  GROUP BY label_k)
+       |SELECT label_k, CAST(dv AS DOUBLE) AS value FROM p
+       |UNION ALL
+       |SELECT label_k, CAST(dv AS DOUBLE) AS value FROM c
+       |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.label_k = c.label_k)
+       |ORDER BY label_k, value""".stripMargin
+
+  /** `max_over_time(signup[10d] offset 2d)` */
+  val MaxOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m)
+       |SELECT name, label_k, MAX(value) AS value
+       |FROM m, t
+       |WHERE name = 'signup'
+       |  AND epoch_us(ts) > t_us - 1036800000000
+       |  AND epoch_us(ts) <= t_us - 172800000000
+       |GROUP BY name, label_k
+       |ORDER BY name, label_k, value""".stripMargin
+
   /** `sum by (k) (increase(purchase[2d]))` */
   val IncreaseSumSql: String =
     s"""WITH m AS ($MetricEventsSql),

@@ -12,7 +12,9 @@ object Parser {
 
   private val AggOps = Set("sum", "avg", "min", "max", "count")
   private val ParamAggOps = Set("topk", "bottomk", "quantile")
-  private val RangeFuncs = Set("rate", "increase", "delta")
+  private val RangeFuncs = Set("rate", "increase", "delta",
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "count_over_time")
   private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt")
   private val ClampFuncs = Set("clamp_min", "clamp_max")
 
@@ -221,13 +223,35 @@ object Parser {
       l
     }
 
-    def expr(): Ast = {
+    def cmpExpr(): Ast = {
       var l = addExpr()
       while (peek.exists(t => t.kind == "op" &&
           Set(">", "<", ">=", "<=", "==", "!=").contains(t.text))) {
         val op = take().text
         val on = maybeOn()
         l = BinOp(op, on, l, addExpr())
+      }
+      l
+    }
+
+    // PromQL precedence: `or` binds loosest, then `and`/`unless`
+    def andExpr(): Ast = {
+      var l = cmpExpr()
+      while (peek.exists(t => t.kind == "ident" &&
+          (t.text == "and" || t.text == "unless"))) {
+        val op = take().text
+        val on = maybeOn()
+        l = BinOp(op, on, l, cmpExpr())
+      }
+      l
+    }
+
+    def expr(): Ast = {
+      var l = andExpr()
+      while (peek.exists(t => t.kind == "ident" && t.text == "or")) {
+        p += 1
+        val on = maybeOn()
+        l = BinOp("or", on, l, andExpr())
       }
       l
     }

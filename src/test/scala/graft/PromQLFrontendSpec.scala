@@ -122,6 +122,37 @@ class PromQLFrontendSpec extends SparkTestBase {
       .as[Double].collect().toSeq === Seq(4.0))
   }
 
+  test("vector set ops: and/unless/or with left priority") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 0, "purchase", 20.0, "b"),
+      ev(2, 0, "click", 1.0, "a"),
+      ev(3, 0, "click", 5.0, "c")
+    ).toDF(eventCols: _*))
+    def run(q: String) = Engine.eval(spark, dir, q)
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(run("purchase and click") === Set(("a", 10.0)))
+    assert(run("purchase unless click") === Set(("b", 20.0)))
+    assert(run("sum by (k) (purchase) or sum by (k) (click)") ===
+      Set(("a", 10.0), ("b", 20.0), ("c", 5.0))) // left wins on "a"
+  }
+
+  test("over_time family aggregates raw samples in the trailing window") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 2.0, "a"),      // outside [T-1h, T]
+      ev(1, 1 * h + 1, "signup", 4.0, "a"),
+      ev(2, 2 * h, "signup", 10.0, "a")
+    ).toDF(eventCols: _*))
+    def one(q: String) = Engine.eval(spark, dir, q)
+      .select($"value").as[Double].collect().toSeq
+    assert(one("max_over_time(signup[1h])") === Seq(10.0))
+    assert(one("min_over_time(signup[1h])") === Seq(4.0))
+    assert(one("sum_over_time(signup[1h])") === Seq(14.0))
+    assert(one("avg_over_time(signup[1h])") === Seq(7.0))
+    assert(one("count_over_time(signup[1h])") === Seq(2.0))
+  }
+
   test("compose-time checks reject kind and shape errors before any job") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
