@@ -105,6 +105,8 @@ object SparkEntry {
     "x18_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "x19_corpus_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
     "x20_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
+    "x21_multimodal_resize" -> ((s, d) => Multimodal.resize(s, d)),
+    "x22_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -188,5 +190,7 @@ object SparkEntry {
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,
     "x20_contamination" -> TextAnalysis.ContaminationSql,
+    "x21_multimodal_resize" -> Multimodal.ResizeSql,
+    "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
   )
 }

@@ -123,4 +123,139 @@ object Multimodal {
       |  CAST(list_sum(frame_bytes) AS BIGINT) AS frame_sum
       |FROM f
       |ORDER BY doc_id""".stripMargin
+
+  /** Output schema of the partition-batched resize transform. */
+  val ResizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("src_w", LongType),
+    StructField("src_h", LongType),
+    StructField("dst_w", LongType),
+    StructField("dst_h", LongType),
+    StructField("n_src_bytes", LongType),
+    StructField("stride", LongType),
+    StructField("n_dst_bytes", LongType),
+    StructField("dst_md5", StringType)))
+
+  /** Resize: fit each payload's (fake-header) dimensions into a 64×64
+    * box preserving aspect ratio, and produce the "resized" payload by
+    * stride-subsampling the bytes (target ≈ 256 bytes). The dimension
+    * plan is pure integer arithmetic; the byte resample runs in the
+    * partition-batched iterator exactly like [[frameSample]] — a real
+    * image scaler drops in for the stride loop. The oracle reproduces
+    * EVERYTHING including the md5 of the resampled bytes (ASCII corpus:
+    * byte k = character k+1), so the mapPartitions path itself is
+    * hash-verified, not just row-counted.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(ResizeSchema)
+    withBinaryPayload(spark, dir)
+      .withColumn("h", md5(col("content")))
+      .select(col("doc_id"), col("content"),
+        expr("instr('0123456789abcdef', substr(h, 1, 1)) * 64").cast("bigint").as("src_w"),
+        expr("instr('0123456789abcdef', substr(h, 2, 1)) * 64").cast("bigint").as("src_h"))
+      .mapPartitions { rows =>
+        // per-partition setup point (a real scaler/codec initializes here)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val sw = r.getLong(2)
+          val sh = r.getLong(3)
+          val maxEdge = math.max(sw, sh)
+          val dw = math.max(1L, sw * 64 / maxEdge)
+          val dh = math.max(1L, sh * 64 / maxEdge)
+          val stride = math.max(1L, bytes.length.toLong / 256L)
+          val sampled = bytes.indices.by(stride.toInt).map(bytes(_)).toArray
+          digest.reset()
+          val md5hex = digest.digest(sampled).map("%02x".format(_)).mkString
+          Row(id, sw, sh, dw, dh, bytes.length.toLong, stride,
+            sampled.length.toLong, md5hex)
+        }
+      }(enc)
+      .orderBy(col("doc_id"))
+  }
+
+  val ResizeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text, md5(text) AS h,
+      |    CAST(length(text) AS BIGINT) AS n
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, text, n,
+      |    CAST(strpos('0123456789abcdef', substr(h, 1, 1)) * 64 AS BIGINT) AS src_w,
+      |    CAST(strpos('0123456789abcdef', substr(h, 2, 1)) * 64 AS BIGINT) AS src_h,
+      |    greatest(1, n // 256) AS stride
+      |  FROM b),
+      |sampled AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_dst_bytes,
+      |    md5(string_agg(substr(text, CAST(i AS INT), 1), '' ORDER BY i)) AS dst_md5
+      |  FROM dims, LATERAL (SELECT unnest(generate_series(1, n, stride)) AS i)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id AS doc_id, src_w, src_h,
+      |  greatest(1, src_w * 64 // greatest(src_w, src_h)) AS dst_w,
+      |  greatest(1, src_h * 64 // greatest(src_w, src_h)) AS dst_h,
+      |  n AS n_src_bytes, stride,
+      |  COALESCE(n_dst_bytes, 0) AS n_dst_bytes,
+      |  COALESCE(dst_md5, md5('')) AS dst_md5
+      |FROM dims d LEFT JOIN sampled s ON s.doc_id = d.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Output schema of the byte-class feature extractor. */
+  val ByteHistogramSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("n_lower", LongType),
+    StructField("n_digit", LongType),
+    StructField("n_space", LongType),
+    StructField("n_other", LongType),
+    StructField("lower_frac", DoubleType)))
+
+  /** Feature extraction over the binary payload: byte-class histogram
+    * (lowercase / digit / space / other) + the lowercase fraction —
+    * REAL per-byte computation (no stub) in the same partition-batched
+    * iterator shape, which is where an embedding model or DSP feature
+    * bank would run. One pass over each payload, no shuffle before the
+    * final sort; the oracle mirrors the byte classes with character
+    * classes (ASCII corpus).
+    */
+  def byteHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(ByteHistogramSchema)
+    withBinaryPayload(spark, dir)
+      .select(col("doc_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          var lower = 0L; var digit = 0L; var space = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i)
+            if (b >= 'a' && b <= 'z') lower += 1
+            else if (b >= '0' && b <= '9') digit += 1
+            else if (b == ' ') space += 1
+            i += 1
+          }
+          val n = bytes.length.toLong
+          val other = n - lower - digit - space
+          val frac: Any = if (n == 0) null else lower.toDouble / n.toDouble
+          Row(id, n, lower, digit, space, other, frac)
+        }
+      }(enc)
+      .orderBy(col("doc_id"))
+  }
+
+  val ByteHistogramSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+      |  FROM documents)
+      |SELECT doc_id, n_bytes, n_lower, n_digit, n_space,
+      |  n_bytes - n_lower - n_digit - n_space AS n_other,
+      |  CASE WHEN n_bytes = 0 THEN NULL
+      |       ELSE CAST(n_lower AS DOUBLE) / CAST(n_bytes AS DOUBLE) END AS lower_frac
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
 }

@@ -218,6 +218,28 @@ class ExtensionSpec extends SparkTestBase {
     assert(rows(2L) === ((0L, false)))
   }
 
+  test("resize fits dims into 64x64 and stride-samples the payload bytes") {
+    val text = ("x" * 500) + ("y" * 12) // 512 bytes → stride 2, 256 sampled
+    val dir = fixture("documents" -> Seq(doc(0, text)).toDF(docCols: _*))
+    val r = graft.operators.Multimodal.resize(spark, dir)
+      .select($"dst_w", $"dst_h", $"n_src_bytes", $"stride", $"n_dst_bytes", $"dst_md5")
+      .as[(Long, Long, Long, Long, Long, String)].collect().head
+    assert(r._3 === 512L && r._4 === 2L && r._5 === 256L)
+    assert(r._1 <= 64L && r._2 <= 64L && math.max(r._1, r._2) === 64L)
+    // positions 0,2,..,498 are 'x' (250), 500..510 even are 'y' (6)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(("x" * 250 + "y" * 6).getBytes).map("%02x".format(_)).mkString
+    assert(r._6 === expected)
+  }
+
+  test("byte histogram counts byte classes and the lowercase fraction") {
+    val dir = fixture("documents" -> Seq(doc(0, "ab1 C!")).toDF(docCols: _*))
+    val r = graft.operators.Multimodal.byteHistogram(spark, dir)
+      .select($"n_bytes", $"n_lower", $"n_digit", $"n_space", $"n_other", $"lower_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(r === ((6L, 2L, 1L, 1L, 2L, 2.0 / 6.0)))
+  }
+
   test("langid emits no trigrams for sub-3-char texts (oracle parity guard)") {
     val dir = fixture("documents" -> Seq(
       doc(0, "ab"),                        // <3 chars: zero trigrams
