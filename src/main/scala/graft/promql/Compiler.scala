@@ -79,13 +79,25 @@ object Compiler {
       acc && one
     }
 
+  /** The 1-row evaluation-instant aggregate, persisted per
+    * (session, sf): without this every selector in a query re-runs the
+    * max-ts pass over the events relation — one full scan per selector
+    * at 100 TB. Entries are dropped at application end.
+    */
+  private val instantCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Events with the evaluation instant `_t_us` (max ts) broadcast onto
-    * every row — the scalar is one tiny aggregate on the persisted
-    * adapter view, never a driver round-trip.
+    * every row — a broadcast of the cached 1-row aggregate, never a
+    * driver round-trip.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val ev = Metrics.metricEvents(spark, dir)
-    ev.crossJoin(broadcast(ev.select(max(unix_micros(col("ts"))).as("_t_us"))))
+    val t = instantCache.computeIfAbsent((spark, dir), k => {
+      graft.operators.SessionCaches.onApplicationEnd(spark)(() => instantCache.remove(k))
+      ev.select(max(unix_micros(col("ts"))).as("_t_us")).persist()
+    })
+    ev.crossJoin(broadcast(t))
   }
 
   private def instantVector(spark: SparkSession, dir: String, sel: Selector): Vec = {
