@@ -100,6 +100,8 @@ object SparkEntry {
       """sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})""")),
     "p6_promql_over_time" ->
       ((s, d) => promql.Engine.eval(s, d, "max_over_time(signup[10d] offset 2d)")),
+    "p7_promql_subquery" -> ((s, d) => promql.Engine.eval(s, d,
+      "max_over_time((sum by (k) (purchase))[4d:1d])")),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "x17_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "x18_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
@@ -185,6 +187,7 @@ object SparkEntry {
     "p4_promql_increase" -> promql.Oracle.IncreaseSumSql,
     "p5_promql_or" -> promql.Oracle.OrSql,
     "p6_promql_over_time" -> promql.Oracle.MaxOverTimeSql,
+    "p7_promql_subquery" -> promql.Oracle.SubquerySql,
     "b30_changes" -> PromQL.ChangesSql,
     "x17_repetition" -> TextAnalysis.RepetitionSql,
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,

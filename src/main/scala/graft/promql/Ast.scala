@@ -46,5 +46,11 @@ final case class BinOp(op: String, on: Option[Seq[String]], left: Ast, right: As
 /** Scalar literal operand of an arithmetic/comparison binary op. */
 final case class NumLit(v: Double) extends Ast
 
+/** PromQL subquery `(expr)[range:step]` — the inner instant expression
+  * evaluated at each step-spaced instant of the trailing range,
+  * yielding a range vector consumed by a `*_over_time` function.
+  */
+final case class Subquery(inner: Ast, rangeS: Long, stepS: Long) extends Ast
+
 final class PromQLParseException(msg: String) extends IllegalArgumentException(msg)
 final class PromQLCompileException(msg: String) extends IllegalArgumentException(msg)

@@ -100,13 +100,14 @@ object Compiler {
     ev.crossJoin(broadcast(t))
   }
 
-  private def instantVector(spark: SparkSession, dir: String, sel: Selector): Vec = {
+  private def instantVector(spark: SparkSession, dir: String, sel: Selector,
+      shiftS: Long): Vec = {
     if (sel.rangeS.isDefined)
       fail(s"range selector ${sel.name}[..] is not an instant vector; wrap it in rate/increase/delta")
     val kind = kindOf(sel.name)
     if (kind == "histogram")
       fail(s"histogram family '${sel.name}' has no scalar instant value; use histogram_quantile")
-    val bound = col("_t_us") - lit(sel.offsetS.getOrElse(0L) * 1000000L)
+    val bound = col("_t_us") - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
     val base = events(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= bound)
@@ -125,10 +126,11 @@ object Compiler {
     }
   }
 
-  private def rangeFunc(spark: SparkSession, dir: String, fn: String, sel: Selector): Vec = {
+  private def rangeFunc(spark: SparkSession, dir: String, fn: String, sel: Selector,
+      shiftS: Long): Vec = {
     val d = sel.rangeS.getOrElse(
       fail(s"$fn requires a range selector, e.g. $fn(${sel.name}[5m])"))
-    val off = sel.offsetS.getOrElse(0L)
+    val off = sel.offsetS.getOrElse(0L) + shiftS
     val kind = kindOf(sel.name)
     val hi = col("_t_us") - lit(off * 1000000L)
     val lo = hi - lit(d * 1000000L)
@@ -254,7 +256,7 @@ object Compiler {
     Vec(v.df.withColumn("value", out), v.labels)
   }
 
-  private def binOp(spark: SparkSession, dir: String, b: BinOp): Vec = {
+  private def binOp(spark: SparkSession, dir: String, b: BinOp, shiftS: Long): Vec = {
     def arith(op: String, l: Column, r: Column): Column = op match {
       case "+" => l.cast("double") + r.cast("double")
       case "-" => l.cast("double") - r.cast("double")
@@ -273,8 +275,8 @@ object Compiler {
     if (Set("and", "unless", "or").contains(b.op)) {
       // vector set ops: left-semi / left-anti / left-priority union —
       // the dedicated join types, never a distinct over a concatenation
-      val lv = compileVec(spark, dir, b.left)
-      val rv = compileVec(spark, dir, b.right)
+      val lv = compileVec(spark, dir, b.left, shiftS)
+      val rv = compileVec(spark, dir, b.right, shiftS)
       val joinLabels = b.on.map(_.map(labelCol))
         .getOrElse(lv.labels.intersect(rv.labels).filterNot(_ == "name"))
       if (joinLabels.isEmpty) fail(s"'${b.op}' has no labels to match on")
@@ -297,16 +299,16 @@ object Compiler {
     (b.left, b.right) match {
       case (NumLit(_), NumLit(_)) => fail("scalar-only expressions are not vectors")
       case (l, NumLit(s)) =>
-        val v = compileVec(spark, dir, l)
+        val v = compileVec(spark, dir, l, shiftS)
         if (isCmp) Vec(v.df.filter(cmp(b.op, col("value").cast("double"), lit(s))), v.labels)
         else Vec(v.df.withColumn("value", arith(b.op, col("value"), lit(s))), v.labels)
       case (NumLit(s), r) =>
-        val v = compileVec(spark, dir, r)
+        val v = compileVec(spark, dir, r, shiftS)
         if (isCmp) Vec(v.df.filter(cmp(b.op, lit(s), col("value").cast("double"))), v.labels)
         else Vec(v.df.withColumn("value", arith(b.op, lit(s), col("value"))), v.labels)
       case (l, r) =>
-        val lv = compileVec(spark, dir, l)
-        val rv = compileVec(spark, dir, r)
+        val lv = compileVec(spark, dir, l, shiftS)
+        val rv = compileVec(spark, dir, r, shiftS)
         // default vector matching: all shared labels except the metric
         // name (PromQL drops __name__ on binary ops)
         val joinLabels = b.on.map(_.map(labelCol))
@@ -329,20 +331,63 @@ object Compiler {
     }
   }
 
-  private def compileVec(spark: SparkSession, dir: String, ast: Ast): Vec = ast match {
-    case sel: Selector => instantVector(spark, dir, sel)
+  private val OverTimeFns = Set("sum_over_time", "avg_over_time",
+    "min_over_time", "max_over_time", "count_over_time")
+
+  /** Subquery `(inner)[d:step]` under a `*_over_time` function: the
+    * inner expression is evaluated at each step-spaced instant
+    * T−d+step, …, T (how the Prometheus engine itself loops subquery
+    * instants), implemented as a compile-time union of the inner plan
+    * at shifted offsets — every instant reads the SAME persisted
+    * adapter relation, so this is N filtered passes over cached data,
+    * not N scans of storage. The instant count is compose-time bounded.
+    */
+  private def subqueryOverTime(spark: SparkSession, dir: String, fn: String,
+      sq: Subquery, shiftS: Long): Vec = {
+    if (sq.stepS <= 0) fail("subquery step must be positive")
+    if (sq.rangeS % sq.stepS != 0)
+      fail(s"subquery range (${sq.rangeS}s) must be a multiple of its step (${sq.stepS}s)")
+    val g = sq.rangeS / sq.stepS
+    if (g < 1 || g > 64)
+      fail(s"subquery evaluates $g instants; 1..64 supported (compose-time bound)")
+    val vecs = (1L to g).map { i =>
+      compileVec(spark, dir, sq.inner, shiftS + sq.rangeS - i * sq.stepS)
+    }
+    val labels = vecs.head.labels
+    val unioned = vecs.map(_.df.select(labels.map(col) :+ col("value"): _*))
+      .reduce(_ unionAll _)
+    val grouped = unioned.groupBy(labels.map(col): _*)
+    val agg = fn match {
+      case "sum_over_time" => grouped.agg(exactSum(unioned).as("value"))
+      case "avg_over_time" => grouped.agg(
+        (exactSum(unioned).cast("double") / count(lit(1)).cast("double")).as("value"))
+      case "min_over_time" => grouped.agg(min(col("value")).as("value"))
+      case "max_over_time" => grouped.agg(max(col("value")).as("value"))
+      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+    }
+    Vec(agg, labels)
+  }
+
+  private def compileVec(spark: SparkSession, dir: String, ast: Ast,
+      shiftS: Long = 0L): Vec = ast match {
+    case sel: Selector => instantVector(spark, dir, sel, shiftS)
     case Func(fn, _, sel: Selector)
-        if Set("rate", "increase", "delta", "sum_over_time", "avg_over_time",
-          "min_over_time", "max_over_time", "count_over_time").contains(fn) =>
-      rangeFunc(spark, dir, fn, sel)
+        if fn == "rate" || fn == "increase" || fn == "delta" ||
+          OverTimeFns.contains(fn) =>
+      rangeFunc(spark, dir, fn, sel, shiftS)
+    case Func(fn, _, sq: Subquery) if OverTimeFns.contains(fn) =>
+      subqueryOverTime(spark, dir, fn, sq, shiftS)
     case Func("histogram_quantile", Some(phi), sel: Selector) =>
+      if (shiftS != 0L)
+        fail("histogram_quantile is not supported inside subqueries")
       histogramQuantile(spark, dir, phi, sel)
     case Func(fn, param, arg)
         if Set("abs", "ceil", "floor", "round", "sqrt", "clamp_min", "clamp_max")
           .contains(fn) =>
-      scalarFunc(fn, param, compileVec(spark, dir, arg))
-    case a: Agg => aggregate(a, compileVec(spark, dir, a.arg))
-    case b: BinOp => binOp(spark, dir, b)
+      scalarFunc(fn, param, compileVec(spark, dir, arg, shiftS))
+    case a: Agg => aggregate(a, compileVec(spark, dir, a.arg, shiftS))
+    case b: BinOp => binOp(spark, dir, b, shiftS)
+    case _: Subquery => fail("a subquery is only valid under a *_over_time function")
     case NumLit(_) => fail("a bare scalar is not a vector expression")
     case other => fail(s"unsupported expression $other")
   }

@@ -76,6 +76,23 @@ object Oracle {
        |GROUP BY name, label_k
        |ORDER BY name, label_k, value""".stripMargin
 
+  /** `max_over_time((sum by (k) (purchase))[4d:1d])` — the subquery's
+    * four instants (T−3d … T) expressed as a shift grid.
+    */
+  val SubquerySql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |g AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |snap AS (
+       |  SELECT label_k, s, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t, g
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - s * 86400000000
+       |  GROUP BY label_k, s)
+       |SELECT label_k, CAST(MAX(dv) AS DOUBLE) AS value
+       |FROM snap GROUP BY label_k
+       |ORDER BY label_k, value""".stripMargin
+
   /** `sum by (k) (increase(purchase[2d]))` */
   val IncreaseSumSql: String =
     s"""WITH m AS ($MetricEventsSql),

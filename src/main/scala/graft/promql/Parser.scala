@@ -12,9 +12,9 @@ object Parser {
 
   private val AggOps = Set("sum", "avg", "min", "max", "count")
   private val ParamAggOps = Set("topk", "bottomk", "quantile")
-  private val RangeFuncs = Set("rate", "increase", "delta",
-    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
-    "count_over_time")
+  private val RangeFuncs = Set("rate", "increase", "delta")
+  private val OverTimeFuncs = Set("sum_over_time", "avg_over_time",
+    "min_over_time", "max_over_time", "count_over_time")
   private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt")
   private val ClampFuncs = Set("clamp_min", "clamp_max")
 
@@ -49,7 +49,7 @@ object Parser {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Set("=~", "!~", "!=", "<=", ">=", "==").contains(two)) {
           out += Tok("op", two, i); i += 2
-        } else if ("(){}[],=+-*/<>".contains(c)) {
+        } else if ("(){}[],=+-*/<>:".contains(c)) {
           out += Tok("op", c.toString, i); i += 1
         } else err(s"unexpected character '$c'")
       }
@@ -171,6 +171,29 @@ object Parser {
           }
           expect(")")
           Func(name, None, sel)
+        } else if (OverTimeFuncs.contains(name)) {
+          expect("(")
+          // either `sel[d]` or a subquery `(expr)[d:step]`
+          val arg: Ast =
+            if (at("(")) {
+              p += 1
+              val e = expr()
+              expect(")")
+              expect("[")
+              val d = take()
+              if (d.kind != "duration") fail("expected range duration in subquery")
+              expect(":")
+              val st = take()
+              if (st.kind != "duration") fail("expected step duration in subquery")
+              expect("]")
+              Subquery(e, durationSeconds(d.text), durationSeconds(st.text))
+            } else {
+              val t2 = take()
+              if (t2.kind != "ident") fail(s"$name expects a range selector or subquery")
+              selectorTail(t2.text)
+            }
+          expect(")")
+          Func(name, None, arg)
         } else if (name == "histogram_quantile") {
           expect("(")
           val phi = number()

@@ -153,6 +153,34 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(one("count_over_time(signup[1h])") === Seq(2.0))
   }
 
+  test("subquery evaluates the inner expression at step-spaced instants") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),     // T-2h
+      ev(1, 1 * h, "purchase", 2.0, "a"), // T-1h
+      ev(2, 2 * h, "purchase", 4.0, "a")  // T
+    ).toDF(eventCols: _*))
+    // snapshots: at T-1h → 3.0, at T → 7.0
+    def one(q: String) = Engine.eval(spark, dir, q)
+      .select($"value").as[Double].collect().toSeq
+    assert(one("max_over_time((sum by (k) (purchase))[2h:1h])") === Seq(7.0))
+    assert(one("min_over_time((sum by (k) (purchase))[2h:1h])") === Seq(3.0))
+    assert(one("avg_over_time((sum by (k) (purchase))[2h:1h])") === Seq(5.0))
+    assert(one("sum_over_time((sum by (k) (purchase))[2h:1h])") === Seq(10.0))
+    assert(one("count_over_time((sum by (k) (purchase))[2h:1h])") === Seq(2.0))
+  }
+
+  test("subquery compose-time bounds: step/range validation and placement") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, "max_over_time((purchase)[5h:2h])")) // not a multiple
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, "max_over_time((purchase)[100d:1h])")) // > 64 instants
+    intercept[graft.promql.PromQLParseException](
+      Engine.eval(spark, dir, "(purchase)[2h:1h]")) // subquery outside over_time
+  }
+
   test("compose-time checks reject kind and shape errors before any job") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
