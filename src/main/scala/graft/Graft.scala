@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Corpus, Metrics}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The library's front door for interactive / SQL-first use:
+  *
+  * {{{
+  *   graft.Graft.registerViews(spark, sfDir)
+  *   spark.sql("SELECT * FROM counter_snapshot WHERE label_k = '17'")
+  *   graft.Graft.promql(spark, sfDir, "topk(3, sum by (k) (purchase))")
+  * }}}
+  *
+  * `registerViews` publishes the engine's relations as temp views (and
+  * registers the native expressions), so a user needs no Scala beyond
+  * these two calls — the same role the reference's block registration
+  * plays for a Shards script author
+  * (`/root/reference/prometheus.cpp:309-314`). Views are temp-view
+  * DEFINITIONS over the session-cached relations: queries against them
+  * plan through Catalyst like any DataFrame call, with nothing
+  * materialized beyond the shared session caches.
+  */
+object Graft {
+
+  /** Register every engine relation as a temp view on `spark`. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    graft.plans.IntDotExpr.register(spark)
+    graft.plans.CharTrigramsExpr.register(spark)
+    graft.plans.HistogramQuantileExpr.register(spark)
+    // metric model
+    Metrics.metricEvents(spark, dir).createOrReplaceTempView("metric_events")
+    Metrics.counterSnapshot(spark, dir).createOrReplaceTempView("counter_snapshot")
+    Metrics.gaugeSnapshot(spark, dir).createOrReplaceTempView("gauge_snapshot")
+    Metrics.histogramSnapshot(spark, dir).createOrReplaceTempView("histogram_snapshot")
+    // corpus + fixtures
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    Corpus.shingleRows(spark, dir).createOrReplaceTempView("doc_shingles")
+    // relational fixtures — registered only where the corpus carries them
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+      .filter(t => java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$t.parquet")))
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+  }
+
+  /** Evaluate a PromQL query string against the events at `dir`. */
+  def promql(spark: SparkSession, dir: String, query: String): DataFrame =
+    graft.promql.Engine.eval(spark, dir, query)
+}

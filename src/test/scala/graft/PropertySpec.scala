@@ -99,6 +99,65 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("holt_winters matches the sequential reference on random series") {
+    for (i <- 1 to 5) {
+      val vals = Gen.choose(2, 12)
+        .flatMap(n => Gen.listOfN(n, Gen.choose(0, 5000).map(_ / 100.0)))
+        .apply(Gen.Parameters.default, Seed(200L + i)).get
+      val dir = fixture("events" -> vals.zipWithIndex.map { case (v, t) =>
+        ev(t.toLong, t * 1000L, "signup", v, "hw")
+      }.toDF(eventCols: _*))
+      var s = vals.head
+      var b = vals(1) - vals.head
+      vals.drop(1).foreach { y =>
+        val sNew = 0.5 * y + 0.5 * (s + b)
+        b = 0.3 * (sNew - s) + 0.7 * b
+        s = sNew
+      }
+      val got = graft.operators.PromQL.holtWinters(spark, dir)
+        .select("smoothed").as[Double].head()
+      assert(got === s, s"case $vals")
+    }
+  }
+
+  test("linear regression slope matches a least-squares reference on random gauges") {
+    for (i <- 1 to 5) {
+      val vals = Gen.choose(2, 10)
+        .flatMap(n => Gen.listOfN(n, Gen.choose(0, 5000).map(_ / 100.0)))
+        .apply(Gen.Parameters.default, Seed(300L + i)).get
+      // distinct x positions (seconds) within one day
+      val dir = fixture("events" -> vals.zipWithIndex.map { case (v, t) =>
+        ev(t.toLong, t * 60000L, "signup", v, "lr")
+      }.toDF(eventCols: _*))
+      val xs = vals.indices.map(_ * 60.0)
+      val n = vals.size
+      val sx = xs.sum; val sy = vals.sum
+      val sxy = xs.zip(vals).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val got = graft.operators.PromQL.linearRegression(spark, dir)
+        .select("deriv").as[Double].head()
+      assert(math.abs(got - slope) < 1e-9, s"case $vals: got $got want $slope")
+    }
+  }
+
+  test("repetition fractions are in [0,1]; zero dup iff all tokens distinct") {
+    val gen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 5).map(i => s"w$i")))
+    for (i <- 1 to 8) {
+      val toks = gen.apply(Gen.Parameters.default, Seed(400L + i)).get
+      val dir = fixture("documents" -> Seq(
+        (0L, toks.mkString(" "), "en", "src", toks.mkString(" ").length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val r = graft.operators.TextAnalysis.repetition(spark, dir)
+        .select("dup_token_frac", "top_token_frac", "dup_3gram_frac")
+        .as[(Double, Double, Double)].head()
+      assert(r._1 >= 0.0 && r._1 <= 1.0 && r._2 > 0.0 && r._2 <= 1.0 &&
+        r._3 >= 0.0 && r._3 <= 1.0, s"case $toks -> $r")
+      assert((r._1 == 0.0) === (toks.distinct.size == toks.size), s"case $toks")
+    }
+  }
+
   test("gauge: order-independent given distinct timestamps") {
     for (vals <- cases()) {
       val stamped = vals.zipWithIndex
