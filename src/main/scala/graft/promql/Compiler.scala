@@ -237,7 +237,14 @@ object Compiler {
         val ord =
           if (a.op == "topk") col("value").desc +: v.labels.map(col)
           else col("value").asc +: v.labels.map(col)
-        Vec(v.df.orderBy(ord: _*).limit(n.toInt), v.labels)
+        if (groupCols.isEmpty)
+          Vec(v.df.orderBy(ord: _*).limit(n.toInt), v.labels)
+        else {
+          // `topk by (k) (n, v)`: per-group ranking window, series rows kept
+          val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord: _*)
+          Vec(v.df.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") <= n.toInt).drop("_rk"), v.labels)
+        }
       case other => fail(s"unsupported aggregation '$other'")
     }
   }

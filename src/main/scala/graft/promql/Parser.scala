@@ -156,12 +156,14 @@ object Parser {
           val g2 = if (g1.isEmpty) grouping() else None
           Agg(name, g1.orElse(g2), None, arg)
         } else if (ParamAggOps.contains(name)) {
+          val g1 = grouping() // `topk by (k) (n, v)` / `quantile by (k) (φ, v)`
           expect("(")
           val param = number()
           expect(",")
           val arg = expr()
           expect(")")
-          Agg(name, None, Some(param), arg)
+          val g2 = if (g1.isEmpty) grouping() else None
+          Agg(name, g1.orElse(g2), Some(param), arg)
         } else if (RangeFuncs.contains(name)) {
           expect("(")
           val sel = {

@@ -153,6 +153,25 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(one("count_over_time(signup[1h])") === Seq(2.0))
   }
 
+  test("grouped topk/quantile rank and aggregate within each label group") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 0, "purchase", 20.0, "b"),
+      ev(2, 0, "purchase", 30.0, "c")
+    ).toDF(eventCols: _*))
+    // each label is its own group → per-group top-1 keeps every series
+    val top = Engine.eval(spark, dir, "topk by (k) (1, purchase)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(top === Set(("a", 10.0), ("b", 20.0), ("c", 30.0)))
+    // ungrouped topk stays a global limit
+    val g = Engine.eval(spark, dir, "topk(1, purchase)")
+      .select($"label_k").as[String].collect().toSeq
+    assert(g === Seq("c"))
+    val q = Engine.eval(spark, dir, "quantile by (k) (0.5, purchase)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(q === Set(("a", 10.0), ("b", 20.0), ("c", 30.0)))
+  }
+
   test("subquery evaluates the inner expression at step-spaced instants") {
     val h = 3600000L
     val dir = fixture("events" -> Seq(
