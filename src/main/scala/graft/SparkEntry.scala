@@ -102,6 +102,9 @@ object SparkEntry {
       ((s, d) => promql.Engine.eval(s, d, "max_over_time(signup[10d] offset 2d)")),
     "p7_promql_subquery" -> ((s, d) => promql.Engine.eval(s, d,
       "max_over_time((sum by (k) (purchase))[4d:1d])")),
+    "p8_promql_alerts" -> ((s, d) => promql.Rules.evaluateAlerts(s, d, Seq(
+      promql.Rules.AlertRule("HighSeries", "sum by (k) (purchase) > 450"),
+      promql.Rules.AlertRule("LowSeries", "sum by (k) (click) < 200")))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "x17_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "x18_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
@@ -188,6 +191,7 @@ object SparkEntry {
     "p5_promql_or" -> promql.Oracle.OrSql,
     "p6_promql_over_time" -> promql.Oracle.MaxOverTimeSql,
     "p7_promql_subquery" -> promql.Oracle.SubquerySql,
+    "p8_promql_alerts" -> promql.Oracle.AlertsSql,
     "b30_changes" -> PromQL.ChangesSql,
     "x17_repetition" -> TextAnalysis.RepetitionSql,
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,

@@ -93,6 +93,24 @@ object Oracle {
        |FROM snap GROUP BY label_k
        |ORDER BY label_k, value""".stripMargin
 
+  /** Alert rules `HighSeries: sum by (k) (purchase) > 450` and
+    * `LowSeries: sum by (k) (click) < 200` through [[Rules.evaluateAlerts]].
+    */
+  val AlertsSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |p AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m WHERE name = 'purchase' AND value >= 0 GROUP BY label_k),
+       |c AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m WHERE name = 'click' AND value >= 0 GROUP BY label_k)
+       |SELECT 'HighSeries' AS alertname, label_k, CAST(dv AS DOUBLE) AS value
+       |FROM p WHERE CAST(dv AS DOUBLE) > 450
+       |UNION ALL
+       |SELECT 'LowSeries' AS alertname, label_k, CAST(dv AS DOUBLE) AS value
+       |FROM c WHERE CAST(dv AS DOUBLE) < 200
+       |ORDER BY alertname, label_k""".stripMargin
+
   /** `sum by (k) (increase(purchase[2d]))` */
   val IncreaseSumSql: String =
     s"""WITH m AS ($MetricEventsSql),

@@ -200,6 +200,28 @@ class PromQLFrontendSpec extends SparkTestBase {
       Engine.eval(spark, dir, "(purchase)[2h:1h]")) // subquery outside over_time
   }
 
+  test("recording rules materialize; alert rules fire on threshold breaches") {
+    import graft.promql.Rules
+    import graft.promql.Rules.{AlertRule, RecordingRule}
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 0, "purchase", 90.0, "b"),
+      ev(2, 0, "click", 5.0, "a")
+    ).toDF(eventCols: _*))
+    val out = java.nio.file.Files.createTempDirectory("graft_rules").toString
+    Rules.writeRecording(spark, dir, Seq(
+      RecordingRule("k_purchase_total", "sum by (k) (purchase)")), out)
+    val recorded = spark.read.parquet(s"$out/k_purchase_total")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(recorded === Set(("a", 10.0), ("b", 90.0)))
+    val alerts = Rules.evaluateAlerts(spark, dir, Seq(
+      AlertRule("HighPurchase", "purchase > 50"),
+      AlertRule("TotalHigh", "sum(purchase) > 1000"))) // does not fire (100 < 1000)
+      .select($"alertname", $"label_k", $"value")
+      .as[(String, String, Double)].collect().toSet
+    assert(alerts === Set(("HighPurchase", "b", 90.0)))
+  }
+
   test("compose-time checks reject kind and shape errors before any job") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
