@@ -18,12 +18,15 @@ sealed trait Ast
 /** `=`, `!=`, `=~`, `!~` label matcher. */
 final case class Matcher(label: String, op: String, value: String)
 
-/** `name{matchers}[range] offset o` — `range`/`offset` in seconds. */
+/** `name{matchers}[range] offset o @ t` — `range`/`offset` in seconds,
+  * `@` an absolute epoch-second evaluation instant.
+  */
 final case class Selector(
     name: String,
     matchers: Seq[Matcher] = Nil,
     rangeS: Option[Long] = None,
-    offsetS: Option[Long] = None) extends Ast
+    offsetS: Option[Long] = None,
+    atS: Option[Long] = None) extends Ast
 
 /** `sum/avg/min/max/count [by|without (labels)] (expr)` and the
   * parameterized `topk/bottomk/quantile(param, expr)`.

@@ -107,7 +107,10 @@ object Compiler {
     val kind = kindOf(sel.name)
     if (kind == "histogram")
       fail(s"histogram family '${sel.name}' has no scalar instant value; use histogram_quantile")
-    val bound = col("_t_us") - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    // `@ t` pins the instant absolutely; offset/subquery shifts then
+    // apply relative to it
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val bound = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
     val base = events(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= bound)
@@ -132,7 +135,8 @@ object Compiler {
       fail(s"$fn requires a range selector, e.g. $fn(${sel.name}[5m])"))
     val off = sel.offsetS.getOrElse(0L) + shiftS
     val kind = kindOf(sel.name)
-    val hi = col("_t_us") - lit(off * 1000000L)
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val hi = anchor - lit(off * 1000000L)
     val lo = hi - lit(d * 1000000L)
     val base = events(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&

@@ -49,7 +49,7 @@ object Parser {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Set("=~", "!~", "!=", "<=", ">=", "==").contains(two)) {
           out += Tok("op", two, i); i += 2
-        } else if ("(){}[],=+-*/<>:".contains(c)) {
+        } else if ("(){}[],=+-*/<>:@".contains(c)) {
           out += Tok("op", c.toString, i); i += 1
         } else err(s"unexpected character '$c'")
       }
@@ -133,7 +133,14 @@ object Parser {
         if (d.kind != "duration") fail("expected duration after offset")
         Some(durationSeconds(d.text))
       } else None
-      Selector(name, ms, range, offset)
+      val atInstant = if (at("@")) {
+        p += 1
+        val t2 = take()
+        if (t2.kind != "number" || t2.text.contains('.'))
+          fail("expected integer epoch seconds after @")
+        Some(t2.text.toLong)
+      } else None
+      Selector(name, ms, range, offset, atInstant)
     }
 
     def grouping(): Option[(String, Seq[String])] =

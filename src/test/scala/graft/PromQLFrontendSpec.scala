@@ -153,6 +153,21 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(one("count_over_time(signup[1h])") === Seq(2.0))
   }
 
+  test("@ modifier pins the evaluation instant absolutely") {
+    // t0 = 2024-01-01 00:00:00 UTC = 1704067200 epoch seconds
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),
+      ev(1, 3600000, "purchase", 2.0, "a") // t0 + 1h
+    ).toDF(eventCols: _*))
+    assert(Engine.eval(spark, dir, "purchase @ 1704067200")
+      .select($"value").as[Double].collect().toSeq === Seq(1.0))
+    assert(Engine.eval(spark, dir, "purchase @ 1704070800")
+      .select($"value").as[Double].collect().toSeq === Seq(3.0))
+    // @ composes with a range function window
+    assert(Engine.eval(spark, dir, "increase(purchase[30m] @ 1704070800)")
+      .select($"value").as[Double].collect().toSeq === Seq(2.0))
+  }
+
   test("grouped topk/quantile rank and aggregate within each label group") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"),
