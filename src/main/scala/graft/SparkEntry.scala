@@ -106,6 +106,7 @@ object SparkEntry {
       promql.Rules.AlertRule("HighSeries", "sum by (k) (purchase) > 450"),
       promql.Rules.AlertRule("LowSeries", "sum by (k) (click) < 200")))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
+    "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "x17_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "x18_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "x19_corpus_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
@@ -193,6 +194,7 @@ object SparkEntry {
     "p7_promql_subquery" -> promql.Oracle.SubquerySql,
     "p8_promql_alerts" -> promql.Oracle.AlertsSql,
     "b30_changes" -> PromQL.ChangesSql,
+    "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "x17_repetition" -> TextAnalysis.RepetitionSql,
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,

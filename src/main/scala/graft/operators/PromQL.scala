@@ -1265,6 +1265,37 @@ object PromQL {
        |FROM snap
        |ORDER BY name, label_k""".stripMargin
 
+  /** B-series metadata functions in one pass over the counter snapshot:
+    * `label_join(v, "combined", "-", "name", "k")` (label concatenation
+    * into a new label), `timestamp(v)` (the last sample's time, kept in
+    * exact micros), `present_over_time` (constant 1 per existing
+    * series), with `sort_desc` output ordering (value-descending,
+    * deterministic label tiebreak). One hash aggregate computes the
+    * value and the last-sample time together — no second pass.
+    */
+  def seriesFunctions(spark: SparkSession, dir: String): DataFrame =
+    counterCents(spark, dir)
+      .groupBy(series: _*)
+      .agg(sum(col("cents")).as("cents"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("name"), col("label_k"),
+        concat_ws("-", col("name"), col("label_k")).as("combined"),
+        (col("cents").cast("double") / 100.0).as("value"),
+        col("last_us"), lit(1L).as("present"))
+      .orderBy(col("value").desc, col("label_k"), col("name"))
+
+  val SeriesFunctionsSql: String =
+    s"""WITH snap AS (
+       |  SELECT name, label_k, SUM(cents) AS cents,
+       |    MAX(epoch_us(ts)) AS last_us
+       |  FROM ($CounterCentsSql) GROUP BY name, label_k)
+       |SELECT name, label_k,
+       |  name || '-' || label_k AS combined,
+       |  CAST(cents AS DOUBLE) / 100.0 AS value,
+       |  last_us, CAST(1 AS BIGINT) AS present
+       |FROM snap
+       |ORDER BY value DESC, label_k, name""".stripMargin
+
   /** B3-counting `changes(v[1d])`: how many times each gauge series
     * changed value within the day — one `lag` per series (same single
     * window stage as every per-series operator, partitioned on the
