@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // At bench scale most shuffles carry far less than one target-size
+      // partition; AQE's default parallelismFirst re-splits them into
+      // per-core slivers and the fixed task overhead dominates 81 small
+      // queries. Coalescing to size (1MB floor keeps real reduces
+      // parallel) measures the plans, not the scheduler.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
