@@ -119,6 +119,9 @@ object SparkEntry {
     // order-sensitive float recurrence → rows-only check like x16;
     // spec pins it against an independent Scala reference
     "b29_holt_winters" -> ((s, d) => PromQL.holtWinters(s, d)),
+    // sketch cells are JVM-hash-dependent → rows-only check; the spec
+    // pins the one-sided error bound and the merge laws
+    "x23_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -360,6 +360,35 @@ object TextAnalysis {
        |ORDER BY n DESC, gram
        |LIMIT 20""".stripMargin
 
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Count-min-sketch heavy hitters: the sketch-tier twin of [[corpusNgrams]]
+    * (x19). The sketch build is the distributed work — one explode + one
+    * hash aggregate whose FIXED-SIZE buffer merges map-side (one
+    * depth×width array per partition crosses the shuffle, vs one row per
+    * distinct n-gram for the exact form). The exact top-20 then probes
+    * the finished sketch (a 20-row broadcast lookup, not a hot path) so
+    * the output exposes exact count, estimate, and the one-sided error.
+    * Sketch cells depend on JVM hashing → rows-only driver check like
+    * the HLL tier; the spec pins the ≥-exact guarantee and merge laws.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val cms = udaf(graft.functions.CountMinAggregator(CmsDepth, CmsWidth),
+      Encoders.STRING)
+    val grams = Tables.documents(spark, dir)
+      .select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
+    val sketch = grams.agg(cms(col("gram")).as("sketch"))
+    val est = udf((sk: Seq[Long], g: String) =>
+      graft.functions.CountMinAggregator.estimate(sk.toArray, g, CmsDepth, CmsWidth))
+    corpusNgrams(spark, dir)
+      .crossJoin(broadcast(sketch))
+      .select(col("gram"), col("n"),
+        est(col("sketch"), col("gram")).as("n_est"))
+      .withColumn("overestimate", col("n_est") - col("n"))
+      .orderBy(col("n").desc, col("gram"))
+  }
+
   /** Benchmark-contamination check: for every corpus document, the
     * fraction of its distinct word-3-grams that appear anywhere in the
     * "benchmark" set (here: the `src0` slice stands in for a held-out

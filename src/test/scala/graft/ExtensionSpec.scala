@@ -240,6 +240,21 @@ class ExtensionSpec extends SparkTestBase {
     assert(r === ((6L, 2L, 1L, 1L, 2L, 2.0 / 6.0)))
   }
 
+  test("cms heavy hitters: estimates match exact counts on a sparse fixture") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "hot pair hot pair hot pair"),
+      doc(1, "cold gram")).toDF(docCols: _*))
+    val rows = TextAnalysis.cmsHeavyHitters(spark, dir)
+      .select($"gram", $"n", $"n_est", $"overestimate")
+      .as[(String, Long, Long, Long)].collect()
+    // few distinct grams, width 1024 → no collisions: estimate == exact
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 === r._2 && r._4 === 0L, s"collision-free fixture: $r")
+    }
+    assert(rows.head._1 === "hot pair" && rows.head._2 === 3L)
+  }
+
   test("langid emits no trigrams for sub-3-char texts (oracle parity guard)") {
     val dir = fixture("documents" -> Seq(
       doc(0, "ab"),                        // <3 chars: zero trigrams

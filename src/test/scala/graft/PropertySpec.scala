@@ -158,6 +158,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("count-min: estimates never undercount; merge law holds on any split") {
+    val agg = graft.functions.CountMinAggregator(4, 64)
+    val gen = Gen.choose(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 12).map(i => s"g$i")))
+    for (i <- 1 to 10) {
+      val keys = gen.apply(Gen.Parameters.default, Seed(500L + i)).get
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // sequential reduce
+      val seq = agg.finish(keys.foldLeft(agg.zero)(agg.reduce))
+      exact.foreach { case (k, n) =>
+        val e = graft.functions.CountMinAggregator.estimate(seq, k, 4, 64)
+        assert(e >= n, s"case $keys: $k est $e < exact $n")
+      }
+      // arbitrary split + merge equals sequential (partial-agg law)
+      val (l, r) = keys.splitAt(keys.length / 3)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      assert(merged.toSeq === seq.toSeq, s"merge case $keys")
+    }
+  }
+
   test("gauge: order-independent given distinct timestamps") {
     for (vals <- cases()) {
       val stamped = vals.zipWithIndex
