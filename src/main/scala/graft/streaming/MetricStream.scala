@@ -168,6 +168,52 @@ object MetricStream {
         col("session_window.end").as("session_end"),
         col("name"), col("label_k"), col("n_events"), col("total"))
 
+  /** One smoothed series row: Holt-Winters (level, trend) state. */
+  case class SeriesSmoothed(name: String, label_k: String, level: Double,
+      trend: Double, n: Long, smoothed: Double)
+
+  /** Streaming Holt-Winters: the (level, trend) recurrence of
+    * [[graft.operators.PromQL.holtWinters]] maintained as keyed state —
+    * the natural streaming form of a computation that has NO mergeable
+    * partial state (each update needs the previous level/trend, so
+    * batch must fold an ordered array while streaming just carries two
+    * doubles per series). Samples must arrive in event order per series
+    * (guaranteed by an ordered log partitioned on the series key; the
+    * spec drives it so). State is O(1) per series forever.
+    */
+  def runningHoltWinters(events: DataFrame, sf: Double = 0.5, tf: Double = 0.3)
+      : Dataset[SeriesSmoothed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    Metrics.metricEventsOf(events)
+      .filter(col("kind") === "gauge")
+      .select(col("name"), col("label_k"), col("value")).as[Obs]
+      .groupByKey(o => SeriesKey(o.name, o.label_k))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: SeriesKey, rows: Iterator[Obs], state: GroupState[SeriesSmoothed]) => {
+          var cur = state.getOption.orNull
+          rows.foreach { o =>
+            cur =
+              if (cur == null)
+                SeriesSmoothed(key.name, key.label_k, o.value, Double.NaN, 1L, Double.NaN)
+              else if (cur.n == 1L) {
+                // second sample initializes the trend (b0 = y1 - y0) and
+                // applies the first smoothing step, as in the batch fold
+                val b0 = o.value - cur.level
+                val s1 = sf * o.value + (1 - sf) * (cur.level + b0)
+                val b1 = tf * (s1 - cur.level) + (1 - tf) * b0
+                SeriesSmoothed(key.name, key.label_k, s1, b1, 2L, s1)
+              } else {
+                val s1 = sf * o.value + (1 - sf) * (cur.level + cur.trend)
+                val b1 = tf * (s1 - cur.level) + (1 - tf) * cur.trend
+                SeriesSmoothed(key.name, key.label_k, s1, b1, cur.n + 1L, s1)
+              }
+          }
+          state.update(cur)
+          Iterator.single(cur)
+        })
+  }
+
   /** Streaming exact dedup: drop replayed samples by `event_id` with
     * state bounded by the watermark — the ingest guard for at-least-once
     * transports (a scraper retry delivers the same observation twice;

@@ -162,6 +162,34 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming holt_winters equals the batch fold after the same samples") {
+    implicit val sqlCtx = spark.sqlContext
+    def g(id: Long, minute: Int, value: Double) =
+      RawEvent(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        1L, "signup", value, """{"k": "hw"}""")
+    val samples = Seq(1.0, 4.0, 2.0, 8.0, 5.0)
+    val mem = MemoryStream[RawEvent]
+    val out = MetricStream.runningHoltWinters(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("hw_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // ordered delivery split across micro-batches
+      mem.addData(g(0, 0, samples(0)), g(1, 1, samples(1)))
+      q.processAllAvailable()
+      mem.addData(g(2, 2, samples(2)), g(3, 3, samples(3)), g(4, 4, samples(4)))
+      q.processAllAvailable()
+      val streamed = spark.table("hw_test").orderBy($"n".desc)
+        .select($"smoothed").as[Double].head()
+      // batch operator over the identical events
+      val dir = fixture("events" -> samples.zipWithIndex.map { case (v, i) =>
+        ev(i.toLong, i * 60000L, "signup", v, "hw")
+      }.toDF(eventCols: _*))
+      val batch = graft.operators.PromQL.holtWinters(spark, dir)
+        .select($"smoothed").as[Double].head()
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
