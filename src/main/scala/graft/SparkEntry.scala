@@ -107,6 +107,7 @@ object SparkEntry {
       promql.Rules.AlertRule("LowSeries", "sum by (k) (click) < 200")))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
+    "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
     "x17_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "x18_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "x19_corpus_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
@@ -198,6 +199,7 @@ object SparkEntry {
     "p8_promql_alerts" -> promql.Oracle.AlertsSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
+    "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,
     "x17_repetition" -> TextAnalysis.RepetitionSql,
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,

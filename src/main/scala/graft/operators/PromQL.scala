@@ -1265,6 +1265,44 @@ object PromQL {
        |FROM snap
        |ORDER BY name, label_k""".stripMargin
 
+  /** B19b `absent_over_time(purchase[1d])` evaluated on the day grid:
+    * the (series-universe × day) combinations where the family has NO
+    * sample — `absent` (b19) answers "which series never exist", this
+    * answers "which days went dark per series". The universe and the
+    * day grid are tiny DISTINCT relations (broadcast cross join);
+    * presence is a distinct projection of the events; the answer is one
+    * anti join. No per-event fan-out anywhere.
+    */
+  def absentOverTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = counterCents(spark, dir)
+      .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+    val universe = ev.select(col("label_k")).distinct()
+    val days = ev.select(col("day_us")).distinct()
+    val present = ev.filter(col("name") === "purchase")
+      .select(col("label_k"), col("day_us")).distinct()
+    universe.crossJoin(broadcast(days))
+      .join(present, Seq("label_k", "day_us"), "left_anti")
+      .select(lit("purchase").as("name"), col("label_k"), col("day_us"),
+        lit(true).as("absent"))
+      .orderBy(col("label_k"), col("day_us"))
+  }
+
+  val AbsentOverTimeSql: String =
+    s"""WITH c AS (
+       |  SELECT *, epoch_us(date_trunc('day', ts)) AS day_us
+       |  FROM ($CounterCentsSql)),
+       |universe AS (SELECT DISTINCT label_k FROM c),
+       |days AS (SELECT DISTINCT day_us FROM c),
+       |present AS (
+       |  SELECT DISTINCT label_k, day_us FROM c WHERE name = 'purchase'),
+       |grid AS (SELECT label_k, day_us FROM universe, days)
+       |SELECT 'purchase' AS name, g.label_k AS label_k, g.day_us AS day_us,
+       |  TRUE AS absent
+       |FROM grid g
+       |WHERE NOT EXISTS (SELECT 1 FROM present p
+       |                  WHERE p.label_k = g.label_k AND p.day_us = g.day_us)
+       |ORDER BY label_k, day_us""".stripMargin
+
   /** B-series metadata functions in one pass over the counter snapshot:
     * `label_join(v, "combined", "-", "name", "k")` (label concatenation
     * into a new label), `timestamp(v)` (the last sample's time, kept in
