@@ -113,6 +113,7 @@ object SparkEntry {
     "x19_corpus_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
     "x20_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "x21_multimodal_resize" -> ((s, d) => Multimodal.resize(s, d)),
+    "x24_filter_verdict" -> ((s, d) => TextAnalysis.filterVerdict(s, d)),
     "x22_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
@@ -205,6 +206,7 @@ object SparkEntry {
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,
     "x20_contamination" -> TextAnalysis.ContaminationSql,
     "x21_multimodal_resize" -> Multimodal.ResizeSql,
+    "x24_filter_verdict" -> TextAnalysis.FilterVerdictSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
   )
 }

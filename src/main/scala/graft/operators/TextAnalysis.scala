@@ -389,6 +389,67 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
   }
 
+  /** The pipeline DECISION layer: one keep/drop verdict per document
+    * with the first failing reason, composed from the existing signal
+    * operators — exact-dedup survivorship (x1), repetition fractions
+    * (x17), and benchmark contamination (x20). This is the query an
+    * actual training-data pipeline materializes as its filter manifest;
+    * every input is a per-doc relation joined on doc_id (no signal is
+    * recomputed — the three subtrees share the session caches), and the
+    * verdict itself is pure per-row logic.
+    */
+  def filterVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = Dedup.exact(spark, dir).select(col("doc_id"), col("keep").as("dedup_keep"))
+    val rep = repetition(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"), col("top_token_frac"))
+    val contam = contamination(spark, dir)
+      .select(col("doc_id"), col("contamination"))
+    dedup
+      .join(rep, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left") // benchmark slice itself has no row
+      .na.fill(0.0, Seq("contamination"))
+      .withColumn("reason",
+        when(!col("dedup_keep"), "duplicate")
+          .when(col("n_tokens") < 5, "too_short")
+          .when(col("dup_token_frac") > 0.6, "repetitive")
+          .when(col("top_token_frac") > 0.4, "dominated_by_one_token")
+          .when(col("contamination") >= 0.5, "benchmark_contaminated")
+          .otherwise("ok"))
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"),
+        col("n_tokens"), col("dup_token_frac"), col("top_token_frac"),
+        col("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: references ContaminationSql, declared later in this object —
+  // a plain val would interpolate null (object vals initialize in
+  // declaration order)
+  lazy val FilterVerdictSql: String =
+    s"""WITH dedup AS (
+       |  SELECT doc_id, keep AS dedup_keep FROM (${Dedup.ExactSql})),
+       |rep AS (
+       |  SELECT doc_id, n_tokens, dup_token_frac, top_token_frac
+       |  FROM ($RepetitionSql)),
+       |contam AS (SELECT doc_id, contamination FROM ($ContaminationSql)),
+       |joined AS (
+       |  SELECT d.doc_id AS doc_id, dedup_keep, n_tokens, dup_token_frac,
+       |    top_token_frac, COALESCE(contamination, 0.0) AS contamination
+       |  FROM dedup d
+       |  JOIN rep USING (doc_id)
+       |  LEFT JOIN contam USING (doc_id)),
+       |verdict AS (
+       |  SELECT *, CASE WHEN NOT dedup_keep THEN 'duplicate'
+       |    WHEN n_tokens < 5 THEN 'too_short'
+       |    WHEN dup_token_frac > 0.6 THEN 'repetitive'
+       |    WHEN top_token_frac > 0.4 THEN 'dominated_by_one_token'
+       |    WHEN contamination >= 0.5 THEN 'benchmark_contaminated'
+       |    ELSE 'ok' END AS reason
+       |  FROM joined)
+       |SELECT doc_id, reason = 'ok' AS keep, reason, n_tokens,
+       |  dup_token_frac, top_token_frac, contamination
+       |FROM verdict
+       |ORDER BY doc_id""".stripMargin
+
   /** Benchmark-contamination check: for every corpus document, the
     * fraction of its distinct word-3-grams that appear anywhere in the
     * "benchmark" set (here: the `src0` slice stands in for a held-out
