@@ -114,6 +114,7 @@ object SparkEntry {
     "x20_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "x21_multimodal_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "x24_filter_verdict" -> ((s, d) => TextAnalysis.filterVerdict(s, d)),
+    "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "x22_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
@@ -207,6 +208,7 @@ object SparkEntry {
     "x20_contamination" -> TextAnalysis.ContaminationSql,
     "x21_multimodal_resize" -> Multimodal.ResizeSql,
     "x24_filter_verdict" -> TextAnalysis.FilterVerdictSql,
+    "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
   )
 }

@@ -294,4 +294,39 @@ object Similarity {
        |SELECT label, bucket, vec_a, vec_b, cosine, rank
        |FROM r WHERE rank <= 3
        |ORDER BY label, rank""".stripMargin
+
+  /** ANN quality evaluation: recall of the sign-LSH search (x7) against
+    * the exact brute-force top-3 (x6) per query — the measurement a
+    * pipeline runs before trusting an approximate index, expressed as a
+    * query so it lands in the same oracle gate as the searches it
+    * audits. Both inputs are per-query relations (tiny); the semi-join
+    * and counts are trivial next to the searches themselves.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(spark, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshAnn(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  lazy val AnnRecallSql: String =
+    s"""WITH e AS (
+       |  SELECT query_id, neighbor_id FROM ($CosineTopKSql) WHERE rank <= 3),
+       |a AS (SELECT query_id, neighbor_id FROM ($LshAnnSql)),
+       |hits AS (
+       |  SELECT e.query_id, COUNT(*) AS n_hits
+       |  FROM e JOIN a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id),
+       |tot AS (SELECT query_id, COUNT(*) AS n_exact FROM e GROUP BY query_id)
+       |SELECT tot.query_id AS query_id, n_exact, COALESCE(n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM tot LEFT JOIN hits ON hits.query_id = tot.query_id
+       |ORDER BY query_id""".stripMargin
 }
