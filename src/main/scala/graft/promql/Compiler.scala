@@ -417,4 +417,117 @@ object Compiler {
 object Engine {
   def eval(spark: SparkSession, dir: String, query: String): DataFrame =
     Compiler.compile(spark, dir, Parser.parse(query))
+
+  /** Compile a PromQL subset against a STREAMING events relation — the
+    * same query text evaluated continuously, emitting the running
+    * instant vector per micro-batch (Update mode). Supported: counter
+    * selectors with matchers, `sum/count/avg/min/max [by (k)]`, scalar
+    * arithmetic, comparison filters. A streaming counter snapshot is
+    * exactly an unwatermarked running aggregation, so the compiled plan
+    * is the canonical Structured Streaming shape with state = one row
+    * per group. Time anchoring (offset/@/ranges/subqueries), gauges
+    * (need per-series ordering), and sorts are batch-only and rejected
+    * at compose time.
+    */
+  def evalStream(events: DataFrame, query: String): DataFrame =
+    StreamCompiler.compile(events, Parser.parse(query))
+}
+
+/** The streaming subset compiler (see [[Engine.evalStream]]). */
+object StreamCompiler {
+
+  import graft.operators.Metrics
+  import org.apache.spark.sql.types.DecimalType
+
+  private def fail(msg: String): Nothing =
+    throw new PromQLCompileException(s"streaming: $msg")
+
+  private final case class SVec(df: DataFrame, labels: Seq[String])
+
+  private def labelCol(l: String): String =
+    if (l == "k") "label_k" else fail(s"unknown label '$l'")
+
+  private def matcherFilter(ms: Seq[Matcher]): Column =
+    ms.foldLeft(lit(true)) { (acc, m) =>
+      val c = col(labelCol(m.label))
+      acc && (m.op match {
+        case "=" => c === m.value
+        case "!=" => c =!= m.value
+        case "=~" => c.rlike(s"^(?:${m.value})$$")
+        case "!~" => !c.rlike(s"^(?:${m.value})$$")
+      })
+    }
+
+  private def compileVec(events: DataFrame, ast: Ast): SVec = ast match {
+    case Selector(name, ms, None, None, None) =>
+      if (!MetricEvent.CounterNames.contains(name))
+        fail(s"only counter selectors stream (gauges need per-series ordering); '$name' is not a counter")
+      val base = Metrics.metricEventsOf(events)
+        .filter(col("name") === name && matcherFilter(ms) && col("value") >= 0)
+      SVec(base.groupBy(col("name"), col("label_k"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("value")),
+        Seq("name", "label_k"))
+    case Selector(_, _, range, off, at) if range.isDefined || off.isDefined || at.isDefined =>
+      fail("range/offset/@ need a fixed evaluation instant — batch-only")
+    case Agg(op, grouping, None, arg) =>
+      val v = compileVec(events, arg)
+      val groupCols = grouping match {
+        case Some(("by", ls)) => ls.map(labelCol)
+        case Some(("without", ls)) =>
+          val dropped = ls.map(labelCol).toSet
+          v.labels.filterNot(l => l == "name" || dropped.contains(l))
+        case None => Nil
+        case Some((kw, _)) => fail(s"unknown grouping '$kw'")
+      }
+      // re-aggregating a streaming aggregate needs complete-mode chaining;
+      // push the grouping into ONE aggregation over the raw stream instead
+      arg match {
+        case Selector(name, ms, None, None, None) =>
+          val base = Metrics.metricEventsOf(events)
+            .filter(col("name") === name && matcherFilter(ms) && col("value") >= 0)
+          val grouped = base.groupBy(groupCols.map(col): _*)
+          val agg = op match {
+            case "sum" => grouped.agg(sum(col("value").cast(DecimalType(18, 2))).as("value"))
+            case "count" => grouped.agg(count(lit(1)).cast("double").as("value"))
+            case "avg" => grouped.agg(
+              (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+                count(lit(1)).cast("double")).as("value"))
+            case "min" => grouped.agg(min(col("value")).as("value"))
+            case "max" => grouped.agg(max(col("value")).as("value"))
+            case other => fail(s"aggregation '$other' is batch-only")
+          }
+          SVec(agg, groupCols)
+        case _ => fail("streaming aggregation applies directly to a selector (multi-stage aggregation would need complete-mode chaining)")
+      }
+    case BinOp(op, _, l, NumLit(s2)) =>
+      val v = compileVec(events, l)
+      val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(op)
+      if (isCmp) {
+        val c = col("value").cast("double")
+        SVec(v.df.filter(op match {
+          case ">" => c > s2
+          case "<" => c < s2
+          case ">=" => c >= s2
+          case "<=" => c <= s2
+          case "==" => c === s2
+          case "!=" => c =!= s2
+        }), v.labels)
+      } else {
+        val c = col("value").cast("double")
+        SVec(v.df.withColumn("value", op match {
+          case "+" => c + s2
+          case "-" => c - s2
+          case "*" => c * s2
+          case "/" => c / s2
+        }), v.labels)
+      }
+    case other => fail(s"$other is batch-only (use Engine.eval)")
+  }
+
+  def compile(events: DataFrame, ast: Ast): DataFrame = {
+    val v = compileVec(events, ast)
+    // no orderBy: streaming plans cannot sort; consumers read the
+    // updated rows per micro-batch
+    v.df.select(v.labels.map(col) :+ col("value").cast("double").as("value"): _*)
+  }
 }

@@ -209,6 +209,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming PromQL: the same query text runs continuously and converges to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = graft.promql.Engine.evalStream(mem.toDF(),
+      """sum by (k) (click{k!="z"}) > 2""")
+    val q = out.writeStream.format("memory").queryName("promql_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(raw(0, 1, 2.0, "a"), raw(1, 2, 1.0, "b"))
+      q.processAllAvailable()
+      mem.addData(raw(2, 3, 4.0, "a"), raw(3, 4, 9.0, "z")) // z filtered out
+      q.processAllAvailable()
+      // latest update per key = the running snapshot
+      val snap = spark.table("promql_stream")
+        .groupBy($"label_k").agg(org.apache.spark.sql.functions.max($"value").as("value"))
+        .as[(String, Double)].collect().toMap
+      assert(snap === Map("a" -> 6.0)) // b stays at 1.0, below the > 2 filter
+      // batch evaluation over the identical events agrees
+      val dir = fixture("events" -> Seq(
+        ev(0, 60000, "click", 2.0, "a"), ev(1, 120000, "click", 1.0, "b"),
+        ev(2, 180000, "click", 4.0, "a"), ev(3, 240000, "click", 9.0, "z")
+      ).toDF(eventCols: _*))
+      val batch = graft.promql.Engine.eval(spark, dir, """sum by (k) (click{k!="z"}) > 2""")
+        .as[(String, Double)].collect().toMap
+      assert(batch === snap)
+    } finally q.stop()
+  }
+
+  test("streaming PromQL rejects batch-only constructs at compose time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    def bad(q: String) = intercept[graft.promql.PromQLCompileException](
+      graft.promql.Engine.evalStream(mem.toDF(), q))
+    bad("rate(purchase[5m])")
+    bad("purchase offset 1d")
+    bad("signup") // gauge needs per-series ordering
+    bad("topk(2, purchase)")
+  }
+
   test("stream-stream interval join attributes purchases to preceding clicks") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
