@@ -125,6 +125,8 @@ object SparkEntry {
     // sketch cells are JVM-hash-dependent → rows-only check; the spec
     // pins the one-sided error bound and the merge laws
     "x23_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
+    // sketch read-back uses libm log/pow → rows-only; error spec-bounded
+    "x26_quantile_sketch" -> ((s, d) => TextAnalysis.quantileSketch(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

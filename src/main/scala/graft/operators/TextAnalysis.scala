@@ -389,6 +389,39 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
   }
 
+  val QsGamma = 1.02
+  val QsWidth = 2048
+
+  /** Quantile-sketch length profile per language: DDSketch-style
+    * geometric-bucket sketches of document length (2 % relative error)
+    * with the exact p50 alongside for error inspection — the quantile
+    * member of the sketch tier (HLL x16, count-min x23). The sketch
+    * aggregate is a fixed-size mergeable array (map-side combined,
+    * one array per group per partition over the shuffle) where exact
+    * `percentile` buffers every value; at 100 TB the sketch is the only
+    * viable form, and this query IS its accuracy oracle. Sketch
+    * read-back uses libm log/pow → rows-only driver check; the specs
+    * pin the relative-error bound and merge laws.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val qs = udaf(graft.functions.QuantileSketchAggregator(QsGamma, QsWidth),
+      Encoders.scalaDouble)
+    val est = udf((sk: Seq[Long], phi: Double) =>
+      graft.functions.QuantileSketchAggregator.estimate(sk.toArray, phi, QsGamma))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        qs(col("n_chars").cast("double")).as("sketch"),
+        expr("percentile(n_chars, 0.5)").as("p50_exact"))
+      .select(col("lang"), col("n_docs"), col("p50_exact"),
+        est(col("sketch"), lit(0.5)).as("p50_est"),
+        est(col("sketch"), lit(0.9)).as("p90_est"),
+        est(col("sketch"), lit(0.99)).as("p99_est"))
+      .withColumn("p50_rel_err",
+        abs(col("p50_est") - col("p50_exact")) / col("p50_exact"))
+      .orderBy(col("lang"))
+  }
+
   /** The pipeline DECISION layer: one keep/drop verdict per document
     * with the first failing reason, composed from the existing signal
     * operators — exact-dedup survivorship (x1), repetition fractions

@@ -179,6 +179,28 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("quantile sketch: relative error bounded by gamma-1; merge law holds") {
+    val gamma = 1.02
+    val agg = graft.functions.QuantileSketchAggregator(gamma, 2048)
+    val gen = Gen.choose(10, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(2, 100000).map(_.toDouble)))
+    for (i <- 1 to 8) {
+      val xs = gen.apply(Gen.Parameters.default, Seed(600L + i)).get
+      val sk = xs.foldLeft(agg.zero)(agg.reduce)
+      for (phi <- Seq(0.5, 0.9, 0.99)) {
+        val est = graft.functions.QuantileSketchAggregator.estimate(sk, phi, gamma)
+        val sorted = xs.sorted
+        val exact = sorted(math.max(0, math.ceil(phi * xs.size).toInt - 1))
+        assert(math.abs(est - exact) / exact <= (gamma - 1) + 1e-9,
+          s"case $i phi=$phi est=$est exact=$exact")
+      }
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      assert(merged.toSeq === sk.toSeq, s"merge case $i")
+    }
+  }
+
   test("gauge: order-independent given distinct timestamps") {
     for (vals <- cases()) {
       val stamped = vals.zipWithIndex
