@@ -115,6 +115,7 @@ object SparkEntry {
     "x21_multimodal_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "x24_filter_verdict" -> ((s, d) => TextAnalysis.filterVerdict(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "x27_dedup_components" -> ((s, d) => Dedup.dedupComponents(s, d)),
     "x22_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
@@ -211,6 +212,7 @@ object SparkEntry {
     "x21_multimodal_resize" -> Multimodal.ResizeSql,
     "x24_filter_verdict" -> TextAnalysis.FilterVerdictSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
+    "x27_dedup_components" -> Dedup.DedupComponentsSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
   )
 }

@@ -231,6 +231,62 @@ object Dedup {
        |FROM sig
        |ORDER BY doc_id""".stripMargin
 
+  /** Transitive near-duplicate clusters: connected components over the
+    * LSH candidate-pair graph via min-label propagation, THREE unrolled
+    * iterations (doc A ~ B ~ C lands A and C in one cluster even though
+    * they never shared a bucket — the step actual dedup pipelines run
+    * between candidate generation and survivor selection). Each
+    * iteration is one join + min-aggregate on the (tiny, pairs-sized)
+    * edge list; three iterations close components of diameter ≤ 8
+    * (label distance doubles per round from each side), far beyond real
+    * near-dup cluster diameters — at larger diameters this becomes the
+    * standard loop-until-fixpoint. Deterministic: min over doc ids.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("v")).distinct()
+      .withColumn("component_id", col("v"))
+    for (_ <- 1 to 3) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("v", "doc_b"), Seq("doc_b"))
+        .select(col("doc_a").as("v"), col("component_id"))
+      labels = labels.unionAll(viaNeighbor)
+        .groupBy(col("v")).agg(min(col("component_id")).as("component_id"))
+    }
+    val out = labels
+      .select(col("v").as("doc_id"), col("component_id"))
+      .withColumn("is_root", col("doc_id") === col("component_id"))
+      .orderBy(col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
+  lazy val DedupComponentsSql: String = {
+    val iter = (prev: String) =>
+      s"""SELECT v, MIN(component_id) AS component_id FROM (
+         |  SELECT v, component_id FROM $prev
+         |  UNION ALL
+         |  SELECT e.doc_a AS v, l.component_id
+         |  FROM edges e JOIN $prev l ON l.v = e.doc_b)
+         |GROUP BY v""".stripMargin
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($MinhashLshSql)),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+       |l0 AS (SELECT DISTINCT doc_a AS v, doc_a AS component_id FROM edges),
+       |l1 AS (${iter("l0")}),
+       |l2 AS (${iter("l1")}),
+       |l3 AS (${iter("l2")})
+       |SELECT v AS doc_id, component_id,
+       |  v = component_id AS is_root
+       |FROM l3
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact n-gram Jaccard verification of the LSH candidate pairs:
     * |A∩B| / |A∪B| over distinct word-3-gram sets. Runs only on pairs
     * that shared a band bucket — the two-stage recall→precision

@@ -240,6 +240,22 @@ class ExtensionSpec extends SparkTestBase {
     assert(r === ((6L, 2L, 1L, 1L, 2L, 2.0 / 6.0)))
   }
 
+  test("dedup components close the transitive chain A~B~C into one cluster") {
+    // A and B share 29 of 30 tokens; B and C share 29 of 30; A and C
+    // differ in two tokens — likely bucket-joined only via B
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 30).map(i => if (i == 30) "xx" else s"w$i").mkString(" ")
+    val c = (1 to 30).map(i => if (i == 30) "xx" else if (i == 1) "yy" else s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"z$i").mkString(" ")
+    val dir = fixture("documents" -> Seq(
+      doc(0, a), doc(1, b), doc(2, c), doc(3, other)).toDF(docCols: _*))
+    val comps = graft.operators.Dedup.dedupComponents(spark, dir)
+      .select($"doc_id", $"component_id").as[(Long, Long)].collect().toMap
+    // all three near-dups collapse to the min doc_id; the unrelated doc
+    // has no candidate pair at all and is absent
+    assert(comps === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("cms heavy hitters: estimates match exact counts on a sparse fixture") {
     val dir = fixture("documents" -> Seq(
       doc(0, "hot pair hot pair hot pair"),
