@@ -116,6 +116,7 @@ object SparkEntry {
     "x24_filter_verdict" -> ((s, d) => TextAnalysis.filterVerdict(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "x27_dedup_components" -> ((s, d) => Dedup.dedupComponents(s, d)),
+    "x28_dedup_survivors" -> ((s, d) => Dedup.survivors(s, d)),
     "x22_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
@@ -213,6 +214,7 @@ object SparkEntry {
     "x24_filter_verdict" -> TextAnalysis.FilterVerdictSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x27_dedup_components" -> Dedup.DedupComponentsSql,
+    "x28_dedup_survivors" -> Dedup.SurvivorsSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
   )
 }

@@ -287,6 +287,37 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Survivor selection — the final step of the dedup chain (candidates
+    * → verification → components → ONE kept doc per cluster): the
+    * longest document of each near-dup component survives (tie → lowest
+    * doc_id). One ranking window partitioned on the component key over
+    * the components-sized relation; everything upstream is shared with
+    * x27/x3 via the session caches.
+    */
+  def survivors(spark: SparkSession, dir: String): DataFrame = {
+    val comps = dedupComponents(spark, dir).select(col("doc_id"), col("component_id"))
+    val len = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    comps.join(len, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("component_id"), col("n_chars"),
+        (col("rk") === 1).as("survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val SurvivorsSql: String =
+    s"""WITH comps AS (
+       |  SELECT doc_id, component_id FROM ($DedupComponentsSql)),
+       |j AS (
+       |  SELECT c.doc_id AS doc_id, component_id, d.n_chars AS n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY component_id
+       |                       ORDER BY d.n_chars DESC, c.doc_id) AS rk
+       |  FROM comps c JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT doc_id, component_id, n_chars, rk = 1 AS survivor
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact n-gram Jaccard verification of the LSH candidate pairs:
     * |A∩B| / |A∪B| over distinct word-3-gram sets. Runs only on pairs
     * that shared a band bucket — the two-stage recall→precision
