@@ -117,13 +117,38 @@ object Dedup {
     s"""$SignaturesSql
        |ORDER BY doc_id""".stripMargin
 
+  /** Session-scoped cache of the LSH candidate-pair relation: x3, x5,
+    * x27 (components), and x28 (survivors) all consume it, and the
+    * band-bucket self-join is the dedup tier's one real shuffle join —
+    * like [[sigCache]], the 100 TB analog is a materialized candidates
+    * table written once per corpus snapshot.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Release the session's cached pair relations (see
+    * [[Metrics.unpersistEvents]] for when to call).
+    */
+  def unpersistPairs(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    pairsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(pairsCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
   /** MinHash + LSH near-dup candidate pairs: documents sharing any of
     * `NumBands` band buckets (band hash = md5 of its 2 signature rows),
     * scored by the fraction of matching signature components. The
     * band-bucket self-join is the scale path: candidates ∝ Σ bucket², and
     * the estimated-Jaccard filter (≥ 0.5) runs before output.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => pairsCache.remove(k))
+      minhashLshUncached(spark, dir).persist()
+    })
+
+  private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatures(spark, dir)
     // Carry the full signature array through the bucket explode so the
     // pair join needs no re-join against the signature relation; both
