@@ -49,6 +49,7 @@ object SparkEntry {
     "q5_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q17_small_quantity_revenue" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
+    "q4_order_priority" -> ((s, d) => Relational.orderPriorityCheck(s, d)),
     // Extension tier — training-data pipeline ops (SURVEY.md §2.3)
     "x1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "x2_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,
     "q17_small_quantity_revenue" -> Relational.SmallQuantityRevenueSql,
     "q6_forecast_revenue" -> Relational.ForecastRevenueSql,
+    "q4_order_priority" -> Relational.OrderPriorityCheckSql,
     "x1_dedup_exact" -> Dedup.ExactSql,
     "x2_minhash_signatures" -> Dedup.MinhashSignaturesSql,
     "x3_minhash_lsh" -> Dedup.MinhashLshSql,

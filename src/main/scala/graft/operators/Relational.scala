@@ -26,6 +26,41 @@ object Relational {
   private def dec2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   private def dec6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
+  /** TPC-H Q4-shaped order-priority check: orders of one quarter with at
+    * least one line shipped more than 60 days after the order date,
+    * counted per priority — the EXISTS/semi-join category (the driver
+    * tables carry no commitdate/receiptdate, so the late-shipment
+    * predicate stands in for Q4's commit<receipt). The semi join hashes
+    * on the order key with the date comparison as residual condition;
+    * orders is the build side after its quarter filter is pushed to the
+    * scan, and no lineitem row is ever duplicated (EXISTS, not join).
+    */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val OrderPriorityCheckSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q1-shaped pricing summary over lineitem. Single scan, single
     * shuffle on (l_returnflag, l_linestatus) — 6 groups.
     */
