@@ -61,6 +61,46 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q10-shaped returned-item revenue: top-20 customers by
+    * revenue on returned lines of one quarter — a 4-relation join where
+    * every dimension (orders-filtered-to-quarter via broadcast? no:
+    * orders is a fact; customer and nation broadcast) feeds one hash
+    * aggregate and an ordered limit (TakeOrderedAndProject, no global
+    * sort). Revenue accumulates in DECIMAL(18,6).
+    */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val ReturnedItemRevenueSql: String =
+    """WITH r AS (
+      |  SELECT c_custkey, c_name, n_name,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY c_custkey, c_name, n_name)
+      |SELECT * FROM r
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** TPC-H Q1-shaped pricing summary over lineitem. Single scan, single
     * shuffle on (l_returnflag, l_linestatus) — 6 groups.
     */

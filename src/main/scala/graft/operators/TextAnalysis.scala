@@ -389,6 +389,26 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
   }
 
+  /** Language-ID quality evaluation: the (true lang × predicted)
+    * confusion matrix with per-cell accuracy — the audit a pipeline
+    * runs on its classifier before trusting per-language routing, in
+    * the same oracle gate as the classifier itself (like x25 for ANN).
+    * One extra tiny aggregate over x9's per-doc output.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("correct", col("lang") === col("predicted"))
+      .orderBy(col("lang"), col("predicted"))
+
+  lazy val LangIdConfusionSql: String =
+    s"""SELECT lang, predicted, COUNT(*) AS n_docs,
+       |  lang = predicted AS correct
+       |FROM ($LangIdSql)
+       |GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+
   val QsGamma = 1.02
   val QsWidth = 2048
 
