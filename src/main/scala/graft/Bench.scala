@@ -18,22 +18,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A failed warm-up is PRINTED (not swallowed): a broken cache
+    // warm-up silently shifts its cost into whichever query runs first.
+    def warm(name: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up '$name' FAILED: $e")
+      }
     // Warm-up 1: JVM/codegen/parquet-footer caches (tiny sf, full plan).
-    try SparkEntry.entry(spark).queryExecution.toRdd.count()
-    catch { case _: Throwable => () }
+    warm("entry")(SparkEntry.entry(spark).queryExecution.toRdd.count())
     // Warm-up 2: materialize the shared events-adapter cache for the
     // BENCH sf before timing. ~20 TSDB queries read this persisted view;
     // without warming, whichever query runs first absorbs the whole
     // events scan + JSON parse and per-query numbers mis-attribute it.
-    try graft.operators.Metrics.metricEvents(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    warm("events-adapter")(graft.operators.Metrics.metricEvents(spark, sfDir).count())
     // Warm-up 3: the shared shingle relation (the text tier's
     // materialized-silver-table analog) — x2/x3/x5/x12/x16 all read it.
-    try graft.operators.Corpus.shingleRows(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    warm("shingles-3")(graft.operators.Corpus.shingleRows(spark, sfDir).count())
+    // Warm-up 3b: the 2-gram entry shared by x19/x23.
+    warm("shingles-2")(graft.operators.Corpus.shingleRows(spark, sfDir, 2).count())
     // Warm-up 4: the LSH candidate-pair relation (x3/x5/x27/x28).
-    try graft.operators.Dedup.minhashLsh(spark, sfDir).queryExecution.toRdd.count()
-    catch { case _: Throwable => () }
+    warm("lsh-pairs")(graft.operators.Dedup.minhashLsh(spark, sfDir).queryExecution.toRdd.count())
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Execute the REAL plan: under .count() Catalyst re-plans and can
@@ -51,7 +55,18 @@ object Bench {
     val errors = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the JSON to a file: the driver's tail-capture clipped
+    // r3's per-query map mid-JSON; the file artifact survives intact.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
     spark.stop()
   }
 }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object Corpus {
 
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
 
   /** Release the session's cached shingle relations (see
     * [[Metrics.unpersistEvents]] for when to call).
@@ -33,18 +33,27 @@ object Corpus {
     }
   }
 
-  /** One row per (document, shingle occurrence); duplicate shingles are
-    * kept — consumers that need the distinct set apply their own
-    * `.distinct()` (column pruning on the cached relation makes the
-    * unused lang/source columns free for consumers that don't read
-    * them).
+  /** The default word-3-gram relation (minhash, fingerprint, Jaccard,
+    * contamination, HLL profile).
     */
   def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((spark, dir), k => {
+    shingleRows(spark, dir, 3)
+
+  /** One row per (document, word-n-gram occurrence); duplicate shingles
+    * are kept — consumers that need the distinct set apply their own
+    * `.distinct()` (column pruning on the cached relation makes the
+    * unused lang/source columns free for consumers that don't read
+    * them). Keyed by (session, sf, n) so DIFFERENT gram widths each get
+    * one shared explode: the 2-gram entry feeds both heavy-hitter
+    * queries (exact x19 + count-min x23), the 3-gram entry the dedup/
+    * profile tier.
+    */
+  def shingleRows(spark: SparkSession, dir: String, n: Int): DataFrame =
+    shingleCache.computeIfAbsent((spark, dir, n), k => {
       SessionCaches.onApplicationEnd(spark)(() => shingleCache.remove(k))
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("source"),
-          explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+          explode(TextOps.shingles(col("text"), n)).as("shingle"))
         .persist()
     })
 }

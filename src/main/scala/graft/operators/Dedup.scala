@@ -134,6 +134,12 @@ object Dedup {
     pairsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
       Option(pairsCache.remove(k)).foreach(_.unpersist())
     }
+    candShingleCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(candShingleCache.remove(k)).foreach(_.unpersist())
+    }
+    componentsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(componentsCache.remove(k)).foreach(_.unpersist())
+    }
   }
 
   /** MinHash + LSH near-dup candidate pairs: documents sharing any of
@@ -256,61 +262,94 @@ object Dedup {
        |FROM sig
        |ORDER BY doc_id""".stripMargin
 
-  /** Transitive near-duplicate clusters: connected components over the
-    * LSH candidate-pair graph via min-label propagation, THREE unrolled
-    * iterations (doc A ~ B ~ C lands A and C in one cluster even though
-    * they never shared a bucket — the step actual dedup pipelines run
-    * between candidate generation and survivor selection). Each
-    * iteration is one join + min-aggregate on the (tiny, pairs-sized)
-    * edge list; three iterations close components of diameter ≤ 8
-    * (label distance doubles per round from each side), far beyond real
-    * near-dup cluster diameters — at larger diameters this becomes the
-    * standard loop-until-fixpoint. Deterministic: min over doc ids.
+  /** Connected components over an undirected edge list `(doc_a, doc_b)`:
+    * hash-min label propagation with POINTER-JUMPING, iterated to
+    * fixpoint. Each round does (a) one join + min-aggregate pulling the
+    * smallest label across every edge (one hop), then (b) one self-join
+    * replacing each label by its OWN current label (`l(v) := l(l(v))`),
+    * which doubles the reach per round — convergence in O(log diameter)
+    * rounds, the standard large-graph CC recurrence. Rounds run until no
+    * label changes, so arbitrarily long duplicate chains close (the
+    * fixed 3-round unroll this replaces only reached 3 hops from each
+    * component's min vertex). `localCheckpoint` after every round
+    * truncates lineage — the iteration-N plan does not re-grow the
+    * whole history, which is what makes the loop viable on a real
+    * cluster. Deterministic: every step is a min over vertex ids.
     */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
-    var labels = edges.select(col("doc_a").as("v")).distinct()
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a"), col("doc_b"))
+      .unionAll(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = sym.select(col("doc_a").as("v")).distinct()
       .withColumn("component_id", col("v"))
-    for (_ <- 1 to 3) {
-      val viaNeighbor = edges
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val viaNeighbor = sym
         .join(labels.withColumnRenamed("v", "doc_b"), Seq("doc_b"))
         .select(col("doc_a").as("v"), col("component_id"))
-      labels = labels.unionAll(viaNeighbor)
+      val minStep = labels.unionAll(viaNeighbor)
         .groupBy(col("v")).agg(min(col("component_id")).as("component_id"))
+      // pointer-jump: labels are vertex ids, so every component_id is
+      // itself a labeled vertex — follow it one step
+      val parents = minStep.select(col("v").as("_p"), col("component_id").as("_pc"))
+      val jumped = minStep.join(parents, col("component_id") === col("_p"), "left")
+        .select(col("v"), coalesce(col("_pc"), col("component_id")).as("component_id"))
+        .localCheckpoint()
+      val changed = jumped
+        .join(labels.withColumnRenamed("component_id", "_prev"), Seq("v"))
+        .filter(col("component_id") =!= col("_prev"))
+        .limit(1).count()
+      labels = jumped
+      converged = changed == 0L
     }
-    val out = labels
+    labels
+  }
+
+  /** Session-scoped cache of the component labels: x27 and x28 share
+    * the converged propagation (survivor selection no longer re-runs
+    * the whole loop).
+    */
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Transitive near-duplicate clusters: connected components over the
+    * LSH candidate-pair graph (doc A ~ B ~ C lands A and C in one
+    * cluster even though they never shared a bucket — the step actual
+    * dedup pipelines run between candidate generation and survivor
+    * selection). The propagation runs on the pairs-sized edge list —
+    * never the corpus — via [[connectedComponents]]; the oracle computes
+    * the same fixpoint with a recursive transitive-closure CTE.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentLabels(spark, dir)
       .select(col("v").as("doc_id"), col("component_id"))
       .withColumn("is_root", col("doc_id") === col("component_id"))
       .orderBy(col("doc_id"))
-    edges.unpersist()
-    out
-  }
 
-  lazy val DedupComponentsSql: String = {
-    val iter = (prev: String) =>
-      s"""SELECT v, MIN(component_id) AS component_id FROM (
-         |  SELECT v, component_id FROM $prev
-         |  UNION ALL
-         |  SELECT e.doc_a AS v, l.component_id
-         |  FROM edges e JOIN $prev l ON l.v = e.doc_b)
-         |GROUP BY v""".stripMargin
-    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($MinhashLshSql)),
+  private def componentLabels(spark: SparkSession, dir: String): DataFrame =
+    componentsCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => componentsCache.remove(k))
+      connectedComponents(minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+        .persist()
+    })
+
+  lazy val DedupComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($MinhashLshSql)),
        |edges AS (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
-       |l0 AS (SELECT DISTINCT doc_a AS v, doc_a AS component_id FROM edges),
-       |l1 AS (${iter("l0")}),
-       |l2 AS (${iter("l1")}),
-       |l3 AS (${iter("l2")})
-       |SELECT v AS doc_id, component_id,
-       |  v = component_id AS is_root
-       |FROM l3
+       |reach(v, r) AS (
+       |  SELECT doc_a AS v, doc_a AS r FROM edges
+       |  UNION
+       |  SELECT e.doc_a AS v, p.r
+       |  FROM edges e JOIN reach p ON p.v = e.doc_b)
+       |SELECT v AS doc_id, MIN(r) AS component_id,
+       |  v = MIN(r) AS is_root
+       |FROM reach
+       |GROUP BY v
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Survivor selection — the final step of the dedup chain (candidates
     * → verification → components → ONE kept doc per cluster): the
@@ -320,7 +359,9 @@ object Dedup {
     * x27/x3 via the session caches.
     */
   def survivors(spark: SparkSession, dir: String): DataFrame = {
-    val comps = dedupComponents(spark, dir).select(col("doc_id"), col("component_id"))
+    // read the cached labels directly (no presentation sort in the way)
+    val comps = componentLabels(spark, dir)
+      .select(col("v").as("doc_id"), col("component_id"))
     val len = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy(col("component_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
@@ -348,11 +389,17 @@ object Dedup {
     * that shared a band bucket — the two-stage recall→precision
     * composition that makes exact similarity affordable at scale.
     */
+  /** Session-scoped cache of the candidate-doc distinct-shingle slice
+    * (x5's three-consumer intermediate); evicted with the other caches.
+    */
+  private val candShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // The candidate set is referenced twice below (intersection build +
-    // final left join); persist it so the LSH stage runs once. It is
-    // tiny by construction (pairs surviving the band join + 0.5 filter).
-    val candidates = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    // The candidate relation is the pairs-cache entry itself (persisted
+    // in minhashLsh) — a projection on top of it serves from the same
+    // InMemoryRelation, so no extra persist here.
+    val candidates = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
     // Only documents that appear in a candidate pair matter downstream
     // (counts are consumed per-pair) — semi-join the corpus down to them
     // BEFORE the shingle explode, so the exact-verification stage costs
@@ -361,13 +408,17 @@ object Dedup {
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .unionAll(candidates.select(col("doc_b").as("doc_id"))).distinct()
     // the distinct shingle relation feeds three consumers (per-doc counts
-    // + both sides of the intersection join) — persist the tiny
-    // candidate-only slice of the shared shingle cache once
-    val sh = Corpus.shingleRows(spark, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("shingle"))
-      .distinct()
-      .persist()
+    // + both sides of the intersection join) — cache the tiny
+    // candidate-only slice per (session, sf) like the other dedup
+    // relations (evicted at application end, never orphaned)
+    val sh = candShingleCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => candShingleCache.remove(k))
+      Corpus.shingleRows(spark, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("shingle"))
+        .distinct()
+        .persist()
+    })
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))

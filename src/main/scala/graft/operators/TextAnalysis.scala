@@ -313,7 +313,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tc.join(df, Seq("tok"))
+    // df is |vocabulary| rows — orders of magnitude below the corpus;
+    // say so in the plan (BroadcastHashJoin) instead of relying on AQE
+    val scored = tc.join(broadcast(df), Seq("tok"))
       .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok"))))
@@ -344,11 +346,13 @@ object TextAnalysis {
     * ordered limit (TakeOrderedAndProject — no global sort of the gram
     * space). At 100 TB the same query swaps the exact aggregate for a
     * count-min/approx-top-k sketch; the exact form here doubles as its
-    * accuracy oracle.
+    * accuracy oracle. The 2-gram explode itself is the shared
+    * [[Corpus.shingleRows]] entry for n=2, so x19 and x23 pay for it
+    * once per (session, sf), not once each.
     */
   def corpusNgrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
+    Corpus.shingleRows(spark, dir, 2)
+      .select(col("shingle").as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(20)
@@ -376,8 +380,10 @@ object TextAnalysis {
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val cms = udaf(graft.functions.CountMinAggregator(CmsDepth, CmsWidth),
       Encoders.STRING)
-    val grams = Tables.documents(spark, dir)
-      .select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
+    // same cached 2-gram relation as the exact query — the sketch build
+    // and its accuracy oracle share ONE corpus explode per (session, sf)
+    val grams = Corpus.shingleRows(spark, dir, 2)
+      .select(col("shingle").as("gram"))
     val sketch = grams.agg(cms(col("gram")).as("sketch"))
     val est = udf((sk: Seq[Long], g: String) =>
       graft.functions.CountMinAggregator.estimate(sk.toArray, g, CmsDepth, CmsWidth))

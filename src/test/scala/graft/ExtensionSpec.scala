@@ -256,6 +256,19 @@ class ExtensionSpec extends SparkTestBase {
     assert(comps === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
 
+  test("connected components converge on a 12-vertex chain (beyond any fixed unroll)") {
+    // path 0-1-2-...-11 has diameter 11: a fixed 3-round one-hop
+    // propagation would split it; the fixpoint loop must close it
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val extra = Seq((20L, 21L), (21L, 22L)) // separate 3-vertex component
+    val edges = (chain ++ extra).toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    (0L to 11L).foreach(v => assert(labels(v) === 0L, s"vertex $v"))
+    Seq(20L, 21L, 22L).foreach(v => assert(labels(v) === 20L, s"vertex $v"))
+    assert(labels.size === 15)
+  }
+
   test("cms heavy hitters: estimates match exact counts on a sparse fixture") {
     val dir = fixture("documents" -> Seq(
       doc(0, "hot pair hot pair hot pair"),
