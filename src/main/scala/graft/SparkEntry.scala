@@ -93,8 +93,8 @@ object SparkEntry {
     // query text a user of the reference's Prometheus stack would run
     "p1_promql_topk" ->
       ((s, d) => promql.Engine.eval(s, d, "topk(3, sum by (k) (purchase))")),
-    "p2_promql_binop" ->
-      ((s, d) => promql.Engine.eval(s, d, """purchase{k=~"1.*"} / on(k) click""")),
+    "p2_promql_binop" -> ((s, d) => promql.Engine.eval(s, d,
+      """sum by (k) (purchase{k=~"1.*"}) / on(k) sum by (k) (click)""")),
     "p3_promql_histogram_quantile" ->
       ((s, d) => promql.Engine.eval(s, d, "histogram_quantile(0.9, error)")),
     "p4_promql_increase" ->
@@ -108,6 +108,15 @@ object SparkEntry {
     "p8_promql_alerts" -> ((s, d) => promql.Rules.evaluateAlerts(s, d, Seq(
       promql.Rules.AlertRule("HighSeries", "sum by (k) (purchase) > 450"),
       promql.Rules.AlertRule("LowSeries", "sum by (k) (click) < 200")))),
+    // multi-label series key (k + instance) through the front-end
+    "p9_promql_hq_rate" -> ((s, d) =>
+      promql.Engine.eval(s, d, "histogram_quantile(0.9, rate(error[4d]))")),
+    "p10_promql_multilabel_sum" -> ((s, d) =>
+      promql.Engine.eval(s, d, "sum by (k, instance) (purchase)")),
+    "p11_promql_multilabel_binop" -> ((s, d) =>
+      promql.Engine.eval(s, d, "purchase / on(k, instance) click")),
+    "p12_promql_rate_sum" -> ((s, d) =>
+      promql.Engine.eval(s, d, "sum by (instance) (rate(purchase[2d]))")),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -209,6 +218,10 @@ object SparkEntry {
     "p6_promql_over_time" -> promql.Oracle.MaxOverTimeSql,
     "p7_promql_subquery" -> promql.Oracle.SubquerySql,
     "p8_promql_alerts" -> promql.Oracle.AlertsSql,
+    "p9_promql_hq_rate" -> promql.Oracle.HistogramQuantileRateSql,
+    "p10_promql_multilabel_sum" -> promql.Oracle.MultiLabelSumSql,
+    "p11_promql_multilabel_binop" -> promql.Oracle.MultiLabelBinOpSql,
+    "p12_promql_rate_sum" -> promql.Oracle.RateSumSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,

@@ -33,9 +33,17 @@ import org.apache.spark.sql.types.DecimalType
 object Metrics {
 
   /** Adapter: driver `events` table → the normative MetricEvent view
-    * (SURVEY.md §1.3). `event_type`→name, `props.$.k`→the single label
-    * value (the reference supports 0..1 label pairs,
-    * `prometheus.cpp:189-192`), kind assigned per family.
+    * (SURVEY.md §1.3). `event_type`→name, kind assigned per family, and
+    * TWO label columns forming the series identity:
+    *  - `label_k`: the exposition-side label pair from `props.$.k` (the
+    *    reference supports 0..1 pairs, `prometheus.cpp:189-192`);
+    *  - `label_instance`: the scrape-side target label every Prometheus
+    *    server attaches to scraped series (`instance`/`job` relabeling);
+    *    modeled here as the event's origin shard `i<user_id mod 4>`.
+    * SURVEY §1.3's normative `labels` map is physically NORMALIZED into
+    * per-key columns: flat string grouping keys hash/shuffle/sort
+    * cheaply at 100 TB, and Catalyst prunes unused label columns from
+    * the scan, where a MapType value resists both.
     */
   /** Session-scoped cache of the adapter view: ~20 queries share this
     * input, so the scan + JSON parse runs once per (session, sf) instead
@@ -73,7 +81,7 @@ object Metrics {
     */
   private val RequiredEventCols = Seq(
     "ts" -> "timestamp", "event_type" -> "string", "value" -> "double",
-    "props" -> "string", "event_id" -> "bigint")
+    "props" -> "string", "event_id" -> "bigint", "user_id" -> "bigint")
 
   def requireEventsSchema(events: DataFrame): Unit = {
     val actual = events.schema.map(f => f.name -> f.dataType.simpleString).toMap
@@ -106,6 +114,7 @@ object Metrics {
       col("ts"),
       col("event_type").as("name"),
       get_json_object(col("props"), "$.k").as("label_k"),
+      concat(lit("i"), (col("user_id") % 4).cast("string")).as("label_instance"),
       when(col("event_type").isin(MetricEvent.CounterNames: _*), "counter")
         .when(col("event_type").isin(MetricEvent.GaugeNames: _*), "gauge")
         .otherwise("histogram").as("kind"),
@@ -128,6 +137,7 @@ object Metrics {
   val MetricEventsSql: String =
     """SELECT ts, event_type AS name,
       |  json_extract_string(props, '$.k') AS label_k,
+      |  'i' || CAST(user_id % 4 AS VARCHAR) AS label_instance,
       |  CASE WHEN event_type IN ('click','view','purchase') THEN 'counter'
       |       WHEN event_type IN ('signup') THEN 'gauge'
       |       ELSE 'histogram' END AS kind,

@@ -38,21 +38,49 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Compiler {
 
-  /** An instant vector: `labels` (⊆ name, label_k) + a `value` column
-    * (DECIMAL while exact, DOUBLE after division).
+  /** An instant vector: `labels` (⊆ name + the label universe) + a
+    * `value` column (DECIMAL while exact, DOUBLE after division).
+    *
+    * `rateDiv`: when the vector came from `rate(m[d])` (directly or
+    * through a linear aggregation), `value` still holds the EXACT
+    * decimal increase and the division by `d` is deferred to
+    * [[materialize]]. `sum by (...) (rate(m[d]))` therefore sums exact
+    * decimals and divides once — no per-row double→DECIMAL(18,2)
+    * quantization of tiny per-second rates (which would collapse rates
+    * below 0.005 to 0), and the result is still bit-deterministic under
+    * any partitioning.
     */
-  private final case class Vec(df: DataFrame, labels: Seq[String])
+  private final case class Vec(df: DataFrame, labels: Seq[String],
+      rateDiv: Option[Double] = None)
+
+  /** Apply the deferred rate division (no-op for non-rate vectors). */
+  private def materialize(v: Vec): Vec = v.rateDiv match {
+    case Some(d) =>
+      Vec(v.df.withColumn("value", col("value").cast("double") / lit(d)), v.labels)
+    case None => v
+  }
 
   private def fail(msg: String): Nothing = throw new PromQLCompileException(msg)
 
-  /** Order-safe exact sum: doubles enter DECIMAL(18,2) once (the
-    * engine-wide 2-decimal sample convention), already-decimal values
-    * sum with Spark's automatic precision widening — never a raw
+  /** Order-safe exact sum of RAW SAMPLES: doubles enter DECIMAL(18,2)
+    * once (the engine-wide 2-decimal sample convention), already-decimal
+    * values sum with Spark's automatic precision widening — never a raw
     * double sum, so results are identical on any partitioning.
     */
   private def exactSum(df: DataFrame): Column =
     if (df.schema("value").dataType.isInstanceOf[DecimalType]) sum(col("value"))
     else sum(col("value").cast(DecimalType(18, 2)))
+
+  /** Order-safe sum of VECTOR values (post-selector): decimal vectors
+    * sum exactly; genuinely-double vectors (post-arithmetic, post-scalar
+    * function) sum through DECIMAL(38,12) — deterministic and
+    * associative under any partitioning, with ≤ 5e-13 per-term rounding
+    * instead of DECIMAL(18,2)'s 0.005 (the raw-sample convention must
+    * NOT re-quantize derived values).
+    */
+  private def vectorSum(df: DataFrame): Column =
+    if (df.schema("value").dataType.isInstanceOf[DecimalType]) sum(col("value"))
+    else sum(col("value").cast(DecimalType(38, 12)))
 
   private def kindOf(name: String): String =
     if (MetricEvent.CounterNames.contains(name)) "counter"
@@ -60,12 +88,21 @@ object Compiler {
     else if (MetricEvent.HistogramNames.contains(name)) "histogram"
     else fail(s"unknown metric family '$name' (compose-time check)")
 
-  /** PromQL label name → event-view column. The reference's series carry
-    * at most one label pair (`prometheus.cpp:189-192`), stored as
-    * `label_k`; users address it by its PromQL name `k`.
+  /** The label universe: PromQL label name → event-view column. Series
+    * carry the exposition-side label `k` (`prometheus.cpp:189-192`) and
+    * the scrape-side target label `instance` (see
+    * [[Metrics.metricEventsOf]]); the full series identity is
+    * `(name, k, instance)`.
     */
+  private val LabelUniverse: Map[String, String] =
+    Map("k" -> "label_k", "instance" -> "label_instance")
+
+  /** Every label column of the series key, in canonical order. */
+  private val SeriesKey: Seq[String] = Seq("name", "label_k", "label_instance")
+
   private def labelCol(l: String): String =
-    if (l == "k") "label_k" else fail(s"unknown label '$l' (series carry the single label 'k')")
+    LabelUniverse.getOrElse(l, fail(s"unknown label '$l' (series carry labels " +
+      s"${LabelUniverse.keys.toSeq.sorted.mkString("'", "', '", "'")})"))
 
   private def matcherFilter(ms: Seq[Matcher]): Column =
     ms.foldLeft(lit(true)) { (acc, m) =>
@@ -117,15 +154,13 @@ object Compiler {
     kind match {
       case "counter" =>
         val f = base.filter(col("value") >= 0)
-        Vec(f.groupBy(col("name"), col("label_k"))
-          .agg(exactSum(f).as("value")),
-          Seq("name", "label_k"))
+        Vec(f.groupBy(SeriesKey.map(col): _*)
+          .agg(exactSum(f).as("value")), SeriesKey)
       case "gauge" =>
-        val w = Window.partitionBy(col("name"), col("label_k"))
+        val w = Window.partitionBy(SeriesKey.map(col): _*)
           .orderBy(col("ts").desc, col("event_id").desc)
         Vec(base.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-          .select(col("name"), col("label_k"), col("value")),
-          Seq("name", "label_k"))
+          .select((SeriesKey.map(col) :+ col("value")): _*), SeriesKey)
     }
   }
 
@@ -145,16 +180,17 @@ object Compiler {
       case "rate" | "increase" =>
         if (kind != "counter") fail(s"$fn expects a counter family, '${sel.name}' is a $kind")
         val f = base.filter(col("value") >= 0)
-        val inc = f.groupBy(col("name"), col("label_k"))
+        val inc = f.groupBy(SeriesKey.map(col): _*)
           .agg(exactSum(f).as("value"))
-        if (fn == "increase") Vec(inc, Seq("name", "label_k"))
-        else Vec(inc.withColumn("value",
-          col("value").cast("double") / lit(d.toDouble)), Seq("name", "label_k"))
+        if (fn == "increase") Vec(inc, SeriesKey)
+        // rate: keep the exact decimal increase; defer /d to materialize
+        // so downstream sums stay exact (see Vec.rateDiv)
+        else Vec(inc, SeriesKey, rateDiv = Some(d.toDouble))
       case "sum_over_time" | "avg_over_time" | "min_over_time" |
            "max_over_time" | "count_over_time" =>
         // *_over_time aggregates the raw samples in the window — valid
         // for counters (increment events) and gauges alike
-        val g = base.groupBy(col("name"), col("label_k"))
+        val g = base.groupBy(SeriesKey.map(col): _*)
         val agg = fn match {
           case "sum_over_time" => g.agg(exactSum(base).as("value"))
           case "avg_over_time" => g.agg(
@@ -165,32 +201,54 @@ object Compiler {
           case "count_over_time" =>
             g.agg(count(lit(1)).cast("double").as("value"))
         }
-        Vec(agg, Seq("name", "label_k"))
+        Vec(agg, SeriesKey)
       case "delta" =>
         if (kind != "gauge") fail(s"delta expects a gauge family, '${sel.name}' is a $kind")
-        val wAsc = Window.partitionBy(col("name"), col("label_k"))
+        val wAsc = Window.partitionBy(SeriesKey.map(col): _*)
           .orderBy(col("ts"), col("event_id"))
-        val wDesc = Window.partitionBy(col("name"), col("label_k"))
+        val wDesc = Window.partitionBy(SeriesKey.map(col): _*)
           .orderBy(col("ts").desc, col("event_id").desc)
         Vec(base
           .withColumn("_rf", row_number().over(wAsc))
           .withColumn("_rl", row_number().over(wDesc))
-          .groupBy(col("name"), col("label_k"))
+          .groupBy(SeriesKey.map(col): _*)
           .agg((max(when(col("_rl") === 1, col("value")))
             - max(when(col("_rf") === 1, col("value")))).as("value")),
-          Seq("name", "label_k"))
+          SeriesKey)
     }
   }
 
+  /** `histogram_quantile(φ, sel)` (instant: every observation up to the
+    * evaluation instant) and `histogram_quantile(φ, rate(sel[d]))`
+    * (windowed: observations in `(T−d, T]` — the canonical alerting
+    * idiom). The quantile is SCALE-INVARIANT, so `rate` and `increase`
+    * feed it identically (dividing every bucket count by `d` moves the
+    * rank by the same factor); the plan builds the cumulative bucket
+    * counts from the raw observations — one broadcast cross-join with
+    * the 7 boundaries + one hash aggregate per series — then runs the
+    * standard PromQL linear interpolation.
+    */
   private def histogramQuantile(spark: SparkSession, dir: String,
-      phi: Double, sel: Selector): Vec = {
+      phi: Double, sel: Selector, windowD: Option[Long], shiftS: Long): Vec = {
     if (kindOf(sel.name) != "histogram")
       fail(s"histogram_quantile expects a histogram family, '${sel.name}' is a ${kindOf(sel.name)}")
-    if (sel.rangeS.isDefined) fail("histogram_quantile takes an instant selector")
-    val snap = Metrics.histogramSnapshot(spark, dir)
-      .filter(col("name") === sel.name && matcherFilter(sel.matchers))
-      .select(col("name"), col("label_k"), col("le"), col("cum_count"), col("count"))
-    val series = Seq(col("name"), col("label_k"))
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val inWindow = windowD match {
+      case Some(d) => unix_micros(col("ts")) > hi - lit(d * 1000000L) &&
+        unix_micros(col("ts")) <= hi
+      case None => unix_micros(col("ts")) <= hi
+    }
+    val obs = events(spark, dir)
+      .filter(col("name") === sel.name && matcherFilter(sel.matchers) && inWindow)
+    import spark.implicits._
+    val bounds = MetricEvent.Buckets.toDF("le")
+    val snap = obs.crossJoin(broadcast(bounds))
+      .groupBy((SeriesKey :+ "le").map(col): _*)
+      .agg(
+        sum(when(col("value") <= col("le"), 1L).otherwise(0L)).as("cum_count"),
+        count(lit(1)).as("count"))
+    val series = SeriesKey.map(col)
     val w = Window.partitionBy(series: _*).orderBy(col("le"))
     val ranked = snap
       .withColumn("rank", lit(phi) * col("count").cast("double"))
@@ -200,14 +258,14 @@ object Compiler {
       .withColumn("max_cum", max(col("cum_count")).over(Window.partitionBy(series: _*)))
     val inBucket = ranked
       .filter(col("cum_count") >= col("rank") && col("prev_cum") < col("rank"))
-      .select(col("name"), col("label_k"),
+      .select(series :+
         (col("prev_le") + (col("le") - col("prev_le"))
           * (col("rank") - col("prev_cum").cast("double"))
-          / (col("cum_count") - col("prev_cum")).cast("double")).as("value"))
+          / (col("cum_count") - col("prev_cum")).cast("double")).as("value"): _*)
     val overflow = ranked
       .filter(col("le") === col("max_le") && col("rank") > col("max_cum").cast("double"))
-      .select(col("name"), col("label_k"), col("max_le").as("value"))
-    Vec(inBucket.unionAll(overflow), Seq("name", "label_k"))
+      .select(series :+ col("max_le").as("value"): _*)
+    Vec(inBucket.unionAll(overflow), SeriesKey)
   }
 
   private def aggregate(a: Agg, v: Vec): Vec = {
@@ -222,19 +280,23 @@ object Compiler {
     groupCols.foreach(g => if (!v.labels.contains(g))
       fail(s"grouping label '$g' is not present in the vector (${v.labels.mkString(", ")})"))
     val grouped = v.df.groupBy(groupCols.map(col): _*)
+    // Linear/order-preserving aggregations COMMUTE with the deferred
+    // rate division (d > 0), so the rateDiv tag rides through them and
+    // decimal increases stay exact until the single final division.
     a.op match {
-      case "sum" => Vec(grouped.agg(exactSum(v.df).as("value")), groupCols)
-      case "min" => Vec(grouped.agg(min(col("value")).as("value")), groupCols)
-      case "max" => Vec(grouped.agg(max(col("value")).as("value")), groupCols)
+      case "sum" => Vec(grouped.agg(vectorSum(v.df).as("value")), groupCols, v.rateDiv)
+      case "min" => Vec(grouped.agg(min(col("value")).as("value")), groupCols, v.rateDiv)
+      case "max" => Vec(grouped.agg(max(col("value")).as("value")), groupCols, v.rateDiv)
       case "count" =>
+        // a count of series is NOT rate-scaled — drop the tag
         Vec(grouped.agg(count(lit(1)).cast("double").as("value")), groupCols)
       case "avg" => Vec(grouped.agg(
-        (exactSum(v.df).cast("double") / count(lit(1)).cast("double"))
-          .as("value")), groupCols)
+        (vectorSum(v.df).cast("double") / count(lit(1)).cast("double"))
+          .as("value")), groupCols, v.rateDiv)
       case "quantile" =>
         val phi = a.param.getOrElse(fail("quantile needs a parameter"))
         Vec(grouped.agg(expr(s"percentile(cast(value as double), $phi)")
-          .as("value")), groupCols)
+          .as("value")), groupCols, v.rateDiv)
       case "topk" | "bottomk" =>
         val n = a.param.getOrElse(fail(s"${a.op} needs a parameter"))
         if (n != n.floor || n < 1) fail(s"${a.op} parameter must be a positive integer, got $n")
@@ -242,18 +304,19 @@ object Compiler {
           if (a.op == "topk") col("value").desc +: v.labels.map(col)
           else col("value").asc +: v.labels.map(col)
         if (groupCols.isEmpty)
-          Vec(v.df.orderBy(ord: _*).limit(n.toInt), v.labels)
+          Vec(v.df.orderBy(ord: _*).limit(n.toInt), v.labels, v.rateDiv)
         else {
           // `topk by (k) (n, v)`: per-group ranking window, series rows kept
           val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord: _*)
           Vec(v.df.withColumn("_rk", row_number().over(w))
-            .filter(col("_rk") <= n.toInt).drop("_rk"), v.labels)
+            .filter(col("_rk") <= n.toInt).drop("_rk"), v.labels, v.rateDiv)
         }
       case other => fail(s"unsupported aggregation '$other'")
     }
   }
 
-  private def scalarFunc(name: String, param: Option[Double], v: Vec): Vec = {
+  private def scalarFunc(name: String, param: Option[Double], v0: Vec): Vec = {
+    val v = materialize(v0) // scalar functions are non-linear: rates first
     val x = col("value").cast("double")
     val out = name match {
       case "abs" => abs(x)
@@ -286,8 +349,8 @@ object Compiler {
     if (Set("and", "unless", "or").contains(b.op)) {
       // vector set ops: left-semi / left-anti / left-priority union —
       // the dedicated join types, never a distinct over a concatenation
-      val lv = compileVec(spark, dir, b.left, shiftS)
-      val rv = compileVec(spark, dir, b.right, shiftS)
+      val lv = materialize(compileVec(spark, dir, b.left, shiftS))
+      val rv = materialize(compileVec(spark, dir, b.right, shiftS))
       val joinLabels = b.on.map(_.map(labelCol))
         .getOrElse(lv.labels.intersect(rv.labels).filterNot(_ == "name"))
       if (joinLabels.isEmpty) fail(s"'${b.op}' has no labels to match on")
@@ -310,16 +373,16 @@ object Compiler {
     (b.left, b.right) match {
       case (NumLit(_), NumLit(_)) => fail("scalar-only expressions are not vectors")
       case (l, NumLit(s)) =>
-        val v = compileVec(spark, dir, l, shiftS)
+        val v = materialize(compileVec(spark, dir, l, shiftS))
         if (isCmp) Vec(v.df.filter(cmp(b.op, col("value").cast("double"), lit(s))), v.labels)
         else Vec(v.df.withColumn("value", arith(b.op, col("value"), lit(s))), v.labels)
       case (NumLit(s), r) =>
-        val v = compileVec(spark, dir, r, shiftS)
+        val v = materialize(compileVec(spark, dir, r, shiftS))
         if (isCmp) Vec(v.df.filter(cmp(b.op, lit(s), col("value").cast("double"))), v.labels)
         else Vec(v.df.withColumn("value", arith(b.op, lit(s), col("value"))), v.labels)
       case (l, r) =>
-        val lv = compileVec(spark, dir, l, shiftS)
-        val rv = compileVec(spark, dir, r, shiftS)
+        val lv = materialize(compileVec(spark, dir, l, shiftS))
+        val rv = materialize(compileVec(spark, dir, r, shiftS))
         // default vector matching: all shared labels except the metric
         // name (PromQL drops __name__ on binary ops)
         val joinLabels = b.on.map(_.map(labelCol))
@@ -362,16 +425,16 @@ object Compiler {
     if (g < 1 || g > 64)
       fail(s"subquery evaluates $g instants; 1..64 supported (compose-time bound)")
     val vecs = (1L to g).map { i =>
-      compileVec(spark, dir, sq.inner, shiftS + sq.rangeS - i * sq.stepS)
+      materialize(compileVec(spark, dir, sq.inner, shiftS + sq.rangeS - i * sq.stepS))
     }
     val labels = vecs.head.labels
     val unioned = vecs.map(_.df.select(labels.map(col) :+ col("value"): _*))
       .reduce(_ unionAll _)
     val grouped = unioned.groupBy(labels.map(col): _*)
     val agg = fn match {
-      case "sum_over_time" => grouped.agg(exactSum(unioned).as("value"))
+      case "sum_over_time" => grouped.agg(vectorSum(unioned).as("value"))
       case "avg_over_time" => grouped.agg(
-        (exactSum(unioned).cast("double") / count(lit(1)).cast("double")).as("value"))
+        (vectorSum(unioned).cast("double") / count(lit(1)).cast("double")).as("value"))
       case "min_over_time" => grouped.agg(min(col("value")).as("value"))
       case "max_over_time" => grouped.agg(max(col("value")).as("value"))
       case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
@@ -388,10 +451,20 @@ object Compiler {
       rangeFunc(spark, dir, fn, sel, shiftS)
     case Func(fn, _, sq: Subquery) if OverTimeFns.contains(fn) =>
       subqueryOverTime(spark, dir, fn, sq, shiftS)
-    case Func("histogram_quantile", Some(phi), sel: Selector) =>
-      if (shiftS != 0L)
-        fail("histogram_quantile is not supported inside subqueries")
-      histogramQuantile(spark, dir, phi, sel)
+    case Func("histogram_quantile", Some(phi), arg) =>
+      arg match {
+        case sel: Selector =>
+          if (sel.rangeS.isDefined)
+            fail("histogram_quantile over a raw range selector — wrap it in rate/increase, " +
+              s"e.g. histogram_quantile($phi, rate(${sel.name}[5m]))")
+          histogramQuantile(spark, dir, phi, sel, None, shiftS)
+        case Func(fn, _, sel: Selector) if fn == "rate" || fn == "increase" =>
+          val d = sel.rangeS.getOrElse(
+            fail(s"$fn inside histogram_quantile needs a range, e.g. $fn(${sel.name}[5m])"))
+          histogramQuantile(spark, dir, phi, sel, Some(d), shiftS)
+        case other =>
+          fail(s"histogram_quantile expects a histogram selector or rate/increase of one, got $other")
+      }
     case Func(fn, param, arg)
         if Set("abs", "ceil", "floor", "round", "sqrt", "clamp_min", "clamp_max")
           .contains(fn) =>
@@ -407,7 +480,7 @@ object Compiler {
     * as DOUBLE, deterministically ordered.
     */
   def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame = {
-    val v = compileVec(spark, dir, ast)
+    val v = materialize(compileVec(spark, dir, ast))
     val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
     v.df.select(cols: _*).orderBy(v.labels.map(col) :+ col("value"): _*)
   }
@@ -444,8 +517,13 @@ object StreamCompiler {
 
   private final case class SVec(df: DataFrame, labels: Seq[String])
 
-  private def labelCol(l: String): String =
-    if (l == "k") "label_k" else fail(s"unknown label '$l'")
+  private val SeriesKey = Seq("name", "label_k", "label_instance")
+
+  private def labelCol(l: String): String = l match {
+    case "k" => "label_k"
+    case "instance" => "label_instance"
+    case _ => fail(s"unknown label '$l' (series carry labels 'instance', 'k')")
+  }
 
   private def matcherFilter(ms: Seq[Matcher]): Column =
     ms.foldLeft(lit(true)) { (acc, m) =>
@@ -464,9 +542,9 @@ object StreamCompiler {
         fail(s"only counter selectors stream (gauges need per-series ordering); '$name' is not a counter")
       val base = Metrics.metricEventsOf(events)
         .filter(col("name") === name && matcherFilter(ms) && col("value") >= 0)
-      SVec(base.groupBy(col("name"), col("label_k"))
+      SVec(base.groupBy(SeriesKey.map(col): _*)
         .agg(sum(col("value").cast(DecimalType(18, 2))).as("value")),
-        Seq("name", "label_k"))
+        SeriesKey)
     case Selector(_, _, range, off, at) if range.isDefined || off.isDefined || at.isDefined =>
       fail("range/offset/@ need a fixed evaluation instant — batch-only")
     case Agg(op, grouping, None, arg) =>

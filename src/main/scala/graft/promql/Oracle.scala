@@ -1,8 +1,8 @@
 package graft.promql
 
-import graft.operators.{Metrics, PromQL}
+import graft.operators.Metrics
 
-/** DuckDB twins for the parser-routed driver queries (p1–p4): each SQL
+/** DuckDB twins for the parser-routed driver queries (p1–p12): each SQL
   * mirrors what [[Compiler]] emits for the given PromQL string, so the
   * driver's oracle check covers the WHOLE front-end path — tokenizer →
   * parser → compiler → Catalyst — not just the hand-built operators.
@@ -10,6 +10,44 @@ import graft.operators.{Metrics, PromQL}
 object Oracle {
 
   import Metrics.MetricEventsSql
+
+  /** Shared histogram_quantile interpolation twin: cumulative bucket
+    * counts per full series key `(name, label_k, label_instance)` over
+    * the observation set selected by `tsFilter` (instant: everything up
+    * to T; windowed rate: `(T−d, T]`), then the PromQL linear
+    * interpolation with the max-bucket overflow rule — the same
+    * expression shapes the compiler emits, so doubles bit-match.
+    */
+  private def histogramQuantileTwin(phi: Double, tsFilter: String): String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (SELECT name, label_k, label_instance, value FROM m, t
+       |      WHERE name = 'error' AND $tsFilter),
+       |b AS (SELECT * FROM (VALUES (1.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0)) b(le)),
+       |snap AS (
+       |  SELECT name, label_k, label_instance, le,
+       |    CAST(SUM(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT) AS cum_count,
+       |    COUNT(*) AS cnt
+       |  FROM w CROSS JOIN b
+       |  GROUP BY name, label_k, label_instance, le),
+       |r AS (
+       |  SELECT *, $phi * CAST(cnt AS DOUBLE) AS rnk,
+       |    COALESCE(LAG(le) OVER w2, 0.0) AS prev_le,
+       |    COALESCE(LAG(cum_count) OVER w2, 0) AS prev_cum,
+       |    MAX(le) OVER w3 AS max_le,
+       |    MAX(cum_count) OVER w3 AS max_cum
+       |  FROM snap
+       |  WINDOW w2 AS (PARTITION BY name, label_k, label_instance ORDER BY le),
+       |         w3 AS (PARTITION BY name, label_k, label_instance))
+       |SELECT name, label_k, label_instance, value FROM (
+       |  SELECT name, label_k, label_instance,
+       |    prev_le + (le - prev_le) * (rnk - CAST(prev_cum AS DOUBLE))
+       |      / CAST(cum_count - prev_cum AS DOUBLE) AS value
+       |  FROM r WHERE CAST(cum_count AS DOUBLE) >= rnk AND CAST(prev_cum AS DOUBLE) < rnk
+       |  UNION ALL
+       |  SELECT name, label_k, label_instance, max_le AS value
+       |  FROM r WHERE le = max_le AND rnk > CAST(max_cum AS DOUBLE))
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
 
   /** `topk(3, sum by (k) (purchase))` */
   val TopkSumSql: String =
@@ -22,7 +60,10 @@ object Oracle {
        |SELECT label_k, CAST(dv AS DOUBLE) AS value
        |FROM top ORDER BY label_k, value""".stripMargin
 
-  /** `purchase{k=~"1.*"} / on(k) click` */
+  /** `sum by (k) (purchase{k=~"1.*"}) / on(k) sum by (k) (click)` —
+    * both sides aggregated over the instance label first, so the
+    * `on(k)` match is one-to-one (PromQL rejects many-to-many).
+    */
   val BinOpSql: String =
     s"""WITH m AS ($MetricEventsSql),
        |p AS (
@@ -38,12 +79,19 @@ object Oracle {
        |FROM p JOIN c USING (label_k)
        |ORDER BY label_k, value""".stripMargin
 
-  /** `histogram_quantile(0.9, error)` — the operator-level SQL with the
-    * front-end's output shape (`value`, deterministic order).
+  /** `histogram_quantile(0.9, error)` — instant quantile per full
+    * series key.
     */
   val HistogramQuantileSql: String =
-    "SELECT name, label_k, q AS value FROM (" + PromQL.HistogramQuantileSql +
-      ") ORDER BY name, label_k, value"
+    histogramQuantileTwin(0.9, "epoch_us(ts) <= t_us")
+
+  /** `histogram_quantile(0.9, rate(error[4d]))` — the canonical
+    * alerting idiom: windowed bucket increase feeding the quantile
+    * (scale-invariant, so rate and increase agree).
+    */
+  val HistogramQuantileRateSql: String =
+    histogramQuantileTwin(0.9,
+      "epoch_us(ts) > t_us - 345600000000 AND epoch_us(ts) <= t_us")
 
   /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
   val OrSql: String =
@@ -64,17 +112,17 @@ object Oracle {
        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.label_k = c.label_k)
        |ORDER BY label_k, value""".stripMargin
 
-  /** `max_over_time(signup[10d] offset 2d)` */
+  /** `max_over_time(signup[10d] offset 2d)` — per full series key. */
   val MaxOverTimeSql: String =
     s"""WITH m AS ($MetricEventsSql),
        |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m)
-       |SELECT name, label_k, MAX(value) AS value
+       |SELECT name, label_k, label_instance, MAX(value) AS value
        |FROM m, t
        |WHERE name = 'signup'
        |  AND epoch_us(ts) > t_us - 1036800000000
        |  AND epoch_us(ts) <= t_us - 172800000000
-       |GROUP BY name, label_k
-       |ORDER BY name, label_k, value""".stripMargin
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
 
   /** `max_over_time((sum by (k) (purchase))[4d:1d])` — the subquery's
     * four instants (T−3d … T) expressed as a shift grid.
@@ -123,4 +171,49 @@ object Oracle {
        |SELECT label_k, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
        |FROM w GROUP BY label_k
        |ORDER BY label_k, value""".stripMargin
+
+  /** `sum by (k, instance) (purchase)` — grouping on BOTH series labels. */
+  val MultiLabelSumSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT label_k, label_instance,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m WHERE name = 'purchase' AND value >= 0
+       |GROUP BY label_k, label_instance
+       |ORDER BY label_k, label_instance, value""".stripMargin
+
+  /** `purchase / on(k, instance) click` — one-to-one vector matching on
+    * the FULL two-label key.
+    */
+  val MultiLabelBinOpSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |p AS (
+       |  SELECT label_k, label_instance, SUM(CAST(value AS DECIMAL(18,2))) AS pv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY label_k, label_instance),
+       |c AS (
+       |  SELECT label_k, label_instance, SUM(CAST(value AS DECIMAL(18,2))) AS cv
+       |  FROM m WHERE name = 'click' AND value >= 0
+       |  GROUP BY label_k, label_instance)
+       |SELECT p.label_k AS label_k, p.label_instance AS label_instance,
+       |  CAST(pv AS DOUBLE) / CAST(cv AS DOUBLE) AS value
+       |FROM p JOIN c USING (label_k, label_instance)
+       |ORDER BY label_k, label_instance, value""".stripMargin
+
+  /** `sum by (instance) (rate(purchase[2d]))` — sum-over-rate through
+    * the deferred-division path: exact decimal increases summed per
+    * instance, divided by the window ONCE (no per-rate DECIMAL(18,2)
+    * quantization).
+    */
+  val RateSumSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT label_instance, value FROM m, t
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) > t_us - 172800000000
+       |    AND epoch_us(ts) <= t_us)
+       |SELECT label_instance,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 172800.0 AS value
+       |FROM w GROUP BY label_instance
+       |ORDER BY label_instance, value""".stripMargin
 }

@@ -204,16 +204,14 @@ object Parser {
           expect(")")
           Func(name, None, arg)
         } else if (name == "histogram_quantile") {
+          // the argument may be a bare selector (instant) or a
+          // rate/increase over a bucket range — the compiler validates
           expect("(")
           val phi = number()
           expect(",")
-          val sel = {
-            val t2 = take()
-            if (t2.kind != "ident") fail("histogram_quantile expects a selector")
-            selectorTail(t2.text)
-          }
+          val arg = expr()
           expect(")")
-          Func(name, Some(phi), sel)
+          Func(name, Some(phi), arg)
         } else if (ScalarFuncs.contains(name)) {
           expect("(")
           val arg = expr()
