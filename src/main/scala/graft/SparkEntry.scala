@@ -141,6 +141,9 @@ object SparkEntry {
     "x23_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
     // sketch read-back uses libm log/pow → rows-only; error spec-bounded
     "x26_quantile_sketch" -> ((s, d) => TextAnalysis.quantileSketch(s, d)),
+    // libm-dependent log/exp family → rows-only like b29; the spec pins
+    // every value against the JVM's own java.lang.Math reference
+    "b33_log_functions" -> ((s, d) => PromQL.logFunctions(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

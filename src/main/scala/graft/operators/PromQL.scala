@@ -1265,6 +1265,35 @@ object PromQL {
        |FROM snap
        |ORDER BY name, label_k""".stripMargin
 
+  /** B-scalar log/exp family (`exp`, `ln`, `log2`, `log10`) over the
+    * gauge snapshot — the libm-dependent complement of [[mathFunctions]]
+    * (which excludes them from the oracle gate because last-ulp results
+    * differ across engines). Rows-only driver check like b29/x16/x26;
+    * the spec pins every value against the JVM's own `java.lang.Math`
+    * reference, and the PromQL edge semantics are encoded explicitly
+    * (`ln(0) = -Inf`, `ln(x<0) = NaN`) instead of Spark's
+    * null-on-domain-error. `exp` is evaluated on a /1000 scale so large
+    * snapshots don't overflow to Infinity.
+    */
+  def logFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(series: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val snap = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    def lnLike(f: Column => Column)(x: Column): Column =
+      when(x > 0, f(x))
+        .when(x === 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
+    snap.select(col("name"), col("label_k"), col("value"),
+        lnLike(log(_))(col("value")).as("ln_v"),
+        lnLike(log2(_))(col("value")).as("log2_v"),
+        lnLike(log10(_))(col("value")).as("log10_v"),
+        exp(col("value") / 1000.0).as("exp_scaled"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
   /** B19b `absent_over_time(purchase[1d])` evaluated on the day grid:
     * the (series-universe × day) combinations where the family has NO
     * sample — `absent` (b19) answers "which series never exist", this

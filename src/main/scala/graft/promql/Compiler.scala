@@ -318,12 +318,22 @@ object Compiler {
   private def scalarFunc(name: String, param: Option[Double], v0: Vec): Vec = {
     val v = materialize(v0) // scalar functions are non-linear: rates first
     val x = col("value").cast("double")
+    // PromQL log-family edge semantics: ln(0) = -Inf, ln(x<0) = NaN
+    // (Spark's builtins return null on domain errors)
+    def lnLike(f: Column => Column): Column =
+      when(x > 0, f(x))
+        .when(x === 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
     val out = name match {
       case "abs" => abs(x)
       case "ceil" => ceil(x).cast("double")
       case "floor" => floor(x).cast("double")
       case "round" => round(x).cast("double")
       case "sqrt" => sqrt(x)
+      case "exp" => exp(x)
+      case "ln" => lnLike(log(_))
+      case "log2" => lnLike(log2(_))
+      case "log10" => lnLike(log10(_))
       case "clamp_min" => greatest(x, lit(param.get))
       case "clamp_max" => least(x, lit(param.get))
     }
@@ -466,7 +476,8 @@ object Compiler {
           fail(s"histogram_quantile expects a histogram selector or rate/increase of one, got $other")
       }
     case Func(fn, param, arg)
-        if Set("abs", "ceil", "floor", "round", "sqrt", "clamp_min", "clamp_max")
+        if Set("abs", "ceil", "floor", "round", "sqrt",
+          "exp", "ln", "log2", "log10", "clamp_min", "clamp_max")
           .contains(fn) =>
       scalarFunc(fn, param, compileVec(spark, dir, arg, shiftS))
     case a: Agg => aggregate(a, compileVec(spark, dir, a.arg, shiftS))
@@ -493,17 +504,26 @@ object Engine {
 
   /** Compile a PromQL subset against a STREAMING events relation — the
     * same query text evaluated continuously, emitting the running
-    * instant vector per micro-batch (Update mode). Supported: counter
-    * selectors with matchers, `sum/count/avg/min/max [by (k)]`, scalar
-    * arithmetic, comparison filters. A streaming counter snapshot is
-    * exactly an unwatermarked running aggregation, so the compiled plan
-    * is the canonical Structured Streaming shape with state = one row
-    * per group. Time anchoring (offset/@/ranges/subqueries), gauges
-    * (need per-series ordering), and sorts are batch-only and rejected
-    * at compose time.
+    * instant vector per micro-batch (Update mode). Supported:
+    *  - counter selectors with matchers → running accumulation (state =
+    *    one row per series);
+    *  - gauge selectors → last-write-wins via a running `max_by` over
+    *    the (event-time, event_id) order — the same deterministic
+    *    tiebreak as the batch snapshot, so out-of-order delivery
+    *    converges to the batch answer;
+    *  - `rate(m[d])` / `increase(m[d])` → per-TUMBLING-window increase
+    *    with a `watermark` bound (the streaming reading of a trailing
+    *    window: one row per closed window per series, keyed by an extra
+    *    `window_start` column; state for windows behind the watermark is
+    *    evicted). `rate` divides by the window exactly like batch;
+    *  - `sum/count/avg/min/max [by (k, instance)]`, scalar arithmetic,
+    *    comparison filters.
+    * Absolute time anchoring (offset/@/subqueries), quantiles, and sorts
+    * are batch-only and rejected at compose time.
     */
-  def evalStream(events: DataFrame, query: String): DataFrame =
-    StreamCompiler.compile(events, Parser.parse(query))
+  def evalStream(events: DataFrame, query: String,
+      watermark: String = "10 minutes"): DataFrame =
+    StreamCompiler.compile(events, Parser.parse(query), watermark)
 }
 
 /** The streaming subset compiler (see [[Engine.evalStream]]). */
@@ -536,19 +556,51 @@ object StreamCompiler {
       })
     }
 
-  private def compileVec(events: DataFrame, ast: Ast): SVec = ast match {
-    case Selector(name, ms, None, None, None) =>
-      if (!MetricEvent.CounterNames.contains(name))
-        fail(s"only counter selectors stream (gauges need per-series ordering); '$name' is not a counter")
+  private def compileVec(events: DataFrame, ast: Ast,
+      watermark: String): SVec = ast match {
+    case Selector(name, ms, None, None, None)
+        if MetricEvent.CounterNames.contains(name) =>
       val base = Metrics.metricEventsOf(events)
         .filter(col("name") === name && matcherFilter(ms) && col("value") >= 0)
       SVec(base.groupBy(SeriesKey.map(col): _*)
         .agg(sum(col("value").cast(DecimalType(18, 2))).as("value")),
         SeriesKey)
+    case Selector(name, ms, None, None, None)
+        if MetricEvent.GaugeNames.contains(name) =>
+      // last-write-wins as a RUNNING declarative aggregate: max_by over
+      // the (ts, event_id) struct order — one state row per series, the
+      // same deterministic tiebreak as the batch window/row_number form
+      val base = Metrics.metricEventsOf(events)
+        .filter(col("name") === name && matcherFilter(ms))
+      SVec(base.groupBy(SeriesKey.map(col): _*)
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value")),
+        SeriesKey)
+    case Selector(name, _, None, None, None) =>
+      fail(s"histogram family '$name' has no scalar streaming form; " +
+        "use the keyed-state runningHistogram operator")
+    case Func(fn, _, Selector(name, ms, Some(d), None, None))
+        if fn == "rate" || fn == "increase" =>
+      if (!MetricEvent.CounterNames.contains(name))
+        fail(s"$fn expects a counter family, '$name' is not one")
+      // the streaming reading of a trailing window: per-tumbling-window
+      // increase, watermark-bounded (closed windows evict their state)
+      val base = Metrics.metricEventsOf(events)
+        .filter(col("name") === name && matcherFilter(ms) && col("value") >= 0)
+        .withWatermark("ts", watermark)
+      val agg = base
+        .groupBy(window(col("ts"), s"$d seconds") +: SeriesKey.map(col): _*)
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("value"))
+      val out0 = agg.select(
+        col("window.start").as("window_start") +: SeriesKey.map(col) :+ col("value"): _*)
+      val out = if (fn == "rate")
+        out0.withColumn("value", col("value").cast("double") / lit(d.toDouble))
+      else out0
+      SVec(out, "window_start" +: SeriesKey)
     case Selector(_, _, range, off, at) if range.isDefined || off.isDefined || at.isDefined =>
-      fail("range/offset/@ need a fixed evaluation instant — batch-only")
+      fail("a bare range selector / offset / @ needs a fixed evaluation instant — " +
+        "wrap ranges in rate/increase; offset/@ are batch-only")
     case Agg(op, grouping, None, arg) =>
-      val v = compileVec(events, arg)
+      val v = compileVec(events, arg, watermark)
       val groupCols = grouping match {
         case Some(("by", ls)) => ls.map(labelCol)
         case Some(("without", ls)) =>
@@ -578,7 +630,7 @@ object StreamCompiler {
         case _ => fail("streaming aggregation applies directly to a selector (multi-stage aggregation would need complete-mode chaining)")
       }
     case BinOp(op, _, l, NumLit(s2)) =>
-      val v = compileVec(events, l)
+      val v = compileVec(events, l, watermark)
       val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(op)
       if (isCmp) {
         val c = col("value").cast("double")
@@ -602,8 +654,8 @@ object StreamCompiler {
     case other => fail(s"$other is batch-only (use Engine.eval)")
   }
 
-  def compile(events: DataFrame, ast: Ast): DataFrame = {
-    val v = compileVec(events, ast)
+  def compile(events: DataFrame, ast: Ast, watermark: String): DataFrame = {
+    val v = compileVec(events, ast, watermark)
     // no orderBy: streaming plans cannot sort; consumers read the
     // updated rows per micro-batch
     v.df.select(v.labels.map(col) :+ col("value").cast("double").as("value"): _*)

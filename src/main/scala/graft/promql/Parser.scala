@@ -15,7 +15,8 @@ object Parser {
   private val RangeFuncs = Set("rate", "increase", "delta")
   private val OverTimeFuncs = Set("sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time")
-  private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt")
+  private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt",
+    "exp", "ln", "log2", "log10")
   private val ClampFuncs = Set("clamp_min", "clamp_max")
 
   private final case class Tok(kind: String, text: String, pos: Int)
@@ -40,11 +41,23 @@ object Parser {
           out += Tok("duration", q.substring(start, i - 1) + unit, start)
         } else out += Tok("number", q.substring(start, i), start)
       } else if (c == '"') {
+        // backslash escapes: \" \\ \n \t; any other \x passes x through
         val start = i; i += 1
-        while (i < q.length && q(i) != '"') i += 1
+        val sb = new StringBuilder
+        while (i < q.length && q(i) != '"') {
+          if (q(i) == '\\' && i + 1 < q.length) {
+            i += 1
+            sb += (q(i) match {
+              case 'n' => '\n'
+              case 't' => '\t'
+              case other => other // covers \" and \\
+            })
+          } else sb += q(i)
+          i += 1
+        }
         if (i >= q.length) err("unterminated string")
         i += 1
-        out += Tok("string", q.substring(start + 1, i - 1), start)
+        out += Tok("string", sb.toString, start)
       } else {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Set("=~", "!~", "!=", "<=", ">=", "==").contains(two)) {
@@ -94,10 +107,13 @@ object Parser {
       out.result()
     }
 
+    // accepts a leading unary minus: clamp_min(v, -5), topk(3, ...) etc.
     def number(): Double = {
+      val neg = at("-")
+      if (neg) p += 1
       val t = take()
       if (t.kind != "number") fail("expected number")
-      t.text.toDouble
+      if (neg) -t.text.toDouble else t.text.toDouble
     }
 
     def matchers(): Seq[Matcher] = {
@@ -152,6 +168,9 @@ object Parser {
     def operand(): Ast = {
       val t = peek.getOrElse(fail("unexpected end"))
       if (t.kind == "number") NumLit(number())
+      // unary minus on a scalar literal (`x * -2`, `v > -0.5`); negating
+      // a full vector expression stays out of the subset (use `* -1`)
+      else if (t.text == "-") NumLit(number())
       else if (t.text == "(") { p += 1; val e = expr(); expect(")"); e }
       else if (t.kind == "ident") {
         val name = take().text

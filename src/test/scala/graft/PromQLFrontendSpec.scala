@@ -237,6 +237,77 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(alerts === Set(("HighPurchase", "b", 90.0)))
   }
 
+  test("string escapes and unary minus parse (matcher values, negative scalars)") {
+    val ast = Parser.parse("""purchase{k="a\"b"}""")
+    assert(ast === Selector("purchase", Seq(Matcher("k", "=", "a\"b"))))
+    assert(Parser.parse("""purchase{k="a\\b"}""") ===
+      Selector("purchase", Seq(Matcher("k", "=", "a\\b"))))
+    assert(Parser.parse("clamp_min(purchase, -5)") ===
+      Func("clamp_min", Some(-5.0), Selector("purchase")))
+    assert(Parser.parse("purchase * -2") ===
+      BinOp("*", None, Selector("purchase"), NumLit(-2.0)))
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a")).toDF(eventCols: _*))
+    assert(Engine.eval(spark, dir, "purchase * -2").select($"value")
+      .as[Double].collect().toSeq === Seq(-20.0))
+    assert(Engine.eval(spark, dir, "clamp_min(purchase, -5)").select($"value")
+      .as[Double].collect().toSeq === Seq(10.0))
+  }
+
+  test("log/exp family matches the JVM reference; PromQL edge semantics") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 4.0, "a"),
+      ev(1, 0, "purchase", 0.0, "z") // sums to 0 → ln = -Inf
+    ).toDF(eventCols: _*))
+    def one(q: String) = Engine.eval(spark, dir, q)
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    def approx(a: Double, b: Double): Boolean = math.abs(a - b) <= 2 * math.ulp(b)
+    assert(approx(one("ln(purchase)")("a"), StrictMath.log(4.0)))
+    assert(one("ln(purchase)")("z").isNegInfinity)
+    assert(one("log2(purchase)")("a") === 2.0)
+    assert(approx(one("log10(purchase)")("a"), StrictMath.log10(4.0)))
+    assert(approx(one("exp(purchase)")("a"), StrictMath.exp(4.0)))
+    assert(one("exp(purchase)")("z") === 1.0)
+  }
+
+  test("sum over rate keeps tiny per-second rates exact (no decimal quantization)") {
+    val h = 3600000L
+    // two series of label a: increase 1.0 and 2.0 in the last hour →
+    // sum by (k) (rate) = 3/3600 ≈ 0.000833, far below the 0.005 step
+    // a DECIMAL(18,2) cast would quantize to zero
+    val dir = fixture("events" -> Seq(
+      ev(0, 2 * h, "purchase", 1.0, "a"),
+      ev(1, 2 * h, "purchase", 2.0, "a")
+    ).toDF(eventCols: _*))
+    val v = Engine.eval(spark, dir, "sum by (k) (rate(purchase[1h]))")
+      .select($"value").as[Double].collect()
+    assert(v.toSeq === Seq(3.0 / 3600.0))
+    val avg = Engine.eval(spark, dir, "avg(rate(purchase[1h]))")
+      .select($"value").as[Double].collect()
+    assert(avg.toSeq === Seq(3.0 / 3600.0)) // one series after full-key grouping
+  }
+
+  test("b33 log family values match java.lang.Math on the gauge snapshot") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 7.5, "a"),
+      ev(1, 1000, "signup", 12.25, "a"), // last write wins
+      ev(2, 0, "signup", 3.0, "b")
+    ).toDF(eventCols: _*))
+    val rows = graft.operators.PromQL.logFunctions(spark, dir)
+      .select($"label_k", $"value", $"ln_v", $"log2_v", $"log10_v", $"exp_scaled")
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+    assert(rows.map(r => r._1 -> r._2).toMap === Map("a" -> 12.25, "b" -> 3.0))
+    // Spark's log family routes through StrictMath while java.lang.Math
+    // may use a 1-ulp-different intrinsic — pin within 2 ulps
+    def approx(a: Double, b: Double): Boolean = math.abs(a - b) <= 2 * math.ulp(b)
+    rows.foreach { r =>
+      assert(approx(r._3, StrictMath.log(r._2)), s"ln ${r._2}")
+      assert(approx(r._4, StrictMath.log(r._2) / StrictMath.log(2.0)), s"log2 ${r._2}")
+      assert(approx(r._5, StrictMath.log10(r._2)), s"log10 ${r._2}")
+      assert(approx(r._6, StrictMath.exp(r._2 / 1000.0)), s"exp ${r._2}")
+    }
+  }
+
   test("compose-time checks reject kind and shape errors before any job") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))

@@ -242,10 +242,72 @@ class StreamingSpec extends SparkTestBase {
     val mem = MemoryStream[RawEvent]
     def bad(q: String) = intercept[graft.promql.PromQLCompileException](
       graft.promql.Engine.evalStream(mem.toDF(), q))
-    bad("rate(purchase[5m])")
     bad("purchase offset 1d")
-    bad("signup") // gauge needs per-series ordering
+    bad("purchase @ 1704067200")
+    bad("purchase[5m]") // bare range: wrap in rate/increase
     bad("topk(2, purchase)")
+    bad("error") // histogram: keyed-state operator, no scalar vector
+  }
+
+  test("streaming PromQL gauge selector converges to the batch last-write-wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = graft.promql.Engine.evalStream(mem.toDF()
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("signup")), "signup")
+    val q = out.writeStream.format("memory").queryName("promql_gauge")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // LATEST event-time value first, then stragglers out of order —
+      // the running max_by must keep (ts, event_id)-max, not arrival-max
+      mem.addData(raw(0, 30, 7.0, "a"))
+      q.processAllAvailable()
+      mem.addData(raw(1, 10, 99.0, "a"), raw(2, 20, 50.0, "a"))
+      q.processAllAvailable()
+      // every emitted update carries 7.0: the 10:30 sample wins on event
+      // time in batch 1, and the stragglers never displace it — 99.0/50.0
+      // must not appear in ANY update
+      val updates = spark.table("promql_gauge")
+        .select($"label_k", $"value").as[(String, Double)].collect().toSet
+      assert(updates === Set(("a", 7.0)))
+      val batchDir = fixture("events" -> Seq(
+        ev(0, 30 * 60000, "signup", 7.0, "a"),
+        ev(1, 10 * 60000, "signup", 99.0, "a"),
+        ev(2, 20 * 60000, "signup", 50.0, "a")).toDF(eventCols: _*))
+      val batch = graft.promql.Engine.eval(spark, batchDir, "signup")
+        .select($"label_k", $"value").as[(String, Double)].collect().toSeq
+      assert(batch === Seq(("a", 7.0)))
+    } finally q.stop()
+  }
+
+  test("streaming PromQL windowed increase/rate emit per-tumbling-window values") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    // 60-second tumbling windows over the click counter
+    val out = graft.promql.Engine.evalStream(mem.toDF(), "increase(click[1m])")
+    val q = out.writeStream.format("memory").queryName("promql_increase")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(raw(0, 10, 1.0, "a"), raw(1, 10, 2.0, "a"), raw(2, 11, 5.0, "a"))
+      q.processAllAvailable()
+      val w10 = java.sql.Timestamp.valueOf("2024-01-01 10:10:00")
+      val w11 = java.sql.Timestamp.valueOf("2024-01-01 10:11:00")
+      val byWindow = spark.table("promql_increase")
+        .groupBy($"window_start").agg(org.apache.spark.sql.functions.max($"value"))
+        .as[(java.sql.Timestamp, Double)].collect().toMap
+      assert(byWindow === Map(w10 -> 3.0, w11 -> 5.0))
+      // rate divides the same windowed increase by the window seconds
+      val mem2 = MemoryStream[RawEvent]
+      val out2 = graft.promql.Engine.evalStream(mem2.toDF(), "rate(click[1m])")
+      val q2 = out2.writeStream.format("memory").queryName("promql_rate")
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem2.addData(raw(0, 10, 1.0, "a"), raw(1, 10, 2.0, "a"))
+        q2.processAllAvailable()
+        val rates = spark.table("promql_rate")
+          .select($"value").as[Double].collect().toSet
+        assert(rates === Set(3.0 / 60.0))
+      } finally q2.stop()
+    } finally q.stop()
   }
 
   test("stream-stream interval join attributes purchases to preceding clicks") {
