@@ -117,6 +117,10 @@ object SparkEntry {
       promql.Engine.eval(s, d, "purchase / on(k, instance) click")),
     "p12_promql_rate_sum" -> ((s, d) =>
       promql.Engine.eval(s, d, "sum by (instance) (rate(purchase[2d]))")),
+    "p13_promql_group_left" -> ((s, d) => promql.Engine.eval(s, d,
+      "purchase / on(k) group_left sum by (k) (purchase)")),
+    "p14_promql_absent" -> ((s, d) =>
+      promql.Engine.eval(s, d, """absent(purchase{k="zzz"})""")),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -225,6 +229,8 @@ object SparkEntry {
     "p10_promql_multilabel_sum" -> promql.Oracle.MultiLabelSumSql,
     "p11_promql_multilabel_binop" -> promql.Oracle.MultiLabelBinOpSql,
     "p12_promql_rate_sum" -> promql.Oracle.RateSumSql,
+    "p13_promql_group_left" -> promql.Oracle.GroupLeftShareSql,
+    "p14_promql_absent" -> promql.Oracle.AbsentSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,

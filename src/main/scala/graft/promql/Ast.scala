@@ -42,9 +42,13 @@ final case class Agg(
   */
 final case class Func(name: String, param: Option[Double], arg: Ast) extends Ast
 
-/** `l op r` with optional `on(labels)`; comparison ops filter. */
-final case class BinOp(op: String, on: Option[Seq[String]], left: Ast, right: Ast)
-  extends Ast
+/** `l op r` with optional `on(labels)`; comparison ops filter.
+  * `groupLeft` marks `on(...) group_left`: many-to-one matching where
+  * the left side keeps its full label set and each left series matches
+  * the single right series sharing the `on` labels.
+  */
+final case class BinOp(op: String, on: Option[Seq[String]], left: Ast, right: Ast,
+    groupLeft: Boolean = false) extends Ast
 
 /** Scalar literal operand of an arithmetic/comparison binary op. */
 final case class NumLit(v: Double) extends Ast

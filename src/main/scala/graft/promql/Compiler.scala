@@ -356,6 +356,9 @@ object Compiler {
       case "!=" => l =!= r
     }
     val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(b.op)
+    if (b.groupLeft && (Set("and", "unless", "or").contains(b.op) ||
+        b.left.isInstanceOf[NumLit] || b.right.isInstanceOf[NumLit]))
+      fail("group_left applies to vector-vector arithmetic/comparison only")
     if (Set("and", "unless", "or").contains(b.op)) {
       // vector set ops: left-semi / left-anti / left-priority union —
       // the dedicated join types, never a distinct over a concatenation
@@ -403,6 +406,22 @@ object Compiler {
               s"(left: ${lv.labels.mkString(",")}; right: ${rv.labels.mkString(",")})")
         }
         if (joinLabels.isEmpty) fail("binary op has no labels to match on")
+        if (b.groupLeft) {
+          // many-to-one: every left series joins the single right series
+          // sharing the on-labels; the LEFT label set survives (PromQL
+          // group_left). The right side is typically an aggregation over
+          // the dropped labels, so it is small → broadcast-friendly.
+          if (b.on.isEmpty) fail("group_left requires an explicit on(...) clause")
+          val lt = lv.df.select(lv.labels.map(col) :+ col("value").as("_lv"): _*)
+          val rt = rv.df.select(joinLabels.map(col) :+ col("value").as("_rv"): _*)
+          val joined = lt.join(rt, joinLabels)
+          if (isCmp)
+            return Vec(joined.filter(cmp(b.op, col("_lv").cast("double"), col("_rv").cast("double")))
+              .select(lv.labels.map(col) :+ col("_lv").as("value"): _*), lv.labels)
+          else
+            return Vec(joined.select(lv.labels.map(col) :+
+              arith(b.op, col("_lv"), col("_rv")).as("value"): _*), lv.labels)
+        }
         val lt = lv.df.select(joinLabels.map(col) :+ col("value").as("_lv"): _*)
         val rt = rv.df.select(joinLabels.map(col) :+ col("value").as("_rv"): _*)
         val joined = lt.join(rt, joinLabels)
@@ -474,6 +493,26 @@ object Compiler {
           histogramQuantile(spark, dir, phi, sel, Some(d), shiftS)
         case other =>
           fail(s"histogram_quantile expects a histogram selector or rate/increase of one, got $other")
+      }
+    case Func("absent", _, arg) =>
+      arg match {
+        case sel: Selector =>
+          if (sel.rangeS.isDefined)
+            fail("absent takes an instant selector (absent_over_time covers ranges)")
+          kindOf(sel.name) // compose-time family check
+          val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+          val bound = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+          val n = events(spark, dir)
+            .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+              unix_micros(col("ts")) <= bound)
+            .agg(count(lit(1)).as("_n"))
+          // PromQL: the absent vector carries the equality-matcher labels
+          val eqLabels = sel.matchers.filter(_.op == "=")
+            .map(m => labelCol(m.label) -> m.value)
+          val outCols = eqLabels.map { case (c, v) => lit(v).as(c) } :+
+            lit(1.0).as("value")
+          Vec(n.filter(col("_n") === 0).select(outCols: _*), eqLabels.map(_._1))
+        case other => fail(s"absent expects a selector, got $other")
       }
     case Func(fn, param, arg)
         if Set("abs", "ceil", "floor", "round", "sqrt",
@@ -629,7 +668,7 @@ object StreamCompiler {
           SVec(agg, groupCols)
         case _ => fail("streaming aggregation applies directly to a selector (multi-stage aggregation would need complete-mode chaining)")
       }
-    case BinOp(op, _, l, NumLit(s2)) =>
+    case BinOp(op, _, l, NumLit(s2), _) =>
       val v = compileVec(events, l, watermark)
       val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(op)
       if (isCmp) {

@@ -199,6 +199,37 @@ object Oracle {
        |FROM p JOIN c USING (label_k, label_instance)
        |ORDER BY label_k, label_instance, value""".stripMargin
 
+  /** `purchase / on(k) group_left sum by (k) (purchase)` — each series'
+    * share of its k-group total: many-to-one matching where the left
+    * side keeps its full (name, k, instance) label set.
+    */
+  val GroupLeftShareSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |s AS (
+       |  SELECT name, label_k, label_instance,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY name, label_k, label_instance),
+       |g AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS gv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY label_k)
+       |SELECT s.name AS name, s.label_k AS label_k,
+       |  s.label_instance AS label_instance,
+       |  CAST(sv AS DOUBLE) / CAST(gv AS DOUBLE) AS value
+       |FROM s JOIN g USING (label_k)
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `absent(purchase{k="zzz"})` — the 1-row vector carrying the
+    * equality-matcher labels when no series matches.
+    */
+  val AbsentSql: String =
+    s"""SELECT 'zzz' AS label_k, CAST(1.0 AS DOUBLE) AS value
+       |FROM (SELECT COUNT(*) AS c FROM ($MetricEventsSql)
+       |      WHERE name = 'purchase' AND label_k = 'zzz')
+       |WHERE c = 0
+       |ORDER BY label_k, value""".stripMargin
+
   /** `sum by (instance) (rate(purchase[2d]))` — sum-over-rate through
     * the deferred-division path: exact decimal increases summed per
     * instance, divided by the window ONCE (no per-rate DECIMAL(18,2)

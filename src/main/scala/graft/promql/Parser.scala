@@ -16,7 +16,7 @@ object Parser {
   private val OverTimeFuncs = Set("sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time")
   private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt",
-    "exp", "ln", "log2", "log10")
+    "exp", "ln", "log2", "log10", "absent")
   private val ClampFuncs = Set("clamp_min", "clamp_max")
 
   private final case class Tok(kind: String, text: String, pos: Int)
@@ -247,17 +247,22 @@ object Parser {
       } else fail("expected expression")
     }
 
-    def maybeOn(): Option[Seq[String]] =
+    // `on(l1, l2)` optionally followed by `group_left` (many-to-one)
+    def maybeOn(): (Option[Seq[String]], Boolean) =
       if (peek.exists(t => t.kind == "ident" && t.text == "on")) {
-        p += 1; Some(labelList())
-      } else None
+        p += 1
+        val ls = labelList()
+        val gl = peek.exists(t => t.kind == "ident" && t.text == "group_left")
+        if (gl) p += 1
+        (Some(ls), gl)
+      } else (None, false)
 
     def mulExpr(): Ast = {
       var l = operand()
       while (peek.exists(t => t.kind == "op" && (t.text == "*" || t.text == "/"))) {
         val op = take().text
-        val on = maybeOn()
-        l = BinOp(op, on, l, operand())
+        val (on, gl) = maybeOn()
+        l = BinOp(op, on, l, operand(), gl)
       }
       l
     }
@@ -266,8 +271,8 @@ object Parser {
       var l = mulExpr()
       while (peek.exists(t => t.kind == "op" && (t.text == "+" || t.text == "-"))) {
         val op = take().text
-        val on = maybeOn()
-        l = BinOp(op, on, l, mulExpr())
+        val (on, gl) = maybeOn()
+        l = BinOp(op, on, l, mulExpr(), gl)
       }
       l
     }
@@ -277,8 +282,8 @@ object Parser {
       while (peek.exists(t => t.kind == "op" &&
           Set(">", "<", ">=", "<=", "==", "!=").contains(t.text))) {
         val op = take().text
-        val on = maybeOn()
-        l = BinOp(op, on, l, addExpr())
+        val (on, gl) = maybeOn()
+        l = BinOp(op, on, l, addExpr(), gl)
       }
       l
     }
@@ -289,8 +294,8 @@ object Parser {
       while (peek.exists(t => t.kind == "ident" &&
           (t.text == "and" || t.text == "unless"))) {
         val op = take().text
-        val on = maybeOn()
-        l = BinOp(op, on, l, cmpExpr())
+        val (on, gl) = maybeOn()
+        l = BinOp(op, on, l, cmpExpr(), gl)
       }
       l
     }
@@ -299,8 +304,8 @@ object Parser {
       var l = andExpr()
       while (peek.exists(t => t.kind == "ident" && t.text == "or")) {
         p += 1
-        val on = maybeOn()
-        l = BinOp("or", on, l, andExpr())
+        val (on, gl) = maybeOn()
+        l = BinOp("or", on, l, andExpr(), gl)
       }
       l
     }

@@ -308,6 +308,37 @@ class PromQLFrontendSpec extends SparkTestBase {
     }
   }
 
+  test("group_left keeps the left label set in many-to-one matching") {
+    // two series share k="a" (different users → instances i1, i2)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (0L, t0, 1L, "purchase", 30.0, """{"k": "a"}"""),
+      (1L, t0, 2L, "purchase", 10.0, """{"k": "a"}"""),
+      (2L, t0, 1L, "purchase", 5.0, """{"k": "b"}"""))
+    val dir = fixture("events" -> rows.toDF(eventCols: _*))
+    val share = Engine.eval(spark, dir,
+      "purchase / on(k) group_left sum by (k) (purchase)")
+      .select($"label_instance", $"label_k", $"value")
+      .as[(String, String, Double)].collect().toSet
+    assert(share === Set(("i1", "a", 0.75), ("i2", "a", 0.25), ("i1", "b", 1.0)))
+    // group_left without on(...) or against a scalar is rejected
+    intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "purchase / on(k) group_left 2"))
+  }
+
+  test("absent emits the 1-row equality-labeled vector only when nothing matches") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    val missing = Engine.eval(spark, dir, """absent(purchase{k="zzz"})""")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSeq
+    assert(missing === Seq(("zzz", 1.0)))
+    val present = Engine.eval(spark, dir, """absent(purchase{k="a"})""")
+      .select($"value").as[Double].collect()
+    assert(present.isEmpty)
+    // compose-time: unknown family still fails before any job
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "absent(nosuch)"))
+  }
+
   test("compose-time checks reject kind and shape errors before any job") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
