@@ -121,6 +121,10 @@ object SparkEntry {
       "purchase / on(k) group_left sum by (k) (purchase)")),
     "p14_promql_absent" -> ((s, d) =>
       promql.Engine.eval(s, d, """absent(purchase{k="zzz"})""")),
+    "p15_promql_bool_cmp" -> ((s, d) => promql.Engine.eval(s, d,
+      "purchase > bool on(k, instance) click")),
+    "p16_promql_ignoring" -> ((s, d) => promql.Engine.eval(s, d,
+      "sum by (k, instance) (purchase) / ignoring(instance) group_left sum by (k) (purchase)")),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -231,6 +235,8 @@ object SparkEntry {
     "p12_promql_rate_sum" -> promql.Oracle.RateSumSql,
     "p13_promql_group_left" -> promql.Oracle.GroupLeftShareSql,
     "p14_promql_absent" -> promql.Oracle.AbsentSql,
+    "p15_promql_bool_cmp" -> promql.Oracle.BoolCmpSql,
+    "p16_promql_ignoring" -> promql.Oracle.IgnoringShareSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,

@@ -42,13 +42,17 @@ final case class Agg(
   */
 final case class Func(name: String, param: Option[Double], arg: Ast) extends Ast
 
-/** `l op r` with optional `on(labels)`; comparison ops filter.
-  * `groupLeft` marks `on(...) group_left`: many-to-one matching where
-  * the left side keeps its full label set and each left series matches
-  * the single right series sharing the `on` labels.
+/** `l op r` with the PromQL matching modifiers:
+  *  - `on(labels)` joins on exactly those labels; `ignoring(labels)`
+  *    joins on all shared labels except those (and the metric name);
+  *  - `groupLeft`/`groupRight` allow many-to-one / one-to-many matching
+  *    with the left/right side keeping its full label set;
+  *  - `boolMod` (`op bool`) turns a comparison from a filter into a
+  *    0/1-valued vector.
   */
 final case class BinOp(op: String, on: Option[Seq[String]], left: Ast, right: Ast,
-    groupLeft: Boolean = false) extends Ast
+    groupLeft: Boolean = false, ignoring: Option[Seq[String]] = None,
+    groupRight: Boolean = false, boolMod: Boolean = false) extends Ast
 
 /** Scalar literal operand of an arithmetic/comparison binary op. */
 final case class NumLit(v: Double) extends Ast

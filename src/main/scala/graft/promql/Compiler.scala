@@ -356,16 +356,31 @@ object Compiler {
       case "!=" => l =!= r
     }
     val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(b.op)
-    if (b.groupLeft && (Set("and", "unless", "or").contains(b.op) ||
+    if ((b.groupLeft || b.groupRight) && (Set("and", "unless", "or").contains(b.op) ||
         b.left.isInstanceOf[NumLit] || b.right.isInstanceOf[NumLit]))
-      fail("group_left applies to vector-vector arithmetic/comparison only")
+      fail("group_left/group_right apply to vector-vector arithmetic/comparison only")
+    if (b.boolMod && !isCmp)
+      fail("the bool modifier applies to comparison operators only")
+    if (b.on.isDefined && b.ignoring.isDefined)
+      fail("on(...) and ignoring(...) are mutually exclusive")
+    // matching labels: explicit on(...), or all shared labels minus the
+    // metric name, minus any ignoring(...) set
+    def matchLabels(lv: Vec, rv: Vec): Seq[String] =
+      b.on.map(_.map(labelCol)).getOrElse {
+        val shared = lv.labels.intersect(rv.labels).filterNot(_ == "name")
+        b.ignoring match {
+          case Some(ig) =>
+            val dropped = ig.map(labelCol).toSet
+            shared.filterNot(dropped)
+          case None => shared
+        }
+      }
     if (Set("and", "unless", "or").contains(b.op)) {
       // vector set ops: left-semi / left-anti / left-priority union —
       // the dedicated join types, never a distinct over a concatenation
       val lv = materialize(compileVec(spark, dir, b.left, shiftS))
       val rv = materialize(compileVec(spark, dir, b.right, shiftS))
-      val joinLabels = b.on.map(_.map(labelCol))
-        .getOrElse(lv.labels.intersect(rv.labels).filterNot(_ == "name"))
+      val joinLabels = matchLabels(lv, rv)
       if (joinLabels.isEmpty) fail(s"'${b.op}' has no labels to match on")
       val rightKeys = rv.df.select(joinLabels.map(col): _*)
       return b.op match {
@@ -387,50 +402,66 @@ object Compiler {
       case (NumLit(_), NumLit(_)) => fail("scalar-only expressions are not vectors")
       case (l, NumLit(s)) =>
         val v = materialize(compileVec(spark, dir, l, shiftS))
-        if (isCmp) Vec(v.df.filter(cmp(b.op, col("value").cast("double"), lit(s))), v.labels)
-        else Vec(v.df.withColumn("value", arith(b.op, col("value"), lit(s))), v.labels)
+        if (!isCmp)
+          Vec(v.df.withColumn("value", arith(b.op, col("value"), lit(s))), v.labels)
+        else if (b.boolMod)
+          Vec(v.df.withColumn("value",
+            when(cmp(b.op, col("value").cast("double"), lit(s)), 1.0).otherwise(0.0)),
+            v.labels)
+        else Vec(v.df.filter(cmp(b.op, col("value").cast("double"), lit(s))), v.labels)
       case (NumLit(s), r) =>
         val v = materialize(compileVec(spark, dir, r, shiftS))
-        if (isCmp) Vec(v.df.filter(cmp(b.op, lit(s), col("value").cast("double"))), v.labels)
-        else Vec(v.df.withColumn("value", arith(b.op, lit(s), col("value"))), v.labels)
+        if (!isCmp)
+          Vec(v.df.withColumn("value", arith(b.op, lit(s), col("value"))), v.labels)
+        else if (b.boolMod)
+          Vec(v.df.withColumn("value",
+            when(cmp(b.op, lit(s), col("value").cast("double")), 1.0).otherwise(0.0)),
+            v.labels)
+        else Vec(v.df.filter(cmp(b.op, lit(s), col("value").cast("double"))), v.labels)
       case (l, r) =>
         val lv = materialize(compileVec(spark, dir, l, shiftS))
         val rv = materialize(compileVec(spark, dir, r, shiftS))
         // default vector matching: all shared labels except the metric
         // name (PromQL drops __name__ on binary ops)
-        val joinLabels = b.on.map(_.map(labelCol))
-          .getOrElse(lv.labels.intersect(rv.labels).filterNot(_ == "name"))
+        val joinLabels = matchLabels(lv, rv)
         joinLabels.foreach { jl =>
           if (!lv.labels.contains(jl) || !rv.labels.contains(jl))
             fail(s"matching label '$jl' missing from one side " +
               s"(left: ${lv.labels.mkString(",")}; right: ${rv.labels.mkString(",")})")
         }
         if (joinLabels.isEmpty) fail("binary op has no labels to match on")
-        if (b.groupLeft) {
-          // many-to-one: every left series joins the single right series
-          // sharing the on-labels; the LEFT label set survives (PromQL
-          // group_left). The right side is typically an aggregation over
-          // the dropped labels, so it is small → broadcast-friendly.
-          if (b.on.isEmpty) fail("group_left requires an explicit on(...) clause")
-          val lt = lv.df.select(lv.labels.map(col) :+ col("value").as("_lv"): _*)
-          val rt = rv.df.select(joinLabels.map(col) :+ col("value").as("_rv"): _*)
-          val joined = lt.join(rt, joinLabels)
-          if (isCmp)
-            return Vec(joined.filter(cmp(b.op, col("_lv").cast("double"), col("_rv").cast("double")))
-              .select(lv.labels.map(col) :+ col("_lv").as("value"): _*), lv.labels)
-          else
-            return Vec(joined.select(lv.labels.map(col) :+
-              arith(b.op, col("_lv"), col("_rv")).as("value"): _*), lv.labels)
+        // group_left/group_right: many-to-one matching where the MANY
+        // side keeps its full label set and each of its series joins the
+        // single opposite series sharing the matching labels. The "one"
+        // side is typically an aggregation over the dropped labels — a
+        // small relation, broadcast-friendly.
+        val (keepLabels, manyValue) =
+          if (b.groupLeft) (lv.labels, col("_lv"))
+          else if (b.groupRight) (rv.labels, col("_rv"))
+          else (joinLabels, col("_lv"))
+        if (b.groupLeft || b.groupRight) {
+          if (b.on.isEmpty && b.ignoring.isEmpty)
+            fail("group_left/group_right require an explicit on(...) or ignoring(...) clause")
         }
-        val lt = lv.df.select(joinLabels.map(col) :+ col("value").as("_lv"): _*)
-        val rt = rv.df.select(joinLabels.map(col) :+ col("value").as("_rv"): _*)
+        val lt =
+          if (b.groupLeft) lv.df.select(lv.labels.map(col) :+ col("value").as("_lv"): _*)
+          else lv.df.select(joinLabels.map(col) :+ col("value").as("_lv"): _*)
+        val rt =
+          if (b.groupRight) rv.df.select(rv.labels.map(col) :+ col("value").as("_rv"): _*)
+          else rv.df.select(joinLabels.map(col) :+ col("value").as("_rv"): _*)
         val joined = lt.join(rt, joinLabels)
-        if (isCmp)
-          Vec(joined.filter(cmp(b.op, col("_lv").cast("double"), col("_rv").cast("double")))
-            .select(joinLabels.map(col) :+ col("_lv").as("value"): _*), joinLabels)
+        if (!isCmp)
+          Vec(joined.select(keepLabels.map(col) :+
+            arith(b.op, col("_lv"), col("_rv")).as("value"): _*), keepLabels)
+        else if (b.boolMod)
+          Vec(joined.select(keepLabels.map(col) :+
+            when(cmp(b.op, col("_lv").cast("double"), col("_rv").cast("double")), 1.0)
+              .otherwise(0.0).as("value"): _*), keepLabels)
         else
-          Vec(joined.select(joinLabels.map(col) :+
-            arith(b.op, col("_lv"), col("_rv")).as("value"): _*), joinLabels)
+          // a plain comparison FILTERS the surviving (many-side) series
+          // and keeps their values
+          Vec(joined.filter(cmp(b.op, col("_lv").cast("double"), col("_rv").cast("double")))
+            .select(keepLabels.map(col) :+ manyValue.as("value"): _*), keepLabels)
     }
   }
 
@@ -666,10 +697,31 @@ object StreamCompiler {
             case other => fail(s"aggregation '$other' is batch-only")
           }
           SVec(agg, groupCols)
-        case _ => fail("streaming aggregation applies directly to a selector (multi-stage aggregation would need complete-mode chaining)")
+        case Func(fn, _, Selector(name, ms, Some(d), None, None))
+            if (fn == "rate" || fn == "increase") && op == "sum" =>
+          // sum by (...) of a windowed rate: the group total increase IS
+          // the sum of the per-series increases, so the grouping pushes
+          // into ONE windowed aggregation (no chained streaming aggs)
+          if (!MetricEvent.CounterNames.contains(name))
+            fail(s"$fn expects a counter family, '$name' is not one")
+          val base = Metrics.metricEventsOf(events)
+            .filter(col("name") === name && matcherFilter(ms) && col("value") >= 0)
+            .withWatermark("ts", watermark)
+          val agg = base
+            .groupBy(window(col("ts"), s"$d seconds") +: groupCols.map(col): _*)
+            .agg(sum(col("value").cast(DecimalType(18, 2))).as("value"))
+          val out0 = agg.select(
+            col("window.start").as("window_start") +: groupCols.map(col) :+ col("value"): _*)
+          val out = if (fn == "rate")
+            out0.withColumn("value", col("value").cast("double") / lit(d.toDouble))
+          else out0
+          SVec(out, "window_start" +: groupCols)
+        case _ => fail("streaming aggregation applies directly to a selector, or sum over rate/increase (multi-stage aggregation would need complete-mode chaining)")
       }
-    case BinOp(op, _, l, NumLit(s2), _) =>
-      val v = compileVec(events, l, watermark)
+    case b: BinOp if b.right.isInstanceOf[NumLit] =>
+      val op = b.op
+      val s2 = b.right.asInstanceOf[NumLit].v
+      val v = compileVec(events, b.left, watermark)
       val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(op)
       if (isCmp) {
         val c = col("value").cast("double")

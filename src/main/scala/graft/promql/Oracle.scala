@@ -230,6 +230,44 @@ object Oracle {
        |WHERE c = 0
        |ORDER BY label_k, value""".stripMargin
 
+  /** `purchase > bool on(k, instance) click` — the bool modifier turns
+    * the comparison into a 0/1-valued vector instead of a filter.
+    */
+  val BoolCmpSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |p AS (
+       |  SELECT label_k, label_instance, SUM(CAST(value AS DECIMAL(18,2))) AS pv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY label_k, label_instance),
+       |c AS (
+       |  SELECT label_k, label_instance, SUM(CAST(value AS DECIMAL(18,2))) AS cv
+       |  FROM m WHERE name = 'click' AND value >= 0
+       |  GROUP BY label_k, label_instance)
+       |SELECT p.label_k AS label_k, p.label_instance AS label_instance,
+       |  CASE WHEN CAST(pv AS DOUBLE) > CAST(cv AS DOUBLE)
+       |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS value
+       |FROM p JOIN c USING (label_k, label_instance)
+       |ORDER BY label_k, label_instance, value""".stripMargin
+
+  /** `sum by (k, instance) (purchase) / ignoring(instance) group_left
+    * sum by (k) (purchase)` — ignoring-based matching feeding a
+    * many-to-one join.
+    */
+  val IgnoringShareSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |s AS (
+       |  SELECT label_k, label_instance, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY label_k, label_instance),
+       |g AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS gv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY label_k)
+       |SELECT s.label_k AS label_k, s.label_instance AS label_instance,
+       |  CAST(sv AS DOUBLE) / CAST(gv AS DOUBLE) AS value
+       |FROM s JOIN g USING (label_k)
+       |ORDER BY label_k, label_instance, value""".stripMargin
+
   /** `sum by (instance) (rate(purchase[2d]))` — sum-over-rate through
     * the deferred-division path: exact decimal increases summed per
     * instance, divided by the window ONCE (no per-rate DECIMAL(18,2)

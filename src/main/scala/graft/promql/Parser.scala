@@ -247,22 +247,34 @@ object Parser {
       } else fail("expected expression")
     }
 
-    // `on(l1, l2)` optionally followed by `group_left` (many-to-one)
-    def maybeOn(): (Option[Seq[String]], Boolean) =
+    // operator modifiers, in PromQL order:
+    //   op [bool] [on(...)|ignoring(...)] [group_left|group_right]
+    def binMods(): (Option[Seq[String]], Option[Seq[String]], Boolean, Boolean, Boolean) = {
+      val bool = peek.exists(t => t.kind == "ident" && t.text == "bool")
+      if (bool) p += 1
+      var on: Option[Seq[String]] = None
+      var ignoring: Option[Seq[String]] = None
       if (peek.exists(t => t.kind == "ident" && t.text == "on")) {
-        p += 1
-        val ls = labelList()
-        val gl = peek.exists(t => t.kind == "ident" && t.text == "group_left")
-        if (gl) p += 1
-        (Some(ls), gl)
-      } else (None, false)
+        p += 1; on = Some(labelList())
+      } else if (peek.exists(t => t.kind == "ident" && t.text == "ignoring")) {
+        p += 1; ignoring = Some(labelList())
+      }
+      val gl = peek.exists(t => t.kind == "ident" && t.text == "group_left")
+      if (gl) p += 1
+      val gr = !gl && peek.exists(t => t.kind == "ident" && t.text == "group_right")
+      if (gr) p += 1
+      (on, ignoring, gl, gr, bool)
+    }
+
+    def binTail(op: String, l: Ast, rhs: () => Ast): Ast = {
+      val (on, ig, gl, gr, bool) = binMods()
+      BinOp(op, on, l, rhs(), gl, ig, gr, bool)
+    }
 
     def mulExpr(): Ast = {
       var l = operand()
       while (peek.exists(t => t.kind == "op" && (t.text == "*" || t.text == "/"))) {
-        val op = take().text
-        val (on, gl) = maybeOn()
-        l = BinOp(op, on, l, operand(), gl)
+        l = binTail(take().text, l, () => operand())
       }
       l
     }
@@ -270,9 +282,7 @@ object Parser {
     def addExpr(): Ast = {
       var l = mulExpr()
       while (peek.exists(t => t.kind == "op" && (t.text == "+" || t.text == "-"))) {
-        val op = take().text
-        val (on, gl) = maybeOn()
-        l = BinOp(op, on, l, mulExpr(), gl)
+        l = binTail(take().text, l, () => mulExpr())
       }
       l
     }
@@ -281,9 +291,7 @@ object Parser {
       var l = addExpr()
       while (peek.exists(t => t.kind == "op" &&
           Set(">", "<", ">=", "<=", "==", "!=").contains(t.text))) {
-        val op = take().text
-        val (on, gl) = maybeOn()
-        l = BinOp(op, on, l, addExpr(), gl)
+        l = binTail(take().text, l, () => addExpr())
       }
       l
     }
@@ -293,9 +301,7 @@ object Parser {
       var l = cmpExpr()
       while (peek.exists(t => t.kind == "ident" &&
           (t.text == "and" || t.text == "unless"))) {
-        val op = take().text
-        val (on, gl) = maybeOn()
-        l = BinOp(op, on, l, cmpExpr(), gl)
+        l = binTail(take().text, l, () => cmpExpr())
       }
       l
     }
@@ -304,8 +310,7 @@ object Parser {
       var l = andExpr()
       while (peek.exists(t => t.kind == "ident" && t.text == "or")) {
         p += 1
-        val (on, gl) = maybeOn()
-        l = BinOp("or", on, l, andExpr(), gl)
+        l = binTail("or", l, () => andExpr())
       }
       l
     }

@@ -326,6 +326,37 @@ class PromQLFrontendSpec extends SparkTestBase {
       "purchase / on(k) group_left 2"))
   }
 
+  test("bool modifier yields 0/1 vectors; ignoring and group_right match correctly") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (0L, t0, 1L, "purchase", 30.0, """{"k": "a"}"""),
+      (1L, t0, 2L, "purchase", 10.0, """{"k": "a"}"""),
+      (2L, t0, 1L, "click", 20.0, """{"k": "a"}"""))
+    val dir = fixture("events" -> rows.toDF(eventCols: _*))
+    // scalar bool: every series kept, value flattened to 0/1
+    val b = Engine.eval(spark, dir, "purchase > bool 15")
+      .select($"label_instance", $"value").as[(String, Double)].collect().toSet
+    assert(b === Set(("i1", 1.0), ("i2", 0.0)))
+    // vector bool over the full key: i1 purchase 30 > click 20 → 1;
+    // i2 has no click side → dropped by the join (PromQL matching)
+    val vb = Engine.eval(spark, dir, "purchase > bool on(k, instance) click")
+      .select($"label_instance", $"value").as[(String, Double)].collect().toSet
+    assert(vb === Set(("i1", 1.0)))
+    // ignoring(instance) + group_left: share of each instance in its k group
+    val ig = Engine.eval(spark, dir,
+      "sum by (k, instance) (purchase) / ignoring(instance) group_left sum by (k) (purchase)")
+      .select($"label_instance", $"value").as[(String, Double)].collect().toSet
+    assert(ig === Set(("i1", 0.75), ("i2", 0.25)))
+    // group_right mirrors group_left: the right side keeps its labels
+    val gr = Engine.eval(spark, dir,
+      "sum by (k) (purchase) / on(k) group_right purchase")
+      .select($"label_instance", $"value").as[(String, Double)].collect().toSet
+    assert(gr === Set(("i1", 40.0 / 30.0), ("i2", 40.0 / 10.0)))
+    // bool on a non-comparison operator is rejected at compose time
+    intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "purchase + bool 2"))
+  }
+
   test("absent emits the 1-row equality-labeled vector only when nothing matches") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))

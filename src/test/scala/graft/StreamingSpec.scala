@@ -295,6 +295,24 @@ class StreamingSpec extends SparkTestBase {
         .groupBy($"window_start").agg(org.apache.spark.sql.functions.max($"value"))
         .as[(java.sql.Timestamp, Double)].collect().toMap
       assert(byWindow === Map(w10 -> 3.0, w11 -> 5.0))
+      // sum by (k) over the windowed rate pushes into ONE aggregation
+      val memS = MemoryStream[RawEvent]
+      val outS = graft.promql.Engine.evalStream(memS.toDF(),
+        "sum by (k) (increase(click[1m]))")
+      val qS = outS.writeStream.format("memory").queryName("promql_sum_increase")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // two series (users 1, 2) of the same label within one window
+        memS.addData(
+          RawEvent(0, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click", 1.0, """{"k": "a"}"""),
+          RawEvent(1, java.sql.Timestamp.valueOf("2024-01-01 10:10:30"), 2L, "click", 4.0, """{"k": "a"}"""))
+        qS.processAllAvailable()
+        val sums = spark.table("promql_sum_increase")
+          .groupBy($"window_start", $"label_k")
+          .agg(org.apache.spark.sql.functions.max($"value"))
+          .as[(java.sql.Timestamp, String, Double)].collect().toSet
+        assert(sums === Set((w10, "a", 5.0)))
+      } finally qS.stop()
       // rate divides the same windowed increase by the window seconds
       val mem2 = MemoryStream[RawEvent]
       val out2 = graft.promql.Engine.evalStream(mem2.toDF(), "rate(click[1m])")
