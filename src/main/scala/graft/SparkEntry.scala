@@ -125,6 +125,10 @@ object SparkEntry {
       "purchase > bool on(k, instance) click")),
     "p16_promql_ignoring" -> ((s, d) => promql.Engine.eval(s, d,
       "sum by (k, instance) (purchase) / ignoring(instance) group_left sum by (k) (purchase)")),
+    // 1536 instants through the cumulative-grid subquery strategy (the
+    // compile-time-union form would need 1536 plan branches)
+    "p17_promql_subquery_grid" -> ((s, d) => promql.Engine.eval(s, d,
+      "sum_over_time((sum by (k) (purchase))[64d:1h])")),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -237,6 +241,7 @@ object SparkEntry {
     "p14_promql_absent" -> promql.Oracle.AbsentSql,
     "p15_promql_bool_cmp" -> promql.Oracle.BoolCmpSql,
     "p16_promql_ignoring" -> promql.Oracle.IgnoringShareSql,
+    "p17_promql_subquery_grid" -> promql.Oracle.SubqueryGridSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,

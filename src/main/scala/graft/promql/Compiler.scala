@@ -471,10 +471,18 @@ object Compiler {
   /** Subquery `(inner)[d:step]` under a `*_over_time` function: the
     * inner expression is evaluated at each step-spaced instant
     * T−d+step, …, T (how the Prometheus engine itself loops subquery
-    * instants), implemented as a compile-time union of the inner plan
-    * at shifted offsets — every instant reads the SAME persisted
-    * adapter relation, so this is N filtered passes over cached data,
-    * not N scans of storage. The instant count is compose-time bounded.
+    * instants). Two physical strategies:
+    *
+    *  - **Cumulative grid** (counter snapshots, optionally under
+    *    `sum by (...)`): ONE pass assigns each event its first
+    *    contributing instant index, one hash aggregate builds
+    *    per-(series, index) partials, and a running-sum window over the
+    *    tiny series×instants grid reconstructs every instant's snapshot
+    *    — O(events) + O(series × instants), so thousands of instants
+    *    cost no extra event passes (bound 4096).
+    *  - **Compile-time union** (any other inner shape): the inner plan
+    *    at shifted offsets, N filtered passes over the cached adapter
+    *    relation (bound 64).
     */
   private def subqueryOverTime(spark: SparkSession, dir: String, fn: String,
       sq: Subquery, shiftS: Long): Vec = {
@@ -482,8 +490,25 @@ object Compiler {
     if (sq.rangeS % sq.stepS != 0)
       fail(s"subquery range (${sq.rangeS}s) must be a multiple of its step (${sq.stepS}s)")
     val g = sq.rangeS / sq.stepS
-    if (g < 1 || g > 64)
-      fail(s"subquery evaluates $g instants; 1..64 supported (compose-time bound)")
+    if (g < 1) fail("subquery needs at least one instant")
+    // the grid strategy: inner is a counter snapshot, bare or sum-by
+    val gridShape: Option[(Seq[String], Selector)] = sq.inner match {
+      case sel: Selector if sel.rangeS.isEmpty &&
+          MetricEvent.CounterNames.contains(sel.name) =>
+        Some((SeriesKey, sel))
+      case Agg("sum", Some(("by", ls)), None, sel: Selector)
+          if sel.rangeS.isEmpty && MetricEvent.CounterNames.contains(sel.name) =>
+        Some((ls.map(labelCol), sel))
+      case _ => None
+    }
+    gridShape match {
+      case Some((labels, sel)) =>
+        if (g > 4096) fail(s"subquery evaluates $g instants; 1..4096 supported (grid strategy)")
+        return subqueryGridCounter(spark, dir, fn, sel, labels, shiftS, g, sq.stepS)
+      case None => ()
+    }
+    if (g > 64)
+      fail(s"subquery evaluates $g instants; 1..64 supported for this inner shape (compose-time bound)")
     val vecs = (1L to g).map { i =>
       materialize(compileVec(spark, dir, sq.inner, shiftS + sq.rangeS - i * sq.stepS))
     }
@@ -497,6 +522,48 @@ object Compiler {
         (vectorSum(unioned).cast("double") / count(lit(1)).cast("double")).as("value"))
       case "min_over_time" => grouped.agg(min(col("value")).as("value"))
       case "max_over_time" => grouped.agg(max(col("value")).as("value"))
+      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+    }
+    Vec(agg, labels)
+  }
+
+  /** The cumulative-grid subquery strategy (see [[subqueryOverTime]]):
+    * instant_i = hi − (g−i)·step for i in 1..g; an event at ts first
+    * contributes at index i0 = max(1, g − (hi−ts) div step) and at every
+    * later instant, so per-instant snapshots are the RUNNING sums of the
+    * per-(labels, i0) partials over the series×grid relation. Instants
+    * where a series has no events yet (running count 0) are absent,
+    * exactly as in the per-instant evaluation. All sums stay DECIMAL
+    * until the final cast — bit-deterministic and oracle-exact.
+    */
+  private def subqueryGridCounter(spark: SparkSession, dir: String, fn: String,
+      sel: Selector, labels: Seq[String], shiftS: Long, g: Long, stepS: Long): Vec = {
+    val stepUs = stepS * 1000000L
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val base = events(spark, dir)
+      .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+        col("value") >= 0 && unix_micros(col("ts")) <= hi)
+      .withColumn("_age_us", hi - unix_micros(col("ts")))
+      .withColumn("_i", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
+    val partial = base.groupBy((labels :+ "_i").map(col): _*)
+      .agg(exactSum(base).as("_dv"), count(lit(1)).as("_n"))
+    import spark.implicits._
+    val grid = partial.select(labels.map(col): _*).distinct()
+      .crossJoin(broadcast(spark.range(1L, g + 1L).toDF("_i")))
+    val w = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val instants = grid.join(partial, labels :+ "_i", "left")
+      .withColumn("_cum_dv", sum(col("_dv")).over(w))
+      .withColumn("_cum_n", sum(col("_n")).over(w))
+      .filter(col("_cum_n") > 0)
+    val grouped = instants.groupBy(labels.map(col): _*)
+    val agg = fn match {
+      case "sum_over_time" => grouped.agg(sum(col("_cum_dv")).as("value"))
+      case "avg_over_time" => grouped.agg(
+        (sum(col("_cum_dv")).cast("double") / count(lit(1)).cast("double")).as("value"))
+      case "min_over_time" => grouped.agg(min(col("_cum_dv")).as("value"))
+      case "max_over_time" => grouped.agg(max(col("_cum_dv")).as("value"))
       case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
     }
     Vec(agg, labels)

@@ -141,6 +141,38 @@ object Oracle {
        |FROM snap GROUP BY label_k
        |ORDER BY label_k, value""".stripMargin
 
+  /** `sum_over_time((sum by (k) (purchase))[64d:1h])` — 1536 instants
+    * in the CUMULATIVE form that mirrors the compiler's grid strategy:
+    * each event lands at its first contributing instant index, running
+    * sums over the series×grid reconstruct every snapshot, instants
+    * with no events yet are absent. All decimal until the final cast.
+    */
+  val SubqueryGridSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |e AS (
+       |  SELECT label_k, value,
+       |    GREATEST(1, 1536 - (t_us - epoch_us(ts)) // 3600000000) AS i
+       |  FROM m, t
+       |  WHERE name = 'purchase' AND value >= 0 AND epoch_us(ts) <= t_us),
+       |p AS (
+       |  SELECT label_k, i, SUM(CAST(value AS DECIMAL(18,2))) AS dv, COUNT(*) AS n
+       |  FROM e GROUP BY label_k, i),
+       |gi AS (
+       |  SELECT label_k, g.i AS i
+       |  FROM (SELECT DISTINCT label_k FROM p),
+       |       (SELECT unnest(generate_series(1, 1536)) AS i) g),
+       |c AS (
+       |  SELECT gi.label_k AS label_k, gi.i AS i,
+       |    SUM(dv) OVER w AS cum_dv, SUM(n) OVER w AS cum_n
+       |  FROM gi LEFT JOIN p ON p.label_k = gi.label_k AND p.i = gi.i
+       |  WINDOW w AS (PARTITION BY gi.label_k ORDER BY gi.i
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT label_k, CAST(SUM(cum_dv) AS DOUBLE) AS value
+       |FROM c WHERE cum_n > 0
+       |GROUP BY label_k
+       |ORDER BY label_k, value""".stripMargin
+
   /** Alert rules `HighSeries: sum by (k) (purchase) > 450` and
     * `LowSeries: sum by (k) (click) < 200` through [[Rules.evaluateAlerts]].
     */

@@ -209,10 +209,36 @@ class PromQLFrontendSpec extends SparkTestBase {
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
     intercept[PromQLCompileException](
       Engine.eval(spark, dir, "max_over_time((purchase)[5h:2h])")) // not a multiple
-    intercept[PromQLCompileException](
-      Engine.eval(spark, dir, "max_over_time((purchase)[100d:1h])")) // > 64 instants
+    intercept[PromQLCompileException](       // union strategy (gauge inner): > 64 instants
+      Engine.eval(spark, dir, "max_over_time((signup)[100d:1h])"))
+    intercept[PromQLCompileException](       // grid strategy: > 4096 instants
+      Engine.eval(spark, dir, "max_over_time((purchase)[100d:20m])"))
     intercept[graft.promql.PromQLParseException](
       Engine.eval(spark, dir, "(purchase)[2h:1h]")) // subquery outside over_time
+  }
+
+  test("grid-strategy subquery matches per-instant semantics for bare counter selectors") {
+    val h = 3600000L
+    // two series (same k, users 1/2 → instances i1/i2), events across 3 instants
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(id: Long, tsMs: Long, user: Long, v: Double) =
+      (id, new java.sql.Timestamp(t0.getTime + tsMs), user, "purchase", v, """{"k": "a"}""")
+    val dir = fixture("events" -> Seq(
+      at(0, 0, 1L, 1.0),      // T-2h
+      at(1, 1 * h, 1L, 2.0),  // T-1h
+      at(2, 2 * h, 2L, 4.0)   // T (first event of series i2!)
+    ).toDF(eventCols: _*))
+    // snapshots per series: i1 → (T-1h: 3, T: 3); i2 absent until T → (T: 4)
+    val sums = Engine.eval(spark, dir, "sum_over_time((purchase)[2h:1h])")
+      .select($"label_instance", $"value").as[(String, Double)].collect().toMap
+    assert(sums === Map("i1" -> 6.0, "i2" -> 4.0))
+    val counts = Engine.eval(spark, dir, "count_over_time((purchase)[2h:1h])")
+      .select($"label_instance", $"value").as[(String, Double)].collect().toMap
+    assert(counts === Map("i1" -> 2.0, "i2" -> 1.0)) // i2 exists at ONE instant
+    // a large instant count runs through the same grid (no plan union)
+    val wide = Engine.eval(spark, dir, "max_over_time((sum by (k) (purchase))[100d:1h])")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(wide === Map("a" -> 7.0))
   }
 
   test("recording rules materialize; alert rules fire on threshold breaches") {
