@@ -129,6 +129,11 @@ object SparkEntry {
     // compile-time-union form would need 1536 plan branches)
     "p17_promql_subquery_grid" -> ((s, d) => promql.Engine.eval(s, d,
       "sum_over_time((sum by (k) (purchase))[64d:1h])")),
+    // gauge last-write-wins per instant via the running struct-max grid
+    "p18_promql_gauge_grid" -> ((s, d) => promql.Engine.eval(s, d,
+      "max_over_time((signup)[32d:6h])")),
+    "p19_promql_stddev" -> ((s, d) => promql.Engine.eval(s, d,
+      "stddev_over_time(signup[10d])")),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -242,6 +247,8 @@ object SparkEntry {
     "p15_promql_bool_cmp" -> promql.Oracle.BoolCmpSql,
     "p16_promql_ignoring" -> promql.Oracle.IgnoringShareSql,
     "p17_promql_subquery_grid" -> promql.Oracle.SubqueryGridSql,
+    "p18_promql_gauge_grid" -> promql.Oracle.SubqueryGridGaugeSql,
+    "p19_promql_stddev" -> promql.Oracle.StddevOverTimeSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,

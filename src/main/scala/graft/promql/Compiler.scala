@@ -202,6 +202,20 @@ object Compiler {
             g.agg(count(lit(1)).cast("double").as("value"))
         }
         Vec(agg, SeriesKey)
+      case "stddev_over_time" | "stdvar_over_time" =>
+        // exact integer-cents moments (the engine-wide 2-decimal sample
+        // convention): variance from (Σx, Σx², n) in the IDENTICAL
+        // expression order as the oracle, so doubles bit-match
+        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+        val m = c.groupBy(SeriesKey.map(col): _*)
+          .agg(sum(col("_cents")).as("_s1"),
+            sum(col("_cents") * col("_cents")).as("_s2"),
+            count(lit(1)).as("_n"))
+        val mean = col("_s1").cast("double") / col("_n").cast("double")
+        val varCents = col("_s2").cast("double") / col("_n").cast("double") - mean * mean
+        val v = if (fn == "stddev_over_time") sqrt(varCents) / 100.0
+          else varCents / 10000.0
+        Vec(m.select(SeriesKey.map(col) :+ v.as("value"): _*), SeriesKey)
       case "delta" =>
         if (kind != "gauge") fail(s"delta expects a gauge family, '${sel.name}' is a $kind")
         val wAsc = Window.partitionBy(SeriesKey.map(col): _*)
@@ -466,7 +480,8 @@ object Compiler {
   }
 
   private val OverTimeFns = Set("sum_over_time", "avg_over_time",
-    "min_over_time", "max_over_time", "count_over_time")
+    "min_over_time", "max_over_time", "count_over_time",
+    "stddev_over_time", "stdvar_over_time")
 
   /** Subquery `(inner)[d:step]` under a `*_over_time` function: the
     * inner expression is evaluated at each step-spaced instant
@@ -486,13 +501,17 @@ object Compiler {
     */
   private def subqueryOverTime(spark: SparkSession, dir: String, fn: String,
       sq: Subquery, shiftS: Long): Vec = {
+    if (fn == "stddev_over_time" || fn == "stdvar_over_time")
+      fail(s"$fn over a subquery is not supported (apply it to a range selector)")
     if (sq.stepS <= 0) fail("subquery step must be positive")
     if (sq.rangeS % sq.stepS != 0)
       fail(s"subquery range (${sq.rangeS}s) must be a multiple of its step (${sq.stepS}s)")
     val g = sq.rangeS / sq.stepS
     if (g < 1) fail("subquery needs at least one instant")
-    // the grid strategy: inner is a counter snapshot, bare or sum-by
-    val gridShape: Option[(Seq[String], Selector)] = sq.inner match {
+    // the grid strategies: counter snapshot (bare or sum-by) and bare
+    // gauge selectors compile to one event pass + a series×instants
+    // running window instead of a per-instant plan union
+    val gridCounter: Option[(Seq[String], Selector)] = sq.inner match {
       case sel: Selector if sel.rangeS.isEmpty &&
           MetricEvent.CounterNames.contains(sel.name) =>
         Some((SeriesKey, sel))
@@ -501,11 +520,19 @@ object Compiler {
         Some((ls.map(labelCol), sel))
       case _ => None
     }
-    gridShape match {
-      case Some((labels, sel)) =>
-        if (g > 4096) fail(s"subquery evaluates $g instants; 1..4096 supported (grid strategy)")
-        return subqueryGridCounter(spark, dir, fn, sel, labels, shiftS, g, sq.stepS)
-      case None => ()
+    val gridGauge: Option[Selector] = sq.inner match {
+      case sel: Selector if sel.rangeS.isEmpty &&
+          MetricEvent.GaugeNames.contains(sel.name) => Some(sel)
+      case _ => None
+    }
+    if (gridCounter.isDefined || gridGauge.isDefined) {
+      if (g > 4096) fail(s"subquery evaluates $g instants; 1..4096 supported (grid strategy)")
+      gridCounter match {
+        case Some((labels, sel)) =>
+          return subqueryGridCounter(spark, dir, fn, sel, labels, shiftS, g, sq.stepS)
+        case None =>
+          return subqueryGridGauge(spark, dir, fn, gridGauge.get, shiftS, g, sq.stepS)
+      }
     }
     if (g > 64)
       fail(s"subquery evaluates $g instants; 1..64 supported for this inner shape (compose-time bound)")
@@ -567,6 +594,52 @@ object Compiler {
       case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
     }
     Vec(agg, labels)
+  }
+
+  /** Gauge twin of [[subqueryGridCounter]]: the per-instant value is
+    * last-write-wins, reconstructed as a RUNNING max over the
+    * `(ts, event_id, value)` struct (lexicographic struct ordering —
+    * `value` never decides because `(ts, event_id)` is unique), so one
+    * event pass + one window over the series×grid replaces per-instant
+    * re-evaluation. sum/avg over the double instant values go through
+    * DECIMAL(38,12) like [[vectorSum]].
+    */
+  private def subqueryGridGauge(spark: SparkSession, dir: String, fn: String,
+      sel: Selector, shiftS: Long, g: Long, stepS: Long): Vec = {
+    val stepUs = stepS * 1000000L
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val base = events(spark, dir)
+      .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+        unix_micros(col("ts")) <= hi)
+      .withColumn("_age_us", hi - unix_micros(col("ts")))
+      .withColumn("_i", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
+    val partial = base.groupBy((SeriesKey :+ "_i").map(col): _*)
+      .agg(max(struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+        col("value").as("v"))).as("_m"),
+        count(lit(1)).as("_n"))
+    import spark.implicits._
+    val grid = partial.select(SeriesKey.map(col): _*).distinct()
+      .crossJoin(broadcast(spark.range(1L, g + 1L).toDF("_i")))
+    val w = Window.partitionBy(SeriesKey.map(col): _*).orderBy(col("_i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val instants = grid.join(partial, SeriesKey :+ "_i", "left")
+      .withColumn("_cum", max(col("_m")).over(w))
+      .withColumn("_cum_n", sum(col("_n")).over(w))
+      .filter(col("_cum_n") > 0)
+      .withColumn("_v", col("_cum").getField("v"))
+    val grouped = instants.groupBy(SeriesKey.map(col): _*)
+    val agg = fn match {
+      case "sum_over_time" =>
+        grouped.agg(sum(col("_v").cast(DecimalType(38, 12))).as("value"))
+      case "avg_over_time" => grouped.agg(
+        (sum(col("_v").cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1)).cast("double")).as("value"))
+      case "min_over_time" => grouped.agg(min(col("_v")).as("value"))
+      case "max_over_time" => grouped.agg(max(col("_v")).as("value"))
+      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+    }
+    Vec(agg, SeriesKey)
   }
 
   private def compileVec(spark: SparkSession, dir: String, ast: Ast,

@@ -173,6 +173,71 @@ object Oracle {
        |GROUP BY label_k
        |ORDER BY label_k, value""".stripMargin
 
+  /** `max_over_time((signup)[32d:6h])` — 128 instants of a GAUGE
+    * through the grid strategy: per-instant last-write-wins values
+    * reconstructed by a running max over the (ts, event_id, value)
+    * struct (lexicographic; value never decides because (ts, event_id)
+    * is unique), mirroring the compiler exactly.
+    */
+  val SubqueryGridGaugeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |e AS (
+       |  SELECT name, label_k, label_instance, value, event_id,
+       |    epoch_us(ts) AS tu,
+       |    GREATEST(1, 128 - (t_us - epoch_us(ts)) // 21600000000) AS i
+       |  FROM m, t
+       |  WHERE name = 'signup' AND epoch_us(ts) <= t_us),
+       |p AS (
+       |  SELECT name, label_k, label_instance, i,
+       |    MAX(struct_pack(t := tu, e := event_id, v := value)) AS mstr,
+       |    COUNT(*) AS n
+       |  FROM e GROUP BY name, label_k, label_instance, i),
+       |gi AS (
+       |  SELECT name, label_k, label_instance, g.i AS i
+       |  FROM (SELECT DISTINCT name, label_k, label_instance FROM p),
+       |       (SELECT unnest(generate_series(1, 128)) AS i) g),
+       |c AS (
+       |  SELECT gi.name AS name, gi.label_k AS label_k,
+       |    gi.label_instance AS label_instance, gi.i AS i,
+       |    MAX(p.mstr) OVER w AS cum, SUM(p.n) OVER w AS cum_n
+       |  FROM gi LEFT JOIN p ON p.name = gi.name AND p.label_k = gi.label_k
+       |    AND p.label_instance = gi.label_instance AND p.i = gi.i
+       |  WINDOW w AS (PARTITION BY gi.name, gi.label_k, gi.label_instance
+       |               ORDER BY gi.i
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT name, label_k, label_instance, MAX(cum.v) AS value
+       |FROM c WHERE cum_n > 0
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `stddev_over_time(signup[10d])` — exact integer-cents moments,
+    * variance written in the identical expression order as the
+    * compiler so doubles bit-match.
+    */
+  val StddevOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM m, t
+       |  WHERE name = 'signup'
+       |    AND epoch_us(ts) > t_us - 864000000000
+       |    AND epoch_us(ts) <= t_us),
+       |a AS (
+       |  SELECT name, label_k, label_instance,
+       |    CAST(SUM(cents) AS BIGINT) AS s1,
+       |    CAST(SUM(cents * cents) AS BIGINT) AS s2,
+       |    COUNT(*) AS n
+       |  FROM w GROUP BY name, label_k, label_instance)
+       |SELECT name, label_k, label_instance,
+       |  sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0 AS value
+       |FROM a
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
   /** Alert rules `HighSeries: sum by (k) (purchase) > 450` and
     * `LowSeries: sum by (k) (click) < 200` through [[Rules.evaluateAlerts]].
     */

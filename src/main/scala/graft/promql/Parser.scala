@@ -14,7 +14,8 @@ object Parser {
   private val ParamAggOps = Set("topk", "bottomk", "quantile")
   private val RangeFuncs = Set("rate", "increase", "delta")
   private val OverTimeFuncs = Set("sum_over_time", "avg_over_time",
-    "min_over_time", "max_over_time", "count_over_time")
+    "min_over_time", "max_over_time", "count_over_time",
+    "stddev_over_time", "stdvar_over_time")
   private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt",
     "exp", "ln", "log2", "log10", "absent")
   private val ClampFuncs = Set("clamp_min", "clamp_max")
@@ -243,6 +244,16 @@ object Parser {
           val s = number()
           expect(")")
           Func(name, Some(s), arg)
+        } else if (name == "clamp") {
+          // clamp(v, min, max) desugars to clamp_max(clamp_min(v, min), max)
+          expect("(")
+          val arg = expr()
+          expect(",")
+          val lo = number()
+          expect(",")
+          val hiV = number()
+          expect(")")
+          Func("clamp_max", Some(hiV), Func("clamp_min", Some(lo), arg))
         } else selectorTail(name)
       } else fail("expected expression")
     }

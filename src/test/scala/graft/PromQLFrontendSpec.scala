@@ -209,8 +209,8 @@ class PromQLFrontendSpec extends SparkTestBase {
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
     intercept[PromQLCompileException](
       Engine.eval(spark, dir, "max_over_time((purchase)[5h:2h])")) // not a multiple
-    intercept[PromQLCompileException](       // union strategy (gauge inner): > 64 instants
-      Engine.eval(spark, dir, "max_over_time((signup)[100d:1h])"))
+    intercept[PromQLCompileException](       // union strategy (arith inner): > 64 instants
+      Engine.eval(spark, dir, "max_over_time((sum by (k) (purchase) * 2)[100d:1h])"))
     intercept[PromQLCompileException](       // grid strategy: > 4096 instants
       Engine.eval(spark, dir, "max_over_time((purchase)[100d:20m])"))
     intercept[graft.promql.PromQLParseException](
@@ -394,6 +394,48 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(present.isEmpty)
     // compose-time: unknown family still fails before any job
     intercept[PromQLCompileException](Engine.eval(spark, dir, "absent(nosuch)"))
+  }
+
+  test("gauge grid subquery replays last-write-wins at each instant") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 9.0, "a"),      // T-2h: value 9
+      ev(1, 1 * h, "signup", 4.0, "a"),  // T-1h: drops to 4
+      ev(2, 2 * h, "signup", 6.0, "a")   // T: rises to 6
+    ).toDF(eventCols: _*))
+    // instants T-1h (LWW = 4) and T (LWW = 6); the T-2h value 9 is
+    // SUPERSEDED by instant T-1h — a naive per-window max would say 9
+    def one(q: String) = Engine.eval(spark, dir, q)
+      .select($"value").as[Double].collect().toSeq
+    assert(one("max_over_time((signup)[2h:1h])") === Seq(6.0))
+    assert(one("min_over_time((signup)[2h:1h])") === Seq(4.0))
+    assert(one("count_over_time((signup)[2h:1h])") === Seq(2.0))
+    assert(one("avg_over_time((signup)[2h:1h])") === Seq(5.0))
+    // large instant counts run through the same grid; with hourly
+    // instants there IS an instant at T-2h whose LWW value is 9
+    assert(one("max_over_time((signup)[100d:1h])") === Seq(9.0))
+  }
+
+  test("stddev/stdvar_over_time use exact cent moments; clamp desugars") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 1 * h, "signup", 2.0, "a"),
+      ev(1, 2 * h, "signup", 4.0, "a"),
+      ev(2, 2 * h, "signup", 9.0, "a")
+    ).toDF(eventCols: _*))
+    // population variance of {2, 4, 9} = ((4+16+81)/3 - 25) = 8.666...
+    val sv = Engine.eval(spark, dir, "stdvar_over_time(signup[2h])")
+      .select($"value").as[Double].collect()
+    assert(math.abs(sv.head - (101.0 / 3.0 - 25.0)) < 1e-9)
+    val sd = Engine.eval(spark, dir, "stddev_over_time(signup[2h])")
+      .select($"value").as[Double].collect()
+    assert(math.abs(sd.head - math.sqrt(101.0 / 3.0 - 25.0)) < 1e-9)
+    // clamp(v, min, max) = clamp_max(clamp_min(v, min), max)
+    assert(Parser.parse("clamp(signup, 3, 8)") ===
+      Func("clamp_max", Some(8.0), Func("clamp_min", Some(3.0), Selector("signup"))))
+    val clamped = Engine.eval(spark, dir, "clamp(signup, 5, 8)")
+      .select($"value").as[Double].collect()
+    assert(clamped.toSeq === Seq(8.0)) // LWW 9 clamped to 8
   }
 
   test("compose-time checks reject kind and shape errors before any job") {
