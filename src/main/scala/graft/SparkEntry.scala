@@ -134,6 +134,10 @@ object SparkEntry {
       "max_over_time((signup)[32d:6h])")),
     "p19_promql_stddev" -> ((s, d) => promql.Engine.eval(s, d,
       "stddev_over_time(signup[10d])")),
+    // plain comparison = filter: survivors keep the LEFT side's full
+    // label set (name included) and untouched values
+    "p20_promql_filter_cmp" -> ((s, d) => promql.Engine.eval(s, d,
+      "purchase > on(k, instance) click")),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -249,6 +253,7 @@ object SparkEntry {
     "p17_promql_subquery_grid" -> promql.Oracle.SubqueryGridSql,
     "p18_promql_gauge_grid" -> promql.Oracle.SubqueryGridGaugeSql,
     "p19_promql_stddev" -> promql.Oracle.StddevOverTimeSql,
+    "p20_promql_filter_cmp" -> promql.Oracle.FilterCmpSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,

@@ -444,25 +444,57 @@ object Compiler {
               s"(left: ${lv.labels.mkString(",")}; right: ${rv.labels.mkString(",")})")
         }
         if (joinLabels.isEmpty) fail("binary op has no labels to match on")
+        if (b.groupLeft || b.groupRight) {
+          if (b.on.isEmpty && b.ignoring.isEmpty)
+            fail("group_left/group_right require an explicit on(...) or ignoring(...) clause")
+        }
         // group_left/group_right: many-to-one matching where the MANY
         // side keeps its full label set and each of its series joins the
         // single opposite series sharing the matching labels. The "one"
         // side is typically an aggregation over the dropped labels — a
         // small relation, broadcast-friendly.
+        //
+        // A plain (non-bool) comparison keeps the LEFT side's series
+        // UNCHANGED — full label set and value — it only filters them
+        // (Prometheus: "vector elements for which the expression is not
+        // true are dropped"), so it projects lv.labels, never down to
+        // the matching labels.
+        val filterCmp = isCmp && !b.boolMod && !b.groupLeft && !b.groupRight
         val (keepLabels, manyValue) =
           if (b.groupLeft) (lv.labels, col("_lv"))
           else if (b.groupRight) (rv.labels, col("_rv"))
+          else if (filterCmp) (lv.labels, col("_lv"))
           else (joinLabels, col("_lv"))
-        if (b.groupLeft || b.groupRight) {
-          if (b.on.isEmpty && b.ignoring.isEmpty)
-            fail("group_left/group_right require an explicit on(...) or ignoring(...) clause")
+        // Cardinality enforcement (runtime — uniqueness is a property of
+        // the data, not the plan): the "one" side of a group_left /
+        // group_right must hold at most ONE series per match group, and
+        // a modifier-less match must be one-to-one (both sides unique).
+        // Prometheus raises "found duplicate series for the match group"
+        // in both cases; silently emitting the join's cross-product per
+        // group would multiply rows. The guard is a count over the match
+        // key — the window's hash partitioning on joinLabels is the same
+        // partitioning the join itself needs, so no extra shuffle.
+        def dupGuard(df: DataFrame, vcol: String, side: String): DataFrame = {
+          val w = Window.partitionBy(joinLabels.map(col): _*)
+          val msg = concat(
+            lit("found duplicate series for the match group ("),
+            concat_ws(", ", joinLabels.map(jl =>
+              concat(lit(jl + "=\""), col(jl), lit("\""))): _*),
+            lit(s") on the $side-hand side of the operation"))
+          df.withColumn(vcol,
+            when(count(lit(1)).over(w) > 1,
+              raise_error(msg).cast(df.schema(vcol).dataType))
+              .otherwise(col(vcol)))
         }
-        val lt =
-          if (b.groupLeft) lv.df.select(lv.labels.map(col) :+ col("value").as("_lv"): _*)
+        val lt0 =
+          if (b.groupLeft || filterCmp)
+            lv.df.select(lv.labels.map(col) :+ col("value").as("_lv"): _*)
           else lv.df.select(joinLabels.map(col) :+ col("value").as("_lv"): _*)
-        val rt =
+        val rt0 =
           if (b.groupRight) rv.df.select(rv.labels.map(col) :+ col("value").as("_rv"): _*)
           else rv.df.select(joinLabels.map(col) :+ col("value").as("_rv"): _*)
+        val lt = if (b.groupLeft) lt0 else dupGuard(lt0, "_lv", "left")
+        val rt = if (b.groupRight) rt0 else dupGuard(rt0, "_rv", "right")
         val joined = lt.join(rt, joinLabels)
         if (!isCmp)
           Vec(joined.select(keepLabels.map(col) :+
@@ -810,12 +842,16 @@ object StreamCompiler {
       fail("a bare range selector / offset / @ needs a fixed evaluation instant — " +
         "wrap ranges in rate/increase; offset/@ are batch-only")
     case Agg(op, grouping, None, arg) =>
-      val v = compileVec(events, arg, watermark)
+      // grouping derives from the SELECTOR's series key, never from the
+      // compiled inner vector: a windowed rate's labels carry
+      // window_start, and `without (...)` must not push that synthetic
+      // column down onto the raw events relation (the window grouping is
+      // re-attached per-branch below)
       val groupCols = grouping match {
         case Some(("by", ls)) => ls.map(labelCol)
         case Some(("without", ls)) =>
           val dropped = ls.map(labelCol).toSet
-          v.labels.filterNot(l => l == "name" || dropped.contains(l))
+          SeriesKey.filterNot(l => l == "name" || dropped.contains(l))
         case None => Nil
         case Some((kw, _)) => fail(s"unknown grouping '$kw'")
       }

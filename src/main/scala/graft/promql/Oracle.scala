@@ -382,4 +382,26 @@ object Oracle {
        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 172800.0 AS value
        |FROM w GROUP BY label_instance
        |ORDER BY label_instance, value""".stripMargin
+
+  /** `purchase > on(k, instance) click` — a plain (non-bool) comparison
+    * FILTERS the left side's series: survivors keep their FULL label set
+    * (metric name included) and their untouched values; nothing projects
+    * down to the matching labels.
+    */
+  val FilterCmpSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |p AS (
+       |  SELECT name, label_k, label_instance,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS pv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY name, label_k, label_instance),
+       |c AS (
+       |  SELECT label_k, label_instance, SUM(CAST(value AS DECIMAL(18,2))) AS cv
+       |  FROM m WHERE name = 'click' AND value >= 0
+       |  GROUP BY label_k, label_instance)
+       |SELECT p.name AS name, p.label_k AS label_k,
+       |  p.label_instance AS label_instance, CAST(pv AS DOUBLE) AS value
+       |FROM p JOIN c USING (label_k, label_instance)
+       |WHERE CAST(pv AS DOUBLE) > CAST(cv AS DOUBLE)
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
 }

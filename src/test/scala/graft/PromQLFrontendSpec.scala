@@ -454,4 +454,46 @@ class PromQLFrontendSpec extends SparkTestBase {
     intercept[PromQLCompileException](
       Engine.eval(spark, dir, "topk(2.5, purchase)"))
   }
+
+  // flatten an exception's own + cause-chain messages (raise_error
+  // surfaces wrapped in SparkRuntimeException / task failure layers)
+  private def allMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("vector matching raises on duplicate series per match group") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 0, "purchase", 20.0, "b"),
+      ev(2, 0, "click", 5.0, "a")
+    ).toDF(eventCols: _*))
+    // one-to-one: two purchase series share the instance match group
+    val e1 = intercept[Throwable] {
+      Engine.eval(spark, dir, "purchase / on(instance) click").collect()
+    }
+    assert(allMessages(e1).contains("found duplicate series"))
+    // group_left: the "one" (right) side itself must be unique per group
+    val e2 = intercept[Throwable] {
+      Engine.eval(spark, dir, "click / on(instance) group_left purchase").collect()
+    }
+    assert(allMessages(e2).contains("found duplicate series"))
+    // a genuinely one-to-one match still evaluates
+    val ok = Engine.eval(spark, dir, "purchase / on(k) click")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(ok === Set(("a", 2.0)))
+  }
+
+  test("plain comparison filters the left side, keeping its full labels and values") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 0, "purchase", 20.0, "b"),
+      ev(2, 0, "click", 5.0, "a"),
+      ev(3, 0, "click", 30.0, "b")
+    ).toDF(eventCols: _*))
+    val df = Engine.eval(spark, dir, "purchase > on(k, instance) click")
+    // full LEFT label set survives — name included, not just the match key
+    assert(df.columns.toSeq === Seq("name", "label_k", "label_instance", "value"))
+    val rows = df.as[(String, String, String, Double)].collect().toSet
+    assert(rows === Set(("purchase", "a", "i1", 10.0))) // b: 20 < 30 dropped
+  }
 }

@@ -328,6 +328,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming PromQL 'sum without' over a windowed rate groups on the series key") {
+    implicit val sqlCtx = spark.sqlContext
+    // `without (instance)` must derive its grouping from the SELECTOR's
+    // series key (k), never from the windowed vector's labels — the
+    // synthetic window_start column does not exist on the raw relation
+    val mem = MemoryStream[RawEvent]
+    val out = graft.promql.Engine.evalStream(mem.toDF(),
+      "sum without (instance) (increase(click[1m]))")
+    assert(out.columns.toSeq === Seq("window_start", "label_k", "value"))
+    val q = out.writeStream.format("memory").queryName("promql_sum_without")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two instances (users 1, 2) of the same k inside one window
+      mem.addData(
+        RawEvent(0, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click", 1.0, """{"k": "a"}"""),
+        RawEvent(1, java.sql.Timestamp.valueOf("2024-01-01 10:10:30"), 2L, "click", 4.0, """{"k": "a"}"""))
+      q.processAllAvailable()
+      val w10 = java.sql.Timestamp.valueOf("2024-01-01 10:10:00")
+      val sums = spark.table("promql_sum_without")
+        .groupBy($"window_start", $"label_k")
+        .agg(org.apache.spark.sql.functions.max($"value"))
+        .as[(java.sql.Timestamp, String, Double)].collect().toSet
+      assert(sums === Set((w10, "a", 5.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to preceding clicks") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]

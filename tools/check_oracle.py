@@ -28,7 +28,7 @@ def norm(v):
     return v
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, subset=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -36,8 +36,16 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        # subset Verify runs dump only some queries; skip the rest quietly
+        # An explicitly-requested subset skips the rest quietly; in a FULL
+        # run a missing result dir means the query CRASHED during Verify
+        # (exceptions are caught there and no parquet is written) — that
+        # must FAIL, not vanish from the report.
+        if subset is not None and name not in subset:
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"FAIL {name}: no Spark result dir "
+                  f"(query crashed during Verify, or was never run)")
+            n_fail += 1
             continue
         try:
             orel = con.sql(sql)
@@ -113,4 +121,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  subset=set(sys.argv[3:]) if len(sys.argv) > 3 else None))
