@@ -63,5 +63,11 @@ final case class NumLit(v: Double) extends Ast
   */
 final case class Subquery(inner: Ast, rangeS: Long, stepS: Long) extends Ast
 
+/** `count_values("dst", expr)`: histogram of an instant vector's VALUES
+  * — one output row per distinct value, labeled `dst` = the value's
+  * decimal rendering, valued by the series count at that value.
+  */
+final case class CountValues(dst: String, arg: Ast) extends Ast
+
 final class PromQLParseException(msg: String) extends IllegalArgumentException(msg)
 final class PromQLCompileException(msg: String) extends IllegalArgumentException(msg)

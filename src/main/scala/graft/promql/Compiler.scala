@@ -51,12 +51,13 @@ object Compiler {
     * any partitioning.
     */
   private final case class Vec(df: DataFrame, labels: Seq[String],
-      rateDiv: Option[Double] = None)
+      rateDiv: Option[Double] = None, sortDesc: Option[Boolean] = None)
 
   /** Apply the deferred rate division (no-op for non-rate vectors). */
   private def materialize(v: Vec): Vec = v.rateDiv match {
     case Some(d) =>
-      Vec(v.df.withColumn("value", col("value").cast("double") / lit(d)), v.labels)
+      Vec(v.df.withColumn("value", col("value").cast("double") / lit(d)),
+        v.labels, None, v.sortDesc)
     case None => v
   }
 
@@ -128,14 +129,15 @@ object Compiler {
     * every row — a broadcast of the cached 1-row aggregate, never a
     * driver round-trip.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Metrics.metricEvents(spark, dir)
-    val t = instantCache.computeIfAbsent((spark, dir), k => {
+  private def instantDf(spark: SparkSession, dir: String): DataFrame =
+    instantCache.computeIfAbsent((spark, dir), k => {
       graft.operators.SessionCaches.onApplicationEnd(spark)(() => instantCache.remove(k))
-      ev.select(max(unix_micros(col("ts"))).as("_t_us")).persist()
+      Metrics.metricEvents(spark, dir)
+        .select(max(unix_micros(col("ts"))).as("_t_us")).persist()
     })
-    ev.crossJoin(broadcast(t))
-  }
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Metrics.metricEvents(spark, dir).crossJoin(broadcast(instantDf(spark, dir)))
 
   private def instantVector(spark: SparkSession, dir: String, sel: Selector,
       shiftS: Long): Vec = {
@@ -164,8 +166,8 @@ object Compiler {
     }
   }
 
-  private def rangeFunc(spark: SparkSession, dir: String, fn: String, sel: Selector,
-      shiftS: Long): Vec = {
+  private def rangeFunc(spark: SparkSession, dir: String, fn: String,
+      param: Option[Double], sel: Selector, shiftS: Long): Vec = {
     val d = sel.rangeS.getOrElse(
       fail(s"$fn requires a range selector, e.g. $fn(${sel.name}[5m])"))
     val off = sel.offsetS.getOrElse(0L) + shiftS
@@ -229,6 +231,102 @@ object Compiler {
           .agg((max(when(col("_rl") === 1, col("value")))
             - max(when(col("_rf") === 1, col("value")))).as("value")),
           SeriesKey)
+      case "last_over_time" =>
+        // freshest sample in the window, deterministic (ts, event_id)
+        // tiebreak — the range twin of the gauge instant vector
+        Vec(base.groupBy(SeriesKey.map(col): _*)
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value")),
+          SeriesKey)
+      case "present_over_time" =>
+        Vec(base.groupBy(SeriesKey.map(col): _*)
+          .agg(max(lit(1.0)).as("value")), SeriesKey)
+      case "quantile_over_time" =>
+        val phi = param.getOrElse(fail("quantile_over_time needs a quantile parameter"))
+        // PromQL linear interpolation at rank (n−1)·φ, run on exact
+        // integer cents ranks in the identical expression order as the
+        // oracle so the output doubles bit-match
+        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+        val sk = SeriesKey.map(col)
+        val w = Window.partitionBy(sk: _*).orderBy(col("_cents"), col("event_id"))
+        val ranked = c
+          .withColumn("_rn", row_number().over(w))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy(sk: _*)))
+          .withColumn("_pos", (col("_n") - 1).cast("double") * lit(phi))
+        def atRank(r: Column): Column =
+          max(when(col("_rn") === r, col("_cents"))).cast("double")
+        val lo9 = atRank(floor(col("_pos")).cast("long") + 1)
+        val hi9 = atRank(ceil(col("_pos")).cast("long") + 1)
+        Vec(ranked.groupBy(sk: _*)
+          .agg(((lo9 + (hi9 - lo9) * (max(col("_pos")) - floor(max(col("_pos")))))
+            / 100.0).as("value")), SeriesKey)
+      case "irate" | "idelta" =>
+        val wantCounter = fn == "irate"
+        if (wantCounter && kind != "counter")
+          fail(s"irate expects a counter family, '${sel.name}' is a $kind")
+        if (!wantCounter && kind != "gauge")
+          fail(s"idelta expects a gauge family, '${sel.name}' is a $kind")
+        // the LAST TWO samples in the window; in the increment event
+        // model the cumulative counter's last step IS the last increment,
+        // so irate = last_increment / gap — exact integer cents & micros
+        // until the final division
+        val f = if (wantCounter) base.filter(col("value") >= 0) else base
+        val wDesc = Window.partitionBy(SeriesKey.map(col): _*)
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val two = f.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          .withColumn("_rn", row_number().over(wDesc))
+          .filter(col("_rn") <= 2)
+        val m = two.groupBy(SeriesKey.map(col): _*)
+          .agg(max(when(col("_rn") === 1, col("_cents"))).as("_c1"),
+            max(when(col("_rn") === 2, col("_cents"))).as("_c2"),
+            max(when(col("_rn") === 1, unix_micros(col("ts")))).as("_t1"),
+            max(when(col("_rn") === 2, unix_micros(col("ts")))).as("_t2"),
+            count(lit(1)).as("_n"))
+        val paired =
+          if (wantCounter) m.filter(col("_n") >= 2 && col("_t1") > col("_t2"))
+          else m.filter(col("_n") >= 2)
+        val v =
+          if (wantCounter)
+            (col("_c1").cast("double") / 100.0) /
+              ((col("_t1") - col("_t2")).cast("double") / 1000000.0)
+          else (col("_c1") - col("_c2")).cast("double") / 100.0
+        Vec(paired.select(SeriesKey.map(col) :+ v.as("value"): _*), SeriesKey)
+      case "changes" =>
+        if (kind != "gauge")
+          fail(s"changes expects a gauge family, '${sel.name}' is a $kind")
+        val w = Window.partitionBy(SeriesKey.map(col): _*)
+          .orderBy(col("ts"), col("event_id"))
+        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          .withColumn("_prev", lag(col("_cents"), 1).over(w))
+        Vec(c.groupBy(SeriesKey.map(col): _*)
+          .agg(sum(when(col("_prev").isNotNull && col("_cents") =!= col("_prev"), 1L)
+            .otherwise(0L)).cast("double").as("value")), SeriesKey)
+      case "deriv" | "predict_linear" =>
+        if (kind != "gauge")
+          fail(s"$fn expects a gauge family, '${sel.name}' is a $kind")
+        // exact-integer least squares (the b25 construction): x = whole
+        // seconds since window start, y = cents; five BIGINT sums in ONE
+        // map-side-combinable aggregate, closed-form slope/intercept
+        // divisions in the identical order as the oracle
+        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          .withColumn("_x",
+            floor((unix_micros(col("ts")) - lo) / lit(1000000L)).cast("long"))
+        val a = c.groupBy(SeriesKey.map(col): _*)
+          .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+            sum(col("_cents")).as("_sy"),
+            sum(col("_x") * col("_cents")).as("_sxy"),
+            sum(col("_x") * col("_x")).as("_sxx"))
+          .filter(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0L)
+        val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+        val v =
+          if (fn == "deriv") slope / 100.0
+          else {
+            val horizon = param.getOrElse(
+              fail("predict_linear needs a horizon parameter in seconds"))
+            ((col("_sy").cast("double") - slope * col("_sx").cast("double")) /
+              col("_n").cast("double") + slope * lit(d.toDouble + horizon)) / 100.0
+          }
+        Vec(a.select(SeriesKey.map(col) :+ v.as("value"): _*), SeriesKey)
     }
   }
 
@@ -311,6 +409,24 @@ object Compiler {
         val phi = a.param.getOrElse(fail("quantile needs a parameter"))
         Vec(grouped.agg(expr(s"percentile(cast(value as double), $phi)")
           .as("value")), groupCols, v.rateDiv)
+      case "stddev" | "stdvar" =>
+        // across-series population moments on exact integer cents (the
+        // engine-wide 2-decimal sample convention) — the same (Σx, Σx²,
+        // n) construction as stddev_over_time, identical expression
+        // order as the oracle so the doubles bit-match
+        val mv = materialize(v)
+        val c = mv.df.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+        val m = c.groupBy(groupCols.map(col): _*)
+          .agg(sum(col("_cents")).as("_s1"),
+            sum(col("_cents") * col("_cents")).as("_s2"),
+            count(lit(1)).as("_n"))
+        val mean = col("_s1").cast("double") / col("_n").cast("double")
+        val varCents = col("_s2").cast("double") / col("_n").cast("double") - mean * mean
+        val out = if (a.op == "stddev") sqrt(varCents) / 100.0 else varCents / 10000.0
+        Vec(m.select(groupCols.map(col) :+ out.as("value"): _*), groupCols)
+      case "group" =>
+        // the degenerate aggregator: 1 per populated group
+        Vec(grouped.agg(max(lit(1.0)).as("value")), groupCols)
       case "topk" | "bottomk" =>
         val n = a.param.getOrElse(fail(s"${a.op} needs a parameter"))
         if (n != n.floor || n < 1) fail(s"${a.op} parameter must be a positive integer, got $n")
@@ -344,6 +460,7 @@ object Compiler {
       case "floor" => floor(x).cast("double")
       case "round" => round(x).cast("double")
       case "sqrt" => sqrt(x)
+      case "sgn" => signum(x)
       case "exp" => exp(x)
       case "ln" => lnLike(log(_))
       case "log2" => lnLike(log2(_))
@@ -412,8 +529,41 @@ object Compiler {
           Vec(leftOut.unionAll(fromRight), lv.labels)
       }
     }
+    // scalar(v) / time() operands: a 1-row relation broadcast onto the
+    // vector side — never a driver-side collect
+    def scalarOperand(ast: Ast): Option[DataFrame] = ast match {
+      case Func("scalar", _, inner) =>
+        val sv = materialize(compileVec(spark, dir, inner, shiftS))
+        Some(sv.df.agg(
+          when(count(lit(1)) === 1, max(col("value").cast("double")))
+            .otherwise(lit(Double.NaN)).as("_sc")))
+      case Func("time", _, _) =>
+        Some(instantDf(spark, dir).select((col("_t_us").cast("double") / 1e6).as("_sc")))
+      case _ => None
+    }
+    val lScalar = scalarOperand(b.left)
+    val rScalar = scalarOperand(b.right)
+    if (lScalar.isDefined && rScalar.isDefined)
+      fail("scalar-only expressions are not vectors")
+    def withScalar(v0: Vec, sdf: DataFrame, scalarLeft: Boolean): Vec = {
+      val v = materialize(v0)
+      val joined = v.df.crossJoin(broadcast(sdf))
+      val (lc, rc) =
+        if (scalarLeft) (col("_sc"), col("value").cast("double"))
+        else (col("value").cast("double"), col("_sc"))
+      val out =
+        if (!isCmp) joined.withColumn("value", arith(b.op, lc, rc))
+        else if (b.boolMod)
+          joined.withColumn("value", when(cmp(b.op, lc, rc), 1.0).otherwise(0.0))
+        else joined.filter(cmp(b.op, lc, rc))
+      Vec(out.drop("_sc"), v.labels)
+    }
     (b.left, b.right) match {
       case (NumLit(_), NumLit(_)) => fail("scalar-only expressions are not vectors")
+      case (l, r) if rScalar.isDefined =>
+        withScalar(compileVec(spark, dir, l, shiftS), rScalar.get, scalarLeft = false)
+      case (l, r) if lScalar.isDefined =>
+        withScalar(compileVec(spark, dir, r, shiftS), lScalar.get, scalarLeft = true)
       case (l, NumLit(s)) =>
         val v = materialize(compileVec(spark, dir, l, shiftS))
         if (!isCmp)
@@ -674,13 +824,17 @@ object Compiler {
     Vec(agg, SeriesKey)
   }
 
+  /** Functions evaluated over a RANGE selector's sample window. */
+  private val RangeSelFns: Set[String] = OverTimeFns ++ Set(
+    "rate", "increase", "delta", "irate", "idelta", "changes",
+    "deriv", "predict_linear",
+    "quantile_over_time", "last_over_time", "present_over_time")
+
   private def compileVec(spark: SparkSession, dir: String, ast: Ast,
       shiftS: Long = 0L): Vec = ast match {
     case sel: Selector => instantVector(spark, dir, sel, shiftS)
-    case Func(fn, _, sel: Selector)
-        if fn == "rate" || fn == "increase" || fn == "delta" ||
-          OverTimeFns.contains(fn) =>
-      rangeFunc(spark, dir, fn, sel, shiftS)
+    case Func(fn, param, sel: Selector) if RangeSelFns.contains(fn) =>
+      rangeFunc(spark, dir, fn, param, sel, shiftS)
     case Func(fn, _, sq: Subquery) if OverTimeFns.contains(fn) =>
       subqueryOverTime(spark, dir, fn, sq, shiftS)
     case Func("histogram_quantile", Some(phi), arg) =>
@@ -718,10 +872,54 @@ object Compiler {
         case other => fail(s"absent expects a selector, got $other")
       }
     case Func(fn, param, arg)
-        if Set("abs", "ceil", "floor", "round", "sqrt",
+        if Set("abs", "ceil", "floor", "round", "sqrt", "sgn",
           "exp", "ln", "log2", "log10", "clamp_min", "clamp_max")
           .contains(fn) =>
       scalarFunc(fn, param, compileVec(spark, dir, arg, shiftS))
+    case Func(fn, _, arg) if fn == "sort" || fn == "sort_desc" =>
+      // sort orders the OUTPUT instant vector by value; it changes no
+      // element, so it simply tags the vector for the final orderBy
+      compileVec(spark, dir, arg, shiftS).copy(sortDesc = Some(fn == "sort_desc"))
+    case Func("timestamp", _, arg) =>
+      arg match {
+        case sel: Selector =>
+          if (sel.rangeS.isDefined) fail("timestamp takes an instant selector")
+          val kind = kindOf(sel.name)
+          if (kind == "histogram")
+            fail(s"histogram family '${sel.name}' has no scalar instant sample")
+          val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+          val bound = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+          val base0 = events(spark, dir)
+            .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+              unix_micros(col("ts")) <= bound)
+          // the instant sample's timestamp = the last contributing event;
+          // counters keep the snapshot's non-negative guard so the sample
+          // set matches the value path exactly
+          val base = if (kind == "counter") base0.filter(col("value") >= 0) else base0
+          Vec(base.groupBy(SeriesKey.map(col): _*)
+            .agg((max(unix_micros(col("ts"))).cast("double") / 1e6).as("value")),
+            SeriesKey)
+        case other => fail(s"timestamp expects a selector, got $other")
+      }
+    case Func("vector", Some(s), _) =>
+      // vector(s): the 1-element, label-free instant vector
+      Vec(spark.range(1).select(lit(s).cast("double").as("value")), Nil)
+    case Func("scalar", _, _) | Func("time", _, _) =>
+      fail("a scalar-typed expression is not an instant vector; " +
+        "use it as a binary-op operand (e.g. v / scalar(sum(v)))")
+    case CountValues(dst, arg) =>
+      if (LabelUniverse.contains(dst))
+        fail(s"count_values destination label '$dst' collides with a series label")
+      val v = materialize(compileVec(spark, dir, arg, shiftS))
+      val lbl = "label_" + dst
+      // group on exact integer cents; render the label with a fixed
+      // 2-decimal format (identical in Spark and the oracle engine)
+      val c = v.df.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+      Vec(c.groupBy(col("_cents"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(format_string("%.2f", col("_cents").cast("double") / 100.0).as(lbl),
+          col("value")),
+        Seq(lbl))
     case a: Agg => aggregate(a, compileVec(spark, dir, a.arg, shiftS))
     case b: BinOp => binOp(spark, dir, b, shiftS)
     case _: Subquery => fail("a subquery is only valid under a *_over_time function")
@@ -735,7 +933,12 @@ object Compiler {
   def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame = {
     val v = materialize(compileVec(spark, dir, ast))
     val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
-    v.df.select(cols: _*).orderBy(v.labels.map(col) :+ col("value"): _*)
+    val ord = v.sortDesc match {
+      case Some(true) => col("value").desc +: v.labels.map(col)
+      case Some(false) => col("value").asc +: v.labels.map(col)
+      case None => v.labels.map(col) :+ col("value")
+    }
+    v.df.select(cols: _*).orderBy(ord: _*)
   }
 }
 

@@ -404,4 +404,261 @@ object Oracle {
        |FROM p JOIN c USING (label_k, label_instance)
        |WHERE CAST(pv AS DOUBLE) > CAST(cv AS DOUBLE)
        |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** The gauge last-write-wins snapshot (deterministic (ts, event_id)
+    * tiebreak) — shared CTE body for the gauge-instant oracles.
+    */
+  private val GaugeLwwBody: String =
+    s"""SELECT name, label_k, label_instance, value FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY name, label_k, label_instance
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM m WHERE name = 'signup') WHERE rn = 1""".stripMargin
+
+  /** `stddev by (k) (signup)` — across-series population stddev of the
+    * gauge snapshot, on exact integer cents.
+    */
+  val AggStddevSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |lww AS ($GaugeLwwBody),
+       |c AS (SELECT label_k, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM lww),
+       |a AS (
+       |  SELECT label_k, CAST(SUM(cents) AS BIGINT) AS s1,
+       |    CAST(SUM(cents * cents) AS BIGINT) AS s2, COUNT(*) AS n
+       |  FROM c GROUP BY label_k)
+       |SELECT label_k,
+       |  sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0 AS value
+       |FROM a
+       |ORDER BY label_k, value""".stripMargin
+
+  /** `group by (k) (purchase)` — the degenerate aggregator. */
+  val AggGroupSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT label_k, CAST(1.0 AS DOUBLE) AS value
+       |FROM m WHERE name = 'purchase' AND value >= 0
+       |GROUP BY label_k
+       |ORDER BY label_k, value""".stripMargin
+
+  /** `count_values("v", purchase)` — histogram of the counter snapshot
+    * values; label = fixed 2-decimal rendering of the exact cents.
+    */
+  val CountValuesSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |snap AS (
+       |  SELECT name, label_k, label_instance,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY name, label_k, label_instance),
+       |c AS (SELECT CAST(round(v * 100, 0) AS BIGINT) AS cents FROM snap)
+       |SELECT printf('%.2f', CAST(cents AS DOUBLE) / 100.0) AS label_v,
+       |  CAST(COUNT(*) AS DOUBLE) AS value
+       |FROM c GROUP BY cents
+       |ORDER BY label_v, value""".stripMargin
+
+  /** `quantile_over_time(0.5, signup[10d])` — PromQL linear
+    * interpolation at rank (n−1)·φ on exact cents.
+    */
+  val QuantileOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance, event_id,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM m, t
+       |  WHERE name = 'signup'
+       |    AND epoch_us(ts) > t_us - 864000000000
+       |    AND epoch_us(ts) <= t_us),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance
+       |                     ORDER BY cents, event_id) AS rn,
+       |  COUNT(*) OVER (PARTITION BY name, label_k, label_instance) AS n
+       |  FROM w),
+       |p AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.5 AS pos FROM r)
+       |SELECT name, label_k, label_instance,
+       |  (CAST(MAX(CASE WHEN rn = CAST(floor(pos) AS BIGINT) + 1 THEN cents END) AS DOUBLE)
+       |   + (CAST(MAX(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) + 1 THEN cents END) AS DOUBLE)
+       |      - CAST(MAX(CASE WHEN rn = CAST(floor(pos) AS BIGINT) + 1 THEN cents END) AS DOUBLE))
+       |     * (MAX(pos) - floor(MAX(pos)))) / 100.0 AS value
+       |FROM p GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `last_over_time(signup[10d])` — freshest sample in the window. */
+  val LastOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance, value,
+       |    ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance
+       |                       ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM m, t
+       |  WHERE name = 'signup'
+       |    AND epoch_us(ts) > t_us - 864000000000
+       |    AND epoch_us(ts) <= t_us)
+       |SELECT name, label_k, label_instance, CAST(value AS DOUBLE) AS value
+       |FROM w WHERE rn = 1
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `present_over_time(signup[10d])`. */
+  val PresentOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m)
+       |SELECT name, label_k, label_instance, CAST(1.0 AS DOUBLE) AS value
+       |FROM m, t
+       |WHERE name = 'signup'
+       |  AND epoch_us(ts) > t_us - 864000000000
+       |  AND epoch_us(ts) <= t_us
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `irate(purchase[10d])` — last increment / last gap, exact integer
+    * cents & micros until the final division (increments model: the
+    * cumulative counter's last step IS the last increment).
+    */
+  val IrateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance, event_id, epoch_us(ts) AS ts_us,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance
+       |                       ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM m, t
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) > t_us - 864000000000
+       |    AND epoch_us(ts) <= t_us),
+       |a AS (
+       |  SELECT name, label_k, label_instance,
+       |    MAX(CASE WHEN rn = 1 THEN cents END) AS c1,
+       |    MAX(CASE WHEN rn = 1 THEN ts_us END) AS t1,
+       |    MAX(CASE WHEN rn = 2 THEN ts_us END) AS t2,
+       |    COUNT(*) AS n
+       |  FROM w WHERE rn <= 2 GROUP BY name, label_k, label_instance)
+       |SELECT name, label_k, label_instance,
+       |  (CAST(c1 AS DOUBLE) / 100.0)
+       |    / (CAST(t1 - t2 AS DOUBLE) / 1000000.0) AS value
+       |FROM a WHERE n >= 2 AND t1 > t2
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `idelta(signup[10d])` — last-minus-previous gauge sample. */
+  val IdeltaSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance
+       |                       ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM m, t
+       |  WHERE name = 'signup'
+       |    AND epoch_us(ts) > t_us - 864000000000
+       |    AND epoch_us(ts) <= t_us),
+       |a AS (
+       |  SELECT name, label_k, label_instance,
+       |    MAX(CASE WHEN rn = 1 THEN cents END) AS c1,
+       |    MAX(CASE WHEN rn = 2 THEN cents END) AS c2,
+       |    COUNT(*) AS n
+       |  FROM w WHERE rn <= 2 GROUP BY name, label_k, label_instance)
+       |SELECT name, label_k, label_instance,
+       |  CAST(c1 - c2 AS DOUBLE) / 100.0 AS value
+       |FROM a WHERE n >= 2
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `changes(signup[10d])` — adjacent-unequal sample count. */
+  val ChangesFrontSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    LAG(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+       |      PARTITION BY name, label_k, label_instance
+       |      ORDER BY ts, event_id) AS prev
+       |  FROM m, t
+       |  WHERE name = 'signup'
+       |    AND epoch_us(ts) > t_us - 864000000000
+       |    AND epoch_us(ts) <= t_us)
+       |SELECT name, label_k, label_instance,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL AND cents <> prev
+       |                THEN 1 ELSE 0 END) AS DOUBLE) AS value
+       |FROM w GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `deriv(signup[10d])` and `predict_linear(signup[10d], 3600)` —
+    * exact-integer least squares (x = whole seconds since window start,
+    * y = cents), divisions in the identical order as the plan.
+    */
+  private def regressionSql(select: String): String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    (epoch_us(ts) - (t_us - 864000000000)) // 1000000 AS x
+       |  FROM m, t
+       |  WHERE name = 'signup'
+       |    AND epoch_us(ts) > t_us - 864000000000
+       |    AND epoch_us(ts) <= t_us),
+       |a AS (
+       |  SELECT name, label_k, label_instance, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(cents) AS BIGINT) AS sy,
+       |    CAST(SUM(x * cents) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM w GROUP BY name, label_k, label_instance),
+       |s AS (
+       |  SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+       |              / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+       |  FROM a WHERE n * sxx - sx * sx <> 0)
+       |SELECT name, label_k, label_instance, $select AS value
+       |FROM s
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  val DerivSql: String = regressionSql("slope / 100.0")
+
+  val PredictLinearSql: String = regressionSql(
+    """((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+      |    + slope * 867600.0) / 100.0""".stripMargin)
+
+  /** `sort_desc(sum by (k) (purchase))` — output ordered by value. */
+  val SortDescSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT label_k,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m WHERE name = 'purchase' AND value >= 0
+       |GROUP BY label_k
+       |ORDER BY value DESC, label_k""".stripMargin
+
+  /** `timestamp(signup)` — the instant sample's timestamp (seconds). */
+  val TimestampSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT name, label_k, label_instance,
+       |  CAST(MAX(epoch_us(ts)) AS DOUBLE) / 1e6 AS value
+       |FROM m WHERE name = 'signup'
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `sum by (k) (purchase) / scalar(sum(purchase))` — share of total
+    * via a broadcast 1-row scalar.
+    */
+  val ScalarShareSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |p AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS kv
+       |  FROM m WHERE name = 'purchase' AND value >= 0 GROUP BY label_k),
+       |tot AS (
+       |  SELECT SUM(CAST(value AS DECIMAL(18,2))) AS tv
+       |  FROM m WHERE name = 'purchase' AND value >= 0)
+       |SELECT label_k, CAST(kv AS DOUBLE) / CAST(tv AS DOUBLE) AS value
+       |FROM p, tot
+       |ORDER BY label_k, value""".stripMargin
+
+  /** `sgn(signup - 5.5)` — sign of the shifted gauge snapshot. */
+  val SgnSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |lww AS ($GaugeLwwBody)
+       |SELECT name, label_k, label_instance,
+       |  CAST(sign(CAST(value AS DOUBLE) - 5.5) AS DOUBLE) AS value
+       |FROM lww
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
 }

@@ -10,14 +10,18 @@ package graft.promql
   */
 object Parser {
 
-  private val AggOps = Set("sum", "avg", "min", "max", "count")
+  private val AggOps = Set("sum", "avg", "min", "max", "count",
+    "stddev", "stdvar", "group")
   private val ParamAggOps = Set("topk", "bottomk", "quantile")
-  private val RangeFuncs = Set("rate", "increase", "delta")
+  private val RangeFuncs = Set("rate", "increase", "delta",
+    "irate", "idelta", "changes", "deriv")
   private val OverTimeFuncs = Set("sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time",
-    "stddev_over_time", "stdvar_over_time")
+    "stddev_over_time", "stdvar_over_time",
+    "last_over_time", "present_over_time")
   private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt",
-    "exp", "ln", "log2", "log10", "absent")
+    "exp", "ln", "log2", "log10", "sgn", "absent",
+    "sort", "sort_desc", "timestamp", "scalar")
   private val ClampFuncs = Set("clamp_min", "clamp_max")
 
   private final case class Tok(kind: String, text: String, pos: Int)
@@ -254,6 +258,43 @@ object Parser {
           val hiV = number()
           expect(")")
           Func("clamp_max", Some(hiV), Func("clamp_min", Some(lo), arg))
+        } else if (name == "quantile_over_time") {
+          // quantile_over_time(φ, sel[d]) — φ leads, like quantile(...)
+          expect("(")
+          val phi = number()
+          expect(",")
+          val t2 = take()
+          if (t2.kind != "ident") fail("quantile_over_time expects a range selector")
+          val sel = selectorTail(t2.text)
+          expect(")")
+          Func(name, Some(phi), sel)
+        } else if (name == "predict_linear") {
+          // predict_linear(sel[d], t) — extrapolate t seconds past T
+          expect("(")
+          val t2 = take()
+          if (t2.kind != "ident") fail("predict_linear expects a range selector")
+          val sel = selectorTail(t2.text)
+          expect(",")
+          val horizon = number()
+          expect(")")
+          Func(name, Some(horizon), sel)
+        } else if (name == "count_values") {
+          expect("(")
+          val dst = take()
+          if (dst.kind != "string") fail("count_values expects a quoted label name")
+          expect(",")
+          val arg = expr()
+          expect(")")
+          CountValues(dst.text, arg)
+        } else if (name == "time") {
+          expect("(")
+          expect(")")
+          Func("time", None, NumLit(0))
+        } else if (name == "vector") {
+          expect("(")
+          val s = number()
+          expect(")")
+          Func("vector", Some(s), NumLit(s))
         } else selectorTail(name)
       } else fail("expected expression")
     }

@@ -483,6 +483,102 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(ok === Set(("a", 2.0)))
   }
 
+  test("round-5 function family: sort, scalar, time, vector, sgn, timestamp") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 0, "purchase", 30.0, "b"),
+      ev(2, h, "signup", 7.0, "a"),
+      ev(3, 2 * h, "signup", 3.0, "b") // T = 2h
+    ).toDF(eventCols: _*))
+    // sort_desc orders the output vector by value
+    val sorted = Engine.eval(spark, dir, "sort_desc(purchase)")
+      .select($"value").as[Double].collect().toSeq
+    assert(sorted === Seq(30.0, 10.0))
+    // scalar() broadcasts the 1-series value; multi-series scalar is NaN
+    val share = Engine.eval(spark, dir, "purchase / scalar(sum(purchase))")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(share === Set(("a", 0.25), ("b", 0.75)))
+    val nan = Engine.eval(spark, dir, "purchase / scalar(purchase)")
+      .select($"value").as[Double].collect()
+    assert(nan.forall(_.isNaN))
+    // time() is the evaluation instant T (seconds); timestamp(v) the
+    // per-series last-sample instant — their difference is the age
+    val age = Engine.eval(spark, dir, "time() - timestamp(signup)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(age === Map("a" -> 3600.0, "b" -> 0.0))
+    // vector(s): the label-free 1-element vector
+    val v1 = Engine.eval(spark, dir, "vector(2.5)")
+    assert(v1.columns.toSeq === Seq("value"))
+    assert(v1.as[Double].collect().toSeq === Seq(2.5))
+    // sgn
+    val s = Engine.eval(spark, dir, "sgn(signup - 5.5)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(s === Map("a" -> 1.0, "b" -> -1.0))
+  }
+
+  test("round-5 range functions obey kind and shape compose-time checks") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),
+      ev(1, 0, "signup", 2.0, "a")).toDF(eventCols: _*))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "irate(signup[5m])"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "idelta(purchase[5m])"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "changes(purchase[5m])"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "deriv(purchase[5m])"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "irate(purchase)"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "scalar(purchase)"))
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, """count_values("k", purchase)"""))
+    // parser shapes for the parameterized forms
+    assert(Parser.parse("predict_linear(signup[1h], 600)") ===
+      Func("predict_linear", Some(600.0), Selector("signup", Nil, Some(3600L), None)))
+    assert(Parser.parse("quantile_over_time(0.9, signup[1h])") ===
+      Func("quantile_over_time", Some(0.9), Selector("signup", Nil, Some(3600L), None)))
+    assert(Parser.parse("""count_values("v", purchase)""") ===
+      graft.promql.CountValues("v", Selector("purchase")))
+  }
+
+  test("round-5 windowed functions compute the documented window semantics") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 1.0, "a"),      // outside [T-2h, T]? T=4h; 4h window covers all
+      ev(1, h, "signup", 5.0, "a"),
+      ev(2, 2 * h, "signup", 5.0, "a"),
+      ev(3, 3 * h, "signup", 2.0, "a"),
+      ev(4, 4 * h, "signup", 9.0, "a"),
+      ev(5, 4 * h, "purchase", 4.0, "a") // T anchor; counter family
+    ).toDF(eventCols: _*))
+    // changes: 1→5→5→2→9 has 3 changes (5→5 is not a change)
+    val ch = Engine.eval(spark, dir, "changes(signup[5h])")
+      .select($"value").as[Double].collect()
+    assert(ch.toSeq === Seq(3.0))
+    // idelta: last two samples 2, 9 → 7
+    val id = Engine.eval(spark, dir, "idelta(signup[5h])")
+      .select($"value").as[Double].collect()
+    assert(id.toSeq === Seq(7.0))
+    // last_over_time picks the freshest sample; present_over_time is 1
+    assert(Engine.eval(spark, dir, "last_over_time(signup[5h])")
+      .select($"value").as[Double].collect().toSeq === Seq(9.0))
+    assert(Engine.eval(spark, dir, "present_over_time(signup[5h])")
+      .select($"value").as[Double].collect().toSeq === Seq(1.0))
+    // quantile_over_time(0.5, ...) over {1,2,5,5,9} → 5
+    assert(Engine.eval(spark, dir, "quantile_over_time(0.5, signup[5h])")
+      .select($"value").as[Double].collect().toSeq === Seq(5.0))
+    // deriv over a perfectly linear series equals its slope
+    val dir2 = fixture("events" -> Seq(
+      ev(0, 0, "signup", 1.0, "a"),
+      ev(1, h, "signup", 2.0, "a"),
+      ev(2, 2 * h, "signup", 3.0, "a")
+    ).toDF(eventCols: _*))
+    val dv = Engine.eval(spark, dir2, "deriv(signup[3h])")
+      .select($"value").as[Double].collect()
+    assert(math.abs(dv.head - 1.0 / 3600.0) < 1e-12)
+    // predict_linear extrapolates the same line one hour past T
+    val pv = Engine.eval(spark, dir2, "predict_linear(signup[3h], 3600)")
+      .select($"value").as[Double].collect()
+    assert(math.abs(pv.head - 4.0) < 1e-9)
+  }
+
   test("plain comparison filters the left side, keeping its full labels and values") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"),
