@@ -202,6 +202,68 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** x30: MULTI-KEY blocked LSH — the minhash band buckets composed
+    * with a coarse blocking attribute (`lang`), so candidate generation
+    * runs inside (lang, band, bucket) blocks. At 100 TB this is the
+    * difference between bucketing the whole corpus and bucketing each
+    * language shard: Σ bucket² shrinks by the language mix's
+    * concentration (cross-language collisions — pure false candidates,
+    * since the exact verify stage would reject them — never enter the
+    * self-join), and the composite key spreads the shuffle across
+    * strictly more, strictly smaller buckets. Same signature cache as
+    * x3; the lang attribute rides the bucket explode, so no extra join
+    * against `documents` on the pair side.
+    */
+  def minhashLshBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val langs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val buckets = sig.join(langs, "doc_id")
+      .withColumn("sig", array((0 until NumPerms).map(i => col(s"mh$i")): _*))
+      .select(col("doc_id"), col("lang"), col("sig"),
+        explode(array((0 until NumBands).map(b =>
+          concat(col("lang"), lit(s"|$b:"),
+            md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))): _*))
+          .as("bucket"))
+    val l = buckets.select(col("doc_id").as("doc_a"), col("lang"),
+      col("sig").as("sig_a"), col("bucket"))
+    val r = buckets.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("lang"),
+        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / NumPerms).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val MinhashLshBlockedSql: String = {
+    val bandCols = (0 until NumBands)
+      .map(b => s"md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band$b").mkString(", ")
+    val bucketRows = (0 until NumBands)
+      .map(b => s"SELECT doc_id, lang, lang || '|$b:' || band$b AS bucket FROM bands")
+      .mkString("\n  UNION ALL ")
+    val eqSum = (0 until NumPerms)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sig AS ($SignaturesSql),
+       |bands AS (
+       |  SELECT sig.doc_id AS doc_id, d.lang AS lang, $bandCols
+       |  FROM sig JOIN documents d ON d.doc_id = sig.doc_id),
+       |buckets AS ($bucketRows),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.lang AS lang
+       |  FROM buckets l JOIN buckets r
+       |    ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b, lang,
+       |  CAST($eqSum AS DOUBLE) / $NumPerms AS est_jaccard
+       |FROM pairs
+       |JOIN sig sa ON sa.doc_id = doc_a
+       |JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE CAST($eqSum AS DOUBLE) / $NumPerms >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val SimhashBits = 32
 
   /** SimHash near-dup clustering: a 32-bit signature per document

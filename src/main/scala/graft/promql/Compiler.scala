@@ -1095,7 +1095,41 @@ object StreamCompiler {
             out0.withColumn("value", col("value").cast("double") / lit(d.toDouble))
           else out0
           SVec(out, "window_start" +: groupCols)
-        case _ => fail("streaming aggregation applies directly to a selector, or sum over rate/increase (multi-stage aggregation would need complete-mode chaining)")
+        case Func(fn, _, Selector(name, ms, Some(d), None, None))
+            if (fn == "rate" || fn == "increase") &&
+              Set("avg", "min", "max", "count").contains(op) =>
+          // avg/min/max/count ACROSS series of a windowed rate do not
+          // commute with the event-level sum, so they chain TWO stateful
+          // windowed aggregations — per-series increase, then the
+          // cross-series aggregate over the same window — which Spark
+          // executes as chained stateful operators in Append mode (each
+          // window emits once, when the watermark passes its end)
+          if (!MetricEvent.CounterNames.contains(name))
+            fail(s"$fn expects a counter family, '$name' is not one")
+          val base = Metrics.metricEventsOf(events)
+            .filter(col("name") === name && matcherFilter(ms) && col("value") >= 0)
+            .withWatermark("ts", watermark)
+          val per = base
+            .groupBy(window(col("ts"), s"$d seconds") +: SeriesKey.map(col): _*)
+            .agg(sum(col("value").cast(DecimalType(18, 2))).as("_v"))
+          val perV = if (fn == "rate")
+            per.withColumn("_v", col("_v").cast("double") / lit(d.toDouble))
+          else per
+          val re = perV.groupBy(
+            window(col("window"), s"$d seconds") +: groupCols.map(col): _*)
+          val agg = op match {
+            case "avg" => re.agg(
+              (sum(col("_v").cast(DecimalType(38, 12))).cast("double") /
+                count(lit(1)).cast("double")).as("value"))
+            case "min" => re.agg(min(col("_v")).as("value"))
+            case "max" => re.agg(max(col("_v")).as("value"))
+            case "count" => re.agg(count(lit(1)).cast("double").as("value"))
+          }
+          SVec(agg.select(
+            col("window.start").as("window_start") +: groupCols.map(col) :+
+              col("value"): _*),
+            "window_start" +: groupCols)
+        case _ => fail("streaming aggregation applies directly to a selector, or an aggregation over rate/increase")
       }
     case b: BinOp if b.right.isInstanceOf[NumLit] =>
       val op = b.op

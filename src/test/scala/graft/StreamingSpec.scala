@@ -354,6 +354,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming PromQL max/avg over windowed increase chain two stateful aggregations") {
+    implicit val sqlCtx = spark.sqlContext
+    // per-series windowed increase, then the cross-series max per window:
+    // chained stateful operators — Append mode, windows emit when the
+    // watermark passes their end
+    val mem = MemoryStream[RawEvent]
+    val out = graft.promql.Engine.evalStream(mem.toDF(),
+      "max by (k) (increase(click[1m]))", watermark = "0 seconds")
+    assert(out.columns.toSeq === Seq("window_start", "label_k", "value"))
+    val q = out.writeStream.format("memory").queryName("promql_max_increase")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window 10:10 — series u1 sums to 3, u2 to 4
+      mem.addData(
+        RawEvent(0, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click", 1.0, """{"k": "a"}"""),
+        RawEvent(1, java.sql.Timestamp.valueOf("2024-01-01 10:10:20"), 1L, "click", 2.0, """{"k": "a"}"""),
+        RawEvent(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:30"), 2L, "click", 4.0, """{"k": "a"}"""))
+      q.processAllAvailable()
+      // advance the watermark past the 10:10 window's end to emit it
+      mem.addData(
+        RawEvent(3, java.sql.Timestamp.valueOf("2024-01-01 10:12:00"), 1L, "click", 9.0, """{"k": "a"}"""))
+      q.processAllAvailable()
+      val w10 = java.sql.Timestamp.valueOf("2024-01-01 10:10:00")
+      val rows = spark.table("promql_max_increase")
+        .as[(java.sql.Timestamp, String, Double)].collect().toSet
+      assert(rows === Set((w10, "a", 4.0)))
+    } finally q.stop()
+    // avg over the same shape
+    val mem2 = MemoryStream[RawEvent]
+    val out2 = graft.promql.Engine.evalStream(mem2.toDF(),
+      "avg by (k) (increase(click[1m]))", watermark = "0 seconds")
+    val q2 = out2.writeStream.format("memory").queryName("promql_avg_increase")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem2.addData(
+        RawEvent(0, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click", 1.0, """{"k": "a"}"""),
+        RawEvent(1, java.sql.Timestamp.valueOf("2024-01-01 10:10:30"), 2L, "click", 4.0, """{"k": "a"}"""))
+      q2.processAllAvailable()
+      mem2.addData(
+        RawEvent(2, java.sql.Timestamp.valueOf("2024-01-01 10:12:00"), 1L, "click", 9.0, """{"k": "a"}"""))
+      q2.processAllAvailable()
+      val w10 = java.sql.Timestamp.valueOf("2024-01-01 10:10:00")
+      val rows = spark.table("promql_avg_increase")
+        .as[(java.sql.Timestamp, String, Double)].collect().toSet
+      assert(rows === Set((w10, "a", 2.5)))
+    } finally q2.stop()
+  }
+
   test("stream-stream interval join attributes purchases to preceding clicks") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
