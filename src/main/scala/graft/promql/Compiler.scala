@@ -341,7 +341,8 @@ object Compiler {
     * standard PromQL linear interpolation.
     */
   private def histogramQuantile(spark: SparkSession, dir: String,
-      phi: Double, sel: Selector, windowD: Option[Long], shiftS: Long): Vec = {
+      phi: Double, sel: Selector, windowD: Option[Long], shiftS: Long,
+      outLabels: Seq[String] = SeriesKey): Vec = {
     if (kindOf(sel.name) != "histogram")
       fail(s"histogram_quantile expects a histogram family, '${sel.name}' is a ${kindOf(sel.name)}")
     val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
@@ -355,12 +356,16 @@ object Compiler {
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) && inWindow)
     import spark.implicits._
     val bounds = MetricEvent.Buckets.toDF("le")
+    // `sum by (...)` over the bucket series before the quantile (the
+    // aggregated-histogram idiom) IS a coarser grouping of the same
+    // observation counts, so it collapses into this one aggregate —
+    // no per-series pre-aggregation pass
     val snap = obs.crossJoin(broadcast(bounds))
-      .groupBy((SeriesKey :+ "le").map(col): _*)
+      .groupBy((outLabels :+ "le").map(col): _*)
       .agg(
         sum(when(col("value") <= col("le"), 1L).otherwise(0L)).as("cum_count"),
         count(lit(1)).as("count"))
-    val series = SeriesKey.map(col)
+    val series = outLabels.map(col)
     val w = Window.partitionBy(series: _*).orderBy(col("le"))
     val ranked = snap
       .withColumn("rank", lit(phi) * col("count").cast("double"))
@@ -377,7 +382,7 @@ object Compiler {
     val overflow = ranked
       .filter(col("le") === col("max_le") && col("rank") > col("max_cum").cast("double"))
       .select(series :+ col("max_le").as("value"): _*)
-    Vec(inBucket.unionAll(overflow), SeriesKey)
+    Vec(inBucket.unionAll(overflow), outLabels)
   }
 
   private def aggregate(a: Agg, v: Vec): Vec = {
@@ -848,6 +853,29 @@ object Compiler {
           val d = sel.rangeS.getOrElse(
             fail(s"$fn inside histogram_quantile needs a range, e.g. $fn(${sel.name}[5m])"))
           histogramQuantile(spark, dir, phi, sel, Some(d), shiftS)
+        case Agg("sum", grouping, None, inner) =>
+          // the canonical aggregated-histogram idiom:
+          // histogram_quantile(φ, sum by (...) (rate(bucket[d]))) —
+          // summing bucket series is a coarser grouping of the same
+          // observation counts, so it fuses into the bucket aggregate
+          val ls = grouping match {
+            case Some(("by", g)) => g.map(labelCol)
+            case Some(("without", g)) =>
+              val dropped = g.map(labelCol).toSet
+              SeriesKey.filterNot(l => l == "name" || dropped.contains(l))
+            case None => Nil
+            case Some((kw, _)) => fail(s"unknown grouping '$kw'")
+          }
+          inner match {
+            case sel: Selector if sel.rangeS.isEmpty =>
+              histogramQuantile(spark, dir, phi, sel, None, shiftS, ls)
+            case Func(fn, _, sel: Selector) if fn == "rate" || fn == "increase" =>
+              val d = sel.rangeS.getOrElse(
+                fail(s"$fn inside histogram_quantile needs a range, e.g. $fn(${sel.name}[5m])"))
+              histogramQuantile(spark, dir, phi, sel, Some(d), shiftS, ls)
+            case other =>
+              fail(s"histogram_quantile over an aggregation expects a histogram selector or rate/increase of one, got $other")
+          }
         case other =>
           fail(s"histogram_quantile expects a histogram selector or rate/increase of one, got $other")
       }

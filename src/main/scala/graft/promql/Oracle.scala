@@ -18,18 +18,20 @@ object Oracle {
     * interpolation with the max-bucket overflow rule — the same
     * expression shapes the compiler emits, so doubles bit-match.
     */
-  private def histogramQuantileTwin(phi: Double, tsFilter: String): String =
+  private def histogramQuantileTwin(phi: Double, tsFilter: String,
+      groupCols: Seq[String] = Seq("name", "label_k", "label_instance")): String = {
+    val g = groupCols.mkString(", ")
     s"""WITH m AS ($MetricEventsSql),
        |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
-       |w AS (SELECT name, label_k, label_instance, value FROM m, t
+       |w AS (SELECT $g, value FROM m, t
        |      WHERE name = 'error' AND $tsFilter),
        |b AS (SELECT * FROM (VALUES (1.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0)) b(le)),
        |snap AS (
-       |  SELECT name, label_k, label_instance, le,
+       |  SELECT $g, le,
        |    CAST(SUM(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT) AS cum_count,
        |    COUNT(*) AS cnt
        |  FROM w CROSS JOIN b
-       |  GROUP BY name, label_k, label_instance, le),
+       |  GROUP BY $g, le),
        |r AS (
        |  SELECT *, $phi * CAST(cnt AS DOUBLE) AS rnk,
        |    COALESCE(LAG(le) OVER w2, 0.0) AS prev_le,
@@ -37,17 +39,18 @@ object Oracle {
        |    MAX(le) OVER w3 AS max_le,
        |    MAX(cum_count) OVER w3 AS max_cum
        |  FROM snap
-       |  WINDOW w2 AS (PARTITION BY name, label_k, label_instance ORDER BY le),
-       |         w3 AS (PARTITION BY name, label_k, label_instance))
-       |SELECT name, label_k, label_instance, value FROM (
-       |  SELECT name, label_k, label_instance,
+       |  WINDOW w2 AS (PARTITION BY $g ORDER BY le),
+       |         w3 AS (PARTITION BY $g))
+       |SELECT $g, value FROM (
+       |  SELECT $g,
        |    prev_le + (le - prev_le) * (rnk - CAST(prev_cum AS DOUBLE))
        |      / CAST(cum_count - prev_cum AS DOUBLE) AS value
        |  FROM r WHERE CAST(cum_count AS DOUBLE) >= rnk AND CAST(prev_cum AS DOUBLE) < rnk
        |  UNION ALL
-       |  SELECT name, label_k, label_instance, max_le AS value
+       |  SELECT $g, max_le AS value
        |  FROM r WHERE le = max_le AND rnk > CAST(max_cum AS DOUBLE))
-       |ORDER BY name, label_k, label_instance, value""".stripMargin
+       |ORDER BY $g, value""".stripMargin
+  }
 
   /** `topk(3, sum by (k) (purchase))` */
   val TopkSumSql: String =
@@ -92,6 +95,15 @@ object Oracle {
   val HistogramQuantileRateSql: String =
     histogramQuantileTwin(0.9,
       "epoch_us(ts) > t_us - 345600000000 AND epoch_us(ts) <= t_us")
+
+  /** `histogram_quantile(0.9, sum by (k) (rate(error[4d])))` — the
+    * aggregated-histogram idiom: bucket series summed across instances
+    * before the interpolation (one fused grouping, no per-series pass).
+    */
+  val HistogramQuantileAggSql: String =
+    histogramQuantileTwin(0.9,
+      "epoch_us(ts) > t_us - 345600000000 AND epoch_us(ts) <= t_us",
+      Seq("label_k"))
 
   /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
   val OrSql: String =
