@@ -1294,6 +1294,30 @@ object PromQL {
       .orderBy(col("name"), col("label_k"))
   }
 
+  /** B34 trigonometric family (PromQL `sin/cos/tan/asin/acos/atan/
+    * sinh/cosh/tanh/deg/rad`) over the gauge snapshot — like the b33
+    * log family, libm last-ulp differences across engines make these
+    * rows-only; the spec pins every column against `StrictMath` within
+    * a documented ulp tolerance. `u = value/100` scales into the
+    * asin/acos domain (out-of-domain inputs are NaN in both engines).
+    */
+  def trigFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(series: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val snap = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val x = col("value")
+    val u = col("value") / 100.0
+    snap.select(col("name"), col("label_k"), col("value"),
+        sin(x).as("sin_v"), cos(x).as("cos_v"), tan(x).as("tan_v"),
+        asin(u).as("asin_u"), acos(u).as("acos_u"), atan(x).as("atan_v"),
+        sinh(u).as("sinh_u"), cosh(u).as("cosh_u"), tanh(x).as("tanh_v"),
+        degrees(x).as("deg_v"), radians(x).as("rad_v"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
   /** B19b `absent_over_time(purchase[1d])` evaluated on the day grid:
     * the (series-universe × day) combinations where the family has NO
     * sample — `absent` (b19) answers "which series never exist", this

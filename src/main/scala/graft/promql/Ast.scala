@@ -69,5 +69,11 @@ final case class Subquery(inner: Ast, rangeS: Long, stepS: Long) extends Ast
   */
 final case class CountValues(dst: String, arg: Ast) extends Ast
 
+/** `label_replace(v, "dst", "replacement", "src", "regex")` /
+  * `label_join(v, "dst", "sep", "src1", ...)` — label-rewriting
+  * functions whose parameters are strings, not scalars.
+  */
+final case class LabelFunc(name: String, args: Seq[String], arg: Ast) extends Ast
+
 final class PromQLParseException(msg: String) extends IllegalArgumentException(msg)
 final class PromQLCompileException(msg: String) extends IllegalArgumentException(msg)

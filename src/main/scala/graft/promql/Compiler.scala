@@ -472,9 +472,45 @@ object Compiler {
       case "log10" => lnLike(log10(_))
       case "clamp_min" => greatest(x, lit(param.get))
       case "clamp_max" => least(x, lit(param.get))
+      case "sin" => sin(x)
+      case "cos" => cos(x)
+      case "tan" => tan(x)
+      case "asin" => asin(x)
+      case "acos" => acos(x)
+      case "atan" => atan(x)
+      case "sinh" => sinh(x)
+      case "cosh" => cosh(x)
+      case "tanh" => tanh(x)
+      case "deg" => degrees(x)
+      case "rad" => radians(x)
+      // calendar components of an epoch-second vector (UTC, PromQL
+      // truncates fractional seconds). hour/minute/day_of_week are pure
+      // integer arithmetic — exact in any engine; the month-shaped ones
+      // go through the (session-UTC) calendar functions.
+      case "hour" => (floor(x / 3600.0) % 24).cast("double")
+      case "minute" => (floor(x / 60.0) % 60).cast("double")
+      case "day_of_week" => ((floor(x / 86400.0) + 4) % 7).cast("double")
+      case "day_of_month" =>
+        dayofmonth(timestamp_seconds(floor(x).cast("long"))).cast("double")
+      case "month" =>
+        month(timestamp_seconds(floor(x).cast("long"))).cast("double")
+      case "year" =>
+        year(timestamp_seconds(floor(x).cast("long"))).cast("double")
+      case "days_in_month" =>
+        dayofmonth(last_day(timestamp_seconds(floor(x).cast("long"))))
+          .cast("double")
     }
     Vec(v.df.withColumn("value", out), v.labels)
   }
+
+  /** Per-row value functions dispatched through [[scalarFunc]]. */
+  private val ScalarFnNames: Set[String] = Set(
+    "abs", "ceil", "floor", "round", "sqrt", "sgn",
+    "exp", "ln", "log2", "log10", "clamp_min", "clamp_max",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "deg", "rad",
+    "hour", "minute", "day_of_week", "day_of_month",
+    "month", "year", "days_in_month")
 
   private def binOp(spark: SparkSession, dir: String, b: BinOp, shiftS: Long): Vec = {
     def arith(op: String, l: Column, r: Column): Column = op match {
@@ -899,11 +935,40 @@ object Compiler {
           Vec(n.filter(col("_n") === 0).select(outCols: _*), eqLabels.map(_._1))
         case other => fail(s"absent expects a selector, got $other")
       }
-    case Func(fn, param, arg)
-        if Set("abs", "ceil", "floor", "round", "sqrt", "sgn",
-          "exp", "ln", "log2", "log10", "clamp_min", "clamp_max")
-          .contains(fn) =>
+    case Func(fn, param, arg) if ScalarFnNames.contains(fn) =>
       scalarFunc(fn, param, compileVec(spark, dir, arg, shiftS))
+    case LabelFunc("label_replace", args, arg) =>
+      if (args.length != 4)
+        fail("""label_replace takes (v, "dst", "replacement", "src", "regex")""")
+      val Seq(dst, repl, src, regex) = args
+      val v = materialize(compileVec(spark, dir, arg, shiftS))
+      val srcCol = labelCol(src)
+      if (!v.labels.contains(srcCol))
+        fail(s"label_replace source label '$src' is not in the vector (${v.labels.mkString(", ")})")
+      val dstCol = LabelUniverse.getOrElse(dst, "label_" + dst)
+      // PromQL: the FULLY-ANCHORED regex must match the src value for
+      // the series to get dst rewritten ($1.. expand); otherwise the
+      // series passes through unchanged (absent label = "")
+      val anchored = s"^(?:$regex)$$"
+      val prev: Column =
+        if (v.labels.contains(dstCol)) col(dstCol) else lit("")
+      val rewritten = when(col(srcCol).rlike(anchored),
+        regexp_replace(col(srcCol), anchored, repl)).otherwise(prev)
+      val outLabels = if (v.labels.contains(dstCol)) v.labels else v.labels :+ dstCol
+      Vec(v.df.withColumn(dstCol, rewritten), outLabels)
+    case LabelFunc("label_join", args, arg) =>
+      if (args.length < 2)
+        fail("""label_join takes (v, "dst", "sep", "src1", ...)""")
+      val dst = args.head
+      val sep = args(1)
+      val srcs = args.drop(2).map(labelCol)
+      val v = materialize(compileVec(spark, dir, arg, shiftS))
+      srcs.foreach(s => if (!v.labels.contains(s))
+        fail(s"label_join source label is not in the vector (${v.labels.mkString(", ")})"))
+      val dstCol = LabelUniverse.getOrElse(dst, "label_" + dst)
+      val joined = concat_ws(sep, srcs.map(col): _*)
+      val outLabels = if (v.labels.contains(dstCol)) v.labels else v.labels :+ dstCol
+      Vec(v.df.withColumn(dstCol, joined), outLabels)
     case Func(fn, _, arg) if fn == "sort" || fn == "sort_desc" =>
       // sort orders the OUTPUT instant vector by value; it changes no
       // element, so it simply tags the vector for the final orderBy

@@ -673,4 +673,51 @@ object Oracle {
        |  CAST(sign(CAST(value AS DOUBLE) - 5.5) AS DOUBLE) AS value
        |FROM lww
        |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `label_replace(purchase, "shard", "s$$1", "k", "(.).*")` — dst
+    * label from the capture-group expansion of the anchored regex.
+    */
+  val LabelReplaceSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT name, label_k, label_instance,
+       |  's' || substr(label_k, 1, 1) AS label_shard,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m WHERE name = 'purchase' AND value >= 0
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, label_shard, value""".stripMargin
+
+  /** `label_join(purchase, "series", "|", "k", "instance")`. */
+  val LabelJoinSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT name, label_k, label_instance,
+       |  label_k || '|' || label_instance AS label_series,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m WHERE name = 'purchase' AND value >= 0
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, label_series, value""".stripMargin
+
+  /** `hour(timestamp(signup))` / `day_of_week(timestamp(signup))` /
+    * `month(timestamp(signup))` — calendar components of the per-series
+    * last-sample instant (UTC; integer arithmetic where possible, the
+    * naive-UTC calendar for month).
+    */
+  private def timeComponentSql(valueExpr: String): String =
+    s"""WITH m AS ($MetricEventsSql),
+       |s AS (
+       |  SELECT name, label_k, label_instance,
+       |    CAST(MAX(epoch_us(ts)) AS DOUBLE) / 1e6 AS x
+       |  FROM m WHERE name = 'signup'
+       |  GROUP BY name, label_k, label_instance)
+       |SELECT name, label_k, label_instance, $valueExpr AS value
+       |FROM s
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  val HourSql: String = timeComponentSql(
+    "CAST(CAST(floor(x / 3600.0) AS BIGINT) % 24 AS DOUBLE)")
+
+  val DayOfWeekSql: String = timeComponentSql(
+    "CAST((CAST(floor(x / 86400.0) AS BIGINT) + 4) % 7 AS DOUBLE)")
+
+  val MonthSql: String = timeComponentSql(
+    "CAST(date_part('month', make_timestamp(CAST(floor(x) AS BIGINT) * 1000000)) AS DOUBLE)")
 }

@@ -21,7 +21,11 @@ object Parser {
     "last_over_time", "present_over_time")
   private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt",
     "exp", "ln", "log2", "log10", "sgn", "absent",
-    "sort", "sort_desc", "timestamp", "scalar")
+    "sort", "sort_desc", "timestamp", "scalar",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "deg", "rad",
+    "hour", "minute", "day_of_week", "day_of_month",
+    "month", "year", "days_in_month")
   private val ClampFuncs = Set("clamp_min", "clamp_max")
 
   private final case class Tok(kind: String, text: String, pos: Int)
@@ -286,10 +290,28 @@ object Parser {
           val arg = expr()
           expect(")")
           CountValues(dst.text, arg)
+        } else if (name == "label_replace" || name == "label_join") {
+          // label_replace(v, "dst", "replacement", "src", "regex")
+          // label_join(v, "dst", "sep", "src1", "src2", ...)
+          expect("(")
+          val arg = expr()
+          val params = Seq.newBuilder[String]
+          while (at(",")) {
+            p += 1
+            val s = take()
+            if (s.kind != "string") fail(s"$name expects quoted string parameters")
+            params += s.text
+          }
+          expect(")")
+          LabelFunc(name, params.result(), arg)
         } else if (name == "time") {
           expect("(")
           expect(")")
           Func("time", None, NumLit(0))
+        } else if (name == "pi") {
+          expect("(")
+          expect(")")
+          NumLit(math.Pi)
         } else if (name == "vector") {
           expect("(")
           val s = number()

@@ -461,6 +461,62 @@ class PromQLFrontendSpec extends SparkTestBase {
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
 
+  test("b34 trig family values match StrictMath; label and calendar functions") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 7.5, "a"),
+      ev(1, 0, "signup", 3.0, "b"),
+      ev(2, 0, "purchase", 10.0, "a")
+    ).toDF(eventCols: _*))
+    def approx(a: Double, b: Double): Boolean =
+      (a.isNaN && b.isNaN) || math.abs(a - b) <= 2 * math.ulp(b)
+    val rows = graft.operators.PromQL.trigFunctions(spark, dir)
+      .select($"value", $"sin_v", $"cos_v", $"tan_v", $"atan_v", $"tanh_v",
+        $"deg_v", $"rad_v")
+      .as[(Double, Double, Double, Double, Double, Double, Double, Double)]
+      .collect()
+    rows.foreach { r =>
+      assert(approx(r._2, StrictMath.sin(r._1)), s"sin ${r._1}")
+      assert(approx(r._3, StrictMath.cos(r._1)), s"cos ${r._1}")
+      assert(approx(r._4, StrictMath.tan(r._1)), s"tan ${r._1}")
+      assert(approx(r._5, StrictMath.atan(r._1)), s"atan ${r._1}")
+      assert(approx(r._6, StrictMath.tanh(r._1)), s"tanh ${r._1}")
+      assert(approx(r._7, StrictMath.toDegrees(r._1)), s"deg ${r._1}")
+      assert(approx(r._8, StrictMath.toRadians(r._1)), s"rad ${r._1}")
+    }
+    // the front-end trig path composes like any scalar function
+    val s = Engine.eval(spark, dir, "sin(signup)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(approx(s("a"), StrictMath.sin(7.5)) && approx(s("b"), StrictMath.sin(3.0)))
+    // pi() is a scalar literal
+    assert(Parser.parse("pi()") === graft.promql.NumLit(math.Pi))
+    val piScaled = Engine.eval(spark, dir, "purchase * pi()")
+      .select($"value").as[Double].collect()
+    assert(approx(piScaled.head, 10.0 * math.Pi))
+    // label_replace: no-match leaves the series unchanged (empty dst)
+    val lr = Engine.eval(spark, dir,
+      """label_replace(purchase, "m", "g-$1", "k", "(a)")""")
+    assert(lr.columns.toSeq ===
+      Seq("name", "label_k", "label_instance", "label_m", "value"))
+    val lrRows = lr.select($"label_k", $"label_m").as[(String, String)].collect().toMap
+    assert(lrRows === Map("a" -> "g-a"))
+    // calendar components: t0 is 2024-01-01 (a Monday)
+    val epoch = Engine.eval(spark, dir, "timestamp(purchase)")
+      .select($"value").as[Double].collect().head
+    val cal = java.time.Instant.ofEpochSecond(epoch.toLong)
+      .atZone(java.time.ZoneOffset.UTC)
+    val checks = Seq(
+      "minute" -> cal.getMinute.toDouble,
+      "day_of_week" -> (cal.getDayOfWeek.getValue % 7).toDouble, // 0 = Sunday
+      "day_of_month" -> cal.getDayOfMonth.toDouble,
+      "year" -> cal.getYear.toDouble,
+      "days_in_month" -> cal.toLocalDate.lengthOfMonth.toDouble)
+    checks.foreach { case (fn, expected) =>
+      val got = Engine.eval(spark, dir, s"$fn(timestamp(purchase))")
+        .select($"value").as[Double].collect().head
+      assert(got === expected, fn)
+    }
+  }
+
   test("vector matching raises on duplicate series per match group") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"),
