@@ -518,6 +518,12 @@ object Compiler {
       case "-" => l.cast("double") - r.cast("double")
       case "*" => l.cast("double") * r.cast("double")
       case "/" => l.cast("double") / r.cast("double")
+      // PromQL % is truncated fmod (sign of the dividend) — exactly the
+      // JVM/SQL remainder, and fmod is exact (no rounding), so it stays
+      // oracle-comparable; ^ and atan2 route through libm (rows-only)
+      case "%" => l.cast("double") % r.cast("double")
+      case "^" => pow(l.cast("double"), r.cast("double"))
+      case "atan2" => atan2(l.cast("double"), r.cast("double"))
     }
     def cmp(op: String, l: Column, r: Column): Column = op match {
       case ">" => l > r
@@ -1246,6 +1252,9 @@ object StreamCompiler {
           case "-" => c - s2
           case "*" => c * s2
           case "/" => c / s2
+          case "%" => c % s2
+          case "^" => pow(c, s2)
+          case "atan2" => atan2(c, lit(s2))
         }), v.labels)
       }
     case other => fail(s"$other is batch-only (use Engine.eval)")

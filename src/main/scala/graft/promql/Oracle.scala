@@ -720,4 +720,17 @@ object Oracle {
 
   val MonthSql: String = timeComponentSql(
     "CAST(date_part('month', make_timestamp(CAST(floor(x) AS BIGINT) * 1000000)) AS DOUBLE)")
+
+  /** `purchase % 7` — fmod is exact, so the doubles bit-match. */
+  val ModSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |snap AS (
+       |  SELECT name, label_k, label_instance,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY name, label_k, label_instance)
+       |SELECT name, label_k, label_instance,
+       |  CAST(v AS DOUBLE) % CAST(7 AS DOUBLE) AS value
+       |FROM snap
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
 }

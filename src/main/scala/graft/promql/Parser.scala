@@ -71,7 +71,7 @@ object Parser {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Set("=~", "!~", "!=", "<=", ">=", "==").contains(two)) {
           out += Tok("op", two, i); i += 2
-        } else if ("(){}[],=+-*/<>:@".contains(c)) {
+        } else if ("(){}[],=+-*/<>:@%^".contains(c)) {
           out += Tok("op", c.toString, i); i += 1
         } else err(s"unexpected character '$c'")
       }
@@ -154,9 +154,14 @@ object Parser {
       } else None
       val offset = if (peek.exists(t => t.kind == "ident" && t.text == "offset")) {
         p += 1
+        // negative offsets look forward in time (PromQL with
+        // --enable-feature=promql-negative-offset, now default)
+        val neg = at("-")
+        if (neg) p += 1
         val d = take()
         if (d.kind != "duration") fail("expected duration after offset")
-        Some(durationSeconds(d.text))
+        val s = durationSeconds(d.text)
+        Some(if (neg) -s else s)
       } else None
       val atInstant = if (at("@")) {
         p += 1
@@ -345,10 +350,20 @@ object Parser {
       BinOp(op, on, l, rhs(), gl, ig, gr, bool)
     }
 
+    // `^` binds tightest and is RIGHT-associative (PromQL)
+    def powExpr(): Ast = {
+      val l = operand()
+      if (peek.exists(t => t.kind == "op" && t.text == "^"))
+        { p += 1; binTail("^", l, () => powExpr()) }
+      else l
+    }
+
     def mulExpr(): Ast = {
-      var l = operand()
-      while (peek.exists(t => t.kind == "op" && (t.text == "*" || t.text == "/"))) {
-        l = binTail(take().text, l, () => operand())
+      var l = powExpr()
+      while (peek.exists(t =>
+          (t.kind == "op" && (t.text == "*" || t.text == "/" || t.text == "%")) ||
+          (t.kind == "ident" && t.text == "atan2"))) {
+        l = binTail(take().text, l, () => powExpr())
       }
       l
     }

@@ -517,6 +517,42 @@ class PromQLFrontendSpec extends SparkTestBase {
     }
   }
 
+  test("power, modulo, atan2 operators and negative offsets") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 0, "purchase", 3.0, "b"),
+      ev(2, h, "click", 2.0, "a") // T = 1h
+    ).toDF(eventCols: _*))
+    def approx(a: Double, b: Double): Boolean = math.abs(a - b) <= 2 * math.ulp(b)
+    // ^ binds tightest and is right-associative: 2 ^ 3 ^ 2 = 2^9
+    assert(Parser.parse("purchase ^ 2 * 3") ===
+      BinOp("*", None, BinOp("^", None, Selector("purchase"), NumLit(2.0)), NumLit(3.0)))
+    val sq = Engine.eval(spark, dir, "purchase ^ 2")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(sq === Map("a" -> 100.0, "b" -> 9.0))
+    val mod = Engine.eval(spark, dir, "purchase % 3")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(mod === Map("a" -> 1.0, "b" -> 0.0))
+    // atan2 as a vector-vector matched operator
+    val at = Engine.eval(spark, dir, "purchase atan2 on(k) click")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(at.keySet === Set("a") && approx(at("a"), StrictMath.atan2(10.0, 2.0)))
+    // a negative offset looks FORWARD: purchase offset -1h evaluated at
+    // T-1h sees everything up to T, same as the unshifted snapshot at T
+    assert(Parser.parse("purchase offset -1h") ===
+      Selector("purchase", Nil, None, Some(-3600L)))
+    // t0 = 2024-01-01 00:00 UTC = 1704067200; both pin the bound at t0+1h
+    val back = Engine.eval(spark, dir,
+      "sum by (k) (purchase offset 1h @ 1704074400)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    val fwd = Engine.eval(spark, dir,
+      "sum by (k) (purchase offset -1h @ 1704067200)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(back === Map("a" -> 10.0, "b" -> 3.0))
+    assert(fwd === back) // @t0 + look 1h forward == @t0+2h − 1h
+  }
+
   test("vector matching raises on duplicate series per match group") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"),
