@@ -373,16 +373,23 @@ object Compiler {
       .withColumn("prev_cum", coalesce(lag(col("cum_count"), 1).over(w), lit(0L)))
       .withColumn("max_le", max(col("le")).over(Window.partitionBy(series: _*)))
       .withColumn("max_cum", max(col("cum_count")).over(Window.partitionBy(series: _*)))
-    val inBucket = ranked
-      .filter(col("cum_count") >= col("rank") && col("prev_cum") < col("rank"))
+    // ONE pass: each group emits exactly one row — the in-bucket row
+    // (interpolated) or, when φ·count exceeds the max bucket, the
+    // max-le row (overflow rule). A fused filter+CASE instead of a
+    // union of two branches, which would recompute the whole
+    // scan+aggregate subtree twice.
+    val overflowRow = col("le") === col("max_le") &&
+      col("rank") > col("max_cum").cast("double")
+    val inBucketRow = col("cum_count") >= col("rank") &&
+      col("prev_cum") < col("rank")
+    val out = ranked
+      .filter(inBucketRow || overflowRow)
       .select(series :+
-        (col("prev_le") + (col("le") - col("prev_le"))
-          * (col("rank") - col("prev_cum").cast("double"))
-          / (col("cum_count") - col("prev_cum")).cast("double")).as("value"): _*)
-    val overflow = ranked
-      .filter(col("le") === col("max_le") && col("rank") > col("max_cum").cast("double"))
-      .select(series :+ col("max_le").as("value"): _*)
-    Vec(inBucket.unionAll(overflow), outLabels)
+        when(overflowRow, col("max_le"))
+          .otherwise(col("prev_le") + (col("le") - col("prev_le"))
+            * (col("rank") - col("prev_cum").cast("double"))
+            / (col("cum_count") - col("prev_cum")).cast("double")).as("value"): _*)
+    Vec(out, outLabels)
   }
 
   private def aggregate(a: Agg, v: Vec): Vec = {
