@@ -470,7 +470,11 @@ object Compiler {
       case "abs" => abs(x)
       case "ceil" => ceil(x).cast("double")
       case "floor" => floor(x).cast("double")
-      case "round" => round(x).cast("double")
+      case "round" =>
+        // round(v[, to_nearest]): nearest multiple of to_nearest, ties
+        // rounded UP (toward +Inf) — PromQL's floor(x/to + 0.5)·to
+        val to = param.getOrElse(1.0)
+        (floor(x / lit(to) + lit(0.5)) * lit(to)).cast("double")
       case "sqrt" => sqrt(x)
       case "sgn" => signum(x)
       case "exp" => exp(x)
@@ -756,9 +760,12 @@ object Compiler {
         Some((ls.map(labelCol), sel))
       case _ => None
     }
-    val gridGauge: Option[Selector] = sq.inner match {
+    val gridGauge: Option[(Option[Seq[String]], Selector)] = sq.inner match {
       case sel: Selector if sel.rangeS.isEmpty &&
-          MetricEvent.GaugeNames.contains(sel.name) => Some(sel)
+          MetricEvent.GaugeNames.contains(sel.name) => Some((None, sel))
+      case Agg("sum", Some(("by", ls)), None, sel: Selector)
+          if sel.rangeS.isEmpty && MetricEvent.GaugeNames.contains(sel.name) =>
+        Some((Some(ls.map(labelCol)), sel))
       case _ => None
     }
     if (gridCounter.isDefined || gridGauge.isDefined) {
@@ -767,7 +774,8 @@ object Compiler {
         case Some((labels, sel)) =>
           return subqueryGridCounter(spark, dir, fn, sel, labels, shiftS, g, sq.stepS)
         case None =>
-          return subqueryGridGauge(spark, dir, fn, gridGauge.get, shiftS, g, sq.stepS)
+          val (sumBy, sel) = gridGauge.get
+          return subqueryGridGauge(spark, dir, fn, sel, shiftS, g, sq.stepS, sumBy)
       }
     }
     if (g > 64)
@@ -841,7 +849,8 @@ object Compiler {
     * DECIMAL(38,12) like [[vectorSum]].
     */
   private def subqueryGridGauge(spark: SparkSession, dir: String, fn: String,
-      sel: Selector, shiftS: Long, g: Long, stepS: Long): Vec = {
+      sel: Selector, shiftS: Long, g: Long, stepS: Long,
+      sumBy: Option[Seq[String]] = None): Vec = {
     val stepUs = stepS * 1000000L
     val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
     val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
@@ -864,7 +873,16 @@ object Compiler {
       .withColumn("_cum_n", sum(col("_n")).over(w))
       .filter(col("_cum_n") > 0)
       .withColumn("_v", col("_cum").getField("v"))
-    val grouped = instants.groupBy(SeriesKey.map(col): _*)
+    // `sum by (...)` inner shape: the per-instant group value is the
+    // sum of the present series' LWW values — one extra hash aggregate
+    // on the tiny series×instants grid, then the over_time collapse
+    val (valued, outLabels) = sumBy match {
+      case Some(labels) =>
+        (instants.groupBy((labels :+ "_i").map(col): _*)
+          .agg(sum(col("_v").cast(DecimalType(38, 12))).as("_v")), labels)
+      case None => (instants, SeriesKey)
+    }
+    val grouped = valued.groupBy(outLabels.map(col): _*)
     val agg = fn match {
       case "sum_over_time" =>
         grouped.agg(sum(col("_v").cast(DecimalType(38, 12))).as("value"))
@@ -875,7 +893,7 @@ object Compiler {
       case "max_over_time" => grouped.agg(max(col("_v")).as("value"))
       case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
     }
-    Vec(agg, SeriesKey)
+    Vec(agg, outLabels)
   }
 
   /** Functions evaluated over a RANGE selector's sample window. */
@@ -947,6 +965,26 @@ object Compiler {
             lit(1.0).as("value")
           Vec(n.filter(col("_n") === 0).select(outCols: _*), eqLabels.map(_._1))
         case other => fail(s"absent expects a selector, got $other")
+      }
+    case Func("absent_over_time", _, arg) =>
+      arg match {
+        case sel: Selector =>
+          val d = sel.rangeS.getOrElse(
+            fail("absent_over_time needs a range selector, e.g. absent_over_time(m[5m])"))
+          kindOf(sel.name) // compose-time family check
+          val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+          val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+          val lo = hi - lit(d * 1000000L)
+          val n = events(spark, dir)
+            .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+              unix_micros(col("ts")) > lo && unix_micros(col("ts")) <= hi)
+            .agg(count(lit(1)).as("_n"))
+          val eqLabels = sel.matchers.filter(_.op == "=")
+            .map(m => labelCol(m.label) -> m.value)
+          val outCols = eqLabels.map { case (c, v) => lit(v).as(c) } :+
+            lit(1.0).as("value")
+          Vec(n.filter(col("_n") === 0).select(outCols: _*), eqLabels.map(_._1))
+        case other => fail(s"absent_over_time expects a range selector, got $other")
       }
     case Func(fn, param, arg) if ScalarFnNames.contains(fn) =>
       scalarFunc(fn, param, compileVec(spark, dir, arg, shiftS))

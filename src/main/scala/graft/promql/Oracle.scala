@@ -721,6 +721,59 @@ object Oracle {
   val MonthSql: String = timeComponentSql(
     "CAST(date_part('month', make_timestamp(CAST(floor(x) AS BIGINT) * 1000000)) AS DOUBLE)")
 
+  /** `max_over_time((sum by (k) (signup))[32d:6h])` — the gauge grid
+    * strategy with a `sum by` inner shape: per-instant LWW per series,
+    * summed per (k, instant) in DECIMAL(38,12), max over instants.
+    */
+  val SubqueryGridGaugeSumSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |e AS (
+       |  SELECT name, label_k, label_instance, value, event_id,
+       |    epoch_us(ts) AS tu,
+       |    GREATEST(1, 128 - (t_us - epoch_us(ts)) // 21600000000) AS i
+       |  FROM m, t
+       |  WHERE name = 'signup' AND epoch_us(ts) <= t_us),
+       |p AS (
+       |  SELECT name, label_k, label_instance, i,
+       |    MAX(struct_pack(t := tu, e := event_id, v := value)) AS mstr,
+       |    COUNT(*) AS n
+       |  FROM e GROUP BY name, label_k, label_instance, i),
+       |gi AS (
+       |  SELECT name, label_k, label_instance, g.i AS i
+       |  FROM (SELECT DISTINCT name, label_k, label_instance FROM p),
+       |       (SELECT unnest(generate_series(1, 128)) AS i) g),
+       |c AS (
+       |  SELECT gi.name AS name, gi.label_k AS label_k,
+       |    gi.label_instance AS label_instance, gi.i AS i,
+       |    MAX(p.mstr) OVER w AS cum, SUM(p.n) OVER w AS cum_n
+       |  FROM gi LEFT JOIN p ON p.name = gi.name AND p.label_k = gi.label_k
+       |    AND p.label_instance = gi.label_instance AND p.i = gi.i
+       |  WINDOW w AS (PARTITION BY gi.name, gi.label_k, gi.label_instance
+       |               ORDER BY gi.i
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |gv AS (
+       |  SELECT label_k, i, SUM(CAST(cum.v AS DECIMAL(38,12))) AS gvv
+       |  FROM c WHERE cum_n > 0
+       |  GROUP BY label_k, i)
+       |SELECT label_k, CAST(MAX(gvv) AS DOUBLE) AS value
+       |FROM gv
+       |GROUP BY label_k
+       |ORDER BY label_k, value""".stripMargin
+
+  /** `absent_over_time(signup{k="zzz"}[10d])` — the 1-row
+    * equality-labeled vector when the window holds no samples.
+    */
+  val AbsentOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m)
+       |SELECT 'zzz' AS label_k, CAST(1.0 AS DOUBLE) AS value
+       |FROM (SELECT COUNT(*) AS c FROM m, t
+       |      WHERE name = 'signup' AND label_k = 'zzz'
+       |        AND epoch_us(ts) > t_us - 864000000000
+       |        AND epoch_us(ts) <= t_us)
+       |WHERE c = 0""".stripMargin
+
   /** `purchase % 7` — fmod is exact, so the doubles bit-match. */
   val ModSql: String =
     s"""WITH m AS ($MetricEventsSql),

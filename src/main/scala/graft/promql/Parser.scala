@@ -18,7 +18,7 @@ object Parser {
   private val OverTimeFuncs = Set("sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time",
     "stddev_over_time", "stdvar_over_time",
-    "last_over_time", "present_over_time")
+    "last_over_time", "present_over_time", "absent_over_time")
   private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt",
     "exp", "ln", "log2", "log10", "sgn", "absent",
     "sort", "sort_desc", "timestamp", "scalar",
@@ -165,10 +165,19 @@ object Parser {
       } else None
       val atInstant = if (at("@")) {
         p += 1
-        val t2 = take()
-        if (t2.kind != "number" || t2.text.contains('.'))
-          fail("expected integer epoch seconds after @")
-        Some(t2.text.toLong)
+        // `@ start()` / `@ end()`: in an instant query both are the
+        // evaluation instant T itself (range-query step grids are out
+        // of scope), so they parse as "no absolute pin"
+        if (peek.exists(t => t.kind == "ident" &&
+            (t.text == "start" || t.text == "end"))) {
+          p += 1; expect("("); expect(")")
+          None
+        } else {
+          val t2 = take()
+          if (t2.kind != "number" || t2.text.contains('.'))
+            fail("expected integer epoch seconds, start(), or end() after @")
+          Some(t2.text.toLong)
+        }
       } else None
       Selector(name, ms, range, offset, atInstant)
     }
@@ -248,8 +257,11 @@ object Parser {
         } else if (ScalarFuncs.contains(name)) {
           expect("(")
           val arg = expr()
+          // round(v[, to_nearest]) takes an optional scale parameter
+          val param =
+            if (name == "round" && at(",")) { p += 1; Some(number()) } else None
           expect(")")
-          Func(name, None, arg)
+          Func(name, param, arg)
         } else if (ClampFuncs.contains(name)) {
           expect("(")
           val arg = expr()

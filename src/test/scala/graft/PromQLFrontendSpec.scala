@@ -553,6 +553,31 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(fwd === back) // @t0 + look 1h forward == @t0+2h − 1h
   }
 
+  test("round to_nearest, @ start()/end(), and absent_over_time compose") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 7.3, "a"),
+      ev(1, 0, "signup", 2.5, "b"), // tie: rounds UP (toward +Inf)
+      ev(2, 0, "purchase", 1.0, "a")
+    ).toDF(eventCols: _*))
+    val r5 = Engine.eval(spark, dir, "round(signup, 5)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(r5 === Map("a" -> 5.0, "b" -> 5.0))
+    val r1 = Engine.eval(spark, dir, "round(signup)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(r1 === Map("a" -> 7.0, "b" -> 3.0)) // 2.5 → 3 (half up)
+    // @ start() / @ end() pin to the evaluation instant itself
+    assert(Parser.parse("signup @ start()") === Selector("signup"))
+    assert(Parser.parse("signup @ end()") === Selector("signup"))
+    val atEnd = Engine.eval(spark, dir, "sum by (k) (signup @ end())")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(atEnd === Map("a" -> 7.3, "b" -> 2.5))
+    // absent_over_time: 1-row equality-labeled vector iff no samples
+    assert(Engine.eval(spark, dir, """absent_over_time(signup{k="zz"}[1h])""")
+      .collect().length === 1)
+    assert(Engine.eval(spark, dir, """absent_over_time(signup{k="a"}[1h])""")
+      .collect().isEmpty)
+  }
+
   test("vector matching raises on duplicate series per match group") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"),
