@@ -52,7 +52,8 @@ final case class Func(name: String, param: Option[Double], arg: Ast) extends Ast
   */
 final case class BinOp(op: String, on: Option[Seq[String]], left: Ast, right: Ast,
     groupLeft: Boolean = false, ignoring: Option[Seq[String]] = None,
-    groupRight: Boolean = false, boolMod: Boolean = false) extends Ast
+    groupRight: Boolean = false, boolMod: Boolean = false,
+    groupCarry: Seq[String] = Nil) extends Ast
 
 /** Scalar literal operand of an arithmetic/comparison binary op. */
 final case class NumLit(v: Double) extends Ast

@@ -668,9 +668,23 @@ object Compiler {
         // true are dropped"), so it projects lv.labels, never down to
         // the matching labels.
         val filterCmp = isCmp && !b.boolMod && !b.groupLeft && !b.groupRight
+        // group_left(lbls)/group_right(lbls): labels COPIED onto the
+        // output from the "one" side; they must exist there and must
+        // not collide with the many side's label set
+        val carry = b.groupCarry.map(labelCol)
+        if (carry.nonEmpty && !b.groupLeft && !b.groupRight)
+          fail("carried labels require group_left/group_right")
+        carry.foreach { c =>
+          val one = if (b.groupLeft) rv else lv
+          val many = if (b.groupLeft) lv else rv
+          if (!one.labels.contains(c))
+            fail(s"carried label is not on the one side (${one.labels.mkString(", ")})")
+          if (many.labels.contains(c))
+            fail(s"carried label already exists on the many side (${many.labels.mkString(", ")})")
+        }
         val (keepLabels, manyValue) =
-          if (b.groupLeft) (lv.labels, col("_lv"))
-          else if (b.groupRight) (rv.labels, col("_rv"))
+          if (b.groupLeft) (lv.labels ++ carry, col("_lv"))
+          else if (b.groupRight) (rv.labels ++ carry, col("_rv"))
           else if (filterCmp) (lv.labels, col("_lv"))
           else (joinLabels, col("_lv"))
         // Cardinality enforcement (runtime — uniqueness is a property of
@@ -697,9 +711,13 @@ object Compiler {
         val lt0 =
           if (b.groupLeft || filterCmp)
             lv.df.select(lv.labels.map(col) :+ col("value").as("_lv"): _*)
+          else if (b.groupRight)
+            lv.df.select((joinLabels ++ carry).map(col) :+ col("value").as("_lv"): _*)
           else lv.df.select(joinLabels.map(col) :+ col("value").as("_lv"): _*)
         val rt0 =
           if (b.groupRight) rv.df.select(rv.labels.map(col) :+ col("value").as("_rv"): _*)
+          else if (b.groupLeft)
+            rv.df.select((joinLabels ++ carry).map(col) :+ col("value").as("_rv"): _*)
           else rv.df.select(joinLabels.map(col) :+ col("value").as("_rv"): _*)
         val lt = if (b.groupLeft) lt0 else dupGuard(lt0, "_lv", "left")
         val rt = if (b.groupRight) rt0 else dupGuard(rt0, "_rv", "right")

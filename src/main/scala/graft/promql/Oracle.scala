@@ -774,6 +774,25 @@ object Oracle {
        |        AND epoch_us(ts) <= t_us)
        |WHERE c = 0""".stripMargin
 
+  /** `sum by (instance) (click) / on(instance) group_left(k)
+    * purchase{k="42"}` — labels carried from the "one" side onto the
+    * many-side output (the info-metric join idiom).
+    */
+  val GroupLeftCarrySql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |c AS (
+       |  SELECT label_instance, SUM(CAST(value AS DECIMAL(18,2))) AS cv
+       |  FROM m WHERE name = 'click' AND value >= 0
+       |  GROUP BY label_instance),
+       |p AS (
+       |  SELECT label_k, label_instance, SUM(CAST(value AS DECIMAL(18,2))) AS pv
+       |  FROM m WHERE name = 'purchase' AND value >= 0 AND label_k = '42'
+       |  GROUP BY label_k, label_instance)
+       |SELECT c.label_instance AS label_instance, p.label_k AS label_k,
+       |  CAST(cv AS DOUBLE) / CAST(pv AS DOUBLE) AS value
+       |FROM c JOIN p USING (label_instance)
+       |ORDER BY label_instance, label_k, value""".stripMargin
+
   /** `purchase % 7` — fmod is exact, so the doubles bit-match. */
   val ModSql: String =
     s"""WITH m AS ($MetricEventsSql),

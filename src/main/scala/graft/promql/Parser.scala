@@ -339,8 +339,9 @@ object Parser {
     }
 
     // operator modifiers, in PromQL order:
-    //   op [bool] [on(...)|ignoring(...)] [group_left|group_right]
-    def binMods(): (Option[Seq[String]], Option[Seq[String]], Boolean, Boolean, Boolean) = {
+    //   op [bool] [on(...)|ignoring(...)] [group_left|group_right[(lbls)]]
+    def binMods(): (Option[Seq[String]], Option[Seq[String]], Boolean, Boolean,
+        Boolean, Seq[String]) = {
       val bool = peek.exists(t => t.kind == "ident" && t.text == "bool")
       if (bool) p += 1
       var on: Option[Seq[String]] = None
@@ -354,12 +355,16 @@ object Parser {
       if (gl) p += 1
       val gr = !gl && peek.exists(t => t.kind == "ident" && t.text == "group_right")
       if (gr) p += 1
-      (on, ignoring, gl, gr, bool)
+      // group_left(lbl, ...) — labels COPIED from the "one" side (as in
+      // Prometheus, a "(" right after the modifier is always the label
+      // list, never a parenthesized operand)
+      val carry = if ((gl || gr) && at("(")) labelList() else Nil
+      (on, ignoring, gl, gr, bool, carry)
     }
 
     def binTail(op: String, l: Ast, rhs: () => Ast): Ast = {
-      val (on, ig, gl, gr, bool) = binMods()
-      BinOp(op, on, l, rhs(), gl, ig, gr, bool)
+      val (on, ig, gl, gr, bool, carry) = binMods()
+      BinOp(op, on, l, rhs(), gl, ig, gr, bool, carry)
     }
 
     // `^` binds tightest and is RIGHT-associative (PromQL)

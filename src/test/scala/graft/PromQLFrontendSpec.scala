@@ -578,6 +578,26 @@ class PromQLFrontendSpec extends SparkTestBase {
       .collect().isEmpty)
   }
 
+  test("group_left(labels) carries labels from the one side") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "click", 6.0, "a"),
+      ev(1, 0, "click", 4.0, "b"),
+      ev(2, 0, "purchase", 5.0, "x")
+    ).toDF(eventCols: _*))
+    val df = Engine.eval(spark, dir,
+      """sum by (instance) (click) / on(instance) group_left(k) purchase{k="x"}""")
+    assert(df.columns.toSeq === Seq("label_instance", "label_k", "value"))
+    val rows = df.as[(String, String, Double)].collect().toSet
+    assert(rows === Set(("i1", "x", 2.0))) // (6+4)/5, k carried from purchase
+    // carried label must exist on the one side and be new on the many side
+    intercept[PromQLCompileException](Engine.eval(spark, dir,
+      """click / on(instance) group_left(k) purchase{k="x"}"""))
+    // parser: "(" after group_left is always a label list
+    assert(Parser.parse("a / on(k) group_left(instance) b") ===
+      BinOp("/", Some(Seq("k")), Selector("a"), Selector("b"),
+        groupLeft = true, groupCarry = Seq("instance")))
+  }
+
   test("vector matching raises on duplicate series per match group") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"),
