@@ -106,7 +106,8 @@ object Compiler {
       s"${LabelUniverse.keys.toSeq.sorted.mkString("'", "', '", "'")})"))
 
   private def matcherFilter(ms: Seq[Matcher]): Column =
-    ms.foldLeft(lit(true)) { (acc, m) =>
+    ms.filterNot(_.label == "__name__") // resolved statically, see nameFilter
+      .foldLeft(lit(true)) { (acc, m) =>
       val c = col(labelCol(m.label))
       val one = m.op match {
         case "=" => c === m.value
@@ -116,6 +117,45 @@ object Compiler {
       }
       acc && one
     }
+
+  /** Resolve a selector's metric families at COMPOSE time: a literal
+    * name, or `{__name__=...}` matchers evaluated against the static
+    * name universe — so cross-family selectors keep the A7 checks (the
+    * matched set must exist and be kind-uniform) and compile to an
+    * `IN`-list scan filter, never a runtime regex over the name column.
+    */
+  private def resolveNames(sel: Selector): Seq[String] = {
+    if (sel.name.nonEmpty) Seq(sel.name)
+    else {
+      val all = MetricEvent.CounterNames ++ MetricEvent.GaugeNames ++
+        MetricEvent.HistogramNames
+      val nameMs = sel.matchers.filter(_.label == "__name__")
+      if (nameMs.isEmpty)
+        fail("a selector needs a metric name or a __name__ matcher")
+      val matched = all.filter(n => nameMs.forall(m => m.op match {
+        case "=" => n == m.value
+        case "!=" => n != m.value
+        case "=~" => n.matches(s"(?:${m.value})")
+        case "!~" => !n.matches(s"(?:${m.value})")
+      }))
+      if (matched.isEmpty)
+        fail(s"no metric family matches the __name__ matchers (universe: ${all.mkString(", ")})")
+      matched
+    }
+  }
+
+  /** The scan predicate for a resolved name set. */
+  private def nameFilter(names: Seq[String]): Column =
+    if (names.lengthCompare(1) == 0) col("name") === names.head
+    else col("name").isin(names: _*)
+
+  /** The (compose-time-checked) uniform kind of a resolved name set. */
+  private def kindOfAll(names: Seq[String]): String = {
+    val kinds = names.map(kindOf).distinct
+    if (kinds.length > 1)
+      fail(s"selector matches families of mixed kinds (${names.mkString(", ")})")
+    kinds.head
+  }
 
   /** The 1-row evaluation-instant aggregate, persisted per
     * (session, sf): without this every selector in a query re-runs the
@@ -143,7 +183,8 @@ object Compiler {
       shiftS: Long): Vec = {
     if (sel.rangeS.isDefined)
       fail(s"range selector ${sel.name}[..] is not an instant vector; wrap it in rate/increase/delta")
-    val kind = kindOf(sel.name)
+    val names = resolveNames(sel)
+    val kind = kindOfAll(names)
     if (kind == "histogram")
       fail(s"histogram family '${sel.name}' has no scalar instant value; use histogram_quantile")
     // `@ t` pins the instant absolutely; offset/subquery shifts then
@@ -151,7 +192,7 @@ object Compiler {
     val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
     val bound = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
     val base = events(spark, dir)
-      .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+      .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= bound)
     kind match {
       case "counter" =>
@@ -171,12 +212,13 @@ object Compiler {
     val d = sel.rangeS.getOrElse(
       fail(s"$fn requires a range selector, e.g. $fn(${sel.name}[5m])"))
     val off = sel.offsetS.getOrElse(0L) + shiftS
-    val kind = kindOf(sel.name)
+    val names = resolveNames(sel)
+    val kind = kindOfAll(names)
     val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
     val hi = anchor - lit(off * 1000000L)
     val lo = hi - lit(d * 1000000L)
     val base = events(spark, dir)
-      .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+      .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) > lo && unix_micros(col("ts")) <= hi)
     fn match {
       case "rate" | "increase" =>

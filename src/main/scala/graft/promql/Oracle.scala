@@ -793,6 +793,17 @@ object Oracle {
        |FROM c JOIN p USING (label_instance)
        |ORDER BY label_instance, label_k, value""".stripMargin
 
+  /** `sum by (k) ({__name__=~"purchase|click"})` — a cross-family
+    * selector resolved at compose time to an IN-list scan filter.
+    */
+  val NameRegexSumSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT label_k,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m WHERE name IN ('purchase', 'click') AND value >= 0
+       |GROUP BY label_k
+       |ORDER BY label_k, value""".stripMargin
+
   /** `purchase % 7` — fmod is exact, so the doubles bit-match. */
   val ModSql: String =
     s"""WITH m AS ($MetricEventsSql),

@@ -195,6 +195,8 @@ object Parser {
       // a full vector expression stays out of the subset (use `* -1`)
       else if (t.text == "-") NumLit(number())
       else if (t.text == "(") { p += 1; val e = expr(); expect(")"); e }
+      // bare brace selector: `{__name__=~"...", k="1"}` (cross-family)
+      else if (t.text == "{") selectorTail("")
       else if (t.kind == "ident") {
         val name = take().text
         if (AggOps.contains(name)) {
@@ -215,11 +217,13 @@ object Parser {
           Agg(name, g1.orElse(g2), Some(param), arg)
         } else if (RangeFuncs.contains(name)) {
           expect("(")
-          val sel = {
-            val t2 = take()
-            if (t2.kind != "ident") fail(s"$name expects a range selector")
-            selectorTail(t2.text)
-          }
+          val sel =
+            if (at("{")) selectorTail("")
+            else {
+              val t2 = take()
+              if (t2.kind != "ident") fail(s"$name expects a range selector")
+              selectorTail(t2.text)
+            }
           expect(")")
           Func(name, None, sel)
         } else if (OverTimeFuncs.contains(name)) {
@@ -238,7 +242,8 @@ object Parser {
               if (st.kind != "duration") fail("expected step duration in subquery")
               expect("]")
               Subquery(e, durationSeconds(d.text), durationSeconds(st.text))
-            } else {
+            } else if (at("{")) selectorTail("")
+            else {
               val t2 = take()
               if (t2.kind != "ident") fail(s"$name expects a range selector or subquery")
               selectorTail(t2.text)
@@ -284,17 +289,25 @@ object Parser {
           expect("(")
           val phi = number()
           expect(",")
-          val t2 = take()
-          if (t2.kind != "ident") fail("quantile_over_time expects a range selector")
-          val sel = selectorTail(t2.text)
+          val sel =
+            if (at("{")) selectorTail("")
+            else {
+              val t2 = take()
+              if (t2.kind != "ident") fail("quantile_over_time expects a range selector")
+              selectorTail(t2.text)
+            }
           expect(")")
           Func(name, Some(phi), sel)
         } else if (name == "predict_linear") {
           // predict_linear(sel[d], t) — extrapolate t seconds past T
           expect("(")
-          val t2 = take()
-          if (t2.kind != "ident") fail("predict_linear expects a range selector")
-          val sel = selectorTail(t2.text)
+          val sel =
+            if (at("{")) selectorTail("")
+            else {
+              val t2 = take()
+              if (t2.kind != "ident") fail("predict_linear expects a range selector")
+              selectorTail(t2.text)
+            }
           expect(",")
           val horizon = number()
           expect(")")

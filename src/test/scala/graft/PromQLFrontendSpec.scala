@@ -598,6 +598,31 @@ class PromQLFrontendSpec extends SparkTestBase {
         groupLeft = true, groupCarry = Seq("instance")))
   }
 
+  test("__name__ matchers select across families with compose-time checks") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),
+      ev(1, 0, "click", 2.0, "a"),
+      ev(2, 0, "signup", 9.0, "a")
+    ).toDF(eventCols: _*))
+    // bare brace selector unions same-kind families; name stays a label
+    val rows = Engine.eval(spark, dir, """{__name__=~"purchase|click"}""")
+      .select($"name", $"value").as[(String, Double)].collect().toSet
+    assert(rows === Set(("purchase", 1.0), ("click", 2.0)))
+    // negative name matcher against the counter universe
+    val neg = Engine.eval(spark, dir, """sum by (k) ({__name__=~"purchase|click", __name__!="click"})""")
+      .select($"value").as[Double].collect().toSeq
+    assert(neg === Seq(1.0))
+    // rate over a cross-family counter selector
+    assert(Engine.eval(spark, dir, """increase({__name__=~"purchase|click"}[1h])""")
+      .select($"value").as[Double].collect().toSet === Set(1.0, 2.0))
+    // mixed kinds and empty matches fail at compose time
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, """{__name__=~"purchase|signup"}"""))
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, """{__name__="nosuch"}"""))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, """{k="a"}"""))
+  }
+
   test("vector matching raises on duplicate series per match group") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"),
