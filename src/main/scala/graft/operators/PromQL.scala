@@ -398,16 +398,20 @@ object PromQL {
       .withColumn("prev_cum", coalesce(lag(col("cum_count"), 1).over(w), lit(0L)))
       .withColumn("max_le", max(col("le")).over(Window.partitionBy(series: _*)))
       .withColumn("max_cum", max(col("cum_count")).over(Window.partitionBy(series: _*)))
-    val inBucket = ranked
-      .filter(col("cum_count") >= col("rank") && col("prev_cum") < col("rank"))
+    // one fused pass (same construction as the front-end compiler): the
+    // union form would recompute the snapshot+window subtree twice
+    val overflowRow = col("le") === col("max_le") &&
+      col("rank") > col("max_cum").cast("double")
+    val inBucketRow = col("cum_count") >= col("rank") &&
+      col("prev_cum") < col("rank")
+    ranked
+      .filter(inBucketRow || overflowRow)
       .select(col("name"), col("label_k"),
-        (col("prev_le") + (col("le") - col("prev_le"))
-          * (col("rank") - col("prev_cum").cast("double"))
-          / (col("cum_count") - col("prev_cum")).cast("double")).as("q"))
-    val overflow = ranked
-      .filter(col("le") === col("max_le") && col("rank") > col("max_cum").cast("double"))
-      .select(col("name"), col("label_k"), col("max_le").as("q"))
-    inBucket.unionAll(overflow).orderBy(col("name"), col("label_k"))
+        when(overflowRow, col("max_le"))
+          .otherwise(col("prev_le") + (col("le") - col("prev_le"))
+            * (col("rank") - col("prev_cum").cast("double"))
+            / (col("cum_count") - col("prev_cum")).cast("double")).as("q"))
+      .orderBy(col("name"), col("label_k"))
   }
 
   val HistogramQuantileSql: String =
