@@ -214,4 +214,38 @@ class PropertySpec extends SparkTestBase {
       assert(last(stamped) === last(shuffled), s"case $vals")
     }
   }
+
+  test("front-end function laws on random gauge series") {
+    import graft.promql.Engine
+    for ((vals, ci) <- cases().zipWithIndex) {
+      val dir = fixture("events" -> vals.zipWithIndex.map { case (v, i) =>
+        ev(i.toLong, i * 60000L, "signup", v, "g")
+      }.toDF(eventCols: _*))
+      def one(q: String): Double =
+        Engine.eval(spark, dir, q).select($"value").as[Double].head()
+      // quantile_over_time lies within [min, max] of the window; the
+      // 0 and 1 quantiles ARE min and max
+      val (lo, hi) = (vals.min, vals.max)
+      val med = one("quantile_over_time(0.5, signup[1d])")
+      assert(med >= lo - 1e-9 && med <= hi + 1e-9, s"case $ci median $med")
+      assert(one("quantile_over_time(0, signup[1d])") === lo, s"case $ci q0")
+      assert(one("quantile_over_time(1, signup[1d])") === hi, s"case $ci q1")
+      // stddev² == stdvar (both through the same exact cents moments)
+      val sd = one("stddev(signup)") // single series: 0
+      val sv = one("stdvar(signup)")
+      assert(math.abs(sd * sd - sv) <= 1e-12, s"case $ci stddev/stdvar")
+      // round to a multiple: result is a multiple of `to`, within to/2
+      // (ties toward +Inf) of the input
+      val lastV = vals.last
+      val r = one("round(signup, 0.25)")
+      assert(math.abs(r / 0.25 - math.rint(r / 0.25)) < 1e-9, s"case $ci round multiple")
+      assert(r - lastV <= 0.125 + 1e-9 && lastV - r < 0.125 + 1e-9, s"case $ci round near")
+      // sgn ∈ {-1, 0, 1}; group == 1; present_over_time == 1
+      assert(Set(-1.0, 0.0, 1.0).contains(one("sgn(signup - 25)")), s"case $ci sgn")
+      assert(one("group(signup)") === 1.0, s"case $ci group")
+      assert(one("present_over_time(signup[1d])") === 1.0, s"case $ci present")
+      // last_over_time over the full window is the instant LWW value
+      assert(one("last_over_time(signup[1d])") === lastV, s"case $ci last")
+    }
+  }
 }
