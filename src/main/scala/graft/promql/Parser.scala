@@ -80,7 +80,10 @@ object Parser {
   }
 
   private def durationSeconds(d: String): Long = {
-    val n = d.dropRight(1).toLong
+    val n = try d.dropRight(1).toLong catch {
+      case _: NumberFormatException =>
+        throw new PromQLParseException(s"malformed duration '$d'")
+    }
     d.last match {
       case 's' => n
       case 'm' => n * 60
@@ -122,7 +125,10 @@ object Parser {
       if (neg) p += 1
       val t = take()
       if (t.kind != "number") fail("expected number")
-      if (neg) -t.text.toDouble else t.text.toDouble
+      val v = try t.text.toDouble catch {
+        case _: NumberFormatException => fail(s"malformed number '${t.text}'")
+      }
+      if (neg) -v else v
     }
 
     def matchers(): Seq[Matcher] = {
@@ -176,7 +182,9 @@ object Parser {
           val t2 = take()
           if (t2.kind != "number" || t2.text.contains('.'))
             fail("expected integer epoch seconds, start(), or end() after @")
-          Some(t2.text.toLong)
+          try Some(t2.text.toLong) catch {
+            case _: NumberFormatException => fail(s"malformed epoch '${t2.text}'")
+          }
         }
       } else None
       Selector(name, ms, range, offset, atInstant)

@@ -26,6 +26,20 @@ class PromQLFrontendSpec extends SparkTestBase {
         NumLit(2.0)))
   }
 
+  test("parser totalizes: fuzzed input only ever raises PromQLParseException") {
+    val pool = "sumratebyk(){}[]\"=~!<>+-*/%^@:,.0159dhw _abc".toCharArray
+    val rnd = new scala.util.Random(1234)
+    var parsed = 0
+    for (_ <- 1 to 3000) {
+      val s = Array.fill(rnd.nextInt(40) + 1)(pool(rnd.nextInt(pool.length))).mkString
+      try { Parser.parse(s); parsed += 1 }
+      catch {
+        case _: PromQLParseException => () // the only acceptable failure
+      }
+    }
+    assert(parsed >= 0) // reached without MatchError/NumberFormat/StackOverflow
+  }
+
   test("parse errors carry position context") {
     intercept[PromQLParseException](Parser.parse("sum by (k) (purchase"))
     intercept[PromQLParseException](Parser.parse("purchase{k=1}"))
