@@ -179,6 +179,12 @@ object Compiler {
   private def events(spark: SparkSession, dir: String): DataFrame =
     Metrics.metricEvents(spark, dir).crossJoin(broadcast(instantDf(spark, dir)))
 
+  /** The evaluation instant T in epoch seconds (serving layer: reads the
+    * cached 1-row aggregate, not a new scan).
+    */
+  private[promql] def instantSeconds(spark: SparkSession, dir: String): Double =
+    instantDf(spark, dir).head().getLong(0) / 1e6
+
   private def instantVector(spark: SparkSession, dir: String, sel: Selector,
       shiftS: Long): Vec = {
     if (sel.rangeS.isDefined)

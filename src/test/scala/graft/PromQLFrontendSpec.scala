@@ -40,6 +40,33 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(parsed >= 0) // reached without MatchError/NumberFormat/StackOverflow
   }
 
+  test("query API renders the Prometheus instant-vector JSON envelope") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.5, "a"),
+      ev(1, 1000, "purchase", 2.0, "a"),
+      ev(2, 0, "purchase", 7.0, "b")
+    ).toDF(eventCols: _*))
+    val json = graft.promql.Api.queryJson(spark, dir, "sum by (k) (purchase)")
+    val root = new ObjectMapper().readTree(json)
+    assert(root.get("status").asText === "success")
+    assert(root.get("data").get("resultType").asText === "vector")
+    val result = root.get("data").get("result")
+    assert(result.size === 2)
+    val byK = (0 until result.size).map { i =>
+      val e = result.get(i)
+      e.get("metric").get("k").asText -> e.get("value").get(1).asText.toDouble
+    }.toMap
+    assert(byK === Map("a" -> 3.5, "b" -> 7.0))
+    // the timestamp slot carries the evaluation instant (epoch seconds)
+    val ts = result.get(0).get("value").get(0).asDouble
+    assert(ts === 1704067201.0) // t0 + 1s (the latest event)
+    // full-series vectors expose __name__ like Prometheus
+    val j2 = graft.promql.Api.queryJson(spark, dir, "purchase")
+    val r2 = new ObjectMapper().readTree(j2).get("data").get("result")
+    assert(r2.get(0).get("metric").has("__name__"))
+  }
+
   test("parse errors carry position context") {
     intercept[PromQLParseException](Parser.parse("sum by (k) (purchase"))
     intercept[PromQLParseException](Parser.parse("purchase{k=1}"))
