@@ -42,4 +42,55 @@ object Api {
       """{"status":"success","data":{"resultType":"vector","result":[""",
       ",", "]}}")
   }
+
+  /** The `query_range` twin: `query` evaluated at each step-spaced grid
+    * instant in `[startS, endS]` (epoch seconds, all ≤ the corpus
+    * instant T), rendered as the matrix envelope
+    * `{"resultType":"matrix","result":[{"metric":{...},
+    *   "values":[[t,"v"],...]}, ...]}`.
+    *
+    * Physical shape: the per-instant plans union (compose-time bound 64
+    * instants, like the subquery union strategy), per-(series, instant)
+    * sample strings are built distributedly, and ONE hash aggregate per
+    * series assembles the time-sorted values array — the collect stays
+    * O(#series), never O(samples × series).
+    */
+  def queryRangeJson(spark: SparkSession, dir: String, query: String,
+      startS: Long, endS: Long, stepS: Long): String = {
+    require(stepS > 0, "step must be positive")
+    require(endS >= startS, "end must be >= start")
+    val ast = Parser.parse(query)
+    val t = Compiler.instantSeconds(spark, dir)
+    val instants = (startS to endS by stepS).toSeq
+    require(instants.nonEmpty, "empty evaluation grid")
+    if (instants.length > 64)
+      throw new PromQLCompileException(
+        s"query_range evaluates ${instants.length} instants; 1..64 supported")
+    instants.foreach(i => require(i <= t,
+      s"grid instant $i is after the corpus instant ${t.toLong}"))
+    val slices = instants.map { i =>
+      Compiler.compileAt(spark, dir, ast, (t - i).toLong)
+        .withColumn("_t", lit(i))
+    }
+    val unioned = slices.reduce(_ unionAll _)
+    val labelCols = unioned.columns.filterNot(c => c == "value" || c == "_t").toSeq
+    val metric =
+      if (labelCols.isEmpty) lit("{}")
+      else to_json(struct(labelCols.map(c => col(c).as(promLabel(c))): _*))
+    val sample = concat(lit("["), col("_t").cast("string"),
+      lit(",\""), col("value").cast("string"), lit("\"]"))
+    val series = unioned
+      .select(metric.as("m"), col("_t"), sample.as("s"))
+      .groupBy(col("m"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(_t, s))), x -> x.s)"),
+        ",").as("vals"))
+      .orderBy(col("m"))
+    val parts = series
+      .select(concat(lit("{\"metric\":"), col("m"),
+        lit(",\"values\":["), col("vals"), lit("]}")).as("j"))
+      .collect().map(_.getString(0))
+    parts.mkString(
+      """{"status":"success","data":{"resultType":"matrix","result":[""",
+      ",", "]}}")
+  }
 }

@@ -185,6 +185,15 @@ object Compiler {
   private[promql] def instantSeconds(spark: SparkSession, dir: String): Double =
     instantDf(spark, dir).head().getLong(0) / 1e6
 
+  /** Compile `ast` evaluated `shiftS` seconds BEFORE the corpus instant
+    * T (unsorted; the query_range API unions these per grid instant).
+    */
+  private[promql] def compileAt(spark: SparkSession, dir: String, ast: Ast,
+      shiftS: Long): DataFrame = {
+    val v = materialize(compileVec(spark, dir, ast, shiftS))
+    v.df.select(v.labels.map(col) :+ col("value").cast("double").as("value"): _*)
+  }
+
   private def instantVector(spark: SparkSession, dir: String, sel: Selector,
       shiftS: Long): Vec = {
     if (sel.rangeS.isDefined)

@@ -67,6 +67,30 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(r2.get(0).get("metric").has("__name__"))
   }
 
+  test("query_range API renders the matrix envelope over a step grid") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    // t0 = 1704067200; events at t0, t0+1h, t0+2h
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),
+      ev(1, h, "purchase", 2.0, "a"),
+      ev(2, 2 * h, "purchase", 4.0, "a")
+    ).toDF(eventCols: _*))
+    val json = graft.promql.Api.queryRangeJson(spark, dir,
+      "sum by (k) (purchase)", 1704067200L, 1704074400L, 3600L)
+    val root = new ObjectMapper().readTree(json)
+    assert(root.get("data").get("resultType").asText === "matrix")
+    val result = root.get("data").get("result")
+    assert(result.size === 1)
+    val vals = result.get(0).get("values")
+    val series = (0 until vals.size).map { i =>
+      vals.get(i).get(0).asLong -> vals.get(i).get(1).asText.toDouble
+    }
+    // cumulative counter snapshots at each grid instant, time-sorted
+    assert(series === Seq(
+      1704067200L -> 1.0, 1704070800L -> 3.0, 1704074400L -> 7.0))
+  }
+
   test("parse errors carry position context") {
     intercept[PromQLParseException](Parser.parse("sum by (k) (purchase"))
     intercept[PromQLParseException](Parser.parse("purchase{k=1}"))
