@@ -93,4 +93,43 @@ object Api {
       """{"status":"success","data":{"resultType":"matrix","result":[""",
       ",", "]}}")
   }
+
+  private def envelope(dataJson: String): String =
+    s"""{"status":"success","data":$dataJson}"""
+
+  /** `/api/v1/series` twin: the distinct series (as metric maps)
+    * matching a selector — one distinct aggregate over the series key.
+    */
+  def seriesJson(spark: SparkSession, dir: String, selector: String): String = {
+    val df = Engine.eval(spark, dir, selector)
+    val labelCols = df.columns.filter(_ != "value").toSeq
+    val maps = df
+      .select(to_json(struct(labelCols.map(c => col(c).as(promLabel(c))): _*)).as("m"))
+      .distinct().orderBy(col("m"))
+      .collect().map(_.getString(0))
+    envelope(maps.mkString("[", ",", "]"))
+  }
+
+  /** `/api/v1/labels` twin: the label-name universe. */
+  def labelsJson(spark: SparkSession, dir: String): String = {
+    val names = graft.operators.Metrics.metricEvents(spark, dir).columns.toSeq
+      .collect { case c if c == "name" || c.startsWith("label_") => promLabel(c) }
+      .sorted
+    envelope(names.map(n => s""""$n"""").mkString("[", ",", "]"))
+  }
+
+  /** `/api/v1/label/<label>/values` twin: distinct values of a label. */
+  def labelValuesJson(spark: SparkSession, dir: String, label: String): String = {
+    val c = label match {
+      case "__name__" => "name"
+      case other => "label_" + other
+    }
+    val ev = graft.operators.Metrics.metricEvents(spark, dir)
+    if (!ev.columns.contains(c))
+      throw new PromQLCompileException(s"unknown label '$label'")
+    val vals = ev.select(to_json(struct(col(c).as("v"))).as("j"))
+      .distinct().orderBy(col("j"))
+      .collect().map(_.getString(0).stripPrefix("""{"v":""").stripSuffix("}"))
+    envelope(vals.mkString("[", ",", "]"))
+  }
 }

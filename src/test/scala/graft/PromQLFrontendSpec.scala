@@ -91,6 +91,29 @@ class PromQLFrontendSpec extends SparkTestBase {
       1704067200L -> 1.0, 1704070800L -> 3.0, 1704074400L -> 7.0))
   }
 
+  test("series/labels/label-values metadata APIs") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),
+      ev(1, 0, "purchase", 2.0, "b"),
+      ev(2, 0, "click", 3.0, "a")
+    ).toDF(eventCols: _*))
+    val om = new ObjectMapper()
+    val series = om.readTree(graft.promql.Api.seriesJson(spark, dir, "purchase"))
+      .get("data")
+    assert(series.size === 2)
+    assert((0 until series.size).forall(i =>
+      series.get(i).get("__name__").asText === "purchase"))
+    val labels = om.readTree(graft.promql.Api.labelsJson(spark, dir)).get("data")
+    assert((0 until labels.size).map(labels.get(_).asText).toSet ===
+      Set("__name__", "instance", "k"))
+    val kvals = om.readTree(
+      graft.promql.Api.labelValuesJson(spark, dir, "k")).get("data")
+    assert((0 until kvals.size).map(kvals.get(_).asText).toSet === Set("a", "b"))
+    intercept[PromQLCompileException](
+      graft.promql.Api.labelValuesJson(spark, dir, "nope"))
+  }
+
   test("parse errors carry position context") {
     intercept[PromQLParseException](Parser.parse("sum by (k) (purchase"))
     intercept[PromQLParseException](Parser.parse("purchase{k=1}"))
