@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-sampling operators for training-data curation:
+  * stratified hash sampling, incremental dedup against a prior corpus
+  * snapshot, and token-budget mixture sampling.
+  *
+  * All three are hash-driven rather than RNG-driven: the keep/drop
+  * decision for a document is a pure function of its identity, so a
+  * sample is reproducible across runs, clusters, and partitionings —
+  * the property a 100 TB curation pipeline needs for auditable data
+  * recipes (re-running a recipe yields the identical corpus; an
+  * RNG-based `df.sample` does not survive a repartition, let alone a
+  * re-run). The hash is the first 8 hex chars of md5(doc_id): fixed-
+  * width lowercase hex, so a LEXICOGRAPHIC threshold compare equals the
+  * numeric u32 compare in both Spark and DuckDB (binary collation),
+  * keeping every query oracle-exact.
+  */
+object Sampling {
+
+  /** u ∈ [0, 1) as a fixed-width hex string: uniform per doc_id. */
+  private def hashHex = substring(md5(col("doc_id").cast("string")), 1, 8)
+
+  /** Per-stratum sampling rates: downsample the over-represented
+    * language, keep the tail languages whole — the canonical
+    * rebalancing move. Thresholds are the rate × 2^32 in hex, so
+    * `hash < threshold` keeps exactly that fraction in expectation.
+    */
+  private val StratumThresholds: Seq[(String, String)] = Seq(
+    "en" -> "40000000", // keep 1/4
+    "de" -> "c0000000", // keep 3/4
+    "fr" -> "c0000000") // keep 3/4; other langs default to keep-all
+
+  /** x31: stratified hash sample — per-language Bernoulli sampling at
+    * per-stratum rates, deterministic in doc_id.
+    *
+    * Physical plan: ONE narrow projection+filter pass, no shuffle, no
+    * RNG state; the filter sits directly over the parquet scan (only
+    * doc_id/lang/n_chars are read). At 100 TB this is the cheapest
+    * possible operator shape: embarrassingly parallel, rate changes
+    * re-run in scan time.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val thr = StratumThresholds.foldLeft(lit("ffffffff")) {
+      case (acc, (lang, hex)) => when(col("lang") === lang, lit(hex)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(hashHex < thr)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val StratifiedSampleSql: String =
+    """SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      |  CASE lang WHEN 'en' THEN '40000000'
+      |            WHEN 'de' THEN 'c0000000'
+      |            WHEN 'fr' THEN 'c0000000'
+      |            ELSE 'ffffffff' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** x32: incremental dedup — admit an INCOMING batch against an already
+    * deduplicated prior corpus without re-processing the prior corpus.
+    *
+    * The prior index is fingerprint-only (one md5 per kept doc): the
+    * production pattern where the index is a ~32-byte-per-doc side table
+    * that grows with the corpus while incoming batches stay small. Here
+    * the split is simulated on the one documents table (doc_id % 10 < 7
+    * = prior, the rest = incoming).
+    *
+    * Physical plan: exact dedup of the incoming batch (min doc_id per
+    * fingerprint — one hash aggregate over 32-byte digests), then ONE
+    * anti-join against the prior index on the digest. Both sides shuffle
+    * only (digest, doc_id) pairs, never text; at 100 TB the anti-join is
+    * the same shape as x1's exact dedup and AQE can broadcast the
+    * incoming side when a day's batch is small.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("lang"))
+    val prior = docs.filter(col("doc_id") % 10 < 7).select(col("fp")).distinct()
+    val incoming = docs.filter(col("doc_id") % 10 >= 7)
+    val withinBatch = incoming
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
+    withinBatch.join(prior, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val IncrementalDedupSql: String =
+    """WITH fps AS (
+      |  SELECT doc_id, md5(text) AS fp, lang FROM documents),
+      |prior AS (
+      |  SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 7),
+      |incoming AS (
+      |  SELECT fp, MIN(doc_id) AS doc_id, MIN(lang) AS lang
+      |  FROM fps WHERE doc_id % 10 >= 7 GROUP BY fp)
+      |SELECT doc_id, lang, fp
+      |FROM incoming
+      |WHERE fp NOT IN (SELECT fp FROM prior)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-language whitespace-token budgets for [[mixtureSample]]: the
+    * target mixture a training run wants, expressed in tokens.
+    */
+  private val TokenBudgets: Seq[(String, Long)] = Seq(
+    "en" -> 4000L, "de" -> 2000L, "fr" -> 2000L)
+
+  /** x33: token-budget mixture sampling — fill each language's token
+    * budget with a deterministic, hash-ordered prefix of its documents.
+    *
+    * Documents are ranked inside each language by (hash, doc_id) — an
+    * unbiased but reproducible shuffle — and admitted while the RUNNING
+    * token total up to and including the doc stays within the budget
+    * (first-fit prefix; a doc that overshoots is skipped along with the
+    * rest of the prefix, keeping the cut deterministic).
+    *
+    * Physical plan: one narrow pass computes exact integer token counts,
+    * one shuffle partitions by lang for the running-sum window, filter,
+    * output. The per-language sort is the scale cost; at 100 TB the
+    * standing fix is a two-pass threshold estimate (sample the hash
+    * distribution, pick the cutoff hash per lang, then a shuffle-free
+    * filter like x31), trading exactness of the budget fill for a scan.
+    * Languages without a budget row are excluded (budget 0).
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = TokenBudgets.foldLeft(lit(0L)) {
+      case (acc, (lang, b)) => when(col("lang") === lang, lit(b)).otherwise(acc)
+    }
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+        hashHex.as("h"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+  }
+
+  val MixtureSampleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_tokens,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM toks)
+      |SELECT doc_id, lang, n_tokens, cum_tokens
+      |FROM c
+      |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 4000
+      |                              WHEN 'de' THEN 2000
+      |                              WHEN 'fr' THEN 2000 ELSE 0 END
+      |ORDER BY lang, cum_tokens, doc_id""".stripMargin
+}

@@ -1,6 +1,7 @@
 package graft.promql
 
 import graft.model.MetricEvent
+import graft.functions.{CounterObs, CounterTotalsAggregator, GaugeLatestAggregator, GaugeObs}
 import graft.operators.Metrics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1280,21 +1281,72 @@ object StreamCompiler {
       // re-aggregating a streaming aggregate needs complete-mode chaining;
       // push the grouping into ONE aggregation over the raw stream instead
       arg match {
-        case Selector(name, ms, None, None, None) =>
+        case Selector(name, ms, None, None, None)
+            if MetricEvent.CounterNames.contains(name) =>
+          // counters: the series value IS the sum of its increments, so
+          // sum/count/avg/min/max of PER-SERIES TOTALS need the per-series
+          // sum first — only `sum` commutes with the event-level sum and
+          // pushes into one flat aggregation; the others fold the
+          // per-series totals inside the buffer (single stateful op)
           val base = Metrics.metricEventsOf(events)
             .filter(col("name") === name && matcherFilter(ms) && col("value") >= 0)
-          val grouped = base.groupBy(groupCols.map(col): _*)
-          val agg = op match {
-            case "sum" => grouped.agg(sum(col("value").cast(DecimalType(18, 2))).as("value"))
-            case "count" => grouped.agg(count(lit(1)).cast("double").as("value"))
-            case "avg" => grouped.agg(
-              (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
-                count(lit(1)).cast("double")).as("value"))
-            case "min" => grouped.agg(min(col("value")).as("value"))
-            case "max" => grouped.agg(max(col("value")).as("value"))
+          if (op == "sum") {
+            // sum commutes with event accumulation: one flat aggregation
+            SVec(base.groupBy(groupCols.map(col): _*)
+              .agg(sum(col("value").cast(DecimalType(18, 2))).as("value")),
+              groupCols)
+          } else {
+            // count/min/max/avg apply to the per-series TOTALS: fold them
+            // inside one mergeable buffer (exact integer cents), then
+            // reduce the emitted array statelessly
+            val totals = udaf(CounterTotalsAggregator,
+              org.apache.spark.sql.Encoders.product[CounterObs])
+            val withTotals = base.groupBy(groupCols.map(col): _*)
+              .agg(totals(concat_ws("|", SeriesKey.map(col): _*),
+                round(col("value") * 100, 0).cast("long")).as("_totals"))
+            val centSum = expr("aggregate(_totals, 0L, (acc, x) -> acc + x)")
+            val n = size(col("_totals")).cast("double")
+            val value = op match {
+              case "count" => n
+              case "avg" => (centSum.cast("double") / lit(100.0)) / n
+              case "min" => array_min(col("_totals")).cast("double") / lit(100.0)
+              case "max" => array_max(col("_totals")).cast("double") / lit(100.0)
+              case other => fail(s"aggregation '$other' is batch-only")
+            }
+            SVec(withTotals.select(groupCols.map(col) :+ value.as("value"): _*),
+              groupCols)
+          }
+        case Selector(name, ms, None, None, None)
+            if MetricEvent.GaugeNames.contains(name) =>
+          // gauges: aggregate the per-series LAST-WRITE-WINS values, not
+          // the raw observations. A per-series latest then a cross-series
+          // aggregate would chain two unwindowed stateful operators
+          // (unsupported outside Append mode); instead ONE custom
+          // Aggregator keeps the latest (ts, event_id, value) per series
+          // inside its mergeable buffer and emits the ordered value
+          // array — the cross-series reduction is then a stateless
+          // projection matching the batch compiler's decimal semantics
+          val base = Metrics.metricEventsOf(events)
+            .filter(col("name") === name && matcherFilter(ms))
+          val latest = udaf(GaugeLatestAggregator,
+            org.apache.spark.sql.Encoders.product[GaugeObs])
+          val withLatest = base.groupBy(groupCols.map(col): _*)
+            .agg(latest(concat_ws("|", SeriesKey.map(col): _*),
+              unix_micros(col("ts")), col("event_id"), col("value"))
+              .as("_latest"))
+          val decSum = expr("aggregate(_latest, CAST(0 AS DECIMAL(38,12)), " +
+            "(acc, x) -> CAST(acc + CAST(x AS DECIMAL(38,12)) AS DECIMAL(38,12)))")
+          val n = size(col("_latest")).cast("double")
+          val value = op match {
+            case "sum" => decSum.cast("double")
+            case "count" => n
+            case "avg" => decSum.cast("double") / n
+            case "min" => array_min(col("_latest"))
+            case "max" => array_max(col("_latest"))
             case other => fail(s"aggregation '$other' is batch-only")
           }
-          SVec(agg, groupCols)
+          SVec(withLatest.select(groupCols.map(col) :+ value.as("value"): _*),
+            groupCols)
         case Func(fn, _, Selector(name, ms, Some(d), None, None))
             if (fn == "rate" || fn == "increase") && op == "sum" =>
           // sum by (...) of a windowed rate: the group total increase IS

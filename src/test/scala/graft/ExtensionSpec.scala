@@ -284,6 +284,59 @@ class ExtensionSpec extends SparkTestBase {
     assert(rows.head._1 === "hot pair" && rows.head._2 === 3L)
   }
 
+  test("stratified sample keeps the hash-threshold fraction per language") {
+    val docs = (0L until 400L).map(i =>
+      doc(i, s"document number $i body", if (i % 2 == 0) "en" else "sw"))
+    val dir = fixture("documents" -> docs.toDF(docCols: _*))
+    val kept = graft.operators.Sampling.stratifiedSample(spark, dir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val en = kept.count(_._2 == "en")
+    val sw = kept.count(_._2 == "sw")
+    // sw has no threshold row → keep-all; en keeps ~1/4 (md5 is uniform;
+    // 200 Bernoulli(0.25) draws stay within ±4σ ≈ ±25 of 50)
+    assert(sw === 200)
+    assert(en > 25 && en < 75, s"en kept $en of 200 at rate 0.25")
+    // determinism: the decision is a pure function of doc_id
+    val again = graft.operators.Sampling.stratifiedSample(spark, dir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(again.toSeq === kept.toSeq)
+  }
+
+  test("incremental dedup admits only fingerprints absent from the prior index") {
+    // doc 3 (incoming: 3 % 10 >= 7 is false)… use ids 7,8,17 as incoming
+    val dir = fixture("documents" -> Seq(
+      doc(0, "prior text alpha"),   // prior (0 % 10 < 7)
+      doc(1, "prior text beta"),    // prior
+      doc(7, "prior text alpha"),   // incoming, dup of prior 0 → dropped
+      doc(8, "fresh text gamma"),   // incoming, novel → kept
+      doc(17, "fresh text gamma"),  // incoming, dup WITHIN batch → folded into 8
+      doc(18, "fresh text delta")   // incoming, novel → kept
+    ).toDF(docCols: _*))
+    val kept = graft.operators.Sampling.incrementalDedup(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(8L, 18L))
+  }
+
+  test("mixture sample fills each language budget with a deterministic hash prefix") {
+    val docs = (0L until 300L).map { i =>
+      val lang = i % 3 match { case 0 => "en"; case 1 => "de"; case _ => "xx" }
+      doc(i, (1 to 40).map(j => s"tok${i}_$j").mkString(" "), lang) // 40 tokens each
+    }
+    val dir = fixture("documents" -> docs.toDF(docCols: _*))
+    val rows = graft.operators.Sampling.mixtureSample(spark, dir)
+      .select($"lang", $"n_tokens", $"cum_tokens")
+      .as[(String, Long, Long)].collect()
+    val byLang = rows.groupBy(_._1)
+    // xx has no budget row → excluded entirely
+    assert(!byLang.contains("xx"))
+    // en budget 4000 / 40-token docs → exactly 100 docs, cum exactly 4000;
+    // de budget 2000 → 50 docs
+    assert(byLang("en").length === 100 && byLang("en").map(_._2).sum === 4000L)
+    assert(byLang("de").length === 50 && byLang("de").map(_._2).sum === 2000L)
+    // running totals never exceed the budget
+    assert(rows.forall { case (l, _, c) => c <= (if (l == "en") 4000L else 2000L) })
+  }
+
   test("langid emits no trigrams for sub-3-char texts (oracle parity guard)") {
     val dir = fixture("documents" -> Seq(
       doc(0, "ab"),                        // <3 chars: zero trigrams

@@ -279,6 +279,80 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming PromQL gauge aggregations reduce last-write-wins values, not raw observations") {
+    implicit val sqlCtx = spark.sqlContext
+    // two gauge series (k=a, k=b), each overwritten out of order: the
+    // aggregate must fold the per-series LATEST (a→7, b→3), never the
+    // raw observation stream (sum of all events would be 159)
+    def feed(query: String, sink: String): Unit = {
+      val mem = MemoryStream[RawEvent]
+      val out = graft.promql.Engine.evalStream(mem.toDF()
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("signup")), query)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(raw(0, 30, 7.0, "a"), raw(1, 25, 3.0, "b"))
+        q.processAllAvailable()
+        // stragglers behind each series' latest: must not displace
+        mem.addData(raw(2, 10, 99.0, "a"), raw(3, 20, 50.0, "b"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    def last(sink: String): Double = spark.table(sink)
+      .select($"value").as[Double].collect().last
+    feed("sum(signup)", "g_sum"); assert(last("g_sum") === 10.0)
+    feed("max(signup)", "g_max"); assert(last("g_max") === 7.0)
+    feed("min(signup)", "g_min"); assert(last("g_min") === 3.0)
+    feed("count(signup)", "g_cnt"); assert(last("g_cnt") === 2.0)
+    feed("avg(signup)", "g_avg"); assert(last("g_avg") === 5.0)
+    // batch evaluation over the identical events agrees
+    val dir = fixture("events" -> Seq(
+      ev(0, 30 * 60000, "signup", 7.0, "a"), ev(1, 25 * 60000, "signup", 3.0, "b"),
+      ev(2, 10 * 60000, "signup", 99.0, "a"), ev(3, 20 * 60000, "signup", 50.0, "b")
+    ).toDF(eventCols: _*))
+    for ((q, want) <- Seq("sum(signup)" -> 10.0, "max(signup)" -> 7.0,
+        "min(signup)" -> 3.0, "count(signup)" -> 2.0, "avg(signup)" -> 5.0)) {
+      val batch = graft.promql.Engine.eval(spark, dir, q)
+        .select($"value").as[Double].collect()
+      assert(batch.toSeq === Seq(want), q)
+    }
+  }
+
+  test("streaming PromQL counter min/max/avg/count reduce per-series running totals") {
+    implicit val sqlCtx = spark.sqlContext
+    // two counter series: a accumulates 1+2=3, b accumulates 9. count is
+    // the SERIES count (2), max the larger TOTAL (9) — the raw-event
+    // forms (count=3 events, max=9 single increment) happen to differ
+    // on count and avg, which is what the totals buffer fixes
+    def feed(query: String, sink: String): Unit = {
+      val mem = MemoryStream[RawEvent]
+      val out = graft.promql.Engine.evalStream(mem.toDF(), query)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(raw(0, 1, 1.0, "a"), raw(1, 2, 9.0, "b"))
+        q.processAllAvailable()
+        mem.addData(raw(2, 3, 2.0, "a"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    def last(sink: String): Double = spark.table(sink)
+      .select($"value").as[Double].collect().last
+    feed("count(click)", "c_cnt"); assert(last("c_cnt") === 2.0)
+    feed("max(click)", "c_max"); assert(last("c_max") === 9.0)
+    feed("min(click)", "c_min"); assert(last("c_min") === 3.0)
+    feed("avg(click)", "c_avg"); assert(last("c_avg") === 6.0)
+    val dir = fixture("events" -> Seq(
+      ev(0, 60000, "click", 1.0, "a"), ev(1, 120000, "click", 9.0, "b"),
+      ev(2, 180000, "click", 2.0, "a")).toDF(eventCols: _*))
+    for ((q, want) <- Seq("count(click)" -> 2.0, "max(click)" -> 9.0,
+        "min(click)" -> 3.0, "avg(click)" -> 6.0)) {
+      val batch = graft.promql.Engine.eval(spark, dir, q)
+        .select($"value").as[Double].collect()
+      assert(batch.toSeq === Seq(want), q)
+    }
+  }
+
   test("streaming PromQL windowed increase/rate emit per-tumbling-window values") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
