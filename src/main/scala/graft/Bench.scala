@@ -38,6 +38,9 @@ object Bench {
     warm("shingles-2")(graft.operators.Corpus.shingleRows(spark, sfDir, 2).count())
     // Warm-up 4: the LSH candidate-pair relation (x3/x5/x27/x28).
     warm("lsh-pairs")(graft.operators.Dedup.minhashLsh(spark, sfDir).queryExecution.toRdd.count())
+    // Warm-up 5: the per-(doc, trigram) gram relation + per-doc langid
+    // verdicts shared by x9/x29.
+    warm("langid")(graft.operators.TextAnalysis.langId(spark, sfDir).queryExecution.toRdd.count())
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Execute the REAL plan: under .count() Catalyst re-plans and can

@@ -29,6 +29,14 @@ object TextAnalysis {
   private val gramCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Session-scoped cache of the per-doc langId verdict (x9's output):
+    * doc-count-sized, and both x9 and x29's confusion matrix read it —
+    * without it the confusion matrix re-runs the profile build + score
+    * join + ranking windows that sit above the gram cache.
+    */
+  private val langIdCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Release the session's cached gram relations (see
     * [[Metrics.unpersistEvents]] for when to call).
     */
@@ -37,9 +45,20 @@ object TextAnalysis {
     gramCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
       Option(gramCache.remove(k)).foreach(_.unpersist())
     }
+    langIdCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(langIdCache.remove(k)).foreach(_.unpersist())
+    }
   }
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    val verdicts = langIdCache.computeIfAbsent((spark, dir), key => {
+      SessionCaches.onApplicationEnd(spark)(() => langIdCache.remove(key))
+      langIdUncached(spark, dir).persist()
+    })
+    verdicts.orderBy(col("doc_id"))
+  }
+
+  private def langIdUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // lower(text) is hoisted OUT of the per-trigram lambda — inside it,
     // it re-lowercases the whole document per extracted gram (O(len²)).
@@ -84,7 +103,6 @@ object TextAnalysis {
         coalesce(col("predicted"), lit("unknown")).as("predicted"),
         coalesce(col("score"), lit(0L)).as("score"),
         (col("lang") === coalesce(col("predicted"), lit("unknown"))).as("correct"))
-      .orderBy(col("doc_id"))
   }
 
   val LangIdSql: String =

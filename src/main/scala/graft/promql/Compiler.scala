@@ -1182,9 +1182,14 @@ object Engine {
     *    `window_start` column; state for windows behind the watermark is
     *    evicted). `rate` divides by the window exactly like batch;
     *  - `sum/count/avg/min/max [by (k, instance)]`, scalar arithmetic,
-    *    comparison filters.
-    * Absolute time anchoring (offset/@/subqueries), quantiles, and sorts
-    * are batch-only and rejected at compose time.
+    *    comparison filters;
+    *  - `histogram_quantile(φ, hist)` → running per-series bucket
+    *    histogram (one mergeable-buffer stateful aggregation) + the
+    *    native interpolation expression; `histogram_quantile(φ,
+    *    rate(hist[d]))` → the same per tumbling window,
+    *    watermark-bounded.
+    * Absolute time anchoring (offset/@/subqueries), across-series
+    * quantiles, and sorts are batch-only and rejected at compose time.
     */
   def evalStream(events: DataFrame, query: String,
       watermark: String = "10 minutes"): DataFrame =
@@ -1242,7 +1247,43 @@ object StreamCompiler {
         SeriesKey)
     case Selector(name, _, None, None, None) =>
       fail(s"histogram family '$name' has no scalar streaming form; " +
-        "use the keyed-state runningHistogram operator")
+        "wrap it in histogram_quantile, or use the keyed-state " +
+        "runningHistogram operator")
+    case Func("histogram_quantile", Some(phi), Selector(name, ms, None, None, None)) =>
+      // running per-series quantile: ONE stateful aggregation through the
+      // mergeable HistogramAggregator buffer (bucket counts + n per
+      // series), then the native codegen'd interpolation expression as a
+      // stateless projection over the emitted arrays — the streaming
+      // reading of the batch instant form, same Prometheus interpolation
+      if (!MetricEvent.HistogramNames.contains(name))
+        fail(s"histogram_quantile expects a histogram family, '$name' is not one")
+      val base = Metrics.metricEventsOf(events)
+        .filter(col("name") === name && matcherFilter(ms))
+      val h = udaf(graft.functions.HistogramAggregator(MetricEvent.Buckets))
+      val agg = base.groupBy(SeriesKey.map(col): _*).agg(h(col("value")).as("_h"))
+      val q = graft.plans.HistogramQuantileExpr.histogramQuantile(
+        events.sparkSession, s"${phi}d", "_h.les", "_h.cums", "_h.count")
+      SVec(agg.select(SeriesKey.map(col) :+ q.as("value"): _*), SeriesKey)
+    case Func("histogram_quantile", Some(phi),
+        Func(fn, _, Selector(name, ms, Some(d), None, None)))
+        if fn == "rate" || fn == "increase" =>
+      // the canonical alerting idiom, streamed: per-tumbling-window
+      // bucket histogram (watermark-bounded), quantile per closed
+      // window. The quantile is scale-invariant, so rate and increase
+      // feed it identically (batch documents the same identity)
+      if (!MetricEvent.HistogramNames.contains(name))
+        fail(s"histogram_quantile expects a histogram family, '$name' is not one")
+      val base = Metrics.metricEventsOf(events)
+        .filter(col("name") === name && matcherFilter(ms))
+        .withWatermark("ts", watermark)
+      val h = udaf(graft.functions.HistogramAggregator(MetricEvent.Buckets))
+      val agg = base
+        .groupBy(window(col("ts"), s"$d seconds") +: SeriesKey.map(col): _*)
+        .agg(h(col("value")).as("_h"))
+      val q = graft.plans.HistogramQuantileExpr.histogramQuantile(
+        events.sparkSession, s"${phi}d", "_h.les", "_h.cums", "_h.count")
+      SVec(agg.select(col("window.start").as("window_start") +:
+        SeriesKey.map(col) :+ q.as("value"): _*), "window_start" +: SeriesKey)
     case Func(fn, _, Selector(name, ms, Some(d), None, None))
         if fn == "rate" || fn == "increase" =>
       if (!MetricEvent.CounterNames.contains(name))

@@ -353,6 +353,61 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming PromQL histogram_quantile converges to the batch interpolation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = graft.promql.Engine.evalStream(mem.toDF()
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("error")),
+      "histogram_quantile(0.9, error)")
+    val q = out.writeStream.format("memory").queryName("promql_hq")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(raw(0, 1, 2.0, "a"), raw(1, 2, 4.0, "a"))
+      q.processAllAvailable()
+      mem.addData(raw(2, 3, 8.0, "a"), raw(3, 4, 30.0, "a"))
+      q.processAllAvailable()
+      val streamed = spark.table("promql_hq")
+        .orderBy($"value").select($"value").as[Double].collect().last
+      // batch over the identical four observations
+      val dir = fixture("events" -> Seq(
+        ev(0, 60000, "error", 2.0, "a"), ev(1, 120000, "error", 4.0, "a"),
+        ev(2, 180000, "error", 8.0, "a"), ev(3, 240000, "error", 30.0, "a")
+      ).toDF(eventCols: _*))
+      val batch = graft.promql.Engine.eval(spark, dir, "histogram_quantile(0.9, error)")
+        .select($"value").as[Double].head()
+      assert(streamed === batch)
+      // rank 3.6 of cums (0.5→0, 1→0, 5→2, 10→3, 25→3, 50→4, …) lands in
+      // (25, 50]: 25 + 25·(3.6−3)/1 = 40
+      assert(batch === 40.0)
+    } finally q.stop()
+  }
+
+  test("streaming PromQL windowed histogram_quantile emits per-window quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = graft.promql.Engine.evalStream(mem.toDF()
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("error")),
+      "histogram_quantile(0.5, rate(error[1m]))", watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("promql_hq_win")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window 10:01: observations 2, 4 → median rank 1.0 → first bucket
+      // containing it is le=5 (cums: 1→0, 5→2): 1 + 4·(1−0)/2 = 3
+      mem.addData(raw(0, 1, 2.0, "a"), raw(1, 1, 4.0, "a"))
+      q.processAllAvailable()
+      // advance the watermark far past 10:01 to close the window
+      mem.addData(raw(2, 30, 8.0, "a"))
+      q.processAllAvailable()
+      mem.addData(raw(3, 59, 8.0, "a"))
+      q.processAllAvailable()
+      val w1 = java.sql.Timestamp.valueOf("2024-01-01 10:01:00")
+      val rows = spark.table("promql_hq_win")
+        .select($"window_start", $"value")
+        .as[(java.sql.Timestamp, Double)].collect().toMap
+      assert(rows(w1) === 3.0)
+    } finally q.stop()
+  }
+
   test("streaming PromQL windowed increase/rate emit per-tumbling-window values") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
