@@ -329,4 +329,68 @@ object Similarity {
        |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
        |FROM tot LEFT JOIN hits ON hits.query_id = tot.query_id
        |ORDER BY query_id""".stripMargin
+
+  /** x34: int8 quantization with a per-vector symmetric scale (the
+    * standard embedding-storage compression: 4× smaller than float32,
+    * dot products stay SIMD-able) plus an exact reconstruction-error
+    * audit per vector.
+    *
+    * Determinism/parity: quantization runs on the exact ten-thousandth
+    * integers (`q`). The ONLY floating-point step is the rounding
+    * `floor(q·127/amax + 0.5)` — one multiply, one divide, one floor,
+    * identical IEEE ops in both engines. The error audit then scales
+    * back to integers: reconstructing `x̂ = q8·amax/127` means
+    * `127·q − q8·amax` is EXACT integer arithmetic, so the max and
+    * sum-of-squares error columns are exact integer sums (order-
+    * independent — no float accumulation anywhere), in units of
+    * 1/(127·10⁴) of the original embedding scale.
+    *
+    * Physical plan: one narrow per-row pass, no shuffle, no UDF — every
+    * transform/zip_with is a codegen'd higher-order function; at 100 TB
+    * this is a scan-speed rewrite job (the shape a bulk index-build
+    * compression pass needs).
+    */
+  def int8Quantization(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .withColumn("amax", expr("array_max(transform(q, x -> abs(x)))"))
+      .filter(col("amax") > 0)
+      .withColumn("q8",
+        expr("transform(q, x -> cast(floor(cast(x as double) * 127.0d / cast(amax as double) + 0.5d) as bigint))"))
+      .withColumn("e_int", expr("zip_with(q, q8, (a, b) -> abs(127 * a - b * amax))"))
+      .select(col("vec_id"), col("label"), col("amax"),
+        expr("aggregate(q8, 0L, (acc, x) -> acc + x)").as("q8_sum"),
+        expr("array_min(q8)").as("q8_min"),
+        expr("array_max(q8)").as("q8_max"),
+        expr("array_max(e_int)").as("max_err_i"),
+        expr("aggregate(e_int, 0L, (acc, e) -> acc + e * e)").as("sq_err_sum"),
+        (expr("array_max(e_int)").cast("double") /
+          (lit(127.0) * col("amax").cast("double"))).as("max_rel_err"))
+      .orderBy(col("vec_id"))
+
+  val Int8QuantizationSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT vec_id, label, q,
+      |    CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS amax
+      |  FROM base),
+      |q8t AS (
+      |  SELECT vec_id, label, q, amax,
+      |    list_transform(q, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(amax AS DOUBLE) + 0.5) AS BIGINT)) AS q8
+      |  FROM a WHERE amax > 0),
+      |e AS (
+      |  SELECT vec_id, label, amax, q8,
+      |    list_transform(generate_series(1, len(q)), i -> abs(127 * q[i] - q8[i] * amax)) AS e_int
+      |  FROM q8t)
+      |SELECT vec_id, label, amax,
+      |  CAST(list_sum(q8) AS BIGINT) AS q8_sum,
+      |  CAST(list_min(q8) AS BIGINT) AS q8_min,
+      |  CAST(list_max(q8) AS BIGINT) AS q8_max,
+      |  CAST(list_max(e_int) AS BIGINT) AS max_err_i,
+      |  CAST(list_sum(list_transform(e_int, x -> x * x)) AS BIGINT) AS sq_err_sum,
+      |  CAST(list_max(e_int) AS DOUBLE) / (127.0 * CAST(amax AS DOUBLE)) AS max_rel_err
+      |FROM e
+      |ORDER BY vec_id""".stripMargin
 }

@@ -76,6 +76,28 @@ class ExtensionSpec extends SparkTestBase {
     assert(rows.last._1 === 12L && rows.last._3 < 0.5)
   }
 
+  test("int8 quantization bounds values to ±127 and error to half a quantum") {
+    val v = Array.tabulate(64)(i => -0.4f + (i % 9) * 0.1f) // mixed signs
+    val axis = Array.tabulate(64)(i => if (i == 3) -0.8f else 0.0f)
+    val dir = fixture("embeddings" -> Seq(
+      (0L, v, 1), (1L, axis, 2)).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.int8Quantization(spark, dir)
+      .select($"vec_id", $"amax", $"q8_min", $"q8_max", $"max_err_i")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (id, amax, q8min, q8max, maxErr) =>
+      assert(q8min >= -127L && q8max <= 127L, s"vec $id int8 range")
+      // round-to-nearest: |127·q − q8·amax| ≤ amax/2
+      assert(maxErr * 2 <= amax, s"vec $id error beyond half quantum")
+    }
+    // the single-axis vector quantizes exactly: its only nonzero element
+    // IS the scale (q8 = −127), everything else is 0 → zero error
+    val axisRow = Similarity.int8Quantization(spark, dir)
+      .filter($"vec_id" === 1L)
+      .select($"q8_min", $"max_err_i", $"sq_err_sum")
+      .as[(Long, Long, Long)].head()
+    assert(axisRow === ((-127L, 0L, 0L)))
+  }
+
   test("quality score counts words, stopwords and distinct types") {
     val dir = fixture("documents" -> Seq(
       doc(0, "the cat sat on the mat")).toDF(docCols: _*))
