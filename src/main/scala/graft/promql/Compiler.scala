@@ -844,14 +844,32 @@ object Compiler {
         Some((Some(ls.map(labelCol)), sel))
       case _ => None
     }
-    if (gridCounter.isDefined || gridGauge.isDefined) {
+    // rate/increase inner (bare or under `sum by`) whose window is a
+    // step multiple: increase at instant i = cum(i) − cum(i−k), one
+    // lag(k) over the same series×grid running sums
+    val gridRate: Option[(Seq[String], Selector, String)] = sq.inner match {
+      case Func(f2, _, sel: Selector)
+          if (f2 == "rate" || f2 == "increase") && sel.rangeS.exists(_ % sq.stepS == 0) &&
+            MetricEvent.CounterNames.contains(sel.name) =>
+        Some((SeriesKey, sel, f2))
+      case Agg("sum", Some(("by", ls)), None, Func(f2, _, sel: Selector))
+          if (f2 == "rate" || f2 == "increase") && sel.rangeS.exists(_ % sq.stepS == 0) &&
+            MetricEvent.CounterNames.contains(sel.name) =>
+        Some((ls.map(labelCol), sel, f2))
+      case _ => None
+    }
+    if (gridCounter.isDefined || gridGauge.isDefined || gridRate.isDefined) {
       if (g > 4096) fail(s"subquery evaluates $g instants; 1..4096 supported (grid strategy)")
       gridCounter match {
         case Some((labels, sel)) =>
           return subqueryGridCounter(spark, dir, fn, sel, labels, shiftS, g, sq.stepS)
-        case None =>
-          val (sumBy, sel) = gridGauge.get
-          return subqueryGridGauge(spark, dir, fn, sel, shiftS, g, sq.stepS, sumBy)
+        case None => gridRate match {
+          case Some((labels, sel, f2)) =>
+            return subqueryGridRate(spark, dir, fn, sel, labels, shiftS, g, sq.stepS, f2)
+          case None =>
+            val (sumBy, sel) = gridGauge.get
+            return subqueryGridGauge(spark, dir, fn, sel, shiftS, g, sq.stepS, sumBy)
+        }
       }
     }
     if (g > 64)
@@ -914,6 +932,62 @@ object Compiler {
       case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
     }
     Vec(agg, labels)
+  }
+
+  /** Rate/increase twin of [[subqueryGridCounter]]:
+    * `fn((rate(m[w]))[d:step])` with `w = k·step` evaluates the inner
+    * window at every instant as a running-sum DIFFERENCE —
+    * `increase_i = cum(i) − cum(i−k)` — so ONE event pass + one lag(k)
+    * over the series×grid replaces per-instant window re-scans. The
+    * grid extends k indexes below 1 to carry the lag baseline; events
+    * at or before instant_{1−k} are pruned entirely (they cancel in
+    * every difference — the PromQL window `(t−w, t]` excludes its left
+    * edge). Instants with an empty window (win_n = 0) are absent,
+    * exactly as per-instant evaluation. Increases stay DECIMAL through
+    * the over_time aggregate; `rate`'s ÷w defers through the linear
+    * aggregates to the single final division ([[Vec.rateDiv]]).
+    */
+  private def subqueryGridRate(spark: SparkSession, dir: String, fn: String,
+      sel: Selector, labels: Seq[String], shiftS: Long, g: Long, stepS: Long,
+      innerFn: String): Vec = {
+    val stepUs = stepS * 1000000L
+    val w = sel.rangeS.get
+    val k = (w / stepS).toInt
+    if (g + k > 4096)
+      fail(s"subquery grid spans ${g + k} indexes (instants + lag baseline); 4096 supported")
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val base = events(spark, dir)
+      .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+        col("value") >= 0 && unix_micros(col("ts")) <= hi &&
+        (hi - unix_micros(col("ts"))) < lit((g - 1 + k) * stepUs))
+      .withColumn("_age_us", hi - unix_micros(col("ts")))
+      .withColumn("_i", lit(g) - expr(s"_age_us div $stepUs"))
+    val partial = base.groupBy((labels :+ "_i").map(col): _*)
+      .agg(exactSum(base).as("_dv"), count(lit(1)).as("_n"))
+    import spark.implicits._
+    val grid = partial.select(labels.map(col): _*).distinct()
+      .crossJoin(broadcast(spark.range(1L - k, g + 1L).toDF("_i")))
+    val ord = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
+    val wcum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val instants = grid.join(partial, labels :+ "_i", "left")
+      .withColumn("_cum_dv", coalesce(sum(col("_dv")).over(wcum), lit(0)))
+      .withColumn("_cum_n", coalesce(sum(col("_n")).over(wcum), lit(0L)))
+      .withColumn("_diff", col("_cum_dv") - coalesce(lag(col("_cum_dv"), k).over(ord), lit(0)))
+      .withColumn("_win_n", col("_cum_n") - coalesce(lag(col("_cum_n"), k).over(ord), lit(0L)))
+      .filter(col("_i") >= 1 && col("_win_n") > 0)
+    val grouped = instants.groupBy(labels.map(col): _*)
+    val agg = fn match {
+      case "sum_over_time" => grouped.agg(sum(col("_diff")).as("value"))
+      case "avg_over_time" => grouped.agg(
+        (sum(col("_diff")).cast("double") / count(lit(1)).cast("double")).as("value"))
+      case "min_over_time" => grouped.agg(min(col("_diff")).as("value"))
+      case "max_over_time" => grouped.agg(max(col("_diff")).as("value"))
+      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+    }
+    // the ÷w commutes with sum/avg/min/max (positive scale), not count
+    val div = if (innerFn == "rate" && fn != "count_over_time") Some(w.toDouble) else None
+    Vec(agg, labels, rateDiv = div)
   }
 
   /** Gauge twin of [[subqueryGridCounter]]: the per-instant value is

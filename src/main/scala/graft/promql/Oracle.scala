@@ -185,6 +185,93 @@ object Oracle {
        |GROUP BY label_k
        |ORDER BY label_k, value""".stripMargin
 
+  /** `max_over_time((rate(purchase[1d]))[16d:2h])` — 192 instants of a
+    * WINDOWED RATE through the rate-grid strategy: per-instant increase
+    * = cum(i) − cum(i−12) over the series×grid running sums (grid
+    * extended 12 indexes below 1 for the lag baseline; events at or
+    * before instant_{1−12} pruned — they cancel in every difference),
+    * the deferred ÷86400 applied once after the max.
+    */
+  val SubqueryGridRateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |e AS (
+       |  SELECT name, label_k, label_instance, value,
+       |    192 - (t_us - epoch_us(ts)) // 7200000000 AS i
+       |  FROM m, t
+       |  WHERE name = 'purchase' AND value >= 0 AND epoch_us(ts) <= t_us
+       |    AND (t_us - epoch_us(ts)) < 203 * 7200000000),
+       |p AS (
+       |  SELECT name, label_k, label_instance, i,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS dv, COUNT(*) AS n
+       |  FROM e GROUP BY name, label_k, label_instance, i),
+       |gi AS (
+       |  SELECT name, label_k, label_instance, g.i AS i
+       |  FROM (SELECT DISTINCT name, label_k, label_instance FROM p),
+       |       (SELECT unnest(generate_series(-11, 192)) AS i) g),
+       |c AS (
+       |  SELECT gi.name AS name, gi.label_k AS label_k,
+       |    gi.label_instance AS label_instance, gi.i AS i,
+       |    COALESCE(SUM(p.dv) OVER w, 0) AS cum_dv,
+       |    COALESCE(SUM(p.n) OVER w, 0) AS cum_n
+       |  FROM gi LEFT JOIN p ON p.name = gi.name AND p.label_k = gi.label_k
+       |    AND p.label_instance = gi.label_instance AND p.i = gi.i
+       |  WINDOW w AS (PARTITION BY gi.name, gi.label_k, gi.label_instance
+       |               ORDER BY gi.i
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |d AS (
+       |  SELECT name, label_k, label_instance, i,
+       |    cum_dv - COALESCE(LAG(cum_dv, 12) OVER o, 0) AS diff,
+       |    cum_n - COALESCE(LAG(cum_n, 12) OVER o, 0) AS win_n
+       |  FROM c
+       |  WINDOW o AS (PARTITION BY name, label_k, label_instance ORDER BY i))
+       |SELECT name, label_k, label_instance,
+       |  CAST(MAX(diff) AS DOUBLE) / 86400.0 AS value
+       |FROM d WHERE i >= 1 AND win_n > 0
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance""".stripMargin
+
+  /** `avg_over_time((sum by (k) (increase(purchase[2d])))[8d:4h])` —
+    * the rate-grid strategy under a `sum by` inner: the group increase
+    * is the running-sum difference of the (label_k, i) partials
+    * (k = 12 lag over 48 instants), averaged per group.
+    */
+  val SubqueryGridRateSumSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |e AS (
+       |  SELECT label_k, value,
+       |    48 - (t_us - epoch_us(ts)) // 14400000000 AS i
+       |  FROM m, t
+       |  WHERE name = 'purchase' AND value >= 0 AND epoch_us(ts) <= t_us
+       |    AND (t_us - epoch_us(ts)) < 59 * 14400000000),
+       |p AS (
+       |  SELECT label_k, i,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS dv, COUNT(*) AS n
+       |  FROM e GROUP BY label_k, i),
+       |gi AS (
+       |  SELECT label_k, g.i AS i
+       |  FROM (SELECT DISTINCT label_k FROM p),
+       |       (SELECT unnest(generate_series(-11, 48)) AS i) g),
+       |c AS (
+       |  SELECT gi.label_k AS label_k, gi.i AS i,
+       |    COALESCE(SUM(p.dv) OVER w, 0) AS cum_dv,
+       |    COALESCE(SUM(p.n) OVER w, 0) AS cum_n
+       |  FROM gi LEFT JOIN p ON p.label_k = gi.label_k AND p.i = gi.i
+       |  WINDOW w AS (PARTITION BY gi.label_k ORDER BY gi.i
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |d AS (
+       |  SELECT label_k, i,
+       |    cum_dv - COALESCE(LAG(cum_dv, 12) OVER o, 0) AS diff,
+       |    cum_n - COALESCE(LAG(cum_n, 12) OVER o, 0) AS win_n
+       |  FROM c
+       |  WINDOW o AS (PARTITION BY label_k ORDER BY i))
+       |SELECT label_k,
+       |  CAST(SUM(diff) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS value
+       |FROM d WHERE i >= 1 AND win_n > 0
+       |GROUP BY label_k
+       |ORDER BY label_k""".stripMargin
+
   /** `max_over_time((signup)[32d:6h])` — 128 instants of a GAUGE
     * through the grid strategy: per-instant last-write-wins values
     * reconstructed by a running max over the (ts, event_id, value)

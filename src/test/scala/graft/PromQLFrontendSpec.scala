@@ -329,6 +329,32 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(wide === Map("a" -> 7.0))
   }
 
+  test("rate-grid subquery: per-instant increases are running-sum differences") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"),     // T-3h
+      ev(1, 1 * h, "purchase", 2.0, "a"), // T-2h
+      ev(2, 2 * h, "purchase", 4.0, "a"), // T-1h
+      ev(3, 3 * h, "purchase", 8.0, "a")  // T
+    ).toDF(eventCols: _*))
+    def one(q: String) = Engine.eval(spark, dir, q)
+      .select($"value").as[Double].collect().toSeq
+    // instants T-1h, T with window 2h: increase(T-1h) = (T-3h, T-1h] = 6,
+    // increase(T) = (T-2h, T] = 12  (the T-3h event is pruned + cancels)
+    assert(one("max_over_time((increase(purchase[2h]))[2h:1h])") === Seq(12.0))
+    assert(one("min_over_time((increase(purchase[2h]))[2h:1h])") === Seq(6.0))
+    assert(one("sum_over_time((increase(purchase[2h]))[2h:1h])") === Seq(18.0))
+    assert(one("avg_over_time((rate(purchase[2h]))[2h:1h])") === Seq(9.0 / 7200.0))
+    // tiling identity: step-aligned 1h increases over 3h sum to increase[3h]
+    val tiled = one("sum_over_time((increase(purchase[1h]))[3h:1h])")
+    assert(tiled === one("increase(purchase[3h])"))
+    assert(tiled === Seq(14.0))
+    // a fine step drives the instant count far past the union bound (96
+    // instants, lag baseline 48 more) — the identity still holds exactly
+    val fine = one("sum_over_time((increase(purchase[30m]))[2d:30m])")
+    assert(fine === one("increase(purchase[2d])"))
+  }
+
   test("recording rules materialize; alert rules fire on threshold breaches") {
     import graft.promql.Rules
     import graft.promql.Rules.{AlertRule, RecordingRule}
