@@ -511,6 +511,43 @@ object Compiler {
           Vec(v.df.withColumn("_rk", row_number().over(w))
             .filter(col("_rk") <= n.toInt).drop("_rk"), v.labels, v.rateDiv)
         }
+      case "limitk" =>
+        // up to n series per group, chosen by the series' label hash —
+        // Prometheus documents the pick as arbitrary; this engine makes
+        // it DETERMINISTIC (md5 of the label identity), so samples are
+        // reproducible across runs/partitionings and oracle-checkable
+        val n = a.param.getOrElse(fail("limitk needs a parameter"))
+        if (n != n.floor || n < 1) fail(s"limitk parameter must be a positive integer, got $n")
+        val sig = md5(concat_ws("|", v.labels.map(col): _*))
+        val ord = sig.asc +: v.labels.map(col)
+        if (groupCols.isEmpty)
+          Vec(v.df.orderBy(ord: _*).limit(n.toInt), v.labels, v.rateDiv)
+        else {
+          val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord: _*)
+          Vec(v.df.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") <= n.toInt).drop("_rk"), v.labels, v.rateDiv)
+        }
+      case "limit_ratio" =>
+        // deterministic hash sampling of series: keep u(series) < r for
+        // r ≥ 0, and the COMPLEMENT u ≥ 1+r for r < 0, so
+        // limit_ratio(r, v) ∪ limit_ratio(r−1, v) = v exactly (the
+        // documented Prometheus pairing). u = first 8 md5 hex chars —
+        // the x31 sampling scheme lifted to the vector level; no
+        // grouping interaction (the decision is per series)
+        val r = a.param.getOrElse(fail("limit_ratio needs a parameter"))
+        if (r < -1.0 || r > 1.0) fail(s"limit_ratio parameter must be in [-1, 1], got $r")
+        if (r == 1.0 || r == -1.0) v
+        else {
+          val u = substring(md5(concat_ws("|", v.labels.map(col): _*)), 1, 8)
+          val keep = if (r >= 0) {
+            val thr = f"${math.floor(r * 4294967296.0).toLong}%08x"
+            u < lit(thr)
+          } else {
+            val thr = f"${math.floor((1.0 + r) * 4294967296.0).toLong}%08x"
+            u >= lit(thr)
+          }
+          Vec(v.df.filter(keep), v.labels, v.rateDiv)
+        }
       case other => fail(s"unsupported aggregation '$other'")
     }
   }

@@ -63,6 +63,43 @@ object Oracle {
        |SELECT label_k, CAST(dv AS DOUBLE) AS value
        |FROM top ORDER BY label_k, value""".stripMargin
 
+  /** `limitk by (k) (1, purchase)` — one series per k group chosen by
+    * the deterministic label-identity hash (md5 ascending, labels
+    * tiebreak), mirroring the compiler's ranking window exactly.
+    */
+  val LimitkSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |snap AS (
+       |  SELECT name, label_k, label_instance,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY name, label_k, label_instance),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label_k
+       |    ORDER BY md5(name || '|' || label_k || '|' || label_instance),
+       |             name, label_k, label_instance) AS rk
+       |  FROM snap)
+       |SELECT name, label_k, label_instance, CAST(dv AS DOUBLE) AS value
+       |FROM r WHERE rk <= 1
+       |ORDER BY name, label_k, label_instance""".stripMargin
+
+  /** `limit_ratio(0.5, purchase)` — deterministic hash sampling of
+    * series: keep u(series) < 0.5 where u is the first 8 md5 hex chars
+    * of the label identity (fixed-width lowercase hex: lexicographic =
+    * numeric compare in both engines).
+    */
+  val LimitRatioSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |snap AS (
+       |  SELECT name, label_k, label_instance,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY name, label_k, label_instance)
+       |SELECT name, label_k, label_instance, CAST(dv AS DOUBLE) AS value
+       |FROM snap
+       |WHERE substr(md5(name || '|' || label_k || '|' || label_instance), 1, 8) < '80000000'
+       |ORDER BY name, label_k, label_instance""".stripMargin
+
   /** `sum by (k) (purchase{k=~"1.*"}) / on(k) sum by (k) (click)` —
     * both sides aggregated over the instance label first, so the
     * `on(k)` match is one-to-one (PromQL rejects many-to-many).

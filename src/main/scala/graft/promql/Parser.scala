@@ -12,7 +12,8 @@ object Parser {
 
   private val AggOps = Set("sum", "avg", "min", "max", "count",
     "stddev", "stdvar", "group")
-  private val ParamAggOps = Set("topk", "bottomk", "quantile")
+  private val ParamAggOps = Set("topk", "bottomk", "quantile",
+    "limitk", "limit_ratio")
   private val RangeFuncs = Set("rate", "increase", "delta",
     "irate", "idelta", "changes", "deriv")
   private val OverTimeFuncs = Set("sum_over_time", "avg_over_time",

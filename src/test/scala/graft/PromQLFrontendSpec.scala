@@ -355,6 +355,33 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(fine === one("increase(purchase[2d])"))
   }
 
+  test("limitk picks a deterministic hash sample per group; limit_ratio complements tile") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "a"), ev(1, 0, "purchase", 2.0, "b"),
+      ev(2, 0, "purchase", 4.0, "c"), ev(3, 0, "purchase", 8.0, "d"),
+      ev(4, 0, "purchase", 16.0, "e"), ev(5, 0, "purchase", 32.0, "f")
+    ).toDF(eventCols: _*))
+    def series(q: String) = Engine.eval(spark, dir, q)
+      .select($"label_k").as[String].collect().toSet
+    val all = series("purchase")
+    assert(all.size === 6)
+    // limitk: k series globally, deterministic across evaluations
+    val two = series("limitk(2, purchase)")
+    assert(two.size === 2 && two.subsetOf(all))
+    assert(series("limitk(2, purchase)") === two)
+    // per-group limitk: one series per k group = every group survives
+    assert(series("limitk by (k) (1, purchase)") === all)
+    // limit_ratio: r and r−1 select exact complements; ±1 keep all
+    val kept = series("limit_ratio(0.5, purchase)")
+    val rest = series("limit_ratio(-0.5, purchase)")
+    assert((kept & rest) === Set.empty)
+    assert((kept ++ rest) === all)
+    assert(series("limit_ratio(1.0, purchase)") === all)
+    assert(series("limit_ratio(-1.0, purchase)") === all)
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "limit_ratio(1.5, purchase)"))
+    intercept[PromQLCompileException](Engine.eval(spark, dir, "limitk(0, purchase)"))
+  }
+
   test("recording rules materialize; alert rules fire on threshold breaches") {
     import graft.promql.Rules
     import graft.promql.Rules.{AlertRule, RecordingRule}
