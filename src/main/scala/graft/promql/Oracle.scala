@@ -392,6 +392,39 @@ object Oracle {
        |FROM c WHERE CAST(dv AS DOUBLE) < 200
        |ORDER BY alertname, label_k""".stripMargin
 
+  /** for-duration alert: `sum by (k) (purchase) > 450` sustained at the
+    * three instants T, T−1d, T−2d (`for: 2d`, interval 1d) — the firing
+    * set is the current breach semi-joined against each shifted
+    * evaluation, value = the CURRENT snapshot.
+    */
+  val ForAlertSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |s0 AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us
+       |  GROUP BY label_k
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 450),
+       |s1 AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - 86400000000
+       |  GROUP BY label_k
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 450),
+       |s2 AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - 172800000000
+       |  GROUP BY label_k
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 450)
+       |SELECT 'SustainedHigh' AS alertname, s0.label_k AS label_k,
+       |  CAST(s0.dv AS DOUBLE) AS value
+       |FROM s0
+       |WHERE EXISTS (SELECT 1 FROM s1 WHERE s1.label_k = s0.label_k)
+       |  AND EXISTS (SELECT 1 FROM s2 WHERE s2.label_k = s0.label_k)
+       |ORDER BY alertname, label_k""".stripMargin
+
   /** `sum by (k) (increase(purchase[2d]))` */
   val IncreaseSumSql: String =
     s"""WITH m AS ($MetricEventsSql),

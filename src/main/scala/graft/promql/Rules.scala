@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
 object Rules {
 
   final case class RecordingRule(record: String, expr: String)
-  final case class AlertRule(alert: String, expr: String)
+
+  /** An alert rule; `forS > 0` requires the condition to hold at EVERY
+    * evaluation instant T, T−interval, …, T−for before the series
+    * fires — Prometheus's pending→firing ladder collapsed to its batch
+    * reading ("has this been true for the whole window, sampled at the
+    * rule interval").
+    */
+  final case class AlertRule(alert: String, expr: String,
+      forS: Long = 0, intervalS: Long = 0)
 
   /** Evaluate each recording rule to its DataFrame (compose-time errors
     * surface per rule, before any job runs).
@@ -47,12 +55,29 @@ object Rules {
     */
   def evaluateAlerts(spark: SparkSession, dir: String,
       rules: Seq[AlertRule]): DataFrame = {
+    def labelled(df: DataFrame): DataFrame =
+      if (df.columns.contains("label_k")) df.select(col("label_k"), col("value"))
+      else df.select(lit(null).cast("string").as("label_k"), col("value"))
     val frames = rules.map { r =>
-      val df = Engine.eval(spark, dir, r.expr)
-      val labelled =
-        if (df.columns.contains("label_k")) df.select(col("label_k"), col("value"))
-        else df.select(lit(null).cast("string").as("label_k"), col("value"))
-      labelled.select(lit(r.alert).as("alertname"), col("label_k"), col("value"))
+      val ast = Parser.parse(r.expr)
+      val current = labelled(Compiler.compileAt(spark, dir, ast, 0L))
+      val sustained =
+        if (r.forS <= 0) current
+        else {
+          if (r.intervalS <= 0 || r.forS % r.intervalS != 0)
+            throw new PromQLCompileException(
+              s"alert '${r.alert}': `for` (${r.forS}s) must be a positive multiple of the evaluation interval (${r.intervalS}s)")
+          // firing = the condition's series present at EVERY past instant
+          // too: semi-join the current firing set against each shifted
+          // evaluation (null-safe on the label — a label-free condition
+          // fires on the empty label set, like Prometheus's scalar alerts)
+          (1L to r.forS / r.intervalS).foldLeft(current) { (acc, i) =>
+            val past = labelled(Compiler.compileAt(spark, dir, ast, i * r.intervalS))
+              .select(col("label_k").as("_past_lk")).distinct()
+            acc.join(past, acc("label_k") <=> past("_past_lk"), "left_semi")
+          }
+        }
+      sustained.select(lit(r.alert).as("alertname"), col("label_k"), col("value"))
     }
     frames.reduce(_ unionAll _).orderBy(col("alertname"), col("label_k"))
   }

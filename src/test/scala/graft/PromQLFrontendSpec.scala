@@ -382,6 +382,34 @@ class PromQLFrontendSpec extends SparkTestBase {
     intercept[PromQLCompileException](Engine.eval(spark, dir, "limitk(0, purchase)"))
   }
 
+  test("for-duration alerts fire only when the condition holds at every instant") {
+    import graft.promql.Rules
+    import graft.promql.Rules.AlertRule
+    val d = 86400000L
+    val dir = fixture("events" -> Seq(
+      // series a: breaches from day 0 → present at T, T-1d, T-2d
+      ev(0, 0, "purchase", 10.0, "a"),
+      // series b: first event ON day 2 → above threshold only at T
+      ev(1, 2 * d, "purchase", 50.0, "b"),
+      // series c: old but small → never breaches
+      ev(2, 0, "purchase", 1.0, "c"),
+      ev(3, 2 * d, "purchase", 1.0, "c")
+    ).toDF(eventCols: _*))
+    val rule = "sum by (k) (purchase) > 5"
+    // without `for`: a and b both fire now
+    val now = Rules.evaluateAlerts(spark, dir, Seq(AlertRule("Hi", rule)))
+      .select($"label_k").as[String].collect().toSet
+    assert(now === Set("a", "b"))
+    // with for: 2d @ 1d — only a held at T-1d and T-2d
+    val sustained = Rules.evaluateAlerts(spark, dir, Seq(
+      AlertRule("Hi", rule, forS = 2 * 86400, intervalS = 86400)))
+      .select($"label_k", $"value").as[(String, Double)].collect().toSeq
+    assert(sustained === Seq(("a", 10.0))) // value = the CURRENT snapshot
+    // misconfigured interval is a compose-time error
+    intercept[PromQLCompileException](Rules.evaluateAlerts(spark, dir, Seq(
+      AlertRule("Hi", rule, forS = 100, intervalS = 33))))
+  }
+
   test("recording rules materialize; alert rules fire on threshold breaches") {
     import graft.promql.Rules
     import graft.promql.Rules.{AlertRule, RecordingRule}
