@@ -330,6 +330,186 @@ object Similarity {
        |FROM tot LEFT JOIN hits ON hits.query_id = tot.query_id
        |ORDER BY query_id""".stripMargin
 
+  /** Shared final k-means assignment for x35/x36 (computed once per
+    * (session, sf) — both queries read it, and each Lloyd round below
+    * re-scans only this cached relation, not the parquet).
+    */
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop this session's cached k-means assignment (see
+    * [[graft.operators.Metrics.unpersistEvents]] for when to call).
+    */
+  def unpersistKmeans(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    kmeansCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(kmeansCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
+  val KmeansK = 8
+
+  /** One Lloyd assignment round: nearest centroid by cosine (ties →
+    * centroid id). Centroids are K rows — always broadcast; the corpus
+    * is scanned once per round with no shuffle beyond the ranking
+    * window's partition-by-vec_id exchange.
+    */
+  private def assignTo(spark: SparkSession, vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "q", "s"))
+      .withColumn("cosine",
+        col("dp").cast("double") / sqrt(col("n2").cast("double")) / sqrt(col("sn2").cast("double")))
+      .withColumn("crn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("cid"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("q"), col("n2"), col("cid").as("cell"),
+        col("cosine"), col("dp"))
+
+  /** Centroid update as an exact-integer element-wise SUM (not mean):
+    * under cosine assignment the member count cancels —
+    * cos(x, s/n) = cos(x, s) — so Lloyd's iterations never leave
+    * integer arithmetic and stay bit-reproducible. The explode+groupBy
+    * is map-side combinable; the rebuilt centroid relation is K rows.
+    */
+  private def updatedCentroids(spark: SparkSession, assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, sx))), e -> e.sx)").as("s"))
+      .withColumn("sn2", graft.plans.IntDotExpr.intDot(spark, "s", "s"))
+      .select(col("cell").as("cid"), col("s"), col("sn2"))
+
+  /** Final (second-round) Lloyd assignment: seeds = vectors 100–107
+    * (cid 0–7, the same deterministic stand-ins as [[ivfAnn]]), one
+    * update, one re-assignment. vec_id → (cell, cosine-to-centroid,
+    * exact member·centroid dot).
+    *
+    * Integer-range note: centroid sums hold ~10⁴·|x|·members per
+    * element, so sn2 stays far inside BIGINT through sf0.1 (≈2×10¹⁷);
+    * a 100 TB run shards the update by cell and rescales sums by a
+    * power-of-two shift before squaring — the assignment plan is
+    * unchanged.
+    */
+  def kmeansAssignments(spark: SparkSession, dir: String): DataFrame =
+    kmeansCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => kmeansCache.remove(k))
+      val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+      val seeds = q.filter(col("vec_id").between(100, 100 + KmeansK - 1))
+        .select((col("vec_id") - 100).cast("int").as("cid"),
+          col("q").as("s"), col("n2").as("sn2"))
+      val a1 = assignTo(spark, q, seeds)
+      val cent1 = updatedCentroids(spark, a1)
+      assignTo(spark, q, cent1).persist()
+    })
+
+  /** x35: k-means clustering over embeddings (Lloyd's algorithm, K=8,
+    * 2 assignment rounds) reported as per-cluster summaries. All
+    * cross-row arithmetic is exact integer (sum of member·centroid
+    * dots; min/max of identical-IEEE doubles are order-independent), so
+    * the whole iteration is oracle-checkable bit-for-bit — unusual for
+    * k-means and exactly what a 100 TB reproducible-recipe run needs.
+    * Scale: each round is one corpus scan + a map-side-combinable
+    * 64-way explode aggregate; centroids always broadcast; adding
+    * rounds adds scans, never shuffles of the corpus itself.
+    */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val a2 = kmeansAssignments(spark, dir)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    a2.withColumn("rn", row_number().over(w))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dp")).as("sum_dp"),
+        max(when(col("rn") === 1, col("vec_id"))).as("champion_id"),
+        max(when(col("rn") === 1, col("cosine"))).as("champion_cos"),
+        min(col("cosine")).as("min_cos"))
+      .orderBy(col("cell"))
+  }
+
+  private val KmeansCtesSql: String =
+    s"""qz AS ($QuantizedSql),
+       |vecs AS (SELECT vec_id, q, n2 FROM qz),
+       |seeds AS (SELECT CAST(vec_id - 100 AS INT) AS cid, q AS s, n2 AS sn2
+       |          FROM vecs WHERE vec_id BETWEEN 100 AND ${100 + KmeansK - 1}),
+       |s1 AS (
+       |  SELECT v.vec_id, v.q, v.n2, c.cid,
+       |    CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |      i -> v.q[i] * c.s[i])) AS DOUBLE)
+       |      / sqrt(CAST(v.n2 AS DOUBLE)) / sqrt(CAST(c.sn2 AS DOUBLE)) AS cosine
+       |  FROM vecs v CROSS JOIN seeds c),
+       |a1 AS (
+       |  SELECT vec_id, q, n2, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, cid) AS crn FROM s1)
+       |  WHERE crn = 1),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |sums AS (
+       |  SELECT cell, i, SUM(q[i]) AS sx
+       |  FROM a1, dims GROUP BY cell, i),
+       |cent1 AS (
+       |  SELECT cell AS cid, list(sx ORDER BY i) AS s,
+       |    list_sum(list_transform(list(sx ORDER BY i), x -> x * x)) AS sn2
+       |  FROM sums GROUP BY cell),
+       |s2 AS (
+       |  SELECT v.vec_id, v.n2, c.cid,
+       |    list_sum(list_transform(generate_series(1, len(v.q)),
+       |      i -> v.q[i] * c.s[i])) AS dp,
+       |    CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |      i -> v.q[i] * c.s[i])) AS DOUBLE)
+       |      / sqrt(CAST(v.n2 AS DOUBLE)) / sqrt(CAST(c.sn2 AS DOUBLE)) AS cosine
+       |  FROM vecs v CROSS JOIN cent1 c),
+       |a2 AS (
+       |  SELECT vec_id, cell, cosine, dp FROM (
+       |    SELECT vec_id, cid AS cell, cosine, dp,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY cosine DESC, cid) AS crn FROM s2)
+       |  WHERE crn = 1),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY cosine DESC, vec_id) AS rn FROM a2)""".stripMargin
+
+  val KmeansClustersSql: String =
+    s"""WITH $KmeansCtesSql
+       |SELECT cell, COUNT(*) AS n_members,
+       |  CAST(SUM(dp) AS BIGINT) AS sum_dp,
+       |  MAX(CASE WHEN rn = 1 THEN vec_id END) AS champion_id,
+       |  MAX(CASE WHEN rn = 1 THEN cosine END) AS champion_cos,
+       |  MIN(cosine) AS min_cos
+       |FROM ranked
+       |GROUP BY cell
+       |ORDER BY cell""".stripMargin
+
+  /** x36: semantic dedup (SemDeDup-style): within each k-means cell,
+    * members whose cosine-to-centroid clears τ form the redundant
+    * semantic core — keep only its champion; peripheral members all
+    * survive. One ranking window over the cached assignment — no
+    * pairwise work, so cost is the clustering itself, not O(Σ cell²).
+    */
+  val SemanticTau = 0.3
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a2 = kmeansAssignments(spark, dir)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val wCell = Window.partitionBy(col("cell"))
+    a2.withColumn("rn", row_number().over(w))
+      .withColumn("core", col("cosine") >= SemanticTau)
+      .withColumn("champion_id",
+        max(when(col("rn") === 1, col("vec_id"))).over(wCell))
+      .select(col("vec_id"), col("cell"), col("cosine"),
+        (!col("core") || col("rn") === 1).as("keep"),
+        col("champion_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val SemanticDedupSql: String =
+    s"""WITH $KmeansCtesSql
+       |SELECT vec_id, cell, cosine,
+       |  (NOT (cosine >= $SemanticTau)) OR rn = 1 AS keep,
+       |  MAX(CASE WHEN rn = 1 THEN vec_id END) OVER (PARTITION BY cell) AS champion_id
+       |FROM ranked
+       |ORDER BY vec_id""".stripMargin
+
   /** x34: int8 quantization with a per-vector symmetric scale (the
     * standard embedding-storage compression: 4× smaller than float32,
     * dot products stay SIMD-able) plus an exact reconstruction-error

@@ -76,6 +76,31 @@ class ExtensionSpec extends SparkTestBase {
     assert(rows.last._1 === 12L && rows.last._3 < 0.5)
   }
 
+  test("kmeans separates two planted clusters; semantic dedup keeps each core's champion") {
+    // Two orthogonal directions; members are small perturbations. Seeds
+    // 100/101 sit on the directions (cid 0/1); seeds 102-107 are absent,
+    // so K collapses to 2 — the operator tolerates missing seed ids.
+    val a = Array.fill(64)(1.0f)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def jitter(v: Array[Float], id: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + ((id * 31 + i) % 5) * 0.01f }
+    val dir = fixture("embeddings" -> Seq(
+      (1L, jitter(a, 1), 1), (2L, jitter(a, 2), 1), (3L, jitter(a, 3), 1),
+      (4L, jitter(b, 4), 2), (5L, jitter(b, 5), 2), (6L, jitter(b, 6), 2),
+      (100L, a, 1), (101L, b, 2)
+    ).toDF("vec_id", "embedding", "label"))
+    val clusters = Similarity.kmeansClusters(spark, dir)
+      .select($"cell", $"n_members", $"champion_id").as[(Int, Long, Long)].collect()
+    assert(clusters.map(_._1).toSeq === Seq(0, 1))
+    assert(clusters.forall(_._2 === 4L))
+    val kept = Similarity.semanticDedup(spark, dir)
+      .filter($"keep").select($"cell", $"vec_id").as[(Int, Long)].collect()
+    // every member cosine ≈ 1 → the whole cell is semantic core → one
+    // survivor per cell, and it is the cluster champion
+    assert(kept.length === 2)
+    assert(kept.toMap === clusters.map(c => c._1 -> c._3).toMap)
+  }
+
   test("int8 quantization bounds values to ±127 and error to half a quantum") {
     val v = Array.tabulate(64)(i => -0.4f + (i % 9) * 0.1f) // mixed signs
     val axis = Array.tabulate(64)(i => if (i == 3) -0.8f else 0.0f)
