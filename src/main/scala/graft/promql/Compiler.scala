@@ -52,13 +52,14 @@ object Compiler {
     * any partitioning.
     */
   private final case class Vec(df: DataFrame, labels: Seq[String],
-      rateDiv: Option[Double] = None, sortDesc: Option[Boolean] = None)
+      rateDiv: Option[Double] = None, sortDesc: Option[Boolean] = None,
+      sortLabels: Seq[String] = Nil)
 
   /** Apply the deferred rate division (no-op for non-rate vectors). */
   private def materialize(v: Vec): Vec = v.rateDiv match {
     case Some(d) =>
       Vec(v.df.withColumn("value", col("value").cast("double") / lit(d)),
-        v.labels, None, v.sortDesc)
+        v.labels, None, v.sortDesc, v.sortLabels)
     case None => v
   }
 
@@ -316,6 +317,35 @@ object Compiler {
         val hi9 = atRank(ceil(col("_pos")).cast("long") + 1)
         Vec(ranked.groupBy(sk: _*)
           .agg(((lo9 + (hi9 - lo9) * (max(col("_pos")) - floor(max(col("_pos")))))
+            / 100.0).as("value")), SeriesKey)
+      case "mad_over_time" =>
+        // median absolute deviation about the median (PromQL
+        // experimental fn): two interpolated medians — the first on
+        // exact integer cents, the second on the |cents − median|
+        // doubles (identical IEEE values in both engines, so the
+        // (value, event_id) rank order is reproducible). Both medians
+        // share the (n−1)·0.5 interpolation of quantile_over_time.
+        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+        val sk = SeriesKey.map(col)
+        val wp = Window.partitionBy(sk: _*)
+        val w1 = Window.partitionBy(sk: _*).orderBy(col("_cents"), col("event_id"))
+        val r1 = c
+          .withColumn("_rn", row_number().over(w1))
+          .withColumn("_n", count(lit(1)).over(wp))
+          .withColumn("_pos", (col("_n") - 1).cast("double") * lit(0.5))
+        val lo = max(when(col("_rn") === (floor(col("_pos")).cast("long") + 1),
+          col("_cents"))).over(wp).cast("double")
+        val hi = max(when(col("_rn") === (ceil(col("_pos")).cast("long") + 1),
+          col("_cents"))).over(wp).cast("double")
+        val med = lo + (hi - lo) * (col("_pos") - floor(col("_pos")))
+        val dev = r1.withColumn("_dev", abs(col("_cents").cast("double") - med))
+        val w2 = Window.partitionBy(sk: _*).orderBy(col("_dev"), col("event_id"))
+        val r2 = dev.withColumn("_rn2", row_number().over(w2))
+        def atRank2(r: Column): Column = max(when(col("_rn2") === r, col("_dev")))
+        val lo2 = atRank2(floor(col("_pos")).cast("long") + 1)
+        val hi2 = atRank2(ceil(col("_pos")).cast("long") + 1)
+        Vec(r2.groupBy(sk: _*)
+          .agg(((lo2 + (hi2 - lo2) * (max(col("_pos")) - floor(max(col("_pos")))))
             / 100.0).as("value")), SeriesKey)
       case "irate" | "idelta" =>
         val wantCounter = fn == "irate"
@@ -1087,7 +1117,8 @@ object Compiler {
   private val RangeSelFns: Set[String] = OverTimeFns ++ Set(
     "rate", "increase", "delta", "irate", "idelta", "changes",
     "deriv", "predict_linear",
-    "quantile_over_time", "last_over_time", "present_over_time")
+    "quantile_over_time", "last_over_time", "present_over_time",
+    "mad_over_time")
 
   private def compileVec(spark: SparkSession, dir: String, ast: Ast,
       shiftS: Long = 0L): Vec = ast match {
@@ -1211,6 +1242,15 @@ object Compiler {
       // sort orders the OUTPUT instant vector by value; it changes no
       // element, so it simply tags the vector for the final orderBy
       compileVec(spark, dir, arg, shiftS).copy(sortDesc = Some(fn == "sort_desc"))
+    case LabelFunc(fn, args, arg) if fn == "sort_by_label" || fn == "sort_by_label_desc" =>
+      // element-preserving like sort/sort_desc: tags the vector to order
+      // by the given LABEL values (remaining labels break ties)
+      if (args.isEmpty) fail(s"""$fn takes (v, "lbl", ...)""")
+      val v = compileVec(spark, dir, arg, shiftS)
+      val cols = args.map(labelCol)
+      cols.zip(args).foreach { case (c, a) => if (!v.labels.contains(c))
+        fail(s"$fn label '$a' is not in the vector (${v.labels.mkString(", ")})") }
+      v.copy(sortDesc = Some(fn == "sort_by_label_desc"), sortLabels = cols)
     case Func("timestamp", _, arg) =>
       arg match {
         case sel: Selector =>
@@ -1264,11 +1304,16 @@ object Compiler {
   def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame = {
     val v = materialize(compileVec(spark, dir, ast))
     val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
-    val ord = v.sortDesc match {
-      case Some(true) => col("value").desc +: v.labels.map(col)
-      case Some(false) => col("value").asc +: v.labels.map(col)
-      case None => v.labels.map(col) :+ col("value")
-    }
+    val ord =
+      if (v.sortLabels.nonEmpty) {
+        val desc = v.sortDesc.contains(true)
+        val primary = v.sortLabels.map(c => if (desc) col(c).desc else col(c).asc)
+        primary ++ (v.labels.filterNot(v.sortLabels.contains).map(col) :+ col("value"))
+      } else v.sortDesc match {
+        case Some(true) => col("value").desc +: v.labels.map(col)
+        case Some(false) => col("value").asc +: v.labels.map(col)
+        case None => v.labels.map(col) :+ col("value")
+      }
     v.df.select(cols: _*).orderBy(ord: _*)
   }
 }

@@ -798,6 +798,58 @@ object Oracle {
        |GROUP BY label_k
        |ORDER BY value DESC, label_k""".stripMargin
 
+  /** `sort_by_label_desc(sum by (k) (purchase), "k")` — ordered by the
+    * label value, descending.
+    */
+  val SortByLabelSql: String =
+    s"""WITH m AS ($MetricEventsSql)
+       |SELECT label_k,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m WHERE name = 'purchase' AND value >= 0
+       |GROUP BY label_k
+       |ORDER BY label_k DESC, value""".stripMargin
+
+  /** `mad_over_time(signup[10d])` — median absolute deviation about the
+    * median; both medians PromQL-interpolated at (n−1)·0.5, the first on
+    * exact cents, the second on |cents − median| doubles.
+    */
+  val MadOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance, event_id,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM m, t
+       |  WHERE name = 'signup'
+       |    AND epoch_us(ts) > t_us - 864000000000
+       |    AND epoch_us(ts) <= t_us),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance
+       |                     ORDER BY cents, event_id) AS rn,
+       |  COUNT(*) OVER (PARTITION BY name, label_k, label_instance) AS n
+       |  FROM w),
+       |p AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.5 AS pos FROM r),
+       |med AS (SELECT *,
+       |  CAST(MAX(CASE WHEN rn = CAST(floor(pos) AS BIGINT) + 1 THEN cents END)
+       |    OVER pw AS DOUBLE) AS lo,
+       |  CAST(MAX(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) + 1 THEN cents END)
+       |    OVER pw AS DOUBLE) AS hi
+       |  FROM p WINDOW pw AS (PARTITION BY name, label_k, label_instance)),
+       |d AS (SELECT *,
+       |  abs(CAST(cents AS DOUBLE) - (lo + (hi - lo) * (pos - floor(pos)))) AS dev
+       |  FROM med),
+       |r2 AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance
+       |                     ORDER BY dev, event_id) AS rn2
+       |  FROM d)
+       |SELECT name, label_k, label_instance,
+       |  (MAX(CASE WHEN rn2 = CAST(floor(pos) AS BIGINT) + 1 THEN dev END)
+       |   + (MAX(CASE WHEN rn2 = CAST(ceil(pos) AS BIGINT) + 1 THEN dev END)
+       |      - MAX(CASE WHEN rn2 = CAST(floor(pos) AS BIGINT) + 1 THEN dev END))
+       |     * (MAX(pos) - floor(MAX(pos)))) / 100.0 AS value
+       |FROM r2 GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
   /** `timestamp(signup)` — the instant sample's timestamp (seconds). */
   val TimestampSql: String =
     s"""WITH m AS ($MetricEventsSql)

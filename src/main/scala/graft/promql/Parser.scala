@@ -19,7 +19,8 @@ object Parser {
   private val OverTimeFuncs = Set("sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time",
     "stddev_over_time", "stdvar_over_time",
-    "last_over_time", "present_over_time", "absent_over_time")
+    "last_over_time", "present_over_time", "absent_over_time",
+    "mad_over_time")
   private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt",
     "exp", "ln", "log2", "log10", "sgn", "absent",
     "sort", "sort_desc", "timestamp", "scalar",
@@ -329,6 +330,20 @@ object Parser {
           val arg = expr()
           expect(")")
           CountValues(dst.text, arg)
+        } else if (name == "sort_by_label" || name == "sort_by_label_desc") {
+          // sort_by_label(v, "lbl", ...) — order the output by the given
+          // label values (then the remaining labels as tiebreak)
+          expect("(")
+          val arg = expr()
+          val params = Seq.newBuilder[String]
+          while (at(",")) {
+            p += 1
+            val s = take()
+            if (s.kind != "string") fail(s"$name expects quoted label names")
+            params += s.text
+          }
+          expect(")")
+          LabelFunc(name, params.result(), arg)
         } else if (name == "label_replace" || name == "label_join") {
           // label_replace(v, "dst", "replacement", "src", "regex")
           // label_join(v, "dst", "sep", "src1", "src2", ...)

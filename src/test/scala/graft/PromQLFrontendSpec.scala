@@ -910,6 +910,49 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(math.abs(pv.head - 4.0) < 1e-9)
   }
 
+  test("mad_over_time is the interpolated median absolute deviation") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 1.0, "a"),
+      ev(1, h, "signup", 5.0, "a"),
+      ev(2, 2 * h, "signup", 5.0, "a"),
+      ev(3, 3 * h, "signup", 2.0, "a"),
+      ev(4, 4 * h, "signup", 9.0, "a")
+    ).toDF(eventCols: _*))
+    // samples {1,2,5,5,9}: median 5; |x−5| = {4,3,0,0,4} → median 3
+    assert(Engine.eval(spark, dir, "mad_over_time(signup[5h])")
+      .select($"value").as[Double].collect().toSeq === Seq(3.0))
+    // even count {1,2,5,9}: median 3.5; |x−3.5| = {2.5,1.5,1.5,5.5} → 2.0
+    val dir2 = fixture("events" -> Seq(
+      ev(0, h, "signup", 1.0, "a"),
+      ev(1, 2 * h, "signup", 2.0, "a"),
+      ev(2, 3 * h, "signup", 5.0, "a"),
+      ev(3, 4 * h, "signup", 9.0, "a")
+    ).toDF(eventCols: _*))
+    assert(Engine.eval(spark, dir2, "mad_over_time(signup[5h])")
+      .select($"value").as[Double].collect().toSeq === Seq(2.0))
+  }
+
+  test("sort_by_label orders output by label value, validated at compose time") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "b"),
+      ev(1, 0, "purchase", 2.0, "a"),
+      ev(2, 0, "purchase", 3.0, "c")
+    ).toDF(eventCols: _*))
+    val asc = Engine.eval(spark, dir,
+      """sort_by_label(sum by (k) (purchase), "k")""")
+      .select($"label_k").as[String].collect()
+    assert(asc.toSeq === Seq("a", "b", "c"))
+    val desc = Engine.eval(spark, dir,
+      """sort_by_label_desc(sum by (k) (purchase), "k")""")
+      .select($"label_k").as[String].collect()
+    assert(desc.toSeq === Seq("c", "b", "a"))
+    // unknown label fails at compose time, before any job runs
+    assertThrows[PromQLCompileException] {
+      Engine.eval(spark, dir, """sort_by_label(sum by (k) (purchase), "nope")""")
+    }
+  }
+
   test("plain comparison filters the left side, keeping its full labels and values") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"),
