@@ -53,13 +53,19 @@ object Bench {
       // masquerade as a fast success in the bench JSON.
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The driver captures only the TAIL of stdout, and r3/r4 both clipped
+    // this line mid-JSON from the FRONT. Defend three ways: (1) values
+    // rounded to ms (halves the line), (2) per-query map sorted ascending
+    // so the slowest — most informative — entries sit at the clip-surviving
+    // end, (3) headline fields (metric/value/errors/sf) LAST in the object.
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.sortBy(_._2).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"queries":$qs,"errors":$errors,"sf":"$sfDir","metric":"total","value":${ms(total)},"unit":"sec"}"""
     println(line)
     // ALSO write the JSON to a file: the driver's tail-capture clipped
     // r3's per-query map mid-JSON; the file artifact survives intact.
