@@ -70,6 +70,12 @@ final case class Subquery(inner: Ast, rangeS: Long, stepS: Long) extends Ast
   */
 final case class CountValues(dst: String, arg: Ast) extends Ast
 
+/** `double_exponential_smoothing(sel[d], sf, tf)` (the PromQL 3.x name
+  * of 2.x `holt_winters`): level+trend smoothing of each series'
+  * ordered window samples — the only function with TWO scalar params.
+  */
+final case class SmoothFunc(sf: Double, tf: Double, arg: Ast) extends Ast
+
 /** `label_replace(v, "dst", "replacement", "src", "regex")` /
   * `label_join(v, "dst", "sep", "src1", ...)` — label-rewriting
   * functions whose parameters are strings, not scalars.

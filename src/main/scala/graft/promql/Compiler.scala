@@ -224,6 +224,50 @@ object Compiler {
     }
   }
 
+  /** `double_exponential_smoothing(sel[d], sf, tf)` — the PromQL
+    * level+trend recurrence over each series' ordered window samples
+    * (s₀=y₀, b₀=y₁−y₀; sᵢ = sf·yᵢ + (1−sf)(sᵢ₋₁+bᵢ₋₁),
+    * bᵢ = tf(sᵢ−sᵢ₋₁) + (1−tf)bᵢ₋₁). A sequential recurrence has no
+    * mergeable partial state, so the scalable shape is one bounded
+    * ordered array per series folded by a single `aggregate` HOF —
+    * the same plan as the operator-layer holt_winters (rows-only in
+    * the driver gate: float recurrence, spec-pinned instead).
+    */
+  private def smoothFunc(spark: SparkSession, dir: String, sf: Double,
+      tf: Double, sel: Selector, shiftS: Long): Vec = {
+    if (sf <= 0 || sf >= 1) fail(s"smoothing factor must be in (0, 1), got $sf")
+    if (tf <= 0 || tf >= 1) fail(s"trend factor must be in (0, 1), got $tf")
+    val d = sel.rangeS.getOrElse(fail(
+      s"double_exponential_smoothing requires a range selector, e.g. (${sel.name}[1h], 0.5, 0.3)"))
+    val off = sel.offsetS.getOrElse(0L) + shiftS
+    val names = resolveNames(sel)
+    val kind = kindOfAll(names)
+    if (kind != "gauge")
+      fail(s"double_exponential_smoothing expects a gauge family, '${sel.name}' is a $kind")
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val hi = anchor - lit(off * 1000000L)
+    val lo = hi - lit(d * 1000000L)
+    val base = events(spark, dir)
+      .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
+        unix_micros(col("ts")) > lo && unix_micros(col("ts")) <= hi)
+    val vals = base.groupBy(SeriesKey.map(col): _*)
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+        x => x("value")).as("_vals"))
+      .filter(size(col("_vals")) >= 2) // <2 samples → no result, per PromQL
+    val smoothed = vals.withColumn("value", expr(
+      s"""aggregate(
+         |  slice(_vals, 2, greatest(size(_vals) - 1, 0)),
+         |  named_struct('s', cast(_vals[0] as double),
+         |               'b', cast(_vals[1] - _vals[0] as double)),
+         |  (acc, y) -> named_struct(
+         |    's', ${sf}D * y + ${1 - sf}D * (acc.s + acc.b),
+         |    'b', ${tf}D * ((${sf}D * y + ${1 - sf}D * (acc.s + acc.b)) - acc.s)
+         |         + ${1 - tf}D * acc.b),
+         |  acc -> acc.s)""".stripMargin))
+    Vec(smoothed.select(SeriesKey.map(col) :+ col("value"): _*), SeriesKey)
+  }
+
   private def rangeFunc(spark: SparkSession, dir: String, fn: String,
       param: Option[Double], sel: Selector, shiftS: Long): Vec = {
     val d = sel.rangeS.getOrElse(
@@ -1125,6 +1169,10 @@ object Compiler {
     case sel: Selector => instantVector(spark, dir, sel, shiftS)
     case Func(fn, param, sel: Selector) if RangeSelFns.contains(fn) =>
       rangeFunc(spark, dir, fn, param, sel, shiftS)
+    case SmoothFunc(sf, tf, sel: Selector) =>
+      smoothFunc(spark, dir, sf, tf, sel, shiftS)
+    case SmoothFunc(_, _, other) =>
+      fail(s"double_exponential_smoothing expects a range selector, got $other")
     case Func(fn, _, sq: Subquery) if OverTimeFns.contains(fn) =>
       subqueryOverTime(spark, dir, fn, sq, shiftS)
     case Func("histogram_quantile", Some(phi), arg) =>

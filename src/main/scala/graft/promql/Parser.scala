@@ -322,6 +322,23 @@ object Parser {
           val horizon = number()
           expect(")")
           Func(name, Some(horizon), sel)
+        } else if (name == "double_exponential_smoothing" || name == "holt_winters") {
+          // double_exponential_smoothing(sel[d], sf, tf) — 2.x alias
+          // holt_winters; the only two-scalar-parameter function
+          expect("(")
+          val sel =
+            if (at("{")) selectorTail("")
+            else {
+              val t2 = take()
+              if (t2.kind != "ident") fail(s"$name expects a range selector")
+              selectorTail(t2.text)
+            }
+          expect(",")
+          val sf = number()
+          expect(",")
+          val tf = number()
+          expect(")")
+          SmoothFunc(sf, tf, sel)
         } else if (name == "count_values") {
           expect("(")
           val dst = take()

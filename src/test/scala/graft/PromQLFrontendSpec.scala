@@ -910,6 +910,36 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(math.abs(pv.head - 4.0) < 1e-9)
   }
 
+  test("double_exponential_smoothing matches the published recurrence; guards compose") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, h, "signup", 2.0, "a"),
+      ev(1, 2 * h, "signup", 4.0, "a"),
+      ev(2, 3 * h, "signup", 10.0, "a")
+    ).toDF(eventCols: _*))
+    // s0=2, b0=2; fold starts at y1=4: s1 = 0.5*4 + 0.5*(2+2) = 4,
+    // b1 = 0.3*(4-2) + 0.7*2 = 2; then y2=10: s2 = 0.5*10 + 0.5*(4+2) = 8
+    val v = Engine.eval(spark, dir,
+      "double_exponential_smoothing(signup[5h], 0.5, 0.3)")
+      .select($"value").as[Double].collect()
+    assert(v.toSeq === Seq(8.0))
+    // holt_winters is the 2.x alias
+    assert(Engine.eval(spark, dir, "holt_winters(signup[5h], 0.5, 0.3)")
+      .select($"value").as[Double].collect().toSeq === Seq(8.0))
+    // single-sample series yield no row
+    val dir2 = fixture("events" -> Seq(
+      ev(0, h, "signup", 2.0, "a")).toDF(eventCols: _*))
+    assert(Engine.eval(spark, dir2,
+      "double_exponential_smoothing(signup[5h], 0.5, 0.3)").count() === 0)
+    // compose-time: factor range and kind checks fire before any job
+    assertThrows[PromQLCompileException] {
+      Engine.eval(spark, dir, "double_exponential_smoothing(signup[5h], 1.5, 0.3)")
+    }
+    assertThrows[PromQLCompileException] {
+      Engine.eval(spark, dir, "double_exponential_smoothing(purchase[5h], 0.5, 0.3)")
+    }
+  }
+
   test("mad_over_time is the interpolated median absolute deviation") {
     val h = 3600000L
     val dir = fixture("events" -> Seq(
