@@ -362,6 +362,27 @@ object Compiler {
         Vec(ranked.groupBy(sk: _*)
           .agg(((lo9 + (hi9 - lo9) * (max(col("_pos")) - floor(max(col("_pos")))))
             / 100.0).as("value")), SeriesKey)
+      case "ts_of_last_over_time" | "ts_of_max_over_time" | "ts_of_min_over_time" =>
+        // timestamp (seconds) of the window's last / max / min sample.
+        // Prometheus keeps the FIRST sample achieving the extremum (its
+        // scan only replaces on strictly-greater/-less), so ties break
+        // on earliest (ts, event_id) — deterministic either way here.
+        val sk = SeriesKey.map(col)
+        if (fn == "ts_of_last_over_time")
+          Vec(base.groupBy(sk: _*)
+            .agg((max(unix_micros(col("ts"))).cast("double") / 1e6).as("value")),
+            SeriesKey)
+        else {
+          val ord =
+            if (fn == "ts_of_max_over_time")
+              Seq(col("value").desc, col("ts"), col("event_id"))
+            else Seq(col("value").asc, col("ts"), col("event_id"))
+          val w = Window.partitionBy(sk: _*).orderBy(ord: _*)
+          Vec(base.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .select(sk :+ (unix_micros(col("ts")).cast("double") / 1e6).as("value"): _*),
+            SeriesKey)
+        }
       case "mad_over_time" =>
         // median absolute deviation about the median (PromQL
         // experimental fn): two interpolated medians — the first on
@@ -1162,7 +1183,8 @@ object Compiler {
     "rate", "increase", "delta", "irate", "idelta", "changes",
     "deriv", "predict_linear",
     "quantile_over_time", "last_over_time", "present_over_time",
-    "mad_over_time")
+    "mad_over_time",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
 
   private def compileVec(spark: SparkSession, dir: String, ast: Ast,
       shiftS: Long = 0L): Vec = ast match {

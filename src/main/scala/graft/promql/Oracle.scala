@@ -850,6 +850,25 @@ object Oracle {
        |FROM r2 GROUP BY name, label_k, label_instance
        |ORDER BY name, label_k, label_instance, value""".stripMargin
 
+  /** `ts_of_max_over_time(signup[10d])` — timestamp (s) of the window's
+    * max sample, earliest-(ts, event_id) tiebreak.
+    */
+  val TsOfMaxOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance, value,
+       |    CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS sec,
+       |    ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance
+       |                       ORDER BY value DESC, ts, event_id) AS rn
+       |  FROM m, t
+       |  WHERE name = 'signup'
+       |    AND epoch_us(ts) > t_us - 864000000000
+       |    AND epoch_us(ts) <= t_us)
+       |SELECT name, label_k, label_instance, sec AS value
+       |FROM w WHERE rn = 1
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
   /** `timestamp(signup)` — the instant sample's timestamp (seconds). */
   val TimestampSql: String =
     s"""WITH m AS ($MetricEventsSql)

@@ -20,7 +20,8 @@ object Parser {
     "min_over_time", "max_over_time", "count_over_time",
     "stddev_over_time", "stdvar_over_time",
     "last_over_time", "present_over_time", "absent_over_time",
-    "mad_over_time")
+    "mad_over_time",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
   private val ScalarFuncs = Set("abs", "ceil", "floor", "round", "sqrt",
     "exp", "ln", "log2", "log10", "sgn", "absent",
     "sort", "sort_desc", "timestamp", "scalar",

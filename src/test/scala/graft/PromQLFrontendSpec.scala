@@ -910,6 +910,22 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(math.abs(pv.head - 4.0) < 1e-9)
   }
 
+  test("ts_of_last/max/min_over_time return the extremum sample's timestamp") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, h, "signup", 5.0, "a"),
+      ev(1, 2 * h, "signup", 9.0, "a"), // first max
+      ev(2, 3 * h, "signup", 9.0, "a"), // tie — earlier wins
+      ev(3, 4 * h, "signup", 1.0, "a")
+    ).toDF(eventCols: _*))
+    def one(q: String): Double = Engine.eval(spark, dir, q)
+      .select($"value").as[Double].collect().head
+    val base = 1704067200.0 // the fixture's 2024-01-01T00:00Z epoch base
+    assert(one("ts_of_last_over_time(signup[5h])") === base + 4 * 3600.0)
+    assert(one("ts_of_max_over_time(signup[5h])") === base + 2 * 3600.0)
+    assert(one("ts_of_min_over_time(signup[5h])") === base + 4 * 3600.0)
+  }
+
   test("double_exponential_smoothing matches the published recurrence; guards compose") {
     val h = 3600000L
     val dir = fixture("events" -> Seq(

@@ -99,6 +99,43 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("kmeans assignment equals an independent Lloyd reference on random vectors") {
+    val rnd = new scala.util.Random(42)
+    for (iter <- 1 to 2) {
+      val n = 10 + rnd.nextInt(8)
+      def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+      val rows = (0L until n.toLong).map(i => (i, vec(), 1)) ++
+        Seq((100L, vec(), 1), (101L, vec(), 1), (102L, vec(), 1))
+      val dir = fixture("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+      // independent Lloyd reference on the same integer quantization,
+      // with the SAME IEEE expression order (dp / sqrt / sqrt) as the
+      // operator so assignment scores are bit-identical
+      val q = rows.map { case (id, v, _) =>
+        id -> v.map(x => math.round(x.toDouble * 10000)) }.toMap
+      def dot(a: Array[Long], b: Array[Long]): Long =
+        a.lazyZip(b).map(_ * _).sum
+      def cos(a: Array[Long], b: Array[Long]): Double =
+        dot(a, b).toDouble / math.sqrt(dot(a, a).toDouble) / math.sqrt(dot(b, b).toDouble)
+      def assign(cents: Seq[(Int, Array[Long])]): Map[Long, Int] =
+        q.map { case (id, v) =>
+          id -> cents.map { case (cid, c) => (cid, cos(v, c)) }
+            .minBy { case (cid, s) => (-s, cid) }._1
+        }
+      val seeds = Seq(0 -> q(100L), 1 -> q(101L), 2 -> q(102L))
+      val a1 = assign(seeds)
+      val cents1 = a1.groupBy(_._2).toSeq.map { case (cid, members) =>
+        val sums = Array.fill(64)(0L)
+        members.keys.foreach(id =>
+          q(id).zipWithIndex.foreach { case (x, d) => sums(d) += x })
+        cid -> sums
+      }
+      val expected = assign(cents1)
+      val got = graft.operators.Similarity.semanticDedup(spark, dir)
+        .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+      assert(got === expected, s"case $iter")
+    }
+  }
+
   test("holt_winters matches the sequential reference on random series") {
     for (i <- 1 to 5) {
       val vals = Gen.choose(2, 12)
