@@ -910,6 +910,68 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(math.abs(pv.head - 4.0) < 1e-9)
   }
 
+  test("grammar fuzz: generated queries evaluate or raise ONLY PromQL exceptions") {
+    // ADVICE r4's last defect class: a shape the compiler accepts but
+    // Catalyst rejects at analysis time (AnalysisException instead of a
+    // compose-time PromQLCompileException). This harness generates
+    // structurally-plausible queries — deliberately including kind and
+    // label violations — and asserts the contract: either the plan
+    // builds AND collects, or the failure is a PromQL{Parse,Compile}
+    // Exception raised before any job.
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, h, "purchase", 2.0, "a"), ev(1, 2 * h, "purchase", 3.0, "b"),
+      ev(2, h, "click", 1.0, "a"), ev(3, 2 * h, "click", 4.0, "a"),
+      ev(4, h, "signup", 5.0, "a"), ev(5, 2 * h, "signup", 7.0, "b"),
+      ev(6, h, "error", 9.0, "a"), ev(7, 2 * h, "error", 60.0, "a")
+    ).toDF(eventCols: _*))
+    val rnd = new scala.util.Random(20260813L)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    def reseed(s: Long): Unit = rnd.setSeed(s)
+    def name() = pick(Seq("purchase", "click", "signup", "error", "nope"))
+    def lbl() = pick(Seq("k", "instance", "bogus"))
+    def sel() = {
+      val m = rnd.nextInt(3) match {
+        case 0 => ""
+        case 1 => s"""{${lbl()}="a"}"""
+        case _ => s"""{${lbl()}=~"a|b"}"""
+      }
+      val off = if (rnd.nextBoolean()) " offset 1h" else ""
+      s"${name()}$m$off"
+    }
+    def range() = s"${sel()}[${pick(Seq("1h", "5h", "1d"))}]"
+    def vector(depth: Int): String =
+      if (depth <= 0) sel()
+      else rnd.nextInt(10) match {
+        case 0 => s"sum by (${lbl()}) (${vector(depth - 1)})"
+        case 1 => s"${pick(Seq("rate", "increase", "delta", "irate", "changes"))}(${range()})"
+        case 2 => s"${pick(Seq("avg_over_time", "mad_over_time", "ts_of_max_over_time", "stddev_over_time"))}(${range()})"
+        case 3 => s"topk(2, ${vector(depth - 1)})"
+        case 4 => s"${vector(depth - 1)} ${pick(Seq("+", "*", ">", "or", "unless"))} ${vector(depth - 1)}"
+        case 5 => s"${pick(Seq("abs", "ceil", "exp", "sgn", "sort_desc"))}(${vector(depth - 1)})"
+        case 6 => s"histogram_quantile(0.9, ${sel()})"
+        case 7 => s"""label_replace(${vector(depth - 1)}, "dst", "x", "${lbl()}", "a.*")"""
+        case 8 => s"quantile_over_time(0.5, ${range()})"
+        case _ => s"double_exponential_smoothing(${range()}, 0.5, 0.3)"
+      }
+    var ok = 0; var rejected = 0
+    for (seed <- Seq(20260813L, 424242L)) {
+      reseed(seed)
+      for (_ <- 1 to 60) {
+        val q = vector(2)
+        try { Engine.eval(spark, dir, q).collect(); ok += 1 }
+        catch {
+          case _: PromQLParseException | _: PromQLCompileException => rejected += 1
+          case e: Throwable =>
+            fail(s"query '$q' leaked ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
+    // the generator must exercise BOTH paths to mean anything
+    assert(ok >= 20, s"only $ok/120 queries evaluated — generator too hostile")
+    assert(rejected >= 20, s"only $rejected/120 rejected — generator too tame")
+  }
+
   test("ts_of_last/max/min_over_time return the extremum sample's timestamp") {
     val h = 3600000L
     val dir = fixture("events" -> Seq(
