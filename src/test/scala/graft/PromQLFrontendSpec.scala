@@ -942,7 +942,7 @@ class PromQLFrontendSpec extends SparkTestBase {
     def range() = s"${sel()}[${pick(Seq("1h", "5h", "1d"))}]"
     def vector(depth: Int): String =
       if (depth <= 0) sel()
-      else rnd.nextInt(10) match {
+      else rnd.nextInt(11) match {
         case 0 => s"sum by (${lbl()}) (${vector(depth - 1)})"
         case 1 => s"${pick(Seq("rate", "increase", "delta", "irate", "changes"))}(${range()})"
         case 2 => s"${pick(Seq("avg_over_time", "mad_over_time", "ts_of_max_over_time", "stddev_over_time"))}(${range()})"
@@ -952,6 +952,7 @@ class PromQLFrontendSpec extends SparkTestBase {
         case 6 => s"histogram_quantile(0.9, ${sel()})"
         case 7 => s"""label_replace(${vector(depth - 1)}, "dst", "x", "${lbl()}", "a.*")"""
         case 8 => s"quantile_over_time(0.5, ${range()})"
+        case 9 => s"${pick(Seq("avg_over_time", "max_over_time", "sum_over_time", "count_over_time"))}((${vector(depth - 1)})[1d:6h])"
         case _ => s"double_exponential_smoothing(${range()}, 0.5, 0.3)"
       }
     var ok = 0; var rejected = 0

@@ -249,6 +249,59 @@ class StreamingSpec extends SparkTestBase {
     bad("error") // histogram: keyed-state operator, no scalar vector
   }
 
+  test("streaming grammar fuzz: evalStream composes or raises only PromQL exceptions") {
+    // compose-only contract (no query started): the streaming compiler
+    // either builds an analyzed streaming DataFrame or rejects the text
+    // with PromQLParse/CompileException — batch-only constructs must
+    // never leak an AnalysisException out of plan construction.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val events = mem.toDF()
+    val rnd = new scala.util.Random(813L)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    def sel() = {
+      val n = pick(Seq("purchase", "click", "click", "signup", "signup",
+        "purchase", "error", "nope"))
+      val m = rnd.nextInt(6) match {
+        case 0 | 1 => ""
+        case 2 | 3 => s"""{k="a"}"""
+        case 4 => s"""{k=~"a|b"}"""
+        case _ => s"""{bogus=~"a|b"}"""
+      }
+      val off = rnd.nextInt(8) match {
+        case 0 => " offset 1h"   // batch-only → compile error
+        case 1 => " @ 1704067200" // batch-only → compile error
+        case _ => ""
+      }
+      s"$n$m$off"
+    }
+    def q(depth: Int): String =
+      if (depth <= 0) sel()
+      else rnd.nextInt(8) match {
+        case 0 => s"sum by (${pick(Seq("k", "k", "instance", "bogus"))}) (${q(depth - 1)})"
+        case 1 => s"${pick(Seq("rate", "increase"))}(${sel()}[${pick(Seq("5m", "1h"))}])"
+        case 2 => s"${pick(Seq("avg", "min", "max", "count"))} by (k) (rate(${sel()}[5m]))"
+        case 3 => s"${q(depth - 1)} ${pick(Seq(">", "<", "*"))} ${pick(Seq("2", "0.5"))}"
+        case 4 => s"histogram_quantile(0.9, ${sel()})"
+        case 5 => s"topk(2, ${q(depth - 1)})"          // batch-only
+        case 6 => s"quantile_over_time(0.5, ${sel()}[1h])" // batch-only
+        case _ => s"${sel()}[5m]"                      // bare range: rejected
+      }
+    var ok = 0; var rejected = 0
+    for (_ <- 1 to 80) {
+      val text = q(2)
+      try { graft.promql.Engine.evalStream(events, text); ok += 1 }
+      catch {
+        case _: graft.promql.PromQLParseException |
+             _: graft.promql.PromQLCompileException => rejected += 1
+        case e: Throwable =>
+          fail(s"streaming query '$text' leaked ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    assert(ok >= 10, s"only $ok/80 composed — generator too hostile")
+    assert(rejected >= 10, s"only $rejected/80 rejected — generator too tame")
+  }
+
   test("streaming PromQL gauge selector converges to the batch last-write-wins") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
