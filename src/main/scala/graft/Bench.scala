@@ -41,6 +41,9 @@ object Bench {
     // Warm-up 5: the per-(doc, trigram) gram relation + per-doc langid
     // verdicts shared by x9/x29.
     warm("langid")(graft.operators.TextAnalysis.langId(spark, sfDir).queryExecution.toRdd.count())
+    // Warm-up 6: the quantized-embeddings silver relation shared by the
+    // eight similarity-tier queries.
+    warm("quantized")(graft.operators.Similarity.quantizedEmbeddings(spark, sfDir).queryExecution.toRdd.count())
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // Execute the REAL plan: under .count() Catalyst re-plans and can
       // prune output-only expressions; toRdd.count() runs the plan that

@@ -51,12 +51,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("x6/x35: embeddings scans pruned; centroid/seed filters pushed down") {
+  test("x6/x35: similarity tier reads the shared cached quantized relation") {
     val p6 = plan("x6_cosine_topk")
-    assert(p6.contains("vec_id:bigint,embedding:array<float>"), "embeddings scan not pruned")
+    assert(p6.contains("vec_id:bigint,embedding:array<float>"),
+      "the quantized relation's source scan lost its schema")
+    assert(p6.contains("InMemoryTableScan"),
+      "x6 recomputes the quantized silver relation instead of reading the cache")
     val p35 = plan("x35_kmeans")
-    assert(p35.contains("GreaterThanOrEqual(vec_id,100)"), "seed filter not pushed to scan")
-    assert(p35.contains("LessThanOrEqual(vec_id,107)"), "seed filter not pushed to scan")
+    assert(p35.contains("InMemoryTableScan"),
+      "x35 recomputes the quantized silver relation instead of reading the cache")
+    assert(!p35.contains("CartesianProduct"))
   }
 
   test("no query in the relational/join family degrades to a cartesian product") {
