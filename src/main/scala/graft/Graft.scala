@@ -46,4 +46,20 @@ object Graft {
   /** Evaluate a PromQL query string against the events at `dir`. */
   def promql(spark: SparkSession, dir: String, query: String): DataFrame =
     graft.promql.Engine.eval(spark, dir, query)
+
+  /** Release every session-keyed cached relation for `spark` — the
+    * manual analog of the automatic application-end eviction
+    * ([[graft.operators.SessionCaches]]). Call between scale factors
+    * (or tenants) in a long-lived session to return executor storage.
+    */
+  def releaseCaches(spark: SparkSession): Unit = {
+    Metrics.unpersistEvents(spark)
+    Corpus.unpersistShingles(spark)
+    graft.operators.Dedup.unpersistSignatures(spark)
+    graft.operators.Dedup.unpersistPairs(spark)
+    graft.operators.TextAnalysis.unpersistGrams(spark)
+    graft.operators.Similarity.unpersistQuantized(spark)
+    graft.operators.Similarity.unpersistKmeans(spark)
+    graft.promql.Compiler.unpersistInstants(spark)
+  }
 }

@@ -178,6 +178,17 @@ object Compiler {
         .select(max(unix_micros(col("ts"))).as("_t_us")).persist()
     })
 
+  /** Drop this session's cached evaluation-instant aggregates (the
+    * manual analog of the application-end eviction; see
+    * [[graft.Graft.releaseCaches]]).
+    */
+  def unpersistInstants(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    instantCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(instantCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Metrics.metricEvents(spark, dir).crossJoin(broadcast(instantDf(spark, dir)))
 

@@ -31,4 +31,18 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(Graft.promql(spark, dir, "sum by (k) (purchase)")
       .select($"value").as[Double].head() === 5.0)
   }
+
+  test("releaseCaches drops the session caches; queries rebuild them transparently") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 2.0, "a"), ev(1, 1000, "purchase", 3.0, "a")
+    ).toDF(eventCols: _*))
+    import graft.operators.Metrics
+    Metrics.metricEvents(spark, dir).count()
+    Graft.releaseCaches(spark)
+    // all engine-cached RDDs are gone from executor storage
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "released caches still pin executor storage")
+    // and the next query simply rebuilds the cache
+    assert(Metrics.counterSnapshot(spark, dir).count() > 0)
+  }
 }
