@@ -437,15 +437,22 @@ object Similarity {
     * dots; min/max of identical-IEEE doubles are order-independent), so
     * the whole iteration is oracle-checkable bit-for-bit — unusual for
     * k-means and exactly what a 100 TB reproducible-recipe run needs.
+    * The round count is fixed at 2 BECAUSE of the oracle: unlike x27's
+    * transitive closure, a Lloyd round needs argmax + re-aggregation
+    * over the recursive term, which a recursive CTE cannot express —
+    * the loop-until-converged production variant is [[kmeansConverged]]
+    * (rows-only, spec-pinned against this twin).
     * Scale: each round is one corpus scan + a map-side-combinable
     * 64-way explode aggregate; centroids always broadcast; adding
     * rounds adds scans, never shuffles of the corpus itself.
     */
-  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
-    val a2 = kmeansAssignments(spark, dir)
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterSummary(kmeansAssignments(spark, dir))
+
+  private def clusterSummary(assigned: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cell"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    a2.withColumn("rn", row_number().over(w))
+    assigned.withColumn("rn", row_number().over(w))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("dp")).as("sum_dp"),
@@ -453,6 +460,38 @@ object Similarity {
         max(when(col("rn") === 1, col("cosine"))).as("champion_cos"),
         min(col("cosine")).as("min_cos"))
       .orderBy(col("cell"))
+  }
+
+  /** x37: loop-until-converged Lloyd — the production variant of x35.
+    * Iterates assignment/update until no vector changes cell (bounded
+    * by `maxRounds`); every round `localCheckpoint`s the K-row centroid
+    * relation so plan lineage stays constant-depth regardless of round
+    * count (the x27 fixpoint pattern), and the convergence test is a
+    * K-row-vs-K-row-sized count, not a corpus materialization. Exact
+    * integer centroids make the fixpoint deterministic, so this is
+    * rows-only purely because SQL cannot loop — the spec pins it to the
+    * 2-round oracle twin on data that converges within 2 rounds.
+    */
+  def kmeansConverged(spark: SparkSession, dir: String,
+      maxRounds: Int = 20): DataFrame = {
+    val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+    val seeds = vecs.filter(col("vec_id").between(100, 100 + KmeansK - 1))
+      .select((col("vec_id") - 100).cast("int").as("cid"),
+        col("q").as("s"), col("n2").as("sn2"))
+    var assigned = assignTo(spark, vecs, seeds)
+    var labels = assigned.select(col("vec_id"), col("cell")).localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxRounds) {
+      val cent = updatedCentroids(spark, assigned).localCheckpoint()
+      assigned = assignTo(spark, vecs, cent)
+      val next = assigned.select(col("vec_id"), col("cell")).localCheckpoint()
+      changed = next.as("n").join(labels.as("p"), "vec_id")
+        .filter(col("n.cell") =!= col("p.cell")).count()
+      labels = next
+      rounds += 1
+    }
+    clusterSummary(assigned)
   }
 
   private val KmeansCtesSql: String =

@@ -101,6 +101,25 @@ class ExtensionSpec extends SparkTestBase {
     assert(kept.toMap === clusters.map(c => c._1 -> c._3).toMap)
   }
 
+  test("converged kmeans equals the 2-round twin when 2 rounds suffice") {
+    val a = Array.fill(64)(1.0f)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def jitter(v: Array[Float], id: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + ((id * 31 + i) % 5) * 0.01f }
+    val dir = fixture("embeddings" -> Seq(
+      (1L, jitter(a, 1), 1), (2L, jitter(a, 2), 1), (3L, jitter(a, 3), 1),
+      (4L, jitter(b, 4), 2), (5L, jitter(b, 5), 2), (6L, jitter(b, 6), 2),
+      (100L, a, 1), (101L, b, 2)
+    ).toDF("vec_id", "embedding", "label"))
+    val twin = Similarity.kmeansClusters(spark, dir).collect().map(_.toSeq)
+    val conv = Similarity.kmeansConverged(spark, dir).collect().map(_.toSeq)
+    assert(conv.toSeq === twin.toSeq)
+    // maxRounds caps the loop even if it were to oscillate
+    val capped = Similarity.kmeansConverged(spark, dir, maxRounds = 1)
+      .select($"cell").as[Int].collect()
+    assert(capped.sorted.toSeq === Seq(0, 1))
+  }
+
   test("int8 quantization bounds values to ±127 and error to half a quantum") {
     val v = Array.tabulate(64)(i => -0.4f + (i % 9) * 0.1f) // mixed signs
     val axis = Array.tabulate(64)(i => if (i == 3) -0.8f else 0.0f)
