@@ -379,20 +379,26 @@ object Similarity {
   val KmeansK = 8
 
   /** One Lloyd assignment round: nearest centroid by cosine (ties →
-    * centroid id). Centroids are K rows — always broadcast; the corpus
-    * is scanned once per round with no shuffle beyond the ranking
-    * window's partition-by-vec_id exchange.
+    * centroid id). Centroids are K rows — always broadcast; the argmax
+    * is a `max_by` HASH aggregate on `struct(cosine, −cid)` (struct
+    * ordering compares fields left to right, so this is exactly "max
+    * cosine, then min cid" — the same pick a rank-1 row_number makes),
+    * which partial-aggregates map-side and never sorts the 8×-corpus
+    * cross product. x37 repeats this per round, so the saved exchange
+    * multiplies.
     */
   private def assignTo(spark: SparkSession, vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cent))
       .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "q", "s"))
       .withColumn("cosine",
         col("dp").cast("double") / sqrt(col("n2").cast("double")) / sqrt(col("sn2").cast("double")))
-      .withColumn("crn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("cid"))))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("q"), col("n2"), col("cid").as("cell"),
-        col("cosine"), col("dp"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("q"), col("n2"), col("cid"), col("cosine"), col("dp")),
+        struct(col("cosine"), (-col("cid")).as("nc"))).as("_best"))
+      .select(col("vec_id"), col("_best.q").as("q"), col("_best.n2").as("n2"),
+        col("_best.cid").as("cell"), col("_best.cosine").as("cosine"),
+        col("_best.dp").as("dp"))
 
   /** Centroid update as an exact-integer element-wise SUM (not mean):
     * under cosine assignment the member count cancels —
@@ -463,35 +469,48 @@ object Similarity {
   }
 
   /** x37: loop-until-converged Lloyd — the production variant of x35.
-    * Iterates assignment/update until no vector changes cell (bounded
-    * by `maxRounds`); every round `localCheckpoint`s the K-row centroid
-    * relation so plan lineage stays constant-depth regardless of round
-    * count (the x27 fixpoint pattern), and the convergence test is a
-    * K-row-vs-K-row-sized count, not a corpus materialization. Exact
-    * integer centroids make the fixpoint deterministic, so this is
-    * rows-only purely because SQL cannot loop — the spec pins it to the
-    * 2-round oracle twin on data that converges within 2 rounds.
+    * Iterates assignment/update until reassignments drop to `tol`
+    * fraction of the corpus (the standard Lloyd stopping rule — on real
+    * data the tail oscillates between near-equidistant cells, so an
+    * exact-zero rule burns rounds for noise; pass tol=0 to demand the
+    * exact fixpoint), bounded by `maxRounds`. Every round
+    * `localCheckpoint`s the K-row centroid relation and the label
+    * projection so plan lineage stays constant-depth regardless of
+    * round count (the x27 fixpoint pattern), the centroid update
+    * re-joins labels to the CACHED vectors (no round recomputes a
+    * previous argmax), and the convergence test is a label-vs-label
+    * join count. Exact integer centroids make every round
+    * deterministic, so this is rows-only purely because SQL cannot
+    * loop — the spec pins it to the 2-round oracle twin on data that
+    * converges within 2 rounds.
     */
   def kmeansConverged(spark: SparkSession, dir: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, tol: Double = 0.01): DataFrame = {
+    require(maxRounds >= 1, "kmeansConverged needs at least one round")
     val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
     val seeds = vecs.filter(col("vec_id").between(100, 100 + KmeansK - 1))
       .select((col("vec_id") - 100).cast("int").as("cid"),
         col("q").as("s"), col("n2").as("sn2"))
-    var assigned = assignTo(spark, vecs, seeds)
-    var labels = assigned.select(col("vec_id"), col("cell")).localCheckpoint()
+    // only the (vec_id, cell) labels are carried between rounds; the
+    // centroid update re-joins them to the CACHED vecs, so no round
+    // ever recomputes a previous round's argmax
+    var labels = assignTo(spark, vecs, seeds)
+      .select(col("vec_id"), col("cell")).localCheckpoint()
+    val threshold = math.floor(labels.count() * tol).toLong
+    var cent = seeds
     var rounds = 0
-    var changed = 1L
-    while (changed > 0 && rounds < maxRounds) {
-      val cent = updatedCentroids(spark, assigned).localCheckpoint()
-      assigned = assignTo(spark, vecs, cent)
-      val next = assigned.select(col("vec_id"), col("cell")).localCheckpoint()
+    var changed = Long.MaxValue
+    while (changed > threshold && rounds < maxRounds) {
+      cent = updatedCentroids(spark, vecs.join(labels, "vec_id")).localCheckpoint()
+      val next = assignTo(spark, vecs, cent)
+        .select(col("vec_id"), col("cell")).localCheckpoint()
       changed = next.as("n").join(labels.as("p"), "vec_id")
         .filter(col("n.cell") =!= col("p.cell")).count()
       labels = next
       rounds += 1
+      System.err.println(s"[kmeans] round $rounds: $changed reassignments")
     }
-    clusterSummary(assigned)
+    clusterSummary(assignTo(spark, vecs, cent))
   }
 
   private val KmeansCtesSql: String =
