@@ -942,7 +942,7 @@ class PromQLFrontendSpec extends SparkTestBase {
     def range() = s"${sel()}[${pick(Seq("1h", "5h", "1d"))}]"
     def vector(depth: Int): String =
       if (depth <= 0) sel()
-      else rnd.nextInt(11) match {
+      else rnd.nextInt(16) match {
         case 0 => s"sum by (${lbl()}) (${vector(depth - 1)})"
         case 1 => s"${pick(Seq("rate", "increase", "delta", "irate", "changes"))}(${range()})"
         case 2 => s"${pick(Seq("avg_over_time", "mad_over_time", "ts_of_max_over_time", "stddev_over_time"))}(${range()})"
@@ -953,6 +953,11 @@ class PromQLFrontendSpec extends SparkTestBase {
         case 7 => s"""label_replace(${vector(depth - 1)}, "dst", "x", "${lbl()}", "a.*")"""
         case 8 => s"quantile_over_time(0.5, ${range()})"
         case 9 => s"${pick(Seq("avg_over_time", "max_over_time", "sum_over_time", "count_over_time"))}((${vector(depth - 1)})[1d:6h])"
+        case 10 => s"${pick(Seq("limitk", "limit_ratio"))}(${pick(Seq("2", "0.5"))}, ${vector(depth - 1)})"
+        case 11 => s"${name()} @ ${pick(Seq("1704067200", "start()", "end()"))}"
+        case 12 => s"""count_values("v", ${vector(depth - 1)})"""
+        case 13 => s"""sort_by_label(${vector(depth - 1)}, "${lbl()}")"""
+        case 14 => s"${sel()} ${pick(Seq("/", ">"))} ${pick(Seq("on", "ignoring"))}(${lbl()}) ${pick(Seq("", "group_left "))}${sel()}"
         case _ => s"double_exponential_smoothing(${range()}, 0.5, 0.3)"
       }
     var ok = 0; var rejected = 0
@@ -963,6 +968,13 @@ class PromQLFrontendSpec extends SparkTestBase {
         try { Engine.eval(spark, dir, q).collect(); ok += 1 }
         catch {
           case _: PromQLParseException | _: PromQLCompileException => rejected += 1
+          // the one INTENTIONAL runtime error (Prometheus parity): the
+          // vector-matching cardinality guard fires during execution
+          // (raise_error → SparkException, message possibly in a cause)
+          case e: Throwable if Iterator.iterate(e)(_.getCause)
+            .takeWhile(_ ne null).take(5)
+            .exists(t => Option(t.getMessage)
+              .exists(_.contains("found duplicate series"))) => rejected += 1
           case e: Throwable =>
             fail(s"query '$q' leaked ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
