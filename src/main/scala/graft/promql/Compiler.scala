@@ -1321,8 +1321,10 @@ object Compiler {
       Vec(v.df.withColumn(dstCol, joined), outLabels)
     case Func(fn, _, arg) if fn == "sort" || fn == "sort_desc" =>
       // sort orders the OUTPUT instant vector by value; it changes no
-      // element, so it simply tags the vector for the final orderBy
-      compileVec(spark, dir, arg, shiftS).copy(sortDesc = Some(fn == "sort_desc"))
+      // element, so it simply tags the vector for the final orderBy —
+      // and overrides any inner sort_by_label tag (outermost sort wins)
+      compileVec(spark, dir, arg, shiftS)
+        .copy(sortDesc = Some(fn == "sort_desc"), sortLabels = Nil)
     case LabelFunc(fn, args, arg) if fn == "sort_by_label" || fn == "sort_by_label_desc" =>
       // element-preserving like sort/sort_desc: tags the vector to order
       // by the given LABEL values (remaining labels break ties)

@@ -1072,6 +1072,11 @@ class PromQLFrontendSpec extends SparkTestBase {
     assertThrows[PromQLCompileException] {
       Engine.eval(spark, dir, """sort_by_label(sum by (k) (purchase), "nope")""")
     }
+    // an outer sort overrides the inner label ordering (outermost wins)
+    val overridden = Engine.eval(spark, dir,
+      """sort_desc(sort_by_label(sum by (k) (purchase), "k"))""")
+      .select($"value").as[Double].collect()
+    assert(overridden.toSeq === overridden.sorted(Ordering[Double].reverse).toSeq)
   }
 
   test("plain comparison filters the left side, keeping its full labels and values") {
