@@ -64,6 +64,38 @@ object Sampling {
       |            ELSE 'ffffffff' END
       |ORDER BY doc_id""".stripMargin
 
+  /** x38: quality-weighted downsampling — the composition of the cheap
+    * quality pre-filter (x10) with deterministic hash sampling (x31):
+    * keep probability rises with the quality tier (score 3 → 100 %,
+    * 2 → 75 %, 1 → 25 %, 0 → 6.25 %), decided per doc by the same
+    * md5(doc_id) threshold compare. The "keep the best, thin the rest"
+    * recipe shape: one scan, per-row expressions only, reproducible
+    * under any partitioning — and because the threshold is a function
+    * of the SCORE, re-running with a retrained scorer re-derives the
+    * sample without touching the sampling machinery.
+    */
+  def qualitySample(spark: SparkSession, dir: String): DataFrame = {
+    val thr = when(col("quality_score") === 3, lit("ffffffff"))
+      .when(col("quality_score") === 2, lit("c0000000"))
+      .when(col("quality_score") === 1, lit("40000000"))
+      .otherwise(lit("10000000"))
+    TextAnalysis.qualityScore(spark, dir)
+      .filter(hashHex < thr)
+      .select(col("doc_id"), col("quality_score"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val QualitySampleSql: String =
+    s"""WITH q AS (${TextAnalysis.QualityScoreSql})
+       |SELECT doc_id, quality_score, n_words
+       |FROM q
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |  CASE quality_score WHEN 3 THEN 'ffffffff'
+       |                     WHEN 2 THEN 'c0000000'
+       |                     WHEN 1 THEN '40000000'
+       |                     ELSE '10000000' END
+       |ORDER BY doc_id""".stripMargin
+
   /** x32: incremental dedup — admit an INCOMING batch against an already
     * deduplicated prior corpus without re-processing the prior corpus.
     *

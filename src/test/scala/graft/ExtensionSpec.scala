@@ -368,6 +368,27 @@ class ExtensionSpec extends SparkTestBase {
     assert(again.toSeq === kept.toSeq)
   }
 
+  test("quality sample keeps every top-tier doc; decision is a pure doc_id function") {
+    import graft.operators.Sampling
+    val good = (1 to 30).map(i => s"word$i").mkString(" ") +
+      " the of and in is on" // ≥20 words, stopwords, diverse → score 3
+    val bad = "dup dup dup dup dup" // short, no stopwords, repetitive → score 0
+    val dir = fixture("documents" ->
+      ((0L until 20L).map(i => doc(i, good)) ++
+       (100L until 120L).map(i => doc(i, bad))).toDF(docCols: _*))
+    val kept = Sampling.qualitySample(spark, dir)
+      .select($"doc_id", $"quality_score").as[(Long, Int)].collect().toMap
+    // tier 3 keeps 100% regardless of hash
+    assert((0L until 20L).forall(kept.contains))
+    assert(kept.filter(_._1 < 20L).values.forall(_ === 3))
+    // tier 0 thins to ~6%: strictly fewer than the good tier survive
+    assert(kept.keys.count(_ >= 100L) < 20)
+    // deterministic: a second evaluation yields the identical sample
+    val again = Sampling.qualitySample(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === kept.keySet)
+  }
+
   test("incremental dedup admits only fingerprints absent from the prior index") {
     // doc 3 (incoming: 3 % 10 >= 7 is false)… use ids 7,8,17 as incoming
     val dir = fixture("documents" -> Seq(
