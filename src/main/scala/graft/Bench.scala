@@ -61,10 +61,15 @@ object Bench {
       // round; identical builds measured 190/286/419 s). A single
       // burst-inflated sample misreports the PLAN cost, so anything
       // over 3 s gets one re-measure and reports the min — sub-3 s
-      // queries (the vast majority) stay single-run.
-      val t = if (t1 > 3.0) { val t2 = once(); if (t2 >= 0) math.min(t1, t2) else t1 }
-        else t1
-      (name, t, t >= 0)
+      // queries (the vast majority) stay single-run. A re-run that
+      // FAILS marks the query flaky (it still reports t1's time, but
+      // lands in the errors array — an intermittent crash must not
+      // masquerade as a clean success).
+      val (t, ok) =
+        if (t1 > 3.0) { val t2 = once()
+          if (t2 >= 0) (math.min(t1, t2), true) else (t1, false) }
+        else (t1, t1 >= 0)
+      (name, t, ok)
     }
     // The driver captures only the TAIL of stdout, and r3/r4 both clipped
     // this line mid-JSON from the FRONT. Defend three ways: (1) values
@@ -72,7 +77,10 @@ object Bench {
     // so the slowest — most informative — entries sit at the clip-surviving
     // end, (3) headline fields (metric/value/errors/sf) LAST in the object.
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.sortBy(_._2).map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
+    // failed (-1) entries sort to the END with the slow queries — the
+    // clip-surviving, most informative part of the line
+    val qs = results.sortBy { case (_, v, _) => if (v < 0) Double.MaxValue else v }
+      .map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")

@@ -75,12 +75,14 @@ object Sampling {
     * sample without touching the sampling machinery.
     */
   def qualitySample(spark: SparkSession, dir: String): DataFrame = {
-    val thr = when(col("quality_score") === 3, lit("ffffffff"))
-      .when(col("quality_score") === 2, lit("c0000000"))
+    // tier 3 keeps UNCONDITIONALLY: `hash < 'ffffffff'` would drop a doc
+    // whose md5 prefix is exactly ffffffff (a 2^-32 silent loss of a
+    // top-tier doc), so the 100% branch bypasses the hash gate entirely.
+    val thr = when(col("quality_score") === 2, lit("c0000000"))
       .when(col("quality_score") === 1, lit("40000000"))
       .otherwise(lit("10000000"))
     TextAnalysis.qualityScore(spark, dir)
-      .filter(hashHex < thr)
+      .filter(col("quality_score") === 3 || hashHex < thr)
       .select(col("doc_id"), col("quality_score"), col("n_words"))
       .orderBy(col("doc_id"))
   }
@@ -89,9 +91,9 @@ object Sampling {
     s"""WITH q AS (${TextAnalysis.QualityScoreSql})
        |SELECT doc_id, quality_score, n_words
        |FROM q
-       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-       |  CASE quality_score WHEN 3 THEN 'ffffffff'
-       |                     WHEN 2 THEN 'c0000000'
+       |WHERE quality_score = 3
+       |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |  CASE quality_score WHEN 2 THEN 'c0000000'
        |                     WHEN 1 THEN '40000000'
        |                     ELSE '10000000' END
        |ORDER BY doc_id""".stripMargin

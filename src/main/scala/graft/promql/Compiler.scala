@@ -246,8 +246,9 @@ object Compiler {
     */
   private def smoothFunc(spark: SparkSession, dir: String, sf: Double,
       tf: Double, sel: Selector, shiftS: Long): Vec = {
+    // upstream guards: sf strictly inside (0, 1); tf may equal 1
     if (sf <= 0 || sf >= 1) fail(s"smoothing factor must be in (0, 1), got $sf")
-    if (tf <= 0 || tf >= 1) fail(s"trend factor must be in (0, 1), got $tf")
+    if (tf <= 0 || tf > 1) fail(s"trend factor must be in (0, 1], got $tf")
     val d = sel.rangeS.getOrElse(fail(
       s"double_exponential_smoothing requires a range selector, e.g. (${sel.name}[1h], 0.5, 0.3)"))
     val off = sel.offsetS.getOrElse(0L) + shiftS
@@ -375,9 +376,9 @@ object Compiler {
             / 100.0).as("value")), SeriesKey)
       case "ts_of_last_over_time" | "ts_of_max_over_time" | "ts_of_min_over_time" =>
         // timestamp (seconds) of the window's last / max / min sample.
-        // Prometheus keeps the FIRST sample achieving the extremum (its
-        // scan only replaces on strictly-greater/-less), so ties break
-        // on earliest (ts, event_id) — deterministic either way here.
+        // Prometheus replaces the running extremum on >= / <= (its scan
+        // keeps updating on equal values), so the LATEST sample attaining
+        // the extremum wins: ties break on latest (ts, event_id).
         val sk = SeriesKey.map(col)
         if (fn == "ts_of_last_over_time")
           Vec(base.groupBy(sk: _*)
@@ -386,8 +387,8 @@ object Compiler {
         else {
           val ord =
             if (fn == "ts_of_max_over_time")
-              Seq(col("value").desc, col("ts"), col("event_id"))
-            else Seq(col("value").asc, col("ts"), col("event_id"))
+              Seq(col("value").desc, col("ts").desc, col("event_id").desc)
+            else Seq(col("value").asc, col("ts").desc, col("event_id").desc)
           val w = Window.partitionBy(sk: _*).orderBy(ord: _*)
           Vec(base.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1)
@@ -1327,7 +1328,12 @@ object Compiler {
         .copy(sortDesc = Some(fn == "sort_desc"), sortLabels = Nil)
     case LabelFunc(fn, args, arg) if fn == "sort_by_label" || fn == "sort_by_label_desc" =>
       // element-preserving like sort/sort_desc: tags the vector to order
-      // by the given LABEL values (remaining labels break ties)
+      // by the given LABEL values (remaining labels break ties).
+      // Accepted divergence: upstream (Prometheus 3.x) natural-sorts
+      // label values ("pod2" < "pod10"); this orders lexicographically
+      // ("pod10" < "pod2") — natural sort has no plain-SQL twin, so the
+      // lexicographic order is what the oracle can pin. The _desc form
+      // negates the WHOLE comparison, tiebreaks included, like upstream.
       if (args.isEmpty) fail(s"""$fn takes (v, "lbl", ...)""")
       val v = compileVec(spark, dir, arg, shiftS)
       val cols = args.map(labelCol)
@@ -1389,9 +1395,14 @@ object Compiler {
     val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
     val ord =
       if (v.sortLabels.nonEmpty) {
+        // sort_by_label_desc negates the FULL comparison (upstream
+        // reverses the comparator), so the remaining-label + value
+        // tiebreaks descend along with the named labels.
         val desc = v.sortDesc.contains(true)
-        val primary = v.sortLabels.map(c => if (desc) col(c).desc else col(c).asc)
-        primary ++ (v.labels.filterNot(v.sortLabels.contains).map(col) :+ col("value"))
+        def dir(c: Column): Column = if (desc) c.desc else c.asc
+        val primary = v.sortLabels.map(c => dir(col(c)))
+        val rest = v.labels.filterNot(v.sortLabels.contains).map(c => dir(col(c)))
+        primary ++ rest :+ dir(col("value"))
       } else v.sortDesc match {
         case Some(true) => col("value").desc +: v.labels.map(col)
         case Some(false) => col("value").asc +: v.labels.map(col)

@@ -807,7 +807,7 @@ object Oracle {
        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
        |FROM m WHERE name = 'purchase' AND value >= 0
        |GROUP BY label_k
-       |ORDER BY label_k DESC, value""".stripMargin
+       |ORDER BY label_k DESC, value DESC""".stripMargin
 
   /** `mad_over_time(signup[10d])` — median absolute deviation about the
     * median; both medians PromQL-interpolated at (n−1)·0.5, the first on
@@ -851,7 +851,8 @@ object Oracle {
        |ORDER BY name, label_k, label_instance, value""".stripMargin
 
   /** `ts_of_max_over_time(signup[10d])` — timestamp (s) of the window's
-    * max sample, earliest-(ts, event_id) tiebreak.
+    * max sample, latest-(ts, event_id) tiebreak (upstream replaces the
+    * running extremum on >=, so the last sample attaining it wins).
     */
   val TsOfMaxOverTimeSql: String =
     s"""WITH m AS ($MetricEventsSql),
@@ -860,7 +861,7 @@ object Oracle {
        |  SELECT name, label_k, label_instance, value,
        |    CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS sec,
        |    ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance
-       |                       ORDER BY value DESC, ts, event_id) AS rn
+       |                       ORDER BY value DESC, ts DESC, event_id DESC) AS rn
        |  FROM m, t
        |  WHERE name = 'signup'
        |    AND epoch_us(ts) > t_us - 864000000000

@@ -990,14 +990,14 @@ class PromQLFrontendSpec extends SparkTestBase {
     val dir = fixture("events" -> Seq(
       ev(0, h, "signup", 5.0, "a"),
       ev(1, 2 * h, "signup", 9.0, "a"), // first max
-      ev(2, 3 * h, "signup", 9.0, "a"), // tie — earlier wins
+      ev(2, 3 * h, "signup", 9.0, "a"), // tie — LATEST wins (upstream >=)
       ev(3, 4 * h, "signup", 1.0, "a")
     ).toDF(eventCols: _*))
     def one(q: String): Double = Engine.eval(spark, dir, q)
       .select($"value").as[Double].collect().head
     val base = 1704067200.0 // the fixture's 2024-01-01T00:00Z epoch base
     assert(one("ts_of_last_over_time(signup[5h])") === base + 4 * 3600.0)
-    assert(one("ts_of_max_over_time(signup[5h])") === base + 2 * 3600.0)
+    assert(one("ts_of_max_over_time(signup[5h])") === base + 3 * 3600.0)
     assert(one("ts_of_min_over_time(signup[5h])") === base + 4 * 3600.0)
   }
 
@@ -1028,6 +1028,13 @@ class PromQLFrontendSpec extends SparkTestBase {
     }
     assertThrows[PromQLCompileException] {
       Engine.eval(spark, dir, "double_exponential_smoothing(purchase[5h], 0.5, 0.3)")
+    }
+    // tf = 1 is VALID upstream (only sf is strictly inside (0,1));
+    // tf > 1 is not
+    assert(Engine.eval(spark, dir,
+      "double_exponential_smoothing(signup[5h], 0.5, 1)").count() > 0)
+    assertThrows[PromQLCompileException] {
+      Engine.eval(spark, dir, "double_exponential_smoothing(signup[5h], 0.5, 1.1)")
     }
   }
 
