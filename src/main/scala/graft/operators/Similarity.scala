@@ -566,6 +566,179 @@ object Similarity {
        |GROUP BY cell
        |ORDER BY cell""".stripMargin
 
+  /** k-means|| oversampling factor (l = 2K, the paper's recommendation)
+    * and the fixed round count for the oracle-checkable unroll.
+    */
+  val KppOversample = 2 * KmeansK
+  val KppRounds = 2
+
+  /** Integer-quantized distance to the NEAREST current candidate:
+    * di = max(floor((1 − cosine)·2²⁰), 0), minimized over candidates.
+    * cosine is the per-row identical-IEEE expression used everywhere in
+    * this file (exact integer dot, two exact sqrt, two exact divides),
+    * so the floor-quantized distance is bit-identical cross-engine; the
+    * clamp guards the cos(x,x) ≈ 1 ± ulp case. Candidate sets are tiny
+    * (1 + l·rounds rows) — always broadcast.
+    */
+  private def nearestD2(spark: SparkSession, vecs: DataFrame, cands: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cands.select(col("cand_id"), col("s"), col("sn2"))))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "q", "s"))
+      .withColumn("cosine",
+        col("dp").cast("double") / sqrt(col("n2").cast("double")) / sqrt(col("sn2").cast("double")))
+      .withColumn("di", greatest(floor((lit(1.0) - col("cosine")) * lit(1048576.0)), lit(0L)))
+      .groupBy(col("vec_id")).agg(min(col("di")).as("d2i"))
+
+  /** The deterministic k-means|| selection gate for round `r`: a point
+    * is picked iff h24 · φ < l · d2i · 2²⁴, i.e. with "probability"
+    * l·d2i/φ — but decided by a hash of (vec_id, round) instead of an
+    * RNG, so the oversampled set is a pure function of the data
+    * (re-runs, repartitions, and the DuckDB oracle all agree).
+    * Overflow headroom: h24 < 2²⁴ and φ ≤ |corpus|·2²⁰ keep the products
+    * inside BIGINT through ~10⁸ vectors; a 100 TB run drops the distance
+    * scale to 2¹² (same plan, coarser quantization) or compares the two
+    * exact-integer ratios as doubles — one correctly-rounded divide each,
+    * still deterministic.
+    */
+  private def kppHash(r: Int): Column =
+    expr(s"cast(conv(substring(md5(concat(cast(vec_id as string), '#$r')), 1, 6), 16, 10) as bigint)")
+
+  /** x39: k-means|| initialization (Bahmani et al., VLDB'12) — the
+    * distributed seeding pass that replaces k-means++'s k sequential
+    * corpus scans with `KppRounds` rounds of hash-deterministic
+    * oversampling, then weights every candidate by the number of corpus
+    * points nearest to it (the input the local reduction phase needs).
+    *
+    * Physical plan per round: one broadcast cross join of the corpus
+    * against the ≤(1+l·r)-row candidate set, a map-side-combinable min
+    * aggregate, a 1-row total-cost aggregate broadcast back, and a
+    * per-row hash gate — no corpus shuffle anywhere, so each round costs
+    * one scan of the cached vectors at any scale. Output: every selected
+    * candidate with the round that picked it and its attraction weight.
+    */
+  def kmeansParallelInit(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+    val gate = lit(KppOversample.toLong * (1L << 24))
+    var cands = vecs.filter(col("vec_id") === 100)
+      .select(col("vec_id").as("cand_id"), lit(0).as("round"),
+        col("q").as("s"), col("n2").as("sn2"))
+    for (r <- 1 to KppRounds) {
+      val d2 = nearestD2(spark, vecs, cands)
+      val phi = d2.agg(sum(col("d2i")).as("phi"))
+      val sel = d2.crossJoin(broadcast(phi))
+        .filter(kppHash(r) * col("phi") < gate * col("d2i"))
+        .select(col("vec_id"))
+      cands = cands.unionAll(vecs.join(sel, "vec_id")
+        .select(col("vec_id").as("cand_id"), lit(r).as("round"),
+          col("q").as("s"), col("n2").as("sn2")))
+    }
+    val scored = vecs.crossJoin(broadcast(cands.select(col("cand_id"), col("s"), col("sn2"))))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "q", "s"))
+      .withColumn("cosine",
+        col("dp").cast("double") / sqrt(col("n2").cast("double")) / sqrt(col("sn2").cast("double")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cand_id"), struct(col("cosine"), (-col("cand_id")).as("nc"))).as("cand_id"))
+    val weights = scored.groupBy(col("cand_id")).agg(count(lit(1)).as("weight"))
+    cands.select(col("cand_id"), col("round"))
+      .join(weights, Seq("cand_id"), "left")
+      .select(col("cand_id"), col("round"), coalesce(col("weight"), lit(0L)).as("weight"))
+      .orderBy(col("cand_id"))
+  }
+
+  val KmeansParallelInitSql: String = {
+    val l24 = KppOversample.toLong * (1L << 24)
+    def cosC(v: String, c: String): String =
+      s"""CAST(list_sum(list_transform(generate_series(1, len($v.q)),
+         |      i -> $v.q[i] * $c.s[i])) AS DOUBLE)
+         |      / sqrt(CAST($v.n2 AS DOUBLE)) / sqrt(CAST($c.sn2 AS DOUBLE))""".stripMargin
+    def round(r: Int, prev: String): String =
+      s"""d$r AS (
+         |  SELECT v.vec_id,
+         |    MIN(GREATEST(CAST(floor((1.0 - (${cosC("v", "c")})) * 1048576.0) AS BIGINT), 0)) AS d2i
+         |  FROM vecs v CROSS JOIN $prev c GROUP BY v.vec_id),
+         |phi$r AS (SELECT CAST(SUM(d2i) AS BIGINT) AS phi FROM d$r),
+         |sel$r AS (
+         |  SELECT d.vec_id FROM d$r d, phi$r
+         |  WHERE CAST(concat('0x', substr(md5(concat(CAST(d.vec_id AS VARCHAR), '#$r')), 1, 6)) AS BIGINT)
+         |        * phi < $l24 * d.d2i),
+         |c$r AS (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT v.vec_id AS cand_id, $r AS round, v.q AS s, v.n2 AS sn2
+         |  FROM vecs v JOIN sel$r USING (vec_id))""".stripMargin
+    s"""WITH qz AS ($QuantizedSql),
+       |vecs AS (SELECT vec_id, q, n2 FROM qz),
+       |c0 AS (SELECT vec_id AS cand_id, 0 AS round, q AS s, n2 AS sn2
+       |       FROM vecs WHERE vec_id = 100),
+       |${round(1, "c0")},
+       |${round(2, "c1")},
+       |scored AS (
+       |  SELECT v.vec_id, c.cand_id,
+       |    ${cosC("v", "c")} AS cosine
+       |  FROM vecs v CROSS JOIN c$KppRounds c),
+       |near AS (
+       |  SELECT vec_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, cand_id) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |w AS (SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS weight
+       |      FROM near GROUP BY cand_id)
+       |SELECT c.cand_id, c.round, COALESCE(w.weight, 0) AS weight
+       |FROM c$KppRounds c LEFT JOIN w USING (cand_id)
+       |ORDER BY cand_id""".stripMargin
+  }
+
+  /** x40: the full k-means|| pipeline — distributed oversampling (x39),
+    * the MLlib-style LOCAL reduction of the ≤(1+l·rounds) weighted
+    * candidates down to K seeds, then one Lloyd round reported as the
+    * per-cluster summary. The local phase is a deterministic weighted
+    * farthest-point greedy (start at the heaviest candidate, repeatedly
+    * add the candidate maximizing weight·distance-to-chosen, ties to the
+    * lowest id) — the one place a collect is CORRECT at 100 TB, because
+    * the candidate set is bounded by construction, exactly why k-means||
+    * exists. Rows-only in the driver gate (SQL cannot express the greedy
+    * K-step selection); the spec pins the local phase against an
+    * independent reference and the planted-clusters recovery.
+    */
+  def kmeansParallelClusters(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+    val cands = kmeansParallelInit(spark, dir)
+      .join(vecs, col("cand_id") === col("vec_id"))
+      .select(col("cand_id"), col("weight"), col("q"), col("n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toArray, r.getLong(3)))
+    val chosen = localWeightedSeeds(cands, KmeansK)
+    import spark.implicits._
+    val seeds = chosen.zipWithIndex
+      .map { case ((_, _, q, n2), i) => (i, q, n2) }.toSeq
+      .toDF("cid", "s", "sn2")
+    clusterSummary(assignTo(spark, vecs, broadcast(seeds)))
+  }
+
+  /** Deterministic weighted farthest-point greedy over the collected
+    * candidate set — same integer-quantized distance as the distributed
+    * pass, plain Scala (the set is bounded). Exposed for the spec.
+    */
+  def localWeightedSeeds(cands: Array[(Long, Long, Array[Long], Long)],
+      k: Int): Array[(Long, Long, Array[Long], Long)] = {
+    require(cands.nonEmpty, "k-means|| produced no candidates")
+    def d2i(a: (Long, Long, Array[Long], Long),
+        b: (Long, Long, Array[Long], Long)): Long = {
+      var dp = 0L; var i = 0
+      while (i < a._3.length) { dp += a._3(i) * b._3(i); i += 1 }
+      val cos = dp.toDouble / math.sqrt(a._4.toDouble) / math.sqrt(b._4.toDouble)
+      math.max(math.floor((1.0 - cos) * 1048576.0).toLong, 0L)
+    }
+    val first = cands.minBy(c => (-c._2, c._1)) // heaviest, tie lowest id
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.size < k && chosen.size < cands.length) {
+      val next = cands.filterNot(c => chosen.exists(_._1 == c._1))
+        .minBy(c => (-c._2 * chosen.map(d2i(c, _)).min, c._1))
+      chosen += next
+    }
+    chosen.toArray
+  }
+
   /** x36: semantic dedup (SemDeDup-style): within each k-means cell,
     * members whose cosine-to-centroid clears τ form the redundant
     * semantic core — keep only its champion; peripheral members all
