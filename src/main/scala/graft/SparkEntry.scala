@@ -237,8 +237,17 @@ object SparkEntry {
     // and SemDeDup-style per-cell semantic pruning over its assignment
     "x35_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "x36_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
-    // rows-only: SQL cannot loop; spec pins it to the 2-round twin
+    // rows-only: SQL cannot loop; spec pins the fixed-seed path to the
+    // 2-round twin and the default k-means||-seeded path to planted
+    // cluster recovery
     "x37_kmeans_converged" -> ((s, d) => Similarity.kmeansConverged(s, d)),
+    // k-means|| (Bahmani et al.) seeding: the distributed oversampling
+    // pass is hash-deterministic and oracle-exact end to end
+    "x39_kmeanspp_init" -> ((s, d) => Similarity.kmeansParallelInit(s, d)),
+    // rows-only: the bounded local greedy reduction (collect is the
+    // point of k-means||) cannot be SQL'd; spec pins it against an
+    // independent exhaustive reference + planted-cluster recovery
+    "x40_kmeanspp_clusters" -> ((s, d) => Similarity.kmeansParallelClusters(s, d)),
     "x27_dedup_components" -> ((s, d) => Dedup.dedupComponents(s, d)),
     "x28_dedup_survivors" -> ((s, d) => Dedup.survivors(s, d)),
     // multi-key blocking: (lang, band, bucket) composite LSH key
@@ -404,6 +413,7 @@ object SparkEntry {
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x35_kmeans" -> Similarity.KmeansClustersSql,
     "x36_semantic_dedup" -> Similarity.SemanticDedupSql,
+    "x39_kmeanspp_init" -> Similarity.KmeansParallelInitSql,
     "x27_dedup_components" -> Dedup.DedupComponentsSql,
     "x28_dedup_survivors" -> Dedup.SurvivorsSql,
     "x30_lsh_blocked" -> Dedup.MinhashLshBlockedSql,

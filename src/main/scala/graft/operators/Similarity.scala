@@ -481,16 +481,29 @@ object Similarity {
     * previous argmax), and the convergence test is a label-vs-label
     * join count. Exact integer centroids make every round
     * deterministic, so this is rows-only purely because SQL cannot
-    * loop — the spec pins it to the 2-round oracle twin on data that
-    * converges within 2 rounds.
+    * loop — the spec pins the default fixed-seed path to the 2-round
+    * oracle twin on data that converges within 2 rounds, and the
+    * k-means|| path (`kppSeeds = true`, seeds from
+    * [[kppSeedCentroids]]) to planted-cluster recovery.
+    *
+    * Seeding choice, measured (sf0.01, warm caches): k-means|| seeds
+    * start closer (65 vs 88 first-round reassignments) but the
+    * synthetic corpus has no planted cluster structure, so the
+    * reassignment tail is noise-driven and both paths walk it — 8
+    * rounds + 3 init scans for k-means|| vs 7 rounds for fixed seeds.
+    * Fixed seeds stay the registered default; on real clustered data
+    * (where seeding pays) callers opt in with `kppSeeds = true`.
     */
   def kmeansConverged(spark: SparkSession, dir: String,
-      maxRounds: Int = 20, tol: Double = 0.01): DataFrame = {
+      maxRounds: Int = 20, tol: Double = 0.01,
+      kppSeeds: Boolean = false): DataFrame = {
     require(maxRounds >= 1, "kmeansConverged needs at least one round")
     val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
-    val seeds = vecs.filter(col("vec_id").between(100, 100 + KmeansK - 1))
-      .select((col("vec_id") - 100).cast("int").as("cid"),
-        col("q").as("s"), col("n2").as("sn2"))
+    val seeds =
+      if (kppSeeds) kppSeedCentroids(spark, dir)
+      else vecs.filter(col("vec_id").between(100, 100 + KmeansK - 1))
+        .select((col("vec_id") - 100).cast("int").as("cid"),
+          col("q").as("s"), col("n2").as("sn2"))
     // only the (vec_id, cell) labels are carried between rounds; the
     // centroid update re-joins them to the CACHED vecs, so no round
     // ever recomputes a previous round's argmax
@@ -593,11 +606,14 @@ object Similarity {
     * l·d2i/φ — but decided by a hash of (vec_id, round) instead of an
     * RNG, so the oversampled set is a pure function of the data
     * (re-runs, repartitions, and the DuckDB oracle all agree).
-    * Overflow headroom: h24 < 2²⁴ and φ ≤ |corpus|·2²⁰ keep the products
-    * inside BIGINT through ~10⁸ vectors; a 100 TB run drops the distance
-    * scale to 2¹² (same plan, coarser quantization) or compares the two
-    * exact-integer ratios as doubles — one correctly-rounded divide each,
-    * still deterministic.
+    * Overflow: h24 < 2²⁴ and d2i ≤ 2²¹ put φ ≤ |corpus|·2²¹, so the
+    * BIGINT product h24·φ overflows past ~2¹⁸ ≈ 2.6×10⁵ vectors — and
+    * non-ANSI Spark multiplication would wrap SILENTLY. The comparison
+    * therefore runs on both sides as one int64→double cast plus one
+    * correctly-rounded double multiply (identical IEEE ops in both
+    * engines, so still bit-deterministic and oracle-exact); doubles
+    * carry the magnitude to any corpus size, and the gate only needs a
+    * deterministic threshold, not exact integer arithmetic.
     */
   private def kppHash(r: Int): Column =
     expr(s"cast(conv(substring(md5(concat(cast(vec_id as string), '#$r')), 1, 6), 16, 10) as bigint)")
@@ -625,7 +641,8 @@ object Similarity {
       val d2 = nearestD2(spark, vecs, cands)
       val phi = d2.agg(sum(col("d2i")).as("phi"))
       val sel = d2.crossJoin(broadcast(phi))
-        .filter(kppHash(r) * col("phi") < gate * col("d2i"))
+        .filter(kppHash(r).cast("double") * col("phi").cast("double") <
+          gate.cast("double") * col("d2i").cast("double"))
         .select(col("vec_id"))
       cands = cands.unionAll(vecs.join(sel, "vec_id")
         .select(col("vec_id").as("cand_id"), lit(r).as("round"),
@@ -658,8 +675,8 @@ object Similarity {
          |phi$r AS (SELECT CAST(SUM(d2i) AS BIGINT) AS phi FROM d$r),
          |sel$r AS (
          |  SELECT d.vec_id FROM d$r d, phi$r
-         |  WHERE CAST(concat('0x', substr(md5(concat(CAST(d.vec_id AS VARCHAR), '#$r')), 1, 6)) AS BIGINT)
-         |        * phi < $l24 * d.d2i),
+         |  WHERE CAST(CAST(concat('0x', substr(md5(concat(CAST(d.vec_id AS VARCHAR), '#$r')), 1, 6)) AS BIGINT) AS DOUBLE)
+         |        * CAST(phi AS DOUBLE) < CAST($l24 AS DOUBLE) * CAST(d.d2i AS DOUBLE)),
          |c$r AS (
          |  SELECT * FROM $prev
          |  UNION ALL
@@ -696,10 +713,21 @@ object Similarity {
     * lowest id) — the one place a collect is CORRECT at 100 TB, because
     * the candidate set is bounded by construction, exactly why k-means||
     * exists. Rows-only in the driver gate (SQL cannot express the greedy
-    * K-step selection); the spec pins the local phase against an
-    * independent reference and the planted-clusters recovery.
+    * K-step selection); `ExtensionSpec` pins the local phase against an
+    * independent exhaustive reference and the planted-clusters recovery.
     */
   def kmeansParallelClusters(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+    clusterSummary(assignTo(spark, vecs, kppSeedCentroids(spark, dir)))
+  }
+
+  /** The ≤K seed centroids picked by k-means|| oversampling + the local
+    * weighted greedy, as a broadcast-ready (cid, s, sn2) relation — the
+    * shared seeding input of [[kmeansParallelClusters]] and the default
+    * seeding of [[kmeansConverged]]. cid = greedy pick order (the
+    * heaviest candidate is cid 0), a pure function of the data.
+    */
+  def kppSeedCentroids(spark: SparkSession, dir: String): DataFrame = {
     val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
     val cands = kmeansParallelInit(spark, dir)
       .join(vecs, col("cand_id") === col("vec_id"))
@@ -709,10 +737,9 @@ object Similarity {
         r.getSeq[Long](2).toArray, r.getLong(3)))
     val chosen = localWeightedSeeds(cands, KmeansK)
     import spark.implicits._
-    val seeds = chosen.zipWithIndex
+    broadcast(chosen.zipWithIndex
       .map { case ((_, _, q, n2), i) => (i, q, n2) }.toSeq
-      .toDF("cid", "s", "sn2")
-    clusterSummary(assignTo(spark, vecs, broadcast(seeds)))
+      .toDF("cid", "s", "sn2"))
   }
 
   /** Deterministic weighted farthest-point greedy over the collected

@@ -120,6 +120,98 @@ class ExtensionSpec extends SparkTestBase {
     assert(capped.sorted.toSeq === Seq(0, 1))
   }
 
+  /** Planted-cluster fixture for the k-means|| tests: two orthogonal
+    * directions, `n` jittered members each. vec_id 100 (required: it is
+    * x39's deterministic first candidate) sits exactly on direction a.
+    */
+  private def plantedDir(n: Int): String = {
+    val a = Array.fill(64)(1.0f)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def jitter(v: Array[Float], id: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + ((id * 31 + i) % 5) * 0.01f }
+    val rows = (1 to n).map(i => (i.toLong, jitter(a, i), 1)) ++
+      (1 to n).map(i => (200L + i, jitter(b, 200 + i), 2)) :+
+      ((100L, a, 1))
+    fixture("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+  }
+
+  test("kmeans|| init: weights partition the corpus, candidates span both planted clusters") {
+    val n = 12
+    val dir = plantedDir(n)
+    val cands = Similarity.kmeansParallelInit(spark, dir)
+      .select($"cand_id", $"round", $"weight").as[(Long, Int, Long)].collect()
+    // round 0 is exactly the deterministic first candidate
+    assert(cands.filter(_._2 == 0).map(_._1).toSeq === Seq(100L))
+    assert(cands.forall(c => c._2 >= 0 && c._2 <= Similarity.KppRounds))
+    // every corpus point is attracted to exactly one candidate
+    assert(cands.map(_._3).sum === 2L * n + 1L)
+    // oversampling must have reached the far (b) cluster: some candidate
+    // carries weight from it, i.e. a candidate with id > 200 exists
+    assert(cands.exists(_._1 > 200L))
+  }
+
+  test("localWeightedSeeds matches an exhaustive reference and spans planted groups") {
+    // independent reference: same selection law, separately coded as an
+    // explicit exhaustive argmin over (−weight·minDist, id) tuples
+    def refGreedy(cands: Array[(Long, Long, Array[Long], Long)], k: Int)
+        : Seq[Long] = {
+      def dist(x: (Long, Long, Array[Long], Long),
+          y: (Long, Long, Array[Long], Long)): Long = {
+        val dp = x._3.zip(y._3).map { case (p, q) => p * q }.sum
+        val cos = dp.toDouble / math.sqrt(x._4.toDouble) / math.sqrt(y._4.toDouble)
+        math.max(math.floor((1.0 - cos) * 1048576.0).toLong, 0L)
+      }
+      var chosen = List(cands.sortBy(c => (-c._2, c._1)).head)
+      while (chosen.size < k && chosen.size < cands.length) {
+        val rest = cands.filter(c => !chosen.exists(_._1 == c._1))
+        val scored = rest.map(c => (c, -c._2 * chosen.map(dist(c, _)).min))
+        val best = scored.sortBy { case (c, s) => (s, c._1) }.head._1
+        chosen = chosen :+ best
+      }
+      chosen.map(_._1)
+    }
+    def unit(seed: Int): Array[Long] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(64)(1000L + rnd.nextInt(9000).toLong)
+    }
+    def n2(q: Array[Long]): Long = q.map(x => x * x).sum
+    // 10 candidates in 3 planted orthant groups; weights comparable
+    // across groups so farthest-point spread (not weight mass) decides
+    val groups = Seq(
+      (0 until 4).map { i => val q = unit(i); (10L + i, 5L + i, q, n2(q)) },
+      (0 until 3).map { i => val q = unit(100 + i).map(-_); (20L + i, 6L + i, q, n2(q)) },
+      (0 until 3).map { i =>
+        val q = unit(200 + i).zipWithIndex.map { case (x, j) => if (j % 2 == 0) x else -x }
+        (30L + i, 5L + i, q, n2(q))
+      })
+    val cands = groups.flatten.toArray
+    val mine = Similarity.localWeightedSeeds(cands, 3).map(_._1).toSeq
+    assert(mine === refGreedy(cands, 3))
+    // farthest-point on 3 orthogonal groups picks one seed per group
+    assert(mine.map(id => groups.indexWhere(_.exists(_._1 == id))).toSet === Set(0, 1, 2))
+    // k larger than the candidate set returns every candidate once
+    val all = Similarity.localWeightedSeeds(cands, 99).map(_._1)
+    assert(all.length === cands.length && all.distinct.length === all.length)
+  }
+
+  test("kmeans|| pipeline and kpp-seeded converged kmeans never mix planted clusters") {
+    val n = 12
+    val dir = plantedDir(n)
+    // orthogonal planted directions: a cell mixing the two would have
+    // cosine-to-centroid ≈ 0.7 for its minority members, so min_cos ≥ 0.9
+    // for every cell proves the partition respects the planted structure
+    for (df <- Seq(Similarity.kmeansParallelClusters(spark, dir),
+        Similarity.kmeansConverged(spark, dir, kppSeeds = true))) {
+      val cells = df.select($"cell", $"n_members", $"min_cos")
+        .as[(Int, Long, Double)].collect()
+      assert(cells.map(_._2).sum === 2L * n + 1L)
+      assert(cells.length <= Similarity.KmeansK)
+      cells.foreach { case (cell, _, minCos) =>
+        assert(minCos >= 0.9, s"cell $cell mixes planted clusters (min_cos $minCos)")
+      }
+    }
+  }
+
   test("int8 quantization bounds values to ±127 and error to half a quantum") {
     val v = Array.tabulate(64)(i => -0.4f + (i % 9) * 0.1f) // mixed signs
     val axis = Array.tabulate(64)(i => if (i == 3) -0.8f else 0.0f)
