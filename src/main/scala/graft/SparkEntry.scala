@@ -173,6 +173,14 @@ object SparkEntry {
       "double_exponential_smoothing(signup[10d], 0.5, 0.3)")),
     "p55_promql_ts_of_max" -> ((s, d) => promql.Engine.eval(s, d,
       "ts_of_max_over_time(signup[10d])")),
+    // classic-bucket histogram scalars (Prometheus 3.x native-histogram
+    // surface re-expressed over this engine's raw-observation families)
+    "p56_promql_histogram_avg" -> ((s, d) => promql.Engine.eval(s, d,
+      "histogram_avg(error)")),
+    "p57_promql_histogram_fraction" -> ((s, d) => promql.Engine.eval(s, d,
+      "histogram_fraction(2.5, 75.5, error)")),
+    "p58_promql_histogram_count_rate" -> ((s, d) => promql.Engine.eval(s, d,
+      "histogram_count(rate(error[4d]))")),
     "p33_promql_timestamp" -> ((s, d) => promql.Engine.eval(s, d,
       "timestamp(signup)")),
     "p34_promql_scalar" -> ((s, d) => promql.Engine.eval(s, d,
@@ -381,6 +389,9 @@ object SparkEntry {
     "p52_promql_sort_by_label" -> promql.Oracle.SortByLabelSql,
     "p53_promql_mad" -> promql.Oracle.MadOverTimeSql,
     "p55_promql_ts_of_max" -> promql.Oracle.TsOfMaxOverTimeSql,
+    "p56_promql_histogram_avg" -> promql.Oracle.HistogramAvgSql,
+    "p57_promql_histogram_fraction" -> promql.Oracle.HistogramFractionSql,
+    "p58_promql_histogram_count_rate" -> promql.Oracle.HistogramCountRateSql,
     "p33_promql_timestamp" -> promql.Oracle.TimestampSql,
     "p34_promql_scalar" -> promql.Oracle.ScalarShareSql,
     "p35_promql_sgn" -> promql.Oracle.SgnSql,

@@ -76,6 +76,13 @@ final case class CountValues(dst: String, arg: Ast) extends Ast
   */
 final case class SmoothFunc(sf: Double, tf: Double, arg: Ast) extends Ast
 
+/** `histogram_fraction(lo, hi, hist)` — estimated fraction of the
+  * family's observations in `(lo, hi]`, by the same classic-bucket
+  * linear interpolation `histogram_quantile` uses (inverted: the
+  * cumulative count AT a value instead of the value at a rank).
+  */
+final case class HistFraction(lo: Double, hi: Double, arg: Ast) extends Ast
+
 /** `label_replace(v, "dst", "replacement", "src", "regex")` /
   * `label_join(v, "dst", "sep", "src1", ...)` — label-rewriting
   * functions whose parameters are strings, not scalars.

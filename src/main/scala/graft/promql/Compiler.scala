@@ -505,11 +505,17 @@ object Compiler {
     * the 7 boundaries + one hash aggregate per series — then runs the
     * standard PromQL linear interpolation.
     */
-  private def histogramQuantile(spark: SparkSession, dir: String,
-      phi: Double, sel: Selector, windowD: Option[Long], shiftS: Long,
-      outLabels: Seq[String] = SeriesKey): Vec = {
+  /** The histogram family's raw observations visible to `sel` at the
+    * evaluation instant — everything up to T (instant form) or the
+    * trailing `windowD` seconds (the windowed rate/increase form) —
+    * with the family-kind compose-time check. Shared by
+    * `histogram_quantile`, `histogram_count/sum/avg`, and
+    * `histogram_fraction`.
+    */
+  private def histogramObs(spark: SparkSession, dir: String, fn: String,
+      sel: Selector, windowD: Option[Long], shiftS: Long): DataFrame = {
     if (kindOf(sel.name) != "histogram")
-      fail(s"histogram_quantile expects a histogram family, '${sel.name}' is a ${kindOf(sel.name)}")
+      fail(s"$fn expects a histogram family, '${sel.name}' is a ${kindOf(sel.name)}")
     val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
     val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
     val inWindow = windowD match {
@@ -517,8 +523,14 @@ object Compiler {
         unix_micros(col("ts")) <= hi
       case None => unix_micros(col("ts")) <= hi
     }
-    val obs = events(spark, dir)
+    events(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) && inWindow)
+  }
+
+  private def histogramQuantile(spark: SparkSession, dir: String,
+      phi: Double, sel: Selector, windowD: Option[Long], shiftS: Long,
+      outLabels: Seq[String] = SeriesKey): Vec = {
+    val obs = histogramObs(spark, dir, "histogram_quantile", sel, windowD, shiftS)
     import spark.implicits._
     val bounds = MetricEvent.Buckets.toDF("le")
     // `sum by (...)` over the bucket series before the quantile (the
@@ -555,6 +567,81 @@ object Compiler {
             * (col("rank") - col("prev_cum").cast("double"))
             / (col("cum_count") - col("prev_cum")).cast("double")).as("value"): _*)
     Vec(out, outLabels)
+  }
+
+  /** `histogram_count/sum/avg(hist)` over classic buckets — in this
+    * engine's model the family keeps its raw observations, so the
+    * derived scalars are exact aggregates (no bucket estimation):
+    * count = #observations, sum = exact-decimal value sum (the same
+    * `decSum` the exposition's `_sum` series uses — B11), avg =
+    * sum/count. The rate forms divide count and sum by the window
+    * seconds (avg is scale-invariant: the divisions cancel, exactly as
+    * in Prometheus where `histogram_avg(rate(h[d]))` is the mean
+    * observed value over the window). One hash aggregate per series —
+    * map-side combinable, no window functions.
+    */
+  private def histogramAgg(spark: SparkSession, dir: String, fn: String,
+      sel: Selector, windowD: Option[Long], rateD: Option[Long],
+      shiftS: Long): Vec = {
+    val obs = histogramObs(spark, dir, fn, sel, windowD, shiftS)
+    val cnt = count(lit(1)).cast("double")
+    val dsum = graft.operators.Metrics.decSum(col("value"))
+    val v = fn match {
+      case "histogram_count" =>
+        rateD.map(d => cnt / lit(d.toDouble)).getOrElse(cnt)
+      case "histogram_sum" =>
+        rateD.map(d => dsum / lit(d.toDouble)).getOrElse(dsum)
+      case "histogram_avg" => dsum / cnt
+    }
+    Vec(obs.groupBy(SeriesKey.map(col): _*).agg(v.as("value")), SeriesKey)
+  }
+
+  /** `histogram_fraction(lo, hi, hist)` — the estimated fraction of
+    * observations in `(lo, hi]`, classic-bucket form: the inverse of
+    * `histogram_quantile`'s interpolation. F(x) — the interpolated
+    * cumulative count at value x — is a single bucket row's
+    * expression, because the full buckets below x telescope into that
+    * row's `prev_cum`: F(x) = prev_cum + (cum−prev_cum)·(x−prev_le)/
+    * (le−prev_le) on the row with prev_le < x ≤ le, cum at or above
+    * the top boundary, 0 at or below zero. MAX over the bucket rows
+    * picks that row without a second pass (cumulative counts are
+    * monotone in le), and stays order-independent — every F is one
+    * per-row identical-IEEE expression, so the DuckDB twin bit-matches.
+    * The window form is scale-invariant (numerator and denominator
+    * scale by the same 1/d), so rate/increase feed it identically,
+    * exactly like histogram_quantile. Beyond the top boundary the
+    * classic buckets carry no information: F clamps to the top
+    * bucket's count (the fraction-form analog of the quantile's
+    * max-le overflow rule), while the denominator stays the full
+    * observation count.
+    */
+  private def histogramFraction(spark: SparkSession, dir: String,
+      lo: Double, hi: Double, sel: Selector, windowD: Option[Long],
+      shiftS: Long): Vec = {
+    if (lo >= hi) fail(s"histogram_fraction needs lo < hi, got ($lo, $hi)")
+    val obs = histogramObs(spark, dir, "histogram_fraction", sel, windowD, shiftS)
+    import spark.implicits._
+    val bounds = MetricEvent.Buckets.toDF("le")
+    val snap = obs.crossJoin(broadcast(bounds))
+      .groupBy((SeriesKey :+ "le").map(col): _*)
+      .agg(
+        sum(when(col("value") <= col("le"), 1L).otherwise(0L)).as("cum_count"),
+        count(lit(1)).as("count"))
+    val series = SeriesKey.map(col)
+    val w = Window.partitionBy(series: _*).orderBy(col("le"))
+    val frame = snap
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w), lit(0.0)))
+      .withColumn("prev_cum", coalesce(lag(col("cum_count"), 1).over(w), lit(0L)))
+    def F(x: Double): Column = max(
+      when(lit(x) >= col("le"), col("cum_count").cast("double"))
+        .when(lit(x) > col("prev_le"),
+          col("prev_cum").cast("double") +
+            (col("cum_count") - col("prev_cum")).cast("double") *
+            (lit(x) - col("prev_le")) / (col("le") - col("prev_le")))
+        .otherwise(lit(0.0)))
+    val out = frame.groupBy(series: _*)
+      .agg(((F(hi) - F(lo)) / max(col("count")).cast("double")).as("value"))
+    Vec(out, SeriesKey)
   }
 
   private def aggregate(a: Agg, v: Vec): Vec = {
@@ -1245,6 +1332,35 @@ object Compiler {
           }
         case other =>
           fail(s"histogram_quantile expects a histogram selector or rate/increase of one, got $other")
+      }
+    case Func(fn, None, arg)
+        if fn == "histogram_count" || fn == "histogram_sum" || fn == "histogram_avg" =>
+      arg match {
+        case sel: Selector =>
+          if (sel.rangeS.isDefined)
+            fail(s"$fn over a raw range selector — wrap it in rate/increase, " +
+              s"e.g. $fn(rate(${sel.name}[5m]))")
+          histogramAgg(spark, dir, fn, sel, None, None, shiftS)
+        case Func(rf, _, sel: Selector) if rf == "rate" || rf == "increase" =>
+          val d = sel.rangeS.getOrElse(
+            fail(s"$rf inside $fn needs a range, e.g. $rf(${sel.name}[5m])"))
+          histogramAgg(spark, dir, fn, sel, Some(d),
+            if (rf == "rate") Some(d) else None, shiftS)
+        case other =>
+          fail(s"$fn expects a histogram selector or rate/increase of one, got $other")
+      }
+    case HistFraction(lo, hi, arg) =>
+      arg match {
+        case sel: Selector =>
+          if (sel.rangeS.isDefined)
+            fail("histogram_fraction over a raw range selector — wrap it in rate/increase")
+          histogramFraction(spark, dir, lo, hi, sel, None, shiftS)
+        case Func(rf, _, sel: Selector) if rf == "rate" || rf == "increase" =>
+          val d = sel.rangeS.getOrElse(
+            fail(s"$rf inside histogram_fraction needs a range, e.g. $rf(${sel.name}[5m])"))
+          histogramFraction(spark, dir, lo, hi, sel, Some(d), shiftS)
+        case other =>
+          fail(s"histogram_fraction expects a histogram selector or rate/increase of one, got $other")
       }
     case Func("absent", _, arg) =>
       arg match {

@@ -142,6 +142,71 @@ object Oracle {
       "epoch_us(ts) > t_us - 345600000000 AND epoch_us(ts) <= t_us",
       Seq("label_k"))
 
+  /** `histogram_avg(error)` — the family keeps raw observations, so
+    * avg = exact decimal sum / count (B11's `_sum`/`_count` derived
+    * series, divided) — no bucket estimation involved.
+    */
+  val HistogramAvgSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m)
+       |SELECT name, label_k, label_instance,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS value
+       |FROM m, t
+       |WHERE name = 'error' AND epoch_us(ts) <= t_us
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `histogram_count(rate(error[4d]))` — windowed observation count
+    * per series divided by the window seconds.
+    */
+  val HistogramCountRateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m)
+       |SELECT name, label_k, label_instance,
+       |  CAST(COUNT(*) AS DOUBLE) / 345600.0 AS value
+       |FROM m, t
+       |WHERE name = 'error'
+       |  AND epoch_us(ts) > t_us - 345600000000 AND epoch_us(ts) <= t_us
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  /** `histogram_fraction(2.5, 75.5, error)` — F(x) per series via the
+    * same MAX-over-bucket-rows pick the compiler emits (cumulative
+    * counts are monotone in le, so MAX lands on the single row whose
+    * bucket contains x; full buckets below telescope into prev_cum).
+    */
+  val HistogramFractionSql: String = {
+    def f(x: Double): String =
+      s"""MAX(CASE WHEN $x >= le THEN CAST(cum_count AS DOUBLE)
+         |    WHEN $x > prev_le THEN CAST(prev_cum AS DOUBLE)
+         |      + CAST(cum_count - prev_cum AS DOUBLE)
+         |      * ($x - prev_le) / (le - prev_le)
+         |    ELSE 0.0 END)""".stripMargin
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (SELECT name, label_k, label_instance, value FROM m, t
+       |      WHERE name = 'error' AND epoch_us(ts) <= t_us),
+       |b AS (SELECT * FROM (VALUES (1.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0)) b(le)),
+       |snap AS (
+       |  SELECT name, label_k, label_instance, le,
+       |    CAST(SUM(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT) AS cum_count,
+       |    COUNT(*) AS cnt
+       |  FROM w CROSS JOIN b
+       |  GROUP BY name, label_k, label_instance, le),
+       |r AS (
+       |  SELECT *,
+       |    COALESCE(LAG(le) OVER w2, 0.0) AS prev_le,
+       |    COALESCE(LAG(cum_count) OVER w2, 0) AS prev_cum
+       |  FROM snap
+       |  WINDOW w2 AS (PARTITION BY name, label_k, label_instance ORDER BY le))
+       |SELECT name, label_k, label_instance,
+       |  (${f(75.5)} - ${f(2.5)}) / CAST(MAX(cnt) AS DOUBLE) AS value
+       |FROM r
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+  }
+
   /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
   val OrSql: String =
     s"""WITH m AS ($MetricEventsSql),

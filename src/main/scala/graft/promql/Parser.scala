@@ -270,6 +270,26 @@ object Parser {
           val arg = expr()
           expect(")")
           Func(name, Some(phi), arg)
+        } else if (name == "histogram_count" || name == "histogram_sum" ||
+            name == "histogram_avg") {
+          // classic-bucket derived scalars of a histogram family; the
+          // argument is a histogram selector or rate/increase of one —
+          // the compiler validates the family kind
+          expect("(")
+          val arg = expr()
+          expect(")")
+          Func(name, None, arg)
+        } else if (name == "histogram_fraction") {
+          // histogram_fraction(lo, hi, hist) — two leading scalars,
+          // like the native-histogram form in Prometheus 3.x
+          expect("(")
+          val lo = number()
+          expect(",")
+          val hiV = number()
+          expect(",")
+          val arg = expr()
+          expect(")")
+          HistFraction(lo, hiV, arg)
         } else if (ScalarFuncs.contains(name)) {
           expect("(")
           val arg = expr()

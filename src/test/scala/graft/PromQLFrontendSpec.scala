@@ -607,6 +607,32 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(clamped.toSeq === Seq(8.0)) // LWW 9 clamped to 8
   }
 
+  test("histogram_count/sum/avg and histogram_fraction match hand values") {
+    val h = 3600000L
+    // buckets are 1,5,10,25,50,100,150; series a observes 2,8,30,200
+    // (one observation past the top boundary), series b observes 4
+    val dir = fixture("events" -> Seq(
+      ev(0, h, "error", 2.0, "a"), ev(1, 2 * h, "error", 8.0, "a"),
+      ev(2, 3 * h, "error", 30.0, "a"), ev(3, 4 * h, "error", 200.0, "a"),
+      ev(4, h, "error", 4.0, "b")).toDF(eventCols: _*))
+    def m(q: String): Map[String, Double] =
+      Engine.eval(spark, dir, q)
+        .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(m("histogram_count(error)") === Map("a" -> 4.0, "b" -> 1.0))
+    assert(m("histogram_sum(error)") === Map("a" -> 240.0, "b" -> 4.0))
+    assert(m("histogram_avg(error)") === Map("a" -> 60.0, "b" -> 4.0))
+    // a: F(75.5)=3 (the 200 observation is invisible above the top
+    // boundary), F(2.5)=0+1·(2.5−1)/(5−1)=0.375 → (3−0.375)/4
+    // b: F(75.5)=1, F(2.5)=0.375 → 0.625
+    assert(m("histogram_fraction(2.5, 75.5, error)") ===
+      Map("a" -> 0.65625, "b" -> 0.625))
+    // windowed: T=4h, window (2h,4h] holds a's 30 and 200 only
+    assert(m("histogram_count(rate(error[2h]))") === Map("a" -> 2.0 / 7200.0))
+    assert(m("histogram_sum(increase(error[2h]))") === Map("a" -> 230.0))
+    // avg is scale-invariant: rate form = mean observed value in window
+    assert(m("histogram_avg(rate(error[2h]))") === Map("a" -> 115.0))
+  }
+
   test("compose-time checks reject kind and shape errors before any job") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
@@ -618,6 +644,12 @@ class PromQLFrontendSpec extends SparkTestBase {
     intercept[PromQLCompileException](Engine.eval(spark, dir, "error"))
     intercept[PromQLCompileException](
       Engine.eval(spark, dir, "histogram_quantile(0.9, purchase)"))
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, "histogram_avg(purchase)"))
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, "histogram_fraction(5, 2, error)"))
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, "histogram_count(error[5m])"))
     intercept[PromQLCompileException](
       Engine.eval(spark, dir, """purchase{badlabel="x"}"""))
     intercept[PromQLCompileException](
@@ -942,7 +974,7 @@ class PromQLFrontendSpec extends SparkTestBase {
     def range() = s"${sel()}[${pick(Seq("1h", "5h", "1d"))}]"
     def vector(depth: Int): String =
       if (depth <= 0) sel()
-      else rnd.nextInt(16) match {
+      else rnd.nextInt(18) match {
         case 0 => s"sum by (${lbl()}) (${vector(depth - 1)})"
         case 1 => s"${pick(Seq("rate", "increase", "delta", "irate", "changes"))}(${range()})"
         case 2 => s"${pick(Seq("avg_over_time", "mad_over_time", "ts_of_max_over_time", "stddev_over_time"))}(${range()})"
@@ -958,7 +990,9 @@ class PromQLFrontendSpec extends SparkTestBase {
         case 12 => s"""count_values("v", ${vector(depth - 1)})"""
         case 13 => s"""sort_by_label(${vector(depth - 1)}, "${lbl()}")"""
         case 14 => s"${sel()} ${pick(Seq("/", ">"))} ${pick(Seq("on", "ignoring"))}(${lbl()}) ${pick(Seq("", "group_left "))}${sel()}"
-        case _ => s"double_exponential_smoothing(${range()}, 0.5, 0.3)"
+        case 15 => s"double_exponential_smoothing(${range()}, 0.5, 0.3)"
+        case 16 => s"${pick(Seq("histogram_count", "histogram_sum", "histogram_avg"))}(${pick(Seq(sel(), s"rate(${range()})"))})"
+        case _ => s"histogram_fraction(${pick(Seq("2.5", "50"))}, ${pick(Seq("75.5", "10"))}, ${sel()})"
       }
     var ok = 0; var rejected = 0
     for (seed <- Seq(20260813L, 424242L)) {
