@@ -181,6 +181,8 @@ object SparkEntry {
       "histogram_fraction(2.5, 75.5, error)")),
     "p58_promql_histogram_count_rate" -> ((s, d) => promql.Engine.eval(s, d,
       "histogram_count(rate(error[4d]))")),
+    // info(): target_info enrichment sugar over the group_left machinery
+    "p59_promql_info" -> ((s, d) => promql.Engine.eval(s, d, "info(signup)")),
     "p33_promql_timestamp" -> ((s, d) => promql.Engine.eval(s, d,
       "timestamp(signup)")),
     "p34_promql_scalar" -> ((s, d) => promql.Engine.eval(s, d,
@@ -392,6 +394,7 @@ object SparkEntry {
     "p56_promql_histogram_avg" -> promql.Oracle.HistogramAvgSql,
     "p57_promql_histogram_fraction" -> promql.Oracle.HistogramFractionSql,
     "p58_promql_histogram_count_rate" -> promql.Oracle.HistogramCountRateSql,
+    "p59_promql_info" -> promql.Oracle.InfoSql,
     "p33_promql_timestamp" -> promql.Oracle.TimestampSql,
     "p34_promql_scalar" -> promql.Oracle.ScalarShareSql,
     "p35_promql_sgn" -> promql.Oracle.SgnSql,

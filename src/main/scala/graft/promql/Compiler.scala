@@ -645,10 +645,15 @@ object Compiler {
   }
 
   private def aggregate(a: Agg, v: Vec): Vec = {
+    // grouping accepts CREATED labels too (label_replace/label_join
+    // dst, count_values dst, info()'s copied data labels) — anything
+    // outside the stored universe maps by the `label_<name>` output
+    // convention and the presence check below rejects the rest
+    def gcol(l: String): String = LabelUniverse.getOrElse(l, "label_" + l)
     val groupCols: Seq[String] = a.grouping match {
-      case Some(("by", ls)) => ls.map(labelCol)
+      case Some(("by", ls)) => ls.map(gcol)
       case Some(("without", ls)) =>
-        val dropped = ls.map(labelCol).toSet
+        val dropped = ls.map(gcol).toSet
         v.labels.filterNot(l => l == "name" || dropped.contains(l))
       case None => Nil
       case Some((kw, _)) => fail(s"unknown grouping '$kw'")
@@ -1362,6 +1367,30 @@ object Compiler {
         case other =>
           fail(s"histogram_fraction expects a histogram selector or rate/increase of one, got $other")
       }
+    case Func("info", _, arg) =>
+      // info(v) (Prometheus 3.x): enrich every series of v with the
+      // data labels of the target_info series sharing its identifying
+      // `instance` label. The fixture stores no info family, so the
+      // adapter DERIVES one deterministic series per instance —
+      // `version` = 'v' + the instance digits, the analog of an OTel
+      // resource attribute; a stored family would swap in here
+      // unchanged. The enrichment is the b8b/p13 group_left machinery
+      // specialized to a many-to-one broadcast join on the identifying
+      // label (one info row per instance — always broadcast), so it
+      // adds zero shuffles to v's plan at any scale.
+      val v = materialize(compileVec(spark, dir, arg, shiftS))
+      if (!v.labels.contains("label_instance"))
+        fail("info() needs the identifying label 'instance' on its argument " +
+          s"(got labels ${v.labels.mkString(", ")}); aggregate AFTER info(), not before")
+      if (v.labels.contains("label_version"))
+        fail("info() would collide with an existing 'version' label")
+      val inf = Metrics.metricEvents(spark, dir)
+        .select(col("label_instance")).distinct()
+        .withColumn("label_version",
+          concat(lit("v"), expr("substr(label_instance, 2)")))
+      val joined = v.df.join(broadcast(inf), Seq("label_instance"), "left")
+        .withColumn("label_version", coalesce(col("label_version"), lit("")))
+      Vec(joined, v.labels :+ "label_version")
     case Func("absent", _, arg) =>
       arg match {
         case sel: Selector =>

@@ -207,6 +207,22 @@ object Oracle {
        |ORDER BY name, label_k, label_instance, value""".stripMargin
   }
 
+  /** `info(signup)` — the last-write-wins gauge snapshot enriched with
+    * the adapter's derived target_info data label
+    * (`version` = 'v' + instance digits).
+    */
+  val InfoSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |g AS (SELECT name, label_k, label_instance, value FROM (
+       |        SELECT name, label_k, label_instance, value,
+       |          ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance
+       |                             ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM m WHERE name = 'signup') WHERE rn = 1)
+       |SELECT name, label_k, label_instance,
+       |  'v' || substr(label_instance, 2) AS label_version, value
+       |FROM g
+       |ORDER BY name, label_k, label_instance, label_version, value""".stripMargin
+
   /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
   val OrSql: String =
     s"""WITH m AS ($MetricEventsSql),

@@ -279,6 +279,13 @@ object Parser {
           val arg = expr()
           expect(")")
           Func(name, None, arg)
+        } else if (name == "info") {
+          // info(v) — enrich v with the target_info data labels shared
+          // by its identifying `instance` label (Prometheus 3.x)
+          expect("(")
+          val arg = expr()
+          expect(")")
+          Func(name, None, arg)
         } else if (name == "histogram_fraction") {
           // histogram_fraction(lo, hi, hist) — two leading scalars,
           // like the native-histogram form in Prometheus 3.x

@@ -633,6 +633,29 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(m("histogram_avg(rate(error[2h]))") === Map("a" -> 115.0))
   }
 
+  test("info() enriches series with the derived target_info label") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 5.0, "a"),
+      ev(1, 1000, "signup", 7.0, "a"),
+      ev(2, 0, "signup", 2.0, "b"),
+      ev(3, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    val rows = Engine.eval(spark, dir, "info(signup)")
+      .select($"label_k", $"label_instance", $"label_version", $"value")
+      .as[(String, String, String, Double)].collect().toSet
+    // user_id=1 → instance i1 → derived version v1; gauge is LWW
+    assert(rows === Set(("a", "i1", "v1", 7.0), ("b", "i1", "v1", 2.0)))
+    // composes downstream: the copied label is aggregatable
+    val agg = Engine.eval(spark, dir, "sum by (version) (info(signup))")
+      .select($"label_version", $"value").as[(String, Double)].collect().toSet
+    assert(agg === Set(("v1", 9.0)))
+    // identifying label must still be present at the join
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, "info(sum by (k) (signup))"))
+    // collision guard: enriching twice would duplicate 'version'
+    intercept[PromQLCompileException](
+      Engine.eval(spark, dir, "info(info(signup))"))
+  }
+
   test("compose-time checks reject kind and shape errors before any job") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
