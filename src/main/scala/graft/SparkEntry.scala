@@ -183,6 +183,9 @@ object SparkEntry {
       "histogram_count(rate(error[4d]))")),
     // info(): target_info enrichment sugar over the group_left machinery
     "p59_promql_info" -> ((s, d) => promql.Engine.eval(s, d, "info(signup)")),
+    // nested over_time subquery on the sliding-bucket grid strategy
+    "p60_promql_nested_subquery" -> ((s, d) => promql.Engine.eval(s, d,
+      "max_over_time((avg_over_time(signup[2d]))[8d:1d])")),
     "p33_promql_timestamp" -> ((s, d) => promql.Engine.eval(s, d,
       "timestamp(signup)")),
     "p34_promql_scalar" -> ((s, d) => promql.Engine.eval(s, d,
@@ -395,6 +398,7 @@ object SparkEntry {
     "p57_promql_histogram_fraction" -> promql.Oracle.HistogramFractionSql,
     "p58_promql_histogram_count_rate" -> promql.Oracle.HistogramCountRateSql,
     "p59_promql_info" -> promql.Oracle.InfoSql,
+    "p60_promql_nested_subquery" -> promql.Oracle.NestedOverTimeGridSql,
     "p33_promql_timestamp" -> promql.Oracle.TimestampSql,
     "p34_promql_scalar" -> promql.Oracle.ScalarShareSql,
     "p35_promql_sgn" -> promql.Oracle.SgnSql,

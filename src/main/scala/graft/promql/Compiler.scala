@@ -1094,7 +1094,22 @@ object Compiler {
         Some((ls.map(labelCol), sel, f2))
       case _ => None
     }
-    if (gridCounter.isDefined || gridGauge.isDefined || gridRate.isDefined) {
+    // nested *_over_time inner whose window is a step multiple: the
+    // instant-i window (t_i − w, t_i] is exactly k = w/step consecutive
+    // step buckets, so per-(series, bucket) partial aggregates + ONE
+    // sliding window over the dense series×grid replace per-instant
+    // window re-scans (any family — over_time reads raw samples)
+    val bucketDecomposable = Set("sum_over_time", "avg_over_time",
+      "min_over_time", "max_over_time", "count_over_time")
+    val gridOverTime: Option[(Selector, String)] = sq.inner match {
+      case Func(f2, None, sel: Selector)
+          if bucketDecomposable.contains(f2) &&
+            sel.rangeS.exists(w => w > 0 && w % sq.stepS == 0) =>
+        Some((sel, f2))
+      case _ => None
+    }
+    if (gridCounter.isDefined || gridGauge.isDefined || gridRate.isDefined ||
+        gridOverTime.isDefined) {
       if (g > 4096) fail(s"subquery evaluates $g instants; 1..4096 supported (grid strategy)")
       gridCounter match {
         case Some((labels, sel)) =>
@@ -1102,9 +1117,13 @@ object Compiler {
         case None => gridRate match {
           case Some((labels, sel, f2)) =>
             return subqueryGridRate(spark, dir, fn, sel, labels, shiftS, g, sq.stepS, f2)
-          case None =>
-            val (sumBy, sel) = gridGauge.get
-            return subqueryGridGauge(spark, dir, fn, sel, shiftS, g, sq.stepS, sumBy)
+          case None => gridOverTime match {
+            case Some((sel, f2)) =>
+              return subqueryGridOverTime(spark, dir, fn, sel, shiftS, g, sq.stepS, f2)
+            case None =>
+              val (sumBy, sel) = gridGauge.get
+              return subqueryGridGauge(spark, dir, fn, sel, shiftS, g, sq.stepS, sumBy)
+          }
         }
       }
     }
@@ -1224,6 +1243,76 @@ object Compiler {
     // the ÷w commutes with sum/avg/min/max (positive scale), not count
     val div = if (innerFn == "rate" && fn != "count_over_time") Some(w.toDouble) else None
     Vec(agg, labels, rateDiv = div)
+  }
+
+  /** Nested-subquery grid: `fn((g2(m[w]))[d:step])` with `g2` any
+    * `*_over_time` aggregate and `w = k·step`. The instant-i window
+    * `(t_i − w, t_i]` is exactly the k consecutive step buckets
+    * `i−k+1 .. i` (bucket b = g − age div step), so ONE event pass
+    * builds per-(series, bucket) partials (decimal sum, count, min,
+    * max — every over_time aggregate decomposes over a bucket
+    * partition) and ONE sliding `rowsBetween(−(k−1), 0)` window over
+    * the dense series×grid reconstructs every instant's inner value —
+    * O(events) + O(series × (g+k) × k) grid work instead of k·g
+    * re-scans, the same scaling argument as the rate grid. Buckets
+    * older than instant 1's window are pruned at the scan. Instants
+    * whose window holds no samples (win count 0) are absent, exactly
+    * as per-instant evaluation. Decimal sums stay exact through the
+    * sliding window; min/max compose losslessly; avg divides once per
+    * instant in the same expression order as the per-instant path, so
+    * doubles bit-match the oracle.
+    */
+  private def subqueryGridOverTime(spark: SparkSession, dir: String, fn: String,
+      sel: Selector, shiftS: Long, g: Long, stepS: Long,
+      innerFn: String): Vec = {
+    val stepUs = stepS * 1000000L
+    val w = sel.rangeS.get
+    val k = (w / stepS).toInt
+    if (g + k > 4096)
+      fail(s"subquery grid spans ${g + k} indexes (instants + window span); 4096 supported")
+    val names = resolveNames(sel)
+    kindOfAll(names) // family-consistency compose-time check, as in rangeFunc
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val base = events(spark, dir)
+      .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
+        unix_micros(col("ts")) <= hi &&
+        (hi - unix_micros(col("ts"))) < lit((g - 1 + k) * stepUs))
+      .withColumn("_age_us", hi - unix_micros(col("ts")))
+      .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
+    val partial = base.groupBy((SeriesKey :+ "_b").map(col): _*)
+      .agg(exactSum(base).as("_s"), count(lit(1)).as("_n"),
+        min(col("value")).as("_mn"), max(col("value")).as("_mx"))
+    import spark.implicits._
+    val grid = partial.select(SeriesKey.map(col): _*).distinct()
+      .crossJoin(broadcast(spark.range(2L - k, g + 1L).toDF("_b")))
+    val sw = Window.partitionBy(SeriesKey.map(col): _*).orderBy(col("_b"))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    val instants = grid.join(partial, SeriesKey :+ "_b", "left")
+      .withColumn("_wn", sum(col("_n")).over(sw))
+      .withColumn("_ws", sum(col("_s")).over(sw))
+      .withColumn("_wmn", min(col("_mn")).over(sw))
+      .withColumn("_wmx", max(col("_mx")).over(sw))
+      .filter(col("_b") >= 1 && col("_wn") > 0)
+    val innerValue = innerFn match {
+      case "sum_over_time" => col("_ws")
+      case "avg_over_time" => col("_ws").cast("double") / col("_wn").cast("double")
+      case "min_over_time" => col("_wmn")
+      case "max_over_time" => col("_wmx")
+      case "count_over_time" => col("_wn").cast("double")
+      case other => fail(s"$other inside a grid subquery is not supported")
+    }
+    val vals = instants.withColumn("value", innerValue)
+    val grouped = vals.groupBy(SeriesKey.map(col): _*)
+    val agg = fn match {
+      case "sum_over_time" => grouped.agg(vectorSum(vals).as("value"))
+      case "avg_over_time" => grouped.agg((vectorSum(vals).cast("double") /
+        count(lit(1)).cast("double")).as("value"))
+      case "min_over_time" => grouped.agg(min(col("value")).as("value"))
+      case "max_over_time" => grouped.agg(max(col("value")).as("value"))
+      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+    }
+    Vec(agg, SeriesKey)
   }
 
   /** Gauge twin of [[subqueryGridCounter]]: the per-instant value is

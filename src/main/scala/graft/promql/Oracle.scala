@@ -223,6 +223,29 @@ object Oracle {
        |FROM g
        |ORDER BY name, label_k, label_instance, label_version, value""".stripMargin
 
+  /** `max_over_time((avg_over_time(signup[2d]))[8d:1d])` — the nested
+    * over_time grid: per instant i (1..8, t_i = T − (8−i)·1d) the
+    * inner mean over (t_i − 2d, t_i] as exact decimal sum / count,
+    * outer max across the instants where the window holds samples.
+    */
+  val NestedOverTimeGridSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 8)) AS i),
+       |win AS (
+       |  SELECT name, label_k, label_instance, i.i,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS v
+       |  FROM m, t, inst i
+       |  WHERE name = 'signup'
+       |    AND epoch_us(ts) <= t_us - (8 - i.i) * 86400000000
+       |    AND epoch_us(ts) >  t_us - (8 - i.i) * 86400000000 - 172800000000
+       |  GROUP BY name, label_k, label_instance, i.i)
+       |SELECT name, label_k, label_instance, MAX(v) AS value
+       |FROM win
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
   /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
   val OrSql: String =
     s"""WITH m AS ($MetricEventsSql),

@@ -305,6 +305,40 @@ class PromQLFrontendSpec extends SparkTestBase {
       Engine.eval(spark, dir, "(purchase)[2h:1h]")) // subquery outside over_time
   }
 
+  test("nested over_time subquery grid matches independent per-instant evaluation") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, h, "signup", 5.0, "a"), ev(1, 2 * h, "signup", 9.0, "a"),
+      ev(2, 4 * h, "signup", 3.0, "a"), ev(3, 5 * h, "signup", 7.0, "a"),
+      ev(4, 2 * h, "signup", 10.0, "b"), ev(5, 5 * h, "signup", 4.0, "b"),
+      ev(6, 3 * h, "purchase", 2.0, "a")).toDF(eventCols: _*))
+    for (inner <- Seq("avg_over_time", "min_over_time", "max_over_time",
+        "sum_over_time", "count_over_time");
+        outer <- Seq("max_over_time", "min_over_time")) {
+      val grid = Engine.eval(spark, dir, s"$outer(($inner(signup[2h]))[4h:1h])")
+        .select($"label_k", $"value").as[(String, Double)].collect().toMap
+      // independent reference: the inner evaluated per offset instant
+      // (T−3h..T, the same instants the grid covers), folded by hand;
+      // instants with an empty window are absent on both paths
+      val perInstant = (0 to 3).map { j =>
+        val off = if (j == 0) "" else s" offset ${j}h"
+        Engine.eval(spark, dir, s"$inner(signup[2h]$off)")
+          .select($"label_k", $"value").as[(String, Double)].collect().toMap
+      }
+      val keys = perInstant.flatMap(_.keys).toSet
+      val expect = keys.map { k =>
+        val vs = perInstant.flatMap(_.get(k))
+        k -> (if (outer == "max_over_time") vs.max else vs.min)
+      }.toMap
+      assert(grid === expect, s"$outer over $inner")
+    }
+    // stddev inner stays on the union path (not bucket-decomposable)
+    val viaUnion = Engine.eval(spark, dir,
+      "max_over_time((stddev_over_time(signup[2h]))[4h:1h])")
+      .select($"label_k", $"value").as[(String, Double)].collect()
+    assert(viaUnion.nonEmpty)
+  }
+
   test("grid-strategy subquery matches per-instant semantics for bare counter selectors") {
     val h = 3600000L
     // two series (same k, users 1/2 → instances i1/i2), events across 3 instants
@@ -1007,7 +1041,7 @@ class PromQLFrontendSpec extends SparkTestBase {
         case 6 => s"histogram_quantile(0.9, ${sel()})"
         case 7 => s"""label_replace(${vector(depth - 1)}, "dst", "x", "${lbl()}", "a.*")"""
         case 8 => s"quantile_over_time(0.5, ${range()})"
-        case 9 => s"${pick(Seq("avg_over_time", "max_over_time", "sum_over_time", "count_over_time"))}((${vector(depth - 1)})[1d:6h])"
+        case 9 => s"${pick(Seq("avg_over_time", "max_over_time", "sum_over_time", "count_over_time"))}((${pick(Seq(vector(depth - 1), s"min_over_time(${range()})", s"avg_over_time(${range()})"))})[1d:6h])"
         case 10 => s"${pick(Seq("limitk", "limit_ratio"))}(${pick(Seq("2", "0.5"))}, ${vector(depth - 1)})"
         case 11 => s"${name()} @ ${pick(Seq("1704067200", "start()", "end()"))}"
         case 12 => s"""count_values("v", ${vector(depth - 1)})"""
