@@ -94,6 +94,16 @@ object Bench {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, line + "\n")
+      // bench.json is overwritten every run and the driver keeps only a
+      // stdout tail, so per-round history kept vanishing; the
+      // append-only log preserves every run's full per-query map for
+      // min-over-runs comparisons (the only honest read on this host —
+      // single runs swing 2-10x under its throttling bursts)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_history.jsonl"),
+        java.time.Instant.now().toString + " " + line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }

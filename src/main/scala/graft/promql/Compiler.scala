@@ -1562,12 +1562,13 @@ object Compiler {
         .copy(sortDesc = Some(fn == "sort_desc"), sortLabels = Nil)
     case LabelFunc(fn, args, arg) if fn == "sort_by_label" || fn == "sort_by_label_desc" =>
       // element-preserving like sort/sort_desc: tags the vector to order
-      // by the given LABEL values (remaining labels break ties).
-      // Accepted divergence: upstream (Prometheus 3.x) natural-sorts
-      // label values ("pod2" < "pod10"); this orders lexicographically
-      // ("pod10" < "pod2") — natural sort has no plain-SQL twin, so the
-      // lexicographic order is what the oracle can pin. The _desc form
-      // negates the WHOLE comparison, tiebreaks included, like upstream.
+      // by the given LABEL values (remaining labels break ties) in
+      // upstream's NATURAL order ("pod2" < "pod10"): each named label
+      // sorts by a key whose digit runs are zero-padded to 16 (see
+      // [[Compiler.natSortKey]]), raw value as tiebreak — both
+      // expressible in plain SQL, so the oracle pins it exactly. The
+      // _desc form negates the WHOLE comparison, tiebreaks included,
+      // like upstream.
       if (args.isEmpty) fail(s"""$fn takes (v, "lbl", ...)""")
       val v = compileVec(spark, dir, arg, shiftS)
       val cols = args.map(labelCol)
@@ -1624,6 +1625,20 @@ object Compiler {
   /** Compile to a DataFrame: label columns (in vector order) + `value`
     * as DOUBLE, deterministically ordered.
     */
+  /** Upstream-parity natural-sort key for `sort_by_label`: split the
+    * value into maximal digit / non-digit runs and zero-pad digit runs
+    * to 16, so "pod2" < "pod10" compares correctly as strings. Both
+    * halves are codegen'd built-ins (`regexp_extract_all` + HOF) with
+    * an exact DuckDB twin (`regexp_extract_all`/`list_transform`/
+    * `lpad`/`array_to_string`) — Java and RE2 agree on this
+    * lookaround-free pattern, and both engines' `lpad` truncate
+    * identically on >16-digit runs (the raw-value tiebreak then
+    * decides, identically).
+    */
+  private def natSortKey(c: String): Column =
+    expr(s"array_join(transform(regexp_extract_all($c, '[0-9]+|[^0-9]+', 0), " +
+      "e -> CASE WHEN e RLIKE '^[0-9]' THEN lpad(e, 16, '0') ELSE e END), '')")
+
   def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame = {
     val v = materialize(compileVec(spark, dir, ast))
     val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
@@ -1634,7 +1649,10 @@ object Compiler {
         // tiebreaks descend along with the named labels.
         val desc = v.sortDesc.contains(true)
         def dir(c: Column): Column = if (desc) c.desc else c.asc
-        val primary = v.sortLabels.map(c => dir(col(c)))
+        // natural order per named label: padded-digit key first, raw
+        // value as the deterministic tiebreak ("01" vs "1")
+        val primary = v.sortLabels.flatMap(c =>
+          Seq(dir(natSortKey(c)), dir(col(c))))
         val rest = v.labels.filterNot(v.sortLabels.contains).map(c => dir(col(c)))
         primary ++ rest :+ dir(col("value"))
       } else v.sortDesc match {

@@ -911,7 +911,11 @@ object Oracle {
        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
        |FROM m WHERE name = 'purchase' AND value >= 0
        |GROUP BY label_k
-       |ORDER BY label_k DESC, value DESC""".stripMargin
+       |ORDER BY COALESCE(array_to_string(list_transform(
+       |    regexp_extract_all(label_k, '[0-9]+|[^0-9]+'),
+       |    e -> CASE WHEN regexp_matches(e, '^[0-9]') THEN lpad(e, 16, '0')
+       |         ELSE e END), ''), '') DESC,
+       |  label_k DESC, value DESC""".stripMargin
 
   /** `mad_over_time(signup[10d])` — median absolute deviation about the
     * median; both medians PromQL-interpolated at (n−1)·0.5, the first on

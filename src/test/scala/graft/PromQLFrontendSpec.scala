@@ -1166,6 +1166,20 @@ class PromQLFrontendSpec extends SparkTestBase {
       """sort_by_label_desc(sum by (k) (purchase), "k")""")
       .select($"label_k").as[String].collect()
     assert(desc.toSeq === Seq("c", "b", "a"))
+    // upstream natural order: digit runs compare numerically, so
+    // pod2 < pod10 (lexicographic would invert them); mixed runs and
+    // leading zeros stay deterministic via the raw-value tiebreak
+    val natDir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 1.0, "pod10"),
+      ev(1, 0, "purchase", 2.0, "pod2"),
+      ev(2, 0, "purchase", 3.0, "pod02"),
+      ev(3, 0, "purchase", 4.0, "a9z"),
+      ev(4, 0, "purchase", 5.0, "a10b")
+    ).toDF(eventCols: _*))
+    val nat = Engine.eval(spark, natDir,
+      """sort_by_label(sum by (k) (purchase), "k")""")
+      .select($"label_k").as[String].collect()
+    assert(nat.toSeq === Seq("a9z", "a10b", "pod02", "pod2", "pod10"))
     // unknown label fails at compose time, before any job runs
     assertThrows[PromQLCompileException] {
       Engine.eval(spark, dir, """sort_by_label(sum by (k) (purchase), "nope")""")
