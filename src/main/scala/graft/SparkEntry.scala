@@ -186,6 +186,8 @@ object SparkEntry {
     // nested over_time subquery on the sliding-bucket grid strategy
     "p60_promql_nested_subquery" -> ((s, d) => promql.Engine.eval(s, d,
       "max_over_time((avg_over_time(signup[2d]))[8d:1d])")),
+    "p61_promql_histogram_stddev" -> ((s, d) => promql.Engine.eval(s, d,
+      "histogram_stddev(error)")),
     "p33_promql_timestamp" -> ((s, d) => promql.Engine.eval(s, d,
       "timestamp(signup)")),
     "p34_promql_scalar" -> ((s, d) => promql.Engine.eval(s, d,
@@ -243,6 +245,11 @@ object SparkEntry {
     "x20_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     "x21_multimodal_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "x24_filter_verdict" -> ((s, d) => TextAnalysis.filterVerdict(s, d)),
+    // PII scrubbing: counts + three-stage redaction, md5-pinned
+    "x41_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    // context-window chunking + per-shard token-budget packing
+    "x42_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(s, d)),
+    "x43_token_packing" -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -399,6 +406,7 @@ object SparkEntry {
     "p58_promql_histogram_count_rate" -> promql.Oracle.HistogramCountRateSql,
     "p59_promql_info" -> promql.Oracle.InfoSql,
     "p60_promql_nested_subquery" -> promql.Oracle.NestedOverTimeGridSql,
+    "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
     "p33_promql_timestamp" -> promql.Oracle.TimestampSql,
     "p34_promql_scalar" -> promql.Oracle.ScalarShareSql,
     "p35_promql_sgn" -> promql.Oracle.SgnSql,
@@ -427,6 +435,9 @@ object SparkEntry {
     "x20_contamination" -> TextAnalysis.ContaminationSql,
     "x21_multimodal_resize" -> Multimodal.ResizeSql,
     "x24_filter_verdict" -> TextAnalysis.FilterVerdictSql,
+    "x41_pii_redact" -> TextAnalysis.PiiRedactSql,
+    "x42_chunks" -> TextAnalysis.ChunkDocumentsSql,
+    "x43_token_packing" -> TextAnalysis.TokenPackingSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x35_kmeans" -> Similarity.KmeansClustersSql,

@@ -574,4 +574,147 @@ object TextAnalysis {
       |    / CAST(n_shingles AS DOUBLE) >= 0.5 AS flagged
       |FROM tot LEFT JOIN hits ON hits.doc_id = tot.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** x41: PII detection + redaction (emails, IPv4s, phone-like digit
+    * runs) — the scrubbing pass a training-data pipeline runs before
+    * anything ships. Every pattern is lookaround- and
+    * alternation-free, so Java regex (Spark codegen) and RE2 (the
+    * DuckDB oracle) produce identical matches; the md5 of the fully
+    * redacted text is IN the gate, pinning the actual three-stage
+    * rewrite cross-engine — not just the counts. Counts are per
+    * category over the RAW text (detection report); redaction chains
+    * email → IP → phone so placeholder text is never re-matched. One
+    * narrow per-row projection — no shuffle, no UDF: at 100 TB this
+    * is a scan-speed rewrite job (x34's shape for text). The
+    * synthetic corpus contains no PII, so counts are legitimately
+    * zero at every sf; the planted-fixture spec pins the semantics.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}\\b"
+  val PhonePat = "[+]?\\d[\\d -]{7,}\\d"
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    def n(pat: String) = size(regexp_extract_all(t, lit(pat), lit(0))).cast("bigint")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>"),
+      PhonePat, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        n(EmailPat).as("n_emails"), n(Ipv4Pat).as("n_ips"),
+        n(PhonePat).as("n_phones"),
+        length(redacted).cast("bigint").as("redacted_len"),
+        md5(redacted).as("redacted_md5"))
+      .withColumn("clean",
+        (col("n_emails") + col("n_ips") + col("n_phones")) === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** x42: context-window chunking — split each document into
+    * fixed-size token windows (50 tokens, stride 40 → 10-token
+    * overlap), the preprocessing step that turns documents into
+    * training sequences. Pure per-row array work: `sequence` for the
+    * chunk starts, `posexplode`, `slice` + `array_join` for the chunk
+    * text — all codegen'd built-ins, fan-out ∝ tokens/stride, no
+    * shuffle before the (optional) downstream consumer. Chunk md5s
+    * are in the gate, pinning the exact text of every chunk
+    * cross-engine.
+    */
+  val ChunkSize = 50
+  val ChunkStride = 40
+
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("bigint"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("toks"), col("n_words"),
+        posexplode(expr(s"sequence(0L, n_words - 1L, ${ChunkStride}L)"))
+          .as(Seq("chunk_idx", "s")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        least(lit(ChunkSize.toLong), col("n_words") - col("s")).as("chunk_tokens"),
+        md5(expr(s"array_join(slice(toks, cast(s + 1 as int), $ChunkSize), ' ')"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val ChunkDocumentsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks,
+       |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_words
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n_words, g.s AS s,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g.s) - 1 AS chunk_idx
+       |  FROM d, LATERAL (SELECT unnest(generate_series(0, CAST(n_words AS INT) - 1, $ChunkStride)) AS s) g
+       |  WHERE n_words > 0)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(LEAST($ChunkSize, n_words - s) AS BIGINT) AS chunk_tokens,
+       |  md5(array_to_string(list_slice(toks, s + 1, s + $ChunkSize), ' ')) AS chunk_md5
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** x43: token-budget sequence packing — fill fixed 256-token bins
+    * with documents in deterministic doc_id order WITHIN each language
+    * shard (prefix-sum binning: a doc's bin = its preceding shard
+    * tokens div budget — the streaming first-fit a packing worker
+    * runs). The per-shard running sum is one window partitioned on the
+    * shard key; at 100 TB the shard key is whatever unit feeds one
+    * packing worker (per-partition packing), so the window never sees
+    * more than a shard — exactly how production packers operate.
+    * Reports per-bin doc count, token total, and budget utilization.
+    */
+  val PackBudget = 256
+
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("bigint"))
+      .withColumn("prefix", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prefix div $PackBudget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("bin_tokens"),
+        (sum(col("n_toks")).cast("double") / lit(PackBudget.toDouble))
+          .as("utilization"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val TokenPackingSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang, n_toks,
+       |    COALESCE(CAST(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+       |  FROM d)
+       |SELECT lang, prefix // $PackBudget AS bin,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+       |  CAST(CAST(SUM(n_toks) AS BIGINT) AS DOUBLE) / ${PackBudget}.0 AS utilization
+       |FROM p
+       |GROUP BY lang, bin
+       |ORDER BY lang, bin""".stripMargin
+
+  val PiiRedactSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
+       |    CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT) AS n_ips,
+       |    CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phones,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$EmailPat', '<EMAIL>', 'g'),
+       |      '$Ipv4Pat', '<IP>', 'g'),
+       |      '$PhonePat', '<PHONE>', 'g') AS red
+       |  FROM documents)
+       |SELECT doc_id, n_emails, n_ips, n_phones,
+       |  CAST(length(red) AS BIGINT) AS redacted_len,
+       |  md5(red) AS redacted_md5,
+       |  (n_emails + n_ips + n_phones) = 0 AS clean
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
 }

@@ -584,6 +584,21 @@ object Compiler {
       sel: Selector, windowD: Option[Long], rateD: Option[Long],
       shiftS: Long): Vec = {
     val obs = histogramObs(spark, dir, fn, sel, windowD, shiftS)
+    if (fn == "histogram_stddev" || fn == "histogram_stdvar") {
+      // exact integer-cents moments, the stddev_over_time pattern —
+      // scale-invariant like avg, so rate/increase forms are the
+      // window's observation spread (the Prometheus semantics)
+      val c = obs.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+      val m = c.groupBy(SeriesKey.map(col): _*)
+        .agg(sum(col("_cents")).as("_s1"),
+          sum(col("_cents") * col("_cents")).as("_s2"),
+          count(lit(1)).as("_n"))
+      val mean = col("_s1").cast("double") / col("_n").cast("double")
+      val varCents = col("_s2").cast("double") / col("_n").cast("double") - mean * mean
+      val v = if (fn == "histogram_stddev") sqrt(varCents) / 100.0
+        else varCents / 10000.0
+      return Vec(m.select(SeriesKey.map(col) :+ v.as("value"): _*), SeriesKey)
+    }
     val cnt = count(lit(1)).cast("double")
     val dsum = graft.operators.Metrics.decSum(col("value"))
     val v = fn match {
@@ -1428,7 +1443,9 @@ object Compiler {
           fail(s"histogram_quantile expects a histogram selector or rate/increase of one, got $other")
       }
     case Func(fn, None, arg)
-        if fn == "histogram_count" || fn == "histogram_sum" || fn == "histogram_avg" =>
+        if fn == "histogram_count" || fn == "histogram_sum" ||
+          fn == "histogram_avg" || fn == "histogram_stddev" ||
+          fn == "histogram_stdvar" =>
       arg match {
         case sel: Selector =>
           if (sel.rangeS.isDefined)

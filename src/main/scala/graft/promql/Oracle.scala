@@ -157,6 +157,30 @@ object Oracle {
        |GROUP BY name, label_k, label_instance
        |ORDER BY name, label_k, label_instance, value""".stripMargin
 
+  /** `histogram_stddev(error)` — exact integer-cents moments over the
+    * family's raw observations, the stddev_over_time expression shape.
+    */
+  val HistogramStddevSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (
+       |  SELECT name, label_k, label_instance,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM m, t
+       |  WHERE name = 'error' AND epoch_us(ts) <= t_us),
+       |a AS (
+       |  SELECT name, label_k, label_instance,
+       |    CAST(SUM(cents) AS BIGINT) AS s1,
+       |    CAST(SUM(cents * cents) AS BIGINT) AS s2,
+       |    COUNT(*) AS n
+       |  FROM w GROUP BY name, label_k, label_instance)
+       |SELECT name, label_k, label_instance,
+       |  sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0 AS value
+       |FROM a
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
   /** `histogram_count(rate(error[4d]))` — windowed observation count
     * per series divided by the window seconds.
     */

@@ -271,7 +271,8 @@ object Parser {
           expect(")")
           Func(name, Some(phi), arg)
         } else if (name == "histogram_count" || name == "histogram_sum" ||
-            name == "histogram_avg") {
+            name == "histogram_avg" || name == "histogram_stddev" ||
+            name == "histogram_stdvar") {
           // classic-bucket derived scalars of a histogram family; the
           // argument is a histogram selector or rate/increase of one —
           // the compiler validates the family kind

@@ -52,6 +52,53 @@ class ExtensionSpec extends SparkTestBase {
     assert(fps === Seq(2L))
   }
 
+  test("pii redaction counts and rewrites emails, IPs, and phone numbers") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+      doc(1, "call +1 555 123 4567 tomorrow"),
+      doc(2, "clean text only")).toDF(docCols: _*))
+    val rows = TextAnalysis.piiRedact(spark, dir)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones",
+        $"redacted_md5", $"clean")
+      .as[(Long, Long, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(0L)._2 === 1L && rows(0L)._3 === 1L && rows(0L)._4 === 0L)
+    assert(rows(0L)._5 === md5Of("contact <EMAIL> or <IP> now"))
+    assert(rows(1L)._4 === 1L && !rows(1L)._6)
+    assert(rows(1L)._5 === md5Of("call <PHONE> tomorrow"))
+    assert(rows(2L)._6 && rows(2L)._5 === md5Of("clean text only"))
+  }
+
+  test("chunking windows overlap by stride; packing fills bins in doc order") {
+    // 90 tokens → chunk starts 0, 40, 80 → lengths 50, 50, 10
+    val ninety = (1 to 90).map(i => s"w$i").mkString(" ")
+    val dir = fixture("documents" -> Seq(
+      doc(0, ninety),
+      doc(1, "a b c"), // 3 tokens → one chunk of 3
+      doc(2, (1 to 40).map(i => s"t$i").mkString(" "))).toDF(docCols: _*))
+    val chunks = TextAnalysis.chunkDocuments(spark, dir)
+      .select($"doc_id", $"chunk_idx", $"chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(chunks === Seq((0L, 0L, 50L), (0L, 1L, 50L), (0L, 2L, 10L),
+      (1L, 0L, 3L), (2L, 0L, 40L)))
+    // overlap law: chunk 1 of doc 0 starts at token 41 (stride 40)
+    val md5s = TextAnalysis.chunkDocuments(spark, dir)
+      .filter($"doc_id" === 0L).select($"chunk_md5").as[String].collect()
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5s(1) === md5Of((41 to 90).map(i => s"w$i").mkString(" ")))
+    // packing: same lang, doc order 0(90) → 1(3) → 2(40); budget 256
+    // prefixes 0, 90, 93 → all bin 0; totals 133 tokens
+    val bins = TextAnalysis.tokenPacking(spark, dir)
+      .select($"bin", $"n_docs", $"bin_tokens", $"utilization")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(bins === Seq((0L, 3L, 133L, 133.0 / 256.0)))
+  }
+
   test("simhash clusters identical token multisets") {
     val dir = fixture("documents" -> Seq(
       doc(0, "red green blue"),

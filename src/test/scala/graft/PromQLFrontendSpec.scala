@@ -665,6 +665,11 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(m("histogram_sum(increase(error[2h]))") === Map("a" -> 230.0))
     // avg is scale-invariant: rate form = mean observed value in window
     assert(m("histogram_avg(rate(error[2h]))") === Map("a" -> 115.0))
+    // stdvar: a = {2,8,30,200} → E[x²]−E[x]² = 10242 − 3600 = 6642
+    val sv = m("histogram_stdvar(error)")
+    assert(math.abs(sv("a") - 6642.0) < 1e-6 && sv("b") === 0.0)
+    val sd = m("histogram_stddev(error)")
+    assert(math.abs(sd("a") - math.sqrt(6642.0)) < 1e-9 && sd("b") === 0.0)
   }
 
   test("info() enriches series with the derived target_info label") {
