@@ -644,7 +644,11 @@ object Similarity {
         .filter(kppHash(r).cast("double") * col("phi").cast("double") <
           gate.cast("double") * col("d2i").cast("double"))
         .select(col("vec_id"))
-      cands = cands.unionAll(vecs.join(sel, "vec_id")
+      // sel is ~l rows in expectation (the oversampling contract) —
+      // broadcast-hint it so the STATIC plan never chooses a
+      // sort-merge join (AQE fixes it at runtime, but the hint is the
+      // honest any-scale plan)
+      cands = cands.unionAll(vecs.join(broadcast(sel), "vec_id")
         .select(col("vec_id").as("cand_id"), lit(r).as("round"),
           col("q").as("s"), col("n2").as("sn2")))
     }
@@ -656,7 +660,7 @@ object Similarity {
       .agg(max_by(col("cand_id"), struct(col("cosine"), (-col("cand_id")).as("nc"))).as("cand_id"))
     val weights = scored.groupBy(col("cand_id")).agg(count(lit(1)).as("weight"))
     cands.select(col("cand_id"), col("round"))
-      .join(weights, Seq("cand_id"), "left")
+      .join(broadcast(weights), Seq("cand_id"), "left")
       .select(col("cand_id"), col("round"), coalesce(col("weight"), lit(0L)).as("weight"))
       .orderBy(col("cand_id"))
   }

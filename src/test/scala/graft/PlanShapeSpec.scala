@@ -63,6 +63,46 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p35.contains("CartesianProduct"))
   }
 
+  /** AQE's formatted output prints the final plan, the initial plan,
+    * and a node index; assertions about the EXECUTED shape must read
+    * only the top-level final section (the top-level initial marker is
+    * the unindented one — nested cached relations embed their own).
+    */
+  private def finalSection(p: String): String = {
+    val i = p.indexOf("\n+- == Initial Plan ==")
+    if (i >= 0) p.take(i) else p
+  }
+
+  test("p60: nested subquery grid has no per-instant union") {
+    val p = plan("p60_promql_nested_subquery")
+    // the union path materializes one branch per instant under a Union
+    // node; the grid strategy has none — its instants come from a
+    // broadcast range and ONE sliding window
+    assert(!p.contains("Union"), "grid plan degenerated to a per-instant union")
+    assert(p.contains("Window"), "sliding-bucket window missing from the grid plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x41/x42: per-row text rewrites have no exchange before the final sort") {
+    for (name <- Seq("x41_pii_redact", "x42_chunks")) {
+      val p = finalSection(plan(name))
+      // one narrow projection over the scan: the only exchange allowed
+      // is the final global-sort range partitioning
+      val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$name shuffles $exchanges times before its sort")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("x39: k-means|| candidate joins broadcast even in the static plan") {
+    val p = plan("x39_kmeanspp_init")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "candidate set is not broadcast")
+    // the broadcast hints on sel/weights keep even AQE's INITIAL plan
+    // off sort-merge — the any-scale contract, not a runtime rescue
+    assert(!p.contains("SortMergeJoin"), "a candidate join fell back to sort-merge")
+  }
+
   test("no query in the relational/join family degrades to a cartesian product") {
     for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q10_returned_revenue", "q17_small_quantity_revenue", "b8_binary_op",
