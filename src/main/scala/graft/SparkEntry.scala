@@ -250,6 +250,8 @@ object SparkEntry {
     // context-window chunking + per-shard token-budget packing
     "x42_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(s, d)),
     "x43_token_packing" -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
+    // reproducible train/val/test assignment (hash-gated, growth-stable)
+    "x44_split" -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -438,6 +440,7 @@ object SparkEntry {
     "x41_pii_redact" -> TextAnalysis.PiiRedactSql,
     "x42_chunks" -> TextAnalysis.ChunkDocumentsSql,
     "x43_token_packing" -> TextAnalysis.TokenPackingSql,
+    "x44_split" -> TextAnalysis.TrainValTestSplitSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x35_kmeans" -> Similarity.KmeansClustersSql,

@@ -700,6 +700,34 @@ object TextAnalysis {
        |GROUP BY lang, bin
        |ORDER BY lang, bin""".stripMargin
 
+  /** x44: deterministic train/val/test split — the reproducible-recipe
+    * assignment every dataset release needs. The gate is the x31
+    * fixed-width md5-hex threshold compare on doc_id (no RNG state, no
+    * partition sensitivity): first hex byte < 'cc' → train (204/256 =
+    * 79.7 %), < 'e6' → val (26/256 = 10.2 %), else test (10.2 %). A
+    * doc's split never changes as the corpus grows — the property that
+    * keeps eval sets uncontaminated across releases. One scan, no
+    * shuffle before the final sort.
+    */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_toks"),
+        when(col("h2") < "cc", "train")
+          .when(col("h2") < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  val TrainValTestSplitSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_toks,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val PiiRedactSql: String =
     s"""WITH r AS (
        |  SELECT doc_id,

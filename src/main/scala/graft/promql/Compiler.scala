@@ -1803,6 +1803,47 @@ object StreamCompiler {
         events.sparkSession, s"${phi}d", "_h.les", "_h.cums", "_h.count")
       SVec(agg.select(col("window.start").as("window_start") +:
         SeriesKey.map(col) :+ q.as("value"): _*), "window_start" +: SeriesKey)
+    case Func(fn, None, Selector(name, ms, None, None, None))
+        if fn == "histogram_count" || fn == "histogram_sum" || fn == "histogram_avg" =>
+      // running derived scalars of a histogram family — the streaming
+      // reading of the batch instant form: one state row per series
+      // (exact decimal sum + count fold in the aggregation buffer)
+      if (!MetricEvent.HistogramNames.contains(name))
+        fail(s"$fn expects a histogram family, '$name' is not one")
+      val base = Metrics.metricEventsOf(events)
+        .filter(col("name") === name && matcherFilter(ms))
+      val dsum = sum(col("value").cast(DecimalType(18, 2))).cast("double")
+      val cnt = count(lit(1)).cast("double")
+      val v = fn match {
+        case "histogram_count" => cnt
+        case "histogram_sum" => dsum
+        case "histogram_avg" => dsum / cnt
+      }
+      SVec(base.groupBy(SeriesKey.map(col): _*).agg(v.as("value")), SeriesKey)
+    case Func(fn, None, Func(rf, _, Selector(name, ms, Some(d), None, None)))
+        if (fn == "histogram_count" || fn == "histogram_sum" || fn == "histogram_avg") &&
+          (rf == "rate" || rf == "increase") =>
+      // windowed form: per-tumbling-window observation count / sum /
+      // mean, watermark-bounded like the streamed rate; avg is
+      // scale-invariant so rate and increase feed it identically
+      if (!MetricEvent.HistogramNames.contains(name))
+        fail(s"$fn expects a histogram family, '$name' is not one")
+      val base = Metrics.metricEventsOf(events)
+        .filter(col("name") === name && matcherFilter(ms))
+        .withWatermark("ts", watermark)
+      val dsum = sum(col("value").cast(DecimalType(18, 2))).cast("double")
+      val cnt = count(lit(1)).cast("double")
+      val scale = if (rf == "rate") Some(d.toDouble) else None
+      val v = fn match {
+        case "histogram_count" => scale.map(cnt / lit(_)).getOrElse(cnt)
+        case "histogram_sum" => scale.map(dsum / lit(_)).getOrElse(dsum)
+        case "histogram_avg" => dsum / cnt
+      }
+      val agg = base
+        .groupBy(window(col("ts"), s"$d seconds") +: SeriesKey.map(col): _*)
+        .agg(v.as("value"))
+      SVec(agg.select(col("window.start").as("window_start") +:
+        SeriesKey.map(col) :+ col("value"): _*), "window_start" +: SeriesKey)
     case Func(fn, _, Selector(name, ms, Some(d), None, None))
         if fn == "rate" || fn == "increase" =>
       if (!MetricEvent.CounterNames.contains(name))

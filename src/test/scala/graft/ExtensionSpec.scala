@@ -99,6 +99,23 @@ class ExtensionSpec extends SparkTestBase {
     assert(bins === Seq((0L, 3L, 133L, 133.0 / 256.0)))
   }
 
+  test("train/val/test split is growth-stable and near the declared shares") {
+    val docs = (0L until 400L).map(i => doc(i, s"text for document $i"))
+    val dir = fixture("documents" -> docs.toDF(docCols: _*))
+    val full = TextAnalysis.trainValTestSplit(spark, dir)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // shares near 204/26/26 out of 256 (md5 is uniform on ids)
+    val n = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 280 && n("train") < 350, s"train share off: $n")
+    assert(n("val") > 15 && n("test") > 15, s"val/test share off: $n")
+    // growth stability: the same doc keeps its split in a smaller corpus
+    val dirHalf = fixture("documents" ->
+      docs.take(200).toDF(docCols: _*))
+    val half = TextAnalysis.trainValTestSplit(spark, dirHalf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, s) => assert(full(id) === s, s"doc $id moved splits") }
+  }
+
   test("simhash clusters identical token multisets") {
     val dir = fixture("documents" -> Seq(
       doc(0, "red green blue"),

@@ -332,6 +332,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming histogram scalars converge to the batch instant values") {
+    implicit val sqlCtx = spark.sqlContext
+    // error is a histogram family; observations 2, 8, 30 on one series
+    def run(query: String, sink: String): Set[(String, Double)] = {
+      val mem = MemoryStream[RawEvent]
+      val out = graft.promql.Engine.evalStream(mem.toDF()
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("error")), query)
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(raw(0, 10, 2.0, "a"), raw(1, 11, 8.0, "a"))
+        q.processAllAvailable()
+        mem.addData(raw(2, 12, 30.0, "a"))
+        q.processAllAvailable()
+        // every per-batch update, order-free: batch 1 sees {2, 8},
+        // batch 2 folds in 30 — the running aggregate emits both states
+        spark.table(sink).select($"label_k", $"value")
+          .as[(String, Double)].collect().toSet
+      } finally q.stop()
+    }
+    assert(run("histogram_count(error)", "s_hc") ===
+      Set(("a", 2.0), ("a", 3.0)))
+    assert(run("histogram_sum(error)", "s_hs") ===
+      Set(("a", 10.0), ("a", 40.0)))
+    assert(run("histogram_avg(error)", "s_ha") ===
+      Set(("a", 5.0), ("a", 40.0 / 3.0)))
+    // batch parity on the same samples
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "error", 2.0, "a"), ev(1, 60000, "error", 8.0, "a"),
+      ev(2, 120000, "error", 30.0, "a")).toDF(eventCols: _*))
+    val batch = graft.promql.Engine.eval(spark, dir, "histogram_avg(error)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toSeq
+    assert(batch === Seq(("a", 40.0 / 3.0)))
+  }
+
   test("streaming PromQL gauge aggregations reduce last-write-wins values, not raw observations") {
     implicit val sqlCtx = spark.sqlContext
     // two gauge series (k=a, k=b), each overwritten out of order: the
