@@ -188,6 +188,20 @@ object SparkEntry {
       "max_over_time((avg_over_time(signup[2d]))[8d:1d])")),
     "p61_promql_histogram_stddev" -> ((s, d) => promql.Engine.eval(s, d,
       "histogram_stddev(error)")),
+    // windowed resets over the wrapped-cumulative reconstruction
+    "p62_promql_resets" -> ((s, d) => promql.Engine.eval(s, d,
+      "resets(purchase[30d])")),
+    "p63_promql_day_of_year" -> ((s, d) => promql.Engine.eval(s, d,
+      "day_of_year(timestamp(signup))")),
+    // inverse hyperbolics (rows-only: ln is libm-routed, ulp-divergent
+    // across engines — see the oracleSql note); acosh exercises the NaN
+    // domain branch, atanh the scaled interior
+    "p64_promql_asinh" -> ((s, d) => promql.Engine.eval(s, d,
+      "asinh(signup - 5.5)")),
+    "p65_promql_acosh" -> ((s, d) => promql.Engine.eval(s, d,
+      "acosh(signup)")),
+    "p66_promql_atanh" -> ((s, d) => promql.Engine.eval(s, d,
+      "atanh((signup - 5.5) / 400)")),
     "p33_promql_timestamp" -> ((s, d) => promql.Engine.eval(s, d,
       "timestamp(signup)")),
     "p34_promql_scalar" -> ((s, d) => promql.Engine.eval(s, d,
@@ -255,6 +269,10 @@ object SparkEntry {
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
+    // per-group centroid-distance outlier scoring (mislabel/noise audit)
+    "x45_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
+    // exact covariance numerators via one mergeable Aggregator buffer
+    "x46_embedding_covariance" -> ((s, d) => Similarity.embeddingCovariance(s, d)),
     // Lloyd k-means in exact integer arithmetic (centroid = sum vector)
     // and SemDeDup-style per-cell semantic pruning over its assignment
     "x35_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
@@ -409,6 +427,13 @@ object SparkEntry {
     "p59_promql_info" -> promql.Oracle.InfoSql,
     "p60_promql_nested_subquery" -> promql.Oracle.NestedOverTimeGridSql,
     "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
+    "p62_promql_resets" -> promql.Oracle.ResetsWindowSql,
+    "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,
+    // p64/p65/p66 (asinh/acosh/atanh) are rows-only BY DESIGN: they
+    // route through ln, and Math.log vs DuckDB's ln diverge by 1 ulp on
+    // some inputs (measured: rel err ~2e-16 on the fixture) — the same
+    // libm bucket as ^/atan2. Exact IEEE-order values and domain edges
+    // (acosh NaN, atanh ±Inf) are spec-pinned in PromQLFrontendSpec.
     "p33_promql_timestamp" -> promql.Oracle.TimestampSql,
     "p34_promql_scalar" -> promql.Oracle.ScalarShareSql,
     "p35_promql_sgn" -> promql.Oracle.SgnSql,
@@ -443,6 +468,8 @@ object SparkEntry {
     "x44_split" -> TextAnalysis.TrainValTestSplitSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
+    "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,
+    "x46_embedding_covariance" -> Similarity.EmbeddingCovarianceSql,
     "x35_kmeans" -> Similarity.KmeansClustersSql,
     "x36_semantic_dedup" -> Similarity.SemanticDedupSql,
     "x39_kmeanspp_init" -> Similarity.KmeansParallelInitSql,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.CovarianceAggregator
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -864,4 +865,111 @@ object Similarity {
       |  CAST(list_max(e_int) AS DOUBLE) / (127.0 * CAST(amax AS DOUBLE)) AS max_rel_err
       |FROM e
       |ORDER BY vec_id""".stripMargin
+
+  /** x45: centroid-distance outlier scoring — the embedding-quality
+    * filter a curation pipeline runs before training: score every
+    * vector by cosine to its group (label) centroid and surface the 5
+    * least-central members per group (mislabeled / noise candidates).
+    *
+    * Determinism/parity: the centroid is the member-SUM vector (never
+    * the mean — under cosine the count cancels, the x35 convention), so
+    * every per-dimension sum is exact BIGINT; the only float step is
+    * the per-row identical-IEEE cosine (`dp/√n2/√nc2`) shared with the
+    * rest of this file. Bounds: |q| ≤ 10⁴ and group sums over ≤ ~10⁶
+    * members keep dp ≤ 64·10⁴·10¹⁰ < 2⁶³.
+    *
+    * Physical plan: one pass to build K centroids (posexplode shuffles
+    * only (label, dim) partial sums — map-side combined, dims×groups
+    * rows total, corpus-size-independent), then the K-row centroid
+    * relation broadcasts back for a single codegen'd scoring scan + one
+    * per-group top-k window. At 100 TB the corpus never shuffles.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val qz = quantized(spark, dir)
+    val cent = qz.select(col("label"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("sx")))),
+        e => e("sx")).as("c"))
+      .withColumn("nc2", graft.plans.IntDotExpr.intDot(spark, "c", "c"))
+    val scored = qz.join(broadcast(cent), "label")
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "q", "c"))
+      .withColumn("cosine", col("dp").cast("double") /
+        sqrt(col("n2").cast("double")) / sqrt(col("nc2").cast("double")))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cosine").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("label"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  /** x46: exact corpus covariance numerators — the distributed half of
+    * PCA/whitening prep. One pass through a mergeable typed Aggregator
+    * ([[graft.functions.CovarianceAggregator]]: count + per-dim sums +
+    * upper-triangle product sums in ONE ~16 KB buffer, merged
+    * element-wise map-side), then the 2080-entry triangle explodes
+    * driver-free into (i, j, n, cov_num = n·ΣQiQj − ΣQi·ΣQj) — exact
+    * BIGINTs in quantized units, so population covariance is
+    * cov_num / (n² · 10⁸) without ever summing floats. At 100 TB the
+    * shuffle is one buffer per partition; the eigen-solve on the 64×64
+    * result is driver-trivial and out of scope.
+    */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val agg = udaf(CovarianceAggregator(dim),
+      implicitly[org.apache.spark.sql.Encoder[Seq[Long]]])
+    val m = quantized(spark, dir)
+      .agg(agg(col("q")).as("m"))
+      .select(col("m.n").as("n"), col("m.s").as("s"), col("m.p").as("p"))
+    // k → (i, j) for the i-major upper-triangle enumeration; 2080 rows,
+    // broadcast
+    val kidx = (for { i <- 0 until dim; j <- i until dim } yield (i, j))
+      .zipWithIndex.map { case ((i, j), k) => (k, i, j) }.toDF("k", "i", "j")
+    m.select(col("n"), col("s"), posexplode(col("p")).as(Seq("k", "pk")))
+      .join(broadcast(kidx), "k")
+      .select(col("i"), col("j"), col("n"),
+        (col("n") * col("pk") -
+          element_at(col("s"), col("i") + 1) * element_at(col("s"), col("j") + 1))
+          .as("cov_num"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val EmbeddingCovarianceSql: String =
+    s"""WITH qz AS ($QuantizedSql),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |sv AS (SELECT i, CAST(SUM(q[i]) AS BIGINT) AS si
+       |       FROM qz, dims GROUP BY i),
+       |nn AS (SELECT COUNT(*) AS n FROM qz),
+       |pairs AS (SELECT a.i AS i, b.i AS j FROM dims a, dims b WHERE a.i <= b.i),
+       |pp AS (SELECT p.i, p.j, CAST(SUM(q[p.i] * q[p.j]) AS BIGINT) AS pij
+       |       FROM qz, pairs p GROUP BY p.i, p.j)
+       |SELECT pp.i - 1 AS i, pp.j - 1 AS j, nn.n AS n,
+       |  nn.n * pp.pij - si.si * sj.si AS cov_num
+       |FROM pp, nn
+       |JOIN sv si ON si.i = pp.i
+       |JOIN sv sj ON sj.i = pp.j
+       |ORDER BY i, j""".stripMargin
+
+  val EmbeddingOutliersSql: String =
+    s"""WITH qz AS ($QuantizedSql),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |sums AS (SELECT label, i, SUM(q[i]) AS sx
+       |         FROM qz, dims GROUP BY label, i),
+       |cent AS (
+       |  SELECT label, list(sx ORDER BY i) AS c,
+       |    list_sum(list_transform(list(sx ORDER BY i), x -> x * x)) AS nc2
+       |  FROM sums GROUP BY label),
+       |scored AS (
+       |  SELECT v.label, v.vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+       |      i -> v.q[i] * c.c[i])) AS DOUBLE)
+       |      / sqrt(CAST(v.n2 AS DOUBLE)) / sqrt(CAST(c.nc2 AS DOUBLE)) AS cosine
+       |  FROM qz v JOIN cent c ON v.label = c.label),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+       |        ORDER BY cosine ASC, vec_id) AS rank FROM scored)
+       |SELECT label, vec_id, cosine, rank
+       |FROM r WHERE rank <= 5
+       |ORDER BY label, rank""".stripMargin
 }

@@ -455,6 +455,34 @@ object Compiler {
               ((col("_t1") - col("_t2")).cast("double") / 1000000.0)
           else (col("_c1") - col("_c2")).cast("double") / 100.0
         Vec(paired.select(SeriesKey.map(col) :+ v.as("value"): _*), SeriesKey)
+      case "resets" =>
+        if (kind != "counter")
+          fail(s"resets expects a counter family, '${sel.name}' is a $kind")
+        // the windowed front-end form of b17's wrapped-cumulative
+        // reconstruction: the increment log has no real resets, so the
+        // scrape-counter reading wraps the running cents sum at 100.00
+        // per series (the per-(k, instance) series are ~4× smaller than
+        // b17's per-k families, which wrap at 1000.00); a reset = the
+        // wrapped value decreasing between two consecutive samples BOTH
+        // inside the window (upstream counts only in-window pairs).
+        // Exact integers end to end; the running sum needs the full
+        // history up to T, so the window filter applies after the lag.
+        val hist = events(spark, dir)
+          .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
+            col("value") >= 0 && unix_micros(col("ts")) <= hi)
+        val wAsc2 = Window.partitionBy(SeriesKey.map(col): _*)
+          .orderBy(col("ts"), col("event_id"))
+        val wrapped = hist
+          .withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          .withColumn("_wrapped", sum(col("_cents"))
+            .over(wAsc2.rowsBetween(Window.unboundedPreceding, 0)) % 10000L)
+          .withColumn("_prev", lag(col("_wrapped"), 1).over(wAsc2))
+          .withColumn("_prevUs", lag(unix_micros(col("ts")), 1).over(wAsc2))
+        Vec(wrapped.filter(unix_micros(col("ts")) > lo)
+          .groupBy(SeriesKey.map(col): _*)
+          .agg(sum(when(col("_prev").isNotNull && col("_prevUs") > lo &&
+            col("_wrapped") < col("_prev"), 1L).otherwise(0L))
+            .cast("double").as("value")), SeriesKey)
       case "changes" =>
         if (kind != "gauge")
           fail(s"changes expects a gauge family, '${sel.name}' is a $kind")
@@ -801,6 +829,20 @@ object Compiler {
       case "sinh" => sinh(x)
       case "cosh" => cosh(x)
       case "tanh" => tanh(x)
+      // inverse hyperbolics via the explicit log formulas: every step
+      // but ln is correctly-rounded IEEE, and ln itself makes these
+      // rows-only (Math.log vs DuckDB ln diverge by 1 ulp on some
+      // inputs — the ^/atan2 libm bucket; exact values are spec-pinned
+      // instead). Domain edges per Go's math package: acosh(x<1) = NaN;
+      // atanh(±1) = ±Inf, atanh(|x|>1) = NaN.
+      case "asinh" => log(x + sqrt(x * x + lit(1.0)))
+      case "acosh" => when(x >= 1, log(x + sqrt(x * x - lit(1.0))))
+        .otherwise(lit(Double.NaN))
+      case "atanh" =>
+        when(x === -1, lit(Double.NegativeInfinity))
+          .when(x === 1, lit(Double.PositiveInfinity))
+          .when(abs(x) < 1, log((lit(1.0) + x) / (lit(1.0) - x)) * lit(0.5))
+          .otherwise(lit(Double.NaN))
       case "deg" => degrees(x)
       case "rad" => radians(x)
       // calendar components of an epoch-second vector (UTC, PromQL
@@ -816,6 +858,8 @@ object Compiler {
         month(timestamp_seconds(floor(x).cast("long"))).cast("double")
       case "year" =>
         year(timestamp_seconds(floor(x).cast("long"))).cast("double")
+      case "day_of_year" =>
+        dayofyear(timestamp_seconds(floor(x).cast("long"))).cast("double")
       case "days_in_month" =>
         dayofmonth(last_day(timestamp_seconds(floor(x).cast("long"))))
           .cast("double")
@@ -828,9 +872,9 @@ object Compiler {
     "abs", "ceil", "floor", "round", "sqrt", "sgn",
     "exp", "ln", "log2", "log10", "clamp_min", "clamp_max",
     "sin", "cos", "tan", "asin", "acos", "atan",
-    "sinh", "cosh", "tanh", "deg", "rad",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad",
     "hour", "minute", "day_of_week", "day_of_month",
-    "month", "year", "days_in_month")
+    "month", "year", "day_of_year", "days_in_month")
 
   private def binOp(spark: SparkSession, dir: String, b: BinOp, shiftS: Long): Vec = {
     def arith(op: String, l: Column, r: Column): Column = op match {
@@ -1389,7 +1433,7 @@ object Compiler {
   /** Functions evaluated over a RANGE selector's sample window. */
   private val RangeSelFns: Set[String] = OverTimeFns ++ Set(
     "rate", "increase", "delta", "irate", "idelta", "changes",
-    "deriv", "predict_linear",
+    "deriv", "predict_linear", "resets",
     "quantile_over_time", "last_over_time", "present_over_time",
     "mad_over_time",
     "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")

@@ -1082,6 +1082,47 @@ object Oracle {
   val MonthSql: String = timeComponentSql(
     "CAST(date_part('month', make_timestamp(CAST(floor(x) AS BIGINT) * 1000000)) AS DOUBLE)")
 
+  val DayOfYearSql: String = timeComponentSql(
+    "CAST(date_part('doy', make_timestamp(CAST(floor(x) AS BIGINT) * 1000000)) AS DOUBLE)")
+
+  /** `resets(purchase[30d])` — the windowed wrapped-cumulative
+    * reconstruction (wrap at 100.00 = 10000 cents per series; see the
+    * compiler case): running cents sum over the FULL history up to T,
+    * decreases counted only between consecutive samples both inside
+    * the 30d window.
+    */
+  val ResetsWindowSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |c AS (SELECT m.*, t.t_us,
+       |        CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |      FROM m, t
+       |      WHERE name = 'purchase' AND value >= 0
+       |        AND epoch_us(ts) <= t_us),
+       |w AS (SELECT *,
+       |  SUM(cents) OVER (PARTITION BY name, label_k, label_instance
+       |                   ORDER BY ts, event_id
+       |                   ROWS UNBOUNDED PRECEDING) % 10000 AS wrapped
+       |  FROM c),
+       |d AS (SELECT *,
+       |  LAG(wrapped) OVER sw AS prev,
+       |  LAG(epoch_us(ts)) OVER sw AS prev_us
+       |  FROM w WINDOW sw AS (PARTITION BY name, label_k, label_instance
+       |                       ORDER BY ts, event_id))
+       |SELECT name, label_k, label_instance,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL
+       |                 AND prev_us > t_us - 2592000000000
+       |                 AND wrapped < prev THEN 1 ELSE 0 END) AS DOUBLE) AS value
+       |FROM d WHERE epoch_us(ts) > t_us - 2592000000000
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
+  // NOTE: no oracle twins for asinh/acosh/atanh — they route through
+  // ln, and Math.log vs DuckDB's ln diverge by 1 ulp on some fixture
+  // inputs (measured rel err ~2e-16), the same libm bucket as ^/atan2.
+  // The p64/p65/p66 queries are registered rows-only with exact
+  // IEEE-order values spec-pinned in PromQLFrontendSpec.
+
   /** `max_over_time((sum by (k) (signup))[32d:6h])` — the gauge grid
     * strategy with a `sum by` inner shape: per-instant LWW per series,
     * summed per (k, instant) in DECIMAL(38,12), max over instants.

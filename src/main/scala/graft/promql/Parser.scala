@@ -15,7 +15,7 @@ object Parser {
   private val ParamAggOps = Set("topk", "bottomk", "quantile",
     "limitk", "limit_ratio")
   private val RangeFuncs = Set("rate", "increase", "delta",
-    "irate", "idelta", "changes", "deriv")
+    "irate", "idelta", "changes", "deriv", "resets")
   private val OverTimeFuncs = Set("sum_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "count_over_time",
     "stddev_over_time", "stdvar_over_time",
@@ -26,9 +26,9 @@ object Parser {
     "exp", "ln", "log2", "log10", "sgn", "absent",
     "sort", "sort_desc", "timestamp", "scalar",
     "sin", "cos", "tan", "asin", "acos", "atan",
-    "sinh", "cosh", "tanh", "deg", "rad",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad",
     "hour", "minute", "day_of_week", "day_of_month",
-    "month", "year", "days_in_month")
+    "month", "year", "day_of_year", "days_in_month")
   private val ClampFuncs = Set("clamp_min", "clamp_max")
 
   private final case class Tok(kind: String, text: String, pos: Int)

@@ -165,6 +165,43 @@ class ExtensionSpec extends SparkTestBase {
     assert(kept.toMap === clusters.map(c => c._1 -> c._3).toMap)
   }
 
+  test("embedding outliers surface the least-central vector per label") {
+    val a = Array.fill(64)(1.0f)
+    def jitter(id: Int): Array[Float] =
+      a.zipWithIndex.map { case (x, i) => x + ((id * 31 + i) % 5) * 0.01f }
+    // half-flipped vector: far from the all-ones cluster's centroid
+    val odd = Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)
+    val dir = fixture("embeddings" -> Seq(
+      (0L, jitter(0), 1), (1L, jitter(1), 1), (2L, jitter(2), 1),
+      (3L, jitter(3), 1), (9L, odd, 1)
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.embeddingOutliers(spark, dir)
+      .select($"vec_id", $"rank", $"cosine").as[(Long, Int, Double)].collect()
+    assert(rows.length === 5)
+    assert(rows.head._1 === 9L && rows.head._2 === 1) // the planted outlier
+    assert(rows.head._3 < rows(1)._3 - 0.1)           // clearly separated
+    assert(rows.tail.forall(_._3 > 0.9))              // core members central
+  }
+
+  test("embedding covariance numerators match the direct formula") {
+    // two simple vectors: dims 0/1 carry (0.1, 0.3) and (0.2, 0.5),
+    // quantized to (1000, 3000) and (2000, 5000); the rest are zero
+    val v1 = Array.tabulate(64)(i => if (i == 0) 0.1f else if (i == 1) 0.3f else 0.0f)
+    val v2 = Array.tabulate(64)(i => if (i == 0) 0.2f else if (i == 1) 0.5f else 0.0f)
+    val dir = fixture("embeddings" -> Seq(
+      (0L, v1, 1), (1L, v2, 1)).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.embeddingCovariance(spark, dir)
+      .select($"i", $"j", $"n", $"cov_num").as[(Int, Int, Long, Long)].collect()
+    assert(rows.length === 64 * 65 / 2)
+    val m = rows.map(r => (r._1, r._2) -> r._4).toMap
+    // cov_num(i, j) = n·Σqi·qj − Σqi·Σqj on the quantized integers
+    assert(m((0, 0)) === 2L * (1000L * 1000 + 2000L * 2000) - 3000L * 3000)
+    assert(m((0, 1)) === 2L * (1000L * 3000 + 2000L * 5000) - 3000L * 8000)
+    assert(m((1, 1)) === 2L * (3000L * 3000 + 5000L * 5000) - 8000L * 8000)
+    assert(m((2, 63)) === 0L)
+    assert(rows.forall(_._3 === 2L))
+  }
+
   test("converged kmeans equals the 2-round twin when 2 rounds suffice") {
     val a = Array.fill(64)(1.0f)
     val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)

@@ -103,6 +103,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "a candidate join fell back to sort-merge")
   }
 
+  test("x45: centroid joins back by broadcast; corpus never sort-merges") {
+    val p = plan("x45_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), "centroid relation is not broadcast")
+    assert(!p.contains("SortMergeJoin"), "the scoring join fell back to sort-merge")
+    assert(p.contains("InMemoryTableScan"),
+      "x45 recomputes the quantized silver relation instead of reading the cache")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p62: windowed resets is one series-key window pass over the scan") {
+    val p = finalSection(plan("p62_promql_resets"))
+    assert(p.contains("Window"), "wrapped-cumulative window missing")
+    // the only join allowed is the broadcast 1-row evaluation instant
+    assert(!p.contains("SortMergeJoin"), "resets plan grew a shuffle join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x46: covariance is one mergeable-buffer aggregate; triangle joins broadcast") {
+    val p = finalSection(plan("x46_embedding_covariance"))
+    // partial buffers combine map-side; the only exchanges are the
+    // single-partition final merge and the final sort
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges <= 2, s"covariance shuffles $exchanges times")
+    assert(p.contains("BroadcastHashJoin"), "triangle index join is not broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query in the relational/join family degrades to a cartesian product") {
     for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q10_returned_revenue", "q17_small_quantity_revenue", "b8_binary_op",

@@ -162,6 +162,46 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(off.toSeq === Seq(2.0)) // window (T-2h, T-1h]
   }
 
+  test("resets counts wrapped-cumulative decreases on in-window pairs only") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 60.0, "a"),
+      ev(1, 1 * h, "purchase", 60.0, "a"), // cum 120.00 wraps past 100.00
+      ev(2, 2 * h, "purchase", 30.0, "a")  // cum 150.00 — no wrap step
+    ).toDF(eventCols: _*))
+    val all = Engine.eval(spark, dir, "resets(purchase[3h])")
+      .select($"value").as[Double].collect()
+    assert(all.toSeq === Seq(1.0)) // the 0h→1h pair wrapped
+    // with a [2h] window the wrapping pair's FIRST sample sits on the
+    // open lower bound — excluded, so no in-window pair resets
+    val tight = Engine.eval(spark, dir, "resets(purchase[2h])")
+      .select($"value").as[Double].collect()
+    assert(tight.toSeq === Seq(0.0))
+  }
+
+  test("day_of_year and the inverse hyperbolic functions evaluate exactly") {
+    val day = 86400000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 40 * day, "signup", 2.0, "a"),
+      ev(1, 40 * day, "signup", 0.5, "b")
+    ).toDF(eventCols: _*))
+    val doy = Engine.eval(spark, dir, "day_of_year(timestamp(signup))")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(doy === Map("a" -> 41.0, "b" -> 41.0)) // 1970-02-10
+    val acosh = Engine.eval(spark, dir, "acosh(signup)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(math.abs(acosh("a") - math.log(2.0 + math.sqrt(3.0))) < 1e-12)
+    assert(acosh("b").isNaN) // below the x >= 1 domain
+    val asinh = Engine.eval(spark, dir, "asinh(signup - 1)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(math.abs(asinh("a") - math.log(1.0 + math.sqrt(2.0))) < 1e-12)
+    assert(asinh("b") === math.log(-0.5 + math.sqrt(1.25))) // same IEEE order
+    val atanh = Engine.eval(spark, dir, "atanh(signup - 1.5)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(math.abs(atanh("a") - 0.5 * math.log(3.0)) < 1e-12) // x = 0.5
+    assert(atanh("b") === Double.NegativeInfinity)             // x = -1
+  }
+
   test("sum by / avg / topk match hand-computed values") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 1.0, "a"),

@@ -67,6 +67,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("front-end resets matches an independent wrapped-cumulative reference") {
+    for (vals <- cases()) {
+      val dir = fixture("events" -> vals.zipWithIndex.map { case (v, i) =>
+        ev(i.toLong, i * 1000L, "purchase", v, "r")
+      }.toDF(eventCols: _*))
+      val got = graft.promql.Engine.eval(spark, dir, "resets(purchase[1h])")
+        .select("value").as[Double].head()
+      // independent reference: cumulative cents mod 10000, decreases
+      // between consecutive samples (all pairs in-window here)
+      val cents = vals.map(v => math.round(v * 100))
+      val wrapped = cents.scanLeft(0L)(_ + _).tail.map(_ % 10000L)
+      val expected = wrapped.zip(wrapped.drop(1)).count { case (a, b) => b < a }.toDouble
+      assert(got === expected, s"case $vals")
+    }
+  }
+
   test("salted counter aggregation equals the unsalted snapshot exactly") {
     for (vals <- cases()) {
       val dir = fixture("events" -> vals.zipWithIndex.map { case (v, i) =>
