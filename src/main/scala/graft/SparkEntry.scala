@@ -299,6 +299,8 @@ object SparkEntry {
     "x33_mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
     // quality-weighted downsampling: x10's score drives x31's hash gate
     "x38_quality_sample" -> ((s, d) => Sampling.qualitySample(s, d)),
+    // α=0.5 temperature rebalancing toward uniform language mix
+    "x47_temperature_sample" -> ((s, d) => Sampling.temperatureSample(s, d)),
     "x22_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
@@ -480,6 +482,7 @@ object SparkEntry {
     "x32_incremental_dedup" -> Sampling.IncrementalDedupSql,
     "x33_mixture_sample" -> Sampling.MixtureSampleSql,
     "x38_quality_sample" -> Sampling.QualitySampleSql,
+    "x47_temperature_sample" -> Sampling.TemperatureSampleSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
   )
 }

@@ -198,4 +198,52 @@ object Sampling {
       |                              WHEN 'de' THEN 2000
       |                              WHEN 'fr' THEN 2000 ELSE 0 END
       |ORDER BY lang, cum_tokens, doc_id""".stripMargin
+
+  /** x47: temperature-based multilingual rebalancing — the mC4/XLM-R
+    * α-sampling that flattens the language distribution toward uniform:
+    * keep probability p_l = √(n_min / n_l), so each language retains
+    * ~√(n_min·n_l) docs (the α = 0.5 temperature) and the smallest
+    * language is kept whole. α is pinned to 0.5 BECAUSE it makes the
+    * weights exact: sqrt and divide are correctly-rounded IEEE ops, so
+    * `floor(p_l·2³²)` is the identical BIGINT threshold in both engines
+    * (a general n^(α−1) routes through libm pow — the rows-only
+    * bucket — for no curation benefit over the standard 0.5 setting).
+    * The gate is the x39-proven numeric hex cast: keep iff
+    * u32(md5(doc_id)[0:8]) < threshold(lang) — deterministic, RNG-free,
+    * reproducible under any partitioning.
+    *
+    * Physical plan: one tiny per-language count aggregate broadcast
+    * back onto a single scan+filter pass — rate changes re-run in scan
+    * time at any corpus size. Thresholds depend on corpus-level counts
+    * BY DESIGN (rebalancing is a corpus-level decision), unlike x44's
+    * growth-stable split gate.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val thr = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_l")).as("n_min"))))
+      .withColumn("thr",
+        floor(sqrt(col("n_min").cast("double")) / sqrt(col("n_l").cast("double"))
+          * lit(4294967296.0)).cast("long"))
+      .select(col("lang"), col("thr"))
+    docs.join(broadcast(thr), "lang")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .filter(col("h") < col("thr"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val TemperatureSampleSql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+      |mn AS (SELECT MIN(n_l) AS n_min FROM c),
+      |t AS (SELECT lang,
+      |        CAST(floor(sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n_l AS DOUBLE))
+      |          * 4294967296.0) AS BIGINT) AS thr
+      |      FROM c, mn)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN t ON d.lang = t.lang
+      |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t.thr
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -1789,6 +1789,22 @@ object StreamCompiler {
       })
     }
 
+  /** F(x) — the batch histogram_fraction interpolation — over the
+    * HistogramAggregator output arrays `_h.les`/`_h.cums`: per bucket i
+    * the candidate is the batch per-row CASE (cum at/above the bucket,
+    * interpolated inside it, 0 below), max over candidates. `arr[i]`
+    * is 0-based in SQL-expression indexing; i runs 1-based.
+    */
+  private def streamFractionF(x: Double): Column = expr(
+    s"""array_max(transform(sequence(1, size(_h.les)), i ->
+       |  CASE WHEN ${x}d >= _h.les[i - 1] THEN cast(_h.cums[i - 1] as double)
+       |       WHEN ${x}d > (IF(i = 1, 0.0d, _h.les[i - 2]))
+       |         THEN cast(IF(i = 1, 0L, _h.cums[i - 2]) as double)
+       |           + cast(_h.cums[i - 1] - IF(i = 1, 0L, _h.cums[i - 2]) as double)
+       |           * (${x}d - IF(i = 1, 0.0d, _h.les[i - 2]))
+       |           / (_h.les[i - 1] - IF(i = 1, 0.0d, _h.les[i - 2]))
+       |       ELSE 0.0d END))""".stripMargin)
+
   private def compileVec(events: DataFrame, ast: Ast,
       watermark: String): SVec = ast match {
     case Selector(name, ms, None, None, None)
@@ -1888,6 +1904,41 @@ object StreamCompiler {
         .agg(v.as("value"))
       SVec(agg.select(col("window.start").as("window_start") +:
         SeriesKey.map(col) :+ col("value"): _*), "window_start" +: SeriesKey)
+    case HistFraction(lo, hi, Selector(name, ms, None, None, None)) =>
+      // running fraction in (lo, hi]: the same mergeable bucket buffer
+      // as the streaming quantile, with the batch interpolation F(x)
+      // as a stateless array expression over the emitted cumulative
+      // counts — per-candidate IEEE steps identical to the batch form,
+      // max order-independent, so the two converge bit-exactly
+      if (lo >= hi) fail(s"histogram_fraction needs lo < hi, got ($lo, $hi)")
+      if (!MetricEvent.HistogramNames.contains(name))
+        fail(s"histogram_fraction expects a histogram family, '$name' is not one")
+      val base = Metrics.metricEventsOf(events)
+        .filter(col("name") === name && matcherFilter(ms))
+      val h = udaf(graft.functions.HistogramAggregator(MetricEvent.Buckets))
+      val agg = base.groupBy(SeriesKey.map(col): _*).agg(h(col("value")).as("_h"))
+      val v = (streamFractionF(hi) - streamFractionF(lo)) /
+        col("_h.count").cast("double")
+      SVec(agg.select(SeriesKey.map(col) :+ v.as("value"): _*), SeriesKey)
+    case HistFraction(lo, hi, Func(rf, _, Selector(name, ms, Some(d), None, None)))
+        if rf == "rate" || rf == "increase" =>
+      // windowed form: per-tumbling-window bucket histogram, fraction
+      // per closed window — scale-invariant, so rate and increase feed
+      // it identically (the batch form documents the same identity)
+      if (lo >= hi) fail(s"histogram_fraction needs lo < hi, got ($lo, $hi)")
+      if (!MetricEvent.HistogramNames.contains(name))
+        fail(s"histogram_fraction expects a histogram family, '$name' is not one")
+      val base = Metrics.metricEventsOf(events)
+        .filter(col("name") === name && matcherFilter(ms))
+        .withWatermark("ts", watermark)
+      val h = udaf(graft.functions.HistogramAggregator(MetricEvent.Buckets))
+      val agg = base
+        .groupBy(window(col("ts"), s"$d seconds") +: SeriesKey.map(col): _*)
+        .agg(h(col("value")).as("_h"))
+      val v = (streamFractionF(hi) - streamFractionF(lo)) /
+        col("_h.count").cast("double")
+      SVec(agg.select(col("window.start").as("window_start") +:
+        SeriesKey.map(col) :+ v.as("value"): _*), "window_start" +: SeriesKey)
     case Func(fn, _, Selector(name, ms, Some(d), None, None))
         if fn == "rate" || fn == "increase" =>
       if (!MetricEvent.CounterNames.contains(name))

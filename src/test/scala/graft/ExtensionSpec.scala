@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Extension-tier unit semantics on hand-built fixtures: dedup finds the
   * planted duplicates, cosine ranks the constructed neighbours, text
@@ -97,6 +97,24 @@ class ExtensionSpec extends SparkTestBase {
       .select($"bin", $"n_docs", $"bin_tokens", $"utilization")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(bins === Seq((0L, 3L, 133L, 133.0 / 256.0)))
+  }
+
+  test("temperature sampling keeps the smallest language whole, thins the largest toward sqrt") {
+    // 400 'en' docs vs 100 'de' docs: expected keeps ≈ sqrt(100·400)
+    // = 200 for en (p = 0.5), all 100 for de (p = 1)
+    val docs = (0L until 400L).map(i => doc(i, s"english text $i", "en")) ++
+      (400L until 500L).map(i => doc(i, s"german text $i", "de"))
+    val dir = fixture("documents" -> docs.toDF(docCols: _*))
+    val kept = Sampling.temperatureSample(spark, dir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("de") === 100, s"smallest language thinned: $byLang")
+    assert(byLang("en") > 160 && byLang("en") < 240,
+      s"en share off sqrt target 200: $byLang")
+    // determinism: same corpus, same sample
+    val again = Sampling.temperatureSample(spark, dir)
+      .select($"doc_id").as[Long].collect()
+    assert(again.toSeq === kept.map(_._1).toSeq)
   }
 
   test("train/val/test split is growth-stable and near the declared shares") {

@@ -367,6 +367,29 @@ class StreamingSpec extends SparkTestBase {
     assert(batch === Seq(("a", 40.0 / 3.0)))
   }
 
+  test("streaming histogram_fraction converges to the batch interpolation bit-exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val out = graft.promql.Engine.evalStream(mem.toDF()
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("error")),
+      "histogram_fraction(2.5, 75.5, error)")
+    val q = out.writeStream.format("memory").queryName("s_hf")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(raw(0, 10, 2.0, "a"), raw(1, 11, 8.0, "a"), raw(2, 12, 30.0, "a"))
+      q.processAllAvailable()
+      val streamed = spark.table("s_hf").select($"label_k", $"value")
+        .as[(String, Double)].collect().toSeq
+      val dir = fixture("events" -> Seq(
+        ev(0, 0, "error", 2.0, "a"), ev(1, 60000, "error", 8.0, "a"),
+        ev(2, 120000, "error", 30.0, "a")).toDF(eventCols: _*))
+      val batch = graft.promql.Engine.eval(spark, dir,
+        "histogram_fraction(2.5, 75.5, error)")
+        .select($"label_k", $"value").as[(String, Double)].collect().toSeq
+      assert(streamed === batch) // identical IEEE interpolation both paths
+    } finally q.stop()
+  }
+
   test("streaming PromQL gauge aggregations reduce last-write-wins values, not raw observations") {
     implicit val sqlCtx = spark.sqlContext
     // two gauge series (k=a, k=b), each overwritten out of order: the
