@@ -257,6 +257,8 @@ object SparkEntry {
     "x18_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "x19_corpus_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
     "x20_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
+    // constant-memory Bloom variant of x20 (128 KB bitset at any eval size)
+    "x48_bloom_contamination" -> ((s, d) => TextAnalysis.bloomContamination(s, d)),
     "x21_multimodal_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "x24_filter_verdict" -> ((s, d) => TextAnalysis.filterVerdict(s, d)),
     // PII scrubbing: counts + three-stage redaction, md5-pinned
@@ -462,6 +464,7 @@ object SparkEntry {
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,
     "x20_contamination" -> TextAnalysis.ContaminationSql,
+    "x48_bloom_contamination" -> TextAnalysis.BloomContaminationSql,
     "x21_multimodal_resize" -> Multimodal.ResizeSql,
     "x24_filter_verdict" -> TextAnalysis.FilterVerdictSql,
     "x41_pii_redact" -> TextAnalysis.PiiRedactSql,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextOps
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -592,6 +592,117 @@ object TextAnalysis {
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
   val Ipv4Pat = "\\b\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}\\b"
   val PhonePat = "[+]?\\d[\\d -]{7,}\\d"
+
+  /** x48: Bloom-filter decontamination — the constant-memory scale
+    * path for x20's eval-overlap check. x20 broadcasts the eval
+    * shingle SET (fine while the benchmark fits in memory); here the
+    * eval side collapses into a FIXED 2²⁰-bit Bloom bitset (16384
+    * BIGINT words, 128 KB broadcast regardless of eval-set size), and
+    * the corpus scan tests each shingle against k = 3 double-hashed
+    * bit positions — the shape that survives an eval suite of any
+    * size. False positives only ever OVER-flag (safe direction for
+    * decontamination); at the fixture load the FP rate is ~(3n/2²⁰)³.
+    *
+    * Determinism/parity: positions are pure md5 arithmetic —
+    * pos_j = (h1 + j·h2) mod 2²⁰ with h1/h2 the first/second 8 hex
+    * chars as u32 (the x39-proven numeric hex cast) — and the bitset
+    * build is bit_or of shifted BIGINTs: every step is exact integer
+    * bit arithmetic, identical in both engines, so the whole operator
+    * (false positives included) is oracle-exact. Words are 32-bit
+    * (bit < 32 → values stay positive BIGINTs: DuckDB's checked `<<`
+    * rejects the 64-bit sign bit, and positive-only words need no
+    * two's-complement reasoning anywhere).
+    */
+  val BloomBits = 1 << 20
+  val BloomWords: Int = BloomBits / 32
+  val BloomK = 3
+
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Corpus.shingleRows(spark, dir)
+      .select(col("doc_id"), col("source"), col("shingle")).distinct()
+    def withHashes(df: DataFrame): DataFrame = {
+      val hex = md5(col("shingle"))
+      df.withColumn("_h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
+        .withColumn("_h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
+    }
+    def pos(j: Int): Column =
+      (col("_h1") + lit(j.toLong) * col("_h2")) % lit(BloomBits.toLong)
+    // eval side → dense 16384-word bitset, ONE ~128 KB broadcast row
+    val benchPos = withHashes(sh.filter(col("source") === "src0")
+      .select(col("shingle")).distinct())
+      .select(explode(array((0 until BloomK).map(pos): _*)).as("pos"))
+    val words = benchPos
+      .select(expr("pos div 32").as("w"),
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("v"))
+    val dense = spark.range(BloomWords).select(col("id").as("w"))
+      .join(broadcast(words), Seq("w"), "left").na.fill(0L, Seq("v"))
+    val bitset = dense.agg(
+      transform(sort_array(collect_list(struct(col("w"), col("v")))),
+        e => e("v")).as("bits"))
+    // corpus side: k membership tests per shingle against the
+    // broadcast bitset; a shingle is a hit iff ALL k bits are set
+    val corpus = withHashes(sh.filter(col("source") =!= "src0"))
+      .crossJoin(broadcast(bitset))
+    val hitCol = (0 until BloomK).map { j =>
+      element_at(col("bits"), (expr(s"(_h1 + $j * _h2) % ${BloomBits} div 32")
+        + 1).cast("int"))
+        .bitwiseAND(
+          expr(s"shiftleft(1L, cast((_h1 + $j * _h2) % ${BloomBits} % 32 as int))")
+        ) =!= 0L
+    }.reduce(_ && _)
+    val scored = corpus.withColumn("_hit", when(hitCol, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("_hit")).as("n_bloom_hits"))
+    scored.select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+      (col("n_bloom_hits").cast("double") / col("n_shingles").cast("double"))
+        .as("bloom_contamination"),
+      (col("n_bloom_hits").cast("double") / col("n_shingles").cast("double")
+        >= 0.5).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val BloomContaminationSql: String = {
+    def posSql(j: Int): String = s"((h1 + $j * h2) % 1048576)"
+    def testSql(j: Int): String =
+      s"(bits[(${posSql(j)} // 32) + 1] & (CAST(1 AS BIGINT) << CAST(${posSql(j)} % 32 AS INT))) <> 0"
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |  FROM (SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS toks
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+       |bp AS (
+       |  SELECT ((CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+       |           + j * CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT))
+       |          % 1048576) AS pos
+       |  FROM bench, (SELECT unnest(generate_series(0, 2)) AS j)),
+       |words AS (SELECT pos // 32 AS w,
+       |            bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS v
+       |          FROM bp GROUP BY 1),
+       |dense AS (
+       |  SELECT g.w, COALESCE(words.v, 0) AS v
+       |  FROM (SELECT unnest(generate_series(0, 32767)) AS w) g
+       |  LEFT JOIN words ON words.w = g.w),
+       |bs AS (SELECT list(v ORDER BY w) AS bits FROM dense),
+       |cp AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+       |    CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+       |  FROM sh WHERE source <> 'src0'),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN ${testSql(0)} AND ${testSql(1)} AND ${testSql(2)}
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+       |  FROM cp, bs GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_bloom_hits,
+       |  CAST(n_bloom_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS bloom_contamination,
+       |  CAST(n_bloom_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5 AS flagged
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
 
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")

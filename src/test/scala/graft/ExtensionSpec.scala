@@ -99,6 +99,27 @@ class ExtensionSpec extends SparkTestBase {
     assert(bins === Seq((0L, 3L, 133L, 133.0 / 256.0)))
   }
 
+  test("bloom decontamination flags planted overlap and never under-flags vs exact") {
+    def row(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    val dir = fixture("documents" -> Seq(
+      row(0, "alpha beta gamma delta epsilon zeta", "src0"), // the eval doc
+      row(1, "alpha beta gamma delta epsilon zeta", "src1"), // full overlap
+      row(2, "one two three four five six seven", "src1")    // fresh text
+    ).toDF(docCols: _*))
+    val bloom = TextAnalysis.bloomContamination(spark, dir)
+      .select($"doc_id", $"n_bloom_hits", $"flagged")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bloom(1L)._2, "full-overlap doc not flagged")
+    assert(!bloom(2L)._2, "fresh doc flagged")
+    // a Bloom filter can only OVER-count: hits >= the exact x20 count
+    val exact = TextAnalysis.contamination(spark, dir)
+      .select($"doc_id", $"n_contaminated").as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, n) =>
+      assert(bloom(id)._1 >= n, s"doc $id bloom under-counts")
+    }
+  }
+
   test("temperature sampling keeps the smallest language whole, thins the largest toward sqrt") {
     // 400 'en' docs vs 100 'de' docs: expected keeps ≈ sqrt(100·400)
     // = 200 for en (p = 0.5), all 100 for de (p = 1)

@@ -131,6 +131,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x47/x48: sampling gates broadcast their tiny sides; no shuffle joins") {
+    for (name <- Seq("x47_temperature_sample", "x48_bloom_contamination")) {
+      val p = finalSection(plan(name))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name does not broadcast its per-group stats/bitset")
+      assert(!p.contains("SortMergeJoin"), s"$name fell back to sort-merge")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("no query in the relational/join family degrades to a cartesian product") {
     for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q10_returned_revenue", "q17_small_quantity_revenue", "b8_binary_op",
