@@ -259,6 +259,8 @@ object SparkEntry {
     "x20_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
     // constant-memory Bloom variant of x20 (128 KB bitset at any eval size)
     "x48_bloom_contamination" -> ((s, d) => TextAnalysis.bloomContamination(s, d)),
+    // longest consecutive-hit run: the exact-substring contamination signal
+    "x49_contamination_spans" -> ((s, d) => TextAnalysis.contaminationSpans(s, d)),
     "x21_multimodal_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "x24_filter_verdict" -> ((s, d) => TextAnalysis.filterVerdict(s, d)),
     // PII scrubbing: counts + three-stage redaction, md5-pinned
@@ -304,6 +306,8 @@ object SparkEntry {
     // α=0.5 temperature rebalancing toward uniform language mix
     "x47_temperature_sample" -> ((s, d) => Sampling.temperatureSample(s, d)),
     "x22_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
+    // codec-free binary near-dup via 64-byte block hashes
+    "x50_binary_blockdup" -> ((s, d) => Multimodal.binaryBlockDup(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -465,6 +469,7 @@ object SparkEntry {
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,
     "x20_contamination" -> TextAnalysis.ContaminationSql,
     "x48_bloom_contamination" -> TextAnalysis.BloomContaminationSql,
+    "x49_contamination_spans" -> TextAnalysis.ContaminationSpansSql,
     "x21_multimodal_resize" -> Multimodal.ResizeSql,
     "x24_filter_verdict" -> TextAnalysis.FilterVerdictSql,
     "x41_pii_redact" -> TextAnalysis.PiiRedactSql,
@@ -487,5 +492,6 @@ object SparkEntry {
     "x38_quality_sample" -> Sampling.QualitySampleSql,
     "x47_temperature_sample" -> Sampling.TemperatureSampleSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
+    "x50_binary_blockdup" -> Multimodal.BinaryBlockDupSql,
   )
 }

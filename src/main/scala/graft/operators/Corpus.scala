@@ -39,21 +39,22 @@ object Corpus {
   def shingleRows(spark: SparkSession, dir: String): DataFrame =
     shingleRows(spark, dir, 3)
 
-  /** One row per (document, word-n-gram occurrence); duplicate shingles
-    * are kept — consumers that need the distinct set apply their own
-    * `.distinct()` (column pruning on the cached relation makes the
-    * unused lang/source columns free for consumers that don't read
-    * them). Keyed by (session, sf, n) so DIFFERENT gram widths each get
-    * one shared explode: the 2-gram entry feeds both heavy-hitter
-    * queries (exact x19 + count-min x23), the 3-gram entry the dedup/
-    * profile tier.
+  /** One row per (document, word-n-gram occurrence) with its 0-based
+    * in-document position; duplicate shingles are kept — consumers that
+    * need the distinct set apply their own `.distinct()` (column
+    * pruning on the cached relation makes unused lang/source/pos
+    * columns free for consumers that don't read them). Keyed by
+    * (session, sf, n) so DIFFERENT gram widths each get one shared
+    * explode: the 2-gram entry feeds both heavy-hitter queries (exact
+    * x19 + count-min x23), the 3-gram entry the dedup/profile tier and
+    * the position-aware contamination spans (x49).
     */
   def shingleRows(spark: SparkSession, dir: String, n: Int): DataFrame =
     shingleCache.computeIfAbsent((spark, dir, n), k => {
       SessionCaches.onApplicationEnd(spark)(() => shingleCache.remove(k))
       Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(TextOps.shingles(col("text"), n)).as("shingle"))
+        .select(Seq(col("doc_id"), col("lang"), col("source"),
+          posexplode(TextOps.shingles(col("text"), n)).as(Seq("pos", "shingle"))): _*)
         .persist()
     })
 }

@@ -258,4 +258,61 @@ object Multimodal {
       |       ELSE CAST(n_lower AS DOUBLE) / CAST(n_bytes AS DOUBLE) END AS lower_frac
       |FROM f
       |ORDER BY doc_id""".stripMargin
+
+  /** x50: block-hash near-duplicate detection over the binary payload —
+    * the codec-free image/audio dedup pass (chunk the blob into fixed
+    * 64-byte blocks, md5 each, pairs of payloads sharing ≥1 distinct
+    * block hash are near-dup candidates ranked by containment =
+    * shared / min(blocks)). This is how binary dedup actually ships
+    * when decoding everything is too expensive: exact on aligned
+    * copies, robust to appended/truncated tails, content-type-blind.
+    *
+    * Scale shape: the self-join shuffles 32-byte digests keyed by block
+    * hash (x1's digest-only rule) — candidates ∝ Σ bucket² like the
+    * LSH tier, never all-pairs; the payload itself never crosses the
+    * wire. Parity: block boundaries are BYTE offsets; the fixture
+    * payload is the documented UTF-8 text stand-in (ASCII), so the
+    * oracle's VARCHAR substr sees the identical bytes and md5 agrees.
+    */
+  def binaryBlockDup(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = withBinaryPayload(spark, dir)
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0L),
+          floor((length(col("content")) - 1) / 64).cast("long"))).as("b"))
+      .select(col("doc_id"),
+        md5(expr("substring(content, cast(1 + 64 * b as int), 64)")).as("h"))
+      .distinct()
+    val nb = blocks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
+    val pairs = blocks.select(col("doc_id").as("d1"), col("h"))
+      .join(blocks.select(col("doc_id").as("d2"), col("h")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared_blocks"))
+    pairs
+      .join(nb.select(col("doc_id").as("d1"), col("n_blocks").as("n1")), Seq("d1"))
+      .join(nb.select(col("doc_id").as("d2"), col("n_blocks").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("shared_blocks"), col("n1"), col("n2"),
+        (col("shared_blocks").cast("double") /
+          least(col("n1"), col("n2")).cast("double")).as("containment"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val BinaryBlockDupSql: String =
+    """WITH blocks AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substr(text, CAST(1 + 64 * b AS INT), 64)) AS h
+      |  FROM (SELECT doc_id, text FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(0,
+      |         CAST(floor((len(text) - 1) / 64) AS BIGINT))) AS b)),
+      |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM blocks GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared_blocks
+      |  FROM blocks a JOIN blocks b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, shared_blocks, x.n_blocks AS n1, y.n_blocks AS n2,
+      |  CAST(shared_blocks AS DOUBLE)
+      |    / CAST(least(x.n_blocks, y.n_blocks) AS DOUBLE) AS containment
+      |FROM pairs
+      |JOIN nb x ON x.doc_id = d1
+      |JOIN nb y ON y.doc_id = d2
+      |ORDER BY d1, d2""".stripMargin
 }

@@ -704,6 +704,62 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** x49: contamination SPANS — the exact-substring strengthening of
+    * x20's ratio: per corpus doc, the longest run of CONSECUTIVE
+    * shingle positions hitting the eval set (a run of r 3-gram hits =
+    * a shared substring of r+2 tokens, the signal the suffix-array
+    * dedup literature flags; a high x20 ratio of scattered single
+    * hits is benign in comparison). Gaps-and-islands over hit
+    * positions: island = pos − row_number within doc, longest island
+    * per doc. One broadcast semi-join + one per-doc window — no new
+    * shuffle shape beyond x20 at any scale.
+    */
+  def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Corpus.shingleRows(spark, dir)
+      .select(col("doc_id"), col("source"), col("pos"), col("shingle"))
+    val bench = sh.filter(col("source") === "src0")
+      .select(col("shingle")).distinct()
+    val corpus = sh.filter(col("source") =!= "src0")
+    val hits = corpus.join(broadcast(bench), Seq("shingle"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = hits.withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("longest_run"), sum(col("run")).as("n_hit"))
+    val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    tot.join(runs, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("longest_run", "n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"), col("longest_run"),
+        (col("longest_run") >= 3).as("flagged_span"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ContaminationSpansSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source, i AS pos,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |  FROM (SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS toks
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+      |corpus AS (SELECT doc_id, pos, shingle FROM sh WHERE source <> 'src0'),
+      |hits AS (SELECT doc_id, pos FROM corpus
+      |         WHERE shingle IN (SELECT shingle FROM bench)),
+      |g AS (SELECT doc_id,
+      |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |      FROM hits),
+      |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM g GROUP BY doc_id, grp),
+      |agg AS (SELECT doc_id, CAST(MAX(run) AS BIGINT) AS longest_run,
+      |          CAST(SUM(run) AS BIGINT) AS n_hit
+      |        FROM runs GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id)
+      |SELECT tot.doc_id AS doc_id, n_shingles,
+      |  COALESCE(n_hit, 0) AS n_hit,
+      |  COALESCE(longest_run, 0) AS longest_run,
+      |  COALESCE(longest_run, 0) >= 3 AS flagged_span
+      |FROM tot LEFT JOIN agg ON agg.doc_id = tot.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     def n(pat: String) = size(regexp_extract_all(t, lit(pat), lit(0))).cast("bigint")

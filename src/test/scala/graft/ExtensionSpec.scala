@@ -99,6 +99,39 @@ class ExtensionSpec extends SparkTestBase {
     assert(bins === Seq((0L, 3L, 133L, 133.0 / 256.0)))
   }
 
+  test("binary block-dup pairs docs sharing aligned 64-byte blocks only") {
+    val base = ("block content " * 10).take(128) // two full aligned blocks
+    val dir = fixture("documents" -> Seq(
+      doc(0, base + " and a different tail here"),
+      doc(1, base + " with another ending entirely"),
+      doc(2, "completely unrelated text with no shared block content at all")
+    ).toDF(docCols: _*))
+    val rows = Multimodal.binaryBlockDup(spark, dir)
+      .select($"d1", $"d2", $"shared_blocks", $"containment")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === 1, s"expected exactly the planted pair: ${rows.toSeq}")
+    assert(rows.head._1 === 0L && rows.head._2 === 1L)
+    assert(rows.head._3 === 2L) // both aligned base blocks shared
+    assert(rows.head._4 > 0.5)  // 2 of min(3, 3) blocks
+  }
+
+  test("contamination spans flag a copied run but not scattered single hits") {
+    def row(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    val dir = fixture("documents" -> Seq(
+      row(0, "alpha beta gamma delta epsilon zeta eta", "src0"),
+      // 5 copied tokens = a run of 3 consecutive 3-gram hits → flagged
+      row(1, "xx alpha beta gamma delta epsilon yy zz ww vv", "src1"),
+      // the same eval tokens SCATTERED: no two adjacent → runs of 1
+      row(2, "alpha beta gamma qq rr delta epsilon zeta ss tt", "src1")
+    ).toDF(docCols: _*))
+    val m = TextAnalysis.contaminationSpans(spark, dir)
+      .select($"doc_id", $"longest_run", $"flagged_span")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) === ((3L, true)), s"copied span not flagged: $m")
+    assert(m(2L)._1 < 3L && !m(2L)._2, s"scattered hits over-flagged: $m")
+  }
+
   test("bloom decontamination flags planted overlap and never under-flags vs exact") {
     def row(id: Long, text: String, src: String) =
       (id, text, "en", src, text.length.toLong)
