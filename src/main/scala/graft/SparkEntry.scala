@@ -202,6 +202,12 @@ object SparkEntry {
       "acosh(signup)")),
     "p66_promql_atanh" -> ((s, d) => promql.Engine.eval(s, d,
       "atanh((signup - 5.5) / 400)")),
+    // resets composed under a subquery (union path, 4 shifted instants)
+    "p67_promql_resets_subquery" -> ((s, d) => promql.Engine.eval(s, d,
+      "max_over_time((resets(purchase[10d]))[4d:1d])")),
+    // windowed fraction: the alerting form of p57
+    "p68_promql_histogram_fraction_rate" -> ((s, d) => promql.Engine.eval(s, d,
+      "histogram_fraction(2.5, 75.5, rate(error[4d]))")),
     "p33_promql_timestamp" -> ((s, d) => promql.Engine.eval(s, d,
       "timestamp(signup)")),
     "p34_promql_scalar" -> ((s, d) => promql.Engine.eval(s, d,
@@ -437,6 +443,8 @@ object SparkEntry {
     "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
     "p62_promql_resets" -> promql.Oracle.ResetsWindowSql,
     "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,
+    "p67_promql_resets_subquery" -> promql.Oracle.ResetsSubquerySql,
+    "p68_promql_histogram_fraction_rate" -> promql.Oracle.HistogramFractionRateSql,
     // p64/p65/p66 (asinh/acosh/atanh) are rows-only BY DESIGN: they
     // route through ln, and Math.log vs DuckDB's ln diverge by 1 ulp on
     // some inputs (measured: rel err ~2e-16 on the fixture) — the same

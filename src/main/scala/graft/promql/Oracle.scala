@@ -231,6 +231,81 @@ object Oracle {
        |ORDER BY name, label_k, label_instance, value""".stripMargin
   }
 
+  /** `histogram_fraction(2.5, 75.5, rate(error[4d]))` — the windowed
+    * (alerting) form: the same single-row interpolation over bucket
+    * counts built from the trailing 4d window only (the fraction is
+    * scale-invariant, so rate and increase feed it identically).
+    */
+  val HistogramFractionRateSql: String = {
+    def f(x: Double): String =
+      s"""MAX(CASE WHEN $x >= le THEN CAST(cum_count AS DOUBLE)
+         |    WHEN $x > prev_le THEN CAST(prev_cum AS DOUBLE)
+         |      + CAST(cum_count - prev_cum AS DOUBLE)
+         |      * ($x - prev_le) / (le - prev_le)
+         |    ELSE 0.0 END)""".stripMargin
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (SELECT name, label_k, label_instance, value FROM m, t
+       |      WHERE name = 'error' AND epoch_us(ts) <= t_us
+       |        AND epoch_us(ts) > t_us - 345600000000),
+       |b AS (SELECT * FROM (VALUES (1.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0)) b(le)),
+       |snap AS (
+       |  SELECT name, label_k, label_instance, le,
+       |    CAST(SUM(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT) AS cum_count,
+       |    COUNT(*) AS cnt
+       |  FROM w CROSS JOIN b
+       |  GROUP BY name, label_k, label_instance, le),
+       |r AS (
+       |  SELECT *,
+       |    COALESCE(LAG(le) OVER w2, 0.0) AS prev_le,
+       |    COALESCE(LAG(cum_count) OVER w2, 0) AS prev_cum
+       |  FROM snap
+       |  WINDOW w2 AS (PARTITION BY name, label_k, label_instance ORDER BY le))
+       |SELECT name, label_k, label_instance,
+       |  (${f(75.5)} - ${f(2.5)}) / CAST(MAX(cnt) AS DOUBLE) AS value
+       |FROM r
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+  }
+
+  /** `max_over_time((resets(purchase[10d]))[4d:1d])` — windowed resets
+    * evaluated at the subquery's four instants (T−3d … T, the union
+    * path's shifts), max across instants where the window holds
+    * samples. Per instant: the full-history wrapped running sum up to
+    * that instant, decreases counted only between consecutive samples
+    * both inside the 10d window (the p62 semantics, shifted).
+    */
+  val ResetsSubquerySql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 3)) AS s),
+       |c AS (SELECT m.ts, m.name, m.label_k, m.label_instance, m.event_id, i.s,
+       |        CAST(round(m.value * 100, 0) AS BIGINT) AS cents,
+       |        t.t_us - i.s * 86400000000 AS hi
+       |      FROM m, t, inst i
+       |      WHERE m.name = 'purchase' AND m.value >= 0
+       |        AND epoch_us(m.ts) <= t.t_us - i.s * 86400000000),
+       |w AS (SELECT *,
+       |  SUM(cents) OVER (PARTITION BY name, label_k, label_instance, s
+       |                   ORDER BY ts, event_id
+       |                   ROWS UNBOUNDED PRECEDING) % 10000 AS wrapped
+       |  FROM c),
+       |d AS (SELECT *,
+       |  LAG(wrapped) OVER sw AS prev,
+       |  LAG(epoch_us(ts)) OVER sw AS prev_us
+       |  FROM w WINDOW sw AS (PARTITION BY name, label_k, label_instance, s
+       |                       ORDER BY ts, event_id)),
+       |per AS (
+       |  SELECT name, label_k, label_instance, s,
+       |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev_us > hi - 864000000000
+       |                   AND wrapped < prev THEN 1 ELSE 0 END) AS DOUBLE) AS v
+       |  FROM d WHERE epoch_us(ts) > hi - 864000000000
+       |  GROUP BY name, label_k, label_instance, s)
+       |SELECT name, label_k, label_instance, MAX(v) AS value
+       |FROM per
+       |GROUP BY name, label_k, label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+
   /** `info(signup)` — the last-write-wins gauge snapshot enriched with
     * the adapter's derived target_info data label
     * (`version` = 'v' + instance digits).

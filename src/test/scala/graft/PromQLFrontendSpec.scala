@@ -179,6 +179,23 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(tight.toSeq === Seq(0.0))
   }
 
+  test("resets under a subquery maxes the per-instant windowed values") {
+    val h = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 60.0, "a"),
+      ev(1, 1 * h, "purchase", 60.0, "a"), // wrap between 0h and 1h
+      ev(2, 2 * h, "purchase", 30.0, "a"),
+      ev(3, 3 * h, "purchase", 25.0, "a")
+    ).toDF(eventCols: _*))
+    def one(q: String): Double =
+      Engine.eval(spark, dir, q).select($"value").as[Double].head()
+    val sub = one("max_over_time((resets(purchase[3h]))[2h:1h])")
+    val atT = one("resets(purchase[3h])")
+    val shifted = one("resets(purchase[3h] offset 1h)")
+    assert(sub === math.max(atT, shifted))
+    assert(shifted === 1.0 && atT === 0.0) // the wrap pair ages out at T
+  }
+
   test("day_of_year and the inverse hyperbolic functions evaluate exactly") {
     val day = 86400000L
     val dir = fixture("events" -> Seq(
@@ -1078,15 +1095,16 @@ class PromQLFrontendSpec extends SparkTestBase {
       if (depth <= 0) sel()
       else rnd.nextInt(18) match {
         case 0 => s"sum by (${lbl()}) (${vector(depth - 1)})"
-        case 1 => s"${pick(Seq("rate", "increase", "delta", "irate", "changes"))}(${range()})"
+        case 1 => s"${pick(Seq("rate", "increase", "delta", "irate", "changes", "resets"))}(${range()})"
         case 2 => s"${pick(Seq("avg_over_time", "mad_over_time", "ts_of_max_over_time", "stddev_over_time"))}(${range()})"
         case 3 => s"topk(2, ${vector(depth - 1)})"
         case 4 => s"${vector(depth - 1)} ${pick(Seq("+", "*", ">", "or", "unless"))} ${vector(depth - 1)}"
-        case 5 => s"${pick(Seq("abs", "ceil", "exp", "sgn", "sort_desc"))}(${vector(depth - 1)})"
+        case 5 => s"${pick(Seq("abs", "ceil", "exp", "sgn", "sort_desc",
+          "asinh", "acosh", "atanh"))}(${vector(depth - 1)})"
         case 6 => s"histogram_quantile(0.9, ${sel()})"
         case 7 => s"""label_replace(${vector(depth - 1)}, "dst", "x", "${lbl()}", "a.*")"""
         case 8 => s"quantile_over_time(0.5, ${range()})"
-        case 9 => s"${pick(Seq("avg_over_time", "max_over_time", "sum_over_time", "count_over_time"))}((${pick(Seq(vector(depth - 1), s"min_over_time(${range()})", s"avg_over_time(${range()})"))})[1d:6h])"
+        case 9 => s"${pick(Seq("avg_over_time", "max_over_time", "sum_over_time", "count_over_time"))}((${pick(Seq(vector(depth - 1), s"min_over_time(${range()})", s"avg_over_time(${range()})", s"resets(${range()})"))})[1d:6h])"
         case 10 => s"${pick(Seq("limitk", "limit_ratio"))}(${pick(Seq("2", "0.5"))}, ${vector(depth - 1)})"
         case 11 => s"${name()} @ ${pick(Seq("1704067200", "start()", "end()"))}"
         case 12 => s"""count_values("v", ${vector(depth - 1)})"""
