@@ -276,6 +276,8 @@ object SparkEntry {
     "x43_token_packing" -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
     // reproducible train/val/test assignment (hash-gated, growth-stable)
     "x44_split" -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
+    // release report: (lang x split) doc/token counts + all margins, one cube
+    "x51_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -484,6 +486,7 @@ object SparkEntry {
     "x42_chunks" -> TextAnalysis.ChunkDocumentsSql,
     "x43_token_packing" -> TextAnalysis.TokenPackingSql,
     "x44_split" -> TextAnalysis.TrainValTestSplitSql,
+    "x51_dataset_card" -> TextAnalysis.DatasetCardSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,

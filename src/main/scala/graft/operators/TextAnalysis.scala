@@ -895,6 +895,44 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** x51: the dataset-card release report — per-(language, split) doc
+    * and token counts with ALL margins (per-language, per-split, grand
+    * total) in ONE cube aggregation pass: the summary table every
+    * dataset release publishes, composed from the x44 split gate and
+    * the engine token convention. Exact integers only — no float
+    * anywhere — and CUBE is a single shuffle producing every
+    * granularity (the b18 rollup rule applied to the corpus tier); at
+    * 100 TB this replaces 4 separate report scans with one.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("split",
+        when(col("h2") < "cc", "train")
+          .when(col("h2") < "e6", "val").otherwise("test"))
+      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("bigint"))
+      .cube(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("split"), lit("<all>")).as("split"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("lang"), col("split"))
+
+  val DatasetCardSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_toks
+      |  FROM documents)
+      |SELECT COALESCE(lang, '<all>') AS lang,
+      |  COALESCE(split, '<all>') AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |FROM d
+      |GROUP BY CUBE (lang, split)
+      |ORDER BY lang, split""".stripMargin
+
   val PiiRedactSql: String =
     s"""WITH r AS (
        |  SELECT doc_id,

@@ -171,6 +171,34 @@ class ExtensionSpec extends SparkTestBase {
     assert(again.toSeq === kept.map(_._1).toSeq)
   }
 
+  test("dataset card margins are consistent: cells sum to every <all> total") {
+    val docs = (0L until 120L).map(i =>
+      doc(i, s"tokens for doc number $i here", if (i % 3 == 0) "de" else "en"))
+    val dir = fixture("documents" -> docs.toDF(docCols: _*))
+    val card = TextAnalysis.datasetCard(spark, dir)
+      .select($"lang", $"split", $"n_docs", $"n_tokens")
+      .as[(String, String, Long, Long)].collect()
+    val cells = card.filter(r => r._1 != "<all>" && r._2 != "<all>")
+    def total(lang: String, split: String) =
+      card.find(r => r._1 == lang && r._2 == split).get
+    // grand total and both margin families must equal their cell sums
+    assert(total("<all>", "<all>")._3 === 120L)
+    assert(total("<all>", "<all>")._4 === cells.map(_._4).sum)
+    for (l <- Seq("en", "de")) {
+      val mine = cells.filter(_._1 == l)
+      assert(total(l, "<all>")._3 === mine.map(_._3).sum)
+      assert(total(l, "<all>")._4 === mine.map(_._4).sum)
+    }
+    for (s <- Seq("train", "val", "test")) {
+      val mine = cells.filter(_._2 == s)
+      assert(total("<all>", s)._3 === mine.map(_._3).sum)
+    }
+    // the split gate matches x44's assignment exactly
+    val split = TextAnalysis.trainValTestSplit(spark, dir)
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    split.foreach { case (s, n) => assert(total("<all>", s)._3 === n) }
+  }
+
   test("train/val/test split is growth-stable and near the declared shares") {
     val docs = (0L until 400L).map(i => doc(i, s"text for document $i"))
     val dir = fixture("documents" -> docs.toDF(docCols: _*))
