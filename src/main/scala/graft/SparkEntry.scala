@@ -58,6 +58,10 @@ object SparkEntry {
     "x3_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "x4_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "x5_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // near-dup pairs rolled up to a source-pair matrix (where dup mass lives)
+    "x52_neardup_sources" -> ((s, d) => Dedup.neardupSourceAttribution(s, d)),
+    // near-dup pairs straddling the x44 split boundary (eval leakage gate)
+    "x55_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
     "x6_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "x7_lsh_ann" -> ((s, d) => Similarity.lshAnn(s, d)),
     "x8_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
@@ -278,6 +282,10 @@ object SparkEntry {
     "x44_split" -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
     // release report: (lang x split) doc/token counts + all margins, one cube
     "x51_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
+    // exact per-language length order statistics (curation thresholds)
+    "x54_length_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
+    // per-shard doc range + content digest (the verifiable release manifest)
+    "x56_shard_manifest" -> ((s, d) => TextAnalysis.shardManifest(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -289,6 +297,8 @@ object SparkEntry {
     // and SemDeDup-style per-cell semantic pruning over its assignment
     "x35_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "x36_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // per-cell bottom-3 best-vs-runner-up cosine margins (boundary audit)
+    "x53_cluster_margins" -> ((s, d) => Similarity.clusterMarginAudit(s, d)),
     // rows-only: SQL cannot loop; spec pins the fixed-seed path to the
     // 2-round twin and the default k-means||-seeded path to planted
     // cluster recovery
@@ -371,6 +381,8 @@ object SparkEntry {
     "x3_minhash_lsh" -> Dedup.MinhashLshSql,
     "x4_simhash" -> Dedup.SimhashSql,
     "x5_ngram_jaccard" -> Dedup.NgramJaccardSql,
+    "x52_neardup_sources" -> Dedup.NeardupSourceAttributionSql,
+    "x55_split_leakage" -> Dedup.SplitLeakageSql,
     "x6_cosine_topk" -> Similarity.CosineTopKSql,
     "x7_lsh_ann" -> Similarity.LshAnnSql,
     "x8_embedding_neardup" -> Similarity.EmbeddingNearDupSql,
@@ -487,12 +499,15 @@ object SparkEntry {
     "x43_token_packing" -> TextAnalysis.TokenPackingSql,
     "x44_split" -> TextAnalysis.TrainValTestSplitSql,
     "x51_dataset_card" -> TextAnalysis.DatasetCardSql,
+    "x54_length_percentiles" -> TextAnalysis.LengthPercentilesSql,
+    "x56_shard_manifest" -> TextAnalysis.ShardManifestSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,
     "x46_embedding_covariance" -> Similarity.EmbeddingCovarianceSql,
     "x35_kmeans" -> Similarity.KmeansClustersSql,
     "x36_semantic_dedup" -> Similarity.SemanticDedupSql,
+    "x53_cluster_margins" -> Similarity.ClusterMarginAuditSql,
     "x39_kmeanspp_init" -> Similarity.KmeansParallelInitSql,
     "x27_dedup_components" -> Dedup.DedupComponentsSql,
     "x28_dedup_survivors" -> Dedup.SurvivorsSql,

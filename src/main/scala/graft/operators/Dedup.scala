@@ -515,4 +515,107 @@ object Dedup {
        |JOIN cnt ca ON ca.doc_id = cand.doc_a
        |JOIN cnt cb ON cb.doc_id = cand.doc_b
        |ORDER BY 1, 2""".stripMargin
+
+  /** x52: near-duplicate SOURCE attribution — the curation report that
+    * tells you WHERE the duplication comes from: the x3 LSH pair list
+    * rolled up to an (ordered) source-pair matrix with pair counts and
+    * the mean estimated Jaccard. Cross-source cells (source_lo ≠
+    * source_hi) are mirror/scrape overlap between feeds; the diagonal
+    * is within-feed duplication — the signal that decides which source
+    * to drop or down-weight in the next mixture.
+    *
+    * Scale shape: the pair relation is ≪ corpus by construction (LSH
+    * candidates), so both lookups of `source` are joins of the tiny
+    * pair side against a 2-column projection of `documents` — AQE
+    * broadcasts the pair side and the corpus never shuffles; the final
+    * rollup groups ≤ |sources|² rows. Mean Jaccard stays exact: the
+    * 8-permutation estimate is always k/8, so summing `8·est` as
+    * BIGINT and dividing once keeps the mean a single correctly-
+    * rounded IEEE divide in both engines (the x47 rule — no float
+    * accumulation anywhere).
+    */
+  def neardupSourceAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        (col("est_jaccard") * NumPerms).cast("bigint").as("perm_hits"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        col("perm_hits"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("perm_hits")).as("sum_hits"))
+      .select(col("source_lo"), col("source_hi"),
+        (col("source_lo") === col("source_hi")).as("within_source"),
+        col("n_pairs"),
+        (col("sum_hits").cast("double") /
+          (col("n_pairs") * NumPerms).cast("double")).as("mean_est_jaccard"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  val NeardupSourceAttributionSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b, CAST(est_jaccard * $NumPerms AS BIGINT) AS perm_hits
+       |  FROM ($MinhashLshSql)),
+       |s AS (SELECT doc_id, source FROM documents),
+       |j AS (
+       |  SELECT least(sa.source, sb.source) AS source_lo,
+       |    greatest(sa.source, sb.source) AS source_hi, perm_hits
+       |  FROM pairs p
+       |  JOIN s sa ON sa.doc_id = p.doc_a
+       |  JOIN s sb ON sb.doc_id = p.doc_b)
+       |SELECT source_lo, source_hi, source_lo = source_hi AS within_source,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(CAST(SUM(perm_hits) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) * $NumPerms AS DOUBLE) AS mean_est_jaccard
+       |FROM j
+       |GROUP BY source_lo, source_hi
+       |ORDER BY source_lo, source_hi""".stripMargin
+
+  /** x55: split-leakage audit — near-duplicate pairs that STRADDLE the
+    * x44 train/val/test boundary. Exact dedup runs before splitting,
+    * but near-duplicates survive it, and a train↔test near-dup pair is
+    * eval leakage: the held-out doc is effectively in the training set.
+    * This is the release gate every curation pipeline runs after
+    * assignment — the x3 pair list joined to the x44 hash gate, one
+    * row per candidate pair with both splits and the leak verdict
+    * (`leaky` = the splits differ; train↔test is the fatal cell).
+    *
+    * Scale shape: identical to x52 — the pair side is ≪ corpus and
+    * broadcasts against a 1-expression projection of `documents`
+    * (the split gate is computed in the scan, no x44 materialization
+    * needed); the corpus never shuffles. Deterministic end to end:
+    * the gate is the x44 md5-threshold compare, est_jaccard is k/8.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir)
+      .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .select(col("doc_id"),
+        when(col("h2") < "cc", "train")
+          .when(col("h2") < "e6", "val").otherwise("test").as("split"))
+    minhashLsh(spark, dir)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("est_jaccard"),
+        (col("split_a") =!= col("split_b")).as("leaky"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val SplitLeakageSql: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b, est_jaccard FROM ($MinhashLshSql)),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b,
+       |  est_jaccard, sa.split <> sb.split AS leaky
+       |FROM pairs
+       |JOIN sp sa ON sa.doc_id = doc_a
+       |JOIN sp sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -580,6 +580,69 @@ object Similarity {
        |GROUP BY cell
        |ORDER BY cell""".stripMargin
 
+  /** x53: cluster-assignment MARGIN audit — for every vector, the gap
+    * between its best and second-best centroid cosine after the
+    * oracle-checkable 2-round Lloyd (x35's centroids), reported as the
+    * bottom-3 smallest margins per cell: the boundary points whose
+    * assignment a tiny perturbation would flip. This is the per-cluster
+    * ambiguity report that decides whether x36's per-cell champions are
+    * safe to prune against (a cell whose members all sit at margin ≈ 0
+    * is not a cluster, it's a tie), without any O(n²) silhouette pass.
+    *
+    * Determinism: each cosine is the file's identical-IEEE expression
+    * (exact integer dot, two exact sqrt, two exact divides) and the
+    * margin is ONE subtraction of two such values — no float
+    * accumulation — so ranking by (margin, vec_id) is bit-reproducible
+    * in both engines. Scale shape: one broadcast of the K-row centroid
+    * relation, one codegen'd scan, two thin windows; the corpus never
+    * shuffles with its payload (vec_id + 2 doubles per row).
+    */
+  def clusterMarginAudit(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+    val seeds = q.filter(col("vec_id").between(100, 100 + KmeansK - 1))
+      .select((col("vec_id") - 100).cast("int").as("cid"),
+        col("q").as("s"), col("n2").as("sn2"))
+    val cent1 = updatedCentroids(spark, assignTo(spark, q, seeds))
+    val scores = q.crossJoin(broadcast(cent1))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "q", "s"))
+      .withColumn("cosine",
+        col("dp").cast("double") / sqrt(col("n2").cast("double")) / sqrt(col("sn2").cast("double")))
+      .select(col("vec_id"), col("cid"), col("cosine"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("cid"))
+    val ranked = scores.withColumn("mrn", row_number().over(w))
+    val best = ranked.filter(col("mrn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("cosine"))
+    val second = ranked.filter(col("mrn") === 2)
+      .select(col("vec_id"), col("cid").as("runner_up"), col("cosine").as("runner_cos"))
+    val bw = Window.partitionBy(col("cell")).orderBy(col("margin"), col("vec_id"))
+    best.join(second, "vec_id")
+      .withColumn("margin", col("cosine") - col("runner_cos"))
+      .withColumn("brn", row_number().over(bw))
+      .filter(col("brn") <= 3)
+      .select(col("vec_id"), col("cell"), col("runner_up"),
+        col("cosine"), col("runner_cos"), col("margin"))
+      .orderBy(col("cell"), col("margin"), col("vec_id"))
+  }
+
+  val ClusterMarginAuditSql: String =
+    s"""WITH $KmeansCtesSql,
+       |mr AS (
+       |  SELECT vec_id, cid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, cid) AS mrn
+       |  FROM s2),
+       |m AS (
+       |  SELECT b.vec_id, b.cid AS cell, r.cid AS runner_up,
+       |    b.cosine AS cosine, r.cosine AS runner_cos,
+       |    b.cosine - r.cosine AS margin
+       |  FROM mr b JOIN mr r ON r.vec_id = b.vec_id AND r.mrn = 2
+       |  WHERE b.mrn = 1)
+       |SELECT vec_id, cell, runner_up, cosine, runner_cos, margin
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |        ORDER BY margin, vec_id) AS brn FROM m)
+       |WHERE brn <= 3
+       |ORDER BY cell, margin, vec_id""".stripMargin
+
   /** k-means|| oversampling factor (l = 2K, the paper's recommendation)
     * and the fixed round count for the oracle-checkable unroll.
     */

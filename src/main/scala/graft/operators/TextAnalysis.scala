@@ -867,6 +867,56 @@ object TextAnalysis {
        |GROUP BY lang, bin
        |ORDER BY lang, bin""".stripMargin
 
+  /** x56: shard manifest — the verifiable release artifact for the x43
+    * packing: one row per (lang, bin) shard with its doc-id range,
+    * exact token payload, and a CONTENT DIGEST (md5 of the ascending
+    * '|'-joined doc_id list). A consumer re-derives the manifest from
+    * its copy of the corpus and diffs digests to prove it holds exactly
+    * the released shards — the manifest-file pattern every dataset
+    * release ships, as a deterministic relation instead of a side file.
+    *
+    * Scale shape: same single lang-partitioned prefix-sum window as
+    * x43, then one groupBy whose only wide value is the sorted doc-id
+    * list of ONE shard (bounded by the token budget, not the corpus);
+    * digests are 32 bytes per shard on the wire. Exact integers and
+    * md5 only — hash-identical cross-engine.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("bigint"))
+      .withColumn("prefix", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prefix div $PackBudget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("md5(array_join(transform(sort_array(collect_list(doc_id)), " +
+          "x -> cast(x as string)), '|'))").as("content_md5"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val ShardManifestSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, n_toks,
+       |    COALESCE(CAST(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+       |  FROM d)
+       |SELECT lang, prefix // $PackBudget AS bin,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS shard_tokens,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id)) AS content_md5
+       |FROM p
+       |GROUP BY lang, bin
+       |ORDER BY lang, bin""".stripMargin
+
   /** x44: deterministic train/val/test split — the reproducible-recipe
     * assignment every dataset release needs. The gate is the x31
     * fixed-width md5-hex threshold compare on doc_id (no RNG state, no
@@ -932,6 +982,63 @@ object TextAnalysis {
       |FROM d
       |GROUP BY CUBE (lang, split)
       |ORDER BY lang, split""".stripMargin
+
+  /** x54: per-language token-length percentile summary — the length
+    * distribution every curation pass reads before picking truncation /
+    * minimum-length thresholds (x10's gates) and the x42 chunk stride.
+    * Percentiles are EXACT order statistics under the lower-index
+    * convention: the value at 1-based rank `⌊p·(n−1)⌋ + 1` of the
+    * (n_toks, doc_id)-sorted language partition — pure integer rank
+    * arithmetic, no interpolation, no floats anywhere, so the result is
+    * the same BIGINT in both engines (approx_percentile would be
+    * neither exact nor cross-engine stable).
+    *
+    * Scale shape: one token-count scan (codegen'd split+size), one
+    * shuffle on `lang` serving BOTH the rank window and the final
+    * aggregate, output = |langs| rows. At 100 TB the per-language sort
+    * is the cost — exactly the sort a real percentile demands; callers
+    * that can tolerate error swap in the t-digest sketch tier.
+    */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_toks"))
+    val part = Window.partitionBy(col("lang"))
+    val r = d
+      .withColumn("rn",
+        row_number().over(part.orderBy(col("n_toks"), col("doc_id"))).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(part))
+    r.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("n_toks")).as("min_toks"),
+        max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("n_toks"))).as("p50_toks"),
+        max(when(col("rn") === expr("(9 * (n - 1)) div 10 + 1"), col("n_toks"))).as("p90_toks"),
+        max(when(col("rn") === expr("(99 * (n - 1)) div 100 + 1"), col("n_toks"))).as("p99_toks"),
+        max(col("n_toks")).as("max_toks"))
+      .orderBy(col("lang"))
+  }
+
+  val LengthPercentilesSql: String =
+    """WITH d AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, n_toks,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY n_toks, doc_id) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM d)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  MIN(n_toks) AS min_toks,
+      |  MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_toks END) AS p50_toks,
+      |  MAX(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN n_toks END) AS p90_toks,
+      |  MAX(CASE WHEN rn = (99 * (n - 1)) // 100 + 1 THEN n_toks END) AS p99_toks,
+      |  MAX(n_toks) AS max_toks
+      |FROM r
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 
   val PiiRedactSql: String =
     s"""WITH r AS (

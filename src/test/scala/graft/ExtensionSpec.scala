@@ -199,6 +199,120 @@ class ExtensionSpec extends SparkTestBase {
     split.foreach { case (s, n) => assert(total("<all>", s)._3 === n) }
   }
 
+  test("neardup source attribution separates cross-feed from within-feed pairs") {
+    val mk = (p: String) => (1 to 30).map(i => s"$p$i").mkString(" ")
+    val nearDup = (p: String) =>
+      (1 to 30).map(i => if (i == 30) "changed" else s"$p$i").mkString(" ")
+    val rows = Seq(
+      (0L, mk("w"), "en", "feedA", 100L), (1L, nearDup("w"), "en", "feedB", 100L),
+      (2L, mk("z"), "en", "feedC", 100L), (3L, nearDup("z"), "en", "feedC", 100L),
+      (4L, (200 to 230).map(i => s"q$i").mkString(" "), "en", "feedA", 100L))
+    val dir = fixture("documents" -> rows.toDF(docCols: _*))
+    val attr = Dedup.neardupSourceAttribution(spark, dir)
+      .select($"source_lo", $"source_hi", $"within_source", $"n_pairs", $"mean_est_jaccard")
+      .as[(String, String, Boolean, Long, Double)].collect()
+    assert(attr.map(r => (r._1, r._2, r._3, r._4)).toSet ===
+      Set(("feedA", "feedB", false, 1L), ("feedC", "feedC", true, 1L)))
+    assert(attr.forall(_._5 >= 0.5))
+    // conservation: the matrix accounts for every LSH pair exactly once
+    assert(attr.map(_._4).sum === Dedup.minhashLsh(spark, dir).count())
+  }
+
+  test("cluster margins are positive, per-cell bottom-3, and agree with the assignment") {
+    val a = Array.fill(64)(1.0f)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def jitter(v: Array[Float], id: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + ((id * 31 + i) % 5) * 0.01f }
+    val dir = fixture("embeddings" -> Seq(
+      (1L, jitter(a, 1), 1), (2L, jitter(a, 2), 1), (3L, jitter(a, 3), 1),
+      (4L, jitter(b, 4), 2), (5L, jitter(b, 5), 2), (6L, jitter(b, 6), 2),
+      (100L, a, 1), (101L, b, 2)
+    ).toDF("vec_id", "embedding", "label"))
+    val audit = Similarity.clusterMarginAudit(spark, dir)
+      .select($"vec_id", $"cell", $"runner_up", $"margin")
+      .as[(Long, Int, Int, Double)].collect()
+    // ≤3 rows per cell, runner-up is a different cell, and with two
+    // orthogonal planted directions every margin is decisively large
+    assert(audit.groupBy(_._2).forall(_._2.length <= 3))
+    assert(audit.forall(r => r._2 != r._3))
+    assert(audit.forall(_._4 > 0.5))
+    val assigned = Similarity.kmeansAssignments(spark, dir)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    audit.foreach(r => assert(assigned(r._1) === r._2))
+  }
+
+  test("split leakage flags exactly the near-dup pairs whose splits differ") {
+    val mk = (p: String) => (1 to 30).map(i => s"$p$i").mkString(" ")
+    val nearDup = (p: String) =>
+      (1 to 30).map(i => if (i == 30) "changed" else s"$p$i").mkString(" ")
+    // enough planted pairs that the hash gate puts at least one pair on
+    // each side of the leaky/clean divide is not guaranteed — assert
+    // against the independently-computed x44 gate instead
+    val rows = (0L until 6L).flatMap { k =>
+      Seq((2 * k, mk(s"w${k}_"), "en", "src", 100L),
+        (2 * k + 1, nearDup(s"w${k}_"), "en", "src", 100L))
+    }
+    val dir = fixture("documents" -> rows.toDF(docCols: _*))
+    val leaks = Dedup.splitLeakage(spark, dir)
+      .select($"doc_a", $"doc_b", $"split_a", $"split_b", $"leaky")
+      .as[(Long, Long, String, String, Boolean)].collect()
+    // every planted pair surfaces, nothing else
+    assert(leaks.map(r => (r._1, r._2)).toSet ===
+      (0L until 6L).map(k => (2 * k, 2 * k + 1)).toSet)
+    val split = TextAnalysis.trainValTestSplit(spark, dir)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    leaks.foreach { r =>
+      assert(r._3 === split(r._1) && r._4 === split(r._2))
+      assert(r._5 === (r._3 != r._4))
+    }
+  }
+
+  test("shard manifest digests are order-stable and verify against a rebuild") {
+    val docs = (0L until 40L).map(i =>
+      (i, (1 to 50).map(j => s"t$j").mkString(" "), if (i % 2 == 0) "en" else "de", "src", 100L))
+    val dir = fixture("documents" -> docs.toDF(docCols: _*))
+    val m1 = TextAnalysis.shardManifest(spark, dir)
+      .select($"lang", $"bin", $"n_docs", $"shard_tokens", $"min_doc", $"max_doc", $"content_md5")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+    // 20 docs x 50 tokens per lang → ceil-ish packing into 256-token bins
+    assert(m1.map(_._4).sum === 40L * 50)
+    m1.foreach(r => assert(r._5 <= r._6))
+    // the digest is a pure function of shard membership: a reshuffled
+    // rewrite of the same corpus reproduces every digest
+    val dir2 = fixture("documents" ->
+      docs.reverse.toDF(docCols: _*).repartition(7))
+    val m2 = TextAnalysis.shardManifest(spark, dir2)
+      .select($"lang", $"bin", $"n_docs", $"shard_tokens", $"min_doc", $"max_doc", $"content_md5")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+    assert(m1.sortBy(r => (r._1, r._2)).toSeq === m2.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("length percentiles match an independent order-statistic computation") {
+    val docs = (0L until 90L).map { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      val n = ((i * 37) % 23 + 1).toInt // scrambled lengths 1..23
+      (i, (1 to n).map(j => s"t$j").mkString(" "), lang, "src", 100L)
+    }
+    val dir = fixture("documents" -> docs.toDF(docCols: _*))
+    val got = TextAnalysis.lengthPercentiles(spark, dir)
+      .select($"lang", $"n_docs", $"min_toks", $"p50_toks", $"p90_toks", $"p99_toks", $"max_toks")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for (lang <- Seq("de", "en")) {
+      val lens = docs.filter(_._3 == lang)
+        .map(d => d._2.split(" ").length.toLong).sorted
+      val n = lens.length
+      def pct(num: Long, den: Long) = lens((num * (n - 1) / den).toInt)
+      val r = got(lang)
+      assert(r._2 === n.toLong)
+      assert(r._3 === lens.head)
+      assert(r._4 === pct(1, 2))
+      assert(r._5 === pct(9, 10))
+      assert(r._6 === pct(99, 100))
+      assert(r._7 === lens.last)
+    }
+  }
+
   test("train/val/test split is growth-stable and near the declared shares") {
     val docs = (0L until 400L).map(i => doc(i, s"text for document $i"))
     val dir = fixture("documents" -> docs.toDF(docCols: _*))
