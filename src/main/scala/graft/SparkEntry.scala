@@ -286,6 +286,8 @@ object SparkEntry {
     "x54_length_percentiles" -> ((s, d) => TextAnalysis.lengthPercentiles(s, d)),
     // per-shard doc range + content digest (the verifiable release manifest)
     "x56_shard_manifest" -> ((s, d) => TextAnalysis.shardManifest(s, d)),
+    // mean corpus-DF of each doc's bigrams (boilerplate/outlier tails)
+    "x57_ngram_typicality" -> ((s, d) => TextAnalysis.ngramTypicality(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -501,6 +503,7 @@ object SparkEntry {
     "x51_dataset_card" -> TextAnalysis.DatasetCardSql,
     "x54_length_percentiles" -> TextAnalysis.LengthPercentilesSql,
     "x56_shard_manifest" -> TextAnalysis.ShardManifestSql,
+    "x57_ngram_typicality" -> TextAnalysis.NgramTypicalitySql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,

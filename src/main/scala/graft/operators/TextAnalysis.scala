@@ -617,6 +617,62 @@ object TextAnalysis {
   val BloomWords: Int = BloomBits / 32
   val BloomK = 3
 
+  /** The eval-set Bloom bitset of [[bloomContamination]] as its own
+    * relation (ONE row, a 16384-word BIGINT list): the static side of
+    * the streaming decontamination join — build once per eval-suite
+    * release, broadcast into every corpus scan, batch or streaming.
+    */
+  def bloomBitset(spark: SparkSession, dir: String): DataFrame = {
+    val hex = md5(col("shingle"))
+    def pos(j: Int): Column =
+      (col("_h1") + lit(j.toLong) * col("_h2")) % lit(BloomBits.toLong)
+    val benchPos = Corpus.shingleRows(spark, dir)
+      .filter(col("source") === "src0")
+      .select(col("shingle")).distinct()
+      .withColumn("_h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
+      .withColumn("_h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
+      .select(explode(array((0 until BloomK).map(pos): _*)).as("pos"))
+    val words = benchPos
+      .select(expr("pos div 32").as("w"),
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("v"))
+    spark.range(BloomWords).select(col("id").as("w"))
+      .join(broadcast(words), Seq("w"), "left").na.fill(0L, Seq("v"))
+      .agg(transform(sort_array(collect_list(struct(col("w"), col("v")))),
+        e => e("v")).as("bits"))
+  }
+
+  /** Stateless per-row Bloom membership scoring of a `(doc_id, text)`
+    * frame against a prebuilt [[bloomBitset]]: shingling, hashing, and
+    * the k-bit tests all run as array HOFs INSIDE the row — no explode,
+    * no aggregation, no state — so the same operator runs unchanged on
+    * a STREAMING frame (stream-static broadcast join + projection, any
+    * output mode, results emitted per micro-batch with no watermark).
+    * This is the production decontamination shape: the eval bitset is
+    * static, the corpus arrives continuously. Bit-identical to the
+    * batch path (`StreamingSpec` pins streaming ≡ [[bloomContamination]]
+    * on the same corpus).
+    */
+  def bloomScore(docs: DataFrame, bitset: DataFrame): DataFrame = {
+    val test = (0 until BloomK).map { j =>
+      s"(element_at(bits, cast((h.h1 + $j * h.h2) % $BloomBits div 32 as int) + 1)" +
+        s" & shiftleft(1L, cast((h.h1 + $j * h.h2) % $BloomBits % 32 as int))) <> 0L"
+    }.mkString(" AND ")
+    docs.crossJoin(broadcast(bitset))
+      .withColumn("_sh", array_distinct(TextOps.shingles(col("text"), 3)))
+      .withColumn("_hs", expr(
+        "transform(_sh, s -> named_struct(" +
+          "'h1', cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint), " +
+          "'h2', cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)))"))
+      .select(col("doc_id"),
+        size(col("_sh")).cast("bigint").as("n_shingles"),
+        expr(s"cast(size(filter(_hs, h -> $test)) as bigint)").as("n_bloom_hits"))
+      .withColumn("bloom_contamination",
+        when(col("n_shingles") === 0L, lit(0.0))
+          .otherwise(col("n_bloom_hits").cast("double") / col("n_shingles").cast("double")))
+      .withColumn("flagged", col("bloom_contamination") >= 0.5)
+  }
+
   def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = Corpus.shingleRows(spark, dir)
@@ -626,21 +682,7 @@ object TextAnalysis {
       df.withColumn("_h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
         .withColumn("_h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
     }
-    def pos(j: Int): Column =
-      (col("_h1") + lit(j.toLong) * col("_h2")) % lit(BloomBits.toLong)
-    // eval side → dense 16384-word bitset, ONE ~128 KB broadcast row
-    val benchPos = withHashes(sh.filter(col("source") === "src0")
-      .select(col("shingle")).distinct())
-      .select(explode(array((0 until BloomK).map(pos): _*)).as("pos"))
-    val words = benchPos
-      .select(expr("pos div 32").as("w"),
-        expr("shiftleft(1L, cast(pos % 32 as int))").as("b"))
-      .groupBy(col("w")).agg(expr("bit_or(b)").as("v"))
-    val dense = spark.range(BloomWords).select(col("id").as("w"))
-      .join(broadcast(words), Seq("w"), "left").na.fill(0L, Seq("v"))
-    val bitset = dense.agg(
-      transform(sort_array(collect_list(struct(col("w"), col("v")))),
-        e => e("v")).as("bits"))
+    val bitset = bloomBitset(spark, dir)
     // corpus side: k membership tests per shingle against the
     // broadcast bitset; a shingle is a hit iff ALL k bits are set
     val corpus = withHashes(sh.filter(col("source") =!= "src0"))
@@ -866,6 +908,59 @@ object TextAnalysis {
        |FROM p
        |GROUP BY lang, bin
        |ORDER BY lang, bin""".stripMargin
+
+  /** x57: n-gram typicality — a distribution-free boilerplate/noise
+    * score: each document's mean corpus document-frequency over its
+    * bigram occurrences, normalized by corpus size. Docs near 1 are
+    * template boilerplate (every bigram appears everywhere), docs near
+    * 1/N are lexical outliers (OCR junk, wrong-language slip-throughs)
+    * — the two tails every curation pass trims, scored WITHOUT a
+    * language model. Exact until the final division: DF counts and the
+    * per-doc DF sum are BIGINTs, then two correctly-rounded divides
+    * written identically in both engines (the x47 rule).
+    *
+    * Scale shape: one DF aggregate (map-side combinable) + one
+    * gram-keyed join of occurrence rows against the DF relation + one
+    * doc-keyed aggregate — all linear in token count, no broadcast of
+    * anything corpus-sized; skewed high-DF grams split under AQE.
+    * Short docs (< 2 tokens) have no bigrams and score 0 by definition.
+    */
+  def ngramTypicality(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Corpus.shingleRows(spark, dir, 2)
+      .select(col("doc_id"), col("shingle"))
+    val df = grams.distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("sum_df"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "sum_df"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_grams"), col("sum_df"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(col("sum_df").cast("double") / col("n_grams").cast("double")
+            / col("n_docs").cast("double")).as("typicality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val NgramTypicalitySql: String =
+    s"""WITH g AS (SELECT doc_id, shingle FROM (${TextOps.shinglesSql("documents", 2)})),
+       |dfq AS (
+       |  SELECT shingle, COUNT(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, shingle FROM g) GROUP BY shingle),
+       |pd AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams, CAST(SUM(df) AS BIGINT) AS sum_df
+       |  FROM g JOIN dfq USING (shingle) GROUP BY g.doc_id),
+       |t AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+       |  COALESCE(sum_df, 0) AS sum_df,
+       |  CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+       |       ELSE CAST(sum_df AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |            / CAST(n_docs AS DOUBLE) END AS typicality
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id CROSS JOIN t
+       |ORDER BY d.doc_id""".stripMargin
 
   /** x56: shard manifest — the verifiable release artifact for the x43
     * packing: one row per (lang, bin) shard with its doc-id range,

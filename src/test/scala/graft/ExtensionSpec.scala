@@ -241,6 +241,20 @@ class ExtensionSpec extends SparkTestBase {
     audit.foreach(r => assert(assigned(r._1) === r._2))
   }
 
+  test("ngram typicality matches hand counts; boilerplate outranks unique text") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "the cat sat"), doc(1, "the cat ran"), doc(2, "the cat hid"),
+      doc(3, "zeb qux worp"), doc(4, "solo")).toDF(docCols: _*))
+    val got = TextAnalysis.ngramTypicality(spark, dir)
+      .select($"doc_id", $"n_grams", $"sum_df", $"typicality")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // DF("the cat") = 3, DF of every other bigram = 1, N = 5 docs
+    assert(got(0L) === ((0L, 2L, 4L, 4.0 / 2.0 / 5.0)))
+    assert(got(3L) === ((3L, 2L, 2L, 2.0 / 2.0 / 5.0)))
+    assert(got(4L) === ((4L, 0L, 0L, 0.0))) // too short for bigrams
+    assert(got(0L)._4 > got(3L)._4) // boilerplate tail above unique tail
+  }
+
   test("split leakage flags exactly the near-dup pairs whose splits differ") {
     val mk = (p: String) => (1 to 30).map(i => s"$p$i").mkString(" ")
     val nearDup = (p: String) =>

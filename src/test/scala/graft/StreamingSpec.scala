@@ -667,4 +667,35 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.toSeq === Seq((3L, "a", 1.0)))
     } finally q.stop()
   }
+
+  test("streaming bloom decontamination equals the batch scorer bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    def row(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    val corpus = Seq(
+      row(1, "alpha beta gamma delta epsilon zeta", "src1"), // full overlap
+      row(2, "one two three four five six seven", "src1"),   // fresh text
+      row(3, "alpha beta gamma brand new suffix here", "src2")) // partial
+    val dir = fixture("documents" -> (row(0,
+      "alpha beta gamma delta epsilon zeta", "src0") +: corpus)
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val batch = graft.operators.TextAnalysis.bloomContamination(spark, dir)
+      .select($"doc_id", $"n_shingles", $"n_bloom_hits", $"bloom_contamination", $"flagged")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    // the eval bitset is the STATIC side; the corpus arrives as a stream
+    val bits = graft.operators.TextAnalysis.bloomBitset(spark, dir)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.bloomScore(
+      mem.toDF().toDF("doc_id", "text"), bits)
+    val q = out.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(corpus.map(c => (c._1, c._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_stream")
+        .select($"doc_id", $"n_shingles", $"n_bloom_hits", $"bloom_contamination", $"flagged")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
