@@ -301,6 +301,8 @@ object SparkEntry {
     "x36_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // per-cell bottom-3 best-vs-runner-up cosine margins (boundary audit)
     "x53_cluster_margins" -> ((s, d) => Similarity.clusterMarginAudit(s, d)),
+    // per-cell majority label/lang share (are cells usable as strata?)
+    "x58_cluster_purity" -> ((s, d) => Similarity.clusterPurity(s, d)),
     // rows-only: SQL cannot loop; spec pins the fixed-seed path to the
     // 2-round twin and the default k-means||-seeded path to planted
     // cluster recovery
@@ -511,6 +513,7 @@ object SparkEntry {
     "x35_kmeans" -> Similarity.KmeansClustersSql,
     "x36_semantic_dedup" -> Similarity.SemanticDedupSql,
     "x53_cluster_margins" -> Similarity.ClusterMarginAuditSql,
+    "x58_cluster_purity" -> Similarity.ClusterPuritySql,
     "x39_kmeanspp_init" -> Similarity.KmeansParallelInitSql,
     "x27_dedup_components" -> Dedup.DedupComponentsSql,
     "x28_dedup_survivors" -> Dedup.SurvivorsSql,

@@ -643,6 +643,80 @@ object Similarity {
        |WHERE brn <= 3
        |ORDER BY cell, margin, vec_id""".stripMargin
 
+  /** x58: cluster purity — how well the unsupervised cells align with
+    * the two observable groupings: the embedding `label` column and the
+    * paired document's `lang` (vec_id ≡ doc_id in the fixture corpus).
+    * Per cell: member count, the majority label/lang with its count,
+    * and purity = majority/members — the accept/reject gate for using
+    * x35 cells as curation strata (a low-purity cell means the
+    * embedding space does not separate that grouping, so per-cell
+    * pruning like x36 would mix strata). Exact integer counts; each
+    * purity is ONE correctly-rounded divide (the x47 rule); majority
+    * ties break to the smallest label/lang — deterministic both
+    * engines.
+    *
+    * Scale shape: the assignment relation is (vec_id, cell) — the two
+    * metadata joins shuffle ids and single attributes, never vectors;
+    * counts then group ≤ K·|labels| rows and the windows run over a
+    * K-sized relation. Nothing corpus-wide is broadcast or collected.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansAssignments(spark, dir).select(col("vec_id"), col("cell"))
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val lng = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val j = assigned.join(lab, "vec_id").join(lng, "vec_id")
+    def majority(attr: String): DataFrame = {
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("n").desc, col(attr))
+      j.groupBy(col("cell"), col(attr)).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col(attr).as(s"top_$attr"), col("n").as(s"top_${attr}_n"))
+    }
+    j.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(majority("label"), "cell")
+      .join(majority("lang"), "cell")
+      .select(col("cell"), col("n_members"),
+        col("top_label"), col("top_label_n"),
+        (col("top_label_n").cast("double") / col("n_members").cast("double"))
+          .as("label_purity"),
+        col("top_lang"), col("top_lang_n"),
+        (col("top_lang_n").cast("double") / col("n_members").cast("double"))
+          .as("lang_purity"))
+      .orderBy(col("cell"))
+  }
+
+  val ClusterPuritySql: String =
+    s"""WITH $KmeansCtesSql,
+       |j AS (
+       |  SELECT a2.vec_id, a2.cell, e.label, d.lang
+       |  FROM a2
+       |  JOIN embeddings e ON e.vec_id = a2.vec_id
+       |  JOIN documents d ON d.doc_id = a2.vec_id),
+       |mem AS (SELECT cell, COUNT(*) AS n_members FROM j GROUP BY cell),
+       |lab AS (
+       |  SELECT cell, label AS top_label, n AS top_label_n FROM (
+       |    SELECT cell, label, COUNT(*) AS n,
+       |      ROW_NUMBER() OVER (PARTITION BY cell
+       |        ORDER BY COUNT(*) DESC, label) AS rn
+       |    FROM j GROUP BY cell, label)
+       |  WHERE rn = 1),
+       |lng AS (
+       |  SELECT cell, lang AS top_lang, n AS top_lang_n FROM (
+       |    SELECT cell, lang, COUNT(*) AS n,
+       |      ROW_NUMBER() OVER (PARTITION BY cell
+       |        ORDER BY COUNT(*) DESC, lang) AS rn
+       |    FROM j GROUP BY cell, lang)
+       |  WHERE rn = 1)
+       |SELECT mem.cell, n_members,
+       |  top_label, top_label_n,
+       |  CAST(top_label_n AS DOUBLE) / CAST(n_members AS DOUBLE) AS label_purity,
+       |  top_lang, top_lang_n,
+       |  CAST(top_lang_n AS DOUBLE) / CAST(n_members AS DOUBLE) AS lang_purity
+       |FROM mem JOIN lab ON lab.cell = mem.cell JOIN lng ON lng.cell = mem.cell
+       |ORDER BY mem.cell""".stripMargin
+
   /** k-means|| oversampling factor (l = 2K, the paper's recommendation)
     * and the fixed round count for the oracle-checkable unroll.
     */

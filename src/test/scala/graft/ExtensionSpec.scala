@@ -393,6 +393,31 @@ class ExtensionSpec extends SparkTestBase {
     assert(kept.toMap === clusters.map(c => c._1 -> c._3).toMap)
   }
 
+  test("cluster purity reports the planted majority label and language per cell") {
+    val a = Array.fill(64)(1.0f)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def jitter(v: Array[Float], id: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + ((id * 31 + i) % 5) * 0.01f }
+    val embDir = Seq(
+      (1L, jitter(a, 1), 1), (2L, jitter(a, 2), 1), (3L, jitter(a, 3), 1),
+      (4L, jitter(b, 4), 2), (5L, jitter(b, 5), 2), (6L, jitter(b, 6), 2),
+      (100L, a, 1), (101L, b, 2)).toDF("vec_id", "embedding", "label")
+    // paired docs: cell 0 is en-majority (3 of 4), cell 1 uniformly de
+    val docs = Seq(
+      (1L, "t", "en", "src", 1L), (2L, "t", "en", "src", 1L),
+      (3L, "t", "fr", "src", 1L), (100L, "t", "en", "src", 1L),
+      (4L, "t", "de", "src", 1L), (5L, "t", "de", "src", 1L),
+      (6L, "t", "de", "src", 1L), (101L, "t", "de", "src", 1L))
+      .toDF(docCols: _*)
+    val dir = fixture("embeddings" -> embDir, "documents" -> docs)
+    val rows = Similarity.clusterPurity(spark, dir)
+      .select($"cell", $"n_members", $"top_label", $"label_purity", $"top_lang", $"lang_purity")
+      .as[(Int, Long, Int, Double, String, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (0, 4L, 1, 1.0, "en", 0.75),
+      (1, 4L, 2, 1.0, "de", 1.0)))
+  }
+
   test("embedding outliers surface the least-central vector per label") {
     val a = Array.fill(64)(1.0f)
     def jitter(id: Int): Array[Float] =

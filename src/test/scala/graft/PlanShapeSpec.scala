@@ -141,6 +141,37 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("x52/x55: pair-side joins broadcast; the corpus projection never sort-merges") {
+    for (name <- Seq("x52_neardup_sources", "x55_split_leakage")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name does not broadcast the candidate-pair side")
+      assert(!p.contains("SortMergeJoin"), s"$name fell back to sort-merge")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("x53/x58: K-row centroid/majority relations broadcast; corpus keeps its shuffle key") {
+    for (name <- Seq("x53_cluster_margins", "x58_cluster_purity")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name does not broadcast its K-row side")
+      assert(!p.contains("CartesianProduct"),
+        s"$name degraded to a non-broadcast cartesian product")
+    }
+  }
+
+  test("x54/x56: one lang exchange serves both the window and the aggregate") {
+    for (name <- Seq("x54_length_percentiles", "x56_shard_manifest")) {
+      val p = plan(name)
+      // the scan must be pruned to the consumed columns only (no source/n_chars)
+      assert(!p.contains("n_chars"), s"$name reads n_chars it never uses")
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("struct<doc_id:bigint,text:string,lang:string>"),
+        s"$name documents scan not pruned")
+    }
+  }
+
   test("no query in the relational/join family degrades to a cartesian product") {
     for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q10_returned_revenue", "q17_small_quantity_revenue", "b8_binary_op",
