@@ -288,6 +288,12 @@ object SparkEntry {
     "x56_shard_manifest" -> ((s, d) => TextAnalysis.shardManifest(s, d)),
     // mean corpus-DF of each doc's bigrams (boilerplate/outlier tails)
     "x57_ngram_typicality" -> ((s, d) => TextAnalysis.ngramTypicality(s, d)),
+    // longest cross-doc verbatim substring run per doc (self-dedup spans)
+    "x59_corpus_dup_spans" -> ((s, d) => TextAnalysis.corpusDupSpans(s, d)),
+    // banded simhash Hamming<=3 near-dup pairs (Manku et al., WWW'07)
+    "x62_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    // corpus-weighted adjacent-char pair counts (BPE merge candidates)
+    "x60_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -303,6 +309,8 @@ object SparkEntry {
     "x53_cluster_margins" -> ((s, d) => Similarity.clusterMarginAudit(s, d)),
     // per-cell majority label/lang share (are cells usable as strata?)
     "x58_cluster_purity" -> ((s, d) => Similarity.clusterPurity(s, d)),
+    // nearest-other-centroid vs worst-member cosine (Dunn-style gate)
+    "x61_cluster_separation" -> ((s, d) => Similarity.clusterSeparation(s, d)),
     // rows-only: SQL cannot loop; spec pins the fixed-seed path to the
     // 2-round twin and the default k-means||-seeded path to planted
     // cluster recovery
@@ -506,6 +514,9 @@ object SparkEntry {
     "x54_length_percentiles" -> TextAnalysis.LengthPercentilesSql,
     "x56_shard_manifest" -> TextAnalysis.ShardManifestSql,
     "x57_ngram_typicality" -> TextAnalysis.NgramTypicalitySql,
+    "x59_corpus_dup_spans" -> TextAnalysis.CorpusDupSpansSql,
+    "x62_simhash_neardup" -> Dedup.SimhashNearDupSql,
+    "x60_bpe_pairs" -> TextAnalysis.BpePairStatsSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,
@@ -514,6 +525,7 @@ object SparkEntry {
     "x36_semantic_dedup" -> Similarity.SemanticDedupSql,
     "x53_cluster_margins" -> Similarity.ClusterMarginAuditSql,
     "x58_cluster_purity" -> Similarity.ClusterPuritySql,
+    "x61_cluster_separation" -> Similarity.ClusterSeparationSql,
     "x39_kmeanspp_init" -> Similarity.KmeansParallelInitSql,
     "x27_dedup_components" -> Dedup.DedupComponentsSql,
     "x28_dedup_survivors" -> Dedup.SurvivorsSql,

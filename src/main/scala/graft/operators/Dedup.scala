@@ -278,21 +278,43 @@ object Dedup {
     * second shuffle — the round-1 form exploded tokens × 32 bits; this
     * shape ships one 32-column row per doc per partition map-side.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val weightAggs = (0 until SimhashBits).map { j =>
-      sum(expr(
-        s"CASE WHEN ((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)" +
-          s" div ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"w$j")
+  private val simhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop this session's cached simhash signature relation. */
+  def unpersistSimhash(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    simhashCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(simhashCache.remove(k)).foreach(_.unpersist())
     }
-    val sig = toks.groupBy(col("doc_id"))
-      .agg(weightAggs.head, weightAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimhashBits).map(j =>
-          when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+  }
+
+  /** The `(doc_id, simhash)` signature relation shared by x4 (identical-
+    * signature clustering) and x62 (banded Hamming near-dup) — computed
+    * once per (session, sf), 12 bytes per doc in memory.
+    */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    simhashCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => simhashCache.remove(k))
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val weightAggs = (0 until SimhashBits).map { j =>
+        sum(expr(
+          s"CASE WHEN ((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)" +
+            s" div ${1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"w$j")
+      }
+      toks.groupBy(col("doc_id"))
+        .agg(weightAggs.head, weightAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 until SimhashBits).map(j =>
+            when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+        .persist()
+    })
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(spark, dir)
     val w = Window.partitionBy(col("simhash"))
     sig.withColumn("cluster_id", min(col("doc_id")).over(w))
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -323,6 +345,85 @@ object Dedup {
        |  COUNT(*) OVER (PARTITION BY simhash) AS cluster_size
        |FROM sig
        |ORDER BY doc_id""".stripMargin
+
+  /** x62: banded SimHash near-duplicate PAIRS (Manku, Jain & Sarma,
+    * WWW'07 — the Google web-crawl dedup design): two documents are
+    * near-dups iff their 32-bit simhashes differ in ≤ 3 bits. By
+    * pigeonhole, any such pair agrees EXACTLY on at least one of the 4
+    * disjoint 8-bit bands, so candidate generation is a band-value
+    * equi-join (candidates ∝ Σ bucket², never all pairs — the same
+    * blocking law as x3's minhash LSH but over a 1-word signature), and
+    * the verify step is one codegen'd `bit_count(xor)` per candidate.
+    * Complements x4 (identical signatures only) with the tolerance that
+    * catches single-edit rewrites, and feeds the same x27 component
+    * machinery if clustering is wanted downstream.
+    *
+    * Everything is integer arithmetic on md5 nibbles — hash-exact
+    * cross-engine. Scale shape: the signature relation is 12 bytes/doc
+    * (cached, shared with x4); bands shuffle 4 rows/doc of 3 ints; the
+    * self-join keys on (band, value) with AQE splitting skewed buckets;
+    * the Hamming filter runs inside the join's codegen stage.
+    */
+  val SimhashBands = 4
+  val SimhashHamMax = 3
+
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupOf(simhashSignatures(spark, dir))
+
+  /** Core of [[simhashNearDup]] over any `(doc_id, simhash)` relation
+    * (the property spec feeds it random signatures and checks the
+    * banded pair set equals brute-force all-pairs at Hamming ≤ 3 —
+    * the pigeonhole completeness guarantee).
+    */
+  def simhashNearDupOf(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("b"))
+      .withColumn("bv", expr(s"(simhash div cast(pow(256, b) as bigint)) % 256"))
+    val a = bands.select(col("b"), col("bv"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val bb = bands.select(col("b"), col("bv"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(bb, Seq("b", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming",
+        expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
+      .filter(col("hamming") <= SimhashHamMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val SimhashNearDupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(string_split(trim(lower(text)), ' '))) AS h
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, h, j,
+       |    strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1 AS nib
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)),
+       |wts AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (nib // CAST(pow(2, j % 4) AS INT)) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS weight
+       |  FROM bits GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+       |             ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM wts GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash, b,
+       |    (simhash // CAST(pow(256, b) AS BIGINT)) % 256 AS bv
+       |  FROM sig, (SELECT unnest(generate_series(0, ${SimhashBands - 1})) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |    a.simhash AS sig_a, c.simhash AS sig_b
+       |  FROM bands a JOIN bands c ON c.b = a.b AND c.bv = a.bv
+       |    AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sig_a, sig_b)) <= $SimhashHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Connected components over an undirected edge list `(doc_a, doc_b)`:
     * hash-min label propagation with POINTER-JUMPING, iterated to

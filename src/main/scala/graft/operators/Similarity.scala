@@ -1109,4 +1109,69 @@ object Similarity {
        |SELECT label, vec_id, cosine, rank
        |FROM r WHERE rank <= 5
        |ORDER BY label, rank""".stripMargin
+
+  /** x61: cluster-separation audit — the between-cluster complement of
+    * x53 (per-point margins) and x58 (external purity): for each x35
+    * cell, the nearest OTHER centroid by cosine and whether the cell's
+    * worst-assigned member is still closer (in cosine) to its own
+    * centroid than the two centroids are to each other
+    * (min_member_cos > inter_cos ⇒ the cell is angularly separated
+    * from its nearest neighbor — a Dunn-index-style gate computed from
+    * K² centroid pairs instead of an O(n²) silhouette pass, which is
+    * the only form that survives 100 TB).
+    *
+    * Determinism: centroids are exact integer sums (x35), each
+    * inter-centroid cosine is one exact BIGINT dot + two sqrt + two
+    * divides written identically in both engines, and min over
+    * identical-IEEE member cosines is order-independent — hash-exact.
+    * Scale shape: the K-row centroid relation self-joins (K² = 64 rows,
+    * broadcast); member stats reduce the CACHED assignment relation
+    * (one map-side-combinable aggregate); nothing corpus-sized moves.
+    */
+  def clusterSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+    val seeds = q.filter(col("vec_id").between(100, 100 + KmeansK - 1))
+      .select((col("vec_id") - 100).cast("int").as("cid"),
+        col("q").as("s"), col("n2").as("sn2"))
+    val cent1 = updatedCentroids(spark, assignTo(spark, q, seeds))
+    val a = cent1.select(col("cid").as("cell"), col("s").as("sa"), col("sn2").as("na"))
+    val b = cent1.select(col("cid").as("other"), col("s").as("sb"), col("sn2").as("nb"))
+    val inter = a.crossJoin(broadcast(b)).filter(col("other") =!= col("cell"))
+      .withColumn("dpc", graft.plans.IntDotExpr.intDot(spark, "sa", "sb"))
+      .withColumn("inter_cos",
+        col("dpc").cast("double") / sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double")))
+    val w = Window.partitionBy(col("cell")).orderBy(col("inter_cos").desc, col("other"))
+    val nearest = inter.withColumn("nrn", row_number().over(w))
+      .filter(col("nrn") === 1)
+      .select(col("cell"), col("other").as("nearest_cell"), col("inter_cos"))
+    val mem = kmeansAssignments(spark, dir)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), min(col("cosine")).as("min_member_cos"))
+    mem.join(nearest, "cell")
+      .select(col("cell"), col("n_members"), col("nearest_cell"),
+        col("inter_cos"), col("min_member_cos"),
+        (col("min_member_cos") > col("inter_cos")).as("separated"))
+      .orderBy(col("cell"))
+  }
+
+  val ClusterSeparationSql: String =
+    s"""WITH $KmeansCtesSql,
+       |inter AS (
+       |  SELECT a.cid AS cell, b.cid AS other,
+       |    CAST(list_sum(list_transform(generate_series(1, len(a.s)),
+       |      i -> a.s[i] * b.s[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.sn2 AS DOUBLE)) / sqrt(CAST(b.sn2 AS DOUBLE)) AS inter_cos
+       |  FROM cent1 a JOIN cent1 b ON b.cid <> a.cid),
+       |near AS (
+       |  SELECT cell, other AS nearest_cell, inter_cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY inter_cos DESC, other) AS nrn
+       |    FROM inter) WHERE nrn = 1),
+       |mem AS (SELECT cell, COUNT(*) AS n_members,
+       |          MIN(cosine) AS min_member_cos
+       |        FROM a2 GROUP BY cell)
+       |SELECT mem.cell, n_members, nearest_cell, inter_cos, min_member_cos,
+       |  min_member_cos > inter_cos AS separated
+       |FROM mem JOIN near ON near.cell = mem.cell
+       |ORDER BY mem.cell""".stripMargin
 }

@@ -1135,6 +1135,137 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** x59: corpus-internal duplicated-substring spans — the self-dedup
+    * counterpart of x49 (which checks against a held-out eval set).
+    * A 3-gram shingle is "duplicated" iff it occurs in ≥ 2 DISTINCT
+    * documents (within-doc repetition is x17's signal, excluded here
+    * by the distinct-doc frequency); per document, gaps-and-islands
+    * over the duplicated positions yields the longest run — a run of
+    * r consecutive 3-gram hits is an (r+2)-token substring shared
+    * verbatim with another document, the span-level signal the
+    * suffix-array dedup literature (Lee et al., "Deduplicating
+    * Training Data") removes rather than dropping whole near-dup docs.
+    * Flag threshold: run ≥ 5 ⇒ a ≥ 7-token verbatim shared substring
+    * (deliberately stricter than x49's ≥ 3 — corpus self-overlap is
+    * rampant in boilerplate; eval contamination is rare and precious).
+    *
+    * Scale shape: one distinct + count aggregate keyed on the shingle
+    * (map-side combinable), one shingle-keyed semi-join of occurrence
+    * rows against the duplicated set (corpus-sized — NEVER broadcast,
+    * unlike x49's small bench side), one per-doc window + aggregate.
+    * All shuffles key on content hashes or doc_id; text never moves.
+    */
+  def corpusDupSpans(spark: SparkSession, dir: String): DataFrame =
+    corpusDupSpansOf(Corpus.shingleRows(spark, dir)
+      .select(col("doc_id"), col("pos"), col("shingle")))
+
+  /** Core of [[corpusDupSpans]] over any `(doc_id, pos, shingle)`
+    * occurrence relation (the property spec feeds it synthetic corpora
+    * and checks the run lengths against a sequential reference).
+    */
+  def corpusDupSpansOf(sh: DataFrame): DataFrame = {
+    val dup = sh.select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("shingle"))
+    val hits = sh.join(dup, Seq("shingle"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = hits.withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("longest_dup_run"), sum(col("run")).as("n_dup"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(runs, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("longest_dup_run", "n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        col("longest_dup_run"),
+        (col("longest_dup_run") >= 5).as("flagged_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val CorpusDupSpansSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, i AS pos,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+      |dup AS (
+      |  SELECT shingle
+      |  FROM (SELECT DISTINCT doc_id, shingle FROM sh)
+      |  GROUP BY shingle HAVING COUNT(*) >= 2),
+      |hits AS (SELECT doc_id, pos FROM sh
+      |         WHERE shingle IN (SELECT shingle FROM dup)),
+      |g AS (SELECT doc_id,
+      |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |      FROM hits),
+      |runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM g GROUP BY doc_id, grp),
+      |agg AS (SELECT doc_id, CAST(MAX(run) AS BIGINT) AS longest_dup_run,
+      |          CAST(SUM(run) AS BIGINT) AS n_dup
+      |        FROM runs GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+      |SELECT tot.doc_id AS doc_id, n_shingles,
+      |  COALESCE(n_dup, 0) AS n_dup,
+      |  COALESCE(longest_dup_run, 0) AS longest_dup_run,
+      |  COALESCE(longest_dup_run, 0) >= 5 AS flagged_dup
+      |FROM tot LEFT JOIN agg ON agg.doc_id = tot.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** x60: BPE merge-candidate statistics — the counting step of
+    * byte-pair-encoding tokenizer training: corpus-weighted frequencies
+    * of adjacent character pairs inside words, reported as the top 20
+    * merge candidates (count desc, pair asc — the first merge a BPE
+    * trainer would perform is row 1). `n_words` is the number of
+    * DISTINCT words containing the pair, separating "frequent because
+    * one token dominates" from "frequent across the vocabulary".
+    *
+    * Scale shape — the reason this is Spark-shaped and not a driver
+    * loop: pair GENERATION runs on the distinct-word VOCABULARY
+    * (`groupBy word` first, map-side combinable, output vocab-sized ≪
+    * corpus-sized), so the quadratic-ish explode of each word into its
+    * pairs multiplies the vocabulary, not the corpus; the weighted
+    * re-aggregation keys on the pair (tiny domain — alphabet²). A full
+    * BPE trainer iterates this with a merged vocab; one iteration is
+    * the oracle-checkable unit (the loop is driver-side over a
+    * vocab-sized relation, the x37 pattern).
+    */
+  def bpePairStats(spark: SparkSession, dir: String): DataFrame =
+    bpePairStatsOf(Tables.documents(spark, dir))
+
+  /** Core of [[bpePairStats]] over any frame with a `text` column. */
+  def bpePairStatsOf(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("w"), col("n"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("pair_count"),
+        countDistinct(col("w")).as("n_words"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+  }
+
+  val BpePairStatsSql: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) >= 1
+      |  GROUP BY w),
+      |pairs AS (
+      |  SELECT substr(w, i, 2) AS pair, w, n
+      |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |  WHERE len(w) >= 2)
+      |SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count,
+      |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+      |FROM pairs
+      |GROUP BY pair
+      |ORDER BY pair_count DESC, pair
+      |LIMIT 20""".stripMargin
+
   val PiiRedactSql: String =
     s"""WITH r AS (
        |  SELECT doc_id,

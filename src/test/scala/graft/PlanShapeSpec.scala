@@ -172,6 +172,44 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("x59: dup-span pass reads the shared shingle cache; no cartesian") {
+    val p = plan("x59_corpus_dup_spans")
+    assert(p.contains("InMemoryTableScan"),
+      "x59 recomputes the shingle explode instead of reading the corpus cache")
+    // the dup-set semi-join keys on the shingle — broadcast (small sf,
+    // AQE) or shuffled are both fine; a cartesian never is
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x60: BPE pair counting joins nothing and never global-sorts its top-k") {
+    val p = plan("x60_bpe_pairs")
+    assert(!p.contains("Join"), "x60 grew a join; pair stats are aggregate-only")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 merge candidates use a global sort instead of a bounded top-k")
+    assert(p.contains("struct<text:string>"),
+      "documents scan reads more than the text column")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x61: K-row centroid self-join broadcasts; member stats read the kmeans cache") {
+    val p = plan("x61_cluster_separation")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "x61 does not broadcast its K-row centroid relation")
+    assert(p.contains("InMemoryTableScan"),
+      "x61 recomputes the k-means assignment instead of reading the cache")
+    assert(!p.contains("SortMergeJoin"), "a K-row join fell back to sort-merge")
+  }
+
+  test("x62: band equi-join generates candidates; never a cartesian all-pairs") {
+    val p = plan("x62_simhash_neardup")
+    assert(!p.contains("CartesianProduct"),
+      "x62 degraded to all-pairs; the band join must key on (b, bv)")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "x62 candidate generation lost its equi-join keys")
+    assert(p.contains("InMemoryTableScan"),
+      "x62 recomputes signatures instead of reading the shared simhash cache")
+  }
+
   test("no query in the relational/join family degrades to a cartesian product") {
     for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q10_returned_revenue", "q17_small_quantity_revenue", "b8_binary_op",

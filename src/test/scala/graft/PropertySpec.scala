@@ -301,4 +301,90 @@ class PropertySpec extends SparkTestBase {
       assert(one("last_over_time(signup[1d])") === lastV, s"case $ci last")
     }
   }
+
+  test("x59: dup-span runs match a sequential gaps-and-islands reference") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpusGen: Gen[List[List[String]]] =
+      Gen.choose(4, 8).flatMap(n => Gen.listOfN(n,
+        Gen.choose(3, 15).flatMap(m => Gen.listOfN(m, Gen.oneOf(vocab)))))
+    def runLengths(ps: List[Int]): List[Int] =
+      ps.foldLeft(List.empty[(Int, Int)]) {
+        case ((start, last) :: rest, p) if p == last + 1 => (start, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => e - s + 1 }
+    for (ci <- 1 to 5) {
+      val docs = corpusGen.apply(Gen.Parameters.default, Seed(90L + ci)).get
+      val sh = docs.zipWithIndex.flatMap { case (toks, d) =>
+        toks.sliding(3).filter(_.size == 3).zipWithIndex.map { case (g, p) =>
+          (d.toLong, p, g.mkString(" "))
+        }.toList
+      }
+      val got = graft.operators.TextAnalysis.corpusDupSpansOf(
+        sh.toDF("doc_id", "pos", "shingle"))
+        .select("doc_id", "n_shingles", "n_dup", "longest_dup_run")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val dupSet = sh.map(t => (t._1, t._3)).distinct.groupBy(_._2)
+        .collect { case (s, occ) if occ.map(_._1).distinct.size >= 2 => s }.toSet
+      for ((d, rows) <- sh.groupBy(_._1)) {
+        val hits = rows.filter(r => dupSet(r._3)).map(_._2).sorted.toList
+        val runs = runLengths(hits)
+        val want = (rows.size.toLong,
+          hits.size.toLong,
+          if (runs.isEmpty) 0L else runs.max.toLong)
+        assert(got(d) === want, s"case $ci doc $d")
+      }
+    }
+  }
+
+  test("x62: banded simhash pairs equal brute-force all-pairs at Hamming <= 3") {
+    val sigGen: Gen[List[Long]] =
+      Gen.choose(20, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, (1L << 32) - 1)))
+    for (ci <- 1 to 5) {
+      // skew toward collisions: half the signatures are 1-3 bit
+      // perturbations of the first few
+      val base = sigGen.apply(Gen.Parameters.default, Seed(170L + ci)).get
+      val sigs = base.zipWithIndex.map { case (s, i) =>
+        if (i % 2 == 1) base(i / 4) ^ (1L << (i % 32)) else s
+      }
+      val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "simhash")
+      val got = graft.operators.Dedup.simhashNearDupOf(df)
+        .select("doc_a", "doc_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        i <- sigs.indices; j <- (i + 1) until sigs.size
+        h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        if h <= graft.operators.Dedup.SimhashHamMax
+      } yield (i.toLong, j.toLong, h.toLong)).toSet
+      assert(got === want, s"case $ci")
+    }
+  }
+
+  test("x60: BPE pair stats match a sequential recount (incl. within-word repeats)") {
+    val wordGen: Gen[String] =
+      Gen.choose(1, 5).flatMap(l => Gen.listOfN(l, Gen.choose('a', 'e')).map(_.mkString))
+    val corpusGen: Gen[List[String]] =
+      Gen.choose(3, 6).flatMap(n => Gen.listOfN(n,
+        Gen.choose(1, 12).flatMap(m => Gen.listOfN(m, wordGen).map(_.mkString(" ")))))
+    for (ci <- 1 to 5) {
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(130L + ci)).get
+      val got = graft.operators.TextAnalysis.bpePairStatsOf(texts.toDF("text"))
+        .select("pair", "pair_count", "n_words")
+        .as[(String, Long, Long)].collect().toList
+      val wordCounts = texts.flatMap(_.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      // each occurrence of a pair inside a word adds the word's corpus
+      // count; a word with the pair twice ("aaa" -> "aa","aa") pays twice
+      // into pair_count but once into n_words
+      val occ = wordCounts.toList.filter(_._1.length >= 2).flatMap { case (w, n) =>
+        (0 until w.length - 1).map(j => (w.substring(j, j + 2), w, n))
+      }
+      val want = occ.groupBy(_._1).map { case (p, os) =>
+        (p, os.map(_._3).sum, os.map(_._2).distinct.size.toLong)
+      }.toList.sortBy { case (p, c, _) => (-c, p) }.take(20)
+      assert(got === want, s"case $ci")
+    }
+  }
 }
