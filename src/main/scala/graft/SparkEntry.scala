@@ -292,6 +292,10 @@ object SparkEntry {
     "x59_corpus_dup_spans" -> ((s, d) => TextAnalysis.corpusDupSpans(s, d)),
     // banded simhash Hamming<=3 near-dup pairs (Manku et al., WWW'07)
     "x62_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    // per-doc near-dup degree + nearest partner (quarantine report)
+    "x63_neardup_degree" -> ((s, d) => Dedup.neardupDegree(s, d)),
+    // distinct-vocab size after every 50 docs (Heaps'-law curve)
+    "x64_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     // corpus-weighted adjacent-char pair counts (BPE merge candidates)
     "x60_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
@@ -516,6 +520,8 @@ object SparkEntry {
     "x57_ngram_typicality" -> TextAnalysis.NgramTypicalitySql,
     "x59_corpus_dup_spans" -> TextAnalysis.CorpusDupSpansSql,
     "x62_simhash_neardup" -> Dedup.SimhashNearDupSql,
+    "x63_neardup_degree" -> Dedup.NeardupDegreeSql,
+    "x64_vocab_growth" -> TextAnalysis.VocabGrowthSql,
     "x60_bpe_pairs" -> TextAnalysis.BpePairStatsSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,

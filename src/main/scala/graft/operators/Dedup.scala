@@ -425,6 +425,128 @@ object Dedup {
        |WHERE bit_count(xor(sig_a, sig_b)) <= $SimhashHamMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Row-local simhash of a `text` column — bit-identical to
+    * [[simhashSignatures]]'s aggregate form (the bit-weight sums are
+    * integer, so fold order cannot change them) but computed entirely
+    * INSIDE the row as array HOFs: no explode, no aggregation, no
+    * state. This is what lets the identical operator run on a
+    * STREAMING frame (x63's firewall) — per-doc signatures need no
+    * shuffle at all, batch or streaming.
+    */
+  val SimhashRowExpr: String =
+    s"""aggregate(
+       |  transform(split(trim(lower(text)), ' '), t -> md5(t)),
+       |  array_repeat(0, $SimhashBits),
+       |  (acc, h) -> zip_with(acc, sequence(0, ${SimhashBits - 1}), (a, j) ->
+       |    a + (CASE WHEN ((instr('0123456789abcdef',
+       |        substr(h, cast(j div 4 as int) + 1, 1)) - 1)
+       |        div shiftleft(1, cast(j % 4 as int))) % 2 = 1
+       |      THEN 1 ELSE -1 END)),
+       |  acc -> aggregate(zip_with(acc, sequence(0, ${SimhashBits - 1}), (w, j) ->
+       |    CASE WHEN w > 0 THEN shiftleft(cast(1 as bigint), cast(j as int))
+       |         ELSE cast(0 as bigint) END),
+       |    cast(0 as bigint), (s, v) -> s + v))""".stripMargin
+
+  /** x63: near-duplicate DEGREE — the per-document quarantine report
+    * derived from x62's pair relation: how many corpus partners sit at
+    * Hamming ≤ 3, the closest distance, and the nearest partner id
+    * (ties → smallest id). Degree-0 docs are the retainable core; a
+    * high-degree doc is template spam that x28-style survivor picking
+    * should collapse. Same band-blocked shapes as x62; the symmetrized
+    * edge list doubles pair rows (still ∝ matches, not corpus²).
+    */
+  def neardupDegree(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSignatures(spark, dir)
+    val pairs = simhashNearDupOf(sig)
+    val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("hamming"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("hamming")))
+    val deg = sym.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_neardups"),
+        min(col("hamming")).as("min_hamming"),
+        min_by(col("partner"), struct(col("hamming"), col("partner"))).as("nearest_partner"))
+    sig.select(col("doc_id")).join(deg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_neardups"))
+      .na.fill(-1L, Seq("min_hamming", "nearest_partner"))
+      .orderBy(col("doc_id"))
+  }
+
+  val NeardupDegreeSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(string_split(trim(lower(text)), ' '))) AS h
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, h, j,
+       |    strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1 AS nib
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)),
+       |wts AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (nib // CAST(pow(2, j % 4) AS INT)) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS weight
+       |  FROM bits GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+       |             ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM wts GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash, b,
+       |    (simhash // CAST(pow(256, b) AS BIGINT)) % 256 AS bv
+       |  FROM sig, (SELECT unnest(generate_series(0, ${SimhashBands - 1})) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |    a.simhash AS sig_a, c.simhash AS sig_b
+       |  FROM bands a JOIN bands c ON c.b = a.b AND c.bv = a.bv
+       |    AND a.doc_id < c.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $SimhashHamMax),
+       |sym AS (
+       |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs),
+       |deg AS (
+       |  SELECT doc_id, COUNT(*) AS n_neardups,
+       |    MIN(hamming) AS min_hamming,
+       |    MAX(CASE WHEN rn = 1 THEN partner END) AS nearest_partner
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY hamming, partner) AS rn FROM sym)
+       |  GROUP BY doc_id)
+       |SELECT s.doc_id,
+       |  COALESCE(n_neardups, 0) AS n_neardups,
+       |  COALESCE(min_hamming, -1) AS min_hamming,
+       |  COALESCE(nearest_partner, -1) AS nearest_partner
+       |FROM sig s LEFT JOIN deg ON deg.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** Streaming near-dup FIREWALL: incoming `(doc_id, text)` docs are
+    * simhashed ROW-LOCALLY ([[SimhashRowExpr]]), band-exploded, and
+    * stream-static joined against the corpus band relation — each
+    * micro-batch emits the incoming doc's Hamming ≤ 3 partners before
+    * the doc is admitted, which is exactly the production shape:
+    * the corpus index is static (rebuilt per snapshot), the candidate
+    * docs arrive continuously. `dropDuplicates` collapses multi-band
+    * matches of the same pair (bounded ≤ 4 duplicates per pair; a
+    * production deployment bounds the state with an ingest-time
+    * watermark). `StreamingSpec` pins streaming ≡ the batch pair
+    * relation on the same corpus.
+    */
+  def simhashFirewall(docs: DataFrame, corpusSig: DataFrame): DataFrame = {
+    val staticBands = corpusSig.select(col("doc_id").as("partner"),
+        col("simhash").as("sig_b"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("b"))
+      .withColumn("bv", expr(s"(sig_b div cast(pow(256, b) as bigint)) % 256"))
+    docs.withColumn("sig_a", expr(SimhashRowExpr))
+      .select(col("doc_id"), col("sig_a"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("b"))
+      .withColumn("bv", expr(s"(sig_a div cast(pow(256, b) as bigint)) % 256"))
+      .join(staticBands, Seq("b", "bv"))
+      .filter(col("partner") =!= col("doc_id"))
+      .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
+      .filter(col("hamming") <= SimhashHamMax)
+      .select(col("doc_id"), col("partner"), col("hamming"))
+      .dropDuplicates("doc_id", "partner")
+  }
+
   /** Connected components over an undirected edge list `(doc_a, doc_b)`:
     * hash-min label propagation with POINTER-JUMPING, iterated to
     * fixpoint. Each round does (a) one join + min-aggregate pulling the

@@ -1266,6 +1266,50 @@ object TextAnalysis {
       |ORDER BY pair_count DESC, pair
       |LIMIT 20""".stripMargin
 
+  /** x64: n-gram-growth curve (the Heaps'-law measurement that sizes a
+    * tokenizer/phrase-table budget): scanning the corpus in doc_id
+    * order, how many DISTINCT word-3-grams have appeared after every 50
+    * documents. 3-grams (not words — this fixture's word vocabulary
+    * saturates at 31 by doc 8) give a non-trivial curve whose flattening
+    * rate is the "how much new text is left in this source" signal
+    * curation uses to decide when a crawl is exhausted. Each gram
+    * contributes at its FIRST-seen doc (min over doc ids — exact,
+    * order-independent), so the whole curve is one gram-keyed aggregate
+    * over the SHARED shingle cache + one bucket rollup + one prefix sum
+    * over the ≤ |corpus|/50-row bucket relation — counts only, no
+    * floats, and no per-checkpoint corpus rescan (the naive form
+    * recounts distincts once per checkpoint).
+    */
+  val VocabBucket = 50
+
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val first = Corpus.shingleRows(spark, dir)
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_seen"))
+    val buckets = first
+      .groupBy(expr(s"first_seen div $VocabBucket").as("bucket"))
+      .agg(count(lit(1)).as("new_grams"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .select(((col("bucket") + 1) * VocabBucket).as("up_to_doc"),
+        col("new_grams"),
+        sum(col("new_grams")).over(w).as("gram_vocab"))
+      .orderBy(col("up_to_doc"))
+  }
+
+  val VocabGrowthSql: String =
+    s"""WITH f AS (
+       |  SELECT shingle, MIN(doc_id) AS first_seen
+       |  FROM (${TextOps.shinglesSql("documents", 3)})
+       |  GROUP BY shingle),
+       |b AS (SELECT first_seen // $VocabBucket AS bucket, COUNT(*) AS new_grams
+       |      FROM f GROUP BY 1)
+       |SELECT (bucket + 1) * $VocabBucket AS up_to_doc, new_grams,
+       |  CAST(SUM(new_grams) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gram_vocab
+       |FROM b
+       |ORDER BY up_to_doc""".stripMargin
+
   val PiiRedactSql: String =
     s"""WITH r AS (
        |  SELECT doc_id,

@@ -210,6 +210,18 @@ class PlanShapeSpec extends SparkTestBase {
       "x62 recomputes signatures instead of reading the shared simhash cache")
   }
 
+  test("x63/x64: degree and growth reuse their session caches; no cartesian") {
+    for (name <- Seq("x63_neardup_degree", "x64_vocab_growth")) {
+      val p = plan(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name recomputes its silver relation instead of reading the cache")
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+    // x64 in particular is aggregate-only: one pass, no joins at all
+    assert(!plan("x64_vocab_growth").contains("Join"),
+      "x64 grew a join; the growth curve is one aggregate + prefix sum")
+  }
+
   test("no query in the relational/join family degrades to a cartesian product") {
     for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q10_returned_revenue", "q17_small_quantity_revenue", "b8_binary_op",

@@ -698,4 +698,49 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming simhash firewall equals the batch near-dup pair relation") {
+    implicit val sqlCtx = spark.sqlContext
+    def row(id: Long, text: String) =
+      (id, text, "en", "src1", text.length.toLong)
+    // docs 1/2 are single-word edits of each other (near-dups), 3 is
+    // disjoint, 4 duplicates 1 exactly (Hamming 0)
+    val corpus = Seq(
+      row(1, "the quick brown fox jumps over the lazy dog"),
+      row(2, "the quick brown fox leaps over the lazy dog"),
+      row(3, "completely different content with other words entirely"),
+      row(4, "the quick brown fox jumps over the lazy dog"))
+    val dir = fixture("documents" ->
+      corpus.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // the row-local signature expression matches the aggregate form
+    val batchSig = graft.operators.Dedup.simhashSignatures(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val localSig = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+      .withColumn("sig", org.apache.spark.sql.functions.expr(
+        graft.operators.Dedup.SimhashRowExpr))
+      .select($"doc_id", $"sig").as[(Long, Long)].collect().toMap
+    assert(localSig === batchSig)
+    // batch pair relation, symmetrized to the firewall's per-doc view
+    val pairs = graft.operators.Dedup.simhashNearDup(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val batchView = (pairs.map(p => (p._1, p._2, p._3)) ++
+      pairs.map(p => (p._2, p._1, p._3))).toSet
+    assert(batchView.nonEmpty, "fixture has no near-dup pair; test is vacuous")
+    // every corpus doc arrives on the stream; the static side is the
+    // corpus signature index
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.Dedup.simhashFirewall(
+      mem.toDF().toDF("doc_id", "text"),
+      graft.operators.Dedup.simhashSignatures(spark, dir))
+    val q = out.writeStream.format("memory").queryName("firewall_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(corpus.map(c => (c._1, c._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("firewall_stream")
+        .select($"doc_id", $"partner", $"hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batchView)
+    } finally q.stop()
+  }
 }
