@@ -298,6 +298,8 @@ object SparkEntry {
     "x64_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     // corpus-weighted adjacent-char pair counts (BPE merge candidates)
     "x60_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
+    // one applied BPE merge + recount (the trainer's iteration step)
+    "x65_bpe_merge" -> ((s, d) => TextAnalysis.bpeMergeRound(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -523,6 +525,7 @@ object SparkEntry {
     "x63_neardup_degree" -> Dedup.NeardupDegreeSql,
     "x64_vocab_growth" -> TextAnalysis.VocabGrowthSql,
     "x60_bpe_pairs" -> TextAnalysis.BpePairStatsSql,
+    "x65_bpe_merge" -> TextAnalysis.BpeMergeRoundSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,

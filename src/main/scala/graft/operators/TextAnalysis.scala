@@ -1248,6 +1248,84 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** x65: one APPLIED BPE merge — the iteration x60 only counts.
+    * The round-1 winner pair is fused into a single symbol (chr(1),
+    * which cannot occur in text) across the whole vocabulary with a
+    * literal left-to-right `replace` (exactly the BPE apply rule), and
+    * the pair domain is recounted over the merged symbol sequences —
+    * the top-10 of round 2 are the NEXT merge candidates, including
+    * pairs that contain the new symbol (rendered as `[winner]` in the
+    * readable `pair` column; `[` cannot occur in the corpus, so the
+    * rendering is injective). Together with x60 this is a complete,
+    * oracle-checkable BPE trainer step: the driver-side loop over the
+    * vocab-sized relation (the x37 pattern) just repeats it.
+    *
+    * Scale shape: identical to x60 — both rounds run on the DISTINCT
+    * vocabulary, the 1-row winner broadcasts, and the merge map
+    * `w → replace(w, winner, chr(1))` is injective (chr(1) is fresh),
+    * so weighted counts carry over unchanged.
+    */
+  def bpeMergeRound(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeRoundOf(Tables.documents(spark, dir))
+
+  /** Core of [[bpeMergeRound]] over any frame with a `text` column. */
+  def bpeMergeRoundOf(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    def pairsOf(ws: DataFrame): DataFrame = ws
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("n"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+    val top1 = pairsOf(words)
+      .groupBy(col("pair")).agg(sum(col("n")).as("pc"))
+      .orderBy(col("pc").desc, col("pair")).limit(1)
+      .select(col("pair").as("merged"))
+    val merged = words.crossJoin(broadcast(top1))
+      .select(col("merged"),
+        expr("replace(w, merged, chr(1))").as("w"), col("n"))
+    pairsOf(merged.select(col("w"), col("n")))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("pair_count"), countDistinct(col("w")).as("n_words"))
+      .crossJoin(broadcast(top1))
+      .select(col("merged"),
+        expr("replace(pair, chr(1), concat('[', merged, ']'))").as("pair"),
+        col("pair_count"), col("n_words"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(10)
+  }
+
+  val BpeMergeRoundSql: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) >= 1
+      |  GROUP BY w),
+      |top1 AS (
+      |  SELECT pair AS merged FROM (
+      |    SELECT substr(w, i, 2) AS pair, SUM(n) AS pc
+      |    FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |    WHERE len(w) >= 2
+      |    GROUP BY 1 ORDER BY pc DESC, pair LIMIT 1)),
+      |w2 AS (
+      |  SELECT replace(w, (SELECT merged FROM top1), chr(1)) AS w, n
+      |  FROM words),
+      |pairs2 AS (
+      |  SELECT substr(w, i, 2) AS pair, w, n
+      |  FROM w2, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |  WHERE len(w) >= 2)
+      |SELECT (SELECT merged FROM top1) AS merged,
+      |  replace(pair, chr(1), '[' || (SELECT merged FROM top1) || ']') AS pair,
+      |  CAST(SUM(n) AS BIGINT) AS pair_count,
+      |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+      |FROM pairs2
+      |GROUP BY pair
+      |ORDER BY pair_count DESC, pair
+      |LIMIT 10""".stripMargin
+
   val BpePairStatsSql: String =
     """WITH words AS (
       |  SELECT w, COUNT(*) AS n FROM (

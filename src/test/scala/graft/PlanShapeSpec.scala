@@ -210,6 +210,14 @@ class PlanShapeSpec extends SparkTestBase {
       "x62 recomputes signatures instead of reading the shared simhash cache")
   }
 
+  test("x65: the 1-row winner broadcasts into the merge; top-k stays bounded") {
+    val p = plan("x65_bpe_merge")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row winner relation must broadcast, not cartesian")
+    assert(p.contains("TakeOrderedAndProject"),
+      "round-2 top-10 uses a global sort instead of a bounded top-k")
+  }
+
   test("x63/x64: degree and growth reuse their session caches; no cartesian") {
     for (name <- Seq("x63_neardup_degree", "x64_vocab_growth")) {
       val p = plan(name)

@@ -387,4 +387,34 @@ class PropertySpec extends SparkTestBase {
       assert(got === want, s"case $ci")
     }
   }
+
+  test("x65: applied BPE merge matches a sequential two-round trainer") {
+    val wordGen: Gen[String] =
+      Gen.choose(1, 5).flatMap(l => Gen.listOfN(l, Gen.choose('a', 'd')).map(_.mkString))
+    val corpusGen: Gen[List[String]] =
+      Gen.choose(3, 6).flatMap(n => Gen.listOfN(n,
+        Gen.choose(2, 12).flatMap(m => Gen.listOfN(m, wordGen).map(_.mkString(" ")))))
+    def pairOcc(words: Map[String, Long]): List[(String, String, Long)] =
+      words.toList.filter(_._1.length >= 2).flatMap { case (w, n) =>
+        (0 until w.length - 1).map(j => (w.substring(j, j + 2), w, n))
+      }
+    for (ci <- 1 to 5) {
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(210L + ci)).get
+      val got = graft.operators.TextAnalysis.bpeMergeRoundOf(texts.toDF("text"))
+        .select("merged", "pair", "pair_count", "n_words")
+        .as[(String, String, Long, Long)].collect().toList
+      val words = texts.flatMap(_.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val winner = pairOcc(words).groupBy(_._1).view.mapValues(_.map(_._3).sum)
+        .toList.minBy { case (p, c) => (-c, p) }._1
+      // Java String.replace is the same left-to-right non-overlapping
+      // substitution as SQL replace
+      val merged = words.map { case (w, n) => (w.replace(winner, "\u0001"), n) }
+      val want = pairOcc(merged).groupBy(_._1).map { case (p, os) =>
+        (winner, p.replace("\u0001", s"[$winner]"),
+          os.map(_._3).sum, os.map(_._2).distinct.size.toLong)
+      }.toList.sortBy { case (_, p, c, _) => (-c, p) }.take(10)
+      assert(got === want, s"case $ci")
+    }
+  }
 }
