@@ -48,6 +48,10 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
     "q5_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q17_small_quantity_revenue" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+    // promo share of a month's revenue (two exact sums, one divide)
+    "q14_promo_revenue" -> ((s, d) => Relational.promoRevenue(s, d)),
+    // OR-of-conjunctions spanning both join sides (residual, not cartesian)
+    "q19_disjunctive_revenue" -> ((s, d) => Relational.disjunctiveRevenue(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
     "q4_order_priority" -> ((s, d) => Relational.orderPriorityCheck(s, d)),
     "q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
@@ -390,6 +394,8 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.ShippingPrioritySql,
     "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,
     "q17_small_quantity_revenue" -> Relational.SmallQuantityRevenueSql,
+    "q14_promo_revenue" -> Relational.PromoRevenueSql,
+    "q19_disjunctive_revenue" -> Relational.DisjunctiveRevenueSql,
     "q6_forecast_revenue" -> Relational.ForecastRevenueSql,
     "q4_order_priority" -> Relational.OrderPriorityCheckSql,
     "q10_returned_revenue" -> Relational.ReturnedItemRevenueSql,

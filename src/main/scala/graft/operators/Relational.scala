@@ -201,6 +201,83 @@ object Relational {
       |FROM lineitem JOIN a ON l_partkey = p_key
       |WHERE l_quantity < avg_qty * 0.2""".stripMargin
 
+  /** TPC-H Q14-shaped promotion effect: the promo share of one month's
+    * revenue. Part is the broadcast dimension; promo and total revenue
+    * accumulate as exact DECIMAL sums side by side in ONE aggregate
+    * pass (no second scan for the denominator), and the percentage is
+    * a single double divide of the two exact sums — oracle-stable.
+    * Ship-date bounds push to the parquet scan.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dec6(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0))).as("promo_rev"),
+        dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+      .select(
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"),
+        col("promo_rev"), col("total_rev"))
+  }
+
+  val PromoRevenueSql: String =
+    """SELECT
+      |  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS promo_pct,
+      |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS promo_rev,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS total_rev
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  /** TPC-H Q19-shaped disjunctive revenue: an OR of three
+    * brand/size/quantity conjunctions spanning both join sides — the
+    * category where naive planners fall back to a cartesian because no
+    * single conjunct covers the join key. Here the equi-key
+    * (`l_partkey = p_partkey`) stays a broadcast-hash join and the
+    * disjunction evaluates as a codegen'd residual; the part-side
+    * conjuncts cannot be pushed below the OR, which is exactly what
+    * the plan pin asserts (join stays hash, no cartesian).
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cond =
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(20, 35))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val DisjunctiveRevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
   /** TPC-H Q6-shaped forecast revenue: the pure scan-side query — every
     * predicate is a plain column comparison pushed into the parquet scan
     * (`PushedFilters`), only the 4 referenced columns are read

@@ -230,6 +230,23 @@ class PlanShapeSpec extends SparkTestBase {
       "x64 grew a join; the growth curve is one aggregate + prefix sum")
   }
 
+  test("q14: part broadcasts; ship-date bounds reach the parquet scan") {
+    val p = plan("q14_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), "part dimension is not broadcast")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
+    assert(p.contains("LessThan(l_shipdate"), "shipdate upper bound not pushed")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q19: OR-of-conjunctions stays a hash join with a residual filter") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      "the disjunction pushed the join off its equi-key")
+    assert(!p.contains("CartesianProduct"),
+      "q19 degraded to a cartesian product")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("no query in the relational/join family degrades to a cartesian product") {
     for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q10_returned_revenue", "q17_small_quantity_revenue", "b8_binary_op",
