@@ -304,6 +304,8 @@ object SparkEntry {
     "x60_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     // one applied BPE merge + recount (the trainer's iteration step)
     "x65_bpe_merge" -> ((s, d) => TextAnalysis.bpeMergeRound(s, d)),
+    // 3-round iterated BPE merge table (driver loop, SQL unrolled)
+    "x66_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -532,6 +534,7 @@ object SparkEntry {
     "x64_vocab_growth" -> TextAnalysis.VocabGrowthSql,
     "x60_bpe_pairs" -> TextAnalysis.BpePairStatsSql,
     "x65_bpe_merge" -> TextAnalysis.BpeMergeRoundSql,
+    "x66_bpe_train" -> TextAnalysis.BpeTrainSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,

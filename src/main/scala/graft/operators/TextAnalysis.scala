@@ -1297,6 +1297,96 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** x66: the iterated BPE trainer — `rounds` merges, each fusing the
+    * current winner pair into a fresh symbol (chr(r), reserved below
+    * any real text byte) and re-ranking. The registered 3-round form
+    * is oracle-exact because the loop unrolls into SQL CTE stages (the
+    * x35 pattern: fixed-round unroll checkable, arbitrary-round loop
+    * is [[bpeTrain]]'s production path); merge table rows render
+    * earlier merged symbols injectively as `[k]`. The per-round state
+    * is the VOCAB-sized `(w, n)` relation, `localCheckpoint`ed so
+    * round-N lineage stays constant-depth (the x37 law) — at 100 TB
+    * the corpus is scanned ONCE (word count), and every later round
+    * touches only the vocabulary.
+    */
+  val BpeTrainRounds = 3
+
+  def bpeTrain(spark: SparkSession, dir: String,
+      rounds: Int = BpeTrainRounds): DataFrame = {
+    require(rounds >= 1 && rounds <= 9, "chr(1)..chr(9) symbol range")
+    def pairsOf(ws: DataFrame): DataFrame = ws
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("n"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+    var words = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val merges = (1 to rounds).map { r =>
+      val top1 = pairsOf(words)
+        .groupBy(col("pair")).agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair")).limit(1)
+        .select(lit(r.toLong).as("round"), col("pair").as("merged"),
+          col("pair_count"))
+        .localCheckpoint()
+      words = words.crossJoin(broadcast(top1.select(col("merged"))))
+        .select(expr(s"replace(w, merged, chr($r))").as("w"), col("n"))
+        .localCheckpoint()
+      top1
+    }
+    val rendered = (rounds to 1 by -1).foldLeft("merged") { (e, k) =>
+      s"replace($e, chr($k), '[$k]')"
+    }
+    merges.reduce(_ unionAll _)
+      .select(col("round"), expr(rendered).as("merged"), col("pair_count"))
+      .orderBy(col("round"))
+  }
+
+  val BpeTrainSql: String =
+    """WITH words0 AS (
+      |  SELECT w, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) >= 1
+      |  GROUP BY w),
+      |t1 AS (
+      |  SELECT pair, CAST(SUM(n) AS BIGINT) AS pc
+      |  FROM (SELECT substr(w, i, 2) AS pair, n
+      |        FROM words0, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |        WHERE len(w) >= 2)
+      |  GROUP BY pair ORDER BY pc DESC, pair LIMIT 1),
+      |words1 AS (
+      |  SELECT replace(w, (SELECT pair FROM t1), chr(1)) AS w, n FROM words0),
+      |t2 AS (
+      |  SELECT pair, CAST(SUM(n) AS BIGINT) AS pc
+      |  FROM (SELECT substr(w, i, 2) AS pair, n
+      |        FROM words1, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |        WHERE len(w) >= 2)
+      |  GROUP BY pair ORDER BY pc DESC, pair LIMIT 1),
+      |words2 AS (
+      |  SELECT replace(w, (SELECT pair FROM t2), chr(2)) AS w, n FROM words1),
+      |t3 AS (
+      |  SELECT pair, CAST(SUM(n) AS BIGINT) AS pc
+      |  FROM (SELECT substr(w, i, 2) AS pair, n
+      |        FROM words2, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |        WHERE len(w) >= 2)
+      |  GROUP BY pair ORDER BY pc DESC, pair LIMIT 1),
+      |m AS (
+      |  SELECT CAST(1 AS BIGINT) AS round, (SELECT pair FROM t1) AS merged,
+      |    (SELECT pc FROM t1) AS pair_count
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), (SELECT pair FROM t2), (SELECT pc FROM t2)
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), (SELECT pair FROM t3), (SELECT pc FROM t3))
+      |SELECT round,
+      |  replace(replace(replace(merged, chr(3), '[3]'), chr(2), '[2]'),
+      |    chr(1), '[1]') AS merged,
+      |  pair_count
+      |FROM m
+      |ORDER BY round""".stripMargin
+
   val BpeMergeRoundSql: String =
     """WITH words AS (
       |  SELECT w, COUNT(*) AS n FROM (

@@ -388,6 +388,39 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("x66: iterated BPE merge table matches a sequential multi-round trainer") {
+    // bpeTrain reads documents from a dir; build tiny fixture corpora
+    val wordGen: Gen[String] =
+      Gen.choose(1, 5).flatMap(l => Gen.listOfN(l, Gen.choose('a', 'd')).map(_.mkString))
+    val corpusGen: Gen[List[String]] =
+      Gen.choose(3, 6).flatMap(n => Gen.listOfN(n,
+        Gen.choose(2, 12).flatMap(m => Gen.listOfN(m, wordGen).map(_.mkString(" ")))))
+    def pairCounts(words: Map[String, Long]): Map[String, Long] =
+      words.toList.filter(_._1.length >= 2).flatMap { case (w, n) =>
+        (0 until w.length - 1).map(j => (w.substring(j, j + 2), n))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    for (ci <- 1 to 3) {
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(250L + ci)).get
+      val dir = fixture("documents" -> texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "src1", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val got = graft.operators.TextAnalysis.bpeTrain(spark, dir, rounds = 3)
+        .as[(Long, String, Long)].collect().toList
+      var words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = (1 to 3).map { r =>
+        val pcs = pairCounts(words)
+        val (winner, pc) = pcs.toList.minBy { case (p, c) => (-c, p) }
+        // chr(r) is the fused symbol for round r
+        words = words.map { case (w, n) => (w.replace(winner, r.toChar.toString), n) }
+        val display = winner.replace("\u0003", "[3]")
+          .replace("\u0002", "[2]").replace("\u0001", "[1]")
+        (r.toLong, display, pc)
+      }.toList
+      assert(got === want, s"case $ci")
+    }
+  }
+
   test("x65: applied BPE merge matches a sequential two-round trainer") {
     val wordGen: Gen[String] =
       Gen.choose(1, 5).flatMap(l => Gen.listOfN(l, Gen.choose('a', 'd')).map(_.mkString))
