@@ -43,6 +43,8 @@ object SparkEntry {
     "b14_over_time" -> ((s, d) => PromQL.overTime(s, d)),
     "b15_bottomk" -> ((s, d) => PromQL.bottomk(s, d)),
     "b16_sessionize" -> ((s, d) => PromQL.sessionize(s, d)),
+    // ordered click->view->purchase funnel with per-stage conversion
+    "b35_funnel" -> ((s, d) => PromQL.funnel(s, d)),
     // Relational surface (SURVEY.md §2.3: scans/joins/agg/sort/limit)
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -306,6 +308,8 @@ object SparkEntry {
     "x65_bpe_merge" -> ((s, d) => TextAnalysis.bpeMergeRound(s, d)),
     // 3-round iterated BPE merge table (driver loop, SQL unrolled)
     "x66_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    // per-feed-pair shared-shingle counts + Jaccard (mirroring feeds)
+    "x67_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -392,6 +396,7 @@ object SparkEntry {
     "b14_over_time" -> PromQL.OverTimeSql,
     "b15_bottomk" -> PromQL.BottomkSql,
     "b16_sessionize" -> PromQL.SessionizeSql,
+    "b35_funnel" -> PromQL.FunnelSql,
     "q1_pricing_summary" -> Relational.PricingSummarySql,
     "q3_shipping_priority" -> Relational.ShippingPrioritySql,
     "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,
@@ -535,6 +540,7 @@ object SparkEntry {
     "x60_bpe_pairs" -> TextAnalysis.BpePairStatsSql,
     "x65_bpe_merge" -> TextAnalysis.BpeMergeRoundSql,
     "x66_bpe_train" -> TextAnalysis.BpeTrainSql,
+    "x67_source_overlap" -> TextAnalysis.SourceOverlapSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,

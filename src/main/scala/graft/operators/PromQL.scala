@@ -1041,6 +1041,73 @@ object PromQL {
        |GROUP BY name, session_id
        |ORDER BY name, session_start_us""".stripMargin
 
+  /** B35: funnel conversion over the raw event stream — the behavioral
+    * companion of B16's sessionization: of the users who clicked, how
+    * many VIEWED within a day of their first click, and of those, how
+    * many PURCHASED within a day of that first view (click → view →
+    * purchase, each stage anchored at the previous stage's FIRST
+    * qualifying event — the standard ordered-funnel definition). Stage
+    * populations and two per-stage conversion rates (each ONE divide of
+    * exact counts) in a single row.
+    *
+    * Scale shape: each stage is an event-type-filtered scan (predicate
+    * pushed to parquet) joined on user_id with the time bound as
+    * residual, then a per-user min — user-keyed shuffles only, fan-out
+    * bounded by events-per-user, no window over the full stream. The
+    * three 1-row counts broadcast into the final select.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
+    val views = clicks
+      .join(ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("vts")), Seq("user_id"))
+      .filter(col("vts") >= col("fc") &&
+        col("vts") <= col("fc") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("user_id")).agg(min(col("vts")).as("fv"))
+    val buyers = views
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts")), Seq("user_id"))
+      .filter(col("pts") >= col("fv") &&
+        col("pts") <= col("fv") + expr("INTERVAL 1 DAY"))
+      .select(col("user_id")).distinct()
+    val nC = clicks.agg(count(lit(1)).as("n_clickers"))
+    val nV = views.agg(count(lit(1)).as("n_viewers"))
+    val nP = buyers.agg(count(lit(1)).as("n_buyers"))
+    nC.crossJoin(broadcast(nV)).crossJoin(broadcast(nP))
+      .select(col("n_clickers"), col("n_viewers"), col("n_buyers"),
+        (col("n_viewers").cast("double") / col("n_clickers").cast("double"))
+          .as("view_rate"),
+        (col("n_buyers").cast("double") / col("n_viewers").cast("double"))
+          .as("purchase_rate"))
+  }
+
+  val FunnelSql: String =
+    """WITH c AS (
+      |  SELECT user_id, MIN(ts) AS fc FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id),
+      |v AS (
+      |  SELECT c.user_id, MIN(e.ts) AS fv
+      |  FROM c JOIN events e ON e.user_id = c.user_id
+      |    AND e.event_type = 'view'
+      |    AND e.ts >= c.fc AND e.ts <= c.fc + INTERVAL 1 DAY
+      |  GROUP BY c.user_id),
+      |p AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM v JOIN events e ON e.user_id = v.user_id
+      |    AND e.event_type = 'purchase'
+      |    AND e.ts >= v.fv AND e.ts <= v.fv + INTERVAL 1 DAY)
+      |SELECT
+      |  (SELECT COUNT(*) FROM c) AS n_clickers,
+      |  (SELECT COUNT(*) FROM v) AS n_viewers,
+      |  (SELECT COUNT(*) FROM p) AS n_buyers,
+      |  CAST((SELECT COUNT(*) FROM v) AS DOUBLE)
+      |    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS view_rate,
+      |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+      |    / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS purchase_rate""".stripMargin
+
   /** B10 as-of staleness (SURVEY.md §7 hard-part #3): for each daily
     * instant t, the most recent gauge sample ≤ t within a 5-day lookback.
     * The instant grid is constant-size and broadcast; the gauge stream is

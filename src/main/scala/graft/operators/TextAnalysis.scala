@@ -1478,6 +1478,62 @@ object TextAnalysis {
        |FROM b
        |ORDER BY up_to_doc""".stripMargin
 
+  /** x67: source-overlap matrix — for every unordered feed pair, the
+    * number of distinct 3-gram shingles both contain and the Jaccard
+    * overlap of their shingle sets. x52 reports where NEAR-dup pairs
+    * concentrate; this is the set-level view that catches feeds
+    * mirroring each other even when no single document pair crosses the
+    * LSH threshold — the "drop the syndicated feed" decision input.
+    *
+    * Exact counts and ONE divide per pair (|A∩B| / (|A|+|B|−|A∩B|)) —
+    * hash-exact. Scale shape: the (source, shingle) distinct relation
+    * comes off the shared shingle cache; the pair fan-out is per-shingle
+    * (#sources-containing)² with feeds bounded (tens at any corpus
+    * size), so candidates ∝ shared content, never corpus²; per-source
+    * sizes are a feed-count-row relation, broadcast into the final
+    * join.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ss = Corpus.shingleRows(spark, dir)
+      .select(col("source"), col("shingle")).distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = ss.select(col("shingle"), col("source").as("source_a"))
+      .join(ss.select(col("shingle"), col("source").as("source_b")), Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val SourceOverlapSql: String =
+    s"""WITH ss AS (
+       |  SELECT DISTINCT source, shingle FROM (
+       |    SELECT doc_id, source,
+       |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |    FROM (SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS toks
+       |          FROM documents),
+       |         LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i))),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+       |shared AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+       |  FROM ss a JOIN ss b ON b.shingle = a.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, shared,
+       |  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.source = source_a
+       |JOIN sizes sb ON sb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   val PiiRedactSql: String =
     s"""WITH r AS (
        |  SELECT doc_id,

@@ -247,6 +247,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("b35: funnel stage filters push to the events scan; stage joins stay keyed") {
+    val p = plan("b35_funnel")
+    assert(p.contains("EqualTo(event_type,click)"), "click filter not pushed")
+    assert(p.contains("EqualTo(event_type,view)"), "view filter not pushed")
+    assert(p.contains("EqualTo(event_type,purchase)"), "purchase filter not pushed")
+    assert(!p.contains("SortMergeJoin"), "a user-keyed stage join fell back to sort-merge")
+    assert(!p.contains("CartesianProduct"),
+      "only the three 1-row counts may cross-join, and those broadcast")
+  }
+
+  test("x67: overlap matrix reads the shingle cache; pair fan-out stays keyed") {
+    val p = plan("x67_source_overlap")
+    assert(p.contains("InMemoryTableScan"),
+      "x67 recomputes the shingle explode instead of reading the corpus cache")
+    assert(!p.contains("CartesianProduct"),
+      "the source self-join lost its shingle equi-key")
+  }
+
   test("no query in the relational/join family degrades to a cartesian product") {
     for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q10_returned_revenue", "q17_small_quantity_revenue", "b8_binary_op",
