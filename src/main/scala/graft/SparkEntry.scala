@@ -45,6 +45,8 @@ object SparkEntry {
     "b16_sessionize" -> ((s, d) => PromQL.sessionize(s, d)),
     // ordered click->view->purchase funnel with per-stage conversion
     "b35_funnel" -> ((s, d) => PromQL.funnel(s, d)),
+    // weekly cohort retention matrix (first-seen week x offset)
+    "b36_retention" -> ((s, d) => PromQL.retentionCohorts(s, d)),
     // Relational surface (SURVEY.md §2.3: scans/joins/agg/sort/limit)
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -397,6 +399,7 @@ object SparkEntry {
     "b15_bottomk" -> PromQL.BottomkSql,
     "b16_sessionize" -> PromQL.SessionizeSql,
     "b35_funnel" -> PromQL.FunnelSql,
+    "b36_retention" -> PromQL.RetentionCohortsSql,
     "q1_pricing_summary" -> Relational.PricingSummarySql,
     "q3_shipping_priority" -> Relational.ShippingPrioritySql,
     "q5_local_supplier_volume" -> Relational.LocalSupplierVolumeSql,

@@ -1108,6 +1108,58 @@ object PromQL {
       |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
       |    / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS purchase_rate""".stripMargin
 
+  /** B36: weekly cohort retention — the third classic behavioral view
+    * after sessions (B16) and funnels (B35): users grouped by
+    * first-seen week (cohort), each cohort's share still active k weeks
+    * later. Week index = days-since-2024-01-01 div 7 — pure integer
+    * calendar arithmetic, identical both engines. Exact distinct
+    * counts; retention is ONE divide per matrix cell.
+    *
+    * Scale shape: one user-keyed aggregate for cohorts, one distinct
+    * over (user, week) activity pairs, one join back on user_id, then
+    * a matrix-sized (weeks²) rollup — the event stream shuffles only on
+    * user_id, and nothing wider than (user, week) ever moves.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("cast(datediff(to_date(ts), date'2024-01-01') as bigint) div 7")
+          .as("week"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val active = ev.distinct()
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cohorts.join(active, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val RetentionCohortsSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+      |      AS BIGINT) AS week
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort_week, week - cohort_week AS week_offset,
+      |    COUNT(*) AS n_active
+      |  FROM cohorts JOIN ev USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, cohort_size, n_active,
+      |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+      |FROM cells JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** B10 as-of staleness (SURVEY.md §7 hard-part #3): for each daily
     * instant t, the most recent gauge sample ≤ t within a 5-day lookback.
     * The instant grid is constant-size and broadcast; the gauge stream is

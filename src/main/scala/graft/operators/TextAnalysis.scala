@@ -835,7 +835,17 @@ object TextAnalysis {
   val ChunkStride = 40
 
   def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    chunkDocumentsOf(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Core of [[chunkDocuments]] over any `(doc_id, text)` frame —
+    * entirely row-local (tokenize, window starts, slice, md5: all
+    * codegen'd array ops, no aggregation), so the identical operator
+    * runs on a STREAMING frame in Append mode with no state at all;
+    * `StreamingSpec` pins streaming ≡ batch chunk md5s.
+    */
+  def chunkDocumentsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("bigint"))
       .filter(col("n_words") > 0)
@@ -846,7 +856,6 @@ object TextAnalysis {
         least(lit(ChunkSize.toLong), col("n_words") - col("s")).as("chunk_tokens"),
         md5(expr(s"array_join(slice(toks, cast(s + 1 as int), $ChunkSize), ' ')"))
           .as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
 
   val ChunkDocumentsSql: String =
     s"""WITH d AS (

@@ -699,6 +699,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming chunking equals the batch chunker (stateless row-local path)") {
+    implicit val sqlCtx = spark.sqlContext
+    def row(id: Long, text: String) =
+      (id, text, "en", "src1", text.length.toLong)
+    val corpus = Seq(
+      row(1, (1 to 120).map(i => s"tok$i").mkString(" ")), // 3 chunks
+      row(2, "short doc"),                                 // 1 partial chunk
+      row(3, (1 to 50).map(i => s"w$i").mkString(" ")))    // exactly one window + stride tail
+    val dir = fixture("documents" ->
+      corpus.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val batch = graft.operators.TextAnalysis.chunkDocuments(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.chunkDocumentsOf(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(corpus.map(c => (c._1, c._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming simhash firewall equals the batch near-dup pair relation") {
     implicit val sqlCtx = spark.sqlContext
     def row(id: Long, text: String) =
