@@ -312,6 +312,8 @@ object SparkEntry {
     "x66_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     // per-feed-pair shared-shingle counts + Jaccard (mirroring feeds)
     "x67_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    // exact containment per candidate pair (asymmetric near-dup signal)
+    "x68_containment" -> ((s, d) => Dedup.containment(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -544,6 +546,7 @@ object SparkEntry {
     "x65_bpe_merge" -> TextAnalysis.BpeMergeRoundSql,
     "x66_bpe_train" -> TextAnalysis.BpeTrainSql,
     "x67_source_overlap" -> TextAnalysis.SourceOverlapSql,
+    "x68_containment" -> Dedup.ContainmentSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,

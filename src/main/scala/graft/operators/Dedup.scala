@@ -680,7 +680,11 @@ object Dedup {
   private val candShingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared exact-overlap statistics per LSH candidate pair:
+    * `(doc_a, doc_b, n_inter, n_a, n_b)` over distinct 3-gram shingle
+    * sets — x5 derives Jaccard from it, x68 containment.
+    */
+  private def candidatePairStats(spark: SparkSession, dir: String): DataFrame = {
     // The candidate relation is the pairs-cache entry itself (persisted
     // in minhashLsh) — a projection on top of it serves from the same
     // InMemoryRelation, so no extra persist here.
@@ -714,11 +718,37 @@ object Dedup {
       .na.fill(0L, Seq("n_inter"))
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    candidatePairStats(spark, dir)
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
+
+  /** x68: exact CONTAINMENT per LSH candidate pair (Broder's second
+    * resemblance measure): C(A,B) = |A∩B| / |A| and its mirror — the
+    * asymmetric signal Jaccard dilutes when one document is a fragment
+    * of a longer one (a fully-quoted post inside a digest scores
+    * C ≈ 1 with a low Jaccard). `contained_doc` names the side whose
+    * shingle set is (nearly) inside the other (ties → doc_a);
+    * `contained` fires at max-containment ≥ 0.8 — near-uniform over
+    * x3's HIGH-similarity candidates by construction (this fixture:
+    * all 25), discriminative when fed weaker candidate sets; the
+    * per-pair containments and direction are the operative output.
+    * Same candidate-slice relations as x5 — the exact-verification
+    * stage stays O(candidate docs) at any corpus size.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    candidatePairStats(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_inter").cast("double") / col("n_a").cast("double")).as("cont_a"),
+        (col("n_inter").cast("double") / col("n_b").cast("double")).as("cont_b"))
+      .withColumn("contained_doc",
+        when(col("cont_a") >= col("cont_b"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("contained", greatest(col("cont_a"), col("cont_b")) >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   val NgramJaccardSql: String =
     s"""WITH cand AS (SELECT doc_a, doc_b FROM ($MinhashLshSql)),
@@ -738,6 +768,32 @@ object Dedup {
        |JOIN cnt ca ON ca.doc_id = cand.doc_a
        |JOIN cnt cb ON cb.doc_id = cand.doc_b
        |ORDER BY 1, 2""".stripMargin
+
+  val ContainmentSql: String =
+    s"""WITH cand AS (SELECT doc_a, doc_b FROM ($MinhashLshSql)),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (${TextOps.shinglesSql("documents", 3)})),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_inter
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.doc_a
+       |  JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
+       |  GROUP BY cand.doc_a, cand.doc_b),
+       |s AS (
+       |  SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b,
+       |    ca.n AS n_a, cb.n AS n_b,
+       |    CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+       |    CAST(COALESCE(n_inter, 0) AS DOUBLE) / CAST(ca.n AS DOUBLE) AS cont_a,
+       |    CAST(COALESCE(n_inter, 0) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS cont_b
+       |  FROM cand
+       |  LEFT JOIN inter ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
+       |  JOIN cnt ca ON ca.doc_id = cand.doc_a
+       |  JOIN cnt cb ON cb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, n_a, n_b, n_inter, cont_a, cont_b,
+       |  CASE WHEN cont_a >= cont_b THEN doc_a ELSE doc_b END AS contained_doc,
+       |  GREATEST(cont_a, cont_b) >= 0.8 AS contained
+       |FROM s
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** x52: near-duplicate SOURCE attribution — the curation report that
     * tells you WHERE the duplication comes from: the x3 LSH pair list
