@@ -58,36 +58,48 @@ object TextAnalysis {
     verdicts.orderBy(col("doc_id"))
   }
 
-  private def langIdUncached(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // lower(text) is hoisted OUT of the per-trigram lambda — inside it,
-    // it re-lowercases the whole document per extracted gram (O(len²)).
-    // One explode + ONE aggregation to per-(doc, gram) counts, persisted
-    // per (session, sf) like the dedup signature cache: both downstream
-    // consumers (corpus profile + per-doc distinct grams) read the
-    // aggregate instead of re-running the trigram explode over the full
-    // corpus — the explode is the linear hot spot, everything after it
-    // is ~distinct-grams-sized — and repeated calls don't re-persist.
-    val docGramCounts = gramCache.computeIfAbsent((spark, dir), k => {
+  /** Top-20 character trigrams per language from the cached per-doc
+    * gram counts — the tiny broadcast profile shared by x9 (whole-doc
+    * language ID) and x69 (per-half code-switch detection).
+    */
+  private def corpusProfile(docGramCounts: DataFrame): DataFrame =
+    docGramCounts.groupBy(col("lang").as("profile_lang"), col("g"))
+      .agg(sum(col("freq")).as("freq"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("profile_lang"))
+        .orderBy(col("freq").desc, col("g"))))
+      .filter(col("rn") <= 20)
+      .select(col("profile_lang"), col("g"))
+
+  /** Cached per-(doc, trigram) counts. lower(text) is hoisted OUT of
+    * the per-trigram lambda — inside it, it re-lowercases the whole
+    * document per extracted gram (O(len²)). One explode + ONE
+    * aggregation, persisted per (session, sf) like the dedup signature
+    * cache: all downstream consumers (corpus profile + per-doc distinct
+    * grams, x9/x29/x69) read the aggregate instead of re-running the
+    * trigram explode over the full corpus — the explode is the linear
+    * hot spot, everything after it is ~distinct-grams-sized — and
+    * repeated calls don't re-persist.
+    */
+  private def docGramCountsOf(spark: SparkSession, dir: String): DataFrame =
+    gramCache.computeIfAbsent((spark, dir), k => {
       SessionCaches.onApplicationEnd(spark)(() => gramCache.remove(k))
       // one-pass native trigram generator: the substr-per-position form
       // is O(len²)/doc (each substr re-seeks the UTF-8 string); the
       // generator emits byte slices in O(len), and yields nothing for
       // <3-char texts exactly like the oracle's generate_series(1, len-2)
       graft.plans.CharTrigramsExpr.register(spark)
-      docs
+      Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
         .select(col("doc_id"), col("lang"), expr("char_trigrams(lt)").as("g"))
         .groupBy(col("doc_id"), col("lang"), col("g"))
         .agg(count(lit(1)).as("freq"))
         .persist()
     })
-    val profile = docGramCounts.groupBy(col("lang").as("profile_lang"), col("g"))
-      .agg(sum(col("freq")).as("freq"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("profile_lang"))
-        .orderBy(col("freq").desc, col("g"))))
-      .filter(col("rn") <= 20)
-      .select(col("profile_lang"), col("g"))
+
+  private def langIdUncached(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val docGramCounts = docGramCountsOf(spark, dir)
+    val profile = corpusProfile(docGramCounts)
     val docGrams = docGramCounts.select(col("doc_id"), col("g"))
     val scores = docGrams.join(broadcast(profile), Seq("g"))
       .groupBy(col("doc_id"), col("profile_lang"))
@@ -1143,6 +1155,101 @@ object TextAnalysis {
       |FROM r
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  /** x69: code-switch / mixed-language detection — x9 assigns ONE
+    * language per document, which silently mislabels bilingual docs;
+    * this scores the two HALVES of each document independently against
+    * the same broadcast trigram profile and reports where the halves
+    * disagree (the 2-segment form of per-chunk language ID; finer
+    * segmentation is the same plan with more rows per doc). Split is
+    * at ⌈len/2⌉ characters of the lowered text — pure integer
+    * arithmetic, identical both engines; each half's prediction is the
+    * deterministic x9 argmax (score desc, lang asc).
+    *
+    * Scale shape: one 2-row-per-doc projection (no corpus re-shuffle),
+    * one trigram explode per half joined against the ~|langs|·20-row
+    * broadcast profile, two thin windows — the same shapes as x9 with
+    * a doubled explode constant; nothing new at 100 TB.
+    */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.CharTrigramsExpr.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val profile = corpusProfile(docGramCountsOf(spark, dir))
+    val halves = docs
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+      .withColumn("mid", expr("cast(ceil(length(lt) / 2.0) as int)"))
+      .select(col("doc_id"), col("lang"), explode(array(
+        struct(lit("head").as("half"), expr("substring(lt, 1, mid)").as("ht")),
+        struct(lit("tail").as("half"),
+          expr("substring(lt, mid + 1, length(lt) - mid)").as("ht")))).as("h"))
+      .select(col("doc_id"), col("lang"),
+        col("h.half").as("half"), col("h.ht").as("ht"))
+    val grams = halves
+      .select(col("doc_id"), col("half"), expr("char_trigrams(ht)").as("g"))
+      .distinct()
+    val scores = grams.join(broadcast(profile), Seq("g"))
+      .groupBy(col("doc_id"), col("half"), col("profile_lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("doc_id"), col("half"))
+      .orderBy(col("score").desc, col("profile_lang"))
+    val pred = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    def side(name: String): DataFrame = pred.filter(col("half") === name)
+      .select(col("doc_id"), col("profile_lang").as(s"pred_$name"),
+        col("score").as(s"${name}_score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(side("head"), Seq("doc_id"), "left")
+      .join(side("tail"), Seq("doc_id"), "left")
+      .na.fill("unknown", Seq("pred_head", "pred_tail"))
+      .na.fill(0L, Seq("head_score", "tail_score"))
+      .withColumn("split_agree", col("pred_head") === col("pred_tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  val LangMixSql: String =
+    """WITH grams0 AS (
+      |  SELECT doc_id, lang, substr(lower(text), i, 3) AS g
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i)),
+      |profile AS (
+      |  SELECT profile_lang, g FROM (
+      |    SELECT lang AS profile_lang, g, COUNT(*) AS freq,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rn
+      |    FROM grams0 GROUP BY lang, g)
+      |  WHERE rn <= 20),
+      |halves AS (
+      |  SELECT doc_id, lang, half,
+      |    CASE WHEN half = 'head' THEN substr(lt, 1, mid)
+      |         ELSE substr(lt, mid + 1, length(lt) - mid) END AS ht
+      |  FROM (SELECT doc_id, lang, lower(text) AS lt,
+      |          CAST(ceil(length(lower(text)) / 2.0) AS INT) AS mid
+      |        FROM documents),
+      |       (SELECT unnest(['head', 'tail']) AS half)),
+      |hgrams AS (
+      |  SELECT DISTINCT doc_id, half, substr(ht, i, 3) AS g
+      |  FROM halves,
+      |       LATERAL (SELECT unnest(generate_series(1, greatest(length(ht) - 2, 0))) AS i)),
+      |scores AS (
+      |  SELECT doc_id, half, profile_lang, COUNT(*) AS score
+      |  FROM hgrams JOIN profile USING (g)
+      |  GROUP BY doc_id, half, profile_lang),
+      |pred AS (
+      |  SELECT doc_id, half, profile_lang, score FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, half
+      |             ORDER BY score DESC, profile_lang) AS rn
+      |    FROM scores)
+      |  WHERE rn = 1)
+      |SELECT d.doc_id, d.lang,
+      |  COALESCE(h.profile_lang, 'unknown') AS pred_head,
+      |  COALESCE(t.profile_lang, 'unknown') AS pred_tail,
+      |  COALESCE(h.score, 0) AS head_score,
+      |  COALESCE(t.score, 0) AS tail_score,
+      |  COALESCE(h.profile_lang, 'unknown') = COALESCE(t.profile_lang, 'unknown')
+      |    AS split_agree
+      |FROM documents d
+      |LEFT JOIN pred h ON h.doc_id = d.doc_id AND h.half = 'head'
+      |LEFT JOIN pred t ON t.doc_id = d.doc_id AND t.half = 'tail'
+      |ORDER BY d.doc_id""".stripMargin
 
   /** x59: corpus-internal duplicated-substring spans — the self-dedup
     * counterpart of x49 (which checks against a held-out eval set).
