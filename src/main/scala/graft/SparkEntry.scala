@@ -316,6 +316,8 @@ object SparkEntry {
     "x68_containment" -> ((s, d) => Dedup.containment(s, d)),
     // per-half language ID disagreement (code-switch detection)
     "x69_lang_mix" -> ((s, d) => TextAnalysis.langMix(s, d)),
+    // stage-by-stage survival report over x24's ordered gates
+    "x70_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
@@ -550,6 +552,7 @@ object SparkEntry {
     "x67_source_overlap" -> TextAnalysis.SourceOverlapSql,
     "x68_containment" -> Dedup.ContainmentSql,
     "x69_lang_mix" -> TextAnalysis.LangMixSql,
+    "x70_curation_funnel" -> TextAnalysis.CurationFunnelSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,

@@ -510,6 +510,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x70: the curation FUNNEL — x24's per-doc verdict rolled up into
+    * the stage-by-stage survival report every dataset release leads
+    * with: for each ordered gate (duplicate → too_short → repetitive →
+    * dominated → contaminated), how many documents entered, were
+    * dropped, and remain, with the per-stage drop rate. Because x24's
+    * `reason` is the FIRST failing gate, the funnel is exact by
+    * construction: entering(k) = total − Σ dropped(<k). Gates that drop
+    * nothing still appear (static 5-row stage relation, left-joined),
+    * so the report shape is schema-stable across corpora. Exact counts;
+    * one divide per row.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val verdict = filterVerdict(spark, dir)
+    val drops = verdict.groupBy(col("reason").as("stage"))
+      .agg(count(lit(1)).as("dropped"))
+    val stages = Seq(
+      (1L, "duplicate"), (2L, "too_short"), (3L, "repetitive"),
+      (4L, "dominated_by_one_token"), (5L, "benchmark_contaminated"))
+      .toDF("stage_no", "stage")
+    val total = verdict.agg(count(lit(1)).as("total"))
+    val w = Window.orderBy(col("stage_no"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stages.join(drops, Seq("stage"), "left")
+      .na.fill(0L, Seq("dropped"))
+      .crossJoin(broadcast(total))
+      .withColumn("before", coalesce(sum(col("dropped")).over(w), lit(0L)))
+      .select(col("stage_no"), col("stage"),
+        (col("total") - col("before")).as("entering"),
+        col("dropped"),
+        (col("total") - col("before") - col("dropped")).as("remaining"),
+        (col("dropped").cast("double") /
+          (col("total") - col("before")).cast("double")).as("drop_rate"))
+      .orderBy(col("stage_no"))
+  }
+
+  lazy val CurationFunnelSql: String =
+    s"""WITH verdict AS (SELECT reason FROM ($FilterVerdictSql)),
+       |drops AS (SELECT reason AS stage, COUNT(*) AS n FROM verdict GROUP BY 1),
+       |stages(stage_no, stage) AS (VALUES
+       |  (1, 'duplicate'), (2, 'too_short'), (3, 'repetitive'),
+       |  (4, 'dominated_by_one_token'), (5, 'benchmark_contaminated')),
+       |t AS (SELECT COUNT(*) AS total FROM verdict),
+       |j AS (SELECT stage_no, stage, COALESCE(n, 0) AS dropped
+       |      FROM stages LEFT JOIN drops USING (stage)),
+       |c AS (SELECT *, COALESCE(SUM(dropped) OVER (ORDER BY stage_no
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |      FROM j)
+       |SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+       |  CAST(total - before AS BIGINT) AS entering,
+       |  CAST(dropped AS BIGINT) AS dropped,
+       |  CAST(total - before - dropped AS BIGINT) AS remaining,
+       |  CAST(dropped AS DOUBLE) / CAST(total - before AS DOUBLE) AS drop_rate
+       |FROM c, t
+       |ORDER BY stage_no""".stripMargin
+
   // lazy: references ContaminationSql, declared later in this object —
   // a plain val would interpolate null (object vals initialize in
   // declaration order)
