@@ -59,6 +59,16 @@ object SparkEntry {
     "q6_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
     "q4_order_priority" -> ((s, d) => Relational.orderPriorityCheck(s, d)),
     "q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
+    // left-outer-join order-count distribution (zero-order customers survive)
+    "q13_customer_distribution" -> ((s, d) => Relational.customerDistribution(s, d)),
+    // scalar-subquery max: supplier(s) at the quarter's peak revenue
+    "q15_top_supplier" -> ((s, d) => Relational.topSupplier(s, d)),
+    // HAVING-gate on an exact DECIMAL sum, then shuffle join back to orders
+    "q18_large_volume" -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
+    // anti-join + uncorrelated scalar subquery (dormant rich customers)
+    "q22_dormant_balance" -> ((s, d) => Relational.dormantBalances(s, d)),
+    // two independent dimension paths to nation (supplier's vs customer's)
+    "q7_nation_volume" -> ((s, d) => Relational.nationVolume(s, d)),
     "x29_langid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     // Extension tier — training-data pipeline ops (SURVEY.md §2.3)
     "x1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -415,6 +425,11 @@ object SparkEntry {
     "q6_forecast_revenue" -> Relational.ForecastRevenueSql,
     "q4_order_priority" -> Relational.OrderPriorityCheckSql,
     "q10_returned_revenue" -> Relational.ReturnedItemRevenueSql,
+    "q13_customer_distribution" -> Relational.CustomerDistributionSql,
+    "q15_top_supplier" -> Relational.TopSupplierSql,
+    "q18_large_volume" -> Relational.LargeVolumeCustomersSql,
+    "q22_dormant_balance" -> Relational.DormantBalancesSql,
+    "q7_nation_volume" -> Relational.NationVolumeSql,
     "x29_langid_confusion" -> TextAnalysis.LangIdConfusionSql,
     "x1_dedup_exact" -> Dedup.ExactSql,
     "x2_minhash_signatures" -> Dedup.MinhashSignaturesSql,

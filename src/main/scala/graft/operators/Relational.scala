@@ -339,4 +339,205 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q13-shaped customer order-count distribution: how many
+    * customers placed 0, 1, 2, … urgent orders — the LEFT OUTER JOIN
+    * category (customers with no matching order must survive as
+    * c_count = 0; 203 of 1500 do at sf0.01, so the null path is
+    * exercised, not vacuous). Two-level aggregation: the first groupBy
+    * shuffles on c_custkey (the same key the join just hashed on, so
+    * AQE coalesces), the second collapses to the handful of distinct
+    * counts. All integers — oracle-exact by construction.
+    */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val CustomerDistributionSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) whose revenue over
+    * one quarter equals the maximum — the scalar-subquery-on-an-
+    * aggregate category. The per-supplier revenue relation is computed
+    * once; its single-row MAX is broadcast back and matched by exact
+    * double equality (both sides are the same DECIMAL sum cast to
+    * DOUBLE, so the comparison is bit-identical in both engines — ties
+    * all surface, no LIMIT 1 nondeterminism). Supplier is the broadcast
+    * dimension.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(top), col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON supplier_no = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose total line
+    * quantity exceeds 350 (8 of 15 000 at sf0.01), with their customer.
+    * The HAVING-on-aggregate gate runs BEFORE any join (the per-order
+    * quantity sum stays DECIMAL through the > 350 comparison — exact, so
+    * both engines keep the identical order set — and casts to DOUBLE only
+    * for output). The filtered relation is joined back to orders on the
+    * order key — a shuffle join, NOT a broadcast: the survivor set is
+    * proportionally tiny but unbounded at 100 TB, while customer stays
+    * the broadcast dimension. Ordered limit → TakeOrderedAndProject.
+    */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      .filter(col("qty") > lit(350).cast(DecimalType(18, 2)))
+      .select(col("bk"), col("qty").cast("double").as("total_qty"))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("bk"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val LargeVolumeCustomersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey AS bk,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 350)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_totalprice, CAST(qty AS DOUBLE) AS total_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = bk
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22-shaped dormant balances: per market segment, customers
+    * whose balance exceeds the positive-balance average but who placed
+    * no order since 2000 — the anti-join + uncorrelated scalar-subquery
+    * category (55 such customers at sf0.01). The 1-row average is a
+    * broadcast cross join (the one legitimate crossJoin shape); the
+    * threshold is the identical DECIMAL-sum-over-COUNT double in both
+    * engines, so the > comparison selects the same rows. The anti join
+    * hashes on custkey with the date filter pushed to the orders scan.
+    */
+  def dormantBalances(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((dec2(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), dec2(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val DormantBalancesSql: String =
+    """WITH a AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, a
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q7-shaped nation-pair volume: shipping revenue between two
+    * nations per year, in both directions — the query whose join graph
+    * reaches nation through TWO independent dimension paths (supplier's
+    * nation via lineitem, customer's nation via orders). Each path is
+    * pre-filtered to the two nations of interest and broadcast, so the
+    * fact rows are pruned by the broadcast joins before the pair
+    * residual ((N3,N7) or (N7,N3)) runs — the fact tables join once on
+    * orderkey, nothing else shuffles.
+    */
+  def nationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_3", "NATION_7"))
+    val supp = Tables.supplier(spark, dir)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val NationVolumeSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |    l_extendedprice * (1 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 }

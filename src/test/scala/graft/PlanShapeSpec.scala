@@ -265,10 +265,41 @@ class PlanShapeSpec extends SparkTestBase {
       "the source self-join lost its shingle equi-key")
   }
 
+  test("q13: outer join keeps zero-order customers without a cartesian; priority pushed") {
+    val p = plan("q13_customer_distribution")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      "the priority filter did not push to the orders scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("struct<c_custkey:bigint>"), "customer scan not pruned to the key")
+  }
+
+  test("q15: the 1-row max and the supplier dimension both broadcast") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), "max/supplier joins are not broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q18: the HAVING survivor set joins on the order key, customer broadcasts") {
+    val p = plan("q18_large_volume")
+    assert(p.contains("BroadcastHashJoin"), "customer dimension is not broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the ordered limit is a global sort instead of TakeOrderedAndProject")
+  }
+
+  test("q7: both nation paths broadcast after their two-nation prune") {
+    val p = plan("q7_nation_volume")
+    assert(p.contains("BroadcastHashJoin"), "supplier/customer paths are not broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // nation prune feeds the dimension join, not the fact scan
+    assert(p.contains("In(n_name"), "the two-nation filter did not push to the nation scan")
+  }
+
   test("no query in the relational/join family degrades to a cartesian product") {
     for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
         "q10_returned_revenue", "q17_small_quantity_revenue", "b8_binary_op",
-        "x3_minhash_lsh")) {
+        "x3_minhash_lsh", "q22_dormant_balance")) {
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
