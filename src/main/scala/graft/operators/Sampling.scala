@@ -246,4 +246,39 @@ object Sampling {
       |FROM documents d JOIN t ON d.lang = t.lang
       |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t.thr
       |ORDER BY d.doc_id""".stripMargin
+
+  /** x72: per-source document cap — the "no feed dominates the mix"
+    * gate that complements x47 (per-LANGUAGE rebalancing): each source
+    * keeps at most 15 documents, chosen best-first by x10's quality
+    * tier with the md5(doc_id) hex as the deterministic shuffle-within-
+    * tier (so the survivors are a quality-stratified random-looking
+    * sample, not the lowest doc_ids) and doc_id as the final total-
+    * order tiebreak. One ranking window partitioned by source — the
+    * shuffle key is the source, quality comes from the cached x10
+    * relation, and no text moves. Rank arithmetic is exact integers;
+    * the md5 hex ordering is the same ASCII comparison in both engines.
+    */
+  def sourceCapSample(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir).select(col("doc_id"), col("quality_score"))
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val ranked = d.join(q, "doc_id")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("quality_score").desc, col("h"), col("doc_id"))))
+    ranked.filter(col("rank") <= 15)
+      .select(col("source"), col("rank"), col("doc_id"), col("quality_score"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val SourceCapSampleSql: String =
+    s"""WITH q AS (${TextAnalysis.QualityScoreSql}),
+       |r AS (
+       |  SELECT d.source, d.doc_id, q.quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY d.source
+       |      ORDER BY q.quality_score DESC,
+       |               md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rank
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id)
+       |SELECT source, rank, doc_id, quality_score
+       |FROM r WHERE rank <= 15
+       |ORDER BY source, rank""".stripMargin
 }

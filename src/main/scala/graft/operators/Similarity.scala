@@ -1174,4 +1174,68 @@ object Similarity {
        |  min_member_cos > inter_cos AS separated
        |FROM mem JOIN near ON near.cell = mem.cell
        |ORDER BY mem.cell""".stripMargin
+
+  /** x71: principal direction of the embedding cloud by two rounds of
+    * power iteration over x46's EXACT integer covariance numerators —
+    * the "which axis dominates the corpus" diagnostic that pairs with
+    * x46 (PCA/whitening prep) without ever leaving integer arithmetic.
+    *
+    * The whole computation after x46's single corpus scan runs on
+    * fixed-size relations (2080 triangle rows → 4096 symmetrized →
+    * 64-row vectors), so its cost is corpus-size-INDEPENDENT: at
+    * 100 TB the only data-sized work is the covariance aggregate
+    * itself, which x46 already pins as one mergeable-buffer pass.
+    *
+    * Determinism/parity design: float matvecs would sum in partition
+    * order, so every step stays BIGINT —
+    *   y1 = C · 1        (exact: 64-term integer sums)
+    *   v1 = sign(y1) · ((|y1|·1024) intdiv max|y1|)   (both engines'
+    *        integer division agree on non-negative operands — the sign
+    *        is factored out precisely so truncation direction never
+    *        differs; v1 ∈ [−1024, 1024])
+    *   y2 = C · v1       (exact)
+    * and only the REPORTED direction divides two exact integers per
+    * row (dir = y2 / max|y2|, one correctly-rounded double divide —
+    * identical IEEE in both engines). Headroom: |cov_num| ≲ n²·10⁸
+    * and |y2| ≤ 64·1024·max|cov_num|, so BIGINT holds to ~3×10⁵
+    * vectors at the 10⁴ quantization scale — the same bound and the
+    * same documented scale knob as x46 itself.
+    */
+  def principalDirection(spark: SparkSession, dir: String): DataFrame = {
+    val cov = embeddingCovariance(spark, dir).select(col("i"), col("j"), col("cov_num"))
+    val sym = cov.union(
+      cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_num")))
+    val y1 = sym.groupBy(col("i")).agg(sum(col("cov_num")).as("y1"))
+    val m1 = y1.agg(max(abs(col("y1"))).as("m1"))
+    val v1 = y1.crossJoin(broadcast(m1))
+      .select(col("i").as("j"),
+        expr("CASE WHEN y1 < 0 THEN -1 ELSE 1 END * ((ABS(y1) * 1024) DIV m1)").as("v1"))
+    val y2 = sym.join(broadcast(v1), "j")
+      .groupBy(col("i")).agg(sum(col("cov_num") * col("v1")).as("y2"))
+    val m2 = y2.agg(max(abs(col("y2"))).as("m2"))
+    y1.join(y2, "i").crossJoin(broadcast(m2))
+      .select(col("i"), col("y1"), col("y2"),
+        (col("y2").cast("double") / col("m2").cast("double")).as("dir"))
+      .orderBy(col("i"))
+  }
+
+  val PrincipalDirectionSql: String =
+    s"""WITH c0 AS ($EmbeddingCovarianceSql),
+       |cov AS (SELECT i, j, cov_num FROM c0),
+       |sym AS (SELECT i, j, cov_num FROM cov
+       |        UNION ALL
+       |        SELECT j AS i, i AS j, cov_num FROM cov WHERE i <> j),
+       |y1 AS (SELECT i, SUM(cov_num) AS y1 FROM sym GROUP BY i),
+       |m1 AS (SELECT MAX(ABS(y1)) AS m1 FROM y1),
+       |v1 AS (SELECT i AS j,
+       |         (CASE WHEN y1 < 0 THEN -1 ELSE 1 END) * ((ABS(y1) * 1024) // m1) AS v1
+       |       FROM y1, m1),
+       |y2 AS (SELECT s.i, SUM(s.cov_num * v1.v1) AS y2
+       |       FROM sym s JOIN v1 ON v1.j = s.j GROUP BY s.i),
+       |m2 AS (SELECT MAX(ABS(y2)) AS m2 FROM y2)
+       |SELECT y1.i, y1.y1, y2.y2,
+       |  CAST(y2.y2 AS DOUBLE) / CAST(m2.m2 AS DOUBLE) AS dir
+       |FROM y1 JOIN y2 ON y2.i = y1.i, m2
+       |ORDER BY y1.i""".stripMargin
 }
