@@ -80,14 +80,15 @@ object Metrics {
     * immediately with the expected/actual pair, not at executor time.
     */
   private val RequiredEventCols = Seq(
-    "ts" -> "timestamp", "event_type" -> "string", "value" -> "double",
-    "props" -> "string", "event_id" -> "bigint", "user_id" -> "bigint")
+    "ts" -> Set("timestamp", "timestamp_ntz"), "event_type" -> Set("string"),
+    "value" -> Set("double"), "props" -> Set("string"),
+    "event_id" -> Set("bigint"), "user_id" -> Set("bigint"))
 
   def requireEventsSchema(events: DataFrame): Unit = {
     val actual = events.schema.map(f => f.name -> f.dataType.simpleString).toMap
-    RequiredEventCols.foreach { case (n, t) =>
-      require(actual.get(n).contains(t),
-        s"events input: column `$n` expected $t, got " +
+    RequiredEventCols.foreach { case (n, ts) =>
+      require(actual.get(n).exists(ts.contains),
+        s"events input: column `$n` expected ${ts.mkString("|")}, got " +
           s"${actual.getOrElse(n, "<absent>")} (compose-time check, SURVEY §2.1 A7)")
     }
   }
@@ -106,12 +107,15 @@ object Metrics {
 
   /** Same adapter over any relation with the `events` schema — works for
     * both batch and streaming inputs (pure per-row projection).
-    * Validates the input schema up front (A7).
+    * Validates the input schema up front (A7), then canonicalizes: a
+    * `timestamp_ntz` `ts` (parquet isAdjustedToUTC=false) is admitted
+    * and cast to `TimestampType` — the session tz is pinned UTC, so the
+    * wall-clock becomes the same instant DuckDB assigns the naive value.
     */
   def metricEventsOf(events: DataFrame): DataFrame = {
     requireEventsSchema(events)
     events.select(
-      col("ts"),
+      col("ts").cast("timestamp").as("ts"),
       col("event_type").as("name"),
       get_json_object(col("props"), "$.k").as("label_k"),
       concat(lit("i"), (col("user_id") % 4).cast("string")).as("label_instance"),

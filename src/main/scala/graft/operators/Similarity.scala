@@ -1208,15 +1208,19 @@ object Similarity {
         .select(col("j").as("i"), col("i").as("j"), col("cov_num")))
     val y1 = sym.groupBy(col("i")).agg(sum(col("cov_num")).as("y1"))
     val m1 = y1.agg(max(abs(col("y1"))).as("m1"))
+    // NULLIF guards: degenerate input (constant embeddings → all-zero
+    // covariance) makes m1/m2 zero; ANSI-mode Spark would throw on DIV
+    // while DuckDB's // returns NULL. NULLIF makes both engines emit
+    // NULL rows instead, keeping the oracle comparable.
     val v1 = y1.crossJoin(broadcast(m1))
       .select(col("i").as("j"),
-        expr("CASE WHEN y1 < 0 THEN -1 ELSE 1 END * ((ABS(y1) * 1024) DIV m1)").as("v1"))
+        expr("CASE WHEN y1 < 0 THEN -1 ELSE 1 END * ((ABS(y1) * 1024) DIV NULLIF(m1, 0))").as("v1"))
     val y2 = sym.join(broadcast(v1), "j")
       .groupBy(col("i")).agg(sum(col("cov_num") * col("v1")).as("y2"))
     val m2 = y2.agg(max(abs(col("y2"))).as("m2"))
     y1.join(y2, "i").crossJoin(broadcast(m2))
       .select(col("i"), col("y1"), col("y2"),
-        (col("y2").cast("double") / col("m2").cast("double")).as("dir"))
+        (col("y2").cast("double") / expr("NULLIF(m2, 0)").cast("double")).as("dir"))
       .orderBy(col("i"))
   }
 
@@ -1229,13 +1233,13 @@ object Similarity {
        |y1 AS (SELECT i, SUM(cov_num) AS y1 FROM sym GROUP BY i),
        |m1 AS (SELECT MAX(ABS(y1)) AS m1 FROM y1),
        |v1 AS (SELECT i AS j,
-       |         (CASE WHEN y1 < 0 THEN -1 ELSE 1 END) * ((ABS(y1) * 1024) // m1) AS v1
+       |         (CASE WHEN y1 < 0 THEN -1 ELSE 1 END) * ((ABS(y1) * 1024) // NULLIF(m1, 0)) AS v1
        |       FROM y1, m1),
        |y2 AS (SELECT s.i, SUM(s.cov_num * v1.v1) AS y2
        |       FROM sym s JOIN v1 ON v1.j = s.j GROUP BY s.i),
        |m2 AS (SELECT MAX(ABS(y2)) AS m2 FROM y2)
-       |SELECT y1.i, y1.y1, y2.y2,
-       |  CAST(y2.y2 AS DOUBLE) / CAST(m2.m2 AS DOUBLE) AS dir
+       |SELECT y1.i, CAST(y1.y1 AS BIGINT) AS y1, CAST(y2.y2 AS BIGINT) AS y2,
+       |  CAST(y2.y2 AS DOUBLE) / CAST(NULLIF(m2.m2, 0) AS DOUBLE) AS dir
        |FROM y1 JOIN y2 ON y2.i = y1.i, m2
        |ORDER BY y1.i""".stripMargin
 }

@@ -25,26 +25,41 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Columns stored as parquet TIMESTAMP(NANOS) per table. Spark has no
-    * nanosecond timestamp type; we read them as nanos-since-epoch longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
-    * microsecond timestamps with integral `div` (a double division would
-    * lose precision above 2^53 ns). DuckDB's own ns→us handling floors
-    * identically, so oracle parity holds.
+  /** Timestamp columns per table, normalized to a canonical
+    * `TimestampType` regardless of how the driver's generator wrote them.
+    * Observed physical encodings across fixture regenerations:
+    *  - parquet TIMESTAMP(NANOS): Spark has no nanosecond timestamp type;
+    *    read as nanos-since-epoch longs (`spark.sql.legacy.parquet
+    *    .nanosAsLong`) and floor-convert with integral `div` (a double
+    *    division would lose precision above 2^53 ns). DuckDB floors
+    *    identically, so oracle parity holds.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark ≥3.4
+    *    reads this as `timestamp_ntz`; cast to `TimestampType`. The
+    *    session timezone is pinned UTC (Verify/Bench/specs), so the cast
+    *    reinterprets the same wall-clock as the same UTC instant — which
+    *    is exactly how DuckDB treats a naive timestamp. Canonicalizing
+    *    here keeps the A7 compose-time gate strict downstream while
+    *    accepting representably-equivalent input (the reference's own
+    *    compose step coerces where types unify, prometheus.cpp:160-167).
     */
-  private val NanosTsCols: Map[String, Seq[String]] = Map(
+  private val TsCols: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"),
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    NanosTsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"$c div 1000")))
-      else d
+    TsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(c, d(c).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 }
