@@ -98,9 +98,11 @@ object Bench {
       // stdout tail, so per-round history kept vanishing; the
       // append-only log preserves every run's full per-query map for
       // min-over-runs comparisons (the only honest read on this host —
-      // single runs swing 2-10x under its throttling bursts)
+      // single runs swing 2-10x under its throttling bursts). It lives at
+      // the repo ROOT (committed per round), not under target/: r7's 13
+      // runs were lost to a target/ cleanup between rounds.
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_history.jsonl"),
+        java.nio.file.Paths.get("bench_history.jsonl"),
         java.time.Instant.now().toString + " " + line + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -108,5 +110,15 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }
     spark.stop()
+    // A round in which declared queries crash must not end quietly: r8
+    // shipped 117 plan-construction failures under an rc-0 "success".
+    // The JSON line (with the errors array) is already printed/written
+    // above, so a non-zero exit loses nothing and flags the wipeout.
+    val nErr = results.count(!_._3)
+    if (nErr > 0) {
+      System.err.println(s"[bench] FAILED QUERIES: $nErr of ${results.size} " +
+        "— see the errors array in the JSON line above")
+      sys.exit(1)
+    }
   }
 }
