@@ -320,6 +320,8 @@ object SparkEntry {
     "x65_bpe_merge" -> ((s, d) => TextAnalysis.bpeMergeRound(s, d)),
     // 3-round iterated BPE merge table (driver loop, SQL unrolled)
     "x66_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    // x66's merges APPLIED: per-doc int token ids + compression ratio
+    "x73_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     // per-feed-pair shared-shingle counts + Jaccard (mirroring feeds)
     "x67_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     // exact containment per candidate pair (asymmetric near-dup signal)
@@ -590,6 +592,7 @@ object SparkEntry {
     "x60_bpe_pairs" -> TextAnalysis.BpePairStatsSql,
     "x65_bpe_merge" -> TextAnalysis.BpeMergeRoundSql,
     "x66_bpe_train" -> TextAnalysis.BpeTrainSql,
+    "x73_bpe_encode" -> TextAnalysis.BpeEncodeSql,
     "x67_source_overlap" -> TextAnalysis.SourceOverlapSql,
     "x68_containment" -> Dedup.ContainmentSql,
     "x69_lang_mix" -> TextAnalysis.LangMixSql,

@@ -1469,95 +1469,213 @@ object TextAnalysis {
       .limit(10)
   }
 
-  /** x66: the iterated BPE trainer — `rounds` merges, each fusing the
-    * current winner pair into a fresh symbol (chr(r), reserved below
-    * any real text byte) and re-ranking. The registered 3-round form
-    * is oracle-exact because the loop unrolls into SQL CTE stages (the
-    * x35 pattern: fixed-round unroll checkable, arbitrary-round loop
-    * is [[bpeTrain]]'s production path); merge table rows render
-    * earlier merged symbols injectively as `[k]`. The per-round state
-    * is the VOCAB-sized `(w, n)` relation, `localCheckpoint`ed so
-    * round-N lineage stays constant-depth (the x37 law) — at 100 TB
+  /** Reserved symbol space for merged BPE symbols: round r fuses its
+    * winner pair into the single char U+E000+r (Unicode private-use
+    * area — cannot occur in corpus text). This replaces the former
+    * chr(1..9) control-char scheme and its 9-merge ceiling: the PUA
+    * alone seats 6,399 merges, which is a real sub-word vocabulary.
+    * Spark's `chr()` is mod-256, so the symbol is injected as a Scala
+    * string literal; the DuckDB twin's `chr()` is full-codepoint.
+    */
+  val BpeSymbolBase = 0xE000
+
+  private[graft] def bpeSym(r: Int): String = (BpeSymbolBase + r).toChar.toString
+
+  private def bpePairsOf(ws: DataFrame): DataFrame = ws
+    .filter(length(col("w")) >= 2)
+    .select(col("w"), col("n"),
+      explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+
+  /** The iterated BPE training loop shared by x66 (merge table) and x73
+    * (encoder): `rounds` merges, each fusing the current winner pair
+    * into its fresh PUA symbol and re-ranking. Returns the per-round
+    * winner relations AND the final encoded vocabulary `(w0, w, n)` —
+    * original word, merged symbol string, corpus count. The per-round
+    * state is the VOCAB-sized `(w0, w, n)` relation, `localCheckpoint`ed
+    * so round-N lineage stays constant-depth (the x37 law) — at 100 TB
     * the corpus is scanned ONCE (word count), and every later round
     * touches only the vocabulary.
     */
-  val BpeTrainRounds = 3
-
-  def bpeTrain(spark: SparkSession, dir: String,
-      rounds: Int = BpeTrainRounds): DataFrame = {
-    require(rounds >= 1 && rounds <= 9, "chr(1)..chr(9) symbol range")
-    def pairsOf(ws: DataFrame): DataFrame = ws
-      .filter(length(col("w")) >= 2)
-      .select(col("w"), col("n"),
-        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
-          .as("pair"))
+  private[graft] def bpeTrainState(spark: SparkSession, dir: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    require(rounds >= 1 && rounds <= 6399, "private-use-area symbol range")
     var words = Tables.documents(spark, dir)
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("w").as("w0"), col("w"), col("n"))
       .localCheckpoint()
     val merges = (1 to rounds).map { r =>
-      val top1 = pairsOf(words)
+      val top1 = bpePairsOf(words)
         .groupBy(col("pair")).agg(sum(col("n")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("pair")).limit(1)
         .select(lit(r.toLong).as("round"), col("pair").as("merged"),
           col("pair_count"))
         .localCheckpoint()
       words = words.crossJoin(broadcast(top1.select(col("merged"))))
-        .select(expr(s"replace(w, merged, chr($r))").as("w"), col("n"))
+        .select(col("w0"),
+          replace(col("w"), col("merged"), lit(bpeSym(r))).as("w"), col("n"))
         .localCheckpoint()
       top1
     }
-    val rendered = (rounds to 1 by -1).foldLeft("merged") { (e, k) =>
-      s"replace($e, chr($k), '[$k]')"
+    (merges, words)
+  }
+
+  /** x66: the iterated BPE trainer's merge table. The registered 3-round
+    * form is oracle-exact because the loop unrolls into SQL CTE stages
+    * (the x35 pattern: fixed-round unroll checkable, arbitrary-round
+    * loop is the production path); merge table rows render earlier
+    * merged symbols injectively as `[k]` (`[` cannot occur in the
+    * corpus).
+    */
+  val BpeTrainRounds = 3
+
+  def bpeTrain(spark: SparkSession, dir: String,
+      rounds: Int = BpeTrainRounds): DataFrame = {
+    val (merges, _) = bpeTrainState(spark, dir, rounds)
+    val rendered = (rounds to 1 by -1).foldLeft(col("merged")) { (e, k) =>
+      replace(e, lit(bpeSym(k)), lit(s"[$k]"))
     }
     merges.reduce(_ unionAll _)
-      .select(col("round"), expr(rendered).as("merged"), col("pair_count"))
+      .select(col("round"), rendered.as("merged"), col("pair_count"))
       .orderBy(col("round"))
   }
 
-  val BpeTrainSql: String =
-    """WITH words0 AS (
-      |  SELECT w, COUNT(*) AS n FROM (
-      |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
-      |    FROM documents)
-      |  WHERE len(w) >= 1
-      |  GROUP BY w),
-      |t1 AS (
-      |  SELECT pair, CAST(SUM(n) AS BIGINT) AS pc
-      |  FROM (SELECT substr(w, i, 2) AS pair, n
-      |        FROM words0, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
-      |        WHERE len(w) >= 2)
-      |  GROUP BY pair ORDER BY pc DESC, pair LIMIT 1),
-      |words1 AS (
-      |  SELECT replace(w, (SELECT pair FROM t1), chr(1)) AS w, n FROM words0),
-      |t2 AS (
-      |  SELECT pair, CAST(SUM(n) AS BIGINT) AS pc
-      |  FROM (SELECT substr(w, i, 2) AS pair, n
-      |        FROM words1, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
-      |        WHERE len(w) >= 2)
-      |  GROUP BY pair ORDER BY pc DESC, pair LIMIT 1),
-      |words2 AS (
-      |  SELECT replace(w, (SELECT pair FROM t2), chr(2)) AS w, n FROM words1),
-      |t3 AS (
-      |  SELECT pair, CAST(SUM(n) AS BIGINT) AS pc
-      |  FROM (SELECT substr(w, i, 2) AS pair, n
-      |        FROM words2, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
-      |        WHERE len(w) >= 2)
-      |  GROUP BY pair ORDER BY pc DESC, pair LIMIT 1),
-      |m AS (
-      |  SELECT CAST(1 AS BIGINT) AS round, (SELECT pair FROM t1) AS merged,
-      |    (SELECT pc FROM t1) AS pair_count
-      |  UNION ALL
-      |  SELECT CAST(2 AS BIGINT), (SELECT pair FROM t2), (SELECT pc FROM t2)
-      |  UNION ALL
-      |  SELECT CAST(3 AS BIGINT), (SELECT pair FROM t3), (SELECT pc FROM t3))
-      |SELECT round,
-      |  replace(replace(replace(merged, chr(3), '[3]'), chr(2), '[2]'),
-      |    chr(1), '[1]') AS merged,
-      |  pair_count
-      |FROM m
-      |ORDER BY round""".stripMargin
+  /** x73: the BPE ENCODER — x66's merge table APPLIED to the corpus
+    * (the step the trainer exists for). Each document's words are
+    * mapped through the trained vocabulary to int token-id arrays
+    * (`ArrayType(IntegerType)`): a base character encodes as its
+    * codepoint, the round-r merged symbol as 256+r (a contiguous id
+    * space above the byte ids, as a real byte-level BPE tokenizer
+    * assigns them). Emits per doc the id sequence (dash-rendered for
+    * the oracle hash), token counts, and the compression ratio over
+    * raw characters — the tokenizer-quality metric that pairs with
+    * x11's whitespace count. Decode is the exact inverse (expand
+    * symbols in reverse round order); the spec pins the round-trip law
+    * and a 12-round run past the old 9-merge ceiling.
+    *
+    * Scale shape: merges apply to the DISTINCT vocabulary (vocab-sized
+    * relations, winner rows broadcast), never to the corpus; documents
+    * then join to the encoded vocab on the word (broadcast — a token
+    * vocabulary is bounded at any corpus size), so the corpus-sized
+    * stages are one word explode + one per-doc aggregate, and the only
+    * text that shuffles is the dash-rendered id string grouped by its
+    * own doc_id.
+    */
+  val BpeEncodeRounds = 8
+
+  def bpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = BpeEncodeRounds): DataFrame = {
+    val (_, vocab) = bpeTrainState(spark, dir, rounds)
+    val enc = vocab.select(col("w0").as("word"),
+      expr("transform(sequence(1, length(w)), i -> " +
+        s"CASE WHEN ascii(substring(w, i, 1)) >= $BpeSymbolBase " +
+        s"THEN 256 + ascii(substring(w, i, 1)) - $BpeSymbolBase " +
+        "ELSE ascii(substring(w, i, 1)) END)").as("ids"))
+    val docWords = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) >= 1)
+    docWords.join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(size(col("ids"))).as("n_bpe_tokens"),
+        array_join(transform(
+            sort_array(collect_list(struct(col("pos").as("p"),
+              array_join(col("ids"), "-").as("s")))),
+            x => x.getField("s")), "-").as("ids_str"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("compression"),
+        col("ids_str"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decode of [[bpeEncode]]'s symbol strings: expand merged symbols in
+    * REVERSE round order (later symbols may contain earlier ones, never
+    * the converse). `merges` is the collected `(round, rawPair)` table.
+    * Exact inverse of the training substitution — the spec pins
+    * `decode(encode(w)) == w` for every vocabulary word.
+    */
+  private[graft] def bpeDecodeCol(encoded: Column,
+      merges: Seq[(Int, String)]): Column =
+    merges.sortBy(-_._1).foldLeft(encoded) { case (e, (r, pair)) =>
+      replace(e, lit(bpeSym(r)), lit(pair))
+    }
+
+  /** Shared CTE prefix of the BPE oracle twins: `words0` (the weighted
+    * vocabulary) plus, per round r, the winner `t{r}` and the merged
+    * vocabulary `words{r}` (fusing into `chr(${BpeSymbolBase}+r)` — the
+    * same PUA symbol the Spark side injects as a literal). `carryW0`
+    * keeps the original word through the merge stages (the encoder
+    * needs the word→encoded mapping; the trainer doesn't).
+    */
+  private def bpeStagesSql(rounds: Int, carryW0: Boolean): String = {
+    val w0sel = if (carryW0) "w AS w0, w, " else "w, "
+    val w0carry = if (carryW0) "w0, " else ""
+    val head =
+      s"""words0 AS (
+         |  SELECT ${w0sel}COUNT(*) AS n FROM (
+         |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+         |    FROM documents)
+         |  WHERE len(w) >= 1
+         |  GROUP BY w)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""t$r AS (
+         |  SELECT pair, CAST(SUM(n) AS BIGINT) AS pc
+         |  FROM (SELECT substr(w, i, 2) AS pair, n
+         |        FROM words${r - 1}, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+         |        WHERE len(w) >= 2)
+         |  GROUP BY pair ORDER BY pc DESC, pair LIMIT 1),
+         |words$r AS (
+         |  SELECT ${w0carry}replace(w, (SELECT pair FROM t$r), chr(${BpeSymbolBase + r})) AS w, n
+         |  FROM words${r - 1})""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  val BpeTrainSql: String = {
+    val rows = (1 to BpeTrainRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, (SELECT pair FROM t$r) AS merged," +
+        s" (SELECT pc FROM t$r) AS pair_count"
+    }.mkString("\n  UNION ALL ")
+    val rendered = (BpeTrainRounds to 1 by -1).foldLeft("merged") { (e, k) =>
+      s"replace($e, chr(${BpeSymbolBase + k}), '[$k]')"
+    }
+    s"""WITH ${bpeStagesSql(BpeTrainRounds, carryW0 = false)},
+       |m AS (
+       |  $rows)
+       |SELECT round, $rendered AS merged, pair_count
+       |FROM m
+       |ORDER BY round""".stripMargin
+  }
+
+  val BpeEncodeSql: String =
+    s"""WITH ${bpeStagesSql(BpeEncodeRounds, carryW0 = true)},
+       |enc AS (
+       |  SELECT w0 AS word,
+       |    list_transform(generate_series(1, len(w)), i ->
+       |      CASE WHEN unicode(w[i]) >= $BpeSymbolBase
+       |           THEN 256 + unicode(w[i]) - $BpeSymbolBase
+       |           ELSE unicode(w[i]) END) AS ids
+       |  FROM words$BpeEncodeRounds),
+       |docw AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS word
+       |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+       |  WHERE len(toks[i]) >= 1),
+       |j AS (SELECT doc_id, pos, word, ids FROM docw JOIN enc USING (word))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(len(ids)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(len(word)) AS DOUBLE) / CAST(SUM(len(ids)) AS DOUBLE) AS compression,
+       |  string_agg(array_to_string(ids, '-'), '-' ORDER BY pos) AS ids_str
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val BpeMergeRoundSql: String =
     """WITH words AS (

@@ -411,14 +411,37 @@ class PropertySpec extends SparkTestBase {
       val want = (1 to 3).map { r =>
         val pcs = pairCounts(words)
         val (winner, pc) = pcs.toList.minBy { case (p, c) => (-c, p) }
-        // chr(r) is the fused symbol for round r
-        words = words.map { case (w, n) => (w.replace(winner, r.toChar.toString), n) }
-        val display = winner.replace("\u0003", "[3]")
-          .replace("\u0002", "[2]").replace("\u0001", "[1]")
+        // U+E000+r is the fused symbol for round r
+        def sym(k: Int) = (0xE000 + k).toChar.toString
+        words = words.map { case (w, n) => (w.replace(winner, sym(r)), n) }
+        val display = winner.replace(sym(3), "[3]")
+          .replace(sym(2), "[2]").replace(sym(1), "[1]")
         (r.toLong, display, pc)
       }.toList
       assert(got === want, s"case $ci")
     }
+  }
+
+  test("x73: BPE decode round-trips the encoded vocab, 12 rounds past the old ceiling") {
+    import org.apache.spark.sql.functions.{col, length}
+    val dir = "/root/testdata/sf0.001"
+    val rounds = 12 // > 9: impossible under the former chr(1..9) scheme
+    val (merges, vocab) =
+      graft.operators.TextAnalysis.bpeTrainState(spark, dir, rounds)
+    val mergeRows = merges.map(_.select("round", "merged")
+      .as[(Long, String)].head())
+    assert(mergeRows.map(_._1) === (1L to rounds.toLong))
+    // every round found a real (distinct) winner — the trainer did not
+    // degenerate past round 9
+    assert(mergeRows.map(_._2).distinct.size === rounds)
+    // decode law: expanding symbols in reverse round order reproduces
+    // the original word, for EVERY vocabulary word
+    val decoded = vocab.select(col("w0"),
+      graft.operators.TextAnalysis.bpeDecodeCol(col("w"),
+        mergeRows.map { case (r, p) => (r.toInt, p) }).as("d"))
+    assert(decoded.filter(col("w0") =!= col("d")).count() === 0L)
+    // merges only ever shorten: |encode(w)| <= |w|
+    assert(vocab.filter(length(col("w")) > length(col("w0"))).count() === 0L)
   }
 
   test("x65: applied BPE merge matches a sequential two-round trainer") {
