@@ -69,6 +69,14 @@ object SparkEntry {
     "q22_dormant_balance" -> ((s, d) => Relational.dormantBalances(s, d)),
     // two independent dimension paths to nation (supplier's vs customer's)
     "q7_nation_volume" -> ((s, d) => Relational.nationVolume(s, d)),
+    // correlated-scalar-MIN subquery, decorrelated to a grouped min + join-back
+    "q2_min_cost_supplier" -> ((s, d) => Relational.minCostSupplier(s, d)),
+    // multi-fact market share: fact-fact shuffle + four broadcast dim paths
+    "q8_market_share" -> ((s, d) => Relational.marketShare(s, d)),
+    // multi-fact profit rollup per supplier nation and year
+    "q9_product_profit" -> ((s, d) => Relational.productProfit(s, d)),
+    // double-correlated EXISTS/NOT-EXISTS via semi + self-anti join
+    "q21_waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d)),
     "x29_langid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     // Extension tier — training-data pipeline ops (SURVEY.md §2.3)
     "x1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -458,6 +466,10 @@ object SparkEntry {
     "q18_large_volume" -> Relational.LargeVolumeCustomersSql,
     "q22_dormant_balance" -> Relational.DormantBalancesSql,
     "q7_nation_volume" -> Relational.NationVolumeSql,
+    "q2_min_cost_supplier" -> Relational.MinCostSupplierSql,
+    "q8_market_share" -> Relational.MarketShareSql,
+    "q9_product_profit" -> Relational.ProductProfitSql,
+    "q21_waiting_suppliers" -> Relational.WaitingSuppliersSql,
     "x29_langid_confusion" -> TextAnalysis.LangIdConfusionSql,
     "x1_dedup_exact" -> Dedup.ExactSql,
     "x2_minhash_signatures" -> Dedup.MinhashSignaturesSql,

@@ -540,4 +540,242 @@ object Relational {
       |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for every STANDARD part of
+    * size ≤ 15, the EUROPE-region supplier(s) whose line offers the
+    * part at its region-wide minimum extended price — the
+    * correlated-scalar-MIN-subquery shape (the driver schema carries no
+    * partsupp, so lineitem stands in as the (part, supplier, cost)
+    * offer relation and `l_extendedprice` as the cost).
+    *
+    * Spark-first decorrelation: the correlated `= (SELECT MIN ...)`
+    * becomes one partkey-grouped MIN over the offers relation joined
+    * back on (partkey, price) — two scans of the filtered offer
+    * relation, both pruned to 3-4 columns, with every dimension
+    * (supplier⋈nation⋈region, part) broadcast. The price-equality join
+    * keys on (l_partkey, price): doubles compare exactly because both
+    * sides carry the SAME parquet value, never an arithmetic result.
+    * DISTINCT collapses repeated identical offers (TPC-H's partsupp is
+    * unique per (part,supp); a line relation is not).
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val eurSupp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+    val minCost = offers.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_cost"))
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_name")))
+    offers
+      .join(minCost,
+        offers("l_partkey") === minCost("l_partkey") &&
+          col("l_extendedprice") === col("min_cost"))
+      .drop(minCost("l_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("min_cost").as("supply_cost"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val MinCostSupplierSql: String =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |  l_extendedprice AS supply_cost
+      |FROM part, lineitem, supplier, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_type = 'STANDARD' AND p_size <= 15
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q8-shaped market share: of all ECONOMY-part revenue sold
+    * into the AMERICA customer market over two years, the fraction
+    * supplied by NATION_3's suppliers, per order year — the multi-fact
+    * shape (lineitem⋈orders fact-fact shuffle joined to FOUR broadcast
+    * dimension paths: part, supplier→nation, customer→nation→region).
+    * Numerator and denominator accumulate as exact DECIMAL(18,6) and
+    * divide once per year row.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey")))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        dec6(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(0d))
+          .as("nation_volume"),
+        dec6(col("volume")).as("total_volume"))
+      .select(col("o_year"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"),
+        col("nation_volume"), col("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  val MarketShareSql: String =
+    """WITH v AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+      |a AS (
+      |  SELECT o_year,
+      |    CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+      |                       ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
+      |    CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+      |  FROM v GROUP BY o_year)
+      |SELECT o_year, nation_volume / total_volume AS mkt_share,
+      |  nation_volume, total_volume
+      |FROM a
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9-shaped product-type profit: per supplier nation and order
+    * year, revenue minus an inventory-cost proxy on PROMO parts — the
+    * second multi-fact shape (no partsupp, so `p_retailprice ×
+    * l_quantity × 0.1` stands in for `ps_supplycost × l_quantity`).
+    * Both product terms are double arithmetic on raw parquet values
+    * (bit-identical in both engines) summed inside exact DECIMAL(18,6).
+    */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_retailprice")))
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.1)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val ProductProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY n_name, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q21-shaped waiting suppliers: suppliers whose line was the
+    * ONLY late one on a finished multi-supplier order — the
+    * double-correlated EXISTS / NOT-EXISTS shape ("late" = shipped
+    * more than 60 days after the order date, as in Q4's adaptation;
+    * the driver schema has no commit/receipt dates).
+    *
+    * Spark-first decorrelation: the late-line relation (lineitem ⋈
+    * orders[status F] with the date residual) is built ONCE and reused
+    * for both the probe side and the NOT-EXISTS side — the correlated
+    * `l3.l_shipdate > o_orderdate + 60` rebinds to the SAME order row,
+    * so a self-anti-join on (orderkey, supplier≠) is exact. The EXISTS
+    * becomes a semi-join against the pruned (orderkey, suppkey) line
+    * projection. All shuffles key on l_orderkey; supplier⋈nation
+    * broadcasts.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = late
+      .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+    late
+      .join(l2,
+        col("l2_orderkey") === col("l_orderkey") &&
+          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3,
+        col("l3_orderkey") === col("l_orderkey") &&
+          col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val WaitingSuppliersSql: String =
+    """SELECT s_name, n_name, COUNT(*) AS numwait
+      |FROM supplier, nation, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND s_nationkey = n_nationkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
 }

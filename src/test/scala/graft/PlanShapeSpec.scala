@@ -73,6 +73,23 @@ class PlanShapeSpec extends SparkTestBase {
     if (i >= 0) p.take(i) else p
   }
 
+  test("q2/q8/q21: new TPC-H shapes broadcast every dimension path; no cartesian") {
+    for (name <- Seq("q2_min_cost_supplier", "q8_market_share",
+        "q9_product_profit", "q21_waiting_suppliers")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: dimensions not broadcast")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: nested-loop join")
+    }
+    // q8's selective filters reach the scans
+    val p8 = plan("q8_market_share")
+    assert(p8.contains("GreaterThanOrEqual(o_orderdate"), "q8: date filter not pushed")
+    assert(p8.contains("EqualTo(p_type,ECONOMY)"), "q8: part-type filter not pushed")
+    // q21 status filter pushed to the orders scan
+    val p21 = plan("q21_waiting_suppliers")
+    assert(p21.contains("EqualTo(o_orderstatus,F)"), "q21: status filter not pushed")
+  }
+
   test("p60: nested subquery grid has no per-instant union") {
     val p = plan("p60_promql_nested_subquery")
     // the union path materializes one branch per instant under a Union
