@@ -721,7 +721,16 @@ object TextAnalysis {
     * batch path (`StreamingSpec` pins streaming ≡ [[bloomContamination]]
     * on the same corpus).
     */
-  def bloomScore(docs: DataFrame, bitset: DataFrame): DataFrame = {
+  def bloomScore(docs: DataFrame, bitset: DataFrame): DataFrame =
+    bloomScored(docs, bitset)
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+        col("bloom_contamination"), col("flagged"))
+
+  /** [[bloomScore]] keeping the input columns (the streaming curation
+    * gate needs `text` alongside the bloom columns without a second
+    * pass over the stream).
+    */
+  private def bloomScored(docs: DataFrame, bitset: DataFrame): DataFrame = {
     val test = (0 until BloomK).map { j =>
       s"(element_at(bits, cast((h.h1 + $j * h.h2) % $BloomBits div 32 as int) + 1)" +
         s" & shiftleft(1L, cast((h.h1 + $j * h.h2) % $BloomBits % 32 as int))) <> 0L"
@@ -732,13 +741,78 @@ object TextAnalysis {
         "transform(_sh, s -> named_struct(" +
           "'h1', cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint), " +
           "'h2', cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)))"))
-      .select(col("doc_id"),
-        size(col("_sh")).cast("bigint").as("n_shingles"),
-        expr(s"cast(size(filter(_hs, h -> $test)) as bigint)").as("n_bloom_hits"))
+      .withColumn("n_shingles", size(col("_sh")).cast("bigint"))
+      .withColumn("n_bloom_hits",
+        expr(s"cast(size(filter(_hs, h -> $test)) as bigint)"))
       .withColumn("bloom_contamination",
         when(col("n_shingles") === 0L, lit(0.0))
           .otherwise(col("n_bloom_hits").cast("double") / col("n_shingles").cast("double")))
       .withColumn("flagged", col("bloom_contamination") >= 0.5)
+      .drop("_sh", "_hs", "bits")
+  }
+
+  /** The curated corpus's digest→canonical index (x1's dedup key
+    * space): one row per distinct normalized-text digest with the
+    * winning doc_id. This is the STATIC side of the streaming
+    * curation gate — series-count-sized, broadcastable.
+    */
+  def docDigestIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(trim(lower(col("text")))).as("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+
+  /** STREAMING curation verdict — x24's keep/drop cascade as a
+    * stream-static plan (the firewall's admission gate run
+    * continuously): documents arrive as `(doc_id, text)` and every
+    * gate evaluates ROW-LOCALLY against broadcast static state, so
+    * the same plan runs on a batch or streaming frame in append mode
+    * with no watermark and no stateful operator:
+    *  - `duplicate`: normalized-text digest against the static
+    *    [[docDigestIndex]] — keep iff the digest is unseen or this
+    *    doc IS the canonical holder;
+    *  - `too_short` / `repetitive` / `dominated_by_one_token`: x24's
+    *    token thresholds from HOFs over the token array (no explode,
+    *    no per-doc aggregate — `max_c` is the O(distinct²) in-row
+    *    count, bounded by document length);
+    *  - `benchmark_contaminated`: the bloom firewall's row-local
+    *    k-bit membership score against the static eval bitset (x48's
+    *    streaming path; exact x20 contamination needs the corpus-side
+    *    join, which a per-row gate trades away for ≥0.5-threshold
+    *    parity on FP-free corpora).
+    * Same cascade order and thresholds as x24
+    * (`filterVerdict`); `StreamingSpec` pins stream ≡ batch on the
+    * same corpus and batch ≡ x24's verdict on a bloom-FP-free
+    * fixture.
+    */
+  def curationGate(docs: DataFrame, digestIndex: DataFrame,
+      bitset: DataFrame): DataFrame = {
+    val scored = bloomScored(docs, bitset)
+      .withColumn("_toks", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("_toks")).cast("bigint"))
+      .withColumn("_n_distinct", size(array_distinct(col("_toks"))).cast("bigint"))
+      .withColumn("_max_c", expr(
+        "array_max(transform(array_distinct(_toks), t -> size(filter(_toks, x -> x = t))))")
+        .cast("bigint"))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("_n_distinct")).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("top_token_frac",
+        col("_max_c").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("_digest", md5(trim(lower(col("text")))))
+    scored
+      .join(broadcast(digestIndex), col("_digest") === col("digest"), "left")
+      .withColumn("dedup_keep",
+        col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+      .withColumn("reason",
+        when(!col("dedup_keep"), "duplicate")
+          .when(col("n_tokens") < 5, "too_short")
+          .when(col("dup_token_frac") > 0.6, "repetitive")
+          .when(col("top_token_frac") > 0.4, "dominated_by_one_token")
+          .when(col("bloom_contamination") >= 0.5, "benchmark_contaminated")
+          .otherwise("ok"))
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"),
+        col("n_tokens"), col("dup_token_frac"), col("top_token_frac"),
+        col("bloom_contamination").as("contamination"))
   }
 
   def bloomContamination(spark: SparkSession, dir: String): DataFrame = {

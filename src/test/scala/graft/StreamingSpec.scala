@@ -769,4 +769,50 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed === batchView)
     } finally q.stop()
   }
+
+  test("streaming curation gate equals the batch gate and x24's verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    def row(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    // one gate per document: contaminated (4/5 shingles in the src0
+    // benchmark), ok, duplicate-of-2, too_short, dominated (top 6/10),
+    // repetitive (dup 8/12, top 3/12)
+    val corpus = Seq(
+      row(1, "alpha beta gamma delta epsilon zeta extra", "src1"),
+      row(2, "one two three four five six seven eight nine", "src1"),
+      row(3, "one two three four five six seven eight nine", "src2"),
+      row(4, "tiny doc", "src1"),
+      row(5, "rep rep rep rep rep rep unique words here now", "src2"),
+      row(6, "x x x y y y z z z w w w", "src1"))
+    val dir = fixture("documents" -> (row(0,
+      "alpha beta gamma delta epsilon zeta", "src0") +: corpus)
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // the gate ties back to x24's exact verdict on this FP-free fixture
+    // (src0 itself never flows through the gate — it IS the benchmark)
+    val x24 = graft.operators.TextAnalysis.filterVerdict(spark, dir)
+      .filter($"doc_id" >= 1).as[(Long, Boolean, String, Long, Double, Double, Double)].collect().toSet
+    assert(x24.map(_._3) === Set("benchmark_contaminated", "ok", "duplicate",
+      "too_short", "dominated_by_one_token", "repetitive"),
+      "fixture does not exercise every gate")
+    val index = graft.operators.TextAnalysis.docDigestIndex(spark, dir)
+    val bits = graft.operators.TextAnalysis.bloomBitset(spark, dir)
+    val docsDf = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+    val batchGate = graft.operators.TextAnalysis
+      .curationGate(docsDf, index, bits).as[(Long, Boolean, String, Long, Double, Double, Double)].collect().toSet
+    assert(batchGate === x24)
+    // the SAME plan over a stream, fed across two micro-batches
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.curationGate(
+      mem.toDF().toDF("doc_id", "text"), index, bits)
+    val q = out.writeStream.format("memory").queryName("curation_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(corpus.take(3).map(c => (c._1, c._2)): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(3).map(c => (c._1, c._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_stream").as[(Long, Boolean, String, Long, Double, Double, Double)].collect().toSet
+      assert(streamed === batchGate)
+    } finally q.stop()
+  }
 }
