@@ -77,6 +77,14 @@ object SparkEntry {
     "q9_product_profit" -> ((s, d) => Relational.productProfit(s, d)),
     // double-correlated EXISTS/NOT-EXISTS via semi + self-anti join
     "q21_waiting_suppliers" -> ((s, d) => Relational.waitingSuppliers(s, d)),
+    // HAVING vs uncorrelated scalar subquery (scale-relative threshold)
+    "q11_important_stock" -> ((s, d) => Relational.importantStock(s, d)),
+    // CASE-sum priority pivot over the fact-fact join
+    "q12_priority_shipments" -> ((s, d) => Relational.priorityShipments(s, d)),
+    // NOT-IN denylist anti-join + distinct-count per part bucket
+    "q16_supplier_count" -> ((s, d) => Relational.supplierCount(s, d)),
+    // nested IN + correlated HAVING, decorrelated to two aggs + semi-join
+    "q20_excess_quantity" -> ((s, d) => Relational.excessQuantity(s, d)),
     "x29_langid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     // Extension tier — training-data pipeline ops (SURVEY.md §2.3)
     "x1_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -470,6 +478,10 @@ object SparkEntry {
     "q8_market_share" -> Relational.MarketShareSql,
     "q9_product_profit" -> Relational.ProductProfitSql,
     "q21_waiting_suppliers" -> Relational.WaitingSuppliersSql,
+    "q11_important_stock" -> Relational.ImportantStockSql,
+    "q12_priority_shipments" -> Relational.PriorityShipmentsSql,
+    "q16_supplier_count" -> Relational.SupplierCountSql,
+    "q20_excess_quantity" -> Relational.ExcessQuantitySql,
     "x29_langid_confusion" -> TextAnalysis.LangIdConfusionSql,
     "x1_dedup_exact" -> Dedup.ExactSql,
     "x2_minhash_signatures" -> Dedup.MinhashSignaturesSql,

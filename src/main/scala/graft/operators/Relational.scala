@@ -778,4 +778,176 @@ object Relational {
       |GROUP BY s_name, n_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q11-shaped important stock: per part supplied from the ASIA
+    * region, the total line value, keeping parts whose value exceeds
+    * 1.5× the average per-part value — the HAVING-vs-uncorrelated-
+    * scalar-subquery shape (no partsupp; lineitem value stands in for
+    * supplycost×availqty, and the threshold is relative to the average
+    * share so it stays meaningful at every scale factor, unlike
+    * TPC-H's literal FRACTION/SF constant).
+    *
+    * Oracle-parity note: the threshold divides the exact DECIMAL total
+    * by the exact distinct-part count, both engine-identical, so the
+    * one double multiply/divide is bit-equal too.
+    */
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    val asiaSupp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")))
+    val offers = Tables.lineitem(spark, dir)
+      .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+    val thresh = offers.agg(
+      (lit(1.5) * dec6(col("v")) / countDistinct(col("l_partkey")))
+        .as("thresh"))
+    offers.groupBy(col("l_partkey"))
+      .agg(dec6(col("v")).as("part_value"))
+      .crossJoin(broadcast(thresh))
+      .filter(col("part_value") > col("thresh"))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val ImportantStockSql: String =
+    """WITH offers AS (
+      |  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')
+      |SELECT l_partkey,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+      |FROM offers
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) > (
+      |  SELECT 1.5 * CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+      |    / COUNT(DISTINCT l_partkey)
+      |  FROM offers)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q12-shaped shipment priority distribution: for one ship
+    * year, per line status, how many lines belong to high-priority
+    * (URGENT/HIGH) vs lower-priority orders — the CASE-sum pivot over
+    * a fact-fact join (the driver schema has no l_shipmode, so
+    * l_linestatus is the pivot axis). Counts are exact integers.
+    */
+  def priorityShipments(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val PriorityShipmentsSql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q16-shaped supplier count: distinct suppliers able to
+    * supply each (brand, type, size) bucket of qualifying parts,
+    * excluding a NOT-IN supplier denylist (low account balance stands
+    * in for Q16's complaint-comment scan — the schema carries no
+    * s_comment). NOT IN over a non-nullable key decorrelates to an
+    * anti-join against the broadcast denylist; part is broadcast; the
+    * one shuffle is the final distinct-count aggregate.
+    */
+  def supplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val denylist = broadcast(Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 2000.0)
+      .select(col("s_suppkey").as("bad_suppkey")))
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 14, 23, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(denylist, col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val SupplierCountSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 14, 23, 45)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20-shaped excess quantity: suppliers who shipped more than
+    * 40% of a SMALL part's one-year volume — the nested-IN +
+    * correlated-HAVING shape. Decorrelated Spark-first: the filtered
+    * offer relation aggregates once per (supplier, part) and once per
+    * part, the 40% comparison joins the two on the part key, and the
+    * qualifying supplier set semi-joins back to supplier. Quantities
+    * accumulate as exact DECIMAL(18,2); the one 0.4× multiply is
+    * double on exact inputs, identical in both engines.
+    */
+  def excessQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val sl = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "SMALL").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val perPart = sl.groupBy(col("l_partkey").as("pk"))
+      .agg(dec2(col("l_quantity")).as("part_total"))
+    val qualifying = sl.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(dec2(col("l_quantity")).as("sp_total"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("sp_total") > lit(0.4) * col("part_total"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val ExcessQuantitySql: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey
+      |  FROM lineitem l1
+      |  JOIN part ON l1.l_partkey = p_partkey
+      |  WHERE p_type = 'SMALL'
+      |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l1.l_suppkey, l1.l_partkey
+      |  HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 0.4 * (
+      |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    FROM lineitem l2
+      |    WHERE l2.l_partkey = l1.l_partkey
+      |      AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+      |ORDER BY s_name""".stripMargin
 }

@@ -75,12 +75,20 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("q2/q8/q21: new TPC-H shapes broadcast every dimension path; no cartesian") {
     for (name <- Seq("q2_min_cost_supplier", "q8_market_share",
-        "q9_product_profit", "q21_waiting_suppliers")) {
+        "q9_product_profit", "q21_waiting_suppliers",
+        "q12_priority_shipments", "q16_supplier_count", "q20_excess_quantity")) {
       val p = plan(name)
       assert(p.contains("BroadcastHashJoin"), s"$name: dimensions not broadcast")
       assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: nested-loop join")
     }
+    // q11's threshold is a 1-ROW broadcast relation: its conditionless
+    // cross join correctly plans as a single BroadcastNestedLoopJoin
+    // (constant-size build side at any scale); the dimension path must
+    // still broadcast-hash and nothing may go cartesian
+    val p11 = plan("q11_important_stock")
+    assert(p11.contains("BroadcastHashJoin"), "q11: dimensions not broadcast")
+    assert(!p11.contains("CartesianProduct"), "q11: cartesian product")
     // q8's selective filters reach the scans
     val p8 = plan("q8_market_share")
     assert(p8.contains("GreaterThanOrEqual(o_orderdate"), "q8: date filter not pushed")
