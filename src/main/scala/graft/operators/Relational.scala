@@ -568,16 +568,19 @@ object Relational {
     val offers = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
       .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
-    val minCost = offers.groupBy(col("l_partkey"))
+    // the grouped-min relation renames its key: a same-name self-join
+    // against a derived frame leans on Spark's dataset-id disambiguation
+    // (and warns); the rename makes the equi-join unambiguous
+    val minCost = offers.groupBy(col("l_partkey").as("mc_partkey"))
       .agg(min(col("l_extendedprice")).as("min_cost"))
     val p = broadcast(Tables.part(spark, dir)
       .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
       .select(col("p_partkey"), col("p_name")))
     offers
       .join(minCost,
-        offers("l_partkey") === minCost("l_partkey") &&
+        col("l_partkey") === col("mc_partkey") &&
           col("l_extendedprice") === col("min_cost"))
-      .drop(minCost("l_partkey"))
+      .drop("mc_partkey")
       .join(p, col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"), col("min_cost").as("supply_cost"))

@@ -235,6 +235,15 @@ class PlanShapeSpec extends SparkTestBase {
       "x62 recomputes signatures instead of reading the shared simhash cache")
   }
 
+  test("x73: encoded vocab broadcasts into the corpus join; no cartesian") {
+    val p = plan("x73_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "x73's word->ids join is not a broadcast hash join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "the vocab-sized encode join fell back to sort-merge")
+  }
+
   test("x65: the 1-row winner broadcasts into the merge; top-k stays bounded") {
     val p = plan("x65_bpe_merge")
     assert(!p.contains("CartesianProduct"),
