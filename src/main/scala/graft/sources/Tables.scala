@@ -52,14 +52,18 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    TsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      d.schema(c).dataType match {
-        case LongType =>
-          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-        case TimestampNTZType =>
-          d.withColumn(c, d(c).cast(TimestampType))
-        case _ => d
-      }
+    // nanos-as-long conversion applies only to the known ns columns; the
+    // ntz→timestamp canonicalization applies to EVERY ntz column so the
+    // next fixture regeneration can't reintroduce the r8 wipeout on a
+    // column this list doesn't mention.
+    val withNanos = TsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == LongType)
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
     }
+    withNanos.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(withNanos) { (d, f) =>
+        d.withColumn(f.name, d(f.name).cast(TimestampType))
+      }
   }
 }
