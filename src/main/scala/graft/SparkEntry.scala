@@ -338,6 +338,8 @@ object SparkEntry {
     "x66_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     // x66's merges APPLIED: per-doc int token ids + compression ratio
     "x73_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    // x59's dup runs REMOVED: boilerplate scrub + verifiable rewrite md5
+    "x74_span_scrub" -> ((s, d) => TextAnalysis.spanScrub(s, d)),
     // per-feed-pair shared-shingle counts + Jaccard (mirroring feeds)
     "x67_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     // exact containment per candidate pair (asymmetric near-dup signal)
@@ -617,6 +619,7 @@ object SparkEntry {
     "x65_bpe_merge" -> TextAnalysis.BpeMergeRoundSql,
     "x66_bpe_train" -> TextAnalysis.BpeTrainSql,
     "x73_bpe_encode" -> TextAnalysis.BpeEncodeSql,
+    "x74_span_scrub" -> TextAnalysis.SpanScrubSql,
     "x67_source_overlap" -> TextAnalysis.SourceOverlapSql,
     "x68_containment" -> Dedup.ContainmentSql,
     "x69_lang_mix" -> TextAnalysis.LangMixSql,

@@ -1456,6 +1456,99 @@ object TextAnalysis {
       |FROM tot LEFT JOIN agg ON agg.doc_id = tot.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** x74: duplicate-span SCRUB — the transform x59 only measures
+    * (suffix-array-literature boilerplate removal): every run of ≥ 5
+    * consecutive corpus-duplicated 3-gram positions (= a ≥ 7-token
+    * verbatim substring shared with another document) is REMOVED from
+    * the token stream, in EVERY document carrying it — the
+    * header/footer/license-scrub semantics; keep-one-copy semantics is
+    * x28's survivor selection. Emits per doc the before/after token
+    * counts and the md5 of the scrubbed text (kept tokens re-joined in
+    * order), so consumers can verify the rewrite without shipping it.
+    *
+    * Scale shape: x59's shingle-keyed stages unchanged (dup set,
+    * semi-join, gaps-and-islands); the covered-position explode is
+    * ∝ scrubbed volume; the only text-bearing shuffle is the per-doc
+    * token join/aggregate keyed on doc_id — unavoidable for a rewrite
+    * — and what crosses the wire per doc afterwards is one 32-byte md5.
+    */
+  val ScrubMinRun = 5
+
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Corpus.shingleRows(spark, dir)
+      .select(col("doc_id"), col("pos"), col("shingle"))
+    val dup = sh.select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("shingle"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = sh.join(dup, Seq("shingle"), "left_semi")
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        count(lit(1)).as("run"))
+      .filter(col("run") >= ScrubMinRun)
+    // a run of shingles at positions s..e covers tokens s..e+2
+    val covered = runs.select(col("doc_id"),
+      explode(sequence(col("s"), col("e") + 2)).as("tok_pos")).distinct()
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("tok_pos", "tok")))
+    val after = toks.join(covered, Seq("doc_id", "tok_pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("tok_pos").as("p"), col("tok").as("t")))),
+          x => x.getField("t")), " ")).as("scrubbed_md5"))
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(after, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_scrubbed"),
+        coalesce(col("scrubbed_md5"), md5(lit(""))).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val SpanScrubSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+       |dup AS (
+       |  SELECT shingle
+       |  FROM (SELECT DISTINCT doc_id, shingle FROM sh)
+       |  GROUP BY shingle HAVING COUNT(*) >= 2),
+       |g AS (SELECT doc_id, pos,
+       |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |      FROM sh WHERE shingle IN (SELECT shingle FROM dup)),
+       |runs AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+       |         FROM g GROUP BY doc_id, grp HAVING COUNT(*) >= $ScrubMinRun),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, tok_pos
+       |  FROM runs, LATERAL (SELECT unnest(generate_series(s, e + 2)) AS tok_pos)),
+       |toks AS (
+       |  SELECT doc_id, i - 1 AS tok_pos, toks[i] AS tok
+       |  FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.tok_pos, t.tok FROM toks t
+       |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+       |                    WHERE c.doc_id = t.doc_id AND c.tok_pos = t.tok_pos)),
+       |after AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    md5(string_agg(tok, ' ' ORDER BY tok_pos)) AS scrubbed_md5
+       |  FROM kept GROUP BY doc_id),
+       |b AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |      FROM toks GROUP BY doc_id)
+       |SELECT b.doc_id AS doc_id, n_tokens,
+       |  COALESCE(n_kept, 0) AS n_kept,
+       |  CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_scrubbed,
+       |  COALESCE(scrubbed_md5, md5('')) AS scrubbed_md5
+       |FROM b LEFT JOIN after USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** x60: BPE merge-candidate statistics — the counting step of
     * byte-pair-encoding tokenizer training: corpus-weighted frequencies
     * of adjacent character pairs inside words, reported as the top 20

@@ -882,4 +882,30 @@ class ExtensionSpec extends SparkTestBase {
     assert(rows === Map(0L -> 0L, 1L -> rows(1L)))
     assert(rows(1L) > 0L)
   }
+
+  test("x74: span scrub removes exactly the shared boilerplate run, everywhere") {
+    // docs 0/1 share a 7-token prefix (5 consecutive dup shingles = the
+    // scrub threshold); their tails are distinct; doc 2 is untouched
+    val pre = "terms of service apply to this document"
+    val dir = fixture("documents" -> Seq(
+      doc(0, s"$pre alpha beta gamma delta"),
+      doc(1, s"$pre epsilon zeta eta theta"),
+      doc(2, "completely unrelated content with fresh words")).toDF(docCols: _*))
+    val rows = TextAnalysis.spanScrub(spark, dir)
+      .select($"doc_id", $"n_tokens", $"n_kept", $"n_scrubbed", $"scrubbed_md5")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq === Seq(
+      (0L, 11L, 4L, 7L), (1L, 11L, 4L, 7L), (2L, 6L, 6L, 0L)))
+    // the scrubbed text is the tail alone; the untouched doc's md5 is
+    // its own normalized text
+    def h(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(0)._5 === h("alpha beta gamma delta"))
+    assert(rows(1)._5 === h("epsilon zeta eta theta"))
+    assert(rows(2)._5 === h("completely unrelated content with fresh words"))
+    // structural law + x59 agreement: a doc is scrubbed iff x59 flags it
+    val flagged = TextAnalysis.corpusDupSpans(spark, dir)
+      .select($"doc_id", $"flagged_dup").as[(Long, Boolean)].collect().toMap
+    rows.foreach { r => assert((r._4 > 0) === flagged(r._1), s"doc ${r._1}") }
+  }
 }
