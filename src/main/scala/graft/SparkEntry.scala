@@ -340,6 +340,8 @@ object SparkEntry {
     "x73_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     // x59's dup runs REMOVED: boilerplate scrub + verifiable rewrite md5
     "x74_span_scrub" -> ((s, d) => TextAnalysis.spanScrub(s, d)),
+    // per-language compression + fertility over x73's encoding
+    "x75_bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
     // per-feed-pair shared-shingle counts + Jaccard (mirroring feeds)
     "x67_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     // exact containment per candidate pair (asymmetric near-dup signal)
@@ -620,6 +622,7 @@ object SparkEntry {
     "x66_bpe_train" -> TextAnalysis.BpeTrainSql,
     "x73_bpe_encode" -> TextAnalysis.BpeEncodeSql,
     "x74_span_scrub" -> TextAnalysis.SpanScrubSql,
+    "x75_bpe_fertility" -> TextAnalysis.BpeFertilitySql,
     "x67_source_overlap" -> TextAnalysis.SourceOverlapSql,
     "x68_containment" -> Dedup.ContainmentSql,
     "x69_lang_mix" -> TextAnalysis.LangMixSql,

@@ -1664,7 +1664,21 @@ object TextAnalysis {
     * the corpus is scanned ONCE (word count), and every later round
     * touches only the vocabulary.
     */
+  /** Session-scoped cache of the training loop's result: x66, x73, and
+    * x75 share one (merges, encoded-vocab) computation per (session,
+    * sf, rounds) — the rounds × localCheckpoint loop runs once.
+    */
+  private val bpeStateCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (Seq[DataFrame], DataFrame)]()
+
   private[graft] def bpeTrainState(spark: SparkSession, dir: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) =
+    bpeStateCache.computeIfAbsent((spark, dir, rounds), k => {
+      SessionCaches.onApplicationEnd(spark)(() => bpeStateCache.remove(k))
+      bpeTrainStateUncached(spark, dir, rounds)
+    })
+
+  private def bpeTrainStateUncached(spark: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1 && rounds <= 6399, "private-use-area symbol range")
     var words = Tables.documents(spark, dir)
@@ -1760,6 +1774,50 @@ object TextAnalysis {
         col("ids_str"))
       .orderBy(col("doc_id"))
   }
+
+  /** x75: per-language tokenizer FERTILITY over x73's encoding — the
+    * "which languages does this tokenizer underserve" audit every
+    * multilingual release runs: per language, total chars / BPE tokens
+    * (compression) and BPE tokens per word (fertility; high fertility =
+    * the merge table was trained on someone else's script). Reuses the
+    * session-cached training state, so x73+x75 together pay for ONE
+    * training loop; the rollup itself is a language-keyed hash
+    * aggregate over per-doc exact integers, with the two ratios divided
+    * once per language row.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("compression"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy(col("lang"))
+
+  // lazy: BpeEncodeSql is declared later in this object (plain vals
+  // initialize in declaration order; a forward reference interpolates null)
+  lazy val BpeFertilitySql: String =
+    s"""WITH enc AS ($BpeEncodeSql)
+       |SELECT d.lang AS lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(enc.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(enc.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(enc.n_chars) AS DOUBLE) / CAST(SUM(enc.n_bpe_tokens) AS DOUBLE)
+       |    AS compression,
+       |  CAST(SUM(enc.n_bpe_tokens) AS DOUBLE) / CAST(SUM(enc.n_words) AS DOUBLE)
+       |    AS fertility
+       |FROM enc JOIN documents d USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY lang""".stripMargin
 
   /** Decode of [[bpeEncode]]'s symbol strings: expand merged symbols in
     * REVERSE round order (later symbols may contain earlier ones, never
