@@ -244,6 +244,15 @@ class PlanShapeSpec extends SparkTestBase {
       "the vocab-sized encode join fell back to sort-merge")
   }
 
+  test("x74: span scrub reuses the shingle cache; doc_id-keyed joins only") {
+    val p = plan("x74_span_scrub")
+    assert(p.contains("InMemoryTableScan"),
+      "x74 recomputes the shingle explode instead of reading the corpus cache")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "a scrub join lost its equi-join keys")
+  }
+
   test("x65: the 1-row winner broadcasts into the merge; top-k stays bounded") {
     val p = plan("x65_bpe_merge")
     assert(!p.contains("CartesianProduct"),
