@@ -690,12 +690,20 @@ object TextAnalysis {
     * the streaming decontamination join — build once per eval-suite
     * release, broadcast into every corpus scan, batch or streaming.
     */
-  def bloomBitset(spark: SparkSession, dir: String): DataFrame = {
+  def bloomBitset(spark: SparkSession, dir: String): DataFrame =
+    bloomBitsetOf(Corpus.shingleRows(spark, dir)
+      .filter(col("source") === "src0").select(col("shingle")))
+
+  /** [[bloomBitset]] over ANY `shingle` relation — the benchmark slice
+    * (x48), or the corpus's duplicated-shingle set (the boilerplate
+    * firewall's static index).
+    */
+  def bloomBitsetOf(shingles: DataFrame): DataFrame = {
+    val spark = shingles.sparkSession
     val hex = md5(col("shingle"))
     def pos(j: Int): Column =
       (col("_h1") + lit(j.toLong) * col("_h2")) % lit(BloomBits.toLong)
-    val benchPos = Corpus.shingleRows(spark, dir)
-      .filter(col("source") === "src0")
+    val benchPos = shingles
       .select(col("shingle")).distinct()
       .withColumn("_h1", conv(substring(hex, 1, 8), 16, 10).cast("long"))
       .withColumn("_h2", conv(substring(hex, 9, 8), 16, 10).cast("long"))
@@ -708,6 +716,70 @@ object TextAnalysis {
       .join(broadcast(words), Seq("w"), "left").na.fill(0L, Seq("v"))
       .agg(transform(sort_array(collect_list(struct(col("w"), col("v")))),
         e => e("v")).as("bits"))
+  }
+
+  /** Static index for the streaming boilerplate firewall: the corpus's
+    * CROSS-document duplicated 3-gram set (x74's `dup` relation)
+    * collapsed into the fixed 128 KB bloom bitset — broadcastable at
+    * any corpus size, the price being bloom false positives, which
+    * only over-scrub (the safe direction, as with x48).
+    */
+  def dupShingleBitset(spark: SparkSession, dir: String): DataFrame =
+    bloomBitsetOf(Corpus.shingleRows(spark, dir)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("shingle")))
+
+  /** STREAMING boilerplate firewall — x74's duplicate-span scrub as a
+    * stream-static plan: documents arrive as `(doc_id, text)` and the
+    * whole scrub evaluates ROW-LOCALLY against the broadcast
+    * [[dupShingleBitset]], so the same plan runs batch or streaming in
+    * append mode with no watermark and no stateful operator:
+    *  1. ordered shingle hit flags via the bloom k-bit test (x48's
+    *     in-row probe);
+    *  2. run detection without a window function: shingle position p
+    *     lies in a ≥[[ScrubMinRun]] hit run iff SOME 5-window
+    *     [j, j+4] ∋ p is fully hit — two nested bounded HOF scans;
+    *  3. token t is scrubbed iff a covered shingle starts in
+    *     [t−2, t].
+    * Output schema matches x74 (`n_tokens`/`n_kept`/`n_scrubbed`/
+    * `scrubbed_md5`); the spec pins stream ≡ batch ≡ x74 on an
+    * FP-free fixture. Semantics: scrubs boilerplate KNOWN to the
+    * index — spans a new doc shares only with itself are admitted
+    * until the index is rebuilt (the incremental-curation contract,
+    * like x32's prior-snapshot dedup).
+    */
+  def boilerplateFirewall(docs: DataFrame, bitset: DataFrame): DataFrame = {
+    val test = (0 until BloomK).map { j =>
+      s"(element_at(bits, cast((h.h1 + $j * h.h2) % $BloomBits div 32 as int) + 1)" +
+        s" & shiftleft(1L, cast((h.h1 + $j * h.h2) % $BloomBits % 32 as int))) <> 0L"
+    }.mkString(" AND ")
+    val r = ScrubMinRun
+    docs.crossJoin(broadcast(bitset))
+      .withColumn("_toks", TextOps.tokens(col("text")))
+      .withColumn("_sh", TextOps.shingles(col("text"), 3))
+      .withColumn("_hits", expr(
+        "transform(transform(_sh, s -> named_struct(" +
+          "'h1', cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint), " +
+          "'h2', cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)))," +
+          s" h -> $test)"))
+      .withColumn("_hit5", expr(
+        s"transform(sequence(0, greatest(size(_hits) - $r, 0)), " +
+          s"j -> j + $r <= size(_hits) AND forall(slice(_hits, j + 1, $r), x -> x))"))
+      .withColumn("_covSh", expr(
+        s"transform(sequence(0, greatest(size(_hits) - 1, 0)), " +
+          s"p -> exists(slice(_hit5, greatest(p - ${r - 1}, 0) + 1, " +
+          s"p - greatest(p - ${r - 1}, 0) + 1), x -> x))"))
+      .withColumn("_kept", expr(
+        "filter(transform(sequence(0, size(_toks) - 1), " +
+          "t -> named_struct('t', t, 'tok', element_at(_toks, t + 1))), " +
+          "s -> NOT exists(slice(_covSh, greatest(s.t - 2, 0) + 1, " +
+          "s.t - greatest(s.t - 2, 0) + 1), x -> x))"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("bigint").as("n_tokens"),
+        size(col("_kept")).cast("bigint").as("n_kept"),
+        (size(col("_toks")) - size(col("_kept"))).cast("bigint").as("n_scrubbed"),
+        md5(expr("array_join(transform(_kept, s -> s.tok), ' ')")).as("scrubbed_md5"))
   }
 
   /** Stateless per-row Bloom membership scoring of a `(doc_id, text)`

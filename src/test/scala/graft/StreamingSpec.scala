@@ -815,4 +815,42 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed === batchGate)
     } finally q.stop()
   }
+
+  test("streaming boilerplate firewall equals the batch scrub and x74 bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    def row(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    // docs 1/2 share a 7-token prefix (one 5-shingle dup run); doc 3 is clean
+    val pre = "terms of service apply to this document"
+    val corpus = Seq(
+      row(1, s"$pre alpha beta gamma delta", "src1"),
+      row(2, s"$pre epsilon zeta eta theta", "src2"),
+      row(3, "completely unrelated content with fresh words", "src1"))
+    val dir = fixture("documents" ->
+      corpus.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val x74 = graft.operators.TextAnalysis.spanScrub(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(x74.exists(_._4 > 0), "fixture scrubs nothing; test is vacuous")
+    val bits = graft.operators.TextAnalysis.dupShingleBitset(spark, dir)
+    val docsDf = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+    val batch = graft.operators.TextAnalysis.boilerplateFirewall(docsDf, bits)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    // row-local bloom scrub ties back to x74's exact relation-level scrub
+    // on this FP-free fixture
+    assert(batch === x74)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.boilerplateFirewall(
+      mem.toDF().toDF("doc_id", "text"), bits)
+    val q = out.writeStream.format("memory").queryName("boiler_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(corpus.take(2).map(c => (c._1, c._2)): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2).map(c => (c._1, c._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("boiler_stream")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
