@@ -1891,6 +1891,43 @@ object TextAnalysis {
        |GROUP BY d.lang
        |ORDER BY lang""".stripMargin
 
+  /** STREAMING BPE encode — x73 with a FROZEN tokenizer (the
+    * production serving shape: train once, tokenize the stream
+    * forever): `merges` is the collected `(round, rawPair)` table
+    * (rounds-sized, driver-held), baked into the row expression as
+    * literals, so the whole encode — merge application per word, id
+    * extraction, counts, compression — evaluates inside the row with
+    * no join, no aggregation, no state. Output schema matches
+    * [[bpeEncode]]; the spec pins stream ≡ batch x73 on the same
+    * corpus and merge table.
+    */
+  def bpeEncodeStream(docs: DataFrame, merges: Seq[(Int, String)]): DataFrame = {
+    // x73's docWords filter: empty tokens (doubled separators) never
+    // encode — and sequence(1, 0) would run DESCENDING on one
+    val toks = filter(TextOps.tokens(col("text")), w => length(w) >= 1)
+    val encoded = transform(toks, w =>
+      merges.sortBy(_._1).foldLeft(w) { case (e, (r, p)) =>
+        replace(e, lit(p), lit(bpeSym(r)))
+      })
+    docs
+      .withColumn("_toks", toks)
+      .withColumn("_enc", encoded)
+      .withColumn("_ids", expr(
+        "transform(_enc, w -> transform(sequence(1, length(w)), i -> " +
+          s"CASE WHEN ascii(substring(w, i, 1)) >= $BpeSymbolBase " +
+          s"THEN 256 + ascii(substring(w, i, 1)) - $BpeSymbolBase " +
+          "ELSE ascii(substring(w, i, 1)) END))"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("bigint").as("n_words"),
+        expr("aggregate(_toks, 0L, (a, x) -> a + length(x))").as("n_chars"),
+        expr("aggregate(_ids, 0L, (a, x) -> a + size(x))").as("n_bpe_tokens"),
+        (expr("aggregate(_toks, 0L, (a, x) -> a + length(x))").cast("double") /
+          expr("aggregate(_ids, 0L, (a, x) -> a + size(x))").cast("double"))
+          .as("compression"),
+        expr("array_join(transform(_ids, a -> array_join(a, '-')), '-')")
+          .as("ids_str"))
+  }
+
   /** Decode of [[bpeEncode]]'s symbol strings: expand merged symbols in
     * REVERSE round order (later symbols may contain earlier ones, never
     * the converse). `merges` is the collected `(round, rawPair)` table.

@@ -853,4 +853,33 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming BPE encode with a frozen merge table equals batch x73") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rounds = graft.operators.TextAnalysis.BpeEncodeRounds
+    val batch = graft.operators.TextAnalysis.bpeEncode(spark, dir, rounds)
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSet
+    // freeze the tokenizer: collect the rounds-sized merge table
+    val merges = graft.operators.TextAnalysis.bpeTrainState(spark, dir, rounds)
+      ._1.map(_.select($"round", $"merged").as[(Long, String)].head())
+      .map { case (r, p) => (r.toInt, p) }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.bpeEncodeStream(
+      mem.toDF().toDF("doc_id", "text"), merges)
+    val q = out.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      mem.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream")
+        .as[(Long, Long, Long, Long, Double, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
