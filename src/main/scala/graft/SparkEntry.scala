@@ -25,6 +25,8 @@ object SparkEntry {
     "a3_gauge_snapshot" -> ((s, d) => Metrics.gaugeSnapshot(s, d)),
     "a4_histogram_snapshot" -> ((s, d) => Metrics.histogramSnapshot(s, d)),
     "a4b_histogram_aggregator" -> ((s, d) => Metrics.histogramSnapshotAgg(s, d)),
+    // native (exponential sparse-bucket) histogram; rows-only — no fixture
+    "b37_native_histogram" -> ((s, d) => Metrics.nativeHistogramSnapshot(s, d)),
     "b7b_histogram_quantile_native" -> ((s, d) => Metrics.histogramQuantileNative(s, d)),
     // Tier B — PromQL-class TSDB query surface (SURVEY.md §2.2)
     "b1_selector" -> ((s, d) => PromQL.selector(s, d)),
@@ -434,7 +436,7 @@ object SparkEntry {
     * this set is EXACTLY `queries.keySet -- oracleSql.keySet`.
     */
   val rowsOnly: Set[String] = Set(
-    "b29_holt_winters", "b33_log_functions", "b34_trig_functions",
+    "b29_holt_winters", "b33_log_functions", "b34_trig_functions", "b37_native_histogram",
     "p54_promql_smoothing", "p64_promql_asinh", "p65_promql_acosh",
     "p66_promql_atanh", "x16_approx_distinct", "x23_cms_heavy_hitters",
     "x26_quantile_sketch", "x37_kmeans_converged", "x40_kmeanspp_clusters")

@@ -285,6 +285,32 @@ object Metrics {
       .orderBy(col("name"), col("label_k"), col("le"))
   }
 
+  /** NATIVE-histogram snapshot (the exponential-bucket sample kind the
+    * reference's explicit-boundary A4 predates): the same
+    * histogram-kind observations accumulated into sparse
+    * base-2^(1/8) buckets (schema 3) through the mergeable
+    * [[graft.functions.NativeHistogramAggregator]] — one ~sparse-map
+    * buffer per series per partition crosses the shuffle, resolution
+    * adapts to the data. Registered rows-only: the driver fixtures
+    * carry no native-histogram samples to oracle against (NOTES_r9
+    * ask #1); the aggregator's merge/codec/quantile laws are
+    * spec-pinned instead, and every output field derives from exact
+    * integer state (bit-stable under any partitioning).
+    */
+  def nativeHistogramSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val nh = udaf(new graft.functions.NativeHistogramAggregator(3))
+    metricEvents(spark, dir).filter(col("kind") === "histogram")
+      .groupBy(col("name"), col("label_k"))
+      .agg(nh(col("value")).as("h"))
+      .select(col("name"), col("label_k"),
+        col("h.schema").as("schema"), col("h.zero_count").as("zero_count"),
+        col("h.count").as("count"), col("h.sum").as("sum"),
+        col("h.n_buckets").as("n_buckets"),
+        size(col("h.span_offsets")).cast("bigint").as("n_spans"),
+        col("h.p50").as("p50"), col("h.p90").as("p90"), col("h.p99").as("p99"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
   /** B7 alternate physical strategy: `histogram_quantile` through the
     * native codegen'd [[graft.plans.HistogramQuantileExpr]] over
     * per-series bucket arrays — no window pass, no per-bucket rows at the

@@ -134,4 +134,51 @@ class MetricsSpec extends SparkTestBase {
     assert(e.getMessage.contains("expected timestamp"))
     assert(e.getMessage.contains("<absent>"))
   }
+
+  test("native histogram: merge laws, wire round-trip, bucket bounds, quantiles") {
+    val agg = new graft.functions.NativeHistogramAggregator(3)
+    val vals = Seq(0.0, 0.01, 0.5, 1.0, 1.0, 2.5, 7.0, 42.0, 42.0, 42.0,
+      199.99, 1500.0, 0.0)
+    // sequential fold vs arbitrary split-merge: identical buffers
+    val whole = vals.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- Seq(1, 4, 7, 12)) {
+      val (a, b) = vals.splitAt(cut)
+      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged === whole, s"cut $cut")
+    }
+    assert(whole.zero === 2L && whole.count === vals.length.toLong)
+    // every positive observation lies in its bucket's (lo, hi] range
+    for (v <- vals.filter(_ > 0)) {
+      val i = agg.bucketIndex(v)
+      assert(v > agg.bucketLow(i) * (1 - 1e-9) && v <= agg.bucketHigh(i) * (1 + 1e-9),
+        s"v=$v i=$i [${agg.bucketLow(i)}, ${agg.bucketHigh(i)}]")
+    }
+    // wire shape round-trips, including multi-span gaps
+    val (off, len, del) = agg.encode(whole.buckets)
+    assert(agg.decode(off, len, del) === whole.buckets)
+    assert(off.length === len.length && del.length === whole.buckets.size)
+    assert(len.sum === whole.buckets.size)
+    // quantiles: monotone in phi, inside the observed range, zero-bucket exact
+    val qs = Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0).map(agg.quantile(whole, _))
+    assert(qs === qs.sorted)
+    assert(agg.quantile(whole, 0.1) === 0.0) // rank 1.3 of 13 falls in the 2-count zero bucket
+    assert(qs.last <= agg.bucketHigh(agg.bucketIndex(1500.0)) * (1 + 1e-9))
+    // relative error bound: each quantile within one bucket factor of
+    // the exact order statistic
+    val sortedVals = vals.sorted
+    for (phi <- Seq(0.5, 0.9, 0.99)) {
+      val exact = sortedVals(math.ceil(phi * vals.length).toInt - 1)
+      val est = agg.quantile(whole, phi)
+      val base = agg.bucketHigh(1) / agg.bucketLow(1)
+      assert(est <= exact * base * (1 + 1e-9) && est >= exact / base * (1 - 1e-9),
+        s"phi=$phi exact=$exact est=$est")
+    }
+    // the registered query runs end-to-end and is partition-stable
+    val df = Metrics.nativeHistogramSnapshot(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq === Seq("name", "label_k", "schema", "zero_count",
+      "count", "sum", "n_buckets", "n_spans", "p50", "p90", "p99"))
+  }
 }
