@@ -444,6 +444,44 @@ class PropertySpec extends SparkTestBase {
     assert(vocab.filter(length(col("w")) > length(col("w0"))).count() === 0L)
   }
 
+  test("x74: span scrub matches a sequential reference on random corpora") {
+    val wordGen: Gen[String] =
+      Gen.choose(1, 3).flatMap(l => Gen.listOfN(l, Gen.choose('a', 'c')).map(_.mkString))
+    val corpusGen: Gen[List[String]] =
+      Gen.choose(4, 7).flatMap(n => Gen.listOfN(n,
+        Gen.choose(8, 20).flatMap(m => Gen.listOfN(m, wordGen).map(_.mkString(" ")))))
+    def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (ci <- 1 to 5) {
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(310L + ci)).get
+      val dir = fixture("documents" -> texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "src1", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val got = graft.operators.TextAnalysis.spanScrub(spark, dir)
+        .as[(Long, Long, Long, Long, String)].collect().toList.sortBy(_._1)
+      // sequential reference
+      val docToks = texts.map(_.split(" ").toList)
+      val docSh = docToks.map(ts => ts.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toList)
+      val dup = docSh.zipWithIndex.flatMap { case (sh, i) => sh.distinct.map((_, i)) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val want = docToks.zip(docSh).zipWithIndex.map { case ((ts, sh), i) =>
+        val hitPos = sh.zipWithIndex.collect { case (g, p) if dup(g) => p }
+        // maximal runs of consecutive hit positions, length >= 5
+        val runs = hitPos.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }.filter(_.size >= graft.operators.TextAnalysis.ScrubMinRun)
+        val covered = runs.flatMap(r => r.min to (r.max + 2)).toSet
+        val kept = ts.zipWithIndex.collect { case (t, p) if !covered(p) => t }
+        (i.toLong, ts.size.toLong, kept.size.toLong,
+          (ts.size - kept.size).toLong, md5hex(kept.mkString(" ")))
+      }
+      assert(got === want, s"case $ci")
+    }
+  }
+
   test("x65: applied BPE merge matches a sequential two-round trainer") {
     val wordGen: Gen[String] =
       Gen.choose(1, 5).flatMap(l => Gen.listOfN(l, Gen.choose('a', 'd')).map(_.mkString))
