@@ -57,10 +57,16 @@ class NativeHistogramAggregator(val schema: Int)
 
   def bucketIndex(v: Double): Int = {
     val raw = StrictMath.log(v) / StrictMath.log(2.0) * scale
-    val up = StrictMath.ceil(raw)
-    // pull exact-boundary hits (raw already integral) down to their
-    // closed upper bound's bucket
-    if (up == raw) raw.toInt else up.toInt
+    val up = StrictMath.ceil(raw).toInt
+    // Float rounding can push raw a hair above the integer for v
+    // EXACTLY on a bucket's closed upper bound (e.g. v = 2^(4/8) at
+    // schema 3 gives raw = 4.000000000000001), bumping v into the
+    // bucket whose OPEN lower bound equals v. Containment demands
+    // v > bucketLow(i): step down while violated (at most one step —
+    // and symmetrically one step up if rounding went low).
+    if (v <= bucketLow(up)) up - 1
+    else if (v > bucketHigh(up)) up + 1
+    else up
   }
 
   def bucketLow(i: Int): Double = StrictMath.pow(2.0, (i - 1) / scale)

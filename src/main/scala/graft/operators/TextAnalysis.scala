@@ -750,10 +750,7 @@ object TextAnalysis {
     * like x32's prior-snapshot dedup).
     */
   def boilerplateFirewall(docs: DataFrame, bitset: DataFrame): DataFrame = {
-    val test = (0 until BloomK).map { j =>
-      s"(element_at(bits, cast((h.h1 + $j * h.h2) % $BloomBits div 32 as int) + 1)" +
-        s" & shiftleft(1L, cast((h.h1 + $j * h.h2) % $BloomBits % 32 as int))) <> 0L"
-    }.mkString(" AND ")
+    val test = bloomTestExpr
     val r = ScrubMinRun
     docs.crossJoin(broadcast(bitset))
       .withColumn("_toks", TextOps.tokens(col("text")))
@@ -798,15 +795,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
         col("bloom_contamination"), col("flagged"))
 
+  /** The k-bit bloom membership test over a lambda-bound
+    * `named_struct('h1', …, 'h2', …)` variable `h` — the single
+    * definition shared by every row-local bloom consumer (a silent
+    * divergence here would break the firewall-vs-x74 and
+    * gate-vs-x24 parity laws).
+    */
+  private def bloomTestExpr: String = (0 until BloomK).map { j =>
+    s"(element_at(bits, cast((h.h1 + $j * h.h2) % $BloomBits div 32 as int) + 1)" +
+      s" & shiftleft(1L, cast((h.h1 + $j * h.h2) % $BloomBits % 32 as int))) <> 0L"
+  }.mkString(" AND ")
+
   /** [[bloomScore]] keeping the input columns (the streaming curation
     * gate needs `text` alongside the bloom columns without a second
     * pass over the stream).
     */
   private def bloomScored(docs: DataFrame, bitset: DataFrame): DataFrame = {
-    val test = (0 until BloomK).map { j =>
-      s"(element_at(bits, cast((h.h1 + $j * h.h2) % $BloomBits div 32 as int) + 1)" +
-        s" & shiftleft(1L, cast((h.h1 + $j * h.h2) % $BloomBits % 32 as int))) <> 0L"
-    }.mkString(" AND ")
+    val test = bloomTestExpr
     docs.crossJoin(broadcast(bitset))
       .withColumn("_sh", array_distinct(TextOps.shingles(col("text"), 3)))
       .withColumn("_hs", expr(
@@ -1911,6 +1916,10 @@ object TextAnalysis {
       })
     docs
       .withColumn("_toks", toks)
+      // batch x73 emits NO row for a doc with zero non-empty tokens
+      // (its docWords filter + inner vocab join drop it); match that,
+      // and avoid a NULL 0/0 compression
+      .filter(size(col("_toks")) >= 1)
       .withColumn("_enc", encoded)
       .withColumn("_ids", expr(
         "transform(_enc, w -> transform(sequence(1, length(w)), i -> " +

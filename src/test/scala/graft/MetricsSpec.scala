@@ -137,8 +137,11 @@ class MetricsSpec extends SparkTestBase {
 
   test("native histogram: merge laws, wire round-trip, bucket bounds, quantiles") {
     val agg = new graft.functions.NativeHistogramAggregator(3)
+    // includes exact bucket upper bounds (2^(4/8), 2, 4) — float
+    // rounding of log2(v)*2^s once mis-bucketed these one bucket up
     val vals = Seq(0.0, 0.01, 0.5, 1.0, 1.0, 2.5, 7.0, 42.0, 42.0, 42.0,
-      199.99, 1500.0, 0.0)
+      199.99, 1500.0, 0.0, StrictMath.sqrt(2.0), 2.0, 4.0,
+      StrictMath.pow(2.0, 3.0 / 8.0))
     // sequential fold vs arbitrary split-merge: identical buffers
     val whole = vals.foldLeft(agg.zero)(agg.reduce)
     for (cut <- Seq(1, 4, 7, 12)) {
@@ -151,8 +154,8 @@ class MetricsSpec extends SparkTestBase {
     // every positive observation lies in its bucket's (lo, hi] range
     for (v <- vals.filter(_ > 0)) {
       val i = agg.bucketIndex(v)
-      assert(v > agg.bucketLow(i) * (1 - 1e-9) && v <= agg.bucketHigh(i) * (1 + 1e-9),
-        s"v=$v i=$i [${agg.bucketLow(i)}, ${agg.bucketHigh(i)}]")
+      assert(v > agg.bucketLow(i) && v <= agg.bucketHigh(i),
+        s"v=$v i=$i (${agg.bucketLow(i)}, ${agg.bucketHigh(i)}]")
     }
     // wire shape round-trips, including multi-span gaps
     val (off, len, del) = agg.encode(whole.buckets)

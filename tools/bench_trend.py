@@ -68,7 +68,9 @@ def main(argv):
     rows.sort(reverse=True)
 
     print(f"history: {len(runs)} runs, latest {latest_ts}")
-    total_min = sum(m for m in mins.values())
+    # restrict the headline total to queries the LATEST run declares:
+    # a renamed/removed query's stale min would inflate the ratio
+    total_min = sum(m for q, m in mins.items() if q in latest.get("queries", {}))
     total_latest = sum(v for v in latest.get("queries", {}).values() if v >= 0)
     print(f"total: latest {total_latest:.1f}s vs sum-of-mins {total_min:.1f}s "
           f"(x{total_latest / total_min:.2f})" if total_min else "total: n/a")
@@ -86,4 +88,7 @@ def main(argv):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv))
+    try:
+        sys.exit(main(sys.argv))
+    except BrokenPipeError:  # piped into head
+        sys.exit(0)
