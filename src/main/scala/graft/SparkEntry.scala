@@ -373,6 +373,10 @@ object SparkEntry {
     // 2-round twin and the default k-means||-seeded path to planted
     // cluster recovery
     "x37_kmeans_converged" -> ((s, d) => Similarity.kmeansConverged(s, d)),
+    // hash-gated fixed-round Lloyd: the loop body x37 iterates, run for
+    // exactly 3 rounds against a machine-generated round-unrolled CTE
+    // oracle (the x66 BPE-unrolling technique)
+    "x37b_kmeans_rounds" -> ((s, d) => Similarity.kmeansRounds(s, d)),
     // k-means|| (Bahmani et al.) seeding: the distributed oversampling
     // pass is hash-deterministic and oracle-exact end to end
     "x39_kmeanspp_init" -> ((s, d) => Similarity.kmeansParallelInit(s, d)),
@@ -406,8 +410,9 @@ object SparkEntry {
     // order-sensitive float recurrence → rows-only check like x16;
     // spec pins it against an independent Scala reference
     "b29_holt_winters" -> ((s, d) => PromQL.holtWinters(s, d)),
-    // sketch cells are JVM-hash-dependent → rows-only check; the spec
-    // pins the one-sided error bound and the merge laws
+    // count-min sketch on MD5 double-hashing: cells are engine-neutral,
+    // so the estimates hash-gate against a relational DuckDB rebuild of
+    // the same sketch (collisions included); spec pins ≥-exact + merge
     "x23_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
     // sketch read-back uses libm log/pow → rows-only; error spec-bounded
     "x26_quantile_sketch" -> ((s, d) => TextAnalysis.quantileSketch(s, d)),
@@ -420,26 +425,62 @@ object SparkEntry {
   )
 
   /** Queries registered WITHOUT an [[oracleSql]] twin BY DESIGN — never by
-    * omission. Three buckets, every member pinned by an independent spec
-    * law instead of the DuckDB hash compare:
+    * omission. Each entry maps the query to WHY it is ungateable
+    * cross-engine and WHICH independent spec law pins it instead of the
+    * DuckDB hash compare. Three buckets:
     *   - libm-routed float functions whose last ulp legitimately differs
-    *     across engines (b29/b33/b34, p54, p64–p66) — spec-pinned against
-    *     `java.lang.Math`/`StrictMath` IEEE references;
-    *   - engine-specific mergeable sketches whose cell values depend on
-    *     the JVM hash (x16 HLL, x23 CMS, x26 DDSketch) — error bounds and
-    *     merge laws spec-asserted;
-    *   - iterative argmax/greedy loops SQL cannot express (x37 converged
-    *     k-means, x40 k-means|| reduction) — pinned to fixed-round twins
-    *     and planted-cluster recovery.
+    *     across engines — spec-pinned against `java.lang.Math`/
+    *     `StrictMath` IEEE references;
+    *   - engine-private sketch state (x16's HLL is Spark-internal) or
+    *     sketch READ-BACK through libm (x26) — error bounds and merge
+    *     laws spec-asserted;
+    *   - iterative argmax/greedy loops SQL cannot express — pinned to
+    *     hash-gated fixed-round twins and planted-cluster recovery.
     * Machine-readable so the driver and judges can separate "rows-only by
     * design" from "broken" without reading specs; the facade spec asserts
-    * this set is EXACTLY `queries.keySet -- oracleSql.keySet`.
+    * the key set is EXACTLY `queries.keySet -- oracleSql.keySet`.
     */
-  val rowsOnly: Set[String] = Set(
-    "b29_holt_winters", "b33_log_functions", "b34_trig_functions", "b37_native_histogram",
-    "p54_promql_smoothing", "p64_promql_asinh", "p65_promql_acosh",
-    "p66_promql_atanh", "x16_approx_distinct", "x23_cms_heavy_hitters",
-    "x26_quantile_sketch", "x37_kmeans_converged", "x40_kmeanspp_clusters")
+  val rowsOnly: Map[String, String] = Map(
+    "b29_holt_winters" ->
+      ("order-sensitive float recurrence: each smoothing step rounds once, so " +
+        "engines must evaluate in identical order AND identical libm; spec pins " +
+        "every value against an independent sequential Scala reference (PromQLSpec)"),
+    "p54_promql_smoothing" ->
+      ("b29's recurrence through the string front-end — same order-sensitive " +
+        "float rounding; spec-pinned in PromQLFrontendSpec"),
+    "b33_log_functions" ->
+      ("ln/log2/log10/exp are libm-routed; Spark's fdlibm StrictMath vs DuckDB's " +
+        "system libm diverge in the last ulp (measured ~2e-16 rel); spec pins " +
+        "values against java.lang.Math (MetricsSpec/PromQLSpec)"),
+    "b34_trig_functions" ->
+      ("sin/cos/tan/atan2: same libm bucket as b33; spec-pinned against StrictMath"),
+    "p64_promql_asinh" ->
+      ("asinh routes through ln (libm, ulp-divergent); exact IEEE-order values " +
+        "and domain edges spec-pinned in PromQLFrontendSpec"),
+    "p65_promql_acosh" ->
+      ("acosh routes through ln; NaN domain branch spec-pinned (PromQLFrontendSpec)"),
+    "p66_promql_atanh" ->
+      ("atanh routes through ln; scaled-interior values spec-pinned (PromQLFrontendSpec)"),
+    "b37_native_histogram" ->
+      ("p50/p90/p99 use exponential interpolation lo·(hi/lo)^f — StrictMath.pow " +
+        "vs DuckDB pow diverge in the last ulp; the integer wire state IS gated " +
+        "(b37b decodes spans+deltas against a DuckDB rebuild); codec/merge/" +
+        "quantile laws spec-pinned (MetricsSpec/PropertySpec)"),
+    "x16_approx_distinct" ->
+      ("approx_count_distinct reads Spark's internal HyperLogLog++ registers — " +
+        "no cross-engine twin exists by construction; error bound vs exact " +
+        "COUNT(DISTINCT) spec-asserted (ExtensionSpec)"),
+    "x26_quantile_sketch" ->
+      ("DDSketch read-back maps ranks through libm log/pow; relative-error " +
+        "bound and merge laws spec-pinned (PropertySpec)"),
+    "x37_kmeans_converged" ->
+      ("loop-until-converged: SQL cannot express the data-dependent round " +
+        "count; the loop BODY is hash-gated via x37b's fixed-round unrolled-CTE " +
+        "twin, and the spec pins converged ≡ twin on converging data"),
+    "x40_kmeanspp_clusters" ->
+      ("k-means||'s bounded local greedy reduction (the collect IS the " +
+        "algorithm) is not SQL-expressible; spec pins it against an exhaustive " +
+        "independent reference + planted-cluster recovery (ExtensionSpec)"))
 
   def oracleSql: Map[String, String] = Map(
     "a1_exposition" -> Metrics.ExpositionSql,
@@ -603,6 +644,7 @@ object SparkEntry {
     "x18_tfidf_keywords" -> TextAnalysis.TfidfKeywordsSql,
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,
     "x20_contamination" -> TextAnalysis.ContaminationSql,
+    "x23_cms_heavy_hitters" -> TextAnalysis.CmsHeavyHittersSql,
     "x48_bloom_contamination" -> TextAnalysis.BloomContaminationSql,
     "x49_contamination_spans" -> TextAnalysis.ContaminationSpansSql,
     "x21_multimodal_resize" -> Multimodal.ResizeSql,
@@ -639,6 +681,7 @@ object SparkEntry {
     "x58_cluster_purity" -> Similarity.ClusterPuritySql,
     "x61_cluster_separation" -> Similarity.ClusterSeparationSql,
     "x39_kmeanspp_init" -> Similarity.KmeansParallelInitSql,
+    "x37b_kmeans_rounds" -> Similarity.KmeansRoundsSql,
     "x27_dedup_components" -> Dedup.DedupComponentsSql,
     "x28_dedup_survivors" -> Dedup.SurvivorsSql,
     "x30_lsh_blocked" -> Dedup.MinhashLshBlockedSql,

@@ -580,6 +580,98 @@ object Similarity {
        |GROUP BY cell
        |ORDER BY cell""".stripMargin
 
+  /** The number of Lloyd rounds the oracle-gated fixed-round variant
+    * runs (x37b). Three is past the hand-written 2-round twin (x35) —
+    * it exercises a round that only the GENERATED oracle covers.
+    */
+  val KmeansGateRounds = 3
+
+  /** x37b: fixed-round Lloyd — the hash-gated bridge between x35 (2
+    * rounds, hand-written oracle) and x37 (loop-until-converged,
+    * rows-only because SQL cannot loop). The loop body is the same
+    * [[assignTo]]/[[updatedCentroids]] pair as [[kmeansConverged]];
+    * the round count is a compile-time constant, so the oracle is
+    * MACHINE-GENERATED round-unrolled CTEs ([[kmeansRoundsSql]], the
+    * x66/x73 BPE-unrolling technique) and the driver hash-compares a
+    * genuinely iterated Lloyd run — exact integer centroids make every
+    * round bit-reproducible cross-engine. The spec additionally pins
+    * `rounds = 2` to the hand-written x35 twin (generator correctness)
+    * and x37's fixed-seed path to this query on converging data.
+    * Scale: identical to x35 — each round is one corpus scan + one
+    * map-side-combinable explode aggregate; centroids always broadcast.
+    */
+  def kmeansRounds(spark: SparkSession, dir: String,
+      rounds: Int = KmeansGateRounds): DataFrame = {
+    require(rounds >= 1, "kmeansRounds needs at least one assignment round")
+    val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+    val seeds = vecs.filter(col("vec_id").between(100, 100 + KmeansK - 1))
+      .select((col("vec_id") - 100).cast("int").as("cid"),
+        col("q").as("s"), col("n2").as("sn2"))
+    var assigned = assignTo(spark, vecs, seeds)
+    for (_ <- 2 to rounds) {
+      val cent = updatedCentroids(spark, assigned)
+      assigned = assignTo(spark, vecs, cent)
+    }
+    clusterSummary(assigned)
+  }
+
+  /** Machine-generated round-unrolled oracle for [[kmeansRounds]]: one
+    * (score → argmax-assign) CTE pair per round plus a centroid-update
+    * pair between rounds — the loop body emitted `rounds` times, exactly
+    * how x66's BPE oracle unrolls its merge loop. Every fragment mirrors
+    * the hand-written 2-round CTEs above (same cosine expression, same
+    * tie-breaks), which the spec exploits: `kmeansRoundsSql(2)` must
+    * produce the same rows as `KmeansClustersSql`.
+    */
+  def kmeansRoundsSql(rounds: Int): String = {
+    require(rounds >= 1)
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"qz AS ($QuantizedSql)"
+    ctes += "vecs AS (SELECT vec_id, q, n2 FROM qz)"
+    ctes += s"""seeds AS (SELECT CAST(vec_id - 100 AS INT) AS cid, q AS s, n2 AS sn2
+               |          FROM vecs WHERE vec_id BETWEEN 100 AND ${100 + KmeansK - 1})""".stripMargin
+    ctes += "dims AS (SELECT unnest(generate_series(1, 64)) AS i)"
+    for (r <- 1 to rounds) {
+      val cent = if (r == 1) "seeds" else s"cent${r - 1}"
+      ctes += s"""s$r AS (
+                 |  SELECT v.vec_id, v.q, v.n2, c.cid,
+                 |    list_sum(list_transform(generate_series(1, len(v.q)),
+                 |      i -> v.q[i] * c.s[i])) AS dp,
+                 |    CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+                 |      i -> v.q[i] * c.s[i])) AS DOUBLE)
+                 |      / sqrt(CAST(v.n2 AS DOUBLE)) / sqrt(CAST(c.sn2 AS DOUBLE)) AS cosine
+                 |  FROM vecs v CROSS JOIN $cent c)""".stripMargin
+      ctes += s"""a$r AS (
+                 |  SELECT vec_id, q, n2, cid AS cell, cosine, dp FROM (
+                 |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 |      ORDER BY cosine DESC, cid) AS crn FROM s$r)
+                 |  WHERE crn = 1)""".stripMargin
+      if (r < rounds) {
+        ctes += s"""sums$r AS (
+                   |  SELECT cell, i, SUM(q[i]) AS sx
+                   |  FROM a$r, dims GROUP BY cell, i)""".stripMargin
+        ctes += s"""cent$r AS (
+                   |  SELECT cell AS cid, list(sx ORDER BY i) AS s,
+                   |    list_sum(list_transform(list(sx ORDER BY i), x -> x * x)) AS sn2
+                   |  FROM sums$r GROUP BY cell)""".stripMargin
+      }
+    }
+    ctes += s"""ranked AS (
+               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+               |    ORDER BY cosine DESC, vec_id) AS rn FROM a$rounds)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT cell, COUNT(*) AS n_members,
+       |  CAST(SUM(dp) AS BIGINT) AS sum_dp,
+       |  MAX(CASE WHEN rn = 1 THEN vec_id END) AS champion_id,
+       |  MAX(CASE WHEN rn = 1 THEN cosine END) AS champion_cos,
+       |  MIN(cosine) AS min_cos
+       |FROM ranked
+       |GROUP BY cell
+       |ORDER BY cell""".stripMargin
+  }
+
+  val KmeansRoundsSql: String = kmeansRoundsSql(KmeansGateRounds)
+
   /** x53: cluster-assignment MARGIN audit — for every vector, the gap
     * between its best and second-best centroid cosine after the
     * oracle-checkable 2-round Lloyd (x35's centroids), reported as the

@@ -404,8 +404,10 @@ object TextAnalysis {
     * distinct n-gram for the exact form). The exact top-20 then probes
     * the finished sketch (a 20-row broadcast lookup, not a hot path) so
     * the output exposes exact count, estimate, and the one-sided error.
-    * Sketch cells depend on JVM hashing → rows-only driver check like
-    * the HLL tier; the spec pins the ≥-exact guarantee and merge laws.
+    * Hash-gated: the sketch hashes on MD5 double-hashing (the x48 Bloom
+    * idiom), so DuckDB reproduces every cell — estimates match exactly,
+    * INCLUDING any collisions; the spec additionally pins the ≥-exact
+    * guarantee and merge laws on random corpora.
     */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val cms = udaf(graft.functions.CountMinAggregator(CmsDepth, CmsWidth),
@@ -424,6 +426,39 @@ object TextAnalysis {
       .withColumn("overestimate", col("n_est") - col("n"))
       .orderBy(col("n").desc, col("gram"))
   }
+
+  /** Oracle twin of [[cmsHeavyHitters]]: rebuilds the count-min cells
+    * relationally — every gram's count summed into its `(d, (h1 + d·h2)
+    * mod width)` cell — then probes the top-20 grams with the same MIN
+    * over depth rows the Spark-side estimator takes. Exact integer sums
+    * over the identical MD5-derived cell mapping, so the estimates (and
+    * any collisions) hash-match bit for bit.
+    */
+  val CmsHeavyHittersSql: String =
+    s"""WITH gc AS (
+       |  SELECT shingle AS gram, COUNT(*) AS n
+       |  FROM (${TextOps.shinglesSql("documents", 2)})
+       |  GROUP BY shingle),
+       |h AS (
+       |  SELECT gram, n,
+       |    CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS h1,
+       |    CAST(concat('0x', substr(md5(gram), 9, 8)) AS BIGINT) AS h2
+       |  FROM gc),
+       |ds AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d),
+       |cells AS (
+       |  SELECT ds.d, (h.h1 + ds.d * h.h2) % $CmsWidth AS pos, SUM(h.n) AS c
+       |  FROM h CROSS JOIN ds GROUP BY 1, 2),
+       |top AS (SELECT gram, n FROM gc ORDER BY n DESC, gram LIMIT 20),
+       |est AS (
+       |  SELECT t.gram, t.n, CAST(MIN(c.c) AS BIGINT) AS n_est
+       |  FROM top t
+       |  JOIN h ON h.gram = t.gram
+       |  CROSS JOIN ds
+       |  JOIN cells c ON c.d = ds.d AND c.pos = (h.h1 + ds.d * h.h2) % $CmsWidth
+       |  GROUP BY t.gram, t.n)
+       |SELECT gram, n, n_est, n_est - n AS overestimate
+       |FROM est
+       |ORDER BY n DESC, gram""".stripMargin
 
   /** Language-ID quality evaluation: the (true lang × predicted)
     * confusion matrix with per-cell accuracy — the audit a pipeline

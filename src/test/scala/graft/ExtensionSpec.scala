@@ -455,6 +455,31 @@ class ExtensionSpec extends SparkTestBase {
     assert(rows.forall(_._3 === 2L))
   }
 
+  test("kmeansRounds(2) reproduces the hand-written 2-round twin (generator cross-check)") {
+    val a = Array.fill(64)(1.0f)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def jitter(v: Array[Float], id: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + ((id * 31 + i) % 5) * 0.01f }
+    val dir = fixture("embeddings" -> Seq(
+      (1L, jitter(a, 1), 1), (2L, jitter(a, 2), 1), (3L, jitter(a, 3), 1),
+      (4L, jitter(b, 4), 2), (5L, jitter(b, 5), 2), (6L, jitter(b, 6), 2),
+      (100L, a, 1), (101L, b, 2)
+    ).toDF("vec_id", "embedding", "label"))
+    // the generated 2-round unrolling must agree with the hand-written
+    // x35 path row for row — the generator's correctness law; on this
+    // converging fixture the 3-round registered form agrees too (a
+    // converged assignment is a fixpoint of the loop body)
+    val twin = Similarity.kmeansClusters(spark, dir).collect().map(_.toSeq).toSeq
+    assert(Similarity.kmeansRounds(spark, dir, rounds = 2)
+      .collect().map(_.toSeq).toSeq === twin)
+    assert(Similarity.kmeansRounds(spark, dir)
+      .collect().map(_.toSeq).toSeq === twin)
+    // the generated SQL text unrolls exactly `rounds` score/assign pairs
+    assert(Similarity.kmeansRoundsSql(2).contains("a2 AS") &&
+      !Similarity.kmeansRoundsSql(2).contains("s3 AS"))
+    assert(Similarity.KmeansRoundsSql.contains(s"a${Similarity.KmeansGateRounds} AS"))
+  }
+
   test("converged kmeans equals the 2-round twin when 2 rounds suffice") {
     val a = Array.fill(64)(1.0f)
     val b = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)

@@ -34,9 +34,15 @@ class GraftFacadeSpec extends SparkTestBase {
 
   test("rowsOnly manifest is exactly the oracle-less registered queries") {
     val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(SparkEntry.rowsOnly === oracleLess,
-      s"manifest drift: only-in-manifest=${SparkEntry.rowsOnly -- oracleLess} " +
-        s"missing-from-manifest=${oracleLess -- SparkEntry.rowsOnly}")
+    assert(SparkEntry.rowsOnly.keySet === oracleLess,
+      s"manifest drift: only-in-manifest=${SparkEntry.rowsOnly.keySet -- oracleLess} " +
+        s"missing-from-manifest=${oracleLess -- SparkEntry.rowsOnly.keySet}")
+    // every ungateable query carries a substantive reason naming the spec
+    // that pins it instead of the hash gate
+    SparkEntry.rowsOnly.foreach { case (name, reason) =>
+      assert(reason.length > 40 && reason.toLowerCase.contains("spec"),
+        s"$name: rows-only reason must say why and which spec covers it")
+    }
     // and no oracle entry dangles without a registered query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
