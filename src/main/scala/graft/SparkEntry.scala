@@ -25,8 +25,14 @@ object SparkEntry {
     "a3_gauge_snapshot" -> ((s, d) => Metrics.gaugeSnapshot(s, d)),
     "a4_histogram_snapshot" -> ((s, d) => Metrics.histogramSnapshot(s, d)),
     "a4b_histogram_aggregator" -> ((s, d) => Metrics.histogramSnapshotAgg(s, d)),
-    // native (exponential sparse-bucket) histogram; rows-only — no fixture
+    // native (exponential sparse-bucket) histogram, hash-gated end to
+    // end: exact integer sketch state + deterministic DetMath.exp2
+    // quantile interpolation (libm never touches the output)
     "b37_native_histogram" -> ((s, d) => Metrics.nativeHistogramSnapshot(s, d)),
+    // the codec hash gate: encode → wire → relational decode in Spark,
+    // vs a direct DuckDB rebuild from raw observations over the shared
+    // literal bucket bounds
+    "b37b_native_histogram_decode" -> ((s, d) => Metrics.nativeHistogramDecode(s, d)),
     "b7b_histogram_quantile_native" -> ((s, d) => Metrics.histogramQuantileNative(s, d)),
     // Tier B — PromQL-class TSDB query surface (SURVEY.md §2.2)
     "b1_selector" -> ((s, d) => PromQL.selector(s, d)),
@@ -461,11 +467,6 @@ object SparkEntry {
       ("acosh routes through ln; NaN domain branch spec-pinned (PromQLFrontendSpec)"),
     "p66_promql_atanh" ->
       ("atanh routes through ln; scaled-interior values spec-pinned (PromQLFrontendSpec)"),
-    "b37_native_histogram" ->
-      ("p50/p90/p99 use exponential interpolation lo·(hi/lo)^f — StrictMath.pow " +
-        "vs DuckDB pow diverge in the last ulp; the integer wire state IS gated " +
-        "(b37b decodes spans+deltas against a DuckDB rebuild); codec/merge/" +
-        "quantile laws spec-pinned (MetricsSpec/PropertySpec)"),
     "x16_approx_distinct" ->
       ("approx_count_distinct reads Spark's internal HyperLogLog++ registers — " +
         "no cross-engine twin exists by construction; error bound vs exact " +
@@ -489,6 +490,8 @@ object SparkEntry {
     "a4_histogram_snapshot" -> Metrics.HistogramSnapshotSql,
     "a4b_histogram_aggregator" -> Metrics.HistogramSnapshotSql,
     "b7b_histogram_quantile_native" -> PromQL.HistogramQuantileSql,
+    "b37b_native_histogram_decode" -> Metrics.NativeHistogramDecodeSql,
+    "b37_native_histogram" -> Metrics.NativeHistogramSnapshotSql,
     "b1_selector" -> PromQL.SelectorSql,
     "b2_range_agg" -> PromQL.RangeAggSql,
     "b3_rate" -> PromQL.RateSql,

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine transcendentals — the float analog of the
+  * engine's exact-cents/md5-hash rules.
+  *
+  * Why: libm results differ across engines in the last ulp, so any
+  * operator whose OUTPUT routes through `pow`/`log` cannot hash-gate
+  * against the DuckDB oracle (measured on this container: the
+  * native-histogram interpolation `lo·(hi/lo)^f` disagrees between
+  * `StrictMath.pow` and DuckDB's `pow` on 76/4000 bucket-shaped inputs,
+  * and even `pow(2, x)` — glibc's correctly-rounded path vs the HotSpot
+  * intrinsic — on 94/100 000). The fix is the same one the engine
+  * applies to sums (exact cents) and sketch hashes (md5 words): replace
+  * the engine-private primitive with a FIXED ALGORITHM both engines can
+  * evaluate identically. Every step below is a single IEEE
+  * correctly-rounded operation (+, −, ×, ÷, floor) in a pinned order,
+  * so any engine computing the same steps on the same doubles produces
+  * the same bits.
+  *
+  * `exp2(x) = 2^x` via:
+  *   s = x·32;  n = ⌊s⌋;  u = s − n ∈ [0,1)
+  *   j = n mod 32;  e = (n − j)/32        (exact integer arithmetic)
+  *   2^x = (2^e · T[j]) · P(u)
+  * where `T[j] = 2^(j/32)` are 32 shared literals and `P(u) ≈ 2^(u/32)`
+  * is the degree-6 Taylor polynomial of `exp(u·ln2/32)` with literal
+  * coefficients, evaluated by Horner. `2^e` is exact in any IEEE `pow`
+  * (integer exponent, representable result). Truncation error ≤
+  * (ln2/32)^7/5040 ≈ 4·10⁻¹⁶ relative — sub-ulp; total error vs true
+  * 2^x stays within a few ulp (spec-pinned ≤ 4 ulp against
+  * `StrictMath.pow`), and integer `x` is EXACT (u = 0, P(0) = 1).
+  *
+  * Three mirrors of the same pinned step sequence: [[exp2]] (JVM
+  * scalar, used by the native-histogram aggregator), [[exp2Col]]
+  * (Spark Column, used by the PromQL front-end's native-histogram
+  * path), and [[exp2Sql]] (DuckDB SQL, used by the oracles). The spec
+  * pins exp2 ≡ exp2Col on a dense sweep; exp2 ≡ exp2Sql is pinned by
+  * the driver's hash gate itself (b37/p69).
+  */
+object DetMath {
+
+  /** Taylor coefficients of `exp(u · ln2/32)`, degree 6: `b_i =
+    * (ln2/32)^i / i!`. Computed once and shipped to both engines as
+    * literals (`Double.toString` round-trips exactly).
+    */
+  val Exp2Coeffs: Array[Double] = {
+    val l = StrictMath.log(2.0) / 32.0
+    val c = new Array[Double](7)
+    c(0) = 1.0
+    var i = 1
+    var num = 1.0
+    var fact = 1.0
+    while (i < 7) { num *= l; fact *= i; c(i) = num / fact; i += 1 }
+    c
+  }
+
+  /** `T[j] = 2^(j/32)`, j = 0..31 — shared literal table. */
+  val Exp2Table: Array[Double] =
+    Array.tabulate(32)(j => StrictMath.pow(2.0, j / 32.0))
+
+  /** Reference implementation — the pinned step sequence. */
+  def exp2(x: Double): Double = {
+    val s = x * 32.0
+    val nf = Math.floor(s)
+    val u = s - nf
+    val n = nf.toLong
+    val j = Math.floorMod(n, 32L).toInt
+    val e = (n - j) / 32L
+    var p = Exp2Coeffs(6)
+    var i = 5
+    while (i >= 0) { p = p * u + Exp2Coeffs(i); i -= 1 }
+    (Math.pow(2.0, e.toDouble) * Exp2Table(j)) * p
+  }
+
+  /** Spark Column mirror — identical step order; `floor` yields LONG,
+    * `pmod` the non-negative residue, and the final product associates
+    * left exactly like [[exp2]].
+    */
+  def exp2Col(x: Column): Column = {
+    val s = x * lit(32.0)
+    val n = floor(s)
+    val u = s - n.cast("double")
+    val j = pmod(n, lit(32L))
+    val e = (n - j).cast("double") / lit(32.0)
+    val p = (5 to 0 by -1).foldLeft(lit(Exp2Coeffs(6))) { (acc, i) =>
+      acc * u + lit(Exp2Coeffs(i))
+    }
+    pow(lit(2.0), e) * element_at(
+      array(Exp2Table.map(lit).toIndexedSeq: _*), (j + lit(1L)).cast("int")) * p
+  }
+
+  /** DuckDB SQL mirror over an expression string `x` (use a simple
+    * column reference — the fragment repeats it). Literal doubles ride
+    * as quoted strings: a bare decimal literal would parse as DECIMAL
+    * and double-round.
+    */
+  def exp2Sql(x: String): String = {
+    def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+    val u = s"(($x * 32.0) - FLOOR($x * 32.0))"
+    val nb = s"CAST(FLOOR($x * 32.0) AS BIGINT)"
+    val j = s"((($nb % 32) + 32) % 32)"
+    val e = s"(CAST($nb - $j AS DOUBLE) / 32.0)"
+    val p = (5 to 0 by -1).foldLeft(d(Exp2Coeffs(6))) { (acc, i) =>
+      s"($acc * $u + ${d(Exp2Coeffs(i))})"
+    }
+    val tbl = Exp2Table.map(d).mkString("[", ",", "]")
+    s"((pow(2.0, $e) * ($tbl)[CAST($j AS INT) + 1]) * $p)"
+  }
+}

@@ -16,6 +16,15 @@ case class NHBuffer(zero: Long, count: Long, sumCents: Long,
   * release quantiles computed from the exponential buckets. All fields
   * are pure functions of exact integer state, so the output is
   * bit-stable under any partitioning.
+  *
+  * `sum` SEMANTICS (deliberate divergence from the Prometheus wire
+  * format, where `sum` is an exact float accumulation): observations
+  * are accumulated as exact integer CENTS and `sum = sumCents / 100`,
+  * so merge order can never perturb the result. Non-cent observations
+  * (e.g. √2) therefore quantize — consumers needing the float-exact
+  * Prometheus semantic must keep their own compensated accumulator;
+  * this engine trades that last fraction of a cent for bit-stable
+  * reproducibility under any partitioning (the engine-wide rule).
   */
 case class NHSketch(schema: Int, zero_count: Long, count: Long,
     sum: Double, n_buckets: Long,
@@ -92,7 +101,13 @@ class NativeHistogramAggregator(val schema: Int)
         m.updated(k, m.getOrElse(k, 0L) + v)
       })
 
-  /** Exponential-interpolation quantile over the sorted sparse buckets. */
+  /** Exponential-interpolation quantile over the sorted sparse buckets:
+    * within bucket `i` at covered fraction `f`, `q = 2^((i−1+f)/2^s)` —
+    * algebraically `lo·(hi/lo)^f`, but computed through the engine's
+    * deterministic [[DetMath.exp2]] instead of libm `pow`, so the value
+    * is bit-identical across engines (hash-gated in b37/p69) and across
+    * partitionings, within a few ulp of the libm result.
+    */
   def quantile(b: NHBuffer, phi: Double): Double = {
     if (b.count == 0L) return Double.NaN
     val rank = phi * b.count
@@ -102,8 +117,7 @@ class NativeHistogramAggregator(val schema: Int)
     for ((i, c) <- sorted) {
       if (rank <= cum + c) {
         val f = (rank - cum) / c
-        val lo = bucketLow(i)
-        return lo * StrictMath.pow(bucketHigh(i) / lo, f)
+        return DetMath.exp2(((i - 1) + f) / scale)
       }
       cum += c
     }
@@ -134,15 +148,24 @@ class NativeHistogramAggregator(val schema: Int)
     (offsets.toSeq, lengths.toSeq, deltas)
   }
 
-  /** Wire shape → sparse map (the scrape-ingest side; round-trip law). */
+  /** Wire shape → sparse map (the scrape-ingest side; round-trip law).
+    * The first span's offset is absolute and later offsets are relative
+    * to the previous span's exclusive end — tracked with an explicit
+    * first-span flag, NOT by whether any delta has been consumed: a
+    * zero-length leading span (legal on the wire) consumes no deltas,
+    * and keying on the delta index would mis-read the next span's
+    * offset as absolute.
+    */
   def decode(offsets: Seq[Int], lengths: Seq[Int], deltas: Seq[Long])
       : Map[Int, Long] = {
     val out = scala.collection.mutable.Map[Int, Long]()
     var idx = 0
     var di = 0
     var prevCount = 0L
+    var first = true
     offsets.zip(lengths).foreach { case (off, len) =>
-      idx = (if (di == 0) off else idx + off)
+      idx = (if (first) off else idx + off)
+      first = false
       (0 until len).foreach { _ =>
         prevCount += deltas(di)
         out(idx) = prevCount

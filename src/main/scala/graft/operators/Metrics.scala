@@ -291,11 +291,14 @@ object Metrics {
     * base-2^(1/8) buckets (schema 3) through the mergeable
     * [[graft.functions.NativeHistogramAggregator]] — one ~sparse-map
     * buffer per series per partition crosses the shuffle, resolution
-    * adapts to the data. Registered rows-only: the driver fixtures
-    * carry no native-histogram samples to oracle against (NOTES_r9
-    * ask #1); the aggregator's merge/codec/quantile laws are
-    * spec-pinned instead, and every output field derives from exact
-    * integer state (bit-stable under any partitioning).
+    * adapts to the data. HASH-GATED end to end: every output field
+    * derives from exact integer state, bucket membership rides the
+    * shared literal bounds ([[NhBoundsSql]]), and the interpolated
+    * quantiles go through the deterministic
+    * [[graft.functions.DetMath.exp2]] instead of libm — so the DuckDB
+    * oracle re-derives the whole sketch (counts, span segmentation,
+    * p50/p90/p99) bit-for-bit from the raw observations. The
+    * aggregator's merge/codec laws are additionally spec-pinned.
     */
   def nativeHistogramSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val nh = udaf(new graft.functions.NativeHistogramAggregator(3))
@@ -310,6 +313,174 @@ object Metrics {
         col("h.p50").as("p50"), col("h.p90").as("p90"), col("h.p99").as("p99"))
       .orderBy(col("name"), col("label_k"))
   }
+
+  /** Native-histogram bucket BOUNDS as shared literals: bucket `i` at
+    * schema [[NhSchema]] covers `(2^((i-1)/8), 2^(i/8)]`. The doubles
+    * are computed ONCE here with the aggregator's own `StrictMath.pow`
+    * and shipped to BOTH engines as literals — the Spark side joins the
+    * broadcast relation, the oracle embeds the same values via
+    * `Double.toString` round-trip — so bucket membership (`lo < v ≤ hi`)
+    * is the identical IEEE comparison everywhere and the libm `log/pow`
+    * divergence that keeps b37's interpolated quantiles rows-only never
+    * enters the gated plan. The index range covers values in
+    * `(2^-10, 2^15]` ≈ (0.001, 32768] — far beyond the fixture's
+    * [0.01, ~500] observation range; a production deployment widens the
+    * constant (201 rows is noise to broadcast either way).
+    */
+  val NhSchema = 3
+  private val NhIdxMin: Int = -80
+  private val NhIdxMax: Int = 120
+  private lazy val nhBounds: IndexedSeq[(Int, Double, Double)] =
+    (NhIdxMin to NhIdxMax).map { i =>
+      (i, StrictMath.pow(2.0, (i - 1) / 8.0), StrictMath.pow(2.0, i / 8.0))
+    }
+
+  private[graft] def nhBoundsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    nhBounds.toDF("bucket", "lo", "hi")
+  }
+
+  private[graft] lazy val NhBoundsSql: String =
+    // the doubles ride as QUOTED strings: a bare decimal literal parses
+    // as DECIMAL and double-rounds the last ulp away; string → DOUBLE
+    // is correctly-rounded strtod, so the exact bit pattern survives
+    "SELECT * FROM (VALUES " + nhBounds.map { case (i, lo, hi) =>
+      s"($i, CAST('$lo' AS DOUBLE), CAST('$hi' AS DOUBLE))"
+    }.mkString(",") + ") b(bucket, lo, hi)"
+
+  /** b37b: the native-histogram CODEC, hash-gated end to end. The Spark
+    * side runs the full wire round-trip — observations → sparse-bucket
+    * aggregation ([[graft.functions.NativeHistogramAggregator]]) →
+    * spans+deltas ENCODE → relational DECODE back to per-bucket absolute
+    * counts (windowed prefix sums over the span rows: a span's start =
+    * cumulative offsets + cumulative prior lengths, per the exposition
+    * format's "offset is the gap from the previous span's end"; a
+    * bucket's count = prefix sum of the delta list). The DuckDB oracle
+    * never sees the wire form: it re-derives every bucket count directly
+    * from the raw observations via the shared literal bounds relation —
+    * so a bug anywhere in encode OR decode (span segmentation, offset
+    * chaining, delta accumulation) breaks the hash. Scale: the windows
+    * run over the series×spans relation (bounded by the value dynamic
+    * range, tens of rows per series), never over observations.
+    */
+  def nativeHistogramDecode(spark: SparkSession, dir: String): DataFrame = {
+    val nh = udaf(new graft.functions.NativeHistogramAggregator(NhSchema))
+    val wire = metricEvents(spark, dir).filter(col("kind") === "histogram")
+      .groupBy(col("name"), col("label_k"))
+      .agg(nh(col("value")).as("h"))
+      .select(col("name"), col("label_k"),
+        col("h.span_offsets").as("offs"), col("h.span_lengths").as("lens"),
+        col("h.deltas").as("deltas"))
+    val spans = wire
+      .select(col("name"), col("label_k"), col("deltas"),
+        posexplode(arrays_zip(col("offs"), col("lens"))).as(Seq("si", "sp")))
+      .select(col("name"), col("label_k"), col("deltas"), col("si"),
+        col("sp.offs").as("off"), col("sp.lens").as("len"))
+    val w = Window.partitionBy(col("name"), col("label_k")).orderBy(col("si"))
+    val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val positioned = spans
+      .withColumn("start",
+        sum(col("off")).over(w) + coalesce(sum(col("len")).over(wPrior), lit(0L)))
+      .withColumn("dstart", coalesce(sum(col("len")).over(wPrior), lit(0L)))
+    val buckets = positioned
+      .select(col("name"), col("label_k"), col("deltas"), col("start"), col("dstart"),
+        posexplode(expr("sequence(0, len - 1)")).as(Seq("j", "jv")))
+      .select(col("name"), col("label_k"),
+        (col("start") + col("j")).cast("int").as("bucket"),
+        expr("aggregate(slice(deltas, 1, cast(dstart + j + 1 as int)), 0L, (a, x) -> a + x)")
+          .as("bucket_count"))
+    buckets.join(broadcast(nhBoundsDf(spark)), Seq("bucket"))
+      .select(col("name"), col("label_k"), col("bucket"), col("lo"), col("hi"),
+        col("bucket_count"))
+      .orderBy(col("name"), col("label_k"), col("bucket"))
+  }
+
+  /** Oracle twin of [[nativeHistogramSnapshot]]: rebuilds the sparse
+    * sketch relationally — bucket counts via the literal-bounds range
+    * join, span count via bucket-index gaps, exact-cents sum, and the
+    * three quantiles through the aggregator's EXACT walk (rank/cum
+    * comparisons on integer-valued doubles) with the interpolation
+    * evaluated by [[graft.functions.DetMath.exp2Sql]] — the same pinned
+    * step sequence the JVM runs, so the doubles hash-match bit for bit.
+    */
+  lazy val NativeHistogramSnapshotSql: String = {
+    val interp = graft.functions.DetMath.exp2Sql("xq")
+    s"""WITH m AS ($MetricEventsSql),
+       |h AS (SELECT name, label_k, value FROM m WHERE kind = 'histogram'),
+       |bounds AS ($NhBoundsSql),
+       |ser AS (
+       |  SELECT name, label_k, COUNT(*) AS count,
+       |    CAST(SUM(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+       |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum
+       |  FROM h GROUP BY name, label_k),
+       |bk AS (
+       |  SELECT h.name, h.label_k, b.bucket, b.hi, COUNT(*) AS c
+       |  FROM h JOIN bounds b ON h.value > b.lo AND h.value <= b.hi
+       |  GROUP BY 1, 2, 3, 4),
+       |bw AS (
+       |  SELECT *,
+       |    SUM(c) OVER (PARTITION BY name, label_k ORDER BY bucket) AS cumc,
+       |    LAG(bucket) OVER (PARTITION BY name, label_k ORDER BY bucket) AS prevb
+       |  FROM bk),
+       |sp AS (
+       |  SELECT name, label_k,
+       |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |    CAST(SUM(CASE WHEN prevb IS NULL OR bucket - prevb > 1
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |    MAX(hi) AS last_hi,
+       |    CAST(SUM(c) AS BIGINT) AS total_c
+       |  FROM bw GROUP BY 1, 2),
+       |serx AS (
+       |  SELECT s.*, COALESCE(sp.n_buckets, 0) AS n_buckets,
+       |    COALESCE(sp.n_spans, 0) AS n_spans, sp.last_hi,
+       |    COALESCE(sp.total_c, 0) AS total_c
+       |  FROM ser s LEFT JOIN sp ON sp.name = s.name AND sp.label_k = s.label_k),
+       |ph AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) p(phi)),
+       |qs AS (
+       |  SELECT x.*, p.phi,
+       |    p.phi * CAST(x.count AS DOUBLE) AS rank
+       |  FROM serx x CROSS JOIN ph p),
+       |pick AS (
+       |  SELECT q.name, q.label_k, q.phi, q.rank, w.bucket, w.c,
+       |    (q.rank - CAST(q.zero_count + w.cumc - w.c AS DOUBLE))
+       |      / CAST(w.c AS DOUBLE) AS f,
+       |    ROW_NUMBER() OVER (PARTITION BY q.name, q.label_k, q.phi
+       |      ORDER BY w.bucket) AS rn
+       |  FROM qs q JOIN bw w ON w.name = q.name AND w.label_k = q.label_k
+       |    AND q.rank <= CAST(q.zero_count + w.cumc AS DOUBLE)
+       |  WHERE q.rank > CAST(q.zero_count AS DOUBLE)),
+       |pq AS (
+       |  SELECT name, label_k, phi, $interp AS qv
+       |  FROM (SELECT name, label_k, phi,
+       |          (CAST(bucket - 1 AS DOUBLE) + f) / 8.0 AS xq
+       |        FROM pick WHERE rn = 1)),
+       |qv AS (
+       |  SELECT q.name, q.label_k, q.phi,
+       |    CASE WHEN q.rank <= CAST(q.zero_count AS DOUBLE) THEN 0.0
+       |         WHEN pq.qv IS NOT NULL THEN pq.qv
+       |         ELSE q.last_hi END AS qval
+       |  FROM qs q LEFT JOIN pq ON pq.name = q.name
+       |    AND pq.label_k = q.label_k AND pq.phi = q.phi)
+       |SELECT x.name, x.label_k, 3 AS schema, x.zero_count, x.count, x.sum,
+       |  x.n_buckets, x.n_spans,
+       |  MAX(CASE WHEN v.phi = 0.5 THEN v.qval END) AS p50,
+       |  MAX(CASE WHEN v.phi = 0.9 THEN v.qval END) AS p90,
+       |  MAX(CASE WHEN v.phi = 0.99 THEN v.qval END) AS p99
+       |FROM serx x JOIN qv v ON v.name = x.name AND v.label_k = x.label_k
+       |GROUP BY x.name, x.label_k, x.zero_count, x.count, x.sum,
+       |  x.n_buckets, x.n_spans
+       |ORDER BY x.name, x.label_k""".stripMargin
+  }
+
+  lazy val NativeHistogramDecodeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |bounds AS ($NhBoundsSql)
+       |SELECT m.name, m.label_k, b.bucket, b.lo, b.hi,
+       |  COUNT(*) AS bucket_count
+       |FROM m JOIN bounds b ON m.value > b.lo AND m.value <= b.hi
+       |WHERE m.kind = 'histogram'
+       |GROUP BY m.name, m.label_k, b.bucket, b.lo, b.hi
+       |ORDER BY m.name, m.label_k, b.bucket""".stripMargin
 
   /** B7 alternate physical strategy: `histogram_quantile` through the
     * native codegen'd [[graft.plans.HistogramQuantileExpr]] over

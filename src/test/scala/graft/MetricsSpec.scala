@@ -135,6 +135,31 @@ class MetricsSpec extends SparkTestBase {
     assert(e.getMessage.contains("<absent>"))
   }
 
+  test("DetMath.exp2: ~ulp accuracy vs StrictMath, exact at integers, Column mirror identical") {
+    import graft.functions.DetMath
+    // dense sweep over the native-histogram exponent range
+    val xs = (-12000 to 16000).map(_ / 1000.0) ++
+      Seq(-10.0, -1.0, 0.0, 1.0, 10.0, 15.0, 0.125, -0.125)
+    for (x <- xs) {
+      val got = DetMath.exp2(x)
+      val ref = StrictMath.pow(2.0, x)
+      assert(math.abs(got - ref) <= 4 * Math.ulp(ref),
+        s"exp2($x)=$got vs strict $ref")
+    }
+    // integer exponents are EXACT (u = 0, P(0) = 1, 2^e exact)
+    for (k <- -30 to 30)
+      assert(DetMath.exp2(k.toDouble) === StrictMath.pow(2.0, k.toDouble), s"k=$k")
+    // the Spark Column mirror runs the identical pinned step sequence
+    val df = xs.toDF("x").select($"x", DetMath.exp2Col($"x").as("e"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(1) === DetMath.exp2(r.getDouble(0)),
+        s"column mirror diverges at x=${r.getDouble(0)}")
+    }
+    // the SQL mirror embeds the same literal tables (spot the text)
+    val sql = DetMath.exp2Sql("xq")
+    assert(sql.contains("FLOOR(xq * 32.0)") && sql.contains("pow(2.0,"))
+  }
+
   test("native histogram: merge laws, wire round-trip, bucket bounds, quantiles") {
     val agg = new graft.functions.NativeHistogramAggregator(3)
     // includes exact bucket upper bounds (2^(4/8), 2, 4) — float
