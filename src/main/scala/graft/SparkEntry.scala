@@ -254,6 +254,13 @@ object SparkEntry {
     // windowed fraction: the alerting form of p57
     "p68_promql_histogram_fraction_rate" -> ((s, d) => promql.Engine.eval(s, d,
       "histogram_fraction(2.5, 75.5, rate(error[4d]))")),
+    // Prometheus 3.x sample-kind dispatch: `error` declared NATIVE →
+    // histogram_quantile/fraction route through the sparse
+    // exponential-bucket plans (literal bounds + DetMath.exp2)
+    "p69_promql_native_histogram_quantile" -> ((s, d) => promql.Engine.eval(s, d,
+      "histogram_quantile(0.9, error)", nativeFamilies = Set("error"))),
+    "p70_promql_native_histogram_fraction" -> ((s, d) => promql.Engine.eval(s, d,
+      "histogram_fraction(2.5, 75.5, error)", nativeFamilies = Set("error"))),
     "p33_promql_timestamp" -> ((s, d) => promql.Engine.eval(s, d,
       "timestamp(signup)")),
     "p34_promql_scalar" -> ((s, d) => promql.Engine.eval(s, d,
@@ -616,6 +623,8 @@ object SparkEntry {
     "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,
     "p67_promql_resets_subquery" -> promql.Oracle.ResetsSubquerySql,
     "p68_promql_histogram_fraction_rate" -> promql.Oracle.HistogramFractionRateSql,
+    "p69_promql_native_histogram_quantile" -> promql.Oracle.NativeHistogramQuantileSql,
+    "p70_promql_native_histogram_fraction" -> promql.Oracle.NativeHistogramFractionSql,
     // p64/p65/p66 (asinh/acosh/atanh) are rows-only BY DESIGN: they
     // route through ln, and Math.log vs DuckDB's ln diverge by 1 ulp on
     // some inputs (measured: rel err ~2e-16 on the fixture) — the same

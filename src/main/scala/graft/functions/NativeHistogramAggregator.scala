@@ -185,3 +185,25 @@ class NativeHistogramAggregator(val schema: Int)
   override def bufferEncoder: Encoder[NHBuffer] = Encoders.product[NHBuffer]
   override def outputEncoder: Encoder[NHSketch] = Encoders.product[NHSketch]
 }
+
+object NativeHistogramAggregator {
+
+  /** COMPILE-TIME pieces of `histogram_fraction`'s boundary `x`: the
+    * bucket index containing `x`, the log-interpolated fraction of that
+    * bucket at or below `x` (`log2(x)·2^s − (i−1)`, clamped to [0,1]),
+    * and whether the zero bucket counts as below `x`. The fraction
+    * bounds are CONSTANTS in the query text, so this libm-routed math
+    * runs once at compose time in the JVM and ships to both engines as
+    * literals — the runtime plan stays libm-free and hash-gateable.
+    */
+  def fractionPieces(x: Double, schema: Int): (Int, Double, Boolean) =
+    if (x <= 0) (Int.MinValue, 0.0, x >= 0)
+    else {
+      val a = new NativeHistogramAggregator(schema)
+      val scale = StrictMath.pow(2.0, schema)
+      val b = a.bucketIndex(x)
+      val fx = math.max(0.0, math.min(1.0,
+        StrictMath.log(x) / StrictMath.log(2.0) * scale - (b - 1)))
+      (b, fx, true)
+    }
+}

@@ -65,6 +65,18 @@ object Compiler {
 
   private def fail(msg: String): Nothing = throw new PromQLCompileException(msg)
 
+  /** Histogram families ingested as NATIVE (exponential sparse-bucket)
+    * histograms for the current compilation — the scrape-config analog
+    * of Prometheus 3.x's per-target sample kind. `histogram_quantile` /
+    * `histogram_fraction` dispatch on membership: native families route
+    * through the sparse-bucket plans (shared literal bounds +
+    * [[graft.functions.DetMath.exp2]] interpolation), everything else
+    * keeps the classic explicit-boundary path. Scoped per compile call
+    * via [[compile]]'s `nativeFamilies` parameter.
+    */
+  private val nativeFams =
+    new scala.util.DynamicVariable[Set[String]](Set.empty)
+
   /** Order-safe exact sum of RAW SAMPLES: doubles enter DECIMAL(18,2)
     * once (the engine-wide 2-decimal sample convention), already-decimal
     * values sum with Spark's automatic precision widening — never a raw
@@ -558,6 +570,10 @@ object Compiler {
   private def histogramQuantile(spark: SparkSession, dir: String,
       phi: Double, sel: Selector, windowD: Option[Long], shiftS: Long,
       outLabels: Seq[String] = SeriesKey): Vec = {
+    // sample-kind dispatch (Prometheus 3.x): a native-ingested family
+    // answers through the exponential sparse-bucket plan
+    if (resolveNames(sel).forall(nativeFams.value.contains))
+      return nativeHistogramQuantile(spark, dir, phi, sel, windowD, shiftS, outLabels)
     val obs = histogramObs(spark, dir, "histogram_quantile", sel, windowD, shiftS)
     import spark.implicits._
     val bounds = MetricEvent.Buckets.toDF("le")
@@ -595,6 +611,102 @@ object Compiler {
             * (col("rank") - col("prev_cum").cast("double"))
             / (col("cum_count") - col("prev_cum")).cast("double")).as("value"): _*)
     Vec(out, outLabels)
+  }
+
+  /** `histogram_quantile(φ, native_family)`: the sparse exponential-
+    * bucket path — observations bucket through the shared literal
+    * bounds relation (one broadcast range join, Catalyst prunes it to a
+    * bucket lookup), per-series cumulative counts run over the tiny
+    * series×buckets relation, and the in-bucket interpolation is the
+    * aggregator's exact walk evaluated through
+    * [[graft.functions.DetMath.exp2Col]] — `2^((i−1+f)/2^s)` with every
+    * step a pinned correctly-rounded IEEE op, so the value hash-gates
+    * against the DuckDB twin ([[Oracle.NativeHistogramQuantileSql]])
+    * and is bit-identical to
+    * [[graft.functions.NativeHistogramAggregator.quantile]] on the same
+    * observations (spec-pinned). Zero-bucket ranks return 0; a rank
+    * past the last bucket returns its upper bound (the aggregator's
+    * overflow rule). Scale: one observation scan + one map-side
+    * combinable aggregate; windows touch only series×buckets rows.
+    */
+  private def nativeHistogramQuantile(spark: SparkSession, dir: String,
+      phi: Double, sel: Selector, windowD: Option[Long], shiftS: Long,
+      outLabels: Seq[String] = SeriesKey): Vec = {
+    val obs = histogramObs(spark, dir, "histogram_quantile", sel, windowD, shiftS)
+    val series = outLabels.map(col)
+    val tot = obs.groupBy(series: _*).agg(count(lit(1)).as("cnt"),
+      sum(when(col("value") === 0.0, 1L).otherwise(0L)).as("zero"))
+    val bk = obs.filter(col("value") > 0)
+      .join(broadcast(Metrics.nhBoundsDf(spark)),
+        col("value") > col("lo") && col("value") <= col("hi"))
+      .groupBy(series :+ col("bucket") :+ col("hi"): _*)
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(series: _*).orderBy(col("bucket"))
+    val bw = bk.withColumn("cumc", sum(col("c")).over(w))
+    val bstats = bw.groupBy(series: _*).agg(max(col("hi")).as("last_hi"))
+    val picked = bw.join(tot, outLabels)
+      .withColumn("rank", lit(phi) * col("cnt").cast("double"))
+      .filter(col("rank") > col("zero").cast("double") &&
+        col("rank") <= (col("zero") + col("cumc")).cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("f",
+        (col("rank") - (col("zero") + col("cumc") - col("c")).cast("double"))
+          / col("c").cast("double"))
+      .select(series :+ graft.functions.DetMath.exp2Col(
+        ((col("bucket") - lit(1)).cast("double") + col("f")) / lit(8.0))
+        .as("_qv"): _*)
+    val out = tot.join(picked, outLabels, "left")
+      .join(bstats, outLabels, "left")
+      .select(series :+
+        when(lit(phi) * col("cnt").cast("double") <= col("zero").cast("double"),
+          lit(0.0))
+          .when(col("_qv").isNotNull, col("_qv"))
+          .otherwise(col("last_hi")).as("value"): _*)
+    Vec(out, outLabels)
+  }
+
+  /** `histogram_fraction(lo, hi, native_family)`: the boundary
+    * constants' libm math (bucket index + log-interpolated in-bucket
+    * fraction) runs ONCE at compose time
+    * ([[graft.functions.NativeHistogramAggregator.fractionPieces]]) and
+    * ships to both engines as literals; the runtime plan is one
+    * aggregate over the sparse bucket counts — F(x) = zero + full
+    * buckets below x + (count at x's bucket)·fx — entirely
+    * correctly-rounded arithmetic, so it hash-gates. Clamps follow the
+    * classic form: F is monotone and the denominator stays the full
+    * observation count.
+    */
+  private def nativeHistogramFraction(spark: SparkSession, dir: String,
+      lo: Double, hi: Double, sel: Selector, windowD: Option[Long],
+      shiftS: Long): Vec = {
+    val obs = histogramObs(spark, dir, "histogram_fraction", sel, windowD, shiftS)
+    val series = SeriesKey.map(col)
+    val (bLo, fLo, zLo) = graft.functions.NativeHistogramAggregator
+      .fractionPieces(lo, graft.operators.Metrics.NhSchema)
+    val (bHi, fHi, zHi) = graft.functions.NativeHistogramAggregator
+      .fractionPieces(hi, graft.operators.Metrics.NhSchema)
+    val tot = obs.groupBy(series: _*).agg(count(lit(1)).as("cnt"),
+      sum(when(col("value") === 0.0, 1L).otherwise(0L)).as("zero"))
+    val bk = obs.filter(col("value") > 0)
+      .join(broadcast(Metrics.nhBoundsDf(spark)),
+        col("value") > col("lo") && col("value") <= col("hi"))
+      .groupBy(series :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("c"))
+    val sums = bk.groupBy(series: _*).agg(
+      sum(when(col("bucket") < bHi, col("c")).otherwise(0L)).as("below_hi"),
+      sum(when(col("bucket") === bHi, col("c")).otherwise(0L)).as("at_hi"),
+      sum(when(col("bucket") < bLo, col("c")).otherwise(0L)).as("below_lo"),
+      sum(when(col("bucket") === bLo, col("c")).otherwise(0L)).as("at_lo"))
+    def F(zInc: Boolean, below: String, at: String, fx: Double): Column =
+      ((if (zInc) col("zero") else lit(0L)) + col(below)).cast("double") +
+        col(at).cast("double") * lit(fx)
+    val out = tot.join(sums, SeriesKey, "left")
+      .na.fill(0L, Seq("below_hi", "at_hi", "below_lo", "at_lo"))
+      .select(series :+
+        ((F(zHi, "below_hi", "at_hi", fHi) - F(zLo, "below_lo", "at_lo", fLo))
+          / col("cnt").cast("double")).as("value"): _*)
+    Vec(out, SeriesKey)
   }
 
   /** `histogram_count/sum/avg(hist)` over classic buckets — in this
@@ -662,6 +774,9 @@ object Compiler {
       lo: Double, hi: Double, sel: Selector, windowD: Option[Long],
       shiftS: Long): Vec = {
     if (lo >= hi) fail(s"histogram_fraction needs lo < hi, got ($lo, $hi)")
+    // sample-kind dispatch, exactly like histogram_quantile
+    if (resolveNames(sel).forall(nativeFams.value.contains))
+      return nativeHistogramFraction(spark, dir, lo, hi, sel, windowD, shiftS)
     val obs = histogramObs(spark, dir, "histogram_fraction", sel, windowD, shiftS)
     import spark.implicits._
     val bounds = MetricEvent.Buckets.toDF("le")
@@ -1700,6 +1815,13 @@ object Compiler {
     expr(s"array_join(transform(regexp_extract_all($c, '[0-9]+|[^0-9]+', 0), " +
       "e -> CASE WHEN e RLIKE '^[0-9]' THEN lpad(e, 16, '0') ELSE e END), '')")
 
+  /** Compile with a declared native-histogram family set (the
+    * scrape-config analog; see [[nativeFams]]).
+    */
+  def compile(spark: SparkSession, dir: String, ast: Ast,
+      nativeFamilies: Set[String]): DataFrame =
+    nativeFams.withValue(nativeFamilies)(compile(spark, dir, ast))
+
   def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame = {
     val v = materialize(compileVec(spark, dir, ast))
     val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
@@ -1727,8 +1849,14 @@ object Compiler {
 
 /** One-call front door: `Engine.eval(spark, dir, "sum by (k) (rate(purchase[1h])))")`. */
 object Engine {
-  def eval(spark: SparkSession, dir: String, query: String): DataFrame =
-    Compiler.compile(spark, dir, Parser.parse(query))
+  /** `nativeFamilies`: histogram families ingested as NATIVE
+    * (exponential sparse-bucket) histograms — `histogram_quantile` /
+    * `histogram_fraction` over them route through the sparse-bucket
+    * plans (Prometheus 3.x sample-kind dispatch).
+    */
+  def eval(spark: SparkSession, dir: String, query: String,
+      nativeFamilies: Set[String] = Set.empty): DataFrame =
+    Compiler.compile(spark, dir, Parser.parse(query), nativeFamilies)
 
   /** Compile a PromQL subset against a STREAMING events relation — the
     * same query text evaluated continuously, emitting the running

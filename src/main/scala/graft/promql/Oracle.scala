@@ -200,6 +200,107 @@ object Oracle {
     * counts are monotone in le, so MAX lands on the single row whose
     * bucket contains x; full buckets below telescope into prev_cum).
     */
+  /** `histogram_quantile(0.9, error)` with `error` declared NATIVE:
+    * the sparse exponential-bucket rebuild over the shared literal
+    * bounds, with the aggregator's exact rank walk and the
+    * interpolation through [[graft.functions.DetMath.exp2Sql]] — the
+    * same pinned step sequence the Spark plan runs, so doubles
+    * bit-match.
+    */
+  val NativeHistogramQuantileSql: String = {
+    val g = "name, label_k, label_instance"
+    val interp = graft.functions.DetMath.exp2Sql("xq")
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (SELECT $g, value FROM m, t
+       |      WHERE name = 'error' AND epoch_us(ts) <= t_us),
+       |bounds AS (${Metrics.NhBoundsSql}),
+       |tot AS (
+       |  SELECT $g, COUNT(*) AS cnt,
+       |    CAST(SUM(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero
+       |  FROM w GROUP BY $g),
+       |bk AS (
+       |  SELECT $g, b.bucket, b.hi, COUNT(*) AS c
+       |  FROM w JOIN bounds b ON w.value > b.lo AND w.value <= b.hi
+       |  GROUP BY $g, b.bucket, b.hi),
+       |bw AS (
+       |  SELECT *, SUM(c) OVER (PARTITION BY $g ORDER BY bucket) AS cumc
+       |  FROM bk),
+       |bs AS (SELECT $g, MAX(hi) AS last_hi FROM bw GROUP BY $g),
+       |pick AS (
+       |  SELECT q.name, q.label_k, q.label_instance, w2.bucket,
+       |    (q.rank - CAST(q.zero + w2.cumc - w2.c AS DOUBLE))
+       |      / CAST(w2.c AS DOUBLE) AS f,
+       |    ROW_NUMBER() OVER (PARTITION BY q.name, q.label_k, q.label_instance
+       |      ORDER BY w2.bucket) AS rn
+       |  FROM (SELECT *, 0.9 * CAST(cnt AS DOUBLE) AS rank FROM tot) q
+       |  JOIN bw w2 ON w2.name = q.name AND w2.label_k = q.label_k
+       |    AND w2.label_instance = q.label_instance
+       |    AND q.rank <= CAST(q.zero + w2.cumc AS DOUBLE)
+       |  WHERE q.rank > CAST(q.zero AS DOUBLE)),
+       |pq AS (
+       |  SELECT name, label_k, label_instance, $interp AS qv
+       |  FROM (SELECT name, label_k, label_instance,
+       |          (CAST(bucket - 1 AS DOUBLE) + f) / 8.0 AS xq
+       |        FROM pick WHERE rn = 1))
+       |SELECT t2.name AS name, t2.label_k AS label_k,
+       |  t2.label_instance AS label_instance,
+       |  CASE WHEN 0.9 * CAST(t2.cnt AS DOUBLE) <= CAST(t2.zero AS DOUBLE) THEN 0.0
+       |       WHEN pq.qv IS NOT NULL THEN pq.qv
+       |       ELSE bs.last_hi END AS value
+       |FROM tot t2
+       |LEFT JOIN pq ON pq.name = t2.name AND pq.label_k = t2.label_k
+       |  AND pq.label_instance = t2.label_instance
+       |LEFT JOIN bs ON bs.name = t2.name AND bs.label_k = t2.label_k
+       |  AND bs.label_instance = t2.label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+  }
+
+  /** `histogram_fraction(2.5, 75.5, error)` with `error` NATIVE: the
+    * boundary constants' bucket index and log-interpolated in-bucket
+    * fraction are computed once at generation time (the same
+    * compose-time literals the Spark plan embeds); the SQL is pure
+    * integer sums + one literal multiply per bound.
+    */
+  val NativeHistogramFractionSql: String = {
+    val g = "name, label_k, label_instance"
+    val (bLo, fLo, _) = graft.functions.NativeHistogramAggregator
+      .fractionPieces(2.5, Metrics.NhSchema)
+    val (bHi, fHi, _) = graft.functions.NativeHistogramAggregator
+      .fractionPieces(75.5, Metrics.NhSchema)
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (SELECT $g, value FROM m, t
+       |      WHERE name = 'error' AND epoch_us(ts) <= t_us),
+       |bounds AS (${Metrics.NhBoundsSql}),
+       |tot AS (
+       |  SELECT $g, COUNT(*) AS cnt,
+       |    CAST(SUM(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero
+       |  FROM w GROUP BY $g),
+       |bk AS (
+       |  SELECT $g, b.bucket, COUNT(*) AS c
+       |  FROM w JOIN bounds b ON w.value > b.lo AND w.value <= b.hi
+       |  GROUP BY $g, b.bucket),
+       |s AS (
+       |  SELECT $g,
+       |    CAST(SUM(CASE WHEN bucket < $bHi THEN c ELSE 0 END) AS BIGINT) AS below_hi,
+       |    CAST(SUM(CASE WHEN bucket = $bHi THEN c ELSE 0 END) AS BIGINT) AS at_hi,
+       |    CAST(SUM(CASE WHEN bucket < $bLo THEN c ELSE 0 END) AS BIGINT) AS below_lo,
+       |    CAST(SUM(CASE WHEN bucket = $bLo THEN c ELSE 0 END) AS BIGINT) AS at_lo
+       |  FROM bk GROUP BY $g)
+       |SELECT t2.name AS name, t2.label_k AS label_k,
+       |  t2.label_instance AS label_instance,
+       |  ((CAST(t2.zero + COALESCE(s.below_hi, 0) AS DOUBLE)
+       |      + CAST(COALESCE(s.at_hi, 0) AS DOUBLE) * CAST('$fHi' AS DOUBLE))
+       |   - (CAST(t2.zero + COALESCE(s.below_lo, 0) AS DOUBLE)
+       |      + CAST(COALESCE(s.at_lo, 0) AS DOUBLE) * CAST('$fLo' AS DOUBLE)))
+       |  / CAST(t2.cnt AS DOUBLE) AS value
+       |FROM tot t2
+       |LEFT JOIN s ON s.name = t2.name AND s.label_k = t2.label_k
+       |  AND s.label_instance = t2.label_instance
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+  }
+
   val HistogramFractionSql: String = {
     def f(x: Double): String =
       s"""MAX(CASE WHEN $x >= le THEN CAST(cum_count AS DOUBLE)

@@ -729,6 +729,64 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(math.abs(sd("a") - math.sqrt(6642.0)) < 1e-9 && sd("b") === 0.0)
   }
 
+  test("native-histogram dispatch: front-end quantile bit-matches the aggregator; fraction matches hand values") {
+    val h = 3600000L
+    // series a observes 2,8,30,200; series b observes 4 and two zeros
+    // (exercising the zero bucket through the front-end path)
+    val dir = fixture("events" -> Seq(
+      ev(0, h, "error", 2.0, "a"), ev(1, 2 * h, "error", 8.0, "a"),
+      ev(2, 3 * h, "error", 30.0, "a"), ev(3, 4 * h, "error", 200.0, "a"),
+      ev(4, h, "error", 4.0, "b"), ev(5, 2 * h, "error", 0.0, "b"),
+      ev(6, 3 * h, "error", 0.0, "b")).toDF(eventCols: _*))
+    val native = Engine.eval(spark, dir, "histogram_quantile(0.9, error)",
+      nativeFamilies = Set("error"))
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    // independent reference: fold the same observations through the
+    // NativeHistogramAggregator and take its DetMath quantile — the
+    // front-end plan must reproduce it bit for bit
+    val agg = new graft.functions.NativeHistogramAggregator(3)
+    def ref(vals: Seq[Double], phi: Double): Double =
+      agg.quantile(vals.foldLeft(agg.zero)(agg.reduce), phi)
+    assert(native("a") === ref(Seq(2.0, 8.0, 30.0, 200.0), 0.9))
+    assert(native("b") === ref(Seq(4.0, 0.0, 0.0), 0.9))
+    // rank 0.9·3=2.7 of b falls past the two zeros into the 4.0 bucket
+    assert(native("b") > 0.0)
+    // zero-bucket rank: phi low enough that rank <= zero_count → exactly 0
+    val low = Engine.eval(spark, dir, "histogram_quantile(0.5, error)",
+      nativeFamilies = Set("error"))
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(low("b") === 0.0)
+    assert(low("a") === ref(Seq(2.0, 8.0, 30.0, 200.0), 0.5))
+    // classic path untouched when the family is NOT declared native
+    val classic = Engine.eval(spark, dir, "histogram_quantile(0.9, error)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(classic !== native)
+    // native fraction: hand values — a's buckets (schema 3) hold 2, 8,
+    // 30, 200 in separate buckets; (2.5, 75.5] covers 8 and 30 fully
+    // plus the log-interpolated slivers of 2's and 200's buckets
+    val frac = Engine.eval(spark, dir, "histogram_fraction(2.5, 75.5, error)",
+      nativeFamilies = Set("error"))
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    import graft.functions.NativeHistogramAggregator.fractionPieces
+    val (bLo, fLo, _) = fractionPieces(2.5, 3)
+    val (bHi, fHi, _) = fractionPieces(75.5, 3)
+    def refFrac(vals: Seq[Double]): Double = {
+      val buckets = vals.filter(_ > 0).groupBy(agg.bucketIndex).view.mapValues(_.size.toLong)
+      val zero = vals.count(_ == 0.0).toLong
+      def F(b: Int, fx: Double): Double =
+        (zero + buckets.filter(_._1 < b).values.sum).toDouble +
+          buckets.getOrElse(b, 0L).toDouble * fx
+      (F(bHi, fHi) - F(bLo, fLo)) / vals.length.toDouble
+    }
+    assert(math.abs(frac("a") - refFrac(Seq(2.0, 8.0, 30.0, 200.0))) < 1e-15)
+    assert(math.abs(frac("b") - refFrac(Seq(4.0, 0.0, 0.0))) < 1e-15)
+    // fraction of everything is 1 when all observations are in range
+    val all = Engine.eval(spark, dir, "histogram_fraction(0.001, 1000, error)",
+      nativeFamilies = Set("error"))
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    assert(all("a") === 1.0)
+  }
+
   test("info() enriches series with the derived target_info label") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "signup", 5.0, "a"),
