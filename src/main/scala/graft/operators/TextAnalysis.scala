@@ -787,7 +787,12 @@ object TextAnalysis {
   def boilerplateFirewall(docs: DataFrame, bitset: DataFrame): DataFrame = {
     val test = bloomTestExpr
     val r = ScrubMinRun
-    docs.crossJoin(broadcast(bitset))
+    // null-text docs are dropped, matching the batch twin's row
+    // universe: x74's posexplode emits no row for a null token array,
+    // while the HOF chain below would propagate nulls into a
+    // null-filled output row — the stream ≡ batch law must hold on the
+    // same row set
+    docs.filter(col("text").isNotNull).crossJoin(broadcast(bitset))
       .withColumn("_toks", TextOps.tokens(col("text")))
       .withColumn("_sh", TextOps.shingles(col("text"), 3))
       .withColumn("_hits", expr(
@@ -2111,12 +2116,24 @@ object TextAnalysis {
     * curation uses to decide when a crawl is exhausted. Each gram
     * contributes at its FIRST-seen doc (min over doc ids — exact,
     * order-independent), so the whole curve is one gram-keyed aggregate
-    * over the SHARED shingle cache + one bucket rollup + one prefix sum
-    * over the ≤ |corpus|/50-row bucket relation — counts only, no
-    * floats, and no per-checkpoint corpus rescan (the naive form
-    * recounts distincts once per checkpoint).
+    * over the SHARED shingle cache + one bucket rollup + a TWO-LEVEL
+    * prefix sum over the ≤ |corpus|/50-row bucket relation — counts
+    * only, no floats, and no per-checkpoint corpus rescan (the naive
+    * form recounts distincts once per checkpoint).
+    *
+    * Two-level prefix sum: a single global `Window.orderBy` would pull
+    * every bucket row through ONE partition — fine at sf0.1, ~2×10⁷
+    * rows through one task at 10⁹ docs. Instead buckets prefix-sum
+    * WITHIN [[VocabRange]]-sized ranges (a partitioned window — fully
+    * parallel), and only the per-range TOTALS (|buckets|/1024 rows)
+    * take a global ordered pass before broadcasting back as range
+    * offsets: `gram_vocab = range_offset + within_range_prefix`. The
+    * single-partition stage shrinks by 1024× at every scale.
     */
   val VocabBucket = 50
+
+  /** Buckets per prefix-sum range (level-1 window partition size). */
+  val VocabRange = 1024
 
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val first = Corpus.shingleRows(spark, dir)
@@ -2124,12 +2141,20 @@ object TextAnalysis {
     val buckets = first
       .groupBy(expr(s"first_seen div $VocabBucket").as("bucket"))
       .agg(count(lit(1)).as("new_grams"))
-    val w = Window.orderBy(col("bucket"))
+      .withColumn("range", expr(s"bucket div $VocabRange"))
+    val wIn = Window.partitionBy(col("range")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    buckets
+    val within = buckets.withColumn("in_range", sum(col("new_grams")).over(wIn))
+    val wPrior = Window.orderBy(col("range"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = buckets.groupBy(col("range"))
+      .agg(sum(col("new_grams")).as("range_total"))
+      .withColumn("offset", coalesce(sum(col("range_total")).over(wPrior), lit(0L)))
+      .select(col("range"), col("offset"))
+    within.join(broadcast(offsets), "range")
       .select(((col("bucket") + 1) * VocabBucket).as("up_to_doc"),
         col("new_grams"),
-        sum(col("new_grams")).over(w).as("gram_vocab"))
+        (col("offset") + col("in_range")).as("gram_vocab"))
       .orderBy(col("up_to_doc"))
   }
 

@@ -268,9 +268,14 @@ class PlanShapeSpec extends SparkTestBase {
         s"$name recomputes its silver relation instead of reading the cache")
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
-    // x64 in particular is aggregate-only: one pass, no joins at all
-    assert(!plan("x64_vocab_growth").contains("Join"),
-      "x64 grew a join; the growth curve is one aggregate + prefix sum")
+    // x64's prefix sum is TWO-LEVEL: the bucket-scale window partitions
+    // by range (never a global sort of the bucket relation), and only
+    // the tiny range-offset relation broadcasts back
+    val p64 = plan("x64_vocab_growth")
+    assert(p64.contains("windowspecdefinition(range"),
+      "x64's bucket-level window lost its range partitioning (global sort at scale)")
+    assert(p64.contains("BroadcastHashJoin"),
+      "x64's range offsets must broadcast, not shuffle")
   }
 
   test("q14: part broadcasts; ship-date bounds reach the parquet scan") {

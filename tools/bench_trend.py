@@ -68,9 +68,13 @@ def main(argv):
     rows.sort(reverse=True)
 
     print(f"history: {len(runs)} runs, latest {latest_ts}")
-    # restrict the headline total to queries the LATEST run declares:
-    # a renamed/removed query's stale min would inflate the ratio
-    total_min = sum(m for q, m in mins.items() if q in latest.get("queries", {}))
+    # restrict the headline total to queries the LATEST run declares AND
+    # succeeded in (v >= 0): a renamed/removed query's stale min would
+    # inflate the ratio, and a failed query's min would land in total_min
+    # while total_latest excludes it — understating the ratio exactly
+    # when the run has failures
+    latest_ok = {q for q, v in latest.get("queries", {}).items() if v >= 0}
+    total_min = sum(m for q, m in mins.items() if q in latest_ok)
     total_latest = sum(v for v in latest.get("queries", {}).values() if v >= 0)
     print(f"total: latest {total_latest:.1f}s vs sum-of-mins {total_min:.1f}s "
           f"(x{total_latest / total_min:.2f})" if total_min else "total: n/a")
