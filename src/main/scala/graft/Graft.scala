@@ -61,5 +61,14 @@ object Graft {
     graft.operators.Similarity.unpersistQuantized(spark)
     graft.operators.Similarity.unpersistKmeans(spark)
     graft.promql.Compiler.unpersistInstants(spark)
+    graft.operators.TextAnalysis.unpersistBpe(spark)
+    // The iteration operators (x27 component propagation, x37
+    // converged k-means, the BPE training rounds) truncate lineage
+    // with localCheckpoint; those blocks belong to no registry above,
+    // so sweep whatever persistent RDDs remain — the engine owns this
+    // session's executor storage, and a long-lived session must return
+    // to zero after release.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 }

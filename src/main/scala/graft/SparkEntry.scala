@@ -214,7 +214,8 @@ object SparkEntry {
       """sort_by_label_desc(sum by (k) (purchase), "k")""")),
     "p53_promql_mad" -> ((s, d) => promql.Engine.eval(s, d,
       "mad_over_time(signup[10d])")),
-    // rows-only like b29: order-sensitive float recurrence, spec-pinned
+    // hash-gated like b29: the recurrence is pure +/x, so a recursive
+    // CTE stepping the identical fold reproduces it bit for bit
     "p54_promql_smoothing" -> ((s, d) => promql.Engine.eval(s, d,
       "double_exponential_smoothing(signup[10d], 0.5, 0.3)")),
     "p55_promql_ts_of_max" -> ((s, d) => promql.Engine.eval(s, d,
@@ -427,7 +428,9 @@ object SparkEntry {
     // so the estimates hash-gate against a relational DuckDB rebuild of
     // the same sketch (collisions included); spec pins ≥-exact + merge
     "x23_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
-    // sketch read-back uses libm log/pow → rows-only; error spec-bounded
+    // DDSketch on the shared gamma^i power table: bucket containment
+    // and read-back are pure table arithmetic -> hash-gated against a
+    // literal-bounds DuckDB rebuild; error bound stays spec-pinned
     "x26_quantile_sketch" -> ((s, d) => TextAnalysis.quantileSketch(s, d)),
     // libm-dependent log/exp family → rows-only like b29; the spec pins
     // every value against the JVM's own java.lang.Math reference
@@ -454,13 +457,6 @@ object SparkEntry {
     * the key set is EXACTLY `queries.keySet -- oracleSql.keySet`.
     */
   val rowsOnly: Map[String, String] = Map(
-    "b29_holt_winters" ->
-      ("order-sensitive float recurrence: each smoothing step rounds once, so " +
-        "engines must evaluate in identical order AND identical libm; spec pins " +
-        "every value against an independent sequential Scala reference (PromQLSpec)"),
-    "p54_promql_smoothing" ->
-      ("b29's recurrence through the string front-end — same order-sensitive " +
-        "float rounding; spec-pinned in PromQLFrontendSpec"),
     "b33_log_functions" ->
       ("ln/log2/log10/exp are libm-routed; Spark's fdlibm StrictMath vs DuckDB's " +
         "system libm diverge in the last ulp (measured ~2e-16 rel); spec pins " +
@@ -478,9 +474,6 @@ object SparkEntry {
       ("approx_count_distinct reads Spark's internal HyperLogLog++ registers — " +
         "no cross-engine twin exists by construction; error bound vs exact " +
         "COUNT(DISTINCT) spec-asserted (ExtensionSpec)"),
-    "x26_quantile_sketch" ->
-      ("DDSketch read-back maps ranks through libm log/pow; relative-error " +
-        "bound and merge laws spec-pinned (PropertySpec)"),
     "x37_kmeans_converged" ->
       ("loop-until-converged: SQL cannot express the data-dependent round " +
         "count; the loop BODY is hash-gated via x37b's fixed-round unrolled-CTE " +
@@ -612,6 +605,7 @@ object SparkEntry {
     "p32_promql_sort" -> promql.Oracle.SortDescSql,
     "p52_promql_sort_by_label" -> promql.Oracle.SortByLabelSql,
     "p53_promql_mad" -> promql.Oracle.MadOverTimeSql,
+    "p54_promql_smoothing" -> promql.Oracle.SmoothingSql,
     "p55_promql_ts_of_max" -> promql.Oracle.TsOfMaxOverTimeSql,
     "p56_promql_histogram_avg" -> promql.Oracle.HistogramAvgSql,
     "p57_promql_histogram_fraction" -> promql.Oracle.HistogramFractionSql,
@@ -649,6 +643,7 @@ object SparkEntry {
     "p49_promql_limitk" -> promql.Oracle.LimitkSql,
     "p50_promql_limit_ratio" -> promql.Oracle.LimitRatioSql,
     "p51_promql_for_alert" -> promql.Oracle.ForAlertSql,
+    "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,
@@ -657,6 +652,7 @@ object SparkEntry {
     "x19_corpus_ngrams" -> TextAnalysis.CorpusNgramsSql,
     "x20_contamination" -> TextAnalysis.ContaminationSql,
     "x23_cms_heavy_hitters" -> TextAnalysis.CmsHeavyHittersSql,
+    "x26_quantile_sketch" -> TextAnalysis.QuantileSketchSql,
     "x48_bloom_contamination" -> TextAnalysis.BloomContaminationSql,
     "x49_contamination_spans" -> TextAnalysis.ContaminationSpansSql,
     "x21_multimodal_resize" -> Multimodal.ResizeSql,

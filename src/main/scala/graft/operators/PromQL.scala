@@ -1561,10 +1561,13 @@ object PromQL {
     * bounded by samples-per-series-per-window, not corpus size) folded
     * by a single `aggregate` HOF with a (level, trend) struct
     * accumulator. Series with fewer than two samples yield no result,
-    * per PromQL. The smoothed value is an order-sensitive float
-    * recurrence — engine-specific like the HLL sketch (x16) — so this
-    * query has a rows-only driver check; the spec pins it against an
-    * independent Scala reference implementation.
+    * per PromQL. HASH-GATED: the recurrence is pure +/× (no libm), the
+    * sample order is pinned by `(ts, event_id)` on both sides, and each
+    * step is the same correctly-rounded expression tree — so a DuckDB
+    * RECURSIVE CTE stepping the identical fold reproduces the smoothed
+    * value bit for bit ([[HoltWintersSql]]; the round-9 rows-only
+    * classification assumed libm was involved — it is not). The spec
+    * additionally pins the fold against an independent Scala reference.
     */
   def holtWinters(spark: SparkSession, dir: String): DataFrame =
     Metrics.metricEvents(spark, dir)
@@ -1587,6 +1590,33 @@ object PromQL {
           |  acc -> acc.s)""".stripMargin))
       .select(col("name"), col("label_k"), col("smoothed"))
       .orderBy(col("name"), col("label_k"))
+
+  /** Oracle twin of [[holtWinters]]: the per-series fold stepped by a
+    * RECURSIVE CTE — state after position `p` (1-based) is `(s, b)`;
+    * the base row is the init `(y₀, y₁−y₀)` at p = 1 and each
+    * recursive row advances one sample with the EXACT expression tree
+    * the Spark `aggregate` lambda evaluates (s′ recomputed inline in
+    * b′, mirroring the HOF), so every intermediate double matches.
+    */
+  val HoltWintersSql: String =
+    s"""WITH RECURSIVE m AS (${Metrics.MetricEventsSql}),
+       |g AS (
+       |  SELECT name, label_k, list(value ORDER BY ts, event_id) AS vals
+       |  FROM m WHERE kind = 'gauge'
+       |  GROUP BY name, label_k),
+       |g2 AS (SELECT *, len(vals) AS n FROM g WHERE len(vals) >= 2),
+       |steps AS (
+       |  SELECT name, label_k, vals, n, 1 AS p,
+       |    vals[1] AS s, vals[2] - vals[1] AS b
+       |  FROM g2
+       |  UNION ALL
+       |  SELECT name, label_k, vals, n, p + 1,
+       |    0.5 * vals[p + 1] + 0.5 * (s + b),
+       |    0.3 * ((0.5 * vals[p + 1] + 0.5 * (s + b)) - s) + 0.7 * b
+       |  FROM steps WHERE p < n)
+       |SELECT name, label_k, s AS smoothed
+       |FROM steps WHERE p = n
+       |ORDER BY name, label_k""".stripMargin
 
   /** B-time function family: PromQL `minute`/`hour`/`day_of_week`/
     * `day_of_month`/`days_in_month`/`month`/`year` over the event

@@ -490,9 +490,12 @@ object TextAnalysis {
     * aggregate is a fixed-size mergeable array (map-side combined,
     * one array per group per partition over the shuffle) where exact
     * `percentile` buffers every value; at 100 TB the sketch is the only
-    * viable form, and this query IS its accuracy oracle. Sketch
-    * read-back uses libm log/pow → rows-only driver check; the specs
-    * pin the relative-error bound and merge laws.
+    * viable form, and this query IS its accuracy oracle. HASH-GATED:
+    * bucket assignment binary-searches the shared `γ^i` power table
+    * (exact containment) and the read-back is pure arithmetic over the
+    * same table, so the DuckDB twin — a literal-bounds range join plus
+    * the identical rank walk — reproduces every estimate bit for bit;
+    * the specs additionally pin the relative-error bound and merge laws.
     */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val qs = udaf(graft.functions.QuantileSketchAggregator(QsGamma, QsWidth),
@@ -511,6 +514,63 @@ object TextAnalysis {
       .withColumn("p50_rel_err",
         abs(col("p50_est") - col("p50_exact")) / col("p50_exact"))
       .orderBy(col("lang"))
+  }
+
+  /** Oracle twin of [[quantileSketch]]: the sketch cells rebuilt by a
+    * range join against the shared `γ^i` literals (first row opens at
+    * −∞ for the ≤1 clamp, last at +∞ for the top clamp), the estimate
+    * by the identical rank walk and midpoint arithmetic. The literal
+    * table stops at [[QsOracleBuckets]] buckets (γ^1199 ≈ 2×10¹⁰ —
+    * no document length approaches it; the aggregator's own top clamp
+    * at `width−1` = 2047 is equally unreachable).
+    */
+  val QsOracleBuckets = 1200
+
+  lazy val QuantileSketchSql: String = {
+    val p = graft.functions.QuantileSketchAggregator.powTable(QsGamma, QsWidth)
+    def d(v: String): String = s"CAST('$v' AS DOUBLE)"
+    val rows = (0 until QsOracleBuckets).map { i =>
+      val jlo = if (i == 0) d("-inf") else d(p(i).toString)
+      val jhi = if (i == QsOracleBuckets - 1) d("inf") else d(p(i + 1).toString)
+      s"($i, $jlo, $jhi, ${d(p(i).toString)})"
+    }.mkString(",")
+    val gammaL = d(QsGamma.toString)
+    val gp1L = d((QsGamma + 1.0).toString)
+    s"""WITH bounds AS (SELECT * FROM (VALUES $rows) b(i, jlo, jhi, p)),
+       |d AS (SELECT lang, n_chars, CAST(n_chars AS DOUBLE) AS x FROM documents),
+       |tot AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    quantile_cont(n_chars, 0.5) AS p50_exact
+       |  FROM d GROUP BY lang),
+       |cells AS (
+       |  SELECT d.lang, b.i, b.p, COUNT(*) AS c
+       |  FROM d JOIN bounds b ON d.x >= b.jlo AND d.x < b.jhi
+       |  GROUP BY 1, 2, 3),
+       |cw AS (
+       |  SELECT *, SUM(c) OVER (PARTITION BY lang ORDER BY i) AS cum
+       |  FROM cells),
+       |ph AS (SELECT * FROM (VALUES ('p50', '0.5'), ('p90', '0.9'),
+       |       ('p99', '0.99')) p(nm, phi)),
+       |est AS (
+       |  SELECT lang, nm, (2.0 * p * $gammaL) / $gp1L AS est
+       |  FROM (
+       |    SELECT c.lang, ph.nm, c.p,
+       |      ROW_NUMBER() OVER (PARTITION BY c.lang, ph.nm ORDER BY c.i) AS rn
+       |    FROM cw c
+       |    JOIN tot t ON t.lang = c.lang
+       |    CROSS JOIN ph
+       |    WHERE c.cum >= GREATEST(1, CAST(CEIL(CAST(ph.phi AS DOUBLE)
+       |      * CAST(t.n_docs AS DOUBLE)) AS BIGINT)))
+       |  WHERE rn = 1)
+       |SELECT t.lang, t.n_docs, t.p50_exact,
+       |  MAX(CASE WHEN e.nm = 'p50' THEN e.est END) AS p50_est,
+       |  MAX(CASE WHEN e.nm = 'p90' THEN e.est END) AS p90_est,
+       |  MAX(CASE WHEN e.nm = 'p99' THEN e.est END) AS p99_est,
+       |  ABS(MAX(CASE WHEN e.nm = 'p50' THEN e.est END) - t.p50_exact)
+       |    / t.p50_exact AS p50_rel_err
+       |FROM tot t JOIN est e ON e.lang = t.lang
+       |GROUP BY t.lang, t.n_docs, t.p50_exact
+       |ORDER BY t.lang""".stripMargin
   }
 
   /** The pipeline DECISION layer: one keep/drop verdict per document
@@ -1794,6 +1854,16 @@ object TextAnalysis {
       SessionCaches.onApplicationEnd(spark)(() => bpeStateCache.remove(k))
       bpeTrainStateUncached(spark, dir, rounds)
     })
+
+  /** Drop this session's cached BPE training states (the backing
+    * localCheckpoint blocks are swept by
+    * [[graft.Graft.releaseCaches]]'s persistent-RDD pass).
+    */
+  def unpersistBpe(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    bpeStateCache.keySet.asScala.filter(_._1 eq spark)
+      .foreach(bpeStateCache.remove(_))
+  }
 
   private def bpeTrainStateUncached(spark: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame) = {

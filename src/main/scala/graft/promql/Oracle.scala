@@ -200,6 +200,46 @@ object Oracle {
     * counts are monotone in le, so MAX lands on the single row whose
     * bucket contains x; full buckets below telescope into prev_cum).
     */
+  /** `double_exponential_smoothing(signup[10d], 0.5, 0.3)` — the
+    * windowed Holt-Winters fold stepped by a RECURSIVE CTE. The
+    * recurrence is pure +/× (no libm): sample order is pinned by
+    * `(ts, event_id)` on both sides and each step is the identical
+    * correctly-rounded expression tree the compiler's `aggregate`
+    * lambda evaluates (s′ recomputed inline in b′), so every
+    * intermediate double matches. The smoothing-factor literals are the
+    * SAME Scala doubles the compiler interpolates into its expression.
+    */
+  val SmoothingSql: String = {
+    val sf = 0.5
+    val tf = 0.3
+    val sfL = s"CAST('$sf' AS DOUBLE)"
+    val isfL = s"CAST('${1 - sf}' AS DOUBLE)"
+    val tfL = s"CAST('$tf' AS DOUBLE)"
+    val itfL = s"CAST('${1 - tf}' AS DOUBLE)"
+    s"""WITH RECURSIVE m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |w AS (SELECT name, label_k, label_instance, ts, event_id, value
+       |      FROM m, t
+       |      WHERE name = 'signup' AND epoch_us(ts) > t_us - 864000000000
+       |        AND epoch_us(ts) <= t_us),
+       |g AS (SELECT name, label_k, label_instance,
+       |        list(value ORDER BY ts, event_id) AS vals
+       |      FROM w GROUP BY 1, 2, 3),
+       |g2 AS (SELECT *, len(vals) AS n FROM g WHERE len(vals) >= 2),
+       |steps AS (
+       |  SELECT name, label_k, label_instance, vals, n, 1 AS p,
+       |    vals[1] AS s, vals[2] - vals[1] AS b
+       |  FROM g2
+       |  UNION ALL
+       |  SELECT name, label_k, label_instance, vals, n, p + 1,
+       |    $sfL * vals[p + 1] + $isfL * (s + b),
+       |    $tfL * (($sfL * vals[p + 1] + $isfL * (s + b)) - s) + $itfL * b
+       |  FROM steps WHERE p < n)
+       |SELECT name, label_k, label_instance, s AS value
+       |FROM steps WHERE p = n
+       |ORDER BY name, label_k, label_instance, value""".stripMargin
+  }
+
   /** `histogram_quantile(0.9, error)` with `error` declared NATIVE:
     * the sparse exponential-bucket rebuild over the shared literal
     * bounds, with the aggregator's exact rank walk and the
