@@ -1,0 +1,67 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.streaming.ExpositionRegistry
+
+/** The reference's defining surface made LITERAL: an HTTP pull endpoint
+  * serving the current metric snapshot as Prometheus text exposition —
+  * the Exposer the reference constructs at `0.0.0.0:9090` and scrapes
+  * through `/metrics` (`/root/reference/prometheus.cpp:47,73`).
+  *
+  * Spark-first inversion, same wire contract: the reference serves from
+  * an in-process registry its blocks mutate; this engine serves from
+  * [[graft.streaming.ExpositionRegistry]], which the Structured
+  * Streaming serving sink keeps current per micro-batch
+  * (`MetricStream.startServingSink`). A scrape reads the concurrent
+  * map — O(#series), never a Spark job, never blocking ingest — the
+  * exact hand-off prometheus-cpp gets from its atomics
+  * (`prometheus.cpp:80`).
+  *
+  * The payload renders `name{k="v"} value` lines, sorted, with the
+  * value printed from integer cents — the same renderer contract as the
+  * oracle-gated a1c query ([[graft.operators.PromQL.expositionText]]),
+  * so the HTTP bytes equal the engine's hash-checked exposition rows
+  * for the same series state. Content type is the Prometheus text
+  * format's `text/plain; version=0.0.4`.
+  *
+  * JDK-built-in `com.sun.net.httpserver` — zero added dependencies.
+  */
+object ScrapeEndpoint {
+
+  val ContentType = "text/plain; version=0.0.4; charset=utf-8"
+
+  /** Render the registry snapshot as exposition text: one sorted
+    * `name{k="v"} intpart.fraction2` line per series, trailing newline.
+    * Cents rendering matches a1c: pure integer/string ops, so the same
+    * series state always prints the same bytes.
+    */
+  def renderText(): String = {
+    val lines = ExpositionRegistry.series().map { t =>
+      val cents = Math.round(t.total * 100.0)
+      s"""${t.name}{k="${t.label_k}"} ${cents / 100}.${"%02d".format(cents % 100)}"""
+    }.sorted
+    lines.mkString("", "\n", if (lines.nonEmpty) "\n" else "")
+  }
+
+  /** Start the pull endpoint on `port` (0 = ephemeral; read the bound
+    * port from the returned server). GET `/metrics` serves the
+    * snapshot; anything else 404s, exactly like the reference's single
+    * registered handler. The server runs on its own dispatcher thread
+    * and holds no Spark state — stop it with `server.stop(0)`.
+    */
+  def start(port: Int = 0): HttpServer = {
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/metrics", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = renderText().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", ContentType)
+        ex.sendResponseHeaders(200, body.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(body) finally os.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    server
+  }
+}

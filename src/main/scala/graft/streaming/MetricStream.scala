@@ -288,6 +288,15 @@ object ExpositionRegistry {
 
   def publish(t: MetricStream.SeriesTotal): Unit = state.put((t.name, t.label_k), t)
 
+  /** The raw series state, Spark-free — the HTTP pull endpoint
+    * ([[graft.sources.ScrapeEndpoint]]) reads this on the request
+    * thread.
+    */
+  def series(): Seq[MetricStream.SeriesTotal] = {
+    import scala.jdk.CollectionConverters._
+    state.values().asScala.toSeq
+  }
+
   /** The scrape: current snapshot of every series as a DataFrame. */
   def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -30,4 +30,77 @@ class ServingSinkSpec extends SparkTestBase {
     val plan = counters.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(kind"), plan.take(500))
   }
+
+  test("HTTP pull endpoint serves the registry as Prometheus text exposition") {
+    import graft.sources.ScrapeEndpoint
+    import graft.streaming.{ExpositionRegistry, MetricStream}
+    ExpositionRegistry.clear()
+    ExpositionRegistry.publish(MetricStream.SeriesTotal("click", "a", 7.0, 3L))
+    ExpositionRegistry.publish(MetricStream.SeriesTotal("click", "b", 2.5, 1L))
+    ExpositionRegistry.publish(MetricStream.SeriesTotal("purchase", "a", 10.0, 2L))
+    val server = ScrapeEndpoint.start() // ephemeral port
+    try {
+      val port = server.getAddress.getPort
+      def get(path: String): (Int, String, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val ct = Option(conn.getContentType).getOrElse("")
+        val body =
+          if (code == 200)
+            new String(conn.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+          else ""
+        conn.disconnect()
+        (code, ct, body)
+      }
+      val (code, ct, body) = get("/metrics")
+      assert(code === 200)
+      assert(ct === ScrapeEndpoint.ContentType)
+      // the exact reference wire shape, sorted, cents-rendered (a1c's
+      // renderer contract), trailing newline
+      assert(body ===
+        "click{k=\"a\"} 7.00\nclick{k=\"b\"} 2.50\npurchase{k=\"a\"} 10.00\n")
+      // a second scrape sees updated state without restart
+      ExpositionRegistry.publish(MetricStream.SeriesTotal("click", "a", 8.25, 4L))
+      assert(get("/metrics")._3.contains("click{k=\"a\"} 8.25"))
+      // only /metrics is registered, like the reference's single handler
+      assert(get("/other")._1 === 404)
+      // the payload parses with the engine's own a1d regex contract
+      val re = "^(\\w+)\\{k=\"([^\"]*)\"\\} (.+)$".r
+      body.linesIterator.foreach(l => assert(re.findFirstIn(l).isDefined, l))
+    } finally {
+      server.stop(0)
+      ExpositionRegistry.clear()
+    }
+  }
+
+  test("endpoint serves a live streaming sink's accumulating state") {
+    import graft.sources.ScrapeEndpoint
+    import graft.streaming.{ExpositionRegistry, MetricStream}
+    ExpositionRegistry.clear()
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RawEvent]
+    val q = MetricStream.startServingSink(
+      MetricStream.runningCounterTotals(input.toDF()),
+      "scrape-endpoint-spec")
+    val server = ScrapeEndpoint.start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(RawEvent(0L, t0, 1L, "click", 2.0, """{"k": "a"}"""))
+      input.addData(RawEvent(1L, t0, 1L, "click", 3.5, """{"k": "a"}"""))
+      q.processAllAvailable()
+      val port = server.getAddress.getPort
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      conn.disconnect()
+      assert(body === "click{k=\"a\"} 5.50\n")
+    } finally {
+      server.stop(0)
+      q.stop()
+      ExpositionRegistry.clear()
+    }
+  }
 }
