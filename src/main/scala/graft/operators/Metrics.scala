@@ -340,6 +340,37 @@ object Metrics {
     nhBounds.toDF("bucket", "lo", "hi")
   }
 
+  /** SCALAR bucket index of a positive value at schema [[NhSchema]] —
+    * the codegen-friendly alternative to range-joining the bounds
+    * relation (a BroadcastNestedLoopJoin evaluating ~200 candidate
+    * rows per observation). `log2` gives the raw index to within one
+    * bucket; the literal-bounds comparison then corrects it to EXACT
+    * containment (`lo < v ≤ hi`) — the same two-step the aggregator's
+    * `bucketIndex` runs, so the result is libm-independent even though
+    * libm seeds it. Rows outside the literal table's value range are
+    * the caller's concern (mirror the oracle by filtering to
+    * `(lo_min, hi_max]` first); the range spans (0.001, 32768].
+    */
+  private[graft] def nhBucketCol(v: Column): Column = {
+    val loArr = array(nhBounds.map(b => lit(b._2)).toIndexedSeq: _*)
+    val hiArr = array(nhBounds.map(b => lit(b._3)).toIndexedSeq: _*)
+    val raw = ceil(log2(v) * lit(NhIdxScale)).cast("int")
+    val r = greatest(lit(NhIdxMin + 1), least(lit(NhIdxMax - 1), raw))
+    val idx = r - lit(NhIdxMin) + lit(1)
+    when(v <= element_at(loArr, idx), r - 1)
+      .when(v > element_at(hiArr, idx), r + 1)
+      .otherwise(r)
+  }
+
+  private val NhIdxScale: Double = StrictMath.pow(2.0, NhSchema)
+
+  /** The value range the literal bounds cover: callers pre-filter to
+    * `(NhLoMin, NhHiMax]` so out-of-range rows DROP (exactly what the
+    * oracle's range join does) instead of clamping to an edge bucket.
+    */
+  private[graft] lazy val NhLoMin: Double = nhBounds.head._2
+  private[graft] lazy val NhHiMax: Double = nhBounds.last._3
+
   private[graft] lazy val NhBoundsSql: String =
     // the doubles ride as QUOTED strings: a bare decimal literal parses
     // as DECIMAL and double-rounds the last ulp away; string → DOUBLE
