@@ -358,6 +358,9 @@ object SparkEntry {
     "x74_span_scrub" -> ((s, d) => TextAnalysis.spanScrub(s, d)),
     // per-language compression + fertility over x73's encoding
     "x75_bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(s, d)),
+    // bigram-LM perplexity (CCNet-style quality filter), deterministic
+    // via DetMath log2/exp2 -> hash-gated
+    "x76_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     // per-feed-pair shared-shingle counts + Jaccard (mirroring feeds)
     "x67_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     // exact containment per candidate pair (asymmetric near-dup signal)
@@ -675,6 +678,7 @@ object SparkEntry {
     "x73_bpe_encode" -> TextAnalysis.BpeEncodeSql,
     "x74_span_scrub" -> TextAnalysis.SpanScrubSql,
     "x75_bpe_fertility" -> TextAnalysis.BpeFertilitySql,
+    "x76_perplexity" -> TextAnalysis.PerplexitySql,
     "x67_source_overlap" -> TextAnalysis.SourceOverlapSql,
     "x68_containment" -> Dedup.ContainmentSql,
     "x69_lang_mix" -> TextAnalysis.LangMixSql,

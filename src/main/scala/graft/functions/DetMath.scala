@@ -108,4 +108,81 @@ object DetMath {
     val tbl = Exp2Table.map(d).mkString("[", ",", "]")
     s"((pow(2.0, $e) * ($tbl)[CAST($j AS INT) + 1]) * $p)"
   }
+
+  // ---- log2 ---------------------------------------------------------
+
+  /** `log2(x) = e + L[j] + P(r)` for x > 0, via:
+    *   e = ⌊log2 x⌋ — libm gives the raw guess, comparison against the
+    *       EXACT doubles 2^e corrects it (2^e is exactly representable
+    *       for |e| < 1023, so containment `2^e ≤ x < 2^(e+1)` is an
+    *       exact predicate — libm seeds, never decides);
+    *   m = x / 2^e ∈ [1,2)         (power-of-two divide — exact)
+    *   j = ⌊(m−1)·32⌋              (m−1 and ×32 both exact)
+    *   L[j] = log2(1 + j/32)       (32 shared literals)
+    *   r = m/(1 + j/32) − 1 ∈ [0, ~1/31)
+    *   P(r) = (r − r²/2 + … + r⁷/7)/ln2 by Horner with literal
+    *       coefficients — truncation < r⁸/8/ln2 ≈ 2·10⁻¹³
+    * Every runtime step is one correctly-rounded IEEE op in pinned
+    * order → bit-identical across engines. Absolute error ≤ ~1e-12
+    * (relative error degrades toward x = 1 where log2 → 0 — use for
+    * SCORES, not for seeding exp2 round-trips that must be exact).
+    */
+  val Log2Coeffs: Array[Double] = {
+    val iln2 = 1.0 / StrictMath.log(2.0)
+    Array.tabulate(8)(k => if (k == 0) 0.0
+    else (if (k % 2 == 1) 1.0 else -1.0) / k * iln2)
+  }
+
+  /** `L[j] = log2(1 + j/32)`, j = 0..31 — shared literal table. */
+  val Log2Table: Array[Double] =
+    Array.tabulate(32)(j => StrictMath.log(1.0 + j / 32.0) / StrictMath.log(2.0))
+
+  def log2(x: Double): Double = {
+    require(x > 0.0, "log2 domain")
+    var e = Math.floor(StrictMath.log(x) / StrictMath.log(2.0)).toInt
+    // exact-containment correction: 2^e <= x < 2^(e+1)
+    if (x < Math.pow(2.0, e.toDouble)) e -= 1
+    else if (x >= Math.pow(2.0, (e + 1).toDouble)) e += 1
+    val m = x / Math.pow(2.0, e.toDouble)
+    val j = Math.floor((m - 1.0) * 32.0).toInt
+    val r = m / (1.0 + j / 32.0) - 1.0
+    var p = Log2Coeffs(7)
+    var k = 6
+    while (k >= 1) { p = p * r + Log2Coeffs(k); k -= 1 }
+    p = p * r
+    (e.toDouble + Log2Table(j)) + p
+  }
+
+  /** Spark Column mirror of [[log2]] — same pinned step order. */
+  def log2Col(x: Column): Column = {
+    val raw = floor(org.apache.spark.sql.functions.log2(x)).cast("int")
+    val e = when(x < pow(lit(2.0), raw.cast("double")), raw - 1)
+      .when(x >= pow(lit(2.0), (raw + 1).cast("double")), raw + 1)
+      .otherwise(raw)
+    val m = x / pow(lit(2.0), e.cast("double"))
+    val j = floor((m - lit(1.0)) * lit(32.0)).cast("int")
+    val r = m / (lit(1.0) + j.cast("double") / lit(32.0)) - lit(1.0)
+    val p0 = (6 to 1 by -1).foldLeft(lit(Log2Coeffs(7))) { (acc, k) =>
+      acc * r + lit(Log2Coeffs(k))
+    } * r
+    (e.cast("double") + element_at(
+      array(Log2Table.map(lit).toIndexedSeq: _*), j + lit(1))) + p0
+  }
+
+  /** DuckDB SQL mirror of [[log2]] over expression string `x`. */
+  def log2Sql(x: String): String = {
+    def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+    val raw = s"CAST(FLOOR(log2($x)) AS INT)"
+    val e = s"(CASE WHEN $x < pow(2.0, CAST($raw AS DOUBLE)) THEN $raw - 1 " +
+      s"WHEN $x >= pow(2.0, CAST($raw + 1 AS DOUBLE)) THEN $raw + 1 " +
+      s"ELSE $raw END)"
+    val m = s"($x / pow(2.0, CAST($e AS DOUBLE)))"
+    val j = s"CAST(FLOOR(($m - 1.0) * 32.0) AS INT)"
+    val r = s"($m / (1.0 + CAST($j AS DOUBLE) / 32.0) - 1.0)"
+    val p = (6 to 1 by -1).foldLeft(d(Log2Coeffs(7))) { (acc, k) =>
+      s"($acc * $r + ${d(Log2Coeffs(k))})"
+    } + s" * $r"
+    val tbl = Log2Table.map(d).mkString("[", ",", "]")
+    s"((CAST($e AS DOUBLE) + ($tbl)[$j + 1]) + ($p))"
+  }
 }

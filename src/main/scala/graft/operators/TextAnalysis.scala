@@ -2241,6 +2241,93 @@ object TextAnalysis {
        |FROM b
        |ORDER BY up_to_doc""".stripMargin
 
+  /** x76: bigram-LM perplexity filtering — the CCNet-style quality
+    * signal this tier previously worked around with the log-free x57:
+    * train an add-one-smoothed bigram language model ON the corpus
+    * (`P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)`, V = continuation
+    * vocabulary) and score every document by its mean per-bigram
+    * surprisal `−log2 P` plus the perplexity `2^bits`. High-ppl docs
+    * are noise/garble, very-low-ppl docs are boilerplate — the classic
+    * two-sided curation filter.
+    *
+    * Deterministic end to end: counts are exact integers; each
+    * probability is ONE correctly-rounded divide; the log2/exp2 go
+    * through [[graft.functions.DetMath]] (no libm in any output
+    * value); per-doc surprisal sums ride exact BIGINT NANO-BITS —
+    * `floor(bits·10⁹ + 0.5)` — because `floor` is EXACT (a decimal
+    * cast is not: a surprisal landing on a half at the cast's scale
+    * rounds half-up in Spark but half-to-even in DuckDB — observed on
+    * this corpus). So the whole score hash-gates against the DuckDB
+    * twin — unusual for an LM scorer and exactly what a reproducible
+    * 100 TB curation recipe needs.
+    *
+    * Scale shape: the bigram relation comes off the SHARED 2-gram
+    * shingle cache (x19/x23 pay for it once); the count model is two
+    * vocabulary-sized hash aggregates + a 1-row V aggregate
+    * (broadcast); scoring is a keyed shuffle join of bigram
+    * occurrences to bigram counts — linear, no window, no driver
+    * state. Docs with <2 tokens have no bigrams and drop, like x5.
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Corpus.shingleRows(spark, dir, 2)
+      .select(col("doc_id"), col("shingle"))
+    val c12 = bg.groupBy(col("shingle")).agg(count(lit(1)).as("c12"))
+    val w1c = bg.select(expr("split(shingle, ' ')[0]").as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = bg.select(expr("split(shingle, ' ')[1]").as("w2"))
+      .distinct().agg(count(lit(1)).as("v"))
+    val scored = bg
+      .join(c12, "shingle")
+      .withColumn("w1", expr("split(shingle, ' ')[0]"))
+      .join(w1c, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("pp",
+        (col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+      .withColumn("bits", -graft.functions.DetMath.log2Col(col("pp")))
+      .withColumn("nano", floor(col("bits") * lit(1e9) + lit(0.5)))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nano")).as("_sn"))
+      .withColumn("bits_per_bigram",
+        (col("_sn").cast("double") / lit(1e9)) / col("n_bigrams").cast("double"))
+      .withColumn("ppl", graft.functions.DetMath.exp2Col(col("bits_per_bigram")))
+      .select(col("doc_id"), col("n_bigrams"), col("bits_per_bigram"), col("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[perplexity]]: the same count model and the same
+    * DetMath step sequences (`log2Sql`/`exp2Sql`) — every probability,
+    * surprisal, decimal sum, and perplexity matches bit for bit.
+    */
+  lazy val PerplexitySql: String = {
+    val lg = graft.functions.DetMath.log2Sql("pp")
+    val e2 = graft.functions.DetMath.exp2Sql("bits_per_bigram")
+    s"""WITH bg AS (
+       |  SELECT doc_id, shingle FROM (${TextOps.shinglesSql("documents", 2)})),
+       |c12 AS (SELECT shingle, COUNT(*) AS c12 FROM bg GROUP BY shingle),
+       |w1c AS (SELECT string_split(shingle, ' ')[1] AS w1, COUNT(*) AS c1
+       |        FROM bg GROUP BY 1),
+       |v AS (SELECT COUNT(DISTINCT string_split(shingle, ' ')[2]) AS v FROM bg),
+       |s AS (
+       |  SELECT bg.doc_id,
+       |    CAST(c12.c12 + 1 AS DOUBLE) / CAST(w1c.c1 + v.v AS DOUBLE) AS pp
+       |  FROM bg
+       |  JOIN c12 ON c12.shingle = bg.shingle
+       |  JOIN w1c ON w1c.w1 = string_split(bg.shingle, ' ')[1]
+       |  CROSS JOIN v),
+       |b AS (SELECT doc_id, CAST(FLOOR(-($lg) * 1e9 + 0.5) AS BIGINT) AS nano
+       |      FROM s),
+       |a AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(nano) AS BIGINT) AS sn
+       |  FROM b GROUP BY doc_id),
+       |f AS (SELECT doc_id, n_bigrams,
+       |        (CAST(sn AS DOUBLE) / 1e9) / CAST(n_bigrams AS DOUBLE)
+       |          AS bits_per_bigram FROM a)
+       |SELECT doc_id, n_bigrams, bits_per_bigram, $e2 AS ppl
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** x67: source-overlap matrix — for every unordered feed pair, the
     * number of distinct 3-gram shingles both contain and the Jaccard
     * overlap of their shingle sets. x52 reports where NEAR-dup pairs

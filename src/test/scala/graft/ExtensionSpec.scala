@@ -806,6 +806,42 @@ class ExtensionSpec extends SparkTestBase {
     assert(labels.size === 15)
   }
 
+  test("x76: bigram perplexity matches an independent count-model reference") {
+    import graft.functions.DetMath
+    val dir = fixture("documents" -> Seq(
+      doc(0, "the cat sat"), doc(1, "the cat ran"), doc(2, "the dog sat"),
+      doc(3, "zz")).toDF(docCols: _*)) // doc 3: <2 tokens -> no row
+    val rows = graft.operators.TextAnalysis.perplexity(spark, dir)
+      .select($"doc_id", $"n_bigrams", $"bits_per_bigram", $"ppl")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // independent reference: recount the model by hand on the fixture
+    val docs = Map(0L -> "the cat sat", 1L -> "the cat ran", 2L -> "the dog sat")
+    val bigrams = docs.view.mapValues(t =>
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSeq).toMap
+    val all = bigrams.values.flatten.toSeq
+    val c12 = all.groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = all.groupBy(_.split(" ")(0)).view.mapValues(_.size).toMap
+    val v = all.map(_.split(" ")(1)).distinct.size
+    for ((id, bs) <- bigrams) {
+      val bits = bs.map { b =>
+        -DetMath.log2((c12(b) + 1).toDouble / (c1(b.split(" ")(0)) + v).toDouble)
+      }
+      // the engine quantizes each surprisal to exact nano-bits (floor
+      // is exact — no cross-engine rounding-mode ambiguity)
+      val mean = bits.map(x => math.floor(x * 1e9 + 0.5).toLong).sum / 1e9 / bs.size
+      val (n, bpb, ppl) = rows(id)
+      assert(n === bs.size.toLong, s"doc $id")
+      assert(math.abs(bpb - mean) < 1e-11, s"doc $id: $bpb vs $mean")
+      assert(ppl === DetMath.exp2(bpb), s"doc $id ppl")
+    }
+    // sub-2-token doc emits no row; repeated bigrams score cheaper than
+    // one-off bigrams ("the cat" seen twice vs "dog sat" once)
+    assert(!rows.contains(3L))
+    assert(rows(0L)._2 < rows(2L)._2,
+      "doc of more-frequent bigrams must score lower surprisal")
+  }
+
   test("cms heavy hitters: estimates match exact counts on a sparse fixture") {
     val dir = fixture("documents" -> Seq(
       doc(0, "hot pair hot pair hot pair"),

@@ -160,6 +160,31 @@ class MetricsSpec extends SparkTestBase {
     assert(sql.contains("FLOOR(xq * 32.0)") && sql.contains("pow(2.0,"))
   }
 
+  test("DetMath.log2: tight absolute error, exact at powers of two, Column mirror identical") {
+    import graft.functions.DetMath
+    val ln2 = StrictMath.log(2.0)
+    // probability-shaped sweep (the x76 domain) + wide magnitudes
+    val xs = (1 to 40000).map(_ / 1000.0) ++
+      (1 to 200).map(k => 1.0 / (k * k + 1)) ++
+      Seq(1e-9, 1e-6, 0.5, 1.0, 2.0, 1.5, 1024.0, 3e7)
+    for (x <- xs) {
+      val got = DetMath.log2(x)
+      val ref = StrictMath.log(x) / ln2
+      assert(math.abs(got - ref) <= 1e-12,
+        s"log2($x)=$got vs strict $ref")
+    }
+    for (k <- -40 to 40)
+      assert(DetMath.log2(StrictMath.pow(2.0, k.toDouble)) === k.toDouble, s"k=$k")
+    // round trip through the deterministic pair stays within score noise
+    for (x <- Seq(0.001, 0.3, 7.5, 4000.0))
+      assert(math.abs(DetMath.exp2(DetMath.log2(x)) - x) / x < 1e-9, s"x=$x")
+    val df = xs.toDF("x").select($"x", DetMath.log2Col($"x").as("l"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(1) === DetMath.log2(r.getDouble(0)),
+        s"column mirror diverges at x=${r.getDouble(0)}")
+    }
+  }
+
   test("native histogram: merge laws, wire round-trip, bucket bounds, quantiles") {
     val agg = new graft.functions.NativeHistogramAggregator(3)
     // includes exact bucket upper bounds (2^(4/8), 2, 4) — float
