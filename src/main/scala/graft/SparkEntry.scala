@@ -414,6 +414,11 @@ object SparkEntry {
     "x38_quality_sample" -> ((s, d) => Sampling.qualitySample(s, d)),
     // α=0.5 temperature rebalancing toward uniform language mix
     "x47_temperature_sample" -> ((s, d) => Sampling.temperatureSample(s, d)),
+    // arbitrary-α rebalancing at the mC4 default α=0.3 (DetMath
+    // exp2/log2 replace the libm pow that pinned x47 to 0.5)
+    "x77_temperature_alpha" -> ((s, d) => Sampling.temperatureSampleAlpha(s, d)),
+    // per-doc token-distribution Shannon entropy + normalized form
+    "x78_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     // integer power-iteration principal direction of the embedding cloud
     "x71_principal_direction" -> ((s, d) => Similarity.principalDirection(s, d)),
     // per-source cap: best-15-by-quality with a deterministic md5 shuffle
@@ -702,6 +707,8 @@ object SparkEntry {
     "x33_mixture_sample" -> Sampling.MixtureSampleSql,
     "x38_quality_sample" -> Sampling.QualitySampleSql,
     "x47_temperature_sample" -> Sampling.TemperatureSampleSql,
+    "x77_temperature_alpha" -> Sampling.TemperatureSampleAlphaSql,
+    "x78_token_entropy" -> TextAnalysis.TokenEntropySql,
     "x71_principal_direction" -> Similarity.PrincipalDirectionSql,
     "x72_source_cap" -> Sampling.SourceCapSampleSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,

@@ -247,6 +247,64 @@ object Sampling {
       |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t.thr
       |ORDER BY d.doc_id""".stripMargin
 
+  /** x77: x47's rebalancing at ARBITRARY temperature — here the real
+    * mC4 default α = 0.3 — keep rate `p_l = (n_min/n_l)^(1−α)` via the
+    * deterministic [[graft.functions.DetMath]] pair:
+    * `exp2((1−α)·log2(n_min/n_l))`. x47 pinned α to 0.5 because a
+    * general power routed through libm `pow` (the rows-only bucket);
+    * DetMath removes that constraint, so the threshold
+    * `floor(p_l·2³²)` is the identical BIGINT in both engines at any
+    * α and the gate stays the x39-proven md5 hex compare. Same
+    * physical plan as x47: one tiny per-language aggregate broadcast
+    * onto a single scan+filter.
+    */
+  val TemperatureAlpha = 0.3
+
+  def temperatureSampleAlpha(spark: SparkSession, dir: String,
+      alpha: Double = TemperatureAlpha): DataFrame = {
+    import graft.functions.DetMath
+    require(alpha > 0 && alpha < 1, "temperature alpha in (0, 1)")
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val thr = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_l")).as("n_min"))))
+      .withColumn("ratio", col("n_min").cast("double") / col("n_l").cast("double"))
+      .withColumn("pl",
+        DetMath.exp2Col(lit(1.0 - alpha) * DetMath.log2Col(col("ratio"))))
+      .withColumn("thr", floor(col("pl") * lit(4294967296.0)).cast("long"))
+      .select(col("lang"), col("thr"))
+    docs.join(broadcast(thr), "lang")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .filter(col("h") < col("thr"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[temperatureSampleAlpha]] — the same DetMath step
+    * sequences over the same count model.
+    */
+  def temperatureSampleAlphaSql(alpha: Double): String = {
+    import graft.functions.DetMath
+    val lg = DetMath.log2Sql("ratio")
+    val e2 = DetMath.exp2Sql("xa")
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+       |mn AS (SELECT MIN(n_l) AS n_min FROM c),
+       |r0 AS (SELECT lang,
+       |         CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE) AS ratio
+       |       FROM c, mn),
+       |x0 AS (SELECT lang, CAST('${1.0 - alpha}' AS DOUBLE) * $lg AS xa FROM r0),
+       |t AS (SELECT lang, CAST(floor($e2 * 4294967296.0) AS BIGINT) AS thr
+       |      FROM x0)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN t ON d.lang = t.lang
+       |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t.thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  lazy val TemperatureSampleAlphaSql: String =
+    temperatureSampleAlphaSql(TemperatureAlpha)
+
   /** x72: per-source document cap — the "no feed dominates the mix"
     * gate that complements x47 (per-LANGUAGE rebalancing): each source
     * keeps at most 15 documents, chosen best-first by x10's quality

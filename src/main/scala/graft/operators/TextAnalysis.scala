@@ -2328,6 +2328,79 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** x78: per-document token-distribution Shannon entropy — the
+    * distribution-SHAPE quality signal complementing x17's ratio
+    * heuristics and x76's LM surprisal: `H = −Σ p_w·log2 p_w` over the
+    * doc's own token frequencies, plus the normalized form
+    * `H / log2(n_distinct)` ∈ [0,1] (1 = perfectly diverse, → 0 =
+    * dominated by few tokens — spam/keyword-stuffing reads low).
+    * Deterministic by the x76 recipe: exact counts, one divide per
+    * probability, DetMath log2, per-term exact nano-bit quantization
+    * (`floor` — no cast-rounding ambiguity), BIGINT sums. Scale: one
+    * explode + two per-doc hash aggregates; nothing corpus-global at
+    * all (each doc scores against itself).
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetMath
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val n = tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    tc.join(n, "doc_id")
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .withColumn("nano",
+        floor(-(col("p") * DetMath.log2Col(col("p"))) * lit(1e9) + lit(0.5)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"),
+        sum(col("nano")).as("_sn"))
+      .withColumn("entropy_bits", col("_sn").cast("double") / lit(1e9))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          col("entropy_bits") / DetMath.log2Col(col("n_distinct").cast("double")))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy_bits"), col("norm_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[tokenEntropy]] — identical DetMath step
+    * sequences, nano-bit sums, and the same n_distinct guard.
+    */
+  lazy val TokenEntropySql: String = {
+    val lgP = graft.functions.DetMath.log2Sql("p")
+    val lgD = graft.functions.DetMath.log2Sql("nd")
+    s"""WITH tc AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+       |    FROM documents)
+       |  GROUP BY doc_id, tok),
+       |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |        COUNT(*) AS n_distinct
+       |      FROM tc GROUP BY doc_id),
+       |pp AS (
+       |  SELECT tc.doc_id, CAST(tc.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+       |  FROM tc JOIN n ON n.doc_id = tc.doc_id),
+       |b AS (
+       |  SELECT doc_id, CAST(FLOOR(-(p * $lgP) * 1e9 + 0.5) AS BIGINT) AS nano
+       |  FROM pp),
+       |a AS (
+       |  SELECT b.doc_id, MAX(n.n) AS n_tokens, MAX(n.n_distinct) AS n_distinct,
+       |    CAST(SUM(b.nano) AS BIGINT) AS sn
+       |  FROM b JOIN n ON n.doc_id = b.doc_id
+       |  GROUP BY b.doc_id),
+       |f AS (
+       |  SELECT doc_id, n_tokens, n_distinct,
+       |    CAST(sn AS DOUBLE) / 1e9 AS entropy_bits,
+       |    CAST(n_distinct AS DOUBLE) AS nd
+       |  FROM a)
+       |SELECT doc_id, n_tokens, n_distinct, entropy_bits,
+       |  CASE WHEN n_distinct > 1 THEN entropy_bits / $lgD
+       |       ELSE 0.0 END AS norm_entropy
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** x67: source-overlap matrix — for every unordered feed pair, the
     * number of distinct 3-gram shingles both contain and the Jaccard
     * overlap of their shingle sets. x52 reports where NEAR-dup pairs

@@ -842,6 +842,55 @@ class ExtensionSpec extends SparkTestBase {
       "doc of more-frequent bigrams must score lower surprisal")
   }
 
+  test("x77: arbitrary-alpha temperature thresholds match the closed form; smallest language kept whole") {
+    import graft.functions.DetMath
+    val docs = (0L until 640L).map { i =>
+      val lang = if (i < 512) "en" else if (i < 624) "de" else "sw"
+      doc(i, s"document body $i", lang)
+    }
+    val dir = fixture("documents" -> docs.toDF(docCols: _*))
+    val kept = graft.operators.Sampling.temperatureSampleAlpha(spark, dir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val by = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // smallest language: ratio 1 -> log2 = 0 exactly -> threshold 2^32
+    assert(by("sw") === 16)
+    // expected keep rates (n_min/n_l)^(1-alpha); md5 uniform -> 4 sigma
+    def expect(nl: Int): Double =
+      DetMath.exp2(0.7 * DetMath.log2(16.0 / nl)) * nl
+    for ((l, nl) <- Seq("en" -> 512, "de" -> 112)) {
+      val e = expect(nl)
+      val sd = math.sqrt(e * (1 - e / nl))
+      assert(math.abs(by(l) - e) <= 4 * sd + 1, s"$l kept ${by(l)} expected ~$e")
+    }
+    // deterministic: the decision is a pure function of doc_id and counts
+    val again = graft.operators.Sampling.temperatureSampleAlpha(spark, dir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(again.toSeq === kept.toSeq)
+    // alpha=0.9 keeps more of the big language than alpha=0.3 (flatter
+    // sampling needs LESS downsampling as alpha -> 1)
+    val hot = graft.operators.Sampling.temperatureSampleAlpha(spark, dir, alpha = 0.9)
+      .select($"lang").as[String].collect().count(_ == "en")
+    assert(hot > by("en"))
+  }
+
+  test("x78: token entropy is 0 for constant docs, ~log2(k) for uniform, monotone in diversity") {
+    val dir = fixture("documents" -> Seq(
+      doc(0, "a a a a a a"),              // constant -> H = 0
+      doc(1, "a b c d e f g h"),          // uniform over 8 -> H ~ 3 bits
+      doc(2, "a a a a a a a b"),          // skewed 2-token
+      doc(3, "a b")).toDF(docCols: _*))   // uniform over 2 -> H ~ 1 bit
+    val m = graft.operators.TextAnalysis.tokenEntropy(spark, dir)
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"entropy_bits", $"norm_entropy")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(0L)._4 === 0.0 && m(0L)._5 === 0.0)
+    assert(math.abs(m(1L)._4 - 3.0) < 1e-8 && math.abs(m(1L)._5 - 1.0) < 1e-8)
+    assert(math.abs(m(3L)._4 - 1.0) < 1e-8)
+    // skew lowers entropy below the uniform bound log2(2) = 1
+    assert(m(2L)._4 > 0.0 && m(2L)._4 < 1.0 && m(2L)._5 < 1.0)
+    assert(m(1L)._2 === 8L && m(1L)._3 === 8L)
+  }
+
   test("cms heavy hitters: estimates match exact counts on a sparse fixture") {
     val dir = fixture("documents" -> Seq(
       doc(0, "hot pair hot pair hot pair"),
