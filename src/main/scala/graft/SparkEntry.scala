@@ -262,6 +262,9 @@ object SparkEntry {
       "histogram_quantile(0.9, error)", nativeFamilies = Set("error"))),
     "p70_promql_native_histogram_fraction" -> ((s, d) => promql.Engine.eval(s, d,
       "histogram_fraction(2.5, 75.5, error)", nativeFamilies = Set("error"))),
+    // the alerting form: windowed rate feeding the native quantile
+    "p71_promql_native_hq_rate" -> ((s, d) => promql.Engine.eval(s, d,
+      "histogram_quantile(0.9, rate(error[4d]))", nativeFamilies = Set("error"))),
     "p33_promql_timestamp" -> ((s, d) => promql.Engine.eval(s, d,
       "timestamp(signup)")),
     "p34_promql_scalar" -> ((s, d) => promql.Engine.eval(s, d,
@@ -627,6 +630,7 @@ object SparkEntry {
     "p68_promql_histogram_fraction_rate" -> promql.Oracle.HistogramFractionRateSql,
     "p69_promql_native_histogram_quantile" -> promql.Oracle.NativeHistogramQuantileSql,
     "p70_promql_native_histogram_fraction" -> promql.Oracle.NativeHistogramFractionSql,
+    "p71_promql_native_hq_rate" -> promql.Oracle.NativeHistogramQuantileRateSql,
     // p64/p65/p66 (asinh/acosh/atanh) are rows-only BY DESIGN: they
     // route through ln, and Math.log vs DuckDB's ln diverge by 1 ulp on
     // some inputs (measured: rel err ~2e-16 on the fixture) — the same

@@ -245,15 +245,17 @@ object Oracle {
     * bounds, with the aggregator's exact rank walk and the
     * interpolation through [[graft.functions.DetMath.exp2Sql]] — the
     * same pinned step sequence the Spark plan runs, so doubles
-    * bit-match.
+    * bit-match. The quantile is scale-invariant, so the windowed
+    * `rate(error[d])` form differs ONLY in `tsFilter` (exactly like
+    * the classic twin).
     */
-  val NativeHistogramQuantileSql: String = {
+  private def nativeHistogramQuantileTwin(tsFilter: String): String = {
     val g = "name, label_k, label_instance"
     val interp = graft.functions.DetMath.exp2Sql("xq")
     s"""WITH m AS ($MetricEventsSql),
        |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
        |w AS (SELECT $g, value FROM m, t
-       |      WHERE name = 'error' AND epoch_us(ts) <= t_us),
+       |      WHERE name = 'error' AND $tsFilter),
        |bounds AS (${Metrics.NhBoundsSql}),
        |tot AS (
        |  SELECT $g, COUNT(*) AS cnt,
@@ -295,6 +297,17 @@ object Oracle {
        |  AND bs.label_instance = t2.label_instance
        |ORDER BY name, label_k, label_instance, value""".stripMargin
   }
+
+  /** `histogram_quantile(0.9, error)` on the native family — instant. */
+  val NativeHistogramQuantileSql: String =
+    nativeHistogramQuantileTwin("epoch_us(ts) <= t_us")
+
+  /** `histogram_quantile(0.9, rate(error[4d]))` on the native family —
+    * the alerting form; scale-invariance makes rate/increase identical.
+    */
+  val NativeHistogramQuantileRateSql: String =
+    nativeHistogramQuantileTwin(
+      "epoch_us(ts) > t_us - 345600000000 AND epoch_us(ts) <= t_us")
 
   /** `histogram_fraction(2.5, 75.5, error)` with `error` NATIVE: the
     * boundary constants' bucket index and log-interpolated in-bucket
