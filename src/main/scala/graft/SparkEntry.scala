@@ -422,6 +422,8 @@ object SparkEntry {
     "x77_temperature_alpha" -> ((s, d) => Sampling.temperatureSampleAlpha(s, d)),
     // per-doc token-distribution Shannon entropy + normalized form
     "x78_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
+    // per-source KL divergence from the corpus unigram mix (drift audit)
+    "x79_source_drift" -> ((s, d) => TextAnalysis.sourceDrift(s, d)),
     // integer power-iteration principal direction of the embedding cloud
     "x71_principal_direction" -> ((s, d) => Similarity.principalDirection(s, d)),
     // per-source cap: best-15-by-quality with a deterministic md5 shuffle
@@ -713,6 +715,7 @@ object SparkEntry {
     "x47_temperature_sample" -> Sampling.TemperatureSampleSql,
     "x77_temperature_alpha" -> Sampling.TemperatureSampleAlphaSql,
     "x78_token_entropy" -> TextAnalysis.TokenEntropySql,
+    "x79_source_drift" -> TextAnalysis.SourceDriftSql,
     "x71_principal_direction" -> Similarity.PrincipalDirectionSql,
     "x72_source_cap" -> Sampling.SourceCapSampleSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,

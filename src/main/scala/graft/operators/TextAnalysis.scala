@@ -2401,6 +2401,75 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** x79: per-source distribution drift — KL(P_source ‖ P_corpus) over
+    * unigram token distributions, in bits: `Σ_w p·log2(p/q)` where
+    * `p = c_sw/n_s` and `q = c_w/N`. The "which feed is
+    * distributionally weird" audit that complements x67 (set overlap)
+    * and x76 (sequence likelihood): a high-KL source writes a
+    * different language/domain than the corpus mix and skews any model
+    * trained on the blend. q > 0 wherever p > 0 by construction (the
+    * corpus includes the source), so the sum is always finite.
+    * Deterministic by the x76 recipe: exact counts, one divide per
+    * probability (and one for the ratio), DetMath log2, per-term
+    * nano-bit floor quantization, BIGINT sums. Scale: two hash
+    * aggregates over (source, token) and (token) — the token relation
+    * shuffles once, nothing is broadcast but the 1-row corpus total.
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetMath
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val sw = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_sw"))
+    val w = tok.groupBy(col("tok")).agg(count(lit(1)).as("c_w"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val total = w.agg(sum(col("c_w")).as("n_corpus"))
+    sw.join(w, "tok").join(ns, "source").crossJoin(broadcast(total))
+      .withColumn("p", col("c_sw").cast("double") / col("n_s").cast("double"))
+      .withColumn("q", col("c_w").cast("double") / col("n_corpus").cast("double"))
+      .withColumn("nano",
+        floor(col("p") * DetMath.log2Col(col("p") / col("q")) * lit(1e9) + lit(0.5)))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("nano")).as("_sn"))
+      .withColumn("kl_bits", col("_sn").cast("double") / lit(1e9))
+      .select(col("source"), col("n_tokens"), col("n_distinct"), col("kl_bits"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[sourceDrift]] — identical count model and DetMath
+    * step sequence.
+    */
+  lazy val SourceDriftSql: String = {
+    val lg = graft.functions.DetMath.log2Sql("r")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(trim(lower(text)), ' ')) AS tok
+       |  FROM documents),
+       |sw AS (SELECT source, tok, COUNT(*) AS c_sw FROM tok GROUP BY 1, 2),
+       |w AS (SELECT tok, COUNT(*) AS c_w FROM tok GROUP BY 1),
+       |ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_corpus FROM w),
+       |pr AS (
+       |  SELECT sw.source,
+       |    CAST(sw.c_sw AS DOUBLE) / CAST(ns.n_s AS DOUBLE) AS p,
+       |    (CAST(sw.c_sw AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+       |      / (CAST(w.c_w AS DOUBLE) / CAST(tt.n_corpus AS DOUBLE)) AS r
+       |  FROM sw JOIN w ON w.tok = sw.tok
+       |  JOIN ns ON ns.source = sw.source
+       |  CROSS JOIN tt),
+       |b AS (
+       |  SELECT source, CAST(FLOOR(p * $lg * 1e9 + 0.5) AS BIGINT) AS nano
+       |  FROM pr),
+       |a AS (
+       |  SELECT b.source, MAX(ns.n_s) AS n_tokens,
+       |    COUNT(*) AS n_distinct, CAST(SUM(b.nano) AS BIGINT) AS sn
+       |  FROM b JOIN ns ON ns.source = b.source
+       |  GROUP BY b.source)
+       |SELECT source, n_tokens, n_distinct,
+       |  CAST(sn AS DOUBLE) / 1e9 AS kl_bits
+       |FROM a
+       |ORDER BY source""".stripMargin
+  }
+
   /** x67: source-overlap matrix — for every unordered feed pair, the
     * number of distinct 3-gram shingles both contain and the Jaccard
     * overlap of their shingle sets. x52 reports where NEAR-dup pairs

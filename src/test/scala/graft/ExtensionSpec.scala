@@ -891,6 +891,25 @@ class ExtensionSpec extends SparkTestBase {
     assert(m(1L)._2 === 8L && m(1L)._3 === 8L)
   }
 
+  test("x79: KL source drift is ~0 for corpus-typical sources, positive for divergent ones") {
+    // srcA and srcB share the corpus-dominant distribution; srcC writes
+    // a disjoint vocabulary -> large positive KL
+    val docs =
+      (0L until 8L).map(i => (i, "the cat sat on the mat", "en", s"src${i % 2}", 22L)) :+
+      ((8L, "zq zq xw xw vv vv", "en", "src2", 17L))
+    val dir = fixture("documents" ->
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val m = graft.operators.TextAnalysis.sourceDrift(spark, dir)
+      .select($"source", $"kl_bits").as[(String, Double)].collect().toMap
+    // KL is non-negative up to the 1e-9 quantization
+    m.values.foreach(v => assert(v >= -1e-6, s"negative KL: $m"))
+    // identical-distribution sources sit near zero; the disjoint-vocab
+    // source diverges by bits
+    assert(m("src0") < 0.5 && m("src1") < 0.5)
+    assert(m("src2") > 1.0, s"divergent source must read high: $m")
+    assert(m("src2") > m("src0") && m("src2") > m("src1"))
+  }
+
   test("cms heavy hitters: estimates match exact counts on a sparse fixture") {
     val dir = fixture("documents" -> Seq(
       doc(0, "hot pair hot pair hot pair"),
