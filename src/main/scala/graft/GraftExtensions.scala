@@ -45,5 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "histogram_quantile(phi, les, cums, n) - PromQL bucket interpolation"),
       (exprs: Seq[Expression]) =>
         graft.plans.HistogramQuantileExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      FunctionIdentifier("det_exp2"),
+      info("det_exp2", "det_exp2(x) - deterministic cross-engine 2^x"),
+      (exprs: Seq[Expression]) => graft.plans.DetExp2Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("det_log2"),
+      info("det_log2", "det_log2(x) - deterministic cross-engine log2(x)"),
+      (exprs: Seq[Expression]) => graft.plans.DetLog2Expr(exprs.head)))
   }
 }

@@ -262,24 +262,22 @@ object Sampling {
 
   def temperatureSampleAlpha(spark: SparkSession, dir: String,
       alpha: Double = TemperatureAlpha): DataFrame = {
-    import graft.functions.DetMath
     require(alpha > 0 && alpha < 1, "temperature alpha in (0, 1)")
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    // native det_exp2/det_log2 (one codegen'd call each): the Column
+    // MIRRORS of the same step sequence would tree-duplicate into a
+    // plan too large for codegen once projection collapse inlined them
+    // into the per-document stage (measured 4.3 s interpreted vs 0.4 s
+    // for x47 at sf0.1)
     val thr = counts
       .crossJoin(broadcast(counts.agg(min(col("n_l")).as("n_min"))))
       .withColumn("ratio", col("n_min").cast("double") / col("n_l").cast("double"))
-      .withColumn("pl",
-        DetMath.exp2Col(lit(1.0 - alpha) * DetMath.log2Col(col("ratio"))))
+      .withColumn("xa",
+        lit(1.0 - alpha) * graft.plans.DetMathExprs.detLog2(spark, "ratio"))
+      .withColumn("pl", graft.plans.DetMathExprs.detExp2(spark, "xa"))
       .withColumn("thr", floor(col("pl") * lit(4294967296.0)).cast("long"))
       .select(col("lang"), col("thr"))
-      // materialize the #languages-row threshold relation: the composed
-      // exp2∘log2 tree is huge (tree-duplicated subterms), and projection
-      // collapse would drag it past the codegen size limit INTO the
-      // per-document stage — the whole scan then runs interpreted
-      // (measured 4.3 s vs 0.4 s for x47 at sf0.1). Checkpointed, the
-      // doc-side plan sees plain (lang, thr) values and stays codegen'd.
-      .localCheckpoint()
     docs.join(broadcast(thr), "lang")
       .withColumn("h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))

@@ -2283,13 +2283,15 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .withColumn("pp",
         (col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
-      .withColumn("bits", -graft.functions.DetMath.log2Col(col("pp")))
+      // native det_log2 (codegen'd single call) — bit-identical to the
+      // spec mirror DetMath.log2Col, compact in the per-bigram stage
+      .withColumn("bits", -graft.plans.DetMathExprs.detLog2(spark, "pp"))
       .withColumn("nano", floor(col("bits") * lit(1e9) + lit(0.5)))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nano")).as("_sn"))
       .withColumn("bits_per_bigram",
         (col("_sn").cast("double") / lit(1e9)) / col("n_bigrams").cast("double"))
-      .withColumn("ppl", graft.functions.DetMath.exp2Col(col("bits_per_bigram")))
+      .withColumn("ppl", graft.plans.DetMathExprs.detExp2(spark, "bits_per_bigram"))
       .select(col("doc_id"), col("n_bigrams"), col("bits_per_bigram"), col("ppl"))
       .orderBy(col("doc_id"))
   }
@@ -2341,7 +2343,6 @@ object TextAnalysis {
     * all (each doc scores against itself).
     */
   def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.DetMath
     val tc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -2350,14 +2351,16 @@ object TextAnalysis {
     tc.join(n, "doc_id")
       .withColumn("p", col("c").cast("double") / col("n").cast("double"))
       .withColumn("nano",
-        floor(-(col("p") * DetMath.log2Col(col("p"))) * lit(1e9) + lit(0.5)))
+        floor(-(col("p") * graft.plans.DetMathExprs.detLog2(spark, "p"))
+          * lit(1e9) + lit(0.5)))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"),
         sum(col("nano")).as("_sn"))
       .withColumn("entropy_bits", col("_sn").cast("double") / lit(1e9))
+      .withColumn("nd", col("n_distinct").cast("double"))
       .withColumn("norm_entropy",
         when(col("n_distinct") > 1,
-          col("entropy_bits") / DetMath.log2Col(col("n_distinct").cast("double")))
+          col("entropy_bits") / graft.plans.DetMathExprs.detLog2(spark, "nd"))
           .otherwise(lit(0.0)))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         col("entropy_bits"), col("norm_entropy"))
@@ -2416,7 +2419,6 @@ object TextAnalysis {
     * shuffles once, nothing is broadcast but the 1-row corpus total.
     */
   def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.DetMath
     val tok = Tables.documents(spark, dir)
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
     val sw = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_sw"))
@@ -2426,8 +2428,10 @@ object TextAnalysis {
     sw.join(w, "tok").join(ns, "source").crossJoin(broadcast(total))
       .withColumn("p", col("c_sw").cast("double") / col("n_s").cast("double"))
       .withColumn("q", col("c_w").cast("double") / col("n_corpus").cast("double"))
+      .withColumn("r", col("p") / col("q"))
       .withColumn("nano",
-        floor(col("p") * DetMath.log2Col(col("p") / col("q")) * lit(1e9) + lit(0.5)))
+        floor(col("p") * graft.plans.DetMathExprs.detLog2(spark, "r")
+          * lit(1e9) + lit(0.5)))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("n_distinct"),
         sum(col("nano")).as("_sn"))

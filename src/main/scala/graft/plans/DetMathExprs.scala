@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the engine's deterministic
+  * transcendentals ([[graft.functions.DetMath]]) — `det_exp2(x)` and
+  * `det_log2(x)`.
+  *
+  * Why an Expression and not the Column mirrors: the mirrors
+  * ([[graft.functions.DetMath.exp2Col]]/`log2Col`) spell the pinned
+  * step sequence as a Catalyst tree, which is perfect as a SPEC
+  * artifact but exponential in size when composed (every shared
+  * subterm duplicates; measured: x77's exp2∘log2 tree pushed the
+  * per-document stage past the codegen limit into interpreted
+  * evaluation — 4.3 s vs 0.4 s for its α = 0.5 twin). These
+  * expressions compute the SAME pinned scalar sequence via ONE static
+  * JVM call inside whole-stage codegen — bit-identical by construction
+  * (it IS `DetMath.exp2`/`log2`), compact, and they keep the
+  * surrounding codegen span intact. The SQL mirrors
+  * (`DetMath.exp2Sql`/`log2Sql`) remain the oracle's side of the
+  * contract; the spec pins scalar ≡ Column mirror ≡ these expressions.
+  */
+abstract class DetMathUnary extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects DOUBLE, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+}
+
+case class DetExp2Expr(child: Expression) extends DetMathUnary {
+  override def prettyName: String = "det_exp2"
+  override protected def nullSafeEval(x: Any): Any =
+    graft.functions.DetMath.exp2(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DetMath.exp2($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class DetLog2Expr(child: Expression) extends DetMathUnary {
+  override def prettyName: String = "det_log2"
+  override protected def nullSafeEval(x: Any): Any =
+    graft.functions.DetMath.log2(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DetMath.log2($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object DetMathExprs {
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "det_exp2", exprs => DetExp2Expr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "det_log2", exprs => DetLog2Expr(exprs.head), "built-in")
+  }
+
+  /** Column entry points — `sqlExpr` is a SQL fragment (usually a
+    * column name) evaluated as the argument; resolves through the
+    * registered functions (Spark 4 has no public Column↔Expression
+    * bridge).
+    */
+  def detExp2(spark: org.apache.spark.sql.SparkSession, sqlExpr: String): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.expr(s"det_exp2($sqlExpr)")
+  }
+
+  def detLog2(spark: org.apache.spark.sql.SparkSession, sqlExpr: String): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.expr(s"det_log2($sqlExpr)")
+  }
+}

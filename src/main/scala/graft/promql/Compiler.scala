@@ -660,9 +660,10 @@ object Compiler {
       .withColumn("f",
         (col("rank") - (col("zero") + col("cumc") - col("c")).cast("double"))
           / col("c").cast("double"))
-      .select(series :+ graft.functions.DetMath.exp2Col(
+      .withColumn("xq",
         ((col("bucket") - lit(1)).cast("double") + col("f")) / lit(8.0))
-        .as("_qv"): _*)
+      .select(series :+
+        graft.plans.DetMathExprs.detExp2(spark, "xq").as("_qv"): _*)
     val out = tot.join(picked, outLabels, "left")
       .join(bstats, outLabels, "left")
       .select(series :+

@@ -183,6 +183,15 @@ class MetricsSpec extends SparkTestBase {
       assert(r.getDouble(1) === DetMath.log2(r.getDouble(0)),
         s"column mirror diverges at x=${r.getDouble(0)}")
     }
+    // the NATIVE codegen'd expressions are the same pinned scalars by
+    // construction — assert it anyway through a real plan
+    val nat = xs.toDF("x").select($"x",
+      graft.plans.DetMathExprs.detLog2(spark, "x").as("l"),
+      graft.plans.DetMathExprs.detExp2(spark, "x").as("e"))
+    nat.collect().foreach { r =>
+      assert(r.getDouble(1) === DetMath.log2(r.getDouble(0)))
+      assert(r.getDouble(2) === DetMath.exp2(r.getDouble(0)))
+    }
   }
 
   test("native histogram: merge laws, wire round-trip, bucket bounds, quantiles") {
