@@ -33,6 +33,12 @@ class GraftExtensionsSpec extends SparkTestBase {
         "SELECT histogram_quantile(0.9d, array(1.0d), array(10L), 10L) AS q")
         .collect()(0).getDouble(0)
       assert(q === 0.9)
+      // the deterministic transcendentals resolve too, and equal the
+      // pinned scalar sequence
+      val de = s2.sql("SELECT det_exp2(2.5d) AS e, det_log2(10.0d) AS l")
+        .collect()(0)
+      assert(de.getDouble(0) === graft.functions.DetMath.exp2(2.5))
+      assert(de.getDouble(1) === graft.functions.DetMath.log2(10.0))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
