@@ -305,6 +305,26 @@ class PlanShapeSpec extends SparkTestBase {
       "only the three 1-row counts may cross-join, and those broadcast")
   }
 
+  test("x76/x78/x79: DetMath scorers stay keyed and codegen'd — native det_* calls, no cartesian") {
+    for (name <- Seq("x76_perplexity", "x78_token_entropy", "x79_source_drift")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: a keyed join fell back to sort-merge at fixture scale")
+      // the scorer must be the compact native expression, never the
+      // tree-duplicated Column mirror (which falls out of codegen)
+      assert(p.contains("det_log2"),
+        s"$name lost the native det_log2 expression")
+    }
+    // x76's LM scorer reads the SHARED 2-gram cache, like x19/x23
+    assert(plan("x76_perplexity").contains("InMemoryTableScan"),
+      "x76 recomputes the bigram explode instead of reading the shared cache")
+    // x77: the threshold side broadcasts; the doc scan stays codegen'd
+    val p77 = plan("x77_temperature_alpha")
+    assert(p77.contains("BroadcastHashJoin") && !p77.contains("CartesianProduct"))
+    assert(p77.contains("det_exp2"), "x77 lost the native det_exp2 expression")
+  }
+
   test("x67: overlap matrix reads the shingle cache; pair fan-out stays keyed") {
     val p = plan("x67_source_overlap")
     assert(p.contains("InMemoryTableScan"),
