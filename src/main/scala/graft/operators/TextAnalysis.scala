@@ -2367,6 +2367,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING x78 — the entropy signal as a ROW-LOCAL plan over any
+    * `(doc_id, text)` relation: a document's token distribution is a
+    * pure function of its own text, so the whole score evaluates
+    * inside the row (distinct tokens + per-token counts as HOFs, the
+    * nano-bit surprisal fold as an integer `aggregate` — order-free,
+    * so it equals the batch groupBy sum bit for bit) with no state, no
+    * watermark, no shuffle. The same plan runs batch or streaming in
+    * append mode; the spec pins stream ≡ batch ≡ x78. The per-row cost
+    * is O(n_distinct·n_tokens) — the curation-gate regime (docs, not
+    * books); the relational x78 stays the bulk-batch form.
+    */
+  def entropyGate(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.plans.DetMathExprs.register(spark)
+    docs.filter(col("text").isNotNull)
+      .withColumn("_toks", TextOps.tokens(col("text")))
+      .withColumn("_d", array_distinct(col("_toks")))
+      .withColumn("n_tokens", size(col("_toks")).cast("bigint"))
+      .withColumn("n_distinct", size(col("_d")).cast("bigint"))
+      .withColumn("_sn", expr(
+        """aggregate(
+          |  transform(_d, t -> cast(size(filter(_toks, x -> x = t)) as bigint)),
+          |  0L,
+          |  (acc, c) -> acc + floor(
+          |    -((cast(c as double) / cast(n_tokens as double))
+          |      * det_log2(cast(c as double) / cast(n_tokens as double)))
+          |    * 1e9 + 0.5d))""".stripMargin))
+      .withColumn("entropy_bits", col("_sn").cast("double") / lit(1e9))
+      .withColumn("nd", col("n_distinct").cast("double"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1, col("entropy_bits") / expr("det_log2(nd)"))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy_bits"), col("norm_entropy"))
+  }
+
   /** Oracle twin of [[tokenEntropy]] — identical DetMath step
     * sequences, nano-bit sums, and the same n_distinct guard.
     */

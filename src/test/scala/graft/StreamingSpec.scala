@@ -854,6 +854,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming entropy gate equals batch x78 bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    def row(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    val corpus = Seq(
+      row(1, "a a a a a a", "src1"),              // constant
+      row(2, "alpha beta gamma delta epsilon", "src1"), // uniform
+      row(3, "x x x x x y y z", "src2"))          // skewed
+    val dir = fixture("documents" ->
+      corpus.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val x78 = graft.operators.TextAnalysis.tokenEntropy(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    val docsDf = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+    // the row-local fold's integer nano-bit adds are order-free, so the
+    // in-row score equals the relational groupBy sum EXACTLY
+    val batch = graft.operators.TextAnalysis.entropyGate(spark, docsDf)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(batch === x78)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.entropyGate(
+      spark, mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("entropy_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(corpus.take(2).map(c => (c._1, c._2)): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2).map(c => (c._1, c._2)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("entropy_stream")
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming BPE encode with a frozen merge table equals batch x73") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
