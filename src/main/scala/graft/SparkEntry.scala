@@ -445,9 +445,12 @@ object SparkEntry {
     // and read-back are pure table arithmetic -> hash-gated against a
     // literal-bounds DuckDB rebuild; error bound stays spec-pinned
     "x26_quantile_sketch" -> ((s, d) => TextAnalysis.quantileSketch(s, d)),
-    // libm-dependent log/exp family → rows-only like b29; the spec pins
-    // every value against the JVM's own java.lang.Math reference
+    // libm-dependent log/exp family → rows-only; the spec pins every
+    // value against the JVM's own java.lang.Math reference
     "b33_log_functions" -> ((s, d) => PromQL.logFunctions(s, d)),
+    // the hash-gateable DetMath twin: ln/log10/exp derived from
+    // det_log2/det_exp2 + literal constants (reproducible-recipe math)
+    "b33b_log_functions_det" -> ((s, d) => PromQL.logFunctionsDet(s, d)),
     // trig family: libm last-ulp differs across engines → rows-only,
     // spec-pinned against StrictMath (like b33)
     "b34_trig_functions" -> ((s, d) => PromQL.trigFunctions(s, d)),
@@ -658,6 +661,7 @@ object SparkEntry {
     "p50_promql_limit_ratio" -> promql.Oracle.LimitRatioSql,
     "p51_promql_for_alert" -> promql.Oracle.ForAlertSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
+    "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,

@@ -138,7 +138,10 @@ object DetMath {
     Array.tabulate(32)(j => StrictMath.log(1.0 + j / 32.0) / StrictMath.log(2.0))
 
   def log2(x: Double): Double = {
-    require(x > 0.0, "log2 domain")
+    // total: out-of-domain returns NaN (never throws) — codegen CSE may
+    // hoist a det_log2 call out of its guarding CASE branch, so the
+    // function must be safe to evaluate on any double
+    if (!(x > 0.0) || x.isInfinite) return Double.NaN
     var e = Math.floor(StrictMath.log(x) / StrictMath.log(2.0)).toInt
     // exact-containment correction: 2^e <= x < 2^(e+1)
     if (x < Math.pow(2.0, e.toDouble)) e -= 1

@@ -1417,6 +1417,72 @@ object PromQL {
       .orderBy(col("name"), col("label_k"))
   }
 
+  /** b33b: the log/exp family through the engine's DETERMINISTIC
+    * transcendentals — the hash-gateable twin of [[logFunctions]].
+    * Every value derives from `det_log2`/`det_exp2` and literal
+    * constants: `ln x = log2(x)·ln2`, `log10 x = log2(x)·log10(2)`,
+    * `e^x = 2^(x·log2 e)` — each a DetMath call plus ONE
+    * correctly-rounded multiply, so the DuckDB twin reproduces the
+    * doubles bit for bit. b33 keeps upstream PromQL parity (JVM libm,
+    * spec-pinned, rows-only); this variant is the reproducible-recipe
+    * option — a deployment that needs cross-engine-identical math
+    * (stored thresholds, replayable alerts) uses these, accepting
+    * ≤ ~1e-12 divergence from libm. Same gauge LWW snapshot, same edge
+    * semantics (`ln 0 = −Inf`, `ln(x<0) = NaN`).
+    */
+  def logFunctionsDet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.DetMathExprs
+    DetMathExprs.register(spark)
+    val w = Window.partitionBy(series: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val snap = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("xe", col("value") / lit(1000.0) * lit(PromQL.Log2E))
+    def lnLike(f: Column)(x: Column): Column =
+      when(x > 0, f)
+        .when(x === 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
+    val lg = expr("det_log2(value)")
+    snap.select(col("name"), col("label_k"), col("value"),
+        lnLike(lg * lit(PromQL.Ln2))(col("value")).as("ln_v"),
+        lnLike(lg)(col("value")).as("log2_v"),
+        lnLike(lg * lit(PromQL.Log10_2))(col("value")).as("log10_v"),
+        expr("det_exp2(xe)").as("exp_scaled"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  lazy val LogFunctionsDetSql: String = {
+    val lg = graft.functions.DetMath.log2Sql("value")
+    val e2 = graft.functions.DetMath.exp2Sql("xe")
+    def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+    def lnLike(value: String): String =
+      s"""CASE WHEN value > 0 THEN $value
+         |     WHEN value = 0 THEN CAST('-inf' AS DOUBLE)
+         |     ELSE CAST('nan' AS DOUBLE) END""".stripMargin
+    s"""WITH m AS (${Metrics.MetricEventsSql}),
+       |r AS (SELECT name, label_k, value,
+       |        ROW_NUMBER() OVER (PARTITION BY name, label_k
+       |                           ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM m WHERE kind = 'gauge'),
+       |s AS (SELECT name, label_k, value,
+       |        value / 1000.0 * ${d(PromQL.Log2E)} AS xe
+       |      FROM r WHERE rn = 1)
+       |SELECT name, label_k, value,
+       |  ${lnLike(s"($lg) * ${d(PromQL.Ln2)}")} AS ln_v,
+       |  ${lnLike(s"($lg)")} AS log2_v,
+       |  ${lnLike(s"($lg) * ${d(PromQL.Log10_2)}")} AS log10_v,
+       |  $e2 AS exp_scaled
+       |FROM s
+       |ORDER BY name, label_k""".stripMargin
+  }
+
+  /** Shared literal constants of the deterministic log family. */
+  val Ln2: Double = StrictMath.log(2.0)
+  val Log10_2: Double = StrictMath.log10(2.0)
+  val Log2E: Double = 1.0 / StrictMath.log(2.0)
+
   /** B34 trigonometric family (PromQL `sin/cos/tan/asin/acos/atan/
     * sinh/cosh/tanh/deg/rad`) over the gauge snapshot — like the b33
     * log family, libm last-ulp differences across engines make these

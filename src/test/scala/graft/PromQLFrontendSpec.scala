@@ -594,6 +594,31 @@ class PromQLFrontendSpec extends SparkTestBase {
     }
   }
 
+  test("b33b: the deterministic log family tracks libm within 1e-11 and keeps edge semantics") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 7.5, "a"),
+      ev(1, 1000, "signup", 12.25, "a"),
+      ev(2, 0, "signup", 3.0, "b"),
+      ev(3, 0, "signup", 0.0, "z"),   // ln 0 = -Inf
+      ev(4, 0, "signup", -2.0, "n")   // ln(x<0) = NaN
+    ).toDF(eventCols: _*))
+    val rows = graft.operators.PromQL.logFunctionsDet(spark, dir)
+      .select($"label_k", $"value", $"ln_v", $"log2_v", $"log10_v", $"exp_scaled")
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for (k <- Seq("a", "b")) {
+      val r = rows(k)
+      assert(math.abs(r._3 - StrictMath.log(r._2)) < 1e-11, s"ln $k")
+      assert(r._4 === graft.functions.DetMath.log2(r._2), s"log2 $k")
+      assert(math.abs(r._5 - StrictMath.log10(r._2)) < 1e-11, s"log10 $k")
+      assert(math.abs(r._6 - StrictMath.exp(r._2 / 1000.0)) < 1e-11, s"exp $k")
+    }
+    assert(rows("z")._3.isNegInfinity && rows("z")._4.isNegInfinity)
+    assert(rows("n")._3.isNaN && rows("n")._5.isNaN)
+    // exp is total: defined for the zero and negative snapshots too
+    assert(math.abs(rows("n")._6 - StrictMath.exp(-0.002)) < 1e-11)
+  }
+
   test("group_left keeps the left label set in many-to-one matching") {
     // two series share k="a" (different users → instances i1, i2)
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
