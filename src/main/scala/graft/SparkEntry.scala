@@ -451,6 +451,8 @@ object SparkEntry {
     // the hash-gateable DetMath twin: ln/log10/exp derived from
     // det_log2/det_exp2 + literal constants (reproducible-recipe math)
     "b33b_log_functions_det" -> ((s, d) => PromQL.logFunctionsDet(s, d)),
+    // deterministic inverse hyperbolics (gateable twins of p64-p66)
+    "b38_inverse_hyperbolic_det" -> ((s, d) => PromQL.inverseHyperbolicDet(s, d)),
     // trig family: libm last-ulp differs across engines → rows-only,
     // spec-pinned against StrictMath (like b33)
     "b34_trig_functions" -> ((s, d) => PromQL.trigFunctions(s, d)),
@@ -662,6 +664,7 @@ object SparkEntry {
     "p51_promql_for_alert" -> promql.Oracle.ForAlertSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
+    "b38_inverse_hyperbolic_det" -> PromQL.InverseHyperbolicDetSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
     "b32_absent_over_time" -> PromQL.AbsentOverTimeSql,

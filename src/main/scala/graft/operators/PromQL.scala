@@ -1483,6 +1483,77 @@ object PromQL {
   val Log10_2: Double = StrictMath.log10(2.0)
   val Log2E: Double = 1.0 / StrictMath.log(2.0)
 
+  /** b38: deterministic inverse hyperbolics — the gateable twins of
+    * the p64–p66 front-end functions (which keep upstream libm-`ln`
+    * parity and stay rows-only). Classic identities over
+    * [[graft.plans.DetMathExprs]]:
+    * `asinh x = ln(x + √(x²+1))`, `acosh x = ln(x + √(x²−1))` (x ≥ 1,
+    * NaN below), `atanh x = ½·ln((1+x)/(1−x))` (|x| < 1, ±∞ at ±1,
+    * NaN outside) — with `ln y = det_log2(y)·ln2`. Same argument
+    * shapes as p64–p66 (`v−5.5`, `v`, `(v−5.5)/400`), same gauge LWW
+    * snapshot. The direct formulas cancel for large-magnitude negative
+    * `asinh` arguments — deterministically so, and the fixture range
+    * is far inside; documented rather than branch-compensated.
+    */
+  def inverseHyperbolicDet(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.DetMathExprs.register(spark)
+    val w = Window.partitionBy(series: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val snap = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("u1", col("value") - lit(5.5))
+      .withColumn("u3", (col("value") - lit(5.5)) / lit(400.0))
+      .withColumn("a1", col("u1") + sqrt(col("u1") * col("u1") + lit(1.0)))
+      // domain-guarded intermediates (NULL outside): DuckDB raises on
+      // sqrt/log of negatives even in branches a CASE later discards
+      .withColumn("a2", when(col("value") >= 1,
+        col("value") + sqrt(col("value") * col("value") - lit(1.0))))
+      .withColumn("a3", when(abs(col("u3")) < 1,
+        (lit(1.0) + col("u3")) / (lit(1.0) - col("u3"))))
+    snap.select(col("name"), col("label_k"), col("value"),
+        (expr("det_log2(a1)") * lit(Ln2)).as("asinh_v"),
+        when(col("value") >= 1, expr("det_log2(a2)") * lit(Ln2))
+          .otherwise(lit(Double.NaN)).as("acosh_v"),
+        when(abs(col("u3")) < 1, lit(0.5) * (expr("det_log2(a3)") * lit(Ln2)))
+          .when(col("u3") === 1, lit(Double.PositiveInfinity))
+          .when(col("u3") === -1, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)).as("atanh_v"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  lazy val InverseHyperbolicDetSql: String = {
+    def lg(c: String): String = graft.functions.DetMath.log2Sql(c)
+    def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+    s"""WITH m AS (${Metrics.MetricEventsSql}),
+       |r AS (SELECT name, label_k, value,
+       |        ROW_NUMBER() OVER (PARTITION BY name, label_k
+       |                           ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM m WHERE kind = 'gauge'),
+       |s AS (SELECT name, label_k, value,
+       |        value - 5.5 AS u1,
+       |        (value - 5.5) / 400.0 AS u3
+       |      FROM r WHERE rn = 1),
+       |s2 AS (SELECT *,
+       |        u1 + sqrt(u1 * u1 + 1.0) AS a1,
+       |        CASE WHEN value >= 1
+       |             THEN value + sqrt(value * value - 1.0) END AS a2,
+       |        CASE WHEN abs(u3) < 1
+       |             THEN (1.0 + u3) / (1.0 - u3) END AS a3
+       |      FROM s)
+       |SELECT name, label_k, value,
+       |  (${lg("a1")}) * ${d(Ln2)} AS asinh_v,
+       |  CASE WHEN value >= 1 THEN (${lg("a2")}) * ${d(Ln2)}
+       |       ELSE CAST('nan' AS DOUBLE) END AS acosh_v,
+       |  CASE WHEN abs(u3) < 1 THEN 0.5 * ((${lg("a3")}) * ${d(Ln2)})
+       |       WHEN u3 = 1 THEN CAST('inf' AS DOUBLE)
+       |       WHEN u3 = -1 THEN CAST('-inf' AS DOUBLE)
+       |       ELSE CAST('nan' AS DOUBLE) END AS atanh_v
+       |FROM s2
+       |ORDER BY name, label_k""".stripMargin
+  }
+
   /** B34 trigonometric family (PromQL `sin/cos/tan/asin/acos/atan/
     * sinh/cosh/tanh/deg/rad`) over the gauge snapshot — like the b33
     * log family, libm last-ulp differences across engines make these

@@ -619,6 +619,26 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(math.abs(rows("n")._6 - StrictMath.exp(-0.002)) < 1e-11)
   }
 
+  test("b38: deterministic inverse hyperbolics track the identities and keep domain edges") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 7.5, "a"),    // asinh(2.0), acosh(7.5), atanh(0.005)
+      ev(1, 0, "signup", 0.5, "b"),    // acosh domain: NaN below 1
+      ev(2, 0, "signup", 405.5, "c")   // atanh(1.0) = +Inf
+    ).toDF(eventCols: _*))
+    val rows = graft.operators.PromQL.inverseHyperbolicDet(spark, dir)
+      .select($"label_k", $"value", $"asinh_v", $"acosh_v", $"atanh_v")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def ref(f: Double => Double, x: Double): Double = f(x)
+    val a = rows("a")
+    assert(math.abs(a._3 - StrictMath.log(2.0 + math.sqrt(5.0))) < 1e-11)
+    assert(math.abs(a._4 - StrictMath.log(7.5 + math.sqrt(7.5 * 7.5 - 1))) < 1e-11)
+    assert(math.abs(a._5 - 0.5 * StrictMath.log(1.005 / 0.995)) < 1e-11)
+    assert(rows("b")._4.isNaN)                  // acosh(0.5)
+    assert(rows("c")._5.isPosInfinity)          // atanh(1)
+    assert(!rows("b")._3.isNaN && !rows("c")._3.isNaN) // asinh total
+  }
+
   test("group_left keeps the left label set in many-to-one matching") {
     // two series share k="a" (different users → instances i1, i2)
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
