@@ -478,16 +478,22 @@ object SparkEntry {
     "b33_log_functions" ->
       ("ln/log2/log10/exp are libm-routed; Spark's fdlibm StrictMath vs DuckDB's " +
         "system libm diverge in the last ulp (measured ~2e-16 rel); spec pins " +
-        "values against java.lang.Math (MetricsSpec/PromQLSpec)"),
+        "values against java.lang.Math (PromQLFrontendSpec); the hash-gated " +
+        "DetMath twin is b33b — this entry keeps upstream JVM-libm parity"),
     "b34_trig_functions" ->
-      ("sin/cos/tan/atan2: same libm bucket as b33; spec-pinned against StrictMath"),
+      ("sin/cos/tan/atan2: same libm bucket as b33, and no DetMath twin exists " +
+        "(deterministic trig needs Payne-Hanek range reduction — out of scope); " +
+        "spec-pinned against StrictMath"),
     "p64_promql_asinh" ->
       ("asinh routes through ln (libm, ulp-divergent); exact IEEE-order values " +
-        "and domain edges spec-pinned in PromQLFrontendSpec"),
+        "and domain edges spec-pinned in PromQLFrontendSpec; hash-gated DetMath " +
+        "twin: b38"),
     "p65_promql_acosh" ->
-      ("acosh routes through ln; NaN domain branch spec-pinned (PromQLFrontendSpec)"),
+      ("acosh routes through ln; NaN domain branch spec-pinned " +
+        "(PromQLFrontendSpec); hash-gated DetMath twin: b38"),
     "p66_promql_atanh" ->
-      ("atanh routes through ln; scaled-interior values spec-pinned (PromQLFrontendSpec)"),
+      ("atanh routes through ln; scaled-interior values spec-pinned " +
+        "(PromQLFrontendSpec); hash-gated DetMath twin: b38"),
     "x16_approx_distinct" ->
       ("approx_count_distinct reads Spark's internal HyperLogLog++ registers — " +
         "no cross-engine twin exists by construction; error bound vs exact " +
