@@ -53,5 +53,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("det_log2"),
       info("det_log2", "det_log2(x) - deterministic cross-engine log2(x)"),
       (exprs: Seq[Expression]) => graft.plans.DetLog2Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("det_sin"),
+      info("det_sin", "det_sin(x) - deterministic cross-engine sin(x)"),
+      (exprs: Seq[Expression]) => graft.plans.DetSinExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("det_cos"),
+      info("det_cos", "det_cos(x) - deterministic cross-engine cos(x)"),
+      (exprs: Seq[Expression]) => graft.plans.DetCosExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("det_atan"),
+      info("det_atan", "det_atan(x) - deterministic cross-engine atan(x)"),
+      (exprs: Seq[Expression]) => graft.plans.DetAtanExpr(exprs.head)))
   }
 }

@@ -424,11 +424,17 @@ object SparkEntry {
     "x78_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
     // per-source KL divergence from the corpus unigram mix (drift audit)
     "x79_source_drift" -> ((s, d) => TextAnalysis.sourceDrift(s, d)),
+    // DSIR importance weighting: hashed-bigram target/raw likelihood
+    // ratio via DetMath log2, constant 4 KB bucket model broadcast
+    "x80_dsir_importance" -> ((s, d) => TextAnalysis.dsirImportance(s, d)),
     // integer power-iteration principal direction of the embedding cloud
     "x71_principal_direction" -> ((s, d) => Similarity.principalDirection(s, d)),
     // per-source cap: best-15-by-quality with a deterministic md5 shuffle
     "x72_source_cap" -> ((s, d) => Sampling.sourceCapSample(s, d)),
     "x22_byte_histogram" -> ((s, d) => Multimodal.byteHistogram(s, d)),
+    // byte-entropy payload screen: DetMath-exact Shannon entropy in the
+    // partition-batched iterator — the pre-decode corrupt/padded gate
+    "x81_byte_entropy" -> ((s, d) => Multimodal.byteEntropy(s, d)),
     // codec-free binary near-dup via 64-byte block hashes
     "x50_binary_blockdup" -> ((s, d) => Multimodal.binaryBlockDup(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
@@ -456,6 +462,10 @@ object SparkEntry {
     // trig family: libm last-ulp differs across engines → rows-only,
     // spec-pinned against StrictMath (like b33)
     "b34_trig_functions" -> ((s, d) => PromQL.trigFunctions(s, d)),
+    // the hash-gateable DetMath twin: Cody-Waite-reduced sin/cos,
+    // table-reduced atan, exp2-derived sinh/cosh/tanh — every step a
+    // pinned correctly-rounded IEEE op, bit-identical in DuckDB
+    "b34b_trig_functions_det" -> ((s, d) => PromQL.trigFunctionsDet(s, d)),
   )
 
   /** Queries registered WITHOUT an [[oracleSql]] twin BY DESIGN — never by
@@ -481,9 +491,10 @@ object SparkEntry {
         "values against java.lang.Math (PromQLFrontendSpec); the hash-gated " +
         "DetMath twin is b33b — this entry keeps upstream JVM-libm parity"),
     "b34_trig_functions" ->
-      ("sin/cos/tan/atan2: same libm bucket as b33, and no DetMath twin exists " +
-        "(deterministic trig needs Payne-Hanek range reduction — out of scope); " +
-        "spec-pinned against StrictMath"),
+      ("sin/cos/tan/asin/acos/atan/sinh/cosh/tanh: same libm bucket as b33; " +
+        "spec-pinned against StrictMath; the hash-gated DetMath twin is b34b " +
+        "(Cody-Waite-reduced sin/cos + table-reduced atan) — this entry keeps " +
+        "upstream JVM-libm parity"),
     "p64_promql_asinh" ->
       ("asinh routes through ln (libm, ulp-divergent); exact IEEE-order values " +
         "and domain edges spec-pinned in PromQLFrontendSpec; hash-gated DetMath " +
@@ -670,6 +681,7 @@ object SparkEntry {
     "p51_promql_for_alert" -> promql.Oracle.ForAlertSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
+    "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,
     "b38_inverse_hyperbolic_det" -> PromQL.InverseHyperbolicDetSql,
     "b30_changes" -> PromQL.ChangesSql,
     "b31_series_functions" -> PromQL.SeriesFunctionsSql,
@@ -729,9 +741,11 @@ object SparkEntry {
     "x77_temperature_alpha" -> Sampling.TemperatureSampleAlphaSql,
     "x78_token_entropy" -> TextAnalysis.TokenEntropySql,
     "x79_source_drift" -> TextAnalysis.SourceDriftSql,
+    "x80_dsir_importance" -> TextAnalysis.DsirImportanceSql,
     "x71_principal_direction" -> Similarity.PrincipalDirectionSql,
     "x72_source_cap" -> Sampling.SourceCapSampleSql,
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
+    "x81_byte_entropy" -> Multimodal.ByteEntropySql,
     "x50_binary_blockdup" -> Multimodal.BinaryBlockDupSql,
   )
 }

@@ -188,4 +188,225 @@ object DetMath {
     val tbl = Log2Table.map(d).mkString("[", ",", "]")
     s"((CAST($e AS DOUBLE) + ($tbl)[$j + 1]) + ($p))"
   }
+
+  // ---- sin / cos / atan ---------------------------------------------
+
+  /** π to 60 digits (public mathematical constant) — the seed for the
+    * Cody-Waite split below; only its double-rounded projections ever
+    * reach runtime arithmetic.
+    */
+  private val PiBig = BigDecimal(
+    "3.14159265358979323846264338327950288419716939937510582097494459")
+
+  private def hi33(v: Double): Double = java.lang.Double.longBitsToDouble(
+    java.lang.Double.doubleToLongBits(v) & 0xFFFFFFFFF8000000L)
+
+  /** Cody-Waite 3-part split of π/2: C1 carries the top 33 significand
+    * bits, C2 the next 33, C3 the remainder — `k·C1` and `k·C2` are
+    * EXACT IEEE products for |k| < 2²⁰ (33 + 20 ≤ 53 bits), so the
+    * reduced argument `r = ((x − k·C1) − k·C2) − k·C3` sees ~100 bits
+    * of π/2. For |k| beyond that, products start rounding — the REDUCED
+    * value drifts from true sin/cos, but every step is still one
+    * correctly-rounded op in pinned order, so determinism never breaks
+    * (only accuracy, spec-bounded over the fixture range |x| ≤ 500,
+    * k ≤ 320).
+    */
+  val PiO2C1: Double = hi33((PiBig / 2).toDouble)
+  val PiO2C2: Double = hi33(((PiBig / 2) - BigDecimal(PiO2C1)).toDouble)
+  val PiO2C3: Double =
+    ((PiBig / 2) - BigDecimal(PiO2C1) - BigDecimal(PiO2C2)).toDouble
+  val TwoOverPi: Double = (BigDecimal(2) / PiBig).toDouble
+  val HalfPi: Double = (PiBig / 2).toDouble
+  val DegPerRad: Double = (BigDecimal(180) / PiBig).toDouble
+  val RadPerDeg: Double = (PiBig / BigDecimal(180)).toDouble
+
+  /** Taylor coefficients: sin r = r·(1 + r²·(s₁ + r²·(s₂ + …))) with
+    * sₙ = (−1)ⁿ/(2n+1)!; truncation after s₆ (r¹³ term) leaves
+    * ≤ r¹⁵/15! ≈ 2·10⁻¹⁴ absolute at |r| ≤ π/4.
+    */
+  val SinCoeffs: Array[Double] = Array.tabulate(6) { i =>
+    val n = i + 1
+    var f = 1.0
+    var k = 2
+    while (k <= 2 * n + 1) { f *= k; k += 1 }
+    (if (n % 2 == 1) -1.0 else 1.0) / f
+  }
+
+  /** cos r = 1 + r²·(c₁ + r²·(c₂ + …)) with cₙ = (−1)ⁿ/(2n)!;
+    * truncation after c₇ (r¹⁴) leaves ≤ r¹⁶/16! ≈ 7·10⁻¹⁶.
+    */
+  val CosCoeffs: Array[Double] = Array.tabulate(7) { i =>
+    val n = i + 1
+    var f = 1.0
+    var k = 2
+    while (k <= 2 * n) { f *= k; k += 1 }
+    (if (n % 2 == 1) -1.0 else 1.0) / f
+  }
+
+  /** The shared reduction: k = ⌊x·(2/π) + ½⌋, r as above, quadrant
+    * q = k mod 4 computed in DOUBLE arithmetic (`kf − 4·⌊kf/4⌋`: the
+    * ÷4 and ×4 are exact power-of-two scalings, the subtraction exact
+    * by Sterbenz — no BIGINT cast, which DuckDB would range-check on
+    * huge kf).
+    */
+  private def reduce(x: Double): (Double, Int) = {
+    val kf = Math.floor(x * TwoOverPi + 0.5)
+    val r = ((x - kf * PiO2C1) - kf * PiO2C2) - kf * PiO2C3
+    val q = (kf - 4.0 * Math.floor(kf / 4.0)).toInt
+    (r, q)
+  }
+
+  private def sinPoly(r: Double): Double = {
+    val r2 = r * r
+    var p = SinCoeffs(5)
+    var i = 4
+    while (i >= 0) { p = p * r2 + SinCoeffs(i); i -= 1 }
+    r * (1.0 + r2 * p)
+  }
+
+  private def cosPoly(r: Double): Double = {
+    val r2 = r * r
+    var p = CosCoeffs(6)
+    var i = 5
+    while (i >= 0) { p = p * r2 + CosCoeffs(i); i -= 1 }
+    1.0 + r2 * p
+  }
+
+  /** Deterministic sin — the pinned step sequence (quadrant dispatch
+    * over the reduced argument). Total on any double: NaN for
+    * NaN/±Inf inputs.
+    */
+  def sin(x: Double): Double = {
+    if (x.isNaN || x.isInfinite) return Double.NaN
+    val (r, q) = reduce(x)
+    q match {
+      case 0 => sinPoly(r)
+      case 1 => cosPoly(r)
+      case 2 => -sinPoly(r)
+      case _ => -cosPoly(r)
+    }
+  }
+
+  /** Deterministic cos — same reduction, shifted dispatch. */
+  def cos(x: Double): Double = {
+    if (x.isNaN || x.isInfinite) return Double.NaN
+    val (r, q) = reduce(x)
+    q match {
+      case 0 => cosPoly(r)
+      case 1 => -sinPoly(r)
+      case 2 => -cosPoly(r)
+      case _ => sinPoly(r)
+    }
+  }
+
+  /** `AT[j] = atan(j/8)`, j = 0..8 — shared literal table. */
+  val AtanTable: Array[Double] = Array.tabulate(9)(j => StrictMath.atan(j / 8.0))
+
+  /** atan t = t·(1 + t²·(a₀ + t²·(a₁ + …))), aₖ = (−1)^(k+1)/(2k+3);
+    * after the table reduction |t| ≤ 1/16, so truncation after the
+    * t¹³ term leaves ≤ t¹⁵/15 ≈ 10⁻¹⁹.
+    */
+  val AtanCoeffs: Array[Double] = Array.tabulate(6) { k =>
+    (if (k % 2 == 0) -1.0 else 1.0) / (2 * k + 3)
+  }
+
+  private def atanCore(t: Double): Double = {
+    // t ∈ [0, 1]: j = ⌊t·8 + ½⌋ picks the nearest table point b = j/8,
+    // rr = (t − b)/(1 + t·b) ∈ [−1/16, 1/16] the residual angle.
+    val j = Math.floor(t * 8.0 + 0.5).toInt
+    val b = j / 8.0
+    val rr = (t - b) / (1.0 + t * b)
+    val rr2 = rr * rr
+    var p = AtanCoeffs(5)
+    var i = 4
+    while (i >= 0) { p = p * rr2 + AtanCoeffs(i); i -= 1 }
+    AtanTable(j) + rr * (1.0 + rr2 * p)
+  }
+
+  /** Deterministic atan: |x| > 1 inverts through π/2 − atan(1/|x|)
+    * (±Inf lands there naturally as atan(0)); the core runs ONCE on
+    * the clamped t ∈ [0,1]; sign restored last. NOTE the 1/|x| divide
+    * assumes x ≠ 0 on the inverted path only (|x| > 1), so zero input
+    * is safe; DuckDB's NULL-on-divide-by-zero can never fire.
+    */
+  def atan(x: Double): Double = {
+    if (x.isNaN) return Double.NaN
+    val a = Math.abs(x)
+    val inv = a > 1.0
+    val t = if (inv) 1.0 / a else a
+    val at = atanCore(t)
+    val v = if (inv) HalfPi - at else at
+    if (x < 0.0) -v else v
+  }
+
+  // DuckDB SQL mirrors. sin/cos share the reduction, so the fragment
+  // generators take the PRE-COMPUTED reduction columns (r, q) — callers
+  // stage them in CTEs via [[trigReduceSql]] — while atan (applied to
+  // different arguments per output column) is a self-contained fragment
+  // like log2Sql.
+
+  private def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  /** Column definitions for the reduction CTE: given expression `x`,
+    * yields SQL for (kf, then from kf: r, q). Use as
+    * `SELECT *, ${trigKfSql("x")} AS kf` then
+    * `SELECT *, ${trigRSql("x", "kf")} AS r, ${trigQSql("kf")} AS q`.
+    */
+  def trigKfSql(x: String): String = s"FLOOR($x * ${d(TwoOverPi)} + 0.5)"
+
+  def trigRSql(x: String, kf: String): String =
+    s"((($x - $kf * ${d(PiO2C1)}) - $kf * ${d(PiO2C2)}) - $kf * ${d(PiO2C3)})"
+
+  def trigQSql(kf: String): String =
+    s"CAST($kf - 4.0 * FLOOR($kf / 4.0) AS INT)"
+
+  /** sin-polynomial over a reduced-argument column `r`. */
+  def sinPolySql(r: String): String = {
+    val r2 = s"($r * $r)"
+    val p = (4 to 0 by -1).foldLeft(d(SinCoeffs(5))) { (acc, i) =>
+      s"($acc * $r2 + ${d(SinCoeffs(i))})"
+    }
+    s"($r * (1.0 + $r2 * $p))"
+  }
+
+  /** cos-polynomial over a reduced-argument column `r`. */
+  def cosPolySql(r: String): String = {
+    val r2 = s"($r * $r)"
+    val p = (5 to 0 by -1).foldLeft(d(CosCoeffs(6))) { (acc, i) =>
+      s"($acc * $r2 + ${d(CosCoeffs(i))})"
+    }
+    s"(1.0 + $r2 * $p)"
+  }
+
+  /** Quadrant dispatch over pre-computed columns (sp = sinPoly(r),
+    * cp = cosPoly(r), q).
+    */
+  def sinDispatchSql(sp: String, cp: String, q: String): String =
+    s"""(CASE $q WHEN 0 THEN $sp WHEN 1 THEN $cp
+       | WHEN 2 THEN -$sp ELSE -$cp END)""".stripMargin.replace("\n", "")
+
+  def cosDispatchSql(sp: String, cp: String, q: String): String =
+    s"""(CASE $q WHEN 0 THEN $cp WHEN 1 THEN -$sp
+       | WHEN 2 THEN -$cp ELSE $sp END)""".stripMargin.replace("\n", "")
+
+  /** DuckDB SQL mirror of [[atan]] over expression string `x` (use a
+    * simple column reference — the fragment repeats it). Same
+    * structure as the scalar: one core evaluation over the clamped
+    * t ∈ [0,1], inversion and sign dispatched around it.
+    */
+  def atanSql(x: String): String = {
+    val a = s"ABS($x)"
+    val t = s"(CASE WHEN $a > 1.0 THEN 1.0 / $a ELSE $a END)"
+    val j = s"CAST(FLOOR($t * 8.0 + 0.5) AS INT)"
+    val b = s"(CAST($j AS DOUBLE) / 8.0)"
+    val rr = s"(($t - $b) / (1.0 + $t * $b))"
+    val rr2 = s"($rr * $rr)"
+    val p = (4 to 0 by -1).foldLeft(d(AtanCoeffs(5))) { (acc, i) =>
+      s"($acc * $rr2 + ${d(AtanCoeffs(i))})"
+    }
+    val tbl = AtanTable.map(d).mkString("[", ",", "]")
+    val at = s"(($tbl)[$j + 1] + $rr * (1.0 + $rr2 * $p))"
+    val v = s"(CASE WHEN $a > 1.0 THEN ${d(HalfPi)} - $at ELSE $at END)"
+    s"(CASE WHEN $x < 0.0 THEN -$v ELSE $v END)"
+  }
 }

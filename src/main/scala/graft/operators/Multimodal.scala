@@ -259,6 +259,96 @@ object Multimodal {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  val ByteEntropySchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("n_distinct", LongType),
+    StructField("entropy_bits", DoubleType),
+    StructField("padded", BooleanType)))
+
+  /** x81: byte-entropy payload screen — the codec-free corrupt/padded
+    * detector for binary columns: per-payload Shannon entropy over the
+    * 256-symbol byte alphabet, `H = −Σ_b p_b·log2 p_b`. Near-zero
+    * entropy means a constant-padded, truncated-to-filler, or
+    * all-one-tone payload (the classic symptom of a broken
+    * decode/transcode upstream); natural media sits high. The `padded`
+    * flag (H < 1 bit) is the drop gate a multimodal curation pass runs
+    * BEFORE spending decode cycles.
+    *
+    * Shape: the x22 partition-batched iterator — a 256-cell count
+    * array per payload inside `mapPartitions`, payload bytes never
+    * shuffle. Determinism: each probability is one correctly-rounded
+    * divide, log2 is [[graft.functions.DetMath.log2]] (the same pinned
+    * scalar the oracle mirrors in SQL), and per-symbol terms quantize
+    * to exact nano-bit BIGINTs before summing — ascending byte order
+    * in the JVM, order-free integer SUM in the oracle: identical.
+    * Parity note: the oracle iterates CHARACTERS of the text stand-in
+    * (`string_split(text, '')`) vs the JVM's payload BYTES — equal
+    * because the fixture payload is the documented ASCII stand-in
+    * (x22's rule); real multibyte payloads would only shift the oracle,
+    * not the engine.
+    */
+  def byteEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(ByteEntropySchema)
+    withBinaryPayload(spark, dir)
+      .select(col("doc_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val counts = new Array[Long](256)
+          var i = 0
+          while (i < bytes.length) { counts(bytes(i) & 0xFF) += 1; i += 1 }
+          val n = bytes.length.toLong
+          var distinct = 0L
+          var nanoSum = 0L
+          var b = 0
+          while (b < 256) {
+            val c = counts(b)
+            if (c > 0) {
+              distinct += 1
+              val p = c.toDouble / n.toDouble
+              val l = graft.functions.DetMath.log2(p)
+              nanoSum += Math.floor(-(p * l) * 1e9 + 0.5).toLong
+            }
+            b += 1
+          }
+          val h = nanoSum.toDouble / 1e9
+          Row(id, n, distinct, h, h < 1.0)
+        }
+      }(enc)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[byteEntropy]] — per-character counts and the
+    * identical DetMath step sequence.
+    */
+  lazy val ByteEntropySql: String = {
+    val lg = graft.functions.DetMath.log2Sql("p")
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS c
+       |  FROM documents),
+       |cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+       |nn AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM cc GROUP BY 1),
+       |t AS (
+       |  SELECT cc.doc_id,
+       |    CAST(cc.cnt AS DOUBLE) / CAST(nn.n AS DOUBLE) AS p
+       |  FROM cc JOIN nn ON nn.doc_id = cc.doc_id),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(-(p * ($lg)) * 1e9 + 0.5) AS BIGINT) AS nano
+       |  FROM t),
+       |a AS (
+       |  SELECT b.doc_id, COUNT(*) AS n_distinct,
+       |    CAST(SUM(b.nano) AS BIGINT) AS sn
+       |  FROM b GROUP BY 1)
+       |SELECT a.doc_id, nn.n AS n_bytes, a.n_distinct,
+       |  CAST(a.sn AS DOUBLE) / 1e9 AS entropy_bits,
+       |  CAST(a.sn AS DOUBLE) / 1e9 < 1.0 AS padded
+       |FROM a JOIN nn ON nn.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   /** x50: block-hash near-duplicate detection over the binary payload —
     * the codec-free image/audio dedup pass (chunk the blob into fixed
     * 64-byte blocks, md5 each, pairs of payloads sharing ≥1 distinct

@@ -1578,6 +1578,112 @@ object PromQL {
       .orderBy(col("name"), col("label_k"))
   }
 
+  /** b34b: the trig family through the engine's DETERMINISTIC
+    * transcendentals — the hash-gateable twin of [[trigFunctions]]
+    * (which keeps upstream JVM-libm parity and stays rows-only).
+    * sin/cos run the pinned Cody-Waite reduction + Taylor dispatch
+    * ([[graft.functions.DetMath.sin]]); tan = det_sin/det_cos (one
+    * correctly-rounded divide); atan the table-reduced core; asin via
+    * `atan(u/√(1−u²))` with exact ±π/2 edges and NaN outside the
+    * domain; acos = π/2 − asin (one subtract); sinh/cosh/tanh over
+    * `E = det_exp2(x·log2 e)` (`(E ∓ 1/E)/2`, `(E−1/E)/(E+1/E)`);
+    * deg/rad one literal multiply. Every step is a single IEEE
+    * correctly-rounded op in pinned order, so the DuckDB twin
+    * reproduces all eleven columns bit for bit. Same gauge LWW
+    * snapshot and argument shapes as b34 (`u = value/100` scales into
+    * the asin domain).
+    */
+  def trigFunctionsDet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetMath
+    graft.plans.DetMathExprs.register(spark)
+    val w = Window.partitionBy(series: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val snap = Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "gauge")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("u", col("value") / lit(100.0))
+      .withColumn("eu", col("u") * lit(Log2E))
+      .withColumn("ex", col("value") * lit(Log2E))
+      .withColumn("ee", expr("det_exp2(eu)"))
+      .withColumn("et", expr("det_exp2(ex)"))
+      // domain-guarded intermediate (NULL outside |u| < 1): DuckDB
+      // raises on sqrt of negatives even in discarded CASE branches
+      .withColumn("az", when(abs(col("u")) < 1,
+        col("u") / sqrt(lit(1.0) - col("u") * col("u"))))
+      .withColumn("asin_u",
+        when(abs(col("u")) < 1, expr("det_atan(az)"))
+          .when(col("u") === 1, lit(DetMath.HalfPi))
+          .when(col("u") === -1, lit(-DetMath.HalfPi))
+          .otherwise(lit(Double.NaN)))
+    snap.select(col("name"), col("label_k"), col("value"),
+        expr("det_sin(value)").as("sin_v"),
+        expr("det_cos(value)").as("cos_v"),
+        (expr("det_sin(value)") / expr("det_cos(value)")).as("tan_v"),
+        col("asin_u"),
+        (lit(DetMath.HalfPi) - col("asin_u")).as("acos_u"),
+        expr("det_atan(value)").as("atan_v"),
+        ((col("ee") - lit(1.0) / col("ee")) * lit(0.5)).as("sinh_u"),
+        ((col("ee") + lit(1.0) / col("ee")) * lit(0.5)).as("cosh_u"),
+        when(abs(col("value")) > 700.0, signum(col("value")))
+          .otherwise((col("et") - lit(1.0) / col("et")) /
+            (col("et") + lit(1.0) / col("et"))).as("tanh_v"),
+        (col("value") * lit(DetMath.DegPerRad)).as("deg_v"),
+        (col("value") * lit(DetMath.RadPerDeg)).as("rad_v"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  lazy val TrigFunctionsDetSql: String = {
+    val DM = graft.functions.DetMath
+    def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+    val sinD = DM.sinDispatchSql("sp", "cp", "q")
+    val cosD = DM.cosDispatchSql("sp", "cp", "q")
+    s"""WITH m AS (${Metrics.MetricEventsSql}),
+       |r AS (SELECT name, label_k, value,
+       |        ROW_NUMBER() OVER (PARTITION BY name, label_k
+       |                           ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM m WHERE kind = 'gauge'),
+       |s AS (SELECT name, label_k, value, value / 100.0 AS u
+       |      FROM r WHERE rn = 1),
+       |s2 AS (SELECT *,
+       |        u * ${d(PromQL.Log2E)} AS eu,
+       |        value * ${d(PromQL.Log2E)} AS ex,
+       |        ${DM.trigKfSql("value")} AS kf,
+       |        CASE WHEN abs(u) < 1 THEN u / sqrt(1.0 - u * u) END AS az
+       |      FROM s),
+       |s3 AS (SELECT *,
+       |        ${DM.exp2Sql("eu")} AS ee,
+       |        ${DM.exp2Sql("ex")} AS et,
+       |        ${DM.trigRSql("value", "kf")} AS redr,
+       |        ${DM.trigQSql("kf")} AS q,
+       |        CASE WHEN abs(u) < 1 THEN ${DM.atanSql("az")}
+       |             WHEN u = 1 THEN ${d(DM.HalfPi)}
+       |             WHEN u = -1 THEN -${d(DM.HalfPi)}
+       |             ELSE CAST('nan' AS DOUBLE) END AS asin_u
+       |      FROM s2),
+       |s4 AS (SELECT *,
+       |        ${DM.sinPolySql("redr")} AS sp,
+       |        ${DM.cosPolySql("redr")} AS cp
+       |      FROM s3)
+       |SELECT name, label_k, value,
+       |  $sinD AS sin_v,
+       |  $cosD AS cos_v,
+       |  ($sinD) / ($cosD) AS tan_v,
+       |  asin_u,
+       |  ${d(DM.HalfPi)} - asin_u AS acos_u,
+       |  ${DM.atanSql("value")} AS atan_v,
+       |  (ee - 1.0 / ee) * 0.5 AS sinh_u,
+       |  (ee + 1.0 / ee) * 0.5 AS cosh_u,
+       |  CASE WHEN abs(value) > 700.0
+       |       THEN CASE WHEN value > 0 THEN 1.0
+       |                 WHEN value < 0 THEN -1.0 ELSE 0.0 END
+       |       ELSE (et - 1.0 / et) / (et + 1.0 / et) END AS tanh_v,
+       |  value * ${d(DM.DegPerRad)} AS deg_v,
+       |  value * ${d(DM.RadPerDeg)} AS rad_v
+       |FROM s4
+       |ORDER BY name, label_k""".stripMargin
+  }
+
   /** B19b `absent_over_time(purchase[1d])` evaluated on the day grid:
     * the (series-universe × day) combinations where the family has NO
     * sample — `absent` (b19) answers "which series never exist", this

@@ -2582,4 +2582,107 @@ object TextAnalysis {
        |  (n_emails + n_ips + n_phones) = 0 AS clean
        |FROM r
        |ORDER BY doc_id""".stripMargin
+
+  /** x80: DSIR-style importance weighting (Xie et al., NeurIPS'23 —
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much more likely its hashed-n-gram
+    * features are under a TARGET distribution than under the raw
+    * corpus, `log w(x) = Σ_features (log2 p̂_t[b] − log2 p̂_r[b])`.
+    * Features are the shared word-bigram occurrences hashed into
+    * B = 4096 buckets (the x48 md5-u32 idiom); both models are
+    * add-one-smoothed bucket categoricals (target here: the English
+    * slice — the "match this distribution" knob a curator points at a
+    * trusted corpus). `keep = log w > 0` selects documents that look
+    * more target-like than corpus-like — the deterministic analog of
+    * DSIR's importance resampling (no Gumbel noise: the engine's
+    * reproducible-recipe rule).
+    *
+    * Deterministic by the x76 recipe: exact integer counts, one
+    * correctly-rounded divide per probability, DetMath log2, and the
+    * per-BUCKET log-ratio quantized to exact nano-bit BIGINTs before
+    * the per-doc sum — so doc scores are order-independent integer
+    * sums and the whole operator hash-gates.
+    *
+    * Scale shape: the bucket model is TWO fixed-width hash aggregates
+    * (≤ 4096 rows each) + 1-row totals — broadcast back; scoring is
+    * one broadcast join over the shared bigram cache + one per-doc
+    * aggregate. Linear in corpus size, no global window, no pairwise
+    * work; the model side is CONSTANT (32 KB) at any corpus size —
+    * the property that makes DSIR run at 100 TB.
+    */
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
+    val B = 4096L
+    val bg = Corpus.shingleRows(spark, dir, 2)
+      .select(col("doc_id"), col("lang"), col("shingle"))
+    val occ = bg.withColumn("bucket",
+      pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
+        lit(B)))
+    val tgt = occ.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t"))
+    val raw = occ.groupBy(col("bucket")).agg(count(lit(1)).as("r0"))
+    val totals = raw.agg(sum(col("r0")).as("n_r"))
+      .crossJoin(tgt.agg(sum(col("t")).as("n_t")))
+    val model = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("t"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pb",
+        (col("t") + 1).cast("double") / (col("n_t") + lit(B)).cast("double"))
+      .withColumn("qb",
+        (col("r0") + 1).cast("double") / (col("n_r") + lit(B)).cast("double"))
+      .withColumn("nano", floor(
+        (graft.plans.DetMathExprs.detLog2(spark, "pb")
+          - graft.plans.DetMathExprs.detLog2(spark, "qb"))
+          * lit(1e9) + lit(0.5)))
+      .select(col("bucket"), col("nano"))
+    occ.join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("nano")).as("_sn"))
+      .withColumn("logw_bits", col("_sn").cast("double") / lit(1e9))
+      .withColumn("keep", col("_sn") > 0)
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        col("logw_bits"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[dsirImportance]] — identical bucket hashing,
+    * count model, and DetMath step sequences.
+    */
+  lazy val DsirImportanceSql: String = {
+    val lgP = graft.functions.DetMath.log2Sql("pb")
+    val lgQ = graft.functions.DetMath.log2Sql("qb")
+    s"""WITH bg0 AS (
+       |  SELECT doc_id, shingle
+       |  FROM (${graft.functions.TextOps.shinglesSql("documents", 2)})),
+       |bg AS (
+       |  SELECT bg0.doc_id, d.lang, bg0.shingle,
+       |    (CAST(concat('0x', substr(md5(bg0.shingle), 1, 8)) AS BIGINT)
+       |     % 4096) AS bucket
+       |  FROM bg0 JOIN documents d ON d.doc_id = bg0.doc_id),
+       |tgt AS (SELECT bucket, COUNT(*) AS t FROM bg WHERE lang = 'en'
+       |        GROUP BY 1),
+       |raw AS (SELECT bucket, COUNT(*) AS r0 FROM bg GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(SUM(r0) AS BIGINT) FROM raw) AS n_r,
+       |               (SELECT CAST(SUM(t) AS BIGINT) FROM tgt) AS n_t),
+       |model0 AS (
+       |  SELECT raw.bucket,
+       |    CAST(COALESCE(tgt.t, 0) + 1 AS DOUBLE)
+       |      / CAST(tot.n_t + 4096 AS DOUBLE) AS pb,
+       |    CAST(raw.r0 + 1 AS DOUBLE)
+       |      / CAST(tot.n_r + 4096 AS DOUBLE) AS qb
+       |  FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot),
+       |model AS (
+       |  SELECT bucket,
+       |    CAST(FLOOR((($lgP) - ($lgQ)) * 1e9 + 0.5) AS BIGINT) AS nano
+       |  FROM model0),
+       |a AS (
+       |  SELECT bg.doc_id, bg.lang, COUNT(*) AS n_feats,
+       |    CAST(SUM(model.nano) AS BIGINT) AS sn
+       |  FROM bg JOIN model ON model.bucket = bg.bucket
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_feats,
+       |  CAST(sn AS DOUBLE) / 1e9 AS logw_bits,
+       |  sn > 0 AS keep
+       |FROM a
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -54,6 +54,36 @@ case class DetLog2Expr(child: Expression) extends DetMathUnary {
     copy(child = c)
 }
 
+case class DetSinExpr(child: Expression) extends DetMathUnary {
+  override def prettyName: String = "det_sin"
+  override protected def nullSafeEval(x: Any): Any =
+    graft.functions.DetMath.sin(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DetMath.sin($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class DetCosExpr(child: Expression) extends DetMathUnary {
+  override def prettyName: String = "det_cos"
+  override protected def nullSafeEval(x: Any): Any =
+    graft.functions.DetMath.cos(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DetMath.cos($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class DetAtanExpr(child: Expression) extends DetMathUnary {
+  override def prettyName: String = "det_atan"
+  override protected def nullSafeEval(x: Any): Any =
+    graft.functions.DetMath.atan(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DetMath.atan($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object DetMathExprs {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -61,6 +91,12 @@ object DetMathExprs {
       "det_exp2", exprs => DetExp2Expr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "det_log2", exprs => DetLog2Expr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "det_sin", exprs => DetSinExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "det_cos", exprs => DetCosExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "det_atan", exprs => DetAtanExpr(exprs.head), "built-in")
   }
 
   /** Column entry points — `sqlExpr` is a SQL fragment (usually a

@@ -194,6 +194,63 @@ class MetricsSpec extends SparkTestBase {
     }
   }
 
+  test("DetMath.sin/cos: tight accuracy vs StrictMath over the fixture range, pythagorean law, native exprs identical") {
+    import graft.functions.DetMath
+    // the gauge snapshot domain (|x| <= 500 → |k| <= 320, Cody-Waite
+    // products exact) plus quadrant-boundary and tiny arguments
+    val xs = (-5000 to 5000).map(_ / 10.0) ++
+      (0 to 400).map(k => k * StrictMath.PI / 4.0) ++
+      Seq(0.0, 1e-9, -1e-9, 0.5, -0.5, 1.0, 490.02, -490.02)
+    for (x <- xs) {
+      val gs = DetMath.sin(x)
+      val gc = DetMath.cos(x)
+      assert(math.abs(gs - StrictMath.sin(x)) <= 1e-13,
+        s"sin($x)=$gs vs strict ${StrictMath.sin(x)}")
+      assert(math.abs(gc - StrictMath.cos(x)) <= 1e-13,
+        s"cos($x)=$gc vs strict ${StrictMath.cos(x)}")
+      assert(math.abs(gs * gs + gc * gc - 1.0) <= 5e-14, s"pyth $x")
+    }
+    assert(DetMath.sin(0.0) === 0.0)
+    assert(DetMath.cos(0.0) === 1.0)
+    assert(DetMath.sin(Double.NaN).isNaN)
+    assert(DetMath.sin(Double.PositiveInfinity).isNaN)
+    // the native codegen'd expressions ARE the same pinned scalars —
+    // assert through a real plan anyway
+    graft.plans.DetMathExprs.register(spark)
+    val nat = xs.toDF("x").selectExpr("x", "det_sin(x) AS s", "det_cos(x) AS c")
+    nat.collect().foreach { r =>
+      assert(r.getDouble(1) === DetMath.sin(r.getDouble(0)))
+      assert(r.getDouble(2) === DetMath.cos(r.getDouble(0)))
+    }
+  }
+
+  test("DetMath.atan: accuracy vs StrictMath incl. inversion branch, asin identity edges, native expr identical") {
+    import graft.functions.DetMath
+    val xs = (-4000 to 4000).map(_ / 100.0) ++
+      (1 to 100).map(k => 1.0 / k) ++
+      Seq(0.0, 1.0, -1.0, 0.999, 1.001, 1e-12, 1e6, -1e6, 490.02)
+    for (x <- xs) {
+      val got = DetMath.atan(x)
+      assert(math.abs(got - StrictMath.atan(x)) <= 1e-14,
+        s"atan($x)=$got vs strict ${StrictMath.atan(x)}")
+    }
+    assert(DetMath.atan(0.0) === 0.0)
+    assert(DetMath.atan(Double.PositiveInfinity) === DetMath.HalfPi)
+    assert(DetMath.atan(Double.NegativeInfinity) === -DetMath.HalfPi)
+    assert(DetMath.atan(Double.NaN).isNaN)
+    // asin u = atan(u/sqrt(1-u^2)) — the b34b composition — tracks
+    // StrictMath.asin over the open domain
+    for (u <- (-99 to 99).map(_ / 100.0)) {
+      val z = u / math.sqrt(1.0 - u * u)
+      assert(math.abs(DetMath.atan(z) - StrictMath.asin(u)) <= 1e-13, s"asin $u")
+    }
+    graft.plans.DetMathExprs.register(spark)
+    val nat = xs.toDF("x").selectExpr("x", "det_atan(x) AS a")
+    nat.collect().foreach { r =>
+      assert(r.getDouble(1) === DetMath.atan(r.getDouble(0)))
+    }
+  }
+
   test("native histogram: merge laws, wire round-trip, bucket bounds, quantiles") {
     val agg = new graft.functions.NativeHistogramAggregator(3)
     // includes exact bucket upper bounds (2^(4/8), 2, 4) — float

@@ -325,6 +325,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p77.contains("det_exp2"), "x77 lost the native det_exp2 expression")
   }
 
+  test("x80: DSIR bucket model broadcasts; doc scoring stays keyed, no global window") {
+    val p = plan("x80_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"),
+      "x80's 4096-row bucket model must broadcast to the occurrence scan")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "only the 1-row totals may cross-join, and those broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "x80: a keyed join fell back to sort-merge at fixture scale")
+    assert(p.contains("det_log2"), "x80 lost the native det_log2 expression")
+    // keep-gate is a per-row comparison, never a ranking window
+    assert(!p.contains("Window"), "x80 must not rank through a global window")
+    assert(p.contains("InMemoryTableScan"),
+      "x80 recomputes the bigram explode instead of reading the shared cache")
+  }
+
+  test("x81: byte entropy runs in the partition iterator — no shuffle before the final sort") {
+    val p = plan("x81_byte_entropy")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+      && !p.contains("Window"), "x81 must be a pure per-partition map")
+    // the only exchange is the presentation orderBy's range partition —
+    // no hash shuffle anywhere (scores are computed where the bytes sit)
+    assert(!p.contains("hashpartitioning"),
+      s"x81 hash-shuffles beyond the final sort:\n$p")
+    assert(p.contains("MapPartitions"), "x81 lost the partition-batched iterator")
+  }
+
   test("x67: overlap matrix reads the shingle cache; pair fan-out stays keyed") {
     val p = plan("x67_source_overlap")
     assert(p.contains("InMemoryTableScan"),
