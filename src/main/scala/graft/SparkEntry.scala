@@ -265,6 +265,14 @@ object SparkEntry {
     // the alerting form: windowed rate feeding the native quantile
     "p71_promql_native_hq_rate" -> ((s, d) => promql.Engine.eval(s, d,
       "histogram_quantile(0.9, rate(error[4d]))", nativeFamilies = Set("error"))),
+    // det-math compilation mode: ^ exercises BOTH pow dispatch branches
+    // (positive base fractional exponent + negative base integer
+    // exponent), atan2 the quadrant dispatch — hash-gated, the
+    // front-end face of the b33b/b34b/b38 twins
+    "p72_promql_pow_det" -> ((s, d) => promql.Engine.eval(s, d,
+      "((signup - 5.5) ^ 3) + ((signup / 100) ^ 2.5)", detMath = true)),
+    "p73_promql_atan2_det" -> ((s, d) => promql.Engine.eval(s, d,
+      "signup atan2 (signup - 5.5)", detMath = true)),
     "p33_promql_timestamp" -> ((s, d) => promql.Engine.eval(s, d,
       "timestamp(signup)")),
     "p34_promql_scalar" -> ((s, d) => promql.Engine.eval(s, d,
@@ -655,6 +663,8 @@ object SparkEntry {
     "p69_promql_native_histogram_quantile" -> promql.Oracle.NativeHistogramQuantileSql,
     "p70_promql_native_histogram_fraction" -> promql.Oracle.NativeHistogramFractionSql,
     "p71_promql_native_hq_rate" -> promql.Oracle.NativeHistogramQuantileRateSql,
+    "p72_promql_pow_det" -> promql.Oracle.PowDetSql,
+    "p73_promql_atan2_det" -> promql.Oracle.Atan2DetSql,
     // p64/p65/p66 (asinh/acosh/atanh) are rows-only BY DESIGN: they
     // route through ln, and Math.log vs DuckDB's ln diverge by 1 ulp on
     // some inputs (measured: rel err ~2e-16 on the fixture) — the same

@@ -87,7 +87,7 @@ object DetMath {
     val p = (5 to 0 by -1).foldLeft(lit(Exp2Coeffs(6))) { (acc, i) =>
       acc * u + lit(Exp2Coeffs(i))
     }
-    pow(lit(2.0), e) * element_at(
+    org.apache.spark.sql.functions.pow(lit(2.0), e) * element_at(
       array(Exp2Table.map(lit).toIndexedSeq: _*), (j + lit(1L)).cast("int")) * p
   }
 
@@ -159,10 +159,10 @@ object DetMath {
   /** Spark Column mirror of [[log2]] — same pinned step order. */
   def log2Col(x: Column): Column = {
     val raw = floor(org.apache.spark.sql.functions.log2(x)).cast("int")
-    val e = when(x < pow(lit(2.0), raw.cast("double")), raw - 1)
-      .when(x >= pow(lit(2.0), (raw + 1).cast("double")), raw + 1)
+    val e = when(x < org.apache.spark.sql.functions.pow(lit(2.0), raw.cast("double")), raw - 1)
+      .when(x >= org.apache.spark.sql.functions.pow(lit(2.0), (raw + 1).cast("double")), raw + 1)
       .otherwise(raw)
-    val m = x / pow(lit(2.0), e.cast("double"))
+    val m = x / org.apache.spark.sql.functions.pow(lit(2.0), e.cast("double"))
     val j = floor((m - lit(1.0)) * lit(32.0)).cast("int")
     val r = m / (lit(1.0) + j.cast("double") / lit(32.0)) - lit(1.0)
     val p0 = (6 to 1 by -1).foldLeft(lit(Log2Coeffs(7))) { (acc, k) =>
@@ -217,6 +217,7 @@ object DetMath {
     ((PiBig / 2) - BigDecimal(PiO2C1) - BigDecimal(PiO2C2)).toDouble
   val TwoOverPi: Double = (BigDecimal(2) / PiBig).toDouble
   val HalfPi: Double = (PiBig / 2).toDouble
+  val Pi: Double = PiBig.toDouble
   val DegPerRad: Double = (BigDecimal(180) / PiBig).toDouble
   val RadPerDeg: Double = (PiBig / BigDecimal(180)).toDouble
 
@@ -408,5 +409,69 @@ object DetMath {
     val at = s"(($tbl)[$j + 1] + $rr * (1.0 + $rr2 * $p))"
     val v = s"(CASE WHEN $a > 1.0 THEN ${d(HalfPi)} - $at ELSE $at END)"
     s"(CASE WHEN $x < 0.0 THEN -$v ELSE $v END)"
+  }
+
+  // ---- pow / atan2 (the libm binary-op bucket) ----------------------
+
+  /** Deterministic `l^r` with PromQL `^` semantics: positive base via
+    * `2^(r·log2 l)`; zero base exact (`0^r` is 0/1/+Inf — exact in any
+    * IEEE pow, mirrored literally); negative base defined only at
+    * integer exponents (sign = parity of r, magnitude through |l|),
+    * NaN otherwise — upstream pow's dispatch, each branch a pinned
+    * correctly-rounded sequence.
+    */
+  def pow(l: Double, r: Double): Double =
+    if (l.isNaN || r.isNaN) Double.NaN
+    else if (l > 0.0) exp2(r * log2(l))
+    else if (l == 0.0) Math.pow(0.0, r)
+    else if (r % 1.0 == 0.0) { // finite integer exponent (Inf%1 = NaN)
+      val mag = exp2(r * log2(-l))
+      if (r % 2.0 == 0.0) mag else -mag
+    } else Double.NaN
+
+  /** Deterministic quadrant-dispatched atan2 over [[atan]]. */
+  def atan2(y: Double, x: Double): Double =
+    if (y.isNaN || x.isNaN) Double.NaN
+    else if (x > 0.0) atan(y / x)
+    else if (x < 0.0) { if (y >= 0.0) atan(y / x) + Pi else atan(y / x) - Pi }
+    else if (y > 0.0) HalfPi
+    else if (y < 0.0) -HalfPi
+    else 0.0
+
+  /** DuckDB SQL mirror of [[pow]]. DuckDB raises on `log2` of a
+    * negative/zero argument even when a CASE later discards the branch
+    * (the b38 lesson), so the caller must pre-stage DOMAIN-GUARDED
+    * columns: `lPos = CASE WHEN l > 0 THEN l END` and
+    * `lNegAbs = CASE WHEN l < 0 THEN -l END` (NULL outside — NULL
+    * propagates silently through the fragment and the CASE picks the
+    * live branch).
+    */
+  def powSql(l: String, lPos: String, lNegAbs: String, r: String): String = {
+    val posMag = exp2Sql(s"($r * ${log2Sql(lPos)})")
+    val negMag = exp2Sql(s"($r * ${log2Sql(lNegAbs)})")
+    // NaN guard first: DuckDB totally orders NaN ABOVE all doubles, so
+    // `NaN > 0` is true there but false in the JVM — dispatch must not
+    // reach a comparison with a NaN operand
+    s"""(CASE WHEN isnan($l) OR isnan($r) THEN CAST('nan' AS DOUBLE)
+       |      WHEN $l > 0.0 THEN $posMag
+       |      WHEN $l = 0.0 THEN pow(0.0, $r)
+       |      WHEN ($r % 1.0) = 0.0 THEN
+       |        (CASE WHEN ($r % 2.0) = 0.0 THEN $negMag ELSE -$negMag END)
+       |      ELSE CAST('nan' AS DOUBLE) END)""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB SQL mirror of [[atan2]] (same NaN-first dispatch rule as
+    * [[powSql]]; the x = 0 division inside discarded branches yields
+    * NULL in DuckDB, never an error).
+    */
+  def atan2Sql(y: String, x: String): String = {
+    val q = atanSql(s"($y / $x)")
+    s"""(CASE WHEN isnan($y) OR isnan($x) THEN CAST('nan' AS DOUBLE)
+       |      WHEN $x > 0.0 THEN $q
+       |      WHEN $x < 0.0 AND $y >= 0.0 THEN $q + ${d(Pi)}
+       |      WHEN $x < 0.0 THEN $q - ${d(Pi)}
+       |      WHEN $y > 0.0 THEN ${d(HalfPi)}
+       |      WHEN $y < 0.0 THEN -${d(HalfPi)}
+       |      ELSE 0.0 END)""".stripMargin.replace("\n", " ")
   }
 }

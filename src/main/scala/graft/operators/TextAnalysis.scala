@@ -2610,19 +2610,36 @@ object TextAnalysis {
     * work; the model side is CONSTANT (32 KB) at any corpus size —
     * the property that makes DSIR run at 100 TB.
     */
-  def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
-    val B = 4096L
-    val bg = Corpus.shingleRows(spark, dir, 2)
+  /** The hashed-bigram occurrence relation feeding the DSIR tier. */
+  private def dsirOccurrences(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shingleRows(spark, dir, 2)
       .select(col("doc_id"), col("lang"), col("shingle"))
-    val occ = bg.withColumn("bucket",
-      pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
-        lit(B)))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
+          lit(4096L)))
+
+  /** The per-bucket nano-quantized log importance ratio — the single
+    * model definition shared by batch x80 and the streaming gate.
+    * `dense = false` keeps only corpus-occupied buckets (the batch
+    * join side); `dense = true` fills all 4096 (streamed documents
+    * can contain bigrams the corpus never saw — those buckets score
+    * the smoothed prior `log2((n_r+B)/(n_t+B))` by the SAME pinned
+    * steps with t = r0 = 0).
+    */
+  private def dsirBucketNanos(spark: SparkSession, dir: String,
+      dense: Boolean): DataFrame = {
+    val B = 4096L
+    val occ = dsirOccurrences(spark, dir)
     val tgt = occ.filter(col("lang") === "en")
       .groupBy(col("bucket")).agg(count(lit(1)).as("t"))
     val raw = occ.groupBy(col("bucket")).agg(count(lit(1)).as("r0"))
     val totals = raw.agg(sum(col("r0")).as("n_r"))
       .crossJoin(tgt.agg(sum(col("t")).as("n_t")))
-    val model = raw.join(tgt, Seq("bucket"), "left")
+    val base =
+      if (dense) spark.range(0, B).select(col("id").as("bucket"))
+        .join(raw, Seq("bucket"), "left").na.fill(0L, Seq("r0"))
+      else raw
+    base.join(tgt, Seq("bucket"), "left")
       .na.fill(0L, Seq("t"))
       .crossJoin(broadcast(totals))
       .withColumn("pb",
@@ -2634,6 +2651,11 @@ object TextAnalysis {
           - graft.plans.DetMathExprs.detLog2(spark, "qb"))
           * lit(1e9) + lit(0.5)))
       .select(col("bucket"), col("nano"))
+  }
+
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame = {
+    val occ = dsirOccurrences(spark, dir)
+    val model = dsirBucketNanos(spark, dir, dense = false)
     occ.join(broadcast(model), "bucket")
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_feats"), sum(col("nano")).as("_sn"))
@@ -2685,4 +2707,40 @@ object TextAnalysis {
        |FROM a
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** The DSIR bucket model frozen into ONE broadcastable row — a dense
+    * 4096-element `array<bigint>` of nano log-ratios (32 KB at any
+    * corpus size). The STATIC side of the streaming admission gate:
+    * train once on the curated corpus, broadcast to every executor,
+    * score the firehose row-locally forever.
+    */
+  def dsirModel(spark: SparkSession, dir: String): DataFrame =
+    dsirBucketNanos(spark, dir, dense = true)
+      .agg(expr("transform(array_sort(collect_list(struct(bucket, nano))), " +
+        "s -> s.nano)").as("model"))
+
+  /** STREAMING DSIR admission gate — x80's per-document scoring as a
+    * stateless row-local plan over a `(doc_id, text)` frame: bigram
+    * extraction, md5 bucketing, and the model lookup all run as array
+    * HOFs INSIDE the row (no explode, no aggregation, no state), with
+    * the frozen [[dsirModel]] as a stream-static broadcast — so the
+    * same operator runs unchanged on a batch or streaming frame in
+    * append mode with no watermark (the bloomScore shape). The in-row
+    * `aggregate` fold adds the SAME nano-bit BIGINTs x80's relational
+    * groupBy sums — integer adds are order-free, so batch x80 ≡ this
+    * gate ≡ its streaming run BIT-FOR-BIT (`StreamingSpec` pins all
+    * three). This is the 100 TB ingest shape: admission decisions at
+    * scan speed with a constant 32 KB model.
+    */
+  def dsirGate(docs: DataFrame, model: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(model))
+      .withColumn("_sh", TextOps.shingles(col("text"), 2))
+      .withColumn("_sn", expr(
+        "aggregate(_sh, 0L, (acc, s) -> acc + element_at(model, " +
+          "cast(cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) " +
+          "% 4096 as int) + 1))"))
+      .select(col("doc_id"),
+        size(col("_sh")).cast("bigint").as("n_feats"),
+        (col("_sn").cast("double") / lit(1e9)).as("logw_bits"),
+        (col("_sn") > lit(0L)).as("keep"))
 }

@@ -113,4 +113,45 @@ object DetMathExprs {
     register(spark)
     org.apache.spark.sql.functions.expr(s"det_log2($sqlExpr)")
   }
+
+  // Column-composition entry points over ARBITRARY Column arguments
+  // (`call_function` resolves the registered det_* functions at
+  // analysis time — callers must have run [[register]] on the active
+  // session). These mirror the DetMath scalar dispatch EXACTLY; the
+  // PromQL front-end's det-math mode compiles through them.
+
+  import org.apache.spark.sql.functions._
+
+  def detExp2C(c: Column): Column = call_function("det_exp2", c)
+  def detLog2C(c: Column): Column = call_function("det_log2", c)
+  def detSinC(c: Column): Column = call_function("det_sin", c)
+  def detCosC(c: Column): Column = call_function("det_cos", c)
+  def detAtanC(c: Column): Column = call_function("det_atan", c)
+
+  /** Column mirror of [[graft.functions.DetMath.pow]] — same branch
+    * order; JVM comparison semantics (NaN compares false) match
+    * Spark's, so no explicit NaN guard is needed on this side.
+    */
+  def detPowC(l: Column, r: Column): Column = {
+    val posMag = detExp2C(r * detLog2C(l))
+    val negMag = detExp2C(r * detLog2C(-l))
+    when(l > 0.0, posMag)
+      .when(l === 0.0, pow(lit(0.0), r))
+      .when((r % lit(1.0)) === 0.0,
+        when((r % lit(2.0)) === 0.0, negMag).otherwise(-negMag))
+      .otherwise(lit(Double.NaN))
+  }
+
+  /** Column mirror of [[graft.functions.DetMath.atan2]]. */
+  def detAtan2C(y: Column, x: Column): Column = {
+    val q = detAtanC(y / x)
+    val DM = graft.functions.DetMath
+    when(isnan(y) || isnan(x), lit(Double.NaN))
+      .when(x > 0.0, q)
+      .when(x < 0.0 && y >= 0.0, q + lit(DM.Pi))
+      .when(x < 0.0, q - lit(DM.Pi))
+      .when(y > 0.0, lit(DM.HalfPi))
+      .when(y < 0.0, lit(-DM.HalfPi))
+      .otherwise(lit(0.0))
+  }
 }

@@ -77,6 +77,17 @@ object Compiler {
   private val nativeFams =
     new scala.util.DynamicVariable[Set[String]](Set.empty)
 
+  /** Det-math compilation mode (`Engine.eval(..., detMath = true)`):
+    * every libm-routed scalar function and binary op (`exp`/`ln`/
+    * trig/`^`/`atan2` …) compiles through the engine's deterministic
+    * transcendentals ([[graft.plans.DetMathExprs]]) instead of libm —
+    * the reproducible-recipe option (stored thresholds, replayable
+    * alerts, cross-engine hash parity) at ≤ ~1e-12 from libm. Default
+    * off: upstream-Prometheus JVM-libm parity.
+    */
+  private val detMode =
+    new scala.util.DynamicVariable[Boolean](false)
+
   /** Order-safe exact sum of RAW SAMPLES: doubles enter DECIMAL(18,2)
     * once (the engine-wide 2-decimal sample convention), already-decimal
     * values sum with Spark's automatic precision widening — never a raw
@@ -928,7 +939,8 @@ object Compiler {
       when(x > 0, f(x))
         .when(x === 0, lit(Double.NegativeInfinity))
         .otherwise(lit(Double.NaN))
-    val out = name match {
+    val out = if (detMode.value && DetScalarFns(name)) detScalarCol(name, x)
+    else name match {
       case "abs" => abs(x)
       case "ceil" => ceil(x).cast("double")
       case "floor" => floor(x).cast("double")
@@ -992,6 +1004,60 @@ object Compiler {
     Vec(v.df.withColumn("value", out), v.labels)
   }
 
+  /** The libm-routed subset [[detMode]] recompiles through DetMath. */
+  private val DetScalarFns: Set[String] = Set(
+    "exp", "ln", "log2", "log10",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh")
+
+  /** [[detMode]] compilations of the [[DetScalarFns]] — the SAME
+    * pinned step sequences as b33b/b34b/b38's operator-level twins
+    * (one DetMath native call + literal-constant arithmetic each),
+    * with identical PromQL edge semantics (`ln 0 = −Inf`, domain
+    * NaNs, `atanh(±1) = ±Inf`).
+    */
+  private def detScalarCol(name: String, x: Column): Column = {
+    import graft.plans.DetMathExprs._
+    val DM = graft.functions.DetMath
+    import graft.operators.PromQL.{Ln2, Log2E, Log10_2}
+    def lnLikeDet(f: Column): Column =
+      when(x > 0, f)
+        .when(x === 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
+    lazy val e = detExp2C(x * lit(Log2E))
+    name match {
+      case "exp" => detExp2C(x * lit(Log2E))
+      case "ln" => lnLikeDet(detLog2C(x) * lit(Ln2))
+      case "log2" => lnLikeDet(detLog2C(x))
+      case "log10" => lnLikeDet(detLog2C(x) * lit(Log10_2))
+      case "sin" => detSinC(x)
+      case "cos" => detCosC(x)
+      case "tan" => detSinC(x) / detCosC(x)
+      case "asin" =>
+        when(abs(x) < 1, detAtanC(x / sqrt(lit(1.0) - x * x)))
+          .when(x === 1, lit(DM.HalfPi))
+          .when(x === -1, lit(-DM.HalfPi))
+          .otherwise(lit(Double.NaN))
+      case "acos" => lit(DM.HalfPi) - detScalarCol("asin", x)
+      case "atan" => detAtanC(x)
+      case "sinh" => (e - lit(1.0) / e) * lit(0.5)
+      case "cosh" => (e + lit(1.0) / e) * lit(0.5)
+      case "tanh" =>
+        when(abs(x) > 700.0, signum(x))
+          .otherwise((e - lit(1.0) / e) / (e + lit(1.0) / e))
+      case "asinh" => detLog2C(x + sqrt(x * x + lit(1.0))) * lit(Ln2)
+      case "acosh" =>
+        when(x >= 1, detLog2C(x + sqrt(x * x - lit(1.0))) * lit(Ln2))
+          .otherwise(lit(Double.NaN))
+      case "atanh" =>
+        when(x === -1, lit(Double.NegativeInfinity))
+          .when(x === 1, lit(Double.PositiveInfinity))
+          .when(abs(x) < 1,
+            lit(0.5) * (detLog2C((lit(1.0) + x) / (lit(1.0) - x)) * lit(Ln2)))
+          .otherwise(lit(Double.NaN))
+    }
+  }
+
   /** Per-row value functions dispatched through [[scalarFunc]]. */
   private val ScalarFnNames: Set[String] = Set(
     "abs", "ceil", "floor", "round", "sqrt", "sgn",
@@ -1011,8 +1077,14 @@ object Compiler {
       // JVM/SQL remainder, and fmod is exact (no rounding), so it stays
       // oracle-comparable; ^ and atan2 route through libm (rows-only)
       case "%" => l.cast("double") % r.cast("double")
-      case "^" => pow(l.cast("double"), r.cast("double"))
-      case "atan2" => atan2(l.cast("double"), r.cast("double"))
+      case "^" =>
+        if (detMode.value)
+          graft.plans.DetMathExprs.detPowC(l.cast("double"), r.cast("double"))
+        else pow(l.cast("double"), r.cast("double"))
+      case "atan2" =>
+        if (detMode.value)
+          graft.plans.DetMathExprs.detAtan2C(l.cast("double"), r.cast("double"))
+        else atan2(l.cast("double"), r.cast("double"))
     }
     def cmp(op: String, l: Column, r: Column): Column = op match {
       case ">" => l > r
@@ -1832,6 +1904,11 @@ object Compiler {
       nativeFamilies: Set[String]): DataFrame =
     nativeFams.withValue(nativeFamilies)(compile(spark, dir, ast))
 
+  def compile(spark: SparkSession, dir: String, ast: Ast,
+      nativeFamilies: Set[String], detMath: Boolean): DataFrame =
+    nativeFams.withValue(nativeFamilies)(
+      detMode.withValue(detMath)(compile(spark, dir, ast)))
+
   def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame = {
     val v = materialize(compileVec(spark, dir, ast))
     val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
@@ -1864,9 +1941,17 @@ object Engine {
     * `histogram_fraction` over them route through the sparse-bucket
     * plans (Prometheus 3.x sample-kind dispatch).
     */
+  /** `detMath`: compile every libm-routed scalar function and binary
+    * op through the deterministic DetMath tier (cross-engine
+    * bit-reproducible; ≤ ~1e-12 from libm) — the front-end face of the
+    * b33b/b34b/b38 operator twins.
+    */
   def eval(spark: SparkSession, dir: String, query: String,
-      nativeFamilies: Set[String] = Set.empty): DataFrame =
-    Compiler.compile(spark, dir, Parser.parse(query), nativeFamilies)
+      nativeFamilies: Set[String] = Set.empty,
+      detMath: Boolean = false): DataFrame = {
+    if (detMath) graft.plans.DetMathExprs.register(spark)
+    Compiler.compile(spark, dir, Parser.parse(query), nativeFamilies, detMath)
+  }
 
   /** Compile a PromQL subset against a STREAMING events relation — the
     * same query text evaluated continuously, emitting the running

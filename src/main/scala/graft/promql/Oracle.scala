@@ -1264,6 +1264,51 @@ object Oracle {
        |FROM lww
        |ORDER BY name, label_k, label_instance, value""".stripMargin
 
+  /** `((signup - 5.5) ^ 3) + ((signup / 100) ^ 2.5)` under det-math
+    * compilation — [[graft.functions.DetMath.powSql]] with the
+    * domain-guarded base columns (DuckDB raises on log2 of a
+    * discarded-branch negative). Arithmetic binops drop the metric
+    * name (PromQL `__name__` semantics).
+    */
+  val PowDetSql: String = {
+    val DM = graft.functions.DetMath
+    val p1 = DM.powSql("u1", "u1p", "u1n", "3.0")
+    val p2 = DM.powSql("u2", "u2p", "u2n", "2.5")
+    s"""WITH m AS ($MetricEventsSql),
+       |lww AS ($GaugeLwwBody),
+       |s AS (SELECT label_k, label_instance,
+       |        CAST(value AS DOUBLE) - 5.5 AS u1,
+       |        CAST(value AS DOUBLE) / 100.0 AS u2
+       |      FROM lww),
+       |g AS (SELECT *,
+       |        CASE WHEN u1 > 0 THEN u1 END AS u1p,
+       |        CASE WHEN u1 < 0 THEN -u1 END AS u1n,
+       |        CASE WHEN u2 > 0 THEN u2 END AS u2p,
+       |        CASE WHEN u2 < 0 THEN -u2 END AS u2n
+       |      FROM s)
+       |SELECT label_k, label_instance, ($p1) + ($p2) AS value
+       |FROM g
+       |ORDER BY label_k, label_instance, value""".stripMargin
+  }
+
+  /** `signup atan2 (signup - 5.5)` under det-math compilation —
+    * [[graft.functions.DetMath.atan2Sql]]'s quadrant dispatch (the
+    * fixture crosses x = 0, exercising ±π correction and the axis
+    * branches).
+    */
+  val Atan2DetSql: String = {
+    val a = graft.functions.DetMath.atan2Sql("y", "x")
+    s"""WITH m AS ($MetricEventsSql),
+       |lww AS ($GaugeLwwBody),
+       |s AS (SELECT label_k, label_instance,
+       |        CAST(value AS DOUBLE) AS y,
+       |        CAST(value AS DOUBLE) - 5.5 AS x
+       |      FROM lww)
+       |SELECT label_k, label_instance, $a AS value
+       |FROM s
+       |ORDER BY label_k, label_instance, value""".stripMargin
+  }
+
   /** `label_replace(purchase, "shard", "s$$1", "k", "(.).*")` — dst
     * label from the capture-group expansion of the anchored regex.
     */

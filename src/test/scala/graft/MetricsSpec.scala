@@ -251,6 +251,48 @@ class MetricsSpec extends SparkTestBase {
     }
   }
 
+  test("DetMath.pow/atan2: accuracy vs StrictMath, full dispatch coverage, Column mirrors identical") {
+    import graft.functions.DetMath
+    // pow: positive-base accuracy (the exp2∘log2 composition compounds
+    // both absolute errors — bound is log2's 1e-12 scaled by the result)
+    for (l <- Seq(0.5, 1.5, 2.0, 7.3, 100.0, 490.02); r <- Seq(-2.5, -1.0, 0.0, 0.5, 1.0, 2.5, 3.0)) {
+      val got = DetMath.pow(l, r)
+      val ref = StrictMath.pow(l, r)
+      assert(math.abs(got - ref) <= 1e-11 * math.max(1.0, math.abs(ref)),
+        s"pow($l,$r)=$got vs strict $ref")
+    }
+    // dispatch: zero base exact; negative base integer exponent signed;
+    // fractional exponent on negative base NaN; NaN propagates
+    assert(DetMath.pow(0.0, 2.0) === 0.0)
+    assert(DetMath.pow(0.0, 0.0) === 1.0)
+    assert(DetMath.pow(0.0, -2.0) === Double.PositiveInfinity)
+    assert(math.abs(DetMath.pow(-2.0, 3.0) - -8.0) <= 1e-11 * 8)
+    assert(math.abs(DetMath.pow(-2.0, 2.0) - 4.0) <= 1e-11 * 4)
+    assert(DetMath.pow(-2.0, 2.5).isNaN)
+    assert(DetMath.pow(Double.NaN, 2.0).isNaN && DetMath.pow(2.0, Double.NaN).isNaN)
+    // atan2: quadrants, axes, accuracy
+    for (y <- Seq(-3.0, -0.5, 0.0, 0.5, 3.0); x <- Seq(-2.0, -0.5, 0.0, 0.5, 2.0)) {
+      val got = DetMath.atan2(y, x)
+      val ref = StrictMath.atan2(y, x)
+      assert(math.abs(got - ref) <= 1e-13, s"atan2($y,$x)=$got vs strict $ref")
+    }
+    assert(DetMath.atan2(0.0, 0.0) === 0.0)
+    assert(DetMath.atan2(Double.NaN, 1.0).isNaN)
+    // Column mirrors run the identical dispatch through the natives
+    graft.plans.DetMathExprs.register(spark)
+    val pairs = for (l <- Seq(-2.0, 0.0, 0.5, 7.3); r <- Seq(-2.5, 0.0, 2.0, 3.0)) yield (l, r)
+    val dfp = pairs.toDF("l", "r").select($"l", $"r",
+      graft.plans.DetMathExprs.detPowC($"l", $"r").as("p"),
+      graft.plans.DetMathExprs.detAtan2C($"l", $"r").as("a"))
+    dfp.collect().foreach { row =>
+      val (l, r) = (row.getDouble(0), row.getDouble(1))
+      val (gp, ga) = (row.getDouble(2), row.getDouble(3))
+      val (sp, sa) = (DetMath.pow(l, r), DetMath.atan2(l, r))
+      assert(gp === sp || (gp.isNaN && sp.isNaN), s"powC($l,$r)=$gp vs scalar $sp")
+      assert(ga === sa || (ga.isNaN && sa.isNaN), s"atan2C($l,$r)=$ga vs scalar $sa")
+    }
+  }
+
   test("native histogram: merge laws, wire round-trip, bucket bounds, quantiles") {
     val agg = new graft.functions.NativeHistogramAggregator(3)
     // includes exact bucket upper bounds (2^(4/8), 2, 4) — float

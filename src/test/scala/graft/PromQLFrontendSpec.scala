@@ -1357,6 +1357,45 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(overridden.toSeq === overridden.sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("det-math mode routes libm functions and binops through DetMath; default mode keeps JVM libm") {
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 2.0, "a"),
+      ev(1, 1000, "signup", 7.5, "a"), // LWW winner for a
+      ev(2, 0, "signup", 120.0, "b"),
+      ev(3, 0, "signup", 0.25, "c")
+    ).toDF(eventCols: _*))
+    val DM = graft.functions.DetMath
+    val lww = Map("a" -> 7.5, "b" -> 120.0, "c" -> 0.25)
+    // scalar function: det mode is the b33b step sequence
+    val lnDet = Engine.eval(spark, dir, "ln(signup)", detMath = true)
+    assert(lnDet.queryExecution.analyzed.toString.contains("det_log2"),
+      "det mode must compile ln through the native det_log2")
+    val gotLn = lnDet.select($"label_k", $"value").as[(String, Double)]
+      .collect().toMap
+    lww.foreach { case (k, v) =>
+      assert(gotLn(k) === DM.log2(v) * graft.operators.PromQL.Ln2, s"ln $k")
+    }
+    // binop ^: both pow dispatch branches
+    val powDet = Engine.eval(spark, dir, "(signup - 5.5) ^ 3", detMath = true)
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    lww.foreach { case (k, v) =>
+      assert(powDet(k) === DM.pow(v - 5.5, 3.0), s"pow $k")
+    }
+    // atan2 quadrant dispatch
+    val at2 = Engine.eval(spark, dir, "signup atan2 (signup - 5.5)",
+        detMath = true)
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    lww.foreach { case (k, v) =>
+      assert(at2(k) === DM.atan2(v, v - 5.5), s"atan2 $k")
+    }
+    // default mode unchanged: upstream JVM-libm parity
+    val lnLibm = Engine.eval(spark, dir, "ln(signup)")
+      .select($"label_k", $"value").as[(String, Double)].collect().toMap
+    lww.foreach { case (k, v) =>
+      assert(lnLibm(k) === Math.log(v), s"libm ln $k")
+    }
+  }
+
   test("plain comparison filters the left side, keeping its full labels and values") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "a"),

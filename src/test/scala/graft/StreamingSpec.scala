@@ -888,6 +888,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate equals batch x80 bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // x80's relational scoring, restricted to the gate's columns
+    val batch = graft.operators.TextAnalysis.dsirImportance(spark, dir)
+      .select($"doc_id", $"n_feats", $"logw_bits", $"keep")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+    // freeze the model; score the same corpus row-locally (batch frame)
+    val model = graft.operators.TextAnalysis.dsirModel(spark, dir)
+    val docsDf = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val local = graft.operators.TextAnalysis.dsirGate(docsDf, model)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(local === batch,
+      "row-local fold diverges from the relational groupBy sum")
+    // now as a stream: same plan, stream-static broadcast, append mode
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.dsirGate(
+      mem.toDF().toDF("doc_id", "text"), model)
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = docsDf.as[(Long, String)].collect()
+      mem.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming BPE encode with a frozen merge table equals batch x73") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
