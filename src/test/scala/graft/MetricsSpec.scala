@@ -320,6 +320,16 @@ class MetricsSpec extends SparkTestBase {
     assert(agg.decode(off, len, del) === whole.buckets)
     assert(off.length === len.length && del.length === whole.buckets.size)
     assert(len.sum === whole.buckets.size)
+    // FOREIGN scrape payloads the engine's own encoder never produces:
+    // a zero-length leading span consumes no deltas but still anchors
+    // the absolute index — the NEXT span's offset is relative to its
+    // end (5 + 2 = 7), never re-read as absolute (which would land the
+    // run at index 2)
+    assert(agg.decode(Seq(5, 2), Seq(0, 3), Seq(2L, 1L, -1L)) ===
+      Map(7 -> 2L, 8 -> 3L, 9 -> 2L))
+    // zero-length INTERIOR span: same anchoring rule mid-stream
+    assert(agg.decode(Seq(1, 3, 2), Seq(2, 0, 1), Seq(4L, -2L, 5L)) ===
+      Map(1 -> 4L, 2 -> 2L, 8 -> 7L))
     // quantiles: monotone in phi, inside the observed range, zero-bucket exact
     val qs = Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0).map(agg.quantile(whole, _))
     assert(qs === qs.sorted)
