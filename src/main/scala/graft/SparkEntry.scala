@@ -100,6 +100,10 @@ object SparkEntry {
     "x3_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "x4_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "x5_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // LSH recall calibration: simhash ground pairs scored with the
+    // analytic banding S-curve (pinned multiply chains, no libm) and
+    // flagged against x3's actual candidate set
+    "x82_lsh_sensitivity" -> ((s, d) => Dedup.lshSensitivity(s, d)),
     // near-dup pairs rolled up to a source-pair matrix (where dup mass lives)
     "x52_neardup_sources" -> ((s, d) => Dedup.neardupSourceAttribution(s, d)),
     // near-dup pairs straddling the x44 split boundary (eval leakage gate)
@@ -581,6 +585,7 @@ object SparkEntry {
     "x3_minhash_lsh" -> Dedup.MinhashLshSql,
     "x4_simhash" -> Dedup.SimhashSql,
     "x5_ngram_jaccard" -> Dedup.NgramJaccardSql,
+    "x82_lsh_sensitivity" -> Dedup.LshSensitivitySql,
     "x52_neardup_sources" -> Dedup.NeardupSourceAttributionSql,
     "x55_split_leakage" -> Dedup.SplitLeakageSql,
     "x6_cosine_topk" -> Similarity.CosineTopKSql,

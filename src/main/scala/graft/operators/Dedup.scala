@@ -897,4 +897,87 @@ object Dedup {
        |JOIN sp sa ON sa.doc_id = doc_a
        |JOIN sp sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** x82: LSH sensitivity audit — the "did our banding miss near-dups"
+    * calibration every production dedup pass needs before trusting its
+    * recall. Ground truth comes from the INDEPENDENT detector (x4's
+    * simhash banding); for each ground pair we compute the exact
+    * 3-gram Jaccard s, the analytic minhash-LSH detection probability
+    * under the x3 configuration (b = 4 bands × r = 2 rows:
+    * `P = 1 − (1 − s²)⁴`), and whether x3's candidate generation
+    * actually surfaced the pair. Low-P pairs x3 missed are EXPECTED
+    * misses (the S-curve working as designed); high-P misses would be
+    * implementation bugs — the audit separates the two.
+    *
+    * Determinism: the banding formula is evaluated as PINNED MULTIPLY
+    * CHAINS (s² = s·s, q = 1 − s², q⁴ = (q·q)·(q·q)) — no `pow`, so
+    * no libm and the whole operator hash-gates. Scale: ground pairs ∝
+    * simhash band buckets, Jaccard verification is the x5 shape
+    * (candidate-doc slice of the shared shingle cache, keyed joins),
+    * the x3 flag one equi-join — everything ∝ matches, never corpus².
+    */
+  def lshSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val ground = simhashNearDupOf(simhashSignatures(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val groundDocs = ground.select(col("doc_a").as("doc_id"))
+      .unionAll(ground.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = Corpus.shingleRows(spark, dir)
+      .join(broadcast(groundDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("shingle")).distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = ground.join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val found = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("found_by_minhash", lit(true))
+    ground
+      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(counts.toDF("doc_a", "n_a"), "doc_a")
+      .join(counts.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .withColumn("s2", col("jaccard") * col("jaccard"))
+      .withColumn("q", lit(1.0) - col("s2"))
+      .withColumn("q2", col("q") * col("q"))
+      .withColumn("p_detect", lit(1.0) - col("q2") * col("q2"))
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .na.fill(false, Seq("found_by_minhash"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("p_detect"), col("found_by_minhash"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle twin of [[lshSensitivity]] — the same ground relation,
+    * exact-Jaccard joins, and pinned multiply chain.
+    */
+  lazy val LshSensitivitySql: String =
+    s"""WITH ground AS (SELECT doc_a, doc_b FROM ($SimhashNearDupSql)),
+       |cand AS (SELECT doc_a, doc_b FROM ($MinhashLshSql)),
+       |sh AS (SELECT DISTINCT doc_id, shingle
+       |       FROM (${graft.functions.TextOps.shinglesSql("documents", 3)})),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT g.doc_a, g.doc_b, COUNT(*) AS n_inter
+       |  FROM ground g
+       |  JOIN sh a ON a.doc_id = g.doc_a
+       |  JOIN sh b ON b.doc_id = g.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT g.doc_a, g.doc_b,
+       |    CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |      / CAST(ca.n + cb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+       |  FROM ground g
+       |  JOIN cnt ca ON ca.doc_id = g.doc_a
+       |  JOIN cnt cb ON cb.doc_id = g.doc_b
+       |  LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b),
+       |p1 AS (SELECT *, jaccard * jaccard AS s2 FROM j),
+       |p2 AS (SELECT *, 1.0 - s2 AS q FROM p1),
+       |p3 AS (SELECT *, q * q AS q2 FROM p2)
+       |SELECT p3.doc_a AS doc_a, p3.doc_b AS doc_b, jaccard,
+       |  1.0 - q2 * q2 AS p_detect,
+       |  (c.doc_a IS NOT NULL) AS found_by_minhash
+       |FROM p3 LEFT JOIN cand c
+       |  ON c.doc_a = p3.doc_a AND c.doc_b = p3.doc_b
+       |ORDER BY p3.doc_a, p3.doc_b""".stripMargin
 }

@@ -351,6 +351,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("MapPartitions"), "x81 lost the partition-batched iterator")
   }
 
+  test("x82: LSH audit stays keyed — ground-doc semi-join broadcast, no cartesian") {
+    val p = plan("x82_lsh_sensitivity")
+    assert(!p.contains("CartesianProduct"), "x82 has a cartesian product")
+    assert(p.contains("BroadcastHashJoin"),
+      "x82's ground-doc slice must broadcast-semi-join the shingle cache")
+    assert(p.contains("InMemoryTableScan"),
+      "x82 recomputes the shingle explode instead of reading the shared cache")
+  }
+
   test("x67: overlap matrix reads the shingle cache; pair fan-out stays keyed") {
     val p = plan("x67_source_overlap")
     assert(p.contains("InMemoryTableScan"),
