@@ -111,6 +111,9 @@ object SparkEntry {
     "x6_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "x7_lsh_ann" -> ((s, d) => Similarity.lshAnn(s, d)),
     "x8_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    // Artetxe-Schwenk ratio-margin mining over the sign-LSH candidates:
+    // neighborhood-normalized cosine, rank-ordered pinned k-NN folds
+    "x83_margin_mining" -> ((s, d) => Similarity.marginMining(s, d)),
     "x9_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "x10_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "x11_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -591,6 +594,7 @@ object SparkEntry {
     "x6_cosine_topk" -> Similarity.CosineTopKSql,
     "x7_lsh_ann" -> Similarity.LshAnnSql,
     "x8_embedding_neardup" -> Similarity.EmbeddingNearDupSql,
+    "x83_margin_mining" -> Similarity.MarginMiningSql,
     "x9_langid" -> TextAnalysis.LangIdSql,
     "x10_quality_score" -> TextAnalysis.QualityScoreSql,
     "x11_token_count" -> TextAnalysis.TokenCountSql,

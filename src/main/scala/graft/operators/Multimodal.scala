@@ -288,9 +288,25 @@ object Multimodal {
     * (x22's rule); real multibyte payloads would only shift the oracle,
     * not the engine.
     */
-  def byteEntropy(spark: SparkSession, dir: String): DataFrame = {
+  def byteEntropy(spark: SparkSession, dir: String): DataFrame =
+    byteEntropyGate(withBinaryPayload(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** The x81 scorer WITHOUT the presentation sort — a stateless
+    * per-partition map over any `(doc_id, content | text)` frame, so
+    * the SAME plan runs on a STREAMING frame in append mode (no
+    * aggregation, no watermark, no state): the pre-decode admission
+    * gate evaluated as payloads arrive. `StreamingSpec` pins batch
+    * x81 ≡ this gate ≡ its streaming run bit-for-bit (the per-symbol
+    * nano terms sum in ascending byte order inside one row — no
+    * cross-row order to perturb).
+    */
+  def byteEntropyGate(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(ByteEntropySchema)
-    withBinaryPayload(spark, dir)
+    val withContent =
+      if (docs.columns.contains("content")) docs
+      else docs.withColumn("content", encode(col("text"), "UTF-8").cast("binary"))
+    withContent
       .select(col("doc_id"), col("content"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -317,7 +333,6 @@ object Multimodal {
           Row(id, n, distinct, h, h < 1.0)
         }
       }(enc)
-      .orderBy(col("doc_id"))
   }
 
   /** Oracle twin of [[byteEntropy]] — per-character counts and the

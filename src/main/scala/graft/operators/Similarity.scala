@@ -1334,4 +1334,107 @@ object Similarity {
        |  CAST(y2.y2 AS DOUBLE) / CAST(NULLIF(m2.m2, 0) AS DOUBLE) AS dir
        |FROM y1 JOIN y2 ON y2.i = y1.i, m2
        |ORDER BY y1.i""".stripMargin
+
+  /** x83: margin-based neighbor mining (Artetxe & Schwenk, ACL'19 —
+    * the bitext-mining ratio margin, here the mislabel/alignment
+    * audit): a candidate pair scores `margin = cos(a,b) /
+    * ((knn̄_a + knn̄_b)/2)` — cosine NORMALIZED by how dense each
+    * endpoint's own neighborhood is, which kills the hub vectors that
+    * plain cosine thresholds mis-mine. `mined` pairs (margin > 1,
+    * positive cosine) are closer to each other than to their own
+    * neighborhoods; `cross_label` mined pairs are the mislabel/
+    * duplicate-across-class audit output.
+    *
+    * Scale shape: candidates are the x7 sign-LSH bucket pairs
+    * (∝ Σ bucket², never corpus²); the k-NN means come from the SAME
+    * candidate relation (one window + one fixed-k fold), so the whole
+    * operator adds one grouped pass over pairs already produced.
+    * Determinism: cosines are exact-integer dots with one pinned
+    * divide chain; the k-NN mean folds the top-4 cosines in RANK
+    * order (`((c₁+c₂)+c₃)+c₄`), so no aggregation-order ambiguity
+    * anywhere — hash-exact. (Spark folds the sort key's NEGATED
+    * cosines then negates once: IEEE negation commutes with addition
+    * bit-exactly, so both engines produce identical doubles.)
+    */
+  def marginMining(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val qb = q.join(signBuckets(q), "vec_id")
+    val a = qb.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("label").as("label_a"), col("q").as("qa"), col("n2").as("na2"))
+    val b = qb.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("label").as("label_b"), col("q").as("qb"), col("n2").as("nb2"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qa", "qb"))
+      .withColumn("cosine", cosineCol)
+      .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+        col("cosine"))
+    val sym = pairs.select(col("vec_a").as("vec_id"),
+        col("vec_b").as("partner"), col("cosine"))
+      .unionAll(pairs.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("partner"), col("cosine")))
+    val knn = sym
+      .groupBy(col("vec_id"))
+      .agg(expr("slice(array_sort(collect_list(" +
+        "struct(-cosine AS nc, partner))), 1, 4)").as("top"),
+        count(lit(1)).as("cnt"))
+      .withColumn("ksum", {
+        def e(i: Int) = coalesce(expr(s"element_at(top, $i).nc"), lit(0.0))
+        -(((e(1) + e(2)) + e(3)) + e(4))
+      })
+      .withColumn("knn_mean",
+        col("ksum") / least(lit(4L), col("cnt")).cast("double"))
+      .select(col("vec_id"), col("knn_mean"))
+    pairs
+      .join(knn.toDF("vec_a", "mean_a"), "vec_a")
+      .join(knn.toDF("vec_b", "mean_b"), "vec_b")
+      .withColumn("margin",
+        col("cosine") / ((col("mean_a") + col("mean_b")) * lit(0.5)))
+      .withColumn("cross_label", col("label_a") =!= col("label_b"))
+      .withColumn("mined", col("margin") > 1.0 && col("cosine") > 0.0)
+      .select(col("vec_a"), col("vec_b"), col("cosine"), col("margin"),
+        col("cross_label"), col("mined"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Oracle twin of [[marginMining]] — same bucket candidates, rank
+    * order, and pinned folds.
+    */
+  lazy val MarginMiningSql: String =
+    s"""WITH qz AS ($QuantizedSql),
+       |$BucketCtesSql,
+       |qb AS (SELECT qz.*, buckets.bucket FROM qz JOIN buckets USING (vec_id)),
+       |pr AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    a.label AS label_a, b.label AS label_b,
+       |    ${cosSql("a", "b")} AS cosine
+       |  FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |sym AS (
+       |  SELECT vec_a AS vec_id, vec_b AS partner, cosine FROM pr
+       |  UNION ALL
+       |  SELECT vec_b AS vec_id, vec_a AS partner, cosine FROM pr),
+       |rk AS (
+       |  SELECT vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY cosine DESC, partner) AS rn
+       |  FROM sym),
+       |top AS (
+       |  SELECT vec_id, list(cosine ORDER BY rn) AS cs
+       |  FROM rk WHERE rn <= 4 GROUP BY vec_id),
+       |cnts AS (SELECT vec_id, COUNT(*) AS cnt FROM sym GROUP BY vec_id),
+       |kn AS (
+       |  SELECT top.vec_id,
+       |    (((COALESCE(cs[1], 0.0) + COALESCE(cs[2], 0.0))
+       |       + COALESCE(cs[3], 0.0)) + COALESCE(cs[4], 0.0))
+       |      / CAST(LEAST(4, cnts.cnt) AS DOUBLE) AS knn_mean
+       |  FROM top JOIN cnts ON cnts.vec_id = top.vec_id)
+       |SELECT pr.vec_a AS vec_a, pr.vec_b AS vec_b, pr.cosine AS cosine,
+       |  pr.cosine / ((ka.knn_mean + kb.knn_mean) * 0.5) AS margin,
+       |  pr.label_a <> pr.label_b AS cross_label,
+       |  (pr.cosine / ((ka.knn_mean + kb.knn_mean) * 0.5) > 1.0
+       |    AND pr.cosine > 0.0) AS mined
+       |FROM pr
+       |JOIN kn ka ON ka.vec_id = pr.vec_a
+       |JOIN kn kb ON kb.vec_id = pr.vec_b
+       |ORDER BY pr.vec_a, pr.vec_b""".stripMargin
 }

@@ -351,6 +351,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("MapPartitions"), "x81 lost the partition-batched iterator")
   }
 
+  test("x83: margin mining joins stay keyed on bucket and vec ids — no cartesian") {
+    val p = plan("x83_margin_mining")
+    assert(!p.contains("CartesianProduct"), "x83 has a cartesian product")
+    assert(p.contains("InMemoryTableScan"),
+      "x83 recomputes the quantized embeddings instead of reading the shared cache")
+  }
+
   test("x82: LSH audit stays keyed — ground-doc semi-join broadcast, no cartesian") {
     val p = plan("x82_lsh_sensitivity")
     assert(!p.contains("CartesianProduct"), "x82 has a cartesian product")

@@ -922,6 +922,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming byte-entropy gate equals batch x81 bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.Multimodal.byteEntropy(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.Multimodal.byteEntropyGate(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("entropy81_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = graft.sources.Tables.documents(spark, dir)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      mem.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("entropy81_stream")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming BPE encode with a frozen merge table equals batch x73") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
