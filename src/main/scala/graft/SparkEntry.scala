@@ -348,6 +348,9 @@ object SparkEntry {
     "x43_token_packing" -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
     // reproducible train/val/test assignment (hash-gated, growth-stable)
     "x44_split" -> ((s, d) => TextAnalysis.trainValTestSplit(s, d)),
+    // val/test n-gram novelty vs train: the memorization view of eval
+    // integrity (x55 is the pair view); exact counts, one divide each
+    "x84_split_novelty" -> ((s, d) => TextAnalysis.splitNovelty(s, d)),
     // release report: (lang x split) doc/token counts + all margins, one cube
     "x51_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
     // exact per-language length order statistics (curation thresholds)
@@ -719,6 +722,7 @@ object SparkEntry {
     "x42_chunks" -> TextAnalysis.ChunkDocumentsSql,
     "x43_token_packing" -> TextAnalysis.TokenPackingSql,
     "x44_split" -> TextAnalysis.TrainValTestSplitSql,
+    "x84_split_novelty" -> TextAnalysis.SplitNoveltySql,
     "x51_dataset_card" -> TextAnalysis.DatasetCardSql,
     "x54_length_percentiles" -> TextAnalysis.LengthPercentilesSql,
     "x56_shard_manifest" -> TextAnalysis.ShardManifestSql,

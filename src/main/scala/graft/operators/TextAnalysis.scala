@@ -1368,6 +1368,94 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** x84: split n-gram novelty — the MEMORIZATION view of eval
+    * integrity, complementing x55's pair-level near-dup leakage: what
+    * fraction of val/test bigrams (distinct, and by occurrence) never
+    * appear in train? Near-zero novelty means the held-out splits are
+    * distributionally memorized — perplexity "wins" on them are
+    * leakage, not generalization; TOO-high novelty means the split
+    * skewed topically and eval is off-distribution. Both tails are
+    * release blockers the x51 count card cannot see.
+    *
+    * Exact integer counts + one correctly-rounded divide per fraction
+    * → hash-exact. Scale: the shared 2-gram cache joins the x44 split
+    * gate (computed in the scan, no extra pass); the train distinct
+    * set is shingle-keyed — a standard big equi-join at any scale
+    * (swap in an x48-style Bloom of the train set when a 128 KB
+    * approximate membership is acceptable).
+    */
+  def splitNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Corpus.shingleRows(spark, dir, 2)
+      .select(col("doc_id"), col("shingle"))
+    val split = Tables.documents(spark, dir)
+      .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .select(col("doc_id"),
+        when(col("h2") < "cc", "train")
+          .when(col("h2") < "e6", "val")
+          .otherwise("test").as("split"))
+    val tagged = sh.join(split, "doc_id")
+    val trainSet = tagged.filter(col("split") === "train")
+      .select(col("shingle")).distinct()
+      .withColumn("seen", lit(true))
+    val eval_ = tagged.filter(col("split") =!= "train")
+    val dist = eval_.select(col("split"), col("shingle")).distinct()
+      .join(trainSet, Seq("shingle"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_distinct"),
+        count(col("seen")).as("n_seen_distinct"))
+    val occ = eval_
+      .join(trainSet, Seq("shingle"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_occ"), count(col("seen")).as("n_seen_occ"))
+    dist.join(occ, "split")
+      .withColumn("novel_distinct_frac",
+        (col("n_distinct") - col("n_seen_distinct")).cast("double")
+          / col("n_distinct").cast("double"))
+      .withColumn("novel_occ_frac",
+        (col("n_occ") - col("n_seen_occ")).cast("double")
+          / col("n_occ").cast("double"))
+      .select(col("split"), col("n_distinct"), col("n_seen_distinct"),
+        col("novel_distinct_frac"), col("n_occ"), col("n_seen_occ"),
+        col("novel_occ_frac"))
+      .orderBy(col("split"))
+  }
+
+  /** Oracle twin of [[splitNovelty]]. */
+  lazy val SplitNoveltySql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, shingle
+       |  FROM (${graft.functions.TextOps.shinglesSql("documents", 2)})),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+       |           THEN 'train'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |tagged AS (SELECT sp.split, sh.shingle
+       |           FROM sh JOIN sp ON sp.doc_id = sh.doc_id),
+       |train AS (SELECT DISTINCT shingle FROM tagged WHERE split = 'train'),
+       |ev AS (SELECT * FROM tagged WHERE split <> 'train'),
+       |dist AS (
+       |  SELECT d.split, COUNT(*) AS n_distinct,
+       |    COUNT(t.shingle) AS n_seen_distinct
+       |  FROM (SELECT DISTINCT split, shingle FROM ev) d
+       |  LEFT JOIN train t ON t.shingle = d.shingle
+       |  GROUP BY d.split),
+       |occ AS (
+       |  SELECT ev.split, COUNT(*) AS n_occ, COUNT(t.shingle) AS n_seen_occ
+       |  FROM ev LEFT JOIN train t ON t.shingle = ev.shingle
+       |  GROUP BY ev.split)
+       |SELECT dist.split AS split, n_distinct, n_seen_distinct,
+       |  CAST(n_distinct - n_seen_distinct AS DOUBLE)
+       |    / CAST(n_distinct AS DOUBLE) AS novel_distinct_frac,
+       |  n_occ, n_seen_occ,
+       |  CAST(n_occ - n_seen_occ AS DOUBLE)
+       |    / CAST(n_occ AS DOUBLE) AS novel_occ_frac
+       |FROM dist JOIN occ ON occ.split = dist.split
+       |ORDER BY dist.split""".stripMargin
+
   /** x51: the dataset-card release report — per-(language, split) doc
     * and token counts with ALL margins (per-language, per-split, grand
     * total) in ONE cube aggregation pass: the summary table every
