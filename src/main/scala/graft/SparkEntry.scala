@@ -114,6 +114,9 @@ object SparkEntry {
     // Artetxe-Schwenk ratio-margin mining over the sign-LSH candidates:
     // neighborhood-normalized cosine, rank-ordered pinned k-NN folds
     "x83_margin_mining" -> ((s, d) => Similarity.marginMining(s, d)),
+    // the x40 greedy's hash gate: K seed picks vs a machine-generated
+    // K-step unrolled-CTE replay of the weighted farthest-point rule
+    "x40b_kmeanspp_seeds" -> ((s, d) => Similarity.kmeansSeedSelection(s, d)),
     "x9_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "x10_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "x11_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -533,8 +536,10 @@ object SparkEntry {
         "twin, and the spec pins converged ≡ twin on converging data"),
     "x40_kmeanspp_clusters" ->
       ("k-means||'s bounded local greedy reduction (the collect IS the " +
-        "algorithm) is not SQL-expressible; spec pins it against an exhaustive " +
-        "independent reference + planted-cluster recovery (ExtensionSpec)"))
+        "algorithm) runs a data-dependent selection loop; spec pins it against " +
+        "an exhaustive independent reference + planted-cluster recovery " +
+        "(ExtensionSpec), and the greedy's K seed picks are hash-gated via the " +
+        "unrolled-CTE twin x40b — this entry keeps the full pipeline report"))
 
   def oracleSql: Map[String, String] = Map(
     "a1_exposition" -> Metrics.ExpositionSql,
@@ -598,6 +603,7 @@ object SparkEntry {
     "x7_lsh_ann" -> Similarity.LshAnnSql,
     "x8_embedding_neardup" -> Similarity.EmbeddingNearDupSql,
     "x83_margin_mining" -> Similarity.MarginMiningSql,
+    "x40b_kmeanspp_seeds" -> Similarity.KmeansSeedSelectionSql,
     "x9_langid" -> TextAnalysis.LangIdSql,
     "x10_quality_score" -> TextAnalysis.QualityScoreSql,
     "x11_token_count" -> TextAnalysis.TokenCountSql,

@@ -976,6 +976,77 @@ object Similarity {
       .toDF("cid", "s", "sn2"))
   }
 
+  /** x40b: the local greedy's HASH GATE — the K seed picks (cid order,
+    * candidate id, weight) as a relation, against a MACHINE-GENERATED
+    * K-step unrolled-CTE oracle (the x37b/x66 technique applied to the
+    * last convertible rows-only loop). The Spark side IS
+    * [[localWeightedSeeds]] on the collected bounded candidate set
+    * (x40's documented correct collect); the oracle re-derives the
+    * candidates through x39's exact SQL and replays each greedy step
+    * relationally: step t scores every unchosen candidate by
+    * `weight · min_{s∈chosen} d2i(c, s)` (exact BIGINT product — the
+    * d2i floor-quantized distance is itself integer) and picks the
+    * max, ties to the lowest id. x40 stays the production pipeline;
+    * this row carries the greedy's hard signal.
+    */
+  def kmeansSeedSelection(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+    val cands = kmeansParallelInit(spark, dir)
+      .join(vecs, col("cand_id") === col("vec_id"))
+      .select(col("cand_id"), col("weight"), col("q"), col("n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toArray, r.getLong(3)))
+    val chosen = localWeightedSeeds(cands, KmeansK)
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, w, _, _), i) => (i.toLong, id, w) }.toSeq
+      .toDF("cid", "cand_id", "weight")
+  }
+
+  /** Oracle twin of [[kmeansSeedSelection]] — x39's candidate SQL +
+    * K−1 generated greedy steps, each one MIN-distance aggregation
+    * over the union of prior picks and one ROW_NUMBER argmax.
+    */
+  lazy val KmeansSeedSelectionSql: String = {
+    // d2i(c, s): identical pinned sequence to localWeightedSeeds.d2i —
+    // exact BIGINT dot, double divide chain c-norm first, floor-quantize
+    def d2i(c: String, s: String): String =
+      s"""GREATEST(CAST(floor((1.0 - (
+         |    CAST(list_sum(list_transform(generate_series(1, len($c.q)),
+         |           i -> $c.q[i] * $s.q[i])) AS DOUBLE)
+         |      / sqrt(CAST($c.n2 AS DOUBLE))
+         |      / sqrt(CAST($s.n2 AS DOUBLE)))) * 1048576.0) AS BIGINT), 0)""".stripMargin
+    def chosenUnion(t: Int): String =
+      (0 until t).map(i => s"SELECT * FROM ch$i").mkString("(", " UNION ALL ", ")")
+    val steps = (1 until KmeansK).map { t =>
+      s"""st$t AS MATERIALIZED (
+         |  SELECT c.cand_id, MIN(${d2i("c", "s")}) AS mind
+         |  FROM cands c CROSS JOIN ${chosenUnion(t)} s
+         |  WHERE c.cand_id NOT IN (SELECT cand_id FROM ${chosenUnion(t)})
+         |  GROUP BY c.cand_id),
+         |ch$t AS MATERIALIZED (
+         |  SELECT cand_id, weight, q, n2, $t AS cid FROM (
+         |    SELECT cands.*, st$t.mind,
+         |      ROW_NUMBER() OVER (ORDER BY cands.weight * st$t.mind DESC,
+         |                         cands.cand_id) AS rn
+         |    FROM st$t JOIN cands USING (cand_id))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cands AS MATERIALIZED (
+       |  SELECT i.cand_id, i.weight, z.q, z.n2
+       |  FROM ($KmeansParallelInitSql) i
+       |  JOIN ($QuantizedSql) z ON z.vec_id = i.cand_id),
+       |ch0 AS MATERIALIZED (
+       |  SELECT cand_id, weight, q, n2, 0 AS cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY weight DESC, cand_id) AS rn
+       |    FROM cands)
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT cid, cand_id, weight FROM ${chosenUnion(KmeansK)} ch
+       |ORDER BY cid""".stripMargin
+  }
+
   /** Deterministic weighted farthest-point greedy over the collected
     * candidate set — same integer-quantized distance as the distributed
     * pass, plain Scala (the set is bounded). Exposed for the spec.
