@@ -354,6 +354,10 @@ object SparkEntry {
     // val/test n-gram novelty vs train: the memorization view of eval
     // integrity (x55 is the pair view); exact counts, one divide each
     "x84_split_novelty" -> ((s, d) => TextAnalysis.splitNovelty(s, d)),
+    // deterministic md5-HLL: register ranks by hex-string arithmetic,
+    // exact-integer harmonic sums, det_log2 linear counting -- the
+    // estimate itself hash-gates (x16 keeps Spark-internal HLL++ parity)
+    "x16b_approx_distinct_det" -> ((s, d) => TextAnalysis.approxDistinctDet(s, d)),
     // release report: (lang x split) doc/token counts + all margins, one cube
     "x51_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
     // exact per-language length order statistics (curation thresholds)
@@ -528,8 +532,10 @@ object SparkEntry {
         "(PromQLFrontendSpec); hash-gated DetMath twin: b38"),
     "x16_approx_distinct" ->
       ("approx_count_distinct reads Spark's internal HyperLogLog++ registers — " +
-        "no cross-engine twin exists by construction; error bound vs exact " +
-        "COUNT(DISTINCT) spec-asserted (ExtensionSpec)"),
+        "THIS entry has no cross-engine oracle by construction; error bound vs " +
+        "exact COUNT(DISTINCT) spec-asserted (ExtensionSpec); the hash-gated " +
+        "deterministic twin is x16b (md5-HLL: hex-string ranks, exact-integer " +
+        "register sums, det_log2 linear counting — the estimate itself gates)"),
     "x37_kmeans_converged" ->
       ("loop-until-converged: SQL cannot express the data-dependent round " +
         "count; the loop BODY is hash-gated via x37b's fixed-round unrolled-CTE " +
@@ -729,6 +735,7 @@ object SparkEntry {
     "x43_token_packing" -> TextAnalysis.TokenPackingSql,
     "x44_split" -> TextAnalysis.TrainValTestSplitSql,
     "x84_split_novelty" -> TextAnalysis.SplitNoveltySql,
+    "x16b_approx_distinct_det" -> TextAnalysis.ApproxDistinctDetSql,
     "x51_dataset_card" -> TextAnalysis.DatasetCardSql,
     "x54_length_percentiles" -> TextAnalysis.LengthPercentilesSql,
     "x56_shard_manifest" -> TextAnalysis.ShardManifestSql,

@@ -243,6 +243,155 @@ object TextAnalysis {
         approx_count_distinct(col("shingle")).as("n_shingles_approx"))
       .orderBy(col("lang"))
 
+  /** x16b: DETERMINISTIC HyperLogLog — the hash-gateable twin of x16
+    * (whose `approx_count_distinct` reads Spark-internal HLL++
+    * registers no other engine can reproduce). Same estimator family,
+    * engine-neutral primitives only:
+    *  - hash = md5 (the x48 rule); register index = first 3 hex chars
+    *    (p = 12, m = 4096); rank = leading-zero count of the next 32
+    *    bits + 1, computed by HEX-STRING arithmetic (strip leading
+    *    '0's with an anchored regex both engines parse identically,
+    *    then a 4-case nibble table) — never a float;
+    *  - registers sum as EXACT BIGINTs: Σ 2^(33−M_j) (+ 2³³ per empty
+    *    register), so the harmonic mean has no float-accumulation
+    *    order to diverge;
+    *  - raw estimate = α·m²·2³³ / Z_int (ONE divide of a literal);
+    *    small-range branch (E ≤ 2.5m, empty registers exist) =
+    *    m·ln(m/V) through det_log2 — both branches pinned IEEE
+    *    sequences, so the ESTIMATE ITSELF hash-gates, not just the
+    *    registers.
+    * The doc-count estimates exercise the linear-counting branch and
+    * the shingle estimates the raw-HLL branch at every sf. Merge-
+    * ability is the groupBy itself (register max is associative);
+    * memory is m rows per group before the final fold.
+    */
+  private val HllM = 4096L
+  private val HllAlphaM2Pow33: Double = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    alpha * HllM * HllM * 8589934592.0 // α·m²·2³³
+  }
+
+  private def hllEstimate(spark: SparkSession, vals: DataFrame,
+      salt: String): DataFrame = {
+    graft.plans.DetMathExprs.register(spark)
+    val nib = conv(substring(col("stripped"), 1, 1), 16, 10).cast("long")
+    val reg = vals
+      .withColumn("hex", md5(concat(lit(salt), col("v"))))
+      .withColumn("idx", conv(substring(col("hex"), 1, 3), 16, 10).cast("long"))
+      .withColumn("tail", substring(col("hex"), 4, 8))
+      .withColumn("stripped", regexp_replace(col("tail"), "^0*", ""))
+      .withColumn("n0", lit(8L) - length(col("stripped")).cast("long"))
+      .withColumn("rank", when(col("n0") === 8L, lit(33L))
+        .otherwise(lit(4L) * col("n0")
+          + when(nib >= 8L, 0L).when(nib >= 4L, 1L)
+            .when(nib >= 2L, 2L).otherwise(3L)
+          + lit(1L)))
+      .groupBy(col("lang"), col("idx")).agg(max(col("rank")).as("m_j"))
+    reg.groupBy(col("lang"))
+      .agg(count(lit(1)).as("occ"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(33 - m_j as int))"))
+          .as("z_occ"))
+      .withColumn("zs",
+        col("z_occ") + (lit(HllM) - col("occ")) * lit(8589934592L))
+      .withColumn("e_raw", lit(HllAlphaM2Pow33) / col("zs").cast("double"))
+      .withColumn("v_", lit(HllM) - col("occ"))
+      .withColumn("ratio", lit(HllM.toDouble) / col("v_").cast("double"))
+      .withColumn("est",
+        when(col("e_raw") <= lit(2.5 * HllM) && col("v_") > 0L,
+          lit(HllM.toDouble) * (expr("det_log2(ratio)") * lit(PromQL.Ln2)))
+          .otherwise(col("e_raw")))
+      .select(col("lang"), col("est"), col("occ"))
+  }
+
+  def approxDistinctDet(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Corpus.shingleRows(spark, dir)
+    val docs = hllEstimate(spark,
+      sh.select(col("lang"), col("doc_id").cast("string").as("v")).distinct(),
+      "hlld|").toDF("lang", "n_docs_est", "docs_registers")
+    val shingles = hllEstimate(spark,
+      sh.select(col("lang"), col("shingle").as("v")).distinct(),
+      "hlls|").toDF("lang", "n_shingles_est", "shingle_registers")
+    val exact = sh.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_exact"),
+        countDistinct(col("shingle")).as("n_shingles_exact"))
+    exact.join(docs, "lang").join(shingles, "lang")
+      .select(col("lang"), col("n_docs_exact"), col("n_docs_est"),
+        col("docs_registers"), col("n_shingles_exact"),
+        col("n_shingles_est"), col("shingle_registers"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle twin of [[approxDistinctDet]] — identical hex-string rank
+    * arithmetic, exact-integer register sums, and estimator branches.
+    */
+  lazy val ApproxDistinctDetSql: String = {
+    val lg = graft.functions.DetMath.log2Sql("ratio")
+    def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+    def est(src: String, salt: String): String =
+      s"""(
+         |  WITH h AS (
+         |    SELECT lang, md5(concat('$salt', v)) AS hex FROM $src),
+         |  rk AS (
+         |    SELECT lang,
+         |      CAST(concat('0x', substr(hex, 1, 3)) AS BIGINT) AS idx,
+         |      8 - length(regexp_replace(substr(hex, 4, 8), '^0*', ''))
+         |        AS n0,
+         |      regexp_replace(substr(hex, 4, 8), '^0*', '') AS stripped
+         |    FROM h),
+         |  rr AS (
+         |    SELECT lang, idx,
+         |      CASE WHEN n0 = 8 THEN 33
+         |           ELSE 4 * n0
+         |             + (CASE WHEN CAST(concat('0x', substr(stripped || '0', 1, 1))
+         |                            AS BIGINT) >= 8 THEN 0
+         |                     WHEN CAST(concat('0x', substr(stripped || '0', 1, 1))
+         |                            AS BIGINT) >= 4 THEN 1
+         |                     WHEN CAST(concat('0x', substr(stripped || '0', 1, 1))
+         |                            AS BIGINT) >= 2 THEN 2
+         |                     ELSE 3 END)
+         |             + 1 END AS rank
+         |    FROM rk),
+         |  reg AS (SELECT lang, idx, MAX(rank) AS m_j FROM rr GROUP BY 1, 2),
+         |  fold AS (
+         |    SELECT lang, COUNT(*) AS occ,
+         |      CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - m_j AS INT)) AS BIGINT)
+         |        AS z_occ
+         |    FROM reg GROUP BY 1),
+         |  fin AS (
+         |    SELECT lang, occ,
+         |      z_occ + ($HllM - occ) * 8589934592 AS zs,
+         |      $HllM - occ AS v_
+         |    FROM fold),
+         |  fin2 AS (
+         |    SELECT lang, occ, v_,
+         |      ${d(HllAlphaM2Pow33)} / CAST(zs AS DOUBLE) AS e_raw,
+         |      ${d(HllM.toDouble)} / CAST(v_ AS DOUBLE) AS ratio
+         |    FROM fin)
+         |  SELECT lang,
+         |    CASE WHEN e_raw <= ${d(2.5 * HllM)} AND v_ > 0
+         |         THEN ${d(HllM.toDouble)} * (($lg) * ${d(PromQL.Ln2)})
+         |         ELSE e_raw END AS est,
+         |    occ
+         |  FROM fin2)""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT DISTINCT d.lang, sh0.doc_id, sh0.shingle
+       |  FROM (${graft.functions.TextOps.shinglesSql("documents", 3)}) sh0
+       |  JOIN documents d ON d.doc_id = sh0.doc_id),
+       |docs_v AS (SELECT DISTINCT lang, CAST(doc_id AS VARCHAR) AS v FROM sh),
+       |sh_v AS (SELECT DISTINCT lang, shingle AS v FROM sh),
+       |de AS ${est("docs_v", "hlld|")},
+       |se AS ${est("sh_v", "hlls|")},
+       |ex AS (
+       |  SELECT lang, COUNT(DISTINCT doc_id) AS n_docs_exact,
+       |    COUNT(DISTINCT shingle) AS n_shingles_exact
+       |  FROM sh GROUP BY 1)
+       |SELECT ex.lang AS lang, n_docs_exact, de.est AS n_docs_est,
+       |  de.occ AS docs_registers, n_shingles_exact,
+       |  se.est AS n_shingles_est, se.occ AS shingle_registers
+       |FROM ex JOIN de ON de.lang = ex.lang JOIN se ON se.lang = ex.lang
+       |ORDER BY ex.lang""".stripMargin
+  }
+
   /** Document fingerprinting (winnowing-lite): the 4 smallest distinct
     * md5 hashes of the document's word-3-gram shingles, concatenated and
     * re-hashed into one 128-bit fingerprint. Robust to local edits (a

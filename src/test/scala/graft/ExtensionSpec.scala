@@ -693,6 +693,20 @@ class ExtensionSpec extends SparkTestBase {
     assert(math.abs(r._2 - 200L) <= 30, s"approx ${r._2} too far from 200")
   }
 
+  test("deterministic md5-HLL (x16b) estimates within sketch error on both branches") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.approxDistinctDet(spark, dir)
+      .select($"lang", $"n_docs_exact", $"n_docs_est",
+        $"n_shingles_exact", $"n_shingles_est")
+      .as[(String, Long, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, de, dEst, se, sEst) =>
+      // m = 4096 → rsd ≈ 1.6 % raw, linear counting tighter; allow 6 %
+      assert(math.abs(dEst - de) / de <= 0.06, s"$lang docs: $dEst vs $de")
+      assert(math.abs(sEst - se) / se <= 0.06, s"$lang shingles: $sEst vs $se")
+    }
+  }
+
   test("char_trigrams generator matches substr semantics incl. multi-byte UTF-8") {
     graft.plans.CharTrigramsExpr.register(spark)
     val df = Seq("abcd", "héllo", "ab", "").toDF("s")
