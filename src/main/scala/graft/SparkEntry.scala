@@ -331,6 +331,12 @@ object SparkEntry {
     "p51_promql_for_alert" -> ((s, d) => promql.Rules.evaluateAlerts(s, d, Seq(
       promql.Rules.AlertRule("SustainedHigh", "sum by (k) (purchase) > 450",
         forS = 2 * 86400, intervalS = 86400)))),
+    // the ALERTS state ladder: pending->firing per evaluation instant
+    // over a 4-instant range (upstream's ALERTS{alertstate=...} series)
+    "p74_promql_alert_states" -> ((s, d) => promql.Rules.alertStates(s, d,
+      promql.Rules.AlertRule("SustainedHigh", "sum by (k) (purchase) > 450",
+        forS = 2 * 86400, intervalS = 86400),
+      Seq(0L, 86400L, 172800L, 259200L))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -358,6 +364,15 @@ object SparkEntry {
     // exact-integer harmonic sums, det_log2 linear counting -- the
     // estimate itself hash-gates (x16 keeps Spark-internal HLL++ parity)
     "x16b_approx_distinct_det" -> ((s, d) => TextAnalysis.approxDistinctDet(s, d)),
+    // trained model-based quality filter: fixed-round logistic-GD on
+    // deterministic char features (DetMath sigmoid, nano-bit gradient
+    // sums); the oracle RE-TRAINS via round-unrolled CTEs -- both the
+    // weight trajectory and the per-doc gate hash-gate
+    "x85_classifier_train" -> ((s, d) => Classifier.classifierTrain(s, d)),
+    "x86_classifier_gate" -> ((s, d) => Classifier.classifierGate(s, d)),
+    // reliability diagram over the gate's deciles: nano-bit mean score
+    // vs exact teacher rate per bin -- the threshold-calibration curve
+    "x87_classifier_calibration" -> ((s, d) => Classifier.calibration(s, d)),
     // release report: (lang x split) doc/token counts + all margins, one cube
     "x51_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
     // exact per-language length order statistics (curation thresholds)
@@ -713,6 +728,7 @@ object SparkEntry {
     "p49_promql_limitk" -> promql.Oracle.LimitkSql,
     "p50_promql_limit_ratio" -> promql.Oracle.LimitRatioSql,
     "p51_promql_for_alert" -> promql.Oracle.ForAlertSql,
+    "p74_promql_alert_states" -> promql.Oracle.AlertStatesSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,
@@ -736,6 +752,9 @@ object SparkEntry {
     "x44_split" -> TextAnalysis.TrainValTestSplitSql,
     "x84_split_novelty" -> TextAnalysis.SplitNoveltySql,
     "x16b_approx_distinct_det" -> TextAnalysis.ApproxDistinctDetSql,
+    "x85_classifier_train" -> Classifier.ClassifierTrainSql,
+    "x86_classifier_gate" -> Classifier.ClassifierGateSql,
+    "x87_classifier_calibration" -> Classifier.CalibrationSql,
     "x51_dataset_card" -> TextAnalysis.DatasetCardSql,
     "x54_length_percentiles" -> TextAnalysis.LengthPercentilesSql,
     "x56_shard_manifest" -> TextAnalysis.ShardManifestSql,

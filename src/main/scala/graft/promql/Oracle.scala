@@ -782,6 +782,43 @@ object Oracle {
        |  AND EXISTS (SELECT 1 FROM s2 WHERE s2.label_k = s0.label_k)
        |ORDER BY alertname, label_k""".stripMargin
 
+  /** p74: the ALERTS state ladder — `sum by (k) (purchase) > 450`,
+    * `for: 2d` at interval 1d, evaluated at offsets {0, 1d, 2d, 3d}.
+    * MACHINE-GENERATED (one breach CTE per distinct evaluation instant,
+    * output offsets ∪ lookbacks; firing = EXISTS at every lookback) —
+    * the generator mirrors [[graft.promql.Rules.alertStates]]'s
+    * presence-count join exactly.
+    */
+  lazy val AlertStatesSql: String = {
+    val offsets = Seq(0L, 86400L, 172800L, 259200L)
+    val interval = 86400L
+    val k = 2
+    val evalOffsets =
+      offsets.flatMap(o => (0 to k).map(i => o + i * interval)).distinct.sorted
+    val ctes = evalOffsets.map { o =>
+      s"""s$o AS (
+         |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+         |  FROM m, t WHERE name = 'purchase' AND value >= 0
+         |    AND epoch_us(ts) <= t_us - ${o}000000
+         |  GROUP BY label_k
+         |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 450)""".stripMargin
+    }.mkString(",\n")
+    val sel = offsets.map { o =>
+      val conds = (1 to k).map(i =>
+        s"EXISTS (SELECT 1 FROM s${o + i * interval} x WHERE x.label_k = s$o.label_k)")
+        .mkString("\n    AND ")
+      s"""SELECT 'SustainedHigh' AS alertname,
+         |  CASE WHEN $conds THEN 'firing' ELSE 'pending' END AS alertstate,
+         |  CAST($o AS BIGINT) AS offset_s, label_k, CAST(dv AS DOUBLE) AS value
+         |FROM s$o""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |$ctes
+       |$sel
+       |ORDER BY offset_s, label_k""".stripMargin
+  }
+
   /** `sum by (k) (increase(purchase[2d]))` */
   val IncreaseSumSql: String =
     s"""WITH m AS ($MetricEventsSql),

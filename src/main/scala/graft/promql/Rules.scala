@@ -81,4 +81,51 @@ object Rules {
     }
     frames.reduce(_ unionAll _).orderBy(col("alertname"), col("label_k"))
   }
+
+  /** The per-instant alert STATE ladder — upstream's `ALERTS` series
+    * (`alertstate="pending"/"firing"`) over a range of evaluation
+    * instants, completing [[evaluateAlerts]]'s single-instant batch
+    * reading: at each output offset `o` (seconds before now), a series
+    * breaching the condition is `firing` iff it also breached at every
+    * lookback instant `o + i·interval`, `i = 1..for/interval`, else
+    * `pending`. Inactive series emit nothing, exactly like upstream.
+    *
+    * Shape: one compiled plan per DISTINCT evaluation instant (output
+    * offsets ∪ their lookbacks — the subquery union strategy), unioned
+    * into a tiny presence relation (#series × #instants rows), then one
+    * self-equi-join counting matched lookbacks. Nothing is
+    * per-event; the event scan cost is the |instants| compiled
+    * snapshots, each a filtered aggregate.
+    */
+  def alertStates(spark: SparkSession, dir: String, rule: AlertRule,
+      offsets: Seq[Long]): DataFrame = {
+    if (rule.forS <= 0 || rule.intervalS <= 0 || rule.forS % rule.intervalS != 0)
+      throw new PromQLCompileException(
+        s"alert '${rule.alert}': `for` (${rule.forS}s) must be a positive multiple of the evaluation interval (${rule.intervalS}s)")
+    val ast = Parser.parse(rule.expr)
+    val k = (rule.forS / rule.intervalS).toInt
+    def labelled(df: DataFrame): DataFrame =
+      if (df.columns.contains("label_k")) df.select(col("label_k"), col("value"))
+      else df.select(lit(null).cast("string").as("label_k"), col("value"))
+    val evalOffsets =
+      offsets.flatMap(o => (0 to k).map(i => o + i * rule.intervalS)).distinct.sorted
+    val pres = evalOffsets.map { o =>
+      labelled(Compiler.compileAt(spark, dir, ast, o))
+        .select(lit(o).as("offset_s"), col("label_k"), col("value"))
+    }.reduce(_ unionAll _)
+    val cur = pres.filter(col("offset_s").isin(offsets: _*))
+    val past = pres.select(col("offset_s").as("_p_off"), col("label_k").as("_p_lk"))
+    cur.join(past,
+        cur("label_k") <=> past("_p_lk") &&
+          past("_p_off") >= cur("offset_s") &&
+          past("_p_off") <= cur("offset_s") + rule.forS &&
+          ((past("_p_off") - cur("offset_s")) % rule.intervalS === 0))
+      .groupBy(col("offset_s"), col("label_k"), col("value"))
+      .agg(count(lit(1)).as("_n"))
+      .select(
+        lit(rule.alert).as("alertname"),
+        when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate"),
+        col("offset_s"), col("label_k"), col("value"))
+      .orderBy(col("offset_s"), col("label_k"))
+  }
 }

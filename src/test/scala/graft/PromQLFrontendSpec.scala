@@ -501,6 +501,39 @@ class PromQLFrontendSpec extends SparkTestBase {
       AlertRule("Hi", rule, forS = 100, intervalS = 33))))
   }
 
+  test("alert state ladder: pending at onset, firing once sustained") {
+    import graft.promql.Rules
+    import graft.promql.Rules.AlertRule
+    val d = 86400000L
+    val dir = fixture("events" -> Seq(
+      // a: breaches from day 0 — firing at every output instant
+      ev(0, 0, "purchase", 10.0, "a"),
+      // b: first breach on day 2 — at T it has NOT held for 2d (pending);
+      //    at T-1d/T-2d it is inactive (no row at all)
+      ev(1, 2 * d, "purchase", 50.0, "b"),
+      // c: never breaches — inactive everywhere
+      ev(2, 0, "purchase", 1.0, "c")
+    ).toDF(eventCols: _*))
+    val rule = AlertRule("Hi", "sum by (k) (purchase) > 5",
+      forS = 2 * 86400, intervalS = 86400)
+    val states = Rules.alertStates(spark, dir, rule, Seq(0L, 86400L, 172800L))
+      .select($"offset_s", $"label_k", $"alertstate")
+      .as[(Long, String, String)].collect().toSet
+    // a fires at offset 0 (breached at T, T-1d, T-2d); at earlier output
+    // instants its own lookbacks (T-3d, T-4d) predate all data -> pending
+    assert(states === Set(
+      (0L, "a", "firing"), (86400L, "a", "pending"), (172800L, "a", "pending"),
+      (0L, "b", "pending")))
+    // consistency with the collapsed batch reading: the firing set at
+    // offset 0 IS evaluateAlerts' for-duration result
+    val collapsed = Rules.evaluateAlerts(spark, dir, Seq(rule))
+      .select($"label_k").as[String].collect().toSet
+    val firing0 = Rules.alertStates(spark, dir, rule, Seq(0L))
+      .filter($"alertstate" === "firing")
+      .select($"label_k").as[String].collect().toSet
+    assert(firing0 === collapsed)
+  }
+
   test("recording rules materialize; alert rules fire on threshold breaches") {
     import graft.promql.Rules
     import graft.promql.Rules.{AlertRule, RecordingRule}

@@ -974,4 +974,38 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming classifier gate equals batch x86 bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch x86, restricted to the deployment columns (the teacher bit
+    // is train-time only — a stream has no verdict stack to join)
+    val batch = graft.operators.Classifier.classifierGate(spark, dir)
+      .select($"doc_id", $"score", $"keep")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+    // freeze the trained weights; score the same corpus row-locally
+    val w = graft.operators.Classifier.train(spark, dir).last
+    val docsDf = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+    val local = graft.operators.Classifier.classifierGateStream(docsDf, w)
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(local === batch,
+      "row-local feature HOFs diverge from the batch explode+groupBy")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.Classifier.classifierGateStream(
+      mem.toDF().toDF("doc_id", "text"), w)
+    val q = out.writeStream.format("memory").queryName("classifier_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = docsDf.as[(Long, String)].collect()
+      mem.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("classifier_stream")
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
