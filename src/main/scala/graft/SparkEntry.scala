@@ -373,6 +373,10 @@ object SparkEntry {
     // reliability diagram over the gate's deciles: nano-bit mean score
     // vs exact teacher rate per bin -- the threshold-calibration curve
     "x87_classifier_calibration" -> ((s, d) => Classifier.calibration(s, d)),
+    // ensemble agreement matrix over 4 independent gates (heuristic /
+    // DSIR / classifier / entropy): pairwise agree rates + diagonal
+    // keep rates -- the release-decision audit
+    "x90_filter_ensemble" -> ((s, d) => Classifier.filterEnsemble(s, d)),
     // release report: (lang x split) doc/token counts + all margins, one cube
     "x51_dataset_card" -> ((s, d) => TextAnalysis.datasetCard(s, d)),
     // exact per-language length order statistics (curation thresholds)
@@ -413,6 +417,11 @@ object SparkEntry {
     // stage-by-stage survival report over x24's ordered gates
     "x70_curation_funnel" -> ((s, d) => TextAnalysis.curationFunnel(s, d)),
     "x25_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    // product quantization: per-subspace angular codebooks (exact-int
+    // Lloyd) -> 4-byte codes; ADC scoring from codes alone + recall
+    // audit vs the exact top-k -- the billion-vector ANN memory story
+    "x88_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
+    "x89_pq_adc_recall" -> ((s, d) => Similarity.pqAdcRecall(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
     // per-group centroid-distance outlier scoring (mislabel/noise audit)
@@ -755,6 +764,7 @@ object SparkEntry {
     "x85_classifier_train" -> Classifier.ClassifierTrainSql,
     "x86_classifier_gate" -> Classifier.ClassifierGateSql,
     "x87_classifier_calibration" -> Classifier.CalibrationSql,
+    "x90_filter_ensemble" -> Classifier.FilterEnsembleSql,
     "x51_dataset_card" -> TextAnalysis.DatasetCardSql,
     "x54_length_percentiles" -> TextAnalysis.LengthPercentilesSql,
     "x56_shard_manifest" -> TextAnalysis.ShardManifestSql,
@@ -775,6 +785,8 @@ object SparkEntry {
     "x69_lang_mix" -> TextAnalysis.LangMixSql,
     "x70_curation_funnel" -> TextAnalysis.CurationFunnelSql,
     "x25_ann_recall" -> Similarity.AnnRecallSql,
+    "x88_pq_codes" -> Similarity.PqCodesSql,
+    "x89_pq_adc_recall" -> Similarity.PqAdcRecallSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,
     "x46_embedding_covariance" -> Similarity.EmbeddingCovarianceSql,

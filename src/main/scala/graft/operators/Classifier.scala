@@ -207,6 +207,89 @@ object Classifier {
     scored.select(col("doc_id"), col("score"), (col("score") >= 0.5).as("keep"))
   }
 
+  /** The four admission gates of the ensemble audit, by SHORT name —
+    * alphabetical order fixes the pair enumeration in both engines.
+    */
+  private val EnsembleGates = Seq(
+    "classifier" -> "k_classifier",
+    "dsir" -> "k_dsir",
+    "entropy" -> "k_entropy",
+    "heuristic" -> "k_heuristic")
+
+  /** x90: the filter-ensemble agreement audit — the release-decision
+    * view over four independent curation philosophies: the heuristic
+    * verdict stack (x24), the DSIR English-importance gate (x80), the
+    * trained classifier (x86), and the token-entropy shape gate (x78,
+    * normalized entropy > 0.96). For every unordered gate pair the
+    * fraction of documents they agree on; the diagonal rows carry each
+    * gate's own keep rate. This is the table a dataset release leads
+    * with: two filters at 0.5 agreement are measuring different
+    * things, a gate keeping 0 % (DSIR's English-target weight on this
+    * corpus) is maximally aggressive and the audit SAYS so before it
+    * silently empties a mixture.
+    *
+    * Determinism: every input bit is already hash-gated; agreement
+    * counts are exact integers; one divide per rate. Shape: one inner
+    * join of four thin (doc_id, bool) relations, then 10
+    * constant-size aggregates over the SAME cached join — nothing
+    * corpus-global beyond the 10-row output.
+    */
+  def filterEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextAnalysis.filterVerdict(spark, dir)
+      .select(col("doc_id"), col("keep").as("k_heuristic"))
+    val ds = TextAnalysis.dsirImportance(spark, dir)
+      .select(col("doc_id"), col("keep").as("k_dsir"))
+    val c = classifierGate(spark, dir)
+      .select(col("doc_id"), col("keep").as("k_classifier"))
+    val e = TextAnalysis.tokenEntropy(spark, dir)
+      .select(col("doc_id"), (col("norm_entropy") > lit(0.96)).as("k_entropy"))
+    val j = c.join(ds, "doc_id").join(e, "doc_id").join(h, "doc_id")
+      .localCheckpoint()
+    val frames = for {
+      (ga, ca) <- EnsembleGates
+      (gb, cb) <- EnsembleGates if ga <= gb
+    } yield {
+      val agreeCond = if (ga == gb) col(ca) else col(ca) === col(cb)
+      j.agg(sum(when(agreeCond, 1L).otherwise(0L)).as("n_agree"),
+          count(lit(1)).as("n_docs"))
+        .select(lit(ga).as("gate_a"), lit(gb).as("gate_b"),
+          col("n_agree"), col("n_docs"),
+          (col("n_agree").cast("double") / col("n_docs").cast("double"))
+            .as("agree_rate"))
+    }
+    frames.reduce(_ unionAll _).orderBy(col("gate_a"), col("gate_b"))
+  }
+
+  lazy val FilterEnsembleSql: String = {
+    val pairs = for {
+      (ga, ca) <- EnsembleGates
+      (gb, cb) <- EnsembleGates if ga <= gb
+    } yield {
+      val cond = if (ga == gb) ca else s"$ca = $cb"
+      s"""SELECT '$ga' AS gate_a, '$gb' AS gate_b,
+         |  CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  COUNT(*) AS n_docs,
+         |  (CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE)) AS agree_rate
+         |FROM j""".stripMargin
+    }
+    s"""WITH h AS (SELECT doc_id, keep AS k_heuristic
+       |  FROM (${TextAnalysis.FilterVerdictSql})),
+       |ds AS (SELECT doc_id, keep AS k_dsir
+       |  FROM (${TextAnalysis.DsirImportanceSql})),
+       |c AS (SELECT doc_id, keep AS k_classifier FROM ($ClassifierGateSql)),
+       |e AS (SELECT doc_id, norm_entropy > 0.96 AS k_entropy
+       |  FROM (${TextAnalysis.TokenEntropySql})),
+       |j AS MATERIALIZED (
+       |  SELECT c.doc_id, k_classifier, k_dsir, k_entropy, k_heuristic
+       |  FROM c
+       |  JOIN ds ON ds.doc_id = c.doc_id
+       |  JOIN e ON e.doc_id = c.doc_id
+       |  JOIN h ON h.doc_id = c.doc_id)
+       |${pairs.mkString("\nUNION ALL\n")}
+       |ORDER BY gate_a, gate_b""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Oracle twins: the whole training loop as machine-generated
   // round-unrolled CTEs (the x37b/x40b technique) — DuckDB re-trains

@@ -1508,4 +1508,272 @@ object Similarity {
        |JOIN kn ka ON ka.vec_id = pr.vec_a
        |JOIN kn kb ON kb.vec_id = pr.vec_b
        |ORDER BY pr.vec_a, pr.vec_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // x88/x89 — product quantization: the 100 TB ANN memory story
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: 64 dims → [[PqM]] subspaces of [[PqSubDim]] dims,
+    * each with a [[PqK]]-centroid codebook → a 4-byte code per vector
+    * (vs 256 B of floats): the compression layer an IVF-PQ index (the
+    * standard billion-vector ANN design, Jégou et al. TPAMI'11) puts
+    * under the x15 coarse quantizer.
+    */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16
+
+  /** Per-subspace 2-round Lloyd under ANGULAR assignment — the x35
+    * recipe applied to each dim slice: integer subvectors, cosine
+    * argmax (member count cancels, so centroid updates stay exact
+    * integer sums), fixed rounds for the oracle. Angular PQ (not L2)
+    * is the deliberate choice here: L2 centroid comparison needs
+    * cross-multiplied rational arithmetic that leaves 64-bit range,
+    * while the angular form keeps every step in the engine's
+    * exact-integer + pinned-IEEE determinism envelope, and the
+    * downstream use (cosine ANN, x6/x7/x15) is angular anyway.
+    * Returns (vec_id, c0..c{M−1}, cos0..cos{M−1}).
+    */
+  private def pqAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val base = quantized(spark, dir).select(col("vec_id"), col("q"))
+    (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val vecs = base
+        .withColumn("qm", expr(s"slice(q, $lo, $PqSubDim)"))
+        .withColumn("n2m", graft.plans.IntDotExpr.intDot(spark, "qm", "qm"))
+        .select(col("vec_id"), col("qm"), col("n2m"))
+      def assign(cent: DataFrame): DataFrame =
+        vecs.crossJoin(broadcast(cent))
+          .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qm", "s"))
+          .withColumn("cosine", col("dp").cast("double") /
+            sqrt(col("n2m").cast("double")) / sqrt(col("sn2").cast("double")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("qm"), col("n2m"), col("cid"), col("cosine")),
+            struct(col("cosine"), (-col("cid")).as("nc"))).as("_b"))
+          .select(col("vec_id"), col("_b.qm").as("qm"), col("_b.n2m").as("n2m"),
+            col("_b.cid").as("cell"), col("_b.cosine").as("cosine"))
+      val seeds = vecs.filter(col("vec_id").between(100, 100 + PqK - 1))
+        .select((col("vec_id") - 100).cast("int").as("cid"),
+          col("qm").as("s"), col("n2m").as("sn2"))
+      val a1 = assign(seeds)
+      val cent1 = a1.select(col("cell"), posexplode(col("qm")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(d, sx))), e -> e.sx)").as("s"))
+        .withColumn("sn2", graft.plans.IntDotExpr.intDot(spark, "s", "s"))
+        .select(col("cell").as("cid"), col("s"), col("sn2"))
+      assign(cent1)
+        .select(col("vec_id"), col("cell").as(s"c$m"), col("cosine").as(s"cos$m"))
+    }.reduce((a, b) => a.join(b, "vec_id"))
+  }
+
+  /** x88: PQ codes — every vector's [[PqM]] codebook assignments plus
+    * `sim`, the pinned sum of its per-subspace centroid cosines (the
+    * reconstruction-quality readout: low sim = the code loses this
+    * vector). Each subspace is an independent 2-round Lloyd (one
+    * broadcast-assignment scan + one 16-way explode aggregate per
+    * round); subspaces share the cached quantized scan and join back
+    * on vec_id only (4 thin columns — the full vectors never re-
+    * shuffle). At 100 TB the codes table IS the ANN index payload:
+    * 4 B/vector instead of 256 B, rebuilt by exactly this plan.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val sim = (0 until PqM).map(m => col(s"cos$m")).reduceLeft(_ + _)
+    pqAssignments(spark, dir)
+      .select((Seq(col("vec_id")) ++ (0 until PqM).map(m => col(s"c$m"))
+        :+ sim.as("sim")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** x89: ADC recall audit — score the x6 query set against the WHOLE
+    * corpus using ONLY codes + codebooks (asymmetric distance
+    * computation: exact query slices vs quantized neighbor centroids,
+    * `score = Σ_m cos(query_m, centroid_{c_m})`), take the PQ top-5,
+    * and measure overlap with the exact cosine top-5. The honest
+    * compression question — how much recall do 4 bytes keep — answered
+    * per query. Scale: the scored relation is |queries|·|corpus| rows
+    * of (code, 4 doubles) — the corpus embedding itself is never
+    * touched after coding; the per-(query, code-combination) cosine
+    * table (|queries|·K·M rows) broadcasts.
+    */
+  def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    val codes = pqAssignments(spark, dir)
+      .select((Seq(col("vec_id")) ++ (0 until PqM).map(m => col(s"c$m"))): _*)
+    val base = quantized(spark, dir).select(col("vec_id"), col("q"))
+    // per-subspace codebooks (the round-1-updated centroids — the same
+    // relation the final assignment scored against)
+    val books = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val vecs = base
+        .withColumn("qm", expr(s"slice(q, $lo, $PqSubDim)"))
+        .withColumn("n2m", graft.plans.IntDotExpr.intDot(spark, "qm", "qm"))
+        .select(col("vec_id"), col("qm"), col("n2m"))
+      val seeds = vecs.filter(col("vec_id").between(100, 100 + PqK - 1))
+        .select((col("vec_id") - 100).cast("int").as("cid"),
+          col("qm").as("s"), col("n2m").as("sn2"))
+      val a1 = vecs.crossJoin(broadcast(seeds))
+        .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qm", "s"))
+        .withColumn("cosine", col("dp").cast("double") /
+          sqrt(col("n2m").cast("double")) / sqrt(col("sn2").cast("double")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("qm"), col("cid")),
+          struct(col("cosine"), (-col("cid")).as("nc"))).as("_b"))
+        .select(col("_b.qm").as("qm"), col("_b.cid").as("cell"))
+      a1.select(col("cell"), posexplode(col("qm")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d")).agg(sum(col("x")).as("sx"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(d, sx))), e -> e.sx)").as("s"))
+        .withColumn("sn2", graft.plans.IntDotExpr.intDot(spark, "s", "s"))
+        .select(lit(m).as("m"), col("cell").as("cid"), col("s"), col("sn2"))
+    }.reduce(_ unionAll _)
+    // query slices × codebook entries → the ADC lookup table
+    val queries = base.filter(col("vec_id") < 10)
+    val qSlices = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      queries.select(col("vec_id").as("query_id"), lit(m).as("m"),
+        expr(s"slice(q, $lo, $PqSubDim)").as("qm"))
+        .withColumn("qn2", graft.plans.IntDotExpr.intDot(spark, "qm", "qm"))
+    }.reduce(_ unionAll _)
+    val table = qSlices.join(broadcast(books), "m")
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qm", "s"))
+      .withColumn("c", col("dp").cast("double") /
+        sqrt(col("qn2").cast("double")) / sqrt(col("sn2").cast("double")))
+      .select(col("query_id"), col("m"), col("cid"), col("c"))
+    // score every (query, neighbor) from the table alone: 4 lookups
+    val lookups = (0 until PqM).map { m =>
+      table.filter(col("m") === m)
+        .select(col("query_id"), col("cid").as(s"c$m"), col("c").as(s"t$m"))
+    }
+    val scored = lookups.zipWithIndex.foldLeft(
+      codes.crossJoin(broadcast(queries.select(col("vec_id").as("query_id"))))
+        .filter(col("query_id") =!= col("vec_id"))) { case (acc, (lk, m)) =>
+      acc.join(broadcast(lk), Seq("query_id", s"c$m"))
+    }.withColumn("score", (0 until PqM).map(m => col(s"t$m")).reduceLeft(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val exact = cosineTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      .join(exact.select(col("query_id")).distinct(), Seq("query_id"), "right")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Shared CTE fragments for the PQ oracles: one codebook chain per
+    * subspace, mirroring [[pqAssignments]] op-for-op (slice via
+    * explicit generate_series indexing — unambiguous 1-based, exactly
+    * Spark's `slice`).
+    */
+  private def pqCtes: Seq[String] = {
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"qz AS ($QuantizedSql)"
+    (0 until PqM).foreach { m =>
+      val lo = m * PqSubDim + 1
+      val hi = lo + PqSubDim - 1
+      ctes += s"""v$m AS (
+                 |  SELECT vec_id,
+                 |    list_transform(generate_series($lo, $hi), i -> q[i]) AS qm,
+                 |    list_sum(list_transform(generate_series($lo, $hi), i -> q[i] * q[i])) AS n2m
+                 |  FROM qz)""".stripMargin
+      ctes += s"""seeds$m AS (SELECT CAST(vec_id - 100 AS INT) AS cid, qm AS s, n2m AS sn2
+                 |            FROM v$m WHERE vec_id BETWEEN 100 AND ${100 + PqK - 1})""".stripMargin
+      ctes += s"""s${m}r1 AS (
+                 |  SELECT v.vec_id, v.qm, c.cid,
+                 |    CAST(list_sum(list_transform(generate_series(1, $PqSubDim),
+                 |      i -> v.qm[i] * c.s[i])) AS DOUBLE)
+                 |      / sqrt(CAST(v.n2m AS DOUBLE)) / sqrt(CAST(c.sn2 AS DOUBLE)) AS cosine
+                 |  FROM v$m v CROSS JOIN seeds$m c)""".stripMargin
+      ctes += s"""a${m}r1 AS (
+                 |  SELECT vec_id, qm, cid AS cell FROM (
+                 |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 |      ORDER BY cosine DESC, cid) AS crn FROM s${m}r1)
+                 |  WHERE crn = 1)""".stripMargin
+      ctes += s"""cent$m AS (
+                 |  SELECT cell AS cid, list(sx ORDER BY i) AS s,
+                 |    list_sum(list_transform(list(sx ORDER BY i), x -> x * x)) AS sn2
+                 |  FROM (
+                 |    SELECT cell, i, SUM(qm[i]) AS sx
+                 |    FROM a${m}r1, (SELECT unnest(generate_series(1, $PqSubDim)) AS i)
+                 |    GROUP BY cell, i)
+                 |  GROUP BY cell)""".stripMargin
+      ctes += s"""a$m AS (
+                 |  SELECT vec_id, cid AS c$m, cosine AS cos$m FROM (
+                 |    SELECT v.vec_id, c.cid,
+                 |      CAST(list_sum(list_transform(generate_series(1, $PqSubDim),
+                 |        i -> v.qm[i] * c.s[i])) AS DOUBLE)
+                 |        / sqrt(CAST(v.n2m AS DOUBLE)) / sqrt(CAST(c.sn2 AS DOUBLE)) AS cosine,
+                 |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 |        ORDER BY CAST(list_sum(list_transform(generate_series(1, $PqSubDim),
+                 |          i -> v.qm[i] * c.s[i])) AS DOUBLE)
+                 |          / sqrt(CAST(v.n2m AS DOUBLE)) / sqrt(CAST(c.sn2 AS DOUBLE)) DESC,
+                 |          c.cid) AS crn
+                 |    FROM v$m v CROSS JOIN cent$m c)
+                 |  WHERE crn = 1)""".stripMargin
+    }
+    ctes.toSeq
+  }
+
+  lazy val PqCodesSql: String = {
+    val joins = (1 until PqM).map(m => s"JOIN a$m ON a$m.vec_id = a0.vec_id").mkString("\n")
+    val sim = (0 until PqM).map(m => s"cos$m").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH ${pqCtes.mkString(",\n")}
+       |SELECT a0.vec_id AS vec_id, ${(0 until PqM).map(m => s"c$m").mkString(", ")},
+       |  $sim AS sim
+       |FROM a0
+       |$joins
+       |ORDER BY a0.vec_id""".stripMargin
+  }
+
+  lazy val PqAdcRecallSql: String = {
+    val tableCtes = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = lo + PqSubDim - 1
+      s"""t$m AS (
+         |  SELECT qz.vec_id AS query_id, c.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, $PqSubDim),
+         |      i -> qz.q[i + ${lo - 1}] * c.s[i])) AS DOUBLE)
+         |      / sqrt(CAST(list_sum(list_transform(generate_series($lo, $hi),
+         |          i -> qz.q[i] * qz.q[i])) AS DOUBLE))
+         |      / sqrt(CAST(c.sn2 AS DOUBLE)) AS c
+         |  FROM qz CROSS JOIN cent$m c WHERE qz.vec_id < 10)""".stripMargin
+    }
+    val lookupJoins = (0 until PqM).map(m =>
+      s"JOIN t$m ON t$m.query_id = qs.query_id AND t$m.cid = codes.c$m").mkString("\n  ")
+    val score = (0 until PqM).map(m => s"t$m.c").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH ${pqCtes.mkString(",\n")},
+       |${tableCtes.mkString(",\n")},
+       |codes AS (
+       |  SELECT a0.vec_id AS vec_id, ${(0 until PqM).map(m => s"c$m").mkString(", ")}
+       |  FROM a0
+       |  ${(1 until PqM).map(m => s"JOIN a$m ON a$m.vec_id = a0.vec_id").mkString("\n  ")}),
+       |qs AS (SELECT vec_id AS query_id FROM qz WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qs.query_id, codes.vec_id, $score AS score
+       |  FROM codes CROSS JOIN qs
+       |  $lookupJoins
+       |  WHERE codes.vec_id <> qs.query_id),
+       |approx AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |  WHERE rank <= 5),
+       |exact AS (SELECT query_id, neighbor_id FROM ($CosineTopKSql)),
+       |hits AS (
+       |  SELECT a.query_id, COUNT(*) AS n_hits
+       |  FROM approx a
+       |  WHERE EXISTS (SELECT 1 FROM exact e
+       |    WHERE e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+       |  GROUP BY a.query_id)
+       |SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+       |  (CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0) AS recall
+       |FROM (SELECT DISTINCT query_id FROM exact) q
+       |LEFT JOIN hits ON hits.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
 }

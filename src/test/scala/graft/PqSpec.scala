@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Laws for the x88/x89 product-quantization tier. */
+class PqSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pq codes match a driver-side brute-force re-derivation") {
+    // independent path: plain Scala loops over the collected quantized
+    // vectors — same pinned cosine op order (dp/√n2/√sn2), same
+    // argmax tie-break (highest cosine, then lowest cid)
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 10000, 0) as bigint))").as("q"))
+      .as[(Long, Seq[Long])](org.apache.spark.sql.Encoders.product[(Long, Seq[Long])])
+      .collect().sortBy(_._1)
+    val byId = vecs.toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Long], b: Seq[Long]): Double =
+      dot(a, b).toDouble / math.sqrt(dot(a, a).toDouble) / math.sqrt(dot(b, b).toDouble)
+    def argmax(v: Seq[Long], cents: Seq[(Int, Seq[Long])]): Int =
+      cents.map { case (cid, s) => (cos(v, s), cid) }
+        .maxBy { case (c, cid) => (c, -cid) }._2
+    val expected = vecs.map { case (id, q) =>
+      val codes = (0 until Similarity.PqM).map { m =>
+        val slice = (v: Seq[Long]) =>
+          v.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
+        val seeds = (0 until Similarity.PqK).map(c => (c, slice(byId(100L + c))))
+        // round 1: assign everyone, rebuild centroids as exact sums
+        val members = vecs.map { case (vid, vq) => (vid, slice(vq)) }
+          .groupBy { case (_, vs) => argmax(vs, seeds) }
+        val cents = members.map { case (cid, vs) =>
+          (cid, vs.map(_._2.toSeq).toSeq.transpose.map(_.sum))
+        }.toSeq
+        argmax(slice(q), cents)
+      }
+      (id, codes)
+    }.toMap
+    val got = Similarity.pqCodes(spark, dir)
+      .select(col("vec_id"), array((0 until Similarity.PqM).map(m => col(s"c$m")): _*))
+      .as[(Long, Seq[Int])](org.apache.spark.sql.Encoders.product[(Long, Seq[Int])])
+      .collect().toMap
+    assert(got.keySet == expected.keySet)
+    val diffs = got.collect { case (id, c) if expected(id) != c => id }
+    assert(diffs.isEmpty, s"codes diverge for vec_ids ${diffs.take(5)}")
+  }
+
+  test("codes and sim stay in range; recall audit is one row per query") {
+    val codes = Similarity.pqCodes(spark, dir)
+    val bad = codes.filter(
+      (0 until Similarity.PqM).map(m =>
+        col(s"c$m") < 0 || col(s"c$m") >= Similarity.PqK).reduce(_ || _)
+        || col("sim") > Similarity.PqM || col("sim") < -Similarity.PqM)
+    assert(bad.count() == 0)
+    val recall = Similarity.pqAdcRecall(spark, dir).collect()
+    assert(recall.map(_.getLong(0)).toSeq == (0L until 10L),
+      "one row per query, in order")
+    assert(recall.forall { r =>
+      val h = r.getLong(1); h >= 0 && h <= 5 &&
+        r.getDouble(2) == h.toDouble / 5.0
+    })
+  }
+}
