@@ -148,6 +148,78 @@ object MetricStream {
         })
   }
 
+  /** One emitted alert transition: a CLOSED breached window with its
+    * ladder state.
+    */
+  case class AlertState(label_k: String, window_start_us: Long,
+      value: Double, alertstate: String)
+
+  /** Keyed ladder state: the one open window + the consecutive-breach
+    * run count (O(1) per series).
+    */
+  case class LadderState(openStartUs: Long, openCents: Long, run: Int)
+
+  /** Streaming alert state machine — upstream's pending→firing ladder
+    * (the p74 batch ALERTS series) as keyed state over CLOSED tumbling
+    * windows: per series, accumulate the window's counter total in
+    * exact cents; when a later-window event arrives the open window
+    * CLOSES — a breach (total > threshold) extends the consecutive-run
+    * counter, a quiet or sub-threshold window resets it — and every
+    * closed breached window emits `pending` (run < needK) or `firing`
+    * (run ≥ needK). Inactive windows emit nothing, exactly like
+    * upstream's ALERTS series.
+    *
+    * Determinism & state: per-batch rows are sorted by (event-time,
+    * event_id) — the engine's tiebreak — before folding, so replay
+    * order inside a batch cannot change transitions; state is ONE
+    * (openStart, cents, run) triple per series, O(series) total;
+    * a gap of ≥ 1 empty window resets the run in O(1) (empty windows
+    * cannot breach, so one reset stands in for all of them — no
+    * catch-up loop, silent series cost nothing). Late events older
+    * than the open window are dropped (the gauge op's convergence
+    * rule). Window close is driven by the series' own event-time
+    * progress (no wall-clock), so the same plan replays batch or
+    * streaming bit-identically.
+    */
+  def alertStateStream(events: DataFrame, metric: String = "purchase",
+      thresholdCents: Long = 500L, windowUs: Long = 86400000000L,
+      needK: Int = 3): Dataset[AlertState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    Metrics.metricEventsOf(events)
+      .filter(col("kind") === "counter" && col("value") >= 0 &&
+        col("name") === metric)
+      .select(col("name"), col("label_k"), col("value"),
+        unix_micros(col("ts")).as("tsUs"), col("event_id").as("eventId")).as[TsObs]
+      .groupByKey(o => SeriesKey(o.name, o.label_k))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: SeriesKey, rows: Iterator[TsObs], state: GroupState[LadderState]) => {
+          val out = scala.collection.mutable.ArrayBuffer[AlertState]()
+          var cur = state.getOption.orNull
+          rows.toSeq.sortBy(o => (o.tsUs, o.eventId)).foreach { o =>
+            val w = math.floorDiv(o.tsUs, windowUs) * windowUs
+            if (cur == null) cur = LadderState(w, 0L, 0)
+            if (w > cur.openStartUs) {
+              // close the open window
+              val breach = cur.openCents > thresholdCents
+              val run = if (breach) cur.run + 1 else 0
+              if (breach) out += AlertState(key.label_k, cur.openStartUs,
+                cur.openCents / 100.0,
+                if (run >= needK) "firing" else "pending")
+              // any fully-empty window between close and w resets the run
+              val runAfterGap =
+                if (w > cur.openStartUs + windowUs) 0 else run
+              cur = LadderState(w, 0L, runAfterGap)
+            }
+            if (w == cur.openStartUs)
+              cur = cur.copy(openCents = cur.openCents + math.round(o.value * 100))
+            // w < openStart: late event behind the open window — dropped
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+        })
+  }
+
   /** Streaming sessionization: watermarked `session_window` per series —
     * the streaming twin of the batch `b16` sessionize. Events of a
     * series gapped ≤ `gap` merge into one session; in Append mode a

@@ -975,6 +975,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming alert ladder: pending at onset, firing when sustained, gap resets") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = 86400000L // one day in ms (fixture ev() takes ms offsets)
+    // a: breaches days 0-4 -> pending, pending, then firing from day 2
+    // b: breaches days 0,1, SILENT day 2 (gap reset), breaches days 3,4
+    // c: active but below threshold -> never emits
+    // day-5 sentinels (value 0, below threshold) close each day-4 window
+    val rows = (0 to 4).flatMap { day =>
+      Seq(ev(day, day * d, "purchase", 10.0, "a"),
+        ev(100 + day, day * d, "purchase", 1.0, "c")) ++
+        (if (day == 2) Nil else Seq(ev(200 + day, day * d, "purchase", 9.0, "b")))
+    } ++ Seq(ev(500, 5 * d, "purchase", 0.0, "a"),
+      ev(501, 5 * d, "purchase", 0.0, "b"),
+      ev(502, 5 * d, "purchase", 0.0, "c"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val out = graft.streaming.MetricStream.alertStateStream(
+      mem.toDF().toDF(eventCols: _*), thresholdCents = 500L, needK = 3)
+    val q = out.writeStream.format("memory").queryName("alert_ladder")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (h, t) = rows.splitAt(rows.length / 2)
+      mem.addData(h: _*)
+      q.processAllAvailable()
+      mem.addData(t: _*)
+      q.processAllAvailable()
+      val got = spark.table("alert_ladder")
+        .select($"label_k", $"window_start_us", $"alertstate")
+        .as[(String, Long, String)].collect().toSet
+      val t0us = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+      def wday(n: Int) = {
+        val us = t0us + n * d * 1000L
+        math.floorDiv(us, 86400000000L) * 86400000000L
+      }
+      assert(got === Set(
+        ("a", wday(0), "pending"), ("a", wday(1), "pending"),
+        ("a", wday(2), "firing"), ("a", wday(3), "firing"),
+        ("a", wday(4), "firing"),
+        ("b", wday(0), "pending"), ("b", wday(1), "pending"),
+        ("b", wday(3), "pending"), ("b", wday(4), "pending")))
+    } finally q.stop()
+  }
+
   test("streaming classifier gate equals batch x86 bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
