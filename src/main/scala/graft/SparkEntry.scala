@@ -422,6 +422,9 @@ object SparkEntry {
     // audit vs the exact top-k -- the billion-vector ANN memory story
     "x88_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
     "x89_pq_adc_recall" -> ((s, d) => Similarity.pqAdcRecall(s, d)),
+    // the assembled IVF-PQ search path: coarse nprobe=2 pruning + ADC
+    // re-rank from codes alone, with candidate count + recall per query
+    "x91_ivfpq_search" -> ((s, d) => Similarity.ivfPqSearch(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
     // per-group centroid-distance outlier scoring (mislabel/noise audit)
@@ -486,6 +489,9 @@ object SparkEntry {
     "x81_byte_entropy" -> ((s, d) => Multimodal.byteEntropy(s, d)),
     // codec-free binary near-dup via 64-byte block hashes
     "x50_binary_blockdup" -> ((s, d) => Multimodal.binaryBlockDup(s, d)),
+    // perceptual dHash near-dup: 4x9 pixel-sum grid -> 32-bit difference
+    // hash, 8-bit-banded candidates, exact bit_count hamming
+    "x92_phash_neardup" -> ((s, d) => Multimodal.phashNeardup(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -787,6 +793,7 @@ object SparkEntry {
     "x25_ann_recall" -> Similarity.AnnRecallSql,
     "x88_pq_codes" -> Similarity.PqCodesSql,
     "x89_pq_adc_recall" -> Similarity.PqAdcRecallSql,
+    "x91_ivfpq_search" -> Similarity.IvfPqSearchSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,
     "x46_embedding_covariance" -> Similarity.EmbeddingCovarianceSql,
@@ -814,5 +821,6 @@ object SparkEntry {
     "x22_byte_histogram" -> Multimodal.ByteHistogramSql,
     "x81_byte_entropy" -> Multimodal.ByteEntropySql,
     "x50_binary_blockdup" -> Multimodal.BinaryBlockDupSql,
+    "x92_phash_neardup" -> Multimodal.PhashNeardupSql,
   )
 }

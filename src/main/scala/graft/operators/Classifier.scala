@@ -117,11 +117,25 @@ object Classifier {
   private def sigmoidCol(m: Column): Column =
     lit(1.0) / (lit(1.0) + DetMathExprs.detExp2C(-(m * lit(Log2E))))
 
+  /** Trained trajectories are pure values of (session, sf) — cached so
+    * the family (x85/x86/x87/x90 and the spec laws) trains once per
+    * session instead of once per query. O(Rounds·d) doubles of driver
+    * memory per entry.
+    */
+  private val trainCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Array[Double]]]()
+
   /** Run the fixed-round GD loop; returns the weight vector AFTER each
     * round (length [[Rounds]]). Driver traffic is one 6-value row per
     * round; the update arithmetic mirrors the SQL twin op-for-op.
     */
-  def train(spark: SparkSession, dir: String): Seq[Array[Double]] = {
+  def train(spark: SparkSession, dir: String): Seq[Array[Double]] =
+    trainCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => trainCache.remove(k))
+      trainUncached(spark, dir)
+    })
+
+  private def trainUncached(spark: SparkSession, dir: String): Seq[Array[Double]] = {
     DetMathExprs.register(spark)
     val f = features(spark, dir).localCheckpoint()
     var w = Array.fill(D)(0.0)

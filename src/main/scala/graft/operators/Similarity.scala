@@ -1523,6 +1523,21 @@ object Similarity {
   val PqSubDim = 16
   val PqK = 16
 
+  /** (vec_id, codes, cosines) and the per-subspace codebooks are
+    * shared by x88/x89/x91 — cached per (session, sf) like the
+    * quantized scan itself.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Drop this session's cached PQ relations. */
+  def unpersistPq(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    pqCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(pqCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
   /** Per-subspace 2-round Lloyd under ANGULAR assignment — the x35
     * recipe applied to each dim slice: integer subvectors, cosine
     * argmax (member count cancels, so centroid updates stay exact
@@ -1534,7 +1549,13 @@ object Similarity {
     * downstream use (cosine ANN, x6/x7/x15) is angular anyway.
     * Returns (vec_id, c0..c{M−1}, cos0..cos{M−1}).
     */
-  private def pqAssignments(spark: SparkSession, dir: String): DataFrame = {
+  private def pqAssignments(spark: SparkSession, dir: String): DataFrame =
+    pqCache.computeIfAbsent((spark, dir, "codes"), k => {
+      SessionCaches.onApplicationEnd(spark)(() => pqCache.remove(k))
+      pqAssignmentsUncached(spark, dir).persist()
+    })
+
+  private def pqAssignmentsUncached(spark: SparkSession, dir: String): DataFrame = {
     val base = quantized(spark, dir).select(col("vec_id"), col("q"))
     (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
@@ -1596,13 +1617,19 @@ object Similarity {
     * touched after coding; the per-(query, code-combination) cosine
     * table (|queries|·K·M rows) broadcasts.
     */
-  def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
-    val codes = pqAssignments(spark, dir)
-      .select((Seq(col("vec_id")) ++ (0 until PqM).map(m => col(s"c$m"))): _*)
+  /** The per-subspace codebooks (round-1-updated centroids — the same
+    * relation the final assignment scores against), unioned as
+    * (m, cid, s, sn2).
+    */
+  private def pqBooks(spark: SparkSession, dir: String): DataFrame =
+    pqCache.computeIfAbsent((spark, dir, "books"), k => {
+      SessionCaches.onApplicationEnd(spark)(() => pqCache.remove(k))
+      pqBooksUncached(spark, dir).persist()
+    })
+
+  private def pqBooksUncached(spark: SparkSession, dir: String): DataFrame = {
     val base = quantized(spark, dir).select(col("vec_id"), col("q"))
-    // per-subspace codebooks (the round-1-updated centroids — the same
-    // relation the final assignment scored against)
-    val books = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val vecs = base
         .withColumn("qm", expr(s"slice(q, $lo, $PqSubDim)"))
@@ -1626,7 +1653,14 @@ object Similarity {
         .withColumn("sn2", graft.plans.IntDotExpr.intDot(spark, "s", "s"))
         .select(lit(m).as("m"), col("cell").as("cid"), col("s"), col("sn2"))
     }.reduce(_ unionAll _)
-    // query slices × codebook entries → the ADC lookup table
+  }
+
+  /** The ADC lookup tables for the query set, per subspace: one frame
+    * of (query_id, c_m, t_m) per m — |queries|·K rows each, broadcast
+    * at every use site.
+    */
+  private def pqQueryTables(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    val base = quantized(spark, dir).select(col("vec_id"), col("q"))
     val queries = base.filter(col("vec_id") < 10)
     val qSlices = (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
@@ -1634,26 +1668,32 @@ object Similarity {
         expr(s"slice(q, $lo, $PqSubDim)").as("qm"))
         .withColumn("qn2", graft.plans.IntDotExpr.intDot(spark, "qm", "qm"))
     }.reduce(_ unionAll _)
-    val table = qSlices.join(broadcast(books), "m")
+    val table = qSlices.join(broadcast(pqBooks(spark, dir)), "m")
       .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qm", "s"))
       .withColumn("c", col("dp").cast("double") /
         sqrt(col("qn2").cast("double")) / sqrt(col("sn2").cast("double")))
       .select(col("query_id"), col("m"), col("cid"), col("c"))
-    // score every (query, neighbor) from the table alone: 4 lookups
-    val lookups = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       table.filter(col("m") === m)
         .select(col("query_id"), col("cid").as(s"c$m"), col("c").as(s"t$m"))
     }
-    val scored = lookups.zipWithIndex.foldLeft(
-      codes.crossJoin(broadcast(queries.select(col("vec_id").as("query_id"))))
-        .filter(col("query_id") =!= col("vec_id"))) { case (acc, (lk, m)) =>
-      acc.join(broadcast(lk), Seq("query_id", s"c$m"))
+  }
+
+  /** ADC-score a candidate relation (query_id, vec_id, c0..c{M−1})
+    * from the lookup tables alone — 4 broadcast equi-joins + a pinned
+    * sum; the corpus embedding is never touched.
+    */
+  private def adcScore(spark: SparkSession, dir: String,
+      candidates: DataFrame): DataFrame =
+    pqQueryTables(spark, dir).zipWithIndex.foldLeft(candidates) {
+      case (acc, (lk, m)) => acc.join(broadcast(lk), Seq("query_id", s"c$m"))
     }.withColumn("score", (0 until PqM).map(m => col(s"t$m")).reduceLeft(_ + _))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    val approx = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+  /** Per-query recall of an approximate (query_id, neighbor_id) top-5
+    * against the exact cosine top-5.
+    */
+  private def recallVsExact(spark: SparkSession, dir: String,
+      approx: DataFrame): DataFrame = {
     val exact = cosineTopK(spark, dir)
       .select(col("query_id"), col("neighbor_id"))
     approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
@@ -1662,6 +1702,65 @@ object Similarity {
       .na.fill(0L, Seq("n_hits"))
       .select(col("query_id"), col("n_hits"),
         (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  def pqAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    val codes = pqAssignments(spark, dir)
+      .select((Seq(col("vec_id")) ++ (0 until PqM).map(m => col(s"c$m"))): _*)
+    val queries = quantized(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"))
+    val candidates = codes.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+    val scored = adcScore(spark, dir, candidates)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    recallVsExact(spark, dir, approx)
+  }
+
+  /** x91: the full IVF-PQ search path — the billion-vector serving
+    * design assembled from its two layers: x15's coarse quantizer
+    * prunes the corpus to the query's `nprobe = 2` best cells, then
+    * ADC re-ranks the survivors from 4-byte codes alone. Per query the
+    * scan is |probed cells| candidate CODE rows (no embedding travels;
+    * at 1 B vectors and 8 cells, nprobe 2 touches ~25 % of a 4 GB code
+    * table instead of 256 GB of floats); output = candidate count,
+    * exact-top-5 hits, recall — the coarse-pruning recall degradation
+    * vs x89's exhaustive-ADC audit is the number that sizes nprobe.
+    */
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val centroids = q.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val cscores = q.crossJoin(broadcast(centroids))
+      .withColumn("cdp", graft.plans.IntDotExpr.intDot(spark, "q", "cq"))
+      .withColumn("cscore", col("cdp").cast("double") /
+        sqrt(col("n2").cast("double")) / sqrt(col("cn2").cast("double")))
+      .withColumn("crn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cscore").desc, col("cid"))))
+    val cells = cscores.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = cscores.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val codes = pqAssignments(spark, dir)
+      .select((Seq(col("vec_id")) ++ (0 until PqM).map(m => col(s"c$m"))): _*)
+      .join(cells, "vec_id")
+    val candidates = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val scored = adcScore(spark, dir, candidates)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val nCand = candidates.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    recallVsExact(spark, dir, approx)
+      .join(nCand, Seq("query_id"), "left").na.fill(0L, Seq("n_candidates"))
+      .select(col("query_id"), col("n_candidates"), col("n_hits"), col("recall"))
       .orderBy(col("query_id"))
   }
 
@@ -1730,8 +1829,9 @@ object Similarity {
        |ORDER BY a0.vec_id""".stripMargin
   }
 
-  lazy val PqAdcRecallSql: String = {
-    val tableCtes = (0 until PqM).map { m =>
+  /** ADC lookup-table CTEs `t0..t{M−1}` (mirror [[pqQueryTables]]). */
+  private def adcTableCtes: Seq[String] =
+    (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val hi = lo + PqSubDim - 1
       s"""t$m AS (
@@ -1743,22 +1843,22 @@ object Similarity {
          |      / sqrt(CAST(c.sn2 AS DOUBLE)) AS c
          |  FROM qz CROSS JOIN cent$m c WHERE qz.vec_id < 10)""".stripMargin
     }
-    val lookupJoins = (0 until PqM).map(m =>
-      s"JOIN t$m ON t$m.query_id = qs.query_id AND t$m.cid = codes.c$m").mkString("\n  ")
-    val score = (0 until PqM).map(m => s"t$m.c").reduceLeft((a, b) => s"($a + $b)")
-    s"""WITH ${pqCtes.mkString(",\n")},
-       |${tableCtes.mkString(",\n")},
-       |codes AS (
+
+  private def codesCte: String =
+    s"""codes AS (
        |  SELECT a0.vec_id AS vec_id, ${(0 until PqM).map(m => s"c$m").mkString(", ")}
        |  FROM a0
-       |  ${(1 until PqM).map(m => s"JOIN a$m ON a$m.vec_id = a0.vec_id").mkString("\n  ")}),
-       |qs AS (SELECT vec_id AS query_id FROM qz WHERE vec_id < 10),
-       |scored AS (
-       |  SELECT qs.query_id, codes.vec_id, $score AS score
-       |  FROM codes CROSS JOIN qs
-       |  $lookupJoins
-       |  WHERE codes.vec_id <> qs.query_id),
-       |approx AS (
+       |  ${(1 until PqM).map(m => s"JOIN a$m ON a$m.vec_id = a0.vec_id").mkString("\n  ")})""".stripMargin
+
+  private def adcScoreSql: String =
+    (0 until PqM).map(m => s"t$m.c").reduceLeft((a, b) => s"($a + $b)")
+
+  /** approx-top-5 + hits + final recall projection shared by the two
+    * ADC audits; `extraSelect`/`extraJoin` let x91 add its candidate
+    * count.
+    */
+  private def recallTail(extraSelect: String = "", extraJoin: String = ""): String =
+    s"""approx AS (
        |  SELECT query_id, vec_id AS neighbor_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, vec_id) AS rank FROM scored)
@@ -1770,10 +1870,58 @@ object Similarity {
        |  WHERE EXISTS (SELECT 1 FROM exact e
        |    WHERE e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
        |  GROUP BY a.query_id)
-       |SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+       |SELECT q.query_id,$extraSelect COALESCE(n_hits, 0) AS n_hits,
        |  (CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5.0) AS recall
        |FROM (SELECT DISTINCT query_id FROM exact) q
-       |LEFT JOIN hits ON hits.query_id = q.query_id
+       |LEFT JOIN hits ON hits.query_id = q.query_id$extraJoin
        |ORDER BY q.query_id""".stripMargin
+
+  lazy val PqAdcRecallSql: String = {
+    val lookupJoins = (0 until PqM).map(m =>
+      s"JOIN t$m ON t$m.query_id = qs.query_id AND t$m.cid = codes.c$m").mkString("\n  ")
+    s"""WITH ${pqCtes.mkString(",\n")},
+       |${adcTableCtes.mkString(",\n")},
+       |$codesCte,
+       |qs AS (SELECT vec_id AS query_id FROM qz WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qs.query_id, codes.vec_id, $adcScoreSql AS score
+       |  FROM codes CROSS JOIN qs
+       |  $lookupJoins
+       |  WHERE codes.vec_id <> qs.query_id),
+       |${recallTail()}""".stripMargin
+  }
+
+  lazy val IvfPqSearchSql: String = {
+    val lookupJoins = (0 until PqM).map(m =>
+      s"JOIN t$m ON t$m.query_id = cand.query_id AND t$m.cid = cand.c$m").mkString("\n  ")
+    s"""WITH ${pqCtes.mkString(",\n")},
+       |${adcTableCtes.mkString(",\n")},
+       |$codesCte,
+       |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qz
+       |          WHERE vec_id BETWEEN 100 AND 107),
+       |csc AS (
+       |  SELECT qz.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> qz.q[i] * c.cq[i])) AS DOUBLE)
+       |      / sqrt(CAST(qz.n2 AS DOUBLE)) / sqrt(CAST(c.cn2 AS DOUBLE)) AS cscore
+       |  FROM qz CROSS JOIN cents c),
+       |crank AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY cscore DESC, cid) AS rn FROM csc),
+       |cells AS (SELECT vec_id, cid AS cell FROM crank WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM crank
+       |           WHERE vec_id < 10 AND rn <= 2),
+       |cand AS (
+       |  SELECT p.query_id, k.vec_id, ${(0 until PqM).map(m => s"k.c$m").mkString(", ")}
+       |  FROM codes k
+       |  JOIN cells ce ON ce.vec_id = k.vec_id
+       |  JOIN probes p ON p.cell = ce.cell
+       |  WHERE p.query_id <> k.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id, $adcScoreSql AS score
+       |  FROM cand
+       |  $lookupJoins),
+       |ncand AS (SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id),
+       |${recallTail(" COALESCE(n_candidates, 0) AS n_candidates,",
+      "\nLEFT JOIN ncand ON ncand.query_id = q.query_id")}""".stripMargin
   }
 }

@@ -65,4 +65,19 @@ class PqSpec extends SparkTestBase {
         r.getDouble(2) == h.toDouble / 5.0
     })
   }
+
+  test("ivf-pq prunes to roughly nprobe/ncells of the corpus") {
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val rows = Similarity.ivfPqSearch(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
+    rows.foreach { r =>
+      val cand = r.getLong(1)
+      // nprobe = 2 of 8 cells → expect ~25 % of the corpus; allow a
+      // wide band for cell-size skew, but candidates must neither
+      // vanish nor approach exhaustive search
+      assert(cand > n / 10 && cand < n * 6 / 10,
+        s"query ${r.getLong(0)}: $cand candidates of $n")
+      assert(r.getLong(2) <= 5 && r.getDouble(3) == r.getLong(2).toDouble / 5.0)
+    }
+  }
 }
