@@ -492,6 +492,9 @@ object SparkEntry {
     // perceptual dHash near-dup: 4x9 pixel-sum grid -> 32-bit difference
     // hash, 8-bit-banded candidates, exact bit_count hamming
     "x92_phash_neardup" -> ((s, d) => Multimodal.phashNeardup(s, d)),
+    // token-level decontamination: the frozen-BPE id-sequence 5-gram
+    // overlap vs the src0 eval slice -- what the MODEL sees, not words
+    "x93_token_contamination" -> ((s, d) => TextAnalysis.tokenContamination(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -822,5 +825,6 @@ object SparkEntry {
     "x81_byte_entropy" -> Multimodal.ByteEntropySql,
     "x50_binary_blockdup" -> Multimodal.BinaryBlockDupSql,
     "x92_phash_neardup" -> Multimodal.PhashNeardupSql,
+    "x93_token_contamination" -> TextAnalysis.TokenContaminationSql,
   )
 }

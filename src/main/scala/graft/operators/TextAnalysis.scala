@@ -2226,6 +2226,98 @@ object TextAnalysis {
           .as("fertility"))
       .orderBy(col("lang"))
 
+  /** x93: TOKEN-level decontamination — x20/x48 check word-shingle
+    * overlap, but eval contamination is judged on what the MODEL sees:
+    * token-id sequences under the frozen tokenizer. A paraphrase that
+    * re-spaces or re-punctuates can slip a word-3-gram check yet
+    * tokenize back to the same id run (and vice versa: BPE merges make
+    * token grams cross word boundaries). Here every document is
+    * encoded with the frozen x73 BPE (8 rounds), its ordered id
+    * sequence sliced into token 5-grams (md5'd — the digest shuffles,
+    * the ids don't), the `src0` slice stands in for the eval suite
+    * (the x20 convention), and each corpus doc reports the fraction of
+    * its DISTINCT token grams that appear anywhere in the eval set.
+    *
+    * Scale shape: the eval gram set is eval-suite-sized (broadcast
+    * left-semi, the x20 shape); the encode is one broadcast vocab
+    * join; grams are per-doc HOFs — nothing corpus² anywhere. Docs
+    * shorter than 5 tokens (after vocab intersection) drop, as do
+    * docs whose words never entered the trainer vocabulary.
+    */
+  def tokenContamination(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeTrainState(spark, dir, BpeEncodeRounds)
+    val enc = vocab.select(col("w0").as("word"),
+      expr("transform(sequence(1, length(w)), i -> " +
+        s"CASE WHEN ascii(substring(w, i, 1)) >= $BpeSymbolBase " +
+        s"THEN 256 + ascii(substring(w, i, 1)) - $BpeSymbolBase " +
+        "ELSE ascii(substring(w, i, 1)) END)").as("ids"))
+    val docIds = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) >= 1)
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("flatten(transform(sort_array(collect_list(struct(pos, ids))), x -> x.ids))")
+        .as("ids"))
+      .filter(size(col("ids")) >= 5)
+    val grams = docIds.select(col("doc_id"), col("source"),
+      explode(expr(
+        "transform(sequence(0, size(ids) - 5), j -> " +
+          "md5(array_join(transform(slice(ids, j + 1, 5), x -> cast(x as string)), '-')))"))
+        .as("g"))
+      .distinct()
+    val eval = grams.filter(col("source") === "src0").select(col("g")).distinct()
+    val corpus = grams.filter(col("source") =!= "src0")
+    val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(eval), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    tot.join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams").cast("double"))
+          .as("token_contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val TokenContaminationSql: String =
+    s"""WITH ${bpeStagesSql(BpeEncodeRounds, carryW0 = true)},
+       |enc AS (
+       |  SELECT w0 AS word,
+       |    list_transform(generate_series(1, len(w)), i ->
+       |      CASE WHEN unicode(w[i]) >= $BpeSymbolBase
+       |           THEN 256 + unicode(w[i]) - $BpeSymbolBase
+       |           ELSE unicode(w[i]) END) AS ids
+       |  FROM words$BpeEncodeRounds),
+       |docw AS (
+       |  SELECT doc_id, source, i AS pos, toks[i] AS word
+       |  FROM (SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS toks
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+       |  WHERE len(toks[i]) >= 1),
+       |seq AS (
+       |  SELECT doc_id, source, flatten(list(ids ORDER BY pos)) AS ids
+       |  FROM (SELECT doc_id, source, pos, ids FROM docw JOIN enc USING (word))
+       |  GROUP BY doc_id, source
+       |  HAVING len(flatten(list(ids ORDER BY pos))) >= 5),
+       |g AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    md5(array_to_string(list_transform(ids[jj + 1 : jj + 5],
+       |      x -> CAST(x AS VARCHAR)), '-')) AS g
+       |  FROM seq, LATERAL (SELECT unnest(generate_series(0, len(ids) - 5)) AS jj)),
+       |ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+       |corp AS (SELECT doc_id, g FROM g WHERE source <> 'src0'),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY doc_id),
+       |hits AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_hits
+       |  FROM corp c
+       |  WHERE EXISTS (SELECT 1 FROM ev e WHERE e.g = c.g)
+       |  GROUP BY c.doc_id)
+       |SELECT tot.doc_id AS doc_id, n_grams, COALESCE(n_hits, 0) AS n_hits,
+       |  (CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE))
+       |    AS token_contamination
+       |FROM tot
+       |LEFT JOIN hits ON hits.doc_id = tot.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   // lazy: BpeEncodeSql is declared later in this object (plain vals
   // initialize in declaration order; a forward reference interpolates null)
   lazy val BpeFertilitySql: String =
