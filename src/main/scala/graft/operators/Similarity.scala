@@ -1102,6 +1102,60 @@ object Similarity {
        |FROM ranked
        |ORDER BY vec_id""".stripMargin
 
+  /** Frozen state for the STREAMING semantic-dedup admission gate: the
+    * trained centroid relation (x35's round-1-updated centroids — the
+    * same relation [[kmeansAssignments]] scores against) plus each
+    * cell's has-core flag (∃ member at cosine ≥ τ), packed into ONE
+    * dense-array row (the dsirModel shape) so scoring broadcasts a
+    * single row and runs entirely in-row.
+    */
+  def semanticGateModel(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+    val seeds = q.filter(col("vec_id").between(100, 100 + KmeansK - 1))
+      .select((col("vec_id") - 100).cast("int").as("cid"),
+        col("q").as("s"), col("n2").as("sn2"))
+    val cent1 = updatedCentroids(spark, assignTo(spark, q, seeds))
+    val core = kmeansAssignments(spark, dir)
+      .groupBy(col("cell"))
+      .agg(max(when(col("cosine") >= SemanticTau, true).otherwise(false))
+        .as("has_core"))
+    cent1.join(core, cent1("cid") === core("cell"), "left")
+      .na.fill(false, Seq("has_core"))
+      .agg(expr("sort_array(collect_list(named_struct(" +
+        "'cell', cid, 's', s, 'sn2', sn2, 'has_core', has_core)))").as("model"))
+  }
+
+  /** STREAMING semantic-dedup admission — SemDeDup (x36) at ingest:
+    * a new embedding is quantized in-row (the exact ten-thousandth
+    * rule), scored against ALL K frozen centroids with nested in-row
+    * folds (exact integer dots, the file's pinned cosine chain),
+    * argmax'd by (cosine, lowest cell) — the same tie-break as the
+    * batch assignment — and ADMITTED unless it lands in an existing
+    * semantic core (cosine ≥ τ in a cell that already has core
+    * members). No explode, no aggregation, no state: the identical
+    * plan runs batch or streaming (append mode, no watermark) against
+    * the one-row broadcast model. This is the incremental-curation
+    * contract (x32's): redundant-with-the-SNAPSHOT is rejected;
+    * genuinely new directions are admitted until the clustering is
+    * re-trained. `StreamingSpec` pins gate ≡ batch x36 core
+    * membership ≡ streamed run bit-for-bit.
+    */
+  def semanticGate(vecs: DataFrame, model: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(model))
+      .withColumn("_q", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000, 0) as bigint))"))
+      .withColumn("_n2", expr("aggregate(_q, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("_best", expr(
+        "array_max(transform(model, c -> named_struct(" +
+          "'cosine', cast(aggregate(sequence(1, size(_q)), 0L, " +
+          "(acc, i) -> acc + element_at(_q, i) * element_at(c.s, i)) as double)" +
+          " / sqrt(cast(_n2 as double)) / sqrt(cast(c.sn2 as double)), " +
+          "'negcell', -c.cell, 'cell', c.cell, 'has_core', c.has_core)))"))
+      .select(col("vec_id"), col("_best.cell").as("cell"),
+        col("_best.cosine").as("cosine"),
+        (!(col("_best.cosine") >= SemanticTau && col("_best.has_core")))
+          .as("admit"))
+
   /** x34: int8 quantization with a per-vector symmetric scale (the
     * standard embedding-storage compression: 4× smaller than float32,
     * dot products stay SIMD-able) plus an exact reconstruction-error

@@ -1017,6 +1017,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming semantic-dedup gate equals batch core membership bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.operators.Similarity.semanticGateModel(spark, dir)
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val local = graft.operators.Similarity.semanticGate(vecs, model)
+      .as[(Long, Int, Double, Boolean)].collect().toSet
+    assert(local.nonEmpty)
+    // batch law: scored against the SAME frozen centroids, the gate's
+    // (cell, cosine) IS the batch assignment, and admit == NOT core
+    val batch = graft.operators.Similarity.kmeansAssignments(spark, dir)
+      .select($"vec_id", $"cell", $"cosine",
+        !($"cosine" >= graft.operators.Similarity.SemanticTau))
+      .as[(Long, Int, Double, Boolean)].collect().toSet
+    assert(local === batch,
+      "in-row argmax diverges from the batch max_by assignment")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = graft.operators.Similarity.semanticGate(
+      mem.toDF().toDF("vec_id", "embedding"), model)
+    val q = out.writeStream.format("memory").queryName("semantic_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = vecs.as[(Long, Seq[Float])].collect()
+      mem.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("semantic_gate")
+        .as[(Long, Int, Double, Boolean)].collect().toSet
+      assert(streamed === local)
+    } finally q.stop()
+  }
+
   test("streaming classifier gate equals batch x86 bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
