@@ -495,6 +495,9 @@ object SparkEntry {
     // token-level decontamination: the frozen-BPE id-sequence 5-gram
     // overlap vs the src0 eval slice -- what the MODEL sees, not words
     "x93_token_contamination" -> ((s, d) => TextAnalysis.tokenContamination(s, d)),
+    // release-to-release diff manifest: added/removed/changed/unchanged
+    // per source from content digests, with verifiable id-set digests
+    "x94_snapshot_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -826,5 +829,6 @@ object SparkEntry {
     "x50_binary_blockdup" -> Multimodal.BinaryBlockDupSql,
     "x92_phash_neardup" -> Multimodal.PhashNeardupSql,
     "x93_token_contamination" -> TextAnalysis.TokenContaminationSql,
+    "x94_snapshot_diff" -> TextAnalysis.SnapshotDiffSql,
   )
 }

@@ -2226,6 +2226,73 @@ object TextAnalysis {
           .as("fertility"))
       .orderBy(col("lang"))
 
+  /** x94: the release-to-release DIFF manifest — what a dataset v2
+    * publishes next to x56's shard manifest: every document classified
+    * added / removed / changed / unchanged between two corpus
+    * snapshots, rolled up per source with a verifiable digest of each
+    * class's id set. The diff is computed HONESTLY from content
+    * digests (full-outer join of per-snapshot md5 relations — the
+    * simulation rule below only BUILDS the prior, it never classifies);
+    * the prior snapshot is simulated on the one driver table by the
+    * x32 convention: doc_id % 10 == 8 docs are missing from the prior
+    * (→ added), % 10 == 9 docs are missing from the CURRENT release
+    * (→ removed), % 10 == 7 docs carried a half-truncated text in the
+    * prior (→ changed — the re-crawl-extended-the-page case).
+    *
+    * Scale: two digest projections (32 B/doc) + one full-outer
+    * digest join + one per-(source, class) hash aggregate — text never
+    * shuffles; the class digests make the manifest row itself
+    * verifiable against either snapshot.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val prior = docs.filter(col("doc_id") % 10 =!= 8)
+      .select(col("doc_id"), col("source").as("source_a"),
+        md5(when(col("doc_id") % 10 === 7,
+          expr("substr(text, 1, cast(length(text) div 2 as int))"))
+          .otherwise(col("text"))).as("fp_a"))
+    val curr = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), col("source").as("source_b"),
+        md5(col("text")).as("fp_b"))
+    prior.join(curr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("source_b"), col("source_a")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("change"))
+      .groupBy(col("source"), col("change"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("md5(array_join(transform(sort_array(collect_list(doc_id)), " +
+          "x -> cast(x as string)), '|'))").as("ids_md5"))
+      .orderBy(col("source"), col("change"))
+  }
+
+  val SnapshotDiffSql: String =
+    """WITH prior AS (
+      |  SELECT doc_id, source AS source_a,
+      |    md5(CASE WHEN doc_id % 10 = 7
+      |             THEN substr(text, 1, CAST(length(text) // 2 AS INT))
+      |             ELSE text END) AS fp_a
+      |  FROM documents WHERE doc_id % 10 <> 8),
+      |curr AS (
+      |  SELECT doc_id, source AS source_b, md5(text) AS fp_b
+      |  FROM documents WHERE doc_id % 10 <> 9),
+      |f AS (
+      |  SELECT COALESCE(prior.doc_id, curr.doc_id) AS doc_id,
+      |    COALESCE(source_b, source_a) AS source,
+      |    CASE WHEN fp_a IS NULL THEN 'added'
+      |         WHEN fp_b IS NULL THEN 'removed'
+      |         WHEN fp_a <> fp_b THEN 'changed'
+      |         ELSE 'unchanged' END AS change
+      |  FROM prior FULL OUTER JOIN curr USING (doc_id))
+      |SELECT source, change, COUNT(*) AS n_docs,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id)) AS ids_md5
+      |FROM f
+      |GROUP BY source, change
+      |ORDER BY source, change""".stripMargin
+
   /** x93: TOKEN-level decontamination — x20/x48 check word-shingle
     * overlap, but eval contamination is judged on what the MODEL sees:
     * token-id sequences under the frozen tokenizer. A paraphrase that
