@@ -413,4 +413,36 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
+
+  test("streaming classifier gate is a single stateless stage: no exchange at all") {
+    import org.apache.spark.sql.functions.col
+    val w = graft.operators.Classifier.train(spark, dir).last
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val df = graft.operators.Classifier.classifierGateStream(docs, w)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"),
+      "the row-local gate plan acquired a shuffle — it can no longer stream statelessly")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the gate plan acquired a join — weights must stay literals")
+  }
+
+  test("x88: PQ codebook assignment broadcasts centroids; no cartesian on the corpus") {
+    val p = plan("x88_pq_codes")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid relations are not broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "a K-row centroid join degraded to a partitioned cartesian")
+  }
+
+  test("x92: the Hamming cut folds into the banded join, never a post-join filter stage") {
+    val p = plan("x92_phash_neardup")
+    assert(p.contains("bit_count"), "hamming not computed in the plan")
+    assert(!p.contains("CartesianProduct"))
+    // the pair join must be keyed on the band columns (hash or
+    // broadcast-hash on band_k/band_v), not an all-pairs loop join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "banded candidate join lost its equi-join keys")
+  }
 }
