@@ -498,6 +498,9 @@ object SparkEntry {
     // release-to-release diff manifest: added/removed/changed/unchanged
     // per source from content digests, with verifiable id-set digests
     "x94_snapshot_diff" -> ((s, d) => TextAnalysis.snapshotDiff(s, d)),
+    // PSI drift between the x94 releases per source: did the corpus
+    // SHAPE move, not just its membership
+    "x95_release_drift" -> ((s, d) => TextAnalysis.releaseDrift(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -830,5 +833,6 @@ object SparkEntry {
     "x92_phash_neardup" -> Multimodal.PhashNeardupSql,
     "x93_token_contamination" -> TextAnalysis.TokenContaminationSql,
     "x94_snapshot_diff" -> TextAnalysis.SnapshotDiffSql,
+    "x95_release_drift" -> TextAnalysis.ReleaseDriftSql,
   )
 }

@@ -2293,6 +2293,101 @@ object TextAnalysis {
       |GROUP BY source, change
       |ORDER BY source, change""".stripMargin
 
+  /** x95: release drift — the population-stability index (PSI) between
+    * the x94 snapshots, per source: token-length distributions binned
+    * (width 10, capped at 20 — 21 bins), add-one smoothed shares, and
+    * `PSI = Σ (q_i − p_i)·log2(q_i/p_i)` in BITS through DetMath (the
+    * engine-wide no-libm rule; the classic PSI uses ln — one constant
+    * factor away, stated here so thresholds translate). This is the
+    * companion to x94's id-level diff: x94 says WHICH docs changed,
+    * x95 says whether the SHAPE of the corpus moved (a re-crawl that
+    * doubles average page length shifts every downstream filter).
+    *
+    * Determinism: exact bin counts, one divide per share, one divide +
+    * det_log2 + multiply per term, nano-bit BIGINT term sums. Scale:
+    * two skinny scans + one (source, bin) hash aggregate; the bin
+    * relation is O(sources · 21).
+    */
+  def releaseDrift(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.DetMathExprs.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_toks"),
+        expr("size(split(trim(lower(substr(text, 1, cast(length(text) div 2 as int)))), ' '))")
+          .cast("bigint").as("n_toks_half"))
+    val prior = docs.filter(col("doc_id") % 10 =!= 8)
+      .select(col("source"),
+        when(col("doc_id") % 10 === 7, col("n_toks_half"))
+          .otherwise(col("n_toks")).as("n_toks"))
+      .withColumn("bin", least(expr("n_toks div 10"), lit(20L)).cast("int"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_p"))
+    val curr = docs.filter(col("doc_id") % 10 =!= 9)
+      .withColumn("bin", least(expr("n_toks div 10"), lit(20L)).cast("int"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_q"))
+    val tp = prior.groupBy(col("source")).agg(sum(col("c_p")).as("n_p"))
+    val tq = curr.groupBy(col("source")).agg(sum(col("c_q")).as("n_q"))
+    val joined = prior.join(curr, Seq("source", "bin"), "full_outer")
+      .na.fill(0L, Seq("c_p", "c_q"))
+      .join(tp, "source").join(tq, "source")
+      .withColumn("p", (col("c_p") + 1).cast("double") /
+        (col("n_p") + lit(21L)).cast("double"))
+      .withColumn("q", (col("c_q") + 1).cast("double") /
+        (col("n_q") + lit(21L)).cast("double"))
+      .withColumn("r", col("q") / col("p"))
+      .withColumn("nano", floor(((col("q") - col("p")) *
+        graft.plans.DetMathExprs.detLog2C(col("r"))) * lit(1e9) + lit(0.5)))
+    joined.groupBy(col("source"))
+      .agg(max(col("n_p")).as("n_prior"), max(col("n_q")).as("n_current"),
+        sum(col("nano")).as("_sn"))
+      .select(col("source"), col("n_prior"), col("n_current"),
+        (col("_sn").cast("double") / lit(1e9)).as("psi_bits"))
+      .orderBy(col("source"))
+  }
+
+  lazy val ReleaseDriftSql: String = {
+    val lg = graft.functions.DetMath.log2Sql("r")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_toks,
+       |    CAST(len(string_split(trim(lower(substr(text, 1,
+       |      CAST(length(text) // 2 AS INT)))), ' ')) AS BIGINT) AS n_toks_half
+       |  FROM documents),
+       |prior AS (
+       |  SELECT source,
+       |    CAST(LEAST((CASE WHEN doc_id % 10 = 7 THEN n_toks_half
+       |                     ELSE n_toks END) // 10, 20) AS INT) AS bin,
+       |    COUNT(*) AS c_p
+       |  FROM d WHERE doc_id % 10 <> 8 GROUP BY 1, 2),
+       |curr AS (
+       |  SELECT source, CAST(LEAST(n_toks // 10, 20) AS INT) AS bin,
+       |    COUNT(*) AS c_q
+       |  FROM d WHERE doc_id % 10 <> 9 GROUP BY 1, 2),
+       |tp AS (SELECT source, CAST(SUM(c_p) AS BIGINT) AS n_p FROM prior GROUP BY 1),
+       |tq AS (SELECT source, CAST(SUM(c_q) AS BIGINT) AS n_q FROM curr GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(prior.source, curr.source) AS source,
+       |    COALESCE(prior.bin, curr.bin) AS bin,
+       |    COALESCE(c_p, 0) AS c_p, COALESCE(c_q, 0) AS c_q
+       |  FROM prior FULL OUTER JOIN curr
+       |    ON prior.source = curr.source AND prior.bin = curr.bin),
+       |t AS (
+       |  SELECT j.source,
+       |    (CAST(c_p + 1 AS DOUBLE) / CAST(n_p + 21 AS DOUBLE)) AS p,
+       |    (CAST(c_q + 1 AS DOUBLE) / CAST(n_q + 21 AS DOUBLE)) AS q,
+       |    n_p, n_q
+       |  FROM j JOIN tp ON tp.source = j.source JOIN tq ON tq.source = j.source),
+       |n AS (
+       |  SELECT source, n_p, n_q, (q / p) AS r, (q - p) AS dq FROM t),
+       |s AS (
+       |  SELECT source, MAX(n_p) AS n_prior, MAX(n_q) AS n_current,
+       |    CAST(SUM(CAST(FLOOR(((dq * ($lg)) * 1e9) + 0.5) AS BIGINT)) AS BIGINT) AS sn
+       |  FROM n GROUP BY source)
+       |SELECT source, n_prior, n_current,
+       |  (CAST(sn AS DOUBLE) / 1e9) AS psi_bits
+       |FROM s
+       |ORDER BY source""".stripMargin
+  }
+
   /** x93: TOKEN-level decontamination — x20/x48 check word-shingle
     * overlap, but eval contamination is judged on what the MODEL sees:
     * token-id sequences under the frozen tokenizer. A paraphrase that
