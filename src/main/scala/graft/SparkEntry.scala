@@ -501,6 +501,9 @@ object SparkEntry {
     // PSI drift between the x94 releases per source: did the corpus
     // SHAPE move, not just its membership
     "x95_release_drift" -> ((s, d) => TextAnalysis.releaseDrift(s, d)),
+    // fixed-point damped centrality on the LSH near-dup graph: the
+    // template-hub view (integer ranks, unrolled-CTE oracle)
+    "x96_neardup_centrality" -> ((s, d) => Dedup.neardupCentrality(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -834,5 +837,6 @@ object SparkEntry {
     "x93_token_contamination" -> TextAnalysis.TokenContaminationSql,
     "x94_snapshot_diff" -> TextAnalysis.SnapshotDiffSql,
     "x95_release_drift" -> TextAnalysis.ReleaseDriftSql,
+    "x96_neardup_centrality" -> Dedup.NeardupCentralitySql,
   )
 }

@@ -980,4 +980,97 @@ object Dedup {
        |FROM p3 LEFT JOIN cand c
        |  ON c.doc_a = p3.doc_a AND c.doc_b = p3.doc_b
        |ORDER BY p3.doc_a, p3.doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // x96 — fixed-point damped centrality over the near-dup graph
+  // ------------------------------------------------------------------
+
+  /** Damping in percent and rounds — exact integers so every rank stays
+    * a BIGINT nano-unit and all three engines' arithmetic is identical.
+    */
+  val CentralityDampPct = 85L
+  val CentralityRounds = 3
+  private val CentralityInitNano = 1000000000L
+  private val CentralityTeleportNano = 150000000L
+
+  /** x96: which documents sit at the CENTER of the near-dup graph —
+    * the template-hub view the pair/degree audits (x62/x63) can't
+    * give: a boilerplate template that seeded hundreds of variants
+    * accumulates rank from its whole neighborhood, while a doc in an
+    * isolated duplicate pair stays near the teleport floor. PageRank's
+    * damped iteration in FIXED-POINT arithmetic: ranks are nano-unit
+    * BIGINTs, each round sends `(r_j · 85) div (100 · deg_j)` along
+    * every edge (integer division — exact, order-free sums) and adds
+    * the 0.15 teleport, unrolled [[CentralityRounds]] times for the
+    * oracle (the x37b recipe; the dampened walk contracts, so 3 rounds
+    * separate hubs from leaves). Nodes = docs in x92's perceptual
+    * near-dup pairs — the DENSE duplication graph (x3's ≥0.5-Jaccard
+    * pairs are isolated twins on this corpus: every component is a
+    * 2-node fixed point; the dHash graph has real template clusters);
+    * edges symmetric.
+    *
+    * Scale: the graph is the LSH pair relation (∝ matches, never
+    * corpus²); each round is one keyed join + one hash aggregate over
+    * (doc_id, BIGINT) rows; rank mass is bounded by init+teleport so
+    * the BIGINTs stay far inside 2⁶³ at any corpus size.
+    */
+  def neardupCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Multimodal.phashNeardup(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = deg.select(col("src").as("doc_id"),
+      lit(CentralityInitNano).as("rank_nano"))
+    (1 to CentralityRounds).foreach { _ =>
+      val contribs = sym
+        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("doc_id"),
+          expr(s"(rank_nano * $CentralityDampPct) div (100 * deg)").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("in_nano"))
+      r = deg.select(col("src").as("doc_id"))
+        .join(contribs, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("in_nano"))
+        .select(col("doc_id"),
+          (lit(CentralityTeleportNano) + col("in_nano")).as("rank_nano"))
+    }
+    r.join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+      .select(col("doc_id"), col("deg").as("degree"), col("rank_nano"),
+        (col("rank_nano").cast("double") / lit(1e9)).as("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[neardupCentrality]] — the walk unrolled
+    * [[CentralityRounds]] times as integer CTEs.
+    */
+  lazy val NeardupCentralitySql: String = {
+    val rounds = (1 to CentralityRounds).map { k =>
+      s"""c$k AS (
+         |  SELECT dst AS doc_id, CAST(SUM((rank_nano * $CentralityDampPct)
+         |    // (100 * deg)) AS BIGINT) AS in_nano
+         |  FROM sym
+         |  JOIN r${k - 1} ON r${k - 1}.doc_id = sym.src
+         |  JOIN deg ON deg.src = sym.src
+         |  GROUP BY dst),
+         |r$k AS (
+         |  SELECT deg.src AS doc_id,
+         |    $CentralityTeleportNano + COALESCE(in_nano, 0) AS rank_nano
+         |  FROM deg LEFT JOIN c$k ON c$k.doc_id = deg.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM (${Multimodal.PhashNeardupSql})),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+       |r0 AS (SELECT src AS doc_id, CAST($CentralityInitNano AS BIGINT) AS rank_nano
+       |       FROM deg),
+       |$rounds
+       |SELECT r$CentralityRounds.doc_id AS doc_id, deg.deg AS degree,
+       |  CAST(rank_nano AS BIGINT) AS rank_nano,
+       |  (CAST(rank_nano AS DOUBLE) / 1e9) AS rank
+       |FROM r$CentralityRounds
+       |JOIN deg ON deg.src = r$CentralityRounds.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
 }
