@@ -504,6 +504,9 @@ object SparkEntry {
     // fixed-point damped centrality on the LSH near-dup graph: the
     // template-hub view (integer ranks, unrolled-CTE oracle)
     "x96_neardup_centrality" -> ((s, d) => Dedup.neardupCentrality(s, d)),
+    // x28 with the survivor-policy knob turned: keep the highest-
+    // quality copy, with a per-row both-policies disagreement audit
+    "x97_best_copy_survivors" -> ((s, d) => Dedup.bestCopySurvivors(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -838,5 +841,6 @@ object SparkEntry {
     "x94_snapshot_diff" -> TextAnalysis.SnapshotDiffSql,
     "x95_release_drift" -> TextAnalysis.ReleaseDriftSql,
     "x96_neardup_centrality" -> Dedup.NeardupCentralitySql,
+    "x97_best_copy_survivors" -> Dedup.BestCopySurvivorsSql,
   )
 }

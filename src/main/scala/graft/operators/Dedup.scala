@@ -669,6 +669,55 @@ object Dedup {
        |FROM j
        |ORDER BY doc_id""".stripMargin
 
+  /** x97: QUALITY-AWARE survivor selection — the same dedup chain as
+    * x28 but with the production policy knob turned: keep the HIGHEST
+    * x10-quality copy of each near-dup component (ties → longest →
+    * lowest id) instead of the longest. Duplicate clusters routinely
+    * contain one clean copy and several truncated/boilerplate-wrapped
+    * ones, and "longest" then keeps the wrapper; ranking on the
+    * quality tier keeps the clean one. Every row also carries BOTH
+    * policies' verdicts and a `policy_changed` flag, so the audit
+    * quantifies exactly how much the knob matters on this corpus
+    * before anyone flips it. Same scale shape as x28: one components
+    * relation (shared cache) + one quality join + two ranking windows
+    * over the components-sized slice.
+    */
+  def bestCopySurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val comps = componentLabels(spark, dir)
+      .select(col("v").as("doc_id"), col("component_id"))
+    val qual = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"), col("n_chars"))
+    val wq = Window.partitionBy(col("component_id"))
+      .orderBy(col("quality_score").desc, col("n_chars").desc, col("doc_id"))
+    val wl = Window.partitionBy(col("component_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    comps.join(qual, Seq("doc_id"))
+      .withColumn("survivor_quality", row_number().over(wq) === 1)
+      .withColumn("survivor_length", row_number().over(wl) === 1)
+      .select(col("doc_id"), col("component_id"), col("quality_score"),
+        col("n_chars"), col("survivor_quality"), col("survivor_length"),
+        (col("survivor_quality") =!= col("survivor_length")).as("policy_changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val BestCopySurvivorsSql: String =
+    s"""WITH comps AS (
+       |  SELECT doc_id, component_id FROM ($DedupComponentsSql)),
+       |q AS (SELECT doc_id, quality_score, n_chars
+       |      FROM (${TextAnalysis.QualityScoreSql})),
+       |j AS (
+       |  SELECT c.doc_id AS doc_id, component_id, quality_score, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY component_id
+       |      ORDER BY quality_score DESC, n_chars DESC, c.doc_id) AS rq,
+       |    ROW_NUMBER() OVER (PARTITION BY component_id
+       |      ORDER BY n_chars DESC, c.doc_id) AS rl
+       |  FROM comps c JOIN q ON q.doc_id = c.doc_id)
+       |SELECT doc_id, component_id, quality_score, n_chars,
+       |  rq = 1 AS survivor_quality, rl = 1 AS survivor_length,
+       |  (rq = 1) <> (rl = 1) AS policy_changed
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact n-gram Jaccard verification of the LSH candidate pairs:
     * |A∩B| / |A∪B| over distinct word-3-gram sets. Runs only on pairs
     * that shared a band bucket — the two-stage recall→precision
