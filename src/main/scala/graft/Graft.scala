@@ -61,6 +61,7 @@ object Graft {
     graft.operators.Similarity.unpersistQuantized(spark)
     graft.operators.Similarity.unpersistKmeans(spark)
     graft.operators.Similarity.unpersistPq(spark)
+    graft.operators.Multimodal.unpersistPhashPairs(spark)
     graft.promql.Compiler.unpersistInstants(spark)
     graft.operators.TextAnalysis.unpersistBpe(spark)
     // The iteration operators (x27 component propagation, x37

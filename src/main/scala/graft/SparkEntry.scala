@@ -507,6 +507,9 @@ object SparkEntry {
     // x28 with the survivor-policy knob turned: keep the highest-
     // quality copy, with a per-row both-policies disagreement audit
     "x97_best_copy_survivors" -> ((s, d) => Dedup.bestCopySurvivors(s, d)),
+    // x20 flipped to the decision it powers: per-EVAL-item exposure +
+    // carrier blast radius -> which eval items to drop
+    "x98_eval_contamination" -> ((s, d) => TextAnalysis.evalContamination(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -842,5 +845,6 @@ object SparkEntry {
     "x95_release_drift" -> TextAnalysis.ReleaseDriftSql,
     "x96_neardup_centrality" -> Dedup.NeardupCentralitySql,
     "x97_best_copy_survivors" -> Dedup.BestCopySurvivorsSql,
+    "x98_eval_contamination" -> TextAnalysis.EvalContaminationSql,
   )
 }

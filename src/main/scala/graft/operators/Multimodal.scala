@@ -484,7 +484,27 @@ object Multimodal {
     * candidates ∝ Σ band-bucket²; only (doc_id, 8-byte hash) rows
     * shuffle — payloads never do.
     */
-  def phashNeardup(spark: SparkSession, dir: String): DataFrame = {
+  /** x92's pair relation feeds x96's centrality walk too — cached per
+    * (session, sf) like the dedup tier's pair caches.
+    */
+  private val phashPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Release the session's cached perceptual pair relation. */
+  def unpersistPhashPairs(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    phashPairsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(phashPairsCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
+  def phashNeardup(spark: SparkSession, dir: String): DataFrame =
+    phashPairsCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => phashPairsCache.remove(k))
+      phashNeardupUncached(spark, dir).persist()
+    })
+
+  private def phashNeardupUncached(spark: SparkSession, dir: String): DataFrame = {
     val sig = dhashSignatures(spark, dir)
     val bands = sig.select(col("doc_id"), col("dhash"),
       explode(array((0 until DHashBits / DHashBandBits).map { k =>

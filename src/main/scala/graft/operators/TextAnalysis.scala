@@ -2293,6 +2293,66 @@ object TextAnalysis {
       |GROUP BY source, change
       |ORDER BY source, change""".stripMargin
 
+  /** x98: EVAL-side contamination exposure — x20 flipped to the
+    * decision it actually powers: when training data leaks an eval
+    * item, the remedy at release time is usually to DROP THE EVAL ITEM
+    * (the corpus is already trained on, or too expensive to re-filter),
+    * so the report must be per eval doc, not per corpus doc: for every
+    * `src0` (eval) document, the fraction of ITS distinct 3-gram
+    * shingles that appear anywhere in the training corpus (`exposure`),
+    * the number of distinct corpus documents carrying any of them
+    * (`n_carriers` — the blast radius), and the `compromised` verdict
+    * at exposure ≥ ½. Scale: the eval side is eval-suite-sized and
+    * broadcasts; the join is shingle-keyed so cost ∝ shared content;
+    * both counts are exact distinct aggregates.
+    */
+  def evalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Corpus.shingleRows(spark, dir)
+      .select(col("doc_id"), col("source"), col("shingle")).distinct()
+    val bench = sh.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val corpus = sh.filter(col("source") =!= "src0")
+      .select(col("shingle"), col("doc_id").as("carrier"))
+    val tot = bench.groupBy(col("eval_id")).agg(count(lit(1)).as("n_shingles"))
+    val j = broadcast(bench).join(corpus, Seq("shingle"))
+    val hits = j.groupBy(col("eval_id"))
+      .agg(countDistinct(col("shingle")).as("n_hit"),
+        countDistinct(col("carrier")).as("n_carriers"))
+    tot.join(hits, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_hit", "n_carriers"))
+      .select(col("eval_id"), col("n_shingles"), col("n_hit"), col("n_carriers"),
+        (col("n_hit").cast("double") / col("n_shingles").cast("double"))
+          .as("exposure"),
+        (col("n_hit").cast("double") / col("n_shingles").cast("double") >= 0.5)
+          .as("compromised"))
+      .orderBy(col("eval_id"))
+  }
+
+  lazy val EvalContaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |  FROM (SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS toks
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+       |bench AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE source = 'src0'),
+       |corpus AS (SELECT shingle, doc_id AS carrier FROM sh WHERE source <> 'src0'),
+       |tot AS (SELECT eval_id, COUNT(*) AS n_shingles FROM bench GROUP BY eval_id),
+       |hits AS (
+       |  SELECT eval_id, COUNT(DISTINCT b.shingle) AS n_hit,
+       |    COUNT(DISTINCT carrier) AS n_carriers
+       |  FROM bench b JOIN corpus c ON c.shingle = b.shingle
+       |  GROUP BY eval_id)
+       |SELECT tot.eval_id AS eval_id, n_shingles,
+       |  COALESCE(n_hit, 0) AS n_hit, COALESCE(n_carriers, 0) AS n_carriers,
+       |  (CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE))
+       |    AS exposure,
+       |  (CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5)
+       |    AS compromised
+       |FROM tot
+       |LEFT JOIN hits ON hits.eval_id = tot.eval_id
+       |ORDER BY tot.eval_id""".stripMargin
+
   /** x95: release drift — the population-stability index (PSI) between
     * the x94 snapshots, per source: token-length distributions binned
     * (width 10, capped at 20 — 21 bins), add-one smoothed shares, and
