@@ -510,6 +510,9 @@ object SparkEntry {
     // x20 flipped to the decision it powers: per-EVAL-item exposure +
     // carrier blast radius -> which eval items to drop
     "x98_eval_contamination" -> ((s, d) => TextAnalysis.evalContamination(s, d)),
+    // the dedup-cascade funnel: docs + TOKENS dropped at each gate
+    // (exact -> near -> perceptual), entered/remaining per stage
+    "x99_dedup_funnel" -> ((s, d) => Dedup.dedupFunnel(s, d)),
     // sketch tier: engine-specific HLL values → no oracle entry (the
     // driver records a rows-only check); error bound is spec-asserted
     "x16_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinct(s, d)),
@@ -846,5 +849,6 @@ object SparkEntry {
     "x96_neardup_centrality" -> Dedup.NeardupCentralitySql,
     "x97_best_copy_survivors" -> Dedup.BestCopySurvivorsSql,
     "x98_eval_contamination" -> TextAnalysis.EvalContaminationSql,
+    "x99_dedup_funnel" -> Dedup.DedupFunnelSql,
   )
 }

@@ -718,6 +718,110 @@ object Dedup {
        |FROM j
        |ORDER BY doc_id""".stripMargin
 
+  /** x99: the dedup-cascade FUNNEL — x70's survival report specialized
+    * to the dedup stack: every document falls at its FIRST failing
+    * gate (exact md5 twin → minhash near-dup non-survivor → perceptual
+    * dHash cluster non-canonical) or survives all three; per ordered
+    * stage the report carries docs dropped, TOKENS dropped (the
+    * storage/training-cost savings a release actually quotes),
+    * documents entering, and documents remaining. Stages that drop
+    * nothing still appear (static stage relation, the x70 rule).
+    * Perceptual canonicals are each dHash component's min doc_id
+    * (components via the same label-propagation loop as x27; the
+    * oracle runs the recursive-closure twin over the same pair SQL).
+    * Scale: three digest/pair relations all ∝ matches (shared session
+    * caches), one corpus-wide classification join on doc_id, one
+    * 3-row aggregate.
+    */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_toks"))
+    val k1 = exact(spark, dir).select(col("doc_id"), col("keep").as("k1"))
+    val k2 = survivors(spark, dir).select(col("doc_id"), col("survivor").as("k2"))
+    val k3 = connectedComponents(
+        Multimodal.phashNeardup(spark, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("v").as("doc_id"), (col("v") === col("component_id")).as("k3"))
+    val cls = toks.join(k1, Seq("doc_id"))
+      .join(k2, Seq("doc_id"), "left").na.fill(true, Seq("k2"))
+      .join(k3, Seq("doc_id"), "left").na.fill(true, Seq("k3"))
+      .select(col("n_toks"),
+        when(!col("k1"), "exact")
+          .when(!col("k2"), "near")
+          .when(!col("k3"), "perceptual")
+          .otherwise("kept").as("stage"))
+    val dropped = cls.filter(col("stage") =!= "kept")
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("dropped_docs"), sum(col("n_toks")).as("dropped_tokens"))
+    val totals = cls.agg(count(lit(1)).as("_total")).head()
+    val total = totals.getLong(0)
+    val stages = spark.createDataFrame(Seq(
+      (1, "exact"), (2, "near"), (3, "perceptual"))).toDF("stage_order", "stage")
+    val w = Window.orderBy(col("stage_order"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stages.join(dropped, Seq("stage"), "left")
+      .na.fill(0L, Seq("dropped_docs", "dropped_tokens"))
+      .withColumn("entered", lit(total) - coalesce(sum(col("dropped_docs")).over(w), lit(0L)))
+      .withColumn("remaining", col("entered") - col("dropped_docs"))
+      .select(col("stage_order"), col("stage"), col("dropped_docs"),
+        col("dropped_tokens"), col("entered"), col("remaining"))
+      .orderBy(col("stage_order"))
+  }
+
+  lazy val DedupFunnelSql: String =
+    s"""WITH e AS (SELECT doc_id, keep AS k1 FROM ($ExactSql)),
+       |s AS (SELECT doc_id, survivor AS k2 FROM ($SurvivorsSql)),
+       |p AS (
+       |  SELECT doc_id, is_root AS k3 FROM (
+       |    WITH RECURSIVE pairs AS (
+       |      SELECT doc_a, doc_b FROM (${Multimodal.PhashNeardupSql})),
+       |    edges AS (
+       |      SELECT doc_a, doc_b FROM pairs
+       |      UNION ALL
+       |      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+       |    reach(v, r) AS (
+       |      SELECT doc_a AS v, doc_a AS r FROM edges
+       |      UNION
+       |      SELECT e.doc_a AS v, q.r
+       |      FROM edges e JOIN reach q ON q.v = e.doc_b)
+       |    SELECT v AS doc_id, v = MIN(r) AS is_root
+       |    FROM reach GROUP BY v)),
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |cls AS (
+       |  SELECT n_toks,
+       |    CASE WHEN NOT k1 THEN 'exact'
+       |         WHEN NOT COALESCE(s.k2, true) THEN 'near'
+       |         WHEN NOT COALESCE(p.k3, true) THEN 'perceptual'
+       |         ELSE 'kept' END AS stage
+       |  FROM d
+       |  JOIN e USING (doc_id)
+       |  LEFT JOIN s USING (doc_id)
+       |  LEFT JOIN p USING (doc_id)),
+       |dr AS (
+       |  SELECT stage, COUNT(*) AS dropped_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS dropped_tokens
+       |  FROM cls WHERE stage <> 'kept' GROUP BY stage),
+       |st AS (SELECT * FROM (VALUES (1, 'exact'), (2, 'near'), (3, 'perceptual'))
+       |       AS t(stage_order, stage)),
+       |tot AS (SELECT COUNT(*) AS total FROM cls),
+       |f AS (
+       |  SELECT stage_order, st.stage AS stage,
+       |    COALESCE(dropped_docs, 0) AS dropped_docs,
+       |    COALESCE(dropped_tokens, 0) AS dropped_tokens
+       |  FROM st LEFT JOIN dr ON dr.stage = st.stage)
+       |SELECT stage_order, stage, dropped_docs, dropped_tokens,
+       |  total - CAST(COALESCE(SUM(dropped_docs) OVER (ORDER BY stage_order
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS entered,
+       |  total - CAST(COALESCE(SUM(dropped_docs) OVER (ORDER BY stage_order
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    - dropped_docs AS remaining
+       |FROM f CROSS JOIN tot
+       |ORDER BY stage_order""".stripMargin
+
   /** Exact n-gram Jaccard verification of the LSH candidate pairs:
     * |A∩B| / |A∪B| over distinct word-3-gram sets. Runs only on pairs
     * that shared a band bucket — the two-stage recall→precision
