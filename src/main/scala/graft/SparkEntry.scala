@@ -275,6 +275,11 @@ object SparkEntry {
     // the alerting form: windowed rate feeding the native quantile
     "p71_promql_native_hq_rate" -> ((s, d) => promql.Engine.eval(s, d,
       "histogram_quantile(0.9, rate(error[4d]))", nativeFamilies = Set("error"))),
+    // the aggregated alerting form: native sketches MERGED across
+    // instances per k before the quantile (p36's native twin)
+    "p75_promql_native_hq_agg" -> ((s, d) => promql.Engine.eval(s, d,
+      "histogram_quantile(0.9, sum by (k) (rate(error[4d])))",
+      nativeFamilies = Set("error"))),
     // det-math compilation mode: ^ exercises BOTH pow dispatch branches
     // (positive base fractional exponent + negative base integer
     // exponent), atan2 the quadrant dispatch — hash-gated, the
@@ -738,6 +743,7 @@ object SparkEntry {
     "p69_promql_native_histogram_quantile" -> promql.Oracle.NativeHistogramQuantileSql,
     "p70_promql_native_histogram_fraction" -> promql.Oracle.NativeHistogramFractionSql,
     "p71_promql_native_hq_rate" -> promql.Oracle.NativeHistogramQuantileRateSql,
+    "p75_promql_native_hq_agg" -> promql.Oracle.NativeHistogramQuantileAggSql,
     "p72_promql_pow_det" -> promql.Oracle.PowDetSql,
     "p73_promql_atan2_det" -> promql.Oracle.Atan2DetSql,
     // p64/p65/p66 (asinh/acosh/atanh) are rows-only BY DESIGN: they

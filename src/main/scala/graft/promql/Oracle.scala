@@ -249,8 +249,13 @@ object Oracle {
     * `rate(error[d])` form differs ONLY in `tsFilter` (exactly like
     * the classic twin).
     */
-  private def nativeHistogramQuantileTwin(tsFilter: String): String = {
-    val g = "name, label_k, label_instance"
+  private def nativeHistogramQuantileTwin(tsFilter: String,
+      gCols: Seq[String] = Seq("name", "label_k", "label_instance")): String = {
+    val g = gCols.mkString(", ")
+    def eq(a: String, b: String): String =
+      gCols.map(c => s"$a.$c = $b.$c").mkString(" AND ")
+    def cols(a: String): String = gCols.map(c => s"$a.$c").mkString(", ")
+    val outCols = gCols.map(c => s"t2.$c AS $c").mkString(", ")
     val interp = graft.functions.DetMath.exp2Sql("xq")
     s"""WITH m AS ($MetricEventsSql),
        |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
@@ -270,32 +275,28 @@ object Oracle {
        |  FROM bk),
        |bs AS (SELECT $g, MAX(hi) AS last_hi FROM bw GROUP BY $g),
        |pick AS (
-       |  SELECT q.name, q.label_k, q.label_instance, w2.bucket,
+       |  SELECT ${cols("q")}, w2.bucket,
        |    (q.rank - CAST(q.zero + w2.cumc - w2.c AS DOUBLE))
        |      / CAST(w2.c AS DOUBLE) AS f,
-       |    ROW_NUMBER() OVER (PARTITION BY q.name, q.label_k, q.label_instance
+       |    ROW_NUMBER() OVER (PARTITION BY ${cols("q")}
        |      ORDER BY w2.bucket) AS rn
        |  FROM (SELECT *, 0.9 * CAST(cnt AS DOUBLE) AS rank FROM tot) q
-       |  JOIN bw w2 ON w2.name = q.name AND w2.label_k = q.label_k
-       |    AND w2.label_instance = q.label_instance
+       |  JOIN bw w2 ON ${eq("w2", "q")}
        |    AND q.rank <= CAST(q.zero + w2.cumc AS DOUBLE)
        |  WHERE q.rank > CAST(q.zero AS DOUBLE)),
        |pq AS (
-       |  SELECT name, label_k, label_instance, $interp AS qv
-       |  FROM (SELECT name, label_k, label_instance,
+       |  SELECT $g, $interp AS qv
+       |  FROM (SELECT $g,
        |          (CAST(bucket - 1 AS DOUBLE) + f) / 8.0 AS xq
        |        FROM pick WHERE rn = 1))
-       |SELECT t2.name AS name, t2.label_k AS label_k,
-       |  t2.label_instance AS label_instance,
+       |SELECT $outCols,
        |  CASE WHEN 0.9 * CAST(t2.cnt AS DOUBLE) <= CAST(t2.zero AS DOUBLE) THEN 0.0
        |       WHEN pq.qv IS NOT NULL THEN pq.qv
        |       ELSE bs.last_hi END AS value
        |FROM tot t2
-       |LEFT JOIN pq ON pq.name = t2.name AND pq.label_k = t2.label_k
-       |  AND pq.label_instance = t2.label_instance
-       |LEFT JOIN bs ON bs.name = t2.name AND bs.label_k = t2.label_k
-       |  AND bs.label_instance = t2.label_instance
-       |ORDER BY name, label_k, label_instance, value""".stripMargin
+       |LEFT JOIN pq ON ${eq("pq", "t2")}
+       |LEFT JOIN bs ON ${eq("bs", "t2")}
+       |ORDER BY $g, value""".stripMargin
   }
 
   /** `histogram_quantile(0.9, error)` on the native family — instant. */
@@ -308,6 +309,17 @@ object Oracle {
   val NativeHistogramQuantileRateSql: String =
     nativeHistogramQuantileTwin(
       "epoch_us(ts) > t_us - 345600000000 AND epoch_us(ts) <= t_us")
+
+  /** `histogram_quantile(0.9, sum by (k) (rate(error[4d])))` on the
+    * native family — the everyday aggregated alerting form through the
+    * sparse-bucket plan: merging native sketches across instances is a
+    * coarser grouping of the same exact bucket counts, so the twin is
+    * the SAME generator grouped on `label_k` alone.
+    */
+  val NativeHistogramQuantileAggSql: String =
+    nativeHistogramQuantileTwin(
+      "epoch_us(ts) > t_us - 345600000000 AND epoch_us(ts) <= t_us",
+      gCols = Seq("label_k"))
 
   /** `histogram_fraction(2.5, 75.5, error)` with `error` NATIVE: the
     * boundary constants' bucket index and log-interpolated in-bucket
