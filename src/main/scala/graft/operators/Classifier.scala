@@ -74,13 +74,27 @@ object Classifier {
     Seq("f0_bias", "f1_length", "f2_ttr", "f3_topfrac", "f4_wordlen")
   private val D = FeatureNames.length
 
+  /** The feature relation is the family's expensive input (it embeds
+    * the full x24 teacher stack + the top-token aggregate) and x85/x86/
+    * x87/x90 all consume it — computed and localCheckpoint'ed once per
+    * (session, sf).
+    */
+  private val featuresCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Skinny per-document training relation `(doc_id, y, f0..f4)`:
     * teacher bit y = x24's `keep`, student features from exact integer
     * counts — capped token count, type-token ratio, top-token
     * fraction, mean word length. All divides pinned so Spark and the
     * SQL twin agree bit-for-bit.
     */
-  def features(spark: SparkSession, dir: String): DataFrame = {
+  def features(spark: SparkSession, dir: String): DataFrame =
+    featuresCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => featuresCache.remove(k))
+      featuresUncached(spark, dir).localCheckpoint()
+    })
+
+  private def featuresUncached(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .filter(col("text").isNotNull && length(col("text")) >= 1)
       .select(
@@ -137,7 +151,7 @@ object Classifier {
 
   private def trainUncached(spark: SparkSession, dir: String): Seq[Array[Double]] = {
     DetMathExprs.register(spark)
-    val f = features(spark, dir).localCheckpoint()
+    val f = features(spark, dir)
     var w = Array.fill(D)(0.0)
     (1 to Rounds).map { _ =>
       val p = sigmoidCol(marginCol(w))

@@ -457,7 +457,10 @@ object Multimodal {
     }.mkString("array(", ", ", ")")
     val sig = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      // BIGINT n before the $p·n products: an Int-typed length would
+      // overflow at docs past ~61M chars (35·n > 2³¹) — ANSI Spark
+      // would throw where the BIGINT-cast oracle computes fine
+      .select(col("doc_id"), col("text"), length(col("text")).cast("bigint").as("n"))
       .filter(col("n") >= DHashPixels)
       .withColumn("px", expr(px))
     val hash = (0 until DHashBits).map { b =>

@@ -375,6 +375,9 @@ object Similarity {
     kmeansCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
       Option(kmeansCache.remove(k)).foreach(_.unpersist())
     }
+    kmeansCentCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(kmeansCentCache.remove(k)).foreach(_.unpersist())
+    }
   }
 
   val KmeansK = 8
@@ -426,16 +429,30 @@ object Similarity {
     * power-of-two shift before squaring — the assignment plan is
     * unchanged.
     */
-  def kmeansAssignments(spark: SparkSession, dir: String): DataFrame =
-    kmeansCache.computeIfAbsent((spark, dir), k => {
-      SessionCaches.onApplicationEnd(spark)(() => kmeansCache.remove(k))
+  private val kmeansCentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The round-1-updated centroid relation x35's final assignment (and
+    * everything claiming "the same centroids the assignments were
+    * scored against" — the streaming semantic gate's frozen model)
+    * reads — computed once per (session, sf) so the two can never
+    * silently fork.
+    */
+  private def kmeansCent1(spark: SparkSession, dir: String): DataFrame =
+    kmeansCentCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => kmeansCentCache.remove(k))
       val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
       val seeds = q.filter(col("vec_id").between(100, 100 + KmeansK - 1))
         .select((col("vec_id") - 100).cast("int").as("cid"),
           col("q").as("s"), col("n2").as("sn2"))
-      val a1 = assignTo(spark, q, seeds)
-      val cent1 = updatedCentroids(spark, a1)
-      assignTo(spark, q, cent1).persist()
+      updatedCentroids(spark, assignTo(spark, q, seeds)).persist()
+    })
+
+  def kmeansAssignments(spark: SparkSession, dir: String): DataFrame =
+    kmeansCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => kmeansCache.remove(k))
+      val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
+      assignTo(spark, q, kmeansCent1(spark, dir)).persist()
     })
 
   /** x35: k-means clustering over embeddings (Lloyd's algorithm, K=8,
@@ -1110,11 +1127,7 @@ object Similarity {
     * single row and runs entirely in-row.
     */
   def semanticGateModel(spark: SparkSession, dir: String): DataFrame = {
-    val q = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
-    val seeds = q.filter(col("vec_id").between(100, 100 + KmeansK - 1))
-      .select((col("vec_id") - 100).cast("int").as("cid"),
-        col("q").as("s"), col("n2").as("sn2"))
-    val cent1 = updatedCentroids(spark, assignTo(spark, q, seeds))
+    val cent1 = kmeansCent1(spark, dir)
     val core = kmeansAssignments(spark, dir)
       .groupBy(col("cell"))
       .agg(max(when(col("cosine") >= SemanticTau, true).otherwise(false))
@@ -1590,6 +1603,9 @@ object Similarity {
     pqCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
       Option(pqCache.remove(k)).foreach(_.unpersist())
     }
+    pqCentCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(pqCentCache.remove(k)).foreach(_.unpersist())
+    }
   }
 
   /** Per-subspace 2-round Lloyd under ANGULAR assignment — the x35
@@ -1609,38 +1625,62 @@ object Similarity {
       pqAssignmentsUncached(spark, dir).persist()
     })
 
-  private def pqAssignmentsUncached(spark: SparkSession, dir: String): DataFrame = {
-    val base = quantized(spark, dir).select(col("vec_id"), col("q"))
-    (0 until PqM).map { m =>
-      val lo = m * PqSubDim + 1
-      val vecs = base
-        .withColumn("qm", expr(s"slice(q, $lo, $PqSubDim)"))
-        .withColumn("n2m", graft.plans.IntDotExpr.intDot(spark, "qm", "qm"))
-        .select(col("vec_id"), col("qm"), col("n2m"))
-      def assign(cent: DataFrame): DataFrame =
-        vecs.crossJoin(broadcast(cent))
-          .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qm", "s"))
-          .withColumn("cosine", col("dp").cast("double") /
-            sqrt(col("n2m").cast("double")) / sqrt(col("sn2").cast("double")))
-          .groupBy(col("vec_id"))
-          .agg(max_by(struct(col("qm"), col("n2m"), col("cid"), col("cosine")),
-            struct(col("cosine"), (-col("cid")).as("nc"))).as("_b"))
-          .select(col("vec_id"), col("_b.qm").as("qm"), col("_b.n2m").as("n2m"),
-            col("_b.cid").as("cell"), col("_b.cosine").as("cosine"))
+  /** Subspace `m`'s slice projection off the cached quantized scan. */
+  private def pqSubVecs(spark: SparkSession, dir: String, m: Int): DataFrame = {
+    val lo = m * PqSubDim + 1
+    quantized(spark, dir).select(col("vec_id"), col("q"))
+      .withColumn("qm", expr(s"slice(q, $lo, $PqSubDim)"))
+      .withColumn("n2m", graft.plans.IntDotExpr.intDot(spark, "qm", "qm"))
+      .select(col("vec_id"), col("qm"), col("n2m"))
+  }
+
+  private def pqAssign(spark: SparkSession, vecs: DataFrame,
+      cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qm", "s"))
+      .withColumn("cosine", col("dp").cast("double") /
+        sqrt(col("n2m").cast("double")) / sqrt(col("sn2").cast("double")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("qm"), col("n2m"), col("cid"), col("cosine")),
+        struct(col("cosine"), (-col("cid")).as("nc"))).as("_b"))
+      .select(col("vec_id"), col("_b.qm").as("qm"), col("_b.n2m").as("n2m"),
+        col("_b.cid").as("cell"), col("_b.cosine").as("cosine"))
+
+  /** Per-subspace codebook cache — a SEPARATE map from [[pqCache]]:
+    * pqCent is called from inside pqCache.computeIfAbsent, and a
+    * nested computeIfAbsent on the same ConcurrentHashMap throws
+    * `Recursive update`.
+    */
+  private val pqCentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  /** Subspace `m`'s trained codebook (the round-1-updated centroids) —
+    * computed ONCE per (session, sf, m): the codes assignment AND the
+    * x89/x91 lookup tables both score against this one cached relation,
+    * so the Lloyd pass can never silently fork between them.
+    */
+  private def pqCent(spark: SparkSession, dir: String, m: Int): DataFrame =
+    pqCentCache.computeIfAbsent((spark, dir, m), k => {
+      SessionCaches.onApplicationEnd(spark)(() => pqCentCache.remove(k))
+      val vecs = pqSubVecs(spark, dir, m)
       val seeds = vecs.filter(col("vec_id").between(100, 100 + PqK - 1))
         .select((col("vec_id") - 100).cast("int").as("cid"),
           col("qm").as("s"), col("n2m").as("sn2"))
-      val a1 = assign(seeds)
-      val cent1 = a1.select(col("cell"), posexplode(col("qm")).as(Seq("d", "x")))
+      pqAssign(spark, vecs, seeds)
+        .select(col("cell"), posexplode(col("qm")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d")).agg(sum(col("x")).as("sx"))
         .groupBy(col("cell"))
         .agg(expr("transform(sort_array(collect_list(struct(d, sx))), e -> e.sx)").as("s"))
         .withColumn("sn2", graft.plans.IntDotExpr.intDot(spark, "s", "s"))
         .select(col("cell").as("cid"), col("s"), col("sn2"))
-      assign(cent1)
+        .persist()
+    })
+
+  private def pqAssignmentsUncached(spark: SparkSession, dir: String): DataFrame =
+    (0 until PqM).map { m =>
+      pqAssign(spark, pqSubVecs(spark, dir, m), pqCent(spark, dir, m))
         .select(col("vec_id"), col("cell").as(s"c$m"), col("cosine").as(s"cos$m"))
     }.reduce((a, b) => a.join(b, "vec_id"))
-  }
 
   /** x88: PQ codes — every vector's [[PqM]] codebook assignments plus
     * `sim`, the pinned sum of its per-subspace centroid cosines (the
@@ -1681,33 +1721,11 @@ object Similarity {
       pqBooksUncached(spark, dir).persist()
     })
 
-  private def pqBooksUncached(spark: SparkSession, dir: String): DataFrame = {
-    val base = quantized(spark, dir).select(col("vec_id"), col("q"))
+  private def pqBooksUncached(spark: SparkSession, dir: String): DataFrame =
     (0 until PqM).map { m =>
-      val lo = m * PqSubDim + 1
-      val vecs = base
-        .withColumn("qm", expr(s"slice(q, $lo, $PqSubDim)"))
-        .withColumn("n2m", graft.plans.IntDotExpr.intDot(spark, "qm", "qm"))
-        .select(col("vec_id"), col("qm"), col("n2m"))
-      val seeds = vecs.filter(col("vec_id").between(100, 100 + PqK - 1))
-        .select((col("vec_id") - 100).cast("int").as("cid"),
-          col("qm").as("s"), col("n2m").as("sn2"))
-      val a1 = vecs.crossJoin(broadcast(seeds))
-        .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qm", "s"))
-        .withColumn("cosine", col("dp").cast("double") /
-          sqrt(col("n2m").cast("double")) / sqrt(col("sn2").cast("double")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("qm"), col("cid")),
-          struct(col("cosine"), (-col("cid")).as("nc"))).as("_b"))
-        .select(col("_b.qm").as("qm"), col("_b.cid").as("cell"))
-      a1.select(col("cell"), posexplode(col("qm")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d")).agg(sum(col("x")).as("sx"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(sort_array(collect_list(struct(d, sx))), e -> e.sx)").as("s"))
-        .withColumn("sn2", graft.plans.IntDotExpr.intDot(spark, "s", "s"))
-        .select(lit(m).as("m"), col("cell").as("cid"), col("s"), col("sn2"))
+      pqCent(spark, dir, m)
+        .select(lit(m).as("m"), col("cid"), col("s"), col("sn2"))
     }.reduce(_ unionAll _)
-  }
 
   /** The ADC lookup tables for the query set, per subspace: one frame
     * of (query_id, c_m, t_m) per m — |queries|·K rows each, broadcast

@@ -2247,14 +2247,17 @@ object TextAnalysis {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
+    // null text digests as the empty string: md5(NULL) is NULL, and a
+    // NULL fp_a would route a doc present in BOTH snapshots down the
+    // 'added' branch — the digest must be total for the CASE ladder
     val prior = docs.filter(col("doc_id") % 10 =!= 8)
       .select(col("doc_id"), col("source").as("source_a"),
-        md5(when(col("doc_id") % 10 === 7,
+        md5(coalesce(when(col("doc_id") % 10 === 7,
           expr("substr(text, 1, cast(length(text) div 2 as int))"))
-          .otherwise(col("text"))).as("fp_a"))
+          .otherwise(col("text")), lit(""))).as("fp_a"))
     val curr = docs.filter(col("doc_id") % 10 =!= 9)
       .select(col("doc_id"), col("source").as("source_b"),
-        md5(col("text")).as("fp_b"))
+        md5(coalesce(col("text"), lit(""))).as("fp_b"))
     prior.join(curr, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("source_b"), col("source_a")).as("source"),
@@ -2272,12 +2275,12 @@ object TextAnalysis {
   val SnapshotDiffSql: String =
     """WITH prior AS (
       |  SELECT doc_id, source AS source_a,
-      |    md5(CASE WHEN doc_id % 10 = 7
+      |    md5(COALESCE(CASE WHEN doc_id % 10 = 7
       |             THEN substr(text, 1, CAST(length(text) // 2 AS INT))
-      |             ELSE text END) AS fp_a
+      |             ELSE text END, '')) AS fp_a
       |  FROM documents WHERE doc_id % 10 <> 8),
       |curr AS (
-      |  SELECT doc_id, source AS source_b, md5(text) AS fp_b
+      |  SELECT doc_id, source AS source_b, md5(COALESCE(text, '')) AS fp_b
       |  FROM documents WHERE doc_id % 10 <> 9),
       |f AS (
       |  SELECT COALESCE(prior.doc_id, curr.doc_id) AS doc_id,
@@ -2386,9 +2389,14 @@ object TextAnalysis {
       .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_q"))
     val tp = prior.groupBy(col("source")).agg(sum(col("c_p")).as("n_p"))
     val tq = curr.groupBy(col("source")).agg(sum(col("c_q")).as("n_q"))
-    val joined = prior.join(curr, Seq("source", "bin"), "full_outer")
-      .na.fill(0L, Seq("c_p", "c_q"))
-      .join(tp, "source").join(tq, "source")
+    // the FULL 21-bin grid per source: absent bins still carry their
+    // add-one smoothed shares (p = 1/(n_p+21) vs q = 1/(n_q+21) differ
+    // whenever the snapshot totals do), so the sum really is the
+    // 21-bin smoothed PSI — a sparse join would silently drop them
+    val bins = spark.range(0, 21).select(col("id").cast("int").as("bin"))
+    val joined = tp.join(tq, "source").crossJoin(bins)
+      .join(prior, Seq("source", "bin"), "left").na.fill(0L, Seq("c_p"))
+      .join(curr, Seq("source", "bin"), "left").na.fill(0L, Seq("c_q"))
       .withColumn("p", (col("c_p") + 1).cast("double") /
         (col("n_p") + lit(21L)).cast("double"))
       .withColumn("q", (col("c_q") + 1).cast("double") /
@@ -2424,18 +2432,20 @@ object TextAnalysis {
        |  FROM d WHERE doc_id % 10 <> 9 GROUP BY 1, 2),
        |tp AS (SELECT source, CAST(SUM(c_p) AS BIGINT) AS n_p FROM prior GROUP BY 1),
        |tq AS (SELECT source, CAST(SUM(c_q) AS BIGINT) AS n_q FROM curr GROUP BY 1),
+       |bins AS (SELECT CAST(unnest(generate_series(0, 20)) AS INT) AS bin),
        |j AS (
-       |  SELECT COALESCE(prior.source, curr.source) AS source,
-       |    COALESCE(prior.bin, curr.bin) AS bin,
-       |    COALESCE(c_p, 0) AS c_p, COALESCE(c_q, 0) AS c_q
-       |  FROM prior FULL OUTER JOIN curr
-       |    ON prior.source = curr.source AND prior.bin = curr.bin),
+       |  SELECT g.source, g.bin,
+       |    COALESCE(c_p, 0) AS c_p, COALESCE(c_q, 0) AS c_q, n_p, n_q
+       |  FROM (SELECT tp.source, n_p, n_q, bin
+       |        FROM tp JOIN tq ON tq.source = tp.source CROSS JOIN bins) g
+       |  LEFT JOIN prior ON prior.source = g.source AND prior.bin = g.bin
+       |  LEFT JOIN curr ON curr.source = g.source AND curr.bin = g.bin),
        |t AS (
        |  SELECT j.source,
        |    (CAST(c_p + 1 AS DOUBLE) / CAST(n_p + 21 AS DOUBLE)) AS p,
        |    (CAST(c_q + 1 AS DOUBLE) / CAST(n_q + 21 AS DOUBLE)) AS q,
        |    n_p, n_q
-       |  FROM j JOIN tp ON tp.source = j.source JOIN tq ON tq.source = j.source),
+       |  FROM j),
        |n AS (
        |  SELECT source, n_p, n_q, (q / p) AS r, (q - p) AS dq FROM t),
        |s AS (

@@ -99,16 +99,23 @@ object Rules {
     */
   def alertStates(spark: SparkSession, dir: String, rule: AlertRule,
       offsets: Seq[Long]): DataFrame = {
-    if (rule.forS <= 0 || rule.intervalS <= 0 || rule.forS % rule.intervalS != 0)
+    // forS == 0 is upstream's for-less rule: alerts skip `pending` and
+    // fire at the first breaching instant (k = 0 below); a positive
+    // `for` must divide into evaluation intervals
+    if (rule.forS < 0 ||
+        (rule.forS > 0 && (rule.intervalS <= 0 || rule.forS % rule.intervalS != 0)))
       throw new PromQLCompileException(
-        s"alert '${rule.alert}': `for` (${rule.forS}s) must be a positive multiple of the evaluation interval (${rule.intervalS}s)")
+        s"alert '${rule.alert}': `for` (${rule.forS}s) must be a non-negative multiple of the evaluation interval (${rule.intervalS}s)")
     val ast = Parser.parse(rule.expr)
-    val k = (rule.forS / rule.intervalS).toInt
+    val k = if (rule.forS == 0) 0 else (rule.forS / rule.intervalS).toInt
+    // the lookback-join modulo needs a positive divisor even when the
+    // for-less rule carries intervalS = 0 (k = 0 makes it vacuous)
+    val iv = math.max(rule.intervalS, 1L)
     def labelled(df: DataFrame): DataFrame =
       if (df.columns.contains("label_k")) df.select(col("label_k"), col("value"))
       else df.select(lit(null).cast("string").as("label_k"), col("value"))
     val evalOffsets =
-      offsets.flatMap(o => (0 to k).map(i => o + i * rule.intervalS)).distinct.sorted
+      offsets.flatMap(o => (0 to k).map(i => o + i * iv)).distinct.sorted
     val pres = evalOffsets.map { o =>
       labelled(Compiler.compileAt(spark, dir, ast, o))
         .select(lit(o).as("offset_s"), col("label_k"), col("value"))
@@ -119,7 +126,7 @@ object Rules {
         cur("label_k") <=> past("_p_lk") &&
           past("_p_off") >= cur("offset_s") &&
           past("_p_off") <= cur("offset_s") + rule.forS &&
-          ((past("_p_off") - cur("offset_s")) % rule.intervalS === 0))
+          ((past("_p_off") - cur("offset_s")) % iv === 0))
       .groupBy(col("offset_s"), col("label_k"), col("value"))
       .agg(count(lit(1)).as("_n"))
       .select(
