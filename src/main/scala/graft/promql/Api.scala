@@ -1,6 +1,6 @@
 package graft.promql
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The Prometheus HTTP query-API response envelope — the serving-side
@@ -49,30 +49,49 @@ object Api {
     * `{"resultType":"matrix","result":[{"metric":{...},
     *   "values":[[t,"v"],...]}, ...]}`.
     *
-    * Physical shape: the per-instant plans union (compose-time bound 64
-    * instants, like the subquery union strategy), per-(series, instant)
-    * sample strings are built distributedly, and ONE hash aggregate per
-    * series assembles the time-sorted values array — the collect stays
-    * O(#series), never O(samples × series).
+    * Physical shape, in preference order:
+    *  1. **Dense grid** ([[Compiler.rangeGridEval]]) for the common
+    *     dashboard shapes — selector / `sum by` / rate / `*_over_time`:
+    *     ONE event pass + one window over the series×grid, so a
+    *     1,000-step panel costs no more planning than a 10-step one
+    *     (bound 4096 instants).
+    *  2. **Per-instant union** for every other shape (bound 64
+    *     instants, like the subquery union strategy).
+    * Either way, per-(series, instant) sample strings are built
+    * distributedly and ONE hash aggregate per series assembles the
+    * time-sorted values array — the collect stays O(#series), never
+    * O(samples × series). The two paths are bit-identical on any common
+    * grid (`QueryRangeSpec`).
     */
   def queryRangeJson(spark: SparkSession, dir: String, query: String,
-      startS: Long, endS: Long, stepS: Long): String = {
+      startS: Long, endS: Long, stepS: Long): String =
+    queryRangeJsonImpl(spark, dir, query, startS, endS, stepS, grid = true)
+
+  /** `grid = false` forces the per-instant union path — the test hook
+    * that lets `QueryRangeSpec` pin union ≡ grid on a common grid.
+    */
+  private[graft] def queryRangeJsonImpl(spark: SparkSession, dir: String,
+      query: String, startS: Long, endS: Long, stepS: Long,
+      grid: Boolean): String = {
     require(stepS > 0, "step must be positive")
     require(endS >= startS, "end must be >= start")
     val ast = Parser.parse(query)
     val t = Compiler.instantSeconds(spark, dir)
     val instants = (startS to endS by stepS).toSeq
     require(instants.nonEmpty, "empty evaluation grid")
-    if (instants.length > 64)
-      throw new PromQLCompileException(
-        s"query_range evaluates ${instants.length} instants; 1..64 supported")
     instants.foreach(i => require(i <= t,
       s"grid instant $i is after the corpus instant ${t.toLong}"))
-    val slices = instants.map { i =>
-      Compiler.compileAt(spark, dir, ast, (t - i).toLong)
-        .withColumn("_t", lit(i))
+    val unioned = (if (grid) Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
+      else None).map(_.withColumnRenamed("t_s", "_t")).getOrElse {
+      if (instants.length > 64)
+        throw new PromQLCompileException(
+          s"query_range evaluates ${instants.length} instants; this query " +
+            "shape supports 1..64 (dense-grid shapes evaluate up to 4096)")
+      instants.map { i =>
+        Compiler.compileAt(spark, dir, ast, (t - i).toLong)
+          .withColumn("_t", lit(i))
+      }.reduce(_ unionAll _)
     }
-    val unioned = slices.reduce(_ unionAll _)
     val labelCols = unioned.columns.filterNot(c => c == "value" || c == "_t").toSeq
     val metric =
       if (labelCols.isEmpty) lit("{}")
@@ -92,6 +111,23 @@ object Api {
     parts.mkString(
       """{"status":"success","data":{"resultType":"matrix","result":[""",
       ",", "]}}")
+  }
+
+  /** Dense-grid `query_range` as a relation (`labels… :+ t_s :+ value`):
+    * the grid anchored at the corpus instant — `end = ⌊T⌋`,
+    * `start = end − (instants−1)·step` — so the registered p76 gate and
+    * its DuckDB oracle agree on absolute epochs across sf dirs. Fails
+    * at compose time for shapes without a grid strategy (those route
+    * through [[queryRangeJson]]'s union path).
+    */
+  def queryRangeGrid(spark: SparkSession, dir: String, query: String,
+      instants: Int, stepS: Long): DataFrame = {
+    require(instants >= 1, "at least one grid instant")
+    val endS = Compiler.instantSeconds(spark, dir).toLong
+    val startS = endS - (instants - 1).toLong * stepS
+    Compiler.rangeGridEval(spark, dir, Parser.parse(query), startS, endS, stepS)
+      .getOrElse(throw new PromQLCompileException(
+        s"no dense-grid strategy for query shape: $query"))
   }
 
   private def envelope(dataJson: String): String =

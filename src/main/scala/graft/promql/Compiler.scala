@@ -1413,7 +1413,19 @@ object Compiler {
     * until the final cast — bit-deterministic and oracle-exact.
     */
   private def subqueryGridCounter(spark: SparkSession, dir: String, fn: String,
-      sel: Selector, labels: Seq[String], shiftS: Long, g: Long, stepS: Long): Vec = {
+      sel: Selector, labels: Seq[String], shiftS: Long, g: Long, stepS: Long): Vec =
+    Vec(overTimeCollapse(fn,
+      gridCounterInstants(spark, dir, sel, labels, shiftS, g, stepS), labels), labels)
+
+  /** Per-instant counter snapshots on the dense grid — the shared core
+    * of [[subqueryGridCounter]] and the `query_range` grid path: one
+    * event pass → per-(labels, i0) decimal partials → running sums over
+    * the series×grid. `value` stays DECIMAL (exact, associative);
+    * instants where the series has no events yet are absent.
+    */
+  private def gridCounterInstants(spark: SparkSession, dir: String,
+      sel: Selector, labels: Seq[String], shiftS: Long, g: Long,
+      stepS: Long): DataFrame = {
     val stepUs = stepS * 1000000L
     val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
     val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
@@ -1429,20 +1441,28 @@ object Compiler {
       .crossJoin(broadcast(spark.range(1L, g + 1L).toDF("_i")))
     val w = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val instants = grid.join(partial, labels :+ "_i", "left")
-      .withColumn("_cum_dv", sum(col("_dv")).over(w))
+    grid.join(partial, labels :+ "_i", "left")
+      .withColumn("value", sum(col("_dv")).over(w))
       .withColumn("_cum_n", sum(col("_n")).over(w))
       .filter(col("_cum_n") > 0)
+  }
+
+  /** The `*_over_time` collapse over a per-instant grid relation (the
+    * last step of every grid strategy): plain aggregates over `value`,
+    * which the instant builders keep DECIMAL where exactness matters —
+    * sums stay exact, min/max/count are type-agnostic.
+    */
+  private def overTimeCollapse(fn: String, instants: DataFrame,
+      labels: Seq[String]): DataFrame = {
     val grouped = instants.groupBy(labels.map(col): _*)
-    val agg = fn match {
-      case "sum_over_time" => grouped.agg(sum(col("_cum_dv")).as("value"))
+    fn match {
+      case "sum_over_time" => grouped.agg(sum(col("value")).as("value"))
       case "avg_over_time" => grouped.agg(
-        (sum(col("_cum_dv")).cast("double") / count(lit(1)).cast("double")).as("value"))
-      case "min_over_time" => grouped.agg(min(col("_cum_dv")).as("value"))
-      case "max_over_time" => grouped.agg(max(col("_cum_dv")).as("value"))
+        (sum(col("value")).cast("double") / count(lit(1)).cast("double")).as("value"))
+      case "min_over_time" => grouped.agg(min(col("value")).as("value"))
+      case "max_over_time" => grouped.agg(max(col("value")).as("value"))
       case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
     }
-    Vec(agg, labels)
   }
 
   /** Rate/increase twin of [[subqueryGridCounter]]:
@@ -1461,6 +1481,22 @@ object Compiler {
   private def subqueryGridRate(spark: SparkSession, dir: String, fn: String,
       sel: Selector, labels: Seq[String], shiftS: Long, g: Long, stepS: Long,
       innerFn: String): Vec = {
+    val instants = gridRateInstants(spark, dir, sel, labels, shiftS, g, stepS)
+    // the ÷w commutes with sum/avg/min/max (positive scale), not count
+    val div = if (innerFn == "rate" && fn != "count_over_time")
+      Some(sel.rangeS.get.toDouble) else None
+    Vec(overTimeCollapse(fn, instants, labels), labels, rateDiv = div)
+  }
+
+  /** Per-instant window increases on the dense grid — the shared core of
+    * [[subqueryGridRate]] and the `query_range` grid path: `value` at
+    * instant i is the DECIMAL running-sum difference cum(i) − cum(i−k)
+    * (`increase`; `rate`'s ÷w is the caller's). Instants with an empty
+    * window are absent, exactly as per-instant evaluation.
+    */
+  private def gridRateInstants(spark: SparkSession, dir: String,
+      sel: Selector, labels: Seq[String], shiftS: Long, g: Long,
+      stepS: Long): DataFrame = {
     val stepUs = stepS * 1000000L
     val w = sel.rangeS.get
     val k = (w / stepS).toInt
@@ -1481,24 +1517,12 @@ object Compiler {
       .crossJoin(broadcast(spark.range(1L - k, g + 1L).toDF("_i")))
     val ord = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
     val wcum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val instants = grid.join(partial, labels :+ "_i", "left")
+    grid.join(partial, labels :+ "_i", "left")
       .withColumn("_cum_dv", coalesce(sum(col("_dv")).over(wcum), lit(0)))
       .withColumn("_cum_n", coalesce(sum(col("_n")).over(wcum), lit(0L)))
-      .withColumn("_diff", col("_cum_dv") - coalesce(lag(col("_cum_dv"), k).over(ord), lit(0)))
+      .withColumn("value", col("_cum_dv") - coalesce(lag(col("_cum_dv"), k).over(ord), lit(0)))
       .withColumn("_win_n", col("_cum_n") - coalesce(lag(col("_cum_n"), k).over(ord), lit(0L)))
       .filter(col("_i") >= 1 && col("_win_n") > 0)
-    val grouped = instants.groupBy(labels.map(col): _*)
-    val agg = fn match {
-      case "sum_over_time" => grouped.agg(sum(col("_diff")).as("value"))
-      case "avg_over_time" => grouped.agg(
-        (sum(col("_diff")).cast("double") / count(lit(1)).cast("double")).as("value"))
-      case "min_over_time" => grouped.agg(min(col("_diff")).as("value"))
-      case "max_over_time" => grouped.agg(max(col("_diff")).as("value"))
-      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
-    }
-    // the ÷w commutes with sum/avg/min/max (positive scale), not count
-    val div = if (innerFn == "rate" && fn != "count_over_time") Some(w.toDouble) else None
-    Vec(agg, labels, rateDiv = div)
   }
 
   /** Nested-subquery grid: `fn((g2(m[w]))[d:step])` with `g2` any
@@ -1521,6 +1545,29 @@ object Compiler {
   private def subqueryGridOverTime(spark: SparkSession, dir: String, fn: String,
       sel: Selector, shiftS: Long, g: Long, stepS: Long,
       innerFn: String): Vec = {
+    val vals = gridOverTimeInstants(spark, dir, sel, shiftS, g, stepS, innerFn)
+    val grouped = vals.groupBy(SeriesKey.map(col): _*)
+    val agg = fn match {
+      case "sum_over_time" => grouped.agg(vectorSum(vals).as("value"))
+      case "avg_over_time" => grouped.agg((vectorSum(vals).cast("double") /
+        count(lit(1)).cast("double")).as("value"))
+      case "min_over_time" => grouped.agg(min(col("value")).as("value"))
+      case "max_over_time" => grouped.agg(max(col("value")).as("value"))
+      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+    }
+    Vec(agg, SeriesKey)
+  }
+
+  /** Per-instant `*_over_time` window values on the dense grid — the
+    * shared core of [[subqueryGridOverTime]] and the `query_range` grid
+    * path: per-(series, step-bucket) partials + ONE sliding
+    * `rowsBetween(−(k−1), 0)` window reconstruct every instant's inner
+    * value (`value` — DECIMAL for sum, double for avg/count, raw for
+    * min/max). Instants whose window holds no samples are absent.
+    */
+  private def gridOverTimeInstants(spark: SparkSession, dir: String,
+      sel: Selector, shiftS: Long, g: Long, stepS: Long,
+      innerFn: String): DataFrame = {
     val stepUs = stepS * 1000000L
     val w = sel.rangeS.get
     val k = (w / stepS).toInt
@@ -1558,17 +1605,7 @@ object Compiler {
       case "count_over_time" => col("_wn").cast("double")
       case other => fail(s"$other inside a grid subquery is not supported")
     }
-    val vals = instants.withColumn("value", innerValue)
-    val grouped = vals.groupBy(SeriesKey.map(col): _*)
-    val agg = fn match {
-      case "sum_over_time" => grouped.agg(vectorSum(vals).as("value"))
-      case "avg_over_time" => grouped.agg((vectorSum(vals).cast("double") /
-        count(lit(1)).cast("double")).as("value"))
-      case "min_over_time" => grouped.agg(min(col("value")).as("value"))
-      case "max_over_time" => grouped.agg(max(col("value")).as("value"))
-      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
-    }
-    Vec(agg, SeriesKey)
+    instants.withColumn("value", innerValue).withColumnRenamed("_b", "_i")
   }
 
   /** Gauge twin of [[subqueryGridCounter]]: the per-instant value is
@@ -1582,6 +1619,30 @@ object Compiler {
   private def subqueryGridGauge(spark: SparkSession, dir: String, fn: String,
       sel: Selector, shiftS: Long, g: Long, stepS: Long,
       sumBy: Option[Seq[String]] = None): Vec = {
+    val (valued, outLabels) = gridGaugeInstants(spark, dir, sel, shiftS, g, stepS, sumBy)
+    val grouped = valued.groupBy(outLabels.map(col): _*)
+    val agg = fn match {
+      case "sum_over_time" =>
+        grouped.agg(sum(col("_v").cast(DecimalType(38, 12))).as("value"))
+      case "avg_over_time" => grouped.agg(
+        (sum(col("_v").cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1)).cast("double")).as("value"))
+      case "min_over_time" => grouped.agg(min(col("_v")).as("value"))
+      case "max_over_time" => grouped.agg(max(col("_v")).as("value"))
+      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+    }
+    Vec(agg, outLabels)
+  }
+
+  /** Per-instant gauge (LWW) values on the dense grid — the shared core
+    * of [[subqueryGridGauge]] and the `query_range` grid path. Returns
+    * the instants relation (`outLabels :+ "_i" :+ "_v"`) and its label
+    * set; `_v` is the raw LWW double (bare) or the DECIMAL(38,12)
+    * per-group sum (`sum by`).
+    */
+  private def gridGaugeInstants(spark: SparkSession, dir: String,
+      sel: Selector, shiftS: Long, g: Long, stepS: Long,
+      sumBy: Option[Seq[String]]): (DataFrame, Seq[String]) = {
     val stepUs = stepS * 1000000L
     val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
     val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
@@ -1607,24 +1668,96 @@ object Compiler {
     // `sum by (...)` inner shape: the per-instant group value is the
     // sum of the present series' LWW values — one extra hash aggregate
     // on the tiny series×instants grid, then the over_time collapse
-    val (valued, outLabels) = sumBy match {
+    sumBy match {
       case Some(labels) =>
         (instants.groupBy((labels :+ "_i").map(col): _*)
           .agg(sum(col("_v").cast(DecimalType(38, 12))).as("_v")), labels)
       case None => (instants, SeriesKey)
     }
-    val grouped = valued.groupBy(outLabels.map(col): _*)
-    val agg = fn match {
-      case "sum_over_time" =>
-        grouped.agg(sum(col("_v").cast(DecimalType(38, 12))).as("value"))
-      case "avg_over_time" => grouped.agg(
-        (sum(col("_v").cast(DecimalType(38, 12))).cast("double") /
-          count(lit(1)).cast("double")).as("value"))
-      case "min_over_time" => grouped.agg(min(col("_v")).as("value"))
-      case "max_over_time" => grouped.agg(max(col("_v")).as("value"))
-      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+  }
+
+  /** Dense-grid `query_range` evaluation (SURVEY §2.2 serving surface):
+    * `ast` evaluated at every instant of the grid `startS, startS+stepS,
+    * …, last ≤ endS` as ONE plan — per-(series, step-bucket) partials +
+    * one running/sliding window over the series×grid — instead of one
+    * unioned plan per instant. This is what makes a real dashboard's
+    * 250–1,000-step range request viable: the per-instant union is a
+    * planner-killer past a few dozen instants, while the grid costs one
+    * event pass + O(series × instants) window work regardless of step
+    * count (compose-time bound 4096).
+    *
+    * Returns `Some(df)` with columns `labels :+ t_s :+ value` (epoch
+    * seconds, double) when `ast` matches a grid-able shape — bare or
+    * `sum by` counter/gauge selectors, bare or `sum by` rate/increase
+    * whose window is a step multiple, and decomposable `*_over_time`
+    * over a range selector — or `None` (caller unions, bound 64). The
+    * per-instant anchor reproduces the union path's exactly: instant i's
+    * bound is `_t_us − (T − t_i)·1e6` with integer-second shifts, so the
+    * two paths are bit-identical on any common grid (pinned in
+    * `QueryRangeSpec`).
+    */
+  private[graft] def rangeGridEval(spark: SparkSession, dir: String, ast: Ast,
+      startS: Long, endS: Long, stepS: Long): Option[DataFrame] = {
+    require(stepS > 0, "step must be positive")
+    require(endS >= startS, "end must be >= start")
+    val g = (endS - startS) / stepS + 1
+    val last = startS + (g - 1) * stepS
+    val t = instantSeconds(spark, dir)
+    if (last > t)
+      fail(s"grid instant $last is after the corpus instant ${t.toLong}")
+    val shiftS = (t - last).toLong
+    def counter(sel: Selector) =
+      sel.rangeS.isEmpty && MetricEvent.CounterNames.contains(sel.name)
+    def gauge(sel: Selector) =
+      sel.rangeS.isEmpty && MetricEvent.GaugeNames.contains(sel.name)
+    def rateable(sel: Selector) = sel.rangeS.exists(_ % stepS == 0) &&
+      MetricEvent.CounterNames.contains(sel.name)
+    val bucketDecomposable = Set("sum_over_time", "avg_over_time",
+      "min_over_time", "max_over_time", "count_over_time")
+    // (instants relation with labels :+ "_i" :+ value column, labels,
+    //  value column name, deferred rate divisor)
+    val built: Option[(DataFrame, Seq[String], String, Option[Double])] = ast match {
+      case sel: Selector if counter(sel) =>
+        Some((gridCounterInstants(spark, dir, sel, SeriesKey, shiftS, g, stepS),
+          SeriesKey, "value", None))
+      case Agg("sum", Some(("by", ls)), None, sel: Selector) if counter(sel) =>
+        val labels = ls.map(labelCol)
+        Some((gridCounterInstants(spark, dir, sel, labels, shiftS, g, stepS),
+          labels, "value", None))
+      case sel: Selector if gauge(sel) =>
+        val (df, labels) = gridGaugeInstants(spark, dir, sel, shiftS, g, stepS, None)
+        Some((df, labels, "_v", None))
+      case Agg("sum", Some(("by", ls)), None, sel: Selector) if gauge(sel) =>
+        val (df, labels) = gridGaugeInstants(spark, dir, sel, shiftS, g, stepS, Some(ls.map(labelCol)))
+        Some((df, labels, "_v", None))
+      case Func(f2, _, sel: Selector)
+          if (f2 == "rate" || f2 == "increase") && rateable(sel) =>
+        Some((gridRateInstants(spark, dir, sel, SeriesKey, shiftS, g, stepS),
+          SeriesKey, "value",
+          if (f2 == "rate") Some(sel.rangeS.get.toDouble) else None))
+      case Agg("sum", Some(("by", ls)), None, Func(f2, _, sel: Selector))
+          if (f2 == "rate" || f2 == "increase") && rateable(sel) =>
+        val labels = ls.map(labelCol)
+        Some((gridRateInstants(spark, dir, sel, labels, shiftS, g, stepS),
+          labels, "value",
+          if (f2 == "rate") Some(sel.rangeS.get.toDouble) else None))
+      case Func(f2, None, sel: Selector)
+          if bucketDecomposable.contains(f2) &&
+            sel.rangeS.exists(w => w > 0 && w % stepS == 0) =>
+        Some((gridOverTimeInstants(spark, dir, sel, shiftS, g, stepS, f2),
+          SeriesKey, "value", None))
+      case _ => None
     }
-    Vec(agg, outLabels)
+    built.map { case (inst, labels, valueCol, rdiv) =>
+      if (g > 4096)
+        fail(s"query_range grid evaluates $g instants; 1..4096 supported")
+      // the same division expression as [[materialize]]'s deferred rate
+      val v = rdiv.map(d => col(valueCol).cast("double") / lit(d))
+        .getOrElse(col(valueCol).cast("double"))
+      inst.select(labels.map(col) :+
+        (lit(last) - (lit(g) - col("_i")) * lit(stepS)).cast("long").as("t_s") :+
+        v.as("value"): _*)
+    }
   }
 
   /** Functions evaluated over a RANGE selector's sample window. */

@@ -511,6 +511,68 @@ object Oracle {
        |GROUP BY name, label_k, label_instance
        |ORDER BY name, label_k, label_instance, value""".stripMargin
 
+  /** p76: dense-grid `query_range` of `sum by (k) (purchase)` — 240
+    * instants at 6h anchored at `end = ⌊T⌋` (the engine's
+    * [[Api.queryRangeGrid]] anchor, shift 0): instant i's bound is
+    * `t_us − (240−i)·6h`, its snapshot the cumulative exact-decimal sum
+    * up to the bound; series×instant rows exist only once the series
+    * has events (GROUP BY emits no empty groups — matching the grid's
+    * running-count filter).
+    */
+  val QueryRangeGridSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i)
+       |SELECT m.label_k,
+       |  (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+       |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m, t, inst i
+       |WHERE m.name = 'purchase' AND m.value >= 0
+       |  AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |GROUP BY m.label_k, i.i, t.t_us
+       |ORDER BY m.label_k, t_s""".stripMargin
+
+  /** p77: `sum by (k) (rate(purchase[2d]))` on the same 240×6h grid —
+    * instant i's window is `(bound − 2d, bound]`, the exact decimal
+    * increase divided ONCE by the window seconds (the engine's deferred
+    * rateDiv), so the doubles bit-match.
+    */
+  val QueryRangeRateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i)
+       |SELECT m.label_k,
+       |  (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+       |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) / 172800.0 AS value
+       |FROM m, t, inst i
+       |WHERE m.name = 'purchase' AND m.value >= 0
+       |  AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |  AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - 172800000000
+       |GROUP BY m.label_k, i.i, t.t_us
+       |ORDER BY m.label_k, t_s""".stripMargin
+
+  /** p78: bare gauge `signup` on the 240×6h grid — per full series key,
+    * the last-write-wins sample at or before each instant's bound
+    * (ties broken by event_id, the engine's deterministic order).
+    */
+  val QueryRangeGaugeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i),
+       |r AS (
+       |  SELECT m.name, m.label_k, m.label_instance,
+       |    (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+       |    m.value,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY m.name, m.label_k, m.label_instance, i.i
+       |      ORDER BY m.ts DESC, m.event_id DESC) AS rn
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'signup'
+       |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000)
+       |SELECT name, label_k, label_instance, t_s, value
+       |FROM r WHERE rn = 1
+       |ORDER BY name, label_k, label_instance, t_s""".stripMargin
+
   /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
   val OrSql: String =
     s"""WITH m AS ($MetricEventsSql),

@@ -1,0 +1,113 @@
+package graft
+
+import graft.promql.{Api, PromQLCompileException}
+
+/** The dense-grid `query_range` laws (r10 ask #1):
+  *
+  *  1. union ≡ grid — every grid-able shape renders the SAME matrix
+  *     envelope through the per-instant union path and the one-plan
+  *     series×grid path on a common instant set (bit-identical strings,
+  *     so values, instants, series sets, and ordering all agree);
+  *  2. the grid path lifts the union path's 64-instant wall — hundreds
+  *     of instants evaluate for dashboard shapes, while non-grid shapes
+  *     keep the explicit compose-time refusal;
+  *  3. the relation-facing [[Api.queryRangeGrid]] anchors `end = ⌊T⌋`
+  *     and emits one row per (series, instant-with-data) with
+  *     step-spaced `t_s`.
+  */
+class QueryRangeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val D = 86400000L // ms/day
+
+  /** 10 days of counters (purchase, 2 labels), gauges (signup), and
+    * histogram observations (error) — every grid strategy has data.
+    */
+  private lazy val dir: String = fixture("events" -> Seq(
+    ev(0, 0, "purchase", 1.0, "a"),
+    ev(1, 1 * D, "purchase", 2.0, "a"),
+    ev(2, 1 * D + 3600000L, "purchase", 3.0, "b"),
+    ev(3, 2 * D, "purchase", 4.0, "b"),
+    ev(4, 3 * D + 7200000L, "purchase", 2.5, "a"),
+    ev(5, 5 * D, "purchase", 1.5, "a"),
+    ev(6, 6 * D + 1800000L, "purchase", 6.0, "b"),
+    ev(7, 8 * D, "purchase", 2.0, "a"),
+    ev(8, 0, "signup", 10.0, "a"),
+    ev(9, 2 * D + 60000L, "signup", 12.5, "a"),
+    ev(10, 4 * D, "signup", 11.0, "b"),
+    ev(11, 7 * D + 60000L, "signup", 9.5, "a"),
+    ev(12, 1 * D, "error", 3.0, "a"),
+    ev(13, 4 * D + 60000L, "error", 80.0, "a"),
+    ev(14, 6 * D, "error", 12.0, "b"),
+    ev(15, 9 * D, "purchase", 7.0, "b")
+  ).toDF(eventCols: _*))
+
+  private val T0 = 1704067200L // 2024-01-01 epoch seconds
+  private val dayS = 86400L
+
+  private def both(query: String, startS: Long, endS: Long, stepS: Long)
+      : (String, String) =
+    (Api.queryRangeJsonImpl(spark, dir, query, startS, endS, stepS, grid = false),
+      Api.queryRangeJsonImpl(spark, dir, query, startS, endS, stepS, grid = true))
+
+  test("union and grid paths render bit-identical matrices for every grid shape") {
+    val gridShapes = Seq(
+      "purchase",                          // bare counter snapshot
+      "sum by (k) (purchase)",             // by-agg counter
+      "signup",                            // bare gauge LWW
+      "sum by (k) (signup)",               // by-agg gauge
+      "rate(purchase[2d])",                // windowed rate, w = 2 steps
+      "sum by (k) (rate(purchase[2d]))",   // the dashboard query
+      "increase(purchase[1d])",            // w = 1 step
+      "sum_over_time(error[2d])",          // decomposable over_time
+      "max_over_time(purchase[3d])",
+      "count_over_time(error[1d])")
+    // grid start..end: days 2..9 after T0, step 1d (8 instants)
+    val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
+    for (q <- gridShapes) {
+      val (union, grid) = both(q, s, e, dayS)
+      assert(union === grid, s"union ≠ grid for: $q")
+      assert(grid.contains("\"values\":[["), s"empty matrix for: $q")
+    }
+  }
+
+  test("grid lifts the 64-instant union wall; non-grid shapes keep it") {
+    // 100 instants at 2h: union path would refuse, grid path evaluates
+    val (s100, e100) = (T0 + 9 * dayS - 99 * 7200L, T0 + 9 * dayS)
+    val json = Api.queryRangeJson(spark, dir, "sum by (k) (purchase)",
+      s100, e100, 7200L)
+    assert(json.contains("\"resultType\":\"matrix\""))
+    // a non-grid shape on the same 100-instant grid fails loudly at
+    // compose time (plan-union blowup is refused, not attempted)
+    val ex = intercept[PromQLCompileException] {
+      Api.queryRangeJson(spark, dir, "topk(1, sum by (k) (purchase))",
+        s100, e100, 7200L)
+    }
+    assert(ex.getMessage.contains("64"))
+    // ... but the same shape still works on a small grid (union path)
+    val small = Api.queryRangeJson(spark, dir, "topk(1, sum by (k) (purchase))",
+      T0 + 7 * dayS, T0 + 9 * dayS, dayS)
+    assert(small.contains("\"resultType\":\"matrix\""))
+  }
+
+  test("queryRangeGrid relation: end anchored at ⌊T⌋, step-spaced t_s") {
+    val df = Api.queryRangeGrid(spark, dir, "sum by (k) (purchase)", 8, dayS)
+    assert(df.columns.toSeq === Seq("label_k", "t_s", "value"))
+    val rows = df.orderBy("label_k", "t_s")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val tMax = rows.map(_._2).max
+    assert(tMax === T0 + 9 * dayS) // last event day = corpus instant floor
+    // t_s values sit on the step grid anchored at the end
+    assert(rows.forall { case (_, t, _) => (tMax - t) % dayS === 0L })
+    // series appear only once they have data: label a starts day 0,
+    // label b starts day 1 — both present across the 8-instant window,
+    // and the final snapshot equals the full cumulative sum
+    val lastByK = rows.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2)._3 }
+    assert(lastByK === Map("a" -> 9.0, "b" -> 20.0))
+    // a non-grid shape is refused with a pointer, not mis-evaluated
+    intercept[PromQLCompileException] {
+      Api.queryRangeGrid(spark, dir, "topk(1, sum by (k) (purchase))", 8, dayS)
+    }
+  }
+}
