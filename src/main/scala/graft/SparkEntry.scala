@@ -2,6 +2,7 @@ package graft
 
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +34,8 @@ object SparkEntry {
     // vs a direct DuckDB rebuild from raw observations over the shared
     // literal bucket bounds
     "b37b_native_histogram_decode" -> ((s, d) => Metrics.nativeHistogramDecode(s, d)),
+    // foreign scrape-payload ingest incl. zero-length leading span (r10 ask #2)
+    "b37c_native_histogram_ingest" -> ((s, d) => Metrics.nativeHistogramIngest(s, d)),
     "b7b_histogram_quantile_native" -> ((s, d) => Metrics.histogramQuantileNative(s, d)),
     // Tier B — PromQL-class TSDB query surface (SURVEY.md §2.2)
     "b1_selector" -> ((s, d) => PromQL.selector(s, d)),
@@ -280,6 +283,20 @@ object SparkEntry {
     "p75_promql_native_hq_agg" -> ((s, d) => promql.Engine.eval(s, d,
       "histogram_quantile(0.9, sum by (k) (rate(error[4d])))",
       nativeFamilies = Set("error"))),
+    // dense-grid query_range (r10 ask #1): 240 instants at 6h — far past
+    // the union path's 64-instant wall — as ONE plan (event pass +
+    // series×grid window); union ≡ grid pinned in QueryRangeSpec
+    "p76_query_range_grid" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "sum by (k) (purchase)", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
+    // the dashboard query: windowed rate on the same 240-instant grid
+    "p77_query_range_rate" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "sum by (k) (rate(purchase[2d]))", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
+    // gauge LWW reconstruction per grid instant (full series key)
+    "p78_query_range_gauge" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "signup", 240, 21600L)
+      .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
     // det-math compilation mode: ^ exercises BOTH pow dispatch branches
     // (positive base fractional exponent + negative base integer
     // exponent), atan2 the quadrant dispatch — hash-gated, the
@@ -611,6 +628,7 @@ object SparkEntry {
     "a4b_histogram_aggregator" -> Metrics.HistogramSnapshotSql,
     "b7b_histogram_quantile_native" -> PromQL.HistogramQuantileSql,
     "b37b_native_histogram_decode" -> Metrics.NativeHistogramDecodeSql,
+    "b37c_native_histogram_ingest" -> Metrics.NativeHistogramIngestSql,
     "b37_native_histogram" -> Metrics.NativeHistogramSnapshotSql,
     "b1_selector" -> PromQL.SelectorSql,
     "b2_range_agg" -> PromQL.RangeAggSql,
@@ -735,6 +753,9 @@ object SparkEntry {
     "p58_promql_histogram_count_rate" -> promql.Oracle.HistogramCountRateSql,
     "p59_promql_info" -> promql.Oracle.InfoSql,
     "p60_promql_nested_subquery" -> promql.Oracle.NestedOverTimeGridSql,
+    "p76_query_range_grid" -> promql.Oracle.QueryRangeGridSql,
+    "p77_query_range_rate" -> promql.Oracle.QueryRangeRateSql,
+    "p78_query_range_gauge" -> promql.Oracle.QueryRangeGaugeSql,
     "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
     "p62_promql_resets" -> promql.Oracle.ResetsWindowSql,
     "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,

@@ -4,12 +4,17 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Mergeable buffer for [[NativeHistogramAggregator]]: exact integer
-  * state only — the double `sum` of the classic sketch is replaced by
-  * exact cents so merge order can never perturb the result (the
-  * engine-wide determinism rule).
+  * state for everything hash-gated — the double `sum` of the classic
+  * sketch is replaced by exact cents so merge order can never perturb
+  * the result (the engine-wide determinism rule) — PLUS a
+  * Kahan-compensated float pair `(sumF, sumC)` carrying Prometheus's
+  * float-sum semantics for non-cent observations (r10 ask #3). The
+  * float pair is deterministic per partitioning but its last ulp can
+  * move with merge order, so it feeds the rows-only `sum_float` field
+  * only; `sumCents` keeps the hash.
   */
 case class NHBuffer(zero: Long, count: Long, sumCents: Long,
-    buckets: Map[Int, Long])
+    sumF: Double, sumC: Double, buckets: Map[Int, Long])
 
 /** The finished sketch: counts, the sparse positive buckets in the
   * exposition wire shape (spans + count deltas), and the three standard
@@ -21,13 +26,16 @@ case class NHBuffer(zero: Long, count: Long, sumCents: Long,
   * format, where `sum` is an exact float accumulation): observations
   * are accumulated as exact integer CENTS and `sum = sumCents / 100`,
   * so merge order can never perturb the result. Non-cent observations
-  * (e.g. √2) therefore quantize — consumers needing the float-exact
-  * Prometheus semantic must keep their own compensated accumulator;
-  * this engine trades that last fraction of a cent for bit-stable
-  * reproducibility under any partitioning (the engine-wide rule).
+  * (e.g. √2) therefore quantize in `sum` — `sum_float` carries the
+  * Prometheus float semantic alongside it, accumulated with Kahan
+  * compensation (error ≤ 2ε·Σ|v| regardless of count, vs n·ε for a
+  * naive sum). `sum_float`'s last ulp can move with Spark's merge
+  * order, so hash-gated queries select `sum` and leave `sum_float` to
+  * rows-only consumers; the spec law pins `|sum_float − Σv| ≤ 2ε·Σ|v|`
+  * and `|sum − sum_float| ≤ 0.005·count` (the cent-quantization bound).
   */
 case class NHSketch(schema: Int, zero_count: Long, count: Long,
-    sum: Double, n_buckets: Long,
+    sum: Double, sum_float: Double, n_buckets: Long,
     span_offsets: Seq[Int], span_lengths: Seq[Int], deltas: Seq[Long],
     p50: Double, p90: Double, p99: Double)
 
@@ -81,25 +89,40 @@ class NativeHistogramAggregator(val schema: Int)
   def bucketLow(i: Int): Double = StrictMath.pow(2.0, (i - 1) / scale)
   def bucketHigh(i: Int): Double = StrictMath.pow(2.0, i / scale)
 
-  override def zero: NHBuffer = NHBuffer(0L, 0L, 0L, Map.empty)
+  override def zero: NHBuffer = NHBuffer(0L, 0L, 0L, 0.0, 0.0, Map.empty)
+
+  /** One Kahan step: add `v` to the compensated pair `(s, c)`. */
+  private def kahan(s: Double, c: Double, v: Double): (Double, Double) = {
+    val y = v - c
+    val t = s + y
+    (t, (t - s) - y)
+  }
 
   override def reduce(b: NHBuffer, v: Double): NHBuffer = {
     require(v >= 0, "native-histogram operator covers the non-negative range")
     val cents = Math.round(v * 100.0)
+    val (sf, sc) = kahan(b.sumF, b.sumC, v)
     if (v == 0.0) b.copy(zero = b.zero + 1, count = b.count + 1,
-      sumCents = b.sumCents + cents)
+      sumCents = b.sumCents + cents, sumF = sf, sumC = sc)
     else {
       val i = bucketIndex(v)
       b.copy(count = b.count + 1, sumCents = b.sumCents + cents,
+        sumF = sf, sumC = sc,
         buckets = b.buckets.updated(i, b.buckets.getOrElse(i, 0L) + 1L))
     }
   }
 
-  override def merge(a: NHBuffer, b: NHBuffer): NHBuffer =
+  override def merge(a: NHBuffer, b: NHBuffer): NHBuffer = {
+    // fold b's compensated pair in as two Kahan steps (sum, then the
+    // residual) — the error bound stays O(ε·Σ|v|) across any merge tree
+    val (s1, c1) = kahan(a.sumF, a.sumC, b.sumF)
+    val (s2, c2) = kahan(s1, c1, -b.sumC)
     NHBuffer(a.zero + b.zero, a.count + b.count, a.sumCents + b.sumCents,
+      s2, c2,
       b.buckets.foldLeft(a.buckets) { case (m, (k, v)) =>
         m.updated(k, m.getOrElse(k, 0L) + v)
       })
+  }
 
   /** Exponential-interpolation quantile over the sorted sparse buckets:
     * within bucket `i` at covered fraction `f`, `q = 2^((i−1+f)/2^s)` —
@@ -178,7 +201,9 @@ class NativeHistogramAggregator(val schema: Int)
 
   override def finish(b: NHBuffer): NHSketch = {
     val (off, len, del) = encode(b.buckets)
-    NHSketch(schema, b.zero, b.count, b.sumCents / 100.0, b.buckets.size.toLong,
+    NHSketch(schema, b.zero, b.count, b.sumCents / 100.0,
+      b.sumF - b.sumC, // the compensated estimate: s carries −c of error
+      b.buckets.size.toLong,
       off, len, del, quantile(b, 0.5), quantile(b, 0.9), quantile(b, 0.99))
   }
 

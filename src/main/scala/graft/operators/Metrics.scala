@@ -402,6 +402,26 @@ object Metrics {
       .select(col("name"), col("label_k"),
         col("h.span_offsets").as("offs"), col("h.span_lengths").as("lens"),
         col("h.deltas").as("deltas"))
+    decodeWireSpans(wire).join(broadcast(nhBoundsDf(spark)), Seq("bucket"))
+      .select(col("name"), col("label_k"), col("bucket"), col("lo"), col("hi"),
+        col("bucket_count"))
+      .orderBy(col("name"), col("label_k"), col("bucket"))
+  }
+
+  /** The relational wire→buckets decode shared by [[nativeHistogramDecode]]
+    * (round-trip of the engine's own encoding, b37b) and
+    * [[nativeHistogramIngest]] (foreign scrape payloads, b37c): per-span
+    * absolute starts from the running `Σoff + Σprior len` (first offset
+    * absolute, later offsets gaps from the previous span's exclusive
+    * end), per-bucket counts from the delta prefix sums. ZERO-LENGTH
+    * spans — legal on the wire, never produced by [[graft.functions
+    * .NativeHistogramAggregator.encode]] — advance the position by their
+    * offset but consume no deltas and emit no buckets: they stay in the
+    * running sums (len 0 adds nothing) and are filtered before the
+    * bucket explode, where `sequence(0, len−1)` at len 0 would DESCEND
+    * `[0, −1]` and fabricate two rows.
+    */
+  private[graft] def decodeWireSpans(wire: DataFrame): DataFrame = {
     val spans = wire
       .select(col("name"), col("label_k"), col("deltas"),
         posexplode(arrays_zip(col("offs"), col("lens"))).as(Seq("si", "sp")))
@@ -413,18 +433,66 @@ object Metrics {
       .withColumn("start",
         sum(col("off")).over(w) + coalesce(sum(col("len")).over(wPrior), lit(0L)))
       .withColumn("dstart", coalesce(sum(col("len")).over(wPrior), lit(0L)))
-    val buckets = positioned
+    positioned
+      .filter(col("len") > 0)
       .select(col("name"), col("label_k"), col("deltas"), col("start"), col("dstart"),
         posexplode(expr("sequence(0, len - 1)")).as(Seq("j", "jv")))
       .select(col("name"), col("label_k"),
         (col("start") + col("j")).cast("int").as("bucket"),
         expr("aggregate(slice(deltas, 1, cast(dstart + j + 1 as int)), 0L, (a, x) -> a + x)")
           .as("bucket_count"))
-    buckets.join(broadcast(nhBoundsDf(spark)), Seq("bucket"))
+  }
+
+  /** b37c — the INGEST half of the native-histogram codec
+    * (`prometheus.cpp:256-306`'s scrape-side twin): wire payloads this
+    * engine did NOT encode — including the zero-length leading span
+    * that is legal in the exposition format but absent from the
+    * engine's own minimal encoding — decoded to absolute bucket counts
+    * through the same shared span walk as b37b and joined to the
+    * literal bounds. The payloads are compile-time literals (a scraped
+    * body, not corpus data) and the oracle is the independently
+    * hand-derived bucket relation, so the gate fails if the decoder
+    * ever mis-anchors a span or miscounts a delta chain.
+    *
+    * Payload shapes covered: multi-span with gaps (a), zero-length
+    * LEADING span (b — offsets after it are relative, not absolute),
+    * zero-length MID span (c), and negative bucket indexes (c).
+    */
+  def nativeHistogramIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wire = Seq(
+      ("req_latency", "a", Seq(0, 2), Seq(2, 3), Seq(3L, 1L, -1L, 2L, 0L)),
+      ("req_latency", "b", Seq(4, 3), Seq(0, 2), Seq(5L, -2L)),
+      ("req_latency", "c", Seq(-2, 1, 2), Seq(1, 0, 2), Seq(7L, -3L, 1L))
+    ).toDF("name", "label_k", "offs", "lens", "deltas")
+    decodeWireSpans(wire).join(broadcast(nhBoundsDf(spark)), Seq("bucket"))
       .select(col("name"), col("label_k"), col("bucket"), col("lo"), col("hi"),
         col("bucket_count"))
       .orderBy(col("name"), col("label_k"), col("bucket"))
   }
+
+  /** Oracle twin of [[nativeHistogramIngest]]: the expected buckets
+    * derived BY HAND from the wire spec (span b: start 4+3=7 because
+    * the zero-length leading span anchors at 4; span c: mid zero-length
+    * span advances 1 without consuming deltas), joined to the same
+    * literal bounds.
+    */
+  lazy val NativeHistogramIngestSql: String =
+    s"""WITH b AS ($NhBoundsSql),
+       |w(name, label_k, bucket, bucket_count) AS (VALUES
+       |  ('req_latency', 'a', 0, CAST(3 AS BIGINT)),
+       |  ('req_latency', 'a', 1, CAST(4 AS BIGINT)),
+       |  ('req_latency', 'a', 4, CAST(3 AS BIGINT)),
+       |  ('req_latency', 'a', 5, CAST(5 AS BIGINT)),
+       |  ('req_latency', 'a', 6, CAST(5 AS BIGINT)),
+       |  ('req_latency', 'b', 7, CAST(5 AS BIGINT)),
+       |  ('req_latency', 'b', 8, CAST(3 AS BIGINT)),
+       |  ('req_latency', 'c', -2, CAST(7 AS BIGINT)),
+       |  ('req_latency', 'c', 2, CAST(4 AS BIGINT)),
+       |  ('req_latency', 'c', 3, CAST(5 AS BIGINT)))
+       |SELECT w.name, w.label_k, w.bucket, b.lo, b.hi, w.bucket_count
+       |FROM w JOIN b ON b.bucket = w.bucket
+       |ORDER BY w.name, w.label_k, w.bucket""".stripMargin
 
   /** Oracle twin of [[nativeHistogramSnapshot]]: rebuilds the sparse
     * sketch relationally — bucket counts via the literal-bounds range

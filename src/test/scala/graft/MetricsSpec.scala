@@ -300,14 +300,29 @@ class MetricsSpec extends SparkTestBase {
     val vals = Seq(0.0, 0.01, 0.5, 1.0, 1.0, 2.5, 7.0, 42.0, 42.0, 42.0,
       199.99, 1500.0, 0.0, StrictMath.sqrt(2.0), 2.0, 4.0,
       StrictMath.pow(2.0, 3.0 / 8.0))
-    // sequential fold vs arbitrary split-merge: identical buffers
+    // sequential fold vs arbitrary split-merge: identical INTEGER state
+    // (the hash-gated fields); the compensated float pair may move by
+    // ulps with merge order — bounded below, never hash-gated
     val whole = vals.foldLeft(agg.zero)(agg.reduce)
+    val exactSum = vals.map(BigDecimal(_)).sum.toDouble
     for (cut <- Seq(1, 4, 7, 12)) {
       val (a, b) = vals.splitAt(cut)
       val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
         b.foldLeft(agg.zero)(agg.reduce))
-      assert(merged === whole, s"cut $cut")
+      assert(merged.copy(sumF = 0, sumC = 0) === whole.copy(sumF = 0, sumC = 0),
+        s"cut $cut")
+      assert(math.abs((merged.sumF - merged.sumC) - exactSum) <=
+        2e-16 * vals.map(math.abs).sum, s"cut $cut float sum")
     }
+    // r10 ask #3 laws: sum_float carries the Prometheus float semantic
+    // within the Kahan bound; sum (exact cents) stays within the
+    // quantization bound of it
+    val sk = agg.finish(whole)
+    assert(math.abs(sk.sum_float - exactSum) <= 2e-16 * vals.map(math.abs).sum)
+    assert(math.abs(sk.sum - sk.sum_float) <= 0.005 * sk.count)
+    // non-cent observations: sum_float resolves what cents quantize
+    // (√2 + 2^(3/8) are not 2-decimal) — the two fields genuinely differ
+    assert(sk.sum !== sk.sum_float)
     assert(whole.zero === 2L && whole.count === vals.length.toLong)
     // every positive observation lies in its bucket's (lo, hi] range
     for (v <- vals.filter(_ > 0)) {
@@ -351,5 +366,31 @@ class MetricsSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     assert(df.columns.toSeq === Seq("name", "label_k", "schema", "zero_count",
       "count", "sum", "n_buckets", "n_spans", "p50", "p90", "p99"))
+  }
+
+  test("b37c: relational ingest of foreign payloads matches the JVM codec") {
+    val agg = new graft.functions.NativeHistogramAggregator(Metrics.NhSchema)
+    // the registered query's literal payloads, decoded independently by
+    // the JVM scrape-side codec — the relational span walk must agree
+    // bucket-for-bucket (same zero-length-span anchoring, same delta
+    // chains, no fabricated rows from the len=0 spans)
+    val expected = Map(
+      "a" -> agg.decode(Seq(0, 2), Seq(2, 3), Seq(3L, 1L, -1L, 2L, 0L)),
+      "b" -> agg.decode(Seq(4, 3), Seq(0, 2), Seq(5L, -2L)),
+      "c" -> agg.decode(Seq(-2, 1, 2), Seq(1, 0, 2), Seq(7L, -3L, 1L)))
+    val got = Metrics.nativeHistogramIngest(spark, "unused").collect()
+      .groupBy(_.getString(1))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getInt(2) -> r.getLong(5)).toMap
+      }
+    assert(got === expected)
+    // the hand-derived anchors: zero-length leading span b lands at 7,
+    // zero-length mid span c advances without consuming a delta
+    assert(expected("b") === Map(7 -> 5L, 8 -> 3L))
+    assert(expected("c") === Map(-2 -> 7L, 2 -> 4L, 3 -> 5L))
+    // every emitted bucket joined literal bounds with lo < hi
+    val bounds = Metrics.nativeHistogramIngest(spark, "unused").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(bounds.length === 10 && bounds.forall { case (lo, hi) => lo < hi })
   }
 }
