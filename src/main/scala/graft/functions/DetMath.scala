@@ -273,12 +273,33 @@ object DetMath {
     1.0 + r2 * p
   }
 
+  /** Domain bound of the Cody-Waite reduction (r10 ask #8): `k·C1` and
+    * `k·C2` are exact IEEE products only while k's significand fits
+    * 20 bits (33 + 20 ≤ 53), i.e. |k| ≤ 2²⁰ ⇔ |x| ≤ 2²⁰·π/2 ≈ 1.647e6.
+    * Past it the reduction still runs the same correctly-rounded pinned
+    * steps — deterministic — but the reduced argument silently drifts
+    * from true sin/cos, so [[sin]]/[[cos]] FAIL LOUD instead of
+    * returning a value whose accuracy quietly degraded; callers with
+    * genuinely huge phases pre-reduce modulo 2π upstream (a
+    * Payne-Hanek tier would lift the bound; not needed at ±500-range
+    * fixtures and documented here so the gap is a named decision).
+    */
+  val SinCosDomainMax: Double = HalfPi * (1 << 20)
+
+  private def checkSinCosDomain(x: Double): Unit =
+    if (math.abs(x) > SinCosDomainMax)
+      throw new IllegalArgumentException(
+        s"det_sin/det_cos: |x| = ${math.abs(x)} exceeds the exact Cody-Waite " +
+          s"reduction bound $SinCosDomainMax (2^20*pi/2); reduce the phase " +
+          "modulo 2*pi before the deterministic trig tier")
+
   /** Deterministic sin — the pinned step sequence (quadrant dispatch
-    * over the reduced argument). Total on any double: NaN for
-    * NaN/±Inf inputs.
+    * over the reduced argument). NaN for NaN/±Inf inputs; fails loud
+    * past [[SinCosDomainMax]].
     */
   def sin(x: Double): Double = {
     if (x.isNaN || x.isInfinite) return Double.NaN
+    checkSinCosDomain(x)
     val (r, q) = reduce(x)
     q match {
       case 0 => sinPoly(r)
@@ -291,6 +312,7 @@ object DetMath {
   /** Deterministic cos — same reduction, shifted dispatch. */
   def cos(x: Double): Double = {
     if (x.isNaN || x.isInfinite) return Double.NaN
+    checkSinCosDomain(x)
     val (r, q) = reduce(x)
     q match {
       case 0 => cosPoly(r)

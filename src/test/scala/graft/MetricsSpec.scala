@@ -214,6 +214,20 @@ class MetricsSpec extends SparkTestBase {
     assert(DetMath.cos(0.0) === 1.0)
     assert(DetMath.sin(Double.NaN).isNaN)
     assert(DetMath.sin(Double.PositiveInfinity).isNaN)
+    // r10 ask #8: past the exact-product bound (|k| > 2^20) the
+    // reduction would silently drift — the tier fails LOUD instead of
+    // degrading; at and inside the bound it still answers accurately
+    val bound = DetMath.SinCosDomainMax
+    assert(math.abs(DetMath.sin(bound) - StrictMath.sin(bound)) <= 1e-9)
+    assert(math.abs(DetMath.cos(-bound) - StrictMath.cos(-bound)) <= 1e-9)
+    for (bad <- Seq(bound * 1.0000001, -bound * 2, 1e9)) {
+      val e = intercept[IllegalArgumentException](DetMath.sin(bad))
+      assert(e.getMessage.contains("Cody-Waite"))
+      intercept[IllegalArgumentException](DetMath.cos(bad))
+    }
+    // infinities keep their NaN semantics — the guard is for finite
+    // phases only
+    assert(DetMath.cos(Double.NegativeInfinity).isNaN)
     // the native codegen'd expressions ARE the same pinned scalars —
     // assert through a real plan anyway
     graft.plans.DetMathExprs.register(spark)

@@ -822,10 +822,14 @@ class StreamingSpec extends SparkTestBase {
       (id, text, "en", src, text.length.toLong)
     // docs 1/2 share a 7-token prefix (one 5-shingle dup run); doc 3 is clean
     val pre = "terms of service apply to this document"
+    // doc 4 has NULL text: x74's posexplode emits no row for it and the
+    // firewall's isNotNull filter must drop it identically in batch AND
+    // stream - the law fixture that closes r10's null-text hole
     val corpus = Seq(
       row(1, s"$pre alpha beta gamma delta", "src1"),
       row(2, s"$pre epsilon zeta eta theta", "src2"),
-      row(3, "completely unrelated content with fresh words", "src1"))
+      row(3, "completely unrelated content with fresh words", "src1"),
+      (4L, null.asInstanceOf[String], "en", "src2", 0L))
     val dir = fixture("documents" ->
       corpus.toDF("doc_id", "text", "lang", "source", "n_chars"))
     val x74 = graft.operators.TextAnalysis.spanScrub(spark, dir)
@@ -838,6 +842,8 @@ class StreamingSpec extends SparkTestBase {
     // row-local bloom scrub ties back to x74's exact relation-level scrub
     // on this FP-free fixture
     assert(batch === x74)
+    // the null-text doc is in neither relation - same row universe
+    assert(!batch.exists(_._1 == 4L))
     val mem = MemoryStream[(Long, String)]
     val out = graft.operators.TextAnalysis.boilerplateFirewall(
       mem.toDF().toDF("doc_id", "text"), bits)
