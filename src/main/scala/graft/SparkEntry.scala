@@ -447,6 +447,8 @@ object SparkEntry {
     // the assembled IVF-PQ search path: coarse nprobe=2 pruning + ADC
     // re-rank from codes alone, with candidate count + recall per query
     "x91_ivfpq_search" -> ((s, d) => Similarity.ivfPqSearch(s, d)),
+    // the nprobe sizing audit: full recall-vs-nprobe curve in one pass
+    "x91b_ivfpq_recall_curve" -> ((s, d) => Similarity.ivfPqRecallCurve(s, d)),
     // int8 embedding compression with exact-integer error audit
     "x34_int8_quantization" -> ((s, d) => Similarity.int8Quantization(s, d)),
     // per-group centroid-distance outlier scoring (mislabel/noise audit)
@@ -842,6 +844,7 @@ object SparkEntry {
     "x88_pq_codes" -> Similarity.PqCodesSql,
     "x89_pq_adc_recall" -> Similarity.PqAdcRecallSql,
     "x91_ivfpq_search" -> Similarity.IvfPqSearchSql,
+    "x91b_ivfpq_recall_curve" -> Similarity.IvfPqRecallCurveSql,
     "x34_int8_quantization" -> Similarity.Int8QuantizationSql,
     "x45_embedding_outliers" -> Similarity.EmbeddingOutliersSql,
     "x46_embedding_covariance" -> Similarity.EmbeddingCovarianceSql,

@@ -1836,6 +1836,65 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** x91b — the nprobe SIZING audit (r10 ask #6): x91 reports recall at
+    * nprobe = 2 only, which on this isotropic synthetic corpus reads
+    * 0.0 and says nothing about where the knob should sit. This query
+    * emits the whole recall-vs-nprobe curve from ONE pass over the same
+    * cached coarse assignment: a candidate's `creq` — the rank of its
+    * cell in the query's centroid ordering — is the MINIMUM nprobe that
+    * admits it, so "evaluate at every nprobe 1..8" is one broadcast
+    * join against the 8-row nprobe grid, not 8 re-searches. One row per
+    * nprobe: total candidates, exact-top-5 hits, mean recall across the
+    * 10 queries. At nprobe = 8 the curve must meet x89's exhaustive-ADC
+    * recall by construction (pinned in PqSpec); the knee between is
+    * what sizes the knob. 100 TB shape: candidates ∝ Σ probed-cell
+    * sizes exactly as x91, grid join is a constant 8-row broadcast.
+    */
+  def ivfPqRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val centroids = q.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val cscores = q.crossJoin(broadcast(centroids))
+      .withColumn("cdp", graft.plans.IntDotExpr.intDot(spark, "q", "cq"))
+      .withColumn("cscore", col("cdp").cast("double") /
+        sqrt(col("n2").cast("double")) / sqrt(col("cn2").cast("double")))
+      .withColumn("crn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cscore").desc, col("cid"))))
+    val cells = cscores.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // each query's FULL centroid ranking: rank = the minimum nprobe at
+    // which that cell (and every doc in it) enters the candidate set
+    val cellRank = cscores.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"),
+        col("crn").as("creq"))
+    val codes = pqAssignments(spark, dir)
+      .select((Seq(col("vec_id")) ++ (0 until PqM).map(m => col(s"c$m"))): _*)
+      .join(cells, "vec_id")
+    val candidates = codes.join(broadcast(cellRank), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val scored = adcScore(spark, dir, candidates)
+    val nprobes = spark.range(1L, 9L).toDF("nprobe")
+    val at = scored.join(broadcast(nprobes), col("creq") <= col("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val approx = at.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("nprobe"), col("query_id"), col("vec_id").as("neighbor_id"))
+    val exact = cosineTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val ncand = at.groupBy(col("nprobe")).agg(count(lit(1)).as("n_candidates"))
+    val nq = exact.agg(countDistinct(col("query_id")).as("nq"))
+    nprobes.join(ncand, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("n_candidates"), col("n_hits"),
+        (col("n_hits").cast("double") /
+          (lit(5.0) * col("nq").cast("double"))).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Shared CTE fragments for the PQ oracles: one codebook chain per
     * subspace, mirroring [[pqAssignments]] op-for-op (slice via
     * explicit generate_series indexing — unambiguous 1-based, exactly
@@ -1995,5 +2054,67 @@ object Similarity {
        |ncand AS (SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id),
        |${recallTail(" COALESCE(n_candidates, 0) AS n_candidates,",
       "\nLEFT JOIN ncand ON ncand.query_id = q.query_id")}""".stripMargin
+  }
+
+  /** Oracle twin of [[ivfPqRecallCurve]] — the same coarse-assignment
+    * CTEs as [[IvfPqSearchSql]], with the candidate relation carrying
+    * `creq` (cell rank = minimum admitting nprobe) and the 8-row
+    * nprobe grid joined once.
+    */
+  lazy val IvfPqRecallCurveSql: String = {
+    val lookupJoins = (0 until PqM).map(m =>
+      s"JOIN t$m ON t$m.query_id = cand.query_id AND t$m.cid = cand.c$m").mkString("\n  ")
+    s"""WITH ${pqCtes.mkString(",\n")},
+       |${adcTableCtes.mkString(",\n")},
+       |$codesCte,
+       |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qz
+       |          WHERE vec_id BETWEEN 100 AND 107),
+       |csc AS (
+       |  SELECT qz.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> qz.q[i] * c.cq[i])) AS DOUBLE)
+       |      / sqrt(CAST(qz.n2 AS DOUBLE)) / sqrt(CAST(c.cn2 AS DOUBLE)) AS cscore
+       |  FROM qz CROSS JOIN cents c),
+       |crank AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY cscore DESC, cid) AS rn FROM csc),
+       |cells AS (SELECT vec_id, cid AS cell FROM crank WHERE rn = 1),
+       |cellrank AS (SELECT vec_id AS query_id, cid AS cell, rn AS creq
+       |             FROM crank WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT cr.query_id, k.vec_id, cr.creq,
+       |    ${(0 until PqM).map(m => s"k.c$m").mkString(", ")}
+       |  FROM codes k
+       |  JOIN cells ce ON ce.vec_id = k.vec_id
+       |  JOIN cellrank cr ON cr.cell = ce.cell
+       |  WHERE cr.query_id <> k.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id, cand.creq, $adcScoreSql AS score
+       |  FROM cand
+       |  $lookupJoins),
+       |np AS (SELECT unnest(generate_series(1, 8)) AS nprobe),
+       |at AS (SELECT np.nprobe, s.* FROM scored s JOIN np ON s.creq <= np.nprobe),
+       |approx AS (
+       |  SELECT nprobe, query_id, vec_id AS neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |      ORDER BY score DESC, vec_id) AS rank FROM at)
+       |  WHERE rank <= 5),
+       |exact AS (SELECT query_id, neighbor_id FROM ($CosineTopKSql)),
+       |hits AS (
+       |  SELECT a.nprobe, COUNT(*) AS n_hits
+       |  FROM approx a
+       |  WHERE EXISTS (SELECT 1 FROM exact e
+       |    WHERE e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+       |  GROUP BY a.nprobe),
+       |ncand AS (SELECT nprobe, COUNT(*) AS n_candidates FROM at GROUP BY nprobe),
+       |nq AS (SELECT COUNT(DISTINCT query_id) AS nq FROM exact)
+       |SELECT np.nprobe, COALESCE(ncand.n_candidates, 0) AS n_candidates,
+       |  COALESCE(hits.n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+       |    / (5.0 * CAST(nq.nq AS DOUBLE)) AS recall
+       |FROM np
+       |LEFT JOIN ncand ON ncand.nprobe = np.nprobe
+       |LEFT JOIN hits ON hits.nprobe = np.nprobe
+       |CROSS JOIN nq
+       |ORDER BY np.nprobe""".stripMargin
   }
 }

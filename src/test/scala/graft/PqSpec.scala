@@ -80,4 +80,27 @@ class PqSpec extends SparkTestBase {
       assert(r.getLong(2) <= 5 && r.getDouble(3) == r.getLong(2).toDouble / 5.0)
     }
   }
+
+  test("recall-vs-nprobe curve: monotone candidates, closes on exhaustive ADC at nprobe=8") {
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val curve = Similarity.ivfPqRecallCurve(spark, dir).collect()
+    assert(curve.map(_.getLong(0)).toSeq == (1L to 8L)) // one row per nprobe
+    // candidate totals strictly accumulate with nprobe and, at 8, cover
+    // every (query, doc) pair exactly once: 10 queries x (n - 1) docs
+    val cands = curve.map(_.getLong(1)).toSeq
+    assert(cands == cands.sorted && cands.distinct == cands)
+    assert(cands.last == 10L * (n - 1))
+    // recall is monotone in nprobe (more cells never lose a true hit
+    // from the ADC ranking's fixed candidate superset ordering is NOT
+    // guaranteed in general - a new candidate can displace a true hit -
+    // so pin only the endpoints: the curve at nprobe=8 IS exhaustive
+    // ADC, x89's audit, and must match it exactly)
+    val x89 = Similarity.pqAdcRecall(spark, dir).collect()
+    val exhaustiveMean = x89.map(_.getDouble(2)).sum / x89.length
+    assert(math.abs(curve.last.getDouble(3) - exhaustiveMean) < 1e-12)
+    // nprobe=2's aggregate matches x91's per-query audit rolled up
+    val x91 = Similarity.ivfPqSearch(spark, dir).collect()
+    assert(curve(1).getLong(2) == x91.map(_.getLong(2)).sum)
+    assert(curve(1).getLong(1) == x91.map(_.getLong(1)).sum)
+  }
 }
