@@ -33,6 +33,19 @@ object Corpus {
     }
   }
 
+  /** Silver-table swap (SURVEY §8): seed the n-gram cache entry with a
+    * materialized doc→shingle relation; every consumer keeps calling
+    * [[shingleRows]] unchanged.
+    */
+  private[graft] def seedShingles(spark: SparkSession, dir: String, n: Int,
+      silver: DataFrame): Unit = {
+    val expect = Seq("doc_id", "lang", "source", "pos", "shingle")
+    require(silver.columns.toSeq == expect,
+      s"silver shingle schema ${silver.columns.toSeq} != $expect")
+    shingleCache.put((spark, dir, n), silver)
+    SessionCaches.onApplicationEnd(spark)(() => shingleCache.remove((spark, dir, n)))
+  }
+
   /** The default word-3-gram relation (minhash, fingerprint, Jaccard,
     * contamination, HLL profile).
     */

@@ -79,6 +79,25 @@ object Dedup {
     }
   }
 
+  /** Silver-table swap (SURVEY §8): seed the signatures cache with a
+    * materialized per-doc minhash relation; the dedup tier keeps
+    * calling [[signatures]] unchanged.
+    */
+  private[graft] def seedSignatures(spark: SparkSession, dir: String,
+      silver: DataFrame): Unit = {
+    val expect = "doc_id" +: (0 until NumPerms).map(i => s"mh$i")
+    require(silver.columns.toSeq == expect,
+      s"silver signatures schema ${silver.columns.toSeq} != $expect")
+    sigCache.put((spark, dir), silver)
+    SessionCaches.onApplicationEnd(spark)(() => sigCache.remove((spark, dir)))
+  }
+
+  /** The signatures relation for `tools/Materialize` (same cache entry
+    * the operators read).
+    */
+  private[graft] def signaturesDf(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir)
+
   /** Per-document minhash signature: one row per doc with `NumPerms`
     * hex-string minima over word-3-gram shingles. A single
     * explode+groupBy — the signature aggregation is map-side

@@ -71,6 +71,23 @@ object Metrics {
     }
   }
 
+  /** The silver-table swap (SURVEY §8, r10 ask #7): seed the adapter
+    * cache for `(spark, dir)` with an externally MATERIALIZED relation
+    * — operators keep calling [[metricEvents]] unchanged; only the
+    * entry's source moves from compute+persist to a parquet read.
+    * `tools/Materialize` writes the relation, `MaterializeSpec` pins
+    * identical query results either way.
+    */
+  private[graft] def seedEvents(spark: SparkSession, dir: String,
+      silver: DataFrame): Unit = {
+    val expect = Seq("ts", "name", "label_k", "label_instance", "kind",
+      "value", "event_id")
+    require(silver.columns.toSeq == expect,
+      s"silver metric_events schema ${silver.columns.toSeq} != $expect")
+    eventsCache.put((spark, dir), silver)
+    SessionCaches.onApplicationEnd(spark)(() => eventsCache.remove((spark, dir)))
+  }
+
   /** A7 compose-time type/dependency check: the reference hard-fails at
     * compose time when a block's declared input type or required context
     * variable doesn't resolve (`prometheus.cpp:28-29,98-99,117-119,

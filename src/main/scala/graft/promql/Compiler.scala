@@ -212,6 +212,19 @@ object Compiler {
     }
   }
 
+  /** Silver-table swap (SURVEY §8): seed the 1-row eval-instant cache
+    * (the watermark-table analog) with a materialized aggregate; every
+    * selector keeps reading it through [[instantDf]] unchanged.
+    */
+  private[graft] def seedInstant(spark: SparkSession, dir: String,
+      silver: DataFrame): Unit = {
+    require(silver.columns.toSeq == Seq("_t_us"),
+      s"silver eval-instant schema ${silver.columns.toSeq} != Seq(_t_us)")
+    instantCache.put((spark, dir), silver)
+    graft.operators.SessionCaches.onApplicationEnd(spark)(() =>
+      instantCache.remove((spark, dir)))
+  }
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Metrics.metricEvents(spark, dir).crossJoin(broadcast(instantDf(spark, dir)))
 

@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.operators.{Corpus, Dedup, Metrics}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The cache→silver-table swap, made true by construction (SURVEY §8,
+  * r10 ask #7). The four session caches — metric-events adapter view,
+  * doc→shingle relation, per-doc minhash signatures, and the 1-row
+  * eval-instant aggregate — are test-scale stand-ins for silver tables
+  * a production pipeline materializes once per snapshot. [[run]] writes
+  * them as parquet; [[seed]] points the SAME cache entries at the
+  * parquet reads. No operator code changes between the two modes —
+  * `MaterializeSpec` reruns representative queries against the
+  * materialized form and pins identical results, with the silver paths
+  * visible in the executed plans.
+  *
+  * Usage: `runMain graft.tools.Materialize <sfDir> <outDir>`.
+  */
+object Materialize {
+
+  val MetricEvents = "metric_events.parquet"
+  val Shingles3 = "shingles_3.parquet"
+  val Signatures = "signatures.parquet"
+  val EvalInstant = "eval_instant.parquet"
+
+  /** Write the four silver tables for `sfDir` under `outDir`. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val ev = Metrics.metricEventsOf(Tables.events(spark, sfDir))
+    ev.write.mode("overwrite").parquet(s"$outDir/$MetricEvents")
+    // the watermark-table analog: derived from the same silver events
+    ev.select(max(unix_micros(col("ts"))).as("_t_us"))
+      .write.mode("overwrite").parquet(s"$outDir/$EvalInstant")
+    Corpus.shingleRows(spark, sfDir, 3)
+      .write.mode("overwrite").parquet(s"$outDir/$Shingles3")
+    Dedup.signaturesDf(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/$Signatures")
+  }
+
+  /** Point the four cache entries for `sfDir` at the parquet written by
+    * [[run]] — after this, every operator consuming them reads the
+    * silver tables without knowing anything changed.
+    */
+  def seed(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    Metrics.seedEvents(spark, sfDir,
+      spark.read.parquet(s"$outDir/$MetricEvents"))
+    graft.promql.Compiler.seedInstant(spark, sfDir,
+      spark.read.parquet(s"$outDir/$EvalInstant"))
+    Corpus.seedShingles(spark, sfDir, 3,
+      spark.read.parquet(s"$outDir/$Shingles3"))
+    Dedup.seedSignatures(spark, sfDir,
+      spark.read.parquet(s"$outDir/$Signatures"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir)
+    println(s"[materialize] wrote $MetricEvents, $EvalInstant, $Shingles3, " +
+      s"$Signatures under $outDir")
+    spark.stop()
+  }
+}
