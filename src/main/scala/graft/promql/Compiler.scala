@@ -1450,8 +1450,14 @@ object Compiler {
     val partial = base.groupBy((labels :+ "_i").map(col): _*)
       .agg(exactSum(base).as("_dv"), count(lit(1)).as("_n"))
     import spark.implicits._
-    val grid = partial.select(labels.map(col): _*).distinct()
-      .crossJoin(broadcast(spark.range(1L, g + 1L).toDF("_i")))
+    // labels = Nil is the GLOBAL aggregation (`sum(m)`): the grid is
+    // the bare instant range and the running window is global over its
+    // ≤4096 rows
+    val range = spark.range(1L, g + 1L).toDF("_i")
+    val grid =
+      if (labels.isEmpty) range
+      else partial.select(labels.map(col): _*).distinct()
+        .crossJoin(broadcast(range))
     val w = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(partial, labels :+ "_i", "left")
@@ -1526,8 +1532,12 @@ object Compiler {
     val partial = base.groupBy((labels :+ "_i").map(col): _*)
       .agg(exactSum(base).as("_dv"), count(lit(1)).as("_n"))
     import spark.implicits._
-    val grid = partial.select(labels.map(col): _*).distinct()
-      .crossJoin(broadcast(spark.range(1L - k, g + 1L).toDF("_i")))
+    // labels = Nil: global `sum(rate(m[w]))` — bare index range grid
+    val range = spark.range(1L - k, g + 1L).toDF("_i")
+    val grid =
+      if (labels.isEmpty) range
+      else partial.select(labels.map(col): _*).distinct()
+        .crossJoin(broadcast(range))
     val ord = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
     val wcum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(partial, labels :+ "_i", "left")
@@ -1727,30 +1737,42 @@ object Compiler {
       MetricEvent.CounterNames.contains(sel.name)
     val bucketDecomposable = Set("sum_over_time", "avg_over_time",
       "min_over_time", "max_over_time", "count_over_time")
+    // `sum by (ls)` → the label columns; bare `sum(...)` → the GLOBAL
+    // aggregation (empty label set); `without` keeps the union path
+    def sumLabels(grp: Option[(String, Seq[String])]): Option[Seq[String]] =
+      grp match {
+        case None => Some(Nil)
+        case Some(("by", ls)) => Some(ls.map(labelCol))
+        case _ => None
+      }
     // (instants relation with labels :+ "_i" :+ value column, labels,
     //  value column name, deferred rate divisor)
     val built: Option[(DataFrame, Seq[String], String, Option[Double])] = ast match {
       case sel: Selector if counter(sel) =>
         Some((gridCounterInstants(spark, dir, sel, SeriesKey, shiftS, g, stepS),
           SeriesKey, "value", None))
-      case Agg("sum", Some(("by", ls)), None, sel: Selector) if counter(sel) =>
-        val labels = ls.map(labelCol)
+      case Agg("sum", grp, None, sel: Selector)
+          if counter(sel) && sumLabels(grp).isDefined =>
+        val labels = sumLabels(grp).get
         Some((gridCounterInstants(spark, dir, sel, labels, shiftS, g, stepS),
           labels, "value", None))
       case sel: Selector if gauge(sel) =>
         val (df, labels) = gridGaugeInstants(spark, dir, sel, shiftS, g, stepS, None)
         Some((df, labels, "_v", None))
-      case Agg("sum", Some(("by", ls)), None, sel: Selector) if gauge(sel) =>
-        val (df, labels) = gridGaugeInstants(spark, dir, sel, shiftS, g, stepS, Some(ls.map(labelCol)))
+      case Agg("sum", grp, None, sel: Selector)
+          if gauge(sel) && sumLabels(grp).isDefined =>
+        val (df, labels) = gridGaugeInstants(spark, dir, sel, shiftS, g, stepS,
+          Some(sumLabels(grp).get))
         Some((df, labels, "_v", None))
       case Func(f2, _, sel: Selector)
           if (f2 == "rate" || f2 == "increase") && rateable(sel) =>
         Some((gridRateInstants(spark, dir, sel, SeriesKey, shiftS, g, stepS),
           SeriesKey, "value",
           if (f2 == "rate") Some(sel.rangeS.get.toDouble) else None))
-      case Agg("sum", Some(("by", ls)), None, Func(f2, _, sel: Selector))
-          if (f2 == "rate" || f2 == "increase") && rateable(sel) =>
-        val labels = ls.map(labelCol)
+      case Agg("sum", grp, None, Func(f2, _, sel: Selector))
+          if (f2 == "rate" || f2 == "increase") && rateable(sel) &&
+            sumLabels(grp).isDefined =>
+        val labels = sumLabels(grp).get
         Some((gridRateInstants(spark, dir, sel, labels, shiftS, g, stepS),
           labels, "value",
           if (f2 == "rate") Some(sel.rangeS.get.toDouble) else None))

@@ -445,4 +445,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       "banded candidate join lost its equi-join keys")
   }
+
+  test("p76/p77: dense-grid query_range is one event pass, never a per-instant union") {
+    for (name <- Seq("p76_query_range_grid", "p77_query_range_rate")) {
+      val p = plan(name)
+      // the union path would materialize 240 plan branches; the grid
+      // path has none — instants come from a broadcast range relation
+      // and ONE running/sliding window over the series×grid
+      assert(!p.contains("Union"), s"$name degenerated to a per-instant union")
+      assert(p.contains("Window"), s"$name lost the series×grid window")
+      assert(!p.contains("CartesianProduct"), name)
+      // both grid joins (instant row, 240-row range) stay broadcast
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$name grid join not broadcast")
+      // events are read from the shared session cache, not re-scanned
+      assert(p.contains("InMemoryTableScan"), s"$name re-scans the events parquet")
+    }
+  }
 }

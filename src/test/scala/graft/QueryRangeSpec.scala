@@ -61,7 +61,10 @@ class QueryRangeSpec extends SparkTestBase {
       "increase(purchase[1d])",            // w = 1 step
       "sum_over_time(error[2d])",          // decomposable over_time
       "max_over_time(purchase[3d])",
-      "count_over_time(error[1d])")
+      "count_over_time(error[1d])",
+      "sum(purchase)",                     // GLOBAL aggregations (no by)
+      "sum(signup)",
+      "sum(rate(purchase[2d]))")           // the dashboard headline
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
@@ -69,6 +72,11 @@ class QueryRangeSpec extends SparkTestBase {
       assert(union === grid, s"union ≠ grid for: $q")
       assert(grid.contains("\"values\":[["), s"empty matrix for: $q")
     }
+    // the global shapes really took the grid path (not a silent union
+    // fallback): they evaluate past the union path's 64-instant wall
+    val wide = Api.queryRangeJson(spark, dir, "sum(rate(purchase[2d]))",
+      T0 + 9 * dayS - 99 * 7200L, T0 + 9 * dayS, 7200L)
+    assert(wide.contains("\"resultType\":\"matrix\""))
   }
 
   test("grid lifts the 64-instant union wall; non-grid shapes keep it") {
