@@ -297,6 +297,11 @@ object SparkEntry {
     "p78_query_range_gauge" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
       "signup", 240, 21600L)
       .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
+    // the alerting dashboard's p99 panel: windowed classic
+    // histogram_quantile at every grid step via sliding bucket partials
+    "p79_query_range_hq" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "histogram_quantile(0.9, sum by (k) (rate(error[2d])))", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
     // det-math compilation mode: ^ exercises BOTH pow dispatch branches
     // (positive base fractional exponent + negative base integer
     // exponent), atan2 the quadrant dispatch — hash-gated, the
@@ -758,6 +763,7 @@ object SparkEntry {
     "p76_query_range_grid" -> promql.Oracle.QueryRangeGridSql,
     "p77_query_range_rate" -> promql.Oracle.QueryRangeRateSql,
     "p78_query_range_gauge" -> promql.Oracle.QueryRangeGaugeSql,
+    "p79_query_range_hq" -> promql.Oracle.QueryRangeHqSql,
     "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
     "p62_promql_resets" -> promql.Oracle.ResetsWindowSql,
     "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,

@@ -1631,6 +1631,87 @@ object Compiler {
     instants.withColumn("value", innerValue).withColumnRenamed("_b", "_i")
   }
 
+  /** Per-instant CLASSIC `histogram_quantile` on the dense grid — the
+    * alerting dashboard's p99 panel (`histogram_quantile(φ,
+    * sum by (k) (rate(h[w])))` at every grid step) as ONE plan:
+    * per-(series, le, step-bucket) integer bucket partials from one
+    * event pass + one broadcast cross-join with the 7 literal
+    * boundaries, a sliding (windowed form) or running (instant form)
+    * sum over the (series, le)×grid, then the standard fused
+    * interpolation per (series, instant). The quantile inputs are the
+    * SAME integers the per-instant snapshot path aggregates directly
+    * (bucket counts decompose exactly over step buckets) and the
+    * interpolation expressions are identical, so grid ≡ union is
+    * bit-exact. `rate` vs `increase` agree (the quantile is
+    * scale-invariant); `sum by`/global forms are coarser groupings of
+    * the same counts, fused into the one aggregate.
+    */
+  private def gridHistogramQuantileInstants(spark: SparkSession, dir: String,
+      phi: Double, sel: Selector, outLabels: Seq[String], shiftS: Long,
+      g: Long, stepS: Long, windowD: Option[Long]): DataFrame = {
+    if (kindOf(sel.name) != "histogram")
+      fail(s"histogram_quantile expects a histogram family, '${sel.name}' is a ${kindOf(sel.name)}")
+    val stepUs = stepS * 1000000L
+    val k = windowD.map(w => (w / stepS).toInt).getOrElse(0)
+    if (g + k > 4096)
+      fail(s"query_range grid spans ${g + k} indexes (instants + window span); 4096 supported")
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val base0 = events(spark, dir)
+      .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+        unix_micros(col("ts")) <= hi)
+      .withColumn("_age_us", hi - unix_micros(col("ts")))
+    val base = windowD match {
+      case Some(_) => base0
+        .filter(col("_age_us") < lit((g - 1 + k) * stepUs))
+        .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
+      case None => base0
+        .withColumn("_b", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
+    }
+    import spark.implicits._
+    val bounds = MetricEvent.Buckets.toDF("le")
+    val partial = base.crossJoin(broadcast(bounds))
+      .groupBy((outLabels ++ Seq("le", "_b")).map(col): _*)
+      .agg(sum(when(col("value") <= col("le"), 1L).otherwise(0L)).as("_c"),
+        count(lit(1)).as("_n"))
+    val range = windowD match {
+      case Some(_) => spark.range(2L - k, g + 1L).toDF("_b")
+      case None => spark.range(1L, g + 1L).toDF("_b")
+    }
+    val grid = partial.select((outLabels :+ "le").map(col): _*).distinct()
+      .crossJoin(broadcast(range))
+    val swBase = Window.partitionBy((outLabels :+ "le").map(col): _*)
+      .orderBy(col("_b"))
+    val sw = windowD match {
+      case Some(_) => swBase.rowsBetween(-(k - 1), Window.currentRow)
+      case None => swBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val inst = grid.join(partial, outLabels ++ Seq("le", "_b"), "left")
+      .withColumn("cum_count", sum(col("_c")).over(sw))
+      .withColumn("count", sum(col("_n")).over(sw))
+      .filter(col("_b") >= 1 && col("count") > 0)
+    // the same fused filter+CASE interpolation as the snapshot path,
+    // partitioned by (series, instant)
+    val series = (outLabels :+ "_b").map(col)
+    val w2 = Window.partitionBy(series: _*).orderBy(col("le"))
+    val ranked = inst
+      .withColumn("rank", lit(phi) * col("count").cast("double"))
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(w2), lit(0.0)))
+      .withColumn("prev_cum", coalesce(lag(col("cum_count"), 1).over(w2), lit(0L)))
+      .withColumn("max_le", max(col("le")).over(Window.partitionBy(series: _*)))
+      .withColumn("max_cum", max(col("cum_count")).over(Window.partitionBy(series: _*)))
+    val overflowRow = col("le") === col("max_le") &&
+      col("rank") > col("max_cum").cast("double")
+    val inBucketRow = col("cum_count") >= col("rank") &&
+      col("prev_cum") < col("rank")
+    ranked.filter(inBucketRow || overflowRow)
+      .select(outLabels.map(col) :+ col("_b").as("_i") :+
+        when(overflowRow, col("max_le"))
+          .otherwise(col("prev_le") + (col("le") - col("prev_le"))
+            * (col("rank") - col("prev_cum").cast("double"))
+            / (col("cum_count") - col("prev_cum")).cast("double")).as("value"): _*)
+  }
+
   /** Gauge twin of [[subqueryGridCounter]]: the per-instant value is
     * last-write-wins, reconstructed as a RUNNING max over the
     * `(ts, event_id, value)` struct (lexicographic struct ordering —
@@ -1781,6 +1862,33 @@ object Compiler {
             sel.rangeS.exists(w => w > 0 && w % stepS == 0) =>
         Some((gridOverTimeInstants(spark, dir, sel, shiftS, g, stepS, f2),
           SeriesKey, "value", None))
+      case Func("histogram_quantile", Some(phi), inner) =>
+        // classic explicit-boundary families only — a native-ingested
+        // family keeps the union path's sparse-bucket plans
+        def classic(sel: Selector): Boolean =
+          kindOf(sel.name) == "histogram" &&
+            !resolveNames(sel).exists(nativeFams.value.contains)
+        val shaped: Option[(Selector, Option[Long], Seq[String])] = inner match {
+          case sel: Selector if sel.rangeS.isEmpty && classic(sel) =>
+            Some((sel, None, SeriesKey))
+          case Func(f2, _, sel: Selector)
+              if (f2 == "rate" || f2 == "increase") && classic(sel) &&
+                sel.rangeS.exists(w => w > 0 && w % stepS == 0) =>
+            Some((sel, sel.rangeS, SeriesKey))
+          case Agg("sum", grp, None, Func(f2, _, sel: Selector))
+              if (f2 == "rate" || f2 == "increase") && classic(sel) &&
+                sel.rangeS.exists(w => w > 0 && w % stepS == 0) &&
+                sumLabels(grp).isDefined =>
+            Some((sel, sel.rangeS, sumLabels(grp).get))
+          case Agg("sum", grp, None, sel: Selector)
+              if sel.rangeS.isEmpty && classic(sel) && sumLabels(grp).isDefined =>
+            Some((sel, None, sumLabels(grp).get))
+          case _ => None
+        }
+        shaped.map { case (sel, wd, outLabels) =>
+          (gridHistogramQuantileInstants(spark, dir, phi, sel, outLabels,
+            shiftS, g, stepS, wd), outLabels, "value", None)
+        }
       case _ => None
     }
     built.map { case (inst, labels, valueCol, rdiv) =>

@@ -573,6 +573,51 @@ object Oracle {
        |FROM r WHERE rn = 1
        |ORDER BY name, label_k, label_instance, t_s""".stripMargin
 
+  /** p79: `histogram_quantile(0.9, sum by (k) (rate(error[2d])))` on
+    * the 240×6h grid — per instant, the bucket counts in the trailing
+    * 2d window (summed across instances per k) feed the standard
+    * interpolation; identical integer inputs + identical IEEE
+    * expression order ⇒ the doubles hash-match the engine's sliding
+    * bucket-partial plan.
+    */
+  val QueryRangeHqSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i),
+       |w AS (
+       |  SELECT m.label_k,
+       |    (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+       |    m.value
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'error'
+       |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |    AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - 172800000000),
+       |b AS (SELECT * FROM (VALUES (1.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0)) b(le)),
+       |snap AS (
+       |  SELECT label_k, t_s, le,
+       |    CAST(SUM(CASE WHEN value <= le THEN 1 ELSE 0 END) AS BIGINT) AS cum_count,
+       |    COUNT(*) AS cnt
+       |  FROM w CROSS JOIN b
+       |  GROUP BY label_k, t_s, le),
+       |r AS (
+       |  SELECT *, 0.9 * CAST(cnt AS DOUBLE) AS rnk,
+       |    COALESCE(LAG(le) OVER w2, 0.0) AS prev_le,
+       |    COALESCE(LAG(cum_count) OVER w2, 0) AS prev_cum,
+       |    MAX(le) OVER w3 AS max_le,
+       |    MAX(cum_count) OVER w3 AS max_cum
+       |  FROM snap
+       |  WINDOW w2 AS (PARTITION BY label_k, t_s ORDER BY le),
+       |         w3 AS (PARTITION BY label_k, t_s))
+       |SELECT label_k, t_s, value FROM (
+       |  SELECT label_k, t_s,
+       |    prev_le + (le - prev_le) * (rnk - CAST(prev_cum AS DOUBLE))
+       |      / CAST(cum_count - prev_cum AS DOUBLE) AS value
+       |  FROM r WHERE CAST(cum_count AS DOUBLE) >= rnk AND CAST(prev_cum AS DOUBLE) < rnk
+       |  UNION ALL
+       |  SELECT label_k, t_s, max_le AS value
+       |  FROM r WHERE le = max_le AND rnk > CAST(max_cum AS DOUBLE))
+       |ORDER BY label_k, t_s""".stripMargin
+
   /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
   val OrSql: String =
     s"""WITH m AS ($MetricEventsSql),

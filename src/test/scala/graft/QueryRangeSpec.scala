@@ -64,7 +64,11 @@ class QueryRangeSpec extends SparkTestBase {
       "count_over_time(error[1d])",
       "sum(purchase)",                     // GLOBAL aggregations (no by)
       "sum(signup)",
-      "sum(rate(purchase[2d]))")           // the dashboard headline
+      "sum(rate(purchase[2d]))",           // the dashboard headline
+      "histogram_quantile(0.5, error)",    // classic hq: instant form
+      "histogram_quantile(0.9, rate(error[2d]))",
+      "histogram_quantile(0.9, sum by (k) (rate(error[2d])))", // p99 panel
+      "histogram_quantile(0.9, sum(rate(error[2d])))")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
