@@ -302,6 +302,10 @@ object SparkEntry {
     "p79_query_range_hq" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
       "histogram_quantile(0.9, sum by (k) (rate(error[2d])))", 240, 21600L)
       .orderBy(col("label_k"), col("t_s"))),
+    // the "top movers" panel: per-instant ranking over the rate grid
+    "p80_query_range_topk" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "topk(3, sum by (k) (rate(purchase[2d])))", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
     // det-math compilation mode: ^ exercises BOTH pow dispatch branches
     // (positive base fractional exponent + negative base integer
     // exponent), atan2 the quadrant dispatch — hash-gated, the
@@ -764,6 +768,7 @@ object SparkEntry {
     "p77_query_range_rate" -> promql.Oracle.QueryRangeRateSql,
     "p78_query_range_gauge" -> promql.Oracle.QueryRangeGaugeSql,
     "p79_query_range_hq" -> promql.Oracle.QueryRangeHqSql,
+    "p80_query_range_topk" -> promql.Oracle.QueryRangeTopkSql,
     "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
     "p62_promql_resets" -> promql.Oracle.ResetsWindowSql,
     "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,

@@ -1819,16 +1819,33 @@ object Compiler {
     val bucketDecomposable = Set("sum_over_time", "avg_over_time",
       "min_over_time", "max_over_time", "count_over_time")
     // `sum by (ls)` → the label columns; bare `sum(...)` → the GLOBAL
-    // aggregation (empty label set); `without` keeps the union path
+    // aggregation (empty label set); `without` takes the generic
+    // per-series composition below
     def sumLabels(grp: Option[(String, Seq[String])]): Option[Seq[String]] =
       grp match {
         case None => Some(Nil)
         case Some(("by", ls)) => Some(ls.map(labelCol))
         case _ => None
       }
-    // (instants relation with labels :+ "_i" :+ value column, labels,
-    //  value column name, deferred rate divisor)
-    val built: Option[(DataFrame, Seq[String], String, Option[Double])] = ast match {
+    // the union path's grouping-column resolution, verbatim
+    def gcol(l: String): String = LabelUniverse.getOrElse(l, "label_" + l)
+    def groupColsOf(grp: Option[(String, Seq[String])],
+        labels: Seq[String]): Option[Seq[String]] = grp match {
+      case Some(("by", ls)) => Some(ls.map(gcol))
+      case Some(("without", ls)) =>
+        val dropped = ls.map(gcol).toSet
+        Some(labels.filterNot(l => l == "name" || dropped.contains(l)))
+      case None => Some(Nil)
+      case _ => None
+    }
+    // Recursive grid-vector builder mirroring compileVec + vectorAgg:
+    // returns the per-instant relation (`labels :+ "_i" :+ valueCol`),
+    // its labels, the value column name, and the deferred rate divisor.
+    // FUSED arms (sum over counter/gauge/rate) come first — they
+    // pre-aggregate inside the partials; every other aggregation
+    // composes generically over the per-series grid vector, exactly as
+    // vectorAgg composes over instant vectors.
+    def gridVector(a: Ast): Option[(DataFrame, Seq[String], String, Option[Double])] = a match {
       case sel: Selector if counter(sel) =>
         Some((gridCounterInstants(spark, dir, sel, SeriesKey, shiftS, g, stepS),
           SeriesKey, "value", None))
@@ -1889,8 +1906,51 @@ object Compiler {
           (gridHistogramQuantileInstants(spark, dir, phi, sel, outLabels,
             shiftS, g, stepS, wd), outLabels, "value", None)
         }
+      // generic per-instant aggregation over any grid-able inner — the
+      // vectorAgg semantics with "_i" appended to every partition key
+      case Agg(op, grouping, param, inner)
+          if Set("sum", "min", "max", "count", "avg",
+            "topk", "bottomk").contains(op) =>
+        gridVector(inner).flatMap { case (df0, labels, valueCol, rdiv) =>
+          val v = if (valueCol == "value") df0
+            else df0.withColumnRenamed(valueCol, "value")
+          groupColsOf(grouping, labels).flatMap { groupCols =>
+            if (!groupCols.forall(labels.contains)) None // union path raises
+            else {
+              val byInst = (groupCols :+ "_i").map(col)
+              op match {
+                case "sum" => Some((v.groupBy(byInst: _*)
+                  .agg(vectorSum(v).as("value")), groupCols, "value", rdiv))
+                case "min" => Some((v.groupBy(byInst: _*)
+                  .agg(min(col("value")).as("value")), groupCols, "value", rdiv))
+                case "max" => Some((v.groupBy(byInst: _*)
+                  .agg(max(col("value")).as("value")), groupCols, "value", rdiv))
+                case "count" => Some((v.groupBy(byInst: _*)
+                  .agg(count(lit(1)).cast("double").as("value")),
+                  groupCols, "value", None)) // series counts are not rate-scaled
+                case "avg" => Some((v.groupBy(byInst: _*)
+                  .agg((vectorSum(v).cast("double") / count(lit(1)).cast("double"))
+                    .as("value")), groupCols, "value", rdiv))
+                case "topk" | "bottomk" => param match {
+                  case Some(n) if n == n.floor && n >= 1 =>
+                    // ordering by the un-divided decimal increase ≡
+                    // ordering by rate (positive divisor) — rdiv rides
+                    val ord =
+                      if (op == "topk") col("value").desc +: labels.map(col)
+                      else col("value").asc +: labels.map(col)
+                    val w = Window.partitionBy(byInst: _*).orderBy(ord: _*)
+                    Some((v.withColumn("_rk", row_number().over(w))
+                      .filter(col("_rk") <= n.toInt).drop("_rk"),
+                      labels, "value", rdiv))
+                  case _ => None
+                }
+              }
+            }
+          }
+        }
       case _ => None
     }
+    val built = gridVector(ast)
     built.map { case (inst, labels, valueCol, rdiv) =>
       if (g > 4096)
         fail(s"query_range grid evaluates $g instants; 1..4096 supported")

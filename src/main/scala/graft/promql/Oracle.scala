@@ -618,6 +618,32 @@ object Oracle {
        |  FROM r WHERE le = max_le AND rnk > CAST(max_cum AS DOUBLE))
        |ORDER BY label_k, t_s""".stripMargin
 
+  /** p80: `topk(3, sum by (k) (rate(purchase[2d])))` on the 240×6h
+    * grid — the "top movers" dashboard panel: per instant, rank the
+    * per-k exact-decimal window increases (ties broken by label, the
+    * engine's deterministic order), keep 3, divide once by the window.
+    */
+  val QueryRangeTopkSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i),
+       |win AS (
+       |  SELECT m.label_k,
+       |    (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+       |    SUM(CAST(m.value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |    AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - 172800000000
+       |  GROUP BY m.label_k, i.i, t.t_us),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY t_s
+       |    ORDER BY dv DESC, label_k) AS rk
+       |  FROM win)
+       |SELECT label_k, t_s, CAST(dv AS DOUBLE) / 172800.0 AS value
+       |FROM r WHERE rk <= 3
+       |ORDER BY label_k, t_s""".stripMargin
+
   /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
   val OrSql: String =
     s"""WITH m AS ($MetricEventsSql),

@@ -68,7 +68,15 @@ class QueryRangeSpec extends SparkTestBase {
       "histogram_quantile(0.5, error)",    // classic hq: instant form
       "histogram_quantile(0.9, rate(error[2d]))",
       "histogram_quantile(0.9, sum by (k) (rate(error[2d])))", // p99 panel
-      "histogram_quantile(0.9, sum(rate(error[2d])))")
+      "histogram_quantile(0.9, sum(rate(error[2d])))",
+      "count by (k) (purchase)",           // generic per-instant aggs
+      "avg by (k) (signup)",
+      "max by (k) (purchase)",
+      "min(signup)",
+      "sum without (instance) (purchase)",
+      "topk(1, sum by (k) (purchase))",    // per-instant ranking
+      "topk(2, sum by (k) (rate(purchase[2d])))",
+      "bottomk(1, sum by (k) (purchase))")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
@@ -92,12 +100,12 @@ class QueryRangeSpec extends SparkTestBase {
     // a non-grid shape on the same 100-instant grid fails loudly at
     // compose time (plan-union blowup is refused, not attempted)
     val ex = intercept[PromQLCompileException] {
-      Api.queryRangeJson(spark, dir, "topk(1, sum by (k) (purchase))",
+      Api.queryRangeJson(spark, dir, "quantile(0.5, purchase)",
         s100, e100, 7200L)
     }
     assert(ex.getMessage.contains("64"))
     // ... but the same shape still works on a small grid (union path)
-    val small = Api.queryRangeJson(spark, dir, "topk(1, sum by (k) (purchase))",
+    val small = Api.queryRangeJson(spark, dir, "quantile(0.5, purchase)",
       T0 + 7 * dayS, T0 + 9 * dayS, dayS)
     assert(small.contains("\"resultType\":\"matrix\""))
   }
@@ -119,7 +127,7 @@ class QueryRangeSpec extends SparkTestBase {
     assert(lastByK === Map("a" -> 9.0, "b" -> 20.0))
     // a non-grid shape is refused with a pointer, not mis-evaluated
     intercept[PromQLCompileException] {
-      Api.queryRangeGrid(spark, dir, "topk(1, sum by (k) (purchase))", 8, dayS)
+      Api.queryRangeGrid(spark, dir, "quantile(0.5, purchase)", 8, dayS)
     }
   }
 }
