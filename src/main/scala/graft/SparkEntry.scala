@@ -306,6 +306,10 @@ object SparkEntry {
     "p80_query_range_topk" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
       "topk(3, sum by (k) (rate(purchase[2d])))", 240, 21600L)
       .orderBy(col("label_k"), col("t_s"))),
+    // the ratio panel: per-instant binary op between two rate grids
+    "p81_query_range_ratio" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "sum by (k) (rate(purchase[2d])) / sum by (k) (rate(click[2d]))", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
     // det-math compilation mode: ^ exercises BOTH pow dispatch branches
     // (positive base fractional exponent + negative base integer
     // exponent), atan2 the quadrant dispatch — hash-gated, the
@@ -769,6 +773,7 @@ object SparkEntry {
     "p78_query_range_gauge" -> promql.Oracle.QueryRangeGaugeSql,
     "p79_query_range_hq" -> promql.Oracle.QueryRangeHqSql,
     "p80_query_range_topk" -> promql.Oracle.QueryRangeTopkSql,
+    "p81_query_range_ratio" -> promql.Oracle.QueryRangeRatioSql,
     "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
     "p62_promql_resets" -> promql.Oracle.ResetsWindowSql,
     "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,

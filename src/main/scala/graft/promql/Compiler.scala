@@ -1906,6 +1906,119 @@ object Compiler {
           (gridHistogramQuantileInstants(spark, dir, phi, sel, outLabels,
             shiftS, g, stepS, wd), outLabels, "value", None)
         }
+      // binary ops over grid vectors — the error-ratio / threshold
+      // panels (`sum by (k)(rate(a[w])) / sum by (k)(rate(b[w]))`,
+      // `... > 0.05`): [[binOp]]'s default-matching semantics with
+      // "_i" appended to the match key. Set ops, group_left/right,
+      // and scalar()/time() operands keep the union path.
+      case b: BinOp
+          if !Set("and", "unless", "or").contains(b.op) &&
+            !b.groupLeft && !b.groupRight &&
+            !(b.on.isDefined && b.ignoring.isDefined) =>
+        val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(b.op)
+        val isArith = Set("+", "-", "*", "/", "%", "^", "atan2").contains(b.op)
+        def arith(l: Column, r: Column): Column = b.op match {
+          case "+" => l.cast("double") + r.cast("double")
+          case "-" => l.cast("double") - r.cast("double")
+          case "*" => l.cast("double") * r.cast("double")
+          case "/" => l.cast("double") / r.cast("double")
+          case "%" => l.cast("double") % r.cast("double")
+          case "^" =>
+            if (detMode.value)
+              graft.plans.DetMathExprs.detPowC(l.cast("double"), r.cast("double"))
+            else pow(l.cast("double"), r.cast("double"))
+          case "atan2" =>
+            if (detMode.value)
+              graft.plans.DetMathExprs.detAtan2C(l.cast("double"), r.cast("double"))
+            else atan2(l.cast("double"), r.cast("double"))
+        }
+        def cmp(l: Column, r: Column): Column = b.op match {
+          case ">" => l > r
+          case "<" => l < r
+          case ">=" => l >= r
+          case "<=" => l <= r
+          case "==" => l === r
+          case "!=" => l =!= r
+        }
+        // [[materialize]]'s deferred division, applied per side BEFORE
+        // the op so double rounding order matches the union path
+        def mat(df: DataFrame, vc: String, rdiv: Option[Double]): DataFrame = {
+          val v = if (vc == "value") df else df.withColumnRenamed(vc, "value")
+          rdiv.map(d => v.withColumn("value", col("value").cast("double") / lit(d)))
+            .getOrElse(v)
+        }
+        if (b.boolMod && !isCmp) None
+        else if (!isCmp && !isArith) None
+        else (b.left, b.right) match {
+          case (NumLit(_), NumLit(_)) => None // union path raises
+          case (l, NumLit(s)) => gridVector(l).map { case (df0, labels, vc, rdiv) =>
+            val v = mat(df0, vc, rdiv)
+            val out =
+              if (!isCmp) v.withColumn("value", arith(col("value"), lit(s)))
+              else if (b.boolMod) v.withColumn("value",
+                when(cmp(col("value").cast("double"), lit(s)), 1.0).otherwise(0.0))
+              else v.filter(cmp(col("value").cast("double"), lit(s)))
+            (out, labels, "value", None)
+          }
+          case (NumLit(s), r) => gridVector(r).map { case (df0, labels, vc, rdiv) =>
+            val v = mat(df0, vc, rdiv)
+            val out =
+              if (!isCmp) v.withColumn("value", arith(lit(s), col("value")))
+              else if (b.boolMod) v.withColumn("value",
+                when(cmp(lit(s), col("value").cast("double")), 1.0).otherwise(0.0))
+              else v.filter(cmp(lit(s), col("value").cast("double")))
+            (out, labels, "value", None)
+          }
+          case (l, r) =>
+            for {
+              (ldf0, ll, lvc, lrd) <- gridVector(l)
+              (rdf0, rl, rvc, rrd) <- gridVector(r)
+              joinLabels = b.on.map(_.map(labelCol)).getOrElse {
+                val shared = ll.intersect(rl).filterNot(_ == "name")
+                b.ignoring match {
+                  case Some(ig) =>
+                    val dropped = ig.map(labelCol).toSet
+                    shared.filterNot(dropped)
+                  case None => shared
+                }
+              }
+              if joinLabels.nonEmpty &&
+                joinLabels.forall(jl => ll.contains(jl) && rl.contains(jl))
+            } yield {
+              val key = joinLabels :+ "_i"
+              // the union path's one-to-one dup guard, per instant
+              def dupGuard(df: DataFrame, vcol: String, side: String): DataFrame = {
+                val w = Window.partitionBy(key.map(col): _*)
+                val msg = concat(
+                  lit("found duplicate series for the match group ("),
+                  concat_ws(", ", joinLabels.map(jl =>
+                    concat(lit(jl + "=\""), col(jl), lit("\""))): _*),
+                  lit(s") on the $side-hand side of the operation"))
+                df.withColumn(vcol,
+                  when(count(lit(1)).over(w) > 1,
+                    raise_error(msg).cast(df.schema(vcol).dataType))
+                    .otherwise(col(vcol)))
+              }
+              val filterCmp = isCmp && !b.boolMod
+              val keepLabels = if (filterCmp) ll else joinLabels
+              val lt = dupGuard(mat(ldf0, lvc, lrd)
+                .select((if (filterCmp) ll :+ "_i" else key).map(col) :+
+                  col("value").as("_lv"): _*), "_lv", "left")
+              val rt = dupGuard(mat(rdf0, rvc, rrd)
+                .select(key.map(col) :+ col("value").as("_rv"): _*), "_rv", "right")
+              val joined = lt.join(rt, key)
+              val out =
+                if (!isCmp) joined.select((keepLabels :+ "_i").map(col) :+
+                  arith(col("_lv"), col("_rv")).as("value"): _*)
+                else if (b.boolMod) joined.select((keepLabels :+ "_i").map(col) :+
+                  when(cmp(col("_lv").cast("double"), col("_rv").cast("double")), 1.0)
+                    .otherwise(0.0).as("value"): _*)
+                else joined
+                  .filter(cmp(col("_lv").cast("double"), col("_rv").cast("double")))
+                  .select((keepLabels :+ "_i").map(col) :+ col("_lv").as("value"): _*)
+              (out, keepLabels, "value", None)
+            }
+        }
       // generic per-instant aggregation over any grid-able inner — the
       // vectorAgg semantics with "_i" appended to every partition key
       case Agg(op, grouping, param, inner)

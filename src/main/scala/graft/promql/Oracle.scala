@@ -644,6 +644,41 @@ object Oracle {
        |FROM r WHERE rk <= 3
        |ORDER BY label_k, t_s""".stripMargin
 
+  /** p81: `sum by (k) (rate(purchase[2d])) / sum by (k) (rate(click[2d]))`
+    * on the 240×6h grid — the ratio panel (conversion / error-rate
+    * idiom): per instant, each side's exact-decimal window increase is
+    * divided ONCE by the window (the deferred rateDiv, applied per side
+    * before the op — the union path's rounding order), then the two
+    * doubles divide; instants where either side's window is empty are
+    * absent (inner match join).
+    */
+  val QueryRangeRatioSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i),
+       |l AS (
+       |  SELECT m.label_k,
+       |    (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+       |    SUM(CAST(m.value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |    AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - 172800000000
+       |  GROUP BY m.label_k, i.i, t.t_us),
+       |r AS (
+       |  SELECT m.label_k,
+       |    (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+       |    SUM(CAST(m.value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'click' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |    AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - 172800000000
+       |  GROUP BY m.label_k, i.i, t.t_us)
+       |SELECT l.label_k, l.t_s,
+       |  (CAST(l.dv AS DOUBLE) / 172800.0) / (CAST(r.dv AS DOUBLE) / 172800.0) AS value
+       |FROM l JOIN r ON r.label_k = l.label_k AND r.t_s = l.t_s
+       |ORDER BY l.label_k, l.t_s""".stripMargin
+
   /** `sum by (k) (purchase{k=~"[0-4].*"}) or sum by (k) (click{k=~"[3-6].*"})` */
   val OrSql: String =
     s"""WITH m AS ($MetricEventsSql),

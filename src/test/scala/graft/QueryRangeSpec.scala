@@ -76,7 +76,14 @@ class QueryRangeSpec extends SparkTestBase {
       "sum without (instance) (purchase)",
       "topk(1, sum by (k) (purchase))",    // per-instant ranking
       "topk(2, sum by (k) (rate(purchase[2d])))",
-      "bottomk(1, sum by (k) (purchase))")
+      "bottomk(1, sum by (k) (purchase))",
+      "sum by (k) (purchase) * 100",       // binary ops per instant
+      "100 / sum by (k) (purchase)",
+      "sum by (k) (rate(purchase[2d])) > 0.000001",
+      "sum by (k) (purchase) > bool 5",
+      "sum by (k) (rate(purchase[2d])) / sum by (k) (purchase)", // ratio panel
+      "sum by (k) (purchase) + sum by (k) (signup)",
+      "purchase > bool signup")            // bare-selector matching drops name
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
