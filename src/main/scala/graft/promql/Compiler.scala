@@ -1906,6 +1906,16 @@ object Compiler {
           (gridHistogramQuantileInstants(spark, dir, phi, sel, outLabels,
             shiftS, g, stepS, wd), outLabels, "value", None)
         }
+      // scalar functions over grid vectors: per-row value transforms
+      // commute with the instant index, so [[scalarFunc]] applies
+      // verbatim (rates are divided first inside it, matching the
+      // union path's rounding order)
+      case Func(fn, param, inner) if ScalarFnNames.contains(fn) =>
+        gridVector(inner).map { case (df0, labels, vc, rdiv) =>
+          val v = if (vc == "value") df0 else df0.withColumnRenamed(vc, "value")
+          val out = scalarFunc(fn, param, Vec(v, labels, rdiv))
+          (out.df, labels, "value", out.rateDiv)
+        }
       // binary ops over grid vectors — the error-ratio / threshold
       // panels (`sum by (k)(rate(a[w])) / sum by (k)(rate(b[w]))`,
       // `... > 0.05`): [[binOp]]'s default-matching semantics with

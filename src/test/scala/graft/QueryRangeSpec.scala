@@ -83,7 +83,12 @@ class QueryRangeSpec extends SparkTestBase {
       "sum by (k) (purchase) > bool 5",
       "sum by (k) (rate(purchase[2d])) / sum by (k) (purchase)", // ratio panel
       "sum by (k) (purchase) + sum by (k) (signup)",
-      "purchase > bool signup")            // bare-selector matching drops name
+      "purchase > bool signup",            // bare-selector matching drops name
+      "abs(sum by (k) (purchase) - 5)",    // scalar funcs per instant
+      "clamp_max(sum by (k) (rate(purchase[2d])) * 100000, 3)",
+      "round(sum by (k) (signup))",
+      "sqrt(sum(purchase))",
+      "ln(sum by (k) (purchase))")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
