@@ -1906,6 +1906,46 @@ object Compiler {
           (gridHistogramQuantileInstants(spark, dir, phi, sel, outLabels,
             shiftS, g, stepS, wd), outLabels, "value", None)
         }
+      // vector set ops per instant: semi / anti / left-priority-union
+      // joins with the instant index appended to the match key
+      case b: BinOp if Set("and", "unless", "or").contains(b.op) &&
+          !(b.on.isDefined && b.ignoring.isDefined) &&
+          !b.groupLeft && !b.groupRight =>
+        def mat(df: DataFrame, vc: String, rdiv: Option[Double]): DataFrame = {
+          val v = if (vc == "value") df else df.withColumnRenamed(vc, "value")
+          rdiv.map(d => v.withColumn("value", col("value").cast("double") / lit(d)))
+            .getOrElse(v)
+        }
+        for {
+          (ldf0, ll, lvc, lrd) <- gridVector(b.left)
+          (rdf0, rl, rvc, rrd) <- gridVector(b.right)
+          joinLabels = b.on.map(_.map(labelCol)).getOrElse {
+            val shared = ll.intersect(rl).filterNot(_ == "name")
+            b.ignoring match {
+              case Some(ig) =>
+                val dropped = ig.map(labelCol).toSet
+                shared.filterNot(dropped)
+              case None => shared
+            }
+          }
+          if joinLabels.nonEmpty && (b.op != "or" || ll == rl)
+        } yield {
+          val key = joinLabels :+ "_i"
+          val lv = mat(ldf0, lvc, lrd)
+          val rv = mat(rdf0, rvc, rrd)
+          b.op match {
+            case "and" =>
+              (lv.join(rv.select(key.map(col): _*), key, "left_semi"), ll, "value", None)
+            case "unless" =>
+              (lv.join(rv.select(key.map(col): _*), key, "left_anti"), ll, "value", None)
+            case "or" =>
+              val cols = (ll :+ "_i").map(col) :+ col("value").cast("double").as("value")
+              val leftOut = lv.select(cols: _*)
+              val fromRight = rv.join(lv.select(key.map(col): _*), key, "left_anti")
+                .select(cols: _*)
+              (leftOut.unionAll(fromRight), ll, "value", None)
+          }
+        }
       // scalar functions over grid vectors: per-row value transforms
       // commute with the instant index, so [[scalarFunc]] applies
       // verbatim (rates are divided first inside it, matching the
@@ -2032,8 +2072,9 @@ object Compiler {
       // generic per-instant aggregation over any grid-able inner — the
       // vectorAgg semantics with "_i" appended to every partition key
       case Agg(op, grouping, param, inner)
-          if Set("sum", "min", "max", "count", "avg",
-            "topk", "bottomk").contains(op) =>
+          if Set("sum", "min", "max", "count", "avg", "quantile",
+            "stddev", "stdvar", "group", "topk", "bottomk",
+            "limitk", "limit_ratio").contains(op) =>
         gridVector(inner).flatMap { case (df0, labels, valueCol, rdiv) =>
           val v = if (valueCol == "value") df0
             else df0.withColumnRenamed(valueCol, "value")
@@ -2054,6 +2095,33 @@ object Compiler {
                 case "avg" => Some((v.groupBy(byInst: _*)
                   .agg((vectorSum(v).cast("double") / count(lit(1)).cast("double"))
                     .as("value")), groupCols, "value", rdiv))
+                case "quantile" => param.map { phi =>
+                  // percentile is order-preserving and linear under the
+                  // positive deferred divisor, so rdiv rides through —
+                  // the vectorAgg expression with "_i" in the keys
+                  (v.groupBy(byInst: _*)
+                    .agg(expr(s"percentile(cast(value as double), $phi)")
+                      .as("value")), groupCols, "value", rdiv)
+                }
+                case "stddev" | "stdvar" =>
+                  // vectorAgg's exact-cents moments, divided rates first
+                  val m = (rdiv match {
+                    case Some(d) => v.withColumn("value",
+                      col("value").cast("double") / lit(d))
+                    case None => v
+                  }).withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+                    .groupBy(byInst: _*)
+                    .agg(sum(col("_cents")).as("_s1"),
+                      sum(col("_cents") * col("_cents")).as("_s2"),
+                      count(lit(1)).as("_n"))
+                  val mean = col("_s1").cast("double") / col("_n").cast("double")
+                  val varCents = col("_s2").cast("double") / col("_n").cast("double") - mean * mean
+                  val sOut = if (op == "stddev") sqrt(varCents) / 100.0 else varCents / 10000.0
+                  Some((m.select((groupCols :+ "_i").map(col) :+ sOut.as("value"): _*),
+                    groupCols, "value", None))
+                case "group" =>
+                  Some((v.groupBy(byInst: _*).agg(max(lit(1.0)).as("value")),
+                    groupCols, "value", None))
                 case "topk" | "bottomk" => param match {
                   case Some(n) if n == n.floor && n >= 1 =>
                     // ordering by the un-divided decimal increase ≡
@@ -2065,6 +2133,36 @@ object Compiler {
                     Some((v.withColumn("_rk", row_number().over(w))
                       .filter(col("_rk") <= n.toInt).drop("_rk"),
                       labels, "value", rdiv))
+                  case _ => None
+                }
+                case "limitk" => param match {
+                  case Some(n) if n == n.floor && n >= 1 =>
+                    // the deterministic md5 label-identity pick, ranked
+                    // among the series PRESENT at each instant
+                    val sig = md5(concat_ws("|", labels.map(col): _*))
+                    val ord = sig.asc +: labels.map(col)
+                    val w = Window.partitionBy(byInst: _*).orderBy(ord: _*)
+                    Some((v.withColumn("_rk", row_number().over(w))
+                      .filter(col("_rk") <= n.toInt).drop("_rk"),
+                      labels, "value", rdiv))
+                  case _ => None
+                }
+                case "limit_ratio" => param match {
+                  case Some(r) if r >= -1.0 && r <= 1.0 =>
+                    // per-SERIES hash decision — independent of the
+                    // instant, so it commutes with the grid
+                    if (r == 1.0 || r == -1.0) Some((v, labels, "value", rdiv))
+                    else {
+                      val u = substring(md5(concat_ws("|", labels.map(col): _*)), 1, 8)
+                      val keep = if (r >= 0) {
+                        val thr = f"${math.floor(r * 4294967296.0).toLong}%08x"
+                        u < lit(thr)
+                      } else {
+                        val thr = f"${math.floor((1.0 + r) * 4294967296.0).toLong}%08x"
+                        u >= lit(thr)
+                      }
+                      Some((v.filter(keep), labels, "value", rdiv))
+                    }
                   case _ => None
                 }
               }

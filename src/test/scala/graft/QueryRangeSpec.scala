@@ -88,7 +88,16 @@ class QueryRangeSpec extends SparkTestBase {
       "clamp_max(sum by (k) (rate(purchase[2d])) * 100000, 3)",
       "round(sum by (k) (signup))",
       "sqrt(sum(purchase))",
-      "ln(sum by (k) (purchase))")
+      "ln(sum by (k) (purchase))",
+      "quantile(0.5, purchase)",           // remaining agg family
+      "stddev(purchase)",
+      "stdvar by (k) (purchase)",
+      "limitk(1, purchase)",
+      "limit_ratio(0.5, purchase)",
+      "limit_ratio(-0.5, purchase)",
+      "sum by (k) (purchase) and sum by (k) (signup)", // set ops per instant
+      "sum by (k) (purchase) unless sum by (k) (signup{k=\"a\"})",
+      "sum by (k) (purchase{k=\"a\"}) or sum by (k) (purchase)")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
@@ -112,12 +121,13 @@ class QueryRangeSpec extends SparkTestBase {
     // a non-grid shape on the same 100-instant grid fails loudly at
     // compose time (plan-union blowup is refused, not attempted)
     val ex = intercept[PromQLCompileException] {
-      Api.queryRangeJson(spark, dir, "quantile(0.5, purchase)",
+      Api.queryRangeJson(spark, dir, "sum by (k) (purchase) / scalar(sum(purchase))",
         s100, e100, 7200L)
     }
     assert(ex.getMessage.contains("64"))
     // ... but the same shape still works on a small grid (union path)
-    val small = Api.queryRangeJson(spark, dir, "quantile(0.5, purchase)",
+    val small = Api.queryRangeJson(spark, dir,
+      "sum by (k) (purchase) / scalar(sum(purchase))",
       T0 + 7 * dayS, T0 + 9 * dayS, dayS)
     assert(small.contains("\"resultType\":\"matrix\""))
   }
@@ -139,7 +149,8 @@ class QueryRangeSpec extends SparkTestBase {
     assert(lastByK === Map("a" -> 9.0, "b" -> 20.0))
     // a non-grid shape is refused with a pointer, not mis-evaluated
     intercept[PromQLCompileException] {
-      Api.queryRangeGrid(spark, dir, "quantile(0.5, purchase)", 8, dayS)
+      Api.queryRangeGrid(spark, dir,
+        "sum by (k) (purchase) / scalar(sum(purchase))", 8, dayS)
     }
   }
 }
