@@ -97,7 +97,10 @@ class QueryRangeSpec extends SparkTestBase {
       "limit_ratio(-0.5, purchase)",
       "sum by (k) (purchase) and sum by (k) (signup)", // set ops per instant
       "sum by (k) (purchase) unless sum by (k) (signup{k=\"a\"})",
-      "sum by (k) (purchase{k=\"a\"}) or sum by (k) (purchase)")
+      "sum by (k) (purchase{k=\"a\"}) or sum by (k) (purchase)",
+      "sum by (k) (purchase offset 1d)",   // time shifts ride the anchor
+      "rate(purchase[2d] offset 2d)",
+      "sum by (k) (purchase @ 1704758400)") // @ pins: constant across the grid
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
