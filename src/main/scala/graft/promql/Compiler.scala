@@ -1963,7 +1963,6 @@ object Compiler {
       // and scalar()/time() operands keep the union path.
       case b: BinOp
           if !Set("and", "unless", "or").contains(b.op) &&
-            !b.groupLeft && !b.groupRight &&
             !(b.on.isDefined && b.ignoring.isDefined) =>
         val isCmp = Set(">", "<", ">=", "<=", "==", "!=").contains(b.op)
         val isArith = Set("+", "-", "*", "/", "%", "^", "atan2").contains(b.op)
@@ -1999,6 +1998,10 @@ object Compiler {
         }
         if (b.boolMod && !isCmp) None
         else if (!isCmp && !isArith) None
+        else if ((b.groupLeft || b.groupRight) &&
+          (b.on.isEmpty && b.ignoring.isEmpty)) None // union path raises
+        else if ((b.groupLeft || b.groupRight) &&
+          (b.left.isInstanceOf[NumLit] || b.right.isInstanceOf[NumLit])) None
         else (b.left, b.right) match {
           case (NumLit(_), NumLit(_)) => None // union path raises
           case (l, NumLit(s)) => gridVector(l).map { case (df0, labels, vc, rdiv) =>
@@ -2034,9 +2037,19 @@ object Compiler {
               }
               if joinLabels.nonEmpty &&
                 joinLabels.forall(jl => ll.contains(jl) && rl.contains(jl))
+              // group_left(lbls)/group_right(lbls) carried labels: must
+              // exist on the one side, not collide with the many side
+              carry = b.groupCarry.map(labelCol)
+              if carry.isEmpty || b.groupLeft || b.groupRight
+              if carry.forall { c =>
+                val (one, many) = if (b.groupLeft) (rl, ll) else (ll, rl)
+                one.contains(c) && !many.contains(c)
+              }
             } yield {
               val key = joinLabels :+ "_i"
-              // the union path's one-to-one dup guard, per instant
+              // the union path's cardinality guard, per instant: the
+              // "one" side of group_left/group_right — and BOTH sides
+              // of a modifier-less match — must be unique per group
               def dupGuard(df: DataFrame, vcol: String, side: String): DataFrame = {
                 val w = Window.partitionBy(key.map(col): _*)
                 val msg = concat(
@@ -2049,13 +2062,22 @@ object Compiler {
                     raise_error(msg).cast(df.schema(vcol).dataType))
                     .otherwise(col(vcol)))
               }
-              val filterCmp = isCmp && !b.boolMod
-              val keepLabels = if (filterCmp) ll else joinLabels
-              val lt = dupGuard(mat(ldf0, lvc, lrd)
-                .select((if (filterCmp) ll :+ "_i" else key).map(col) :+
-                  col("value").as("_lv"): _*), "_lv", "left")
-              val rt = dupGuard(mat(rdf0, rvc, rrd)
-                .select(key.map(col) :+ col("value").as("_rv"): _*), "_rv", "right")
+              val filterCmp = isCmp && !b.boolMod && !b.groupLeft && !b.groupRight
+              val (keepLabels, manyValue) =
+                if (b.groupLeft) (ll ++ carry, col("_lv"))
+                else if (b.groupRight) (rl ++ carry, col("_rv"))
+                else if (filterCmp) (ll, col("_lv"))
+                else (joinLabels, col("_lv"))
+              val lt0 = mat(ldf0, lvc, lrd).select(
+                ((if (b.groupLeft || filterCmp) ll
+                  else if (b.groupRight) joinLabels ++ carry
+                  else joinLabels) :+ "_i").map(col) :+ col("value").as("_lv"): _*)
+              val rt0 = mat(rdf0, rvc, rrd).select(
+                ((if (b.groupRight) rl
+                  else if (b.groupLeft) joinLabels ++ carry
+                  else joinLabels) :+ "_i").map(col) :+ col("value").as("_rv"): _*)
+              val lt = if (b.groupLeft) lt0 else dupGuard(lt0, "_lv", "left")
+              val rt = if (b.groupRight) rt0 else dupGuard(rt0, "_rv", "right")
               val joined = lt.join(rt, key)
               val out =
                 if (!isCmp) joined.select((keepLabels :+ "_i").map(col) :+
@@ -2065,7 +2087,7 @@ object Compiler {
                     .otherwise(0.0).as("value"): _*)
                 else joined
                   .filter(cmp(col("_lv").cast("double"), col("_rv").cast("double")))
-                  .select((keepLabels :+ "_i").map(col) :+ col("_lv").as("value"): _*)
+                  .select((keepLabels :+ "_i").map(col) :+ manyValue.as("value"): _*)
               (out, keepLabels, "value", None)
             }
         }

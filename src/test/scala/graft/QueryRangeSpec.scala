@@ -100,7 +100,11 @@ class QueryRangeSpec extends SparkTestBase {
       "sum by (k) (purchase{k=\"a\"}) or sum by (k) (purchase)",
       "sum by (k) (purchase offset 1d)",   // time shifts ride the anchor
       "rate(purchase[2d] offset 2d)",
-      "sum by (k) (purchase @ 1704758400)") // @ pins: constant across the grid
+      "sum by (k) (purchase @ 1704758400)", // @ pins: constant across the grid
+      // many-to-one matching per instant (the enrichment panels)
+      "sum by (k, instance) (purchase) * on(k) group_left sum by (k) (signup)",
+      "sum by (k) (signup) * on(k) group_right sum by (k, instance) (purchase)",
+      "sum by (k, instance) (purchase) > on(k) group_left sum by (k) (signup)")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
