@@ -1996,12 +1996,54 @@ object Compiler {
           rdiv.map(d => v.withColumn("value", col("value").cast("double") / lit(d)))
             .getOrElse(v)
         }
+        def matG(df: DataFrame, vc: String, rdiv: Option[Double]): DataFrame =
+          mat(df, vc, rdiv)
+        // scalar(v) operand per instant: the inner grid vector
+        // collapsed to a per-instant 1-row relation — value when
+        // exactly one series exists at that instant, else NaN (the
+        // union path's semantics; instants where the inner is EMPTY
+        // surface as NaN via the left join in withScalarGrid, matching
+        // the union path's empty-agg row). time() stays union-only.
+        def scalarGridOperand(ast: Ast): Option[DataFrame] = ast match {
+          case Func("scalar", _, inner) =>
+            gridVector(inner).map { case (df0, _, vc2, rd2) =>
+              matG(df0, vc2, rd2).groupBy(col("_i")).agg(
+                when(count(lit(1)) === 1, max(col("value").cast("double")))
+                  .otherwise(lit(Double.NaN)).as("_sc"))
+            }
+          case _ => None
+        }
+        def withScalarGrid(vec: (DataFrame, Seq[String], String, Option[Double]),
+            sc: DataFrame, scalarLeft: Boolean)
+            : (DataFrame, Seq[String], String, Option[Double]) = {
+          val (df0, labels, vc2, rd2) = vec
+          val joined = matG(df0, vc2, rd2)
+            .join(broadcast(sc), Seq("_i"), "left")
+            .withColumn("_sc", coalesce(col("_sc"), lit(Double.NaN)))
+          val (lc, rc) =
+            if (scalarLeft) (col("_sc"), col("value").cast("double"))
+            else (col("value").cast("double"), col("_sc"))
+          val out =
+            if (!isCmp) joined.withColumn("value", arith(lc, rc))
+            else if (b.boolMod)
+              joined.withColumn("value", when(cmp(lc, rc), 1.0).otherwise(0.0))
+            else joined.filter(cmp(lc, rc))
+          (out.drop("_sc"), labels, "value", None)
+        }
+        lazy val lSc = scalarGridOperand(b.left)
+        lazy val rSc = scalarGridOperand(b.right)
         if (b.boolMod && !isCmp) None
         else if (!isCmp && !isArith) None
         else if ((b.groupLeft || b.groupRight) &&
           (b.on.isEmpty && b.ignoring.isEmpty)) None // union path raises
         else if ((b.groupLeft || b.groupRight) &&
-          (b.left.isInstanceOf[NumLit] || b.right.isInstanceOf[NumLit])) None
+          (b.left.isInstanceOf[NumLit] || b.right.isInstanceOf[NumLit] ||
+            lSc.isDefined || rSc.isDefined)) None // union path raises
+        else if (lSc.isDefined && rSc.isDefined) None // union path raises
+        else if (rSc.isDefined)
+          gridVector(b.left).map(withScalarGrid(_, rSc.get, scalarLeft = false))
+        else if (lSc.isDefined)
+          gridVector(b.right).map(withScalarGrid(_, lSc.get, scalarLeft = true))
         else (b.left, b.right) match {
           case (NumLit(_), NumLit(_)) => None // union path raises
           case (l, NumLit(s)) => gridVector(l).map { case (df0, labels, vc, rdiv) =>

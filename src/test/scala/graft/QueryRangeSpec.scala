@@ -104,7 +104,11 @@ class QueryRangeSpec extends SparkTestBase {
       // many-to-one matching per instant (the enrichment panels)
       "sum by (k, instance) (purchase) * on(k) group_left sum by (k) (signup)",
       "sum by (k) (signup) * on(k) group_right sum by (k, instance) (purchase)",
-      "sum by (k, instance) (purchase) > on(k) group_left sum by (k) (signup)")
+      "sum by (k, instance) (purchase) > on(k) group_left sum by (k) (signup)",
+      // scalar() operands per instant (the normalization panels)
+      "sum by (k) (purchase) / scalar(sum(purchase))",
+      "scalar(sum(signup)) * sum by (k) (purchase)",
+      "sum by (k) (purchase) > bool scalar(sum(purchase))")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
@@ -128,13 +132,14 @@ class QueryRangeSpec extends SparkTestBase {
     // a non-grid shape on the same 100-instant grid fails loudly at
     // compose time (plan-union blowup is refused, not attempted)
     val ex = intercept[PromQLCompileException] {
-      Api.queryRangeJson(spark, dir, "sum by (k) (purchase) / scalar(sum(purchase))",
+      Api.queryRangeJson(spark, dir,
+        "max_over_time((sum by (k) (purchase))[2d:1d])",
         s100, e100, 7200L)
     }
     assert(ex.getMessage.contains("64"))
     // ... but the same shape still works on a small grid (union path)
     val small = Api.queryRangeJson(spark, dir,
-      "sum by (k) (purchase) / scalar(sum(purchase))",
+      "max_over_time((sum by (k) (purchase))[2d:1d])",
       T0 + 7 * dayS, T0 + 9 * dayS, dayS)
     assert(small.contains("\"resultType\":\"matrix\""))
   }
@@ -157,7 +162,7 @@ class QueryRangeSpec extends SparkTestBase {
     // a non-grid shape is refused with a pointer, not mis-evaluated
     intercept[PromQLCompileException] {
       Api.queryRangeGrid(spark, dir,
-        "sum by (k) (purchase) / scalar(sum(purchase))", 8, dayS)
+        "max_over_time((sum by (k) (purchase))[2d:1d])", 8, dayS)
     }
   }
 }
