@@ -310,6 +310,11 @@ object SparkEntry {
     "p81_query_range_ratio" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
       "sum by (k) (rate(purchase[2d])) / sum by (k) (rate(click[2d]))", 240, 21600L)
       .orderBy(col("label_k"), col("t_s"))),
+    // the NATIVE sparse-bucket p90 panel on the grid (3.x dispatch)
+    "p82_query_range_native_hq" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "histogram_quantile(0.9, sum by (k) (rate(error[2d])))", 240, 21600L,
+      nativeFamilies = Set("error"))
+      .orderBy(col("label_k"), col("t_s"))),
     // det-math compilation mode: ^ exercises BOTH pow dispatch branches
     // (positive base fractional exponent + negative base integer
     // exponent), atan2 the quadrant dispatch — hash-gated, the
@@ -774,6 +779,7 @@ object SparkEntry {
     "p79_query_range_hq" -> promql.Oracle.QueryRangeHqSql,
     "p80_query_range_topk" -> promql.Oracle.QueryRangeTopkSql,
     "p81_query_range_ratio" -> promql.Oracle.QueryRangeRatioSql,
+    "p82_query_range_native_hq" -> promql.Oracle.QueryRangeNativeHqSql,
     "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
     "p62_promql_resets" -> promql.Oracle.ResetsWindowSql,
     "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,

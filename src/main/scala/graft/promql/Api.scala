@@ -64,13 +64,21 @@ object Api {
     * grid (`QueryRangeSpec`).
     */
   def queryRangeJson(spark: SparkSession, dir: String, query: String,
-      startS: Long, endS: Long, stepS: Long): String =
-    queryRangeJsonImpl(spark, dir, query, startS, endS, stepS, grid = true)
+      startS: Long, endS: Long, stepS: Long,
+      nativeFamilies: Set[String] = Set.empty): String =
+    queryRangeJsonImpl(spark, dir, query, startS, endS, stepS, grid = true,
+      nativeFamilies)
 
   /** `grid = false` forces the per-instant union path — the test hook
     * that lets `QueryRangeSpec` pin union ≡ grid on a common grid.
     */
   private[graft] def queryRangeJsonImpl(spark: SparkSession, dir: String,
+      query: String, startS: Long, endS: Long, stepS: Long,
+      grid: Boolean, nativeFamilies: Set[String] = Set.empty): String =
+    Compiler.withNativeFamilies(nativeFamilies)(
+      queryRangeJsonBody(spark, dir, query, startS, endS, stepS, grid))
+
+  private def queryRangeJsonBody(spark: SparkSession, dir: String,
       query: String, startS: Long, endS: Long, stepS: Long,
       grid: Boolean): String = {
     require(stepS > 0, "step must be positive")
@@ -121,11 +129,13 @@ object Api {
     * through [[queryRangeJson]]'s union path).
     */
   def queryRangeGrid(spark: SparkSession, dir: String, query: String,
-      instants: Int, stepS: Long): DataFrame = {
+      instants: Int, stepS: Long,
+      nativeFamilies: Set[String] = Set.empty): DataFrame = {
     require(instants >= 1, "at least one grid instant")
     val endS = Compiler.instantSeconds(spark, dir).toLong
     val startS = endS - (instants - 1).toLong * stepS
-    Compiler.rangeGridEval(spark, dir, Parser.parse(query), startS, endS, stepS)
+    Compiler.withNativeFamilies(nativeFamilies)(
+      Compiler.rangeGridEval(spark, dir, Parser.parse(query), startS, endS, stepS))
       .getOrElse(throw new PromQLCompileException(
         s"no dense-grid strategy for query shape: $query"))
   }

@@ -1712,6 +1712,97 @@ object Compiler {
             / (col("cum_count") - col("prev_cum")).cast("double")).as("value"): _*)
   }
 
+  /** Per-instant NATIVE `histogram_quantile` on the dense grid — the
+    * sparse exponential-bucket twin of [[gridHistogramQuantileInstants]]:
+    * scalar codegen bucketization once per observation, per-(series,
+    * bucket, step-bucket) integer partials, sliding (windowed form) or
+    * running (instant form) sums reconstruct every instant's totals and
+    * bucket counts, then [[nativeHistogramQuantile]]'s exact walk —
+    * rank vs zero bucket, first covering bucket, in-bucket fraction,
+    * `2^((i−1+f)/2^s)` through the codegen'd det_exp2 — per (series,
+    * instant). Identical integer inputs + identical pinned IEEE steps
+    * ⇒ grid ≡ union bit-exact and DuckDB-gateable.
+    */
+  private def gridNativeHqInstants(spark: SparkSession, dir: String,
+      phi: Double, sel: Selector, outLabels: Seq[String], shiftS: Long,
+      g: Long, stepS: Long, windowD: Option[Long]): DataFrame = {
+    val stepUs = stepS * 1000000L
+    val k = windowD.map(w => (w / stepS).toInt).getOrElse(0)
+    if (g + k > 4096)
+      fail(s"query_range grid spans ${g + k} indexes (instants + window span); 4096 supported")
+    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
+    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val base0 = events(spark, dir)
+      .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+        unix_micros(col("ts")) <= hi)
+      .withColumn("_age_us", hi - unix_micros(col("ts")))
+    val base = windowD match {
+      case Some(_) => base0
+        .filter(col("_age_us") < lit((g - 1 + k) * stepUs))
+        .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
+      case None => base0
+        .withColumn("_b", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
+    }
+    import spark.implicits._
+    val range = (windowD match {
+      case Some(_) => spark.range(2L - k, g + 1L)
+      case None => spark.range(1L, g + 1L)
+    }).toDF("_b")
+    def sw(parts: Seq[String]) = {
+      val base = Window.partitionBy(parts.map(col): _*).orderBy(col("_b"))
+      windowD match {
+        case Some(_) => base.rowsBetween(-(k - 1), Window.currentRow)
+        case None => base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      }
+    }
+    val totPart = base.groupBy((outLabels :+ "_b").map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("value") === 0.0, 1L).otherwise(0L)).as("_z"))
+    val tot = totPart.select(outLabels.map(col): _*).distinct()
+      .crossJoin(broadcast(range))
+      .join(totPart, outLabels :+ "_b", "left")
+      .withColumn("cnt", sum(col("_n")).over(sw(outLabels)))
+      .withColumn("zero", coalesce(sum(col("_z")).over(sw(outLabels)), lit(0L)))
+      .filter(col("_b") >= 1 && col("cnt") > 0)
+      .select((outLabels :+ "_b").map(col) :+ col("cnt") :+ col("zero"): _*)
+    val bkPart = base
+      .filter(col("value") > Metrics.NhLoMin && col("value") <= Metrics.NhHiMax)
+      .withColumn("bucket", Metrics.nhBucketCol(col("value")))
+      .groupBy((outLabels ++ Seq("bucket", "_b")).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    val bk = bkPart.select((outLabels :+ "bucket").map(col): _*).distinct()
+      .crossJoin(broadcast(range))
+      .join(bkPart, outLabels ++ Seq("bucket", "_b"), "left")
+      .withColumn("c", sum(col("_c")).over(sw(outLabels :+ "bucket")))
+      .filter(col("_b") >= 1 && col("c") > 0)
+      .join(broadcast(Metrics.nhBoundsDf(spark).select(col("bucket"), col("hi"))),
+        Seq("bucket"))
+    val instKey = outLabels :+ "_b"
+    val w = Window.partitionBy(instKey.map(col): _*).orderBy(col("bucket"))
+    val bw = bk.withColumn("cumc", sum(col("c")).over(w))
+    val bstats = bw.groupBy(instKey.map(col): _*).agg(max(col("hi")).as("last_hi"))
+    val picked = bw.join(tot, instKey)
+      .withColumn("rank", lit(phi) * col("cnt").cast("double"))
+      .filter(col("rank") > col("zero").cast("double") &&
+        col("rank") <= (col("zero") + col("cumc")).cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("f",
+        (col("rank") - (col("zero") + col("cumc") - col("c")).cast("double"))
+          / col("c").cast("double"))
+      .withColumn("xq",
+        ((col("bucket") - lit(1)).cast("double") + col("f")) / lit(8.0))
+      .select(instKey.map(col) :+
+        graft.plans.DetMathExprs.detExp2(spark, "xq").as("_qv"): _*)
+    tot.join(picked, instKey, "left")
+      .join(bstats, instKey, "left")
+      .select(outLabels.map(col) :+ col("_b").as("_i") :+
+        when(lit(phi) * col("cnt").cast("double") <= col("zero").cast("double"),
+          lit(0.0))
+          .when(col("_qv").isNotNull, col("_qv"))
+          .otherwise(col("last_hi")).as("value"): _*)
+  }
+
   /** Gauge twin of [[subqueryGridCounter]]: the per-instant value is
     * last-write-wins, reconstructed as a RUNNING max over the
     * `(ts, event_id, value)` struct (lexicographic struct ordering —
@@ -1880,31 +1971,40 @@ object Compiler {
         Some((gridOverTimeInstants(spark, dir, sel, shiftS, g, stepS, f2),
           SeriesKey, "value", None))
       case Func("histogram_quantile", Some(phi), inner) =>
-        // classic explicit-boundary families only — a native-ingested
-        // family keeps the union path's sparse-bucket plans
-        def classic(sel: Selector): Boolean =
-          kindOf(sel.name) == "histogram" &&
-            !resolveNames(sel).exists(nativeFams.value.contains)
+        // classic explicit-boundary families take the literal-bounds
+        // bucket grid; fully native-ingested families the sparse
+        // exponential-bucket grid (the Prometheus 3.x sample-kind
+        // dispatch, per instant); mixed membership keeps the union path
+        def hq(sel: Selector): Boolean = kindOf(sel.name) == "histogram" && {
+          val names = resolveNames(sel)
+          names.forall(nativeFams.value.contains) ||
+            !names.exists(nativeFams.value.contains)
+        }
         val shaped: Option[(Selector, Option[Long], Seq[String])] = inner match {
-          case sel: Selector if sel.rangeS.isEmpty && classic(sel) =>
+          case sel: Selector if sel.rangeS.isEmpty && hq(sel) =>
             Some((sel, None, SeriesKey))
           case Func(f2, _, sel: Selector)
-              if (f2 == "rate" || f2 == "increase") && classic(sel) &&
+              if (f2 == "rate" || f2 == "increase") && hq(sel) &&
                 sel.rangeS.exists(w => w > 0 && w % stepS == 0) =>
             Some((sel, sel.rangeS, SeriesKey))
           case Agg("sum", grp, None, Func(f2, _, sel: Selector))
-              if (f2 == "rate" || f2 == "increase") && classic(sel) &&
+              if (f2 == "rate" || f2 == "increase") && hq(sel) &&
                 sel.rangeS.exists(w => w > 0 && w % stepS == 0) &&
                 sumLabels(grp).isDefined =>
             Some((sel, sel.rangeS, sumLabels(grp).get))
           case Agg("sum", grp, None, sel: Selector)
-              if sel.rangeS.isEmpty && classic(sel) && sumLabels(grp).isDefined =>
+              if sel.rangeS.isEmpty && hq(sel) && sumLabels(grp).isDefined =>
             Some((sel, None, sumLabels(grp).get))
           case _ => None
         }
         shaped.map { case (sel, wd, outLabels) =>
-          (gridHistogramQuantileInstants(spark, dir, phi, sel, outLabels,
-            shiftS, g, stepS, wd), outLabels, "value", None)
+          val inst =
+            if (resolveNames(sel).forall(nativeFams.value.contains))
+              gridNativeHqInstants(spark, dir, phi, sel, outLabels,
+                shiftS, g, stepS, wd)
+            else gridHistogramQuantileInstants(spark, dir, phi, sel, outLabels,
+              shiftS, g, stepS, wd)
+          (inst, outLabels, "value", None)
         }
       // vector set ops per instant: semi / anti / left-priority-union
       // joins with the instant index appended to the match key
@@ -2524,6 +2624,12 @@ object Compiler {
   def compile(spark: SparkSession, dir: String, ast: Ast,
       nativeFamilies: Set[String]): DataFrame =
     nativeFams.withValue(nativeFamilies)(compile(spark, dir, ast))
+
+  /** Run `f` with the native-family sample-kind dispatch in scope —
+    * the query_range API's hook (plans must be CONSTRUCTED inside).
+    */
+  private[promql] def withNativeFamilies[T](fams: Set[String])(f: => T): T =
+    nativeFams.withValue(fams)(f)
 
   def compile(spark: SparkSession, dir: String, ast: Ast,
       nativeFamilies: Set[String], detMath: Boolean): DataFrame =

@@ -250,17 +250,20 @@ object Oracle {
     * the classic twin).
     */
   private def nativeHistogramQuantileTwin(tsFilter: String,
-      gCols: Seq[String] = Seq("name", "label_k", "label_instance")): String = {
+      gCols: Seq[String] = Seq("name", "label_k", "label_instance"),
+      wCte: Option[String] = None): String = {
     val g = gCols.mkString(", ")
     def eq(a: String, b: String): String =
       gCols.map(c => s"$a.$c = $b.$c").mkString(" AND ")
     def cols(a: String): String = gCols.map(c => s"$a.$c").mkString(", ")
     val outCols = gCols.map(c => s"t2.$c AS $c").mkString(", ")
     val interp = graft.functions.DetMath.exp2Sql("xq")
+    val w = wCte.getOrElse(
+      s"""SELECT $g, value FROM m, t
+         |      WHERE name = 'error' AND $tsFilter""".stripMargin)
     s"""WITH m AS ($MetricEventsSql),
        |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
-       |w AS (SELECT $g, value FROM m, t
-       |      WHERE name = 'error' AND $tsFilter),
+       |w AS ($w),
        |bounds AS (${Metrics.NhBoundsSql}),
        |tot AS (
        |  SELECT $g, COUNT(*) AS cnt,
@@ -320,6 +323,23 @@ object Oracle {
     nativeHistogramQuantileTwin(
       "epoch_us(ts) > t_us - 345600000000 AND epoch_us(ts) <= t_us",
       gCols = Seq("label_k"))
+
+  /** p82: `histogram_quantile(0.9, sum by (k) (rate(error[2d])))` with
+    * `error` NATIVE, on the 240×6h grid — the sparse-bucket alerting
+    * panel at every step: per instant, the windowed observations feed
+    * the same exact bucket walk + DetMath.exp2 interpolation, grouped
+    * on (label_k, t_s).
+    */
+  val QueryRangeNativeHqSql: String =
+    nativeHistogramQuantileTwin("", gCols = Seq("label_k", "t_s"),
+      wCte = Some(
+        """SELECT m.label_k,
+          |    (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+          |    m.value
+          |  FROM m, t, (SELECT unnest(generate_series(1, 240)) AS i) i
+          |  WHERE m.name = 'error'
+          |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+          |    AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - 172800000000""".stripMargin))
 
   /** `histogram_fraction(2.5, 75.5, error)` with `error` NATIVE: the
     * boundary constants' bucket index and log-interpolated in-bucket

@@ -123,6 +123,25 @@ class QueryRangeSpec extends SparkTestBase {
     assert(wide.contains("\"resultType\":\"matrix\""))
   }
 
+  test("native-histogram quantile: union == grid under the 3.x sample-kind dispatch") {
+    val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
+    for (q <- Seq(
+        "histogram_quantile(0.9, error)",
+        "histogram_quantile(0.9, rate(error[2d]))",
+        "histogram_quantile(0.9, sum by (k) (rate(error[2d])))")) {
+      val u = Api.queryRangeJsonImpl(spark, dir, q, s, e, dayS,
+        grid = false, Set("error"))
+      val g = Api.queryRangeJsonImpl(spark, dir, q, s, e, dayS,
+        grid = true, Set("error"))
+      assert(u === g, s"native union ≠ grid for: $q")
+      assert(g.contains("\"values\":[["), s"empty native matrix for: $q")
+      // the dispatch is real: the sparse-bucket answer differs from the
+      // classic literal-boundary interpolation on the same grid
+      val classic = Api.queryRangeJsonImpl(spark, dir, q, s, e, dayS, grid = true)
+      assert(g !== classic, s"native ≡ classic for: $q — dispatch inert")
+    }
+  }
+
   test("grid lifts the 64-instant union wall; non-grid shapes keep it") {
     // 100 instants at 2h: union path would refuse, grid path evaluates
     val (s100, e100) = (T0 + 9 * dayS - 99 * 7200L, T0 + 9 * dayS)
