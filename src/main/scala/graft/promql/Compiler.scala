@@ -1159,7 +1159,12 @@ object Compiler {
           when(count(lit(1)) === 1, max(col("value").cast("double")))
             .otherwise(lit(Double.NaN)).as("_sc")))
       case Func("time", _, _) =>
-        Some(instantDf(spark, dir).select((col("_t_us").cast("double") / 1e6).as("_sc")))
+        // the EVALUATION instant, not the corpus instant: a shifted
+        // compile (query_range slice, subquery step) evaluates at
+        // T − shiftS, and Prometheus's time() is that step's timestamp
+        // (selector offsets, by contrast, never move it)
+        Some(instantDf(spark, dir).select(
+          (col("_t_us").cast("double") / 1e6 - lit(shiftS.toDouble)).as("_sc")))
       case _ => None
     }
     val lScalar = scalarOperand(b.left)
@@ -2111,6 +2116,14 @@ object Compiler {
                 when(count(lit(1)) === 1, max(col("value").cast("double")))
                   .otherwise(lit(Double.NaN)).as("_sc"))
             }
+          case Func("time", _, _) =>
+            // per-instant evaluation timestamp: instant _i's epoch plus
+            // the corpus instant's sub-second fraction — exactly the
+            // union path's T − (T − t_i).toLong per slice
+            import spark.implicits._
+            Some(spark.range(1L, g + 1L).toDF("_i").select(col("_i"),
+              ((lit(last) - (lit(g) - col("_i")) * lit(stepS)).cast("double") +
+                lit(t - math.floor(t))).as("_sc")))
           case _ => None
         }
         def withScalarGrid(vec: (DataFrame, Seq[String], String, Option[Double]),

@@ -108,7 +108,8 @@ class QueryRangeSpec extends SparkTestBase {
       // scalar() operands per instant (the normalization panels)
       "sum by (k) (purchase) / scalar(sum(purchase))",
       "scalar(sum(signup)) * sum by (k) (purchase)",
-      "sum by (k) (purchase) > bool scalar(sum(purchase))")
+      "sum by (k) (purchase) > bool scalar(sum(purchase))",
+      "sum by (k) (signup) + time()")      // per-instant eval timestamp
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
@@ -140,6 +141,29 @@ class QueryRangeSpec extends SparkTestBase {
       val classic = Api.queryRangeJsonImpl(spark, dir, q, s, e, dayS, grid = true)
       assert(g !== classic, s"native ≡ classic for: $q — dispatch inert")
     }
+  }
+
+  test("time() is the per-instant evaluation timestamp, on both paths") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    // (sum * 0) + time(): the matrix's values ARE the grid instants —
+    // the r11 fix; before it, time() returned the corpus instant T at
+    // every step
+    val q = "(sum(signup) * 0) + time()"
+    for (grid <- Seq(true, false)) {
+      val json = Api.queryRangeJsonImpl(spark, dir, q,
+        T0 + 7 * dayS, T0 + 9 * dayS, dayS, grid)
+      val vals = new ObjectMapper().readTree(json)
+        .get("data").get("result").get(0).get("values")
+      (0 until vals.size).foreach { i =>
+        assert(vals.get(i).get(0).asDouble === vals.get(i).get(1).asText.toDouble,
+          s"grid=$grid step $i: value is not the instant")
+      }
+      assert(vals.size === 3)
+    }
+    // and the shape evaluates past the union wall on the grid path
+    val wide = Api.queryRangeJson(spark, dir, q,
+      T0 + 9 * dayS - 99 * 7200L, T0 + 9 * dayS, 7200L)
+    assert(wide.contains("\"resultType\":\"matrix\""))
   }
 
   test("grid lifts the 64-instant union wall; non-grid shapes keep it") {
