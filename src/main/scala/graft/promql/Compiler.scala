@@ -2011,6 +2011,57 @@ object Compiler {
               shiftS, g, stepS, wd)
           (inst, outLabels, "value", None)
         }
+      // absent / absent_over_time per instant — the alerting "no data"
+      // panel: one event pass counts samples per step bucket, a
+      // running (absent) or sliding (absent_over_time) sum gives each
+      // instant's visible-sample count, and instants with count 0 emit
+      // the equality-matcher-labeled 1.0 row
+      case Func(fn2, _, sel: Selector)
+          if (fn2 == "absent" && sel.rangeS.isEmpty) ||
+            (fn2 == "absent_over_time" &&
+              sel.rangeS.exists(w => w > 0 && w % stepS == 0)) =>
+        kindOf(sel.name) // compose-time family check, as the union path
+        val windowD = if (fn2 == "absent") None else sel.rangeS
+        val stepUs = stepS * 1000000L
+        val kk = windowD.map(w => (w / stepS).toInt).getOrElse(0)
+        if (g + kk > 4096)
+          fail(s"query_range grid spans ${g + kk} indexes (instants + window span); 4096 supported")
+        val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
+        val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+        val base0 = events(spark, dir)
+          .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+            unix_micros(col("ts")) <= hi)
+          .withColumn("_age_us", hi - unix_micros(col("ts")))
+        val base = windowD match {
+          case Some(_) => base0
+            .filter(col("_age_us") < lit((g - 1 + kk) * stepUs))
+            .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
+          case None => base0
+            .withColumn("_b", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
+        }
+        val partial = base.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+        val range = {
+          import spark.implicits._
+          (windowD match {
+            case Some(_) => spark.range(2L - kk, g + 1L)
+            case None => spark.range(1L, g + 1L)
+          }).toDF("_b")
+        }
+        val swA = {
+          val b0 = Window.orderBy(col("_b"))
+          windowD match {
+            case Some(_) => b0.rowsBetween(-(kk - 1), Window.currentRow)
+            case None => b0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          }
+        }
+        val eqLabels = sel.matchers.filter(_.op == "=")
+          .map(m => labelCol(m.label) -> m.value)
+        val outCols = eqLabels.map { case (c, v) => lit(v).as(c) } ++
+          Seq(col("_b").as("_i"), lit(1.0).as("value"))
+        Some((range.join(partial, Seq("_b"), "left")
+          .withColumn("_cum", coalesce(sum(col("_n")).over(swA), lit(0L)))
+          .filter(col("_b") >= 1 && col("_cum") === 0)
+          .select(outCols: _*), eqLabels.map(_._1), "value", None))
       // vector set ops per instant: semi / anti / left-priority-union
       // joins with the instant index appended to the match key
       case b: BinOp if Set("and", "unless", "or").contains(b.op) &&

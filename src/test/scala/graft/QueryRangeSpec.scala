@@ -109,7 +109,9 @@ class QueryRangeSpec extends SparkTestBase {
       "sum by (k) (purchase) / scalar(sum(purchase))",
       "scalar(sum(signup)) * sum by (k) (purchase)",
       "sum by (k) (purchase) > bool scalar(sum(purchase))",
-      "sum by (k) (signup) + time()")      // per-instant eval timestamp
+      "sum by (k) (signup) + time()",      // per-instant eval timestamp
+      "absent(purchase{k=\"zzz\"})",       // the "no data" alert panel
+      "absent_over_time(signup[1d])")      // absent on some instants only
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
