@@ -1902,6 +1902,34 @@ object Compiler {
     require(endS >= startS, "end must be >= start")
     val g = (endS - startS) / stepS + 1
     val last = startS + (g - 1) * stepS
+    val built = rangeGridVector(spark, dir, ast, startS, endS, stepS)
+    built.map { case (inst, labels, valueCol, rdiv) =>
+      if (g > 4096)
+        fail(s"query_range grid evaluates $g instants; 1..4096 supported")
+      // the same division expression as [[materialize]]'s deferred rate
+      val v = rdiv.map(d => col(valueCol).cast("double") / lit(d))
+        .getOrElse(col(valueCol).cast("double"))
+      inst.select(labels.map(col) :+
+        (lit(last) - (lit(g) - col("_i")) * lit(stepS)).cast("long").as("t_s") :+
+        v.as("value"): _*)
+    }
+  }
+
+  /** The pre-materialization grid vector: the per-instant relation
+    * (`labels :+ "_i" :+ valueCol`), its labels, the value column name,
+    * and the deferred rate divisor — or `None` when no grid strategy
+    * matches `ast`. Parameterized by the grid bounds so grid arms can
+    * RECURSE onto finer lattices (the subquery composition evaluates
+    * its inner on the step-`s` lattice spanning every outer window with
+    * one recursive call, then slides over lattice indexes).
+    */
+  private def rangeGridVector(spark: SparkSession, dir: String, ast: Ast,
+      startS: Long, endS: Long, stepS: Long)
+      : Option[(DataFrame, Seq[String], String, Option[Double])] = {
+    require(stepS > 0, "step must be positive")
+    require(endS >= startS, "end must be >= start")
+    val g = (endS - startS) / stepS + 1
+    val last = startS + (g - 1) * stepS
     val t = instantSeconds(spark, dir)
     if (last > t)
       fail(s"grid instant $last is after the corpus instant ${t.toLong}")
@@ -2397,19 +2425,82 @@ object Compiler {
             }
           }
         }
+      // label_replace / label_join per instant: pure label-column
+      // rewrites commute with the instant index, so the union arm's
+      // transform applies verbatim over the grid tuple (values — and
+      // the deferred rate divisor — ride through untouched)
+      case LabelFunc("label_replace", args, arg) =>
+        if (args.length != 4)
+          fail("""label_replace takes (v, "dst", "replacement", "src", "regex")""")
+        val Seq(dst, repl, src, regex) = args
+        gridVector(arg).map { case (df0, labels, vc, rdiv) =>
+          val srcCol = labelCol(src)
+          if (!labels.contains(srcCol))
+            fail(s"label_replace source label '$src' is not in the vector (${labels.mkString(", ")})")
+          val dstCol = LabelUniverse.getOrElse(dst, "label_" + dst)
+          val anchored = s"^(?:$regex)$$"
+          val prev: Column =
+            if (labels.contains(dstCol)) col(dstCol) else lit("")
+          val rewritten = when(col(srcCol).rlike(anchored),
+            regexp_replace(col(srcCol), anchored, repl)).otherwise(prev)
+          val outLabels = if (labels.contains(dstCol)) labels else labels :+ dstCol
+          (df0.withColumn(dstCol, rewritten), outLabels, vc, rdiv)
+        }
+      case LabelFunc("label_join", args, arg) =>
+        if (args.length < 2)
+          fail("""label_join takes (v, "dst", "sep", "src1", ...)""")
+        val dst = args.head
+        val sep = args(1)
+        val srcs = args.drop(2).map(labelCol)
+        gridVector(arg).map { case (df0, labels, vc, rdiv) =>
+          srcs.foreach(s => if (!labels.contains(s))
+            fail(s"label_join source label is not in the vector (${labels.mkString(", ")})"))
+          val dstCol = LabelUniverse.getOrElse(dst, "label_" + dst)
+          val joined = concat_ws(sep, srcs.map(col): _*)
+          val outLabels = if (labels.contains(dstCol)) labels else labels :+ dstCol
+          (df0.withColumn(dstCol, joined), outLabels, vc, rdiv)
+        }
+      // sort / sort_desc / sort_by_label(_desc): element-preserving —
+      // matrix results are label-ordered regardless (the union path's
+      // compileAt drops the tag too), so the grid passes through after
+      // the union arm's compose-time label checks
+      case Func(fn2, _, arg) if fn2 == "sort" || fn2 == "sort_desc" =>
+        gridVector(arg)
+      case LabelFunc(fn2, args, arg)
+          if fn2 == "sort_by_label" || fn2 == "sort_by_label_desc" =>
+        if (args.isEmpty) fail(s"""$fn2 takes (v, "lbl", ...)""")
+        gridVector(arg).map { case tup @ (_, labels, _, _) =>
+          args.map(labelCol).zip(args).foreach { case (c, a) =>
+            if (!labels.contains(c))
+              fail(s"$fn2 label '$a' is not in the vector (${labels.mkString(", ")})")
+          }
+          tup
+        }
+      // vector(s): the 1-element label-free vector at every instant
+      case Func("vector", Some(s), _) =>
+        import spark.implicits._
+        Some((spark.range(1L, g + 1L).toDF("_i")
+          .select(col("_i"), lit(s).cast("double").as("value")), Nil, "value", None))
+      // count_values per instant: materialize the deferred divisor,
+      // then the union arm's exact-integer-cents grouping with "_i"
+      // in the key and the fixed 2-decimal label render
+      case CountValues(dst, arg) =>
+        if (LabelUniverse.contains(dst))
+          fail(s"count_values destination label '$dst' collides with a series label")
+        gridVector(arg).map { case (df0, _, vc, rdiv) =>
+          val v0 = if (vc == "value") df0 else df0.withColumnRenamed(vc, "value")
+          val v = rdiv.map(d => v0.withColumn("value",
+            col("value").cast("double") / lit(d))).getOrElse(v0)
+          val lbl = "label_" + dst
+          val c = v.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          (c.groupBy(col("_cents"), col("_i"))
+            .agg(count(lit(1)).cast("double").as("value"))
+            .select(format_string("%.2f", col("_cents").cast("double") / 100.0).as(lbl),
+              col("_i"), col("value")), Seq(lbl), "value", None)
+        }
       case _ => None
     }
-    val built = gridVector(ast)
-    built.map { case (inst, labels, valueCol, rdiv) =>
-      if (g > 4096)
-        fail(s"query_range grid evaluates $g instants; 1..4096 supported")
-      // the same division expression as [[materialize]]'s deferred rate
-      val v = rdiv.map(d => col(valueCol).cast("double") / lit(d))
-        .getOrElse(col(valueCol).cast("double"))
-      inst.select(labels.map(col) :+
-        (lit(last) - (lit(g) - col("_i")) * lit(stepS)).cast("long").as("t_s") :+
-        v.as("value"): _*)
-    }
+    gridVector(ast)
   }
 
   /** Functions evaluated over a RANGE selector's sample window. */

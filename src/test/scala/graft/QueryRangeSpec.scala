@@ -111,7 +111,17 @@ class QueryRangeSpec extends SparkTestBase {
       "sum by (k) (purchase) > bool scalar(sum(purchase))",
       "sum by (k) (signup) + time()",      // per-instant eval timestamp
       "absent(purchase{k=\"zzz\"})",       // the "no data" alert panel
-      "absent_over_time(signup[1d])")      // absent on some instants only
+      "absent_over_time(signup[1d])",      // absent on some instants only
+      // label rewrites per instant (the relabeling panels)
+      "label_replace(sum by (k) (purchase), \"grp\", \"$1x\", \"k\", \"(a)\")",
+      "sum by (grp) (label_replace(sum by (k) (purchase), \"grp\", \"g$1\", \"k\", \"(.*)\"))",
+      "label_join(sum by (k, instance) (purchase), \"combo\", \"-\", \"k\", \"instance\")",
+      // element-preserving sorts: matrix order is label-fixed on both paths
+      "sort(sum by (k) (purchase))",
+      "sort_desc(sum by (k) (rate(purchase[2d])))",
+      "sort_by_label(sum by (k) (purchase), \"k\")",
+      "vector(42)",                        // label-free literal vector
+      "count_values(\"val\", purchase)")   // value-histogram per instant
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
