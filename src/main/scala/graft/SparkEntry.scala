@@ -315,6 +315,13 @@ object SparkEntry {
       "histogram_quantile(0.9, sum by (k) (rate(error[2d])))", 240, 21600L,
       nativeFamilies = Set("error"))
       .orderBy(col("label_k"), col("t_s"))),
+    // SUBQUERY on the grid: the inner rate-sum evaluates ONCE on the
+    // shared 6h lattice (recursive grid strategy), each outer step
+    // slides over its 4 trailing lattice instants — "max rate over the
+    // trailing day" at every one of 240 steps
+    "p83_query_range_subquery" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
     // det-math compilation mode: ^ exercises BOTH pow dispatch branches
     // (positive base fractional exponent + negative base integer
     // exponent), atan2 the quadrant dispatch — hash-gated, the
@@ -780,6 +787,7 @@ object SparkEntry {
     "p80_query_range_topk" -> promql.Oracle.QueryRangeTopkSql,
     "p81_query_range_ratio" -> promql.Oracle.QueryRangeRatioSql,
     "p82_query_range_native_hq" -> promql.Oracle.QueryRangeNativeHqSql,
+    "p83_query_range_subquery" -> promql.Oracle.QueryRangeSubquerySql,
     "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
     "p62_promql_resets" -> promql.Oracle.ResetsWindowSql,
     "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,

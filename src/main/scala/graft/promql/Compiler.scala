@@ -2481,6 +2481,96 @@ object Compiler {
         import spark.implicits._
         Some((spark.range(1L, g + 1L).toDF("_i")
           .select(col("_i"), lit(s).cast("double").as("value")), Nil, "value", None))
+      // *_over_time over a SUBQUERY on the grid: the inner evaluates
+      // ONCE on the step-s lattice spanning every outer window — a
+      // RECURSIVE [[rangeGridVector]] call with the lattice bounds —
+      // and each outer instant's window is its k trailing lattice
+      // indexes: one sliding rowsBetween window over the densified
+      // series×lattice, instead of per-outer-instant subquery re-
+      // evaluation. Nested subqueries recurse naturally (each level
+      // grids its own lattice). Union parity: the division ordering
+      // mirrors [[subqueryOverTime]] exactly — ÷w defers through the
+      // collapse for the inner shapes whose union grid strategies
+      // defer it, and materializes per lattice instant first for
+      // every other inner (the union fallback materializes each
+      // instant before its vectorSum collapse).
+      case Func(fn2, None, sq: Subquery) if bucketDecomposable.contains(fn2) =>
+        if (sq.stepS <= 0) fail("subquery step must be positive")
+        if (sq.rangeS % sq.stepS != 0)
+          fail(s"subquery range (${sq.rangeS}s) must be a multiple of its step (${sq.stepS}s)")
+        val sS = sq.stepS
+        val kk = (sq.rangeS / sS).toInt
+        val latStart = startS - sq.rangeS + sS
+        val m = (last - latStart) / sS + 1
+        if (stepS % sS != 0 || m > 4096) None // off-lattice / oversize: union path
+        else rangeGridVector(spark, dir, sq.inner, latStart, last, sS).map {
+          case (df0, labels, vc, rdiv) =>
+            val rr = (stepS / sS).toInt
+            val v0 = if (vc == "value") df0 else df0.withColumnRenamed(vc, "value")
+            // does the union's subqueryOverTime defer ÷w for this inner?
+            // (its four grid-strategy patterns, verbatim)
+            val strategyInner = sq.inner match {
+              case sel: Selector if sel.rangeS.isEmpty &&
+                (MetricEvent.CounterNames.contains(sel.name) ||
+                  MetricEvent.GaugeNames.contains(sel.name)) => true
+              case Agg("sum", Some(("by", _)), None, sel: Selector)
+                  if sel.rangeS.isEmpty &&
+                    (MetricEvent.CounterNames.contains(sel.name) ||
+                      MetricEvent.GaugeNames.contains(sel.name)) => true
+              case Func(f3, _, sel: Selector)
+                  if (f3 == "rate" || f3 == "increase") &&
+                    sel.rangeS.exists(_ % sS == 0) &&
+                    MetricEvent.CounterNames.contains(sel.name) => true
+              case Agg("sum", Some(("by", _)), None, Func(f3, _, sel: Selector))
+                  if (f3 == "rate" || f3 == "increase") &&
+                    sel.rangeS.exists(_ % sS == 0) &&
+                    MetricEvent.CounterNames.contains(sel.name) => true
+              case Func(f3, None, sel: Selector)
+                  if bucketDecomposable.contains(f3) &&
+                    sel.rangeS.exists(w2 => w2 > 0 && w2 % sS == 0) => true
+              case _ => false
+            }
+            val defer = rdiv.isDefined && strategyInner
+            val vmat =
+              if (rdiv.isDefined && !defer)
+                v0.withColumn("value", col("value").cast("double") / lit(rdiv.get))
+              else v0
+            import spark.implicits._
+            val latIdx = spark.range(1L, m + 1L).toDF("_i")
+            val dense =
+              (if (labels.isEmpty) latIdx
+               else vmat.select(labels.map(col): _*).distinct()
+                 .crossJoin(broadcast(latIdx)))
+                .join(vmat, labels :+ "_i", "left")
+            val wsl = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
+              .rowsBetween(-(kk - 1), Window.currentRow)
+            val isDec = dense.schema("value").dataType.isInstanceOf[DecimalType]
+            // the [[vectorSum]] convention, windowed: decimal sums stay
+            // exact; double values sum through DECIMAL(38,12)
+            val slidSum =
+              if (isDec) sum(col("value")).over(wsl)
+              else sum(col("value").cast(DecimalType(38, 12))).over(wsl)
+            val slidN = count(col("value")).over(wsl)
+            val slid = fn2 match {
+              case "sum_over_time" => slidSum
+              case "avg_over_time" => slidSum.cast("double") / slidN.cast("double")
+              case "min_over_time" => min(col("value")).over(wsl)
+              case "max_over_time" => max(col("value")).over(wsl)
+              case "count_over_time" => slidN.cast("double")
+            }
+            // the ÷w commutes with sum/avg/min/max, not count — exactly
+            // [[subqueryGridRate]]'s rule
+            val outDiv = if (defer && fn2 != "count_over_time") rdiv else None
+            (dense
+              .withColumn("_sv", slid)
+              .withColumn("_sn", slidN)
+              .filter(col("_i") >= kk && expr(s"(_i - $kk) % $rr") === 0 &&
+                col("_sn") > 0)
+              .select(labels.map(col) :+
+                (expr(s"(_i - $kk) div $rr") + lit(1L)).as("_i") :+
+                col("_sv").as("value"): _*),
+              labels, "value", outDiv)
+        }
       // count_values per instant: materialize the deferred divisor,
       // then the union arm's exact-integer-cents grouping with "_i"
       // in the key and the fixed 2-decimal label render

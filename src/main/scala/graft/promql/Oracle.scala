@@ -341,6 +341,34 @@ object Oracle {
           |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
           |    AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - 172800000000""".stripMargin))
 
+  /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
+    * the 240×6h grid — the subquery inner evaluates once on the shared
+    * 6h lattice, each outer step takes the max over its 4 trailing
+    * lattice instants (outer offsets j = 0..3). Inner window increases
+    * stay DECIMAL through both the lattice and the outer max; ONE final
+    * ÷86400 (the engine's deferred rateDiv through max_over_time) makes
+    * the doubles bit-match.
+    */
+  val QueryRangeSubquerySql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i),
+       |off AS (SELECT unnest(generate_series(0, 3)) AS j),
+       |win AS (
+       |  SELECT m.label_k, i.i, o.j,
+       |    SUM(CAST(m.value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t, inst i, off o
+       |  WHERE m.name = 'purchase' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000 - o.j * 21600000000
+       |    AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - o.j * 21600000000 - 86400000000
+       |  GROUP BY m.label_k, i.i, o.j)
+       |SELECT w.label_k,
+       |  (t.t_us // 1000000) - (240 - w.i) * 21600 AS t_s,
+       |  CAST(MAX(w.dv) AS DOUBLE) / 86400.0 AS value
+       |FROM win w, t
+       |GROUP BY w.label_k, w.i, t.t_us
+       |ORDER BY w.label_k, t_s""".stripMargin
+
   /** `histogram_fraction(2.5, 75.5, error)` with `error` NATIVE: the
     * boundary constants' bucket index and log-interpolated in-bucket
     * fraction are computed once at generation time (the same

@@ -121,7 +121,24 @@ class QueryRangeSpec extends SparkTestBase {
       "sort_desc(sum by (k) (rate(purchase[2d])))",
       "sort_by_label(sum by (k) (purchase), \"k\")",
       "vector(42)",                        // label-free literal vector
-      "count_values(\"val\", purchase)")   // value-histogram per instant
+      "count_values(\"val\", purchase)",   // value-histogram per instant
+      // SUBQUERY inners on the grid: the inner evaluates once on its
+      // lattice (recursive grid), the outer slides over lattice indexes
+      "max_over_time((sum by (k) (purchase))[2d:1d])",   // counter sum-by inner
+      "sum_over_time((sum by (k) (purchase))[3d:1d])",
+      "avg_over_time((signup)[2d:1d])",                    // bare gauge inner
+      "min_over_time((sum by (k) (signup))[2d:1d])",     // gauge sum-by inner
+      "max_over_time((rate(purchase[2d]))[2d:1d])",        // rate inner (÷w defers)
+      "avg_over_time((rate(purchase[2d]))[3d:1d])",
+      "count_over_time((rate(purchase[2d]))[2d:1d])",      // count never scales
+      "sum_over_time((sum_over_time(error[2d]))[2d:1d])",  // nested over_time inner
+      "max_over_time((max_over_time(purchase[1d]))[2d:1d])",
+      "max_over_time((avg_over_time((signup)[2d:1d]))[2d:1d])", // DOUBLY nested subquery
+      // non-strategy inners: the union fallback materializes ÷w per
+      // instant before collapsing — the grid must match that ordering
+      "max_over_time((sum without (instance) (rate(purchase[2d])))[2d:1d])",
+      "sum_over_time((sum by (k) (rate(purchase[2d])) / sum by (k) (purchase))[2d:1d])",
+      "max_over_time((abs(sum by (k) (purchase) - 5))[2d:1d])")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
@@ -188,15 +205,40 @@ class QueryRangeSpec extends SparkTestBase {
     // compose time (plan-union blowup is refused, not attempted)
     val ex = intercept[PromQLCompileException] {
       Api.queryRangeJson(spark, dir,
-        "max_over_time((sum by (k) (purchase))[2d:1d])",
+        "quantile_over_time(0.5, purchase[2d])",
         s100, e100, 7200L)
     }
     assert(ex.getMessage.contains("64"))
     // ... but the same shape still works on a small grid (union path)
     val small = Api.queryRangeJson(spark, dir,
-      "max_over_time((sum by (k) (purchase))[2d:1d])",
+      "quantile_over_time(0.5, purchase[2d])",
       T0 + 7 * dayS, T0 + 9 * dayS, dayS)
     assert(small.contains("\"resultType\":\"matrix\""))
+    // subquery shapes GRID now — a 100-instant grid that used to be
+    // refused evaluates through the recursive lattice (2h steps on a
+    // 2h-step subquery lattice)
+    val sqWide = Api.queryRangeJson(spark, dir,
+      "max_over_time((sum by (k) (purchase))[4h:2h])", s100, e100, 7200L)
+    assert(sqWide.contains("\"resultType\":\"matrix\""))
+  }
+
+  test("subquery grid: outer step a strict multiple of the lattice step") {
+    // outer step 2d over a 1d lattice (r = 2): every outer instant maps
+    // to lattice index k + (i-1)·r — union ≡ grid pins the mapping
+    for (q <- Seq(
+        "max_over_time((sum by (k) (purchase))[2d:1d])",
+        "sum_over_time((rate(purchase[2d]))[3d:1d])",
+        "avg_over_time((signup)[2d:1d])")) {
+      val (union, grid) = both(q, T0 + 3 * dayS, T0 + 9 * dayS, 2 * dayS)
+      assert(union === grid, s"union ≠ grid (r=2) for: $q")
+      assert(grid.contains("\"values\":[["), s"empty matrix (r=2) for: $q")
+    }
+    // an outer step OFF the lattice (not a multiple of s) keeps the
+    // union path — grid=true and grid=false agree because the grid
+    // declines the shape (here: 36h step over a 1d-step subquery)
+    val (u, g2) = both("max_over_time((sum by (k) (purchase))[2d:1d])",
+      T0 + 3 * dayS, T0 + 9 * dayS, 129600L)
+    assert(u === g2)
   }
 
   test("queryRangeGrid relation: end anchored at ⌊T⌋, step-spaced t_s") {
@@ -217,7 +259,7 @@ class QueryRangeSpec extends SparkTestBase {
     // a non-grid shape is refused with a pointer, not mis-evaluated
     intercept[PromQLCompileException] {
       Api.queryRangeGrid(spark, dir,
-        "max_over_time((sum by (k) (purchase))[2d:1d])", 8, dayS)
+        "quantile_over_time(0.5, purchase[2d])", 8, dayS)
     }
   }
 }
