@@ -355,142 +355,18 @@ object Compiler {
             g.agg(count(lit(1)).cast("double").as("value"))
         }
         Vec(agg, SeriesKey)
-      case "stddev_over_time" | "stdvar_over_time" =>
-        // exact integer-cents moments (the engine-wide 2-decimal sample
-        // convention): variance from (Σx, Σx², n) in the IDENTICAL
-        // expression order as the oracle, so doubles bit-match
-        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
-        val m = c.groupBy(SeriesKey.map(col): _*)
-          .agg(sum(col("_cents")).as("_s1"),
-            sum(col("_cents") * col("_cents")).as("_s2"),
-            count(lit(1)).as("_n"))
-        val mean = col("_s1").cast("double") / col("_n").cast("double")
-        val varCents = col("_s2").cast("double") / col("_n").cast("double") - mean * mean
-        val v = if (fn == "stddev_over_time") sqrt(varCents) / 100.0
-          else varCents / 10000.0
-        Vec(m.select(SeriesKey.map(col) :+ v.as("value"): _*), SeriesKey)
-      case "delta" =>
-        if (kind != "gauge") fail(s"delta expects a gauge family, '${sel.name}' is a $kind")
-        val wAsc = Window.partitionBy(SeriesKey.map(col): _*)
-          .orderBy(col("ts"), col("event_id"))
-        val wDesc = Window.partitionBy(SeriesKey.map(col): _*)
-          .orderBy(col("ts").desc, col("event_id").desc)
-        Vec(base
-          .withColumn("_rf", row_number().over(wAsc))
-          .withColumn("_rl", row_number().over(wDesc))
-          .groupBy(SeriesKey.map(col): _*)
-          .agg((max(when(col("_rl") === 1, col("value")))
-            - max(when(col("_rf") === 1, col("value")))).as("value")),
+      case "stddev_over_time" | "stdvar_over_time" | "delta" |
+           "last_over_time" | "present_over_time" |
+           "quantile_over_time" | "mad_over_time" |
+           "ts_of_last_over_time" | "ts_of_max_over_time" |
+           "ts_of_min_over_time" | "irate" | "idelta" |
+           "changes" | "deriv" | "predict_linear" =>
+        // the shared window-aggregate recipes ([[rangeWindowAgg]]) —
+        // identical expressions serve the per-instant union path (here,
+        // key = SeriesKey) and the dense query_range grid (key with
+        // "_i" appended over the exploded events)
+        Vec(rangeWindowAgg(fn, param, base, SeriesKey, lo, d, kind, sel.name),
           SeriesKey)
-      case "last_over_time" =>
-        // freshest sample in the window, deterministic (ts, event_id)
-        // tiebreak — the range twin of the gauge instant vector
-        Vec(base.groupBy(SeriesKey.map(col): _*)
-          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value")),
-          SeriesKey)
-      case "present_over_time" =>
-        Vec(base.groupBy(SeriesKey.map(col): _*)
-          .agg(max(lit(1.0)).as("value")), SeriesKey)
-      case "quantile_over_time" =>
-        val phi = param.getOrElse(fail("quantile_over_time needs a quantile parameter"))
-        // PromQL linear interpolation at rank (n−1)·φ, run on exact
-        // integer cents ranks in the identical expression order as the
-        // oracle so the output doubles bit-match
-        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
-        val sk = SeriesKey.map(col)
-        val w = Window.partitionBy(sk: _*).orderBy(col("_cents"), col("event_id"))
-        val ranked = c
-          .withColumn("_rn", row_number().over(w))
-          .withColumn("_n", count(lit(1)).over(Window.partitionBy(sk: _*)))
-          .withColumn("_pos", (col("_n") - 1).cast("double") * lit(phi))
-        def atRank(r: Column): Column =
-          max(when(col("_rn") === r, col("_cents"))).cast("double")
-        val lo9 = atRank(floor(col("_pos")).cast("long") + 1)
-        val hi9 = atRank(ceil(col("_pos")).cast("long") + 1)
-        Vec(ranked.groupBy(sk: _*)
-          .agg(((lo9 + (hi9 - lo9) * (max(col("_pos")) - floor(max(col("_pos")))))
-            / 100.0).as("value")), SeriesKey)
-      case "ts_of_last_over_time" | "ts_of_max_over_time" | "ts_of_min_over_time" =>
-        // timestamp (seconds) of the window's last / max / min sample.
-        // Prometheus replaces the running extremum on >= / <= (its scan
-        // keeps updating on equal values), so the LATEST sample attaining
-        // the extremum wins: ties break on latest (ts, event_id).
-        val sk = SeriesKey.map(col)
-        if (fn == "ts_of_last_over_time")
-          Vec(base.groupBy(sk: _*)
-            .agg((max(unix_micros(col("ts"))).cast("double") / 1e6).as("value")),
-            SeriesKey)
-        else {
-          val ord =
-            if (fn == "ts_of_max_over_time")
-              Seq(col("value").desc, col("ts").desc, col("event_id").desc)
-            else Seq(col("value").asc, col("ts").desc, col("event_id").desc)
-          val w = Window.partitionBy(sk: _*).orderBy(ord: _*)
-          Vec(base.withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1)
-            .select(sk :+ (unix_micros(col("ts")).cast("double") / 1e6).as("value"): _*),
-            SeriesKey)
-        }
-      case "mad_over_time" =>
-        // median absolute deviation about the median (PromQL
-        // experimental fn): two interpolated medians — the first on
-        // exact integer cents, the second on the |cents − median|
-        // doubles (identical IEEE values in both engines, so the
-        // (value, event_id) rank order is reproducible). Both medians
-        // share the (n−1)·0.5 interpolation of quantile_over_time.
-        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
-        val sk = SeriesKey.map(col)
-        val wp = Window.partitionBy(sk: _*)
-        val w1 = Window.partitionBy(sk: _*).orderBy(col("_cents"), col("event_id"))
-        val r1 = c
-          .withColumn("_rn", row_number().over(w1))
-          .withColumn("_n", count(lit(1)).over(wp))
-          .withColumn("_pos", (col("_n") - 1).cast("double") * lit(0.5))
-        val lo = max(when(col("_rn") === (floor(col("_pos")).cast("long") + 1),
-          col("_cents"))).over(wp).cast("double")
-        val hi = max(when(col("_rn") === (ceil(col("_pos")).cast("long") + 1),
-          col("_cents"))).over(wp).cast("double")
-        val med = lo + (hi - lo) * (col("_pos") - floor(col("_pos")))
-        val dev = r1.withColumn("_dev", abs(col("_cents").cast("double") - med))
-        val w2 = Window.partitionBy(sk: _*).orderBy(col("_dev"), col("event_id"))
-        val r2 = dev.withColumn("_rn2", row_number().over(w2))
-        def atRank2(r: Column): Column = max(when(col("_rn2") === r, col("_dev")))
-        val lo2 = atRank2(floor(col("_pos")).cast("long") + 1)
-        val hi2 = atRank2(ceil(col("_pos")).cast("long") + 1)
-        Vec(r2.groupBy(sk: _*)
-          .agg(((lo2 + (hi2 - lo2) * (max(col("_pos")) - floor(max(col("_pos")))))
-            / 100.0).as("value")), SeriesKey)
-      case "irate" | "idelta" =>
-        val wantCounter = fn == "irate"
-        if (wantCounter && kind != "counter")
-          fail(s"irate expects a counter family, '${sel.name}' is a $kind")
-        if (!wantCounter && kind != "gauge")
-          fail(s"idelta expects a gauge family, '${sel.name}' is a $kind")
-        // the LAST TWO samples in the window; in the increment event
-        // model the cumulative counter's last step IS the last increment,
-        // so irate = last_increment / gap — exact integer cents & micros
-        // until the final division
-        val f = if (wantCounter) base.filter(col("value") >= 0) else base
-        val wDesc = Window.partitionBy(SeriesKey.map(col): _*)
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val two = f.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
-          .withColumn("_rn", row_number().over(wDesc))
-          .filter(col("_rn") <= 2)
-        val m = two.groupBy(SeriesKey.map(col): _*)
-          .agg(max(when(col("_rn") === 1, col("_cents"))).as("_c1"),
-            max(when(col("_rn") === 2, col("_cents"))).as("_c2"),
-            max(when(col("_rn") === 1, unix_micros(col("ts")))).as("_t1"),
-            max(when(col("_rn") === 2, unix_micros(col("ts")))).as("_t2"),
-            count(lit(1)).as("_n"))
-        val paired =
-          if (wantCounter) m.filter(col("_n") >= 2 && col("_t1") > col("_t2"))
-          else m.filter(col("_n") >= 2)
-        val v =
-          if (wantCounter)
-            (col("_c1").cast("double") / 100.0) /
-              ((col("_t1") - col("_t2")).cast("double") / 1000000.0)
-          else (col("_c1") - col("_c2")).cast("double") / 100.0
-        Vec(paired.select(SeriesKey.map(col) :+ v.as("value"): _*), SeriesKey)
       case "resets" =>
         if (kind != "counter")
           fail(s"resets expects a counter family, '${sel.name}' is a $kind")
@@ -519,19 +395,169 @@ object Compiler {
           .agg(sum(when(col("_prev").isNotNull && col("_prevUs") > lo &&
             col("_wrapped") < col("_prev"), 1L).otherwise(0L))
             .cast("double").as("value")), SeriesKey)
+    }
+  }
+
+  /** The per-window aggregate recipes for the long tail of range
+    * functions, shared VERBATIM between the per-instant union path
+    * (`key = SeriesKey`, `base` = one window's events, `lo` that
+    * window's exclusive lower bound) and the dense `query_range` grid
+    * (`key = SeriesKey :+ "_i"`, `base` = events exploded to every grid
+    * instant whose window contains them, `lo` the per-instant bound
+    * column). Identical expressions over identical per-key event
+    * multisets is what makes union ≡ grid bit-exact for these
+    * functions (`QueryRangeSpec`). `kind`/`selName` carry the
+    * compose-time family checks' context.
+    */
+  private def rangeWindowAgg(fn: String, param: Option[Double],
+      base: DataFrame, key: Seq[String], lo: Column, d: Long,
+      kind: String, selName: String): DataFrame = {
+    val sk = key.map(col)
+    fn match {
+      case "stddev_over_time" | "stdvar_over_time" =>
+        // exact integer-cents moments (the engine-wide 2-decimal sample
+        // convention): variance from (Σx, Σx², n) in the IDENTICAL
+        // expression order as the oracle, so doubles bit-match
+        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+        val m = c.groupBy(sk: _*)
+          .agg(sum(col("_cents")).as("_s1"),
+            sum(col("_cents") * col("_cents")).as("_s2"),
+            count(lit(1)).as("_n"))
+        val mean = col("_s1").cast("double") / col("_n").cast("double")
+        val varCents = col("_s2").cast("double") / col("_n").cast("double") - mean * mean
+        val v = if (fn == "stddev_over_time") sqrt(varCents) / 100.0
+          else varCents / 10000.0
+        m.select(sk :+ v.as("value"): _*)
+      case "delta" =>
+        if (kind != "gauge") fail(s"delta expects a gauge family, '$selName' is a $kind")
+        val wAsc = Window.partitionBy(sk: _*)
+          .orderBy(col("ts"), col("event_id"))
+        val wDesc = Window.partitionBy(sk: _*)
+          .orderBy(col("ts").desc, col("event_id").desc)
+        base
+          .withColumn("_rf", row_number().over(wAsc))
+          .withColumn("_rl", row_number().over(wDesc))
+          .groupBy(sk: _*)
+          .agg((max(when(col("_rl") === 1, col("value")))
+            - max(when(col("_rf") === 1, col("value")))).as("value"))
+      case "last_over_time" =>
+        // freshest sample in the window, deterministic (ts, event_id)
+        // tiebreak — the range twin of the gauge instant vector
+        base.groupBy(sk: _*)
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value"))
+      case "present_over_time" =>
+        base.groupBy(sk: _*).agg(max(lit(1.0)).as("value"))
+      case "quantile_over_time" =>
+        val phi = param.getOrElse(fail("quantile_over_time needs a quantile parameter"))
+        // PromQL linear interpolation at rank (n−1)·φ, run on exact
+        // integer cents ranks in the identical expression order as the
+        // oracle so the output doubles bit-match
+        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+        val w = Window.partitionBy(sk: _*).orderBy(col("_cents"), col("event_id"))
+        val ranked = c
+          .withColumn("_rn", row_number().over(w))
+          .withColumn("_n", count(lit(1)).over(Window.partitionBy(sk: _*)))
+          .withColumn("_pos", (col("_n") - 1).cast("double") * lit(phi))
+        def atRank(r: Column): Column =
+          max(when(col("_rn") === r, col("_cents"))).cast("double")
+        val lo9 = atRank(floor(col("_pos")).cast("long") + 1)
+        val hi9 = atRank(ceil(col("_pos")).cast("long") + 1)
+        ranked.groupBy(sk: _*)
+          .agg(((lo9 + (hi9 - lo9) * (max(col("_pos")) - floor(max(col("_pos")))))
+            / 100.0).as("value"))
+      case "ts_of_last_over_time" | "ts_of_max_over_time" | "ts_of_min_over_time" =>
+        // timestamp (seconds) of the window's last / max / min sample.
+        // Prometheus replaces the running extremum on >= / <= (its scan
+        // keeps updating on equal values), so the LATEST sample attaining
+        // the extremum wins: ties break on latest (ts, event_id).
+        if (fn == "ts_of_last_over_time")
+          base.groupBy(sk: _*)
+            .agg((max(unix_micros(col("ts"))).cast("double") / 1e6).as("value"))
+        else {
+          val ord =
+            if (fn == "ts_of_max_over_time")
+              Seq(col("value").desc, col("ts").desc, col("event_id").desc)
+            else Seq(col("value").asc, col("ts").desc, col("event_id").desc)
+          val w = Window.partitionBy(sk: _*).orderBy(ord: _*)
+          base.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .select(sk :+ (unix_micros(col("ts")).cast("double") / 1e6).as("value"): _*)
+        }
+      case "mad_over_time" =>
+        // median absolute deviation about the median (PromQL
+        // experimental fn): two interpolated medians — the first on
+        // exact integer cents, the second on the |cents − median|
+        // doubles (identical IEEE values in both engines, so the
+        // (value, event_id) rank order is reproducible). Both medians
+        // share the (n−1)·0.5 interpolation of quantile_over_time.
+        val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+        val wp = Window.partitionBy(sk: _*)
+        val w1 = Window.partitionBy(sk: _*).orderBy(col("_cents"), col("event_id"))
+        val r1 = c
+          .withColumn("_rn", row_number().over(w1))
+          .withColumn("_n", count(lit(1)).over(wp))
+          .withColumn("_pos", (col("_n") - 1).cast("double") * lit(0.5))
+        val loM = max(when(col("_rn") === (floor(col("_pos")).cast("long") + 1),
+          col("_cents"))).over(wp).cast("double")
+        val hiM = max(when(col("_rn") === (ceil(col("_pos")).cast("long") + 1),
+          col("_cents"))).over(wp).cast("double")
+        val med = loM + (hiM - loM) * (col("_pos") - floor(col("_pos")))
+        val dev = r1.withColumn("_dev", abs(col("_cents").cast("double") - med))
+        val w2 = Window.partitionBy(sk: _*).orderBy(col("_dev"), col("event_id"))
+        val r2 = dev.withColumn("_rn2", row_number().over(w2))
+        def atRank2(r: Column): Column = max(when(col("_rn2") === r, col("_dev")))
+        val lo2 = atRank2(floor(col("_pos")).cast("long") + 1)
+        val hi2 = atRank2(ceil(col("_pos")).cast("long") + 1)
+        r2.groupBy(sk: _*)
+          .agg(((lo2 + (hi2 - lo2) * (max(col("_pos")) - floor(max(col("_pos")))))
+            / 100.0).as("value"))
       case "changes" =>
         if (kind != "gauge")
-          fail(s"changes expects a gauge family, '${sel.name}' is a $kind")
-        val w = Window.partitionBy(SeriesKey.map(col): _*)
+          fail(s"changes expects a gauge family, '$selName' is a $kind")
+        // the lag is WINDOW-INTERNAL (the first window sample has no
+        // predecessor), so the recipe shares cleanly: on the grid each
+        // instant's exploded partition holds exactly its window events
+        val w = Window.partitionBy(sk: _*)
           .orderBy(col("ts"), col("event_id"))
         val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
           .withColumn("_prev", lag(col("_cents"), 1).over(w))
-        Vec(c.groupBy(SeriesKey.map(col): _*)
+        c.groupBy(sk: _*)
           .agg(sum(when(col("_prev").isNotNull && col("_cents") =!= col("_prev"), 1L)
-            .otherwise(0L)).cast("double").as("value")), SeriesKey)
+            .otherwise(0L)).cast("double").as("value"))
+      case "irate" | "idelta" =>
+        val wantCounter = fn == "irate"
+        if (wantCounter && kind != "counter")
+          fail(s"irate expects a counter family, '$selName' is a $kind")
+        if (!wantCounter && kind != "gauge")
+          fail(s"idelta expects a gauge family, '$selName' is a $kind")
+        // the LAST TWO samples in the window; in the increment event
+        // model the cumulative counter's last step IS the last increment,
+        // so irate = last_increment / gap — exact integer cents & micros
+        // until the final division
+        val f = if (wantCounter) base.filter(col("value") >= 0) else base
+        val wDesc = Window.partitionBy(sk: _*)
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val two = f.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          .withColumn("_rn", row_number().over(wDesc))
+          .filter(col("_rn") <= 2)
+        val m = two.groupBy(sk: _*)
+          .agg(max(when(col("_rn") === 1, col("_cents"))).as("_c1"),
+            max(when(col("_rn") === 2, col("_cents"))).as("_c2"),
+            max(when(col("_rn") === 1, unix_micros(col("ts")))).as("_t1"),
+            max(when(col("_rn") === 2, unix_micros(col("ts")))).as("_t2"),
+            count(lit(1)).as("_n"))
+        val paired =
+          if (wantCounter) m.filter(col("_n") >= 2 && col("_t1") > col("_t2"))
+          else m.filter(col("_n") >= 2)
+        val v =
+          if (wantCounter)
+            (col("_c1").cast("double") / 100.0) /
+              ((col("_t1") - col("_t2")).cast("double") / 1000000.0)
+          else (col("_c1") - col("_c2")).cast("double") / 100.0
+        paired.select(sk :+ v.as("value"): _*)
       case "deriv" | "predict_linear" =>
         if (kind != "gauge")
-          fail(s"$fn expects a gauge family, '${sel.name}' is a $kind")
+          fail(s"$fn expects a gauge family, '$selName' is a $kind")
         // exact-integer least squares (the b25 construction): x = whole
         // seconds since window start, y = cents; five BIGINT sums in ONE
         // map-side-combinable aggregate, closed-form slope/intercept
@@ -539,7 +565,7 @@ object Compiler {
         val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
           .withColumn("_x",
             floor((unix_micros(col("ts")) - lo) / lit(1000000L)).cast("long"))
-        val a = c.groupBy(SeriesKey.map(col): _*)
+        val a = c.groupBy(sk: _*)
           .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
             sum(col("_cents")).as("_sy"),
             sum(col("_x") * col("_cents")).as("_sxy"),
@@ -555,7 +581,7 @@ object Compiler {
             ((col("_sy").cast("double") - slope * col("_sx").cast("double")) /
               col("_n").cast("double") + slope * lit(d.toDouble + horizon)) / 100.0
           }
-        Vec(a.select(SeriesKey.map(col) :+ v.as("value"): _*), SeriesKey)
+        a.select(sk :+ v.as("value"): _*)
     }
   }
 
@@ -2039,6 +2065,82 @@ object Compiler {
               shiftS, g, stepS, wd)
           (inst, outLabels, "value", None)
         }
+      // the long tail of range functions on the grid: ONE event pass,
+      // each event EXPLODED to the ≤k instants whose trailing window
+      // contains it (step bucket b covers instants b..b+k−1), then the
+      // union path's OWN window-aggregate recipe ([[rangeWindowAgg]])
+      // keyed with "_i" — identical expressions over identical
+      // per-instant event multisets, so union ≡ grid is bit-exact. The
+      // amplification is k = window/step, NOT the instant count: a
+      // 240-step quantile panel stays one plan at O(events × k).
+      case Func(fn2, param2, sel: Selector)
+          if GridWindowFns.contains(fn2) &&
+            sel.rangeS.exists(w2 => w2 > 0 && w2 % stepS == 0) =>
+        val w2 = sel.rangeS.get
+        val kq = (w2 / stepS).toInt
+        if (g + kq > 4096)
+          fail(s"query_range grid spans ${g + kq} indexes (instants + window span); 4096 supported")
+        val names = resolveNames(sel)
+        val kind = kindOfAll(names)
+        val stepUs = stepS * 1000000L
+        val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
+        val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+        // the age prune guarantees greatest(b, 1) ≤ least(b+k−1, g) on
+        // every surviving row, so the sequence below never descends
+        // (Spark's sequence DESCENDS on inverted bounds — the b37c
+        // zero-length-span lesson)
+        val exploded = events(spark, dir)
+          .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
+            unix_micros(col("ts")) <= hi &&
+            (hi - unix_micros(col("ts"))) < lit((g - 1 + kq) * stepUs))
+          .withColumn("_age_us", hi - unix_micros(col("ts")))
+          .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
+          .withColumn("_i", explode(sequence(greatest(col("_b"), lit(1L)),
+            least(col("_b") + lit((kq - 1).toLong), lit(g)))))
+        val loI = hi - (lit(g) - col("_i")) * lit(stepUs) - lit(w2 * 1000000L)
+        Some((rangeWindowAgg(fn2, param2, exploded, SeriesKey :+ "_i", loI, w2,
+          kind, sel.name), SeriesKey, "value", None))
+      // resets on the grid: the wrapped running sum and its lag depend
+      // only on PRECEDING events, so they compute ONCE over the full
+      // history ≤ the last bound — identical values at every instant —
+      // then the explode applies each instant's window and the
+      // per-instant `_prevUs > lo_i` pair condition (the union arm's
+      // post-lag window filter)
+      case Func("resets", None, sel: Selector)
+          if sel.rangeS.exists(w2 => w2 > 0 && w2 % stepS == 0) =>
+        val w2 = sel.rangeS.get
+        val kq = (w2 / stepS).toInt
+        if (g + kq > 4096)
+          fail(s"query_range grid spans ${g + kq} indexes (instants + window span); 4096 supported")
+        val names = resolveNames(sel)
+        val kind = kindOfAll(names)
+        if (kind != "counter")
+          fail(s"resets expects a counter family, '${sel.name}' is a $kind")
+        val stepUs = stepS * 1000000L
+        val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
+        val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+        val hist = events(spark, dir)
+          .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
+            col("value") >= 0 && unix_micros(col("ts")) <= hi)
+        val wAsc = Window.partitionBy(SeriesKey.map(col): _*)
+          .orderBy(col("ts"), col("event_id"))
+        val wrapped = hist
+          .withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          .withColumn("_wrapped", sum(col("_cents"))
+            .over(wAsc.rowsBetween(Window.unboundedPreceding, 0)) % 10000L)
+          .withColumn("_prev", lag(col("_wrapped"), 1).over(wAsc))
+          .withColumn("_prevUs", lag(unix_micros(col("ts")), 1).over(wAsc))
+        val exploded = wrapped
+          .filter((hi - unix_micros(col("ts"))) < lit((g - 1 + kq) * stepUs))
+          .withColumn("_age_us", hi - unix_micros(col("ts")))
+          .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
+          .withColumn("_i", explode(sequence(greatest(col("_b"), lit(1L)),
+            least(col("_b") + lit((kq - 1).toLong), lit(g)))))
+        val loI = hi - (lit(g) - col("_i")) * lit(stepUs) - lit(w2 * 1000000L)
+        Some((exploded.groupBy((SeriesKey :+ "_i").map(col): _*)
+          .agg(sum(when(col("_prev").isNotNull && col("_prevUs") > loI &&
+            col("_wrapped") < col("_prev"), 1L).otherwise(0L))
+            .cast("double").as("value")), SeriesKey, "value", None))
       // absent / absent_over_time per instant — the alerting "no data"
       // panel: one event pass counts samples per step bucket, a
       // running (absent) or sliding (absent_over_time) sum gives each
@@ -2592,6 +2694,20 @@ object Compiler {
     }
     gridVector(ast)
   }
+
+  /** The long tail of range functions the query_range grid evaluates
+    * by EXPLODING each event to the instants whose window contains it
+    * and reusing [[rangeWindowAgg]] with "_i" in the key (rate/
+    * increase and the bucket-decomposable `*_over_time`s have cheaper
+    * dedicated partial/window strategies; resets needs the FULL-history
+    * wrapped running sum and takes its own grid arm).
+    */
+  private val GridWindowFns: Set[String] = Set(
+    "delta", "last_over_time", "present_over_time",
+    "quantile_over_time", "mad_over_time",
+    "stddev_over_time", "stdvar_over_time",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+    "irate", "idelta", "changes", "deriv", "predict_linear")
 
   /** Functions evaluated over a RANGE selector's sample window. */
   private val RangeSelFns: Set[String] = OverTimeFns ++ Set(

@@ -36,6 +36,8 @@ class QueryRangeSpec extends SparkTestBase {
     ev(9, 2 * D + 60000L, "signup", 12.5, "a"),
     ev(10, 4 * D, "signup", 11.0, "b"),
     ev(11, 7 * D + 60000L, "signup", 9.5, "a"),
+    ev(16, 5 * D, "signup", 8.0, "b"),  // pairs with day-4 b for idelta
+
     ev(12, 1 * D, "error", 3.0, "a"),
     ev(13, 4 * D + 60000L, "error", 80.0, "a"),
     ev(14, 6 * D, "error", 12.0, "b"),
@@ -138,7 +140,30 @@ class QueryRangeSpec extends SparkTestBase {
       // instant before collapsing — the grid must match that ordering
       "max_over_time((sum without (instance) (rate(purchase[2d])))[2d:1d])",
       "sum_over_time((sum by (k) (rate(purchase[2d])) / sum by (k) (purchase))[2d:1d])",
-      "max_over_time((abs(sum by (k) (purchase) - 5))[2d:1d])")
+      "max_over_time((abs(sum by (k) (purchase) - 5))[2d:1d])",
+      // the long tail of range functions: exploded event↦instant pairs
+      // through the union path's own rangeWindowAgg recipes
+      "delta(signup[2d])",                 // gauge last − first
+      "last_over_time(signup[2d])",
+      "last_over_time(purchase[3d])",
+      "present_over_time(error[2d])",
+      "quantile_over_time(0.5, purchase[2d])",
+      "mad_over_time(signup[2d])",
+      "stddev_over_time(purchase[2d])",
+      "stdvar_over_time(purchase[3d])",
+      "ts_of_max_over_time(signup[2d])",
+      "ts_of_min_over_time(purchase[2d])",
+      "ts_of_last_over_time(error[2d])",
+      "irate(purchase[2d])",               // last-two-samples rate
+      "idelta(signup[2d])",
+      "changes(signup[2d])",               // window-internal lag pairs
+      "resets(purchase[3d])",              // full-history wrapped sums
+      "deriv(signup[3d])",                 // exact-integer least squares
+      "predict_linear(signup[3d], 3600)",
+      // and their compositions ride the generic layers
+      "max by (k) (quantile_over_time(0.5, purchase[2d]))",
+      "sum by (k) (delta(signup[2d]))",
+      "topk(1, irate(purchase[2d]))")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
@@ -205,13 +230,13 @@ class QueryRangeSpec extends SparkTestBase {
     // compose time (plan-union blowup is refused, not attempted)
     val ex = intercept[PromQLCompileException] {
       Api.queryRangeJson(spark, dir,
-        "quantile_over_time(0.5, purchase[2d])",
+        "quantile_over_time(0.5, purchase[90m])",
         s100, e100, 7200L)
     }
     assert(ex.getMessage.contains("64"))
     // ... but the same shape still works on a small grid (union path)
     val small = Api.queryRangeJson(spark, dir,
-      "quantile_over_time(0.5, purchase[2d])",
+      "quantile_over_time(0.5, purchase[90m])",
       T0 + 7 * dayS, T0 + 9 * dayS, dayS)
     assert(small.contains("\"resultType\":\"matrix\""))
     // subquery shapes GRID now — a 100-instant grid that used to be
@@ -259,7 +284,7 @@ class QueryRangeSpec extends SparkTestBase {
     // a non-grid shape is refused with a pointer, not mis-evaluated
     intercept[PromQLCompileException] {
       Api.queryRangeGrid(spark, dir,
-        "quantile_over_time(0.5, purchase[2d])", 8, dayS)
+        "quantile_over_time(0.5, purchase[90m])", 8, dayS)
     }
   }
 }
