@@ -322,6 +322,12 @@ object SparkEntry {
     "p83_query_range_subquery" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
       "max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])", 240, 21600L)
       .orderBy(col("label_k"), col("t_s"))),
+    // the explode tier's gate: each event feeds its 4 covering
+    // instants, the union path's own interpolation recipe keyed per
+    // instant — the p50-of-gauge panel at every one of 240 steps
+    "p84_query_range_quantile" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "quantile_over_time(0.5, signup[1d])", 240, 21600L)
+      .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
     // det-math compilation mode: ^ exercises BOTH pow dispatch branches
     // (positive base fractional exponent + negative base integer
     // exponent), atan2 the quadrant dispatch — hash-gated, the
@@ -788,6 +794,7 @@ object SparkEntry {
     "p81_query_range_ratio" -> promql.Oracle.QueryRangeRatioSql,
     "p82_query_range_native_hq" -> promql.Oracle.QueryRangeNativeHqSql,
     "p83_query_range_subquery" -> promql.Oracle.QueryRangeSubquerySql,
+    "p84_query_range_quantile" -> promql.Oracle.QueryRangeQuantileSql,
     "p61_promql_histogram_stddev" -> promql.Oracle.HistogramStddevSql,
     "p62_promql_resets" -> promql.Oracle.ResetsWindowSql,
     "p63_promql_day_of_year" -> promql.Oracle.DayOfYearSql,

@@ -2100,6 +2100,39 @@ object Compiler {
         val loI = hi - (lit(g) - col("_i")) * lit(stepUs) - lit(w2 * 1000000L)
         Some((rangeWindowAgg(fn2, param2, exploded, SeriesKey :+ "_i", loI, w2,
           kind, sel.name), SeriesKey, "value", None))
+      // timestamp(sel) per instant: the last contributing event's
+      // epoch seconds — per-(series, step-bucket) max-ts partials +
+      // one RUNNING max over the series×grid (the gauge-LWW shape;
+      // counters keep the snapshot's non-negative guard so the sample
+      // set matches the union arm exactly)
+      case Func("timestamp", _, sel: Selector) if sel.rangeS.isEmpty =>
+        val kind = kindOf(sel.name)
+        if (kind == "histogram")
+          fail(s"histogram family '${sel.name}' has no scalar instant sample")
+        val stepUs = stepS * 1000000L
+        val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
+        val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+        val base0 = events(spark, dir)
+          .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+            unix_micros(col("ts")) <= hi)
+        val base = if (kind == "counter") base0.filter(col("value") >= 0) else base0
+        val bucketed = base
+          .withColumn("_age_us", hi - unix_micros(col("ts")))
+          .withColumn("_b", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
+        val partial = bucketed.groupBy((SeriesKey :+ "_b").map(col): _*)
+          .agg(max(unix_micros(col("ts"))).as("_mt"), count(lit(1)).as("_n"))
+        import spark.implicits._
+        val grid = partial.select(SeriesKey.map(col): _*).distinct()
+          .crossJoin(broadcast(spark.range(1L, g + 1L).toDF("_b")))
+        val wrun = Window.partitionBy(SeriesKey.map(col): _*).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Some((grid.join(partial, SeriesKey :+ "_b", "left")
+          .withColumn("_cmt", max(col("_mt")).over(wrun))
+          .withColumn("_cn", sum(col("_n")).over(wrun))
+          .filter(col("_cn") > 0)
+          .select(SeriesKey.map(col) :+ col("_b").as("_i") :+
+            (col("_cmt").cast("double") / 1e6).as("value"): _*),
+          SeriesKey, "value", None))
       // resets on the grid: the wrapped running sum and its lag depend
       // only on PRECEDING events, so they compute ONCE over the full
       // history ≤ the last bound — identical values at every instant —

@@ -369,6 +369,38 @@ object Oracle {
        |GROUP BY w.label_k, w.i, t.t_us
        |ORDER BY w.label_k, t_s""".stripMargin
 
+  /** p84: `quantile_over_time(0.5, signup[1d])` on the 240×6h grid —
+    * the p50-of-gauge panel at every step, evaluated by the explode
+    * tier (each event feeds its 4 covering instants, then the union
+    * path's own interpolation recipe keyed by instant). Exact cents
+    * ranks + identical IEEE interpolation order ⇒ hash-exact.
+    */
+  val QueryRangeQuantileSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i),
+       |w AS (
+       |  SELECT m.name, m.label_k, m.label_instance, m.event_id, i.i,
+       |    (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+       |    CAST(round(m.value * 100, 0) AS BIGINT) AS cents
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'signup'
+       |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |    AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - 86400000000),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY name, label_k, label_instance, i
+       |                     ORDER BY cents, event_id) AS rn,
+       |  COUNT(*) OVER (PARTITION BY name, label_k, label_instance, i) AS n
+       |  FROM w),
+       |p AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.5 AS pos FROM r)
+       |SELECT name, label_k, label_instance, t_s,
+       |  (CAST(MAX(CASE WHEN rn = CAST(floor(pos) AS BIGINT) + 1 THEN cents END) AS DOUBLE)
+       |   + (CAST(MAX(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) + 1 THEN cents END) AS DOUBLE)
+       |      - CAST(MAX(CASE WHEN rn = CAST(floor(pos) AS BIGINT) + 1 THEN cents END) AS DOUBLE))
+       |     * (MAX(pos) - floor(MAX(pos)))) / 100.0 AS value
+       |FROM p GROUP BY name, label_k, label_instance, i, t_s
+       |ORDER BY name, label_k, label_instance, t_s""".stripMargin
+
   /** `histogram_fraction(2.5, 75.5, error)` with `error` NATIVE: the
     * boundary constants' bucket index and log-interpolated in-bucket
     * fraction are computed once at generation time (the same

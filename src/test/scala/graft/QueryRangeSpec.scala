@@ -163,7 +163,11 @@ class QueryRangeSpec extends SparkTestBase {
       // and their compositions ride the generic layers
       "max by (k) (quantile_over_time(0.5, purchase[2d]))",
       "sum by (k) (delta(signup[2d]))",
-      "topk(1, irate(purchase[2d]))")
+      "topk(1, irate(purchase[2d]))",
+      // timestamp(): running max-ts per instant (gauge-LWW shape)
+      "timestamp(signup)",
+      "timestamp(purchase)",
+      "max by (k) (timestamp(purchase))")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
