@@ -298,7 +298,18 @@ object Compiler {
     val base = events(spark, dir)
       .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) > lo && unix_micros(col("ts")) <= hi)
-    val vals = base.groupBy(SeriesKey.map(col): _*)
+    Vec(smoothCollapse(sf, tf, base, SeriesKey), SeriesKey)
+  }
+
+  /** The double-exponential-smoothing collapse (sorted window values →
+    * the Holt-Winters fold), shared VERBATIM between the per-instant
+    * union path (`key = SeriesKey`) and the query_range grid
+    * (`key = SeriesKey :+ "_i"` over the exploded event↦instant
+    * pairs) — the same [[rangeWindowAgg]] sharing argument.
+    */
+  private def smoothCollapse(sf: Double, tf: Double, base: DataFrame,
+      key: Seq[String]): DataFrame = {
+    val vals = base.groupBy(key.map(col): _*)
       .agg(transform(
         sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))),
         x => x("value")).as("_vals"))
@@ -313,7 +324,7 @@ object Compiler {
          |    'b', ${tf}D * ((${sf}D * y + ${1 - sf}D * (acc.s + acc.b)) - acc.s)
          |         + ${1 - tf}D * acc.b),
          |  acc -> acc.s)""".stripMargin))
-    Vec(smoothed.select(SeriesKey.map(col) :+ col("value"): _*), SeriesKey)
+    smoothed.select(key.map(col) :+ col("value"): _*)
   }
 
   private def rangeFunc(spark: SparkSession, dir: String, fn: String,
@@ -1988,6 +1999,33 @@ object Compiler {
       case None => Some(Nil)
       case _ => None
     }
+    // the selector's upper bound at the LAST grid instant (instant i's
+    // bound is hi − (g−i)·step, uniform because the shift is the same
+    // integer-second quantity at every instant)
+    def selectorHi(sel: Selector): Column = {
+      val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
+      anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    }
+    // instant _i's exclusive window lower bound (µs), as a column
+    def instantLo(hi: Column, w2: Long): Column =
+      hi - (lit(g) - col("_i")) * lit(stepS * 1000000L) - lit(w2 * 1000000L)
+    // each event exploded to the ≤k instants whose trailing window of
+    // `w2` seconds contains it (step bucket b covers instants
+    // b..b+k−1). The age prune guarantees greatest(b, 1) ≤
+    // least(b+k−1, g) on every surviving row, so the sequence never
+    // descends (Spark's sequence DESCENDS on inverted bounds — the
+    // b37c zero-length-span lesson).
+    def explodeToInstants(df: DataFrame, hi: Column, w2: Long): DataFrame = {
+      val kq = (w2 / stepS).toInt
+      if (g + kq > 4096)
+        fail(s"query_range grid spans ${g + kq} indexes (instants + window span); 4096 supported")
+      val stepUs = stepS * 1000000L
+      df.filter((hi - unix_micros(col("ts"))) < lit((g - 1 + kq) * stepUs))
+        .withColumn("_age_us", hi - unix_micros(col("ts")))
+        .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
+        .withColumn("_i", explode(sequence(greatest(col("_b"), lit(1L)),
+          least(col("_b") + lit((kq - 1).toLong), lit(g)))))
+    }
     // Recursive grid-vector builder mirroring compileVec + vectorAgg:
     // returns the per-instant relation (`labels :+ "_i" :+ valueCol`),
     // its labels, the value column name, and the deferred rate divisor.
@@ -2077,29 +2115,53 @@ object Compiler {
           if GridWindowFns.contains(fn2) &&
             sel.rangeS.exists(w2 => w2 > 0 && w2 % stepS == 0) =>
         val w2 = sel.rangeS.get
-        val kq = (w2 / stepS).toInt
-        if (g + kq > 4096)
-          fail(s"query_range grid spans ${g + kq} indexes (instants + window span); 4096 supported")
         val names = resolveNames(sel)
         val kind = kindOfAll(names)
-        val stepUs = stepS * 1000000L
-        val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
-        val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
-        // the age prune guarantees greatest(b, 1) ≤ least(b+k−1, g) on
-        // every surviving row, so the sequence below never descends
-        // (Spark's sequence DESCENDS on inverted bounds — the b37c
-        // zero-length-span lesson)
-        val exploded = events(spark, dir)
-          .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
-            unix_micros(col("ts")) <= hi &&
-            (hi - unix_micros(col("ts"))) < lit((g - 1 + kq) * stepUs))
-          .withColumn("_age_us", hi - unix_micros(col("ts")))
-          .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
-          .withColumn("_i", explode(sequence(greatest(col("_b"), lit(1L)),
-            least(col("_b") + lit((kq - 1).toLong), lit(g)))))
-        val loI = hi - (lit(g) - col("_i")) * lit(stepUs) - lit(w2 * 1000000L)
-        Some((rangeWindowAgg(fn2, param2, exploded, SeriesKey :+ "_i", loI, w2,
-          kind, sel.name), SeriesKey, "value", None))
+        val hi = selectorHi(sel)
+        val exploded = explodeToInstants(
+          events(spark, dir).filter(nameFilter(names) &&
+            matcherFilter(sel.matchers) && unix_micros(col("ts")) <= hi),
+          hi, w2)
+        Some((rangeWindowAgg(fn2, param2, exploded, SeriesKey :+ "_i",
+          instantLo(hi, w2), w2, kind, sel.name), SeriesKey, "value", None))
+      // double_exponential_smoothing per instant: the Holt-Winters
+      // fold over each instant's sorted window values — the union
+      // arm's own collapse ([[smoothCollapse]]) keyed with "_i" over
+      // the exploded pairs
+      case SmoothFunc(sf2, tf2, sel: Selector)
+          if sel.rangeS.exists(w2 => w2 > 0 && w2 % stepS == 0) =>
+        if (sf2 <= 0 || sf2 >= 1) fail(s"smoothing factor must be in (0, 1), got $sf2")
+        if (tf2 <= 0 || tf2 > 1) fail(s"trend factor must be in (0, 1], got $tf2")
+        val w2 = sel.rangeS.get
+        val names = resolveNames(sel)
+        if (kindOfAll(names) != "gauge")
+          fail(s"double_exponential_smoothing expects a gauge family, '${sel.name}' is a ${kindOfAll(names)}")
+        val hi = selectorHi(sel)
+        val exploded = explodeToInstants(
+          events(spark, dir).filter(nameFilter(names) &&
+            matcherFilter(sel.matchers) && unix_micros(col("ts")) <= hi),
+          hi, w2)
+        Some((smoothCollapse(sf2, tf2, exploded, SeriesKey :+ "_i"),
+          SeriesKey, "value", None))
+      // info() enrichment per instant: the derived info relation is
+      // instant-independent (distinct instances over the whole
+      // corpus), so the union arm's broadcast join commutes with the
+      // grid — values and the deferred divisor ride through
+      case Func("info", _, arg) =>
+        gridVector(arg).map { case (df0, labels, vc, rdiv) =>
+          if (!labels.contains("label_instance"))
+            fail("info() needs the identifying label 'instance' on its argument " +
+              s"(got labels ${labels.mkString(", ")}); aggregate AFTER info(), not before")
+          if (labels.contains("label_version"))
+            fail("info() would collide with an existing 'version' label")
+          val inf = Metrics.metricEvents(spark, dir)
+            .select(col("label_instance")).distinct()
+            .withColumn("label_version",
+              concat(lit("v"), expr("substr(label_instance, 2)")))
+          val joined = df0.join(broadcast(inf), Seq("label_instance"), "left")
+            .withColumn("label_version", coalesce(col("label_version"), lit("")))
+          (joined, labels :+ "label_version", vc, rdiv)
+        }
       // timestamp(sel) per instant: the last contributing event's
       // epoch seconds — per-(series, step-bucket) max-ts partials +
       // one RUNNING max over the series×grid (the gauge-LWW shape;
@@ -2142,16 +2204,11 @@ object Compiler {
       case Func("resets", None, sel: Selector)
           if sel.rangeS.exists(w2 => w2 > 0 && w2 % stepS == 0) =>
         val w2 = sel.rangeS.get
-        val kq = (w2 / stepS).toInt
-        if (g + kq > 4096)
-          fail(s"query_range grid spans ${g + kq} indexes (instants + window span); 4096 supported")
         val names = resolveNames(sel)
         val kind = kindOfAll(names)
         if (kind != "counter")
           fail(s"resets expects a counter family, '${sel.name}' is a $kind")
-        val stepUs = stepS * 1000000L
-        val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
-        val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+        val hi = selectorHi(sel)
         val hist = events(spark, dir)
           .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
             col("value") >= 0 && unix_micros(col("ts")) <= hi)
@@ -2163,13 +2220,8 @@ object Compiler {
             .over(wAsc.rowsBetween(Window.unboundedPreceding, 0)) % 10000L)
           .withColumn("_prev", lag(col("_wrapped"), 1).over(wAsc))
           .withColumn("_prevUs", lag(unix_micros(col("ts")), 1).over(wAsc))
-        val exploded = wrapped
-          .filter((hi - unix_micros(col("ts"))) < lit((g - 1 + kq) * stepUs))
-          .withColumn("_age_us", hi - unix_micros(col("ts")))
-          .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
-          .withColumn("_i", explode(sequence(greatest(col("_b"), lit(1L)),
-            least(col("_b") + lit((kq - 1).toLong), lit(g)))))
-        val loI = hi - (lit(g) - col("_i")) * lit(stepUs) - lit(w2 * 1000000L)
+        val exploded = explodeToInstants(wrapped, hi, w2)
+        val loI = instantLo(hi, w2)
         Some((exploded.groupBy((SeriesKey :+ "_i").map(col): _*)
           .agg(sum(when(col("_prev").isNotNull && col("_prevUs") > loI &&
             col("_wrapped") < col("_prev"), 1L).otherwise(0L))

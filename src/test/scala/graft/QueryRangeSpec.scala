@@ -167,7 +167,15 @@ class QueryRangeSpec extends SparkTestBase {
       // timestamp(): running max-ts per instant (gauge-LWW shape)
       "timestamp(signup)",
       "timestamp(purchase)",
-      "max by (k) (timestamp(purchase))")
+      "max by (k) (timestamp(purchase))",
+      // Holt-Winters per instant: the fold over each window's sorted
+      // values, keyed by instant over the exploded pairs
+      "double_exponential_smoothing(signup[2d], 0.5, 0.3)",
+      "double_exponential_smoothing(signup[3d], 0.9, 1.0)",
+      // info() enrichment rides the grid (instant-independent join)
+      "info(signup)",
+      "info(purchase) * 2",
+      "sum by (version) (info(signup))")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
