@@ -83,7 +83,9 @@ object Api {
       grid: Boolean): String = {
     require(stepS > 0, "step must be positive")
     require(endS >= startS, "end must be >= start")
-    val ast = Parser.parse(query)
+    // @ start()/@ end() pin to the range query's own bounds (upstream
+    // Prometheus semantics), resolved once for BOTH physical paths
+    val ast = Ast.resolveAtEdges(Parser.parse(query), Some(startS), Some(endS))
     val t = Compiler.instantSeconds(spark, dir)
     val instants = (startS to endS by stepS).toSeq
     require(instants.nonEmpty, "empty evaluation grid")
@@ -135,7 +137,9 @@ object Api {
     val endS = Compiler.instantSeconds(spark, dir).toLong
     val startS = endS - (instants - 1).toLong * stepS
     Compiler.withNativeFamilies(nativeFamilies)(
-      Compiler.rangeGridEval(spark, dir, Parser.parse(query), startS, endS, stepS))
+      Compiler.rangeGridEval(spark, dir,
+        Ast.resolveAtEdges(Parser.parse(query), Some(startS), Some(endS)),
+        startS, endS, stepS))
       .getOrElse(throw new PromQLCompileException(
         s"no dense-grid strategy for query shape: $query"))
   }

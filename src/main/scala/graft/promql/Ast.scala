@@ -28,6 +28,45 @@ final case class Selector(
     offsetS: Option[Long] = None,
     atS: Option[Long] = None) extends Ast
 
+object Selector {
+  /** `@ start()` / `@ end()` parse to these sentinel pins; every entry
+    * point resolves them via [[Ast.resolveAtEdges]] BEFORE compiling —
+    * to the range query's start/end epoch for `query_range` (upstream
+    * Prometheus's rule), or to "no pin" (the evaluation instant
+    * itself) for instant queries, where upstream defines
+    * start = end = the evaluation time.
+    */
+  val AtStart: Long = Long.MinValue + 1
+  val AtEnd: Long = Long.MinValue + 2
+}
+
+object Ast {
+  /** Replace the `@ start()`/`@ end()` sentinel pins with concrete
+    * epochs (`Some` → that epoch, `None` → drop the pin, i.e. the
+    * evaluation instant). Recursive over the whole expression,
+    * subqueries included.
+    */
+  def resolveAtEdges(ast: Ast, startS: Option[Long], endS: Option[Long]): Ast = {
+    def r(a: Ast): Ast = a match {
+      case s: Selector => s.atS match {
+        case Some(Selector.AtStart) => s.copy(atS = startS)
+        case Some(Selector.AtEnd) => s.copy(atS = endS)
+        case _ => s
+      }
+      case Agg(op, g, p, arg) => Agg(op, g, p, r(arg))
+      case Func(n, p, arg) => Func(n, p, r(arg))
+      case b: BinOp => b.copy(left = r(b.left), right = r(b.right))
+      case n: NumLit => n
+      case Subquery(inner, w, st) => Subquery(r(inner), w, st)
+      case CountValues(d, arg) => CountValues(d, r(arg))
+      case SmoothFunc(sf, tf, arg) => SmoothFunc(sf, tf, r(arg))
+      case HistFraction(lo, hi, arg) => HistFraction(lo, hi, r(arg))
+      case LabelFunc(n, args, arg) => LabelFunc(n, args, r(arg))
+    }
+    r(ast)
+  }
+}
+
 /** `sum/avg/min/max/count [by|without (labels)] (expr)` and the
   * parameterized `topk/bottomk/quantile(param, expr)`.
   */

@@ -65,6 +65,18 @@ object Compiler {
 
   private def fail(msg: String): Nothing = throw new PromQLCompileException(msg)
 
+  /** The selector's evaluation bound (µs): the evaluation instant
+    * shifted by `offset` plus the compile shift — or, under an
+    * absolute `@` pin, the pin minus `offset` ONLY. A pin is
+    * shift-IMMUNE: in shifted compiles (query_range slices, subquery
+    * instants) upstream Prometheus holds `v @ t0` constant; it does
+    * not slide with the slice (the mirror of the r11 time() fix).
+    */
+  private def selectorBound(sel: Selector, shiftS: Long): Column = sel.atS match {
+    case Some(t0) => lit((t0 - sel.offsetS.getOrElse(0L)) * 1000000L)
+    case None => col("_t_us") - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+  }
+
   /** Histogram families ingested as NATIVE (exponential sparse-bucket)
     * histograms for the current compilation — the scrape-config analog
     * of Prometheus 3.x's per-target sample kind. `histogram_quantile` /
@@ -253,8 +265,7 @@ object Compiler {
       fail(s"histogram family '${sel.name}' has no scalar instant value; use histogram_quantile")
     // `@ t` pins the instant absolutely; offset/subquery shifts then
     // apply relative to it
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val bound = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val bound = selectorBound(sel, shiftS)
     val base = events(spark, dir)
       .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= bound)
@@ -287,13 +298,11 @@ object Compiler {
     if (tf <= 0 || tf > 1) fail(s"trend factor must be in (0, 1], got $tf")
     val d = sel.rangeS.getOrElse(fail(
       s"double_exponential_smoothing requires a range selector, e.g. (${sel.name}[1h], 0.5, 0.3)"))
-    val off = sel.offsetS.getOrElse(0L) + shiftS
     val names = resolveNames(sel)
     val kind = kindOfAll(names)
     if (kind != "gauge")
       fail(s"double_exponential_smoothing expects a gauge family, '${sel.name}' is a $kind")
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val hi = anchor - lit(off * 1000000L)
+    val hi = selectorBound(sel, shiftS)
     val lo = hi - lit(d * 1000000L)
     val base = events(spark, dir)
       .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
@@ -331,11 +340,9 @@ object Compiler {
       param: Option[Double], sel: Selector, shiftS: Long): Vec = {
     val d = sel.rangeS.getOrElse(
       fail(s"$fn requires a range selector, e.g. $fn(${sel.name}[5m])"))
-    val off = sel.offsetS.getOrElse(0L) + shiftS
     val names = resolveNames(sel)
     val kind = kindOfAll(names)
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val hi = anchor - lit(off * 1000000L)
+    val hi = selectorBound(sel, shiftS)
     val lo = hi - lit(d * 1000000L)
     val base = events(spark, dir)
       .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
@@ -617,8 +624,7 @@ object Compiler {
       sel: Selector, windowD: Option[Long], shiftS: Long): DataFrame = {
     if (kindOf(sel.name) != "histogram")
       fail(s"$fn expects a histogram family, '${sel.name}' is a ${kindOf(sel.name)}")
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val hi = selectorBound(sel, shiftS)
     val inWindow = windowD match {
       case Some(d) => unix_micros(col("ts")) > hi - lit(d * 1000000L) &&
         unix_micros(col("ts")) <= hi
@@ -1374,20 +1380,27 @@ object Compiler {
     // the grid strategies: counter snapshot (bare or sum-by) and bare
     // gauge selectors compile to one event pass + a series×instants
     // running window instead of a per-instant plan union
+    // `sel.atS.isEmpty` on every strategy: an absolute @ pin is
+    // shift-immune ([[selectorBound]]), so a pinned inner is CONSTANT
+    // across the subquery instants — the per-instant union fallback
+    // evaluates that correctly; the grid strategies' bucket spread
+    // would slide the pin
     val gridCounter: Option[(Seq[String], Selector)] = sq.inner match {
-      case sel: Selector if sel.rangeS.isEmpty &&
+      case sel: Selector if sel.rangeS.isEmpty && sel.atS.isEmpty &&
           MetricEvent.CounterNames.contains(sel.name) =>
         Some((SeriesKey, sel))
       case Agg("sum", Some(("by", ls)), None, sel: Selector)
-          if sel.rangeS.isEmpty && MetricEvent.CounterNames.contains(sel.name) =>
+          if sel.rangeS.isEmpty && sel.atS.isEmpty &&
+            MetricEvent.CounterNames.contains(sel.name) =>
         Some((ls.map(labelCol), sel))
       case _ => None
     }
     val gridGauge: Option[(Option[Seq[String]], Selector)] = sq.inner match {
-      case sel: Selector if sel.rangeS.isEmpty &&
+      case sel: Selector if sel.rangeS.isEmpty && sel.atS.isEmpty &&
           MetricEvent.GaugeNames.contains(sel.name) => Some((None, sel))
       case Agg("sum", Some(("by", ls)), None, sel: Selector)
-          if sel.rangeS.isEmpty && MetricEvent.GaugeNames.contains(sel.name) =>
+          if sel.rangeS.isEmpty && sel.atS.isEmpty &&
+            MetricEvent.GaugeNames.contains(sel.name) =>
         Some((Some(ls.map(labelCol)), sel))
       case _ => None
     }
@@ -1396,11 +1409,13 @@ object Compiler {
     // lag(k) over the same series×grid running sums
     val gridRate: Option[(Seq[String], Selector, String)] = sq.inner match {
       case Func(f2, _, sel: Selector)
-          if (f2 == "rate" || f2 == "increase") && sel.rangeS.exists(_ % sq.stepS == 0) &&
+          if (f2 == "rate" || f2 == "increase") && sel.atS.isEmpty &&
+            sel.rangeS.exists(_ % sq.stepS == 0) &&
             MetricEvent.CounterNames.contains(sel.name) =>
         Some((SeriesKey, sel, f2))
       case Agg("sum", Some(("by", ls)), None, Func(f2, _, sel: Selector))
-          if (f2 == "rate" || f2 == "increase") && sel.rangeS.exists(_ % sq.stepS == 0) &&
+          if (f2 == "rate" || f2 == "increase") && sel.atS.isEmpty &&
+            sel.rangeS.exists(_ % sq.stepS == 0) &&
             MetricEvent.CounterNames.contains(sel.name) =>
         Some((ls.map(labelCol), sel, f2))
       case _ => None
@@ -1414,7 +1429,7 @@ object Compiler {
       "min_over_time", "max_over_time", "count_over_time")
     val gridOverTime: Option[(Selector, String)] = sq.inner match {
       case Func(f2, None, sel: Selector)
-          if bucketDecomposable.contains(f2) &&
+          if bucketDecomposable.contains(f2) && sel.atS.isEmpty &&
             sel.rangeS.exists(w => w > 0 && w % sq.stepS == 0) =>
         Some((sel, f2))
       case _ => None
@@ -1482,8 +1497,7 @@ object Compiler {
       sel: Selector, labels: Seq[String], shiftS: Long, g: Long,
       stepS: Long): DataFrame = {
     val stepUs = stepS * 1000000L
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val hi = selectorBound(sel, shiftS)
     val base = events(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         col("value") >= 0 && unix_micros(col("ts")) <= hi)
@@ -1563,8 +1577,7 @@ object Compiler {
     val k = (w / stepS).toInt
     if (g + k > 4096)
       fail(s"subquery grid spans ${g + k} indexes (instants + lag baseline); 4096 supported")
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val hi = selectorBound(sel, shiftS)
     val base = events(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         col("value") >= 0 && unix_micros(col("ts")) <= hi &&
@@ -1640,8 +1653,7 @@ object Compiler {
       fail(s"subquery grid spans ${g + k} indexes (instants + window span); 4096 supported")
     val names = resolveNames(sel)
     kindOfAll(names) // family-consistency compose-time check, as in rangeFunc
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val hi = selectorBound(sel, shiftS)
     val base = events(spark, dir)
       .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= hi &&
@@ -1697,8 +1709,7 @@ object Compiler {
     val k = windowD.map(w => (w / stepS).toInt).getOrElse(0)
     if (g + k > 4096)
       fail(s"query_range grid spans ${g + k} indexes (instants + window span); 4096 supported")
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val hi = selectorBound(sel, shiftS)
     val base0 = events(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= hi)
@@ -1772,8 +1783,7 @@ object Compiler {
     val k = windowD.map(w => (w / stepS).toInt).getOrElse(0)
     if (g + k > 4096)
       fail(s"query_range grid spans ${g + k} indexes (instants + window span); 4096 supported")
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val hi = selectorBound(sel, shiftS)
     val base0 = events(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= hi)
@@ -1881,8 +1891,7 @@ object Compiler {
       sel: Selector, shiftS: Long, g: Long, stepS: Long,
       sumBy: Option[Seq[String]]): (DataFrame, Seq[String]) = {
     val stepUs = stepS * 1000000L
-    val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-    val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+    val hi = selectorBound(sel, shiftS)
     val base = events(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= hi)
@@ -2002,10 +2011,7 @@ object Compiler {
     // the selector's upper bound at the LAST grid instant (instant i's
     // bound is hi − (g−i)·step, uniform because the shift is the same
     // integer-second quantity at every instant)
-    def selectorHi(sel: Selector): Column = {
-      val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
-      anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
-    }
+    def selectorHi(sel: Selector): Column = selectorBound(sel, shiftS)
     // instant _i's exclusive window lower bound (µs), as a column
     def instantLo(hi: Column, w2: Long): Column =
       hi - (lit(g) - col("_i")) * lit(stepS * 1000000L) - lit(w2 * 1000000L)
@@ -2033,7 +2039,38 @@ object Compiler {
     // pre-aggregate inside the partials; every other aggregation
     // composes generically over the per-series grid vector, exactly as
     // vectorAgg composes over instant vectors.
+    // a sub-expression whose selectors ALL carry absolute @ pins (and
+    // which never references time()) evaluates to the SAME vector at
+    // every grid instant: pins are shift-immune ([[selectorBound]]),
+    // so compile it ONCE and broadcast across the instant range —
+    // exactly the union path's per-slice result, de-duplicated
+    def pinClosed(a: Ast): Boolean = {
+      var sels = 0
+      var pinned = true
+      var timeless = true
+      def walk(x: Ast): Unit = x match {
+        case s: Selector => sels += 1; if (s.atS.isEmpty) pinned = false
+        case Func("time", _, _) => timeless = false
+        case Func(_, _, arg) => walk(arg)
+        case Agg(_, _, _, arg) => walk(arg)
+        case b: BinOp => walk(b.left); walk(b.right)
+        case Subquery(inner, _, _) => walk(inner)
+        case CountValues(_, arg) => walk(arg)
+        case SmoothFunc(_, _, arg) => walk(arg)
+        case HistFraction(_, _, arg) => walk(arg)
+        case LabelFunc(_, _, arg) => walk(arg)
+        case _: NumLit => ()
+      }
+      walk(a)
+      sels > 0 && pinned && timeless
+    }
     def gridVector(a: Ast): Option[(DataFrame, Seq[String], String, Option[Double])] = a match {
+      case a0 if pinClosed(a0) =>
+        val v = materialize(compileVec(spark, dir, a0, shiftS))
+        import spark.implicits._
+        Some((v.df.select(v.labels.map(col) :+ col("value"): _*)
+          .crossJoin(broadcast(spark.range(1L, g + 1L).toDF("_i"))),
+          v.labels, "value", None))
       case sel: Selector if counter(sel) =>
         Some((gridCounterInstants(spark, dir, sel, SeriesKey, shiftS, g, stepS),
           SeriesKey, "value", None))
@@ -2172,8 +2209,7 @@ object Compiler {
         if (kind == "histogram")
           fail(s"histogram family '${sel.name}' has no scalar instant sample")
         val stepUs = stepS * 1000000L
-        val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
-        val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+        val hi = selectorHi(sel)
         val base0 = events(spark, dir)
           .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
             unix_micros(col("ts")) <= hi)
@@ -2241,8 +2277,7 @@ object Compiler {
         val kk = windowD.map(w => (w / stepS).toInt).getOrElse(0)
         if (g + kk > 4096)
           fail(s"query_range grid spans ${g + kk} indexes (instants + window span); 4096 supported")
-        val anchor = sel.atS.map(t0 => lit(t0 * 1000000L)).getOrElse(col("_t_us"))
-        val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+        val hi = selectorHi(sel)
         val base0 = events(spark, dir)
           .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
             unix_micros(col("ts")) <= hi)
@@ -2697,23 +2732,23 @@ object Compiler {
             // does the union's subqueryOverTime defer ÷w for this inner?
             // (its four grid-strategy patterns, verbatim)
             val strategyInner = sq.inner match {
-              case sel: Selector if sel.rangeS.isEmpty &&
+              case sel: Selector if sel.rangeS.isEmpty && sel.atS.isEmpty &&
                 (MetricEvent.CounterNames.contains(sel.name) ||
                   MetricEvent.GaugeNames.contains(sel.name)) => true
               case Agg("sum", Some(("by", _)), None, sel: Selector)
-                  if sel.rangeS.isEmpty &&
+                  if sel.rangeS.isEmpty && sel.atS.isEmpty &&
                     (MetricEvent.CounterNames.contains(sel.name) ||
                       MetricEvent.GaugeNames.contains(sel.name)) => true
               case Func(f3, _, sel: Selector)
-                  if (f3 == "rate" || f3 == "increase") &&
+                  if (f3 == "rate" || f3 == "increase") && sel.atS.isEmpty &&
                     sel.rangeS.exists(_ % sS == 0) &&
                     MetricEvent.CounterNames.contains(sel.name) => true
               case Agg("sum", Some(("by", _)), None, Func(f3, _, sel: Selector))
-                  if (f3 == "rate" || f3 == "increase") &&
+                  if (f3 == "rate" || f3 == "increase") && sel.atS.isEmpty &&
                     sel.rangeS.exists(_ % sS == 0) &&
                     MetricEvent.CounterNames.contains(sel.name) => true
               case Func(f3, None, sel: Selector)
-                  if bucketDecomposable.contains(f3) &&
+                  if bucketDecomposable.contains(f3) && sel.atS.isEmpty &&
                     sel.rangeS.exists(w2 => w2 > 0 && w2 % sS == 0) => true
               case _ => false
             }
@@ -2911,8 +2946,7 @@ object Compiler {
           if (sel.rangeS.isDefined)
             fail("absent takes an instant selector (absent_over_time covers ranges)")
           kindOf(sel.name) // compose-time family check
-          val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-          val bound = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+          val bound = selectorBound(sel, shiftS)
           val n = events(spark, dir)
             .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
               unix_micros(col("ts")) <= bound)
@@ -2931,8 +2965,7 @@ object Compiler {
           val d = sel.rangeS.getOrElse(
             fail("absent_over_time needs a range selector, e.g. absent_over_time(m[5m])"))
           kindOf(sel.name) // compose-time family check
-          val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-          val hi = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+          val hi = selectorBound(sel, shiftS)
           val lo = hi - lit(d * 1000000L)
           val n = events(spark, dir)
             .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
@@ -3007,8 +3040,7 @@ object Compiler {
           val kind = kindOf(sel.name)
           if (kind == "histogram")
             fail(s"histogram family '${sel.name}' has no scalar instant sample")
-          val anchor = sel.atS.map(t => lit(t * 1000000L)).getOrElse(col("_t_us"))
-          val bound = anchor - lit((sel.offsetS.getOrElse(0L) + shiftS) * 1000000L)
+          val bound = selectorBound(sel, shiftS)
           val base0 = events(spark, dir)
             .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
               unix_micros(col("ts")) <= bound)
@@ -3083,7 +3115,9 @@ object Compiler {
       detMode.withValue(detMath)(compile(spark, dir, ast)))
 
   def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame = {
-    val v = materialize(compileVec(spark, dir, ast))
+    // instant query: @ start()/@ end() ARE the evaluation instant
+    // (upstream's start = end = eval-time rule) — drop the pins
+    val v = materialize(compileVec(spark, dir, Ast.resolveAtEdges(ast, None, None)))
     val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
     val ord =
       if (v.sortLabels.nonEmpty) {
@@ -3152,7 +3186,8 @@ object Engine {
     */
   def evalStream(events: DataFrame, query: String,
       watermark: String = "10 minutes"): DataFrame =
-    StreamCompiler.compile(events, Parser.parse(query), watermark)
+    StreamCompiler.compile(events,
+      Ast.resolveAtEdges(Parser.parse(query), None, None), watermark)
 }
 
 /** The streaming subset compiler (see [[Engine.evalStream]]). */

@@ -174,13 +174,15 @@ object Parser {
       } else None
       val atInstant = if (at("@")) {
         p += 1
-        // `@ start()` / `@ end()`: in an instant query both are the
-        // evaluation instant T itself (range-query step grids are out
-        // of scope), so they parse as "no absolute pin"
+        // `@ start()` / `@ end()` parse to sentinel pins; the entry
+        // points resolve them (Ast.resolveAtEdges) — to the range
+        // query's start/end epoch for query_range, or to "no pin" for
+        // instant queries (upstream's start = end = eval-time rule)
         if (peek.exists(t => t.kind == "ident" &&
             (t.text == "start" || t.text == "end"))) {
-          p += 1; expect("("); expect(")")
-          None
+          val edge = take().text
+          expect("("); expect(")")
+          Some(if (edge == "start") Selector.AtStart else Selector.AtEnd)
         } else {
           val t2 = take()
           if (t2.kind != "number" || t2.text.contains('.'))

@@ -1021,9 +1021,15 @@ class PromQLFrontendSpec extends SparkTestBase {
     val r1 = Engine.eval(spark, dir, "round(signup)")
       .select($"label_k", $"value").as[(String, Double)].collect().toMap
     assert(r1 === Map("a" -> 7.0, "b" -> 3.0)) // 2.5 → 3 (half up)
-    // @ start() / @ end() pin to the evaluation instant itself
-    assert(Parser.parse("signup @ start()") === Selector("signup"))
-    assert(Parser.parse("signup @ end()") === Selector("signup"))
+    // @ start() / @ end() parse to sentinel pins; an INSTANT query
+    // resolves both to the evaluation instant itself (upstream's
+    // start = end = eval-time rule)
+    assert(Parser.parse("signup @ start()") ===
+      Selector("signup", atS = Some(Selector.AtStart)))
+    assert(Parser.parse("signup @ end()") ===
+      Selector("signup", atS = Some(Selector.AtEnd)))
+    assert(graft.promql.Ast.resolveAtEdges(
+      Parser.parse("signup @ start()"), None, None) === Selector("signup"))
     val atEnd = Engine.eval(spark, dir, "sum by (k) (signup @ end())")
       .select($"label_k", $"value").as[(String, Double)].collect().toMap
     assert(atEnd === Map("a" -> 7.3, "b" -> 2.5))

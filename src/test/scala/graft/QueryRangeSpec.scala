@@ -175,7 +175,11 @@ class QueryRangeSpec extends SparkTestBase {
       // info() enrichment rides the grid (instant-independent join)
       "info(signup)",
       "info(purchase) * 2",
-      "sum by (version) (info(signup))")
+      "sum by (version) (info(signup))",
+      // @ start()/@ end() pins resolve to the range query's own bounds
+      "sum by (k) (purchase @ start())",
+      "sum by (k) (purchase @ end())",
+      "rate(purchase[2d] @ end())")
     // grid start..end: days 2..9 after T0, step 1d (8 instants)
     val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
     for (q <- gridShapes) {
@@ -230,6 +234,30 @@ class QueryRangeSpec extends SparkTestBase {
     val wide = Api.queryRangeJson(spark, dir, q,
       T0 + 9 * dayS - 99 * 7200L, T0 + 9 * dayS, 7200L)
     assert(wide.contains("\"resultType\":\"matrix\""))
+  }
+
+  test("@ start()/@ end() pin to the range query's own bounds") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val (s, e) = (T0 + 2 * dayS, T0 + 9 * dayS)
+    val om = new ObjectMapper()
+    for (grid <- Seq(true, false)) {
+      def vals(q: String) = om.readTree(Api.queryRangeJsonImpl(
+        spark, dir, q, s, e, dayS, grid))
+        .get("data").get("result").get(0).get("values")
+      val uv = vals("sum(purchase)")
+      // @ end(): every instant carries the PLAIN query's value AT end
+      val pv = vals("sum(purchase @ end())")
+      val endVal = uv.get(uv.size - 1).get(1).asText
+      assert(pv.size === uv.size)
+      (0 until pv.size).foreach { i =>
+        assert(pv.get(i).get(1).asText === endVal, s"grid=$grid step $i") }
+      // @ start(): likewise pins to the first instant's value
+      val sv = vals("sum(purchase @ start())")
+      val startVal = uv.get(0).get(1).asText
+      (0 until sv.size).foreach { i =>
+        assert(sv.get(i).get(1).asText === startVal, s"grid=$grid step $i") }
+      assert(startVal !== endVal) // the pin is real on this fixture
+    }
   }
 
   test("grid lifts the 64-instant union wall; non-grid shapes keep it") {
