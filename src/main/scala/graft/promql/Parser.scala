@@ -152,12 +152,21 @@ object Parser {
       out.result()
     }
 
-    def selectorTail(name: String): Selector = {
+    def selectorTail(name: String): Ast = {
       val ms = if (at("{")) matchers() else Nil
+      // `[d]` is a range selector; `[d:step]` is upstream's bare
+      // subquery suffix (`signup[2d:1d]` without parentheses)
+      var sqStep: Option[Long] = None
       val range = if (at("[")) {
         p += 1
         val d = take()
         if (d.kind != "duration") fail("expected duration in range selector")
+        if (at(":")) {
+          p += 1
+          val st = take()
+          if (st.kind != "duration") fail("expected step duration in subquery")
+          sqStep = Some(durationSeconds(st.text))
+        }
         expect("]")
         Some(durationSeconds(d.text))
       } else None
@@ -173,6 +182,8 @@ object Parser {
         Some(if (neg) -s else s)
       } else None
       val atInstant = if (at("@")) {
+        if (sqStep.isDefined)
+          fail("@ after a subquery range is not supported; pin the inner selector, e.g. (m @ t)[w:s]")
         p += 1
         // `@ start()` / `@ end()` parse to sentinel pins; the entry
         // points resolve them (Ast.resolveAtEdges) — to the range
@@ -192,8 +203,34 @@ object Parser {
           }
         }
       } else None
-      Selector(name, ms, range, offset, atInstant)
+      sqStep match {
+        case Some(st) =>
+          // `m[w:s] offset o` ≡ `(m offset o)[w:s]` for a pure selector
+          // inner (the offset distributes through every subquery
+          // instant), so the trailing offset attaches to the inner
+          Subquery(Selector(name, ms, None, offset, None), range.get, st)
+        case None => Selector(name, ms, range, offset, atInstant)
+      }
     }
+
+    // upstream's postfix subquery range: `<operand>[w:s]` after a
+    // function call, aggregation, or parenthesized expression
+    def maybeSubquerySuffix(r: Ast): Ast =
+      if (at("[")) {
+        p += 1
+        val d = take()
+        if (d.kind != "duration") fail("expected range duration in subquery")
+        expect(":")
+        val st = take()
+        if (st.kind != "duration") fail("expected step duration in subquery")
+        expect("]")
+        r match {
+          case s: Selector if s.rangeS.isDefined =>
+            fail("a subquery range cannot follow a range selector")
+          case _ => ()
+        }
+        Subquery(r, durationSeconds(d.text), durationSeconds(st.text))
+      } else r
 
     def grouping(): Option[(String, Seq[String])] =
       if (peek.exists(t => t.kind == "ident" && (t.text == "by" || t.text == "without"))) {
@@ -241,26 +278,10 @@ object Parser {
           Func(name, None, sel)
         } else if (OverTimeFuncs.contains(name)) {
           expect("(")
-          // either `sel[d]` or a subquery `(expr)[d:step]`
-          val arg: Ast =
-            if (at("(")) {
-              p += 1
-              val e = expr()
-              expect(")")
-              expect("[")
-              val d = take()
-              if (d.kind != "duration") fail("expected range duration in subquery")
-              expect(":")
-              val st = take()
-              if (st.kind != "duration") fail("expected step duration in subquery")
-              expect("]")
-              Subquery(e, durationSeconds(d.text), durationSeconds(st.text))
-            } else if (at("{")) selectorTail("")
-            else {
-              val t2 = take()
-              if (t2.kind != "ident") fail(s"$name expects a range selector or subquery")
-              selectorTail(t2.text)
-            }
+          // a range selector `sel[d]`, a bare subquery `sel[d:step]` /
+          // `fn(...)[d:step]` / `agg(...)[d:step]`, or the
+          // parenthesized `(expr)[d:step]` — all upstream forms
+          val arg = maybeSubquerySuffix(operand())
           expect(")")
           Func(name, None, arg)
         } else if (name == "histogram_quantile") {

@@ -362,6 +362,32 @@ class PromQLFrontendSpec extends SparkTestBase {
       Engine.eval(spark, dir, "(purchase)[2h:1h]")) // subquery outside over_time
   }
 
+  test("bare subquery suffixes parse like their parenthesized forms (upstream grammar)") {
+    // selector suffix, function-call suffix, aggregation suffix
+    assert(Parser.parse("avg_over_time(signup[2d:1d])") ===
+      Parser.parse("avg_over_time((signup)[2d:1d])"))
+    assert(Parser.parse("""max_over_time(purchase{k="a"}[2d:1d])""") ===
+      Parser.parse("""max_over_time((purchase{k="a"})[2d:1d])"""))
+    assert(Parser.parse("max_over_time(rate(purchase[5m])[1h:5m])") ===
+      Parser.parse("max_over_time((rate(purchase[5m]))[1h:5m])"))
+    assert(Parser.parse("sum_over_time(sum by (k) (purchase)[2d:1d])") ===
+      Parser.parse("sum_over_time((sum by (k) (purchase))[2d:1d])"))
+    // nested bare forms compose
+    assert(Parser.parse("max_over_time(avg_over_time(signup[2d:1d])[2d:1d])") ===
+      Parser.parse("max_over_time((avg_over_time((signup)[2d:1d]))[2d:1d])"))
+    // a trailing offset on a bare subquery attaches to the inner
+    // selector — equivalent for a pure selector inner
+    assert(Parser.parse("avg_over_time(signup[2d:1d] offset 1d)") ===
+      Parser.parse("avg_over_time((signup offset 1d)[2d:1d])"))
+    // @ after a subquery range is refused with a pointer
+    val ex = intercept[graft.promql.PromQLParseException](
+      Parser.parse("avg_over_time(signup[2d:1d] @ 1704067200)"))
+    assert(ex.getMessage.contains("pin the inner selector"))
+    // a subquery range cannot follow a range selector
+    intercept[graft.promql.PromQLParseException](
+      Parser.parse("max_over_time(rate(purchase[5m])[1h])"))
+  }
+
   test("nested over_time subquery grid matches independent per-instant evaluation") {
     val h = 3600000L
     val dir = fixture("events" -> Seq(
