@@ -390,6 +390,14 @@ object SparkEntry {
       promql.Rules.AlertRule("SustainedHigh", "sum by (k) (purchase) > 450",
         forS = 2 * 86400, intervalS = 86400),
       Seq(0L, 86400L, 172800L, 259200L))),
+    // p74 at DASHBOARD resolution: the pending->firing ladder over 240
+    // grid instants at 6h step (rule interval 1d = 4 grid steps) as ONE
+    // dense-grid condition pass + a residue-class sliding window —
+    // where p74's union strategy walls at ~64 instants
+    "p85_query_range_alerts" -> ((s, d) => promql.Rules.alertStatesGrid(s, d,
+      promql.Rules.AlertRule("SustainedHigh", "sum by (k) (purchase) > 450",
+        forS = 2 * 86400, intervalS = 86400),
+      instants = 240, stepS = 21600L)),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -831,6 +839,7 @@ object SparkEntry {
     "p50_promql_limit_ratio" -> promql.Oracle.LimitRatioSql,
     "p51_promql_for_alert" -> promql.Oracle.ForAlertSql,
     "p74_promql_alert_states" -> promql.Oracle.AlertStatesSql,
+    "p85_query_range_alerts" -> promql.Oracle.AlertStatesGridSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

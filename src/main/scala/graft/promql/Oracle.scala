@@ -1079,6 +1079,41 @@ object Oracle {
        |ORDER BY offset_s, label_k""".stripMargin
   }
 
+  /** p85: the ALERTS state ladder on the DENSE GRID —
+    * `sum by (k) (purchase) > 450`, `for: 2d` at interval 1d, over 240
+    * output instants at 6h step (extended grid 248 = 240 + 2·4 lookback
+    * instants; the rule interval strides 4 grid steps). Instant i's
+    * bound is `t_us − (248−i)·6h` — the [[QueryRangeGridSql]] anchor —
+    * and a breach is `firing` iff the breach set also contains the same
+    * series at i−4 and i−8 (= 1·interval and 2·interval earlier),
+    * mirroring [[graft.promql.Rules.alertStatesGrid]]'s residue-class
+    * sliding window.
+    */
+  val AlertStatesGridSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 248)) AS i),
+       |breach AS (
+       |  SELECT m.label_k, i.i,
+       |    CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (248 - i.i) * 21600000000
+       |  GROUP BY m.label_k, i.i
+       |  HAVING CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) > 450)
+       |SELECT 'SustainedHigh' AS alertname,
+       |  CASE WHEN
+       |    EXISTS (SELECT 1 FROM breach b1
+       |            WHERE b1.label_k = b.label_k AND b1.i = b.i - 4)
+       |    AND EXISTS (SELECT 1 FROM breach b2
+       |                WHERE b2.label_k = b.label_k AND b2.i = b.i - 8)
+       |    THEN 'firing' ELSE 'pending' END AS alertstate,
+       |  (t.t_us // 1000000) - (248 - b.i) * 21600 AS t_s,
+       |  b.label_k, b.value AS value
+       |FROM breach b, t
+       |WHERE b.i > 8
+       |ORDER BY t_s, b.label_k""".stripMargin
+
   /** `sum by (k) (increase(purchase[2d]))` */
   val IncreaseSumSql: String =
     s"""WITH m AS ($MetricEventsSql),

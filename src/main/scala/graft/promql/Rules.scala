@@ -1,6 +1,7 @@
 package graft.promql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Recording and alerting rules — the two ways a Prometheus server
@@ -134,5 +135,85 @@ object Rules {
         when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate"),
         col("offset_s"), col("label_k"), col("value"))
       .orderBy(col("offset_s"), col("label_k"))
+  }
+
+  /** [[alertStates]] at DASHBOARD resolution: the `ALERTS` state
+    * timeline over `instants` step-spaced grid instants (end anchored
+    * at `⌊T⌋`, the [[Api.queryRangeGrid]] anchor) as ONE dense-grid
+    * plan — where [[alertStates]] compiles a snapshot per distinct
+    * evaluation instant (its union strategy walls at ~64), this routes
+    * the condition through [[Compiler.rangeGridEval]] (bound 4096) and
+    * turns the pending→firing ladder into a sliding window:
+    *
+    *  - the condition evaluates once over an EXTENDED grid that
+    *    prepends the `for/interval` lookback instants, so the first
+    *    output step sees its full history;
+    *  - breaches are densified onto the series×instant lattice and the
+    *    lookback count is `count(value)` over a trailing window
+    *    PARTITIONED BY the instant's residue class modulo
+    *    `interval/step` — rows `1..k` back inside a residue class are
+    *    exactly the instants `interval, 2·interval, …` earlier, so one
+    *    `rowsBetween(−k, 0)` window IS the ladder even when the rule
+    *    interval is a coarser multiple of the grid step;
+    *  - `firing` iff all `k` lookbacks breached, `pending` otherwise;
+    *    non-breaching instants emit nothing, exactly like upstream's
+    *    `ALERTS` series and [[alertStates]].
+    *
+    * Event-scan cost is the ONE grid pass regardless of step count — a
+    * 240-step alert timeline costs what a 10-step one does.
+    */
+  def alertStatesGrid(spark: SparkSession, dir: String, rule: AlertRule,
+      instants: Int, stepS: Long): DataFrame = {
+    require(instants >= 1, "at least one grid instant")
+    require(stepS > 0, "step must be positive")
+    if (rule.forS < 0 ||
+        (rule.forS > 0 && (rule.intervalS <= 0 || rule.forS % rule.intervalS != 0)))
+      throw new PromQLCompileException(
+        s"alert '${rule.alert}': `for` (${rule.forS}s) must be a non-negative multiple of the evaluation interval (${rule.intervalS}s)")
+    if (rule.forS > 0 && rule.intervalS % stepS != 0)
+      throw new PromQLCompileException(
+        s"alert '${rule.alert}': the evaluation interval (${rule.intervalS}s) must be a multiple of the grid step (${stepS}s)")
+    val k = if (rule.forS == 0) 0 else (rule.forS / rule.intervalS).toInt
+    val m = if (rule.forS == 0) 1 else (rule.intervalS / stepS).toInt
+    val endS = Compiler.instantSeconds(spark, dir).toLong
+    val ext = instants + k * m
+    val startS = endS - (ext - 1).toLong * stepS
+    val ast = Ast.resolveAtEdges(Parser.parse(rule.expr), Some(startS), Some(endS))
+    val cond = Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
+      .getOrElse(throw new PromQLCompileException(
+        s"alert '${rule.alert}': no dense-grid strategy for the condition shape; use alertStates (per-instant union, ≤64 instants)"))
+    // the union ladder's label convention: label_k, or the null label
+    // for conditions that aggregated it away
+    val p0 =
+      if (cond.columns.contains("label_k"))
+        cond.select(col("label_k"), col("t_s"), col("value"))
+      else cond.select(lit(null).cast("string").as("label_k"), col("t_s"),
+        col("value"))
+    // null-safe lattice key (a label-free condition breaches on the
+    // null label; Spark's equi-join drops null keys)
+    val p = p0
+      .withColumn("_lk", coalesce(col("label_k"), lit(" ")))
+      .withColumn("_i",
+        ((col("t_s") - lit(startS)) / lit(stepS)).cast("long") + lit(1L))
+      .select(col("_lk"), col("label_k"), col("_i"), col("value"))
+    import spark.implicits._
+    // densify breaches onto the series×instant lattice so the trailing
+    // window SEES missed instants (as null values) — ever-breaching
+    // series only, the ladder's own output bound
+    val lattice = p.select(col("_lk"), col("label_k")).distinct()
+      .crossJoin(broadcast(spark.range(1L, ext + 1L).toDF("_i")))
+    val dense = lattice.join(p.select(col("_lk"), col("_i"), col("value")),
+      Seq("_lk", "_i"), "left")
+    val wl = Window.partitionBy(col("_lk"), pmod(col("_i"), lit(m.toLong)))
+      .orderBy(col("_i")).rowsBetween(-k, Window.currentRow)
+    dense
+      .withColumn("_n", count(col("value")).over(wl))
+      .filter(col("value").isNotNull && col("_i") > k.toLong * m)
+      .select(
+        lit(rule.alert).as("alertname"),
+        when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate"),
+        (lit(startS) + (col("_i") - 1) * lit(stepS)).cast("long").as("t_s"),
+        col("label_k"), col("value"))
+      .orderBy(col("t_s"), col("label_k"))
   }
 }

@@ -446,10 +446,11 @@ class PlanShapeSpec extends SparkTestBase {
       "banded candidate join lost its equi-join keys")
   }
 
-  test("p76/p77/p79/p81/p83/p84: dense-grid query_range is one event pass, never a per-instant union") {
+  test("p76/p77/p79/p81/p83/p84/p85: dense-grid query_range is one event pass, never a per-instant union") {
     for (name <- Seq("p76_query_range_grid", "p77_query_range_rate",
         "p79_query_range_hq", "p81_query_range_ratio",
-        "p83_query_range_subquery", "p84_query_range_quantile")) {
+        "p83_query_range_subquery", "p84_query_range_quantile",
+        "p85_query_range_alerts")) {
       val p = plan(name)
       // the union path would materialize 240 plan branches; the grid
       // path has none — instants come from a broadcast range relation

@@ -1,6 +1,7 @@
 package graft
 
 import graft.promql.{Api, PromQLCompileException}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The dense-grid `query_range` laws (r10 ask #1):
   *
@@ -325,6 +326,67 @@ class QueryRangeSpec extends SparkTestBase {
     intercept[PromQLCompileException] {
       Api.queryRangeGrid(spark, dir,
         "quantile_over_time(0.5, purchase[90m])", 8, dayS)
+    }
+  }
+
+  test("alert-state ladder: dense grid == per-instant union, and lifts the wall") {
+    import graft.promql.Rules
+    import graft.promql.Rules.AlertRule
+    val tS = T0 + 9 * dayS // the fixture's corpus instant floor (last event day)
+    def normGrid(df: org.apache.spark.sql.DataFrame) = df
+      .select("alertname", "alertstate", "t_s", "label_k", "value")
+      .collect().map(_.toSeq).toSet
+    def normUnion(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("t_s", (lit(tS) - col("offset_s")).cast("long"))
+      .select("alertname", "alertstate", "t_s", "label_k", "value")
+      .collect().map(_.toSeq).toSet
+
+    // rule interval == grid step (m = 1): cum(purchase) by k crosses 5
+    // mid-fixture, so the window holds a genuine pending→firing edge
+    val rule = AlertRule("Hot", "sum by (k) (purchase) > 5",
+      forS = 2 * dayS, intervalS = dayS)
+    val grid = normGrid(Rules.alertStatesGrid(spark, dir, rule, 6, dayS))
+    val union = normUnion(Rules.alertStates(spark, dir, rule,
+      (0 to 5).map(_ * dayS)))
+    assert(grid === union)
+    assert(grid.map(_(1)).toSet === Set("firing", "pending"),
+      "fixture should exercise both ladder states")
+
+    // rule interval a coarser MULTIPLE of the grid step (m = 2): the
+    // residue-class window must skip the in-between instants
+    val half = dayS / 2
+    val grid2 = normGrid(Rules.alertStatesGrid(spark, dir, rule, 5, half))
+    val union2 = normUnion(Rules.alertStates(spark, dir, rule,
+      (0 to 4).map(_ * half)))
+    assert(grid2 === union2)
+
+    // a label-free condition breaches on the null label (null-safe lattice)
+    val scalarRule = AlertRule("Any", "sum(purchase) > 5",
+      forS = dayS, intervalS = dayS)
+    val grid3 = normGrid(Rules.alertStatesGrid(spark, dir, scalarRule, 3, dayS))
+    val union3 = normUnion(Rules.alertStates(spark, dir, scalarRule,
+      Seq(0L, dayS, 2 * dayS)))
+    assert(grid3 === union3)
+    assert(grid3.nonEmpty && grid3.forall(_(3) == null))
+
+    // the union ladder walls at ~64 compiled snapshots; the grid ladder
+    // evaluates 240 instants as one plan
+    val wide = Rules.alertStatesGrid(spark, dir, rule, 240, 3600L)
+      .select("alertstate").distinct().collect().map(_.getString(0)).toSet
+    assert(wide.subsetOf(Set("firing", "pending")) && wide.nonEmpty)
+
+    // a condition without a grid strategy refuses with a pointer
+    val ex = intercept[PromQLCompileException] {
+      Rules.alertStatesGrid(spark, dir,
+        AlertRule("X", "quantile_over_time(0.5, purchase[90m]) > 1", 0, 0),
+        4, dayS)
+    }
+    assert(ex.getMessage.contains("alertStates"))
+    // off-lattice rule interval refuses at compose time
+    intercept[PromQLCompileException] {
+      Rules.alertStatesGrid(spark, dir,
+        AlertRule("X", "sum by (k) (purchase) > 5", forS = 2 * dayS,
+          intervalS = dayS), 4, 43201L)
     }
   }
 }
