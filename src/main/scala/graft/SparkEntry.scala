@@ -398,6 +398,13 @@ object SparkEntry {
       promql.Rules.AlertRule("SustainedHigh", "sum by (k) (purchase) > 450",
         forS = 2 * 86400, intervalS = 86400),
       instants = 240, stepS = 21600L)),
+    // the TSDB downsampling tier: 1h rollup summaries per series
+    // (count / exact sum / min / max / anchored first+last), and the
+    // day level produced BY COMPACTING the hour level — p87's oracle
+    // computes day buckets from raw events, so its hash match IS the
+    // compaction-losslessness proof
+    "p86_downsample_1h" -> ((s, d) => Downsample.rollup1h(s, d)),
+    "p87_downsample_compact" -> ((s, d) => Downsample.compact1hTo1d(s, d)),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -840,6 +847,8 @@ object SparkEntry {
     "p51_promql_for_alert" -> promql.Oracle.ForAlertSql,
     "p74_promql_alert_states" -> promql.Oracle.AlertStatesSql,
     "p85_query_range_alerts" -> promql.Oracle.AlertStatesGridSql,
+    "p86_downsample_1h" -> Downsample.Rollup1hSql,
+    "p87_downsample_compact" -> Downsample.Compact1dSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** TSDB downsampling and compaction — the long-range serving tier above
+  * the raw samples the reference emits (`prometheus.cpp:256-306` ships
+  * raw scrape samples; every production TSDB stacks resolution rollups
+  * on top of exactly that stream to serve month/year dashboards without
+  * touching raw data).
+  *
+  * A rollup row summarizes one (series, aligned time bucket): sample
+  * count, EXACT decimal sum (the cents convention every aggregate in
+  * this engine uses), min/max, and the first/last sample with its
+  * (ts, event_id) anchor — the anchors are what make rollups
+  * COMPOSABLE: a coarser rollup is a pure re-aggregation of a finer one
+  * (`cnt`/`sum` add, `min`/`max` nest, first/last ride their anchors),
+  * so compaction never re-reads raw events. [[DownsampleSpec]] pins the
+  * law `compact(rollup(fine), coarse) == rollup(coarse)` field-for-field
+  * and the registered p87 gate hash-checks the compacted output against
+  * a DuckDB oracle computed DIRECTLY from raw events.
+  *
+  * 100 TB design: one hash-aggregate shuffle over the events relation
+  * (map-side combine does the heavy lifting — output is
+  * series × buckets, a ~10⁴–10⁵× reduction on real telemetry densities);
+  * each further compaction level shuffles only the previous rollup.
+  * Serving: a dashboard whose window and step are bucket-aligned can
+  * evaluate sum/count/min/max panels from the rollup relation alone —
+  * the alignment requirement is exactly Thanos/M3's, and the p87 law is
+  * the proof the swap is lossless for aligned reads.
+  */
+object Downsample {
+
+  private val Key = Seq("name", "label_k", "label_instance", "kind")
+
+  // integer `div`, not double floor(/): µs epochs sit near 2^50 and the
+  // bucket arithmetic must stay exact
+  private def bucketCol(resS: Long): Column =
+    expr(s"(unix_micros(ts) div ${resS * 1000000L}) * $resS")
+      .cast("long").as("bucket_s")
+
+  /** The composition-carrying rollup: exact decimal `sum_dec` and the
+    * (ts_us, event_id) anchors of the first/last samples, which
+    * [[compact]] needs to re-aggregate losslessly. Not the serving
+    * face — [[rollup]] casts/projects for that.
+    */
+  private[graft] def rollupRaw(spark: SparkSession, dir: String,
+      resS: Long): DataFrame = {
+    require(resS > 0, "rollup resolution must be positive")
+    Metrics.metricEvents(spark, dir)
+      .withColumn("bucket_s", bucketCol(resS))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy((Key :+ "bucket_s").map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(38, 2))).as("sum_dec"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        expr("min_by(value, struct(ts_us, event_id))").as("vfirst"),
+        expr("min_by(struct(ts_us, event_id), struct(ts_us, event_id))")
+          .as("first_at"),
+        expr("max_by(value, struct(ts_us, event_id))").as("vlast"),
+        expr("max_by(struct(ts_us, event_id), struct(ts_us, event_id))")
+          .as("last_at"))
+  }
+
+  /** Re-aggregate a finer rollup to resolution `resS` (which must be a
+    * multiple of the finer resolution so fine buckets nest) — the
+    * compaction step: no raw events touched, every field composed from
+    * the finer summaries.
+    */
+  private[graft] def compact(roll: DataFrame, resS: Long): DataFrame = {
+    require(resS > 0, "compaction resolution must be positive")
+    roll
+      .withColumn("bucket_s",
+        expr(s"(bucket_s div $resS) * $resS").cast("long"))
+      .groupBy((Key :+ "bucket_s").map(col): _*)
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_dec")).as("sum_dec"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"),
+        expr("min_by(vfirst, first_at)").as("vfirst"),
+        expr("min_by(first_at, first_at)").as("first_at"),
+        expr("max_by(vlast, last_at)").as("vlast"),
+        expr("max_by(last_at, last_at)").as("last_at"))
+  }
+
+  /** The serving face of a rollup relation: exact sums surfaced as
+    * double (the engine-wide convention), anchors dropped.
+    */
+  private def serve(roll: DataFrame): DataFrame =
+    roll.select((Key :+ "bucket_s").map(col) ++ Seq(
+      col("cnt"),
+      col("sum_dec").cast("double").as("sum"),
+      col("vmin"), col("vmax"), col("vfirst"), col("vlast")): _*)
+      .orderBy((Key :+ "bucket_s").map(col): _*)
+
+  /** p86: the 1-hour rollup of every metric family. */
+  def rollup1h(spark: SparkSession, dir: String): DataFrame =
+    serve(rollupRaw(spark, dir, 3600L))
+
+  /** p87: the 1-day rollup produced BY COMPACTION of the 1-hour rollup
+    * — gated against an oracle that computes the day buckets directly
+    * from raw events, so the hash check IS the compaction-losslessness
+    * proof at corpus scale.
+    */
+  def compact1hTo1d(spark: SparkSession, dir: String): DataFrame =
+    serve(compact(rollupRaw(spark, dir, 3600L), 86400L))
+
+  private def rollupSql(resS: Long): String =
+    s"""WITH m AS (${Metrics.MetricEventsSql}),
+       |r AS (
+       |  SELECT name, label_k, label_instance, kind,
+       |    (epoch_us(ts) // ${resS}000000) * $resS AS bucket_s,
+       |    value, event_id, epoch_us(ts) AS ts_us
+       |  FROM m),
+       |f AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY name, label_k, label_instance, kind, bucket_s
+       |      ORDER BY ts_us, event_id) AS rn_a,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY name, label_k, label_instance, kind, bucket_s
+       |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+       |  FROM r)
+       |SELECT name, label_k, label_instance, kind, bucket_s,
+       |  COUNT(*) AS cnt,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum,
+       |  MIN(value) AS vmin, MAX(value) AS vmax,
+       |  MAX(CASE WHEN rn_a = 1 THEN value END) AS vfirst,
+       |  MAX(CASE WHEN rn_d = 1 THEN value END) AS vlast
+       |FROM f
+       |GROUP BY name, label_k, label_instance, kind, bucket_s
+       |ORDER BY name, label_k, label_instance, kind, bucket_s""".stripMargin
+
+  /** p86 oracle: the 1h rollup straight from raw events. */
+  val Rollup1hSql: String = rollupSql(3600L)
+
+  /** p87 oracle: the DAY buckets straight from raw events — the engine
+    * side answers by compacting the 1h rollup, so a hash match proves
+    * compaction loses nothing.
+    */
+  val Compact1dSql: String = rollupSql(86400L)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Downsample
+
+/** The downsampling/compaction laws:
+  *
+  *  1. compaction is lossless — `compact(rollup(1h), 1d)` equals the
+  *     day rollup computed straight from raw events, field for field
+  *     (exact decimal sums, anchored first/last included);
+  *  2. compaction CHAINS — hour → 2h → day equals hour → day equals
+  *     raw → day, so a rollup pyramid never re-reads raw events;
+  *  3. first/last anchors break ts ties on event_id, so the relation
+  *     is deterministic under any partitioning.
+  */
+class DownsampleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val H = 3600000L // ms/hour
+
+  private lazy val dir: String = fixture("events" -> Seq(
+    // hour 0 of day 0: three samples, two sharing a timestamp (the tie
+    // that must break on event_id for first/last)
+    ev(1, 0L, "purchase", 1.5, "a"),
+    ev(3, 600000L, "purchase", 2.0, "a"),
+    ev(2, 600000L, "purchase", 7.0, "a"),
+    // hour 5 of day 0, same series — second hour bucket, same day bucket
+    ev(4, 5 * H + 1000L, "purchase", 0.25, "a"),
+    // day 1, other label
+    ev(5, 24 * H, "purchase", 4.0, "b"),
+    ev(6, 26 * H + 30000L, "purchase", 1.0, "b"),
+    // gauge and histogram families ride the same rollup
+    ev(7, 3 * H, "signup", 10.0, "a"),
+    ev(8, 27 * H, "signup", 8.5, "a"),
+    ev(9, 2 * H, "error", 42.0, "b"),
+    ev(10, 50 * H, "error", 3.0, "b")
+  ).toDF(eventCols: _*))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("compacting the hour rollup to days equals the day rollup from raw events") {
+    val viaCompact = Downsample.compact(Downsample.rollupRaw(spark, dir, 3600L), 86400L)
+    val direct = Downsample.rollupRaw(spark, dir, 86400L)
+    assert(viaCompact.columns.toSeq === direct.columns.toSeq)
+    assert(rows(viaCompact) === rows(direct))
+    assert(rows(direct).nonEmpty)
+  }
+
+  test("compaction chains: 1h -> 2h -> 1d equals 1h -> 1d") {
+    val h1 = Downsample.rollupRaw(spark, dir, 3600L)
+    val chained = Downsample.compact(Downsample.compact(h1, 7200L), 86400L)
+    val oneHop = Downsample.compact(h1, 86400L)
+    assert(rows(chained) === rows(oneHop))
+  }
+
+  test("serving face: aligned buckets, exact sums, tie-broken anchors") {
+    val df = Downsample.rollup1h(spark, dir)
+    assert(df.columns.toSeq === Seq("name", "label_k", "label_instance",
+      "kind", "bucket_s", "cnt", "sum", "vmin", "vmax", "vfirst", "vlast"))
+    val out = df.as[(String, String, String, String, Long, Long, Double,
+      Double, Double, Double, Double)].collect()
+    assert(out.forall(_._5 % 3600 == 0), "bucket_s not hour-aligned")
+    assert(out.map(_._6).sum === 10L, "rollup must account for every event")
+    // hour-0 purchase/a: samples 1.5 (t=0, id 1), then the t=600s tie —
+    // id 2 value 7.0 before id 3 value 2.0; last is therefore id 3
+    val h0 = out.find(r => r._1 == "purchase" && r._2 == "a" && r._5 % 86400 == 0).get
+    assert(h0._6 === 3L)
+    assert(h0._7 === 10.5) // 1.5 + 2.0 + 7.0, exact in cents
+    assert(h0._8 === 1.5 && h0._9 === 7.0)
+    assert(h0._10 === 1.5, "first = earliest ts")
+    assert(h0._11 === 2.0, "last = latest (ts, event_id) = id 3")
+  }
+}
