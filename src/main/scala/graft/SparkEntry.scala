@@ -405,6 +405,11 @@ object SparkEntry {
     // compaction-losslessness proof
     "p86_downsample_1h" -> ((s, d) => Downsample.rollup1h(s, d)),
     "p87_downsample_compact" -> ((s, d) => Downsample.compact1hTo1d(s, d)),
+    // the panel face: 40 aligned 6h instants of trailing-1d increase
+    // per k, served from the rollup pyramid alone; the oracle reads
+    // raw events, so the hash match proves aligned rollup serving is
+    // lossless
+    "p88_rollup_panel" -> ((s, d) => Downsample.rollupPanel(s, d)),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -849,6 +854,7 @@ object SparkEntry {
     "p85_query_range_alerts" -> promql.Oracle.AlertStatesGridSql,
     "p86_downsample_1h" -> Downsample.Rollup1hSql,
     "p87_downsample_compact" -> Downsample.Compact1dSql,
+    "p88_rollup_panel" -> Downsample.RollupPanelSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

@@ -109,6 +109,66 @@ object Downsample {
   def compact1hTo1d(spark: SparkSession, dir: String): DataFrame =
     serve(compact(rollupRaw(spark, dir, 3600L), 86400L))
 
+  /** p88: a dashboard panel served ENTIRELY from the rollup pyramid —
+    * `sum by (k)` of the trailing-1d increase of `purchase` at the last
+    * 40 bucket-ALIGNED 6h instants, computed from
+    * `compact(rollup(1h), 6h)` bucket sums and one sliding window:
+    * raw events are never touched past the rollup build. The DuckDB
+    * oracle computes the same aligned windows straight from raw events,
+    * so the hash match proves rollup serving is lossless whenever
+    * window and step are bucket-aligned (the Thanos/M3 alignment rule,
+    * here as a gate instead of folklore).
+    *
+    * 100 TB shape: the panel's input is series × buckets (already
+    * ~10⁴–10⁵× smaller than raw), the lattice join is a broadcast of
+    * 43 indexes, and the window slides per label — cost is independent
+    * of raw event count once the rollup exists.
+    */
+  def rollupPanel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val res = 21600L
+    val r6 = compact(rollupRaw(spark, dir, 3600L), res)
+      .filter(col("name") === "purchase")
+      .groupBy(col("label_k"), col("bucket_s"))
+      .agg(sum(col("sum_dec")).as("_s"), sum(col("cnt")).as("_n"))
+      .withColumn("_b", expr(s"bucket_s div $res"))
+      .select(col("label_k"), col("_b"), col("_s"), col("_n"))
+    val bmax = r6.agg(max(col("_b")).as("_bmax"))
+    import spark.implicits._
+    // 40 output instants + 3 lookback buckets (window = 4 × 6h = 1d)
+    val lattice = r6.select(col("label_k")).distinct()
+      .crossJoin(broadcast(spark.range(0L, 43L).toDF("_j")))
+      .crossJoin(broadcast(bmax))
+      .select(col("label_k"), col("_j"),
+        (col("_bmax") - lit(42L) + col("_j")).as("_b"))
+    val w = Window.partitionBy(col("label_k")).orderBy(col("_b"))
+      .rowsBetween(-3, Window.currentRow)
+    lattice.join(r6, Seq("label_k", "_b"), "left")
+      .withColumn("_ws", sum(col("_s")).over(w))
+      .withColumn("_wn", sum(col("_n")).over(w))
+      .filter(col("_wn") > 0 && col("_j") >= 3)
+      .select(col("label_k"),
+        ((col("_b") + 1) * res).cast("long").as("t_s"),
+        col("_ws").cast("double").as("value"))
+      .orderBy(col("label_k"), col("t_s"))
+  }
+
+  /** p88 oracle: the same 40 aligned 6h instants, each window summed
+    * straight from raw events.
+    */
+  val RollupPanelSql: String =
+    s"""WITH m AS (${Metrics.MetricEventsSql}),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS bmax FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 39)) AS i)
+       |SELECT label_k, (t.bmax - i.i + 1) * 21600 AS t_s,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m, t, inst i
+       |WHERE name = 'purchase'
+       |  AND epoch_us(ts) >= (t.bmax - i.i - 3) * 21600000000
+       |  AND epoch_us(ts) <  (t.bmax - i.i + 1) * 21600000000
+       |GROUP BY label_k, i.i, t.bmax
+       |ORDER BY label_k, t_s""".stripMargin
+
   private def rollupSql(resS: Long): String =
     s"""WITH m AS (${Metrics.MetricEventsSql}),
        |r AS (

@@ -53,6 +53,30 @@ class DownsampleSpec extends SparkTestBase {
     assert(rows(chained) === rows(oneHop))
   }
 
+  test("rollup-served panel equals raw-window sums at aligned instants") {
+    import org.apache.spark.sql.functions._
+    val panel = Downsample.rollupPanel(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(panel.nonEmpty)
+    assert(panel.forall(_._2 % 21600 == 0), "panel instants not 6h-aligned")
+    // independently recompute each window straight from the fixture
+    val raw = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(get_json_object(col("props"), "$.k").as("k"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .as[(String, Long, Double)].collect()
+    panel.foreach { case (k, tS, v) =>
+      val lo = (tS - 86400L) * 1000000L
+      val hi = tS * 1000000L
+      val expect = raw.filter(r => r._1 == k && r._2 >= lo && r._2 < hi)
+        .map(r => BigDecimal(r._3).setScale(2)).sum
+      assert(BigDecimal(v).setScale(2) == expect, s"panel ($k, $tS)")
+    }
+    // windows with no samples emit nothing
+    assert(panel.forall(_._3 != 0.0d) ||
+      raw.isEmpty, "empty-window rows must be absent, not zero")
+  }
+
   test("serving face: aligned buckets, exact sums, tie-broken anchors") {
     val df = Downsample.rollup1h(spark, dir)
     assert(df.columns.toSeq === Seq("name", "label_k", "label_instance",
