@@ -25,8 +25,9 @@ object Api {
   }
 
   /** Evaluate `query` and render the instant-vector JSON envelope. */
-  def queryJson(spark: SparkSession, dir: String, query: String): String = {
-    val df = Engine.eval(spark, dir, query)
+  def queryJson(spark: SparkSession, dir: String, query: String,
+      nativeFamilies: Set[String] = Set.empty): String = {
+    val df = Engine.eval(spark, dir, query, nativeFamilies = nativeFamilies)
     val labelCols = df.columns.filter(_ != "value").toSeq
     val t = Compiler.instantSeconds(spark, dir)
     // one element per output series:

@@ -1,0 +1,143 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.promql.Api
+
+/** The Prometheus HTTP *query* API, served over the same zero-dependency
+  * JDK server as the `/metrics` pull endpoint ([[ScrapeEndpoint]]) — the
+  * read half of the wire contract whose write half the reference's
+  * Exposer carries (`/root/reference/prometheus.cpp:47,73`): a Grafana
+  * pointed at this port speaks to the engine like a Prometheus server.
+  *
+  *  - `GET /api/v1/query?query=<promql>` → instant vector envelope
+  *    ([[Api.queryJson]]);
+  *  - `GET /api/v1/query_range?query=…&start=…&end=…&step=…` → matrix
+  *    envelope ([[Api.queryRangeJson]] — dense-grid when the shape
+  *    allows, per-instant union otherwise);
+  *  - `GET /api/v1/series?match[]=<selector>`, `GET /api/v1/labels`,
+  *    `GET /api/v1/label/<name>/values` → the metadata endpoints.
+  *
+  * Handlers evaluate Spark plans synchronously (the cached adapter
+  * relations make repeat queries cheap); compose-time errors surface as
+  * Prometheus's own error envelope
+  * `{"status":"error","errorType":"bad_data","error":…}` with HTTP 400,
+  * so clients see exactly the upstream failure shape. Timestamps accept
+  * integer or decimal epoch seconds (the API's numeric form); `step`
+  * additionally accepts a PromQL duration literal like `6h`.
+  */
+object QueryEndpoint {
+
+  val ContentType = "application/json; charset=utf-8"
+
+  private val DurationRe = "([0-9]+)(ms|s|m|h|d|w|y)".r
+
+  /** Epoch seconds from the API's numeric form (integer or decimal —
+    * fractions floor, matching the engine's integer-second anchoring).
+    */
+  private def epochS(s: String): Long = java.lang.Double.parseDouble(s).toLong
+
+  private def stepS(s: String): Long = s match {
+    case DurationRe(n, u) =>
+      val mult = u match {
+        case "ms" => 0L // sub-second steps floor to 0 and fail loud below
+        case "s" => 1L
+        case "m" => 60L
+        case "h" => 3600L
+        case "d" => 86400L
+        case "w" => 7L * 86400L
+        case "y" => 365L * 86400L
+      }
+      n.toLong * mult
+    case other => epochS(other)
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&').toSeq
+      .filter(_.nonEmpty)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def errorBody(msg: String): String =
+    s"""{"status":"error","errorType":"bad_data","error":"${jsonEscape(msg)}"}"""
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ContentType)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handler(f: HttpExchange => String): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try respond(ex, 200, f(ex))
+        catch {
+          case e: Exception =>
+            respond(ex, 400, errorBody(Option(e.getMessage).getOrElse(
+              e.getClass.getSimpleName)))
+        }
+    }
+
+  private def required(p: Map[String, String], k: String): String =
+    p.getOrElse(k, throw new IllegalArgumentException(
+      s"missing required parameter '$k'"))
+
+  /** Start the query API for `(spark, dir)` on `port` (0 = ephemeral).
+    * `nativeFamilies` routes those histogram families through the
+    * native sparse-bucket plans, like [[Api.queryRangeJson]].
+    */
+  def start(spark: SparkSession, dir: String, port: Int = 0,
+      nativeFamilies: Set[String] = Set.empty): HttpServer = {
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/api/v1/query_range", handler { ex =>
+      val p = params(ex)
+      Api.queryRangeJson(spark, dir, required(p, "query"),
+        epochS(required(p, "start")), epochS(required(p, "end")),
+        stepS(required(p, "step")), nativeFamilies)
+    })
+    server.createContext("/api/v1/query", handler { ex =>
+      // createContext is prefix-matched, so /api/v1/query_range has its
+      // own (longer) context above; reject other suffixes here
+      if (ex.getRequestURI.getPath != "/api/v1/query")
+        throw new IllegalArgumentException(
+          s"unknown endpoint ${ex.getRequestURI.getPath}")
+      Api.queryJson(spark, dir, required(params(ex), "query"), nativeFamilies)
+    })
+    server.createContext("/api/v1/series", handler { ex =>
+      Api.seriesJson(spark, dir, required(params(ex), "match[]"))
+    })
+    server.createContext("/api/v1/labels", handler { _ =>
+      Api.labelsJson(spark, dir)
+    })
+    server.createContext("/api/v1/label", handler { ex =>
+      ex.getRequestURI.getPath.split('/') match {
+        case Array("", "api", "v1", "label", name, "values") =>
+          Api.labelValuesJson(spark, dir, name)
+        case _ => throw new IllegalArgumentException(
+          s"unknown endpoint ${ex.getRequestURI.getPath}")
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    server
+  }
+}
