@@ -410,6 +410,9 @@ object SparkEntry {
     // raw events, so the hash match proves aligned rollup serving is
     // lossless
     "p88_rollup_panel" -> ((s, d) => Downsample.rollupPanel(s, d)),
+    // the gauge face of the pyramid: LWW at each aligned instant from
+    // the rollups' anchored vlast fields (as-of union trick)
+    "p89_rollup_gauge" -> ((s, d) => Downsample.gaugePanel(s, d)),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -855,6 +858,7 @@ object SparkEntry {
     "p86_downsample_1h" -> Downsample.Rollup1hSql,
     "p87_downsample_compact" -> Downsample.Compact1dSql,
     "p88_rollup_panel" -> Downsample.RollupPanelSql,
+    "p89_rollup_gauge" -> Downsample.GaugePanelSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

@@ -127,13 +127,18 @@ object Downsample {
   def rollupPanel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val res = 21600L
-    val r6 = compact(rollupRaw(spark, dir, 3600L), res)
+    val all = compact(rollupRaw(spark, dir, 3600L), res)
+    val r6 = all
       .filter(col("name") === "purchase")
       .groupBy(col("label_k"), col("bucket_s"))
       .agg(sum(col("sum_dec")).as("_s"), sum(col("cnt")).as("_n"))
       .withColumn("_b", expr(s"bucket_s div $res"))
       .select(col("label_k"), col("_b"), col("_s"), col("_n"))
-    val bmax = r6.agg(max(col("_b")).as("_bmax"))
+    // the panel anchors on the CORPUS's last bucket (all families), the
+    // evaluation-instant convention every query shares — anchoring on
+    // the panel family alone would silently shift the grid whenever the
+    // corpus's last event belongs to another family
+    val bmax = all.agg(max(expr(s"bucket_s div $res")).as("_bmax"))
     import spark.implicits._
     // 40 output instants + 3 lookback buckets (window = 4 × 6h = 1d)
     val lattice = r6.select(col("label_k")).distinct()
@@ -152,6 +157,62 @@ object Downsample {
         col("_ws").cast("double").as("value"))
       .orderBy(col("label_k"), col("t_s"))
   }
+
+  /** p89: the GAUGE panel from the pyramid — last-write-wins `signup`
+    * per series at the last 40 aligned 6h instants, from rollup
+    * `vlast`/anchor fields alone: the per-bucket last sample is already
+    * anchored, later buckets strictly out-anchor earlier ones, so the
+    * running LWW is one `last(ignoreNulls)` window over the series'
+    * bucket rows unioned with 40 probe rows (the as-of union trick —
+    * probe at bucket b reads every sample through b's end, i.e.
+    * strictly before `t_s = (b+1)·res`). Series emit nothing before
+    * their first sample, like the instant vector.
+    */
+  def gaugePanel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val res = 21600L
+    val all = compact(rollupRaw(spark, dir, 3600L), res)
+    val keys = Seq("name", "label_k", "label_instance")
+    val bmax = all.agg(max(expr(s"bucket_s div $res")).as("_bmax"))
+    val s = all.filter(col("name") === "signup")
+      .withColumn("_b", expr(s"bucket_s div $res"))
+      .select(keys.map(col) :+ col("_b") :+ col("vlast") :+
+        lit(0).as("_probe"): _*)
+    import spark.implicits._
+    val probes = s.select(keys.map(col): _*).distinct()
+      .crossJoin(broadcast(spark.range(0L, 40L).toDF("_j")))
+      .crossJoin(broadcast(bmax))
+      .select(keys.map(col) :+ (col("_bmax") - col("_j")).as("_b") :+
+        lit(null).cast("double").as("vlast") :+ lit(1).as("_probe"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_b"), col("_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.unionByName(probes)
+      .withColumn("_v", last(col("vlast"), ignoreNulls = true).over(w))
+      .filter(col("_probe") === 1 && col("_v").isNotNull)
+      .select(keys.map(col) :+ ((col("_b") + 1) * res).cast("long").as("t_s") :+
+        col("_v").as("value"): _*)
+      .orderBy((keys :+ "t_s").map(col): _*)
+  }
+
+  /** p89 oracle: per aligned instant, the latest raw `signup` sample
+    * strictly before the instant, (ts, event_id)-tie-broken.
+    */
+  val GaugePanelSql: String =
+    s"""WITH m AS (${Metrics.MetricEventsSql}),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS bmax FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 39)) AS i),
+       |r AS (
+       |  SELECT m.name, m.label_k, m.label_instance,
+       |    (t.bmax - i.i + 1) * 21600 AS t_s, m.value,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY m.name, m.label_k, m.label_instance, i.i
+       |      ORDER BY m.ts DESC, m.event_id DESC) AS rn
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'signup'
+       |    AND epoch_us(m.ts) < (t.bmax - i.i + 1) * 21600000000)
+       |SELECT name, label_k, label_instance, t_s, value FROM r WHERE rn = 1
+       |ORDER BY name, label_k, label_instance, t_s""".stripMargin
 
   /** p88 oracle: the same 40 aligned 6h instants, each window summed
     * straight from raw events.

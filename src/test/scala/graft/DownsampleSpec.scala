@@ -77,6 +77,29 @@ class DownsampleSpec extends SparkTestBase {
       raw.isEmpty, "empty-window rows must be absent, not zero")
   }
 
+  test("gauge panel from rollups equals raw last-write-wins at aligned instants") {
+    import org.apache.spark.sql.functions._
+    val panel = Downsample.gaugePanel(spark, dir)
+      .as[(String, String, String, Long, Double)].collect()
+    assert(panel.nonEmpty)
+    assert(panel.forall(_._4 % 21600 == 0))
+    val raw = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(get_json_object(col("props"), "$.k").as("k"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("value"), col("event_id"))
+      .as[(String, Long, Long, Double, Long)].collect()
+    panel.foreach { case (_, k, inst, tS, v) =>
+      val cands = raw.filter(r => r._1 == k && s"i${r._2 % 4}" == inst &&
+        r._3 < tS * 1000000L)
+      assert(cands.nonEmpty, s"panel emitted before first sample ($k, $tS)")
+      val expect = cands.maxBy(r => (r._3, r._5))._4
+      assert(v === expect, s"gauge panel ($k, $inst, $tS)")
+    }
+    // (instants before a series' first sample are absent, not
+    // null/zero — the cands.nonEmpty assertion above is that law)
+  }
+
   test("serving face: aligned buckets, exact sums, tie-broken anchors") {
     val df = Downsample.rollup1h(spark, dir)
     assert(df.columns.toSeq === Seq("name", "label_k", "label_instance",
