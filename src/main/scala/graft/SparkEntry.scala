@@ -413,6 +413,10 @@ object SparkEntry {
     // the gauge face of the pyramid: LWW at each aligned instant from
     // the rollups' anchored vlast fields (as-of union trick)
     "p89_rollup_gauge" -> ((s, d) => Downsample.gaugePanel(s, d)),
+    // the HISTOGRAM face: windowed histogram_quantile per aligned
+    // instant from compacted per-le bucket rollups — the pyramid now
+    // serves all three sample kinds; oracle reads raw events
+    "p90_rollup_histogram" -> ((s, d) => Downsample.histogramPanel(s, d)),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -859,6 +863,7 @@ object SparkEntry {
     "p87_downsample_compact" -> Downsample.Compact1dSql,
     "p88_rollup_panel" -> Downsample.RollupPanelSql,
     "p89_rollup_gauge" -> Downsample.GaugePanelSql,
+    "p90_rollup_histogram" -> Downsample.HistogramPanelSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

@@ -230,6 +230,153 @@ object Downsample {
        |GROUP BY label_k, i.i, t.bmax
        |ORDER BY label_k, t_s""".stripMargin
 
+  // ——— the HISTOGRAM level of the pyramid ———————————————————————————
+  //
+  // The third sample kind (`prometheus.cpp:256-306`) rolls up as
+  // per-(series, time bucket, le) CUMULATIVE bucket counts — integers,
+  // so they sum across time buckets and the compaction law carries
+  // over verbatim: cum_count(le) over a coarse bucket is the sum of the
+  // fine buckets' cum_counts, because every observation contributes to
+  // the same fixed set of `le` rows regardless of when it arrived.
+  // That makes windowed `histogram_quantile` servable from the pyramid:
+  // the panel's per-instant bucket ladder is a sliding SUM of rollup
+  // rows, never a re-read of raw observations.
+
+  /** Per-(series, bucket, le) cumulative counts at resolution `resS`,
+    * plus the per-bucket observation total `cnt` (repeated on each `le`
+    * row of a group — constant within the group, so it re-aggregates by
+    * the same `sum` as the counts).
+    */
+  private[graft] def histRollupRaw(spark: SparkSession, dir: String,
+      resS: Long): DataFrame = {
+    require(resS > 0, "rollup resolution must be positive")
+    Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "histogram")
+      .withColumn("bucket_s", bucketCol(resS))
+      .crossJoin(broadcast(Metrics.bucketBounds(spark)))
+      .groupBy((Key :+ "bucket_s" :+ "le").map(col): _*)
+      .agg(
+        sum(when(col("value") <= col("le"), 1L).otherwise(0L)).as("cum_count"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Histogram compaction: pure re-aggregation of a finer histogram
+    * rollup — the fine buckets nest, the integer counts add.
+    */
+  private[graft] def histCompact(roll: DataFrame, resS: Long): DataFrame = {
+    require(resS > 0, "compaction resolution must be positive")
+    roll
+      .withColumn("bucket_s",
+        expr(s"(bucket_s div $resS) * $resS").cast("long"))
+      .groupBy((Key :+ "bucket_s" :+ "le").map(col): _*)
+      .agg(sum(col("cum_count")).as("cum_count"), sum(col("cnt")).as("cnt"))
+  }
+
+  /** p90: the p99-style LATENCY PANEL served entirely from the
+    * histogram pyramid — `histogram_quantile(0.9, sum by (k)
+    * (increase(error[1d])))` at the last 40 bucket-aligned 6h instants,
+    * computed from `histCompact(histRollup(1h), 6h)` bucket ladders and
+    * one sliding window per (k, le); raw observations are never touched
+    * past the rollup build. The DuckDB oracle computes the same aligned
+    * windows and the same interpolation straight from raw events, so
+    * the hash match extends the p87/p88 losslessness proof to the third
+    * sample kind — the full pyramid now serves all three.
+    *
+    * 100 TB shape: rollup input is series × buckets × 7 les (still
+    * ~10⁴× smaller than raw observation counts on real latency
+    * densities), the lattice join broadcasts 43 indexes per (k, le),
+    * the quantile is two windows over 7-row ladders. Panel cost is
+    * independent of raw event count once the pyramid exists.
+    */
+  def histogramPanel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val res = 21600L
+    val phi = 0.9
+    // anchor on the CORPUS's last bucket (all families) — the shared
+    // evaluation-instant convention (see rollupPanel)
+    val bmax = rollupRaw(spark, dir, 3600L)
+      .agg(max(expr(s"(bucket_s div $res)")).as("_bmax"))
+    val h6 = histCompact(histRollupRaw(spark, dir, 3600L), res)
+      .filter(col("name") === "error")
+      .groupBy(col("label_k"), col("bucket_s"), col("le"))
+      .agg(sum(col("cum_count")).as("_c"), sum(col("cnt")).as("_n"))
+      .withColumn("_b", expr(s"bucket_s div $res"))
+      .select(col("label_k"), col("_b"), col("le"), col("_c"), col("_n"))
+    import spark.implicits._
+    // 40 output instants + 3 lookback buckets (window = 4 × 6h = 1d)
+    val lattice = h6.select(col("label_k"), col("le")).distinct()
+      .crossJoin(broadcast(spark.range(0L, 43L).toDF("_j")))
+      .crossJoin(broadcast(bmax))
+      .select(col("label_k"), col("le"), col("_j"),
+        (col("_bmax") - lit(42L) + col("_j")).as("_b"))
+    val w = Window.partitionBy(col("label_k"), col("le")).orderBy(col("_b"))
+      .rowsBetween(-3, Window.currentRow)
+    // _wn is identical across the 7 le rows of an instant (the rollup
+    // emits the full ladder for any bucket with >= 1 observation), so
+    // the instant filter below drops WHOLE ladders, never partial ones
+    val windowed = lattice.join(h6, Seq("label_k", "_b", "le"), "left")
+      .withColumn("_wc", sum(col("_c")).over(w))
+      .withColumn("_wn", sum(col("_n")).over(w))
+      .filter(col("_wn") > 0 && col("_j") >= 3)
+    // classic histogram_quantile per (k, instant) — the same fused
+    // single-pass construction as PromQL.histogramQuantile
+    val wq = Window.partitionBy(col("label_k"), col("_b")).orderBy(col("le"))
+    val part = Window.partitionBy(col("label_k"), col("_b"))
+    val ranked = windowed
+      .withColumn("rank", lit(phi) * col("_wn").cast("double"))
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(wq), lit(0.0)))
+      .withColumn("prev_cum", coalesce(lag(col("_wc"), 1).over(wq), lit(0L)))
+      .withColumn("max_le", max(col("le")).over(part))
+      .withColumn("max_cum", max(col("_wc")).over(part))
+    val overflowRow = col("le") === col("max_le") &&
+      col("rank") > col("max_cum").cast("double")
+    val inBucketRow = col("_wc") >= col("rank") && col("prev_cum") < col("rank")
+    ranked
+      .filter(inBucketRow || overflowRow)
+      .select(col("label_k"),
+        ((col("_b") + 1) * res).cast("long").as("t_s"),
+        when(overflowRow, col("max_le"))
+          .otherwise(col("prev_le") + (col("le") - col("prev_le"))
+            * (col("rank") - col("prev_cum").cast("double"))
+            / (col("_wc") - col("prev_cum")).cast("double")).as("value"))
+      .orderBy(col("label_k"), col("t_s"))
+  }
+
+  /** p90 oracle: the same aligned 1d windows at the last 40 6h
+    * instants, bucket ladder and interpolation computed DIRECTLY from
+    * raw events.
+    */
+  val HistogramPanelSql: String =
+    s"""WITH m AS (${Metrics.MetricEventsSql}),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS bmax FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 39)) AS i),
+       |b AS (${Metrics.BucketBoundsSql}),
+       |w AS (
+       |  SELECT m.label_k, (t.bmax - i.i + 1) * 21600 AS t_s, b.le,
+       |    SUM(CASE WHEN m.value <= b.le THEN 1 ELSE 0 END) AS wc,
+       |    COUNT(*) AS wn
+       |  FROM m, t, inst i, b
+       |  WHERE m.kind = 'histogram' AND m.name = 'error'
+       |    AND epoch_us(m.ts) >= (t.bmax - i.i - 3) * 21600000000
+       |    AND epoch_us(m.ts) <  (t.bmax - i.i + 1) * 21600000000
+       |  GROUP BY m.label_k, i.i, t.bmax, b.le),
+       |r AS (
+       |  SELECT label_k, t_s, le, wc,
+       |    0.9 * CAST(wn AS DOUBLE) AS rank,
+       |    COALESCE(LAG(le) OVER (PARTITION BY label_k, t_s ORDER BY le), 0.0) AS prev_le,
+       |    COALESCE(LAG(wc) OVER (PARTITION BY label_k, t_s ORDER BY le), 0) AS prev_cum,
+       |    MAX(le) OVER (PARTITION BY label_k, t_s) AS max_le,
+       |    MAX(wc) OVER (PARTITION BY label_k, t_s) AS max_cum
+       |  FROM w)
+       |SELECT label_k, t_s,
+       |  prev_le + (le - prev_le) * (rank - CAST(prev_cum AS DOUBLE))
+       |    / CAST(wc - prev_cum AS DOUBLE) AS value
+       |FROM r WHERE wc >= rank AND prev_cum < rank
+       |UNION ALL
+       |SELECT label_k, t_s, max_le AS value
+       |FROM r WHERE le = max_le AND rank > CAST(max_cum AS DOUBLE)
+       |ORDER BY label_k, t_s""".stripMargin
+
   private def rollupSql(resS: Long): String =
     s"""WITH m AS (${Metrics.MetricEventsSql}),
        |r AS (

@@ -241,12 +241,12 @@ object Metrics {
     * `prometheus.cpp:111-113,264-269`) as a 7-row DataFrame. Always on
     * the broadcast side of joins.
     */
-  private def bucketBounds(spark: SparkSession): DataFrame = {
+  private[graft] def bucketBounds(spark: SparkSession): DataFrame = {
     import spark.implicits._
     MetricEvent.Buckets.toDF("le")
   }
 
-  private val BucketBoundsSql: String =
+  private[graft] val BucketBoundsSql: String =
     "SELECT * FROM (VALUES (1.0),(5.0),(10.0),(25.0),(50.0),(100.0),(150.0)) b(le)"
 
   /** A4 `Prometheus.Histogram` snapshot: cumulative `le`-bucket counts

@@ -46,6 +46,45 @@ object MetricStream {
       .select(col("window.start").as("window_start"), col("name"),
         col("label_k"), col("total"), col("n"))
 
+  /** Streaming maintenance of the downsampling pyramid's finest level
+    * ([[graft.operators.Downsample]]): per-(series, aligned 1h window)
+    * rollup rows with the SAME composition-carrying fields as the batch
+    * `rollupRaw` — count, exact decimal sum, min/max, and
+    * (ts_us, event_id)-anchored first/last. Grouping on the event-time
+    * window keeps watermark eviction live (state for closed buckets is
+    * dropped), and `window()`'s epoch alignment is exactly the batch
+    * tier's `ts div res` bucketing, so closed streaming buckets are
+    * bit-identical to batch rollup rows — StreamingSpec pins
+    * stream ≡ batch field-for-field. That makes the pyramid
+    * maintainable incrementally at ingest: coarser levels compact from
+    * this output ([[graft.operators.Downsample.compact]]) without ever
+    * re-reading raw events. 100 TB shape: one watermarked streaming
+    * aggregate; state ∝ open buckets × series, not events.
+    */
+  def streamingRollup(events: DataFrame,
+      watermark: String = "2 minutes"): DataFrame =
+    Metrics.metricEventsOf(events)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+        col("name"), col("label_k"), col("label_instance"), col("kind"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+          .as("sum_dec"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        expr("min_by(value, struct(ts_us, event_id))").as("vfirst"),
+        expr("min_by(struct(ts_us, event_id), struct(ts_us, event_id))")
+          .as("first_at"),
+        expr("max_by(value, struct(ts_us, event_id))").as("vlast"),
+        expr("max_by(struct(ts_us, event_id), struct(ts_us, event_id))")
+          .as("last_at"))
+      .select(col("name"), col("label_k"), col("label_instance"), col("kind"),
+        unix_seconds(col("window.start")).as("bucket_s"),
+        col("cnt"), col("sum_dec"), col("vmin"), col("vmax"),
+        col("vfirst"), col("first_at"), col("vlast"), col("last_at"))
+
   /** Running all-time counter totals per series via keyed state — the
     * direct analog of the registry's accumulating counter cells
     * (`prometheus.cpp:34-36,212`): state never resets, one row per

@@ -100,6 +100,52 @@ class DownsampleSpec extends SparkTestBase {
     // null/zero — the cands.nonEmpty assertion above is that law)
   }
 
+  test("histogram compaction is lossless and chains, like the scalar levels") {
+    val viaCompact = Downsample.histCompact(
+      Downsample.histRollupRaw(spark, dir, 3600L), 86400L)
+    val direct = Downsample.histRollupRaw(spark, dir, 86400L)
+    assert(viaCompact.columns.toSeq === direct.columns.toSeq)
+    assert(rows(viaCompact) === rows(direct))
+    assert(rows(direct).nonEmpty)
+    val chained = Downsample.histCompact(
+      Downsample.histCompact(Downsample.histRollupRaw(spark, dir, 3600L), 7200L),
+      86400L)
+    assert(rows(chained) === rows(direct))
+  }
+
+  test("histogram panel from rollups equals raw-window quantiles at aligned instants") {
+    import org.apache.spark.sql.functions._
+    val panel = Downsample.histogramPanel(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(panel.nonEmpty)
+    assert(panel.forall(_._2 % 21600 == 0), "panel instants not 6h-aligned")
+    val bounds = graft.model.MetricEvent.Buckets
+    val raw = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(get_json_object(col("props"), "$.k").as("k"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .as[(String, Long, Double)].collect()
+    panel.foreach { case (k, tS, v) =>
+      val lo = (tS - 86400L) * 1000000L
+      val hi = tS * 1000000L
+      val obs = raw.filter(r => r._1 == k && r._2 >= lo && r._2 < hi)
+      assert(obs.nonEmpty, s"panel emitted for an empty window ($k, $tS)")
+      val rank = 0.9 * obs.length
+      val cums = bounds.map(le => (le, obs.count(_._3 <= le).toLong))
+      val expect =
+        if (rank > cums.last._2.toDouble) bounds.last
+        else {
+          val i = cums.indexWhere(_._2 >= rank)
+          val (le, cum) = cums(i)
+          val (prevLe, prevCum) =
+            if (i == 0) (0.0, 0L) else cums(i - 1)
+          prevLe + (le - prevLe) * (rank - prevCum.toDouble) /
+            (cum - prevCum).toDouble
+        }
+      assert(v === expect, s"histogram panel ($k, $tS)")
+    }
+  }
+
   test("serving face: aligned buckets, exact sums, tie-broken anchors") {
     val df = Downsample.rollup1h(spark, dir)
     assert(df.columns.toSeq === Seq("name", "label_k", "label_instance",

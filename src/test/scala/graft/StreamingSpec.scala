@@ -190,6 +190,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming rollup maintains the pyramid's 1h level bit-identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000L
+    val rows = Seq(
+      ev(1, 0L, "purchase", 1.5, "a"),
+      ev(3, 600000L, "purchase", 2.0, "a"),
+      ev(2, 600000L, "purchase", 7.0, "a"), // the (ts, event_id) tie
+      ev(4, 5 * H + 1000L, "purchase", 0.25, "a"),
+      ev(5, 2 * H, "error", 42.0, "b"),
+      ev(6, 3 * H, "signup", 10.0, "a"))
+    // far-future sentinels advance the watermark so every fixture
+    // bucket CLOSES (append mode emits only closed windows); their own
+    // open bucket is excluded from the law below
+    val sentinels = Seq(ev(98, 100 * H, "click", 1.0, "z"),
+      ev(99, 101 * H, "click", 1.0, "z"))
+    val dir = fixture("events" -> (rows ++ sentinels).toDF(eventCols: _*))
+    val mem = MemoryStream[RawEvent]
+    val out = graft.streaming.MetricStream.streamingRollup(mem.toDF(), "2 minutes")
+    val q = out.writeStream.format("memory").queryName("roll_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def re(t: (Long, java.sql.Timestamp, Long, String, Double, String)) =
+        RawEvent(t._1, t._2, t._3, t._4, t._5, t._6)
+      // out-of-order delivery across micro-batches: the hour-0 tie
+      // arrives split, the hour-5 sample arrives before hour-2's
+      mem.addData(re(rows(0)), re(rows(1)))
+      q.processAllAvailable()
+      mem.addData(re(rows(3)), re(rows(2)), re(rows(4)), re(rows(5)))
+      q.processAllAvailable()
+      mem.addData(re(sentinels(0)))
+      q.processAllAvailable()
+      mem.addData(re(sentinels(1)))
+      q.processAllAvailable()
+      val streamed = spark.table("roll_stream")
+        .filter(org.apache.spark.sql.functions.col("name") =!= "click")
+      val batch = graft.operators.Downsample.rollupRaw(spark, dir, 3600L)
+        .filter(org.apache.spark.sql.functions.col("name") =!= "click")
+      assert(streamed.columns.toSeq === batch.columns.toSeq)
+      val sRows = streamed.collect().map(_.toSeq).toSet
+      val bRows = batch.collect().map(_.toSeq).toSet
+      assert(sRows === bRows)
+      assert(bRows.nonEmpty)
+      // the streamed level feeds compaction exactly like the batch one:
+      // coarser pyramid levels never re-read raw events
+      val cS = graft.operators.Downsample.compact(streamed, 86400L)
+        .collect().map(_.toSeq).toSet
+      val cB = graft.operators.Downsample.compact(batch, 86400L)
+        .collect().map(_.toSeq).toSet
+      assert(cS === cB)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
