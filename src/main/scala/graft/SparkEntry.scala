@@ -417,6 +417,9 @@ object SparkEntry {
     // instant from compacted per-le bucket rollups — the pyramid now
     // serves all three sample kinds; oracle reads raw events
     "p90_rollup_histogram" -> ((s, d) => Downsample.histogramPanel(s, d)),
+    // the NATIVE sparse-bucket face: the same panel under the 3.x
+    // dispatch, from compacted nh-cell rollups + the det_exp2 walk
+    "p91_rollup_native_hq" -> ((s, d) => Downsample.nativeHistogramPanel(s, d)),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -864,6 +867,7 @@ object SparkEntry {
     "p88_rollup_panel" -> Downsample.RollupPanelSql,
     "p89_rollup_gauge" -> Downsample.GaugePanelSql,
     "p90_rollup_histogram" -> Downsample.HistogramPanelSql,
+    "p91_rollup_native_hq" -> promql.Oracle.RollupNativeHqSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

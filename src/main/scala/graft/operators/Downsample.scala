@@ -342,6 +342,150 @@ object Downsample {
       .orderBy(col("label_k"), col("t_s"))
   }
 
+  // ——— the NATIVE-histogram level of the pyramid ————————————————————
+  //
+  // The sparse exponential-bucket sample kind (Prometheus 3.x) rolls
+  // up exactly like the classic ladder: per-(series, time bucket,
+  // nh-bucket) observation counts plus a per-(series, time bucket)
+  // totals row (count, zero-count) — all integers, so compaction is
+  // summation and the p87 losslessness law carries over. The quantile
+  // walk then runs on windowed ladder sums, with the same compose-time
+  // literal bounds + deterministic det_exp2 interpolation the instant
+  // plan uses (`promql/Compiler.nativeHistogramQuantile`), so the
+  // pyramid-served panel hash-gates end to end.
+
+  /** Totals face: per-(series, bucket) observation count + zero count. */
+  private[graft] def nhTotRollupRaw(spark: SparkSession, dir: String,
+      resS: Long): DataFrame = {
+    require(resS > 0, "rollup resolution must be positive")
+    Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "histogram")
+      .withColumn("bucket_s", bucketCol(resS))
+      .groupBy((Key :+ "bucket_s").map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("value") === 0.0, 1L).otherwise(0L)).as("zero"))
+  }
+
+  /** Sparse-bucket face: per-(series, bucket, nh-bucket) counts over
+    * the shared literal bounds (scalar bucketization — no range join;
+    * out-of-range values drop here but stay in the totals, mirroring
+    * the instant plan).
+    */
+  private[graft] def nhBkRollupRaw(spark: SparkSession, dir: String,
+      resS: Long): DataFrame = {
+    require(resS > 0, "rollup resolution must be positive")
+    Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "histogram")
+      .filter(col("value") > Metrics.NhLoMin && col("value") <= Metrics.NhHiMax)
+      .withColumn("bucket_s", bucketCol(resS))
+      .withColumn("bucket", Metrics.nhBucketCol(col("value")))
+      .groupBy((Key :+ "bucket_s" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  private[graft] def nhTotCompact(roll: DataFrame, resS: Long): DataFrame =
+    roll.withColumn("bucket_s", expr(s"(bucket_s div $resS) * $resS").cast("long"))
+      .groupBy((Key :+ "bucket_s").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("zero")).as("zero"))
+
+  private[graft] def nhBkCompact(roll: DataFrame, resS: Long): DataFrame =
+    roll.withColumn("bucket_s", expr(s"(bucket_s div $resS) * $resS").cast("long"))
+      .groupBy((Key :+ "bucket_s" :+ "bucket").map(col): _*)
+      .agg(sum(col("c")).as("c"))
+
+  /** p91: the NATIVE-histogram panel served from the pyramid —
+    * `histogram_quantile(0.9, sum by (k) (rate(error[1d])))` under the
+    * 3.x sparse-bucket dispatch at the last 40 aligned 6h instants,
+    * computed from compacted nh rollups and two sliding windows
+    * (totals + per-nh-bucket ladders); interpolation via the
+    * deterministic det_exp2 walk. The oracle re-derives every windowed
+    * sketch straight from raw observations, so the hash match extends
+    * the pyramid-losslessness proof to the native sample kind — with
+    * p86–p90 the pyramid now serves counter, gauge, classic AND native
+    * histogram panels.
+    *
+    * 100 TB shape: nh rollup rows ∝ series × buckets × occupied
+    * nh-cells (sparse — the value dynamic range bounds cells/series);
+    * the panel windows slide over rollup rows only, and the pick is a
+    * row_number over ~tens of candidate cells per instant.
+    */
+  def nativeHistogramPanel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val res = 21600L
+    val phi = 0.9
+    val bmax = rollupRaw(spark, dir, 3600L)
+      .agg(max(expr(s"(bucket_s div $res)")).as("_bmax"))
+    import spark.implicits._
+    val grid = broadcast(spark.range(0L, 43L).toDF("_j"))
+
+    // totals per (k, instant): sliding 4-bucket window on the compacted
+    // totals rollup
+    val tot6 = nhTotCompact(nhTotRollupRaw(spark, dir, 3600L), res)
+      .filter(col("name") === "error")
+      .groupBy(col("label_k"), col("bucket_s"))
+      .agg(sum(col("cnt")).as("_n"), sum(col("zero")).as("_z"))
+      .withColumn("_b", expr(s"bucket_s div $res"))
+      .select(col("label_k"), col("_b"), col("_n"), col("_z"))
+    val totLattice = tot6.select(col("label_k")).distinct()
+      .crossJoin(grid).crossJoin(broadcast(bmax))
+      .select(col("label_k"), col("_j"),
+        (col("_bmax") - lit(42L) + col("_j")).as("_b"))
+    val wt = Window.partitionBy(col("label_k")).orderBy(col("_b"))
+      .rowsBetween(-3, Window.currentRow)
+    val tot = totLattice.join(tot6, Seq("label_k", "_b"), "left")
+      .withColumn("cnt", sum(col("_n")).over(wt))
+      .withColumn("zero", sum(col("_z")).over(wt))
+      .filter(col("cnt") > 0 && col("_j") >= 3)
+      .select(col("label_k"), col("_b"), col("cnt"), col("zero"))
+
+    // nh-bucket ladder per (k, instant): sliding window per (k, cell)
+    val bk6 = nhBkCompact(nhBkRollupRaw(spark, dir, 3600L), res)
+      .filter(col("name") === "error")
+      .groupBy(col("label_k"), col("bucket_s"), col("bucket"))
+      .agg(sum(col("c")).as("_c"))
+      .withColumn("_b", expr(s"bucket_s div $res"))
+      .select(col("label_k"), col("_b"), col("bucket"), col("_c"))
+    val bkLattice = bk6.select(col("label_k"), col("bucket")).distinct()
+      .crossJoin(grid).crossJoin(broadcast(bmax))
+      .select(col("label_k"), col("bucket"), col("_j"),
+        (col("_bmax") - lit(42L) + col("_j")).as("_b"))
+    val wb = Window.partitionBy(col("label_k"), col("bucket")).orderBy(col("_b"))
+      .rowsBetween(-3, Window.currentRow)
+    val bk = bkLattice.join(bk6, Seq("label_k", "_b", "bucket"), "left")
+      .withColumn("c", sum(col("_c")).over(wb))
+      .filter(col("c") > 0 && col("_j") >= 3)
+      .join(broadcast(Metrics.nhBoundsDf(spark).select(col("bucket"), col("hi"))),
+        Seq("bucket"))
+      .select(col("label_k"), col("_b"), col("bucket"), col("c"), col("hi"))
+
+    // the instant plan's pick/interpolate, keyed by (k, instant)
+    val wq = Window.partitionBy(col("label_k"), col("_b")).orderBy(col("bucket"))
+    val bw = bk.withColumn("cumc", sum(col("c")).over(wq))
+    val bstats = bw.groupBy(col("label_k"), col("_b")).agg(max(col("hi")).as("last_hi"))
+    val picked = bw.join(tot, Seq("label_k", "_b"))
+      .withColumn("rank", lit(phi) * col("cnt").cast("double"))
+      .filter(col("rank") > col("zero").cast("double") &&
+        col("rank") <= (col("zero") + col("cumc")).cast("double"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .withColumn("f",
+        (col("rank") - (col("zero") + col("cumc") - col("c")).cast("double"))
+          / col("c").cast("double"))
+      .withColumn("xq",
+        ((col("bucket") - lit(1)).cast("double") + col("f")) / lit(8.0))
+      .select(col("label_k"), col("_b"),
+        graft.plans.DetMathExprs.detExp2(spark, "xq").as("_qv"))
+    tot.join(picked, Seq("label_k", "_b"), "left")
+      .join(bstats, Seq("label_k", "_b"), "left")
+      .select(col("label_k"),
+        ((col("_b") + 1) * res).cast("long").as("t_s"),
+        when(lit(phi) * col("cnt").cast("double") <= col("zero").cast("double"),
+          lit(0.0))
+          .when(col("_qv").isNotNull, col("_qv"))
+          .otherwise(col("last_hi")).as("value"))
+      .orderBy(col("label_k"), col("t_s"))
+  }
+
   /** p90 oracle: the same aligned 1d windows at the last 40 6h
     * instants, bucket ladder and interpolation computed DIRECTLY from
     * raw events.

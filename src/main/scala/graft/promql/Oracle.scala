@@ -341,6 +341,25 @@ object Oracle {
           |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
           |    AND epoch_us(m.ts) >  t.t_us - (240 - i.i) * 21600000000 - 172800000000""".stripMargin))
 
+  /** p91: the pyramid-served NATIVE panel — the same 1d windows at the
+    * last 40 bucket-ALIGNED 6h instants the p88/p90 panels use, sketch
+    * and det_exp2 walk re-derived straight from raw observations; the
+    * engine side answers from compacted nh rollups
+    * ([[graft.operators.Downsample.nativeHistogramPanel]]), so the hash
+    * match proves native-histogram pyramid serving lossless.
+    */
+  val RollupNativeHqSql: String =
+    nativeHistogramQuantileTwin("", gCols = Seq("label_k", "t_s"),
+      wCte = Some(
+        """SELECT m.label_k,
+          |    (ta.bmax - i.i + 1) * 21600 AS t_s,
+          |    m.value
+          |  FROM m, (SELECT MAX(epoch_us(ts)) // 21600000000 AS bmax FROM m) ta,
+          |       (SELECT unnest(generate_series(0, 39)) AS i) i
+          |  WHERE m.name = 'error'
+          |    AND epoch_us(m.ts) >= (ta.bmax - i.i - 3) * 21600000000
+          |    AND epoch_us(m.ts) <  (ta.bmax - i.i + 1) * 21600000000""".stripMargin))
+
   /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
     * the 240×6h grid — the subquery inner evaluates once on the shared
     * 6h lattice, each outer step takes the max over its 4 trailing

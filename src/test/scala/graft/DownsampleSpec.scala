@@ -113,6 +113,24 @@ class DownsampleSpec extends SparkTestBase {
     assert(rows(chained) === rows(direct))
   }
 
+  test("native-histogram rollups compact losslessly (totals and sparse cells)") {
+    val totVia = Downsample.nhTotCompact(
+      Downsample.nhTotRollupRaw(spark, dir, 3600L), 86400L)
+    val totDirect = Downsample.nhTotRollupRaw(spark, dir, 86400L)
+    assert(rows(totVia) === rows(totDirect))
+    val bkVia = Downsample.nhBkCompact(
+      Downsample.nhBkRollupRaw(spark, dir, 3600L), 86400L)
+    val bkDirect = Downsample.nhBkRollupRaw(spark, dir, 86400L)
+    assert(rows(bkVia) === rows(bkDirect))
+    assert(rows(bkDirect).nonEmpty)
+    // the native panel emits only at aligned instants with observations
+    val panel = Downsample.nativeHistogramPanel(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(panel.nonEmpty)
+    assert(panel.forall(_._2 % 21600 == 0))
+    assert(panel.forall(_._3 > 0.0))
+  }
+
   test("histogram panel from rollups equals raw-window quantiles at aligned instants") {
     import org.apache.spark.sql.functions._
     val panel = Downsample.histogramPanel(spark, dir)
