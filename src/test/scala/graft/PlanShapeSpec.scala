@@ -465,4 +465,18 @@ class PlanShapeSpec extends SparkTestBase {
       assert(p.contains("InMemoryTableScan"), s"$name re-scans the events parquet")
     }
   }
+
+  test("p88/p90/p91: pyramid panels slide windows over rollups; lattices broadcast; no cartesian") {
+    for (name <- Seq("p88_rollup_panel", "p90_rollup_histogram",
+        "p91_rollup_native_hq")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), name)
+      assert(p.contains("Window"), s"$name lost the sliding rollup window")
+      // the 43-instant lattice and the 1-row bucket anchor are
+      // constant-size broadcast relations at any corpus scale
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$name lattice join not broadcast")
+      assert(!p.contains("Union"), s"$name degenerated to per-instant branches")
+    }
+  }
 }
