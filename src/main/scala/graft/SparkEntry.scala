@@ -143,6 +143,12 @@ object SparkEntry {
     "b13b_vector_or" -> ((s, d) => PromQL.vectorOr(s, d)),
     "b23_label_functions" -> ((s, d) => PromQL.labelFunctions(s, d)),
     "a1d_exposition_parse" -> ((s, d) => PromQL.expositionParse(s, d)),
+    // OpenMetrics 1.0: the same snapshot as the successor exposition
+    // format — TYPE headers, _total counters, the full histogram
+    // ladder with le="+Inf" and per-bucket exemplars, one payload row
+    // ending "# EOF" — and its parse back to typed rows
+    "a1e_openmetrics_text" -> ((s, d) => PromQL.openMetricsText(s, d)),
+    "a1f_openmetrics_parse" -> ((s, d) => PromQL.openMetricsParse(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -770,6 +776,8 @@ object SparkEntry {
     "b13b_vector_or" -> PromQL.VectorOrSql,
     "b23_label_functions" -> PromQL.LabelFunctionsSql,
     "a1d_exposition_parse" -> PromQL.ExpositionParseSql,
+    "a1e_openmetrics_text" -> PromQL.OpenMetricsTextSql,
+    "a1f_openmetrics_parse" -> PromQL.OpenMetricsParseSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -1000,6 +1000,253 @@ object PromQL {
     s"WITH lines AS ($ExpositionTextSql)\n$body"
   }
 
+  /** A1-OpenMetrics: the SAME registry snapshot rendered as an
+    * OpenMetrics 1.0 payload (the successor exposition format the
+    * reference's prometheus-cpp pull endpoint predates): `# TYPE`
+    * headers per family, counter samples under the `_total` suffix,
+    * gauges plain, histograms as the full ladder — `_bucket` lines
+    * with cumulative counts INCLUDING the mandatory `le="+Inf"` row,
+    * `_sum`/`_count` — and per-bucket EXEMPLARS (`# {event_id="…"} v`):
+    * the last observation landing in each non-cumulative bucket,
+    * (ts, event_id)-anchored like every last-sample in this engine.
+    * The whole payload is ONE row ending in `# EOF`, assembled by
+    * sorting the (family, series, position) line relation — the
+    * collect is O(lines) = O(#series × ladder), the registry bound the
+    * reference itself carries, same as the serving sink. Values render
+    * from integer cents; counts render as bare integers — pure
+    * integer/string ops, so the DuckDB twin's bytes are identical and
+    * the payload hash-gates.
+    */
+  def openMetricsText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def rend(cents: Column): Column = concat(
+      (cents.cast("long") / 100).cast("long").cast("string"), lit("."),
+      lpad((cents.cast("long") % 100).cast("string"), 2, "0"))
+    val m = Metrics.metricEvents(spark, dir)
+    // counters: snapshot totals under `_total`
+    val cSnap = counterCents(spark, dir)
+      .groupBy(series: _*).agg(sum(col("cents")).as("cents"))
+    val cLines = cSnap.select(col("name").as("fam"), col("label_k"),
+      lit(10).as("ord"),
+      concat(col("name"), lit("_total{k=\""), col("label_k"), lit("\"} "),
+        rend(col("cents"))).as("line"))
+    // gauges: last-write-wins, plain name
+    val wg = Window.partitionBy(col("name"), col("label_k"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val gSnap = m.filter(col("kind") === "gauge")
+      .withColumn("rn", row_number().over(wg)).filter(col("rn") === 1)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+    val gLines = gSnap.select(col("name").as("fam"), col("label_k"),
+      lit(10).as("ord"),
+      concat(col("name"), lit("{k=\""), col("label_k"), lit("\"} "),
+        rend(col("cents"))).as("line"))
+    // histograms: ladder + exemplars from bucketed observations
+    val h = m.filter(col("kind") === "histogram")
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val bounds = graft.model.MetricEvent.Buckets
+    val bounds2 = bounds.zip(0.0 +: bounds.init).zipWithIndex
+      .map { case ((le, lo), i) => (i + 1, lo, le) }
+      .toDF("bidx", "lo", "le")
+    val leStr = concat(col("le").cast("long").cast("string"), lit(".0"))
+    val cum = h.crossJoin(broadcast(bounds2.select(col("bidx"), col("le"))))
+      .groupBy(col("name"), col("label_k"), col("bidx"), col("le"))
+      .agg(sum(when(col("value") <= col("le"), 1L).otherwise(0L)).as("cum"))
+    val ex = h.join(broadcast(bounds2),
+        col("value") > col("lo") && col("value") <= col("le"))
+      .groupBy(col("name"), col("label_k"), col("bidx"))
+      .agg(expr("max_by(cents, struct(ts_us, event_id))").as("ex_cents"),
+        expr("max_by(event_id, struct(ts_us, event_id))").as("ex_id"))
+    val bLines = cum.join(ex, Seq("name", "label_k", "bidx"), "left")
+      .select(col("name").as("fam"), col("label_k"),
+        (lit(10) + col("bidx")).as("ord"),
+        concat(col("name"), lit("_bucket{k=\""), col("label_k"),
+          lit("\",le=\""), leStr, lit("\"} "), col("cum").cast("string"),
+          when(col("ex_id").isNotNull,
+            concat(lit(" # {event_id=\""), col("ex_id").cast("string"),
+              lit("\"} "), rend(col("ex_cents")))).otherwise(lit("")))
+          .as("line"))
+    val tot = h.groupBy(series: _*)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val infLines = tot.select(col("name").as("fam"), col("label_k"),
+      lit(50).as("ord"),
+      concat(col("name"), lit("_bucket{k=\""), col("label_k"),
+        lit("\",le=\"+Inf\"} "), col("n").cast("string")).as("line"))
+    val sumLines = tot.select(col("name").as("fam"), col("label_k"),
+      lit(51).as("ord"),
+      concat(col("name"), lit("_sum{k=\""), col("label_k"), lit("\"} "),
+        rend(col("sum_cents"))).as("line"))
+    val cntLines = tot.select(col("name").as("fam"), col("label_k"),
+      lit(52).as("ord"),
+      concat(col("name"), lit("_count{k=\""), col("label_k"), lit("\"} "),
+        col("n").cast("string")).as("line"))
+    // TYPE headers (label_k = "" sorts before every series block)
+    def types(src: DataFrame, kind: String): DataFrame =
+      src.select(col("name")).distinct()
+        .select(col("name").as("fam"), lit("").as("label_k"),
+          lit(0).as("ord"),
+          concat(lit("# TYPE "), col("name"), lit(s" $kind")).as("line"))
+    val lines = Seq(
+      types(cSnap, "counter"), cLines,
+      types(gSnap, "gauge"), gLines,
+      types(tot, "histogram"), bLines, infLines, sumLines, cntLines)
+      .reduce(_ unionByName _)
+    lines
+      .select(struct(col("fam"), col("label_k"), col("ord"), col("line")).as("s"))
+      .agg(collect_list(col("s")).as("ss"))
+      .select(concat(
+        array_join(transform(array_sort(col("ss")), s => s("line")), "\n"),
+        lit("\n# EOF")).as("payload"))
+  }
+
+  /** Shared cents→string rendering for the DuckDB twin. */
+  private def rendSql(cents: String): String =
+    s"CAST($cents // 100 AS VARCHAR) || '.' || lpad(CAST($cents % 100 AS VARCHAR), 2, '0')"
+
+  val OpenMetricsTextSql: String = {
+    val bounds = graft.model.MetricEvent.Buckets
+    val bounds2 = bounds.zip(0.0 +: bounds.init).zipWithIndex
+      .map { case ((le, lo), i) => s"(${i + 1}, $lo, $le)" }.mkString(",")
+    s"""WITH m AS ($MetricEventsSql),
+       |c AS (SELECT name, label_k, SUM(cents) AS cents
+       |      FROM ($CounterCentsSql) GROUP BY name, label_k),
+       |g AS (SELECT name, label_k,
+       |        CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |      FROM (SELECT *, ROW_NUMBER() OVER (
+       |              PARTITION BY name, label_k
+       |              ORDER BY ts DESC, event_id DESC) AS rn
+       |            FROM m WHERE kind = 'gauge') WHERE rn = 1),
+       |h AS (SELECT name, label_k, value,
+       |        CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |        epoch_us(ts) AS ts_us, event_id
+       |      FROM m WHERE kind = 'histogram'),
+       |b2 AS (SELECT * FROM (VALUES $bounds2) b(bidx, lo, le)),
+       |cum AS (
+       |  SELECT h.name, h.label_k, b2.bidx, b2.le,
+       |    SUM(CASE WHEN h.value <= b2.le THEN 1 ELSE 0 END) AS cum
+       |  FROM h CROSS JOIN b2 GROUP BY h.name, h.label_k, b2.bidx, b2.le),
+       |ex AS (
+       |  SELECT name, label_k, bidx, cents AS ex_cents, event_id AS ex_id
+       |  FROM (SELECT h.*, b2.bidx, ROW_NUMBER() OVER (
+       |          PARTITION BY h.name, h.label_k, b2.bidx
+       |          ORDER BY h.ts_us DESC, h.event_id DESC) AS rn
+       |        FROM h JOIN b2 ON h.value > b2.lo AND h.value <= b2.le)
+       |  WHERE rn = 1),
+       |tot AS (SELECT name, label_k, COUNT(*) AS n, SUM(cents) AS sum_cents
+       |        FROM h GROUP BY name, label_k),
+       |lines AS (
+       |  SELECT name AS fam, '' AS label_k, 0 AS ord,
+       |    '# TYPE ' || name || ' counter' AS line
+       |  FROM (SELECT DISTINCT name FROM c)
+       |  UNION ALL
+       |  SELECT name, label_k, 10,
+       |    name || '_total{k="' || label_k || '"} ' || ${rendSql("cents")}
+       |  FROM c
+       |  UNION ALL
+       |  SELECT name, '', 0, '# TYPE ' || name || ' gauge'
+       |  FROM (SELECT DISTINCT name FROM g)
+       |  UNION ALL
+       |  SELECT name, label_k, 10,
+       |    name || '{k="' || label_k || '"} ' || ${rendSql("cents")}
+       |  FROM g
+       |  UNION ALL
+       |  SELECT name, '', 0, '# TYPE ' || name || ' histogram'
+       |  FROM (SELECT DISTINCT name FROM tot)
+       |  UNION ALL
+       |  SELECT cum.name, cum.label_k, 10 + cum.bidx,
+       |    cum.name || '_bucket{k="' || cum.label_k || '",le="'
+       |      || CAST(CAST(cum.le AS BIGINT) AS VARCHAR) || '.0"} '
+       |      || CAST(cum.cum AS VARCHAR)
+       |      || COALESCE(' # {event_id="' || CAST(ex.ex_id AS VARCHAR)
+       |           || '"} ' || ${rendSql("ex.ex_cents")}, '')
+       |  FROM cum LEFT JOIN ex ON ex.name = cum.name
+       |    AND ex.label_k = cum.label_k AND ex.bidx = cum.bidx
+       |  UNION ALL
+       |  SELECT name, label_k, 50,
+       |    name || '_bucket{k="' || label_k || '",le="+Inf"} '
+       |      || CAST(n AS VARCHAR)
+       |  FROM tot
+       |  UNION ALL
+       |  SELECT name, label_k, 51,
+       |    name || '_sum{k="' || label_k || '"} ' || ${rendSql("sum_cents")}
+       |  FROM tot
+       |  UNION ALL
+       |  SELECT name, label_k, 52,
+       |    name || '_count{k="' || label_k || '"} ' || CAST(n AS VARCHAR)
+       |  FROM tot)
+       |SELECT string_agg(line, chr(10)
+       |         ORDER BY fam, label_k, ord, line) || chr(10) || '# EOF'
+       |  AS payload
+       |FROM lines""".stripMargin
+  }
+
+  /** A1-OpenMetrics-parse: the ingest half — split the payload back
+    * into typed rows (family, suffix, label, le, value, exemplar).
+    * Comment/EOF lines drop; sample lines parse with plain string
+    * surgery (suffix by `ends_with` on the pre-`{` base, fields by
+    * anchored regex) — both engines run the identical steps over the
+    * identical bytes, so the round-trip hash-gates like a1d.
+    */
+  def openMetricsParse(spark: SparkSession, dir: String): DataFrame = {
+    val base = regexp_extract(col("line"), "^([a-z_]+)\\{", 1)
+    def suf(s: String): Column = base.endsWith(s)
+    val re = "^[a-z_]+\\{k=\"([^\"]*)\"(?:,le=\"([^\"]*)\")?\\} ([0-9.]+)" +
+      "(?: # \\{event_id=\"([0-9]+)\"\\} ([0-9.]+))?$"
+    openMetricsText(spark, dir)
+      .select(explode(split(col("payload"), "\n")).as("line"))
+      .filter(!col("line").startsWith("#"))
+      .select(
+        when(suf("_total"), regexp_replace(base, "_total$", ""))
+          .when(suf("_bucket"), regexp_replace(base, "_bucket$", ""))
+          .when(suf("_sum"), regexp_replace(base, "_sum$", ""))
+          .when(suf("_count"), regexp_replace(base, "_count$", ""))
+          .otherwise(base).as("name"),
+        when(suf("_total"), "total").when(suf("_bucket"), "bucket")
+          .when(suf("_sum"), "sum").when(suf("_count"), "count")
+          .otherwise(lit("gauge")).as("suffix"),
+        regexp_extract(col("line"), re, 1).as("label_k"),
+        nullif(regexp_extract(col("line"), re, 2), lit("")).as("le"),
+        regexp_extract(col("line"), re, 3).cast("double").as("value"),
+        nullif(regexp_extract(col("line"), re, 4), lit("")).cast("long")
+          .as("exemplar_id"),
+        nullif(regexp_extract(col("line"), re, 5), lit("")).cast("double")
+          .as("exemplar_value"))
+      .orderBy(col("name"), col("suffix"), col("label_k"), col("le"))
+  }
+
+  val OpenMetricsParseSql: String = {
+    val re = """^[a-z_]+\{k="([^"]*)"(?:,le="([^"]*)")?\} ([0-9.]+)""" +
+      """(?: # \{event_id="([0-9]+)"\} ([0-9.]+))?$"""
+    // stripMargin BEFORE splicing OpenMetricsTextSql (its rendered body
+    // has lines beginning with `||` — see ExpositionParseSql)
+    val body =
+      s"""ln AS (SELECT unnest(string_split(payload, chr(10))) AS line FROM om),
+       |s AS (SELECT line,
+       |        regexp_extract(line, '^([a-z_]+)\\{', 1) AS base
+       |      FROM ln WHERE line NOT LIKE '#%'),
+       |p AS (SELECT line,
+       |  CASE WHEN ends_with(base, '_total') THEN regexp_replace(base, '_total$$', '')
+       |       WHEN ends_with(base, '_bucket') THEN regexp_replace(base, '_bucket$$', '')
+       |       WHEN ends_with(base, '_sum') THEN regexp_replace(base, '_sum$$', '')
+       |       WHEN ends_with(base, '_count') THEN regexp_replace(base, '_count$$', '')
+       |       ELSE base END AS name,
+       |  CASE WHEN ends_with(base, '_total') THEN 'total'
+       |       WHEN ends_with(base, '_bucket') THEN 'bucket'
+       |       WHEN ends_with(base, '_sum') THEN 'sum'
+       |       WHEN ends_with(base, '_count') THEN 'count'
+       |       ELSE 'gauge' END AS suffix
+       |  FROM s)
+       |SELECT p.name, p.suffix,
+       |  regexp_extract(p.line, '$re', 1) AS label_k,
+       |  nullif(regexp_extract(p.line, '$re', 2), '') AS le,
+       |  CAST(regexp_extract(p.line, '$re', 3) AS DOUBLE) AS value,
+       |  CAST(nullif(regexp_extract(p.line, '$re', 4), '') AS BIGINT) AS exemplar_id,
+       |  CAST(nullif(regexp_extract(p.line, '$re', 5), '') AS DOUBLE) AS exemplar_value
+       |FROM p
+       |ORDER BY name, suffix, label_k, le""".stripMargin
+    s"WITH om AS ($OpenMetricsTextSql),\n$body"
+  }
+
   /** B-session: gap-based sessionization of the event stream per user —
     * Spark's native `session_window` (30-minute inactivity gap), the
     * batch twin of the streaming session-window operator (SURVEY.md §2.3

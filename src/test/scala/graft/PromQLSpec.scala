@@ -9,6 +9,47 @@ class PromQLSpec extends SparkTestBase {
   import spark.implicits._
 
 
+  test("OpenMetrics payload: format laws and exemplar anchoring") {
+    val H = 3600000L
+    val dir = fixture("events" -> Seq(
+      ev(1, 0L, "purchase", 1.5, "a"),
+      ev(2, H, "purchase", 2.0, "a"),
+      ev(3, 0L, "signup", 10.0, "a"),
+      ev(4, H, "signup", 7.25, "a"), // LWW winner
+      // two error observations in the le=5.0 bucket; the later one
+      // (id 6) must be the exemplar
+      ev(5, 0L, "error", 3.0, "b"),
+      ev(6, H, "error", 4.5, "b"),
+      ev(7, H, "error", 999.0, "b") // beyond the last finite bucket
+    ).toDF(eventCols: _*))
+    val payload = PromQL.openMetricsText(spark, dir)
+      .as[String].collect().head
+    val lines = payload.split("\n")
+    assert(lines.last === "# EOF")
+    // every family's TYPE header precedes its first sample line
+    for (fam <- Seq("purchase", "signup", "error")) {
+      val t = lines.indexWhere(_.startsWith(s"# TYPE $fam "))
+      val s = lines.indexWhere(l => l.startsWith(fam) && !l.startsWith("# "))
+      assert(t >= 0 && s > t, s"$fam TYPE header not before samples")
+    }
+    assert(lines.contains("purchase_total{k=\"a\"} 3.50"))
+    assert(lines.contains("signup{k=\"a\"} 7.25"))
+    // ladder: cumulative counts, exemplar = last obs IN the bucket,
+    // +Inf row = total count, _count counts the overflow obs too
+    assert(lines.contains(
+      "error_bucket{k=\"b\",le=\"5.0\"} 2 # {event_id=\"6\"} 4.50"))
+    assert(lines.contains("error_bucket{k=\"b\",le=\"1.0\"} 0"))
+    assert(lines.contains("error_bucket{k=\"b\",le=\"+Inf\"} 3"))
+    assert(lines.contains("error_count{k=\"b\"} 3"))
+    assert(lines.contains("error_sum{k=\"b\"} 1006.50"))
+    // the parse side round-trips the exemplar and the +Inf row
+    val parsed = PromQL.openMetricsParse(spark, dir)
+      .where($"suffix" === "bucket" && $"le" === "5.0")
+      .select("exemplar_id", "exemplar_value")
+      .as[(Option[Long], Option[Double])].collect()
+    assert(parsed.toSeq === Seq((Some(6L), Some(4.5))))
+  }
+
   test("histogram_quantile interpolates linearly inside the target bucket") {
     // 10 observations uniform in (0,1]: all in the first bucket (le=1.0).
     // rank = 0.9*10 = 9; first bucket cum=10, prev_cum=0, prev_le=0
