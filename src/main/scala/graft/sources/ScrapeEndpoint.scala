@@ -30,6 +30,12 @@ object ScrapeEndpoint {
 
   val ContentType = "text/plain; version=0.0.4; charset=utf-8"
 
+  /** OpenMetrics 1.0 content type, served when the scraper negotiates
+    * it (Prometheus sends exactly this Accept value since 2.5).
+    */
+  val OpenMetricsContentType =
+    "application/openmetrics-text; version=1.0.0; charset=utf-8"
+
   /** Render the registry snapshot as exposition text: one sorted
     * `name{k="v"} intpart.fraction2` line per series, trailing newline.
     * Cents rendering matches a1c: pure integer/string ops, so the same
@@ -43,6 +49,28 @@ object ScrapeEndpoint {
     lines.mkString("", "\n", if (lines.nonEmpty) "\n" else "")
   }
 
+  /** The same registry snapshot as an OpenMetrics 1.0 payload — the
+    * format a modern Prometheus negotiates via
+    * `Accept: application/openmetrics-text`: `# TYPE` header per
+    * family, counter samples under the `_total` suffix, terminating
+    * `# EOF\n`. The renderer contract matches the oracle-gated a1e
+    * query ([[graft.operators.PromQL.openMetricsText]]) — cents
+    * rendering, family-then-series sort — restricted to the counter
+    * families the serving sink publishes.
+    */
+  def renderOpenMetrics(): String = {
+    val ss = ExpositionRegistry.series()
+    val fams = ss.groupBy(_.name).toSeq.sortBy(_._1)
+    val blocks = fams.map { case (fam, ts) =>
+      val lines = ts.map { t =>
+        val cents = Math.round(t.total * 100.0)
+        s"""${t.name}_total{k="${t.label_k}"} ${cents / 100}.${"%02d".format(cents % 100)}"""
+      }.sorted
+      (s"# TYPE $fam counter" +: lines).mkString("\n")
+    }
+    blocks.mkString("", "\n", if (blocks.nonEmpty) "\n# EOF\n" else "# EOF\n")
+  }
+
   /** Start the pull endpoint on `port` (0 = ephemeral; read the bound
     * port from the returned server). GET `/metrics` serves the
     * snapshot; anything else 404s, exactly like the reference's single
@@ -53,8 +81,12 @@ object ScrapeEndpoint {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     server.createContext("/metrics", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val body = renderText().getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        ex.getResponseHeaders.set("Content-Type", ContentType)
+        val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+        val om = accept.contains("application/openmetrics-text")
+        val text = if (om) renderOpenMetrics() else renderText()
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type",
+          if (om) OpenMetricsContentType else ContentType)
         ex.sendResponseHeaders(200, body.length.toLong)
         val os = ex.getResponseBody
         try os.write(body) finally os.close()

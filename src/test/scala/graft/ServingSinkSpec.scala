@@ -69,6 +69,28 @@ class ServingSinkSpec extends SparkTestBase {
       // the payload parses with the engine's own a1d regex contract
       val re = "^(\\w+)\\{k=\"([^\"]*)\"\\} (.+)$".r
       body.linesIterator.foreach(l => assert(re.findFirstIn(l).isDefined, l))
+      // content negotiation: an OpenMetrics Accept header switches the
+      // wire to the 1.0 format — TYPE headers, _total suffix, # EOF —
+      // exactly what a modern Prometheus scraper negotiates
+      def getOm(path: String): (Int, String, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestProperty("Accept",
+          "application/openmetrics-text;version=1.0.0,text/plain;q=0.5")
+        val code = conn.getResponseCode
+        val ct = Option(conn.getContentType).getOrElse("")
+        val b = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        conn.disconnect()
+        (code, ct, b)
+      }
+      val (omCode, omCt, omBody) = getOm("/metrics")
+      assert(omCode === 200)
+      assert(omCt === ScrapeEndpoint.OpenMetricsContentType)
+      assert(omBody ===
+        "# TYPE click counter\nclick_total{k=\"a\"} 8.25\n" +
+        "click_total{k=\"b\"} 2.50\n# TYPE purchase counter\n" +
+        "purchase_total{k=\"a\"} 10.00\n# EOF\n")
     } finally {
       server.stop(0)
       ExpositionRegistry.clear()
