@@ -426,6 +426,11 @@ object SparkEntry {
     // the NATIVE sparse-bucket face: the same panel under the 3.x
     // dispatch, from compacted nh-cell rollups + the det_exp2 walk
     "p91_rollup_native_hq" -> ((s, d) => Downsample.nativeHistogramPanel(s, d)),
+    // the alignment-rule ROUTER: a PromQL query_range string served
+    // from the pyramid automatically when shape + alignment allow
+    "p92_pyramid_router" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "sum by (k) (rate(purchase[2d]))", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -876,6 +881,7 @@ object SparkEntry {
     "p89_rollup_gauge" -> Downsample.GaugePanelSql,
     "p90_rollup_histogram" -> Downsample.HistogramPanelSql,
     "p91_rollup_native_hq" -> promql.Oracle.RollupNativeHqSql,
+    "p92_pyramid_router" -> promql.Oracle.PyramidRateSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

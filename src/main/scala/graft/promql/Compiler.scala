@@ -138,11 +138,11 @@ object Compiler {
   /** Every label column of the series key, in canonical order. */
   private val SeriesKey: Seq[String] = Seq("name", "label_k", "label_instance")
 
-  private def labelCol(l: String): String =
+  private[graft] def labelCol(l: String): String =
     LabelUniverse.getOrElse(l, fail(s"unknown label '$l' (series carry labels " +
       s"${LabelUniverse.keys.toSeq.sorted.mkString("'", "', '", "'")})"))
 
-  private def matcherFilter(ms: Seq[Matcher]): Column =
+  private[graft] def matcherFilter(ms: Seq[Matcher]): Column =
     ms.filterNot(_.label == "__name__") // resolved statically, see nameFilter
       .foldLeft(lit(true)) { (acc, m) =>
       val c = col(labelCol(m.label))
@@ -243,7 +243,7 @@ object Compiler {
   /** The evaluation instant T in epoch seconds (serving layer: reads the
     * cached 1-row aggregate, not a new scan).
     */
-  private[promql] def instantSeconds(spark: SparkSession, dir: String): Double =
+  private[graft] def instantSeconds(spark: SparkSession, dir: String): Double =
     instantDf(spark, dir).head().getLong(0) / 1e6
 
   /** Compile `ast` evaluated `shiftS` seconds BEFORE the corpus instant
@@ -3209,7 +3209,7 @@ object StreamCompiler {
     case _ => fail(s"unknown label '$l' (series carry labels 'instance', 'k')")
   }
 
-  private def matcherFilter(ms: Seq[Matcher]): Column =
+  private[graft] def matcherFilter(ms: Seq[Matcher]): Column =
     ms.foldLeft(lit(true)) { (acc, m) =>
       val c = col(labelCol(m.label))
       acc && (m.op match {

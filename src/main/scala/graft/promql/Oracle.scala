@@ -360,6 +360,25 @@ object Oracle {
           |    AND epoch_us(m.ts) >= (ta.bmax - i.i - 3) * 21600000000
           |    AND epoch_us(m.ts) <  (ta.bmax - i.i + 1) * 21600000000""".stripMargin))
 
+  /** p92: the pyramid ROUTER — `sum by (k) (rate(purchase[2d]))` at
+    * 240 aligned 6h instants under the pyramid window convention
+    * (`[t−W, t)`, see [[Pyramid]]), windows computed straight from raw
+    * events; the engine answers from compacted rollups, so the hash
+    * match proves the routed answer exact at corpus scale.
+    */
+  val PyramidRateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i)
+       |SELECT m.label_k, (t.ebi - i.i) * 21600 AS t_s,
+       |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) / 172800.0 AS value
+       |FROM m, t, inst i
+       |WHERE m.name = 'purchase'
+       |  AND epoch_us(m.ts) >= ((t.ebi - i.i) * 21600 - 172800) * 1000000
+       |  AND epoch_us(m.ts) <  (t.ebi - i.i) * 21600 * 1000000
+       |GROUP BY m.label_k, i.i, t.ebi
+       |ORDER BY label_k, t_s""".stripMargin
+
   /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
     * the 240×6h grid — the subquery inner evaluates once on the shared
     * 6h lattice, each outer step takes the max over its 4 trailing

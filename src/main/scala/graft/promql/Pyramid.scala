@@ -1,0 +1,143 @@
+package graft.promql
+
+import graft.model.MetricEvent
+import graft.operators.Downsample
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The ALIGNMENT-RULE ROUTER: serve `query_range` from the rollup
+  * pyramid ([[graft.operators.Downsample]]) when the query shape and
+  * the grid's alignment allow it — the automatic form of the rule the
+  * p88/p90/p91 panels prove by hash gate ("aligned windows serve
+  * losslessly from rollups", the Thanos/M3 downsampling contract).
+  *
+  * Servable shapes: `increase(counter[W])` / `rate(counter[W])`, bare
+  * or under `sum [by (labels)]`, with any label matchers (the rollup
+  * relation carries the full series key, so B1 matchers filter rollup
+  * rows directly). Alignment: W, step, and every grid instant must be
+  * multiples of a rollup resolution (the largest of 1d/6h/2h/1h that
+  * divides all three is used, so coarser panels read fewer rows).
+  *
+  * Window convention — the one divergence from the raw paths, stated
+  * loud: a rollup bucket holds samples in `[b·res, (b+1)·res)`, so a
+  * pyramid-served window at instant `t` is the half-open `[t−W, t)`,
+  * while PromQL's range selector is `(t−W, t]`. The two agree on every
+  * sample that does not sit EXACTLY on an aligned boundary epoch;
+  * [[graft.PyramidRouterSpec]] pins bit-equality with the dense-grid
+  * path off-boundary AND the documented divergence for a
+  * boundary-landing sample. The p92 gate hash-checks the router
+  * end-to-end against a raw-events oracle under the pyramid
+  * convention, so the routed answer itself is exact at corpus scale.
+  *
+  * 100 TB shape: the router's input is the compacted rollup relation
+  * (series × buckets — the raw event count is already gone), the
+  * instant lattice is a broadcast range, and each series costs one
+  * sliding window. An unservable shape or unaligned grid returns
+  * `None` and the caller falls through to the dense-grid path over
+  * raw events — serving never silently changes semantics.
+  */
+object Pyramid {
+
+  private val Resolutions = Seq(86400L, 21600L, 7200L, 3600L)
+
+  /** Route `ast` at the `[startS, endS] × stepS` grid through the
+    * pyramid, or `None` when the shape/alignment forbids it. Output
+    * matches the dense-grid relation contract: `labels… :+ t_s :+
+    * value`, ordered by the caller.
+    */
+  def rangeEval(spark: SparkSession, dir: String, ast: Ast,
+      startS: Long, endS: Long, stepS: Long): Option[DataFrame] = {
+    require(stepS > 0, "step must be positive")
+    require(endS >= startS, "end must be >= start")
+    ast match {
+      case Agg("sum", grouping, None,
+          Func(fn @ ("increase" | "rate"), None, sel: Selector))
+          if servableSelector(sel) =>
+        val byCols = grouping match {
+          case None => Some(Nil)
+          case Some(("by", ls)) => Some(ls.map(Compiler.labelCol))
+          case Some(("without", ls)) =>
+            val dropped = ls.map(Compiler.labelCol).toSet + "name"
+            Some(Seq("name", "label_k", "label_instance").filterNot(dropped))
+          case _ => None
+        }
+        byCols.flatMap(bc =>
+          serve(spark, dir, bc, fn, sel, startS, endS, stepS))
+      case Func(fn @ ("increase" | "rate"), None, sel: Selector)
+          if servableSelector(sel) =>
+        serve(spark, dir, Seq("name", "label_k", "label_instance"), fn, sel,
+          startS, endS, stepS)
+      case _ => None
+    }
+  }
+
+  /** Counter family, explicit range, no time shift (an `offset`/`@`
+    * would shift windows off the bucket lattice).
+    */
+  private def servableSelector(sel: Selector): Boolean =
+    sel.rangeS.exists(_ > 0) && sel.offsetS.isEmpty && sel.atS.isEmpty &&
+      sel.name.nonEmpty && MetricEvent.CounterNames.contains(sel.name) &&
+      sel.matchers.forall(_.label != "__name__")
+
+  private def serve(spark: SparkSession, dir: String, byCols: Seq[String],
+      fn: String, sel: Selector, startS: Long, endS: Long,
+      stepS: Long): Option[DataFrame] = {
+    val w = sel.rangeS.get
+    Resolutions
+      .find(r => w % r == 0 && stepS % r == 0 && startS % r == 0)
+      .map { res =>
+        val nb = (w / res).toInt
+        // instant t ↔ the window's LAST bucket t/res − 1
+        val bLo = startS / res - nb // earliest bucket any window reads
+        val bHi = endS / res - 1
+        val roll = Downsample
+          .compact(Downsample.rollupRaw(spark, dir, 3600L), res)
+          .filter(col("name") === sel.name &&
+            Compiler.matcherFilter(sel.matchers))
+          .withColumn("_b", expr(s"bucket_s div $res"))
+          .filter(col("_b").between(bLo, bHi))
+          .groupBy((byCols :+ "_b").map(col): _*)
+          .agg(sum(col("sum_dec")).as("_s"), sum(col("cnt")).as("_n"))
+        import spark.implicits._
+        val lattice = (if (byCols.isEmpty) spark.range(1).toDF("_one")
+          else roll.select(byCols.map(col): _*).distinct())
+          .crossJoin(broadcast(
+            spark.range(bLo, bHi + 1).toDF("_b")))
+          .select((byCols :+ "_b").map(col): _*)
+        val win = Window.partitionBy(byCols.map(col): _*).orderBy(col("_b"))
+          .rowsBetween(-(nb - 1), Window.currentRow)
+        val v0 = col("_ws").cast("double")
+        val value = if (fn == "rate") v0 / lit(w.toDouble) else v0
+        // both windowed sums evaluate BEFORE the instant filter — the
+        // frame must slide over the dense bucket lattice, not over
+        // whichever rows survive filtering
+        lattice.join(roll, byCols :+ "_b", "left")
+          .withColumn("_ws", sum(col("_s")).over(win))
+          .withColumn("_wn", sum(col("_n")).over(win))
+          .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
+          .filter(col("_wn") > 0 &&
+            col("t_s").between(startS, endS) &&
+            (col("t_s") - lit(startS)) % lit(stepS) === 0)
+          .select((byCols.map(col) :+ col("t_s") :+ value.as("value")): _*)
+      }
+  }
+
+  /** The p92 entry: the routed `query_range` anchored on the corpus's
+    * last ALIGNED bucket edge (the panels' anchoring convention —
+    * `end = (⌊T/step⌋)·step`), `instants × stepS` wide. Throws if the
+    * router declines (the gate exists to prove the route, not to fall
+    * back).
+    */
+  def queryRangeAligned(spark: SparkSession, dir: String, query: String,
+      instants: Int, stepS: Long): DataFrame = {
+    require(instants >= 1, "at least one grid instant")
+    val t = Compiler.instantSeconds(spark, dir).toLong
+    val endS = t / stepS * stepS
+    val startS = endS - (instants - 1).toLong * stepS
+    val ast = Ast.resolveAtEdges(Parser.parse(query), Some(startS), Some(endS))
+    rangeEval(spark, dir, ast, startS, endS, stepS)
+      .getOrElse(throw new PromQLCompileException(
+        s"pyramid router declined query shape: $query"))
+  }
+}

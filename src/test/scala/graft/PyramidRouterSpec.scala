@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Downsample
+import graft.promql.{Ast, Parser, Pyramid}
+import org.apache.spark.sql.functions._
+
+/** The alignment-rule router's laws:
+  *
+  *  1. off aligned boundaries, the routed answer is BIT-IDENTICAL to
+  *     the dense-grid path over raw events (same grid, same query);
+  *  2. the router generalizes the hand-built p88 panel;
+  *  3. the window-convention divergence for a boundary-landing sample
+  *     is exactly the documented one (`[t−W, t)` vs `(t−W, t]`);
+  *  4. unservable shapes and unaligned grids decline (None), they
+  *     never serve approximately.
+  */
+class PyramidRouterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val H = 3600000L // ms/hour
+  private val Res = 21600L // 6h, seconds
+
+  // every sample +5 min into its hour: nothing lands on an aligned
+  // boundary, so law 1's bit-equality must hold
+  private lazy val dir: String = fixture("events" -> Seq(
+    ev(1, 5 * 60000L, "purchase", 1.5, "a"),
+    ev(2, H + 5 * 60000L, "purchase", 2.0, "a"),
+    ev(3, 7 * H + 5 * 60000L, "purchase", 4.0, "a"),
+    ev(4, 13 * H + 5 * 60000L, "purchase", 0.25, "b"),
+    ev(5, 25 * H + 5 * 60000L, "purchase", 8.0, "b"),
+    ev(6, 49 * H + 5 * 60000L, "purchase", 3.0, "a"),
+    ev(7, 50 * H + 5 * 60000L, "click", 1.0, "a") // other family: ignored
+  ).toDF(eventCols: _*))
+
+  private def aligned(dirS: String, q: String, instants: Int)
+      : (Long, Long, Ast) = {
+    val t = graft.promql.Compiler.instantSeconds(spark, dirS).toLong
+    val endS = t / Res * Res
+    val startS = endS - (instants - 1).toLong * Res
+    (startS, endS,
+      Ast.resolveAtEdges(Parser.parse(q), Some(startS), Some(endS)))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy(df.columns.map(col): _*).collect().map(_.toSeq).toSeq
+
+  test("routed query_range equals the dense-grid path off boundaries, matchers included") {
+    for (q <- Seq(
+        "sum by (k) (rate(purchase[1d]))",
+        "sum by (k) (increase(purchase[1d]))",
+        "increase(purchase[6h])",
+        "sum(rate(purchase[12h]))",
+        "sum by (k) (rate(purchase{k=\"a\"}[1d]))")) {
+      val (s, e, ast) = aligned(dir, q, 6)
+      val routed = Pyramid.rangeEval(spark, dir, ast, s, e, Res)
+        .getOrElse(fail(s"router declined: $q"))
+      val grid = graft.promql.Compiler.rangeGridEval(spark, dir, ast, s, e, Res)
+        .getOrElse(fail(s"no dense-grid strategy: $q"))
+      assert(routed.columns.toSeq === grid.columns.toSeq, q)
+      assert(rows(routed) === rows(grid), q)
+      assert(rows(routed).nonEmpty, q)
+    }
+  }
+
+  test("the router generalizes the hand-built rollup panel (p88 shape)") {
+    val sf = "/root/testdata/sf0.001"
+    val panel = Downsample.rollupPanel(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    // rollupPanel's instants end at the current PARTIAL bucket's edge:
+    // (bmax+1)·res, 40 wide
+    val bmax = graft.operators.Metrics.metricEvents(spark, sf)
+      .agg(max(unix_micros(col("ts")))).as[Long].head() / (Res * 1000000L)
+    val endS = (bmax + 1) * Res
+    val startS = endS - 39L * Res
+    val ast = Parser.parse("sum by (k) (increase(purchase[1d]))")
+    val routed = Pyramid.rangeEval(spark, sf, ast, startS, endS, Res)
+      .getOrElse(fail("router declined the panel shape"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(routed === panel)
+    assert(panel.nonEmpty)
+  }
+
+  test("boundary-landing samples diverge exactly as documented") {
+    // one sample exactly ON an aligned 6h epoch boundary
+    val bdir = fixture("events" -> Seq(
+      ev(1, 5 * 60000L, "purchase", 1.0, "a"),
+      ev(2, 4 * Res * 1000L, "purchase", 10.0, "a"), // boundary epoch
+      ev(3, 5 * Res * 1000L + 5 * 60000L, "purchase", 2.0, "a")
+    ).toDF(eventCols: _*))
+    val q = "sum by (k) (increase(purchase[6h]))"
+    val (s, e, ast) = aligned(bdir, q, 6)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val routed = toMap(Pyramid.rangeEval(spark, bdir, ast, s, e, Res).get)
+    val grid = toMap(
+      graft.promql.Compiler.rangeGridEval(spark, bdir, ast, s, e, Res).get)
+    val bEpoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L +
+      4 * Res
+    // PromQL window (t−W, t]: the boundary sample counts AT its epoch
+    assert(grid(("a", bEpoch)) === 10.0, "grid: sample AT t is inside (t-W, t]")
+    // pyramid window [t−W, t): the same sample counts one window LATER
+    assert(!routed.contains(("a", bEpoch)),
+      "pyramid: sample AT t is outside [t-W, t) and the window is empty")
+    assert(routed(("a", bEpoch + Res)) === 10.0,
+      "pyramid: the boundary sample belongs to the NEXT window")
+  }
+
+  test("unservable shapes and unaligned grids decline") {
+    def declined(q: String, s: Long, e: Long, st: Long, d: String = dir) =
+      assert(Pyramid.rangeEval(spark, d, Parser.parse(q), s, e, st).isEmpty, q)
+    val (s, e, _) = aligned(dir, "rate(purchase[1d])", 6)
+    declined("rate(signup[1d])", s, e, Res) // gauge family
+    declined("rate(purchase[1d] offset 1h)", s, e, Res) // time shift
+    declined("avg by (k) (rate(purchase[1d]))", s, e, Res) // non-sum agg
+    declined("rate(purchase[90m])", s, e, Res) // window not bucket-aligned
+    declined("rate(purchase[1d])", s + 1, e + 1, Res) // unaligned instants
+    declined("rate(purchase[1d])", s, e, 1800L) // step finer than any level
+  }
+}
