@@ -149,6 +149,13 @@ object SparkEntry {
     // ending "# EOF" — and its parse back to typed rows
     "a1e_openmetrics_text" -> ((s, d) => PromQL.openMetricsText(s, d)),
     "a1f_openmetrics_parse" -> ((s, d) => PromQL.openMetricsParse(s, d)),
+    // hierarchical federation: the timestamped exposition payload one
+    // Prometheus serves another for the matched series
+    "a1g_federate" -> ((s, d) => {
+      import s.implicits._
+      Seq(promql.Api.federateText(s, d, Seq("purchase", "signup")))
+        .toDF("payload")
+    }),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -783,6 +790,7 @@ object SparkEntry {
     "a1d_exposition_parse" -> PromQL.ExpositionParseSql,
     "a1e_openmetrics_text" -> PromQL.OpenMetricsTextSql,
     "a1f_openmetrics_parse" -> PromQL.OpenMetricsParseSql,
+    "a1g_federate" -> promql.Oracle.FederateSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

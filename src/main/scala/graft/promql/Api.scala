@@ -145,6 +145,35 @@ object Api {
         s"no dense-grid strategy for query shape: $query"))
   }
 
+  /** `/federate` twin: each `match[]` selector evaluated as an instant
+    * vector and rendered as Prometheus text exposition WITH the sample
+    * timestamp in milliseconds — the payload one Prometheus serves
+    * another for hierarchical federation. Series union-dedup across
+    * selectors, labels alphabetical, lines sorted, values rendered from
+    * integer cents (the a1c renderer contract), trailing newline.
+    * Line building is distributed; the collect is O(#series).
+    */
+  def federateText(spark: SparkSession, dir: String,
+      matches: Seq[String]): String = {
+    require(matches.nonEmpty, "at least one match[] selector")
+    val tMs = Compiler.instantSeconds(spark, dir).toLong * 1000L
+    val rendered = matches.map { m =>
+      val df = Engine.eval(spark, dir, m)
+      val labels = df.columns.filter(c => c != "value" && c != "name")
+        .map(c => (promLabel(c), c)).sortBy(_._1)
+      val inner = concat_ws(",", labels.map { case (p, c) =>
+        concat(lit(p + "=\""), col(c), lit("\""))
+      }.toIndexedSeq: _*)
+      val cents = round(col("value") * 100).cast("long")
+      df.select(concat(col("name"), lit("{"), inner, lit("} "),
+        (cents / 100).cast("long").cast("string"), lit("."),
+        lpad((cents % 100).cast("string"), 2, "0"),
+        lit(s" $tMs")).as("line"))
+    }.reduce(_ unionByName _).distinct()
+    val parts = rendered.orderBy(col("line")).collect().map(_.getString(0))
+    parts.mkString("", "\n", if (parts.nonEmpty) "\n" else "")
+  }
+
   private def envelope(dataJson: String): String =
     s"""{"status":"success","data":$dataJson}"""
 

@@ -360,6 +360,36 @@ object Oracle {
           |    AND epoch_us(m.ts) >= (ta.bmax - i.i - 3) * 21600000000
           |    AND epoch_us(m.ts) <  (ta.bmax - i.i + 1) * 21600000000""".stripMargin))
 
+  /** a1g: the `/federate` payload for `match[]=purchase&match[]=signup`
+    * — counter totals and gauge LWW per full series key rendered as
+    * timestamped exposition lines (`name{instance=…,k=…} v <ts_ms>`),
+    * sorted, one payload string; mirrors [[Api.federateText]] byte for
+    * byte (cents rendering, alphabetical labels, trailing newline).
+    */
+  val FederateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT (MAX(epoch_us(ts)) // 1000000) * 1000 AS ts_ms FROM m),
+       |c AS (SELECT name, label_k, label_instance,
+       |        SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+       |      FROM m WHERE kind = 'counter' AND value >= 0 AND name = 'purchase'
+       |      GROUP BY name, label_k, label_instance),
+       |g AS (SELECT name, label_k, label_instance,
+       |        CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |      FROM (SELECT *, ROW_NUMBER() OVER (
+       |              PARTITION BY name, label_k, label_instance
+       |              ORDER BY ts DESC, event_id DESC) AS rn
+       |            FROM m WHERE kind = 'gauge' AND name = 'signup')
+       |      WHERE rn = 1),
+       |u AS (SELECT * FROM c UNION ALL SELECT * FROM g),
+       |lines AS (
+       |  SELECT name || '{instance="' || label_instance || '",k="' || label_k
+       |    || '"} ' || CAST(cents // 100 AS VARCHAR) || '.'
+       |    || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+       |    || ' ' || CAST(t.ts_ms AS VARCHAR) AS line
+       |  FROM u, t)
+       |SELECT string_agg(line, chr(10) ORDER BY line) || chr(10) AS payload
+       |FROM lines""".stripMargin
+
   /** p92: the pyramid ROUTER — `sum by (k) (rate(purchase[2d]))` at
     * 240 aligned 6h instants under the pyramid window convention
     * (`[t−W, t)`, see [[Pyramid]]), windows computed straight from raw

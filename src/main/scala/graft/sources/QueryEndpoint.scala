@@ -78,24 +78,39 @@ object QueryEndpoint {
   private def errorBody(msg: String): String =
     s"""{"status":"error","errorType":"bad_data","error":"${jsonEscape(msg)}"}"""
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = ContentType): Unit = {
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", ContentType)
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }
 
-  private def handler(f: HttpExchange => String): HttpHandler =
+  private def handler(f: HttpExchange => String,
+      contentType: String = ContentType): HttpHandler =
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
-        try respond(ex, 200, f(ex))
+        try respond(ex, 200, f(ex), contentType)
         catch {
           case e: Exception =>
             respond(ex, 400, errorBody(Option(e.getMessage).getOrElse(
               e.getClass.getSimpleName)))
         }
     }
+
+  /** Repeated-key query parameters (`match[]` may appear many times). */
+  private def multiParams(ex: HttpExchange): Seq[(String, String)] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&').toSeq
+      .filter(_.nonEmpty)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }
 
   private def required(p: Map[String, String], k: String): String =
     p.getOrElse(k, throw new IllegalArgumentException(
@@ -122,6 +137,14 @@ object QueryEndpoint {
           s"unknown endpoint ${ex.getRequestURI.getPath}")
       Api.queryJson(spark, dir, required(params(ex), "query"), nativeFamilies)
     })
+    // hierarchical federation: the timestamped exposition payload for
+    // the matched series, the same bytes as the oracle-gated a1g query
+    server.createContext("/federate", handler(ex => {
+      val ms = multiParams(ex).collect { case ("match[]", v) => v }
+      if (ms.isEmpty) throw new IllegalArgumentException(
+        "missing required parameter 'match[]'")
+      Api.federateText(spark, dir, ms)
+    }, ScrapeEndpoint.ContentType))
     server.createContext("/api/v1/series", handler { ex =>
       Api.seriesJson(spark, dir, required(params(ex), "match[]"))
     })

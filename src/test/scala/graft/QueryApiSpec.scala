@@ -65,6 +65,37 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("/federate serves the timestamped exposition payload for matched series") {
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    try {
+      val m = enc("match[]")
+      val (code, body) = get(port,
+        s"/federate?$m=${enc("purchase")}&$m=${enc("signup")}")
+      assert(code === 200)
+      // exact bytes: full series keys, alphabetical labels, cents
+      // values, corpus-instant timestamp in ms, sorted lines
+      val tMs = (T0 + 3 * dayS) * 1000L
+      assert(body ===
+        s"""purchase{instance="i1",k="a"} 5.50 $tMs
+           |purchase{instance="i1",k="b"} 4.00 $tMs
+           |signup{instance="i1",k="a"} 10.00 $tMs
+           |signup{instance="i1",k="b"} 12.50 $tMs
+           |""".stripMargin)
+      assert(body === Api.federateText(spark, dir, Seq("purchase", "signup")),
+        "HTTP payload must equal the in-process twin")
+      // overlapping selectors dedup the matched series
+      assert(get(port, s"/federate?$m=${enc("purchase")}&$m=${enc("purchase")}")._2
+        === Api.federateText(spark, dir, Seq("purchase")))
+      // matcher selectors federate too
+      assert(get(port, s"/federate?$m=${enc("purchase{k=\"a\"}")}")._2
+        .linesIterator.toSeq === Seq(s"""purchase{instance="i1",k="a"} 5.50 $tMs"""))
+      // no match[] → 400 naming the parameter
+      val (c2, b2) = get(port, "/federate")
+      assert(c2 === 400 && b2.contains("match[]"))
+    } finally server.stop(0)
+  }
+
   test("errors wear the Prometheus envelope; unknown paths 404") {
     val server = QueryEndpoint.start(spark, dir)
     val port = server.getAddress.getPort
