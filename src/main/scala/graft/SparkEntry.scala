@@ -438,6 +438,14 @@ object SparkEntry {
     "p92_pyramid_router" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
       "sum by (k) (rate(purchase[2d]))", 240, 21600L)
       .orderBy(col("label_k"), col("t_s"))),
+    // the router's other two value strategies: gauge LWW and counter
+    // running totals, both from rollup rows alone
+    "p93_pyramid_gauge" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "signup", 240, 21600L)
+      .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
+    "p94_pyramid_totals" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "sum by (k) (purchase)", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -890,6 +898,8 @@ object SparkEntry {
     "p90_rollup_histogram" -> Downsample.HistogramPanelSql,
     "p91_rollup_native_hq" -> promql.Oracle.RollupNativeHqSql,
     "p92_pyramid_router" -> promql.Oracle.PyramidRateSql,
+    "p93_pyramid_gauge" -> promql.Oracle.PyramidGaugeSql,
+    "p94_pyramid_totals" -> promql.Oracle.PyramidTotalsSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

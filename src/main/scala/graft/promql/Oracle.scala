@@ -409,6 +409,43 @@ object Oracle {
        |GROUP BY m.label_k, i.i, t.ebi
        |ORDER BY label_k, t_s""".stripMargin
 
+  /** p93: the router's GAUGE arm — bare `signup` at 240 aligned 6h
+    * instants: per series, the latest raw sample strictly before each
+    * instant ((ts, event_id)-tie-broken — the pyramid's `[.., t)`
+    * convention); the engine reads only rollup `vlast` anchors.
+    */
+  val PyramidGaugeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i),
+       |r AS (
+       |  SELECT m.name, m.label_k, m.label_instance,
+       |    (t.ebi - i.i) * 21600 AS t_s, m.value,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY m.name, m.label_k, m.label_instance, i.i
+       |      ORDER BY m.ts DESC, m.event_id DESC) AS rn
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'signup'
+       |    AND epoch_us(m.ts) < (t.ebi - i.i) * 21600 * 1000000)
+       |SELECT name, label_k, label_instance, t_s, value FROM r WHERE rn = 1
+       |ORDER BY name, label_k, label_instance, t_s""".stripMargin
+
+  /** p94: the router's counter-TOTALS arm — `sum by (k) (purchase)` at
+    * 240 aligned 6h instants: the exact-decimal running total of every
+    * sample strictly before each instant.
+    */
+  val PyramidTotalsSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i)
+       |SELECT m.label_k, (t.ebi - i.i) * 21600 AS t_s,
+       |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m, t, inst i
+       |WHERE m.name = 'purchase'
+       |  AND epoch_us(m.ts) < (t.ebi - i.i) * 21600 * 1000000
+       |GROUP BY m.label_k, i.i, t.ebi
+       |ORDER BY label_k, t_s""".stripMargin
+
   /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
     * the 240×6h grid — the subquery inner evaluates once on the shared
     * 6h lattice, each outer step takes the max over its 4 trailing

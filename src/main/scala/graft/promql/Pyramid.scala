@@ -50,34 +50,53 @@ object Pyramid {
       startS: Long, endS: Long, stepS: Long): Option[DataFrame] = {
     require(stepS > 0, "step must be positive")
     require(endS >= startS, "end must be >= start")
+    val FullKey = Seq("name", "label_k", "label_instance")
+    def byColsOf(grouping: Option[(String, Seq[String])]): Option[Seq[String]] =
+      grouping match {
+        case None => Some(Nil)
+        case Some(("by", ls)) => Some(ls.map(Compiler.labelCol))
+        case Some(("without", ls)) =>
+          val dropped = ls.map(Compiler.labelCol).toSet + "name"
+          Some(FullKey.filterNot(dropped))
+        case _ => None
+      }
     ast match {
+      // windowed increase/rate on a counter family
       case Agg("sum", grouping, None,
           Func(fn @ ("increase" | "rate"), None, sel: Selector))
-          if servableSelector(sel) =>
-        val byCols = grouping match {
-          case None => Some(Nil)
-          case Some(("by", ls)) => Some(ls.map(Compiler.labelCol))
-          case Some(("without", ls)) =>
-            val dropped = ls.map(Compiler.labelCol).toSet + "name"
-            Some(Seq("name", "label_k", "label_instance").filterNot(dropped))
-          case _ => None
-        }
-        byCols.flatMap(bc =>
+          if servableSelector(sel, windowed = true) =>
+        byColsOf(grouping).flatMap(bc =>
           serve(spark, dir, bc, fn, sel, startS, endS, stepS))
       case Func(fn @ ("increase" | "rate"), None, sel: Selector)
-          if servableSelector(sel) =>
-        serve(spark, dir, Seq("name", "label_k", "label_instance"), fn, sel,
-          startS, endS, stepS)
+          if servableSelector(sel, windowed = true) =>
+        serve(spark, dir, FullKey, fn, sel, startS, endS, stepS)
+      // counter instant vector: running totals through each instant
+      case Agg("sum", grouping, None, sel: Selector)
+          if servableSelector(sel, windowed = false) =>
+        byColsOf(grouping).flatMap(bc =>
+          serveTotals(spark, dir, bc, sel, startS, endS, stepS))
+      case sel: Selector if servableSelector(sel, windowed = false) =>
+        serveTotals(spark, dir, FullKey, sel, startS, endS, stepS)
+      // gauge instant vector: last-write-wins through each instant
+      case sel: Selector if servableGauge(sel) =>
+        serveGauge(spark, dir, sel, startS, endS, stepS)
       case _ => None
     }
   }
 
-  /** Counter family, explicit range, no time shift (an `offset`/`@`
-    * would shift windows off the bucket lattice).
+  /** Counter family, no time shift (an `offset`/`@` would shift
+    * windows off the bucket lattice); `windowed` demands/forbids the
+    * range suffix.
     */
-  private def servableSelector(sel: Selector): Boolean =
-    sel.rangeS.exists(_ > 0) && sel.offsetS.isEmpty && sel.atS.isEmpty &&
+  private def servableSelector(sel: Selector, windowed: Boolean): Boolean =
+    (if (windowed) sel.rangeS.exists(_ > 0) else sel.rangeS.isEmpty) &&
+      sel.offsetS.isEmpty && sel.atS.isEmpty &&
       sel.name.nonEmpty && MetricEvent.CounterNames.contains(sel.name) &&
+      sel.matchers.forall(_.label != "__name__")
+
+  private def servableGauge(sel: Selector): Boolean =
+    sel.rangeS.isEmpty && sel.offsetS.isEmpty && sel.atS.isEmpty &&
+      sel.name.nonEmpty && MetricEvent.GaugeNames.contains(sel.name) &&
       sel.matchers.forall(_.label != "__name__")
 
   private def serve(spark: SparkSession, dir: String, byCols: Seq[String],
@@ -122,6 +141,80 @@ object Pyramid {
           .select((byCols.map(col) :+ col("t_s") :+ value.as("value")): _*)
       }
   }
+
+  /** Shared: alignment pick for instant-vector serving (no window to
+    * constrain — only step and start must sit on a rollup lattice).
+    */
+  private def instantRes(startS: Long, stepS: Long): Option[Long] =
+    Resolutions.find(r => stepS % r == 0 && startS % r == 0)
+
+  /** Shared: the compacted, matcher-filtered rollup rows of `sel` at
+    * resolution `res`, with `_b` = bucket index, bounded above by the
+    * last bucket any instant reads.
+    */
+  private def rollOf(spark: SparkSession, dir: String, sel: Selector,
+      res: Long, bHi: Long): DataFrame =
+    Downsample.compact(Downsample.rollupRaw(spark, dir, 3600L), res)
+      .filter(col("name") === sel.name && Compiler.matcherFilter(sel.matchers))
+      .withColumn("_b", expr(s"bucket_s div $res"))
+      .filter(col("_b") <= bHi)
+
+  /** Per-group dense bucket lattice from each group's FIRST data
+    * bucket through `bHi` — series (or `by`-groups) emit nothing
+    * before their first sample, like the instant vector.
+    */
+  private def groupLattice(roll: DataFrame, byCols: Seq[String],
+      bHi: Long): DataFrame =
+    roll.groupBy(byCols.map(col): _*).agg(min(col("_b")).as("_b0"))
+      .select(byCols.map(col) :+
+        explode(sequence(col("_b0"), lit(bHi))).as("_b"): _*)
+
+  /** Counter INSTANT vector from the pyramid: the running total through
+    * each aligned instant — one cumulative window over the group's
+    * bucket lattice (`[.., t)` like every pyramid read).
+    */
+  private def serveTotals(spark: SparkSession, dir: String,
+      byCols: Seq[String], sel: Selector, startS: Long, endS: Long,
+      stepS: Long): Option[DataFrame] =
+    instantRes(startS, stepS).map { res =>
+      val bHi = endS / res - 1
+      val roll = rollOf(spark, dir, sel, res, bHi)
+        .groupBy((byCols :+ "_b").map(col): _*)
+        .agg(sum(col("sum_dec")).as("_s"))
+      val win = Window.partitionBy(byCols.map(col): _*).orderBy(col("_b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      groupLattice(roll, byCols, bHi)
+        .join(roll, byCols :+ "_b", "left")
+        .withColumn("_ws", sum(col("_s")).over(win))
+        .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
+        .filter(col("t_s").between(startS, endS) &&
+          (col("t_s") - lit(startS)) % lit(stepS) === 0)
+        .select(byCols.map(col) :+ col("t_s") :+
+          col("_ws").cast("double").as("value"): _*)
+    }
+
+  /** Gauge INSTANT vector from the pyramid: last-write-wins through
+    * each aligned instant from the rollups' anchored `vlast` fields —
+    * later buckets strictly out-anchor earlier ones (the p89 law), so
+    * the running LWW is one `last(ignoreNulls)` window per series.
+    */
+  private def serveGauge(spark: SparkSession, dir: String, sel: Selector,
+      startS: Long, endS: Long, stepS: Long): Option[DataFrame] =
+    instantRes(startS, stepS).map { res =>
+      val keys = Seq("name", "label_k", "label_instance")
+      val bHi = endS / res - 1
+      val roll = rollOf(spark, dir, sel, res, bHi)
+        .select(keys.map(col) :+ col("_b") :+ col("vlast"): _*)
+      val win = Window.partitionBy(keys.map(col): _*).orderBy(col("_b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      groupLattice(roll, keys, bHi)
+        .join(roll, keys :+ "_b", "left")
+        .withColumn("_v", last(col("vlast"), ignoreNulls = true).over(win))
+        .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
+        .filter(col("t_s").between(startS, endS) &&
+          (col("t_s") - lit(startS)) % lit(stepS) === 0)
+        .select(keys.map(col) :+ col("t_s") :+ col("_v").as("value"): _*)
+    }
 
   /** The p92 entry: the routed `query_range` anchored on the corpus's
     * last ALIGNED bucket edge (the panels' anchoring convention —

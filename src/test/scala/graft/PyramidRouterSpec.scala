@@ -29,7 +29,11 @@ class PyramidRouterSpec extends SparkTestBase {
     ev(4, 13 * H + 5 * 60000L, "purchase", 0.25, "b"),
     ev(5, 25 * H + 5 * 60000L, "purchase", 8.0, "b"),
     ev(6, 49 * H + 5 * 60000L, "purchase", 3.0, "a"),
-    ev(7, 50 * H + 5 * 60000L, "click", 1.0, "a") // other family: ignored
+    ev(7, 50 * H + 5 * 60000L, "click", 1.0, "a"), // other family: ignored
+    // gauge series with an out-of-order overwrite inside one bucket
+    ev(8, 2 * H + 5 * 60000L, "signup", 10.0, "a"),
+    ev(9, 26 * H + 5 * 60000L, "signup", 7.5, "a"),
+    ev(10, 26 * H + 4 * 60000L, "signup", 9.0, "b")
   ).toDF(eventCols: _*))
 
   private def aligned(dirS: String, q: String, instants: Int)
@@ -50,7 +54,11 @@ class PyramidRouterSpec extends SparkTestBase {
         "sum by (k) (increase(purchase[1d]))",
         "increase(purchase[6h])",
         "sum(rate(purchase[12h]))",
-        "sum by (k) (rate(purchase{k=\"a\"}[1d]))")) {
+        "sum by (k) (rate(purchase{k=\"a\"}[1d]))",
+        // the other two value strategies: running totals and gauge LWW
+        "sum by (k) (purchase)",
+        "purchase",
+        "signup")) {
       val (s, e, ast) = aligned(dir, q, 6)
       val routed = Pyramid.rangeEval(spark, dir, ast, s, e, Res)
         .getOrElse(fail(s"router declined: $q"))
