@@ -446,6 +446,11 @@ object SparkEntry {
     "p94_pyramid_totals" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
       "sum by (k) (purchase)", 240, 21600L)
       .orderBy(col("label_k"), col("t_s"))),
+    // the histogram arm: the p90 panel generalized over phi, window,
+    // grouping, and grid — the router now spans every sample kind
+    "p95_pyramid_hq" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "histogram_quantile(0.5, sum by (k) (rate(error[1d])))", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -900,6 +905,7 @@ object SparkEntry {
     "p92_pyramid_router" -> promql.Oracle.PyramidRateSql,
     "p93_pyramid_gauge" -> promql.Oracle.PyramidGaugeSql,
     "p94_pyramid_totals" -> promql.Oracle.PyramidTotalsSql,
+    "p95_pyramid_hq" -> promql.Oracle.PyramidHqSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

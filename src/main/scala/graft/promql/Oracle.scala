@@ -446,6 +446,43 @@ object Oracle {
        |GROUP BY m.label_k, i.i, t.ebi
        |ORDER BY label_k, t_s""".stripMargin
 
+  /** p95: the router's HISTOGRAM arm —
+    * `histogram_quantile(0.5, sum by (k) (rate(error[1d])))` at 240
+    * aligned 6h instants under the pyramid `[t−W, t)` convention,
+    * ladder and interpolation from raw events; the engine reads
+    * compacted per-`le` rollups.
+    */
+  val PyramidHqSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i),
+       |b AS (${Metrics.BucketBoundsSql}),
+       |w AS (
+       |  SELECT m.label_k, (t.ebi - i.i) * 21600 AS t_s, b.le,
+       |    SUM(CASE WHEN m.value <= b.le THEN 1 ELSE 0 END) AS wc,
+       |    COUNT(*) AS wn
+       |  FROM m, t, inst i, b
+       |  WHERE m.kind = 'histogram' AND m.name = 'error'
+       |    AND epoch_us(m.ts) >= ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |    AND epoch_us(m.ts) <  (t.ebi - i.i) * 21600 * 1000000
+       |  GROUP BY m.label_k, i.i, t.ebi, b.le),
+       |r AS (
+       |  SELECT label_k, t_s, le, wc,
+       |    0.5 * CAST(wn AS DOUBLE) AS rank,
+       |    COALESCE(LAG(le) OVER (PARTITION BY label_k, t_s ORDER BY le), 0.0) AS prev_le,
+       |    COALESCE(LAG(wc) OVER (PARTITION BY label_k, t_s ORDER BY le), 0) AS prev_cum,
+       |    MAX(le) OVER (PARTITION BY label_k, t_s) AS max_le,
+       |    MAX(wc) OVER (PARTITION BY label_k, t_s) AS max_cum
+       |  FROM w)
+       |SELECT label_k, t_s,
+       |  prev_le + (le - prev_le) * (rank - CAST(prev_cum AS DOUBLE))
+       |    / CAST(wc - prev_cum AS DOUBLE) AS value
+       |FROM r WHERE wc >= rank AND prev_cum < rank
+       |UNION ALL
+       |SELECT label_k, t_s, max_le AS value
+       |FROM r WHERE le = max_le AND rank > CAST(max_cum AS DOUBLE)
+       |ORDER BY label_k, t_s""".stripMargin
+
   /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
     * the 240×6h grid — the subquery inner evaluates once on the shared
     * 6h lattice, each outer step takes the max over its 4 trailing

@@ -80,6 +80,19 @@ object Pyramid {
       // gauge instant vector: last-write-wins through each instant
       case sel: Selector if servableGauge(sel) =>
         serveGauge(spark, dir, sel, startS, endS, stepS)
+      // classic histogram_quantile over a windowed (aggregated)
+      // histogram family — rank = φ·count is scale-invariant, so
+      // rate and increase route identically
+      case Func("histogram_quantile", Some(phi),
+          Agg("sum", grouping, None,
+            Func("increase" | "rate", None, sel: Selector)))
+          if servableHist(sel) =>
+        byColsOf(grouping).flatMap(bc =>
+          serveHistQuantile(spark, dir, bc, phi, sel, startS, endS, stepS))
+      case Func("histogram_quantile", Some(phi),
+          Func("increase" | "rate", None, sel: Selector))
+          if servableHist(sel) =>
+        serveHistQuantile(spark, dir, FullKey, phi, sel, startS, endS, stepS)
       case _ => None
     }
   }
@@ -97,6 +110,11 @@ object Pyramid {
   private def servableGauge(sel: Selector): Boolean =
     sel.rangeS.isEmpty && sel.offsetS.isEmpty && sel.atS.isEmpty &&
       sel.name.nonEmpty && MetricEvent.GaugeNames.contains(sel.name) &&
+      sel.matchers.forall(_.label != "__name__")
+
+  private def servableHist(sel: Selector): Boolean =
+    sel.rangeS.exists(_ > 0) && sel.offsetS.isEmpty && sel.atS.isEmpty &&
+      sel.name.nonEmpty && MetricEvent.HistogramNames.contains(sel.name) &&
       sel.matchers.forall(_.label != "__name__")
 
   private def serve(spark: SparkSession, dir: String, byCols: Seq[String],
@@ -215,6 +233,67 @@ object Pyramid {
           (col("t_s") - lit(startS)) % lit(stepS) === 0)
         .select(keys.map(col) :+ col("t_s") :+ col("_v").as("value"): _*)
     }
+
+  /** Classic `histogram_quantile(φ, sum by (…) (rate(hist[W])))` from
+    * the HISTOGRAM level of the pyramid
+    * ([[Downsample.histRollupRaw]]): windowed per-`le` cumulative
+    * counts from compacted ladders + one sliding window per
+    * (group, le), then the engine's fused single-pass interpolation
+    * per (group, instant) — the p90 panel generalized over φ, window,
+    * grouping, matchers, and grid.
+    */
+  private def serveHistQuantile(spark: SparkSession, dir: String,
+      byCols: Seq[String], phi: Double, sel: Selector, startS: Long,
+      endS: Long, stepS: Long): Option[DataFrame] = {
+    val w = sel.rangeS.get
+    Resolutions
+      .find(r => w % r == 0 && stepS % r == 0 && startS % r == 0)
+      .map { res =>
+        val nb = (w / res).toInt
+        val bLo = startS / res - nb
+        val bHi = endS / res - 1
+        val h = Downsample
+          .histCompact(Downsample.histRollupRaw(spark, dir, 3600L), res)
+          .filter(col("name") === sel.name &&
+            Compiler.matcherFilter(sel.matchers))
+          .withColumn("_b", expr(s"bucket_s div $res"))
+          .filter(col("_b").between(bLo, bHi))
+          .groupBy((byCols :+ "_b" :+ "le").map(col): _*)
+          .agg(sum(col("cum_count")).as("_c"), sum(col("cnt")).as("_n"))
+        import spark.implicits._
+        val lattice = h.select((byCols :+ "le").map(col): _*).distinct()
+          .crossJoin(broadcast(spark.range(bLo, bHi + 1).toDF("_b")))
+        val win = Window.partitionBy((byCols :+ "le").map(col): _*)
+          .orderBy(col("_b")).rowsBetween(-(nb - 1), Window.currentRow)
+        val windowed = lattice.join(h, byCols ++ Seq("_b", "le"), "left")
+          .withColumn("_wc", sum(col("_c")).over(win))
+          .withColumn("_wn", sum(col("_n")).over(win))
+          .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
+          .filter(col("_wn") > 0 &&
+            col("t_s").between(startS, endS) &&
+            (col("t_s") - lit(startS)) % lit(stepS) === 0)
+        val wq = Window.partitionBy((byCols :+ "_b").map(col): _*)
+          .orderBy(col("le"))
+        val part = Window.partitionBy((byCols :+ "_b").map(col): _*)
+        val ranked = windowed
+          .withColumn("rank", lit(phi) * col("_wn").cast("double"))
+          .withColumn("prev_le", coalesce(lag(col("le"), 1).over(wq), lit(0.0)))
+          .withColumn("prev_cum", coalesce(lag(col("_wc"), 1).over(wq), lit(0L)))
+          .withColumn("max_le", max(col("le")).over(part))
+          .withColumn("max_cum", max(col("_wc")).over(part))
+        val overflowRow = col("le") === col("max_le") &&
+          col("rank") > col("max_cum").cast("double")
+        val inBucketRow = col("_wc") >= col("rank") &&
+          col("prev_cum") < col("rank")
+        ranked
+          .filter(inBucketRow || overflowRow)
+          .select(byCols.map(col) :+ col("t_s") :+
+            when(overflowRow, col("max_le"))
+              .otherwise(col("prev_le") + (col("le") - col("prev_le"))
+                * (col("rank") - col("prev_cum").cast("double"))
+                / (col("_wc") - col("prev_cum")).cast("double")).as("value"): _*)
+      }
+  }
 
   /** The p92 entry: the routed `query_range` anchored on the corpus's
     * last ALIGNED bucket edge (the panels' anchoring convention —

@@ -469,7 +469,7 @@ class PlanShapeSpec extends SparkTestBase {
   test("p88/p90/p91: pyramid panels slide windows over rollups; lattices broadcast; no cartesian") {
     for (name <- Seq("p88_rollup_panel", "p90_rollup_histogram",
         "p91_rollup_native_hq", "p92_pyramid_router", "p93_pyramid_gauge",
-        "p94_pyramid_totals")) {
+        "p94_pyramid_totals", "p95_pyramid_hq")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
       assert(p.contains("Window"), s"$name lost the sliding rollup window")

@@ -33,7 +33,12 @@ class PyramidRouterSpec extends SparkTestBase {
     // gauge series with an out-of-order overwrite inside one bucket
     ev(8, 2 * H + 5 * 60000L, "signup", 10.0, "a"),
     ev(9, 26 * H + 5 * 60000L, "signup", 7.5, "a"),
-    ev(10, 26 * H + 4 * 60000L, "signup", 9.0, "b")
+    ev(10, 26 * H + 4 * 60000L, "signup", 9.0, "b"),
+    // histogram observations across two buckets + an overflow value
+    ev(11, 3 * H + 5 * 60000L, "error", 0.5, "a"),
+    ev(12, 3 * H + 6 * 60000L, "error", 7.0, "a"),
+    ev(13, 27 * H + 5 * 60000L, "error", 30.0, "a"),
+    ev(14, 27 * H + 6 * 60000L, "error", 999.0, "b")
   ).toDF(eventCols: _*))
 
   private def aligned(dirS: String, q: String, instants: Int)
@@ -58,7 +63,10 @@ class PyramidRouterSpec extends SparkTestBase {
         // the other two value strategies: running totals and gauge LWW
         "sum by (k) (purchase)",
         "purchase",
-        "signup")) {
+        "signup",
+        // the histogram arm: classic quantile over windowed ladders
+        "histogram_quantile(0.9, sum by (k) (rate(error[1d])))",
+        "histogram_quantile(0.5, sum by (k) (increase(error[6h])))")) {
       val (s, e, ast) = aligned(dir, q, 6)
       val routed = Pyramid.rangeEval(spark, dir, ast, s, e, Res)
         .getOrElse(fail(s"router declined: $q"))
