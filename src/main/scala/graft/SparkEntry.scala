@@ -451,6 +451,19 @@ object SparkEntry {
     "p95_pyramid_hq" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
       "histogram_quantile(0.5, sum by (k) (rate(error[1d])))", 240, 21600L)
       .orderBy(col("label_k"), col("t_s"))),
+    // the SERVING path's downsample route: the same query as p92, but
+    // through Api.queryRangeServed — the preference chain the HTTP
+    // endpoint's max_source_resolution opt-in takes (pyramid first,
+    // grid/union fallback); the hash match proves the routed serving
+    // bytes carry the p92 answer
+    "p96_served_downsample" -> ((s, d) => promql.Api.queryRangeServed(s, d,
+      "sum by (k) (rate(purchase[2d]))", 240, 21600L, 86400L)
+      .orderBy(col("label_k"), col("t_s"))),
+    // the router's *_over_time arm: aligned gauge windows served from
+    // rollup vmin/vmax/sum_dec/cnt fields alone (avg exercises two)
+    "p97_pyramid_over_time" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "avg_over_time(signup[1d])", 240, 21600L)
+      .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -906,6 +919,8 @@ object SparkEntry {
     "p93_pyramid_gauge" -> promql.Oracle.PyramidGaugeSql,
     "p94_pyramid_totals" -> promql.Oracle.PyramidTotalsSql,
     "p95_pyramid_hq" -> promql.Oracle.PyramidHqSql,
+    "p96_served_downsample" -> promql.Oracle.PyramidRateSql,
+    "p97_pyramid_over_time" -> promql.Oracle.PyramidOverTimeSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

@@ -34,6 +34,40 @@ object Downsample {
 
   private val Key = Seq("name", "label_k", "label_instance", "kind")
 
+  /** Session-scoped cache of the pyramid's FINEST level per (session,
+    * dir, face): at test scale an in-memory columnar relation, at
+    * 100 TB the analog is the materialized rollup table every TSDB
+    * keeps on disk. Every pyramid read (panels, the router, the
+    * serving path) starts from these, so repeat dashboard queries
+    * never re-aggregate raw events — and the SERVED plans scan the
+    * rollup relation, not the event log.
+    */
+  private val rollupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def cached(spark: SparkSession, dir: String, face: String)(
+      build: => DataFrame): DataFrame =
+    rollupCache.computeIfAbsent((spark, dir, face), k => {
+      SessionCaches.onApplicationEnd(spark)(() => rollupCache.remove(k))
+      build.persist()
+    })
+
+  /** The cached 1h composition-carrying rollup ([[rollupRaw]]). */
+  private[graft] def rollup1hCached(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "base")(rollupRaw(spark, dir, 3600L))
+
+  /** The cached 1h classic-histogram ladder rollup ([[histRollupRaw]]). */
+  private[graft] def histRollup1hCached(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "hist")(histRollupRaw(spark, dir, 3600L))
+
+  /** The cached 1h native-histogram totals face ([[nhTotRollupRaw]]). */
+  private[graft] def nhTot1hCached(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "nhTot")(nhTotRollupRaw(spark, dir, 3600L))
+
+  /** The cached 1h native-histogram bucket face ([[nhBkRollupRaw]]). */
+  private[graft] def nhBk1hCached(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "nhBk")(nhBkRollupRaw(spark, dir, 3600L))
+
   // integer `div`, not double floor(/): µs epochs sit near 2^50 and the
   // bucket arithmetic must stay exact
   private def bucketCol(resS: Long): Column =
@@ -99,7 +133,7 @@ object Downsample {
 
   /** p86: the 1-hour rollup of every metric family. */
   def rollup1h(spark: SparkSession, dir: String): DataFrame =
-    serve(rollupRaw(spark, dir, 3600L))
+    serve(rollup1hCached(spark, dir))
 
   /** p87: the 1-day rollup produced BY COMPACTION of the 1-hour rollup
     * — gated against an oracle that computes the day buckets directly
@@ -107,7 +141,7 @@ object Downsample {
     * proof at corpus scale.
     */
   def compact1hTo1d(spark: SparkSession, dir: String): DataFrame =
-    serve(compact(rollupRaw(spark, dir, 3600L), 86400L))
+    serve(compact(rollup1hCached(spark, dir), 86400L))
 
   /** p88: a dashboard panel served ENTIRELY from the rollup pyramid —
     * `sum by (k)` of the trailing-1d increase of `purchase` at the last
@@ -127,7 +161,7 @@ object Downsample {
   def rollupPanel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val res = 21600L
-    val all = compact(rollupRaw(spark, dir, 3600L), res)
+    val all = compact(rollup1hCached(spark, dir), res)
     val r6 = all
       .filter(col("name") === "purchase")
       .groupBy(col("label_k"), col("bucket_s"))
@@ -171,7 +205,7 @@ object Downsample {
   def gaugePanel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val res = 21600L
-    val all = compact(rollupRaw(spark, dir, 3600L), res)
+    val all = compact(rollup1hCached(spark, dir), res)
     val keys = Seq("name", "label_k", "label_instance")
     val bmax = all.agg(max(expr(s"bucket_s div $res")).as("_bmax"))
     val s = all.filter(col("name") === "signup")
@@ -294,9 +328,9 @@ object Downsample {
     val phi = 0.9
     // anchor on the CORPUS's last bucket (all families) — the shared
     // evaluation-instant convention (see rollupPanel)
-    val bmax = rollupRaw(spark, dir, 3600L)
+    val bmax = rollup1hCached(spark, dir)
       .agg(max(expr(s"(bucket_s div $res)")).as("_bmax"))
-    val h6 = histCompact(histRollupRaw(spark, dir, 3600L), res)
+    val h6 = histCompact(histRollup1hCached(spark, dir), res)
       .filter(col("name") === "error")
       .groupBy(col("label_k"), col("bucket_s"), col("le"))
       .agg(sum(col("cum_count")).as("_c"), sum(col("cnt")).as("_n"))
@@ -413,14 +447,14 @@ object Downsample {
     import org.apache.spark.sql.expressions.Window
     val res = 21600L
     val phi = 0.9
-    val bmax = rollupRaw(spark, dir, 3600L)
+    val bmax = rollup1hCached(spark, dir)
       .agg(max(expr(s"(bucket_s div $res)")).as("_bmax"))
     import spark.implicits._
     val grid = broadcast(spark.range(0L, 43L).toDF("_j"))
 
     // totals per (k, instant): sliding 4-bucket window on the compacted
     // totals rollup
-    val tot6 = nhTotCompact(nhTotRollupRaw(spark, dir, 3600L), res)
+    val tot6 = nhTotCompact(nhTot1hCached(spark, dir), res)
       .filter(col("name") === "error")
       .groupBy(col("label_k"), col("bucket_s"))
       .agg(sum(col("cnt")).as("_n"), sum(col("zero")).as("_z"))
@@ -439,7 +473,7 @@ object Downsample {
       .select(col("label_k"), col("_b"), col("cnt"), col("zero"))
 
     // nh-bucket ladder per (k, instant): sliding window per (k, cell)
-    val bk6 = nhBkCompact(nhBkRollupRaw(spark, dir, 3600L), res)
+    val bk6 = nhBkCompact(nhBk1hCached(spark, dir), res)
       .filter(col("name") === "error")
       .groupBy(col("label_k"), col("bucket_s"), col("bucket"))
       .agg(sum(col("c")).as("_c"))

@@ -24,20 +24,34 @@ object Api {
     case other => other
   }
 
-  /** Evaluate `query` and render the instant-vector JSON envelope. */
+  /** Evaluate `query` and render the instant-vector JSON envelope.
+    * `timeS` is the API's `time=` parameter: the vector evaluates AT
+    * that epoch instant (via a shifted compile — upstream's
+    * past-instant semantics) and the envelope renders it; absent, the
+    * corpus instant T is the evaluation time, upstream's "now". A
+    * `timeS` after T is rejected (`bad_data`) — the corpus has no
+    * future samples, so serving T's answer for it would be silently
+    * wrong.
+    */
   def queryJson(spark: SparkSession, dir: String, query: String,
-      nativeFamilies: Set[String] = Set.empty): String = {
-    val df = Engine.eval(spark, dir, query, nativeFamilies = nativeFamilies)
-    val labelCols = df.columns.filter(_ != "value").toSeq
+      nativeFamilies: Set[String] = Set.empty,
+      timeS: Option[Long] = None): String = {
     val t = Compiler.instantSeconds(spark, dir)
+    timeS.foreach(ts => require(ts <= t.toLong,
+      s"time $ts is after the corpus instant ${t.toLong}"))
+    val shiftS = timeS.map(ts => t.toLong - ts).getOrElse(0L)
+    val df = Compiler.withNativeFamilies(nativeFamilies)(
+      Compiler.compileShifted(spark, dir, Parser.parse(query), shiftS))
+    val labelCols = df.columns.filter(_ != "value").toSeq
+    val renderT: Any = timeS.getOrElse(t)
     // one element per output series:
-    //   {"metric":{...labels...},"value":[T,"<value>"]}
+    //   {"metric":{...labels...},"value":[<t>,"<v>"]}
     val metric =
       if (labelCols.isEmpty) lit("{}")
       else to_json(struct(labelCols.map(c => col(c).as(promLabel(c))): _*))
     val element = concat(
       lit("{\"metric\":"), metric,
-      lit(s""","value":[$t,""""), col("value").cast("string"), lit("\"]}"))
+      lit(s""","value":[$renderT,""""), col("value").cast("string"), lit("\"]}"))
     val parts = df.select(element.as("j")).collect().map(_.getString(0))
     parts.mkString(
       """{"status":"success","data":{"resultType":"vector","result":[""",
@@ -66,34 +80,44 @@ object Api {
     */
   def queryRangeJson(spark: SparkSession, dir: String, query: String,
       startS: Long, endS: Long, stepS: Long,
-      nativeFamilies: Set[String] = Set.empty): String =
+      nativeFamilies: Set[String] = Set.empty,
+      maxSourceResS: Option[Long] = None): String =
     queryRangeJsonImpl(spark, dir, query, startS, endS, stepS, grid = true,
-      nativeFamilies)
+      nativeFamilies, maxSourceResS)
 
   /** `grid = false` forces the per-instant union path — the test hook
     * that lets `QueryRangeSpec` pin union ≡ grid on a common grid.
     */
   private[graft] def queryRangeJsonImpl(spark: SparkSession, dir: String,
       query: String, startS: Long, endS: Long, stepS: Long,
-      grid: Boolean, nativeFamilies: Set[String] = Set.empty): String =
+      grid: Boolean, nativeFamilies: Set[String] = Set.empty,
+      maxSourceResS: Option[Long] = None): String =
     Compiler.withNativeFamilies(nativeFamilies)(
-      queryRangeJsonBody(spark, dir, query, startS, endS, stepS, grid))
+      queryRangeJsonBody(spark, dir, query, startS, endS, stepS, grid,
+        maxSourceResS))
 
-  private def queryRangeJsonBody(spark: SparkSession, dir: String,
-      query: String, startS: Long, endS: Long, stepS: Long,
-      grid: Boolean): String = {
-    require(stepS > 0, "step must be positive")
-    require(endS >= startS, "end must be >= start")
-    // @ start()/@ end() pin to the range query's own bounds (upstream
-    // Prometheus semantics), resolved once for BOTH physical paths
-    val ast = Ast.resolveAtEdges(Parser.parse(query), Some(startS), Some(endS))
+  /** The serving path's physical-plan choice, in preference order:
+    * pyramid rollups (ONLY when the caller opted in via
+    * `maxSourceResS` — Thanos's `max_source_resolution`: the
+    * pyramid's `[t−W, t)` window convention diverges from the raw
+    * paths on boundary-landing samples, so it must never be a silent
+    * default), dense grid, per-instant union. Returns the matrix
+    * relation with the grid instant as `_t`.
+    */
+  private def rangeRelation(spark: SparkSession, dir: String, ast: Ast,
+      startS: Long, endS: Long, stepS: Long, grid: Boolean,
+      maxSourceResS: Option[Long]): DataFrame = {
     val t = Compiler.instantSeconds(spark, dir)
     val instants = (startS to endS by stepS).toSeq
     require(instants.nonEmpty, "empty evaluation grid")
     instants.foreach(i => require(i <= t,
       s"grid instant $i is after the corpus instant ${t.toLong}"))
-    val unioned = (if (grid) Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
-      else None).map(_.withColumnRenamed("t_s", "_t")).getOrElse {
+    maxSourceResS
+      .flatMap(mr => Pyramid.rangeEval(spark, dir, ast, startS, endS, stepS, mr))
+      .orElse(
+        if (grid) Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
+        else None)
+      .map(_.withColumnRenamed("t_s", "_t")).getOrElse {
       if (instants.length > 64)
         throw new PromQLCompileException(
           s"query_range evaluates ${instants.length} instants; this query " +
@@ -103,6 +127,37 @@ object Api {
           .withColumn("_t", lit(i))
       }.reduce(_ unionAll _)
     }
+  }
+
+  /** The p96 gate's entry — the ROUTED downsampled `query_range` as a
+    * relation: the same grid anchoring as [[Pyramid.queryRangeAligned]]
+    * (end on the last aligned step edge), but routed through the
+    * SERVING path's preference chain with the downsampling opt-in, so
+    * gating it proves the route HTTP `max_source_resolution` requests
+    * take — pyramid first, dense-grid/union fallback when the router
+    * declines.
+    */
+  def queryRangeServed(spark: SparkSession, dir: String, query: String,
+      instants: Int, stepS: Long, maxSourceResS: Long): DataFrame = {
+    require(instants >= 1, "at least one grid instant")
+    val t = Compiler.instantSeconds(spark, dir).toLong
+    val endS = t / stepS * stepS
+    val startS = endS - (instants - 1).toLong * stepS
+    val ast = Ast.resolveAtEdges(Parser.parse(query), Some(startS), Some(endS))
+    rangeRelation(spark, dir, ast, startS, endS, stepS, grid = true,
+      Some(maxSourceResS)).withColumnRenamed("_t", "t_s")
+  }
+
+  private def queryRangeJsonBody(spark: SparkSession, dir: String,
+      query: String, startS: Long, endS: Long, stepS: Long,
+      grid: Boolean, maxSourceResS: Option[Long] = None): String = {
+    require(stepS > 0, "step must be positive")
+    require(endS >= startS, "end must be >= start")
+    // @ start()/@ end() pin to the range query's own bounds (upstream
+    // Prometheus semantics), resolved once for EVERY physical path
+    val ast = Ast.resolveAtEdges(Parser.parse(query), Some(startS), Some(endS))
+    val unioned = rangeRelation(spark, dir, ast, startS, endS, stepS, grid,
+      maxSourceResS)
     val labelCols = unioned.columns.filterNot(c => c == "value" || c == "_t").toSeq
     val metric =
       if (labelCols.isEmpty) lit("{}")
@@ -165,9 +220,13 @@ object Api {
         concat(lit(p + "=\""), col(c), lit("\""))
       }.toIndexedSeq: _*)
       val cents = round(col("value") * 100).cast("long")
+      // sign rendered separately: Spark's truncating `/` and
+      // sign-keeping `%` would print `0.-50` for a negative gauge
+      val acents = abs(cents)
       df.select(concat(col("name"), lit("{"), inner, lit("} "),
-        (cents / 100).cast("long").cast("string"), lit("."),
-        lpad((cents % 100).cast("string"), 2, "0"),
+        when(cents < 0, lit("-")).otherwise(lit("")),
+        (acents / 100).cast("long").cast("string"), lit("."),
+        lpad(pmod(acents, lit(100L)).cast("string"), 2, "0"),
         lit(s" $tMs")).as("line"))
     }.reduce(_ unionByName _).distinct()
     val parts = rendered.orderBy(col("line")).collect().map(_.getString(0))
@@ -177,14 +236,49 @@ object Api {
   private def envelope(dataJson: String): String =
     s"""{"status":"success","data":$dataJson}"""
 
-  /** `/api/v1/series` twin: the distinct series (as metric maps)
-    * matching a selector — one distinct aggregate over the series key.
+  /** `/api/v1/series` twin: the distinct series (as metric maps) with
+    * at least one sample matching ANY of the `match[]` selectors inside
+    * `[startS, endS]` (defaults: the whole corpus) — upstream's
+    * repeated-`match[]` union semantics. Selector filters OR into ONE
+    * scan predicate, so N selectors cost one pass + one distinct over
+    * the series key, never N jobs. Works for every sample kind
+    * (a histogram family lists its series here even though it has no
+    * scalar instant vector).
     */
-  def seriesJson(spark: SparkSession, dir: String, selector: String): String = {
-    val df = Engine.eval(spark, dir, selector)
-    val labelCols = df.columns.filter(_ != "value").toSeq
-    val maps = df
-      .select(to_json(struct(labelCols.map(c => col(c).as(promLabel(c))): _*)).as("m"))
+  def seriesJson(spark: SparkSession, dir: String, selectors: Seq[String],
+      startS: Option[Long] = None, endS: Option[Long] = None): String = {
+    require(selectors.nonEmpty, "at least one match[] selector")
+    val filters = selectors.map { m =>
+      Parser.parse(m) match {
+        case sel: Selector
+            if sel.rangeS.isEmpty && sel.offsetS.isEmpty && sel.atS.isEmpty =>
+          if (sel.name.isEmpty && !sel.matchers.exists(_.label == "__name__"))
+            throw new PromQLCompileException(
+              s"match[] selector '$m' needs a metric name or a __name__ matcher")
+          val nameF = sel.matchers.filter(_.label == "__name__")
+            .foldLeft(if (sel.name.nonEmpty) col("name") === sel.name
+              else lit(true)) { (acc, mm) =>
+              acc && (mm.op match {
+                case "=" => col("name") === mm.value
+                case "!=" => col("name") =!= mm.value
+                case "=~" => col("name").rlike(s"^(?:${mm.value})$$")
+                case "!~" => !col("name").rlike(s"^(?:${mm.value})$$")
+              })
+            }
+          nameF && Compiler.matcherFilter(sel.matchers)
+        case _ => throw new PromQLCompileException(
+          s"match[] must be a plain series selector, got '$m'")
+      }
+    }
+    val ev = graft.operators.Metrics.metricEvents(spark, dir)
+    val timeF = startS.map(s => unix_micros(col("ts")) >= s * 1000000L)
+      .getOrElse(lit(true)) &&
+      endS.map(e => unix_micros(col("ts")) <= e * 1000000L).getOrElse(lit(true))
+    val maps = ev.filter(filters.reduce(_ || _) && timeF)
+      .select(to_json(struct(
+        col("name").as("__name__"),
+        col("label_k").as("k"),
+        col("label_instance").as("instance"))).as("m"))
       .distinct().orderBy(col("m"))
       .collect().map(_.getString(0))
     envelope(maps.mkString("[", ",", "]"))

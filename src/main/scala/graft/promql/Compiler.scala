@@ -3114,10 +3114,19 @@ object Compiler {
     nativeFams.withValue(nativeFamilies)(
       detMode.withValue(detMath)(compile(spark, dir, ast)))
 
-  def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame = {
+  def compile(spark: SparkSession, dir: String, ast: Ast): DataFrame =
+    compileShifted(spark, dir, ast, 0L)
+
+  /** [[compile]] evaluated `shiftS` seconds BEFORE the corpus instant T
+    * — the full front-door semantics (sorts included) at a past
+    * instant; the HTTP API's `time=` parameter compiles through here.
+    */
+  private[promql] def compileShifted(spark: SparkSession, dir: String,
+      ast: Ast, shiftS: Long): DataFrame = {
     // instant query: @ start()/@ end() ARE the evaluation instant
     // (upstream's start = end = eval-time rule) — drop the pins
-    val v = materialize(compileVec(spark, dir, Ast.resolveAtEdges(ast, None, None)))
+    val v = materialize(
+      compileVec(spark, dir, Ast.resolveAtEdges(ast, None, None), shiftS))
     val cols = v.labels.map(col) :+ col("value").cast("double").as("value")
     val ord =
       if (v.sortLabels.nonEmpty) {

@@ -383,8 +383,9 @@ object Oracle {
        |u AS (SELECT * FROM c UNION ALL SELECT * FROM g),
        |lines AS (
        |  SELECT name || '{instance="' || label_instance || '",k="' || label_k
-       |    || '"} ' || CAST(cents // 100 AS VARCHAR) || '.'
-       |    || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+       |    || '"} ' || (CASE WHEN cents < 0 THEN '-' ELSE '' END)
+       |    || CAST(abs(cents) // 100 AS VARCHAR) || '.'
+       |    || lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0')
        |    || ' ' || CAST(t.ts_ms AS VARCHAR) AS line
        |  FROM u, t)
        |SELECT string_agg(line, chr(10) ORDER BY line) || chr(10) AS payload
@@ -482,6 +483,28 @@ object Oracle {
        |SELECT label_k, t_s, max_le AS value
        |FROM r WHERE le = max_le AND rank > CAST(max_cum AS DOUBLE)
        |ORDER BY label_k, t_s""".stripMargin
+
+  /** p97: the router's `*_over_time` arm — `avg_over_time(signup[1d])`
+    * per series at 240 aligned 6h instants under the pyramid
+    * `[t−W, t)` convention, the mean computed straight from raw events
+    * as exact-decimal sum over count with ONE final cast (the engine
+    * divides the windowed rollup `sum_dec` by the windowed `cnt`, so
+    * both sides divide identical doubles).
+    */
+  val PyramidOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i)
+       |SELECT m.name, m.label_k, m.label_instance,
+       |  (t.ebi - i.i) * 21600 AS t_s,
+       |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS value
+       |FROM m, t, inst i
+       |WHERE m.name = 'signup'
+       |  AND epoch_us(m.ts) >= ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |  AND epoch_us(m.ts) <  (t.ebi - i.i) * 21600 * 1000000
+       |GROUP BY m.name, m.label_k, m.label_instance, i.i, t.ebi
+       |ORDER BY name, label_k, label_instance, t_s""".stripMargin
 
   /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
     * the 240×6h grid — the subquery inner evaluates once on the shared

@@ -39,17 +39,23 @@ import org.apache.spark.sql.functions._
   */
 object Pyramid {
 
-  private val Resolutions = Seq(86400L, 21600L, 7200L, 3600L)
+  private val AllResolutions = Seq(86400L, 21600L, 7200L, 3600L)
 
   /** Route `ast` at the `[startS, endS] × stepS` grid through the
     * pyramid, or `None` when the shape/alignment forbids it. Output
     * matches the dense-grid relation contract: `labels… :+ t_s :+
     * value`, ordered by the caller.
+    *
+    * `maxResS` is Thanos's `max_source_resolution`: only rollup levels
+    * at or below it may serve (the caller's bound on how much
+    * pre-aggregation it accepts); the default admits every level.
     */
   def rangeEval(spark: SparkSession, dir: String, ast: Ast,
-      startS: Long, endS: Long, stepS: Long): Option[DataFrame] = {
+      startS: Long, endS: Long, stepS: Long,
+      maxResS: Long = Long.MaxValue): Option[DataFrame] = {
     require(stepS > 0, "step must be positive")
     require(endS >= startS, "end must be >= start")
+    val Resolutions = AllResolutions.filter(_ <= maxResS)
     val FullKey = Seq("name", "label_k", "label_instance")
     def byColsOf(grouping: Option[(String, Seq[String])]): Option[Seq[String]] =
       grouping match {
@@ -66,20 +72,28 @@ object Pyramid {
           Func(fn @ ("increase" | "rate"), None, sel: Selector))
           if servableSelector(sel, windowed = true) =>
         byColsOf(grouping).flatMap(bc =>
-          serve(spark, dir, bc, fn, sel, startS, endS, stepS))
+          serve(spark, dir, bc, fn, sel, startS, endS, stepS, Resolutions))
       case Func(fn @ ("increase" | "rate"), None, sel: Selector)
           if servableSelector(sel, windowed = true) =>
-        serve(spark, dir, FullKey, fn, sel, startS, endS, stepS)
+        serve(spark, dir, FullKey, fn, sel, startS, endS, stepS, Resolutions)
+      // windowed gauge/counter sample aggregations: the rollup row
+      // already carries every field the five *_over_time shapes need
+      // (vmin/vmax/sum_dec/cnt), so an aligned window is one slide
+      // over the compacted relation
+      case Func(fn @ ("min_over_time" | "max_over_time" | "avg_over_time" |
+          "sum_over_time" | "count_over_time"), None, sel: Selector)
+          if servableOverTime(sel) =>
+        serveOverTime(spark, dir, fn, sel, startS, endS, stepS, Resolutions)
       // counter instant vector: running totals through each instant
       case Agg("sum", grouping, None, sel: Selector)
           if servableSelector(sel, windowed = false) =>
         byColsOf(grouping).flatMap(bc =>
-          serveTotals(spark, dir, bc, sel, startS, endS, stepS))
+          serveTotals(spark, dir, bc, sel, startS, endS, stepS, Resolutions))
       case sel: Selector if servableSelector(sel, windowed = false) =>
-        serveTotals(spark, dir, FullKey, sel, startS, endS, stepS)
+        serveTotals(spark, dir, FullKey, sel, startS, endS, stepS, Resolutions)
       // gauge instant vector: last-write-wins through each instant
       case sel: Selector if servableGauge(sel) =>
-        serveGauge(spark, dir, sel, startS, endS, stepS)
+        serveGauge(spark, dir, sel, startS, endS, stepS, Resolutions)
       // classic histogram_quantile over a windowed (aggregated)
       // histogram family — rank = φ·count is scale-invariant, so
       // rate and increase route identically
@@ -88,11 +102,13 @@ object Pyramid {
             Func("increase" | "rate", None, sel: Selector)))
           if servableHist(sel) =>
         byColsOf(grouping).flatMap(bc =>
-          serveHistQuantile(spark, dir, bc, phi, sel, startS, endS, stepS))
+          serveHistQuantile(spark, dir, bc, phi, sel, startS, endS, stepS,
+            Resolutions))
       case Func("histogram_quantile", Some(phi),
           Func("increase" | "rate", None, sel: Selector))
           if servableHist(sel) =>
-        serveHistQuantile(spark, dir, FullKey, phi, sel, startS, endS, stepS)
+        serveHistQuantile(spark, dir, FullKey, phi, sel, startS, endS, stepS,
+          Resolutions)
       case _ => None
     }
   }
@@ -117,11 +133,23 @@ object Pyramid {
       sel.name.nonEmpty && MetricEvent.HistogramNames.contains(sel.name) &&
       sel.matchers.forall(_.label != "__name__")
 
+  /** `*_over_time` windows read raw sample VALUES, so any scalar-valued
+    * family serves (counter or gauge — the rollup's vmin/vmax/sum/cnt
+    * fields are kind-agnostic); histogram observations have no scalar
+    * instant value, mirroring the raw paths' kind check.
+    */
+  private def servableOverTime(sel: Selector): Boolean =
+    sel.rangeS.exists(_ > 0) && sel.offsetS.isEmpty && sel.atS.isEmpty &&
+      sel.name.nonEmpty &&
+      (MetricEvent.CounterNames.contains(sel.name) ||
+        MetricEvent.GaugeNames.contains(sel.name)) &&
+      sel.matchers.forall(_.label != "__name__")
+
   private def serve(spark: SparkSession, dir: String, byCols: Seq[String],
       fn: String, sel: Selector, startS: Long, endS: Long,
-      stepS: Long): Option[DataFrame] = {
+      stepS: Long, resolutions: Seq[Long]): Option[DataFrame] = {
     val w = sel.rangeS.get
-    Resolutions
+    resolutions
       .find(r => w % r == 0 && stepS % r == 0 && startS % r == 0)
       .map { res =>
         val nb = (w / res).toInt
@@ -129,7 +157,7 @@ object Pyramid {
         val bLo = startS / res - nb // earliest bucket any window reads
         val bHi = endS / res - 1
         val roll = Downsample
-          .compact(Downsample.rollupRaw(spark, dir, 3600L), res)
+          .compact(Downsample.rollup1hCached(spark, dir), res)
           .filter(col("name") === sel.name &&
             Compiler.matcherFilter(sel.matchers))
           .withColumn("_b", expr(s"bucket_s div $res"))
@@ -163,8 +191,9 @@ object Pyramid {
   /** Shared: alignment pick for instant-vector serving (no window to
     * constrain — only step and start must sit on a rollup lattice).
     */
-  private def instantRes(startS: Long, stepS: Long): Option[Long] =
-    Resolutions.find(r => stepS % r == 0 && startS % r == 0)
+  private def instantRes(startS: Long, stepS: Long,
+      resolutions: Seq[Long]): Option[Long] =
+    resolutions.find(r => stepS % r == 0 && startS % r == 0)
 
   /** Shared: the compacted, matcher-filtered rollup rows of `sel` at
     * resolution `res`, with `_b` = bucket index, bounded above by the
@@ -172,7 +201,7 @@ object Pyramid {
     */
   private def rollOf(spark: SparkSession, dir: String, sel: Selector,
       res: Long, bHi: Long): DataFrame =
-    Downsample.compact(Downsample.rollupRaw(spark, dir, 3600L), res)
+    Downsample.compact(Downsample.rollup1hCached(spark, dir), res)
       .filter(col("name") === sel.name && Compiler.matcherFilter(sel.matchers))
       .withColumn("_b", expr(s"bucket_s div $res"))
       .filter(col("_b") <= bHi)
@@ -193,8 +222,8 @@ object Pyramid {
     */
   private def serveTotals(spark: SparkSession, dir: String,
       byCols: Seq[String], sel: Selector, startS: Long, endS: Long,
-      stepS: Long): Option[DataFrame] =
-    instantRes(startS, stepS).map { res =>
+      stepS: Long, resolutions: Seq[Long]): Option[DataFrame] =
+    instantRes(startS, stepS, resolutions).map { res =>
       val bHi = endS / res - 1
       val roll = rollOf(spark, dir, sel, res, bHi)
         .groupBy((byCols :+ "_b").map(col): _*)
@@ -217,8 +246,9 @@ object Pyramid {
     * the running LWW is one `last(ignoreNulls)` window per series.
     */
   private def serveGauge(spark: SparkSession, dir: String, sel: Selector,
-      startS: Long, endS: Long, stepS: Long): Option[DataFrame] =
-    instantRes(startS, stepS).map { res =>
+      startS: Long, endS: Long, stepS: Long,
+      resolutions: Seq[Long]): Option[DataFrame] =
+    instantRes(startS, stepS, resolutions).map { res =>
       val keys = Seq("name", "label_k", "label_instance")
       val bHi = endS / res - 1
       val roll = rollOf(spark, dir, sel, res, bHi)
@@ -234,6 +264,55 @@ object Pyramid {
         .select(keys.map(col) :+ col("t_s") :+ col("_v").as("value"): _*)
     }
 
+  /** The five `*_over_time` sample-window aggregations per series from
+    * rollup fields alone — the rollup row already pays for exactly
+    * these (`vmin`/`vmax`/`sum_dec`/`cnt`), so an aligned window is one
+    * sliding window over the compacted relation: min/max nest, sums and
+    * counts add, and `avg` is the exact-decimal sum over the count with
+    * the cast at the end (the engine-wide float convention). Windows
+    * follow the pyramid's `[t−W, t)` convention like every arm here.
+    */
+  private def serveOverTime(spark: SparkSession, dir: String, fn: String,
+      sel: Selector, startS: Long, endS: Long, stepS: Long,
+      resolutions: Seq[Long]): Option[DataFrame] = {
+    val w = sel.rangeS.get
+    resolutions
+      .find(r => w % r == 0 && stepS % r == 0 && startS % r == 0)
+      .map { res =>
+        val nb = (w / res).toInt
+        val keys = Seq("name", "label_k", "label_instance")
+        val bLo = startS / res - nb
+        val bHi = endS / res - 1
+        val roll = rollOf(spark, dir, sel, res, bHi)
+          .filter(col("_b") >= bLo)
+          .select(keys.map(col) :+ col("_b") :+ col("cnt") :+
+            col("sum_dec") :+ col("vmin") :+ col("vmax"): _*)
+        import spark.implicits._
+        val lattice = roll.select(keys.map(col): _*).distinct()
+          .crossJoin(broadcast(spark.range(bLo, bHi + 1).toDF("_b")))
+        val win = Window.partitionBy(keys.map(col): _*).orderBy(col("_b"))
+          .rowsBetween(-(nb - 1), Window.currentRow)
+        val joined = lattice.join(roll, keys :+ "_b", "left")
+          .withColumn("_wn", sum(col("cnt")).over(win))
+        val value = fn match {
+          case "sum_over_time" => sum(col("sum_dec")).over(win).cast("double")
+          case "count_over_time" => col("_wn").cast("double")
+          case "avg_over_time" =>
+            sum(col("sum_dec")).over(win).cast("double") /
+              col("_wn").cast("double")
+          case "min_over_time" => min(col("vmin")).over(win)
+          case "max_over_time" => max(col("vmax")).over(win)
+        }
+        joined
+          .withColumn("_v", value)
+          .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
+          .filter(col("_wn") > 0 &&
+            col("t_s").between(startS, endS) &&
+            (col("t_s") - lit(startS)) % lit(stepS) === 0)
+          .select(keys.map(col) :+ col("t_s") :+ col("_v").as("value"): _*)
+      }
+  }
+
   /** Classic `histogram_quantile(φ, sum by (…) (rate(hist[W])))` from
     * the HISTOGRAM level of the pyramid
     * ([[Downsample.histRollupRaw]]): windowed per-`le` cumulative
@@ -244,16 +323,16 @@ object Pyramid {
     */
   private def serveHistQuantile(spark: SparkSession, dir: String,
       byCols: Seq[String], phi: Double, sel: Selector, startS: Long,
-      endS: Long, stepS: Long): Option[DataFrame] = {
+      endS: Long, stepS: Long, resolutions: Seq[Long]): Option[DataFrame] = {
     val w = sel.rangeS.get
-    Resolutions
+    resolutions
       .find(r => w % r == 0 && stepS % r == 0 && startS % r == 0)
       .map { res =>
         val nb = (w / res).toInt
         val bLo = startS / res - nb
         val bHi = endS / res - 1
         val h = Downsample
-          .histCompact(Downsample.histRollupRaw(spark, dir, 3600L), res)
+          .histCompact(Downsample.histRollup1hCached(spark, dir), res)
           .filter(col("name") === sel.name &&
             Compiler.matcherFilter(sel.matchers))
           .withColumn("_b", expr(s"bucket_s div $res"))

@@ -1,6 +1,6 @@
 package graft.promql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * Both are thin compositions over [[Engine]]: rule evaluation IS plan
   * construction, so a rule file of N rules is N independent Catalyst
   * plans sharing the session's cached adapter relations.
+  *
+  * Ladder identity: every pending→firing computation below keys on the
+  * condition's FULL label set (whatever label columns its compiled
+  * vector retains — `label_k`, `label_instance`, `name`, any subset),
+  * so two series that share one label never alias into a single ladder
+  * state. A condition that aggregated every label away (a scalar alert)
+  * fires on the null `label_k`, upstream's label-free-alert reading.
   */
 object Rules {
 
@@ -50,18 +57,37 @@ object Rules {
       df.write.mode("overwrite").parquet(s"$outDir/$name")
     }
 
+  /** The condition's series identity: every label column its compiled
+    * vector retains. A fully-aggregated (scalar) condition gets a null
+    * `label_k` so the ladder joins/outputs keep a stable shape — the
+    * label-free alert fires on the empty label set, like upstream's
+    * scalar alerts.
+    */
+  private def withSeriesKey(df: DataFrame): (DataFrame, Seq[String]) = {
+    val lcs = df.columns.filter(c => c != "value" && c != "t_s").toSeq
+    if (lcs.nonEmpty) (df, lcs)
+    else (df.withColumn("label_k", lit(null).cast("string")), Seq("label_k"))
+  }
+
+  /** Null-safe conjunction over the series-key columns (Spark's
+    * equi-join drops null keys; `<=>` keeps the scalar alert's null
+    * label joinable).
+    */
+  private def keyEq(left: DataFrame, right: DataFrame,
+      lcs: Seq[String], rightPrefix: String): Column =
+    lcs.map(c => left(c) <=> right(rightPrefix + c)).reduce(_ && _)
+
   /** Evaluate alert rules; the union of firing series, one row per
-    * (alertname, series). Vectors that aggregated the label away fire
-    * with a null label, like an alert on a scalar-valued expression.
+    * (alertname, series) carrying the condition's full label set.
+    * Rules whose conditions retain different label subsets align on
+    * the union of their label columns (absent labels null), so one
+    * call evaluates a whole rule file.
     */
   def evaluateAlerts(spark: SparkSession, dir: String,
       rules: Seq[AlertRule]): DataFrame = {
-    def labelled(df: DataFrame): DataFrame =
-      if (df.columns.contains("label_k")) df.select(col("label_k"), col("value"))
-      else df.select(lit(null).cast("string").as("label_k"), col("value"))
     val frames = rules.map { r =>
       val ast = Parser.parse(r.expr)
-      val current = labelled(Compiler.compileAt(spark, dir, ast, 0L))
+      val (current, lcs) = withSeriesKey(Compiler.compileAt(spark, dir, ast, 0L))
       val sustained =
         if (r.forS <= 0) current
         else {
@@ -70,17 +96,28 @@ object Rules {
               s"alert '${r.alert}': `for` (${r.forS}s) must be a positive multiple of the evaluation interval (${r.intervalS}s)")
           // firing = the condition's series present at EVERY past instant
           // too: semi-join the current firing set against each shifted
-          // evaluation (null-safe on the label — a label-free condition
-          // fires on the empty label set, like Prometheus's scalar alerts)
+          // evaluation, null-safe on the FULL series key
           (1L to r.forS / r.intervalS).foldLeft(current) { (acc, i) =>
-            val past = labelled(Compiler.compileAt(spark, dir, ast, i * r.intervalS))
-              .select(col("label_k").as("_past_lk")).distinct()
-            acc.join(past, acc("label_k") <=> past("_past_lk"), "left_semi")
+            val past = withSeriesKey(
+              Compiler.compileAt(spark, dir, ast, i * r.intervalS))._1
+              .select(lcs.map(c => col(c).as("_p_" + c)): _*).distinct()
+            acc.join(past, keyEq(acc, past, lcs, "_p_"), "left_semi")
           }
         }
-      sustained.select(lit(r.alert).as("alertname"), col("label_k"), col("value"))
+      sustained.select(lit(r.alert).as("alertname") +:
+        (lcs.map(col) :+ col("value")): _*)
     }
-    frames.reduce(_ unionAll _).orderBy(col("alertname"), col("label_k"))
+    // align rule outputs on the union of their label columns (canonical
+    // order: name, label_k, label_instance — the series-key order)
+    val allLabels = Seq("name", "label_k", "label_instance")
+      .filter(l => frames.exists(_.columns.contains(l)))
+    val aligned = frames.map { f =>
+      f.select(col("alertname") +: (allLabels.map(l =>
+        if (f.columns.contains(l)) col(l)
+        else lit(null).cast("string").as(l)) :+ col("value")): _*)
+    }
+    aligned.reduce(_ unionAll _)
+      .orderBy((col("alertname") +: allLabels.map(col)): _*)
   }
 
   /** The per-instant alert STATE ladder — upstream's `ALERTS` series
@@ -112,29 +149,29 @@ object Rules {
     // the lookback-join modulo needs a positive divisor even when the
     // for-less rule carries intervalS = 0 (k = 0 makes it vacuous)
     val iv = math.max(rule.intervalS, 1L)
-    def labelled(df: DataFrame): DataFrame =
-      if (df.columns.contains("label_k")) df.select(col("label_k"), col("value"))
-      else df.select(lit(null).cast("string").as("label_k"), col("value"))
     val evalOffsets =
       offsets.flatMap(o => (0 to k).map(i => o + i * iv)).distinct.sorted
-    val pres = evalOffsets.map { o =>
-      labelled(Compiler.compileAt(spark, dir, ast, o))
-        .select(lit(o).as("offset_s"), col("label_k"), col("value"))
+    val compiled = evalOffsets.map(o =>
+      o -> withSeriesKey(Compiler.compileAt(spark, dir, ast, o)))
+    val lcs = compiled.head._2._2
+    val pres = compiled.map { case (o, (df, _)) =>
+      df.select(lit(o).as("offset_s") +: (lcs.map(col) :+ col("value")): _*)
     }.reduce(_ unionAll _)
     val cur = pres.filter(col("offset_s").isin(offsets: _*))
-    val past = pres.select(col("offset_s").as("_p_off"), col("label_k").as("_p_lk"))
+    val past = pres.select(col("offset_s").as("_p_off") +:
+      lcs.map(c => col(c).as("_p_" + c)): _*)
     cur.join(past,
-        cur("label_k") <=> past("_p_lk") &&
+        keyEq(cur, past, lcs, "_p_") &&
           past("_p_off") >= cur("offset_s") &&
           past("_p_off") <= cur("offset_s") + rule.forS &&
           ((past("_p_off") - cur("offset_s")) % iv === 0))
-      .groupBy(col("offset_s"), col("label_k"), col("value"))
+      .groupBy((col("offset_s") +: lcs.map(col) :+ col("value")): _*)
       .agg(count(lit(1)).as("_n"))
       .select(
-        lit(rule.alert).as("alertname"),
-        when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate"),
-        col("offset_s"), col("label_k"), col("value"))
-      .orderBy(col("offset_s"), col("label_k"))
+        lit(rule.alert).as("alertname") +:
+          when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate") +:
+          col("offset_s") +: (lcs.map(col) :+ col("value")): _*)
+      .orderBy((col("offset_s") +: lcs.map(col)): _*)
   }
 
   /** [[alertStates]] at DASHBOARD resolution: the `ALERTS` state
@@ -182,38 +219,38 @@ object Rules {
     val cond = Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
       .getOrElse(throw new PromQLCompileException(
         s"alert '${rule.alert}': no dense-grid strategy for the condition shape; use alertStates (per-instant union, ≤64 instants)"))
-    // the union ladder's label convention: label_k, or the null label
-    // for conditions that aggregated it away
-    val p0 =
-      if (cond.columns.contains("label_k"))
-        cond.select(col("label_k"), col("t_s"), col("value"))
-      else cond.select(lit(null).cast("string").as("label_k"), col("t_s"),
-        col("value"))
-    // null-safe lattice key (a label-free condition breaches on the
-    // null label; Spark's equi-join drops null keys)
-    val p = p0
-      .withColumn("_lk", coalesce(col("label_k"), lit(" ")))
+    val (p0, lcs) = withSeriesKey(cond)
+    // null-safe lattice keys: one coalesced shadow per label column (a
+    // scalar condition breaches on the null label; Spark's equi-join
+    // drops null keys). The sentinel is the NUL escape — no real label
+    // value contains it.
+    val shadows = lcs.indices.map(i => s"_sk$i")
+    def shadowed(df: DataFrame): DataFrame =
+      lcs.zip(shadows).foldLeft(df) { case (d, (c, s)) =>
+        d.withColumn(s, coalesce(col(c), lit("\u0000")))
+      }
+    val p = shadowed(p0)
       .withColumn("_i",
         ((col("t_s") - lit(startS)) / lit(stepS)).cast("long") + lit(1L))
-      .select(col("_lk"), col("label_k"), col("_i"), col("value"))
+      .select((shadows.map(col) ++ lcs.map(col)) :+ col("_i") :+ col("value"): _*)
     import spark.implicits._
     // densify breaches onto the series×instant lattice so the trailing
     // window SEES missed instants (as null values) — ever-breaching
     // series only, the ladder's own output bound
-    val lattice = p.select(col("_lk"), col("label_k")).distinct()
+    val lattice = p.select(shadows.map(col) ++ lcs.map(col): _*).distinct()
       .crossJoin(broadcast(spark.range(1L, ext + 1L).toDF("_i")))
-    val dense = lattice.join(p.select(col("_lk"), col("_i"), col("value")),
-      Seq("_lk", "_i"), "left")
-    val wl = Window.partitionBy(col("_lk"), pmod(col("_i"), lit(m.toLong)))
+    val dense = lattice.join(p.select((shadows.map(col) :+ col("_i")) :+ col("value"): _*),
+      shadows :+ "_i", "left")
+    val wl = Window.partitionBy(shadows.map(col) :+ pmod(col("_i"), lit(m.toLong)): _*)
       .orderBy(col("_i")).rowsBetween(-k, Window.currentRow)
     dense
       .withColumn("_n", count(col("value")).over(wl))
       .filter(col("value").isNotNull && col("_i") > k.toLong * m)
       .select(
-        lit(rule.alert).as("alertname"),
-        when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate"),
-        (lit(startS) + (col("_i") - 1) * lit(stepS)).cast("long").as("t_s"),
-        col("label_k"), col("value"))
-      .orderBy(col("t_s"), col("label_k"))
+        lit(rule.alert).as("alertname") +:
+          when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate") +:
+          (lit(startS) + (col("_i") - 1) * lit(stepS)).cast("long").as("t_s") +:
+          (lcs.map(col) :+ col("value")): _*)
+      .orderBy((col("t_s") +: lcs.map(col)): _*)
   }
 }

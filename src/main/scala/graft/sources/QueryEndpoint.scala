@@ -125,9 +125,14 @@ object QueryEndpoint {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     server.createContext("/api/v1/query_range", handler { ex =>
       val p = params(ex)
+      // Thanos's max_source_resolution: an EXPLICIT opt-in to serve
+      // aligned queries from the rollup pyramid (its [t−W, t) window
+      // convention diverges from the raw paths on boundary-landing
+      // samples — never a silent default); 0 or absent = raw only
+      val msr = p.get("max_source_resolution").map(stepS).filter(_ > 0)
       Api.queryRangeJson(spark, dir, required(p, "query"),
         epochS(required(p, "start")), epochS(required(p, "end")),
-        stepS(required(p, "step")), nativeFamilies)
+        stepS(required(p, "step")), nativeFamilies, msr)
     })
     server.createContext("/api/v1/query", handler { ex =>
       // createContext is prefix-matched, so /api/v1/query_range has its
@@ -135,7 +140,9 @@ object QueryEndpoint {
       if (ex.getRequestURI.getPath != "/api/v1/query")
         throw new IllegalArgumentException(
           s"unknown endpoint ${ex.getRequestURI.getPath}")
-      Api.queryJson(spark, dir, required(params(ex), "query"), nativeFamilies)
+      val p = params(ex)
+      Api.queryJson(spark, dir, required(p, "query"), nativeFamilies,
+        timeS = p.get("time").map(epochS))
     })
     // hierarchical federation: the timestamped exposition payload for
     // the matched series, the same bytes as the oracle-gated a1g query
@@ -146,7 +153,14 @@ object QueryEndpoint {
       Api.federateText(spark, dir, ms)
     }, ScrapeEndpoint.ContentType))
     server.createContext("/api/v1/series", handler { ex =>
-      Api.seriesJson(spark, dir, required(params(ex), "match[]"))
+      // repeated match[] selectors union (upstream semantics); start/end
+      // bound the sample-presence window
+      val ms = multiParams(ex).collect { case ("match[]", v) => v }
+      if (ms.isEmpty) throw new IllegalArgumentException(
+        "missing required parameter 'match[]'")
+      val p = params(ex)
+      Api.seriesJson(spark, dir, ms,
+        p.get("start").map(epochS), p.get("end").map(epochS))
     })
     server.createContext("/api/v1/labels", handler { _ =>
       Api.labelsJson(spark, dir)

@@ -36,6 +36,15 @@ object ScrapeEndpoint {
   val OpenMetricsContentType =
     "application/openmetrics-text; version=1.0.0; charset=utf-8"
 
+  /** Cents → decimal string with the sign rendered separately (JVM
+    * truncating `/` and sign-keeping `%` would print `0.-50` for a
+    * negative total).
+    */
+  private def centsStr(cents: Long): String = {
+    val a = Math.abs(cents)
+    s"${if (cents < 0) "-" else ""}${a / 100}.${"%02d".format(a % 100)}"
+  }
+
   /** Render the registry snapshot as exposition text: one sorted
     * `name{k="v"} intpart.fraction2` line per series, trailing newline.
     * Cents rendering matches a1c: pure integer/string ops, so the same
@@ -44,7 +53,7 @@ object ScrapeEndpoint {
   def renderText(): String = {
     val lines = ExpositionRegistry.series().map { t =>
       val cents = Math.round(t.total * 100.0)
-      s"""${t.name}{k="${t.label_k}"} ${cents / 100}.${"%02d".format(cents % 100)}"""
+      s"""${t.name}{k="${t.label_k}"} ${centsStr(cents)}"""
     }.sorted
     lines.mkString("", "\n", if (lines.nonEmpty) "\n" else "")
   }
@@ -64,7 +73,7 @@ object ScrapeEndpoint {
     val blocks = fams.map { case (fam, ts) =>
       val lines = ts.map { t =>
         val cents = Math.round(t.total * 100.0)
-        s"""${t.name}_total{k="${t.label_k}"} ${cents / 100}.${"%02d".format(cents % 100)}"""
+        s"""${t.name}_total{k="${t.label_k}"} ${centsStr(cents)}"""
       }.sorted
       (s"# TYPE $fam counter" +: lines).mkString("\n")
     }

@@ -466,6 +466,41 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("p96/p97: served downsample routes read the ROLLUP cache, not raw event columns") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the EXECUTED leaves (the formatted string also renders each
+    // cached relation's build plan, so a substring check would see the
+    // rollup cache's events-scan lineage — walk the tree instead)
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec => leaves(q.plan)
+      case l if l.children.isEmpty => Seq(l)
+      case o => o.children.flatMap(leaves)
+    }
+    for (name <- Seq("p96_served_downsample", "p97_pyramid_over_time")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val ls = leaves(df.queryExecution.executedPlan)
+      val scans = ls.collect { case s: InMemoryTableScanExec => s }
+      // the aligned panel executes against the cached rollup relation
+      // (series × buckets); raw event columns never reach a scan — the
+      // 100 TB claim ("panel cost independent of raw event count once
+      // the pyramid exists"), pinned
+      assert(scans.nonEmpty, s"$name does not read the rollup cache")
+      assert(scans.forall(_.output.map(_.name).contains("bucket_s")),
+        s"$name scans a non-rollup cached relation")
+      assert(scans.forall(s => !s.output.map(_.name).contains("event_id")),
+        s"$name re-reads raw event columns")
+      assert(!ls.exists(_.nodeName.toLowerCase.contains("scan parquet")),
+        s"$name re-reads the event log from parquet")
+      val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("Union"), s"$name degenerated to per-instant branches")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
   test("p88/p90/p91: pyramid panels slide windows over rollups; lattices broadcast; no cartesian") {
     for (name <- Seq("p88_rollup_panel", "p90_rollup_histogram",
         "p91_rollup_native_hq", "p92_pyramid_router", "p93_pyramid_gauge",

@@ -99,7 +99,7 @@ class PromQLFrontendSpec extends SparkTestBase {
       ev(2, 0, "click", 3.0, "a")
     ).toDF(eventCols: _*))
     val om = new ObjectMapper()
-    val series = om.readTree(graft.promql.Api.seriesJson(spark, dir, "purchase"))
+    val series = om.readTree(graft.promql.Api.seriesJson(spark, dir, Seq("purchase")))
       .get("data")
     assert(series.size === 2)
     assert((0 until series.size).forall(i =>

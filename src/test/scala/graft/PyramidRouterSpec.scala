@@ -66,7 +66,14 @@ class PyramidRouterSpec extends SparkTestBase {
         "signup",
         // the histogram arm: classic quantile over windowed ladders
         "histogram_quantile(0.9, sum by (k) (rate(error[1d])))",
-        "histogram_quantile(0.5, sum by (k) (increase(error[6h])))")) {
+        "histogram_quantile(0.5, sum by (k) (increase(error[6h])))",
+        // the *_over_time arm: sample-window aggregations from rollup
+        // vmin/vmax/sum_dec/cnt fields, gauge AND counter families
+        "min_over_time(signup[1d])",
+        "max_over_time(signup[1d])",
+        "avg_over_time(signup[1d])",
+        "sum_over_time(purchase[1d])",
+        "count_over_time(purchase[6h])")) {
       val (s, e, ast) = aligned(dir, q, 6)
       val routed = Pyramid.rangeEval(spark, dir, ast, s, e, Res)
         .getOrElse(fail(s"router declined: $q"))
@@ -120,6 +127,20 @@ class PyramidRouterSpec extends SparkTestBase {
       "pyramid: sample AT t is outside [t-W, t) and the window is empty")
     assert(routed(("a", bEpoch + Res)) === 10.0,
       "pyramid: the boundary sample belongs to the NEXT window")
+  }
+
+  test("max_source_resolution caps the admissible rollup level") {
+    val q = "sum by (k) (rate(purchase[1d]))"
+    val (s, e, ast) = aligned(dir, q, 6)
+    val full = rows(Pyramid.rangeEval(spark, dir, ast, s, e, Res).get)
+    // a finer cap forces a finer level — rollup serving is lossless at
+    // EVERY admissible level, so the answer is bit-identical
+    for (cap <- Seq(21600L, 7200L, 3600L))
+      assert(rows(Pyramid.rangeEval(spark, dir, ast, s, e, Res, cap).get)
+        === full, s"cap=$cap")
+    // a cap below the finest level declines: the raw paths serve
+    assert(Pyramid.rangeEval(spark, dir, ast, s, e, Res, 1800L).isEmpty)
+    assert(Pyramid.rangeEval(spark, dir, ast, s, e, Res, 0L).isEmpty)
   }
 
   test("unservable shapes and unaligned grids decline") {

@@ -57,12 +57,115 @@ class QueryApiSpec extends SparkTestBase {
         ((200, Api.queryRangeJson(spark, dir, q, start, end, step))))
 
       assert(get(port, s"/api/v1/series?${enc("match[]")}=${enc("purchase")}") ===
-        ((200, Api.seriesJson(spark, dir, "purchase"))))
+        ((200, Api.seriesJson(spark, dir, Seq("purchase")))))
       assert(get(port, "/api/v1/labels") ===
         ((200, Api.labelsJson(spark, dir))))
       assert(get(port, "/api/v1/label/k/values") ===
         ((200, Api.labelValuesJson(spark, dir, "k"))))
     } finally server.stop(0)
+  }
+
+  test("/api/v1/query_range max_source_resolution opts into pyramid serving") {
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    try {
+      val q = "sum by (k) (purchase)"
+      val (start, end, step) = (T0 + 1 * dayS, T0 + 3 * dayS, dayS)
+      val base = s"/api/v1/query_range?query=${enc(q)}" +
+        s"&start=$start&end=$end&step=$step"
+      val raw = get(port, base)
+      // the opt-in routes through the pyramid and equals the in-process
+      // twin byte-for-byte (duration literal AND seconds forms)
+      val routed = get(port, s"$base&max_source_resolution=1d")
+      assert(routed === ((200, Api.queryRangeJson(spark, dir, q, start, end,
+        step, maxSourceResS = Some(86400L)))))
+      assert(get(port, s"$base&max_source_resolution=86400") === routed)
+      // the documented [t−W, t) divergence is visible on this fixture
+      // (samples sit exactly on day epochs): at T0+1d the raw paths
+      // include the sample AT the instant (a = 3.0), the pyramid's
+      // strictly-before window does not (a = 1.0)
+      assert(raw._2.contains(s"""[$start,"3.0"]"""))
+      assert(routed._2.contains(s"""[$start,"1.0"]"""))
+      // 0 / absent = raw serving, unchanged bytes
+      assert(get(port, s"$base&max_source_resolution=0") === raw)
+      // an unservable cap falls back to the raw paths, same bytes
+      assert(get(port, s"$base&max_source_resolution=30m") === raw)
+    } finally server.stop(0)
+  }
+
+  test("/api/v1/query honors time= via the shifted compile") {
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    try {
+      val q = "sum by (k) (purchase)"
+      val t1 = T0 + 1 * dayS
+      // HTTP wiring: the time= parameter reaches the in-process twin
+      val (code, body) = get(port, s"/api/v1/query?query=${enc(q)}&time=$t1")
+      assert(code === 200)
+      assert(body === Api.queryJson(spark, dir, q, timeS = Some(t1)))
+      // the envelope renders the REQUESTED instant, not the corpus T
+      assert(body.contains(s""""value":[$t1,"""))
+      // semantics: at T0+1d only series a has samples (1.0 + 2.0); b's
+      // first sample is a day later and must NOT appear
+      assert(body.contains(""""k":"a""""))
+      assert(body.contains("\"3.0\""))
+      assert(!body.contains(""""k":"b""""))
+      // bytes-exact against the @-pinned twin: an absolute @ pin makes
+      // the shift a no-op, so both compiles must agree byte-for-byte
+      assert(body === Api.queryJson(spark, dir,
+        s"sum by (k) (purchase @ $t1)", timeS = Some(t1)))
+      // a future instant is rejected loudly (the corpus cannot answer
+      // it) — never today's answer with a past-looking envelope
+      val (c2, b2) = get(port,
+        s"/api/v1/query?query=${enc(q)}&time=${T0 + 100 * dayS}")
+      assert(c2 === 400 && b2.contains("after the corpus instant"))
+    } finally server.stop(0)
+  }
+
+  test("/api/v1/series: repeated match[], start/end, all sample kinds") {
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    val m = enc("match[]")
+    try {
+      // two selectors union (and the HTTP payload equals the twin)
+      val (code, body) = get(port,
+        s"/api/v1/series?$m=${enc("purchase")}&$m=${enc("signup")}")
+      assert(code === 200)
+      assert(body === Api.seriesJson(spark, dir, Seq("purchase", "signup")))
+      assert(Seq("purchase", "signup").forall(body.contains))
+      // overlapping selectors dedup
+      assert(get(port, s"/api/v1/series?$m=${enc("purchase")}&$m=${enc("purchase")}")._2
+        === Api.seriesJson(spark, dir, Seq("purchase")))
+      // start/end bound sample presence: during the first day only
+      // series a of purchase has samples
+      val (c3, b3) = get(port,
+        s"/api/v1/series?$m=${enc("purchase")}&start=$T0&end=${T0 + dayS}")
+      assert(c3 === 200)
+      assert(b3.contains(""""k":"a"""") && !b3.contains(""""k":"b""""))
+      // matcher-filtered selector
+      assert(get(port, s"/api/v1/series?$m=${enc("purchase{k=\"b\"}")}")._2
+        === Api.seriesJson(spark, dir, Seq("purchase{k=\"b\"}")))
+      // no match[] → 400 naming the parameter
+      val (c4, b4) = get(port, "/api/v1/series")
+      assert(c4 === 400 && b4.contains("match[]"))
+      // a non-selector match[] → 400 in the error envelope
+      assert(get(port, s"/api/v1/series?$m=${enc("sum(purchase)")}")._1 === 400)
+    } finally server.stop(0)
+  }
+
+  test("federate renders negative gauge values with a leading sign") {
+    val negDir = fixture("events" -> Seq(
+      ev(0, 0, "signup", 2.25, "a"),
+      ev(1, D, "signup", -0.5, "a"),
+      ev(2, D, "signup", -12.75, "b")
+    ).toDF(eventCols: _*))
+    val tMs = (T0 + 1 * dayS) * 1000L
+    // LWW per series; the sign prints separately from the cents split
+    // (truncating / and sign-keeping % would render `0.-50`)
+    assert(Api.federateText(spark, negDir, Seq("signup")) ===
+      s"""signup{instance="i1",k="a"} -0.50 $tMs
+         |signup{instance="i1",k="b"} -12.75 $tMs
+         |""".stripMargin)
   }
 
   test("/federate serves the timestamped exposition payload for matched series") {

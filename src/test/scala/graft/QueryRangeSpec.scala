@@ -389,4 +389,45 @@ class QueryRangeSpec extends SparkTestBase {
           intervalS = dayS), 4, 43201L)
     }
   }
+
+  test("alert ladders key on the FULL series label set, not label_k alone") {
+    import graft.promql.Rules
+    import graft.promql.Rules.AlertRule
+    // two series SHARING label_k but on different instances: user 1 →
+    // instance i1 breaches from day 0; user 2 → i2 only from day 2. A
+    // ladder collapsed to label_k would alias them (several lattice
+    // rows per (label_k, instant) → wrong pending/firing states).
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def evu(id: Long, d: Long, user: Long, v: Double) =
+      (id, new java.sql.Timestamp(t0.getTime + d * 86400000L), user,
+        "purchase", v, """{"k": "a"}""")
+    val dir2 = fixture("events" -> Seq(
+      evu(0, 0, 1, 10.0), evu(1, 1, 1, 1.0),
+      evu(2, 2, 2, 10.0), evu(3, 3, 2, 1.0)
+    ).toDF(eventCols: _*))
+    val rule = AlertRule("PerSeries", "purchase > 5", forS = dayS,
+      intervalS = dayS)
+    val tS = T0 + 3 * dayS
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("label_instance"), r.getAs[Long]("t_s"))
+    val grid = Rules.alertStatesGrid(spark, dir2, rule, 3, dayS)
+    // the output carries the condition's full label set
+    assert(grid.columns.toSeq ===
+      Seq("alertname", "alertstate", "t_s", "name", "label_k",
+        "label_instance", "value"))
+    val byKey = grid.collect().map(r => key(r) -> r.getAs[String]("alertstate")).toMap
+    // day 2: i1 (breaching since day 0) fires; i2's FIRST breach is
+    // pending — the label_k-collapsed ladder reported both firing
+    assert(byKey(("i1", tS - dayS)) === "firing")
+    assert(byKey(("i2", tS - dayS)) === "pending")
+    assert(byKey(("i2", tS)) === "firing")
+    // the union-path ladder agrees row-for-row on the common instants
+    val union = Rules.alertStates(spark, dir2, rule, Seq(0L, dayS, 2 * dayS))
+      .withColumn("t_s", (lit(tS) - col("offset_s")).cast("long"))
+      .select("alertname", "alertstate", "t_s", "name", "label_k",
+        "label_instance", "value")
+      .collect().map(_.toSeq).toSet
+    assert(grid.select("alertname", "alertstate", "t_s", "name", "label_k",
+      "label_instance", "value").collect().map(_.toSeq).toSet === union)
+  }
 }
