@@ -464,6 +464,11 @@ object SparkEntry {
     "p97_pyramid_over_time" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
       "avg_over_time(signup[1d])", 240, 21600L)
       .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
+    // the windowed-LWW arm: freshest sample per aligned window from the
+    // rollups' anchored vlast fields alone
+    "p98_pyramid_last" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "last_over_time(signup[1d])", 240, 21600L)
+      .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -921,6 +926,7 @@ object SparkEntry {
     "p95_pyramid_hq" -> promql.Oracle.PyramidHqSql,
     "p96_served_downsample" -> promql.Oracle.PyramidRateSql,
     "p97_pyramid_over_time" -> promql.Oracle.PyramidOverTimeSql,
+    "p98_pyramid_last" -> promql.Oracle.PyramidLastSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

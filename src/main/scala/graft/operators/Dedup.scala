@@ -159,6 +159,9 @@ object Dedup {
     componentsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
       Option(componentsCache.remove(k)).foreach(_.unpersist())
     }
+    simhashPairsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(simhashPairsCache.remove(k)).foreach(_.unpersist())
+    }
   }
 
   /** MinHash + LSH near-dup candidate pairs: documents sharing any of
@@ -386,8 +389,22 @@ object Dedup {
   val SimhashBands = 4
   val SimhashHamMax = 3
 
+  /** Session-scoped cache of the banded simhash pair relation — the
+    * independent detector's candidate set is read by x4, x62's degree
+    * audit, and x82's sensitivity ground truth (which references it
+    * FOUR times in one plan: pairs, doc slice, intersection, spine),
+    * so the band self-join runs once per (session, corpus) instead of
+    * per reference. 100 TB analog: the materialized candidates table,
+    * like [[pairsCache]].
+    */
+  private val simhashPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    simhashNearDupOf(simhashSignatures(spark, dir))
+    simhashPairsCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => simhashPairsCache.remove(k))
+      simhashNearDupOf(simhashSignatures(spark, dir)).persist()
+    })
 
   /** Core of [[simhashNearDup]] over any `(doc_id, simhash)` relation
     * (the property spec feeds it random signatures and checks the
@@ -476,7 +493,7 @@ object Dedup {
     */
   def neardupDegree(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(spark, dir)
-    val pairs = simhashNearDupOf(sig)
+    val pairs = simhashNearDup(spark, dir)
     val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("hamming"))
       .unionAll(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("hamming")))
     val deg = sym.groupBy(col("doc_id"))
@@ -1089,7 +1106,7 @@ object Dedup {
     * the x3 flag one equi-join — everything ∝ matches, never corpus².
     */
   def lshSensitivity(spark: SparkSession, dir: String): DataFrame = {
-    val ground = simhashNearDupOf(simhashSignatures(spark, dir))
+    val ground = simhashNearDup(spark, dir)
       .select(col("doc_a"), col("doc_b"))
     val groundDocs = ground.select(col("doc_a").as("doc_id"))
       .unionAll(ground.select(col("doc_b").as("doc_id"))).distinct()

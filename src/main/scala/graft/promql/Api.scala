@@ -236,6 +236,118 @@ object Api {
   private def envelope(dataJson: String): String =
     s"""{"status":"success","data":$dataJson}"""
 
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** `/api/v1/status/buildinfo` twin — the static identity payload
+    * Grafana's datasource health check reads (it only needs
+    * `status=success` and a `data.version`).
+    */
+  val buildInfoJson: String = envelope(
+    """{"version":"3.0.0","revision":"graft","branch":"main",""" +
+      """"buildUser":"graft","buildDate":"","goVersion":""}""")
+
+  /** `/api/v1/metadata` twin: per-family kind + help from the family
+    * catalog — help is the empty string, faithfully: the reference
+    * registers every family with `Help("")`
+    * (`/root/reference/prometheus.cpp:186,227`). Grafana's metric
+    * autocomplete reads exactly this shape.
+    */
+  def metadataJson: String = {
+    import graft.model.MetricEvent
+    val fams =
+      MetricEvent.CounterNames.map(_ -> "counter") ++
+        MetricEvent.GaugeNames.map(_ -> "gauge") ++
+        MetricEvent.HistogramNames.map(_ -> "histogram")
+    envelope(fams.sortBy(_._1).map { case (n, k) =>
+      s""""${jsonEscape(n)}":[{"type":"$k","help":"","unit":""}]"""
+    }.mkString("{", ",", "}"))
+  }
+
+  /** The current `ALERTS`-style rows of one rule (offset 0), with the
+    * condition's full label set — shared by the rules and alerts
+    * endpoints. Returns (labelCols, rows).
+    */
+  private def currentAlertRows(spark: SparkSession, dir: String,
+      rule: Rules.AlertRule): (Seq[String], Array[org.apache.spark.sql.Row]) = {
+    val df = Rules.alertStates(spark, dir, rule, Seq(0L))
+    val lcs = df.columns.filterNot(
+      Set("alertname", "alertstate", "offset_s", "value").contains).toSeq
+    (lcs, df.collect())
+  }
+
+  private def alertJson(rule: Rules.AlertRule, lcs: Seq[String],
+      row: org.apache.spark.sql.Row, activeAt: String): String = {
+    val labels = ("alertname" -> rule.alert) +: lcs.flatMap(c =>
+      Option(row.getAs[String](c)).map(v => promLabel(c) -> v))
+    val labelJson = labels.map { case (k, v) =>
+      s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+    }.mkString("{", ",", "}")
+    s"""{"labels":$labelJson,"annotations":{},""" +
+      s""""state":"${row.getAs[String]("alertstate")}",""" +
+      s""""activeAt":"$activeAt","value":"${row.getAs[Double]("value")}"}"""
+  }
+
+  /** `/api/v1/alerts` twin: every rule's currently active alert
+    * instances (pending AND firing, like upstream), labels carrying
+    * the condition's full series key. `activeAt` is the evaluation
+    * instant — the batch reading of "active since".
+    */
+  def alertsJson(spark: SparkSession, dir: String,
+      rules: Seq[Rules.AlertRule]): String = {
+    val activeAt = java.time.Instant
+      .ofEpochSecond(Compiler.instantSeconds(spark, dir).toLong).toString
+    val alerts = rules.flatMap { r =>
+      val (lcs, rows) = currentAlertRows(spark, dir, r)
+      rows.map(alertJson(r, lcs, _, activeAt))
+    }
+    envelope(s"""{"alerts":[${alerts.mkString(",")}]}""")
+  }
+
+  /** `/api/v1/rules` twin: one group carrying every configured rule —
+    * alerting rules with their live alert instances and the
+    * firing>pending>inactive collapse upstream shows, recording rules
+    * with a compose-time health check (the plan builds or it doesn't —
+    * rule evaluation IS plan construction here).
+    */
+  def rulesJson(spark: SparkSession, dir: String,
+      alertRules: Seq[Rules.AlertRule],
+      recordingRules: Seq[Rules.RecordingRule]): String = {
+    val lastEval = java.time.Instant
+      .ofEpochSecond(Compiler.instantSeconds(spark, dir).toLong).toString
+    val alerting = alertRules.map { r =>
+      val (lcs, rows) = currentAlertRows(spark, dir, r)
+      val states = rows.map(_.getAs[String]("alertstate")).toSet
+      val state =
+        if (states.contains("firing")) "firing"
+        else if (states.nonEmpty) "pending"
+        else "inactive"
+      val alerts = rows.map(alertJson(r, lcs, _, lastEval)).mkString(",")
+      s"""{"state":"$state","name":"${jsonEscape(r.alert)}",""" +
+        s""""query":"${jsonEscape(r.expr)}","duration":${r.forS},""" +
+        s""""labels":{},"annotations":{},"alerts":[$alerts],""" +
+        s""""health":"ok","lastEvaluation":"$lastEval","type":"alerting"}"""
+    }
+    val recording = recordingRules.map { r =>
+      val health =
+        try { Engine.eval(spark, dir, r.expr); "ok" }
+        catch { case _: Exception => "err" }
+      s"""{"name":"${jsonEscape(r.record)}",""" +
+        s""""query":"${jsonEscape(r.expr)}","labels":{},""" +
+        s""""health":"$health","lastEvaluation":"$lastEval",""" +
+        s""""type":"recording"}"""
+    }
+    envelope(s"""{"groups":[{"name":"graft","file":"graft.rules",""" +
+      s""""rules":[${(alerting ++ recording).mkString(",")}]}]}""")
+  }
+
   /** `/api/v1/series` twin: the distinct series (as metric maps) with
     * at least one sample matching ANY of the `match[]` selectors inside
     * `[startS, endS]` (defaults: the whole corpus) — upstream's

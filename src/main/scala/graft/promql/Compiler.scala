@@ -1426,7 +1426,10 @@ object Compiler {
     // sliding window over the dense series×grid replace per-instant
     // window re-scans (any family — over_time reads raw samples)
     val bucketDecomposable = Set("sum_over_time", "avg_over_time",
-      "min_over_time", "max_over_time", "count_over_time")
+      "min_over_time", "max_over_time", "count_over_time",
+      // the variance pair decomposes through exact integer-cents
+      // (Σx, Σx², n) bucket partials — see [[gridOverTimeInstants]]
+      "stddev_over_time", "stdvar_over_time")
     val gridOverTime: Option[(Selector, String)] = sq.inner match {
       case Func(f2, None, sel: Selector)
           if bucketDecomposable.contains(f2) && sel.atS.isEmpty &&
@@ -1660,9 +1663,14 @@ object Compiler {
         (hi - unix_micros(col("ts"))) < lit((g - 1 + k) * stepUs))
       .withColumn("_age_us", hi - unix_micros(col("ts")))
       .withColumn("_b", lit(g) - expr(s"_age_us div $stepUs"))
+      // integer-cents moments for the variance family (the engine-wide
+      // 2-decimal sample convention; exact, associative partials)
+      .withColumn("_cents", round(col("value") * 100, 0).cast("long"))
     val partial = base.groupBy((SeriesKey :+ "_b").map(col): _*)
       .agg(exactSum(base).as("_s"), count(lit(1)).as("_n"),
-        min(col("value")).as("_mn"), max(col("value")).as("_mx"))
+        min(col("value")).as("_mn"), max(col("value")).as("_mx"),
+        sum(col("_cents")).as("_c1"),
+        sum(col("_cents") * col("_cents")).as("_c2"))
     import spark.implicits._
     val grid = partial.select(SeriesKey.map(col): _*).distinct()
       .crossJoin(broadcast(spark.range(2L - k, g + 1L).toDF("_b")))
@@ -1673,13 +1681,22 @@ object Compiler {
       .withColumn("_ws", sum(col("_s")).over(sw))
       .withColumn("_wmn", min(col("_mn")).over(sw))
       .withColumn("_wmx", max(col("_mx")).over(sw))
+      .withColumn("_wc1", sum(col("_c1")).over(sw))
+      .withColumn("_wc2", sum(col("_c2")).over(sw))
       .filter(col("_b") >= 1 && col("_wn") > 0)
+    // variance from windowed (Σx, Σx², n) in the IDENTICAL expression
+    // order as the union path's rangeWindowAgg, so union ≡ grid bit-match
+    val mean = col("_wc1").cast("double") / col("_wn").cast("double")
+    val varCents = col("_wc2").cast("double") / col("_wn").cast("double") -
+      mean * mean
     val innerValue = innerFn match {
       case "sum_over_time" => col("_ws")
       case "avg_over_time" => col("_ws").cast("double") / col("_wn").cast("double")
       case "min_over_time" => col("_wmn")
       case "max_over_time" => col("_wmx")
       case "count_over_time" => col("_wn").cast("double")
+      case "stddev_over_time" => sqrt(varCents) / 100.0
+      case "stdvar_over_time" => varCents / 10000.0
       case other => fail(s"$other inside a grid subquery is not supported")
     }
     instants.withColumn("value", innerValue).withColumnRenamed("_b", "_i")
@@ -2100,8 +2117,11 @@ object Compiler {
           labels, "value",
           if (f2 == "rate") Some(sel.rangeS.get.toDouble) else None))
       case Func(f2, None, sel: Selector)
-          if bucketDecomposable.contains(f2) &&
+          if (bucketDecomposable.contains(f2) ||
+            f2 == "stddev_over_time" || f2 == "stdvar_over_time") &&
             sel.rangeS.exists(w => w > 0 && w % stepS == 0) =>
+        // the variance pair rides the same bucket-partial builder via
+        // exact integer-cents (Σx, Σx², n) moments
         Some((gridOverTimeInstants(spark, dir, sel, shiftS, g, stepS, f2),
           SeriesKey, "value", None))
       case Func("histogram_quantile", Some(phi), inner) =>

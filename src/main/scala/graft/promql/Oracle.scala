@@ -506,6 +506,29 @@ object Oracle {
        |GROUP BY m.name, m.label_k, m.label_instance, i.i, t.ebi
        |ORDER BY name, label_k, label_instance, t_s""".stripMargin
 
+  /** p98: the router's windowed-LWW arm — `last_over_time(signup[1d])`
+    * per series at 240 aligned 6h instants under the pyramid
+    * `[t−W, t)` convention: the freshest raw sample inside each
+    * window, (ts, event_id)-tie-broken; the engine reads only the
+    * anchored rollup `vlast` fields.
+    */
+  val PyramidLastSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i),
+       |r AS (
+       |  SELECT m.name, m.label_k, m.label_instance,
+       |    (t.ebi - i.i) * 21600 AS t_s, m.value,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY m.name, m.label_k, m.label_instance, i.i
+       |      ORDER BY m.ts DESC, m.event_id DESC) AS rn
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'signup'
+       |    AND epoch_us(m.ts) >= ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |    AND epoch_us(m.ts) <  (t.ebi - i.i) * 21600 * 1000000)
+       |SELECT name, label_k, label_instance, t_s, value FROM r WHERE rn = 1
+       |ORDER BY name, label_k, label_instance, t_s""".stripMargin
+
   /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
     * the 240×6h grid — the subquery inner evaluates once on the shared
     * 6h lattice, each outer step takes the max over its 4 trailing

@@ -81,7 +81,8 @@ object Pyramid {
       // (vmin/vmax/sum_dec/cnt), so an aligned window is one slide
       // over the compacted relation
       case Func(fn @ ("min_over_time" | "max_over_time" | "avg_over_time" |
-          "sum_over_time" | "count_over_time"), None, sel: Selector)
+          "sum_over_time" | "count_over_time" | "last_over_time" |
+          "present_over_time"), None, sel: Selector)
           if servableOverTime(sel) =>
         serveOverTime(spark, dir, fn, sel, startS, endS, stepS, Resolutions)
       // counter instant vector: running totals through each instant
@@ -286,7 +287,7 @@ object Pyramid {
         val roll = rollOf(spark, dir, sel, res, bHi)
           .filter(col("_b") >= bLo)
           .select(keys.map(col) :+ col("_b") :+ col("cnt") :+
-            col("sum_dec") :+ col("vmin") :+ col("vmax"): _*)
+            col("sum_dec") :+ col("vmin") :+ col("vmax") :+ col("vlast"): _*)
         import spark.implicits._
         val lattice = roll.select(keys.map(col): _*).distinct()
           .crossJoin(broadcast(spark.range(bLo, bHi + 1).toDF("_b")))
@@ -302,6 +303,10 @@ object Pyramid {
               col("_wn").cast("double")
           case "min_over_time" => min(col("vmin")).over(win)
           case "max_over_time" => max(col("vmax")).over(win)
+          // the freshest sample in the window: the latest data bucket's
+          // anchored vlast (later buckets strictly out-anchor earlier)
+          case "last_over_time" => last(col("vlast"), ignoreNulls = true).over(win)
+          case "present_over_time" => lit(1.0)
         }
         joined
           .withColumn("_v", value)

@@ -119,10 +119,26 @@ object QueryEndpoint {
   /** Start the query API for `(spark, dir)` on `port` (0 = ephemeral).
     * `nativeFamilies` routes those histogram families through the
     * native sparse-bucket plans, like [[Api.queryRangeJson]].
+    * `alertRules`/`recordingRules` are the server's standing rule file
+    * — served live on `/api/v1/rules` and `/api/v1/alerts`.
     */
   def start(spark: SparkSession, dir: String, port: Int = 0,
-      nativeFamilies: Set[String] = Set.empty): HttpServer = {
+      nativeFamilies: Set[String] = Set.empty,
+      alertRules: Seq[graft.promql.Rules.AlertRule] = Nil,
+      recordingRules: Seq[graft.promql.Rules.RecordingRule] = Nil): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/api/v1/rules", handler { _ =>
+      Api.rulesJson(spark, dir, alertRules, recordingRules)
+    })
+    server.createContext("/api/v1/alerts", handler { _ =>
+      Api.alertsJson(spark, dir, alertRules)
+    })
+    server.createContext("/api/v1/status/buildinfo", handler { _ =>
+      Api.buildInfoJson
+    })
+    server.createContext("/api/v1/metadata", handler { _ =>
+      Api.metadataJson
+    })
     server.createContext("/api/v1/query_range", handler { ex =>
       val p = params(ex)
       // Thanos's max_source_resolution: an EXPLICIT opt-in to serve

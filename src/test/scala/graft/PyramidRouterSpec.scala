@@ -73,7 +73,9 @@ class PyramidRouterSpec extends SparkTestBase {
         "max_over_time(signup[1d])",
         "avg_over_time(signup[1d])",
         "sum_over_time(purchase[1d])",
-        "count_over_time(purchase[6h])")) {
+        "count_over_time(purchase[6h])",
+        "last_over_time(signup[1d])",
+        "present_over_time(purchase[1d])")) {
       val (s, e, ast) = aligned(dir, q, 6)
       val routed = Pyramid.rangeEval(spark, dir, ast, s, e, Res)
         .getOrElse(fail(s"router declined: $q"))

@@ -153,6 +153,59 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("/api/v1/rules, alerts, buildinfo, metadata serve Grafana's contract") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import graft.promql.Rules.{AlertRule, RecordingRule}
+    // a: breaches now (5.5 > 3) but not a day ago (3.0) → pending;
+    // b: breaches at both instants (4.0) → firing
+    val rule = AlertRule("High", "sum by (k) (purchase) > 3",
+      forS = dayS, intervalS = dayS)
+    val server = QueryEndpoint.start(spark, dir, alertRules = Seq(rule),
+      recordingRules = Seq(
+        RecordingRule("k_totals", "sum by (k) (purchase)"),
+        RecordingRule("broken", "nosuch_metric")))
+    val port = server.getAddress.getPort
+    val om = new ObjectMapper()
+    try {
+      // Grafana's datasource health check: buildinfo with a version
+      val bi = om.readTree(get(port, "/api/v1/status/buildinfo")._2)
+      assert(bi.get("status").asText === "success")
+      assert(bi.get("data").get("version").asText.nonEmpty)
+      // metric autocomplete: every family, right kind, and the
+      // reference-faithful EMPTY help (prometheus.cpp registers all
+      // families with Help(""))
+      val md = om.readTree(get(port, "/api/v1/metadata")._2).get("data")
+      assert(md.size === 5)
+      assert(md.get("purchase").get(0).get("type").asText === "counter")
+      assert(md.get("signup").get(0).get("type").asText === "gauge")
+      assert(md.get("error").get(0).get("type").asText === "histogram")
+      assert(md.get("purchase").get(0).get("help").asText === "")
+      // live alert instances with full labels and the ladder states
+      val al = om.readTree(get(port, "/api/v1/alerts")._2)
+        .get("data").get("alerts")
+      val states = (0 until al.size).map(i =>
+        al.get(i).get("labels").get("k").asText ->
+          al.get(i).get("state").asText).toMap
+      assert(states === Map("a" -> "pending", "b" -> "firing"))
+      assert((0 until al.size).forall(i =>
+        al.get(i).get("labels").get("alertname").asText === "High"))
+      // the rule file: firing>pending>inactive collapse, alert
+      // instances attached, recording-rule compose health
+      val rules = om.readTree(get(port, "/api/v1/rules")._2)
+        .get("data").get("groups").get(0).get("rules")
+      val byName = (0 until rules.size).map(i =>
+        rules.get(i).get("name").asText -> rules.get(i)).toMap
+      assert(byName.keySet === Set("High", "k_totals", "broken"))
+      assert(byName("High").get("state").asText === "firing")
+      assert(byName("High").get("type").asText === "alerting")
+      assert(byName("High").get("duration").asLong === dayS)
+      assert(byName("High").get("alerts").size === 2)
+      assert(byName("k_totals").get("type").asText === "recording")
+      assert(byName("k_totals").get("health").asText === "ok")
+      assert(byName("broken").get("health").asText === "err")
+    } finally server.stop(0)
+  }
+
   test("federate renders negative gauge values with a leading sign") {
     val negDir = fixture("events" -> Seq(
       ev(0, 0, "signup", 2.25, "a"),

@@ -142,6 +142,10 @@ class QueryRangeSpec extends SparkTestBase {
       "max_over_time((sum without (instance) (rate(purchase[2d])))[2d:1d])",
       "sum_over_time((sum by (k) (rate(purchase[2d])) / sum by (k) (purchase))[2d:1d])",
       "max_over_time((abs(sum by (k) (purchase) - 5))[2d:1d])",
+      // variance-pair subquery INNERS: exact-cents (Σx, Σx², n) bucket
+      // partials on the grid vs per-instant union recomputation
+      "max_over_time((stddev_over_time(signup[2d]))[2d:1d])",
+      "avg_over_time((stdvar_over_time(purchase[2d]))[2d:1d])",
       // the long tail of range functions: exploded event↦instant pairs
       // through the union path's own rangeWindowAgg recipes
       "delta(signup[2d])",                 // gauge last − first
@@ -193,6 +197,11 @@ class QueryRangeSpec extends SparkTestBase {
     val wide = Api.queryRangeJson(spark, dir, "sum(rate(purchase[2d]))",
       T0 + 9 * dayS - 99 * 7200L, T0 + 9 * dayS, 7200L)
     assert(wide.contains("\"resultType\":\"matrix\""))
+    // stddev subquery inners cleared their own 64-instant wall: 200
+    // subquery instants evaluate as ONE bucket-partial grid pass
+    val wideVar = graft.promql.Engine.eval(spark, dir,
+      "max_over_time((stddev_over_time(signup[2d]))[200h:1h])")
+    assert(wideVar.count() > 0)
   }
 
   test("native-histogram quantile: union == grid under the 3.x sample-kind dispatch") {
