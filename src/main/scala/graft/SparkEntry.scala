@@ -469,6 +469,13 @@ object SparkEntry {
     "p98_pyramid_last" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
       "last_over_time(signup[1d])", 240, 21600L)
       .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
+    // COMPOSITION over the pyramid: the conversion-ratio panel — both
+    // rates route recursively to rollup levels, one equi-join per
+    // (label, instant); raw events never touched
+    "p99_pyramid_ratio" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "sum by (k) (rate(purchase[1d])) / sum by (k) (rate(click[1d]))",
+      240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -927,6 +934,7 @@ object SparkEntry {
     "p96_served_downsample" -> promql.Oracle.PyramidRateSql,
     "p97_pyramid_over_time" -> promql.Oracle.PyramidOverTimeSql,
     "p98_pyramid_last" -> promql.Oracle.PyramidLastSql,
+    "p99_pyramid_ratio" -> promql.Oracle.PyramidRatioSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

@@ -68,11 +68,18 @@ object Downsample {
   private[graft] def nhBk1hCached(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "nhBk")(nhBkRollupRaw(spark, dir, 3600L))
 
-  // integer `div`, not double floor(/): µs epochs sit near 2^50 and the
-  // bucket arithmetic must stay exact
-  private def bucketCol(resS: Long): Column =
-    expr(s"(unix_micros(ts) div ${resS * 1000000L}) * $resS")
+  // Bucket membership is (b·res, (b+1)·res] — the CLOSED-RIGHT
+  // convention PromQL's range selector (t−W, t] uses, so an aligned
+  // pyramid window is exactly a run of whole buckets and rollup-served
+  // answers match the raw paths bit-for-bit, boundary samples included
+  // (a sample at exactly b·res belongs to the bucket ENDING there).
+  // Index = ceil(ts/res) − 1, in integer `div` (not double floor(/):
+  // µs epochs sit near 2^50 and the arithmetic must stay exact).
+  private def bucketCol(resS: Long): Column = {
+    val resUs = resS * 1000000L
+    expr(s"(((unix_micros(ts) + ${resUs - 1L}) div $resUs) - 1) * $resS")
       .cast("long").as("bucket_s")
+  }
 
   /** The composition-carrying rollup: exact decimal `sum_dec` and the
     * (ts_us, event_id) anchors of the first/last samples, which
@@ -198,8 +205,8 @@ object Downsample {
     * anchored, later buckets strictly out-anchor earlier ones, so the
     * running LWW is one `last(ignoreNulls)` window over the series'
     * bucket rows unioned with 40 probe rows (the as-of union trick —
-    * probe at bucket b reads every sample through b's end, i.e.
-    * strictly before `t_s = (b+1)·res`). Series emit nothing before
+    * probe at bucket b reads every sample through b's closed-right end,
+    * i.e. at or before `t_s = (b+1)·res`). Series emit nothing before
     * their first sample, like the instant vector.
     */
   def gaugePanel(spark: SparkSession, dir: String): DataFrame = {
@@ -230,11 +237,12 @@ object Downsample {
   }
 
   /** p89 oracle: per aligned instant, the latest raw `signup` sample
-    * strictly before the instant, (ts, event_id)-tie-broken.
+    * at or before the instant, (ts, event_id)-tie-broken.
     */
   val GaugePanelSql: String =
     s"""WITH m AS (${Metrics.MetricEventsSql}),
-       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS bmax FROM m),
+       |t AS (SELECT (MAX(epoch_us(ts)) + 21599999999) // 21600000000 - 1
+       |        AS bmax FROM m),
        |inst AS (SELECT unnest(generate_series(0, 39)) AS i),
        |r AS (
        |  SELECT m.name, m.label_k, m.label_instance,
@@ -244,7 +252,7 @@ object Downsample {
        |      ORDER BY m.ts DESC, m.event_id DESC) AS rn
        |  FROM m, t, inst i
        |  WHERE m.name = 'signup'
-       |    AND epoch_us(m.ts) < (t.bmax - i.i + 1) * 21600000000)
+       |    AND epoch_us(m.ts) <= (t.bmax - i.i + 1) * 21600000000)
        |SELECT name, label_k, label_instance, t_s, value FROM r WHERE rn = 1
        |ORDER BY name, label_k, label_instance, t_s""".stripMargin
 
@@ -253,14 +261,15 @@ object Downsample {
     */
   val RollupPanelSql: String =
     s"""WITH m AS (${Metrics.MetricEventsSql}),
-       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS bmax FROM m),
+       |t AS (SELECT (MAX(epoch_us(ts)) + 21599999999) // 21600000000 - 1
+       |        AS bmax FROM m),
        |inst AS (SELECT unnest(generate_series(0, 39)) AS i)
        |SELECT label_k, (t.bmax - i.i + 1) * 21600 AS t_s,
        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
        |FROM m, t, inst i
        |WHERE name = 'purchase'
-       |  AND epoch_us(ts) >= (t.bmax - i.i - 3) * 21600000000
-       |  AND epoch_us(ts) <  (t.bmax - i.i + 1) * 21600000000
+       |  AND epoch_us(ts) >  (t.bmax - i.i - 3) * 21600000000
+       |  AND epoch_us(ts) <= (t.bmax - i.i + 1) * 21600000000
        |GROUP BY label_k, i.i, t.bmax
        |ORDER BY label_k, t_s""".stripMargin
 
@@ -526,7 +535,8 @@ object Downsample {
     */
   val HistogramPanelSql: String =
     s"""WITH m AS (${Metrics.MetricEventsSql}),
-       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS bmax FROM m),
+       |t AS (SELECT (MAX(epoch_us(ts)) + 21599999999) // 21600000000 - 1
+       |        AS bmax FROM m),
        |inst AS (SELECT unnest(generate_series(0, 39)) AS i),
        |b AS (${Metrics.BucketBoundsSql}),
        |w AS (
@@ -535,8 +545,8 @@ object Downsample {
        |    COUNT(*) AS wn
        |  FROM m, t, inst i, b
        |  WHERE m.kind = 'histogram' AND m.name = 'error'
-       |    AND epoch_us(m.ts) >= (t.bmax - i.i - 3) * 21600000000
-       |    AND epoch_us(m.ts) <  (t.bmax - i.i + 1) * 21600000000
+       |    AND epoch_us(m.ts) >  (t.bmax - i.i - 3) * 21600000000
+       |    AND epoch_us(m.ts) <= (t.bmax - i.i + 1) * 21600000000
        |  GROUP BY m.label_k, i.i, t.bmax, b.le),
        |r AS (
        |  SELECT label_k, t_s, le, wc,
@@ -559,7 +569,8 @@ object Downsample {
     s"""WITH m AS (${Metrics.MetricEventsSql}),
        |r AS (
        |  SELECT name, label_k, label_instance, kind,
-       |    (epoch_us(ts) // ${resS}000000) * $resS AS bucket_s,
+       |    ((epoch_us(ts) + ${resS}000000 - 1) // ${resS}000000 - 1) * $resS
+       |      AS bucket_s,
        |    value, event_id, epoch_us(ts) AS ts_us
        |  FROM m),
        |f AS (

@@ -97,11 +97,11 @@ object Api {
         maxSourceResS))
 
   /** The serving path's physical-plan choice, in preference order:
-    * pyramid rollups (ONLY when the caller opted in via
-    * `maxSourceResS` — Thanos's `max_source_resolution`: the
-    * pyramid's `[t−W, t)` window convention diverges from the raw
-    * paths on boundary-landing samples, so it must never be a silent
-    * default), dense grid, per-instant union. Returns the matrix
+    * pyramid rollups (when the caller opted in via `maxSourceResS` —
+    * Thanos's `max_source_resolution`, the caller's cap on how coarse
+    * a pre-aggregation level may answer; rollup serving itself is
+    * convention-exact, closed-right buckets ≡ PromQL `(t−W, t]`, see
+    * [[Pyramid]]), dense grid, per-instant union. Returns the matrix
     * relation with the grid instant as `_t`.
     */
   private def rangeRelation(spark: SparkSession, dir: String, ast: Ast,

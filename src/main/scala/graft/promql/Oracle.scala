@@ -354,11 +354,12 @@ object Oracle {
         """SELECT m.label_k,
           |    (ta.bmax - i.i + 1) * 21600 AS t_s,
           |    m.value
-          |  FROM m, (SELECT MAX(epoch_us(ts)) // 21600000000 AS bmax FROM m) ta,
+          |  FROM m, (SELECT (MAX(epoch_us(ts)) + 21599999999) // 21600000000 - 1
+          |             AS bmax FROM m) ta,
           |       (SELECT unnest(generate_series(0, 39)) AS i) i
           |  WHERE m.name = 'error'
-          |    AND epoch_us(m.ts) >= (ta.bmax - i.i - 3) * 21600000000
-          |    AND epoch_us(m.ts) <  (ta.bmax - i.i + 1) * 21600000000""".stripMargin))
+          |    AND epoch_us(m.ts) >  (ta.bmax - i.i - 3) * 21600000000
+          |    AND epoch_us(m.ts) <= (ta.bmax - i.i + 1) * 21600000000""".stripMargin))
 
   /** a1g: the `/federate` payload for `match[]=purchase&match[]=signup`
     * — counter totals and gauge LWW per full series key rendered as
@@ -392,10 +393,11 @@ object Oracle {
        |FROM lines""".stripMargin
 
   /** p92: the pyramid ROUTER — `sum by (k) (rate(purchase[2d]))` at
-    * 240 aligned 6h instants under the pyramid window convention
-    * (`[t−W, t)`, see [[Pyramid]]), windows computed straight from raw
-    * events; the engine answers from compacted rollups, so the hash
-    * match proves the routed answer exact at corpus scale.
+    * 240 aligned 6h instants, PromQL windows (`(t−W, t]` — the rollup
+    * buckets are closed-right, see [[Pyramid]], so rollup serving is
+    * convention-exact) computed straight from raw events; the engine
+    * answers from compacted rollups, so the hash match proves the
+    * routed answer exact at corpus scale.
     */
   val PyramidRateSql: String =
     s"""WITH m AS ($MetricEventsSql),
@@ -405,15 +407,15 @@ object Oracle {
        |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) / 172800.0 AS value
        |FROM m, t, inst i
        |WHERE m.name = 'purchase'
-       |  AND epoch_us(m.ts) >= ((t.ebi - i.i) * 21600 - 172800) * 1000000
-       |  AND epoch_us(m.ts) <  (t.ebi - i.i) * 21600 * 1000000
+       |  AND epoch_us(m.ts) >  ((t.ebi - i.i) * 21600 - 172800) * 1000000
+       |  AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000
        |GROUP BY m.label_k, i.i, t.ebi
        |ORDER BY label_k, t_s""".stripMargin
 
   /** p93: the router's GAUGE arm — bare `signup` at 240 aligned 6h
-    * instants: per series, the latest raw sample strictly before each
-    * instant ((ts, event_id)-tie-broken — the pyramid's `[.., t)`
-    * convention); the engine reads only rollup `vlast` anchors.
+    * instants: per series, the latest raw sample at or before each
+    * instant ((ts, event_id)-tie-broken — PromQL's inclusive instant
+    * read); the engine reads only rollup `vlast` anchors.
     */
   val PyramidGaugeSql: String =
     s"""WITH m AS ($MetricEventsSql),
@@ -427,13 +429,13 @@ object Oracle {
        |      ORDER BY m.ts DESC, m.event_id DESC) AS rn
        |  FROM m, t, inst i
        |  WHERE m.name = 'signup'
-       |    AND epoch_us(m.ts) < (t.ebi - i.i) * 21600 * 1000000)
+       |    AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000)
        |SELECT name, label_k, label_instance, t_s, value FROM r WHERE rn = 1
        |ORDER BY name, label_k, label_instance, t_s""".stripMargin
 
   /** p94: the router's counter-TOTALS arm — `sum by (k) (purchase)` at
     * 240 aligned 6h instants: the exact-decimal running total of every
-    * sample strictly before each instant.
+    * sample at or before each instant.
     */
   val PyramidTotalsSql: String =
     s"""WITH m AS ($MetricEventsSql),
@@ -443,15 +445,15 @@ object Oracle {
        |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) AS value
        |FROM m, t, inst i
        |WHERE m.name = 'purchase'
-       |  AND epoch_us(m.ts) < (t.ebi - i.i) * 21600 * 1000000
+       |  AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000
        |GROUP BY m.label_k, i.i, t.ebi
        |ORDER BY label_k, t_s""".stripMargin
 
   /** p95: the router's HISTOGRAM arm —
     * `histogram_quantile(0.5, sum by (k) (rate(error[1d])))` at 240
-    * aligned 6h instants under the pyramid `[t−W, t)` convention,
-    * ladder and interpolation from raw events; the engine reads
-    * compacted per-`le` rollups.
+    * aligned 6h instants, PromQL `(t−W, t]` windows, ladder and
+    * interpolation from raw events; the engine reads compacted
+    * per-`le` rollups.
     */
   val PyramidHqSql: String =
     s"""WITH m AS ($MetricEventsSql),
@@ -464,8 +466,8 @@ object Oracle {
        |    COUNT(*) AS wn
        |  FROM m, t, inst i, b
        |  WHERE m.kind = 'histogram' AND m.name = 'error'
-       |    AND epoch_us(m.ts) >= ((t.ebi - i.i) * 21600 - 86400) * 1000000
-       |    AND epoch_us(m.ts) <  (t.ebi - i.i) * 21600 * 1000000
+       |    AND epoch_us(m.ts) >  ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |    AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000
        |  GROUP BY m.label_k, i.i, t.ebi, b.le),
        |r AS (
        |  SELECT label_k, t_s, le, wc,
@@ -485,9 +487,9 @@ object Oracle {
        |ORDER BY label_k, t_s""".stripMargin
 
   /** p97: the router's `*_over_time` arm — `avg_over_time(signup[1d])`
-    * per series at 240 aligned 6h instants under the pyramid
-    * `[t−W, t)` convention, the mean computed straight from raw events
-    * as exact-decimal sum over count with ONE final cast (the engine
+    * per series at 240 aligned 6h instants under PromQL's `(t−W, t]`
+    * windows, the mean computed straight from raw events as
+    * exact-decimal sum over count with ONE final cast (the engine
     * divides the windowed rollup `sum_dec` by the windowed `cnt`, so
     * both sides divide identical doubles).
     */
@@ -501,16 +503,16 @@ object Oracle {
        |    / CAST(COUNT(*) AS DOUBLE) AS value
        |FROM m, t, inst i
        |WHERE m.name = 'signup'
-       |  AND epoch_us(m.ts) >= ((t.ebi - i.i) * 21600 - 86400) * 1000000
-       |  AND epoch_us(m.ts) <  (t.ebi - i.i) * 21600 * 1000000
+       |  AND epoch_us(m.ts) >  ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |  AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000
        |GROUP BY m.name, m.label_k, m.label_instance, i.i, t.ebi
        |ORDER BY name, label_k, label_instance, t_s""".stripMargin
 
   /** p98: the router's windowed-LWW arm — `last_over_time(signup[1d])`
-    * per series at 240 aligned 6h instants under the pyramid
-    * `[t−W, t)` convention: the freshest raw sample inside each
-    * window, (ts, event_id)-tie-broken; the engine reads only the
-    * anchored rollup `vlast` fields.
+    * per series at 240 aligned 6h instants under PromQL's `(t−W, t]`
+    * windows: the freshest raw sample inside each window,
+    * (ts, event_id)-tie-broken; the engine reads only the anchored
+    * rollup `vlast` fields.
     */
   val PyramidLastSql: String =
     s"""WITH m AS ($MetricEventsSql),
@@ -524,10 +526,43 @@ object Oracle {
        |      ORDER BY m.ts DESC, m.event_id DESC) AS rn
        |  FROM m, t, inst i
        |  WHERE m.name = 'signup'
-       |    AND epoch_us(m.ts) >= ((t.ebi - i.i) * 21600 - 86400) * 1000000
-       |    AND epoch_us(m.ts) <  (t.ebi - i.i) * 21600 * 1000000)
+       |    AND epoch_us(m.ts) >  ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |    AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000)
        |SELECT name, label_k, label_instance, t_s, value FROM r WHERE rn = 1
        |ORDER BY name, label_k, label_instance, t_s""".stripMargin
+
+  /** p99: COMPOSITION over the pyramid —
+    * `sum by (k) (rate(purchase[1d])) / sum by (k) (rate(click[1d]))`
+    * at 240 aligned 6h instants: each side's PromQL `(t−W, t]` window
+    * sum from raw events, divided per (label_k, instant) with the
+    * identical double-operation order the engine uses (decimal → double
+    * → /86400 per side, then the ratio); the inner join IS default
+    * one-to-one matching (unmatched instants drop). The engine joins
+    * two recursively-routed rollup relations — raw events untouched.
+    */
+  val PyramidRatioSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i),
+       |a AS (
+       |  SELECT m.label_k, (t.ebi - i.i) * 21600 AS t_s,
+       |    CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) / 86400.0 AS v
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase'
+       |    AND epoch_us(m.ts) >  ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |    AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000
+       |  GROUP BY m.label_k, i.i, t.ebi),
+       |c AS (
+       |  SELECT m.label_k, (t.ebi - i.i) * 21600 AS t_s,
+       |    CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) / 86400.0 AS v
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'click'
+       |    AND epoch_us(m.ts) >  ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |    AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000
+       |  GROUP BY m.label_k, i.i, t.ebi)
+       |SELECT a.label_k, a.t_s, a.v / c.v AS value
+       |FROM a JOIN c ON a.label_k = c.label_k AND a.t_s = c.t_s
+       |ORDER BY a.label_k, a.t_s""".stripMargin
 
   /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
     * the 240×6h grid — the subquery inner evaluates once on the shared

@@ -19,16 +19,16 @@ import org.apache.spark.sql.functions._
   * multiples of a rollup resolution (the largest of 1d/6h/2h/1h that
   * divides all three is used, so coarser panels read fewer rows).
   *
-  * Window convention — the one divergence from the raw paths, stated
-  * loud: a rollup bucket holds samples in `[b·res, (b+1)·res)`, so a
-  * pyramid-served window at instant `t` is the half-open `[t−W, t)`,
-  * while PromQL's range selector is `(t−W, t]`. The two agree on every
-  * sample that does not sit EXACTLY on an aligned boundary epoch;
-  * [[graft.PyramidRouterSpec]] pins bit-equality with the dense-grid
-  * path off-boundary AND the documented divergence for a
-  * boundary-landing sample. The p92 gate hash-checks the router
-  * end-to-end against a raw-events oracle under the pyramid
-  * convention, so the routed answer itself is exact at corpus scale.
+  * Window convention — NONE diverges from the raw paths: a rollup
+  * bucket holds samples in the closed-right `(b·res, (b+1)·res]`
+  * ([[graft.operators.Downsample]] bucketCol), so a pyramid-served
+  * window at instant `t` is exactly PromQL's range selector
+  * `(t−W, t]` and instant reads include samples at exactly `t`, like
+  * the raw paths. [[graft.PyramidRouterSpec]] pins bit-equality with
+  * the dense-grid path including a sample landing EXACTLY on an
+  * aligned boundary epoch, and the p92–p98 gates hash-check the
+  * routed answers end-to-end against raw-events oracles, so rollup
+  * serving is convention-exact at corpus scale — not approximately.
   *
   * 100 TB shape: the router's input is the compacted rollup relation
   * (series × buckets — the raw event count is already gone), the
@@ -110,7 +110,92 @@ object Pyramid {
           if servableHist(sel) =>
         serveHistQuantile(spark, dir, FullKey, phi, sel, startS, endS, stepS,
           Resolutions)
+      // COMPOSITION: binary arithmetic / comparison filters over
+      // pyramid-served operands — the error-ratio and threshold panels
+      // (`sum by (k)(rate(a[w])) / sum by (k)(rate(b[w]))`, `… > 0.05`,
+      // `… * 100`). Both operands route recursively (each picks its own
+      // best rollup level), then one equi-join per instant on the
+      // shared label columns — default one-to-one matching. Vector
+      // operands carrying `name` (bare selectors) decline: default
+      // matching drops the metric name, which the raw paths own; the
+      // aggregated forms dashboards use carry only `by` labels.
+      case b: BinOp
+          if (ArithOps.contains(b.op) || CmpOps.contains(b.op)) &&
+            !b.boolMod && b.on.isEmpty && b.ignoring.isEmpty &&
+            !b.groupLeft && !b.groupRight =>
+        (b.left, b.right) match {
+          case (NumLit(v), r0) =>
+            rangeEval(spark, dir, r0, startS, endS, stepS, maxResS)
+              .map(applyScalar(b.op, _, v, scalarLeft = true))
+          case (l0, NumLit(v)) =>
+            rangeEval(spark, dir, l0, startS, endS, stepS, maxResS)
+              .map(applyScalar(b.op, _, v, scalarLeft = false))
+          case (l0, r0) =>
+            for {
+              lDf <- rangeEval(spark, dir, l0, startS, endS, stepS, maxResS)
+              rDf <- rangeEval(spark, dir, r0, startS, endS, stepS, maxResS)
+              out <- joinServed(b.op, lDf, rDf)
+            } yield out
+        }
       case _ => None
+    }
+  }
+
+  private val ArithOps = Set("+", "-", "*", "/", "%")
+  private val CmpOps = Set(">", "<", ">=", "<=", "==", "!=")
+
+  private def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l.cast("double") + r.cast("double")
+    case "-" => l.cast("double") - r.cast("double")
+    case "*" => l.cast("double") * r.cast("double")
+    case "/" => l.cast("double") / r.cast("double")
+    case "%" => l.cast("double") % r.cast("double")
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case ">" => l > r
+    case "<" => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+    case "==" => l === r
+    case "!=" => l =!= r
+  }
+
+  /** Scalar-literal operand over a served relation: arithmetic maps the
+    * value column, comparisons filter (PromQL's non-`bool` semantics).
+    */
+  private def applyScalar(op: String, df: DataFrame, v: Double,
+      scalarLeft: Boolean): DataFrame = {
+    val (l, r) =
+      if (scalarLeft) (lit(v), col("value").cast("double"))
+      else (col("value").cast("double"), lit(v))
+    if (ArithOps.contains(op)) df.withColumn("value", arith(op, l, r))
+    else df.filter(cmp(op, l, r))
+  }
+
+  /** Default one-to-one matching of two served relations: both sides
+    * must expose the SAME label columns (none of them `name` — the
+    * aggregated dashboard forms), joined per (labels, instant); the
+    * join is inner, so unmatched samples drop like upstream's default
+    * matching. Arithmetic combines the values; a comparison keeps the
+    * LEFT side's sample when it holds.
+    */
+  private def joinServed(op: String, lDf: DataFrame,
+      rDf: DataFrame): Option[DataFrame] = {
+    val lLabels = lDf.columns.toSeq.filterNot(Set("t_s", "value"))
+    val rLabels = rDf.columns.toSeq.filterNot(Set("t_s", "value"))
+    if (lLabels.toSet != rLabels.toSet || lLabels.contains("name")) None
+    else {
+      val joined = lDf.join(rDf.withColumnRenamed("value", "_rv"),
+        lLabels :+ "t_s", "inner")
+      val out =
+        if (ArithOps.contains(op))
+          joined.withColumn("value",
+            arith(op, col("value"), col("_rv")))
+        else joined.filter(cmp(op, col("value").cast("double"),
+          col("_rv").cast("double")))
+      Some(out.select((lLabels.map(col) :+ col("t_s") :+
+        col("value").cast("double").as("value")): _*))
     }
   }
 
@@ -219,7 +304,8 @@ object Pyramid {
 
   /** Counter INSTANT vector from the pyramid: the running total through
     * each aligned instant — one cumulative window over the group's
-    * bucket lattice (`[.., t)` like every pyramid read).
+    * bucket lattice (samples at or before `t`, the inclusive instant
+    * read, like every pyramid window under closed-right buckets).
     */
   private def serveTotals(spark: SparkSession, dir: String,
       byCols: Seq[String], sel: Selector, startS: Long, endS: Long,
@@ -271,7 +357,7 @@ object Pyramid {
     * sliding window over the compacted relation: min/max nest, sums and
     * counts add, and `avg` is the exact-decimal sum over the count with
     * the cast at the end (the engine-wide float convention). Windows
-    * follow the pyramid's `[t−W, t)` convention like every arm here.
+    * are PromQL's `(t−W, t]` exactly, like every arm here.
     */
   private def serveOverTime(spark: SparkSession, dir: String, fn: String,
       sel: Selector, startS: Long, endS: Long, stepS: Long,

@@ -141,10 +141,10 @@ object QueryEndpoint {
     })
     server.createContext("/api/v1/query_range", handler { ex =>
       val p = params(ex)
-      // Thanos's max_source_resolution: an EXPLICIT opt-in to serve
-      // aligned queries from the rollup pyramid (its [t−W, t) window
-      // convention diverges from the raw paths on boundary-landing
-      // samples — never a silent default); 0 or absent = raw only
+      // Thanos's max_source_resolution: an explicit opt-in capping how
+      // coarse a rollup level may serve aligned queries (rollup
+      // serving is convention-exact — closed-right buckets ≡ PromQL
+      // (t−W, t], see Pyramid); 0 or absent = raw only
       val msr = p.get("max_source_resolution").map(stepS).filter(_ > 0)
       Api.queryRangeJson(spark, dir, required(p, "query"),
         epochS(required(p, "start")), epochS(required(p, "end")),

@@ -52,8 +52,9 @@ object MetricStream {
     * `rollupRaw` — count, exact decimal sum, min/max, and
     * (ts_us, event_id)-anchored first/last. Grouping on the event-time
     * window keeps watermark eviction live (state for closed buckets is
-    * dropped), and `window()`'s epoch alignment is exactly the batch
-    * tier's `ts div res` bucketing, so closed streaming buckets are
+    * dropped), and `window()` over the 1 µs-shifted event time is
+    * exactly the batch tier's closed-right `(b·res, (b+1)·res]`
+    * bucketing, so closed streaming buckets are
     * bit-identical to batch rollup rows — StreamingSpec pins
     * stream ≡ batch field-for-field. That makes the pyramid
     * maintainable incrementally at ingest: coarser levels compact from
@@ -65,8 +66,13 @@ object MetricStream {
       watermark: String = "2 minutes"): DataFrame =
     Metrics.metricEventsOf(events)
       .withColumn("ts_us", unix_micros(col("ts")))
-      .withWatermark("ts", watermark)
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+      // window() assigns [start, end); the pyramid's buckets are
+      // (start, end] (PromQL's closed-right range convention, see
+      // Downsample.bucketCol) — shifting event time by 1 µs before
+      // windowing maps one onto the other exactly
+      .withColumn("_wts", col("ts") - expr("INTERVAL 1 MICROSECOND"))
+      .withWatermark("_wts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("_wts"), "1 hour"),
         col("name"), col("label_k"), col("label_instance"), col("kind"))
       .agg(
         count(lit(1)).as("cnt"),

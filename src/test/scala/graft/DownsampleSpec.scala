@@ -17,15 +17,19 @@ class DownsampleSpec extends SparkTestBase {
 
   private val H = 3600000L // ms/hour
 
+  // Buckets are closed-right (b·res, (b+1)·res]: a sample at exactly
+  // k·H belongs to the bucket ENDING at k·H — several fixture samples
+  // sit exactly on hour epochs to pin that assignment.
   private lazy val dir: String = fixture("events" -> Seq(
-    // hour 0 of day 0: three samples, two sharing a timestamp (the tie
-    // that must break on event_id for first/last)
+    // t=0 lands ON the hour-0 epoch → the bucket ending at t0 (hour −1)
     ev(1, 0L, "purchase", 1.5, "a"),
+    // hour 0 of day 0: two samples sharing a timestamp (the tie that
+    // must break on event_id for first/last)
     ev(3, 600000L, "purchase", 2.0, "a"),
     ev(2, 600000L, "purchase", 7.0, "a"),
     // hour 5 of day 0, same series — second hour bucket, same day bucket
     ev(4, 5 * H + 1000L, "purchase", 0.25, "a"),
-    // day 1, other label
+    // exactly on the day-1 epoch → hour 23 / day 0
     ev(5, 24 * H, "purchase", 4.0, "b"),
     ev(6, 26 * H + 30000L, "purchase", 1.0, "b"),
     // gauge and histogram families ride the same rollup
@@ -68,7 +72,7 @@ class DownsampleSpec extends SparkTestBase {
     panel.foreach { case (k, tS, v) =>
       val lo = (tS - 86400L) * 1000000L
       val hi = tS * 1000000L
-      val expect = raw.filter(r => r._1 == k && r._2 >= lo && r._2 < hi)
+      val expect = raw.filter(r => r._1 == k && r._2 > lo && r._2 <= hi)
         .map(r => BigDecimal(r._3).setScale(2)).sum
       assert(BigDecimal(v).setScale(2) == expect, s"panel ($k, $tS)")
     }
@@ -91,7 +95,7 @@ class DownsampleSpec extends SparkTestBase {
       .as[(String, Long, Long, Double, Long)].collect()
     panel.foreach { case (_, k, inst, tS, v) =>
       val cands = raw.filter(r => r._1 == k && s"i${r._2 % 4}" == inst &&
-        r._3 < tS * 1000000L)
+        r._3 <= tS * 1000000L)
       assert(cands.nonEmpty, s"panel emitted before first sample ($k, $tS)")
       val expect = cands.maxBy(r => (r._3, r._5))._4
       assert(v === expect, s"gauge panel ($k, $inst, $tS)")
@@ -146,7 +150,7 @@ class DownsampleSpec extends SparkTestBase {
     panel.foreach { case (k, tS, v) =>
       val lo = (tS - 86400L) * 1000000L
       val hi = tS * 1000000L
-      val obs = raw.filter(r => r._1 == k && r._2 >= lo && r._2 < hi)
+      val obs = raw.filter(r => r._1 == k && r._2 > lo && r._2 <= hi)
       assert(obs.nonEmpty, s"panel emitted for an empty window ($k, $tS)")
       val rank = 0.9 * obs.length
       val cums = bounds.map(le => (le, obs.count(_._3 <= le).toLong))
@@ -172,13 +176,21 @@ class DownsampleSpec extends SparkTestBase {
       Double, Double, Double, Double)].collect()
     assert(out.forall(_._5 % 3600 == 0), "bucket_s not hour-aligned")
     assert(out.map(_._6).sum === 10L, "rollup must account for every event")
-    // hour-0 purchase/a: samples 1.5 (t=0, id 1), then the t=600s tie —
-    // id 2 value 7.0 before id 3 value 2.0; last is therefore id 3
+    // hour-0 purchase/a holds only the t=600s tie — id 2 value 7.0
+    // before id 3 value 2.0; last is therefore id 3. The t=0 sample
+    // (id 1) sits EXACTLY on the hour-0 epoch and so belongs to the
+    // bucket ENDING there (closed-right membership).
     val h0 = out.find(r => r._1 == "purchase" && r._2 == "a" && r._5 % 86400 == 0).get
-    assert(h0._6 === 3L)
-    assert(h0._7 === 10.5) // 1.5 + 2.0 + 7.0, exact in cents
-    assert(h0._8 === 1.5 && h0._9 === 7.0)
-    assert(h0._10 === 1.5, "first = earliest ts")
+    assert(h0._6 === 2L)
+    assert(h0._7 === 9.0) // 2.0 + 7.0, exact in cents
+    assert(h0._8 === 2.0 && h0._9 === 7.0)
+    assert(h0._10 === 7.0, "first = lowest event_id at the tied ts")
     assert(h0._11 === 2.0, "last = latest (ts, event_id) = id 3")
+    // the boundary sample: alone in the bucket whose closed-right end
+    // is the hour-0 epoch
+    val prev = out.find(r => r._1 == "purchase" && r._2 == "a" &&
+      r._5 % 86400 == 86400 - 3600).get
+    assert(prev._6 === 1L && prev._7 === 1.5,
+      "a sample AT b·res belongs to the bucket ending there")
   }
 }

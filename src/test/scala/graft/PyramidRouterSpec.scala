@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** The alignment-rule router's laws:
   *
-  *  1. off aligned boundaries, the routed answer is BIT-IDENTICAL to
-  *     the dense-grid path over raw events (same grid, same query);
+  *  1. the routed answer is BIT-IDENTICAL to the dense-grid path over
+  *     raw events (same grid, same query);
   *  2. the router generalizes the hand-built p88 panel;
-  *  3. the window-convention divergence for a boundary-landing sample
-  *     is exactly the documented one (`[t−W, t)` vs `(t−W, t]`);
+  *  3. law 1 holds for a sample landing EXACTLY on an aligned boundary
+  *     epoch — rollup buckets are closed-right `(b·res, (b+1)·res]`,
+  *     so pyramid windows ARE PromQL's `(t−W, t]`, no divergence;
   *  4. unservable shapes and unaligned grids decline (None), they
   *     never serve approximately.
   */
@@ -29,7 +30,11 @@ class PyramidRouterSpec extends SparkTestBase {
     ev(4, 13 * H + 5 * 60000L, "purchase", 0.25, "b"),
     ev(5, 25 * H + 5 * 60000L, "purchase", 8.0, "b"),
     ev(6, 49 * H + 5 * 60000L, "purchase", 3.0, "a"),
-    ev(7, 50 * H + 5 * 60000L, "click", 1.0, "a"), // other family: ignored
+    ev(7, 50 * H + 5 * 60000L, "click", 1.0, "a"), // sets the corpus instant
+    // second counter family overlapping purchase windows — the
+    // compositional (ratio) rows join the two
+    ev(15, 2 * H + 5 * 60000L, "click", 2.0, "a"),
+    ev(16, 14 * H + 5 * 60000L, "click", 0.5, "b"),
     // gauge series with an out-of-order overwrite inside one bucket
     ev(8, 2 * H + 5 * 60000L, "signup", 10.0, "a"),
     ev(9, 26 * H + 5 * 60000L, "signup", 7.5, "a"),
@@ -75,7 +80,14 @@ class PyramidRouterSpec extends SparkTestBase {
         "sum_over_time(purchase[1d])",
         "count_over_time(purchase[6h])",
         "last_over_time(signup[1d])",
-        "present_over_time(purchase[1d])")) {
+        "present_over_time(purchase[1d])",
+        // COMPOSITION: binary arithmetic / thresholds over served
+        // operands — each side routes to its own rollup level, then
+        // one equi-join per (label, instant)
+        "sum by (k) (rate(purchase[1d])) / sum by (k) (rate(click[1d]))",
+        "sum by (k) (increase(purchase[1d])) - sum by (k) (increase(click[1d]))",
+        "sum by (k) (rate(purchase[1d])) * 100",
+        "sum by (k) (purchase) > 3")) {
       val (s, e, ast) = aligned(dir, q, 6)
       val routed = Pyramid.rangeEval(spark, dir, ast, s, e, Res)
         .getOrElse(fail(s"router declined: $q"))
@@ -105,8 +117,9 @@ class PyramidRouterSpec extends SparkTestBase {
     assert(panel.nonEmpty)
   }
 
-  test("boundary-landing samples diverge exactly as documented") {
-    // one sample exactly ON an aligned 6h epoch boundary
+  test("boundary-landing samples serve exactly: routed == grid ON the epoch") {
+    // one sample exactly ON an aligned 6h epoch boundary — the case
+    // that diverged before rollup buckets went closed-right
     val bdir = fixture("events" -> Seq(
       ev(1, 5 * 60000L, "purchase", 1.0, "a"),
       ev(2, 4 * Res * 1000L, "purchase", 10.0, "a"), // boundary epoch
@@ -122,13 +135,12 @@ class PyramidRouterSpec extends SparkTestBase {
       graft.promql.Compiler.rangeGridEval(spark, bdir, ast, s, e, Res).get)
     val bEpoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L +
       4 * Res
-    // PromQL window (t−W, t]: the boundary sample counts AT its epoch
+    // PromQL window (t−W, t]: the boundary sample counts AT its epoch —
+    // on BOTH paths, because a rollup bucket is (b·res, (b+1)·res]
     assert(grid(("a", bEpoch)) === 10.0, "grid: sample AT t is inside (t-W, t]")
-    // pyramid window [t−W, t): the same sample counts one window LATER
-    assert(!routed.contains(("a", bEpoch)),
-      "pyramid: sample AT t is outside [t-W, t) and the window is empty")
-    assert(routed(("a", bEpoch + Res)) === 10.0,
-      "pyramid: the boundary sample belongs to the NEXT window")
+    assert(routed(("a", bEpoch)) === 10.0,
+      "pyramid: the boundary sample is inside the SAME window as PromQL")
+    assert(routed === grid, "routed == grid everywhere, boundary included")
   }
 
   test("max_source_resolution caps the admissible rollup level") {
@@ -155,5 +167,11 @@ class PyramidRouterSpec extends SparkTestBase {
     declined("rate(purchase[90m])", s, e, Res) // window not bucket-aligned
     declined("rate(purchase[1d])", s + 1, e + 1, Res) // unaligned instants
     declined("rate(purchase[1d])", s, e, 1800L) // step finer than any level
+    // name-carrying operands: default matching drops the metric name,
+    // which the raw paths own — the composition arm declines
+    declined("purchase / signup", s, e, Res)
+    declined( // a half-servable composition declines as a whole
+      "sum by (k) (rate(purchase[1d])) / sum by (k) (rate(purchase[90m]))",
+      s, e, Res)
   }
 }

@@ -80,12 +80,12 @@ class QueryApiSpec extends SparkTestBase {
       assert(routed === ((200, Api.queryRangeJson(spark, dir, q, start, end,
         step, maxSourceResS = Some(86400L)))))
       assert(get(port, s"$base&max_source_resolution=86400") === routed)
-      // the documented [t−W, t) divergence is visible on this fixture
-      // (samples sit exactly on day epochs): at T0+1d the raw paths
-      // include the sample AT the instant (a = 3.0), the pyramid's
-      // strictly-before window does not (a = 1.0)
+      // convention-exact serving: this fixture's samples sit exactly
+      // on day epochs — the boundary case that diverged before rollup
+      // buckets went closed-right. Routed bytes ≡ raw bytes.
       assert(raw._2.contains(s"""[$start,"3.0"]"""))
-      assert(routed._2.contains(s"""[$start,"1.0"]"""))
+      assert(routed._2 === raw._2,
+        "pyramid-served bytes equal raw serving, boundary samples included")
       // 0 / absent = raw serving, unchanged bytes
       assert(get(port, s"$base&max_source_resolution=0") === raw)
       // an unservable cap falls back to the raw paths, same bytes

@@ -50,7 +50,10 @@ class ScrapeClientSpec extends SparkTestBase {
     val port = server.getAddress.getPort
     try {
       val loop = new ScrapeLoop(spark, s"http://127.0.0.1:$port/metrics")
-      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      // +1 s off the hour epoch: a tick at EXACTLY 10:00:00 would land
+      // in the bucket ending there (closed-right membership) and the
+      // two scrapes would split across buckets
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:01").getTime
       val q = MetricStream.streamingRollup(loop.events)
         .writeStream.format("memory").queryName("scrape_roll")
         .outputMode(OutputMode.Update).start()
