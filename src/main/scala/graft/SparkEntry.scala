@@ -156,6 +156,10 @@ object SparkEntry {
       Seq(promql.Api.federateText(s, d, Seq("purchase", "signup")))
         .toDF("payload")
     }),
+    // the exemplar store: per (histogram series, le bucket) the
+    // anchored freshest observation — what /api/v1/query_exemplars
+    // serves and the OpenMetrics emission attaches per bucket line
+    "a1h_exemplars" -> ((s, d) => PromQL.exemplars(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -829,6 +833,7 @@ object SparkEntry {
     "a1e_openmetrics_text" -> PromQL.OpenMetricsTextSql,
     "a1f_openmetrics_parse" -> PromQL.OpenMetricsParseSql,
     "a1g_federate" -> promql.Oracle.FederateSql,
+    "a1h_exemplars" -> PromQL.ExemplarsSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -1247,6 +1247,64 @@ object PromQL {
     s"WITH om AS ($OpenMetricsTextSql),\n$body"
   }
 
+  /** The EXEMPLAR STORE twin: per (histogram series, `le` bucket), the
+    * anchored freshest observation — exactly the exemplar the
+    * OpenMetrics emission attaches to each bucket line
+    * (`# {event_id="…"} v`, [[openMetricsText]]), surfaced as a
+    * queryable relation for `/api/v1/query_exemplars`. `event_id` is
+    * this engine's trace-id analog (the reference ships raw samples
+    * with ids, `prometheus.cpp:256-306`); the anchor is the
+    * (ts, event_id) max, so the store is deterministic under any
+    * partitioning. Values above the last finite bound carry no
+    * exemplar, mirroring the emission.
+    *
+    * 100 TB shape: one broadcast range-join onto 7 bounds + one hash
+    * aggregate — output ∝ series × buckets, observation payloads never
+    * shuffle past the partial aggregation.
+    */
+  def exemplars(spark: SparkSession, dir: String): DataFrame =
+    exemplarsOf(Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "histogram"))
+
+  /** Core of [[exemplars]] over any pre-filtered histogram-observation
+    * relation (the query_exemplars API applies selector + time bounds
+    * first).
+    */
+  private[graft] def exemplarsOf(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val m = obs.withColumn("ts_us", unix_micros(col("ts")))
+    val bounds = graft.model.MetricEvent.Buckets
+    val b2 = bounds.zip(0.0 +: bounds.init)
+      .map { case (le, lo) => (lo, le) }.toDF("lo", "le")
+    m.join(broadcast(b2), col("value") > col("lo") && col("value") <= col("le"))
+      .groupBy(col("name"), col("label_k"), col("label_instance"), col("le"))
+      .agg(
+        expr("max_by(event_id, struct(ts_us, event_id))").as("event_id"),
+        expr("max_by(value, struct(ts_us, event_id))").as("value"),
+        expr("max_by(ts_us, struct(ts_us, event_id))").as("ts_us"))
+      .orderBy(col("name"), col("label_k"), col("label_instance"), col("le"))
+  }
+
+  val ExemplarsSql: String = {
+    val bounds = graft.model.MetricEvent.Buckets
+    val pairs = bounds.zip(0.0 +: bounds.init)
+      .map { case (le, lo) => s"($lo, $le)" }.mkString(",")
+    s"""WITH m AS ($MetricEventsSql),
+       |b AS (SELECT * FROM (VALUES $pairs) b(lo, le)),
+       |r AS (
+       |  SELECT m.name, m.label_k, m.label_instance, b.le, m.event_id,
+       |    m.value, epoch_us(m.ts) AS ts_us,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY m.name, m.label_k, m.label_instance, b.le
+       |      ORDER BY m.ts DESC, m.event_id DESC) AS rn
+       |  FROM m JOIN b ON m.value > b.lo AND m.value <= b.le
+       |  WHERE m.kind = 'histogram')
+       |SELECT name, label_k, label_instance, le, event_id, value, ts_us
+       |FROM r WHERE rn = 1
+       |ORDER BY name, label_k, label_instance, le""".stripMargin
+  }
+
   /** B-session: gap-based sessionization of the event stream per user —
     * Spark's native `session_window` (30-minute inactivity gap), the
     * batch twin of the streaming session-window operator (SURVEY.md §2.3

@@ -271,6 +271,79 @@ object Api {
     }.mkString("{", ",", "}"))
   }
 
+  /** `/api/v1/targets` twin: the scrape pool's live health rows —
+    * upstream's `activeTargets` shape (labels, scrapePool/Url,
+    * lastError/lastScrape/duration, health) from
+    * [[graft.sources.ScrapeClient.TargetStatus]]; never-scraped
+    * targets are `unknown`, failures `down` with the error verbatim.
+    */
+  def targetsJson(targets: Seq[graft.sources.ScrapeClient.TargetStatus])
+      : String = {
+    val active = targets.map { t =>
+      val lastScrape = t.lastScrapeMs
+        .map(ms => java.time.Instant.ofEpochMilli(ms).toString).getOrElse("")
+      s"""{"discoveredLabels":{},""" +
+        s""""labels":{"instance":"${jsonEscape(t.instance)}",""" +
+        s""""job":"${jsonEscape(t.job)}"},""" +
+        s""""scrapePool":"${jsonEscape(t.job)}",""" +
+        s""""scrapeUrl":"${jsonEscape(t.url)}",""" +
+        s""""globalUrl":"${jsonEscape(t.url)}",""" +
+        s""""lastError":"${jsonEscape(t.lastError.getOrElse(""))}",""" +
+        s""""lastScrape":"$lastScrape",""" +
+        s""""lastScrapeDuration":${t.lastDurationS},""" +
+        s""""health":"${t.health}"}"""
+    }
+    envelope(s"""{"activeTargets":[${active.mkString(",")}],""" +
+      """"droppedTargets":[]}""")
+  }
+
+  /** `/api/v1/status/tsdb` twin — the head-stats page Grafana's TSDB
+    * status screen reads: series/label-pair counts and time bounds,
+    * plus the four per-label cardinality top-10s, all from the series
+    * catalog; `chunkCount` is the 1h base-rollup row count (a rollup
+    * bucket is this engine's chunk analog).
+    */
+  def tsdbStatusJson(spark: SparkSession, dir: String): String = {
+    val ev = graft.operators.Metrics.metricEvents(spark, dir)
+    val series = ev.select(col("name"), col("label_k"), col("label_instance"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val (minUs, maxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().headOption.filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+    val chunkCount = graft.operators.Downsample.rollup1h(spark, dir).count()
+    // the label universe: __name__, instance, k — per-label value sets
+    val byLabel = Seq(
+      "__name__" -> series.map(_._1).toSeq,
+      "instance" -> series.map(_._3).toSeq,
+      "k" -> series.map(_._2).toSeq)
+    val numLabelPairs = byLabel.map(_._2.distinct.size).sum
+    def stat(pairs: Seq[(String, Int)]): String =
+      pairs.sortBy { case (n, v) => (-v, n) }.take(10)
+        .map { case (n, v) => s"""{"name":"${jsonEscape(n)}","value":$v}""" }
+        .mkString("[", ",", "]")
+    val seriesByMetric = stat(series.groupBy(_._1).toSeq
+      .map { case (n, g) => n -> g.length })
+    val valueCountByLabel = stat(byLabel
+      .map { case (l, vs) => l -> vs.distinct.size })
+    val memByLabel = stat(byLabel
+      .map { case (l, vs) => l -> vs.map(_.length).sum })
+    val seriesByPair = stat(
+      (series.map(s => s"__name__=${s._1}") ++
+        series.map(s => s"instance=${s._3}") ++
+        series.map(s => s"k=${s._2}")).toSeq
+        .groupBy(identity).map { case (p, g) => p -> g.length }.toSeq)
+    envelope(
+      s"""{"headStats":{"numSeries":${series.length},""" +
+        s""""numLabelPairs":$numLabelPairs,"chunkCount":$chunkCount,""" +
+        s""""minTime":${minUs / 1000L},"maxTime":${maxUs / 1000L}},""" +
+        s""""seriesCountByMetricName":$seriesByMetric,""" +
+        s""""labelValueCountByLabelName":$valueCountByLabel,""" +
+        s""""memoryInBytesByLabelName":$memByLabel,""" +
+        s""""seriesCountByLabelValuePair":$seriesByPair}""")
+  }
+
   /** The current `ALERTS`-style rows of one rule (offset 0), with the
     * condition's full label set — shared by the rules and alerts
     * endpoints. Returns (labelCols, rows).
@@ -394,6 +467,45 @@ object Api {
       .distinct().orderBy(col("m"))
       .collect().map(_.getString(0))
     envelope(maps.mkString("[", ",", "]"))
+  }
+
+  /** `/api/v1/query_exemplars` twin: the exemplar store
+    * ([[graft.operators.PromQL.exemplars]]) filtered by a plain series
+    * selector and optional `[startS, endS]` sample bounds — per
+    * (histogram series, `le` bucket), ONE exemplar: the anchored
+    * freshest observation, labels carrying this engine's trace-id
+    * analog (`event_id`), upstream's response shape (`seriesLabels` +
+    * `exemplars[{labels, value, timestamp}]`). Non-histogram selectors
+    * return the empty list, like a Prometheus with no exemplar storage
+    * for that series.
+    */
+  def queryExemplarsJson(spark: SparkSession, dir: String, query: String,
+      startS: Option[Long] = None, endS: Option[Long] = None): String = {
+    val sel = Parser.parse(query) match {
+      case s: Selector if s.rangeS.isEmpty && s.offsetS.isEmpty &&
+          s.atS.isEmpty && s.name.nonEmpty => s
+      case _ => throw new PromQLCompileException(
+        s"query_exemplars takes a plain series selector, got '$query'")
+    }
+    val timeF =
+      startS.map(s => unix_micros(col("ts")) >= s * 1000000L)
+        .getOrElse(lit(true)) &&
+        endS.map(e => unix_micros(col("ts")) <= e * 1000000L)
+          .getOrElse(lit(true))
+    val obs = graft.operators.Metrics.metricEvents(spark, dir)
+      .filter(col("kind") === "histogram" && col("name") === sel.name &&
+        Compiler.matcherFilter(sel.matchers) && timeF)
+    val items = graft.operators.PromQL.exemplarsOf(obs).collect().map { r =>
+      val ts = r.getAs[Long]("ts_us")
+      val tsStr = s"${ts / 1000000L}.${"%06d".format(ts % 1000000L)}"
+      s"""{"seriesLabels":{"__name__":"${jsonEscape(r.getAs[String]("name"))}",""" +
+        s""""instance":"${jsonEscape(r.getAs[String]("label_instance"))}",""" +
+        s""""k":"${jsonEscape(r.getAs[String]("label_k"))}",""" +
+        s""""le":"${r.getAs[Double]("le")}"},""" +
+        s""""exemplars":[{"labels":{"event_id":"${r.getAs[Long]("event_id")}"},""" +
+        s""""value":"${r.getAs[Double]("value")}","timestamp":$tsStr}]}"""
+    }
+    envelope(items.mkString("[", ",", "]"))
   }
 
   /** `/api/v1/labels` twin: the label-name universe. */

@@ -125,8 +125,20 @@ object QueryEndpoint {
   def start(spark: SparkSession, dir: String, port: Int = 0,
       nativeFamilies: Set[String] = Set.empty,
       alertRules: Seq[graft.promql.Rules.AlertRule] = Nil,
-      recordingRules: Seq[graft.promql.Rules.RecordingRule] = Nil): HttpServer = {
+      recordingRules: Seq[graft.promql.Rules.RecordingRule] = Nil,
+      scrapeTargets: Seq[ScrapeLoop] = Nil): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/api/v1/targets", handler { _ =>
+      Api.targetsJson(scrapeTargets.map(_.status))
+    })
+    server.createContext("/api/v1/status/tsdb", handler { _ =>
+      Api.tsdbStatusJson(spark, dir)
+    })
+    server.createContext("/api/v1/query_exemplars", handler { ex =>
+      val p = params(ex)
+      Api.queryExemplarsJson(spark, dir, required(p, "query"),
+        p.get("start").map(epochS), p.get("end").map(epochS))
+    })
     server.createContext("/api/v1/rules", handler { _ =>
       Api.rulesJson(spark, dir, alertRules, recordingRules)
     })

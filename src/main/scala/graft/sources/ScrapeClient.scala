@@ -66,6 +66,24 @@ object ScrapeClient {
         regexp_extract(col("line"), LineRe, 2).as("label_k"),
         regexp_extract(col("line"), LineRe, 3).cast("double").as("value"))
 
+  /** One scrape target's live status — the row `/api/v1/targets`
+    * renders: never-scraped targets are `unknown`, a clean last fetch
+    * is `up`, a failed one `down` with the error kept verbatim (the
+    * Prometheus target-health model).
+    */
+  final case class TargetStatus(url: String, job: String,
+      lastScrapeMs: Option[Long], lastError: Option[String],
+      lastDurationS: Double) {
+    def health: String =
+      if (lastScrapeMs.isEmpty) "unknown"
+      else if (lastError.isEmpty) "up" else "down"
+    /** host:port of the scrape URL — the `instance` label. */
+    def instance: String = {
+      val u = new java.net.URI(url)
+      if (u.getPort > 0) s"${u.getHost}:${u.getPort}" else u.getHost
+    }
+  }
+
   /** Scraped samples as the events-table schema, so the standard ingest
     * adapter ([[graft.operators.Metrics.metricEventsOf]]) and every
     * streaming operator behind it apply unchanged: one event per
@@ -92,11 +110,20 @@ object ScrapeClient {
   * [[events]] and process ticks as micro-batches.
   */
 class ScrapeLoop(spark: SparkSession, url: String,
-    openMetrics: Boolean = false) {
+    openMetrics: Boolean = false, job: String = "graft") {
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[(java.sql.Timestamp, String)]
+
+  @volatile private var lastScrapeMs: Option[Long] = None
+  @volatile private var lastError: Option[String] = None
+  @volatile private var lastDurationS: Double = 0.0
+
+  /** The target's live health row for `/api/v1/targets`. */
+  def status: ScrapeClient.TargetStatus =
+    ScrapeClient.TargetStatus(url, job, lastScrapeMs, lastError,
+      lastDurationS)
 
   /** The raw scrape relation: one (scrape_ts, payload) row per tick. */
   def payloads: DataFrame = stream.toDF().toDF("scrape_ts", "payload")
@@ -108,8 +135,22 @@ class ScrapeLoop(spark: SparkSession, url: String,
   def events: DataFrame =
     ScrapeClient.toEvents(ScrapeClient.parsePayloads(payloads))
 
-  /** One tick: fetch now (or at the given instant) and append. */
-  def poll(atMs: Long = System.currentTimeMillis()): Unit =
-    stream.addData((new java.sql.Timestamp(atMs),
-      ScrapeClient.fetch(url, openMetrics)))
+  /** One tick: fetch now (or at the given instant) and append. A
+    * failed fetch records target-down state instead of throwing — a
+    * Prometheus keeps scraping through outages, and `/api/v1/targets`
+    * shows the health.
+    */
+  def poll(atMs: Long = System.currentTimeMillis()): Unit = {
+    val t0 = System.nanoTime()
+    try {
+      val body = ScrapeClient.fetch(url, openMetrics)
+      stream.addData((new java.sql.Timestamp(atMs), body))
+      lastError = None
+    } catch {
+      case e: Exception => lastError = Some(e.toString)
+    } finally {
+      lastScrapeMs = Some(atMs)
+      lastDurationS = (System.nanoTime() - t0) / 1e9
+    }
+  }
 }

@@ -206,6 +206,68 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("/api/v1/query_exemplars serves the anchored per-bucket exemplars") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val H = 3600000L
+    val hdir = fixture("events" -> Seq(
+      ev(1, 0, "error", 0.5, "a"),
+      ev(2, H, "error", 0.75, "a"), // same (0,1] bucket, fresher → exemplar
+      ev(3, H, "error", 7.0, "a"), // the (5,10] bucket
+      ev(4, 2 * H, "error", 200.0, "a"), // above the last bound: none
+      ev(5, 0, "purchase", 1.0, "a")
+    ).toDF(eventCols: _*))
+    val server = QueryEndpoint.start(spark, hdir)
+    val port = server.getAddress.getPort
+    try {
+      val got = get(port, s"/api/v1/query_exemplars?query=${enc("error")}")
+      assert(got === ((200, Api.queryExemplarsJson(spark, hdir, "error"))))
+      val om = new ObjectMapper()
+      val data = om.readTree(got._2).get("data")
+      // (0,1] and (5,10] carry exemplars; the out-of-range 200.0 none
+      assert(data.size === 2)
+      val byLe = (0 until data.size).map(i =>
+        data.get(i).get("seriesLabels").get("le").asText -> data.get(i)).toMap
+      assert(byLe.keySet === Set("1.0", "10.0"))
+      val ex1 = byLe("1.0").get("exemplars").get(0)
+      assert(ex1.get("value").asText === "0.75",
+        "the anchored FRESHEST in-bucket observation is the exemplar")
+      assert(ex1.get("labels").get("event_id").asText === "2")
+      assert(byLe("1.0").get("seriesLabels").get("__name__").asText === "error")
+      // start/end bounds narrow the store to in-range observations
+      val bounded = get(port, s"/api/v1/query_exemplars?query=${enc("error")}" +
+        s"&start=$T0&end=$T0")
+      val bdata = om.readTree(bounded._2).get("data")
+      assert(bdata.size === 1)
+      assert(bdata.get(0).get("exemplars").get(0).get("value").asText === "0.5")
+      // a non-histogram selector has no exemplar storage: empty list
+      val none = get(port, s"/api/v1/query_exemplars?query=${enc("purchase")}")
+      assert(om.readTree(none._2).get("data").size === 0)
+    } finally server.stop(0)
+  }
+
+  test("/api/v1/status/tsdb reports head stats from the series catalog") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    try {
+      val got = get(port, "/api/v1/status/tsdb")
+      assert(got === ((200, Api.tsdbStatusJson(spark, dir))))
+      val d = new ObjectMapper().readTree(got._2).get("data")
+      val head = d.get("headStats")
+      // series catalog: purchase×{a,b} + signup×{a,b}, one instance
+      assert(head.get("numSeries").asLong === 4)
+      assert(head.get("numLabelPairs").asLong === 5) // 2 names + 1 inst + 2 ks
+      assert(head.get("minTime").asLong === T0 * 1000)
+      assert(head.get("maxTime").asLong === (T0 + 3 * dayS) * 1000)
+      assert(head.get("chunkCount").asLong > 0)
+      val byMetric = d.get("seriesCountByMetricName")
+      val m = (0 until byMetric.size).map(i =>
+        byMetric.get(i).get("name").asText ->
+          byMetric.get(i).get("value").asLong).toMap
+      assert(m === Map("purchase" -> 2L, "signup" -> 2L))
+    } finally server.stop(0)
+  }
+
   test("federate renders negative gauge values with a leading sign") {
     val negDir = fixture("events" -> Seq(
       ev(0, 0, "signup", 2.25, "a"),

@@ -44,6 +44,43 @@ class ScrapeClientSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("/api/v1/targets reports scrape-pool health: unknown, up, down") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    seed()
+    val server = ScrapeEndpoint.start()
+    val port = server.getAddress.getPort
+    val dir = fixture("events" ->
+      Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    try {
+      val good = new ScrapeLoop(spark, s"http://127.0.0.1:$port/metrics")
+      val bad = new ScrapeLoop(spark, "http://127.0.0.1:1/metrics",
+        job = "edge")
+      val qe = graft.sources.QueryEndpoint.start(spark, dir,
+        scrapeTargets = Seq(good, bad))
+      val qport = qe.getAddress.getPort
+      val om = new ObjectMapper()
+      def targets(): Map[String, (String, String)] = {
+        val body = ScrapeClient.fetch(s"http://127.0.0.1:$qport/api/v1/targets")
+        val at = om.readTree(body).get("data").get("activeTargets")
+        (0 until at.size).map(i =>
+          at.get(i).get("scrapePool").asText ->
+            ((at.get(i).get("health").asText,
+              at.get(i).get("lastError").asText))).toMap
+      }
+      try {
+        // never scraped: health unknown on both
+        assert(targets().view.mapValues(_._1).toMap ===
+          Map("graft" -> "unknown", "edge" -> "unknown"))
+        good.poll()
+        bad.poll() // connection refused — recorded, not thrown
+        val after = targets()
+        assert(after("graft") === (("up", "")))
+        assert(after("edge")._1 === "down")
+        assert(after("edge")._2.nonEmpty, "the scrape error is kept verbatim")
+      } finally qe.stop(0)
+    } finally server.stop(0)
+  }
+
   test("tick-driven scrape loop maintains the streaming rollup pyramid") {
     seed()
     val server = ScrapeEndpoint.start()
