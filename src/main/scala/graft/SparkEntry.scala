@@ -160,6 +160,10 @@ object SparkEntry {
     // anchored freshest observation — what /api/v1/query_exemplars
     // serves and the OpenMetrics emission attaches per bucket line
     "a1h_exemplars" -> ((s, d) => PromQL.exemplars(s, d)),
+    // remote-write wire decode: a literal hand-assembled WriteRequest
+    // payload (b37c's sibling for the push model) through the
+    // prom_rw_decode generator
+    "a1i_remote_write_decode" -> ((s, _) => sources.RemoteWrite.wireDecode(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -834,6 +838,7 @@ object SparkEntry {
     "a1f_openmetrics_parse" -> PromQL.OpenMetricsParseSql,
     "a1g_federate" -> promql.Oracle.FederateSql,
     "a1h_exemplars" -> PromQL.ExemplarsSql,
+    "a1i_remote_write_decode" -> sources.RemoteWrite.WireDecodeSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native generator decoding one UNCOMPRESSED Prometheus remote-write
+  * `WriteRequest` payload (BINARY) into one row per (series, sample):
+  * `(labels MAP<STRING,STRING>, value DOUBLE, ts_ms BIGINT)` — the
+  * row-local fan-out of [[graft.sources.RemoteWrite.walk]], so a
+  * payload decodes entirely on the executor that holds it and the
+  * payload bytes never shuffle. Labels-only series emit nothing (a
+  * series exists on the wire only through its samples).
+  *
+  * Generators sit at an explode boundary where whole-stage codegen is
+  * already split, so CodegenFallback costs nothing here (same placement
+  * as [[CharTrigramsExpr]]).
+  */
+case class RemoteWriteDecodeExpr(child: Expression)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("labels", MapType(StringType, StringType, valueContainsNull = false)),
+    StructField("value", DoubleType),
+    StructField("ts_ms", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"prom_rw_decode expects binary, got ${child.dataType.simpleString}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null) return Iterator.empty
+    graft.sources.RemoteWrite.walk(bytes).iterator.flatMap { s =>
+      val keys = new GenericArrayData(
+        s.labels.map(l => UTF8String.fromString(l._1)).toArray[Any])
+      val values = new GenericArrayData(
+        s.labels.map(l => UTF8String.fromString(l._2)).toArray[Any])
+      val labels = new ArrayBasedMapData(keys, values)
+      s.samples.iterator.map { case (v, ts) => InternalRow(labels, v, ts) }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RemoteWriteDecodeExpr {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "prom_rw_decode",
+      exprs => RemoteWriteDecodeExpr(exprs.head),
+      "built-in")
+}

@@ -126,8 +126,35 @@ object QueryEndpoint {
       nativeFamilies: Set[String] = Set.empty,
       alertRules: Seq[graft.promql.Rules.AlertRule] = Nil,
       recordingRules: Seq[graft.promql.Rules.RecordingRule] = Nil,
-      scrapeTargets: Seq[ScrapeLoop] = Nil): HttpServer = {
+      scrapeTargets: Seq[ScrapeLoop] = Nil,
+      remoteWrite: Option[RemoteWriteSink] = None): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    // remote-write receiver: POST of a snappy-framed WriteRequest; 204
+    // on accept (upstream's receiver contract), 400 on malformed bytes,
+    // 405 on non-POST. Absent a configured sink every POST is a 400 —
+    // this server has no write path to offer.
+    server.createContext("/api/v1/write", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          if (ex.getRequestMethod != "POST") {
+            respond(ex, 405, errorBody("remote write requires POST"))
+          } else {
+            val body = ex.getRequestBody.readAllBytes()
+            remoteWrite match {
+              case Some(sink) =>
+                sink.receive(body)
+                ex.sendResponseHeaders(204, -1L)
+                ex.getResponseBody.close()
+              case None => respond(ex, 400,
+                errorBody("remote write is not configured on this server"))
+            }
+          }
+        } catch {
+          case e: Exception =>
+            respond(ex, 400, errorBody(Option(e.getMessage).getOrElse(
+              e.getClass.getSimpleName)))
+        }
+    })
     server.createContext("/api/v1/targets", handler { _ =>
       Api.targetsJson(scrapeTargets.map(_.status))
     })

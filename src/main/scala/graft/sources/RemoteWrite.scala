@@ -1,0 +1,362 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Prometheus REMOTE WRITE 1.0 — the PUSH twin of the reference's pull
+  * model (`/root/reference/prometheus.cpp:47,73` exposes `/metrics` for
+  * a server to poll; remote write is how one Prometheus forwards its
+  * samples to another): an HTTP POST of a snappy-compressed protobuf
+  * `WriteRequest` lands as one row of a streaming relation, and the
+  * wire decode is a row-local Catalyst generator
+  * ([[graft.plans.RemoteWriteDecodeExpr]]) over the payload bytes —
+  * batch ≡ streaming, nothing ever leaves the executor that holds the
+  * payload.
+  *
+  * The wire format is the PUBLIC protobuf encoding of the public
+  * `prometheus/prompb` schema (remote.proto / types.proto):
+  *
+  *   WriteRequest { repeated TimeSeries timeseries = 1; }
+  *   TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2; }
+  *   Label        { string name = 1; string value = 2; }
+  *   Sample       { double value = 1; int64 timestamp = 2; }   // ms
+  *
+  * [[walk]] is the ONE parser both tiers share: the generator calls it
+  * per payload row on executors, and [[RemoteWriteSink.receive]] calls
+  * it once driver-side to reject malformed bodies with HTTP 400 before
+  * they enter the stream (a Prometheus receiver's own contract).
+  * Unknown fields skip by wire type (exemplars, native-histogram
+  * payloads, metadata), so payloads from newer senders decode their
+  * samples instead of erroring.
+  *
+  * Scale shape: one POST = one row; the explode fans each payload's
+  * (series × samples) onto the executor that holds it. A fleet of
+  * senders is a union of sink relations; downstream state is the
+  * streaming operators' own (rollup state ∝ open buckets × series).
+  */
+object RemoteWrite {
+
+  /** One decoded time series: its label pairs (wire order) and its
+    * (value, timestamp-ms) samples (wire order).
+    */
+  final case class Series(labels: Vector[(String, String)],
+      samples: Vector[(Double, Long)])
+
+  /** Decode an UNCOMPRESSED `WriteRequest` payload. Throws
+    * `IllegalArgumentException` on malformed bytes (truncated message,
+    * over-running length, unsupported group wire types) — the receive
+    * path maps that to HTTP 400.
+    */
+  def walk(bytes: Array[Byte]): Vector[Series] = {
+    val end = bytes.length
+    var pos = 0
+
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed WriteRequest: $msg")
+
+    def varint(limit: Int): Long = {
+      var shift = 0
+      var out = 0L
+      while (shift < 64) {
+        if (pos >= limit) fail("truncated varint")
+        val b = bytes(pos)
+        pos += 1
+        out |= (b & 0x7FL) << shift
+        if ((b & 0x80) == 0) return out
+        shift += 7
+      }
+      fail("varint exceeds 64 bits")
+    }
+
+    def fixed64(limit: Int): Long = {
+      if (pos + 8 > limit) fail("truncated fixed64")
+      var out = 0L
+      var i = 0
+      while (i < 8) {
+        out |= (bytes(pos + i) & 0xFFL) << (8 * i)
+        i += 1
+      }
+      pos += 8
+      out
+    }
+
+    /** A length-delimited field's content end; `pos` stays at the
+      * content start — the caller either walks to the returned end
+      * (sub-message) or jumps `pos` there (string read, skip).
+      */
+    def lenDelim(limit: Int): Int = {
+      val len = varint(limit)
+      if (len < 0 || pos + len > limit) fail("length overruns message")
+      pos + len.toInt
+    }
+
+    def skip(wireType: Int, limit: Int): Unit = wireType match {
+      case 0 => varint(limit)
+      case 1 =>
+        if (pos + 8 > limit) fail("truncated fixed64")
+        pos += 8
+      case 2 => pos = lenDelim(limit)
+      case 5 =>
+        if (pos + 4 > limit) fail("truncated fixed32")
+        pos += 4
+      case other => fail(s"unsupported wire type $other")
+    }
+
+    def str(from: Int, until: Int): String =
+      new String(bytes, from, until - from,
+        java.nio.charset.StandardCharsets.UTF_8)
+
+    def label(limit: Int): (String, String) = {
+      var name = ""
+      var value = ""
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) =>
+            val u = lenDelim(limit); name = str(pos, u); pos = u
+          case (2, 2) =>
+            val u = lenDelim(limit); value = str(pos, u); pos = u
+          case (_, wt) => skip(wt, limit)
+        }
+      }
+      (name, value)
+    }
+
+    def sample(limit: Int): (Double, Long) = {
+      var v = 0.0
+      var ts = 0L
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 1) => v = java.lang.Double.longBitsToDouble(fixed64(limit))
+          case (2, 0) => ts = varint(limit)
+          case (_, wt) => skip(wt, limit)
+        }
+      }
+      (v, ts)
+    }
+
+    def timeSeries(limit: Int): Series = {
+      val labels = Vector.newBuilder[(String, String)]
+      val samples = Vector.newBuilder[(Double, Long)]
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => labels += label(lenDelim(limit))
+          case (2, 2) => samples += sample(lenDelim(limit))
+          case (_, wt) => skip(wt, limit)
+        }
+      }
+      Series(labels.result(), samples.result())
+    }
+
+    val out = Vector.newBuilder[Series]
+    while (pos < end) {
+      val tag = varint(end)
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => out += timeSeries(lenDelim(end))
+        case (_, wt) => skip(wt, end)
+      }
+    }
+    out.result()
+  }
+
+  // ---- encoder (the SENDER half — what the forwarding spec and a
+  // federating deployment use; pure varint/tag writers) ----
+
+  private def writeVarint(b: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0L) {
+      b.write(((v & 0x7F) | 0x80).toInt)
+      v >>>= 7
+    }
+    b.write(v.toInt)
+  }
+
+  private def writeLen(b: java.io.ByteArrayOutputStream, field: Int,
+      bytes: Array[Byte]): Unit = {
+    writeVarint(b, (field.toLong << 3) | 2L)
+    writeVarint(b, bytes.length.toLong)
+    b.write(bytes, 0, bytes.length)
+  }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Encode series as an UNCOMPRESSED `WriteRequest` (deterministic:
+    * fields in schema order, inputs in caller order).
+    */
+  def encode(series: Seq[Series]): Array[Byte] = {
+    val req = new java.io.ByteArrayOutputStream()
+    series.foreach { s =>
+      val ts = new java.io.ByteArrayOutputStream()
+      s.labels.foreach { case (n, v) =>
+        val l = new java.io.ByteArrayOutputStream()
+        writeLen(l, 1, utf8(n))
+        writeLen(l, 2, utf8(v))
+        writeLen(ts, 1, l.toByteArray)
+      }
+      s.samples.foreach { case (v, t) =>
+        val sm = new java.io.ByteArrayOutputStream()
+        writeVarint(sm, (1L << 3) | 1L)
+        val bits = java.lang.Double.doubleToLongBits(v)
+        var i = 0
+        while (i < 8) { sm.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+        writeVarint(sm, (2L << 3) | 0L)
+        writeVarint(sm, t)
+        writeLen(ts, 2, sm.toByteArray)
+      }
+      writeLen(req, 1, ts.toByteArray)
+    }
+    req.toByteArray
+  }
+
+  /** The wire framing: remote write bodies are snappy BLOCK format. */
+  def compress(proto: Array[Byte]): Array[Byte] =
+    org.xerial.snappy.Snappy.compress(proto)
+
+  def uncompress(body: Array[Byte]): Array[Byte] =
+    org.xerial.snappy.Snappy.uncompress(body)
+
+  /** Relational decode of `(recv_ts, proto)` payload rows → one
+    * `(recv_ts, labels, value, ts_ms)` row per (series, sample), via
+    * the registered generator — stateless column ops, so the same
+    * expression tree serves the a1i gate (batch) and the sink (stream).
+    */
+  def decode(payloads: DataFrame): DataFrame = {
+    graft.plans.RemoteWriteDecodeExpr.register(payloads.sparkSession)
+    payloads.select(col("recv_ts"),
+      expr("prom_rw_decode(proto)").as(Seq("labels", "value", "ts_ms")))
+  }
+
+  /** Decoded samples as the events-table schema, so the standard ingest
+    * adapter ([[graft.operators.Metrics.metricEventsOf]]) and every
+    * streaming operator behind it apply unchanged. The SAMPLE timestamp
+    * is the event time (remote write carries per-sample times, unlike a
+    * scrape's single instant); `_total` suffixes strip back to the
+    * family name (senders forward series as exposed); `event_id` is a
+    * deterministic hash of (sample time, series), so re-sent payloads
+    * dedup under the engine's exact-dedup guard.
+    */
+  def toEvents(samples: DataFrame): DataFrame = {
+    val name = regexp_replace(element_at(col("labels"), "__name__"),
+      "_total$", "")
+    val k = coalesce(element_at(col("labels"), "k"), lit(""))
+    samples.select(
+      xxhash64(col("ts_ms"), name, k).as("event_id"),
+      timestamp_millis(col("ts_ms")).as("ts"),
+      lit(1L).as("user_id"),
+      name.as("event_type"),
+      col("value"),
+      concat(lit("{\"k\": \""), k, lit("\"}")).as("props"))
+  }
+
+  /** a1i — the wire-decode gate, b37c's remote-write sibling: a payload
+    * this engine did NOT encode, spelled as LITERAL bytes hand-derived
+    * from the public wire format (every byte justified in the comments
+    * below), decoded by the generator; the DuckDB oracle is the
+    * hand-derived sample relation, so the gate fails if the decoder
+    * ever mis-reads a tag, varint, length, or little-endian double.
+    *
+    * Shapes covered: multi-label/multi-sample series; samples BEFORE
+    * labels (field order is free in protobuf); an exemplar field and an
+    * unknown varint field inside a series (skip by wire type); a
+    * labels-only series (no sample rows); a top-level metadata field;
+    * a negative double; multi-byte varint timestamps.
+    */
+  def wireDecode(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // WriteRequest, hand-assembled (tag = field<<3 | wiretype):
+    //   0A 58  timeseries#1, 88 bytes:
+    //     0A 1A  label: 0A 08 "__name__" 12 0E "purchase_total"
+    //     0A 14  label: 0A 08 "instance" 12 08 "box:9090"
+    //     0A 07  label: 0A 01 "k" 12 02 "eu"
+    //     12 0C  sample: 09 <3.5 LE: 0x400C000000000000> 10 E8 07 (=1000)
+    //     12 0D  sample: 09 <4.25 LE: 0x4011000000000000> 10 C8 DC 03 (=61000)
+    //   0A 3D  timeseries#2, 61 bytes (samples FIRST, skippable fields):
+    //     12 0D  sample: 09 <-1.5 LE: 0xBFF8000000000000> 10 E0 A7 12 (=300000)
+    //     0A 14  label: 0A 08 "__name__" 12 08 "cpu_temp"
+    //     1A 0B  exemplar (field 3, skipped): 09 <9.0 LE> 10 01
+    //     0A 07  label: 0A 01 "k" 12 02 "us"
+    //     28 07  unknown varint field 5 (skipped)
+    //   0A 12  timeseries#3, 18 bytes (labels only -> no rows):
+    //     0A 10  label: 0A 08 "__name__" 12 04 "idle"
+    //   1A 02 08 01  metadata (field 3, skipped)
+    val payload = hexBytes(
+      "0A58" +
+        "0A1A" + "0A085F5F6E616D655F5F" + "120E" + "707572636861" +
+        "73655F746F74616C" +
+        "0A14" + "0A08696E7374616E6365" + "1208" + "626F783A39303930" +
+        "0A07" + "0A016B" + "12026575" +
+        "120C" + "09000000000000" + "0C40" + "10E807" +
+        "120D" + "09000000000000" + "1140" + "10C8DC03" +
+        "0A3D" +
+        "120D" + "09000000000000" + "F8BF" + "10E0A712" +
+        "0A14" + "0A085F5F6E616D655F5F" + "1208" + "6370755F74656D70" +
+        "1A0B" + "09000000000000" + "2240" + "1001" +
+        "0A07" + "0A016B" + "12027573" +
+        "2807" +
+        "0A12" +
+        "0A10" + "0A085F5F6E616D655F5F" + "1204" + "69646C65" +
+        "1A020801")
+    val payloads = Seq(payload).toDF("proto")
+      .withColumn("recv_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    decode(payloads)
+      .select(
+        element_at(col("labels"), "__name__").as("metric"),
+        coalesce(element_at(col("labels"), "instance"), lit("")).as("instance"),
+        element_at(col("labels"), "k").as("label_k"),
+        col("ts_ms"), col("value"))
+      .orderBy(col("metric"), col("ts_ms"))
+  }
+
+  private[graft] def hexBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Oracle twin of [[wireDecode]]: the sample relation derived BY HAND
+    * from the wire bytes above (doubles as quoted strings — string →
+    * DOUBLE is correctly-rounded, a bare literal may re-round).
+    */
+  val WireDecodeSql: String =
+    """SELECT * FROM (VALUES
+      |  ('cpu_temp', '', 'us', CAST(300000 AS BIGINT), CAST('-1.5' AS DOUBLE)),
+      |  ('purchase_total', 'box:9090', 'eu', CAST(1000 AS BIGINT), CAST('3.5' AS DOUBLE)),
+      |  ('purchase_total', 'box:9090', 'eu', CAST(61000 AS BIGINT), CAST('4.25' AS DOUBLE))
+      |) w(metric, instance, label_k, ts_ms, value)
+      |ORDER BY metric, ts_ms""".stripMargin
+}
+
+/** The RECEIVER: POSTed bodies land on a streaming relation; the wire
+  * decode, event mapping, and rollup maintenance are the same column
+  * expressions the batch tier runs. [[receive]] validates driver-side
+  * (uncompress + one [[RemoteWrite.walk]] pass) so a malformed body is
+  * an HTTP 400 at the door, never a poisoned stream.
+  */
+class RemoteWriteSink(spark: SparkSession) {
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val stream = MemoryStream[(java.sql.Timestamp, Array[Byte])]
+
+  /** One POST body (snappy-framed protobuf). Throws on malformed input
+    * — the endpoint maps it to 400 like upstream's receiver.
+    */
+  def receive(body: Array[Byte],
+      atMs: Long = System.currentTimeMillis()): Unit = {
+    val proto = RemoteWrite.uncompress(body)
+    RemoteWrite.walk(proto) // validate at the door
+    stream.addData((new java.sql.Timestamp(atMs), proto))
+  }
+
+  /** The raw payload relation: one (recv_ts, proto) row per POST. */
+  def payloads: DataFrame = stream.toDF().toDF("recv_ts", "proto")
+
+  /** Decoded (recv_ts, labels, value, ts_ms) sample rows. */
+  def samples: DataFrame = RemoteWrite.decode(payloads)
+
+  /** Pushed samples as events-schema rows — feed to `metricEventsOf`,
+    * `streamingRollup`, or any other ingest consumer.
+    */
+  def events: DataFrame = RemoteWrite.toEvents(samples)
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.sources.{RemoteWrite, RemoteWriteSink}
+import graft.streaming.MetricStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The PUSH half of the wire contract: remote-write payloads decode to
+  * sample rows (hand-assembled foreign bytes AND encoder round-trips),
+  * malformed bodies fail at the door, and an HTTP POST to
+  * `/api/v1/write` lands in the streaming ingest — push → decode →
+  * events → streamingRollup, end to end.
+  */
+class RemoteWriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hand-assembled WriteRequest decodes to exactly the hand-derived samples") {
+    val rows = RemoteWrite.wireDecode(spark)
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      ("cpu_temp", "", "us", 300000L, -1.5),
+      ("purchase_total", "box:9090", "eu", 1000L, 3.5),
+      ("purchase_total", "box:9090", "eu", 61000L, 4.25)))
+  }
+
+  test("walk round-trips encode, through snappy framing") {
+    val series = Vector(
+      RemoteWrite.Series(
+        Vector("__name__" -> "signup_total", "k" -> "eu", "zone" -> "a"),
+        Vector((0.0, 0L), (1e300, 1234567890123L), (-2.5, 42L))),
+      RemoteWrite.Series(Vector("__name__" -> "idle"), Vector.empty),
+      RemoteWrite.Series(Vector.empty, Vector((7.0, 9L))))
+    val wire = RemoteWrite.compress(RemoteWrite.encode(series))
+    assert(RemoteWrite.walk(RemoteWrite.uncompress(wire)) === series)
+  }
+
+  test("malformed payloads fail loud: truncated varint, overrun length, group wire type") {
+    // 0A = timeseries tag, then a continuation byte with no terminator
+    intercept[IllegalArgumentException](RemoteWrite.walk(RemoteWrite.hexBytes("0A80")))
+    // declared length 5, one content byte present
+    intercept[IllegalArgumentException](RemoteWrite.walk(RemoteWrite.hexBytes("0A0500")))
+    // wire type 3 (group start) is not in the proto3 wire format
+    intercept[IllegalArgumentException](RemoteWrite.walk(RemoteWrite.hexBytes("0B")))
+  }
+
+  private def post(url: String, body: Array[Byte]): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-protobuf")
+    conn.setRequestProperty("Content-Encoding", "snappy")
+    try {
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      val code = conn.getResponseCode
+      val is = Option(if (code >= 400) conn.getErrorStream else conn.getInputStream)
+      val text = is.map { s =>
+        try new String(s.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally s.close()
+      }.getOrElse("")
+      (code, text)
+    } finally conn.disconnect()
+  }
+
+  test("POST /api/v1/write ingests into the streaming rollup pyramid") {
+    val dir = fixture("events" ->
+      Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    val sink = new RemoteWriteSink(spark)
+    val server = graft.sources.QueryEndpoint.start(spark, dir,
+      remoteWrite = Some(sink))
+    val port = server.getAddress.getPort
+    val url = s"http://127.0.0.1:$port/api/v1/write"
+    try {
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:01").getTime
+      val q = MetricStream.streamingRollup(sink.events)
+        .writeStream.format("memory").queryName("rw_roll")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // two pushes, like a forwarding Prometheus's successive sends
+        val (c1, _) = post(url, RemoteWrite.compress(RemoteWrite.encode(Seq(
+          RemoteWrite.Series(
+            Vector("__name__" -> "purchase_total", "k" -> "a"),
+            Vector((5.5, t1)))))))
+        assert(c1 === 204)
+        val (c2, _) = post(url, RemoteWrite.compress(RemoteWrite.encode(Seq(
+          RemoteWrite.Series(
+            Vector("__name__" -> "purchase_total", "k" -> "a"),
+            Vector((7.25, t1 + 60000L))),
+          RemoteWrite.Series(
+            Vector("__name__" -> "click_total", "k" -> "b"),
+            Vector((2.0, t1)))))))
+        assert(c2 === 204)
+        q.processAllAvailable()
+        val rows = spark.table("rw_roll")
+          .as[(String, String, String, String, Long, Long, BigDecimal,
+            Double, Double, Double, (Long, Long), Double, (Long, Long))]
+          .collect()
+        def state(name: String, k: String) =
+          rows.filter(r => r._1 == name && r._2 == k).maxBy(_._6)
+        val pa = state("purchase", "a")
+        assert(pa._6 === 2L, "both pushed samples in the 1h bucket")
+        assert(pa._7 === BigDecimal("12.75"), "exact decimal sum 5.5 + 7.25")
+        assert(pa._8 === 5.5 && pa._9 === 7.25, "vmin/vmax bracket the pushes")
+        assert(pa._12 === 7.25, "vlast follows the later SAMPLE timestamp")
+        assert(state("click", "b")._6 === 1L)
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
+  test("write endpoint rejects: garbage body 400, GET 405, unconfigured 400") {
+    val dir = fixture("events" ->
+      Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    val sink = new RemoteWriteSink(spark)
+    val server = graft.sources.QueryEndpoint.start(spark, dir,
+      remoteWrite = Some(sink))
+    val port = server.getAddress.getPort
+    val url = s"http://127.0.0.1:$port/api/v1/write"
+    try {
+      val (code, body) = post(url, Array[Byte](1, 2, 3))
+      assert(code === 400 && body.contains("bad_data"))
+      // valid snappy frame around malformed protobuf is ALSO a 400
+      val (code2, _) = post(url,
+        RemoteWrite.compress(RemoteWrite.hexBytes("0A0500")))
+      assert(code2 === 400)
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try assert(conn.getResponseCode === 405) finally conn.disconnect()
+    } finally server.stop(0)
+
+    val bare = graft.sources.QueryEndpoint.start(spark, dir)
+    try {
+      val (code, body) = post(
+        s"http://127.0.0.1:${bare.getAddress.getPort}/api/v1/write",
+        RemoteWrite.compress(RemoteWrite.encode(Nil)))
+      assert(code === 400 && body.contains("not configured"))
+    } finally bare.stop(0)
+  }
+}
