@@ -164,6 +164,10 @@ object SparkEntry {
     // payload (b37c's sibling for the push model) through the
     // prom_rw_decode generator
     "a1i_remote_write_decode" -> ((s, _) => sources.RemoteWrite.wireDecode(s)),
+    // native histograms over the push wire: prompb Histogram messages
+    // (zigzag spans + packed delta chains) through the generator and
+    // the SAME relational span walk as the scrape-side ingest (b37c)
+    "a1j_remote_write_hist" -> ((s, _) => sources.RemoteWrite.wireDecodeHist(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -483,6 +487,16 @@ object SparkEntry {
     "p99_pyramid_ratio" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
       "sum by (k) (rate(purchase[1d])) / sum by (k) (rate(click[1d]))",
       240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
+    // the GENERIC vector-aggregation layer over served operands: every
+    // PromQL aggregation op per (group, instant) — min/max/topk rank
+    // the undivided decimals (ordering commutes with the positive
+    // deferred divisor), so the routed panels stay exact
+    "p100_pyramid_agg" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "max by (k) (rate(purchase[1d]))", 240, 21600L)
+      .orderBy(col("label_k"), col("t_s"))),
+    "p101_pyramid_topk" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "topk(1, sum by (k) (rate(purchase[1d])))", 240, 21600L)
       .orderBy(col("label_k"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
@@ -839,6 +853,7 @@ object SparkEntry {
     "a1g_federate" -> promql.Oracle.FederateSql,
     "a1h_exemplars" -> PromQL.ExemplarsSql,
     "a1i_remote_write_decode" -> sources.RemoteWrite.WireDecodeSql,
+    "a1j_remote_write_hist" -> sources.RemoteWrite.WireDecodeHistSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,
@@ -945,6 +960,8 @@ object SparkEntry {
     "p97_pyramid_over_time" -> promql.Oracle.PyramidOverTimeSql,
     "p98_pyramid_last" -> promql.Oracle.PyramidLastSql,
     "p99_pyramid_ratio" -> promql.Oracle.PyramidRatioSql,
+    "p100_pyramid_agg" -> promql.Oracle.PyramidAggSql,
+    "p101_pyramid_topk" -> promql.Oracle.PyramidTopkSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

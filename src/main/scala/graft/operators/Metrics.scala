@@ -438,13 +438,15 @@ object Metrics {
     * bucket explode, where `sequence(0, len−1)` at len 0 would DESCEND
     * `[0, −1]` and fabricate two rows.
     */
-  private[graft] def decodeWireSpans(wire: DataFrame): DataFrame = {
+  private[graft] def decodeWireSpans(wire: DataFrame,
+      keys: Seq[String] = Seq("name", "label_k")): DataFrame = {
+    val kc = keys.map(col)
     val spans = wire
-      .select(col("name"), col("label_k"), col("deltas"),
-        posexplode(arrays_zip(col("offs"), col("lens"))).as(Seq("si", "sp")))
-      .select(col("name"), col("label_k"), col("deltas"), col("si"),
-        col("sp.offs").as("off"), col("sp.lens").as("len"))
-    val w = Window.partitionBy(col("name"), col("label_k")).orderBy(col("si"))
+      .select(kc :+ col("deltas") :+
+        posexplode(arrays_zip(col("offs"), col("lens"))).as(Seq("si", "sp")): _*)
+      .select(kc :+ col("deltas") :+ col("si") :+
+        col("sp.offs").as("off") :+ col("sp.lens").as("len"): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col("si"))
     val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
     val positioned = spans
       .withColumn("start",
@@ -452,12 +454,12 @@ object Metrics {
       .withColumn("dstart", coalesce(sum(col("len")).over(wPrior), lit(0L)))
     positioned
       .filter(col("len") > 0)
-      .select(col("name"), col("label_k"), col("deltas"), col("start"), col("dstart"),
-        posexplode(expr("sequence(0, len - 1)")).as(Seq("j", "jv")))
-      .select(col("name"), col("label_k"),
-        (col("start") + col("j")).cast("int").as("bucket"),
+      .select(kc :+ col("deltas") :+ col("start") :+ col("dstart") :+
+        posexplode(expr("sequence(0, len - 1)")).as(Seq("j", "jv")): _*)
+      .select(kc :+
+        (col("start") + col("j")).cast("int").as("bucket") :+
         expr("aggregate(slice(deltas, 1, cast(dstart + j + 1 as int)), 0L, (a, x) -> a + x)")
-          .as("bucket_count"))
+          .as("bucket_count"): _*)
   }
 
   /** b37c — the INGEST half of the native-histogram codec

@@ -50,10 +50,58 @@ case class RemoteWriteDecodeExpr(child: Expression)
     copy(child = c)
 }
 
+/** The native-histogram face of the same walker: one row per (series,
+  * histogram sample) — `(labels, ts_ms, schema, offs, lens, deltas)`,
+  * the exposition span encoding ready for the shared relational span
+  * walk (`Metrics.decodeWireSpans`).
+  */
+case class RemoteWriteHistDecodeExpr(child: Expression)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("labels", MapType(StringType, StringType, valueContainsNull = false)),
+    StructField("ts_ms", LongType),
+    StructField("schema", IntegerType),
+    StructField("offs", ArrayType(IntegerType, containsNull = false)),
+    StructField("lens", ArrayType(IntegerType, containsNull = false)),
+    StructField("deltas", ArrayType(LongType, containsNull = false))))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"prom_rw_decode_hist expects binary, got ${child.dataType.simpleString}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null) return Iterator.empty
+    graft.sources.RemoteWrite.walk(bytes).iterator.flatMap { s =>
+      val keys = new GenericArrayData(
+        s.labels.map(l => UTF8String.fromString(l._1)).toArray[Any])
+      val values = new GenericArrayData(
+        s.labels.map(l => UTF8String.fromString(l._2)).toArray[Any])
+      val labels = new ArrayBasedMapData(keys, values)
+      s.hists.iterator.map { h =>
+        InternalRow(labels, h.tsMs, h.schema,
+          new GenericArrayData(h.offs.toArray),
+          new GenericArrayData(h.lens.toArray),
+          new GenericArrayData(h.deltas.toArray))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object RemoteWriteDecodeExpr {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "prom_rw_decode",
       exprs => RemoteWriteDecodeExpr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "prom_rw_decode_hist",
+      exprs => RemoteWriteHistDecodeExpr(exprs.head),
+      "built-in")
+  }
 }

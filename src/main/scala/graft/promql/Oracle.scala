@@ -564,6 +564,53 @@ object Oracle {
        |FROM a JOIN c ON a.label_k = c.label_k AND a.t_s = c.t_s
        |ORDER BY a.label_k, a.t_s""".stripMargin
 
+  /** p100: `max by (k) (rate(purchase[1d]))` at 240 aligned 6h instants
+    * — the router's GENERIC aggregation layer: per-series windowed
+    * decimal sums, max per (k, instant) over the undivided decimals
+    * (ordering commutes with the positive deferred divisor), ONE ÷86400
+    * on the winner.
+    */
+  val PyramidAggSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i),
+       |s AS (
+       |  SELECT m.label_k, m.label_instance, (t.ebi - i.i) * 21600 AS t_s,
+       |    SUM(CAST(m.value AS DECIMAL(18,2))) AS d
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase'
+       |    AND epoch_us(m.ts) >  ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |    AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000
+       |  GROUP BY m.label_k, m.label_instance, i.i, t.ebi)
+       |SELECT label_k, t_s, CAST(MAX(d) AS DOUBLE) / 86400.0 AS value
+       |FROM s GROUP BY label_k, t_s
+       |ORDER BY label_k, t_s""".stripMargin
+
+  /** p101: `topk(1, sum by (k) (rate(purchase[1d])))` at 240 aligned 6h
+    * instants — the generic layer's per-instant ranking: groups order
+    * by the summed UNDIVIDED decimal descending with the label
+    * tie-break, the winner divides once.
+    */
+  val PyramidTopkSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i),
+       |s AS (
+       |  SELECT m.label_k, (t.ebi - i.i) * 21600 AS t_s,
+       |    SUM(CAST(m.value AS DECIMAL(18,2))) AS d
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase'
+       |    AND epoch_us(m.ts) >  ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |    AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000
+       |  GROUP BY m.label_k, i.i, t.ebi),
+       |r AS (
+       |  SELECT label_k, t_s, d, ROW_NUMBER() OVER (
+       |    PARTITION BY t_s ORDER BY d DESC, label_k) AS rn
+       |  FROM s)
+       |SELECT label_k, t_s, CAST(d AS DOUBLE) / 86400.0 AS value
+       |FROM r WHERE rn = 1
+       |ORDER BY label_k, t_s""".stripMargin
+
   /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
     * the 240×6h grid — the subquery inner evaluates once on the shared
     * 6h lattice, each outer step takes the max over its 4 trailing

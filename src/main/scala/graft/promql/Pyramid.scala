@@ -41,6 +41,25 @@ object Pyramid {
 
   private val AllResolutions = Seq(86400L, 21600L, 7200L, 3600L)
 
+  private val FullKey = Seq("name", "label_k", "label_instance")
+
+  /** A served grid vector before materialization: the per-instant
+    * relation (`labels… :+ t_s :+ value`), its label columns, and the
+    * DEFERRED rate divisor — rates ride as exact decimals and divide
+    * once at [[materialize]], the same convention as the dense-grid
+    * tier's `rangeGridVector`, so cross-series aggregation stays
+    * associative under any partitioning and ordering ops (min/max/
+    * topk/quantile) rank identically before and after the division.
+    */
+  private type Vec = (DataFrame, Seq[String], Option[Double])
+
+  private def materialize(v: Vec): DataFrame = {
+    val (df, labels, rdiv) = v
+    val value = rdiv.map(d => col("value").cast("double") / lit(d))
+      .getOrElse(col("value").cast("double"))
+    df.select(labels.map(col) :+ col("t_s") :+ value.as("value"): _*)
+  }
+
   /** Route `ast` at the `[startS, endS] × stepS` grid through the
     * pyramid, or `None` when the shape/alignment forbids it. Output
     * matches the dense-grid relation contract: `labels… :+ t_s :+
@@ -55,8 +74,13 @@ object Pyramid {
       maxResS: Long = Long.MaxValue): Option[DataFrame] = {
     require(stepS > 0, "step must be positive")
     require(endS >= startS, "end must be >= start")
-    val Resolutions = AllResolutions.filter(_ <= maxResS)
-    val FullKey = Seq("name", "label_k", "label_instance")
+    vec(spark, dir, ast, startS, endS, stepS,
+      AllResolutions.filter(_ <= maxResS)).map(materialize)
+  }
+
+  private def vec(spark: SparkSession, dir: String, ast: Ast,
+      startS: Long, endS: Long, stepS: Long,
+      resolutions: Seq[Long]): Option[Vec] = {
     def byColsOf(grouping: Option[(String, Seq[String])]): Option[Seq[String]] =
       grouping match {
         case None => Some(Nil)
@@ -67,15 +91,16 @@ object Pyramid {
         case _ => None
       }
     ast match {
-      // windowed increase/rate on a counter family
+      // FUSED fast paths first: sum-of-rates aggregates rollup partials
+      // BEFORE windowing (one window per group, not per series)
       case Agg("sum", grouping, None,
           Func(fn @ ("increase" | "rate"), None, sel: Selector))
           if servableSelector(sel, windowed = true) =>
         byColsOf(grouping).flatMap(bc =>
-          serve(spark, dir, bc, fn, sel, startS, endS, stepS, Resolutions))
+          serve(spark, dir, bc, fn, sel, startS, endS, stepS, resolutions))
       case Func(fn @ ("increase" | "rate"), None, sel: Selector)
           if servableSelector(sel, windowed = true) =>
-        serve(spark, dir, FullKey, fn, sel, startS, endS, stepS, Resolutions)
+        serve(spark, dir, FullKey, fn, sel, startS, endS, stepS, resolutions)
       // windowed gauge/counter sample aggregations: the rollup row
       // already carries every field the five *_over_time shapes need
       // (vmin/vmax/sum_dec/cnt), so an aligned window is one slide
@@ -84,17 +109,17 @@ object Pyramid {
           "sum_over_time" | "count_over_time" | "last_over_time" |
           "present_over_time"), None, sel: Selector)
           if servableOverTime(sel) =>
-        serveOverTime(spark, dir, fn, sel, startS, endS, stepS, Resolutions)
+        serveOverTime(spark, dir, fn, sel, startS, endS, stepS, resolutions)
       // counter instant vector: running totals through each instant
       case Agg("sum", grouping, None, sel: Selector)
           if servableSelector(sel, windowed = false) =>
         byColsOf(grouping).flatMap(bc =>
-          serveTotals(spark, dir, bc, sel, startS, endS, stepS, Resolutions))
+          serveTotals(spark, dir, bc, sel, startS, endS, stepS, resolutions))
       case sel: Selector if servableSelector(sel, windowed = false) =>
-        serveTotals(spark, dir, FullKey, sel, startS, endS, stepS, Resolutions)
+        serveTotals(spark, dir, FullKey, sel, startS, endS, stepS, resolutions)
       // gauge instant vector: last-write-wins through each instant
       case sel: Selector if servableGauge(sel) =>
-        serveGauge(spark, dir, sel, startS, endS, stepS, Resolutions)
+        serveGauge(spark, dir, sel, startS, endS, stepS, resolutions)
       // classic histogram_quantile over a windowed (aggregated)
       // histogram family — rank = φ·count is scale-invariant, so
       // rate and increase route identically
@@ -104,12 +129,26 @@ object Pyramid {
           if servableHist(sel) =>
         byColsOf(grouping).flatMap(bc =>
           serveHistQuantile(spark, dir, bc, phi, sel, startS, endS, stepS,
-            Resolutions))
+            resolutions))
       case Func("histogram_quantile", Some(phi),
           Func("increase" | "rate", None, sel: Selector))
           if servableHist(sel) =>
         serveHistQuantile(spark, dir, FullKey, phi, sel, startS, endS, stepS,
-          Resolutions)
+          resolutions)
+      // the GENERIC vector-aggregation layer: every PromQL aggregation
+      // op over ANY served inner, per (group, instant) — the dense-grid
+      // tier's composition layer re-expressed over rollup-served
+      // operands (identical value expressions, `t_s` in place of the
+      // grid index, so the two paths bit-match)
+      case Agg(op, grouping, param, inner)
+          if GenericAggOps.contains(op) =>
+        vec(spark, dir, inner, startS, endS, stepS, resolutions)
+          .flatMap { case (df, labels, rdiv) =>
+            groupColsOf(grouping, labels).flatMap { groupCols =>
+              if (!groupCols.forall(labels.contains)) None
+              else applyAgg(op, param, df, labels, groupCols, rdiv)
+            }
+          }
       // COMPOSITION: binary arithmetic / comparison filters over
       // pyramid-served operands — the error-ratio and threshold panels
       // (`sum by (k)(rate(a[w])) / sum by (k)(rate(b[w]))`, `… > 0.05`,
@@ -123,26 +162,145 @@ object Pyramid {
           if (ArithOps.contains(b.op) || CmpOps.contains(b.op)) &&
             !b.boolMod && b.on.isEmpty && b.ignoring.isEmpty &&
             !b.groupLeft && !b.groupRight =>
-        (b.left, b.right) match {
+        def served(a: Ast): Option[DataFrame] =
+          vec(spark, dir, a, startS, endS, stepS, resolutions).map(materialize)
+        val out = (b.left, b.right) match {
           case (NumLit(v), r0) =>
-            rangeEval(spark, dir, r0, startS, endS, stepS, maxResS)
-              .map(applyScalar(b.op, _, v, scalarLeft = true))
+            served(r0).map(applyScalar(b.op, _, v, scalarLeft = true))
           case (l0, NumLit(v)) =>
-            rangeEval(spark, dir, l0, startS, endS, stepS, maxResS)
-              .map(applyScalar(b.op, _, v, scalarLeft = false))
+            served(l0).map(applyScalar(b.op, _, v, scalarLeft = false))
           case (l0, r0) =>
             for {
-              lDf <- rangeEval(spark, dir, l0, startS, endS, stepS, maxResS)
-              rDf <- rangeEval(spark, dir, r0, startS, endS, stepS, maxResS)
-              out <- joinServed(b.op, lDf, rDf)
-            } yield out
+              lDf <- served(l0)
+              rDf <- served(r0)
+              j <- joinServed(b.op, lDf, rDf)
+            } yield j
         }
+        out.map(df =>
+          (df, df.columns.toSeq.filterNot(Set("t_s", "value")), None))
       case _ => None
     }
   }
 
   private val ArithOps = Set("+", "-", "*", "/", "%")
   private val CmpOps = Set(">", "<", ">=", "<=", "==", "!=")
+
+  private val GenericAggOps = Set("sum", "min", "max", "count", "avg",
+    "quantile", "stddev", "stdvar", "group", "topk", "bottomk",
+    "limitk", "limit_ratio")
+
+  /** Grouping → group columns over the INNER's label set (the nested
+    * form of `byColsOf`: after an aggregation the label universe is the
+    * group's, not the full series key).
+    */
+  private def groupColsOf(grp: Option[(String, Seq[String])],
+      labels: Seq[String]): Option[Seq[String]] = grp match {
+    case None => Some(Nil)
+    case Some(("by", ls)) => Some(ls.map(Compiler.labelCol))
+    case Some(("without", ls)) =>
+      val dropped = ls.map(Compiler.labelCol).toSet
+      Some(labels.filterNot(l => l == "name" || dropped.contains(l)))
+    case _ => None
+  }
+
+  /** Order-safe cross-series sum: decimal vectors (undivided rates,
+    * running totals) sum exactly; double vectors sum through
+    * DECIMAL(38,12) — the dense-grid tier's `vectorSum` convention.
+    */
+  private def vectorSum(df: DataFrame): Column =
+    if (df.schema("value").dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType]) sum(col("value"))
+    else sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+
+  /** One aggregation op per (group, instant) over a served vector —
+    * the dense-grid composition layer's expressions verbatim with
+    * `t_s` as the instant key. Ops that ORDER (min/max/topk/bottomk/
+    * quantile) act on the undivided decimal: the deferred divisor is
+    * positive, so ranking commutes with it; stddev/stdvar divide FIRST
+    * (the union path's cents-moment convention needs the actual rate).
+    */
+  private def applyAgg(op: String, param: Option[Double], v: DataFrame,
+      labels: Seq[String], groupCols: Seq[String],
+      rdiv: Option[Double]): Option[Vec] = {
+    val byInst = (groupCols :+ "t_s").map(col)
+    op match {
+      case "sum" => Some((v.groupBy(byInst: _*)
+        .agg(vectorSum(v).as("value")), groupCols, rdiv))
+      case "min" => Some((v.groupBy(byInst: _*)
+        .agg(min(col("value")).as("value")), groupCols, rdiv))
+      case "max" => Some((v.groupBy(byInst: _*)
+        .agg(max(col("value")).as("value")), groupCols, rdiv))
+      case "count" => Some((v.groupBy(byInst: _*)
+        .agg(count(lit(1)).cast("double").as("value")),
+        groupCols, None)) // series counts are not rate-scaled
+      case "avg" => Some((v.groupBy(byInst: _*)
+        .agg((vectorSum(v).cast("double") / count(lit(1)).cast("double"))
+          .as("value")), groupCols, rdiv))
+      case "quantile" => param.map { phi =>
+        (v.groupBy(byInst: _*)
+          .agg(expr(s"percentile(cast(value as double), $phi)")
+            .as("value")), groupCols, rdiv)
+      }
+      case "stddev" | "stdvar" =>
+        val m = (rdiv match {
+          case Some(d) => v.withColumn("value",
+            col("value").cast("double") / lit(d))
+          case None => v
+        }).withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          .groupBy(byInst: _*)
+          .agg(sum(col("_cents")).as("_s1"),
+            sum(col("_cents") * col("_cents")).as("_s2"),
+            count(lit(1)).as("_n"))
+        val mean = col("_s1").cast("double") / col("_n").cast("double")
+        val varCents = col("_s2").cast("double") / col("_n").cast("double") -
+          mean * mean
+        val sOut = if (op == "stddev") sqrt(varCents) / 100.0
+          else varCents / 10000.0
+        Some((m.select((groupCols :+ "t_s").map(col) :+ sOut.as("value"): _*),
+          groupCols, None))
+      case "group" =>
+        Some((v.groupBy(byInst: _*).agg(max(lit(1.0)).as("value")),
+          groupCols, None))
+      case "topk" | "bottomk" => param match {
+        case Some(n) if n == n.floor && n >= 1 =>
+          val ord =
+            if (op == "topk") col("value").desc +: labels.map(col)
+            else col("value").asc +: labels.map(col)
+          val w = Window.partitionBy(byInst: _*).orderBy(ord: _*)
+          Some((v.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") <= n.toInt).drop("_rk"), labels, rdiv))
+        case _ => None
+      }
+      case "limitk" => param match {
+        case Some(n) if n == n.floor && n >= 1 =>
+          // the deterministic md5 label-identity pick, ranked among the
+          // series PRESENT at each instant
+          val sig = md5(concat_ws("|", labels.map(col): _*))
+          val w = Window.partitionBy(byInst: _*)
+            .orderBy(sig.asc +: labels.map(col): _*)
+          Some((v.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") <= n.toInt).drop("_rk"), labels, rdiv))
+        case _ => None
+      }
+      case "limit_ratio" => param match {
+        case Some(r) if r >= -1.0 && r <= 1.0 =>
+          // per-SERIES hash decision — instant-independent
+          if (r == 1.0 || r == -1.0) Some((v, labels, rdiv))
+          else {
+            val u = substring(md5(concat_ws("|", labels.map(col): _*)), 1, 8)
+            val keep = if (r >= 0) {
+              val thr = f"${math.floor(r * 4294967296.0).toLong}%08x"
+              u < lit(thr)
+            } else {
+              val thr = f"${math.floor((1.0 + r) * 4294967296.0).toLong}%08x"
+              u >= lit(thr)
+            }
+            Some((v.filter(keep), labels, rdiv))
+          }
+        case _ => None
+      }
+    }
+  }
 
   private def arith(op: String, l: Column, r: Column): Column = op match {
     case "+" => l.cast("double") + r.cast("double")
@@ -233,7 +391,7 @@ object Pyramid {
 
   private def serve(spark: SparkSession, dir: String, byCols: Seq[String],
       fn: String, sel: Selector, startS: Long, endS: Long,
-      stepS: Long, resolutions: Seq[Long]): Option[DataFrame] = {
+      stepS: Long, resolutions: Seq[Long]): Option[Vec] = {
     val w = sel.rangeS.get
     resolutions
       .find(r => w % r == 0 && stepS % r == 0 && startS % r == 0)
@@ -258,19 +416,20 @@ object Pyramid {
           .select((byCols :+ "_b").map(col): _*)
         val win = Window.partitionBy(byCols.map(col): _*).orderBy(col("_b"))
           .rowsBetween(-(nb - 1), Window.currentRow)
-        val v0 = col("_ws").cast("double")
-        val value = if (fn == "rate") v0 / lit(w.toDouble) else v0
         // both windowed sums evaluate BEFORE the instant filter — the
         // frame must slide over the dense bucket lattice, not over
-        // whichever rows survive filtering
-        lattice.join(roll, byCols :+ "_b", "left")
+        // whichever rows survive filtering; the windowed DECIMAL rides
+        // undivided (rate's divisor defers to materialize)
+        val df = lattice.join(roll, byCols :+ "_b", "left")
           .withColumn("_ws", sum(col("_s")).over(win))
           .withColumn("_wn", sum(col("_n")).over(win))
           .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
           .filter(col("_wn") > 0 &&
             col("t_s").between(startS, endS) &&
             (col("t_s") - lit(startS)) % lit(stepS) === 0)
-          .select((byCols.map(col) :+ col("t_s") :+ value.as("value")): _*)
+          .select((byCols.map(col) :+ col("t_s") :+
+            col("_ws").as("value")): _*)
+        (df, byCols, if (fn == "rate") Some(w.toDouble) else None)
       }
   }
 
@@ -309,7 +468,7 @@ object Pyramid {
     */
   private def serveTotals(spark: SparkSession, dir: String,
       byCols: Seq[String], sel: Selector, startS: Long, endS: Long,
-      stepS: Long, resolutions: Seq[Long]): Option[DataFrame] =
+      stepS: Long, resolutions: Seq[Long]): Option[Vec] =
     instantRes(startS, stepS, resolutions).map { res =>
       val bHi = endS / res - 1
       val roll = rollOf(spark, dir, sel, res, bHi)
@@ -317,14 +476,14 @@ object Pyramid {
         .agg(sum(col("sum_dec")).as("_s"))
       val win = Window.partitionBy(byCols.map(col): _*).orderBy(col("_b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      groupLattice(roll, byCols, bHi)
+      val df = groupLattice(roll, byCols, bHi)
         .join(roll, byCols :+ "_b", "left")
         .withColumn("_ws", sum(col("_s")).over(win))
         .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
         .filter(col("t_s").between(startS, endS) &&
           (col("t_s") - lit(startS)) % lit(stepS) === 0)
-        .select(byCols.map(col) :+ col("t_s") :+
-          col("_ws").cast("double").as("value"): _*)
+        .select(byCols.map(col) :+ col("t_s") :+ col("_ws").as("value"): _*)
+      (df, byCols, None)
     }
 
   /** Gauge INSTANT vector from the pyramid: last-write-wins through
@@ -334,21 +493,22 @@ object Pyramid {
     */
   private def serveGauge(spark: SparkSession, dir: String, sel: Selector,
       startS: Long, endS: Long, stepS: Long,
-      resolutions: Seq[Long]): Option[DataFrame] =
+      resolutions: Seq[Long]): Option[Vec] =
     instantRes(startS, stepS, resolutions).map { res =>
-      val keys = Seq("name", "label_k", "label_instance")
+      val keys = FullKey
       val bHi = endS / res - 1
       val roll = rollOf(spark, dir, sel, res, bHi)
         .select(keys.map(col) :+ col("_b") :+ col("vlast"): _*)
       val win = Window.partitionBy(keys.map(col): _*).orderBy(col("_b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      groupLattice(roll, keys, bHi)
+      val df = groupLattice(roll, keys, bHi)
         .join(roll, keys :+ "_b", "left")
         .withColumn("_v", last(col("vlast"), ignoreNulls = true).over(win))
         .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
         .filter(col("t_s").between(startS, endS) &&
           (col("t_s") - lit(startS)) % lit(stepS) === 0)
         .select(keys.map(col) :+ col("t_s") :+ col("_v").as("value"): _*)
+      (df, keys, None)
     }
 
   /** The five `*_over_time` sample-window aggregations per series from
@@ -361,13 +521,13 @@ object Pyramid {
     */
   private def serveOverTime(spark: SparkSession, dir: String, fn: String,
       sel: Selector, startS: Long, endS: Long, stepS: Long,
-      resolutions: Seq[Long]): Option[DataFrame] = {
+      resolutions: Seq[Long]): Option[Vec] = {
     val w = sel.rangeS.get
     resolutions
       .find(r => w % r == 0 && stepS % r == 0 && startS % r == 0)
       .map { res =>
         val nb = (w / res).toInt
-        val keys = Seq("name", "label_k", "label_instance")
+        val keys = FullKey
         val bLo = startS / res - nb
         val bHi = endS / res - 1
         val roll = rollOf(spark, dir, sel, res, bHi)
@@ -394,13 +554,14 @@ object Pyramid {
           case "last_over_time" => last(col("vlast"), ignoreNulls = true).over(win)
           case "present_over_time" => lit(1.0)
         }
-        joined
+        val df = joined
           .withColumn("_v", value)
           .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
           .filter(col("_wn") > 0 &&
             col("t_s").between(startS, endS) &&
             (col("t_s") - lit(startS)) % lit(stepS) === 0)
           .select(keys.map(col) :+ col("t_s") :+ col("_v").as("value"): _*)
+        (df, keys, None)
       }
   }
 
@@ -414,7 +575,7 @@ object Pyramid {
     */
   private def serveHistQuantile(spark: SparkSession, dir: String,
       byCols: Seq[String], phi: Double, sel: Selector, startS: Long,
-      endS: Long, stepS: Long, resolutions: Seq[Long]): Option[DataFrame] = {
+      endS: Long, stepS: Long, resolutions: Seq[Long]): Option[Vec] = {
     val w = sel.rangeS.get
     resolutions
       .find(r => w % r == 0 && stepS % r == 0 && startS % r == 0)
@@ -455,13 +616,14 @@ object Pyramid {
           col("rank") > col("max_cum").cast("double")
         val inBucketRow = col("_wc") >= col("rank") &&
           col("prev_cum") < col("rank")
-        ranked
+        val df = ranked
           .filter(inBucketRow || overflowRow)
           .select(byCols.map(col) :+ col("t_s") :+
             when(overflowRow, col("max_le"))
               .otherwise(col("prev_le") + (col("le") - col("prev_le"))
                 * (col("rank") - col("prev_cum").cast("double"))
                 / (col("_wc") - col("prev_cum")).cast("double")).as("value"): _*)
+        (df, byCols, None)
       }
   }
 

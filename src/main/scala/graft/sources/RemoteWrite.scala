@@ -38,10 +38,21 @@ import org.apache.spark.sql.functions._
 object RemoteWrite {
 
   /** One decoded time series: its label pairs (wire order) and its
-    * (value, timestamp-ms) samples (wire order).
+    * (value, timestamp-ms) samples (wire order); native-histogram
+    * payloads (prompb `Histogram`, field 4) ride alongside.
     */
   final case class Series(labels: Vector[(String, String)],
-      samples: Vector[(Double, Long)])
+      samples: Vector[(Double, Long)],
+      hists: Vector[Hist] = Vector.empty)
+
+  /** One native-histogram sample off the wire: the sparse POSITIVE
+    * bucket ladder the engine models (`prometheus.cpp:256-306`'s
+    * scrape-side twin carried over remote write) — span offsets/lengths
+    * and the delta chain, exactly the exposition encoding
+    * [[graft.operators.Metrics.decodeWireSpans]] walks.
+    */
+  final case class Hist(tsMs: Long, schema: Int,
+      offs: Vector[Int], lens: Vector[Int], deltas: Vector[Long])
 
   /** Decode an UNCOMPRESSED `WriteRequest` payload. Throws
     * `IllegalArgumentException` on malformed bytes (truncated message,
@@ -137,18 +148,60 @@ object RemoteWrite {
       (v, ts)
     }
 
+    // sint32/sint64 fields are zigzag-coded on the wire
+    def zigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
+
+    def bucketSpan(limit: Int): (Int, Int) = {
+      var off = 0
+      var len = 0
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 0) => off = zigzag(varint(limit)).toInt
+          case (2, 0) => len = varint(limit).toInt
+          case (_, wt) => skip(wt, limit)
+        }
+      }
+      (off, len)
+    }
+
+    def histogram(limit: Int): Hist = {
+      var ts = 0L
+      var schema = 0
+      val offs = Vector.newBuilder[Int]
+      val lens = Vector.newBuilder[Int]
+      val deltas = Vector.newBuilder[Long]
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (4, 0) => schema = zigzag(varint(limit)).toInt
+          case (11, 2) =>
+            val (o, l) = bucketSpan(lenDelim(limit)); offs += o; lens += l
+          case (12, 2) => // packed zigzag deltas (proto3 default)
+            val u = lenDelim(limit)
+            while (pos < u) deltas += zigzag(varint(u))
+          case (12, 0) => deltas += zigzag(varint(limit)) // unpacked form
+          case (15, 0) => ts = varint(limit)
+          case (_, wt) => skip(wt, limit) // count/sum/zero/negative/float
+        }
+      }
+      Hist(ts, schema, offs.result(), lens.result(), deltas.result())
+    }
+
     def timeSeries(limit: Int): Series = {
       val labels = Vector.newBuilder[(String, String)]
       val samples = Vector.newBuilder[(Double, Long)]
+      val hists = Vector.newBuilder[Hist]
       while (pos < limit) {
         val tag = varint(limit)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
           case (1, 2) => labels += label(lenDelim(limit))
           case (2, 2) => samples += sample(lenDelim(limit))
+          case (4, 2) => hists += histogram(lenDelim(limit))
           case (_, wt) => skip(wt, limit)
         }
       }
-      Series(labels.result(), samples.result())
+      Series(labels.result(), samples.result(), hists.result())
     }
 
     val out = Vector.newBuilder[Series]
@@ -206,6 +259,28 @@ object RemoteWrite {
         writeVarint(sm, (2L << 3) | 0L)
         writeVarint(sm, t)
         writeLen(ts, 2, sm.toByteArray)
+      }
+      s.hists.foreach { h =>
+        def zz(n: Long): Long = (n << 1) ^ (n >> 63)
+        val hm = new java.io.ByteArrayOutputStream()
+        writeVarint(hm, (4L << 3) | 0L) // schema, sint32
+        writeVarint(hm, zz(h.schema.toLong))
+        h.offs.zip(h.lens).foreach { case (o, l) =>
+          val sp = new java.io.ByteArrayOutputStream()
+          writeVarint(sp, (1L << 3) | 0L)
+          writeVarint(sp, zz(o.toLong))
+          writeVarint(sp, (2L << 3) | 0L)
+          writeVarint(sp, l.toLong)
+          writeLen(hm, 11, sp.toByteArray)
+        }
+        if (h.deltas.nonEmpty) { // packed zigzag deltas
+          val dl = new java.io.ByteArrayOutputStream()
+          h.deltas.foreach(d => writeVarint(dl, zz(d)))
+          writeLen(hm, 12, dl.toByteArray)
+        }
+        writeVarint(hm, (15L << 3) | 0L)
+        writeVarint(hm, h.tsMs)
+        writeLen(ts, 4, hm.toByteArray)
       }
       writeLen(req, 1, ts.toByteArray)
     }
@@ -310,6 +385,93 @@ object RemoteWrite {
         col("ts_ms"), col("value"))
       .orderBy(col("metric"), col("ts_ms"))
   }
+
+  /** Relational decode of native-histogram payloads: `(recv_ts, proto)`
+    * rows → one `(recv_ts, labels, ts_ms, schema, offs, lens, deltas)`
+    * row per (series, histogram), via the second generator.
+    */
+  def decodeHist(payloads: DataFrame): DataFrame = {
+    graft.plans.RemoteWriteDecodeExpr.register(payloads.sparkSession)
+    payloads.select(col("recv_ts"),
+      expr("prom_rw_decode_hist(proto)")
+        .as(Seq("labels", "ts_ms", "schema", "offs", "lens", "deltas")))
+  }
+
+  /** a1j — native histograms over remote write, b37c carried onto the
+    * push wire: a hand-assembled payload whose `TimeSeries` rows carry
+    * prompb `Histogram` messages (field 4) — zigzag sint32 schema and
+    * span offsets, packed zigzag delta chains, skipped count/sum
+    * fields — decoded by the generator and walked to absolute bucket
+    * counts by the SAME relational span walk as the scrape-side ingest
+    * ([[graft.operators.Metrics.decodeWireSpans]], keyed per histogram
+    * sample). The DuckDB oracle is the hand-derived bucket relation.
+    */
+  def wireDecodeHist(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // WriteRequest, hand-assembled:
+    //   0A 40  timeseries#1, 64 bytes:
+    //     0A 12  label: 0A 08 "__name__" 12 06 "req_ms"
+    //     0A 06  label: 0A 01 "k" 12 01 "a"
+    //     22 22  histogram, 34 bytes:
+    //       08 0D           count_int = 13 (skipped)
+    //       19 <7.5 LE: 0x401E000000000000>  sum (skipped)
+    //       20 06           schema: zigzag(3) = 6
+    //       5A 04 08 00 10 02   span {offset zigzag(0), length 2}
+    //       5A 04 08 06 10 02   span {offset zigzag(3), length 2}
+    //       62 04 06 01 04 00   packed deltas: zigzag [3, -1, 2, 0]
+    //       78 E8 07        timestamp = 1000
+    //   0A 2C  timeseries#2, 44 bytes:
+    //     0A 12  label: __name__ = "req_ms"
+    //     0A 06  label: k = "b"
+    //     22 0E  histogram, 14 bytes:
+    //       20 06           schema: zigzag(3) = 6
+    //       5A 04 08 03 10 01   span {offset zigzag(-2) = 3, length 1}
+    //       62 01 0E        packed deltas: zigzag [7] = 0x0E
+    //       78 D0 0F        timestamp = 2000
+    val payload = hexBytes(
+      "0A40" +
+        "0A12" + "0A085F5F6E616D655F5F" + "1206" + "7265715F6D73" +
+        "0A06" + "0A016B" + "120161" +
+        "2222" +
+        "080D" +
+        "19" + "0000000000001E40" +
+        "2006" +
+        "5A0408001002" + "5A0408061002" +
+        "620406010400" +
+        "78E807" +
+      "0A2C" +
+        "0A12" + "0A085F5F6E616D655F5F" + "1206" + "7265715F6D73" +
+        "0A06" + "0A016B" + "120162" +
+        "220E" +
+        "2006" +
+        "5A0408031001" +
+        "62010E" +
+        "78D00F")
+    val payloads = Seq(payload).toDF("proto")
+      .withColumn("recv_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val hists = decodeHist(payloads).select(
+      element_at(col("labels"), "__name__").as("metric"),
+      element_at(col("labels"), "k").as("label_k"),
+      col("ts_ms"), col("schema"), col("offs"), col("lens"), col("deltas"))
+    graft.operators.Metrics
+      .decodeWireSpans(hists, Seq("metric", "label_k", "ts_ms", "schema"))
+      .orderBy(col("metric"), col("label_k"), col("ts_ms"), col("bucket"))
+  }
+
+  /** Oracle twin of [[wireDecodeHist]]: the bucket relation derived BY
+    * HAND from the wire bytes above (series a: span 2 anchors at
+    * offset-sum 3 + prior length 2 = bucket 5; delta chain 3, −1, 2, 0
+    * → counts 3, 2, 4, 4; series b: zigzag(3) = −2, one bucket).
+    */
+  val WireDecodeHistSql: String =
+    """SELECT * FROM (VALUES
+      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 0, CAST(3 AS BIGINT)),
+      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 1, CAST(2 AS BIGINT)),
+      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 5, CAST(4 AS BIGINT)),
+      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 6, CAST(4 AS BIGINT)),
+      |  ('req_ms', 'b', CAST(2000 AS BIGINT), 3, -2, CAST(7 AS BIGINT))
+      |) w(metric, label_k, ts_ms, schema, bucket, bucket_count)
+      |ORDER BY metric, label_k, ts_ms, bucket""".stripMargin
 
   private[graft] def hexBytes(hex: String): Array[Byte] =
     hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray

@@ -87,7 +87,30 @@ class PyramidRouterSpec extends SparkTestBase {
         "sum by (k) (rate(purchase[1d])) / sum by (k) (rate(click[1d]))",
         "sum by (k) (increase(purchase[1d])) - sum by (k) (increase(click[1d]))",
         "sum by (k) (rate(purchase[1d])) * 100",
-        "sum by (k) (purchase) > 3")) {
+        "sum by (k) (purchase) > 3",
+        // the GENERIC vector-aggregation layer: every aggregation op
+        // over any served inner, per (group, instant) — rates ride as
+        // exact decimals under the deferred divisor, so min/max/topk
+        // order identically and sums stay associative
+        "max by (k) (rate(purchase[1d]))",
+        "min by (k) (increase(purchase[1d]))",
+        "avg by (k) (rate(purchase[1d]))",
+        "count by (k) (rate(purchase[1d]))",
+        "count(purchase)",
+        "stddev by (k) (increase(purchase[1d]))",
+        "stdvar(increase(purchase[1d]))",
+        "quantile(0.5, rate(purchase[1d]))",
+        "group by (k) (signup)",
+        "topk(1, sum by (k) (rate(purchase[1d])))",
+        "bottomk(1, sum by (k) (increase(purchase[1d])))",
+        "limitk(2, rate(purchase[1d]))",
+        "max without (instance) (signup)",
+        // generic aggs over the *_over_time and LWW arms
+        "count(max_over_time(signup[1d]))",
+        "avg by (k) (sum_over_time(purchase[1d]))",
+        "max(signup)",
+        // and over a served COMPOSITION
+        "max(sum by (k) (rate(purchase[1d])) / sum by (k) (rate(click[1d])))")) {
       val (s, e, ast) = aligned(dir, q, 6)
       val routed = Pyramid.rangeEval(spark, dir, ast, s, e, Res)
         .getOrElse(fail(s"router declined: $q"))
@@ -163,7 +186,8 @@ class PyramidRouterSpec extends SparkTestBase {
     val (s, e, _) = aligned(dir, "rate(purchase[1d])", 6)
     declined("rate(signup[1d])", s, e, Res) // gauge family
     declined("rate(purchase[1d] offset 1h)", s, e, Res) // time shift
-    declined("avg by (k) (rate(purchase[1d]))", s, e, Res) // non-sum agg
+    declined("max by (k) (rate(signup[1d]))", s, e, Res) // unservable inner
+    declined("topk(1.5, rate(purchase[1d]))", s, e, Res) // non-integer k
     declined("rate(purchase[90m])", s, e, Res) // window not bucket-aligned
     declined("rate(purchase[1d])", s + 1, e + 1, Res) // unaligned instants
     declined("rate(purchase[1d])", s, e, 1800L) // step finer than any level

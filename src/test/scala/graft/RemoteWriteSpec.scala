@@ -28,9 +28,28 @@ class RemoteWriteSpec extends SparkTestBase {
         Vector("__name__" -> "signup_total", "k" -> "eu", "zone" -> "a"),
         Vector((0.0, 0L), (1e300, 1234567890123L), (-2.5, 42L))),
       RemoteWrite.Series(Vector("__name__" -> "idle"), Vector.empty),
-      RemoteWrite.Series(Vector.empty, Vector((7.0, 9L))))
+      RemoteWrite.Series(Vector.empty, Vector((7.0, 9L))),
+      // native-histogram payloads: zigzag schema/offsets (negative
+      // values exercise the sign bit), packed delta chains
+      RemoteWrite.Series(Vector("__name__" -> "req_ms"), Vector.empty,
+        Vector(
+          RemoteWrite.Hist(1000L, 3, Vector(-4, 2), Vector(1, 3),
+            Vector(5L, -2L, 1L, 0L)),
+          RemoteWrite.Hist(2000L, -1, Vector.empty, Vector.empty,
+            Vector.empty))))
     val wire = RemoteWrite.compress(RemoteWrite.encode(series))
     assert(RemoteWrite.walk(RemoteWrite.uncompress(wire)) === series)
+  }
+
+  test("hand-assembled native-histogram payload walks to the hand-derived buckets") {
+    val rows = RemoteWrite.wireDecodeHist(spark)
+      .as[(String, String, Long, Int, Int, Long)].collect().toSeq
+    assert(rows === Seq(
+      ("req_ms", "a", 1000L, 3, 0, 3L),
+      ("req_ms", "a", 1000L, 3, 1, 2L),
+      ("req_ms", "a", 1000L, 3, 5, 4L),
+      ("req_ms", "a", 1000L, 3, 6, 4L),
+      ("req_ms", "b", 2000L, 3, -2, 7L)))
   }
 
   test("malformed payloads fail loud: truncated varint, overrun length, group wire type") {
