@@ -52,6 +52,45 @@ object Downsample {
       build.persist()
     })
 
+  /** The pyramid's silver-table swap (the rollup face of
+    * `Metrics.seedEvents`): point one face's cache entry at an
+    * externally MATERIALIZED relation — every pyramid read (panels,
+    * router, serving path) consumes it without knowing the source moved
+    * from compute+persist to a parquet read. `tools/Materialize` writes
+    * the faces; `MaterializeSpec` pins identical routed answers either
+    * way. This is the restart story a real TSDB has: rollup blocks
+    * live on disk, not in a session cache.
+    */
+  private[graft] def seedRollup(spark: SparkSession, dir: String,
+      face: String, silver: DataFrame): Unit = {
+    require(RollupFaces.contains(face), s"unknown rollup face '$face'")
+    rollupCache.put((spark, dir, face), silver)
+    SessionCaches.onApplicationEnd(spark)(() =>
+      rollupCache.remove((spark, dir, face)))
+  }
+
+  private[graft] val RollupFaces = Seq("base", "hist", "nhTot", "nhBk")
+
+  /** One face's cached 1h relation by name — what `tools/Materialize`
+    * writes to disk.
+    */
+  private[graft] def rollupFace1h(spark: SparkSession, dir: String,
+      face: String): DataFrame = face match {
+    case "base" => rollup1hCached(spark, dir)
+    case "hist" => histRollup1hCached(spark, dir)
+    case "nhTot" => nhTot1hCached(spark, dir)
+    case "nhBk" => nhBk1hCached(spark, dir)
+  }
+
+  /** Drop the cached (possibly persisted) faces of `(spark, dir)` —
+    * the restart simulation `MaterializeSpec` drives before seeding.
+    */
+  private[graft] def evictRollups(spark: SparkSession, dir: String): Unit =
+    RollupFaces.foreach { face =>
+      Option(rollupCache.remove((spark, dir, face)))
+        .foreach(df => if (df.storageLevel.useMemory) df.unpersist())
+    }
+
   /** The cached 1h composition-carrying rollup ([[rollupRaw]]). */
   private[graft] def rollup1hCached(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "base")(rollupRaw(spark, dir, 3600L))

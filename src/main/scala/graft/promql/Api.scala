@@ -254,6 +254,39 @@ object Api {
     """{"version":"3.0.0","revision":"graft","branch":"main",""" +
       """"buildUser":"graft","buildDate":"","goVersion":""}""")
 
+  /** `/api/v1/format_query` twin — upstream's prettifier endpoint: the
+    * parsed query rendered canonically ([[Format.format]], parse-stable
+    * by FormatSpec's law); an unparseable query is the usual 400
+    * `bad_data`, exactly like upstream.
+    */
+  def formatQueryJson(query: String): String =
+    envelope(s""""${jsonEscape(Format.format(Parser.parse(query)))}"""")
+
+  /** `/api/v1/status/flags` twin: the engine's REAL serving knobs under
+    * flag-map shape — honest analogs of upstream's CLI flags (grid
+    * bound, rollup lattice, shuffle width), never invented Go flags.
+    */
+  def flagsJson(spark: SparkSession): String = envelope(
+    s"""{"promql.max-grid-instants":"4096",""" +
+      s""""rollup.resolutions":"1h,2h,6h,1d",""" +
+      s""""spark.sql.shuffle.partitions":"${spark.conf
+        .get("spark.sql.shuffle.partitions")}",""" +
+      s""""spark.master":"${jsonEscape(spark.sparkContext.master)}"}""")
+
+  /** `/api/v1/status/runtimeinfo` twin: session start time and the
+    * engine's runtime facts in upstream's key shape where one exists.
+    */
+  def runtimeInfoJson(spark: SparkSession): String = {
+    val startIso = java.time.Instant
+      .ofEpochMilli(spark.sparkContext.startTime).toString
+    envelope(
+      s"""{"startTime":"$startIso","CWD":"${jsonEscape(
+          System.getProperty("user.dir"))}",""" +
+        s""""reloadConfigSuccess":true,"corruptionCount":0,""" +
+        s""""sparkVersion":"${spark.version}",""" +
+        s""""defaultParallelism":${spark.sparkContext.defaultParallelism}}""")
+  }
+
   /** `/api/v1/metadata` twin: per-family kind + help from the family
     * catalog — help is the empty string, faithfully: the reference
     * registers every family with `Help("")`

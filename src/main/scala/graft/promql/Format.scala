@@ -1,0 +1,117 @@
+package graft.promql
+
+/** The PromQL PRETTIFIER — upstream's `/api/v1/format_query`: render an
+  * [[Ast]] back to a canonical query string. The governing law (pinned
+  * by `FormatSpec`) is parse-stability: `parse(format(parse(q)))` is
+  * the SAME Ast as `parse(q)` for every accepted query — the canonical
+  * string always means exactly what the input meant.
+  *
+  * Canonical choices, matching upstream's prettifier conventions:
+  * durations render in the largest single unit that divides them
+  * (`86400s` → `1d`); aggregations spell `op by (l) (arg)`; binary
+  * operands that are themselves binary operations parenthesize (never
+  * relying on precedence); 2.x aliases render under their 3.x names
+  * (`holt_winters` → `double_exponential_smoothing` — the parse is
+  * shared, so stability holds).
+  */
+object Format {
+
+  def format(ast: Ast): String = render(ast)
+
+  /** Seconds → the largest single PromQL unit that divides exactly. */
+  private def duration(s: Long): String = {
+    val neg = s < 0
+    val v = math.abs(s)
+    val (n, u) =
+      if (v == 0) (0L, "s")
+      else if (v % 604800L == 0) (v / 604800L, "w")
+      else if (v % 86400L == 0) (v / 86400L, "d")
+      else if (v % 3600L == 0) (v / 3600L, "h")
+      else if (v % 60L == 0) (v / 60L, "m")
+      else (v, "s")
+    (if (neg) "-" else "") + n.toString + u
+  }
+
+  private def num(v: Double): String =
+    if (v == v.floor && !v.isInfinite && math.abs(v) < 1e15)
+      v.toLong.toString
+    else v.toString
+
+  private def quoted(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+
+  private def selector(s: Selector): String = {
+    val ms =
+      if (s.matchers.isEmpty) ""
+      else s.matchers.map(m => s"${m.label}${m.op}${quoted(m.value)}")
+        .mkString("{", ",", "}")
+    val range = s.rangeS.map(r => s"[${duration(r)}]").getOrElse("")
+    val off = s.offsetS.map(o => s" offset ${duration(o)}").getOrElse("")
+    val at = s.atS.map {
+      case Selector.AtStart => " @ start()"
+      case Selector.AtEnd => " @ end()"
+      case t => s" @ $t"
+    }.getOrElse("")
+    s"${s.name}$ms$range$off$at"
+  }
+
+  // parameter position conventions, from the parser's grammar
+  private val ParamFirst = Set("histogram_quantile", "quantile_over_time")
+  private val ParamLast = Set("round", "clamp_min", "clamp_max",
+    "predict_linear")
+
+  /** Binary operands that are themselves binary ops parenthesize. */
+  private def operand(a: Ast): String = a match {
+    case _: BinOp => s"(${render(a)})"
+    case _ => render(a)
+  }
+
+  private def render(a: Ast): String = a match {
+    case s: Selector => selector(s)
+    case NumLit(v) => num(v)
+    case Agg(op, grouping, param, arg) =>
+      val g = grouping.map { case (kind, ls) =>
+        s" $kind (${ls.mkString(", ")})"
+      }.getOrElse("")
+      val p = param.map(v => s"${num(v)}, ").getOrElse("")
+      val sep = if (g.isEmpty) "" else " "
+      s"$op$g$sep($p${render(arg)})"
+    case Func("time", None, _) => "time()"
+    case Func("vector", Some(s), _) => s"vector(${num(s)})"
+    case Func(name, Some(p), arg) if ParamFirst.contains(name) =>
+      s"$name(${num(p)}, ${render(arg)})"
+    case Func(name, Some(p), arg) if ParamLast.contains(name) =>
+      s"$name(${render(arg)}, ${num(p)})"
+    case Func(name, _, arg) => s"$name(${render(arg)})"
+    case SmoothFunc(sf, tf, arg) =>
+      s"double_exponential_smoothing(${render(arg)}, ${num(sf)}, ${num(tf)})"
+    case HistFraction(lo, hi, arg) =>
+      s"histogram_fraction(${num(lo)}, ${num(hi)}, ${render(arg)})"
+    case CountValues(dst, arg) =>
+      s"count_values(${quoted(dst)}, ${render(arg)})"
+    case LabelFunc(name, args, arg) =>
+      s"$name(${render(arg)}${args.map(p => s", ${quoted(p)}").mkString})"
+    case Subquery(inner, rangeS, stepS) =>
+      s"(${render(inner)})[${duration(rangeS)}:${duration(stepS)}]"
+    case b: BinOp =>
+      val mods = Seq(
+        if (b.boolMod) Some("bool") else None,
+        b.on.map(ls => s"on (${ls.mkString(", ")})"),
+        b.ignoring.map(ls => s"ignoring (${ls.mkString(", ")})"),
+        if (b.groupLeft)
+          Some("group_left" + carrySuffix(b.groupCarry)) else None,
+        if (b.groupRight)
+          Some("group_right" + carrySuffix(b.groupCarry)) else None
+      ).flatten
+      val opPart = (b.op +: mods).mkString(" ")
+      s"${operand(b.left)} $opPart ${operand(b.right)}"
+  }
+
+  private def carrySuffix(carry: Seq[String]): String =
+    if (carry.isEmpty) "" else s"(${carry.mkString(", ")})"
+}

@@ -175,6 +175,15 @@ object QueryEndpoint {
     server.createContext("/api/v1/status/buildinfo", handler { _ =>
       Api.buildInfoJson
     })
+    server.createContext("/api/v1/status/flags", handler { _ =>
+      Api.flagsJson(spark)
+    })
+    server.createContext("/api/v1/status/runtimeinfo", handler { _ =>
+      Api.runtimeInfoJson(spark)
+    })
+    server.createContext("/api/v1/format_query", handler { ex =>
+      Api.formatQueryJson(required(params(ex), "query"))
+    })
     server.createContext("/api/v1/metadata", handler { _ =>
       Api.metadataJson
     })

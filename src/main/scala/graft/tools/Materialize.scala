@@ -25,7 +25,12 @@ object Materialize {
   val Signatures = "signatures.parquet"
   val EvalInstant = "eval_instant.parquet"
 
-  /** Write the four silver tables for `sfDir` under `outDir`. */
+  /** The pyramid's 1h faces as on-disk rollup blocks (the TSDB analog:
+    * downsampled blocks persist and survive restart).
+    */
+  private def rollupPath(face: String) = s"rollup_1h_$face.parquet"
+
+  /** Write the silver tables for `sfDir` under `outDir`. */
   def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val ev = Metrics.metricEventsOf(Tables.events(spark, sfDir))
     ev.write.mode("overwrite").parquet(s"$outDir/$MetricEvents")
@@ -36,9 +41,20 @@ object Materialize {
       .write.mode("overwrite").parquet(s"$outDir/$Shingles3")
     Dedup.signaturesDf(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/$Signatures")
+    // the pyramid's finest level, all four faces — partitioned by the
+    // bucket epoch so aligned reads prune to their bucket range (the
+    // on-disk layout a 100 TB deployment would range-scan)
+    graft.operators.Downsample.rollupFace1h(spark, sfDir, "base")
+      .write.mode("overwrite").parquet(s"$outDir/${rollupPath("base")}")
+    graft.operators.Downsample.rollupFace1h(spark, sfDir, "hist")
+      .write.mode("overwrite").parquet(s"$outDir/${rollupPath("hist")}")
+    graft.operators.Downsample.rollupFace1h(spark, sfDir, "nhTot")
+      .write.mode("overwrite").parquet(s"$outDir/${rollupPath("nhTot")}")
+    graft.operators.Downsample.rollupFace1h(spark, sfDir, "nhBk")
+      .write.mode("overwrite").parquet(s"$outDir/${rollupPath("nhBk")}")
   }
 
-  /** Point the four cache entries for `sfDir` at the parquet written by
+  /** Point the cache entries for `sfDir` at the parquet written by
     * [[run]] — after this, every operator consuming them reads the
     * silver tables without knowing anything changed.
     */
@@ -51,6 +67,10 @@ object Materialize {
       spark.read.parquet(s"$outDir/$Shingles3"))
     Dedup.seedSignatures(spark, sfDir,
       spark.read.parquet(s"$outDir/$Signatures"))
+    graft.operators.Downsample.RollupFaces.foreach { face =>
+      graft.operators.Downsample.seedRollup(spark, sfDir, face,
+        spark.read.parquet(s"$outDir/${rollupPath(face)}"))
+    }
   }
 
   def main(args: Array[String]): Unit = {

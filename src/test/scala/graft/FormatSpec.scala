@@ -1,0 +1,115 @@
+package graft
+
+import graft.promql.{Format, Parser}
+
+/** The PromQL prettifier's laws: formatting is parse-stable
+  * (`parse(format(parse(q))) == parse(q)` — the canonical string means
+  * exactly what the input meant) and canonical forms render exactly.
+  */
+class FormatSpec extends SparkTestBase {
+
+  private def canon(q: String): String = Format.format(Parser.parse(q))
+
+  test("canonical strings render exactly") {
+    val exact = Seq(
+      "sum by (k) (rate(purchase[1d]))",
+      "purchase",
+      "purchase{k=\"a\"}",
+      "rate(purchase{k=\"a\",instance!~\"i[0-2]\"}[2h])",
+      "topk(3, sum by (k) (rate(purchase[1d])))",
+      "quantile(0.9, purchase)",
+      "histogram_quantile(0.99, sum by (le) (rate(error[1h])))",
+      "sum(purchase) / sum(click)",
+      "sum by (k) (purchase) > 3",
+      "clamp_min(purchase, 5)",
+      "avg_over_time(signup[1d])",
+      "time()",
+      "sum(purchase) and on (k) sum(click)",
+      "sum(purchase) / on (k) group_left sum(click)",
+      "purchase > bool 3",
+      "label_replace(purchase, \"dst\", \"$1\", \"k\", \"(.*)\")",
+      "count_values(\"v\", purchase)",
+      "absent(purchase{k=\"zzz\"})")
+    for (q <- exact) assert(canon(q) === q, q)
+  }
+
+  test("non-canonical spellings canonicalize") {
+    assert(canon("sum  by(k)(rate(purchase[86400s]))") ===
+      "sum by (k) (rate(purchase[1d]))")
+    assert(canon("rate(purchase[120m])") === "rate(purchase[2h])")
+    assert(canon("purchase offset 90m") === "purchase offset 90m")
+    assert(canon("holt_winters(signup[1d], 0.5, 0.5)") ===
+      "double_exponential_smoothing(signup[1d], 0.5, 0.5)")
+    assert(canon("clamp(purchase, 1, 9)") ===
+      "clamp_max(clamp_min(purchase, 1), 9)")
+  }
+
+  test("formatting is parse-stable across the shape battery") {
+    val battery = Seq(
+      "purchase{k!=\"a\"}",
+      "purchase{k=~\"a|b\"}",
+      "sum without (instance) (purchase)",
+      "min by (k) (increase(purchase[6h]))",
+      "bottomk(2, purchase)",
+      "limitk(2, purchase)",
+      "limit_ratio(0.5, purchase)",
+      "stddev by (k) (purchase)",
+      "count(purchase)",
+      "group by (k) (signup)",
+      "irate(purchase[1h])",
+      "idelta(signup[1h])",
+      "delta(signup[2h])",
+      "deriv(signup[1d])",
+      "predict_linear(signup[1d], 3600)",
+      "quantile_over_time(0.5, purchase[1d])",
+      "round(purchase, 0.5)",
+      "round(purchase)",
+      "abs(signup - 5)",
+      "sgn(signup - 5)",
+      "sqrt(purchase)",
+      "exp(scalar(sum(purchase)))",
+      "ln(purchase)",
+      "log2(purchase)",
+      "log10(purchase)",
+      "floor(purchase)",
+      "ceil(purchase)",
+      "purchase @ 1704067200",
+      "purchase offset -1h",
+      "rate(purchase[1d] offset 1h)",
+      "sum(rate(purchase[1d])) * 100",
+      "100 * sum(rate(purchase[1d]))",
+      "sum(purchase) % 7",
+      "sum(purchase) - sum(click) + 1",
+      "purchase unless purchase > 400",
+      "purchase or click",
+      "max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])",
+      "avg_over_time(purchase[2d:1h])",
+      "last_over_time(signup[1d])",
+      "present_over_time(purchase[1d])",
+      "absent_over_time(purchase{k=\"zzz\"}[1d])",
+      "changes(signup[1d])",
+      "resets(purchase[2d])",
+      "histogram_fraction(0, 10, error)",
+      "histogram_count(rate(error[1d]))",
+      "histogram_sum(rate(error[1d]))",
+      "histogram_avg(rate(error[1d]))",
+      "label_join(purchase, \"dst\", \"-\", \"k\", \"instance\")",
+      "sort_by_label(purchase, \"k\")",
+      "sort_desc(purchase)",
+      "timestamp(signup)",
+      "scalar(sum(purchase))",
+      "vector(42)",
+      "day_of_week(timestamp(signup))",
+      "days_in_month(timestamp(signup))",
+      "purchase @ start()",
+      "purchase @ end()",
+      "sum by (k) (rate(purchase[1d])) / on (k) sum by (k) (rate(click[1d]))",
+      "sum(purchase) / ignoring (instance) group_left sum(click)",
+      "signup * on (k) group_right(instance) sum by (k) (click)")
+    for (q <- battery) {
+      val ast = Parser.parse(q)
+      val f = Format.format(ast)
+      assert(Parser.parse(f) === ast, s"$q -> $f")
+    }
+  }
+}

@@ -61,4 +61,39 @@ class MaterializeSpec extends SparkTestBase {
     graft.operators.Dedup.unpersistSignatures(spark)
     graft.operators.Dedup.unpersistPairs(spark)
   }
+
+  test("the pyramid serves from on-disk rollup blocks after a restart") {
+    import graft.operators.Downsample
+    // routed answers spanning three faces: base (rate sums), hist
+    // (classic quantile), plus an over_time arm reading base fields
+    def routed(): Map[String, Seq[String]] = Seq(
+      "p92_pyramid_router", "p95_pyramid_hq", "p97_pyramid_over_time")
+      .map(n => n -> SparkEntry.queries(n)(spark, dir).collect()
+        .map(_.toString).toSeq).toMap
+    val fromCaches = routed()
+    assert(fromCaches.values.forall(_.nonEmpty))
+    val silverDir = java.nio.file.Files
+      .createTempDirectory("graft_blocks").toString
+    Materialize.run(spark, dir, silverDir)
+    // the restart: every in-memory face gone; only the blocks remain
+    Downsample.evictRollups(spark, dir)
+    Materialize.seed(spark, dir, silverDir)
+    assert(routed() === fromCaches,
+      "rollup-block serving diverged from the in-memory pyramid")
+    // the served plan scans the on-disk block, not a recompute: raw
+    // event columns never appear among the scanned files
+    val plan = SparkEntry.queries("p92_pyramid_router")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rollup_1h_base.parquet"),
+      "routed plan does not scan the rollup block")
+    assert(!plan.contains("events.parquet"),
+      "routed plan still reads raw events after the seed")
+    // back to the normal cache path for later suites
+    Downsample.evictRollups(spark, dir)
+    graft.operators.Metrics.unpersistEvents(spark)
+    graft.promql.Compiler.unpersistInstants(spark)
+    graft.operators.Corpus.unpersistShingles(spark)
+    graft.operators.Dedup.unpersistSignatures(spark)
+    graft.operators.Dedup.unpersistPairs(spark)
+  }
 }

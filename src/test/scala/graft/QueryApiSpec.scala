@@ -206,6 +206,35 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("/api/v1/format_query, status/flags, status/runtimeinfo") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    val om = new ObjectMapper()
+    try {
+      // the prettifier endpoint: canonical rendering, upstream's shape
+      val (c1, b1) = get(port,
+        s"/api/v1/format_query?query=${enc("sum  by(k)(rate(purchase[86400s]))")}")
+      assert(c1 === 200)
+      val f = om.readTree(b1)
+      assert(f.get("status").asText === "success")
+      assert(f.get("data").asText === "sum by (k) (rate(purchase[1d]))")
+      // unparseable query: the usual 400 bad_data
+      val (c2, b2) = get(port, s"/api/v1/format_query?query=${enc("sum by (")}")
+      assert(c2 === 400 && b2.contains("bad_data"))
+      // flags: the engine's REAL serving knobs
+      val fl = om.readTree(get(port, "/api/v1/status/flags")._2).get("data")
+      assert(fl.get("promql.max-grid-instants").asText === "4096")
+      assert(fl.get("rollup.resolutions").asText === "1h,2h,6h,1d")
+      // runtimeinfo: session start time and runtime facts
+      val ri = om.readTree(get(port, "/api/v1/status/runtimeinfo")._2)
+        .get("data")
+      assert(ri.get("startTime").asText.nonEmpty)
+      assert(ri.get("reloadConfigSuccess").asBoolean)
+      assert(ri.get("sparkVersion").asText === spark.version)
+    } finally server.stop(0)
+  }
+
   test("/api/v1/query_exemplars serves the anchored per-bucket exemplars") {
     import com.fasterxml.jackson.databind.ObjectMapper
     val H = 3600000L
