@@ -489,6 +489,53 @@ object RemoteWrite {
       |ORDER BY metric, ts_ms""".stripMargin
 }
 
+/** The SENDER: forward a registry snapshot to a downstream engine's
+  * `/api/v1/write` — the push-model twin of [[ScrapeLoop]] (hierarchical
+  * federation where the LEAF initiates, for leaves a scraper can't
+  * reach). Each [[push]] encodes the current
+  * [[graft.streaming.ExpositionRegistry]] series as one `WriteRequest`
+  * (one sample per series at the push instant — exactly what a scrape
+  * of `/metrics` would see), snappy-frames it, and POSTs. Failures are
+  * recorded, not thrown — a forwarder rides through receiver outages
+  * like a Prometheus remote-write shard.
+  */
+class RemoteWriteClient(url: String) {
+
+  @volatile private var lastPushMs: Option[Long] = None
+  @volatile private var lastError: Option[String] = None
+
+  def status: (Option[Long], Option[String]) = (lastPushMs, lastError)
+
+  /** One push: the registry's series at `atMs`. Returns the HTTP code
+    * (204 on accept) or -1 on a transport failure.
+    */
+  def push(atMs: Long = System.currentTimeMillis()): Int = {
+    val series = graft.streaming.ExpositionRegistry.series().map { t =>
+      RemoteWrite.Series(
+        Vector("__name__" -> s"${t.name}_total", "k" -> t.label_k),
+        Vector((t.total, atMs)))
+    }
+    val body = RemoteWrite.compress(RemoteWrite.encode(series))
+    try {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      conn.setRequestProperty("Content-Encoding", "snappy")
+      try {
+        val os = conn.getOutputStream
+        try os.write(body) finally os.close()
+        val code = conn.getResponseCode
+        lastError = if (code == 204) None else Some(s"HTTP $code")
+        code
+      } finally conn.disconnect()
+    } catch {
+      case e: Exception => lastError = Some(e.toString); -1
+    } finally lastPushMs = Some(atMs)
+  }
+}
+
 /** The RECEIVER: POSTed bodies land on a streaming relation; the wire
   * decode, event mapping, and rollup maintenance are the same column
   * expressions the batch tier runs. [[receive]] validates driver-side

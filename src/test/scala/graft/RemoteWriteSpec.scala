@@ -126,6 +126,46 @@ class RemoteWriteSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("the forwarder pushes the registry downstream: leaf-initiated federation") {
+    import graft.sources.RemoteWriteClient
+    import graft.streaming.{ExpositionRegistry, MetricStream}
+    ExpositionRegistry.clear()
+    Seq(
+      MetricStream.SeriesTotal("purchase", "a", 5.5, 3),
+      MetricStream.SeriesTotal("purchase", "b", 4.0, 1),
+      MetricStream.SeriesTotal("click", "a", 2.0, 2)
+    ).foreach(ExpositionRegistry.publish)
+    val dir = fixture("events" ->
+      Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    val sink = new RemoteWriteSink(spark)
+    val server = graft.sources.QueryEndpoint.start(spark, dir,
+      remoteWrite = Some(sink))
+    try {
+      val client = new RemoteWriteClient(
+        s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/write")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:01").getTime
+      val q = sink.events.writeStream.format("memory")
+        .queryName("rw_fwd").outputMode("append").start()
+      try {
+        assert(client.push(t1) === 204)
+        assert(client.status._2 === None, "clean push records no error")
+        q.processAllAvailable()
+        // the downstream's decoded events are exactly the leaf's
+        // registry (_total strips back to the family name on ingest)
+        val got = spark.table("rw_fwd")
+          .select("event_type", "props", "value").collect()
+          .map(r => (r.getString(0),
+            r.getString(1).split("\"")(3), r.getDouble(2))).toSet
+        assert(got === Set(("purchase", "a", 5.5), ("purchase", "b", 4.0),
+          ("click", "a", 2.0)))
+      } finally q.stop()
+      // a dead downstream records, never throws
+      val dead = new RemoteWriteClient("http://127.0.0.1:1/api/v1/write")
+      assert(dead.push(t1) === -1)
+      assert(dead.status._2.nonEmpty)
+    } finally server.stop(0)
+  }
+
   test("write endpoint rejects: garbage body 400, GET 405, unconfigured 400") {
     val dir = fixture("events" ->
       Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
