@@ -168,6 +168,9 @@ object SparkEntry {
     // (zigzag spans + packed delta chains) through the generator and
     // the SAME relational span walk as the scrape-side ingest (b37c)
     "a1j_remote_write_hist" -> ((s, _) => sources.RemoteWrite.wireDecodeHist(s)),
+    // remote write 2.0: the symbol-table protocol — interned label
+    // refs resolved by walkV2, normalized through the standard decode
+    "a1k_remote_write_v2" -> ((s, _) => sources.RemoteWrite.wireDecodeV2(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -854,6 +857,7 @@ object SparkEntry {
     "a1h_exemplars" -> PromQL.ExemplarsSql,
     "a1i_remote_write_decode" -> sources.RemoteWrite.WireDecodeSql,
     "a1j_remote_write_hist" -> sources.RemoteWrite.WireDecodeHistSql,
+    "a1k_remote_write_v2" -> sources.RemoteWrite.WireDecodeV2Sql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -1,6 +1,6 @@
 package graft.promql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The Prometheus HTTP query-API response envelope — the serving-side
@@ -262,6 +262,14 @@ object Api {
   def formatQueryJson(query: String): String =
     envelope(s""""${jsonEscape(Format.format(Parser.parse(query)))}"""")
 
+  /** `/api/v1/parse_query` twin — upstream's (experimental) AST
+    * introspection endpoint: the parsed query rendered in the upstream
+    * parser's JSON vocabulary ([[Format.json]]); unparseable queries
+    * 400 like everywhere else.
+    */
+  def parseQueryJson(query: String): String =
+    envelope(Format.json(Parser.parse(query)))
+
   /** `/api/v1/status/flags` twin: the engine's REAL serving knobs under
     * flag-map shape — honest analogs of upstream's CLI flags (grid
     * bound, rollup lattice, shuffle width), never invented Go flags.
@@ -463,9 +471,13 @@ object Api {
     * (a histogram family lists its series here even though it has no
     * scalar instant vector).
     */
-  def seriesJson(spark: SparkSession, dir: String, selectors: Seq[String],
-      startS: Option[Long] = None, endS: Option[Long] = None): String = {
-    require(selectors.nonEmpty, "at least one match[] selector")
+  /** One OR-of-selectors AND sample-presence time-bound predicate over
+    * the events view — the scoping shared by `/api/v1/series`,
+    * `/api/v1/labels`, and `/api/v1/label/<l>/values` (upstream's
+    * `match[]` + `start`/`end` semantics).
+    */
+  private def matchFilter(selectors: Seq[String],
+      startS: Option[Long], endS: Option[Long]): Column = {
     val filters = selectors.map { m =>
       Parser.parse(m) match {
         case sel: Selector
@@ -488,11 +500,17 @@ object Api {
           s"match[] must be a plain series selector, got '$m'")
       }
     }
-    val ev = graft.operators.Metrics.metricEvents(spark, dir)
     val timeF = startS.map(s => unix_micros(col("ts")) >= s * 1000000L)
       .getOrElse(lit(true)) &&
       endS.map(e => unix_micros(col("ts")) <= e * 1000000L).getOrElse(lit(true))
-    val maps = ev.filter(filters.reduce(_ || _) && timeF)
+    filters.reduceOption(_ || _).getOrElse(lit(true)) && timeF
+  }
+
+  def seriesJson(spark: SparkSession, dir: String, selectors: Seq[String],
+      startS: Option[Long] = None, endS: Option[Long] = None): String = {
+    require(selectors.nonEmpty, "at least one match[] selector")
+    val ev = graft.operators.Metrics.metricEvents(spark, dir)
+    val maps = ev.filter(matchFilter(selectors, startS, endS))
       .select(to_json(struct(
         col("name").as("__name__"),
         col("label_k").as("k"),
@@ -542,15 +560,31 @@ object Api {
   }
 
   /** `/api/v1/labels` twin: the label-name universe. */
-  def labelsJson(spark: SparkSession, dir: String): String = {
-    val names = graft.operators.Metrics.metricEvents(spark, dir).columns.toSeq
+  def labelsJson(spark: SparkSession, dir: String,
+      selectors: Seq[String] = Nil, startS: Option[Long] = None,
+      endS: Option[Long] = None): String = {
+    val ev = graft.operators.Metrics.metricEvents(spark, dir)
+    val names = ev.columns.toSeq
       .collect { case c if c == "name" || c.startsWith("label_") => promLabel(c) }
       .sorted
-    envelope(names.map(n => s""""$n"""").mkString("[", ",", "]"))
+    // scoped: labels present on the MATCHING series in range — every
+    // series carries the full universe, so the scoped answer is all-or-
+    // nothing on whether any sample matches (upstream semantics over
+    // this engine's label model)
+    val out =
+      if (selectors.isEmpty && startS.isEmpty && endS.isEmpty) names
+      else if (ev.filter(matchFilter(selectors, startS, endS)).isEmpty) Nil
+      else names
+    envelope(out.map(n => s""""$n"""").mkString("[", ",", "]"))
   }
 
-  /** `/api/v1/label/<label>/values` twin: distinct values of a label. */
-  def labelValuesJson(spark: SparkSession, dir: String, label: String): String = {
+  /** `/api/v1/label/<label>/values` twin: distinct values of a label,
+    * optionally scoped by `match[]` selectors and sample-presence
+    * `start`/`end` bounds like upstream.
+    */
+  def labelValuesJson(spark: SparkSession, dir: String, label: String,
+      selectors: Seq[String] = Nil, startS: Option[Long] = None,
+      endS: Option[Long] = None): String = {
     val c = label match {
       case "__name__" => "name"
       case other => "label_" + other
@@ -558,7 +592,8 @@ object Api {
     val ev = graft.operators.Metrics.metricEvents(spark, dir)
     if (!ev.columns.contains(c))
       throw new PromQLCompileException(s"unknown label '$label'")
-    val vals = ev.select(to_json(struct(col(c).as("v"))).as("j"))
+    val vals = ev.filter(matchFilter(selectors, startS, endS))
+      .select(to_json(struct(col(c).as("v"))).as("j"))
       .distinct().orderBy(col("j"))
       .collect().map(_.getString(0).stripPrefix("""{"v":""").stripSuffix("}"))
     envelope(vals.mkString("[", ",", "]"))

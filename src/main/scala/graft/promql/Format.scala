@@ -114,4 +114,101 @@ object Format {
 
   private def carrySuffix(carry: Seq[String]): String =
     if (carry.isEmpty) "" else s"(${carry.mkString(", ")})"
+
+  // ---- `/api/v1/parse_query` — the Ast as upstream-shaped JSON ----
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jarr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+
+  /** Render the Ast in the upstream parser's JSON vocabulary
+    * (`vectorSelector`/`matrixSelector`/`aggregation`/`call`/
+    * `binaryExpr`/`numberLiteral`/`subquery`) — the introspection shape
+    * Grafana's query builder reads from `/api/v1/parse_query`. Matcher
+    * types use upstream's names (`=` → `MatchEqual`, …); parameterized
+    * calls carry their scalars as `numberLiteral` args in grammar
+    * position.
+    */
+  def json(a: Ast): String = a match {
+    case s: Selector =>
+      val matcherType = Map("=" -> "MatchEqual", "!=" -> "MatchNotEqual",
+        "=~" -> "MatchRegexp", "!~" -> "MatchNotRegexp")
+      val ms = (if (s.name.nonEmpty)
+          Seq(s"""{"name":"__name__","type":"MatchEqual","value":${jstr(s.name)}}""")
+        else Nil) ++
+        s.matchers.map(m =>
+          s"""{"name":${jstr(m.label)},"type":"${matcherType(m.op)}",""" +
+            s""""value":${jstr(m.value)}}""")
+      val at = s.atS.map {
+        case Selector.AtStart => """"startOrEnd":"start""""
+        case Selector.AtEnd => """"startOrEnd":"end""""
+        case t => s""""timestamp":${t * 1000L}"""
+      }
+      val base = Seq(
+        Some(s""""name":${jstr(s.name)}"""),
+        Some(s""""matchers":${jarr(ms)}"""),
+        s.offsetS.map(o => s""""offset":${o * 1000L}"""),
+        at).flatten
+      val vs = s"""{"type":"vectorSelector",${base.mkString(",")}}"""
+      s.rangeS match {
+        case Some(r) =>
+          s"""{"type":"matrixSelector","range":${r * 1000L},"vectorSelector":$vs}"""
+        case None => vs
+      }
+    case NumLit(v) => s"""{"type":"numberLiteral","val":${jstr(num(v))}}"""
+    case Agg(op, grouping, param, arg) =>
+      val (without, labels) = grouping match {
+        case Some(("without", ls)) => (true, ls)
+        case Some((_, ls)) => (false, ls)
+        case None => (false, Nil)
+      }
+      s"""{"type":"aggregation","op":${jstr(op)},"expr":${json(arg)},""" +
+        s""""param":${param.map(p => json(NumLit(p))).getOrElse("null")},""" +
+        s""""grouping":${jarr(labels.map(jstr))},"without":$without}"""
+    case Func("time", None, _) => """{"type":"call","func":"time","args":[]}"""
+    case Func("vector", Some(s), _) =>
+      s"""{"type":"call","func":"vector","args":[${json(NumLit(s))}]}"""
+    case Func(name, p, arg) =>
+      val args =
+        if (p.isEmpty) Seq(json(arg))
+        else if (ParamFirst.contains(name)) Seq(json(NumLit(p.get)), json(arg))
+        else Seq(json(arg), json(NumLit(p.get)))
+      s"""{"type":"call","func":${jstr(name)},"args":${jarr(args)}}"""
+    case SmoothFunc(sf, tf, arg) =>
+      s"""{"type":"call","func":"double_exponential_smoothing",""" +
+        s""""args":${jarr(Seq(json(arg), json(NumLit(sf)), json(NumLit(tf))))}}"""
+    case HistFraction(lo, hi, arg) =>
+      s"""{"type":"call","func":"histogram_fraction",""" +
+        s""""args":${jarr(Seq(json(NumLit(lo)), json(NumLit(hi)), json(arg)))}}"""
+    case CountValues(dst, arg) =>
+      s"""{"type":"aggregation","op":"count_values","expr":${json(arg)},""" +
+        s""""param":{"type":"stringLiteral","val":${jstr(dst)}},""" +
+        s""""grouping":[],"without":false}"""
+    case LabelFunc(name, args, arg) =>
+      val strArgs = args.map(s => s"""{"type":"stringLiteral","val":${jstr(s)}}""")
+      s"""{"type":"call","func":${jstr(name)},"args":${jarr(json(arg) +: strArgs)}}"""
+    case Subquery(inner, rangeS, stepS) =>
+      s"""{"type":"subquery","expr":${json(inner)},""" +
+        s""""range":${rangeS * 1000L},"step":${stepS * 1000L}}"""
+    case b: BinOp =>
+      val card =
+        if (b.groupLeft) "many-to-one"
+        else if (b.groupRight) "one-to-many"
+        else "one-to-one"
+      val matching =
+        if (b.on.isEmpty && b.ignoring.isEmpty && !b.groupLeft && !b.groupRight)
+          "null"
+        else s"""{"card":${jstr(card)},"on":${b.on.nonEmpty},""" +
+          s""""labels":${jarr(b.on.orElse(b.ignoring).getOrElse(Nil).map(jstr))},""" +
+          s""""include":${jarr(b.groupCarry.map(jstr))}}"""
+      s"""{"type":"binaryExpr","op":${jstr(b.op)},"lhs":${json(b.left)},""" +
+        s""""rhs":${json(b.right)},"matching":$matching,"bool":${b.boolMod}}"""
+  }
 }

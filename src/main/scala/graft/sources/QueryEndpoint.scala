@@ -142,7 +142,12 @@ object QueryEndpoint {
             val body = ex.getRequestBody.readAllBytes()
             remoteWrite match {
               case Some(sink) =>
-                sink.receive(body)
+                val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+                val written = sink.receive(body, contentType = ct)
+                // the 2.0 receiver contract: report accepted counts
+                ex.getResponseHeaders.set(
+                  "X-Prometheus-Remote-Write-Samples-Written",
+                  written.toString)
                 ex.sendResponseHeaders(204, -1L)
                 ex.getResponseBody.close()
               case None => respond(ex, 400,
@@ -183,6 +188,9 @@ object QueryEndpoint {
     })
     server.createContext("/api/v1/format_query", handler { ex =>
       Api.formatQueryJson(required(params(ex), "query"))
+    })
+    server.createContext("/api/v1/parse_query", handler { ex =>
+      Api.parseQueryJson(required(params(ex), "query"))
     })
     server.createContext("/api/v1/metadata", handler { _ =>
       Api.metadataJson
@@ -226,13 +234,19 @@ object QueryEndpoint {
       Api.seriesJson(spark, dir, ms,
         p.get("start").map(epochS), p.get("end").map(epochS))
     })
-    server.createContext("/api/v1/labels", handler { _ =>
-      Api.labelsJson(spark, dir)
+    server.createContext("/api/v1/labels", handler { ex =>
+      val p = params(ex)
+      Api.labelsJson(spark, dir,
+        multiParams(ex).collect { case ("match[]", v) => v },
+        p.get("start").map(epochS), p.get("end").map(epochS))
     })
     server.createContext("/api/v1/label", handler { ex =>
       ex.getRequestURI.getPath.split('/') match {
         case Array("", "api", "v1", "label", name, "values") =>
-          Api.labelValuesJson(spark, dir, name)
+          val p = params(ex)
+          Api.labelValuesJson(spark, dir, name,
+            multiParams(ex).collect { case ("match[]", v) => v },
+            p.get("start").map(epochS), p.get("end").map(epochS))
         case _ => throw new IllegalArgumentException(
           s"unknown endpoint ${ex.getRequestURI.getPath}")
       }

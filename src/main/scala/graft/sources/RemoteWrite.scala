@@ -215,6 +215,151 @@ object RemoteWrite {
     out.result()
   }
 
+  /** Decode an UNCOMPRESSED remote-write 2.0 `io.prometheus.write.v2.
+    * Request` — the symbol-table protocol: `symbols` (field 4, repeated
+    * string; symbols[0] MUST be the empty string) interns every label
+    * name/value once per request, and each TimeSeries carries packed
+    * uint32 `labels_refs` pairs (field 1) instead of Label messages;
+    * samples (field 2) and native histograms (field 3) keep the 1.0
+    * shapes. Wire field order is free, so symbols may FOLLOW the
+    * timeseries that reference them — the walk gathers both first and
+    * resolves refs at the end. Out-of-range refs and odd-length ref
+    * lists fail loud (the receiver's 400).
+    */
+  def walkV2(bytes: Array[Byte]): Vector[Series] = {
+    val end = bytes.length
+    var pos = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed v2 Request: $msg")
+    def varint(limit: Int): Long = {
+      var shift = 0
+      var out = 0L
+      while (shift < 64) {
+        if (pos >= limit) fail("truncated varint")
+        val b = bytes(pos)
+        pos += 1
+        out |= (b & 0x7FL) << shift
+        if ((b & 0x80) == 0) return out
+        shift += 7
+      }
+      fail("varint exceeds 64 bits")
+    }
+    def lenDelim(limit: Int): Int = {
+      val len = varint(limit)
+      if (len < 0 || pos + len > limit) fail("length overruns message")
+      pos + len.toInt
+    }
+    def skip(wireType: Int, limit: Int): Unit = wireType match {
+      case 0 => varint(limit)
+      case 1 =>
+        if (pos + 8 > limit) fail("truncated fixed64"); pos += 8
+      case 2 => pos = lenDelim(limit)
+      case 5 =>
+        if (pos + 4 > limit) fail("truncated fixed32"); pos += 4
+      case other => fail(s"unsupported wire type $other")
+    }
+    val symbols = Vector.newBuilder[String]
+    val tsRanges = Vector.newBuilder[(Int, Int)]
+    while (pos < end) {
+      val tag = varint(end)
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (4, 2) =>
+          val u = lenDelim(end)
+          symbols += new String(bytes, pos, u - pos,
+            java.nio.charset.StandardCharsets.UTF_8)
+          pos = u
+        case (5, 2) =>
+          val u = lenDelim(end); tsRanges += ((pos, u)); pos = u
+        case (_, wt) => skip(wt, end)
+      }
+    }
+    val syms = symbols.result()
+    def sym(ref: Long): String = {
+      if (ref < 0 || ref >= syms.length) fail(s"symbol ref $ref out of range")
+      syms(ref.toInt)
+    }
+    tsRanges.result().map { case (from, until) =>
+      pos = from
+      val refs = Vector.newBuilder[Long]
+      val samples = Vector.newBuilder[(Double, Long)]
+      val hists = Vector.newBuilder[Hist]
+      // the v1 walker's sample/histogram sub-parsers apply verbatim —
+      // only the label encoding changed in 2.0
+      def sample(limit: Int): (Double, Long) = {
+        var v = 0.0
+        var ts = 0L
+        while (pos < limit) {
+          val tag = varint(limit)
+          ((tag >> 3).toInt, (tag & 7).toInt) match {
+            case (1, 1) =>
+              if (pos + 8 > limit) fail("truncated fixed64")
+              var bits = 0L
+              var i = 0
+              while (i < 8) { bits |= (bytes(pos + i) & 0xFFL) << (8 * i); i += 1 }
+              pos += 8
+              v = java.lang.Double.longBitsToDouble(bits)
+            case (2, 0) => ts = varint(limit)
+            case (_, wt) => skip(wt, limit)
+          }
+        }
+        (v, ts)
+      }
+      def zigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
+      def bucketSpan(limit: Int): (Int, Int) = {
+        var off = 0
+        var len = 0
+        while (pos < limit) {
+          val tag = varint(limit)
+          ((tag >> 3).toInt, (tag & 7).toInt) match {
+            case (1, 0) => off = zigzag(varint(limit)).toInt
+            case (2, 0) => len = varint(limit).toInt
+            case (_, wt) => skip(wt, limit)
+          }
+        }
+        (off, len)
+      }
+      def histogram(limit: Int): Hist = {
+        var ts = 0L
+        var schema = 0
+        val offs = Vector.newBuilder[Int]
+        val lens = Vector.newBuilder[Int]
+        val deltas = Vector.newBuilder[Long]
+        while (pos < limit) {
+          val tag = varint(limit)
+          ((tag >> 3).toInt, (tag & 7).toInt) match {
+            case (4, 0) => schema = zigzag(varint(limit)).toInt
+            case (11, 2) =>
+              val (o, l) = bucketSpan(lenDelim(limit)); offs += o; lens += l
+            case (12, 2) =>
+              val u = lenDelim(limit)
+              while (pos < u) deltas += zigzag(varint(u))
+            case (12, 0) => deltas += zigzag(varint(limit))
+            case (15, 0) => ts = varint(limit)
+            case (_, wt) => skip(wt, limit)
+          }
+        }
+        Hist(ts, schema, offs.result(), lens.result(), deltas.result())
+      }
+      while (pos < until) {
+        val tag = varint(until)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => // packed labels_refs
+            val u = lenDelim(until)
+            while (pos < u) refs += varint(u)
+          case (1, 0) => refs += varint(until) // unpacked form
+          case (2, 2) => samples += sample(lenDelim(until))
+          case (3, 2) => hists += histogram(lenDelim(until))
+          case (_, wt) => skip(wt, until)
+        }
+      }
+      val rs = refs.result()
+      if (rs.length % 2 != 0) fail("odd labels_refs length")
+      val labels = rs.grouped(2).map { case Vector(n, v) => (sym(n), sym(v)) }
+        .toVector
+      Series(labels, samples.result(), hists.result())
+    }
+  }
+
   // ---- encoder (the SENDER half — what the forwarding spec and a
   // federating deployment use; pure varint/tag writers) ----
 
@@ -286,6 +431,67 @@ object RemoteWrite {
     }
     req.toByteArray
   }
+
+  /** Encode series as an UNCOMPRESSED remote-write 2.0 `Request`:
+    * every label name/value interned once in the symbol table
+    * (symbols[0] = "", per spec), packed `labels_refs` pairs per
+    * series. Deterministic: first-appearance interning order.
+    */
+  def encodeV2(series: Seq[Series]): Array[Byte] = {
+    val table = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+    def ref(s: String): Int = table.getOrElseUpdate(s, table.size)
+    def zz(n: Long): Long = (n << 1) ^ (n >> 63)
+    val tsBlocks = series.map { s =>
+      val ts = new java.io.ByteArrayOutputStream()
+      if (s.labels.nonEmpty) {
+        val rl = new java.io.ByteArrayOutputStream()
+        s.labels.foreach { case (n, v) =>
+          writeVarint(rl, ref(n).toLong); writeVarint(rl, ref(v).toLong)
+        }
+        writeLen(ts, 1, rl.toByteArray)
+      }
+      s.samples.foreach { case (v, t) =>
+        val sm = new java.io.ByteArrayOutputStream()
+        writeVarint(sm, (1L << 3) | 1L)
+        val bits = java.lang.Double.doubleToLongBits(v)
+        var i = 0
+        while (i < 8) { sm.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+        writeVarint(sm, (2L << 3) | 0L)
+        writeVarint(sm, t)
+        writeLen(ts, 2, sm.toByteArray)
+      }
+      s.hists.foreach { h =>
+        val hm = new java.io.ByteArrayOutputStream()
+        writeVarint(hm, (4L << 3) | 0L)
+        writeVarint(hm, zz(h.schema.toLong))
+        h.offs.zip(h.lens).foreach { case (o, l) =>
+          val sp = new java.io.ByteArrayOutputStream()
+          writeVarint(sp, (1L << 3) | 0L); writeVarint(sp, zz(o.toLong))
+          writeVarint(sp, (2L << 3) | 0L); writeVarint(sp, l.toLong)
+          writeLen(hm, 11, sp.toByteArray)
+        }
+        if (h.deltas.nonEmpty) {
+          val dl = new java.io.ByteArrayOutputStream()
+          h.deltas.foreach(d => writeVarint(dl, zz(d)))
+          writeLen(hm, 12, dl.toByteArray)
+        }
+        writeVarint(hm, (15L << 3) | 0L)
+        writeVarint(hm, h.tsMs)
+        writeLen(ts, 3, hm.toByteArray) // v2: histograms are field 3
+      }
+      ts.toByteArray
+    }
+    val req = new java.io.ByteArrayOutputStream()
+    table.keys.foreach(s => writeLen(req, 4, utf8(s)))
+    tsBlocks.foreach(b => writeLen(req, 5, b))
+    req.toByteArray
+  }
+
+  /** The 2.0 protocol's content type on the wire; 1.0 senders use
+    * plain `application/x-protobuf` (or omit the proto= parameter).
+    */
+  val V2ContentType =
+    "application/x-protobuf;proto=io.prometheus.write.v2.Request"
 
   /** The wire framing: remote write bodies are snappy BLOCK format. */
   def compress(proto: Array[Byte]): Array[Byte] =
@@ -458,6 +664,75 @@ object RemoteWrite {
       .orderBy(col("metric"), col("label_k"), col("ts_ms"), col("bucket"))
   }
 
+  /** a1k — remote write 2.0, the symbol-table protocol: a hand-built
+    * `io.prometheus.write.v2.Request` whose timeseries PRECEDE the
+    * symbols they reference (wire field order is free — the walker must
+    * gather both before resolving), labels as packed uint32 ref pairs
+    * into the interned table (symbols[0] = "" per spec), plus a skipped
+    * reserved field. [[walkV2]] resolves the refs; the relation then
+    * flows through the SAME normalized decode as every 1.0 payload
+    * (re-encode → generator — both independently gated by a1i), and the
+    * DuckDB oracle is the hand-derived sample relation.
+    */
+  def wireDecodeV2(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // v2 Request, hand-assembled (field 4 = symbols, field 5 = timeseries):
+    //   08 01  reserved field 1 varint (skipped)
+    //   2A 16  timeseries#1, 22 bytes:
+    //     0A 06 01 02 03 04 05 06   packed labels_refs [1,2,3,4,5,6]
+    //     12 0C 09 <3.5 LE> 10 E8 07   sample (3.5, 1000)
+    //   2A 15  timeseries#2, 21 bytes:
+    //     0A 04 01 07 03 08         packed labels_refs [1,7,3,8]
+    //     12 0D 09 <-1.5 LE> 10 E0 A7 12   sample (-1.5, 300000)
+    //   22 00                        symbols[0] = "" (spec-mandated)
+    //   22 08 "__name__"             [1]
+    //   22 0E "purchase_total"       [2]
+    //   22 01 "k"                    [3]
+    //   22 02 "eu"                   [4]
+    //   22 08 "instance"             [5]
+    //   22 08 "box:9090"             [6]
+    //   22 08 "cpu_temp"             [7]
+    //   22 02 "us"                   [8]
+    val payload = hexBytes(
+      "0801" +
+        "2A16" +
+        "0A06" + "010203040506" +
+        "120C" + "09000000000000" + "0C40" + "10E807" +
+        "2A15" +
+        "0A04" + "01070308" +
+        "120D" + "09000000000000" + "F8BF" + "10E0A712" +
+        "2200" +
+        "2208" + "5F5F6E616D655F5F" +
+        "220E" + "70757263686173655F746F74616C" +
+        "2201" + "6B" +
+        "2202" + "6575" +
+        "2208" + "696E7374616E6365" +
+        "2208" + "626F783A39303930" +
+        "2208" + "6370755F74656D70" +
+        "2202" + "7573")
+    val normalized = encode(walkV2(payload))
+    val payloads = Seq(normalized).toDF("proto")
+      .withColumn("recv_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    decode(payloads)
+      .select(
+        element_at(col("labels"), "__name__").as("metric"),
+        coalesce(element_at(col("labels"), "instance"), lit("")).as("instance"),
+        element_at(col("labels"), "k").as("label_k"),
+        col("ts_ms"), col("value"))
+      .orderBy(col("metric"), col("ts_ms"))
+  }
+
+  /** Oracle twin of [[wireDecodeV2]]: the hand-derived sample relation
+    * (ref pairs [1,2][3,4][5,6] → the purchase series with instance;
+    * [1,7][3,8] → cpu_temp/us, no instance label).
+    */
+  val WireDecodeV2Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('cpu_temp', '', 'us', CAST(300000 AS BIGINT), CAST('-1.5' AS DOUBLE)),
+      |  ('purchase_total', 'box:9090', 'eu', CAST(1000 AS BIGINT), CAST('3.5' AS DOUBLE))
+      |) w(metric, instance, label_k, ts_ms, value)
+      |ORDER BY metric, ts_ms""".stripMargin
+
   /** Oracle twin of [[wireDecodeHist]]: the bucket relation derived BY
     * HAND from the wire bytes above (series a: span 2 anchors at
     * offset-sum 3 + prior length 2 = bucket 5; delta chain 3, −1, 2, 0
@@ -549,13 +824,24 @@ class RemoteWriteSink(spark: SparkSession) {
   private val stream = MemoryStream[(java.sql.Timestamp, Array[Byte])]
 
   /** One POST body (snappy-framed protobuf). Throws on malformed input
-    * — the endpoint maps it to 400 like upstream's receiver.
+    * — the endpoint maps it to 400 like upstream's receiver. The
+    * `contentType` negotiates the protocol: a `proto=io.prometheus.
+    * write.v2.Request` parameter selects the 2.0 symbol-table decode,
+    * which NORMALIZES to the 1.0 relation at the door (walkV2 resolves
+    * the refs; the stream carries one wire shape, so every downstream
+    * column expression is protocol-agnostic). Returns the accepted
+    * sample count — the v2 response header's value.
     */
   def receive(body: Array[Byte],
-      atMs: Long = System.currentTimeMillis()): Unit = {
-    val proto = RemoteWrite.uncompress(body)
-    RemoteWrite.walk(proto) // validate at the door
+      atMs: Long = System.currentTimeMillis(),
+      contentType: Option[String] = None): Long = {
+    val raw = RemoteWrite.uncompress(body)
+    val isV2 = contentType.exists(_.contains("io.prometheus.write.v2.Request"))
+    val series =
+      if (isV2) RemoteWrite.walkV2(raw) else RemoteWrite.walk(raw)
+    val proto = if (isV2) RemoteWrite.encode(series) else raw
     stream.addData((new java.sql.Timestamp(atMs), proto))
+    series.map(_.samples.length.toLong).sum
   }
 
   /** The raw payload relation: one (recv_ts, proto) row per POST. */

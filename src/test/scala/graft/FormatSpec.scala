@@ -44,6 +44,41 @@ class FormatSpec extends SparkTestBase {
       "clamp_max(clamp_min(purchase, 1), 9)")
   }
 
+  test("the AST JSON renderer emits the upstream parser vocabulary") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val om = new ObjectMapper()
+    def tree(q: String) = om.readTree(Format.json(Parser.parse(q)))
+    val sel = tree("purchase{k=\"a\"}[1d] offset 1h")
+    assert(sel.get("type").asText === "matrixSelector")
+    assert(sel.get("range").asLong === 86400000L)
+    val vs = sel.get("vectorSelector")
+    assert(vs.get("offset").asLong === 3600000L)
+    assert(vs.get("matchers").get(0).get("name").asText === "__name__")
+    assert(vs.get("matchers").get(1).get("type").asText === "MatchEqual")
+    val agg = tree("sum by (k) (rate(purchase[1d]))")
+    assert(agg.get("type").asText === "aggregation")
+    assert(agg.get("op").asText === "sum")
+    assert(agg.get("grouping").get(0).asText === "k")
+    assert(!agg.get("without").asBoolean)
+    assert(agg.get("expr").get("func").asText === "rate")
+    val bin = tree("sum(purchase) / on (k) group_left sum(click)")
+    assert(bin.get("type").asText === "binaryExpr")
+    assert(bin.get("matching").get("card").asText === "many-to-one")
+    assert(bin.get("matching").get("on").asBoolean)
+    val hq = tree("histogram_quantile(0.9, rate(error[1h]))")
+    assert(hq.get("args").get(0).get("type").asText === "numberLiteral")
+    assert(hq.get("args").get(0).get("val").asText === "0.9")
+    val sq = tree("max_over_time((sum(purchase))[1d:6h])")
+    assert(sq.get("args").get(0).get("type").asText === "subquery")
+    assert(sq.get("args").get(0).get("step").asLong === 21600000L)
+    // every battery shape renders VALID json (jackson parses it)
+    for (q <- Seq("purchase @ start()", "count_values(\"v\", purchase)",
+        "label_replace(purchase, \"d\", \"$1\", \"k\", \"(.*)\")",
+        "holt_winters(signup[1d], 0.5, 0.5)", "time()", "vector(42)",
+        "histogram_fraction(0, 10, error)", "purchase > bool 3"))
+      assert(!tree(q).isNull, q)
+  }
+
   test("formatting is parse-stable across the shape battery") {
     val battery = Seq(
       "purchase{k!=\"a\"}",

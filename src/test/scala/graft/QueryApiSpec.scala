@@ -206,6 +206,40 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("/api/v1/labels and label values honor match[] and start/end") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    val om = new ObjectMapper()
+    def arr(path: String): Seq[String] = {
+      val n = om.readTree(get(port, path)._2).get("data")
+      (0 until n.size).map(n.get(_).asText)
+    }
+    try {
+      // unscoped: the full label universe
+      assert(arr("/api/v1/labels") === Seq("__name__", "instance", "k"))
+      // scoped to a family: series carry all three labels
+      assert(arr(s"/api/v1/labels?match[]=${enc("purchase")}") ===
+        Seq("__name__", "instance", "k"))
+      // scoped to nothing: the empty list, like upstream
+      assert(arr(s"/api/v1/labels?match[]=${enc("purchase{k=\"zzz\"}")}")
+        === Seq.empty)
+      // label values scope by selector…
+      assert(arr(s"/api/v1/label/k/values?match[]=${enc("purchase")}") ===
+        Seq("a", "b"))
+      assert(arr(s"/api/v1/label/k/values?match[]=${enc("signup{k=\"a\"}")}")
+        === Seq("a"))
+      // …and by sample-presence time bounds: before purchase b's first
+      // sample lands, only k="a" has purchase samples
+      assert(arr(s"/api/v1/label/k/values?match[]=${enc("purchase")}" +
+        s"&end=${T0 + dayS + dayS / 2}") === Seq("a"))
+      // repeated match[] unions
+      assert(arr(s"/api/v1/label/__name__/values" +
+        s"?match[]=${enc("purchase")}&match[]=${enc("signup")}") ===
+        Seq("purchase", "signup"))
+    } finally server.stop(0)
+  }
+
   test("/api/v1/format_query, status/flags, status/runtimeinfo") {
     import com.fasterxml.jackson.databind.ObjectMapper
     val server = QueryEndpoint.start(spark, dir)
@@ -222,6 +256,15 @@ class QueryApiSpec extends SparkTestBase {
       // unparseable query: the usual 400 bad_data
       val (c2, b2) = get(port, s"/api/v1/format_query?query=${enc("sum by (")}")
       assert(c2 === 400 && b2.contains("bad_data"))
+      // parse_query: the AST in the upstream vocabulary
+      val (c3, b3) = get(port,
+        s"/api/v1/parse_query?query=${enc("sum by (k) (purchase)")}")
+      assert(c3 === 200)
+      val ast = om.readTree(b3).get("data")
+      assert(ast.get("type").asText === "aggregation")
+      assert(ast.get("expr").get("type").asText === "vectorSelector")
+      val (c4, _) = get(port, s"/api/v1/parse_query?query=${enc("rate(")}")
+      assert(c4 === 400)
       // flags: the engine's REAL serving knobs
       val fl = om.readTree(get(port, "/api/v1/status/flags")._2).get("data")
       assert(fl.get("promql.max-grid-instants").asText === "4096")

@@ -52,6 +52,43 @@ class RemoteWriteSpec extends SparkTestBase {
       ("req_ms", "b", 2000L, 3, -2, 7L)))
   }
 
+  test("v2: hand-assembled symbol-table Request resolves to the hand-derived samples") {
+    val rows = RemoteWrite.wireDecodeV2(spark)
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      ("cpu_temp", "", "us", 300000L, -1.5),
+      ("purchase_total", "box:9090", "eu", 1000L, 3.5)))
+  }
+
+  test("v2: walkV2 round-trips encodeV2, histograms included") {
+    val series = Vector(
+      RemoteWrite.Series(
+        Vector("__name__" -> "signup_total", "k" -> "eu"),
+        Vector((0.25, 7L), (-3.0, 99L))),
+      // shares symbols with the first series (interning is per-request)
+      RemoteWrite.Series(
+        Vector("__name__" -> "signup_total", "k" -> "us"),
+        Vector((1.0, 7L))),
+      RemoteWrite.Series(Vector("__name__" -> "req_ms"), Vector.empty,
+        Vector(RemoteWrite.Hist(42L, 3, Vector(-1), Vector(2),
+          Vector(4L, -1L)))))
+    val wire = RemoteWrite.encodeV2(series)
+    assert(RemoteWrite.walkV2(wire) === series)
+    // interning is real: the shared "signup_total" symbol appears in
+    // the request bytes exactly once (v1 would carry it per series)
+    val text = new String(wire, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert("signup_total".r.findAllIn(text).size === 1)
+    assert(RemoteWrite.encode(series).containsSlice(
+      "signup_total".getBytes) && {
+      val v1 = new String(RemoteWrite.encode(series),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      "signup_total".r.findAllIn(v1).size === 2
+    }, "the v1 form repeats the label value per series")
+    // malformed v2: a ref past the symbol table fails loud
+    intercept[IllegalArgumentException](
+      RemoteWrite.walkV2(RemoteWrite.hexBytes("2A040A020163" + "2200")))
+  }
+
   test("malformed payloads fail loud: truncated varint, overrun length, group wire type") {
     // 0A = timeseries tag, then a continuation byte with no terminator
     intercept[IllegalArgumentException](RemoteWrite.walk(RemoteWrite.hexBytes("0A80")))
@@ -61,23 +98,27 @@ class RemoteWriteSpec extends SparkTestBase {
     intercept[IllegalArgumentException](RemoteWrite.walk(RemoteWrite.hexBytes("0B")))
   }
 
-  private def post(url: String, body: Array[Byte]): (Int, String) = {
+  private def post(url: String, body: Array[Byte],
+      contentType: String = "application/x-protobuf")
+      : (Int, String, Option[String]) = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
-    conn.setRequestProperty("Content-Type", "application/x-protobuf")
+    conn.setRequestProperty("Content-Type", contentType)
     conn.setRequestProperty("Content-Encoding", "snappy")
     try {
       val os = conn.getOutputStream
       try os.write(body) finally os.close()
       val code = conn.getResponseCode
+      val written = Option(conn.getHeaderField(
+        "X-Prometheus-Remote-Write-Samples-Written"))
       val is = Option(if (code >= 400) conn.getErrorStream else conn.getInputStream)
       val text = is.map { s =>
         try new String(s.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally s.close()
       }.getOrElse("")
-      (code, text)
+      (code, text, written)
     } finally conn.disconnect()
   }
 
@@ -96,12 +137,12 @@ class RemoteWriteSpec extends SparkTestBase {
         .outputMode(OutputMode.Update).start()
       try {
         // two pushes, like a forwarding Prometheus's successive sends
-        val (c1, _) = post(url, RemoteWrite.compress(RemoteWrite.encode(Seq(
+        val (c1, _, _) = post(url, RemoteWrite.compress(RemoteWrite.encode(Seq(
           RemoteWrite.Series(
             Vector("__name__" -> "purchase_total", "k" -> "a"),
             Vector((5.5, t1)))))))
         assert(c1 === 204)
-        val (c2, _) = post(url, RemoteWrite.compress(RemoteWrite.encode(Seq(
+        val (c2, _, _) = post(url, RemoteWrite.compress(RemoteWrite.encode(Seq(
           RemoteWrite.Series(
             Vector("__name__" -> "purchase_total", "k" -> "a"),
             Vector((7.25, t1 + 60000L))),
@@ -122,6 +163,43 @@ class RemoteWriteSpec extends SparkTestBase {
         assert(pa._8 === 5.5 && pa._9 === 7.25, "vmin/vmax bracket the pushes")
         assert(pa._12 === 7.25, "vlast follows the later SAMPLE timestamp")
         assert(state("click", "b")._6 === 1L)
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
+  test("POST negotiates remote write 2.0 by content type; written-samples header") {
+    val dir = fixture("events" ->
+      Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    val sink = new RemoteWriteSink(spark)
+    val server = graft.sources.QueryEndpoint.start(spark, dir,
+      remoteWrite = Some(sink))
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/write"
+    try {
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:01").getTime
+      val q = sink.events.writeStream.format("memory")
+        .queryName("rw_v2").outputMode("append").start()
+      try {
+        val body = RemoteWrite.compress(RemoteWrite.encodeV2(Seq(
+          RemoteWrite.Series(
+            Vector("__name__" -> "purchase_total", "k" -> "a"),
+            Vector((5.5, t1), (7.25, t1 + 1000L))),
+          RemoteWrite.Series(
+            Vector("__name__" -> "click_total", "k" -> "b"),
+            Vector((2.0, t1))))))
+        val (code, _, written) = post(url, body, RemoteWrite.V2ContentType)
+        assert(code === 204)
+        assert(written === Some("3"), "the 2.0 receiver reports accepted samples")
+        q.processAllAvailable()
+        val got = spark.table("rw_v2")
+          .select("event_type", "value").collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSet
+        assert(got === Set(("purchase", 5.5), ("purchase", 7.25),
+          ("click", 2.0)))
+        // a v2 body under the 1.0 content type decodes vacuously (no
+        // field-1 series) — accepted with ZERO samples written, the
+        // same mis-negotiation behavior an upstream 1.0 receiver has
+        val (code0, _, written0) = post(url, body)
+        assert(code0 === 204 && written0 === Some("0"))
       } finally q.stop()
     } finally server.stop(0)
   }
@@ -175,10 +253,10 @@ class RemoteWriteSpec extends SparkTestBase {
     val port = server.getAddress.getPort
     val url = s"http://127.0.0.1:$port/api/v1/write"
     try {
-      val (code, body) = post(url, Array[Byte](1, 2, 3))
+      val (code, body, _) = post(url, Array[Byte](1, 2, 3))
       assert(code === 400 && body.contains("bad_data"))
       // valid snappy frame around malformed protobuf is ALSO a 400
-      val (code2, _) = post(url,
+      val (code2, _, _) = post(url,
         RemoteWrite.compress(RemoteWrite.hexBytes("0A0500")))
       assert(code2 === 400)
       val conn = new java.net.URL(url).openConnection()
@@ -188,7 +266,7 @@ class RemoteWriteSpec extends SparkTestBase {
 
     val bare = graft.sources.QueryEndpoint.start(spark, dir)
     try {
-      val (code, body) = post(
+      val (code, body, _) = post(
         s"http://127.0.0.1:${bare.getAddress.getPort}/api/v1/write",
         RemoteWrite.compress(RemoteWrite.encode(Nil)))
       assert(code === 400 && body.contains("not configured"))
