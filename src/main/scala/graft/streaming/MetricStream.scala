@@ -91,6 +91,42 @@ object MetricStream {
         col("cnt"), col("sum_dec"), col("vmin"), col("vmax"),
         col("vfirst"), col("first_at"), col("vlast"), col("last_at"))
 
+  /** DURABLE pyramid maintenance, LSM-style: every micro-batch's
+    * updated rollup state rows APPEND to the on-disk block directory
+    * as immutable segments (no read-modify-write inside the streaming
+    * commit — append-only is crash-safe and never contends with
+    * readers); [[blocksView]] is the read-side merge that keeps only
+    * the LATEST state per (series, bucket). `cnt` is monotone within a
+    * bucket and `last_at` anchors ties, so "latest" is a max_by — the
+    * same recipe an LSM tree's read path uses, with compaction =
+    * rewriting the directory as its own merged view (what
+    * `tools/Materialize` emits). Closes ingest → rollup → DISK →
+    * router end to end: a restart serves scraped/pushed data from the
+    * segments alone.
+    */
+  def streamingBlocks(rollups: DataFrame, blockDir: String): StreamingQuery =
+    rollups.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(blockDir)
+      }
+      .start()
+
+  /** The block directory's merged serving view: latest state per
+    * (series, bucket) across all appended segments — schema-identical
+    * to the batch `rollupRaw`, so [[graft.operators.Downsample
+    * .seedRollup]] serves it to every pyramid consumer unchanged.
+    */
+  def blocksView(spark: SparkSession, blockDir: String): DataFrame = {
+    val all = spark.read.parquet(blockDir)
+    val key = Seq("name", "label_k", "label_instance", "kind", "bucket_s")
+    val payload = all.columns.filterNot(key.contains)
+    all.groupBy(key.map(col): _*)
+      .agg(expr(s"max_by(struct(${payload.mkString(", ")}), " +
+        "struct(cnt, last_at))").as("_s"))
+      .select(key.map(col) ++ payload.map(c => col(s"_s.$c").as(c)): _*)
+  }
+
   /** Running all-time counter totals per series via keyed state — the
     * direct analog of the registry's accumulating counter cells
     * (`prometheus.cpp:34-36,212`): state never resets, one row per

@@ -242,6 +242,64 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming block segments serve the pyramid after restart: append-only + merged view") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Downsample
+    val H = 3600000L
+    // event times non-decreasing across batches (the watermark contract
+    // a live scrape/push stream obeys); the 00:10/00:12 pair updates
+    // ONE bucket across two batches, producing a superseded segment
+    val rows = Seq(
+      ev(1, 10 * 60000L, "purchase", 1.5, "a"),
+      ev(2, 12 * 60000L, "purchase", 2.0, "a"),
+      ev(3, 5 * H + 600000L, "purchase", 0.25, "b"),
+      ev(4, 7 * H, "signup", 10.0, "a"))
+    val dir = fixture("events" -> rows.toDF(eventCols: _*))
+    val blockDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_blocks").toString + "/blocks"
+    val mem = MemoryStream[RawEvent]
+    val q = MetricStream.streamingBlocks(
+      MetricStream.streamingRollup(mem.toDF(), "2 minutes"), blockDir)
+    def re(t: (Long, java.sql.Timestamp, Long, String, Double, String)) =
+      RawEvent(t._1, t._2, t._3, t._4, t._5, t._6)
+    try {
+      // three micro-batches; the hour-0 bucket's state updates twice,
+      // so the directory holds a SUPERSEDED segment row
+      mem.addData(re(rows(0)))
+      q.processAllAvailable()
+      mem.addData(re(rows(1)), re(rows(2)))
+      q.processAllAvailable()
+      mem.addData(re(rows(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val segments = spark.read.parquet(blockDir)
+    val view = MetricStream.blocksView(spark, blockDir)
+    assert(segments.count() > view.count(),
+      "append-only segments keep superseded state; the view merges it away")
+    // the merged view IS the batch rollup, field for field
+    val batch = Downsample.rollupRaw(spark, dir, 3600L)
+    assert(view.columns.toSeq === batch.columns.toSeq)
+    assert(view.collect().map(_.toSeq).toSet ===
+      batch.collect().map(_.toSeq).toSet)
+    // the restart: in-memory faces gone, the router serves the STREAMED
+    // segments and answers exactly like the raw-events dense grid
+    Downsample.evictRollups(spark, dir)
+    Downsample.seedRollup(spark, dir, "base", view)
+    try {
+      val query = "sum by (k) (increase(purchase[6h]))"
+      val routed = graft.promql.Pyramid
+        .queryRangeAligned(spark, dir, query, 4, 21600L)
+        .collect().map(_.toSeq).toSet
+      val t = graft.promql.Compiler.instantSeconds(spark, dir).toLong
+      val endS = t / 21600L * 21600L
+      val grid = graft.promql.Compiler.rangeGridEval(spark, dir,
+          graft.promql.Parser.parse(query), endS - 3 * 21600L, endS, 21600L)
+        .get.collect().map(_.toSeq).toSet
+      assert(routed === grid)
+      assert(routed.nonEmpty)
+    } finally Downsample.evictRollups(spark, dir)
+  }
+
   test("streaming dedup drops replayed event_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
