@@ -104,7 +104,54 @@ object Api {
     * [[Pyramid]]), dense grid, per-instant union. Returns the matrix
     * relation with the grid instant as `_t`.
     */
-  private def rangeRelation(spark: SparkSession, dir: String, ast: Ast,
+  /** Grid evaluation SHARDED past the compose gate: a range wider than
+    * 4096 instants splits into ≤4096-instant chunks evaluated
+    * independently and unioned — sound because every grid value is a
+    * function of its own instant (the lattice bounds only scope the
+    * relation), so a chunked union is per-instant identical to one
+    * plan; `QueryRangeSpec` pins chunk-boundary continuity. The shard
+    * count is bounded (plans grow linearly in shards) — a panel wider
+    * than 65536 instants refuses loudly, like the 4096 gate it extends.
+    */
+  private def gridSharded(spark: SparkSession, dir: String, ast: Ast,
+      startS: Long, endS: Long, stepS: Long): Option[DataFrame] = {
+    val g = (endS - startS) / stepS + 1
+    if (g <= 4096)
+      Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
+    else if (g > 65536)
+      throw new PromQLCompileException(
+        s"query_range evaluates $g instants; 1..65536 supported " +
+          "(sharded over the 4096-instant grid)")
+    else {
+      // window arms budget extra lattice indexes (the rate lag
+      // baseline spans window/step indexes BEFORE each chunk), so the
+      // viable chunk width is shape-dependent: try 4096 and halve on
+      // the compose gate — compose-time only, nothing executes.
+      @annotation.tailrec
+      def attempt(size: Int): Option[DataFrame] = {
+        val res: Option[Option[DataFrame]] =
+          try {
+            val evaled = (startS to endS by stepS).grouped(size)
+              .map(c => Compiler.rangeGridEval(spark, dir, ast,
+                c.head, c.last, stepS)).toSeq
+            // all-or-nothing: a shape one chunk can't grid, none can —
+            // fall through to the union path's own gate untouched
+            if (evaled.exists(_.isEmpty)) Some(None)
+            else Some(Some(evaled.flatten.reduce(_ unionAll _)))
+          } catch {
+            case e: PromQLCompileException
+                if size > 256 && e.getMessage.contains("4096") => None
+          }
+        res match {
+          case Some(r) => r
+          case None => attempt(size / 2)
+        }
+      }
+      attempt(4096)
+    }
+  }
+
+  private[graft] def rangeRelation(spark: SparkSession, dir: String, ast: Ast,
       startS: Long, endS: Long, stepS: Long, grid: Boolean,
       maxSourceResS: Option[Long]): DataFrame = {
     val t = Compiler.instantSeconds(spark, dir)
@@ -115,7 +162,7 @@ object Api {
     maxSourceResS
       .flatMap(mr => Pyramid.rangeEval(spark, dir, ast, startS, endS, stepS, mr))
       .orElse(
-        if (grid) Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
+        if (grid) gridSharded(spark, dir, ast, startS, endS, stepS)
         else None)
       .map(_.withColumnRenamed("t_s", "_t")).getOrElse {
       if (instants.length > 64)

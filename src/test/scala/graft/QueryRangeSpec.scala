@@ -297,6 +297,48 @@ class QueryRangeSpec extends SparkTestBase {
     assert(sqWide.contains("\"resultType\":\"matrix\""))
   }
 
+  test("query_range shards past the 4096-instant grid gate; boundaries continuous") {
+    import graft.promql.{Ast, Compiler, Parser}
+    val stepS = 60L
+    val endS = T0 + 8 * dayS
+    val startS = endS - 4999 * stepS
+    // running totals emit at EVERY instant once a series has data, so
+    // the full 5000-instant width is visible
+    val q = "sum by (k) (purchase)"
+    val ast = Ast.resolveAtEdges(Parser.parse(q), Some(startS), Some(endS))
+    val full = Api.rangeRelation(spark, dir, ast, startS, endS, stepS,
+      grid = true, None)
+    val ts = full.select("_t").distinct().as[Long].collect().sorted
+    assert(ts.length === 5000, "the matrix spans past the one-plan gate")
+    assert(ts.head === startS && ts.last === endS)
+    // chunk-boundary continuity: a 64-instant window STRADDLING the
+    // first shard edge equals its own direct one-chunk grid eval
+    val bStart = startS + (4096 - 32) * stepS
+    val bEnd = bStart + 63 * stepS
+    val window = full.filter(col("_t").between(bStart, bEnd))
+      .collect().map(_.toSeq).toSet
+    val direct = Compiler.rangeGridEval(spark, dir, ast, bStart, bEnd, stepS)
+      .get.withColumnRenamed("t_s", "_t").collect().map(_.toSeq).toSet
+    assert(window === direct)
+    assert(window.size === 64 * 2, "both k groups at all 64 instants")
+    // WINDOW arms shard too — their lag baseline shrinks the viable
+    // chunk width, exercising the compose-time halving retry
+    val rAst = Ast.resolveAtEdges(
+      Parser.parse("sum by (k) (rate(purchase[1d]))"),
+      Some(startS), Some(endS))
+    val rated = Api.rangeRelation(spark, dir, rAst, startS, endS, stepS,
+      grid = true, None)
+    val rTs = rated.select("_t").distinct().as[Long].collect().sorted
+    assert(rTs.last === endS, "the last shard serves the day-8 window")
+    assert(rTs.nonEmpty && rTs.head < startS + 4096 * stepS,
+      "an earlier shard serves the day-5 windows")
+    // past the shard bound: the same loud compose-time refusal style
+    val err = intercept[PromQLCompileException](
+      Api.rangeRelation(spark, dir, ast, endS - 70000 * stepS, endS, stepS,
+        grid = true, None))
+    assert(err.getMessage.contains("65536"))
+  }
+
   test("subquery grid: outer step a strict multiple of the lattice step") {
     // outer step 2d over a 1d lattice (r = 2): every outer instant maps
     // to lattice index k + (i-1)·r — union ≡ grid pins the mapping
