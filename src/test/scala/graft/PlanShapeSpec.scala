@@ -504,7 +504,11 @@ class PlanShapeSpec extends SparkTestBase {
   test("p88/p90/p91: pyramid panels slide windows over rollups; lattices broadcast; no cartesian") {
     for (name <- Seq("p88_rollup_panel", "p90_rollup_histogram",
         "p91_rollup_native_hq", "p92_pyramid_router", "p93_pyramid_gauge",
-        "p94_pyramid_totals", "p95_pyramid_hq")) {
+        "p94_pyramid_totals", "p95_pyramid_hq",
+        // the generic vector-aggregation layer keeps the same shape:
+        // per-series windows over rollups, one hash-agg per instant
+        // group on top — never a union, never a cartesian
+        "p100_pyramid_agg", "p101_pyramid_topk")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
       assert(p.contains("Window"), s"$name lost the sliding rollup window")

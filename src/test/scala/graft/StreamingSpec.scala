@@ -285,7 +285,7 @@ class StreamingSpec extends SparkTestBase {
     // segments and answers exactly like the raw-events dense grid
     Downsample.evictRollups(spark, dir)
     Downsample.seedRollup(spark, dir, "base", view)
-    try {
+    val routedBefore = try {
       val query = "sum by (k) (increase(purchase[6h]))"
       val routed = graft.promql.Pyramid
         .queryRangeAligned(spark, dir, query, 4, 21600L)
@@ -297,7 +297,36 @@ class StreamingSpec extends SparkTestBase {
         .get.collect().map(_.toSeq).toSet
       assert(routed === grid)
       assert(routed.nonEmpty)
+      routed
     } finally Downsample.evictRollups(spark, dir)
+    // LSM COMPACTION: the directory rewrites as its own merged view —
+    // superseded segments fold away, answers do not move
+    val viewCount = view.count() // BEFORE the swap (stale listings after)
+    val (segsBefore, segsAfter) =
+      graft.tools.CompactBlocks.run(spark, blockDir)
+    assert(segsBefore > segsAfter, "compaction folded the superseded segment")
+    assert(segsAfter === viewCount)
+    val viewAfter = MetricStream.blocksView(spark, blockDir)
+    assert(viewAfter.collect().map(_.toSeq).toSet ===
+      batch.collect().map(_.toSeq).toSet, "compaction changed no state")
+    Downsample.seedRollup(spark, dir, "base", viewAfter)
+    try {
+      val routed = graft.promql.Pyramid.queryRangeAligned(spark, dir,
+          "sum by (k) (increase(purchase[6h]))", 4, 21600L)
+        .collect().map(_.toSeq).toSet
+      assert(routed === routedBefore, "answers moved under compaction")
+    } finally Downsample.evictRollups(spark, dir)
+    // RETENTION: keep only buckets at/after hour 5 — the hour-0 state
+    // retires, the kept buckets survive byte-identically
+    val keepFrom = batch.agg(org.apache.spark.sql.functions
+      .max(org.apache.spark.sql.functions.col("bucket_s"))).head.getLong(0)
+    graft.tools.CompactBlocks.run(spark, blockDir, keepFrom)
+    val retained = MetricStream.blocksView(spark, blockDir)
+    assert(retained.select("bucket_s").distinct().as[Long].collect()
+      .forall(_ >= keepFrom))
+    assert(retained.collect().map(_.toSeq).toSet ===
+      batch.filter(org.apache.spark.sql.functions.col("bucket_s") >= keepFrom)
+        .collect().map(_.toSeq).toSet)
   }
 
   test("streaming dedup drops replayed event_ids across micro-batches") {
