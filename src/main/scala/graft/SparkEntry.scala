@@ -501,6 +501,11 @@ object SparkEntry {
     "p101_pyramid_topk" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
       "topk(1, sum by (k) (rate(purchase[1d])))", 240, 21600L)
       .orderBy(col("label_k"), col("t_s"))),
+    // the B11 arm: histogram scalar derivations from the BASE rollup's
+    // (cnt, sum_dec) fields — no histogram ladder read at all
+    "p102_pyramid_hist_sum" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
+      "histogram_sum(rate(error[1d]))", 240, 21600L)
+      .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -966,6 +971,7 @@ object SparkEntry {
     "p99_pyramid_ratio" -> promql.Oracle.PyramidRatioSql,
     "p100_pyramid_agg" -> promql.Oracle.PyramidAggSql,
     "p101_pyramid_topk" -> promql.Oracle.PyramidTopkSql,
+    "p102_pyramid_hist_sum" -> promql.Oracle.PyramidHistScalarSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

@@ -611,6 +611,24 @@ object Oracle {
        |FROM r WHERE rn = 1
        |ORDER BY label_k, t_s""".stripMargin
 
+  /** p102: `histogram_sum(rate(error[1d]))` at 240 aligned 6h instants —
+    * the router's B11 arm: per-series windowed exact-decimal observation
+    * sums from the BASE rollup (cnt/sum_dec), ONE ÷86400 at the end.
+    */
+  val PyramidHistScalarSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) // 21600000000 AS ebi FROM m),
+       |inst AS (SELECT unnest(generate_series(0, 239)) AS i)
+       |SELECT m.name, m.label_k, m.label_instance,
+       |  (t.ebi - i.i) * 21600 AS t_s,
+       |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) / 86400.0 AS value
+       |FROM m, t, inst i
+       |WHERE m.name = 'error'
+       |  AND epoch_us(m.ts) >  ((t.ebi - i.i) * 21600 - 86400) * 1000000
+       |  AND epoch_us(m.ts) <= (t.ebi - i.i) * 21600 * 1000000
+       |GROUP BY m.name, m.label_k, m.label_instance, i.i, t.ebi
+       |ORDER BY name, label_k, label_instance, t_s""".stripMargin
+
   /** p83: `max_over_time((sum by (k) (rate(purchase[1d])))[1d:6h])` on
     * the 240×6h grid — the subquery inner evaluates once on the shared
     * 6h lattice, each outer step takes the max over its 4 trailing

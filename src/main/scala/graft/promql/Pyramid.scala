@@ -120,6 +120,17 @@ object Pyramid {
       // gauge instant vector: last-write-wins through each instant
       case sel: Selector if servableGauge(sel) =>
         serveGauge(spark, dir, sel, startS, endS, stepS, resolutions)
+      // B11 derivations: histogram_count/sum/avg over a windowed
+      // histogram family — the base rollup row already carries the
+      // observation count and exact-decimal sum per bucket, so each is
+      // one sliding window over the compacted relation (count and sum
+      // ride undivided under rate's deferred divisor; avg divides the
+      // two windowed moments — scale-invariant, rate ≡ increase)
+      case Func(fn @ ("histogram_count" | "histogram_sum" | "histogram_avg"),
+          None, Func(rf @ ("rate" | "increase"), None, sel: Selector))
+          if servableHist(sel) =>
+        serveHistScalar(spark, dir, fn, rf, sel, startS, endS, stepS,
+          resolutions)
       // classic histogram_quantile over a windowed (aggregated)
       // histogram family — rank = φ·count is scale-invariant, so
       // rate and increase route identically
@@ -562,6 +573,60 @@ object Pyramid {
             (col("t_s") - lit(startS)) % lit(stepS) === 0)
           .select(keys.map(col) :+ col("t_s") :+ col("_v").as("value"): _*)
         (df, keys, None)
+      }
+  }
+
+  /** `histogram_count/sum/avg(rate|increase(hist[W]))` per series from
+    * the BASE rollup's (cnt, sum_dec) fields — the union path's
+    * windowed moments over compacted buckets: count and sum ride
+    * undivided (rate's ÷W defers to materialize, so the division
+    * expression is the union path's `cnt/W` / `(Σdec→double)/W`
+    * exactly); avg = the exact-decimal sum over the count with the
+    * casts in the union path's order.
+    */
+  private def serveHistScalar(spark: SparkSession, dir: String, fn: String,
+      rf: String, sel: Selector, startS: Long, endS: Long, stepS: Long,
+      resolutions: Seq[Long]): Option[Vec] = {
+    val w = sel.rangeS.get
+    resolutions
+      .find(r => w % r == 0 && stepS % r == 0 && startS % r == 0)
+      .map { res =>
+        val nb = (w / res).toInt
+        val bLo = startS / res - nb
+        val bHi = endS / res - 1
+        val roll = rollOf(spark, dir, sel, res, bHi)
+          .filter(col("_b") >= bLo)
+          .groupBy((FullKey :+ "_b").map(col): _*)
+          .agg(sum(col("sum_dec")).as("_s"), sum(col("cnt")).as("_n"))
+        import spark.implicits._
+        val lattice = roll.select(FullKey.map(col): _*).distinct()
+          .crossJoin(broadcast(spark.range(bLo, bHi + 1).toDF("_b")))
+        val win = Window.partitionBy(FullKey.map(col): _*).orderBy(col("_b"))
+          .rowsBetween(-(nb - 1), Window.currentRow)
+        val windowed = lattice.join(roll, FullKey :+ "_b", "left")
+          .withColumn("_ws", sum(col("_s")).over(win))
+          .withColumn("_wn", sum(col("_n")).over(win))
+          .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
+          .filter(col("_wn") > 0 &&
+            col("t_s").between(startS, endS) &&
+            (col("t_s") - lit(startS)) % lit(stepS) === 0)
+        // values divide HERE, not at materialize: the reference for
+        // these shapes is the union path, whose aggregations consume
+        // the divided doubles (through the order-safe DECIMAL(38,12)
+        // sum) — deferring the divisor would sum exact decimals and
+        // disagree in the 12th decimal under sum/avg composition
+        val value = fn match {
+          case "histogram_count" =>
+            if (rf == "rate") col("_wn").cast("double") / lit(w.toDouble)
+            else col("_wn").cast("double")
+          case "histogram_sum" =>
+            if (rf == "rate") col("_ws").cast("double") / lit(w.toDouble)
+            else col("_ws").cast("double")
+          case "histogram_avg" =>
+            col("_ws").cast("double") / col("_wn").cast("double")
+        }
+        (windowed.select(FullKey.map(col) :+ col("t_s") :+
+          value.as("value"): _*), FullKey, None)
       }
   }
 

@@ -122,6 +122,28 @@ class PyramidRouterSpec extends SparkTestBase {
     }
   }
 
+  test("histogram scalar derivations route from the base rollup (vs the union path)") {
+    // no dense-grid arm exists for these shapes, so the reference
+    // answer is the per-instant UNION path (Api.rangeRelation grid=off)
+    for (q <- Seq(
+        "histogram_sum(rate(error[1d]))",
+        "histogram_count(increase(error[6h]))",
+        "histogram_count(rate(error[1d]))",
+        "histogram_avg(rate(error[1d]))",
+        // …and the generic aggregation layer composes on top
+        "sum by (k) (histogram_sum(rate(error[1d])))",
+        "max(histogram_count(rate(error[1d])))")) {
+      val (s, e, ast) = aligned(dir, q, 6)
+      val routed = Pyramid.rangeEval(spark, dir, ast, s, e, Res)
+        .getOrElse(fail(s"router declined: $q"))
+      val union = graft.promql.Api.rangeRelation(spark, dir, ast, s, e, Res,
+          grid = false, None).withColumnRenamed("_t", "t_s")
+        .select(routed.columns.map(col): _*) // union appends _t last
+      assert(rows(routed) === rows(union), q)
+      assert(rows(routed).nonEmpty, q)
+    }
+  }
+
   test("the router generalizes the hand-built rollup panel (p88 shape)") {
     val sf = "/root/testdata/sf0.001"
     val panel = Downsample.rollupPanel(spark, sf)
