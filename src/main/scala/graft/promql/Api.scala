@@ -317,6 +317,36 @@ object Api {
   def parseQueryJson(query: String): String =
     envelope(Format.json(Parser.parse(query)))
 
+  /** `/api/v1/status/config` twin — Grafana's "show configuration":
+    * the server's standing rule file rendered as the Prometheus rule
+    * YAML it is equivalent to, under upstream's `{"yaml": …}` envelope.
+    * Durations render canonically ([[Format]]'s convention); a server
+    * started with no rules serves an empty groups list, not an error.
+    */
+  def configJson(alertRules: Seq[Rules.AlertRule],
+      recordingRules: Seq[Rules.RecordingRule]): String = {
+    def dur(s: Long): String =
+      if (s <= 0) "0s"
+      else if (s % 86400 == 0) s"${s / 86400}d"
+      else if (s % 3600 == 0) s"${s / 3600}h"
+      else if (s % 60 == 0) s"${s / 60}m"
+      else s"${s}s"
+    val rules =
+      recordingRules.map(r =>
+        s"  - record: ${r.record}\n    expr: ${r.expr}") ++
+        alertRules.map { a =>
+          s"  - alert: ${a.alert}\n    expr: ${a.expr}" +
+            (if (a.forS > 0) s"\n    for: ${dur(a.forS)}" else "")
+        }
+    val yaml =
+      if (rules.isEmpty) "groups: []\n"
+      else "groups:\n- name: graft\n" +
+        (alertRules.map(_.intervalS).filter(_ > 0).headOption
+          .map(i => s"  interval: ${dur(i)}\n").getOrElse("")) +
+        "  rules:\n" + rules.mkString("\n") + "\n"
+    envelope(s"""{"yaml":"${jsonEscape(yaml)}"}""")
+  }
+
   /** `/api/v1/status/flags` twin: the engine's REAL serving knobs under
     * flag-map shape — honest analogs of upstream's CLI flags (grid
     * bound, rollup lattice, shuffle width), never invented Go flags.

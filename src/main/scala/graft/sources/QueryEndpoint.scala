@@ -183,6 +183,9 @@ object QueryEndpoint {
     server.createContext("/api/v1/status/flags", handler { _ =>
       Api.flagsJson(spark)
     })
+    server.createContext("/api/v1/status/config", handler { _ =>
+      Api.configJson(alertRules, recordingRules)
+    })
     server.createContext("/api/v1/status/runtimeinfo", handler { _ =>
       Api.runtimeInfoJson(spark)
     })

@@ -203,6 +203,13 @@ class QueryApiSpec extends SparkTestBase {
       assert(byName("k_totals").get("type").asText === "recording")
       assert(byName("k_totals").get("health").asText === "ok")
       assert(byName("broken").get("health").asText === "err")
+      // status/config: the standing rule file as its Prometheus YAML
+      val cfg = om.readTree(get(port, "/api/v1/status/config")._2)
+        .get("data").get("yaml").asText
+      assert(cfg.contains("- alert: High"))
+      assert(cfg.contains("expr: sum by (k) (purchase) > 3"))
+      assert(cfg.contains("for: 1d") && cfg.contains("interval: 1d"))
+      assert(cfg.contains("- record: k_totals"))
     } finally server.stop(0)
   }
 
