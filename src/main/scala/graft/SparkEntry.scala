@@ -171,6 +171,17 @@ object SparkEntry {
     // remote write 2.0: the symbol-table protocol — interned label
     // refs resolved by walkV2, normalized through the standard decode
     "a1k_remote_write_v2" -> ((s, _) => sources.RemoteWrite.wireDecodeV2(s)),
+    // the live native-histogram FAMILY over remote write: two pushes,
+    // last-write-wins registry state, histogram_quantile(0.9) served
+    // straight off the family (r12's declared future work, closed)
+    "a1l_remote_write_family" -> ((s, _) => sources.RemoteWrite.wireDecodeFamily(s)),
+    // TSDB admin tier: delete_series tombstone exclusion (two deletes —
+    // a matcher set over all time, a family bounded in time), pure form
+    "a1m_delete_series" -> ((s, d) => promql.Admin.deletedCounterSnapshot(s, d)),
+    // the OTLP door: a hand-assembled ExportMetricsServiceRequest
+    // translated by the public OTLP→Prometheus rules, normalized
+    // through the same generator as remote write
+    "a1n_otlp_ingest" -> ((s, _) => sources.Otlp.otlpIngest(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -863,6 +874,9 @@ object SparkEntry {
     "a1i_remote_write_decode" -> sources.RemoteWrite.WireDecodeSql,
     "a1j_remote_write_hist" -> sources.RemoteWrite.WireDecodeHistSql,
     "a1k_remote_write_v2" -> sources.RemoteWrite.WireDecodeV2Sql,
+    "a1l_remote_write_family" -> sources.RemoteWrite.WireDecodeFamilySql,
+    "a1m_delete_series" -> promql.Admin.DeletedCounterSnapshotSql,
+    "a1n_otlp_ingest" -> sources.Otlp.OtlpIngestSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -53,11 +53,17 @@ object Metrics {
   private val eventsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def metricEvents(spark: SparkSession, dir: String): DataFrame =
+  private def baseEvents(spark: SparkSession, dir: String): DataFrame =
     eventsCache.computeIfAbsent((spark, dir), k => {
       SessionCaches.onApplicationEnd(spark)(() => eventsCache.remove(k))
       metricEventsOf(Tables.events(spark, dir)).persist()
     })
+
+  def metricEvents(spark: SparkSession, dir: String): DataFrame =
+    // TSDB tombstones (/api/v1/admin/tsdb/delete_series): queries
+    // exclude deleted samples immediately — a pure scan predicate, the
+    // no-tombstone fast path returns the cached relation untouched
+    graft.promql.Admin.applyTombstones(spark, dir, baseEvents(spark, dir))
 
   /** Release every cached adapter view of `spark` (long-lived sessions
     * that cycle through many sf dirs — notebooks, services — call this
@@ -69,6 +75,22 @@ object Metrics {
     eventsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
       Option(eventsCache.remove(k)).foreach(_.unpersist())
     }
+  }
+
+  /** The physical half of `clean_tombstones`
+    * ([[graft.promql.Admin.cleanTombstones]]): compact the head to the
+    * rows KEPT by `keep` — materialize the filtered child first (so the
+    * swap is atomic-enough for a serving session), then release the
+    * parent. At 100 TB the analog is the silver-table rewrite a real
+    * TSDB runs as block compaction; here it is the cache-entry swap.
+    */
+  private[graft] def compactHead(spark: SparkSession, dir: String,
+      keep: Column): Unit = {
+    val base = baseEvents(spark, dir) // create-if-absent: clean must
+    val compacted = base.filter(keep).persist() // never silently no-op
+    compacted.count() // materialize before dropping the parent blocks
+    eventsCache.put((spark, dir), compacted)
+    base.unpersist()
   }
 
   /** The silver-table swap (SURVEY §8, r10 ask #7): seed the adapter

@@ -62,6 +62,9 @@ case class RemoteWriteHistDecodeExpr(child: Expression)
     StructField("labels", MapType(StringType, StringType, valueContainsNull = false)),
     StructField("ts_ms", LongType),
     StructField("schema", IntegerType),
+    StructField("count", LongType),
+    StructField("sum", DoubleType),
+    StructField("zero_count", LongType),
     StructField("offs", ArrayType(IntegerType, containsNull = false)),
     StructField("lens", ArrayType(IntegerType, containsNull = false)),
     StructField("deltas", ArrayType(LongType, containsNull = false))))
@@ -81,7 +84,7 @@ case class RemoteWriteHistDecodeExpr(child: Expression)
         s.labels.map(l => UTF8String.fromString(l._2)).toArray[Any])
       val labels = new ArrayBasedMapData(keys, values)
       s.hists.iterator.map { h =>
-        InternalRow(labels, h.tsMs, h.schema,
+        InternalRow(labels, h.tsMs, h.schema, h.count, h.sum, h.zeroCount,
           new GenericArrayData(h.offs.toArray),
           new GenericArrayData(h.lens.toArray),
           new GenericArrayData(h.deltas.toArray))

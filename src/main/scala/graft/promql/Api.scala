@@ -553,7 +553,7 @@ object Api {
     * `/api/v1/labels`, and `/api/v1/label/<l>/values` (upstream's
     * `match[]` + `start`/`end` semantics).
     */
-  private def matchFilter(selectors: Seq[String],
+  private[graft] def matchFilter(selectors: Seq[String],
       startS: Option[Long], endS: Option[Long]): Column = {
     val filters = selectors.map { m =>
       Parser.parse(m) match {

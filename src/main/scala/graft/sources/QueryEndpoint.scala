@@ -160,6 +160,77 @@ object QueryEndpoint {
               e.getClass.getSimpleName)))
         }
     })
+    // the OTLP door: an OpenTelemetry collector's protobuf export,
+    // translated by the public compatibility rules and normalized onto
+    // the same stream wire shape as remote write (200 empty response on
+    // accept, like upstream's OTLP receiver; gzip bodies negotiate by
+    // Content-Encoding; malformed bytes and delta sums 400)
+    server.createContext("/api/v1/otlp/v1/metrics", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          if (ex.getRequestMethod != "POST") {
+            respond(ex, 405, errorBody("OTLP ingest requires POST"))
+          } else remoteWrite match {
+            case Some(sink) =>
+              val raw = ex.getRequestBody.readAllBytes()
+              val body =
+                if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+                  .exists(_.contains("gzip"))) {
+                  val in = new java.util.zip.GZIPInputStream(
+                    new java.io.ByteArrayInputStream(raw))
+                  try in.readAllBytes() finally in.close()
+                } else raw
+              sink.receiveSeries(Otlp.translate(Otlp.walk(body)))
+              ex.sendResponseHeaders(200, -1L)
+              ex.getResponseBody.close()
+            case None => respond(ex, 400,
+              errorBody("OTLP ingest is not configured on this server"))
+          }
+        } catch {
+          case e: Exception =>
+            respond(ex, 400, errorBody(Option(e.getMessage).getOrElse(
+              e.getClass.getSimpleName)))
+        }
+    })
+    // the TSDB admin API (upstream gates it behind
+    // --web.enable-admin-api; this server exists to serve the engine's
+    // own capabilities, so it is always on): delete_series records
+    // tombstones and returns 204 — every query excludes the covered
+    // samples immediately; clean_tombstones applies them physically
+    // (204); snapshot writes a consistent copy and returns its name.
+    def adminHandler(f: HttpExchange => Option[String]): HttpHandler =
+      new HttpHandler {
+        override def handle(ex: HttpExchange): Unit =
+          try {
+            if (ex.getRequestMethod != "POST" && ex.getRequestMethod != "PUT") {
+              respond(ex, 405, errorBody("admin endpoints require POST or PUT"))
+            } else f(ex) match {
+              case Some(body) => respond(ex, 200, body)
+              case None =>
+                ex.sendResponseHeaders(204, -1L)
+                ex.getResponseBody.close()
+            }
+          } catch {
+            case e: Exception =>
+              respond(ex, 400, errorBody(Option(e.getMessage).getOrElse(
+                e.getClass.getSimpleName)))
+          }
+      }
+    server.createContext("/api/v1/admin/tsdb/delete_series", adminHandler { ex =>
+      val ms = multiParams(ex).collect { case ("match[]", v) => v }
+      val p = params(ex)
+      graft.promql.Admin.deleteSeries(spark, dir, ms,
+        p.get("start").map(epochS), p.get("end").map(epochS))
+      None
+    })
+    server.createContext("/api/v1/admin/tsdb/clean_tombstones", adminHandler { _ =>
+      graft.promql.Admin.cleanTombstones(spark, dir)
+      None
+    })
+    server.createContext("/api/v1/admin/tsdb/snapshot", adminHandler { _ =>
+      val name = graft.promql.Admin.snapshot(spark, dir)
+      Some(s"""{"status":"success","data":{"name":"${jsonEscape(name)}"}}""")
+    })
     server.createContext("/api/v1/targets", handler { _ =>
       Api.targetsJson(scrapeTargets.map(_.status))
     })

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Prometheus REMOTE WRITE 1.0 — the PUSH twin of the reference's pull
@@ -49,10 +50,15 @@ object RemoteWrite {
     * bucket ladder the engine models (`prometheus.cpp:256-306`'s
     * scrape-side twin carried over remote write) — span offsets/lengths
     * and the delta chain, exactly the exposition encoding
-    * [[graft.operators.Metrics.decodeWireSpans]] walks.
+    * [[graft.operators.Metrics.decodeWireSpans]] walks — plus the
+    * sample's own scalar state (prompb `count_int`/`sum`/
+    * `zero_count_int`, fields 1/3/6): a native-histogram sample is a
+    * COMPLETE snapshot, so these ride with every sample and the family
+    * registry's last-write-wins needs no reconstruction.
     */
   final case class Hist(tsMs: Long, schema: Int,
-      offs: Vector[Int], lens: Vector[Int], deltas: Vector[Long])
+      offs: Vector[Int], lens: Vector[Int], deltas: Vector[Long],
+      count: Long = 0L, sum: Double = 0.0, zeroCount: Long = 0L)
 
   /** Decode an UNCOMPRESSED `WriteRequest` payload. Throws
     * `IllegalArgumentException` on malformed bytes (truncated message,
@@ -168,13 +174,19 @@ object RemoteWrite {
     def histogram(limit: Int): Hist = {
       var ts = 0L
       var schema = 0
+      var count = 0L
+      var hsum = 0.0
+      var zero = 0L
       val offs = Vector.newBuilder[Int]
       val lens = Vector.newBuilder[Int]
       val deltas = Vector.newBuilder[Long]
       while (pos < limit) {
         val tag = varint(limit)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 0) => count = varint(limit) // count_int
+          case (3, 1) => hsum = java.lang.Double.longBitsToDouble(fixed64(limit))
           case (4, 0) => schema = zigzag(varint(limit)).toInt
+          case (6, 0) => zero = varint(limit) // zero_count_int
           case (11, 2) =>
             val (o, l) = bucketSpan(lenDelim(limit)); offs += o; lens += l
           case (12, 2) => // packed zigzag deltas (proto3 default)
@@ -182,10 +194,11 @@ object RemoteWrite {
             while (pos < u) deltas += zigzag(varint(u))
           case (12, 0) => deltas += zigzag(varint(limit)) // unpacked form
           case (15, 0) => ts = varint(limit)
-          case (_, wt) => skip(wt, limit) // count/sum/zero/negative/float
+          case (_, wt) => skip(wt, limit) // float forms/negative/reset hint
         }
       }
-      Hist(ts, schema, offs.result(), lens.result(), deltas.result())
+      Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
+        count, hsum, zero)
     }
 
     def timeSeries(limit: Int): Series = {
@@ -321,13 +334,25 @@ object RemoteWrite {
       def histogram(limit: Int): Hist = {
         var ts = 0L
         var schema = 0
+        var count = 0L
+        var hsum = 0.0
+        var zero = 0L
         val offs = Vector.newBuilder[Int]
         val lens = Vector.newBuilder[Int]
         val deltas = Vector.newBuilder[Long]
         while (pos < limit) {
           val tag = varint(limit)
           ((tag >> 3).toInt, (tag & 7).toInt) match {
+            case (1, 0) => count = varint(limit)
+            case (3, 1) =>
+              if (pos + 8 > limit) fail("truncated fixed64")
+              var bits = 0L
+              var i = 0
+              while (i < 8) { bits |= (bytes(pos + i) & 0xFFL) << (8 * i); i += 1 }
+              pos += 8
+              hsum = java.lang.Double.longBitsToDouble(bits)
             case (4, 0) => schema = zigzag(varint(limit)).toInt
+            case (6, 0) => zero = varint(limit)
             case (11, 2) =>
               val (o, l) = bucketSpan(lenDelim(limit)); offs += o; lens += l
             case (12, 2) =>
@@ -338,7 +363,8 @@ object RemoteWrite {
             case (_, wt) => skip(wt, limit)
           }
         }
-        Hist(ts, schema, offs.result(), lens.result(), deltas.result())
+        Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
+          count, hsum, zero)
       }
       while (pos < until) {
         val tag = varint(until)
@@ -408,8 +434,20 @@ object RemoteWrite {
       s.hists.foreach { h =>
         def zz(n: Long): Long = (n << 1) ^ (n >> 63)
         val hm = new java.io.ByteArrayOutputStream()
+        if (h.count != 0L) { // count_int, field 1
+          writeVarint(hm, (1L << 3) | 0L); writeVarint(hm, h.count)
+        }
+        if (h.sum != 0.0) { // sum, field 3, little-endian double
+          writeVarint(hm, (3L << 3) | 1L)
+          val sb = java.lang.Double.doubleToLongBits(h.sum)
+          var i = 0
+          while (i < 8) { hm.write(((sb >>> (8 * i)) & 0xFF).toInt); i += 1 }
+        }
         writeVarint(hm, (4L << 3) | 0L) // schema, sint32
         writeVarint(hm, zz(h.schema.toLong))
+        if (h.zeroCount != 0L) { // zero_count_int, field 6
+          writeVarint(hm, (6L << 3) | 0L); writeVarint(hm, h.zeroCount)
+        }
         h.offs.zip(h.lens).foreach { case (o, l) =>
           val sp = new java.io.ByteArrayOutputStream()
           writeVarint(sp, (1L << 3) | 0L)
@@ -462,8 +500,20 @@ object RemoteWrite {
       }
       s.hists.foreach { h =>
         val hm = new java.io.ByteArrayOutputStream()
+        if (h.count != 0L) {
+          writeVarint(hm, (1L << 3) | 0L); writeVarint(hm, h.count)
+        }
+        if (h.sum != 0.0) {
+          writeVarint(hm, (3L << 3) | 1L)
+          val sb = java.lang.Double.doubleToLongBits(h.sum)
+          var i = 0
+          while (i < 8) { hm.write(((sb >>> (8 * i)) & 0xFF).toInt); i += 1 }
+        }
         writeVarint(hm, (4L << 3) | 0L)
         writeVarint(hm, zz(h.schema.toLong))
+        if (h.zeroCount != 0L) {
+          writeVarint(hm, (6L << 3) | 0L); writeVarint(hm, h.zeroCount)
+        }
         h.offs.zip(h.lens).foreach { case (o, l) =>
           val sp = new java.io.ByteArrayOutputStream()
           writeVarint(sp, (1L << 3) | 0L); writeVarint(sp, zz(o.toLong))
@@ -593,14 +643,16 @@ object RemoteWrite {
   }
 
   /** Relational decode of native-histogram payloads: `(recv_ts, proto)`
-    * rows → one `(recv_ts, labels, ts_ms, schema, offs, lens, deltas)`
-    * row per (series, histogram), via the second generator.
+    * rows → one `(recv_ts, labels, ts_ms, schema, count, sum,
+    * zero_count, offs, lens, deltas)` row per (series, histogram), via
+    * the second generator.
     */
   def decodeHist(payloads: DataFrame): DataFrame = {
     graft.plans.RemoteWriteDecodeExpr.register(payloads.sparkSession)
     payloads.select(col("recv_ts"),
       expr("prom_rw_decode_hist(proto)")
-        .as(Seq("labels", "ts_ms", "schema", "offs", "lens", "deltas")))
+        .as(Seq("labels", "ts_ms", "schema", "count", "sum", "zero_count",
+          "offs", "lens", "deltas")))
   }
 
   /** a1j — native histograms over remote write, b37c carried onto the
@@ -619,8 +671,8 @@ object RemoteWrite {
     //     0A 12  label: 0A 08 "__name__" 12 06 "req_ms"
     //     0A 06  label: 0A 01 "k" 12 01 "a"
     //     22 22  histogram, 34 bytes:
-    //       08 0D           count_int = 13 (skipped)
-    //       19 <7.5 LE: 0x401E000000000000>  sum (skipped)
+    //       08 0D           count_int = 13 (decoded; unused by this gate)
+    //       19 <7.5 LE: 0x401E000000000000>  sum (decoded; unused here)
     //       20 06           schema: zigzag(3) = 6
     //       5A 04 08 00 10 02   span {offset zigzag(0), length 2}
     //       5A 04 08 06 10 02   span {offset zigzag(3), length 2}
@@ -720,6 +772,224 @@ object RemoteWrite {
         element_at(col("labels"), "k").as("label_k"),
         col("ts_ms"), col("value"))
       .orderBy(col("metric"), col("ts_ms"))
+  }
+
+  /** The live native-histogram FAMILY registry over remote write — the
+    * r12 "future work" closed: a native-histogram sample is a COMPLETE
+    * snapshot of its series (count, sum, zero bucket, and the sparse
+    * ladder all ride in every sample), so family state is pure
+    * last-write-wins per series — the gauge convention
+    * (`prometheus.cpp:249`'s `Set`, lifted to histograms). One `max_by`
+    * hash aggregate on the sample timestamp: map-side combinable, state
+    * ∝ series, payload arrays never shuffle more than once.
+    */
+  def histFamily(hists: DataFrame): DataFrame =
+    hists
+      .select(element_at(col("labels"), "__name__").as("metric"),
+        coalesce(element_at(col("labels"), "k"), lit("")).as("label_k"),
+        col("ts_ms"), col("schema"), col("count"), col("sum"),
+        col("zero_count"), col("offs"), col("lens"), col("deltas"))
+      .groupBy(col("metric"), col("label_k"))
+      .agg(
+        max_by(struct(col("schema"), col("count"), col("sum"),
+          col("zero_count"), col("offs"), col("lens"), col("deltas")),
+          col("ts_ms")).as("h"),
+        max(col("ts_ms")).as("ts_ms"))
+      .select(col("metric"), col("label_k"), col("ts_ms"),
+        col("h.schema").as("schema"), col("h.count").as("count"),
+        col("h.sum").as("sum"), col("h.zero_count").as("zero_count"),
+        col("h.offs").as("offs"), col("h.lens").as("lens"),
+        col("h.deltas").as("deltas"))
+
+  /** `histogram_quantile(φ)` served straight from the remote-write
+    * family state: the wire spans walk to absolute bucket counts through
+    * the SAME shared decode as scrape-side ingest
+    * ([[graft.operators.Metrics.decodeWireSpans]]), the rank walk and
+    * in-bucket interpolation are the engine's pinned native-histogram
+    * steps (zero bucket first, `2^((i−1+f)/2^schema)` through the
+    * correctly-rounded [[graft.functions.DetMath.exp2Col]] twin), and
+    * count/zero come from the sample's own wire fields — so the value
+    * hash-gates against a DuckDB twin that re-derives the walk from the
+    * hand-decoded bucket relation. Windows touch only series×buckets
+    * rows; the rank past the last bucket returns its upper bound and a
+    * rank inside the zero bucket returns 0 (the aggregator's rules).
+    */
+  def familyQuantile(spark: SparkSession, family: DataFrame,
+      phi: Double): DataFrame = {
+    graft.plans.DetMathExprs.register(spark)
+    // the per-series scalars ride THROUGH the span walk as extra key
+    // columns (constant per series), so the whole evaluation is one
+    // window pass + ONE aggregate — no self-joins of the family lineage
+    // (min_by skips null keys, so the smallest candidate bucket's
+    // interpolated value wins, exactly the rank walk's first hit)
+    val keys = Seq("metric", "label_k", "schema", "count", "sum",
+      "zero_count")
+    val series = Seq("metric", "label_k").map(col)
+    val buckets = graft.operators.Metrics.decodeWireSpans(family, keys)
+    val w = Window.partitionBy(series: _*).orderBy(col("bucket"))
+    val rank = lit(phi) * col("count").cast("double")
+    val cand = buckets
+      .withColumn("cumc", sum(col("bucket_count")).over(w))
+      .join(broadcast(graft.operators.Metrics.nhBoundsDf(spark)
+        .select(col("bucket"), col("hi"))), Seq("bucket"))
+      .withColumn("_isc",
+        rank > col("zero_count").cast("double") &&
+          rank <= (col("zero_count") + col("cumc")).cast("double"))
+      .withColumn("f",
+        (rank -
+          (col("zero_count") + col("cumc") - col("bucket_count")).cast("double"))
+          / col("bucket_count").cast("double"))
+      .withColumn("xq",
+        ((col("bucket") - lit(1)).cast("double") + col("f"))
+          / pow(lit(2.0), col("schema").cast("double")))
+      .withColumn("_qv", graft.plans.DetMathExprs.detExp2C(col("xq")))
+    cand
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("hi")).as("last_hi"),
+        min_by(col("_qv"), when(col("_isc"), col("bucket"))).as("qv"))
+      .select(series :+ col("count") :+ col("zero_count") :+ col("sum") :+
+        when(rank <= col("zero_count").cast("double"), lit(0.0))
+          .when(col("qv").isNotNull, col("qv"))
+          .otherwise(col("last_hi")).as("p90"): _*)
+  }
+
+  /** a1l — remote-written native histograms land in a LIVE family
+    * (r12's declared future work): two pushes where the second
+    * supersedes the first for series `a` (last-write-wins at the family,
+    * like a later scrape replacing an earlier one), then
+    * `histogram_quantile(0.9)` evaluated straight off the family state —
+    * wire decode → LWW registry → span walk → pinned interpolation, end
+    * to end. Bytes hand-assembled as in a1i/a1j; the DuckDB oracle
+    * re-derives the quantile from the HAND-decoded latest bucket
+    * relation, so the gate fails if the registry ever serves a stale
+    * sample, misreads the new count/sum/zero_count wire fields, or
+    * breaks the span walk.
+    */
+  def wireDecodeFamily(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // push 1 — WriteRequest, hand-assembled:
+    //   0A 42  timeseries#1, 66 bytes:
+    //     0A 12  label: 0A 08 "__name__" 12 06 "req_ms"
+    //     0A 06  label: 0A 01 "k" 12 01 "a"
+    //     22 24  histogram, 36 bytes:
+    //       08 0F           count_int = 15
+    //       19 <7.5 LE: 0x401E000000000000>  sum
+    //       20 06           schema: zigzag(3) = 6
+    //       30 02           zero_count_int = 2
+    //       5A 04 08 00 10 02   span {offset 0, length 2}
+    //       5A 04 08 06 10 02   span {offset zigzag(3), length 2}
+    //       62 04 06 01 04 00   packed deltas: zigzag [3, -1, 2, 0]
+    //       78 E8 07        timestamp = 1000
+    //   0A 2E  timeseries#2, 46 bytes:
+    //     0A 12  label: __name__ = "req_ms"
+    //     0A 06  label: k = "b"
+    //     22 10  histogram, 16 bytes:
+    //       08 07           count_int = 7
+    //       20 06           schema 3
+    //       5A 04 08 03 10 01   span {offset zigzag(-2) = 3, length 1}
+    //       62 01 0E        packed deltas: zigzag [7]
+    //       78 D0 0F        timestamp = 2000
+    val push1 = hexBytes(
+      "0A42" +
+        "0A12" + "0A085F5F6E616D655F5F" + "1206" + "7265715F6D73" +
+        "0A06" + "0A016B" + "120161" +
+        "2224" +
+        "080F" +
+        "19" + "0000000000001E40" +
+        "2006" +
+        "3002" +
+        "5A0408001002" + "5A0408061002" +
+        "620406010400" +
+        "78E807" +
+      "0A2E" +
+        "0A12" + "0A085F5F6E616D655F5F" + "1206" + "7265715F6D73" +
+        "0A06" + "0A016B" + "120162" +
+        "2210" +
+        "0807" +
+        "2006" +
+        "5A0408031001" +
+        "62010E" +
+        "78D00F")
+    // push 2 — series a SUPERSEDED at t=3000:
+    //   0A 3A  timeseries#1, 58 bytes:
+    //     0A 12  label: __name__ = "req_ms"
+    //     0A 06  label: k = "a"
+    //     22 1C  histogram, 28 bytes:
+    //       08 09           count_int = 9
+    //       19 <4.25 LE: 0x4011000000000000>  sum
+    //       20 06           schema 3
+    //       30 01           zero_count_int = 1
+    //       5A 04 08 02 10 02   span {offset zigzag(1), length 2}
+    //       62 02 0A 03     packed deltas: zigzag [5, -2]
+    //       78 B8 17        timestamp = 3000
+    val push2 = hexBytes(
+      "0A3A" +
+        "0A12" + "0A085F5F6E616D655F5F" + "1206" + "7265715F6D73" +
+        "0A06" + "0A016B" + "120161" +
+        "221C" +
+        "0809" +
+        "19" + "0000000000001140" +
+        "2006" +
+        "3001" +
+        "5A0408021002" +
+        "62020A03" +
+        "78B817")
+    val payloads = Seq(push1, push2).toDF("proto")
+      .withColumn("recv_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    familyQuantile(spark, histFamily(decodeHist(payloads)), 0.9)
+      .orderBy(col("metric"), col("label_k"))
+  }
+
+  /** Oracle twin of [[wireDecodeFamily]]: the LATEST wire state derived
+    * by hand (series a is push 2's snapshot — buckets 1:5, 2:3 from
+    * span {1,2} + deltas [5,−2]; series b is push 1's — bucket −2:7),
+    * with the rank walk and the pinned exp2 interpolation re-run in SQL
+    * (rank 0.9·9 = 8.1 lands in bucket 2 past zero_count 1; rank
+    * 0.9·7 = 6.3 lands in bucket −2).
+    */
+  lazy val WireDecodeFamilySql: String = {
+    val interp = graft.functions.DetMath.exp2Sql("xq")
+    s"""WITH f(metric, label_k, count, zero_count, sum) AS (VALUES
+       |  ('req_ms', 'a', CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST('4.25' AS DOUBLE)),
+       |  ('req_ms', 'b', CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST('0.0' AS DOUBLE))),
+       |bk(metric, label_k, bucket, c) AS (VALUES
+       |  ('req_ms', 'a', 1, CAST(5 AS BIGINT)),
+       |  ('req_ms', 'a', 2, CAST(3 AS BIGINT)),
+       |  ('req_ms', 'b', -2, CAST(7 AS BIGINT))),
+       |bounds AS (${graft.operators.Metrics.NhBoundsSql}),
+       |bw AS (
+       |  SELECT bk.*, SUM(c) OVER (PARTITION BY metric, label_k
+       |    ORDER BY bucket) AS cumc FROM bk),
+       |bs AS (
+       |  SELECT w.metric, w.label_k, MAX(b.hi) AS last_hi
+       |  FROM bw w JOIN bounds b ON b.bucket = w.bucket GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT w.metric, w.label_k, w.bucket,
+       |    (CAST('0.9' AS DOUBLE) * CAST(f.count AS DOUBLE)
+       |      - CAST(f.zero_count + w.cumc - w.c AS DOUBLE))
+       |      / CAST(w.c AS DOUBLE) AS fr,
+       |    ROW_NUMBER() OVER (PARTITION BY w.metric, w.label_k
+       |      ORDER BY w.bucket) AS rn
+       |  FROM bw w JOIN f ON f.metric = w.metric AND f.label_k = w.label_k
+       |  WHERE CAST('0.9' AS DOUBLE) * CAST(f.count AS DOUBLE)
+       |      > CAST(f.zero_count AS DOUBLE)
+       |    AND CAST('0.9' AS DOUBLE) * CAST(f.count AS DOUBLE)
+       |      <= CAST(f.zero_count + w.cumc AS DOUBLE)),
+       |pq AS (
+       |  SELECT metric, label_k, $interp AS qv
+       |  FROM (SELECT metric, label_k,
+       |          (CAST(bucket - 1 AS DOUBLE) + fr)
+       |            / pow(2.0, CAST(3 AS DOUBLE)) AS xq
+       |        FROM pick WHERE rn = 1))
+       |SELECT f.metric, f.label_k, f.count, f.zero_count, f.sum,
+       |  CASE WHEN CAST('0.9' AS DOUBLE) * CAST(f.count AS DOUBLE)
+       |         <= CAST(f.zero_count AS DOUBLE) THEN 0.0
+       |       WHEN pq.qv IS NOT NULL THEN pq.qv
+       |       ELSE bs.last_hi END AS p90
+       |FROM f
+       |LEFT JOIN pq ON pq.metric = f.metric AND pq.label_k = f.label_k
+       |LEFT JOIN bs ON bs.metric = f.metric AND bs.label_k = f.label_k
+       |ORDER BY f.metric, f.label_k""".stripMargin
   }
 
   /** Oracle twin of [[wireDecodeV2]]: the hand-derived sample relation
@@ -844,6 +1114,16 @@ class RemoteWriteSink(spark: SparkSession) {
     series.map(_.samples.length.toLong).sum
   }
 
+  /** Already-walked series (the OTLP door after translation) onto the
+    * same stream wire shape — the normalize-at-the-door convention
+    * every non-1.0 protocol follows. Returns the accepted sample count.
+    */
+  def receiveSeries(series: Seq[RemoteWrite.Series],
+      atMs: Long = System.currentTimeMillis()): Long = {
+    stream.addData((new java.sql.Timestamp(atMs), RemoteWrite.encode(series)))
+    series.map(s => (s.samples.length + s.hists.length).toLong).sum
+  }
+
   /** The raw payload relation: one (recv_ts, proto) row per POST. */
   def payloads: DataFrame = stream.toDF().toDF("recv_ts", "proto")
 
@@ -854,4 +1134,14 @@ class RemoteWriteSink(spark: SparkSession) {
     * `streamingRollup`, or any other ingest consumer.
     */
   def events: DataFrame = RemoteWrite.toEvents(samples)
+
+  /** Decoded native-histogram sample rows off the pushed payloads. */
+  def histograms: DataFrame = RemoteWrite.decodeHist(payloads)
+
+  /** The LIVE native-histogram family registry over everything pushed so
+    * far: last-write-wins state per series (streaming aggregation —
+    * write with `outputMode(Complete)`, or run as a batch over the
+    * drained payloads).
+    */
+  def nativeFamily: DataFrame = RemoteWrite.histFamily(histograms)
 }

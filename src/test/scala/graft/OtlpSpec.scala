@@ -1,0 +1,134 @@
+package graft
+
+import graft.sources.{Otlp, QueryEndpoint, RemoteWrite, RemoteWriteSink}
+
+/** The OTLP door: hand-assembled `ExportMetricsServiceRequest` bytes
+  * walk to exactly the hand-derived points, translation follows the
+  * public OTLP→Prometheus compatibility rules (unit suffixes, `_total`,
+  * resource identity → job/instance, delta rejection), and an HTTP POST
+  * to `/api/v1/otlp/v1/metrics` (plain and gzip) lands in the same
+  * streaming ingest as remote write.
+  */
+class OtlpSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hand-assembled OTLP payload translates to the hand-derived relation") {
+    val rows = Otlp.otlpIngest(spark)
+      .as[(String, String, String, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      ("cpu_temp", "checkout", "box:1", "us", 2000L, 42.0),
+      ("http_server_duration_seconds_total", "checkout", "box:1", "eu",
+        1000L, 3.5)))
+  }
+
+  test("name translation: sanitize, unit suffix, _total, namespace-prefixed job") {
+    def pt(name: String, unit: String, kind: String, mono: Boolean,
+        res: Vector[(String, String)] = Vector.empty): Otlp.Point =
+      Otlp.Point(name, unit, kind, mono, 2, res, Vector.empty, 1000000000L, 1.0)
+    assert(Otlp.promName(pt("http.server.duration", "s", "sum", true)) ===
+      "http_server_duration_seconds_total")
+    // already-suffixed names don't double up
+    assert(Otlp.promName(pt("queue.wait.seconds", "s", "gauge", false)) ===
+      "queue_wait_seconds")
+    assert(Otlp.promName(pt("disk.io", "By", "sum", true)) ===
+      "disk_io_bytes_total")
+    // dimensionless "1" appends nothing; non-monotonic sums get no _total
+    assert(Otlp.promName(pt("cache.ratio", "1", "sum", false)) === "cache_ratio")
+    assert(Otlp.promName(pt("cpu.usage", "%", "gauge", false)) ===
+      "cpu_usage_percent")
+    // service.namespace prefixes job
+    val s = Otlp.translate(Vector(pt("m", "", "gauge", false,
+      Vector("service.name" -> "api", "service.namespace" -> "prod"))))
+    assert(s.head.labels.toMap.get("job") === Some("prod/api"))
+  }
+
+  test("delta-temporality sums fail loud; gauges ignore temporality") {
+    val delta = Otlp.Point("m", "", "sum", true, 1, Vector.empty,
+      Vector.empty, 0L, 1.0)
+    val e = intercept[IllegalArgumentException](Otlp.translate(Vector(delta)))
+    assert(e.getMessage.contains("cumulative"))
+    val g = Otlp.Point("m", "", "gauge", false, 0, Vector.empty,
+      Vector.empty, 0L, 1.0)
+    assert(Otlp.translate(Vector(g)).size === 1)
+  }
+
+  test("malformed OTLP bytes fail loud") {
+    intercept[IllegalArgumentException](Otlp.walk(Array[Byte](0x0A, 0x05, 0x00)))
+    intercept[IllegalArgumentException](
+      Otlp.walk(RemoteWrite.hexBytes("0A03" + "0B0000"))) // group wiretype
+  }
+
+  test("POST /api/v1/otlp/v1/metrics ingests, gzip negotiates, errors 400/405") {
+    val dir = fixture("events" ->
+      Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    val sink = new RemoteWriteSink(spark)
+    val server = QueryEndpoint.start(spark, dir, remoteWrite = Some(sink))
+    val port = server.getAddress.getPort
+    val url = s"http://127.0.0.1:$port/api/v1/otlp/v1/metrics"
+    // re-use the a1n gate's hand-assembled payload bytes via the walker:
+    // one gauge point (cpu.temp) as a minimal live export
+    val body = {
+      // tiny request assembled through the translation's own wire
+      // helpers is circular — hand-build the 2-level nesting instead:
+      // resource_metrics { scope_metrics { metric { name="up.time",
+      //   unit="s", gauge { dp { time=1e9, as_double=2.5 } } } } }
+      RemoteWrite.hexBytes(
+        "0A26" + // resource_metrics, 38 bytes
+          "1224" + // scope_metrics, 36 bytes
+          "1222" + // metric, 34 bytes
+          "0A07" + "75702E74696D65" + // name = "up.time"
+          "1A01" + "73" + // unit = "s"
+          "2A14" + // gauge, 20 bytes
+          "0A12" + // data_point, 18 bytes
+          "19" + "00CA9A3B00000000" + // time = 1e9 ns
+          "21" + "0000000000000440") // as_double = 2.5
+    }
+    try {
+      def post(bytes: Array[Byte], gzip: Boolean = false): Int = {
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/x-protobuf")
+        if (gzip) conn.setRequestProperty("Content-Encoding", "gzip")
+        try {
+          val os = conn.getOutputStream
+          try os.write(bytes) finally os.close()
+          conn.getResponseCode
+        } finally conn.disconnect()
+      }
+      assert(post(body) === 200)
+      val gz = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(body); g.close()
+        bos.toByteArray
+      }
+      assert(post(gz, gzip = true) === 200)
+      val q = sink.events.writeStream.format("memory")
+        .queryName("otlp_ev").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val evs = spark.table("otlp_ev")
+          .select("event_type", "value")
+          .as[(String, Double)].collect().toSeq
+        assert(evs === Seq(
+          ("up_time_seconds", 2.5), ("up_time_seconds", 2.5)),
+          "both the plain and the gzip POST landed")
+      } finally q.stop()
+      assert(post(Array[Byte](1, 2, 3)) === 400)
+      // delta sum at the door: 400
+      val delta = RemoteWrite.hexBytes(
+        "0A18" + "1216" + "1214" +
+          "0A01" + "6D" + // name = "m"
+          "3A0F" + // sum, 15 bytes
+          "0A09" + // dp, 9 bytes: just the time
+          "19" + "00CA9A3B00000000" +
+          "1001" + "1801") // temporality = DELTA, monotonic
+      assert(post(delta) === 400)
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try assert(conn.getResponseCode === 405) finally conn.disconnect()
+    } finally server.stop(0)
+  }
+}

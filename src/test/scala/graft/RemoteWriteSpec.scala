@@ -272,4 +272,64 @@ class RemoteWriteSpec extends SparkTestBase {
       assert(code === 400 && body.contains("not configured"))
     } finally bare.stop(0)
   }
+
+  test("pushed native histograms land in a LIVE family: LWW registry through the sink") {
+    // the same two payloads the a1l gate hand-assembles, but POSTed
+    // through the RECEIVE path (snappy framing, driver-side validation,
+    // streaming relation) — the sink's family view must serve exactly
+    // the gate's batch answer: series a superseded by push 2, series b
+    // still push 1's snapshot
+    val sink = new RemoteWriteSink(spark)
+    val series1 = Vector(
+      RemoteWrite.Series(Vector("__name__" -> "req_ms", "k" -> "a"),
+        Vector.empty, Vector(RemoteWrite.Hist(1000L, 3, Vector(0, 3),
+          Vector(2, 2), Vector(3L, -1L, 2L, 0L), 15L, 7.5, 2L))),
+      RemoteWrite.Series(Vector("__name__" -> "req_ms", "k" -> "b"),
+        Vector.empty, Vector(RemoteWrite.Hist(2000L, 3, Vector(-2),
+          Vector(1), Vector(7L), 7L, 0.0, 0L))))
+    val series2 = Vector(
+      RemoteWrite.Series(Vector("__name__" -> "req_ms", "k" -> "a"),
+        Vector.empty, Vector(RemoteWrite.Hist(3000L, 3, Vector(1),
+          Vector(2), Vector(5L, -2L), 9L, 4.25, 1L))))
+    sink.receive(RemoteWrite.compress(RemoteWrite.encode(series1)))
+    sink.receive(RemoteWrite.compress(RemoteWrite.encode(series2)))
+    val q = sink.nativeFamily.writeStream.format("memory")
+      .queryName("rw_family").outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val fam = spark.table("rw_family")
+        .select("metric", "label_k", "ts_ms", "count", "sum", "zero_count")
+        .as[(String, String, Long, Long, Double, Long)].collect().sorted
+      assert(fam === Seq(
+        ("req_ms", "a", 3000L, 9L, 4.25, 1L),
+        ("req_ms", "b", 2000L, 7L, 0.0, 0L)))
+      // quantile off the streamed family state ≡ the a1l batch gate
+      val served = RemoteWrite.familyQuantile(spark,
+        spark.table("rw_family"), 0.9)
+        .orderBy($"metric", $"label_k")
+        .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+      val gate = RemoteWrite.wireDecodeFamily(spark)
+        .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+      assert(served === gate)
+    } finally q.stop()
+  }
+
+  test("hist round-trip carries count/sum/zero_count; re-push is idempotent at the family") {
+    val h = RemoteWrite.Hist(5000L, 3, Vector(2), Vector(1), Vector(4L),
+      11L, 2.25, 3L)
+    val s = Vector(RemoteWrite.Series(Vector("__name__" -> "x"),
+      Vector.empty, Vector(h)))
+    assert(RemoteWrite.walk(RemoteWrite.encode(s)) === s)
+    assert(RemoteWrite.walkV2(RemoteWrite.encodeV2(s)) === s)
+    // duplicate payload rows collapse to the same LWW state
+    val payloads = Seq(RemoteWrite.encode(s), RemoteWrite.encode(s))
+      .toDF("proto")
+      .withColumn("recv_ts",
+        org.apache.spark.sql.functions.lit(
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val fam = RemoteWrite.histFamily(RemoteWrite.decodeHist(payloads))
+      .select("metric", "label_k", "ts_ms", "count", "sum", "zero_count")
+      .as[(String, String, Long, Long, Double, Long)].collect().toSeq
+    assert(fam === Seq(("x", "", 5000L, 11L, 2.25, 3L)))
+  }
 }
