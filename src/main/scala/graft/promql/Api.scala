@@ -195,6 +195,23 @@ object Api {
       Some(maxSourceResS)).withColumnRenamed("_t", "t_s")
   }
 
+  /** A matrix relation's rows rendered to the response vocabulary:
+    * `m` = the series' metric-JSON object, `_t` = the instant, `s` =
+    * the `[t,"v"]` sample fragment — the ONE definition both the direct
+    * serving path and the results cache ([[ResultsCache]]) render from,
+    * so cached and uncached responses are byte-identical by
+    * construction.
+    */
+  private[graft] def seriesSamples(unioned: DataFrame): DataFrame = {
+    val labelCols = unioned.columns.filterNot(c => c == "value" || c == "_t").toSeq
+    val metric =
+      if (labelCols.isEmpty) lit("{}")
+      else to_json(struct(labelCols.map(c => col(c).as(promLabel(c))): _*))
+    val sample = concat(lit("["), col("_t").cast("string"),
+      lit(",\""), col("value").cast("string"), lit("\"]"))
+    unioned.select(metric.as("m"), col("_t"), sample.as("s"))
+  }
+
   private def queryRangeJsonBody(spark: SparkSession, dir: String,
       query: String, startS: Long, endS: Long, stepS: Long,
       grid: Boolean, maxSourceResS: Option[Long] = None): String = {
@@ -205,14 +222,7 @@ object Api {
     val ast = Ast.resolveAtEdges(Parser.parse(query), Some(startS), Some(endS))
     val unioned = rangeRelation(spark, dir, ast, startS, endS, stepS, grid,
       maxSourceResS)
-    val labelCols = unioned.columns.filterNot(c => c == "value" || c == "_t").toSeq
-    val metric =
-      if (labelCols.isEmpty) lit("{}")
-      else to_json(struct(labelCols.map(c => col(c).as(promLabel(c))): _*))
-    val sample = concat(lit("["), col("_t").cast("string"),
-      lit(",\""), col("value").cast("string"), lit("\"]"))
-    val series = unioned
-      .select(metric.as("m"), col("_t"), sample.as("s"))
+    val series = seriesSamples(unioned)
       .groupBy(col("m"))
       .agg(array_join(expr("transform(array_sort(collect_list(struct(_t, s))), x -> x.s)"),
         ",").as("vals"))

@@ -45,11 +45,25 @@ object Format {
       case c => c.toString
     } + "\""
 
+  /** Legacy-valid label/metric identifier — anything else renders in
+    * the 3.x quoted UTF-8 form the parser reads back.
+    */
+  private def legacyName(s: String): Boolean =
+    s.nonEmpty && (s.head.isLetter || s.head == '_' || s.head == ':') &&
+      s.forall(c => c.isLetterOrDigit || c == '_' || c == ':')
+
+  private def matcher(m: Matcher): String =
+    // a UTF-8 metric name matcher renders as the bare quoted-string
+    // sugar ({"my.metric"}); a UTF-8 label name quotes itself
+    if (m.label == "__name__" && m.op == "=" && !legacyName(m.value))
+      quoted(m.value)
+    else if (legacyName(m.label)) s"${m.label}${m.op}${quoted(m.value)}"
+    else s"${quoted(m.label)}${m.op}${quoted(m.value)}"
+
   private def selector(s: Selector): String = {
     val ms =
       if (s.matchers.isEmpty) ""
-      else s.matchers.map(m => s"${m.label}${m.op}${quoted(m.value)}")
-        .mkString("{", ",", "}")
+      else s.matchers.map(matcher).mkString("{", ",", "}")
     val range = s.rangeS.map(r => s"[${duration(r)}]").getOrElse("")
     val off = s.offsetS.map(o => s" offset ${duration(o)}").getOrElse("")
     val at = s.atS.map {

@@ -139,13 +139,24 @@ object Parser {
       val out = Seq.newBuilder[Matcher]
       while (!at("}")) {
         val l = take()
-        if (l.kind != "ident") fail("expected label name in matcher")
-        val op = take()
-        if (!(op.kind == "op" && Set("=", "!=", "=~", "!~").contains(op.text)))
-          fail("expected matcher operator")
-        val v = take()
-        if (v.kind != "string") fail("expected quoted matcher value")
-        out += Matcher(l.text, op.text, v.text)
+        // Prometheus 3.x UTF-8 names: a QUOTED label name
+        // (`{"label.name"="v"}`), and a bare quoted string as sugar for
+        // the metric name (`{"my.metric", k="a"}` ≡
+        // `{__name__="my.metric", k="a"}`)
+        if (l.kind == "string" &&
+            !peek.exists(t => t.kind == "op" &&
+              Set("=", "!=", "=~", "!~").contains(t.text))) {
+          out += Matcher("__name__", "=", l.text)
+        } else {
+          if (l.kind != "ident" && l.kind != "string")
+            fail("expected label name in matcher")
+          val op = take()
+          if (!(op.kind == "op" && Set("=", "!=", "=~", "!~").contains(op.text)))
+            fail("expected matcher operator")
+          val v = take()
+          if (v.kind != "string") fail("expected quoted matcher value")
+          out += Matcher(l.text, op.text, v.text)
+        }
         if (at(",")) p += 1
       }
       expect("}")

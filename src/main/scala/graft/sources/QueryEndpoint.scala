@@ -127,7 +127,8 @@ object QueryEndpoint {
       alertRules: Seq[graft.promql.Rules.AlertRule] = Nil,
       recordingRules: Seq[graft.promql.Rules.RecordingRule] = Nil,
       scrapeTargets: Seq[ScrapeLoop] = Nil,
-      remoteWrite: Option[RemoteWriteSink] = None): HttpServer = {
+      remoteWrite: Option[RemoteWriteSink] = None,
+      resultsCache: Boolean = false): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     // remote-write receiver: POST of a snappy-framed WriteRequest; 204
     // on accept (upstream's receiver contract), 400 on malformed bytes,
@@ -276,9 +277,18 @@ object QueryEndpoint {
       // serving is convention-exact — closed-right buckets ≡ PromQL
       // (t−W, t], see Pyramid); 0 or absent = raw only
       val msr = p.get("max_source_resolution").map(stepS).filter(_ > 0)
-      Api.queryRangeJson(spark, dir, required(p, "query"),
-        epochS(required(p, "start")), epochS(required(p, "end")),
-        stepS(required(p, "step")), nativeFamilies, msr)
+      // the query-frontend results cache is a deployment choice
+      // (Cortex/Thanos run it in front of the querier) — opt in at
+      // server start; responses are byte-identical either way
+      if (resultsCache)
+        graft.promql.ResultsCache.queryRangeJson(spark, dir,
+          required(p, "query"),
+          epochS(required(p, "start")), epochS(required(p, "end")),
+          stepS(required(p, "step")), nativeFamilies, msr)
+      else
+        Api.queryRangeJson(spark, dir, required(p, "query"),
+          epochS(required(p, "start")), epochS(required(p, "end")),
+          stepS(required(p, "step")), nativeFamilies, msr)
     })
     server.createContext("/api/v1/query", handler { ex =>
       // createContext is prefix-matched, so /api/v1/query_range has its

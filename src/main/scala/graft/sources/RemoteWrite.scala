@@ -543,6 +543,26 @@ object RemoteWrite {
   val V2ContentType =
     "application/x-protobuf;proto=io.prometheus.write.v2.Request"
 
+  /** One snappy-framed remote-write POST — an `object` member so
+    * executor-side closures (the backfill's per-partition pushers) can
+    * call it without capturing any driver state. Returns the HTTP code,
+    * or -1 on transport failure.
+    */
+  private[graft] def post(url: String, body: Array[Byte]): Int =
+    try {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      conn.setRequestProperty("Content-Encoding", "snappy")
+      try {
+        val os = conn.getOutputStream
+        try os.write(body) finally os.close()
+        conn.getResponseCode
+      } finally conn.disconnect()
+    } catch { case _: Exception => -1 }
+
   /** The wire framing: remote write bodies are snappy BLOCK format. */
   def compress(proto: Array[Byte]): Array[Byte] =
     org.xerial.snappy.Snappy.compress(proto)
@@ -1050,6 +1070,59 @@ class RemoteWriteClient(url: String) {
   @volatile private var lastError: Option[String] = None
 
   def status: (Option[Long], Option[String]) = (lastPushMs, lastError)
+
+  /** Replay RAW event history downstream — the backfill story the
+    * snapshot-push ([[push]]) deliberately does not cover: every sample
+    * in `events` (the metricEvents schema) re-sends with its ORIGINAL
+    * timestamp, so the receiver reconstructs the full series history,
+    * not just the current totals. Counter families forward under their
+    * exposed wire name (`name_total`, the convention [[push]] and the
+    * receiver's `toEvents` already share); gauges and histogram
+    * observations forward as-is.
+    *
+    * Scale shape: the pushes run EXECUTOR-SIDE — `foreachPartition`
+    * groups each partition's rows into one `WriteRequest` per
+    * `batchRows` samples (series grouped within a batch, samples in
+    * timestamp order), so 1000 executors stream 1000 shards in parallel
+    * and nothing funnels through the driver, exactly how a Prometheus
+    * remote-write queue shards by series. Returns the accepted sample
+    * count (an accumulator; failed POSTs are recorded by count, not
+    * thrown — outage semantics like [[push]]).
+    */
+  def backfill(events: org.apache.spark.sql.DataFrame,
+      batchRows: Int = 500): (Long, Long) = {
+    val target = url // capture the string, not `this`, in the closure
+    val spark = events.sparkSession
+    val sent = spark.sparkContext.longAccumulator("rw_backfill_sent")
+    val failed = spark.sparkContext.longAccumulator("rw_backfill_failed")
+    import org.apache.spark.sql.functions._
+    events
+      .select(
+        concat(col("name"),
+          when(col("kind") === "counter", "_total").otherwise("")).as("wn"),
+        coalesce(col("label_k"), lit("")).as("k"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("value"))
+      .foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.grouped(batchRows).foreach { batch =>
+            val series = batch
+              .groupBy(r => (r.getString(0), r.getString(1)))
+              .toSeq.sortBy(_._1)
+              .map { case ((wn, k), rs) =>
+                RemoteWrite.Series(
+                  Vector("__name__" -> wn, "k" -> k),
+                  rs.sortBy(_.getLong(2))
+                    .map(r => (r.getDouble(3), r.getLong(2))).toVector)
+              }
+            val n = series.map(_.samples.length).sum
+            val code = RemoteWrite.post(target,
+              RemoteWrite.compress(RemoteWrite.encode(series)))
+            if (code == 204) sent.add(n.toLong) else failed.add(n.toLong)
+          }
+      }
+    (sent.value, failed.value)
+  }
 
   /** One push: the registry's series at `atMs`. Returns the HTTP code
     * (204 on accept) or -1 on a transport failure.

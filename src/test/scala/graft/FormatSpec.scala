@@ -79,6 +79,29 @@ class FormatSpec extends SparkTestBase {
       assert(!tree(q).isNull, q)
   }
 
+  test("UTF-8 quoted names: sugar desugars, quoted labels match plain ones") {
+    import graft.promql.Parser
+    assert(Parser.parse("""{"purchase", k="a"}""") ===
+      Parser.parse("""{__name__="purchase", k="a"}"""))
+    assert(Parser.parse("""purchase{"k"="a"}""") ===
+      Parser.parse("""purchase{k="a"}"""))
+    // a legacy-valid name inside the sugar renders back legacy-shaped
+    // only through its matcher form; a UTF-8 name keeps the quoted form
+    val f = graft.promql.Format.format(Parser.parse("""{"weird.metric"}"""))
+    assert(f === """{"weird.metric"}""")
+    // the quoted sugar evaluates identically to the bare name end to end
+    val dir = fixture("events" -> {
+      import spark.implicits._
+      Seq(ev(0, 0, "purchase", 2.0, "a"), ev(1, 1000, "purchase", 3.0, "b"))
+        .toDF(eventCols: _*)
+    })
+    val a = graft.promql.Engine.eval(spark, dir,
+      """sum by (k) ({"purchase"})""").collect().toSeq
+    val b = graft.promql.Engine.eval(spark, dir,
+      "sum by (k) (purchase)").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("formatting is parse-stable across the shape battery") {
     val battery = Seq(
       "purchase{k!=\"a\"}",
@@ -140,7 +163,13 @@ class FormatSpec extends SparkTestBase {
       "purchase @ end()",
       "sum by (k) (rate(purchase[1d])) / on (k) sum by (k) (rate(click[1d]))",
       "sum(purchase) / ignoring (instance) group_left sum(click)",
-      "signup * on (k) group_right(instance) sum by (k) (click)")
+      "signup * on (k) group_right(instance) sum by (k) (click)",
+      // Prometheus 3.x UTF-8 quoted names: bare quoted metric sugar and
+      // quoted label names round-trip through the quoted form
+      "{\"my.metric\"}",
+      "{\"my.metric\",k=\"a\"}",
+      "purchase{\"label.x\"=\"v\"}",
+      "rate({\"http.req\",k=~\"a|b\"}[1d])")
     for (q <- battery) {
       val ast = Parser.parse(q)
       val f = Format.format(ast)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{RemoteWrite, RemoteWriteSink}
+import graft.sources.{RemoteWrite, RemoteWriteClient, RemoteWriteSink}
 import graft.streaming.MetricStream
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -271,6 +271,52 @@ class RemoteWriteSpec extends SparkTestBase {
         RemoteWrite.compress(RemoteWrite.encode(Nil)))
       assert(code === 400 && body.contains("not configured"))
     } finally bare.stop(0)
+  }
+
+  test("backfill replays the FULL event history downstream, executor-side") {
+    // engine A holds history across all three kinds; engine B receives
+    // over real HTTP; B's decoded events must reconstruct A's samples
+    // with their ORIGINAL timestamps (not the push instant) — the
+    // replay story the snapshot-push deliberately does not cover
+    val dirA = fixture("events" -> Seq(
+      ev(0, 0L, "purchase", 1.5, "eu"),
+      ev(1, 60000L, "purchase", 2.25, "eu"),
+      ev(2, 1000L, "purchase", 4.0, "us"),
+      ev(3, 2000L, "signup", 10.0, "eu"),
+      ev(4, 3000L, "error", 0.25, "eu"),
+      ev(5, 4000L, "error", 0.75, "eu")
+    ).toDF(eventCols: _*))
+    val dirB = fixture("events" ->
+      Seq(ev(9, 0L, "purchase", 0.0, "zz")).toDF(eventCols: _*))
+    val sinkB = new RemoteWriteSink(spark)
+    val server = graft.sources.QueryEndpoint.start(spark, dirB,
+      remoteWrite = Some(sinkB))
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/write"
+      val evA = graft.operators.Metrics.metricEvents(spark, dirA)
+      // batchRows=2 forces several WriteRequests per partition
+      val (sent, failedN) = new RemoteWriteClient(url).backfill(evA, batchRows = 2)
+      assert(sent === 6L && failedN === 0L)
+      val q = sinkB.events.writeStream.format("memory")
+        .queryName("rw_backfill").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("rw_backfill")
+          .select($"event_type", $"value",
+            org.apache.spark.sql.functions.unix_millis($"ts"))
+          .as[(String, Double, Long)].collect().toSeq.sorted
+        val want = evA
+          .select($"name", $"value",
+            org.apache.spark.sql.functions.unix_millis($"ts"))
+          .as[(String, Double, Long)].collect().toSeq.sorted
+        assert(got === want, "replayed history ≡ source history, " +
+          "original timestamps preserved")
+      } finally q.stop()
+      // an unreachable receiver records, never throws
+      val (s2, f2) = new RemoteWriteClient(
+        "http://127.0.0.1:1/api/v1/write").backfill(evA, batchRows = 100)
+      assert(s2 === 0L && f2 === 6L)
+    } finally server.stop(0)
   }
 
   test("pushed native histograms land in a LIVE family: LWW registry through the sink") {

@@ -1,0 +1,113 @@
+package graft
+
+import graft.promql.{Api, ResultsCache}
+import graft.sources.QueryEndpoint
+
+/** The query-frontend results cache: split `query_range` grids into
+  * chunks, cache complete chunks, stitch — responses BYTE-IDENTICAL to
+  * the direct serving path cold and warm, chunk reuse across
+  * overlapping requests proven by the hit/miss counters, and the head
+  * (corpus-adjacent) chunk never cached.
+  */
+class ResultsCacheSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val H = 3600000L
+
+  // hourly purchases over ~4 days, two series; corpus instant = last ts
+  private lazy val dir: String = fixture("events" -> (0 until 96).map { i =>
+    ev(i.toLong, i * H, "purchase", 1.0 + (i % 5), if (i % 2 == 0) "a" else "b")
+  }.toDF(eventCols: _*))
+
+  private val T0 = 1704067200L // 2024-01-01 00:00:00 UTC
+  private val stepS = 6L * 3600L
+
+  private def direct(q: String, s: Long, e: Long): String =
+    Api.queryRangeJson(spark, dir, q, s, e, stepS)
+
+  private def cached(q: String, s: Long, e: Long): String =
+    ResultsCache.queryRangeJson(spark, dir, q, s, e, stepS,
+      splitInstants = 4)
+
+  test("cached responses are byte-identical to the direct path, cold and warm") {
+    ResultsCache.clear()
+    val shapes = Seq(
+      "purchase",
+      "sum by (k) (rate(purchase[1d]))",
+      "sum by (k) (purchase) / on (k) sum by (k) (purchase)")
+    // 12 instants ending a day before the corpus instant: every chunk
+    // (width 4) is complete, so all cache
+    val e = T0 + 2 * 86400L
+    val s = e - 11 * stepS
+    for (q <- shapes) {
+      val want = direct(q, s, e)
+      assert(cached(q, s, e) === want, s"cold mismatch: $q")
+      val (h0, m0) = ResultsCache.stats
+      assert(cached(q, s, e) === want, s"warm mismatch: $q")
+      val (h1, m1) = ResultsCache.stats
+      assert(m1 === m0, s"warm run of '$q' must not recompute any chunk")
+      assert(h1 > h0, s"warm run of '$q' must serve from cache")
+    }
+  }
+
+  test("overlapping requests recompute only never-seen chunks") {
+    ResultsCache.clear()
+    // chunk bases are ABSOLUTE span multiples (so different requests
+    // share chunks): start on a span boundary — phase 0, span = 4 steps
+    val s1 = T0 + 4 * stepS
+    val e1 = T0 + 11 * stepS // 8 instants = exactly chunks [4..7],[8..11]
+    cached("purchase", s1, e1)
+    val (_, m1) = ResultsCache.stats
+    assert(m1 === 2L)
+    // extend the range backwards by one chunk: 1 new miss, old 2 hit
+    val s2 = T0
+    val want = direct("purchase", s2, e1)
+    assert(cached("purchase", s2, e1) === want)
+    val (h2, m2) = ResultsCache.stats
+    assert(m2 === 3L, "only the new chunk computes")
+    assert(h2 >= 2L, "the shared chunks serve from cache")
+  }
+
+  test("the head chunk never caches; @ end() pins never cross-poison") {
+    ResultsCache.clear()
+    // range ending ON the corpus instant: the last chunk's full span
+    // runs past the corpus, so it evaluates fresh each time
+    val tCorpus = graft.promql.Compiler.instantSeconds(spark, dir).toLong
+    val e = tCorpus / stepS * stepS
+    val s = e - 7 * stepS
+    val want = direct("purchase", s, e)
+    assert(cached("purchase", s, e) === want)
+    val (_, m1) = ResultsCache.stats
+    assert(cached("purchase", s, e) === want)
+    val (_, m2) = ResultsCache.stats
+    assert(m2 === m1, "repeat adds no cacheable misses")
+    // @ end() resolves per request: two ranges must answer like their
+    // own direct twins, not each other's cache
+    val q = "sum(purchase @ end())"
+    val e2 = e - 4 * stepS
+    assert(cached(q, s, e) === direct(q, s, e))
+    assert(cached(q, s - 4 * stepS, e2) === direct(q, s - 4 * stepS, e2))
+  }
+
+  test("HTTP: a resultsCache server answers byte-identically to a direct server") {
+    ResultsCache.clear()
+    val plain = QueryEndpoint.start(spark, dir)
+    val fronted = QueryEndpoint.start(spark, dir, resultsCache = true)
+    def get(port: Int, path: String): String = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally conn.disconnect()
+    }
+    try {
+      val e = T0 + 2 * 86400L
+      val s = e - 11 * stepS
+      val path = s"/api/v1/query_range?query=${java.net.URLEncoder.encode(
+        "sum by (k) (rate(purchase[1d]))", "UTF-8")}&start=$s&end=$e&step=6h"
+      val want = get(plain.getAddress.getPort, path)
+      assert(get(fronted.getAddress.getPort, path) === want)
+      assert(get(fronted.getAddress.getPort, path) === want, "warm repeat")
+    } finally { plain.stop(0); fronted.stop(0) }
+  }
+}
