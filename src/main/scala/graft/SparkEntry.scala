@@ -517,6 +517,13 @@ object SparkEntry {
     "p102_pyramid_hist_sum" -> ((s, d) => promql.Pyramid.queryRangeAligned(s, d,
       "histogram_sum(rate(error[1d]))", 240, 21600L)
       .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
+    // recorded-series view semantics: a standing recording rule's name
+    // is selectable like any series — inlined at the selector, matcher
+    // post-hoc, aggregation composing on top
+    "p103_promql_recorded" -> ((s, d) => promql.Engine.eval(s, d,
+      """topk(2, k_total{k=~"1.*"})""",
+      recordingRules = Seq(
+        promql.Rules.RecordingRule("k_total", "sum by (k) (purchase)")))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -986,6 +993,7 @@ object SparkEntry {
     "p100_pyramid_agg" -> promql.Oracle.PyramidAggSql,
     "p101_pyramid_topk" -> promql.Oracle.PyramidTopkSql,
     "p102_pyramid_hist_sum" -> promql.Oracle.PyramidHistScalarSql,
+    "p103_promql_recorded" -> promql.Oracle.RecordedTopkSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

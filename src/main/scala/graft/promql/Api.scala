@@ -496,6 +496,33 @@ object Api {
       s""""activeAt":"$activeAt","value":"${row.getAs[Double]("value")}"}"""
   }
 
+  /** The Alertmanager v2 POST body for the currently FIRING instances
+    * (upstream notifies only firing alerts; pending stay server-side):
+    * a JSON array of `{labels, annotations, startsAt, generatorURL}`
+    * objects, the shape `POST /api/v2/alerts` accepts. The notifier
+    * ([[graft.sources.AlertNotifier]]) sends these bytes.
+    */
+  private[graft] def firingAlertsBody(spark: SparkSession, dir: String,
+      rules: Seq[Rules.AlertRule]): String = {
+    val startsAt = java.time.Instant
+      .ofEpochSecond(Compiler.instantSeconds(spark, dir).toLong).toString
+    val items = rules.flatMap { r =>
+      val (lcs, rows) = currentAlertRows(spark, dir, r)
+      rows.filter(_.getAs[String]("alertstate") == "firing").map { row =>
+        val labels = ("alertname" -> r.alert) +: lcs.flatMap(c =>
+          Option(row.getAs[String](c)).map(v => promLabel(c) -> v))
+        val labelJson = labels.map { case (k, v) =>
+          s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+        }.mkString("{", ",", "}")
+        s"""{"labels":$labelJson,"annotations":{},""" +
+          s""""startsAt":"$startsAt",""" +
+          s""""generatorURL":"/graph?g0.expr=${jsonEscape(
+            java.net.URLEncoder.encode(r.expr, "UTF-8"))}"}"""
+      }
+    }
+    items.mkString("[", ",", "]")
+  }
+
   /** `/api/v1/alerts` twin: every rule's currently active alert
     * instances (pending AND firing, like upstream), labels carrying
     * the condition's full series key. `activeAt` is the evaluation

@@ -89,6 +89,80 @@ object Compiler {
   private val nativeFams =
     new scala.util.DynamicVariable[Set[String]](Set.empty)
 
+  /** Standing RECORDING RULES for the current compilation: name →
+    * parsed rule expr. A selector naming a recorded series compiles to
+    * the rule's plan at the selector's instant (VIEW semantics — the
+    * batch reading of upstream's rule loop writing recorded samples to
+    * the TSDB, where a later query selects them like any series).
+    * Scoped via [[withRecordedRules]]; the HTTP server wraps its
+    * query handlers so a standing rule file makes recorded names
+    * selectable over the API, exactly like a real Prometheus.
+    */
+  private val recordedRules =
+    new scala.util.DynamicVariable[Map[String, Ast]](Map.empty)
+
+  /** Names currently being expanded — the cycle guard (`a: a + 1`
+    * would otherwise recurse at compose time).
+    */
+  private val expanding =
+    new scala.util.DynamicVariable[Set[String]](Set.empty)
+
+  private[graft] def withRecordedRules[T](rules: Seq[Rules.RecordingRule])(
+      f: => T): T =
+    if (rules.isEmpty) f
+    else {
+      val universe = (MetricEvent.CounterNames ++ MetricEvent.GaugeNames ++
+        MetricEvent.HistogramNames).toSet
+      val m = rules.map { r =>
+        if (universe.contains(r.record))
+          fail(s"recording rule '${r.record}' shadows an ingested family")
+        r.record -> Parser.parse(r.expr)
+      }.toMap
+      recordedRules.withValue(m)(f)
+    }
+
+  /** A selector over a RECORDED series: the rule's plan evaluated at
+    * the selector's effective instant (offset and absolute `@` pins
+    * compose onto the surrounding shift), matchers applied post-hoc on
+    * whatever label columns the recorded vector retains — a label the
+    * vector aggregated away matches as the empty value, upstream's
+    * missing-label rule. The `name` column (when retained) takes the
+    * RECORD's name, like upstream renaming the output series. Range
+    * selectors over recorded names refuse loudly — recorded history
+    * re-evaluation is the query_range tier's job, not a hidden
+    * per-sample materialization.
+    */
+  private def recordedVector(spark: SparkSession, dir: String,
+      sel: Selector, ruleAst: Ast, shiftS: Long): Vec = {
+    if (sel.rangeS.isDefined)
+      fail(s"recorded series '${sel.name}' supports instant selectors " +
+        "only (no [range]); query the rule expression directly instead")
+    if (expanding.value.contains(sel.name))
+      fail(s"recording rule '${sel.name}' is (transitively) self-referential")
+    val shiftEff = sel.atS match {
+      case Some(t0) =>
+        instantSeconds(spark, dir).toLong - (t0 - sel.offsetS.getOrElse(0L))
+      case None => shiftS + sel.offsetS.getOrElse(0L)
+    }
+    val v = expanding.withValue(expanding.value + sel.name)(
+      compileVec(spark, dir, Ast.resolveAtEdges(ruleAst, None, None), shiftEff))
+    val named =
+      if (v.labels.contains("name")) v.df.withColumn("name", lit(sel.name))
+      else v.df
+    val f = sel.matchers.filterNot(_.label == "__name__")
+      .foldLeft(lit(true)) { (acc, m) =>
+        val cn = labelCol(m.label)
+        val c = if (v.labels.contains(cn)) col(cn) else lit("")
+        acc && (m.op match {
+          case "=" => c === m.value
+          case "!=" => c =!= m.value
+          case "=~" => c.rlike(s"^(?:${m.value})$$")
+          case "!~" => !c.rlike(s"^(?:${m.value})$$")
+        })
+      }
+    Vec(named.filter(f), v.labels)
+  }
+
   /** Det-math compilation mode (`Engine.eval(..., detMath = true)`):
     * every libm-routed scalar function and binary op (`exp`/`ln`/
     * trig/`^`/`atan2` …) compiles through the engine's deterministic
@@ -124,6 +198,9 @@ object Compiler {
     if (MetricEvent.CounterNames.contains(name)) "counter"
     else if (MetricEvent.GaugeNames.contains(name)) "gauge"
     else if (MetricEvent.HistogramNames.contains(name)) "histogram"
+    else if (recordedRules.value.contains(name))
+      fail(s"recorded series '$name' supports instant selectors only " +
+        "(no [range]); query the rule expression directly instead")
     else fail(s"unknown metric family '$name' (compose-time check)")
 
   /** The label universe: PromQL label name → event-view column. Series
@@ -257,6 +334,11 @@ object Compiler {
 
   private def instantVector(spark: SparkSession, dir: String, sel: Selector,
       shiftS: Long): Vec = {
+    recordedRules.value.get(sel.name) match {
+      case Some(ruleAst) =>
+        return recordedVector(spark, dir, sel, ruleAst, shiftS)
+      case None => ()
+    }
     if (sel.rangeS.isDefined)
       fail(s"range selector ${sel.name}[..] is not an instant vector; wrap it in rate/increase/delta")
     val names = resolveNames(sel)
@@ -3182,11 +3264,17 @@ object Engine {
     * bit-reproducible; ≤ ~1e-12 from libm) — the front-end face of the
     * b33b/b34b/b38 operator twins.
     */
+  /** `recordingRules`: standing rules whose names become selectable
+    * series in `query` (view semantics — see
+    * [[Compiler.withRecordedRules]]).
+    */
   def eval(spark: SparkSession, dir: String, query: String,
       nativeFamilies: Set[String] = Set.empty,
-      detMath: Boolean = false): DataFrame = {
+      detMath: Boolean = false,
+      recordingRules: Seq[Rules.RecordingRule] = Nil): DataFrame = {
     if (detMath) graft.plans.DetMathExprs.register(spark)
-    Compiler.compile(spark, dir, Parser.parse(query), nativeFamilies, detMath)
+    Compiler.withRecordedRules(recordingRules)(
+      Compiler.compile(spark, dir, Parser.parse(query), nativeFamilies, detMath))
   }
 
   /** Compile a PromQL subset against a STREAMING events relation — the

@@ -63,6 +63,25 @@ object Oracle {
        |SELECT label_k, CAST(dv AS DOUBLE) AS value
        |FROM top ORDER BY label_k, value""".stripMargin
 
+  /** `topk(2, k_total{k=~"1.*"})` with the standing recording rule
+    * `k_total: sum by (k) (purchase)` — recorded-series view semantics:
+    * the rule inlines at the selector, the matcher applies post-hoc on
+    * the recorded vector's labels, and the surrounding aggregation
+    * composes. The twin re-derives the whole pipeline relationally, so
+    * the gate fails if rule inlining, the post-hoc matcher, or the
+    * topk ranking over a recorded operand ever drifts.
+    */
+  val RecordedTopkSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |rec AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m WHERE name = 'purchase' AND value >= 0
+       |  GROUP BY label_k),
+       |flt AS (SELECT * FROM rec WHERE regexp_matches(label_k, '^(?:1.*)$$')),
+       |top AS (SELECT label_k, dv FROM flt ORDER BY dv DESC, label_k LIMIT 2)
+       |SELECT label_k, CAST(dv AS DOUBLE) AS value
+       |FROM top ORDER BY label_k, value""".stripMargin
+
   /** `limitk by (k) (1, purchase)` — one series per k group chosen by
     * the deterministic label-identity hash (md5 ascending, labels
     * tiebreak), mirroring the compiler's ranking window exactly.

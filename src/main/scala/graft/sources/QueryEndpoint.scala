@@ -277,18 +277,23 @@ object QueryEndpoint {
       // serving is convention-exact — closed-right buckets ≡ PromQL
       // (t−W, t], see Pyramid); 0 or absent = raw only
       val msr = p.get("max_source_resolution").map(stepS).filter(_ > 0)
-      // the query-frontend results cache is a deployment choice
-      // (Cortex/Thanos run it in front of the querier) — opt in at
-      // server start; responses are byte-identical either way
-      if (resultsCache)
-        graft.promql.ResultsCache.queryRangeJson(spark, dir,
-          required(p, "query"),
-          epochS(required(p, "start")), epochS(required(p, "end")),
-          stepS(required(p, "step")), nativeFamilies, msr)
-      else
-        Api.queryRangeJson(spark, dir, required(p, "query"),
-          epochS(required(p, "start")), epochS(required(p, "end")),
-          stepS(required(p, "step")), nativeFamilies, msr)
+      // the standing rule file's recorded names are selectable in any
+      // served query (upstream: rules write to the TSDB; here: view
+      // semantics via the compile context)
+      graft.promql.Compiler.withRecordedRules(recordingRules) {
+        // the query-frontend results cache is a deployment choice
+        // (Cortex/Thanos run it in front of the querier) — opt in at
+        // server start; responses are byte-identical either way
+        if (resultsCache)
+          graft.promql.ResultsCache.queryRangeJson(spark, dir,
+            required(p, "query"),
+            epochS(required(p, "start")), epochS(required(p, "end")),
+            stepS(required(p, "step")), nativeFamilies, msr)
+        else
+          Api.queryRangeJson(spark, dir, required(p, "query"),
+            epochS(required(p, "start")), epochS(required(p, "end")),
+            stepS(required(p, "step")), nativeFamilies, msr)
+      }
     })
     server.createContext("/api/v1/query", handler { ex =>
       // createContext is prefix-matched, so /api/v1/query_range has its
@@ -297,8 +302,9 @@ object QueryEndpoint {
         throw new IllegalArgumentException(
           s"unknown endpoint ${ex.getRequestURI.getPath}")
       val p = params(ex)
-      Api.queryJson(spark, dir, required(p, "query"), nativeFamilies,
-        timeS = p.get("time").map(epochS))
+      graft.promql.Compiler.withRecordedRules(recordingRules)(
+        Api.queryJson(spark, dir, required(p, "query"), nativeFamilies,
+          timeS = p.get("time").map(epochS)))
     })
     // hierarchical federation: the timestamped exposition payload for
     // the matched series, the same bytes as the oracle-gated a1g query

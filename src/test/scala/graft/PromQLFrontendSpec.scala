@@ -1474,4 +1474,68 @@ class PromQLFrontendSpec extends SparkTestBase {
     val rows = df.as[(String, String, String, Double)].collect().toSet
     assert(rows === Set(("purchase", "a", "i1", 10.0))) // b: 20 < 30 dropped
   }
+
+  test("recorded series are selectable: view semantics, offsets, guards") {
+    import graft.promql.Rules.RecordingRule
+    val d = 86400000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 1 * d, "purchase", 5.0, "a"),
+      ev(2, 2 * d, "purchase", 4.0, "b"),
+      ev(3, 2 * d, "signup", 7.0, "a")
+    ).toDF(eventCols: _*))
+    val rules = Seq(RecordingRule("k_total", "sum by (k) (purchase)"))
+    // the recorded name answers exactly like its expression
+    val rec = Engine.eval(spark, dir, "k_total", recordingRules = rules)
+      .as[(String, Double)].collect().toSeq
+    val direct = Engine.eval(spark, dir, "sum by (k) (purchase)")
+      .as[(String, Double)].collect().toSeq
+    assert(rec === direct && rec === Seq(("a", 15.0), ("b", 4.0)))
+    // post-hoc matchers; a label the rule aggregated away matches ""
+    assert(Engine.eval(spark, dir, """k_total{k="a"}""",
+      recordingRules = rules).as[(String, Double)].collect().toSeq ===
+      Seq(("a", 15.0)))
+    assert(Engine.eval(spark, dir, """k_total{instance="i9"}""",
+      recordingRules = rules).count() === 0)
+    assert(Engine.eval(spark, dir, """k_total{instance=""}""",
+      recordingRules = rules).count() === 2)
+    // offset: the rule evaluates at the shifted instant — identical to
+    // offsetting inside the rule expression itself
+    assert(Engine.eval(spark, dir, "k_total offset 1d",
+      recordingRules = rules).as[(String, Double)].collect().toSeq ===
+      Engine.eval(spark, dir, "sum by (k) (purchase offset 1d)")
+        .as[(String, Double)].collect().toSeq)
+    // rules compose (a rule over a rule); binary ops mix recorded + raw
+    val nested = Seq(
+      RecordingRule("k_total", "sum by (k) (purchase)"),
+      RecordingRule("k_share", "k_total / scalar(sum(k_total))"))
+    assert(Engine.eval(spark, dir, """k_share{k="b"}""",
+      recordingRules = nested).as[(String, Double)].collect().toSeq ===
+      Seq(("b", 4.0 / 19.0)))
+    // guards: range selector refused; cycles refused; family shadow refused
+    val e1 = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "rate(k_total[1d])", recordingRules = rules).collect())
+    assert(e1.getMessage.contains("instant selectors"))
+    val e2 = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "loop_a", recordingRules = Seq(
+        RecordingRule("loop_a", "loop_b + 1"),
+        RecordingRule("loop_b", "loop_a + 1"))).collect())
+    assert(e2.getMessage.contains("self-referential"))
+    val e3 = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "purchase", recordingRules = Seq(RecordingRule("purchase", "signup"))))
+    assert(e3.getMessage.contains("shadows"))
+    // the HTTP server's standing rule file serves recorded names
+    val server = graft.sources.QueryEndpoint.start(spark, dir,
+      recordingRules = rules)
+    try {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/query?" +
+          s"query=${java.net.URLEncoder.encode("sum(k_total)", "UTF-8")}")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = try new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally conn.disconnect()
+      assert(body.contains("\"19\"") || body.contains("\"19.0\""),
+        s"recorded name served over HTTP: $body")
+    } finally server.stop(0)
+  }
 }
