@@ -519,4 +519,27 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!p.contains("Union"), s"$name degenerated to per-instant branches")
     }
   }
+
+  test("a1m: tombstone exclusion is a pure scan predicate — no join, no extra shuffle") {
+    val p = plan("a1m_delete_series")
+    val base = plan("a2_counter_snapshot")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "delete_series must not introduce any join")
+    def exchanges(s: String): Int = "Exchange".r.findAllIn(s).length
+    assert(exchanges(p) <= exchanges(base),
+      "tombstones added a shuffle the plain counter snapshot doesn't have")
+    assert(p.contains("Filter"), "the exclusion predicate vanished from the plan")
+  }
+
+  test("p103: a recorded-series query plans exactly like its inlined expression") {
+    val p = plan("p103_promql_recorded")
+    assert(!p.contains("CartesianProduct"), "recorded inlining went cartesian")
+    assert(!p.contains("Union"), "recorded inlining degenerated to branches")
+    // the view inlines: one aggregate over the events scan, ranked once
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "rule aggregation missing")
+    assert(p.contains("Window") || p.contains("TakeOrderedAndProject") ||
+      p.contains("Sort"), "topk ranking missing over the recorded operand")
+  }
 }
