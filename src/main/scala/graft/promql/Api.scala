@@ -151,9 +151,16 @@ object Api {
     }
   }
 
-  private[graft] def rangeRelation(spark: SparkSession, dir: String, ast: Ast,
+  private[graft] def rangeRelation(spark: SparkSession, dir: String, ast0: Ast,
       startS: Long, endS: Long, stepS: Long, grid: Boolean,
       maxSourceResS: Option[Long]): DataFrame = {
+    // recorded-rule selectors inline as their expressions (then any
+    // @ pins the rule itself carried resolve against THIS range), so
+    // the grid/pyramid/sharded tiers serve recorded names at full
+    // scale; non-inlinable shapes keep the union path's instant
+    // evaluator
+    val ast = Ast.resolveAtEdges(
+      Compiler.inlineRecorded(spark, dir, ast0), Some(startS), Some(endS))
     val t = Compiler.instantSeconds(spark, dir)
     val instants = (startS to endS by stepS).toSeq
     require(instants.nonEmpty, "empty evaluation grid")

@@ -121,6 +121,51 @@ object Compiler {
       recordedRules.withValue(m)(f)
     }
 
+  /** Inline recorded-rule selectors as their rule EXPRESSIONS — the
+    * AST-level rewrite that lets the dense-grid/pyramid/sharded
+    * query_range tiers serve recorded names at full scale (the
+    * per-selector [[recordedVector]] path is instant-only). Only the
+    * bare form inlines (no matchers/range/offset/@ — those need the
+    * post-hoc semantics the instant path implements), and only rules
+    * whose compiled vector DROPS the `name` column (a name-retaining
+    * rule like `raw: purchase` must rename its output to the record
+    * name, which an inlined tree cannot express — those fall to the
+    * union path's renaming instant evaluator). Cycle guard shared with
+    * the instant path's semantics.
+    */
+  private[graft] def inlineRecorded(spark: SparkSession, dir: String,
+      ast: Ast): Ast =
+    if (recordedRules.value.isEmpty) ast
+    else {
+      val inlinable = scala.collection.mutable.HashMap.empty[String, Boolean]
+      def canInline(name: String, rule: Ast): Boolean =
+        inlinable.getOrElseUpdate(name,
+          !expanding.withValue(expanding.value + name)(
+            compileVec(spark, dir, Ast.resolveAtEdges(rule, None, None), 0L))
+            .labels.contains("name"))
+      def r(a: Ast, seen: Set[String]): Ast = a match {
+        case s: Selector =>
+          recordedRules.value.get(s.name) match {
+            case Some(rule) if s.matchers.isEmpty && s.rangeS.isEmpty &&
+                s.offsetS.isEmpty && s.atS.isEmpty =>
+              if (seen.contains(s.name))
+                fail(s"recording rule '${s.name}' is (transitively) self-referential")
+              if (canInline(s.name, rule)) r(rule, seen + s.name) else s
+            case _ => s
+          }
+        case Agg(op, g, p, arg) => Agg(op, g, p, r(arg, seen))
+        case Func(n, p, arg) => Func(n, p, r(arg, seen))
+        case b: BinOp => b.copy(left = r(b.left, seen), right = r(b.right, seen))
+        case n: NumLit => n
+        case Subquery(inner, w, st) => Subquery(r(inner, seen), w, st)
+        case CountValues(d, arg) => CountValues(d, r(arg, seen))
+        case SmoothFunc(sf, tf, arg) => SmoothFunc(sf, tf, r(arg, seen))
+        case HistFraction(lo, hi, arg) => HistFraction(lo, hi, r(arg, seen))
+        case LabelFunc(n, args, arg) => LabelFunc(n, args, r(arg, seen))
+      }
+      r(ast, Set.empty)
+    }
+
   /** A selector over a RECORDED series: the rule's plan evaluated at
     * the selector's effective instant (offset and absolute `@` pins
     * compose onto the surrounding shift), matchers applied post-hoc on

@@ -481,4 +481,38 @@ class QueryRangeSpec extends SparkTestBase {
     assert(grid.select("alertname", "alertstate", "t_s", "name", "label_k",
       "label_instance", "value").collect().map(_.toSeq).toSet === union)
   }
+
+  test("recorded series serve query_range at GRID scale via AST inlining") {
+    import graft.promql.{Compiler, Rules}
+    val rules = Seq(
+      Rules.RecordingRule("k_total", "sum by (k) (purchase)"),
+      Rules.RecordingRule("raw_p", "purchase")) // name-retaining
+    Compiler.withRecordedRules(rules) {
+      // 217 instants — far past the union path's 64-instant wall, so
+      // this ONLY works if the recorded name rides the grid tier; the
+      // answer must be byte-identical to querying the rule expression
+      val s = T0
+      val e = T0 + 216 * 3600L // = the corpus instant (day 9)
+      val rec = Api.queryRangeJson(spark, dir, "k_total", s, e, 3600L)
+      val exp = Api.queryRangeJson(spark, dir, "sum by (k) (purchase)",
+        s, e, 3600L)
+      assert(rec === exp)
+      // composition on top of the inlined name grids too
+      assert(Api.queryRangeJson(spark, dir, "topk(1, k_total)", s, e, 3600L)
+        === Api.queryRangeJson(spark, dir,
+          "topk(1, sum by (k) (purchase))", s, e, 3600L))
+      // a name-RETAINING rule cannot inline (the grid tree can't rename
+      // its output); it keeps the union path's renaming evaluator, so
+      // few-instant panels still work and carry the record name
+      val few = Api.queryRangeJson(spark, dir, "raw_p",
+        T0 + 7 * dayS, T0 + 8 * dayS, dayS)
+      assert(few.contains("\"raw_p\""), s"record name lost: $few")
+      // matchers force the post-hoc instant path as well — consistent
+      // with the instant query's answer at matching instants
+      val m = Api.queryRangeJson(spark, dir, """k_total{k="a"}""",
+        T0 + 8 * dayS, T0 + 8 * dayS, dayS)
+      assert(m.contains("\"values\""))
+      assert(!m.contains("\"k\":\"b\""))
+    }
+  }
 }
