@@ -182,6 +182,10 @@ object SparkEntry {
     // translated by the public OTLP→Prometheus rules, normalized
     // through the same generator as remote write
     "a1n_otlp_ingest" -> ((s, _) => sources.Otlp.otlpIngest(s)),
+    // negative native-histogram buckets over the wire: the two-sided
+    // rank walk (neg ascending-in-value, zero, pos) with the mirrored
+    // interpolation on the negative side
+    "a1o_remote_write_negative" -> ((s, _) => sources.RemoteWrite.wireDecodeNegative(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -884,6 +888,7 @@ object SparkEntry {
     "a1l_remote_write_family" -> sources.RemoteWrite.WireDecodeFamilySql,
     "a1m_delete_series" -> promql.Admin.DeletedCounterSnapshotSql,
     "a1n_otlp_ingest" -> sources.Otlp.OtlpIngestSql,
+    "a1o_remote_write_negative" -> sources.RemoteWrite.WireDecodeNegativeSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -67,7 +67,10 @@ case class RemoteWriteHistDecodeExpr(child: Expression)
     StructField("zero_count", LongType),
     StructField("offs", ArrayType(IntegerType, containsNull = false)),
     StructField("lens", ArrayType(IntegerType, containsNull = false)),
-    StructField("deltas", ArrayType(LongType, containsNull = false))))
+    StructField("deltas", ArrayType(LongType, containsNull = false)),
+    StructField("neg_offs", ArrayType(IntegerType, containsNull = false)),
+    StructField("neg_lens", ArrayType(IntegerType, containsNull = false)),
+    StructField("neg_deltas", ArrayType(LongType, containsNull = false))))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -87,7 +90,10 @@ case class RemoteWriteHistDecodeExpr(child: Expression)
         InternalRow(labels, h.tsMs, h.schema, h.count, h.sum, h.zeroCount,
           new GenericArrayData(h.offs.toArray),
           new GenericArrayData(h.lens.toArray),
-          new GenericArrayData(h.deltas.toArray))
+          new GenericArrayData(h.deltas.toArray),
+          new GenericArrayData(h.negOffs.toArray),
+          new GenericArrayData(h.negLens.toArray),
+          new GenericArrayData(h.negDeltas.toArray))
       }
     }
   }

@@ -128,7 +128,8 @@ object QueryEndpoint {
       recordingRules: Seq[graft.promql.Rules.RecordingRule] = Nil,
       scrapeTargets: Seq[ScrapeLoop] = Nil,
       remoteWrite: Option[RemoteWriteSink] = None,
-      resultsCache: Boolean = false): HttpServer = {
+      resultsCache: Boolean = false,
+      alertmanagers: Seq[(String, AlertNotifier)] = Nil): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     // remote-write receiver: POST of a snappy-framed WriteRequest; 204
     // on accept (upstream's receiver contract), 400 on malformed bytes,
@@ -234,6 +235,19 @@ object QueryEndpoint {
     })
     server.createContext("/api/v1/targets", handler { _ =>
       Api.targetsJson(scrapeTargets.map(_.status))
+    })
+    // upstream's Alertmanager-discovery view: the configured notifier
+    // endpoints with delivery health (a notifier whose last POST failed
+    // reports as dropped, like an unreachable discovered AM)
+    server.createContext("/api/v1/alertmanagers", handler { _ =>
+      val (active, dropped) = alertmanagers.partition {
+        case (_, n) => n.status._2.isEmpty
+      }
+      def arr(xs: Seq[(String, AlertNotifier)]): String =
+        xs.map { case (u, _) => s"""{"url":"${jsonEscape(u)}"}""" }
+          .mkString("[", ",", "]")
+      s"""{"status":"success","data":{"activeAlertmanagers":${arr(active)},""" +
+        s""""droppedAlertmanagers":${arr(dropped)}}}"""
     })
     server.createContext("/api/v1/status/tsdb", handler { _ =>
       Api.tsdbStatusJson(spark, dir)

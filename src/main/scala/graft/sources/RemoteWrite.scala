@@ -58,7 +58,9 @@ object RemoteWrite {
     */
   final case class Hist(tsMs: Long, schema: Int,
       offs: Vector[Int], lens: Vector[Int], deltas: Vector[Long],
-      count: Long = 0L, sum: Double = 0.0, zeroCount: Long = 0L)
+      count: Long = 0L, sum: Double = 0.0, zeroCount: Long = 0L,
+      negOffs: Vector[Int] = Vector.empty, negLens: Vector[Int] = Vector.empty,
+      negDeltas: Vector[Long] = Vector.empty)
 
   /** Decode an UNCOMPRESSED `WriteRequest` payload. Throws
     * `IllegalArgumentException` on malformed bytes (truncated message,
@@ -180,6 +182,9 @@ object RemoteWrite {
       val offs = Vector.newBuilder[Int]
       val lens = Vector.newBuilder[Int]
       val deltas = Vector.newBuilder[Long]
+      val negOffs = Vector.newBuilder[Int]
+      val negLens = Vector.newBuilder[Int]
+      val negDeltas = Vector.newBuilder[Long]
       while (pos < limit) {
         val tag = varint(limit)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
@@ -187,6 +192,12 @@ object RemoteWrite {
           case (3, 1) => hsum = java.lang.Double.longBitsToDouble(fixed64(limit))
           case (4, 0) => schema = zigzag(varint(limit)).toInt
           case (6, 0) => zero = varint(limit) // zero_count_int
+          case (8, 2) => // negative_spans
+            val (o, l) = bucketSpan(lenDelim(limit)); negOffs += o; negLens += l
+          case (9, 2) => // packed negative zigzag deltas
+            val u = lenDelim(limit)
+            while (pos < u) negDeltas += zigzag(varint(u))
+          case (9, 0) => negDeltas += zigzag(varint(limit))
           case (11, 2) =>
             val (o, l) = bucketSpan(lenDelim(limit)); offs += o; lens += l
           case (12, 2) => // packed zigzag deltas (proto3 default)
@@ -194,11 +205,12 @@ object RemoteWrite {
             while (pos < u) deltas += zigzag(varint(u))
           case (12, 0) => deltas += zigzag(varint(limit)) // unpacked form
           case (15, 0) => ts = varint(limit)
-          case (_, wt) => skip(wt, limit) // float forms/negative/reset hint
+          case (_, wt) => skip(wt, limit) // float forms/reset hint
         }
       }
       Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
-        count, hsum, zero)
+        count, hsum, zero, negOffs.result(), negLens.result(),
+        negDeltas.result())
     }
 
     def timeSeries(limit: Int): Series = {
@@ -340,6 +352,9 @@ object RemoteWrite {
         val offs = Vector.newBuilder[Int]
         val lens = Vector.newBuilder[Int]
         val deltas = Vector.newBuilder[Long]
+        val negOffs = Vector.newBuilder[Int]
+        val negLens = Vector.newBuilder[Int]
+        val negDeltas = Vector.newBuilder[Long]
         while (pos < limit) {
           val tag = varint(limit)
           ((tag >> 3).toInt, (tag & 7).toInt) match {
@@ -353,6 +368,12 @@ object RemoteWrite {
               hsum = java.lang.Double.longBitsToDouble(bits)
             case (4, 0) => schema = zigzag(varint(limit)).toInt
             case (6, 0) => zero = varint(limit)
+            case (8, 2) =>
+              val (o, l) = bucketSpan(lenDelim(limit)); negOffs += o; negLens += l
+            case (9, 2) =>
+              val u = lenDelim(limit)
+              while (pos < u) negDeltas += zigzag(varint(u))
+            case (9, 0) => negDeltas += zigzag(varint(limit))
             case (11, 2) =>
               val (o, l) = bucketSpan(lenDelim(limit)); offs += o; lens += l
             case (12, 2) =>
@@ -364,7 +385,8 @@ object RemoteWrite {
           }
         }
         Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
-          count, hsum, zero)
+          count, hsum, zero, negOffs.result(), negLens.result(),
+          negDeltas.result())
       }
       while (pos < until) {
         val tag = varint(until)
@@ -448,6 +470,17 @@ object RemoteWrite {
         if (h.zeroCount != 0L) { // zero_count_int, field 6
           writeVarint(hm, (6L << 3) | 0L); writeVarint(hm, h.zeroCount)
         }
+        h.negOffs.zip(h.negLens).foreach { case (o, l) => // negative_spans, field 8
+          val sp = new java.io.ByteArrayOutputStream()
+          writeVarint(sp, (1L << 3) | 0L); writeVarint(sp, zz(o.toLong))
+          writeVarint(sp, (2L << 3) | 0L); writeVarint(sp, l.toLong)
+          writeLen(hm, 8, sp.toByteArray)
+        }
+        if (h.negDeltas.nonEmpty) { // packed negative deltas, field 9
+          val dl = new java.io.ByteArrayOutputStream()
+          h.negDeltas.foreach(d => writeVarint(dl, zz(d)))
+          writeLen(hm, 9, dl.toByteArray)
+        }
         h.offs.zip(h.lens).foreach { case (o, l) =>
           val sp = new java.io.ByteArrayOutputStream()
           writeVarint(sp, (1L << 3) | 0L)
@@ -513,6 +546,17 @@ object RemoteWrite {
         writeVarint(hm, zz(h.schema.toLong))
         if (h.zeroCount != 0L) {
           writeVarint(hm, (6L << 3) | 0L); writeVarint(hm, h.zeroCount)
+        }
+        h.negOffs.zip(h.negLens).foreach { case (o, l) =>
+          val sp = new java.io.ByteArrayOutputStream()
+          writeVarint(sp, (1L << 3) | 0L); writeVarint(sp, zz(o.toLong))
+          writeVarint(sp, (2L << 3) | 0L); writeVarint(sp, l.toLong)
+          writeLen(hm, 8, sp.toByteArray)
+        }
+        if (h.negDeltas.nonEmpty) {
+          val dl = new java.io.ByteArrayOutputStream()
+          h.negDeltas.foreach(d => writeVarint(dl, zz(d)))
+          writeLen(hm, 9, dl.toByteArray)
         }
         h.offs.zip(h.lens).foreach { case (o, l) =>
           val sp = new java.io.ByteArrayOutputStream()
@@ -672,7 +716,7 @@ object RemoteWrite {
     payloads.select(col("recv_ts"),
       expr("prom_rw_decode_hist(proto)")
         .as(Seq("labels", "ts_ms", "schema", "count", "sum", "zero_count",
-          "offs", "lens", "deltas")))
+          "offs", "lens", "deltas", "neg_offs", "neg_lens", "neg_deltas")))
   }
 
   /** a1j — native histograms over remote write, b37c carried onto the
@@ -808,18 +852,21 @@ object RemoteWrite {
       .select(element_at(col("labels"), "__name__").as("metric"),
         coalesce(element_at(col("labels"), "k"), lit("")).as("label_k"),
         col("ts_ms"), col("schema"), col("count"), col("sum"),
-        col("zero_count"), col("offs"), col("lens"), col("deltas"))
+        col("zero_count"), col("offs"), col("lens"), col("deltas"),
+        col("neg_offs"), col("neg_lens"), col("neg_deltas"))
       .groupBy(col("metric"), col("label_k"))
       .agg(
         max_by(struct(col("schema"), col("count"), col("sum"),
-          col("zero_count"), col("offs"), col("lens"), col("deltas")),
+          col("zero_count"), col("offs"), col("lens"), col("deltas"),
+          col("neg_offs"), col("neg_lens"), col("neg_deltas")),
           col("ts_ms")).as("h"),
         max(col("ts_ms")).as("ts_ms"))
       .select(col("metric"), col("label_k"), col("ts_ms"),
         col("h.schema").as("schema"), col("h.count").as("count"),
         col("h.sum").as("sum"), col("h.zero_count").as("zero_count"),
         col("h.offs").as("offs"), col("h.lens").as("lens"),
-        col("h.deltas").as("deltas"))
+        col("h.deltas").as("deltas"), col("h.neg_offs").as("neg_offs"),
+        col("h.neg_lens").as("neg_lens"), col("h.neg_deltas").as("neg_deltas"))
 
   /** `histogram_quantile(φ)` served straight from the remote-write
     * family state: the wire spans walk to absolute bucket counts through
@@ -837,40 +884,69 @@ object RemoteWrite {
   def familyQuantile(spark: SparkSession, family: DataFrame,
       phi: Double): DataFrame = {
     graft.plans.DetMathExprs.register(spark)
-    // the per-series scalars ride THROUGH the span walk as extra key
-    // columns (constant per series), so the whole evaluation is one
-    // window pass + ONE aggregate — no self-joins of the family lineage
-    // (min_by skips null keys, so the smallest candidate bucket's
-    // interpolated value wins, exactly the rank walk's first hit)
+    // The TWO-SIDED rank walk (upstream's native-histogram CDF order:
+    // negative buckets ascending in VALUE = descending index, then the
+    // zero bucket, then positives ascending). Per-series scalars ride
+    // THROUGH the span walk as extra key columns, so the whole
+    // evaluation is one union of two span walks + one window pass +
+    // ONE aggregate — no self-joins of the family lineage (min_by skips
+    // null keys, so the ascending-order first candidate wins). The
+    // candidate test `eff_cum − c < rank ≤ eff_cum` picks exactly the
+    // crossing bucket; a rank inside the zero interval matches no row
+    // and renders 0.0; a rank past everything takes the last positive
+    // bound (the aggregator's overflow rule).
     val keys = Seq("metric", "label_k", "schema", "count", "sum",
       "zero_count")
     val series = Seq("metric", "label_k").map(col)
-    val buckets = graft.operators.Metrics.decodeWireSpans(family, keys)
-    val w = Window.partitionBy(series: _*).orderBy(col("bucket"))
+    val pos = graft.operators.Metrics.decodeWireSpans(family, keys)
+      .withColumn("side", lit(1))
+    val negIn = family.select(keys.map(col) :+
+      col("neg_offs").as("offs") :+ col("neg_lens").as("lens") :+
+      col("neg_deltas").as("deltas"): _*)
+    val neg = graft.operators.Metrics.decodeWireSpans(negIn, keys)
+      .withColumn("side", lit(0))
     val rank = lit(phi) * col("count").cast("double")
-    val cand = buckets
-      .withColumn("cumc", sum(col("bucket_count")).over(w))
+    val w = Window.partitionBy(series: _*).orderBy(col("ord"))
+    val ws = Window.partitionBy(series: _*)
+    val cand = neg.unionByName(pos)
+      // ascending-value order: (side, −bucket | bucket)
+      .withColumn("ord",
+        (col("side").cast("long") * lit(10000000L) +
+          when(col("side") === 0, -col("bucket")).otherwise(col("bucket"))
+            .cast("long")))
+      .withColumn("cum_run", sum(col("bucket_count")).over(w))
+      .withColumn("negtot",
+        sum(when(col("side") === 0, col("bucket_count")).otherwise(0L))
+          .over(ws))
+      .withColumn("eff_cum",
+        col("cum_run") +
+          when(col("side") === 1, col("zero_count")).otherwise(lit(0L)))
       .join(broadcast(graft.operators.Metrics.nhBoundsDf(spark)
         .select(col("bucket"), col("hi"))), Seq("bucket"))
       .withColumn("_isc",
-        rank > col("zero_count").cast("double") &&
-          rank <= (col("zero_count") + col("cumc")).cast("double"))
+        rank > (col("eff_cum") - col("bucket_count")).cast("double") &&
+          rank <= col("eff_cum").cast("double"))
       .withColumn("f",
-        (rank -
-          (col("zero_count") + col("cumc") - col("bucket_count")).cast("double"))
+        (rank - (col("eff_cum") - col("bucket_count")).cast("double"))
           / col("bucket_count").cast("double"))
       .withColumn("xq",
-        ((col("bucket") - lit(1)).cast("double") + col("f"))
+        when(col("side") === 1,
+          ((col("bucket") - lit(1)).cast("double") + col("f")))
+          .otherwise(col("bucket").cast("double") - col("f"))
           / pow(lit(2.0), col("schema").cast("double")))
-      .withColumn("_qv", graft.plans.DetMathExprs.detExp2C(col("xq")))
+      .withColumn("_qv",
+        when(col("side") === 1, graft.plans.DetMathExprs.detExp2C(col("xq")))
+          .otherwise(-graft.plans.DetMathExprs.detExp2C(col("xq"))))
     cand
       .groupBy(keys.map(col): _*)
-      .agg(max(col("hi")).as("last_hi"),
-        min_by(col("_qv"), when(col("_isc"), col("bucket"))).as("qv"))
+      .agg(max(when(col("side") === 1, col("hi"))).as("last_hi"),
+        max(col("negtot")).as("negtot"),
+        min_by(col("_qv"), when(col("_isc"), col("ord"))).as("qv"))
       .select(series :+ col("count") :+ col("zero_count") :+ col("sum") :+
-        when(rank <= col("zero_count").cast("double"), lit(0.0))
-          .when(col("qv").isNotNull, col("qv"))
-          .otherwise(col("last_hi")).as("p90"): _*)
+        when(col("qv").isNotNull, col("qv"))
+          .when(rank <= (col("negtot") + col("zero_count")).cast("double"),
+            lit(0.0))
+          .otherwise(col("last_hi")).as("q"): _*)
   }
 
   /** a1l — remote-written native histograms land in a LIVE family
@@ -1005,10 +1081,152 @@ object RemoteWrite {
        |  CASE WHEN CAST('0.9' AS DOUBLE) * CAST(f.count AS DOUBLE)
        |         <= CAST(f.zero_count AS DOUBLE) THEN 0.0
        |       WHEN pq.qv IS NOT NULL THEN pq.qv
-       |       ELSE bs.last_hi END AS p90
+       |       ELSE bs.last_hi END AS q
        |FROM f
        |LEFT JOIN pq ON pq.metric = f.metric AND pq.label_k = f.label_k
        |LEFT JOIN bs ON bs.metric = f.metric AND bs.label_k = f.label_k
+       |ORDER BY f.metric, f.label_k""".stripMargin
+  }
+
+  /** a1o — NEGATIVE buckets over the wire (prompb `negative_spans`/
+    * `negative_deltas`, fields 8/9): a hand-assembled payload whose
+    * histogram observes on BOTH sides of zero, walked by the same span
+    * decode (sign-agnostic), served through the TWO-SIDED rank walk —
+    * upstream's native-histogram CDF order (negatives ascending in
+    * value, zero bucket, positives) with the mirrored interpolation
+    * `−2^((i−f)/2^s)` on the negative side. φ = 0.25 lands one series
+    * in a negative bucket and the other in its zero bucket; the DuckDB
+    * oracle re-runs the whole two-sided walk from the hand-decoded
+    * signed bucket relation.
+    */
+  def wireDecodeNegative(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // WriteRequest, hand-assembled:
+    //   0A 4D  timeseries#1, 77 bytes:
+    //     0A 16  label: 0A 08 "__name__" 12 0A "temp_delta"
+    //     0A 06  label: 0A 01 "k" 12 01 "n"
+    //     22 2B  histogram, 43 bytes:
+    //       08 0A           count_int = 10
+    //       19 <-2.5 LE: 0xC004000000000000>  sum
+    //       20 06           schema: zigzag(3) = 6
+    //       30 01           zero_count_int = 1
+    //       42 04 08 02 10 01   negative span {offset zigzag(1), len 1}
+    //       42 04 08 02 10 01   negative span {offset zigzag(1), len 1}
+    //         -> neg buckets: idx 1 (first span, absolute start 1) and
+    //            idx 3 (gap 1 past the previous span's end 2)
+    //       4A 02 08 03     packed negative deltas: zigzag [4, -2]
+    //         -> neg counts: idx 1: 4, idx 3: 2
+    //       5A 04 08 02 10 01   positive span {offset zigzag(1), len 1}
+    //       62 01 06        packed deltas: zigzag [3] -> pos idx 1: 3
+    //       78 E8 07        timestamp = 1000
+    //   0A 34  timeseries#2, 52 bytes:
+    //     0A 16  label: __name__ = "temp_delta"
+    //     0A 06  label: k = "p"
+    //     22 12  histogram, 18 bytes:
+    //       08 04           count_int = 4
+    //       20 06           schema 3
+    //       30 02           zero_count_int = 2
+    //       5A 04 08 04 10 01   positive span {offset zigzag(2), len 1}
+    //       62 01 04        packed deltas: zigzag [2] -> pos idx 2: 2
+    //       78 E8 07        timestamp = 1000
+    val payload = hexBytes(
+      "0A4D" +
+        "0A16" + "0A085F5F6E616D655F5F" + "120A" + "74656D705F64656C7461" +
+        "0A06" + "0A016B" + "12016E" +
+        "222B" +
+        "080A" +
+        "19" + "00000000000004C0" +
+        "2006" +
+        "3001" +
+        "4204" + "08021001" +
+        "4204" + "08021001" +
+        "4A02" + "0803" +
+        "5A04" + "08021001" +
+        "6201" + "06" +
+        "78E807" +
+      "0A34" +
+        "0A16" + "0A085F5F6E616D655F5F" + "120A" + "74656D705F64656C7461" +
+        "0A06" + "0A016B" + "120170" +
+        "2212" +
+        "0804" +
+        "2006" +
+        "3002" +
+        "5A04" + "08041001" +
+        "6201" + "04" +
+        "78E807")
+    val payloads = Seq(payload).toDF("proto")
+      .withColumn("recv_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    familyQuantile(spark, histFamily(decodeHist(payloads)), 0.25)
+      .orderBy(col("metric"), col("label_k"))
+  }
+
+  /** Oracle twin of [[wireDecodeNegative]]: the signed bucket relation
+    * derived by hand (series n: neg idx 1 count 4 and idx 3 count 2 —
+    * span gap arithmetic in the payload comments — pos idx 1 count 3;
+    * series p: pos idx 2 count 2), then the SAME two-sided walk in SQL:
+    * rank 0.25·10 = 2.5 crosses the negative bucket 1 (the 2nd in
+    * ascending-value order), f = (2.5−2)/4, q = −2^((1−f)/8); rank
+    * 0.25·4 = 1 sits inside p's zero bucket → 0.0.
+    */
+  lazy val WireDecodeNegativeSql: String = {
+    val interp = graft.functions.DetMath.exp2Sql("xq")
+    s"""WITH f(metric, label_k, count, zero_count, sum) AS (VALUES
+       |  ('temp_delta', 'n', CAST(10 AS BIGINT), CAST(1 AS BIGINT), CAST('-2.5' AS DOUBLE)),
+       |  ('temp_delta', 'p', CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST('0.0' AS DOUBLE))),
+       |bk(metric, label_k, side, bucket, c) AS (VALUES
+       |  ('temp_delta', 'n', 0, 3, CAST(2 AS BIGINT)),
+       |  ('temp_delta', 'n', 0, 1, CAST(4 AS BIGINT)),
+       |  ('temp_delta', 'n', 1, 1, CAST(3 AS BIGINT)),
+       |  ('temp_delta', 'p', 1, 2, CAST(2 AS BIGINT))),
+       |bounds AS (${graft.operators.Metrics.NhBoundsSql}),
+       |bw AS (
+       |  SELECT bk.*, f.count, f.zero_count,
+       |    side * 10000000 + CASE WHEN side = 0 THEN -bucket ELSE bucket END AS ord
+       |  FROM bk JOIN f USING (metric, label_k)),
+       |bw2 AS (
+       |  SELECT bw.*,
+       |    SUM(c) OVER (PARTITION BY metric, label_k ORDER BY ord) AS cum_run
+       |  FROM bw),
+       |bw3 AS (
+       |  SELECT bw2.*,
+       |    cum_run + CASE WHEN side = 1 THEN zero_count ELSE 0 END AS eff_cum
+       |  FROM bw2),
+       |pick AS (
+       |  SELECT metric, label_k, side, bucket, ord,
+       |    (CAST('0.25' AS DOUBLE) * CAST(count AS DOUBLE)
+       |      - CAST(eff_cum - c AS DOUBLE)) / CAST(c AS DOUBLE) AS fr,
+       |    ROW_NUMBER() OVER (PARTITION BY metric, label_k ORDER BY ord) AS rn
+       |  FROM bw3
+       |  WHERE CAST('0.25' AS DOUBLE) * CAST(count AS DOUBLE)
+       |      > CAST(eff_cum - c AS DOUBLE)
+       |    AND CAST('0.25' AS DOUBLE) * CAST(count AS DOUBLE)
+       |      <= CAST(eff_cum AS DOUBLE)),
+       |pq AS (
+       |  SELECT metric, label_k,
+       |    CASE WHEN side = 1 THEN $interp ELSE -($interp) END AS qv
+       |  FROM (SELECT metric, label_k, side,
+       |          (CASE WHEN side = 1 THEN CAST(bucket - 1 AS DOUBLE) + fr
+       |                ELSE CAST(bucket AS DOUBLE) - fr END)
+       |            / pow(2.0, CAST(3 AS DOUBLE)) AS xq
+       |        FROM pick WHERE rn = 1)),
+       |ls AS (
+       |  SELECT w.metric, w.label_k, MAX(b.hi) AS last_hi
+       |  FROM bw w JOIN bounds b ON b.bucket = w.bucket
+       |  WHERE w.side = 1 GROUP BY 1, 2),
+       |ng AS (
+       |  SELECT metric, label_k,
+       |    SUM(CASE WHEN side = 0 THEN c ELSE 0 END) AS negtot
+       |  FROM bk GROUP BY 1, 2)
+       |SELECT f.metric, f.label_k, f.count, f.zero_count, f.sum,
+       |  CASE WHEN pq.qv IS NOT NULL THEN pq.qv
+       |       WHEN CAST('0.25' AS DOUBLE) * CAST(f.count AS DOUBLE)
+       |         <= CAST(COALESCE(ng.negtot, 0) + f.zero_count AS DOUBLE)
+       |         THEN 0.0
+       |       ELSE ls.last_hi END AS q
+       |FROM f
+       |LEFT JOIN pq ON pq.metric = f.metric AND pq.label_k = f.label_k
+       |LEFT JOIN ls ON ls.metric = f.metric AND ls.label_k = f.label_k
+       |LEFT JOIN ng ON ng.metric = f.metric AND ng.label_k = f.label_k
        |ORDER BY f.metric, f.label_k""".stripMargin
   }
 

@@ -60,4 +60,25 @@ class AlertNotifierSpec extends SparkTestBase {
     assert(code === -1)
     assert(n.status._2.nonEmpty)
   }
+
+  test("/api/v1/alertmanagers partitions healthy vs dropped notifiers") {
+    val good = new AlertNotifier("http://127.0.0.1:1/unused") // never posted
+    val bad = new AlertNotifier("http://127.0.0.1:1/api/v2/alerts")
+    bad.notify(spark, dir, Seq(AlertRule("High", "sum by (k) (purchase) > 3")))
+    val server = graft.sources.QueryEndpoint.start(spark, dir,
+      alertmanagers = Seq(
+        "http://am-healthy:9093/api/v2/alerts" -> good,
+        "http://am-down:9093/api/v2/alerts" -> bad))
+    try {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/alertmanagers")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = try new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally conn.disconnect()
+      assert(body ===
+        """{"status":"success","data":{"activeAlertmanagers":""" +
+          """[{"url":"http://am-healthy:9093/api/v2/alerts"}],""" +
+          """"droppedAlertmanagers":[{"url":"http://am-down:9093/api/v2/alerts"}]}}""")
+    } finally server.stop(0)
+  }
 }

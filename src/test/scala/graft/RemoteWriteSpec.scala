@@ -360,6 +360,24 @@ class RemoteWriteSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("negative buckets round-trip both protocols; the two-sided walk is sign-exact") {
+    val h = RemoteWrite.Hist(7000L, 3, Vector(1), Vector(2), Vector(5L, -1L),
+      20L, -3.5, 2L, Vector(-2, 1), Vector(1, 1), Vector(6L, -3L))
+    val s = Vector(RemoteWrite.Series(Vector("__name__" -> "d", "k" -> "x"),
+      Vector.empty, Vector(h)))
+    assert(RemoteWrite.walk(RemoteWrite.encode(s)) === s)
+    assert(RemoteWrite.walkV2(RemoteWrite.encodeV2(s)) === s)
+    // gate values, re-derived by hand: series n's q(0.25) crosses
+    // negative bucket 1 → −2^((1−0.125)/8); series p's rank sits in the
+    // zero bucket → exactly 0.0
+    val rows = RemoteWrite.wireDecodeNegative(spark)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)) ===
+      Seq(("temp_delta", "n", 10L), ("temp_delta", "p", 4L)))
+    assert(rows(0)._6 === -graft.functions.DetMath.exp2(0.109375))
+    assert(rows(1)._6 === 0.0)
+  }
+
   test("hist round-trip carries count/sum/zero_count; re-push is idempotent at the family") {
     val h = RemoteWrite.Hist(5000L, 3, Vector(2), Vector(1), Vector(4L),
       11L, 2.25, 3L)
