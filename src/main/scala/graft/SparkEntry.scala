@@ -186,6 +186,9 @@ object SparkEntry {
     // rank walk (neg ascending-in-value, zero, pos) with the mirrored
     // interpolation on the negative side
     "a1o_remote_write_negative" -> ((s, _) => sources.RemoteWrite.wireDecodeNegative(s)),
+    // exemplars over the push wire: prompb TimeSeries.exemplars decoded
+    // by the third generator face into the exemplar store's wire feed
+    "a1p_remote_write_exemplars" -> ((s, _) => sources.RemoteWrite.wireDecodeExemplars(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -889,6 +892,7 @@ object SparkEntry {
     "a1m_delete_series" -> promql.Admin.DeletedCounterSnapshotSql,
     "a1n_otlp_ingest" -> sources.Otlp.OtlpIngestSql,
     "a1o_remote_write_negative" -> sources.RemoteWrite.WireDecodeNegativeSql,
+    "a1p_remote_write_exemplars" -> sources.RemoteWrite.WireDecodeExemplarsSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

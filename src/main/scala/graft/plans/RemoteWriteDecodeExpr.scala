@@ -102,6 +102,42 @@ case class RemoteWriteHistDecodeExpr(child: Expression)
     copy(child = c)
 }
 
+/** The exemplar face: one row per (series, exemplar) — the series'
+  * label map, the exemplar's own labels (trace ids), value, timestamp.
+  */
+case class RemoteWriteExDecodeExpr(child: Expression)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("labels", MapType(StringType, StringType, valueContainsNull = false)),
+    StructField("ex_labels", MapType(StringType, StringType, valueContainsNull = false)),
+    StructField("value", DoubleType),
+    StructField("ts_ms", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"prom_rw_decode_ex expects binary, got ${child.dataType.simpleString}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null) return Iterator.empty
+    def toMap(ls: Seq[(String, String)]): ArrayBasedMapData =
+      new ArrayBasedMapData(
+        new GenericArrayData(ls.map(l => UTF8String.fromString(l._1)).toArray[Any]),
+        new GenericArrayData(ls.map(l => UTF8String.fromString(l._2)).toArray[Any]))
+    graft.sources.RemoteWrite.walk(bytes).iterator.flatMap { s =>
+      val labels = toMap(s.labels)
+      s.exemplars.iterator.map { e =>
+        InternalRow(labels, toMap(e.labels), e.value, e.tsMs)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object RemoteWriteDecodeExpr {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -111,6 +147,10 @@ object RemoteWriteDecodeExpr {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "prom_rw_decode_hist",
       exprs => RemoteWriteHistDecodeExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "prom_rw_decode_ex",
+      exprs => RemoteWriteExDecodeExpr(exprs.head),
       "built-in")
   }
 }

@@ -38,13 +38,22 @@ import org.apache.spark.sql.functions._
   */
 object RemoteWrite {
 
+  /** One exemplar off the wire (prompb `Exemplar`: labels = 1,
+    * value = 2, timestamp = 3) — the trace-id-carrying observation a
+    * sender attaches to a series, destined for the exemplar store.
+    */
+  final case class Exemplar(labels: Vector[(String, String)],
+      value: Double, tsMs: Long)
+
   /** One decoded time series: its label pairs (wire order) and its
     * (value, timestamp-ms) samples (wire order); native-histogram
-    * payloads (prompb `Histogram`, field 4) ride alongside.
+    * payloads (prompb `Histogram`, field 4) and exemplars (field 3)
+    * ride alongside.
     */
   final case class Series(labels: Vector[(String, String)],
       samples: Vector[(Double, Long)],
-      hists: Vector[Hist] = Vector.empty)
+      hists: Vector[Hist] = Vector.empty,
+      exemplars: Vector[Exemplar] = Vector.empty)
 
   /** One native-histogram sample off the wire: the sparse POSITIVE
     * bucket ladder the engine models (`prometheus.cpp:256-306`'s
@@ -213,20 +222,38 @@ object RemoteWrite {
         negDeltas.result())
     }
 
+    def exemplar(limit: Int): Exemplar = {
+      val ls = Vector.newBuilder[(String, String)]
+      var v = 0.0
+      var ts = 0L
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => ls += label(lenDelim(limit))
+          case (2, 1) => v = java.lang.Double.longBitsToDouble(fixed64(limit))
+          case (3, 0) => ts = varint(limit)
+          case (_, wt) => skip(wt, limit)
+        }
+      }
+      Exemplar(ls.result(), v, ts)
+    }
+
     def timeSeries(limit: Int): Series = {
       val labels = Vector.newBuilder[(String, String)]
       val samples = Vector.newBuilder[(Double, Long)]
       val hists = Vector.newBuilder[Hist]
+      val exs = Vector.newBuilder[Exemplar]
       while (pos < limit) {
         val tag = varint(limit)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
           case (1, 2) => labels += label(lenDelim(limit))
           case (2, 2) => samples += sample(lenDelim(limit))
+          case (3, 2) => exs += exemplar(lenDelim(limit))
           case (4, 2) => hists += histogram(lenDelim(limit))
           case (_, wt) => skip(wt, limit)
         }
       }
-      Series(labels.result(), samples.result(), hists.result())
+      Series(labels.result(), samples.result(), hists.result(), exs.result())
     }
 
     val out = Vector.newBuilder[Series]
@@ -388,6 +415,35 @@ object RemoteWrite {
           count, hsum, zero, negOffs.result(), negLens.result(),
           negDeltas.result())
       }
+      // v2 Exemplar: packed labels_refs = 1, value = 2, timestamp = 3
+      def exemplarV2(limit: Int): Exemplar = {
+        val ers = Vector.newBuilder[Long]
+        var v = 0.0
+        var ts = 0L
+        while (pos < limit) {
+          val tag = varint(limit)
+          ((tag >> 3).toInt, (tag & 7).toInt) match {
+            case (1, 2) =>
+              val u = lenDelim(limit)
+              while (pos < u) ers += varint(u)
+            case (1, 0) => ers += varint(limit)
+            case (2, 1) =>
+              if (pos + 8 > limit) fail("truncated fixed64")
+              var bits = 0L
+              var i = 0
+              while (i < 8) { bits |= (bytes(pos + i) & 0xFFL) << (8 * i); i += 1 }
+              pos += 8
+              v = java.lang.Double.longBitsToDouble(bits)
+            case (3, 0) => ts = varint(limit)
+            case (_, wt) => skip(wt, limit)
+          }
+        }
+        val es = ers.result()
+        if (es.length % 2 != 0) fail("odd exemplar labels_refs length")
+        Exemplar(es.grouped(2).map { case Vector(n, vv) => (sym(n), sym(vv)) }
+          .toVector, v, ts)
+      }
+      val exs = Vector.newBuilder[Exemplar]
       while (pos < until) {
         val tag = varint(until)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
@@ -397,6 +453,7 @@ object RemoteWrite {
           case (1, 0) => refs += varint(until) // unpacked form
           case (2, 2) => samples += sample(lenDelim(until))
           case (3, 2) => hists += histogram(lenDelim(until))
+          case (4, 2) => exs += exemplarV2(lenDelim(until)) // v2: field 4
           case (_, wt) => skip(wt, until)
         }
       }
@@ -404,7 +461,7 @@ object RemoteWrite {
       if (rs.length % 2 != 0) fail("odd labels_refs length")
       val labels = rs.grouped(2).map { case Vector(n, v) => (sym(n), sym(v)) }
         .toVector
-      Series(labels, samples.result(), hists.result())
+      Series(labels, samples.result(), hists.result(), exs.result())
     }
   }
 
@@ -452,6 +509,22 @@ object RemoteWrite {
         writeVarint(sm, (2L << 3) | 0L)
         writeVarint(sm, t)
         writeLen(ts, 2, sm.toByteArray)
+      }
+      s.exemplars.foreach { e => // Exemplar: labels=1, value=2, ts=3
+        val em = new java.io.ByteArrayOutputStream()
+        e.labels.foreach { case (n, v) =>
+          val l = new java.io.ByteArrayOutputStream()
+          writeLen(l, 1, utf8(n))
+          writeLen(l, 2, utf8(v))
+          writeLen(em, 1, l.toByteArray)
+        }
+        writeVarint(em, (2L << 3) | 1L)
+        val bits = java.lang.Double.doubleToLongBits(e.value)
+        var i = 0
+        while (i < 8) { em.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+        writeVarint(em, (3L << 3) | 0L)
+        writeVarint(em, e.tsMs)
+        writeLen(ts, 3, em.toByteArray)
       }
       s.hists.foreach { h =>
         def zz(n: Long): Long = (n << 1) ^ (n >> 63)
@@ -530,6 +603,23 @@ object RemoteWrite {
         writeVarint(sm, (2L << 3) | 0L)
         writeVarint(sm, t)
         writeLen(ts, 2, sm.toByteArray)
+      }
+      s.exemplars.foreach { e => // v2 Exemplar: interned refs, field 4
+        val em = new java.io.ByteArrayOutputStream()
+        if (e.labels.nonEmpty) {
+          val rl = new java.io.ByteArrayOutputStream()
+          e.labels.foreach { case (n, v) =>
+            writeVarint(rl, ref(n).toLong); writeVarint(rl, ref(v).toLong)
+          }
+          writeLen(em, 1, rl.toByteArray)
+        }
+        writeVarint(em, (2L << 3) | 1L)
+        val bits = java.lang.Double.doubleToLongBits(e.value)
+        var i = 0
+        while (i < 8) { em.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+        writeVarint(em, (3L << 3) | 0L)
+        writeVarint(em, e.tsMs)
+        writeLen(ts, 4, em.toByteArray)
       }
       s.hists.foreach { h =>
         val hm = new java.io.ByteArrayOutputStream()
@@ -669,10 +759,11 @@ object RemoteWrite {
     //     0A 07  label: 0A 01 "k" 12 02 "eu"
     //     12 0C  sample: 09 <3.5 LE: 0x400C000000000000> 10 E8 07 (=1000)
     //     12 0D  sample: 09 <4.25 LE: 0x4011000000000000> 10 C8 DC 03 (=61000)
-    //   0A 3D  timeseries#2, 61 bytes (samples FIRST, skippable fields):
+    //   0A 3D  timeseries#2, 61 bytes (samples FIRST, interleaved fields):
     //     12 0D  sample: 09 <-1.5 LE: 0xBFF8000000000000> 10 E0 A7 12 (=300000)
     //     0A 14  label: 0A 08 "__name__" 12 08 "cpu_temp"
-    //     1A 0B  exemplar (field 3, skipped): 09 <9.0 LE> 10 01
+    //     1A 0B  exemplar: 11 <9.0 LE> 18 01 (value 9.0 at ts 1 —
+    //            decoded since a1p; this gate doesn't project it)
     //     0A 07  label: 0A 01 "k" 12 02 "us"
     //     28 07  unknown varint field 5 (skipped)
     //   0A 12  timeseries#3, 18 bytes (labels only -> no rows):
@@ -689,7 +780,7 @@ object RemoteWrite {
         "0A3D" +
         "120D" + "09000000000000" + "F8BF" + "10E0A712" +
         "0A14" + "0A085F5F6E616D655F5F" + "1208" + "6370755F74656D70" +
-        "1A0B" + "09000000000000" + "2240" + "1001" +
+        "1A0B" + "11000000000000" + "2240" + "1801" +
         "0A07" + "0A016B" + "12027573" +
         "2807" +
         "0A12" +
@@ -1088,6 +1179,80 @@ object RemoteWrite {
        |ORDER BY f.metric, f.label_k""".stripMargin
   }
 
+  /** Relational decode of exemplars: `(recv_ts, proto)` payload rows →
+    * one `(recv_ts, labels, ex_labels, value, ts_ms)` row per (series,
+    * exemplar), via the third generator face — the wire feed of the
+    * exemplar store (`/api/v1/query_exemplars`).
+    */
+  def decodeEx(payloads: DataFrame): DataFrame = {
+    graft.plans.RemoteWriteDecodeExpr.register(payloads.sparkSession)
+    payloads.select(col("recv_ts"),
+      expr("prom_rw_decode_ex(proto)")
+        .as(Seq("labels", "ex_labels", "value", "ts_ms")))
+  }
+
+  /** a1p — EXEMPLARS over the wire (prompb `TimeSeries.exemplars`,
+    * field 3 — previously skipped): a hand-assembled payload whose
+    * series carries two trace-id exemplars next to its sample, decoded
+    * by the third generator face into the exemplar store's wire feed;
+    * a no-exemplar series contributes no rows. The DuckDB oracle is the
+    * hand-derived exemplar relation.
+    */
+  def wireDecodeExemplars(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // WriteRequest, hand-assembled:
+    //   0A 66  timeseries#1, 102 bytes:
+    //     0A 12  label: 0A 08 "__name__" 12 06 "req_ms"
+    //     0A 06  label: 0A 01 "k" 12 01 "a"
+    //     12 0C  sample: 09 <0.5 LE: 0x3FE0000000000000> 10 E8 07 (=1000)
+    //     1A 1C  exemplar, 28 bytes:
+    //       0A 0E  label: 0A 08 "trace_id" 12 02 "t1"
+    //       11 <0.25 LE: 0x3FD0000000000000>   value
+    //       18 84 07                            timestamp = 900
+    //     1A 1C  exemplar, 28 bytes:
+    //       0A 0E  label: trace_id = "t2"
+    //       11 <7.5 LE: 0x401E000000000000>    value
+    //       18 B6 07                            timestamp = 950
+    //   0A 1F  timeseries#2, 31 bytes (no exemplars -> no rows):
+    //     0A 10  label: __name__ = "idle"
+    //     12 0B  sample: 09 <1.0 LE: 0x3FF0000000000000> 10 01
+    val payload = hexBytes(
+      "0A66" +
+        "0A12" + "0A085F5F6E616D655F5F" + "1206" + "7265715F6D73" +
+        "0A06" + "0A016B" + "120161" +
+        "120C" + "09000000000000" + "E03F" + "10E807" +
+        "1A1C" +
+        "0A0E" + "0A0874726163655F6964" + "12027431" +
+        "11" + "000000000000D03F" +
+        "188407" +
+        "1A1C" +
+        "0A0E" + "0A0874726163655F6964" + "12027432" +
+        "11" + "0000000000001E40" +
+        "18B607" +
+      "0A1F" +
+        "0A10" + "0A085F5F6E616D655F5F" + "1204" + "69646C65" +
+        "120B" + "09000000000000" + "F03F" + "1001")
+    val payloads = Seq(payload).toDF("proto")
+      .withColumn("recv_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    decodeEx(payloads)
+      .select(
+        element_at(col("labels"), "__name__").as("metric"),
+        element_at(col("labels"), "k").as("label_k"),
+        element_at(col("ex_labels"), "trace_id").as("trace_id"),
+        col("ts_ms"), col("value"))
+      .orderBy(col("ts_ms"))
+  }
+
+  /** Oracle twin of [[wireDecodeExemplars]]: the hand-derived exemplar
+    * relation (series 2 has none).
+    */
+  val WireDecodeExemplarsSql: String =
+    """SELECT * FROM (VALUES
+      |  ('req_ms', 'a', 't1', CAST(900 AS BIGINT), CAST('0.25' AS DOUBLE)),
+      |  ('req_ms', 'a', 't2', CAST(950 AS BIGINT), CAST('7.5' AS DOUBLE))
+      |) w(metric, label_k, trace_id, ts_ms, value)
+      |ORDER BY ts_ms""".stripMargin
+
   /** a1o — NEGATIVE buckets over the wire (prompb `negative_spans`/
     * `negative_deltas`, fields 8/9): a hand-assembled payload whose
     * histogram observes on BOTH sides of zero, walked by the same span
@@ -1428,6 +1593,11 @@ class RemoteWriteSink(spark: SparkSession) {
 
   /** Decoded native-histogram sample rows off the pushed payloads. */
   def histograms: DataFrame = RemoteWrite.decodeHist(payloads)
+
+  /** Decoded exemplar rows off the pushed payloads — the wire feed of
+    * the exemplar store.
+    */
+  def exemplarRows: DataFrame = RemoteWrite.decodeEx(payloads)
 
   /** The LIVE native-histogram family registry over everything pushed so
     * far: last-write-wins state per series (streaming aggregation —

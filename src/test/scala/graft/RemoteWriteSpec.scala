@@ -360,6 +360,24 @@ class RemoteWriteSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("exemplars round-trip both protocols; hand-assembled payload decodes exactly") {
+    val s = Vector(RemoteWrite.Series(
+      Vector("__name__" -> "req_ms", "k" -> "a"),
+      Vector((0.5, 1000L)),
+      Vector.empty,
+      Vector(
+        RemoteWrite.Exemplar(Vector("trace_id" -> "t1"), 0.25, 900L),
+        RemoteWrite.Exemplar(Vector.empty, -2.0, 42L))))
+    assert(RemoteWrite.walk(RemoteWrite.encode(s)) === s)
+    // v2 interns exemplar labels through the same symbol table
+    assert(RemoteWrite.walkV2(RemoteWrite.encodeV2(s)) === s)
+    val rows = RemoteWrite.wireDecodeExemplars(spark)
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      ("req_ms", "a", "t1", 900L, 0.25),
+      ("req_ms", "a", "t2", 950L, 7.5)))
+  }
+
   test("negative buckets round-trip both protocols; the two-sided walk is sign-exact") {
     val h = RemoteWrite.Hist(7000L, 3, Vector(1), Vector(2), Vector(5L, -1L),
       20L, -3.5, 2L, Vector(-2, 1), Vector(1, 1), Vector(6L, -3L))
