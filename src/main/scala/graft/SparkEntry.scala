@@ -189,6 +189,10 @@ object SparkEntry {
     // exemplars over the push wire: prompb TimeSeries.exemplars decoded
     // by the third generator face into the exemplar store's wire feed
     "a1p_remote_write_exemplars" -> ((s, _) => sources.RemoteWrite.wireDecodeExemplars(s)),
+    // OTLP exponential histograms -> the native-histogram family: the
+    // off-by-one index mapping + span/delta re-encode, served by the
+    // two-sided quantile walk
+    "a1q_otlp_expohist" -> ((s, _) => sources.Otlp.otlpExpoHist(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -893,6 +897,7 @@ object SparkEntry {
     "a1n_otlp_ingest" -> sources.Otlp.OtlpIngestSql,
     "a1o_remote_write_negative" -> sources.RemoteWrite.WireDecodeNegativeSql,
     "a1p_remote_write_exemplars" -> sources.RemoteWrite.WireDecodeExemplarsSql,
+    "a1q_otlp_expohist" -> sources.Otlp.OtlpExpoHistSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -38,13 +38,31 @@ object Otlp {
       resource: Vector[(String, String)], attrs: Vector[(String, String)],
       tsNano: Long, value: Double)
 
+  /** One exponential-histogram data point off the wire — OTLP's twin of
+    * the Prometheus native histogram: same base-2 exponential bucketing
+    * (`scale` ≡ schema), but buckets ride as ABSOLUTE counts over a
+    * dense index range (offset + counts array) instead of span/delta
+    * chains, and the index convention is off by one (OTLP bucket i
+    * covers `(base^(offset+i), base^(offset+i+1)]`; the Prometheus
+    * index for that interval is `offset + i + 1`).
+    */
+  final case class ExpoHist(name: String, unit: String, temporality: Int,
+      resource: Vector[(String, String)], attrs: Vector[(String, String)],
+      tsNano: Long, count: Long, sum: Double, zeroCount: Long, scale: Int,
+      posOffset: Int, posCounts: Vector[Long],
+      negOffset: Int, negCounts: Vector[Long])
+
+  /** Everything a payload carries that this engine models. */
+  final case class Decoded(points: Vector[Point],
+      expoHists: Vector[ExpoHist])
+
   /** Decode an UNCOMPRESSED `ExportMetricsServiceRequest`. Throws
     * `IllegalArgumentException` on malformed bytes — the endpoint's
     * HTTP 400. Unknown fields (histogram/summary metrics, exemplars,
     * scope, schema URLs) skip by wire type, so a collector sending more
     * than this engine models still lands its gauges and sums.
     */
-  def walk(bytes: Array[Byte]): Vector[Point] = {
+  def walk(bytes: Array[Byte]): Decoded = {
     val end = bytes.length
     var pos = 0
     def fail(msg: String): Nothing =
@@ -137,11 +155,71 @@ object Otlp {
       (attrs.result(), ts, v)
     }
 
-    // Metric { name=1; unit=3; gauge=5; sum=7 } — histogram(9)/
-    // exponential_histogram(10)/summary(11) skip (not modeled)
-    def metric(limit: Int, resource: Vector[(String, String)]): Vector[Point] = {
+    // ExponentialHistogramDataPoint { attributes=1; time=3 fixed64;
+    //   count=4 fixed64; sum=5 double; scale=6 sint32;
+    //   zero_count=7 fixed64; positive=8 Buckets; negative=9 Buckets }
+    // Buckets { offset=1 sint32; bucket_counts=2 repeated uint64 }
+    def expoBuckets(limit: Int): (Int, Vector[Long]) = {
+      var off = 0
+      val counts = Vector.newBuilder[Long]
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 0) =>
+            val u = varint(limit); off = ((u >>> 1) ^ -(u & 1L)).toInt
+          case (2, 2) =>
+            val u = lenDelim(limit)
+            while (pos < u) counts += varint(u)
+          case (2, 0) => counts += varint(limit)
+          case (_, wt) => skip(wt, limit)
+        }
+      }
+      (off, counts.result())
+    }
+
+    def expoPoint(limit: Int): (Vector[(String, String)], Long, Long,
+        Double, Long, Int, Int, Vector[Long], Int, Vector[Long]) = {
+      val attrs = Vector.newBuilder[(String, String)]
+      var ts = 0L
+      var count = 0L
+      var sum = 0.0
+      var zero = 0L
+      var scale = 0
+      var po = 0
+      var pc = Vector.empty[Long]
+      var no = 0
+      var nc = Vector.empty[Long]
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => attrs += keyValue(lenDelim(limit))
+          case (3, 1) => ts = fixed64(limit)
+          case (4, 1) => count = fixed64(limit)
+          case (5, 1) => sum = java.lang.Double.longBitsToDouble(fixed64(limit))
+          case (6, 0) =>
+            val u = varint(limit); scale = ((u >>> 1) ^ -(u & 1L)).toInt
+          case (7, 1) => zero = fixed64(limit)
+          case (8, 2) =>
+            val (o, c) = expoBuckets(lenDelim(limit)); po = o; pc = c
+          case (9, 2) =>
+            val (o, c) = expoBuckets(lenDelim(limit)); no = o; nc = c
+          case (_, wt) => skip(wt, limit)
+        }
+      }
+      (attrs.result(), ts, count, sum, zero, scale, po, pc, no, nc)
+    }
+
+    // Metric { name=1; unit=3; gauge=5; sum=7;
+    //          exponential_histogram=10 } — classic histogram(9)/
+    // summary(11) skip (the engine's histogram model is native)
+    def metric(limit: Int, resource: Vector[(String, String)])
+        : (Vector[Point], Vector[ExpoHist]) = {
       var name = ""
       var unit = ""
+      val ehs = Vector.newBuilder[ExpoHist]
+      var ehRaw = Vector.empty[(Vector[(String, String)], Long, Long,
+        Double, Long, Int, Int, Vector[Long], Int, Vector[Long])]
+      var ehTemporality = 0
       val out = Vector.newBuilder[(String, Boolean, Int, Vector[(String, String)], Long, Double)]
       while (pos < limit) {
         val tag = varint(limit)
@@ -178,17 +256,32 @@ object Otlp {
             pts.result().foreach { case (a, t, v) =>
               out += (("sum", monotonic, temporality, a, t, v))
             }
+          case (10, 2) => // ExponentialHistogram { data_points=1; temporality=2 }
+            val eu = lenDelim(limit)
+            while (pos < eu) {
+              val et = varint(eu)
+              ((et >> 3).toInt, (et & 7).toInt) match {
+                case (1, 2) => ehRaw = ehRaw :+ expoPoint(lenDelim(eu))
+                case (2, 0) => ehTemporality = varint(eu).toInt
+                case (_, wt) => skip(wt, eu)
+              }
+            }
           case (_, wt) => skip(wt, limit)
         }
       }
       val n = name
       val u = unit
-      out.result().map { case (kind, mono, temp, attrs, ts, v) =>
-        Point(n, u, kind, mono, temp, resource, attrs, ts, v)
+      ehRaw.foreach { case (a, t, c, s, z, sc, po, pc, no, nc) =>
+        ehs += ExpoHist(n, u, ehTemporality, resource, a, t, c, s, z, sc,
+          po, pc, no, nc)
       }
+      (out.result().map { case (kind, mono, temp, attrs, ts, v) =>
+        Point(n, u, kind, mono, temp, resource, attrs, ts, v)
+      }, ehs.result())
     }
 
     val points = Vector.newBuilder[Point]
+    val expos = Vector.newBuilder[ExpoHist]
     while (pos < end) {
       val tag = varint(end)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
@@ -224,7 +317,10 @@ object Otlp {
             while (pos < until) {
               val st = varint(until)
               ((st >> 3).toInt, (st & 7).toInt) match {
-                case (2, 2) => points ++= metric(lenDelim(until), res)
+                case (2, 2) =>
+                  val (ps, es) = metric(lenDelim(until), res)
+                  points ++= ps
+                  expos ++= es
                 case (_, wt) => skip(wt, until) // scope, schema_url
               }
             }
@@ -233,7 +329,7 @@ object Otlp {
         case (_, wt) => skip(wt, end)
       }
     }
-    points.result()
+    Decoded(points.result(), expos.result())
   }
 
   /** The compatibility spec's unit-suffix table (the subset of units
@@ -265,26 +361,71 @@ object Otlp {
     else unitized
   }
 
-  /** Translate walked points into the one stream wire shape. Delta
-    * sums fail loud (upstream's OTLP receiver rejects them too).
+  private def seriesLabels(name: String,
+      resource: Vector[(String, String)],
+      attrs: Vector[(String, String)]): Vector[(String, String)] = {
+    val res = resource.toMap
+    val job = res.get("service.name").map { n =>
+      res.get("service.namespace").map(ns => s"$ns/$n").getOrElse(n)
+    }
+    Vector("__name__" -> name) ++
+      job.map("job" -> _) ++
+      res.get("service.instance.id").map("instance" -> _) ++
+      attrs.map { case (k, v) => labelSanitize(k) -> v }
+  }
+
+  /** (offset, absolute counts) of one OTLP Buckets message → the
+    * Prometheus span/delta encoding: OTLP bucket i maps to Prometheus
+    * index `offset + i + 1` (the off-by-one between the two public
+    * conventions — OTLP's bucket 0 at offset 0 covers (1, base], which
+    * IS Prometheus bucket 1), one dense span, counts re-expressed as a
+    * delta chain.
     */
-  def translate(points: Vector[Point]): Vector[RemoteWrite.Series] =
-    points.map { p =>
+  private[graft] def toSpans(offset: Int, counts: Vector[Long])
+      : (Vector[Int], Vector[Int], Vector[Long]) =
+    if (counts.isEmpty) (Vector.empty, Vector.empty, Vector.empty)
+    else {
+      val deltas = counts.head +: counts.sliding(2).collect {
+        case Vector(a, b) => b - a
+      }.toVector
+      (Vector(offset + 1), Vector(counts.length), deltas)
+    }
+
+  /** Translate a walked payload into the one stream wire shape —
+    * number points as samples, exponential histograms as native-
+    * histogram payloads (the engine's family registry and two-sided
+    * quantile walk consume them like any remote-written histogram).
+    * Delta temporality fails loud on both kinds (upstream's OTLP
+    * receiver rejects it too).
+    */
+  def translate(decoded: Decoded): Vector[RemoteWrite.Series] = {
+    val pts = decoded.points.map { p =>
       if (p.kind == "sum" && p.temporality != 2)
         throw new IllegalArgumentException(
           s"OTLP sum '${p.name}' has non-cumulative temporality " +
             s"${p.temporality}; only cumulative is ingestible")
-      val res = p.resource.toMap
-      val job = res.get("service.name").map { n =>
-        res.get("service.namespace").map(ns => s"$ns/$n").getOrElse(n)
-      }
-      val labels =
-        Vector("__name__" -> promName(p)) ++
-          job.map("job" -> _) ++
-          res.get("service.instance.id").map("instance" -> _) ++
-          p.attrs.map { case (k, v) => labelSanitize(k) -> v }
-      RemoteWrite.Series(labels, Vector((p.value, p.tsNano / 1000000L)))
+      RemoteWrite.Series(seriesLabels(promName(p), p.resource, p.attrs),
+        Vector((p.value, p.tsNano / 1000000L)))
     }
+    val hists = decoded.expoHists.map { h =>
+      if (h.temporality != 2)
+        throw new IllegalArgumentException(
+          s"OTLP exponential histogram '${h.name}' has non-cumulative " +
+            s"temporality ${h.temporality}; only cumulative is ingestible")
+      val base = sanitize(h.name)
+      val suffix = UnitSuffix.getOrElse(h.unit, sanitize(h.unit))
+      val named =
+        if (suffix.isEmpty || base.endsWith(s"_$suffix")) base
+        else s"${base}_$suffix"
+      val (po, pl, pd) = toSpans(h.posOffset, h.posCounts)
+      val (no, nl, nd) = toSpans(h.negOffset, h.negCounts)
+      RemoteWrite.Series(seriesLabels(named, h.resource, h.attrs),
+        Vector.empty,
+        Vector(RemoteWrite.Hist(h.tsNano / 1000000L, h.scale, po, pl, pd,
+          h.count, h.sum, h.zeroCount, no, nl, nd)))
+    }
+    pts ++ hists
+  }
 
   /** a1n — the OTLP door, hash-gated like a1i/a1j/a1k: a hand-assembled
     * `ExportMetricsServiceRequest` (every byte justified below) walks,
@@ -365,6 +506,136 @@ object Otlp {
         element_at(col("labels"), "k").as("label_k"),
         col("ts_ms"), col("value"))
       .orderBy(col("metric"), col("ts_ms"))
+  }
+
+  /** a1q — OTLP exponential histograms land in the NATIVE-HISTOGRAM
+    * family: a hand-assembled `ExportMetricsServiceRequest` whose
+    * metric carries an ExponentialHistogramDataPoint (fixed64
+    * count/zero_count, sint32 scale, positive AND negative Buckets with
+    * absolute counts), translated through the off-by-one index mapping
+    * and the span/delta re-encoding into the SAME wire shape remote
+    * write uses, then served by the family registry's two-sided
+    * quantile walk — OTLP → native family → histogram_quantile, end to
+    * end. The DuckDB oracle re-runs the whole walk from the
+    * hand-mapped signed bucket relation.
+    */
+  def otlpExpoHist(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // ExportMetricsServiceRequest, hand-assembled:
+    // 0A 76  resource_metrics#1, 118 bytes:
+    //   0A 1C  resource, 28 bytes:
+    //     0A 1A  attr: 0A 0C "service.name" 12 0A (0A 08 "checkout")
+    //   12 56  scope_metrics, 86 bytes:
+    //     12 54  metric#1, 84 bytes:
+    //       0A 08  name = "req.size"
+    //       1A 02  unit = "By"
+    //       52 44  exponential_histogram, 68 bytes:
+    //         0A 40  data_point, 64 bytes:
+    //           0A 09  attr: 0A 01 "k" 12 04 (0A 02 "eu")
+    //           19 <1e9 ns LE>          time = 1 s
+    //           21 <12 LE fixed64>      count
+    //           29 <4.25 LE double>     sum
+    //           30 06                   scale: zigzag(3)
+    //           39 <1 LE fixed64>       zero_count
+    //           42 06 08 00 12 02 05 03 positive {offset 0, counts [5,3]}
+    //             -> Prometheus buckets 1:5, 2:3 (index = offset+i+1)
+    //           4A 05 08 02 12 01 03    negative {offset zigzag(1), counts [3]}
+    //             -> Prometheus negative bucket 2: 3
+    //         10 02  temporality = CUMULATIVE
+    val payload = RemoteWrite.hexBytes(
+      "0A76" +
+        "0A1C" +
+        "0A1A" + "0A0C" + "736572766963652E6E616D65" +
+          "120A" + "0A08" + "636865636B6F7574" +
+        "1256" +
+        "1254" +
+        "0A08" + "7265712E73697A65" +
+        "1A02" + "4279" +
+        "5244" +
+        "0A40" +
+        "0A09" + "0A016B" + "1204" + "0A026575" +
+        "19" + "00CA9A3B00000000" +
+        "21" + "0C00000000000000" +
+        "29" + "0000000000001140" +
+        "3006" +
+        "39" + "0100000000000000" +
+        "4206" + "0800" + "12020503" +
+        "4A05" + "0802" + "120103" +
+        "1002")
+    val normalized = RemoteWrite.encode(translate(walk(payload)))
+    val payloads = Seq(normalized).toDF("proto")
+      .withColumn("recv_ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    RemoteWrite.familyQuantile(spark,
+      RemoteWrite.histFamily(RemoteWrite.decodeHist(payloads)), 0.9)
+      .orderBy(col("metric"), col("label_k"))
+  }
+
+  /** Oracle twin of [[otlpExpoHist]]: the signed bucket relation mapped
+    * by hand (OTLP positive {offset 0, [5, 3]} → Prometheus 1:5, 2:3;
+    * negative {offset 1, [3]} → negative bucket 2:3), then the SAME
+    * two-sided walk in SQL — rank 0.9·12 = 10.8 crosses positive
+    * bucket 2 past (negtot 3 + zero 1 + bucket-1's 5) = 9.
+    */
+  lazy val OtlpExpoHistSql: String = {
+    val interp = graft.functions.DetMath.exp2Sql("xq")
+    s"""WITH f(metric, label_k, count, zero_count, sum) AS (VALUES
+       |  ('req_size_bytes', 'eu', CAST(12 AS BIGINT), CAST(1 AS BIGINT),
+       |   CAST('4.25' AS DOUBLE))),
+       |bk(metric, label_k, side, bucket, c) AS (VALUES
+       |  ('req_size_bytes', 'eu', 0, 2, CAST(3 AS BIGINT)),
+       |  ('req_size_bytes', 'eu', 1, 1, CAST(5 AS BIGINT)),
+       |  ('req_size_bytes', 'eu', 1, 2, CAST(3 AS BIGINT))),
+       |bounds AS (${graft.operators.Metrics.NhBoundsSql}),
+       |bw AS (
+       |  SELECT bk.*, f.count, f.zero_count,
+       |    side * 10000000 + CASE WHEN side = 0 THEN -bucket ELSE bucket END AS ord
+       |  FROM bk JOIN f USING (metric, label_k)),
+       |bw2 AS (
+       |  SELECT bw.*,
+       |    SUM(c) OVER (PARTITION BY metric, label_k ORDER BY ord) AS cum_run
+       |  FROM bw),
+       |bw3 AS (
+       |  SELECT bw2.*,
+       |    cum_run + CASE WHEN side = 1 THEN zero_count ELSE 0 END AS eff_cum
+       |  FROM bw2),
+       |pick AS (
+       |  SELECT metric, label_k, side, bucket, ord,
+       |    (CAST('0.9' AS DOUBLE) * CAST(count AS DOUBLE)
+       |      - CAST(eff_cum - c AS DOUBLE)) / CAST(c AS DOUBLE) AS fr,
+       |    ROW_NUMBER() OVER (PARTITION BY metric, label_k ORDER BY ord) AS rn
+       |  FROM bw3
+       |  WHERE CAST('0.9' AS DOUBLE) * CAST(count AS DOUBLE)
+       |      > CAST(eff_cum - c AS DOUBLE)
+       |    AND CAST('0.9' AS DOUBLE) * CAST(count AS DOUBLE)
+       |      <= CAST(eff_cum AS DOUBLE)),
+       |pq AS (
+       |  SELECT metric, label_k,
+       |    CASE WHEN side = 1 THEN $interp ELSE -($interp) END AS qv
+       |  FROM (SELECT metric, label_k, side,
+       |          (CASE WHEN side = 1 THEN CAST(bucket - 1 AS DOUBLE) + fr
+       |                ELSE CAST(bucket AS DOUBLE) - fr END)
+       |            / pow(2.0, CAST(3 AS DOUBLE)) AS xq
+       |        FROM pick WHERE rn = 1)),
+       |ls AS (
+       |  SELECT w.metric, w.label_k, MAX(b.hi) AS last_hi
+       |  FROM bw w JOIN bounds b ON b.bucket = w.bucket
+       |  WHERE w.side = 1 GROUP BY 1, 2),
+       |ng AS (
+       |  SELECT metric, label_k,
+       |    SUM(CASE WHEN side = 0 THEN c ELSE 0 END) AS negtot
+       |  FROM bk GROUP BY 1, 2)
+       |SELECT f.metric, f.label_k, f.count, f.zero_count, f.sum,
+       |  CASE WHEN pq.qv IS NOT NULL THEN pq.qv
+       |       WHEN CAST('0.9' AS DOUBLE) * CAST(f.count AS DOUBLE)
+       |         <= CAST(COALESCE(ng.negtot, 0) + f.zero_count AS DOUBLE)
+       |         THEN 0.0
+       |       ELSE ls.last_hi END AS q
+       |FROM f
+       |LEFT JOIN pq ON pq.metric = f.metric AND pq.label_k = f.label_k
+       |LEFT JOIN ls ON ls.metric = f.metric AND ls.label_k = f.label_k
+       |LEFT JOIN ng ON ng.metric = f.metric AND ng.label_k = f.label_k
+       |ORDER BY f.metric, f.label_k""".stripMargin
   }
 
   /** Oracle twin of [[otlpIngest]]: the translated relation derived BY

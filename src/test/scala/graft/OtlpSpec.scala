@@ -37,19 +37,44 @@ class OtlpSpec extends SparkTestBase {
     assert(Otlp.promName(pt("cpu.usage", "%", "gauge", false)) ===
       "cpu_usage_percent")
     // service.namespace prefixes job
-    val s = Otlp.translate(Vector(pt("m", "", "gauge", false,
-      Vector("service.name" -> "api", "service.namespace" -> "prod"))))
+    val s = Otlp.translate(Otlp.Decoded(Vector(pt("m", "", "gauge", false,
+      Vector("service.name" -> "api", "service.namespace" -> "prod"))), Vector.empty))
     assert(s.head.labels.toMap.get("job") === Some("prod/api"))
   }
 
   test("delta-temporality sums fail loud; gauges ignore temporality") {
     val delta = Otlp.Point("m", "", "sum", true, 1, Vector.empty,
       Vector.empty, 0L, 1.0)
-    val e = intercept[IllegalArgumentException](Otlp.translate(Vector(delta)))
+    val e = intercept[IllegalArgumentException](Otlp.translate(Otlp.Decoded(Vector(delta), Vector.empty)))
     assert(e.getMessage.contains("cumulative"))
     val g = Otlp.Point("m", "", "gauge", false, 0, Vector.empty,
       Vector.empty, 0L, 1.0)
-    assert(Otlp.translate(Vector(g)).size === 1)
+    assert(Otlp.translate(Otlp.Decoded(Vector(g), Vector.empty)).size === 1)
+  }
+
+  test("exponential histograms: index mapping, span re-encode, family serving") {
+    // the off-by-one: OTLP bucket i at offset o = Prometheus index o+i+1
+    assert(Otlp.toSpans(0, Vector(5L, 3L)) ===
+      ((Vector(1), Vector(2), Vector(5L, -2L))))
+    assert(Otlp.toSpans(-3, Vector(2L, 2L, 7L)) ===
+      ((Vector(-2), Vector(3), Vector(2L, 0L, 5L))))
+    assert(Otlp.toSpans(4, Vector.empty) ===
+      ((Vector.empty, Vector.empty, Vector.empty)))
+    // the a1q gate's payload walks to exactly one expohist
+    val gate = Otlp.otlpExpoHist(spark)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    assert(gate.map(r => (r._1, r._2, r._3, r._4, r._5)) ===
+      Seq(("req_size_bytes", "eu", 12L, 1L, 4.25)))
+    // q(0.9): rank 10.8 crosses positive bucket 2 past negtot 3 +
+    // zero 1 + bucket-1's 5 = 9; f = (10.8−9)/3, xq = (1+f)/8
+    val f = (0.9 * 12.0 - 9.0) / 3.0
+    assert(gate.head._6 === graft.functions.DetMath.exp2((1.0 + f) / 8.0))
+    // delta-temporality expohists 400 like delta sums
+    val delta = Otlp.ExpoHist("m", "", 1, Vector.empty, Vector.empty,
+      0L, 1L, 0.0, 0L, 3, 0, Vector(1L), 0, Vector.empty)
+    val e = intercept[IllegalArgumentException](
+      Otlp.translate(Otlp.Decoded(Vector.empty, Vector(delta))))
+    assert(e.getMessage.contains("cumulative"))
   }
 
   test("malformed OTLP bytes fail loud") {
