@@ -193,6 +193,10 @@ object SparkEntry {
     // off-by-one index mapping + span/delta re-encode, served by the
     // two-sided quantile walk
     "a1q_otlp_expohist" -> ((s, _) => sources.Otlp.otlpExpoHist(s)),
+    // histogram_fraction off the remote-write family: compose-time
+    // boundary pieces, one aggregate over the positive ladder,
+    // negatives cancel in the F-difference (denominator-only)
+    "a1r_remote_write_fraction" -> ((s, _) => sources.RemoteWrite.wireDecodeFraction(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -898,6 +902,7 @@ object SparkEntry {
     "a1o_remote_write_negative" -> sources.RemoteWrite.WireDecodeNegativeSql,
     "a1p_remote_write_exemplars" -> sources.RemoteWrite.WireDecodeExemplarsSql,
     "a1q_otlp_expohist" -> sources.Otlp.OtlpExpoHistSql,
+    "a1r_remote_write_fraction" -> sources.RemoteWrite.WireDecodeFractionSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -1294,35 +1294,133 @@ object RemoteWrite {
     //       5A 04 08 04 10 01   positive span {offset zigzag(2), len 1}
     //       62 01 04        packed deltas: zigzag [2] -> pos idx 2: 2
     //       78 E8 07        timestamp = 1000
-    val payload = hexBytes(
-      "0A4D" +
-        "0A16" + "0A085F5F6E616D655F5F" + "120A" + "74656D705F64656C7461" +
-        "0A06" + "0A016B" + "12016E" +
-        "222B" +
-        "080A" +
-        "19" + "00000000000004C0" +
-        "2006" +
-        "3001" +
-        "4204" + "08021001" +
-        "4204" + "08021001" +
-        "4A02" + "0803" +
-        "5A04" + "08021001" +
-        "6201" + "06" +
-        "78E807" +
-      "0A34" +
-        "0A16" + "0A085F5F6E616D655F5F" + "120A" + "74656D705F64656C7461" +
-        "0A06" + "0A016B" + "120170" +
-        "2212" +
-        "0804" +
-        "2006" +
-        "3002" +
-        "5A04" + "08041001" +
-        "6201" + "04" +
-        "78E807")
-    val payloads = Seq(payload).toDF("proto")
+    val payloads = Seq(negativePayload).toDF("proto")
       .withColumn("recv_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
     familyQuantile(spark, histFamily(decodeHist(payloads)), 0.25)
       .orderBy(col("metric"), col("label_k"))
+  }
+
+  /** The a1o/a1r shared payload — byte derivation in
+    * [[wireDecodeNegative]]'s comments.
+    */
+  private[graft] lazy val negativePayload: Array[Byte] = hexBytes(
+    "0A4D" +
+      "0A16" + "0A085F5F6E616D655F5F" + "120A" + "74656D705F64656C7461" +
+      "0A06" + "0A016B" + "12016E" +
+      "222B" +
+      "080A" +
+      "19" + "00000000000004C0" +
+      "2006" +
+      "3001" +
+      "4204" + "08021001" +
+      "4204" + "08021001" +
+      "4A02" + "0803" +
+      "5A04" + "08021001" +
+      "6201" + "06" +
+      "78E807" +
+    "0A34" +
+      "0A16" + "0A085F5F6E616D655F5F" + "120A" + "74656D705F64656C7461" +
+      "0A06" + "0A016B" + "120170" +
+      "2212" +
+      "0804" +
+      "2006" +
+      "3002" +
+      "5A04" + "08041001" +
+      "6201" + "04" +
+      "78E807")
+
+  /** `histogram_fraction(lo, hi)` over the remote-write family state,
+    * NON-NEGATIVE bounds: the boundary constants' libm math runs once
+    * at compose time ([[graft.functions.NativeHistogramAggregator
+    * .fractionPieces]], the scrape-side convention) and the runtime
+    * plan is ONE aggregate over the positive bucket ladder — negative
+    * buckets sit below any non-negative bound on BOTH sides of the
+    * F(hi) − F(lo) difference, so they cancel out of the numerator and
+    * only the wire `count` (the denominator) sees them. Negative
+    * bounds refuse loudly (the mirrored negative-side pieces are not
+    * implemented — a documented bound).
+    */
+  def familyFraction(spark: SparkSession, family: DataFrame,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi >= 0,
+      "wire-family histogram_fraction supports non-negative bounds")
+    val schema = graft.operators.Metrics.NhSchema
+    val (bLo, fLo, zLo) = graft.functions.NativeHistogramAggregator
+      .fractionPieces(lo, schema)
+    val (bHi, fHi, zHi) = graft.functions.NativeHistogramAggregator
+      .fractionPieces(hi, schema)
+    val keys = Seq("metric", "label_k", "schema", "count", "sum",
+      "zero_count")
+    val series = Seq("metric", "label_k").map(col)
+    val sums = graft.operators.Metrics.decodeWireSpans(family, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("bucket") < bHi, col("bucket_count")).otherwise(0L))
+          .as("below_hi"),
+        sum(when(col("bucket") === bHi, col("bucket_count")).otherwise(0L))
+          .as("at_hi"),
+        sum(when(col("bucket") < bLo, col("bucket_count")).otherwise(0L))
+          .as("below_lo"),
+        sum(when(col("bucket") === bLo, col("bucket_count")).otherwise(0L))
+          .as("at_lo"))
+    def F(zInc: Boolean, below: String, at: String,
+        fx: Double): org.apache.spark.sql.Column =
+      ((if (zInc) col("zero_count") else lit(0L)) + col(below)).cast("double") +
+        col(at).cast("double") * lit(fx)
+    sums.select(series :+ col("count") :+
+      ((F(zHi, "below_hi", "at_hi", fHi) - F(zLo, "below_lo", "at_lo", fLo))
+        / col("count").cast("double")).as("frac"): _*)
+  }
+
+  /** a1r — `histogram_fraction(0, 1.12)` straight off the remote-write
+    * family (the a1o payload's two-sided state): the positive ladder's
+    * interpolated mass between the bounds over the WIRE count — series
+    * n's negatives are denominator-only, series p's fraction is pure
+    * in-bucket interpolation. The DuckDB oracle re-derives both from
+    * the hand-decoded buckets with the same compose-time literals.
+    */
+  def wireDecodeFraction(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val payloads = Seq(negativePayload).toDF("proto")
+      .withColumn("recv_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    familyFraction(spark, histFamily(decodeHist(payloads)), 0.0, 1.12)
+      .orderBy(col("metric"), col("label_k"))
+  }
+
+  /** Oracle twin of [[wireDecodeFraction]]: the positive bucket
+    * relation by hand (n: 1:3; p: 2:2) with the SAME compose-time
+    * pieces — F(1.12) lands in bucket 2 with its log-interpolated
+    * in-bucket fraction, F(0) is the zero bucket alone; negatives
+    * cancel and only inflate the count.
+    */
+  lazy val WireDecodeFractionSql: String = {
+    val schema = graft.operators.Metrics.NhSchema
+    val (bLo, fLo, _) = graft.functions.NativeHistogramAggregator
+      .fractionPieces(0.0, schema)
+    val (bHi, fHi, _) = graft.functions.NativeHistogramAggregator
+      .fractionPieces(1.12, schema)
+    s"""WITH f(metric, label_k, count, zero_count) AS (VALUES
+       |  ('temp_delta', 'n', CAST(10 AS BIGINT), CAST(1 AS BIGINT)),
+       |  ('temp_delta', 'p', CAST(4 AS BIGINT), CAST(2 AS BIGINT))),
+       |bk(metric, label_k, bucket, c) AS (VALUES
+       |  ('temp_delta', 'n', 1, CAST(3 AS BIGINT)),
+       |  ('temp_delta', 'p', 2, CAST(2 AS BIGINT))),
+       |s AS (
+       |  SELECT metric, label_k,
+       |    CAST(SUM(CASE WHEN bucket < $bHi THEN c ELSE 0 END) AS BIGINT) AS below_hi,
+       |    CAST(SUM(CASE WHEN bucket = $bHi THEN c ELSE 0 END) AS BIGINT) AS at_hi,
+       |    CAST(SUM(CASE WHEN bucket < $bLo THEN c ELSE 0 END) AS BIGINT) AS below_lo,
+       |    CAST(SUM(CASE WHEN bucket = $bLo THEN c ELSE 0 END) AS BIGINT) AS at_lo
+       |  FROM bk GROUP BY 1, 2)
+       |SELECT f.metric, f.label_k, f.count,
+       |  ((CAST(f.zero_count + COALESCE(s.below_hi, 0) AS DOUBLE)
+       |      + CAST(COALESCE(s.at_hi, 0) AS DOUBLE) * CAST('$fHi' AS DOUBLE))
+       |   - (CAST(f.zero_count + COALESCE(s.below_lo, 0) AS DOUBLE)
+       |      + CAST(COALESCE(s.at_lo, 0) AS DOUBLE) * CAST('$fLo' AS DOUBLE)))
+       |  / CAST(f.count AS DOUBLE) AS frac
+       |FROM f
+       |LEFT JOIN s ON s.metric = f.metric AND s.label_k = f.label_k
+       |ORDER BY f.metric, f.label_k""".stripMargin
   }
 
   /** Oracle twin of [[wireDecodeNegative]]: the signed bucket relation

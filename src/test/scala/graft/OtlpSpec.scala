@@ -77,6 +77,48 @@ class OtlpSpec extends SparkTestBase {
     assert(e.getMessage.contains("cumulative"))
   }
 
+  test("an OTLP expohist POST lands in the live native-histogram family") {
+    val dir = fixture("events" ->
+      Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    val sink = new RemoteWriteSink(spark)
+    val server = QueryEndpoint.start(spark, dir, remoteWrite = Some(sink))
+    try {
+      // push the a1q gate's payload bytes through the real HTTP door
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/otlp/v1/metrics"
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      val body = RemoteWrite.hexBytes(
+        "0A76" + "0A1C" + "0A1A" + "0A0C" + "736572766963652E6E616D65" +
+          "120A" + "0A08" + "636865636B6F7574" + "1256" + "1254" +
+          "0A08" + "7265712E73697A65" + "1A02" + "4279" + "5244" + "0A40" +
+          "0A09" + "0A016B" + "1204" + "0A026575" +
+          "19" + "00CA9A3B00000000" + "21" + "0C00000000000000" +
+          "29" + "0000000000001140" + "3006" + "39" + "0100000000000000" +
+          "4206" + "0800" + "12020503" + "4A05" + "0802" + "120103" + "1002")
+      try {
+        val os = conn.getOutputStream
+        try os.write(body) finally os.close()
+        assert(conn.getResponseCode === 200)
+      } finally conn.disconnect()
+      val q = sink.nativeFamily.writeStream.format("memory")
+        .queryName("otlp_fam").outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        // the streamed family state ≡ the a1q batch gate's inputs, and
+        // the quantile off it ≡ the gate's answer
+        val served = RemoteWrite.familyQuantile(spark,
+          spark.table("otlp_fam"), 0.9)
+          .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+        val gate = Otlp.otlpExpoHist(spark)
+          .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+        assert(served === gate)
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
   test("malformed OTLP bytes fail loud") {
     intercept[IllegalArgumentException](Otlp.walk(Array[Byte](0x0A, 0x05, 0x00)))
     intercept[IllegalArgumentException](
