@@ -58,11 +58,13 @@ object Admin {
     require(selectors.nonEmpty, "missing required parameter 'match[]'")
     Api.matchFilter(selectors, startS, endS) // validate now, fail loud
     val k = (spark, dir)
-    store.compute(k, (_, v) =>
+    store.compute(k, (_, v) => {
+      if (v == null) // first tombstone for this key: one evictor, ever
+        graft.operators.SessionCaches.onApplicationEnd(spark)(() =>
+          store.remove(k))
       (if (v == null) Vector.empty else v) :+
-        Tombstone(selectors, startS, endS))
-    graft.operators.SessionCaches.onApplicationEnd(spark)(() =>
-      store.remove(k))
+        Tombstone(selectors, startS, endS)
+    })
     graft.operators.Downsample.evictRollups(spark, dir)
   }
 
