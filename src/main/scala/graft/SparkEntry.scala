@@ -197,6 +197,10 @@ object SparkEntry {
     // boundary pieces, one aggregate over the positive ladder,
     // negatives cancel in the F-difference (denominator-only)
     "a1r_remote_write_fraction" -> ((s, _) => sources.RemoteWrite.wireDecodeFraction(s)),
+    // OTLP classic histograms translate upstream's way: cumulative
+    // _bucket{le}/_sum/_count sample series, nothing downstream is
+    // histogram-aware
+    "a1s_otlp_classic_hist" -> ((s, _) => sources.Otlp.otlpClassicHist(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -903,6 +907,7 @@ object SparkEntry {
     "a1p_remote_write_exemplars" -> sources.RemoteWrite.WireDecodeExemplarsSql,
     "a1q_otlp_expohist" -> sources.Otlp.OtlpExpoHistSql,
     "a1r_remote_write_fraction" -> sources.RemoteWrite.WireDecodeFractionSql,
+    "a1s_otlp_classic_hist" -> sources.Otlp.OtlpClassicHistSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -52,9 +52,21 @@ object Otlp {
       posOffset: Int, posCounts: Vector[Long],
       negOffset: Int, negCounts: Vector[Long])
 
+  /** One classic (explicit-bounds) histogram data point — translated
+    * the way upstream's OTLP receiver does: into plain
+    * `_bucket{le=…}` / `_sum` / `_count` SERIES (cumulative counts from
+    * the per-bucket array), which then ride the ordinary sample
+    * pipeline with no special handling anywhere downstream.
+    */
+  final case class ClassicHist(name: String, unit: String,
+      temporality: Int, resource: Vector[(String, String)],
+      attrs: Vector[(String, String)], tsNano: Long, count: Long,
+      sum: Double, bounds: Vector[Double], bucketCounts: Vector[Long])
+
   /** Everything a payload carries that this engine models. */
   final case class Decoded(points: Vector[Point],
-      expoHists: Vector[ExpoHist])
+      expoHists: Vector[ExpoHist],
+      classicHists: Vector[ClassicHist] = Vector.empty)
 
   /** Decode an UNCOMPRESSED `ExportMetricsServiceRequest`. Throws
     * `IllegalArgumentException` on malformed bytes — the endpoint's
@@ -209,17 +221,53 @@ object Otlp {
       (attrs.result(), ts, count, sum, zero, scale, po, pc, no, nc)
     }
 
-    // Metric { name=1; unit=3; gauge=5; sum=7;
-    //          exponential_histogram=10 } — classic histogram(9)/
-    // summary(11) skip (the engine's histogram model is native)
+    // HistogramDataPoint { attributes=1; time=3 fixed64; count=4
+    //   fixed64; sum=5 double; bucket_counts=6 packed fixed64;
+    //   explicit_bounds=7 packed double }
+    def classicPoint(limit: Int): (Vector[(String, String)], Long, Long,
+        Double, Vector[Double], Vector[Long]) = {
+      val attrs = Vector.newBuilder[(String, String)]
+      var ts = 0L
+      var count = 0L
+      var sum = 0.0
+      val bounds = Vector.newBuilder[Double]
+      val counts = Vector.newBuilder[Long]
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => attrs += keyValue(lenDelim(limit))
+          case (3, 1) => ts = fixed64(limit)
+          case (4, 1) => count = fixed64(limit)
+          case (5, 1) => sum = java.lang.Double.longBitsToDouble(fixed64(limit))
+          case (6, 2) => // packed fixed64 bucket_counts
+            val u = lenDelim(limit)
+            while (pos < u) counts += fixed64(u)
+          case (6, 1) => counts += fixed64(limit)
+          case (7, 2) => // packed double explicit_bounds
+            val u = lenDelim(limit)
+            while (pos < u)
+              bounds += java.lang.Double.longBitsToDouble(fixed64(u))
+          case (7, 1) =>
+            bounds += java.lang.Double.longBitsToDouble(fixed64(limit))
+          case (_, wt) => skip(wt, limit)
+        }
+      }
+      (attrs.result(), ts, count, sum, bounds.result(), counts.result())
+    }
+
+    // Metric { name=1; unit=3; gauge=5; sum=7; histogram=9;
+    //          exponential_histogram=10 } — summary(11) skips
     def metric(limit: Int, resource: Vector[(String, String)])
-        : (Vector[Point], Vector[ExpoHist]) = {
+        : (Vector[Point], Vector[ExpoHist], Vector[ClassicHist]) = {
       var name = ""
       var unit = ""
       val ehs = Vector.newBuilder[ExpoHist]
       var ehRaw = Vector.empty[(Vector[(String, String)], Long, Long,
         Double, Long, Int, Int, Vector[Long], Int, Vector[Long])]
       var ehTemporality = 0
+      var chRaw = Vector.empty[(Vector[(String, String)], Long, Long,
+        Double, Vector[Double], Vector[Long])]
+      var chTemporality = 0
       val out = Vector.newBuilder[(String, Boolean, Int, Vector[(String, String)], Long, Double)]
       while (pos < limit) {
         val tag = varint(limit)
@@ -256,6 +304,16 @@ object Otlp {
             pts.result().foreach { case (a, t, v) =>
               out += (("sum", monotonic, temporality, a, t, v))
             }
+          case (9, 2) => // Histogram { data_points=1; temporality=2 }
+            val hu = lenDelim(limit)
+            while (pos < hu) {
+              val ht = varint(hu)
+              ((ht >> 3).toInt, (ht & 7).toInt) match {
+                case (1, 2) => chRaw = chRaw :+ classicPoint(lenDelim(hu))
+                case (2, 0) => chTemporality = varint(hu).toInt
+                case (_, wt) => skip(wt, hu)
+              }
+            }
           case (10, 2) => // ExponentialHistogram { data_points=1; temporality=2 }
             val eu = lenDelim(limit)
             while (pos < eu) {
@@ -275,13 +333,17 @@ object Otlp {
         ehs += ExpoHist(n, u, ehTemporality, resource, a, t, c, s, z, sc,
           po, pc, no, nc)
       }
+      val chs = chRaw.map { case (a, t, c, s, bs, cs) =>
+        ClassicHist(n, u, chTemporality, resource, a, t, c, s, bs, cs)
+      }
       (out.result().map { case (kind, mono, temp, attrs, ts, v) =>
         Point(n, u, kind, mono, temp, resource, attrs, ts, v)
-      }, ehs.result())
+      }, ehs.result(), chs)
     }
 
     val points = Vector.newBuilder[Point]
     val expos = Vector.newBuilder[ExpoHist]
+    val classics = Vector.newBuilder[ClassicHist]
     while (pos < end) {
       val tag = varint(end)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
@@ -318,9 +380,10 @@ object Otlp {
               val st = varint(until)
               ((st >> 3).toInt, (st & 7).toInt) match {
                 case (2, 2) =>
-                  val (ps, es) = metric(lenDelim(until), res)
+                  val (ps, es, cs) = metric(lenDelim(until), res)
                   points ++= ps
                   expos ++= es
+                  classics ++= cs
                 case (_, wt) => skip(wt, until) // scope, schema_url
               }
             }
@@ -329,7 +392,7 @@ object Otlp {
         case (_, wt) => skip(wt, end)
       }
     }
-    Decoded(points.result(), expos.result())
+    Decoded(points.result(), expos.result(), classics.result())
   }
 
   /** The compatibility spec's unit-suffix table (the subset of units
@@ -424,8 +487,44 @@ object Otlp {
         Vector(RemoteWrite.Hist(h.tsNano / 1000000L, h.scale, po, pl, pd,
           h.count, h.sum, h.zeroCount, no, nl, nd)))
     }
-    pts ++ hists
+    val classics = decoded.classicHists.flatMap { h =>
+      if (h.temporality != 2)
+        throw new IllegalArgumentException(
+          s"OTLP histogram '${h.name}' has non-cumulative temporality " +
+            s"${h.temporality}; only cumulative is ingestible")
+      val base = sanitize(h.name)
+      val suffix = UnitSuffix.getOrElse(h.unit, sanitize(h.unit))
+      val named =
+        if (suffix.isEmpty || base.endsWith(s"_$suffix")) base
+        else s"${base}_$suffix"
+      val tsMs = h.tsNano / 1000000L
+      def ser(name: String, extra: Vector[(String, String)],
+          v: Double): RemoteWrite.Series =
+        RemoteWrite.Series(
+          seriesLabels(name, h.resource, h.attrs) ++ extra,
+          Vector((v, tsMs)))
+      // upstream's classic translation: one cumulative _bucket series
+      // per bound (prefix sums of the per-bucket array) + the +Inf
+      // bucket (the total), plus _sum and _count — plain samples from
+      // here on, nothing downstream is histogram-aware
+      val cums = h.bucketCounts.scanLeft(0L)(_ + _).drop(1)
+      val buckets = h.bounds.zip(cums).map { case (b, c) =>
+        ser(s"${named}_bucket", Vector("le" -> fmtLe(b)), c.toDouble)
+      } :+ ser(s"${named}_bucket", Vector("le" -> "+Inf"),
+        cums.lastOption.getOrElse(0L).toDouble)
+      buckets :+ ser(s"${named}_sum", Vector.empty, h.sum) :+
+        ser(s"${named}_count", Vector.empty, h.count.toDouble)
+    }
+    pts ++ hists ++ classics
   }
+
+  /** `le` rendering, the Prometheus text convention: integral bounds
+    * print without the trailing `.0`.
+    */
+  private[graft] def fmtLe(v: Double): String =
+    if (v == v.floor && !v.isInfinite && math.abs(v) < 1e15)
+      v.toLong.toString
+    else v.toString
 
   /** a1n — the OTLP door, hash-gated like a1i/a1j/a1k: a hand-assembled
     * `ExportMetricsServiceRequest` (every byte justified below) walks,
@@ -637,6 +736,81 @@ object Otlp {
        |LEFT JOIN ng ON ng.metric = f.metric AND ng.label_k = f.label_k
        |ORDER BY f.metric, f.label_k""".stripMargin
   }
+
+  /** a1s — OTLP CLASSIC (explicit-bounds) histograms translate exactly
+    * the way upstream's OTLP receiver does: into plain cumulative
+    * `_bucket{le=…}` / `_sum` / `_count` sample series (prefix sums of
+    * the per-bucket array, the `+Inf` bucket from the total), which
+    * then ride the ordinary sample pipeline with no histogram-aware
+    * code anywhere downstream. The hand-assembled payload carries
+    * packed fixed64 bucket_counts and packed double explicit_bounds;
+    * the DuckDB oracle is the hand-derived translated relation
+    * (integral bounds render without the trailing `.0`, the text
+    * convention).
+    */
+  def otlpClassicHist(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // ExportMetricsServiceRequest, hand-assembled:
+    // 0A 6C  resource_metrics#1, 108 bytes (no resource — no job label):
+    //   12 6A  scope_metrics, 106 bytes:
+    //     12 68  metric#1, 104 bytes:
+    //       0A 0B  name = "rpc.latency"
+    //       1A 01  unit = "s"
+    //       4A 56  histogram, 86 bytes:
+    //         0A 52  data_point, 82 bytes:
+    //           0A 09  attr: 0A 01 "k" 12 04 (0A 02 "eu")
+    //           19 <1e9 ns LE>        time = 1 s
+    //           21 <6 LE fixed64>     count
+    //           29 <4.5 LE double>    sum
+    //           32 18  packed fixed64 bucket_counts [3, 2, 1]
+    //           3A 10  packed double explicit_bounds [0.5, 1.0]
+    //         10 02  temporality = CUMULATIVE
+    val payload = RemoteWrite.hexBytes(
+      "0A6C" +
+        "126A" +
+        "1268" +
+        "0A0B" + "7270632E6C6174656E6379" +
+        "1A01" + "73" +
+        "4A56" +
+        "0A52" +
+        "0A09" + "0A016B" + "1204" + "0A026575" +
+        "19" + "00CA9A3B00000000" +
+        "21" + "0600000000000000" +
+        "29" + "0000000000001240" +
+        "3218" + "030000000000000002000000000000000100000000000000" +
+        "3A10" + "000000000000E03F" + "000000000000F03F" +
+        "1002")
+    val normalized = RemoteWrite.encode(translate(walk(payload)))
+    val payloads = Seq(normalized).toDF("proto")
+      .withColumn("recv_ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    RemoteWrite.decode(payloads)
+      .select(
+        element_at(col("labels"), "__name__").as("metric"),
+        element_at(col("labels"), "k").as("label_k"),
+        coalesce(element_at(col("labels"), "le"), lit("")).as("le"),
+        col("ts_ms"), col("value"))
+      .orderBy(col("metric"), col("le"))
+  }
+
+  /** Oracle twin of [[otlpClassicHist]]: the translated relation by
+    * hand — cumulative buckets 3, 3+2 = 5, +Inf = 6; `_sum` 4.5;
+    * `_count` 6; bound 1.0 renders as `1`.
+    */
+  val OtlpClassicHistSql: String =
+    """SELECT * FROM (VALUES
+      |  ('rpc_latency_seconds_bucket', 'eu', '+Inf', CAST(1000 AS BIGINT),
+      |    CAST('6.0' AS DOUBLE)),
+      |  ('rpc_latency_seconds_bucket', 'eu', '0.5', CAST(1000 AS BIGINT),
+      |    CAST('3.0' AS DOUBLE)),
+      |  ('rpc_latency_seconds_bucket', 'eu', '1', CAST(1000 AS BIGINT),
+      |    CAST('5.0' AS DOUBLE)),
+      |  ('rpc_latency_seconds_count', 'eu', '', CAST(1000 AS BIGINT),
+      |    CAST('6.0' AS DOUBLE)),
+      |  ('rpc_latency_seconds_sum', 'eu', '', CAST(1000 AS BIGINT),
+      |    CAST('4.5' AS DOUBLE))
+      |) w(metric, label_k, le, ts_ms, value)
+      |ORDER BY metric, le""".stripMargin
 
   /** Oracle twin of [[otlpIngest]]: the translated relation derived BY
     * HAND from the wire spec above — `http.server.duration` (unit `s`,

@@ -77,6 +77,26 @@ class OtlpSpec extends SparkTestBase {
     assert(e.getMessage.contains("cumulative"))
   }
 
+  test("classic histograms translate to cumulative _bucket/_sum/_count series") {
+    val rows = Otlp.otlpClassicHist(spark)
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      ("rpc_latency_seconds_bucket", "eu", "+Inf", 1000L, 6.0),
+      ("rpc_latency_seconds_bucket", "eu", "0.5", 1000L, 3.0),
+      ("rpc_latency_seconds_bucket", "eu", "1", 1000L, 5.0),
+      ("rpc_latency_seconds_count", "eu", "", 1000L, 6.0),
+      ("rpc_latency_seconds_sum", "eu", "", 1000L, 4.5)))
+    // le text convention: integral bounds drop the trailing .0
+    assert(Otlp.fmtLe(1.0) === "1" && Otlp.fmtLe(0.5) === "0.5" &&
+      Otlp.fmtLe(250.0) === "250")
+    // delta-temporality classic histograms 400 like the other kinds
+    val delta = Otlp.ClassicHist("m", "", 1, Vector.empty, Vector.empty,
+      0L, 1L, 0.0, Vector(1.0), Vector(1L, 0L))
+    val e = intercept[IllegalArgumentException](Otlp.translate(
+      Otlp.Decoded(Vector.empty, Vector.empty, Vector(delta))))
+    assert(e.getMessage.contains("cumulative"))
+  }
+
   test("an OTLP expohist POST lands in the live native-histogram family") {
     val dir = fixture("events" ->
       Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
