@@ -201,6 +201,9 @@ object SparkEntry {
     // _bucket{le}/_sum/_count sample series, nothing downstream is
     // histogram-aware
     "a1s_otlp_classic_hist" -> ((s, _) => sources.Otlp.otlpClassicHist(s)),
+    // the classic wire family is queryable: pushed _bucket{le} samples
+    // LWW'd per (series, le) and served by the b7-gated interpolation
+    "a1t_classic_wire_hq" -> ((s, _) => sources.Otlp.otlpClassicQuantile(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -908,6 +911,7 @@ object SparkEntry {
     "a1q_otlp_expohist" -> sources.Otlp.OtlpExpoHistSql,
     "a1r_remote_write_fraction" -> sources.RemoteWrite.WireDecodeFractionSql,
     "a1s_otlp_classic_hist" -> sources.Otlp.OtlpClassicHistSql,
+    "a1t_classic_wire_hq" -> sources.Otlp.OtlpClassicQuantileSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

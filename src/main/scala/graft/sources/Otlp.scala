@@ -748,6 +748,25 @@ object Otlp {
     * (integral bounds render without the trailing `.0`, the text
     * convention).
     */
+  /** The a1s/a1t shared payload — byte derivation in
+    * [[otlpClassicHist]]'s comments.
+    */
+  private[graft] lazy val ClassicPayload: Array[Byte] = RemoteWrite.hexBytes(
+    "0A6C" +
+      "126A" +
+      "1268" +
+      "0A0B" + "7270632E6C6174656E6379" +
+      "1A01" + "73" +
+      "4A56" +
+      "0A52" +
+      "0A09" + "0A016B" + "1204" + "0A026575" +
+      "19" + "00CA9A3B00000000" +
+      "21" + "0600000000000000" +
+      "29" + "0000000000001240" +
+      "3218" + "030000000000000002000000000000000100000000000000" +
+      "3A10" + "000000000000E03F" + "000000000000F03F" +
+      "1002")
+
   def otlpClassicHist(spark: SparkSession): DataFrame = {
     import spark.implicits._
     // ExportMetricsServiceRequest, hand-assembled:
@@ -765,22 +784,7 @@ object Otlp {
     //           32 18  packed fixed64 bucket_counts [3, 2, 1]
     //           3A 10  packed double explicit_bounds [0.5, 1.0]
     //         10 02  temporality = CUMULATIVE
-    val payload = RemoteWrite.hexBytes(
-      "0A6C" +
-        "126A" +
-        "1268" +
-        "0A0B" + "7270632E6C6174656E6379" +
-        "1A01" + "73" +
-        "4A56" +
-        "0A52" +
-        "0A09" + "0A016B" + "1204" + "0A026575" +
-        "19" + "00CA9A3B00000000" +
-        "21" + "0600000000000000" +
-        "29" + "0000000000001240" +
-        "3218" + "030000000000000002000000000000000100000000000000" +
-        "3A10" + "000000000000E03F" + "000000000000F03F" +
-        "1002")
-    val normalized = RemoteWrite.encode(translate(walk(payload)))
+    val normalized = RemoteWrite.encode(translate(walk(ClassicPayload)))
     val payloads = Seq(normalized).toDF("proto")
       .withColumn("recv_ts",
         lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
@@ -792,6 +796,60 @@ object Otlp {
         col("ts_ms"), col("value"))
       .orderBy(col("metric"), col("le"))
   }
+
+  /** a1t — the classic WIRE family is queryable: the a1s payload's
+    * translated `_bucket{le}` samples, last-write-wins per (series,
+    * le), served by the b7-gated classic interpolation
+    * ([[RemoteWrite.classicFamilyQuantile]]) — OTLP classic histogram
+    * → plain pushed samples → histogram_quantile, end to end with no
+    * histogram-aware code between the door and the quantile. The
+    * DuckDB oracle re-runs the classic walk (lower bound 0 before the
+    * first bucket; rank past the last finite bucket returns its
+    * boundary) from the hand-derived cumulative buckets.
+    */
+  def otlpClassicQuantile(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val normalized = RemoteWrite.encode(translate(walk(ClassicPayload)))
+    val payloads = Seq(normalized).toDF("proto")
+      .withColumn("recv_ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    RemoteWrite.classicFamilyQuantile(spark,
+      RemoteWrite.decode(payloads), 0.8)
+      .orderBy(col("metric"), col("label_k"))
+  }
+
+  /** Oracle twin of [[otlpClassicQuantile]]: rank 0.8·6 = 4.8 crosses
+    * the le=1 bucket past le=0.5's cumulative 3 — the classic linear
+    * interpolation `0.5 + (1−0.5)·(4.8−3)/(5−3)`, re-run in SQL from
+    * the hand-derived buckets with the identical comparison casts.
+    */
+  val OtlpClassicQuantileSql: String =
+    """WITH bk(metric, label_k, le, cum) AS (VALUES
+      |  ('rpc_latency_seconds', 'eu', CAST('0.5' AS DOUBLE), CAST(3 AS BIGINT)),
+      |  ('rpc_latency_seconds', 'eu', CAST('1.0' AS DOUBLE), CAST(5 AS BIGINT))),
+      |n(metric, label_k, count) AS (VALUES
+      |  ('rpc_latency_seconds', 'eu', CAST(6 AS BIGINT))),
+      |r AS (
+      |  SELECT bk.*, n.count,
+      |    CAST('0.8' AS DOUBLE) * CAST(n.count AS DOUBLE) AS rnk,
+      |    COALESCE(LAG(bk.le) OVER w2, 0.0) AS prev_le,
+      |    COALESCE(LAG(bk.cum) OVER w2, 0) AS prev_cum,
+      |    MAX(bk.le) OVER w3 AS max_le
+      |  FROM bk JOIN n ON n.metric = bk.metric AND n.label_k = bk.label_k
+      |  WINDOW w2 AS (PARTITION BY bk.metric, bk.label_k ORDER BY bk.le),
+      |         w3 AS (PARTITION BY bk.metric, bk.label_k))
+      |SELECT metric, label_k, count, q FROM (
+      |  SELECT metric, label_k, count,
+      |    prev_le + (le - prev_le) * (rnk - CAST(prev_cum AS DOUBLE))
+      |      / CAST(cum - prev_cum AS DOUBLE) AS q
+      |  FROM r
+      |  WHERE CAST(cum AS DOUBLE) >= rnk AND CAST(prev_cum AS DOUBLE) < rnk
+      |  UNION ALL
+      |  SELECT metric, label_k, count, max_le AS q
+      |  FROM r WHERE le = max_le AND rnk > (
+      |    SELECT CAST(MAX(cum) AS DOUBLE) FROM bk b2
+      |    WHERE b2.metric = r.metric AND b2.label_k = r.label_k))
+      |ORDER BY metric, label_k""".stripMargin
 
   /** Oracle twin of [[otlpClassicHist]]: the translated relation by
     * hand — cumulative buckets 3, 3+2 = 5, +Inf = 6; `_sum` 4.5;

@@ -1191,6 +1191,45 @@ object RemoteWrite {
         .as(Seq("labels", "ex_labels", "value", "ts_ms")))
   }
 
+  /** `histogram_quantile(φ)` over PUSHED classic histogram series —
+    * the `_bucket{le=…}` samples any protocol lands (remote write
+    * forwards them as plain series; the OTLP door translates explicit-
+    * bounds points into them): last-write-wins per (series, le) — a
+    * pushed classic bucket sample IS cumulative state — then the
+    * b7-gated codegen'd classic interpolation
+    * ([[graft.plans.HistogramQuantileExpr]]) over each series' sorted
+    * finite-bucket array with the `+Inf` sample as the total. One hash
+    * aggregate + one array expression per series; no window passes.
+    */
+  def classicFamilyQuantile(spark: SparkSession, samples: DataFrame,
+      phi: Double): DataFrame = {
+    val buckets = samples
+      .filter(element_at(col("labels"), "__name__").endsWith("_bucket") &&
+        element_at(col("labels"), "le").isNotNull)
+      .select(
+        regexp_replace(element_at(col("labels"), "__name__"), "_bucket$", "")
+          .as("metric"),
+        coalesce(element_at(col("labels"), "k"), lit("")).as("label_k"),
+        element_at(col("labels"), "le").as("le"),
+        col("value"), col("ts_ms"))
+    val latest = buckets
+      .groupBy(col("metric"), col("label_k"), col("le"))
+      .agg(max_by(col("value"), col("ts_ms")).as("cum"))
+      .withColumn("cum_l", col("cum").cast("long"))
+      .withColumn("le_d",
+        when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+          .otherwise(col("le").cast("double")))
+    latest.groupBy(col("metric"), col("label_k"))
+      .agg(
+        sort_array(collect_list(when(col("le") =!= "+Inf",
+          struct(col("le_d").as("le"), col("cum_l").as("cum"))))).as("arr"),
+        max(when(col("le") === "+Inf", col("cum_l"))).as("count"))
+      .select(col("metric"), col("label_k"), col("count"),
+        graft.plans.HistogramQuantileExpr.histogramQuantile(spark,
+          s"${phi}d", "transform(arr, x -> x.le)",
+          "transform(arr, x -> x.cum)", "count").as("q"))
+  }
+
   /** a1p — EXEMPLARS over the wire (prompb `TimeSeries.exemplars`,
     * field 3 — previously skipped): a hand-assembled payload whose
     * series carries two trace-id exemplars next to its sample, decoded
