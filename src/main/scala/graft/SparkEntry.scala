@@ -204,6 +204,14 @@ object SparkEntry {
     // the classic wire family is queryable: pushed _bucket{le} samples
     // LWW'd per (series, le) and served by the b7-gated interpolation
     "a1t_classic_wire_hq" -> ((s, _) => sources.Otlp.otlpClassicQuantile(s)),
+    // OTLP summaries: per-quantile gauge series on the base name +
+    // _sum/_count, the upstream compat translation, hand-assembled
+    // ValueAtQuantile wire bytes through the same generator
+    "a1u_otlp_summary" -> ((s, _) => sources.Otlp.otlpSummary(s)),
+    // remote READ: a hand-assembled ReadRequest (matcher types EQ/RE/
+    // NEQ, inclusive ms bounds, skipped hints) decoded and SELECTED
+    // against the corpus — the outbound arrow of the wire contract
+    "a1v_remote_read" -> ((s, d) => sources.RemoteRead.wireReadGate(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -912,6 +920,8 @@ object SparkEntry {
     "a1r_remote_write_fraction" -> sources.RemoteWrite.WireDecodeFractionSql,
     "a1s_otlp_classic_hist" -> sources.Otlp.OtlpClassicHistSql,
     "a1t_classic_wire_hq" -> sources.Otlp.OtlpClassicQuantileSql,
+    "a1u_otlp_summary" -> sources.Otlp.OtlpSummarySql,
+    "a1v_remote_read" -> sources.RemoteRead.WireReadGateSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

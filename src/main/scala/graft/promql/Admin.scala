@@ -66,6 +66,7 @@ object Admin {
         Tombstone(selectors, startS, endS)
     })
     graft.operators.Downsample.evictRollups(spark, dir)
+    ResultsCache.invalidate(spark, dir)
   }
 
   def tombstones(spark: SparkSession, dir: String): Seq[Tombstone] =
@@ -107,6 +108,7 @@ object Admin {
     }
     store.remove((spark, dir))
     graft.operators.Downsample.evictRollups(spark, dir)
+    ResultsCache.invalidate(spark, dir)
   }
 
   /** Write a consistent snapshot — the tombstone-respecting head plus
@@ -137,6 +139,7 @@ object Admin {
   private[graft] def reset(spark: SparkSession, dir: String): Unit = {
     store.remove((spark, dir))
     graft.operators.Downsample.evictRollups(spark, dir)
+    ResultsCache.invalidate(spark, dir)
   }
 
   // ---- the a1m gate: delete_series semantics, hash-gated ----

@@ -121,6 +121,38 @@ object Compiler {
       recordedRules.withValue(m)(f)
     }
 
+  /** Fingerprint of the rule state a POST-inline Ast still depends on —
+    * a cache-key ingredient ([[ResultsCache]]): 0 when the tree
+    * references no recorded name (fully inlined — the common case,
+    * letting a recorded spelling share cached chunks with its
+    * hand-written expansion), the structural hash of the standing rule
+    * map otherwise (a non-inlinable recorded selector reads the map at
+    * compile time, so two servers in one JVM with different rule files
+    * must never share its chunks, and a rule-file change must read as a
+    * different state). Ast case classes hash structurally, so equal
+    * rule files fingerprint equal however they were spelled.
+    */
+  private[graft] def residualRulesFingerprint(ast: Ast): Int =
+    if (recordedRules.value.isEmpty) 0
+    else {
+      var hit = false
+      def walk(a: Ast): Unit = a match {
+        case s: Selector =>
+          if (recordedRules.value.contains(s.name)) hit = true
+        case Agg(_, _, _, arg) => walk(arg)
+        case Func(_, _, arg) => walk(arg)
+        case b: BinOp => walk(b.left); walk(b.right)
+        case _: NumLit => ()
+        case Subquery(inner, _, _) => walk(inner)
+        case CountValues(_, arg) => walk(arg)
+        case SmoothFunc(_, _, arg) => walk(arg)
+        case HistFraction(_, _, arg) => walk(arg)
+        case LabelFunc(_, _, arg) => walk(arg)
+      }
+      walk(ast)
+      if (hit) recordedRules.value.hashCode() else 0
+    }
+
   /** Inline recorded-rule selectors as their rule EXPRESSIONS — the
     * AST-level rewrite that lets the dense-grid/pyramid/sharded
     * query_range tiers serve recorded names at full scale (the

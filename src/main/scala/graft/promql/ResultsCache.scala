@@ -28,9 +28,24 @@ import org.apache.spark.sql.SparkSession
   *    produce distinct keys for distinct ranges instead of poisoned
   *    hits.
   *
+  * INVALIDATION — a cached chunk must never outlive the TSDB state it
+  * was computed under:
+  *  - admin mutations (`delete_series` / `clean_tombstones` / reset)
+  *    bump a per-(session, corpus) state EPOCH carried in every key, so
+  *    all prior chunks become unreachable the instant a tombstone lands
+  *    (Cortex invalidates on exactly these paths);
+  *  - the standing recording-rule file travels in the key twice over:
+  *    rules are inlined into the Ast BEFORE keying (so a recorded name
+  *    caches under its meaning, and shares chunks with its hand-written
+  *    expansion), and the effective rule map's structural fingerprint
+  *    keys the non-inlinable residue — two servers in one JVM with
+  *    different rule files never share chunks.
+  *
   * Rendering goes through the same [[Api.seriesSamples]] fragments as
   * the direct path, so cached responses are byte-identical (spec-pinned
-  * across selector/rate/aggregation/binary shapes, cold and warm).
+  * across selector/rate/aggregation/binary shapes, cold and warm);
+  * request shapes the grid tier cannot split (the union path's
+  * 64-instant gate) fall back to the direct path whole, uncached.
   * Capacity is a 512-entry LRU of collected sample fragments — driver
   * memory ∝ series × chunk instants, the same order as one response.
   */
@@ -43,8 +58,33 @@ object ResultsCache {
 
   private val MaxEntries = 512
 
-  private final case class Key(dir: String, ast: Ast, stepS: Long,
-      chunkBase: Long, msr: Option[Long], nf: Seq[String])
+  /** TSDB-state EPOCH per (session, corpus): bumped by every admin
+    * mutation that changes what a query may answer —
+    * [[Admin.deleteSeries]] (new tombstones), [[Admin.cleanTombstones]]
+    * and [[Admin.reset]] (tombstones change shape or vanish). A cached
+    * chunk's key carries the epoch it was computed under, so a mutation
+    * makes every prior chunk unreachable: the next request recomputes
+    * against the new state (Cortex invalidates its results cache on
+    * exactly these paths). Rule-file state travels separately in the
+    * key ([[Compiler.recordedRulesFingerprint]]).
+    */
+  private val epochs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+
+  private[graft] def invalidate(spark: SparkSession, dir: String): Unit =
+    epochs.compute((spark, dir), (k, v) => {
+      if (v == null) // first mutation for this key: one evictor, ever
+        graft.operators.SessionCaches.onApplicationEnd(spark)(() =>
+          epochs.remove(k))
+      java.lang.Long.valueOf(if (v == null) 1L else v.longValue + 1L)
+    })
+
+  private def epoch(spark: SparkSession, dir: String): Long =
+    Option(epochs.get((spark, dir))).map(_.longValue).getOrElse(0L)
+
+  private final case class Key(dir: String, epoch: Long, rulesFp: Int,
+      ast: Ast, stepS: Long, chunkBase: Long, msr: Option[Long],
+      nf: Seq[String])
 
   private type Chunk = Map[String, Vector[(Long, String)]]
 
@@ -72,14 +112,31 @@ object ResultsCache {
     require(stepS > 0, "step must be positive")
     require(endS >= startS, "end must be >= start")
     require(splitInstants > 0, "positive split width")
-    val ast = Ast.resolveAtEdges(Parser.parse(query), Some(startS), Some(endS))
+    // key on the POST-inline Ast: rule inlining otherwise happens inside
+    // rangeRelation — AFTER the key — so a recorded name would cache
+    // under its spelling, not its meaning, and a rule change would keep
+    // serving the old rule's chunks. Inlining here also makes a recorded
+    // name and its hand-written expansion share chunks. Edges resolve
+    // against the FULL request bounds (upstream `@ start()`/`@ end()`
+    // semantics), never the chunk's.
+    val ast = Ast.resolveAtEdges(
+      Compiler.inlineRecorded(spark, dir, Parser.parse(query)),
+      Some(startS), Some(endS))
     val tCorpus = Compiler.instantSeconds(spark, dir).toLong
+    // mirror the direct path's bound (Api.rangeRelation) — same message,
+    // same failure, instead of silently truncating the head chunk
+    (startS to endS by stepS).find(_ > tCorpus).foreach(i =>
+      throw new IllegalArgumentException(
+        s"requirement failed: grid instant $i is after the corpus instant $tCorpus"))
     val phase = Math.floorMod(startS, stepS)
     val span = splitInstants.toLong * stepS
-    // the last evaluable instant on this request's grid
+    // the last grid-aligned instant the corpus can serve — a chunk whose
+    // full span runs past it is the still-mutable HEAD (never stored)
     val lastOk = tCorpus - Math.floorMod(tCorpus - phase, stepS)
     def base(t: Long): Long = t - Math.floorMod(t - phase, span)
     val nfKey = nativeFamilies.toSeq.sorted
+    val ep = epoch(spark, dir)
+    val rulesFp = Compiler.residualRulesFingerprint(ast)
 
     def compute(cs: Long, ce: Long): Chunk =
       Compiler.withNativeFamilies(nativeFamilies) {
@@ -92,47 +149,62 @@ object ResultsCache {
           }
       }
 
-    val merged = scala.collection.mutable.HashMap.empty[String, Vector[(Long, String)]]
-    (startS to endS by stepS).map(base).distinct.foreach { cb =>
-      val chunkEnd = cb + span - stepS
-      val rows: Chunk =
-        if (chunkEnd <= lastOk) {
-          val key = Key(dir, ast, stepS, cb, maxSourceResS, nfKey)
-          lock.synchronized(Option(lru.get(key))) match {
-            case Some(hit) =>
-              lock.synchronized { hitN += 1 }
-              hit
-            case None =>
-              val fresh = compute(cb, chunkEnd)
-              lock.synchronized { missN += 1; lru.put(key, fresh) }
-              fresh
+    def stitched(): String = {
+      val merged = scala.collection.mutable.HashMap.empty[String, Vector[(Long, String)]]
+      (startS to endS by stepS).map(base).distinct.foreach { cb =>
+        val chunkEnd = cb + span - stepS
+        val rows: Chunk =
+          if (chunkEnd <= lastOk) {
+            val key = Key(dir, ep, rulesFp, ast, stepS, cb, maxSourceResS,
+              nfKey)
+            lock.synchronized(Option(lru.get(key))) match {
+              case Some(hit) =>
+                lock.synchronized { hitN += 1 }
+                hit
+              case None =>
+                val fresh = compute(cb, chunkEnd)
+                lock.synchronized { missN += 1; lru.put(key, fresh) }
+                fresh
+            }
+          } else {
+            // head chunk: evaluate only the requested tail, never store
+            compute(math.max(cb, startS), math.min(endS, lastOk))
           }
-        } else {
-          // head chunk: evaluate only the requested tail, never store
-          compute(math.max(cb, startS), math.min(endS, lastOk))
+        rows.foreach { case (m, vs) =>
+          merged.update(m, merged.getOrElse(m, Vector.empty) ++ vs)
         }
-      rows.foreach { case (m, vs) =>
-        merged.update(m, merged.getOrElse(m, Vector.empty) ++ vs)
       }
+      // stitch: in-range samples per series in instant order, series in
+      // the same lexicographic order the direct path's orderBy(m) yields
+      // (label JSON here is ASCII, where UTF-8 binary and UTF-16 string
+      // orders agree); series whose samples all fall outside the request
+      // drop, exactly as the direct path never saw them
+      val parts = merged.toSeq
+        .map { case (m, vs) =>
+          m -> vs.filter(v => v._1 >= startS && v._1 <= endS)
+            .sortBy(_._1).map(_._2)
+        }
+        .filter(_._2.nonEmpty)
+        .sortBy(_._1)
+        .map { case (m, ss) =>
+          s"""{"metric":$m,"values":[${ss.mkString(",")}]}"""
+        }
+      parts.mkString(
+        """{"status":"success","data":{"resultType":"matrix","result":[""",
+        ",", "]}}")
     }
 
-    // stitch: in-range samples per series in instant order, series in
-    // the same lexicographic order the direct path's orderBy(m) yields
-    // (label JSON here is ASCII, where UTF-8 binary and UTF-16 string
-    // orders agree); series whose samples all fall outside the request
-    // drop, exactly as the direct path never saw them
-    val parts = merged.toSeq
-      .map { case (m, vs) =>
-        m -> vs.filter(v => v._1 >= startS && v._1 <= endS)
-          .sortBy(_._1).map(_._2)
-      }
-      .filter(_._2.nonEmpty)
-      .sortBy(_._1)
-      .map { case (m, ss) =>
-        s"""{"metric":$m,"values":[${ss.mkString(",")}]}"""
-      }
-    parts.mkString(
-      """{"status":"success","data":{"resultType":"matrix","result":[""",
-      ",", "]}}")
+    try stitched()
+    catch {
+      // a shape with no dense-grid strategy falls to the per-instant
+      // union path, whose 64-instant gate a full split chunk exceeds —
+      // the direct path would have served the (smaller) request fine,
+      // so serve it directly and cache nothing; already-stored chunks
+      // from other shapes are untouched. Only the shape gate falls back:
+      // every other compose error is the caller's HTTP 400, both paths.
+      case e: PromQLCompileException if e.getMessage.contains("supports 1..64") =>
+        Api.queryRangeJson(spark, dir, query, startS, endS, stepS,
+          nativeFamilies, maxSourceResS)
+    }
   }
 }

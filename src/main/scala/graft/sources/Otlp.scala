@@ -63,16 +63,31 @@ object Otlp {
       attrs: Vector[(String, String)], tsNano: Long, count: Long,
       sum: Double, bounds: Vector[Double], bucketCounts: Vector[Long])
 
+  /** One summary data point — translated the way upstream's compat
+    * spec prescribes: `_sum` and `_count` series plus one gauge series
+    * per pre-computed quantile, labeled `quantile="φ"` on the BASE name
+    * (no suffix), exactly the classic Prometheus summary exposition.
+    * Summaries carry no temporality field on the wire — the quantile
+    * values are windowed by the producer and `count`/`sum` are
+    * cumulative by definition.
+    */
+  final case class SummaryPoint(name: String, unit: String,
+      resource: Vector[(String, String)], attrs: Vector[(String, String)],
+      tsNano: Long, count: Long, sum: Double,
+      quantiles: Vector[(Double, Double)])
+
   /** Everything a payload carries that this engine models. */
   final case class Decoded(points: Vector[Point],
       expoHists: Vector[ExpoHist],
-      classicHists: Vector[ClassicHist] = Vector.empty)
+      classicHists: Vector[ClassicHist] = Vector.empty,
+      summaries: Vector[SummaryPoint] = Vector.empty)
 
   /** Decode an UNCOMPRESSED `ExportMetricsServiceRequest`. Throws
     * `IllegalArgumentException` on malformed bytes — the endpoint's
-    * HTTP 400. Unknown fields (histogram/summary metrics, exemplars,
-    * scope, schema URLs) skip by wire type, so a collector sending more
-    * than this engine models still lands its gauges and sums.
+    * HTTP 400. Unknown fields (exemplars, scope, schema URLs, future
+    * metric kinds) skip by wire type, so a collector sending more than
+    * this engine models still lands everything it does model: gauges,
+    * sums, classic + exponential histograms, and summaries.
     */
   def walk(bytes: Array[Byte]): Decoded = {
     val end = bytes.length
@@ -255,10 +270,47 @@ object Otlp {
       (attrs.result(), ts, count, sum, bounds.result(), counts.result())
     }
 
+    // SummaryDataPoint { attributes=7; time=3 fixed64; count=4 fixed64;
+    //   sum=5 double; quantile_values=6 ValueAtQuantile }
+    // ValueAtQuantile { quantile=1 double; value=2 double }
+    def summaryPoint(limit: Int): (Vector[(String, String)], Long, Long,
+        Double, Vector[(Double, Double)]) = {
+      val attrs = Vector.newBuilder[(String, String)]
+      var ts = 0L
+      var count = 0L
+      var sum = 0.0
+      val qs = Vector.newBuilder[(Double, Double)]
+      while (pos < limit) {
+        val tag = varint(limit)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (3, 1) => ts = fixed64(limit)
+          case (4, 1) => count = fixed64(limit)
+          case (5, 1) => sum = java.lang.Double.longBitsToDouble(fixed64(limit))
+          case (6, 2) =>
+            val u = lenDelim(limit)
+            var q = 0.0
+            var v = 0.0
+            while (pos < u) {
+              val qt = varint(u)
+              ((qt >> 3).toInt, (qt & 7).toInt) match {
+                case (1, 1) => q = java.lang.Double.longBitsToDouble(fixed64(u))
+                case (2, 1) => v = java.lang.Double.longBitsToDouble(fixed64(u))
+                case (_, wt) => skip(wt, u)
+              }
+            }
+            qs += ((q, v))
+          case (7, 2) => attrs += keyValue(lenDelim(limit))
+          case (_, wt) => skip(wt, limit)
+        }
+      }
+      (attrs.result(), ts, count, sum, qs.result())
+    }
+
     // Metric { name=1; unit=3; gauge=5; sum=7; histogram=9;
-    //          exponential_histogram=10 } — summary(11) skips
+    //          exponential_histogram=10; summary=11 }
     def metric(limit: Int, resource: Vector[(String, String)])
-        : (Vector[Point], Vector[ExpoHist], Vector[ClassicHist]) = {
+        : (Vector[Point], Vector[ExpoHist], Vector[ClassicHist],
+            Vector[SummaryPoint]) = {
       var name = ""
       var unit = ""
       val ehs = Vector.newBuilder[ExpoHist]
@@ -268,6 +320,8 @@ object Otlp {
       var chRaw = Vector.empty[(Vector[(String, String)], Long, Long,
         Double, Vector[Double], Vector[Long])]
       var chTemporality = 0
+      var smRaw = Vector.empty[(Vector[(String, String)], Long, Long,
+        Double, Vector[(Double, Double)])]
       val out = Vector.newBuilder[(String, Boolean, Int, Vector[(String, String)], Long, Double)]
       while (pos < limit) {
         val tag = varint(limit)
@@ -324,6 +378,15 @@ object Otlp {
                 case (_, wt) => skip(wt, eu)
               }
             }
+          case (11, 2) => // Summary { data_points=1 } — no temporality
+            val su = lenDelim(limit)
+            while (pos < su) {
+              val st = varint(su)
+              ((st >> 3).toInt, (st & 7).toInt) match {
+                case (1, 2) => smRaw = smRaw :+ summaryPoint(lenDelim(su))
+                case (_, wt) => skip(wt, su)
+              }
+            }
           case (_, wt) => skip(wt, limit)
         }
       }
@@ -336,14 +399,18 @@ object Otlp {
       val chs = chRaw.map { case (a, t, c, s, bs, cs) =>
         ClassicHist(n, u, chTemporality, resource, a, t, c, s, bs, cs)
       }
+      val sms = smRaw.map { case (a, t, c, s, qs) =>
+        SummaryPoint(n, u, resource, a, t, c, s, qs)
+      }
       (out.result().map { case (kind, mono, temp, attrs, ts, v) =>
         Point(n, u, kind, mono, temp, resource, attrs, ts, v)
-      }, ehs.result(), chs)
+      }, ehs.result(), chs, sms)
     }
 
     val points = Vector.newBuilder[Point]
     val expos = Vector.newBuilder[ExpoHist]
     val classics = Vector.newBuilder[ClassicHist]
+    val summaries = Vector.newBuilder[SummaryPoint]
     while (pos < end) {
       val tag = varint(end)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
@@ -380,10 +447,11 @@ object Otlp {
               val st = varint(until)
               ((st >> 3).toInt, (st & 7).toInt) match {
                 case (2, 2) =>
-                  val (ps, es, cs) = metric(lenDelim(until), res)
+                  val (ps, es, cs, ss) = metric(lenDelim(until), res)
                   points ++= ps
                   expos ++= es
                   classics ++= cs
+                  summaries ++= ss
                 case (_, wt) => skip(wt, until) // scope, schema_url
               }
             }
@@ -392,7 +460,8 @@ object Otlp {
         case (_, wt) => skip(wt, end)
       }
     }
-    Decoded(points.result(), expos.result(), classics.result())
+    Decoded(points.result(), expos.result(), classics.result(),
+      summaries.result())
   }
 
   /** The compatibility spec's unit-suffix table (the subset of units
@@ -515,7 +584,28 @@ object Otlp {
       buckets :+ ser(s"${named}_sum", Vector.empty, h.sum) :+
         ser(s"${named}_count", Vector.empty, h.count.toDouble)
     }
-    pts ++ hists ++ classics
+    val summaries = decoded.summaries.flatMap { sm =>
+      val base = sanitize(sm.name)
+      val suffix = UnitSuffix.getOrElse(sm.unit, sanitize(sm.unit))
+      val named =
+        if (suffix.isEmpty || base.endsWith(s"_$suffix")) base
+        else s"${base}_$suffix"
+      val tsMs = sm.tsNano / 1000000L
+      def ser(name: String, extra: Vector[(String, String)],
+          v: Double): RemoteWrite.Series =
+        RemoteWrite.Series(
+          seriesLabels(name, sm.resource, sm.attrs) ++ extra,
+          Vector((v, tsMs)))
+      // upstream's summary translation: each pre-computed quantile is a
+      // gauge series on the BASE name with a `quantile` label, plus
+      // `_sum`/`_count` — the classic Prometheus summary exposition,
+      // plain samples from here on
+      sm.quantiles.map { case (q, v) =>
+        ser(named, Vector("quantile" -> fmtLe(q)), v)
+      } :+ ser(s"${named}_sum", Vector.empty, sm.sum) :+
+        ser(s"${named}_count", Vector.empty, sm.count.toDouble)
+    }
+    pts ++ hists ++ classics ++ summaries
   }
 
   /** `le` rendering, the Prometheus text convention: integral bounds
@@ -884,4 +974,84 @@ object Otlp {
       |    CAST(1000 AS BIGINT), CAST('3.5' AS DOUBLE))
       |) w(metric, job, instance, label_k, ts_ms, value)
       |ORDER BY metric, ts_ms""".stripMargin
+
+  /** a1u — OTLP SUMMARIES translate per the upstream compat spec: each
+    * pre-computed quantile becomes a gauge series on the BASE
+    * (unit-suffixed) name with a `quantile` label, plus `_sum` and
+    * `_count` — the classic Prometheus summary exposition, riding the
+    * ordinary sample pipeline with no summary-aware code downstream.
+    * The hand-assembled payload carries two ValueAtQuantile messages,
+    * fixed64 count, double sum, and a resource identity; the DuckDB
+    * oracle is the hand-derived translated relation.
+    */
+  def otlpSummary(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // ExportMetricsServiceRequest, hand-assembled:
+    // 0A 8401  resource_metrics#1, 132 bytes:
+    //   0A 1C  resource, 28 bytes:
+    //     0A 1A  attr: 0A 0C "service.name" 12 0A (0A 08 "checkout")
+    //   12 64  scope_metrics, 100 bytes:
+    //     12 62  metric#1, 98 bytes:
+    //       0A 0B  name = "rpc.latency"
+    //       1A 01  unit = "s"
+    //       5A 50  summary, 80 bytes:
+    //         0A 4E  data_point, 78 bytes:
+    //           19 <1e9 ns LE>         time = 1 s
+    //           21 <10 LE fixed64>     count
+    //           29 <2.5 LE double>     sum
+    //           32 12  quantile_value, 18 bytes:
+    //             09 <0.5 LE: 0x3FE0000000000000>  quantile
+    //             11 <0.25 LE: 0x3FD0000000000000> value
+    //           32 12  quantile_value, 18 bytes:
+    //             09 <0.9 LE: 0x3FECCCCCCCCCCCCD>  quantile
+    //             11 <4.5 LE: 0x4012000000000000>  value
+    //           3A 09  attr: 0A 01 "k" 12 04 (0A 02 "eu")
+    val payload = RemoteWrite.hexBytes(
+      "0A8401" +
+        "0A1C" +
+        "0A1A" + "0A0C" + "736572766963652E6E616D65" +
+          "120A" + "0A08" + "636865636B6F7574" +
+        "1264" +
+        "1262" +
+        "0A0B" + "7270632E6C6174656E6379" +
+        "1A01" + "73" +
+        "5A50" +
+        "0A4E" +
+        "19" + "00CA9A3B00000000" +
+        "21" + "0A00000000000000" +
+        "29" + "0000000000000440" +
+        "3212" + "09000000000000E03F" + "11000000000000D03F" +
+        "3212" + "09CDCCCCCCCCCCEC3F" + "110000000000001240" +
+        "3A09" + "0A016B" + "1204" + "0A026575")
+    val normalized = RemoteWrite.encode(translate(walk(payload)))
+    val payloads = Seq(normalized).toDF("proto")
+      .withColumn("recv_ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    RemoteWrite.decode(payloads)
+      .select(
+        element_at(col("labels"), "__name__").as("metric"),
+        element_at(col("labels"), "job").as("job"),
+        coalesce(element_at(col("labels"), "quantile"), lit(""))
+          .as("quantile"),
+        element_at(col("labels"), "k").as("label_k"),
+        col("ts_ms"), col("value"))
+      .orderBy(col("metric"), col("quantile"))
+  }
+
+  /** Oracle twin of [[otlpSummary]]: the translated relation by hand —
+    * quantile gauges on the suffixed base name (`quantile` labels
+    * "0.5"/"0.9"), `_sum` 2.5, `_count` 10.
+    */
+  val OtlpSummarySql: String =
+    """SELECT * FROM (VALUES
+      |  ('rpc_latency_seconds', 'checkout', '0.5', 'eu',
+      |    CAST(1000 AS BIGINT), CAST('0.25' AS DOUBLE)),
+      |  ('rpc_latency_seconds', 'checkout', '0.9', 'eu',
+      |    CAST(1000 AS BIGINT), CAST('4.5' AS DOUBLE)),
+      |  ('rpc_latency_seconds_count', 'checkout', '', 'eu',
+      |    CAST(1000 AS BIGINT), CAST('10.0' AS DOUBLE)),
+      |  ('rpc_latency_seconds_sum', 'checkout', '', 'eu',
+      |    CAST(1000 AS BIGINT), CAST('2.5' AS DOUBLE))
+      |) w(metric, job, quantile, label_k, ts_ms, value)
+      |ORDER BY metric, quantile""".stripMargin
 }

@@ -162,6 +162,30 @@ object QueryEndpoint {
               e.getClass.getSimpleName)))
         }
     })
+    // remote READ: the outbound arrow of the wire contract — POST of a
+    // snappy-framed ReadRequest, answered with a snappy-framed
+    // ReadResponse of raw sample frames (SAMPLES response type, the
+    // protocol's mandatory baseline); malformed bytes 400, non-POST 405
+    server.createContext("/api/v1/read", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          if (ex.getRequestMethod != "POST") {
+            respond(ex, 405, errorBody("remote read requires POST"))
+          } else {
+            val resp = RemoteRead.serve(spark, dir,
+              ex.getRequestBody.readAllBytes())
+            ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+            ex.getResponseHeaders.set("Content-Encoding", "snappy")
+            ex.sendResponseHeaders(200, resp.length.toLong)
+            val os = ex.getResponseBody
+            try os.write(resp) finally os.close()
+          }
+        } catch {
+          case e: Exception =>
+            respond(ex, 400, errorBody(Option(e.getMessage).getOrElse(
+              e.getClass.getSimpleName)))
+        }
+    })
     // the OTLP door: an OpenTelemetry collector's protobuf export,
     // translated by the public compatibility rules and normalized onto
     // the same stream wire shape as remote write (200 empty response on

@@ -1638,14 +1638,17 @@ class RemoteWriteClient(url: String) {
             val n = series.map(_.samples.length).sum
             val code = RemoteWrite.post(target,
               RemoteWrite.compress(RemoteWrite.encode(series)))
-            if (code == 204) sent.add(n.toLong) else failed.add(n.toLong)
+            // the remote-write spec: senders MUST treat any 2xx as
+            // accepted (Prometheus's own receiver answers 204, older
+            // and third-party receivers answer 200)
+            if (code / 100 == 2) sent.add(n.toLong) else failed.add(n.toLong)
           }
       }
     (sent.value, failed.value)
   }
 
   /** One push: the registry's series at `atMs`. Returns the HTTP code
-    * (204 on accept) or -1 on a transport failure.
+    * (any 2xx is acceptance) or -1 on a transport failure.
     */
   def push(atMs: Long = System.currentTimeMillis()): Int = {
     val series = graft.streaming.ExpositionRegistry.series().map { t =>
@@ -1665,7 +1668,8 @@ class RemoteWriteClient(url: String) {
         val os = conn.getOutputStream
         try os.write(body) finally os.close()
         val code = conn.getResponseCode
-        lastError = if (code == 204) None else Some(s"HTTP $code")
+        // any 2xx is acceptance per the remote-write spec
+        lastError = if (code / 100 == 2) None else Some(s"HTTP $code")
         code
       } finally conn.disconnect()
     } catch {

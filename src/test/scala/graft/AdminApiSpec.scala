@@ -180,4 +180,39 @@ class AdminApiSpec extends SparkTestBase {
         "label_instance", "kind", "value", "event_id"))
     } finally { Admin.reset(spark, dir); server.stop(0) }
   }
+
+  test("delete_series invalidates a resultsCache frontend: warm chunks never serve tombstoned samples") {
+    // 15 days of hourly samples: the frontend's 240-instant chunks are
+    // COMPLETE (cacheable) for a day-1 request at a 1h step
+    val dir = fixture("events" -> (0 until 361).map { i =>
+      ev(i.toLong, i * 3600000L, "purchase", 1.0 + (i % 7),
+        if (i % 2 == 0) "a" else "b")
+    }.toDF(eventCols: _*))
+    val fronted = QueryEndpoint.start(spark, dir, resultsCache = true)
+    val plain = QueryEndpoint.start(spark, dir)
+    val port = fronted.getAddress.getPort
+    try {
+      graft.promql.ResultsCache.clear()
+      val s = T0
+      val e = T0 + dayS
+      val path = s"/api/v1/query_range?query=${enc("sum by (k) (purchase)")}" +
+        s"&start=$s&end=$e&step=1h"
+      val before = get(port, path)._2
+      assert(get(port, path)._2 === before, "warm repeat, pre-delete")
+      val (h0, m0) = graft.promql.ResultsCache.stats
+      assert(h0 > 0, "the repeat must have hit the cache")
+
+      val (code, _) = post(port,
+        s"/api/v1/admin/tsdb/delete_series?match[]=${enc("""purchase{k="a"}""")}")
+      assert(code === 204)
+      // the warm frontend must now answer like an uncached server —
+      // tombstone-filtered, not the stale pre-delete chunks
+      val want = get(plain.getAddress.getPort, path)._2
+      assert(want !== before, "the delete must change the answer")
+      assert(get(port, path)._2 === want,
+        "a cached frontend served stale tombstoned chunks after delete_series")
+      assert(graft.promql.ResultsCache.stats._2 > m0,
+        "the delete must force chunk recomputation")
+    } finally { Admin.reset(spark, dir); fronted.stop(0); plain.stop(0) }
+  }
 }

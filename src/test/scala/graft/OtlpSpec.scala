@@ -97,6 +97,32 @@ class OtlpSpec extends SparkTestBase {
     assert(e.getMessage.contains("cumulative"))
   }
 
+  test("summaries translate to quantile-labeled gauges + _sum/_count") {
+    val rows = Otlp.otlpSummary(spark)
+      .as[(String, String, String, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      ("rpc_latency_seconds", "checkout", "0.5", "eu", 1000L, 0.25),
+      ("rpc_latency_seconds", "checkout", "0.9", "eu", 1000L, 4.5),
+      ("rpc_latency_seconds_count", "checkout", "", "eu", 1000L, 10.0),
+      ("rpc_latency_seconds_sum", "checkout", "", "eu", 1000L, 2.5)))
+    // structural check of the walked point itself (attrs after the
+    // quantile_values on the wire; fixed64 count; double sum)
+    val sm = Otlp.SummaryPoint("svc.latency", "ms", Vector.empty,
+      Vector("k" -> "us"), 3000000000L, 7L, 1.25,
+      Vector((0.5, 2.0), (0.99, 8.0)))
+    val series = Otlp.translate(Otlp.Decoded(Vector.empty, Vector.empty,
+      Vector.empty, Vector(sm)))
+    assert(series.map(_.labels) === Vector(
+      Vector("__name__" -> "svc_latency_milliseconds", "k" -> "us",
+        "quantile" -> "0.5"),
+      Vector("__name__" -> "svc_latency_milliseconds", "k" -> "us",
+        "quantile" -> "0.99"),
+      Vector("__name__" -> "svc_latency_milliseconds_sum", "k" -> "us"),
+      Vector("__name__" -> "svc_latency_milliseconds_count", "k" -> "us")))
+    assert(series.flatMap(_.samples) === Vector((2.0, 3000L), (8.0, 3000L),
+      (1.25, 3000L), (7.0, 3000L)))
+  }
+
   test("an OTLP expohist POST lands in the live native-histogram family") {
     val dir = fixture("events" ->
       Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))

@@ -1,0 +1,153 @@
+package graft
+
+import graft.sources.{QueryEndpoint, RemoteRead, RemoteWrite, RemoteWriteSink}
+import graft.sources.RemoteRead.{Matcher, ReadQuery}
+
+/** The PULL half of the bulk wire contract: `ReadRequest` bytes decode
+  * to queries (hand-assembled foreign bytes AND encoder round-trips),
+  * matcher semantics follow upstream (anchored regex, missing-label
+  * rule, inclusive bounds), `/api/v1/read` serves snappy-framed
+  * `ReadResponse` frames over real HTTP, and a SECOND engine can
+  * backfill itself FROM a remote-read answer — read ∘ write, the full
+  * round trip a federating deployment runs.
+  */
+class RemoteReadSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val dir = fixture("events" -> Seq(
+    ev(0, 0L, "purchase", 1.5, "eu"),
+    ev(1, 60000L, "purchase", 2.25, "eu"),
+    ev(2, 1000L, "purchase", 4.0, "us"),
+    ev(3, 2000L, "signup", 10.0, "eu"),
+    ev(4, 3000L, "error", 0.25, "eu"),
+    ev(5, 4000L, "error", 0.75, "eu")
+  ).toDF(eventCols: _*))
+
+  private val T0ms = 1704067200000L // 2024-01-01, the fixture's epoch
+  private val all = ReadQuery(0L, 4102444800000L,
+    Seq(Matcher(2, "__name__", ".+")))
+
+  test("encodeRequest round-trips walkRequest across all matcher types") {
+    val qs = Seq(
+      ReadQuery(T0ms, T0ms + 60000L, Seq(
+        Matcher(0, "__name__", "purchase_total"),
+        Matcher(2, "k", "e.*"))),
+      ReadQuery(0L, 1L, Seq(
+        Matcher(1, "instance", "i0"),
+        Matcher(3, "k", "us|zz"))))
+    assert(RemoteRead.walkRequest(RemoteRead.encodeRequest(qs)) === qs)
+    // response framing round-trips through the shared TimeSeries codec
+    val frames = Seq(
+      Seq(RemoteWrite.Series(Vector("__name__" -> "purchase_total",
+        "k" -> "eu"), Vector((1.5, T0ms), (2.25, T0ms + 60000L)))),
+      Seq.empty[RemoteWrite.Series])
+    assert(RemoteRead.walkResponse(RemoteRead.encodeResponse(frames))
+      === frames)
+  }
+
+  test("the hand-assembled gate request decodes to the hand-derived queries") {
+    val qs = RemoteRead.walkRequest(RemoteRead.GateRequest)
+    assert(qs === Seq(
+      ReadQuery(1704067200000L, 1705276800000L, Seq(
+        Matcher(0, "__name__", "purchase_total"),
+        Matcher(2, "k", "1.*"))),
+      ReadQuery(1704067200000L, 1706745600000L, Seq(
+        Matcher(0, "__name__", "signup"),
+        Matcher(1, "instance", "i0"))))) // ReadHints + response types skipped
+  }
+
+  test("matcher semantics: anchored regex, NEQ/NRE, missing-label rule, inclusive bounds") {
+    def names(q: ReadQuery): Seq[(String, Double, Long)] =
+      RemoteRead.seriesFor(spark, dir, q).flatMap(s =>
+        s.samples.map { case (v, t) =>
+          (s.labels.toMap.apply("__name__"), v, t) })
+    // anchored: "e.*" must not substring-match "purchase"'s k="eu" name
+    assert(names(ReadQuery(0L, Long.MaxValue >> 10,
+      Seq(Matcher(2, "__name__", "e.*")))).map(_._1).distinct === Seq("error"))
+    // NEQ on k
+    assert(names(ReadQuery(0L, Long.MaxValue >> 10, Seq(
+      Matcher(0, "__name__", "purchase_total"), Matcher(1, "k", "eu"))))
+      === Seq(("purchase_total", 4.0, T0ms + 1000L)))
+    // a label this engine never carries matches as "" (upstream rule)
+    assert(names(ReadQuery(0L, Long.MaxValue >> 10, Seq(
+      Matcher(0, "job", "")))).size === 6)
+    assert(names(ReadQuery(0L, Long.MaxValue >> 10, Seq(
+      Matcher(1, "job", "")))).isEmpty)
+    // inclusive time bounds, both edges
+    assert(names(ReadQuery(T0ms, T0ms + 1000L, Seq(
+      Matcher(2, "__name__", "purchase.*")))).map(_._3).sorted
+      === Seq(T0ms, T0ms + 1000L))
+    // series labels come name-sorted; samples in time order
+    val s = RemoteRead.seriesFor(spark, dir, ReadQuery(0L,
+      Long.MaxValue >> 10, Seq(Matcher(0, "k", "eu"),
+        Matcher(0, "__name__", "purchase_total")))).head
+    assert(s.labels.map(_._1) === Vector("__name__", "instance", "k"))
+    assert(s.samples === Vector((1.5, T0ms), (2.25, T0ms + 60000L)))
+  }
+
+  test("HTTP: /api/v1/read serves frames; malformed body 400; GET 405") {
+    val server = QueryEndpoint.start(spark, dir)
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/read"
+    try {
+      val got = RemoteRead.fetch(url, ReadQuery(0L, Long.MaxValue >> 10,
+        Seq(Matcher(0, "__name__", "signup"))))
+      assert(got === Seq(RemoteWrite.Series(
+        Vector("__name__" -> "signup", "instance" -> "i1", "k" -> "eu"),
+        Vector((10.0, T0ms + 2000L)))))
+      def post(body: Array[Byte]): Int = {
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        try {
+          val os = conn.getOutputStream
+          try os.write(body) finally os.close()
+          conn.getResponseCode
+        } finally conn.disconnect()
+      }
+      assert(post("not snappy".getBytes) === 400)
+      assert(post(RemoteWrite.compress(Array[Byte](0x0A, 0x7F))) === 400)
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try assert(conn.getResponseCode === 405) finally conn.disconnect()
+    } finally server.stop(0)
+  }
+
+  test("read ∘ write: a second engine backfills itself FROM a remote-read answer") {
+    val serverA = QueryEndpoint.start(spark, dir)
+    val urlA = s"http://127.0.0.1:${serverA.getAddress.getPort}/api/v1/read"
+    val sinkB = new RemoteWriteSink(spark)
+    try {
+      // pull EVERYTHING out of A over the read wire...
+      val pulled = RemoteRead.fetch(urlA, all)
+      assert(pulled.map(_.samples.size).sum === 6)
+      // ...and push it into B over the write wire vocabulary
+      sinkB.receiveSeries(pulled)
+      val q = sinkB.events.writeStream.format("memory")
+        .queryName("rr_roundtrip").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("rr_roundtrip")
+          .select($"event_type", $"value",
+            org.apache.spark.sql.functions.unix_millis($"ts"))
+          .as[(String, Double, Long)].collect().toSeq.sorted
+        val want = graft.operators.Metrics.metricEvents(spark, dir)
+          .select($"name", $"value",
+            org.apache.spark.sql.functions.unix_millis($"ts"))
+          .as[(String, Double, Long)].collect().toSeq.sorted
+        assert(got === want,
+          "B's ingested history ≡ A's corpus, original timestamps kept")
+      } finally q.stop()
+    } finally serverA.stop(0)
+  }
+
+  test("tombstones apply to remote read: deleted samples never leave the TSDB") {
+    try {
+      graft.promql.Admin.deleteSeries(spark, dir,
+        Seq("""purchase{k="eu"}"""))
+      val got = RemoteRead.seriesFor(spark, dir, ReadQuery(0L,
+        Long.MaxValue >> 10, Seq(Matcher(0, "__name__", "purchase_total"))))
+      assert(got.map(_.labels.toMap.apply("k")) === Seq("us"))
+    } finally graft.promql.Admin.reset(spark, dir)
+  }
+}

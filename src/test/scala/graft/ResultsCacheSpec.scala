@@ -89,6 +89,96 @@ class ResultsCacheSpec extends SparkTestBase {
     assert(cached(q, s - 4 * stepS, e2) === direct(q, s - 4 * stepS, e2))
   }
 
+  test("delete_series invalidates cached chunks: warm cache serves fresh tombstone-filtered bytes") {
+    ResultsCache.clear()
+    val e = T0 + 2 * 86400L
+    val s = e - 11 * stepS
+    val q = "sum by (k) (purchase)"
+    // warm the cache against the un-tombstoned corpus
+    assert(cached(q, s, e) === direct(q, s, e))
+    val (_, mWarm) = ResultsCache.stats
+    assert(cached(q, s, e) === direct(q, s, e))
+    assert(ResultsCache.stats._2 === mWarm, "fully warm before the delete")
+    try {
+      graft.promql.Admin.deleteSeries(spark, dir, Seq("""purchase{k="a"}"""))
+      val want = direct(q, s, e) // direct path excludes the tombstone
+      assert(want.contains("\"k\":\"b\"") && !want.contains("\"k\":\"a\""))
+      assert(cached(q, s, e) === want,
+        "the cached path must serve the tombstone-filtered answer, not stale chunks")
+      val (_, mAfter) = ResultsCache.stats
+      assert(mAfter > mWarm, "the delete must force recomputation")
+    } finally graft.promql.Admin.reset(spark, dir)
+    // reset is itself a state mutation: the pre-delete chunks must NOT
+    // come back from the cache either
+    val (_, m0) = ResultsCache.stats
+    assert(cached(q, s, e) === direct(q, s, e))
+    assert(ResultsCache.stats._2 > m0, "reset invalidates too")
+  }
+
+  test("a rule-file change invalidates recorded-name chunks") {
+    ResultsCache.clear()
+    val e = T0 + 2 * 86400L
+    val s = e - 11 * stepS
+    def withRule[T](expr: String)(f: => T): T =
+      graft.promql.Compiler.withRecordedRules(
+        Seq(graft.promql.Rules.RecordingRule("purchase_by_k", expr)))(f)
+    val under1 = withRule("sum by (k) (purchase)") {
+      val w = direct("purchase_by_k", s, e)
+      assert(cached("purchase_by_k", s, e) === w); w
+    }
+    // same server, same name, NEW rule body: the cache must answer with
+    // the new rule's samples, never the old rule's chunks
+    withRule("sum by (k) (purchase) * 2") {
+      val w = direct("purchase_by_k", s, e)
+      assert(w !== under1, "the two rules must genuinely differ")
+      assert(cached("purchase_by_k", s, e) === w,
+        "a rule change must not serve the old rule's cached chunks")
+    }
+    // and the name shares chunks with its hand-written expansion (the
+    // post-inline key): warming the expansion warms the name
+    ResultsCache.clear()
+    assert(cached("sum by (k) (purchase)", s, e) ===
+      direct("sum by (k) (purchase)", s, e))
+    val (_, m1) = ResultsCache.stats
+    withRule("sum by (k) (purchase)") {
+      assert(cached("purchase_by_k", s, e) ===
+        direct("purchase_by_k", s, e))
+    }
+    assert(ResultsCache.stats._2 === m1,
+      "the recorded name must hit the expansion's chunks (post-inline key)")
+  }
+
+  test("shapes the grid tier cannot split fall back to the direct path") {
+    ResultsCache.clear()
+    // an off-lattice subquery step keeps the union path (the grid
+    // declines the shape), so a COMPLETE 70-instant chunk would trip
+    // the union path's 64-instant gate — the 12-instant request must
+    // serve through the direct path instead of erroring
+    val q = "max_over_time((sum by (k) (purchase))[2d:1d])"
+    val s = T0
+    val e = T0 + 11 * 3600L
+    val want = Api.queryRangeJson(spark, dir, q, s, e, 3600L)
+    assert(ResultsCache.queryRangeJson(spark, dir, q, s, e, 3600L,
+      splitInstants = 70) === want)
+    // ...and a genuine compose error still surfaces as the same failure
+    val bad = intercept[Exception](
+      ResultsCache.queryRangeJson(spark, dir, "nosuch_family", s, e, 3600L,
+        splitInstants = 70))
+    val badDirect = intercept[Exception](
+      Api.queryRangeJson(spark, dir, "nosuch_family", s, e, 3600L))
+    assert(bad.getMessage === badDirect.getMessage)
+  }
+
+  test("an end past the corpus instant fails like the direct path, never truncates") {
+    ResultsCache.clear()
+    val tCorpus = graft.promql.Compiler.instantSeconds(spark, dir).toLong
+    val s = tCorpus - 4 * stepS
+    val e = tCorpus + 2 * stepS // runs past the corpus
+    val got = intercept[IllegalArgumentException](cached("purchase", s, e))
+    val want = intercept[IllegalArgumentException](direct("purchase", s, e))
+    assert(got.getMessage === want.getMessage)
+  }
+
   test("HTTP: a resultsCache server answers byte-identically to a direct server") {
     ResultsCache.clear()
     val plain = QueryEndpoint.start(spark, dir)
