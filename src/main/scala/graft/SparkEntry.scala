@@ -554,6 +554,21 @@ object SparkEntry {
       """topk(2, k_total{k=~"1.*"})""",
       recordingRules = Seq(
         promql.Rules.RecordingRule("k_total", "sum by (k) (purchase)")))),
+    // a RANGE selector over a recorded series: the rule loop's written
+    // samples re-derived on its 6h evaluation-interval grid (ONE event
+    // pass + a running-sum window), then the reset-aware rate walk
+    "p104_promql_recorded_rate" -> ((s, d) => promql.Engine.eval(s, d,
+      "rate(k_total6h[4d])",
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))),
+    // a NAME-RETAINING recording rule on the dense 240×6h query_range
+    // grid: the rule inlines through the internal record-name wrapper
+    // (relation-level column rewrite), so the panel is ONE grid plan —
+    // the raw family's snapshots renamed to the record
+    "p105_recorded_grid_renamed" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "raw_p", 240, 21600L,
+      recordingRules = Seq(promql.Rules.RecordingRule("raw_p", "purchase")))
+      .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -1032,6 +1047,8 @@ object SparkEntry {
     "p101_pyramid_topk" -> promql.Oracle.PyramidTopkSql,
     "p102_pyramid_hist_sum" -> promql.Oracle.PyramidHistScalarSql,
     "p103_promql_recorded" -> promql.Oracle.RecordedTopkSql,
+    "p104_promql_recorded_rate" -> promql.Oracle.RecordedRateSql,
+    "p105_recorded_grid_renamed" -> promql.Oracle.RecordedGridRenamedSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

@@ -252,14 +252,17 @@ object Api {
     */
   def queryRangeGrid(spark: SparkSession, dir: String, query: String,
       instants: Int, stepS: Long,
-      nativeFamilies: Set[String] = Set.empty): DataFrame = {
+      nativeFamilies: Set[String] = Set.empty,
+      recordingRules: Seq[Rules.RecordingRule] = Nil): DataFrame = {
     require(instants >= 1, "at least one grid instant")
     val endS = Compiler.instantSeconds(spark, dir).toLong
     val startS = endS - (instants - 1).toLong * stepS
-    Compiler.withNativeFamilies(nativeFamilies)(
-      Compiler.rangeGridEval(spark, dir,
-        Ast.resolveAtEdges(Parser.parse(query), Some(startS), Some(endS)),
-        startS, endS, stepS))
+    Compiler.withRecordedRules(recordingRules)(
+      Compiler.withNativeFamilies(nativeFamilies)(
+        Compiler.rangeGridEval(spark, dir,
+          Ast.resolveAtEdges(Compiler.inlineRecorded(spark, dir,
+            Parser.parse(query)), Some(startS), Some(endS)),
+          startS, endS, stepS)))
       .getOrElse(throw new PromQLCompileException(
         s"no dense-grid strategy for query shape: $query"))
   }

@@ -99,7 +99,7 @@ object Compiler {
     * selectable over the API, exactly like a real Prometheus.
     */
   private val recordedRules =
-    new scala.util.DynamicVariable[Map[String, Ast]](Map.empty)
+    new scala.util.DynamicVariable[Map[String, (Ast, Long)]](Map.empty)
 
   /** Names currently being expanded — the cycle guard (`a: a + 1`
     * would otherwise recurse at compose time).
@@ -116,7 +116,9 @@ object Compiler {
       val m = rules.map { r =>
         if (universe.contains(r.record))
           fail(s"recording rule '${r.record}' shadows an ingested family")
-        r.record -> Parser.parse(r.expr)
+        if (r.intervalS <= 0)
+          fail(s"recording rule '${r.record}': evaluation interval must be positive (${r.intervalS}s)")
+        r.record -> (Parser.parse(r.expr), r.intervalS)
       }.toMap
       recordedRules.withValue(m)(f)
     }
@@ -153,36 +155,47 @@ object Compiler {
       if (hit) recordedRules.value.hashCode() else 0
     }
 
+  /** The internal marker wrapping an inlined NAME-RETAINING recording
+    * rule: re-apply the RECORD's name to the inner vector at the
+    * relation level (a pure column rewrite — commutes with grid
+    * instants, so dense-grid panels serve these rules at full scale
+    * too). Never produced by the parser (`label_…` names only), only by
+    * [[inlineRecorded]].
+    */
+  private[promql] val RecordNameFn = "__record_name__"
+
   /** Inline recorded-rule selectors as their rule EXPRESSIONS — the
     * AST-level rewrite that lets the dense-grid/pyramid/sharded
     * query_range tiers serve recorded names at full scale (the
     * per-selector [[recordedVector]] path is instant-only). Only the
     * bare form inlines (no matchers/range/offset/@ — those need the
-    * post-hoc semantics the instant path implements), and only rules
-    * whose compiled vector DROPS the `name` column (a name-retaining
-    * rule like `raw: purchase` must rename its output to the record
-    * name, which an inlined tree cannot express — those fall to the
-    * union path's renaming instant evaluator). Cycle guard shared with
-    * the instant path's semantics.
+    * post-hoc semantics the instant path implements). A rule whose
+    * compiled vector RETAINS the `name` column (e.g. `raw: purchase`)
+    * must rename its output to the record name; the inlined tree
+    * expresses that through the internal [[RecordNameFn]] wrapper, a
+    * relation-level column rewrite. Cycle guard shared with the
+    * instant path's semantics.
     */
   private[graft] def inlineRecorded(spark: SparkSession, dir: String,
       ast: Ast): Ast =
     if (recordedRules.value.isEmpty) ast
     else {
-      val inlinable = scala.collection.mutable.HashMap.empty[String, Boolean]
-      def canInline(name: String, rule: Ast): Boolean =
-        inlinable.getOrElseUpdate(name,
-          !expanding.withValue(expanding.value + name)(
+      val retains = scala.collection.mutable.HashMap.empty[String, Boolean]
+      def retainsName(name: String, rule: Ast): Boolean =
+        retains.getOrElseUpdate(name,
+          expanding.withValue(expanding.value + name)(
             compileVec(spark, dir, Ast.resolveAtEdges(rule, None, None), 0L))
             .labels.contains("name"))
       def r(a: Ast, seen: Set[String]): Ast = a match {
         case s: Selector =>
           recordedRules.value.get(s.name) match {
-            case Some(rule) if s.matchers.isEmpty && s.rangeS.isEmpty &&
+            case Some((rule, _)) if s.matchers.isEmpty && s.rangeS.isEmpty &&
                 s.offsetS.isEmpty && s.atS.isEmpty =>
               if (seen.contains(s.name))
                 fail(s"recording rule '${s.name}' is (transitively) self-referential")
-              if (canInline(s.name, rule)) r(rule, seen + s.name) else s
+              if (retainsName(s.name, rule))
+                LabelFunc(RecordNameFn, Seq(s.name), r(rule, seen + s.name))
+              else r(rule, seen + s.name)
             case _ => s
           }
         case Agg(op, g, p, arg) => Agg(op, g, p, r(arg, seen))
@@ -212,8 +225,8 @@ object Compiler {
   private def recordedVector(spark: SparkSession, dir: String,
       sel: Selector, ruleAst: Ast, shiftS: Long): Vec = {
     if (sel.rangeS.isDefined)
-      fail(s"recorded series '${sel.name}' supports instant selectors " +
-        "only (no [range]); query the rule expression directly instead")
+      fail(s"recorded series '${sel.name}' used as a bare range vector; " +
+        "wrap it in rate/increase/delta or a *_over_time function")
     if (expanding.value.contains(sel.name))
       fail(s"recording rule '${sel.name}' is (transitively) self-referential")
     val shiftEff = sel.atS match {
@@ -238,6 +251,165 @@ object Compiler {
         })
       }
     Vec(named.filter(f), v.labels)
+  }
+
+  /** Range functions a recorded series supports (the sample-grid walk
+    * below); the exotic tail (irate/deriv/holt-winters/...) refuses
+    * loudly rather than silently approximating on a coarse rule grid.
+    */
+  private val RecordedRangeFns: Set[String] = Set(
+    "rate", "increase", "delta",
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "last_over_time", "present_over_time")
+
+  /** A RANGE selector over a RECORDED series: upstream's rule loop
+    * writes a sample of `record` at every evaluation interval, and a
+    * later `rate(record[d])` windows over those written samples. The
+    * batch reading: re-derive the samples the loop would have written —
+    * the rule expression evaluated on its own interval grid, anchored
+    * at the selector's effective instant — then collapse the window.
+    *
+    *  - Sample grid: instants T−d, T−d+iv, …, T (`rate`/`increase`
+    *    carry the T−d baseline; the left-open window (T−d, T] itself
+    *    holds the g = d/iv instants after it). `d` must be a positive
+    *    multiple of the rule's interval (compose-time check) so the
+    *    window edge lands on a rule instant.
+    *  - `rate`/`increase`: reset-aware adjacent-sample walk —
+    *    each sample contributes `v − prev` (or `v` after a reset, and
+    *    `v` for a series BORN inside the window: its whole mass
+    *    accumulated in-window, which keeps the engine's exact-window
+    *    identity `rate(sum_rule[d]) ≡ sum by (…) (rate(raw[d]))`
+    *    bit-exact; upstream's first-sample-is-baseline reading loses
+    *    that mass, a known counter-start artifact its
+    *    created-timestamp work is removing).
+    *  - `delta`: last − first over the in-window samples (gauge
+    *    reading); `*_over_time`: plain aggregates over them.
+    *  - Matchers apply post-hoc on the rule vector's labels with the
+    *    aggregated-away-label-matches-`""` rule, offset/`@` compose
+    *    onto the grid anchor — both exactly as the instant path
+    *    ([[recordedVector]]).
+    *
+    * Physical strategies mirror [[subqueryOverTime]]: a rule of shape
+    * `sum by (…) (counter)` (or a bare counter selector) rides
+    * [[gridCounterInstants]] — ONE event pass + a running-sum window
+    * over the series×grid, so a 4-day window at a 6-hour interval costs
+    * no extra scans; any other rule shape falls to the compile-time
+    * union of per-instant plans (bound 64 instants).
+    */
+  private def recordedRangeFunc(spark: SparkSession, dir: String, fn: String,
+      param: Option[Double], sel: Selector, ruleAst: Ast, ivS: Long,
+      shiftS: Long): Vec = {
+    if (!RecordedRangeFns.contains(fn))
+      fail(s"$fn over recorded series '${sel.name}' is not supported " +
+        s"(supported: ${RecordedRangeFns.toSeq.sorted.mkString(", ")})")
+    if (expanding.value.contains(sel.name))
+      fail(s"recording rule '${sel.name}' is (transitively) self-referential")
+    val d = sel.rangeS.get
+    if (d < ivS || d % ivS != 0)
+      fail(s"range (${d}s) over recorded series '${sel.name}' must be a " +
+        s"positive multiple of its evaluation interval (${ivS}s)")
+    val g = (d / ivS).toInt
+    val shiftEff = sel.atS match {
+      case Some(t0) =>
+        instantSeconds(spark, dir).toLong - (t0 - sel.offsetS.getOrElse(0L))
+      case None => shiftS + sel.offsetS.getOrElse(0L)
+    }
+    val withBaseline = fn == "rate" || fn == "increase"
+    val resolved = Ast.resolveAtEdges(ruleAst, None, None)
+    val (grid0, labels) = expanding.withValue(expanding.value + sel.name)(
+      recordedSampleGrid(spark, dir, resolved, shiftEff, g, ivS, withBaseline))
+    // the rule loop writes samples named by the RECORD (when the rule
+    // vector retains a name at all), and matchers read the recorded
+    // vector's labels — both exactly as the instant path
+    val named =
+      if (labels.contains("name")) grid0.withColumn("name", lit(sel.name))
+      else grid0
+    val flt = sel.matchers.filterNot(_.label == "__name__")
+      .foldLeft(lit(true)) { (acc, m) =>
+        val cn = labelCol(m.label)
+        val c = if (labels.contains(cn)) col(cn) else lit("")
+        acc && (m.op match {
+          case "=" => c === m.value
+          case "!=" => c =!= m.value
+          case "=~" => c.rlike(s"^(?:${m.value})$$")
+          case "!~" => !c.rlike(s"^(?:${m.value})$$")
+        })
+      }
+    val grid = named.filter(flt)
+    val sk = labels.map(col)
+    fn match {
+      case "rate" | "increase" =>
+        // grid rows 1..g+1; row 1 is the T−d baseline OUTSIDE the
+        // left-open window — it seeds `lag` and is then dropped
+        val w = Window.partitionBy(sk: _*).orderBy(col("_i"))
+        val withPrev = grid.withColumn("_prev", lag(col("value"), 1).over(w))
+        val contrib = when(col("_prev").isNull, col("value"))
+          .otherwise(when(col("value") >= col("_prev"),
+            col("value") - col("_prev")).otherwise(col("value")))
+        val summed = withPrev.filter(col("_i") > 1)
+          .withColumn("_c", contrib)
+          .groupBy(sk: _*).agg(sum(col("_c")).as("value"))
+        if (fn == "increase") Vec(summed, labels)
+        else Vec(summed, labels, rateDiv = Some(d.toDouble))
+      case "delta" =>
+        // gauge reading: last − first over the in-window samples (one
+        // sample → 0, mirroring the raw-range delta recipe)
+        Vec(grid.groupBy(sk: _*)
+          .agg((max_by(col("value"), col("_i")) -
+            min_by(col("value"), col("_i"))).as("value")), labels)
+      case "last_over_time" =>
+        Vec(grid.groupBy(sk: _*)
+          .agg(max_by(col("value"), col("_i")).as("value")), labels)
+      case "present_over_time" =>
+        Vec(grid.groupBy(sk: _*).agg(max(lit(1.0)).as("value")), labels)
+      case other =>
+        Vec(overTimeCollapse(other, grid, labels), labels)
+    }
+  }
+
+  /** The samples a recording rule's loop would have written, as a
+    * relation: (rule-vector labels…, `_i`, `value`) over grid instants
+    * `anchor − (G−i)·iv`, i = 1..G (G = g+1 when the caller needs the
+    * T−d baseline row). Strategy per the rule's shape — see
+    * [[recordedRangeFunc]]; the union fallback casts values through
+    * DECIMAL(38,12) downstream-safe doubles exactly like the subquery
+    * union path, the counter-grid path stays DECIMAL end to end.
+    */
+  private def recordedSampleGrid(spark: SparkSession, dir: String,
+      ruleAst: Ast, shiftS: Long, g: Int, ivS: Long,
+      withBaseline: Boolean): (DataFrame, Seq[String]) = {
+    val G = if (withBaseline) g + 1 else g
+    val fast: Option[(Seq[String], Selector)] = ruleAst match {
+      case s2: Selector if s2.rangeS.isEmpty && s2.atS.isEmpty &&
+          MetricEvent.CounterNames.contains(s2.name) =>
+        Some((SeriesKey, s2))
+      case Agg("sum", Some(("by", ls)), None, s2: Selector)
+          if s2.rangeS.isEmpty && s2.atS.isEmpty &&
+            MetricEvent.CounterNames.contains(s2.name) =>
+        Some((ls.map(labelCol), s2))
+      case _ => None
+    }
+    fast match {
+      case Some((labels, s2)) =>
+        if (G > 4096)
+          fail(s"recorded range evaluates $G rule instants; 1..4096 supported (grid strategy)")
+        (gridCounterInstants(spark, dir, s2, labels, shiftS, G.toLong, ivS)
+          .select((labels :+ "_i").map(col) :+ col("value"): _*), labels)
+      case None =>
+        if (G > 64)
+          fail(s"recorded range evaluates $G rule instants; 1..64 supported for this rule shape (compose-time bound)")
+        val vecs = (1 to G).map { i =>
+          val v = materialize(compileVec(spark, dir, ruleAst,
+            shiftS + (G - i).toLong * ivS))
+          (v.df.withColumn("_i", lit(i.toLong)), v.labels)
+        }
+        val labels = vecs.head._2
+        val unioned = vecs.map { case (df, _) =>
+          df.select((labels :+ "_i").map(col) :+
+            col("value").cast(DecimalType(38, 12)).as("value"): _*)
+        }.reduce(_ unionAll _)
+        (unioned, labels)
+    }
   }
 
   /** Det-math compilation mode (`Engine.eval(..., detMath = true)`):
@@ -276,8 +448,9 @@ object Compiler {
     else if (MetricEvent.GaugeNames.contains(name)) "gauge"
     else if (MetricEvent.HistogramNames.contains(name)) "histogram"
     else if (recordedRules.value.contains(name))
-      fail(s"recorded series '$name' supports instant selectors only " +
-        "(no [range]); query the rule expression directly instead")
+      fail(s"recorded series '$name' cannot be used here (supported over " +
+        "recorded names: instant selectors and rate/increase/delta/" +
+        "*_over_time range selectors)")
     else fail(s"unknown metric family '$name' (compose-time check)")
 
   /** The label universe: PromQL label name → event-view column. Series
@@ -412,7 +585,7 @@ object Compiler {
   private def instantVector(spark: SparkSession, dir: String, sel: Selector,
       shiftS: Long): Vec = {
     recordedRules.value.get(sel.name) match {
-      case Some(ruleAst) =>
+      case Some((ruleAst, _)) =>
         return recordedVector(spark, dir, sel, ruleAst, shiftS)
       case None => ()
     }
@@ -2826,6 +2999,16 @@ object Compiler {
             }
           }
         }
+      // a NAME-RETAINING recording rule's post-inline wrapper: the
+      // record-name rewrite is a pure label-column rewrite, so it
+      // commutes with the instant index like label_replace below —
+      // dense-grid panels serve these rules at full scale
+      case LabelFunc(RecordNameFn, Seq(rec), arg) =>
+        gridVector(arg).map { case (df0, labels, vc, rdiv) =>
+          if (labels.contains("name"))
+            (df0.withColumn("name", lit(rec)), labels, vc, rdiv)
+          else (df0, labels, vc, rdiv)
+        }
       // label_replace / label_join per instant: pure label-column
       // rewrites commute with the instant index, so the union arm's
       // transform applies verbatim over the grid tuple (values — and
@@ -3019,6 +3202,10 @@ object Compiler {
   private def compileVec(spark: SparkSession, dir: String, ast: Ast,
       shiftS: Long = 0L): Vec = ast match {
     case sel: Selector => instantVector(spark, dir, sel, shiftS)
+    case Func(fn, param, sel: Selector) if RangeSelFns.contains(fn) &&
+        recordedRules.value.contains(sel.name) =>
+      val (ruleAst, ivS) = recordedRules.value(sel.name)
+      recordedRangeFunc(spark, dir, fn, param, sel, ruleAst, ivS, shiftS)
     case Func(fn, param, sel: Selector) if RangeSelFns.contains(fn) =>
       rangeFunc(spark, dir, fn, param, sel, shiftS)
     case SmoothFunc(sf, tf, sel: Selector) =>
@@ -3159,6 +3346,15 @@ object Compiler {
       }
     case Func(fn, param, arg) if ScalarFnNames.contains(fn) =>
       scalarFunc(fn, param, compileVec(spark, dir, arg, shiftS))
+    case LabelFunc(RecordNameFn, Seq(rec), arg) =>
+      // the post-inline face of a NAME-RETAINING recording rule
+      // ([[inlineRecorded]]): the rule loop writes samples named by the
+      // RECORD, so the inner vector's name column (when present) takes
+      // the record's name — exactly [[recordedVector]]'s rename
+      val v = compileVec(spark, dir, arg, shiftS)
+      if (v.labels.contains("name"))
+        v.copy(df = v.df.withColumn("name", lit(rec)))
+      else v
     case LabelFunc("label_replace", args, arg) =>
       if (args.length != 4)
         fail("""label_replace takes (v, "dst", "replacement", "src", "regex")""")

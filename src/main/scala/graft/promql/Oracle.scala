@@ -82,6 +82,43 @@ object Oracle {
        |SELECT label_k, CAST(dv AS DOUBLE) AS value
        |FROM top ORDER BY label_k, value""".stripMargin
 
+  /** `rate(k_total6h[4d])` with the standing recording rule
+    * `k_total6h: sum by (k) (purchase)` at a 6-hour evaluation
+    * interval — a RANGE selector over a recorded series. The twin
+    * re-derives the samples the rule loop would have written (the rule
+    * expression at the 17 grid instants T−4d … T, 6h apart) and then
+    * walks them with the engine's reset-aware adjacent-sample recipe:
+    * each sample contributes `v − prev` (or `v` after a reset / for a
+    * series born inside the window), the T−4d baseline row seeds the
+    * walk and is excluded from the left-open window, and the deferred
+    * ÷4d lands once on the exact decimal increase. The gate fails if
+    * the grid anchoring, the baseline handling, the reset walk, or the
+    * deferred division ever drifts.
+    */
+  val RecordedRateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT i FROM generate_series(0, 16) g(i)),
+       |snap AS (
+       |  SELECT label_k, i, SUM(CAST(value AS DECIMAL(18,2))) AS v
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (16 - i) * 21600000000
+       |  GROUP BY label_k, i),
+       |walk AS (
+       |  SELECT label_k, i, v,
+       |    LAG(v) OVER (PARTITION BY label_k ORDER BY i) AS pv
+       |  FROM snap),
+       |inc AS (
+       |  SELECT label_k,
+       |    SUM(CASE WHEN pv IS NULL THEN v
+       |             WHEN v >= pv THEN v - pv
+       |             ELSE v END) AS dv
+       |  FROM walk WHERE i >= 1
+       |  GROUP BY label_k)
+       |SELECT label_k, CAST(dv AS DOUBLE) / CAST(345600 AS DOUBLE) AS value
+       |FROM inc ORDER BY label_k""".stripMargin
+
   /** `limitk by (k) (1, purchase)` — one series per k group chosen by
     * the deterministic label-identity hash (md5 ascending, labels
     * tiebreak), mirroring the compiler's ranking window exactly.
@@ -918,6 +955,26 @@ object Oracle {
        |  AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
        |GROUP BY m.label_k, i.i, t.t_us
        |ORDER BY m.label_k, t_s""".stripMargin
+
+  /** p105: the name-retaining recording rule `raw_p: purchase` served
+    * on the dense 240×6h query_range grid — per full series key, the
+    * counter snapshot at each instant's bound, with the series RENAMED
+    * to the record (the rule loop writes samples named `raw_p`). The
+    * gate fails if name-retaining rule inlining, the record-name
+    * rewrite, or the grid snapshots drift.
+    */
+  val RecordedGridRenamedSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i)
+       |SELECT 'raw_p' AS name, m.label_k, m.label_instance,
+       |  (t.t_us // 1000000) - (240 - i.i) * 21600 AS t_s,
+       |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM m, t, inst i
+       |WHERE m.name = 'purchase' AND m.value >= 0
+       |  AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |GROUP BY m.label_k, m.label_instance, i.i, t.t_us
+       |ORDER BY name, m.label_k, m.label_instance, t_s""".stripMargin
 
   /** p77: `sum by (k) (rate(purchase[2d]))` on the same 240×6h grid —
     * instant i's window is `(bound − 2d, bound]`, the exact decimal

@@ -29,7 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Rules {
 
-  final case class RecordingRule(record: String, expr: String)
+  /** A recording rule: `record` names the output series, `expr` is the
+    * rule's PromQL, and `intervalS` is the rule group's evaluation
+    * interval — the cadence at which the server's rule loop would write
+    * `record`'s samples (Prometheus's `evaluation_interval`, default
+    * 1m). The interval is what gives a RANGE selector over the recorded
+    * name its sample grid: `rate(record[d])` reads the samples the loop
+    * would have written at the `d/intervalS` instants inside the window.
+    */
+  final case class RecordingRule(record: String, expr: String,
+      intervalS: Long = 60)
 
   /** An alert rule; `forS > 0` requires the condition to hold at EVERY
     * evaluation instant T, T−interval, …, T−for before the series

@@ -1512,10 +1512,10 @@ class PromQLFrontendSpec extends SparkTestBase {
     assert(Engine.eval(spark, dir, """k_share{k="b"}""",
       recordingRules = nested).as[(String, Double)].collect().toSeq ===
       Seq(("b", 4.0 / 19.0)))
-    // guards: range selector refused; cycles refused; family shadow refused
+    // guards: bare range vector refused; cycles refused; shadow refused
     val e1 = intercept[PromQLCompileException](Engine.eval(spark, dir,
-      "rate(k_total[1d])", recordingRules = rules).collect())
-    assert(e1.getMessage.contains("instant selectors"))
+      "k_total[1d]", recordingRules = rules).collect())
+    assert(e1.getMessage.contains("bare range vector"))
     val e2 = intercept[PromQLCompileException](Engine.eval(spark, dir,
       "loop_a", recordingRules = Seq(
         RecordingRule("loop_a", "loop_b + 1"),
@@ -1537,5 +1537,87 @@ class PromQLFrontendSpec extends SparkTestBase {
       assert(body.contains("\"19\"") || body.contains("\"19.0\""),
         s"recorded name served over HTTP: $body")
     } finally server.stop(0)
+  }
+
+  test("range selectors over recorded series: the rule-loop sample grid") {
+    import graft.promql.Rules.RecordingRule
+    val d = 86400000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 1 * d, "purchase", 5.0, "a"),
+      ev(2, 2 * d, "purchase", 4.0, "b"),
+      ev(3, 1 * d, "signup", 7.0, "a"),
+      ev(4, 2 * d, "signup", 3.0, "a")
+    ).toDF(eventCols: _*))
+    val rules = Seq(
+      RecordingRule("k_total", "sum by (k) (purchase)", intervalS = 86400))
+    def ev1(q: String, rs: Seq[RecordingRule] = rules): Seq[(String, Double)] =
+      Engine.eval(spark, dir, q, recordingRules = rs)
+        .as[(String, Double)].collect().toSeq.sortBy(_._1)
+    // the flagship identity: rate over the recorded sum ≡ sum of raw
+    // rates, bit-exact — including series BORN inside the window (b's
+    // whole mass accumulated in-window and counts)
+    assert(ev1("rate(k_total[2d])") === ev1("sum by (k) (rate(purchase[2d]))"))
+    assert(ev1("rate(k_total[2d])") ===
+      Seq(("a", 5.0 / 172800), ("b", 4.0 / 172800)))
+    assert(ev1("increase(k_total[2d])") === Seq(("a", 5.0), ("b", 4.0)))
+    // view semantics where they DIFFER from raw: the rule loop writes a
+    // sample at every instant, so a series quiet inside the window is
+    // PRESENT with increase 0 (raw has no in-window events → absent)
+    assert(ev1("increase(k_total[1d])") === Seq(("a", 0.0), ("b", 4.0)))
+    assert(ev1("sum by (k) (increase(purchase[1d]))") === Seq(("b", 4.0)))
+    // *_over_time over the written samples (instants 1d and 2d — the
+    // left-open window excludes the T−2d sample)
+    assert(ev1("sum_over_time(k_total[2d])") === Seq(("a", 30.0), ("b", 4.0)))
+    assert(ev1("avg_over_time(k_total[2d])") === Seq(("a", 15.0), ("b", 4.0)))
+    assert(ev1("count_over_time(k_total[2d])") === Seq(("a", 2.0), ("b", 1.0)))
+    assert(ev1("min_over_time(k_total[2d])") === Seq(("a", 15.0), ("b", 4.0)))
+    assert(ev1("last_over_time(k_total[2d])") === Seq(("a", 15.0), ("b", 4.0)))
+    assert(ev1("present_over_time(k_total[2d])") === Seq(("a", 1.0), ("b", 1.0)))
+    // post-hoc matchers, aggregated-away-label-matches-"" rule
+    assert(ev1("""rate(k_total{k="a"}[2d])""") === Seq(("a", 5.0 / 172800)))
+    assert(ev1("""rate(k_total{instance=""}[2d])""").map(_._1) === Seq("a", "b"))
+    assert(ev1("""rate(k_total{instance="i9"}[2d])""") === Seq.empty)
+    // offset composes onto the grid anchor exactly like the raw window
+    assert(ev1("rate(k_total[1d] offset 1d)") ===
+      ev1("sum by (k) (rate(purchase[1d] offset 1d))"))
+    assert(ev1("rate(k_total[1d] offset 1d)") === Seq(("a", 5.0 / 86400)))
+    // aggregation composes on top of a recorded range (the deferred
+    // rate division rides through the sum: exact (5+4)/172800, not
+    // 5/172800 + 4/172800 — the raw-rate convention)
+    assert(Engine.eval(spark, dir, "sum(rate(k_total[2d]))",
+      recordingRules = rules).as[Double].collect().toSeq ===
+      Seq(9.0 / 172800))
+    // the union fallback: a rule shape the counter grid cannot serve
+    // (scalar arithmetic) re-derives per-instant vectors and walks the
+    // same reset-aware grid — exact through DECIMAL(38,12)
+    val half = rules :+ RecordingRule("k_half",
+      "sum by (k) (purchase) / 2", intervalS = 86400)
+    assert(ev1("rate(k_half[2d])", half) ===
+      Seq(("a", 2.5 / 172800), ("b", 2.0 / 172800)))
+    // delta over a recorded GAUGE rule: last − first of the written
+    // samples (LWW at 1d → 7, at 2d → 3; a 1d window holds ONE sample
+    // → delta 0, the single-sample rule)
+    val gRule = Seq(RecordingRule("s_last", "signup", intervalS = 86400))
+    assert(Engine.eval(spark, dir, "delta(s_last[2d])",
+      recordingRules = gRule).select("value")
+      .as[Double].collect().toSeq === Seq(3.0 - 7.0))
+    assert(Engine.eval(spark, dir, "delta(s_last[1d])",
+      recordingRules = gRule).select("value")
+      .as[Double].collect().toSeq === Seq(0.0))
+    // guards: non-multiple range; unsupported function; cycle; interval
+    val e1 = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "rate(k_total[36h])", recordingRules = rules).collect())
+    assert(e1.getMessage.contains("multiple of its evaluation interval"))
+    val e2 = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "deriv(k_total[1d])", recordingRules = rules).collect())
+    assert(e2.getMessage.contains("not supported"))
+    val e3 = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "loop_r", recordingRules = Seq(
+        RecordingRule("loop_r", "rate(loop_r[1d])", intervalS = 86400))).collect())
+    assert(e3.getMessage.contains("self-referential"))
+    val e4 = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "z_bad", recordingRules = Seq(RecordingRule("z_bad", "purchase", 0))))
+    assert(e4.getMessage.contains("interval must be positive"))
   }
 }

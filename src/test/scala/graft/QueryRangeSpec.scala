@@ -501,9 +501,15 @@ class QueryRangeSpec extends SparkTestBase {
       assert(Api.queryRangeJson(spark, dir, "topk(1, k_total)", s, e, 3600L)
         === Api.queryRangeJson(spark, dir,
           "topk(1, sum by (k) (purchase))", s, e, 3600L))
-      // a name-RETAINING rule cannot inline (the grid tree can't rename
-      // its output); it keeps the union path's renaming evaluator, so
-      // few-instant panels still work and carry the record name
+      // a name-RETAINING rule inlines through the internal record-name
+      // wrapper (a relation-level column rewrite), so it serves the
+      // full 217-instant grid too — byte-identical to the raw family's
+      // panel with the name rewritten to the record's
+      val big = Api.queryRangeJson(spark, dir, "raw_p", s, e, 3600L)
+      val expP = Api.queryRangeJson(spark, dir, "purchase", s, e, 3600L)
+      assert(big === expP.replace("\"purchase\"", "\"raw_p\""))
+      assert(big.contains("\"raw_p\"") && !big.contains("\"purchase\""))
+      // few-instant union-path panels agree (both paths rename)
       val few = Api.queryRangeJson(spark, dir, "raw_p",
         T0 + 7 * dayS, T0 + 8 * dayS, dayS)
       assert(few.contains("\"raw_p\""), s"record name lost: $few")
