@@ -53,6 +53,38 @@ object Bench {
       spark, sfDir, graft.operators.TextAnalysis.BpeEncodeRounds))
     warm("bpe-state-3")(graft.operators.TextAnalysis.bpeTrainState(
       spark, sfDir, graft.operators.TextAnalysis.BpeTrainRounds))
+    // Host fingerprint (r13 judge ask #6): lets the trend tool separate
+    // MACHINE speed from PLAN cost across rounds (r12→r13's +68% total
+    // was a uniformly slower host, provable then only by re-benching
+    // r12's code). cpu/cores identify the host class; spin_ms times a
+    // fixed single-thread mix (xorshift + fp multiply-add, 2^27
+    // iterations, min of two runs) and scales with the core's effective
+    // speed INCLUDING the throttling state at bench time.
+    val cpuModel: String = (try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("model name") =>
+          l.split(":", 2)(1).trim }
+        .getOrElse("unknown")
+      finally src.close()
+    } catch { case _: Throwable => "unknown" })
+      .replaceAll("""[^A-Za-z0-9 ()@._\-]""", "")
+    def spinOnce(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var d = 1.0
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 27)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        d = d * 1.0000000001 + (x & 0xFF).toDouble
+        i += 1
+      }
+      val msElapsed = (System.nanoTime() - t0) / 1e6
+      if (d.isNaN) System.err.println("[bench] spin sink") // defeat DCE
+      msElapsed
+    }
+    val spinMs = math.min(spinOnce(), spinOnce())
+    val cores = Runtime.getRuntime.availableProcessors()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // Execute the REAL plan: under .count() Catalyst re-plans and can
       // prune output-only expressions; toRdd.count() runs the plan that
@@ -123,8 +155,10 @@ object Bench {
     val minTotal = results.collect { case (k, v, true) =>
       math.min(v, histMins.getOrElse(k, v))
     }.sum
+    val host =
+      s"""{"cpu":"$cpuModel","cores":$cores,"spin_ms":${ms(spinMs)}}"""
     val line =
-      s"""{"queries":$qs,"errors":$errors,"sf":"$sfDir","min_total":${ms(minTotal)},"metric":"total","value":${ms(total)},"unit":"sec"}"""
+      s"""{"queries":$qs,"errors":$errors,"host":$host,"sf":"$sfDir","min_total":${ms(minTotal)},"metric":"total","value":${ms(total)},"unit":"sec"}"""
     println(line)
     // ALSO write the JSON to a file: the driver's tail-capture clipped
     // r3's per-query map mid-JSON; the file artifact survives intact.

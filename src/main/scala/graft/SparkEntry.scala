@@ -212,6 +212,11 @@ object SparkEntry {
     // NEQ, inclusive ms bounds, skipped hints) decoded and SELECTED
     // against the corpus — the outbound arrow of the wire contract
     "a1v_remote_read" -> ((s, d) => sources.RemoteRead.wireReadGate(s, d)),
+    // the streamed face of the same door: negotiation picks
+    // STREAMED_XOR_CHUNKS, the answer round-trips the Gorilla XOR codec
+    // + CRC frames, decoded back to the identical sample relation
+    "a1w_remote_read_streamed" -> ((s, d) =>
+      sources.RemoteRead.wireReadStreamedGate(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -569,6 +574,14 @@ object SparkEntry {
       "raw_p", 240, 21600L,
       recordingRules = Seq(promql.Rules.RecordingRule("raw_p", "purchase")))
       .orderBy(col("name"), col("label_k"), col("label_instance"), col("t_s"))),
+    // the Grafana recording-rule dashboard shape: rate over a RECORDED
+    // series on the dense 240×6h grid — one event pass + one lag(k)
+    // endpoint difference over the series×grid running sums
+    "p106_recorded_grid_rate" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "rate(k_total6h[1d])", 240, 21600L,
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
+      .orderBy(col("label_k"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -937,6 +950,7 @@ object SparkEntry {
     "a1t_classic_wire_hq" -> sources.Otlp.OtlpClassicQuantileSql,
     "a1u_otlp_summary" -> sources.Otlp.OtlpSummarySql,
     "a1v_remote_read" -> sources.RemoteRead.WireReadGateSql,
+    "a1w_remote_read_streamed" -> sources.RemoteRead.WireReadGateSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,
@@ -1049,6 +1063,7 @@ object SparkEntry {
     "p103_promql_recorded" -> promql.Oracle.RecordedTopkSql,
     "p104_promql_recorded_rate" -> promql.Oracle.RecordedRateSql,
     "p105_recorded_grid_renamed" -> promql.Oracle.RecordedGridRenamedSql,
+    "p106_recorded_grid_rate" -> promql.Oracle.RecordedGridRateSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

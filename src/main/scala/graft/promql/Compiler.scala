@@ -2448,6 +2448,72 @@ object Compiler {
         Some((gridRateInstants(spark, dir, sel, labels, shiftS, g, stepS),
           labels, "value",
           if (f2 == "rate") Some(sel.rangeS.get.toDouble) else None))
+      // rate/increase over a RECORDED series on the dense grid — the
+      // Grafana dashboard shape for recording rules. The rule loop's
+      // samples exist at EVERY rule instant, so at grid instant T_j the
+      // window (T_j−d, T_j] holds increase = cum(T_j) − cum(T_j−d):
+      // the recorded samples of a (sum-by-of-)counter rule are MONOTONE
+      // running sums, so the instant path's reset-aware adjacent walk
+      // telescopes to this endpoint difference exactly. One lag(d/step)
+      // over the same series×grid running sums the raw-rate arm rides —
+      // with TWO view-semantics differences from raw rate, matching
+      // [[recordedRangeFunc]]: a series born inside the window counts
+      // its whole mass (missing baseline → 0), and a series quiet
+      // across the window is PRESENT with 0 (its samples exist).
+      case Func(f2, _, sel: Selector)
+          if (f2 == "rate" || f2 == "increase") && sel.atS.isEmpty &&
+            sel.rangeS.exists(w => w > 0 && w % stepS == 0) &&
+            recordedRules.value.contains(sel.name) =>
+        val (ruleAst, ivS) = recordedRules.value(sel.name)
+        val d = sel.rangeS.get
+        if (d < ivS || d % ivS != 0)
+          fail(s"range (${d}s) over recorded series '${sel.name}' must be a " +
+            s"positive multiple of its evaluation interval (${ivS}s)")
+        val fast: Option[(Seq[String], Selector)] =
+          Ast.resolveAtEdges(ruleAst, None, None) match {
+            case s2: Selector if s2.rangeS.isEmpty && s2.atS.isEmpty &&
+                MetricEvent.CounterNames.contains(s2.name) =>
+              Some((SeriesKey, s2))
+            case Agg("sum", Some(("by", ls)), None, s2: Selector)
+                if s2.rangeS.isEmpty && s2.atS.isEmpty &&
+                  MetricEvent.CounterNames.contains(s2.name) =>
+              Some((ls.map(labelCol), s2))
+            case _ => None
+          }
+        fast.map { case (labels, s2) =>
+          val k = (d / stepS).toInt
+          if (g + k > 4096)
+            fail(s"query_range grid spans ${g + k} indexes (instants + lag baseline); 4096 supported")
+          val shiftEff = shiftS + sel.offsetS.getOrElse(0L)
+          val cum = gridCounterInstants(spark, dir, s2, labels, shiftEff,
+            g + k, stepS)
+          val w = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
+          // rows are contiguous from each series' birth instant, so
+          // lag(k) IS the T_j−d snapshot; NULL = born inside the window
+          val named =
+            if (labels.contains("name")) cum.withColumn("name", lit(sel.name))
+            else cum
+          val flt = sel.matchers.filterNot(_.label == "__name__")
+            .foldLeft(lit(true)) { (acc, m) =>
+              val cn = labelCol(m.label)
+              val c = if (labels.contains(cn)) col(cn) else lit("")
+              acc && (m.op match {
+                case "=" => c === m.value
+                case "!=" => c =!= m.value
+                case "=~" => c.rlike(s"^(?:${m.value})$$")
+                case "!~" => !c.rlike(s"^(?:${m.value})$$")
+              })
+            }
+          val inc = named.filter(flt)
+            .withColumn("_base", lag(col("value"), k).over(w))
+            .filter(col("_i") > k)
+            .withColumn("_inc",
+              col("value") - coalesce(col("_base"), lit(0)))
+            .select((labels.map(col) :+ (col("_i") - k).as("_i") :+
+              col("_inc").as("value")): _*)
+          (inc, labels, "value",
+            if (f2 == "rate") Some(d.toDouble) else None)
+        }
       case Func(f2, None, sel: Selector)
           if (bucketDecomposable.contains(f2) ||
             f2 == "stddev_over_time" || f2 == "stdvar_over_time") &&

@@ -976,6 +976,42 @@ object Oracle {
        |GROUP BY m.label_k, m.label_instance, i.i, t.t_us
        |ORDER BY name, m.label_k, m.label_instance, t_s""".stripMargin
 
+  /** p106: `rate(k_total6h[1d])` — a RANGE selector over the recorded
+    * rule `k_total6h: sum by (k) (purchase)` (6h interval) — on the
+    * dense 240×6h query_range grid. The twin mirrors the grid arm's
+    * endpoint-difference reading: per (k, instant), the exact decimal
+    * cumulative at the instant's bound minus the cumulative one window
+    * earlier (absent baseline = 0 — a group born inside the window
+    * counts its whole mass), rows present whenever the group has ANY
+    * history (a quiet group rates 0 — the rule's samples exist), and
+    * ONE final ÷86400 on the decimal difference. Fails if the grid
+    * anchoring, the lag baseline, the view-semantics presence rules, or
+    * the deferred division drifts.
+    */
+  val RecordedGridRateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 240)) AS i),
+       |snap AS (
+       |  SELECT m.label_k, i.i, t.t_us,
+       |    SUM(CAST(m.value AS DECIMAL(18,2))) AS v
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |  GROUP BY m.label_k, i.i, t.t_us),
+       |base AS (
+       |  SELECT m.label_k, i.i, SUM(CAST(m.value AS DECIMAL(18,2))) AS v
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (240 - i.i) * 21600000000
+       |                          - 86400000000
+       |  GROUP BY m.label_k, i.i)
+       |SELECT s.label_k,
+       |  (s.t_us // 1000000) - (240 - s.i) * 21600 AS t_s,
+       |  CAST(s.v - COALESCE(b.v, 0) AS DOUBLE) / CAST(86400 AS DOUBLE) AS value
+       |FROM snap s LEFT JOIN base b ON s.label_k = b.label_k AND s.i = b.i
+       |ORDER BY s.label_k, t_s""".stripMargin
+
   /** p77: `sum by (k) (rate(purchase[2d]))` on the same 240×6h grid —
     * instant i's window is `(bound − 2d, bound]`, the exact decimal
     * increase divided ONCE by the window seconds (the engine's deferred

@@ -86,6 +86,16 @@ object ResultsCache {
       ast: Ast, stepS: Long, chunkBase: Long, msr: Option[Long],
       nf: Seq[String])
 
+  /** Instant-query cache key: the post-inline Ast + the request's
+    * explicit `time` (None = the corpus instant — itself fixed for a
+    * given corpus dir, and any admin mutation that could change an
+    * answer bumps `epoch`). `@ start()`/`@ end()` edges of an instant
+    * query resolve against the evaluation time, which is IN the key,
+    * so unresolved edges cannot cross-poison entries.
+    */
+  private final case class InstKey(dir: String, epoch: Long, rulesFp: Int,
+      ast: Ast, timeS: Option[Long], nf: Seq[String])
+
   private type Chunk = Map[String, Vector[(Long, String)]]
 
   private val lru =
@@ -94,14 +104,55 @@ object ResultsCache {
           e: java.util.Map.Entry[Key, Chunk]): Boolean = size() > MaxEntries
     }
 
+  private val instLru =
+    new java.util.LinkedHashMap[InstKey, String](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[InstKey, String]): Boolean =
+        size() > MaxEntries
+    }
+
   private val lock = new Object
   private var hitN = 0L
   private var missN = 0L
+  private var instHitN = 0L
+  private var instMissN = 0L
 
   /** (hits, misses) since start/clear — the spec's reuse proof. */
   def stats: (Long, Long) = lock.synchronized((hitN, missN))
 
-  def clear(): Unit = lock.synchronized { lru.clear(); hitN = 0L; missN = 0L }
+  /** Instant-path (hits, misses) since start/clear. */
+  def instantStats: (Long, Long) = lock.synchronized((instHitN, instMissN))
+
+  def clear(): Unit = lock.synchronized {
+    lru.clear(); instLru.clear()
+    hitN = 0L; missN = 0L; instHitN = 0L; instMissN = 0L
+  }
+
+  /** Drop-in twin of [[Api.queryJson]] (`/api/v1/query`), served through
+    * the cache — Cortex's query-frontend caches instant results too.
+    * The VALUE is the final response string (instant responses are one
+    * vector, not splittable chunks); byte-identity with the direct path
+    * is by construction since a miss delegates to [[Api.queryJson]].
+    * Compose/validation errors propagate uncached, exactly like the
+    * direct path's HTTP 400s.
+    */
+  def queryJson(spark: SparkSession, dir: String, query: String,
+      nativeFamilies: Set[String] = Set.empty,
+      timeS: Option[Long] = None): String = {
+    val ast = Compiler.inlineRecorded(spark, dir, Parser.parse(query))
+    val key = InstKey(dir, epoch(spark, dir),
+      Compiler.residualRulesFingerprint(ast), ast, timeS,
+      nativeFamilies.toSeq.sorted)
+    lock.synchronized(Option(instLru.get(key))) match {
+      case Some(hit) =>
+        lock.synchronized { instHitN += 1 }
+        hit
+      case None =>
+        val fresh = Api.queryJson(spark, dir, query, nativeFamilies, timeS)
+        lock.synchronized { instMissN += 1; instLru.put(key, fresh) }
+        fresh
+    }
+  }
 
   /** Drop-in twin of [[Api.queryRangeJson]], served through the cache. */
   def queryRangeJson(spark: SparkSession, dir: String, query: String,

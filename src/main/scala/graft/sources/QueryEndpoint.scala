@@ -172,13 +172,20 @@ object QueryEndpoint {
           if (ex.getRequestMethod != "POST") {
             respond(ex, 405, errorBody("remote read requires POST"))
           } else {
-            val resp = RemoteRead.serve(spark, dir,
+            // negotiated: SAMPLES (snappy protobuf) or the streamed
+            // XOR-chunk frames a Thanos querier asks for by default
+            val ans = RemoteRead.serveNegotiated(spark, dir,
               ex.getRequestBody.readAllBytes())
-            ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
-            ex.getResponseHeaders.set("Content-Encoding", "snappy")
-            ex.sendResponseHeaders(200, resp.length.toLong)
+            if (ans.streamed) {
+              ex.getResponseHeaders.set("Content-Type",
+                "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+            } else {
+              ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+              ex.getResponseHeaders.set("Content-Encoding", "snappy")
+            }
+            ex.sendResponseHeaders(200, ans.body.length.toLong)
             val os = ex.getResponseBody
-            try os.write(resp) finally os.close()
+            try os.write(ans.body) finally os.close()
           }
         } catch {
           case e: Exception =>
@@ -341,8 +348,16 @@ object QueryEndpoint {
           s"unknown endpoint ${ex.getRequestURI.getPath}")
       val p = params(ex)
       graft.promql.Compiler.withRecordedRules(recordingRules)(
-        Api.queryJson(spark, dir, required(p, "query"), nativeFamilies,
-          timeS = p.get("time").map(epochS)))
+        // the instant path caches behind the same opt-in as query_range
+        // (Cortex's frontend caches instant results too); byte-identical
+        // either way — a miss delegates to the direct path
+        if (resultsCache)
+          graft.promql.ResultsCache.queryJson(spark, dir,
+            required(p, "query"), nativeFamilies,
+            timeS = p.get("time").map(epochS))
+        else
+          Api.queryJson(spark, dir, required(p, "query"), nativeFamilies,
+            timeS = p.get("time").map(epochS)))
     })
     // hierarchical federation: the timestamped exposition payload for
     // the matched series, the same bytes as the oracle-gated a1g query

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Wire shapes (public prompb vocabulary):
   *  - `ReadRequest`: repeated `Query` (field 1), packed
-  *    `accepted_response_types` (field 2 — only SAMPLES is implemented;
-  *    it is the protocol's mandatory baseline, so it always satisfies
-  *    the negotiation);
+  *    `accepted_response_types` (field 2 — BOTH protocol types are
+  *    implemented: the mandatory SAMPLES baseline and
+  *    STREAMED_XOR_CHUNKS, the Gorilla-chunk streaming face a Thanos
+  *    querier requests by default; negotiation picks the first
+  *    requested type, upstream's rule);
   *  - `Query`: `start_timestamp_ms`/`end_timestamp_ms` (fields 1/2,
   *    both bounds inclusive like upstream's select), repeated
   *    `LabelMatcher` (field 3: type EQ/NEQ/RE/NRE, name, value),
@@ -177,8 +179,11 @@ object RemoteRead {
 
   /** Encode queries as an UNCOMPRESSED `ReadRequest` (proto3 writer
     * convention: zero-valued scalars — the EQ matcher type — omit).
+    * `accepted` advertises response types in preference order
+    * (0 SAMPLES, 1 STREAMED_XOR_CHUNKS), packed like upstream.
     */
-  def encodeRequest(queries: Seq[ReadQuery]): Array[Byte] = {
+  def encodeRequest(queries: Seq[ReadQuery],
+      accepted: Seq[Long] = Seq(0L)): Array[Byte] = {
     val req = new java.io.ByteArrayOutputStream()
     queries.foreach { q =>
       val qb = new java.io.ByteArrayOutputStream()
@@ -199,9 +204,11 @@ object RemoteRead {
       }
       writeLen(req, 1, qb.toByteArray)
     }
-    // accepted_response_types: packed [SAMPLES] — explicit, like
-    // upstream's reader advertising its baseline
-    writeLen(req, 2, Array[Byte](0))
+    // accepted_response_types: packed, explicit — like upstream's
+    // reader advertising its preference order
+    val ab = new java.io.ByteArrayOutputStream()
+    accepted.foreach(writeVarint(ab, _))
+    writeLen(req, 2, ab.toByteArray)
     req.toByteArray
   }
 
@@ -248,13 +255,242 @@ object RemoteRead {
         case (_, w) => w match {
           case 0 => varint(end)
           case 1 => pos += 8
-          case 2 => pos += varint(end).toInt
+          case 2 => val l = varint(end).toInt; pos += l
           case 5 => pos += 4
           case x => fail(s"unsupported wire type $x")
         }
       }
     }
     out.result()
+  }
+
+  // ---- STREAMED_XOR_CHUNKS: the protocol's second response type ----
+
+  /** `ReadRequest.accepted_response_types` (field 2): 0 SAMPLES,
+    * 1 STREAMED_XOR_CHUNKS. Parsed separately from [[walkRequest]]
+    * (whose walk skips the field); packed (wire 2) and unpacked
+    * (wire 0) encodings both accepted, per proto3.
+    */
+  def acceptedTypes(bytes: Array[Byte]): Seq[Long] = {
+    var pos = 0
+    def varint(limit: Int): Long = {
+      var shift = 0
+      var acc = 0L
+      while (shift <= 63) {
+        if (pos >= limit) fail("truncated varint")
+        val b = bytes(pos) & 0xFF
+        pos += 1
+        acc |= (b & 0x7FL) << shift
+        if ((b & 0x80) == 0) return acc
+        shift += 7
+      }
+      fail("varint exceeds 64 bits")
+    }
+    val out = Vector.newBuilder[Long]
+    val end = bytes.length
+    while (pos < end) {
+      val tag = varint(end)
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (2, 2) => // packed
+          val pl = varint(end).toInt
+          val until = pos + pl
+          if (until > end) fail("truncated accepted_response_types")
+          while (pos < until) out += varint(until)
+        case (2, 0) => out += varint(end) // unpacked
+        case (_, 0) => varint(end)
+        case (_, 1) => pos += 8
+        case (_, 2) => val l = varint(end).toInt; pos += l
+        case (_, 5) => pos += 4
+        case (_, w) => fail(s"unsupported wire type $w")
+      }
+    }
+    out.result()
+  }
+
+  /** Upstream's negotiation: the FIRST type in the request's list this
+    * server supports wins; an empty list means the mandatory SAMPLES
+    * baseline; a list naming only unknown types is the caller's error
+    * (HTTP 400 at the door, like upstream's negotiate failure).
+    */
+  private[graft] def negotiate(accepted: Seq[Long]): Long =
+    (if (accepted.isEmpty) Seq(0L) else accepted)
+      .find(t => t == 0L || t == 1L)
+      .getOrElse(fail(
+        s"no supported response type among [${accepted.mkString(", ")}]"))
+
+  /** Streamed response bytes: one length-prefixed FRAME per non-empty
+    * (query, series) pair — `uvarint(len(data))` ++ big-endian CRC32C
+    * of `data` ++ `data` (upstream's ChunkedWriter convention; no
+    * snappy — the payloads are already XOR-compressed). Each frame's
+    * `data` is one `ChunkedReadResponse`: `chunked_series` (field 1)
+    * holding the series' labels + its samples split into ≤120-sample
+    * XOR chunks (upstream's streaming chunk budget), and `query_index`
+    * (field 2) naming which request query it answers.
+    */
+  def encodeStreamed(results: Seq[Seq[Series]],
+      samplesPerChunk: Int = 120): Array[Byte] = {
+    require(samplesPerChunk > 0, "positive chunk budget")
+    val out = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32C()
+    results.zipWithIndex.foreach { case (qr, qIdx) =>
+      qr.foreach { s =>
+        val cs = new java.io.ByteArrayOutputStream()
+        s.labels.foreach { case (n, v) =>
+          val lb = new java.io.ByteArrayOutputStream()
+          writeLen(lb, 1, utf8(n))
+          writeLen(lb, 2, utf8(v))
+          writeLen(cs, 1, lb.toByteArray)
+        }
+        // samples arrive (value, tsMs) in timestamp order (seriesFor)
+        s.samples.grouped(samplesPerChunk).foreach { grp =>
+          val ch = new java.io.ByteArrayOutputStream()
+          writeVarint(ch, (1L << 3) | 0L); writeVarint(ch, grp.head._2)
+          writeVarint(ch, (2L << 3) | 0L); writeVarint(ch, grp.last._2)
+          writeVarint(ch, (3L << 3) | 0L); writeVarint(ch, 1L) // XOR
+          writeLen(ch, 4, XorChunk.encode(grp.map { case (v, t) => (t, v) }))
+          writeLen(cs, 2, ch.toByteArray)
+        }
+        val msg = new java.io.ByteArrayOutputStream()
+        writeLen(msg, 1, cs.toByteArray)
+        if (qIdx != 0) { // proto3 zero default omits
+          writeVarint(msg, (2L << 3) | 0L); writeVarint(msg, qIdx.toLong)
+        }
+        val data = msg.toByteArray
+        writeVarint(out, data.length.toLong)
+        crc.reset(); crc.update(data, 0, data.length)
+        val c = crc.getValue
+        out.write(((c >> 24) & 0xFF).toInt); out.write(((c >> 16) & 0xFF).toInt)
+        out.write(((c >> 8) & 0xFF).toInt); out.write((c & 0xFF).toInt)
+        out.write(data, 0, data.length)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Decode a streamed response: frames → (query_index, series with
+    * XOR chunks re-expanded to samples), in frame order. CRC mismatch
+    * and non-XOR chunk encodings fail loud.
+    */
+  def walkStreamed(bytes: Array[Byte]): Seq[(Long, Series)] = {
+    var pos = 0
+    def varint(limit: Int): Long = {
+      var shift = 0
+      var acc = 0L
+      while (shift <= 63) {
+        if (pos >= limit) fail("truncated varint")
+        val b = bytes(pos) & 0xFF
+        pos += 1
+        acc |= (b & 0x7FL) << shift
+        if ((b & 0x80) == 0) return acc
+        shift += 7
+      }
+      fail("varint exceeds 64 bits")
+    }
+    def str(limit: Int): String = {
+      val len = varint(limit).toInt
+      if (pos + len > limit) fail("truncated string")
+      val s = new String(bytes, pos, len,
+        java.nio.charset.StandardCharsets.UTF_8)
+      pos += len
+      s
+    }
+    val crc = new java.util.zip.CRC32C()
+    val out = Vector.newBuilder[(Long, Series)]
+    val end = bytes.length
+    while (pos < end) {
+      val len = varint(end).toInt
+      if (pos + 4 + len > end) fail("truncated frame")
+      val want = ((bytes(pos) & 0xFFL) << 24) | ((bytes(pos + 1) & 0xFFL) << 16) |
+        ((bytes(pos + 2) & 0xFFL) << 8) | (bytes(pos + 3) & 0xFFL)
+      pos += 4
+      crc.reset(); crc.update(bytes, pos, len)
+      if (crc.getValue != want) fail("frame checksum mismatch")
+      val frameEnd = pos + len
+      var qIdx = 0L
+      var series: Option[Series] = None
+      while (pos < frameEnd) {
+        val tag = varint(frameEnd)
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => // ChunkedSeries
+            val csLen = varint(frameEnd).toInt
+            val csEnd = pos + csLen
+            if (csEnd > frameEnd) fail("truncated chunked series")
+            val labels = Vector.newBuilder[(String, String)]
+            val samples = Vector.newBuilder[(Double, Long)]
+            while (pos < csEnd) {
+              val t2 = varint(csEnd)
+              ((t2 >> 3).toInt, (t2 & 7).toInt) match {
+                case (1, 2) => // Label
+                  val lLen = varint(csEnd).toInt
+                  val lEnd = pos + lLen
+                  var n = ""
+                  var v = ""
+                  while (pos < lEnd) {
+                    val t3 = varint(lEnd)
+                    ((t3 >> 3).toInt, (t3 & 7).toInt) match {
+                      case (1, 2) => n = str(lEnd)
+                      case (2, 2) => v = str(lEnd)
+                      case (_, 0) => varint(lEnd)
+                      case (_, 2) => val l = varint(lEnd).toInt; pos += l
+                      case (_, w) => fail(s"unsupported wire type $w")
+                    }
+                  }
+                  labels += ((n, v))
+                case (2, 2) => // Chunk
+                  val cLen = varint(csEnd).toInt
+                  val cEnd = pos + cLen
+                  var typ = 0L
+                  var data: Array[Byte] = Array.empty
+                  while (pos < cEnd) {
+                    val t3 = varint(cEnd)
+                    ((t3 >> 3).toInt, (t3 & 7).toInt) match {
+                      case (3, 0) => typ = varint(cEnd)
+                      case (4, 2) =>
+                        val dl = varint(cEnd).toInt
+                        if (pos + dl > cEnd) fail("truncated chunk data")
+                        data = java.util.Arrays.copyOfRange(bytes, pos, pos + dl)
+                        pos += dl
+                      case (_, 0) => varint(cEnd) // min/max advisory
+                      case (_, 2) => val l = varint(cEnd).toInt; pos += l
+                      case (_, w) => fail(s"unsupported wire type $w")
+                    }
+                  }
+                  if (typ != 1L) fail(s"unsupported chunk encoding $typ (XOR only)")
+                  samples ++= XorChunk.decode(data).map { case (t, v) => (v, t) }
+                case (_, 0) => varint(csEnd)
+                case (_, 2) => val l = varint(csEnd).toInt; pos += l
+                case (_, w) => fail(s"unsupported wire type $w")
+              }
+            }
+            series = Some(Series(labels.result(), samples.result()))
+          case (2, 0) => qIdx = varint(frameEnd)
+          case (_, 0) => varint(frameEnd)
+          case (_, 2) => val l = varint(frameEnd).toInt; pos += l
+          case (_, w) => fail(s"unsupported wire type $w")
+        }
+      }
+      series.foreach(s => out += ((qIdx, s)))
+    }
+    out.result()
+  }
+
+  /** A negotiated answer: `streamed` decides the HTTP face
+    * (content-type `application/x-streamed-protobuf;
+    * proto=prometheus.ChunkedReadResponse`, no snappy — vs the SAMPLES
+    * face's snappy-framed `application/x-protobuf`).
+    */
+  final case class ReadAnswer(streamed: Boolean, body: Array[Byte])
+
+  /** The full negotiated door: request bytes → response bytes + face. */
+  def serveNegotiated(spark: SparkSession, dir: String,
+      body: Array[Byte]): ReadAnswer = {
+    val raw = RemoteWrite.uncompress(body)
+    val queries = walkRequest(raw)
+    val resType = negotiate(acceptedTypes(raw))
+    val results = queries.map(q => seriesFor(spark, dir, q))
+    if (resType == 1L) ReadAnswer(streamed = true, encodeStreamed(results))
+    else ReadAnswer(streamed = false,
+      RemoteWrite.compress(encodeResponse(results)))
   }
 
   // ---- the evaluator: queries → sample relation / wire series ----
@@ -337,9 +573,12 @@ object RemoteRead {
 
   /** The CLIENT half: POST one query to a remote-read endpoint and
     * decode its frame — what a federating deployment (or the read ∘
-    * write round-trip spec) drives.
+    * write round-trip spec) drives. `streamed = true` advertises
+    * STREAMED_XOR_CHUNKS first (a Thanos querier's default); either
+    * way the decode branches on the server's answering content type,
+    * so a SAMPLES-only server still interoperates.
     */
-  def fetch(url: String, q: ReadQuery): Seq[Series] = {
+  def fetch(url: String, q: ReadQuery, streamed: Boolean = false): Seq[Series] = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
@@ -348,12 +587,17 @@ object RemoteRead {
     conn.setRequestProperty("Content-Encoding", "snappy")
     try {
       val os = conn.getOutputStream
-      try os.write(RemoteWrite.compress(encodeRequest(Seq(q))))
+      try os.write(RemoteWrite.compress(encodeRequest(Seq(q),
+        if (streamed) Seq(1L, 0L) else Seq(0L))))
       finally os.close()
       require(conn.getResponseCode / 100 == 2,
         s"remote read failed: HTTP ${conn.getResponseCode}")
       val body = conn.getInputStream.readAllBytes()
-      walkResponse(RemoteWrite.uncompress(body)).headOption.getOrElse(Nil)
+      if (Option(conn.getHeaderField("Content-Type"))
+          .exists(_.contains("ChunkedReadResponse")))
+        walkStreamed(body).collect { case (0L, s) => s }
+      else
+        walkResponse(RemoteWrite.uncompress(body)).headOption.getOrElse(Nil)
     } finally conn.disconnect()
   }
 
@@ -409,6 +653,35 @@ object RemoteRead {
     }.reduce(_ unionAll _)
       .select(col("q_idx"), col("wire_name"), col("instance"), col("k"),
         col("ts_ms"), col("value"))
+      .orderBy(col("q_idx"), col("wire_name"), col("instance"), col("k"),
+        col("ts_ms"), col("value"))
+  }
+
+  /** a1w — the STREAMED remote-read gate: the a1v request re-asked with
+    * `accepted = [STREAMED_XOR_CHUNKS, SAMPLES]`, served through the
+    * FULL negotiated door (snappy request → walk → negotiation → XOR
+    * chunk encode → CRC frames), then decoded back by the client half
+    * and flattened to one row per (query, sample). The oracle is the
+    * SAME relation as a1v — the codec is lossless — so any drift in
+    * negotiation, framing, a CRC, or a single XOR bit shifts a
+    * timestamp or value and fails the hash. The encode∘decode runs on
+    * the driver over the RESPONSE (O(matched samples) — the same bytes
+    * that would leave the socket), not over the corpus.
+    */
+  def wireReadStreamedGate(spark: SparkSession, dir: String): DataFrame = {
+    val queries = walkRequest(GateRequest)
+    val req = RemoteWrite.compress(encodeRequest(queries, Seq(1L, 0L)))
+    val ans = serveNegotiated(spark, dir, req)
+    require(ans.streamed, "negotiation must pick STREAMED_XOR_CHUNKS")
+    val rows = walkStreamed(ans.body).flatMap { case (qIdx, s) =>
+      val lm = s.labels.toMap
+      s.samples.map { case (v, t) =>
+        (qIdx.toInt, lm.getOrElse("__name__", ""),
+          lm.getOrElse("instance", ""), lm.getOrElse("k", ""), t, v)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("q_idx", "wire_name", "instance", "k", "ts_ms", "value")
       .orderBy(col("q_idx"), col("wire_name"), col("instance"), col("k"),
         col("ts_ms"), col("value"))
   }

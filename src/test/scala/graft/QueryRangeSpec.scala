@@ -519,6 +519,21 @@ class QueryRangeSpec extends SparkTestBase {
         T0 + 8 * dayS, T0 + 8 * dayS, dayS)
       assert(m.contains("\"values\""))
       assert(!m.contains("\"k\":\"b\""))
+      // rate over a RECORDED series: the dense-grid endpoint-difference
+      // arm is bit-identical to the per-instant sample-grid walk on a
+      // union-sized panel...
+      val rAst = graft.promql.Parser.parse("rate(k_total[2d])")
+      val sG = T0 + 168 * 3600L
+      def rows(grid: Boolean) =
+        Api.rangeRelation(spark, dir, rAst, sG, e, 3600L, grid, None)
+          .select("label_k", "_t", "value")
+          .collect().map(_.toSeq).toSet
+      assert(rows(grid = true) === rows(grid = false))
+      assert(rows(grid = true).nonEmpty)
+      // ...and serves the full 217-instant dashboard panel as ONE plan
+      val bigRate = Api.queryRangeGrid(spark, dir, "rate(k_total[2d])",
+        217, 3600L)
+      assert(bigRate.count() > 0)
     }
   }
 }

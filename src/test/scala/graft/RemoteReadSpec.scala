@@ -150,4 +150,51 @@ class RemoteReadSpec extends SparkTestBase {
       assert(got.map(_.labels.toMap.apply("k")) === Seq("us"))
     } finally graft.promql.Admin.reset(spark, dir)
   }
+
+  test("STREAMED_XOR_CHUNKS: negotiation, frames, chunk budget, query_index, CRC") {
+    // negotiation: first REQUESTED supported type wins; empty = SAMPLES;
+    // only-unknown types are the caller's 400
+    assert(RemoteRead.negotiate(Seq(1L, 0L)) === 1L)
+    assert(RemoteRead.negotiate(Seq(0L, 1L)) === 0L)
+    assert(RemoteRead.negotiate(Nil) === 0L)
+    assert(RemoteRead.negotiate(Seq(7L, 1L)) === 1L)
+    intercept[IllegalArgumentException](RemoteRead.negotiate(Seq(7L)))
+    // the packed field parses from our encoder and from the gate bytes
+    assert(RemoteRead.acceptedTypes(
+      RemoteRead.encodeRequest(Seq(all), Seq(1L, 0L))) === Seq(1L, 0L))
+    assert(RemoteRead.acceptedTypes(RemoteRead.GateRequest) === Seq(0L))
+    // a streamed answer decodes to EXACTLY the SAMPLES answer's series
+    val samples = RemoteRead.seriesFor(spark, dir, all)
+    assert(samples.nonEmpty)
+    val frames = RemoteRead.encodeStreamed(Seq(samples))
+    val decoded = RemoteRead.walkStreamed(frames)
+    assert(decoded.forall(_._1 === 0L))
+    assert(decoded.map(_._2) === samples)
+    // the chunk budget splits long series; decode re-joins seamlessly
+    val long = RemoteWrite.Series(Vector("__name__" -> "m_total"),
+      (0 until 300).map(i => (i * 0.5, i.toLong * 1000L)).toVector)
+    assert(RemoteRead.walkStreamed(RemoteRead.encodeStreamed(
+      Seq(Seq(long)), samplesPerChunk = 120)) === Seq((0L, long)))
+    // query_index names which request query a frame answers
+    val two = RemoteRead.walkStreamed(
+      RemoteRead.encodeStreamed(Seq(samples, samples.take(1))))
+    assert(two.map(_._1).distinct === Seq(0L, 1L))
+    // a flipped payload byte fails the frame CRC
+    val corrupt = frames.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](
+      RemoteRead.walkStreamed(corrupt))
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  test("HTTP: a streamed-first client reads the same series as a SAMPLES client") {
+    val server = QueryEndpoint.start(spark, dir)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/read"
+      val viaSamples = RemoteRead.fetch(url, all)
+      val viaStreamed = RemoteRead.fetch(url, all, streamed = true)
+      assert(viaSamples.nonEmpty)
+      assert(viaStreamed === viaSamples)
+    } finally server.stop(0)
+  }
 }

@@ -198,6 +198,76 @@ class ResultsCacheSpec extends SparkTestBase {
       val want = get(plain.getAddress.getPort, path)
       assert(get(fronted.getAddress.getPort, path) === want)
       assert(get(fronted.getAddress.getPort, path) === want, "warm repeat")
+      // the instant path rides the same opt-in: identical bytes, and
+      // the warm repeat is a cache hit
+      val ipath = s"/api/v1/query?query=${java.net.URLEncoder.encode(
+        "sum by (k) (purchase)", "UTF-8")}&time=${T0 + 2 * 86400L}"
+      val iwant = get(plain.getAddress.getPort, ipath)
+      assert(get(fronted.getAddress.getPort, ipath) === iwant)
+      val (h0, m0) = ResultsCache.instantStats
+      assert(get(fronted.getAddress.getPort, ipath) === iwant, "warm instant")
+      val (h1, m1) = ResultsCache.instantStats
+      assert(h1 === h0 + 1 && m1 === m0, "warm instant request must hit")
     } finally { plain.stop(0); fronted.stop(0) }
+  }
+
+  test("instant queries cache: byte-identical, keyed by time, invalidated by admin and rule state") {
+    ResultsCache.clear()
+    def directQ(q: String, t: Option[Long] = None): String =
+      Api.queryJson(spark, dir, q, timeS = t)
+    def cachedQ(q: String, t: Option[Long] = None): String =
+      ResultsCache.queryJson(spark, dir, q, timeS = t)
+    val tCorpus = graft.promql.Compiler.instantSeconds(spark, dir).toLong
+    for (q <- Seq("purchase", "sum by (k) (rate(purchase[1d]))",
+        "topk(1, sum by (k) (purchase))")) {
+      val want = directQ(q)
+      assert(cachedQ(q) === want, s"cold mismatch: $q")
+      val (h0, m0) = ResultsCache.instantStats
+      assert(cachedQ(q) === want, s"warm mismatch: $q")
+      val (h1, m1) = ResultsCache.instantStats
+      assert(m1 === m0 && h1 === h0 + 1, s"warm instant '$q' must hit")
+    }
+    // the explicit evaluation time is part of the key: two instants
+    // answer like their own direct twins, never each other's entry
+    val t1 = tCorpus - 86400L
+    assert(cachedQ("purchase", Some(t1)) === directQ("purchase", Some(t1)))
+    assert(cachedQ("purchase", Some(tCorpus)) ===
+      directQ("purchase", Some(tCorpus)))
+    // admin mutations invalidate warm instant entries (the shared epoch)
+    val q = "sum by (k) (purchase)"
+    assert(cachedQ(q) === directQ(q))
+    try {
+      graft.promql.Admin.deleteSeries(spark, dir, Seq("""purchase{k="a"}"""))
+      val want = directQ(q)
+      assert(want.contains("\"k\":\"b\"") && !want.contains("\"k\":\"a\""))
+      assert(cachedQ(q) === want,
+        "stale instant entry served after delete_series")
+    } finally graft.promql.Admin.reset(spark, dir)
+    // a rule-file change answers with the NEW rule (post-inline keys)
+    def withRule[T](expr: String)(f: => T): T =
+      graft.promql.Compiler.withRecordedRules(
+        Seq(graft.promql.Rules.RecordingRule("pk_inst", expr)))(f)
+    val under1 = withRule("sum by (k) (purchase)") {
+      val w = directQ("pk_inst"); assert(cachedQ("pk_inst") === w); w
+    }
+    withRule("sum by (k) (purchase) * 2") {
+      val w = directQ("pk_inst")
+      assert(w !== under1, "the two rules must genuinely differ")
+      assert(cachedQ("pk_inst") === w,
+        "old rule's instant entry served after a rule change")
+    }
+    // ...and the recorded spelling shares the entry with its expansion
+    ResultsCache.clear()
+    assert(cachedQ("sum by (k) (purchase)") === directQ("sum by (k) (purchase)"))
+    val (_, m1) = ResultsCache.instantStats
+    withRule("sum by (k) (purchase)") {
+      assert(cachedQ("pk_inst") === directQ("pk_inst"))
+    }
+    assert(ResultsCache.instantStats._2 === m1,
+      "the recorded name must hit the expansion's entry (post-inline key)")
+    // compose errors surface identically, uncached
+    val bad = intercept[Exception](cachedQ("nosuch_family"))
+    val badDirect = intercept[Exception](directQ("nosuch_family"))
+    assert(bad.getMessage === badDirect.getMessage)
   }
 }

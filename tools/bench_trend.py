@@ -50,24 +50,49 @@ def main(argv):
     sf = runs[-1][1].get("sf")
     runs = [(ts, r) for ts, r in runs if r.get("sf") == sf]
     latest_ts, latest = runs[-1]
-    mins = {}
+    # Host normalization (r13 judge ask #6): each run may carry
+    # {"host":{"cpu":..,"cores":..,"spin_ms":..}} — spin_ms times a fixed
+    # single-thread workload, so time×(latest_spin/run_spin) re-expresses
+    # a past run's cost in the LATEST host's seconds. Runs without a
+    # fingerprint (pre-r14 history) normalize with factor 1 — their raw
+    # mins still participate, just unadjusted.
+    latest_spin = latest.get("host", {}).get("spin_ms")
+
+    def factor(run):
+        s = run.get("host", {}).get("spin_ms")
+        if latest_spin and s:
+            return latest_spin / s
+        return 1.0
+
+    mins, nmins = {}, {}
     for _, run in runs:
+        f = factor(run)
         for q, v in run.get("queries", {}).items():
-            if v >= 0 and (q not in mins or v < mins[q]):
-                mins[q] = v
+            if v >= 0:
+                if q not in mins or v < mins[q]:
+                    mins[q] = v
+                if q not in nmins or v * f < nmins[q]:
+                    nmins[q] = v * f
 
     rows = []
     for q, v in latest.get("queries", {}).items():
-        m = mins.get(q)
+        m, nm = mins.get(q), nmins.get(q)
         if v < 0:
-            rows.append((float("inf"), q, m, v, "FAILED in latest run"))
-        elif m is None or m == 0:
-            rows.append((1.0, q, v, v, "only run"))
+            rows.append((float("inf"), q, m, nm, v, "FAILED in latest run"))
+        elif nm is None or nm == 0:
+            rows.append((1.0, q, v, v, v, "only run"))
         else:
-            rows.append((v / m, q, m, v, ""))
+            rows.append((v / nm, q, m, nm, v, ""))
     rows.sort(reverse=True)
 
-    print(f"history: {len(runs)} runs, latest {latest_ts}")
+    hosts = {(r.get("host", {}).get("cpu", "?"),
+              r.get("host", {}).get("cores", "?")) for _, r in runs}
+    print(f"history: {len(runs)} runs, latest {latest_ts}, "
+          f"{len(hosts)} host class(es)")
+    h = latest.get("host")
+    if h:
+        print(f"latest host: {h.get('cpu')} x{h.get('cores')}, "
+              f"spin {h.get('spin_ms', 0):.0f} ms")
     # restrict the headline total to queries the LATEST run declares AND
     # succeeded in (v >= 0): a renamed/removed query's stale min would
     # inflate the ratio, and a failed query's min would land in total_min
@@ -75,15 +100,20 @@ def main(argv):
     # when the run has failures
     latest_ok = {q for q, v in latest.get("queries", {}).items() if v >= 0}
     total_min = sum(m for q, m in mins.items() if q in latest_ok)
+    total_nmin = sum(m for q, m in nmins.items() if q in latest_ok)
     total_latest = sum(v for v in latest.get("queries", {}).values() if v >= 0)
     print(f"total: latest {total_latest:.1f}s vs sum-of-mins {total_min:.1f}s "
-          f"(x{total_latest / total_min:.2f})" if total_min else "total: n/a")
-    print(f"{'query':<28} {'min':>8} {'latest':>8} {'ratio':>7}  note")
-    for ratio, q, m, v, note in (rows[:top] if top else rows):
+          f"(x{total_latest / total_min:.2f}), "
+          f"host-normalized mins {total_nmin:.1f}s "
+          f"(x{total_latest / total_nmin:.2f})"
+          if total_min and total_nmin else "total: n/a")
+    print(f"{'query':<28} {'min':>8} {'nmin':>8} {'latest':>8} {'ratio':>7}  note")
+    for ratio, q, m, nm, v, note in (rows[:top] if top else rows):
         ms = f"{m:.3f}" if m is not None else "-"
+        nms = f"{nm:.3f}" if nm is not None else "-"
         vs = f"{v:.3f}" if v >= 0 else "-1"
         rs = "inf" if ratio == float("inf") else f"{ratio:.2f}"
-        print(f"{q:<28} {ms:>8} {vs:>8} {rs:>7}  {note}")
+        print(f"{q:<28} {ms:>8} {nms:>8} {vs:>8} {rs:>7}  {note}")
     errs = latest.get("errors", [])
     if errs:
         print(f"\nerrors in latest run ({len(errs)}): {', '.join(errs)}")
