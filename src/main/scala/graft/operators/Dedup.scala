@@ -869,6 +869,15 @@ object Dedup {
   private val candShingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Session-scoped cache of x82's GROUND-doc distinct-shingle slice —
+    * the simhash-pair twin of [[candShingleCache]] (the ground docs are
+    * a different set than the minhash candidates; that difference IS
+    * the sensitivity audit). Without it the semi-join + distinct
+    * re-evaluated once per consumer (counts + both intersection sides).
+    */
+  private val groundShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Shared exact-overlap statistics per LSH candidate pair:
     * `(doc_a, doc_b, n_inter, n_a, n_b)` over distinct 3-gram shingle
     * sets — x5 derives Jaccard from it, x68 containment.
@@ -1110,9 +1119,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val groundDocs = ground.select(col("doc_a").as("doc_id"))
       .unionAll(ground.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = Corpus.shingleRows(spark, dir)
-      .join(broadcast(groundDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("shingle")).distinct()
+    val sh = groundShingleCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => groundShingleCache.remove(k))
+      Corpus.shingleRows(spark, dir)
+        .join(broadcast(groundDocs), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("shingle")).distinct()
+        .persist()
+    })
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
