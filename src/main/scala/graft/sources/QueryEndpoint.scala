@@ -53,8 +53,8 @@ object QueryEndpoint {
     case other => epochS(other)
   }
 
-  private def params(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&').toSeq
+  private def decodePairs(raw: String): Seq[(String, String)] =
+    raw.split('&').toSeq
       .filter(_.nonEmpty)
       .flatMap { kv =>
         kv.split("=", 2) match {
@@ -63,7 +63,25 @@ object QueryEndpoint {
               java.net.URLDecoder.decode(v, "UTF-8"))
           case _ => None
         }
-      }.toMap
+      }
+
+  /** A form-encoded POST body's parameters — upstream accepts POST on
+    * every query endpoint (Grafana POSTs by default: long PromQL
+    * overflows URL limits), merging body and URL parameters with the
+    * BODY taking precedence (Go's `Request.FormValue` rule, which
+    * upstream's parsing rides on). Non-form bodies contribute nothing.
+    */
+  private def formPairs(ex: HttpExchange): Seq[(String, String)] =
+    if (ex.getRequestMethod == "POST" &&
+        Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(_.toLowerCase.startsWith("application/x-www-form-urlencoded")))
+      decodePairs(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else Nil
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    (decodePairs(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
+      formPairs(ex)).toMap
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -99,18 +117,13 @@ object QueryEndpoint {
         }
     }
 
-  /** Repeated-key query parameters (`match[]` may appear many times). */
+  /** Repeated-key parameters (`match[]` may appear many times), URL
+    * query plus any form-encoded POST body (both lists contribute —
+    * upstream unions repeated keys across the two).
+    */
   private def multiParams(ex: HttpExchange): Seq[(String, String)] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&').toSeq
-      .filter(_.nonEmpty)
-      .flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => Some(
-            java.net.URLDecoder.decode(k, "UTF-8") ->
-              java.net.URLDecoder.decode(v, "UTF-8"))
-          case _ => None
-        }
-      }
+    decodePairs(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
+      formPairs(ex)
 
   private def required(p: Map[String, String], k: String): String =
     p.getOrElse(k, throw new IllegalArgumentException(

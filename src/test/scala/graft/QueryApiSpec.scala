@@ -65,6 +65,48 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  private def postForm(port: Int, path: String, body: String): (Int, String) = {
+    val conn = new URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+    try {
+      val os = conn.getOutputStream
+      try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      (code, new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    } finally conn.disconnect()
+  }
+
+  test("POST form bodies: the Grafana default for long queries, upstream's parsing rules") {
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    try {
+      val q = "sum by (k) (purchase)"
+      // query + query_range accept form-encoded POST, byte-identical to GET
+      assert(postForm(port, "/api/v1/query", s"query=${enc(q)}") ===
+        ((200, Api.queryJson(spark, dir, q))))
+      val (start, end, step) = (T0 + 1 * dayS, T0 + 3 * dayS, dayS)
+      assert(postForm(port, "/api/v1/query_range",
+        s"query=${enc(q)}&start=$start&end=$end&step=$step") ===
+        ((200, Api.queryRangeJson(spark, dir, q, start, end, step))))
+      // body parameters take precedence over URL query ones (Go's
+      // Request.FormValue rule, which upstream rides on)
+      assert(postForm(port, s"/api/v1/query?query=${enc("signup")}",
+        s"query=${enc(q)}") === ((200, Api.queryJson(spark, dir, q))))
+      // repeated match[] unions across URL and body (/api/v1/series)
+      assert(postForm(port, s"/api/v1/series?${enc("match[]")}=${enc("purchase")}",
+        s"${enc("match[]")}=${enc("signup")}") ===
+        ((200, Api.seriesJson(spark, dir, Seq("purchase", "signup")))))
+      // a missing required key still errors in the envelope
+      val (code, body) = postForm(port, "/api/v1/query", "time=123")
+      assert(code === 400 && body.contains("missing required parameter"))
+    } finally server.stop(0)
+  }
+
   test("/api/v1/query_range max_source_resolution opts into pyramid serving") {
     val server = QueryEndpoint.start(spark, dir)
     val port = server.getAddress.getPort
