@@ -36,7 +36,16 @@ object QueryEndpoint {
   /** Epoch seconds from the API's numeric form (integer or decimal —
     * fractions floor, matching the engine's integer-second anchoring).
     */
-  private def epochS(s: String): Long = java.lang.Double.parseDouble(s).toLong
+  /** Upstream accepts unix seconds (float) AND RFC3339 timestamps for
+    * every time parameter; Grafana sends unix, `promtool`/humans send
+    * RFC3339.
+    */
+  private def epochS(s: String): Long =
+    try java.lang.Double.parseDouble(s).toLong
+    catch {
+      case _: NumberFormatException =>
+        java.time.OffsetDateTime.parse(s).toInstant.getEpochSecond
+    }
 
   private def stepS(s: String): Long = s match {
     case DurationRe(n, u) =>
@@ -98,7 +107,21 @@ object QueryEndpoint {
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String = ContentType): Unit = {
-    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val plain = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // content negotiation like upstream's httputil wrapper: a client
+    // advertising `Accept-Encoding: gzip` gets the identical bytes
+    // gzip-framed (matters for big matrix responses over real networks)
+    val wantsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.split(',').map(_.trim.takeWhile(_ != ';'))
+        .contains("gzip"))
+    val bytes =
+      if (wantsGzip) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        try gz.write(plain) finally gz.close()
+        ex.getResponseHeaders.set("Content-Encoding", "gzip")
+        bos.toByteArray
+      } else plain
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody

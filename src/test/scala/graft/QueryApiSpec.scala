@@ -107,6 +107,35 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("RFC3339 timestamps and gzip content negotiation") {
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    try {
+      val q = "sum by (k) (purchase)"
+      val (start, end, step) = (T0 + 1 * dayS, T0 + 3 * dayS, dayS)
+      val want = Api.queryRangeJson(spark, dir, q, start, end, step)
+      // upstream accepts RFC3339 wherever it accepts unix seconds
+      assert(get(port, s"/api/v1/query_range?query=${enc(q)}" +
+        s"&start=${enc("2024-01-02T00:00:00Z")}" +
+        s"&end=${enc("2024-01-04T00:00:00+00:00")}&step=1d") === ((200, want)))
+      assert(get(port, s"/api/v1/query?query=${enc(q)}" +
+        s"&time=${enc("2024-01-03T00:00:00Z")}") ===
+        ((200, Api.queryJson(spark, dir, q, timeS = Some(T0 + 2 * dayS)))))
+      // Accept-Encoding: gzip → the identical bytes, gzip-framed
+      val conn = new URL(s"http://127.0.0.1:$port/api/v1/query?query=${enc(q)}")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Accept-Encoding", "gzip")
+      try {
+        assert(conn.getResponseCode === 200)
+        assert(conn.getHeaderField("Content-Encoding") === "gzip")
+        val gz = new java.util.zip.GZIPInputStream(conn.getInputStream)
+        val body = new String(gz.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(body === Api.queryJson(spark, dir, q))
+      } finally conn.disconnect()
+    } finally server.stop(0)
+  }
+
   test("/api/v1/query_range max_source_resolution opts into pyramid serving") {
     val server = QueryEndpoint.start(spark, dir)
     val port = server.getAddress.getPort
