@@ -303,6 +303,26 @@ object Api {
   private def envelope(dataJson: String): String =
     s"""{"status":"success","data":$dataJson}"""
 
+  /** Truncate `items` to upstream's `limit` parameter semantics:
+    * `limit=0` (or absent) disables, negatives are the caller's 400,
+    * and a truncated response carries upstream's literal warning in the
+    * envelope.
+    */
+  private def limited(items: Seq[String],
+      limit: Option[Int]): (Seq[String], Seq[String]) = limit match {
+    case Some(n) if n < 0 =>
+      throw new IllegalArgumentException("limit must be non-negative")
+    case Some(n) if n > 0 && items.length > n =>
+      (items.take(n), Seq("results truncated due to limit"))
+    case _ => (items, Nil)
+  }
+
+  private def warnEnvelope(dataJson: String, warnings: Seq[String]): String =
+    if (warnings.isEmpty) envelope(dataJson)
+    else s"""{"status":"success","warnings":${
+      warnings.map(w => s""""${jsonEscape(w)}"""").mkString("[", ",", "]")
+    },"data":$dataJson}"""
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -631,7 +651,8 @@ object Api {
   }
 
   def seriesJson(spark: SparkSession, dir: String, selectors: Seq[String],
-      startS: Option[Long] = None, endS: Option[Long] = None): String = {
+      startS: Option[Long] = None, endS: Option[Long] = None,
+      limit: Option[Int] = None): String = {
     require(selectors.nonEmpty, "at least one match[] selector")
     val ev = graft.operators.Metrics.metricEvents(spark, dir)
     val maps = ev.filter(matchFilter(selectors, startS, endS))
@@ -640,8 +661,9 @@ object Api {
         col("label_k").as("k"),
         col("label_instance").as("instance"))).as("m"))
       .distinct().orderBy(col("m"))
-      .collect().map(_.getString(0))
-    envelope(maps.mkString("[", ",", "]"))
+      .collect().map(_.getString(0)).toSeq
+    val (kept, warns) = limited(maps, limit)
+    warnEnvelope(kept.mkString("[", ",", "]"), warns)
   }
 
   /** `/api/v1/query_exemplars` twin: the exemplar store
@@ -686,7 +708,7 @@ object Api {
   /** `/api/v1/labels` twin: the label-name universe. */
   def labelsJson(spark: SparkSession, dir: String,
       selectors: Seq[String] = Nil, startS: Option[Long] = None,
-      endS: Option[Long] = None): String = {
+      endS: Option[Long] = None, limit: Option[Int] = None): String = {
     val ev = graft.operators.Metrics.metricEvents(spark, dir)
     val names = ev.columns.toSeq
       .collect { case c if c == "name" || c.startsWith("label_") => promLabel(c) }
@@ -699,7 +721,8 @@ object Api {
       if (selectors.isEmpty && startS.isEmpty && endS.isEmpty) names
       else if (ev.filter(matchFilter(selectors, startS, endS)).isEmpty) Nil
       else names
-    envelope(out.map(n => s""""$n"""").mkString("[", ",", "]"))
+    val (kept, warns) = limited(out, limit)
+    warnEnvelope(kept.map(n => s""""$n"""").mkString("[", ",", "]"), warns)
   }
 
   /** `/api/v1/label/<label>/values` twin: distinct values of a label,
@@ -708,7 +731,7 @@ object Api {
     */
   def labelValuesJson(spark: SparkSession, dir: String, label: String,
       selectors: Seq[String] = Nil, startS: Option[Long] = None,
-      endS: Option[Long] = None): String = {
+      endS: Option[Long] = None, limit: Option[Int] = None): String = {
     val c = label match {
       case "__name__" => "name"
       case other => "label_" + other
@@ -720,6 +743,8 @@ object Api {
       .select(to_json(struct(col(c).as("v"))).as("j"))
       .distinct().orderBy(col("j"))
       .collect().map(_.getString(0).stripPrefix("""{"v":""").stripSuffix("}"))
-    envelope(vals.mkString("[", ",", "]"))
+      .toSeq
+    val (kept, warns) = limited(vals, limit)
+    warnEnvelope(kept.mkString("[", ",", "]"), warns)
   }
 }

@@ -88,9 +88,14 @@ object QueryEndpoint {
         java.nio.charset.StandardCharsets.UTF_8))
     else Nil
 
+  /** Call AT MOST ONCE per exchange (the body stream reads once; do NOT
+    * memoize on exchange attributes — those are per-CONTEXT in the JDK
+    * server and would leak one request's parameters into the next).
+    * Handlers needing both the map and repeated keys derive both from
+    * one [[multiParams]] call.
+    */
   private def params(ex: HttpExchange): Map[String, String] =
-    (decodePairs(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
-      formPairs(ex)).toMap
+    multiParams(ex).toMap
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -141,8 +146,12 @@ object QueryEndpoint {
     }
 
   /** Repeated-key parameters (`match[]` may appear many times), URL
-    * query plus any form-encoded POST body (both lists contribute —
-    * upstream unions repeated keys across the two).
+    * query plus any form-encoded POST body: both lists contribute for
+    * repeated keys (upstream unions them), and because the body pairs
+    * come LAST, `.toMap` gives single-value keys Go's
+    * `Request.FormValue` precedence (body wins) — which is what
+    * upstream's parsing rides on. Reads the request body: call at most
+    * once per exchange.
     */
   private def multiParams(ex: HttpExchange): Seq[(String, String)] =
     decodePairs(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
@@ -286,8 +295,9 @@ object QueryEndpoint {
           }
       }
     server.createContext("/api/v1/admin/tsdb/delete_series", adminHandler { ex =>
-      val ms = multiParams(ex).collect { case ("match[]", v) => v }
-      val p = params(ex)
+      val mp = multiParams(ex) // one body read: map + repeats from it
+      val ms = mp.collect { case ("match[]", v) => v }
+      val p = mp.toMap
       graft.promql.Admin.deleteSeries(spark, dir, ms,
         p.get("start").map(epochS), p.get("end").map(epochS))
       None
@@ -406,26 +416,32 @@ object QueryEndpoint {
     server.createContext("/api/v1/series", handler { ex =>
       // repeated match[] selectors union (upstream semantics); start/end
       // bound the sample-presence window
-      val ms = multiParams(ex).collect { case ("match[]", v) => v }
+      val mp = multiParams(ex) // one body read: map + repeats from it
+      val ms = mp.collect { case ("match[]", v) => v }
       if (ms.isEmpty) throw new IllegalArgumentException(
         "missing required parameter 'match[]'")
-      val p = params(ex)
+      val p = mp.toMap
       Api.seriesJson(spark, dir, ms,
-        p.get("start").map(epochS), p.get("end").map(epochS))
+        p.get("start").map(epochS), p.get("end").map(epochS),
+        p.get("limit").map(_.toInt))
     })
     server.createContext("/api/v1/labels", handler { ex =>
-      val p = params(ex)
+      val mp = multiParams(ex)
+      val p = mp.toMap
       Api.labelsJson(spark, dir,
-        multiParams(ex).collect { case ("match[]", v) => v },
-        p.get("start").map(epochS), p.get("end").map(epochS))
+        mp.collect { case ("match[]", v) => v },
+        p.get("start").map(epochS), p.get("end").map(epochS),
+        p.get("limit").map(_.toInt))
     })
     server.createContext("/api/v1/label", handler { ex =>
       ex.getRequestURI.getPath.split('/') match {
         case Array("", "api", "v1", "label", name, "values") =>
-          val p = params(ex)
+          val mp = multiParams(ex)
+          val p = mp.toMap
           Api.labelValuesJson(spark, dir, name,
-            multiParams(ex).collect { case ("match[]", v) => v },
-            p.get("start").map(epochS), p.get("end").map(epochS))
+            mp.collect { case ("match[]", v) => v },
+            p.get("start").map(epochS), p.get("end").map(epochS),
+            p.get("limit").map(_.toInt))
         case _ => throw new IllegalArgumentException(
           s"unknown endpoint ${ex.getRequestURI.getPath}")
       }

@@ -107,6 +107,30 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("limit= truncates series/labels/label-values with upstream's warning") {
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    try {
+      // the fixture has 2 distinct purchase series; limit=1 truncates
+      val (c1, b1) = get(port,
+        s"/api/v1/series?${enc("match[]")}=${enc("purchase")}&limit=1")
+      assert(c1 === 200)
+      assert(b1.contains("\"warnings\":[\"results truncated due to limit\"]"))
+      assert(b1.sliding("__name__".length).count(_ == "__name__") === 1)
+      // a limit >= the result size adds no warning and drops nothing
+      assert(get(port,
+        s"/api/v1/series?${enc("match[]")}=${enc("purchase")}&limit=99") ===
+        ((200, Api.seriesJson(spark, dir, Seq("purchase")))))
+      // limit=0 disables (upstream), negatives 400
+      assert(get(port, "/api/v1/labels?limit=0") ===
+        ((200, Api.labelsJson(spark, dir))))
+      val (c2, b2) = get(port, "/api/v1/label/k/values?limit=1")
+      assert(c2 === 200 && b2.contains("truncated") &&
+        b2.contains("\"data\":[\"a\"]"))
+      assert(get(port, "/api/v1/labels?limit=-1")._1 === 400)
+    } finally server.stop(0)
+  }
+
   test("RFC3339 timestamps and gzip content negotiation") {
     val server = QueryEndpoint.start(spark, dir)
     val port = server.getAddress.getPort
