@@ -93,7 +93,22 @@ object ScrapeEndpoint {
         val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
         val om = accept.contains("application/openmetrics-text")
         val text = if (om) renderOpenMetrics() else renderText()
-        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val plain = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // a real Prometheus scrapes with Accept-Encoding: gzip — serve
+        // the identical payload gzip-framed when asked (identity stays
+        // the default for curl/humans)
+        val wantsGzip = Option(
+          ex.getRequestHeaders.getFirst("Accept-Encoding"))
+          .exists(_.toLowerCase.split(',').map(_.trim.takeWhile(_ != ';'))
+            .contains("gzip"))
+        val body =
+          if (wantsGzip) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            try gz.write(plain) finally gz.close()
+            ex.getResponseHeaders.set("Content-Encoding", "gzip")
+            bos.toByteArray
+          } else plain
         ex.getResponseHeaders.set("Content-Type",
           if (om) OpenMetricsContentType else ContentType)
         ex.sendResponseHeaders(200, body.length.toLong)

@@ -41,6 +41,18 @@ class ScrapeClientSpec extends SparkTestBase {
         assert(parsed.map(r => (r._2, r._3, r._4)).toSet === want, s"om=$om")
         assert(parsed.forall(_._1 === ts))
       }
+      // a real Prometheus scrapes with Accept-Encoding: gzip — the
+      // framed payload decompresses to the identical exposition bytes
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestProperty("Accept-Encoding", "gzip")
+      try {
+        assert(conn.getResponseCode === 200)
+        assert(conn.getHeaderField("Content-Encoding") === "gzip")
+        val gz = new java.util.zip.GZIPInputStream(conn.getInputStream)
+        assert(new String(gz.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) === ScrapeClient.fetch(url))
+      } finally conn.disconnect()
     } finally server.stop(0)
   }
 
