@@ -38,8 +38,15 @@ object ScrapeClient {
     if (openMetrics)
       conn.setRequestProperty("Accept",
         "application/openmetrics-text; version=1.0.0")
+    // scrape like a real Prometheus: advertise gzip, decode if the
+    // exposer framed it (identity servers unaffected)
+    conn.setRequestProperty("Accept-Encoding", "gzip")
     try {
-      val is = conn.getInputStream
+      val raw = conn.getInputStream
+      val is =
+        if (Option(conn.getHeaderField("Content-Encoding")).contains("gzip"))
+          new java.util.zip.GZIPInputStream(raw)
+        else raw
       try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally is.close()
     } finally conn.disconnect()

@@ -511,4 +511,76 @@ class PropertySpec extends SparkTestBase {
       assert(got === want, s"case $ci")
     }
   }
+
+  test("XOR chunk codec: lossless on random walks over the full double domain") {
+    import graft.sources.XorChunk
+    def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+    val rnd = new scala.util.Random(1234)
+    for (c <- 1 to 60) {
+      val n = 1 + rnd.nextInt(300)
+      var t = math.abs(rnd.nextLong()) % (1L << 45)
+      val samples = (0 until n).map { _ =>
+        t += (rnd.nextInt(4) match {
+          case 0 => 0L
+          case 1 => rnd.nextInt(1000).toLong
+          case 2 => rnd.nextInt(1 << 20).toLong
+          case _ => math.abs(rnd.nextLong()) % (1L << 41)
+        })
+        // any bit pattern is a legal sample: NaN payloads (staleness
+        // markers), ±Inf, subnormals, signed zero — all must survive
+        val v = rnd.nextInt(5) match {
+          case 0 => 0.0
+          case 1 => rnd.nextInt(100).toDouble
+          case 2 => rnd.nextDouble() * 1e12
+          case 3 => java.lang.Double.longBitsToDouble(rnd.nextLong())
+          case _ => Double.NaN
+        }
+        (t, v)
+      }
+      val back = XorChunk.decode(XorChunk.encode(samples))
+      assert(back.map { case (a, b) => (a, bits(b)) } ===
+        samples.toVector.map { case (a, b) => (a, bits(b)) }, s"case $c n=$n")
+    }
+  }
+
+  test("remote-read wire codecs: encode ∘ walk is the identity on random inputs") {
+    import graft.sources.{RemoteRead, RemoteWrite}
+    import graft.sources.RemoteRead.{Matcher, ReadQuery}
+    val rnd = new scala.util.Random(99)
+    for (c <- 1 to 40) {
+      val qs = (0 to rnd.nextInt(3)).map { _ =>
+        ReadQuery(math.abs(rnd.nextLong()) % (1L << 50),
+          math.abs(rnd.nextLong()) % (1L << 50),
+          (0 to rnd.nextInt(3)).map(_ => Matcher(rnd.nextInt(4),
+            "lbl" + rnd.nextInt(5),
+            rnd.alphanumeric.take(rnd.nextInt(12)).mkString)))
+      }
+      val accepted =
+        if (rnd.nextBoolean()) Seq(0L)
+        else Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(2).toLong)
+      val bytes = RemoteRead.encodeRequest(qs, accepted)
+      assert(RemoteRead.walkRequest(bytes) === qs, s"case $c")
+      assert(RemoteRead.acceptedTypes(bytes) === accepted, s"case $c")
+      // streamed frames: random per-query series sets round-trip
+      // through chunking at a random budget (values finite — the NaN
+      // domain is the XOR property's job; Series equality uses ==)
+      val results = (0 to rnd.nextInt(2)).map { _ =>
+        (0 until rnd.nextInt(3)).map { s =>
+          var t = math.abs(rnd.nextLong()) % (1L << 44)
+          RemoteWrite.Series(
+            Vector("__name__" -> s"m$s", "k" -> rnd.nextInt(4).toString),
+            (0 until (1 + rnd.nextInt(260))).map { _ =>
+              t += rnd.nextInt(100000).toLong
+              (rnd.nextDouble() * 1e6 - 5e5, t)
+            }.toVector)
+        }.toSeq
+      }
+      val decoded = RemoteRead.walkStreamed(RemoteRead.encodeStreamed(
+        results, samplesPerChunk = 1 + rnd.nextInt(130)))
+      val want = results.zipWithIndex.flatMap { case (qr, i) =>
+        qr.map(s => (i.toLong, s))
+      }
+      assert(decoded === want, s"case $c (streamed)")
+    }
+  }
 }
