@@ -108,6 +108,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("p105/p106: recorded-rule grid panels are ONE plan, no per-instant union") {
+    // p105 (name-retaining rule renamed on the grid) and p106 (rate
+    // over a recorded series as a lag(k) endpoint difference): both
+    // must ride the single-pass series×grid strategy — a Union node
+    // means the panel degenerated to per-instant evaluation
+    for (name <- Seq("p105_recorded_grid_renamed", "p106_recorded_grid_rate")) {
+      val p = plan(name)
+      assert(!p.contains("Union"), s"$name degenerated to a per-instant union")
+      assert(p.contains("Window"), s"$name lost the series×grid running window")
+      assert(!p.contains("CartesianProduct") || p.contains("Broadcast"),
+        s"$name has a non-broadcast cartesian")
+    }
+  }
+
   test("x41/x42: per-row text rewrites have no exchange before the final sort") {
     for (name <- Seq("x41_pii_redact", "x42_chunks")) {
       val p = finalSection(plan(name))
