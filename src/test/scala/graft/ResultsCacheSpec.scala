@@ -269,5 +269,30 @@ class ResultsCacheSpec extends SparkTestBase {
     val bad = intercept[Exception](cachedQ("nosuch_family"))
     val badDirect = intercept[Exception](directQ("nosuch_family"))
     assert(bad.getMessage === badDirect.getMessage)
+    // a recorded RANGE selector does NOT inline (the sample-grid walk
+    // is selector-level), so its entry must key on the rule-map
+    // fingerprint: swapping the standing rule between requests of the
+    // SAME text must never serve the other rule's samples
+    def withIvRule[T](expr: String)(f: => T): T =
+      graft.promql.Compiler.withRecordedRules(Seq(
+        graft.promql.Rules.RecordingRule("pk_rng", expr,
+          intervalS = 86400)))(f)
+    val rngA = withIvRule("sum by (k) (purchase)") {
+      val w = directQ("rate(pk_rng[2d])")
+      assert(cachedQ("rate(pk_rng[2d])") === w); w
+    }
+    withIvRule("sum by (k) (purchase) * 3") {
+      val w = directQ("rate(pk_rng[2d])")
+      assert(w !== rngA, "the two rules must genuinely differ")
+      assert(cachedQ("rate(pk_rng[2d])") === w,
+        "a recorded-range entry served across a rule swap")
+    }
+    // ...and the same text under the SAME rule hits warm
+    withIvRule("sum by (k) (purchase)") {
+      val (h0, m0) = ResultsCache.instantStats
+      assert(cachedQ("rate(pk_rng[2d])") === rngA)
+      val (h1, m1) = ResultsCache.instantStats
+      assert(h1 === h0 + 1 && m1 === m0, "same rule must hit its entry")
+    }
   }
 }
