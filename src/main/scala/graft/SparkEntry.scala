@@ -582,6 +582,14 @@ object SparkEntry {
       recordingRules = Seq(promql.Rules.RecordingRule(
         "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
       .orderBy(col("label_k"), col("t_s"))),
+    // the smoothing panel over a recorded series: a 4-sample sliding
+    // average on the rule's own 6h lattice, ONE event pass + ONE
+    // row-frame window for all 240 instants
+    "p107_recorded_grid_avg" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "avg_over_time(k_total6h[1d])", 240, 21600L,
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
+      .orderBy(col("label_k"), col("t_s"))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -1064,6 +1072,7 @@ object SparkEntry {
     "p104_promql_recorded_rate" -> promql.Oracle.RecordedRateSql,
     "p105_recorded_grid_renamed" -> promql.Oracle.RecordedGridRenamedSql,
     "p106_recorded_grid_rate" -> promql.Oracle.RecordedGridRateSql,
+    "p107_recorded_grid_avg" -> promql.Oracle.RecordedGridOverTimeSql,
     "b29_holt_winters" -> PromQL.HoltWintersSql,
     "b33b_log_functions_det" -> PromQL.LogFunctionsDetSql,
     "b34b_trig_functions_det" -> PromQL.TrigFunctionsDetSql,

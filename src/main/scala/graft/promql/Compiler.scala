@@ -211,6 +211,54 @@ object Compiler {
       r(ast, Set.empty)
     }
 
+  /** The rule shapes the recorded GRID arms can serve with one event
+    * pass ([[gridCounterInstants]]): a bare counter selector or
+    * `sum by (…)` of one, no range/@ of its own — the same fast set as
+    * [[recordedSampleGrid]].
+    */
+  private def recordedFastShape(ruleAst: Ast): Option[(Seq[String], Selector)] =
+    Ast.resolveAtEdges(ruleAst, None, None) match {
+      case s2: Selector if s2.rangeS.isEmpty && s2.atS.isEmpty &&
+          MetricEvent.CounterNames.contains(s2.name) =>
+        Some((SeriesKey, s2))
+      case Agg("sum", Some(("by", ls)), None, s2: Selector)
+          if s2.rangeS.isEmpty && s2.atS.isEmpty &&
+            MetricEvent.CounterNames.contains(s2.name) =>
+        Some((ls.map(labelCol), s2))
+      case _ => None
+    }
+
+  /** Record-name rewrite + post-hoc matchers over a recorded grid
+    * relation — the exact [[recordedVector]]/[[recordedRangeFunc]]
+    * semantics (a label the rule aggregated away matches `""`), shared
+    * by the recorded dense-grid arms.
+    */
+  private def recordedGridPostHoc(df: DataFrame, labels: Seq[String],
+      sel: Selector): DataFrame = {
+    val named =
+      if (labels.contains("name")) df.withColumn("name", lit(sel.name))
+      else df
+    val flt = sel.matchers.filterNot(_.label == "__name__")
+      .foldLeft(lit(true)) { (acc, m) =>
+        val cn = labelCol(m.label)
+        val c = if (labels.contains(cn)) col(cn) else lit("")
+        acc && (m.op match {
+          case "=" => c === m.value
+          case "!=" => c =!= m.value
+          case "=~" => c.rlike(s"^(?:${m.value})$$")
+          case "!~" => !c.rlike(s"^(?:${m.value})$$")
+        })
+      }
+    named.filter(flt)
+  }
+
+  /** The `*_over_time` subset the recorded dense-grid arm serves (the
+    * sliding-lattice strategy; the rest keep the union path).
+    */
+  private val RecordedGridOverTimeFns: Set[String] = Set(
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "last_over_time", "present_over_time")
+
   /** A selector over a RECORDED series: the rule's plan evaluated at
     * the selector's effective instant (offset and absolute `@` pins
     * compose onto the surrounding shift), matchers applied post-hoc on
@@ -2469,42 +2517,18 @@ object Compiler {
         if (d < ivS || d % ivS != 0)
           fail(s"range (${d}s) over recorded series '${sel.name}' must be a " +
             s"positive multiple of its evaluation interval (${ivS}s)")
-        val fast: Option[(Seq[String], Selector)] =
-          Ast.resolveAtEdges(ruleAst, None, None) match {
-            case s2: Selector if s2.rangeS.isEmpty && s2.atS.isEmpty &&
-                MetricEvent.CounterNames.contains(s2.name) =>
-              Some((SeriesKey, s2))
-            case Agg("sum", Some(("by", ls)), None, s2: Selector)
-                if s2.rangeS.isEmpty && s2.atS.isEmpty &&
-                  MetricEvent.CounterNames.contains(s2.name) =>
-              Some((ls.map(labelCol), s2))
-            case _ => None
-          }
-        fast.map { case (labels, s2) =>
+        recordedFastShape(ruleAst).map { case (labels, s2) =>
           val k = (d / stepS).toInt
           if (g + k > 4096)
             fail(s"query_range grid spans ${g + k} indexes (instants + lag baseline); 4096 supported")
           val shiftEff = shiftS + sel.offsetS.getOrElse(0L)
-          val cum = gridCounterInstants(spark, dir, s2, labels, shiftEff,
-            g + k, stepS)
+          val cum = recordedGridPostHoc(
+            gridCounterInstants(spark, dir, s2, labels, shiftEff,
+              g + k, stepS), labels, sel)
           val w = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
           // rows are contiguous from each series' birth instant, so
           // lag(k) IS the T_j−d snapshot; NULL = born inside the window
-          val named =
-            if (labels.contains("name")) cum.withColumn("name", lit(sel.name))
-            else cum
-          val flt = sel.matchers.filterNot(_.label == "__name__")
-            .foldLeft(lit(true)) { (acc, m) =>
-              val cn = labelCol(m.label)
-              val c = if (labels.contains(cn)) col(cn) else lit("")
-              acc && (m.op match {
-                case "=" => c === m.value
-                case "!=" => c =!= m.value
-                case "=~" => c.rlike(s"^(?:${m.value})$$")
-                case "!~" => !c.rlike(s"^(?:${m.value})$$")
-              })
-            }
-          val inc = named.filter(flt)
+          val inc = cum
             .withColumn("_base", lag(col("value"), k).over(w))
             .filter(col("_i") > k)
             .withColumn("_inc",
@@ -2514,9 +2538,70 @@ object Compiler {
           (inc, labels, "value",
             if (f2 == "rate") Some(d.toDouble) else None)
         }
+      // *_over_time over a RECORDED series on the dense grid — the
+      // smoothing-panel shape (avg_over_time(recorded[1d])). The rule
+      // loop's samples live on its own interval lattice; when the grid
+      // step is a lattice multiple, every output instant's left-open
+      // window is exactly k = d/iv consecutive lattice points ending ON
+      // it — so ONE event pass builds the lattice snapshots and ONE
+      // row-frame sliding window serves every panel instant, output
+      // rows being the lattice points that are grid instants. Presence
+      // is contiguous from each series' birth, so the row frame equals
+      // the lattice frame (partial windows at birth carry exactly the
+      // per-instant walk's sample set). Shapes off the lattice
+      // (step % iv ≠ 0), non-fast rules, or over-budget lattices fall
+      // to the union path's per-instant recordedRangeFunc.
+      case Func(f2, _, sel: Selector)
+          if RecordedGridOverTimeFns.contains(f2) && sel.atS.isEmpty &&
+            sel.rangeS.exists(_ > 0) &&
+            recordedRules.value.contains(sel.name) =>
+        val (ruleAst, ivS) = recordedRules.value(sel.name)
+        val d = sel.rangeS.get
+        if (d < ivS || d % ivS != 0)
+          fail(s"range (${d}s) over recorded series '${sel.name}' must be a " +
+            s"positive multiple of its evaluation interval (${ivS}s)")
+        if (stepS % ivS != 0) None
+        else recordedFastShape(ruleAst).flatMap { case (labels, s2) =>
+          val k = (d / ivS).toInt
+          val m = (stepS / ivS).toInt
+          val L = (g - 1) * m + k
+          if (L > 4096) None // over budget: union path (its own gates)
+          else {
+            val shiftEff = shiftS + sel.offsetS.getOrElse(0L)
+            val lattice = recordedGridPostHoc(
+              gridCounterInstants(spark, dir, s2, labels, shiftEff, L, ivS),
+              labels, sel)
+            val w = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
+              .rowsBetween(-(k - 1).toLong, 0L)
+            val v = f2 match {
+              case "sum_over_time" => sum(col("value")).over(w)
+              case "avg_over_time" =>
+                sum(col("value")).over(w).cast("double") /
+                  count(lit(1)).over(w).cast("double")
+              case "min_over_time" => min(col("value")).over(w)
+              case "max_over_time" => max(col("value")).over(w)
+              case "count_over_time" =>
+                count(lit(1)).over(w).cast("double")
+              case "last_over_time" => col("value") // the T_j snapshot
+              case "present_over_time" => lit(1.0)
+            }
+            // output rows: lattice points that ARE grid instants; the
+            // `_i >= k` bound drops early lattice rows (they exist from
+            // each series' birth and would alias to instants before the
+            // requested range)
+            val out = lattice.withColumn("_v", v)
+              .filter(((lit(L) - col("_i")) % m) === 0 &&
+                col("_i") >= lit(k.toLong))
+              .select((labels.map(col) :+
+                (lit(g) - (lit(L) - col("_i")) / m).as("_i") :+
+                col("_v").as("value")): _*)
+            Some((out, labels, "value", None))
+          }
+        }
       case Func(f2, None, sel: Selector)
           if (bucketDecomposable.contains(f2) ||
             f2 == "stddev_over_time" || f2 == "stdvar_over_time") &&
+            !recordedRules.value.contains(sel.name) &&
             sel.rangeS.exists(w => w > 0 && w % stepS == 0) =>
         // the variance pair rides the same bucket-partial builder via
         // exact integer-cents (Σx, Σx², n) moments
@@ -2568,6 +2653,7 @@ object Compiler {
       // 240-step quantile panel stays one plan at O(events × k).
       case Func(fn2, param2, sel: Selector)
           if GridWindowFns.contains(fn2) &&
+            !recordedRules.value.contains(sel.name) &&
             sel.rangeS.exists(w2 => w2 > 0 && w2 % stepS == 0) =>
         val w2 = sel.rangeS.get
         val names = resolveNames(sel)

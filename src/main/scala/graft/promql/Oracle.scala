@@ -1012,6 +1012,42 @@ object Oracle {
        |FROM snap s LEFT JOIN base b ON s.label_k = b.label_k AND s.i = b.i
        |ORDER BY s.label_k, t_s""".stripMargin
 
+  /** p107: `avg_over_time(k_total6h[1d])` — a `*_over_time` smoothing
+    * panel over the recorded rule `k_total6h: sum by (k) (purchase)`
+    * (6h interval) on the dense 240×6h grid. The twin re-derives the
+    * rule-loop samples on the rule's own lattice (243 points: 240 grid
+    * instants + the 3 extra the first window needs), slides a 4-row
+    * frame per group over the PRESENT rows (a group born mid-lattice
+    * has a partial first window — exactly the per-instant sample set),
+    * and mirrors the engine's expression order: exact decimal window
+    * sum cast to double, divided by the window count. Fails if the
+    * lattice anchoring, the frame, the presence rules, or the division
+    * order drifts.
+    */
+  val RecordedGridOverTimeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 243)) AS i),
+       |snap AS (
+       |  SELECT m.label_k, i.i, t.t_us,
+       |    SUM(CAST(m.value AS DECIMAL(18,2))) AS v
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (243 - i.i) * 21600000000
+       |  GROUP BY m.label_k, i.i, t.t_us),
+       |win AS (
+       |  SELECT label_k, i, t_us,
+       |    CAST(SUM(v) OVER (PARTITION BY label_k ORDER BY i
+       |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |      / CAST(COUNT(*) OVER (PARTITION BY label_k ORDER BY i
+       |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |      AS value
+       |  FROM snap)
+       |SELECT label_k,
+       |  (t_us // 1000000) - (240 - (i - 3)) * 21600 AS t_s, value
+       |FROM win WHERE i >= 4
+       |ORDER BY label_k, t_s""".stripMargin
+
   /** p77: `sum by (k) (rate(purchase[2d]))` on the same 240×6h grid —
     * instant i's window is `(bound − 2d, bound]`, the exact decimal
     * increase divided ONCE by the window seconds (the engine's deferred

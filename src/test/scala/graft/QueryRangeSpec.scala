@@ -535,5 +535,25 @@ class QueryRangeSpec extends SparkTestBase {
         217, 3600L)
       assert(bigRate.count() > 0)
     }
+    // *_over_time over a recorded series rides the grid on the rule's
+    // OWN lattice (hourly here, so lattice == grid): union ≡ grid
+    // bit-exact per function, and the 217-instant smoothing panel is
+    // one plan
+    Compiler.withRecordedRules(Seq(Rules.RecordingRule("k_total_h",
+        "sum by (k) (purchase)", intervalS = 3600))) {
+      val sG = T0 + 168 * 3600L
+      val e = T0 + 216 * 3600L
+      for (fn <- Seq("avg_over_time", "sum_over_time", "count_over_time",
+          "max_over_time", "last_over_time")) {
+        val ast = graft.promql.Parser.parse(s"$fn(k_total_h[2d])")
+        def r2(grid: Boolean) =
+          Api.rangeRelation(spark, dir, ast, sG, e, 3600L, grid, None)
+            .select("label_k", "_t", "value").collect().map(_.toSeq).toSet
+        assert(r2(grid = true) === r2(grid = false), fn)
+        assert(r2(grid = true).nonEmpty, fn)
+      }
+      assert(Api.queryRangeGrid(spark, dir,
+        "avg_over_time(k_total_h[2d])", 217, 3600L).count() > 0)
+    }
   }
 }
