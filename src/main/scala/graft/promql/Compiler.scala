@@ -211,22 +211,51 @@ object Compiler {
       r(ast, Set.empty)
     }
 
-  /** The rule shapes the recorded GRID arms can serve with one event
-    * pass ([[gridCounterInstants]]): a bare counter selector or
-    * `sum by (…)` of one, no range/@ of its own — the same fast set as
-    * [[recordedSampleGrid]].
+  /** The rule shapes the recorded grid machinery can serve with one
+    * event pass: a bare counter/gauge selector or `sum by (…)` of one,
+    * no range/@ of its own. Returns the output labels, the inner
+    * selector, and the family kind (counters ride
+    * [[gridCounterInstants]] running sums; gauges ride
+    * [[gridGaugeInstants]] LWW reconstruction).
     */
-  private def recordedFastShape(ruleAst: Ast): Option[(Seq[String], Selector)] =
+  private def recordedFastShape(
+      ruleAst: Ast): Option[(Seq[String], Selector, String)] =
     Ast.resolveAtEdges(ruleAst, None, None) match {
       case s2: Selector if s2.rangeS.isEmpty && s2.atS.isEmpty &&
           MetricEvent.CounterNames.contains(s2.name) =>
-        Some((SeriesKey, s2))
+        Some((SeriesKey, s2, "counter"))
       case Agg("sum", Some(("by", ls)), None, s2: Selector)
           if s2.rangeS.isEmpty && s2.atS.isEmpty &&
             MetricEvent.CounterNames.contains(s2.name) =>
-        Some((ls.map(labelCol), s2))
+        Some((ls.map(labelCol), s2, "counter"))
+      case s2: Selector if s2.rangeS.isEmpty && s2.atS.isEmpty &&
+          MetricEvent.GaugeNames.contains(s2.name) =>
+        Some((SeriesKey, s2, "gauge"))
+      case Agg("sum", Some(("by", ls)), None, s2: Selector)
+          if s2.rangeS.isEmpty && s2.atS.isEmpty &&
+            MetricEvent.GaugeNames.contains(s2.name) =>
+        Some((ls.map(labelCol), s2, "gauge"))
       case _ => None
     }
+
+  /** Per-lattice-instant snapshots of a fast-shape rule, unified to
+    * `(labels…, _i, value)`: counter rules keep the exact DECIMAL
+    * running sums; gauge LWW values cast through DECIMAL(38,12) —
+    * exactly the union fallback's cast, so union ≡ grid stays
+    * bit-identical for either kind.
+    */
+  private def recordedFastInstants(spark: SparkSession, dir: String,
+      labels: Seq[String], s2: Selector, kind: String, shiftS: Long,
+      g: Long, stepS: Long): DataFrame = kind match {
+    case "counter" =>
+      gridCounterInstants(spark, dir, s2, labels, shiftS, g, stepS)
+        .select((labels :+ "_i").map(col) :+ col("value"): _*)
+    case "gauge" =>
+      val (df0, _) = gridGaugeInstants(spark, dir, s2, shiftS, g, stepS,
+        if (labels == SeriesKey) None else Some(labels))
+      df0.select((labels :+ "_i").map(col) :+
+        col("_v").cast(DecimalType(38, 12)).as("value"): _*)
+  }
 
   /** Record-name rewrite + post-hoc matchers over a recorded grid
     * relation — the exact [[recordedVector]]/[[recordedRangeFunc]]
@@ -252,12 +281,12 @@ object Compiler {
     named.filter(flt)
   }
 
-  /** The `*_over_time` subset the recorded dense-grid arm serves (the
+  /** The windowed subset the recorded dense-grid arm serves (the
     * sliding-lattice strategy; the rest keep the union path).
     */
   private val RecordedGridOverTimeFns: Set[String] = Set(
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
-    "count_over_time", "last_over_time", "present_over_time")
+    "count_over_time", "last_over_time", "present_over_time", "delta")
 
   /** A selector over a RECORDED series: the rule's plan evaluated at
     * the selector's effective instant (offset and absolute `@` pins
@@ -427,22 +456,12 @@ object Compiler {
       ruleAst: Ast, shiftS: Long, g: Int, ivS: Long,
       withBaseline: Boolean): (DataFrame, Seq[String]) = {
     val G = if (withBaseline) g + 1 else g
-    val fast: Option[(Seq[String], Selector)] = ruleAst match {
-      case s2: Selector if s2.rangeS.isEmpty && s2.atS.isEmpty &&
-          MetricEvent.CounterNames.contains(s2.name) =>
-        Some((SeriesKey, s2))
-      case Agg("sum", Some(("by", ls)), None, s2: Selector)
-          if s2.rangeS.isEmpty && s2.atS.isEmpty &&
-            MetricEvent.CounterNames.contains(s2.name) =>
-        Some((ls.map(labelCol), s2))
-      case _ => None
-    }
-    fast match {
-      case Some((labels, s2)) =>
+    recordedFastShape(ruleAst) match {
+      case Some((labels, s2, kind)) =>
         if (G > 4096)
           fail(s"recorded range evaluates $G rule instants; 1..4096 supported (grid strategy)")
-        (gridCounterInstants(spark, dir, s2, labels, shiftS, G.toLong, ivS)
-          .select((labels :+ "_i").map(col) :+ col("value"): _*), labels)
+        (recordedFastInstants(spark, dir, labels, s2, kind, shiftS,
+          G.toLong, ivS), labels)
       case None =>
         if (G > 64)
           fail(s"recorded range evaluates $G rule instants; 1..64 supported for this rule shape (compose-time bound)")
@@ -2517,7 +2536,10 @@ object Compiler {
         if (d < ivS || d % ivS != 0)
           fail(s"range (${d}s) over recorded series '${sel.name}' must be a " +
             s"positive multiple of its evaluation interval (${ivS}s)")
-        recordedFastShape(ruleAst).map { case (labels, s2) =>
+        // counter rules ONLY: the endpoint-difference telescoping needs
+        // MONOTONE snapshots; a gauge rule's recorded samples can move
+        // both ways, so those keep the union path's reset-aware walk
+        recordedFastShape(ruleAst).collect { case (labels, s2, "counter") =>
           val k = (d / stepS).toInt
           if (g + k > 4096)
             fail(s"query_range grid spans ${g + k} indexes (instants + lag baseline); 4096 supported")
@@ -2561,7 +2583,7 @@ object Compiler {
           fail(s"range (${d}s) over recorded series '${sel.name}' must be a " +
             s"positive multiple of its evaluation interval (${ivS}s)")
         if (stepS % ivS != 0) None
-        else recordedFastShape(ruleAst).flatMap { case (labels, s2) =>
+        else recordedFastShape(ruleAst).flatMap { case (labels, s2, kind) =>
           val k = (d / ivS).toInt
           val m = (stepS / ivS).toInt
           val L = (g - 1) * m + k
@@ -2569,7 +2591,8 @@ object Compiler {
           else {
             val shiftEff = shiftS + sel.offsetS.getOrElse(0L)
             val lattice = recordedGridPostHoc(
-              gridCounterInstants(spark, dir, s2, labels, shiftEff, L, ivS),
+              recordedFastInstants(spark, dir, labels, s2, kind, shiftEff,
+                L.toLong, ivS),
               labels, sel)
             val w = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
               .rowsBetween(-(k - 1).toLong, 0L)
@@ -2584,6 +2607,11 @@ object Compiler {
                 count(lit(1)).over(w).cast("double")
               case "last_over_time" => col("value") // the T_j snapshot
               case "present_over_time" => lit(1.0)
+              case "delta" =>
+                // last − first by lattice index over the in-window
+                // samples (the instant walk's max_by/min_by pair); one
+                // sample → 0, the single-sample rule
+                col("value") - first(col("value")).over(w)
             }
             // output rows: lattice points that ARE grid instants; the
             // `_i >= k` bound drops early lattice rows (they exist from

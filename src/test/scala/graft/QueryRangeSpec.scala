@@ -544,7 +544,7 @@ class QueryRangeSpec extends SparkTestBase {
       val sG = T0 + 168 * 3600L
       val e = T0 + 216 * 3600L
       for (fn <- Seq("avg_over_time", "sum_over_time", "count_over_time",
-          "max_over_time", "last_over_time")) {
+          "max_over_time", "last_over_time", "delta")) {
         val ast = graft.promql.Parser.parse(s"$fn(k_total_h[2d])")
         def r2(grid: Boolean) =
           Api.rangeRelation(spark, dir, ast, sG, e, 3600L, grid, None)
@@ -554,6 +554,42 @@ class QueryRangeSpec extends SparkTestBase {
       }
       assert(Api.queryRangeGrid(spark, dir,
         "avg_over_time(k_total_h[2d])", 217, 3600L).count() > 0)
+    }
+    // GAUGE rules ride the grid too (LWW lattice reconstruction) —
+    // including delta, the gauge range function
+    Compiler.withRecordedRules(Seq(Rules.RecordingRule("s_sum_h",
+        "sum by (k) (signup)", intervalS = 3600))) {
+      val sG = T0 + 168 * 3600L
+      val e = T0 + 216 * 3600L
+      for (fn <- Seq("avg_over_time", "last_over_time", "delta",
+          "min_over_time")) {
+        val ast = graft.promql.Parser.parse(s"$fn(s_sum_h[2d])")
+        def r3(grid: Boolean) =
+          Api.rangeRelation(spark, dir, ast, sG, e, 3600L, grid, None)
+            .select("label_k", "_t", "value").collect().map(_.toSeq).toSet
+        assert(r3(grid = true) === r3(grid = false), fn)
+        assert(r3(grid = true).nonEmpty, fn)
+      }
+      // ...and rate over a GAUGE rule must NOT take the grid's
+      // endpoint difference (non-monotone samples need the union
+      // path's reset-aware walk): few-instant panels still serve
+      val rAst = graft.promql.Parser.parse("rate(s_sum_h[2d])")
+      assert(Api.rangeRelation(spark, dir, rAst, e - 4 * 3600L, e,
+        3600L, grid = true, None).collect().nonEmpty)
+    }
+    // a bare (name-retaining) gauge rule: the grid renames like the
+    // instant path
+    Compiler.withRecordedRules(Seq(Rules.RecordingRule("s_bare_h",
+        "signup", intervalS = 3600))) {
+      val sG = T0 + 168 * 3600L
+      val e = T0 + 216 * 3600L
+      val ast = graft.promql.Parser.parse("delta(s_bare_h[2d])")
+      def r4(grid: Boolean) =
+        Api.rangeRelation(spark, dir, ast, sG, e, 3600L, grid, None)
+          .select("name", "label_k", "label_instance", "_t", "value")
+          .collect().map(_.toSeq).toSet
+      assert(r4(grid = true) === r4(grid = false))
+      assert(r4(grid = true).forall(_.head === "s_bare_h"))
     }
   }
 }
