@@ -123,19 +123,20 @@ object Compiler {
       recordedRules.withValue(m)(f)
     }
 
-  /** Fingerprint of the rule state a POST-inline Ast still depends on —
-    * a cache-key ingredient ([[ResultsCache]]): 0 when the tree
-    * references no recorded name (fully inlined — the common case,
-    * letting a recorded spelling share cached chunks with its
-    * hand-written expansion), the structural hash of the standing rule
-    * map otherwise (a non-inlinable recorded selector reads the map at
-    * compile time, so two servers in one JVM with different rule files
-    * must never share its chunks, and a rule-file change must read as a
-    * different state). Ast case classes hash structurally, so equal
-    * rule files fingerprint equal however they were spelled.
+  /** The rule state a POST-inline Ast still depends on — a cache-key
+    * ingredient ([[ResultsCache]]): empty when the tree references no
+    * recorded name (fully inlined — the common case, letting a recorded
+    * spelling share cached chunks with its hand-written expansion), the
+    * standing rule map ITSELF otherwise (a non-inlinable recorded
+    * selector reads the map at compile time, so two servers in one JVM
+    * with different rule files must never share its chunks, and a
+    * rule-file change must read as a different state). The key carries
+    * the MAP, not a hash of it: Ast case classes compare structurally,
+    * and a 32-bit fingerprint would let two different rule files
+    * collide into each other's cached chunks.
     */
-  private[graft] def residualRulesFingerprint(ast: Ast): Int =
-    if (recordedRules.value.isEmpty) 0
+  private[graft] def residualRules(ast: Ast): Map[String, (Ast, Long)] =
+    if (recordedRules.value.isEmpty) Map.empty
     else {
       var hit = false
       def walk(a: Ast): Unit = a match {
@@ -152,7 +153,7 @@ object Compiler {
         case LabelFunc(_, _, arg) => walk(arg)
       }
       walk(ast)
-      if (hit) recordedRules.value.hashCode() else 0
+      if (hit) recordedRules.value else Map.empty
     }
 
   /** The internal marker wrapping an inlined NAME-RETAINING recording
@@ -313,21 +314,7 @@ object Compiler {
     }
     val v = expanding.withValue(expanding.value + sel.name)(
       compileVec(spark, dir, Ast.resolveAtEdges(ruleAst, None, None), shiftEff))
-    val named =
-      if (v.labels.contains("name")) v.df.withColumn("name", lit(sel.name))
-      else v.df
-    val f = sel.matchers.filterNot(_.label == "__name__")
-      .foldLeft(lit(true)) { (acc, m) =>
-        val cn = labelCol(m.label)
-        val c = if (v.labels.contains(cn)) col(cn) else lit("")
-        acc && (m.op match {
-          case "=" => c === m.value
-          case "!=" => c =!= m.value
-          case "=~" => c.rlike(s"^(?:${m.value})$$")
-          case "!~" => !c.rlike(s"^(?:${m.value})$$")
-        })
-      }
-    Vec(named.filter(f), v.labels)
+    Vec(recordedGridPostHoc(v.df, v.labels, sel), v.labels)
   }
 
   /** Range functions a recorded series supports (the sample-grid walk
@@ -381,7 +368,8 @@ object Compiler {
         s"(supported: ${RecordedRangeFns.toSeq.sorted.mkString(", ")})")
     if (expanding.value.contains(sel.name))
       fail(s"recording rule '${sel.name}' is (transitively) self-referential")
-    val d = sel.rangeS.get
+    val d = sel.rangeS.getOrElse(
+      fail(s"$fn requires a range selector, e.g. $fn(${sel.name}[5m])"))
     if (d < ivS || d % ivS != 0)
       fail(s"range (${d}s) over recorded series '${sel.name}' must be a " +
         s"positive multiple of its evaluation interval (${ivS}s)")
@@ -395,24 +383,9 @@ object Compiler {
     val resolved = Ast.resolveAtEdges(ruleAst, None, None)
     val (grid0, labels) = expanding.withValue(expanding.value + sel.name)(
       recordedSampleGrid(spark, dir, resolved, shiftEff, g, ivS, withBaseline))
-    // the rule loop writes samples named by the RECORD (when the rule
-    // vector retains a name at all), and matchers read the recorded
-    // vector's labels — both exactly as the instant path
-    val named =
-      if (labels.contains("name")) grid0.withColumn("name", lit(sel.name))
-      else grid0
-    val flt = sel.matchers.filterNot(_.label == "__name__")
-      .foldLeft(lit(true)) { (acc, m) =>
-        val cn = labelCol(m.label)
-        val c = if (labels.contains(cn)) col(cn) else lit("")
-        acc && (m.op match {
-          case "=" => c === m.value
-          case "!=" => c =!= m.value
-          case "=~" => c.rlike(s"^(?:${m.value})$$")
-          case "!~" => !c.rlike(s"^(?:${m.value})$$")
-        })
-      }
-    val grid = named.filter(flt)
+    // the rule loop writes samples named by the RECORD and matchers read
+    // the recorded vector's labels — the shared post-hoc transform
+    val grid = recordedGridPostHoc(grid0, labels, sel)
     val sk = labels.map(col)
     fn match {
       case "rate" | "increase" =>

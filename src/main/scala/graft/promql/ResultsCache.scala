@@ -82,9 +82,9 @@ object ResultsCache {
   private def epoch(spark: SparkSession, dir: String): Long =
     Option(epochs.get((spark, dir))).map(_.longValue).getOrElse(0L)
 
-  private final case class Key(dir: String, epoch: Long, rulesFp: Int,
-      ast: Ast, stepS: Long, chunkBase: Long, msr: Option[Long],
-      nf: Seq[String])
+  private final case class Key(dir: String, epoch: Long,
+      rules: Map[String, (Ast, Long)], ast: Ast, stepS: Long,
+      chunkBase: Long, msr: Option[Long], nf: Seq[String])
 
   /** Instant-query cache key: the post-inline Ast + the request's
     * explicit `time` (None = the corpus instant — itself fixed for a
@@ -93,8 +93,9 @@ object ResultsCache {
     * query resolve against the evaluation time, which is IN the key,
     * so unresolved edges cannot cross-poison entries.
     */
-  private final case class InstKey(dir: String, epoch: Long, rulesFp: Int,
-      ast: Ast, timeS: Option[Long], nf: Seq[String])
+  private final case class InstKey(dir: String, epoch: Long,
+      rules: Map[String, (Ast, Long)], ast: Ast, timeS: Option[Long],
+      nf: Seq[String])
 
   private type Chunk = Map[String, Vector[(Long, String)]]
 
@@ -141,7 +142,7 @@ object ResultsCache {
       timeS: Option[Long] = None): String = {
     val ast = Compiler.inlineRecorded(spark, dir, Parser.parse(query))
     val key = InstKey(dir, epoch(spark, dir),
-      Compiler.residualRulesFingerprint(ast), ast, timeS,
+      Compiler.residualRules(ast), ast, timeS,
       nativeFamilies.toSeq.sorted)
     lock.synchronized(Option(instLru.get(key))) match {
       case Some(hit) =>
@@ -187,7 +188,7 @@ object ResultsCache {
     def base(t: Long): Long = t - Math.floorMod(t - phase, span)
     val nfKey = nativeFamilies.toSeq.sorted
     val ep = epoch(spark, dir)
-    val rulesFp = Compiler.residualRulesFingerprint(ast)
+    val rulesFp = Compiler.residualRules(ast)
 
     def compute(cs: Long, ce: Long): Chunk =
       Compiler.withNativeFamilies(nativeFamilies) {

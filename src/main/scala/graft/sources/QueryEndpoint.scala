@@ -114,19 +114,10 @@ object QueryEndpoint {
       contentType: String = ContentType): Unit = {
     val plain = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // content negotiation like upstream's httputil wrapper: a client
-    // advertising `Accept-Encoding: gzip` gets the identical bytes
-    // gzip-framed (matters for big matrix responses over real networks)
-    val wantsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
-      .exists(_.toLowerCase.split(',').map(_.trim.takeWhile(_ != ';'))
-        .contains("gzip"))
-    val bytes =
-      if (wantsGzip) {
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        try gz.write(plain) finally gz.close()
-        ex.getResponseHeaders.set("Content-Encoding", "gzip")
-        bos.toByteArray
-      } else plain
+    // advertising `Accept-Encoding: gzip` (with positive q) gets the
+    // identical bytes gzip-framed — shared negotiation logic with the
+    // exposition door
+    val bytes = ScrapeEndpoint.gzipIfAccepted(ex, plain)
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody

@@ -83,19 +83,27 @@ object RemoteRead {
       }
       fail("varint exceeds 64 bits")
     }
+    // every length-delimited read validates BEFORE advancing: a crafted
+    // length (negative after .toInt, or past the limit) must 400, never
+    // rewind `pos` (a rewound skip loops the single-threaded server
+    // forever) or bleed across message boundaries
+    def lenEnd(limit: Int): Int = {
+      val l = varint(limit)
+      if (l < 0 || l > limit - pos) fail("invalid length")
+      pos + l.toInt
+    }
     def skip(wire: Int, limit: Int): Unit = wire match {
       case 0 => varint(limit)
       case 1 => pos += 8
-      case 2 => val len = varint(limit); pos += len.toInt
+      case 2 => pos = lenEnd(limit)
       case 5 => pos += 4
       case w => fail(s"unsupported wire type $w")
     }
     def str(limit: Int): String = {
-      val len = varint(limit).toInt
-      if (pos + len > limit) fail("truncated string")
-      val s = new String(bytes, pos, len,
+      val e2 = lenEnd(limit)
+      val s = new String(bytes, pos, e2 - pos,
         java.nio.charset.StandardCharsets.UTF_8)
-      pos += len
+      pos = e2
       s
     }
     def matcher(limit: Int): Matcher = {
@@ -125,10 +133,7 @@ object RemoteRead {
           case (1, 0) => startMs = varint(limit)
           case (2, 0) => endMs = varint(limit)
           case (3, 2) =>
-            val len = varint(limit).toInt
-            val until = pos + len
-            if (until > limit) fail("truncated matcher")
-            ms += matcher(until)
+            ms += matcher(lenEnd(limit))
           case (_, w) => skip(w, limit) // hints & future fields
         }
       }
@@ -142,10 +147,7 @@ object RemoteRead {
       val tag = varint(end)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
         case (1, 2) =>
-          val len = varint(end).toInt
-          val until = pos + len
-          if (until > end) fail("truncated query")
-          qs += query(until)
+          qs += query(lenEnd(end))
         case (_, w) => skip(w, end) // accepted_response_types etc.
       }
     }
@@ -247,15 +249,19 @@ object RemoteRead {
       val tag = varint(end)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
         case (1, 2) =>
-          val len = varint(end).toInt
-          if (pos + len > end) fail("truncated result")
+          val l = varint(end)
+          if (l < 0 || l > end - pos) fail("invalid length")
+          val len = l.toInt
           out += RemoteWrite.walk(
             java.util.Arrays.copyOfRange(bytes, pos, pos + len))
           pos += len
         case (_, w) => w match {
           case 0 => varint(end)
           case 1 => pos += 8
-          case 2 => val l = varint(end).toInt; pos += l
+          case 2 =>
+            val l = varint(end)
+            if (l < 0 || l > end - pos) fail("invalid length")
+            pos += l.toInt
           case 5 => pos += 4
           case x => fail(s"unsupported wire type $x")
         }
@@ -292,14 +298,17 @@ object RemoteRead {
       val tag = varint(end)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
         case (2, 2) => // packed
-          val pl = varint(end).toInt
-          val until = pos + pl
-          if (until > end) fail("truncated accepted_response_types")
+          val pl = varint(end)
+          if (pl < 0 || pl > end - pos) fail("truncated accepted_response_types")
+          val until = pos + pl.toInt
           while (pos < until) out += varint(until)
         case (2, 0) => out += varint(end) // unpacked
         case (_, 0) => varint(end)
         case (_, 1) => pos += 8
-        case (_, 2) => val l = varint(end).toInt; pos += l
+        case (_, 2) =>
+          val l = varint(end)
+          if (l < 0 || l > end - pos) fail("invalid length")
+          pos += l.toInt
         case (_, 5) => pos += 4
         case (_, w) => fail(s"unsupported wire type $w")
       }
@@ -386,20 +395,27 @@ object RemoteRead {
       }
       fail("varint exceeds 64 bits")
     }
+    // bounds-checked lengths BEFORE advancing (a crafted length must
+    // 400, never rewind pos or bleed across message boundaries)
+    def lenEnd(limit: Int): Int = {
+      val l = varint(limit)
+      if (l < 0 || l > limit - pos) fail("invalid length")
+      pos + l.toInt
+    }
     def str(limit: Int): String = {
-      val len = varint(limit).toInt
-      if (pos + len > limit) fail("truncated string")
-      val s = new String(bytes, pos, len,
+      val e2 = lenEnd(limit)
+      val s = new String(bytes, pos, e2 - pos,
         java.nio.charset.StandardCharsets.UTF_8)
-      pos += len
+      pos = e2
       s
     }
     val crc = new java.util.zip.CRC32C()
     val out = Vector.newBuilder[(Long, Series)]
     val end = bytes.length
     while (pos < end) {
-      val len = varint(end).toInt
-      if (pos + 4 + len > end) fail("truncated frame")
+      val l0 = varint(end)
+      if (l0 < 0 || l0 > end - pos - 4) fail("truncated frame")
+      val len = l0.toInt
       val want = ((bytes(pos) & 0xFFL) << 24) | ((bytes(pos + 1) & 0xFFL) << 16) |
         ((bytes(pos + 2) & 0xFFL) << 8) | (bytes(pos + 3) & 0xFFL)
       pos += 4
@@ -412,17 +428,14 @@ object RemoteRead {
         val tag = varint(frameEnd)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
           case (1, 2) => // ChunkedSeries
-            val csLen = varint(frameEnd).toInt
-            val csEnd = pos + csLen
-            if (csEnd > frameEnd) fail("truncated chunked series")
+            val csEnd = lenEnd(frameEnd)
             val labels = Vector.newBuilder[(String, String)]
             val samples = Vector.newBuilder[(Double, Long)]
             while (pos < csEnd) {
               val t2 = varint(csEnd)
               ((t2 >> 3).toInt, (t2 & 7).toInt) match {
                 case (1, 2) => // Label
-                  val lLen = varint(csEnd).toInt
-                  val lEnd = pos + lLen
+                  val lEnd = lenEnd(csEnd)
                   var n = ""
                   var v = ""
                   while (pos < lEnd) {
@@ -431,14 +444,13 @@ object RemoteRead {
                       case (1, 2) => n = str(lEnd)
                       case (2, 2) => v = str(lEnd)
                       case (_, 0) => varint(lEnd)
-                      case (_, 2) => val l = varint(lEnd).toInt; pos += l
+                      case (_, 2) => pos = lenEnd(lEnd)
                       case (_, w) => fail(s"unsupported wire type $w")
                     }
                   }
                   labels += ((n, v))
                 case (2, 2) => // Chunk
-                  val cLen = varint(csEnd).toInt
-                  val cEnd = pos + cLen
+                  val cEnd = lenEnd(csEnd)
                   var typ = 0L
                   var data: Array[Byte] = Array.empty
                   while (pos < cEnd) {
@@ -446,26 +458,25 @@ object RemoteRead {
                     ((t3 >> 3).toInt, (t3 & 7).toInt) match {
                       case (3, 0) => typ = varint(cEnd)
                       case (4, 2) =>
-                        val dl = varint(cEnd).toInt
-                        if (pos + dl > cEnd) fail("truncated chunk data")
-                        data = java.util.Arrays.copyOfRange(bytes, pos, pos + dl)
-                        pos += dl
+                        val dEnd = lenEnd(cEnd)
+                        data = java.util.Arrays.copyOfRange(bytes, pos, dEnd)
+                        pos = dEnd
                       case (_, 0) => varint(cEnd) // min/max advisory
-                      case (_, 2) => val l = varint(cEnd).toInt; pos += l
+                      case (_, 2) => pos = lenEnd(cEnd)
                       case (_, w) => fail(s"unsupported wire type $w")
                     }
                   }
                   if (typ != 1L) fail(s"unsupported chunk encoding $typ (XOR only)")
                   samples ++= XorChunk.decode(data).map { case (t, v) => (v, t) }
                 case (_, 0) => varint(csEnd)
-                case (_, 2) => val l = varint(csEnd).toInt; pos += l
+                case (_, 2) => pos = lenEnd(csEnd)
                 case (_, w) => fail(s"unsupported wire type $w")
               }
             }
             series = Some(Series(labels.result(), samples.result()))
           case (2, 0) => qIdx = varint(frameEnd)
           case (_, 0) => varint(frameEnd)
-          case (_, 2) => val l = varint(frameEnd).toInt; pos += l
+          case (_, 2) => pos = lenEnd(frameEnd)
           case (_, w) => fail(s"unsupported wire type $w")
         }
       }

@@ -86,6 +86,32 @@ object ScrapeEndpoint {
     * registered handler. The server runs on its own dispatcher thread
     * and holds no Spark state — stop it with `server.stop(0)`.
     */
+  /** Gzip content negotiation shared by every HTTP door: frame `plain`
+    * with gzip (setting `Content-Encoding`) iff the client's
+    * `Accept-Encoding` lists gzip with a positive q-value — a client
+    * sending `gzip;q=0` has explicitly REFUSED gzip (RFC 7231 §5.3.4)
+    * and must get identity bytes.
+    */
+  private[sources] def gzipIfAccepted(ex: HttpExchange,
+      plain: Array[Byte]): Array[Byte] = {
+    val wantsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.toLowerCase.split(',').exists { entry =>
+        val parts = entry.split(';').map(_.trim)
+        parts.headOption.contains("gzip") &&
+          !parts.tail.exists(p => p.startsWith("q=") &&
+            (try p.stripPrefix("q=").toDouble <= 0.0
+             catch { case _: NumberFormatException => false }))
+      })
+    if (!wantsGzip) plain
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      try gz.write(plain) finally gz.close()
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      bos.toByteArray
+    }
+  }
+
   def start(port: Int = 0): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     server.createContext("/metrics", new HttpHandler {
@@ -97,18 +123,7 @@ object ScrapeEndpoint {
         // a real Prometheus scrapes with Accept-Encoding: gzip — serve
         // the identical payload gzip-framed when asked (identity stays
         // the default for curl/humans)
-        val wantsGzip = Option(
-          ex.getRequestHeaders.getFirst("Accept-Encoding"))
-          .exists(_.toLowerCase.split(',').map(_.trim.takeWhile(_ != ';'))
-            .contains("gzip"))
-        val body =
-          if (wantsGzip) {
-            val bos = new java.io.ByteArrayOutputStream()
-            val gz = new java.util.zip.GZIPOutputStream(bos)
-            try gz.write(plain) finally gz.close()
-            ex.getResponseHeaders.set("Content-Encoding", "gzip")
-            bos.toByteArray
-          } else plain
+        val body = gzipIfAccepted(ex, plain)
         ex.getResponseHeaders.set("Content-Type",
           if (om) OpenMetricsContentType else ContentType)
         ex.sendResponseHeaders(200, body.length.toLong)

@@ -1609,6 +1609,11 @@ class PromQLFrontendSpec extends SparkTestBase {
     val e1 = intercept[PromQLCompileException](Engine.eval(spark, dir,
       "rate(k_total[36h])", recordingRules = rules).collect())
     assert(e1.getMessage.contains("multiple of its evaluation interval"))
+    // a RANGE function without a [range] is the compose-time error,
+    // never a raw None.get
+    val e1b = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "rate(k_total)", recordingRules = rules).collect())
+    assert(e1b.getMessage.contains("requires a range selector"))
     val e2 = intercept[PromQLCompileException](Engine.eval(spark, dir,
       "deriv(k_total[1d])", recordingRules = rules).collect())
     assert(e2.getMessage.contains("not supported"))

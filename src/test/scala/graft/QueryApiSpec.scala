@@ -157,6 +157,17 @@ class QueryApiSpec extends SparkTestBase {
           java.nio.charset.StandardCharsets.UTF_8)
         assert(body === Api.queryJson(spark, dir, q))
       } finally conn.disconnect()
+      // gzip;q=0 is an explicit REFUSAL (RFC 7231): identity bytes
+      val c2 = new URL(s"http://127.0.0.1:$port/api/v1/query?query=${enc(q)}")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      c2.setRequestProperty("Accept-Encoding", "gzip;q=0, identity")
+      try {
+        assert(c2.getResponseCode === 200)
+        assert(c2.getHeaderField("Content-Encoding") === null)
+        assert(new String(c2.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) ===
+          Api.queryJson(spark, dir, q))
+      } finally c2.disconnect()
     } finally server.stop(0)
   }
 

@@ -187,6 +187,56 @@ class RemoteReadSpec extends SparkTestBase {
     assert(e.getMessage.contains("checksum"))
   }
 
+  test("crafted lengths fail loud: negative-after-truncation and past-limit varints") {
+    // field 3 / wire 2 with length varint 0xFFFFFFFA (= -6 as an Int):
+    // an unchecked skip would REWIND pos and spin the single-threaded
+    // server forever — every walker must 400 instead
+    val evil = RemoteWrite.hexBytes("1AFAFFFFFF0F")
+    intercept[IllegalArgumentException](RemoteRead.walkRequest(evil))
+    intercept[IllegalArgumentException](RemoteRead.acceptedTypes(evil))
+    intercept[IllegalArgumentException](RemoteRead.walkResponse(evil))
+    // a length past the limit must not bleed across message boundaries
+    val overrun = RemoteRead.encodeRequest(Seq(all)).clone()
+    // first query's declared length points past the body
+    overrun(1) = 0x7E.toByte
+    intercept[IllegalArgumentException](RemoteRead.walkRequest(overrun))
+    // streamed frames: corrupt a ChunkedSeries length inside a valid
+    // CRC'd frame — re-frame the tampered data so only the inner
+    // length is wrong
+    val s = RemoteRead.seriesFor(spark, dir, all).head
+    val frames = RemoteRead.encodeStreamed(Seq(Seq(s)))
+    var p = 0
+    while ((frames(p) & 0x80) != 0) p += 1 // skip the frame-len varint
+    val data = java.util.Arrays.copyOfRange(frames, p + 5, frames.length)
+    data(1) = 0x7F.toByte // ChunkedSeries length past the frame
+    val crc = new java.util.zip.CRC32C()
+    crc.update(data, 0, data.length)
+    val reframed = new java.io.ByteArrayOutputStream()
+    reframed.write(data.length) // < 128, one varint byte
+    val c = crc.getValue
+    reframed.write(((c >> 24) & 0xFF).toInt); reframed.write(((c >> 16) & 0xFF).toInt)
+    reframed.write(((c >> 8) & 0xFF).toInt); reframed.write((c & 0xFF).toInt)
+    reframed.write(data, 0, data.length)
+    val e = intercept[IllegalArgumentException](
+      RemoteRead.walkStreamed(reframed.toByteArray))
+    assert(e.getMessage.contains("invalid length") ||
+      e.getMessage.contains("truncated"))
+    // ...and over HTTP the door answers 400, the server stays alive
+    val server = QueryEndpoint.start(spark, dir)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/read"
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(RemoteWrite.compress(evil)) finally os.close()
+      assert(conn.getResponseCode === 400)
+      conn.disconnect()
+      assert(RemoteRead.fetch(url, all).nonEmpty, "server must still serve")
+    } finally server.stop(0)
+  }
+
   test("HTTP: a streamed-first client reads the same series as a SAMPLES client") {
     val server = QueryEndpoint.start(spark, dir)
     try {
