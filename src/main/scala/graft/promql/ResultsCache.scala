@@ -37,9 +37,10 @@ import org.apache.spark.sql.SparkSession
   *  - the standing recording-rule file travels in the key twice over:
   *    rules are inlined into the Ast BEFORE keying (so a recorded name
   *    caches under its meaning, and shares chunks with its hand-written
-  *    expansion), and the effective rule map's structural fingerprint
-  *    keys the non-inlinable residue — two servers in one JVM with
-  *    different rule files never share chunks.
+  *    expansion), and the effective rule MAP itself keys the
+  *    non-inlinable residue (structural equality — a 32-bit hash could
+  *    collide two rule files into each other's chunks) — two servers in
+  *    one JVM with different rule files never share chunks.
   *
   * Rendering goes through the same [[Api.seriesSamples]] fragments as
   * the direct path, so cached responses are byte-identical (spec-pinned
@@ -66,7 +67,7 @@ object ResultsCache {
     * makes every prior chunk unreachable: the next request recomputes
     * against the new state (Cortex invalidates its results cache on
     * exactly these paths). Rule-file state travels separately in the
-    * key ([[Compiler.recordedRulesFingerprint]]).
+    * key ([[Compiler.residualRules]]).
     */
   private val epochs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.lang.Long]()
