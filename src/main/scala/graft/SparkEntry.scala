@@ -217,6 +217,12 @@ object SparkEntry {
     // + CRC frames, decoded back to the identical sample relation
     "a1w_remote_read_streamed" -> ((s, d) =>
       sources.RemoteRead.wireReadStreamedGate(s, d)),
+    // native-histogram families over the streamed face: HISTOGRAM
+    // (type 2) chunks — layout-change chunk cuts, negative buckets,
+    // delta/sum-XOR arms — decoded back and span-walked to the
+    // hand-derived bucket relation
+    "a1x_remote_read_hist_chunks" -> ((s, d) =>
+      sources.RemoteRead.wireReadHistGate(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -590,6 +596,25 @@ object SparkEntry {
       recordingRules = Seq(promql.Rules.RecordingRule(
         "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
       .orderBy(col("label_k"), col("t_s"))),
+    // the recorded-range EXOTIC tail (the r14 refusal, replaced):
+    // deriv fits the b25 exact-integer least squares to the rule
+    // lattice's cumulative snapshots — the Grafana capacity panel over
+    // a recording rule
+    "p108_promql_recorded_deriv" -> ((s, d) => promql.Engine.eval(s, d,
+      "deriv(k_total6h[2d])",
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))),
+    // predict_linear = the same lattice fit extrapolated to T + 1h
+    "p109_promql_recorded_predict" -> ((s, d) => promql.Engine.eval(s, d,
+      "predict_linear(k_total6h[2d], 3600)",
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))),
+    // irate = the last two lattice instants, reset-aware, over one
+    // evaluation interval
+    "p110_promql_recorded_irate" -> ((s, d) => promql.Engine.eval(s, d,
+      "irate(k_total6h[12h])",
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
     "b31_series_functions" -> ((s, d) => PromQL.seriesFunctions(s, d)),
     "b32_absent_over_time" -> ((s, d) => PromQL.absentOverTime(s, d)),
@@ -959,6 +984,7 @@ object SparkEntry {
     "a1u_otlp_summary" -> sources.Otlp.OtlpSummarySql,
     "a1v_remote_read" -> sources.RemoteRead.WireReadGateSql,
     "a1w_remote_read_streamed" -> sources.RemoteRead.WireReadGateSql,
+    "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,
@@ -1070,6 +1096,9 @@ object SparkEntry {
     "p102_pyramid_hist_sum" -> promql.Oracle.PyramidHistScalarSql,
     "p103_promql_recorded" -> promql.Oracle.RecordedTopkSql,
     "p104_promql_recorded_rate" -> promql.Oracle.RecordedRateSql,
+    "p108_promql_recorded_deriv" -> promql.Oracle.RecordedDerivSql,
+    "p109_promql_recorded_predict" -> promql.Oracle.RecordedPredictSql,
+    "p110_promql_recorded_irate" -> promql.Oracle.RecordedIrateSql,
     "p105_recorded_grid_renamed" -> promql.Oracle.RecordedGridRenamedSql,
     "p106_recorded_grid_rate" -> promql.Oracle.RecordedGridRateSql,
     "p107_recorded_grid_avg" -> promql.Oracle.RecordedGridOverTimeSql,

@@ -318,13 +318,26 @@ object Compiler {
   }
 
   /** Range functions a recorded series supports (the sample-grid walk
-    * below); the exotic tail (irate/deriv/holt-winters/...) refuses
-    * loudly rather than silently approximating on a coarse rule grid.
+    * below); the remaining exotic tail (holt-winters/changes/resets/
+    * quantiles/...) refuses loudly rather than silently approximating
+    * on a coarse rule grid.
     */
   private val RecordedRangeFns: Set[String] = Set(
     "rate", "increase", "delta",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
-    "count_over_time", "last_over_time", "present_over_time")
+    "count_over_time", "last_over_time", "present_over_time",
+    "irate", "idelta", "deriv", "predict_linear")
+
+  /** The recorded-range functions that run on exact integer CENTS of
+    * the rule's sample values (the engine's 2-decimal sample
+    * convention): a fast-shape rule (a bare selector or `sum by` of
+    * one) sums raw 2-decimal samples, so its cents are exact and the
+    * closed-form walks reproduce bit-for-bit on any engine. Arbitrary
+    * rule expressions (rates, ratios) carry 12-decimal derived values a
+    * cents quantization would silently coarsen — those refuse loudly.
+    */
+  private val RecordedCentsFns: Set[String] = Set(
+    "irate", "idelta", "deriv", "predict_linear")
 
   /** A RANGE selector over a RECORDED series: upstream's rule loop
     * writes a sample of `record` at every evaluation interval, and a
@@ -381,6 +394,10 @@ object Compiler {
     }
     val withBaseline = fn == "rate" || fn == "increase"
     val resolved = Ast.resolveAtEdges(ruleAst, None, None)
+    if (RecordedCentsFns.contains(fn) && recordedFastShape(resolved).isEmpty)
+      fail(s"$fn over recorded series '${sel.name}' needs a selector or " +
+        "sum-by rule shape (the exact-integer walk); query the rule's " +
+        "expression directly for other shapes")
     val (grid0, labels) = expanding.withValue(expanding.value + sel.name)(
       recordedSampleGrid(spark, dir, resolved, shiftEff, g, ivS, withBaseline))
     // the rule loop writes samples named by the RECORD and matchers read
@@ -412,6 +429,55 @@ object Compiler {
           .agg(max_by(col("value"), col("_i")).as("value")), labels)
       case "present_over_time" =>
         Vec(grid.groupBy(sk: _*).agg(max(lit(1.0)).as("value")), labels)
+      case "irate" | "idelta" =>
+        // the LAST TWO rule instants in the window (the left-open
+        // window holds g = d/iv samples; a series with only one —
+        // g == 1, or born at the final instant — returns nothing,
+        // upstream's two-sample requirement). Recorded series are
+        // untyped float series upstream (the rule loop writes plain
+        // samples), so no family-kind check applies — irate reads
+        // reset-aware, idelta reads last − previous, on any rule.
+        val m = grid
+          .withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          .filter(col("_i") >= g - 1)
+          .groupBy(sk: _*)
+          .agg(max(when(col("_i") === g, col("_cents"))).as("_c1"),
+            max(when(col("_i") === g - 1, col("_cents"))).as("_c2"))
+          .filter(col("_c1").isNotNull && col("_c2").isNotNull)
+        val v =
+          if (fn == "idelta") (col("_c1") - col("_c2")).cast("double") / 100.0
+          else when(col("_c1") >= col("_c2"), col("_c1") - col("_c2"))
+            .otherwise(col("_c1")).cast("double") / 100.0 / lit(ivS.toDouble)
+        Vec(m.select(sk :+ v.as("value"): _*), labels)
+      case "deriv" | "predict_linear" =>
+        // exact-integer least squares on the rule lattice — the b25
+        // construction carried onto recorded samples: x = i·iv whole
+        // seconds since the window start T−d (instant i sits at
+        // T−d+i·iv), y = exact cents; five BIGINT sums in ONE
+        // map-side-combinable aggregate, closed-form divisions in the
+        // identical order as the oracle. A series present at a single
+        // instant has zero x-variance and returns nothing (upstream's
+        // degenerate-fit rule).
+        val c = grid
+          .withColumn("_cents", round(col("value") * 100, 0).cast("long"))
+          .withColumn("_x", col("_i") * lit(ivS))
+        val a = c.groupBy(sk: _*)
+          .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+            sum(col("_cents")).as("_sy"),
+            sum(col("_x") * col("_cents")).as("_sxy"),
+            sum(col("_x") * col("_x")).as("_sxx"))
+          .filter(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0L)
+        val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+        val v =
+          if (fn == "deriv") slope / 100.0
+          else {
+            val horizon = param.getOrElse(
+              fail("predict_linear needs a horizon parameter in seconds"))
+            ((col("_sy").cast("double") - slope * col("_sx").cast("double")) /
+              col("_n").cast("double") + slope * lit(d.toDouble + horizon)) / 100.0
+          }
+        Vec(a.select(sk :+ v.as("value"): _*), labels)
       case other =>
         Vec(overTimeCollapse(other, grid, labels), labels)
     }
@@ -489,8 +555,8 @@ object Compiler {
     else if (MetricEvent.HistogramNames.contains(name)) "histogram"
     else if (recordedRules.value.contains(name))
       fail(s"recorded series '$name' cannot be used here (supported over " +
-        "recorded names: instant selectors and rate/increase/delta/" +
-        "*_over_time range selectors)")
+        "recorded names: instant selectors and rate/increase/delta/irate/" +
+        "deriv/predict_linear/*_over_time range selectors)")
     else fail(s"unknown metric family '$name' (compose-time check)")
 
   /** The label universe: PromQL label name → event-view column. Series
@@ -994,6 +1060,16 @@ object Compiler {
     */
   private def histogramObs(spark: SparkSession, dir: String, fn: String,
       sel: Selector, windowD: Option[Long], shiftS: Long): DataFrame = {
+    // upstream parity: recording rules store FLOAT samples, so a
+    // histogram function can never read a recorded name — the refusal
+    // teaches the rule idiom upstream's docs do (record the bucket
+    // series with their `le` labels and quantile the raw family)
+    if (recordedRules.value.contains(sel.name))
+      fail(s"$fn over recorded series '${sel.name}' is not supported: " +
+        "recording rules store float samples, not histograms. Record " +
+        "the bucket series instead — `record: job:latency_bucket:rate5m` " +
+        "with `expr: sum by (le) (rate(<family>_bucket[5m]))` — and " +
+        s"apply $fn to that family, keeping the `le` label")
     if (kindOf(sel.name) != "histogram")
       fail(s"$fn expects a histogram family, '${sel.name}' is a ${kindOf(sel.name)}")
     val hi = selectorBound(sel, shiftS)

@@ -119,6 +119,90 @@ object Oracle {
        |SELECT label_k, CAST(dv AS DOUBLE) / CAST(345600 AS DOUBLE) AS value
        |FROM inc ORDER BY label_k""".stripMargin
 
+  /** `deriv(k_total6h[2d])` under the standing 6h sum-by rule — the
+    * recorded lattice's 8 in-window instants re-derived as cumulative
+    * cents snapshots (events ≤ instant, the counter-grid clamping), then
+    * the exact-integer least squares of b25: x = i·21600 s since the
+    * window start, five HUGEINT sums, closed-form slope in the identical
+    * division order as the compiler.
+    */
+  val RecordedDerivSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT i FROM generate_series(1, 8) g(i)),
+       |snap AS (
+       |  SELECT label_k, i,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (8 - i) * 21600000000
+       |  GROUP BY label_k, i),
+       |ls AS (
+       |  SELECT label_k, COUNT(*) AS n, SUM(x) AS sx, SUM(cents) AS sy,
+       |    SUM(x * cents) AS sxy, SUM(x * x) AS sxx
+       |  FROM (SELECT label_k, i * 21600 AS x, cents FROM snap) s
+       |  GROUP BY label_k)
+       |SELECT label_k,
+       |  CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS value
+       |FROM ls WHERE n * sxx - sx * sx <> 0
+       |ORDER BY label_k""".stripMargin
+
+  /** `predict_linear(k_total6h[2d], 3600)` — the deriv lattice walk plus
+    * the intercept extrapolated to T + 1h (x = d + horizon = 176400 s),
+    * every double op in the compiler's order.
+    */
+  val RecordedPredictSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT i FROM generate_series(1, 8) g(i)),
+       |snap AS (
+       |  SELECT label_k, i,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (8 - i) * 21600000000
+       |  GROUP BY label_k, i),
+       |ls AS (
+       |  SELECT label_k, COUNT(*) AS n, SUM(x) AS sx, SUM(cents) AS sy,
+       |    SUM(x * cents) AS sxy, SUM(x * x) AS sxx
+       |  FROM (SELECT label_k, i * 21600 AS x, cents FROM snap) s
+       |  GROUP BY label_k),
+       |sl AS (
+       |  SELECT label_k, n, sx, sy,
+       |    CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+       |  FROM ls WHERE n * sxx - sx * sx <> 0)
+       |SELECT label_k,
+       |  ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE) + slope * 176400.0) / 100.0 AS value
+       |FROM sl ORDER BY label_k""".stripMargin
+
+  /** `irate(k_total6h[12h])` — the last two lattice instants (T−6h, T)
+    * as cumulative cents snapshots; series born inside the final
+    * interval have no T−6h sample and return nothing (upstream's
+    * two-sample rule); reset-aware difference over 21600 s.
+    */
+  val RecordedIrateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT i FROM generate_series(1, 2) g(i)),
+       |snap AS (
+       |  SELECT label_k, i,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (2 - i) * 21600000000
+       |  GROUP BY label_k, i),
+       |pair AS (
+       |  SELECT a.label_k, a.cents AS c1, b.cents AS c2
+       |  FROM snap a JOIN snap b ON a.label_k = b.label_k
+       |  WHERE a.i = 2 AND b.i = 1)
+       |SELECT label_k,
+       |  CAST(CASE WHEN c1 >= c2 THEN c1 - c2 ELSE c1 END AS DOUBLE)
+       |    / 100.0 / 21600.0 AS value
+       |FROM pair ORDER BY label_k""".stripMargin
+
   /** `limitk by (k) (1, purchase)` — one series per k group chosen by
     * the deterministic label-identity hash (md5 ascending, labels
     * tiebreak), mirroring the compiler's ranking window exactly.

@@ -165,7 +165,8 @@ object QueryEndpoint {
       scrapeTargets: Seq[ScrapeLoop] = Nil,
       remoteWrite: Option[RemoteWriteSink] = None,
       resultsCache: Boolean = false,
-      alertmanagers: Seq[(String, AlertNotifier)] = Nil): HttpServer = {
+      alertmanagers: Seq[(String, AlertNotifier)] = Nil,
+      readSampleLimit: Long = RemoteRead.DefaultSampleLimit): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     // remote-write receiver: POST of a snappy-framed WriteRequest; 204
     // on accept (upstream's receiver contract), 400 on malformed bytes,
@@ -200,30 +201,42 @@ object QueryEndpoint {
     })
     // remote READ: the outbound arrow of the wire contract — POST of a
     // snappy-framed ReadRequest, answered with a snappy-framed
-    // ReadResponse of raw sample frames (SAMPLES response type, the
-    // protocol's mandatory baseline); malformed bytes 400, non-POST 405
+    // ReadResponse (SAMPLES, the mandatory baseline) or CRC-framed XOR
+    // chunks (the streamed face a Thanos querier asks for by default,
+    // served INCREMENTALLY — chunked transfer, frames leave as the
+    // ordered scan produces them, driver memory stays bounded);
+    // malformed bytes 400, selection over the sample budget 413,
+    // non-POST 405. Everything that can fail cleanly runs in
+    // prepareRead BEFORE response headers commit.
     server.createContext("/api/v1/read", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try {
           if (ex.getRequestMethod != "POST") {
             respond(ex, 405, errorBody("remote read requires POST"))
           } else {
-            // negotiated: SAMPLES (snappy protobuf) or the streamed
-            // XOR-chunk frames a Thanos querier asks for by default
-            val ans = RemoteRead.serveNegotiated(spark, dir,
-              ex.getRequestBody.readAllBytes())
-            if (ans.streamed) {
-              ex.getResponseHeaders.set("Content-Type",
-                "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
-            } else {
-              ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
-              ex.getResponseHeaders.set("Content-Encoding", "snappy")
+            val prepared = RemoteRead.prepareRead(spark, dir,
+              ex.getRequestBody.readAllBytes(),
+              sampleLimit = readSampleLimit)
+            prepared match {
+              case RemoteRead.SamplesAnswer(body) =>
+                ex.getResponseHeaders.set("Content-Type",
+                  "application/x-protobuf")
+                ex.getResponseHeaders.set("Content-Encoding", "snappy")
+                ex.sendResponseHeaders(200, body.length.toLong)
+                val os = ex.getResponseBody
+                try os.write(body) finally os.close()
+              case streamed =>
+                ex.getResponseHeaders.set("Content-Type",
+                  "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+                ex.sendResponseHeaders(200, 0L) // chunked: length unknown
+                val os = ex.getResponseBody
+                try streamed.writeTo(os) finally os.close()
             }
-            ex.sendResponseHeaders(200, ans.body.length.toLong)
-            val os = ex.getResponseBody
-            try os.write(ans.body) finally os.close()
           }
         } catch {
+          case e: RemoteRead.LimitExceeded =>
+            respond(ex, 413, errorBody(Option(e.getMessage).getOrElse(
+              e.getClass.getSimpleName)))
           case e: Exception =>
             respond(ex, 400, errorBody(Option(e.getMessage).getOrElse(
               e.getClass.getSimpleName)))

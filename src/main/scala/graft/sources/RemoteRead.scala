@@ -42,15 +42,20 @@ import org.apache.spark.sql.functions._
   * into the scan.
   *
   * Scale shape: matcher + time filters are pure column predicates
-  * pushed into the scan; the driver materializes only the RESPONSE
-  * (grouped per series, O(matched samples)) — the same order as the
-  * bytes leaving the socket, which is what a bulk reader asked for. A
-  * reader paging a 100 TB corpus bounds each request by its time range,
-  * exactly how upstream readers chunk remote reads.
+  * pushed into the scan. The SAMPLES face materializes the response on
+  * the driver — inherent to its protobuf envelope (one message, length
+  * known up front) and bounded by the [[DefaultSampleLimit]] budget the
+  * door enforces with HTTP 413 BEFORE encoding. The STREAMED face never
+  * materializes the selection: [[prepareRead]] orders the matched
+  * relation by (series key, ts) and drives the frame encoder from
+  * `toLocalIterator`, so driver memory is one scan partition + one
+  * ≤120-sample chunk buffer + one ~1 MiB frame — the protocol's whole
+  * point, and the reason a reader bulk-exporting months of a 100 TB
+  * corpus streams instead of OOMing the server.
   */
 object RemoteRead {
 
-  import RemoteWrite.Series
+  import RemoteWrite.{Hist, Series}
 
   /** LabelMatcher.Type: 0 EQ, 1 NEQ, 2 RE, 3 NRE. */
   final case class Matcher(op: Int, name: String, value: String)
@@ -59,17 +64,42 @@ object RemoteRead {
   final case class ReadQuery(startMs: Long, endMs: Long,
       matchers: Seq[Matcher])
 
+  /** The selection is over the server's response budget — the door
+    * answers HTTP 413 (upstream's remote-read sample limit made an
+    * explicit refusal) BEFORE any response byte leaves, never a
+    * truncated or OOMing response. Deliberately NOT an
+    * `IllegalArgumentException`: the endpoint's malformed-bytes 400 arm
+    * must not swallow it.
+    */
+  final class LimitExceeded(msg: String) extends RuntimeException(msg)
+
+  /** Upstream's remote-read sample budget (5e7 samples per request). */
+  val DefaultSampleLimit: Long = 50000000L
+
+  /** Upstream's streamed-face frame budget (~1 MiB of chunk payload per
+    * CRC frame before the writer cuts it).
+    */
+  val DefaultFrameBytes: Int = 1 << 20
+
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"malformed remote-read request: $msg")
 
-  // ---- decoder (the RECEIVER half: request bytes → queries) ----
+  // ---- ONE bounds-checked cursor under every walker ----
 
-  /** Walk an UNCOMPRESSED `ReadRequest`. Unknown fields skip by wire
-    * type; structural damage (truncated varint/length) fails loud — the
-    * endpoint maps it to HTTP 400 at the door.
+  /** The protobuf read cursor all four walkers share ([[walkRequest]],
+    * [[walkResponse]], [[acceptedTypes]], [[walkStreamed]]) — the
+    * varint/length discipline exists ONCE, so the next walker is safe
+    * by construction: every length-delimited read validates
+    * `0 ≤ len ≤ limit − pos` BEFORE advancing (a crafted length —
+    * negative after `.toInt`, or past the limit — must 400, never
+    * rewind `pos` into an infinite loop on the single-threaded server
+    * or bleed reads across message boundaries), and fixed-width skips
+    * bounds-check too.
     */
-  def walkRequest(bytes: Array[Byte]): Seq[ReadQuery] = {
+  private[sources] final class ProtoCursor(val bytes: Array[Byte]) {
     var pos = 0
+    val end: Int = bytes.length
+
     def varint(limit: Int): Long = {
       var shift = 0
       var acc = 0L
@@ -83,22 +113,16 @@ object RemoteRead {
       }
       fail("varint exceeds 64 bits")
     }
-    // every length-delimited read validates BEFORE advancing: a crafted
-    // length (negative after .toInt, or past the limit) must 400, never
-    // rewind `pos` (a rewound skip loops the single-threaded server
-    // forever) or bleed across message boundaries
+
+    /** A length-delimited field's content END; `pos` stays at the
+      * content start. Validates before advancing.
+      */
     def lenEnd(limit: Int): Int = {
       val l = varint(limit)
       if (l < 0 || l > limit - pos) fail("invalid length")
       pos + l.toInt
     }
-    def skip(wire: Int, limit: Int): Unit = wire match {
-      case 0 => varint(limit)
-      case 1 => pos += 8
-      case 2 => pos = lenEnd(limit)
-      case 5 => pos += 4
-      case w => fail(s"unsupported wire type $w")
-    }
+
     def str(limit: Int): String = {
       val e2 = lenEnd(limit)
       val s = new String(bytes, pos, e2 - pos,
@@ -106,17 +130,49 @@ object RemoteRead {
       pos = e2
       s
     }
+
+    /** The length-delimited field's raw content, copied out. */
+    def chunk(limit: Int): Array[Byte] = {
+      val e2 = lenEnd(limit)
+      val out = java.util.Arrays.copyOfRange(bytes, pos, e2)
+      pos = e2
+      out
+    }
+
+    def skip(wire: Int, limit: Int): Unit = wire match {
+      case 0 => varint(limit)
+      case 1 =>
+        if (limit - pos < 8) fail("truncated fixed64")
+        pos += 8
+      case 2 => pos = lenEnd(limit)
+      case 5 =>
+        if (limit - pos < 4) fail("truncated fixed32")
+        pos += 4
+      case w => fail(s"unsupported wire type $w")
+    }
+
+    def has(limit: Int): Boolean = pos < limit
+  }
+
+  // ---- decoder (the RECEIVER half: request bytes → queries) ----
+
+  /** Walk an UNCOMPRESSED `ReadRequest`. Unknown fields skip by wire
+    * type; structural damage (truncated varint/length) fails loud — the
+    * endpoint maps it to HTTP 400 at the door.
+    */
+  def walkRequest(bytes: Array[Byte]): Seq[ReadQuery] = {
+    val c = new ProtoCursor(bytes)
     def matcher(limit: Int): Matcher = {
       var op = 0
       var name = ""
       var value = ""
-      while (pos < limit) {
-        val tag = varint(limit)
+      while (c.has(limit)) {
+        val tag = c.varint(limit)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 0) => op = varint(limit).toInt
-          case (2, 2) => name = str(limit)
-          case (3, 2) => value = str(limit)
-          case (_, w) => skip(w, limit)
+          case (1, 0) => op = c.varint(limit).toInt
+          case (2, 2) => name = c.str(limit)
+          case (3, 2) => value = c.str(limit)
+          case (_, w) => c.skip(w, limit)
         }
       }
       if (op < 0 || op > 3) fail(s"unknown matcher type $op")
@@ -127,14 +183,13 @@ object RemoteRead {
       var startMs = 0L
       var endMs = 0L
       val ms = Vector.newBuilder[Matcher]
-      while (pos < limit) {
-        val tag = varint(limit)
+      while (c.has(limit)) {
+        val tag = c.varint(limit)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 0) => startMs = varint(limit)
-          case (2, 0) => endMs = varint(limit)
-          case (3, 2) =>
-            ms += matcher(lenEnd(limit))
-          case (_, w) => skip(w, limit) // hints & future fields
+          case (1, 0) => startMs = c.varint(limit)
+          case (2, 0) => endMs = c.varint(limit)
+          case (3, 2) => ms += matcher(c.lenEnd(limit))
+          case (_, w) => c.skip(w, limit) // hints & future fields
         }
       }
       val m = ms.result()
@@ -142,18 +197,16 @@ object RemoteRead {
       ReadQuery(startMs, endMs, m)
     }
     val qs = Vector.newBuilder[ReadQuery]
-    val end = bytes.length
-    while (pos < end) {
-      val tag = varint(end)
+    while (c.has(c.end)) {
+      val tag = c.varint(c.end)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
-        case (1, 2) =>
-          qs += query(lenEnd(end))
-        case (_, w) => skip(w, end) // accepted_response_types etc.
+        case (1, 2) => qs += query(c.lenEnd(c.end))
+        case (_, w) => c.skip(w, c.end) // accepted_response_types etc.
       }
     }
     val out = qs.result()
     if (out.isEmpty) fail("no queries")
-    if (pos != end) fail("trailing bytes")
+    if (c.pos != c.end) fail("trailing bytes")
     out
   }
 
@@ -229,42 +282,13 @@ object RemoteRead {
     * delegating each `QueryResult` block to [[RemoteWrite.walk]].
     */
   def walkResponse(bytes: Array[Byte]): Seq[Seq[Series]] = {
-    var pos = 0
-    def varint(limit: Int): Long = {
-      var shift = 0
-      var acc = 0L
-      while (shift <= 63) {
-        if (pos >= limit) fail("truncated varint")
-        val b = bytes(pos) & 0xFF
-        pos += 1
-        acc |= (b & 0x7FL) << shift
-        if ((b & 0x80) == 0) return acc
-        shift += 7
-      }
-      fail("varint exceeds 64 bits")
-    }
+    val c = new ProtoCursor(bytes)
     val out = Vector.newBuilder[Seq[Series]]
-    val end = bytes.length
-    while (pos < end) {
-      val tag = varint(end)
+    while (c.has(c.end)) {
+      val tag = c.varint(c.end)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
-        case (1, 2) =>
-          val l = varint(end)
-          if (l < 0 || l > end - pos) fail("invalid length")
-          val len = l.toInt
-          out += RemoteWrite.walk(
-            java.util.Arrays.copyOfRange(bytes, pos, pos + len))
-          pos += len
-        case (_, w) => w match {
-          case 0 => varint(end)
-          case 1 => pos += 8
-          case 2 =>
-            val l = varint(end)
-            if (l < 0 || l > end - pos) fail("invalid length")
-            pos += l.toInt
-          case 5 => pos += 4
-          case x => fail(s"unsupported wire type $x")
-        }
+        case (1, 2) => out += RemoteWrite.walk(c.chunk(c.end))
+        case (_, w) => c.skip(w, c.end)
       }
     }
     out.result()
@@ -278,39 +302,16 @@ object RemoteRead {
     * (wire 0) encodings both accepted, per proto3.
     */
   def acceptedTypes(bytes: Array[Byte]): Seq[Long] = {
-    var pos = 0
-    def varint(limit: Int): Long = {
-      var shift = 0
-      var acc = 0L
-      while (shift <= 63) {
-        if (pos >= limit) fail("truncated varint")
-        val b = bytes(pos) & 0xFF
-        pos += 1
-        acc |= (b & 0x7FL) << shift
-        if ((b & 0x80) == 0) return acc
-        shift += 7
-      }
-      fail("varint exceeds 64 bits")
-    }
+    val c = new ProtoCursor(bytes)
     val out = Vector.newBuilder[Long]
-    val end = bytes.length
-    while (pos < end) {
-      val tag = varint(end)
+    while (c.has(c.end)) {
+      val tag = c.varint(c.end)
       ((tag >> 3).toInt, (tag & 7).toInt) match {
         case (2, 2) => // packed
-          val pl = varint(end)
-          if (pl < 0 || pl > end - pos) fail("truncated accepted_response_types")
-          val until = pos + pl.toInt
-          while (pos < until) out += varint(until)
-        case (2, 0) => out += varint(end) // unpacked
-        case (_, 0) => varint(end)
-        case (_, 1) => pos += 8
-        case (_, 2) =>
-          val l = varint(end)
-          if (l < 0 || l > end - pos) fail("invalid length")
-          pos += l.toInt
-        case (_, 5) => pos += 4
-        case (_, w) => fail(s"unsupported wire type $w")
+          val until = c.lenEnd(c.end)
+          while (c.has(until)) out += c.varint(until)
+        case (2, 0) => out += c.varint(c.end) // unpacked
+        case (_, w) => c.skip(w, c.end)
       }
     }
     out.result()
@@ -327,181 +328,378 @@ object RemoteRead {
       .getOrElse(fail(
         s"no supported response type among [${accepted.mkString(", ")}]"))
 
-  /** Streamed response bytes: one length-prefixed FRAME per non-empty
-    * (query, series) pair — `uvarint(len(data))` ++ big-endian CRC32C
-    * of `data` ++ `data` (upstream's ChunkedWriter convention; no
-    * snappy — the payloads are already XOR-compressed). Each frame's
-    * `data` is one `ChunkedReadResponse`: `chunked_series` (field 1)
-    * holding the series' labels + its samples split into ≤120-sample
-    * XOR chunks (upstream's streaming chunk budget), and `query_index`
-    * (field 2) naming which request query it answers.
+  /** The streamed face's INCREMENTAL frame writer — the one encoder
+    * under both the in-memory [[encodeStreamed]] (gates, specs) and the
+    * bounded-memory door ([[prepareRead]] feeding it from
+    * `toLocalIterator`), so the two paths are byte-identical by
+    * construction.
+    *
+    * Framing is upstream's ChunkedWriter convention:
+    * `uvarint(len(data))` ++ big-endian CRC32C of `data` ++ `data`,
+    * where each `data` is one `ChunkedReadResponse` message —
+    * `chunked_series` (field 1, REPEATED: small series batch into one
+    * frame until [[DefaultFrameBytes]] ~1 MiB accumulates, upstream's
+    * frame budget) and `query_index` (field 2). A series whose chunks
+    * overflow the budget SPLITS across frames with its labels repeated
+    * (upstream's mid-series cut — the decoder re-joins by label
+    * identity); a query-index change always cuts a frame, because the
+    * index is a frame-level field.
+    *
+    * Float samples buffer into ≤`samplesPerChunk` Gorilla XOR chunks
+    * (enc 1, upstream's 120-sample streaming budget); native-histogram
+    * samples ride as HISTOGRAM chunks (enc 2) through
+    * [[HistogramChunk]], cut on schema/layout change like upstream's
+    * appender.
     */
-  def encodeStreamed(results: Seq[Seq[Series]],
-      samplesPerChunk: Int = 120): Array[Byte] = {
+  final class ChunkFrameWriter(out: java.io.OutputStream,
+      samplesPerChunk: Int = 120, frameBytes: Int = DefaultFrameBytes) {
     require(samplesPerChunk > 0, "positive chunk budget")
-    val out = new java.io.ByteArrayOutputStream()
-    val crc = new java.util.zip.CRC32C()
-    results.zipWithIndex.foreach { case (qr, qIdx) =>
-      qr.foreach { s =>
-        val cs = new java.io.ByteArrayOutputStream()
-        s.labels.foreach { case (n, v) =>
-          val lb = new java.io.ByteArrayOutputStream()
-          writeLen(lb, 1, utf8(n))
-          writeLen(lb, 2, utf8(v))
-          writeLen(cs, 1, lb.toByteArray)
-        }
-        // samples arrive (value, tsMs) in timestamp order (seriesFor)
-        s.samples.grouped(samplesPerChunk).foreach { grp =>
-          val ch = new java.io.ByteArrayOutputStream()
-          writeVarint(ch, (1L << 3) | 0L); writeVarint(ch, grp.head._2)
-          writeVarint(ch, (2L << 3) | 0L); writeVarint(ch, grp.last._2)
-          writeVarint(ch, (3L << 3) | 0L); writeVarint(ch, 1L) // XOR
-          writeLen(ch, 4, XorChunk.encode(grp.map { case (v, t) => (t, v) }))
-          writeLen(cs, 2, ch.toByteArray)
-        }
-        val msg = new java.io.ByteArrayOutputStream()
-        writeLen(msg, 1, cs.toByteArray)
-        if (qIdx != 0) { // proto3 zero default omits
-          writeVarint(msg, (2L << 3) | 0L); writeVarint(msg, qIdx.toLong)
-        }
-        val data = msg.toByteArray
-        writeVarint(out, data.length.toLong)
-        crc.reset(); crc.update(data, 0, data.length)
-        val c = crc.getValue
-        out.write(((c >> 24) & 0xFF).toInt); out.write(((c >> 16) & 0xFF).toInt)
-        out.write(((c >> 8) & 0xFF).toInt); out.write((c & 0xFF).toInt)
-        out.write(data, 0, data.length)
+    require(frameBytes > 0, "positive frame budget")
+
+    private val crc = new java.util.zip.CRC32C()
+    // closed ChunkedSeries messages awaiting their frame
+    private val frame = new java.io.ByteArrayOutputStream()
+    private var frameQ = 0L
+    // the OPEN series: encoded label fields + closed chunk fields
+    private var labelBytes: Array[Byte] = Array.emptyByteArray
+    private val chunkFields = new java.io.ByteArrayOutputStream()
+    private var open = false
+    private val sampleBuf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    private val histBuf = scala.collection.mutable.ArrayBuffer.empty[Hist]
+
+    /** Frames cut so far (telemetry + the frame-count specs). */
+    var framesWritten = 0L
+
+    def startSeries(labels: Seq[(String, String)], queryIndex: Long): Unit = {
+      require(!open, "previous series still open")
+      if (frame.size() > 0 && queryIndex != frameQ) flushFrame()
+      frameQ = queryIndex
+      val lb = new java.io.ByteArrayOutputStream()
+      labels.foreach { case (n, v) =>
+        val one = new java.io.ByteArrayOutputStream()
+        writeLen(one, 1, utf8(n))
+        writeLen(one, 2, utf8(v))
+        writeLen(lb, 1, one.toByteArray)
+      }
+      labelBytes = lb.toByteArray
+      open = true
+    }
+
+    /** One float sample (timestamp order within the series). */
+    def addSample(tsMs: Long, v: Double): Unit = {
+      require(open, "no open series")
+      sampleBuf += ((tsMs, v))
+      if (sampleBuf.length == samplesPerChunk) flushSampleChunk()
+    }
+
+    /** One native-histogram sample (timestamp order within the series). */
+    def addHist(h: Hist): Unit = {
+      require(open, "no open series")
+      // a schema or span-layout change cuts the chunk (upstream's
+      // appender starts a new chunk when the sample isn't appendable)
+      if (histBuf.nonEmpty && !HistogramChunk.appendable(histBuf.last, h))
+        flushHistChunk()
+      histBuf += h
+      if (histBuf.length == samplesPerChunk) flushHistChunk()
+    }
+
+    def endSeries(): Unit = {
+      require(open, "no open series")
+      flushSampleChunk()
+      flushHistChunk()
+      closeSeries()
+      open = false
+    }
+
+    /** Flush the trailing frame. Call once, after the last series. */
+    def finish(): Unit = {
+      require(!open, "a series is still open")
+      flushFrame()
+      out.flush()
+    }
+
+    private def flushSampleChunk(): Unit = if (sampleBuf.nonEmpty) {
+      addChunk(sampleBuf.head._1, sampleBuf.last._1, 1L,
+        XorChunk.encode(sampleBuf.toSeq))
+      sampleBuf.clear()
+    }
+
+    private def flushHistChunk(): Unit = if (histBuf.nonEmpty) {
+      addChunk(histBuf.head.tsMs, histBuf.last.tsMs, 2L,
+        HistogramChunk.encode(histBuf.toSeq))
+      histBuf.clear()
+    }
+
+    /** One closed chunk onto the open series; cut the frame if the
+      * budget is spent (the series continues — labels repeat in the
+      * next frame, upstream's mid-series split).
+      */
+    private def addChunk(minT: Long, maxT: Long, enc: Long,
+        data: Array[Byte]): Unit = {
+      val ch = new java.io.ByteArrayOutputStream()
+      writeVarint(ch, (1L << 3) | 0L); writeVarint(ch, minT)
+      writeVarint(ch, (2L << 3) | 0L); writeVarint(ch, maxT)
+      writeVarint(ch, (3L << 3) | 0L); writeVarint(ch, enc)
+      writeLen(ch, 4, data)
+      writeLen(chunkFields, 2, ch.toByteArray)
+      if (frame.size() + labelBytes.length + chunkFields.size() >= frameBytes) {
+        closeSeries()
+        flushFrame()
       }
     }
+
+    private def closeSeries(): Unit = if (chunkFields.size() > 0) {
+      val cs = new java.io.ByteArrayOutputStream()
+      cs.write(labelBytes, 0, labelBytes.length)
+      chunkFields.writeTo(cs)
+      writeLen(frame, 1, cs.toByteArray)
+      chunkFields.reset()
+    }
+
+    private def flushFrame(): Unit = if (frame.size() > 0) {
+      val msg = new java.io.ByteArrayOutputStream()
+      frame.writeTo(msg)
+      if (frameQ != 0L) { // proto3 zero default omits
+        writeVarint(msg, (2L << 3) | 0L); writeVarint(msg, frameQ)
+      }
+      val data = msg.toByteArray
+      writeVarint2(out, data.length.toLong)
+      crc.reset(); crc.update(data, 0, data.length)
+      val c = crc.getValue
+      out.write(((c >> 24) & 0xFF).toInt); out.write(((c >> 16) & 0xFF).toInt)
+      out.write(((c >> 8) & 0xFF).toInt); out.write((c & 0xFF).toInt)
+      out.write(data, 0, data.length)
+      frame.reset()
+      framesWritten += 1
+    }
+  }
+
+  // the frame writer targets a raw OutputStream (socket), not the
+  // ByteArrayOutputStream the protobuf helpers assume
+  private def writeVarint2(out: java.io.OutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0L) {
+      out.write(((v & 0x7F) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Streamed response bytes, in memory — [[ChunkFrameWriter]] fed from
+    * already-materialized series (gates, specs, small responses). The
+    * door's bounded-memory path ([[prepareRead]]) produces identical
+    * bytes for the same selection: same writer, same feed order.
+    */
+  def encodeStreamed(results: Seq[Seq[Series]],
+      samplesPerChunk: Int = 120,
+      frameBytes: Int = DefaultFrameBytes): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new ChunkFrameWriter(out, samplesPerChunk, frameBytes)
+    results.zipWithIndex.foreach { case (qr, qIdx) =>
+      qr.foreach { s =>
+        w.startSeries(s.labels, qIdx.toLong)
+        s.samples.foreach { case (v, t) => w.addSample(t, v) }
+        s.hists.foreach(w.addHist)
+        w.endSeries()
+      }
+    }
+    w.finish()
     out.toByteArray
   }
 
   /** Decode a streamed response: frames → (query_index, series with
-    * XOR chunks re-expanded to samples), in frame order. CRC mismatch
-    * and non-XOR chunk encodings fail loud.
+    * XOR/HISTOGRAM chunks re-expanded to samples), in frame order — a
+    * frame may batch MANY series (field 1 is repeated), and a series
+    * split across frames yields one entry per fragment (labels repeat;
+    * [[fetch]] re-joins adjacent fragments by label identity). CRC
+    * mismatch and unknown chunk encodings fail loud.
     */
   def walkStreamed(bytes: Array[Byte]): Seq[(Long, Series)] = {
-    var pos = 0
-    def varint(limit: Int): Long = {
-      var shift = 0
-      var acc = 0L
-      while (shift <= 63) {
-        if (pos >= limit) fail("truncated varint")
-        val b = bytes(pos) & 0xFF
-        pos += 1
-        acc |= (b & 0x7FL) << shift
-        if ((b & 0x80) == 0) return acc
-        shift += 7
-      }
-      fail("varint exceeds 64 bits")
-    }
-    // bounds-checked lengths BEFORE advancing (a crafted length must
-    // 400, never rewind pos or bleed across message boundaries)
-    def lenEnd(limit: Int): Int = {
-      val l = varint(limit)
-      if (l < 0 || l > limit - pos) fail("invalid length")
-      pos + l.toInt
-    }
-    def str(limit: Int): String = {
-      val e2 = lenEnd(limit)
-      val s = new String(bytes, pos, e2 - pos,
-        java.nio.charset.StandardCharsets.UTF_8)
-      pos = e2
-      s
-    }
+    val c = new ProtoCursor(bytes)
     val crc = new java.util.zip.CRC32C()
     val out = Vector.newBuilder[(Long, Series)]
-    val end = bytes.length
-    while (pos < end) {
-      val l0 = varint(end)
-      if (l0 < 0 || l0 > end - pos - 4) fail("truncated frame")
+    while (c.has(c.end)) {
+      val l0 = c.varint(c.end)
+      if (l0 < 0 || l0 > c.end - c.pos - 4) fail("truncated frame")
       val len = l0.toInt
-      val want = ((bytes(pos) & 0xFFL) << 24) | ((bytes(pos + 1) & 0xFFL) << 16) |
-        ((bytes(pos + 2) & 0xFFL) << 8) | (bytes(pos + 3) & 0xFFL)
-      pos += 4
-      crc.reset(); crc.update(bytes, pos, len)
+      val want = ((bytes(c.pos) & 0xFFL) << 24) |
+        ((bytes(c.pos + 1) & 0xFFL) << 16) |
+        ((bytes(c.pos + 2) & 0xFFL) << 8) | (bytes(c.pos + 3) & 0xFFL)
+      c.pos += 4
+      crc.reset(); crc.update(bytes, c.pos, len)
       if (crc.getValue != want) fail("frame checksum mismatch")
-      val frameEnd = pos + len
+      val frameEnd = c.pos + len
       var qIdx = 0L
-      var series: Option[Series] = None
-      while (pos < frameEnd) {
-        val tag = varint(frameEnd)
+      val series = Vector.newBuilder[Series]
+      while (c.has(frameEnd)) {
+        val tag = c.varint(frameEnd)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 2) => // ChunkedSeries
-            val csEnd = lenEnd(frameEnd)
+          case (1, 2) => // ChunkedSeries (repeated — batched frames)
+            val csEnd = c.lenEnd(frameEnd)
             val labels = Vector.newBuilder[(String, String)]
             val samples = Vector.newBuilder[(Double, Long)]
-            while (pos < csEnd) {
-              val t2 = varint(csEnd)
+            val hists = Vector.newBuilder[Hist]
+            while (c.has(csEnd)) {
+              val t2 = c.varint(csEnd)
               ((t2 >> 3).toInt, (t2 & 7).toInt) match {
                 case (1, 2) => // Label
-                  val lEnd = lenEnd(csEnd)
+                  val lEnd = c.lenEnd(csEnd)
                   var n = ""
                   var v = ""
-                  while (pos < lEnd) {
-                    val t3 = varint(lEnd)
+                  while (c.has(lEnd)) {
+                    val t3 = c.varint(lEnd)
                     ((t3 >> 3).toInt, (t3 & 7).toInt) match {
-                      case (1, 2) => n = str(lEnd)
-                      case (2, 2) => v = str(lEnd)
-                      case (_, 0) => varint(lEnd)
-                      case (_, 2) => pos = lenEnd(lEnd)
-                      case (_, w) => fail(s"unsupported wire type $w")
+                      case (1, 2) => n = c.str(lEnd)
+                      case (2, 2) => v = c.str(lEnd)
+                      case (_, w) => c.skip(w, lEnd)
                     }
                   }
                   labels += ((n, v))
                 case (2, 2) => // Chunk
-                  val cEnd = lenEnd(csEnd)
+                  val cEnd = c.lenEnd(csEnd)
                   var typ = 0L
                   var data: Array[Byte] = Array.empty
-                  while (pos < cEnd) {
-                    val t3 = varint(cEnd)
+                  while (c.has(cEnd)) {
+                    val t3 = c.varint(cEnd)
                     ((t3 >> 3).toInt, (t3 & 7).toInt) match {
-                      case (3, 0) => typ = varint(cEnd)
-                      case (4, 2) =>
-                        val dEnd = lenEnd(cEnd)
-                        data = java.util.Arrays.copyOfRange(bytes, pos, dEnd)
-                        pos = dEnd
-                      case (_, 0) => varint(cEnd) // min/max advisory
-                      case (_, 2) => pos = lenEnd(cEnd)
-                      case (_, w) => fail(s"unsupported wire type $w")
+                      case (3, 0) => typ = c.varint(cEnd)
+                      case (4, 2) => data = c.chunk(cEnd)
+                      case (_, w) => c.skip(w, cEnd) // min/max advisory
                     }
                   }
-                  if (typ != 1L) fail(s"unsupported chunk encoding $typ (XOR only)")
-                  samples ++= XorChunk.decode(data).map { case (t, v) => (v, t) }
-                case (_, 0) => varint(csEnd)
-                case (_, 2) => pos = lenEnd(csEnd)
-                case (_, w) => fail(s"unsupported wire type $w")
+                  typ match {
+                    case 1L =>
+                      samples ++= XorChunk.decode(data)
+                        .map { case (t, v) => (v, t) }
+                    case 2L => hists ++= HistogramChunk.decode(data)
+                    case t => fail(s"unsupported chunk encoding $t")
+                  }
+                case (_, w) => c.skip(w, csEnd)
               }
             }
-            series = Some(Series(labels.result(), samples.result()))
-          case (2, 0) => qIdx = varint(frameEnd)
-          case (_, 0) => varint(frameEnd)
-          case (_, 2) => pos = lenEnd(frameEnd)
-          case (_, w) => fail(s"unsupported wire type $w")
+            series += Series(labels.result(), samples.result(),
+              hists.result())
+          case (2, 0) => qIdx = c.varint(frameEnd)
+          case (_, w) => c.skip(w, frameEnd)
         }
       }
-      series.foreach(s => out += ((qIdx, s)))
+      series.result().foreach(s => out += ((qIdx, s)))
     }
     out.result()
   }
 
-  /** A negotiated answer: `streamed` decides the HTTP face
-    * (content-type `application/x-streamed-protobuf;
+  /** A negotiated answer, fully materialized: `streamed` decides the
+    * HTTP face (content-type `application/x-streamed-protobuf;
     * proto=prometheus.ChunkedReadResponse`, no snappy — vs the SAMPLES
-    * face's snappy-framed `application/x-protobuf`).
+    * face's snappy-framed `application/x-protobuf`). Gate/spec
+    * convenience over [[prepareRead]] — the HTTP door streams instead.
     */
   final case class ReadAnswer(streamed: Boolean, body: Array[Byte])
 
-  /** The full negotiated door: request bytes → response bytes + face. */
+  /** The full negotiated door, materialized in memory (gates, specs).
+    * The bytes ARE the streaming path's: [[prepareRead]] writes into
+    * the buffer.
+    */
   def serveNegotiated(spark: SparkSession, dir: String,
       body: Array[Byte]): ReadAnswer = {
+    val p = prepareRead(spark, dir, body)
+    val bos = new java.io.ByteArrayOutputStream()
+    p.writeTo(bos)
+    ReadAnswer(p.streamed, bos.toByteArray)
+  }
+
+  /** A validated, negotiated, budget-checked request, ready to serve:
+    * everything that can fail with a clean status (400 malformed, 413
+    * over budget) has already run, so the endpoint can commit response
+    * headers before [[writeTo]] touches the socket.
+    */
+  sealed trait PreparedRead {
+    def streamed: Boolean
+    def writeTo(out: java.io.OutputStream): Unit
+  }
+
+  /** SAMPLES face: one snappy-framed protobuf message — the envelope
+    * needs its length up front, so the body is materialized (bounded by
+    * the sample budget the 413 already enforced).
+    */
+  final case class SamplesAnswer(body: Array[Byte]) extends PreparedRead {
+    def streamed: Boolean = false
+    def writeTo(out: java.io.OutputStream): Unit = out.write(body)
+  }
+
+  /** STREAMED face: frames leave as they are produced — [[writeTo]]
+    * drives the frame writer from `toLocalIterator` over the
+    * (series, ts)-ordered selection, so driver memory stays bounded by
+    * one scan partition + one chunk + one frame no matter how broad the
+    * matchers or how long the time range.
+    */
+  final class StreamedAnswer(run: java.io.OutputStream => Unit)
+      extends PreparedRead {
+    def streamed: Boolean = true
+    def writeTo(out: java.io.OutputStream): Unit = run(out)
+  }
+
+  /** Validate + negotiate + budget-check one POST body. Throws
+    * `IllegalArgumentException` (→ 400) on malformed bytes and
+    * [[LimitExceeded]] (→ 413) when the selection is over
+    * `sampleLimit` — BEFORE any response byte exists, so the refusal is
+    * always a clean status, never a truncated stream.
+    */
+  def prepareRead(spark: SparkSession, dir: String, body: Array[Byte],
+      sampleLimit: Long = DefaultSampleLimit,
+      samplesPerChunk: Int = 120,
+      frameBytes: Int = DefaultFrameBytes): PreparedRead = {
     val raw = RemoteWrite.uncompress(body)
     val queries = walkRequest(raw)
     val resType = negotiate(acceptedTypes(raw))
-    val results = queries.map(q => seriesFor(spark, dir, q))
-    if (resType == 1L) ReadAnswer(streamed = true, encodeStreamed(results))
-    else ReadAnswer(streamed = false,
-      RemoteWrite.compress(encodeResponse(results)))
+    // the response budget: one cheap count aggregate per query (column-
+    // pruned scan, map-side combined) buys a clean 413 on BOTH faces —
+    // the SAMPLES face would otherwise OOM collecting before it could
+    // refuse, the streamed face would truncate mid-stream
+    val total = queries.map(q => matched(spark, dir, q).count()).sum
+    if (total > sampleLimit) throw new LimitExceeded(
+      s"query would return $total samples, over the $sampleLimit limit")
+    if (resType == 1L)
+      new StreamedAnswer(out => {
+        val w = new ChunkFrameWriter(out, samplesPerChunk, frameBytes)
+        queries.zipWithIndex.foreach { case (q, qi) =>
+          streamQuery(spark, dir, q, qi.toLong, w)
+        }
+        w.finish()
+      })
+    else
+      SamplesAnswer(RemoteWrite.compress(encodeResponse(
+        queries.map(q => seriesFor(spark, dir, q)))))
+  }
+
+  /** Feed one query's selection to the frame writer INCREMENTALLY:
+    * the matched relation, ordered by (series key, ts) so each series'
+    * rows arrive contiguous and in time order, walks through
+    * `toLocalIterator` — Spark materializes one partition at a time on
+    * the driver (the ordering shuffle ran distributed; partitions are
+    * range-split by the same key). The r14 scale defect — collecting
+    * the whole selection before encoding — is closed by construction.
+    */
+  private def streamQuery(spark: SparkSession, dir: String, q: ReadQuery,
+      qIdx: Long, w: ChunkFrameWriter): Unit = {
+    val it = matched(spark, dir, q)
+      .orderBy(col("wire_name"), col("instance"), col("k"), col("ts_ms"),
+        col("value"))
+      .toLocalIterator()
+    var cur: (String, String, String) = null
+    while (it.hasNext) {
+      val r = it.next()
+      val key = (r.getString(0), r.getString(1), r.getString(2))
+      if (key != cur) {
+        if (cur != null) w.endSeries()
+        w.startSeries(Vector("__name__" -> key._1, "instance" -> key._2,
+          "k" -> key._3).filter(_._2.nonEmpty), qIdx)
+        cur = key
+      }
+      w.addSample(r.getLong(3), r.getDouble(4))
+    }
+    if (cur != null) w.endSeries()
   }
 
   // ---- the evaluator: queries → sample relation / wire series ----
@@ -511,7 +709,7 @@ object RemoteRead {
     * the remote-write sender), `instance`, `k`, `ts_ms`, double
     * `value`. Pure projection over the tombstone-respecting events
     * view; everything stays a column expression until the serving
-    * layer collects the response.
+    * layer iterates (streamed) or collects (SAMPLES) the response.
     */
   private[graft] def sampleRelation(spark: SparkSession,
       dir: String): DataFrame =
@@ -553,10 +751,12 @@ object RemoteRead {
       q.matchers.map(matcherCol).reduce(_ && _) &&
         col("ts_ms") >= q.startMs && col("ts_ms") <= q.endMs)
 
-  /** One query's response frame: matched samples grouped per series
-    * (labels name-sorted, empty values dropped; samples in timestamp
-    * order), series in label order — deterministic bytes for any
-    * partitioning.
+  /** One query's response frame, materialized: matched samples grouped
+    * per series (labels name-sorted, empty values dropped; samples in
+    * timestamp order), series in label order — deterministic bytes for
+    * any partitioning, and the SAME order [[streamQuery]] walks, so the
+    * two faces describe one selection. SAMPLES-face only (its protobuf
+    * envelope is a single message); the streamed face never calls this.
     */
   def seriesFor(spark: SparkSession, dir: String,
       q: ReadQuery): Seq[Series] =
@@ -572,22 +772,13 @@ object RemoteRead {
             .sortBy { case (v, t) => (t, v) }.toVector)
       }
 
-  /** The full door: request BYTES (snappy-framed) → response BYTES
-    * (snappy-framed) — what the HTTP endpoint serves.
-    */
-  def serve(spark: SparkSession, dir: String,
-      body: Array[Byte]): Array[Byte] = {
-    val queries = walkRequest(RemoteWrite.uncompress(body))
-    RemoteWrite.compress(encodeResponse(
-      queries.map(q => seriesFor(spark, dir, q))))
-  }
-
   /** The CLIENT half: POST one query to a remote-read endpoint and
     * decode its frame — what a federating deployment (or the read ∘
     * write round-trip spec) drives. `streamed = true` advertises
     * STREAMED_XOR_CHUNKS first (a Thanos querier's default); either
     * way the decode branches on the server's answering content type,
-    * so a SAMPLES-only server still interoperates.
+    * so a SAMPLES-only server still interoperates. A series the server
+    * split across frames re-joins by adjacent label identity.
     */
   def fetch(url: String, q: ReadQuery, streamed: Boolean = false): Seq[Series] = {
     val conn = new java.net.URL(url).openConnection()
@@ -607,10 +798,167 @@ object RemoteRead {
       if (Option(conn.getHeaderField("Content-Type"))
           .exists(_.contains("ChunkedReadResponse")))
         walkStreamed(body).collect { case (0L, s) => s }
+          .foldLeft(Vector.empty[Series]) { (acc, s) =>
+            if (acc.nonEmpty && acc.last.labels == s.labels)
+              acc.init :+ acc.last.copy(
+                samples = acc.last.samples ++ s.samples,
+                hists = acc.last.hists ++ s.hists)
+            else acc :+ s
+          }
       else
         walkResponse(RemoteWrite.uncompress(body)).headOption.getOrElse(Nil)
     } finally conn.disconnect()
   }
+
+  // ---- native-histogram families over the streamed face ----
+
+  /** Stream a native-histogram SAMPLE relation (the remote-write tier's
+    * decoded `Hist` rows — [[RemoteWriteSink.histograms]] flattened to
+    * the columns below) through the chunked face as HISTOGRAM (type 2)
+    * chunks, so a Thanos-style reader can pull this engine's native
+    * families as chunks (the r14 bound — "XOR chunks only" — lifted).
+    * Same bounded-memory discipline as [[streamQuery]]: the relation
+    * orders by (series, ts) and walks `toLocalIterator`; a schema or
+    * span-layout change cuts the chunk (upstream's appender rule),
+    * handled inside the frame writer.
+    *
+    * Expected columns: `metric, label_k, ts_ms, schema, count, sum,
+    * zero_count, offs, lens, deltas, neg_offs, neg_lens, neg_deltas`.
+    */
+  def streamHists(hists: DataFrame, out: java.io.OutputStream,
+      samplesPerChunk: Int = 120,
+      frameBytes: Int = DefaultFrameBytes): Unit = {
+    val w = new ChunkFrameWriter(out, samplesPerChunk, frameBytes)
+    val it = hists.select(col("metric"), col("label_k"), col("ts_ms"),
+      col("schema"), col("count"), col("sum"), col("zero_count"),
+      col("offs"), col("lens"), col("deltas"),
+      col("neg_offs"), col("neg_lens"), col("neg_deltas"))
+      .orderBy(col("metric"), col("label_k"), col("ts_ms"))
+      .toLocalIterator()
+    var cur: (String, String) = null
+    while (it.hasNext) {
+      val r = it.next()
+      val key = (r.getString(0), r.getString(1))
+      if (key != cur) {
+        if (cur != null) w.endSeries()
+        w.startSeries(Vector("__name__" -> key._1, "k" -> key._2)
+          .filter(_._2.nonEmpty), 0L)
+        cur = key
+      }
+      w.addHist(Hist(r.getLong(2), r.getInt(3),
+        r.getSeq[Int](7).toVector, r.getSeq[Int](8).toVector,
+        r.getSeq[Long](9).toVector, r.getLong(4), r.getDouble(5),
+        r.getLong(6), r.getSeq[Int](10).toVector,
+        r.getSeq[Int](11).toVector, r.getSeq[Long](12).toVector))
+    }
+    if (cur != null) w.endSeries()
+    w.finish()
+  }
+
+  /** a1x — the native-histogram CHUNK gate: a family of native
+    * histogram samples (two series; one changes its span layout
+    * mid-series, forcing the appender's chunk cut; one observes on both
+    * sides of zero, exercising the negative ladder; timestamps step
+    * regularly, exercising the dod-0 arm; counts/sums move, exercising
+    * the delta and sum-XOR arms) served through the STREAMED face as
+    * HISTOGRAM (type 2) chunks via the bounded-memory
+    * [[streamHists]] walk, decoded back by the client half, and walked
+    * to ABSOLUTE bucket counts by the engine's shared span decode
+    * ([[graft.operators.Metrics.decodeWireSpans]], both bucket signs).
+    * The DuckDB oracle is the bucket relation derived BY HAND from the
+    * sample definitions — so the gate hash-fails if the chunk codec
+    * drifts a single timestamp, count, sum bit, span, or delta, on
+    * either side of zero, across a chunk cut, or in the frame walk.
+    */
+  def wireReadHistGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // (metric, k, ts, schema, count, sum, zcnt, offs, lens, deltas,
+    //  negOffs, negLens, negDeltas) — series "a" keeps layout
+    // [(0,2),(3,2)] for three samples (one chunk: uvarint tDelta then
+    // dod 0), then switches to [(0,3)] (the cut); series "b" at a
+    // different schema carries negative buckets.
+    val samples = Seq(
+      ("req_ms", "a", 1000L, 3, 13L, 7.5, 2L,
+        Seq(0, 3), Seq(2, 2), Seq(3L, -1L, 2L, 0L),
+        Seq.empty[Int], Seq.empty[Int], Seq.empty[Long]),
+      ("req_ms", "a", 61000L, 3, 21L, 12.25, 3L,
+        Seq(0, 3), Seq(2, 2), Seq(5L, -2L, 3L, -1L),
+        Seq.empty[Int], Seq.empty[Int], Seq.empty[Long]),
+      ("req_ms", "a", 121000L, 3, 30L, 20.5, 3L,
+        Seq(0, 3), Seq(2, 2), Seq(6L, -2L, 3L, 0L),
+        Seq.empty[Int], Seq.empty[Int], Seq.empty[Long]),
+      ("req_ms", "a", 181000L, 3, 35L, 22.0, 4L,
+        Seq(0), Seq(3), Seq(6L, 0L, -2L),
+        Seq.empty[Int], Seq.empty[Int], Seq.empty[Long]),
+      ("req_ms", "b", 2000L, 2, 9L, -1.5, 1L,
+        Seq(-2), Seq(1), Seq(7L),
+        Seq(1), Seq(2), Seq(2L, 1L)),
+      ("req_ms", "b", 62000L, 2, 14L, -2.25, 2L,
+        Seq(-2), Seq(1), Seq(9L),
+        Seq(1), Seq(2), Seq(2L, 2L)))
+    val df = samples.toDF("metric", "label_k", "ts_ms", "schema", "count",
+      "sum", "zero_count", "offs", "lens", "deltas", "neg_offs",
+      "neg_lens", "neg_deltas")
+    val bos = new java.io.ByteArrayOutputStream()
+    streamHists(df, bos)
+    val rows = walkStreamed(bos.toByteArray).flatMap { case (_, s) =>
+      val lm = s.labels.toMap
+      s.hists.map { h =>
+        (lm.getOrElse("__name__", ""), lm.getOrElse("k", ""), h.tsMs,
+          h.schema, h.count, h.sum, h.zeroCount, h.offs, h.lens, h.deltas,
+          h.negOffs, h.negLens, h.negDeltas)
+      }
+    }
+    val decoded = rows.toDF("metric", "label_k", "ts_ms", "schema",
+      "count", "sum", "zero_count", "offs", "lens", "deltas", "neg_offs",
+      "neg_lens", "neg_deltas")
+    val keys = Seq("metric", "label_k", "ts_ms", "schema", "count", "sum",
+      "zero_count")
+    val pos = graft.operators.Metrics.decodeWireSpans(decoded, keys)
+      .withColumn("side", lit(1))
+    val neg = graft.operators.Metrics.decodeWireSpans(
+      decoded.select(keys.map(col) :+ col("neg_offs").as("offs") :+
+        col("neg_lens").as("lens") :+ col("neg_deltas").as("deltas"): _*),
+      keys).withColumn("side", lit(0))
+    pos.unionByName(neg)
+      .select(col("metric"), col("label_k"), col("ts_ms"), col("schema"),
+        col("count"), col("sum"), col("zero_count"), col("side"),
+        col("bucket"), col("bucket_count"))
+      .orderBy(col("metric"), col("label_k"), col("ts_ms"), col("side"),
+        col("bucket"))
+  }
+
+  /** Oracle twin of [[wireReadHistGate]]: the bucket relation derived
+    * BY HAND from the sample definitions (series "a": span 2 anchors at
+    * exclusive end 2 + offset 3 = 5; delta chains prefix-sum; series
+    * "b": negative side walks its own spans) — doubles as quoted
+    * strings, the correctly-rounded convention.
+    */
+  lazy val WireReadHistGateSql: String =
+    """SELECT * FROM (VALUES
+      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, CAST(13 AS BIGINT), CAST('7.5' AS DOUBLE), CAST(2 AS BIGINT), 1, 0, CAST(3 AS BIGINT)),
+      |  ('req_ms', 'a', 1000, 3, 13, CAST('7.5' AS DOUBLE), 2, 1, 1, 2),
+      |  ('req_ms', 'a', 1000, 3, 13, CAST('7.5' AS DOUBLE), 2, 1, 5, 4),
+      |  ('req_ms', 'a', 1000, 3, 13, CAST('7.5' AS DOUBLE), 2, 1, 6, 4),
+      |  ('req_ms', 'a', 61000, 3, 21, CAST('12.25' AS DOUBLE), 3, 1, 0, 5),
+      |  ('req_ms', 'a', 61000, 3, 21, CAST('12.25' AS DOUBLE), 3, 1, 1, 3),
+      |  ('req_ms', 'a', 61000, 3, 21, CAST('12.25' AS DOUBLE), 3, 1, 5, 6),
+      |  ('req_ms', 'a', 61000, 3, 21, CAST('12.25' AS DOUBLE), 3, 1, 6, 5),
+      |  ('req_ms', 'a', 121000, 3, 30, CAST('20.5' AS DOUBLE), 3, 1, 0, 6),
+      |  ('req_ms', 'a', 121000, 3, 30, CAST('20.5' AS DOUBLE), 3, 1, 1, 4),
+      |  ('req_ms', 'a', 121000, 3, 30, CAST('20.5' AS DOUBLE), 3, 1, 5, 7),
+      |  ('req_ms', 'a', 121000, 3, 30, CAST('20.5' AS DOUBLE), 3, 1, 6, 7),
+      |  ('req_ms', 'a', 181000, 3, 35, CAST('22.0' AS DOUBLE), 4, 1, 0, 6),
+      |  ('req_ms', 'a', 181000, 3, 35, CAST('22.0' AS DOUBLE), 4, 1, 1, 6),
+      |  ('req_ms', 'a', 181000, 3, 35, CAST('22.0' AS DOUBLE), 4, 1, 2, 4),
+      |  ('req_ms', 'b', 2000, 2, 9, CAST('-1.5' AS DOUBLE), 1, 0, 1, 2),
+      |  ('req_ms', 'b', 2000, 2, 9, CAST('-1.5' AS DOUBLE), 1, 0, 2, 3),
+      |  ('req_ms', 'b', 2000, 2, 9, CAST('-1.5' AS DOUBLE), 1, 1, -2, 7),
+      |  ('req_ms', 'b', 62000, 2, 14, CAST('-2.25' AS DOUBLE), 2, 0, 1, 2),
+      |  ('req_ms', 'b', 62000, 2, 14, CAST('-2.25' AS DOUBLE), 2, 0, 2, 4),
+      |  ('req_ms', 'b', 62000, 2, 14, CAST('-2.25' AS DOUBLE), 2, 1, -2, 9)
+      |) t(metric, label_k, ts_ms, schema, count, sum, zero_count, side, bucket, bucket_count)
+      |ORDER BY metric, label_k, ts_ms, side, bucket""".stripMargin
 
   // ---- the a1v gate: remote-read decode + select, hash-gated ----
 
@@ -670,14 +1018,13 @@ object RemoteRead {
 
   /** a1w — the STREAMED remote-read gate: the a1v request re-asked with
     * `accepted = [STREAMED_XOR_CHUNKS, SAMPLES]`, served through the
-    * FULL negotiated door (snappy request → walk → negotiation → XOR
-    * chunk encode → CRC frames), then decoded back by the client half
-    * and flattened to one row per (query, sample). The oracle is the
-    * SAME relation as a1v — the codec is lossless — so any drift in
-    * negotiation, framing, a CRC, or a single XOR bit shifts a
-    * timestamp or value and fails the hash. The encode∘decode runs on
-    * the driver over the RESPONSE (O(matched samples) — the same bytes
-    * that would leave the socket), not over the corpus.
+    * FULL negotiated door (snappy request → walk → negotiation → budget
+    * check → the INCREMENTAL `toLocalIterator` frame path → XOR chunk
+    * encode → CRC frames), then decoded back by the client half and
+    * flattened to one row per (query, sample). The oracle is the SAME
+    * relation as a1v — the codec is lossless — so any drift in
+    * negotiation, framing, batching, a CRC, or a single XOR bit shifts
+    * a timestamp or value and fails the hash.
     */
   def wireReadStreamedGate(spark: SparkSession, dir: String): DataFrame = {
     val queries = walkRequest(GateRequest)

@@ -43,7 +43,7 @@ object XorChunk {
     throw new IllegalArgumentException(s"xor chunk: $msg")
 
   /** MSB-first bit writer (the bstream convention of the format). */
-  private final class BitWriter {
+  private[sources] final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()
     private var cur = 0 // partial byte, high bits filled first
     private var nBits = 0 // filled bits in cur (0..7)
@@ -76,7 +76,7 @@ object XorChunk {
   }
 
   /** MSB-first bit reader. */
-  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+  private[sources] final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var bit = 0 // next bit index within bytes(pos), 0 = MSB
 
     def readBit(): Int = {
@@ -97,16 +97,16 @@ object XorChunk {
     def readByte(): Int = readBits(8).toInt
   }
 
-  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
-  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+  private[sources] def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private[sources] def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
 
-  private def writeUvarint(b: BitWriter, v0: Long): Unit = {
+  private[sources] def writeUvarint(b: BitWriter, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7FL) != 0L) { b.writeByte(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
     b.writeByte(v.toInt)
   }
 
-  private def readUvarint(r: BitReader): Long = {
+  private[sources] def readUvarint(r: BitReader): Long = {
     var shift = 0
     var acc = 0L
     while (shift <= 63) {
@@ -119,7 +119,7 @@ object XorChunk {
   }
 
   /** dod fits the n-bit window: `[−(2^{n−1}−1), 2^{n−1}]`. */
-  private def fits(x: Long, nbits: Int): Boolean =
+  private[sources] def fits(x: Long, nbits: Int): Boolean =
     -((1L << (nbits - 1)) - 1) <= x && x <= (1L << (nbits - 1))
 
   /** Encode `(timestampMs, value)` samples (must be non-empty, ≤ 65535,
@@ -244,6 +244,6 @@ object XorChunk {
     * asymmetric bound: the raw value 2^{n−1} itself stays POSITIVE
     * (the encoder only chose this window when dod ≤ 2^{n−1}).
     */
-  private def signed(raw: Long, nbits: Int): Long =
+  private[sources] def signed(raw: Long, nbits: Int): Long =
     if (raw > (1L << (nbits - 1))) raw - (1L << nbits) else raw
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.HistogramChunk
+import graft.sources.RemoteWrite.Hist
+
+/** The HISTOGRAM (type 2) chunk codec: hand-derived byte pin, lossless
+  * round-trips across every encode arm (first-sample full write, tDelta,
+  * dod ladder, count/zcnt deltas, sum XOR window, per-bucket
+  * delta-of-delta, both bucket signs), the appendability law (schema or
+  * span-layout change cuts a chunk), and seeded fuzz over random
+  * histogram walks.
+  */
+class HistogramChunkSpec extends AnyFunSuite {
+
+  private def h(ts: Long, schema: Int, count: Long, sum: Double,
+      zcnt: Long, offs: Seq[Int], lens: Seq[Int], deltas: Seq[Long],
+      negOffs: Seq[Int] = Nil, negLens: Seq[Int] = Nil,
+      negDeltas: Seq[Long] = Nil): Hist =
+    Hist(ts, schema, offs.toVector, lens.toVector, deltas.toVector,
+      count, sum, zcnt, negOffs.toVector, negLens.toVector,
+      negDeltas.toVector)
+
+  test("hand-derived bytes: a single-sample chunk") {
+    // Derived independently from the documented layout (a second
+    // implementation of the bit ladder, not this codec):
+    //   00 01        sample count 1
+    //   00           flags: counter-reset hint unknown
+    //   D0 0F        zigzag(1000) = 2000 as uvarint
+    //   10011        schema 3: varbit '10' + 3 bits (011)
+    //   00000000     zero threshold byte 0
+    //   00000101     count uvarint 5
+    //   00000001     zero_count uvarint 1
+    //   <64 bits>    sum 2.5 = 0x4004000000000000
+    //   00000001     nPosSpans 1
+    //   0            span offset 0: varbit '0'
+    //   00000010     span length uvarint 2
+    //   00000000     nNegSpans 0
+    //   10 011       delta 3
+    //   10 111       delta -1 (two's complement in the 3-bit window)
+    //   + zero padding to the byte edge
+    val one = h(1000L, 3, 5L, 2.5, 1L, Seq(0), Seq(2), Seq(3L, -1L))
+    val got = HistogramChunk.encode(Seq(one))
+    assert(got.map("%02X".format(_)).mkString ===
+      "000100D00F9800280A002000000000000008080277")
+    assert(HistogramChunk.decode(got) === Vector(one))
+  }
+
+  test("round-trips: every follower arm (tDelta, dod, deltas, sum XOR), negative buckets, layout variety") {
+    // three same-layout samples: uvarint tDelta, then dod = 0 arm;
+    // counts/sums move; bucket deltas drift up and down
+    val a = Seq(
+      h(1000L, 3, 13L, 7.5, 2L, Seq(0, 3), Seq(2, 2), Seq(3L, -1L, 2L, 0L)),
+      h(61000L, 3, 21L, 12.25, 3L, Seq(0, 3), Seq(2, 2), Seq(5L, -2L, 3L, -1L)),
+      h(121000L, 3, 30L, 20.5, 3L, Seq(0, 3), Seq(2, 2), Seq(6L, -2L, 3L, 0L)))
+    assert(HistogramChunk.decode(HistogramChunk.encode(a)) === a.toVector)
+    // irregular timestamps drive the wider dod windows
+    val jitter = Seq(
+      h(0L, 0, 1L, 1.0, 0L, Seq(0), Seq(1), Seq(1L)),
+      h(10L, 0, 2L, 2.0, 0L, Seq(0), Seq(1), Seq(2L)),
+      h(20000L, 0, 3L, 4.0, 1L, Seq(0), Seq(1), Seq(3L)), // 14-bit dod
+      h(20010L, 0, 4L, 4.0, 1L, Seq(0), Seq(1), Seq(4L)), // negative dod
+      h(4000000020L, 0, 5L, -8.5, 2L, Seq(0), Seq(1), Seq(5L))) // 64-bit
+    assert(HistogramChunk.decode(HistogramChunk.encode(jitter))
+      === jitter.toVector)
+    // negative buckets ride their own spans + delta chains
+    val b = Seq(
+      h(2000L, 2, 9L, -1.5, 1L, Seq(-2), Seq(1), Seq(7L),
+        Seq(1), Seq(2), Seq(2L, 1L)),
+      h(62000L, 2, 14L, -2.25, 2L, Seq(-2), Seq(1), Seq(9L),
+        Seq(1), Seq(2), Seq(2L, 2L)))
+    assert(HistogramChunk.decode(HistogramChunk.encode(b)) === b.toVector)
+    // a bucket-free histogram (all mass in the zero bucket) is legal
+    val z = Seq(h(5L, -4, 3L, 0.0, 3L, Nil, Nil, Nil))
+    assert(HistogramChunk.decode(HistogramChunk.encode(z)) === z.toVector)
+    // NaN sums (the staleness convention) round-trip bit-exactly
+    val nan = Seq(
+      h(1L, 0, 1L, 1.5, 0L, Seq(0), Seq(1), Seq(1L)),
+      h(2L, 0, 1L, Double.NaN, 0L, Seq(0), Seq(1), Seq(1L)))
+    val back = HistogramChunk.decode(HistogramChunk.encode(nan))
+    assert(java.lang.Double.doubleToRawLongBits(back(1).sum) ===
+      java.lang.Double.doubleToRawLongBits(Double.NaN))
+  }
+
+  test("appendability: schema or span-layout change refuses inside a chunk (the caller cuts)") {
+    val base = h(1L, 3, 1L, 1.0, 0L, Seq(0), Seq(2), Seq(1L, 1L))
+    assert(HistogramChunk.appendable(base,
+      h(2L, 3, 2L, 2.0, 0L, Seq(0), Seq(2), Seq(2L, 1L))))
+    val reschema = h(2L, 2, 2L, 2.0, 0L, Seq(0), Seq(2), Seq(2L, 1L))
+    val relayout = h(2L, 3, 2L, 2.0, 0L, Seq(1), Seq(2), Seq(2L, 1L))
+    assert(!HistogramChunk.appendable(base, reschema))
+    assert(!HistogramChunk.appendable(base, relayout))
+    intercept[IllegalArgumentException](
+      HistogramChunk.encode(Seq(base, reschema)))
+    intercept[IllegalArgumentException](
+      HistogramChunk.encode(Seq(base, relayout)))
+    // delta count must agree with the span layout
+    intercept[IllegalArgumentException](HistogramChunk.encode(Seq(
+      h(1L, 3, 1L, 1.0, 0L, Seq(0), Seq(2), Seq(1L)))))
+    // malformed inputs fail loud
+    intercept[IllegalArgumentException](HistogramChunk.encode(Nil))
+    intercept[IllegalArgumentException](
+      HistogramChunk.decode(Array[Byte](0, 1)))
+  }
+
+  test("fuzz: seeded random histogram walks round-trip bit-exactly") {
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 40).foreach { trial =>
+      val schema = rnd.nextInt(9) - 4
+      val nSpans = 1 + rnd.nextInt(3)
+      var at = rnd.nextInt(20) - 10
+      val spans = (0 until nSpans).map { _ =>
+        val off = at + rnd.nextInt(5)
+        val len = 1 + rnd.nextInt(4)
+        at = off + len + rnd.nextInt(3)
+        (off, len)
+      }
+      val nb = spans.map(_._2).sum
+      var t = rnd.nextLong() % 1000000L
+      var count = rnd.nextInt(100).toLong
+      var deltas = Vector.fill(nb)(rnd.nextInt(9).toLong - 4L)
+      val n = 1 + rnd.nextInt(20)
+      val hists = (0 until n).map { i =>
+        if (i > 0) {
+          t += rnd.nextInt(100000).toLong
+          count += rnd.nextInt(50).toLong
+          deltas = deltas.map(_ + rnd.nextInt(7) - 3)
+        }
+        Hist(t, schema,
+          spans.map(_._1).toVector, spans.map(_._2).toVector, deltas,
+          count, rnd.nextDouble() * math.pow(10, rnd.nextInt(7) - 3),
+          rnd.nextInt(10).toLong)
+      }
+      assert(HistogramChunk.decode(HistogramChunk.encode(hists))
+        === hists.toVector, s"trial $trial")
+    }
+  }
+}

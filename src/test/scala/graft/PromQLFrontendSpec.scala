@@ -1615,7 +1615,7 @@ class PromQLFrontendSpec extends SparkTestBase {
       "rate(k_total)", recordingRules = rules).collect())
     assert(e1b.getMessage.contains("requires a range selector"))
     val e2 = intercept[PromQLCompileException](Engine.eval(spark, dir,
-      "deriv(k_total[1d])", recordingRules = rules).collect())
+      "changes(k_total[2d])", recordingRules = rules).collect())
     assert(e2.getMessage.contains("not supported"))
     val e3 = intercept[PromQLCompileException](Engine.eval(spark, dir,
       "loop_r", recordingRules = Seq(
@@ -1624,5 +1624,67 @@ class PromQLFrontendSpec extends SparkTestBase {
     val e4 = intercept[PromQLCompileException](Engine.eval(spark, dir,
       "z_bad", recordingRules = Seq(RecordingRule("z_bad", "purchase", 0))))
     assert(e4.getMessage.contains("interval must be positive"))
+  }
+
+  test("recorded-range exotic tail: deriv/predict_linear/irate/idelta on the rule lattice") {
+    import graft.promql.Rules.RecordingRule
+    val d = 86400000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 1 * d, "purchase", 5.0, "a"),
+      ev(2, 2 * d, "purchase", 4.0, "b"),
+      ev(3, 1 * d, "signup", 7.0, "a"),
+      ev(4, 2 * d, "signup", 3.0, "a")
+    ).toDF(eventCols: _*))
+    val rules = Seq(
+      RecordingRule("k_total", "sum by (k) (purchase)", intervalS = 86400))
+    def ev1(q: String, rs: Seq[RecordingRule] = rules): Seq[(String, Double)] =
+      Engine.eval(spark, dir, q, recordingRules = rs)
+        .as[(String, Double)].collect().toSeq.sortBy(_._1)
+    // deriv fits the lattice's cumulative cents snapshots (a's points:
+    // (1d, 1000), (2d, 1500), (3d-anchored grid x = i·86400): slope =
+    // (nΣxy − ΣxΣy)/(nΣxx − Σx²) with the exact integer sums below;
+    // b exists at ONE instant only → zero x-variance → absent
+    // (upstream's degenerate-fit rule)
+    val u = 86400.0
+    val slope = (129600000.0 / 44789760000.0) // 1500u / 6u² cents/s
+    assert(ev1("deriv(k_total[3d])") === Seq(("a", slope / 100.0)))
+    // predict_linear = the same fit extrapolated to T + 12h, every
+    // double op in the engine's order
+    val predicted =
+      ((4000.0 - slope * (6.0 * u)) / 3.0 + slope * (3.0 * u + 43200.0)) / 100.0
+    assert(ev1("predict_linear(k_total[3d], 43200)") ===
+      Seq(("a", predicted)))
+    // irate = the last two lattice instants; offset composes; a series
+    // born at the final instant has one sample → absent
+    assert(ev1("irate(k_total[2d] offset 1d)") === Seq(("a", 5.0 / 86400)))
+    // a quiet final interval reads 0 (the written samples are equal)
+    assert(ev1("irate(k_total[2d])") === Seq(("a", 0.0)))
+    // g == 1: a single in-window sample can never make a pair → empty
+    assert(ev1("irate(k_total[1d])") === Seq.empty)
+    // recorded series are UNTYPED floats upstream — irate reads any
+    // rule reset-aware (a decreasing gauge rule reads as post-reset
+    // mass), idelta reads last − previous
+    val gRule = Seq(RecordingRule("s_last", "signup", intervalS = 86400))
+    assert(Engine.eval(spark, dir, "irate(s_last[2d])",
+      recordingRules = gRule).select("value").as[Double].collect().toSeq
+      === Seq(3.0 / 86400))
+    assert(Engine.eval(spark, dir, "idelta(s_last[2d])",
+      recordingRules = gRule).select("value").as[Double].collect().toSeq
+      === Seq(3.0 - 7.0))
+    // post-hoc matchers ride the shared transform
+    assert(ev1("""deriv(k_total{k="zz"}[3d])""") === Seq.empty)
+    // the cents walk needs a cents-exact rule shape: derived-value
+    // rules (scalar arithmetic → 12-decimal values) refuse loudly
+    val half = rules :+ RecordingRule("k_half",
+      "sum by (k) (purchase) / 2", intervalS = 86400)
+    val e1 = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "deriv(k_half[2d])", recordingRules = half).collect())
+    assert(e1.getMessage.contains("sum-by rule shape"))
+    // histogram_quantile over a recorded name teaches the upstream
+    // rule idiom (record the bucket series with their le labels)
+    val e2 = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "histogram_quantile(0.9, k_total)", recordingRules = rules).collect())
+    assert(e2.getMessage.contains("sum by (le)"))
   }
 }

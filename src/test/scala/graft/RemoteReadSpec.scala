@@ -237,6 +237,91 @@ class RemoteReadSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  // frames on the wire: uvarint(len) ++ 4-byte CRC ++ data
+  private def frameCount(bytes: Array[Byte]): Int = {
+    var pos = 0
+    var n = 0
+    while (pos < bytes.length) {
+      var len = 0L
+      var shift = 0
+      while ((bytes(pos) & 0x80) != 0) {
+        len |= (bytes(pos) & 0x7FL) << shift; shift += 7; pos += 1
+      }
+      len |= (bytes(pos) & 0x7FL) << shift
+      pos += 1 + 4 + len.toInt
+      n += 1
+    }
+    n
+  }
+
+  test("streamed face is incremental + batched: door bytes ≡ in-memory encoder, small series coalesce, a tiny budget splits, fragments re-join") {
+    val req = RemoteWrite.compress(RemoteRead.encodeRequest(Seq(all), Seq(1L)))
+    // the door's bounded-memory path (toLocalIterator over the ordered
+    // relation) produces byte-identical frames to the in-memory encoder
+    val ans = RemoteRead.serveNegotiated(spark, dir, req)
+    assert(ans.streamed)
+    val ref = RemoteRead.encodeStreamed(
+      Seq(RemoteRead.seriesFor(spark, dir, all)))
+    assert(ans.body.toSeq === ref.toSeq,
+      "iterator-driven door bytes ≡ in-memory encoder")
+    // multi-series BATCHING: all four small series coalesce into ONE
+    // ~1 MiB-budget frame (upstream's ChunkedWriter behavior)
+    assert(frameCount(ans.body) === 1)
+    assert(RemoteRead.walkStreamed(ans.body).size === 4)
+    // a tiny frame budget cuts the same selection into MANY frames —
+    // the selection streams frame-by-frame — and decodes identically
+    val p = RemoteRead.prepareRead(spark, dir, req, frameBytes = 32)
+    val bos = new java.io.ByteArrayOutputStream()
+    p.writeTo(bos)
+    val tiny = bos.toByteArray
+    assert(frameCount(tiny) > 1, "multi-series selection streams frame-by-frame")
+    def flat(bs: Array[Byte]) = RemoteRead.walkStreamed(bs)
+      .flatMap { case (q, s) => s.samples.map(x => (q, s.labels, x)) }
+    assert(flat(tiny) === flat(ans.body))
+    // an over-budget SERIES splits across frames with labels repeated;
+    // the fragments re-join losslessly
+    val long = RemoteWrite.Series(Vector("__name__" -> "m_total"),
+      (0 until 300).map(i => (i * 0.5, i.toLong * 1000L)).toVector)
+    val split = RemoteRead.encodeStreamed(Seq(Seq(long)),
+      samplesPerChunk = 10, frameBytes = 64)
+    assert(frameCount(split) > 1)
+    val parts = RemoteRead.walkStreamed(split)
+    assert(parts.size > 1 && parts.forall(_._2.labels == long.labels))
+    assert(parts.flatMap(_._2.samples).toVector === long.samples)
+  }
+
+  test("response budget: over-limit selections answer 413 BEFORE any byte leaves; the server stays alive") {
+    // the 6-sample corpus against a 5-sample budget: a clean refusal,
+    // never a truncated stream or an OOMing collect
+    intercept[RemoteRead.LimitExceeded](RemoteRead.prepareRead(spark, dir,
+      RemoteWrite.compress(RemoteRead.encodeRequest(Seq(all))),
+      sampleLimit = 5))
+    val server = QueryEndpoint.start(spark, dir, readSampleLimit = 5)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/read"
+      def post(accepted: Seq[Long], q: ReadQuery = all): Int = {
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        try {
+          val os = conn.getOutputStream
+          try os.write(RemoteWrite.compress(
+            RemoteRead.encodeRequest(Seq(q), accepted)))
+          finally os.close()
+          conn.getResponseCode
+        } finally conn.disconnect()
+      }
+      assert(post(Seq(0L)) === 413, "SAMPLES face refuses over budget")
+      assert(post(Seq(1L)) === 413, "streamed face refuses over budget")
+      // a narrow selection under the budget still serves on both faces
+      val narrow = ReadQuery(0L, Long.MaxValue >> 10,
+        Seq(Matcher(0, "__name__", "signup")))
+      assert(RemoteRead.fetch(url, narrow).nonEmpty)
+      assert(RemoteRead.fetch(url, narrow, streamed = true).nonEmpty)
+    } finally server.stop(0)
+  }
+
   test("HTTP: a streamed-first client reads the same series as a SAMPLES client") {
     val server = QueryEndpoint.start(spark, dir)
     try {

@@ -211,6 +211,86 @@ class ResultsCacheSpec extends SparkTestBase {
     } finally { plain.stop(0); fronted.stop(0) }
   }
 
+  test("HTTP adversarial: rule files swapped across instant AND range reads of one recorded name, interleaved with delete_series") {
+    ResultsCache.clear()
+    import graft.promql.Rules.RecordingRule
+    // two servers in ONE JVM over the SAME corpus, same recorded NAME,
+    // different rule bodies — plus their direct (uncached) twins; every
+    // cached answer must equal its OWN direct twin in any interleaving
+    val rulesA = Seq(RecordingRule("adv_k", "sum by (k) (purchase)",
+      intervalS = 86400))
+    val rulesB = Seq(RecordingRule("adv_k", "sum by (k) (purchase) * 2",
+      intervalS = 86400))
+    val srvA = QueryEndpoint.start(spark, dir, resultsCache = true,
+      recordingRules = rulesA)
+    val srvB = QueryEndpoint.start(spark, dir, resultsCache = true,
+      recordingRules = rulesB)
+    val dirA = QueryEndpoint.start(spark, dir, recordingRules = rulesA)
+    val dirB = QueryEndpoint.start(spark, dir, recordingRules = rulesB)
+    def get(srv: com.sun.net.httpserver.HttpServer, path: String): String = {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${srv.getAddress.getPort}$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally conn.disconnect()
+    }
+    def post(srv: com.sun.net.httpserver.HttpServer, path: String): Int = {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${srv.getAddress.getPort}$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      try conn.getResponseCode finally conn.disconnect()
+    }
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    try {
+      val e = T0 + 2 * 86400L
+      val s = e - 11 * stepS
+      // the recorded name read BOTH ways: as an instant vector (inlines
+      // to the rule's meaning) and as a range selector (stays
+      // selector-level, keyed by the residual rule map)
+      val iq = s"/api/v1/query?query=adv_k&time=$e"
+      val rq = s"/api/v1/query_range?query=${enc("increase(adv_k[2d])")}" +
+        s"&start=$s&end=$e&step=6h"
+      val iA = get(dirA, iq); val iB = get(dirB, iq)
+      val rA = get(dirA, rq); val rB = get(dirB, rq)
+      assert((iA !== iB) && (rA !== rB),
+        "the two rules must genuinely differ")
+      // adversarial interleaving: warm A's instant, then ask B the same
+      // text; warm B's range, then ask A — no cross-serving either way
+      assert(get(srvA, iq) === iA)
+      assert(get(srvB, iq) === iB, "B served A's instant entry")
+      assert(get(srvB, rq) === rB)
+      assert(get(srvA, rq) === rA, "A served B's range chunks")
+      // instant and range tiers of the SAME name never serve each other:
+      // re-reads stay correct after both tiers are warm on both servers
+      assert(get(srvA, iq) === iA && get(srvA, rq) === rA)
+      assert(get(srvB, iq) === iB && get(srvB, rq) === rB)
+      // delete_series lands over HTTP on server A — the epoch is
+      // corpus-level, so BOTH servers' warm entries (both tiers) must
+      // recompute; probe in OPPOSITE tier orders on the two servers
+      assert(post(srvA,
+        s"/api/v1/admin/tsdb/delete_series?match[]=${enc("""purchase{k="a"}""")}")
+        === 204)
+      try {
+        val rA2 = get(dirA, rq)
+        assert(rA2 !== rA, "the delete must change the range answer")
+        assert(get(srvA, rq) === rA2, "A's range served stale post-delete")
+        val iA2 = get(dirA, iq)
+        assert(iA2 !== iA, "the delete must change the instant answer")
+        assert(get(srvA, iq) === iA2, "A's instant served stale post-delete")
+        val iB2 = get(dirB, iq)
+        assert(get(srvB, iq) === iB2, "B's instant served stale post-delete")
+        val rB2 = get(dirB, rq)
+        assert(get(srvB, rq) === rB2, "B's range served stale post-delete")
+      } finally graft.promql.Admin.reset(spark, dir)
+      // reset is itself a mutation: the pre-delete entries must not come
+      // back stale — every answer re-equals its direct twin
+      assert(get(srvA, iq) === get(dirA, iq))
+      assert(get(srvB, rq) === get(dirB, rq))
+    } finally { srvA.stop(0); srvB.stop(0); dirA.stop(0); dirB.stop(0) }
+  }
+
   test("instant queries cache: byte-identical, keyed by time, invalidated by admin and rule state") {
     ResultsCache.clear()
     def directQ(q: String, t: Option[Long] = None): String =
