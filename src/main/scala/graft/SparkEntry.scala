@@ -223,6 +223,14 @@ object SparkEntry {
     // hand-derived bucket relation
     "a1x_remote_read_hist_chunks" -> ((s, d) =>
       sources.RemoteRead.wireReadHistGate(s, d)),
+    // the FLOAT form (type 3): fractional bucket mass as absolute
+    // doubles, each count column riding its own Gorilla XOR window
+    "a1y_remote_read_fhist_chunks" -> ((s, d) =>
+      sources.RemoteRead.wireReadFloatHistGate(s, d)),
+    // both wire histogram FORMS in one foreign push: the walker
+    // dispatches per sample by float-field presence
+    "a1z_remote_write_float_hist" -> ((s, d) =>
+      sources.RemoteWriteFloatGate.wireDecodeMixedHist(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -985,6 +993,10 @@ object SparkEntry {
     "a1v_remote_read" -> sources.RemoteRead.WireReadGateSql,
     "a1w_remote_read_streamed" -> sources.RemoteRead.WireReadGateSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
+    "a1y_remote_read_fhist_chunks" ->
+      sources.RemoteRead.WireReadFloatHistGateSql,
+    "a1z_remote_write_float_hist" ->
+      sources.RemoteWriteFloatGate.WireDecodeMixedHistSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

@@ -461,7 +461,8 @@ object Metrics {
     * `[0, −1]` and fabricate two rows.
     */
   private[graft] def decodeWireSpans(wire: DataFrame,
-      keys: Seq[String] = Seq("name", "label_k")): DataFrame = {
+      keys: Seq[String] = Seq("name", "label_k"),
+      absolute: Boolean = false): DataFrame = {
     val kc = keys.map(col)
     val spans = wire
       .select(kc :+ col("deltas") :+
@@ -480,7 +481,13 @@ object Metrics {
         posexplode(expr("sequence(0, len - 1)")).as(Seq("j", "jv")): _*)
       .select(kc :+
         (col("start") + col("j")).cast("int").as("bucket") :+
-        expr("aggregate(slice(deltas, 1, cast(dstart + j + 1 as int)), 0L, (a, x) -> a + x)")
+        // integer wire deltas prefix-sum to absolute counts; the FLOAT
+        // wire form (prompb positive_counts/negative_counts) already
+        // carries absolutes — position into the list directly
+        (if (absolute)
+          element_at(col("deltas"), (col("dstart") + col("j") + 1).cast("int"))
+        else
+          expr("aggregate(slice(deltas, 1, cast(dstart + j + 1 as int)), 0L, (a, x) -> a + x)"))
           .as("bucket_count"): _*)
   }
 

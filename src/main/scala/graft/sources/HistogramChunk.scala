@@ -76,7 +76,7 @@ object HistogramChunk {
     a.schema == b.schema && a.offs == b.offs && a.lens == b.lens &&
       a.negOffs == b.negOffs && a.negLens == b.negLens
 
-  private def writeVarbitInt(b: BitWriter, v: Long): Unit =
+  private[sources] def writeVarbitInt(b: BitWriter, v: Long): Unit =
     if (v == 0L) b.writeBit(0)
     else if (fits(v, 3)) { b.writeBits(2L, 2); b.writeBits(v, 3) }
     else if (fits(v, 6)) { b.writeBits(6L, 3); b.writeBits(v, 6) }
@@ -84,7 +84,7 @@ object HistogramChunk {
     else if (fits(v, 12)) { b.writeBits(30L, 5); b.writeBits(v, 12) }
     else { b.writeBits(31L, 5); b.writeBits(v, 64) }
 
-  private def readVarbitInt(r: BitReader): Long =
+  private[sources] def readVarbitInt(r: BitReader): Long =
     if (r.readBit() == 0) 0L
     else if (r.readBit() == 0) signed(r.readBits(3), 3)
     else if (r.readBit() == 0) signed(r.readBits(6), 6)
@@ -95,7 +95,7 @@ object HistogramChunk {
   /** The XOR leading/trailing-zero window state for the `sum` column —
     * the [[XorChunk]] value rule, one instance per chunk.
     */
-  private final class XorState {
+  private[sources] final class XorState {
     private var prev = 0L
     private var leading = 0xFF
     private var trailing = 0
@@ -284,6 +284,202 @@ object HistogramChunk {
       }
       out += Hist(t, schema, offs, lens, deltas, count, sum, zcnt,
         negOffs, negLens, negDeltas)
+      i += 1
+    }
+    out.result()
+  }
+}
+
+/** Float native-histogram chunk codec — the `Chunk.Encoding
+  * .FLOAT_HISTOGRAM` (type 3) payload: the sample kind whose counts
+  * are no longer whole numbers (an aggregating or scaling sender —
+  * recording rules over histograms, federation of pre-divided rates),
+  * carried on the wire as ABSOLUTE double bucket counts (prompb
+  * `positive_counts`/`negative_counts`) rather than integer delta
+  * chains. Layout mirrors [[HistogramChunk]] exactly except every
+  * count-valued column is a double ridden through its own Gorilla XOR
+  * window:
+  *  - 2-byte count + 1 counter-reset-hint byte;
+  *  - sample 0: t zigzag uvarint, schema varbit int, zero-threshold
+  *    byte 0, then count / zero_count / sum as 64 raw bits each, spans
+  *    (offset varbit int, length uvarint), and every bucket count as
+  *    64 raw bits;
+  *  - sample n ≥ 1 (same schema + layout, enforced like the integer
+  *    codec): t through the uvarint/dod ladder, then count, zero_count,
+  *    sum, and each bucket count XOR-coded against its own previous
+  *    value with an independent leading/trailing window per column — a
+  *    steady bucket costs one bit.
+  */
+object FloatHistogramChunk {
+
+  import HistogramChunk.{XorState, readVarbitInt, writeVarbitInt}
+  import RemoteWrite.FHist
+  import XorChunk.{BitReader, BitWriter, fits, readUvarint, signed,
+    unzigzag, writeUvarint, zigzag}
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"float histogram chunk: $msg")
+
+  /** Same appendability rule as the integer codec: same resolution,
+    * same sparse layout — a change cuts a new chunk.
+    */
+  def appendable(a: FHist, b: FHist): Boolean =
+    a.schema == b.schema && a.offs == b.offs && a.lens == b.lens &&
+      a.negOffs == b.negOffs && a.negLens == b.negLens
+
+  /** Encode float-histogram samples (non-empty, ≤ 65535, timestamps
+    * non-decreasing, pairwise [[appendable]]) as one FLOAT_HISTOGRAM
+    * chunk's `data` bytes.
+    */
+  def encode(hists: Seq[FHist]): Array[Byte] = {
+    if (hists.isEmpty) fail("empty chunk")
+    if (hists.length > 0xFFFF)
+      fail(s"${hists.length} samples exceed the 2-byte count")
+    val h0 = hists.head
+    hists.foreach { h =>
+      if (!appendable(h0, h))
+        fail("schema/span-layout change inside a chunk — cut a new one")
+      if (h.counts.length != h0.counts.length ||
+        h.negCounts.length != h0.negCounts.length)
+        fail("bucket count disagrees with the span layout")
+    }
+    if (h0.counts.length != h0.lens.map(_.toLong).sum ||
+      h0.negCounts.length != h0.negLens.map(_.toLong).sum)
+      fail("bucket count disagrees with the span layout")
+    val b = new BitWriter
+    b.writeByte(hists.length >> 8)
+    b.writeByte(hists.length & 0xFF)
+    b.writeByte(0) // counter-reset hint: unknown (fresh chunk)
+    val countX = new XorState
+    val zcntX = new XorState
+    val sumX = new XorState
+    val posX = Array.fill(h0.counts.length)(new XorState)
+    val negX = Array.fill(h0.negCounts.length)(new XorState)
+    def raw(x: XorState, v: Double): Unit = {
+      b.writeBits(java.lang.Double.doubleToRawLongBits(v), 64)
+      x.seed(java.lang.Double.doubleToRawLongBits(v))
+    }
+    var prev: FHist = null
+    hists.zipWithIndex.foreach { case (h, i) =>
+      if (i == 0) {
+        writeUvarint(b, zigzag(h.tsMs))
+        writeVarbitInt(b, h.schema.toLong)
+        b.writeByte(0) // zero threshold: not modeled on this wire
+        raw(countX, h.count)
+        raw(zcntX, h.zeroCount)
+        raw(sumX, h.sum)
+        writeUvarint(b, h.offs.length.toLong)
+        h.offs.zip(h.lens).foreach { case (o, l) =>
+          writeVarbitInt(b, o.toLong); writeUvarint(b, l.toLong)
+        }
+        writeUvarint(b, h.negOffs.length.toLong)
+        h.negOffs.zip(h.negLens).foreach { case (o, l) =>
+          writeVarbitInt(b, o.toLong); writeUvarint(b, l.toLong)
+        }
+        h.counts.zipWithIndex.foreach { case (v, j) => raw(posX(j), v) }
+        h.negCounts.zipWithIndex.foreach { case (v, j) => raw(negX(j), v) }
+      } else {
+        val d = h.tsMs - prev.tsMs
+        if (d < 0) fail("timestamps must be non-decreasing")
+        if (i == 1) writeUvarint(b, d)
+        else {
+          val dod = d - (prev.tsMs - hists(i - 2).tsMs)
+          if (dod == 0L) b.writeBit(0)
+          else if (fits(dod, 14)) { b.writeBits(2L, 2); b.writeBits(dod, 14) }
+          else if (fits(dod, 17)) { b.writeBits(6L, 3); b.writeBits(dod, 17) }
+          else if (fits(dod, 20)) { b.writeBits(14L, 4); b.writeBits(dod, 20) }
+          else { b.writeBits(15L, 4); b.writeBits(dod, 64) }
+        }
+        countX.write(b, h.count)
+        zcntX.write(b, h.zeroCount)
+        sumX.write(b, h.sum)
+        h.counts.zipWithIndex.foreach { case (v, j) => posX(j).write(b, v) }
+        h.negCounts.zipWithIndex.foreach { case (v, j) => negX(j).write(b, v) }
+      }
+      prev = h
+    }
+    b.bytes
+  }
+
+  /** Decode one FLOAT_HISTOGRAM chunk's `data` bytes back to samples. */
+  def decode(data: Array[Byte]): Vector[FHist] = {
+    if (data.length < 3) fail("chunk shorter than its header")
+    val n = ((data(0) & 0xFF) << 8) | (data(1) & 0xFF)
+    val r = new BitReader(data, 3)
+    val countX = new XorState
+    val zcntX = new XorState
+    val sumX = new XorState
+    var posX: Array[XorState] = Array.empty
+    var negX: Array[XorState] = Array.empty
+    def raw(x: XorState): Double = {
+      val bits = r.readBits(64)
+      x.seed(bits)
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    val out = Vector.newBuilder[FHist]
+    var schema = 0
+    var offs = Vector.empty[Int]
+    var lens = Vector.empty[Int]
+    var negOffs = Vector.empty[Int]
+    var negLens = Vector.empty[Int]
+    var t = 0L
+    var tDelta = 0L
+    var i = 0
+    var count = 0.0
+    var zcnt = 0.0
+    var sum = 0.0
+    var counts = Vector.empty[Double]
+    var negCounts = Vector.empty[Double]
+    while (i < n) {
+      if (i == 0) {
+        t = unzigzag(readUvarint(r))
+        schema = readVarbitInt(r).toInt
+        if (r.readByte() != 0) fail("unsupported zero-threshold form")
+        count = raw(countX)
+        zcnt = raw(zcntX)
+        sum = raw(sumX)
+        val nPos = readUvarint(r).toInt
+        if (nPos < 0 || nPos > data.length * 8) fail("invalid span count")
+        val po = Vector.newBuilder[Int]; val pl = Vector.newBuilder[Int]
+        (0 until nPos).foreach { _ =>
+          po += readVarbitInt(r).toInt; pl += readUvarint(r).toInt
+        }
+        offs = po.result(); lens = pl.result()
+        val nNeg = readUvarint(r).toInt
+        if (nNeg < 0 || nNeg > data.length * 8) fail("invalid span count")
+        val no = Vector.newBuilder[Int]; val nl = Vector.newBuilder[Int]
+        (0 until nNeg).foreach { _ =>
+          no += readVarbitInt(r).toInt; nl += readUvarint(r).toInt
+        }
+        negOffs = no.result(); negLens = nl.result()
+        val nb = lens.map(_.toLong).sum
+        val nnb = negLens.map(_.toLong).sum
+        if (nb < 0 || nb > data.length * 8L || nnb < 0 ||
+          nnb > data.length * 8L) fail("invalid bucket count")
+        posX = Array.fill(nb.toInt)(new XorState)
+        negX = Array.fill(nnb.toInt)(new XorState)
+        counts = posX.toVector.map(raw)
+        negCounts = negX.toVector.map(raw)
+      } else {
+        if (i == 1) tDelta = readUvarint(r)
+        else {
+          val dod: Long =
+            if (r.readBit() == 0) 0L
+            else if (r.readBit() == 0) signed(r.readBits(14), 14)
+            else if (r.readBit() == 0) signed(r.readBits(17), 17)
+            else if (r.readBit() == 0) signed(r.readBits(20), 20)
+            else r.readBits(64)
+          tDelta += dod
+        }
+        t += tDelta
+        count = countX.read(r)
+        zcnt = zcntX.read(r)
+        sum = sumX.read(r)
+        counts = posX.toVector.map(_.read(r))
+        negCounts = negX.toVector.map(_.read(r))
+      }
+      out += FHist(t, schema, offs, lens, counts, count, sum, zcnt,
+        negOffs, negLens, negCounts)
       i += 1
     }
     out.result()

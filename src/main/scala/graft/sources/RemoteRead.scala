@@ -55,7 +55,7 @@ import org.apache.spark.sql.functions._
   */
 object RemoteRead {
 
-  import RemoteWrite.{Hist, Series}
+  import RemoteWrite.{FHist, Hist, Series}
 
   /** LabelMatcher.Type: 0 EQ, 1 NEQ, 2 RE, 3 NRE. */
   final case class Matcher(op: Int, name: String, value: String)
@@ -367,6 +367,7 @@ object RemoteRead {
     private val sampleBuf =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     private val histBuf = scala.collection.mutable.ArrayBuffer.empty[Hist]
+    private val fhistBuf = scala.collection.mutable.ArrayBuffer.empty[FHist]
 
     /** Frames cut so far (telemetry + the frame-count specs). */
     var framesWritten = 0L
@@ -404,10 +405,23 @@ object RemoteRead {
       if (histBuf.length == samplesPerChunk) flushHistChunk()
     }
 
+    /** One FLOAT-form native-histogram sample — same appender rule,
+      * FLOAT_HISTOGRAM (type 3) chunks.
+      */
+    def addFHist(h: FHist): Unit = {
+      require(open, "no open series")
+      if (fhistBuf.nonEmpty &&
+        !FloatHistogramChunk.appendable(fhistBuf.last, h))
+        flushFHistChunk()
+      fhistBuf += h
+      if (fhistBuf.length == samplesPerChunk) flushFHistChunk()
+    }
+
     def endSeries(): Unit = {
       require(open, "no open series")
       flushSampleChunk()
       flushHistChunk()
+      flushFHistChunk()
       closeSeries()
       open = false
     }
@@ -429,6 +443,12 @@ object RemoteRead {
       addChunk(histBuf.head.tsMs, histBuf.last.tsMs, 2L,
         HistogramChunk.encode(histBuf.toSeq))
       histBuf.clear()
+    }
+
+    private def flushFHistChunk(): Unit = if (fhistBuf.nonEmpty) {
+      addChunk(fhistBuf.head.tsMs, fhistBuf.last.tsMs, 3L,
+        FloatHistogramChunk.encode(fhistBuf.toSeq))
+      fhistBuf.clear()
     }
 
     /** One closed chunk onto the open series; cut the frame if the
@@ -501,6 +521,7 @@ object RemoteRead {
         w.startSeries(s.labels, qIdx.toLong)
         s.samples.foreach { case (v, t) => w.addSample(t, v) }
         s.hists.foreach(w.addHist)
+        s.fhists.foreach(w.addFHist)
         w.endSeries()
       }
     }
@@ -540,6 +561,7 @@ object RemoteRead {
             val labels = Vector.newBuilder[(String, String)]
             val samples = Vector.newBuilder[(Double, Long)]
             val hists = Vector.newBuilder[Hist]
+            val fhists = Vector.newBuilder[FHist]
             while (c.has(csEnd)) {
               val t2 = c.varint(csEnd)
               ((t2 >> 3).toInt, (t2 & 7).toInt) match {
@@ -573,13 +595,14 @@ object RemoteRead {
                       samples ++= XorChunk.decode(data)
                         .map { case (t, v) => (v, t) }
                     case 2L => hists ++= HistogramChunk.decode(data)
+                    case 3L => fhists ++= FloatHistogramChunk.decode(data)
                     case t => fail(s"unsupported chunk encoding $t")
                   }
                 case (_, w) => c.skip(w, csEnd)
               }
             }
             series += Series(labels.result(), samples.result(),
-              hists.result())
+              hists.result(), fhists = fhists.result())
           case (2, 0) => qIdx = c.varint(frameEnd)
           case (_, w) => c.skip(w, frameEnd)
         }
@@ -802,7 +825,8 @@ object RemoteRead {
             if (acc.nonEmpty && acc.last.labels == s.labels)
               acc.init :+ acc.last.copy(
                 samples = acc.last.samples ++ s.samples,
-                hists = acc.last.hists ++ s.hists)
+                hists = acc.last.hists ++ s.hists,
+                fhists = acc.last.fhists ++ s.fhists)
             else acc :+ s
           }
       else
@@ -957,6 +981,129 @@ object RemoteRead {
       |  ('req_ms', 'b', 62000, 2, 14, CAST('-2.25' AS DOUBLE), 2, 0, 1, 2),
       |  ('req_ms', 'b', 62000, 2, 14, CAST('-2.25' AS DOUBLE), 2, 0, 2, 4),
       |  ('req_ms', 'b', 62000, 2, 14, CAST('-2.25' AS DOUBLE), 2, 1, -2, 9)
+      |) t(metric, label_k, ts_ms, schema, count, sum, zero_count, side, bucket, bucket_count)
+      |ORDER BY metric, label_k, ts_ms, side, bucket""".stripMargin
+
+  /** The FLOAT twin of [[streamHists]]: a float-histogram SAMPLE
+    * relation (absolute double bucket counts — prompb's
+    * `positive_counts` form) streamed as FLOAT_HISTOGRAM (type 3)
+    * chunks through the same bounded-memory `toLocalIterator` walk.
+    * Expected columns: `metric, label_k, ts_ms, schema, count, sum,
+    * zero_count, offs, lens, counts, neg_offs, neg_lens, neg_counts`
+    * (count/zero_count/counts/neg_counts double-typed).
+    */
+  def streamFHists(hists: DataFrame, out: java.io.OutputStream,
+      samplesPerChunk: Int = 120,
+      frameBytes: Int = DefaultFrameBytes): Unit = {
+    val w = new ChunkFrameWriter(out, samplesPerChunk, frameBytes)
+    val it = hists.select(col("metric"), col("label_k"), col("ts_ms"),
+      col("schema"), col("count"), col("sum"), col("zero_count"),
+      col("offs"), col("lens"), col("counts"),
+      col("neg_offs"), col("neg_lens"), col("neg_counts"))
+      .orderBy(col("metric"), col("label_k"), col("ts_ms"))
+      .toLocalIterator()
+    var cur: (String, String) = null
+    while (it.hasNext) {
+      val r = it.next()
+      val key = (r.getString(0), r.getString(1))
+      if (key != cur) {
+        if (cur != null) w.endSeries()
+        w.startSeries(Vector("__name__" -> key._1, "k" -> key._2)
+          .filter(_._2.nonEmpty), 0L)
+        cur = key
+      }
+      w.addFHist(FHist(r.getLong(2), r.getInt(3),
+        r.getSeq[Int](7).toVector, r.getSeq[Int](8).toVector,
+        r.getSeq[Double](9).toVector, r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getSeq[Int](10).toVector,
+        r.getSeq[Int](11).toVector, r.getSeq[Double](12).toVector))
+    }
+    if (cur != null) w.endSeries()
+    w.finish()
+  }
+
+  /** a1y — the FLOAT-histogram chunk gate (a1x's type-3 twin): a family
+    * whose counts are no longer whole (the sample kind an aggregating
+    * sender produces — fractional bucket mass), one series changing its
+    * span layout mid-stream (the chunk cut), one observing on both
+    * sides of zero at a different schema, served as FLOAT_HISTOGRAM
+    * chunks via [[streamFHists]], decoded back, and position-walked to
+    * absolute buckets by the shared span decode in ABSOLUTE mode
+    * (float wire counts are not delta chains). Oracle: the hand-derived
+    * bucket relation; counts are dyadic doubles so the XOR windows and
+    * the relational walk must both be bit-exact.
+    */
+  def wireReadFloatHistGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val samples = Seq(
+      ("rate_ms", "a", 1000L, 3, 5.25, 3.5, 1.0,
+        Seq(0, 3), Seq(2, 1), Seq(1.5, 2.25, 0.5),
+        Seq.empty[Int], Seq.empty[Int], Seq.empty[Double]),
+      ("rate_ms", "a", 61000L, 3, 7.25, 5.25, 2.0,
+        Seq(0, 3), Seq(2, 1), Seq(2.0, 2.25, 1.0),
+        Seq.empty[Int], Seq.empty[Int], Seq.empty[Double]),
+      ("rate_ms", "a", 121000L, 3, 6.0, 7.5, 2.0,
+        Seq(0), Seq(1), Seq(4.0),
+        Seq.empty[Int], Seq.empty[Int], Seq.empty[Double]),
+      ("rate_ms", "b", 2000L, 0, 3.5, -0.5, 1.0,
+        Seq(-1), Seq(1), Seq(0.75),
+        Seq(0), Seq(2), Seq(1.25, 0.5)),
+      ("rate_ms", "b", 62000L, 0, 4.75, -1.0, 1.0,
+        Seq(-1), Seq(1), Seq(1.0),
+        Seq(0), Seq(2), Seq(1.25, 1.5)))
+    val df = samples.toDF("metric", "label_k", "ts_ms", "schema", "count",
+      "sum", "zero_count", "offs", "lens", "counts", "neg_offs",
+      "neg_lens", "neg_counts")
+    val bos = new java.io.ByteArrayOutputStream()
+    streamFHists(df, bos)
+    val rows = walkStreamed(bos.toByteArray).flatMap { case (_, s) =>
+      val lm = s.labels.toMap
+      s.fhists.map { h =>
+        (lm.getOrElse("__name__", ""), lm.getOrElse("k", ""), h.tsMs,
+          h.schema, h.count, h.sum, h.zeroCount, h.offs, h.lens, h.counts,
+          h.negOffs, h.negLens, h.negCounts)
+      }
+    }
+    val decoded = rows.toDF("metric", "label_k", "ts_ms", "schema",
+      "count", "sum", "zero_count", "offs", "lens", "deltas", "neg_offs",
+      "neg_lens", "neg_deltas")
+    val keys = Seq("metric", "label_k", "ts_ms", "schema", "count", "sum",
+      "zero_count")
+    val pos = graft.operators.Metrics
+      .decodeWireSpans(decoded, keys, absolute = true)
+      .withColumn("side", lit(1))
+    val neg = graft.operators.Metrics.decodeWireSpans(
+      decoded.select(keys.map(col) :+ col("neg_offs").as("offs") :+
+        col("neg_lens").as("lens") :+ col("neg_deltas").as("deltas"): _*),
+      keys, absolute = true).withColumn("side", lit(0))
+    pos.unionByName(neg)
+      .select(col("metric"), col("label_k"), col("ts_ms"), col("schema"),
+        col("count"), col("sum"), col("zero_count"), col("side"),
+        col("bucket"), col("bucket_count"))
+      .orderBy(col("metric"), col("label_k"), col("ts_ms"), col("side"),
+        col("bucket"))
+  }
+
+  /** Oracle twin of [[wireReadFloatHistGate]]: the bucket relation
+    * derived BY HAND (series "a": span 2 anchors at exclusive end 2 +
+    * offset 3 = 5; float counts are ABSOLUTE, no prefix sums; series
+    * "b": negative side walks its own spans).
+    */
+  lazy val WireReadFloatHistGateSql: String =
+    """SELECT * FROM (VALUES
+      |  ('rate_ms', 'a', CAST(1000 AS BIGINT), 3, CAST('5.25' AS DOUBLE), CAST('3.5' AS DOUBLE), CAST('1.0' AS DOUBLE), 1, 0, CAST('1.5' AS DOUBLE)),
+      |  ('rate_ms', 'a', 1000, 3, CAST('5.25' AS DOUBLE), CAST('3.5' AS DOUBLE), CAST('1.0' AS DOUBLE), 1, 1, CAST('2.25' AS DOUBLE)),
+      |  ('rate_ms', 'a', 1000, 3, CAST('5.25' AS DOUBLE), CAST('3.5' AS DOUBLE), CAST('1.0' AS DOUBLE), 1, 5, CAST('0.5' AS DOUBLE)),
+      |  ('rate_ms', 'a', 61000, 3, CAST('7.25' AS DOUBLE), CAST('5.25' AS DOUBLE), CAST('2.0' AS DOUBLE), 1, 0, CAST('2.0' AS DOUBLE)),
+      |  ('rate_ms', 'a', 61000, 3, CAST('7.25' AS DOUBLE), CAST('5.25' AS DOUBLE), CAST('2.0' AS DOUBLE), 1, 1, CAST('2.25' AS DOUBLE)),
+      |  ('rate_ms', 'a', 61000, 3, CAST('7.25' AS DOUBLE), CAST('5.25' AS DOUBLE), CAST('2.0' AS DOUBLE), 1, 5, CAST('1.0' AS DOUBLE)),
+      |  ('rate_ms', 'a', 121000, 3, CAST('6.0' AS DOUBLE), CAST('7.5' AS DOUBLE), CAST('2.0' AS DOUBLE), 1, 0, CAST('4.0' AS DOUBLE)),
+      |  ('rate_ms', 'b', 2000, 0, CAST('3.5' AS DOUBLE), CAST('-0.5' AS DOUBLE), CAST('1.0' AS DOUBLE), 0, 0, CAST('1.25' AS DOUBLE)),
+      |  ('rate_ms', 'b', 2000, 0, CAST('3.5' AS DOUBLE), CAST('-0.5' AS DOUBLE), CAST('1.0' AS DOUBLE), 0, 1, CAST('0.5' AS DOUBLE)),
+      |  ('rate_ms', 'b', 2000, 0, CAST('3.5' AS DOUBLE), CAST('-0.5' AS DOUBLE), CAST('1.0' AS DOUBLE), 1, -1, CAST('0.75' AS DOUBLE)),
+      |  ('rate_ms', 'b', 62000, 0, CAST('4.75' AS DOUBLE), CAST('-1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), 0, 0, CAST('1.25' AS DOUBLE)),
+      |  ('rate_ms', 'b', 62000, 0, CAST('4.75' AS DOUBLE), CAST('-1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), 0, 1, CAST('1.5' AS DOUBLE)),
+      |  ('rate_ms', 'b', 62000, 0, CAST('4.75' AS DOUBLE), CAST('-1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), 1, -1, CAST('1.0' AS DOUBLE))
       |) t(metric, label_k, ts_ms, schema, count, sum, zero_count, side, bucket, bucket_count)
       |ORDER BY metric, label_k, ts_ms, side, bucket""".stripMargin
 

@@ -53,7 +53,8 @@ object RemoteWrite {
   final case class Series(labels: Vector[(String, String)],
       samples: Vector[(Double, Long)],
       hists: Vector[Hist] = Vector.empty,
-      exemplars: Vector[Exemplar] = Vector.empty)
+      exemplars: Vector[Exemplar] = Vector.empty,
+      fhists: Vector[FHist] = Vector.empty)
 
   /** One native-histogram sample off the wire: the sparse POSITIVE
     * bucket ladder the engine models (`prometheus.cpp:256-306`'s
@@ -70,6 +71,19 @@ object RemoteWrite {
       count: Long = 0L, sum: Double = 0.0, zeroCount: Long = 0L,
       negOffs: Vector[Int] = Vector.empty, negLens: Vector[Int] = Vector.empty,
       negDeltas: Vector[Long] = Vector.empty)
+
+  /** One FLOAT-form native-histogram sample (prompb's `count`/
+    * `zero_count` as doubles, `positive_counts`/`negative_counts` as
+    * ABSOLUTE per-bucket doubles — the sample kind an aggregating
+    * sender produces, where observation counts are no longer whole):
+    * the float twin of [[Hist]], served over the streamed remote-read
+    * face as FLOAT_HISTOGRAM (type 3) chunks.
+    */
+  final case class FHist(tsMs: Long, schema: Int,
+      offs: Vector[Int], lens: Vector[Int], counts: Vector[Double],
+      count: Double = 0.0, sum: Double = 0.0, zeroCount: Double = 0.0,
+      negOffs: Vector[Int] = Vector.empty, negLens: Vector[Int] = Vector.empty,
+      negCounts: Vector[Double] = Vector.empty)
 
   /** Decode an UNCOMPRESSED `WriteRequest` payload. Throws
     * `IllegalArgumentException` on malformed bytes (truncated message,
@@ -182,12 +196,25 @@ object RemoteWrite {
       (off, len)
     }
 
-    def histogram(limit: Int): Hist = {
+    /** One wire histogram, dispatched by form: the INTEGER form
+      * (count_int / zero_count_int / zigzag delta chains) decodes
+      * Left([[Hist]]); the FLOAT form (count / zero_count as doubles,
+      * ABSOLUTE packed-double `positive_counts`/`negative_counts` —
+      * the sample kind an aggregating sender produces) decodes
+      * Right([[FHist]]). Presence of ANY float-form field selects
+      * float, upstream's reading.
+      */
+    def histogram(limit: Int): Either[Hist, FHist] = {
       var ts = 0L
       var schema = 0
       var count = 0L
       var hsum = 0.0
       var zero = 0L
+      var isFloat = false
+      var countF = 0.0
+      var zeroF = 0.0
+      val posCounts = Vector.newBuilder[Double]
+      val negCounts = Vector.newBuilder[Double]
       val offs = Vector.newBuilder[Int]
       val lens = Vector.newBuilder[Int]
       val deltas = Vector.newBuilder[Long]
@@ -198,28 +225,55 @@ object RemoteWrite {
         val tag = varint(limit)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
           case (1, 0) => count = varint(limit) // count_int
+          case (2, 1) => // count (float form)
+            countF = java.lang.Double.longBitsToDouble(fixed64(limit))
+            isFloat = true
           case (3, 1) => hsum = java.lang.Double.longBitsToDouble(fixed64(limit))
           case (4, 0) => schema = zigzag(varint(limit)).toInt
           case (6, 0) => zero = varint(limit) // zero_count_int
+          case (7, 1) => // zero_count (float form)
+            zeroF = java.lang.Double.longBitsToDouble(fixed64(limit))
+            isFloat = true
           case (8, 2) => // negative_spans
             val (o, l) = bucketSpan(lenDelim(limit)); negOffs += o; negLens += l
           case (9, 2) => // packed negative zigzag deltas
             val u = lenDelim(limit)
             while (pos < u) negDeltas += zigzag(varint(u))
           case (9, 0) => negDeltas += zigzag(varint(limit))
+          case (10, 2) => // packed negative_counts (float form, absolute)
+            val u = lenDelim(limit)
+            while (pos < u)
+              negCounts += java.lang.Double.longBitsToDouble(fixed64(u))
+            isFloat = true
+          case (10, 1) =>
+            negCounts += java.lang.Double.longBitsToDouble(fixed64(limit))
+            isFloat = true
           case (11, 2) =>
             val (o, l) = bucketSpan(lenDelim(limit)); offs += o; lens += l
           case (12, 2) => // packed zigzag deltas (proto3 default)
             val u = lenDelim(limit)
             while (pos < u) deltas += zigzag(varint(u))
           case (12, 0) => deltas += zigzag(varint(limit)) // unpacked form
+          case (13, 2) => // packed positive_counts (float form, absolute)
+            val u = lenDelim(limit)
+            while (pos < u)
+              posCounts += java.lang.Double.longBitsToDouble(fixed64(u))
+            isFloat = true
+          case (13, 1) =>
+            posCounts += java.lang.Double.longBitsToDouble(fixed64(limit))
+            isFloat = true
           case (15, 0) => ts = varint(limit)
-          case (_, wt) => skip(wt, limit) // float forms/reset hint
+          case (_, wt) => skip(wt, limit) // reset hint / future fields
         }
       }
-      Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
-        count, hsum, zero, negOffs.result(), negLens.result(),
-        negDeltas.result())
+      if (isFloat)
+        Right(FHist(ts, schema, offs.result(), lens.result(),
+          posCounts.result(), countF, hsum, zeroF, negOffs.result(),
+          negLens.result(), negCounts.result()))
+      else
+        Left(Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
+          count, hsum, zero, negOffs.result(), negLens.result(),
+          negDeltas.result()))
     }
 
     def exemplar(limit: Int): Exemplar = {
@@ -242,6 +296,7 @@ object RemoteWrite {
       val labels = Vector.newBuilder[(String, String)]
       val samples = Vector.newBuilder[(Double, Long)]
       val hists = Vector.newBuilder[Hist]
+      val fhists = Vector.newBuilder[FHist]
       val exs = Vector.newBuilder[Exemplar]
       while (pos < limit) {
         val tag = varint(limit)
@@ -249,11 +304,15 @@ object RemoteWrite {
           case (1, 2) => labels += label(lenDelim(limit))
           case (2, 2) => samples += sample(lenDelim(limit))
           case (3, 2) => exs += exemplar(lenDelim(limit))
-          case (4, 2) => hists += histogram(lenDelim(limit))
+          case (4, 2) => histogram(lenDelim(limit)) match {
+            case Left(h) => hists += h
+            case Right(f) => fhists += f
+          }
           case (_, wt) => skip(wt, limit)
         }
       }
-      Series(labels.result(), samples.result(), hists.result(), exs.result())
+      Series(labels.result(), samples.result(), hists.result(),
+        exs.result(), fhists.result())
     }
 
     val out = Vector.newBuilder[Series]
@@ -335,6 +394,7 @@ object RemoteWrite {
       val refs = Vector.newBuilder[Long]
       val samples = Vector.newBuilder[(Double, Long)]
       val hists = Vector.newBuilder[Hist]
+      val fhists = Vector.newBuilder[FHist]
       // the v1 walker's sample/histogram sub-parsers apply verbatim —
       // only the label encoding changed in 2.0
       def sample(limit: Int): (Double, Long) = {
@@ -370,12 +430,27 @@ object RemoteWrite {
         }
         (off, len)
       }
-      def histogram(limit: Int): Hist = {
+      def f64(limit: Int): Double = {
+        if (pos + 8 > limit) fail("truncated fixed64")
+        var bits = 0L
+        var i = 0
+        while (i < 8) { bits |= (bytes(pos + i) & 0xFFL) << (8 * i); i += 1 }
+        pos += 8
+        java.lang.Double.longBitsToDouble(bits)
+      }
+      // both histogram FORMS, like the v1 walker: integer → Left(Hist),
+      // any float-form field present → Right(FHist)
+      def histogram(limit: Int): Either[Hist, FHist] = {
         var ts = 0L
         var schema = 0
         var count = 0L
         var hsum = 0.0
         var zero = 0L
+        var isFloat = false
+        var countF = 0.0
+        var zeroF = 0.0
+        val posCounts = Vector.newBuilder[Double]
+        val negCounts = Vector.newBuilder[Double]
         val offs = Vector.newBuilder[Int]
         val lens = Vector.newBuilder[Int]
         val deltas = Vector.newBuilder[Long]
@@ -386,34 +461,45 @@ object RemoteWrite {
           val tag = varint(limit)
           ((tag >> 3).toInt, (tag & 7).toInt) match {
             case (1, 0) => count = varint(limit)
-            case (3, 1) =>
-              if (pos + 8 > limit) fail("truncated fixed64")
-              var bits = 0L
-              var i = 0
-              while (i < 8) { bits |= (bytes(pos + i) & 0xFFL) << (8 * i); i += 1 }
-              pos += 8
-              hsum = java.lang.Double.longBitsToDouble(bits)
+            case (2, 1) => countF = f64(limit); isFloat = true
+            case (3, 1) => hsum = f64(limit)
             case (4, 0) => schema = zigzag(varint(limit)).toInt
             case (6, 0) => zero = varint(limit)
+            case (7, 1) => zeroF = f64(limit); isFloat = true
             case (8, 2) =>
               val (o, l) = bucketSpan(lenDelim(limit)); negOffs += o; negLens += l
             case (9, 2) =>
               val u = lenDelim(limit)
               while (pos < u) negDeltas += zigzag(varint(u))
             case (9, 0) => negDeltas += zigzag(varint(limit))
+            case (10, 2) =>
+              val u = lenDelim(limit)
+              while (pos < u) negCounts += f64(u)
+              isFloat = true
+            case (10, 1) => negCounts += f64(limit); isFloat = true
             case (11, 2) =>
               val (o, l) = bucketSpan(lenDelim(limit)); offs += o; lens += l
             case (12, 2) =>
               val u = lenDelim(limit)
               while (pos < u) deltas += zigzag(varint(u))
             case (12, 0) => deltas += zigzag(varint(limit))
+            case (13, 2) =>
+              val u = lenDelim(limit)
+              while (pos < u) posCounts += f64(u)
+              isFloat = true
+            case (13, 1) => posCounts += f64(limit); isFloat = true
             case (15, 0) => ts = varint(limit)
             case (_, wt) => skip(wt, limit)
           }
         }
-        Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
-          count, hsum, zero, negOffs.result(), negLens.result(),
-          negDeltas.result())
+        if (isFloat)
+          Right(FHist(ts, schema, offs.result(), lens.result(),
+            posCounts.result(), countF, hsum, zeroF, negOffs.result(),
+            negLens.result(), negCounts.result()))
+        else
+          Left(Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
+            count, hsum, zero, negOffs.result(), negLens.result(),
+            negDeltas.result()))
       }
       // v2 Exemplar: packed labels_refs = 1, value = 2, timestamp = 3
       def exemplarV2(limit: Int): Exemplar = {
@@ -452,7 +538,10 @@ object RemoteWrite {
             while (pos < u) refs += varint(u)
           case (1, 0) => refs += varint(until) // unpacked form
           case (2, 2) => samples += sample(lenDelim(until))
-          case (3, 2) => hists += histogram(lenDelim(until))
+          case (3, 2) => histogram(lenDelim(until)) match {
+            case Left(h) => hists += h
+            case Right(f) => fhists += f
+          }
           case (4, 2) => exs += exemplarV2(lenDelim(until)) // v2: field 4
           case (_, wt) => skip(wt, until)
         }
@@ -461,7 +550,8 @@ object RemoteWrite {
       if (rs.length % 2 != 0) fail("odd labels_refs length")
       val labels = rs.grouped(2).map { case Vector(n, v) => (sym(n), sym(v)) }
         .toVector
-      Series(labels, samples.result(), hists.result(), exs.result())
+      Series(labels, samples.result(), hists.result(), exs.result(),
+        fhists.result())
     }
   }
 
@@ -571,6 +661,50 @@ object RemoteWrite {
         writeVarint(hm, h.tsMs)
         writeLen(ts, 4, hm.toByteArray)
       }
+      s.fhists.foreach { h => // FLOAT form: absolute double counts
+        def zz(n: Long): Long = (n << 1) ^ (n >> 63)
+        val hm = new java.io.ByteArrayOutputStream()
+        def dbl(field: Int, v: Double): Unit = {
+          writeVarint(hm, (field.toLong << 3) | 1L)
+          val b = java.lang.Double.doubleToLongBits(v)
+          var i = 0
+          while (i < 8) { hm.write(((b >>> (8 * i)) & 0xFF).toInt); i += 1 }
+        }
+        def packed(field: Int, vs: Seq[Double]): Unit = if (vs.nonEmpty) {
+          val dl = new java.io.ByteArrayOutputStream()
+          vs.foreach { v =>
+            val b = java.lang.Double.doubleToLongBits(v)
+            var i = 0
+            while (i < 8) { dl.write(((b >>> (8 * i)) & 0xFF).toInt); i += 1 }
+          }
+          writeLen(hm, field, dl.toByteArray)
+        }
+        // count/zero_count ALWAYS write: their float-form presence is
+        // what marks the sample as float on the wire (a zero-count
+        // float histogram must not decode back as the integer form)
+        dbl(2, h.count)
+        if (h.sum != 0.0) dbl(3, h.sum)
+        writeVarint(hm, (4L << 3) | 0L)
+        writeVarint(hm, zz(h.schema.toLong))
+        dbl(7, h.zeroCount)
+        h.negOffs.zip(h.negLens).foreach { case (o, l) => // field 8
+          val sp = new java.io.ByteArrayOutputStream()
+          writeVarint(sp, (1L << 3) | 0L); writeVarint(sp, zz(o.toLong))
+          writeVarint(sp, (2L << 3) | 0L); writeVarint(sp, l.toLong)
+          writeLen(hm, 8, sp.toByteArray)
+        }
+        packed(10, h.negCounts)
+        h.offs.zip(h.lens).foreach { case (o, l) => // field 11
+          val sp = new java.io.ByteArrayOutputStream()
+          writeVarint(sp, (1L << 3) | 0L); writeVarint(sp, zz(o.toLong))
+          writeVarint(sp, (2L << 3) | 0L); writeVarint(sp, l.toLong)
+          writeLen(hm, 11, sp.toByteArray)
+        }
+        packed(13, h.counts)
+        writeVarint(hm, (15L << 3) | 0L)
+        writeVarint(hm, h.tsMs)
+        writeLen(ts, 4, hm.toByteArray)
+      }
       writeLen(req, 1, ts.toByteArray)
     }
     req.toByteArray
@@ -662,6 +796,48 @@ object RemoteWrite {
         writeVarint(hm, (15L << 3) | 0L)
         writeVarint(hm, h.tsMs)
         writeLen(ts, 3, hm.toByteArray) // v2: histograms are field 3
+      }
+      s.fhists.foreach { h => // FLOAT form: absolute double counts
+        val hm = new java.io.ByteArrayOutputStream()
+        def dbl(field: Int, v: Double): Unit = {
+          writeVarint(hm, (field.toLong << 3) | 1L)
+          val b = java.lang.Double.doubleToLongBits(v)
+          var i = 0
+          while (i < 8) { hm.write(((b >>> (8 * i)) & 0xFF).toInt); i += 1 }
+        }
+        def packed(field: Int, vs: Seq[Double]): Unit = if (vs.nonEmpty) {
+          val dl = new java.io.ByteArrayOutputStream()
+          vs.foreach { v =>
+            val b = java.lang.Double.doubleToLongBits(v)
+            var i = 0
+            while (i < 8) { dl.write(((b >>> (8 * i)) & 0xFF).toInt); i += 1 }
+          }
+          writeLen(hm, field, dl.toByteArray)
+        }
+        // float-form count/zero_count always write — their presence IS
+        // the form marker (see the v1 encoder)
+        dbl(2, h.count)
+        if (h.sum != 0.0) dbl(3, h.sum)
+        writeVarint(hm, (4L << 3) | 0L)
+        writeVarint(hm, zz(h.schema.toLong))
+        dbl(7, h.zeroCount)
+        h.negOffs.zip(h.negLens).foreach { case (o, l) =>
+          val sp = new java.io.ByteArrayOutputStream()
+          writeVarint(sp, (1L << 3) | 0L); writeVarint(sp, zz(o.toLong))
+          writeVarint(sp, (2L << 3) | 0L); writeVarint(sp, l.toLong)
+          writeLen(hm, 8, sp.toByteArray)
+        }
+        packed(10, h.negCounts)
+        h.offs.zip(h.lens).foreach { case (o, l) =>
+          val sp = new java.io.ByteArrayOutputStream()
+          writeVarint(sp, (1L << 3) | 0L); writeVarint(sp, zz(o.toLong))
+          writeVarint(sp, (2L << 3) | 0L); writeVarint(sp, l.toLong)
+          writeLen(hm, 11, sp.toByteArray)
+        }
+        packed(13, h.counts)
+        writeVarint(hm, (15L << 3) | 0L)
+        writeVarint(hm, h.tsMs)
+        writeLen(ts, 3, hm.toByteArray)
       }
       ts.toByteArray
     }
@@ -1718,7 +1894,8 @@ class RemoteWriteSink(spark: SparkSession) {
   def receiveSeries(series: Seq[RemoteWrite.Series],
       atMs: Long = System.currentTimeMillis()): Long = {
     stream.addData((new java.sql.Timestamp(atMs), RemoteWrite.encode(series)))
-    series.map(s => (s.samples.length + s.hists.length).toLong).sum
+    series.map(s =>
+      (s.samples.length + s.hists.length + s.fhists.length).toLong).sum
   }
 
   /** The raw payload relation: one (recv_ts, proto) row per POST. */
@@ -1746,4 +1923,128 @@ class RemoteWriteSink(spark: SparkSession) {
     * drained payloads).
     */
   def nativeFamily: DataFrame = RemoteWrite.histFamily(histograms)
+}
+
+/** a1z's home — see [[RemoteWrite.wireDecodeMixedHist]]. */
+object RemoteWriteFloatGate {
+  import org.apache.spark.sql.functions._
+
+  /** a1z — BOTH histogram forms in one foreign push: a hand-assembled
+    * `WriteRequest` whose first series carries an INTEGER native
+    * histogram (count_int/zero_count_int, zigzag delta chains) and
+    * whose second carries the FLOAT form (prompb `count`/`zero_count`
+    * as fixed64 doubles — fields 2/7 — and ABSOLUTE packed-double
+    * `positive_counts`/`negative_counts` — fields 13/10: the sample
+    * kind an aggregating sender produces, with fractional bucket
+    * mass). The walker must dispatch per sample by field presence;
+    * both walk to absolute buckets through the shared span decode
+    * (delta mode for the integer form, absolute mode for the float
+    * form) and hash against the hand-derived relation.
+    *
+    * Bytes (tag = field<<3 | wiretype; every byte justified):
+    *   0A 3A  timeseries#1, 58 bytes:
+    *     0A 12  label: 0A 08 "__name__" 12 06 "mix_ms"
+    *     0A 06  label: 0A 01 "k" 12 01 "i"
+    *     22 1C  histogram (integer form), 28 bytes:
+    *       08 0D           count_int = 13
+    *       19 <7.5 LE: 0x401E000000000000>  sum
+    *       20 06           schema: zigzag(3)
+    *       30 02           zero_count_int = 2
+    *       5A 04 08 00 10 02   positive span {0, 2}
+    *       62 02 06 01     packed deltas: zigzag [3, -1]
+    *       78 E8 07        timestamp = 1000
+    *   0A 66  timeseries#2, 102 bytes:
+    *     0A 12  label: __name__ = "mix_ms"
+    *     0A 06  label: k = "f"
+    *     22 48  histogram (FLOAT form), 72 bytes:
+    *       11 <4.75 LE: 0x4013000000000000>   count (field 2, double)
+    *       19 <-1.0 LE: 0xBFF0000000000000>   sum
+    *       20 04           schema: zigzag(2)
+    *       39 <1.0 LE: 0x3FF0000000000000>    zero_count (field 7)
+    *       42 04 08 00 10 02   negative span {0, 2} (field 8)
+    *       52 10 <1.25 LE><0.5 LE>  packed negative_counts (field 10)
+    *       5A 04 08 01 10 01   positive span {zigzag(−1), 1} (field 11)
+    *       6A 08 <0.75 LE>     packed positive_counts (field 13)
+    *       78 D0 0F        timestamp = 2000
+    */
+  def wireDecodeMixedHist(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val payload = RemoteWrite.hexBytes(
+      "0A3A" +
+        "0A12" + "0A085F5F6E616D655F5F" + "1206" + "6D69785F6D73" +
+        "0A06" + "0A016B" + "120169" +
+        "221C" +
+        "080D" +
+        "19" + "000000000000" + "1E40" +
+        "2006" +
+        "3002" +
+        "5A0408001002" +
+        "62020601" +
+        "78E807" +
+      "0A66" +
+        "0A12" + "0A085F5F6E616D655F5F" + "1206" + "6D69785F6D73" +
+        "0A06" + "0A016B" + "120166" +
+        "2248" +
+        "11" + "000000000000" + "1340" +
+        "19" + "000000000000" + "F0BF" +
+        "2004" +
+        "39" + "000000000000" + "F03F" +
+        "4204" + "08001002" +
+        "5210" + "000000000000F43F" + "000000000000E03F" +
+        "5A04" + "08011001" +
+        "6A08" + "000000000000E83F" +
+        "78D00F")
+    val series = RemoteWrite.walk(payload)
+    def lv(s: RemoteWrite.Series, n: String): String =
+      s.labels.toMap.getOrElse(n, "")
+    val intRows = series.flatMap(s => s.hists.map(h =>
+      (lv(s, "__name__"), lv(s, "k"), h.tsMs, h.schema,
+        h.count.toDouble, h.sum, h.zeroCount.toDouble,
+        h.offs, h.lens, h.deltas, h.negOffs, h.negLens, h.negDeltas)))
+      .toDF("metric", "label_k", "ts_ms", "schema", "count", "sum",
+        "zero_count", "offs", "lens", "deltas", "neg_offs", "neg_lens",
+        "neg_deltas")
+    val fltRows = series.flatMap(s => s.fhists.map(h =>
+      (lv(s, "__name__"), lv(s, "k"), h.tsMs, h.schema,
+        h.count, h.sum, h.zeroCount,
+        h.offs, h.lens, h.counts, h.negOffs, h.negLens, h.negCounts)))
+      .toDF("metric", "label_k", "ts_ms", "schema", "count", "sum",
+        "zero_count", "offs", "lens", "deltas", "neg_offs", "neg_lens",
+        "neg_deltas")
+    val keys = Seq("metric", "label_k", "ts_ms", "schema", "count", "sum",
+      "zero_count")
+    def sides(df: DataFrame, absolute: Boolean): DataFrame = {
+      val pos = graft.operators.Metrics
+        .decodeWireSpans(df, keys, absolute = absolute)
+        .withColumn("side", lit(1))
+      val neg = graft.operators.Metrics.decodeWireSpans(
+        df.select(keys.map(col) :+ col("neg_offs").as("offs") :+
+          col("neg_lens").as("lens") :+ col("neg_deltas").as("deltas"): _*),
+        keys, absolute = absolute).withColumn("side", lit(0))
+      pos.unionByName(neg)
+    }
+    sides(intRows, absolute = false)
+      .withColumn("bucket_count", col("bucket_count").cast("double"))
+      .unionByName(sides(fltRows, absolute = true))
+      .select(col("metric"), col("label_k"), col("ts_ms"), col("schema"),
+        col("count"), col("sum"), col("zero_count"), col("side"),
+        col("bucket"), col("bucket_count"))
+      .orderBy(col("metric"), col("label_k"), col("ts_ms"), col("side"),
+        col("bucket"))
+  }
+
+  /** Oracle twin: the bucket relation derived BY HAND from the payload
+    * comments (integer deltas prefix-sum: 3, 3−1=2; float counts are
+    * absolute).
+    */
+  lazy val WireDecodeMixedHistSql: String =
+    """SELECT * FROM (VALUES
+      |  ('mix_ms', 'f', CAST(2000 AS BIGINT), 2, CAST('4.75' AS DOUBLE), CAST('-1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), 0, 0, CAST('1.25' AS DOUBLE)),
+      |  ('mix_ms', 'f', 2000, 2, CAST('4.75' AS DOUBLE), CAST('-1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), 0, 1, CAST('0.5' AS DOUBLE)),
+      |  ('mix_ms', 'f', 2000, 2, CAST('4.75' AS DOUBLE), CAST('-1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), 1, -1, CAST('0.75' AS DOUBLE)),
+      |  ('mix_ms', 'i', 1000, 3, CAST('13.0' AS DOUBLE), CAST('7.5' AS DOUBLE), CAST('2.0' AS DOUBLE), 1, 0, CAST('3.0' AS DOUBLE)),
+      |  ('mix_ms', 'i', 1000, 3, CAST('13.0' AS DOUBLE), CAST('7.5' AS DOUBLE), CAST('2.0' AS DOUBLE), 1, 1, CAST('2.0' AS DOUBLE))
+      |) t(metric, label_k, ts_ms, schema, count, sum, zero_count, side, bucket, bucket_count)
+      |ORDER BY metric, label_k, ts_ms, side, bucket""".stripMargin
 }

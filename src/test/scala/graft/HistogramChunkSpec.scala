@@ -103,6 +103,72 @@ class HistogramChunkSpec extends AnyFunSuite {
       HistogramChunk.decode(Array[Byte](0, 1)))
   }
 
+  test("FLOAT_HISTOGRAM (type 3): hand-derived single-sample bytes") {
+    import graft.sources.FloatHistogramChunk
+    import graft.sources.RemoteWrite.FHist
+    // Derived independently from the documented layout (the second
+    // implementation again): header 00 01 | 00, then the bitstream —
+    // zigzag(1000) uvarint D0 0F; schema 3 varbit '10'+011; zthresh
+    // byte 0; count 5.25 / zero_count 1.0 / sum 2.5 as raw 64-bit
+    // doubles; nPos uvarint 1; span offset varbit '0' + length uvarint
+    // 2; nNeg uvarint 0; bucket counts 1.5 and 0.25 as raw doubles.
+    val one = FHist(1000L, 3, Vector(0), Vector(2), Vector(1.5, 0.25),
+      5.25, 2.5, 1.0)
+    val got = FloatHistogramChunk.encode(Seq(one))
+    assert(got.map("%02X".format(_)).mkString ===
+      "000100D00F980200A8000000000001FF800000000000020020000000000000080800FFE0000000000000FF40000000000000")
+    assert(FloatHistogramChunk.decode(got) === Vector(one))
+  }
+
+  test("FLOAT_HISTOGRAM round-trips: per-column XOR windows, negative buckets, layout cut law, fuzz") {
+    import graft.sources.FloatHistogramChunk
+    import graft.sources.RemoteWrite.FHist
+    // fractional mass drifting per bucket: each column's own XOR window
+    val a = Seq(
+      FHist(1000L, 3, Vector(0, 3), Vector(2, 1), Vector(1.5, 2.25, 0.5),
+        5.25, 3.5, 1.0),
+      FHist(61000L, 3, Vector(0, 3), Vector(2, 1), Vector(2.0, 2.25, 1.0),
+        7.25, 5.25, 2.0),
+      FHist(121000L, 3, Vector(0, 3), Vector(2, 1), Vector(2.0, 3.0, 1.0),
+        8.0, 6.0, 2.0))
+    assert(FloatHistogramChunk.decode(FloatHistogramChunk.encode(a))
+      === a.toVector)
+    // negative buckets + NaN sum (staleness) bit-exact
+    val b = Seq(
+      FHist(1L, 0, Vector(-1), Vector(1), Vector(0.75), 3.5, -0.5, 1.0,
+        Vector(0), Vector(2), Vector(1.25, 0.5)),
+      FHist(2L, 0, Vector(-1), Vector(1), Vector(1.0), 4.75, Double.NaN,
+        1.0, Vector(0), Vector(2), Vector(1.25, 1.5)))
+    val back = FloatHistogramChunk.decode(FloatHistogramChunk.encode(b))
+    assert(back(0) === b(0))
+    assert(java.lang.Double.doubleToRawLongBits(back(1).sum) ===
+      java.lang.Double.doubleToRawLongBits(Double.NaN))
+    // the appender's cut law mirrors the integer codec
+    assert(!FloatHistogramChunk.appendable(a.head, b.head))
+    intercept[IllegalArgumentException](
+      FloatHistogramChunk.encode(Seq(a.head, b.head)))
+    intercept[IllegalArgumentException](FloatHistogramChunk.encode(Nil))
+    // seeded fuzz: random fractional walks round-trip bit-exactly
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 25).foreach { trial =>
+      val nb = 1 + rnd.nextInt(5)
+      var t = rnd.nextLong() % 1000000L
+      var counts = Vector.fill(nb)(rnd.nextDouble() * 10)
+      val hists = (0 until 1 + rnd.nextInt(15)).map { i =>
+        if (i > 0) {
+          t += rnd.nextInt(100000).toLong
+          counts = counts.map(c =>
+            if (rnd.nextBoolean()) c else c + rnd.nextDouble())
+        }
+        FHist(t, rnd.nextInt(9) - 4 match { case s => s }, // schema fixed below
+          Vector(0), Vector(nb), counts,
+          counts.sum, rnd.nextDouble() * 100, rnd.nextInt(5).toDouble)
+      }.map(_.copy(schema = 2)) // one layout per chunk
+      assert(FloatHistogramChunk.decode(FloatHistogramChunk.encode(hists))
+        === hists.toVector, s"trial $trial")
+    }
+  }
+
   test("fuzz: seeded random histogram walks round-trip bit-exactly") {
     val rnd = new scala.util.Random(20260815L)
     (0 until 40).foreach { trial =>

@@ -41,6 +41,31 @@ class RemoteWriteSpec extends SparkTestBase {
     assert(RemoteWrite.walk(RemoteWrite.uncompress(wire)) === series)
   }
 
+  test("FLOAT-form histograms round-trip both protocols; form dispatch is per sample") {
+    // fractional bucket mass: absolute double counts (prompb fields
+    // 2/7/10/13), coexisting with an integer histogram on another series
+    val series = Vector(
+      RemoteWrite.Series(Vector("__name__" -> "rate_ms", "k" -> "f"),
+        Vector.empty,
+        fhists = Vector(
+          RemoteWrite.FHist(1000L, 3, Vector(-1, 2), Vector(1, 2),
+            Vector(0.75, 1.25, 0.5), 4.75, -1.5, 1.0),
+          // zero-count float sample: must STAY float on re-walk (the
+          // always-written fields 2/7 are the form marker)
+          RemoteWrite.FHist(2000L, -2, Vector.empty, Vector.empty,
+            Vector.empty, 0.0, 0.0, 0.0,
+            Vector(0), Vector(1), Vector(2.25)))),
+      RemoteWrite.Series(Vector("__name__" -> "req_ms"), Vector.empty,
+        Vector(RemoteWrite.Hist(1000L, 3, Vector(0), Vector(2),
+          Vector(3L, -1L), 13L, 7.5, 2L))))
+    assert(RemoteWrite.walk(RemoteWrite.uncompress(
+      RemoteWrite.compress(RemoteWrite.encode(series)))) === series)
+    assert(RemoteWrite.walkV2(RemoteWrite.encodeV2(series)) === series)
+    // the sink counts float samples in its accepted total
+    val sink = new RemoteWriteSink(spark)
+    assert(sink.receiveSeries(series) === 3L)
+  }
+
   test("hand-assembled native-histogram payload walks to the hand-derived buckets") {
     val rows = RemoteWrite.wireDecodeHist(spark)
       .as[(String, String, Long, Int, Int, Long)].collect().toSeq
