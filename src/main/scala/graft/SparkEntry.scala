@@ -604,6 +604,21 @@ object SparkEntry {
       recordingRules = Seq(promql.Rules.RecordingRule(
         "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
       .orderBy(col("label_k"), col("t_s"))),
+    // the capacity panel over a recording rule as ONE dense-grid plan:
+    // windowed least squares from five row-frame sums with the
+    // window-relative x recovered by shift algebra
+    "p111_recorded_grid_deriv" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "deriv(k_total6h[1d])", 240, 21600L,
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
+      .orderBy(col("label_k"), col("t_s"))),
+    // the activity panel: changes over a recording rule on the dense
+    // grid — global-lag flags + one frame sum of the last k−1 rows
+    "p112_recorded_grid_changes" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "changes(k_total6h[1d])", 240, 21600L,
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
+      .orderBy(col("label_k"), col("t_s"))),
     // the recorded-range EXOTIC tail (the r14 refusal, replaced):
     // deriv fits the b25 exact-integer least squares to the rule
     // lattice's cumulative snapshots — the Grafana capacity panel over
@@ -1111,6 +1126,8 @@ object SparkEntry {
     "p108_promql_recorded_deriv" -> promql.Oracle.RecordedDerivSql,
     "p109_promql_recorded_predict" -> promql.Oracle.RecordedPredictSql,
     "p110_promql_recorded_irate" -> promql.Oracle.RecordedIrateSql,
+    "p111_recorded_grid_deriv" -> promql.Oracle.RecordedGridDerivSql,
+    "p112_recorded_grid_changes" -> promql.Oracle.RecordedGridChangesSql,
     "p105_recorded_grid_renamed" -> promql.Oracle.RecordedGridRenamedSql,
     "p106_recorded_grid_rate" -> promql.Oracle.RecordedGridRateSql,
     "p107_recorded_grid_avg" -> promql.Oracle.RecordedGridOverTimeSql,

@@ -326,7 +326,15 @@ object Compiler {
     "rate", "increase", "delta",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "present_over_time",
-    "irate", "idelta", "deriv", "predict_linear")
+    "irate", "idelta", "deriv", "predict_linear", "changes", "resets")
+
+  /** Adjacent-pair counters over the rule lattice (`changes`/`resets`):
+    * exact DECIMAL comparisons on the rule's own values — no cents
+    * quantization, so ANY rule shape serves (the union fallback's
+    * DECIMAL(38,12) values compare exactly too). Upstream counts only
+    * pairs with BOTH samples inside the window.
+    */
+  private val RecordedPairFns: Set[String] = Set("changes", "resets")
 
   /** The recorded-range functions that run on exact integer CENTS of
     * the rule's sample values (the engine's 2-decimal sample
@@ -449,6 +457,23 @@ object Compiler {
           else when(col("_c1") >= col("_c2"), col("_c1") - col("_c2"))
             .otherwise(col("_c1")).cast("double") / 100.0 / lit(ivS.toDouble)
         Vec(m.select(sk :+ v.as("value"): _*), labels)
+      case "changes" | "resets" =>
+        // adjacent in-window pairs only (the lag is window-internal:
+        // each series' first in-window sample has no predecessor —
+        // upstream's both-ends-in-window rule); exact DECIMAL equality
+        // on the rule's own values, any rule shape; a present series
+        // with no pairs reads 0 (upstream emits 0, not absent).
+        // Recorded series are untyped floats upstream, so no
+        // family-kind check applies to either function.
+        val w = Window.partitionBy(sk: _*).orderBy(col("_i"))
+        val c = grid.withColumn("_prev", lag(col("value"), 1).over(w))
+        val ind =
+          if (fn == "changes")
+            col("_prev").isNotNull && col("value") =!= col("_prev")
+          else col("_prev").isNotNull && col("value") < col("_prev")
+        Vec(c.groupBy(sk: _*)
+          .agg(sum(when(ind, 1L).otherwise(0L)).cast("double").as("value")),
+          labels)
       case "deriv" | "predict_linear" =>
         // exact-integer least squares on the rule lattice — the b25
         // construction carried onto recorded samples: x = i·iv whole
@@ -2673,6 +2698,121 @@ object Compiler {
                 (lit(g) - (lit(L) - col("_i")) / m).as("_i") :+
                 col("_v").as("value")): _*)
             Some((out, labels, "value", None))
+          }
+        }
+      // deriv/predict_linear/irate/idelta over a RECORDED series on the
+      // dense grid — the Grafana capacity panel over a recording rule
+      // as ONE plan (the union path caps at 64 instants; a 240-instant
+      // panel needs this arm). Same lattice as the *_over_time arm; the
+      // least-squares sums come from FIVE row-frame window aggregates
+      // with the window-relative x recovered by shift algebra:
+      // x_j = (j − b)·iv with b = i − k, so Σx / Σx² / Σxy derive from
+      // the frame's Σj / Σj² / Σ(j·y) and the per-row b — all exact
+      // (DECIMAL(38,0) moments over exact cents), so grid ≡ union stays
+      // bit-identical, partial windows at a series' birth included.
+      // Degenerate fits (single-sample windows) drop, the per-instant
+      // rule; irate/idelta read the frame's last two lattice points
+      // (a k == 1 window holds one sample → empty, the two-sample rule).
+      case Func(f2, param, sel: Selector)
+          if (RecordedCentsFns.contains(f2) ||
+            RecordedPairFns.contains(f2)) && sel.atS.isEmpty &&
+            sel.rangeS.exists(_ > 0) &&
+            recordedRules.value.contains(sel.name) =>
+        val (ruleAst, ivS) = recordedRules.value(sel.name)
+        val d = sel.rangeS.get
+        if (d < ivS || d % ivS != 0)
+          fail(s"range (${d}s) over recorded series '${sel.name}' must be a " +
+            s"positive multiple of its evaluation interval (${ivS}s)")
+        if (stepS % ivS != 0) None
+        else recordedFastShape(ruleAst).flatMap { case (labels, s2, kind) =>
+          val k = (d / ivS).toInt
+          val m = (stepS / ivS).toInt
+          val L = (g - 1) * m + k
+          if (L > 4096) None // over budget: union path (its own gates)
+          else {
+            val shiftEff = shiftS + sel.offsetS.getOrElse(0L)
+            val lattice = recordedGridPostHoc(
+              recordedFastInstants(spark, dir, labels, s2, kind, shiftEff,
+                L.toLong, ivS),
+              labels, sel)
+              .withColumn("_cents",
+                round(col("value") * 100, 0).cast("long"))
+            val sk = labels.map(col)
+            val onGrid = ((lit(L) - col("_i")) % m) === 0 &&
+              col("_i") >= lit(k.toLong)
+            val remapped = (lit(g) - (lit(L) - col("_i")) / m).as("_i")
+            if (RecordedPairFns.contains(f2)) {
+              // changes/resets over a k-point window: the indicator at
+              // lattice row j covers pair (j−1, j) via a GLOBAL lag
+              // (null at each series' birth row), and a frame of the
+              // last k−1 rows covers exactly the pairs with both ends
+              // in the window — partial windows at birth included
+              // (earlier physical rows simply don't exist). k == 1
+              // windows hold no pairs: every present series reads 0.
+              val wl = Window.partitionBy(sk: _*).orderBy(col("_i"))
+              val cond =
+                if (f2 == "changes") col("value") =!= col("_prev")
+                else col("value") < col("_prev")
+              val flagged = lattice
+                .withColumn("_prev", lag(col("value"), 1).over(wl))
+                .withColumn("_chg",
+                  when(col("_prev").isNotNull && cond, 1L).otherwise(0L))
+              val v =
+                if (k == 1) lit(0.0)
+                else sum(col("_chg")).over(
+                  Window.partitionBy(sk: _*).orderBy(col("_i"))
+                    .rowsBetween(-(k - 2).toLong, 0L)).cast("double")
+              val out = flagged.withColumn("_v", v)
+                .filter(onGrid)
+                .select(sk :+ remapped :+ col("_v").as("value"): _*)
+              Some((out, labels, "value", None))
+            } else if (f2 == "irate" || f2 == "idelta") {
+              val wl = Window.partitionBy(sk: _*).orderBy(col("_i"))
+              val v =
+                if (f2 == "idelta")
+                  (col("_cents") - col("_prev")).cast("double") / 100.0
+                else when(col("_cents") >= col("_prev"),
+                  col("_cents") - col("_prev")).otherwise(col("_cents"))
+                  .cast("double") / 100.0 / lit(ivS.toDouble)
+              val out = lattice
+                .withColumn("_prev", lag(col("_cents"), 1).over(wl))
+                .filter(onGrid && col("_prev").isNotNull && lit(k) >= 2)
+                .select(sk :+ remapped :+ v.as("value"): _*)
+              Some((out, labels, "value", None))
+            } else { // deriv | predict_linear
+              val dec = DecimalType(38, 0)
+              val wf = Window.partitionBy(sk: _*).orderBy(col("_i"))
+                .rowsBetween(-(k - 1).toLong, 0L)
+              val e = lattice
+                .withColumn("_n", count(lit(1)).over(wf))
+                .withColumn("_sj", sum(col("_i").cast(dec)).over(wf))
+                .withColumn("_sjj",
+                  sum((col("_i") * col("_i")).cast(dec)).over(wf))
+                .withColumn("_sy", sum(col("_cents").cast(dec)).over(wf))
+                .withColumn("_sjy",
+                  sum((col("_i") * col("_cents")).cast(dec)).over(wf))
+              val b = (col("_i") - lit(k.toLong)).cast(dec)
+              val iv = lit(ivS).cast(dec)
+              val sx = (col("_sj") - b * col("_n")) * iv
+              val sxx = (col("_sjj") - lit(2).cast(dec) * b * col("_sj") +
+                b * b * col("_n")) * iv * iv
+              val sxy = (col("_sjy") - b * col("_sy")) * iv
+              val num = col("_n") * sxy - sx * col("_sy")
+              val den = col("_n") * sxx - sx * sx
+              val slope = num.cast("double") / den.cast("double")
+              val v =
+                if (f2 == "deriv") slope / 100.0
+                else {
+                  val horizon = param.getOrElse(
+                    fail("predict_linear needs a horizon parameter in seconds"))
+                  ((col("_sy").cast("double") - slope * sx.cast("double")) /
+                    col("_n").cast("double") +
+                    slope * lit(d.toDouble + horizon)) / 100.0
+                }
+              val out = e.filter(onGrid && den =!= lit(0).cast(dec))
+                .select(sk :+ remapped :+ v.as("value"): _*)
+              Some((out, labels, "value", None))
+            }
           }
         }
       case Func(f2, None, sel: Selector)

@@ -203,6 +203,82 @@ object Oracle {
        |    / 100.0 / 21600.0 AS value
        |FROM pair ORDER BY label_k""".stripMargin
 
+  /** p111: `deriv(k_total6h[1d])` on the dense 240×6h grid under the
+    * standing 6h sum-by rule — the capacity panel as ONE plan. The twin
+    * re-derives the rule lattice (243 points = 240 grid instants + the
+    * 3 extra the first window needs) as cumulative cents snapshots,
+    * self-joins each output instant to its 4-point window over the
+    * PRESENT rows (a series born mid-lattice fits partial windows,
+    * exactly the per-instant sample set), and runs the exact-integer
+    * least squares with x measured from the window start — the
+    * compiler's shift-algebra arm must reproduce every division
+    * bit-for-bit.
+    */
+  val RecordedGridDerivSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT unnest(generate_series(1, 243)) AS i),
+       |snap AS (
+       |  SELECT label_k, i,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (243 - i) * 21600000000
+       |  GROUP BY label_k, i),
+       |win AS (
+       |  SELECT a.label_k, a.i AS i, COUNT(*) AS n,
+       |    SUM((b.i - (a.i - 4)) * 21600) AS sx,
+       |    SUM(b.cents) AS sy,
+       |    SUM((b.i - (a.i - 4)) * 21600 * b.cents) AS sxy,
+       |    SUM((b.i - (a.i - 4)) * 21600 * (b.i - (a.i - 4)) * 21600) AS sxx
+       |  FROM snap a JOIN snap b ON a.label_k = b.label_k
+       |    AND b.i BETWEEN a.i - 3 AND a.i
+       |  WHERE a.i >= 4
+       |  GROUP BY a.label_k, a.i)
+       |SELECT w.label_k,
+       |  (t.t_us // 1000000) - (243 - w.i) * 21600 AS t_s,
+       |  CAST(w.n * w.sxy - w.sx * w.sy AS DOUBLE)
+       |    / CAST(w.n * w.sxx - w.sx * w.sx AS DOUBLE) / 100.0 AS value
+       |FROM win w, t WHERE w.n * w.sxx - w.sx * w.sx <> 0
+       |ORDER BY w.label_k, t_s""".stripMargin
+
+  /** p112: `changes(k_total6h[1d])` on the dense 240×6h grid — the
+    * activity panel over a recording rule. The twin rebuilds the 243
+    * lattice snapshots, flags each present row whose value differs from
+    * its predecessor (global LAG over present rows — null at birth, so
+    * a pair with the pre-window or pre-birth sample never counts), and
+    * sums the LAST k−1 = 3 flags per output instant (both-ends-in-window
+    * pairs exactly); every present series reads a value, 0 included.
+    */
+  val RecordedGridChangesSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT unnest(generate_series(1, 243)) AS i),
+       |snap AS (
+       |  SELECT label_k, i, SUM(CAST(value AS DECIMAL(18,2))) AS v
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (243 - i) * 21600000000
+       |  GROUP BY label_k, i),
+       |flg AS (
+       |  SELECT label_k, i,
+       |    CASE WHEN LAG(v) OVER (PARTITION BY label_k ORDER BY i)
+       |           IS NOT NULL
+       |         AND v <> LAG(v) OVER (PARTITION BY label_k ORDER BY i)
+       |      THEN 1 ELSE 0 END AS c
+       |  FROM snap),
+       |win AS (
+       |  SELECT a.label_k, a.i AS i, SUM(b.c) AS n_chg
+       |  FROM flg a JOIN flg b ON a.label_k = b.label_k
+       |    AND b.i BETWEEN a.i - 2 AND a.i
+       |  WHERE a.i >= 4
+       |  GROUP BY a.label_k, a.i)
+       |SELECT w.label_k,
+       |  (t.t_us // 1000000) - (243 - w.i) * 21600 AS t_s,
+       |  CAST(w.n_chg AS DOUBLE) AS value
+       |FROM win w, t
+       |ORDER BY w.label_k, t_s""".stripMargin
+
   /** `limitk by (k) (1, purchase)` — one series per k group chosen by
     * the deterministic label-identity hash (md5 ascending, labels
     * tiebreak), mirroring the compiler's ranking window exactly.

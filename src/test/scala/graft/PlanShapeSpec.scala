@@ -114,7 +114,8 @@ class PlanShapeSpec extends SparkTestBase {
     // must ride the single-pass series×grid strategy — a Union node
     // means the panel degenerated to per-instant evaluation
     for (name <- Seq("p105_recorded_grid_renamed", "p106_recorded_grid_rate",
-        "p107_recorded_grid_avg")) {
+        "p107_recorded_grid_avg", "p111_recorded_grid_deriv",
+        "p112_recorded_grid_changes")) {
       val p = plan(name)
       assert(!p.contains("Union"), s"$name degenerated to a per-instant union")
       assert(p.contains("Window"), s"$name lost the series×grid running window")

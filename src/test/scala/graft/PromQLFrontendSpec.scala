@@ -1686,5 +1686,25 @@ class PromQLFrontendSpec extends SparkTestBase {
     val e2 = intercept[PromQLCompileException](Engine.eval(spark, dir,
       "histogram_quantile(0.9, k_total)", recordingRules = rules).collect())
     assert(e2.getMessage.contains("sum by (le)"))
+    // changes/resets count adjacent in-window lattice pairs, exact
+    // DECIMAL comparisons, any rule shape. a's cumsum: 1000@0d,
+    // 1500@1d, 1500@2d — a [2d] window holds samples at 1d and 2d
+    // (one pair, unchanged? no: 1500 = 1500 → 0 changes); [3d] holds
+    // 0d..2d (pairs (0d,1d) changed + (1d,2d) unchanged → 1). b born
+    // at 2d: single sample → present with 0.
+    assert(ev1("changes(k_total[3d])") === Seq(("a", 1.0), ("b", 0.0)))
+    assert(ev1("changes(k_total[2d])") === Seq(("a", 0.0), ("b", 0.0)))
+    // monotone counter-sum rules never reset
+    assert(ev1("resets(k_total[3d])") === Seq(("a", 0.0), ("b", 0.0)))
+    // a decreasing gauge rule resets: s_last 7@1d → 3@2d
+    assert(Engine.eval(spark, dir, "resets(s_last[2d])",
+      recordingRules = gRule).select("value").as[Double].collect().toSeq
+      === Seq(1.0))
+    assert(Engine.eval(spark, dir, "changes(s_last[2d])",
+      recordingRules = gRule).select("value").as[Double].collect().toSeq
+      === Seq(1.0))
+    // derived-value rules serve too (exact decimal comparisons need no
+    // cents): the halved rule still changes once over [3d]
+    assert(ev1("changes(k_half[3d])", half) === Seq(("a", 1.0), ("b", 0.0)))
   }
 }

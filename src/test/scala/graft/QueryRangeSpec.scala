@@ -592,4 +592,60 @@ class QueryRangeSpec extends SparkTestBase {
       assert(r4(grid = true).forall(_.head === "s_bare_h"))
     }
   }
+
+  test("recorded deriv/predict_linear/irate/idelta serve query_range at GRID scale") {
+    import graft.promql.{Compiler, Rules}
+    // the capacity-panel tail on the dense grid: the shift-algebra
+    // least-squares arm must be bit-identical to the per-instant walk —
+    // partial windows at a series' birth included — for counter AND
+    // gauge rules, and serve a 217-instant panel as ONE plan (the union
+    // path walls at 64)
+    val sG = T0 + 168 * 3600L
+    val e = T0 + 216 * 3600L
+    Compiler.withRecordedRules(Seq(
+      Rules.RecordingRule("k_total_h", "sum by (k) (purchase)",
+        intervalS = 3600),
+      Rules.RecordingRule("s_sum_h", "sum by (k) (signup)",
+        intervalS = 3600))) {
+      for (q <- Seq("deriv(k_total_h[2d])",
+          "predict_linear(k_total_h[2d], 3600)",
+          "irate(k_total_h[1d])", "idelta(k_total_h[2d])",
+          "deriv(s_sum_h[2d])", "irate(s_sum_h[1d])",
+          "changes(k_total_h[2d])", "changes(s_sum_h[1d])",
+          "resets(s_sum_h[2d])")) {
+        val ast = graft.promql.Parser.parse(q)
+        def rows(grid: Boolean) =
+          Api.rangeRelation(spark, dir, ast, sG, e, 3600L, grid, None)
+            .select("label_k", "_t", "value").collect().map(_.toSeq).toSet
+        assert(rows(grid = true) === rows(grid = false), q)
+        assert(rows(grid = true).nonEmpty, q)
+      }
+      // the full 217-instant dashboard panels are single plans
+      assert(Api.queryRangeGrid(spark, dir, "deriv(k_total_h[2d])",
+        217, 3600L).count() > 0)
+      assert(Api.queryRangeGrid(spark, dir, "irate(k_total_h[2d])",
+        217, 3600L).count() > 0)
+      // a one-sample window can never fit a line or make a pair: the
+      // grid arm renders the same EMPTY result as the per-instant path
+      assert(Api.rangeRelation(spark, dir,
+        graft.promql.Parser.parse("irate(k_total_h[1h])"),
+        sG, e, 3600L, grid = true, None).count() === 0L)
+      // derived-value rules: the grid DECLINES the shape (no silent
+      // cents coarsening) and the union path refuses with the teaching
+      // message — the cents-exact bound holds on both tiers
+      Compiler.withRecordedRules(Seq(Rules.RecordingRule("k_half_h",
+          "sum by (k) (purchase) / 2", intervalS = 3600))) {
+        val ast = graft.promql.Parser.parse("deriv(k_half_h[2d])")
+        val err = intercept[graft.promql.PromQLCompileException](
+          Api.rangeRelation(spark, dir, ast, e - 3 * 3600L, e, 3600L,
+            grid = false, None).collect())
+        assert(err.getMessage.contains("sum-by rule shape"))
+        val errG = intercept[Exception](
+          Api.rangeRelation(spark, dir, ast, e - 3 * 3600L, e, 3600L,
+            grid = true, None).collect())
+        assert(errG.getMessage.contains("sum-by rule shape") ||
+          errG.getMessage.contains("no dense-grid strategy"))
+      }
+    }
+  }
 }
