@@ -231,6 +231,11 @@ object SparkEntry {
     // dispatches per sample by float-field presence
     "a1z_remote_write_float_hist" -> ((s, d) =>
       sources.RemoteWriteFloatGate.wireDecodeMixedHist(s, d)),
+    // float families are QUERYABLE: LWW registry through the
+    // prom_rw_decode_fhist generator + the shared rank walk in
+    // absolute mode, fractional ranks interpolated
+    "a1zz_float_family_hq" -> ((s, d) =>
+      sources.RemoteWriteFloatGate.wireFloatFamilyQuantile(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -1012,6 +1017,8 @@ object SparkEntry {
       sources.RemoteRead.WireReadFloatHistGateSql,
     "a1z_remote_write_float_hist" ->
       sources.RemoteWriteFloatGate.WireDecodeMixedHistSql,
+    "a1zz_float_family_hq" ->
+      sources.RemoteWriteFloatGate.WireFloatFamilyQuantileSql,
     "b24_instant_rate" -> PromQL.InstantRateSql,
     "b25_linear_regression" -> PromQL.LinearRegressionSql,
     "b26_count_values" -> PromQL.CountValuesSql,

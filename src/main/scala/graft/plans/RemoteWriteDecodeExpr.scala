@@ -102,6 +102,60 @@ case class RemoteWriteHistDecodeExpr(child: Expression)
     copy(child = c)
 }
 
+/** The FLOAT-form native-histogram face: one row per (series, float
+  * histogram sample) — absolute double bucket counts (prompb's
+  * `positive_counts`/`negative_counts`), ready for the shared span
+  * walk's ABSOLUTE mode. Column names mirror the integer face
+  * (`deltas`/`neg_deltas`) so the family registry and quantile walk
+  * are shape-compatible; the arrays are double-typed.
+  */
+case class RemoteWriteFHistDecodeExpr(child: Expression)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("labels", MapType(StringType, StringType, valueContainsNull = false)),
+    StructField("ts_ms", LongType),
+    StructField("schema", IntegerType),
+    StructField("count", DoubleType),
+    StructField("sum", DoubleType),
+    StructField("zero_count", DoubleType),
+    StructField("offs", ArrayType(IntegerType, containsNull = false)),
+    StructField("lens", ArrayType(IntegerType, containsNull = false)),
+    StructField("deltas", ArrayType(DoubleType, containsNull = false)),
+    StructField("neg_offs", ArrayType(IntegerType, containsNull = false)),
+    StructField("neg_lens", ArrayType(IntegerType, containsNull = false)),
+    StructField("neg_deltas", ArrayType(DoubleType, containsNull = false))))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"prom_rw_decode_fhist expects binary, got ${child.dataType.simpleString}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null) return Iterator.empty
+    graft.sources.RemoteWrite.walk(bytes).iterator.flatMap { s =>
+      val keys = new GenericArrayData(
+        s.labels.map(l => UTF8String.fromString(l._1)).toArray[Any])
+      val values = new GenericArrayData(
+        s.labels.map(l => UTF8String.fromString(l._2)).toArray[Any])
+      val labels = new ArrayBasedMapData(keys, values)
+      s.fhists.iterator.map { h =>
+        InternalRow(labels, h.tsMs, h.schema, h.count, h.sum, h.zeroCount,
+          new GenericArrayData(h.offs.toArray),
+          new GenericArrayData(h.lens.toArray),
+          new GenericArrayData(h.counts.toArray),
+          new GenericArrayData(h.negOffs.toArray),
+          new GenericArrayData(h.negLens.toArray),
+          new GenericArrayData(h.negCounts.toArray))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** The exemplar face: one row per (series, exemplar) — the series'
   * label map, the exemplar's own labels (trace ids), value, timestamp.
   */
@@ -151,6 +205,10 @@ object RemoteWriteDecodeExpr {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "prom_rw_decode_ex",
       exprs => RemoteWriteExDecodeExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "prom_rw_decode_fhist",
+      exprs => RemoteWriteFHistDecodeExpr(exprs.head),
       "built-in")
   }
 }

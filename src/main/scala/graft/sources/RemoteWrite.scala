@@ -986,6 +986,20 @@ object RemoteWrite {
           "offs", "lens", "deltas", "neg_offs", "neg_lens", "neg_deltas")))
   }
 
+  /** Relational decode of FLOAT-form native-histogram payloads — the
+    * float twin of [[decodeHist]] (absolute double bucket counts ride
+    * under the same `deltas`/`neg_deltas` column names, double-typed,
+    * so the family registry and the quantile walk are shape-compatible
+    * in ABSOLUTE mode).
+    */
+  def decodeFHist(payloads: DataFrame): DataFrame = {
+    graft.plans.RemoteWriteDecodeExpr.register(payloads.sparkSession)
+    payloads.select(col("recv_ts"),
+      expr("prom_rw_decode_fhist(proto)")
+        .as(Seq("labels", "ts_ms", "schema", "count", "sum", "zero_count",
+          "offs", "lens", "deltas", "neg_offs", "neg_lens", "neg_deltas")))
+  }
+
   /** a1j — native histograms over remote write, b37c carried onto the
     * push wire: a hand-assembled payload whose `TimeSeries` rows carry
     * prompb `Histogram` messages (field 4) — zigzag sint32 schema and
@@ -1135,6 +1149,12 @@ object RemoteWrite {
         col("h.deltas").as("deltas"), col("h.neg_offs").as("neg_offs"),
         col("h.neg_lens").as("neg_lens"), col("h.neg_deltas").as("neg_deltas"))
 
+  /** The float-family twin of [[histFamily]]: last-write-wins per
+    * series over FLOAT-form samples (each is a complete snapshot, like
+    * the integer kind).
+    */
+  def fhistFamily(fhists: DataFrame): DataFrame = histFamily(fhists)
+
   /** `histogram_quantile(φ)` served straight from the remote-write
     * family state: the wire spans walk to absolute bucket counts through
     * the SAME shared decode as scrape-side ingest
@@ -1149,7 +1169,7 @@ object RemoteWrite {
     * rank inside the zero bucket returns 0 (the aggregator's rules).
     */
   def familyQuantile(spark: SparkSession, family: DataFrame,
-      phi: Double): DataFrame = {
+      phi: Double, absolute: Boolean = false): DataFrame = {
     graft.plans.DetMathExprs.register(spark)
     // The TWO-SIDED rank walk (upstream's native-histogram CDF order:
     // negative buckets ascending in VALUE = descending index, then the
@@ -1165,12 +1185,18 @@ object RemoteWrite {
     val keys = Seq("metric", "label_k", "schema", "count", "sum",
       "zero_count")
     val series = Seq("metric", "label_k").map(col)
-    val pos = graft.operators.Metrics.decodeWireSpans(family, keys)
+    // `absolute = true` is the FLOAT-family mode: the wire carries
+    // absolute double counts, not delta chains; every downstream
+    // expression (running sums, rank comparisons, interpolation) is
+    // type-generic, so one walk serves both sample kinds
+    val pos = graft.operators.Metrics
+      .decodeWireSpans(family, keys, absolute = absolute)
       .withColumn("side", lit(1))
     val negIn = family.select(keys.map(col) :+
       col("neg_offs").as("offs") :+ col("neg_lens").as("lens") :+
       col("neg_deltas").as("deltas"): _*)
-    val neg = graft.operators.Metrics.decodeWireSpans(negIn, keys)
+    val neg = graft.operators.Metrics
+      .decodeWireSpans(negIn, keys, absolute = absolute)
       .withColumn("side", lit(0))
     val rank = lit(phi) * col("count").cast("double")
     val w = Window.partitionBy(series: _*).orderBy(col("ord"))
@@ -1923,6 +1949,16 @@ class RemoteWriteSink(spark: SparkSession) {
     * drained payloads).
     */
   def nativeFamily: DataFrame = RemoteWrite.histFamily(histograms)
+
+  /** Decoded FLOAT-form native-histogram sample rows off the pushed
+    * payloads (absolute double bucket counts).
+    */
+  def floatHistograms: DataFrame = RemoteWrite.decodeFHist(payloads)
+
+  /** The float-family LWW registry — queryable like [[nativeFamily]]
+    * via `RemoteWrite.familyQuantile(..., absolute = true)`.
+    */
+  def nativeFamilyF: DataFrame = RemoteWrite.fhistFamily(floatHistograms)
 }
 
 /** a1z's home — see [[RemoteWrite.wireDecodeMixedHist]]. */
@@ -2032,6 +2068,90 @@ object RemoteWriteFloatGate {
         col("bucket"), col("bucket_count"))
       .orderBy(col("metric"), col("label_k"), col("ts_ms"), col("side"),
         col("bucket"))
+  }
+
+  /** a1zz — FLOAT families are QUERYABLE, not just servable: two
+    * pushes of FLOAT-form histograms where the second supersedes series
+    * `a` (last-write-wins at the family), then `histogram_quantile(0.9)`
+    * evaluated straight off the float family state — encode → the
+    * `prom_rw_decode_fhist` generator → LWW registry → the SAME rank
+    * walk as the integer families in ABSOLUTE mode (float wire counts
+    * are not delta chains; every downstream expression is
+    * type-generic). Fractional counts make the ranks and interpolation
+    * genuinely non-integer: the DuckDB oracle re-derives the walk from
+    * the hand-decoded latest buckets with the engine's deterministic
+    * exp2 twin, so a drifted rank comparison, a stale family row, or
+    * one interpolation double fails the hash.
+    */
+  def wireFloatFamilyQuantile(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import RemoteWrite.{FHist, Series}
+    val push1 = RemoteWrite.encode(Seq(Series(
+      Vector("__name__" -> "q_ms", "k" -> "a"), Vector.empty,
+      fhists = Vector(FHist(1000L, 3, Vector(1), Vector(2),
+        Vector(5.0, 3.0), 9.0, 4.25, 1.0)))))
+    val push2 = RemoteWrite.encode(Seq(
+      Series(Vector("__name__" -> "q_ms", "k" -> "a"), Vector.empty,
+        fhists = Vector(FHist(61000L, 3, Vector(1), Vector(2),
+          Vector(4.5, 3.5), 10.0, 6.5, 2.0))),
+      Series(Vector("__name__" -> "q_ms", "k" -> "b"), Vector.empty,
+        fhists = Vector(FHist(2000L, 3, Vector(-2), Vector(1),
+          Vector(7.5), 7.5, 0.5, 0.0)))))
+    val payloads = Seq(push1, push2).toDF("proto")
+      .withColumn("recv_ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val fam = RemoteWrite.fhistFamily(RemoteWrite.decodeFHist(payloads))
+    RemoteWrite.familyQuantile(spark, fam, 0.9, absolute = true)
+      .orderBy(col("metric"), col("label_k"))
+  }
+
+  /** Oracle twin of [[wireFloatFamilyQuantile]]: the latest float
+    * buckets derived by hand (a superseded: [4.5, 3.5] at buckets 1/2,
+    * count 10, zero 2 → rank 9 crosses bucket 2 with fr = 2.5/3.5;
+    * b: rank 6.75 inside its single bucket −2, fr = 0.9), interpolated
+    * through the deterministic exp2.
+    */
+  lazy val WireFloatFamilyQuantileSql: String = {
+    val interp = graft.functions.DetMath.exp2Sql("xq")
+    s"""WITH f(metric, label_k, count, zero_count, sum) AS (VALUES
+       |  ('q_ms', 'a', CAST('10.0' AS DOUBLE), CAST('2.0' AS DOUBLE), CAST('6.5' AS DOUBLE)),
+       |  ('q_ms', 'b', CAST('7.5' AS DOUBLE), CAST('0.0' AS DOUBLE), CAST('0.5' AS DOUBLE))),
+       |bk(metric, label_k, bucket, c) AS (VALUES
+       |  ('q_ms', 'a', 1, CAST('4.5' AS DOUBLE)),
+       |  ('q_ms', 'a', 2, CAST('3.5' AS DOUBLE)),
+       |  ('q_ms', 'b', -2, CAST('7.5' AS DOUBLE))),
+       |bw AS (
+       |  SELECT bk.*, SUM(c) OVER (PARTITION BY metric, label_k
+       |    ORDER BY bucket) AS cumc FROM bk),
+       |bounds AS (${graft.operators.Metrics.NhBoundsSql}),
+       |bs AS (
+       |  SELECT w.metric, w.label_k, MAX(b.hi) AS last_hi
+       |  FROM bw w JOIN bounds b ON b.bucket = w.bucket GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT w.metric, w.label_k, w.bucket,
+       |    (CAST('0.9' AS DOUBLE) * f.count - (f.zero_count + w.cumc - w.c))
+       |      / w.c AS fr,
+       |    ROW_NUMBER() OVER (PARTITION BY w.metric, w.label_k
+       |      ORDER BY w.bucket) AS rn
+       |  FROM bw w JOIN f ON f.metric = w.metric AND f.label_k = w.label_k
+       |  WHERE CAST('0.9' AS DOUBLE) * f.count > f.zero_count + w.cumc - w.c
+       |    AND CAST('0.9' AS DOUBLE) * f.count <= f.zero_count + w.cumc),
+       |pq AS (
+       |  SELECT metric, label_k, $interp AS qv
+       |  FROM (SELECT metric, label_k,
+       |          (CAST(bucket - 1 AS DOUBLE) + fr)
+       |            / pow(2.0, CAST(3 AS DOUBLE)) AS xq
+       |        FROM pick WHERE rn = 1))
+       |SELECT f.metric, f.label_k, f.count, f.zero_count, f.sum,
+       |  CASE WHEN pq.qv IS NOT NULL THEN pq.qv
+       |       WHEN CAST('0.9' AS DOUBLE) * f.count <= f.zero_count
+       |         THEN 0.0
+       |       ELSE bs.last_hi END AS q
+       |FROM f
+       |LEFT JOIN pq ON pq.metric = f.metric AND pq.label_k = f.label_k
+       |LEFT JOIN bs ON bs.metric = f.metric AND bs.label_k = f.label_k
+       |ORDER BY f.metric, f.label_k""".stripMargin
   }
 
   /** Oracle twin: the bucket relation derived BY HAND from the payload

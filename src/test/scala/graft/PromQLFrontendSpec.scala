@@ -1615,7 +1615,8 @@ class PromQLFrontendSpec extends SparkTestBase {
       "rate(k_total)", recordingRules = rules).collect())
     assert(e1b.getMessage.contains("requires a range selector"))
     val e2 = intercept[PromQLCompileException](Engine.eval(spark, dir,
-      "changes(k_total[2d])", recordingRules = rules).collect())
+      "quantile_over_time(0.5, k_total[2d])", recordingRules = rules)
+      .collect())
     assert(e2.getMessage.contains("not supported"))
     val e3 = intercept[PromQLCompileException](Engine.eval(spark, dir,
       "loop_r", recordingRules = Seq(

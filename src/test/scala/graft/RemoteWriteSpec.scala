@@ -385,6 +385,48 @@ class RemoteWriteSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("pushed FLOAT histograms land in a LIVE float family; quantile ≡ the a1zz gate") {
+    // the a1zz gate's two pushes POSTed through the RECEIVE path: the
+    // float family view (LWW over fractional-count snapshots) must
+    // serve exactly the gate's batch answer, through the same rank
+    // walk in ABSOLUTE mode
+    val sink = new RemoteWriteSink(spark)
+    sink.receive(RemoteWrite.compress(RemoteWrite.encode(Seq(
+      RemoteWrite.Series(Vector("__name__" -> "q_ms", "k" -> "a"),
+        Vector.empty, fhists = Vector(RemoteWrite.FHist(1000L, 3,
+          Vector(1), Vector(2), Vector(5.0, 3.0), 9.0, 4.25, 1.0)))))))
+    sink.receive(RemoteWrite.compress(RemoteWrite.encode(Seq(
+      RemoteWrite.Series(Vector("__name__" -> "q_ms", "k" -> "a"),
+        Vector.empty, fhists = Vector(RemoteWrite.FHist(61000L, 3,
+          Vector(1), Vector(2), Vector(4.5, 3.5), 10.0, 6.5, 2.0))),
+      RemoteWrite.Series(Vector("__name__" -> "q_ms", "k" -> "b"),
+        Vector.empty, fhists = Vector(RemoteWrite.FHist(2000L, 3,
+          Vector(-2), Vector(1), Vector(7.5), 7.5, 0.5, 0.0)))))))
+    val q = sink.nativeFamilyF.writeStream.format("memory")
+      .queryName("rw_ffamily").outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val fam = spark.table("rw_ffamily")
+        .select("metric", "label_k", "ts_ms", "count", "sum", "zero_count")
+        .as[(String, String, Long, Double, Double, Double)].collect().sorted
+      assert(fam === Seq(
+        ("q_ms", "a", 61000L, 10.0, 6.5, 2.0),
+        ("q_ms", "b", 2000L, 7.5, 0.5, 0.0)))
+      val served = RemoteWrite.familyQuantile(spark,
+        spark.table("rw_ffamily"), 0.9, absolute = true)
+        .orderBy($"metric", $"label_k")
+        .as[(String, String, Double, Double, Double, Double)].collect().toSeq
+      val gate = graft.sources.RemoteWriteFloatGate
+        .wireFloatFamilyQuantile(spark, "")
+        .as[(String, String, Double, Double, Double, Double)].collect().toSeq
+      assert(served === gate)
+      // the fractional rank genuinely interpolates: a's q sits strictly
+      // inside bucket 2's bounds (2^(1/8), 2^(2/8)]
+      val qa = gate.head._6
+      assert(qa > math.pow(2, 1.0 / 8) && qa <= math.pow(2, 2.0 / 8))
+    } finally q.stop()
+  }
+
   test("exemplars round-trip both protocols; hand-assembled payload decodes exactly") {
     val s = Vector(RemoteWrite.Series(
       Vector("__name__" -> "req_ms", "k" -> "a"),
