@@ -166,7 +166,9 @@ object QueryEndpoint {
       remoteWrite: Option[RemoteWriteSink] = None,
       resultsCache: Boolean = false,
       alertmanagers: Seq[(String, AlertNotifier)] = Nil,
-      readSampleLimit: Long = RemoteRead.DefaultSampleLimit): HttpServer = {
+      readSampleLimit: Long = RemoteRead.DefaultSampleLimit,
+      readHists: Option[org.apache.spark.sql.DataFrame] = None,
+      readFHists: Option[org.apache.spark.sql.DataFrame] = None): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     // remote-write receiver: POST of a snappy-framed WriteRequest; 204
     // on accept (upstream's receiver contract), 400 on malformed bytes,
@@ -216,7 +218,8 @@ object QueryEndpoint {
           } else {
             val prepared = RemoteRead.prepareRead(spark, dir,
               ex.getRequestBody.readAllBytes(),
-              sampleLimit = readSampleLimit)
+              sampleLimit = readSampleLimit,
+              hists = readHists, fhists = readFHists)
             prepared match {
               case RemoteRead.SamplesAnswer(body) =>
                 ex.getResponseHeaders.set("Content-Type",

@@ -668,11 +668,24 @@ object RemoteRead {
     * [[LimitExceeded]] (→ 413) when the selection is over
     * `sampleLimit` — BEFORE any response byte exists, so the refusal is
     * always a clean status, never a truncated stream.
+    *
+    * `hists`/`fhists` are OPTIONAL native-histogram sources (batch
+    * relations in the [[RemoteWrite.decodeHist]]/
+    * [[RemoteWrite.decodeFHist]] shape: a `labels` map + per-sample
+    * wire fields) — a server configured with them serves matching
+    * native families alongside the float series: as prompb
+    * `histograms` on the SAMPLES face, as HISTOGRAM/FLOAT_HISTOGRAM
+    * chunks on the streamed face. Matchers apply against the full
+    * label map (missing labels match `""`), time bounds inclusively on
+    * the sample timestamps, and histogram samples count toward the
+    * same response budget.
     */
   def prepareRead(spark: SparkSession, dir: String, body: Array[Byte],
       sampleLimit: Long = DefaultSampleLimit,
       samplesPerChunk: Int = 120,
-      frameBytes: Int = DefaultFrameBytes): PreparedRead = {
+      frameBytes: Int = DefaultFrameBytes,
+      hists: Option[DataFrame] = None,
+      fhists: Option[DataFrame] = None): PreparedRead = {
     val raw = RemoteWrite.uncompress(body)
     val queries = walkRequest(raw)
     val resType = negotiate(acceptedTypes(raw))
@@ -680,7 +693,11 @@ object RemoteRead {
     // pruned scan, map-side combined) buys a clean 413 on BOTH faces —
     // the SAMPLES face would otherwise OOM collecting before it could
     // refuse, the streamed face would truncate mid-stream
-    val total = queries.map(q => matched(spark, dir, q).count()).sum
+    val total = queries.map { q =>
+      matched(spark, dir, q).count() +
+        hists.map(h => matchedHists(h, q).count()).getOrElse(0L) +
+        fhists.map(h => matchedHists(h, q).count()).getOrElse(0L)
+    }.sum
     if (total > sampleLimit) throw new LimitExceeded(
       s"query would return $total samples, over the $sampleLimit limit")
     if (resType == 1L)
@@ -688,13 +705,111 @@ object RemoteRead {
         val w = new ChunkFrameWriter(out, samplesPerChunk, frameBytes)
         queries.zipWithIndex.foreach { case (q, qi) =>
           streamQuery(spark, dir, q, qi.toLong, w)
+          hists.foreach(h =>
+            streamHistRows(matchedHists(h, q), qi.toLong, w, isFloat = false))
+          fhists.foreach(h =>
+            streamHistRows(matchedHists(h, q), qi.toLong, w, isFloat = true))
         }
         w.finish()
       })
     else
       SamplesAnswer(RemoteWrite.compress(encodeResponse(
-        queries.map(q => seriesFor(spark, dir, q)))))
+        queries.map(q => seriesFor(spark, dir, q) ++
+          hists.map(h => histSeriesFor(matchedHists(h, q), isFloat = false))
+            .getOrElse(Nil) ++
+          fhists.map(h => histSeriesFor(matchedHists(h, q), isFloat = true))
+            .getOrElse(Nil)))))
   }
+
+  /** The histogram samples one query selects from a labels-map source:
+    * matchers against the map with the missing-label-matches-`""` rule,
+    * inclusive time bounds, plus a canonical series key (name-sorted
+    * `n=v` pairs, empty values dropped — upstream's series identity)
+    * for deterministic grouping and ordering.
+    */
+  private def matchedHists(src: DataFrame, q: ReadQuery): DataFrame = {
+    val pred = q.matchers.map { m =>
+      val c = coalesce(element_at(col("labels"), m.name), lit(""))
+      m.op match {
+        case 0 => c === m.value
+        case 1 => c =!= m.value
+        case 2 => c.rlike(s"^(?:${m.value})$$")
+        case 3 => !c.rlike(s"^(?:${m.value})$$")
+      }
+    }.reduce(_ && _)
+    src.filter(pred && col("ts_ms") >= q.startMs && col("ts_ms") <= q.endMs)
+      .withColumn("_skey", concat_ws(",",
+        transform(
+          array_sort(filter(map_entries(col("labels")),
+            e => e.getField("value") =!= "")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))))
+  }
+
+  private def histRowLabels(r: org.apache.spark.sql.Row)
+      : Vector[(String, String)] =
+    r.getMap[String, String](r.fieldIndex("labels")).toVector
+      .filter(_._2.nonEmpty).sortBy(_._1)
+
+  private def rowHist(r: org.apache.spark.sql.Row): Hist =
+    Hist(r.getLong(r.fieldIndex("ts_ms")), r.getInt(r.fieldIndex("schema")),
+      r.getSeq[Int](r.fieldIndex("offs")).toVector,
+      r.getSeq[Int](r.fieldIndex("lens")).toVector,
+      r.getSeq[Long](r.fieldIndex("deltas")).toVector,
+      r.getLong(r.fieldIndex("count")),
+      r.getDouble(r.fieldIndex("sum")),
+      r.getLong(r.fieldIndex("zero_count")),
+      r.getSeq[Int](r.fieldIndex("neg_offs")).toVector,
+      r.getSeq[Int](r.fieldIndex("neg_lens")).toVector,
+      r.getSeq[Long](r.fieldIndex("neg_deltas")).toVector)
+
+  private def rowFHist(r: org.apache.spark.sql.Row): FHist =
+    FHist(r.getLong(r.fieldIndex("ts_ms")), r.getInt(r.fieldIndex("schema")),
+      r.getSeq[Int](r.fieldIndex("offs")).toVector,
+      r.getSeq[Int](r.fieldIndex("lens")).toVector,
+      r.getSeq[Double](r.fieldIndex("deltas")).toVector,
+      r.getDouble(r.fieldIndex("count")),
+      r.getDouble(r.fieldIndex("sum")),
+      r.getDouble(r.fieldIndex("zero_count")),
+      r.getSeq[Int](r.fieldIndex("neg_offs")).toVector,
+      r.getSeq[Int](r.fieldIndex("neg_lens")).toVector,
+      r.getSeq[Double](r.fieldIndex("neg_deltas")).toVector)
+
+  /** Feed matched histogram rows to the frame writer incrementally —
+    * the [[streamQuery]] discipline on the labels-map shape.
+    */
+  private def streamHistRows(m: DataFrame, qIdx: Long, w: ChunkFrameWriter,
+      isFloat: Boolean): Unit = {
+    val it = m.orderBy(col("_skey"), col("ts_ms")).toLocalIterator()
+    var cur: String = null
+    while (it.hasNext) {
+      val r = it.next()
+      val key = r.getString(r.fieldIndex("_skey"))
+      if (key != cur) {
+        if (cur != null) w.endSeries()
+        w.startSeries(histRowLabels(r), qIdx)
+        cur = key
+      }
+      if (isFloat) w.addFHist(rowFHist(r)) else w.addHist(rowHist(r))
+    }
+    if (cur != null) w.endSeries()
+  }
+
+  /** Matched histogram rows as materialized [[Series]] — the SAMPLES
+    * face's form (prompb `histograms`), bounded by the 413 budget.
+    */
+  private def histSeriesFor(m: DataFrame, isFloat: Boolean): Seq[Series] =
+    m.collect()
+      .groupBy(r => r.getString(r.fieldIndex("_skey")))
+      .toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        val sorted = rs.sortBy(r => r.getLong(r.fieldIndex("ts_ms")))
+        if (isFloat)
+          Series(histRowLabels(sorted.head), Vector.empty,
+            fhists = sorted.map(rowFHist).toVector)
+        else
+          Series(histRowLabels(sorted.head), Vector.empty,
+            hists = sorted.map(rowHist).toVector)
+      }
 
   /** Feed one query's selection to the frame writer INCREMENTALLY:
     * the matched relation, ordered by (series key, ts) so each series'

@@ -322,6 +322,96 @@ class RemoteReadSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("HTTP: a downstream store pulls LIVE native-histogram families over the read door, both faces") {
+    // a server configured with native-histogram sources (the decoded
+    // shapes pushed payloads produce): one integer family on two
+    // series, one FLOAT family — the verdict scenario: a Thanos-style
+    // reader pulls them as chunks (streamed) or prompb histograms
+    // (SAMPLES), alongside the corpus float series
+    val h1 = RemoteWrite.Hist(1000L, 3, Vector(0, 3), Vector(2, 2),
+      Vector(3L, -1L, 2L, 0L), 13L, 7.5, 2L)
+    val h2 = RemoteWrite.Hist(61000L, 3, Vector(0, 3), Vector(2, 2),
+      Vector(5L, -2L, 3L, -1L), 21L, 12.25, 3L)
+    val h3 = RemoteWrite.Hist(2000L, 2, Vector(-2), Vector(1), Vector(7L),
+      9L, -1.5, 1L, Vector(1), Vector(2), Vector(2L, 1L))
+    val f1 = RemoteWrite.FHist(3000L, 3, Vector(1), Vector(2),
+      Vector(4.5, 3.5), 10.0, 6.5, 2.0)
+    val histDf = Seq(
+      (Map("__name__" -> "req_ms", "k" -> "a"), h1.tsMs, h1.schema,
+        h1.count, h1.sum, h1.zeroCount, h1.offs, h1.lens, h1.deltas,
+        h1.negOffs, h1.negLens, h1.negDeltas),
+      (Map("__name__" -> "req_ms", "k" -> "a"), h2.tsMs, h2.schema,
+        h2.count, h2.sum, h2.zeroCount, h2.offs, h2.lens, h2.deltas,
+        h2.negOffs, h2.negLens, h2.negDeltas),
+      (Map("__name__" -> "req_ms", "k" -> "b"), h3.tsMs, h3.schema,
+        h3.count, h3.sum, h3.zeroCount, h3.offs, h3.lens, h3.deltas,
+        h3.negOffs, h3.negLens, h3.negDeltas))
+      .toDF("labels", "ts_ms", "schema", "count", "sum", "zero_count",
+        "offs", "lens", "deltas", "neg_offs", "neg_lens", "neg_deltas")
+    val fhistDf = Seq(
+      (Map("__name__" -> "rate_ms", "k" -> "f"), f1.tsMs, f1.schema,
+        f1.count, f1.sum, f1.zeroCount, f1.offs, f1.lens, f1.counts,
+        f1.negOffs, f1.negLens, f1.negCounts))
+      .toDF("labels", "ts_ms", "schema", "count", "sum", "zero_count",
+        "offs", "lens", "deltas", "neg_offs", "neg_lens", "neg_deltas")
+    val server = QueryEndpoint.start(spark, dir,
+      readHists = Some(histDf), readFHists = Some(fhistDf))
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/read"
+      val wantA = Seq(
+        RemoteWrite.Series(Vector("__name__" -> "req_ms", "k" -> "a"),
+          Vector.empty, hists = Vector(h1, h2)),
+        RemoteWrite.Series(Vector("__name__" -> "req_ms", "k" -> "b"),
+          Vector.empty, hists = Vector(h3)))
+      val q = ReadQuery(0L, Long.MaxValue >> 10,
+        Seq(Matcher(0, "__name__", "req_ms")))
+      // streamed face: HISTOGRAM chunks, decoded back by the client
+      assert(RemoteRead.fetch(url, q, streamed = true) === wantA)
+      // SAMPLES face: prompb histograms in the TimeSeries rows
+      assert(RemoteRead.fetch(url, q) === wantA)
+      // the FLOAT family serves as type-3 chunks / float-form prompb
+      val qf = ReadQuery(0L, Long.MaxValue >> 10,
+        Seq(Matcher(0, "__name__", "rate_ms")))
+      val wantF = Seq(RemoteWrite.Series(
+        Vector("__name__" -> "rate_ms", "k" -> "f"), Vector.empty,
+        fhists = Vector(f1)))
+      assert(RemoteRead.fetch(url, qf, streamed = true) === wantF)
+      assert(RemoteRead.fetch(url, qf) === wantF)
+      // matchers and time bounds apply to the hist relation: k="a"
+      // only; a window ending before h2 drops it
+      assert(RemoteRead.fetch(url, ReadQuery(0L, Long.MaxValue >> 10,
+        Seq(Matcher(0, "__name__", "req_ms"), Matcher(0, "k", "a"))),
+        streamed = true) === wantA.take(1))
+      assert(RemoteRead.fetch(url, ReadQuery(0L, 1000L,
+        Seq(Matcher(0, "__name__", "req_ms"), Matcher(0, "k", "a"))),
+        streamed = true) === Seq(wantA.head.copy(hists = Vector(h1))))
+      // a label the families never carry matches "" (upstream rule)
+      assert(RemoteRead.fetch(url, ReadQuery(0L, Long.MaxValue >> 10,
+        Seq(Matcher(0, "__name__", "req_ms"), Matcher(1, "zone", ""))),
+        streamed = true) === Nil)
+      // corpus float series still serve alongside, same door
+      assert(RemoteRead.fetch(url, all).map(_.samples.size).sum === 6)
+    } finally server.stop(0)
+    // histogram samples count toward the response budget: a 3-sample
+    // limit refuses the 4-sample selection (3 int + 1 float) with 413
+    val tight = QueryEndpoint.start(spark, dir, readSampleLimit = 3,
+      readHists = Some(histDf), readFHists = Some(fhistDf))
+    try {
+      val url = s"http://127.0.0.1:${tight.getAddress.getPort}/api/v1/read"
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(RemoteWrite.compress(RemoteRead.encodeRequest(Seq(
+        ReadQuery(0L, Long.MaxValue >> 10,
+          Seq(Matcher(2, "__name__", "req_ms|rate_ms")))))))
+      finally os.close()
+      assert(conn.getResponseCode === 413)
+      conn.disconnect()
+    } finally tight.stop(0)
+  }
+
   test("HTTP: a streamed-first client reads the same series as a SAMPLES client") {
     val server = QueryEndpoint.start(spark, dir)
     try {
