@@ -483,15 +483,24 @@ object Compiler {
         // identical order as the oracle. A series present at a single
         // instant has zero x-variance and returns nothing (upstream's
         // degenerate-fit rule).
+        // moments sum in DECIMAL(38,0): a year-long range over a
+        // fine-interval rule pushes n·Σx² past Long range, where a raw
+        // long sum would silently wrap (the per-term products stay
+        // well inside Long; only the sums need the headroom) — and the
+        // dense-grid arm + the HUGEINT-summing oracle are exact, so
+        // this keeps grid ≡ union ≡ oracle in every regime
+        val dec0 = DecimalType(38, 0)
         val c = grid
           .withColumn("_cents", round(col("value") * 100, 0).cast("long"))
           .withColumn("_x", col("_i") * lit(ivS))
         val a = c.groupBy(sk: _*)
-          .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
-            sum(col("_cents")).as("_sy"),
-            sum(col("_x") * col("_cents")).as("_sxy"),
-            sum(col("_x") * col("_x")).as("_sxx"))
-          .filter(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0L)
+          .agg(count(lit(1)).as("_n"),
+            sum(col("_x").cast(dec0)).as("_sx"),
+            sum(col("_cents").cast(dec0)).as("_sy"),
+            sum((col("_x") * col("_cents")).cast(dec0)).as("_sxy"),
+            sum((col("_x") * col("_x")).cast(dec0)).as("_sxx"))
+          .filter(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!=
+            lit(0).cast(dec0))
         val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
           (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
         val v =
@@ -581,7 +590,8 @@ object Compiler {
     else if (recordedRules.value.contains(name))
       fail(s"recorded series '$name' cannot be used here (supported over " +
         "recorded names: instant selectors and rate/increase/delta/irate/" +
-        "deriv/predict_linear/*_over_time range selectors)")
+        "idelta/deriv/predict_linear/changes/resets/*_over_time range " +
+        "selectors)")
     else fail(s"unknown metric family '$name' (compose-time check)")
 
   /** The label universe: PromQL label name → event-view column. Series

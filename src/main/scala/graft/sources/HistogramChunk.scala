@@ -237,31 +237,44 @@ object HistogramChunk {
     var i = 0
     while (i < n) {
       if (i == 0) {
+        // every Int-destined field validates BEFORE .toInt: a crafted
+        // chunk from a corrupt server must fail loud here, never
+        // truncate into a negative span length that downstream walks
+        // would turn into fabricated buckets (the remote-read walkers'
+        // crafted-length discipline, carried into the chunk codec)
+        def boundedLen(what: String): Int = {
+          val v = readUvarint(r)
+          if (v < 0 || v > data.length * 8L) fail(s"invalid $what")
+          v.toInt
+        }
+        def boundedInt(what: String): Int = {
+          val v = readVarbitInt(r)
+          if (v < Int.MinValue || v > Int.MaxValue) fail(s"invalid $what")
+          v.toInt
+        }
         t = unzigzag(readUvarint(r))
-        schema = readVarbitInt(r).toInt
+        schema = boundedInt("schema")
         if (r.readByte() != 0) fail("unsupported zero-threshold form")
         count = readUvarint(r)
         zcnt = readUvarint(r)
         sum = java.lang.Double.longBitsToDouble(r.readBits(64))
         sumX.seed(java.lang.Double.doubleToRawLongBits(sum))
-        val nPos = readUvarint(r).toInt
-        if (nPos < 0 || nPos > data.length * 8) fail("invalid span count")
+        val nPos = boundedLen("span count")
         val po = Vector.newBuilder[Int]; val pl = Vector.newBuilder[Int]
         (0 until nPos).foreach { _ =>
-          po += readVarbitInt(r).toInt; pl += readUvarint(r).toInt
+          po += boundedInt("span offset"); pl += boundedLen("span length")
         }
         offs = po.result(); lens = pl.result()
-        val nNeg = readUvarint(r).toInt
-        if (nNeg < 0 || nNeg > data.length * 8) fail("invalid span count")
+        val nNeg = boundedLen("span count")
         val no = Vector.newBuilder[Int]; val nl = Vector.newBuilder[Int]
         (0 until nNeg).foreach { _ =>
-          no += readVarbitInt(r).toInt; nl += readUvarint(r).toInt
+          no += boundedInt("span offset"); nl += boundedLen("span length")
         }
         negOffs = no.result(); negLens = nl.result()
         val nb = lens.map(_.toLong).sum
         val nnb = negLens.map(_.toLong).sum
-        if (nb < 0 || nb > data.length * 8L || nnb < 0 ||
-          nnb > data.length * 8L) fail("invalid bucket count")
+        if (nb > data.length * 8L || nnb > data.length * 8L)
+          fail("invalid bucket count")
         deltas = Vector.tabulate(nb.toInt)(_ => readVarbitInt(r))
         negDeltas = Vector.tabulate(nnb.toInt)(_ => readVarbitInt(r))
       } else {
@@ -432,30 +445,41 @@ object FloatHistogramChunk {
     var negCounts = Vector.empty[Double]
     while (i < n) {
       if (i == 0) {
+        // validated Int reads — the integer codec's crafted-chunk
+        // discipline (negative/oversized span fields fail loud, never
+        // truncate)
+        def boundedLen(what: String): Int = {
+          val v = readUvarint(r)
+          if (v < 0 || v > data.length * 8L) fail(s"invalid $what")
+          v.toInt
+        }
+        def boundedInt(what: String): Int = {
+          val v = readVarbitInt(r)
+          if (v < Int.MinValue || v > Int.MaxValue) fail(s"invalid $what")
+          v.toInt
+        }
         t = unzigzag(readUvarint(r))
-        schema = readVarbitInt(r).toInt
+        schema = boundedInt("schema")
         if (r.readByte() != 0) fail("unsupported zero-threshold form")
         count = raw(countX)
         zcnt = raw(zcntX)
         sum = raw(sumX)
-        val nPos = readUvarint(r).toInt
-        if (nPos < 0 || nPos > data.length * 8) fail("invalid span count")
+        val nPos = boundedLen("span count")
         val po = Vector.newBuilder[Int]; val pl = Vector.newBuilder[Int]
         (0 until nPos).foreach { _ =>
-          po += readVarbitInt(r).toInt; pl += readUvarint(r).toInt
+          po += boundedInt("span offset"); pl += boundedLen("span length")
         }
         offs = po.result(); lens = pl.result()
-        val nNeg = readUvarint(r).toInt
-        if (nNeg < 0 || nNeg > data.length * 8) fail("invalid span count")
+        val nNeg = boundedLen("span count")
         val no = Vector.newBuilder[Int]; val nl = Vector.newBuilder[Int]
         (0 until nNeg).foreach { _ =>
-          no += readVarbitInt(r).toInt; nl += readUvarint(r).toInt
+          no += boundedInt("span offset"); nl += boundedLen("span length")
         }
         negOffs = no.result(); negLens = nl.result()
         val nb = lens.map(_.toLong).sum
         val nnb = negLens.map(_.toLong).sum
-        if (nb < 0 || nb > data.length * 8L || nnb < 0 ||
-          nnb > data.length * 8L) fail("invalid bucket count")
+        if (nb > data.length * 8L || nnb > data.length * 8L)
+          fail("invalid bucket count")
         posX = Array.fill(nb.toInt)(new XorState)
         negX = Array.fill(nnb.toInt)(new XorState)
         counts = posX.toVector.map(raw)

@@ -211,7 +211,8 @@ object QueryEndpoint {
     // non-POST 405. Everything that can fail cleanly runs in
     // prepareRead BEFORE response headers commit.
     server.createContext("/api/v1/read", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit =
+      override def handle(ex: HttpExchange): Unit = {
+        var committed = false
         try {
           if (ex.getRequestMethod != "POST") {
             respond(ex, 405, errorBody("remote read requires POST"))
@@ -226,17 +227,28 @@ object QueryEndpoint {
                   "application/x-protobuf")
                 ex.getResponseHeaders.set("Content-Encoding", "snappy")
                 ex.sendResponseHeaders(200, body.length.toLong)
+                committed = true
                 val os = ex.getResponseBody
                 try os.write(body) finally os.close()
               case streamed =>
                 ex.getResponseHeaders.set("Content-Type",
                   "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
                 ex.sendResponseHeaders(200, 0L) // chunked: length unknown
+                committed = true
                 val os = ex.getResponseBody
                 try streamed.writeTo(os) finally os.close()
             }
           }
         } catch {
+          // a failure AFTER the 200 committed (a Spark task dying
+          // mid-stream) cannot become a status line anymore: surface
+          // the root cause server-side and cut the stream — the client
+          // sees a truncated chunked body, the log sees why. respond()
+          // on a committed exchange would raise a secondary
+          // headers-already-sent error that MASKS the real failure.
+          case e: Exception if committed =>
+            System.err.println(s"[remote-read] mid-stream failure: $e")
+            try ex.close() catch { case _: Exception => () }
           case e: RemoteRead.LimitExceeded =>
             respond(ex, 413, errorBody(Option(e.getMessage).getOrElse(
               e.getClass.getSimpleName)))
@@ -244,6 +256,7 @@ object QueryEndpoint {
             respond(ex, 400, errorBody(Option(e.getMessage).getOrElse(
               e.getClass.getSimpleName)))
         }
+      }
     })
     // the OTLP door: an OpenTelemetry collector's protobuf export,
     // translated by the public compatibility rules and normalized onto

@@ -213,7 +213,7 @@ object RemoteRead {
   // ---- encoder (request for the CLIENT half, response for the door;
   // pure varint/tag writers like RemoteWrite's sender) ----
 
-  private def writeVarint(b: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+  private def writeVarint(b: java.io.OutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7FL) != 0L) {
       b.write(((v & 0x7F) | 0x80).toInt)
@@ -484,7 +484,7 @@ object RemoteRead {
         writeVarint(msg, (2L << 3) | 0L); writeVarint(msg, frameQ)
       }
       val data = msg.toByteArray
-      writeVarint2(out, data.length.toLong)
+      writeVarint(out, data.length.toLong)
       crc.reset(); crc.update(data, 0, data.length)
       val c = crc.getValue
       out.write(((c >> 24) & 0xFF).toInt); out.write(((c >> 16) & 0xFF).toInt)
@@ -493,17 +493,6 @@ object RemoteRead {
       frame.reset()
       framesWritten += 1
     }
-  }
-
-  // the frame writer targets a raw OutputStream (socket), not the
-  // ByteArrayOutputStream the protobuf helpers assume
-  private def writeVarint2(out: java.io.OutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7FL) != 0L) {
-      out.write(((v & 0x7F) | 0x80).toInt)
-      v >>>= 7
-    }
-    out.write(v.toInt)
   }
 
   /** Streamed response bytes, in memory — [[ChunkFrameWriter]] fed from

@@ -622,7 +622,7 @@ object RemoteWrite {
         if (h.count != 0L) { // count_int, field 1
           writeVarint(hm, (1L << 3) | 0L); writeVarint(hm, h.count)
         }
-        if (h.sum != 0.0) { // sum, field 3, little-endian double
+        if (java.lang.Double.doubleToRawLongBits(h.sum) != 0L) { // sum, field 3, little-endian double
           writeVarint(hm, (3L << 3) | 1L)
           val sb = java.lang.Double.doubleToLongBits(h.sum)
           var i = 0
@@ -683,7 +683,7 @@ object RemoteWrite {
         // what marks the sample as float on the wire (a zero-count
         // float histogram must not decode back as the integer form)
         dbl(2, h.count)
-        if (h.sum != 0.0) dbl(3, h.sum)
+        if (java.lang.Double.doubleToRawLongBits(h.sum) != 0L) dbl(3, h.sum)
         writeVarint(hm, (4L << 3) | 0L)
         writeVarint(hm, zz(h.schema.toLong))
         dbl(7, h.zeroCount)
@@ -760,7 +760,7 @@ object RemoteWrite {
         if (h.count != 0L) {
           writeVarint(hm, (1L << 3) | 0L); writeVarint(hm, h.count)
         }
-        if (h.sum != 0.0) {
+        if (java.lang.Double.doubleToRawLongBits(h.sum) != 0L) {
           writeVarint(hm, (3L << 3) | 1L)
           val sb = java.lang.Double.doubleToLongBits(h.sum)
           var i = 0
@@ -817,7 +817,7 @@ object RemoteWrite {
         // float-form count/zero_count always write — their presence IS
         // the form marker (see the v1 encoder)
         dbl(2, h.count)
-        if (h.sum != 0.0) dbl(3, h.sum)
+        if (java.lang.Double.doubleToRawLongBits(h.sum) != 0L) dbl(3, h.sum)
         writeVarint(hm, (4L << 3) | 0L)
         writeVarint(hm, zz(h.schema.toLong))
         dbl(7, h.zeroCount)

@@ -169,6 +169,71 @@ class HistogramChunkSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted chunks fail loud: negative-after-truncation span fields never fabricate buckets") {
+    import graft.sources.FloatHistogramChunk
+    // a local MSB-first bit writer (a third, test-owned implementation
+    // of the layout) builds a chunk whose span LENGTH uvarint is
+    // 0xFFFFFFFF — legal bytes, but .toInt would truncate negative and
+    // a later sum-only check would pass (−3 + 5 ≥ 0); the decoder must
+    // refuse at the field
+    class W { // bits MSB-first
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def bit(b: Int): Unit = bits += (b & 1)
+      def nbits(v: Long, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => bit(((v >> i) & 1L).toInt))
+      def byte(b: Int): Unit = nbits(b.toLong & 0xFF, 8)
+      def uvarint(v0: Long): Unit = {
+        var v = v0
+        while ((v & ~0x7FL) != 0L) { byte(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+        byte(v.toInt)
+      }
+      def out: Array[Byte] = {
+        val padded = bits ++ Seq.fill((8 - bits.size % 8) % 8)(0)
+        padded.grouped(8).map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      }
+    }
+    def crafted(spanLen: Long): Array[Byte] = {
+      val w = new W
+      w.byte(0); w.byte(1) // one sample
+      w.byte(0) // flags
+      w.uvarint(2000L) // zigzag(1000)
+      w.nbits(2L, 2); w.nbits(3L, 3) // schema 3 varbit '10'+011
+      w.byte(0) // zthresh
+      w.uvarint(5L) // count
+      w.uvarint(1L) // zero_count
+      w.nbits(java.lang.Double.doubleToRawLongBits(2.5), 64) // sum
+      w.uvarint(1L) // nPos
+      w.bit(0) // span offset 0 (varbit '0')
+      w.uvarint(spanLen) // span LENGTH — the crafted field
+      w.out // (truncated after the length: the decoder must fail first)
+    }
+    val e = intercept[IllegalArgumentException](
+      HistogramChunk.decode(crafted(0xFFFFFFFFL)))
+    assert(e.getMessage.contains("invalid span length"))
+    // a sane length on the same bytes fails LATER (truncated stream),
+    // proving the guard fired on the field, not on general damage
+    intercept[IllegalArgumentException](HistogramChunk.decode(crafted(2L)))
+    // the float codec shares the discipline (same header, count/zcnt/sum
+    // as raw doubles before the spans)
+    def craftedF(spanLen: Long): Array[Byte] = {
+      val w = new W
+      w.byte(0); w.byte(1); w.byte(0)
+      w.uvarint(2000L)
+      w.nbits(2L, 2); w.nbits(3L, 3)
+      w.byte(0)
+      w.nbits(java.lang.Double.doubleToRawLongBits(5.0), 64) // count
+      w.nbits(java.lang.Double.doubleToRawLongBits(1.0), 64) // zcnt
+      w.nbits(java.lang.Double.doubleToRawLongBits(2.5), 64) // sum
+      w.uvarint(1L)
+      w.bit(0)
+      w.uvarint(spanLen)
+      w.out
+    }
+    val ef = intercept[IllegalArgumentException](
+      FloatHistogramChunk.decode(craftedF(0xFFFFFFFFL)))
+    assert(ef.getMessage.contains("invalid span length"))
+  }
+
   test("fuzz: seeded random histogram walks round-trip bit-exactly") {
     val rnd = new scala.util.Random(20260815L)
     (0 until 40).foreach { trial =>

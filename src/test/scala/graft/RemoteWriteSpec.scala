@@ -64,6 +64,22 @@ class RemoteWriteSpec extends SparkTestBase {
     // the sink counts float samples in its accepted total
     val sink = new RemoteWriteSink(spark)
     assert(sink.receiveSeries(series) === 3L)
+    // a NEGATIVE-ZERO sum survives the wire bit-exactly (the writer
+    // skips the field by raw BITS, not by == 0.0 — which -0.0 passes):
+    // both protocols, both histogram forms
+    val nz = Vector(
+      RemoteWrite.Series(Vector("__name__" -> "z"), Vector.empty,
+        hists = Vector(RemoteWrite.Hist(1L, 0, Vector(0), Vector(1),
+          Vector(1L), 1L, -0.0, 0L)),
+        fhists = Vector(RemoteWrite.FHist(2L, 0, Vector(0), Vector(1),
+          Vector(1.0), 1.0, -0.0, 0.0))))
+    def sumBits(ss: Seq[RemoteWrite.Series]): Seq[Long] =
+      ss.flatMap(s => s.hists.map(_.sum) ++ s.fhists.map(_.sum))
+        .map(java.lang.Double.doubleToRawLongBits)
+    assert(sumBits(RemoteWrite.walk(RemoteWrite.encode(nz)))
+      === sumBits(nz))
+    assert(sumBits(RemoteWrite.walkV2(RemoteWrite.encodeV2(nz)))
+      === sumBits(nz))
   }
 
   test("hand-assembled native-histogram payload walks to the hand-derived buckets") {
