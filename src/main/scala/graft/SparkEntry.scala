@@ -156,6 +156,16 @@ object SparkEntry {
       Seq(promql.Api.federateText(s, d, Seq("purchase", "signup")))
         .toDF("payload")
     }),
+    // recorded names federate like any TSDB series: the 6h sum-by
+    // rule's instant vector rendered under the record's __name__,
+    // alongside a raw gauge family in the same payload
+    "a1gb_federate_recorded" -> ((s, d) => {
+      import s.implicits._
+      Seq(promql.Compiler.withRecordedRules(Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))(
+        promql.Api.federateText(s, d, Seq("k_total6h", "signup"))))
+        .toDF("payload")
+    }),
     // the exemplar store: per (histogram series, le bucket) the
     // anchored freshest observation — what /api/v1/query_exemplars
     // serves and the OpenMetrics emission attaches per bucket line
@@ -217,6 +227,15 @@ object SparkEntry {
     // + CRC frames, decoded back to the identical sample relation
     "a1w_remote_read_streamed" -> ((s, d) =>
       sources.RemoteRead.wireReadStreamedGate(s, d)),
+    // recording-rule series ride the read door: the 6h sum-by rule's
+    // full lattice history served as streamed XOR chunks and decoded
+    // back — the Thanos-pulls-rule-outputs use case, end to end
+    "a1za_remote_read_recorded" -> ((s, d) =>
+      sources.RemoteRead.wireReadRecordedGate(s, d)),
+    // the outbound twin: the remote-write SENDER forwards the same
+    // rule lattice as WriteRequests, decoded back by the receiver walk
+    "a1zb_remote_write_recorded" -> ((s, d) =>
+      sources.RemoteWriteRecorded.wireWriteRecordedGate(s, d)),
     // native-histogram families over the streamed face: HISTOGRAM
     // (type 2) chunks — layout-change chunk cuts, negative buckets,
     // delta/sum-XOR arms — decoded back and span-walked to the
@@ -624,6 +643,25 @@ object SparkEntry {
       recordingRules = Seq(promql.Rules.RecordingRule(
         "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
       .orderBy(col("label_k"), col("t_s"))),
+    // the recorded exotic tail at GRID scale, one plan per panel:
+    // quantile rank-walks each 4-point lattice window as a sorted
+    // frame array; ts_of_max recovers lattice write timestamps with
+    // latest-wins ties; stddev runs the frame moment walk
+    "p117_recorded_grid_quantile" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "quantile_over_time(0.25, k_total6h[1d])", 240, 21600L,
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
+      .orderBy(col("label_k"), col("t_s"))),
+    "p118_recorded_grid_ts_of_max" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "ts_of_max_over_time(k_total6h[1d])", 240, 21600L,
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
+      .orderBy(col("label_k"), col("t_s"))),
+    "p119_recorded_grid_stddev" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      "stddev_over_time(k_total6h[1d])", 240, 21600L,
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))
+      .orderBy(col("label_k"), col("t_s"))),
     // the recorded-range EXOTIC tail (the r14 refusal, replaced):
     // deriv fits the b25 exact-integer least squares to the rule
     // lattice's cumulative snapshots — the Grafana capacity panel over
@@ -641,6 +679,27 @@ object SparkEntry {
     // evaluation interval
     "p110_promql_recorded_irate" -> ((s, d) => promql.Engine.eval(s, d,
       "irate(k_total6h[12h])",
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))),
+    // the recorded EXOTIC over-time tail (the last r15 refusals,
+    // replaced): quantile/stddev/mad rank- and moment-walk the rule
+    // lattice's exact cents through the SAME rangeWindowAgg recipes as
+    // raw series; ts_of_* recover the rule loop's write timestamps and
+    // serve ANY rule shape (exact DECIMAL comparisons only)
+    "p113_recorded_quantile" -> ((s, d) => promql.Engine.eval(s, d,
+      "quantile_over_time(0.9, k_total6h[2d])",
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))),
+    "p114_recorded_stddev" -> ((s, d) => promql.Engine.eval(s, d,
+      "stddev_over_time(k_total6h[2d])",
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))),
+    "p115_recorded_ts_of_max" -> ((s, d) => promql.Engine.eval(s, d,
+      "ts_of_max_over_time(k_total6h[2d])",
+      recordingRules = Seq(promql.Rules.RecordingRule(
+        "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))),
+    "p116_recorded_mad" -> ((s, d) => promql.Engine.eval(s, d,
+      "mad_over_time(k_total6h[2d])",
       recordingRules = Seq(promql.Rules.RecordingRule(
         "k_total6h", "sum by (k) (purchase)", intervalS = 21600)))),
     "b30_changes" -> ((s, d) => PromQL.changes(s, d)),
@@ -996,6 +1055,7 @@ object SparkEntry {
     "a1e_openmetrics_text" -> PromQL.OpenMetricsTextSql,
     "a1f_openmetrics_parse" -> PromQL.OpenMetricsParseSql,
     "a1g_federate" -> promql.Oracle.FederateSql,
+    "a1gb_federate_recorded" -> promql.Oracle.FederateRecordedSql,
     "a1h_exemplars" -> PromQL.ExemplarsSql,
     "a1i_remote_write_decode" -> sources.RemoteWrite.WireDecodeSql,
     "a1j_remote_write_hist" -> sources.RemoteWrite.WireDecodeHistSql,
@@ -1012,6 +1072,8 @@ object SparkEntry {
     "a1u_otlp_summary" -> sources.Otlp.OtlpSummarySql,
     "a1v_remote_read" -> sources.RemoteRead.WireReadGateSql,
     "a1w_remote_read_streamed" -> sources.RemoteRead.WireReadGateSql,
+    "a1za_remote_read_recorded" -> sources.RemoteRead.WireReadRecordedGateSql,
+    "a1zb_remote_write_recorded" -> sources.RemoteRead.WireReadRecordedGateSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,
@@ -1133,6 +1195,13 @@ object SparkEntry {
     "p108_promql_recorded_deriv" -> promql.Oracle.RecordedDerivSql,
     "p109_promql_recorded_predict" -> promql.Oracle.RecordedPredictSql,
     "p110_promql_recorded_irate" -> promql.Oracle.RecordedIrateSql,
+    "p113_recorded_quantile" -> promql.Oracle.RecordedQuantileSql,
+    "p117_recorded_grid_quantile" -> promql.Oracle.RecordedGridQuantileSql,
+    "p118_recorded_grid_ts_of_max" -> promql.Oracle.RecordedGridTsOfMaxSql,
+    "p119_recorded_grid_stddev" -> promql.Oracle.RecordedGridStddevSql,
+    "p114_recorded_stddev" -> promql.Oracle.RecordedStddevSql,
+    "p115_recorded_ts_of_max" -> promql.Oracle.RecordedTsOfMaxSql,
+    "p116_recorded_mad" -> promql.Oracle.RecordedMadSql,
     "p111_recorded_grid_deriv" -> promql.Oracle.RecordedGridDerivSql,
     "p112_recorded_grid_changes" -> promql.Oracle.RecordedGridChangesSql,
     "p105_recorded_grid_renamed" -> promql.Oracle.RecordedGridRenamedSql,

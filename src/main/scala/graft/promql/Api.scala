@@ -280,7 +280,18 @@ object Api {
     require(matches.nonEmpty, "at least one match[] selector")
     val tMs = Compiler.instantSeconds(spark, dir).toLong * 1000L
     val rendered = matches.map { m =>
-      val df = Engine.eval(spark, dir, m)
+      val df0 = Engine.eval(spark, dir, m)
+      // recorded names federate like any TSDB series (upstream's rule
+      // loop writes them): a sum-by rule's vector retains only its
+      // by-labels, so the record's own name — the series' `__name__`
+      // upstream — is re-attached for the exposition line. Raw-family
+      // selectors keep their name column untouched.
+      val df = if (df0.columns.contains("name")) df0
+        else Parser.parse(m) match {
+          case s: Selector => df0.withColumn("name", lit(s.name))
+          case _ => throw new PromQLCompileException(
+            s"/federate matches series selectors; '$m' names no series")
+        }
       val labels = df.columns.filter(c => c != "value" && c != "name")
         .map(c => (promLabel(c), c)).sortBy(_._1)
       val inner = concat_ws(",", labels.map { case (p, c) =>
@@ -654,14 +665,44 @@ object Api {
       startS: Option[Long] = None, endS: Option[Long] = None,
       limit: Option[Int] = None): String = {
     require(selectors.nonEmpty, "at least one match[] selector")
-    val ev = graft.operators.Metrics.metricEvents(spark, dir)
-    val maps = ev.filter(matchFilter(selectors, startS, endS))
-      .select(to_json(struct(
-        col("name").as("__name__"),
-        col("label_k").as("k"),
-        col("label_instance").as("instance"))).as("m"))
-      .distinct().orderBy(col("m"))
-      .collect().map(_.getString(0)).toSeq
+    // recorded names list like any TSDB series (upstream: the rule loop
+    // writes them); a selector naming one evaluates the rule vector —
+    // at `end` when given, so series born after the window stay out
+    // (presence is lattice-granular: a rule series once born has a
+    // sample at every later interval instant)
+    val recNames = Compiler.currentRecordedNames
+    val (recM, rawM) = selectors.partition(s => Parser.parse(s) match {
+      case sel: Selector => recNames.contains(sel.name)
+      case _ => false
+    })
+    val rawMaps =
+      if (rawM.isEmpty) Seq.empty[String]
+      else graft.operators.Metrics.metricEvents(spark, dir)
+        .filter(matchFilter(rawM, startS, endS))
+        .select(to_json(struct(
+          col("name").as("__name__"),
+          col("label_k").as("k"),
+          col("label_instance").as("instance"))).as("m"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    val recMaps = recM.flatMap { m =>
+      val name = Parser.parse(m) match {
+        case sel: Selector => sel.name
+        case _ => "" // unreachable: the partition matched on Selector
+      }
+      // `end` past the corpus instant clamps to it (upstream lists
+      // head series for any future bound); earlier bounds pin the
+      // rule vector at `end` via the @ modifier
+      val tS = Compiler.instantSeconds(spark, dir).toLong
+      val df = Engine.eval(spark, dir,
+        endS.filter(_ < tS).map(e => s"($m @ $e)").getOrElse(m))
+      val labelCols = df.columns.toSeq
+        .filter(c => c != "value" && c != "name")
+      val fields = lit(name).as("__name__") +:
+        labelCols.map(c => coalesce(col(c), lit("")).as(promLabel(c)))
+      df.select(to_json(struct(fields: _*)).as("m"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    }
+    val maps = (rawMaps ++ recMaps).distinct.sorted
     val (kept, warns) = limited(maps, limit)
     warnEnvelope(kept.mkString("[", ",", "]"), warns)
   }
@@ -744,7 +785,15 @@ object Api {
       .distinct().orderBy(col("j"))
       .collect().map(_.getString(0).stripPrefix("""{"v":""").stripSuffix("}"))
       .toSeq
-    val (kept, warns) = limited(vals, limit)
+    // the standing rule file's record names are `__name__` values too
+    // (upstream: rule outputs are TSDB series); unscoped requests list
+    // them — a match[]/time scope keeps the corpus-presence answer
+    val recVals =
+      if (label == "__name__" && selectors.isEmpty && startS.isEmpty &&
+          endS.isEmpty)
+        Compiler.currentRecordedNames.toSeq.map(n => s""""$n"""")
+      else Nil
+    val (kept, warns) = limited((vals ++ recVals).distinct.sorted, limit)
     warnEnvelope(kept.mkString("[", ",", "]"), warns)
   }
 }

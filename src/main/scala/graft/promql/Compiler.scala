@@ -101,6 +101,13 @@ object Compiler {
   private val recordedRules =
     new scala.util.DynamicVariable[Map[String, (Ast, Long)]](Map.empty)
 
+  /** The record names in the CURRENT compile scope — serving layers
+    * (federation, series metadata) branch on them without re-plumbing
+    * the rule map itself.
+    */
+  private[graft] def currentRecordedNames: Set[String] =
+    recordedRules.value.keySet
+
   /** Names currently being expanded — the cycle guard (`a: a + 1`
     * would otherwise recurse at compose time).
     */
@@ -318,15 +325,19 @@ object Compiler {
   }
 
   /** Range functions a recorded series supports (the sample-grid walk
-    * below); the remaining exotic tail (holt-winters/changes/resets/
-    * quantiles/...) refuses loudly rather than silently approximating
-    * on a coarse rule grid.
+    * below); the one remaining refusal is
+    * `double_exponential_smoothing` — inherently iterative (rows-only
+    * even on raw series), so recorded support would only add ungateable
+    * surface.
     */
   private val RecordedRangeFns: Set[String] = Set(
     "rate", "increase", "delta",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "present_over_time",
-    "irate", "idelta", "deriv", "predict_linear", "changes", "resets")
+    "irate", "idelta", "deriv", "predict_linear", "changes", "resets",
+    "quantile_over_time", "mad_over_time",
+    "stddev_over_time", "stdvar_over_time",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
 
   /** Adjacent-pair counters over the rule lattice (`changes`/`resets`):
     * exact DECIMAL comparisons on the rule's own values — no cents
@@ -345,7 +356,17 @@ object Compiler {
     * cents quantization would silently coarsen — those refuse loudly.
     */
   private val RecordedCentsFns: Set[String] = Set(
-    "irate", "idelta", "deriv", "predict_linear")
+    "irate", "idelta", "deriv", "predict_linear",
+    "quantile_over_time", "mad_over_time",
+    "stddev_over_time", "stdvar_over_time")
+
+  /** The timestamp-recovering recorded-range functions: they only
+    * COMPARE the rule's own exact DECIMAL values (no arithmetic), so
+    * ANY rule shape serves them — the output is a lattice write time,
+    * exact integer micros until one final double division.
+    */
+  private val RecordedTsFns: Set[String] = Set(
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
 
   /** A RANGE selector over a RECORDED series: upstream's rule loop
     * writes a sample of `record` at every evaluation interval, and a
@@ -512,6 +533,28 @@ object Compiler {
               col("_n").cast("double") + slope * lit(d.toDouble + horizon)) / 100.0
           }
         Vec(a.select(sk :+ v.as("value"): _*), labels)
+      case "quantile_over_time" | "mad_over_time" |
+           "stddev_over_time" | "stdvar_over_time" |
+           "ts_of_last_over_time" | "ts_of_max_over_time" |
+           "ts_of_min_over_time" =>
+        // the raw-range recipes ([[rangeWindowAgg]]) run VERBATIM on
+        // the rule lattice: instant i carries the rule loop's write
+        // timestamp anchor − (g−i)·iv (integer micros → one double
+        // division, so ts_of_* values bit-match any engine) and `_i`
+        // stands in for the event_id tiebreak — unique per (series,
+        // instant) and ordered exactly like the write times it
+        // represents. The rank/moment recipes read exact integer cents
+        // (the RecordedCentsFns fast-shape gate above guarantees them);
+        // ts_of_* only COMPARE the rule's own exact DECIMAL values, so
+        // ANY rule shape serves those three.
+        val anchorUs = instantDf(spark, dir).head().getLong(0) -
+          shiftEff * 1000000L
+        val based = grid
+          .withColumn("ts", timestamp_micros(lit(anchorUs) -
+            (lit(g.toLong) - col("_i")) * lit(ivS * 1000000L)))
+          .withColumn("event_id", col("_i"))
+        Vec(rangeWindowAgg(fn, param, based, labels, lit(0L), d,
+          "recorded", sel.name), labels)
       case other =>
         Vec(overTimeCollapse(other, grid, labels), labels)
     }
@@ -908,11 +951,16 @@ object Compiler {
       case "stddev_over_time" | "stdvar_over_time" =>
         // exact integer-cents moments (the engine-wide 2-decimal sample
         // convention): variance from (Σx, Σx², n) in the IDENTICAL
-        // expression order as the oracle, so doubles bit-match
+        // expression order as the oracle, so doubles bit-match. The
+        // moments accumulate in DECIMAL(38,0) — identical values where
+        // a long sufficed, but recorded-lattice callers feed CUMULATIVE
+        // cents whose squares would wrap a raw long sum at scale (the
+        // same headroom rule as the recorded least-squares moments)
+        val dec0 = DecimalType(38, 0)
         val c = base.withColumn("_cents", round(col("value") * 100, 0).cast("long"))
         val m = c.groupBy(sk: _*)
-          .agg(sum(col("_cents")).as("_s1"),
-            sum(col("_cents") * col("_cents")).as("_s2"),
+          .agg(sum(col("_cents").cast(dec0)).as("_s1"),
+            sum(col("_cents").cast(dec0) * col("_cents")).as("_s2"),
             count(lit(1)).as("_n"))
         val mean = col("_s1").cast("double") / col("_n").cast("double")
         val varCents = col("_s2").cast("double") / col("_n").cast("double") - mean * mean
@@ -2725,7 +2773,8 @@ object Compiler {
       // (a k == 1 window holds one sample → empty, the two-sample rule).
       case Func(f2, param, sel: Selector)
           if (RecordedCentsFns.contains(f2) ||
-            RecordedPairFns.contains(f2)) && sel.atS.isEmpty &&
+            RecordedPairFns.contains(f2) ||
+            RecordedTsFns.contains(f2)) && sel.atS.isEmpty &&
             sel.rangeS.exists(_ > 0) &&
             recordedRules.value.contains(sel.name) =>
         val (ruleAst, ivS) = recordedRules.value(sel.name)
@@ -2751,7 +2800,85 @@ object Compiler {
             val onGrid = ((lit(L) - col("_i")) % m) === 0 &&
               col("_i") >= lit(k.toLong)
             val remapped = (lit(g) - (lit(L) - col("_i")) / m).as("_i")
-            if (RecordedPairFns.contains(f2)) {
+            // the k-row frame ending on the current lattice row = the
+            // instant walk's in-window sample set (presence is
+            // contiguous from each series' birth, partials included)
+            val wf = Window.partitionBy(sk: _*).orderBy(col("_i"))
+              .rowsBetween(-(k - 1).toLong, 0L)
+            if (RecordedTsFns.contains(f2)) {
+              // ts_of_*: recover the rule loop's write timestamp of the
+              // frame's extremal row — exact integer micro arithmetic
+              // off the lattice index, the per-instant case's formula,
+              // then ONE double division. Ties break LATEST (two frame
+              // aggregates: the extremum, then the max index attaining
+              // it — upstream's >=/<= running replacement).
+              val anchorUs = instantDf(spark, dir).head().getLong(0) -
+                shiftEff * 1000000L
+              val argI = f2 match {
+                case "ts_of_last_over_time" => col("_i")
+                case "ts_of_max_over_time" =>
+                  max(when(col("value") === max(col("value")).over(wf),
+                    col("_i"))).over(wf)
+                case _ =>
+                  max(when(col("value") === min(col("value")).over(wf),
+                    col("_i"))).over(wf)
+              }
+              val v = (lit(anchorUs) - (lit(L.toLong) - argI) *
+                lit(ivS * 1000000L)).cast("double") / 1e6
+              val out = lattice.withColumn("_v", v)
+                .filter(onGrid)
+                .select(sk :+ remapped :+ col("_v").as("value"): _*)
+              Some((out, labels, "value", None))
+            } else if (f2 == "stddev_over_time" || f2 == "stdvar_over_time") {
+              // frame moments in DECIMAL(38,0) — the identical (Σx, Σx²,
+              // n) double walk as [[rangeWindowAgg]], so union ≡ grid
+              // stays bit-identical
+              val dec = DecimalType(38, 0)
+              val s1 = sum(col("_cents").cast(dec)).over(wf)
+              val s2m = sum(col("_cents").cast(dec) * col("_cents")).over(wf)
+              val n = count(lit(1)).over(wf)
+              val mean = s1.cast("double") / n.cast("double")
+              val varCents = s2m.cast("double") / n.cast("double") - mean * mean
+              val v = if (f2 == "stddev_over_time") sqrt(varCents) / 100.0
+                else varCents / 10000.0
+              val out = lattice.withColumn("_v", v)
+                .filter(onGrid)
+                .select(sk :+ remapped :+ col("_v").as("value"): _*)
+              Some((out, labels, "value", None))
+            } else if (f2 == "quantile_over_time" || f2 == "mad_over_time") {
+              // rank walks per frame: the frame's cents as a SORTED
+              // array (collect_list over the row frame, array_sort —
+              // the same multiset the per-instant rank recipe orders),
+              // then the identical (n−1)·φ interpolation doubles. mad
+              // re-sorts the |cents − median| doubles. O(k log k) per
+              // output row over the bounded window — no self-join.
+              val phi =
+                if (f2 == "mad_over_time") 0.5
+                else param.getOrElse(
+                  fail("quantile_over_time needs a quantile parameter"))
+              val arr = array_sort(collect_list(col("_cents")).over(wf))
+              val n = size(arr)
+              val pos = (n - lit(1)).cast("double") * lit(phi)
+              def at(a: Column, r: Column): Column =
+                element_at(a, r.cast("int")).cast("double")
+              val lo = at(arr, floor(pos).cast("long") + 1)
+              val hi = at(arr, ceil(pos).cast("long") + 1)
+              val med = lo + (hi - lo) * (pos - floor(pos))
+              val v =
+                if (f2 == "quantile_over_time") med / 100.0
+                else {
+                  val devs = array_sort(transform(arr,
+                    c => abs(c.cast("double") - med)))
+                  val p2 = (n - lit(1)).cast("double") * lit(0.5)
+                  val lo2 = at(devs, floor(p2).cast("long") + 1)
+                  val hi2 = at(devs, ceil(p2).cast("long") + 1)
+                  (lo2 + (hi2 - lo2) * (p2 - floor(p2))) / 100.0
+                }
+              val out = lattice.withColumn("_v", v)
+                .filter(onGrid)
+                .select(sk :+ remapped :+ col("_v").as("value"): _*)
+              Some((out, labels, "value", None))
+            } else if (RecordedPairFns.contains(f2)) {
               // changes/resets over a k-point window: the indicator at
               // lattice row j covers pair (j−1, j) via a GLOBAL lag
               // (null at each series' birth row), and a frame of the

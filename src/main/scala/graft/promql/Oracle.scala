@@ -203,6 +203,112 @@ object Oracle {
        |    / 100.0 / 21600.0 AS value
        |FROM pair ORDER BY label_k""".stripMargin
 
+  /** The recorded 6h sum-by lattice's in-window instants as exact
+    * cumulative cents snapshots — the shared front half of every
+    * recorded exotic-tail twin ([[RecordedQuantileSql]] and friends):
+    * instant i (1..g) sits at T − (g−i)·6h, its snapshot sums every
+    * event at or before it.
+    */
+  private def recordedLatticeCents(g: Int): String =
+    s"""m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT i FROM generate_series(1, $g) g(i)),
+       |snap AS (
+       |  SELECT label_k, i,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - ($g - i) * 21600000000
+       |  GROUP BY label_k, i)""".stripMargin
+
+  /** `quantile_over_time(0.9, k_total6h[2d])` — the PromQL linear
+    * interpolation at rank (n−1)·φ over the 8 in-window lattice
+    * snapshots' exact cents, rank tiebreak on the lattice index
+    * (matching the engine's per-instant `_i` stand-in for event_id).
+    */
+  val RecordedQuantileSql: String =
+    s"""WITH ${recordedLatticeCents(8)},
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY label_k ORDER BY cents, i) AS rn,
+       |  COUNT(*) OVER (PARTITION BY label_k) AS n
+       |  FROM snap),
+       |p AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.9 AS pos FROM r)
+       |SELECT label_k,
+       |  (MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE
+       |   + (MAX(CASE WHEN rn = CAST(CEIL(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE
+       |      - MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE)
+       |     * (MAX(pos) - FLOOR(MAX(pos)))) / 100.0 AS value
+       |FROM p GROUP BY label_k
+       |ORDER BY label_k, value""".stripMargin
+
+  /** `stddev_over_time(k_total6h[2d])` — exact integer moments (Σx,
+    * Σx², n) over the 8 lattice snapshots' cents, the variance walk in
+    * the engine's exact double order (s2/n − mean·mean).
+    */
+  val RecordedStddevSql: String =
+    s"""WITH ${recordedLatticeCents(8)},
+       |a AS (
+       |  SELECT label_k,
+       |    CAST(SUM(cents) AS BIGINT) AS s1,
+       |    CAST(SUM(cents * cents) AS BIGINT) AS s2,
+       |    COUNT(*) AS n
+       |  FROM snap GROUP BY label_k)
+       |SELECT label_k,
+       |  sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0 AS value
+       |FROM a
+       |ORDER BY label_k, value""".stripMargin
+
+  /** `mad_over_time(k_total6h[2d])` — median absolute deviation about
+    * the median over the lattice snapshots: the first median on exact
+    * cents, the second on the |cents − median| doubles, both at the
+    * (n−1)·0.5 interpolation, rank tiebreak on the lattice index.
+    */
+  val RecordedMadSql: String =
+    s"""WITH ${recordedLatticeCents(8)},
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY label_k ORDER BY cents, i) AS rn,
+       |  COUNT(*) OVER (PARTITION BY label_k) AS n
+       |  FROM snap),
+       |p AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.5 AS pos FROM r),
+       |med AS (SELECT *,
+       |  CAST(MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) + 1 THEN cents END)
+       |    OVER pw AS DOUBLE) AS lo,
+       |  CAST(MAX(CASE WHEN rn = CAST(CEIL(pos) AS BIGINT) + 1 THEN cents END)
+       |    OVER pw AS DOUBLE) AS hi
+       |  FROM p WINDOW pw AS (PARTITION BY label_k)),
+       |d AS (SELECT *,
+       |  abs(CAST(cents AS DOUBLE) - (lo + (hi - lo) * (pos - FLOOR(pos)))) AS dev
+       |  FROM med),
+       |r2 AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY label_k ORDER BY dev, i) AS rn2
+       |  FROM d)
+       |SELECT label_k,
+       |  (MAX(CASE WHEN rn2 = CAST(FLOOR(pos) AS BIGINT) + 1 THEN dev END)
+       |   + (MAX(CASE WHEN rn2 = CAST(CEIL(pos) AS BIGINT) + 1 THEN dev END)
+       |      - MAX(CASE WHEN rn2 = CAST(FLOOR(pos) AS BIGINT) + 1 THEN dev END))
+       |     * (MAX(pos) - FLOOR(MAX(pos)))) / 100.0 AS value
+       |FROM r2 GROUP BY label_k
+       |ORDER BY label_k, value""".stripMargin
+
+  /** `ts_of_max_over_time(k_total6h[2d])` — the rule-loop write
+    * timestamp (seconds) of the lattice instant attaining the window
+    * max; ties break on the LATEST instant (upstream replaces the
+    * running extremum on >=). Exact DECIMAL value comparisons — the
+    * engine serves this for ANY rule shape.
+    */
+  val RecordedTsOfMaxSql: String =
+    s"""WITH ${recordedLatticeCents(8)},
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY label_k
+       |                     ORDER BY cents DESC, i DESC) AS rn
+       |  FROM snap)
+       |SELECT r.label_k,
+       |  CAST(t.t_us - (8 - r.i) * 21600000000 AS DOUBLE) / 1e6 AS value
+       |FROM r, t WHERE r.rn = 1
+       |ORDER BY label_k, value""".stripMargin
+
   /** p111: `deriv(k_total6h[1d])` on the dense 240×6h grid under the
     * standing 6h sum-by rule — the capacity panel as ONE plan. The twin
     * re-derives the rule lattice (243 points = 240 grid instants + the
@@ -276,6 +382,100 @@ object Oracle {
        |SELECT w.label_k,
        |  (t.t_us // 1000000) - (243 - w.i) * 21600 AS t_s,
        |  CAST(w.n_chg AS DOUBLE) AS value
+       |FROM win w, t
+       |ORDER BY w.label_k, t_s""".stripMargin
+
+  /** p117: `quantile_over_time(0.25, k_total6h[1d])` on the dense
+    * 240×6h grid — each output instant's 4-point lattice window rank-
+    * walked with the PromQL (n−1)·φ interpolation on exact cents,
+    * partial windows at a series' birth included.
+    */
+  val RecordedGridQuantileSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT unnest(generate_series(1, 243)) AS i),
+       |snap AS (
+       |  SELECT label_k, i,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (243 - i) * 21600000000
+       |  GROUP BY label_k, i),
+       |win AS (
+       |  SELECT a.label_k, a.i AS i, b.cents
+       |  FROM snap a JOIN snap b ON a.label_k = b.label_k
+       |    AND b.i BETWEEN a.i - 3 AND a.i
+       |  WHERE a.i >= 4),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY label_k, i ORDER BY cents) AS rn,
+       |  COUNT(*) OVER (PARTITION BY label_k, i) AS n
+       |  FROM win),
+       |p AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.25 AS pos FROM r)
+       |SELECT p.label_k,
+       |  (t.t_us // 1000000) - (243 - p.i) * 21600 AS t_s,
+       |  (MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE
+       |   + (MAX(CASE WHEN rn = CAST(CEIL(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE
+       |      - MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) + 1 THEN cents END)::DOUBLE)
+       |     * (MAX(pos) - FLOOR(MAX(pos)))) / 100.0 AS value
+       |FROM p, t GROUP BY p.label_k, p.i, t.t_us
+       |ORDER BY label_k, t_s""".stripMargin
+
+  /** p118: `ts_of_max_over_time(k_total6h[1d])` on the dense grid —
+    * the lattice write timestamp of each window's max, latest-instant
+    * tiebreak, exact integer micros → one double division.
+    */
+  val RecordedGridTsOfMaxSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT unnest(generate_series(1, 243)) AS i),
+       |snap AS (
+       |  SELECT label_k, i, SUM(CAST(value AS DECIMAL(18,2))) AS v
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (243 - i) * 21600000000
+       |  GROUP BY label_k, i),
+       |win AS (
+       |  SELECT a.label_k, a.i AS i, b.i AS j, b.v,
+       |    ROW_NUMBER() OVER (PARTITION BY a.label_k, a.i
+       |                       ORDER BY b.v DESC, b.i DESC) AS rn
+       |  FROM snap a JOIN snap b ON a.label_k = b.label_k
+       |    AND b.i BETWEEN a.i - 3 AND a.i
+       |  WHERE a.i >= 4)
+       |SELECT w.label_k,
+       |  (t.t_us // 1000000) - (243 - w.i) * 21600 AS t_s,
+       |  CAST(t.t_us - (243 - w.j) * 21600000000 AS DOUBLE) / 1e6 AS value
+       |FROM win w, t WHERE w.rn = 1
+       |ORDER BY w.label_k, t_s""".stripMargin
+
+  /** p119: `stddev_over_time(k_total6h[1d])` on the dense grid — the
+    * exact integer (Σx, Σx², n) moments per 4-point window, the
+    * engine's variance double walk.
+    */
+  val RecordedGridStddevSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |idx AS (SELECT unnest(generate_series(1, 243)) AS i),
+       |snap AS (
+       |  SELECT label_k, i,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM m, t, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (243 - i) * 21600000000
+       |  GROUP BY label_k, i),
+       |win AS (
+       |  SELECT a.label_k, a.i AS i,
+       |    CAST(SUM(b.cents) AS BIGINT) AS s1,
+       |    CAST(SUM(b.cents * b.cents) AS BIGINT) AS s2,
+       |    COUNT(*) AS n
+       |  FROM snap a JOIN snap b ON a.label_k = b.label_k
+       |    AND b.i BETWEEN a.i - 3 AND a.i
+       |  WHERE a.i >= 4
+       |  GROUP BY a.label_k, a.i)
+       |SELECT w.label_k,
+       |  (t.t_us // 1000000) - (243 - w.i) * 21600 AS t_s,
+       |  sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0 AS value
        |FROM win w, t
        |ORDER BY w.label_k, t_s""".stripMargin
 
@@ -605,6 +805,43 @@ object Oracle {
        |    || lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0')
        |    || ' ' || CAST(t.ts_ms AS VARCHAR) AS line
        |  FROM u, t)
+       |SELECT string_agg(line, chr(10) ORDER BY line) || chr(10) AS payload
+       |FROM lines""".stripMargin
+
+  /** a1gb: `/federate` with `match[]=k_total6h&match[]=signup` under
+    * the standing 6h sum-by rule — recorded names federate like any
+    * TSDB series (upstream's rule loop writes them), rendered with the
+    * record as `__name__` and the rule's by-labels, alongside a raw
+    * gauge family; same byte discipline as [[FederateSql]].
+    */
+  val FederateRecordedSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT (MAX(epoch_us(ts)) // 1000000) * 1000 AS ts_ms FROM m),
+       |c AS (SELECT 'k_total6h' AS name, label_k,
+       |        SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+       |      FROM m WHERE kind = 'counter' AND value >= 0 AND name = 'purchase'
+       |      GROUP BY label_k),
+       |g AS (SELECT name, label_k, label_instance,
+       |        CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |      FROM (SELECT *, ROW_NUMBER() OVER (
+       |              PARTITION BY name, label_k, label_instance
+       |              ORDER BY ts DESC, event_id DESC) AS rn
+       |            FROM m WHERE kind = 'gauge' AND name = 'signup')
+       |      WHERE rn = 1),
+       |lines AS (
+       |  SELECT name || '{k="' || label_k || '"} '
+       |    || (CASE WHEN cents < 0 THEN '-' ELSE '' END)
+       |    || CAST(abs(cents) // 100 AS VARCHAR) || '.'
+       |    || lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0')
+       |    || ' ' || CAST(t.ts_ms AS VARCHAR) AS line
+       |  FROM c, t
+       |  UNION ALL
+       |  SELECT name || '{instance="' || label_instance || '",k="' || label_k
+       |    || '"} ' || (CASE WHEN cents < 0 THEN '-' ELSE '' END)
+       |    || CAST(abs(cents) // 100 AS VARCHAR) || '.'
+       |    || lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0')
+       |    || ' ' || CAST(t.ts_ms AS VARCHAR) AS line
+       |  FROM g, t)
        |SELECT string_agg(line, chr(10) ORDER BY line) || chr(10) AS payload
        |FROM lines""".stripMargin
 

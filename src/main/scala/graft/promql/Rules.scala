@@ -66,6 +66,38 @@ object Rules {
       df.write.mode("overwrite").parquet(s"$outDir/$name")
     }
 
+  /** A recording rule's FULL sample history as a labels-map relation —
+    * `(labels` incl. `__name__` = record`, ts_ms, value)` — the shape
+    * the remote-read door serves: upstream's primary remote-read use
+    * case is a long-term-storage reader (Thanos, Cortex) pulling rule
+    * outputs, and the rule loop's samples ARE TSDB series there. The
+    * lattice anchors at the corpus instant T and covers every rule
+    * instant back to the corpus start (g = span/interval + 1 whole
+    * intervals), riding the dense-grid strategy — ONE event pass for
+    * all instants, capped at the grid bound (`maxInstants`; a longer
+    * retention shards by time range at scale). Values are the rule
+    * vector's doubles, exactly what upstream's rule loop writes.
+    */
+  def recordedSeriesRelation(spark: SparkSession, dir: String,
+      rule: RecordingRule, maxInstants: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val endS = Compiler.instantSeconds(spark, dir).toLong
+    val minS = graft.operators.Metrics.metricEvents(spark, dir)
+      .agg(min(unix_micros(col("ts")))).head().getLong(0) / 1000000L
+    val g = math.min((endS - minS) / rule.intervalS + 1L,
+      maxInstants.toLong).toInt
+    val df = Api.queryRangeGrid(spark, dir, rule.record, g, rule.intervalS,
+      recordingRules = Seq(rule))
+    val labelCols = df.columns.filter(_.startsWith("label_")).toSeq
+    val entries: Seq[Column] =
+      Seq(lit("__name__"), lit(rule.record)) ++
+        labelCols.flatMap(c => Seq(lit(c.stripPrefix("label_")),
+          coalesce(col(c), lit(""))))
+    df.select(map(entries: _*).as("labels"),
+      (col("t_s") * 1000L).cast("long").as("ts_ms"),
+      col("value").cast("double").as("value"))
+  }
+
   /** The condition's series identity: every label column its compiled
     * vector retains. A fully-aggregated (scalar) condition gets a null
     * `label_k` so the ladder joins/outputs keep a stable shape — the

@@ -217,10 +217,35 @@ object QueryEndpoint {
           if (ex.getRequestMethod != "POST") {
             respond(ex, 405, errorBody("remote read requires POST"))
           } else {
+            // recording-rule series ride the read door too (upstream's
+            // rule loop writes them into the TSDB a reader pulls from):
+            // the lattice relation rebuilds per request — two cheap
+            // column-pruned driver aggregates for the span — so admin
+            // mutations (delete_series) and corpus growth stay live. A
+            // rule whose relation can't build (broken expression, a
+            // shape the grid tier declines) is SKIPPED with a server
+            // log, like upstream's per-group rule health: one bad rule
+            // never takes the whole door down.
+            val recorded =
+              if (recordingRules.isEmpty) None
+              else {
+                val rels = recordingRules.flatMap { r =>
+                  try Some(graft.promql.Rules
+                    .recordedSeriesRelation(spark, dir, r))
+                  catch {
+                    case e: Exception =>
+                      System.err.println(
+                        s"[remote-read] rule '${r.record}' not servable: $e")
+                      None
+                  }
+                }
+                rels.reduceOption(_ unionAll _)
+              }
             val prepared = RemoteRead.prepareRead(spark, dir,
               ex.getRequestBody.readAllBytes(),
               sampleLimit = readSampleLimit,
-              hists = readHists, fhists = readFHists)
+              hists = readHists, fhists = readFHists,
+              recorded = recorded)
             prepared match {
               case RemoteRead.SamplesAnswer(body) =>
                 ex.getResponseHeaders.set("Content-Type",
@@ -431,7 +456,10 @@ object QueryEndpoint {
       val ms = multiParams(ex).collect { case ("match[]", v) => v }
       if (ms.isEmpty) throw new IllegalArgumentException(
         "missing required parameter 'match[]'")
-      Api.federateText(spark, dir, ms)
+      // the standing rule file's recorded names federate like any
+      // TSDB series, exactly as they answer /api/v1/query
+      graft.promql.Compiler.withRecordedRules(recordingRules)(
+        Api.federateText(spark, dir, ms))
     }, ScrapeEndpoint.ContentType))
     server.createContext("/api/v1/series", handler { ex =>
       // repeated match[] selectors union (upstream semantics); start/end
@@ -441,9 +469,10 @@ object QueryEndpoint {
       if (ms.isEmpty) throw new IllegalArgumentException(
         "missing required parameter 'match[]'")
       val p = mp.toMap
-      Api.seriesJson(spark, dir, ms,
-        p.get("start").map(epochS), p.get("end").map(epochS),
-        p.get("limit").map(_.toInt))
+      graft.promql.Compiler.withRecordedRules(recordingRules)(
+        Api.seriesJson(spark, dir, ms,
+          p.get("start").map(epochS), p.get("end").map(epochS),
+          p.get("limit").map(_.toInt)))
     })
     server.createContext("/api/v1/labels", handler { ex =>
       val mp = multiParams(ex)
@@ -458,10 +487,11 @@ object QueryEndpoint {
         case Array("", "api", "v1", "label", name, "values") =>
           val mp = multiParams(ex)
           val p = mp.toMap
-          Api.labelValuesJson(spark, dir, name,
-            mp.collect { case ("match[]", v) => v },
-            p.get("start").map(epochS), p.get("end").map(epochS),
-            p.get("limit").map(_.toInt))
+          graft.promql.Compiler.withRecordedRules(recordingRules)(
+            Api.labelValuesJson(spark, dir, name,
+              mp.collect { case ("match[]", v) => v },
+              p.get("start").map(epochS), p.get("end").map(epochS),
+              p.get("limit").map(_.toInt)))
         case _ => throw new IllegalArgumentException(
           s"unknown endpoint ${ex.getRequestURI.getPath}")
       }

@@ -614,8 +614,9 @@ object RemoteRead {
     * the buffer.
     */
   def serveNegotiated(spark: SparkSession, dir: String,
-      body: Array[Byte]): ReadAnswer = {
-    val p = prepareRead(spark, dir, body)
+      body: Array[Byte],
+      recorded: Option[DataFrame] = None): ReadAnswer = {
+    val p = prepareRead(spark, dir, body, recorded = recorded)
     val bos = new java.io.ByteArrayOutputStream()
     p.writeTo(bos)
     ReadAnswer(p.streamed, bos.toByteArray)
@@ -664,17 +665,23 @@ object RemoteRead {
     * wire fields) — a server configured with them serves matching
     * native families alongside the float series: as prompb
     * `histograms` on the SAMPLES face, as HISTOGRAM/FLOAT_HISTOGRAM
-    * chunks on the streamed face. Matchers apply against the full
-    * label map (missing labels match `""`), time bounds inclusively on
-    * the sample timestamps, and histogram samples count toward the
-    * same response budget.
+    * chunks on the streamed face. `recorded` is an OPTIONAL float
+    * source in the labels-map shape (`labels`, `ts_ms`, double
+    * `value`) — RECORDING-RULE series, the samples upstream's rule
+    * loop writes into its TSDB and a long-term-storage reader pulls
+    * out over this very door ([[graft.promql.Rules
+    * .recordedSeriesRelation]] builds it from a rule). For all three,
+    * matchers apply against the full label map (missing labels match
+    * `""`), time bounds inclusively on the sample timestamps, and
+    * every sample counts toward the same response budget.
     */
   def prepareRead(spark: SparkSession, dir: String, body: Array[Byte],
       sampleLimit: Long = DefaultSampleLimit,
       samplesPerChunk: Int = 120,
       frameBytes: Int = DefaultFrameBytes,
       hists: Option[DataFrame] = None,
-      fhists: Option[DataFrame] = None): PreparedRead = {
+      fhists: Option[DataFrame] = None,
+      recorded: Option[DataFrame] = None): PreparedRead = {
     val raw = RemoteWrite.uncompress(body)
     val queries = walkRequest(raw)
     val resType = negotiate(acceptedTypes(raw))
@@ -684,6 +691,7 @@ object RemoteRead {
     // refuse, the streamed face would truncate mid-stream
     val total = queries.map { q =>
       matched(spark, dir, q).count() +
+        recorded.map(r => matchedHists(r, q).count()).getOrElse(0L) +
         hists.map(h => matchedHists(h, q).count()).getOrElse(0L) +
         fhists.map(h => matchedHists(h, q).count()).getOrElse(0L)
     }.sum
@@ -694,6 +702,8 @@ object RemoteRead {
         val w = new ChunkFrameWriter(out, samplesPerChunk, frameBytes)
         queries.zipWithIndex.foreach { case (q, qi) =>
           streamQuery(spark, dir, q, qi.toLong, w)
+          recorded.foreach(r =>
+            streamFloatRows(matchedHists(r, q), qi.toLong, w))
           hists.foreach(h =>
             streamHistRows(matchedHists(h, q), qi.toLong, w, isFloat = false))
           fhists.foreach(h =>
@@ -704,6 +714,8 @@ object RemoteRead {
     else
       SamplesAnswer(RemoteWrite.compress(encodeResponse(
         queries.map(q => seriesFor(spark, dir, q) ++
+          recorded.map(r => floatSeriesFor(matchedHists(r, q)))
+            .getOrElse(Nil) ++
           hists.map(h => histSeriesFor(matchedHists(h, q), isFloat = false))
             .getOrElse(Nil) ++
           fhists.map(h => histSeriesFor(matchedHists(h, q), isFloat = true))
@@ -798,6 +810,43 @@ object RemoteRead {
         else
           Series(histRowLabels(sorted.head), Vector.empty,
             hists = sorted.map(rowHist).toVector)
+      }
+
+  /** Feed matched FLOAT rows from a labels-map source (recording-rule
+    * series) to the frame writer incrementally — the [[streamQuery]]
+    * discipline, XOR sample chunks like any other float series.
+    */
+  private def streamFloatRows(m: DataFrame, qIdx: Long,
+      w: ChunkFrameWriter): Unit = {
+    val it = m.orderBy(col("_skey"), col("ts_ms"), col("value"))
+      .toLocalIterator()
+    var cur: String = null
+    while (it.hasNext) {
+      val r = it.next()
+      val key = r.getString(r.fieldIndex("_skey"))
+      if (key != cur) {
+        if (cur != null) w.endSeries()
+        w.startSeries(histRowLabels(r), qIdx)
+        cur = key
+      }
+      w.addSample(r.getLong(r.fieldIndex("ts_ms")),
+        r.getDouble(r.fieldIndex("value")))
+    }
+    if (cur != null) w.endSeries()
+  }
+
+  /** Matched float rows from a labels-map source as materialized
+    * [[Series]] — the SAMPLES face's form, bounded by the 413 budget.
+    */
+  private def floatSeriesFor(m: DataFrame): Seq[Series] =
+    m.collect()
+      .groupBy(r => r.getString(r.fieldIndex("_skey")))
+      .toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        Series(histRowLabels(rs.head),
+          rs.map(r => (r.getDouble(r.fieldIndex("value")),
+            r.getLong(r.fieldIndex("ts_ms"))))
+            .sortBy { case (v, t) => (t, v) }.toVector)
       }
 
   /** Feed one query's selection to the frame writer INCREMENTALLY:
@@ -1294,6 +1343,55 @@ object RemoteRead {
       .orderBy(col("q_idx"), col("wire_name"), col("instance"), col("k"),
         col("ts_ms"), col("value"))
   }
+
+  /** a1za — recording-rule series over the remote-read door: the
+    * standing 6h `sum by (k) (purchase)` rule's FULL lattice history
+    * ([[graft.promql.Rules.recordedSeriesRelation]] — the samples
+    * upstream's rule loop would have written into the TSDB a
+    * long-term-storage reader pulls from) served through the negotiated
+    * STREAMED face, decoded back by the client walk, and flattened to
+    * `(label_k, t_s, value)`. The oracle re-derives the lattice
+    * relationally (g = whole rule intervals covering the corpus span
+    * + 1; cumulative DECIMAL snapshots at each instant's exact-micro
+    * bound; floor-second instant stamps), so one hash pins the span
+    * arithmetic, the dense-grid rule evaluation, the labels-map encode,
+    * the XOR chunks, and the wire framing together.
+    */
+  def wireReadRecordedGate(spark: SparkSession, dir: String): DataFrame = {
+    val rule = graft.promql.Rules.RecordingRule(
+      "k_total6h", "sum by (k) (purchase)", intervalS = 21600)
+    val rel = graft.promql.Rules.recordedSeriesRelation(spark, dir, rule)
+    val q = ReadQuery(0L, Long.MaxValue / 2,
+      Seq(Matcher(0, "__name__", "k_total6h")))
+    val req = RemoteWrite.compress(encodeRequest(Seq(q), Seq(1L, 0L)))
+    val ans = serveNegotiated(spark, dir, req, recorded = Some(rel))
+    require(ans.streamed, "negotiation must pick STREAMED_XOR_CHUNKS")
+    val rows = walkStreamed(ans.body).flatMap { case (_, s) =>
+      val lm = s.labels.toMap
+      s.samples.map { case (v, t) => (lm.getOrElse("k", ""), t / 1000L, v) }
+    }
+    import spark.implicits._
+    rows.toDF("label_k", "t_s", "value")
+      .orderBy(col("label_k"), col("t_s"), col("value"))
+  }
+
+  lazy val WireReadRecordedGateSql: String =
+    s"""WITH m AS (${graft.operators.Metrics.MetricEventsSql}),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us, MIN(epoch_us(ts)) AS min_us
+       |      FROM m),
+       |n AS (SELECT ((t_us // 1000000) - (min_us // 1000000)) // 21600 + 1 AS g,
+       |             t_us // 1000000 AS t_end, t_us FROM t),
+       |idx AS (SELECT unnest(generate_series(1, (SELECT g FROM n))) AS i),
+       |snap AS (
+       |  SELECT label_k, i, SUM(CAST(value AS DECIMAL(18,2))) AS v
+       |  FROM m, n, idx
+       |  WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - (g - i) * 21600000000
+       |  GROUP BY label_k, i)
+       |SELECT s.label_k, n.t_end - (n.g - s.i) * 21600 AS t_s,
+       |  CAST(s.v AS DOUBLE) AS value
+       |FROM snap s, n
+       |ORDER BY label_k, t_s, value""".stripMargin
 
   lazy val WireReadGateSql: String =
     s"""WITH m AS (${graft.operators.Metrics.MetricEventsSql}),

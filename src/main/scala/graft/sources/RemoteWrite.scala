@@ -1786,6 +1786,58 @@ object RemoteWrite {
   * recorded, not thrown — a forwarder rides through receiver outages
   * like a Prometheus remote-write shard.
   */
+object RemoteWriteRecorded {
+  import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  /** Group labels-map sample rows `(labels, ts_ms, value)` into wire
+    * [[RemoteWrite.Series]] — the recorded-series sender's batch shape,
+    * shared verbatim with the a1zb gate: labels name-sorted with empty
+    * values dropped (upstream's series identity), samples in timestamp
+    * order, series in label order for deterministic bytes.
+    */
+  private[graft] def labelsMapSeries(batch: Seq[Row]): Seq[RemoteWrite.Series] =
+    batch.map { r =>
+      (r.getMap[String, String](0).toVector
+        .filter(_._2.nonEmpty).sortBy(_._1),
+        r.getLong(1), r.getDouble(2))
+    }.groupBy(_._1).toSeq
+      .sortBy(_._1.map(e => e._1 + "=" + e._2).mkString(","))
+      .map { case (labels, rs) =>
+        RemoteWrite.Series(labels,
+          rs.sortBy(_._2).map(t => (t._3, t._2)).toVector)
+      }
+
+  /** a1zb — the remote-write SENDER forwards a recording rule's FULL
+    * lattice history: the labels-map relation
+    * ([[graft.promql.Rules.recordedSeriesRelation]]) grouped into wire
+    * series by the sender's own batch builder, encoded as a
+    * WriteRequest, decoded back by the receiver's walk, and flattened
+    * to `(label_k, t_s, value)` — the outbound twin of the remote-read
+    * a1za gate, hash-matched against the SAME DuckDB lattice oracle.
+    * Upstream deployments remote-write exactly these series: aggregated
+    * rule outputs are the recommended long-term-storage payload (small
+    * cardinality, query-ready).
+    */
+  def wireWriteRecordedGate(spark: SparkSession, dir: String): DataFrame = {
+    val rule = graft.promql.Rules.RecordingRule(
+      "k_total6h", "sum by (k) (purchase)", intervalS = 21600)
+    val rel = graft.promql.Rules.recordedSeriesRelation(spark, dir, rule)
+    val rows = rel.select(col("labels"), col("ts_ms"), col("value"))
+      .collect().toSeq
+    val series = labelsMapSeries(rows)
+    val decoded = RemoteWrite.walk(RemoteWrite.uncompress(
+      RemoteWrite.compress(RemoteWrite.encode(series))))
+    val flat = decoded.flatMap { s =>
+      val lm = s.labels.toMap
+      s.samples.map { case (v, t) => (lm.getOrElse("k", ""), t / 1000L, v) }
+    }
+    import spark.implicits._
+    flat.toDF("label_k", "t_s", "value")
+      .orderBy(col("label_k"), col("t_s"), col("value"))
+  }
+}
+
 class RemoteWriteClient(url: String) {
 
   @volatile private var lastPushMs: Option[Long] = None
@@ -1845,6 +1897,35 @@ class RemoteWriteClient(url: String) {
             // and third-party receivers answer 200)
             if (code / 100 == 2) sent.add(n.toLong) else failed.add(n.toLong)
           }
+      }
+    (sent.value, failed.value)
+  }
+
+  /** Forward a RECORDING RULE's sample history downstream — rule
+    * outputs are first-class TSDB series upstream, and aggregated rule
+    * series are the recommended remote-write payload for long-term
+    * storage (small cardinality, query-ready). Takes the labels-map
+    * relation ([[graft.promql.Rules.recordedSeriesRelation]]); pushes
+    * run EXECUTOR-SIDE exactly like [[backfill]] — one WriteRequest per
+    * `batchRows` samples per partition, nothing funnels through the
+    * driver — with the same outage semantics (failed POSTs recorded by
+    * count, never thrown).
+    */
+  def backfillRecorded(rel: org.apache.spark.sql.DataFrame,
+      batchRows: Int = 500): (Long, Long) = {
+    val target = url
+    val spark = rel.sparkSession
+    val sent = spark.sparkContext.longAccumulator("rw_recorded_sent")
+    val failed = spark.sparkContext.longAccumulator("rw_recorded_failed")
+    rel.select(rel("labels"), rel("ts_ms"), rel("value"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.grouped(batchRows).foreach { batch =>
+          val series = RemoteWriteRecorded.labelsMapSeries(batch.toSeq)
+          val n = series.map(_.samples.length).sum
+          val code = RemoteWrite.post(target,
+            RemoteWrite.compress(RemoteWrite.encode(series)))
+          if (code / 100 == 2) sent.add(n.toLong) else failed.add(n.toLong)
+        }
       }
     (sent.value, failed.value)
   }

@@ -151,6 +151,98 @@ object MetricStream {
         })
   }
 
+  /** One recorded sample the streaming rule loop writes. */
+  case class RuleSample(record: String, label_k: String, ts_ms: Long,
+      value: Double)
+
+  /** Rule-loop keyed state: the cents already folded into emitted
+    * instants, the last emitted instant, and the not-yet-closed events.
+    */
+  case class RuleLoopState(appliedCents: Long, emittedThroughMs: Long,
+      pending: Vector[(Long, Long)])
+
+  /** The RULE LOOP as a stream: a fast-shape counter rule
+    * (`sum by (k) (<counter>)`) maintained incrementally. Keyed state
+    * holds each group's exact running cents; every lattice instant the
+    * WATERMARK closes emits the sample upstream's evaluation loop would
+    * have written — ts = the instant, value = the running sum over
+    * events at-or-before it (the batch snapshot's closed-right bound).
+    * Quiet groups keep ticking through event-time timeouts, so a series
+    * with no new events still repeats its value at every instant,
+    * exactly like the rule loop writing an unchanged sample.
+    *
+    * Stream ≡ batch: emitted samples equal
+    * [[graft.promql.Rules.recordedSeriesRelation]]'s rows for the same
+    * rule once the watermark passes `anchorMs` (StreamingSpec pins it):
+    *  - instants are `anchorMs`-aligned interval multiples, so both
+    *    tiers stamp identical timestamps (`anchorMs` = the batch corpus
+    *    instant);
+    *  - an instant emits only once the watermark passes it (its sum is
+    *    final under the declared lateness policy); later-than-watermark
+    *    stragglers fold into state for FUTURE instants but closed
+    *    instants never re-emit — upstream's loop never rewrites written
+    *    samples;
+    *  - emission clamps at `anchorMs` (the lattice the batch tier
+    *    serves; a live deployment would let it run unbounded).
+    * 100 TB shape: state is O(groups) + the under-watermark event tail;
+    * emission ∝ instants crossed, never events.
+    */
+  def streamingRuleLoop(events: DataFrame, record: String,
+      counterName: String, intervalMs: Long, anchorMs: Long,
+      watermark: String = "0 seconds"): Dataset[RuleSample] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    Metrics.metricEventsOf(events)
+      // watermark BEFORE the family filter: any event advances event
+      // time, so other families' traffic closes this rule's instants
+      .withWatermark("ts", watermark)
+      .filter(col("kind") === "counter" && col("value") >= 0 &&
+        col("name") === counterName)
+      // the watermarked `ts` column must survive projection — the
+      // event-time timeout reads its metadata
+      .select(col("label_k"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (k: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+            state: GroupState[RuleLoopState]) => {
+          val newEv = rows.map(r => (r._2.getTime, r._3)).toVector
+          if (newEv.isEmpty && state.getOption.isEmpty) Iterator.empty
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val st0 = state.getOption.getOrElse {
+              // first instant ≥ the group's first event = birth; seed
+              // the cursor one interval below it
+              val firstTs = newEv.map(_._1).min
+              val kk = (anchorMs - firstTs) / intervalMs
+              RuleLoopState(0L, anchorMs - (kk + 1) * intervalMs,
+                Vector.empty)
+            }
+            var applied = st0.appliedCents
+            var thru = st0.emittedThroughMs
+            var pending = st0.pending ++ newEv
+            val out = Vector.newBuilder[RuleSample]
+            val closeTo = math.min(wm, anchorMs)
+            var inst = thru + intervalMs
+            while (inst <= closeTo) {
+              val (now, later) = pending.partition(_._1 <= inst)
+              applied += now.map(_._2).sum
+              pending = later
+              out += RuleSample(record, k, inst, applied / 100.0)
+              thru = inst
+              inst += intervalMs
+            }
+            state.update(RuleLoopState(applied, thru, pending))
+            // wake again when the next instant can close (timeouts must
+            // sit past the current watermark)
+            if (thru < anchorMs) state.setTimeoutTimestamp(thru + intervalMs)
+            out.result().iterator
+          }
+        })
+  }
+
   /** One gauge series row: the latest value by event time. */
   case class SeriesLatest(name: String, label_k: String, value: Double,
       tsUs: Long, eventId: Long)

@@ -115,7 +115,8 @@ class PlanShapeSpec extends SparkTestBase {
     // means the panel degenerated to per-instant evaluation
     for (name <- Seq("p105_recorded_grid_renamed", "p106_recorded_grid_rate",
         "p107_recorded_grid_avg", "p111_recorded_grid_deriv",
-        "p112_recorded_grid_changes")) {
+        "p112_recorded_grid_changes", "p117_recorded_grid_quantile",
+        "p118_recorded_grid_ts_of_max", "p119_recorded_grid_stddev")) {
       val p = plan(name)
       assert(!p.contains("Union"), s"$name degenerated to a per-instant union")
       assert(p.contains("Window"), s"$name lost the series×grid running window")

@@ -1614,10 +1614,13 @@ class PromQLFrontendSpec extends SparkTestBase {
     val e1b = intercept[PromQLCompileException](Engine.eval(spark, dir,
       "rate(k_total)", recordingRules = rules).collect())
     assert(e1b.getMessage.contains("requires a range selector"))
+    // the one remaining recorded-range refusal (quantile/mad/stddev/
+    // ts_of_* all serve now — their own spec below): the inherently
+    // iterative smoothing function
     val e2 = intercept[PromQLCompileException](Engine.eval(spark, dir,
-      "quantile_over_time(0.5, k_total[2d])", recordingRules = rules)
-      .collect())
-    assert(e2.getMessage.contains("not supported"))
+      "double_exponential_smoothing(k_total[2d], 0.5, 0.5)",
+      recordingRules = rules).collect())
+    assert(e2.getMessage.contains("recorded series"))
     val e3 = intercept[PromQLCompileException](Engine.eval(spark, dir,
       "loop_r", recordingRules = Seq(
         RecordingRule("loop_r", "rate(loop_r[1d])", intervalS = 86400))).collect())
@@ -1707,5 +1710,70 @@ class PromQLFrontendSpec extends SparkTestBase {
     // derived-value rules serve too (exact decimal comparisons need no
     // cents): the halved rule still changes once over [3d]
     assert(ev1("changes(k_half[3d])", half) === Seq(("a", 1.0), ("b", 0.0)))
+  }
+
+  test("recorded exotic over-time tail: quantile/stddev/mad/ts_of_* on the rule lattice") {
+    import graft.promql.Rules.RecordingRule
+    val d = 86400000L
+    val dir = fixture("events" -> Seq(
+      ev(0, 0, "purchase", 10.0, "a"),
+      ev(1, 1 * d, "purchase", 5.0, "a"),
+      ev(2, 2 * d, "purchase", 2.0, "a"),
+      ev(3, 2 * d, "purchase", 4.0, "b")
+    ).toDF(eventCols: _*))
+    val rules = Seq(
+      RecordingRule("k_total", "sum by (k) (purchase)", intervalS = 86400))
+    def ev1(q: String, rs: Seq[RecordingRule] = rules): Seq[(String, Double)] =
+      Engine.eval(spark, dir, q, recordingRules = rs)
+        .as[(String, Double)].collect().toSeq.sortBy(_._1)
+    // a's lattice cents over [3d]: 1000@T−2d, 1500@T−1d, 1700@T;
+    // b is born at T (one sample). The anchor T = the corpus instant.
+    val tS = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000.0 +
+      2.0 * 86400.0
+    // quantile at φ=0.25: pos = (3−1)·0.25 = 0.5 interpolates rn1/rn2
+    // → (1000 + (1500−1000)·0.5)/100; a single sample reads itself
+    assert(ev1("quantile_over_time(0.25, k_total[3d])") ===
+      Seq(("a", 12.5), ("b", 4.0)))
+    // stddev/stdvar: exact cents moments, the engine's double order
+    val mean = 4200.0 / 3.0
+    val varCents = 6140000.0 / 3.0 - mean * mean
+    assert(ev1("stddev_over_time(k_total[3d])") ===
+      Seq(("a", math.sqrt(varCents) / 100.0), ("b", 0.0)))
+    assert(ev1("stdvar_over_time(k_total[3d])") ===
+      Seq(("a", varCents / 10000.0), ("b", 0.0)))
+    // mad: median 1500 (pos = 1.0), devs {500, 0, 200} → sorted middle
+    // dev = 200 cents
+    assert(ev1("mad_over_time(k_total[3d])") === Seq(("a", 2.0), ("b", 0.0)))
+    // ts_of_*: the rule loop's write timestamps come back — max sits at
+    // the final instant for both series; min at a's first in-window
+    // instant; offset shifts the recovered anchor with the window
+    assert(ev1("ts_of_max_over_time(k_total[3d])") ===
+      Seq(("a", tS), ("b", tS)))
+    assert(ev1("ts_of_last_over_time(k_total[3d])") ===
+      Seq(("a", tS), ("b", tS)))
+    assert(ev1("ts_of_min_over_time(k_total[3d])") ===
+      Seq(("a", tS - 2.0 * 86400.0), ("b", tS)))
+    assert(ev1("ts_of_max_over_time(k_total[2d] offset 1d)") ===
+      Seq(("a", tS - 86400.0)))
+    // ties break LATEST (upstream replaces the running extremum on >=):
+    // a constant-zero BINOP rule — also the union (any-shape) arm —
+    // attains its max at every instant, so the final one wins
+    val zero = Seq(RecordingRule("k_zero",
+      "sum by (k) (purchase) - sum by (k) (purchase)", intervalS = 86400))
+    assert(ev1("ts_of_max_over_time(k_zero[3d])", zero) ===
+      Seq(("a", tS), ("b", tS)))
+    // the rank/moment walks need exact cents → derived-value rules
+    // refuse loudly; ts_of_* compare the rule's own DECIMAL values and
+    // serve any shape
+    val half = rules :+ RecordingRule("k_half",
+      "sum by (k) (purchase) / 2", intervalS = 86400)
+    val e = intercept[PromQLCompileException](Engine.eval(spark, dir,
+      "quantile_over_time(0.5, k_half[2d])", recordingRules = half).collect())
+    assert(e.getMessage.contains("sum-by rule shape"))
+    assert(ev1("ts_of_max_over_time(k_half[3d])", half) ===
+      Seq(("a", tS), ("b", tS)))
+    // post-hoc matchers ride the shared transform
+    assert(ev1("""stddev_over_time(k_total{k="a"}[3d])""") ===
+      Seq(("a", math.sqrt(varCents) / 100.0)))
   }
 }

@@ -259,6 +259,57 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("recorded names serve /federate and /api/v1/series like TSDB series") {
+    import graft.promql.Rules.RecordingRule
+    // upstream's rule loop writes recorded series into the TSDB, so
+    // federation and the series-metadata endpoint list them exactly
+    // like scraped families — the same view semantics /api/v1/query
+    // already serves
+    val rules = Seq(
+      RecordingRule("k_total_d", "sum by (k) (purchase)", intervalS = dayS))
+    val server = QueryEndpoint.start(spark, dir, recordingRules = rules)
+    val port = server.getAddress.getPort
+    val m = enc("match[]")
+    try {
+      // federate renders the record under its own __name__ with the
+      // rule's by-labels; cumulative sums a=5.50, b=4.00 at T (= day 3)
+      val tMs = (T0 + 3 * dayS) * 1000L
+      val (cf, bf) = get(port, s"/federate?$m=${enc("k_total_d")}")
+      assert(cf === 200)
+      assert(bf ===
+        s"""k_total_d{k="a"} 5.50 $tMs\nk_total_d{k="b"} 4.00 $tMs\n""")
+      // matchers inside the selector apply post-hoc on the rule vector
+      assert(get(port, s"/federate?$m=${enc("k_total_d{k=\"b\"}")}")._2 ===
+        s"""k_total_d{k="b"} 4.00 $tMs\n""")
+      // mixed raw + recorded matches share one payload
+      val mixed =
+        get(port, s"/federate?$m=${enc("k_total_d")}&$m=${enc("signup")}")._2
+      assert(mixed.contains("k_total_d{k=\"a\"}") && mixed.contains("signup{"))
+      // /api/v1/series lists rule series identities under __name__
+      val (cs, bs) = get(port, s"/api/v1/series?$m=${enc("k_total_d")}")
+      assert(cs === 200)
+      assert(bs.contains(""""__name__":"k_total_d"""") &&
+        bs.contains(""""k":"a"""") && bs.contains(""""k":"b""""))
+      // end bounds exclude series born later: b's first purchase lands
+      // on day 2, so end = day 1 lists only a
+      val bs2 = get(port,
+        s"/api/v1/series?$m=${enc("k_total_d")}&end=${T0 + dayS}")._2
+      assert(bs2.contains(""""k":"a"""") && !bs2.contains(""""k":"b""""))
+      // raw + recorded selectors union in one response
+      val both = get(port,
+        s"/api/v1/series?$m=${enc("k_total_d")}&$m=${enc("purchase")}")._2
+      assert(both.contains("k_total_d") && both.contains("purchase"))
+      // record names list as __name__ values (unscoped)
+      val (cv, bv) = get(port, "/api/v1/label/__name__/values")
+      assert(cv === 200)
+      assert(bv.contains(""""k_total_d"""") && bv.contains(""""purchase""""))
+      // a scoped request keeps the corpus-presence answer
+      assert(!get(port,
+        s"/api/v1/label/__name__/values?$m=${enc("purchase")}")._2
+        .contains("k_total_d"))
+    } finally server.stop(0)
+  }
+
   test("/api/v1/rules, alerts, buildinfo, metadata serve Grafana's contract") {
     import com.fasterxml.jackson.databind.ObjectMapper
     import graft.promql.Rules.{AlertRule, RecordingRule}

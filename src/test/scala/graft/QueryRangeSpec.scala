@@ -648,4 +648,57 @@ class QueryRangeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("recorded quantile/stddev/mad/ts_of_* serve query_range at GRID scale") {
+    import graft.promql.{Compiler, Rules}
+    // the exotic over-time tail on the dense grid: frame-array rank
+    // walks (quantile/mad), frame moments (stddev/stdvar), and
+    // timestamp recovery with latest-wins ties (ts_of_*) must be
+    // bit-identical to the per-instant rangeWindowAgg walks — partial
+    // windows at a series' birth included — for counter AND gauge
+    // rules, and serve a 217-instant panel as ONE plan
+    val sG = T0 + 168 * 3600L
+    val e = T0 + 216 * 3600L
+    Compiler.withRecordedRules(Seq(
+      Rules.RecordingRule("k_total_h", "sum by (k) (purchase)",
+        intervalS = 3600),
+      Rules.RecordingRule("s_sum_h", "sum by (k) (signup)",
+        intervalS = 3600))) {
+      for (q <- Seq(
+          "quantile_over_time(0.25, k_total_h[2d])",
+          "quantile_over_time(0.9, s_sum_h[1d])",
+          "stddev_over_time(k_total_h[2d])",
+          "stdvar_over_time(s_sum_h[2d])",
+          "mad_over_time(k_total_h[2d])",
+          "ts_of_max_over_time(k_total_h[2d])",
+          "ts_of_min_over_time(s_sum_h[1d])",
+          "ts_of_last_over_time(k_total_h[2d])")) {
+        val ast = graft.promql.Parser.parse(q)
+        def rows(grid: Boolean) =
+          Api.rangeRelation(spark, dir, ast, sG, e, 3600L, grid, None)
+            .select("label_k", "_t", "value").collect().map(_.toSeq).toSet
+        assert(rows(grid = true) === rows(grid = false), q)
+        assert(rows(grid = true).nonEmpty, q)
+      }
+      // the full 217-instant dashboard panels are single plans (past
+      // the union path's 64-instant wall)
+      assert(Api.queryRangeGrid(spark, dir,
+        "quantile_over_time(0.5, k_total_h[2d])", 217, 3600L).count() > 0)
+      assert(Api.queryRangeGrid(spark, dir,
+        "ts_of_max_over_time(k_total_h[2d])", 217, 3600L).count() > 0)
+      // ts_of_* only compare the rule's own values → a derived-value
+      // rule serves on the union path; the grid declines the shape
+      // (non-fast rule) rather than coarsening
+      Compiler.withRecordedRules(Seq(Rules.RecordingRule("k_half_h",
+          "sum by (k) (purchase) / 2", intervalS = 3600))) {
+        val ast = graft.promql.Parser.parse("ts_of_max_over_time(k_half_h[2d])")
+        def rows(grid: Boolean) =
+          Api.rangeRelation(spark, dir, ast, e - 3 * 3600L, e, 3600L,
+            grid, None)
+            .select("label_k", "_t", "value").collect().map(_.toSeq).toSet
+        assert(rows(grid = true) === rows(grid = false))
+        assert(rows(grid = false).nonEmpty)
+      }
+    }
+  }
 }

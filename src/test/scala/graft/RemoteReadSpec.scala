@@ -412,6 +412,71 @@ class RemoteReadSpec extends SparkTestBase {
     } finally tight.stop(0)
   }
 
+  test("HTTP: a long-term-storage reader pulls RECORDING-RULE series over the read door") {
+    // a server configured with a recording rule serves the rule loop's
+    // full sample lattice — upstream's primary remote-read use case
+    // (Thanos/Cortex pulling rule outputs). Rule `sum by (k)
+    // (purchase)` at a 30s interval over the 60s corpus span → 3
+    // instants T−60s/T−30s/T: eu sums 1.5/1.5/3.75 (the second
+    // purchase lands at T), us is born after the first instant's bound
+    val rule = graft.promql.Rules.RecordingRule(
+      "k_sum", "sum by (k) (purchase)", intervalS = 30)
+    val server = QueryEndpoint.start(spark, dir, recordingRules = Seq(rule),
+      readSampleLimit = 5)
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/read"
+    try {
+      val q = ReadQuery(0L, 4102444800000L,
+        Seq(Matcher(0, "__name__", "k_sum")))
+      val expected = Seq(
+        RemoteWrite.Series(Vector("__name__" -> "k_sum", "k" -> "eu"),
+          Vector((1.5, T0ms), (1.5, T0ms + 30000L), (3.75, T0ms + 60000L))),
+        RemoteWrite.Series(Vector("__name__" -> "k_sum", "k" -> "us"),
+          Vector((4.0, T0ms + 30000L), (4.0, T0ms + 60000L))))
+      // both faces serve the identical series (streamed = XOR chunks)
+      assert(RemoteRead.fetch(url, q) === expected)
+      assert(RemoteRead.fetch(url, q, streamed = true) === expected)
+      // matchers and time bounds select within the rule series
+      assert(RemoteRead.fetch(url, q.copy(matchers =
+        q.matchers :+ Matcher(0, "k", "us")), streamed = true) ===
+        expected.tail)
+      assert(RemoteRead.fetch(url, q.copy(startMs = T0ms + 30000L)) ===
+        Seq(expected.head.copy(samples = expected.head.samples.tail),
+          expected(1)))
+      // recorded samples count toward the response budget: the full
+      // corpus + 5 rule samples overflow the 5-sample limit → 413
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      try {
+        val os = conn.getOutputStream
+        try os.write(RemoteWrite.compress(
+          RemoteRead.encodeRequest(Seq(all))))
+        finally os.close()
+        assert(conn.getResponseCode === 413,
+          "rule samples count toward the budget")
+      } finally conn.disconnect()
+      // a rule-free server serves the same request with zero rule rows
+      // (no recorded source is configured) — the door stays live
+      assert(RemoteRead.fetch(url, q.copy(matchers =
+        Seq(Matcher(0, "__name__", "signup")))).nonEmpty)
+    } finally server.stop(0)
+    // one bad rule never takes the door down: the broken expression is
+    // skipped (upstream's per-group rule health) while the good rule
+    // and the corpus keep serving
+    val mixed = QueryEndpoint.start(spark, dir, recordingRules = Seq(rule,
+      graft.promql.Rules.RecordingRule("broken", "nosuch_metric",
+        intervalS = 30)))
+    try {
+      val url2 =
+        s"http://127.0.0.1:${mixed.getAddress.getPort}/api/v1/read"
+      assert(RemoteRead.fetch(url2, ReadQuery(0L, 4102444800000L,
+        Seq(Matcher(0, "__name__", "k_sum")))).nonEmpty)
+      assert(RemoteRead.fetch(url2, ReadQuery(0L, 4102444800000L,
+        Seq(Matcher(0, "__name__", "signup")))).nonEmpty)
+    } finally mixed.stop(0)
+  }
+
   test("HTTP: a streamed-first client reads the same series as a SAMPLES client") {
     val server = QueryEndpoint.start(spark, dir)
     try {

@@ -360,6 +360,50 @@ class RemoteWriteSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("backfillRecorded forwards a recording rule's lattice downstream, executor-side") {
+    // upstream's recommended long-term-storage payload: aggregated
+    // rule outputs. Engine A's 30s sum-by rule over a 60s corpus span
+    // yields 5 lattice samples (eu: 1.5/1.5/3.75, us born after the
+    // first instant: 4.0/4.0); engine B receives over real HTTP and
+    // its decoded events must carry the rule's name, values, and
+    // lattice timestamps
+    val dirA = fixture("events" -> Seq(
+      ev(0, 0L, "purchase", 1.5, "eu"),
+      ev(1, 60000L, "purchase", 2.25, "eu"),
+      ev(2, 1000L, "purchase", 4.0, "us")
+    ).toDF(eventCols: _*))
+    val dirB = fixture("events" ->
+      Seq(ev(9, 0L, "purchase", 0.0, "zz")).toDF(eventCols: _*))
+    val rel = graft.promql.Rules.recordedSeriesRelation(spark, dirA,
+      graft.promql.Rules.RecordingRule("k_sum", "sum by (k) (purchase)",
+        intervalS = 30))
+    val sinkB = new RemoteWriteSink(spark)
+    val server = graft.sources.QueryEndpoint.start(spark, dirB,
+      remoteWrite = Some(sinkB))
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/write"
+      // batchRows=2 forces several WriteRequests per partition
+      val (sent, failedN) =
+        new RemoteWriteClient(url).backfillRecorded(rel, batchRows = 2)
+      assert(sent === 5L && failedN === 0L)
+      val q = sinkB.events.writeStream.format("memory")
+        .queryName("rw_backfill_rec").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("rw_backfill_rec")
+          .select($"event_type", $"value",
+            org.apache.spark.sql.functions.unix_millis($"ts"))
+          .as[(String, Double, Long)].collect().toSeq.sorted
+        val want = rel
+          .select(org.apache.spark.sql.functions
+            .element_at($"labels", "__name__"), $"value", $"ts_ms")
+          .as[(String, Double, Long)].collect().toSeq.sorted
+        assert(got === want,
+          "received rule samples ≡ the lattice relation, timestamps preserved")
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
   test("pushed native histograms land in a LIVE family: LWW registry through the sink") {
     // the same two payloads the a1l gate hand-assembles, but POSTed
     // through the RECEIVE path (snappy framing, driver-side validation,

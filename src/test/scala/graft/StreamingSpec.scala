@@ -47,6 +47,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("the rule loop as a stream: emitted samples ≡ the batch lattice") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.element_at
+    // a 10-minute recording rule over three click events; anchor = the
+    // latest event (the batch corpus instant), lattice 10:10 … 10:40.
+    // a is born ON an instant, b between instants; a is quiet across
+    // the middle instants (timeout repeats), b across the tail
+    val rows = Seq(
+      raw(0, 10, 1.5, "a"), raw(1, 40, 2.25, "a"), raw(2, 11, 4.0, "b"))
+    val dir = fixture("events" -> rows.toDF())
+    val rule = graft.promql.Rules.RecordingRule("k_click10m",
+      "sum by (k) (click)", intervalS = 600)
+    val want = graft.promql.Rules.recordedSeriesRelation(spark, dir, rule)
+      .select(element_at($"labels", "k"), $"ts_ms", $"value")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(want.size === 7, "4 instants for a + 3 for b")
+    val anchorMs = rows.map(_.ts.getTime).max
+    val mem = MemoryStream[RawEvent]
+    val out = MetricStream.streamingRuleLoop(mem.toDF(), "k_click10m",
+      "click", 600000L, anchorMs)
+    val q = out.writeStream.format("memory").queryName("rule_loop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows(0), rows(2))
+      q.processAllAvailable()
+      // the second batch advances the watermark to 10:40 — everything
+      // strictly before it closes
+      mem.addData(rows(1))
+      q.processAllAvailable()
+      // two sentinel batches of ANOTHER family: the first pushes event
+      // time past the anchor, the second fires the event-time timeouts
+      // that close the remaining instants — quiet-group repeats
+      // included, no click traffic needed
+      mem.addData(raw(7, 55, 1.0, "zz").copy(event_type = "noise"))
+      q.processAllAvailable()
+      mem.addData(raw(8, 58, 1.0, "zz").copy(event_type = "noise"))
+      q.processAllAvailable()
+      val got = spark.table("rule_loop")
+        .as[MetricStream.RuleSample].collect().toSeq
+        .map(s => (s.label_k, s.ts_ms, s.value)).sorted
+      assert(got === want, "stream ≡ batch for the rule lattice")
+    } finally q.stop()
+  }
+
   test("running keyed state accumulates across batches like the batch snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
