@@ -76,6 +76,29 @@ object HistogramChunk {
     a.schema == b.schema && a.offs == b.offs && a.lens == b.lens &&
       a.negOffs == b.negOffs && a.negLens == b.negLens
 
+  /** Upstream's counter-reset detection between consecutive samples of
+    * one counter family: the total count, the zero bucket, or ANY
+    * absolute bucket dropping is a reset. Buckets compare per position
+    * when the layouts match (the wire delta chains prefix-summed to the
+    * absolute ladder); on a layout change — which cuts the chunk via
+    * [[appendable]] anyway — only the totals decide, the documented
+    * approximation of upstream's bucket-mapping walk (a definite drop
+    * still reads as a reset; an ambiguous relayout reads unknown).
+    */
+  def resets(a: Hist, b: Hist): Boolean = {
+    def abs(d: Vector[Long]) = d.scanLeft(0L)(_ + _).tail
+    val drop = b.count < a.count || b.zeroCount < a.zeroCount
+    if (!appendable(a, b)) drop
+    else drop ||
+      abs(a.deltas).zip(abs(b.deltas)).exists { case (x, y) => y < x } ||
+      abs(a.negDeltas).zip(abs(b.negDeltas)).exists { case (x, y) => y < x }
+  }
+
+  /** The chunk's counter-reset hint (high two bits of the flag byte):
+    * 0 unknown, 1 counter reset, 2 not reset, 3 gauge.
+    */
+  def hintOf(data: Array[Byte]): Int = (data(2) & 0xFF) >> 6
+
   private[sources] def writeVarbitInt(b: BitWriter, v: Long): Unit =
     if (v == 0L) b.writeBit(0)
     else if (fits(v, 3)) { b.writeBits(2L, 2); b.writeBits(v, 3) }
@@ -143,9 +166,14 @@ object HistogramChunk {
 
   /** Encode native-histogram samples (non-empty, ≤ 65535, timestamps
     * non-decreasing, ALL pairwise [[appendable]] — callers cut chunks
-    * on layout change) as one HISTOGRAM chunk's `data` bytes.
+    * on layout change) as one HISTOGRAM chunk's `data` bytes. `hint`
+    * is the chunk's counter-reset hint (0 unknown — a fresh series;
+    * 1 counter reset — the appender cut BECAUSE [[resets]] fired;
+    * 2 not reset — a verified continuation, e.g. a size cut), written
+    * into the flag byte's high bits exactly as upstream's appender
+    * records why a chunk started.
     */
-  def encode(hists: Seq[Hist]): Array[Byte] = {
+  def encode(hists: Seq[Hist], hint: Int = 0): Array[Byte] = {
     if (hists.isEmpty) fail("empty chunk")
     if (hists.length > 0xFFFF)
       fail(s"${hists.length} samples exceed the 2-byte count")
@@ -163,7 +191,7 @@ object HistogramChunk {
     val b = new BitWriter
     b.writeByte(hists.length >> 8)
     b.writeByte(hists.length & 0xFF)
-    b.writeByte(0) // counter-reset hint: unknown (fresh chunk)
+    b.writeByte((hint & 3) << 6) // counter-reset hint, high two bits
     val sumX = new XorState
     var prev: Hist = null
     hists.zipWithIndex.foreach { case (h, i) =>
@@ -340,11 +368,31 @@ object FloatHistogramChunk {
     a.schema == b.schema && a.offs == b.offs && a.lens == b.lens &&
       a.negOffs == b.negOffs && a.negLens == b.negLens
 
+  /** The integer codec's counter-reset rule on the float form: total
+    * count, zero bucket, or any bucket dropping. Float wire buckets
+    * are ABSOLUTE already, so same-layout buckets compare directly;
+    * a layout change decides on the totals alone, like the integer
+    * twin.
+    */
+  def resets(a: FHist, b: FHist): Boolean = {
+    val drop = b.count < a.count || b.zeroCount < a.zeroCount
+    if (!appendable(a, b)) drop
+    else drop ||
+      a.counts.zip(b.counts).exists { case (x, y) => y < x } ||
+      a.negCounts.zip(b.negCounts).exists { case (x, y) => y < x }
+  }
+
+  /** The chunk's counter-reset hint — same flag-byte layout as the
+    * integer codec.
+    */
+  def hintOf(data: Array[Byte]): Int = (data(2) & 0xFF) >> 6
+
   /** Encode float-histogram samples (non-empty, ≤ 65535, timestamps
     * non-decreasing, pairwise [[appendable]]) as one FLOAT_HISTOGRAM
-    * chunk's `data` bytes.
+    * chunk's `data` bytes. `hint` is the counter-reset hint byte's
+    * high bits, as on the integer codec.
     */
-  def encode(hists: Seq[FHist]): Array[Byte] = {
+  def encode(hists: Seq[FHist], hint: Int = 0): Array[Byte] = {
     if (hists.isEmpty) fail("empty chunk")
     if (hists.length > 0xFFFF)
       fail(s"${hists.length} samples exceed the 2-byte count")
@@ -362,7 +410,7 @@ object FloatHistogramChunk {
     val b = new BitWriter
     b.writeByte(hists.length >> 8)
     b.writeByte(hists.length & 0xFF)
-    b.writeByte(0) // counter-reset hint: unknown (fresh chunk)
+    b.writeByte((hint & 3) << 6) // counter-reset hint, high two bits
     val countX = new XorState
     val zcntX = new XorState
     val sumX = new XorState

@@ -368,12 +368,20 @@ object RemoteRead {
       scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     private val histBuf = scala.collection.mutable.ArrayBuffer.empty[Hist]
     private val fhistBuf = scala.collection.mutable.ArrayBuffer.empty[FHist]
+    // per-series appender memory for the reset-hint chain: the last
+    // sample EVER appended (across chunk cuts) + the open chunk's hint
+    private var lastHist: Hist = null
+    private var lastFHist: FHist = null
+    private var histHint = 0
+    private var fhistHint = 0
 
     /** Frames cut so far (telemetry + the frame-count specs). */
     var framesWritten = 0L
 
     def startSeries(labels: Seq[(String, String)], queryIndex: Long): Unit = {
       require(!open, "previous series still open")
+      lastHist = null
+      lastFHist = null
       if (frame.size() > 0 && queryIndex != frameQ) flushFrame()
       frameQ = queryIndex
       val lb = new java.io.ByteArrayOutputStream()
@@ -394,26 +402,49 @@ object RemoteRead {
       if (sampleBuf.length == samplesPerChunk) flushSampleChunk()
     }
 
-    /** One native-histogram sample (timestamp order within the series). */
+    /** One native-histogram sample (timestamp order within the series).
+      * Upstream's appender rules: a schema or span-layout change cuts
+      * the chunk, and so does a detected COUNTER RESET (count, zero
+      * bucket, or any bucket dropping) — a reader must never see a
+      * decrease inside one counter chunk. Each new chunk records WHY it
+      * started in its reset-hint byte: 1 when the cut was a reset, 2
+      * when the previous sample verifiably continues (a size cut or an
+      * appendable layout), 0 for a fresh series or an ambiguous
+      * relayout.
+      */
     def addHist(h: Hist): Unit = {
       require(open, "no open series")
-      // a schema or span-layout change cuts the chunk (upstream's
-      // appender starts a new chunk when the sample isn't appendable)
-      if (histBuf.nonEmpty && !HistogramChunk.appendable(histBuf.last, h))
+      if (histBuf.nonEmpty && (!HistogramChunk.appendable(histBuf.last, h) ||
+          HistogramChunk.resets(histBuf.last, h)))
         flushHistChunk()
+      if (histBuf.isEmpty)
+        histHint =
+          if (lastHist == null) 0
+          else if (HistogramChunk.resets(lastHist, h)) 1
+          else if (HistogramChunk.appendable(lastHist, h)) 2
+          else 0
       histBuf += h
+      lastHist = h
       if (histBuf.length == samplesPerChunk) flushHistChunk()
     }
 
-    /** One FLOAT-form native-histogram sample — same appender rule,
+    /** One FLOAT-form native-histogram sample — same appender rules,
       * FLOAT_HISTOGRAM (type 3) chunks.
       */
     def addFHist(h: FHist): Unit = {
       require(open, "no open series")
       if (fhistBuf.nonEmpty &&
-        !FloatHistogramChunk.appendable(fhistBuf.last, h))
+        (!FloatHistogramChunk.appendable(fhistBuf.last, h) ||
+          FloatHistogramChunk.resets(fhistBuf.last, h)))
         flushFHistChunk()
+      if (fhistBuf.isEmpty)
+        fhistHint =
+          if (lastFHist == null) 0
+          else if (FloatHistogramChunk.resets(lastFHist, h)) 1
+          else if (FloatHistogramChunk.appendable(lastFHist, h)) 2
+          else 0
       fhistBuf += h
+      lastFHist = h
       if (fhistBuf.length == samplesPerChunk) flushFHistChunk()
     }
 
@@ -441,13 +472,13 @@ object RemoteRead {
 
     private def flushHistChunk(): Unit = if (histBuf.nonEmpty) {
       addChunk(histBuf.head.tsMs, histBuf.last.tsMs, 2L,
-        HistogramChunk.encode(histBuf.toSeq))
+        HistogramChunk.encode(histBuf.toSeq, histHint))
       histBuf.clear()
     }
 
     private def flushFHistChunk(): Unit = if (fhistBuf.nonEmpty) {
       addChunk(fhistBuf.head.tsMs, fhistBuf.last.tsMs, 3L,
-        FloatHistogramChunk.encode(fhistBuf.toSeq))
+        FloatHistogramChunk.encode(fhistBuf.toSeq, fhistHint))
       fhistBuf.clear()
     }
 

@@ -266,4 +266,131 @@ class HistogramChunkSpec extends AnyFunSuite {
         === hists.toVector, s"trial $trial")
     }
   }
+
+  // walk a streamed response's frames and collect every chunk's
+  // (encoding, reset-hint) pair — an INDEPENDENT protobuf walk, not
+  // RemoteRead's, so the framing is cross-checked too
+  private def chunkHints(bytes: Array[Byte]): Seq[(Long, Int)] = {
+    var p = 0
+    def uv(): Long = {
+      var s = 0; var v = 0L; var b = 0
+      do { b = bytes(p) & 0xFF; p += 1; v |= (b & 0x7FL) << s; s += 7 }
+      while ((b & 0x80) != 0)
+      v
+    }
+    // NOTE: `p += uv()` would read the OLD p before uv() advances it
+    // (Scala's left-to-right evaluation) — always bind the varint first
+    def skipLen(): Unit = { val l = uv().toInt; p += l }
+    val out = Seq.newBuilder[(Long, Int)]
+    while (p < bytes.length) {
+      val len = uv().toInt
+      p += 4 // frame CRC
+      val end = p + len
+      while (p < end) {
+        val tag = uv()
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => // ChunkedSeries
+            val sLen = uv().toInt
+            val sEnd = p + sLen
+            while (p < sEnd) {
+              val t2 = uv()
+              ((t2 >> 3).toInt, (t2 & 7).toInt) match {
+                case (2, 2) => // Chunk
+                  val cLen = uv().toInt
+                  val cEnd = p + cLen
+                  var typ = 0L
+                  var hint = -1
+                  while (p < cEnd) {
+                    val t3 = uv()
+                    ((t3 >> 3).toInt, (t3 & 7).toInt) match {
+                      case (3, 0) => typ = uv()
+                      case (4, 2) =>
+                        val l = uv().toInt
+                        hint = (bytes(p + 2) & 0xFF) >> 6
+                        p += l
+                      case (_, 0) => uv()
+                      case (_, 2) => skipLen()
+                      case other => fail(s"unexpected wire shape $other")
+                    }
+                  }
+                  out += ((typ, hint))
+                case (_, 0) => uv()
+                case (_, 2) => skipLen()
+                case other => fail(s"unexpected wire shape $other")
+              }
+            }
+          case (_, 0) => uv()
+          case (_, 2) => skipLen()
+          case other => fail(s"unexpected wire shape $other")
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("counter resets cut chunks and the hint chain records why") {
+    import graft.sources.{FloatHistogramChunk, RemoteRead}
+    import graft.sources.RemoteWrite.FHist
+    val a = h(1000, 0, 10, 1.0, 5, Seq(0), Seq(2), Seq(3, 1)) // abs 3, 4
+    // growth is not a reset; count / zero-bucket / any-bucket drops are
+    assert(!HistogramChunk.resets(a,
+      h(2000, 0, 12, 1.0, 5, Seq(0), Seq(2), Seq(3, 2))))
+    assert(HistogramChunk.resets(a,
+      h(2000, 0, 8, 1.0, 5, Seq(0), Seq(2), Seq(3, 1))))
+    assert(HistogramChunk.resets(a,
+      h(2000, 0, 12, 1.0, 3, Seq(0), Seq(2), Seq(3, 1))))
+    assert(HistogramChunk.resets(a,
+      h(2000, 0, 12, 1.0, 5, Seq(0), Seq(2), Seq(2, 1)))) // abs 2, 3
+    // a layout change (already a cut) decides on the totals alone
+    assert(HistogramChunk.resets(a,
+      h(2000, 0, 7, 1.0, 5, Seq(1), Seq(1), Seq(9))))
+    assert(!HistogramChunk.resets(a,
+      h(2000, 0, 12, 1.0, 5, Seq(1), Seq(1), Seq(9))))
+    // the hint rides the flag byte's high bits; decode is unaffected
+    assert(HistogramChunk.hintOf(HistogramChunk.encode(Seq(a))) === 0)
+    assert(HistogramChunk.hintOf(HistogramChunk.encode(Seq(a), hint = 1)) === 1)
+    assert(HistogramChunk.decode(HistogramChunk.encode(Seq(a), hint = 2))
+      === Vector(a))
+    // float twin: wire buckets are absolute already
+    def f(ts: Long, count: Double, cs: Vector[Double]) =
+      FHist(ts, 0, Vector(0), Vector(2), cs, count, 1.0, 0.0)
+    val fa = f(1000, 10.0, Vector(3.0, 4.0))
+    assert(!FloatHistogramChunk.resets(fa, f(2000, 11.5, Vector(3.0, 4.5))))
+    assert(FloatHistogramChunk.resets(fa, f(2000, 11.5, Vector(2.5, 4.5))))
+    assert(FloatHistogramChunk.resets(fa, f(2000, 9.5, Vector(3.0, 4.0))))
+    assert(FloatHistogramChunk.hintOf(
+      FloatHistogramChunk.encode(Seq(fa), hint = 1)) === 1)
+    // the streamed appender: two samples size-cut the first chunk
+    // (budget 2), the third verifiably continues (hint 2 = not reset),
+    // the fourth DROPS the count — a reset cut, hint 1 — and a reader
+    // never sees a decrease inside one chunk
+    val samples = Seq(
+      h(1, 0, 5, 1.0, 0, Seq(0), Seq(2), Seq(2, 1)),
+      h(2, 0, 9, 1.0, 0, Seq(0), Seq(2), Seq(3, 2)),
+      h(3, 0, 10, 1.0, 0, Seq(0), Seq(2), Seq(4, 2)),
+      h(4, 0, 3, 1.0, 0, Seq(0), Seq(2), Seq(1, 0)))
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new RemoteRead.ChunkFrameWriter(bos, samplesPerChunk = 2,
+      frameBytes = 1 << 20)
+    w.startSeries(Vector("__name__" -> "hq"), 0L)
+    samples.foreach(w.addHist)
+    w.endSeries()
+    w.finish()
+    assert(chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 2), (2L, 1)))
+    // the cuts never change the decoded samples
+    assert(RemoteRead.walkStreamed(bos.toByteArray).flatMap(_._2.hists)
+      === samples)
+    // a fresh series resets the hint memory: re-sending the first
+    // sample in a NEW series reads unknown again, not a reset
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val w2 = new RemoteRead.ChunkFrameWriter(bos2, 120, 1 << 20)
+    w2.startSeries(Vector("__name__" -> "h1"), 0L)
+    w2.addHist(samples(2))
+    w2.endSeries()
+    w2.startSeries(Vector("__name__" -> "h2"), 0L)
+    w2.addHist(samples(3))
+    w2.endSeries()
+    w2.finish()
+    assert(chunkHints(bos2.toByteArray) === Seq((2L, 0), (2L, 0)))
+  }
 }
