@@ -414,12 +414,17 @@ object RemoteRead {
       */
     def addHist(h: Hist): Unit = {
       require(open, "no open series")
+      // a GAUGE-type histogram (prompb reset_hint GAUGE) has no reset
+      // semantics: values move both ways inside one chunk, and every
+      // chunk carries the gauge hint — upstream's GaugeType chunks
+      val gauge = h.resetHint == 3
       if (histBuf.nonEmpty && (!HistogramChunk.appendable(histBuf.last, h) ||
-          HistogramChunk.resets(histBuf.last, h)))
+          (!gauge && HistogramChunk.resets(histBuf.last, h))))
         flushHistChunk()
       if (histBuf.isEmpty)
         histHint =
-          if (lastHist == null) 0
+          if (gauge) 3
+          else if (lastHist == null) 0
           else if (HistogramChunk.resets(lastHist, h)) 1
           else if (HistogramChunk.appendable(lastHist, h)) 2
           else 0
@@ -433,13 +438,15 @@ object RemoteRead {
       */
     def addFHist(h: FHist): Unit = {
       require(open, "no open series")
+      val gauge = h.resetHint == 3
       if (fhistBuf.nonEmpty &&
         (!FloatHistogramChunk.appendable(fhistBuf.last, h) ||
-          FloatHistogramChunk.resets(fhistBuf.last, h)))
+          (!gauge && FloatHistogramChunk.resets(fhistBuf.last, h))))
         flushFHistChunk()
       if (fhistBuf.isEmpty)
         fhistHint =
-          if (lastFHist == null) 0
+          if (gauge) 3
+          else if (lastFHist == null) 0
           else if (FloatHistogramChunk.resets(lastFHist, h)) 1
           else if (FloatHistogramChunk.appendable(lastFHist, h)) 2
           else 0

@@ -70,7 +70,8 @@ object RemoteWrite {
       offs: Vector[Int], lens: Vector[Int], deltas: Vector[Long],
       count: Long = 0L, sum: Double = 0.0, zeroCount: Long = 0L,
       negOffs: Vector[Int] = Vector.empty, negLens: Vector[Int] = Vector.empty,
-      negDeltas: Vector[Long] = Vector.empty)
+      negDeltas: Vector[Long] = Vector.empty,
+      resetHint: Int = 0) // prompb ResetHint: 0 UNKNOWN, 1 YES, 2 NO, 3 GAUGE
 
   /** One FLOAT-form native-histogram sample (prompb's `count`/
     * `zero_count` as doubles, `positive_counts`/`negative_counts` as
@@ -83,7 +84,8 @@ object RemoteWrite {
       offs: Vector[Int], lens: Vector[Int], counts: Vector[Double],
       count: Double = 0.0, sum: Double = 0.0, zeroCount: Double = 0.0,
       negOffs: Vector[Int] = Vector.empty, negLens: Vector[Int] = Vector.empty,
-      negCounts: Vector[Double] = Vector.empty)
+      negCounts: Vector[Double] = Vector.empty,
+      resetHint: Int = 0) // prompb ResetHint: 0 UNKNOWN, 1 YES, 2 NO, 3 GAUGE
 
   /** Decode an UNCOMPRESSED `WriteRequest` payload. Throws
     * `IllegalArgumentException` on malformed bytes (truncated message,
@@ -213,6 +215,7 @@ object RemoteWrite {
       var isFloat = false
       var countF = 0.0
       var zeroF = 0.0
+      var resetHint = 0
       val posCounts = Vector.newBuilder[Double]
       val negCounts = Vector.newBuilder[Double]
       val offs = Vector.newBuilder[Int]
@@ -262,18 +265,19 @@ object RemoteWrite {
           case (13, 1) =>
             posCounts += java.lang.Double.longBitsToDouble(fixed64(limit))
             isFloat = true
+          case (14, 0) => resetHint = varint(limit).toInt // ResetHint enum
           case (15, 0) => ts = varint(limit)
-          case (_, wt) => skip(wt, limit) // reset hint / future fields
+          case (_, wt) => skip(wt, limit) // future fields
         }
       }
       if (isFloat)
         Right(FHist(ts, schema, offs.result(), lens.result(),
           posCounts.result(), countF, hsum, zeroF, negOffs.result(),
-          negLens.result(), negCounts.result()))
+          negLens.result(), negCounts.result(), resetHint))
       else
         Left(Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
           count, hsum, zero, negOffs.result(), negLens.result(),
-          negDeltas.result()))
+          negDeltas.result(), resetHint))
     }
 
     def exemplar(limit: Int): Exemplar = {
@@ -449,6 +453,7 @@ object RemoteWrite {
         var isFloat = false
         var countF = 0.0
         var zeroF = 0.0
+        var resetHint = 0
         val posCounts = Vector.newBuilder[Double]
         val negCounts = Vector.newBuilder[Double]
         val offs = Vector.newBuilder[Int]
@@ -488,6 +493,7 @@ object RemoteWrite {
               while (pos < u) posCounts += f64(u)
               isFloat = true
             case (13, 1) => posCounts += f64(limit); isFloat = true
+            case (14, 0) => resetHint = varint(limit).toInt // ResetHint enum
             case (15, 0) => ts = varint(limit)
             case (_, wt) => skip(wt, limit)
           }
@@ -495,11 +501,11 @@ object RemoteWrite {
         if (isFloat)
           Right(FHist(ts, schema, offs.result(), lens.result(),
             posCounts.result(), countF, hsum, zeroF, negOffs.result(),
-            negLens.result(), negCounts.result()))
+            negLens.result(), negCounts.result(), resetHint))
         else
           Left(Hist(ts, schema, offs.result(), lens.result(), deltas.result(),
             count, hsum, zero, negOffs.result(), negLens.result(),
-            negDeltas.result()))
+            negDeltas.result(), resetHint))
       }
       // v2 Exemplar: packed labels_refs = 1, value = 2, timestamp = 3
       def exemplarV2(limit: Int): Exemplar = {
@@ -657,6 +663,11 @@ object RemoteWrite {
           h.deltas.foreach(d => writeVarint(dl, zz(d)))
           writeLen(hm, 12, dl.toByteArray)
         }
+        if (h.resetHint != 0) { // reset_hint, field 14 (GAUGE marks a
+          // gauge-type native histogram: no reset semantics)
+          writeVarint(hm, (14L << 3) | 0L)
+          writeVarint(hm, h.resetHint.toLong)
+        }
         writeVarint(hm, (15L << 3) | 0L)
         writeVarint(hm, h.tsMs)
         writeLen(ts, 4, hm.toByteArray)
@@ -701,6 +712,11 @@ object RemoteWrite {
           writeLen(hm, 11, sp.toByteArray)
         }
         packed(13, h.counts)
+        if (h.resetHint != 0) { // reset_hint, field 14 (GAUGE marks a
+          // gauge-type native histogram: no reset semantics)
+          writeVarint(hm, (14L << 3) | 0L)
+          writeVarint(hm, h.resetHint.toLong)
+        }
         writeVarint(hm, (15L << 3) | 0L)
         writeVarint(hm, h.tsMs)
         writeLen(ts, 4, hm.toByteArray)
@@ -793,6 +809,11 @@ object RemoteWrite {
           h.deltas.foreach(d => writeVarint(dl, zz(d)))
           writeLen(hm, 12, dl.toByteArray)
         }
+        if (h.resetHint != 0) { // reset_hint, field 14 (GAUGE marks a
+          // gauge-type native histogram: no reset semantics)
+          writeVarint(hm, (14L << 3) | 0L)
+          writeVarint(hm, h.resetHint.toLong)
+        }
         writeVarint(hm, (15L << 3) | 0L)
         writeVarint(hm, h.tsMs)
         writeLen(ts, 3, hm.toByteArray) // v2: histograms are field 3
@@ -835,6 +856,11 @@ object RemoteWrite {
           writeLen(hm, 11, sp.toByteArray)
         }
         packed(13, h.counts)
+        if (h.resetHint != 0) { // reset_hint, field 14 (GAUGE marks a
+          // gauge-type native histogram: no reset semantics)
+          writeVarint(hm, (14L << 3) | 0L)
+          writeVarint(hm, h.resetHint.toLong)
+        }
         writeVarint(hm, (15L << 3) | 0L)
         writeVarint(hm, h.tsMs)
         writeLen(ts, 3, hm.toByteArray)

@@ -392,5 +392,18 @@ class HistogramChunkSpec extends AnyFunSuite {
     w2.endSeries()
     w2.finish()
     assert(chunkHints(bos2.toByteArray) === Seq((2L, 0), (2L, 0)))
+    // GAUGE-type histograms (prompb reset_hint GAUGE on ingest) have no
+    // reset semantics: the same decreasing walk stays ONE chunk and
+    // carries the gauge hint (3); the per-sample ingest attribute is
+    // chunk-level on this wire, so decoded samples read hint 0
+    val bos3 = new java.io.ByteArrayOutputStream()
+    val w3 = new RemoteRead.ChunkFrameWriter(bos3, 120, 1 << 20)
+    w3.startSeries(Vector("__name__" -> "hg"), 0L)
+    samples.map(_.copy(resetHint = 3)).foreach(w3.addHist)
+    w3.endSeries()
+    w3.finish()
+    assert(chunkHints(bos3.toByteArray) === Seq((2L, 3)))
+    assert(RemoteRead.walkStreamed(bos3.toByteArray).flatMap(_._2.hists)
+      === samples)
   }
 }

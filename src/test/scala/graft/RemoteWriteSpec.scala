@@ -360,6 +360,25 @@ class RemoteWriteSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("prompb reset_hint round-trips: both protocols, both histogram forms") {
+    import graft.sources.RemoteWrite.{FHist, Hist, Series}
+    // GAUGE (3) marks a gauge-type native histogram — no reset
+    // semantics; YES (1) a known reset. Both ride field 14 and survive
+    // the v1 AND v2 wires in both sample forms.
+    val gh = Hist(5L, 0, Vector(0), Vector(1), Vector(2L), 2L, 1.5, 0L,
+      resetHint = 3)
+    val yh = FHist(6L, 0, Vector(0), Vector(1), Vector(2.5), 2.5, 1.5, 0.0,
+      resetHint = 1)
+    val s = Series(Vector("__name__" -> "g", "k" -> "a"), Vector.empty,
+      hists = Vector(gh), fhists = Vector(yh))
+    assert(RemoteWrite.walk(RemoteWrite.encode(Seq(s))) === Vector(s))
+    assert(RemoteWrite.walkV2(RemoteWrite.encodeV2(Seq(s))) === Vector(s))
+    // an absent field keeps the proto3 zero default (UNKNOWN)
+    val plain = s.copy(hists = Vector(gh.copy(resetHint = 0)),
+      fhists = Vector(yh.copy(resetHint = 0)))
+    assert(RemoteWrite.walk(RemoteWrite.encode(Seq(plain))) === Vector(plain))
+  }
+
   test("backfillRecorded forwards a recording rule's lattice downstream, executor-side") {
     // upstream's recommended long-term-storage payload: aggregated
     // rule outputs. Engine A's 30s sum-by rule over a 60s corpus span
