@@ -684,23 +684,29 @@ object Api {
           col("label_k").as("k"),
           col("label_instance").as("instance"))).as("m"))
         .distinct().collect().map(_.getString(0)).toSeq
-    val recMaps = recM.flatMap { m =>
-      val name = Parser.parse(m) match {
-        case sel: Selector => sel.name
-        case _ => "" // unreachable: the partition matched on Selector
-      }
-      // `end` past the corpus instant clamps to it (upstream lists
-      // head series for any future bound); earlier bounds pin the
-      // rule vector at `end` via the @ modifier
+    val recMaps = if (recM.isEmpty) Seq.empty[String] else {
       val tS = Compiler.instantSeconds(spark, dir).toLong
-      val df = Engine.eval(spark, dir,
-        endS.filter(_ < tS).map(e => s"($m @ $e)").getOrElse(m))
-      val labelCols = df.columns.toSeq
-        .filter(c => c != "value" && c != "name")
-      val fields = lit(name).as("__name__") +:
-        labelCols.map(c => coalesce(col(c), lit("")).as(promLabel(c)))
-      df.select(to_json(struct(fields: _*)).as("m"))
-        .distinct().collect().map(_.getString(0)).toSeq
+      // no recorded sample exists past the corpus instant, so a window
+      // STARTING beyond it holds nothing (upstream's empty-range
+      // answer); inside the corpus, presence stays lattice-granular
+      if (startS.exists(_ > tS)) Seq.empty[String]
+      else recM.flatMap { m =>
+        val name = Parser.parse(m) match {
+          case sel: Selector => sel.name
+          case _ => "" // unreachable: the partition matched on Selector
+        }
+        // `end` past the corpus instant clamps to it (upstream lists
+        // head series for any future bound); earlier bounds pin the
+        // rule vector at `end` via the @ modifier
+        val df = Engine.eval(spark, dir,
+          endS.filter(_ < tS).map(e => s"($m @ $e)").getOrElse(m))
+        val labelCols = df.columns.toSeq
+          .filter(c => c != "value" && c != "name")
+        val fields = lit(name).as("__name__") +:
+          labelCols.map(c => coalesce(col(c), lit("")).as(promLabel(c)))
+        df.select(to_json(struct(fields: _*)).as("m"))
+          .distinct().collect().map(_.getString(0)).toSeq
+      }
     }
     val maps = (rawMaps ++ recMaps).distinct.sorted
     val (kept, warns) = limited(maps, limit)

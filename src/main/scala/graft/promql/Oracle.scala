@@ -391,16 +391,7 @@ object Oracle {
     * partial windows at a series' birth included.
     */
   val RecordedGridQuantileSql: String =
-    s"""WITH m AS ($MetricEventsSql),
-       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
-       |idx AS (SELECT unnest(generate_series(1, 243)) AS i),
-       |snap AS (
-       |  SELECT label_k, i,
-       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-       |  FROM m, t, idx
-       |  WHERE name = 'purchase' AND value >= 0
-       |    AND epoch_us(ts) <= t_us - (243 - i) * 21600000000
-       |  GROUP BY label_k, i),
+    s"""WITH ${recordedLatticeCents(243)},
        |win AS (
        |  SELECT a.label_k, a.i AS i, b.cents
        |  FROM snap a JOIN snap b ON a.label_k = b.label_k
@@ -425,19 +416,11 @@ object Oracle {
     * tiebreak, exact integer micros → one double division.
     */
   val RecordedGridTsOfMaxSql: String =
-    s"""WITH m AS ($MetricEventsSql),
-       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
-       |idx AS (SELECT unnest(generate_series(1, 243)) AS i),
-       |snap AS (
-       |  SELECT label_k, i, SUM(CAST(value AS DECIMAL(18,2))) AS v
-       |  FROM m, t, idx
-       |  WHERE name = 'purchase' AND value >= 0
-       |    AND epoch_us(ts) <= t_us - (243 - i) * 21600000000
-       |  GROUP BY label_k, i),
+    s"""WITH ${recordedLatticeCents(243)},
        |win AS (
-       |  SELECT a.label_k, a.i AS i, b.i AS j, b.v,
+       |  SELECT a.label_k, a.i AS i, b.i AS j,
        |    ROW_NUMBER() OVER (PARTITION BY a.label_k, a.i
-       |                       ORDER BY b.v DESC, b.i DESC) AS rn
+       |                       ORDER BY b.cents DESC, b.i DESC) AS rn
        |  FROM snap a JOIN snap b ON a.label_k = b.label_k
        |    AND b.i BETWEEN a.i - 3 AND a.i
        |  WHERE a.i >= 4)
@@ -452,16 +435,7 @@ object Oracle {
     * engine's variance double walk.
     */
   val RecordedGridStddevSql: String =
-    s"""WITH m AS ($MetricEventsSql),
-       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
-       |idx AS (SELECT unnest(generate_series(1, 243)) AS i),
-       |snap AS (
-       |  SELECT label_k, i,
-       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-       |  FROM m, t, idx
-       |  WHERE name = 'purchase' AND value >= 0
-       |    AND epoch_us(ts) <= t_us - (243 - i) * 21600000000
-       |  GROUP BY label_k, i),
+    s"""WITH ${recordedLatticeCents(243)},
        |win AS (
        |  SELECT a.label_k, a.i AS i,
        |    CAST(SUM(b.cents) AS BIGINT) AS s1,

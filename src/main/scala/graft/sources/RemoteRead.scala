@@ -416,16 +416,21 @@ object RemoteRead {
       require(open, "no open series")
       // a GAUGE-type histogram (prompb reset_hint GAUGE) has no reset
       // semantics: values move both ways inside one chunk, and every
-      // chunk carries the gauge hint — upstream's GaugeType chunks
+      // chunk carries the gauge hint — upstream's GaugeType chunks. A
+      // sender-DECLARED reset (hint YES) cuts even when no drop is
+      // detectable — a counter that reset and already grew past its
+      // pre-reset totals shows no drop, and merging it would corrupt a
+      // reader's increase()
       val gauge = h.resetHint == 3
+      val declared = h.resetHint == 1
       if (histBuf.nonEmpty && (!HistogramChunk.appendable(histBuf.last, h) ||
-          (!gauge && HistogramChunk.resets(histBuf.last, h))))
+          (!gauge && (declared || HistogramChunk.resets(histBuf.last, h)))))
         flushHistChunk()
       if (histBuf.isEmpty)
         histHint =
           if (gauge) 3
           else if (lastHist == null) 0
-          else if (HistogramChunk.resets(lastHist, h)) 1
+          else if (declared || HistogramChunk.resets(lastHist, h)) 1
           else if (HistogramChunk.appendable(lastHist, h)) 2
           else 0
       histBuf += h
@@ -439,15 +444,16 @@ object RemoteRead {
     def addFHist(h: FHist): Unit = {
       require(open, "no open series")
       val gauge = h.resetHint == 3
+      val declared = h.resetHint == 1
       if (fhistBuf.nonEmpty &&
         (!FloatHistogramChunk.appendable(fhistBuf.last, h) ||
-          (!gauge && FloatHistogramChunk.resets(fhistBuf.last, h))))
+          (!gauge && (declared || FloatHistogramChunk.resets(fhistBuf.last, h)))))
         flushFHistChunk()
       if (fhistBuf.isEmpty)
         fhistHint =
           if (gauge) 3
           else if (lastFHist == null) 0
-          else if (FloatHistogramChunk.resets(lastFHist, h)) 1
+          else if (declared || FloatHistogramChunk.resets(lastFHist, h)) 1
           else if (FloatHistogramChunk.appendable(lastFHist, h)) 2
           else 0
       fhistBuf += h
@@ -789,6 +795,16 @@ object RemoteRead {
     r.getMap[String, String](r.fieldIndex("labels")).toVector
       .filter(_._2.nonEmpty).sortBy(_._1)
 
+  /** A histogram source MAY carry an integer `reset_hint` column (the
+    * prompb enum: 3 = GAUGE) — without it the serving path treats the
+    * family as an unknown-reset counter, so a gauge family pushed into
+    * a hint-less relation would get WRONG counter-reset chunk cuts.
+    */
+  private def rowResetHint(r: org.apache.spark.sql.Row): Int = {
+    val i = r.schema.fieldNames.indexOf("reset_hint")
+    if (i < 0 || r.isNullAt(i)) 0 else r.getInt(i)
+  }
+
   private def rowHist(r: org.apache.spark.sql.Row): Hist =
     Hist(r.getLong(r.fieldIndex("ts_ms")), r.getInt(r.fieldIndex("schema")),
       r.getSeq[Int](r.fieldIndex("offs")).toVector,
@@ -799,7 +815,8 @@ object RemoteRead {
       r.getLong(r.fieldIndex("zero_count")),
       r.getSeq[Int](r.fieldIndex("neg_offs")).toVector,
       r.getSeq[Int](r.fieldIndex("neg_lens")).toVector,
-      r.getSeq[Long](r.fieldIndex("neg_deltas")).toVector)
+      r.getSeq[Long](r.fieldIndex("neg_deltas")).toVector,
+      rowResetHint(r))
 
   private def rowFHist(r: org.apache.spark.sql.Row): FHist =
     FHist(r.getLong(r.fieldIndex("ts_ms")), r.getInt(r.fieldIndex("schema")),
@@ -811,7 +828,8 @@ object RemoteRead {
       r.getDouble(r.fieldIndex("zero_count")),
       r.getSeq[Int](r.fieldIndex("neg_offs")).toVector,
       r.getSeq[Int](r.fieldIndex("neg_lens")).toVector,
-      r.getSeq[Double](r.fieldIndex("neg_deltas")).toVector)
+      r.getSeq[Double](r.fieldIndex("neg_deltas")).toVector,
+      rowResetHint(r))
 
   /** Feed matched histogram rows to the frame writer incrementally —
     * the [[streamQuery]] discipline on the labels-map shape.

@@ -192,24 +192,37 @@ object MetricStream {
       watermark: String = "0 seconds"): Dataset[RuleSample] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // which rows the rule consumes: its counter family, at or before
+    // the anchor (later events can never land inside a served instant —
+    // admitting them would grow pending state without bound)
+    val ruleRow = col("kind") === "counter" && col("value") >= 0 &&
+      col("name") === counterName && unix_millis(col("ts")) <= anchorMs
     Metrics.metricEventsOf(events)
-      // watermark BEFORE the family filter: any event advances event
-      // time, so other families' traffic closes this rule's instants
+      // watermark BEFORE any shaping: any event advances event time, so
+      // other families' traffic closes this rule's instants
       .withWatermark("ts", watermark)
-      .filter(col("kind") === "counter" && col("value") >= 0 &&
-        col("name") === counterName)
-      // the watermarked `ts` column must survive projection — the
-      // event-time timeout reads its metadata
-      .select(col("label_k"), col("ts"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
-      .as[(String, java.sql.Timestamp, Long)]
+      // deliberately NO filter between here and the stateful operator —
+      // a relational filter would be PUSHED BELOW the watermark node
+      // and filtered-out families would stop advancing event time.
+      // Non-rule rows keep flowing as watermark-only carriers under the
+      // empty key (no state, no output); the watermarked `ts` column
+      // survives projection because the event-time timeout reads it
+      .select(when(ruleRow, col("label_k")).otherwise(lit("")).as("k"),
+        col("ts"),
+        when(ruleRow, round(col("value") * 100, 0).cast("long"))
+          .otherwise(lit(null)).as("cents"))
+      .as[(String, java.sql.Timestamp, Option[Long])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
-        (k: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+        (k: String,
+            rows: Iterator[(String, java.sql.Timestamp, Option[Long])],
             state: GroupState[RuleLoopState]) => {
-          val newEv = rows.map(r => (r._2.getTime, r._3)).toVector
-          if (newEv.isEmpty && state.getOption.isEmpty) Iterator.empty
+          val newEv =
+            if (k.isEmpty) Vector.empty
+            else rows.flatMap(r => r._3.map(c => (r._2.getTime, c))).toVector
+          if (k.isEmpty || (newEv.isEmpty && state.getOption.isEmpty))
+            Iterator.empty
           else {
             val wm = state.getCurrentWatermarkMs()
             val st0 = state.getOption.getOrElse {
@@ -224,9 +237,12 @@ object MetricStream {
             var thru = st0.emittedThroughMs
             var pending = st0.pending ++ newEv
             val out = Vector.newBuilder[RuleSample]
-            val closeTo = math.min(wm, anchorMs)
             var inst = thru + intervalMs
-            while (inst <= closeTo) {
+            // an instant closes only when the watermark is STRICTLY
+            // past it — Spark still admits events stamped AT the
+            // watermark, so `inst == wm` could yet receive an on-time
+            // sample the batch lattice (closed-right) would count
+            while (inst <= anchorMs && inst < wm) {
               val (now, later) = pending.partition(_._1 <= inst)
               applied += now.map(_._2).sum
               pending = later
@@ -235,9 +251,11 @@ object MetricStream {
               inst += intervalMs
             }
             state.update(RuleLoopState(applied, thru, pending))
-            // wake again when the next instant can close (timeouts must
-            // sit past the current watermark)
-            if (thru < anchorMs) state.setTimeoutTimestamp(thru + intervalMs)
+            // wake when the next instant can close; Spark requires the
+            // timeout strictly past the current watermark, so an
+            // instant sitting exactly ON it re-arms one tick later
+            if (thru < anchorMs) state.setTimeoutTimestamp(
+              math.max(thru + intervalMs, wm + 1L))
             out.result().iterator
           }
         })

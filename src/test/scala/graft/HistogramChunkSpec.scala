@@ -267,67 +267,6 @@ class HistogramChunkSpec extends AnyFunSuite {
     }
   }
 
-  // walk a streamed response's frames and collect every chunk's
-  // (encoding, reset-hint) pair — an INDEPENDENT protobuf walk, not
-  // RemoteRead's, so the framing is cross-checked too
-  private def chunkHints(bytes: Array[Byte]): Seq[(Long, Int)] = {
-    var p = 0
-    def uv(): Long = {
-      var s = 0; var v = 0L; var b = 0
-      do { b = bytes(p) & 0xFF; p += 1; v |= (b & 0x7FL) << s; s += 7 }
-      while ((b & 0x80) != 0)
-      v
-    }
-    // NOTE: `p += uv()` would read the OLD p before uv() advances it
-    // (Scala's left-to-right evaluation) — always bind the varint first
-    def skipLen(): Unit = { val l = uv().toInt; p += l }
-    val out = Seq.newBuilder[(Long, Int)]
-    while (p < bytes.length) {
-      val len = uv().toInt
-      p += 4 // frame CRC
-      val end = p + len
-      while (p < end) {
-        val tag = uv()
-        ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 2) => // ChunkedSeries
-            val sLen = uv().toInt
-            val sEnd = p + sLen
-            while (p < sEnd) {
-              val t2 = uv()
-              ((t2 >> 3).toInt, (t2 & 7).toInt) match {
-                case (2, 2) => // Chunk
-                  val cLen = uv().toInt
-                  val cEnd = p + cLen
-                  var typ = 0L
-                  var hint = -1
-                  while (p < cEnd) {
-                    val t3 = uv()
-                    ((t3 >> 3).toInt, (t3 & 7).toInt) match {
-                      case (3, 0) => typ = uv()
-                      case (4, 2) =>
-                        val l = uv().toInt
-                        hint = (bytes(p + 2) & 0xFF) >> 6
-                        p += l
-                      case (_, 0) => uv()
-                      case (_, 2) => skipLen()
-                      case other => fail(s"unexpected wire shape $other")
-                    }
-                  }
-                  out += ((typ, hint))
-                case (_, 0) => uv()
-                case (_, 2) => skipLen()
-                case other => fail(s"unexpected wire shape $other")
-              }
-            }
-          case (_, 0) => uv()
-          case (_, 2) => skipLen()
-          case other => fail(s"unexpected wire shape $other")
-        }
-      }
-    }
-    out.result()
-  }
-
   test("counter resets cut chunks and the hint chain records why") {
     import graft.sources.{FloatHistogramChunk, RemoteRead}
     import graft.sources.RemoteWrite.FHist
@@ -376,7 +315,7 @@ class HistogramChunkSpec extends AnyFunSuite {
     samples.foreach(w.addHist)
     w.endSeries()
     w.finish()
-    assert(chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 2), (2L, 1)))
+    assert(ChunkWalk.chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 2), (2L, 1)))
     // the cuts never change the decoded samples
     assert(RemoteRead.walkStreamed(bos.toByteArray).flatMap(_._2.hists)
       === samples)
@@ -391,7 +330,7 @@ class HistogramChunkSpec extends AnyFunSuite {
     w2.addHist(samples(3))
     w2.endSeries()
     w2.finish()
-    assert(chunkHints(bos2.toByteArray) === Seq((2L, 0), (2L, 0)))
+    assert(ChunkWalk.chunkHints(bos2.toByteArray) === Seq((2L, 0), (2L, 0)))
     // GAUGE-type histograms (prompb reset_hint GAUGE on ingest) have no
     // reset semantics: the same decreasing walk stays ONE chunk and
     // carries the gauge hint (3); the per-sample ingest attribute is
@@ -402,7 +341,7 @@ class HistogramChunkSpec extends AnyFunSuite {
     samples.map(_.copy(resetHint = 3)).foreach(w3.addHist)
     w3.endSeries()
     w3.finish()
-    assert(chunkHints(bos3.toByteArray) === Seq((2L, 3)))
+    assert(ChunkWalk.chunkHints(bos3.toByteArray) === Seq((2L, 3)))
     assert(RemoteRead.walkStreamed(bos3.toByteArray).flatMap(_._2.hists)
       === samples)
   }

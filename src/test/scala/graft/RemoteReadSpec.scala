@@ -477,6 +477,55 @@ class RemoteReadSpec extends SparkTestBase {
     } finally mixed.stop(0)
   }
 
+  test("gauge-marked histogram sources serve hint-3 chunks; declared resets cut") {
+    // a histogram source MAY carry the prompb reset_hint column —
+    // without it, a gauge family's decreasing walk would be reset-cut
+    // into bogus 'counter reset' chunks on the serving path
+    val rows = Seq(
+      (Map("__name__" -> "g_hist"), 1000L, 0, Seq(0), Seq(1), Seq(10L),
+        10L, 1.0, 0L, Seq.empty[Int], Seq.empty[Int], Seq.empty[Long], 3),
+      (Map("__name__" -> "g_hist"), 2000L, 0, Seq(0), Seq(1), Seq(4L),
+        4L, 0.5, 0L, Seq.empty[Int], Seq.empty[Int], Seq.empty[Long], 3),
+      (Map("__name__" -> "g_hist"), 3000L, 0, Seq(0), Seq(1), Seq(8L),
+        8L, 0.8, 0L, Seq.empty[Int], Seq.empty[Int], Seq.empty[Long], 3))
+      .toDF("labels", "ts_ms", "schema", "offs", "lens", "deltas", "count",
+        "sum", "zero_count", "neg_offs", "neg_lens", "neg_deltas",
+        "reset_hint")
+    val q = ReadQuery(0L, Long.MaxValue >> 10,
+      Seq(Matcher(0, "__name__", "g_hist")))
+    val req = RemoteWrite.compress(RemoteRead.encodeRequest(Seq(q), Seq(1L)))
+    def bytesWith(src: org.apache.spark.sql.DataFrame): Array[Byte] = {
+      val p = RemoteRead.prepareRead(spark, dir, req, hists = Some(src))
+      val bos = new java.io.ByteArrayOutputStream()
+      p.writeTo(bos)
+      bos.toByteArray
+    }
+    // the gauge-marked relation: ONE hint-3 chunk despite 10 → 4 → 8
+    val gb = bytesWith(rows)
+    assert(ChunkWalk.chunkHints(gb).filter(_._1 == 2L) === Seq((2L, 3)))
+    assert(RemoteRead.walkStreamed(gb).flatMap(_._2.hists)
+      .map(h => (h.tsMs, h.count)) === Seq((1000L, 10L), (2000L, 4L),
+      (3000L, 8L)))
+    // WITHOUT the column the same rows read as an unknown counter: the
+    // 10 → 4 drop reset-cuts (hints 0 then 1), samples unchanged
+    val cb = bytesWith(rows.drop("reset_hint"))
+    assert(ChunkWalk.chunkHints(cb).filter(_._1 == 2L)
+      === Seq((2L, 0), (2L, 1)))
+    // an explicitly DECLARED reset (prompb hint YES) cuts even when no
+    // drop is detectable — a counter that reset and already grew past
+    // its pre-reset totals (100 → reset → 150)
+    import graft.sources.RemoteWrite.Hist
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new RemoteRead.ChunkFrameWriter(bos, 120, 1 << 20)
+    w.startSeries(Vector("__name__" -> "c"), 0L)
+    w.addHist(Hist(1L, 0, Vector(0), Vector(1), Vector(100L), 100L, 1.0, 0L))
+    w.addHist(Hist(2L, 0, Vector(0), Vector(1), Vector(150L), 150L, 1.5, 0L,
+      resetHint = 1))
+    w.endSeries()
+    w.finish()
+    assert(ChunkWalk.chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 1)))
+  }
+
   test("HTTP: a streamed-first client reads the same series as a SAMPLES client") {
     val server = QueryEndpoint.start(spark, dir)
     try {
