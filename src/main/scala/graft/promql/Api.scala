@@ -792,11 +792,19 @@ object Api {
       .collect().map(_.getString(0).stripPrefix("""{"v":""").stripSuffix("}"))
       .toSeq
     // the standing rule file's record names are `__name__` values too
-    // (upstream: rule outputs are TSDB series); unscoped requests list
-    // them — a match[]/time scope keeps the corpus-presence answer
+    // (upstream: rule outputs are TSDB series). Selector-less requests
+    // list them whenever the requested window intersects the rule
+    // lattice [corpus start, corpus instant] — presence is lattice-
+    // granular like /series (a time-scoped request must NOT silently
+    // drop rule names, they are ordinary TSDB series upstream); a
+    // match[] scope keeps the corpus-presence answer
     val recVals =
-      if (label == "__name__" && selectors.isEmpty && startS.isEmpty &&
-          endS.isEmpty)
+      if (label == "__name__" && selectors.isEmpty &&
+          Compiler.currentRecordedNames.nonEmpty && {
+            lazy val tS = Compiler.instantSeconds(spark, dir).toLong
+            lazy val minS = Compiler.minInstantSeconds(spark, dir).toLong
+            startS.forall(_ <= tS) && endS.forall(_ >= minS)
+          })
         Compiler.currentRecordedNames.toSeq.map(n => s""""$n"""")
       else Nil
     val (kept, warns) = limited((vals ++ recVals).distinct.sorted, limit)

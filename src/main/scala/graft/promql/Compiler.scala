@@ -724,6 +724,28 @@ object Compiler {
         .select(max(unix_micros(col("ts"))).as("_t_us")).persist()
     })
 
+  /** The 1-row corpus-START aggregate (min ts), cached like
+    * [[instantCache]]: the rule lattice needs the corpus span per
+    * request (remote read of recorded series, the metadata doors) —
+    * without this every `recordedSeriesRelation` call re-runs the
+    * min-ts pass over the events relation, one scan per rule per
+    * request.
+    */
+  private val minInstantCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The corpus start (min ts) in epoch seconds, from the cached 1-row
+    * aggregate — the rule lattice's lower bound.
+    */
+  private[graft] def minInstantSeconds(spark: SparkSession,
+      dir: String): Double =
+    minInstantCache.computeIfAbsent((spark, dir), k => {
+      graft.operators.SessionCaches.onApplicationEnd(spark)(() =>
+        minInstantCache.remove(k))
+      Metrics.metricEvents(spark, dir)
+        .select(min(unix_micros(col("ts"))).as("_t0_us")).persist()
+    }).head().getLong(0) / 1e6
+
   /** Drop this session's cached evaluation-instant aggregates (the
     * manual analog of the application-end eviction; see
     * [[graft.Graft.releaseCaches]]).
@@ -732,6 +754,9 @@ object Compiler {
     import scala.jdk.CollectionConverters._
     instantCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
       Option(instantCache.remove(k)).foreach(_.unpersist())
+    }
+    minInstantCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(minInstantCache.remove(k)).foreach(_.unpersist())
     }
   }
 

@@ -82,8 +82,9 @@ object Rules {
       rule: RecordingRule, maxInstants: Int = 4096): DataFrame = {
     import org.apache.spark.sql.functions._
     val endS = Compiler.instantSeconds(spark, dir).toLong
-    val minS = graft.operators.Metrics.metricEvents(spark, dir)
-      .agg(min(unix_micros(col("ts")))).head().getLong(0) / 1000000L
+    // cached 1-row aggregate — per-request lattice rebuilds stay
+    // plan-only, no repeated min-ts scan
+    val minS = Compiler.minInstantSeconds(spark, dir).toLong
     val g = math.min((endS - minS) / rule.intervalS + 1L,
       maxInstants.toLong).toInt
     val df = Api.queryRangeGrid(spark, dir, rule.record, g, rule.intervalS,

@@ -24,9 +24,11 @@ import graft.sources.XorChunk.{BitReader, BitWriter, fits, readUvarint,
   *
   * Layout (bits MSB-first within bytes, like [[XorChunk]]):
   *  - 2-byte big-endian sample count;
-  *  - 1 flag byte: counter-reset hint in the two HIGH bits (00 unknown,
-  *    01 counter reset, 10 not reset, 11 gauge — this writer emits 00,
-  *    upstream's fresh-chunk default), low bits zero;
+  *  - 1 flag byte: counter-reset hint in the two HIGH bits, upstream
+  *    chunkenc's CounterResetHeader values (00 unknown, 10 counter
+  *    reset, 01 not reset, 11 gauge — NOTE these differ from prompb's
+  *    ResetHint enum, where YES=1 and NO=2; [[hintToWire]] maps
+  *    between them), low bits zero;
   *  - sample 0, written in full:
   *      t            zigzag uvarint (ms),
   *      schema       varbit int,
@@ -94,10 +96,24 @@ object HistogramChunk {
       abs(a.negDeltas).zip(abs(b.negDeltas)).exists { case (x, y) => y < x }
   }
 
-  /** The chunk's counter-reset hint (high two bits of the flag byte):
-    * 0 unknown, 1 counter reset, 2 not reset, 3 gauge.
+  /** prompb ResetHint enum (0 unknown, 1 YES/reset, 2 NO/not-reset,
+    * 3 gauge — the convention the appender and ingest tiers speak)
+    * ↔ upstream chunkenc's CounterResetHeader high bits (CounterReset
+    * = 0b10, NotCounterReset = 0b01; unknown/gauge coincide). The two
+    * conventions swap 1 and 2, so the map is its own inverse — encode
+    * applies it writing the flag byte, [[hintOf]] applies it reading.
     */
-  def hintOf(data: Array[Byte]): Int = (data(2) & 0xFF) >> 6
+  private[sources] def hintToWire(h: Int): Int = h match {
+    case 1 => 2
+    case 2 => 1
+    case other => other
+  }
+
+  /** The chunk's counter-reset hint as the prompb ResetHint value
+    * (0 unknown, 1 reset, 2 not reset, 3 gauge), translated from the
+    * flag byte's upstream chunkenc header bits.
+    */
+  def hintOf(data: Array[Byte]): Int = hintToWire((data(2) & 0xFF) >> 6)
 
   private[sources] def writeVarbitInt(b: BitWriter, v: Long): Unit =
     if (v == 0L) b.writeBit(0)
@@ -191,7 +207,9 @@ object HistogramChunk {
     val b = new BitWriter
     b.writeByte(hists.length >> 8)
     b.writeByte(hists.length & 0xFF)
-    b.writeByte((hint & 3) << 6) // counter-reset hint, high two bits
+    // counter-reset hint, high two bits — upstream's header values,
+    // not the prompb enum the caller passes (they swap 1 and 2)
+    b.writeByte(hintToWire(hint & 3) << 6)
     val sumX = new XorState
     var prev: Hist = null
     hists.zipWithIndex.foreach { case (h, i) =>
@@ -353,7 +371,7 @@ object HistogramChunk {
   */
 object FloatHistogramChunk {
 
-  import HistogramChunk.{XorState, readVarbitInt, writeVarbitInt}
+  import HistogramChunk.{XorState, hintToWire, readVarbitInt, writeVarbitInt}
   import RemoteWrite.FHist
   import XorChunk.{BitReader, BitWriter, fits, readUvarint, signed,
     unzigzag, writeUvarint, zigzag}
@@ -382,10 +400,11 @@ object FloatHistogramChunk {
       a.negCounts.zip(b.negCounts).exists { case (x, y) => y < x }
   }
 
-  /** The chunk's counter-reset hint — same flag-byte layout as the
+  /** The chunk's counter-reset hint as the prompb ResetHint value —
+    * same flag-byte layout and upstream-bit translation as the
     * integer codec.
     */
-  def hintOf(data: Array[Byte]): Int = (data(2) & 0xFF) >> 6
+  def hintOf(data: Array[Byte]): Int = hintToWire((data(2) & 0xFF) >> 6)
 
   /** Encode float-histogram samples (non-empty, ≤ 65535, timestamps
     * non-decreasing, pairwise [[appendable]]) as one FLOAT_HISTOGRAM
@@ -410,7 +429,9 @@ object FloatHistogramChunk {
     val b = new BitWriter
     b.writeByte(hists.length >> 8)
     b.writeByte(hists.length & 0xFF)
-    b.writeByte((hint & 3) << 6) // counter-reset hint, high two bits
+    // upstream header bits, translated from the prompb enum like the
+    // integer codec
+    b.writeByte(hintToWire(hint & 3) << 6)
     val countX = new XorState
     val zcntX = new XorState
     val sumX = new XorState

@@ -423,14 +423,21 @@ object RemoteRead {
       // reader's increase()
       val gauge = h.resetHint == 3
       val declared = h.resetHint == 1
-      if (histBuf.nonEmpty && (!HistogramChunk.appendable(histBuf.last, h) ||
+      // a gauge↔counter hint-type flip cuts the open chunk too — one
+      // chunk must never mix gauge and counter semantics (upstream's
+      // appender recreates the chunk on a hint-type change)
+      if (histBuf.nonEmpty && ((histHint == 3) != gauge ||
+          !HistogramChunk.appendable(histBuf.last, h) ||
           (!gauge && (declared || HistogramChunk.resets(histBuf.last, h)))))
         flushHistChunk()
       if (histBuf.isEmpty)
         histHint =
           if (gauge) 3
-          else if (lastHist == null) 0
-          else if (declared || HistogramChunk.resets(lastHist, h)) 1
+          else if (declared) 1 // sender knowledge survives a type flip
+          else if (lastHist == null || lastHist.resetHint == 3) 0
+          // ↑ fresh series, or the previous sample was gauge-typed —
+          //   reset detection against a gauge value is meaningless
+          else if (HistogramChunk.resets(lastHist, h)) 1
           else if (HistogramChunk.appendable(lastHist, h)) 2
           else 0
       histBuf += h
@@ -445,15 +452,16 @@ object RemoteRead {
       require(open, "no open series")
       val gauge = h.resetHint == 3
       val declared = h.resetHint == 1
-      if (fhistBuf.nonEmpty &&
-        (!FloatHistogramChunk.appendable(fhistBuf.last, h) ||
+      if (fhistBuf.nonEmpty && ((fhistHint == 3) != gauge ||
+          !FloatHistogramChunk.appendable(fhistBuf.last, h) ||
           (!gauge && (declared || FloatHistogramChunk.resets(fhistBuf.last, h)))))
         flushFHistChunk()
       if (fhistBuf.isEmpty)
         fhistHint =
           if (gauge) 3
-          else if (lastFHist == null) 0
-          else if (declared || FloatHistogramChunk.resets(lastFHist, h)) 1
+          else if (declared) 1
+          else if (lastFHist == null || lastFHist.resetHint == 3) 0
+          else if (FloatHistogramChunk.resets(lastFHist, h)) 1
           else if (FloatHistogramChunk.appendable(lastFHist, h)) 2
           else 0
       fhistBuf += h
@@ -745,26 +753,58 @@ object RemoteRead {
       new StreamedAnswer(out => {
         val w = new ChunkFrameWriter(out, samplesPerChunk, frameBytes)
         queries.zipWithIndex.foreach { case (q, qi) =>
-          streamQuery(spark, dir, q, qi.toLong, w)
-          recorded.foreach(r =>
-            streamFloatRows(matchedHists(r, q), qi.toLong, w))
-          hists.foreach(h =>
-            streamHistRows(matchedHists(h, q), qi.toLong, w, isFloat = false))
-          fhists.foreach(h =>
-            streamHistRows(matchedHists(h, q), qi.toLong, w, isFloat = true))
+          // upstream returns each query's series sorted by labels, and
+          // strict clients merge-join or binary-search on that order —
+          // so the four sources (raw floats, recorded rules, integer +
+          // float native families) MERGE into one label-ordered
+          // sequence instead of appending per kind. Each source arrives
+          // label-ordered from its own distributed sort; the k-way
+          // merge on the shared NUL-separated key needs one row of
+          // lookahead per source, preserving the bounded-driver-memory
+          // discipline
+          val srcs: Seq[SeriesSource] =
+            Seq(rawSource(spark, dir, q)) ++
+              recorded.map(r => floatRowsSource(matchedHists(r, q))) ++
+              hists.map(h =>
+                histRowsSource(matchedHists(h, q), isFloat = false)) ++
+              fhists.map(h =>
+                histRowsSource(matchedHists(h, q), isFloat = true))
+          var live = srcs.filter(_.peekKey.isDefined)
+          while (live.nonEmpty) {
+            live.minBy(_.peekKey.get).emitNext(w, qi.toLong)
+            live = srcs.filter(_.peekKey.isDefined)
+          }
         }
         w.finish()
       })
     else
       SamplesAnswer(RemoteWrite.compress(encodeResponse(
-        queries.map(q => seriesFor(spark, dir, q) ++
-          recorded.map(r => floatSeriesFor(matchedHists(r, q)))
-            .getOrElse(Nil) ++
-          hists.map(h => histSeriesFor(matchedHists(h, q), isFloat = false))
-            .getOrElse(Nil) ++
-          fhists.map(h => histSeriesFor(matchedHists(h, q), isFloat = true))
-            .getOrElse(Nil)))))
+        queries.map { q =>
+          // the same global label order as the streamed face (sortBy is
+          // stable, so an exact-tie series keeps the source precedence
+          // the merge's minBy picks)
+          (seriesFor(spark, dir, q) ++
+            recorded.map(r => floatSeriesFor(matchedHists(r, q)))
+              .getOrElse(Nil) ++
+            hists.map(h => histSeriesFor(matchedHists(h, q),
+              isFloat = false)).getOrElse(Nil) ++
+            fhists.map(h => histSeriesFor(matchedHists(h, q),
+              isFloat = true)).getOrElse(Nil))
+            .sortBy(s => labelSortKey(s.labels))
+        })))
   }
+
+  /** The canonical label sort key: name-sorted `(name, value)` pairs
+    * joined with NUL. NUL sorts below every other byte, so plain string
+    * order on these keys equals upstream's lexicographic label-pair
+    * comparison (`labels.Compare` — name, then value, shorter label
+    * set first on a shared prefix). [[matchedHists]]' `_skey` column
+    * and [[rawSkey]] build the identical form relationally, so the
+    * per-source distributed sorts and the driver-side merge all speak
+    * one ordering.
+    */
+  private def labelSortKey(labels: Seq[(String, String)]): String =
+    labels.map { case (n, v) => n + "\u0000" + v }.mkString("\u0000")
 
   /** The histogram samples one query selects from a labels-map source:
     * matchers against the map with the missing-label-matches-`""` rule,
@@ -783,11 +823,12 @@ object RemoteRead {
       }
     }.reduce(_ && _)
     src.filter(pred && col("ts_ms") >= q.startMs && col("ts_ms") <= q.endMs)
-      .withColumn("_skey", concat_ws(",",
+      .withColumn("_skey", concat_ws("\\u0000",
         transform(
           array_sort(filter(map_entries(col("labels")),
             e => e.getField("value") =!= "")),
-          e => concat(e.getField("key"), lit("="), e.getField("value")))))
+          e => concat_ws("\\u0000", e.getField("key"),
+            e.getField("value")))))
   }
 
   private def histRowLabels(r: org.apache.spark.sql.Row)
@@ -831,25 +872,49 @@ object RemoteRead {
       r.getSeq[Double](r.fieldIndex("neg_deltas")).toVector,
       rowResetHint(r))
 
-  /** Feed matched histogram rows to the frame writer incrementally —
-    * the [[streamQuery]] discipline on the labels-map shape.
+  /** One label-ordered per-series stream feeding the response merge.
+    * Rows arrive (`_skey`, ts)-ordered through `toLocalIterator` (one
+    * scan partition on the driver at a time — the distributed sort
+    * already ran); `peekKey` exposes the NEXT series' sort key without
+    * consuming it, `emitNext` writes that one whole series through the
+    * frame writer and advances. The k-way merge in [[prepareRead]]
+    * interleaves the four sources in global label order with one row
+    * of lookahead per source — no extra materialization.
     */
-  private def streamHistRows(m: DataFrame, qIdx: Long, w: ChunkFrameWriter,
-      isFloat: Boolean): Unit = {
-    val it = m.orderBy(col("_skey"), col("ts_ms")).toLocalIterator()
-    var cur: String = null
-    while (it.hasNext) {
-      val r = it.next()
-      val key = r.getString(r.fieldIndex("_skey"))
-      if (key != cur) {
-        if (cur != null) w.endSeries()
-        w.startSeries(histRowLabels(r), qIdx)
-        cur = key
-      }
-      if (isFloat) w.addFHist(rowFHist(r)) else w.addHist(rowHist(r))
+  private final class SeriesSource(
+      rows: Iterator[org.apache.spark.sql.Row],
+      skeyOf: org.apache.spark.sql.Row => String,
+      labelsOf: org.apache.spark.sql.Row => Vector[(String, String)],
+      add: (ChunkFrameWriter, org.apache.spark.sql.Row) => Unit) {
+    private val it = rows.buffered
+    def peekKey: Option[String] =
+      if (it.hasNext) Some(skeyOf(it.head)) else None
+    def emitNext(w: ChunkFrameWriter, qIdx: Long): Unit = {
+      val key = skeyOf(it.head)
+      w.startSeries(labelsOf(it.head), qIdx)
+      while (it.hasNext && skeyOf(it.head) == key) add(w, it.next())
+      w.endSeries()
     }
-    if (cur != null) w.endSeries()
   }
+
+  private def scalaRows(df: DataFrame)
+      : Iterator[org.apache.spark.sql.Row] = {
+    val it = df.toLocalIterator()
+    new Iterator[org.apache.spark.sql.Row] {
+      def hasNext: Boolean = it.hasNext
+      def next(): org.apache.spark.sql.Row = it.next()
+    }
+  }
+
+  /** Matched histogram rows (labels-map shape) as a label-ordered
+    * [[SeriesSource]] of HISTOGRAM / FLOAT_HISTOGRAM chunks.
+    */
+  private def histRowsSource(m: DataFrame, isFloat: Boolean): SeriesSource =
+    new SeriesSource(
+      scalaRows(m.orderBy(col("_skey"), col("ts_ms"))),
+      r => r.getString(r.fieldIndex("_skey")),
+      histRowLabels,
+      (w, r) => if (isFloat) w.addFHist(rowFHist(r)) else w.addHist(rowHist(r)))
 
   /** Matched histogram rows as materialized [[Series]] — the SAMPLES
     * face's form (prompb `histograms`), bounded by the 413 budget.
@@ -868,28 +933,17 @@ object RemoteRead {
             hists = sorted.map(rowHist).toVector)
       }
 
-  /** Feed matched FLOAT rows from a labels-map source (recording-rule
-    * series) to the frame writer incrementally — the [[streamQuery]]
-    * discipline, XOR sample chunks like any other float series.
+  /** Matched FLOAT rows from a labels-map source (recording-rule
+    * series) as a label-ordered [[SeriesSource]] of XOR sample chunks —
+    * rule outputs stream like any other float series.
     */
-  private def streamFloatRows(m: DataFrame, qIdx: Long,
-      w: ChunkFrameWriter): Unit = {
-    val it = m.orderBy(col("_skey"), col("ts_ms"), col("value"))
-      .toLocalIterator()
-    var cur: String = null
-    while (it.hasNext) {
-      val r = it.next()
-      val key = r.getString(r.fieldIndex("_skey"))
-      if (key != cur) {
-        if (cur != null) w.endSeries()
-        w.startSeries(histRowLabels(r), qIdx)
-        cur = key
-      }
-      w.addSample(r.getLong(r.fieldIndex("ts_ms")),
-        r.getDouble(r.fieldIndex("value")))
-    }
-    if (cur != null) w.endSeries()
-  }
+  private def floatRowsSource(m: DataFrame): SeriesSource =
+    new SeriesSource(
+      scalaRows(m.orderBy(col("_skey"), col("ts_ms"), col("value"))),
+      r => r.getString(r.fieldIndex("_skey")),
+      histRowLabels,
+      (w, r) => w.addSample(r.getLong(r.fieldIndex("ts_ms")),
+        r.getDouble(r.fieldIndex("value"))))
 
   /** Matched float rows from a labels-map source as materialized
     * [[Series]] — the SAMPLES face's form, bounded by the 413 budget.
@@ -905,34 +959,39 @@ object RemoteRead {
             .sortBy { case (v, t) => (t, v) }.toVector)
       }
 
-  /** Feed one query's selection to the frame writer INCREMENTALLY:
-    * the matched relation, ordered by (series key, ts) so each series'
-    * rows arrive contiguous and in time order, walks through
-    * `toLocalIterator` — Spark materializes one partition at a time on
-    * the driver (the ordering shuffle ran distributed; partitions are
-    * range-split by the same key). The r14 scale defect — collecting
-    * the whole selection before encoding — is closed by construction.
+  /** `_skey` for the raw wire relation: the same NUL-separated form as
+    * [[matchedHists]] over its fixed label set (`__name__`, `instance`,
+    * `k`), empty values dropped — so the raw source's distributed sort
+    * and the labels-map sources' agree on one global series order.
     */
-  private def streamQuery(spark: SparkSession, dir: String, q: ReadQuery,
-      qIdx: Long, w: ChunkFrameWriter): Unit = {
-    val it = matched(spark, dir, q)
-      .orderBy(col("wire_name"), col("instance"), col("k"), col("ts_ms"),
-        col("value"))
-      .toLocalIterator()
-    var cur: (String, String, String) = null
-    while (it.hasNext) {
-      val r = it.next()
-      val key = (r.getString(0), r.getString(1), r.getString(2))
-      if (key != cur) {
-        if (cur != null) w.endSeries()
-        w.startSeries(Vector("__name__" -> key._1, "instance" -> key._2,
-          "k" -> key._3).filter(_._2.nonEmpty), qIdx)
-        cur = key
-      }
-      w.addSample(r.getLong(3), r.getDouble(4))
-    }
-    if (cur != null) w.endSeries()
-  }
+  private def rawSkey: Column = concat_ws("\\u0000", flatten(filter(
+    array(
+      array(lit("__name__"), col("wire_name")),
+      array(lit("instance"), col("instance")),
+      array(lit("k"), col("k"))),
+    a => element_at(a, 2) =!= "")))
+
+  /** One query's raw float selection as a label-ordered
+    * [[SeriesSource]]: the matched relation, ordered by (series key,
+    * ts) so each series' rows arrive contiguous and in time order,
+    * walks through `toLocalIterator` — Spark materializes one
+    * partition at a time on the driver (the ordering shuffle ran
+    * distributed; partitions are range-split by the same key). The r14
+    * scale defect — collecting the whole selection before encoding —
+    * stays closed by construction.
+    */
+  private def rawSource(spark: SparkSession, dir: String,
+      q: ReadQuery): SeriesSource =
+    new SeriesSource(
+      scalaRows(matched(spark, dir, q).withColumn("_skey", rawSkey)
+        .orderBy(col("_skey"), col("ts_ms"), col("value"))),
+      r => r.getString(r.fieldIndex("_skey")),
+      r => Vector(
+        "__name__" -> r.getString(r.fieldIndex("wire_name")),
+        "instance" -> r.getString(r.fieldIndex("instance")),
+        "k" -> r.getString(r.fieldIndex("k"))).filter(_._2.nonEmpty),
+      (w, r) => w.addSample(r.getLong(r.fieldIndex("ts_ms")),
+        r.getDouble(r.fieldIndex("value"))))
 
   // ---- the evaluator: queries → sample relation / wire series ----
 
@@ -985,17 +1044,18 @@ object RemoteRead {
 
   /** One query's response frame, materialized: matched samples grouped
     * per series (labels name-sorted, empty values dropped; samples in
-    * timestamp order), series in label order — deterministic bytes for
-    * any partitioning, and the SAME order [[streamQuery]] walks, so the
-    * two faces describe one selection. SAMPLES-face only (its protobuf
-    * envelope is a single message); the streamed face never calls this.
+    * timestamp order), series in [[labelSortKey]] order — deterministic
+    * bytes for any partitioning, and the SAME order [[rawSource]]'s
+    * walk feeds the merge, so the two faces describe one selection.
+    * SAMPLES-face only (its protobuf envelope is a single message); the
+    * streamed face never calls this.
     */
   def seriesFor(spark: SparkSession, dir: String,
       q: ReadQuery): Seq[Series] =
     matched(spark, dir, q)
       .collect()
       .groupBy(r => (r.getString(0), r.getString(1), r.getString(2)))
-      .toSeq.sortBy(_._1)
+      .toSeq
       .map { case ((n, inst, k), rs) =>
         val labels = (Vector("__name__" -> n, "instance" -> inst,
           "k" -> k)).filter(_._2.nonEmpty)
@@ -1003,6 +1063,7 @@ object RemoteRead {
           rs.map(r => (r.getDouble(4), r.getLong(3)))
             .sortBy { case (v, t) => (t, v) }.toVector)
       }
+      .sortBy(s => labelSortKey(s.labels))
 
   /** The CLIENT half: POST one query to a remote-read endpoint and
     * decode its frame — what a federating deployment (or the read ∘
@@ -1050,7 +1111,7 @@ object RemoteRead {
     * the columns below) through the chunked face as HISTOGRAM (type 2)
     * chunks, so a Thanos-style reader can pull this engine's native
     * families as chunks (the r14 bound — "XOR chunks only" — lifted).
-    * Same bounded-memory discipline as [[streamQuery]]: the relation
+    * Same bounded-memory discipline as [[rawSource]]: the relation
     * orders by (series, ts) and walks `toLocalIterator`; a schema or
     * span-layout change cuts the chunk (upstream's appender rule),
     * handled inside the frame writer.

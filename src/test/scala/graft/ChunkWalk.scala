@@ -8,7 +8,11 @@ object ChunkWalk {
 
   // walk a streamed response's frames and collect every chunk's
   // (encoding, reset-hint) pair — an INDEPENDENT protobuf walk, not
-  // RemoteRead's, so the framing is cross-checked too
+  // RemoteRead's, so the framing is cross-checked too. The hint is
+  // the RAW flag-byte high bits, i.e. upstream chunkenc's
+  // CounterResetHeader values (0 unknown, 2 CounterReset,
+  // 1 NotCounterReset, 3 gauge) — NOT the prompb enum, so specs
+  // asserting on these values pin the upstream wire convention
   def chunkHints(bytes: Array[Byte]): Seq[(Long, Int)] = {
     var p = 0
     def uv(): Long = {

@@ -300,9 +300,11 @@ class HistogramChunkSpec extends AnyFunSuite {
     assert(FloatHistogramChunk.hintOf(
       FloatHistogramChunk.encode(Seq(fa), hint = 1)) === 1)
     // the streamed appender: two samples size-cut the first chunk
-    // (budget 2), the third verifiably continues (hint 2 = not reset),
-    // the fourth DROPS the count — a reset cut, hint 1 — and a reader
-    // never sees a decrease inside one chunk
+    // (budget 2), the third verifiably continues (NotCounterReset —
+    // upstream header bits 0b01), the fourth DROPS the count — a reset
+    // cut, CounterReset = 0b10 — and a reader never sees a decrease
+    // inside one chunk. ChunkWalk reads the RAW upstream bits, so the
+    // truth table pins the wire values (1 = not reset, 2 = reset)
     val samples = Seq(
       h(1, 0, 5, 1.0, 0, Seq(0), Seq(2), Seq(2, 1)),
       h(2, 0, 9, 1.0, 0, Seq(0), Seq(2), Seq(3, 2)),
@@ -315,7 +317,7 @@ class HistogramChunkSpec extends AnyFunSuite {
     samples.foreach(w.addHist)
     w.endSeries()
     w.finish()
-    assert(ChunkWalk.chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 2), (2L, 1)))
+    assert(ChunkWalk.chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 1), (2L, 2)))
     // the cuts never change the decoded samples
     assert(RemoteRead.walkStreamed(bos.toByteArray).flatMap(_._2.hists)
       === samples)
@@ -344,5 +346,22 @@ class HistogramChunkSpec extends AnyFunSuite {
     assert(ChunkWalk.chunkHints(bos3.toByteArray) === Seq((2L, 3)))
     assert(RemoteRead.walkStreamed(bos3.toByteArray).flatMap(_._2.hists)
       === samples)
+    // a gauge↔counter hint-type flip cuts the open chunk even when the
+    // layout is appendable and nothing drops — one chunk never mixes
+    // gauge and counter semantics (upstream recreates the chunk on a
+    // hint-type change). The counter chunk after a gauge one reads
+    // unknown (reset detection against a gauge value is meaningless)
+    val flip = Seq(samples(0).copy(resetHint = 3), samples(1),
+      samples(2).copy(resetHint = 3))
+    val bos4 = new java.io.ByteArrayOutputStream()
+    val w4 = new RemoteRead.ChunkFrameWriter(bos4, 120, 1 << 20)
+    w4.startSeries(Vector("__name__" -> "hf"), 0L)
+    flip.foreach(w4.addHist)
+    w4.endSeries()
+    w4.finish()
+    assert(ChunkWalk.chunkHints(bos4.toByteArray)
+      === Seq((2L, 3), (2L, 0), (2L, 3)))
+    assert(RemoteRead.walkStreamed(bos4.toByteArray).flatMap(_._2.hists)
+      === flip.map(_.copy(resetHint = 0)))
   }
 }

@@ -307,6 +307,24 @@ class QueryApiSpec extends SparkTestBase {
       assert(!get(port,
         s"/api/v1/label/__name__/values?$m=${enc("purchase")}")._2
         .contains("k_total_d"))
+      // a TIME-SCOPED selector-less request still lists record names
+      // when the window intersects the rule lattice — rule outputs are
+      // ordinary TSDB series upstream, so a start/end bound must not
+      // silently drop them (presence is lattice-granular like /series)
+      assert(get(port,
+        s"/api/v1/label/__name__/values?start=$T0")._2
+        .contains("k_total_d"))
+      assert(get(port,
+        s"/api/v1/label/__name__/values?end=${T0 + dayS}")._2
+        .contains("k_total_d"))
+      // ...but a window wholly past the corpus instant or wholly
+      // before the corpus start holds no rule sample
+      assert(!get(port,
+        s"/api/v1/label/__name__/values?start=${T0 + 4 * dayS}")._2
+        .contains("k_total_d"))
+      assert(!get(port,
+        s"/api/v1/label/__name__/values?end=${T0 - 1}")._2
+        .contains("k_total_d"))
     } finally server.stop(0)
   }
 

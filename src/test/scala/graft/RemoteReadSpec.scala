@@ -477,6 +477,52 @@ class RemoteReadSpec extends SparkTestBase {
     } finally mixed.stop(0)
   }
 
+  test("mixed raw+recorded+histogram responses merge in label order on both faces") {
+    // upstream returns a query's series sorted by labels, and strict
+    // clients merge-join or binary-search on that order — recorded and
+    // native-family series must MERGE with raw floats, not append
+    // after them. Names chosen to interleave: aardvark_rule sorts
+    // before every raw name, oxide_ms between error and purchase,
+    // zebra_rule after signup
+    val recordedDf = Seq(
+      (Map("__name__" -> "aardvark_rule", "k" -> "eu"), T0ms, 1.0),
+      (Map("__name__" -> "zebra_rule"), T0ms, 2.0))
+      .toDF("labels", "ts_ms", "value")
+    val histDf = Seq(
+      (Map("__name__" -> "oxide_ms"), T0ms, 0, Seq(0), Seq(1), Seq(3L),
+        3L, 1.0, 0L, Seq.empty[Int], Seq.empty[Int], Seq.empty[Long]))
+      .toDF("labels", "ts_ms", "schema", "offs", "lens", "deltas", "count",
+        "sum", "zero_count", "neg_offs", "neg_lens", "neg_deltas")
+    def labelsOf(types: Seq[Long]): Seq[Vector[(String, String)]] = {
+      val body = RemoteWrite.compress(
+        RemoteRead.encodeRequest(Seq(all), types))
+      val p = RemoteRead.prepareRead(spark, dir, body,
+        hists = Some(histDf), recorded = Some(recordedDf))
+      val bos = new java.io.ByteArrayOutputStream()
+      p.writeTo(bos)
+      if (types.head == 1L)
+        RemoteRead.walkStreamed(bos.toByteArray).map(_._2.labels)
+          .foldLeft(Vector.empty[Vector[(String, String)]]) { (acc, l) =>
+            if (acc.nonEmpty && acc.last == l) acc else acc :+ l
+          }
+      else
+        RemoteRead.walkResponse(RemoteWrite.uncompress(bos.toByteArray))
+          .head.map(_.labels)
+    }
+    val streamed = labelsOf(Seq(1L))
+    val viaSamples = labelsOf(Seq(0L))
+    // both faces list the identical series in the identical order
+    assert(streamed === viaSamples)
+    // the order is globally label-sorted (upstream labels.Compare:
+    // name-sorted pairs, lexicographic, shorter label set first)
+    val keys = streamed.map(
+      _.map { case (n, v) => n + "\u0000" + v }.mkString("\u0000"))
+    assert(keys === keys.sorted)
+    // and the three sources interleave by name, not append by kind
+    assert(streamed.map(_.head._2).distinct === Seq("aardvark_rule",
+      "error", "oxide_ms", "purchase_total", "signup", "zebra_rule"))
+  }
+
   test("gauge-marked histogram sources serve hint-3 chunks; declared resets cut") {
     // a histogram source MAY carry the prompb reset_hint column —
     // without it, a gauge family's decreasing walk would be reset-cut
@@ -507,10 +553,11 @@ class RemoteReadSpec extends SparkTestBase {
       .map(h => (h.tsMs, h.count)) === Seq((1000L, 10L), (2000L, 4L),
       (3000L, 8L)))
     // WITHOUT the column the same rows read as an unknown counter: the
-    // 10 → 4 drop reset-cuts (hints 0 then 1), samples unchanged
+    // 10 → 4 drop reset-cuts (wire header bits 0b00 then 0b10 —
+    // upstream's CounterReset is 2 on the wire), samples unchanged
     val cb = bytesWith(rows.drop("reset_hint"))
     assert(ChunkWalk.chunkHints(cb).filter(_._1 == 2L)
-      === Seq((2L, 0), (2L, 1)))
+      === Seq((2L, 0), (2L, 2)))
     // an explicitly DECLARED reset (prompb hint YES) cuts even when no
     // drop is detectable — a counter that reset and already grew past
     // its pre-reset totals (100 → reset → 150)
@@ -523,7 +570,7 @@ class RemoteReadSpec extends SparkTestBase {
       resetHint = 1))
     w.endSeries()
     w.finish()
-    assert(ChunkWalk.chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 1)))
+    assert(ChunkWalk.chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 2)))
   }
 
   test("HTTP: a streamed-first client reads the same series as a SAMPLES client") {

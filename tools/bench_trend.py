@@ -1,18 +1,23 @@
 #!/usr/bin/env python3
-"""Min-over-runs bench report (round-7 advice #6).
+"""Median-over-runs bench report (r7 advice #6; medians per r15 verdict).
 
 Usage: python3 tools/bench_trend.py [bench_history.jsonl] [--top N]
 
 Each line of the history file is `<ISO timestamp> <bench JSON>` as
 appended by graft.Bench. Single runs on this host swing 2-10x under
-multi-minute throttling bursts, so the only honest per-query cost is the
-MIN across runs; this tool reports, per query, that min, the latest
-run's value, and latest/min — a ratio far above 1 on the LATEST run
-means either a regression or a burst, and a ratio near 1 means the
-latest run is a fair measurement. Failed (-1) samples are excluded from
-min; a query failing in the latest run is flagged.
+multi-minute throttling bursts, so neither a single run nor the
+min-over-runs is a fair trend read: the min composite absorbs every
+lucky one-off sample ever recorded (the r14->r15 "x35 regression" was
+one lucky 0.22 s run posing as the baseline). This tool reports, per
+query, the MEDIAN across runs (the honest typical cost), the min (the
+optimistic floor the driver's 2x gate uses), the latest value, and
+latest/median -- a ratio far above 1 on the LATEST run means either a
+regression or a burst; compare medians across rounds to call a
+regression. Failed (-1) samples are excluded; a query failing in the
+latest run is flagged.
 """
 import json
+import statistics
 import sys
 
 
@@ -45,17 +50,17 @@ def main(argv):
     if not runs:
         print("no runs in history", file=sys.stderr)
         return 1
-    # min-over-runs is only meaningful within one scale factor: compare
+    # comparisons are only meaningful within one scale factor: compare
     # the latest run against prior runs of the SAME sf dir.
     sf = runs[-1][1].get("sf")
     runs = [(ts, r) for ts, r in runs if r.get("sf") == sf]
     latest_ts, latest = runs[-1]
     # Host normalization (r13 judge ask #6): each run may carry
-    # {"host":{"cpu":..,"cores":..,"spin_ms":..}} — spin_ms times a fixed
-    # single-thread workload, so time×(latest_spin/run_spin) re-expresses
+    # {"host":{"cpu":..,"cores":..,"spin_ms":..}} -- spin_ms times a fixed
+    # single-thread workload, so time*(latest_spin/run_spin) re-expresses
     # a past run's cost in the LATEST host's seconds. Runs without a
-    # fingerprint (pre-r14 history) normalize with factor 1 — their raw
-    # mins still participate, just unadjusted.
+    # fingerprint (pre-r14 history) normalize with factor 1 -- their raw
+    # samples still participate, just unadjusted.
     latest_spin = latest.get("host", {}).get("spin_ms")
 
     def factor(run):
@@ -64,25 +69,26 @@ def main(argv):
             return latest_spin / s
         return 1.0
 
-    mins, nmins = {}, {}
+    mins, samples = {}, {}
     for _, run in runs:
         f = factor(run)
         for q, v in run.get("queries", {}).items():
             if v >= 0:
                 if q not in mins or v < mins[q]:
                     mins[q] = v
-                if q not in nmins or v * f < nmins[q]:
-                    nmins[q] = v * f
+                samples.setdefault(q, []).append(v * f)
+    meds = {q: statistics.median(vs) for q, vs in samples.items()}
 
     rows = []
     for q, v in latest.get("queries", {}).items():
-        m, nm = mins.get(q), nmins.get(q)
+        m, md = mins.get(q), meds.get(q)
+        n = len(samples.get(q, []))
         if v < 0:
-            rows.append((float("inf"), q, m, nm, v, "FAILED in latest run"))
-        elif nm is None or nm == 0:
-            rows.append((1.0, q, v, v, v, "only run"))
+            rows.append((float("inf"), q, m, md, n, v, "FAILED in latest run"))
+        elif md is None or md == 0:
+            rows.append((1.0, q, v, v, n, v, "only run"))
         else:
-            rows.append((v / nm, q, m, nm, v, ""))
+            rows.append((v / md, q, m, md, n, v, ""))
     rows.sort(reverse=True)
 
     hosts = {(r.get("host", {}).get("cpu", "?"),
@@ -93,27 +99,32 @@ def main(argv):
     if h:
         print(f"latest host: {h.get('cpu')} x{h.get('cores')}, "
               f"spin {h.get('spin_ms', 0):.0f} ms")
-    # restrict the headline total to queries the LATEST run declares AND
-    # succeeded in (v >= 0): a renamed/removed query's stale min would
-    # inflate the ratio, and a failed query's min would land in total_min
-    # while total_latest excludes it — understating the ratio exactly
-    # when the run has failures
+    # restrict the headline totals to queries the LATEST run declares AND
+    # succeeded in (v >= 0): a renamed/removed query's stale history would
+    # inflate the ratio, and a failed query's history would land in the
+    # composite while total_latest excludes it -- understating the ratio
+    # exactly when the run has failures
     latest_ok = {q for q, v in latest.get("queries", {}).items() if v >= 0}
     total_min = sum(m for q, m in mins.items() if q in latest_ok)
-    total_nmin = sum(m for q, m in nmins.items() if q in latest_ok)
+    total_med = sum(m for q, m in meds.items() if q in latest_ok)
     total_latest = sum(v for v in latest.get("queries", {}).values() if v >= 0)
-    print(f"total: latest {total_latest:.1f}s vs sum-of-mins {total_min:.1f}s "
-          f"(x{total_latest / total_min:.2f}), "
-          f"host-normalized mins {total_nmin:.1f}s "
-          f"(x{total_latest / total_nmin:.2f})"
-          if total_min and total_nmin else "total: n/a")
-    print(f"{'query':<28} {'min':>8} {'nmin':>8} {'latest':>8} {'ratio':>7}  note")
-    for ratio, q, m, nm, v, note in (rows[:top] if top else rows):
+    if total_min and total_med:
+        print(f"total: latest {total_latest:.1f}s "
+              f"vs sum-of-medians {total_med:.1f}s "
+              f"(x{total_latest / total_med:.2f}), "
+              f"sum-of-mins {total_min:.1f}s "
+              f"(x{total_latest / total_min:.2f}, the driver's 2x-gate "
+              f"denominator)")
+    else:
+        print("total: n/a")
+    print(f"{'query':<28} {'min':>8} {'median':>8} {'n':>3} {'latest':>8} "
+          f"{'ratio':>7}  note")
+    for ratio, q, m, md, n, v, note in (rows[:top] if top else rows):
         ms = f"{m:.3f}" if m is not None else "-"
-        nms = f"{nm:.3f}" if nm is not None else "-"
+        mds = f"{md:.3f}" if md is not None else "-"
         vs = f"{v:.3f}" if v >= 0 else "-1"
         rs = "inf" if ratio == float("inf") else f"{ratio:.2f}"
-        print(f"{q:<28} {ms:>8} {nms:>8} {vs:>8} {rs:>7}  {note}")
+        print(f"{q:<28} {ms:>8} {mds:>8} {n:>3} {vs:>8} {rs:>7}  {note}")
     errs = latest.get("errors", [])
     if errs:
         print(f"\nerrors in latest run ({len(errs)}): {', '.join(errs)}")
