@@ -255,6 +255,11 @@ object SparkEntry {
     // absolute mode, fractional ranks interpolated
     "a1zz_float_family_hq" -> ((s, d) =>
       sources.RemoteWriteFloatGate.wireFloatFamilyQuantile(s, d)),
+    // scrape relabeling: metric_relabel_configs as column expressions
+    // over the engine's own exposition payload — drop prunes a family
+    // at the door, replace expands capture groups, uppercase/labelmap
+    // write new labels; the DuckDB twin re-applies the anchored rules
+    "a1zc_scrape_relabel" -> ((s, d) => PromQL.scrapeRelabel(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -1074,6 +1079,7 @@ object SparkEntry {
     "a1w_remote_read_streamed" -> sources.RemoteRead.WireReadGateSql,
     "a1za_remote_read_recorded" -> sources.RemoteRead.WireReadRecordedGateSql,
     "a1zb_remote_write_recorded" -> sources.RemoteRead.WireReadRecordedGateSql,
+    "a1zc_scrape_relabel" -> PromQL.ScrapeRelabelSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,

@@ -1000,6 +1000,68 @@ object PromQL {
     s"WITH lines AS ($ExpositionTextSql)\n$body"
   }
 
+  /** A1-relabel: `metric_relabel_configs` over a scraped payload — the
+    * scrape door's label-set rewrite every production Prometheus runs
+    * before ingest (the server-side half the reference's pull endpoint
+    * implies, `/root/reference/prometheus.cpp:73`). The payload is the
+    * engine's own exposition bytes; [[graft.sources.ScrapeClient
+    * .parsePayloadsLabels]] parses and relabels with pure column
+    * expressions (stateless, codegen, batch ≡ streaming), exercising
+    * drop (the `click` family is pruned BEFORE any ingest state),
+    * replace with capture-group expansion, uppercase, and labelmap.
+    * The DuckDB twin re-applies the same anchored-regex rules over the
+    * same parsed lines.
+    */
+  def scrapeRelabel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Relabel, ScrapeClient}
+    val payloads = expositionText(spark, dir)
+      .agg(array_join(array_sort(collect_list(col("line"))), "\n")
+        .as("payload"))
+      .withColumn("scrape_ts", to_timestamp(lit("2024-03-01 00:00:00")))
+    val rules = Seq(
+      Relabel.Rule(action = "drop", sourceLabels = Seq("__name__"),
+        regex = "click"),
+      Relabel.Rule(action = "replace", sourceLabels = Seq("k"),
+        regex = "([0-9])([0-9])", targetLabel = "shard",
+        replacement = "$1-$2"),
+      Relabel.Rule(action = "uppercase", sourceLabels = Seq("__name__"),
+        targetLabel = "fam"),
+      Relabel.Rule(action = "labelmap", regex = "k",
+        replacement = "kcopy"))
+    ScrapeClient.parsePayloadsLabels(payloads, rules)
+      .select(
+        element_at(col("labels"), "__name__").as("name"),
+        coalesce(element_at(col("labels"), "k"), lit("")).as("k"),
+        coalesce(element_at(col("labels"), "shard"), lit("")).as("shard"),
+        coalesce(element_at(col("labels"), "fam"), lit("")).as("fam"),
+        coalesce(element_at(col("labels"), "kcopy"), lit("")).as("kcopy"),
+        col("value"))
+      .orderBy(col("name"), col("k"))
+  }
+
+  val ScrapeRelabelSql: String = {
+    // parse the same exposition lines, then re-apply the rule chain:
+    // anchored regexes, later rules see earlier rules' writes
+    val body =
+      """parsed AS (
+        |  SELECT regexp_extract(line, '^(\w+)\{k="([^"]*)"\} (.+)$', 1) AS name,
+        |    regexp_extract(line, '^(\w+)\{k="([^"]*)"\} (.+)$', 2) AS label_k,
+        |    CAST(regexp_extract(line, '^(\w+)\{k="([^"]*)"\} (.+)$', 3) AS DOUBLE) AS value
+        |  FROM lines),
+        |kept AS (SELECT * FROM parsed
+        |  WHERE NOT regexp_matches(name, '^(?:click)$'))
+        |SELECT name, label_k AS k,
+        |  CASE WHEN regexp_matches(label_k, '^(?:([0-9])([0-9]))$')
+        |    THEN regexp_replace(label_k, '^(?:([0-9])([0-9]))$', '\1-\2')
+        |    ELSE '' END AS shard,
+        |  upper(name) AS fam,
+        |  label_k AS kcopy,
+        |  value
+        |FROM kept
+        |ORDER BY name, k""".stripMargin
+    s"WITH lines AS ($ExpositionTextSql),\n$body"
+  }
+
   /** A1-OpenMetrics: the SAME registry snapshot rendered as an
     * OpenMetrics 1.0 payload (the successor exposition format the
     * reference's prometheus-cpp pull endpoint predates): `# TYPE`

@@ -61,9 +61,18 @@ object ScrapeClient {
     * Comment/`# EOF` lines drop; OpenMetrics `_total` suffixes strip
     * back to the family name. Stateless column ops only, so the same
     * expression tree serves batch parity tests and the live stream.
+    *
+    * `metricRelabel` applies upstream's `metric_relabel_configs` to
+    * each sample's label set (`__name__` = family name, `k`) BEFORE
+    * anything ingests it: samples a rule drops (keep/drop miss, or a
+    * rewritten-away `__name__`) are pruned here, so a high-cardinality
+    * family costs nothing downstream. The fixed output schema keeps
+    * the post-relabel `__name__`/`k`; rules writing OTHER labels are
+    * served by [[parsePayloadsLabels]], which returns the full map.
     */
-  def parsePayloads(payloads: DataFrame): DataFrame =
-    payloads
+  def parsePayloads(payloads: DataFrame,
+      metricRelabel: Seq[Relabel.Rule] = Nil): DataFrame = {
+    val parsed = payloads
       .select(col("scrape_ts"), explode(split(col("payload"), "\n")).as("line"))
       .filter(col("line").rlike(LineRe))
       .select(
@@ -72,6 +81,32 @@ object ScrapeClient {
           .as("name"),
         regexp_extract(col("line"), LineRe, 2).as("label_k"),
         regexp_extract(col("line"), LineRe, 3).cast("double").as("value"))
+    if (metricRelabel.isEmpty) parsed
+    else relabeled(parsed, metricRelabel)
+      .select(col("scrape_ts"),
+        element_at(col("labels"), "__name__").as("name"),
+        coalesce(element_at(col("labels"), "k"), lit("")).as("label_k"),
+        col("value"))
+  }
+
+  /** The relabeled sample relation with the FULL label map — for rules
+    * that write labels beyond the wire's `__name__`/`k`. Columns:
+    * `(scrape_ts, labels map<string,string>, value)`.
+    */
+  def parsePayloadsLabels(payloads: DataFrame,
+      metricRelabel: Seq[Relabel.Rule]): DataFrame =
+    relabeled(parsePayloads(payloads), metricRelabel)
+
+  private def relabeled(parsed: DataFrame,
+      rules: Seq[Relabel.Rule]): DataFrame =
+    parsed
+      .withColumn("labels", Relabel.relabelCol(
+        map(lit("__name__"), col("name"), lit("k"), col("label_k")), rules))
+      // a dropped sample (null map) or one whose __name__ a rule
+      // removed cannot ingest — pruned at the door, upstream's rule
+      .filter(col("labels").isNotNull &&
+        coalesce(element_at(col("labels"), "__name__"), lit("")) =!= "")
+      .select(col("scrape_ts"), col("labels"), col("value"))
 
   /** One scrape target's live status — the row `/api/v1/targets`
     * renders: never-scraped targets are `unknown`, a clean last fetch
@@ -117,7 +152,9 @@ object ScrapeClient {
   * [[events]] and process ticks as micro-batches.
   */
 class ScrapeLoop(spark: SparkSession, url: String,
-    openMetrics: Boolean = false, job: String = "graft") {
+    openMetrics: Boolean = false, job: String = "graft",
+    relabelConfigs: Seq[Relabel.Rule] = Nil,
+    metricRelabelConfigs: Seq[Relabel.Rule] = Nil) {
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -127,10 +164,31 @@ class ScrapeLoop(spark: SparkSession, url: String,
   @volatile private var lastError: Option[String] = None
   @volatile private var lastDurationS: Double = 0.0
 
-  /** The target's live health row for `/api/v1/targets`. */
+  /** Target relabeling (`relabel_configs`) — applied ONCE here, at the
+    * target's discovery time, exactly like upstream (O(#targets),
+    * never per sample). The input label set is the discovery
+    * vocabulary this engine's targets carry; `None` = the target is
+    * dropped and [[poll]] never fetches it.
+    */
+  val targetLabels: Option[Map[String, String]] = {
+    val instance = ScrapeClient.TargetStatus(url, job, None, None, 0.0)
+      .instance
+    Relabel.relabelMap(Map(
+      "__address__" -> instance, "instance" -> instance, "job" -> job),
+      relabelConfigs)
+  }
+
+  /** True when `relabel_configs` dropped this target at discovery. */
+  def dropped: Boolean = targetLabels.isEmpty
+
+  /** The target's live health row for `/api/v1/targets` — under the
+    * RELABELED job (a replace rule on `job` renames the target's
+    * identity, upstream's behavior).
+    */
   def status: ScrapeClient.TargetStatus =
-    ScrapeClient.TargetStatus(url, job, lastScrapeMs, lastError,
-      lastDurationS)
+    ScrapeClient.TargetStatus(url,
+      targetLabels.flatMap(_.get("job")).getOrElse(job),
+      lastScrapeMs, lastError, lastDurationS)
 
   /** The raw scrape relation: one (scrape_ts, payload) row per tick. */
   def payloads: DataFrame = stream.toDF().toDF("scrape_ts", "payload")
@@ -138,16 +196,20 @@ class ScrapeLoop(spark: SparkSession, url: String,
   /** Scraped samples as events-schema rows (see
     * [[ScrapeClient.toEvents]]) — feed to `metricEventsOf`,
     * `streamingRollup`, `evalStream`, or any other ingest consumer.
+    * `metric_relabel_configs` apply inside the parse, so dropped
+    * series never reach an ingest operator's state.
     */
   def events: DataFrame =
-    ScrapeClient.toEvents(ScrapeClient.parsePayloads(payloads))
+    ScrapeClient.toEvents(
+      ScrapeClient.parsePayloads(payloads, metricRelabelConfigs))
 
   /** One tick: fetch now (or at the given instant) and append. A
     * failed fetch records target-down state instead of throwing — a
     * Prometheus keeps scraping through outages, and `/api/v1/targets`
-    * shows the health.
+    * shows the health. A relabel-dropped target never fetches.
     */
   def poll(atMs: Long = System.currentTimeMillis()): Unit = {
+    if (dropped) return
     val t0 = System.nanoTime()
     try {
       val body = ScrapeClient.fetch(url, openMetrics)

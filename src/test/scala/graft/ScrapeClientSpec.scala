@@ -93,6 +93,105 @@ class ScrapeClientSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("metric_relabel_configs prune and rewrite series BEFORE rollup ingest") {
+    import graft.sources.Relabel
+    seed()
+    val server = ScrapeEndpoint.start()
+    val port = server.getAddress.getPort
+    try {
+      val rules = Seq(
+        // drop the click family at the door — no ingest state ever
+        // exists for it
+        Relabel.Rule(action = "drop", sourceLabels = Seq("__name__"),
+          regex = "click"),
+        // rewrite a label value with a capture group
+        Relabel.Rule(action = "replace", sourceLabels = Seq("k"),
+          regex = "(a)", targetLabel = "k", replacement = "$1lpha"))
+      val loop = new ScrapeLoop(spark, s"http://127.0.0.1:$port/metrics",
+        metricRelabelConfigs = rules)
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:01").getTime
+      val q = MetricStream.streamingRollup(loop.events)
+        .writeStream.format("memory").queryName("scrape_relabeled")
+        .outputMode(OutputMode.Update).start()
+      try {
+        loop.poll(t1)
+        q.processAllAvailable()
+        val keys = spark.table("scrape_relabeled")
+          .select("name", "label_k").as[(String, String)].collect().toSet
+        // click never reached the rollup operator; purchase{k=a}
+        // ingested under the rewritten k=alpha
+        assert(keys === Set("purchase" -> "alpha", "purchase" -> "b"))
+      } finally q.stop()
+      // batch ≡ streaming: the same rules over the same payload as a
+      // static relation give the same sample set (one expression tree
+      // binds to both)
+      val body = ScrapeClient.fetch(s"http://127.0.0.1:$port/metrics")
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:01")
+      val batch = ScrapeClient.parsePayloads(
+        Seq((ts, body)).toDF("scrape_ts", "payload"), rules)
+        .as[(java.sql.Timestamp, String, String, Double)].collect()
+        .map(r => (r._2, r._3, r._4)).toSet
+      assert(batch === Set(("purchase", "alpha", 5.5),
+        ("purchase", "b", 4.0)))
+    } finally server.stop(0)
+  }
+
+  test("relabel_configs act at target discovery; column face ≡ scala face") {
+    import graft.sources.Relabel
+    import graft.sources.Relabel.Rule
+    // a dropped target is never fetched: no scrape, no error, health
+    // stays unknown — upstream drops it from the scrape pool entirely
+    val t = new ScrapeLoop(spark, "http://127.0.0.1:1/metrics",
+      job = "edge1", relabelConfigs = Seq(
+        Rule(action = "drop", sourceLabels = Seq("job"), regex = "edge.*")))
+    assert(t.dropped)
+    t.poll()
+    assert(t.status.lastScrapeMs.isEmpty && t.status.health === "unknown")
+    // replace on the job label renames the target's identity
+    val t2 = new ScrapeLoop(spark, "http://127.0.0.1:1/metrics",
+      job = "edge", relabelConfigs = Seq(
+        Rule(action = "replace", sourceLabels = Seq("job"),
+          regex = "(.*)", targetLabel = "job", replacement = "prod-$1")))
+    assert(!t2.dropped && t2.status.job === "prod-edge")
+    // the column face and the driver-side scala face are ONE
+    // semantics: every action over a matrix of label sets
+    val labelSets = Seq(
+      Map("__name__" -> "api_http_requests_total", "job" -> "API",
+        "instance" -> "h1:9100"),
+      Map("__name__" -> "node_cpu", "mode" -> "idle", "cpu" -> "7"),
+      Map("__name__" -> "up"))
+    val ruleChains = Seq(
+      Seq(Rule(action = "replace", sourceLabels = Seq("__name__"),
+        regex = "api_(.*)", targetLabel = "__name__",
+        replacement = "$1")),
+      Seq(Rule(action = "keep", sourceLabels = Seq("job", "mode"),
+        regex = "API;.*")),
+      Seq(Rule(action = "hashmod", sourceLabels = Seq("instance"),
+        targetLabel = "shard", modulus = 4L),
+        Rule(action = "lowercase", sourceLabels = Seq("job"),
+          targetLabel = "job")),
+      Seq(Rule(action = "labelmap", regex = "(mode|cpu)",
+        replacement = "sys_$1"),
+        Rule(action = "labeldrop", regex = "cpu")),
+      Seq(Rule(action = "keepequal", sourceLabels = Seq("cpu"),
+        targetLabel = "cpu")),
+      Seq(Rule(action = "dropequal", sourceLabels = Seq("mode"),
+        targetLabel = "mode")),
+      Seq(Rule(action = "uppercase", sourceLabels = Seq("__name__"),
+        targetLabel = "NAME")),
+      Seq(Rule(action = "labelkeep", regex = "__name__|job")))
+    for (ls <- labelSets; rs <- ruleChains) {
+      val viaScala = Relabel.relabelMap(ls, rs)
+      val viaCol = Seq(Tuple1(ls)).toDF("labels")
+        .select(Relabel.relabelCol(org.apache.spark.sql.functions.col("labels"), rs).as("out"))
+        .collect().head
+      val got =
+        if (viaCol.isNullAt(0)) None
+        else Some(viaCol.getMap[String, String](0).toMap)
+      assert(got === viaScala, s"labels=$ls rules=$rs")
+    }
+  }
+
   test("tick-driven scrape loop maintains the streaming rollup pyramid") {
     seed()
     val server = ScrapeEndpoint.start()
