@@ -255,6 +255,12 @@ object SparkEntry {
     // absolute mode, fractional ranks interpolated
     "a1zz_float_family_hq" -> ((s, d) =>
       sources.RemoteWriteFloatGate.wireFloatFamilyQuantile(s, d)),
+    // created timestamps (remote-write 2.0 field 6): the v2 door
+    // materializes the counter's birth as a CT-zero sample, so
+    // increase counts the first sample's full mass — the 3.x
+    // counter-start-mass-loss fix, vs a DuckDB lag/reset twin
+    "a1zd_created_increase" -> ((s, d) =>
+      sources.RemoteWrite.wireCreatedIncrease(s)),
     // scrape relabeling: metric_relabel_configs as column expressions
     // over the engine's own exposition payload — drop prunes a family
     // at the door, replace expands capture groups, uppercase/labelmap
@@ -1080,6 +1086,7 @@ object SparkEntry {
     "a1za_remote_read_recorded" -> sources.RemoteRead.WireReadRecordedGateSql,
     "a1zb_remote_write_recorded" -> sources.RemoteRead.WireReadRecordedGateSql,
     "a1zc_scrape_relabel" -> PromQL.ScrapeRelabelSql,
+    "a1zd_created_increase" -> sources.RemoteWrite.WireCreatedIncreaseSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,

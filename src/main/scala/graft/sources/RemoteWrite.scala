@@ -48,13 +48,19 @@ object RemoteWrite {
   /** One decoded time series: its label pairs (wire order) and its
     * (value, timestamp-ms) samples (wire order); native-histogram
     * payloads (prompb `Histogram`, field 4) and exemplars (field 3)
-    * ride alongside.
+    * ride alongside. `createdTsMs` is remote-write 2.0's per-series
+    * created timestamp (v2 `TimeSeries.created_timestamp`, field 6 —
+    * the Prometheus 3.x counter-birth instant); 0 = absent, upstream's
+    * own convention. The 1.0 wire has no such field, so a v1 encode
+    * drops it — the door materializes it as a CT-zero sample first
+    * ([[withCtZero]]).
     */
   final case class Series(labels: Vector[(String, String)],
       samples: Vector[(Double, Long)],
       hists: Vector[Hist] = Vector.empty,
       exemplars: Vector[Exemplar] = Vector.empty,
-      fhists: Vector[FHist] = Vector.empty)
+      fhists: Vector[FHist] = Vector.empty,
+      createdTsMs: Long = 0L)
 
   /** One native-histogram sample off the wire: the sparse POSITIVE
     * bucket ladder the engine models (`prometheus.cpp:256-306`'s
@@ -536,6 +542,7 @@ object RemoteWrite {
           .toVector, v, ts)
       }
       val exs = Vector.newBuilder[Exemplar]
+      var createdTs = 0L
       while (pos < until) {
         val tag = varint(until)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
@@ -549,6 +556,7 @@ object RemoteWrite {
             case Right(f) => fhists += f
           }
           case (4, 2) => exs += exemplarV2(lenDelim(until)) // v2: field 4
+          case (6, 0) => createdTs = varint(until) // created_timestamp
           case (_, wt) => skip(wt, until)
         }
       }
@@ -557,7 +565,7 @@ object RemoteWrite {
       val labels = rs.grouped(2).map { case Vector(n, v) => (sym(n), sym(v)) }
         .toVector
       Series(labels, samples.result(), hists.result(), exs.result(),
-        fhists.result())
+        fhists.result(), createdTs)
     }
   }
 
@@ -865,6 +873,10 @@ object RemoteWrite {
         writeVarint(hm, h.tsMs)
         writeLen(ts, 3, hm.toByteArray)
       }
+      if (s.createdTsMs != 0L) { // created_timestamp, field 6
+        writeVarint(ts, (6L << 3) | 0L)
+        writeVarint(ts, s.createdTsMs)
+      }
       ts.toByteArray
     }
     val req = new java.io.ByteArrayOutputStream()
@@ -872,6 +884,27 @@ object RemoteWrite {
     tsBlocks.foreach(b => writeLen(req, 5, b))
     req.toByteArray
   }
+
+  /** Prometheus 3.x created-timestamp ingestion over remote-write 2.0:
+    * a series whose `created_timestamp` strictly precedes its first
+    * sample materializes the counter's BIRTH as a synthetic zero
+    * sample AT the CT — upstream's CTZeroIngestion — so `rate`/
+    * `increase` downstream count the first sample's full mass instead
+    * of losing it to the unknown series start (the counter-start mass
+    * loss 3.x's created-timestamp work exists to close). Applied where
+    * the v2 door normalizes to the 1.0 stream wire shape (the v1 wire
+    * has no CT field, so the zero sample IS the carry). No-op when CT
+    * is absent (0) or not strictly before the first sample; float
+    * samples only (native-histogram CT zero-injection is a documented
+    * bound — the engine's histogram gates are all sample-complete).
+    */
+  def withCtZero(series: Vector[Series]): Vector[Series] =
+    series.map { s =>
+      if (s.createdTsMs > 0L && s.samples.nonEmpty &&
+          s.createdTsMs < s.samples.map(_._2).min)
+        s.copy(samples = (0.0, s.createdTsMs) +: s.samples)
+      else s
+    }
 
   /** The 2.0 protocol's content type on the wire; 1.0 senders use
     * plain `application/x-protobuf` (or omit the proto= parameter).
@@ -1144,6 +1177,94 @@ object RemoteWrite {
         col("ts_ms"), col("value"))
       .orderBy(col("metric"), col("ts_ms"))
   }
+
+  /** a1zd — CREATED TIMESTAMPS over remote-write 2.0 close the
+    * counter-start mass loss (the Prometheus 3.x counter-birth work):
+    * a hand-assembled v2 Request whose first series carries
+    * `created_timestamp` (field 6) strictly before its first sample.
+    * The door normalization ([[walkV2]] → [[withCtZero]] → [[encode]] →
+    * generator — exactly [[RemoteWriteSink.receive]]'s v2 path)
+    * materializes the birth as a CT-zero sample, so the reset-aware
+    * `increase` below counts the FIRST sample's full mass for the
+    * CT-bearing series (6.25: 3.5 birth mass + 0.75 growth + 2.0
+    * post-reset) while the CT-less series loses its first sample to
+    * the unknown start (4.0 = last − first), upstream's exact
+    * semantics. The DuckDB twin re-runs the same lag/reset walk over
+    * the hand-derived post-normalization rows.
+    */
+  def wireCreatedIncrease(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // v2 Request, hand-assembled (field 4 = symbols, field 5 = timeseries):
+    //   2A 35  timeseries#1, 53 bytes:
+    //     0A 04 01 02 03 04   packed labels_refs [1,2,3,4]
+    //     12 0C 09 <3.5 LE: 0x400C...> 10 E8 07      sample (3.5, 1000)
+    //     12 0D 09 <4.25 LE: 0x4011...> 10 C8 DC 03  sample (4.25, 61000)
+    //     12 0D 09 <2.0 LE: 0x4000...> 10 C0 A9 07   sample (2.0, 120000)
+    //     30 F4 03            created_timestamp = 500 (field 6)
+    //   2A 23  timeseries#2, 35 bytes (NO created timestamp):
+    //     0A 04 01 02 03 05   packed labels_refs [1,2,3,5]
+    //     12 0C 09 <3.0 LE: 0x4008...> 10 E8 07      sample (3.0, 1000)
+    //     12 0D 09 <7.0 LE: 0x401C...> 10 C8 DC 03   sample (7.0, 61000)
+    //   22 00                 symbols[0] = "" (spec-mandated)
+    //   22 08 "__name__" [1], 22 0A "jobs_total" [2], 22 01 "k" [3],
+    //   22 01 "a" [4], 22 01 "b" [5]
+    val payload = hexBytes(
+      "2A35" +
+        "0A04" + "01020304" +
+        "120C" + "09" + "000000000000" + "0C40" + "10E807" +
+        "120D" + "09" + "000000000000" + "1140" + "10C8DC03" +
+        "120D" + "09" + "000000000000" + "0040" + "10C0A907" +
+        "30F403" +
+      "2A23" +
+        "0A04" + "01020305" +
+        "120C" + "09" + "000000000000" + "0840" + "10E807" +
+        "120D" + "09" + "000000000000" + "1C40" + "10C8DC03" +
+      "2200" +
+        "2208" + "5F5F6E616D655F5F" +
+        "220A" + "6A6F62735F746F74616C" +
+        "2201" + "6B" +
+        "2201" + "61" +
+        "2201" + "62")
+    val normalized = encode(withCtZero(walkV2(payload)))
+    val payloads = Seq(normalized).toDF("proto")
+      .withColumn("recv_ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("metric"), col("label_k")).orderBy(col("ts_ms"))
+    decode(payloads)
+      .select(element_at(col("labels"), "__name__").as("metric"),
+        coalesce(element_at(col("labels"), "k"), lit("")).as("label_k"),
+        col("ts_ms"), col("value"))
+      .withColumn("dv", col("value") - lag(col("value"), 1).over(w))
+      .groupBy(col("metric"), col("label_k"))
+      .agg(sum(when(col("dv").isNull, lit(0.0))
+        .when(col("dv") >= 0, col("dv"))
+        .otherwise(col("value"))).cast("double").as("increase"))
+      .orderBy(col("metric"), col("label_k"))
+  }
+
+  /** Oracle twin of [[wireCreatedIncrease]]: the post-normalization
+    * sample relation derived BY HAND from the wire bytes above — the
+    * CT-zero row (0 @ 500 ms) included for the CT-bearing series —
+    * through the same lag/reset increase walk.
+    */
+  val WireCreatedIncreaseSql: String =
+    """WITH w(metric, label_k, ts_ms, value) AS (VALUES
+      |  ('jobs_total', 'a', CAST(500 AS BIGINT), CAST('0' AS DOUBLE)),
+      |  ('jobs_total', 'a', CAST(1000 AS BIGINT), CAST('3.5' AS DOUBLE)),
+      |  ('jobs_total', 'a', CAST(61000 AS BIGINT), CAST('4.25' AS DOUBLE)),
+      |  ('jobs_total', 'a', CAST(120000 AS BIGINT), CAST('2' AS DOUBLE)),
+      |  ('jobs_total', 'b', CAST(1000 AS BIGINT), CAST('3' AS DOUBLE)),
+      |  ('jobs_total', 'b', CAST(61000 AS BIGINT), CAST('7' AS DOUBLE))),
+      |d AS (SELECT metric, label_k, value,
+      |  value - lag(value) OVER (PARTITION BY metric, label_k
+      |    ORDER BY ts_ms) AS dv
+      |  FROM w)
+      |SELECT metric, label_k,
+      |  CAST(SUM(CASE WHEN dv IS NULL THEN 0
+      |    WHEN dv >= 0 THEN dv ELSE value END) AS DOUBLE) AS increase
+      |FROM d GROUP BY metric, label_k
+      |ORDER BY metric, label_k""".stripMargin
 
   /** The live native-histogram FAMILY registry over remote write — the
     * r12 "future work" closed: a native-histogram sample is a COMPLETE
@@ -2015,7 +2136,11 @@ class RemoteWriteSink(spark: SparkSession) {
     val isV2 = contentType.exists(_.contains("io.prometheus.write.v2.Request"))
     val series =
       if (isV2) RemoteWrite.walkV2(raw) else RemoteWrite.walk(raw)
-    val proto = if (isV2) RemoteWrite.encode(series) else raw
+    // v2 created timestamps materialize as CT-zero birth samples in the
+    // normalization (the 1.0 wire shape has no CT field) — downstream
+    // rate/increase then count the first sample's full mass
+    val proto =
+      if (isV2) RemoteWrite.encode(RemoteWrite.withCtZero(series)) else raw
     stream.addData((new java.sql.Timestamp(atMs), proto))
     series.map(_.samples.length.toLong).sum
   }

@@ -379,6 +379,47 @@ class RemoteWriteSpec extends SparkTestBase {
     assert(RemoteWrite.walk(RemoteWrite.encode(Seq(plain))) === Vector(plain))
   }
 
+  test("created timestamps: v2 round-trip, CT-zero materialization at the door") {
+    import graft.sources.RemoteWrite.Series
+    // the 2.0 wire round-trips created_timestamp (field 6)
+    val s = Series(Vector("__name__" -> "c_total"),
+      Vector((3.5, 1000L), (4.0, 2000L)), createdTsMs = 500L)
+    assert(RemoteWrite.walkV2(RemoteWrite.encodeV2(Seq(s))) === Vector(s))
+    // absent CT keeps the proto3 zero default
+    val bare = s.copy(createdTsMs = 0L)
+    assert(RemoteWrite.walkV2(RemoteWrite.encodeV2(Seq(bare)))
+      === Vector(bare))
+    // the 1.0 wire has NO CT field — a v1 round-trip drops it (the
+    // documented downgrade; the door carries CT as the zero sample)
+    assert(RemoteWrite.walk(RemoteWrite.encode(Seq(s))) === Vector(bare))
+    // CTZeroIngestion: CT strictly before the first sample prepends
+    // the birth as a zero sample; CT at/after the first sample or
+    // absent is a no-op (never fabricate out-of-order or duplicate
+    // mass); a sample-less series is untouched
+    assert(RemoteWrite.withCtZero(Vector(s)).head.samples
+      === Vector((0.0, 500L), (3.5, 1000L), (4.0, 2000L)))
+    assert(RemoteWrite.withCtZero(Vector(s.copy(createdTsMs = 1000L)))
+      === Vector(s.copy(createdTsMs = 1000L)))
+    assert(RemoteWrite.withCtZero(Vector(s.copy(createdTsMs = 1500L)))
+      === Vector(s.copy(createdTsMs = 1500L)))
+    assert(RemoteWrite.withCtZero(Vector(bare)) === Vector(bare))
+    assert(RemoteWrite.withCtZero(Vector(
+      s.copy(samples = Vector.empty))).head.samples === Vector.empty)
+    // the sink's v2 door materializes the CT zero into the stream wire
+    // shape: the decoded relation carries the birth row
+    val sink = new RemoteWriteSink(spark)
+    sink.receive(RemoteWrite.compress(RemoteWrite.encodeV2(Seq(s))),
+      atMs = 7L, contentType = Some(RemoteWrite.V2ContentType))
+    val q = sink.samples.writeStream.format("memory")
+      .queryName("ct_door").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ct_door")
+        .select("ts_ms", "value").as[(Long, Double)].collect().sorted
+      assert(rows === Array((500L, 0.0), (1000L, 3.5), (2000L, 4.0)))
+    } finally q.stop()
+  }
+
   test("backfillRecorded forwards a recording rule's lattice downstream, executor-side") {
     // upstream's recommended long-term-storage payload: aggregated
     // rule outputs. Engine A's 30s sum-by rule over a 60s corpus span
