@@ -255,6 +255,11 @@ object SparkEntry {
     // absolute mode, fractional ranks interpolated
     "a1zz_float_family_hq" -> ((s, d) =>
       sources.RemoteWriteFloatGate.wireFloatFamilyQuantile(s, d)),
+    // the NHCB converter (3.x convert_classic_histograms): a classic
+    // le-ladder converts to a native custom-bucket family (schema -53)
+    // and serves through histogram_quantile's native dispatch — the
+    // same answer as the classic walk, vs a DuckDB custom-bounds twin
+    "a1ze_nhcb_quantile" -> ((s, _) => sources.Otlp.otlpNhcbQuantile(s)),
     // created timestamps (remote-write 2.0 field 6): the v2 door
     // materializes the counter's birth as a CT-zero sample, so
     // increase counts the first sample's full mass — the 3.x
@@ -1087,6 +1092,7 @@ object SparkEntry {
     "a1zb_remote_write_recorded" -> sources.RemoteRead.WireReadRecordedGateSql,
     "a1zc_scrape_relabel" -> PromQL.ScrapeRelabelSql,
     "a1zd_created_increase" -> sources.RemoteWrite.WireCreatedIncreaseSql,
+    "a1ze_nhcb_quantile" -> sources.Otlp.OtlpNhcbQuantileSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,

@@ -941,6 +941,57 @@ object Otlp {
       |    WHERE b2.metric = r.metric AND b2.label_k = r.label_k))
       |ORDER BY metric, label_k""".stripMargin
 
+  /** a1ze — the NHCB CONVERTER end to end (Prometheus 3.x
+    * `convert_classic_histograms`): the a1s classic payload's
+    * translated `_bucket{le}` ladder converts into a native
+    * custom-bucket family (schema −53, `custom_values` = the finite
+    * bounds, non-cumulative sparse buckets + the +Inf arm) and serves
+    * through [[RemoteWrite.nhcbFamilyQuantile]]'s native dispatch —
+    * the SAME 0.95 the classic walk (a1t) answers, proving the
+    * conversion is lossless for quantiles. The DuckDB twin re-derives
+    * the rank walk from the custom bounds and non-cumulative counts.
+    */
+  def otlpNhcbQuantile(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val normalized = RemoteWrite.encode(translate(walk(ClassicPayload)))
+    val payloads = Seq(normalized).toDF("proto")
+      .withColumn("recv_ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val fam = RemoteWrite.convertClassicToNhcb(RemoteWrite.decode(payloads))
+    RemoteWrite.nhcbFamilyQuantile(spark, fam, 0.8)
+      .orderBy(col("metric"), col("label_k"))
+  }
+
+  /** Oracle twin of [[otlpNhcbQuantile]]: the converted NHCB relation
+    * by hand — custom bounds [0.5, 1.0], non-cumulative buckets
+    * [3, 2, 1] (the +Inf arm last) — through the custom-bucket rank
+    * walk: rank 0.8·6 = 4.8 lands in bucket 1 ((0.5, 1.0]), linear
+    * interpolation `0.5 + (1.0−0.5)·(4.8−3)/2 = 0.95`.
+    */
+  val OtlpNhcbQuantileSql: String =
+    """WITH nh(metric, label_k, sch, bucket, c, lo, hi) AS (VALUES
+      |  ('rpc_latency_seconds', 'eu', -53, 0, CAST(3 AS BIGINT),
+      |    CAST('0' AS DOUBLE), CAST('0.5' AS DOUBLE)),
+      |  ('rpc_latency_seconds', 'eu', -53, 1, CAST(2 AS BIGINT),
+      |    CAST('0.5' AS DOUBLE), CAST('1.0' AS DOUBLE)),
+      |  ('rpc_latency_seconds', 'eu', -53, 2, CAST(1 AS BIGINT),
+      |    CAST('1.0' AS DOUBLE), NULL)),
+      |cnt AS (SELECT metric, label_k, CAST(SUM(c) AS BIGINT) AS count
+      |  FROM nh GROUP BY metric, label_k),
+      |r AS (SELECT nh.*, cnt.count,
+      |  CAST('0.8' AS DOUBLE) * CAST(cnt.count AS DOUBLE) AS rnk,
+      |  SUM(c) OVER (PARTITION BY nh.metric, nh.label_k
+      |    ORDER BY bucket) AS cum
+      |  FROM nh JOIN cnt ON cnt.metric = nh.metric
+      |    AND cnt.label_k = nh.label_k)
+      |SELECT metric, label_k, sch AS schema, count,
+      |  lo + (hi - lo) * (rnk - CAST(cum - c AS DOUBLE))
+      |    / CAST(c AS DOUBLE) AS q
+      |FROM r
+      |WHERE hi IS NOT NULL AND CAST(cum AS DOUBLE) >= rnk
+      |  AND CAST(cum - c AS DOUBLE) < rnk
+      |ORDER BY metric, label_k""".stripMargin
+
   /** Oracle twin of [[otlpClassicHist]]: the translated relation by
     * hand — cumulative buckets 3, 3+2 = 5, +Inf = 6; `_sum` 4.5;
     * `_count` 6; bound 1.0 renders as `1`.

@@ -1579,6 +1579,120 @@ object RemoteWrite {
           "transform(arr, x -> x.cum)", "count").as("q"))
   }
 
+  /** The NHCB CONVERTER — Prometheus 3.x's `convert_classic_histograms`
+    * path: a scraped/pushed CLASSIC `le`-ladder family becomes a NATIVE
+    * histogram family with CUSTOM BUCKETS (schema −53, the public NHCB
+    * encoding: `custom_values` = the sorted finite `le` bounds, sparse
+    * positive buckets over indexes 0..n where index i < n covers
+    * (v[i−1], v[i]] and index n is the +Inf arm, counts
+    * NON-cumulative, no zero bucket). Input is the decoded sample
+    * relation (the a1s shape: `_bucket{le}` / `_sum` / `_count`
+    * series); output is one family row per (series, instant) in the
+    * [[histFamily]] registry shape plus a `custom_values` column —
+    * callers keep last-write-wins per series exactly like any family.
+    *
+    * One hash aggregate per (series, instant) + array expressions —
+    * the ladder never self-joins; a NON-MONOTONE ladder (a decreasing
+    * cumulative bucket) fails LOUD via raise_error, the A8 runtime-
+    * validation convention.
+    */
+  def convertClassicToNhcb(samples: DataFrame): DataFrame = {
+    val nm = element_at(col("labels"), "__name__")
+    val rows = samples
+      .filter(nm.rlike("_(bucket|sum|count)$"))
+      .select(
+        regexp_replace(nm, "_(bucket|sum|count)$", "").as("metric"),
+        regexp_extract(nm, "_(bucket|sum|count)$", 1).as("part"),
+        coalesce(element_at(col("labels"), "k"), lit("")).as("label_k"),
+        element_at(col("labels"), "le").as("le"),
+        col("ts_ms"), col("value"))
+    val perInstant = rows
+      .groupBy(col("metric"), col("label_k"), col("ts_ms"))
+      .agg(
+        sort_array(collect_list(when(
+          col("part") === "bucket" && col("le") =!= "+Inf",
+          struct(col("le").cast("double").as("le"),
+            col("value").as("cum"))))).as("bk"),
+        max(when(col("part") === "bucket" && col("le") === "+Inf",
+          col("value"))).as("inf"),
+        max(when(col("part") === "sum", col("value"))).as("sum"))
+    val n = size(col("bk"))
+    val cums = transform(col("bk"), b => b.getField("cum"))
+    // the cumulative ladder un-summed: bucket 0 keeps its count, i > 0
+    // subtracts the previous bound's cumulative, the +Inf arm closes
+    // against the total
+    val deltas = concat(
+      transform(col("bk"), (b, i) =>
+        when(i === 0, b.getField("cum"))
+          .otherwise(b.getField("cum") - element_at(cums, i))),
+      array(when(n === 0, lit(0.0))
+        .otherwise(col("inf") - element_at(cums, n))))
+    perInstant
+      .withColumn("_deltas_d", deltas)
+      .select(col("metric"), col("label_k"), col("ts_ms"),
+        lit(-53).as("schema"),
+        // the monotonicity guard rides the count column so pruning
+        // can never drop it: a decreasing cumulative ladder raises
+        when(exists(col("_deltas_d"), d => d < 0),
+          raise_error(concat(
+            lit("non-monotone classic ladder for "), col("metric")))
+            .cast("double"))
+          .otherwise(col("inf")).cast("long").as("count"),
+        col("sum"),
+        lit(0L).as("zero_count"),
+        array(lit(0)).as("offs"),
+        array(size(col("_deltas_d"))).as("lens"),
+        col("_deltas_d").cast("array<bigint>").as("deltas"),
+        array().cast("array<int>").as("neg_offs"),
+        array().cast("array<int>").as("neg_lens"),
+        array().cast("array<bigint>").as("neg_deltas"),
+        transform(col("bk"), b => b.getField("le")).as("custom_values"))
+  }
+
+  /** `histogram_quantile(φ)` on an NHCB family — the native dispatch
+    * for schema −53: the sparse buckets explode per index, bounds come
+    * from `custom_values` (index i < n spans (v[i−1], v[i]], the +Inf
+    * arm sits past v[n−1]), and the in-bucket interpolation is LINEAR —
+    * upstream's custom-bucket quantile is the classic interpolation on
+    * the custom ladder (lower bound 0 before the first bucket; a rank
+    * past the last finite bound returns that bound), so a CONVERTED
+    * family answers exactly like its classic source — the a1ze gate
+    * pins this against a DuckDB walk over the custom bounds, and a1t's
+    * classic answer is the same 0.95.
+    */
+  def nhcbFamilyQuantile(spark: SparkSession, family: DataFrame,
+      phi: Double): DataFrame = {
+    val series = Seq("metric", "label_k").map(col)
+    val b = family.select(
+      col("metric"), col("label_k"), col("schema"), col("count"),
+      col("sum"), col("custom_values"),
+      posexplode(col("deltas")).as(Seq("bucket", "c")))
+    val n = size(col("custom_values"))
+    val w = Window.partitionBy(series: _*).orderBy(col("bucket"))
+    val rank = lit(phi) * col("count").cast("double")
+    val cand = b
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("prev", col("cum") - col("c"))
+      .withColumn("lo", when(col("bucket") === 0, lit(0.0))
+        .otherwise(element_at(col("custom_values"), col("bucket"))))
+      .withColumn("hi", when(col("bucket") < n,
+        element_at(col("custom_values"), col("bucket") + 1)))
+      .withColumn("_isc", col("bucket") < n &&
+        rank > col("prev").cast("double") &&
+        rank <= col("cum").cast("double"))
+      .withColumn("_qv", col("lo") + (col("hi") - col("lo")) *
+        (rank - col("prev").cast("double")) / col("c").cast("double"))
+    cand
+      .groupBy(col("metric"), col("label_k"), col("schema"),
+        col("count"), col("sum"))
+      .agg(
+        max(when(col("bucket") < n, col("hi"))).as("last_hi"),
+        min_by(col("_qv"), when(col("_isc"), col("bucket"))).as("qv"))
+      .select(col("metric"), col("label_k"), col("schema"), col("count"),
+        when(col("qv").isNotNull, col("qv"))
+          .otherwise(col("last_hi")).as("q"))
+  }
+
   /** a1p — EXEMPLARS over the wire (prompb `TimeSeries.exemplars`,
     * field 3 — previously skipped): a hand-assembled payload whose
     * series carries two trace-id exemplars next to its sample, decoded

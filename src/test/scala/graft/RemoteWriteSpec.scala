@@ -420,6 +420,40 @@ class RemoteWriteSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("NHCB converter: custom bounds, first-bucket and overflow ranks, monotone guard") {
+    def classicRows(infV: Double, cums: Seq[(String, Double)]) = {
+      val bk = cums.map { case (le, c) =>
+        (Map("__name__" -> "lat_bucket", "k" -> "a", "le" -> le), c, 1000L)
+      } :+ ((Map("__name__" -> "lat_bucket", "k" -> "a", "le" -> "+Inf"),
+        infV, 1000L)) :+
+        ((Map("__name__" -> "lat_sum", "k" -> "a"), 4.5, 1000L))
+      bk.toDF("labels", "value", "ts_ms")
+    }
+    val fam = RemoteWrite.convertClassicToNhcb(
+      classicRows(6.0, Seq("0.5" -> 3.0, "1" -> 5.0)))
+    val row = fam.collect().head
+    assert(row.getAs[Int]("schema") === -53)
+    assert(row.getAs[Long]("count") === 6L)
+    assert(row.getAs[Seq[Double]]("custom_values") === Seq(0.5, 1.0))
+    assert(row.getAs[Seq[Long]]("deltas") === Seq(3L, 2L, 1L))
+    assert(row.getAs[Long]("zero_count") === 0L)
+    // a rank inside the FIRST bucket interpolates from 0 (the classic
+    // lower-bound rule): 0.25·6 = 1.5 → 0 + 0.5·1.5/3 = 0.25
+    val q1 = RemoteWrite.nhcbFamilyQuantile(spark, fam, 0.25)
+      .collect().head.getAs[Double]("q")
+    assert(q1 === 0.25)
+    // a rank past the last finite bound returns that bound: φ=1 →
+    // rank 6 > finite cum 5 → 1.0
+    val q2 = RemoteWrite.nhcbFamilyQuantile(spark, fam, 1.0)
+      .collect().head.getAs[Double]("q")
+    assert(q2 === 1.0)
+    // a decreasing cumulative ladder fails LOUD at the converter
+    val bad = RemoteWrite.convertClassicToNhcb(
+      classicRows(6.0, Seq("0.5" -> 5.0, "1" -> 3.0)))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("non-monotone classic ladder"))
+  }
+
   test("backfillRecorded forwards a recording rule's lattice downstream, executor-side") {
     // upstream's recommended long-term-storage payload: aggregated
     // rule outputs. Engine A's 30s sum-by rule over a 60s corpus span
