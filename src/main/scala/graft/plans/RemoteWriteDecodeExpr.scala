@@ -70,7 +70,11 @@ case class RemoteWriteHistDecodeExpr(child: Expression)
     StructField("deltas", ArrayType(LongType, containsNull = false)),
     StructField("neg_offs", ArrayType(IntegerType, containsNull = false)),
     StructField("neg_lens", ArrayType(IntegerType, containsNull = false)),
-    StructField("neg_deltas", ArrayType(LongType, containsNull = false))))
+    StructField("neg_deltas", ArrayType(LongType, containsNull = false)),
+    // prompb ResetHint (field 14): 0 UNKNOWN, 1 YES, 2 NO, 3 GAUGE —
+    // carried relationally so gauge-type families keep hint semantics
+    // through this tier too (the serving door's chunk appender reads it)
+    StructField("reset_hint", IntegerType)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -93,7 +97,8 @@ case class RemoteWriteHistDecodeExpr(child: Expression)
           new GenericArrayData(h.deltas.toArray),
           new GenericArrayData(h.negOffs.toArray),
           new GenericArrayData(h.negLens.toArray),
-          new GenericArrayData(h.negDeltas.toArray))
+          new GenericArrayData(h.negDeltas.toArray),
+          h.resetHint)
       }
     }
   }
@@ -124,7 +129,8 @@ case class RemoteWriteFHistDecodeExpr(child: Expression)
     StructField("deltas", ArrayType(DoubleType, containsNull = false)),
     StructField("neg_offs", ArrayType(IntegerType, containsNull = false)),
     StructField("neg_lens", ArrayType(IntegerType, containsNull = false)),
-    StructField("neg_deltas", ArrayType(DoubleType, containsNull = false))))
+    StructField("neg_deltas", ArrayType(DoubleType, containsNull = false)),
+    StructField("reset_hint", IntegerType)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -147,7 +153,8 @@ case class RemoteWriteFHistDecodeExpr(child: Expression)
           new GenericArrayData(h.counts.toArray),
           new GenericArrayData(h.negOffs.toArray),
           new GenericArrayData(h.negLens.toArray),
-          new GenericArrayData(h.negCounts.toArray))
+          new GenericArrayData(h.negCounts.toArray),
+          h.resetHint)
       }
     }
   }

@@ -1042,7 +1042,8 @@ object RemoteWrite {
     payloads.select(col("recv_ts"),
       expr("prom_rw_decode_hist(proto)")
         .as(Seq("labels", "ts_ms", "schema", "count", "sum", "zero_count",
-          "offs", "lens", "deltas", "neg_offs", "neg_lens", "neg_deltas")))
+          "offs", "lens", "deltas", "neg_offs", "neg_lens", "neg_deltas",
+          "reset_hint")))
   }
 
   /** Relational decode of FLOAT-form native-histogram payloads — the
@@ -1056,7 +1057,8 @@ object RemoteWrite {
     payloads.select(col("recv_ts"),
       expr("prom_rw_decode_fhist(proto)")
         .as(Seq("labels", "ts_ms", "schema", "count", "sum", "zero_count",
-          "offs", "lens", "deltas", "neg_offs", "neg_lens", "neg_deltas")))
+          "offs", "lens", "deltas", "neg_offs", "neg_lens", "neg_deltas",
+          "reset_hint")))
   }
 
   /** a1j — native histograms over remote write, b37c carried onto the
@@ -1082,13 +1084,15 @@ object RemoteWrite {
     //       5A 04 08 06 10 02   span {offset zigzag(3), length 2}
     //       62 04 06 01 04 00   packed deltas: zigzag [3, -1, 2, 0]
     //       78 E8 07        timestamp = 1000
-    //   0A 2C  timeseries#2, 44 bytes:
+    //   0A 2E  timeseries#2, 46 bytes:
     //     0A 12  label: __name__ = "req_ms"
     //     0A 06  label: k = "b"
-    //     22 0E  histogram, 14 bytes:
+    //     22 10  histogram, 16 bytes:
     //       20 06           schema: zigzag(3) = 6
     //       5A 04 08 03 10 01   span {offset zigzag(-2) = 3, length 1}
     //       62 01 0E        packed deltas: zigzag [7] = 0x0E
+    //       70 03           reset_hint = GAUGE (field 14 — carried
+    //                       relationally since r16, pinned here)
     //       78 D0 0F        timestamp = 2000
     val payload = hexBytes(
       "0A40" +
@@ -1101,22 +1105,25 @@ object RemoteWrite {
         "5A0408001002" + "5A0408061002" +
         "620406010400" +
         "78E807" +
-      "0A2C" +
+      "0A2E" +
         "0A12" + "0A085F5F6E616D655F5F" + "1206" + "7265715F6D73" +
         "0A06" + "0A016B" + "120162" +
-        "220E" +
+        "2210" +
         "2006" +
         "5A0408031001" +
         "62010E" +
+        "7003" +
         "78D00F")
     val payloads = Seq(payload).toDF("proto")
       .withColumn("recv_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
     val hists = decodeHist(payloads).select(
       element_at(col("labels"), "__name__").as("metric"),
       element_at(col("labels"), "k").as("label_k"),
-      col("ts_ms"), col("schema"), col("offs"), col("lens"), col("deltas"))
+      col("ts_ms"), col("schema"), col("reset_hint"),
+      col("offs"), col("lens"), col("deltas"))
     graft.operators.Metrics
-      .decodeWireSpans(hists, Seq("metric", "label_k", "ts_ms", "schema"))
+      .decodeWireSpans(hists,
+        Seq("metric", "label_k", "ts_ms", "schema", "reset_hint"))
       .orderBy(col("metric"), col("label_k"), col("ts_ms"), col("bucket"))
   }
 
@@ -2013,12 +2020,12 @@ object RemoteWrite {
     */
   val WireDecodeHistSql: String =
     """SELECT * FROM (VALUES
-      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 0, CAST(3 AS BIGINT)),
-      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 1, CAST(2 AS BIGINT)),
-      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 5, CAST(4 AS BIGINT)),
-      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 6, CAST(4 AS BIGINT)),
-      |  ('req_ms', 'b', CAST(2000 AS BIGINT), 3, -2, CAST(7 AS BIGINT))
-      |) w(metric, label_k, ts_ms, schema, bucket, bucket_count)
+      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 0, 0, CAST(3 AS BIGINT)),
+      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 0, 1, CAST(2 AS BIGINT)),
+      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 0, 5, CAST(4 AS BIGINT)),
+      |  ('req_ms', 'a', CAST(1000 AS BIGINT), 3, 0, 6, CAST(4 AS BIGINT)),
+      |  ('req_ms', 'b', CAST(2000 AS BIGINT), 3, 3, -2, CAST(7 AS BIGINT))
+      |) w(metric, label_k, ts_ms, schema, reset_hint, bucket, bucket_count)
       |ORDER BY metric, label_k, ts_ms, bucket""".stripMargin
 
   private[graft] def hexBytes(hex: String): Array[Byte] =

@@ -573,6 +573,37 @@ class RemoteReadSpec extends SparkTestBase {
     assert(ChunkWalk.chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 2)))
   }
 
+  test("a gauge family through the GENERATOR never reset-cuts on the door") {
+    // the r15 bound closed: prom_rw_decode_hist now carries reset_hint
+    // relationally, so a gauge-type family pushed over the wire keeps
+    // its hint through the relational tier and serves as ONE hint-3
+    // chunk despite decreasing counts — no bogus 'counter reset' cuts
+    import graft.sources.RemoteWrite.Hist
+    def h(ts: Long, c: Long) = Hist(ts, 0, Vector(0), Vector(1),
+      Vector(c), c, c * 0.5, 0L, resetHint = 3)
+    val payload = RemoteWrite.encode(Seq(RemoteWrite.Series(
+      Vector("__name__" -> "g_wire"), Vector.empty,
+      hists = Vector(h(1000L, 10L), h(2000L, 4L), h(3000L, 8L)))))
+    val payloads = Seq(payload).toDF("proto")
+      .withColumn("recv_ts", org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val src = RemoteWrite.decodeHist(payloads)
+    // the generator's relation carries the hint column
+    assert(src.columns.contains("reset_hint"))
+    assert(src.select("reset_hint").as[Int].collect().toSeq === Seq(3, 3, 3))
+    val q = ReadQuery(0L, Long.MaxValue >> 10,
+      Seq(Matcher(0, "__name__", "g_wire")))
+    val req = RemoteWrite.compress(RemoteRead.encodeRequest(Seq(q), Seq(1L)))
+    val p = RemoteRead.prepareRead(spark, dir, req, hists = Some(src))
+    val bos = new java.io.ByteArrayOutputStream()
+    p.writeTo(bos)
+    assert(ChunkWalk.chunkHints(bos.toByteArray).filter(_._1 == 2L)
+      === Seq((2L, 3)))
+    assert(RemoteRead.walkStreamed(bos.toByteArray).flatMap(_._2.hists)
+      .map(x => (x.tsMs, x.count)) === Seq((1000L, 10L), (2000L, 4L),
+      (3000L, 8L)))
+  }
+
   test("HTTP: a streamed-first client reads the same series as a SAMPLES client") {
     val server = QueryEndpoint.start(spark, dir)
     try {

@@ -84,13 +84,15 @@ class RemoteWriteSpec extends SparkTestBase {
 
   test("hand-assembled native-histogram payload walks to the hand-derived buckets") {
     val rows = RemoteWrite.wireDecodeHist(spark)
-      .as[(String, String, Long, Int, Int, Long)].collect().toSeq
+      .as[(String, String, Long, Int, Int, Int, Long)].collect().toSeq
+    // series b's histogram carries reset_hint GAUGE (3) on the wire —
+    // the decode relation carries it relationally since r16
     assert(rows === Seq(
-      ("req_ms", "a", 1000L, 3, 0, 3L),
-      ("req_ms", "a", 1000L, 3, 1, 2L),
-      ("req_ms", "a", 1000L, 3, 5, 4L),
-      ("req_ms", "a", 1000L, 3, 6, 4L),
-      ("req_ms", "b", 2000L, 3, -2, 7L)))
+      ("req_ms", "a", 1000L, 3, 0, 0, 3L),
+      ("req_ms", "a", 1000L, 3, 0, 1, 2L),
+      ("req_ms", "a", 1000L, 3, 0, 5, 4L),
+      ("req_ms", "a", 1000L, 3, 0, 6, 4L),
+      ("req_ms", "b", 2000L, 3, 3, -2, 7L)))
   }
 
   test("v2: hand-assembled symbol-table Request resolves to the hand-derived samples") {
