@@ -155,11 +155,25 @@ object MetricStream {
   case class RuleSample(record: String, label_k: String, ts_ms: Long,
       value: Double)
 
-  /** Rule-loop keyed state: the cents already folded into emitted
-    * instants, the last emitted instant, and the not-yet-closed events.
+  /** One rule a [[streamingRuleFile]] stream serves: `gauge = false`
+    * is the fast-shape counter rule `sum by (k) (<family>)` (exact
+    * running cents); `gauge = true` is the gauge twin — per-series
+    * last-write-wins folded at each lattice instant, the present
+    * series' values summed through DECIMAL(38,12) exactly like the
+    * batch grid's gauge arm ([[graft.promql.Compiler]]
+    * gridGaugeInstants), so stream ≡ batch stays bit-exact.
     */
-  case class RuleLoopState(appliedCents: Long, emittedThroughMs: Long,
-      pending: Vector[(Long, Long)])
+  case class StreamRule(record: String, family: String, gauge: Boolean,
+      intervalMs: Long)
+
+  /** Rule-file keyed state: the counter arm's folded cents, the gauge
+    * arm's per-series (instance) last-write-wins, the last emitted
+    * instant, and the not-yet-closed events.
+    */
+  case class RuleFileState(appliedCents: Long,
+      lww: Map[String, (Long, Long, Double)],
+      emittedThroughMs: Long,
+      pending: Vector[(Long, Long, String, Long, Double)])
 
   /** The RULE LOOP as a stream: a fast-shape counter rule
     * (`sum by (k) (<counter>)`) maintained incrementally. Keyed state
@@ -189,74 +203,125 @@ object MetricStream {
     */
   def streamingRuleLoop(events: DataFrame, record: String,
       counterName: String, intervalMs: Long, anchorMs: Long,
+      watermark: String = "0 seconds"): Dataset[RuleSample] =
+    streamingRuleFile(events,
+      Seq(StreamRule(record, counterName, gauge = false, intervalMs)),
+      anchorMs, watermark)
+
+  /** A whole RULE FILE as one stream — the multi-rule, multi-kind
+    * generalization of [[streamingRuleLoop]]: counter-sum rules keep
+    * exact running cents, gauge rules keep per-series last-write-wins
+    * (ties on (event time, event_id), the engine's deterministic LWW
+    * everywhere), and every rule rides its own interval off the shared
+    * anchor. One stateful operator serves the file: each event row
+    * fans out to one row per rule SLOT (a Generate ABOVE the watermark
+    * node — never a filter, which Spark would push below it and
+    * filtered-out families would stop advancing event time); a slot
+    * whose rule the row doesn't feed carries the empty key (watermark
+    * carrier: no state, no output). Post-anchor events route to the
+    * empty key too — they can never land inside a served instant, so
+    * admitting them would only grow pending state.
+    *
+    * Stream ≡ batch per rule: emitted samples equal
+    * [[graft.promql.Rules.recordedSeriesRelation]]'s rows for the same
+    * rule file once the watermark passes `anchorMs` (StreamingSpec pins
+    * a counter + gauge file row-for-row). The gauge arm's group value
+    * sums the present series' LWW doubles through DECIMAL(38,12) —
+    * `BigDecimal.valueOf` + scale 12 HALF_UP — the exact arithmetic of
+    * the batch grid's gauge `sum by`, so the two tiers agree to the
+    * bit.
+    *
+    * 100 TB shape: state is O(rules × groups × series-per-group) + the
+    * under-watermark event tail; emission ∝ instants crossed, never
+    * events.
+    */
+  def streamingRuleFile(events: DataFrame, rules: Seq[StreamRule],
+      anchorMs: Long,
       watermark: String = "0 seconds"): Dataset[RuleSample] = {
+    require(rules.nonEmpty, "empty rule file")
     val spark = events.sparkSession
     import spark.implicits._
-    // which rows the rule consumes: its counter family, at or before
-    // the anchor (later events can never land inside a served instant —
-    // admitting them would grow pending state without bound)
-    val ruleRow = col("kind") === "counter" && col("value") >= 0 &&
-      col("name") === counterName && unix_millis(col("ts")) <= anchorMs
+    val byIdx = rules.toIndexedSeq
+    val slots = array(byIdx.zipWithIndex.map { case (r, i) =>
+      val feeds = col("name") === r.family &&
+        unix_millis(col("ts")) <= anchorMs &&
+        (if (r.gauge) col("kind") === "gauge"
+        else col("kind") === "counter" && col("value") >= 0)
+      when(feeds, concat(lit(s"$i|"), col("label_k"))).otherwise(lit(""))
+    }: _*)
     Metrics.metricEventsOf(events)
       // watermark BEFORE any shaping: any event advances event time, so
-      // other families' traffic closes this rule's instants
+      // other families' traffic closes every rule's instants
       .withWatermark("ts", watermark)
-      // deliberately NO filter between here and the stateful operator —
-      // a relational filter would be PUSHED BELOW the watermark node
-      // and filtered-out families would stop advancing event time.
-      // Non-rule rows keep flowing as watermark-only carriers under the
-      // empty key (no state, no output); the watermarked `ts` column
-      // survives projection because the event-time timeout reads it
-      .select(when(ruleRow, col("label_k")).otherwise(lit("")).as("k"),
-        col("ts"),
-        when(ruleRow, round(col("value") * 100, 0).cast("long"))
-          .otherwise(lit(null)).as("cents"))
-      .as[(String, java.sql.Timestamp, Option[Long])]
-      .groupByKey(_._1)
+      .select(col("ts"), col("label_instance"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("value"), explode(slots).as("k"))
+      .as[(java.sql.Timestamp, String, Long, Long, Double, String)]
+      .groupByKey(_._6)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
-        (k: String,
-            rows: Iterator[(String, java.sql.Timestamp, Option[Long])],
-            state: GroupState[RuleLoopState]) => {
-          val newEv =
-            if (k.isEmpty) Vector.empty
-            else rows.flatMap(r => r._3.map(c => (r._2.getTime, c))).toVector
-          if (k.isEmpty || (newEv.isEmpty && state.getOption.isEmpty))
-            Iterator.empty
+        (key: String,
+            rows: Iterator[(java.sql.Timestamp, String, Long, Long,
+              Double, String)],
+            state: GroupState[RuleFileState]) => {
+          if (key.isEmpty) Iterator.empty
           else {
-            val wm = state.getCurrentWatermarkMs()
-            val st0 = state.getOption.getOrElse {
-              // first instant ≥ the group's first event = birth; seed
-              // the cursor one interval below it
-              val firstTs = newEv.map(_._1).min
-              val kk = (anchorMs - firstTs) / intervalMs
-              RuleLoopState(0L, anchorMs - (kk + 1) * intervalMs,
-                Vector.empty)
+            val rule = byIdx(key.takeWhile(_ != '|').toInt)
+            val labelK = key.drop(key.indexOf('|') + 1)
+            val newEv = rows
+              .map(r => (r._1.getTime, r._3, r._2, r._4, r._5)).toVector
+            if (newEv.isEmpty && state.getOption.isEmpty) Iterator.empty
+            else {
+              val wm = state.getCurrentWatermarkMs()
+              val st0 = state.getOption.getOrElse {
+                // first instant ≥ the group's first event = birth; seed
+                // the cursor one interval below it
+                val firstTs = newEv.map(_._1).min
+                val kk = (anchorMs - firstTs) / rule.intervalMs
+                RuleFileState(0L, Map.empty,
+                  anchorMs - (kk + 1) * rule.intervalMs, Vector.empty)
+              }
+              var applied = st0.appliedCents
+              var lww = st0.lww
+              var thru = st0.emittedThroughMs
+              var pending = st0.pending ++ newEv
+              val out = Vector.newBuilder[RuleSample]
+              var inst = thru + rule.intervalMs
+              // an instant closes only when the watermark is STRICTLY
+              // past it — Spark still admits events stamped AT the
+              // watermark, so `inst == wm` could yet receive an on-time
+              // sample the batch lattice (closed-right) would count
+              while (inst <= anchorMs && inst < wm) {
+                val (now, later) = pending.partition(_._1 <= inst)
+                pending = later
+                if (rule.gauge) {
+                  now.foreach { case (ts, eid, instLbl, _, v) =>
+                    val cur = lww.get(instLbl)
+                    if (cur.isEmpty || ts > cur.get._1 ||
+                      (ts == cur.get._1 && eid > cur.get._2))
+                      lww += instLbl -> ((ts, eid, v))
+                  }
+                  if (lww.nonEmpty)
+                    out += RuleSample(rule.record, labelK, inst,
+                      lww.values.map(x => BigDecimal.valueOf(x._3)
+                        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+                        .sum.toDouble)
+                } else {
+                  applied += now.map(_._4).sum
+                  out += RuleSample(rule.record, labelK, inst,
+                    applied / 100.0)
+                }
+                thru = inst
+                inst += rule.intervalMs
+              }
+              state.update(RuleFileState(applied, lww, thru, pending))
+              // wake when the next instant can close; Spark requires
+              // the timeout strictly past the current watermark, so an
+              // instant sitting exactly ON it re-arms one tick later
+              if (thru < anchorMs) state.setTimeoutTimestamp(
+                math.max(thru + rule.intervalMs, wm + 1L))
+              out.result().iterator
             }
-            var applied = st0.appliedCents
-            var thru = st0.emittedThroughMs
-            var pending = st0.pending ++ newEv
-            val out = Vector.newBuilder[RuleSample]
-            var inst = thru + intervalMs
-            // an instant closes only when the watermark is STRICTLY
-            // past it — Spark still admits events stamped AT the
-            // watermark, so `inst == wm` could yet receive an on-time
-            // sample the batch lattice (closed-right) would count
-            while (inst <= anchorMs && inst < wm) {
-              val (now, later) = pending.partition(_._1 <= inst)
-              applied += now.map(_._2).sum
-              pending = later
-              out += RuleSample(record, k, inst, applied / 100.0)
-              thru = inst
-              inst += intervalMs
-            }
-            state.update(RuleLoopState(applied, thru, pending))
-            // wake when the next instant can close; Spark requires the
-            // timeout strictly past the current watermark, so an
-            // instant sitting exactly ON it re-arms one tick later
-            if (thru < anchorMs) state.setTimeoutTimestamp(
-              math.max(thru + intervalMs, wm + 1L))
-            out.result().iterator
           }
         })
   }

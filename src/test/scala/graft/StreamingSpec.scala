@@ -91,6 +91,60 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a 2-rule file (counter + gauge) as ONE stream ≡ the batch lattice") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.element_at
+    // counter rule over click (running cents) + gauge rule over signup
+    // (per-series LWW summed through DECIMAL(38,12)) in ONE stream.
+    // signup a has TWO instances (user 1: 5.0 → 7.5 mid-lattice;
+    // user 2: 2.5), so the gauge group value is a real multi-series
+    // LWW sum, not a single latest
+    val clicks = Seq(
+      raw(0, 10, 1.5, "a"), raw(1, 40, 2.25, "a"), raw(2, 11, 4.0, "b"))
+    val sigs = Seq(
+      raw(3, 10, 5.0, "a").copy(event_type = "signup"),
+      raw(4, 25, 7.5, "a").copy(event_type = "signup"),
+      raw(5, 15, 2.5, "a").copy(event_type = "signup", user_id = 2L),
+      raw(6, 11, 3.25, "b").copy(event_type = "signup"))
+    val rows = clicks ++ sigs
+    val dir = fixture("events" -> rows.toDF())
+    val batchRules = Seq(
+      graft.promql.Rules.RecordingRule("k_click10m",
+        "sum by (k) (click)", intervalS = 600),
+      graft.promql.Rules.RecordingRule("k_sig10m",
+        "sum by (k) (signup)", intervalS = 600))
+    val want = batchRules.flatMap { r =>
+      graft.promql.Rules.recordedSeriesRelation(spark, dir, r)
+        .select(element_at($"labels", "__name__"),
+          element_at($"labels", "k"), $"ts_ms", $"value")
+        .as[(String, String, Long, Double)].collect().toSeq
+    }.sorted
+    val anchorMs = rows.map(_.ts.getTime).max
+    val mem = MemoryStream[RawEvent]
+    val out = MetricStream.streamingRuleFile(mem.toDF(), Seq(
+      MetricStream.StreamRule("k_click10m", "click", gauge = false, 600000L),
+      MetricStream.StreamRule("k_sig10m", "signup", gauge = true, 600000L)),
+      anchorMs)
+    val q = out.writeStream.format("memory").queryName("rule_file")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.filter(_.ts.getTime < anchorMs): _*)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_.ts.getTime == anchorMs): _*)
+      q.processAllAvailable()
+      // sentinel batches of ANOTHER family close the tail instants via
+      // event-time timeouts — quiet-group repeats included
+      mem.addData(raw(7, 55, 1.0, "zz").copy(event_type = "noise"))
+      q.processAllAvailable()
+      mem.addData(raw(8, 58, 1.0, "zz").copy(event_type = "noise"))
+      q.processAllAvailable()
+      val got = spark.table("rule_file")
+        .as[MetricStream.RuleSample].collect().toSeq
+        .map(s => (s.record, s.label_k, s.ts_ms, s.value)).sorted
+      assert(got === want, "stream ≡ batch for the 2-rule file")
+    } finally q.stop()
+  }
+
   test("running keyed state accumulates across batches like the batch snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RawEvent]
