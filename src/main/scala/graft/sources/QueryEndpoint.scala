@@ -168,7 +168,9 @@ object QueryEndpoint {
       alertmanagers: Seq[(String, AlertNotifier)] = Nil,
       readSampleLimit: Long = RemoteRead.DefaultSampleLimit,
       readHists: Option[org.apache.spark.sql.DataFrame] = None,
-      readFHists: Option[org.apache.spark.sql.DataFrame] = None): HttpServer = {
+      readFHists: Option[org.apache.spark.sql.DataFrame] = None,
+      readSampleBytesLimit: Long =
+        RemoteRead.DefaultSampleBytesLimit): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     // remote-write receiver: POST of a snappy-framed WriteRequest; 204
     // on accept (upstream's receiver contract), 400 on malformed bytes,
@@ -245,7 +247,8 @@ object QueryEndpoint {
               ex.getRequestBody.readAllBytes(),
               sampleLimit = readSampleLimit,
               hists = readHists, fhists = readFHists,
-              recorded = recorded)
+              recorded = recorded,
+              sampleBytesLimit = readSampleBytesLimit)
             prepared match {
               case RemoteRead.SamplesAnswer(body) =>
                 ex.getResponseHeaders.set("Content-Type",

@@ -76,6 +76,23 @@ object RemoteRead {
   /** Upstream's remote-read sample budget (5e7 samples per request). */
   val DefaultSampleLimit: Long = 50000000L
 
+  /** The SAMPLES face's BYTE budget: that face materializes the whole
+    * response as driver rows before encoding (inherent to its
+    * single-message envelope), and a sample-COUNT bound alone lets a
+    * wide-histogram selection allocate gigabytes while staying under
+    * 5e7 samples. The projected size — samples × an estimated wire
+    * width per kind (16 B floats, 32 B + 3 B/bucket integer
+    * histograms, 32 B + 9 B/bucket float ones) — refuses with 413
+    * BEFORE materialization. Default = the sample limit × the float
+    * width, so float-only selections refuse at the same point as
+    * before and only genuinely wider rows refuse earlier. The STREAMED
+    * face is exempt: its driver memory is one partition + one chunk +
+    * one frame regardless of selection size (upstream likewise ignores
+    * the read sample limit on the chunked protocol's account of its
+    * bounded memory).
+    */
+  val DefaultSampleBytesLimit: Long = DefaultSampleLimit * 16L
+
   /** Upstream's streamed-face frame budget (~1 MiB of chunk payload per
     * CRC frame before the writer cuts it).
     */
@@ -733,22 +750,46 @@ object RemoteRead {
       frameBytes: Int = DefaultFrameBytes,
       hists: Option[DataFrame] = None,
       fhists: Option[DataFrame] = None,
-      recorded: Option[DataFrame] = None): PreparedRead = {
+      recorded: Option[DataFrame] = None,
+      sampleBytesLimit: Long = DefaultSampleBytesLimit): PreparedRead = {
     val raw = RemoteWrite.uncompress(body)
     val queries = walkRequest(raw)
     val resType = negotiate(acceptedTypes(raw))
-    // the response budget: one cheap count aggregate per query (column-
-    // pruned scan, map-side combined) buys a clean 413 on BOTH faces —
-    // the SAMPLES face would otherwise OOM collecting before it could
-    // refuse, the streamed face would truncate mid-stream
-    val total = queries.map { q =>
-      matched(spark, dir, q).count() +
-        recorded.map(r => matchedHists(r, q).count()).getOrElse(0L) +
-        hists.map(h => matchedHists(h, q).count()).getOrElse(0L) +
-        fhists.map(h => matchedHists(h, q).count()).getOrElse(0L)
-    }.sum
+    // one (count, projected-bytes) aggregate per histogram source per
+    // query — column-pruned scan (sample columns never read beyond the
+    // bucket-array SIZE), map-side combined
+    def histCountBytes(df: DataFrame, perBucket: Long): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(lit(32L) + lit(perBucket) *
+          (size(col("deltas")) + size(col("neg_deltas"))).cast("long")),
+          lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // the response budgets: cheap aggregates buy a clean 413 BEFORE any
+    // response byte exists. The sample COUNT bounds BOTH faces (the
+    // upstream read limit); the projected BYTES bound the SAMPLES face
+    // only — it materializes the response as driver rows, where a
+    // wide-histogram selection could allocate gigabytes under the
+    // count, while the streamed face's memory is bounded regardless
+    val perQuery = queries.map { q =>
+      val flt = matched(spark, dir, q).count()
+      val rec = recorded.map(r => matchedHists(r, q).count()).getOrElse(0L)
+      val (hc, hb) = hists.map(h => histCountBytes(matchedHists(h, q), 3L))
+        .getOrElse((0L, 0L))
+      val (fc, fb) = fhists.map(h => histCountBytes(matchedHists(h, q), 9L))
+        .getOrElse((0L, 0L))
+      (flt + rec + hc + fc, (flt + rec) * 16L + hb + fb)
+    }
+    val total = perQuery.map(_._1).sum
     if (total > sampleLimit) throw new LimitExceeded(
       s"query would return $total samples, over the $sampleLimit limit")
+    val totalBytes = perQuery.map(_._2).sum
+    if (resType != 1L && totalBytes > sampleBytesLimit)
+      throw new LimitExceeded(
+        s"query would materialize ~$totalBytes response bytes on the " +
+          s"SAMPLES face, over the $sampleBytesLimit limit; the " +
+          "STREAMED_XOR_CHUNKS response type serves this selection " +
+          "with bounded memory")
     if (resType == 1L)
       new StreamedAnswer(out => {
         val w = new ChunkFrameWriter(out, samplesPerChunk, frameBytes)

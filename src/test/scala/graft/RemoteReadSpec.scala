@@ -573,6 +573,36 @@ class RemoteReadSpec extends SparkTestBase {
     assert(ChunkWalk.chunkHints(bos.toByteArray) === Seq((2L, 0), (2L, 2)))
   }
 
+  test("the SAMPLES face refuses on projected BYTES; the streamed face is exempt") {
+    // a wide-histogram selection can sit far under the 5e7-sample
+    // count while projecting gigabytes of driver rows on the SAMPLES
+    // face — the byte budget (samples x width per kind) refuses it
+    // with 413 BEFORE materialization, while the streamed face serves
+    // the same selection with bounded memory
+    val wide = Seq((Map("__name__" -> "w_hist"), 1000L, 0,
+      Seq(0), Seq(500), (1L to 500L).map(_ => 1L), 500L, 1.0, 0L,
+      Seq.empty[Int], Seq.empty[Int], Seq.empty[Long]))
+      .toDF("labels", "ts_ms", "schema", "offs", "lens", "deltas",
+        "count", "sum", "zero_count", "neg_offs", "neg_lens",
+        "neg_deltas")
+    val q = ReadQuery(0L, Long.MaxValue >> 10,
+      Seq(Matcher(0, "__name__", "w_hist")))
+    def prepared(types: Seq[Long]) = RemoteRead.prepareRead(spark, dir,
+      RemoteWrite.compress(RemoteRead.encodeRequest(Seq(q), types)),
+      hists = Some(wide),
+      // 1 sample x (32 + 3*500) = 1532 projected bytes > 1000;
+      // the sample limit stays far away
+      sampleBytesLimit = 1000L)
+    val e = intercept[RemoteRead.LimitExceeded](prepared(Seq(0L)))
+    assert(e.getMessage.contains("SAMPLES face") &&
+      e.getMessage.contains("STREAMED_XOR_CHUNKS"))
+    // the streamed face serves the identical selection and budget
+    val bos = new java.io.ByteArrayOutputStream()
+    prepared(Seq(1L)).writeTo(bos)
+    assert(RemoteRead.walkStreamed(bos.toByteArray).flatMap(_._2.hists)
+      .map(_.count) === Seq(500L))
+  }
+
   test("a gauge family through the GENERATOR never reset-cuts on the door") {
     // the r15 bound closed: prom_rw_decode_hist now carries reset_hint
     // relationally, so a gauge-type family pushed over the wire keeps
