@@ -84,12 +84,45 @@ object Downsample {
 
   /** Drop the cached (possibly persisted) faces of `(spark, dir)` —
     * the restart simulation `MaterializeSpec` drives before seeding.
+    * The shared nh-observation relation evicts with them (it derives
+    * from the same events view, so a tombstone must not keep serving
+    * deleted series through any cached derivation).
     */
-  private[graft] def evictRollups(spark: SparkSession, dir: String): Unit =
+  private[graft] def evictRollups(spark: SparkSession, dir: String): Unit = {
     RollupFaces.foreach { face =>
       Option(rollupCache.remove((spark, dir, face)))
         .foreach(df => if (df.storageLevel.useMemory) df.unpersist())
     }
+    Option(nhObsCache.remove((spark, dir))).foreach(_.unpersist())
+  }
+
+  /** Session-cached NH-BUCKETIZED observation relation: every
+    * histogram-kind observation with its sparse exponential bucket id
+    * (null out of the literal bounds' range) and zero flag — ONE
+    * scalar bucketization pass per (session, sf), shared by the
+    * pyramid's native faces ([[nhTotRollupRaw]]/[[nhBkRollupRaw]], the
+    * p90/p91 path) and the dense-grid native quantile
+    * ([[graft.promql.Compiler]] gridNativeHqInstants, the p82 path).
+    * The TSDB analog: bucketize once at ingest, not once per reader.
+    * Evicted with the rollup faces on every admin mutation.
+    */
+  private val nhObsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def nhObsCached(spark: SparkSession,
+      dir: String): DataFrame =
+    nhObsCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => nhObsCache.remove(k))
+      Metrics.metricEvents(spark, dir)
+        .filter(col("kind") === "histogram")
+        .select(col("name"), col("label_k"), col("label_instance"),
+          col("ts"), col("value"),
+          when(col("value") > Metrics.NhLoMin &&
+            col("value") <= Metrics.NhHiMax,
+            Metrics.nhBucketCol(col("value"))).as("bucket"),
+          (col("value") === 0.0).as("iszero"))
+        .persist()
+    })
 
   /** The cached 1h composition-carrying rollup ([[rollupRaw]]). */
   private[graft] def rollup1hCached(spark: SparkSession, dir: String): DataFrame =
@@ -440,12 +473,12 @@ object Downsample {
   private[graft] def nhTotRollupRaw(spark: SparkSession, dir: String,
       resS: Long): DataFrame = {
     require(resS > 0, "rollup resolution must be positive")
-    Metrics.metricEvents(spark, dir)
-      .filter(col("kind") === "histogram")
+    nhObsCached(spark, dir)
+      .withColumn("kind", lit("histogram"))
       .withColumn("bucket_s", bucketCol(resS))
       .groupBy((Key :+ "bucket_s").map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sum(when(col("value") === 0.0, 1L).otherwise(0L)).as("zero"))
+        sum(when(col("iszero"), 1L).otherwise(0L)).as("zero"))
   }
 
   /** Sparse-bucket face: per-(series, bucket, nh-bucket) counts over
@@ -456,11 +489,10 @@ object Downsample {
   private[graft] def nhBkRollupRaw(spark: SparkSession, dir: String,
       resS: Long): DataFrame = {
     require(resS > 0, "rollup resolution must be positive")
-    Metrics.metricEvents(spark, dir)
-      .filter(col("kind") === "histogram")
-      .filter(col("value") > Metrics.NhLoMin && col("value") <= Metrics.NhHiMax)
+    nhObsCached(spark, dir)
+      .filter(col("bucket").isNotNull)
+      .withColumn("kind", lit("histogram"))
       .withColumn("bucket_s", bucketCol(resS))
-      .withColumn("bucket", Metrics.nhBucketCol(col("value")))
       .groupBy((Key :+ "bucket_s" :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("c"))
   }

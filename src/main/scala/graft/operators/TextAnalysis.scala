@@ -2100,6 +2100,9 @@ object TextAnalysis {
     import scala.jdk.CollectionConverters._
     bpeStateCache.keySet.asScala.filter(_._1 eq spark)
       .foreach(bpeStateCache.remove(_))
+    bpeDocsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(bpeDocsCache.remove(k)).foreach(_.unpersist())
+    }
   }
 
   private def bpeTrainStateUncached(spark: SparkSession, dir: String,
@@ -2170,32 +2173,60 @@ object TextAnalysis {
     */
   val BpeEncodeRounds = 8
 
-  def bpeEncode(spark: SparkSession, dir: String,
-      rounds: Int = BpeEncodeRounds): DataFrame = {
+  /** Session-scoped cache of the ENCODED CORPUS under the frozen
+    * 8-round tokenizer: one `(doc_id, source, n_words, n_chars, ids)`
+    * row per document, persisted once per (session, sf). x73 (per-doc
+    * stats), x75 (per-language rollup), and x93 (token-gram
+    * decontamination) all read it, so the corpus-sized word explode +
+    * broadcast vocab join + per-doc ordered fold runs ONCE per session
+    * instead of three times — the in-session analog of the
+    * materialized token-id table every training pipeline keeps next to
+    * its corpus.
+    */
+  private val bpeDocsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def bpeEncodedDocs(spark: SparkSession,
+      dir: String): DataFrame =
+    bpeDocsCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => bpeDocsCache.remove(k))
+      encodedDocsUncached(spark, dir, BpeEncodeRounds).persist()
+    })
+
+  private def encodedDocsUncached(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     val (_, vocab) = bpeTrainState(spark, dir, rounds)
     val enc = vocab.select(col("w0").as("word"),
       expr("transform(sequence(1, length(w)), i -> " +
         s"CASE WHEN ascii(substring(w, i, 1)) >= $BpeSymbolBase " +
         s"THEN 256 + ascii(substring(w, i, 1)) - $BpeSymbolBase " +
         "ELSE ascii(substring(w, i, 1)) END)").as("ids"))
-    val docWords = Tables.documents(spark, dir)
-      .select(col("doc_id"),
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
       .filter(length(col("word")) >= 1)
-    docWords.join(broadcast(enc), Seq("word"))
-      .groupBy(col("doc_id"))
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word"))).as("n_chars"),
-        sum(size(col("ids"))).as("n_bpe_tokens"),
-        array_join(transform(
-            sort_array(collect_list(struct(col("pos").as("p"),
-              array_join(col("ids"), "-").as("s")))),
-            x => x.getField("s")), "-").as("ids_str"))
+        expr("flatten(transform(sort_array(collect_list(struct(pos, ids))), x -> x.ids))")
+          .as("ids"))
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = BpeEncodeRounds): DataFrame = {
+    // the frozen-tokenizer form reads the shared cached encoding;
+    // other round counts (the spec's 12-round run) build uncached
+    val docs =
+      if (rounds == BpeEncodeRounds) bpeEncodedDocs(spark, dir)
+      else encodedDocsUncached(spark, dir, rounds)
+    docs
       .select(col("doc_id"), col("n_words"), col("n_chars"),
-        col("n_bpe_tokens"),
-        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+        size(col("ids")).cast("long").as("n_bpe_tokens"),
+        (col("n_chars").cast("double") / size(col("ids")).cast("double"))
           .as("compression"),
-        col("ids_str"))
+        array_join(transform(col("ids"), x => x.cast("string")), "-")
+          .as("ids_str"))
       .orderBy(col("doc_id"))
   }
 
@@ -2477,20 +2508,10 @@ object TextAnalysis {
     * docs whose words never entered the trainer vocabulary.
     */
   def tokenContamination(spark: SparkSession, dir: String): DataFrame = {
-    val (_, vocab) = bpeTrainState(spark, dir, BpeEncodeRounds)
-    val enc = vocab.select(col("w0").as("word"),
-      expr("transform(sequence(1, length(w)), i -> " +
-        s"CASE WHEN ascii(substring(w, i, 1)) >= $BpeSymbolBase " +
-        s"THEN 256 + ascii(substring(w, i, 1)) - $BpeSymbolBase " +
-        "ELSE ascii(substring(w, i, 1)) END)").as("ids"))
-    val docIds = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
-      .filter(length(col("word")) >= 1)
-      .join(broadcast(enc), Seq("word"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(expr("flatten(transform(sort_array(collect_list(struct(pos, ids))), x -> x.ids))")
-        .as("ids"))
+    // the encode is the session-cached token-id table x73/x75 read too
+    // — one corpus encode per session, not one per consumer
+    val docIds = bpeEncodedDocs(spark, dir)
+      .select(col("doc_id"), col("source"), col("ids"))
       .filter(size(col("ids")) >= 5)
     val grams = docIds.select(col("doc_id"), col("source"),
       explode(expr(

@@ -2357,7 +2357,11 @@ object Compiler {
     if (g + k > 4096)
       fail(s"query_range grid spans ${g + k} indexes (instants + window span); 4096 supported")
     val hi = selectorBound(sel, shiftS)
-    val base0 = events(spark, dir)
+    // the shared session-cached nh-bucketized observation relation
+    // (one scalar bucketization pass per session, shared with the
+    // pyramid's native faces) instead of a fresh event pass per panel
+    val base0 = graft.operators.Downsample.nhObsCached(spark, dir)
+      .crossJoin(broadcast(instantDf(spark, dir)))
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= hi)
       .withColumn("_age_us", hi - unix_micros(col("ts")))
@@ -2382,7 +2386,7 @@ object Compiler {
     }
     val totPart = base.groupBy((outLabels :+ "_b").map(col): _*)
       .agg(count(lit(1)).as("_n"),
-        sum(when(col("value") === 0.0, 1L).otherwise(0L)).as("_z"))
+        sum(when(col("iszero"), 1L).otherwise(0L)).as("_z"))
     val tot = totPart.select(outLabels.map(col): _*).distinct()
       .crossJoin(broadcast(range))
       .join(totPart, outLabels :+ "_b", "left")
@@ -2391,8 +2395,7 @@ object Compiler {
       .filter(col("_b") >= 1 && col("cnt") > 0)
       .select((outLabels :+ "_b").map(col) :+ col("cnt") :+ col("zero"): _*)
     val bkPart = base
-      .filter(col("value") > Metrics.NhLoMin && col("value") <= Metrics.NhHiMax)
-      .withColumn("bucket", Metrics.nhBucketCol(col("value")))
+      .filter(col("bucket").isNotNull)
       .groupBy((outLabels ++ Seq("bucket", "_b")).map(col): _*)
       .agg(count(lit(1)).as("_c"))
     val bk = bkPart.select((outLabels :+ "bucket").map(col): _*).distinct()

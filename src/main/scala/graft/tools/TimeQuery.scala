@@ -40,6 +40,8 @@ object TimeQuery {
       spark, sfDir, graft.operators.TextAnalysis.BpeEncodeRounds))
     warm(graft.operators.TextAnalysis.bpeTrainState(
       spark, sfDir, graft.operators.TextAnalysis.BpeTrainRounds))
+    warm(graft.operators.TextAnalysis.bpeEncodedDocs(spark, sfDir).count())
+    warm(graft.operators.Downsample.nhObsCached(spark, sfDir).count())
     names.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
         case None => println(s"[time] $name: NOT REGISTERED")
