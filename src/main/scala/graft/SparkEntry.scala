@@ -260,6 +260,10 @@ object SparkEntry {
     // and serves through histogram_quantile's native dispatch — the
     // same answer as the classic walk, vs a DuckDB custom-bounds twin
     "a1ze_nhcb_quantile" -> ((s, _) => sources.Otlp.otlpNhcbQuantile(s)),
+    // OTLP DELTA temporality behind the 3.x opt-in: per-series
+    // in-order prefix sums to cumulative at the door, out-of-order
+    // drops — vs a DuckDB running-sum twin
+    "a1zf_otlp_delta" -> ((s, _) => sources.Otlp.otlpDeltaIngest(s)),
     // created timestamps (remote-write 2.0 field 6): the v2 door
     // materializes the counter's birth as a CT-zero sample, so
     // increase counts the first sample's full mass — the 3.x
@@ -1093,6 +1097,7 @@ object SparkEntry {
     "a1zc_scrape_relabel" -> PromQL.ScrapeRelabelSql,
     "a1zd_created_increase" -> sources.RemoteWrite.WireCreatedIncreaseSql,
     "a1ze_nhcb_quantile" -> sources.Otlp.OtlpNhcbQuantileSql,
+    "a1zf_otlp_delta" -> sources.Otlp.OtlpDeltaIngestSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,

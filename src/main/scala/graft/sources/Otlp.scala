@@ -38,6 +38,32 @@ object Otlp {
       resource: Vector[(String, String)], attrs: Vector[(String, String)],
       tsNano: Long, value: Double)
 
+  /** Cross-request state of the DELTA→CUMULATIVE conversion —
+    * Prometheus 3.x's flag-gated OTLP delta ingestion (upstream's
+    * deltatocumulative path): one (last point time, running total) per
+    * delta-sum series, held by the door that opted in. Driver state is
+    * O(#series), the ExpositionRegistry bound. A point at or before
+    * its series' last seen time DROPS (out-of-order deltas cannot
+    * merge into a cumulative stream; upstream drops them too).
+    */
+  final class DeltaState {
+    private val m = scala.collection.mutable.Map
+      .empty[Vector[(String, String)], (Long, Double)]
+    /** Fold one delta point into its series' running total; `None` =
+      * the point is out of order and dropped.
+      */
+    def add(key: Vector[(String, String)], tsMs: Long,
+        v: Double): Option[Double] = synchronized {
+      m.get(key) match {
+        case Some((lastTs, _)) if tsMs <= lastTs => None
+        case prev =>
+          val cum = prev.map(_._2).getOrElse(0.0) + v
+          m.update(key, (tsMs, cum))
+          Some(cum)
+      }
+    }
+  }
+
   /** One exponential-histogram data point off the wire — OTLP's twin of
     * the Prometheus native histogram: same base-2 exponential bucketing
     * (`scale` ≡ schema), but buckets ride as ABSOLUTE counts over a
@@ -530,15 +556,36 @@ object Otlp {
     * Delta temporality fails loud on both kinds (upstream's OTLP
     * receiver rejects it too).
     */
-  def translate(decoded: Decoded): Vector[RemoteWrite.Series] = {
-    val pts = decoded.points.map { p =>
+  def translate(decoded: Decoded,
+      deltaState: Option[DeltaState] = None): Vector[RemoteWrite.Series] = {
+    // DELTA sums convert to cumulative when the door opted in (the 3.x
+    // flag-gated path): points fold per series in timestamp order into
+    // the cross-request running total; out-of-order points drop. With
+    // no state configured, delta still fails loud below — upstream's
+    // default.
+    val (deltaPts, plainPts) = deltaState match {
+      case Some(_) =>
+        decoded.points.partition(p => p.kind == "sum" && p.temporality == 1)
+      case None => (Vector.empty[Point], decoded.points)
+    }
+    val deltaSeries = deltaState.toVector.flatMap { st =>
+      deltaPts.groupBy(p => seriesLabels(promName(p), p.resource, p.attrs))
+        .toVector.sortBy(_._1.toString) // deterministic fold order
+        .flatMap { case (labels, ps) =>
+          ps.sortBy(_.tsNano).flatMap { p =>
+            st.add(labels, p.tsNano / 1000000L, p.value).map(cum =>
+              RemoteWrite.Series(labels, Vector((cum, p.tsNano / 1000000L))))
+          }
+        }
+    }
+    val pts = plainPts.map { p =>
       if (p.kind == "sum" && p.temporality != 2)
         throw new IllegalArgumentException(
           s"OTLP sum '${p.name}' has non-cumulative temporality " +
             s"${p.temporality}; only cumulative is ingestible")
       RemoteWrite.Series(seriesLabels(promName(p), p.resource, p.attrs),
         Vector((p.value, p.tsNano / 1000000L)))
-    }
+    } ++ deltaSeries
     val hists = decoded.expoHists.map { h =>
       if (h.temporality != 2)
         throw new IllegalArgumentException(
@@ -696,6 +743,88 @@ object Otlp {
         col("ts_ms"), col("value"))
       .orderBy(col("metric"), col("ts_ms"))
   }
+
+  /** a1zf — OTLP DELTA temporality ingests behind the opt-in (the
+    * Prometheus 3.x flag-gated deltatocumulative path): a
+    * hand-assembled request whose monotonic sum carries DELTA
+    * temporality (1) and FOUR data points across two series; the
+    * conversion folds each series' points in timestamp order into the
+    * running total, the converted cumulative samples normalize through
+    * the same a1i-gated generator as every push, and the DuckDB twin
+    * re-runs the prefix sum over the hand-derived delta rows.
+    */
+  def otlpDeltaIngest(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // ExportMetricsServiceRequest, hand-assembled:
+    // 0A B401  resource_metrics#1, 180 bytes:
+    //   0A 1C  resource: attr service.name = "checkout"
+    //   12 9301  scope_metrics, 147 bytes:
+    //     0A 00  scope: empty (skipped)
+    //     12 8E01  metric#1, 142 bytes:
+    //       0A 09  name = "ops.count"
+    //       3A 8001  sum, 128 bytes:
+    //         0A 1D  data_point: 19 <1e9 ns> 21 <2.0> attr k=eu
+    //         0A 1D  data_point: 19 <2e9 ns> 21 <3.5> attr k=eu
+    //         0A 1D  data_point: 19 <3e9 ns> 21 <1.0> attr k=eu
+    //         0A 1D  data_point: 19 <1e9 ns> 21 <4.0> attr k=us
+    //         10 01  temporality = DELTA
+    //         18 01  is_monotonic = true
+    val payload = RemoteWrite.hexBytes(
+      "0A" + "B401" +
+        "0A1C" +
+        "0A1A" + "0A0C" + "736572766963652E6E616D65" +
+          "120A" + "0A08" + "636865636B6F7574" +
+        "12" + "9301" +
+        "0A00" +
+        "12" + "8E01" +
+        "0A09" + "6F70732E636F756E74" +
+        "3A" + "8001" +
+        "0A1D" + "19" + "00CA9A3B00000000" +
+          "21" + "0000000000000040" +
+          "3A09" + "0A016B" + "1204" + "0A026575" +
+        "0A1D" + "19" + "0094357700000000" +
+          "21" + "000000000000" + "0C40" +
+          "3A09" + "0A016B" + "1204" + "0A026575" +
+        "0A1D" + "19" + "005ED0B200000000" +
+          "21" + "000000000000F03F" +
+          "3A09" + "0A016B" + "1204" + "0A026575" +
+        "0A1D" + "19" + "00CA9A3B00000000" +
+          "21" + "0000000000001040" +
+          "3A09" + "0A016B" + "1204" + "0A027573" +
+        "1001" +
+        "1801")
+    val normalized = RemoteWrite.encode(
+      translate(walk(payload), Some(new DeltaState)))
+    val payloads = Seq(normalized).toDF("proto")
+      .withColumn("recv_ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    RemoteWrite.decode(payloads)
+      .select(
+        element_at(col("labels"), "__name__").as("metric"),
+        element_at(col("labels"), "job").as("job"),
+        element_at(col("labels"), "k").as("label_k"),
+        col("ts_ms"), col("value"))
+      .orderBy(col("metric"), col("label_k"), col("ts_ms"))
+  }
+
+  /** Oracle twin of [[otlpDeltaIngest]]: the hand-derived DELTA rows
+    * through the same in-order prefix sum (eu: 2 → 5.5 → 6.5; us: 4).
+    */
+  val OtlpDeltaIngestSql: String =
+    """WITH d(metric, job, label_k, ts_ms, v) AS (VALUES
+      |  ('ops_count_total', 'checkout', 'eu', CAST(1000 AS BIGINT),
+      |    CAST('2' AS DOUBLE)),
+      |  ('ops_count_total', 'checkout', 'eu', CAST(2000 AS BIGINT),
+      |    CAST('3.5' AS DOUBLE)),
+      |  ('ops_count_total', 'checkout', 'eu', CAST(3000 AS BIGINT),
+      |    CAST('1' AS DOUBLE)),
+      |  ('ops_count_total', 'checkout', 'us', CAST(1000 AS BIGINT),
+      |    CAST('4' AS DOUBLE)))
+      |SELECT metric, job, label_k, ts_ms,
+      |  SUM(v) OVER (PARTITION BY metric, label_k
+      |    ORDER BY ts_ms) AS value
+      |FROM d
+      |ORDER BY metric, label_k, ts_ms""".stripMargin
 
   /** a1q — OTLP exponential histograms land in the NATIVE-HISTOGRAM
     * family: a hand-assembled `ExportMetricsServiceRequest` whose

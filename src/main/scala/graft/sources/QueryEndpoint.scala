@@ -170,7 +170,12 @@ object QueryEndpoint {
       readHists: Option[org.apache.spark.sql.DataFrame] = None,
       readFHists: Option[org.apache.spark.sql.DataFrame] = None,
       readSampleBytesLimit: Long =
-        RemoteRead.DefaultSampleBytesLimit): HttpServer = {
+        RemoteRead.DefaultSampleBytesLimit,
+      otlpDeltaToCumulative: Boolean = false): HttpServer = {
+    // the 3.x flag-gated OTLP delta path: one cross-request conversion
+    // state per server instance (O(#series) driver state)
+    val otlpDelta: Option[Otlp.DeltaState] =
+      if (otlpDeltaToCumulative) Some(new Otlp.DeltaState) else None
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     // remote-write receiver: POST of a snappy-framed WriteRequest; 204
     // on accept (upstream's receiver contract), 400 on malformed bytes,
@@ -306,7 +311,7 @@ object QueryEndpoint {
                     new java.io.ByteArrayInputStream(raw))
                   try in.readAllBytes() finally in.close()
                 } else raw
-              sink.receiveSeries(Otlp.translate(Otlp.walk(body)))
+              sink.receiveSeries(Otlp.translate(Otlp.walk(body), otlpDelta))
               ex.sendResponseHeaders(200, -1L)
               ex.getResponseBody.close()
             case None => respond(ex, 400,

@@ -244,4 +244,54 @@ class OtlpSpec extends SparkTestBase {
       try assert(conn.getResponseCode === 405) finally conn.disconnect()
     } finally server.stop(0)
   }
+
+  test("OTLP delta sums convert to cumulative behind the opt-in, cross-request") {
+    val dir = fixture("events" ->
+      Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))
+    val sink = new RemoteWriteSink(spark)
+    // the 3.x flag: the door holds one cross-request DeltaState
+    val server = QueryEndpoint.start(spark, dir, remoteWrite = Some(sink),
+      otlpDeltaToCumulative = true)
+    val url =
+      s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/otlp/v1/metrics"
+    // one-point DELTA monotonic sum named "m": resource_metrics {
+    // scope_metrics { metric { name="m", sum { dp { time, as_double }
+    // temporality=DELTA, monotonic } } } }
+    def deltaBody(tsLE: String, vLE: String): Array[Byte] =
+      RemoteWrite.hexBytes(
+        "0A21" + "121F" + "121D" +
+          "0A01" + "6D" +
+          "3A18" +
+          "0A12" + "19" + tsLE + "21" + vLE +
+          "1001" + "1801")
+    def post(bytes: Array[Byte]): Int = {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      try {
+        val os = conn.getOutputStream
+        try os.write(bytes) finally os.close()
+        conn.getResponseCode
+      } finally conn.disconnect()
+    }
+    try {
+      // two requests ACCUMULATE: 2.0 then +3.5 → cumulative 2.0, 5.5
+      assert(post(deltaBody("00CA9A3B00000000", "0000000000000040")) === 200)
+      assert(post(deltaBody("0094357700000000", "0000000000000C40")) === 200)
+      // an out-of-order delta (at the already-seen 1 s) DROPS — it can
+      // never merge into the cumulative stream (upstream drops it too)
+      assert(post(deltaBody("00CA9A3B00000000", "0000000000005940")) === 200)
+      val q = sink.events.writeStream.format("memory")
+        .queryName("otlp_delta_ev").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val evs = spark.table("otlp_delta_ev")
+          .select("event_type", "value").as[(String, Double)]
+          .collect().toSeq.sortBy(_._2)
+        assert(evs === Seq(("m", 2.0), ("m", 5.5)),
+          "cross-request running total; the out-of-order point dropped")
+      } finally q.stop()
+    } finally server.stop(0)
+  }
 }
