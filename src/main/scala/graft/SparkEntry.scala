@@ -275,6 +275,9 @@ object SparkEntry {
     // at the door, replace expands capture groups, uppercase/labelmap
     // write new labels; the DuckDB twin re-applies the anchored rules
     "a1zc_scrape_relabel" -> ((s, d) => PromQL.scrapeRelabel(s, d)),
+    // the TSDB stats surface (/api/v1/status/tsdb): head stats +
+    // cardinality breakdowns as one hash-gated relation
+    "b39_tsdb_stats" -> ((s, d) => PromQL.tsdbStats(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -1098,6 +1101,7 @@ object SparkEntry {
     "a1zd_created_increase" -> sources.RemoteWrite.WireCreatedIncreaseSql,
     "a1ze_nhcb_quantile" -> sources.Otlp.OtlpNhcbQuantileSql,
     "a1zf_otlp_delta" -> sources.Otlp.OtlpDeltaIngestSql,
+    "b39_tsdb_stats" -> PromQL.TsdbStatsSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,

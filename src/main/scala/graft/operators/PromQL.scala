@@ -1000,6 +1000,111 @@ object PromQL {
     s"WITH lines AS ($ExpositionTextSql)\n$body"
   }
 
+  /** B39: the TSDB STATS surface (`/api/v1/status/tsdb` — the
+    * cardinality dashboard Grafana and every capacity review read):
+    * head stats (series count, distinct label pairs, chunk count under
+    * the read door's 120-sample convention, min/max sample time) and
+    * the three cardinality breakdowns (series per metric name, distinct
+    * values per label name, series per label=value pair) plus the
+    * label-bytes accounting — every row a plain aggregate over the
+    * events relation, map-side combinable, nothing driver-side beyond
+    * the O(labels) response. One (section, name, value) relation so the
+    * whole surface hash-gates against a DuckDB twin.
+    */
+  def tsdbStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = Metrics.metricEvents(spark, dir)
+      .select(col("name"), coalesce(col("label_k"), lit("")).as("label_k"),
+        col("label_instance"), unix_millis(col("ts")).as("ts_ms"))
+    val series = m.groupBy(col("name"), col("label_k"),
+      col("label_instance")).agg(count(lit(1)).as("n"))
+    // one row per (series, label) with empty values dropped — the
+    // engine's series-identity convention (and upstream's: empty
+    // labels are absent labels)
+    val pairs = series.select(
+      explode(map(lit("__name__"), col("name"),
+        lit("instance"), col("label_instance"),
+        lit("k"), col("label_k"))).as(Seq("lbl", "v")))
+      .filter(col("v") =!= "")
+    val bounds = m.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+    val head = series
+      .agg(count(lit(1)).as("numSeries"),
+        sum(ceil(col("n").cast("double") / 120.0).cast("long"))
+          .as("chunkCount"))
+      .crossJoin(bounds)
+      .select(expr("stack(4, 'numSeries', numSeries, " +
+        "'chunkCount', chunkCount, 'minTime', mn, 'maxTime', mx)")
+        .as(Seq("name", "value")))
+      .select(lit("headStats").as("section"), col("name"), col("value"))
+    val nlp = pairs.select(col("lbl"), col("v")).distinct()
+      .agg(count(lit(1)).as("value"))
+      .select(lit("headStats").as("section"),
+        lit("numLabelPairs").as("name"), col("value"))
+    val byMetric = series.groupBy(col("name"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("seriesCountByMetricName").as("section"), col("name"),
+        col("value"))
+    val byLabel = pairs.groupBy(col("lbl"))
+      .agg(countDistinct(col("v")).as("value"))
+      .select(lit("labelValueCountByLabelName").as("section"),
+        col("lbl").as("name"), col("value"))
+    val byPair = pairs.groupBy(col("lbl"), col("v"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("seriesCountByLabelValuePair").as("section"),
+        concat(col("lbl"), lit("="), col("v")).as("name"), col("value"))
+    val bytes = pairs.groupBy(col("lbl"))
+      .agg(sum((length(col("lbl")) + length(col("v"))).cast("long"))
+        .as("value"))
+      .select(lit("memoryInBytesByLabelName").as("section"),
+        col("lbl").as("name"), col("value"))
+    head.unionByName(nlp).unionByName(byMetric).unionByName(byLabel)
+      .unionByName(byPair).unionByName(bytes)
+      .orderBy(col("section"), col("name"))
+  }
+
+  val TsdbStatsSql: String =
+    s"""WITH m AS (
+       |  SELECT name, COALESCE(label_k, '') AS label_k, label_instance,
+       |    epoch_us(ts) // 1000 AS ts_ms
+       |  FROM ($MetricEventsSql)),
+       |series AS (
+       |  SELECT name, label_k, label_instance, COUNT(*) AS n
+       |  FROM m GROUP BY name, label_k, label_instance),
+       |pairs AS (
+       |  SELECT lbl, v FROM (
+       |    SELECT '__name__' AS lbl, name AS v FROM series
+       |    UNION ALL SELECT 'instance', label_instance FROM series
+       |    UNION ALL SELECT 'k', label_k FROM series)
+       |  WHERE v <> ''),
+       |head AS (
+       |  SELECT 'headStats' AS section, x.name,
+       |    CAST(x.value AS BIGINT) AS value
+       |  FROM (
+       |    SELECT 'numSeries' AS name,
+       |      (SELECT COUNT(*) FROM series) AS value
+       |    UNION ALL SELECT 'chunkCount',
+       |      (SELECT SUM(CAST(CEIL(CAST(n AS DOUBLE) / 120.0) AS BIGINT))
+       |       FROM series)
+       |    UNION ALL SELECT 'minTime', (SELECT MIN(ts_ms) FROM m)
+       |    UNION ALL SELECT 'maxTime', (SELECT MAX(ts_ms) FROM m)
+       |    UNION ALL SELECT 'numLabelPairs',
+       |      (SELECT COUNT(*) FROM (SELECT DISTINCT lbl, v FROM pairs))
+       |  ) x)
+       |SELECT section, name, value FROM head
+       |UNION ALL
+       |SELECT 'seriesCountByMetricName', name, COUNT(*)
+       |FROM series GROUP BY name
+       |UNION ALL
+       |SELECT 'labelValueCountByLabelName', lbl, COUNT(DISTINCT v)
+       |FROM pairs GROUP BY lbl
+       |UNION ALL
+       |SELECT 'seriesCountByLabelValuePair', lbl || '=' || v, COUNT(*)
+       |FROM pairs GROUP BY lbl, v
+       |UNION ALL
+       |SELECT 'memoryInBytesByLabelName', lbl,
+       |  CAST(SUM(LENGTH(lbl) + LENGTH(v)) AS BIGINT)
+       |FROM pairs GROUP BY lbl
+       |ORDER BY section, name""".stripMargin
+
   /** A1-relabel: `metric_relabel_configs` over a scraped payload — the
     * scrape door's label-set rewrite every production Prometheus runs
     * before ingest (the server-side half the reference's pull endpoint

@@ -352,6 +352,33 @@ object Api {
     """{"version":"3.0.0","revision":"graft","branch":"main",""" +
       """"buildUser":"graft","buildDate":"","goVersion":""}""")
 
+  /** `/api/v1/status/tsdb` twin — the cardinality dashboard (head
+    * stats + top-10 per breakdown, value-descending with name ties
+    * ascending, upstream's shape). Renders the b39-gated stats
+    * relation; the collect is O(labels + families), never O(series).
+    */
+  def tsdbStatusJson(spark: SparkSession, dir: String): String = {
+    val rows = graft.operators.PromQL.tsdbStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val head = rows.filter(_._1 == "headStats")
+      .map(r => r._2 -> r._3).toMap
+    def sec(section: String): String = rows.filter(_._1 == section)
+      .sortBy { case (_, n, v) => (-v, n) }.take(10)
+      .map { case (_, n, v) =>
+        s"""{"name":"${jsonEscape(n)}","value":$v}"""
+      }.mkString("[", ",", "]")
+    envelope(
+      s"""{"headStats":{"numSeries":${head("numSeries")},""" +
+        s""""numLabelPairs":${head("numLabelPairs")},""" +
+        s""""chunkCount":${head("chunkCount")},""" +
+        s""""minTime":${head("minTime")},""" +
+        s""""maxTime":${head("maxTime")}},""" +
+        s""""seriesCountByMetricName":${sec("seriesCountByMetricName")},""" +
+        s""""labelValueCountByLabelName":${sec("labelValueCountByLabelName")},""" +
+        s""""memoryInBytesByLabelName":${sec("memoryInBytesByLabelName")},""" +
+        s""""seriesCountByLabelValuePair":${sec("seriesCountByLabelValuePair")}}""")
+  }
+
   /** `/api/v1/format_query` twin — upstream's prettifier endpoint: the
     * parsed query rendered canonically ([[Format.format]], parse-stable
     * by FormatSpec's law); an unparseable query is the usual 400
@@ -464,53 +491,6 @@ object Api {
     }
     envelope(s"""{"activeTargets":[${active.mkString(",")}],""" +
       """"droppedTargets":[]}""")
-  }
-
-  /** `/api/v1/status/tsdb` twin — the head-stats page Grafana's TSDB
-    * status screen reads: series/label-pair counts and time bounds,
-    * plus the four per-label cardinality top-10s, all from the series
-    * catalog; `chunkCount` is the 1h base-rollup row count (a rollup
-    * bucket is this engine's chunk analog).
-    */
-  def tsdbStatusJson(spark: SparkSession, dir: String): String = {
-    val ev = graft.operators.Metrics.metricEvents(spark, dir)
-    val series = ev.select(col("name"), col("label_k"), col("label_instance"))
-      .distinct().collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    val (minUs, maxUs) = ev
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .collect().headOption.filter(!_.isNullAt(0))
-      .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
-    val chunkCount = graft.operators.Downsample.rollup1h(spark, dir).count()
-    // the label universe: __name__, instance, k — per-label value sets
-    val byLabel = Seq(
-      "__name__" -> series.map(_._1).toSeq,
-      "instance" -> series.map(_._3).toSeq,
-      "k" -> series.map(_._2).toSeq)
-    val numLabelPairs = byLabel.map(_._2.distinct.size).sum
-    def stat(pairs: Seq[(String, Int)]): String =
-      pairs.sortBy { case (n, v) => (-v, n) }.take(10)
-        .map { case (n, v) => s"""{"name":"${jsonEscape(n)}","value":$v}""" }
-        .mkString("[", ",", "]")
-    val seriesByMetric = stat(series.groupBy(_._1).toSeq
-      .map { case (n, g) => n -> g.length })
-    val valueCountByLabel = stat(byLabel
-      .map { case (l, vs) => l -> vs.distinct.size })
-    val memByLabel = stat(byLabel
-      .map { case (l, vs) => l -> vs.map(_.length).sum })
-    val seriesByPair = stat(
-      (series.map(s => s"__name__=${s._1}") ++
-        series.map(s => s"instance=${s._3}") ++
-        series.map(s => s"k=${s._2}")).toSeq
-        .groupBy(identity).map { case (p, g) => p -> g.length }.toSeq)
-    envelope(
-      s"""{"headStats":{"numSeries":${series.length},""" +
-        s""""numLabelPairs":$numLabelPairs,"chunkCount":$chunkCount,""" +
-        s""""minTime":${minUs / 1000L},"maxTime":${maxUs / 1000L}},""" +
-        s""""seriesCountByMetricName":$seriesByMetric,""" +
-        s""""labelValueCountByLabelName":$valueCountByLabel,""" +
-        s""""memoryInBytesByLabelName":$memByLabel,""" +
-        s""""seriesCountByLabelValuePair":$seriesByPair}""")
   }
 
   /** The current `ALERTS`-style rows of one rule (offset 0), with the

@@ -328,6 +328,36 @@ class QueryApiSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("/api/v1/status/tsdb serves the cardinality dashboard's shape") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val server = QueryEndpoint.start(spark, dir)
+    val port = server.getAddress.getPort
+    try {
+      val om = new ObjectMapper()
+      val root = om.readTree(get(port, "/api/v1/status/tsdb")._2)
+      assert(root.get("status").asText === "success")
+      val d = root.get("data")
+      val hs = d.get("headStats")
+      assert(hs.get("numSeries").asLong > 0)
+      assert(hs.get("numLabelPairs").asLong > 0)
+      assert(hs.get("minTime").asLong <= hs.get("maxTime").asLong)
+      assert(hs.get("chunkCount").asLong >= hs.get("numSeries").asLong,
+        "every series carries at least one chunk")
+      // series-per-metric entries sum to the head series count, and
+      // each breakdown lists value-descending (upstream's top-10 order)
+      val bm = d.get("seriesCountByMetricName")
+      val counts = (0 until bm.size).map(i => bm.get(i).get("value").asLong)
+      assert(counts.sum === hs.get("numSeries").asLong)
+      assert(counts === counts.sortBy(-_))
+      val bp = d.get("seriesCountByLabelValuePair")
+      assert(bp.size <= 10)
+      val pv = (0 until bp.size).map(i => bp.get(i).get("value").asLong)
+      assert(pv === pv.sortBy(-_))
+      assert((0 until bp.size).forall(i =>
+        bp.get(i).get("name").asText.contains("=")))
+    } finally server.stop(0)
+  }
+
   test("/api/v1/rules, alerts, buildinfo, metadata serve Grafana's contract") {
     import com.fasterxml.jackson.databind.ObjectMapper
     import graft.promql.Rules.{AlertRule, RecordingRule}
