@@ -278,6 +278,9 @@ object SparkEntry {
     // the TSDB stats surface (/api/v1/status/tsdb): head stats +
     // cardinality breakdowns as one hash-gated relation
     "b39_tsdb_stats" -> ((s, d) => PromQL.tsdbStats(s, d)),
+    // HA replica dedup (the Thanos/Mimir replica-label semantics):
+    // per logical series, serve only the freshest replica's samples
+    "b40_ha_dedup" -> ((s, d) => PromQL.haDedup(s, d)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -1102,6 +1105,7 @@ object SparkEntry {
     "a1ze_nhcb_quantile" -> sources.Otlp.OtlpNhcbQuantileSql,
     "a1zf_otlp_delta" -> sources.Otlp.OtlpDeltaIngestSql,
     "b39_tsdb_stats" -> PromQL.TsdbStatsSql,
+    "b40_ha_dedup" -> PromQL.HaDedupSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,

@@ -1105,6 +1105,69 @@ object PromQL {
        |FROM pairs GROUP BY lbl
        |ORDER BY section, name""".stripMargin
 
+  /** B40: HA REPLICA DEDUPLICATION — the Thanos/Mimir
+    * `--query.replica-label` semantics over this engine's label model:
+    * two Prometheus replicas scraping the same targets produce the
+    * same series under different replica labels, and the query tier
+    * must serve ONE of them, not double-counted both. Treating
+    * `instance` as the replica label: per logical series (name, k),
+    * pick the replica whose LAST sample is newest (the
+    * freshest-replica rule Mimir applies; ties break on the
+    * lexicographically smallest replica for determinism) and serve
+    * only its samples. One hash aggregate elects winners (map-side
+    * combinable, O(series)); the winner relation joins back
+    * broadcast — replica counts are tiny by construction — so the
+    * corpus-sized side never shuffles twice.
+    */
+  def haDedup(spark: SparkSession, dir: String): DataFrame = {
+    val m = Metrics.metricEvents(spark, dir)
+      .select(col("name"), coalesce(col("label_k"), lit("")).as("label_k"),
+        col("label_instance"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"))
+    // election: freshest replica per logical series; ties prefer the
+    // SMALLEST replica name — max_by on (last_ts, negated-order name)
+    // via a struct ordering with the name's complement is awkward, so
+    // use min_by on (-last_ts, name): smallest = (newest ts, first name)
+    val winners = m
+      .groupBy(col("name"), col("label_k"), col("label_instance"))
+      .agg(max(col("ts_ms")).as("last_ts"))
+      .groupBy(col("name"), col("label_k"))
+      .agg(min_by(col("label_instance"),
+        struct((-col("last_ts")).as("a"), col("label_instance").as("b")))
+        .as("label_instance"))
+    m.join(broadcast(winners), Seq("name", "label_k", "label_instance"))
+      .groupBy(col("name"), col("label_k"), col("label_instance"))
+      .agg(count(lit(1)).as("n_samples"),
+        max(col("ts_ms")).as("last_ts_ms"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("v_sum"))
+      .orderBy(col("name"), col("label_k"))
+  }
+
+  val HaDedupSql: String =
+    s"""WITH m AS (
+       |  SELECT name, COALESCE(label_k, '') AS label_k, label_instance,
+       |    epoch_us(ts) // 1000 AS ts_ms, value
+       |  FROM ($MetricEventsSql)),
+       |reps AS (
+       |  SELECT name, label_k, label_instance, MAX(ts_ms) AS last_ts
+       |  FROM m GROUP BY name, label_k, label_instance),
+       |winners AS (
+       |  SELECT name, label_k, label_instance FROM (
+       |    SELECT name, label_k, label_instance,
+       |      ROW_NUMBER() OVER (PARTITION BY name, label_k
+       |        ORDER BY last_ts DESC, label_instance) AS rn
+       |    FROM reps) WHERE rn = 1)
+       |SELECT m.name, m.label_k, m.label_instance,
+       |  COUNT(*) AS n_samples,
+       |  MAX(m.ts_ms) AS last_ts_ms,
+       |  CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+       |FROM m
+       |JOIN winners w ON w.name = m.name AND w.label_k = m.label_k
+       |  AND w.label_instance = m.label_instance
+       |GROUP BY m.name, m.label_k, m.label_instance
+       |ORDER BY m.name, m.label_k""".stripMargin
+
   /** A1-relabel: `metric_relabel_configs` over a scraped payload — the
     * scrape door's label-set rewrite every production Prometheus runs
     * before ingest (the server-side half the reference's pull endpoint
