@@ -109,6 +109,22 @@ object Downsample {
   private val nhObsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** Silver swap for the nh-observation relation (the [[seedRollup]]
+    * convention): point the cache at an externally materialized copy —
+    * the pyramid's nh faces and the dense-grid native quantile consume
+    * it without knowing the source moved from compute+persist to a
+    * parquet read.
+    */
+  private[graft] def seedNhObs(spark: SparkSession, dir: String,
+      silver: DataFrame): Unit = {
+    require(silver.columns.toSeq == Seq("name", "label_k",
+      "label_instance", "ts", "value", "bucket", "iszero"),
+      s"silver nh-obs schema ${silver.columns.toSeq}")
+    nhObsCache.put((spark, dir), silver)
+    SessionCaches.onApplicationEnd(spark)(() =>
+      nhObsCache.remove((spark, dir)))
+  }
+
   private[graft] def nhObsCached(spark: SparkSession,
       dir: String): DataFrame =
     nhObsCache.computeIfAbsent((spark, dir), k => {

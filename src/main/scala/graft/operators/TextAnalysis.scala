@@ -2193,6 +2193,20 @@ object TextAnalysis {
       encodedDocsUncached(spark, dir, BpeEncodeRounds).persist()
     })
 
+  /** Silver swap for the encoded corpus (the materialized token-id
+    * table a production pipeline keeps on disk): point the cache at
+    * the parquet copy — x73/x75/x93 consume it unchanged.
+    */
+  private[graft] def seedBpeDocs(spark: SparkSession, dir: String,
+      silver: DataFrame): Unit = {
+    require(silver.columns.toSeq ==
+      Seq("doc_id", "source", "n_words", "n_chars", "ids"),
+      s"silver bpe-docs schema ${silver.columns.toSeq}")
+    bpeDocsCache.put((spark, dir), silver)
+    SessionCaches.onApplicationEnd(spark)(() =>
+      bpeDocsCache.remove((spark, dir)))
+  }
+
   private def encodedDocsUncached(spark: SparkSession, dir: String,
       rounds: Int): DataFrame = {
     val (_, vocab) = bpeTrainState(spark, dir, rounds)

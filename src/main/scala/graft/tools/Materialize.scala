@@ -24,6 +24,8 @@ object Materialize {
   val Shingles3 = "shingles_3.parquet"
   val Signatures = "signatures.parquet"
   val EvalInstant = "eval_instant.parquet"
+  val NhObs = "nh_obs.parquet"
+  val BpeDocs = "bpe_docs.parquet"
 
   /** The pyramid's 1h faces as on-disk rollup blocks (the TSDB analog:
     * downsampled blocks persist and survive restart).
@@ -52,6 +54,14 @@ object Materialize {
       .write.mode("overwrite").parquet(s"$outDir/${rollupPath("nhTot")}")
     graft.operators.Downsample.rollupFace1h(spark, sfDir, "nhBk")
       .write.mode("overwrite").parquet(s"$outDir/${rollupPath("nhBk")}")
+    // the r16 session caches: the nh-bucketized observation relation
+    // (shared by the pyramid's nh faces and the dense-grid native
+    // quantile) and the encoded corpus (the token-id table x73/x75/x93
+    // read)
+    graft.operators.Downsample.nhObsCached(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/$NhObs")
+    graft.operators.TextAnalysis.bpeEncodedDocs(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/$BpeDocs")
   }
 
   /** Point the cache entries for `sfDir` at the parquet written by
@@ -71,6 +81,10 @@ object Materialize {
       graft.operators.Downsample.seedRollup(spark, sfDir, face,
         spark.read.parquet(s"$outDir/${rollupPath(face)}"))
     }
+    graft.operators.Downsample.seedNhObs(spark, sfDir,
+      spark.read.parquet(s"$outDir/$NhObs"))
+    graft.operators.TextAnalysis.seedBpeDocs(spark, sfDir,
+      spark.read.parquet(s"$outDir/$BpeDocs"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -62,6 +62,44 @@ class MaterializeSpec extends SparkTestBase {
     graft.operators.Dedup.unpersistPairs(spark)
   }
 
+  test("the r16 caches swap to silver tables: nh observations + encoded corpus") {
+    // consumers of the two r16 session caches: the dense-grid native
+    // quantile (nh observations) and the BPE tier (encoded corpus)
+    def reps(): Map[String, Seq[String]] = Seq(
+      "p82_query_range_native_hq", "x73_bpe_encode",
+      "x93_token_contamination")
+      .map(n => n -> SparkEntry.queries(n)(spark, dir).collect()
+        .map(_.toString).toSeq).toMap
+    val fromCaches = reps()
+    assert(fromCaches.values.forall(_.nonEmpty))
+    val silverDir = java.nio.file.Files
+      .createTempDirectory("graft_r16silver").toString
+    Materialize.run(spark, dir, silverDir)
+    // the restart: in-memory entries gone, only the parquet remains
+    graft.operators.Downsample.evictRollups(spark, dir) // incl. nh obs
+    graft.operators.TextAnalysis.unpersistBpe(spark)
+    Materialize.seed(spark, dir, silverDir)
+    assert(reps() === fromCaches,
+      "silver-table serving diverged from the session caches")
+    // the seeded plans scan the silver files — the swap is real
+    val nhPlan = SparkEntry.queries("p82_query_range_native_hq")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(nhPlan.contains(Materialize.NhObs),
+      "native-quantile grid plan does not scan the silver nh-obs table")
+    val bpePlan = SparkEntry.queries("x73_bpe_encode")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(bpePlan.contains(Materialize.BpeDocs),
+      "BPE encode plan does not scan the silver encoded-corpus table")
+    // back to the normal cache path for later suites
+    graft.operators.Downsample.evictRollups(spark, dir)
+    graft.operators.TextAnalysis.unpersistBpe(spark)
+    graft.operators.Metrics.unpersistEvents(spark)
+    graft.promql.Compiler.unpersistInstants(spark)
+    graft.operators.Corpus.unpersistShingles(spark)
+    graft.operators.Dedup.unpersistSignatures(spark)
+    graft.operators.Dedup.unpersistPairs(spark)
+  }
+
   test("the pyramid serves from on-disk rollup blocks after a restart") {
     import graft.operators.Downsample
     // routed answers spanning three faces: base (rate sums), hist
