@@ -81,12 +81,7 @@ object ScrapeClient {
           .as("name"),
         regexp_extract(col("line"), LineRe, 2).as("label_k"),
         regexp_extract(col("line"), LineRe, 3).cast("double").as("value"))
-    if (metricRelabel.isEmpty) parsed
-    else relabeled(parsed, metricRelabel)
-      .select(col("scrape_ts"),
-        element_at(col("labels"), "__name__").as("name"),
-        coalesce(element_at(col("labels"), "k"), lit("")).as("label_k"),
-        col("value"))
+    applyMetricRelabel(parsed, metricRelabel)
   }
 
   /** The relabeled sample relation with the FULL label map — for rules
@@ -96,6 +91,46 @@ object ScrapeClient {
   def parsePayloadsLabels(payloads: DataFrame,
       metricRelabel: Seq[Relabel.Rule]): DataFrame =
     relabeled(parsePayloads(payloads), metricRelabel)
+
+  /** Prometheus STALENESS MARKER — the sample a vanished series gets
+    * at the scrape that no longer exposes it (or at a failed scrape,
+    * for the whole target), so consumers cut the series off
+    * immediately instead of serving its last value through the
+    * lookback window. Within this engine's scrape tier `Double.NaN`
+    * IS the marker: the exposition line regex can never parse `NaN`
+    * out of a real payload, so NaN on the scraped relation is
+    * unambiguous — the same reserved-NaN idea as upstream's marker
+    * payload. A staleness-aware consumer drops a series whose LATEST
+    * sample is the marker (`isnan` after the LWW pick).
+    */
+  val StaleMarker: Double = Double.NaN
+
+  /** The series identities one payload exposes — the driver-side parse
+    * the staleness tracker diffs between ticks (same line grammar as
+    * the relational parse; one target's exposition is O(#series)
+    * driver work, exactly upstream's per-target scrape cache).
+    */
+  private[sources] def seriesOf(body: String): Set[(String, String)] = {
+    val re = LineRe.r
+    body.linesIterator.collect {
+      case re(n, k, _) => (n.replaceAll("_total$", ""), k)
+    }.toSet
+  }
+
+  /** `metric_relabel_configs` over an already-parsed sample relation —
+    * shared by the payload parse and the staleness markers, so a
+    * marker is relabeled exactly like the samples of the series it
+    * closes (a dropped series needs no marker; a renamed one is
+    * closed under its ingested name).
+    */
+  private[sources] def applyMetricRelabel(parsed: DataFrame,
+      rules: Seq[Relabel.Rule]): DataFrame =
+    if (rules.isEmpty) parsed
+    else relabeled(parsed, rules)
+      .select(col("scrape_ts"),
+        element_at(col("labels"), "__name__").as("name"),
+        coalesce(element_at(col("labels"), "k"), lit("")).as("label_k"),
+        col("value"))
 
   private def relabeled(parsed: DataFrame,
       rules: Seq[Relabel.Rule]): DataFrame =
@@ -159,10 +194,13 @@ class ScrapeLoop(spark: SparkSession, url: String,
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[(java.sql.Timestamp, String)]
+  // staleness: vanished series land here as (scrape_ts, name, label_k)
+  private val markers = MemoryStream[(java.sql.Timestamp, String, String)]
 
   @volatile private var lastScrapeMs: Option[Long] = None
   @volatile private var lastError: Option[String] = None
   @volatile private var lastDurationS: Double = 0.0
+  @volatile private var liveSeries: Set[(String, String)] = Set.empty
 
   /** Target relabeling (`relabel_configs`) — applied ONCE here, at the
     * target's discovery time, exactly like upstream (O(#targets),
@@ -197,16 +235,30 @@ class ScrapeLoop(spark: SparkSession, url: String,
     * [[ScrapeClient.toEvents]]) — feed to `metricEventsOf`,
     * `streamingRollup`, `evalStream`, or any other ingest consumer.
     * `metric_relabel_configs` apply inside the parse, so dropped
-    * series never reach an ingest operator's state.
+    * series never reach an ingest operator's state. STALENESS MARKERS
+    * ([[ScrapeClient.StaleMarker]] samples for series a scrape no
+    * longer exposes, or all of a failed target's series) ride the same
+    * relation, relabeled identically — a staleness-aware consumer
+    * drops a series whose LATEST sample is the marker.
     */
-  def events: DataFrame =
+  def events: DataFrame = {
+    val markerSamples = markers.toDF()
+      .toDF("scrape_ts", "name", "label_k")
+      .withColumn("value",
+        org.apache.spark.sql.functions.lit(ScrapeClient.StaleMarker))
     ScrapeClient.toEvents(
-      ScrapeClient.parsePayloads(payloads, metricRelabelConfigs))
+      ScrapeClient.parsePayloads(payloads, metricRelabelConfigs)
+        .unionByName(ScrapeClient.applyMetricRelabel(markerSamples,
+          metricRelabelConfigs)))
+  }
 
   /** One tick: fetch now (or at the given instant) and append. A
     * failed fetch records target-down state instead of throwing — a
     * Prometheus keeps scraping through outages, and `/api/v1/targets`
-    * shows the health. A relabel-dropped target never fetches.
+    * shows the health — and marks EVERY live series of the target
+    * stale at the failed instant (upstream's behavior: a down target's
+    * series must not serve through the lookback window). A
+    * relabel-dropped target never fetches.
     */
   def poll(atMs: Long = System.currentTimeMillis()): Unit = {
     if (dropped) return
@@ -214,12 +266,28 @@ class ScrapeLoop(spark: SparkSession, url: String,
     try {
       val body = ScrapeClient.fetch(url, openMetrics)
       stream.addData((new java.sql.Timestamp(atMs), body))
+      markVanished(ScrapeClient.seriesOf(body), atMs)
       lastError = None
     } catch {
-      case e: Exception => lastError = Some(e.toString)
+      case e: Exception =>
+        markVanished(Set.empty, atMs)
+        lastError = Some(e.toString)
     } finally {
       lastScrapeMs = Some(atMs)
       lastDurationS = (System.nanoTime() - t0) / 1e9
     }
+  }
+
+  /** Diff this tick's series set against the last one; vanished series
+    * get a staleness marker at this tick's instant (sorted for a
+    * deterministic append order).
+    */
+  private def markVanished(now: Set[(String, String)], atMs: Long): Unit = {
+    val gone = (liveSeries -- now).toSeq.sorted
+    if (gone.nonEmpty)
+      markers.addData(gone.map { case (n, k) =>
+        (new java.sql.Timestamp(atMs), n, k)
+      }: _*)
+    liveSeries = now
   }
 }

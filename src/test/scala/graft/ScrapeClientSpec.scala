@@ -192,6 +192,54 @@ class ScrapeClientSpec extends SparkTestBase {
     }
   }
 
+  test("vanished series get staleness markers; a failed scrape stales the target") {
+    seed() // purchase{a,b} + click{a}
+    val server = ScrapeEndpoint.start()
+    val port = server.getAddress.getPort
+    val loop = new ScrapeLoop(spark, s"http://127.0.0.1:$port/metrics")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:01").getTime
+    val q = loop.events.writeStream.format("memory")
+      .queryName("stale_ev").outputMode("append").start()
+    def rows() = spark.table("stale_ev")
+      .select(org.apache.spark.sql.functions.unix_millis(
+        org.apache.spark.sql.functions.col("ts")).as("ts_ms"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col("props"), "$.k").as("k"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[(Long, String, String, Double)].collect().toSeq
+    // staleness-aware LWW: latest sample per series; marker-latest
+    // series are EXCLUDED — the consumer rule StaleMarker exists for
+    // NOTE: Map.collect with a Tuple2-valued function rebuilds a MAP
+    // (keys collide) — filter + keySet keeps the series-key pairs
+    def live() = rows().groupBy(r => (r._2, r._3))
+      .filter { case (_, rs) => !rs.maxBy(_._1)._4.isNaN }
+      .keySet
+    try {
+      loop.poll(t1)
+      q.processAllAvailable()
+      assert(live() === Set(("purchase", "a"), ("purchase", "b"),
+        ("click", "a")))
+      // the registry moves on: b and click vanish from the payload —
+      // the next tick closes them with markers AT that tick's instant
+      ExpositionRegistry.clear()
+      ExpositionRegistry.publish(
+        MetricStream.SeriesTotal("purchase", "a", 9.0, 4))
+      loop.poll(t1 + 60000L)
+      q.processAllAvailable()
+      val marked = rows().filter(_._4.isNaN)
+      assert(marked.map(m => (m._1, m._2, m._3)).toSet === Set(
+        (t1 + 60000L, "purchase", "b"), (t1 + 60000L, "click", "a")))
+      assert(live() === Set(("purchase", "a")))
+      // a DOWN target stales everything it still served
+      server.stop(0)
+      loop.poll(t1 + 120000L)
+      q.processAllAvailable()
+      assert(loop.status.health === "down")
+      assert(live() === Set.empty)
+    } finally q.stop()
+  }
+
   test("tick-driven scrape loop maintains the streaming rollup pyramid") {
     seed()
     val server = ScrapeEndpoint.start()
