@@ -253,12 +253,22 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("x73: encoded vocab broadcasts into the corpus join; no cartesian") {
-    val p = plan("x73_bpe_encode")
+    // since r16 the registered x73 reads the SESSION-CACHED encoded
+    // corpus (an InMemoryTableScan when another consumer built it
+    // first), so the join shape is pinned on the UNCACHED builder —
+    // a non-default round count routes around the cache and contains
+    // the actual word→ids join
+    val p = graft.operators.TextAnalysis
+      .bpeEncode(spark, dir, rounds = 7)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       "x73's word->ids join is not a broadcast hash join")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortMergeJoin"),
       "the vocab-sized encode join fell back to sort-merge")
+    // and the registered (cached) form never degrades to a cartesian
+    val pc = plan("x73_bpe_encode")
+    assert(!pc.contains("CartesianProduct"))
   }
 
   test("x74: span scrub reuses the shingle cache; doc_id-keyed joins only") {
