@@ -281,6 +281,16 @@ object SparkEntry {
     // HA replica dedup (the Thanos/Mimir replica-label semantics):
     // per logical series, serve only the freshest replica's samples
     "b40_ha_dedup" -> ((s, d) => PromQL.haDedup(s, d)),
+    // STALENESS MARKERS (B10's other half): instant reads cut a series
+    // whose latest event is a marker (b41, through the real evaluator
+    // over a marker-injected seeded corpus); rollups exclude markers
+    // from every value field and carry the stale_at anchor (b42)
+    "b41_stale_instant" -> ((s, d) => PromQL.staleInstant(s, d)),
+    "b42_stale_rollup" -> ((s, d) => PromQL.staleRollup(s, d)),
+    // OTLP delta temporality for exponential histograms (the a1zf sum
+    // converter's vector-valued twin): two delta pushes accumulate and
+    // serve the same quantile as their cumulative twin
+    "a1zg_otlp_delta_hist" -> ((s, _) => sources.Otlp.otlpDeltaHist(s)),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -1106,6 +1116,9 @@ object SparkEntry {
     "a1zf_otlp_delta" -> sources.Otlp.OtlpDeltaIngestSql,
     "b39_tsdb_stats" -> PromQL.TsdbStatsSql,
     "b40_ha_dedup" -> PromQL.HaDedupSql,
+    "b41_stale_instant" -> PromQL.StaleInstantSql,
+    "b42_stale_rollup" -> PromQL.StaleRollupSql,
+    "a1zg_otlp_delta_hist" -> sources.Otlp.OtlpDeltaHistSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,

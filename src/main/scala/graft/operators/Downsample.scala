@@ -173,25 +173,54 @@ object Downsample {
     * (ts_us, event_id) anchors of the first/last samples, which
     * [[compact]] needs to re-aggregate losslessly. Not the serving
     * face — [[rollup]] casts/projects for that.
+    *
+    * STALENESS-AWARE ([[graft.model.Stale]]): marker rows are excluded
+    * from every value field (`cnt`/`sum_dec`/`vmin`/`vmax`/first/last)
+    * — range functions never see markers, upstream's semantics — and
+    * the bucket carries the latest marker's anchor as `stale_at` so
+    * the pyramid's instant/LWW tier can cut series at the marker
+    * without re-reading raw events. A bucket holding only markers
+    * keeps `cnt = 0` and null value fields but a non-null `stale_at`.
     */
   private[graft] def rollupRaw(spark: SparkSession, dir: String,
-      resS: Long): DataFrame = {
+      resS: Long): DataFrame =
+    rollupRawOf(Metrics.metricEvents(spark, dir), resS)
+
+  /** [[rollupRaw]] over an arbitrary events-adapter relation — the
+    * shared core the b42 staleness gate drives with a marker-injected
+    * feed (the dir-based face can't carry markers; the parquet corpus
+    * has none).
+    */
+  private[graft] def rollupRawOf(events: DataFrame, resS: Long): DataFrame = {
     require(resS > 0, "rollup resolution must be positive")
-    Metrics.metricEvents(spark, dir)
+    val st = graft.plans.StaleExprs.isStaleC(col("value"))
+    val pre = events
       .withColumn("bucket_s", bucketCol(resS))
       .withColumn("ts_us", unix_micros(col("ts")))
-      .groupBy((Key :+ "bucket_s").map(col): _*)
+      // a real sample's (anchor, value) tuple — null for a marker row,
+      // so every value aggregate below skips markers by construction
+      // ((ts_us, event_id) is unique, so struct min/max == the anchored
+      // min_by/max_by and `value` never tiebreaks)
+      .withColumn("_f", when(!st,
+        struct(col("ts_us"), col("event_id"), col("value"))))
+      .withColumn("_m", when(st,
+        struct(col("ts_us"), col("event_id"))))
+    val fMin = min(col("_f"))
+    val fMax = max(col("_f"))
+    pre.groupBy((Key :+ "bucket_s").map(col): _*)
       .agg(
-        count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(38, 2))).as("sum_dec"),
-        min(col("value")).as("vmin"),
-        max(col("value")).as("vmax"),
-        expr("min_by(value, struct(ts_us, event_id))").as("vfirst"),
-        expr("min_by(struct(ts_us, event_id), struct(ts_us, event_id))")
-          .as("first_at"),
-        expr("max_by(value, struct(ts_us, event_id))").as("vlast"),
-        expr("max_by(struct(ts_us, event_id), struct(ts_us, event_id))")
-          .as("last_at"))
+        count(col("_f")).as("cnt"),
+        sum(col("_f").getField("value").cast(DecimalType(38, 2)))
+          .as("sum_dec"),
+        min(col("_f").getField("value")).as("vmin"),
+        max(col("_f").getField("value")).as("vmax"),
+        fMin.getField("value").as("vfirst"),
+        when(fMin.isNotNull, struct(fMin.getField("ts_us").as("ts_us"),
+          fMin.getField("event_id").as("event_id"))).as("first_at"),
+        fMax.getField("value").as("vlast"),
+        when(fMax.isNotNull, struct(fMax.getField("ts_us").as("ts_us"),
+          fMax.getField("event_id").as("event_id"))).as("last_at"),
+        max(col("_m")).as("stale_at"))
   }
 
   /** Re-aggregate a finer rollup to resolution `resS` (which must be a
@@ -201,6 +230,13 @@ object Downsample {
     */
   private[graft] def compact(roll: DataFrame, resS: Long): DataFrame = {
     require(resS > 0, "compaction resolution must be positive")
+    // marker-only fine buckets carry null anchors — the when-guarded
+    // struct min/max skips them exactly (min_by over a null ordering
+    // key is the same skip, but the struct form is explicit)
+    val f = min(when(col("first_at").isNotNull,
+      struct(col("first_at").as("at"), col("vfirst").as("v"))))
+    val l = max(when(col("last_at").isNotNull,
+      struct(col("last_at").as("at"), col("vlast").as("v"))))
     roll
       .withColumn("bucket_s",
         expr(s"(bucket_s div $resS) * $resS").cast("long"))
@@ -210,20 +246,22 @@ object Downsample {
         sum(col("sum_dec")).as("sum_dec"),
         min(col("vmin")).as("vmin"),
         max(col("vmax")).as("vmax"),
-        expr("min_by(vfirst, first_at)").as("vfirst"),
-        expr("min_by(first_at, first_at)").as("first_at"),
-        expr("max_by(vlast, last_at)").as("vlast"),
-        expr("max_by(last_at, last_at)").as("last_at"))
+        f.getField("v").as("vfirst"),
+        f.getField("at").as("first_at"),
+        l.getField("v").as("vlast"),
+        l.getField("at").as("last_at"),
+        max(col("stale_at")).as("stale_at"))
   }
 
   /** The serving face of a rollup relation: exact sums surfaced as
     * double (the engine-wide convention), anchors dropped.
     */
   private def serve(roll: DataFrame): DataFrame =
-    roll.select((Key :+ "bucket_s").map(col) ++ Seq(
-      col("cnt"),
-      col("sum_dec").cast("double").as("sum"),
-      col("vmin"), col("vmax"), col("vfirst"), col("vlast")): _*)
+    roll.filter(col("cnt") > 0) // marker-only buckets have no samples to serve
+      .select((Key :+ "bucket_s").map(col) ++ Seq(
+        col("cnt"),
+        col("sum_dec").cast("double").as("sum"),
+        col("vmin"), col("vmax"), col("vfirst"), col("vlast")): _*)
       .orderBy((Key :+ "bucket_s").map(col): _*)
 
   /** p86: the 1-hour rollup of every metric family. */
@@ -305,19 +343,25 @@ object Downsample {
     val bmax = all.agg(max(expr(s"bucket_s div $res")).as("_bmax"))
     val s = all.filter(col("name") === "signup")
       .withColumn("_b", expr(s"bucket_s div $res"))
-      .select(keys.map(col) :+ col("_b") :+ col("vlast") :+
+      // staleness-aware LWW token (cut/value/carry) — see
+      // [[graft.promql.Pyramid.gaugeToken]]
+      .withColumn("_tok", graft.promql.Pyramid.gaugeToken)
+      .select(keys.map(col) :+ col("_b") :+ col("_tok") :+
         lit(0).as("_probe"): _*)
     import spark.implicits._
     val probes = s.select(keys.map(col): _*).distinct()
       .crossJoin(broadcast(spark.range(0L, 40L).toDF("_j")))
       .crossJoin(broadcast(bmax))
       .select(keys.map(col) :+ (col("_bmax") - col("_j")).as("_b") :+
-        lit(null).cast("double").as("vlast") :+ lit(1).as("_probe"): _*)
+        lit(null).cast("struct<cut:boolean,v:double>").as("_tok") :+
+        lit(1).as("_probe"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_b"), col("_probe"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     s.unionByName(probes)
-      .withColumn("_v", last(col("vlast"), ignoreNulls = true).over(w))
+      .withColumn("_c", last(col("_tok"), ignoreNulls = true).over(w))
+      .withColumn("_v",
+        when(!col("_c").getField("cut"), col("_c").getField("v")))
       .filter(col("_probe") === 1 && col("_v").isNotNull)
       .select(keys.map(col) :+ ((col("_b") + 1) * res).cast("long").as("t_s") :+
         col("_v").as("value"): _*)

@@ -1731,6 +1731,142 @@ object PromQL {
        |FROM j WHERE rn = 1
        |ORDER BY name, label_k, t_us""".stripMargin
 
+  /** The STALENESS-MARKER fixture both b41/b42 gates drive
+    * ([[graft.model.Stale]]): the metric-events view with one injected
+    * marker per gauge series, placement split by a deterministic
+    * parity of the series label —
+    *  - even parity: the marker lands AFTER the series' last sample
+    *    (the series vanished; instant reads must CUT it);
+    *  - odd parity: the marker lands between the 2nd-latest and latest
+    *    samples (the series vanished and CAME BACK; the newer sample
+    *    must revive it).
+    * Marker rows carry NaN values and negative event_ids (collision-
+    * free with the corpus' non-negative ids).
+    */
+  private def staleInjected(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("ts", "name", "label_k", "label_instance", "kind",
+      "value", "event_id")
+    val g = Metrics.metricEvents(spark, dir).filter(col("kind") === "gauge")
+    val w = Window
+      .partitionBy(col("name"), col("label_k"), col("label_instance"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val markers = g.withColumn("_rn", row_number().over(w))
+      .withColumn("_par", ascii(substring(col("label_k"), 1, 1)) % 2)
+      .filter((col("_rn") === 1 && col("_par") === 0) ||
+        (col("_rn") === 2 && col("_par") === 1))
+      .select(
+        (col("ts") + expr("INTERVAL 1 MILLISECOND")).as("ts"),
+        col("name"), col("label_k"), col("label_instance"), col("kind"),
+        lit(Double.NaN).as("value"),
+        (-col("event_id") - 1).as("event_id"))
+    Metrics.metricEvents(spark, dir).select(cols.map(col): _*)
+      .unionByName(markers)
+  }
+
+  /** b41: the INSTANT vector over the marker-injected corpus, through
+    * the REAL evaluator path (seeded events view → `Engine.eval` →
+    * staleness-aware LWW): vanished series (even parity — marker
+    * latest) contribute nothing; revived series (odd parity — a real
+    * sample after the marker) serve their newest value. The oracle
+    * computes the same cut analytically, marker-free.
+    */
+  def staleInstant(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"$dir#b41stale"
+    Metrics.seedEvents(spark, key, staleInjected(spark, dir))
+    graft.promql.Engine.eval(spark, key, "signup")
+      .select(col("name"), col("label_k"), col("label_instance"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("name"), col("label_k"), col("label_instance"))
+  }
+
+  val StaleInstantSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY name, label_k, label_instance
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM m WHERE kind = 'gauge')
+       |SELECT name, label_k, label_instance, value
+       |FROM r
+       |WHERE rn = 1 AND ascii(substr(label_k, 1, 1)) % 2 = 1
+       |ORDER BY name, label_k, label_instance""".stripMargin
+
+  /** b42: the composition-carrying ROLLUP over the marker-injected
+    * corpus ([[Downsample.rollupRawOf]], 6h buckets): markers are
+    * excluded from every value field (`cnt`/`sum`/`vmin`/`vmax`/
+    * first/last — the old untagged-NaN path corrupted `vmax`/`vlast`
+    * here) and surface only as the bucket's `has_marker` flag
+    * (`stale_at` anchor). The oracle aggregates real samples only and
+    * derives the marker buckets analytically.
+    */
+  def staleRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Downsample
+      .rollupRawOf(staleInjected(spark, dir)
+        .filter(col("kind") === "gauge"), 21600L)
+      .select(col("name"), col("label_k"), col("label_instance"),
+        col("kind"), col("bucket_s"), col("cnt"),
+        col("sum_dec").cast("double").as("sum"),
+        col("vmin"), col("vmax"), col("vfirst"), col("vlast"),
+        col("stale_at").isNotNull.as("has_marker"))
+      .orderBy(col("name"), col("label_k"), col("label_instance"),
+        col("bucket_s"))
+
+  val StaleRollupSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |g AS (
+       |  SELECT name, label_k, label_instance, kind, value, event_id,
+       |    epoch_us(ts) AS ts_us
+       |  FROM m WHERE kind = 'gauge'),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY name, label_k, label_instance
+       |    ORDER BY ts_us DESC, event_id DESC) AS rn
+       |  FROM g),
+       |mk AS (
+       |  SELECT name, label_k, label_instance, kind,
+       |    ((ts_us + 1000 + 21599999999) // 21600000000 - 1) * 21600
+       |      AS bucket_s
+       |  FROM rk
+       |  WHERE (rn = 1 AND ascii(substr(label_k, 1, 1)) % 2 = 0)
+       |     OR (rn = 2 AND ascii(substr(label_k, 1, 1)) % 2 = 1)
+       |  GROUP BY ALL),
+       |sb AS (
+       |  SELECT *,
+       |    ((ts_us + 21599999999) // 21600000000 - 1) * 21600 AS bucket_s
+       |  FROM g),
+       |f AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY name, label_k, label_instance, kind, bucket_s
+       |      ORDER BY ts_us, event_id) AS rn_a,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY name, label_k, label_instance, kind, bucket_s
+       |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+       |  FROM sb),
+       |sa AS (
+       |  SELECT name, label_k, label_instance, kind, bucket_s,
+       |    COUNT(*) AS cnt,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum,
+       |    MIN(value) AS vmin, MAX(value) AS vmax,
+       |    MAX(CASE WHEN rn_a = 1 THEN value END) AS vfirst,
+       |    MAX(CASE WHEN rn_d = 1 THEN value END) AS vlast
+       |  FROM f GROUP BY ALL)
+       |SELECT
+       |  COALESCE(sa.name, mk.name) AS name,
+       |  COALESCE(sa.label_k, mk.label_k) AS label_k,
+       |  COALESCE(sa.label_instance, mk.label_instance) AS label_instance,
+       |  COALESCE(sa.kind, mk.kind) AS kind,
+       |  COALESCE(sa.bucket_s, mk.bucket_s) AS bucket_s,
+       |  COALESCE(sa.cnt, 0) AS cnt,
+       |  sa.sum AS sum, sa.vmin AS vmin, sa.vmax AS vmax,
+       |  sa.vfirst AS vfirst, sa.vlast AS vlast,
+       |  (mk.bucket_s IS NOT NULL) AS has_marker
+       |FROM sa FULL OUTER JOIN mk
+       |  ON sa.name = mk.name AND sa.label_k = mk.label_k
+       |  AND sa.label_instance = mk.label_instance AND sa.kind = mk.kind
+       |  AND sa.bucket_s = mk.bucket_s
+       |ORDER BY name, label_k, label_instance, bucket_s""".stripMargin
+
   /** B3-instant `irate`/`idelta`: the rate/delta of the LAST two samples
     * of each (series, day) — PromQL's spike-sensitive counterparts of
     * the averaged `rate`/`delta`. Reuses the wrapped-counter + reset

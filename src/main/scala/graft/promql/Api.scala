@@ -359,9 +359,10 @@ object Api {
     */
   def tsdbStatusJson(spark: SparkSession, dir: String): String = {
     val rows = graft.operators.PromQL.tsdbStats(spark, dir).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
     val head = rows.filter(_._1 == "headStats")
-      .map(r => r._2 -> r._3).toMap
+      .map(r => r._2 -> r._3).toMap.withDefaultValue(0L)
     def sec(section: String): String = rows.filter(_._1 == section)
       .sortBy { case (_, n, v) => (-v, n) }.take(10)
       .map { case (_, n, v) =>
@@ -409,12 +410,21 @@ object Api {
       else if (s % 3600 == 0) s"${s / 3600}h"
       else if (s % 60 == 0) s"${s / 60}m"
       else s"${s}s"
+    def yamlMap(key: String, m: Map[String, String]): String =
+      if (m.isEmpty) ""
+      else s"\n    $key:\n" + m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"      $k: ${if (v.exists("{}:#'\"".contains(_))) "'" + v.replace("'", "''") + "'" else v}"
+      }.mkString("\n")
     val rules =
       recordingRules.map(r =>
         s"  - record: ${r.record}\n    expr: ${r.expr}") ++
         alertRules.map { a =>
           s"  - alert: ${a.alert}\n    expr: ${a.expr}" +
-            (if (a.forS > 0) s"\n    for: ${dur(a.forS)}" else "")
+            (if (a.forS > 0) s"\n    for: ${dur(a.forS)}" else "") +
+            (if (a.keepFiringForS > 0)
+              s"\n    keep_firing_for: ${dur(a.keepFiringForS)}" else "") +
+            yamlMap("labels", a.labels) +
+            yamlMap("annotations", a.annotations)
         }
     val yaml =
       if (rules.isEmpty) "groups: []\n"
@@ -505,14 +515,40 @@ object Api {
     (lcs, df.collect())
   }
 
-  private def alertJson(rule: Rules.AlertRule, lcs: Seq[String],
-      row: org.apache.spark.sql.Row, activeAt: String): String = {
-    val labels = ("alertname" -> rule.alert) +: lcs.flatMap(c =>
+  /** One alert instance's final label set: the condition's series
+    * labels + `alertname` + the RULE's labels (templated against the
+    * series labels and value, overriding on collision — upstream's
+    * merge order), plus its rendered annotations. Shared by the
+    * alerts/rules endpoints and the notifier body.
+    */
+  private def instanceLabelsAndAnnotations(rule: Rules.AlertRule,
+      lcs: Seq[String], row: org.apache.spark.sql.Row)
+      : (Seq[(String, String)], String) = {
+    val base = ("alertname" -> rule.alert) +: lcs.flatMap(c =>
       Option(row.getAs[String](c)).map(v => promLabel(c) -> v))
-    val labelJson = labels.map { case (k, v) =>
+    val baseMap = base.toMap
+    val v = row.getAs[Double]("value")
+    val extra = rule.labels.toSeq.sortBy(_._1).map { case (k, tpl) =>
+      k -> Rules.renderTemplate(tpl, baseMap, v)
+    }
+    val merged = base.filterNot(b => rule.labels.contains(b._1)) ++ extra
+    val annotations = rule.annotations.toSeq.sortBy(_._1)
+      .map { case (k, tpl) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(
+          Rules.renderTemplate(tpl, baseMap, v))}""""
+      }.mkString("{", ",", "}")
+    (merged, annotations)
+  }
+
+  private def labelsJson(labels: Seq[(String, String)]): String =
+    labels.map { case (k, v) =>
       s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
     }.mkString("{", ",", "}")
-    s"""{"labels":$labelJson,"annotations":{},""" +
+
+  private def alertJson(rule: Rules.AlertRule, lcs: Seq[String],
+      row: org.apache.spark.sql.Row, activeAt: String): String = {
+    val (labels, annotations) = instanceLabelsAndAnnotations(rule, lcs, row)
+    s"""{"labels":${labelsJson(labels)},"annotations":$annotations,""" +
       s""""state":"${row.getAs[String]("alertstate")}",""" +
       s""""activeAt":"$activeAt","value":"${row.getAs[Double]("value")}"}"""
   }
@@ -530,12 +566,8 @@ object Api {
     val items = rules.flatMap { r =>
       val (lcs, rows) = currentAlertRows(spark, dir, r)
       rows.filter(_.getAs[String]("alertstate") == "firing").map { row =>
-        val labels = ("alertname" -> r.alert) +: lcs.flatMap(c =>
-          Option(row.getAs[String](c)).map(v => promLabel(c) -> v))
-        val labelJson = labels.map { case (k, v) =>
-          s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
-        }.mkString("{", ",", "}")
-        s"""{"labels":$labelJson,"annotations":{},""" +
+        val (labels, annotations) = instanceLabelsAndAnnotations(r, lcs, row)
+        s"""{"labels":${labelsJson(labels)},"annotations":$annotations,""" +
           s""""startsAt":"$startsAt",""" +
           s""""generatorURL":"/graph?g0.expr=${jsonEscape(
             java.net.URLEncoder.encode(r.expr, "UTF-8"))}"}"""
@@ -579,9 +611,17 @@ object Api {
         else if (states.nonEmpty) "pending"
         else "inactive"
       val alerts = rows.map(alertJson(r, lcs, _, lastEval)).mkString(",")
+      // rule-level labels/annotations are the UNRENDERED templates,
+      // exactly what upstream's /api/v1/rules shows
+      def rawMap(m: Map[String, String]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) =>
+          s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+        }.mkString("{", ",", "}")
       s"""{"state":"$state","name":"${jsonEscape(r.alert)}",""" +
         s""""query":"${jsonEscape(r.expr)}","duration":${r.forS},""" +
-        s""""labels":{},"annotations":{},"alerts":[$alerts],""" +
+        s""""keepFiringFor":${r.keepFiringForS},""" +
+        s""""labels":${rawMap(r.labels)},""" +
+        s""""annotations":${rawMap(r.annotations)},"alerts":[$alerts],""" +
         s""""health":"ok","lastEvaluation":"$lastEval","type":"alerting"}"""
     }
     val recording = recordingRules.map { r =>

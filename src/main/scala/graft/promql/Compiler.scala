@@ -773,7 +773,20 @@ object Compiler {
       instantCache.remove((spark, dir)))
   }
 
-  private def events(spark: SparkSession, dir: String): DataFrame =
+  /** The evaluator's sample relation — STALENESS MARKERS FILTERED
+    * ([[graft.model.Stale]]): upstream's range functions and window
+    * reads never see markers, so every range/grid path built on this
+    * is marker-invisible by construction. The INSTANT-read paths
+    * ([[instantVector]], [[gridGaugeInstants]]) read [[eventsAll]]
+    * instead and cut a series whose latest event within lookback is a
+    * marker — upstream's other half of the marker contract.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val all = eventsAll(spark, dir)
+    all.filter(!graft.plans.StaleExprs.isStaleC(col("value")))
+  }
+
+  private def eventsAll(spark: SparkSession, dir: String): DataFrame =
     Metrics.metricEvents(spark, dir).crossJoin(broadcast(instantDf(spark, dir)))
 
   /** The evaluation instant T in epoch seconds (serving layer: reads the
@@ -805,20 +818,36 @@ object Compiler {
     if (kind == "histogram")
       fail(s"histogram family '${sel.name}' has no scalar instant value; use histogram_quantile")
     // `@ t` pins the instant absolutely; offset/subquery shifts then
-    // apply relative to it
+    // apply relative to it. INSTANT reads see markers ([[eventsAll]])
+    // and cut a series whose latest event at the bound is one —
+    // upstream's staleness semantics (B10).
     val bound = selectorBound(sel, shiftS)
-    val base = events(spark, dir)
+    val st = graft.plans.StaleExprs.isStaleC(col("value"))
+    val base = eventsAll(spark, dir)
       .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= bound)
     kind match {
       case "counter" =>
-        val f = base.filter(col("value") >= 0)
+        // the accumulated total sums real non-negative increments only;
+        // the latest-event flag (markers included) cuts vanished series
+        val f = base.withColumn("_stale", st)
+        val sumCol =
+          if (f.schema("value").dataType.isInstanceOf[DecimalType])
+            sum(when(!col("_stale") && col("value") >= 0, col("value")))
+          else
+            sum(when(!col("_stale") && col("value") >= 0, col("value"))
+              .cast(DecimalType(18, 2)))
         Vec(f.groupBy(SeriesKey.map(col): _*)
-          .agg(exactSum(f).as("value")), SeriesKey)
+          .agg(sumCol.as("value"),
+            max(struct(unix_micros(col("ts")).as("t"),
+              col("event_id").as("e"), col("_stale").as("s"))).as("_l"))
+          .filter(!col("_l").getField("s") && col("value").isNotNull)
+          .select((SeriesKey.map(col) :+ col("value")): _*), SeriesKey)
       case "gauge" =>
         val w = Window.partitionBy(SeriesKey.map(col): _*)
           .orderBy(col("ts").desc, col("event_id").desc)
         Vec(base.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .filter(!st)
           .select((SeriesKey.map(col) :+ col("value")): _*), SeriesKey)
     }
   }
@@ -2468,14 +2497,19 @@ object Compiler {
       sumBy: Option[Seq[String]]): (DataFrame, Seq[String]) = {
     val stepUs = stepS * 1000000L
     val hi = selectorBound(sel, shiftS)
-    val base = events(spark, dir)
+    // markers ride the partials (INSTANT read, [[eventsAll]]): the
+    // running LWW struct carries the latest event's stale flag, and a
+    // grid instant whose carried latest is a marker emits nothing
+    // until a newer real sample revives the series (B10 staleness)
+    val st = graft.plans.StaleExprs.isStaleC(col("value"))
+    val base = eventsAll(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= hi)
       .withColumn("_age_us", hi - unix_micros(col("ts")))
       .withColumn("_i", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
     val partial = base.groupBy((SeriesKey :+ "_i").map(col): _*)
       .agg(max(struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
-        col("value").as("v"))).as("_m"),
+        st.as("s"), col("value").as("v"))).as("_m"),
         count(lit(1)).as("_n"))
     import spark.implicits._
     val grid = partial.select(SeriesKey.map(col): _*).distinct()
@@ -2485,7 +2519,7 @@ object Compiler {
     val instants = grid.join(partial, SeriesKey :+ "_i", "left")
       .withColumn("_cum", max(col("_m")).over(w))
       .withColumn("_cum_n", sum(col("_n")).over(w))
-      .filter(col("_cum_n") > 0)
+      .filter(col("_cum_n") > 0 && !col("_cum").getField("s"))
       .withColumn("_v", col("_cum").getField("v"))
     // `sum by (...)` inner shape: the per-instant group value is the
     // sum of the present series' LWW values — one extra hash aggregate

@@ -501,6 +501,13 @@ object Pyramid {
     * each aligned instant from the rollups' anchored `vlast` fields —
     * later buckets strictly out-anchor earlier ones (the p89 law), so
     * the running LWW is one `last(ignoreNulls)` window per series.
+    *
+    * STALENESS: a bucket whose latest event is a marker
+    * (`stale_at` out-anchors `last_at`) emits a CUT token instead of a
+    * value — the carried LWW goes absent at that instant and stays
+    * absent until a newer real sample revives the series (upstream's
+    * instant-selector marker semantics, served from rollup fields
+    * alone).
     */
   private def serveGauge(spark: SparkSession, dir: String, sel: Selector,
       startS: Long, endS: Long, stepS: Long,
@@ -509,18 +516,38 @@ object Pyramid {
       val keys = FullKey
       val bHi = endS / res - 1
       val roll = rollOf(spark, dir, sel, res, bHi)
-        .select(keys.map(col) :+ col("_b") :+ col("vlast"): _*)
+        .withColumn("_tok", gaugeToken)
+        .select(keys.map(col) :+ col("_b") :+ col("_tok"): _*)
       val win = Window.partitionBy(keys.map(col): _*).orderBy(col("_b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val df = groupLattice(roll, keys, bHi)
         .join(roll, keys :+ "_b", "left")
-        .withColumn("_v", last(col("vlast"), ignoreNulls = true).over(win))
+        .withColumn("_c", last(col("_tok"), ignoreNulls = true).over(win))
+        .withColumn("_v",
+          when(!col("_c").getField("cut"), col("_c").getField("v")))
         .withColumn("t_s", ((col("_b") + 1) * res).cast("long"))
-        .filter(col("t_s").between(startS, endS) &&
+        .filter(col("_v").isNotNull &&
+          col("t_s").between(startS, endS) &&
           (col("t_s") - lit(startS)) % lit(stepS) === 0)
         .select(keys.map(col) :+ col("t_s") :+ col("_v").as("value"): _*)
       (df, keys, None)
     }
+
+  /** The per-bucket LWW token a rollup row contributes to the carried
+    * gauge state: a CUT (series absent from the bucket's closed-right
+    * instant on) when the latest event in the bucket is a staleness
+    * marker, the anchored `vlast` otherwise; null (carry the previous
+    * state) for a bucket with neither. Shared by [[serveGauge]] and
+    * [[graft.operators.Downsample.gaugePanel]].
+    */
+  private[graft] def gaugeToken: Column = {
+    val cut = col("stale_at").isNotNull &&
+      (col("last_at").isNull || col("stale_at") > col("last_at"))
+    when(cut, struct(lit(true).as("cut"),
+        lit(null).cast("double").as("v")))
+      .when(col("last_at").isNotNull,
+        struct(lit(false).as("cut"), col("vlast").as("v")))
+  }
 
   /** The five `*_over_time` sample-window aggregations per series from
     * rollup fields alone — the rollup row already pays for exactly

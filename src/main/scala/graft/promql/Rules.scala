@@ -45,9 +45,42 @@ object Rules {
     * fires — Prometheus's pending→firing ladder collapsed to its batch
     * reading ("has this been true for the whole window, sampled at the
     * rule interval").
+    *
+    * `keepFiringForS > 0` is upstream's `keep_firing_for`: once a
+    * series reached `firing`, it KEEPS firing for that long after the
+    * condition clears (serving the last breach's value) — the
+    * flap-damping grace window. Must be a multiple of the evaluation
+    * interval, like `for`.
+    *
+    * `labels` are added to every alert instance's label set (they
+    * override condition labels on collision, upstream's rule);
+    * `annotations` are the human-facing summary/description texts.
+    * Both support the standard template forms `{{ $labels.<name> }}`
+    * and `{{ $value }}`, rendered PER INSTANCE ([[renderTemplate]]).
     */
   final case class AlertRule(alert: String, expr: String,
-      forS: Long = 0, intervalS: Long = 0)
+      forS: Long = 0, intervalS: Long = 0,
+      keepFiringForS: Long = 0,
+      labels: Map[String, String] = Map.empty,
+      annotations: Map[String, String] = Map.empty)
+
+  /** Alert template rendering — the `{{ $labels.<name> }}` /
+    * `{{ $value }}` subset of upstream's Go-template surface (the two
+    * forms real rule files use for routing-relevant annotations). A
+    * label absent from the instance renders empty, like a missing Go
+    * map key; `$value` renders with the JVM double's shortest-repr
+    * `toString` (documented engine-wide float-rendering convention).
+    */
+  private val LabelTpl = raw"\{\{\s*\$$labels\.([a-zA-Z_][a-zA-Z0-9_]*)\s*\}\}".r
+  private val ValueTpl = raw"\{\{\s*\$$value\s*\}\}".r
+  def renderTemplate(tpl: String, labels: Map[String, String],
+      value: Double): String = {
+    val withLabels = LabelTpl.replaceAllIn(tpl, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        labels.getOrElse(m.group(1), "")))
+    ValueTpl.replaceAllIn(withLabels,
+      scala.util.matching.Regex.quoteReplacement(value.toString))
+  }
 
   /** Evaluate each recording rule to its DataFrame (compose-time errors
     * surface per rule, before any job runs).
@@ -186,23 +219,35 @@ object Rules {
         (rule.forS > 0 && (rule.intervalS <= 0 || rule.forS % rule.intervalS != 0)))
       throw new PromQLCompileException(
         s"alert '${rule.alert}': `for` (${rule.forS}s) must be a non-negative multiple of the evaluation interval (${rule.intervalS}s)")
+    if (rule.keepFiringForS < 0 ||
+        (rule.keepFiringForS > 0 &&
+          (rule.intervalS <= 0 || rule.keepFiringForS % rule.intervalS != 0)))
+      throw new PromQLCompileException(
+        s"alert '${rule.alert}': `keep_firing_for` (${rule.keepFiringForS}s) must be a non-negative multiple of the evaluation interval (${rule.intervalS}s)")
     val ast = Parser.parse(rule.expr)
     val k = if (rule.forS == 0) 0 else (rule.forS / rule.intervalS).toInt
     // the lookback-join modulo needs a positive divisor even when the
     // for-less rule carries intervalS = 0 (k = 0 makes it vacuous)
     val iv = math.max(rule.intervalS, 1L)
+    // keep_firing_for: a firing at a PAST instant within the grace
+    // window holds the alert firing at the output instant, so ladder
+    // states are computed at the grace extensions too
+    val kf = if (rule.keepFiringForS == 0) 0
+      else (rule.keepFiringForS / rule.intervalS).toInt
+    val stateOffsets = (offsets ++
+      offsets.flatMap(o => (1 to kf).map(i => o + i * iv))).distinct.sorted
     val evalOffsets =
-      offsets.flatMap(o => (0 to k).map(i => o + i * iv)).distinct.sorted
+      stateOffsets.flatMap(o => (0 to k).map(i => o + i * iv)).distinct.sorted
     val compiled = evalOffsets.map(o =>
       o -> withSeriesKey(Compiler.compileAt(spark, dir, ast, o)))
     val lcs = compiled.head._2._2
     val pres = compiled.map { case (o, (df, _)) =>
       df.select(lit(o).as("offset_s") +: (lcs.map(col) :+ col("value")): _*)
     }.reduce(_ unionAll _)
-    val cur = pres.filter(col("offset_s").isin(offsets: _*))
+    val cur = pres.filter(col("offset_s").isin(stateOffsets: _*))
     val past = pres.select(col("offset_s").as("_p_off") +:
       lcs.map(c => col(c).as("_p_" + c)): _*)
-    cur.join(past,
+    val base = cur.join(past,
         keyEq(cur, past, lcs, "_p_") &&
           past("_p_off") >= cur("offset_s") &&
           past("_p_off") <= cur("offset_s") + rule.forS &&
@@ -210,8 +255,42 @@ object Rules {
       .groupBy((col("offset_s") +: lcs.map(col) :+ col("value")): _*)
       .agg(count(lit(1)).as("_n"))
       .select(
-        lit(rule.alert).as("alertname") +:
-          when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate") +:
+        when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate") +:
+          col("offset_s") +: (lcs.map(col) :+ col("value")): _*)
+    val resolved =
+      if (kf == 0) base
+      else {
+        // a breaching row at an output offset, marked by ladder state
+        val out = base.filter(col("offset_s").isin(offsets: _*))
+          .select(col("offset_s") +: lcs.map(col) :+ col("value") :+
+            (col("alertstate") === "firing").as("_fire") :+
+            lit(false).as("_held") :+ col("offset_s").as("_src"): _*)
+        // each FIRING instant projects a held-firing shadow onto the
+        // kf following evaluation instants (smaller offsets = later
+        // wall time); the union's groupBy (null labels group together,
+        // so scalar alerts need no shadow keys here) resolves:
+        // firing if any arm fires, value = the breaching row's if
+        // present else the NEAREST past firing's (upstream serves the
+        // last breach's value through the grace window)
+        val held = base.filter(col("alertstate") === "firing")
+          .withColumn("_i", explode(sequence(lit(1L), lit(kf.toLong))))
+          .withColumn("_o", col("offset_s") - col("_i") * iv)
+          .filter(col("_o").isin(offsets: _*) && col("_o") >= 0)
+          .select(col("_o").as("offset_s") +: lcs.map(col) :+
+            col("value") :+ lit(true).as("_fire") :+
+            lit(true).as("_held") :+ col("offset_s").as("_src"): _*)
+        out.unionByName(held)
+          .groupBy((col("offset_s") +: lcs.map(col)): _*)
+          .agg(
+            max(col("_fire")).as("_f"),
+            expr("min_by(value, struct(_held, _src))").as("value"))
+          .select(
+            when(col("_f"), "firing").otherwise("pending").as("alertstate") +:
+              col("offset_s") +: (lcs.map(col) :+ col("value")): _*)
+      }
+    resolved
+      .select(
+        lit(rule.alert).as("alertname") +: col("alertstate") +:
           col("offset_s") +: (lcs.map(col) :+ col("value")): _*)
       .orderBy((col("offset_s") +: lcs.map(col)): _*)
   }
@@ -249,13 +328,21 @@ object Rules {
         (rule.forS > 0 && (rule.intervalS <= 0 || rule.forS % rule.intervalS != 0)))
       throw new PromQLCompileException(
         s"alert '${rule.alert}': `for` (${rule.forS}s) must be a non-negative multiple of the evaluation interval (${rule.intervalS}s)")
-    if (rule.forS > 0 && rule.intervalS % stepS != 0)
+    if (rule.keepFiringForS < 0 ||
+        (rule.keepFiringForS > 0 &&
+          (rule.intervalS <= 0 || rule.keepFiringForS % rule.intervalS != 0)))
+      throw new PromQLCompileException(
+        s"alert '${rule.alert}': `keep_firing_for` (${rule.keepFiringForS}s) must be a non-negative multiple of the evaluation interval (${rule.intervalS}s)")
+    if ((rule.forS > 0 || rule.keepFiringForS > 0) && rule.intervalS % stepS != 0)
       throw new PromQLCompileException(
         s"alert '${rule.alert}': the evaluation interval (${rule.intervalS}s) must be a multiple of the grid step (${stepS}s)")
     val k = if (rule.forS == 0) 0 else (rule.forS / rule.intervalS).toInt
-    val m = if (rule.forS == 0) 1 else (rule.intervalS / stepS).toInt
+    val kf = if (rule.keepFiringForS == 0) 0
+      else (rule.keepFiringForS / rule.intervalS).toInt
+    val m = if (rule.forS == 0 && rule.keepFiringForS == 0) 1
+      else (rule.intervalS / stepS).toInt
     val endS = Compiler.instantSeconds(spark, dir).toLong
-    val ext = instants + k * m
+    val ext = instants + (k + kf) * m
     val startS = endS - (ext - 1).toLong * stepS
     val ast = Ast.resolveAtEdges(Parser.parse(rule.expr), Some(startS), Some(endS))
     val cond = Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
@@ -285,12 +372,43 @@ object Rules {
       shadows :+ "_i", "left")
     val wl = Window.partitionBy(shadows.map(col) :+ pmod(col("_i"), lit(m.toLong)): _*)
       .orderBy(col("_i")).rowsBetween(-k, Window.currentRow)
-    dense
-      .withColumn("_n", count(col("value")).over(wl))
-      .filter(col("value").isNotNull && col("_i") > k.toLong * m)
+    val laddered = dense.withColumn("_n", count(col("value")).over(wl))
+    val staged =
+      if (kf == 0) laddered
+        .filter(col("value").isNotNull)
+        .withColumn("_state",
+          when(col("_n") === (k + 1), "firing").otherwise("pending"))
+      else {
+        // keep_firing_for on the grid: a ladder-firing instant holds the
+        // alert firing for the next kf instants OF ITS RESIDUE CLASS
+        // (one rule interval apart each — the same window partition the
+        // ladder uses), serving the last breach's value through the
+        // grace; a re-breach during the grace stays firing (upstream's
+        // continuation rule)
+        val wr = Window
+          .partitionBy(shadows.map(col) :+ pmod(col("_i"), lit(m.toLong)): _*)
+          .orderBy(col("_i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fire0 = col("_n") === (k + 1) && col("value").isNotNull
+        laddered
+          .withColumn("_lastFire", max(when(fire0, col("_i"))).over(wr))
+          .withColumn("_lastVal",
+            last(when(fire0, col("value")), ignoreNulls = true).over(wr))
+          .withColumn("_heldF", col("_lastFire").isNotNull &&
+            (col("_i") - col("_lastFire")) <= kf.toLong * m)
+          .filter(col("value").isNotNull || col("_heldF"))
+          .withColumn("_state",
+            when(col("_heldF"), "firing").otherwise(
+              when(col("_n") === (k + 1), "firing").otherwise("pending")))
+          .withColumn("value",
+            when(col("value").isNotNull, col("value"))
+              .otherwise(col("_lastVal")))
+      }
+    staged
+      .filter(col("_i") > (k + kf).toLong * m)
       .select(
         lit(rule.alert).as("alertname") +:
-          when(col("_n") === (k + 1), "firing").otherwise("pending").as("alertstate") +:
+          col("_state").as("alertstate") +:
           (lit(startS) + (col("_i") - 1) * lit(stepS)).cast("long").as("t_s") +:
           (lcs.map(col) :+ col("value")): _*)
       .orderBy((col("t_s") +: lcs.map(col)): _*)

@@ -62,6 +62,79 @@ object Otlp {
           Some(cum)
       }
     }
+
+    /** Running cumulative state of one delta EXPONENTIAL-HISTOGRAM
+      * series: totals plus ABSOLUTE bucket counts keyed by Prometheus
+      * index (OTLP bucket i at `offset` is index `offset + i + 1`),
+      * at the smallest scale seen so far.
+      */
+    private final case class ExpoCum(lastTs: Long, scale: Int,
+        count: Long, sum: Double, zeroCount: Long,
+        pos: Map[Int, Long], neg: Map[Int, Long])
+    private val hm = scala.collection.mutable.Map
+      .empty[Vector[(String, String)], ExpoCum]
+
+    /** Fold one delta exponential-histogram point into its series'
+      * running cumulative state (upstream deltatocumulative's
+      * histogram arm): `count`/`sum`/`zero_count` add, bucket counts
+      * add per index, and a scale mismatch DOWNSCALES to the smaller
+      * scale (halving the index, ceil — merging exponential ladders is
+      * exact only toward coarser scales; upstream downscales the same
+      * way). Returns the accumulated point as a CUMULATIVE [[ExpoHist]]
+      * ready for the ordinary translation path; `None` = out of order,
+      * dropped.
+      */
+    def addExpoHist(key: Vector[(String, String)],
+        h: ExpoHist): Option[ExpoHist] = synchronized {
+      val tsMs = h.tsNano / 1000000L
+      hm.get(key) match {
+        case Some(st) if tsMs <= st.lastTs => None
+        case prev =>
+          def toMap(off: Int, cs: Vector[Long]): Map[Int, Long] =
+            cs.zipWithIndex.collect {
+              case (c, i) if c != 0 => (off + i + 1) -> c
+            }.toMap
+          // index j at scale s covers (2^((j-1)/2^s), 2^(j/2^s)]; at
+          // scale s-d the covering index is ceil(j / 2^d)
+          def down(bm: Map[Int, Long], d: Int): Map[Int, Long] =
+            if (d <= 0) bm
+            else bm.groupMapReduce { case (j, _) =>
+              Math.floorDiv(j + (1 << d) - 1, 1 << d)
+            }(_._2)(_ + _)
+          def merge(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
+            (a.keySet ++ b.keySet).iterator
+              .map(j => j -> (a.getOrElse(j, 0L) + b.getOrElse(j, 0L)))
+              .toMap
+          val scale = math.min(prev.map(_.scale).getOrElse(h.scale), h.scale)
+          val (pPos, pNeg) = prev
+            .map(st => (down(st.pos, st.scale - scale),
+              down(st.neg, st.scale - scale)))
+            .getOrElse((Map.empty[Int, Long], Map.empty[Int, Long]))
+          val pos = merge(pPos, down(toMap(h.posOffset, h.posCounts),
+            h.scale - scale))
+          val neg = merge(pNeg, down(toMap(h.negOffset, h.negCounts),
+            h.scale - scale))
+          val st2 = ExpoCum(tsMs, scale,
+            prev.map(_.count).getOrElse(0L) + h.count,
+            prev.map(_.sum).getOrElse(0.0) + h.sum,
+            prev.map(_.zeroCount).getOrElse(0L) + h.zeroCount,
+            pos, neg)
+          hm.update(key, st2)
+          def dense(bm: Map[Int, Long]): (Int, Vector[Long]) =
+            if (bm.isEmpty) (0, Vector.empty)
+            else {
+              val lo = bm.keys.min
+              val hi = bm.keys.max
+              (lo - 1, (lo to hi).map(j => bm.getOrElse(j, 0L)).toVector)
+            }
+          val (po, pc) = dense(pos)
+          val (no, nc) = dense(neg)
+          Some(h.copy(temporality = 2, count = st2.count, sum = st2.sum,
+            zeroCount = st2.zeroCount, scale = scale,
+            posOffset = po, posCounts = pc,
+            negOffset = no, negCounts = nc))
+      }
+    }
   }
 
   /** One exponential-histogram data point off the wire — OTLP's twin of
@@ -586,16 +659,33 @@ object Otlp {
       RemoteWrite.Series(seriesLabels(promName(p), p.resource, p.attrs),
         Vector((p.value, p.tsNano / 1000000L)))
     } ++ deltaSeries
-    val hists = decoded.expoHists.map { h =>
+    def expoName(h: ExpoHist): String = {
+      val base = sanitize(h.name)
+      val suffix = UnitSuffix.getOrElse(h.unit, sanitize(h.unit))
+      if (suffix.isEmpty || base.endsWith(s"_$suffix")) base
+      else s"${base}_$suffix"
+    }
+    // DELTA exponential histograms convert behind the same opt-in flag
+    // (the deltatocumulative histogram arm): per series in timestamp
+    // order, bucket counts accumulate; the converted points then ride
+    // the ordinary cumulative path below
+    val (deltaHists, plainHists) = deltaState match {
+      case Some(_) => decoded.expoHists.partition(_.temporality == 1)
+      case None => (Vector.empty[ExpoHist], decoded.expoHists)
+    }
+    val convertedHists = deltaState.toVector.flatMap { st =>
+      deltaHists.groupBy(h => seriesLabels(expoName(h), h.resource, h.attrs))
+        .toVector.sortBy(_._1.toString) // deterministic fold order
+        .flatMap { case (labels, hs) =>
+          hs.sortBy(_.tsNano).flatMap(h => st.addExpoHist(labels, h))
+        }
+    }
+    val hists = (plainHists ++ convertedHists).map { h =>
       if (h.temporality != 2)
         throw new IllegalArgumentException(
           s"OTLP exponential histogram '${h.name}' has non-cumulative " +
             s"temporality ${h.temporality}; only cumulative is ingestible")
-      val base = sanitize(h.name)
-      val suffix = UnitSuffix.getOrElse(h.unit, sanitize(h.unit))
-      val named =
-        if (suffix.isEmpty || base.endsWith(s"_$suffix")) base
-        else s"${base}_$suffix"
+      val named = expoName(h)
       val (po, pl, pd) = toSpans(h.posOffset, h.posCounts)
       val (no, nl, nd) = toSpans(h.negOffset, h.negCounts)
       RemoteWrite.Series(seriesLabels(named, h.resource, h.attrs),
@@ -825,6 +915,72 @@ object Otlp {
       |    ORDER BY ts_ms) AS value
       |FROM d
       |ORDER BY metric, label_k, ts_ms""".stripMargin
+
+  /** a1zg — OTLP DELTA temporality for EXPONENTIAL HISTOGRAMS behind
+    * the same opt-in flag (upstream deltatocumulative's histogram arm,
+    * the a1zf sum conversion's vector-valued twin): two delta pushes of
+    * one series accumulate per-bucket running totals across requests,
+    * and the accumulated state serves `histogram_quantile` IDENTICALLY
+    * to a one-shot cumulative twin carrying the exact sums — both rows
+    * ride the REAL path (translate → wire encode → decode → LWW family
+    * registry → two-sided quantile walk). Points are built typed (the
+    * wire walk itself is the a1q gate's subject).
+    *
+    * Hand-derivation for the oracle: pushes at scale 3 carry positive
+    * buckets {off 0, [5,3]} then {off 2, [2,1]} (Prometheus indices
+    * 1→5, 2→3 then 3→2, 4→1), counts 9+4, sums 3.5+1.25, zeros 1+1 →
+    * merged count 13, zero 2, ladder [5,3,2,1]. φ=0.5: rank 6.5
+    * crosses index 1 past the zero bucket's 2 → fraction
+    * (6.5−2)/5 = 0.9 → q = 2^((1−1+0.9)/2³) = 2^0.1125.
+    */
+  def otlpDeltaHist(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def h(tsNano: Long, temporality: Int, count: Long, sum: Double,
+        zero: Long, posOff: Int, pos: Vector[Long]): ExpoHist =
+      ExpoHist("rpc.size", "By", temporality,
+        Vector("service.name" -> "checkout"), Vector("k" -> "eu"),
+        tsNano, count, sum, zero, 3, posOff, pos, 0, Vector.empty)
+    val st = new DeltaState
+    val deltas =
+      translate(Decoded(Vector.empty,
+        Vector(h(1000000000L, 1, 9, 3.5, 1, 0, Vector(5L, 3L)))),
+        Some(st)) ++
+      translate(Decoded(Vector.empty,
+        Vector(h(2000000000L, 1, 4, 1.25, 1, 2, Vector(2L, 1L)))),
+        Some(st))
+    val cumTwin = translate(Decoded(Vector.empty,
+      Vector(h(2000000000L, 2, 13, 4.75, 2, 0, Vector(5L, 3L, 2L, 1L)))))
+    def served(series: Vector[RemoteWrite.Series], src: String): DataFrame = {
+      val payloads = Seq(RemoteWrite.encode(series)).toDF("proto")
+        .withColumn("recv_ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      RemoteWrite.familyQuantile(spark,
+        RemoteWrite.histFamily(RemoteWrite.decodeHist(payloads)), 0.5)
+        .select(lit(src).as("source"), col("metric"), col("label_k"),
+          col("count"), col("zero_count"), col("sum"), col("q"))
+    }
+    served(deltas, "delta_converted")
+      .unionByName(served(cumTwin, "cumulative_twin"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[otlpDeltaHist]]: the hand-derived accumulated
+    * state (see the gate's derivation) under BOTH sources — the
+    * converter must make the delta pushes indistinguishable from their
+    * cumulative twin. The quantile is the pinned native interpolation
+    * `2^0.1125` through the DetMath twin.
+    */
+  lazy val OtlpDeltaHistSql: String = {
+    val interp = graft.functions.DetMath.exp2Sql("xq")
+    s"""WITH q AS (
+       |  SELECT $interp AS qv
+       |  FROM (SELECT CAST('0.1125' AS DOUBLE) AS xq))
+       |SELECT s.source, 'rpc_size_bytes' AS metric, 'eu' AS label_k,
+       |  CAST(13 AS BIGINT) AS count, CAST(2 AS BIGINT) AS zero_count,
+       |  CAST('4.75' AS DOUBLE) AS sum, q.qv AS q
+       |FROM (VALUES ('cumulative_twin'), ('delta_converted')) s(source), q
+       |ORDER BY s.source""".stripMargin
+  }
 
   /** a1q — OTLP exponential histograms land in the NATIVE-HISTOGRAM
     * family: a hand-assembled `ExportMetricsServiceRequest` whose

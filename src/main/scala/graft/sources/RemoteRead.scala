@@ -864,11 +864,11 @@ object RemoteRead {
       }
     }.reduce(_ && _)
     src.filter(pred && col("ts_ms") >= q.startMs && col("ts_ms") <= q.endMs)
-      .withColumn("_skey", concat_ws("\\u0000",
+      .withColumn("_skey", concat_ws("\u0000",
         transform(
           array_sort(filter(map_entries(col("labels")),
             e => e.getField("value") =!= "")),
-          e => concat_ws("\\u0000", e.getField("key"),
+          e => concat_ws("\u0000", e.getField("key"),
             e.getField("value")))))
   }
 
@@ -1005,7 +1005,7 @@ object RemoteRead {
     * `k`), empty values dropped — so the raw source's distributed sort
     * and the labels-map sources' agree on one global series order.
     */
-  private def rawSkey: Column = concat_ws("\\u0000", flatten(filter(
+  private def rawSkey: Column = concat_ws("\u0000", flatten(filter(
     array(
       array(lit("__name__"), col("wire_name")),
       array(lit("instance"), col("instance")),

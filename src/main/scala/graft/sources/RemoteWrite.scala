@@ -932,6 +932,41 @@ object RemoteWrite {
       } finally conn.disconnect()
     } catch { case _: Exception => -1 }
 
+  /** Upstream's retry policy: transport failures, 429, and 5xx are
+    * RECOVERABLE (the receiver may come back); other 4xx are the
+    * sender's own fault and retrying would re-fail forever.
+    */
+  private[graft] def isRecoverable(code: Int): Boolean =
+    code == -1 || code == 429 || code / 100 == 5
+
+  /** [[post]] with upstream's queue-manager retry semantics, bounded:
+    * recoverable failures re-send after exponential backoff
+    * (`minBackoffMs`, doubling, capped at `maxBackoffMs`) up to
+    * `maxRetries` re-sends, then the batch DROPS with the failure code
+    * visible to the caller's accounting — the in-memory per-shard retry
+    * queue of a remote-write shard, collapsed to its per-batch reading
+    * (each executor partition IS a shard here, and the batch in hand is
+    * its queue head; upstream likewise blocks a shard on its head
+    * batch, so bounded in-order retry is the same behavior with a
+    * drop bound). Unrecoverable 4xx returns immediately. `sleep` is
+    * injectable so specs don't wait wall-clock.
+    */
+  private[graft] def postWithRetry(url: String, body: Array[Byte],
+      maxRetries: Int = 4, minBackoffMs: Long = 50,
+      maxBackoffMs: Long = 5000,
+      sleep: Long => Unit = Thread.sleep): Int = {
+    var code = post(url, body)
+    var backoff = minBackoffMs
+    var attempt = 0
+    while (isRecoverable(code) && attempt < maxRetries) {
+      sleep(backoff)
+      backoff = math.min(backoff * 2, maxBackoffMs)
+      attempt += 1
+      code = post(url, body)
+    }
+    code
+  }
+
   /** The wire framing: remote write bodies are snappy BLOCK format. */
   def compress(proto: Array[Byte]): Array[Byte] =
     org.xerial.snappy.Snappy.compress(proto)
@@ -1632,7 +1667,7 @@ object RemoteWrite {
       transform(col("bk"), (b, i) =>
         when(i === 0, b.getField("cum"))
           .otherwise(b.getField("cum") - element_at(cums, i))),
-      array(when(n === 0, lit(0.0))
+      array(when(n === 0, coalesce(col("inf"), lit(0.0)))
         .otherwise(col("inf") - element_at(cums, n))))
     perInstant
       .withColumn("_deltas_d", deltas)
@@ -2106,7 +2141,9 @@ object RemoteWriteRecorded {
   }
 }
 
-class RemoteWriteClient(url: String) {
+class RemoteWriteClient(url: String,
+    maxRetries: Int = 4, minBackoffMs: Long = 50,
+    maxBackoffMs: Long = 5000) {
 
   @volatile private var lastPushMs: Option[Long] = None
   @volatile private var lastError: Option[String] = None
@@ -2133,7 +2170,9 @@ class RemoteWriteClient(url: String) {
     */
   def backfill(events: org.apache.spark.sql.DataFrame,
       batchRows: Int = 500): (Long, Long) = {
-    val target = url // capture the string, not `this`, in the closure
+    // capture plain values, not `this`, in the executor closure
+    val target = url
+    val (mr, mnb, mxb) = (maxRetries, minBackoffMs, maxBackoffMs)
     val spark = events.sparkSession
     val sent = spark.sparkContext.longAccumulator("rw_backfill_sent")
     val failed = spark.sparkContext.longAccumulator("rw_backfill_failed")
@@ -2158,8 +2197,12 @@ class RemoteWriteClient(url: String) {
                     .map(r => (r.getDouble(3), r.getLong(2))).toVector)
               }
             val n = series.map(_.samples.length).sum
-            val code = RemoteWrite.post(target,
-              RemoteWrite.compress(RemoteWrite.encode(series)))
+            // per-shard bounded retry ([[RemoteWrite.postWithRetry]]):
+            // a transient receiver blip loses nothing; a dead receiver
+            // drops the batch into the failed count
+            val code = RemoteWrite.postWithRetry(target,
+              RemoteWrite.compress(RemoteWrite.encode(series)),
+              mr, mnb, mxb)
             // the remote-write spec: senders MUST treat any 2xx as
             // accepted (Prometheus's own receiver answers 204, older
             // and third-party receivers answer 200)
@@ -2182,6 +2225,7 @@ class RemoteWriteClient(url: String) {
   def backfillRecorded(rel: org.apache.spark.sql.DataFrame,
       batchRows: Int = 500): (Long, Long) = {
     val target = url
+    val (mr, mnb, mxb) = (maxRetries, minBackoffMs, maxBackoffMs)
     val spark = rel.sparkSession
     val sent = spark.sparkContext.longAccumulator("rw_recorded_sent")
     val failed = spark.sparkContext.longAccumulator("rw_recorded_failed")
@@ -2190,15 +2234,19 @@ class RemoteWriteClient(url: String) {
         rows.grouped(batchRows).foreach { batch =>
           val series = RemoteWriteRecorded.labelsMapSeries(batch.toSeq)
           val n = series.map(_.samples.length).sum
-          val code = RemoteWrite.post(target,
-            RemoteWrite.compress(RemoteWrite.encode(series)))
+          val code = RemoteWrite.postWithRetry(target,
+            RemoteWrite.compress(RemoteWrite.encode(series)),
+            mr, mnb, mxb)
           if (code / 100 == 2) sent.add(n.toLong) else failed.add(n.toLong)
         }
       }
     (sent.value, failed.value)
   }
 
-  /** One push: the registry's series at `atMs`. Returns the HTTP code
+  /** One push: the registry's series at `atMs`, with the bounded
+    * per-shard retry ([[RemoteWrite.postWithRetry]] — a transient 5xx
+    * or transport blip re-sends after exponential backoff; past the
+    * bound the push records the failure). Returns the final HTTP code
     * (any 2xx is acceptance) or -1 on a transport failure.
     */
   def push(atMs: Long = System.currentTimeMillis()): Int = {
@@ -2208,24 +2256,14 @@ class RemoteWriteClient(url: String) {
         Vector((t.total, atMs)))
     }
     val body = RemoteWrite.compress(RemoteWrite.encode(series))
-    try {
-      val conn = new java.net.URL(url).openConnection()
-        .asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod("POST")
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", "application/x-protobuf")
-      conn.setRequestProperty("Content-Encoding", "snappy")
-      try {
-        val os = conn.getOutputStream
-        try os.write(body) finally os.close()
-        val code = conn.getResponseCode
-        // any 2xx is acceptance per the remote-write spec
-        lastError = if (code / 100 == 2) None else Some(s"HTTP $code")
-        code
-      } finally conn.disconnect()
-    } catch {
-      case e: Exception => lastError = Some(e.toString); -1
-    } finally lastPushMs = Some(atMs)
+    val code = try RemoteWrite.postWithRetry(url, body,
+      maxRetries, minBackoffMs, maxBackoffMs)
+    finally { lastPushMs = Some(atMs) }
+    // any 2xx is acceptance per the remote-write spec
+    lastError =
+      if (code / 100 == 2) None
+      else if (code == -1) Some("transport failure") else Some(s"HTTP $code")
+    code
   }
 }
 

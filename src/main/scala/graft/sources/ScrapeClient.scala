@@ -96,14 +96,16 @@ object ScrapeClient {
     * at the scrape that no longer exposes it (or at a failed scrape,
     * for the whole target), so consumers cut the series off
     * immediately instead of serving its last value through the
-    * lookback window. Within this engine's scrape tier `Double.NaN`
-    * IS the marker: the exposition line regex can never parse `NaN`
-    * out of a real payload, so NaN on the scraped relation is
-    * unambiguous — the same reserved-NaN idea as upstream's marker
-    * payload. A staleness-aware consumer drops a series whose LATEST
-    * sample is the marker (`isnan` after the LWW pick).
+    * lookback window. The marker is upstream's EXACT reserved quiet-NaN
+    * bit pattern ([[graft.model.Stale.Bits]]) — an ordinary NaN sample
+    * is NOT a marker; detection is the raw-bit `is_stale_nan`
+    * expression ([[graft.plans.StaleExprs]]), never `isnan`. Rollups
+    * exclude markers from value fields and carry a `stale_at` anchor;
+    * instant/LWW reads cut a series whose latest event is the marker;
+    * range functions never see markers (upstream's semantics
+    * throughout — see [[graft.model.Stale]]).
     */
-  val StaleMarker: Double = Double.NaN
+  val StaleMarker: Double = graft.model.Stale.Marker
 
   /** The series identities one payload exposes — the driver-side parse
     * the staleness tracker diffs between ticks (same line grammar as
@@ -194,8 +196,13 @@ class ScrapeLoop(spark: SparkSession, url: String,
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[(java.sql.Timestamp, String)]
-  // staleness: vanished series land here as (scrape_ts, name, label_k)
-  private val markers = MemoryStream[(java.sql.Timestamp, String, String)]
+  // staleness: vanished series land here as (scrape_ts, name, label_k,
+  // StaleMarker). The marker VALUE rides as encoder DATA, never as a
+  // `lit()` — Literal codegen has no Java NaN literal and collapses
+  // any NaN to the default bit pattern, which would erase the
+  // marker's reserved payload ([[graft.model.Stale.Bits]])
+  private val markers =
+    MemoryStream[(java.sql.Timestamp, String, String, Double)]
 
   @volatile private var lastScrapeMs: Option[Long] = None
   @volatile private var lastError: Option[String] = None
@@ -243,9 +250,7 @@ class ScrapeLoop(spark: SparkSession, url: String,
     */
   def events: DataFrame = {
     val markerSamples = markers.toDF()
-      .toDF("scrape_ts", "name", "label_k")
-      .withColumn("value",
-        org.apache.spark.sql.functions.lit(ScrapeClient.StaleMarker))
+      .toDF("scrape_ts", "name", "label_k", "value")
     ScrapeClient.toEvents(
       ScrapeClient.parsePayloads(payloads, metricRelabelConfigs)
         .unionByName(ScrapeClient.applyMetricRelabel(markerSamples,
@@ -286,7 +291,7 @@ class ScrapeLoop(spark: SparkSession, url: String,
     val gone = (liveSeries -- now).toSeq.sorted
     if (gone.nonEmpty)
       markers.addData(gone.map { case (n, k) =>
-        (new java.sql.Timestamp(atMs), n, k)
+        (new java.sql.Timestamp(atMs), n, k, ScrapeClient.StaleMarker)
       }: _*)
     liveSeries = now
   }

@@ -63,9 +63,21 @@ object MetricStream {
     * aggregate; state ∝ open buckets × series, not events.
     */
   def streamingRollup(events: DataFrame,
-      watermark: String = "2 minutes"): DataFrame =
+      watermark: String = "2 minutes"): DataFrame = {
+    val st = graft.plans.StaleExprs.isStaleC(col("value"))
+    val fMin = min(col("_f"))
+    val fMax = max(col("_f"))
     Metrics.metricEventsOf(events)
       .withColumn("ts_us", unix_micros(col("ts")))
+      // STALENESS ([[graft.model.Stale]], same construction as the
+      // batch rollupRaw): a marker row contributes to no value field —
+      // `_f` is null for markers, so the aggregates skip them — and the
+      // bucket keeps the latest marker anchor as `stale_at` for the
+      // instant tier's series cut
+      .withColumn("_f", when(!st,
+        struct(col("ts_us"), col("event_id"), col("value"))))
+      .withColumn("_m", when(st,
+        struct(col("ts_us"), col("event_id"))))
       // window() assigns [start, end); the pyramid's buckets are
       // (start, end] (PromQL's closed-right range convention, see
       // Downsample.bucketCol) — shifting event time by 1 µs before
@@ -75,21 +87,25 @@ object MetricStream {
       .groupBy(org.apache.spark.sql.functions.window(col("_wts"), "1 hour"),
         col("name"), col("label_k"), col("label_instance"), col("kind"))
       .agg(
-        count(lit(1)).as("cnt"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+        count(col("_f")).as("cnt"),
+        sum(col("_f").getField("value")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2)))
           .as("sum_dec"),
-        min(col("value")).as("vmin"),
-        max(col("value")).as("vmax"),
-        expr("min_by(value, struct(ts_us, event_id))").as("vfirst"),
-        expr("min_by(struct(ts_us, event_id), struct(ts_us, event_id))")
-          .as("first_at"),
-        expr("max_by(value, struct(ts_us, event_id))").as("vlast"),
-        expr("max_by(struct(ts_us, event_id), struct(ts_us, event_id))")
-          .as("last_at"))
+        min(col("_f").getField("value")).as("vmin"),
+        max(col("_f").getField("value")).as("vmax"),
+        fMin.getField("value").as("vfirst"),
+        when(fMin.isNotNull, struct(fMin.getField("ts_us").as("ts_us"),
+          fMin.getField("event_id").as("event_id"))).as("first_at"),
+        fMax.getField("value").as("vlast"),
+        when(fMax.isNotNull, struct(fMax.getField("ts_us").as("ts_us"),
+          fMax.getField("event_id").as("event_id"))).as("last_at"),
+        max(col("_m")).as("stale_at"))
       .select(col("name"), col("label_k"), col("label_instance"), col("kind"),
         unix_seconds(col("window.start")).as("bucket_s"),
         col("cnt"), col("sum_dec"), col("vmin"), col("vmax"),
-        col("vfirst"), col("first_at"), col("vlast"), col("last_at"))
+        col("vfirst"), col("first_at"), col("vlast"), col("last_at"),
+        col("stale_at"))
+  }
 
   /** DURABLE pyramid maintenance, LSM-style: every micro-batch's
     * updated rollup state rows APPEND to the on-disk block directory
@@ -111,6 +127,39 @@ object MetricStream {
         batch.write.mode("append").parquet(blockDir)
       }
       .start()
+
+  /** DURABLE raw-event history for the push doors — the raw-segment
+    * face next to [[streamingBlocks]]: every micro-batch's samples
+    * (already adapted to the metric-events view) APPEND to the segment
+    * directory as immutable parquet (crash-safe, append-only, never
+    * contends with readers — the same LSM discipline as the rollup
+    * blocks). Where the rollup blocks serve ALIGNED reads after a
+    * restart, these segments serve the NON-ALIGNED ones: seed
+    * [[graft.operators.Metrics.seedEvents]] with [[rawSegmentsView]]
+    * and every raw-path query (odd-window rates, unaligned instants,
+    * subqueries) answers from disk alone.
+    */
+  def streamingRawSegments(events: DataFrame,
+      segDir: String): StreamingQuery =
+    Metrics.metricEventsOf(events).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(segDir)
+      }
+      .start()
+
+  /** The raw-segment directory's serving view, replay-deduped: a
+    * redelivered micro-batch appends byte-identical rows, and
+    * `event_id` is the engine-wide exact-dedup key, so keeping one row
+    * per id restores the exactly-once relation (all duplicates are
+    * identical, making the pick order-free). Schema = the
+    * metric-events view, ready for `Metrics.seedEvents`.
+    */
+  def rawSegmentsView(spark: SparkSession, segDir: String): DataFrame =
+    spark.read.parquet(segDir)
+      .dropDuplicates("event_id")
+      .select(col("ts"), col("name"), col("label_k"),
+        col("label_instance"), col("kind"), col("value"), col("event_id"))
 
   /** The block directory's merged serving view: latest state per
     * (series, bucket) across all appended segments — schema-identical

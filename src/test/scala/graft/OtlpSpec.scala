@@ -294,4 +294,38 @@ class OtlpSpec extends SparkTestBase {
       } finally q.stop()
     } finally server.stop(0)
   }
+
+  test("OTLP delta exponential histograms accumulate behind the opt-in; scale mismatch downscales") {
+    def h(tsNano: Long, temporality: Int, count: Long, sum: Double,
+        zero: Long, scale: Int, posOff: Int, pos: Vector[Long]): Otlp.ExpoHist =
+      Otlp.ExpoHist("lat", "s", temporality, Vector.empty,
+        Vector("k" -> "eu"), tsNano, count, sum, zero, scale,
+        posOff, pos, 0, Vector.empty)
+    // without the flag, delta expohists still fail loud (the default)
+    intercept[IllegalArgumentException] {
+      Otlp.translate(Otlp.Decoded(Vector.empty,
+        Vector(h(1000000000L, 1, 2, 1.0, 0, 3, 0, Vector(2L)))))
+    }
+    val st = new Otlp.DeltaState
+    def wire(series: Vector[RemoteWrite.Series]) =
+      series.flatMap(s => s.hists.map(hh =>
+        (hh.tsMs, hh.schema, hh.count, hh.sum, hh.zeroCount,
+          hh.offs, hh.lens, hh.deltas)))
+    // push 1 at scale 3: Prom indices 1→5, 2→3
+    val w1 = wire(Otlp.translate(Otlp.Decoded(Vector.empty,
+      Vector(h(1000000000L, 1, 9, 3.5, 1, 3, 0, Vector(5L, 3L)))), Some(st)))
+    assert(w1 === Vector((1000L, 3, 9L, 3.5, 1L,
+      Vector(1), Vector(2), Vector(5L, -2L))))
+    // push 2 at COARSER scale 2: its index 1 covers scale-3 indices
+    // 1..2 — the running state downscales (5+3 fold into new index 1)
+    // and the new bucket adds there too: index 1 → 5+3+4 = 12
+    val w2 = wire(Otlp.translate(Otlp.Decoded(Vector.empty,
+      Vector(h(2000000000L, 1, 4, 1.25, 1, 2, 0, Vector(4L)))), Some(st)))
+    assert(w2 === Vector((2000L, 2, 13L, 4.75, 2L,
+      Vector(1), Vector(1), Vector(12L))))
+    // an out-of-order delta point DROPS (nothing emitted)
+    val w3 = wire(Otlp.translate(Otlp.Decoded(Vector.empty,
+      Vector(h(1500000000L, 1, 7, 9.0, 0, 2, 0, Vector(7L)))), Some(st)))
+    assert(w3.isEmpty)
+  }
 }

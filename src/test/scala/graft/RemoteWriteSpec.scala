@@ -196,7 +196,8 @@ class RemoteWriteSpec extends SparkTestBase {
         q.processAllAvailable()
         val rows = spark.table("rw_roll")
           .as[(String, String, String, String, Long, Long, BigDecimal,
-            Double, Double, Double, (Long, Long), Double, (Long, Long))]
+            Double, Double, Double, (Long, Long), Double, (Long, Long),
+            Option[(Long, Long)])]
           .collect()
         def state(name: String, k: String) =
           rows.filter(r => r._1 == name && r._2 == k).maxBy(_._6)

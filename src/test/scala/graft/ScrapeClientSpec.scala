@@ -263,7 +263,8 @@ class ScrapeClientSpec extends SparkTestBase {
         q.processAllAvailable()
         val rows = spark.table("scrape_roll")
           .as[(String, String, String, String, Long, Long, BigDecimal,
-            Double, Double, Double, (Long, Long), Double, (Long, Long))]
+            Double, Double, Double, (Long, Long), Double, (Long, Long),
+            Option[(Long, Long)])]
           .collect()
         // latest update per series (Update-mode sink keeps history)
         def state(name: String, k: String) =
