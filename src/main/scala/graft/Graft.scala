@@ -57,6 +57,7 @@ object Graft {
     Corpus.unpersistShingles(spark)
     graft.operators.Dedup.unpersistSignatures(spark)
     graft.operators.Dedup.unpersistPairs(spark)
+    graft.operators.Dedup.unpersistExact(spark)
     graft.operators.TextAnalysis.unpersistGrams(spark)
     graft.operators.Similarity.unpersistQuantized(spark)
     graft.operators.Similarity.unpersistKmeans(spark)

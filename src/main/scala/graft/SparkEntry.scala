@@ -291,6 +291,16 @@ object SparkEntry {
     // converter's vector-valued twin): two delta pushes accumulate and
     // serve the same quantile as their cumulative twin
     "a1zg_otlp_delta_hist" -> ((s, _) => sources.Otlp.otlpDeltaHist(s)),
+    // the SELECTABLE ALERTS synthetic series (upstream's queryable
+    // ALERTS{alertname=…, alertstate=…}): standing rules' full ladder
+    // evaluated at the selector's instant, matcher-filtered
+    "b43_alerts_series" -> ((s, d) => promql.Engine.eval(s, d,
+      """ALERTS{alertstate="firing"}""",
+      alertRules = Seq(
+        promql.Rules.AlertRule("SustainedHigh",
+          "sum by (k) (purchase) > 450", forS = 2 * 86400, intervalS = 86400),
+        promql.Rules.AlertRule("LowSeries", "sum by (k) (click) < 200")))
+      .orderBy("alertname", "label_k")),
     "b24_instant_rate" -> ((s, d) => PromQL.instantRate(s, d)),
     "b25_linear_regression" -> ((s, d) => PromQL.linearRegression(s, d)),
     "b26_count_values" -> ((s, d) => PromQL.countValues(s, d)),
@@ -1119,6 +1129,7 @@ object SparkEntry {
     "b41_stale_instant" -> PromQL.StaleInstantSql,
     "b42_stale_rollup" -> PromQL.StaleRollupSql,
     "a1zg_otlp_delta_hist" -> sources.Otlp.OtlpDeltaHistSql,
+    "b43_alerts_series" -> promql.Oracle.AlertsSeriesSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,

@@ -33,17 +33,37 @@ object Dedup {
 
   /** Exact dedup: duplicate clusters keyed by md5 of the normalized
     * text; the surviving row of each cluster is the smallest doc_id.
+    *
+    * Session-cached: the verdict layer (x24/x70), the funnel (x99),
+    * and the x1 gate all consume this relation, and its compute is a
+    * full corpus text scan — the cached output is 4 narrow columns per
+    * doc (the signature-cache sizing argument; at 100 TB the analog is
+    * the materialized digest table every dedup pipeline keeps).
     */
-  def exact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(trim(lower(col("text")))).as("text_hash"))
-    val w = Window.partitionBy(col("text_hash"))
-    docs
-      .withColumn("cluster_id", min(col("doc_id")).over(w))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("keep"))
-      .orderBy(col("doc_id"))
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => exactCache.remove(k))
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(trim(lower(col("text")))).as("text_hash"))
+      val w = Window.partitionBy(col("text_hash"))
+      docs
+        .withColumn("cluster_id", min(col("doc_id")).over(w))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("keep"))
+        .orderBy(col("doc_id"))
+        .persist()
+    })
+
+  private val exactCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop this session's cached exact-digest relation. */
+  def unpersistExact(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    exactCache.keySet.asScala.filter(_._1 == spark).foreach { k =>
+      Option(exactCache.remove(k)).foreach(_.unpersist())
+    }
   }
 
   val ExactSql: String =
@@ -786,17 +806,28 @@ object Dedup {
           .when(!col("k2"), "near")
           .when(!col("k3"), "perceptual")
           .otherwise("kept").as("stage"))
-    val dropped = cls.filter(col("stage") =!= "kept")
-      .groupBy(col("stage"))
-      .agg(count(lit(1)).as("dropped_docs"), sum(col("n_toks")).as("dropped_tokens"))
-    val totals = cls.agg(count(lit(1)).as("_total")).head()
-    val total = totals.getLong(0)
+    // ONE pass over the classified corpus: the per-stage aggregate
+    // keeps the `kept` group so the total falls out of the same ≤4-row
+    // result — the old separate `cls.agg(count)` re-evaluated the
+    // whole tokenize+join pipeline a second time (measured as the
+    // query's own cost doubled)
+    val counts = cls.groupBy(col("stage"))
+      .agg(count(lit(1)).as("dropped_docs"),
+        sum(col("n_toks")).as("dropped_tokens"))
+      .collect()
+    val total = counts.map(_.getLong(1)).sum
+    val byStage = counts.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val stages = spark.createDataFrame(Seq(
       (1, "exact"), (2, "near"), (3, "perceptual"))).toDF("stage_order", "stage")
+    val dropped = spark.createDataFrame(
+      Seq("exact", "near", "perceptual").map { s =>
+        val (d, t) = byStage.getOrElse(s, (0L, 0L))
+        (s, d, t)
+      }).toDF("stage", "dropped_docs", "dropped_tokens")
     val w = Window.orderBy(col("stage_order"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    stages.join(dropped, Seq("stage"), "left")
-      .na.fill(0L, Seq("dropped_docs", "dropped_tokens"))
+    stages.join(dropped, Seq("stage"))
       .withColumn("entered", lit(total) - coalesce(sum(col("dropped_docs")).over(w), lit(0L)))
       .withColumn("remaining", col("entered") - col("dropped_docs"))
       .select(col("stage_order"), col("stage"), col("dropped_docs"),

@@ -114,6 +114,19 @@ object Compiler {
   private val expanding =
     new scala.util.DynamicVariable[Set[String]](Set.empty)
 
+  /** Standing ALERT rules for the current compilation: selecting the
+    * synthetic `ALERTS` series (upstream's queryable
+    * `ALERTS{alertname=…, alertstate="pending"/"firing"}`) evaluates
+    * every rule's pending→firing ladder at the selector's effective
+    * instant — the batch reading of upstream's rule loop writing the
+    * ALERTS samples to its TSDB. Scoped like [[withRecordedRules]].
+    */
+  private val alertRulesVar =
+    new scala.util.DynamicVariable[Seq[Rules.AlertRule]](Nil)
+  private[graft] def withAlertRules[T](rules: Seq[Rules.AlertRule])(
+      f: => T): T =
+    if (rules.isEmpty) f else alertRulesVar.withValue(rules)(f)
+
   private[graft] def withRecordedRules[T](rules: Seq[Rules.RecordingRule])(
       f: => T): T =
     if (rules.isEmpty) f
@@ -811,6 +824,8 @@ object Compiler {
         return recordedVector(spark, dir, sel, ruleAst, shiftS)
       case None => ()
     }
+    if (sel.name == "ALERTS")
+      return alertsVector(spark, dir, sel, shiftS)
     if (sel.rangeS.isDefined)
       fail(s"range selector ${sel.name}[..] is not an instant vector; wrap it in rate/increase/delta")
     val names = resolveNames(sel)
@@ -850,6 +865,59 @@ object Compiler {
           .filter(!st)
           .select((SeriesKey.map(col) :+ col("value")): _*), SeriesKey)
     }
+  }
+
+  /** The synthetic `ALERTS` instant vector — upstream's queryable
+    * alert-state series: one row per (rule, breaching series) at the
+    * selector's effective instant, labeled `alertname`/`alertstate`
+    * (`pending`/`firing` from the full pending→firing ladder incl.
+    * `keep_firing_for`, [[Rules.alertStates]]); `offset`/`@` shift the
+    * evaluation instant like any selector. Matchers filter on
+    * `alertname`/`alertstate` plus the condition's own label universe.
+    * Rule outputs with different label subsets align on the union
+    * (absent labels null), the [[Rules.evaluateAlerts]] convention.
+    */
+  private def alertsVector(spark: SparkSession, dir: String, sel: Selector,
+      shiftS: Long): Vec = {
+    val rules = alertRulesVar.value
+    if (rules.isEmpty)
+      fail("selecting ALERTS needs standing alert rules " +
+        "(Engine.eval(..., alertRules = ...) or withAlertRules)")
+    if (sel.rangeS.isDefined)
+      fail("ALERTS[..] range selection is not supported; " +
+        "use Rules.alertStatesGrid for the state timeline")
+    val tS = instantSeconds(spark, dir).toLong
+    val boundS = sel.atS.map(_ - sel.offsetS.getOrElse(0L))
+      .getOrElse(tS - sel.offsetS.getOrElse(0L) - shiftS)
+    val offS = tS - boundS
+    if (offS < 0)
+      fail(s"ALERTS @ ${boundS}s is after the corpus instant ${tS}s")
+    val frames = rules.map(r =>
+      Rules.alertStates(spark, dir, r, Seq(offS)))
+    val allLabels = Seq("name", "label_k", "label_instance")
+      .filter(l => frames.exists(_.columns.contains(l)))
+    val aligned = frames.map { f =>
+      f.select(col("alertname") +: col("alertstate") +:
+        (allLabels.map(l =>
+          if (f.columns.contains(l)) col(l)
+          else lit(null).cast("string").as(l)) :+ col("value")): _*)
+    }
+    val u = aligned.reduce(_ unionAll _)
+    val filtered = sel.matchers.filterNot(_.label == "__name__")
+      .foldLeft(u) { (acc, m) =>
+        val c = m.label match {
+          case "alertname" => col("alertname")
+          case "alertstate" => col("alertstate")
+          case other => col(labelCol(other))
+        }
+        acc.filter(m.op match {
+          case "=" => c === m.value
+          case "!=" => c =!= m.value
+          case "=~" => c.rlike(s"^(?:${m.value})$$")
+          case "!~" => !c.rlike(s"^(?:${m.value})$$")
+        })
+      }
+    Vec(filtered, Seq("alertname", "alertstate") ++ allLabels)
   }
 
   /** `double_exponential_smoothing(sel[d], sf, tf)` — the PromQL
@@ -4112,10 +4180,12 @@ object Engine {
   def eval(spark: SparkSession, dir: String, query: String,
       nativeFamilies: Set[String] = Set.empty,
       detMath: Boolean = false,
-      recordingRules: Seq[Rules.RecordingRule] = Nil): DataFrame = {
+      recordingRules: Seq[Rules.RecordingRule] = Nil,
+      alertRules: Seq[Rules.AlertRule] = Nil): DataFrame = {
     if (detMath) graft.plans.DetMathExprs.register(spark)
-    Compiler.withRecordedRules(recordingRules)(
-      Compiler.compile(spark, dir, Parser.parse(query), nativeFamilies, detMath))
+    Compiler.withAlertRules(alertRules)(
+      Compiler.withRecordedRules(recordingRules)(
+        Compiler.compile(spark, dir, Parser.parse(query), nativeFamilies, detMath)))
   }
 
   /** Compile a PromQL subset against a STREAMING events relation — the
@@ -4419,18 +4489,29 @@ object StreamCompiler {
             .agg(latest(concat_ws("|", SeriesKey.map(col): _*),
               unix_micros(col("ts")), col("event_id"), col("value"))
               .as("_latest"))
-          val decSum = expr("aggregate(_latest, CAST(0 AS DECIMAL(38,12)), " +
+            // STALENESS ([[graft.model.Stale]]): markers ride INTO the
+            // keyed state so they can out-anchor older samples; a
+            // series whose latest value is the marker then drops out of
+            // the emitted array here — the instant-read cut, stateless.
+            // A newer real sample re-enters the array (revival).
+            .withColumn("_live", expr("filter(_latest, x -> NOT isnan(x))"))
+          val decSum = expr("aggregate(_live, CAST(0 AS DECIMAL(38,12)), " +
             "(acc, x) -> CAST(acc + CAST(x AS DECIMAL(38,12)) AS DECIMAL(38,12)))")
-          val n = size(col("_latest")).cast("double")
+          val n = size(col("_live")).cast("double")
           val value = op match {
             case "sum" => decSum.cast("double")
             case "count" => n
             case "avg" => decSum.cast("double") / n
-            case "min" => array_min(col("_latest"))
-            case "max" => array_max(col("_latest"))
+            case "min" => array_min(col("_live"))
+            case "max" => array_max(col("_live"))
             case other => fail(s"aggregation '$other' is batch-only")
           }
-          SVec(withLatest.select(groupCols.map(col) :+ value.as("value"): _*),
+          // a group whose EVERY series is cut emits a NULL-value update
+          // — Update mode cannot retract a sink row, so null IS the
+          // absence marker (consumers treat a null instant as no series)
+          SVec(withLatest
+            .select(groupCols.map(col) :+
+              when(size(col("_live")) > 0, value).as("value"): _*),
             groupCols)
         case Func(fn, _, Selector(name, ms, Some(d), None, None))
             if (fn == "rate" || fn == "increase") && op == "sum" =>

@@ -1849,6 +1849,53 @@ object Oracle {
        |  AND EXISTS (SELECT 1 FROM s2 WHERE s2.label_k = s0.label_k)
        |ORDER BY alertname, label_k""".stripMargin
 
+  /** b43: the SELECTABLE `ALERTS` synthetic series —
+    * `ALERTS{alertstate="firing"}` under two standing rules: the
+    * for-ladder `SustainedHigh` (`sum by (k) (purchase) > 450`,
+    * `for: 2d` @ 1d — firing = breach at T semi-joined against both
+    * lookbacks, the [[ForAlertSql]] shape) and the for-less
+    * `LowSeries` (`sum by (k) (click) < 200` — every breach fires
+    * immediately). The matcher keeps only `firing` rows; values are
+    * the CURRENT snapshot sums.
+    */
+  val AlertsSeriesSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |s0 AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us
+       |  GROUP BY label_k
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 450),
+       |s1 AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - 86400000000
+       |  GROUP BY label_k
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 450),
+       |s2 AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m, t WHERE name = 'purchase' AND value >= 0
+       |    AND epoch_us(ts) <= t_us - 172800000000
+       |  GROUP BY label_k
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 450),
+       |low AS (
+       |  SELECT label_k, SUM(CAST(value AS DECIMAL(18,2))) AS dv
+       |  FROM m WHERE name = 'click' AND value >= 0
+       |  GROUP BY label_k
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) < 200)
+       |SELECT * FROM (
+       |  SELECT 'SustainedHigh' AS alertname, 'firing' AS alertstate,
+       |    s0.label_k AS label_k, CAST(s0.dv AS DOUBLE) AS value
+       |  FROM s0
+       |  WHERE EXISTS (SELECT 1 FROM s1 WHERE s1.label_k = s0.label_k)
+       |    AND EXISTS (SELECT 1 FROM s2 WHERE s2.label_k = s0.label_k)
+       |  UNION ALL
+       |  SELECT 'LowSeries' AS alertname, 'firing' AS alertstate,
+       |    label_k, CAST(dv AS DOUBLE) AS value
+       |  FROM low)
+       |ORDER BY alertname, label_k""".stripMargin
+
   /** p74: the ALERTS state ladder — `sum by (k) (purchase) > 450`,
     * `for: 2d` at interval 1d, evaluated at offsets {0, 1d, 2d, 3d}.
     * MACHINE-GENERATED (one breach CTE per distinct evaluation instant,

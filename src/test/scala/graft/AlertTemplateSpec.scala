@@ -112,6 +112,29 @@ class AlertTemplateSpec extends SparkTestBase {
     assert(grid2 === union2)
   }
 
+  test("ALERTS is a selectable synthetic series: matchers, offset, no-rules guard") {
+    val dir = kfDir // signup a: 10 (day 0) then 1 (day 1); b: 10, 10 (day 3)
+    val rules = Seq(AlertRule("Hi", "sum by (k) (signup) > 5"))
+    def sel(q: String) = graft.promql.Engine
+      .eval(spark, dir, q, alertRules = rules)
+      .select($"alertname", $"alertstate", $"label_k", $"value")
+      .as[(String, String, String, Double)].collect().toSet
+    // at T (day 3): a's LWW cleared to 1.0, b still breaching
+    assert(sel("ALERTS") === Set(("Hi", "firing", "b", 10.0)))
+    // offset rewinds the whole ladder: at T-3d both breach
+    assert(sel("ALERTS offset 3d") ===
+      Set(("Hi", "firing", "a", 10.0), ("Hi", "firing", "b", 10.0)))
+    // matchers filter on the synthetic labels and the condition's own
+    assert(sel("""ALERTS{alertstate="pending"}""") === Set.empty)
+    assert(sel("""ALERTS{alertname="Hi", k="b"} offset 3d""") ===
+      Set(("Hi", "firing", "b", 10.0)))
+    assert(sel("""ALERTS{alertname!="Hi"}""") === Set.empty)
+    // selecting ALERTS without standing rules is a compose-time error
+    intercept[graft.promql.PromQLCompileException] {
+      graft.promql.Engine.eval(spark, dir, "ALERTS").collect()
+    }
+  }
+
   test("alerts endpoint, notifier body, rules endpoint, and config YAML carry the new fields") {
     val dir = fixture("events" -> Seq(
       ev(0, 0, "purchase", 10.0, "api")
