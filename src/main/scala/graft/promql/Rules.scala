@@ -161,6 +161,34 @@ object Rules {
   def evaluateAlerts(spark: SparkSession, dir: String,
       rules: Seq[AlertRule]): DataFrame = {
     val frames = rules.map { r =>
+      if (r.keepFiringForS > 0) {
+        // the grace window makes "firing now" depend on PAST ladder
+        // states — delegate to the full ladder at offset 0 and keep
+        // its firing rows (held series included, upstream's reading)
+        val st = alertStates(spark, dir, r, Seq(0L))
+          .filter(col("alertstate") === "firing")
+        val lcs = st.columns
+          .filterNot(Set("alertname", "alertstate", "offset_s", "value")
+            .contains).toSeq
+        st.select(col("alertname") +: (lcs.map(col) :+ col("value")): _*)
+      } else evaluateOneAlert(spark, dir, r)
+    }
+    // align rule outputs on the union of their label columns (canonical
+    // order: name, label_k, label_instance — the series-key order)
+    val allLabels = Seq("name", "label_k", "label_instance")
+      .filter(l => frames.exists(_.columns.contains(l)))
+    val aligned = frames.map { f =>
+      f.select(col("alertname") +: (allLabels.map(l =>
+        if (f.columns.contains(l)) col(l)
+        else lit(null).cast("string").as(l)) :+ col("value")): _*)
+    }
+    aligned.reduce(_ unionAll _)
+      .orderBy((col("alertname") +: allLabels.map(col)): _*)
+  }
+
+  private def evaluateOneAlert(spark: SparkSession, dir: String,
+      r: AlertRule): DataFrame = {
+    {
       val ast = Parser.parse(r.expr)
       val (current, lcs) = withSeriesKey(Compiler.compileAt(spark, dir, ast, 0L))
       val sustained =
@@ -182,17 +210,6 @@ object Rules {
       sustained.select(lit(r.alert).as("alertname") +:
         (lcs.map(col) :+ col("value")): _*)
     }
-    // align rule outputs on the union of their label columns (canonical
-    // order: name, label_k, label_instance — the series-key order)
-    val allLabels = Seq("name", "label_k", "label_instance")
-      .filter(l => frames.exists(_.columns.contains(l)))
-    val aligned = frames.map { f =>
-      f.select(col("alertname") +: (allLabels.map(l =>
-        if (f.columns.contains(l)) col(l)
-        else lit(null).cast("string").as(l)) :+ col("value")): _*)
-    }
-    aligned.reduce(_ unionAll _)
-      .orderBy((col("alertname") +: allLabels.map(col)): _*)
   }
 
   /** The per-instant alert STATE ladder — upstream's `ALERTS` series

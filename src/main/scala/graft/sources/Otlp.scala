@@ -135,6 +135,41 @@ object Otlp {
             negOffset = no, negCounts = nc))
       }
     }
+
+    /** Running cumulative state of one delta CLASSIC (explicit-bounds)
+      * histogram series. Bucket layouts must match to accumulate; a
+      * BOUNDS CHANGE resets the series' state to the incoming point
+      * (upstream deltatocumulative's layout-change reset — the two
+      * ladders cannot merge).
+      */
+    private final case class ClassicCum(lastTs: Long,
+        bounds: Vector[Double], counts: Vector[Long], count: Long,
+        sum: Double)
+    private val chm = scala.collection.mutable.Map
+      .empty[Vector[(String, String)], ClassicCum]
+
+    /** Fold one delta classic-histogram point into its series' running
+      * cumulative state; `None` = out of order, dropped.
+      */
+    def addClassicHist(key: Vector[(String, String)],
+        h: ClassicHist): Option[ClassicHist] = synchronized {
+      val tsMs = h.tsNano / 1000000L
+      chm.get(key) match {
+        case Some(st) if tsMs <= st.lastTs => None
+        case prev =>
+          val st2 = prev match {
+            case Some(st) if st.bounds == h.bounds =>
+              ClassicCum(tsMs, h.bounds,
+                st.counts.zipAll(h.bucketCounts, 0L, 0L).map(t => t._1 + t._2),
+                st.count + h.count, st.sum + h.sum)
+            case _ => // first point, or a layout change resets
+              ClassicCum(tsMs, h.bounds, h.bucketCounts, h.count, h.sum)
+          }
+          chm.update(key, st2)
+          Some(h.copy(temporality = 2, bucketCounts = st2.counts,
+            count = st2.count, sum = st2.sum))
+      }
+    }
   }
 
   /** One exponential-histogram data point off the wire — OTLP's twin of
@@ -693,16 +728,33 @@ object Otlp {
         Vector(RemoteWrite.Hist(h.tsNano / 1000000L, h.scale, po, pl, pd,
           h.count, h.sum, h.zeroCount, no, nl, nd)))
     }
-    val classics = decoded.classicHists.flatMap { h =>
+    // DELTA classic histograms convert behind the same flag: per-series
+    // running bucket/count/sum totals; a bounds change resets (the two
+    // ladders cannot merge — upstream's layout-change rule)
+    def classicName(h: ClassicHist): String = {
+      val base = sanitize(h.name)
+      val suffix = UnitSuffix.getOrElse(h.unit, sanitize(h.unit))
+      if (suffix.isEmpty || base.endsWith(s"_$suffix")) base
+      else s"${base}_$suffix"
+    }
+    val (deltaClassics, plainClassics) = deltaState match {
+      case Some(_) => decoded.classicHists.partition(_.temporality == 1)
+      case None => (Vector.empty[ClassicHist], decoded.classicHists)
+    }
+    val convertedClassics = deltaState.toVector.flatMap { st =>
+      deltaClassics
+        .groupBy(h => seriesLabels(classicName(h), h.resource, h.attrs))
+        .toVector.sortBy(_._1.toString)
+        .flatMap { case (labels, hs) =>
+          hs.sortBy(_.tsNano).flatMap(h => st.addClassicHist(labels, h))
+        }
+    }
+    val classics = (plainClassics ++ convertedClassics).flatMap { h =>
       if (h.temporality != 2)
         throw new IllegalArgumentException(
           s"OTLP histogram '${h.name}' has non-cumulative temporality " +
             s"${h.temporality}; only cumulative is ingestible")
-      val base = sanitize(h.name)
-      val suffix = UnitSuffix.getOrElse(h.unit, sanitize(h.unit))
-      val named =
-        if (suffix.isEmpty || base.endsWith(s"_$suffix")) base
-        else s"${base}_$suffix"
+      val named = classicName(h)
       val tsMs = h.tsNano / 1000000L
       def ser(name: String, extra: Vector[(String, String)],
           v: Double): RemoteWrite.Series =

@@ -446,17 +446,20 @@ object QueryEndpoint {
         throw new IllegalArgumentException(
           s"unknown endpoint ${ex.getRequestURI.getPath}")
       val p = params(ex)
-      graft.promql.Compiler.withRecordedRules(recordingRules)(
-        // the instant path caches behind the same opt-in as query_range
-        // (Cortex's frontend caches instant results too); byte-identical
-        // either way — a miss delegates to the direct path
-        if (resultsCache)
-          graft.promql.ResultsCache.queryJson(spark, dir,
-            required(p, "query"), nativeFamilies,
-            timeS = p.get("time").map(epochS))
-        else
-          Api.queryJson(spark, dir, required(p, "query"), nativeFamilies,
-            timeS = p.get("time").map(epochS)))
+      // the standing rule file's ALERTS series answers /api/v1/query
+      // like any series (upstream's queryable alert states)
+      graft.promql.Compiler.withAlertRules(alertRules)(
+        graft.promql.Compiler.withRecordedRules(recordingRules)(
+          // the instant path caches behind the same opt-in as query_range
+          // (Cortex's frontend caches instant results too); byte-identical
+          // either way — a miss delegates to the direct path
+          if (resultsCache)
+            graft.promql.ResultsCache.queryJson(spark, dir,
+              required(p, "query"), nativeFamilies,
+              timeS = p.get("time").map(epochS))
+          else
+            Api.queryJson(spark, dir, required(p, "query"), nativeFamilies,
+              timeS = p.get("time").map(epochS))))
     })
     // hierarchical federation: the timestamped exposition payload for
     // the matched series, the same bytes as the oracle-gated a1g query

@@ -70,6 +70,12 @@ class AlertTemplateSpec extends SparkTestBase {
       .filter($"label_k" === "a")
       .select($"alertstate", $"value").as[(String, Double)].collect().toSeq
     assert(long === Seq(("firing", 10.0)))
+    // the collapsed firing-set face (evaluateAlerts) agrees: a held
+    // series is firing NOW, serving the last breach's value
+    val coll = Rules.evaluateAlerts(spark, dir,
+      Seq(rule.copy(keepFiringForS = 3 * dayS)))
+      .select($"label_k", $"value").as[(String, Double)].collect().toSet
+    assert(coll === Set(("a", 10.0), ("b", 10.0)))
     // PENDING never holds: with for = 1d, a's single breaching instant
     // (day 0, whose lookback predates the corpus) stays pending and the
     // grace does NOT carry it

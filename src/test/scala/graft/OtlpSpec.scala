@@ -328,4 +328,36 @@ class OtlpSpec extends SparkTestBase {
       Vector(h(1500000000L, 1, 7, 9.0, 0, 2, 0, Vector(7L)))), Some(st)))
     assert(w3.isEmpty)
   }
+
+  test("OTLP delta classic histograms accumulate; a bounds change resets the series") {
+    def ch(tsNano: Long, temporality: Int, count: Long, sum: Double,
+        bounds: Vector[Double], cs: Vector[Long]): Otlp.ClassicHist =
+      Otlp.ClassicHist("lat", "s", temporality, Vector.empty,
+        Vector("k" -> "eu"), tsNano, count, sum, bounds, cs)
+    // flag-less delta classic still 400s (the default)
+    intercept[IllegalArgumentException] {
+      Otlp.translate(Otlp.Decoded(Vector.empty, Vector.empty,
+        Vector(ch(1000000000L, 1, 3, 1.0, Vector(1.0), Vector(2L, 1L)))))
+    }
+    val st = new Otlp.DeltaState
+    def buckets(series: Vector[RemoteWrite.Series]) = series
+      .filter(_.labels.exists(l => l._1 == "__name__" &&
+        l._2 == "lat_seconds_bucket"))
+      .map(s => (s.labels.collectFirst { case ("le", v) => v }.get,
+        s.samples.head._1, s.samples.head._2)).sortBy(_._1)
+    // two delta pushes with the SAME bounds add per bucket:
+    // [2,1]+[1,4] → cumulative per-bucket [3,5] → _bucket 3, 8(+Inf)
+    Otlp.translate(Otlp.Decoded(Vector.empty, Vector.empty,
+      Vector(ch(1000000000L, 1, 3, 1.0, Vector(1.0), Vector(2L, 1L)))),
+      Some(st))
+    val w2 = buckets(Otlp.translate(Otlp.Decoded(Vector.empty, Vector.empty,
+      Vector(ch(2000000000L, 1, 5, 2.5, Vector(1.0), Vector(1L, 4L)))),
+      Some(st)))
+    assert(w2 === Vector(("+Inf", 8.0, 2000L), ("1", 3.0, 2000L)))
+    // a BOUNDS change resets the running state to the incoming point
+    val w3 = buckets(Otlp.translate(Otlp.Decoded(Vector.empty, Vector.empty,
+      Vector(ch(3000000000L, 1, 2, 0.5, Vector(5.0), Vector(2L, 0L)))),
+      Some(st)))
+    assert(w3 === Vector(("+Inf", 2.0, 3000L), ("5", 2.0, 3000L)))
+  }
 }

@@ -415,6 +415,17 @@ class QueryApiSpec extends SparkTestBase {
       assert(cfg.contains("expr: sum by (k) (purchase) > 3"))
       assert(cfg.contains("for: 1d") && cfg.contains("interval: 1d"))
       assert(cfg.contains("- record: k_totals"))
+      // the ALERTS synthetic series answers /api/v1/query under the
+      // server's standing rules (upstream's queryable alert states)
+      val aq = om.readTree(get(port, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode(
+          """ALERTS{alertstate="firing"}""", "UTF-8"))._2)
+      assert(aq.get("status").asText === "success")
+      val res = aq.get("data").get("result")
+      assert(res.size === 1)
+      assert(res.get(0).get("metric").get("alertname").asText === "High")
+      assert(res.get(0).get("metric").get("alertstate").asText === "firing")
+      assert(res.get(0).get("metric").get("k").asText === "b")
     } finally server.stop(0)
   }
 
