@@ -156,6 +156,15 @@ object SparkEntry {
       Seq(promql.Api.federateText(s, d, Seq("purchase", "signup")))
         .toDF("payload")
     }),
+    // federation under external_labels: the per-server identity joins
+    // every exported line alphabetically; a name the series already
+    // carries (k) is NOT overwritten — upstream's conflict rule
+    "a1gc_federate_external" -> ((s, d) => {
+      import s.implicits._
+      Seq(promql.Api.federateText(s, d, Seq("purchase", "signup"),
+        externalLabels = Map("env" -> "prod", "k" -> "ext")))
+        .toDF("payload")
+    }),
     // recorded names federate like any TSDB series: the 6h sum-by
     // rule's instant vector rendered under the record's __name__,
     // alongside a raw gauge family in the same payload
@@ -296,6 +305,28 @@ object SparkEntry {
     // evaluated at the selector's instant, matcher-filtered
     "b43_alerts_series" -> ((s, d) => promql.Engine.eval(s, d,
       """ALERTS{alertstate="firing"}""",
+      alertRules = Seq(
+        promql.Rules.AlertRule("SustainedHigh",
+          "sum by (k) (purchase) > 450", forS = 2 * 86400, intervalS = 86400),
+        promql.Rules.AlertRule("LowSeries", "sum by (k) (click) < 200")))
+      .orderBy("alertname", "label_k")),
+    // the ALERTS selector at DASHBOARD grid scale (b43's query_range
+    // twin): a 240-instant x 6h firing timeline over the same two-rule
+    // file, served as ONE dense-grid plan per rule through the
+    // selector's grid arm (the union path walls at 64 instants)
+    "b44_alerts_range" -> ((s, d) => promql.Api.queryRangeGrid(s, d,
+      """ALERTS{alertstate="firing"}""", 240, 21600,
+      alertRules = Seq(
+        promql.Rules.AlertRule("SustainedHigh",
+          "sum by (k) (purchase) > 450", forS = 2 * 86400, intervalS = 86400),
+        promql.Rules.AlertRule("LowSeries", "sum by (k) (click) < 200")))
+      .orderBy("alertname", "t_s", "label_k")),
+    // upstream's ALERTS_FOR_STATE restoration series: activeAt (the
+    // start of each active series' consecutive-breach streak on the
+    // rule lattice) per (rule, breaching series) — what for-timer
+    // restoration reads after a restart
+    "b45_alerts_for_state" -> ((s, d) => promql.Engine.eval(s, d,
+      "ALERTS_FOR_STATE",
       alertRules = Seq(
         promql.Rules.AlertRule("SustainedHigh",
           "sum by (k) (purchase) > 450", forS = 2 * 86400, intervalS = 86400),
@@ -1101,6 +1132,7 @@ object SparkEntry {
     "a1e_openmetrics_text" -> PromQL.OpenMetricsTextSql,
     "a1f_openmetrics_parse" -> PromQL.OpenMetricsParseSql,
     "a1g_federate" -> promql.Oracle.FederateSql,
+    "a1gc_federate_external" -> promql.Oracle.FederateExternalSql,
     "a1gb_federate_recorded" -> promql.Oracle.FederateRecordedSql,
     "a1h_exemplars" -> PromQL.ExemplarsSql,
     "a1i_remote_write_decode" -> sources.RemoteWrite.WireDecodeSql,
@@ -1130,6 +1162,8 @@ object SparkEntry {
     "b42_stale_rollup" -> PromQL.StaleRollupSql,
     "a1zg_otlp_delta_hist" -> sources.Otlp.OtlpDeltaHistSql,
     "b43_alerts_series" -> promql.Oracle.AlertsSeriesSql,
+    "b44_alerts_range" -> promql.Oracle.AlertsRangeSql,
+    "b45_alerts_for_state" -> promql.Oracle.AlertsForStateSql,
     "a1x_remote_read_hist_chunks" -> sources.RemoteRead.WireReadHistGateSql,
     "a1y_remote_read_fhist_chunks" ->
       sources.RemoteRead.WireReadFloatHistGateSql,

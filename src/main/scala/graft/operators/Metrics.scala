@@ -74,6 +74,7 @@ object Metrics {
     import scala.jdk.CollectionConverters._
     eventsCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
       Option(eventsCache.remove(k)).foreach(_.unpersist())
+      markersCache.remove(k)
     }
   }
 
@@ -90,6 +91,7 @@ object Metrics {
     val compacted = base.filter(keep).persist() // never silently no-op
     compacted.count() // materialize before dropping the parent blocks
     eventsCache.put((spark, dir), compacted)
+    markersCache.remove((spark, dir))
     base.unpersist()
   }
 
@@ -107,8 +109,35 @@ object Metrics {
     require(silver.columns.toSeq == expect,
       s"silver metric_events schema ${silver.columns.toSeq} != $expect")
     eventsCache.put((spark, dir), silver)
+    markersCache.remove((spark, dir))
     SessionCaches.onApplicationEnd(spark)(() => eventsCache.remove((spark, dir)))
   }
+
+  /** Whether `(spark, dir)`'s events view can contain STALENESS MARKERS
+    * ([[graft.model.Stale]]) — ONE cached boolean probe per (session,
+    * corpus), so the compiler's hot paths pay the marker-aware plan
+    * (latest-event flags riding every instant aggregate, a marker
+    * filter under every range scan) ONLY for corpora that actually
+    * carry markers. The parquet corpus never does (the scrape-line
+    * grammar can't produce NaN); marker-carrying relations enter
+    * through [[seedEvents]] (which invalidates this probe) — the b41/
+    * b42 staleness gates and live scrape/push seeds. Conservative by
+    * construction: a stale `true` only costs the marker-aware plan on
+    * marker-free data (identical answers); a false `false` is
+    * impossible because every mutation path invalidates. At 100 TB the
+    * probe is one NaN-presence scan of the cached silver relation per
+    * session — amortized over every query the session serves.
+    */
+  private val markersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+
+  private[graft] def hasMarkers(spark: SparkSession, dir: String): Boolean =
+    markersCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => markersCache.remove(k))
+      java.lang.Boolean.valueOf(
+        !metricEvents(spark, dir)
+          .filter(graft.plans.StaleExprs.isStaleC(col("value"))).isEmpty)
+    })
 
   /** A7 compose-time type/dependency check: the reference hard-fails at
     * compose time when a block's declared input type or required context

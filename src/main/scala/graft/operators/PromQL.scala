@@ -1750,12 +1750,24 @@ object PromQL {
     val w = Window
       .partitionBy(col("name"), col("label_k"), col("label_instance"))
       .orderBy(col("ts").desc, col("event_id").desc)
+    // placement, in integer micros (both twins share the formula):
+    //  - even parity (vanish): latest ts + 1ms, strictly after;
+    //  - odd parity (revive): the FLOOR MIDPOINT between the 2nd-latest
+    //    and latest samples — never out-anchors the latest sample for
+    //    ANY inter-sample gap (a <1ms gap broke the old "+1ms" rule);
+    //    a zero gap degenerates to the 2nd-latest ts, where the
+    //    marker's negative event_id still loses the LWW tie, so the
+    //    revival reading holds data-independently.
     val markers = g.withColumn("_rn", row_number().over(w))
+      .withColumn("_newer_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("_par", ascii(substring(col("label_k"), 1, 1)) % 2)
       .filter((col("_rn") === 1 && col("_par") === 0) ||
         (col("_rn") === 2 && col("_par") === 1))
       .select(
-        (col("ts") + expr("INTERVAL 1 MILLISECOND")).as("ts"),
+        timestamp_micros(
+          when(col("_rn") === 1, unix_micros(col("ts")) + 1000L)
+            .otherwise(unix_micros(col("ts")) +
+              expr("(_newer_us - unix_micros(ts)) div 2"))).as("ts"),
         col("name"), col("label_k"), col("label_instance"), col("kind"),
         lit(Double.NaN).as("value"),
         (-col("event_id") - 1).as("event_id"))
@@ -1820,11 +1832,18 @@ object PromQL {
        |rk AS (
        |  SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY name, label_k, label_instance
-       |    ORDER BY ts_us DESC, event_id DESC) AS rn
+       |    ORDER BY ts_us DESC, event_id DESC) AS rn,
+       |    LAG(ts_us) OVER (
+       |      PARTITION BY name, label_k, label_instance
+       |      ORDER BY ts_us DESC, event_id DESC) AS newer_us
        |  FROM g),
        |mk AS (
+       |  -- marker placement mirrors the fixture: vanish = latest+1ms,
+       |  -- revive = the floor midpoint between the newest two samples
        |  SELECT name, label_k, label_instance, kind,
-       |    ((ts_us + 1000 + 21599999999) // 21600000000 - 1) * 21600
+       |    ((CASE WHEN rn = 1 THEN ts_us + 1000
+       |           ELSE ts_us + (newer_us - ts_us) // 2 END
+       |      + 21599999999) // 21600000000 - 1) * 21600
        |      AS bucket_s
        |  FROM rk
        |  WHERE (rn = 1 AND ascii(substr(label_k, 1, 1)) % 2 = 0)

@@ -253,16 +253,18 @@ object Api {
   def queryRangeGrid(spark: SparkSession, dir: String, query: String,
       instants: Int, stepS: Long,
       nativeFamilies: Set[String] = Set.empty,
-      recordingRules: Seq[Rules.RecordingRule] = Nil): DataFrame = {
+      recordingRules: Seq[Rules.RecordingRule] = Nil,
+      alertRules: Seq[Rules.AlertRule] = Nil): DataFrame = {
     require(instants >= 1, "at least one grid instant")
     val endS = Compiler.instantSeconds(spark, dir).toLong
     val startS = endS - (instants - 1).toLong * stepS
-    Compiler.withRecordedRules(recordingRules)(
-      Compiler.withNativeFamilies(nativeFamilies)(
-        Compiler.rangeGridEval(spark, dir,
-          Ast.resolveAtEdges(Compiler.inlineRecorded(spark, dir,
-            Parser.parse(query)), Some(startS), Some(endS)),
-          startS, endS, stepS)))
+    Compiler.withAlertRules(alertRules)(
+      Compiler.withRecordedRules(recordingRules)(
+        Compiler.withNativeFamilies(nativeFamilies)(
+          Compiler.rangeGridEval(spark, dir,
+            Ast.resolveAtEdges(Compiler.inlineRecorded(spark, dir,
+              Parser.parse(query)), Some(startS), Some(endS)),
+            startS, endS, stepS))))
       .getOrElse(throw new PromQLCompileException(
         s"no dense-grid strategy for query shape: $query"))
   }
@@ -276,7 +278,8 @@ object Api {
     * Line building is distributed; the collect is O(#series).
     */
   def federateText(spark: SparkSession, dir: String,
-      matches: Seq[String]): String = {
+      matches: Seq[String],
+      externalLabels: Map[String, String] = Map.empty): String = {
     require(matches.nonEmpty, "at least one match[] selector")
     val tMs = Compiler.instantSeconds(spark, dir).toLong * 1000L
     val rendered = matches.map { m =>
@@ -292,10 +295,18 @@ object Api {
           case _ => throw new PromQLCompileException(
             s"/federate matches series selectors; '$m' names no series")
         }
-      val labels = df.columns.filter(c => c != "value" && c != "name")
-        .map(c => (promLabel(c), c)).sortBy(_._1)
+      // upstream federation attaches the server's external_labels to
+      // every exported line UNLESS the series already carries the name
+      // (the series' own label wins) — the per-server identity a
+      // hierarchical scraper dedups on (b40's consumption side)
+      val seriesLabels = df.columns.filter(c => c != "value" && c != "name")
+        .map(c => (promLabel(c), col(c))).toSeq
+      val have = seriesLabels.map(_._1).toSet
+      val labels = (seriesLabels ++ externalLabels.toSeq.collect {
+        case (k, v) if !have.contains(k) && v.nonEmpty => (k, lit(v))
+      }).sortBy(_._1)
       val inner = concat_ws(",", labels.map { case (p, c) =>
-        concat(lit(p + "=\""), col(c), lit("\""))
+        concat(lit(p + "=\""), c, lit("\""))
       }.toIndexedSeq: _*)
       val cents = round(col("value") * 100).cast("long")
       // sign rendered separately: Spark's truncating `/` and
@@ -560,13 +571,21 @@ object Api {
     * ([[graft.sources.AlertNotifier]]) sends these bytes.
     */
   private[graft] def firingAlertsBody(spark: SparkSession, dir: String,
-      rules: Seq[Rules.AlertRule]): String = {
+      rules: Seq[Rules.AlertRule],
+      externalLabels: Map[String, String] = Map.empty): String = {
     val startsAt = java.time.Instant
       .ofEpochSecond(Compiler.instantSeconds(spark, dir).toLong).toString
     val items = rules.flatMap { r =>
       val (lcs, rows) = currentAlertRows(spark, dir, r)
       rows.filter(_.getAs[String]("alertstate") == "firing").map { row =>
-        val (labels, annotations) = instanceLabelsAndAnnotations(r, lcs, row)
+        val (labels0, annotations) = instanceLabelsAndAnnotations(r, lcs, row)
+        // external_labels join the outgoing alert's label set unless
+        // the instance already carries the name (alert labels win —
+        // upstream's notifier attach rule)
+        val have = labels0.map(_._1).toSet
+        val labels = labels0 ++ externalLabels.toSeq.sortBy(_._1).collect {
+          case (k, v) if !have.contains(k) && v.nonEmpty => (k, v)
+        }
         s"""{"labels":${labelsJson(labels)},"annotations":$annotations,""" +
           s""""startsAt":"$startsAt",""" +
           s""""generatorURL":"/graph?g0.expr=${jsonEscape(

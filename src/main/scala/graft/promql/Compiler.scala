@@ -796,7 +796,11 @@ object Compiler {
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val all = eventsAll(spark, dir)
-    all.filter(!graft.plans.StaleExprs.isStaleC(col("value")))
+    // marker-free corpora (the cached per-session probe) skip the
+    // filter: the marker-aware predicate compiles only when the view
+    // can actually contain markers, so the 99% path pays nothing
+    if (!Metrics.hasMarkers(spark, dir)) all
+    else all.filter(!graft.plans.StaleExprs.isStaleC(col("value")))
   }
 
   private def eventsAll(spark: SparkSession, dir: String): DataFrame =
@@ -826,6 +830,8 @@ object Compiler {
     }
     if (sel.name == "ALERTS")
       return alertsVector(spark, dir, sel, shiftS)
+    if (sel.name == "ALERTS_FOR_STATE")
+      return alertsForStateVector(spark, dir, sel, shiftS)
     if (sel.rangeS.isDefined)
       fail(s"range selector ${sel.name}[..] is not an instant vector; wrap it in rate/increase/delta")
     val names = resolveNames(sel)
@@ -838,10 +844,18 @@ object Compiler {
     // upstream's staleness semantics (B10).
     val bound = selectorBound(sel, shiftS)
     val st = graft.plans.StaleExprs.isStaleC(col("value"))
+    // the staleness machinery (latest-event flags, marker filters)
+    // compiles ONLY when the corpus can hold markers — the cached
+    // per-session probe keeps the common path at the plain plan
+    val marked = Metrics.hasMarkers(spark, dir)
     val base = eventsAll(spark, dir)
       .filter(nameFilter(names) && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= bound)
     kind match {
+      case "counter" if !marked =>
+        val f = base.filter(col("value") >= 0)
+        Vec(f.groupBy(SeriesKey.map(col): _*)
+          .agg(exactSum(f).as("value")), SeriesKey)
       case "counter" =>
         // the accumulated total sums real non-negative increments only;
         // the latest-event flag (markers included) cuts vanished series
@@ -861,8 +875,9 @@ object Compiler {
       case "gauge" =>
         val w = Window.partitionBy(SeriesKey.map(col): _*)
           .orderBy(col("ts").desc, col("event_id").desc)
-        Vec(base.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-          .filter(!st)
+        val lww = base.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+        Vec((if (marked) lww.filter(!st) else lww)
           .select((SeriesKey.map(col) :+ col("value")): _*), SeriesKey)
     }
   }
@@ -903,7 +918,95 @@ object Compiler {
           else lit(null).cast("string").as(l)) :+ col("value")): _*)
     }
     val u = aligned.reduce(_ unionAll _)
-    val filtered = sel.matchers.filterNot(_.label == "__name__")
+    Vec(alertsMatcherFilter(u, sel), Seq("alertname", "alertstate") ++ allLabels)
+  }
+
+  /** The synthetic `ALERTS_FOR_STATE` instant vector — upstream's
+    * restoration series: one row per ACTIVE (rule, breaching series) at
+    * the selector's effective instant, labeled `alertname` plus the
+    * condition's labels, value = `activeAt` in epoch seconds — the
+    * FIRST instant of the series' current consecutive-breach streak on
+    * the rule's evaluation lattice (upstream's "how long has this been
+    * pending", what `for`-timer restoration reads after a restart; the
+    * streaming twin persists the same fact via
+    * [[graft.streaming.MetricStream.streamingForState]]).
+    *
+    * Shape: ONE dense-grid ladder per rule over the full corpus
+    * lattice ([[Rules.alertStatesGridAt]], step = the rule interval,
+    * ≤4096 instants — longer retentions cap the streak at the lattice
+    * start), then one window pass picks each breaching-at-bound
+    * series' suffix streak: rows satisfying
+    * `t_s = bound − (rn−1)·interval` under a t_s-descending row_number
+    * are EXACTLY the maximal consecutive run ending at the bound
+    * (any break makes the equality unsatisfiable for later rows), so
+    * `min(t_s)` over them is activeAt. A rule held firing by
+    * `keep_firing_for` stays active through its grace instants
+    * (upstream's active-map reading). For-less rules with no interval
+    * evaluate the condition at the bound alone (activeAt = the bound).
+    */
+  private def alertsForStateVector(spark: SparkSession, dir: String,
+      sel: Selector, shiftS: Long): Vec = {
+    val rules = alertRulesVar.value
+    if (rules.isEmpty)
+      fail("selecting ALERTS_FOR_STATE needs standing alert rules " +
+        "(Engine.eval(..., alertRules = ...) or withAlertRules)")
+    if (sel.rangeS.isDefined)
+      fail("ALERTS_FOR_STATE[..] range selection is not supported")
+    if (sel.matchers.exists(_.label == "alertstate"))
+      fail("ALERTS_FOR_STATE carries no alertstate label " +
+        "(upstream's restoration series is state-free)")
+    val tS = instantSeconds(spark, dir).toLong
+    val boundS = sel.atS.map(_ - sel.offsetS.getOrElse(0L))
+      .getOrElse(tS - sel.offsetS.getOrElse(0L) - shiftS)
+    if (tS - boundS < 0)
+      fail(s"ALERTS_FOR_STATE @ ${boundS}s is after the corpus instant ${tS}s")
+    val minS = minInstantSeconds(spark, dir).toLong
+    val frames = rules.map { r =>
+      if (r.intervalS <= 0) {
+        // for-less, interval-free: active = breaching at the bound
+        val ast = Parser.parse(r.expr)
+        val (df, lcs) = Rules.withSeriesKey(
+          compileAt(spark, dir, ast, tS - boundS))
+        df.select(lit(r.alert).as("alertname") +:
+          (lcs.map(col) :+
+            lit(boundS).cast("double").as("value")): _*)
+      } else {
+        val iv = r.intervalS
+        val L = math.min((boundS - minS) / iv + 1L, 4096L)
+        val startS = boundS - (L - 1) * iv
+        val grid = Rules.alertStatesGridAt(spark, dir, r, startS, boundS, iv)
+          .getOrElse(fail(s"alert '${r.alert}': no dense-grid strategy " +
+            "for the condition shape under ALERTS_FOR_STATE"))
+        val lcs = grid.columns
+          .filterNot(Set("alertname", "alertstate", "t_s", "value")
+            .contains).toSeq
+        val w = Window.partitionBy(lcs.map(col): _*).orderBy(col("t_s").desc)
+        grid.withColumn("_rn", row_number().over(w))
+          .filter(col("t_s") ===
+            lit(boundS) - (col("_rn") - 1).cast("long") * lit(iv))
+          .groupBy((col("alertname") +: lcs.map(col)): _*)
+          .agg(min(col("t_s")).cast("double").as("value"))
+      }
+    }
+    val allLabels = Seq("name", "label_k", "label_instance")
+      .filter(l => frames.exists(_.columns.contains(l)))
+    val aligned = frames.map { f =>
+      f.select(col("alertname") +:
+        (allLabels.map(l =>
+          if (f.columns.contains(l)) col(l)
+          else lit(null).cast("string").as(l)) :+ col("value")): _*)
+    }
+    val u = aligned.reduce(_ unionAll _)
+    Vec(alertsMatcherFilter(u, sel), Seq("alertname") ++ allLabels)
+  }
+
+  /** Post-hoc matcher application over an `ALERTS` relation — shared by
+    * the instant arm ([[alertsVector]]) and the `query_range` grid arm:
+    * matchers address `alertname`/`alertstate` plus the conditions'
+    * own label universe.
+    */
+  private def alertsMatcherFilter(u: DataFrame, sel: Selector): DataFrame =
+    sel.matchers.filterNot(_.label == "__name__")
       .foldLeft(u) { (acc, m) =>
         val c = m.label match {
           case "alertname" => col("alertname")
@@ -917,8 +1020,6 @@ object Compiler {
           case "!~" => !c.rlike(s"^(?:${m.value})$$")
         })
       }
-    Vec(filtered, Seq("alertname", "alertstate") ++ allLabels)
-  }
 
   /** `double_exponential_smoothing(sel[d], sf, tf)` — the PromQL
     * level+trend recurrence over each series' ordered window samples
@@ -2154,28 +2255,73 @@ object Compiler {
       stepS: Long): DataFrame = {
     val stepUs = stepS * 1000000L
     val hi = selectorBound(sel, shiftS)
-    val base = events(spark, dir)
+    if (!Metrics.hasMarkers(spark, dir)) {
+      val base = events(spark, dir)
+        .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
+          col("value") >= 0 && unix_micros(col("ts")) <= hi)
+        .withColumn("_age_us", hi - unix_micros(col("ts")))
+        .withColumn("_i", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
+      val partial = base.groupBy((labels :+ "_i").map(col): _*)
+        .agg(exactSum(base).as("_dv"), count(lit(1)).as("_n"))
+      import spark.implicits._
+      // labels = Nil is the GLOBAL aggregation (`sum(m)`): the grid is
+      // the bare instant range and the running window is global over its
+      // ≤4096 rows
+      val range = spark.range(1L, g + 1L).toDF("_i")
+      val grid =
+        if (labels.isEmpty) range
+        else partial.select(labels.map(col): _*).distinct()
+          .crossJoin(broadcast(range))
+      val w = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return grid.join(partial, labels :+ "_i", "left")
+        .withColumn("value", sum(col("_dv")).over(w))
+        .withColumn("_cum_n", sum(col("_n")).over(w))
+        .filter(col("_cum_n") > 0)
+    }
+    // MARKER-AWARE grid (the instant-vector counter arm's semantics on
+    // the dense grid): PER-SERIES partials carry each bucket's latest-
+    // event flag (markers and negatives included, mirroring the union
+    // path's `_l` struct), the running max over the series×grid
+    // reconstructs the latest event at every instant, and an instant
+    // whose carried latest is a marker emits nothing until a real
+    // sample revives it. The staleness cut is a per-series fact, so
+    // aggregated shapes (`sum by` / global) compose ONE extra hash
+    // aggregate over the tiny cut series×grid relation — exactly how
+    // the union path's Agg composes over the staleness-cut instant
+    // vector, so grid ≡ union holds under markers too.
+    val st = graft.plans.StaleExprs.isStaleC(col("value"))
+    val base = eventsAll(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
-        col("value") >= 0 && unix_micros(col("ts")) <= hi)
+        unix_micros(col("ts")) <= hi)
       .withColumn("_age_us", hi - unix_micros(col("ts")))
       .withColumn("_i", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
-    val partial = base.groupBy((labels :+ "_i").map(col): _*)
-      .agg(exactSum(base).as("_dv"), count(lit(1)).as("_n"))
+      .withColumn("_stale", st)
+    val dv =
+      if (base.schema("value").dataType.isInstanceOf[DecimalType])
+        sum(when(!col("_stale") && col("value") >= 0, col("value")))
+      else
+        sum(when(!col("_stale") && col("value") >= 0, col("value"))
+          .cast(DecimalType(18, 2)))
+    val partial = base.groupBy((SeriesKey :+ "_i").map(col): _*)
+      .agg(dv.as("_dv"),
+        count(when(!col("_stale") && col("value") >= 0, lit(1))).as("_n"),
+        max(struct(unix_micros(col("ts")).as("t"),
+          col("event_id").as("e"), col("_stale").as("s"))).as("_l"))
     import spark.implicits._
-    // labels = Nil is the GLOBAL aggregation (`sum(m)`): the grid is
-    // the bare instant range and the running window is global over its
-    // ≤4096 rows
     val range = spark.range(1L, g + 1L).toDF("_i")
-    val grid =
-      if (labels.isEmpty) range
-      else partial.select(labels.map(col): _*).distinct()
-        .crossJoin(broadcast(range))
-    val w = Window.partitionBy(labels.map(col): _*).orderBy(col("_i"))
+    val grid = partial.select(SeriesKey.map(col): _*).distinct()
+      .crossJoin(broadcast(range))
+    val w = Window.partitionBy(SeriesKey.map(col): _*).orderBy(col("_i"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(partial, labels :+ "_i", "left")
+    val perSeries = grid.join(partial, SeriesKey :+ "_i", "left")
       .withColumn("value", sum(col("_dv")).over(w))
       .withColumn("_cum_n", sum(col("_n")).over(w))
-      .filter(col("_cum_n") > 0)
+      .withColumn("_cum_l", max(col("_l")).over(w))
+      .filter(col("_cum_n") > 0 && !col("_cum_l").getField("s"))
+    if (labels == SeriesKey) perSeries
+    else perSeries.groupBy((labels :+ "_i").map(col): _*)
+      .agg(sum(col("value")).as("value"))
   }
 
   /** The `*_over_time` collapse over a per-instant grid relation (the
@@ -2568,17 +2714,22 @@ object Compiler {
     // markers ride the partials (INSTANT read, [[eventsAll]]): the
     // running LWW struct carries the latest event's stale flag, and a
     // grid instant whose carried latest is a marker emits nothing
-    // until a newer real sample revives the series (B10 staleness)
+    // until a newer real sample revives the series (B10 staleness).
+    // Marker-free corpora (the cached probe) compile the plain struct.
     val st = graft.plans.StaleExprs.isStaleC(col("value"))
+    val marked = Metrics.hasMarkers(spark, dir)
     val base = eventsAll(spark, dir)
       .filter(col("name") === sel.name && matcherFilter(sel.matchers) &&
         unix_micros(col("ts")) <= hi)
       .withColumn("_age_us", hi - unix_micros(col("ts")))
       .withColumn("_i", greatest(lit(1L), lit(g) - expr(s"_age_us div $stepUs")))
+    val lwwStruct =
+      if (marked) struct(unix_micros(col("ts")).as("t"),
+        col("event_id").as("e"), st.as("s"), col("value").as("v"))
+      else struct(unix_micros(col("ts")).as("t"),
+        col("event_id").as("e"), col("value").as("v"))
     val partial = base.groupBy((SeriesKey :+ "_i").map(col): _*)
-      .agg(max(struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
-        st.as("s"), col("value").as("v"))).as("_m"),
-        count(lit(1)).as("_n"))
+      .agg(max(lwwStruct).as("_m"), count(lit(1)).as("_n"))
     import spark.implicits._
     val grid = partial.select(SeriesKey.map(col): _*).distinct()
       .crossJoin(broadcast(spark.range(1L, g + 1L).toDF("_i")))
@@ -2587,7 +2738,8 @@ object Compiler {
     val instants = grid.join(partial, SeriesKey :+ "_i", "left")
       .withColumn("_cum", max(col("_m")).over(w))
       .withColumn("_cum_n", sum(col("_n")).over(w))
-      .filter(col("_cum_n") > 0 && !col("_cum").getField("s"))
+      .filter(col("_cum_n") > 0 &&
+        (if (marked) !col("_cum").getField("s") else lit(true)))
       .withColumn("_v", col("_cum").getField("v"))
     // `sum by (...)` inner shape: the per-instant group value is the
     // sum of the present series' LWW values — one extra hash aggregate
@@ -2749,6 +2901,49 @@ object Compiler {
         Some((v.df.select(v.labels.map(col) :+ col("value"): _*)
           .crossJoin(broadcast(spark.range(1L, g + 1L).toDF("_i"))),
           v.labels, "value", None))
+      // the `ALERTS` synthetic series at DASHBOARD resolution — the
+      // alert-timeline panel a real Grafana draws: each standing rule's
+      // pending→firing ladder rides [[Rules.alertStatesGridAt]] (ONE
+      // dense-grid condition pass + a residue-class sliding window per
+      // rule), matchers apply post-hoc exactly like the instant arm,
+      // and a rule whose shape can't grid (non-grid condition, interval
+      // off the step lattice) falls the WHOLE selector back to the
+      // per-instant union path so grid ≡ union stays a refinement, not
+      // a semantic fork.
+      case sel: Selector if sel.name == "ALERTS" =>
+        val rules = alertRulesVar.value
+        if (rules.isEmpty)
+          fail("selecting ALERTS needs standing alert rules " +
+            "(Engine.eval(..., alertRules = ...) or withAlertRules)")
+        if (sel.rangeS.isDefined)
+          fail("ALERTS[..] range selection is not supported; " +
+            "query_range over ALERTS serves the state timeline")
+        val off = sel.offsetS.getOrElse(0L)
+        val s0 = startS - off
+        val e0 = endS - off
+        val frames = rules.map(r =>
+          Rules.alertStatesGridAt(spark, dir, r, s0, e0, stepS))
+        if (frames.exists(_.isEmpty)) None
+        else {
+          val fs = frames.map(_.get)
+          val allLabels = Seq("name", "label_k", "label_instance")
+            .filter(l => fs.exists(_.columns.contains(l)))
+          val aligned = fs.map { f =>
+            f.select(col("alertname") +: col("alertstate") +: col("t_s") +:
+              (allLabels.map(l =>
+                if (f.columns.contains(l)) col(l)
+                else lit(null).cast("string").as(l)) :+ col("value")): _*)
+          }
+          val u = alertsMatcherFilter(aligned.reduce(_ unionAll _), sel)
+          // grid index off the (offset-shifted) ladder instant; the
+          // caller's t_s reconstruction inverts this exactly
+          val inst = u
+            .withColumn("_i",
+              expr(s"(t_s - ${s0}L) div ${stepS}L") + lit(1L))
+            .drop("t_s")
+          Some((inst, Seq("alertname", "alertstate") ++ allLabels,
+            "value", None))
+        }
       case sel: Selector if counter(sel) =>
         Some((gridCounterInstants(spark, dir, sel, SeriesKey, shiftS, g, stepS),
           SeriesKey, "value", None))

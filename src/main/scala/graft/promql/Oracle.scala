@@ -782,6 +782,38 @@ object Oracle {
        |SELECT string_agg(line, chr(10) ORDER BY line) || chr(10) AS payload
        |FROM lines""".stripMargin
 
+  /** a1gc: [[FederateSql]] under
+    * `external_labels: {env: prod, k: ext}` — `env` joins every line
+    * alphabetically (env < instance < k), while `k` keeps the SERIES'
+    * own value (the external pair is dropped on conflict, upstream's
+    * rule).
+    */
+  val FederateExternalSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT (MAX(epoch_us(ts)) // 1000000) * 1000 AS ts_ms FROM m),
+       |c AS (SELECT name, label_k, label_instance,
+       |        SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+       |      FROM m WHERE kind = 'counter' AND value >= 0 AND name = 'purchase'
+       |      GROUP BY name, label_k, label_instance),
+       |g AS (SELECT name, label_k, label_instance,
+       |        CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |      FROM (SELECT *, ROW_NUMBER() OVER (
+       |              PARTITION BY name, label_k, label_instance
+       |              ORDER BY ts DESC, event_id DESC) AS rn
+       |            FROM m WHERE kind = 'gauge' AND name = 'signup')
+       |      WHERE rn = 1),
+       |u AS (SELECT * FROM c UNION ALL SELECT * FROM g),
+       |lines AS (
+       |  SELECT name || '{env="prod",instance="' || label_instance
+       |    || '",k="' || label_k
+       |    || '"} ' || (CASE WHEN cents < 0 THEN '-' ELSE '' END)
+       |    || CAST(abs(cents) // 100 AS VARCHAR) || '.'
+       |    || lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0')
+       |    || ' ' || CAST(t.ts_ms AS VARCHAR) AS line
+       |  FROM u, t)
+       |SELECT string_agg(line, chr(10) ORDER BY line) || chr(10) AS payload
+       |FROM lines""".stripMargin
+
   /** a1gb: `/federate` with `match[]=k_total6h&match[]=signup` under
     * the standing 6h sum-by rule — recorded names federate like any
     * TSDB series (upstream's rule loop writes them), rendered with the
@@ -1896,6 +1928,104 @@ object Oracle {
        |  FROM low)
        |ORDER BY alertname, label_k""".stripMargin
 
+  /** b44: the `ALERTS{alertstate="firing"}` selector over the
+    * `query_range` dense grid — the Grafana alert-timeline panel: 240
+    * output instants at 6h step (extended lattice 248 for the
+    * SustainedHigh ladder's 2·4-step lookback; LowSeries is for-less,
+    * firing at every breaching instant), under the same two-rule file
+    * as b43. Instant i's bound is `t_us − (248−i)·6h`, the
+    * [[AlertStatesGridSql]] anchor; only the last 240 instants
+    * (`i > 8`) are served.
+    */
+  val AlertsRangeSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us FROM m),
+       |inst AS (SELECT unnest(generate_series(1, 248)) AS i),
+       |breach AS (
+       |  SELECT m.label_k, i.i,
+       |    CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (248 - i.i) * 21600000000
+       |  GROUP BY m.label_k, i.i
+       |  HAVING CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) > 450),
+       |lowb AS (
+       |  SELECT m.label_k, i.i,
+       |    CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'click' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - (248 - i.i) * 21600000000
+       |  GROUP BY m.label_k, i.i
+       |  HAVING CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) < 200)
+       |SELECT * FROM (
+       |  SELECT 'SustainedHigh' AS alertname, 'firing' AS alertstate,
+       |    (t.t_us // 1000000) - (248 - b.i) * 21600 AS t_s,
+       |    b.label_k AS label_k, b.value AS value
+       |  FROM breach b, t
+       |  WHERE b.i > 8
+       |    AND EXISTS (SELECT 1 FROM breach b1
+       |                WHERE b1.label_k = b.label_k AND b1.i = b.i - 4)
+       |    AND EXISTS (SELECT 1 FROM breach b2
+       |                WHERE b2.label_k = b.label_k AND b2.i = b.i - 8)
+       |  UNION ALL
+       |  SELECT 'LowSeries' AS alertname, 'firing' AS alertstate,
+       |    (t.t_us // 1000000) - (248 - l.i) * 21600 AS t_s,
+       |    l.label_k AS label_k, l.value AS value
+       |  FROM lowb l, t
+       |  WHERE l.i > 8)
+       |ORDER BY alertname, t_s, label_k""".stripMargin
+
+  /** b45: the `ALERTS_FOR_STATE` restoration series — per active
+    * (rule, breaching-at-T series), `activeAt` = the first instant of
+    * its consecutive-breach streak on the rule's evaluation lattice
+    * (`⌊T⌋ − j·interval`, j = 0..L−1 spanning the corpus; SustainedHigh
+    * at interval 1d), or ⌊T⌋ itself for the interval-free LowSeries
+    * rule. streak = the smallest missing lattice index (no miss → L),
+    * activeAt = ⌊T⌋ − (streak−1)·interval — mirroring the engine's
+    * suffix-run window over the dense-grid ladder.
+    */
+  val AlertsForStateSql: String =
+    s"""WITH m AS ($MetricEventsSql),
+       |t AS (SELECT MAX(epoch_us(ts)) AS t_us, MIN(epoch_us(ts)) AS mn_us
+       |      FROM m),
+       |b AS (SELECT (t_us // 1000000) AS t_s,
+       |        LEAST(((t_us // 1000000) - (mn_us // 1000000)) // 86400 + 1,
+       |              4096) AS L
+       |      FROM t),
+       |inst AS (SELECT unnest(generate_series(0,
+       |           CAST((SELECT L FROM b) AS INT) - 1)) AS j),
+       |breach AS (
+       |  SELECT m.label_k, i.j
+       |  FROM m, t, inst i
+       |  WHERE m.name = 'purchase' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us - i.j * 86400000000
+       |  GROUP BY m.label_k, i.j
+       |  HAVING CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) > 450),
+       |act AS (
+       |  SELECT s.label_k,
+       |    COALESCE((SELECT MIN(i.j) FROM inst i
+       |              WHERE NOT EXISTS (SELECT 1 FROM breach x
+       |                                WHERE x.label_k = s.label_k
+       |                                  AND x.j = i.j)),
+       |             (SELECT L FROM b)) AS streak
+       |  FROM (SELECT label_k FROM breach WHERE j = 0) s),
+       |low0 AS (
+       |  SELECT m.label_k
+       |  FROM m, t
+       |  WHERE m.name = 'click' AND m.value >= 0
+       |    AND epoch_us(m.ts) <= t.t_us
+       |  GROUP BY m.label_k
+       |  HAVING CAST(SUM(CAST(m.value AS DECIMAL(18,2))) AS DOUBLE) < 200)
+       |SELECT * FROM (
+       |  SELECT 'SustainedHigh' AS alertname, a.label_k AS label_k,
+       |    CAST(b.t_s - (a.streak - 1) * 86400 AS DOUBLE) AS value
+       |  FROM act a, b
+       |  UNION ALL
+       |  SELECT 'LowSeries' AS alertname, label_k,
+       |    CAST(b.t_s AS DOUBLE) AS value
+       |  FROM low0, b)
+       |ORDER BY alertname, label_k""".stripMargin
+
   /** p74: the ALERTS state ladder — `sum by (k) (purchase) > 450`,
     * `for: 2d` at interval 1d, evaluated at offsets {0, 1d, 2d, 3d}.
     * MACHINE-GENERATED (one breach CTE per distinct evaluation instant,
@@ -2481,17 +2611,57 @@ object Oracle {
     * [[graft.functions.DetMath.atan2Sql]]'s quadrant dispatch (the
     * fixture crosses x = 0, exercising ±π correction and the axis
     * branches).
+    *
+    * STAGED through one CTE per intermediate (same IEEE ops in the
+    * same order as the one-expression form — each stage is a named
+    * column, not a re-derivation): the inlined `atan2Sql` fragment
+    * repeats the full `atan` expansion in every quadrant branch and
+    * each nested term re-expands its operands, so the flat SQL's
+    * expression tree grows combinatorially and blew DuckDB's memory
+    * cap in the r17 harness (a 16 KB allocation failing = the tree
+    * alone filled the budget). The staged form is linear in the
+    * algorithm's step count and value-identical by construction.
     */
   val Atan2DetSql: String = {
-    val a = graft.functions.DetMath.atan2Sql("y", "x")
+    val DM = graft.functions.DetMath
+    def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+    // Horner over rr2 — one stage, coefficients pinned like atanSql's
+    val p = (4 to 0 by -1).foldLeft(d(DM.AtanCoeffs(5))) { (acc, i) =>
+      s"($acc * rr2 + ${d(DM.AtanCoeffs(i))})"
+    }
+    val tbl = DM.AtanTable.map(d).mkString("[", ",", "]")
     s"""WITH m AS ($MetricEventsSql),
        |lww AS ($GaugeLwwBody),
        |s AS (SELECT label_k, label_instance,
        |        CAST(value AS DOUBLE) AS y,
        |        CAST(value AS DOUBLE) - 5.5 AS x
-       |      FROM lww)
-       |SELECT label_k, label_instance, $a AS value
-       |FROM s
+       |      FROM lww),
+       |-- the ratio, NULL on the y-axis / NaN rows (NULL propagates
+       |-- through every stage; the final CASE serves those branches)
+       |s0 AS (SELECT *, CASE WHEN isnan(y) OR isnan(x) OR x = 0.0
+       |         THEN NULL ELSE y / x END AS z FROM s),
+       |s1 AS (SELECT *, ABS(z) AS az FROM s0),
+       |s2 AS (SELECT *, CASE WHEN az > 1.0 THEN 1.0 / az ELSE az END AS tt
+       |       FROM s1),
+       |s3 AS (SELECT *, CAST(FLOOR(tt * 8.0 + 0.5) AS INT) AS j FROM s2),
+       |s4 AS (SELECT *, (CAST(j AS DOUBLE) / 8.0) AS b FROM s3),
+       |s5 AS (SELECT *, ((tt - b) / (1.0 + tt * b)) AS rr FROM s4),
+       |s6 AS (SELECT *, (rr * rr) AS rr2 FROM s5),
+       |s7 AS (SELECT *, (($tbl)[j + 1] + rr * (1.0 + rr2 * $p)) AS at
+       |       FROM s6),
+       |s8 AS (SELECT *, (CASE WHEN az > 1.0 THEN ${d(DM.HalfPi)} - at
+       |         ELSE at END) AS v0 FROM s7),
+       |s9 AS (SELECT *, (CASE WHEN z < 0.0 THEN -v0 ELSE v0 END) AS q
+       |       FROM s8)
+       |SELECT label_k, label_instance,
+       |  (CASE WHEN isnan(y) OR isnan(x) THEN CAST('nan' AS DOUBLE)
+       |        WHEN x > 0.0 THEN q
+       |        WHEN x < 0.0 AND y >= 0.0 THEN q + ${d(DM.Pi)}
+       |        WHEN x < 0.0 THEN q - ${d(DM.Pi)}
+       |        WHEN y > 0.0 THEN ${d(DM.HalfPi)}
+       |        WHEN y < 0.0 THEN -${d(DM.HalfPi)}
+       |        ELSE 0.0 END) AS value
+       |FROM s9
        |ORDER BY label_k, label_instance, value""".stripMargin
   }
 

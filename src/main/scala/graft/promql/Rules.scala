@@ -138,7 +138,7 @@ object Rules {
     * label-free alert fires on the empty label set, like upstream's
     * scalar alerts.
     */
-  private def withSeriesKey(df: DataFrame): (DataFrame, Seq[String]) = {
+  private[promql] def withSeriesKey(df: DataFrame): (DataFrame, Seq[String]) = {
     val lcs = df.columns.filter(c => c != "value" && c != "t_s").toSeq
     if (lcs.nonEmpty) (df, lcs)
     else (df.withColumn("label_k", lit(null).cast("string")), Seq("label_k"))
@@ -341,6 +341,33 @@ object Rules {
       instants: Int, stepS: Long): DataFrame = {
     require(instants >= 1, "at least one grid instant")
     require(stepS > 0, "step must be positive")
+    if ((rule.forS > 0 || rule.keepFiringForS > 0) && rule.intervalS % stepS != 0)
+      throw new PromQLCompileException(
+        s"alert '${rule.alert}': the evaluation interval (${rule.intervalS}s) must be a multiple of the grid step (${stepS}s)")
+    val endS = Compiler.instantSeconds(spark, dir).toLong
+    val outStartS = endS - (instants - 1).toLong * stepS
+    alertStatesGridAt(spark, dir, rule, outStartS, endS, stepS)
+      .getOrElse(throw new PromQLCompileException(
+        s"alert '${rule.alert}': no dense-grid strategy for the condition shape; use alertStates (per-instant union, ≤64 instants)"))
+  }
+
+  /** The range-parameterized core of [[alertStatesGrid]]: the ladder
+    * evaluated at every step-spaced ABSOLUTE instant in
+    * `[outStartS, outEndS]` (epoch seconds — the `query_range` grid the
+    * `ALERTS` selector rides, [[graft.promql.Compiler]]'s grid arm).
+    * Returns `None` when the shape has no one-plan evaluation — the
+    * condition lacks a dense-grid strategy, or the rule interval
+    * doesn't align with the grid step — so the selector falls to the
+    * per-instant union path instead of refusing; rule-file CONFIG
+    * errors (a `for` that isn't an interval multiple) still throw.
+    */
+  private[graft] def alertStatesGridAt(spark: SparkSession, dir: String,
+      rule: AlertRule, outStartS: Long, outEndS: Long,
+      stepS: Long): Option[DataFrame] = {
+    require(stepS > 0, "step must be positive")
+    require(outEndS >= outStartS, "end must be >= start")
+    require((outEndS - outStartS) % stepS == 0,
+      "grid bounds must be step-aligned")
     if (rule.forS < 0 ||
         (rule.forS > 0 && (rule.intervalS <= 0 || rule.forS % rule.intervalS != 0)))
       throw new PromQLCompileException(
@@ -351,20 +378,20 @@ object Rules {
       throw new PromQLCompileException(
         s"alert '${rule.alert}': `keep_firing_for` (${rule.keepFiringForS}s) must be a non-negative multiple of the evaluation interval (${rule.intervalS}s)")
     if ((rule.forS > 0 || rule.keepFiringForS > 0) && rule.intervalS % stepS != 0)
-      throw new PromQLCompileException(
-        s"alert '${rule.alert}': the evaluation interval (${rule.intervalS}s) must be a multiple of the grid step (${stepS}s)")
+      return None
+    val instants = ((outEndS - outStartS) / stepS + 1).toInt
     val k = if (rule.forS == 0) 0 else (rule.forS / rule.intervalS).toInt
     val kf = if (rule.keepFiringForS == 0) 0
       else (rule.keepFiringForS / rule.intervalS).toInt
     val m = if (rule.forS == 0 && rule.keepFiringForS == 0) 1
       else (rule.intervalS / stepS).toInt
-    val endS = Compiler.instantSeconds(spark, dir).toLong
+    val endS = outEndS
     val ext = instants + (k + kf) * m
     val startS = endS - (ext - 1).toLong * stepS
     val ast = Ast.resolveAtEdges(Parser.parse(rule.expr), Some(startS), Some(endS))
-    val cond = Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
-      .getOrElse(throw new PromQLCompileException(
-        s"alert '${rule.alert}': no dense-grid strategy for the condition shape; use alertStates (per-instant union, ≤64 instants)"))
+    val condOpt = Compiler.rangeGridEval(spark, dir, ast, startS, endS, stepS)
+    if (condOpt.isEmpty) return None
+    val cond = condOpt.get
     val (p0, lcs) = withSeriesKey(cond)
     // null-safe lattice keys: one coalesced shadow per label column (a
     // scalar condition breaches on the null label; Spark's equi-join
@@ -421,13 +448,13 @@ object Rules {
             when(col("value").isNotNull, col("value"))
               .otherwise(col("_lastVal")))
       }
-    staged
+    Some(staged
       .filter(col("_i") > (k + kf).toLong * m)
       .select(
         lit(rule.alert).as("alertname") +:
           col("_state").as("alertstate") +:
           (lit(startS) + (col("_i") - 1) * lit(stepS)).cast("long").as("t_s") +:
           (lcs.map(col) :+ col("value")): _*)
-      .orderBy((col("t_s") +: lcs.map(col)): _*)
+      .orderBy((col("t_s") +: lcs.map(col)): _*))
   }
 }

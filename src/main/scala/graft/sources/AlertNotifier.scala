@@ -39,8 +39,10 @@ class AlertNotifier(url: String) {
     */
   def notify(spark: SparkSession, dir: String,
       rules: Seq[graft.promql.Rules.AlertRule],
-      atMs: Long = System.currentTimeMillis()): Int = {
-    val body = graft.promql.Api.firingAlertsBody(spark, dir, rules)
+      atMs: Long = System.currentTimeMillis(),
+      externalLabels: Map[String, String] = Map.empty): Int = {
+    val body = graft.promql.Api.firingAlertsBody(spark, dir, rules,
+      externalLabels)
     lastNotifyMs = Some(atMs)
     if (body == "[]") { lastSent = 0; lastError = None; return 204 }
     lastSent = "\\{\"labels\":".r.findAllIn(body).length // one per item

@@ -171,11 +171,26 @@ object QueryEndpoint {
       readFHists: Option[org.apache.spark.sql.DataFrame] = None,
       readSampleBytesLimit: Long =
         RemoteRead.DefaultSampleBytesLimit,
-      otlpDeltaToCumulative: Boolean = false): HttpServer = {
+      otlpDeltaToCumulative: Boolean = false,
+      externalLabels: Map[String, String] = Map.empty,
+      ruleFile: Option[String] = None): HttpServer = {
     // the 3.x flag-gated OTLP delta path: one cross-request conversion
     // state per server instance (O(#series) driver state)
     val otlpDelta: Option[Otlp.DeltaState] =
       if (otlpDeltaToCumulative) Some(new Otlp.DeltaState) else None
+    // the standing rule file, RELOADABLE: `ruleFile` (a path in the
+    // [[graft.promql.RuleConfig]] grammar) takes precedence over the
+    // inline params; `POST /-/reload` re-reads it and bumps the
+    // results-cache epoch so no handler ever serves an answer computed
+    // under the old rules. Handlers read through `aRules`/`rRules` at
+    // REQUEST time, so a swap is visible on the very next request.
+    val rulesRef = new java.util.concurrent.atomic.AtomicReference[
+        (Seq[graft.promql.Rules.AlertRule],
+          Seq[graft.promql.Rules.RecordingRule])](
+      ruleFile.map(graft.promql.RuleConfig.load)
+        .getOrElse((alertRules, recordingRules)))
+    def aRules = rulesRef.get()._1
+    def rRules = rulesRef.get()._2
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     // remote-write receiver: POST of a snappy-framed WriteRequest; 204
     // on accept (upstream's receiver contract), 400 on malformed bytes,
@@ -234,9 +249,9 @@ object QueryEndpoint {
             // log, like upstream's per-group rule health: one bad rule
             // never takes the whole door down.
             val recorded =
-              if (recordingRules.isEmpty) None
+              if (rRules.isEmpty) None
               else {
-                val rels = recordingRules.flatMap { r =>
+                val rels = rRules.flatMap { r =>
                   try Some(graft.promql.Rules
                     .recordedSeriesRelation(spark, dir, r))
                   catch {
@@ -388,19 +403,62 @@ object QueryEndpoint {
         p.get("start").map(epochS), p.get("end").map(epochS))
     })
     server.createContext("/api/v1/rules", handler { _ =>
-      Api.rulesJson(spark, dir, alertRules, recordingRules)
+      Api.rulesJson(spark, dir, aRules, rRules)
     })
     server.createContext("/api/v1/alerts", handler { _ =>
-      Api.alertsJson(spark, dir, alertRules)
+      Api.alertsJson(spark, dir, aRules)
     })
     server.createContext("/api/v1/status/buildinfo", handler { _ =>
       Api.buildInfoJson
+    })
+    // lifecycle endpoints — what k8s probes and reload tooling hit:
+    //  - /-/healthy: 200 once the server loop is serving (liveness);
+    //  - /-/ready: 200 once the corpus is queryable — the probe primes
+    //    the evaluation-instant cache, the engine's "TSDB loaded"
+    //    analog, and 503s while the corpus can't answer (readiness);
+    //  - /-/reload (POST): re-read the rule file and bump the
+    //    results-cache epoch, so the very next request sees the new
+    //    rules and no cached answer computed under the old ones is
+    //    ever served (upstream's SIGHUP/endpoint reload).
+    server.createContext("/-/healthy", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, 200, "Graft is Healthy.\n", "text/plain; charset=utf-8")
+    })
+    server.createContext("/-/ready", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          graft.promql.Compiler.instantSeconds(spark, dir)
+          respond(ex, 200, "Graft is Ready.\n", "text/plain; charset=utf-8")
+        } catch {
+          case e: Exception =>
+            respond(ex, 503, s"Not ready: ${Option(e.getMessage)
+              .getOrElse(e.getClass.getSimpleName)}\n",
+              "text/plain; charset=utf-8")
+        }
+    })
+    server.createContext("/-/reload", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, errorBody("reload requires POST"))
+        else try {
+          rulesRef.set(ruleFile.map(graft.promql.RuleConfig.load)
+            .getOrElse((alertRules, recordingRules)))
+          graft.promql.ResultsCache.invalidate(spark, dir)
+          respond(ex, 200, "", "text/plain; charset=utf-8")
+        } catch {
+          case e: Exception =>
+            // upstream answers 500 when the new config fails to apply
+            // (the old rules stay standing — rulesRef was not set)
+            respond(ex, 500, s"failed to reload: ${Option(e.getMessage)
+              .getOrElse(e.getClass.getSimpleName)}\n",
+              "text/plain; charset=utf-8")
+        }
     })
     server.createContext("/api/v1/status/flags", handler { _ =>
       Api.flagsJson(spark)
     })
     server.createContext("/api/v1/status/config", handler { _ =>
-      Api.configJson(alertRules, recordingRules)
+      Api.configJson(aRules, rRules)
     })
     server.createContext("/api/v1/status/runtimeinfo", handler { _ =>
       Api.runtimeInfoJson(spark)
@@ -423,8 +481,11 @@ object QueryEndpoint {
       val msr = p.get("max_source_resolution").map(stepS).filter(_ > 0)
       // the standing rule file's recorded names are selectable in any
       // served query (upstream: rules write to the TSDB; here: view
-      // semantics via the compile context)
-      graft.promql.Compiler.withRecordedRules(recordingRules) {
+      // semantics via the compile context) — and so is the ALERTS
+      // synthetic series, at dashboard grid scale (the alert-timeline
+      // panel), like the instant door below
+      graft.promql.Compiler.withAlertRules(aRules) {
+      graft.promql.Compiler.withRecordedRules(rRules) {
         // the query-frontend results cache is a deployment choice
         // (Cortex/Thanos run it in front of the querier) — opt in at
         // server start; responses are byte-identical either way
@@ -438,6 +499,7 @@ object QueryEndpoint {
             epochS(required(p, "start")), epochS(required(p, "end")),
             stepS(required(p, "step")), nativeFamilies, msr)
       }
+      }
     })
     server.createContext("/api/v1/query", handler { ex =>
       // createContext is prefix-matched, so /api/v1/query_range has its
@@ -448,8 +510,8 @@ object QueryEndpoint {
       val p = params(ex)
       // the standing rule file's ALERTS series answers /api/v1/query
       // like any series (upstream's queryable alert states)
-      graft.promql.Compiler.withAlertRules(alertRules)(
-        graft.promql.Compiler.withRecordedRules(recordingRules)(
+      graft.promql.Compiler.withAlertRules(aRules)(
+        graft.promql.Compiler.withRecordedRules(rRules)(
           // the instant path caches behind the same opt-in as query_range
           // (Cortex's frontend caches instant results too); byte-identical
           // either way — a miss delegates to the direct path
@@ -469,8 +531,8 @@ object QueryEndpoint {
         "missing required parameter 'match[]'")
       // the standing rule file's recorded names federate like any
       // TSDB series, exactly as they answer /api/v1/query
-      graft.promql.Compiler.withRecordedRules(recordingRules)(
-        Api.federateText(spark, dir, ms))
+      graft.promql.Compiler.withRecordedRules(rRules)(
+        Api.federateText(spark, dir, ms, externalLabels))
     }, ScrapeEndpoint.ContentType))
     server.createContext("/api/v1/series", handler { ex =>
       // repeated match[] selectors union (upstream semantics); start/end
@@ -480,7 +542,7 @@ object QueryEndpoint {
       if (ms.isEmpty) throw new IllegalArgumentException(
         "missing required parameter 'match[]'")
       val p = mp.toMap
-      graft.promql.Compiler.withRecordedRules(recordingRules)(
+      graft.promql.Compiler.withRecordedRules(rRules)(
         Api.seriesJson(spark, dir, ms,
           p.get("start").map(epochS), p.get("end").map(epochS),
           p.get("limit").map(_.toInt)))
@@ -498,7 +560,7 @@ object QueryEndpoint {
         case Array("", "api", "v1", "label", name, "values") =>
           val mp = multiParams(ex)
           val p = mp.toMap
-          graft.promql.Compiler.withRecordedRules(recordingRules)(
+          graft.promql.Compiler.withRecordedRules(rRules)(
             Api.labelValuesJson(spark, dir, name,
               mp.collect { case ("match[]", v) => v },
               p.get("start").map(epochS), p.get("end").map(epochS),

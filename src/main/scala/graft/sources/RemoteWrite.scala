@@ -38,6 +38,24 @@ import org.apache.spark.sql.functions._
   */
 object RemoteWrite {
 
+  /** Upstream's `external_labels` attach for OUTBOUND series (the
+    * remote-write sender, `/federate`, the notifier): each external
+    * pair joins the series' sorted label vector UNLESS the series
+    * already carries that name — the series' own label wins, exactly
+    * upstream's conflict rule — and empty external values are dropped
+    * like any empty label. Returns a name-sorted vector (the wire
+    * series identity).
+    */
+  private[graft] def withExternal(labels: Vector[(String, String)],
+      ext: Map[String, String]): Vector[(String, String)] =
+    if (ext.isEmpty) labels
+    else {
+      val have = labels.map(_._1).toSet
+      (labels ++ ext.toVector.filter { case (k, v) =>
+        !have.contains(k) && v.nonEmpty
+      }).sortBy(_._1)
+    }
+
   /** One exemplar off the wire (prompb `Exemplar`: labels = 1,
     * value = 2, timestamp = 3) — the trace-id-carrying observation a
     * sender attaches to a series, destined for the exemplar store.
@@ -2143,7 +2161,8 @@ object RemoteWriteRecorded {
 
 class RemoteWriteClient(url: String,
     maxRetries: Int = 4, minBackoffMs: Long = 50,
-    maxBackoffMs: Long = 5000) {
+    maxBackoffMs: Long = 5000,
+    externalLabels: Map[String, String] = Map.empty) {
 
   @volatile private var lastPushMs: Option[Long] = None
   @volatile private var lastError: Option[String] = None
@@ -2173,6 +2192,7 @@ class RemoteWriteClient(url: String,
     // capture plain values, not `this`, in the executor closure
     val target = url
     val (mr, mnb, mxb) = (maxRetries, minBackoffMs, maxBackoffMs)
+    val ext = externalLabels
     val spark = events.sparkSession
     val sent = spark.sparkContext.longAccumulator("rw_backfill_sent")
     val failed = spark.sparkContext.longAccumulator("rw_backfill_failed")
@@ -2192,7 +2212,8 @@ class RemoteWriteClient(url: String,
               .toSeq.sortBy(_._1)
               .map { case ((wn, k), rs) =>
                 RemoteWrite.Series(
-                  Vector("__name__" -> wn, "k" -> k),
+                  RemoteWrite.withExternal(
+                    Vector("__name__" -> wn, "k" -> k), ext),
                   rs.sortBy(_.getLong(2))
                     .map(r => (r.getDouble(3), r.getLong(2))).toVector)
               }
@@ -2226,6 +2247,7 @@ class RemoteWriteClient(url: String,
       batchRows: Int = 500): (Long, Long) = {
     val target = url
     val (mr, mnb, mxb) = (maxRetries, minBackoffMs, maxBackoffMs)
+    val ext = externalLabels
     val spark = rel.sparkSession
     val sent = spark.sparkContext.longAccumulator("rw_recorded_sent")
     val failed = spark.sparkContext.longAccumulator("rw_recorded_failed")
@@ -2233,6 +2255,7 @@ class RemoteWriteClient(url: String,
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.grouped(batchRows).foreach { batch =>
           val series = RemoteWriteRecorded.labelsMapSeries(batch.toSeq)
+            .map(s => s.copy(labels = RemoteWrite.withExternal(s.labels, ext)))
           val n = series.map(_.samples.length).sum
           val code = RemoteWrite.postWithRetry(target,
             RemoteWrite.compress(RemoteWrite.encode(series)),
@@ -2252,7 +2275,9 @@ class RemoteWriteClient(url: String,
   def push(atMs: Long = System.currentTimeMillis()): Int = {
     val series = graft.streaming.ExpositionRegistry.series().map { t =>
       RemoteWrite.Series(
-        Vector("__name__" -> s"${t.name}_total", "k" -> t.label_k),
+        RemoteWrite.withExternal(
+          Vector("__name__" -> s"${t.name}_total", "k" -> t.label_k),
+          externalLabels),
         Vector((t.total, atMs)))
     }
     val body = RemoteWrite.compress(RemoteWrite.encode(series))

@@ -96,10 +96,14 @@ object ScrapeClient {
     * at the scrape that no longer exposes it (or at a failed scrape,
     * for the whole target), so consumers cut the series off
     * immediately instead of serving its last value through the
-    * lookback window. The marker is upstream's EXACT reserved quiet-NaN
-    * bit pattern ([[graft.model.Stale.Bits]]) — an ordinary NaN sample
-    * is NOT a marker; detection is the raw-bit `is_stale_nan`
-    * expression ([[graft.plans.StaleExprs]]), never `isnan`. Rollups
+    * lookback window. The EMITTED value is upstream's exact reserved
+    * quiet-NaN bit pattern ([[graft.model.Stale.Bits]]); DETECTION is
+    * any-NaN (`isnan`, [[graft.plans.StaleExprs]]) — the engine-wide
+    * convention, because Spark canonicalizes NaN payloads in both the
+    * parquet writer and the streaming tier, so upstream's bit
+    * distinction cannot survive either layer (see
+    * [[graft.model.Stale]]'s REPRESENTATION note; the scrape-line
+    * grammar can never parse a NaN, so no real sample collides). Rollups
     * exclude markers from value fields and carry a `stale_at` anchor;
     * instant/LWW reads cut a series whose latest event is the marker;
     * range functions never see markers (upstream's semantics

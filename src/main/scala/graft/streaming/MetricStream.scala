@@ -170,9 +170,15 @@ object MetricStream {
     val all = spark.read.parquet(blockDir)
     val key = Seq("name", "label_k", "label_instance", "kind", "bucket_s")
     val payload = all.columns.filterNot(key.contains)
+    // ordering key: cnt is monotone within a bucket and last_at anchors
+    // real-sample ties — but a MARKER-ONLY update advances neither
+    // (markers are excluded from cnt/last_at and only move stale_at),
+    // so stale_at joins the key: the post-marker state wins its tie
+    // with the pre-marker one (null stale_at sorts below any anchor)
+    // and the staleness cut survives a restart deterministically.
     all.groupBy(key.map(col): _*)
       .agg(expr(s"max_by(struct(${payload.mkString(", ")}), " +
-        "struct(cnt, last_at))").as("_s"))
+        "struct(cnt, last_at, stale_at))").as("_s"))
       .select(key.map(col) ++ payload.map(c => col(s"_s.$c").as(c)): _*)
   }
 
@@ -488,42 +494,132 @@ object MetricStream {
     */
   def alertStateStream(events: DataFrame, metric: String = "purchase",
       thresholdCents: Long = 500L, windowUs: Long = 86400000000L,
-      needK: Int = 3): Dataset[AlertState] = {
+      needK: Int = 3,
+      initial: Option[DataFrame] = None): Dataset[AlertState] = {
     val spark = events.sparkSession
     import spark.implicits._
-    Metrics.metricEventsOf(events)
+    alertLadderStream(events, metric, thresholdCents, windowUs, needK,
+      initial)
+      .filter(e => !e.is_state)
+      .map(e => AlertState(e.label_k, e.window_start_us, e.value,
+        e.alertstate))
+  }
+
+  /** One ladder-stream output row: a transition (`is_state = false` —
+    * the [[AlertState]] fields) or a FOR-STATE SNAPSHOT
+    * (`is_state = true` — the series' live `(openStart, openCents,
+    * run)` triple after the batch, upstream's `ALERTS_FOR_STATE`
+    * sample re-expressed for this engine's windowed ladder).
+    */
+  case class LadderEvent(label_k: String, window_start_us: Long,
+      value: Double, alertstate: String, is_state: Boolean,
+      open_start_us: Long, open_cents: Long, run: Int)
+
+  /** The full-faced streaming ladder: [[alertStateStream]]'s
+    * transitions PLUS one for-state snapshot per updated series per
+    * batch — what upstream persists as the `ALERTS_FOR_STATE` series so
+    * `for` timers survive a restart. `initial` seeds the keyed state
+    * (schema `label_k, open_start_us, open_cents, run` —
+    * [[forStateView]]'s shape): a FRESH start (no Spark checkpoint)
+    * seeded from the durable snapshots resumes every pending run where
+    * it left off, so a 2-day `for` alert 47 h into pending fires at its
+    * ORIGINAL deadline instead of re-arming (StreamingSpec pins the
+    * exact scenario). State and snapshots are O(series); the snapshot
+    * ordering key `(open_start_us, open_cents)` is monotone per series
+    * (windows only advance, cents only accumulate within one), so the
+    * durable view needs no extra sequence column.
+    */
+  def alertLadderStream(events: DataFrame, metric: String = "purchase",
+      thresholdCents: Long = 500L, windowUs: Long = 86400000000L,
+      needK: Int = 3,
+      initial: Option[DataFrame] = None): Dataset[LadderEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = Metrics.metricEventsOf(events)
       .filter(col("kind") === "counter" && col("value") >= 0 &&
         col("name") === metric)
       .select(col("name"), col("label_k"), col("value"),
         unix_micros(col("ts")).as("tsUs"), col("event_id").as("eventId")).as[TsObs]
       .groupByKey(o => SeriesKey(o.name, o.label_k))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (key: SeriesKey, rows: Iterator[TsObs], state: GroupState[LadderState]) => {
-          val out = scala.collection.mutable.ArrayBuffer[AlertState]()
-          var cur = state.getOption.orNull
-          rows.toSeq.sortBy(o => (o.tsUs, o.eventId)).foreach { o =>
-            val w = math.floorDiv(o.tsUs, windowUs) * windowUs
-            if (cur == null) cur = LadderState(w, 0L, 0)
-            if (w > cur.openStartUs) {
-              // close the open window
-              val breach = cur.openCents > thresholdCents
-              val run = if (breach) cur.run + 1 else 0
-              if (breach) out += AlertState(key.label_k, cur.openStartUs,
-                cur.openCents / 100.0,
-                if (run >= needK) "firing" else "pending")
-              // any fully-empty window between close and w resets the run
-              val runAfterGap =
-                if (w > cur.openStartUs + windowUs) 0 else run
-              cur = LadderState(w, 0L, runAfterGap)
-            }
-            if (w == cur.openStartUs)
-              cur = cur.copy(openCents = cur.openCents + math.round(o.value * 100))
-            // w < openStart: late event behind the open window — dropped
-          }
-          if (cur != null) state.update(cur)
-          out.iterator
-        })
+    val func = (key: SeriesKey, rows: Iterator[TsObs],
+        state: GroupState[LadderState]) => {
+      val out = scala.collection.mutable.ArrayBuffer[LadderEvent]()
+      var cur = state.getOption.orNull
+      val before = cur
+      rows.toSeq.sortBy(o => (o.tsUs, o.eventId)).foreach { o =>
+        val w = math.floorDiv(o.tsUs, windowUs) * windowUs
+        if (cur == null) cur = LadderState(w, 0L, 0)
+        if (w > cur.openStartUs) {
+          // close the open window
+          val breach = cur.openCents > thresholdCents
+          val run = if (breach) cur.run + 1 else 0
+          if (breach) out += LadderEvent(key.label_k, cur.openStartUs,
+            cur.openCents / 100.0,
+            if (run >= needK) "firing" else "pending",
+            is_state = false, 0L, 0L, 0)
+          // any fully-empty window between close and w resets the run
+          val runAfterGap =
+            if (w > cur.openStartUs + windowUs) 0 else run
+          cur = LadderState(w, 0L, runAfterGap)
+        }
+        if (w == cur.openStartUs)
+          cur = cur.copy(openCents = cur.openCents + math.round(o.value * 100))
+        // w < openStart: late event behind the open window — dropped
+      }
+      if (cur != null) {
+        state.update(cur)
+        if (cur != before) // quiet series re-snapshot nothing
+          out += LadderEvent(key.label_k, 0L, 0.0, "", is_state = true,
+            cur.openStartUs, cur.openCents, cur.run)
+      }
+      out.iterator
+    }
+    initial match {
+      case None =>
+        keyed.flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout)(func)
+      case Some(seed) =>
+        val init = seed
+          .select(col("label_k"), col("open_start_us"),
+            col("open_cents"), col("run"))
+          .as[(String, Long, Long, Int)]
+          .groupByKey(r => SeriesKey(metric, r._1))
+          .mapValues(r => LadderState(r._2, r._3, r._4))
+        keyed.flatMapGroupsWithState(
+          OutputMode.Update, GroupStateTimeout.NoTimeout, init)(func)
+    }
   }
+
+  /** Durable `ALERTS_FOR_STATE` face: the ladder stream's for-state
+    * snapshots APPEND to `stateDir` as immutable parquet segments —
+    * the same LSM discipline as [[streamingRawSegments]], one tiny
+    * O(updated series) batch per trigger.
+    */
+  def streamingForState(ladder: Dataset[LadderEvent],
+      stateDir: String): StreamingQuery =
+    ladder.filter(col("is_state"))
+      .select(col("label_k"), col("open_start_us"), col("open_cents"),
+        col("run"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(stateDir)
+      }
+      .start()
+
+  /** The for-state directory's serving view: the LATEST snapshot per
+    * series — `(open_start_us, open_cents)` is monotone per series, so
+    * max_by needs no segment sequencing. Feed it to
+    * [[alertLadderStream]]'s `initial` on a fresh start to restore
+    * every pending `for` timer.
+    */
+  def forStateView(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(col("label_k"))
+      .agg(expr("max_by(struct(open_start_us, open_cents, run), " +
+        "struct(open_start_us, open_cents))").as("_s"))
+      .select(col("label_k"), col("_s.open_start_us").as("open_start_us"),
+        col("_s.open_cents").as("open_cents"), col("_s.run").as("run"))
 
   /** Streaming sessionization: watermarked `session_window` per series —
     * the streaming twin of the batch `b16` sessionize. Events of a

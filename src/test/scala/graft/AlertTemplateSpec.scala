@@ -164,6 +164,13 @@ class AlertTemplateSpec extends SparkTestBase {
     assert(body.contains(""""severity":"page""""))
     assert(!body.contains(""""annotations":{}"""),
       "the notifier no longer sends empty annotations")
+    // external_labels join the outgoing alert unless the instance
+    // already carries the name (alert labels win, upstream's rule)
+    val bodyExt = Api.firingAlertsBody(spark, dir, Seq(rule),
+      Map("env" -> "prod", "severity" -> "ext-loses", "drop" -> ""))
+    assert(bodyExt.contains(""""env":"prod""""))
+    assert(bodyExt.contains(""""severity":"page""""))
+    assert(!bodyExt.contains("ext-loses") && !bodyExt.contains(""""drop""""))
     // /api/v1/rules: rule-level RAW templates + keepFiringFor
     val rules = Api.rulesJson(spark, dir,
       Seq(rule.copy(keepFiringForS = 300, intervalS = 300)), Nil)

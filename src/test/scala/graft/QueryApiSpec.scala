@@ -426,6 +426,95 @@ class QueryApiSpec extends SparkTestBase {
       assert(res.get(0).get("metric").get("alertname").asText === "High")
       assert(res.get(0).get("metric").get("alertstate").asText === "firing")
       assert(res.get(0).get("metric").get("k").asText === "b")
+      // ... and query_range serves the ALERTS timeline at GRID scale
+      // (240 instants — the union path walls at 64), the Grafana
+      // alert-timeline panel's request shape
+      val tS = graft.promql.Compiler.instantSeconds(spark, dir).toLong
+      val ar = om.readTree(get(port, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""ALERTS{alertstate="firing"}""",
+          "UTF-8") +
+        s"&start=${tS - 239 * 3600L}&end=$tS&step=3600")._2)
+      assert(ar.get("status").asText === "success")
+      val mres = ar.get("data").get("result")
+      assert(mres.size === 1)
+      assert(mres.get(0).get("metric").get("alertname").asText === "High")
+      assert(mres.get(0).get("metric").get("alertstate").asText === "firing")
+      assert(mres.get(0).get("metric").get("k").asText === "b")
+      // b crossed the threshold exactly a day before T, so precisely
+      // the final hourly instant has both ladder lookbacks breaching —
+      // the point here is the 240-instant panel SERVED (the union path
+      // refuses past 64; QueryRangeSpec pins the wall-lifting law)
+      assert(mres.get(0).get("values").size === 1)
+    } finally server.stop(0)
+  }
+
+  test("lifecycle: /-/healthy, /-/ready, /-/reload swaps rules with no stale cache") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val f = java.nio.file.Files.createTempFile("graft_rules", ".yml")
+    def yaml(threshold: Int): String =
+      s"""groups:
+         |- name: graft
+         |  interval: 1d
+         |  rules:
+         |  - alert: Hot
+         |    expr: sum by (k) (purchase) > $threshold
+         |""".stripMargin
+    java.nio.file.Files.write(f, yaml(1000).getBytes("UTF-8"))
+    // resultsCache ON: the reload MUST invalidate, or the old answer
+    // would serve from cache for the identical query string
+    val server = QueryEndpoint.start(spark, dir, resultsCache = true,
+      ruleFile = Some(f.toString))
+    val port = server.getAddress.getPort
+    val om = new ObjectMapper()
+    try {
+      val (hc, hb) = get(port, "/-/healthy")
+      assert(hc === 200 && hb.contains("Healthy"))
+      val (rc, rb) = get(port, "/-/ready")
+      assert(rc === 200 && rb.contains("Ready"))
+      // reload is POST-only, like upstream
+      assert(get(port, "/-/reload")._1 === 405)
+      // under threshold 1000 nothing fires
+      val q = "/api/v1/query?query=" + enc("""ALERTS{alertstate="firing"}""")
+      assert(om.readTree(get(port, q)._2)
+        .path("data").path("result").size === 0)
+      assert(om.readTree(get(port, "/api/v1/rules")._2)
+        .path("data").path("groups").get(0).path("rules").get(0)
+        .path("query").asText.endsWith("> 1000"))
+      // swap the file, reload, and the SAME query string answers under
+      // the new rules on the very next request
+      java.nio.file.Files.write(f, yaml(1).getBytes("UTF-8"))
+      assert(postForm(port, "/-/reload", "")._1 === 200)
+      val after = om.readTree(get(port, q)._2).path("data").path("result")
+      assert(after.size === 2, "both k-groups breach threshold 1")
+      assert(om.readTree(get(port, "/api/v1/rules")._2)
+        .path("data").path("groups").get(0).path("rules").get(0)
+        .path("query").asText.endsWith("> 1"))
+      // a syntactically broken file fails the reload with 500 and the
+      // OLD rules stay standing (upstream's apply-or-keep semantics)
+      java.nio.file.Files.write(f, "groups:\n- name: graft\n  rules:\n  - alert: X\n    for: nonsense\n".getBytes("UTF-8"))
+      assert(postForm(port, "/-/reload", "")._1 === 500)
+      assert(om.readTree(get(port, q)._2).path("data").path("result")
+        .size === 2, "failed reload must keep the previous rules")
+    } finally {
+      server.stop(0)
+      java.nio.file.Files.deleteIfExists(f)
+    }
+  }
+
+  test("/federate attaches external_labels; series labels win on conflict") {
+    val server = QueryEndpoint.start(spark, dir,
+      externalLabels = Map("env" -> "prod", "k" -> "ext"))
+    val port = server.getAddress.getPort
+    try {
+      val (code, body) = get(port, "/federate?match[]=" + enc("signup"))
+      assert(code === 200)
+      val lines = body.trim.split("\n").toSeq
+      assert(lines.nonEmpty)
+      // env joins alphabetically; the series' own k survives the clash
+      assert(lines.forall(_.matches(
+        """signup\{env="prod",instance="i\d",k="[ab]"\} .*""")))
+      assert(body === Api.federateText(spark, dir, Seq("signup"),
+        Map("env" -> "prod", "k" -> "ext")))
     } finally server.stop(0)
   }
 

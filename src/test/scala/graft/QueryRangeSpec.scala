@@ -441,6 +441,76 @@ class QueryRangeSpec extends SparkTestBase {
     }
   }
 
+  test("ALERTS selector serves query_range: union == grid, wall lifted, offset rewinds") {
+    import graft.promql.{Compiler, Rules}
+    import graft.promql.Rules.AlertRule
+    val tS = T0 + 9 * dayS
+    val rules = Seq(
+      AlertRule("Hot", "sum by (k) (purchase) > 5",
+        forS = 2 * dayS, intervalS = dayS),
+      AlertRule("Low", "sum by (k) (purchase) < 3")) // for-less
+    Compiler.withAlertRules(rules) {
+      // 1. union ≡ grid on a common ≤64-instant lattice — filtered,
+      //    unfiltered, and offset-rewound forms all agree bit-for-bit
+      for (q <- Seq("""ALERTS{alertstate="firing"}""", "ALERTS",
+          """ALERTS{alertname="Hot"}""", "ALERTS offset 1d")) {
+        val u = Api.queryRangeJsonImpl(spark, dir, q,
+          tS - 5 * dayS, tS, dayS, grid = false)
+        val g = Api.queryRangeJsonImpl(spark, dir, q,
+          tS - 5 * dayS, tS, dayS, grid = true)
+        assert(u === g, s"union != grid for $q")
+      }
+      // the fixture exercises both states on the common lattice
+      val both = Api.queryRangeJsonImpl(spark, dir, "ALERTS",
+        tS - 5 * dayS, tS, dayS, grid = true)
+      assert(both.contains("\"firing\"") && both.contains("\"pending\""))
+      // offset REWINDS: the offset-d timeline over [s, e] equals the
+      // plain timeline over [s−d, e−d] value-for-value (instants shift)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def seriesVals(json: String): Map[String, Seq[String]] = {
+        val res = om.readTree(json).path("data").path("result")
+        (0 until res.size).map { i =>
+          val e = res.get(i)
+          e.path("metric").toString ->
+            (0 until e.path("values").size).map(j =>
+              e.path("values").get(j).get(1).asText).toSeq
+        }.toMap
+      }
+      val rewound = seriesVals(Api.queryRangeJsonImpl(spark, dir,
+        "ALERTS offset 1d", tS - 4 * dayS, tS, dayS, grid = true))
+      val plain = seriesVals(Api.queryRangeJsonImpl(spark, dir,
+        "ALERTS", tS - 5 * dayS, tS - dayS, dayS, grid = true))
+      assert(rewound === plain)
+      // 2. the selector LIFTS the 64-instant union wall: a 240-instant
+      //    alert-timeline panel serves as one dense-grid plan per rule
+      val wide = Api.queryRangeJsonImpl(spark, dir,
+        """ALERTS{alertstate="firing"}""",
+        tS - 239 * 3600L, tS, 3600L, grid = true)
+      assert(wide.contains("\"firing\""))
+      intercept[PromQLCompileException] {
+        Api.queryRangeJsonImpl(spark, dir, """ALERTS{alertstate="firing"}""",
+          tS - 239 * 3600L, tS, 3600L, grid = false)
+      }
+      // 3. a rule whose interval is off the step lattice falls the
+      //    selector back to the union path (served ≤64, refused beyond)
+      Compiler.withAlertRules(Seq(AlertRule("Odd",
+          "sum by (k) (purchase) > 5", forS = 2 * dayS, intervalS = dayS))) {
+        val offStep = 40000L // 86400 % 40000 != 0: no residue-class grid
+        val u = Api.queryRangeJsonImpl(spark, dir, "ALERTS",
+          tS - 4 * offStep, tS, offStep, grid = false)
+        val g = Api.queryRangeJsonImpl(spark, dir, "ALERTS",
+          tS - 4 * offStep, tS, offStep, grid = true)
+        assert(u === g, "off-lattice rule: grid path must fall back to union")
+      }
+    }
+    // without standing rules the selector refuses with the b43 pointer
+    val ex = intercept[PromQLCompileException] {
+      Api.queryRangeJsonImpl(spark, dir, "ALERTS",
+        tS - 2 * dayS, tS, dayS, grid = true)
+    }
+    assert(ex.getMessage.contains("standing alert rules"))
+  }
+
   test("alert ladders key on the FULL series label set, not label_k alone") {
     import graft.promql.Rules
     import graft.promql.Rules.AlertRule

@@ -61,5 +61,38 @@ class RawDurabilitySpec extends SparkTestBase {
       assert(post === pre, s"restart moved '$query'")
       assert(pre.nonEmpty, s"vacuous fixture for '$query'")
     }
+    // RAW COMPACTION: the directory rewrites as its own deduped view —
+    // segment files shrink (the replayed batch folds into the files),
+    // the view is identical, and routed answers do not move
+    val viewBefore = view.collect().map(_.toSeq).toSet
+    val segFiles = new java.io.File(segDir)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val (segsBefore, segsAfter) =
+      graft.tools.CompactBlocks.runRaw(spark, segDir)
+    assert(segsBefore > segsAfter, "compaction folded the replayed rows")
+    assert(segsAfter === rows.length.toLong)
+    val segFilesAfter = new java.io.File(segDir)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(segFilesAfter <= segFiles)
+    val viewAfter = MetricStream.rawSegmentsView(spark, segDir)
+    assert(viewAfter.collect().map(_.toSeq).toSet === viewBefore,
+      "compaction changed the serving view")
+    val key2 = s"$dir#rawcompacted"
+    graft.operators.Metrics.seedEvents(spark, key2, viewAfter)
+    val pre = graft.promql.Engine.eval(spark, dir, "rate(purchase[90m])")
+      .collect().map(_.toSeq).toSet
+    assert(graft.promql.Engine.eval(spark, key2, "rate(purchase[90m])")
+      .collect().map(_.toSeq).toSet === pre)
+    // RETENTION: keep samples at/after minute 100 — older raw samples
+    // retire, the kept ones survive byte-identically
+    val keepFromS = (java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      .getTime + 100 * 60000L) / 1000L
+    graft.tools.CompactBlocks.runRaw(spark, segDir, keepFromS)
+    val retained = MetricStream.rawSegmentsView(spark, segDir)
+    val keptIds = retained.select($"event_id").as[Long].collect().toSet
+    assert(keptIds === Set(2L, 3L, 4L), "retention cut is exact")
+    assert(retained.collect().map(_.toSeq).toSet ===
+      viewBefore.filter(r => Set(2L, 3L, 4L)
+        .contains(r(6).asInstanceOf[Long])))
   }
 }

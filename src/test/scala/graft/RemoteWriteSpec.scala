@@ -288,6 +288,25 @@ class RemoteWriteSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("external_labels join outbound wire series; series labels win on conflict") {
+    import graft.sources.RemoteWrite
+    val ext = Map("env" -> "prod", "k" -> "ext-loses", "drop" -> "")
+    // the attach law: name-sorted merge, series label wins, empties drop
+    assert(RemoteWrite.withExternal(
+      Vector("__name__" -> "m_total", "k" -> "a"), ext) ===
+      Vector("__name__" -> "m_total", "env" -> "prod", "k" -> "a"))
+    assert(RemoteWrite.withExternal(Vector("__name__" -> "m"), Map.empty) ===
+      Vector("__name__" -> "m"))
+    // and the merged labels survive the wire round-trip byte-faithfully
+    val s = RemoteWrite.Series(
+      RemoteWrite.withExternal(Vector("__name__" -> "m_total", "k" -> "a"), ext),
+      Vector((1.5, 1000L)))
+    val back = RemoteWrite.walk(RemoteWrite.uncompress(
+      RemoteWrite.compress(RemoteWrite.encode(Seq(s)))))
+    assert(back.head.labels ===
+      Vector("__name__" -> "m_total", "env" -> "prod", "k" -> "a"))
+  }
+
   test("write endpoint rejects: garbage body 400, GET 405, unconfigured 400") {
     val dir = fixture("events" ->
       Seq(ev(1, 0, "purchase", 1.0, "a")).toDF(eventCols: _*))

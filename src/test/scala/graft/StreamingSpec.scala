@@ -1260,6 +1260,97 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ALERTS_FOR_STATE: a seeded restart fires at the ORIGINAL deadline; unseeded re-arms") {
+    implicit val sqlCtx = spark.sqlContext
+    val MS = graft.streaming.MetricStream
+    val d = 86400000L
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_forstate").toString
+    val t0us = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    def wday(n: Int) =
+      math.floorDiv(t0us + n * d * 1000L, 86400000000L) * 86400000000L
+    // series a breaches every day 0..4 (threshold 5, needK 3): the
+    // uninterrupted ladder goes pending(d0), pending(d1), firing(d2..4)
+    val all = (0 to 4).map(day => ev(day, day * d, "purchase", 10.0, "a")) :+
+      ev(500, 5 * d, "purchase", 0.0, "a") // day-5 sentinel closes day 4
+    val (phase1, phase2) = (all.take(3), all.drop(3))
+
+    // ---- phase 1: run to day 2 (47h-into-pending analog), persist
+    // the for-state snapshots next to the raw segments
+    val mem1 = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val q1t = MS.alertStateStream(mem1.toDF().toDF(eventCols: _*),
+        thresholdCents = 500L, needK = 3)
+      .writeStream.format("memory").queryName("fs_phase1")
+      .outputMode(OutputMode.Update).start()
+    val q1s = MS.streamingForState(
+      MS.alertLadderStream(mem1.toDF().toDF(eventCols: _*),
+        thresholdCents = 500L, needK = 3), stateDir)
+    try {
+      mem1.addData(phase1: _*)
+      q1t.processAllAvailable()
+      q1s.processAllAvailable()
+    } finally { q1t.stop(); q1s.stop() }
+    val p1 = spark.table("fs_phase1")
+      .select($"label_k", $"window_start_us", $"alertstate")
+      .as[(String, Long, String)].collect().toSet
+    assert(p1 === Set(("a", wday(0), "pending"), ("a", wday(1), "pending")))
+    // the durable view holds the mid-pending timer: open day-2 window,
+    // run 2 — exactly what a restart must resume from
+    val seed = MS.forStateView(spark, stateDir)
+    val seedRow = seed.as[(String, Long, Long, Int)].collect().toSeq
+    assert(seedRow === Seq(("a", wday(2), 1000L, 2)))
+
+    // ---- phase 2: FRESH start (no checkpoint), seeded — the day-3
+    // event closes the restored day-2 window and the alert FIRES at
+    // the original deadline (run 2 + 1 = needK), not re-armed
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val q2 = MS.alertStateStream(mem2.toDF().toDF(eventCols: _*),
+        thresholdCents = 500L, needK = 3, initial = Some(seed))
+      .writeStream.format("memory").queryName("fs_phase2")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem2.addData(phase2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val p2 = spark.table("fs_phase2")
+      .select($"label_k", $"window_start_us", $"alertstate")
+      .as[(String, Long, String)].collect().toSet
+    assert(p2 === Set(("a", wday(2), "firing"), ("a", wday(3), "firing"),
+      ("a", wday(4), "firing")))
+
+    // ---- the seeded split equals the uninterrupted single stream
+    // (restart is INVISIBLE in the emitted ALERTS history)
+    val mem3 = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val q3 = MS.alertStateStream(mem3.toDF().toDF(eventCols: _*),
+        thresholdCents = 500L, needK = 3)
+      .writeStream.format("memory").queryName("fs_single")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem3.addData(all: _*)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val single = spark.table("fs_single")
+      .select($"label_k", $"window_start_us", $"alertstate")
+      .as[(String, Long, String)].collect().toSet
+    assert((p1 ++ p2) === single)
+
+    // ---- control: an UNSEEDED fresh start re-arms the ladder — the
+    // 2-days-pending alert starts over and never fires in phase 2
+    val mem4 = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val q4 = MS.alertStateStream(mem4.toDF().toDF(eventCols: _*),
+        thresholdCents = 500L, needK = 3)
+      .writeStream.format("memory").queryName("fs_rearmed")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem4.addData(phase2: _*)
+      q4.processAllAvailable()
+    } finally q4.stop()
+    val rearmed = spark.table("fs_rearmed")
+      .select($"alertstate").as[String].collect().toSet
+    assert(!rearmed.contains("firing"),
+      "unseeded restart must lose the pending run (the defect the seed fixes)")
+  }
+
   test("streaming semantic-dedup gate equals batch core membership bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
