@@ -284,6 +284,9 @@ object SparkEntry {
     // at the door, replace expands capture groups, uppercase/labelmap
     // write new labels; the DuckDB twin re-applies the anchored rules
     "a1zc_scrape_relabel" -> ((s, d) => PromQL.scrapeRelabel(s, d)),
+    // the scrape door's honor_labels attach law, both modes, on the
+    // corpus exposition (target identity vs exposed instance/job)
+    "a1zh_honor_labels" -> ((s, d) => PromQL.honorLabels(s, d)),
     // the TSDB stats surface (/api/v1/status/tsdb): head stats +
     // cardinality breakdowns as one hash-gated relation
     "b39_tsdb_stats" -> ((s, d) => PromQL.tsdbStats(s, d)),
@@ -1153,6 +1156,7 @@ object SparkEntry {
     "a1za_remote_read_recorded" -> sources.RemoteRead.WireReadRecordedGateSql,
     "a1zb_remote_write_recorded" -> sources.RemoteRead.WireReadRecordedGateSql,
     "a1zc_scrape_relabel" -> PromQL.ScrapeRelabelSql,
+    "a1zh_honor_labels" -> PromQL.HonorLabelsSql,
     "a1zd_created_increase" -> sources.RemoteWrite.WireCreatedIncreaseSql,
     "a1ze_nhcb_quantile" -> sources.Otlp.OtlpNhcbQuantileSql,
     "a1zf_otlp_delta" -> sources.Otlp.OtlpDeltaIngestSql,

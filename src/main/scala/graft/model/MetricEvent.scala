@@ -32,8 +32,18 @@ object MetricEvent {
     * (gauge), error magnitudes are distribution observations (histogram).
     */
   val CounterNames: Seq[String] = Seq("click", "view", "purchase")
-  val GaugeNames: Seq[String] = Seq("signup")
+  val GaugeNames: Seq[String] = Seq("signup") ++ SyntheticNames
   val HistogramNames: Seq[String] = Seq("error")
+
+  /** The per-target SYNTHETIC series a scrape appends after every
+    * attempt (up / scrape health telemetry — what `up == 0` alerts and
+    * meta-monitoring dashboards read). All gauges: each scrape SETS the
+    * target's current level. The scrape loop emits them
+    * ([[graft.sources.ScrapeLoop.poll]]); the parquet corpora never
+    * carry these event types, so batch oracles are unaffected.
+    */
+  def SyntheticNames: Seq[String] =
+    Seq("up", "scrape_duration_seconds", "scrape_samples_scraped")
 
   /** Explicit histogram bucket boundaries — the `Buckets` float-seq param
     * of `Prometheus.Histogram` (`/root/reference/prometheus.cpp:111-113`).

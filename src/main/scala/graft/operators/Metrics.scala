@@ -211,7 +211,8 @@ object Metrics {
       |  json_extract_string(props, '$.k') AS label_k,
       |  'i' || CAST(user_id % 4 AS VARCHAR) AS label_instance,
       |  CASE WHEN event_type IN ('click','view','purchase') THEN 'counter'
-      |       WHEN event_type IN ('signup') THEN 'gauge'
+      |       WHEN event_type IN ('signup','up','scrape_duration_seconds',
+      |                           'scrape_samples_scraped') THEN 'gauge'
       |       ELSE 'histogram' END AS kind,
       |  value, event_id
       |FROM events""".stripMargin

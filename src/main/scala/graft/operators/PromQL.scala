@@ -1230,6 +1230,81 @@ object PromQL {
     s"WITH lines AS ($ExpositionTextSql),\n$body"
   }
 
+  /** `honor_labels` over the corpus exposition — the scrape-door
+    * attach law hash-gated on real data: a metric-relabel chain writes
+    * an exposed `instance` on every sample and an exposed `job` on the
+    * purchase family only, then the target identity
+    * `{instance="localhost:9090", job="graft"}` attaches BOTH ways
+    * ([[graft.sources.ScrapeClient.attachTargetLabels]]):
+    * `honor` — the exposed label wins, the target pair lands only
+    * where absent; `export` — the target pair always lands and the
+    * exposed clash moves under `exported_<name>`. One relation, both
+    * modes, every label face a column.
+    */
+  def honorLabels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Relabel, ScrapeClient}
+    val payloads = expositionText(spark, dir)
+      .agg(array_join(array_sort(collect_list(col("line"))), "\n")
+        .as("payload"))
+      .withColumn("scrape_ts", to_timestamp(lit("2024-03-01 00:00:00")))
+    val rules = Seq(
+      Relabel.Rule(action = "replace", sourceLabels = Seq("k"),
+        regex = "(.*)", targetLabel = "instance", replacement = "exp-$1"),
+      Relabel.Rule(action = "replace", sourceLabels = Seq("__name__"),
+        regex = "purchase", targetLabel = "job",
+        replacement = "exposed-job"))
+    val samples = ScrapeClient.parsePayloadsLabels(payloads, rules)
+    val target = Map("instance" -> "localhost:9090", "job" -> "graft")
+    def face(honor: Boolean): DataFrame =
+      ScrapeClient.attachTargetLabels(samples, target, honor)
+        .select(
+          lit(if (honor) "honor" else "export").as("mode"),
+          element_at(col("labels"), "__name__").as("name"),
+          coalesce(element_at(col("labels"), "k"), lit("")).as("k"),
+          coalesce(element_at(col("labels"), "instance"), lit(""))
+            .as("instance"),
+          coalesce(element_at(col("labels"), "exported_instance"),
+            lit("")).as("exported_instance"),
+          coalesce(element_at(col("labels"), "job"), lit("")).as("job"),
+          coalesce(element_at(col("labels"), "exported_job"), lit(""))
+            .as("exported_job"),
+          col("value"))
+    face(honor = true).unionAll(face(honor = false))
+      .orderBy(col("mode"), col("name"), col("k"))
+  }
+
+  /** Oracle twin of [[honorLabels]]: parse the same exposition lines,
+    * re-derive the two relabel writes, then spell out both attach
+    * modes' outcomes per column.
+    */
+  val HonorLabelsSql: String = {
+    val body =
+      """parsed AS (
+        |  SELECT regexp_extract(line, '^([a-z_]+)\{k="([^"]*)"\} (-?[0-9.]+)$', 1) AS name,
+        |    regexp_extract(line, '^([a-z_]+)\{k="([^"]*)"\} (-?[0-9.]+)$', 2) AS k,
+        |    CAST(regexp_extract(line, '^([a-z_]+)\{k="([^"]*)"\} (-?[0-9.]+)$', 3) AS DOUBLE) AS value
+        |  FROM lines
+        |  WHERE regexp_matches(line, '^[a-z_]+\{k="[^"]*"\} -?[0-9.]+$')),
+        |lab AS (
+        |  SELECT name, k, value,
+        |    'exp-' || k AS exp_inst,
+        |    CASE WHEN name = 'purchase' THEN 'exposed-job' ELSE '' END AS exp_job
+        |  FROM parsed)
+        |SELECT * FROM (
+        |  SELECT 'honor' AS mode, name, k,
+        |    exp_inst AS instance, '' AS exported_instance,
+        |    CASE WHEN exp_job <> '' THEN exp_job ELSE 'graft' END AS job,
+        |    '' AS exported_job, value
+        |  FROM lab
+        |  UNION ALL
+        |  SELECT 'export' AS mode, name, k,
+        |    'localhost:9090' AS instance, exp_inst AS exported_instance,
+        |    'graft' AS job, exp_job AS exported_job, value
+        |  FROM lab)
+        |ORDER BY mode, name, k""".stripMargin
+    s"WITH lines AS ($ExpositionTextSql),\n$body"
+  }
+
   /** A1-OpenMetrics: the SAME registry snapshot rendered as an
     * OpenMetrics 1.0 payload (the successor exposition format the
     * reference's prometheus-cpp pull endpoint predates): `# TYPE`

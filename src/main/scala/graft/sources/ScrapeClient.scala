@@ -116,6 +116,15 @@ object ScrapeClient {
     * the relational parse; one target's exposition is O(#series)
     * driver work, exactly upstream's per-target scrape cache).
     */
+  /** Number of sample lines one payload exposes — upstream's
+    * `scrape_samples_scraped` report value (comments / `# EOF` don't
+    * count; one line = one sample under this wire's grammar).
+    */
+  private[sources] def sampleCount(body: String): Long = {
+    val re = LineRe.r
+    body.linesIterator.count(l => re.matches(l)).toLong
+  }
+
   private[sources] def seriesOf(body: String): Set[(String, String)] = {
     val re = LineRe.r
     body.linesIterator.collect {
@@ -138,6 +147,13 @@ object ScrapeClient {
         coalesce(element_at(col("labels"), "k"), lit("")).as("label_k"),
         col("value"))
 
+  /** [[relabeled]] for callers that need the full label-map shape even
+    * under an empty rule chain (the labeled scrape relation's marker /
+    * report arms).
+    */
+  private[sources] def relabelOnly(parsed: DataFrame,
+      rules: Seq[Relabel.Rule]): DataFrame = relabeled(parsed, rules)
+
   private def relabeled(parsed: DataFrame,
       rules: Seq[Relabel.Rule]): DataFrame =
     parsed
@@ -148,6 +164,51 @@ object ScrapeClient {
       .filter(col("labels").isNotNull &&
         coalesce(element_at(col("labels"), "__name__"), lit("")) =!= "")
       .select(col("scrape_ts"), col("labels"), col("value"))
+
+  /** Upstream's `honor_labels` attach law — TARGET labels (instance,
+    * job, plus any file-SD labels, post-relabeling) joining each
+    * scraped sample's label map:
+    *
+    *  - `honorLabels = false` (upstream's default): the target pair
+    *    always lands; an exposed label of the same name is RENAMED to
+    *    `exported_<name>` first (never silently dropped);
+    *  - `honorLabels = true`: the exposed label wins; the target pair
+    *    attaches only where the sample doesn't carry the name.
+    *
+    * Pure column expression over the `(scrape_ts, labels, value)`
+    * relation ([[parsePayloadsLabels]]'s shape) — no UDF, no shuffle;
+    * target labels are plan literals (O(#targets) driver state, the
+    * same bound upstream's scrape pool carries).
+    */
+  def attachTargetLabels(samples: DataFrame,
+      targetLabels: Map[String, String],
+      honorLabels: Boolean): DataFrame = {
+    if (targetLabels.isEmpty) return samples
+    val tmap = map(targetLabels.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    import org.apache.spark.sql.Column
+    // overwrite-put, duplicate-safe under Spark's strict map policy
+    def put(base: Column, k: String, v: Column): Column =
+      map_concat(map_filter(base, (bk, _) => bk =!= lit(k)), map(lit(k), v))
+    val attached =
+      if (honorLabels)
+        // exposed wins: attach only the target pairs the sample lacks
+        map_concat(col("labels"), map_filter(tmap,
+          (k, _) => !map_contains_key(col("labels"), k)))
+      else
+        // target wins — upstream's exact sequence per target pair:
+        // a clashing exposed value moves to exported_<name>
+        // (OVERWRITING any exposed exported_<name> twin, upstream's
+        // labels.Builder.Set), then the target pair lands
+        targetLabels.toSeq.sortBy(_._1).foldLeft(col("labels")) {
+          case (acc, (k, v)) =>
+            val moved = when(map_contains_key(acc, k),
+              put(acc, s"exported_$k", element_at(acc, k)))
+              .otherwise(acc)
+            put(moved, k, lit(v))
+        }
+    samples.withColumn("labels", attached)
+  }
 
   /** One scrape target's live status — the row `/api/v1/targets`
     * renders: never-scraped targets are `unknown`, a clean last fetch
@@ -195,11 +256,18 @@ object ScrapeClient {
 class ScrapeLoop(spark: SparkSession, url: String,
     openMetrics: Boolean = false, job: String = "graft",
     relabelConfigs: Seq[Relabel.Rule] = Nil,
-    metricRelabelConfigs: Seq[Relabel.Rule] = Nil) {
+    metricRelabelConfigs: Seq[Relabel.Rule] = Nil,
+    honorLabels: Boolean = false,
+    discoveryLabels: Map[String, String] = Map.empty) {
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val stream = MemoryStream[(java.sql.Timestamp, String)]
+  // per-scrape SYNTHETIC samples (up / scrape_duration_seconds /
+  // scrape_samples_scraped) — appended AFTER metric relabeling like
+  // upstream's report samples, so no rule can drop the health signal
+  private val synthetics =
+    MemoryStream[(java.sql.Timestamp, String, String, Double)]
   // staleness: vanished series land here as (scrape_ts, name, label_k,
   // StaleMarker). The marker VALUE rides as encoder DATA, never as a
   // `lit()` — Literal codegen has no Java NaN literal and collapses
@@ -222,9 +290,12 @@ class ScrapeLoop(spark: SparkSession, url: String,
   val targetLabels: Option[Map[String, String]] = {
     val instance = ScrapeClient.TargetStatus(url, job, None, None, 0.0)
       .instance
+    // discovery labels (a file-SD group's `labels`) OVERRIDE the
+    // address-derived defaults, upstream's precedence: an SD `job` or
+    // `instance` wins; `__address__` stays the wire address
     Relabel.relabelMap(Map(
-      "__address__" -> instance, "instance" -> instance, "job" -> job),
-      relabelConfigs)
+      "__address__" -> instance, "instance" -> instance, "job" -> job) ++
+      discoveryLabels, relabelConfigs)
   }
 
   /** True when `relabel_configs` dropped this target at discovery. */
@@ -255,10 +326,45 @@ class ScrapeLoop(spark: SparkSession, url: String,
   def events: DataFrame = {
     val markerSamples = markers.toDF()
       .toDF("scrape_ts", "name", "label_k", "value")
+    // synthetics bypass metric_relabel_configs (upstream appends the
+    // report samples after relabeling — no rule can drop `up`)
+    val reportSamples = synthetics.toDF()
+      .toDF("scrape_ts", "name", "label_k", "value")
     ScrapeClient.toEvents(
       ScrapeClient.parsePayloads(payloads, metricRelabelConfigs)
         .unionByName(ScrapeClient.applyMetricRelabel(markerSamples,
-          metricRelabelConfigs)))
+          metricRelabelConfigs))
+        .unionByName(reportSamples))
+  }
+
+  /** The FULL-label-map sample relation (`scrape_ts, labels, value`)
+    * with the target's identity attached under the `honor_labels` law
+    * ([[ScrapeClient.attachTargetLabels]]): every ingested sample
+    * carries `instance`/`job` (plus file-SD labels) exactly as
+    * upstream stores it. Markers and report samples ride the same
+    * attach, so a down target's `up = 0` is addressable by target.
+    */
+  def labeledEvents: DataFrame = {
+    val markerSamples = markers.toDF()
+      .toDF("scrape_ts", "name", "label_k", "value")
+    val reportSamples = synthetics.toDF()
+      .toDF("scrape_ts", "name", "label_k", "value")
+    // report samples carry ONLY `__name__` of their own — the target
+    // identity below is their whole label set, exactly upstream's
+    // `up{instance, job}` shape (no exposed `k`)
+    val reportLabeled = reportSamples.select(col("scrape_ts"),
+      map(lit("__name__"), col("name")).as("labels"), col("value"))
+    val samples = ScrapeClient
+      .parsePayloadsLabels(payloads, metricRelabelConfigs)
+      .unionByName(ScrapeClient.relabelOnly(markerSamples,
+        metricRelabelConfigs))
+      .unionByName(reportLabeled)
+    // meta labels (`__address__` and friends) are dropped before
+    // ingestion, upstream's post-relabel strip — only `__name__` (the
+    // sample's own) plus the real target identity reach storage
+    ScrapeClient.attachTargetLabels(samples,
+      targetLabels.getOrElse(Map.empty)
+        .filter { case (k, _) => !k.startsWith("__") }, honorLabels)
   }
 
   /** One tick: fetch now (or at the given instant) and append. A
@@ -272,11 +378,15 @@ class ScrapeLoop(spark: SparkSession, url: String,
   def poll(atMs: Long = System.currentTimeMillis()): Unit = {
     if (dropped) return
     val t0 = System.nanoTime()
+    var up = 0.0
+    var scraped = 0L
     try {
       val body = ScrapeClient.fetch(url, openMetrics)
       stream.addData((new java.sql.Timestamp(atMs), body))
       markVanished(ScrapeClient.seriesOf(body), atMs)
       lastError = None
+      up = 1.0
+      scraped = ScrapeClient.sampleCount(body)
     } catch {
       case e: Exception =>
         markVanished(Set.empty, atMs)
@@ -284,7 +394,34 @@ class ScrapeLoop(spark: SparkSession, url: String,
     } finally {
       lastScrapeMs = Some(atMs)
       lastDurationS = (System.nanoTime() - t0) / 1e9
+      // upstream's report samples, emitted after EVERY attempt (failed
+      // ones included — `up = 0` IS the signal): per-target gauges
+      // keyed by the relabeled instance identity
+      val ts = new java.sql.Timestamp(atMs)
+      val inst = targetLabels.flatMap(_.get("instance"))
+        .getOrElse(status.instance)
+      synthetics.addData(
+        (ts, "up", inst, up),
+        (ts, "scrape_duration_seconds", inst, lastDurationS),
+        (ts, "scrape_samples_scraped", inst, scraped.toDouble))
     }
+  }
+
+  /** Target REMOVAL (a file-SD group no longer lists it): every live
+    * series gets a staleness marker and `up` goes stale too, so the
+    * retired target's series cut immediately instead of serving
+    * through the lookback window — upstream's scrape-loop-stop
+    * behavior.
+    */
+  private[sources] def retire(atMs: Long): Unit = {
+    markVanished(Set.empty, atMs)
+    val ts = new java.sql.Timestamp(atMs)
+    val inst = targetLabels.flatMap(_.get("instance"))
+      .getOrElse(status.instance)
+    synthetics.addData(
+      (ts, "up", inst, ScrapeClient.StaleMarker),
+      (ts, "scrape_duration_seconds", inst, ScrapeClient.StaleMarker),
+      (ts, "scrape_samples_scraped", inst, ScrapeClient.StaleMarker))
   }
 
   /** Diff this tick's series set against the last one; vanished series

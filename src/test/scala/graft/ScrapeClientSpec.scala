@@ -119,8 +119,12 @@ class ScrapeClientSpec extends SparkTestBase {
         val keys = spark.table("scrape_relabeled")
           .select("name", "label_k").as[(String, String)].collect().toSet
         // click never reached the rollup operator; purchase{k=a}
-        // ingested under the rewritten k=alpha
-        assert(keys === Set("purchase" -> "alpha", "purchase" -> "b"))
+        // ingested under the rewritten k=alpha; report samples ride
+        // UNRELABELED (upstream appends them after the rule chain)
+        val inst = s"127.0.0.1:$port"
+        assert(keys === Set("purchase" -> "alpha", "purchase" -> "b",
+          "up" -> inst, "scrape_duration_seconds" -> inst,
+          "scrape_samples_scraped" -> inst))
       } finally q.stop()
       // batch ≡ streaming: the same rules over the same payload as a
       // static relation give the same sample set (one expression tree
@@ -215,11 +219,19 @@ class ScrapeClientSpec extends SparkTestBase {
     def live() = rows().groupBy(r => (r._2, r._3))
       .filter { case (_, rs) => !rs.maxBy(_._1)._4.isNaN }
       .keySet
+    // the per-target report samples ride every tick (up + scrape
+    // telemetry, keyed by the target's instance)
+    val inst = s"127.0.0.1:$port"
+    val report = Set(("up", inst), ("scrape_duration_seconds", inst),
+      ("scrape_samples_scraped", inst))
     try {
       loop.poll(t1)
       q.processAllAvailable()
       assert(live() === Set(("purchase", "a"), ("purchase", "b"),
-        ("click", "a")))
+        ("click", "a")) ++ report)
+      assert(rows().filter(r => r._2 == "up").forall(_._4 === 1.0))
+      assert(rows().filter(r => r._2 == "scrape_samples_scraped")
+        .forall(_._4 === 3.0), "three sample lines on the wire")
       // the registry moves on: b and click vanish from the payload —
       // the next tick closes them with markers AT that tick's instant
       ExpositionRegistry.clear()
@@ -230,13 +242,19 @@ class ScrapeClientSpec extends SparkTestBase {
       val marked = rows().filter(_._4.isNaN)
       assert(marked.map(m => (m._1, m._2, m._3)).toSet === Set(
         (t1 + 60000L, "purchase", "b"), (t1 + 60000L, "click", "a")))
-      assert(live() === Set(("purchase", "a")))
-      // a DOWN target stales everything it still served
+      assert(live() === Set(("purchase", "a")) ++ report)
+      // a DOWN target stales everything it still served — but the
+      // report samples keep flowing: `up = 0` IS the outage signal
       server.stop(0)
       loop.poll(t1 + 120000L)
       q.processAllAvailable()
       assert(loop.status.health === "down")
-      assert(live() === Set.empty)
+      assert(live() === report)
+      val lastUp = rows().filter(r => r._2 == "up").maxBy(_._1)
+      assert(lastUp._1 === t1 + 120000L && lastUp._4 === 0.0)
+      assert(rows().filter(r =>
+          r._2 == "scrape_samples_scraped" && r._1 == t1 + 120000L)
+        .forall(_._4 === 0.0))
     } finally q.stop()
   }
 
