@@ -414,7 +414,8 @@ object Api {
     * started with no rules serves an empty groups list, not an error.
     */
   def configJson(alertRules: Seq[Rules.AlertRule],
-      recordingRules: Seq[Rules.RecordingRule]): String = {
+      recordingRules: Seq[Rules.RecordingRule],
+      externalLabels: Map[String, String] = Map.empty): String = {
     def dur(s: Long): String =
       if (s <= 0) "0s"
       else if (s % 86400 == 0) s"${s / 86400}d"
@@ -437,12 +438,22 @@ object Api {
             yamlMap("labels", a.labels) +
             yamlMap("annotations", a.annotations)
         }
-    val yaml =
-      if (rules.isEmpty) "groups: []\n"
+    // the global section leads, upstream's YAML order; 4-space entry
+    // indent is what [[graft.promql.RuleConfig.parseFull]] reads back
+    // (load ∘ render stays the identity, RuleConfigSpec's law)
+    val globalYaml =
+      if (externalLabels.isEmpty) ""
+      else "global:\n  external_labels:\n" +
+        externalLabels.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"    $k: ${if (v.exists("{}:#'\"".contains(_)))
+            "'" + v.replace("'", "''") + "'" else v}"
+        }.mkString("\n") + "\n"
+    val yaml = globalYaml +
+      (if (rules.isEmpty) "groups: []\n"
       else "groups:\n- name: graft\n" +
         (alertRules.map(_.intervalS).filter(_ > 0).headOption
           .map(i => s"  interval: ${dur(i)}\n").getOrElse("")) +
-        "  rules:\n" + rules.mkString("\n") + "\n"
+        "  rules:\n" + rules.mkString("\n") + "\n")
     envelope(s"""{"yaml":"${jsonEscape(yaml)}"}""")
   }
 
@@ -479,9 +490,14 @@ object Api {
     */
   def metadataJson: String = {
     import graft.model.MetricEvent
+    // the scrape report series (up & friends) serve NO metadata —
+    // upstream's well-known quirk: synthetics aren't scraped, so the
+    // metadata store never sees them
     val fams =
       MetricEvent.CounterNames.map(_ -> "counter") ++
-        MetricEvent.GaugeNames.map(_ -> "gauge") ++
+        MetricEvent.GaugeNames
+          .filterNot(MetricEvent.SyntheticNames.contains)
+          .map(_ -> "gauge") ++
         MetricEvent.HistogramNames.map(_ -> "histogram")
     envelope(fams.sortBy(_._1).map { case (n, k) =>
       s""""${jsonEscape(n)}":[{"type":"$k","help":"","unit":""}]"""

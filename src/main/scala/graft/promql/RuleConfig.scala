@@ -40,7 +40,20 @@ object RuleConfig {
     * evaluation interval); recording rules keep their default.
     */
   def parse(yaml: String): (Seq[Rules.AlertRule], Seq[Rules.RecordingRule]) = {
+    val (a, r, _) = parseFull(yaml)
+    (a, r)
+  }
+
+  /** [[parse]] plus the `global:` section — `external_labels` (the
+    * per-server identity attached to every outbound series: federation,
+    * remote-write, notifier) re-read on `/-/reload` like the rules.
+    */
+  def parseFull(yaml: String): (Seq[Rules.AlertRule],
+      Seq[Rules.RecordingRule], Map[String, String]) = {
     var interval = 0L
+    var globalMode = false
+    var extMode = false
+    val ext = scala.collection.mutable.LinkedHashMap[String, String]()
     val alerts = scala.collection.mutable.ArrayBuffer[Rules.AlertRule]()
     val records = scala.collection.mutable.ArrayBuffer[Rules.RecordingRule]()
     // the rule under construction (alert XOR record), plus which of its
@@ -68,9 +81,15 @@ object RuleConfig {
     yaml.linesIterator.foreach { raw =>
       val line = raw.replaceAll("\\s+$", "")
       val t = line.trim
-      if (t.isEmpty || t == "groups:" || t == "groups: []" ||
-        t.startsWith("- name:") || t == "rules:") ()
-      else if (line.startsWith("      ") && mapMode.isDefined) {
+      if (t == "groups:" || t == "groups: []") { globalMode = false; extMode = false }
+      else if (t.isEmpty || t.startsWith("- name:") || t == "rules:") ()
+      else if (t == "global:") { globalMode = true; extMode = false }
+      else if (globalMode && t == "external_labels:") extMode = true
+      else if (globalMode && extMode && line.startsWith("    ")) {
+        val i = t.indexOf(':')
+        require(i > 0, s"unparseable external_labels entry '$t'")
+        ext.put(t.substring(0, i), unquote(t.substring(i + 1)))
+      } else if (line.startsWith("      ") && mapMode.isDefined) {
         // a labels/annotations entry
         val i = t.indexOf(':')
         require(i > 0, s"unparseable map entry '$t'")
@@ -103,11 +122,18 @@ object RuleConfig {
     val withIv =
       if (interval <= 0) alerts.toSeq
       else alerts.toSeq.map(a => a.copy(intervalS = interval))
-    (withIv, records.toSeq)
+    (withIv, records.toSeq, ext.toMap)
   }
 
   /** Load a rule file from disk. */
-  def load(path: String): (Seq[Rules.AlertRule], Seq[Rules.RecordingRule]) =
-    parse(new String(java.nio.file.Files.readAllBytes(
+  def load(path: String): (Seq[Rules.AlertRule], Seq[Rules.RecordingRule]) = {
+    val (a, r, _) = loadFull(path)
+    (a, r)
+  }
+
+  /** [[load]] plus the `global: external_labels` section. */
+  def loadFull(path: String): (Seq[Rules.AlertRule],
+      Seq[Rules.RecordingRule], Map[String, String]) =
+    parseFull(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
 }

@@ -173,7 +173,8 @@ object QueryEndpoint {
         RemoteRead.DefaultSampleBytesLimit,
       otlpDeltaToCumulative: Boolean = false,
       externalLabels: Map[String, String] = Map.empty,
-      ruleFile: Option[String] = None): HttpServer = {
+      ruleFile: Option[String] = None,
+      scrapePool: Option[ScrapePool] = None): HttpServer = {
     // the 3.x flag-gated OTLP delta path: one cross-request conversion
     // state per server instance (O(#series) driver state)
     val otlpDelta: Option[Otlp.DeltaState] =
@@ -184,13 +185,20 @@ object QueryEndpoint {
     // results-cache epoch so no handler ever serves an answer computed
     // under the old rules. Handlers read through `aRules`/`rRules` at
     // REQUEST time, so a swap is visible on the very next request.
+    // external_labels reload with the rules: a config file's `global:`
+    // section overrides the inline param, and `/-/reload` swaps both
+    // atomically (no request ever sees new rules with old identity)
     val rulesRef = new java.util.concurrent.atomic.AtomicReference[
         (Seq[graft.promql.Rules.AlertRule],
-          Seq[graft.promql.Rules.RecordingRule])](
-      ruleFile.map(graft.promql.RuleConfig.load)
-        .getOrElse((alertRules, recordingRules)))
+          Seq[graft.promql.Rules.RecordingRule],
+          Map[String, String])](
+      ruleFile.map(graft.promql.RuleConfig.loadFull)
+        .map { case (a, r, ext) =>
+          (a, r, if (ext.nonEmpty) ext else externalLabels) }
+        .getOrElse((alertRules, recordingRules, externalLabels)))
     def aRules = rulesRef.get()._1
     def rRules = rulesRef.get()._2
+    def extLabels = rulesRef.get()._3
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     // remote-write receiver: POST of a snappy-framed WriteRequest; 204
     // on accept (upstream's receiver contract), 400 on malformed bytes,
@@ -379,7 +387,10 @@ object QueryEndpoint {
       Some(s"""{"status":"success","data":{"name":"${jsonEscape(name)}"}}""")
     })
     server.createContext("/api/v1/targets", handler { _ =>
-      Api.targetsJson(scrapeTargets.map(_.status))
+      // pool statuses read at REQUEST time — file-SD adds/removes
+      // show on the next scrape tick's listing
+      Api.targetsJson(scrapeTargets.map(_.status) ++
+        scrapePool.map(_.statuses).getOrElse(Nil))
     })
     // upstream's Alertmanager-discovery view: the configured notifier
     // endpoints with delivery health (a notifier whose last POST failed
@@ -441,8 +452,10 @@ object QueryEndpoint {
         if (ex.getRequestMethod != "POST")
           respond(ex, 405, errorBody("reload requires POST"))
         else try {
-          rulesRef.set(ruleFile.map(graft.promql.RuleConfig.load)
-            .getOrElse((alertRules, recordingRules)))
+          rulesRef.set(ruleFile.map(graft.promql.RuleConfig.loadFull)
+            .map { case (a, r, ext) =>
+              (a, r, if (ext.nonEmpty) ext else externalLabels) }
+            .getOrElse((alertRules, recordingRules, externalLabels)))
           graft.promql.ResultsCache.invalidate(spark, dir)
           respond(ex, 200, "", "text/plain; charset=utf-8")
         } catch {
@@ -458,7 +471,7 @@ object QueryEndpoint {
       Api.flagsJson(spark)
     })
     server.createContext("/api/v1/status/config", handler { _ =>
-      Api.configJson(aRules, rRules)
+      Api.configJson(aRules, rRules, extLabels)
     })
     server.createContext("/api/v1/status/runtimeinfo", handler { _ =>
       Api.runtimeInfoJson(spark)
@@ -532,7 +545,7 @@ object QueryEndpoint {
       // the standing rule file's recorded names federate like any
       // TSDB series, exactly as they answer /api/v1/query
       graft.promql.Compiler.withRecordedRules(rRules)(
-        Api.federateText(spark, dir, ms, externalLabels))
+        Api.federateText(spark, dir, ms, extLabels))
     }, ScrapeEndpoint.ContentType))
     server.createContext("/api/v1/series", handler { ex =>
       // repeated match[] selectors union (upstream semantics); start/end

@@ -515,7 +515,71 @@ class QueryApiSpec extends SparkTestBase {
         """signup\{env="prod",instance="i\d",k="[ab]"\} .*""")))
       assert(body === Api.federateText(spark, dir, Seq("signup"),
         Map("env" -> "prod", "k" -> "ext")))
+      // the config endpoint shows the identity under global:, the
+      // grammar RuleConfig reads back
+      val yaml = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(get(port, "/api/v1/status/config")._2)
+        .path("data").path("yaml").asText
+      assert(yaml.contains("external_labels:") &&
+        yaml.contains("env: prod"))
+      assert(graft.promql.RuleConfig.parseFull(yaml)._3 ===
+        Map("env" -> "prod", "k" -> "ext"))
     } finally server.stop(0)
+  }
+
+  test("/-/reload swaps external_labels from the config file's global section") {
+    val f = java.nio.file.Files.createTempFile("graft_cfg", ".yml")
+    def yaml(env: String): String =
+      s"global:\n  external_labels:\n    env: $env\ngroups: []\n"
+    java.nio.file.Files.write(f, yaml("stage").getBytes("UTF-8"))
+    val server = QueryEndpoint.start(spark, dir, ruleFile = Some(f.toString))
+    val port = server.getAddress.getPort
+    try {
+      def fed() = get(port, "/federate?match[]=" + enc("signup"))._2
+      assert(fed().contains("""env="stage""""))
+      java.nio.file.Files.write(f, yaml("prod").getBytes("UTF-8"))
+      assert(postForm(port, "/-/reload", "")._1 === 200)
+      assert(fed().contains("""env="prod""""),
+        "the very next federation carries the reloaded identity")
+    } finally {
+      server.stop(0)
+      java.nio.file.Files.deleteIfExists(f)
+    }
+  }
+
+  test("/api/v1/targets reads a file-SD pool at request time") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    graft.streaming.ExpositionRegistry.clear()
+    graft.streaming.ExpositionRegistry.publish(
+      graft.streaming.MetricStream.SeriesTotal("purchase", "a", 1.0, 1))
+    val s1 = graft.sources.ScrapeEndpoint.start()
+    val p1 = s1.getAddress.getPort
+    val sd = java.nio.file.Files.createTempFile("graft_sd_api", ".json")
+    java.nio.file.Files.write(sd,
+      s"""[{"targets": ["127.0.0.1:$p1"], "labels": {"job": "web"}}]"""
+        .getBytes("UTF-8"))
+    val pool = new graft.sources.ScrapePool(spark, sd.toString)
+    val server = QueryEndpoint.start(spark, dir, scrapePool = Some(pool))
+    val port = server.getAddress.getPort
+    val om = new ObjectMapper()
+    def active(): Seq[(String, String)] = {
+      val at = om.readTree(get(port, "/api/v1/targets")._2)
+        .path("data").path("activeTargets")
+      (0 until at.size).map(i => (at.get(i).path("scrapePool").asText,
+        at.get(i).path("health").asText))
+    }
+    try {
+      assert(active() === Nil, "nothing discovered before the first tick")
+      pool.poll()
+      assert(active() === Seq(("web", "up")),
+        "discovery shows on the next listing without a server restart")
+      java.nio.file.Files.write(sd, "[]".getBytes("UTF-8"))
+      pool.poll()
+      assert(active() === Nil, "a removed target leaves the listing")
+    } finally {
+      server.stop(0); s1.stop(0)
+      java.nio.file.Files.deleteIfExists(sd)
+    }
   }
 
   test("/api/v1/labels and label values honor match[] and start/end") {

@@ -31,6 +31,23 @@ class RuleConfigSpec extends SparkTestBase {
     assert(r2 === recs)
   }
 
+  test("global external_labels round-trip with the rules") {
+    val alerts = Seq(AlertRule("Low", "sum by (k) (click) < 200"))
+    val ext = Map("env" -> "prod", "replica" -> "a",
+      "odd" -> "has: colon")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val yaml = om.readTree(Api.configJson(alerts, Nil, ext))
+      .path("data").path("yaml").asText
+    assert(yaml.startsWith("global:\n  external_labels:\n"),
+      "the global section leads, upstream's YAML order")
+    val (a2, r2, e2) = RuleConfig.parseFull(yaml)
+    assert(a2 === alerts && r2.isEmpty && e2 === ext)
+    // a global-only file (no rules) parses too
+    val (a3, r3, e3) = RuleConfig.parseFull(
+      "global:\n  external_labels:\n    env: dev\ngroups: []\n")
+    assert(a3.isEmpty && r3.isEmpty && e3 === Map("env" -> "dev"))
+  }
+
   test("empty and minimal files parse; junk durations refuse") {
     assert(RuleConfig.parse("groups: []\n") === ((Nil, Nil)))
     val (a, r) = RuleConfig.parse(
