@@ -3,6 +3,7 @@ package graft
 import graft.sources.{ScrapeClient, ScrapeEndpoint, ScrapePool}
 import graft.streaming.{ExpositionRegistry, MetricStream}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** File-based target discovery ([[ScrapePool]]) and the
   * `honor_labels` attach law ([[ScrapeClient.attachTargetLabels]]) —
@@ -50,6 +51,45 @@ class ScrapePoolSpec extends SparkTestBase {
         .select(col("labels")).collect().map(_.getMap[String, String](0).toMap)
         .toSet === samples.select(col("labels")).collect()
         .map(_.getMap[String, String](0).toMap).toSet)
+  }
+
+  test("a dead target fires `up == 0` through the real evaluator — the canonical outage alert") {
+    ExpositionRegistry.clear()
+    ExpositionRegistry.publish(
+      MetricStream.SeriesTotal("purchase", "a", 5.5, 3))
+    val server = ScrapeEndpoint.start()
+    val port = server.getAddress.getPort
+    val loop = new graft.sources.ScrapeLoop(spark,
+      s"http://127.0.0.1:$port/metrics")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:01").getTime
+    val q = loop.events.writeStream.format("memory")
+      .queryName("up_alert_ev").outputMode("append").start()
+    try {
+      loop.poll(t1)
+      q.processAllAvailable()
+      def evalUp(key: String): Set[(String, String)] = {
+        // snapshot into a local relation: the memory table's LOGICAL
+        // PLAN is identical across ticks, and a lazily-seeded view
+        // would cache-match the previous tick's persisted rows
+        val snap = spark.createDataFrame(
+          spark.table("up_alert_ev").collect().toSeq.asJava,
+          spark.table("up_alert_ev").schema)
+        graft.operators.Metrics.seedEvents(spark, key,
+          graft.operators.Metrics.metricEventsOf(snap))
+        graft.promql.Rules.evaluateAlerts(spark, key, Seq(
+          graft.promql.Rules.AlertRule("TargetDown", "up == 0")))
+          .select(col("alertname"), col("label_k"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      }
+      assert(evalUp(s"up#t1") === Set.empty, "a healthy target fires nothing")
+      // the target dies; the next tick's up = 0 IS the alert condition
+      server.stop(0)
+      loop.poll(t1 + 60000L)
+      q.processAllAvailable()
+      assert(evalUp(s"up#t2") ===
+        Set(("TargetDown", s"127.0.0.1:$port")),
+        "the outage fires on the target's identity")
+    } finally q.stop()
   }
 
   test("file-SD pool: discovery, per-group labels, retire-on-removal, bad-file keeps scraping") {
