@@ -972,7 +972,10 @@ object Compiler {
             lit(boundS).cast("double").as("value")): _*)
       } else {
         val iv = r.intervalS
-        val L = math.min((boundS - minS) / iv + 1L, 4096L)
+        // ≥1 even when the bound rewinds past the corpus start (a deep
+        // offset/@): the one-instant ladder evaluates at the bound and
+        // serves empty, upstream's reading, instead of refusing
+        val L = math.max(1L, math.min((boundS - minS) / iv + 1L, 4096L))
         val startS = boundS - (L - 1) * iv
         val grid = Rules.alertStatesGridAt(spark, dir, r, startS, boundS, iv)
           .getOrElse(fail(s"alert '${r.alert}': no dense-grid strategy " +
