@@ -63,6 +63,27 @@ object Bench {
     // (p82/p90/p91/b7b-adjacent paths).
     warm("nh-obs")(graft.operators.Downsample
       .nhObsCached(spark, sfDir).count())
+    // Warm-up 10: the perceptual (dHash) pair relation shared by
+    // x92/x96/x99 — the one multi-consumer silver relation that had no
+    // warm-up, so whichever of the three ran first absorbed the whole
+    // corpus signature scan + band join (misattributed as that query's
+    // plan cost, the warm-up 2 rationale).
+    warm("phash-pairs")(graft.operators.Multimodal
+      .phashNeardup(spark, sfDir).count())
+    // Warm-up 11: the four 1h rollup faces of the pyramid — the
+    // materialized silver tables p86–p102/b7b read; first consumer
+    // otherwise absorbs all four builds.
+    warm("rollup-1h")(graft.operators.Downsample.warmRollups(spark, sfDir))
+    // Warm-up 12: the minhash connected-components labels shared by
+    // x27/x28/x97/x99.
+    warm("components")(graft.operators.Dedup
+      .dedupComponents(spark, sfDir).queryExecution.toRdd.count())
+    // Warm-up 13: the k-means assignment/centroid caches shared by
+    // x35/x36 and the k-means|| init relation shared by x39/x40/x40b.
+    warm("kmeans")(graft.operators.Similarity
+      .kmeansAssignments(spark, sfDir).count())
+    warm("kpp-init")(graft.operators.Similarity
+      .kmeansParallelInit(spark, sfDir).count())
     // Host fingerprint (r13 judge ask #6): lets the trend tool separate
     // MACHINE speed from PLAN cost across rounds (r12→r13's +68% total
     // was a uniformly slower host, provable then only by re-benching

@@ -634,14 +634,17 @@ object Dedup {
       // pointer-jump: labels are vertex ids, so every component_id is
       // itself a labeled vertex — follow it one step
       val parents = minStep.select(col("v").as("_p"), col("component_id").as("_pc"))
+      // the previous-label join rides INSIDE the checkpointed round so
+      // the convergence test is a scan of the checkpoint, not its own
+      // shuffle-join action (halves the per-round job count)
       val jumped = minStep.join(parents, col("component_id") === col("_p"), "left")
         .select(col("v"), coalesce(col("_pc"), col("component_id")).as("component_id"))
-        .localCheckpoint()
-      val changed = jumped
         .join(labels.withColumnRenamed("component_id", "_prev"), Seq("v"))
-        .filter(col("component_id") =!= col("_prev"))
-        .limit(1).count()
-      labels = jumped
+        .withColumn("_chg", col("component_id") =!= col("_prev"))
+        .select(col("v"), col("component_id"), col("_chg"))
+        .localCheckpoint()
+      val changed = jumped.filter(col("_chg")).limit(1).count()
+      labels = jumped.select(col("v"), col("component_id"))
       converged = changed == 0L
     }
     labels
@@ -1157,17 +1160,25 @@ object Dedup {
         .select(col("doc_id"), col("shingle")).distinct()
         .persist()
     })
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = ground.join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    // Exact per-pair intersection via per-doc shingle ARRAYS
+    // (array_intersect of distinct sets — same integer |A∩B| as the
+    // join+count form): the previous shape joined every ground pair
+    // against BOTH endpoint shingle lists and shuffled the
+    // pairs×shingles fan-out into a count aggregate; this one shuffles
+    // each ground doc's shingles once (into its array) and the pair
+    // relation twice, all ∝ matches. Output bit-identical (same
+    // integer counts, same divide).
+    val arrs = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("arr"), count(lit(1)).as("n"))
     val found = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
       .withColumn("found_by_minhash", lit(true))
     ground
-      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("n_inter"))
-      .join(counts.toDF("doc_a", "n_a"), "doc_a")
-      .join(counts.toDF("doc_b", "n_b"), "doc_b")
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("_aa"),
+        col("n").as("n_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("_ab"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("_aa"), col("_ab"))).cast("long"))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .withColumn("s2", col("jaccard") * col("jaccard"))
@@ -1251,13 +1262,20 @@ object Dedup {
     val pairs = Multimodal.phashNeardup(spark, dir).select(col("doc_a"), col("doc_b"))
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // The walk references the degree relation twice per round (damping
+    // divisor + teleport floor) and the edge list once per round — left
+    // inline, the 3-round unrolled plan recomputed deg 7× and sym 3×
+    // from the pair cache (measured: most of the query's stages).
+    // localCheckpoint materializes each ONCE; both are edge/node-sized
+    // (∝ matches), so the checkpoint is small at any corpus scale.
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val symDeg = sym.join(deg, Seq("src")).localCheckpoint()
     var r = deg.select(col("src").as("doc_id"),
       lit(CentralityInitNano).as("rank_nano"))
     (1 to CentralityRounds).foreach { _ =>
-      val contribs = sym
+      val contribs = symDeg
         .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("doc_id"),
           expr(s"(rank_nano * $CentralityDampPct) div (100 * deg)").as("c"))
         .groupBy(col("doc_id")).agg(sum(col("c")).as("in_nano"))

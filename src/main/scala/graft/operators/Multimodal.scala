@@ -450,19 +450,22 @@ object Multimodal {
     * documented at) [[frameSample]]'s oracle.
     */
   def dhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val px = (0 until DHashPixels).map { p =>
-      s"aggregate(sequence(cast(($p * n) div $DHashPixels as int) + 1, " +
-        s"cast((${p + 1} * n) div $DHashPixels as int)), 0L, " +
-        "(acc, i) -> acc + ascii(substr(text, i, 1)))"
-    }.mkString("array(", ", ", ")")
+    // One-pass native pixel reduction (graft.plans.PixelSumsExpr) — the
+    // codegen'd promotion of the 36-fold aggregate(sequence(...),
+    // ascii(substr(text, i, 1))) composed form, which paid a sequence
+    // array + interpreted lambda + one-char UTF8String per CHARACTER
+    // (~17 s for the sf0.1 corpus; this scan gates the x92/x96/x99
+    // shared pair relation). Bit-identical by PixelSumsSpec.
     val sig = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      // BIGINT n before the $p·n products: an Int-typed length would
-      // overflow at docs past ~61M chars (35·n > 2³¹) — ANSI Spark
-      // would throw where the BIGINT-cast oracle computes fine
+      // BIGINT n before the px ranges' p·n products: an Int-typed
+      // length would overflow at docs past ~61M chars (35·n > 2³¹) —
+      // ANSI Spark would throw where the BIGINT-cast oracle computes
+      // fine (PixelSumsExpr carries the same long arithmetic)
       .select(col("doc_id"), col("text"), length(col("text")).cast("bigint").as("n"))
       .filter(col("n") >= DHashPixels)
-      .withColumn("px", expr(px))
+      .withColumn("px",
+        graft.plans.PixelSumsExpr.pixelSums(spark, "text", DHashPixels))
     val hash = (0 until DHashBits).map { b =>
       val r = b / (DHashCols - 1)
       val c = b % (DHashCols - 1)

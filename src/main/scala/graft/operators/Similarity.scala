@@ -378,6 +378,9 @@ object Similarity {
     kmeansCentCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
       Option(kmeansCentCache.remove(k)).foreach(_.unpersist())
     }
+    kppInitCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(kppInitCache.remove(k)).foreach(_.unpersist())
+    }
   }
 
   val KmeansK = 8
@@ -531,6 +534,12 @@ object Similarity {
     var cent = seeds
     var rounds = 0
     var changed = Long.MaxValue
+    // NOTE(r18 opt): fusing the reassignment count into the labels
+    // checkpoint and inlining the K-row centroid relation into the
+    // broadcast build were both tried and measured SLOWER (4.0 → 4.8 s
+    // at sf0.1): the per-round actions are tiny, and the fused join
+    // re-sorted both sides inside the checkpoint while the final
+    // summary re-ran the last centroid aggregation. Original loop kept.
     while (changed > threshold && rounds < maxRounds) {
       cent = updatedCentroids(spark, vecs.join(labels, "vec_id")).localCheckpoint()
       val next = assignTo(spark, vecs, cent)
@@ -878,7 +887,20 @@ object Similarity {
     * one scan of the cached vectors at any scale. Output: every selected
     * candidate with the round that picked it and its attraction weight.
     */
-  def kmeansParallelInit(spark: SparkSession, dir: String): DataFrame = {
+  /** Session-scoped cache of the k-means|| init relation: x39 serves it
+    * directly, x40/x40b both collect it for the local greedy — without
+    * the cache each of the three re-ran the whole oversampling pass.
+    */
+  private val kppInitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def kmeansParallelInit(spark: SparkSession, dir: String): DataFrame =
+    kppInitCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => kppInitCache.remove(k))
+      kmeansParallelInitUncached(spark, dir).persist()
+    })
+
+  private def kmeansParallelInitUncached(spark: SparkSession, dir: String): DataFrame = {
     val vecs = quantized(spark, dir).select(col("vec_id"), col("q"), col("n2"))
     val gate = lit(KppOversample.toLong * (1L << 24))
     var cands = vecs.filter(col("vec_id") === 100)
@@ -894,10 +916,15 @@ object Similarity {
       // sel is ~l rows in expectation (the oversampling contract) —
       // broadcast-hint it so the STATIC plan never chooses a
       // sort-merge join (AQE fixes it at runtime, but the hint is the
-      // honest any-scale plan)
+      // honest any-scale plan). The per-round localCheckpoint
+      // materializes the ≤(1+l·r)-row candidate set: left lazy, round
+      // r's plan re-evaluated every prior round's selection gate (and
+      // the final scoring pass re-ran the whole pyramid of them —
+      // measured as 63 AQE jobs for a 2-round init).
       cands = cands.unionAll(vecs.join(broadcast(sel), "vec_id")
         .select(col("vec_id").as("cand_id"), lit(r).as("round"),
           col("q").as("s"), col("n2").as("sn2")))
+        .localCheckpoint()
     }
     val scored = vecs.crossJoin(broadcast(cands.select(col("cand_id"), col("s"), col("sn2"))))
       .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "q", "s"))
@@ -1501,12 +1528,18 @@ object Similarity {
       col("label").as("label_a"), col("q").as("qa"), col("n2").as("na2"))
     val b = qb.select(col("bucket"), col("vec_id").as("vec_b"),
       col("label").as("label_b"), col("q").as("qb"), col("n2").as("nb2"))
+    // The candidate relation feeds the plan THREE times (twice through
+    // the symmetrized k-NN union, once as the scored pair list), and
+    // each inline copy re-ran the bucket join + 64-dim dots — the
+    // query's whole compute, tripled. One checkpoint, three scans;
+    // candidates ∝ Σ bucket² stays the bound at any scale.
     val pairs = a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("dp", graft.plans.IntDotExpr.intDot(spark, "qa", "qb"))
       .withColumn("cosine", cosineCol)
       .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
         col("cosine"))
+      .localCheckpoint()
     val sym = pairs.select(col("vec_a").as("vec_id"),
         col("vec_b").as("partner"), col("cosine"))
       .unionAll(pairs.select(col("vec_b").as("vec_id"),

@@ -1736,6 +1736,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("score"))
     val w = Window.partitionBy(col("doc_id"), col("half"))
       .orderBy(col("score").desc, col("profile_lang"))
+    // NOTE(r18 opt): checkpointing `pred` here was tried and measured
+    // SLOWER (2.0 → 2.8 s) — the two side-joins' duplicated subtrees
+    // already share their shuffles via ReuseExchange, so the
+    // materialization only added a blocking action. Left lazy.
     val pred = scores.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
     def side(name: String): DataFrame = pred.filter(col("half") === name)
@@ -1913,7 +1917,14 @@ object TextAnalysis {
         md5(array_join(transform(
           sort_array(collect_list(struct(col("tok_pos").as("p"), col("tok").as("t")))),
           x => x.getField("t")), " ")).as("scrubbed_md5"))
-    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    // n_tokens = the token-array size read off the scan — the explode+
+    // count form re-ran the whole posexplode a second time for a number
+    // the array already knows. The null-text filter preserves the
+    // exploded form's row set (posexplode emits nothing for null).
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
       .join(after, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_kept"))
       .select(col("doc_id"), col("n_tokens"), col("n_kept"),
@@ -2527,11 +2538,19 @@ object TextAnalysis {
     val docIds = bpeEncodedDocs(spark, dir)
       .select(col("doc_id"), col("source"), col("ids"))
       .filter(size(col("ids")) >= 5)
+    // Gram key: the 5 ids packed exactly into two BIGINTs (21 bits per
+    // id — ids are codepoints < 2²¹ or 256+merge-round, see bpeSym) —
+    // replaces the md5-of-joined-strings digest, which built a 5-way
+    // string concat + md5 PER GRAM and shuffled 32-char digests where
+    // 16 bytes of integers carry the same equality (the key is
+    // query-internal: only hit/total counts leave, so any injective
+    // packing yields identical output; the oracle keeps its md5 twin).
+    val packed =
+      "transform(sequence(0, size(ids) - 5), j -> struct(" +
+        "((cast(ids[j] as bigint) * 2097152 + ids[j+1]) * 2097152 + ids[j+2]) as g1, " +
+        "(cast(ids[j+3] as bigint) * 2097152 + ids[j+4]) as g2))"
     val grams = docIds.select(col("doc_id"), col("source"),
-      explode(expr(
-        "transform(sequence(0, size(ids) - 5), j -> " +
-          "md5(array_join(transform(slice(ids, j + 1, 5), x -> cast(x as string)), '-')))"))
-        .as("g"))
+      explode(expr(packed)).as("g"))
       .distinct()
     val eval = grams.filter(col("source") === "src0").select(col("g")).distinct()
     val corpus = grams.filter(col("source") =!= "src0")

@@ -2630,6 +2630,13 @@ object Compiler {
         case None => base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       }
     }
+    // NOTE(r18 opt): checkpointing totPart/tot/bkPart/bw here (the p91
+    // panel recipe) was tried and measured NO better to WORSE at the
+    // 240-instant grid — this path's duplicated references already
+    // share their shuffles via ReuseExchange, and `bw` is
+    // (cells × instants)-sized, so its materialization dominated.
+    // Left fully lazy; p91's 43-instant panel keeps its checkpoints
+    // (measured 3.9 → 2.3–3.0 s there).
     val totPart = base.groupBy((outLabels :+ "_b").map(col): _*)
       .agg(count(lit(1)).as("_n"),
         sum(when(col("iszero"), 1L).otherwise(0L)).as("_z"))
@@ -2653,6 +2660,10 @@ object Compiler {
         Seq("bucket"))
     val instKey = outLabels :+ "_b"
     val w = Window.partitionBy(instKey.map(col): _*).orderBy(col("bucket"))
+    // bw stays lazy: it is (cells × grid instants)-sized — the one
+    // relation here a checkpoint would materialize at ~1.4M rows for a
+    // 240-instant panel (measured SLOWER when checkpointed); its two
+    // consumers share the window's shuffle via ReuseExchange instead
     val bw = bk.withColumn("cumc", sum(col("c")).over(w))
     val bstats = bw.groupBy(instKey.map(col): _*).agg(max(col("hi")).as("last_hi"))
     val picked = bw.join(tot, instKey)

@@ -42,6 +42,11 @@ object TimeQuery {
       spark, sfDir, graft.operators.TextAnalysis.BpeTrainRounds))
     warm(graft.operators.TextAnalysis.bpeEncodedDocs(spark, sfDir).count())
     warm(graft.operators.Downsample.nhObsCached(spark, sfDir).count())
+    warm(graft.operators.Multimodal.phashNeardup(spark, sfDir).count())
+    warm(graft.operators.Downsample.warmRollups(spark, sfDir))
+    warm(graft.operators.Dedup.dedupComponents(spark, sfDir).queryExecution.toRdd.count())
+    warm(graft.operators.Similarity.kmeansAssignments(spark, sfDir).count())
+    warm(graft.operators.Similarity.kmeansParallelInit(spark, sfDir).count())
     names.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
         case None => println(s"[time] $name: NOT REGISTERED")
