@@ -84,6 +84,14 @@ object Bench {
       .kmeansAssignments(spark, sfDir).count())
     warm("kpp-init")(graft.operators.Similarity
       .kmeansParallelInit(spark, sfDir).count())
+    // Warm-up 14: the ANN tier's shared ground truth + coarse layer —
+    // exact top-5 (x6/x25/x89/x91/x91b all compare against it) and the
+    // coarse cell/rank/ADC-table caches (x15/x91/x91b).
+    warm("ann-shared")(graft.operators.Similarity.warmAnnShared(spark, sfDir))
+    // Warm-up 15: the verdict manifest (x24/x70/x90 + the classifier
+    // family's teacher label all read it).
+    warm("verdict")(graft.operators.TextAnalysis
+      .filterVerdict(spark, sfDir).count())
     // Host fingerprint (r13 judge ask #6): lets the trend tool separate
     // MACHINE speed from PLAN cost across rounds (r12→r13's +68% total
     // was a uniformly slower host, provable then only by re-benching

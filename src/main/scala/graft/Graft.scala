@@ -59,6 +59,7 @@ object Graft {
     graft.operators.Dedup.unpersistPairs(spark)
     graft.operators.Dedup.unpersistExact(spark)
     graft.operators.TextAnalysis.unpersistGrams(spark)
+    graft.operators.TextAnalysis.unpersistVerdict(spark)
     graft.operators.Similarity.unpersistQuantized(spark)
     graft.operators.Similarity.unpersistKmeans(spark)
     graft.operators.Similarity.unpersistPq(spark)

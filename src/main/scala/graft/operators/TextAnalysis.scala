@@ -731,7 +731,29 @@ object TextAnalysis {
     * recomputed — the three subtrees share the session caches), and the
     * verdict itself is pure per-row logic.
     */
-  def filterVerdict(spark: SparkSession, dir: String): DataFrame = {
+  /** Session cache of the verdict manifest — exactly what a production
+    * pipeline materializes (the docstring's "filter manifest"): x24
+    * serves it, x70 folds it twice (drops + total), x90's heuristic
+    * gate reads it, and the classifier's teacher label derives from it
+    * — previously each consumer re-ran the three-way signal join.
+    */
+  private val verdictCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def unpersistVerdict(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    verdictCache.keySet.asScala.filter(_._1 eq spark).foreach { k =>
+      Option(verdictCache.remove(k)).foreach(_.unpersist())
+    }
+  }
+
+  def filterVerdict(spark: SparkSession, dir: String): DataFrame =
+    verdictCache.computeIfAbsent((spark, dir), k => {
+      SessionCaches.onApplicationEnd(spark)(() => verdictCache.remove(k))
+      filterVerdictUncached(spark, dir).persist()
+    })
+
+  private def filterVerdictUncached(spark: SparkSession, dir: String): DataFrame = {
     val dedup = Dedup.exact(spark, dir).select(col("doc_id"), col("keep").as("dedup_keep"))
     val rep = repetition(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"), col("top_token_frac"))

@@ -47,6 +47,8 @@ object TimeQuery {
     warm(graft.operators.Dedup.dedupComponents(spark, sfDir).queryExecution.toRdd.count())
     warm(graft.operators.Similarity.kmeansAssignments(spark, sfDir).count())
     warm(graft.operators.Similarity.kmeansParallelInit(spark, sfDir).count())
+    warm(graft.operators.Similarity.warmAnnShared(spark, sfDir))
+    warm(graft.operators.TextAnalysis.filterVerdict(spark, sfDir).count())
     names.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
         case None => println(s"[time] $name: NOT REGISTERED")
